@@ -1,38 +1,104 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Engine: fafnir_spark — PySpark-native inverted index + BM25 (see SURVEY.md).
+Query keys map to SURVEY.md §2 operators; see COVERAGE.md for the full
+operator-by-operator inventory.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fafnir_spark import oracles
+from fafnir_spark.query import bm25_topk, conjunctive_match, doc_term_freqs, term_dfs
+
+# ---- canonical query set (the engine's "reference query set") ----
+Q_MAIN = ["merge", "window", "customer"]
+Q_BOOST = ["spark", "slow"]
+Q_CONJ = ["merge", "window", "customer"]
+
+def _boost_col() -> F.Column:
+    # fafnir's poi_display_weight family: 1 - 1/(1+len)
+    return F.lit(1.0) - F.lit(1.0) / (F.lit(1.0) + F.col("n_chars"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 through the full index lifecycle — build the
+    inverted index (SPIMI → merge → compressed blocks) then query it with
+    block-max WAND. Falls back on nothing; this IS the engine."""
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.wand import run_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = os.path.join(tempfile.gettempdir(), "fafnir_entry_idx")
+    docs = normalize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+    build_index(spark, docs, root, n_parts=4, block_size=64,
+                tokenizer="whitespace", build_id="entry", resume=False)
+    return run_queries(spark, root, {"flagship": Q_MAIN}, k=10, algo="bmw")
+
+
+# ---- oracle-checked queries (sf0.01) ----
+
+def _q_bm25_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(_docs(spark, sf_dir), Q_MAIN, k=10)
+
+
+def _q_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(_docs(spark, sf_dir), Q_BOOST, k=10, boost=_boost_col())
+
+
+def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: build index, query with BMW, same oracle as direct
+    — proves the physical index (codec, sharding, pruning) is faithful."""
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.wand import run_queries
+
+    root = os.path.join(tempfile.gettempdir(), f"fafnir_idx_{abs(hash(sf_dir))}")
+    docs = normalize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+    build_index(spark, docs, root, n_parts=8, block_size=128,
+                tokenizer="whitespace", build_id="oracle", resume=True)
+    res = run_queries(spark, root, {"q": Q_MAIN}, k=10, algo="bmw")
+    return res.select("rank", "doc_id", "score")
+
+
+def _q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = doc_term_freqs(_docs(spark, sf_dir), "doc_id", "text")
+    return term_dfs(tf).orderBy("term")
+
+
+def _q_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conjunctive_match(_docs(spark, sf_dir), Q_CONJ).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk_direct": _q_bm25_direct,
+        "bm25_topk_boosted": _q_bm25_boosted,
+        "bm25_topk_indexed": _q_bm25_indexed,
+        "term_dictionary": _q_dictionary,
+        "conjunctive_match": _q_conjunctive,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk_direct": oracles.bm25_topk_sql(Q_MAIN, k=10),
+        "bm25_topk_boosted": oracles.bm25_topk_sql(Q_BOOST, k=10, boosted=True),
+        "bm25_topk_indexed": oracles.bm25_topk_sql(Q_MAIN, k=10),
+        "term_dictionary": oracles.term_stats_sql(),
+        "conjunctive_match": oracles.conjunctive_sql(Q_CONJ),
+    }

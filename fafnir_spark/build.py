@@ -1,0 +1,338 @@
+"""Index build: SPIMI-style posting construction as a Spark DAG.
+
+Reference pipeline being re-expressed (SURVEY.md §3.1, /root/reference
+src/bin/openmaptiles2mimir.rs:35-149): scan → per-row transform/enrich →
+route → bulk index → publish → force-merge. Spark-first translation:
+
+  scan (parquet/Iceberg, pruned)                         — S1/S2
+  mapInPandas vectorized tokenize w/ per-doc tf maps     — P7 (the analyzer)
+  explode → (term, doc_id, tf, dl, weight, doc_part)
+  groupBy(term).agg(df, cf)                              — dictionary (A5)
+  groupBy(term, doc_part).applyInPandas(encode_blocks)   — posting blocks
+  write segments → catalog.publish()                     — S8/S10
+  compact()                                              — S11 force-merge
+
+**Shard/skew design (north rule):** every posting row is keyed by
+``(term, doc_part)`` where ``doc_part = doc_id mod n_parts`` — a
+document-partitioned index exactly like the reference's ES shards
+(config/fafnir/default.toml:50 ``number_of_shards``). A hot term ("def",
+"return": df ≈ corpus size under the Zipf law) is therefore split across all
+``n_parts`` reducers by construction — the salted repartitioning the north
+rule demands, with the salt doubling as the query-time parallelism unit so
+per-shard top-k stays *exact* (a doc's whole score lives in one shard).
+
+**Resumability:** the build runs in ``n_shards`` repo-hash build shards,
+each an independent Spark job writing immutable segments + a checkpoint
+record with per-shard lineage and metrics (docs/sec, postings/sec, bytes).
+``resume=True`` skips checkpointed shards — fafnir's incremental
+``try_skip_reverse`` semantics (/root/reference src/mimir.rs:17-27,
+src/addresses.rs:274-295) at segment granularity.
+
+**Scale math (10^12 files):** n_parts is the only knob that must grow with
+the corpus: target ≤ ~50M docs per doc_part (postings for one part of one
+hot term ≈ 50M * ~10B encoded ≈ 500MB, one reducer's comfortable working
+set) → n_parts ≈ 20k at 10^12 docs; n_shards bounds per-job failure blast
+radius (e.g. 1k shards of 10^9 docs). Both are O(1) driver-side metadata.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import B, K1
+from .catalog import Catalog
+from .codec import delta_encode, f64_encode, varint_encode
+from .tokenizer import TOKENIZERS
+
+TOKENIZED_SCHEMA = (
+    "doc_id long, doc_part int, dl int, weight double, terms array<string>, tfs array<int>"
+)
+POSTINGS_SCHEMA = (
+    "term string, doc_part int, block_id int, n int, first_doc long, last_doc long, "
+    "max_tf int, min_dl int, max_weight double, "
+    "doc_ids binary, tfs binary, dls binary, weights binary"
+)
+
+
+def _tokenize_map_fn(tokenizer_name: str, n_parts: int):
+    tok_fn = TOKENIZERS[tokenizer_name]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            trip = tok_fn(pdf["content"])
+            terms = [t[0] for t in trip]
+            tfs = [t[1] for t in trip]
+            dl = np.array([t[2] for t in trip], dtype=np.int64)
+            doc_id = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_id,
+                    "doc_part": (doc_id % n_parts).astype(np.int32),
+                    "dl": dl,
+                    "weight": pdf["weight"].to_numpy(),
+                    "terms": terms,
+                    "tfs": tfs,
+                }
+            )
+
+    return fn
+
+
+def _encode_blocks_fn(block_size: int):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one group = one (term, doc_part): all postings of this term in
+        # this document shard. Sort by doc_id, slice into blocks.
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        part = int(pdf["doc_part"].iloc[0])
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        ws = pdf["weight"].to_numpy(dtype=np.float64)
+        rows = []
+        for b, lo in enumerate(range(0, len(ids), block_size)):
+            hi = min(lo + block_size, len(ids))
+            rows.append(
+                {
+                    "term": term,
+                    "doc_part": part,
+                    "block_id": b,
+                    "n": hi - lo,
+                    "first_doc": int(ids[lo]),
+                    "last_doc": int(ids[hi - 1]),
+                    "max_tf": int(tfs[lo:hi].max()),
+                    "min_dl": int(dls[lo:hi].min()),
+                    "max_weight": float(ws[lo:hi].max()),
+                    "doc_ids": delta_encode(ids[lo:hi].astype(np.uint64)),
+                    "tfs": varint_encode(tfs[lo:hi].astype(np.uint64)),
+                    "dls": varint_encode(dls[lo:hi].astype(np.uint64)),
+                    "weights": f64_encode(ws[lo:hi]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return fn
+
+
+def normalize_docs(
+    docs: DataFrame,
+    id_col: str | None = None,
+    text_col: str = "content",
+    weight_expr: F.Column | None = None,
+) -> DataFrame:
+    """Project any corpus to (doc_id, content, weight [, meta...]).
+
+    Without an id column, doc_id = xxhash64(repo, path, commit) — stable
+    across runs and partitionings (the analog of fafnir's namespaced
+    global_id_from_imposm ids, /root/reference
+    tests/openmaptiles2mimir/data/functions.sql:18-27). Collisions are
+    checked by the build (fails fast).
+    """
+    out = docs
+    if id_col is None:
+        out = out.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+    elif id_col != "doc_id":
+        out = out.withColumn("doc_id", F.col(id_col))
+    if text_col != "content":
+        out = out.withColumn("content", F.col(text_col))
+    out = out.withColumn("weight", weight_expr if weight_expr is not None else F.lit(1.0))
+    return out
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_root: str,
+    *,
+    n_parts: int = 8,
+    block_size: int = 128,
+    tokenizer: str = "code",
+    n_shards: int = 1,
+    resume: bool = True,
+    build_id: str = "build0",
+    compact_after: bool = False,
+) -> dict:
+    """Build (or resume) the inverted index. Returns build metrics.
+
+    ``docs`` must already be normalize_docs() output (doc_id/content/weight
+    plus any metadata columns, e.g. repo/path/commit/lang).
+    """
+    cat = Catalog(index_root)
+    meta_cols = [c for c in docs.columns if c in ("repo", "path", "commit", "lang", "source")]
+    docs = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+    ndup = docs.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    if ndup:
+        raise ValueError(f"doc_id collision: {ndup} duplicated ids")
+
+    done = cat.read_json("checkpoints") or {"build_id": build_id, "shards": {}}
+    if done.get("build_id") != build_id or not resume:
+        done = {"build_id": build_id, "shards": {}}
+
+    tok_fn = _tokenize_map_fn(tokenizer, n_parts)
+    enc_fn = _encode_blocks_fn(block_size)
+
+    totals = {"docs": 0, "postings": 0, "bytes": 0, "secs": 0.0}
+    for shard in range(n_shards):
+        key = str(shard)
+        if key in done["shards"]:
+            totals["docs"] += done["shards"][key]["docs"]
+            totals["postings"] += done["shards"][key]["postings"]
+            totals["bytes"] += done["shards"][key]["bytes"]
+            continue
+        t0 = time.time()
+        part = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)) == shard)
+        tokenized = part.select("doc_id", "content", "weight").mapInPandas(
+            tok_fn, schema=TOKENIZED_SCHEMA
+        )
+        # cache: feeds doc_map, dictionary and postings in one pass each
+        tokenized = tokenized.persist()
+
+        doc_map = tokenized.select("doc_id", "doc_part", "dl", "weight").join(
+            part.select("doc_id", "content_sha256", *meta_cols), "doc_id"
+        )
+        cat.write_segment(doc_map, "doc_map", f"{build_id}-{shard}")
+
+        flat = tokenized.select(
+            "doc_id",
+            "doc_part",
+            "dl",
+            "weight",
+            F.explode(F.arrays_zip(F.col("terms").alias("term"), F.col("tfs").alias("tf"))).alias("z"),
+        ).select("doc_id", "doc_part", "dl", "weight", F.col("z.term").alias("term"), F.col("z.tf").alias("tf"))
+
+        dict_part = flat.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+        )
+        cat.write_segment(dict_part, "dictionary_raw", f"{build_id}-{shard}")
+
+        postings = flat.groupBy("term", "doc_part").applyInPandas(enc_fn, schema=POSTINGS_SCHEMA)
+        cat.write_segment(
+            postings.withColumn("seg", F.lit(f"{build_id}-{shard}")),
+            "postings",
+            f"{build_id}-{shard}",
+            partition_by=["doc_part"],
+            sort_within_by=["term"],
+        )
+
+        # per-shard lineage + metrics (north rule: docs/sec, postings/sec,
+        # bytes compressed recorded per task; fafnir analog: progress
+        # counters, openmaptiles2mimir.rs:130-135)
+        n_docs = tokenized.count()
+        pstats = (
+            spark.read.parquet(cat.segment_dir("postings", f"{build_id}-{shard}"))
+            .agg(
+                F.sum("n").alias("postings"),
+                (
+                    F.sum(F.length("doc_ids"))
+                    + F.sum(F.length("tfs"))
+                    + F.sum(F.length("dls"))
+                    + F.sum(F.length("weights"))
+                ).alias("bytes"),
+            )
+            .collect()[0]
+        )
+        tokenized.unpersist()
+        secs = time.time() - t0
+        rec = {
+            "docs": n_docs,
+            "postings": int(pstats["postings"] or 0),
+            "bytes": int(pstats["bytes"] or 0),
+            "secs": secs,
+            "docs_per_sec": n_docs / secs if secs else 0.0,
+            "postings_per_sec": (int(pstats["postings"] or 0)) / secs if secs else 0.0,
+        }
+        done["shards"][key] = rec
+        cat.write_json("checkpoints", done)
+        totals["docs"] += rec["docs"]
+        totals["postings"] += rec["postings"]
+        totals["bytes"] += rec["bytes"]
+        totals["secs"] += secs
+
+    finalize_index(spark, cat, build_id, n_shards, n_parts, block_size)
+    if compact_after:
+        compact_index(spark, cat, block_size)
+    return totals
+
+
+def finalize_index(
+    spark: SparkSession, cat: Catalog, build_id: str, n_shards: int, n_parts: int, block_size: int
+) -> None:
+    """Merge per-shard dictionaries, compute global stats, publish snapshot."""
+    dict_segs = [cat.segment_dir("dictionary_raw", f"{build_id}-{s}") for s in range(n_shards)]
+    raw = spark.read.parquet(*dict_segs)
+    dictionary = raw.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    cat.write_segment(dictionary, "dictionary", build_id, sort_within_by=["term"])
+
+    dm_segs = [cat.segment_dir("doc_map", f"{build_id}-{s}") for s in range(n_shards)]
+    dm = spark.read.parquet(*dm_segs)
+    stats = dm.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")).collect()[0]
+    cat.write_json(
+        "stats",
+        {
+            "n_docs": stats["n_docs"],
+            "avgdl": stats["avgdl"],
+            "n_parts": n_parts,
+            "block_size": block_size,
+            "k1": K1,
+            "b": B,
+        },
+    )
+    cat.publish(
+        {
+            "postings": [cat.segment_dir("postings", f"{build_id}-{s}") for s in range(n_shards)],
+            "dictionary": [cat.segment_dir("dictionary", build_id)],
+            "doc_map": dm_segs,
+        },
+        meta={"build_id": build_id, "n_shards": n_shards, "n_parts": n_parts},
+    )
+
+
+def compact_index(spark: SparkSession, cat: Catalog, block_size: int) -> None:
+    """Rewrite multi-segment postings into one sorted run per (term, part).
+
+    fafnir analog: post-publish force-merge to a single segment
+    (/root/reference config/elasticsearch/default.toml:26-44).
+    """
+    from .codec import delta_decode, f64_decode, varint_decode
+
+    m = cat.read_manifest()
+    postings = cat.read_table(spark, "postings")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, tfs, dls, ws = [], [], [], []
+        for _, r in pdf.iterrows():
+            ids.append(delta_decode(r["doc_ids"]).astype(np.int64))
+            tfs.append(varint_decode(r["tfs"]).astype(np.int64))
+            dls.append(varint_decode(r["dls"]).astype(np.int64))
+            ws.append(f64_decode(r["weights"]))
+        flat = pd.DataFrame(
+            {
+                "term": pdf["term"].iloc[0],
+                "doc_part": int(pdf["doc_part"].iloc[0]),
+                "doc_id": np.concatenate(ids),
+                "tf": np.concatenate(tfs),
+                "dl": np.concatenate(dls),
+                "weight": np.concatenate(ws),
+            }
+        )
+        return _encode_blocks_fn(block_size)(flat)
+
+    merged = postings.groupBy("term", "doc_part").applyInPandas(merge, schema=POSTINGS_SCHEMA)
+    seg = "compacted-" + (m.get("snapshot_id") or "0")
+    cat.write_segment(
+        merged.withColumn("seg", F.lit(seg)),
+        "postings",
+        seg,
+        partition_by=["doc_part"],
+        sort_within_by=["term"],
+    )
+    tables = dict(m["tables"])
+    tables["postings"] = [cat.segment_dir("postings", seg)]
+    cat.publish(tables, meta=m.get("meta"))

@@ -1,0 +1,125 @@
+"""Table catalog: Iceberg when available, parquet + manifest fallback.
+
+The reference's sink is Elasticsearch with an atomic alias swap after bulk
+indexing (`publish()`, /root/reference src/bin/tripadvisor2mimir.rs:172-176)
+and a post-publish force-merge (config/elasticsearch/default.toml:26-44).
+Here the sink is an Iceberg (or parquet) warehouse with the same lifecycle:
+
+  segments are written immutably → a JSON manifest commit *publishes* the new
+  snapshot atomically (os.replace) → compaction rewrites small segments.
+
+No Iceberg runtime jar ships in this sandbox, so `use_iceberg` stays False
+and every table is a parquet directory tree + `_manifest.json`; the schemas
+and the commit protocol are identical either way, and the module is the only
+place that would change on a real cluster (`spark.read.format("iceberg")`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    """A directory-rooted warehouse with snapshot-addressed tables."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---------- manifest (snapshot) protocol ----------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    def read_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"snapshot_id": None, "tables": {}, "history": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def publish(self, tables: dict[str, list[str]], meta: dict | None = None) -> str:
+        """Atomically commit a new snapshot mapping table -> segment dirs.
+
+        fafnir analog: index_generator.publish() alias swap
+        (/root/reference src/bin/tripadvisor2mimir.rs:172-176).
+        """
+        m = self.read_manifest()
+        snap = uuid.uuid4().hex[:12]
+        m["history"].append({"snapshot_id": m.get("snapshot_id"), "ts": time.time()})
+        m["snapshot_id"] = snap
+        m["tables"] = tables
+        if meta:
+            m["meta"] = meta
+        tmp = self._manifest_path() + f".tmp.{snap}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+        return snap
+
+    # ---------- table io ----------
+    def table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def segment_dir(self, name: str, segment: str) -> str:
+        return os.path.join(self.root, name, f"seg={segment}")
+
+    def write_segment(
+        self,
+        df: DataFrame,
+        name: str,
+        segment: str,
+        partition_by: list[str] | None = None,
+        sort_within_by: list[str] | None = None,
+    ) -> str:
+        """Write one immutable segment of a table.
+
+        ``sort_within_by`` orders rows inside each file so parquet row-group
+        min/max statistics prune term lookups (the parquet stand-in for
+        Iceberg sort orders / Lucene's term dictionary locality).
+        """
+        path = self.segment_dir(name, segment)
+        if sort_within_by:
+            df = df.sortWithinPartitions(*sort_within_by)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        # an empty result (e.g. a doc-less build shard) writes zero part
+        # files, which would make later schema inference fail — write an
+        # explicit empty file with the schema instead of recomputing lineage
+        import glob
+
+        if not glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+            df.sparkSession.createDataFrame([], df.schema).write.mode("overwrite").parquet(path)
+        return path
+
+    def read_table(self, spark: SparkSession, name: str, snapshot: dict | None = None) -> DataFrame:
+        """Read the union of the table's published segments."""
+        m = snapshot or self.read_manifest()
+        segs = m["tables"].get(name, [])
+        if not segs:
+            raise FileNotFoundError(f"table {name} has no published segments in {self.root}")
+        df = spark.read.parquet(segs[0])
+        for s in segs[1:]:
+            df = df.unionByName(spark.read.parquet(s), allowMissingColumns=True)
+        return df
+
+    # ---------- sidecar json (stats, checkpoints) ----------
+    def write_json(self, name: str, obj: dict) -> None:
+        p = os.path.join(self.root, name + ".json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1)
+        os.replace(tmp, p)
+
+    def read_json(self, name: str) -> dict | None:
+        p = os.path.join(self.root, name + ".json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)

@@ -1,0 +1,82 @@
+"""Deterministic synthetic source-code corpus, input_hint schema.
+
+BASELINE.json input_hint: ``(repo:string, path:string, commit:string,
+lang:string, content:string)``. The driver testdata's ``documents`` table is
+a different (doc_id, text, ...) shape, so engine-internal tests and the
+build/scale benchmarks synthesize this corpus deterministically — seeded,
+keyword frequencies Zipf-distributed so term skew is real (the north rule's
+"skewed terms like common keywords" is exercised, not simulated).
+
+Generation is distributed: ``spark.range(n)`` then a mapInPandas generator
+that derives every field from the row id with a per-row seeded RNG — the
+corpus is identical for any partitioning, executor count, or run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+_KEYWORDS = (
+    "def return if else for while class import from try except raise with as "
+    "lambda yield int str list dict set self none true false fn let mut pub "
+    "struct impl match enum use mod async await spawn println vec string map "
+    "filter reduce sort join merge index query score rank term doc posting "
+    "block shard partition shuffle broadcast hash varint delta bm25 wand "
+    "tokenize parse encode decode read write open close flush commit snapshot "
+    "checkpoint resume batch stream buffer channel retry backoff"
+).split()
+
+_LANGS = ["py", "rs", "go", "java", "scala", "c", "cpp", "js"]
+
+
+def _gen_batch(ids: np.ndarray, zipf_a: float, mean_len: int) -> pd.DataFrame:
+    n_kw = len(_KEYWORDS)
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for i in ids:
+        rng = np.random.default_rng(0xFAF0 + int(i))
+        repo_id = int(i) % 97
+        lang = _LANGS[int(i) % len(_LANGS)]
+        length = max(8, int(rng.poisson(mean_len)))
+        # Zipf over the keyword vocabulary => realistic term skew
+        ranks = np.minimum(rng.zipf(zipf_a, size=length) - 1, n_kw - 1)
+        toks = [_KEYWORDS[r] for r in ranks]
+        # a few rare per-doc identifiers so the long tail exists too
+        toks.extend(f"sym_{int(i)}_{j}" for j in range(int(rng.integers(0, 3))))
+        rows["repo"].append(f"org/repo{repo_id:03d}")
+        rows["path"].append(f"src/m{int(i) // 97:05d}/f{int(i):07d}.{lang}")
+        rows["commit"].append(f"{(0x9E3779B97F4A7C15 * (int(i) + 1)) & 0xFFFFFFFFFF:010x}")
+        rows["lang"].append(lang)
+        rows["content"].append(" ".join(toks))
+    return pd.DataFrame(rows)
+
+
+def synth_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    partitions: int | None = None,
+    zipf_a: float = 1.3,
+    mean_len: int = 120,
+) -> DataFrame:
+    """Deterministic corpus of ``n_docs`` synthetic source files."""
+    parts = partitions or max(2, spark.sparkContext.defaultParallelism)
+    base = spark.range(0, n_docs, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gen_batch(pdf["id"].to_numpy(), zipf_a, mean_len)
+
+    return base.mapInPandas(gen, schema=CORPUS_SCHEMA)
+
+
+def with_sha256(df: DataFrame) -> DataFrame:
+    """Content sha256 — the per-row invariant enforced vs the source table
+    (BASELINE.json input_hint; fafnir's analog is exact-field golden checks,
+    /root/reference tests/openmaptiles2mimir/mod.rs:186-190)."""
+    return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))

@@ -1,0 +1,97 @@
+"""ANSI-SQL (DuckDB) oracles mirroring the Spark pipelines.
+
+The reference pins query behavior with golden assertions against a live
+Elasticsearch (/root/reference tests/tests.rs:208-228,
+tests/openmaptiles2mimir/mod.rs:361-368). Our oracle is DuckDB running the
+same math on the same parquet: every formula below is written in the same
+operand order as the Spark side so float64 results agree bit-for-bit except
+for the final per-doc sum, which both sides round to 6 decimals.
+
+Tokenization parity: Spark `split(text, ' ')` + drop '' ==
+DuckDB `string_split(text, ' ')` + WHERE tok <> ''.
+"""
+
+from __future__ import annotations
+
+from . import B, K1
+
+# shared CTE prefix: tokens → tf → dl → corpus stats, over the driver's
+# pre-registered `documents` view (doc_id, text, lang, source, n_chars)
+_TF_CTES = """
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)
+"""
+
+
+def _terms_in(terms: list[str]) -> str:
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    return f"({quoted})"
+
+
+def bm25_topk_sql(terms: list[str], k: int = 10, boosted: bool = False) -> str:
+    """Top-k BM25, optionally with fafnir's doc-weight boost
+    1 - 1/(1+n_chars) (poi_display_weight family, /root/reference
+    tests/openmaptiles2mimir/data/functions.sql:112-126)."""
+    boost = "* (1 - 1/(1 + d.n_chars))" if boosted else ""
+    join_docs = "JOIN documents d ON d.doc_id = tf.doc_id" if boosted else ""
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) {boost} AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  {join_docs}
+  GROUP BY tf.doc_id{", d.n_chars" if boosted else ""}
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(raw_score, 6) AS score
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+def term_stats_sql(min_df: int = 1) -> str:
+    """Dictionary: (term, df, cf) — the core index aggregation."""
+    return f"""
+WITH {_TF_CTES}
+SELECT term, count(*) AS df, sum(tf) AS cf
+FROM tf GROUP BY term HAVING count(*) >= {min_df}
+ORDER BY term
+"""
+
+
+def doc_stats_sql() -> str:
+    return f"""
+WITH {_TF_CTES}
+SELECT dl.doc_id, dl.dl, stats.n_docs, stats.avgdl
+FROM dl CROSS JOIN stats
+ORDER BY dl.doc_id
+"""
+
+
+def conjunctive_sql(terms: list[str]) -> str:
+    n = len(sorted(set(terms)))
+    return f"""
+WITH {_TF_CTES}
+SELECT doc_id FROM tf
+WHERE term IN {_terms_in(terms)}
+GROUP BY doc_id HAVING count(*) = {n}
+ORDER BY doc_id
+"""

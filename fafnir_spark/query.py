@@ -1,0 +1,138 @@
+"""BM25 query pipeline — direct (index-free) DataFrame path.
+
+This is SURVEY.md §7 M1: the reference's query side is Elasticsearch BM25
+top-k with document weight boosts, pinned only by its tests
+(/root/reference tests/tests.rs:208-228 — QueryString search, limit 100,
+relevance order). Here the same semantics are a declarative DataFrame plan
+that Catalyst can optimize end-to-end: tokenize → tf → df/idf → broadcast
+query-term join → score → deterministic top-k.
+
+Scoring (Lucene-flavored Okapi BM25, k1=1.2 b=0.75):
+    idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfn  = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    score= sum_over_query_terms(idf * tfn) * doc_boost
+Doc boost replicates fafnir's weight formula family
+(poi_display_weight = 1 - 1/(1+len), /root/reference
+tests/openmaptiles2mimir/data/functions.sql:112-126).
+
+Ties break (score desc, doc_id asc) — SURVEY.md §4.3 rank-identity contract.
+Every aggregate is aliased so the DuckDB oracle (oracles.py) hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import B, K1
+from .tokenizer import tokens_expr
+
+SCORE_DECIMALS = 6
+
+
+def doc_term_freqs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf) — one row per distinct term per doc.
+
+    explode + groupBy: Spark's partial (map-side) aggregation pre-combines
+    within each scan partition, so the shuffle carries distinct (doc,term)
+    pairs, not raw tokens.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("term"))
+    return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_lengths(tf: DataFrame) -> DataFrame:
+    return tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+
+def term_dfs(tf: DataFrame) -> DataFrame:
+    """Document frequency per term — THE core index aggregation
+    (SURVEY.md §2.4)."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boost: F.Column | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(doc_id, score) for every doc matching >=1 query term (disjunctive).
+
+    The query-term relation is tiny → broadcast hash join, no shuffle of the
+    posting side on the join (fafnir's AdminGeoFinder broadcast analog,
+    /root/reference src/mimir.rs:30-38).
+    """
+    qterms = sorted(set(query_terms))
+    spark = docs.sparkSession
+    q = spark.createDataFrame([(t,) for t in qterms], "term string")
+
+    cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")]
+    if boost is not None:
+        cols.append(boost.alias("__boost"))  # resolve against the raw input
+    base = docs.select(*cols)
+    tf = doc_term_freqs(base, "doc_id", "__text")
+    dl = doc_lengths(tf)
+    dfs = term_dfs(tf)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    matched = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfs.join(F.broadcast(q), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = matched.withColumn("part_score", idf * tfn)
+    scores = per_term.groupBy("doc_id").agg(F.sum("part_score").alias("raw_score"))
+    if boost is not None:
+        scores = scores.join(base.select("doc_id", "__boost"), "doc_id").withColumn(
+            "raw_score", F.col("raw_score") * F.col("__boost")
+        )
+    return scores.select("doc_id", F.round(F.col("raw_score"), SCORE_DECIMALS).alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Deterministic top-k: (doc_id, score, rank)."""
+    scores = bm25_scores(docs, query_terms, **kwargs)
+    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    return (
+        scores.withColumn("rank", w)
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
+def conjunctive_match(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc ids containing ALL query terms — posting-list intersection as a
+    count-matching group filter (SURVEY.md §2.6)."""
+    qterms = sorted(set(query_terms))
+    q = docs.sparkSession.createDataFrame([(t,) for t in qterms], "term string")
+    tf = doc_term_freqs(docs, id_col, text_col)
+    hits = tf.join(F.broadcast(q), "term")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .filter(F.col("n_terms") == len(qterms))
+        .select("doc_id")
+    )

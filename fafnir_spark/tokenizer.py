@@ -1,0 +1,80 @@
+"""Tokenizers — the engine's analog of fafnir's ``build_poi_type_text``.
+
+The reference's full-text-search heart is a synthetic whitespace token bag
+handed to Elasticsearch's word analyzer (/root/reference
+src/sources/openmaptiles/pois.rs:248-274, doc comment at :253-266: tags are
+flattened into "class_cafe subclass_cafe cuisine:japanese ..." precisely so
+the word analyzer indexes each as a term). Here the analyzer is ours:
+
+* ``tokens_expr`` — pure Column expression (JVM-side, whole-stage codegen)
+  for whitespace token bags; used for oracle-checked queries because DuckDB's
+  ``string_split`` mirrors it exactly.
+* ``term_counts_schema`` / ``tokenize_code_batch`` — vectorized code
+  tokenizer for source files (identifiers + operators, lowercased, with
+  per-doc term-frequency maps computed inside the batch so the explode that
+  follows is already tf-aggregated — map-side combine for free).
+
+No per-row Python UDFs anywhere (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# identifiers / numbers / common operators; mirrors a word analyzer over code
+_CODE_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|\d+")
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace token array, empty strings dropped.
+
+    DuckDB oracle mirror:
+      ``unnest(string_split(text, ' ')) ... WHERE tok <> ''``
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+
+
+def tokenize_code_series(content: pd.Series) -> pd.Series:
+    """content -> list[dict] is wasteful; return list of (terms, tfs) pairs.
+
+    Batch helper used by index.build via mapInPandas: for each document
+    return (terms: list[str], tfs: list[int], dl: int). Lowercased code
+    tokens. Pure pandas/python over Arrow batches.
+    """
+    out_terms: list[list[str]] = []
+    out_tfs: list[list[int]] = []
+    out_dl: list[int] = []
+    findall = _CODE_TOKEN_RE.findall
+    for text in content:
+        toks = findall(text.lower()) if text else []
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        out_terms.append(list(counts.keys()))
+        out_tfs.append(list(counts.values()))
+        out_dl.append(len(toks))
+    return pd.Series(list(zip(out_terms, out_tfs, out_dl)))
+
+
+def whitespace_counts_series(content: pd.Series) -> pd.Series:
+    """Same contract as tokenize_code_series but whitespace-split tokens,
+    mirroring ``tokens_expr`` (and therefore the DuckDB oracle)."""
+    out = []
+    for text in content:
+        toks = [t for t in (text.split(" ") if text else []) if t]
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        out.append((list(counts.keys()), list(counts.values()), len(toks)))
+    return pd.Series(out)
+
+
+TOKENIZERS = {
+    "code": tokenize_code_series,
+    "whitespace": whitespace_counts_series,
+}

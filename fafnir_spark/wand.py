@@ -1,0 +1,279 @@
+"""Indexed BM25 top-k: batched DataFrame pipeline + block-max pruning.
+
+Query lifecycle (SURVEY.md §3.3 — the path Elasticsearch owns in the
+reference, pinned by tests/tests.rs:208-228):
+
+  parse query set → dictionary lookup (the whole query batch at once — the
+  lesson of fafnir's LazyEs msearch batching, /root/reference
+  src/lazy_es.rs:87-167: never evaluate queries one at a time) →
+  term-filtered posting scan (parquet row-group pruning via the term sort) →
+  groupBy(doc_part).applyInPandas: per-shard exact top-k (numpy-vectorized
+  decode + score, optional block-max fragment pruning) →
+  global merge: window rank over (score desc, doc_id asc), limit k.
+
+Exactness: doc_part partitions documents, so a document's full score is
+computed inside exactly one shard; merging per-shard top-k therefore yields
+the exact global top-k (the reference's ES does the same per-shard top-k +
+coordinator merge, config/fafnir/default.toml:50).
+
+Block-max pruning ("bmw"): per (query, shard) the doc-id axis is cut into
+fragments at block boundaries; each fragment's upper bound is the sum of the
+covering blocks' score bounds (idf·(k1+1)·max_tf/(max_tf+k1·(1−b+b·min_dl/
+avgdl))·max_weight — monotone in tf, anti-monotone in dl, so a true bound).
+Fragments are scored exactly in descending-bound order and the scan stops
+when the next bound is strictly below the current kth score — Block-Max WAND
+(Ding & Suel, SIGIR'11) at block granularity, vectorized inside fragments so
+there is no per-document Python loop. Pruning never changes results; tests
+assert bmw == exhaustive on every fixture (the analog of fafnir's bbox test
+proving filters don't corrupt results, tests/openmaptiles2mimir/mod.rs:371-405).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import Catalog
+from .codec import delta_decode, f64_decode, varint_decode
+
+RESULT_SCHEMA = "qid string, doc_id long, raw_score double"
+
+
+@dataclass
+class _Block:
+    first: int
+    last: int
+    max_tf: int
+    min_dl: int
+    max_weight: float
+    doc_ids: bytes
+    tfs: bytes
+    dls: bytes
+    weights: bytes
+    _decoded: tuple | None = field(default=None, repr=False)
+
+    def decode(self):
+        if self._decoded is None:
+            self._decoded = (
+                delta_decode(self.doc_ids).astype(np.int64),
+                varint_decode(self.tfs).astype(np.float64),
+                varint_decode(self.dls).astype(np.float64),
+                f64_decode(self.weights),
+            )
+        return self._decoded
+
+
+def _tfn(tf, dl, k1: float, b: float, avgdl: float):
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def _block_ub(blk: _Block, idf: float, k1: float, b: float, avgdl: float) -> float:
+    return idf * _tfn(float(blk.max_tf), float(blk.min_dl), k1, b, avgdl) * blk.max_weight
+
+
+# selection happens on 6-decimal-rounded scores with doc_id tie-break so the
+# per-shard cut agrees with the oracle's (round(score,6) desc, doc_id asc)
+# ordering — otherwise a raw-score near-tie across the rounding boundary
+# could keep a different doc than the rank-identity contract demands.
+_ROUND_DECIMALS = 6
+_ROUND_EPS = 0.5 * 10.0**-_ROUND_DECIMALS
+
+
+def _topk_rows(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+    """Exact top-k by (round(score,6) desc, doc_id asc); returns raw scores."""
+    if len(doc_ids) == 0:
+        return doc_ids[:0], scores[:0]
+    order = np.lexsort((doc_ids, -np.round(scores, _ROUND_DECIMALS)))[:k]
+    return doc_ids[order], scores[order]
+
+
+def score_exhaustive(
+    term_blocks: dict[str, list[_Block]],
+    idfs: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+):
+    """Decode-everything vectorized scorer (the correctness baseline)."""
+    ids_all, sc_all = [], []
+    for term, blocks in term_blocks.items():
+        idf = idfs[term]
+        for blk in blocks:
+            ids, tfs, dls, ws = blk.decode()
+            ids_all.append(ids)
+            sc_all.append(idf * _tfn(tfs, dls, k1, b, avgdl) * ws)
+    if not ids_all:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    ids = np.concatenate(ids_all)
+    sc = np.concatenate(sc_all)
+    uids, inv = np.unique(ids, return_inverse=True)
+    tot = np.bincount(inv, weights=sc)
+    return _topk_rows(uids, tot, k)
+
+
+def score_bmw(
+    term_blocks: dict[str, list[_Block]],
+    idfs: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    counters: dict | None = None,
+):
+    """Block-max fragment pruning; exact (== score_exhaustive)."""
+    blocks: list[_Block] = []
+    ubs: list[float] = []
+    for term, blist in term_blocks.items():
+        for blk in blist:
+            blocks.append(blk)
+            ubs.append(_block_ub(blk, idfs[term], k1, b, avgdl))
+    if not blocks:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    firsts = np.array([blk.first for blk in blocks], dtype=np.int64)
+    lasts = np.array([blk.last for blk in blocks], dtype=np.int64)
+    ub = np.array(ubs)
+    term_of_block = np.repeat(
+        np.arange(len(term_blocks)),
+        [len(v) for v in term_blocks.values()],
+    )
+    term_list = list(term_blocks.keys())
+
+    # fragment boundaries: any block edge starts/ends a fragment
+    bounds = np.unique(np.concatenate([firsts, lasts + 1]))
+    frag_lo = bounds[:-1]
+    frag_hi = bounds[1:]  # exclusive
+    n_frag = len(frag_lo)
+    frag_ub = np.zeros(n_frag)
+    # covering fragments per block: [searchsorted(first), searchsorted(last+1))
+    lo_idx = np.searchsorted(frag_lo, firsts)
+    hi_idx = np.searchsorted(frag_lo, lasts + 1)
+    for bi in range(len(blocks)):
+        frag_ub[lo_idx[bi] : hi_idx[bi]] += ub[bi]
+
+    order = np.argsort(-frag_ub, kind="stable")
+    # per-fragment covering block lists
+    frag_blocks: list[list[int]] = [[] for _ in range(n_frag)]
+    for bi in range(len(blocks)):
+        for fi in range(lo_idx[bi], hi_idx[bi]):
+            frag_blocks[fi].append(bi)
+
+    best_ids = np.empty(0, dtype=np.int64)
+    best_sc = np.empty(0)
+    theta = -math.inf
+    decoded = 0
+    for fi in order:
+        if len(best_ids) >= k and frag_ub[fi] < theta - _ROUND_EPS:
+            break  # eps guard: a pruned doc may round up into a tie and
+            # win on doc_id, so only prune outside the rounding radius
+        lo, hi = frag_lo[fi], frag_hi[fi]
+        ids_all, sc_all = [], []
+        for bi in frag_blocks[fi]:
+            blk = blocks[bi]
+            fresh = blk._decoded is None
+            ids, tfs, dls, ws = blk.decode()
+            if fresh:
+                decoded += 1
+            a = np.searchsorted(ids, lo)
+            z = np.searchsorted(ids, hi)
+            if a == z:
+                continue
+            idf = idfs[term_list[term_of_block[bi]]]
+            ids_all.append(ids[a:z])
+            sc_all.append(idf * _tfn(tfs[a:z], dls[a:z], k1, b, avgdl) * ws[a:z])
+        if not ids_all:
+            continue
+        ids = np.concatenate(ids_all)
+        sc = np.concatenate(sc_all)
+        uids, inv = np.unique(ids, return_inverse=True)
+        tot = np.bincount(inv, weights=sc)
+        best_ids = np.concatenate([best_ids, uids])
+        best_sc = np.concatenate([best_sc, tot])
+        best_ids, best_sc = _topk_rows(best_ids, best_sc, k)
+        if len(best_ids) >= k:
+            # rounded kth score: pruning x with ub < theta-eps implies
+            # round(x) < theta, so x can never displace the kth result
+            theta = float(np.round(best_sc[-1], _ROUND_DECIMALS))
+    if counters is not None:
+        counters["blocks_total"] = counters.get("blocks_total", 0) + len(blocks)
+        counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + decoded
+    return best_ids, best_sc
+
+
+def _part_scorer(queries: dict[str, list[str]], idfs: dict[str, float], stats: dict, k: int, algo: str):
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
+    scorer = score_bmw if algo == "bmw" else score_exhaustive
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term: dict[str, list[_Block]] = {}
+        for r in pdf.itertuples(index=False):
+            by_term.setdefault(r.term, []).append(
+                _Block(r.first_doc, r.last_doc, r.max_tf, r.min_dl, r.max_weight,
+                       r.doc_ids, r.tfs, r.dls, r.weights)
+            )
+        out_qid, out_doc, out_sc = [], [], []
+        for qid, terms in queries.items():
+            tb = {t: by_term[t] for t in terms if t in by_term}
+            if not tb:
+                continue
+            ids, sc = scorer(tb, idfs, k, k1, b, avgdl)
+            out_qid.extend([qid] * len(ids))
+            out_doc.append(ids)
+            out_sc.append(sc)
+        if not out_qid:
+            return pd.DataFrame({"qid": [], "doc_id": [], "raw_score": []}).astype(
+                {"doc_id": np.int64, "raw_score": np.float64}
+            )
+        return pd.DataFrame(
+            {
+                "qid": out_qid,
+                "doc_id": np.concatenate(out_doc),
+                "raw_score": np.concatenate(out_sc),
+            }
+        )
+
+    return fn
+
+
+def run_queries(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    algo: str = "bmw",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Evaluate the whole query set in one DataFrame pass.
+
+    Returns (qid, rank, doc_id, score) — the engine's search_documents
+    (/root/reference tests/tests.rs:214-221).
+    """
+    cat = Catalog(index_root)
+    stats = cat.read_json("stats")
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+
+    dictionary = cat.read_table(spark, "dictionary").filter(F.col("term").isin(all_terms))
+    n_docs = stats["n_docs"]
+    drows = dictionary.collect()
+    idfs = {r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)) for r in drows}
+
+    present = [t for t in all_terms if t in idfs]
+    postings = cat.read_table(spark, "postings").filter(F.col("term").isin(present))
+
+    per_part = postings.groupBy("doc_part").applyInPandas(
+        _part_scorer(queries, idfs, stats, k, algo), schema=RESULT_SCHEMA
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        per_part.withColumn("score", F.round(F.col("raw_score"), score_decimals))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )

@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import SparkSession
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark() -> SparkSession:
+    from fafnir_spark.session import get_spark
+
+    s = get_spark("fafnir-tests", cores=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def rows_to_tuples(df, cols):
+    return [tuple(r[c] for c in cols) for r in df.collect()]

