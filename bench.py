@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures the engine's headline paths at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+  build_testdata      index build over the testdata documents table
+  bm25_direct         index-free DataFrame BM25 top-10 (batch of queries)
+  bm25_indexed_bmw    indexed BM25 with block-max pruning
+  bm25_indexed_exh    indexed BM25, exhaustive decode (pruning baseline)
+  conjunctive         posting intersection
+  synth_build         SPIMI build over a synthetic source-code corpus
+                      (input_hint schema, Zipf term skew), read from
+                      pre-materialized parquet — docs/sec is the headline
+                      indexing-throughput number
+  synth_query         20-query BM25 batch on the synthetic index
+
+Protocol notes:
+ * the synthetic corpus is generated and written to parquet UNTIMED (in
+   production the corpus is an existing Iceberg table; generating it is not
+   indexing work), and a small warmup build runs untimed first so JIT/codegen
+   warmup doesn't pollute the measurement (executors on a real cluster are
+   long-lived).
+ * scaling protocol (BASELINE.md): scripts/scaling.py runs this file at
+   SPARK_GRAFT_CPUS=8 and =32 on the same corpus and writes BENCH/BASELINE.md
+   with efficiency = docs_per_sec(32) / (4 * docs_per_sec(8)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_synth = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "30000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.corpus import synth_corpus
+    from fafnir_spark.query import bm25_topk_batch, conjunctive_match
+    from fafnir_spark.session import get_spark
+    from fafnir_spark.wand import run_queries
+
+    spark = get_spark("fafnir-bench", cores=cpus)
+    work = tempfile.mkdtemp(prefix="fafnir_bench_")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---------- setup (untimed): materialize corpus, warm up JIT ----------
+    corpus_path = os.path.join(work, "corpus")
+    synth_corpus(spark, n_synth).write.parquet(corpus_path)
+    warm = normalize_docs(spark.read.parquet(corpus_path).limit(2000))
+    build_index(spark, warm, os.path.join(work, "warmup"), n_parts=cpus,
+                tokenizer="code", build_id="warm", resume=False)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    queries = {
+        "q_mwc": ["merge", "window", "customer"],
+        "q_ss": ["spark", "slow"],
+        "q_vb": ["vector", "batch"],
+        "q_qsf": ["query", "sort", "filter"],
+    }
+
+    # ---------- timed: testdata paths ----------
+    idx1 = os.path.join(work, "idx_testdata")
+    norm = normalize_docs(docs, id_col="doc_id", text_col="text")
+    timed("build_testdata", lambda: build_index(
+        spark, norm, idx1, n_parts=cpus, block_size=128,
+        tokenizer="whitespace", build_id="bench", resume=False))
+    extras["testdata_docs_per_sec"] = round(n_docs / timings["build_testdata"], 1)
+
+    timed("bm25_direct", lambda: bm25_topk_batch(docs, queries, k=10).collect())
+    timed("bm25_indexed_bmw", lambda: run_queries(spark, idx1, queries, k=10, algo="bmw").collect())
+    timed("bm25_indexed_exh", lambda: run_queries(spark, idx1, queries, k=10, algo="exhaustive").collect())
+    timed("conjunctive", lambda: conjunctive_match(docs, queries["q_mwc"]).count())
+
+    # ---------- timed: synthetic corpus build + query (the scale proxy) ----
+    idx2 = os.path.join(work, "idx_synth")
+    corpus = normalize_docs(spark.read.parquet(corpus_path))
+    timed("synth_build", lambda: build_index(
+        spark, corpus, idx2, n_parts=max(8, cpus), block_size=128,
+        tokenizer="code", build_id="bench", resume=False))
+    extras["synth_docs"] = n_synth
+    extras["synth_docs_per_sec"] = round(n_synth / timings["synth_build"], 1)
+
+    synth_q = {
+        f"sq{i}": terms
+        for i, terms in enumerate(
+            [
+                ["def", "return"],
+                ["merge", "shard", "posting"],
+                ["varint", "delta", "encode"],
+                ["spawn", "channel", "retry"],
+                ["bm25", "wand"],
+                ["index", "query", "score"],
+                ["struct", "impl", "match"],
+                ["tokenize", "parse"],
+                ["checkpoint", "resume", "snapshot"],
+                ["broadcast", "shuffle", "partition"],
+            ]
+        )
+    }
+    timed("synth_query", lambda: run_queries(spark, idx2, synth_q, k=10, algo="bmw").collect())
+    extras["synth_queries_per_sec"] = round(len(synth_q) / timings["synth_query"], 2)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -4,13 +4,13 @@ Reference pipeline being re-expressed (SURVEY.md §3.1, /root/reference
 src/bin/openmaptiles2mimir.rs:35-149): scan → per-row transform/enrich →
 route → bulk index → publish → force-merge. Spark-first translation:
 
-  scan (parquet/Iceberg, pruned)                         — S1/S2
-  mapInPandas vectorized tokenize w/ per-doc tf maps     — P7 (the analyzer)
+  scan (parquet/Iceberg, pruned)                          — S1/S2
+  mapInPandas vectorized tokenize w/ per-doc tf maps      — P7 (the analyzer)
   explode → (term, doc_id, tf, dl, weight, doc_part)
-  groupBy(term).agg(df, cf)                              — dictionary (A5)
-  groupBy(term, doc_part).applyInPandas(encode_blocks)   — posting blocks
-  write segments → catalog.publish()                     — S8/S10
-  compact()                                              — S11 force-merge
+  groupBy(term).agg(df, cf)                               — dictionary (A5)
+  repartition(term, doc_part) → local sort → mapInPandas  — posting blocks
+  write segments → catalog.publish()                      — S8/S10
+  compact()                                               — S11 force-merge
 
 **Shard/skew design (north rule):** every posting row is keyed by
 ``(term, doc_part)`` where ``doc_part = doc_id mod n_parts`` — a
@@ -21,18 +21,26 @@ document-partitioned index exactly like the reference's ES shards
 rule demands, with the salt doubling as the query-time parallelism unit so
 per-shard top-k stays *exact* (a doc's whole score lives in one shard).
 
-**Resumability:** the build runs in ``n_shards`` repo-hash build shards,
-each an independent Spark job writing immutable segments + a checkpoint
-record with per-shard lineage and metrics (docs/sec, postings/sec, bytes).
+**Why mapInPandas (not applyInPandas) for encoding:** one pandas-UDF
+invocation per (term, doc_part) group costs ~ms of per-group overhead and
+the long tail of singleton terms makes group count ≈ vocabulary size.
+Instead: shuffle on the group key, sort within partitions by
+(term, doc_part, doc_id), then stream Arrow batches through one UDF that
+detects group boundaries vectorized and carries a partial trailing group
+into the next batch. Same result, O(partitions) UDF invocations.
+
+**Resumability:** the build runs in ``n_shards`` build shards, each an
+independent Spark job writing immutable segments + a checkpoint record with
+per-shard lineage and metrics (docs/sec, postings/sec, bytes compressed).
 ``resume=True`` skips checkpointed shards — fafnir's incremental
 ``try_skip_reverse`` semantics (/root/reference src/mimir.rs:17-27,
 src/addresses.rs:274-295) at segment granularity.
 
 **Scale math (10^12 files):** n_parts is the only knob that must grow with
 the corpus: target ≤ ~50M docs per doc_part (postings for one part of one
-hot term ≈ 50M * ~10B encoded ≈ 500MB, one reducer's comfortable working
+hot term ≈ 50M × ~10B encoded ≈ 500MB, one reducer's comfortable working
 set) → n_parts ≈ 20k at 10^12 docs; n_shards bounds per-job failure blast
-radius (e.g. 1k shards of 10^9 docs). Both are O(1) driver-side metadata.
+radius (e.g. 1k shards of 10^9 docs each). Both are O(1) driver metadata.
 """
 
 from __future__ import annotations
@@ -50,72 +58,98 @@ from .catalog import Catalog
 from .codec import delta_encode, f64_encode, varint_encode
 from .tokenizer import TOKENIZERS
 
-TOKENIZED_SCHEMA = (
-    "doc_id long, doc_part int, dl int, weight double, terms array<string>, tfs array<int>"
-)
 POSTINGS_SCHEMA = (
     "term string, doc_part int, block_id int, n int, first_doc long, last_doc long, "
     "max_tf int, min_dl int, max_weight double, "
     "doc_ids binary, tfs binary, dls binary, weights binary"
 )
 
+META_COLS = ("repo", "path", "commit", "lang", "source", "content_sha256")
 
-def _tokenize_map_fn(tokenizer_name: str, n_parts: int):
+
+def _tokenize_map_fn(tokenizer_name: str, n_parts: int, passthrough: list[str]):
+    """Tokenize content and pass metadata columns through, so doc_map needs
+    no join back to the source (one scan feeds everything)."""
     tok_fn = TOKENIZERS[tokenizer_name]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             trip = tok_fn(pdf["content"])
-            terms = [t[0] for t in trip]
-            tfs = [t[1] for t in trip]
-            dl = np.array([t[2] for t in trip], dtype=np.int64)
             doc_id = pdf["doc_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_id,
-                    "doc_part": (doc_id % n_parts).astype(np.int32),
-                    "dl": dl,
-                    "weight": pdf["weight"].to_numpy(),
-                    "terms": terms,
-                    "tfs": tfs,
-                }
-            )
+            out = {
+                "doc_id": doc_id,
+                "doc_part": (doc_id % n_parts).astype(np.int32),
+                "dl": np.array([t[2] for t in trip], dtype=np.int64),
+                "weight": pdf["weight"].to_numpy(),
+                "terms": [t[0] for t in trip],
+                "tfs": [t[1] for t in trip],
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     return fn
 
 
-def _encode_blocks_fn(block_size: int):
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one group = one (term, doc_part): all postings of this term in
-        # this document shard. Sort by doc_id, slice into blocks.
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        part = int(pdf["doc_part"].iloc[0])
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        ws = pdf["weight"].to_numpy(dtype=np.float64)
-        rows = []
-        for b, lo in enumerate(range(0, len(ids), block_size)):
-            hi = min(lo + block_size, len(ids))
-            rows.append(
-                {
-                    "term": term,
-                    "doc_part": part,
-                    "block_id": b,
-                    "n": hi - lo,
-                    "first_doc": int(ids[lo]),
-                    "last_doc": int(ids[hi - 1]),
-                    "max_tf": int(tfs[lo:hi].max()),
-                    "min_dl": int(dls[lo:hi].min()),
-                    "max_weight": float(ws[lo:hi].max()),
-                    "doc_ids": delta_encode(ids[lo:hi].astype(np.uint64)),
-                    "tfs": varint_encode(tfs[lo:hi].astype(np.uint64)),
-                    "dls": varint_encode(dls[lo:hi].astype(np.uint64)),
-                    "weights": f64_encode(ws[lo:hi]),
-                }
-            )
-        return pd.DataFrame(rows)
+def _encode_sorted(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Encode a frame sorted by (term, doc_part, doc_id) into block rows.
+
+    Group boundaries found vectorized; per group only cheap numpy slicing.
+    """
+    term = pdf["term"].to_numpy()
+    part = pdf["doc_part"].to_numpy()
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    ws = pdf["weight"].to_numpy(dtype=np.float64)
+    change = np.flatnonzero((term[1:] != term[:-1]) | (part[1:] != part[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(pdf)]))
+    rows: dict[str, list] = {k: [] for k in (
+        "term", "doc_part", "block_id", "n", "first_doc", "last_doc",
+        "max_tf", "min_dl", "max_weight", "doc_ids", "tfs", "dls", "weights")}
+    for s, e in zip(starts, ends):
+        for b, lo in enumerate(range(s, e, block_size)):
+            hi = min(lo + block_size, e)
+            rows["term"].append(term[lo])
+            rows["doc_part"].append(part[lo])
+            rows["block_id"].append(b)
+            rows["n"].append(hi - lo)
+            rows["first_doc"].append(ids[lo])
+            rows["last_doc"].append(ids[hi - 1])
+            rows["max_tf"].append(tfs[lo:hi].max())
+            rows["min_dl"].append(dls[lo:hi].min())
+            rows["max_weight"].append(ws[lo:hi].max())
+            rows["doc_ids"].append(delta_encode(ids[lo:hi].astype(np.uint64)))
+            rows["tfs"].append(varint_encode(tfs[lo:hi].astype(np.uint64)))
+            rows["dls"].append(varint_encode(dls[lo:hi].astype(np.uint64)))
+            rows["weights"].append(f64_encode(ws[lo:hi]))
+    return pd.DataFrame(rows)
+
+
+def _encode_partition_fn(block_size: int):
+    """mapInPandas over partitions pre-sorted by (term, doc_part, doc_id):
+    encode complete groups per Arrow batch, carry the trailing partial
+    group into the next batch."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            term = pdf["term"].to_numpy()
+            part = pdf["doc_part"].to_numpy()
+            in_last = (term == term[-1]) & (part == part[-1])
+            if in_last.all():
+                carry = pdf  # whole batch is one group; keep accumulating
+                continue
+            cut = len(pdf) - int(np.argmin(in_last[::-1]))
+            carry = pdf.iloc[cut:]
+            yield _encode_sorted(pdf.iloc[:cut], block_size)
+        if carry is not None and len(carry):
+            yield _encode_sorted(carry, block_size)
 
     return fn
 
@@ -132,7 +166,7 @@ def normalize_docs(
     across runs and partitionings (the analog of fafnir's namespaced
     global_id_from_imposm ids, /root/reference
     tests/openmaptiles2mimir/data/functions.sql:18-27). Collisions are
-    checked by the build (fails fast).
+    checked at finalize (before publish) and fail the build.
     """
     out = docs
     if id_col is None:
@@ -160,59 +194,61 @@ def build_index(
 ) -> dict:
     """Build (or resume) the inverted index. Returns build metrics.
 
-    ``docs`` must already be normalize_docs() output (doc_id/content/weight
-    plus any metadata columns, e.g. repo/path/commit/lang).
+    ``docs`` must be normalize_docs() output (doc_id/content/weight plus
+    optional metadata columns repo/path/commit/lang/source).
     """
     cat = Catalog(index_root)
-    meta_cols = [c for c in docs.columns if c in ("repo", "path", "commit", "lang", "source")]
     docs = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-
-    ndup = docs.groupBy("doc_id").count().filter(F.col("count") > 1).count()
-    if ndup:
-        raise ValueError(f"doc_id collision: {ndup} duplicated ids")
+    passthrough = [c for c in docs.columns if c in META_COLS]
 
     done = cat.read_json("checkpoints") or {"build_id": build_id, "shards": {}}
     if done.get("build_id") != build_id or not resume:
         done = {"build_id": build_id, "shards": {}}
 
-    tok_fn = _tokenize_map_fn(tokenizer, n_parts)
-    enc_fn = _encode_blocks_fn(block_size)
+    tok_schema = (
+        "doc_id long, doc_part int, dl int, weight double, "
+        "terms array<string>, tfs array<int>"
+        + "".join(f", {c} string" for c in passthrough)
+    )
+    tok_fn = _tokenize_map_fn(tokenizer, n_parts, passthrough)
+    enc_fn = _encode_partition_fn(block_size)
 
     totals = {"docs": 0, "postings": 0, "bytes": 0, "secs": 0.0}
     for shard in range(n_shards):
         key = str(shard)
         if key in done["shards"]:
-            totals["docs"] += done["shards"][key]["docs"]
-            totals["postings"] += done["shards"][key]["postings"]
-            totals["bytes"] += done["shards"][key]["bytes"]
+            for m in ("docs", "postings", "bytes"):
+                totals[m] += done["shards"][key][m]
             continue
         t0 = time.time()
-        part = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)) == shard)
-        tokenized = part.select("doc_id", "content", "weight").mapInPandas(
-            tok_fn, schema=TOKENIZED_SCHEMA
+        part = docs if n_shards == 1 else docs.filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)) == shard
         )
-        # cache: feeds doc_map, dictionary and postings in one pass each
-        tokenized = tokenized.persist()
+        tokenized = part.select("doc_id", "content", "weight", *passthrough).mapInPandas(
+            tok_fn, schema=tok_schema
+        ).persist()
 
-        doc_map = tokenized.select("doc_id", "doc_part", "dl", "weight").join(
-            part.select("doc_id", "content_sha256", *meta_cols), "doc_id"
-        )
-        cat.write_segment(doc_map, "doc_map", f"{build_id}-{shard}")
+        cat.write_segment(tokenized.drop("terms", "tfs"), "doc_map", f"{build_id}-{shard}")
 
         flat = tokenized.select(
-            "doc_id",
-            "doc_part",
-            "dl",
-            "weight",
+            "doc_id", "doc_part", "dl", "weight",
             F.explode(F.arrays_zip(F.col("terms").alias("term"), F.col("tfs").alias("tf"))).alias("z"),
-        ).select("doc_id", "doc_part", "dl", "weight", F.col("z.term").alias("term"), F.col("z.tf").alias("tf"))
+        ).select(
+            "doc_id", "doc_part", "dl", "weight",
+            F.col("z.term").alias("term"), F.col("z.tf").alias("tf"),
+        )
 
         dict_part = flat.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
         )
         cat.write_segment(dict_part, "dictionary_raw", f"{build_id}-{shard}")
 
-        postings = flat.groupBy("term", "doc_part").applyInPandas(enc_fn, schema=POSTINGS_SCHEMA)
+        postings = (
+            flat.repartition("term", "doc_part")
+            .sortWithinPartitions("term", "doc_part", "doc_id")
+            .mapInPandas(enc_fn, schema=POSTINGS_SCHEMA)
+            .repartition(n_parts, "doc_part")
+        )
         cat.write_segment(
             postings.withColumn("seg", F.lit(f"{build_id}-{shard}")),
             "postings",
@@ -220,39 +256,37 @@ def build_index(
             partition_by=["doc_part"],
             sort_within_by=["term"],
         )
+        tokenized.unpersist()
 
-        # per-shard lineage + metrics (north rule: docs/sec, postings/sec,
-        # bytes compressed recorded per task; fafnir analog: progress
-        # counters, openmaptiles2mimir.rs:130-135)
-        n_docs = tokenized.count()
+        # per-shard lineage + metrics from the *written* segments (no
+        # recompute; north rule: docs/sec, postings/sec, bytes compressed
+        # per task; fafnir analog: progress counters,
+        # openmaptiles2mimir.rs:130-135)
+        n_docs = spark.read.parquet(cat.segment_dir("doc_map", f"{build_id}-{shard}")).count()
         pstats = (
             spark.read.parquet(cat.segment_dir("postings", f"{build_id}-{shard}"))
             .agg(
                 F.sum("n").alias("postings"),
                 (
-                    F.sum(F.length("doc_ids"))
-                    + F.sum(F.length("tfs"))
-                    + F.sum(F.length("dls"))
-                    + F.sum(F.length("weights"))
+                    F.sum(F.length("doc_ids")) + F.sum(F.length("tfs"))
+                    + F.sum(F.length("dls")) + F.sum(F.length("weights"))
                 ).alias("bytes"),
             )
             .collect()[0]
         )
-        tokenized.unpersist()
         secs = time.time() - t0
         rec = {
             "docs": n_docs,
             "postings": int(pstats["postings"] or 0),
             "bytes": int(pstats["bytes"] or 0),
-            "secs": secs,
-            "docs_per_sec": n_docs / secs if secs else 0.0,
-            "postings_per_sec": (int(pstats["postings"] or 0)) / secs if secs else 0.0,
+            "secs": round(secs, 3),
+            "docs_per_sec": round(n_docs / secs, 2) if secs else 0.0,
+            "postings_per_sec": round(int(pstats["postings"] or 0) / secs, 2) if secs else 0.0,
         }
         done["shards"][key] = rec
         cat.write_json("checkpoints", done)
-        totals["docs"] += rec["docs"]
-        totals["postings"] += rec["postings"]
-        totals["bytes"] += rec["bytes"]
+        for m in ("docs", "postings", "bytes"):
+            totals[m] += rec[m]
         totals["secs"] += secs
 
     finalize_index(spark, cat, build_id, n_shards, n_parts, block_size)
@@ -264,7 +298,8 @@ def build_index(
 def finalize_index(
     spark: SparkSession, cat: Catalog, build_id: str, n_shards: int, n_parts: int, block_size: int
 ) -> None:
-    """Merge per-shard dictionaries, compute global stats, publish snapshot."""
+    """Merge per-shard dictionaries, compute global stats, verify doc_id
+    uniqueness, publish the snapshot."""
     dict_segs = [cat.segment_dir("dictionary_raw", f"{build_id}-{s}") for s in range(n_shards)]
     raw = spark.read.parquet(*dict_segs)
     dictionary = raw.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
@@ -272,7 +307,15 @@ def finalize_index(
 
     dm_segs = [cat.segment_dir("doc_map", f"{build_id}-{s}") for s in range(n_shards)]
     dm = spark.read.parquet(*dm_segs)
-    stats = dm.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")).collect()[0]
+    stats = dm.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.avg("dl").alias("avgdl"),
+    ).collect()[0]
+    if stats["n_ids"] != stats["n_docs"]:
+        raise ValueError(
+            f"doc_id collision: {stats['n_docs'] - stats['n_ids']} duplicated ids"
+        )
     cat.write_json(
         "stats",
         {
@@ -304,27 +347,59 @@ def compact_index(spark: SparkSession, cat: Catalog, block_size: int) -> None:
 
     m = cat.read_manifest()
     postings = cat.read_table(spark, "postings")
+    n_parts = (m.get("meta") or {}).get("n_parts", 8)
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, tfs, dls, ws = [], [], [], []
-        for _, r in pdf.iterrows():
-            ids.append(delta_decode(r["doc_ids"]).astype(np.int64))
-            tfs.append(varint_decode(r["tfs"]).astype(np.int64))
-            dls.append(varint_decode(r["dls"]).astype(np.int64))
-            ws.append(f64_decode(r["weights"]))
-        flat = pd.DataFrame(
-            {
-                "term": pdf["term"].iloc[0],
-                "doc_part": int(pdf["doc_part"].iloc[0]),
-                "doc_id": np.concatenate(ids),
-                "tf": np.concatenate(tfs),
-                "dl": np.concatenate(dls),
-                "weight": np.concatenate(ws),
-            }
-        )
-        return _encode_blocks_fn(block_size)(flat)
+    def merge_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # decode all blocks, flatten to postings, re-encode sorted runs.
+        # partitions are pre-grouped by (term, doc_part) and sorted, but a
+        # group's blocks may span batches → same carry protocol as encode.
+        def decode_flat(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids, tfs, dls, ws, terms, parts = [], [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                d = delta_decode(r.doc_ids).astype(np.int64)
+                ids.append(d)
+                tfs.append(varint_decode(r.tfs).astype(np.int64))
+                dls.append(varint_decode(r.dls).astype(np.int64))
+                ws.append(f64_decode(r.weights))
+                terms.append(np.repeat(r.term, len(d)))
+                parts.append(np.repeat(r.doc_part, len(d)))
+            flat = pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_part": np.concatenate(parts),
+                    "doc_id": np.concatenate(ids),
+                    "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
+                    "weight": np.concatenate(ws),
+                }
+            )
+            return flat.sort_values(["term", "doc_part", "doc_id"], kind="mergesort")
 
-    merged = postings.groupBy("term", "doc_part").applyInPandas(merge, schema=POSTINGS_SCHEMA)
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            in_last = (
+                (pdf["term"].to_numpy() == pdf["term"].iloc[-1])
+                & (pdf["doc_part"].to_numpy() == pdf["doc_part"].iloc[-1])
+            )
+            if in_last.all():
+                carry = pdf
+                continue
+            cut = len(pdf) - int(np.argmin(in_last[::-1]))
+            carry = pdf.iloc[cut:]
+            yield _encode_sorted(decode_flat(pdf.iloc[:cut]), block_size)
+        if carry is not None and len(carry):
+            yield _encode_sorted(decode_flat(carry), block_size)
+
+    merged = (
+        postings.repartition("term", "doc_part")
+        .sortWithinPartitions("term", "doc_part", "block_id")
+        .mapInPandas(merge_batches, schema=POSTINGS_SCHEMA)
+        .repartition(n_parts, "doc_part")
+    )
     seg = "compacted-" + (m.get("snapshot_id") or "0")
     cat.write_segment(
         merged.withColumn("seg", F.lit(seg)),

@@ -1,0 +1,276 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are declarative DataFrame plans (JVM expressions; the only
+shuffles are the ones the algorithm inherently needs) with exact DuckDB
+oracles in oracles_ops.py built on the portable md5-based hash家 (portable.py)
+so Spark and the oracle compute bit-identical hashes.
+
+Scale notes (100 TB):
+ * exact: one groupBy on a 16-byte hash — shuffle is |corpus| × ~50B.
+ * minhash signatures: computed per-row with array expressions — NO shuffle;
+   LSH banding shuffles (band_key) rows = docs × bands; bucket sizes are the
+   skew risk → cap candidate pairs per bucket (param) exactly like posting
+   salting caps reducers.
+ * ngram_jaccard_pairs is the *verify* stage: quadratic only within LSH
+   buckets, never across the corpus (standalone full-join form exists for
+   oracle checking at test scale).
+ * simhash: per-row 32-bit signature via bit arithmetic, then a bit_count
+   self-join on band prefix.
+
+References: Broder MinHash (1997); Charikar SimHash (STOC'02); MMDS ch.3
+(Leskovec/Rajaraman/Ullman) for banding math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .portable import hash60
+from .textstats import shingles_expr
+
+NGRAM = 3
+
+
+# ---------------------------------------------------------------- exact
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Duplicate groups by md5(text): (content_hash, group_size, min_doc_id)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ------------------------------------------------------- shingle helpers
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct 3-token shingles."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_expr(text_col, NGRAM))).alias("shingle"),
+    )
+
+
+# ----------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) with J >= threshold, doc_a < doc_b.
+
+    Without ``candidates`` this is the exact quadratic form (shingle
+    self-join — test/oracle scale only). With ``candidates`` (doc_a, doc_b)
+    it verifies only those pairs — the LSH verify stage.
+    """
+    sh = doc_shingles(docs, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- MinHash
+def minhash_signature_col(text_col: str, num_hashes: int) -> Column:
+    """array<long> MinHash signature — pure column expression, no shuffle.
+
+    sig[i] = min over shingles s of hash60(concat(i, ':', s)); docs with no
+    shingle get hash60('i:') sentinel (empty-string shingle) to stay total.
+    """
+    sh = shingles_expr(text_col, NGRAM)
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(sh, lambda s, i=i: hash60(F.concat_ws(":", F.lit(str(i)), s)))
+                ),
+                hash60(F.lit(f"{i}:")),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified with true shingle Jaccard.
+
+    bands of r = num_hashes/bands rows; candidate pairs share >=1 band key;
+    verified J >= threshold. ``max_bucket`` drops degenerate buckets (all
+    boilerplate docs identical) instead of exploding quadratically — the
+    dedup analog of posting-salt capping; dropped buckets are exact-dup
+    territory handled by exact_duplicates anyway.
+    """
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature_col(text_col, num_hashes).alias("sig"),
+    )
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(b)),
+                        *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)],
+                    ).alias("k")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    x = band_rows.alias("x")
+    y = band_rows.alias("y")
+    bucket_sizes = band_rows.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))
+    small = bucket_sizes.filter(F.col("bn") <= max_bucket).select("band_key")
+    cand = (
+        x.join(F.broadcast(small), "band_key")
+        .join(y, (F.col("x.band_key") == F.col("y.band_key")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return ngram_jaccard_pairs(docs, threshold, id_col, text_col, candidates=cand)
+
+
+# ------------------------------------------------------------- SimHash
+SIMHASH_BITS = 32
+
+
+def simhash_col(text_col: str) -> Column:
+    """32-bit SimHash over whitespace tokens weighted by tf — pure
+    expression: tokens → (term, tf) map → per-bit weighted sign sum."""
+    from .tokenizer import tokens_expr
+
+    toks = tokens_expr(text_col)
+    # distinct terms with counts, as array<struct<term,tf>> (no shuffle)
+    distinct = F.array_distinct(toks)
+    entries = F.transform(
+        distinct,
+        lambda t: F.struct(
+            hash60(t).alias("h"),
+            F.size(F.filter(toks, lambda u, t=t: u == t)).alias("tf"),
+        ),
+    )
+    bits = []
+    for j in range(SIMHASH_BITS):
+        vj = F.aggregate(
+            entries,
+            F.lit(0).cast("long"),
+            lambda acc, e, j=j: acc
+            + e["tf"] * (F.shiftright(e["h"], j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        bits.append(F.when(vj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= max_hamming.
+
+    Test-scale form is a self-join; at scale, band the 32 bits into 4 bytes
+    and join on any-equal-byte first (pigeonhole: hamming<=3 ⇒ one of 4
+    bytes equal) — that banding is applied here too so the plan is the
+    scale plan.
+    """
+    sims = docs.select(F.col(id_col).alias("doc_id"), simhash_col(text_col).alias("sh"))
+    banded = sims.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(str(i)), F.shiftright("sh", i * 8).bitwiseAND(F.lit(255)).cast("string")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bkey"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ------------------------------------------- embedding cosine near-dup
+def cosine_expr(a: Column, b: Column) -> Column:
+    """cos(a, b) in float64, sequential fold order (oracle-parity)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cos) with cosine >= threshold, vec_a < vec_b.
+
+    Quadratic form for oracle scale; the scale path buckets by LSH sign
+    bits first (see simsearch.lsh_bucket_col) and verifies within buckets.
+    """
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

@@ -1,0 +1,39 @@
+"""Cross-engine deterministic hashing.
+
+MinHash/SimHash/LSH need hash functions that are bit-identical in Spark and
+in the DuckDB oracle. Spark's xxhash64/hash don't exist in DuckDB, but md5
+does in both, so the engine's portable hash is the first 15 hex chars of md5
+interpreted as a 60-bit integer:
+
+  Spark : conv(substring(md5(x), 1, 15), 16, 10)::long
+  DuckDB: CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+
+Verified equal on both engines (see tests/test_portable.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH60_MAX = (1 << 60) - 1
+
+
+def hash60(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def seeded(col: Column | str, seed: int | Column) -> Column:
+    """hash60 of 'seed:value' — a keyed hash family for MinHash bands etc."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
+    return hash60(F.concat_ws(":", s, c))
+
+
+def seeded_sql(expr: str, seed: str) -> str:
+    return hash60_sql(f"concat({seed}, ':', {expr})")

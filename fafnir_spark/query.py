@@ -118,6 +118,65 @@ def bm25_topk(
     )
 
 
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boost: F.Column | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Evaluate a whole query set in ONE corpus pass: tokenize/tf/df once,
+    broadcast-join the (qid, term) relation, window per qid.
+
+    The reference's own batching lesson (LazyEs msearch ≤100 queries/req,
+    /root/reference src/lazy_es.rs:87-167): never evaluate queries one at a
+    time. Returns (qid, rank, doc_id, score).
+    """
+    spark = docs.sparkSession
+    qrows = [(qid, t) for qid, ts in queries.items() for t in sorted(set(ts))]
+    q = spark.createDataFrame(qrows, "qid string, term string")
+
+    cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")]
+    if boost is not None:
+        cols.append(boost.alias("__boost"))
+    base = docs.select(*cols)
+    tf = doc_term_freqs(base, "doc_id", "__text")
+    dl = doc_lengths(tf)
+    dfs = term_dfs(tf)
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+
+    matched = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfs.join(F.broadcast(q.select("term").distinct()), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scores = matched.withColumn("part_score", idf * tfn).groupBy("qid", "doc_id").agg(
+        F.sum("part_score").alias("raw_score")
+    )
+    if boost is not None:
+        scores = scores.join(base.select("doc_id", "__boost"), "doc_id").withColumn(
+            "raw_score", F.col("raw_score") * F.col("__boost")
+        )
+    w = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    return (
+        scores.select("qid", "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score"))
+        .withColumn("rank", w)
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )
+
+
 def conjunctive_match(
     docs: DataFrame,
     query_terms: list[str],

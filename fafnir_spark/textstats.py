@@ -1,0 +1,77 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Everything is pure Column expressions (JVM-side, whole-stage codegen; no
+Python in the hot path) and every operator has an exact DuckDB oracle in
+oracles_ops.py. fafnir precedents: language handling (P8-P10, /root/reference
+src/sources/openmaptiles/pois.rs:198-224, src/langs.rs:5-59), weight/quality
+scoring (P11, convert.rs:161-168), token bags (P7, pois.rs:248-274).
+
+Operators:
+  token_count     whitespace token count
+  quality_score   length/diversity/stopword blend in [0,1]
+  lang_guess      stopword-hit language heuristic
+  fingerprint     winnowing-style doc fingerprint: min portable-hash over
+                  3-token shingles (document fingerprinting / rolling-hash
+                  family; Schleimer et al. winnowing, SIGMOD'03)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .portable import hash60
+from .tokenizer import tokens_expr
+
+# tiny function-word tables per language: the per-language analyzer analog
+# of fafnir's COUNTRIES_LANGS fill-in (/root/reference src/langs.rs:5-59)
+LANG_MARKERS = {
+    "en": ["the", "a"],
+    "xx": ["le", "la"],  # placeholder second language for the heuristic
+}
+
+
+def token_count_col(text: Column | str = "text") -> Column:
+    return F.size(tokens_expr(text))
+
+
+def shingles_expr(text: Column | str, n: int = 3) -> Column:
+    """Array of n-token shingles joined by '\\x1f'."""
+    toks = tokens_expr(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(toks, i + 1, n), "\x1f"),
+    )
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, stop_ratio, quality, lang_guess,
+    fingerprint) — one declarative select, zero shuffles."""
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    xx_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["xx"])))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.lit(0.5) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.when(n_tokens > 0, n_distinct / n_tokens).otherwise(F.lit(0.0)),
+        6,
+    )
+    lang_guess = (
+        F.when(stop_hits > xx_hits, F.lit("en"))
+        .when(xx_hits > stop_hits, F.lit("xx"))
+        .otherwise(F.lit("und"))
+    )
+    fingerprint = F.array_min(F.transform(shingles_expr(text_col), lambda s: hash60(s)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        quality.alias("quality"),
+        lang_guess.alias("lang_guess"),
+        fingerprint.alias("fingerprint"),
+    )
