@@ -19,13 +19,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fafnir_spark import oracles
+from fafnir_spark import oracles, oracles_ops
 from fafnir_spark.query import bm25_topk, conjunctive_match, doc_term_freqs, term_dfs
 
 # ---- canonical query set (the engine's "reference query set") ----
 Q_MAIN = ["merge", "window", "customer"]
 Q_BOOST = ["spark", "slow"]
 Q_CONJ = ["merge", "window", "customer"]
+
+# deterministic ANN query vector (same literal feeds Spark and the oracle)
+QVEC = [((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+LSH_TABLES, LSH_PLANES = 8, 4
 
 def _boost_col() -> F.Column:
     # fafnir's poi_display_weight family: 1 - 1/(1+len)
@@ -84,6 +88,69 @@ def _q_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conjunctive_match(_docs(spark, sf_dir), Q_CONJ).orderBy("doc_id")
 
 
+# ---- training-data pipeline ops (dedup / simsearch / textstats / media) --
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.textstats import text_stats
+
+    return text_stats(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=12, bands=4, threshold=0.35)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 0.4)
+
+
+def _q_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.simsearch import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, {"q": QVEC}, k=10).drop("qid")
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.simsearch import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_cosine_topk(emb, {"q": QVEC}, k=10, tables=LSH_TABLES, planes=LSH_PLANES).drop("qid")
+
+
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.multimodal import attach_media
+
+    media = attach_media(_docs(spark, sf_dir))
+    return media.select(
+        "doc_id", "modality",
+        F.length("payload").alias("n_bytes"),
+        F.col("meta.n_frames").alias("n_chunks"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_direct": _q_bm25_direct,
@@ -91,14 +158,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": _q_bm25_indexed,
         "term_dictionary": _q_dictionary,
         "conjunctive_match": _q_conjunctive,
+        "text_stats": _q_text_stats,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "ann_cosine_topk": _q_ann_exact,
+        "ann_lsh_topk": _q_ann_lsh,
+        "media_meta": _q_media_meta,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from fafnir_spark.simsearch import plane_weights
+
     return {
         "bm25_topk_direct": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "bm25_topk_boosted": oracles.bm25_topk_sql(Q_BOOST, k=10, boosted=True),
         "bm25_topk_indexed": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "term_dictionary": oracles.term_stats_sql(),
         "conjunctive_match": oracles.conjunctive_sql(Q_CONJ),
+        "text_stats": oracles_ops.text_stats_sql(),
+        "dedup_exact": oracles_ops.exact_dup_sql(),
+        "dedup_ngram_jaccard": oracles_ops.ngram_jaccard_sql(0.5),
+        "dedup_minhash_lsh": oracles_ops.minhash_lsh_sql(12, 4, 0.35),
+        "dedup_simhash": oracles_ops.simhash_pairs_sql(3),
+        "dedup_embedding_cosine": oracles_ops.embedding_dup_sql(0.4),
+        "ann_cosine_topk": oracles_ops.cosine_topk_sql(QVEC, 10),
+        "ann_lsh_topk": oracles_ops.lsh_cosine_topk_sql(
+            QVEC, plane_weights(LSH_TABLES, LSH_PLANES), 10
+        ),
+        "media_meta": oracles_ops.media_meta_sql(),
     }

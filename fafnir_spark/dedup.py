@@ -167,34 +167,28 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash_col(text_col: str) -> Column:
-    """32-bit SimHash over whitespace tokens weighted by tf — pure
-    expression: tokens → (term, tf) map → per-bit weighted sign sum."""
-    from .tokenizer import tokens_expr
+def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sh): 32-bit SimHash over whitespace tokens weighted by tf.
 
-    toks = tokens_expr(text_col)
-    # distinct terms with counts, as array<struct<term,tf>> (no shuffle)
-    distinct = F.array_distinct(toks)
-    entries = F.transform(
-        distinct,
-        lambda t: F.struct(
-            hash60(t).alias("h"),
-            F.size(F.filter(toks, lambda u, t=t: u == t)).alias("tf"),
-        ),
+    DataFrame form (tf rows → explode 32 bit positions → weighted sign sum)
+    so the plan scales linearly in tokens and mirrors the SQL oracle
+    exactly. bit j of h via shiftright(h, j) & 1 (j is a column, so
+    F.expr — the Python shiftright() helper only takes literal ints).
+    """
+    from .query import doc_term_freqs
+
+    tf = doc_term_freqs(docs, id_col, text_col)
+    bits = (
+        tf.select("doc_id", "tf", hash60("term").alias("h"))
+        .select("doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.col("tf") * (F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) * 2 - 1)).alias("vj"))
     )
-    bits = []
-    for j in range(SIMHASH_BITS):
-        vj = F.aggregate(
-            entries,
-            F.lit(0).cast("long"),
-            lambda acc, e, j=j: acc
-            + e["tf"] * (F.shiftright(e["h"], j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-        bits.append(F.when(vj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(F.lit(0))
+        ).alias("sh")
+    )
 
 
 def simhash_pairs(
@@ -205,12 +199,11 @@ def simhash_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= max_hamming.
 
-    Test-scale form is a self-join; at scale, band the 32 bits into 4 bytes
-    and join on any-equal-byte first (pigeonhole: hamming<=3 ⇒ one of 4
-    bytes equal) — that banding is applied here too so the plan is the
-    scale plan.
+    At scale, band the 32 bits into 4 bytes and join on any-equal-byte
+    first (pigeonhole: hamming<=3 ⇒ at least one of 4 bytes equal) —
+    applied here too so the tested plan IS the scale plan.
     """
-    sims = docs.select(F.col(id_col).alias("doc_id"), simhash_col(text_col).alias("sh"))
+    sims = simhash_df(docs, id_col, text_col)
     banded = sims.select(
         "doc_id",
         "sh",

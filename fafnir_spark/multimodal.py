@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB: payloads are opaque ``binary``
+columns with a ``modality`` discriminator and a metadata struct; decode /
+feature-extract / frame-sample run as Arrow-batched pandas functions over
+``mapInPandas`` so bytes never round-trip through per-row Python. The
+decode step itself is STUBBED (no image/audio libs in this container):
+``decode_stub`` raises NotImplementedError unless the deterministic fake
+decoder is requested — the Spark-side plumbing (schema, partitioning, UDF
+signature, batch shape) is real and tested.
+
+fafnir precedent: photos are opaque URLs attached as properties in an
+update pass (/root/reference src/sources/tripadvisor/photos/convert.rs:9-30);
+the engine upgrades that to typed binary columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, modality string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+FEATURE_SCHEMA = "doc_id long, modality string, n_bytes int, n_chunks int, features array<double>"
+
+CHUNK = 64  # frame-sample granularity (bytes per fake frame)
+
+
+def attach_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Derive a deterministic fake media table from the documents table:
+    payload = utf8 bytes of the text (a stand-in for image bytes), modality
+    round-robins, meta filled from payload length. Pure expressions."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    n = F.length(payload)
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        modality.alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            (n % 640).cast("int").alias("width"),
+            (n % 480).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.ceil(n / CHUNK).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, modality: str, fake: bool = False) -> np.ndarray:
+    """Decode one payload. Real decoders (PIL/librosa/av) are not available
+    in this container — STUB: raises unless ``fake`` requests the
+    deterministic byte-histogram decoder used by tests."""
+    if not fake:
+        raise NotImplementedError(
+            f"no {modality} decoder in this environment; pass fake=True for the "
+            "deterministic test decoder"
+        )
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return np.bincount(arr % 16, minlength=16).astype(np.float64)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: per-batch vectorized decode →
+    (doc_id, modality, n_bytes, n_chunks, features[16]).
+
+    The batch shape is the contract: Arrow delivers payload bytes as
+    zero-copy buffers; the decoder sees a whole column batch.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_stub(p, m, fake=fake) for p, m in zip(pdf["payload"], pdf["modality"])]
+            n_bytes = pdf["payload"].map(len).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": n_bytes,
+                    "n_chunks": ((n_bytes + CHUNK - 1) // CHUNK).astype("int32"),
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Explode payloads into sampled fixed-size frames (every_n-th CHUNK):
+    (doc_id, frame_id, frame binary) — the video-frame-sampling plumbing,
+    as pure expressions (substring on binary)."""
+    n_frames = F.ceil(F.length("payload") / CHUNK).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    return media.select(
+        "doc_id",
+        F.explode(idx).alias("frame_id"),
+        F.expr(f"substring(payload, frame_id * {CHUNK} + 1, {CHUNK})").alias("frame"),
+    )

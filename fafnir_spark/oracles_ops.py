@@ -1,0 +1,265 @@
+"""DuckDB oracles for the training-data ops (textstats / dedup / simsearch /
+multimodal metadata). Each mirrors its Spark plan exactly, including the
+portable md5-based hash (portable.hash60_sql) so MinHash/SimHash/LSH are
+bit-identical across engines. Float outputs are rounded to 6 decimals on
+both sides.
+"""
+
+from __future__ import annotations
+
+from .portable import hash60_sql
+
+SEP = "chr(31)"  # shingle joiner '\x1f'
+
+# tokens as a list column; shingle rows
+_TOKS = """
+toks AS (
+  SELECT doc_id, n_chars, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+)
+"""
+_SHINGLES = f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(tk) - 1),
+           i -> tk[i] || {SEP} || tk[i+1] || {SEP} || tk[i+2]))) AS shingle
+  FROM toks WHERE len(tk) >= 3
+)
+"""
+_TF = """
+tfr AS (
+  SELECT doc_id, t.tok AS term, count(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY doc_id, t.tok
+)
+"""
+
+
+def text_stats_sql() -> str:
+    return f"""
+WITH {_TOKS},
+fp AS (
+  SELECT t.doc_id, min({hash60_sql("s.shingle")}) AS fingerprint
+  FROM toks t
+  LEFT JOIN (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(tk) - 1),
+             i -> tk[i] || {SEP} || tk[i+1] || {SEP} || tk[i+2]))) AS shingle
+    FROM toks WHERE len(tk) >= 3
+  ) s ON s.doc_id = t.doc_id
+  GROUP BY t.doc_id
+)
+SELECT
+  toks.doc_id,
+  len(tk) AS n_tokens,
+  len(list_distinct(tk)) AS n_distinct,
+  round(CASE WHEN len(tk) > 0
+        THEN len(list_filter(tk, x -> x = 'the' OR x = 'a')) / len(tk)
+        ELSE 0.0 END, 6) AS stop_ratio,
+  round(0.5 * least(1.0, len(tk) / 100.0)
+      + 0.3 * (1.0 - CASE WHEN len(tk) > 0
+                     THEN len(list_filter(tk, x -> x = 'the' OR x = 'a')) / len(tk)
+                     ELSE 0.0 END)
+      + 0.2 * CASE WHEN len(tk) > 0
+              THEN len(list_distinct(tk)) / len(tk) ELSE 0.0 END, 6) AS quality,
+  CASE WHEN len(list_filter(tk, x -> x = 'the' OR x = 'a'))
+          > len(list_filter(tk, x -> x = 'le' OR x = 'la')) THEN 'en'
+       WHEN len(list_filter(tk, x -> x = 'le' OR x = 'la'))
+          > len(list_filter(tk, x -> x = 'the' OR x = 'a')) THEN 'xx'
+       ELSE 'und' END AS lang_guess,
+  fp.fingerprint
+FROM toks JOIN fp ON fp.doc_id = toks.doc_id
+ORDER BY toks.doc_id
+"""
+
+
+def exact_dup_sql() -> str:
+    return """
+SELECT md5(text) AS content_hash, count(*) AS group_size, min(doc_id) AS min_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+ORDER BY content_hash
+"""
+
+
+def _jaccard_core(threshold: float, cand_cte: str = "", cand_join: str = "") -> str:
+    return f"""
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+){cand_cte}
+SELECT common.doc_a, common.doc_b,
+       round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = common.doc_a
+JOIN sizes sb ON sb.doc_id = common.doc_b
+{cand_join}
+WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= {threshold}
+ORDER BY common.doc_a, common.doc_b
+"""
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"WITH {_TOKS}, {_SHINGLES}, " + _jaccard_core(threshold)
+
+
+def minhash_lsh_sql(
+    num_hashes: int = 12, bands: int = 4, threshold: float = 0.5, max_bucket: int = 1000
+) -> str:
+    rows = num_hashes // bands
+    mh_hash = hash60_sql("concat(seed::VARCHAR, ':', shingle)")
+    empty_hash = hash60_sql("concat(seed::VARCHAR, ':')")
+    return f"""
+WITH {_TOKS}, {_SHINGLES},
+seeds AS (SELECT unnest(range({num_hashes})) AS seed),
+msig AS (
+  SELECT t.doc_id, seeds.seed,
+         coalesce(min({mh_hash}), {empty_hash}) AS mh
+  FROM toks t CROSS JOIN seeds
+  LEFT JOIN sh ON sh.doc_id = t.doc_id
+  GROUP BY t.doc_id, seeds.seed
+),
+bandk AS (
+  SELECT doc_id,
+         concat((seed // {rows})::VARCHAR, ',',
+                string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_key
+  FROM msig GROUP BY doc_id, seed // {rows}
+),
+ok_buckets AS (
+  SELECT band_key FROM bandk GROUP BY band_key HAVING count(*) <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandk x
+  JOIN ok_buckets USING (band_key)
+  JOIN bandk y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+),""" + _jaccard_core(
+        threshold,
+        cand_cte="",
+        cand_join="JOIN cand ON cand.doc_a = common.doc_a AND cand.doc_b = common.doc_b",
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = 3, bits: int = 32) -> str:
+    h = hash60_sql("term")
+    return f"""
+WITH {_TF},
+bitsum AS (
+  SELECT doc_id, j.j AS j,
+         sum(tf * ((({h} >> j.j) & 1) * 2 - 1)) AS vj
+  FROM tfr, (SELECT unnest(range({bits})) AS j) j
+  GROUP BY doc_id, j.j
+),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN vj > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS sh
+  FROM bitsum GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, sh, concat(i.i::VARCHAR, ':', ((sh >> (i.i * 8)) & 255)::VARCHAR) AS bkey
+  FROM sim, (SELECT unnest(range(4)) AS i) i
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------------ embeddings
+_COS = """
+round(
+  list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+, 6)"""
+
+
+def embedding_dup_sql(threshold: float = 0.95) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS} >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
+def cosine_topk_sql(query_vec: list[float], k: int = 10) -> str:
+    lit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
+    return f"""
+WITH q AS (SELECT {lit} AS qv),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+         , 6) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT rank, vec_id, cos FROM (
+  SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank, vec_id, cos
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def lsh_cosine_topk_sql(
+    query_vec: list[float], weights: list[list[list[float]]], k: int = 10
+) -> str:
+    """Mirror of simsearch.lsh_cosine_topk: same driver-derived hyperplane
+    weights enter as literals, so buckets are identical by construction."""
+    qlit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
+
+    def dot_bit(vec_expr: str, w: list[float]) -> str:
+        wl = "[" + ", ".join(repr(x) for x in w) + "]"
+        return (
+            f"CASE WHEN list_sum(list_transform(range(1, {len(w)+1}), "
+            f"i -> {vec_expr}[i]::DOUBLE * ({wl})[i])) > 0 THEN '1' ELSE '0' END"
+        )
+
+    def bkeys(vec_expr: str) -> str:
+        keys = [
+            "concat('" + f"{t}:" + "', " + ", ".join(dot_bit(vec_expr, w) for w in tw) + ")"
+            for t, tw in enumerate(weights)
+        ]
+        return "[" + ", ".join(keys) + "]"
+
+    return f"""
+WITH q AS (SELECT {qlit} AS qv),
+qb AS (SELECT unnest({bkeys("qv")}) AS bkey FROM q),
+eb AS (
+  SELECT vec_id, embedding, unnest({bkeys("embedding")}) AS bkey
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT eb.vec_id, eb.embedding
+  FROM eb JOIN qb USING (bkey)
+),
+scored AS (
+  SELECT c.vec_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+         , 6) AS cos
+  FROM cand c CROSS JOIN q
+)
+SELECT rank, vec_id, cos FROM (
+  SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank, vec_id, cos
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def media_meta_sql(chunk: int = 64) -> str:
+    return f"""
+SELECT doc_id,
+       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(ceil(octet_length(encode(text)) / {chunk}.0) AS INT) AS n_chunks
+FROM documents ORDER BY doc_id
+"""

@@ -36,12 +36,14 @@ def token_count_col(text: Column | str = "text") -> Column:
 
 
 def shingles_expr(text: Column | str, n: int = 3) -> Column:
-    """Array of n-token shingles joined by '\\x1f'."""
+    """Array of n-token shingles joined by '\\x1f' (empty if < n tokens)."""
     toks = tokens_expr(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.transform(
-        idx,
+    shingled = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), "\x1f"),
+    )
+    return F.when(F.size(toks) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -1,0 +1,135 @@
+"""Training-data ops: dedup / similarity / textstats / multimodal — each
+checked against its DuckDB oracle (same parquet, same math)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark import oracles_ops as OO
+from fafnir_spark.dedup import (
+    embedding_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from fafnir_spark.multimodal import attach_media, decode_stub, extract_features, frame_sample
+from fafnir_spark.simsearch import cosine_topk, lsh_cosine_topk, plane_weights
+from fafnir_spark.textstats import text_stats
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def assert_matches(sdf, ddb, sql):
+    cols = sorted(sdf.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+    wdf = ddb.execute(sql).fetch_df()
+    assert sorted(wdf.columns) == cols
+    want = sorted(tuple(r[c] for c in cols) for _, r in wdf.iterrows())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for a, b in zip(g, w):
+            if isinstance(a, float):
+                assert a == pytest.approx(b, abs=1e-9)
+            else:
+                assert a == b
+
+
+def test_text_stats(spark, ddb, docs):
+    assert_matches(text_stats(docs), ddb, OO.text_stats_sql())
+
+
+def test_exact_dup(spark, ddb, docs):
+    assert_matches(exact_duplicates(docs), ddb, OO.exact_dup_sql())
+    # synthesize real dups: duplicating the corpus makes every doc a dup pair
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    groups = exact_duplicates(dup).collect()
+    assert len(groups) == docs.count()
+    assert all(r["group_size"] == 2 for r in groups)
+
+
+def test_ngram_jaccard(spark, ddb, docs):
+    assert_matches(ngram_jaccard_pairs(docs, 0.5), ddb, OO.ngram_jaccard_sql(0.5))
+
+
+def test_minhash_lsh(spark, ddb, docs):
+    assert_matches(
+        minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.35),
+        ddb,
+        OO.minhash_lsh_sql(12, 4, 0.35),
+    )
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    some = docs.limit(20)
+    dup = some.union(some.withColumn("doc_id", F.col("doc_id") + 100000))
+    pairs = minhash_lsh_pairs(dup, num_hashes=12, bands=4, threshold=0.99).collect()
+    # every duplicated doc pairs with its clone at J=1.0
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} >= {
+        (r["doc_id"], r["doc_id"] + 100000) for r in some.collect()
+    }
+
+
+def test_simhash(spark, ddb, docs):
+    assert_matches(simhash_pairs(docs, max_hamming=6), ddb, OO.simhash_pairs_sql(6))
+
+
+def test_embedding_dup(spark, ddb, emb):
+    assert_matches(embedding_dup_pairs(emb, 0.4), ddb, OO.embedding_dup_sql(0.4))
+
+
+def test_cosine_topk(spark, ddb, emb):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    assert_matches(
+        cosine_topk(emb, {"q": qv}, k=10).drop("qid"), ddb, OO.cosine_topk_sql(qv, 10)
+    )
+
+
+def test_lsh_ann(spark, ddb, emb):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    ann = lsh_cosine_topk(emb, {"q": qv}, k=10, tables=8, planes=4)
+    assert_matches(ann.drop("qid"), ddb, OO.lsh_cosine_topk_sql(qv, plane_weights(8, 4), 10))
+    exact = {r["vec_id"] for r in cosine_topk(emb, {"q": qv}, k=10).collect()}
+    approx = {r["vec_id"] for r in ann.collect()}
+    assert len(exact & approx) / 10 >= 0.5  # recall floor on this fixture
+
+
+def test_media_meta(spark, ddb, docs):
+    media = attach_media(docs)
+    assert_matches(
+        media.select(
+            "doc_id", "modality",
+            F.length("payload").alias("n_bytes"),
+            F.col("meta.n_frames").alias("n_chunks"),
+        ),
+        ddb,
+        OO.media_meta_sql(),
+    )
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_media(docs)
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == docs.count()
+    for r in feats[:10]:
+        assert len(r["features"]) == 16
+        assert sum(r["features"]) == r["n_bytes"]  # histogram mass = bytes
+    frames = frame_sample(media, every_n=4)
+    f0 = frames.filter(F.col("doc_id") == 0).collect()
+    assert all(len(r["frame"]) <= 64 for r in f0)
+    assert [r["frame_id"] for r in f0] == sorted(r["frame_id"] for r in f0)
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError, match="image"):
+        decode_stub(b"abc", "image", fake=False)
