@@ -238,13 +238,14 @@ def build_index(
             F.col("z.term").alias("term"), F.col("z.tf").alias("tf"),
         )
 
-        dict_part = flat.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-        )
-        cat.write_segment(dict_part, "dictionary_raw", f"{build_id}-{shard}")
-
+        # the ONE build shuffle: key (term, doc_part). Explicit partition
+        # count pins the exchange width — AQE would otherwise coalesce a
+        # small shuffle to ~2 tasks and serialize the encode stage.
+        # (The dictionary needs no second shuffle: df/cf are derived from
+        # the written posting blocks in finalize_index.)
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
         postings = (
-            flat.repartition("term", "doc_part")
+            flat.repartition(n_shuffle, "term", "doc_part")
             .sortWithinPartitions("term", "doc_part", "doc_id")
             .mapInPandas(enc_fn, schema=POSTINGS_SCHEMA)
             .repartition(n_parts, "doc_part")
@@ -295,14 +296,43 @@ def build_index(
     return totals
 
 
+def dictionary_from_postings(postings: DataFrame) -> DataFrame:
+    """(term, df, cf) derived from posting blocks: df = Σ n; cf = Σ tfs
+    (decoded per block, partial-aggregated per partition). Replaces a full
+    shuffle of the exploded (doc, term, tf) relation with a scan of the
+    ~|vocab|·parts block rows."""
+    from .codec import varint_decode
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc: dict[str, list[int]] = {}
+            for r in pdf.itertuples(index=False):
+                a = acc.setdefault(r.term, [0, 0])
+                a[0] += int(r.n)
+                a[1] += int(varint_decode(r.tfs).sum())
+            yield pd.DataFrame(
+                {"term": list(acc), "df": [v[0] for v in acc.values()],
+                 "cf": [v[1] for v in acc.values()]}
+            )
+
+    return (
+        postings.select("term", "n", "tfs")
+        .mapInPandas(partial, "term string, df long, cf long")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
+
+
 def finalize_index(
     spark: SparkSession, cat: Catalog, build_id: str, n_shards: int, n_parts: int, block_size: int
 ) -> None:
-    """Merge per-shard dictionaries, compute global stats, verify doc_id
-    uniqueness, publish the snapshot."""
-    dict_segs = [cat.segment_dir("dictionary_raw", f"{build_id}-{s}") for s in range(n_shards)]
-    raw = spark.read.parquet(*dict_segs)
-    dictionary = raw.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    """Derive the global dictionary from written postings, compute stats,
+    verify doc_id uniqueness, publish the snapshot."""
+    post_segs = [cat.segment_dir("postings", f"{build_id}-{s}") for s in range(n_shards)]
+    post = spark.read.parquet(post_segs[0])
+    for p in post_segs[1:]:
+        post = post.unionByName(spark.read.parquet(p), allowMissingColumns=True)
+    dictionary = dictionary_from_postings(post)
     cat.write_segment(dictionary, "dictionary", build_id, sort_within_by=["term"])
 
     dm_segs = [cat.segment_dir("doc_map", f"{build_id}-{s}") for s in range(n_shards)]

@@ -1,0 +1,268 @@
+"""Incremental index maintenance: append, delete, upsert, metadata merge.
+
+Reference semantics being re-expressed:
+ * tripadvisor2mimir pass 1 inserts docs, passes 2-3 apply point updates
+   keyed by document id (UpdateOperation::Set — /root/reference
+   src/bin/tripadvisor2mimir.rs:112-165), then publish() atomically swaps
+   the index (:172-176).
+ * openmaptiles2mimir skips recomputation when the prior index is newer
+   (try_skip_reverse, src/mimir.rs:17-27; reuse-unless-moved,
+   src/addresses.rs:274-295).
+
+Engine translation (Lucene/ES-faithful, since ES is the reference's actual
+index backend):
+ * append_index: new docs → one more immutable segment set; the global
+   dictionary/stats are re-merged from per-segment raws; publish.
+ * delete_docs: tombstones. Queries filter tombstoned doc_ids at decode
+   time; like ES, deleted docs still count in df/avgdl until a compaction
+   physically drops them and recomputes exact stats.
+ * upsert_docs: tombstone colliding ids + append re-tokenized docs.
+ * update_doc_meta: MERGE INTO over doc_map (field-level Set, the photos/
+   reviews property updates) — rewrite of the doc_map segments, postings
+   untouched (metadata is not indexed text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import B, K1
+from .build import POSTINGS_SCHEMA  # noqa: F401  (schema parity)
+from .build import _encode_partition_fn, _tokenize_map_fn, compact_index
+from .catalog import Catalog
+
+TOMBSTONE_TABLE = "tombstones"
+
+
+def _read_tombstones(spark: SparkSession, cat: Catalog) -> set[int]:
+    m = cat.read_manifest()
+    if TOMBSTONE_TABLE not in m["tables"]:
+        return set()
+    return {r["doc_id"] for r in cat.read_table(spark, TOMBSTONE_TABLE).collect()}
+
+
+def append_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_root: str,
+    segment: str,
+    tokenizer: str = "code",
+) -> None:
+    """Index new documents as one additional immutable segment set.
+
+    ``new_docs``: normalize_docs() output. doc_ids must not collide with
+    live docs (checked). n_parts/block_size come from the published stats
+    so routing stays consistent.
+    """
+    cat = Catalog(index_root)
+    stats = cat.read_json("stats")
+    n_parts, block_size = stats["n_parts"], stats["block_size"]
+    m = cat.read_manifest()
+
+    docs = new_docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    from .build import META_COLS
+
+    passthrough = [c for c in docs.columns if c in META_COLS]
+    tok_schema = (
+        "doc_id long, doc_part int, dl int, weight double, "
+        "terms array<string>, tfs array<int>"
+        + "".join(f", {c} string" for c in passthrough)
+    )
+    tokenized = docs.select("doc_id", "content", "weight", *passthrough).mapInPandas(
+        _tokenize_map_fn(tokenizer, n_parts, passthrough), schema=tok_schema
+    ).persist()
+
+    # collision check vs live doc_map (anti-join, broadcast the new ids)
+    live = cat.read_table(spark, "doc_map").select("doc_id")
+    clash = live.join(F.broadcast(tokenized.select("doc_id")), "doc_id").count()
+    if clash:
+        raise ValueError(f"append would collide with {clash} live doc_ids; use upsert_docs")
+
+    cat.write_segment(tokenized.drop("terms", "tfs"), "doc_map", segment)
+    flat = tokenized.select(
+        "doc_id", "doc_part", "dl", "weight",
+        F.explode(F.arrays_zip(F.col("terms").alias("term"), F.col("tfs").alias("tf"))).alias("z"),
+    ).select("doc_id", "doc_part", "dl", "weight",
+             F.col("z.term").alias("term"), F.col("z.tf").alias("tf"))
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    enc = (
+        flat.repartition(n_shuffle, "term", "doc_part")
+        .sortWithinPartitions("term", "doc_part", "doc_id")
+        .mapInPandas(_encode_partition_fn(block_size), schema=POSTINGS_SCHEMA)
+        .repartition(n_parts, "doc_part")
+    )
+    cat.write_segment(
+        enc.withColumn("seg", F.lit(segment)), "postings", segment,
+        partition_by=["doc_part"], sort_within_by=["term"],
+    )
+    tokenized.unpersist()
+
+    # re-merge dictionary + stats from all segments, publish new snapshot
+    from .build import dictionary_from_postings
+
+    tables = dict(m["tables"])
+    tables["doc_map"] = tables["doc_map"] + [cat.segment_dir("doc_map", segment)]
+    tables["postings"] = tables["postings"] + [cat.segment_dir("postings", segment)]
+    post_all = spark.read.parquet(tables["postings"][0])
+    for p in tables["postings"][1:]:
+        post_all = post_all.unionByName(spark.read.parquet(p), allowMissingColumns=True)
+    merged = dictionary_from_postings(post_all)
+    cat.write_segment(merged, "dictionary", f"merged-{segment}", sort_within_by=["term"])
+    tables["dictionary"] = [cat.segment_dir("dictionary", f"merged-{segment}")]
+
+    dm = spark.read.parquet(*tables["doc_map"])
+    agg = dm.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    cat.write_json("stats", {
+        "n_docs": agg["n"], "avgdl": agg["avgdl"],
+        "n_parts": n_parts, "block_size": block_size, "k1": K1, "b": B,
+    })
+    cat.publish(tables, meta=m.get("meta"))
+
+
+def delete_docs(spark: SparkSession, index_root: str, doc_ids: list[int]) -> None:
+    """Tombstone documents. Results exclude them immediately; df/avgdl stay
+    stale (ES-faithful) until compact_with_tombstones()."""
+    cat = Catalog(index_root)
+    m = cat.read_manifest()
+    existing = _read_tombstones(spark, cat)
+    allids = sorted(existing | set(doc_ids))
+    df = spark.createDataFrame([(int(i),) for i in allids], "doc_id long")
+    seg = f"ts-{len(allids)}"
+    cat.write_segment(df.coalesce(1), TOMBSTONE_TABLE, seg)
+    tables = dict(m["tables"])
+    tables[TOMBSTONE_TABLE] = [cat.segment_dir(TOMBSTONE_TABLE, seg)]
+    cat.publish(tables, meta=m.get("meta"))
+
+
+def upsert_docs(
+    spark: SparkSession,
+    docs_new: DataFrame,
+    index_root: str,
+    segment: str,
+    tokenizer: str = "code",
+) -> None:
+    """Replace (or insert) documents by doc_id: tombstone + append."""
+    cat = Catalog(index_root)
+    new_ids = [r["doc_id"] for r in docs_new.select("doc_id").collect()]
+    live = {
+        r["doc_id"]
+        for r in cat.read_table(spark, "doc_map")
+        .join(F.broadcast(spark.createDataFrame([(i,) for i in new_ids], "doc_id long")), "doc_id")
+        .select("doc_id").collect()
+    }
+    if live:
+        delete_docs(spark, index_root, sorted(live))
+    # remap replaced ids to fresh ones (append requires unique ids); the
+    # caller-visible id mapping is recorded in doc_map's prev_doc_id
+    remapped = docs_new.withColumn("prev_doc_id", F.col("doc_id")).withColumn(
+        "doc_id",
+        F.when(F.col("doc_id").isin(*([int(i) for i in live] or [-1])),
+               F.xxhash64(F.col("doc_id").cast("string"), F.lit(segment)))
+        .otherwise(F.col("doc_id")),
+    )
+    append_index(spark, remapped.drop("prev_doc_id"), index_root, segment, tokenizer)
+
+
+def update_doc_meta(spark: SparkSession, index_root: str, updates: DataFrame) -> None:
+    """MERGE INTO doc_map: field-level Set updates keyed by doc_id
+    (fafnir's UpdateOperation::Set on properties). ``updates`` columns
+    beyond doc_id overwrite matching doc_map columns when non-null."""
+    cat = Catalog(index_root)
+    m = cat.read_manifest()
+    dm = cat.read_table(spark, "doc_map")
+    upd_cols = [c for c in updates.columns if c != "doc_id"]
+    u = updates.select("doc_id", *[F.col(c).alias(f"__u_{c}") for c in upd_cols])
+    merged = dm.join(F.broadcast(u), "doc_id", "left")
+    for c in upd_cols:
+        merged = merged.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
+    merged = merged.drop(*[f"__u_{c}" for c in upd_cols])
+    seg = "merged-meta"
+    cat.write_segment(merged, "doc_map", seg)
+    tables = dict(m["tables"])
+    tables["doc_map"] = [cat.segment_dir("doc_map", seg)]
+    cat.publish(tables, meta=m.get("meta"))
+
+
+def compact_with_tombstones(spark: SparkSession, index_root: str) -> None:
+    """Physically drop tombstoned docs, force-merge posting runs
+    (the reference's force_merge, S11), recompute exact dictionary/stats."""
+    cat = Catalog(index_root)
+    stats = cat.read_json("stats")
+    ts = _read_tombstones(spark, cat)
+    if ts:
+        m = cat.read_manifest()
+        ts_df = spark.createDataFrame([(int(i),) for i in sorted(ts)], "doc_id long")
+        dm = cat.read_table(spark, "doc_map").join(F.broadcast(ts_df), "doc_id", "left_anti")
+        cat.write_segment(dm, "doc_map", "compact-dm")
+        tables = dict(m["tables"])
+        tables["doc_map"] = [cat.segment_dir("doc_map", "compact-dm")]
+        tables.pop(TOMBSTONE_TABLE, None)
+        cat.publish(tables, meta=m.get("meta"))
+        _drop_tombstones_from_postings(spark, cat, ts, stats["block_size"])
+    compact_index(spark, cat, stats["block_size"])
+
+    # exact stats + dictionary from the surviving index
+    dm = cat.read_table(spark, "doc_map")
+    agg = dm.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    cat.write_json("stats", {**stats, "n_docs": agg["n"], "avgdl": agg["avgdl"]})
+
+    from .build import dictionary_from_postings
+
+    dictionary = dictionary_from_postings(cat.read_table(spark, "postings"))
+    cat.write_segment(dictionary, "dictionary", "compact-dict", sort_within_by=["term"])
+    m2 = cat.read_manifest()
+    tables = dict(m2["tables"])
+    tables["dictionary"] = [cat.segment_dir("dictionary", "compact-dict")]
+    cat.publish(tables, meta=m2.get("meta"))
+
+
+def _drop_tombstones_from_postings(
+    spark: SparkSession, cat: Catalog, tombstones: set[int], block_size: int
+) -> None:
+    """Rewrite posting blocks with tombstoned doc_ids removed."""
+    import numpy as np
+    import pandas as pd
+
+    from .build import _encode_sorted
+    from .codec import delta_decode, f64_decode, varint_decode
+
+    m = cat.read_manifest()
+    ts = np.array(sorted(tombstones), dtype=np.int64)
+    post = cat.read_table(spark, "postings")
+
+    def fn(batches):
+        for pdf in batches:
+            cols = {"term": [], "doc_part": [], "doc_id": [], "tf": [], "dl": [], "weight": []}
+            for r in pdf.itertuples(index=False):
+                ids = delta_decode(r.doc_ids).astype(np.int64)
+                keep = ~np.isin(ids, ts)
+                if not keep.any():
+                    continue
+                cols["term"].append(np.repeat(r.term, keep.sum()))
+                cols["doc_part"].append(np.repeat(r.doc_part, keep.sum()))
+                cols["doc_id"].append(ids[keep])
+                cols["tf"].append(varint_decode(r.tfs).astype(np.int64)[keep])
+                cols["dl"].append(varint_decode(r.dls).astype(np.int64)[keep])
+                cols["weight"].append(f64_decode(r.weights)[keep])
+            if not cols["term"]:
+                continue
+            flat = pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+            flat = flat.sort_values(["term", "doc_part", "doc_id"], kind="mergesort")
+            yield _encode_sorted(flat, block_size)
+
+    # process whole (term, doc_part) groups per partition like the build
+    rewritten = (
+        post.repartition("term", "doc_part")
+        .sortWithinPartitions("term", "doc_part", "block_id")
+        .mapInPandas(fn, schema=POSTINGS_SCHEMA)
+    )
+    seg = "ts-dropped"
+    cat.write_segment(
+        rewritten.withColumn("seg", F.lit(seg)), "postings", seg,
+        partition_by=["doc_part"], sort_within_by=["term"],
+    )
+    m = cat.read_manifest()
+    tables = dict(m["tables"])
+    tables["postings"] = [cat.segment_dir("postings", seg)]
+    cat.publish(tables, meta=m.get("meta"))

@@ -100,13 +100,20 @@ def score_exhaustive(
     k1: float,
     b: float,
     avgdl: float,
+    excluded: np.ndarray | None = None,
 ):
-    """Decode-everything vectorized scorer (the correctness baseline)."""
+    """Decode-everything vectorized scorer (the correctness baseline).
+
+    ``excluded``: sorted tombstoned doc_ids dropped before accumulation
+    (incremental.delete_docs semantics)."""
     ids_all, sc_all = [], []
     for term, blocks in term_blocks.items():
         idf = idfs[term]
         for blk in blocks:
             ids, tfs, dls, ws = blk.decode()
+            if excluded is not None and len(excluded):
+                keep = ~np.isin(ids, excluded)
+                ids, tfs, dls, ws = ids[keep], tfs[keep], dls[keep], ws[keep]
             ids_all.append(ids)
             sc_all.append(idf * _tfn(tfs, dls, k1, b, avgdl) * ws)
     if not ids_all:
@@ -126,6 +133,7 @@ def score_bmw(
     b: float,
     avgdl: float,
     counters: dict | None = None,
+    excluded: np.ndarray | None = None,
 ):
     """Block-max fragment pruning; exact (== score_exhaustive)."""
     blocks: list[_Block] = []
@@ -184,9 +192,17 @@ def score_bmw(
             z = np.searchsorted(ids, hi)
             if a == z:
                 continue
+            seg_ids, seg_tf, seg_dl, seg_w = ids[a:z], tfs[a:z], dls[a:z], ws[a:z]
+            if excluded is not None and len(excluded):
+                keep = ~np.isin(seg_ids, excluded)
+                if not keep.any():
+                    continue
+                seg_ids, seg_tf, seg_dl, seg_w = (
+                    seg_ids[keep], seg_tf[keep], seg_dl[keep], seg_w[keep]
+                )
             idf = idfs[term_list[term_of_block[bi]]]
-            ids_all.append(ids[a:z])
-            sc_all.append(idf * _tfn(tfs[a:z], dls[a:z], k1, b, avgdl) * ws[a:z])
+            ids_all.append(seg_ids)
+            sc_all.append(idf * _tfn(seg_tf, seg_dl, k1, b, avgdl) * seg_w)
         if not ids_all:
             continue
         ids = np.concatenate(ids_all)
@@ -206,7 +222,14 @@ def score_bmw(
     return best_ids, best_sc
 
 
-def _part_scorer(queries: dict[str, list[str]], idfs: dict[str, float], stats: dict, k: int, algo: str):
+def _part_scorer(
+    queries: dict[str, list[str]],
+    idfs: dict[str, float],
+    stats: dict,
+    k: int,
+    algo: str,
+    excluded: np.ndarray | None = None,
+):
     k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
     scorer = score_bmw if algo == "bmw" else score_exhaustive
 
@@ -222,7 +245,7 @@ def _part_scorer(queries: dict[str, list[str]], idfs: dict[str, float], stats: d
             tb = {t: by_term[t] for t in terms if t in by_term}
             if not tb:
                 continue
-            ids, sc = scorer(tb, idfs, k, k1, b, avgdl)
+            ids, sc = scorer(tb, idfs, k, k1, b, avgdl, excluded=excluded)
             out_qid.extend([qid] * len(ids))
             out_doc.append(ids)
             out_sc.append(sc)
@@ -266,8 +289,14 @@ def run_queries(
     present = [t for t in all_terms if t in idfs]
     postings = cat.read_table(spark, "postings").filter(F.col("term").isin(present))
 
+    # tombstones (incremental deletes): filtered at decode time, ES-style
+    excluded = None
+    if "tombstones" in cat.read_manifest()["tables"]:
+        ts = cat.read_table(spark, "tombstones").collect()
+        excluded = np.sort(np.array([r["doc_id"] for r in ts], dtype=np.int64))
+
     per_part = postings.groupBy("doc_part").applyInPandas(
-        _part_scorer(queries, idfs, stats, k, algo), schema=RESULT_SCHEMA
+        _part_scorer(queries, idfs, stats, k, algo, excluded), schema=RESULT_SCHEMA
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (

@@ -1,0 +1,114 @@
+"""Incremental maintenance: append / delete / upsert / meta-merge / compact.
+fafnir semantics: insert-then-update passes + atomic publish
+(/root/reference src/bin/tripadvisor2mimir.rs:41-176), incremental skip
+(src/mimir.rs:17-27)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.build import build_index, normalize_docs
+from fafnir_spark.catalog import Catalog
+from fafnir_spark.incremental import (
+    append_index,
+    compact_with_tombstones,
+    delete_docs,
+    update_doc_meta,
+    upsert_docs,
+)
+from fafnir_spark.wand import run_queries
+from tests.conftest import SF_DIR
+
+Q = {"q": ["merge", "window", "customer"]}
+
+
+@pytest.fixture()
+def split_docs(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    return docs, old, new
+
+
+def _res(spark, root, k=20):
+    return [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in run_queries(spark, root, Q, k=k).collect()
+    ]
+
+
+def test_append_equals_full_build(spark, tmp_path, split_docs):
+    docs, old, new = split_docs
+    full_root, inc_root = str(tmp_path / "full"), str(tmp_path / "inc")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                full_root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="f")
+    build_index(spark, normalize_docs(old, id_col="doc_id", text_col="text"),
+                inc_root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="i")
+    append_index(spark, normalize_docs(new, id_col="doc_id", text_col="text"),
+                 inc_root, segment="delta1", tokenizer="whitespace")
+    assert _res(spark, full_root) == _res(spark, inc_root)
+    # stats must be global after append
+    assert Catalog(inc_root).read_json("stats")["n_docs"] == docs.count()
+
+
+def test_append_collision_rejected(spark, tmp_path, split_docs):
+    docs, old, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(old, id_col="doc_id", text_col="text"),
+                root, n_parts=2, block_size=32, tokenizer="whitespace", build_id="i")
+    with pytest.raises(ValueError, match="collide"):
+        append_index(spark, normalize_docs(old.limit(5), id_col="doc_id", text_col="text"),
+                     root, segment="bad", tokenizer="whitespace")
+
+
+def test_delete_hides_docs_and_compact_makes_exact(spark, tmp_path, split_docs):
+    docs, _, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="d")
+    before = _res(spark, root)
+    victims = [before[0][1], before[2][1]]  # delete ranks 1 and 3
+    delete_docs(spark, root, victims)
+    after = _res(spark, root)
+    assert all(doc not in victims for _, doc, _ in after)
+    # scores unchanged for survivors (stale df — ES-faithful pre-merge)
+    before_scores = {d: s for _, d, s in before}
+    assert all(before_scores.get(d) == s for _, d, s in after if d in before_scores)
+
+    # compaction recomputes exact stats: results equal a fresh build
+    compact_with_tombstones(spark, root)
+    fresh_root = str(tmp_path / "fresh")
+    kept = docs.filter(~F.col("doc_id").isin(victims))
+    build_index(spark, normalize_docs(kept, id_col="doc_id", text_col="text"),
+                fresh_root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="x")
+    assert _res(spark, root) == _res(spark, fresh_root)
+
+
+def test_upsert_replaces_content(spark, tmp_path, split_docs):
+    docs, _, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="u")
+    top = _res(spark, root, k=1)[0][1]
+    # rewrite the top doc to contain none of the query terms
+    gutted = docs.filter(F.col("doc_id") == top).withColumn("text", F.lit("nothing here"))
+    upsert_docs(spark, normalize_docs(gutted, id_col="doc_id", text_col="text"),
+                root, segment="up1", tokenizer="whitespace")
+    after = _res(spark, root)
+    assert all(doc != top for _, doc, _ in after)
+
+
+def test_update_doc_meta(spark, tmp_path, split_docs):
+    docs, _, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=2, block_size=32, tokenizer="whitespace", build_id="m")
+    updates = spark.createDataFrame(
+        [(0, "golden"), (1, "silver")], "doc_id long, source string"
+    )
+    update_doc_meta(spark, root, updates)
+    dm = Catalog(root).read_table(spark, "doc_map")
+    got = {r["doc_id"]: r["source"] for r in dm.filter(F.col("doc_id") < 3).collect()}
+    assert got[0] == "golden" and got[1] == "silver"
+    assert got[2].startswith("src")  # untouched rows keep their value
