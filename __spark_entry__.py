@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fafnir_spark import oracles, oracles_ops
+from fafnir_spark import oracles, oracles_ops, oracles_pipeline
 from fafnir_spark.query import bm25_topk, conjunctive_match, doc_term_freqs, term_dfs
 
 # ---- canonical query set (the engine's "reference query set") ----
@@ -151,6 +151,24 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- fafnir document-pipeline operators (SURVEY.md §2; pipeline.py) ----
+
+def _pq(fn_name: str, needs: str = "docs"):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from fafnir_spark import pipeline as P
+
+        fn = getattr(P, fn_name)
+        if needs == "spark_sf":
+            return fn(spark, sf_dir)
+        if needs == "events":
+            return fn(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        if needs == "spark_events":
+            return fn(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+        return fn(_docs(spark, sf_dir))
+
+    return q
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_direct": _q_bm25_direct,
@@ -167,6 +185,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_exact,
         "ann_lsh_topk": _q_ann_lsh,
         "media_meta": _q_media_meta,
+        "union_corpora": _pq("union_corpora", "spark_sf"),
+        "route_searchability": _pq("route_by_searchability"),
+        "properties_map": _pq("properties_rows"),
+        "i18n_labels": _pq("i18n_labels"),
+        "namespaced_ids": _pq("namespaced_ids"),
+        "event_class_rank": _pq("event_class", "events"),
+        "customers_per_region": _pq("customers_per_region", "spark_sf"),
+        "zone_lookup": _pq("zone_lookup", "spark_events"),
+        "nearest_zone_top1": _pq("nearest_zone", "spark_events"),
+        "semi_join_docs_events": _pq("docs_with_events", "spark_sf"),
+        "event_error_counts": _pq("event_error_counts", "events"),
+        "best_doc_per_group": _pq("best_doc_per_lang"),
+        "preferred_url_coalesce": _pq("preferred_url"),
     }
 
 
@@ -190,4 +221,17 @@ def oracle_sql() -> dict[str, str]:
             QVEC, plane_weights(LSH_TABLES, LSH_PLANES), 10
         ),
         "media_meta": oracles_ops.media_meta_sql(),
+        "union_corpora": oracles_pipeline.union_corpora_sql(),
+        "route_searchability": oracles_pipeline.route_by_searchability_sql(),
+        "properties_map": oracles_pipeline.properties_rows_sql(),
+        "i18n_labels": oracles_pipeline.i18n_labels_sql(),
+        "namespaced_ids": oracles_pipeline.namespaced_ids_sql(),
+        "event_class_rank": oracles_pipeline.event_class_sql(),
+        "customers_per_region": oracles_pipeline.customers_per_region_sql(),
+        "zone_lookup": oracles_pipeline.zone_lookup_sql(),
+        "nearest_zone_top1": oracles_pipeline.nearest_zone_sql(),
+        "semi_join_docs_events": oracles_pipeline.docs_with_events_sql(),
+        "event_error_counts": oracles_pipeline.event_error_counts_sql(),
+        "best_doc_per_group": oracles_pipeline.best_doc_per_lang_sql(),
+        "preferred_url_coalesce": oracles_pipeline.preferred_url_sql(),
     }

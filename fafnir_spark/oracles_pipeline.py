@@ -1,0 +1,135 @@
+"""DuckDB oracles for pipeline.py (the fafnir document-pipeline operators)."""
+
+from __future__ import annotations
+
+from .pipeline import EVENT_CLASS, NEAREST_RADIUS, ZONES
+
+_ZONES_VALUES = ", ".join(f"({z}, '{n}', {lo}, {hi}, {c})" for z, n, lo, hi, c in ZONES)
+_ZONES_CTE = f"zones(zone_id, zone_name, lo, hi, center) AS (VALUES {_ZONES_VALUES})"
+
+
+def union_corpora_sql() -> str:
+    return """
+SELECT concat('doc:', doc_id) AS id, text AS body, 'documents' AS src_table FROM documents
+UNION ALL
+SELECT concat('evt:', event_id) AS id, props AS body, 'events' AS src_table FROM events
+ORDER BY id
+"""
+
+
+def route_by_searchability_sql() -> str:
+    return """
+SELECT (n_chars > 0 AND NOT ((lang = 'en' AND source = 'src0')
+                          OR (lang = 'en' AND source = 'src13'))) AS is_searchable,
+       count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def properties_rows_sql() -> str:
+    return """
+SELECT doc_id, k.key, CASE k.key
+         WHEN 'doc_lang' THEN coalesce(lang, '')
+         WHEN 'doc_source' THEN coalesce(source, '')
+         ELSE 'fafnir_spark' END AS value
+FROM documents,
+     (SELECT unnest(['doc_lang', 'doc_source', 'engine']) AS key) k
+ORDER BY doc_id, k.key
+"""
+
+
+def i18n_labels_sql() -> str:
+    return """
+SELECT doc_id, 2 AS n_names,
+       CASE WHEN lang = 'en' THEN substr(text, 1, 16) ELSE substr(text, 1, 16) END AS label_local
+FROM documents ORDER BY doc_id
+"""
+
+
+def namespaced_ids_sql() -> str:
+    return """
+SELECT doc_id,
+       concat('corpus:', CASE WHEN doc_id % 2 = 0 THEN 'node' ELSE 'way' END, ':', doc_id) AS global_id
+FROM documents ORDER BY doc_id
+"""
+
+
+def event_class_sql() -> str:
+    cls = " ".join(f"WHEN '{et}' THEN '{c}'" for et, (c, _) in EVENT_CLASS.items())
+    rnk = " ".join(f"WHEN '{et}' THEN {r}" for et, (_, r) in EVENT_CLASS.items())
+    return f"""
+SELECT event_type,
+       CASE event_type {cls} ELSE 'other' END AS event_class,
+       CASE event_type {rnk} ELSE 99 END AS class_rank,
+       count(*) AS n
+FROM events GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+def customers_per_region_sql() -> str:
+    return """
+SELECT r_name AS region_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def zone_lookup_sql() -> str:
+    return f"""
+WITH {_ZONES_CTE}
+SELECT zone_name, count(*) AS n_events
+FROM events JOIN zones ON value >= lo AND value < hi
+GROUP BY zone_name ORDER BY zone_name
+"""
+
+
+def nearest_zone_sql() -> str:
+    return f"""
+WITH {_ZONES_CTE},
+cand AS (
+  SELECT event_id, zone_id, round(abs(value - center), 6) AS dist,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY round(abs(value - center), 6) ASC, zone_id ASC) AS rn
+  FROM events JOIN zones ON abs(value - center) <= {NEAREST_RADIUS}
+)
+SELECT event_id, zone_id, dist FROM cand WHERE rn = 1 ORDER BY event_id
+"""
+
+
+def docs_with_events_sql() -> str:
+    return """
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT user_id FROM events)
+ORDER BY doc_id
+"""
+
+
+def event_error_counts_sql() -> str:
+    return """
+SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def best_doc_per_lang_sql() -> str:
+    return """
+SELECT lang, source, doc_id AS best_doc, n_chars FROM (
+  SELECT lang, source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY lang, source
+"""
+
+
+def preferred_url_sql() -> str:
+    return """
+SELECT doc_id,
+       coalesce(CASE WHEN doc_id % 3 = 0 THEN concat('orig/', doc_id) END,
+                CASE WHEN doc_id % 2 = 0 THEN concat('std/', doc_id) END,
+                concat('thumb/', doc_id)) AS url
+FROM documents ORDER BY doc_id
+"""

@@ -1,0 +1,242 @@
+"""The fafnir document pipeline, operator by operator, as DataFrame plans.
+
+This module re-expresses the reference's enrichment pipeline (SURVEY.md §2
+rows not already embodied by the index engine) over the driver's testdata
+tables, each with an exact DuckDB oracle (oracles_pipeline.py). Citations
+are into /root/reference.
+
+  S2   multi-source UNION ALL         union_corpora
+  P3/P4 static filter + searchability route_by_searchability
+        (pois.rs:106-107 blocklist; openmaptiles2mimir.rs:113-137 routing)
+  P6   tag→property map normalization properties_rows
+        (pois.rs:242-246,276-289)
+  P8-10 i18n names + localized fill   i18n_labels
+        (pois.rs:291-311, 198-224; convert.rs:251-265)
+  P13  id namespacing                 namespaced_ids
+        (functions.sql:5-27 global_id_from_imposm)
+  P14  class canonicalization + rank  event_class
+        (functions.sql:35-106 poi_class / poi_class_rank)
+  J1   broadcast dimension join       customers_per_region
+        (mimir.rs:30-38 AdminGeoFinder broadcast; geo → star-schema dims)
+  J2/T1 nearest-within-radius top-1   nearest_zone
+        (addresses.rs:80-123: geo_distance <= 500m, sort asc, take first)
+  J5   semi-join existence filter     docs_with_events
+        (tripadvisor2mimir.rs:67,83,111,146 indexed-id HashSet)
+  A1   error-type aggregation         event_error_counts
+        (tripadvisor2mimir.rs:71-93 count_errors HashMap)
+  A4/T3 first-match / preference      best_doc_per_lang, preferred_url
+        (photos/convert.rs:9-25; addresses.rs:131-145 min-by)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# static "zone" dimension shared with the oracle — the admin-polygon stand-in
+ZONES = [
+    # (zone_id, zone_name, lo, hi, center)
+    (0, "frigid", 0.0, 50.0, 25.0),
+    (1, "cool", 50.0, 120.0, 85.0),
+    (2, "warm", 120.0, 200.0, 160.0),
+    (3, "hot", 200.0, 1e9, 230.0),
+]
+NEAREST_RADIUS = 40.0
+
+# P14: the poi_class CASE-chain analog for event types
+EVENT_CLASS = {
+    "click": ("interaction", 1),
+    "view": ("interaction", 2),
+    "purchase": ("commerce", 0),
+    "signup": ("lifecycle", 0),
+    "error": ("fault", 9),
+}
+
+
+def union_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: heterogeneous sources normalized into one corpus relation
+    (fafnir unions 6 table subqueries, postgres.rs:4-39,78-83)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("id"),
+        F.col("text").alias("body"),
+        F.lit("documents").alias("src_table"),
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("evt:"), F.col("event_id")).alias("id"),
+        F.col("props").alias("body"),
+        F.lit("events").alias("src_table"),
+    )
+    return docs.unionByName(events)
+
+
+def route_by_searchability(docs: DataFrame) -> DataFrame:
+    """P4 + S8 routing: is_searchable = non-empty body AND (lang, source)
+    not in the static blocklist; count per route (the two ES containers)."""
+    blocklist = [("en", "src0"), ("en", "src13")]
+    blocked = F.struct(F.col("lang"), F.col("source")).isin(
+        [F.struct(F.lit(a), F.lit(b)) for a, b in blocklist]
+    )
+    routed = docs.withColumn(
+        "is_searchable", (F.col("n_chars") > 0) & ~blocked
+    )
+    return routed.groupBy("is_searchable").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+def properties_rows(docs: DataFrame) -> DataFrame:
+    """P6: per-doc ordered property map (defaults filled, engine keys
+    injected), exploded to rows for oracle comparison."""
+    props = F.map_from_arrays(
+        F.array(F.lit("doc_lang"), F.lit("doc_source"), F.lit("engine")),
+        F.array(F.coalesce(F.col("lang"), F.lit("")),
+                F.coalesce(F.col("source"), F.lit("")),
+                F.lit("fafnir_spark")),
+    )
+    return (
+        docs.select("doc_id", F.explode(props).alias("key", "value"))
+        .orderBy("doc_id", "key")
+    )
+
+
+def i18n_labels(docs: DataFrame) -> DataFrame:
+    """P8-P10: i18n label array + localized resolution.
+
+    names = [(lang, text-prefix)], label_local = first of (requested lang,
+    'en', any) — get_local_string's coalesce chain (convert.rs:251-265)."""
+    prefix = F.substring(F.col("text"), 1, 16)
+    names = F.array(
+        F.struct(F.col("lang").alias("key"), prefix.alias("value")),
+        F.struct(F.lit("x-default").alias("key"), prefix.alias("value")),
+    )
+    label_local = F.coalesce(
+        F.element_at(F.map_from_entries(names), F.lit("en")),
+        F.element_at(F.map_from_entries(names), F.lit("x-default")),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(names).alias("n_names"),
+        label_local.alias("label_local"),
+    )
+
+
+def namespaced_ids(docs: DataFrame) -> DataFrame:
+    """P13: namespaced global ids — global_id_from_imposm's sign/parity
+    decode (functions.sql:5-27): even→'node', odd→'way'."""
+    kind = F.when(F.col("doc_id") % 2 == 0, F.lit("node")).otherwise(F.lit("way"))
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("corpus:"), kind, F.lit(":"), F.col("doc_id")).alias("global_id"),
+    )
+
+
+def event_class(events: DataFrame) -> DataFrame:
+    """P14: class canonicalization CASE chain + rank."""
+    cls = F.lit(None).cast("string")
+    rank = F.lit(None).cast("int")
+    expr_cls = None
+    expr_rank = None
+    for et, (c, r) in EVENT_CLASS.items():
+        if expr_cls is None:
+            expr_cls = F.when(F.col("event_type") == et, F.lit(c))
+            expr_rank = F.when(F.col("event_type") == et, F.lit(r))
+        else:
+            expr_cls = expr_cls.when(F.col("event_type") == et, F.lit(c))
+            expr_rank = expr_rank.when(F.col("event_type") == et, F.lit(r))
+    expr_cls = expr_cls.otherwise(F.lit("other"))
+    expr_rank = expr_rank.otherwise(F.lit(99))
+    return (
+        events.select("event_type", expr_cls.alias("event_class"), expr_rank.alias("class_rank"))
+        .groupBy("event_type", "event_class", "class_rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast dimension join chain (customer→nation→region), the
+    AdminGeoFinder broadcast analog — both dims are broadcast, the fact
+    table never shuffles for the join."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+def zone_lookup(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """J1 (range form): point-in-interval broadcast join — the literal
+    point-in-polygon analog: value ∈ [lo, hi) → zone."""
+    zones = spark.createDataFrame(ZONES, "zone_id int, zone_name string, lo double, hi double, center double")
+    return (
+        events.join(
+            F.broadcast(zones),
+            (events.value >= zones.lo) & (events.value < zones.hi),
+        )
+        .groupBy("zone_name")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def nearest_zone(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """J2/T1: per-event nearest zone center within NEAREST_RADIUS, top-1 by
+    (distance asc, zone_id asc) — get_addr_from_coords (addresses.rs:80-123).
+    Returns (event_id, zone_id, dist)."""
+    zones = spark.createDataFrame(ZONES, "zone_id int, zone_name string, lo double, hi double, center double")
+    raw_dist = F.abs(events.value - zones.center)
+    w = Window.partitionBy("event_id").orderBy(F.col("dist").asc(), F.col("zone_id").asc())
+    return (
+        events.join(F.broadcast(zones), raw_dist <= NEAREST_RADIUS)
+        .select("event_id", "zone_id", F.round(raw_dist, 6).alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def docs_with_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left-semi existence filter — docs whose doc_id appears as a
+    user_id in events (the indexed-ids HashSet semi-join)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        docs.join(events.select(F.col("user_id").alias("doc_id")), "doc_id", "left_semi")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def event_error_counts(events: DataFrame) -> DataFrame:
+    """A1: per-error-type counters with ok/error split (count_errors
+    HashMap + count_ok scalar)."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def best_doc_per_lang(docs: DataFrame) -> DataFrame:
+    """A4: first-match/min-by reductions — per (lang, source) the doc with
+    max n_chars (ties: min doc_id)."""
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "source", F.col("doc_id").alias("best_doc"), "n_chars")
+    )
+
+
+def preferred_url(docs: DataFrame) -> DataFrame:
+    """T3: preference-order coalesce — photo URL original > standard >
+    thumb (photos/convert.rs:10-16), variants derived deterministically."""
+    original = F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("orig/"), F.col("doc_id")))
+    standard = F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("std/"), F.col("doc_id")))
+    thumb = F.concat(F.lit("thumb/"), F.col("doc_id"))
+    return docs.select("doc_id", F.coalesce(original, standard, thumb).alias("url"))

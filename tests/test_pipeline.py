@@ -1,0 +1,77 @@
+"""fafnir document-pipeline operators vs DuckDB oracles (SURVEY.md §2 rows
+S2, P3/P4, P6, P8-P10, P13, P14, J1, J2/T1, J5, A1, A4, T3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fafnir_spark import oracles_pipeline as OP
+from fafnir_spark import pipeline as P
+from tests.conftest import SF_DIR
+from tests.test_ops import assert_matches
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_union_corpora(spark, ddb):
+    assert_matches(P.union_corpora(spark, SF_DIR), ddb, OP.union_corpora_sql())
+
+
+def test_route_by_searchability(spark, ddb, docs):
+    assert_matches(P.route_by_searchability(docs), ddb, OP.route_by_searchability_sql())
+
+
+def test_properties_rows(spark, ddb, docs):
+    assert_matches(P.properties_rows(docs), ddb, OP.properties_rows_sql())
+
+
+def test_i18n_labels(spark, ddb, docs):
+    assert_matches(P.i18n_labels(docs), ddb, OP.i18n_labels_sql())
+
+
+def test_namespaced_ids(spark, ddb, docs):
+    assert_matches(P.namespaced_ids(docs), ddb, OP.namespaced_ids_sql())
+
+
+def test_event_class(spark, ddb, events):
+    assert_matches(P.event_class(events), ddb, OP.event_class_sql())
+
+
+def test_customers_per_region(spark, ddb):
+    df = P.customers_per_region(spark, SF_DIR)
+    assert_matches(df, ddb, OP.customers_per_region_sql())
+    # J1 contract: both dimension joins must be broadcast (no fact shuffle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_zone_lookup(spark, ddb, events):
+    assert_matches(P.zone_lookup(spark, events), ddb, OP.zone_lookup_sql())
+
+
+def test_nearest_zone(spark, ddb, events):
+    assert_matches(P.nearest_zone(spark, events), ddb, OP.nearest_zone_sql())
+
+
+def test_docs_with_events(spark, ddb):
+    assert_matches(P.docs_with_events(spark, SF_DIR), ddb, OP.docs_with_events_sql())
+
+
+def test_event_error_counts(spark, ddb, events):
+    assert_matches(P.event_error_counts(events), ddb, OP.event_error_counts_sql())
+
+
+def test_best_doc_per_lang(spark, ddb, docs):
+    assert_matches(P.best_doc_per_lang(docs), ddb, OP.best_doc_per_lang_sql())
+
+
+def test_preferred_url(spark, ddb, docs):
+    assert_matches(P.preferred_url(docs), ddb, OP.preferred_url_sql())
