@@ -1,0 +1,35 @@
+"""CI gate for BASELINE.json input_hint: vectorized pandas/Arrow UDFs only,
+no per-row Python in the engine (SURVEY.md §7 risk 4)."""
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "fafnir_spark"
+
+ROW_UDF = re.compile(r"(?<!pandas_)\budf\s*\(|F\.udf\b|@udf\b|spark\.udf\.register")
+RDD_API = re.compile(r"\.rdd\b|sparkContext\.parallelize|\.toLocalIterator\(")
+DRIVER_LOOP = re.compile(r"for\s+\w+\s+in\s+\w+\.collect\(\)")
+
+
+def _sources():
+    return {p: p.read_text() for p in PKG.glob("*.py")}
+
+
+def test_no_row_at_a_time_udfs():
+    for path, src in _sources().items():
+        assert not ROW_UDF.search(src), f"row-at-a-time UDF in {path.name}"
+
+
+def test_no_rdd_hot_path():
+    for path, src in _sources().items():
+        assert not RDD_API.search(src), f"RDD API in {path.name}"
+
+
+def test_collect_only_for_small_relations():
+    # collect() is allowed only for driver-side small data (dictionaries,
+    # tombstones, scalar stats); loops over collect() of big relations are
+    # a distribution bug. Whitelist audited call sites by module.
+    allowed = {"wand.py", "incremental.py", "build.py", "query.py"}
+    for path, src in _sources().items():
+        if DRIVER_LOOP.search(src):
+            assert path.name in allowed, f"driver-side collect loop in {path.name}"
