@@ -151,6 +151,24 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.query_ext import prefix_bm25
+
+    return prefix_bm25(_docs(spark, sf_dir), "s", k=10)
+
+
+def _q_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.query_ext import fielded_bm25
+
+    return fielded_bm25(_docs(spark, sf_dir), ["merge", "window"], {"source": "src3"}, k=10)
+
+
+def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.query_ext import phrase_match
+
+    return phrase_match(_docs(spark, sf_dir), "key agg")
+
+
 # ---- fafnir document-pipeline operators (SURVEY.md §2; pipeline.py) ----
 
 def _pq(fn_name: str, needs: str = "docs"):
@@ -185,6 +203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_exact,
         "ann_lsh_topk": _q_ann_lsh,
         "media_meta": _q_media_meta,
+        "prefix_bm25": _q_prefix,
+        "fielded_bm25": _q_fielded,
+        "phrase_match": _q_phrase,
         "union_corpora": _pq("union_corpora", "spark_sf"),
         "route_searchability": _pq("route_by_searchability"),
         "properties_map": _pq("properties_rows"),
@@ -221,6 +242,9 @@ def oracle_sql() -> dict[str, str]:
             QVEC, plane_weights(LSH_TABLES, LSH_PLANES), 10
         ),
         "media_meta": oracles_ops.media_meta_sql(),
+        "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
+        "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),
+        "phrase_match": oracles.phrase_match_sql("key agg"),
         "union_corpora": oracles_pipeline.union_corpora_sql(),
         "route_searchability": oracles_pipeline.route_by_searchability_sql(),
         "properties_map": oracles_pipeline.properties_rows_sql(),

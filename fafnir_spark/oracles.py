@@ -86,6 +86,78 @@ ORDER BY dl.doc_id
 """
 
 
+def prefix_bm25_sql(prefix: str, k: int = 10) -> str:
+    """`prefix*` → expanded-term BM25 (scoring_boolean rewrite)."""
+    p = prefix.replace("'", "''")
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term LIKE '{p}%' GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(raw_score, 6) AS score
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+def fielded_bm25_sql(terms: list[str], field_filters: dict[str, str], k: int = 10) -> str:
+    """Field-scoped BM25: filters restrict, scoring ignores them (ES filter
+    context). Field tokens are column equality since they are generated
+    from those columns (query_ext.with_field_tokens)."""
+    preds = " AND ".join(
+        f"{f} = '{v.replace(chr(39), chr(39) * 2)}'" for f, v in sorted(field_filters.items())
+    )
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+eligible AS (SELECT doc_id FROM documents WHERE {preds}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, scored.doc_id ASC) AS rank,
+         scored.doc_id, round(raw_score, 6) AS score
+  FROM scored JOIN eligible ON eligible.doc_id = scored.doc_id
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+def phrase_match_sql(phrase: str) -> str:
+    p = " ".join(t for t in phrase.split(" ") if t).replace("'", "''")
+    return f"""
+SELECT doc_id FROM documents
+WHERE concat(' ', text, ' ') LIKE '% {p} %'
+ORDER BY doc_id
+"""
+
+
 def conjunctive_sql(terms: list[str]) -> str:
     n = len(sorted(set(terms)))
     return f"""

@@ -1,0 +1,99 @@
+"""Extended query shapes pinned by the reference's tests.
+
+/root/reference tests exercise three query forms beyond plain BM25
+(tests/tests.rs:208-228, tests/openmaptiles2mimir/mod.rs:361-368):
+
+  `name:Ocean*`                 → prefix (multi-term) query
+  `poi_type.name:(subclass_cafe)` → field-scoped term query over the
+                                  synthetic token bag (P7's word-analyzer
+                                  trick: fields become namespaced tokens)
+  golden label/format checks    → exact phrase containment
+
+Engine semantics (documented contract, mirrored by the oracles):
+  * prefix_bm25: expand prefix against the dictionary, score the union of
+    matching terms with standard BM25 (ES's scoring_boolean rewrite).
+  * fielded tokens: `with_field_tokens` appends `field:value` tokens to the
+    text — exactly fafnir's build_poi_type_text move (pois.rs:248-274) —
+    so field predicates are just conjunctive terms in the same index.
+  * phrase_match: conjunctive candidates + exact containment recheck of
+    ' phrase ' in ' text ' (positional recheck strategy; positions are not
+    stored in blocks — documented tradeoff: recheck touches only
+    conjunctive-candidate rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .query import bm25_topk_batch, conjunctive_match
+
+
+def with_field_tokens(docs: DataFrame, fields: list[str], text_col: str = "text") -> DataFrame:
+    """Append `field:value` tokens to the text — the token-bag trick."""
+    parts = [F.col(text_col)]
+    for f in fields:
+        parts.append(F.concat(F.lit(f + ":"), F.col(f)))
+    return docs.withColumn(text_col, F.concat_ws(" ", *parts))
+
+
+def expand_prefix(docs: DataFrame, prefix: str, text_col: str = "text") -> list[str]:
+    """Dictionary prefix scan → matching terms (driver-side; the term
+    dictionary is the broadcast-scale relation)."""
+    from .query import doc_term_freqs
+
+    tf = doc_term_freqs(docs, "doc_id", text_col)
+    rows = (
+        tf.select("term").distinct()
+        .filter(F.col("term").startswith(prefix))
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def prefix_bm25(docs: DataFrame, prefix: str, k: int = 10, text_col: str = "text") -> DataFrame:
+    """`prefix*` → expanded-term disjunctive BM25 top-k (rank, doc_id, score)."""
+    terms = expand_prefix(docs, prefix, text_col)
+    if not terms:
+        return docs.sparkSession.createDataFrame([], "rank int, doc_id long, score double")
+    res = bm25_topk_batch(docs, {"q": terms}, k=k, text_col=text_col)
+    return res.select("rank", "doc_id", "score")
+
+
+def fielded_bm25(
+    docs: DataFrame,
+    terms: list[str],
+    field_filters: dict[str, str],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 over `terms`, restricted to docs whose namespaced field tokens
+    match (conjunctive field predicates). Field tokens do not contribute to
+    the score — they are filters, like ES filter context."""
+    tagged = with_field_tokens(docs, sorted(field_filters), text_col)
+    ftoks = [f"{f}:{v}" for f, v in sorted(field_filters.items())]
+    eligible = conjunctive_match(tagged, ftoks, text_col=text_col)
+    scored = bm25_topk_batch(docs, {"q": terms}, k=1 << 30, text_col=text_col)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.join(eligible, "doc_id")
+        .select("doc_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
+def phrase_match(docs: DataFrame, phrase: str, text_col: str = "text") -> DataFrame:
+    """Doc ids containing the exact token phrase — conjunctive candidates
+    then containment recheck on the padded text."""
+    toks = [t for t in phrase.split(" ") if t]
+    cand = conjunctive_match(docs, toks, text_col=text_col)
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    hits = docs.join(cand, "doc_id").filter(
+        padded.contains(" " + " ".join(toks) + " ")
+    )
+    return hits.select("doc_id").orderBy("doc_id")

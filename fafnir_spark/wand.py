@@ -264,6 +264,19 @@ def _part_scorer(
     return fn
 
 
+def expand_prefix_indexed(spark: SparkSession, index_root: str, prefix: str) -> list[str]:
+    """Dictionary prefix scan on the published index — the term dictionary
+    is term-sorted parquet, so `startswith` prunes row groups."""
+    cat = Catalog(index_root)
+    rows = (
+        cat.read_table(spark, "dictionary")
+        .filter(F.col("term").startswith(prefix))
+        .select("term")
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
 def run_queries(
     spark: SparkSession,
     index_root: str,

@@ -1,0 +1,76 @@
+"""Prefix / fielded / phrase query shapes — the reference's own test-query
+forms (name:Ocean*, poi_type.name:(subclass_cafe), golden containment;
+/root/reference tests/tests.rs:208-228)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fafnir_spark import oracles
+from fafnir_spark.build import build_index, normalize_docs
+from fafnir_spark.query_ext import fielded_bm25, phrase_match, prefix_bm25, with_field_tokens
+from fafnir_spark.wand import expand_prefix_indexed, run_queries
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_prefix_bm25_matches_oracle(spark, ddb, docs):
+    got = prefix_bm25(docs, "s", k=10).collect()  # sort, spark, slow, scan...
+    want = ddb.execute(oracles.prefix_bm25_sql("s", 10)).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[2], abs=1e-6)
+
+
+def test_prefix_empty(spark, docs):
+    assert prefix_bm25(docs, "zzz_nothing", k=10).count() == 0
+
+
+def test_prefix_indexed_equals_direct(spark, tmp_path, docs):
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="p")
+    terms = expand_prefix_indexed(spark, root, "s")
+    res = run_queries(spark, root, {"q": terms}, k=10).collect()
+    direct = prefix_bm25(docs, "s", k=10).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in res] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in direct
+    ]
+
+
+def test_fielded_bm25_matches_oracle(spark, ddb, docs):
+    got = fielded_bm25(docs, ["merge", "window"], {"source": "src3"}, k=10).collect()
+    want = ddb.execute(
+        oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10)
+    ).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[2], abs=1e-6)
+    assert len(got) > 0
+
+
+def test_field_tokens_index_path(spark, tmp_path, docs):
+    """fafnir's token-bag trick end-to-end: index tagged text, query the
+    field token conjunctively through the normal engine."""
+    tagged = with_field_tokens(docs, ["source"])
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(tagged, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="f")
+    terms = ["source:src3"]
+    res = run_queries(spark, root, {"q": terms}, k=1000).collect()
+    want = sorted(r["doc_id"] for r in docs.filter("source = 'src3'").collect())
+    assert sorted(r["doc_id"] for r in res) == want
+
+
+def test_phrase_match_matches_oracle(spark, ddb, docs):
+    # pick a phrase that actually occurs: first two tokens of doc 0
+    first = docs.filter("doc_id = 0").collect()[0]["text"].split(" ")[:2]
+    phrase = " ".join(first)
+    got = [r["doc_id"] for r in phrase_match(docs, phrase).collect()]
+    want = [w[0] for w in ddb.execute(oracles.phrase_match_sql(phrase)).fetchall()]
+    assert got == want
+    assert 0 in got
