@@ -367,6 +367,24 @@ def finalize_index(
     )
 
 
+def verify_sha256(spark: SparkSession, index_root: str, source_docs: DataFrame,
+                  text_col: str = "content", id_col: str = "doc_id") -> int:
+    """Per-row invariant (BASELINE.json input_hint): sha256(content) stored
+    in doc_map must equal sha256 recomputed from the source table. Returns
+    the number of violating rows (0 = invariant holds)."""
+    cat = Catalog(index_root)
+    dm = cat.read_table(spark, "doc_map").select("doc_id", "content_sha256")
+    src = source_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("src_sha256"),
+    )
+    return (
+        dm.join(src, "doc_id", "inner")
+        .filter(F.col("content_sha256") != F.col("src_sha256"))
+        .count()
+    )
+
+
 def compact_index(spark: SparkSession, cat: Catalog, block_size: int) -> None:
     """Rewrite multi-segment postings into one sorted run per (term, part).
 

@@ -1,0 +1,66 @@
+"""Continuous corpus ingestion: Structured Streaming → incremental appends.
+
+The reference is a bounded-channel pipelined batch job (SURVEY.md §2.8:
+channels of 10k docs, buffer_unordered — /root/reference
+src/bin/openmaptiles2mimir.rs:23,64-82) with no event-time semantics; its
+"streaming" is really continuous arrival + incremental indexing. The Spark
+translation: a file-source stream over the corpus directory, each
+micro-batch appended to the published index as one immutable segment via
+foreachBatch (exactly-once per batch id: a segment named for the batch is
+idempotent — re-running a batch overwrites the same segment, and the
+manifest publish is atomic).
+
+At scale the same code runs against a Kafka/Iceberg CDC source; only
+``readStream`` options change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .incremental import append_index
+
+
+def stream_corpus(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    index_root: str,
+    checkpoint_dir: str,
+    tokenizer: str = "code",
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    text_col: str = "content",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Stream parquet files arriving in ``source_dir`` into the index.
+
+    Returns the StreamingQuery. ``available_now=True`` drains what exists
+    and stops (the testable mode); False runs continuously.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        m = Catalog(index_root).read_manifest()
+        seg = f"stream-{batch_id}"
+        done = any(
+            p.endswith(f"seg={seg}") for p in m["tables"].get("postings", [])
+        )
+        if done:  # replayed batch after a crash: segment already published
+            return
+        docs = batch_df.withColumn("doc_id", F.xxhash64(*id_cols)).withColumn(
+            "content", F.col(text_col)
+        ).withColumn("weight", F.lit(1.0))
+        append_index(spark, docs, index_root, segment=seg, tokenizer=tokenizer)
+
+    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

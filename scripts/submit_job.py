@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""spark-submit entry point: build the index over a corpus table and run a
+query batch — the deployment path the north rule specifies
+(`spark-submit --py-files fafnir_spark.zip`).
+
+Usage:
+  spark-submit --py-files fafnir_spark.zip scripts/submit_job.py \
+      <corpus_parquet> <index_root> <terms_csv> [k]
+
+On a cluster the SparkSession comes from spark-submit's conf (master,
+executors); this script never builds its own master URL.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    corpus_path, index_root = sys.argv[1], sys.argv[2]
+    terms = sys.argv[3].split(",")
+    k = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+
+    spark = SparkSession.builder.appName("fafnir-submit").getOrCreate()
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.wand import run_queries
+
+    docs = spark.read.parquet(corpus_path)
+    id_col = "doc_id" if "doc_id" in docs.columns else None
+    text_col = "text" if "text" in docs.columns else "content"
+    tokenizer = "whitespace" if text_col == "text" else "code"
+    metrics = build_index(
+        spark,
+        normalize_docs(docs, id_col=id_col, text_col=text_col),
+        index_root,
+        n_parts=max(4, spark.sparkContext.defaultParallelism),
+        tokenizer=tokenizer,
+        build_id="submit",
+        resume=True,
+    )
+    res = run_queries(spark, index_root, {"q": terms}, k=k).collect()
+    print(json.dumps({
+        "build": metrics,
+        "results": [[r["rank"], r["doc_id"], r["score"]] for r in res],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

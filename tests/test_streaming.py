@@ -1,0 +1,52 @@
+"""Streaming ingestion: micro-batches append segments; final index must be
+rank-identical to a one-shot batch build of the same corpus."""
+
+from __future__ import annotations
+
+import os
+
+from fafnir_spark.build import build_index, normalize_docs
+from fafnir_spark.catalog import Catalog
+from fafnir_spark.corpus import CORPUS_SCHEMA, synth_corpus
+from fafnir_spark.streaming import stream_corpus
+from fafnir_spark.wand import run_queries
+
+Q = {"q": ["def", "return", "merge"]}
+
+
+def test_stream_ingest_equals_batch_build(spark, tmp_path):
+    corpus = normalize_docs(synth_corpus(spark, 600, mean_len=40)).persist()
+
+    # one-shot batch build (the oracle index)
+    batch_root = str(tmp_path / "batch")
+    build_index(spark, corpus, batch_root, n_parts=3, block_size=32,
+                tokenizer="whitespace", build_id="b")
+
+    # streaming: seed index with the first slice, then stream 3 more files
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    slices = [corpus.filter(f"pmod(doc_id, 4) = {i}") for i in range(4)]
+    seed_root = str(tmp_path / "stream")
+    build_index(spark, slices[0], seed_root, n_parts=3, block_size=32,
+                tokenizer="whitespace", build_id="seed")
+    for i, sl in enumerate(slices[1:], 1):
+        sl.select("repo", "path", "commit", "lang", "content").coalesce(1).write.parquet(
+            f"{src}/file{i}"
+        )
+
+    q = stream_corpus(
+        spark, f"{src}/file*", CORPUS_SCHEMA, seed_root,
+        checkpoint_dir=str(tmp_path / "ckpt"), tokenizer="whitespace",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    a = run_queries(spark, batch_root, Q, k=20).collect()
+    b = run_queries(spark, seed_root, Q, k=20).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in a] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in b
+    ]
+    # multiple stream segments were actually appended
+    m = Catalog(seed_root).read_manifest()
+    assert sum("stream-" in p for p in m["tables"]["postings"]) >= 1
+    corpus.unpersist()
