@@ -33,7 +33,11 @@ _KEYWORDS = (
     "checkpoint resume batch stream buffer channel retry backoff"
 ).split()
 
-_LANGS = ["py", "rs", "go", "java", "scala", "c", "cpp", "js"]
+# FIXTURES.md contract: langs non-uniform, ext consistent with lang
+_LANGS = ["python", "java", "rust", "go", "js", "md"]
+_EXT = {"python": "py", "java": "java", "rust": "rs", "go": "go", "js": "js", "md": "md"}
+_LANG_WEIGHTS = [0.35, 0.2, 0.15, 0.12, 0.12, 0.06]
+N_REPOS = 20
 
 
 def _gen_batch(ids: np.ndarray, zipf_a: float, mean_len: int) -> pd.DataFrame:
@@ -41,17 +45,20 @@ def _gen_batch(ids: np.ndarray, zipf_a: float, mean_len: int) -> pd.DataFrame:
     rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
     for i in ids:
         rng = np.random.default_rng(0xFAF0 + int(i))
-        repo_id = int(i) % 97
-        lang = _LANGS[int(i) % len(_LANGS)]
-        length = max(8, int(rng.poisson(mean_len)))
-        # Zipf over the keyword vocabulary => realistic term skew
+        # heavy-tail repo sizes (FIXTURES.md: one repo >> others, so
+        # partition skew is exercised): Zipf-pick the repo id
+        repo_id = min(int(rng.zipf(1.5)) - 1, N_REPOS - 1)
+        lang = _LANGS[int(rng.choice(len(_LANGS), p=_LANG_WEIGHTS))]
+        length = min(2000, max(50, int(rng.poisson(mean_len))))
+        # Zipf over the keyword vocabulary => hot terms (def, return, ...)
         ranks = np.minimum(rng.zipf(zipf_a, size=length) - 1, n_kw - 1)
         toks = [_KEYWORDS[r] for r in ranks]
-        # a few rare per-doc identifiers so the long tail exists too
+        # rare identifiers unique to few docs (selective-term queries)
         toks.extend(f"sym_{int(i)}_{j}" for j in range(int(rng.integers(0, 3))))
-        rows["repo"].append(f"org/repo{repo_id:03d}")
-        rows["path"].append(f"src/m{int(i) // 97:05d}/f{int(i):07d}.{lang}")
-        rows["commit"].append(f"{(0x9E3779B97F4A7C15 * (int(i) + 1)) & 0xFFFFFFFFFF:010x}")
+        h = (0x9E3779B97F4A7C15 * (int(i) + 1)) & ((1 << 160) - 1)
+        rows["repo"].append(f"org{repo_id}/proj{repo_id}")
+        rows["path"].append(f"src/module_{int(i) % 97}/file_{int(i):07d}.{_EXT[lang]}")
+        rows["commit"].append(f"{h:040x}"[:40])
         rows["lang"].append(lang)
         rows["content"].append(" ".join(toks))
     return pd.DataFrame(rows)

@@ -1,0 +1,60 @@
+"""Pure-Python BM25 oracle (SURVEY.md §7 M0) — the third, engine-free
+implementation of the scoring contract. Tests triangulate: Spark direct ==
+Spark indexed == DuckDB SQL == this.
+
+Semantics (the rank-identity contract):
+  tokenize  whitespace split, '' dropped
+  idf       ln(1 + (N - df + 0.5)/(df + 0.5))
+  tfn       tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+  score     round(sum(idf*tfn) * weight, 6)
+  order     score desc, doc_id asc
+"""
+
+from __future__ import annotations
+
+import math
+
+from . import B, K1
+
+
+def tokenize(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t]
+
+
+def bm25_topk(
+    docs: dict[int, str],
+    terms: list[str],
+    k: int = 10,
+    weights: dict[int, float] | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, int, float]]:
+    """[(rank, doc_id, score)] over {doc_id: text}."""
+    tfs: dict[int, dict[str, int]] = {}
+    dls: dict[int, int] = {}
+    for did, text in docs.items():
+        toks = tokenize(text)
+        dls[did] = len(toks)
+        m: dict[str, int] = {}
+        for t in toks:
+            m[t] = m.get(t, 0) + 1
+        tfs[did] = m
+    n = len(docs)
+    avgdl = sum(dls.values()) / n if n else 0.0
+    qterms = sorted(set(terms))
+    dfs = {t: sum(1 for m in tfs.values() if t in m) for t in qterms}
+
+    scored: list[tuple[float, int]] = []
+    for did, m in tfs.items():
+        s = 0.0
+        for t in qterms:
+            tf = m.get(t)
+            if not tf or not dfs[t]:
+                continue
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dls[did] / avgdl))
+        if s > 0.0:
+            w = (weights or {}).get(did, 1.0)
+            scored.append((round(s * w, 6), did))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [(i + 1, did, sc) for i, (sc, did) in enumerate(scored[:k])]

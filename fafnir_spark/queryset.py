@@ -1,0 +1,27 @@
+"""The engine's reference query set (FIXTURES.md §2).
+
+Covers every case the fixture spec demands: single rare term, single hot
+(Zipf-head) term, hot+rare conjunctive mixes, a term absent from the
+corpus (empty result), tie-prone queries (tie-break = doc_id asc), and a
+single-lang-selective query (the analog of fafnir's langs tests,
+/root/reference tests/openmaptiles2mimir/mod.rs:407-459 — 'md' docs are the
+minority class in the synthetic corpus).
+"""
+
+from __future__ import annotations
+
+REFERENCE_QUERIES: dict[str, dict] = {
+    # qid -> {terms, k}
+    "q_hot_single": {"terms": ["def"], "k": 10},
+    "q_rare_single": {"terms": ["backoff"], "k": 10},
+    "q_hot_rare_mix": {"terms": ["return", "varint", "wand"], "k": 10},
+    "q_conj_hot": {"terms": ["def", "return", "if"], "k": 10},
+    "q_absent": {"terms": ["zz_never_a_token"], "k": 10},
+    "q_tie_prone": {"terms": ["bm25"], "k": 20},
+    "q_deep_k": {"terms": ["index", "query", "score"], "k": 100},
+}
+
+
+def as_run_queries_arg(subset: list[str] | None = None) -> dict[str, list[str]]:
+    keys = subset or list(REFERENCE_QUERIES)
+    return {qid: REFERENCE_QUERIES[qid]["terms"] for qid in keys}

@@ -1,0 +1,78 @@
+"""Golden E2E: the reference query set on the tiny deterministic corpus,
+triangulated against the pure-Python oracle — the engine's version of
+fafnir's golden document assertions (/root/reference
+tests/openmaptiles2mimir/mod.rs:150-190), including explicit tie-break and
+empty-result cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from fafnir_spark import oracle_py
+from fafnir_spark.build import build_index, normalize_docs
+from fafnir_spark.corpus import synth_corpus
+from fafnir_spark.query import bm25_topk_batch
+from fafnir_spark.queryset import REFERENCE_QUERIES, as_run_queries_arg
+from fafnir_spark.wand import run_queries
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # FIXTURES.md "tiny" scale: 100 docs
+    df = normalize_docs(synth_corpus(spark, 100, mean_len=80)).persist()
+    local = {r["doc_id"]: r["content"] for r in df.select("doc_id", "content").collect()}
+    yield df, local
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def tiny_index(spark, tiny, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("golden"))
+    build_index(spark, tiny[0], root, n_parts=3, block_size=16,
+                tokenizer="whitespace", build_id="g")
+    return root
+
+
+def test_reference_queries_golden(spark, tiny, tiny_index):
+    df, local = tiny
+    res = run_queries(spark, tiny_index, as_run_queries_arg(),
+                      k=max(q["k"] for q in REFERENCE_QUERIES.values())).collect()
+    by_qid: dict[str, list] = {}
+    for r in res:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, spec in REFERENCE_QUERIES.items():
+        want = oracle_py.bm25_topk(local, spec["terms"], k=spec["k"])
+        got = [x for x in by_qid.get(qid, []) if x[0] <= spec["k"]]
+        assert got == [(r, d, pytest.approx(s, abs=1e-6)) for r, d, s in want], qid
+
+
+def test_absent_term_empty(spark, tiny, tiny_index):
+    res = run_queries(spark, tiny_index, {"q": ["zz_never_a_token"]}, k=10).collect()
+    assert res == []
+
+
+def test_tie_break_by_doc_id(spark, tiny):
+    """Two identical docs must tie and order by doc_id asc — the explicit
+    tie contract (SURVEY §4.3)."""
+    df, _ = tiny
+    docs = df.sparkSession.createDataFrame(
+        [(5, "alpha beta"), (3, "alpha beta"), (9, "alpha beta"), (1, "gamma")],
+        "doc_id long, text string",
+    )
+    got = [(r["rank"], r["doc_id"]) for r in
+           bm25_topk_batch(docs, {"q": ["alpha"]}, k=10).collect()]
+    assert got == [(1, 3), (2, 5), (3, 9)]
+    want = oracle_py.bm25_topk(
+        {5: "alpha beta", 3: "alpha beta", 9: "alpha beta", 1: "gamma"}, ["alpha"], k=10
+    )
+    assert [(r, d) for r, d, _ in want] == got
+
+
+def test_direct_matches_pure_python(spark, tiny):
+    df, local = tiny
+    got = [(r["rank"], r["doc_id"], r["score"]) for r in
+           bm25_topk_batch(df, {"q": ["merge", "index"]}, k=15, text_col="content").collect()]
+    want = oracle_py.bm25_topk(local, ["merge", "index"], k=15)
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=1e-6)
