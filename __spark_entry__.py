@@ -71,7 +71,11 @@ def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.build import build_index, normalize_docs
     from fafnir_spark.wand import run_queries
 
-    root = os.path.join(tempfile.gettempdir(), f"fafnir_idx_{abs(hash(sf_dir))}")
+    import hashlib
+
+    root = os.path.join(
+        tempfile.gettempdir(), "fafnir_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
     docs = normalize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
     build_index(spark, docs, root, n_parts=8, block_size=128,
                 tokenizer="whitespace", build_id="oracle", resume=True)

@@ -346,24 +346,23 @@ def finalize_index(
         raise ValueError(
             f"doc_id collision: {stats['n_docs'] - stats['n_ids']} duplicated ids"
         )
-    cat.write_json(
-        "stats",
-        {
-            "n_docs": stats["n_docs"],
-            "avgdl": stats["avgdl"],
-            "n_parts": n_parts,
-            "block_size": block_size,
-            "k1": K1,
-            "b": B,
-        },
-    )
+    stats_doc = {
+        "n_docs": stats["n_docs"],
+        "avgdl": stats["avgdl"],
+        "n_parts": n_parts,
+        "block_size": block_size,
+        "k1": K1,
+        "b": B,
+    }
+    cat.write_json("stats", stats_doc)
     cat.publish(
         {
             "postings": [cat.segment_dir("postings", f"{build_id}-{s}") for s in range(n_shards)],
             "dictionary": [cat.segment_dir("dictionary", build_id)],
             "doc_map": dm_segs,
         },
-        meta={"build_id": build_id, "n_shards": n_shards, "n_parts": n_parts},
+        meta={"build_id": build_id, "n_shards": n_shards, "n_parts": n_parts,
+              "stats": stats_doc},
     )
 
 

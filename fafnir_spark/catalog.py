@@ -46,11 +46,21 @@ class Catalog:
         """Atomically commit a new snapshot mapping table -> segment dirs.
 
         fafnir analog: index_generator.publish() alias swap
-        (/root/reference src/bin/tripadvisor2mimir.rs:172-176).
+        (/root/reference src/bin/tripadvisor2mimir.rs:172-176). The outgoing
+        snapshot's full state is appended to history, so any past snapshot
+        remains queryable (Iceberg time travel; segments are immutable).
         """
         m = self.read_manifest()
         snap = uuid.uuid4().hex[:12]
-        m["history"].append({"snapshot_id": m.get("snapshot_id"), "ts": time.time()})
+        if m.get("snapshot_id"):
+            m["history"].append(
+                {
+                    "snapshot_id": m["snapshot_id"],
+                    "ts": time.time(),
+                    "tables": m.get("tables", {}),
+                    "meta": m.get("meta"),
+                }
+            )
         m["snapshot_id"] = snap
         m["tables"] = tables
         if meta:
@@ -60,6 +70,16 @@ class Catalog:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path())  # atomic on POSIX
         return snap
+
+    def manifest_at(self, snapshot_id: str | None = None) -> dict:
+        """The manifest of a specific snapshot (current if None)."""
+        m = self.read_manifest()
+        if snapshot_id is None or snapshot_id == m.get("snapshot_id"):
+            return m
+        for h in reversed(m["history"]):
+            if h.get("snapshot_id") == snapshot_id and "tables" in h:
+                return h
+        raise KeyError(f"snapshot {snapshot_id} not found (or pre-dates history)")
 
     # ---------- table io ----------
     def table_dir(self, name: str) -> str:

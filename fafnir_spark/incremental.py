@@ -113,11 +113,14 @@ def append_index(
 
     dm = spark.read.parquet(*tables["doc_map"])
     agg = dm.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    cat.write_json("stats", {
+    stats_doc = {
         "n_docs": agg["n"], "avgdl": agg["avgdl"],
         "n_parts": n_parts, "block_size": block_size, "k1": K1, "b": B,
-    })
-    cat.publish(tables, meta=m.get("meta"))
+    }
+    cat.write_json("stats", stats_doc)
+    meta = dict(m.get("meta") or {})
+    meta["stats"] = stats_doc
+    cat.publish(tables, meta=meta)
 
 
 def delete_docs(spark: SparkSession, index_root: str, doc_ids: list[int]) -> None:
@@ -205,7 +208,8 @@ def compact_with_tombstones(spark: SparkSession, index_root: str) -> None:
     # exact stats + dictionary from the surviving index
     dm = cat.read_table(spark, "doc_map")
     agg = dm.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    cat.write_json("stats", {**stats, "n_docs": agg["n"], "avgdl": agg["avgdl"]})
+    stats_doc = {**stats, "n_docs": agg["n"], "avgdl": agg["avgdl"]}
+    cat.write_json("stats", stats_doc)
 
     from .build import dictionary_from_postings
 
@@ -214,7 +218,9 @@ def compact_with_tombstones(spark: SparkSession, index_root: str) -> None:
     m2 = cat.read_manifest()
     tables = dict(m2["tables"])
     tables["dictionary"] = [cat.segment_dir("dictionary", "compact-dict")]
-    cat.publish(tables, meta=m2.get("meta"))
+    meta = dict(m2.get("meta") or {})
+    meta["stats"] = stats_doc  # queries read stats from the manifest
+    cat.publish(tables, meta=meta)
 
 
 def _drop_tombstones_from_postings(

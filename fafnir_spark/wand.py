@@ -284,28 +284,35 @@ def run_queries(
     k: int = 10,
     algo: str = "bmw",
     score_decimals: int = 6,
+    snapshot_id: str | None = None,
 ) -> DataFrame:
     """Evaluate the whole query set in one DataFrame pass.
 
     Returns (qid, rank, doc_id, score) — the engine's search_documents
-    (/root/reference tests/tests.rs:214-221).
+    (/root/reference tests/tests.rs:214-221). ``snapshot_id`` queries a
+    past published snapshot (Iceberg time travel; segments are immutable).
     """
     cat = Catalog(index_root)
-    stats = cat.read_json("stats")
+    manifest = cat.manifest_at(snapshot_id)
+    stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
     all_terms = sorted({t for ts in queries.values() for t in ts})
 
-    dictionary = cat.read_table(spark, "dictionary").filter(F.col("term").isin(all_terms))
+    dictionary = cat.read_table(spark, "dictionary", snapshot=manifest).filter(
+        F.col("term").isin(all_terms)
+    )
     n_docs = stats["n_docs"]
     drows = dictionary.collect()
     idfs = {r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)) for r in drows}
 
     present = [t for t in all_terms if t in idfs]
-    postings = cat.read_table(spark, "postings").filter(F.col("term").isin(present))
+    postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
+        F.col("term").isin(present)
+    )
 
     # tombstones (incremental deletes): filtered at decode time, ES-style
     excluded = None
-    if "tombstones" in cat.read_manifest()["tables"]:
-        ts = cat.read_table(spark, "tombstones").collect()
+    if "tombstones" in manifest["tables"]:
+        ts = cat.read_table(spark, "tombstones", snapshot=manifest).collect()
         excluded = np.sort(np.array([r["doc_id"] for r in ts], dtype=np.int64))
 
     per_part = postings.groupBy("doc_part").applyInPandas(

@@ -1,0 +1,46 @@
+"""Snapshot time travel: past published snapshots stay queryable byte-for-
+byte after appends/deletes (Iceberg semantics over immutable segments;
+fafnir's publish lifecycle, /root/reference tripadvisor2mimir.rs:172-176)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fafnir_spark.build import build_index, normalize_docs
+from fafnir_spark.catalog import Catalog
+from fafnir_spark.incremental import append_index, delete_docs
+from fafnir_spark.wand import run_queries
+from tests.conftest import SF_DIR
+
+Q = {"q": ["merge", "window", "customer"]}
+
+
+def test_snapshot_queries_survive_mutations(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(old, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="t")
+    cat = Catalog(root)
+    snap0 = cat.read_manifest()["snapshot_id"]
+    res0 = [tuple(r) for r in run_queries(spark, root, Q, k=15).collect()]
+
+    append_index(spark, normalize_docs(new, id_col="doc_id", text_col="text"),
+                 root, segment="d1", tokenizer="whitespace")
+    res1 = [tuple(r) for r in run_queries(spark, root, Q, k=15).collect()]
+    assert res1 != res0  # the live index moved on
+
+    delete_docs(spark, root, [res1[0][2]])
+    res2 = [tuple(r) for r in run_queries(spark, root, Q, k=15).collect()]
+    assert res2 != res1
+
+    # time travel: snapshot 0 still answers exactly as it did
+    back = [tuple(r) for r in run_queries(spark, root, Q, k=15, snapshot_id=snap0).collect()]
+    assert back == res0
+
+    # unknown snapshot fails loudly
+    import pytest
+
+    with pytest.raises(KeyError, match="not found"):
+        cat.manifest_at("deadbeef0000")
