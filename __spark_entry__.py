@@ -173,6 +173,23 @@ def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(_docs(spark, sf_dir), "key agg")
 
 
+def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-postings phrase query — adjacency from stored token
+    positions, same oracle as the text-containment form."""
+    import hashlib
+
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.wand import phrase_search
+
+    root = os.path.join(
+        tempfile.gettempdir(), "fafnir_pidx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    docs = normalize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+    build_index(spark, docs, root, n_parts=8, block_size=128, tokenizer="whitespace",
+                build_id="phrase", resume=True, with_positions=True)
+    return phrase_search(spark, root, {"q": ["key", "agg"]}).select("doc_id")
+
+
 # ---- fafnir document-pipeline operators (SURVEY.md §2; pipeline.py) ----
 
 def _pq(fn_name: str, needs: str = "docs"):
@@ -210,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_bm25": _q_prefix,
         "fielded_bm25": _q_fielded,
         "phrase_match": _q_phrase,
+        "phrase_match_indexed": _q_phrase_indexed,
         "union_corpora": _pq("union_corpora", "spark_sf"),
         "route_searchability": _pq("route_by_searchability"),
         "properties_map": _pq("properties_rows"),
@@ -249,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),
         "phrase_match": oracles.phrase_match_sql("key agg"),
+        "phrase_match_indexed": oracles.phrase_match_sql("key agg"),
         "union_corpora": oracles_pipeline.union_corpora_sql(),
         "route_searchability": oracles_pipeline.route_by_searchability_sql(),
         "properties_map": oracles_pipeline.properties_rows_sql(),

@@ -63,11 +63,14 @@ POSTINGS_SCHEMA = (
     "max_tf int, min_dl int, max_weight double, "
     "doc_ids binary, tfs binary, dls binary, weights binary"
 )
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", positions binary"
 
 META_COLS = ("repo", "path", "commit", "lang", "source", "content_sha256")
 
 
-def _tokenize_map_fn(tokenizer_name: str, n_parts: int, passthrough: list[str]):
+def _tokenize_map_fn(
+    tokenizer_name: str, n_parts: int, passthrough: list[str], with_positions: bool = False
+):
     """Tokenize content and pass metadata columns through, so doc_map needs
     no join back to the source (one scan feeds everything)."""
     tok_fn = TOKENIZERS[tokenizer_name]
@@ -84,6 +87,8 @@ def _tokenize_map_fn(tokenizer_name: str, n_parts: int, passthrough: list[str]):
                 "terms": [t[0] for t in trip],
                 "tfs": [t[1] for t in trip],
             }
+            if with_positions:
+                out["positions"] = [t[3] for t in trip]
             for c in passthrough:
                 out[c] = pdf[c]
             yield pd.DataFrame(out)
@@ -95,19 +100,27 @@ def _encode_sorted(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """Encode a frame sorted by (term, doc_part, doc_id) into block rows.
 
     Group boundaries found vectorized; per group only cheap numpy slicing.
+    A 'positions' column (list of token indexes per posting), if present,
+    is delta+varint packed per block (counts = the tfs already stored).
     """
+    from .codec import positions_encode
+
+    with_pos = "positions" in pdf.columns
     term = pdf["term"].to_numpy()
     part = pdf["doc_part"].to_numpy()
     ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
     ws = pdf["weight"].to_numpy(dtype=np.float64)
+    pos = pdf["positions"].tolist() if with_pos else None
     change = np.flatnonzero((term[1:] != term[:-1]) | (part[1:] != part[:-1])) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(pdf)]))
-    rows: dict[str, list] = {k: [] for k in (
-        "term", "doc_part", "block_id", "n", "first_doc", "last_doc",
-        "max_tf", "min_dl", "max_weight", "doc_ids", "tfs", "dls", "weights")}
+    keys = ["term", "doc_part", "block_id", "n", "first_doc", "last_doc",
+            "max_tf", "min_dl", "max_weight", "doc_ids", "tfs", "dls", "weights"]
+    if with_pos:
+        keys.append("positions")
+    rows: dict[str, list] = {k: [] for k in keys}
     for s, e in zip(starts, ends):
         for b, lo in enumerate(range(s, e, block_size)):
             hi = min(lo + block_size, e)
@@ -124,6 +137,10 @@ def _encode_sorted(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
             rows["tfs"].append(varint_encode(tfs[lo:hi].astype(np.uint64)))
             rows["dls"].append(varint_encode(dls[lo:hi].astype(np.uint64)))
             rows["weights"].append(f64_encode(ws[lo:hi]))
+            if with_pos:
+                rows["positions"].append(
+                    positions_encode([np.asarray(p, dtype=np.uint64) for p in pos[lo:hi]])
+                )
     return pd.DataFrame(rows)
 
 
@@ -191,11 +208,14 @@ def build_index(
     resume: bool = True,
     build_id: str = "build0",
     compact_after: bool = False,
+    with_positions: bool = False,
 ) -> dict:
     """Build (or resume) the inverted index. Returns build metrics.
 
     ``docs`` must be normalize_docs() output (doc_id/content/weight plus
     optional metadata columns repo/path/commit/lang/source).
+    ``with_positions=True`` adds positional postings (index grows ~1 varint
+    per token) enabling exact indexed phrase queries (wand.phrase_search).
     """
     cat = Catalog(index_root)
     docs = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
@@ -208,10 +228,12 @@ def build_index(
     tok_schema = (
         "doc_id long, doc_part int, dl int, weight double, "
         "terms array<string>, tfs array<int>"
+        + (", positions array<array<int>>" if with_positions else "")
         + "".join(f", {c} string" for c in passthrough)
     )
-    tok_fn = _tokenize_map_fn(tokenizer, n_parts, passthrough)
+    tok_fn = _tokenize_map_fn(tokenizer, n_parts, passthrough, with_positions)
     enc_fn = _encode_partition_fn(block_size)
+    postings_schema = POSTINGS_SCHEMA_POS if with_positions else POSTINGS_SCHEMA
 
     totals = {"docs": 0, "postings": 0, "bytes": 0, "secs": 0.0}
     for shard in range(n_shards):
@@ -228,15 +250,20 @@ def build_index(
             tok_fn, schema=tok_schema
         ).persist()
 
-        cat.write_segment(tokenized.drop("terms", "tfs"), "doc_map", f"{build_id}-{shard}")
+        cat.write_segment(
+            tokenized.drop("terms", "tfs", *(["positions"] if with_positions else [])),
+            "doc_map", f"{build_id}-{shard}",
+        )
 
+        zip_cols = [F.col("terms").alias("term"), F.col("tfs").alias("tf")]
+        out_cols = [F.col("z.term").alias("term"), F.col("z.tf").alias("tf")]
+        if with_positions:
+            zip_cols.append(F.col("positions").alias("positions"))
+            out_cols.append(F.col("z.positions").alias("positions"))
         flat = tokenized.select(
             "doc_id", "doc_part", "dl", "weight",
-            F.explode(F.arrays_zip(F.col("terms").alias("term"), F.col("tfs").alias("tf"))).alias("z"),
-        ).select(
-            "doc_id", "doc_part", "dl", "weight",
-            F.col("z.term").alias("term"), F.col("z.tf").alias("tf"),
-        )
+            F.explode(F.arrays_zip(*zip_cols)).alias("z"),
+        ).select("doc_id", "doc_part", "dl", "weight", *out_cols)
 
         # the ONE build shuffle: key (term, doc_part). Explicit partition
         # count pins the exchange width — AQE would otherwise coalesce a
@@ -247,7 +274,7 @@ def build_index(
         postings = (
             flat.repartition(n_shuffle, "term", "doc_part")
             .sortWithinPartitions("term", "doc_part", "doc_id")
-            .mapInPandas(enc_fn, schema=POSTINGS_SCHEMA)
+            .mapInPandas(enc_fn, schema=postings_schema)
             .repartition(n_parts, "doc_part")
         )
         cat.write_segment(
@@ -264,15 +291,15 @@ def build_index(
         # per task; fafnir analog: progress counters,
         # openmaptiles2mimir.rs:130-135)
         n_docs = spark.read.parquet(cat.segment_dir("doc_map", f"{build_id}-{shard}")).count()
+        byte_cols = (
+            F.sum(F.length("doc_ids")) + F.sum(F.length("tfs"))
+            + F.sum(F.length("dls")) + F.sum(F.length("weights"))
+        )
+        if with_positions:
+            byte_cols = byte_cols + F.sum(F.length("positions"))
         pstats = (
             spark.read.parquet(cat.segment_dir("postings", f"{build_id}-{shard}"))
-            .agg(
-                F.sum("n").alias("postings"),
-                (
-                    F.sum(F.length("doc_ids")) + F.sum(F.length("tfs"))
-                    + F.sum(F.length("dls")) + F.sum(F.length("weights"))
-                ).alias("bytes"),
-            )
+            .agg(F.sum("n").alias("postings"), byte_cols.alias("bytes"))
             .collect()[0]
         )
         secs = time.time() - t0
@@ -394,6 +421,11 @@ def compact_index(spark: SparkSession, cat: Catalog, block_size: int) -> None:
 
     m = cat.read_manifest()
     postings = cat.read_table(spark, "postings")
+    if "positions" in postings.columns:
+        raise NotImplementedError(
+            "compaction of positional indexes is not implemented yet; "
+            "positional segments stay as-built (queries handle multi-segment)"
+        )
     n_parts = (m.get("meta") or {}).get("n_parts", 8)
 
     def merge_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

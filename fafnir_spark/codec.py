@@ -91,6 +91,34 @@ def f32_decode(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf, dtype="<f4").astype(np.float64)
 
 
+def positions_encode(pos_lists: list[np.ndarray]) -> bytes:
+    """Concatenate per-posting delta+varint position lists (list lengths are
+    the tfs, which the block already stores — no extra framing needed)."""
+    if not pos_lists:
+        return b""
+    deltas = []
+    for p in pos_lists:
+        a = np.ascontiguousarray(p, dtype=np.uint64)
+        d = np.empty_like(a)
+        if len(a):
+            d[0] = a[0]
+            np.subtract(a[1:], a[:-1], out=d[1:])
+        deltas.append(d)
+    return varint_encode(np.concatenate(deltas))
+
+
+def positions_decode(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of positions_encode given the per-posting counts."""
+    flat = varint_decode(buf)
+    out = []
+    off = 0
+    for tf in tfs:
+        n = int(tf)
+        out.append(np.cumsum(flat[off : off + n], dtype=np.uint64))
+        off += n
+    return out
+
+
 def f64_encode(values: np.ndarray) -> bytes:
     """Doc-boost weights stay float64: BM25 scores must be rank-identical
     to the float64 oracle, and f32 quantization can flip 1e-6-rounded

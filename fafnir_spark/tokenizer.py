@@ -39,26 +39,26 @@ def tokens_expr(text: Column | str) -> Column:
     return F.filter(F.split(c, " "), lambda t: t != F.lit(""))
 
 
-def tokenize_code_series(content: pd.Series) -> pd.Series:
-    """content -> list[dict] is wasteful; return list of (terms, tfs) pairs.
+def _count_with_positions(toks: list[str]):
+    counts: dict[str, int] = {}
+    positions: dict[str, list[int]] = {}
+    for i, t in enumerate(toks):
+        counts[t] = counts.get(t, 0) + 1
+        positions.setdefault(t, []).append(i)
+    terms = list(counts.keys())
+    return terms, [counts[t] for t in terms], len(toks), [positions[t] for t in terms]
 
-    Batch helper used by index.build via mapInPandas: for each document
-    return (terms: list[str], tfs: list[int], dl: int). Lowercased code
-    tokens. Pure pandas/python over Arrow batches.
-    """
-    out_terms: list[list[str]] = []
-    out_tfs: list[list[int]] = []
-    out_dl: list[int] = []
+
+def tokenize_code_series(content: pd.Series) -> pd.Series:
+    """Batch tokenizer for index.build (mapInPandas): per document return
+    (terms, tfs, dl, positions) — positions are 0-based token indexes per
+    term, enabling positional postings. Lowercased code tokens."""
     findall = _CODE_TOKEN_RE.findall
+    out = []
     for text in content:
         toks = findall(text.lower()) if text else []
-        counts: dict[str, int] = {}
-        for t in toks:
-            counts[t] = counts.get(t, 0) + 1
-        out_terms.append(list(counts.keys()))
-        out_tfs.append(list(counts.values()))
-        out_dl.append(len(toks))
-    return pd.Series(list(zip(out_terms, out_tfs, out_dl)))
+        out.append(_count_with_positions(toks))
+    return pd.Series(out)
 
 
 def whitespace_counts_series(content: pd.Series) -> pd.Series:
@@ -67,10 +67,7 @@ def whitespace_counts_series(content: pd.Series) -> pd.Series:
     out = []
     for text in content:
         toks = [t for t in (text.split(" ") if text else []) if t]
-        counts: dict[str, int] = {}
-        for t in toks:
-            counts[t] = counts.get(t, 0) + 1
-        out.append((list(counts.keys()), list(counts.values()), len(toks)))
+        out.append(_count_with_positions(toks))
     return pd.Series(out)
 
 

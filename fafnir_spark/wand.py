@@ -264,6 +264,85 @@ def _part_scorer(
     return fn
 
 
+PHRASE_SCHEMA = "qid string, doc_id long"
+
+
+def _phrase_part_fn(phrases: dict[str, list[str]], excluded: np.ndarray | None = None):
+    """Per-doc_part exact phrase matching over positional postings."""
+    from .codec import positions_decode
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # decode per-term posting arrays (ids, tfs, positions) for the part
+        per_term: dict[str, tuple] = {}
+        for term, grp in pdf.groupby("term"):
+            ids_l, pos_l = [], []
+            for r in grp.sort_values(["block_id"]).itertuples(index=False):
+                ids = delta_decode(r.doc_ids).astype(np.int64)
+                tfs = varint_decode(r.tfs)
+                ids_l.append(ids)
+                pos_l.extend(positions_decode(r.positions, tfs))
+            ids = np.concatenate(ids_l)
+            order = np.argsort(ids, kind="mergesort")
+            per_term[term] = (
+                ids[order],
+                [pos_l[i] for i in order],
+            )
+        out_qid, out_doc = [], []
+        for qid, terms in phrases.items():
+            if any(t not in per_term for t in terms):
+                continue
+            cand = per_term[terms[0]][0]
+            for t in terms[1:]:
+                cand = cand[np.isin(cand, per_term[t][0])]
+            if excluded is not None and len(excluded):
+                cand = cand[~np.isin(cand, excluded)]
+            for doc in cand:
+                starts = per_term[terms[0]][1][
+                    int(np.searchsorted(per_term[terms[0]][0], doc))
+                ].astype(np.int64)
+                ok = starts
+                for i, t in enumerate(terms[1:], 1):
+                    ids_t, pos_t = per_term[t]
+                    p = pos_t[int(np.searchsorted(ids_t, doc))].astype(np.int64)
+                    ok = ok[np.isin(ok + i, p)]
+                    if not len(ok):
+                        break
+                if len(ok):
+                    out_qid.append(qid)
+                    out_doc.append(int(doc))
+        return pd.DataFrame({"qid": out_qid, "doc_id": np.array(out_doc, dtype=np.int64)})
+
+    return fn
+
+
+def phrase_search(
+    spark: SparkSession,
+    index_root: str,
+    phrases: dict[str, list[str]],
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Exact indexed phrase queries over positional postings (build with
+    with_positions=True). Returns (qid, doc_id). Adjacency is verified from
+    stored token positions — no text recheck, no raw-document access."""
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    all_terms = sorted({t for ts in phrases.values() for t in ts})
+    postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
+        F.col("term").isin(all_terms)
+    )
+    if "positions" not in postings.columns:
+        raise ValueError("index lacks positions; build with with_positions=True")
+    excluded = None
+    if "tombstones" in manifest["tables"]:
+        ts = cat.read_table(spark, "tombstones", snapshot=manifest).collect()
+        excluded = np.sort(np.array([r["doc_id"] for r in ts], dtype=np.int64))
+    return (
+        postings.groupBy("doc_part")
+        .applyInPandas(_phrase_part_fn(phrases, excluded), schema=PHRASE_SCHEMA)
+        .orderBy("qid", "doc_id")
+    )
+
+
 def expand_prefix_indexed(spark: SparkSession, index_root: str, prefix: str) -> list[str]:
     """Dictionary prefix scan on the published index — the term dictionary
     is term-sorted parquet, so `startswith` prunes row groups."""

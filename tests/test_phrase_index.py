@@ -1,0 +1,75 @@
+"""Positional postings + indexed phrase queries: codec roundtrip and
+equivalence with the text-containment oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fafnir_spark import oracles
+from fafnir_spark.build import build_index, normalize_docs
+from fafnir_spark.codec import positions_decode, positions_encode
+from fafnir_spark.wand import phrase_search, run_queries
+from tests.conftest import SF_DIR
+
+
+@given(st.lists(st.lists(st.integers(0, 5000), min_size=1, max_size=30), max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_positions_codec_roundtrip(lists):
+    arrays = [np.array(sorted(set(xs)), dtype=np.uint64) for xs in lists]
+    arrays = [a for a in arrays if len(a)]
+    buf = positions_encode(arrays)
+    tfs = np.array([len(a) for a in arrays], dtype=np.uint64)
+    back = positions_decode(buf, tfs)
+    assert len(back) == len(arrays)
+    for a, b in zip(arrays, back):
+        assert np.array_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("posidx"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace",
+                build_id="p", with_positions=True)
+    return root
+
+
+def test_phrase_search_matches_containment_oracle(spark, ddb, pos_index):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    first = docs.filter("doc_id = 0").collect()[0]["text"].split(" ")[:3]
+    for phrase in [first[:2], first[:3], ["zz_none", "merge"]]:
+        got = [r["doc_id"] for r in
+               phrase_search(spark, pos_index, {"q": phrase}).collect()]
+        want = [w[0] for w in ddb.execute(
+            oracles.phrase_match_sql(" ".join(phrase))).fetchall()]
+        assert got == want, phrase
+    assert 0 in [r["doc_id"] for r in
+                 phrase_search(spark, pos_index, {"q": first[:2]}).collect()]
+
+
+def test_phrase_repeated_term(spark, pos_index, tmp_path):
+    docs = spark.sparkSession if False else None
+    s = spark
+    d = s.createDataFrame(
+        [(1, "a a b c"), (2, "a b a b"), (3, "b a a")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "rep")
+    build_index(s, normalize_docs(d, id_col="doc_id", text_col="text"),
+                root, n_parts=2, block_size=8, tokenizer="whitespace",
+                build_id="r", with_positions=True)
+    got = {r["doc_id"] for r in phrase_search(s, root, {"q": ["a", "a"]}).collect()}
+    assert got == {1, 3}
+    got2 = {r["doc_id"] for r in phrase_search(s, root, {"q": ["a", "b", "a"]}).collect()}
+    assert got2 == {2}
+
+
+def test_positional_index_bm25_unchanged(spark, ddb, pos_index):
+    """Positions must not perturb BM25 results."""
+    res = run_queries(spark, pos_index, {"q": ["merge", "window", "customer"]}, k=10).collect()
+    want = ddb.execute(oracles.bm25_topk_sql(["merge", "window", "customer"], 10)).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in res] == [(w[0], w[1]) for w in want]
