@@ -421,37 +421,39 @@ def compact_index(spark: SparkSession, cat: Catalog, block_size: int) -> None:
 
     m = cat.read_manifest()
     postings = cat.read_table(spark, "postings")
-    if "positions" in postings.columns:
-        raise NotImplementedError(
-            "compaction of positional indexes is not implemented yet; "
-            "positional segments stay as-built (queries handle multi-segment)"
-        )
+    with_pos = "positions" in postings.columns
     n_parts = (m.get("meta") or {}).get("n_parts", 8)
 
     def merge_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # decode all blocks, flatten to postings, re-encode sorted runs.
         # partitions are pre-grouped by (term, doc_part) and sorted, but a
         # group's blocks may span batches → same carry protocol as encode.
+        from .codec import positions_decode
+
         def decode_flat(pdf: pd.DataFrame) -> pd.DataFrame:
-            ids, tfs, dls, ws, terms, parts = [], [], [], [], [], []
+            ids, tfs, dls, ws, terms, parts, pos = [], [], [], [], [], [], []
             for r in pdf.itertuples(index=False):
                 d = delta_decode(r.doc_ids).astype(np.int64)
+                t = varint_decode(r.tfs).astype(np.int64)
                 ids.append(d)
-                tfs.append(varint_decode(r.tfs).astype(np.int64))
+                tfs.append(t)
                 dls.append(varint_decode(r.dls).astype(np.int64))
                 ws.append(f64_decode(r.weights))
                 terms.append(np.repeat(r.term, len(d)))
                 parts.append(np.repeat(r.doc_part, len(d)))
-            flat = pd.DataFrame(
-                {
-                    "term": np.concatenate(terms),
-                    "doc_part": np.concatenate(parts),
-                    "doc_id": np.concatenate(ids),
-                    "tf": np.concatenate(tfs),
-                    "dl": np.concatenate(dls),
-                    "weight": np.concatenate(ws),
-                }
-            )
+                if with_pos:
+                    pos.extend(positions_decode(r.positions, t))
+            cols = {
+                "term": np.concatenate(terms),
+                "doc_part": np.concatenate(parts),
+                "doc_id": np.concatenate(ids),
+                "tf": np.concatenate(tfs),
+                "dl": np.concatenate(dls),
+                "weight": np.concatenate(ws),
+            }
+            flat = pd.DataFrame(cols)
+            if with_pos:
+                flat["positions"] = pos
             return flat.sort_values(["term", "doc_part", "doc_id"], kind="mergesort")
 
         carry: pd.DataFrame | None = None
@@ -476,7 +478,7 @@ def compact_index(spark: SparkSession, cat: Catalog, block_size: int) -> None:
     merged = (
         postings.repartition("term", "doc_part")
         .sortWithinPartitions("term", "doc_part", "block_id")
-        .mapInPandas(merge_batches, schema=POSTINGS_SCHEMA)
+        .mapInPandas(merge_batches, schema=POSTINGS_SCHEMA_POS if with_pos else POSTINGS_SCHEMA)
         .repartition(n_parts, "doc_part")
     )
     seg = "compacted-" + (m.get("snapshot_id") or "0")

@@ -236,32 +236,44 @@ def _drop_tombstones_from_postings(
     m = cat.read_manifest()
     ts = np.array(sorted(tombstones), dtype=np.int64)
     post = cat.read_table(spark, "postings")
+    with_pos = "positions" in post.columns
 
     def fn(batches):
+        from .codec import positions_decode
+
         for pdf in batches:
             cols = {"term": [], "doc_part": [], "doc_id": [], "tf": [], "dl": [], "weight": []}
+            pos: list = []
             for r in pdf.itertuples(index=False):
                 ids = delta_decode(r.doc_ids).astype(np.int64)
+                tfs = varint_decode(r.tfs).astype(np.int64)
                 keep = ~np.isin(ids, ts)
                 if not keep.any():
                     continue
                 cols["term"].append(np.repeat(r.term, keep.sum()))
                 cols["doc_part"].append(np.repeat(r.doc_part, keep.sum()))
                 cols["doc_id"].append(ids[keep])
-                cols["tf"].append(varint_decode(r.tfs).astype(np.int64)[keep])
+                cols["tf"].append(tfs[keep])
                 cols["dl"].append(varint_decode(r.dls).astype(np.int64)[keep])
                 cols["weight"].append(f64_decode(r.weights)[keep])
+                if with_pos:
+                    plists = positions_decode(r.positions, tfs)
+                    pos.extend(p for p, k in zip(plists, keep) if k)
             if not cols["term"]:
                 continue
             flat = pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+            if with_pos:
+                flat["positions"] = pos
             flat = flat.sort_values(["term", "doc_part", "doc_id"], kind="mergesort")
             yield _encode_sorted(flat, block_size)
 
     # process whole (term, doc_part) groups per partition like the build
+    from .build import POSTINGS_SCHEMA_POS
+
     rewritten = (
         post.repartition("term", "doc_part")
         .sortWithinPartitions("term", "doc_part", "block_id")
-        .mapInPandas(fn, schema=POSTINGS_SCHEMA)
+        .mapInPandas(fn, schema=POSTINGS_SCHEMA_POS if with_pos else POSTINGS_SCHEMA)
     )
     seg = "ts-dropped"
     cat.write_segment(

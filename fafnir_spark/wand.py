@@ -315,6 +315,32 @@ def _phrase_part_fn(phrases: dict[str, list[str]], excluded: np.ndarray | None =
     return fn
 
 
+def phrase_bm25(
+    spark: SparkSession,
+    index_root: str,
+    phrases: dict[str, list[str]],
+    k: int = 10,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Scored phrase query: exact phrase matches (positional adjacency)
+    ranked by the BM25 score of the phrase's terms — ES match_phrase
+    semantics. (qid, rank, doc_id, score)."""
+    matches = phrase_search(spark, index_root, phrases, snapshot_id)
+    scored = run_queries(
+        spark, index_root, {q: ts for q, ts in phrases.items()},
+        k=1 << 30, algo="exhaustive", snapshot_id=snapshot_id,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.join(matches, ["qid", "doc_id"])
+        .select("qid", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )
+
+
 def phrase_search(
     spark: SparkSession,
     index_root: str,
@@ -340,6 +366,21 @@ def phrase_search(
         postings.groupBy("doc_part")
         .applyInPandas(_phrase_part_fn(phrases, excluded), schema=PHRASE_SCHEMA)
         .orderBy("qid", "doc_id")
+    )
+
+
+def attach_doc_meta(
+    spark: SparkSession, index_root: str, results: DataFrame, snapshot_id: str | None = None
+) -> DataFrame:
+    """Join search results back to document metadata (repo/path/... from
+    doc_map) — the user-facing result page (fafnir's documents carry their
+    label/address payload, tests/tests.rs:222-227). Broadcast the small
+    result side, never shuffle doc_map."""
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    dm = cat.read_table(spark, "doc_map", snapshot=manifest).drop("doc_part", "weight")
+    return dm.join(F.broadcast(results), "doc_id").select(
+        *results.columns, *[c for c in dm.columns if c != "doc_id"]
     )
 
 

@@ -73,3 +73,45 @@ def test_positional_index_bm25_unchanged(spark, ddb, pos_index):
     res = run_queries(spark, pos_index, {"q": ["merge", "window", "customer"]}, k=10).collect()
     want = ddb.execute(oracles.bm25_topk_sql(["merge", "window", "customer"], 10)).fetchall()
     assert [(r["rank"], r["doc_id"]) for r in res] == [(w[0], w[1]) for w in want]
+
+
+def test_positional_compaction_preserves_phrase(spark, ddb, pos_index, tmp_path):
+    import shutil
+
+    from fafnir_spark.build import compact_index
+    from fafnir_spark.catalog import Catalog
+
+    root = str(tmp_path / "copy")
+    shutil.copytree(pos_index, root)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    first = docs.filter("doc_id = 0").collect()[0]["text"].split(" ")[:2]
+    before = [r["doc_id"] for r in phrase_search(spark, root, {"q": first}).collect()]
+    compact_index(spark, Catalog(root), block_size=32)
+    after = [r["doc_id"] for r in phrase_search(spark, root, {"q": first}).collect()]
+    assert before == after and len(after) > 0
+    res = run_queries(spark, root, {"q": ["merge", "window"]}, k=10).collect()
+    assert len(res) == 10
+
+
+def test_phrase_bm25_scored(spark, ddb, pos_index):
+    from fafnir_spark.wand import phrase_bm25
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    first = docs.filter("doc_id = 0").collect()[0]["text"].split(" ")[:2]
+    res = phrase_bm25(spark, pos_index, {"q": first}, k=10).collect()
+    match_ids = {r["doc_id"] for r in phrase_search(spark, pos_index, {"q": first}).collect()}
+    assert 1 <= len(res) <= 10
+    assert all(r["doc_id"] in match_ids for r in res)
+    ranks = [r["rank"] for r in res]
+    assert ranks == sorted(ranks)
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_attach_doc_meta(spark, pos_index):
+    from fafnir_spark.wand import attach_doc_meta
+
+    res = run_queries(spark, pos_index, {"q": ["merge", "window"]}, k=5)
+    enriched = attach_doc_meta(spark, pos_index, res).collect()
+    assert len(enriched) == 5
+    assert all(r["content_sha256"] and r["lang"] for r in enriched)
