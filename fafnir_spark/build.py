@@ -136,7 +136,10 @@ def _encode_sorted(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
             rows["doc_ids"].append(delta_encode(ids[lo:hi].astype(np.uint64)))
             rows["tfs"].append(varint_encode(tfs[lo:hi].astype(np.uint64)))
             rows["dls"].append(varint_encode(dls[lo:hi].astype(np.uint64)))
-            rows["weights"].append(f64_encode(ws[lo:hi]))
+            # unboosted corpora dominate: elide all-1.0 weight blocks
+            # (empty blob decodes as ones) — 8 bytes/posting saved
+            wslice = ws[lo:hi]
+            rows["weights"].append(b"" if np.all(wslice == 1.0) else f64_encode(wslice))
             if with_pos:
                 rows["positions"].append(
                     positions_encode([np.asarray(p, dtype=np.uint64) for p in pos[lo:hi]])
@@ -438,7 +441,8 @@ def compact_index(spark: SparkSession, cat: Catalog, block_size: int) -> None:
                 ids.append(d)
                 tfs.append(t)
                 dls.append(varint_decode(r.dls).astype(np.int64))
-                ws.append(f64_decode(r.weights))
+                w = f64_decode(r.weights)
+                ws.append(w if len(w) else np.ones(len(d)))
                 terms.append(np.repeat(r.term, len(d)))
                 parts.append(np.repeat(r.doc_part, len(d)))
                 if with_pos:

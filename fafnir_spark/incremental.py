@@ -255,7 +255,10 @@ def _drop_tombstones_from_postings(
                 cols["doc_id"].append(ids[keep])
                 cols["tf"].append(tfs[keep])
                 cols["dl"].append(varint_decode(r.dls).astype(np.int64)[keep])
-                cols["weight"].append(f64_decode(r.weights)[keep])
+                w = f64_decode(r.weights)
+                if not len(w):
+                    w = np.ones(len(ids))
+                cols["weight"].append(w[keep])
                 if with_pos:
                     plists = positions_decode(r.positions, tfs)
                     pos.extend(p for p, k in zip(plists, keep) if k)

@@ -60,11 +60,15 @@ class _Block:
 
     def decode(self):
         if self._decoded is None:
+            ids = delta_decode(self.doc_ids).astype(np.int64)
+            ws = f64_decode(self.weights)
+            if len(ws) == 0:  # elided all-1.0 weight block
+                ws = np.ones(len(ids))
             self._decoded = (
-                delta_decode(self.doc_ids).astype(np.int64),
+                ids,
                 varint_decode(self.tfs).astype(np.float64),
                 varint_decode(self.dls).astype(np.float64),
-                f64_decode(self.weights),
+                ws,
             )
         return self._decoded
 

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""One-shot large-corpus sanity: build a 1M-doc synthetic source-code index
+at full parallelism, record throughput/size/latency to BENCH/scale_1m.json.
+Evidence that the engine's plans survive a 5x scale-up of the bench corpus
+(the 100 TB story is extrapolated in build.py docstrings; this run checks
+the curve's direction)."""
+import json, os, sys, tempfile, time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fafnir_spark.build import build_index, normalize_docs
+from fafnir_spark.corpus import synth_corpus
+from fafnir_spark.session import get_spark
+from fafnir_spark.wand import run_queries
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+spark = get_spark("scale-sanity", cores=cpus)
+work = tempfile.mkdtemp(prefix="fafnir_1m_")
+cp = os.path.join(work, "corpus")
+t0 = time.time()
+synth_corpus(spark, N).write.parquet(cp)
+gen_s = time.time() - t0
+corpus = normalize_docs(spark.read.parquet(cp))
+# warmup
+build_index(spark, corpus.limit(2000), os.path.join(work, "w"), n_parts=8,
+            tokenizer="code", build_id="w", resume=False)
+idx = os.path.join(work, "idx")
+t0 = time.time()
+m = build_index(spark, corpus, idx, n_parts=max(16, cpus), block_size=128,
+                tokenizer="code", build_id="big", resume=False)
+build_s = time.time() - t0
+qs = {f"q{i}": t for i, t in enumerate([
+    ["def", "return"], ["merge", "shard", "posting"], ["varint", "delta"],
+    ["bm25", "wand"], ["checkpoint", "resume", "snapshot"],
+    ["broadcast", "shuffle", "partition"], ["tokenize", "parse"],
+    ["index", "query", "score"], ["spawn", "channel", "retry"], ["struct", "impl"]])}
+t0 = time.time()
+res = run_queries(spark, idx, qs, k=10, algo="bmw").collect()
+q_s = time.time() - t0
+out = {
+    "docs": N, "cpus": cpus, "gen_s": round(gen_s, 1),
+    "build_s": round(build_s, 1), "docs_per_sec": round(N / build_s, 1),
+    "postings": m["postings"], "bytes_compressed": m["bytes"],
+    "bytes_per_posting": round(m["bytes"] / m["postings"], 2),
+    "query_batch_s": round(q_s, 2), "queries": len(qs), "result_rows": len(res),
+}
+os.makedirs("BENCH", exist_ok=True)
+with open("BENCH/scale_1m.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))
+spark.stop()
