@@ -373,6 +373,79 @@ def phrase_search(
     )
 
 
+class Searcher:
+    """Long-lived query handle over one published snapshot.
+
+    Caches stats, term→df lookups, and (optionally persisted) postings so
+    repeated query batches skip the per-batch dictionary job — the ES
+    client-session analog. Use for interactive / many-batch workloads;
+    one-shot callers can keep using run_queries().
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_root: str,
+        snapshot_id: str | None = None,
+        persist_postings: bool = False,
+    ):
+        self.spark = spark
+        self.index_root = index_root
+        self.cat = Catalog(index_root)
+        self.manifest = self.cat.manifest_at(snapshot_id)
+        self.stats = (self.manifest.get("meta") or {}).get("stats") or self.cat.read_json("stats")
+        self._dfs: dict[str, int] = {}
+        self._missing: set[str] = set()
+        self._postings = self.cat.read_table(spark, "postings", snapshot=self.manifest)
+        self._persisted = persist_postings
+        if persist_postings:
+            self._postings = self._postings.persist()
+        self._excluded = None
+        if "tombstones" in self.manifest["tables"]:
+            ts = self.cat.read_table(spark, "tombstones", snapshot=self.manifest).collect()
+            self._excluded = np.sort(np.array([r["doc_id"] for r in ts], dtype=np.int64))
+
+    def _idfs(self, terms: list[str]) -> dict[str, float]:
+        unknown = [t for t in terms if t not in self._dfs and t not in self._missing]
+        if unknown:
+            rows = (
+                self.cat.read_table(self.spark, "dictionary", snapshot=self.manifest)
+                .filter(F.col("term").isin(unknown))
+                .collect()
+            )
+            for r in rows:
+                self._dfs[r["term"]] = r["df"]
+            self._missing.update(set(unknown) - {r["term"] for r in rows})
+        n = self.stats["n_docs"]
+        return {
+            t: math.log(1.0 + (n - self._dfs[t] + 0.5) / (self._dfs[t] + 0.5))
+            for t in terms
+            if t in self._dfs
+        }
+
+    def search(self, queries: dict[str, list[str]], k: int = 10, algo: str = "bmw") -> DataFrame:
+        all_terms = sorted({t for ts in queries.values() for t in ts})
+        idfs = self._idfs(all_terms)
+        present = [t for t in all_terms if t in idfs]
+        postings = self._postings.filter(F.col("term").isin(present))
+        per_part = postings.groupBy("doc_part").applyInPandas(
+            _part_scorer(queries, idfs, self.stats, k, algo, self._excluded),
+            schema=RESULT_SCHEMA,
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return (
+            per_part.withColumn("score", F.round(F.col("raw_score"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "doc_id", "score")
+            .orderBy("qid", "rank")
+        )
+
+    def close(self) -> None:
+        if self._persisted:
+            self._postings.unpersist()
+
+
 def attach_doc_meta(
     spark: SparkSession, index_root: str, results: DataFrame, snapshot_id: str | None = None
 ) -> DataFrame:

@@ -1,0 +1,27 @@
+"""Searcher API: cached-dictionary query handle equals run_queries."""
+
+from __future__ import annotations
+
+from fafnir_spark.build import build_index, normalize_docs
+from fafnir_spark.wand import Searcher, run_queries
+from tests.conftest import SF_DIR
+
+QS1 = {"a": ["merge", "window", "customer"], "b": ["spark", "slow"]}
+QS2 = {"c": ["vector", "batch"], "a": ["merge", "window", "customer"]}
+
+
+def test_searcher_equals_run_queries(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="s")
+    s = Searcher(spark, root, persist_postings=True)
+    try:
+        for qs in (QS1, QS2, QS1):  # repeat batches hit the idf cache
+            got = [tuple(r) for r in s.search(qs, k=10).collect()]
+            want = [tuple(r) for r in run_queries(spark, root, qs, k=10).collect()]
+            assert got == want
+        # absent terms cached as missing, no crash
+        assert s.search({"x": ["zz_none"]}, k=5).collect() == []
+    finally:
+        s.close()
