@@ -144,6 +144,13 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, {"q": QVEC}, k=10, tables=LSH_TABLES, planes=LSH_PLANES).drop("qid")
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.simsearch import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_cosine_topk(emb, {"q": QVEC}, k=10, n_centroids=16, nprobe=4).drop("qid")
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.multimodal import attach_media
 
@@ -223,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "media_meta": _q_media_meta,
         "prefix_bm25": _q_prefix,
         "fielded_bm25": _q_fielded,
@@ -262,6 +270,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracles_ops.cosine_topk_sql(QVEC, 10),
         "ann_lsh_topk": oracles_ops.lsh_cosine_topk_sql(
             QVEC, plane_weights(LSH_TABLES, LSH_PLANES), 10
+        ),
+        # sf0.01 embeddings table has exactly 500 rows (TESTDATA.md); the
+        # IVF centroid sample must match simsearch.ivf_centroid_ids(500, 16)
+        "ann_ivf_topk": oracles_ops.ivf_cosine_topk_sql(
+            QVEC, [i * (500 // 16) for i in range(16)], nprobe=4, k=10
         ),
         "media_meta": oracles_ops.media_meta_sql(),
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),

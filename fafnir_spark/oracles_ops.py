@@ -255,6 +255,52 @@ SELECT rank, vec_id, cos FROM (
 """
 
 
+def ivf_cosine_topk_sql(
+    query_vec: list[float], centroid_ids: list[int], nprobe: int = 4, k: int = 10
+) -> str:
+    """Mirror of simsearch.ivf_cosine_topk (sampled-centroid IVF)."""
+    qlit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
+    cid = ", ".join(str(c) for c in centroid_ids)
+
+    def cos(a: str, b: str) -> str:
+        return f"""round(
+  list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+, 6)"""
+
+    return f"""
+WITH q AS (SELECT {qlit} AS qv),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+          WHERE vec_id IN ({cid})),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.embedding", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (ORDER BY {cos("q.qv", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT a.vec_id, {cos("a.v", "q.qv")} AS cos
+  FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN q
+)
+SELECT rank, vec_id, cos FROM (
+  SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank, vec_id, cos
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
 def media_meta_sql(chunk: int = 64) -> str:
     return f"""
 SELECT doc_id,

@@ -94,6 +94,71 @@ def cosine_topk(
     )
 
 
+def ivf_centroid_ids(n_vectors: int, n_centroids: int = 16) -> list[int]:
+    """Deterministic coarse quantizer: sample every (n/C)-th vector as a
+    centroid (IVF-flat with sampled centroids; no training iterations, so
+    both engines reproduce it exactly)."""
+    step = max(1, n_vectors // n_centroids)
+    return [i * step for i in range(n_centroids)]
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_vecs: dict[str, list[float]],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: vectors are assigned to their max-cosine
+    centroid (inverted lists); a query probes its ``nprobe`` nearest
+    centroids and re-ranks those lists exactly.
+
+    At 100 TB the assignment is a one-time build artifact (a column on the
+    embeddings table, partition-pruned at query time); here it is computed
+    inline. (qid, rank, vec_id, cos)."""
+    spark = emb.sparkSession
+    n = emb.count()
+    cids = ivf_centroid_ids(n, n_centroids)
+    cents = emb.filter(F.col(id_col).isin(cids)).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    # assignment: every vector to its best centroid (ties: centroid_id asc)
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine_expr(F.col("v"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    q = spark.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in query_vecs.items()],
+        "qid string, qv array<double>",
+    )
+    probe_w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("centroid_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", "centroid_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "centroid_id").select("qid", "vec_id", "v", "qv")
+    rank_w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.select("qid", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_vecs: dict[str, list[float]],

@@ -133,3 +133,15 @@ def test_multimodal_plumbing(spark, docs):
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError, match="image"):
         decode_stub(b"abc", "image", fake=False)
+
+
+def test_ivf_ann(spark, ddb, emb):
+    from fafnir_spark.simsearch import ivf_centroid_ids, ivf_cosine_topk
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    cids = ivf_centroid_ids(emb.count(), 16)
+    got = ivf_cosine_topk(emb, {"q": qv}, k=10, n_centroids=16, nprobe=4)
+    assert_matches(got.drop("qid"), ddb, OO.ivf_cosine_topk_sql(qv, cids, nprobe=4, k=10))
+    exact = {r["vec_id"] for r in cosine_topk(emb, {"q": qv}, k=10).collect()}
+    approx = {r["vec_id"] for r in got.collect()}
+    assert len(exact & approx) / 10 >= 0.3  # nprobe=4/16 recall floor
