@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_zone_top1": _pq("nearest_zone", "spark_events"),
         "semi_join_docs_events": _pq("docs_with_events", "spark_sf"),
         "event_error_counts": _pq("event_error_counts", "events"),
+        "events_tumbling_window": _pq("events_tumbling_window", "events"),
+        "events_sliding_window": _pq("events_sliding_window", "events"),
         "best_doc_per_group": _pq("best_doc_per_lang"),
         "preferred_url_coalesce": _pq("preferred_url"),
     }
@@ -292,6 +294,8 @@ def oracle_sql() -> dict[str, str]:
         "nearest_zone_top1": oracles_pipeline.nearest_zone_sql(),
         "semi_join_docs_events": oracles_pipeline.docs_with_events_sql(),
         "event_error_counts": oracles_pipeline.event_error_counts_sql(),
+        "events_tumbling_window": oracles_pipeline.events_tumbling_window_sql(),
+        "events_sliding_window": oracles_pipeline.events_sliding_window_sql(),
         "best_doc_per_group": oracles_pipeline.best_doc_per_lang_sql(),
         "preferred_url_coalesce": oracles_pipeline.preferred_url_sql(),
     }

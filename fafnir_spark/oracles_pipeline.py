@@ -114,6 +114,28 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_tumbling_window_sql() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_sliding_window_sql() -> str:
+    # 1h window sliding every 30m: event at t belongs to windows starting at
+    # floor30(t) and floor30(t) - 30m
+    return """
+WITH halves AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS h FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+FROM halves GROUP BY 1 ORDER BY 1
+"""
+
+
 def best_doc_per_lang_sql() -> str:
     return """
 SELECT lang, source, doc_id AS best_doc, n_chars FROM (

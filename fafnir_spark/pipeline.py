@@ -220,6 +220,35 @@ def event_error_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def events_tumbling_window(events: DataFrame) -> DataFrame:
+    """Event-time tumbling window (1h) aggregation — the engine's windowed
+    analytics over the events stream table (Structured-Streaming-shaped:
+    the same expression runs under readStream + watermark; batch here since
+    the reference is batch, SURVEY §2.8)."""
+    w = F.window("ts", "1 hour")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def events_sliding_window(events: DataFrame) -> DataFrame:
+    """Sliding window (1h every 30m): each event lands in 2 windows."""
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+
+
 def best_doc_per_lang(docs: DataFrame) -> DataFrame:
     """A4: first-match/min-by reductions — per (lang, source) the doc with
     max n_chars (ties: min doc_id)."""

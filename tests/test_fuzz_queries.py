@@ -1,0 +1,70 @@
+"""Random-query fuzz: 40 seeded random BM25 queries (1-4 terms drawn from
+the corpus vocabulary + some absent terms) evaluated through the INDEXED
+engine in one batch and cross-checked against the DuckDB oracle
+one-by-one. The breadth version of the golden tests."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from fafnir_spark import oracles
+from fafnir_spark.build import build_index, normalize_docs
+from fafnir_spark.wand import run_queries
+from tests.conftest import SF_DIR
+
+VOCAB = ("key agg row scan slow fast table value part hash merge batch spark "
+         "line sort window column join small customer query big group stream "
+         "filter order data the a vector").split()
+
+
+def test_fuzz_indexed_vs_oracle(spark, ddb, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="f")
+    rng = random.Random(1234)
+    queries = {}
+    for i in range(40):
+        n = rng.randint(1, 4)
+        terms = rng.sample(VOCAB, n)
+        if i % 7 == 0:
+            terms.append(f"absent_{i}")
+        queries[f"q{i}"] = terms
+    res = run_queries(spark, root, queries, k=10).collect()
+    by_qid: dict[str, list] = {}
+    for r in res:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, terms in queries.items():
+        want = ddb.execute(oracles.bm25_topk_sql(terms, k=10)).fetchall()
+        got = by_qid.get(qid, [])
+        assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want], (qid, terms)
+        for g, w in zip(got, want):
+            assert g[2] == pytest.approx(w[2], abs=1e-6)
+
+
+def test_skew_bound(spark, tmp_path):
+    """The hottest term's per-(term, doc_part) posting count must be bounded
+    by ~df/n_parts — the salting guarantee the north rule demands."""
+    import pyspark.sql.functions as F
+
+    from fafnir_spark.catalog import Catalog
+    from fafnir_spark.corpus import synth_corpus
+
+    corpus = normalize_docs(synth_corpus(spark, 2000, zipf_a=1.1, mean_len=80))
+    root = str(tmp_path / "skew")
+    n_parts = 8
+    build_index(spark, corpus, root, n_parts=n_parts, block_size=64,
+                tokenizer="whitespace", build_id="s")
+    cat = Catalog(root)
+    hot = (cat.read_table(spark, "dictionary").orderBy(F.col("df").desc()).first())
+    groups = (
+        cat.read_table(spark, "postings")
+        .filter(F.col("term") == hot["term"])
+        .groupBy("doc_part").agg(F.sum("n").alias("cnt"))
+        .collect()
+    )
+    assert len(groups) == n_parts  # hot term spread over every part
+    mx = max(r["cnt"] for r in groups)
+    assert mx <= 1.3 * hot["df"] / n_parts  # no reducer hotspot

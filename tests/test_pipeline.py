@@ -75,3 +75,11 @@ def test_best_doc_per_lang(spark, ddb, docs):
 
 def test_preferred_url(spark, ddb, docs):
     assert_matches(P.preferred_url(docs), ddb, OP.preferred_url_sql())
+
+
+def test_events_tumbling_window(spark, ddb, events):
+    assert_matches(P.events_tumbling_window(events), ddb, OP.events_tumbling_window_sql())
+
+
+def test_events_sliding_window(spark, ddb, events):
+    assert_matches(P.events_sliding_window(events), ddb, OP.events_sliding_window_sql())
