@@ -180,6 +180,13 @@ def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(_docs(spark, sf_dir), "key agg")
 
 
+def _q_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.query_ext import bool_bm25
+
+    return bool_bm25(_docs(spark, sf_dir), must=["merge"],
+                     should=["window", "customer"], must_not=["vector"], k=10)
+
+
 def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-postings phrase query — adjacency from stored token
     positions, same oracle as the text-containment form."""
@@ -236,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fielded_bm25": _q_fielded,
         "phrase_match": _q_phrase,
         "phrase_match_indexed": _q_phrase_indexed,
+        "bool_bm25": _q_bool,
         "union_corpora": _pq("union_corpora", "spark_sf"),
         "route_searchability": _pq("route_by_searchability"),
         "properties_map": _pq("properties_rows"),
@@ -283,6 +291,9 @@ def oracle_sql() -> dict[str, str]:
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),
         "phrase_match": oracles.phrase_match_sql("key agg"),
         "phrase_match_indexed": oracles.phrase_match_sql("key agg"),
+        "bool_bm25": oracles.bool_bm25_sql(
+            must=["merge"], should=["window", "customer"], must_not=["vector"], k=10
+        ),
         "union_corpora": oracles_pipeline.union_corpora_sql(),
         "route_searchability": oracles_pipeline.route_by_searchability_sql(),
         "properties_map": oracles_pipeline.properties_rows_sql(),

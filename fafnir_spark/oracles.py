@@ -149,6 +149,56 @@ ORDER BY rank
 """
 
 
+def bool_bm25_sql(
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+) -> str:
+    """ES bool-query mirror: must (all, scored) + should (scored) −
+    must_not (any excludes)."""
+    must, should, must_not = must or [], should or [], must_not or []
+    scored_terms = sorted(set(must + should))
+    must_clause = ""
+    if must:
+        must_clause = f"""
+  AND scored.doc_id IN (
+    SELECT doc_id FROM tf WHERE term IN {_terms_in(must)}
+    GROUP BY doc_id HAVING count(*) = {len(sorted(set(must)))}
+  )"""
+    not_clause = ""
+    if must_not:
+        not_clause = f"""
+  AND scored.doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM tf WHERE term IN {_terms_in(must_not)}
+  )"""
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(scored_terms)} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, scored.doc_id ASC) AS rank,
+         scored.doc_id, round(raw_score, 6) AS score
+  FROM scored
+  WHERE 1=1 {must_clause} {not_clause}
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
 def phrase_match_sql(phrase: str) -> str:
     p = " ".join(t for t in phrase.split(" ") if t).replace("'", "''")
     return f"""

@@ -87,6 +87,45 @@ def fielded_bm25(
     )
 
 
+def bool_bm25(
+    docs: DataFrame,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES bool-query semantics over BM25 (the query DSL fafnir's backend
+    exposes): ``must`` terms all required and scored; ``should`` terms
+    optional and scored; ``must_not`` terms exclude. With no must clause,
+    at least one should term must match. (rank, doc_id, score)."""
+    from pyspark.sql.window import Window
+
+    must, should, must_not = must or [], should or [], must_not or []
+    scored = bm25_topk_batch(docs, {"q": sorted(set(must + should))}, k=1 << 30,
+                             text_col=text_col).select("doc_id", "score")
+    if must:
+        scored = scored.join(conjunctive_match(docs, must, text_col=text_col), "doc_id")
+    if must_not:
+        # exclusion is per-term (any must_not term disqualifies)
+        from .query import doc_term_freqs
+
+        spark = docs.sparkSession
+        mn = spark.createDataFrame([(t,) for t in sorted(set(must_not))], "term string")
+        bad = (
+            doc_term_freqs(docs.selectExpr("doc_id", f"{text_col} as __text"), "doc_id", "__text")
+            .join(F.broadcast(mn), "term").select("doc_id").distinct()
+        )
+        scored = scored.join(bad, "doc_id", "left_anti")
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
 def phrase_match(docs: DataFrame, phrase: str, text_col: str = "text") -> DataFrame:
     """Doc ids containing the exact token phrase — conjunctive candidates
     then containment recheck on the padded text."""

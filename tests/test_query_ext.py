@@ -74,3 +74,19 @@ def test_phrase_match_matches_oracle(spark, ddb, docs):
     want = [w[0] for w in ddb.execute(oracles.phrase_match_sql(phrase)).fetchall()]
     assert got == want
     assert 0 in got
+
+
+def test_bool_bm25_matches_oracle(spark, ddb, docs):
+    from fafnir_spark.query_ext import bool_bm25
+
+    cases = [
+        dict(must=["merge"], should=["window", "customer"], must_not=["vector"]),
+        dict(must=[], should=["spark", "slow"], must_not=[]),
+        dict(must=["merge", "window"], should=[], must_not=["the"]),
+    ]
+    for c in cases:
+        got = bool_bm25(docs, k=10, **c).collect()
+        want = ddb.execute(oracles.bool_bm25_sql(k=10, **c)).fetchall()
+        assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want], c
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w[2], abs=1e-6)
