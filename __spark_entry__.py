@@ -180,6 +180,22 @@ def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(_docs(spark, sf_dir), "key agg")
 
 
+def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.query_ext import facet_counts
+
+    return facet_counts(_docs(spark, sf_dir), ["merge", "vector"], ["source", "lang"])
+
+
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.query_ext import snippet_expr
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", snippet_expr("text", "merge").alias("snippet"))
+        .filter("snippet <> ''")
+    )
+
+
 def _q_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.query_ext import bool_bm25
 
@@ -244,6 +260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase,
         "phrase_match_indexed": _q_phrase_indexed,
         "bool_bm25": _q_bool,
+        "facet_counts": _q_facets,
+        "snippets": _q_snippets,
         "union_corpora": _pq("union_corpora", "spark_sf"),
         "route_searchability": _pq("route_by_searchability"),
         "properties_map": _pq("properties_rows"),
@@ -294,6 +312,8 @@ def oracle_sql() -> dict[str, str]:
         "bool_bm25": oracles.bool_bm25_sql(
             must=["merge"], should=["window", "customer"], must_not=["vector"], k=10
         ),
+        "facet_counts": oracles.facet_counts_sql(["merge", "vector"], ["source", "lang"]),
+        "snippets": oracles.snippets_sql("merge"),
         "union_corpora": oracles_pipeline.union_corpora_sql(),
         "route_searchability": oracles_pipeline.route_by_searchability_sql(),
         "properties_map": oracles_pipeline.properties_rows_sql(),

@@ -208,6 +208,38 @@ ORDER BY doc_id
 """
 
 
+def facet_counts_sql(terms: list[str], facet_cols: list[str]) -> str:
+    parts = []
+    for c in facet_cols:
+        parts.append(f"""
+SELECT '{c}' AS facet, CAST({c} AS VARCHAR) AS value, count(*) AS n
+FROM documents
+WHERE doc_id IN (
+  SELECT DISTINCT doc_id
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok IN {_terms_in(terms)}
+)
+GROUP BY 2""")
+    return " UNION ALL ".join(parts) + " ORDER BY facet, value"
+
+
+def snippets_sql(term: str, width: int = 24) -> str:
+    """Mirror of query_ext.snippet_expr over all docs containing the term."""
+    t = term.replace("'", "''")
+    window = width * 2 + len(term)
+    return f"""
+WITH padded AS (
+  SELECT doc_id, concat(' ', text, ' ') AS p FROM documents
+),
+hit AS (
+  SELECT doc_id, p, strpos(p, ' {t} ') AS pos FROM padded
+)
+SELECT doc_id, trim(substr(p, greatest(pos - {width}, 1), {window})) AS snippet
+FROM hit WHERE pos > 0
+ORDER BY doc_id
+"""
+
+
 def conjunctive_sql(terms: list[str]) -> str:
     n = len(sorted(set(terms)))
     return f"""

@@ -29,6 +29,51 @@ from pyspark.sql import functions as F
 from .query import bm25_topk_batch, conjunctive_match
 
 
+def facet_counts(
+    docs: DataFrame,
+    terms: list[str],
+    facet_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """ES-style facet aggregation: per facet column, value counts over the
+    disjunctive match set of ``terms``. (facet, value, n)."""
+    matched = docs.join(_any_match(docs, terms, text_col), "doc_id")
+    out = None
+    for c in facet_cols:
+        f = matched.groupBy(F.col(c).cast("string").alias("value")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit(c).alias("facet"), "value", "n")
+        out = f if out is None else out.unionByName(f)
+    return out.orderBy("facet", "value")
+
+
+def _any_match(docs: DataFrame, terms: list[str], text_col: str) -> DataFrame:
+    from .query import doc_term_freqs
+
+    spark = docs.sparkSession
+    q = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    tf = doc_term_freqs(docs.selectExpr("doc_id", f"{text_col} as __text"), "doc_id", "__text")
+    return tf.join(F.broadcast(q), "term").select("doc_id").distinct()
+
+
+def snippet_expr(text_col: str, term: str, width: int = 24) -> F.Column:
+    """Result highlighting: a ±width-char window around the first whole-token
+    occurrence of ``term`` (fafnir P15 substring ops, /root/reference
+    src/sources/tripadvisor/parse.rs:69-71). Empty string when absent."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    pos = F.instr(padded, f" {term} ")  # 1-based, 0 if absent
+    start = F.greatest(pos - width, F.lit(1))
+    return F.when(pos > 0, F.trim(F.substring(padded, start, width * 2 + len(term)))).otherwise(
+        F.lit("")
+    )
+
+
+def paginate(ranked: DataFrame, page: int, page_size: int) -> DataFrame:
+    """Search pagination over a ranked result (rank column, 1-based pages)."""
+    lo = (page - 1) * page_size
+    return ranked.filter((F.col("rank") > lo) & (F.col("rank") <= lo + page_size))
+
+
 def with_field_tokens(docs: DataFrame, fields: list[str], text_col: str = "text") -> DataFrame:
     """Append `field:value` tokens to the text — the token-bag trick."""
     parts = [F.col(text_col)]

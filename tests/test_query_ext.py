@@ -90,3 +90,25 @@ def test_bool_bm25_matches_oracle(spark, ddb, docs):
         assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want], c
         for g, w in zip(got, want):
             assert g["score"] == pytest.approx(w[2], abs=1e-6)
+
+
+def test_facets_snippets_pagination(spark, ddb, docs):
+    from fafnir_spark.query import bm25_topk
+    from fafnir_spark.query_ext import facet_counts, paginate, snippet_expr
+
+    def check(sdf, sql):
+        cols = sorted(sdf.columns)
+        g = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+        wdf = ddb.execute(sql).fetch_df()
+        w = sorted(tuple(r[c] for c in cols) for _, r in wdf.iterrows())
+        assert g == w
+
+    check(facet_counts(docs, ["merge", "vector"], ["source", "lang"]),
+          oracles.facet_counts_sql(["merge", "vector"], ["source", "lang"]))
+    snips = docs.select("doc_id", __import__("fafnir_spark.query_ext", fromlist=["x"])
+                        .snippet_expr("text", "merge").alias("snippet")).filter("snippet <> ''")
+    check(snips, oracles.snippets_sql("merge"))
+    ranked = bm25_topk(docs, ["merge", "window"], k=30)
+    full = [r["doc_id"] for r in ranked.collect()]
+    assert [r["doc_id"] for r in paginate(ranked, 2, 10).collect()] == full[10:20]
+    assert snippet_expr is not None
