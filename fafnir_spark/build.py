@@ -320,7 +320,7 @@ def build_index(
             totals[m] += rec[m]
         totals["secs"] += secs
 
-    finalize_index(spark, cat, build_id, n_shards, n_parts, block_size)
+    finalize_index(spark, cat, build_id, n_shards, n_parts, block_size, with_positions)
     if compact_after:
         compact_index(spark, cat, block_size)
     return totals
@@ -354,7 +354,13 @@ def dictionary_from_postings(postings: DataFrame) -> DataFrame:
 
 
 def finalize_index(
-    spark: SparkSession, cat: Catalog, build_id: str, n_shards: int, n_parts: int, block_size: int
+    spark: SparkSession,
+    cat: Catalog,
+    build_id: str,
+    n_shards: int,
+    n_parts: int,
+    block_size: int,
+    with_positions: bool = False,
 ) -> None:
     """Derive the global dictionary from written postings, compute stats,
     verify doc_id uniqueness, publish the snapshot."""
@@ -392,7 +398,7 @@ def finalize_index(
             "doc_map": dm_segs,
         },
         meta={"build_id": build_id, "n_shards": n_shards, "n_parts": n_parts,
-              "stats": stats_doc},
+              "with_positions": with_positions, "stats": stats_doc},
     )
 
 

@@ -59,18 +59,21 @@ def append_index(
     stats = cat.read_json("stats")
     n_parts, block_size = stats["n_parts"], stats["block_size"]
     m = cat.read_manifest()
+    # positional indexes must stay positional across appends
+    with_pos = bool((m.get("meta") or {}).get("with_positions"))
 
     docs = new_docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    from .build import META_COLS
+    from .build import META_COLS, POSTINGS_SCHEMA_POS
 
     passthrough = [c for c in docs.columns if c in META_COLS]
     tok_schema = (
         "doc_id long, doc_part int, dl int, weight double, "
         "terms array<string>, tfs array<int>"
+        + (", positions array<array<int>>" if with_pos else "")
         + "".join(f", {c} string" for c in passthrough)
     )
     tokenized = docs.select("doc_id", "content", "weight", *passthrough).mapInPandas(
-        _tokenize_map_fn(tokenizer, n_parts, passthrough), schema=tok_schema
+        _tokenize_map_fn(tokenizer, n_parts, passthrough, with_pos), schema=tok_schema
     ).persist()
 
     # collision check vs live doc_map (anti-join, broadcast the new ids)
@@ -79,17 +82,27 @@ def append_index(
     if clash:
         raise ValueError(f"append would collide with {clash} live doc_ids; use upsert_docs")
 
-    cat.write_segment(tokenized.drop("terms", "tfs"), "doc_map", segment)
+    cat.write_segment(
+        tokenized.drop("terms", "tfs", *(["positions"] if with_pos else [])),
+        "doc_map", segment,
+    )
+    zip_cols = [F.col("terms").alias("term"), F.col("tfs").alias("tf")]
+    out_cols = [F.col("z.term").alias("term"), F.col("z.tf").alias("tf")]
+    if with_pos:
+        zip_cols.append(F.col("positions").alias("positions"))
+        out_cols.append(F.col("z.positions").alias("positions"))
     flat = tokenized.select(
         "doc_id", "doc_part", "dl", "weight",
-        F.explode(F.arrays_zip(F.col("terms").alias("term"), F.col("tfs").alias("tf"))).alias("z"),
-    ).select("doc_id", "doc_part", "dl", "weight",
-             F.col("z.term").alias("term"), F.col("z.tf").alias("tf"))
+        F.explode(F.arrays_zip(*zip_cols)).alias("z"),
+    ).select("doc_id", "doc_part", "dl", "weight", *out_cols)
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     enc = (
         flat.repartition(n_shuffle, "term", "doc_part")
         .sortWithinPartitions("term", "doc_part", "doc_id")
-        .mapInPandas(_encode_partition_fn(block_size), schema=POSTINGS_SCHEMA)
+        .mapInPandas(
+            _encode_partition_fn(block_size),
+            schema=POSTINGS_SCHEMA_POS if with_pos else POSTINGS_SCHEMA,
+        )
         .repartition(n_parts, "doc_part")
     )
     cat.write_segment(

@@ -1,0 +1,83 @@
+"""Lifecycle matrix: positional + multi-shard + crash/resume + append +
+delete + compact, all on one index — the interactions no single-feature
+test covers. Ground truth at every step: the direct DataFrame scorer over
+the same live document set."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.build import build_index, normalize_docs, verify_sha256
+from fafnir_spark.catalog import Catalog
+from fafnir_spark.incremental import append_index, compact_with_tombstones, delete_docs
+from fafnir_spark.query import bm25_topk_batch
+from fafnir_spark.wand import phrase_search, run_queries
+from tests.conftest import SF_DIR
+
+Q = {"q1": ["merge", "window", "customer"], "q2": ["spark", "slow"]}
+
+
+def _direct(spark, docs, k=15):
+    res = bm25_topk_batch(docs, Q, k=k).collect()
+    return [(r["qid"], r["rank"], r["doc_id"], r["score"]) for r in res]
+
+
+def _indexed(spark, root, k=15):
+    res = run_queries(spark, root, Q, k=k).collect()
+    return [(r["qid"], r["rank"], r["doc_id"], r["score"]) for r in res]
+
+
+def test_full_lifecycle(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 350)
+    new = docs.filter(F.col("doc_id") >= 350)
+    root = str(tmp_path / "idx")
+
+    # 1. multi-shard positional build with a simulated crash mid-shard-1
+    orig = Catalog.write_segment
+    state = {"crashed": False}
+
+    def crash_once(self, df, name, segment, **kw):
+        if segment.endswith("-1") and name == "postings" and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("boom")
+        return orig(self, df, name, segment, **kw)
+
+    Catalog.write_segment = crash_once
+    try:
+        with pytest.raises(RuntimeError):
+            build_index(spark, normalize_docs(old, id_col="doc_id", text_col="text"),
+                        root, n_parts=3, block_size=16, tokenizer="whitespace",
+                        n_shards=2, build_id="m", with_positions=True)
+    finally:
+        Catalog.write_segment = orig
+    # resume completes the build
+    build_index(spark, normalize_docs(old, id_col="doc_id", text_col="text"),
+                root, n_parts=3, block_size=16, tokenizer="whitespace",
+                n_shards=2, build_id="m", resume=True, with_positions=True)
+    assert _indexed(spark, root) == _direct(spark, old)
+    assert verify_sha256(spark, root, old, text_col="text") == 0
+
+    # 2. append the rest (positional delta segment)
+    append_index(spark, normalize_docs(new, id_col="doc_id", text_col="text"),
+                 root, segment="delta", tokenizer="whitespace")
+    assert _indexed(spark, root) == _direct(spark, docs)
+
+    # 3. phrase queries across build + delta segments
+    first = docs.filter("doc_id = 470").collect()[0]["text"].split(" ")[:2]
+    hits = {r["doc_id"] for r in phrase_search(spark, root, {"p": first}).collect()}
+    assert 470 in hits
+
+    # 4. delete two top docs, then compact (physical rewrite + exact stats)
+    top = _indexed(spark, root)[:2]
+    victims = [t[2] for t in top]
+    delete_docs(spark, root, victims)
+    live = docs.filter(~F.col("doc_id").isin(victims))
+    compact_with_tombstones(spark, root)
+    assert _indexed(spark, root) == _direct(spark, live)
+
+    # 5. phrase still works post-compaction, tombstoned docs gone
+    hits2 = {r["doc_id"] for r in phrase_search(spark, root, {"p": first}).collect()}
+    assert 470 in hits2 or 470 in victims
+    assert not (hits2 & set(victims))

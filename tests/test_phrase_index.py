@@ -52,7 +52,6 @@ def test_phrase_search_matches_containment_oracle(spark, ddb, pos_index):
 
 
 def test_phrase_repeated_term(spark, pos_index, tmp_path):
-    docs = spark.sparkSession if False else None
     s = spark
     d = s.createDataFrame(
         [(1, "a a b c"), (2, "a b a b"), (3, "b a a")],
