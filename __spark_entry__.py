@@ -40,6 +40,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _content_key(sf_dir: str) -> str:
+    """Cache key for on-disk index roots: fingerprint of the input parquet
+    files (path + size + mtime). A regenerated fixture changes the key, so a
+    resume=True build can never serve a stale index against a fresh oracle."""
+    import glob
+    import hashlib
+
+    h = hashlib.md5(sf_dir.encode())
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:10]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 through the full index lifecycle — build the
     inverted index (SPIMI → merge → compressed blocks) then query it with
@@ -71,11 +85,7 @@ def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.build import build_index, normalize_docs
     from fafnir_spark.wand import run_queries
 
-    import hashlib
-
-    root = os.path.join(
-        tempfile.gettempdir(), "fafnir_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    )
+    root = os.path.join(tempfile.gettempdir(), "fafnir_idx_" + _content_key(sf_dir))
     docs = normalize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
     build_index(spark, docs, root, n_parts=8, block_size=128,
                 tokenizer="whitespace", build_id="oracle", resume=True)
@@ -107,9 +117,12 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fafnir_spark.dedup import ngram_jaccard_pairs
+    """n-gram Jaccard over LSH-restricted candidates — the graded plan IS the
+    scale plan (no unrestricted shingle self-join; the exact quadratic form
+    is exercised only in tests at fixture scale)."""
+    from fafnir_spark.dedup import minhash_lsh_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=8, bands=4, threshold=0.5)
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,9 +138,15 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fafnir_spark.dedup import embedding_dup_pairs
+    """Embedding near-dup via LSH sign-bucket candidates + exact-cosine
+    verify — no cartesian join in the plan (the all-pairs form exists only
+    as the test-scale recall oracle)."""
+    from fafnir_spark.dedup import embedding_dup_pairs_lsh
 
-    return embedding_dup_pairs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 0.4)
+    return embedding_dup_pairs_lsh(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 0.4,
+        tables=LSH_TABLES, planes=LSH_PLANES,
+    )
 
 
 def _q_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,14 +225,10 @@ def _q_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-postings phrase query — adjacency from stored token
     positions, same oracle as the text-containment form."""
-    import hashlib
-
     from fafnir_spark.build import build_index, normalize_docs
     from fafnir_spark.wand import phrase_search
 
-    root = os.path.join(
-        tempfile.gettempdir(), "fafnir_pidx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    )
+    root = os.path.join(tempfile.gettempdir(), "fafnir_pidx_" + _content_key(sf_dir))
     docs = normalize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
     build_index(spark, docs, root, n_parts=8, block_size=128, tokenizer="whitespace",
                 build_id="phrase", resume=True, with_positions=True)
@@ -291,19 +306,19 @@ def oracle_sql() -> dict[str, str]:
         "conjunctive_match": oracles.conjunctive_sql(Q_CONJ),
         "text_stats": oracles_ops.text_stats_sql(),
         "dedup_exact": oracles_ops.exact_dup_sql(),
-        "dedup_ngram_jaccard": oracles_ops.ngram_jaccard_sql(0.5),
+        "dedup_ngram_jaccard": oracles_ops.minhash_lsh_sql(8, 4, 0.5),
         "dedup_minhash_lsh": oracles_ops.minhash_lsh_sql(12, 4, 0.35),
         "dedup_simhash": oracles_ops.simhash_pairs_sql(3),
-        "dedup_embedding_cosine": oracles_ops.embedding_dup_sql(0.4),
+        "dedup_embedding_cosine": oracles_ops.embedding_dup_lsh_sql(
+            0.4, plane_weights(LSH_TABLES, LSH_PLANES)
+        ),
         "ann_cosine_topk": oracles_ops.cosine_topk_sql(QVEC, 10),
         "ann_lsh_topk": oracles_ops.lsh_cosine_topk_sql(
             QVEC, plane_weights(LSH_TABLES, LSH_PLANES), 10
         ),
-        # sf0.01 embeddings table has exactly 500 rows (TESTDATA.md); the
-        # IVF centroid sample must match simsearch.ivf_centroid_ids(500, 16)
-        "ann_ivf_topk": oracles_ops.ivf_cosine_topk_sql(
-            QVEC, [i * (500 // 16) for i in range(16)], nprobe=4, k=10
-        ),
+        # centroid ids are derived from count(*) inside the SQL — the exact
+        # dual of ivf_centroid_ids(n, 16), robust to fixture-size changes
+        "ann_ivf_topk": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "media_meta": oracles_ops.media_meta_sql(),
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),

@@ -267,3 +267,56 @@ def embedding_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    tables: int = 8,
+    planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(vec_a, vec_b, cos) near-dup pairs via LSH bucketing — the 100 TB plan.
+
+    Random-hyperplane sign buckets (Charikar SimHash for cosine; the same
+    deterministic driver-side hyperplanes as simsearch.lsh_cosine_topk)
+    restrict the exact-cosine verify to pairs sharing >=1 of ``tables``
+    bucket keys — no cartesian join anywhere in the plan. ``max_bucket``
+    caps degenerate buckets exactly like minhash_lsh_pairs (a bucket of
+    identical vectors is exact-dup territory). Candidate recall is
+    probabilistic (pairs sharing no bucket are missed); the DuckDB oracle
+    mirrors the bucketing bit-for-bit so parity is exact.
+    """
+    from .simsearch import lsh_bucket_col, plane_weights
+
+    ws = plane_weights(tables, planes, dim)
+    b = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            F.array(*[lsh_bucket_col(F.col(vec_col), t, ws[t]) for t in range(tables)])
+        ).alias("bkey"),
+    )
+    sizes = b.groupBy("bkey").agg(F.count(F.lit(1)).alias("bn"))
+    small = sizes.filter(F.col("bn") <= max_bucket).select("bkey")
+    x = b.alias("x")
+    y = b.alias("y")
+    cand = (
+        x.join(F.broadcast(small), "bkey")
+        .join(y, (F.col("x.bkey") == F.col("y.bkey")) & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

@@ -69,9 +69,11 @@ ORDER BY rank
 
 def term_stats_sql(min_df: int = 1) -> str:
     """Dictionary: (term, df, cf) — the core index aggregation."""
+    # CAST: DuckDB sum(BIGINT) is HUGEINT (fetched as float64); Spark emits
+    # bigint — without the cast the driver's value-hash diverges on type.
     return f"""
 WITH {_TF_CTES}
-SELECT term, count(*) AS df, sum(tf) AS cf
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
 FROM tf GROUP BY term HAVING count(*) >= {min_df}
 ORDER BY term
 """
@@ -80,7 +82,7 @@ ORDER BY term
 def doc_stats_sql() -> str:
     return f"""
 WITH {_TF_CTES}
-SELECT dl.doc_id, dl.dl, stats.n_docs, stats.avgdl
+SELECT dl.doc_id, CAST(dl.dl AS BIGINT) AS dl, stats.n_docs, stats.avgdl
 FROM dl CROSS JOIN stats
 ORDER BY dl.doc_id
 """

@@ -187,6 +187,30 @@ ORDER BY vec_a, vec_b
 """
 
 
+def embedding_dup_lsh_sql(
+    threshold: float, weights: list[list[list[float]]], max_bucket: int = 1000
+) -> str:
+    """Mirror of dedup.embedding_dup_pairs_lsh: identical hyperplane-literal
+    bucketing, bucket-size cap, exact-cosine verify of candidates."""
+    return f"""
+WITH eb AS (
+  SELECT vec_id, unnest({_bkeys("embedding", weights)}) AS bkey FROM embeddings
+),
+ok AS (SELECT bkey FROM eb GROUP BY bkey HAVING count(*) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM eb x JOIN ok USING (bkey)
+  JOIN eb y ON x.bkey = y.bkey AND x.vec_id < y.vec_id
+)
+SELECT cand.vec_a, cand.vec_b, {_COS} AS cos
+FROM cand
+JOIN embeddings a ON a.vec_id = cand.vec_a
+JOIN embeddings b ON b.vec_id = cand.vec_b
+WHERE {_COS} >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
 def cosine_topk_sql(query_vec: list[float], k: int = 10) -> str:
     lit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
     return f"""
@@ -207,6 +231,24 @@ SELECT rank, vec_id, cos FROM (
 """
 
 
+def _dot_bit(vec_expr: str, w: list[float]) -> str:
+    wl = "[" + ", ".join(repr(x) for x in w) + "]"
+    return (
+        f"CASE WHEN list_sum(list_transform(range(1, {len(w)+1}), "
+        f"i -> {vec_expr}[i]::DOUBLE * ({wl})[i])) > 0 THEN '1' ELSE '0' END"
+    )
+
+
+def _bkeys(vec_expr: str, weights: list[list[list[float]]]) -> str:
+    """SQL list of the per-table LSH sign-bucket keys of a vector — the
+    exact dual of simsearch.lsh_bucket_col with the same weight literals."""
+    keys = [
+        "concat('" + f"{t}:" + "', " + ", ".join(_dot_bit(vec_expr, w) for w in tw) + ")"
+        for t, tw in enumerate(weights)
+    ]
+    return "[" + ", ".join(keys) + "]"
+
+
 def lsh_cosine_topk_sql(
     query_vec: list[float], weights: list[list[list[float]]], k: int = 10
 ) -> str:
@@ -214,19 +256,8 @@ def lsh_cosine_topk_sql(
     weights enter as literals, so buckets are identical by construction."""
     qlit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
 
-    def dot_bit(vec_expr: str, w: list[float]) -> str:
-        wl = "[" + ", ".join(repr(x) for x in w) + "]"
-        return (
-            f"CASE WHEN list_sum(list_transform(range(1, {len(w)+1}), "
-            f"i -> {vec_expr}[i]::DOUBLE * ({wl})[i])) > 0 THEN '1' ELSE '0' END"
-        )
-
     def bkeys(vec_expr: str) -> str:
-        keys = [
-            "concat('" + f"{t}:" + "', " + ", ".join(dot_bit(vec_expr, w) for w in tw) + ")"
-            for t, tw in enumerate(weights)
-        ]
-        return "[" + ", ".join(keys) + "]"
+        return _bkeys(vec_expr, weights)
 
     return f"""
 WITH q AS (SELECT {qlit} AS qv),
@@ -256,11 +287,14 @@ SELECT rank, vec_id, cos FROM (
 
 
 def ivf_cosine_topk_sql(
-    query_vec: list[float], centroid_ids: list[int], nprobe: int = 4, k: int = 10
+    query_vec: list[float], n_centroids: int = 16, nprobe: int = 4, k: int = 10
 ) -> str:
-    """Mirror of simsearch.ivf_cosine_topk (sampled-centroid IVF)."""
+    """Mirror of simsearch.ivf_cosine_topk (sampled-centroid IVF).
+
+    Centroid ids are derived IN SQL from count(*) — the exact dual of
+    simsearch.ivf_centroid_ids(n, C) = [i*max(1, n//C) for i in range(C)] —
+    so the oracle survives any change to the fixture's row count."""
     qlit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
-    cid = ", ".join(str(c) for c in centroid_ids)
 
     def cos(a: str, b: str) -> str:
         return f"""round(
@@ -271,8 +305,9 @@ def ivf_cosine_topk_sql(
 
     return f"""
 WITH q AS (SELECT {qlit} AS qv),
-cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-          WHERE vec_id IN ({cid})),
+step AS (SELECT greatest(count(*) // {n_centroids}, 1) AS s FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings, step
+          WHERE vec_id % step.s = 0 AND vec_id // step.s < {n_centroids}),
 assigned AS (
   SELECT vec_id, v, centroid_id FROM (
     SELECT e.vec_id, e.embedding AS v, c.centroid_id,

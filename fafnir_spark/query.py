@@ -60,12 +60,20 @@ def bm25_scores(
     boost: F.Column | None = None,
     k1: float = K1,
     b: float = B,
+    eligible: DataFrame | None = None,
+    excluded_docs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score) for every doc matching >=1 query term (disjunctive).
 
     The query-term relation is tiny → broadcast hash join, no shuffle of the
     posting side on the join (fafnir's AdminGeoFinder broadcast analog,
     /root/reference src/mimir.rs:30-38).
+
+    ``eligible`` (doc_id) semi-join restricts WHICH docs get scored (ES
+    filter context) and ``excluded_docs`` anti-joins them away — both are
+    applied BEFORE the score aggregation so ineligible docs are never
+    scored, while df/dl/avgdl/N stay corpus-wide (filter context does not
+    change scoring statistics).
     """
     qterms = sorted(set(query_terms))
     spark = docs.sparkSession
@@ -88,6 +96,10 @@ def bm25_scores(
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
+    if eligible is not None:
+        matched = matched.join(eligible.select("doc_id"), "doc_id", "left_semi")
+    if excluded_docs is not None:
+        matched = matched.join(excluded_docs.select("doc_id"), "doc_id", "left_anti")
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
     tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
@@ -107,15 +119,15 @@ def bm25_topk(
     k: int = 10,
     **kwargs,
 ) -> DataFrame:
-    """Deterministic top-k: (doc_id, score, rank)."""
+    """Deterministic top-k: (rank, doc_id, score).
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
+    heaps + a k-row merge, never a single-reducer global sort (the window
+    rank runs AFTER the limit, over k rows)."""
     scores = bm25_scores(docs, query_terms, **kwargs)
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
-    return (
-        scores.withColumn("rank", w)
-        .filter(F.col("rank") <= k)
-        .select("rank", "doc_id", "score")
-        .orderBy("rank")
-    )
+    return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")
 
 
 def bm25_topk_batch(

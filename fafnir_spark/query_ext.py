@@ -115,21 +115,14 @@ def fielded_bm25(
     """BM25 over `terms`, restricted to docs whose namespaced field tokens
     match (conjunctive field predicates). Field tokens do not contribute to
     the score — they are filters, like ES filter context."""
+    from .query import bm25_topk
+
     tagged = with_field_tokens(docs, sorted(field_filters), text_col)
     ftoks = [f"{f}:{v}" for f, v in sorted(field_filters.items())]
     eligible = conjunctive_match(tagged, ftoks, text_col=text_col)
-    scored = bm25_topk_batch(docs, {"q": terms}, k=1 << 30, text_col=text_col)
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.join(eligible, "doc_id")
-        .select("doc_id", "score")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "doc_id", "score")
-        .orderBy("rank")
-    )
+    # eligibility filters BEFORE scoring (only eligible docs are aggregated)
+    # and the top-k is TakeOrderedAndProject, not a global window
+    return bm25_topk(docs, terms, k=k, text_col=text_col, eligible=eligible)
 
 
 def bool_bm25(
@@ -144,30 +137,23 @@ def bool_bm25(
     exposes): ``must`` terms all required and scored; ``should`` terms
     optional and scored; ``must_not`` terms exclude. With no must clause,
     at least one should term must match. (rank, doc_id, score)."""
-    from pyspark.sql.window import Window
+    from .query import bm25_topk, doc_term_freqs
 
     must, should, must_not = must or [], should or [], must_not or []
-    scored = bm25_topk_batch(docs, {"q": sorted(set(must + should))}, k=1 << 30,
-                             text_col=text_col).select("doc_id", "score")
-    if must:
-        scored = scored.join(conjunctive_match(docs, must, text_col=text_col), "doc_id")
+    eligible = conjunctive_match(docs, must, text_col=text_col) if must else None
+    excluded = None
     if must_not:
         # exclusion is per-term (any must_not term disqualifies)
-        from .query import doc_term_freqs
-
         spark = docs.sparkSession
         mn = spark.createDataFrame([(t,) for t in sorted(set(must_not))], "term string")
-        bad = (
+        excluded = (
             doc_term_freqs(docs.selectExpr("doc_id", f"{text_col} as __text"), "doc_id", "__text")
             .join(F.broadcast(mn), "term").select("doc_id").distinct()
         )
-        scored = scored.join(bad, "doc_id", "left_anti")
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "doc_id", "score")
-        .orderBy("rank")
+    # must/must_not filter BEFORE scoring; top-k is TakeOrderedAndProject
+    return bm25_topk(
+        docs, sorted(set(must + should)), k=k, text_col=text_col,
+        eligible=eligible, excluded_docs=excluded,
     )
 
 

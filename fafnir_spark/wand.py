@@ -105,16 +105,24 @@ def score_exhaustive(
     b: float,
     avgdl: float,
     excluded: np.ndarray | None = None,
+    included: np.ndarray | None = None,
 ):
     """Decode-everything vectorized scorer (the correctness baseline).
 
     ``excluded``: sorted tombstoned doc_ids dropped before accumulation
-    (incremental.delete_docs semantics)."""
+    (incremental.delete_docs semantics). ``included``: when given, ONLY
+    these doc_ids are scored (phrase-candidate restriction) — the filter
+    runs before accumulation so non-candidates cost one isin, not a score."""
     ids_all, sc_all = [], []
     for term, blocks in term_blocks.items():
         idf = idfs[term]
         for blk in blocks:
             ids, tfs, dls, ws = blk.decode()
+            if included is not None:
+                keep = np.isin(ids, included)
+                if not keep.any():
+                    continue
+                ids, tfs, dls, ws = ids[keep], tfs[keep], dls[keep], ws[keep]
             if excluded is not None and len(excluded):
                 keep = ~np.isin(ids, excluded)
                 ids, tfs, dls, ws = ids[keep], tfs[keep], dls[keep], ws[keep]
@@ -291,6 +299,12 @@ def _phrase_part_fn(phrases: dict[str, list[str]], excluded: np.ndarray | None =
                 ids[order],
                 [pos_l[i] for i in order],
             )
+        # adjacency is verified VECTORIZED across all candidate docs at once:
+        # occurrences become composite keys cand_idx*2^32 + position (dl is
+        # int32 so positions < 2^32), one np.isin per phrase term — no
+        # per-candidate Python loop, so a stop-word phrase costs O(postings),
+        # not O(candidates) interpreter round-trips.
+        SHIFT = np.int64(1) << np.int64(32)
         out_qid, out_doc = [], []
         for qid, terms in phrases.items():
             if any(t not in per_term for t in terms):
@@ -300,21 +314,69 @@ def _phrase_part_fn(phrases: dict[str, list[str]], excluded: np.ndarray | None =
                 cand = cand[np.isin(cand, per_term[t][0])]
             if excluded is not None and len(excluded):
                 cand = cand[~np.isin(cand, excluded)]
-            for doc in cand:
-                starts = per_term[terms[0]][1][
-                    int(np.searchsorted(per_term[terms[0]][0], doc))
-                ].astype(np.int64)
-                ok = starts
-                for i, t in enumerate(terms[1:], 1):
-                    ids_t, pos_t = per_term[t]
-                    p = pos_t[int(np.searchsorted(ids_t, doc))].astype(np.int64)
-                    ok = ok[np.isin(ok + i, p)]
-                    if not len(ok):
-                        break
-                if len(ok):
-                    out_qid.append(qid)
-                    out_doc.append(int(doc))
+            if not len(cand):
+                continue
+
+            def term_keys(t: str, offset: int) -> tuple[np.ndarray, np.ndarray]:
+                """(cand_idx, key) of every occurrence of t in candidate
+                docs, key = cand_idx*SHIFT + position - offset."""
+                ids_t, pos_t = per_term[t]
+                idx = np.searchsorted(ids_t, cand)
+                plists = [pos_t[j].astype(np.int64) for j in idx]
+                ci = np.repeat(
+                    np.arange(len(cand), dtype=np.int64), [len(p) for p in plists]
+                )
+                pos = np.concatenate(plists) if plists else np.empty(0, dtype=np.int64)
+                return ci, ci * SHIFT + pos - np.int64(offset)
+
+            ok_ci, ok_keys = term_keys(terms[0], 0)
+            for i, t in enumerate(terms[1:], 1):
+                _, keys_t = term_keys(t, i)
+                keep = np.isin(ok_keys, keys_t)
+                ok_ci, ok_keys = ok_ci[keep], ok_keys[keep]
+                if not len(ok_ci):
+                    break
+            if len(ok_ci):
+                hits = cand[np.unique(ok_ci)]
+                out_qid.extend([qid] * len(hits))
+                out_doc.extend(int(d) for d in hits)
         return pd.DataFrame({"qid": out_qid, "doc_id": np.array(out_doc, dtype=np.int64)})
+
+    return fn
+
+
+def _phrase_score_fn(queries: dict[str, list[str]], idfs: dict[str, float], stats: dict, k: int):
+    """Cogrouped scorer: (postings of one doc_part) × (phrase matches of the
+    same part) → BM25 scores of ONLY the matched docs, per-shard top-k."""
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
+
+    def fn(pdf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "doc_id": [], "raw_score": []}).astype(
+            {"doc_id": np.int64, "raw_score": np.float64}
+        )
+        if not len(pdf) or not len(mdf):
+            return empty
+        by_term: dict[str, list[_Block]] = {}
+        for r in pdf.itertuples(index=False):
+            by_term.setdefault(r.term, []).append(
+                _Block(r.first_doc, r.last_doc, r.max_tf, r.min_dl, r.max_weight,
+                       r.doc_ids, r.tfs, r.dls, r.weights)
+            )
+        out_qid, out_doc, out_sc = [], [], []
+        for qid, terms in queries.items():
+            inc = np.sort(mdf.loc[mdf["qid"] == qid, "doc_id"].to_numpy(dtype=np.int64))
+            tb = {t: by_term[t] for t in terms if t in by_term}
+            if not len(inc) or not tb:
+                continue
+            ids, sc = score_exhaustive(tb, idfs, k, k1, b, avgdl, included=inc)
+            out_qid.extend([qid] * len(ids))
+            out_doc.append(ids)
+            out_sc.append(sc)
+        if not out_qid:
+            return empty
+        return pd.DataFrame(
+            {"qid": out_qid, "doc_id": np.concatenate(out_doc), "raw_score": np.concatenate(out_sc)}
+        )
 
     return fn
 
@@ -328,16 +390,33 @@ def phrase_bm25(
 ) -> DataFrame:
     """Scored phrase query: exact phrase matches (positional adjacency)
     ranked by the BM25 score of the phrase's terms — ES match_phrase
-    semantics. (qid, rank, doc_id, score)."""
-    matches = phrase_search(spark, index_root, phrases, snapshot_id)
-    scored = run_queries(
-        spark, index_root, {q: ts for q, ts in phrases.items()},
-        k=1 << 30, algo="exhaustive", snapshot_id=snapshot_id,
+    semantics. (qid, rank, doc_id, score).
+
+    Scale shape: phrase matches are cogrouped with the postings on
+    doc_part, so ONLY matched docs are ever scored (no score-everything
+    pass) and per-shard top-k keeps the global merge at k rows per shard —
+    a doc's whole score lives in one shard, so the merge is exact."""
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
+    matches = phrase_search(spark, index_root, phrases, snapshot_id).withColumn(
+        "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int")
+    )
+    all_terms = sorted({t for ts in phrases.values() for t in ts})
+    drows = cat.read_table(spark, "dictionary", snapshot=manifest).filter(
+        F.col("term").isin(all_terms)
+    ).collect()
+    n_docs = stats["n_docs"]
+    idfs = {r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)) for r in drows}
+    postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
+        F.col("term").isin([t for t in all_terms if t in idfs])
+    )
+    per_part = postings.groupBy("doc_part").cogroup(matches.groupBy("doc_part")).applyInPandas(
+        _phrase_score_fn(phrases, idfs, stats, k), schema=RESULT_SCHEMA
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
-        scored.join(matches, ["qid", "doc_id"])
-        .select("qid", "doc_id", "score")
+        per_part.withColumn("score", F.round(F.col("raw_score"), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score")

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from fafnir_spark import oracles_ops as OO
 from fafnir_spark.dedup import (
     embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -88,6 +89,20 @@ def test_embedding_dup(spark, ddb, emb):
     assert_matches(embedding_dup_pairs(emb, 0.4), ddb, OO.embedding_dup_sql(0.4))
 
 
+def test_embedding_dup_lsh(spark, ddb, emb):
+    """Bucketed near-dup: oracle parity + no cartesian join in the plan +
+    every surfaced pair is a true pair of the quadratic reference form."""
+    got = embedding_dup_pairs_lsh(emb, 0.4, tables=4, planes=4)
+    assert_matches(got, ddb, OO.embedding_dup_lsh_sql(0.4, plane_weights(4, 4)))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    allpairs = {(r["vec_a"], r["vec_b"]) for r in embedding_dup_pairs(emb, 0.4).collect()}
+    lsh = {(r["vec_a"], r["vec_b"]) for r in got.collect()}
+    assert lsh <= allpairs
+    if allpairs:
+        assert len(lsh) / len(allpairs) >= 0.3  # sign-LSH recall floor at 0.4
+
+
 def test_cosine_topk(spark, ddb, emb):
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
     assert_matches(
@@ -139,9 +154,11 @@ def test_ivf_ann(spark, ddb, emb):
     from fafnir_spark.simsearch import ivf_centroid_ids, ivf_cosine_topk
 
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
-    cids = ivf_centroid_ids(emb.count(), 16)
+    # the oracle derives centroid ids from count(*) in SQL; assert it agrees
+    # with the engine-side sampler on this fixture
+    assert ivf_centroid_ids(emb.count(), 16)[:3] == [0, 31, 62] or emb.count() != 500
     got = ivf_cosine_topk(emb, {"q": qv}, k=10, n_centroids=16, nprobe=4)
-    assert_matches(got.drop("qid"), ddb, OO.ivf_cosine_topk_sql(qv, cids, nprobe=4, k=10))
+    assert_matches(got.drop("qid"), ddb, OO.ivf_cosine_topk_sql(qv, n_centroids=16, nprobe=4, k=10))
     exact = {r["vec_id"] for r in cosine_topk(emb, {"q": qv}, k=10).collect()}
     approx = {r["vec_id"] for r in got.collect()}
     assert len(exact & approx) / 10 >= 0.3  # nprobe=4/16 recall floor
