@@ -147,29 +147,38 @@ def _encode_sorted(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _iter_group_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Yield frames cut at (term, doc_part) group boundaries, carrying the
+    trailing partial group into the next Arrow batch — THE carry protocol
+    every posting writer must use so a group spanning batches is encoded as
+    one run with globally consistent block_ids (format invariant)."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        term = pdf["term"].to_numpy()
+        part = pdf["doc_part"].to_numpy()
+        in_last = (term == term[-1]) & (part == part[-1])
+        if in_last.all():
+            carry = pdf  # whole batch is one group; keep accumulating
+            continue
+        cut = len(pdf) - int(np.argmin(in_last[::-1]))
+        carry = pdf.iloc[cut:]
+        yield pdf.iloc[:cut]
+    if carry is not None and len(carry):
+        yield carry
+
+
 def _encode_partition_fn(block_size: int):
     """mapInPandas over partitions pre-sorted by (term, doc_part, doc_id):
     encode complete groups per Arrow batch, carry the trailing partial
     group into the next batch."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            term = pdf["term"].to_numpy()
-            part = pdf["doc_part"].to_numpy()
-            in_last = (term == term[-1]) & (part == part[-1])
-            if in_last.all():
-                carry = pdf  # whole batch is one group; keep accumulating
-                continue
-            cut = len(pdf) - int(np.argmin(in_last[::-1]))
-            carry = pdf.iloc[cut:]
-            yield _encode_sorted(pdf.iloc[:cut], block_size)
-        if carry is not None and len(carry):
-            yield _encode_sorted(carry, block_size)
+        for chunk in _iter_group_runs(batches):
+            yield _encode_sorted(chunk, block_size)
 
     return fn
 
@@ -253,8 +262,11 @@ def build_index(
             tok_fn, schema=tok_schema
         ).persist()
 
+        # doc_map rows carry their segment name so tombstones can be scoped
+        # per segment (stable-id upsert: old row dead, same-id new row live)
         cat.write_segment(
-            tokenized.drop("terms", "tfs", *(["positions"] if with_positions else [])),
+            tokenized.drop("terms", "tfs", *(["positions"] if with_positions else []))
+            .withColumn("seg", F.lit(f"{build_id}-{shard}")),
             "doc_map", f"{build_id}-{shard}",
         )
 
@@ -408,7 +420,7 @@ def verify_sha256(spark: SparkSession, index_root: str, source_docs: DataFrame,
     in doc_map must equal sha256 recomputed from the source table. Returns
     the number of violating rows (0 = invariant holds)."""
     cat = Catalog(index_root)
-    dm = cat.read_table(spark, "doc_map").select("doc_id", "content_sha256")
+    dm = cat.live_doc_map(spark).select("doc_id", "content_sha256")
     src = source_docs.select(
         F.col(id_col).alias("doc_id"),
         F.sha2(F.col(text_col), 256).alias("src_sha256"),
@@ -420,11 +432,20 @@ def verify_sha256(spark: SparkSession, index_root: str, source_docs: DataFrame,
     )
 
 
-def compact_index(spark: SparkSession, cat: Catalog, block_size: int) -> None:
+def compact_index(
+    spark: SparkSession,
+    cat: Catalog,
+    block_size: int,
+    tombstones: dict[int, str | None] | None = None,
+) -> None:
     """Rewrite multi-segment postings into one sorted run per (term, part).
 
     fafnir analog: post-publish force-merge to a single segment
     (/root/reference config/elasticsearch/default.toml:26-44).
+
+    ``tombstones``: {doc_id: keep_seg|None} — entries are physically
+    dropped during the merge, EXCEPT postings whose source segment equals
+    the id's keep_seg (the live version written by a stable-id upsert).
     """
     from .codec import delta_decode, f64_decode, varint_decode
 
@@ -432,27 +453,55 @@ def compact_index(spark: SparkSession, cat: Catalog, block_size: int) -> None:
     postings = cat.read_table(spark, "postings")
     with_pos = "positions" in postings.columns
     n_parts = (m.get("meta") or {}).get("n_parts", 8)
+    ts_ids = np.array(sorted(tombstones), dtype=np.int64) if tombstones else None
+    ts_keep = [tombstones[int(i)] for i in ts_ids] if tombstones else None
 
     def merge_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # decode all blocks, flatten to postings, re-encode sorted runs.
         # partitions are pre-grouped by (term, doc_part) and sorted, but a
-        # group's blocks may span batches → same carry protocol as encode.
+        # group's blocks may span batches → the shared _iter_group_runs
+        # carry protocol keeps block_ids unique per (term, doc_part).
         from .codec import positions_decode
+
+        exc_cache: dict[str, np.ndarray] = {}
+
+        def exc_for(seg: str) -> np.ndarray:
+            if seg not in exc_cache:
+                exc_cache[seg] = np.sort(
+                    ts_ids[np.array([k != seg for k in ts_keep], dtype=bool)]
+                )
+            return exc_cache[seg]
 
         def decode_flat(pdf: pd.DataFrame) -> pd.DataFrame:
             ids, tfs, dls, ws, terms, parts, pos = [], [], [], [], [], [], []
             for r in pdf.itertuples(index=False):
                 d = delta_decode(r.doc_ids).astype(np.int64)
                 t = varint_decode(r.tfs).astype(np.int64)
+                dl = varint_decode(r.dls).astype(np.int64)
+                w = f64_decode(r.weights)
+                if not len(w):
+                    w = np.ones(len(d))
+                pl = positions_decode(r.positions, t) if with_pos else None
+                if ts_ids is not None:
+                    exc = exc_for(getattr(r, "seg", "") or "")
+                    if len(exc):
+                        keep = ~np.isin(d, exc)
+                        if not keep.all():
+                            d, t, dl, w = d[keep], t[keep], dl[keep], w[keep]
+                            if with_pos:
+                                pl = [p for p, k in zip(pl, keep) if k]
+                if not len(d):
+                    continue
                 ids.append(d)
                 tfs.append(t)
-                dls.append(varint_decode(r.dls).astype(np.int64))
-                w = f64_decode(r.weights)
-                ws.append(w if len(w) else np.ones(len(d)))
+                dls.append(dl)
+                ws.append(w)
                 terms.append(np.repeat(r.term, len(d)))
                 parts.append(np.repeat(r.doc_part, len(d)))
                 if with_pos:
-                    pos.extend(positions_decode(r.positions, t))
+                    pos.extend(pl)
+            if not ids:
+                return pd.DataFrame()
             cols = {
                 "term": np.concatenate(terms),
                 "doc_part": np.concatenate(parts),
@@ -466,24 +515,10 @@ def compact_index(spark: SparkSession, cat: Catalog, block_size: int) -> None:
                 flat["positions"] = pos
             return flat.sort_values(["term", "doc_part", "doc_id"], kind="mergesort")
 
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            in_last = (
-                (pdf["term"].to_numpy() == pdf["term"].iloc[-1])
-                & (pdf["doc_part"].to_numpy() == pdf["doc_part"].iloc[-1])
-            )
-            if in_last.all():
-                carry = pdf
-                continue
-            cut = len(pdf) - int(np.argmin(in_last[::-1]))
-            carry = pdf.iloc[cut:]
-            yield _encode_sorted(decode_flat(pdf.iloc[:cut]), block_size)
-        if carry is not None and len(carry):
-            yield _encode_sorted(decode_flat(carry), block_size)
+        for chunk in _iter_group_runs(batches):
+            flat = decode_flat(chunk)
+            if len(flat):
+                yield _encode_sorted(flat, block_size)
 
     merged = (
         postings.repartition("term", "doc_part")

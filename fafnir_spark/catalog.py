@@ -129,6 +129,34 @@ class Catalog:
             df = df.unionByName(spark.read.parquet(s), allowMissingColumns=True)
         return df
 
+    def live_doc_map(self, spark: SparkSession, snapshot: dict | None = None) -> DataFrame:
+        """doc_map restricted to LIVE rows.
+
+        Tombstone semantics (incremental.py): a tombstone (doc_id,
+        keep_seg=None) kills the doc everywhere; (doc_id, keep_seg=s) kills
+        every row EXCEPT the one written by segment ``s`` — the stable-id
+        upsert's new version. Tombstones are broadcast (they are
+        driver-small by design; compaction drains them)."""
+        from pyspark.sql import functions as F
+
+        m = snapshot or self.read_manifest()
+        dm = self.read_table(spark, "doc_map", snapshot=m)
+        if "tombstones" not in m["tables"]:
+            return dm
+        ts = self.read_table(spark, "tombstones", snapshot=m)
+        if "keep_seg" not in ts.columns:  # pre-upsert tombstone segments
+            ts = ts.withColumn("keep_seg", F.lit(None).cast("string"))
+        if "seg" not in dm.columns:
+            dm = dm.withColumn("seg", F.lit(None).cast("string"))
+        ts = ts.select(
+            "doc_id", F.col("keep_seg").alias("__keep"), F.lit(1).alias("__dead")
+        )
+        return (
+            dm.join(F.broadcast(ts), "doc_id", "left")
+            .filter(F.col("__dead").isNull() | (F.col("seg") == F.col("__keep")))
+            .drop("__dead", "__keep")
+        )
+
     # ---------- sidecar json (stats, checkpoints) ----------
     def write_json(self, name: str, obj: dict) -> None:
         p = os.path.join(self.root, name + ".json")

@@ -16,13 +16,25 @@ index backend):
  * delete_docs: tombstones. Queries filter tombstoned doc_ids at decode
    time; like ES, deleted docs still count in df/avgdl until a compaction
    physically drops them and recomputes exact stats.
- * upsert_docs: tombstone colliding ids + append re-tokenized docs.
+ * upsert_docs: STABLE-id replace. The old version is tombstoned with
+   keep_seg=<new segment>, and the new content is indexed under the SAME
+   doc_id in that segment — decode drops the id from every segment except
+   keep_seg, so exactly one version is live. Re-upsert overwrites the
+   tombstone (last-write-wins by doc_id) and a later delete kills all
+   versions. This matches the reference's update-by-stable-id.
  * update_doc_meta: MERGE INTO over doc_map (field-level Set, the photos/
-   reviews property updates) — rewrite of the doc_map segments, postings
+   reviews property updates) — copy-on-write at SEGMENT granularity: only
+   doc_map segments containing touched ids are rewritten; postings are
    untouched (metadata is not indexed text).
+
+Every written segment name is unique (uuid suffix): segments referenced by
+the current or any historical manifest are immutable, so time travel stays
+valid across maintenance operations.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,11 +47,43 @@ from .catalog import Catalog
 TOMBSTONE_TABLE = "tombstones"
 
 
-def _read_tombstones(spark: SparkSession, cat: Catalog) -> set[int]:
+def _read_tombstones(spark: SparkSession, cat: Catalog) -> dict[int, str | None]:
+    """{doc_id: keep_seg|None}. keep_seg=None → dead in every segment;
+    keep_seg=s → dead everywhere EXCEPT segment s (stable-id upsert)."""
     m = cat.read_manifest()
     if TOMBSTONE_TABLE not in m["tables"]:
-        return set()
-    return {r["doc_id"] for r in cat.read_table(spark, TOMBSTONE_TABLE).collect()}
+        return {}
+    df = cat.read_table(spark, TOMBSTONE_TABLE)
+    has_keep = "keep_seg" in df.columns
+    return {
+        int(r["doc_id"]): (r["keep_seg"] if has_keep else None) for r in df.collect()
+    }
+
+
+def _tombstone_segment(
+    spark: SparkSession, cat: Catalog, merged: dict[int, str | None]
+) -> str:
+    """Write the full merged tombstone set as a fresh uniquely-named segment
+    and return its directory (caller includes it in a publish)."""
+    df = spark.createDataFrame(
+        [(int(i), merged[i]) for i in sorted(merged)], "doc_id long, keep_seg string"
+    )
+    seg = f"ts-{uuid.uuid4().hex[:8]}"
+    cat.write_segment(df.coalesce(1), TOMBSTONE_TABLE, seg)
+    return cat.segment_dir(TOMBSTONE_TABLE, seg)
+
+
+def _write_tombstones(
+    spark: SparkSession, cat: Catalog, updates: dict[int, str | None]
+) -> None:
+    """Merge ``updates`` into the tombstone set (last-write-wins by doc_id)
+    and publish."""
+    m = cat.read_manifest()
+    merged = _read_tombstones(spark, cat)
+    merged.update(updates)
+    tables = dict(m["tables"])
+    tables[TOMBSTONE_TABLE] = [_tombstone_segment(spark, cat, merged)]
+    cat.publish(tables, meta=m.get("meta"))
 
 
 def append_index(
@@ -52,8 +96,11 @@ def append_index(
     """Index new documents as one additional immutable segment set.
 
     ``new_docs``: normalize_docs() output. doc_ids must not collide with
-    live docs (checked). n_parts/block_size come from the published stats
-    so routing stays consistent.
+    LIVE docs (checked against the tombstone-aware doc_map). Appending an
+    id that was previously deleted (or upserted away) re-points its
+    tombstone at this segment, resurrecting the id with the new content.
+    n_parts/block_size come from the published stats so routing stays
+    consistent.
     """
     cat = Catalog(index_root)
     stats = cat.read_json("stats")
@@ -76,14 +123,32 @@ def append_index(
         _tokenize_map_fn(tokenizer, n_parts, passthrough, with_pos), schema=tok_schema
     ).persist()
 
-    # collision check vs live doc_map (anti-join, broadcast the new ids)
-    live = cat.read_table(spark, "doc_map").select("doc_id")
+    # collision check vs LIVE doc_map (anti-join, broadcast the new ids):
+    # tombstoned ids are fair game — appending them resurrects the id
+    live = cat.live_doc_map(spark, m).select("doc_id")
     clash = live.join(F.broadcast(tokenized.select("doc_id")), "doc_id").count()
     if clash:
         raise ValueError(f"append would collide with {clash} live doc_ids; use upsert_docs")
 
+    # resurrect: new ids present in the tombstone set get keep_seg=segment
+    # so the version written HERE is the one decode keeps
+    ts_map = _read_tombstones(spark, cat)
+    ts_dir: str | None = None
+    if ts_map:
+        ts_ids = spark.createDataFrame([(int(i),) for i in sorted(ts_map)], "doc_id long")
+        hit = [
+            int(r["doc_id"])
+            for r in tokenized.select("doc_id").join(F.broadcast(ts_ids), "doc_id")
+            .distinct().collect()
+        ]
+        changed = {i: segment for i in hit if ts_map[i] != segment}
+        if changed:
+            ts_map.update(changed)
+            ts_dir = _tombstone_segment(spark, cat, ts_map)
+
     cat.write_segment(
-        tokenized.drop("terms", "tfs", *(["positions"] if with_pos else [])),
+        tokenized.drop("terms", "tfs", *(["positions"] if with_pos else []))
+        .withColumn("seg", F.lit(segment)),
         "doc_map", segment,
     )
     zip_cols = [F.col("terms").alias("term"), F.col("tfs").alias("tf")]
@@ -117,12 +182,15 @@ def append_index(
     tables = dict(m["tables"])
     tables["doc_map"] = tables["doc_map"] + [cat.segment_dir("doc_map", segment)]
     tables["postings"] = tables["postings"] + [cat.segment_dir("postings", segment)]
+    if ts_dir is not None:
+        tables[TOMBSTONE_TABLE] = [ts_dir]
     post_all = spark.read.parquet(tables["postings"][0])
     for p in tables["postings"][1:]:
         post_all = post_all.unionByName(spark.read.parquet(p), allowMissingColumns=True)
     merged = dictionary_from_postings(post_all)
-    cat.write_segment(merged, "dictionary", f"merged-{segment}", sort_within_by=["term"])
-    tables["dictionary"] = [cat.segment_dir("dictionary", f"merged-{segment}")]
+    dict_seg = f"merged-{segment}-{uuid.uuid4().hex[:6]}"
+    cat.write_segment(merged, "dictionary", dict_seg, sort_within_by=["term"])
+    tables["dictionary"] = [cat.segment_dir("dictionary", dict_seg)]
 
     dm = spark.read.parquet(*tables["doc_map"])
     agg = dm.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
@@ -137,18 +205,11 @@ def append_index(
 
 
 def delete_docs(spark: SparkSession, index_root: str, doc_ids: list[int]) -> None:
-    """Tombstone documents. Results exclude them immediately; df/avgdl stay
+    """Tombstone documents (keep_seg=None: dead in EVERY segment, including
+    any upserted versions). Results exclude them immediately; df/avgdl stay
     stale (ES-faithful) until compact_with_tombstones()."""
     cat = Catalog(index_root)
-    m = cat.read_manifest()
-    existing = _read_tombstones(spark, cat)
-    allids = sorted(existing | set(doc_ids))
-    df = spark.createDataFrame([(int(i),) for i in allids], "doc_id long")
-    seg = f"ts-{len(allids)}"
-    cat.write_segment(df.coalesce(1), TOMBSTONE_TABLE, seg)
-    tables = dict(m["tables"])
-    tables[TOMBSTONE_TABLE] = [cat.segment_dir(TOMBSTONE_TABLE, seg)]
-    cat.publish(tables, meta=m.get("meta"))
+    _write_tombstones(spark, cat, {int(i): None for i in doc_ids})
 
 
 def upsert_docs(
@@ -158,65 +219,85 @@ def upsert_docs(
     segment: str,
     tokenizer: str = "code",
 ) -> None:
-    """Replace (or insert) documents by doc_id: tombstone + append."""
+    """Replace (or insert) documents by STABLE doc_id.
+
+    Live old versions are tombstoned with keep_seg=``segment`` and the new
+    content is indexed under the SAME doc_id inside ``segment`` — the
+    reference's UpdateOperation::Set keyed by stable document id
+    (/root/reference src/bin/tripadvisor2mimir.rs:112-165). Queries return
+    the id the caller supplied; a later delete_docs(id) removes the doc
+    entirely (the tombstone merge is last-write-wins).
+    """
     cat = Catalog(index_root)
-    new_ids = [r["doc_id"] for r in docs_new.select("doc_id").collect()]
+    new_ids = spark.createDataFrame(
+        [(int(r["doc_id"]),) for r in docs_new.select("doc_id").distinct().collect()],
+        "doc_id long",
+    )
     live = {
-        r["doc_id"]
-        for r in cat.read_table(spark, "doc_map")
-        .join(F.broadcast(spark.createDataFrame([(i,) for i in new_ids], "doc_id long")), "doc_id")
-        .select("doc_id").collect()
+        int(r["doc_id"])
+        for r in cat.live_doc_map(spark).select("doc_id")
+        .join(F.broadcast(new_ids), "doc_id").collect()
     }
     if live:
-        delete_docs(spark, index_root, sorted(live))
-    # remap replaced ids to fresh ones (append requires unique ids); the
-    # caller-visible id mapping is recorded in doc_map's prev_doc_id
-    remapped = docs_new.withColumn("prev_doc_id", F.col("doc_id")).withColumn(
-        "doc_id",
-        F.when(F.col("doc_id").isin(*([int(i) for i in live] or [-1])),
-               F.xxhash64(F.col("doc_id").cast("string"), F.lit(segment)))
-        .otherwise(F.col("doc_id")),
-    )
-    append_index(spark, remapped.drop("prev_doc_id"), index_root, segment, tokenizer)
+        _write_tombstones(spark, cat, {i: segment for i in sorted(live)})
+    # append re-points tombstones of previously-deleted ids at this segment
+    append_index(spark, docs_new, index_root, segment, tokenizer)
 
 
 def update_doc_meta(spark: SparkSession, index_root: str, updates: DataFrame) -> None:
     """MERGE INTO doc_map: field-level Set updates keyed by doc_id
     (fafnir's UpdateOperation::Set on properties). ``updates`` columns
-    beyond doc_id overwrite matching doc_map columns when non-null."""
+    beyond doc_id overwrite matching doc_map columns when non-null.
+
+    Copy-on-write at segment granularity: only doc_map segments that
+    contain a touched id are rewritten (to fresh uniquely-named segments);
+    untouched segment files stay byte-identical, so a point update at 10^12
+    docs rewrites one segment, not the table, and historical snapshots keep
+    pointing at valid immutable dirs."""
     cat = Catalog(index_root)
     m = cat.read_manifest()
-    dm = cat.read_table(spark, "doc_map")
     upd_cols = [c for c in updates.columns if c != "doc_id"]
     u = updates.select("doc_id", *[F.col(c).alias(f"__u_{c}") for c in upd_cols])
-    merged = dm.join(F.broadcast(u), "doc_id", "left")
-    for c in upd_cols:
-        merged = merged.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
-    merged = merged.drop(*[f"__u_{c}" for c in upd_cols])
-    seg = "merged-meta"
-    cat.write_segment(merged, "doc_map", seg)
+    ids = updates.select("doc_id")
+    new_dirs: list[str] = []
+    for d in m["tables"]["doc_map"]:
+        seg_df = spark.read.parquet(d)
+        touched = seg_df.join(F.broadcast(ids), "doc_id", "left_semi").limit(1).count()
+        if not touched:
+            new_dirs.append(d)
+            continue
+        merged = seg_df.join(F.broadcast(u), "doc_id", "left")
+        for c in upd_cols:
+            merged = merged.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
+        merged = merged.drop(*[f"__u_{c}" for c in upd_cols])
+        seg = f"meta-{uuid.uuid4().hex[:8]}"
+        cat.write_segment(merged, "doc_map", seg)
+        new_dirs.append(cat.segment_dir("doc_map", seg))
     tables = dict(m["tables"])
-    tables["doc_map"] = [cat.segment_dir("doc_map", seg)]
+    tables["doc_map"] = new_dirs
     cat.publish(tables, meta=m.get("meta"))
 
 
 def compact_with_tombstones(spark: SparkSession, index_root: str) -> None:
     """Physically drop tombstoned docs, force-merge posting runs
-    (the reference's force_merge, S11), recompute exact dictionary/stats."""
+    (the reference's force_merge, S11), recompute exact dictionary/stats.
+
+    keep_seg-aware: an upserted doc's live version (row seg == keep_seg)
+    survives; every other tombstoned row is dropped. The tombstone table is
+    drained in the same pass."""
     cat = Catalog(index_root)
     stats = cat.read_json("stats")
     ts = _read_tombstones(spark, cat)
     if ts:
         m = cat.read_manifest()
-        ts_df = spark.createDataFrame([(int(i),) for i in sorted(ts)], "doc_id long")
-        dm = cat.read_table(spark, "doc_map").join(F.broadcast(ts_df), "doc_id", "left_anti")
-        cat.write_segment(dm, "doc_map", "compact-dm")
+        dm_live = cat.live_doc_map(spark, m)
+        seg = f"compact-dm-{uuid.uuid4().hex[:8]}"
+        cat.write_segment(dm_live, "doc_map", seg)
         tables = dict(m["tables"])
-        tables["doc_map"] = [cat.segment_dir("doc_map", "compact-dm")]
+        tables["doc_map"] = [cat.segment_dir("doc_map", seg)]
         tables.pop(TOMBSTONE_TABLE, None)
         cat.publish(tables, meta=m.get("meta"))
-        _drop_tombstones_from_postings(spark, cat, ts, stats["block_size"])
-    compact_index(spark, cat, stats["block_size"])
+    compact_index(spark, cat, stats["block_size"], tombstones=ts or None)
 
     # exact stats + dictionary from the surviving index
     dm = cat.read_table(spark, "doc_map")
@@ -227,76 +308,11 @@ def compact_with_tombstones(spark: SparkSession, index_root: str) -> None:
     from .build import dictionary_from_postings
 
     dictionary = dictionary_from_postings(cat.read_table(spark, "postings"))
-    cat.write_segment(dictionary, "dictionary", "compact-dict", sort_within_by=["term"])
+    dict_seg = f"compact-dict-{uuid.uuid4().hex[:8]}"
+    cat.write_segment(dictionary, "dictionary", dict_seg, sort_within_by=["term"])
     m2 = cat.read_manifest()
     tables = dict(m2["tables"])
-    tables["dictionary"] = [cat.segment_dir("dictionary", "compact-dict")]
+    tables["dictionary"] = [cat.segment_dir("dictionary", dict_seg)]
     meta = dict(m2.get("meta") or {})
     meta["stats"] = stats_doc  # queries read stats from the manifest
     cat.publish(tables, meta=meta)
-
-
-def _drop_tombstones_from_postings(
-    spark: SparkSession, cat: Catalog, tombstones: set[int], block_size: int
-) -> None:
-    """Rewrite posting blocks with tombstoned doc_ids removed."""
-    import numpy as np
-    import pandas as pd
-
-    from .build import _encode_sorted
-    from .codec import delta_decode, f64_decode, varint_decode
-
-    m = cat.read_manifest()
-    ts = np.array(sorted(tombstones), dtype=np.int64)
-    post = cat.read_table(spark, "postings")
-    with_pos = "positions" in post.columns
-
-    def fn(batches):
-        from .codec import positions_decode
-
-        for pdf in batches:
-            cols = {"term": [], "doc_part": [], "doc_id": [], "tf": [], "dl": [], "weight": []}
-            pos: list = []
-            for r in pdf.itertuples(index=False):
-                ids = delta_decode(r.doc_ids).astype(np.int64)
-                tfs = varint_decode(r.tfs).astype(np.int64)
-                keep = ~np.isin(ids, ts)
-                if not keep.any():
-                    continue
-                cols["term"].append(np.repeat(r.term, keep.sum()))
-                cols["doc_part"].append(np.repeat(r.doc_part, keep.sum()))
-                cols["doc_id"].append(ids[keep])
-                cols["tf"].append(tfs[keep])
-                cols["dl"].append(varint_decode(r.dls).astype(np.int64)[keep])
-                w = f64_decode(r.weights)
-                if not len(w):
-                    w = np.ones(len(ids))
-                cols["weight"].append(w[keep])
-                if with_pos:
-                    plists = positions_decode(r.positions, tfs)
-                    pos.extend(p for p, k in zip(plists, keep) if k)
-            if not cols["term"]:
-                continue
-            flat = pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
-            if with_pos:
-                flat["positions"] = pos
-            flat = flat.sort_values(["term", "doc_part", "doc_id"], kind="mergesort")
-            yield _encode_sorted(flat, block_size)
-
-    # process whole (term, doc_part) groups per partition like the build
-    from .build import POSTINGS_SCHEMA_POS
-
-    rewritten = (
-        post.repartition("term", "doc_part")
-        .sortWithinPartitions("term", "doc_part", "block_id")
-        .mapInPandas(fn, schema=POSTINGS_SCHEMA_POS if with_pos else POSTINGS_SCHEMA)
-    )
-    seg = "ts-dropped"
-    cat.write_segment(
-        rewritten.withColumn("seg", F.lit(seg)), "postings", seg,
-        partition_by=["doc_part"], sort_within_by=["term"],
-    )
-    m = cat.read_manifest()
-    tables = dict(m["tables"])
-    tables["postings"] = [cat.segment_dir("postings", seg)]
-    cat.publish(tables, meta=m.get("meta"))

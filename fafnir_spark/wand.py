@@ -56,6 +56,7 @@ class _Block:
     tfs: bytes
     dls: bytes
     weights: bytes
+    seg: str = ""
     _decoded: tuple | None = field(default=None, repr=False)
 
     def decode(self):
@@ -71,6 +72,53 @@ class _Block:
                 ws,
             )
         return self._decoded
+
+
+class _Tombstones:
+    """Tombstone set with per-segment scoping (incremental.py semantics):
+    keep_seg=None → dead in every segment; keep_seg=s → dead everywhere
+    EXCEPT segment s (the stable-id upsert's live version). Driver-small by
+    design (compaction drains it); shipped inside UDF closures."""
+
+    def __init__(self, ids, keeps):
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.keeps = list(keeps)
+        self._cache: dict[str, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def excluded_for(self, seg: str) -> np.ndarray:
+        seg = seg or ""
+        if seg not in self._cache:
+            mask = np.array([k != seg for k in self.keeps], dtype=bool)
+            self._cache[seg] = np.sort(self.ids[mask])
+        return self._cache[seg]
+
+
+def _exc_for(excluded, seg: str):
+    """Per-segment exclusion array from either form (legacy flat array or
+    seg-scoped _Tombstones)."""
+    if excluded is None:
+        return None
+    if isinstance(excluded, _Tombstones):
+        return excluded.excluded_for(seg)
+    return excluded
+
+
+def _load_tombstones(spark: SparkSession, cat: Catalog, manifest: dict):
+    """_Tombstones | None from the snapshot's tombstone table."""
+    if "tombstones" not in manifest["tables"]:
+        return None
+    df = cat.read_table(spark, "tombstones", snapshot=manifest)
+    has_keep = "keep_seg" in df.columns
+    rows = df.collect()
+    if not rows:
+        return None
+    return _Tombstones(
+        [r["doc_id"] for r in rows],
+        [(r["keep_seg"] if has_keep else None) for r in rows],
+    )
 
 
 def _tfn(tf, dl, k1: float, b: float, avgdl: float):
@@ -123,8 +171,9 @@ def score_exhaustive(
                 if not keep.any():
                     continue
                 ids, tfs, dls, ws = ids[keep], tfs[keep], dls[keep], ws[keep]
-            if excluded is not None and len(excluded):
-                keep = ~np.isin(ids, excluded)
+            exc = _exc_for(excluded, blk.seg)
+            if exc is not None and len(exc):
+                keep = ~np.isin(ids, exc)
                 ids, tfs, dls, ws = ids[keep], tfs[keep], dls[keep], ws[keep]
             ids_all.append(ids)
             sc_all.append(idf * _tfn(tfs, dls, k1, b, avgdl) * ws)
@@ -205,8 +254,9 @@ def score_bmw(
             if a == z:
                 continue
             seg_ids, seg_tf, seg_dl, seg_w = ids[a:z], tfs[a:z], dls[a:z], ws[a:z]
-            if excluded is not None and len(excluded):
-                keep = ~np.isin(seg_ids, excluded)
+            exc = _exc_for(excluded, blk.seg)
+            if exc is not None and len(exc):
+                keep = ~np.isin(seg_ids, exc)
                 if not keep.any():
                     continue
                 seg_ids, seg_tf, seg_dl, seg_w = (
@@ -250,7 +300,7 @@ def _part_scorer(
         for r in pdf.itertuples(index=False):
             by_term.setdefault(r.term, []).append(
                 _Block(r.first_doc, r.last_doc, r.max_tf, r.min_dl, r.max_weight,
-                       r.doc_ids, r.tfs, r.dls, r.weights)
+                       r.doc_ids, r.tfs, r.dls, r.weights, getattr(r, "seg", "") or "")
             )
         out_qid, out_doc, out_sc = [], [], []
         for qid, terms in queries.items():
@@ -279,8 +329,12 @@ def _part_scorer(
 PHRASE_SCHEMA = "qid string, doc_id long"
 
 
-def _phrase_part_fn(phrases: dict[str, list[str]], excluded: np.ndarray | None = None):
-    """Per-doc_part exact phrase matching over positional postings."""
+def _phrase_part_fn(phrases: dict[str, list[str]], excluded=None):
+    """Per-doc_part exact phrase matching over positional postings.
+
+    Tombstone exclusion is applied per BLOCK (seg-scoped): an upserted doc's
+    old-segment positions are dropped while its keep_seg version survives,
+    so the merged per-term arrays never contain duplicate doc_ids."""
     from .codec import positions_decode
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -291,8 +345,15 @@ def _phrase_part_fn(phrases: dict[str, list[str]], excluded: np.ndarray | None =
             for r in grp.sort_values(["block_id"]).itertuples(index=False):
                 ids = delta_decode(r.doc_ids).astype(np.int64)
                 tfs = varint_decode(r.tfs)
+                plists = positions_decode(r.positions, tfs)
+                exc = _exc_for(excluded, getattr(r, "seg", "") or "")
+                if exc is not None and len(exc):
+                    keep = ~np.isin(ids, exc)
+                    if not keep.all():
+                        ids = ids[keep]
+                        plists = [p for p, k in zip(plists, keep) if k]
                 ids_l.append(ids)
-                pos_l.extend(positions_decode(r.positions, tfs))
+                pos_l.extend(plists)
             ids = np.concatenate(ids_l)
             order = np.argsort(ids, kind="mergesort")
             per_term[term] = (
@@ -312,8 +373,6 @@ def _phrase_part_fn(phrases: dict[str, list[str]], excluded: np.ndarray | None =
             cand = per_term[terms[0]][0]
             for t in terms[1:]:
                 cand = cand[np.isin(cand, per_term[t][0])]
-            if excluded is not None and len(excluded):
-                cand = cand[~np.isin(cand, excluded)]
             if not len(cand):
                 continue
 
@@ -360,7 +419,7 @@ def _phrase_score_fn(queries: dict[str, list[str]], idfs: dict[str, float], stat
         for r in pdf.itertuples(index=False):
             by_term.setdefault(r.term, []).append(
                 _Block(r.first_doc, r.last_doc, r.max_tf, r.min_dl, r.max_weight,
-                       r.doc_ids, r.tfs, r.dls, r.weights)
+                       r.doc_ids, r.tfs, r.dls, r.weights, getattr(r, "seg", "") or "")
             )
         out_qid, out_doc, out_sc = [], [], []
         for qid, terms in queries.items():
@@ -441,10 +500,7 @@ def phrase_search(
     )
     if "positions" not in postings.columns:
         raise ValueError("index lacks positions; build with with_positions=True")
-    excluded = None
-    if "tombstones" in manifest["tables"]:
-        ts = cat.read_table(spark, "tombstones", snapshot=manifest).collect()
-        excluded = np.sort(np.array([r["doc_id"] for r in ts], dtype=np.int64))
+    excluded = _load_tombstones(spark, cat, manifest)
     return (
         postings.groupBy("doc_part")
         .applyInPandas(_phrase_part_fn(phrases, excluded), schema=PHRASE_SCHEMA)
@@ -479,10 +535,7 @@ class Searcher:
         self._persisted = persist_postings
         if persist_postings:
             self._postings = self._postings.persist()
-        self._excluded = None
-        if "tombstones" in self.manifest["tables"]:
-            ts = self.cat.read_table(spark, "tombstones", snapshot=self.manifest).collect()
-            self._excluded = np.sort(np.array([r["doc_id"] for r in ts], dtype=np.int64))
+        self._excluded = _load_tombstones(spark, self.cat, self.manifest)
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:
         unknown = [t for t in terms if t not in self._dfs and t not in self._missing]
@@ -534,7 +587,9 @@ def attach_doc_meta(
     result side, never shuffle doc_map."""
     cat = Catalog(index_root)
     manifest = cat.manifest_at(snapshot_id)
-    dm = cat.read_table(spark, "doc_map", snapshot=manifest).drop("doc_part", "weight")
+    # tombstone-aware: after a stable-id upsert exactly one live doc_map row
+    # exists per id, so the join never fans out
+    dm = cat.live_doc_map(spark, manifest).drop("doc_part", "weight", "seg")
     return dm.join(F.broadcast(results), "doc_id").select(
         *results.columns, *[c for c in dm.columns if c != "doc_id"]
     )
@@ -585,11 +640,9 @@ def run_queries(
         F.col("term").isin(present)
     )
 
-    # tombstones (incremental deletes): filtered at decode time, ES-style
-    excluded = None
-    if "tombstones" in manifest["tables"]:
-        ts = cat.read_table(spark, "tombstones", snapshot=manifest).collect()
-        excluded = np.sort(np.array([r["doc_id"] for r in ts], dtype=np.int64))
+    # tombstones (incremental deletes/upserts): filtered at decode time,
+    # ES-style, scoped per segment (stable-id upsert keeps one live version)
+    excluded = _load_tombstones(spark, cat, manifest)
 
     per_part = postings.groupBy("doc_part").applyInPandas(
         _part_scorer(queries, idfs, stats, k, algo, excluded), schema=RESULT_SCHEMA

@@ -112,3 +112,122 @@ def test_update_doc_meta(spark, tmp_path, split_docs):
     got = {r["doc_id"]: r["source"] for r in dm.filter(F.col("doc_id") < 3).collect()}
     assert got[0] == "golden" and got[1] == "silver"
     assert got[2].startswith("src")  # untouched rows keep their value
+
+def test_upsert_keeps_stable_id(spark, tmp_path, split_docs):
+    """Reference update-by-stable-id (tripadvisor2mimir.rs:112-165): after
+    an upsert the SAME doc_id serves the new content."""
+    docs, _, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="s")
+    new = spark.createDataFrame([(7, "zzzunique merge window")], "doc_id long, text string")
+    upsert_docs(spark, normalize_docs(new, id_col="doc_id", text_col="text"),
+                root, segment="up1", tokenizer="whitespace")
+    res = run_queries(spark, root, {"q": ["zzzunique"]}, k=5).collect()
+    assert [r["doc_id"] for r in res] == [7]
+    dm = Catalog(root).live_doc_map(spark).filter("doc_id = 7").collect()
+    assert len(dm) == 1 and dm[0]["seg"] == "up1"
+
+
+def test_double_upsert_then_delete(spark, tmp_path, split_docs):
+    """Re-upserting the same id must retire the FIRST upsert's version too,
+    and a delete by the caller's id must kill every version."""
+    docs, _, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="s")
+
+    def q(term):
+        return [r["doc_id"] for r in run_queries(spark, root, {"q": [term]}, k=5).collect()]
+
+    v1 = spark.createDataFrame([(7, "aardvarkone merge")], "doc_id long, text string")
+    upsert_docs(spark, normalize_docs(v1, id_col="doc_id", text_col="text"),
+                root, segment="up1", tokenizer="whitespace")
+    v2 = spark.createDataFrame([(7, "aardvarktwo merge")], "doc_id long, text string")
+    upsert_docs(spark, normalize_docs(v2, id_col="doc_id", text_col="text"),
+                root, segment="up2", tokenizer="whitespace")
+    assert q("aardvarkone") == []          # first upsert's version retired
+    assert q("aardvarktwo") == [7]         # latest version, stable id
+    delete_docs(spark, root, [7])
+    assert q("aardvarktwo") == []          # delete kills ALL versions
+    compact_with_tombstones(spark, root)
+    assert q("aardvarktwo") == []
+    assert Catalog(root).read_table(spark, "doc_map").filter("doc_id = 7").count() == 0
+
+
+def test_reinsert_after_delete(spark, tmp_path, split_docs):
+    """A deleted id can be appended again (ES semantics): the tombstone is
+    re-pointed at the new segment, resurrecting the id."""
+    docs, _, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="s")
+    delete_docs(spark, root, [7])
+    re = spark.createDataFrame([(7, "phoenixterm merge")], "doc_id long, text string")
+    append_index(spark, normalize_docs(re, id_col="doc_id", text_col="text"),
+                 root, segment="re1", tokenizer="whitespace")
+    res = run_queries(spark, root, {"q": ["phoenixterm"]}, k=5).collect()
+    assert [r["doc_id"] for r in res] == [7]
+
+
+def test_meta_update_is_segment_granular(spark, tmp_path, split_docs):
+    """Copy-on-write: a point metadata update rewrites ONLY the doc_map
+    segments containing touched ids; untouched segment dirs are reused
+    verbatim, and repeated updates never overwrite a published segment."""
+    import os
+
+    docs, _, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=2, block_size=32, tokenizer="whitespace",
+                n_shards=2, build_id="m")
+    cat = Catalog(root)
+    dirs_before = list(cat.read_manifest()["tables"]["doc_map"])
+    assert len(dirs_before) == 2
+    # pick an id and find which shard segment holds it
+    target = 0
+    holder = [d for d in dirs_before
+              if spark.read.parquet(d).filter(F.col("doc_id") == target).count()]
+    assert len(holder) == 1
+    untouched = [d for d in dirs_before if d != holder[0]][0]
+    listing = sorted(
+        (f, os.path.getsize(os.path.join(untouched, f)))
+        for f in os.listdir(untouched) if not f.startswith(".")
+    )
+    update_doc_meta(spark, root, spark.createDataFrame(
+        [(target, "golden")], "doc_id long, source string"))
+    dirs_after = list(cat.read_manifest()["tables"]["doc_map"])
+    assert untouched in dirs_after and holder[0] not in dirs_after
+    assert listing == sorted(
+        (f, os.path.getsize(os.path.join(untouched, f)))
+        for f in os.listdir(untouched) if not f.startswith(".")
+    )
+    # a second update of the same id must not overwrite the first's segment
+    update_doc_meta(spark, root, spark.createDataFrame(
+        [(target, "silver")], "doc_id long, source string"))
+    dm = cat.read_table(spark, "doc_map")
+    assert dm.filter(F.col("doc_id") == target).collect()[0]["source"] == "silver"
+    assert dm.count() == docs.count()
+
+
+def test_repeated_delete_compact_cycles(spark, tmp_path, split_docs):
+    """delete→compact→delete→compact must not collide segment names (the
+    round-1 'ts-{len}' trap) and must keep results exact at every step."""
+    docs, _, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="c")
+    gone = []
+    for _ in range(2):
+        top = _res(spark, root, k=2)
+        victims = [t[1] for t in top]
+        delete_docs(spark, root, victims)
+        compact_with_tombstones(spark, root)
+        gone += victims
+        live = [d for _, d, _ in _res(spark, root, k=50)]
+        assert not (set(live) & set(gone))
+    fresh_root = str(tmp_path / "fresh")
+    kept = docs.filter(~F.col("doc_id").isin(gone))
+    build_index(spark, normalize_docs(kept, id_col="doc_id", text_col="text"),
+                fresh_root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="x")
+    assert _res(spark, root) == _res(spark, fresh_root)
