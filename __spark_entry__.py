@@ -235,6 +235,36 @@ def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(spark, root, {"q": ["key", "agg"]}).select("doc_id")
 
 
+def _q_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6: gzipped JSON-array feed → incremental record splitter →
+    JSONL shards → distributed Spark read (feeds.py; reference splitter
+    semantics from src/sources/tripadvisor/parse.rs:12-126). The feed file
+    is generated deterministically from the documents fixture, so the
+    oracle is simply the documents table."""
+    import gzip
+    import json
+
+    from fafnir_spark.feeds import read_feed
+
+    key = _content_key(sf_dir)
+    feed = os.path.join(tempfile.gettempdir(), f"fafnir_feed_{key}.json.gz")
+    shards = os.path.join(tempfile.gettempdir(), f"fafnir_feed_shards_{key}")
+    if not os.path.exists(feed):
+        rows = sorted(
+            _docs(spark, sf_dir).select("doc_id", "text", "lang", "source").collect(),
+            key=lambda r: r["doc_id"],
+        )
+        arr = [
+            {"id": r["doc_id"], "text": r["text"], "lang": r["lang"], "source": r["source"]}
+            for r in rows
+        ]
+        with gzip.open(feed + ".tmp", "wt", encoding="utf-8") as f:
+            json.dump(arr, f)
+        os.replace(feed + ".tmp", feed)
+    df = read_feed(spark, feed, shards, records_per_shard=128)
+    return df.select(F.col("id").alias("doc_id"), "lang", "source", "text")
+
+
 # ---- fafnir document-pipeline operators (SURVEY.md §2; pipeline.py) ----
 
 def _pq(fn_name: str, needs: str = "docs"):
@@ -275,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase,
         "phrase_match_indexed": _q_phrase_indexed,
         "bool_bm25": _q_bool,
+        "feed_ingest": _q_feed_ingest,
         "facet_counts": _q_facets,
         "snippets": _q_snippets,
         "union_corpora": _pq("union_corpora", "spark_sf"),
@@ -327,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_bm25": oracles.bool_bm25_sql(
             must=["merge"], should=["window", "customer"], must_not=["vector"], k=10
         ),
+        "feed_ingest": "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
         "facet_counts": oracles.facet_counts_sql(["merge", "vector"], ["source", "lang"]),
         "snippets": oracles.snippets_sql("merge"),
         "union_corpora": oracles_pipeline.union_corpora_sql(),

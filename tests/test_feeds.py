@@ -1,0 +1,98 @@
+"""Gzip JSON-array feed ingestion (S5/S6): incremental record splitter,
+shard conversion, and the insert→update→publish lifecycle
+(/root/reference src/sources/tripadvisor/parse.rs:12-126,
+src/bin/tripadvisor2mimir.rs:41-176)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+
+import pytest
+
+from fafnir_spark.feeds import (
+    feed_to_jsonl_shards,
+    ingest_feed,
+    iter_json_array,
+    read_feed,
+    read_json_array_feed,
+)
+
+TRICKY = [
+    {"id": 1, "name": "plain"},
+    {"id": 2, "name": "quote \" and ] brace } inside", "nested": {"a": [1, 2, {"b": "]"}]}},
+    {"id": 3, "name": "unicode é中文", "vals": [1.5, -2, None, True]},
+    {"id": 4, "empty": {}, "list": []},
+    {"id": 5, "escaped": "back\\slash and \\\" quote"},
+]
+
+
+def _gz(tmp_path, obj, name="feed.json.gz", separators=None):
+    p = str(tmp_path / name)
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        json.dump(obj, f, separators=separators)
+    return p
+
+
+def test_iter_json_array_matches_full_parse(tmp_path):
+    text = json.dumps(TRICKY)
+    # tiny chunks force every incremental code path (element spanning
+    # chunks, separators at chunk edges)
+    for chunk in (3, 7, 1 << 16):
+        got = list(iter_json_array(io.StringIO(text), chunk_chars=chunk))
+        assert got == TRICKY
+    # compact separators and leading whitespace
+    got = list(iter_json_array(io.StringIO("  \n" + json.dumps(TRICKY, separators=(",", ":")))))
+    assert got == TRICKY
+    assert list(iter_json_array(io.StringIO("[]"))) == []
+
+
+def test_iter_json_array_rejects_malformed():
+    with pytest.raises(ValueError, match="not a JSON array"):
+        list(iter_json_array(io.StringIO('{"a": 1}')))
+    with pytest.raises(ValueError):
+        list(iter_json_array(io.StringIO('[{"a": 1}, {"b":')))
+    with pytest.raises(ValueError, match="unterminated"):
+        list(iter_json_array(io.StringIO('[{"a": 1}')))
+
+
+def test_shard_conversion_and_spark_read(spark, tmp_path):
+    rows = [{"id": i, "text": f"doc {i} body", "source": f"src{i % 3}"} for i in range(20)]
+    feed = _gz(tmp_path, rows)
+    shards = feed_to_jsonl_shards(feed, str(tmp_path / "shards"), records_per_shard=7)
+    assert len(shards) == 3  # ceil(20/7)
+    df = read_feed(spark, feed, str(tmp_path / "shards"))
+    got = sorted((r["id"], r["text"], r["source"]) for r in df.collect())
+    assert got == sorted((r["id"], r["text"], r["source"]) for r in rows)
+    # direct multiLine array read agrees
+    df2 = read_json_array_feed(spark, feed)
+    assert sorted(r["id"] for r in df2.collect()) == list(range(20))
+
+
+def test_ingest_feed_lifecycle(spark, tmp_path):
+    """parse → insert pass → two update passes → publish, stable ids
+    (tripadvisor2mimir.rs:41-176)."""
+    from fafnir_spark.wand import attach_doc_meta, run_queries
+
+    rows = [
+        {"id": i, "text": ("hotel lobby " if i % 2 else "quiet beach ") + f"prop{i}",
+         "source": "feed", "lang": "en"}
+        for i in range(40)
+    ]
+    feed = _gz(tmp_path, rows)
+    root = str(tmp_path / "idx")
+    upd1 = spark.createDataFrame([(5, "photos"), (7, "photos")], "doc_id long, source string")
+    upd2 = spark.createDataFrame([(7, "reviews")], "doc_id long, source string")
+    metrics = ingest_feed(
+        spark, feed, root, str(tmp_path / "shards"),
+        updates=[upd1, upd2], n_parts=2, block_size=16,
+    )
+    assert metrics["docs"] == 40
+    res = run_queries(spark, root, {"q": ["hotel"]}, k=40)
+    hits = {r["doc_id"] for r in res.collect()}
+    assert hits == {i for i in range(40) if i % 2}
+    meta = {r["doc_id"]: r["source"]
+            for r in attach_doc_meta(spark, root, res).collect()}
+    assert meta[7] == "reviews" and meta[5] == "photos"  # last update wins
+    assert meta[1] == "feed"  # untouched rows keep pass-1 value
