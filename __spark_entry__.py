@@ -222,6 +222,21 @@ def _q_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
                      should=["window", "customer"], must_not=["vector"], k=10)
 
 
+def _q_bool_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bool DSL depth: minimum_should_match + per-clause boosts
+    (term^boost), must_not exclusion — the full ES bool shape."""
+    from fafnir_spark.query_ext import bool_bm25
+
+    return bool_bm25(
+        _docs(spark, sf_dir),
+        should=["merge", "window", "customer", "batch"],
+        must_not=["vector"],
+        minimum_should_match=2,
+        boosts={"window": 2.0, "batch": 0.5},
+        k=10,
+    )
+
+
 def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-postings phrase query — adjacency from stored token
     positions, same oracle as the text-containment form."""
@@ -305,7 +320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase,
         "phrase_match_indexed": _q_phrase_indexed,
         "bool_bm25": _q_bool,
+        "bool_bm25_msm": _q_bool_msm,
         "feed_ingest": _q_feed_ingest,
+        "lang_fill_in": _pq("lang_fill_in"),
+        "view_table_function": _pq("all_entities", "spark_sf"),
         "facet_counts": _q_facets,
         "snippets": _q_snippets,
         "union_corpora": _pq("union_corpora", "spark_sf"),
@@ -358,7 +376,13 @@ def oracle_sql() -> dict[str, str]:
         "bool_bm25": oracles.bool_bm25_sql(
             must=["merge"], should=["window", "customer"], must_not=["vector"], k=10
         ),
+        "bool_bm25_msm": oracles.bool_bm25_sql(
+            should=["merge", "window", "customer", "batch"], must_not=["vector"],
+            minimum_should_match=2, boosts={"window": 2.0, "batch": 0.5}, k=10,
+        ),
         "feed_ingest": "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
+        "lang_fill_in": oracles_pipeline.lang_fill_in_sql(),
+        "view_table_function": oracles_pipeline.all_entities_sql(),
         "facet_counts": oracles.facet_counts_sql(["merge", "vector"], ["source", "lang"]),
         "snippets": oracles.snippets_sql("merge"),
         "union_corpora": oracles_pipeline.union_corpora_sql(),

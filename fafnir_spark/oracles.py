@@ -156,9 +156,12 @@ def bool_bm25_sql(
     should: list[str] | None = None,
     must_not: list[str] | None = None,
     k: int = 10,
+    minimum_should_match: int | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> str:
     """ES bool-query mirror: must (all, scored) + should (scored) −
-    must_not (any excludes)."""
+    must_not (any excludes); optional minimum_should_match and per-term
+    boosts (term^boost), operand order identical to the Spark side."""
     must, should, must_not = must or [], should or [], must_not or []
     scored_terms = sorted(set(must + should))
     must_clause = ""
@@ -168,14 +171,30 @@ def bool_bm25_sql(
     SELECT doc_id FROM tf WHERE term IN {_terms_in(must)}
     GROUP BY doc_id HAVING count(*) = {len(sorted(set(must)))}
   )"""
+    if minimum_should_match and should:
+        must_clause += f"""
+  AND scored.doc_id IN (
+    SELECT doc_id FROM tf WHERE term IN {_terms_in(should)}
+    GROUP BY doc_id HAVING count(*) >= {minimum_should_match}
+  )"""
     not_clause = ""
     if must_not:
         not_clause = f"""
   AND scored.doc_id NOT IN (
     SELECT DISTINCT doc_id FROM tf WHERE term IN {_terms_in(must_not)}
   )"""
+    if boosts:
+        qb_rows = ", ".join(
+            f"('{t}', {float(boosts.get(t, 1.0))!r})" for t in scored_terms
+        )
+        qb_cte = f"qb(term, term_boost) AS (VALUES {qb_rows}),"
+        qb_join = "JOIN qb ON qb.term = tf.term"
+        boost_mul = " * qb.term_boost"
+    else:
+        qb_cte, qb_join, boost_mul = "", "", ""
     return f"""
 WITH {_TF_CTES},
+{qb_cte}
 dfs AS (
   SELECT term, count(*) AS df FROM tf
   WHERE term IN {_terms_in(scored_terms)} GROUP BY term
@@ -184,11 +203,13 @@ scored AS (
   SELECT tf.doc_id,
          sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
               * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+              {boost_mul}
             ) AS raw_score
   FROM tf
   JOIN dfs USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats
+  {qb_join}
   GROUP BY tf.doc_id
 )
 SELECT rank, doc_id, score FROM (

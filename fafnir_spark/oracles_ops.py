@@ -37,6 +37,18 @@ tfr AS (
 
 
 def text_stats_sql() -> str:
+    from .textstats import LANG_MARKERS, STOPWORDS_EN
+
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    # struct list mirrors textstats.text_stats's (hits, code) argmax: DuckDB
+    # sorts structs by field order, so list_reverse_sort == Spark's
+    # sort_array(desc) on struct<hits,code>
+    structs = ", ".join(
+        "{'hits': len(list_filter(tk, x -> x IN ("
+        + ", ".join(f"'{w}'" for w in m)
+        + f"))), 'code': '{code}'}}"
+        for code, m in sorted(LANG_MARKERS.items())
+    )
     return f"""
 WITH {_TOKS},
 fp AS (
@@ -49,27 +61,28 @@ fp AS (
     FROM toks WHERE len(tk) >= 3
   ) s ON s.doc_id = t.doc_id
   GROUP BY t.doc_id
+),
+lh AS (
+  SELECT doc_id, list_reverse_sort([{structs}]) AS h FROM toks
 )
 SELECT
   toks.doc_id,
   len(tk) AS n_tokens,
   len(list_distinct(tk)) AS n_distinct,
   round(CASE WHEN len(tk) > 0
-        THEN len(list_filter(tk, x -> x = 'the' OR x = 'a')) / len(tk)
+        THEN len(list_filter(tk, x -> x IN ({stop_in}))) / len(tk)
         ELSE 0.0 END, 6) AS stop_ratio,
   round(0.5 * least(1.0, len(tk) / 100.0)
       + 0.3 * (1.0 - CASE WHEN len(tk) > 0
-                     THEN len(list_filter(tk, x -> x = 'the' OR x = 'a')) / len(tk)
+                     THEN len(list_filter(tk, x -> x IN ({stop_in}))) / len(tk)
                      ELSE 0.0 END)
       + 0.2 * CASE WHEN len(tk) > 0
               THEN len(list_distinct(tk)) / len(tk) ELSE 0.0 END, 6) AS quality,
-  CASE WHEN len(list_filter(tk, x -> x = 'the' OR x = 'a'))
-          > len(list_filter(tk, x -> x = 'le' OR x = 'la')) THEN 'en'
-       WHEN len(list_filter(tk, x -> x = 'le' OR x = 'la'))
-          > len(list_filter(tk, x -> x = 'the' OR x = 'a')) THEN 'xx'
-       ELSE 'und' END AS lang_guess,
+  CASE WHEN lh.h[1].hits = lh.h[2].hits THEN 'und' ELSE lh.h[1].code END AS lang_guess,
   fp.fingerprint
-FROM toks JOIN fp ON fp.doc_id = toks.doc_id
+FROM toks
+JOIN fp ON fp.doc_id = toks.doc_id
+JOIN lh ON lh.doc_id = toks.doc_id
 ORDER BY toks.doc_id
 """
 

@@ -155,3 +155,39 @@ SELECT doc_id,
                 concat('thumb/', doc_id)) AS url
 FROM documents ORDER BY doc_id
 """
+
+
+def lang_fill_in_sql() -> str:
+    from .pipeline import COUNTRY_LANGS
+
+    countries = sorted(COUNTRY_LANGS)
+    clist = "[" + ", ".join(f"'{c}'" for c in countries) + "]"
+    rows = ", ".join(
+        f"('{c}', '{lg}')" for c in countries for lg in COUNTRY_LANGS[c]
+    )
+    n = len(countries)
+    return f"""
+WITH cl(country, fill_lang) AS (VALUES {rows}),
+sel AS (
+  SELECT doc_id, lang, substr(text, 1, 16) AS label,
+         ({clist})[((doc_id % {n}) + {n}) % {n} + 1] AS country
+  FROM documents
+)
+SELECT s.doc_id, s.country, cl.fill_lang, s.label
+FROM sel s JOIN cl USING (country)
+WHERE cl.fill_lang <> s.lang
+ORDER BY s.doc_id, cl.fill_lang
+"""
+
+
+def all_entities_sql(min_size: int = 150) -> str:
+    return f"""
+WITH all_entities AS (
+  SELECT doc_id AS id, 'doc' AS kind, n_chars AS size FROM documents
+  UNION ALL
+  SELECT event_id AS id, 'event' AS kind, CAST(floor(value) AS BIGINT) AS size
+  FROM events
+)
+SELECT kind, count(*) AS n, min(id) AS min_id, max(size) AS max_size
+FROM all_entities WHERE size >= {min_size} GROUP BY kind ORDER BY kind
+"""

@@ -269,3 +269,79 @@ def preferred_url(docs: DataFrame) -> DataFrame:
     standard = F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("std/"), F.col("doc_id")))
     thumb = F.concat(F.lit("thumb/"), F.col("doc_id"))
     return docs.select("doc_id", F.coalesce(original, standard, thumb).alias("url"))
+
+
+# P9: ISO-3166 country → official language codes (the reference fills
+# missing per-language labels from this table: src/langs.rs:5-59, applied in
+# pois.rs:198-224; facts per the Wikipedia source the reference cites —
+# note 'SI' for Slovenia, the correct ISO code).
+COUNTRY_LANGS: dict[str, list[str]] = {
+    "AT": ["de"], "AU": ["en"], "BE": ["fr", "de", "nl"], "BG": ["bg"],
+    "BR": ["pt"], "BY": ["be", "ru"], "CA": ["en", "fr"], "CH": ["de", "fr", "it", "rm"],
+    "CN": ["zh"], "CZ": ["cs"], "DE": ["de"], "DK": ["da"], "EE": ["et"],
+    "ES": ["es"], "FR": ["fr"], "GB": ["en"], "GR": ["el"], "HR": ["hr"],
+    "IE": ["ga", "en"], "IT": ["it"], "JP": ["ja"], "KR": ["ko"], "LT": ["lt"],
+    "LU": ["lb", "fr", "de"], "LV": ["lv"], "MD": ["ro"], "MK": ["mk", "sq"],
+    "MX": ["es"], "NL": ["nl"], "NO": ["no"], "NZ": ["en", "mi"], "PL": ["pl"],
+    "PT": ["pt"], "RO": ["ro"], "RS": ["sr"], "RU": ["ru"], "SE": ["sv"],
+    "SG": ["en", "ms", "ta"], "SI": ["sl"], "SK": ["sk"], "TH": ["th"],
+    "TN": ["ar"], "TR": ["tr"], "UA": ["uk"], "US": ["en"], "UY": ["es"],
+    "UZ": ["uz"], "VE": ["es"], "VN": ["vi"],
+}
+
+
+def lang_fill_in(docs: DataFrame) -> DataFrame:
+    """P9: language fill-in by country — for every official language of a
+    doc's country, emit a filled-in label row unless the doc already has
+    that language (pois.rs:198-224 appends name:<lang> labels it lacks).
+
+    The table enters the plan as a literal map (broadcast-free constant
+    folding); the fixture has no country column, so country is derived
+    deterministically from doc_id (pmod against the sorted country list)
+    — same derivation in the oracle."""
+    countries = sorted(COUNTRY_LANGS)
+    ckeys = F.array(*[F.lit(c) for c in countries])
+    country = F.element_at(
+        ckeys, (F.pmod(F.col("doc_id"), F.lit(len(countries))) + 1).cast("int")
+    )
+    lmap = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in countries]),
+        F.array(*[F.array(*[F.lit(lg) for lg in COUNTRY_LANGS[c]]) for c in countries]),
+    )
+    out = docs.select(
+        "doc_id", "lang",
+        country.alias("country"),
+        F.explode(F.element_at(lmap, country)).alias("fill_lang"),
+        F.substring("text", 1, 16).alias("label"),
+    )
+    return (
+        out.filter(F.col("fill_lang") != F.col("lang"))
+        .select("doc_id", "country", "fill_lang", "label")
+    )
+
+
+def all_entities(spark: SparkSession, sf_dir: str, min_size: int = 150) -> DataFrame:
+    """S4: the in-DB table function analog of all_pois(zoom_level) — a
+    UNION ALL **view** over heterogeneous tables with a filter parameter
+    (/root/reference tests/openmaptiles2mimir/data/functions.sql:160-228).
+
+    Spark-first idiom: register the union as a TEMP VIEW, parameterize with
+    WHERE — Catalyst pushes the predicate and the column pruning into BOTH
+    union branches down to the parquet scans (asserted in tests)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("v_documents")
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("v_events")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW all_entities AS
+        SELECT doc_id AS id, 'doc' AS kind, n_chars AS size FROM v_documents
+        UNION ALL
+        SELECT event_id AS id, 'event' AS kind, CAST(floor(value) AS BIGINT) AS size
+        FROM v_events
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT kind, count(*) AS n, min(id) AS min_id, max(size) AS max_size
+        FROM all_entities WHERE size >= {min_size} GROUP BY kind ORDER BY kind
+        """
+    )

@@ -62,6 +62,7 @@ def bm25_scores(
     b: float = B,
     eligible: DataFrame | None = None,
     excluded_docs: DataFrame | None = None,
+    term_boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """(doc_id, score) for every doc matching >=1 query term (disjunctive).
 
@@ -77,7 +78,15 @@ def bm25_scores(
     """
     qterms = sorted(set(query_terms))
     spark = docs.sparkSession
-    q = spark.createDataFrame([(t,) for t in qterms], "term string")
+    if term_boosts:
+        # per-clause boosts (ES query DSL term^boost): a column on the
+        # broadcast query relation, multiplied into each term's partial
+        q = spark.createDataFrame(
+            [(t, float(term_boosts.get(t, 1.0))) for t in qterms],
+            "term string, term_boost double",
+        )
+    else:
+        q = spark.createDataFrame([(t,) for t in qterms], "term string")
 
     cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")]
     if boost is not None:
@@ -92,7 +101,7 @@ def bm25_scores(
 
     matched = (
         tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfs.join(F.broadcast(q), "term")), "term")
+        .join(F.broadcast(dfs.join(F.broadcast(q.select("term")), "term")), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
@@ -104,7 +113,8 @@ def bm25_scores(
     tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
-    per_term = matched.withColumn("part_score", idf * tfn)
+    part = idf * tfn * F.col("term_boost") if term_boosts else idf * tfn
+    per_term = matched.withColumn("part_score", part)
     scores = per_term.groupBy("doc_id").agg(F.sum("part_score").alias("raw_score"))
     if boost is not None:
         scores = scores.join(base.select("doc_id", "__boost"), "doc_id").withColumn(

@@ -132,28 +132,42 @@ def bool_bm25(
     must_not: list[str] | None = None,
     k: int = 10,
     text_col: str = "text",
+    minimum_should_match: int | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """ES bool-query semantics over BM25 (the query DSL fafnir's backend
     exposes): ``must`` terms all required and scored; ``should`` terms
     optional and scored; ``must_not`` terms exclude. With no must clause,
-    at least one should term must match. (rank, doc_id, score)."""
+    at least one should term must match. ``minimum_should_match`` requires
+    >= m distinct should terms per doc; ``boosts`` multiplies a term's
+    score contribution (term^boost). (rank, doc_id, score)."""
     from .query import bm25_topk, doc_term_freqs
 
+    spark = docs.sparkSession
     must, should, must_not = must or [], should or [], must_not or []
     eligible = conjunctive_match(docs, must, text_col=text_col) if must else None
+    if minimum_should_match and should:
+        sh = spark.createDataFrame([(t,) for t in sorted(set(should))], "term string")
+        sh_ok = (
+            doc_term_freqs(docs.selectExpr("doc_id", f"{text_col} as __text"), "doc_id", "__text")
+            .join(F.broadcast(sh), "term")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+            .filter(F.col("n_sh") >= minimum_should_match)
+            .select("doc_id")
+        )
+        eligible = sh_ok if eligible is None else eligible.join(sh_ok, "doc_id")
     excluded = None
     if must_not:
         # exclusion is per-term (any must_not term disqualifies)
-        spark = docs.sparkSession
         mn = spark.createDataFrame([(t,) for t in sorted(set(must_not))], "term string")
         excluded = (
             doc_term_freqs(docs.selectExpr("doc_id", f"{text_col} as __text"), "doc_id", "__text")
             .join(F.broadcast(mn), "term").select("doc_id").distinct()
         )
-    # must/must_not filter BEFORE scoring; top-k is TakeOrderedAndProject
+    # must/msm/must_not all filter BEFORE scoring; top-k is TakeOrderedAndProject
     return bm25_topk(
         docs, sorted(set(must + should)), k=k, text_col=text_col,
-        eligible=eligible, excluded_docs=excluded,
+        eligible=eligible, excluded_docs=excluded, term_boosts=boosts,
     )
 
 

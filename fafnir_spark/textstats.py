@@ -23,11 +23,25 @@ from pyspark.sql import functions as F
 from .portable import hash60
 from .tokenizer import tokens_expr
 
-# tiny function-word tables per language: the per-language analyzer analog
-# of fafnir's COUNTRIES_LANGS fill-in (/root/reference src/langs.rs:5-59)
+# quality/stop_ratio basis — a fixed contract (changing it changes every
+# quality score); language ID uses the richer LANG_MARKERS below
+STOPWORDS_EN = ["the", "a"]
+
+# function-word tables per language: the per-language analyzer analog of
+# fafnir's COUNTRIES_LANGS fill-in (/root/reference src/langs.rs:5-59).
+# lang_guess = argmax of marker hits; ties (incl. all-zero) → 'und'.
+# Both engines template their expressions from THIS dict (oracle parity).
 LANG_MARKERS = {
-    "en": ["the", "a"],
-    "xx": ["le", "la"],  # placeholder second language for the heuristic
+    "en": ["the", "a", "of", "and"],
+    "fr": ["le", "la", "les", "et"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "los", "las", "y"],
+    "it": ["il", "che", "per", "di"],
+    "pt": ["os", "uma", "das", "por"],
+    "nl": ["het", "een", "van", "zijn"],
+    "sv": ["och", "att", "det", "som"],
+    "pl": ["nie", "sie", "jest", "w"],
+    "tr": ["bir", "ve", "bu", "icin"],
 }
 
 
@@ -53,8 +67,7 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     toks = tokens_expr(text_col)
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
-    xx_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["xx"])))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
     stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
     quality = F.round(
         F.lit(0.5) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
@@ -62,11 +75,22 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         + F.lit(0.2) * F.when(n_tokens > 0, n_distinct / n_tokens).otherwise(F.lit(0.0)),
         6,
     )
-    lang_guess = (
-        F.when(stop_hits > xx_hits, F.lit("en"))
-        .when(xx_hits > stop_hits, F.lit("xx"))
-        .otherwise(F.lit("und"))
+    # argmax over the marker table: sort (hits, code) structs descending;
+    # a tie between the top two (including the all-zero case) → 'und'
+    def _hits(words: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    hit_structs = F.array(
+        *[
+            F.struct(_hits(m).alias("hits"), F.lit(code).alias("code"))
+            for code, m in sorted(LANG_MARKERS.items())
+        ]
     )
+    ranked = F.sort_array(hit_structs, asc=False)
+    first, second = F.element_at(ranked, 1), F.element_at(ranked, 2)
+    lang_guess = F.when(
+        first.getField("hits") == second.getField("hits"), F.lit("und")
+    ).otherwise(first.getField("code"))
     fingerprint = F.array_min(F.transform(shingles_expr(text_col), lambda s: hash60(s)))
     return docs.select(
         F.col(id_col).alias("doc_id"),

@@ -115,3 +115,54 @@ def test_direct_equals_indexed_random_corpora(spark, tmp_path):
         (r["qid"], r["rank"], r["doc_id"], r["score"]) for r in direct
     ]
     corpus.unpersist()
+
+
+def test_direct_topk_is_take_ordered(spark):
+    """Every direct-path top-k must compile to TakeOrderedAndProject
+    (per-partition heaps + k-row merge), never an unpartitioned global
+    window sort — the round-1 scale-killer."""
+    from fafnir_spark.query import bm25_topk
+    from fafnir_spark.query_ext import bool_bm25, fielded_bm25
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plans = {
+        "bm25_topk": bm25_topk(docs, ["merge", "window"], k=10),
+        "fielded": fielded_bm25(docs, ["merge"], {"source": "src3"}, k=5),
+        "bool": bool_bm25(docs, must=["merge"], should=["window"], k=5,
+                          minimum_should_match=1, boosts={"window": 2.0}),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+        # the rank window must run AFTER the k-row limit, so no global
+        # window over the full score relation: the plan's single window
+        # sits above TakeOrderedAndProject (string order check)
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), name
+
+
+def test_dedup_plans_have_no_cartesian(spark):
+    """The graded dedup plans must be the scale plans: bucketed candidate
+    joins, never a cartesian/nested-loop product."""
+    from fafnir_spark.dedup import embedding_dup_pairs_lsh, minhash_lsh_pairs, simhash_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for name, df in {
+        "minhash": minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5),
+        "simhash": simhash_pairs(docs, max_hamming=3),
+        "embedding": embedding_dup_pairs_lsh(emb, 0.4, tables=4, planes=4),
+    }.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_view_union_pushdown(spark):
+    """S4 view + WHERE: the filter parameter reaches the parquet scan of
+    the documents branch (PushedFilters), proving the view is not a
+    materialization barrier."""
+    from fafnir_spark.pipeline import all_entities
+
+    df = all_entities(spark, SF_DIR, min_size=150)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(n_chars,150)" in plan
