@@ -88,6 +88,22 @@ def main() -> None:
     timed("bm25_indexed_exh", lambda: run_queries(spark, idx1, queries, k=10, algo="exhaustive").collect())
     timed("conjunctive", lambda: conjunctive_match(docs, queries["q_mwc"]).count())
 
+    # hot-phrase (stop-word bigram) over a positional index: conjunctive
+    # candidates ≈ the whole corpus — guards the vectorized positional
+    # adjacency check (wand._phrase_part_fn) against per-candidate blowup.
+    # The positional build itself is untimed (build cost measured above).
+    from fafnir_spark.wand import phrase_bm25, phrase_search
+
+    idx_pos = os.path.join(work, "idx_pos")
+    build_index(spark, norm, idx_pos, n_parts=cpus, block_size=128,
+                tokenizer="whitespace", build_id="pos", resume=False,
+                with_positions=True)
+    timed("phrase_hot", lambda: phrase_search(
+        spark, idx_pos, {"p1": ["the", "a"], "p2": ["a", "the"], "p3": ["key", "agg"]}
+    ).count())
+    timed("phrase_bm25", lambda: phrase_bm25(
+        spark, idx_pos, {"p": ["key", "agg"]}, k=10).collect())
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work

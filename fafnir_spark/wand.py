@@ -237,13 +237,64 @@ def score_bmw(
     best_sc = np.empty(0)
     theta = -math.inf
     decoded = 0
+
+    # fragment results are merged into the top-k pool in BATCHES: one
+    # unique/bincount/lexsort per ~many fragments instead of per fragment.
+    # Exact (fragments partition the doc-id axis, so a doc occurs in one
+    # batch exactly once); θ just updates at flush granularity, trading a
+    # little pruning sharpness for ~batch× less per-fragment Python
+    # overhead — the term that dominates at millions of docs per part.
+    pend_ids: list[np.ndarray] = []
+    pend_sc: list[np.ndarray] = []
+    pend_rows = 0
+    pend_frags = 0
+
+    def _flush():
+        nonlocal best_ids, best_sc, theta, pend_ids, pend_sc, pend_rows, pend_frags
+        if not pend_ids:
+            return
+        ids = np.concatenate(pend_ids)
+        sc = np.concatenate(pend_sc)
+        uids, inv = np.unique(ids, return_inverse=True)
+        tot = np.bincount(inv, weights=sc)
+        best_ids = np.concatenate([best_ids, uids])
+        best_sc = np.concatenate([best_sc, tot])
+        best_ids, best_sc = _topk_rows(best_ids, best_sc, k)
+        if len(best_ids) >= k:
+            theta = float(np.round(best_sc[-1], _ROUND_DECIMALS))
+        pend_ids, pend_sc, pend_rows, pend_frags = [], [], 0, 0
+
     for fi in order:
         if len(best_ids) >= k and frag_ub[fi] < theta - _ROUND_EPS:
             break  # eps guard: a pruned doc may round up into a tie and
             # win on doc_id, so only prune outside the rounding radius
         lo, hi = frag_lo[fi], frag_hi[fi]
-        ids_all, sc_all = [], []
-        for bi in frag_blocks[fi]:
+
+        # doc-level WAND refinement (Ding & Suel SIGIR'11 pivot logic,
+        # vectorized): split the fragment's terms into essential /
+        # non-essential by cumulative upper bound. A doc appearing ONLY in
+        # non-essential terms has Σub < θ−eps and can never enter the
+        # top-k, so (a) candidates are defined by essential-term blocks and
+        # (b) a non-essential block is decoded only if a candidate falls in
+        # its [first,last] range — hot-term blocks outside candidate
+        # ranges are skipped without decoding.
+        non_ess: set[int] = set()
+        if len(best_ids) >= k and theta > -math.inf:
+            tub: dict[int, float] = {}
+            for bi in frag_blocks[fi]:
+                t = term_of_block[bi]
+                tub[t] = max(tub.get(t, 0.0), ub[bi])
+            cum = 0.0
+            for t in sorted(tub, key=lambda t: tub[t]):
+                if cum + tub[t] < theta - _ROUND_EPS:
+                    cum += tub[t]
+                    non_ess.add(t)
+                else:
+                    break
+
+        def _seg(bi: int):
+            """Decoded (ids, score) of block bi clipped to the fragment."""
+            nonlocal decoded
             blk = blocks[bi]
             fresh = blk._decoded is None
             ids, tfs, dls, ws = blk.decode()
@@ -252,32 +303,61 @@ def score_bmw(
             a = np.searchsorted(ids, lo)
             z = np.searchsorted(ids, hi)
             if a == z:
-                continue
+                return None
             seg_ids, seg_tf, seg_dl, seg_w = ids[a:z], tfs[a:z], dls[a:z], ws[a:z]
             exc = _exc_for(excluded, blk.seg)
             if exc is not None and len(exc):
                 keep = ~np.isin(seg_ids, exc)
                 if not keep.any():
-                    continue
+                    return None
                 seg_ids, seg_tf, seg_dl, seg_w = (
                     seg_ids[keep], seg_tf[keep], seg_dl[keep], seg_w[keep]
                 )
             idf = idfs[term_list[term_of_block[bi]]]
-            ids_all.append(seg_ids)
-            sc_all.append(idf * _tfn(seg_tf, seg_dl, k1, b, avgdl) * seg_w)
+            return seg_ids, idf * _tfn(seg_tf, seg_dl, k1, b, avgdl) * seg_w
+
+        ids_all, sc_all = [], []
+        deferred: list[int] = []
+        for bi in frag_blocks[fi]:
+            if term_of_block[bi] in non_ess:
+                deferred.append(bi)
+                continue
+            seg = _seg(bi)
+            if seg is not None:
+                ids_all.append(seg[0])
+                sc_all.append(seg[1])
         if not ids_all:
-            continue
-        ids = np.concatenate(ids_all)
-        sc = np.concatenate(sc_all)
-        uids, inv = np.unique(ids, return_inverse=True)
-        tot = np.bincount(inv, weights=sc)
-        best_ids = np.concatenate([best_ids, uids])
-        best_sc = np.concatenate([best_sc, tot])
-        best_ids, best_sc = _topk_rows(best_ids, best_sc, k)
-        if len(best_ids) >= k:
-            # rounded kth score: pruning x with ub < theta-eps implies
-            # round(x) < theta, so x can never displace the kth result
-            theta = float(np.round(best_sc[-1], _ROUND_DECIMALS))
+            continue  # no essential candidates → whole fragment pruned
+        if deferred:
+            cand = np.unique(np.concatenate(ids_all))
+            for bi in deferred:
+                blk = blocks[bi]
+                lo2, hi2 = max(blk.first, lo), min(blk.last, hi - 1)
+                i = np.searchsorted(cand, lo2)
+                if i >= len(cand) or cand[i] > hi2:
+                    continue  # no candidate in range → decode skipped
+                seg = _seg(bi)
+                if seg is None:
+                    continue
+                # restrict to candidates: a non-candidate's score here
+                # would be partial (its other non-essential blocks may be
+                # skipped) — and it is provably below θ anyway
+                keep = np.isin(seg[0], cand)
+                if keep.any():
+                    ids_all.append(seg[0][keep])
+                    sc_all.append(seg[1][keep])
+        pend_ids.extend(ids_all)
+        pend_sc.extend(sc_all)
+        pend_rows += sum(len(x) for x in ids_all)
+        pend_frags += 1
+        # flush per fragment until the pool first fills (θ must exist before
+        # any pruning can happen — fragments are UB-ordered, so that is
+        # fast); afterwards amortize merges over many fragments.
+        # rounded kth score after flush: pruning x with ub < theta-eps
+        # implies round(x) < theta, so x can never displace the kth
+        if len(best_ids) < k or pend_frags >= 64 or pend_rows >= 16384:
+            _flush()
+    _flush()
     if counters is not None:
         counters["blocks_total"] = counters.get("blocks_total", 0) + len(blocks)
         counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + decoded

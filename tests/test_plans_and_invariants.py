@@ -166,3 +166,44 @@ def test_view_union_pushdown(spark):
     df = all_entities(spark, SF_DIR, min_size=150)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(n_chars,150)" in plan
+
+
+def test_bmw_hot_rare_disjunction_prunes(spark, tmp_path):
+    """Hot∨rare disjunction (the classic WAND case): once the rare term's
+    docs fill the pool, hot-only fragments are pruned wholesale — decodes
+    stay near the rare term's block count, not the hot term's."""
+    import math
+
+    rows = []
+    for i in range(4000):
+        extra = " needle needle" if 1000 <= i < 1008 else ""
+        rows.append((i, f"common w{i} x{i} y{i} z{i}{extra}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "hotrare")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=1, block_size=64, tokenizer="whitespace", build_id="h")
+    cat = Catalog(root)
+    stats = cat.read_json("stats")
+    prow = cat.read_table(spark, "postings").filter(
+        F.col("term").isin(["common", "needle"])).collect()
+    drows = cat.read_table(spark, "dictionary").filter(
+        F.col("term").isin(["common", "needle"])).collect()
+    idfs = {r["term"]: math.log(1.0 + (stats["n_docs"] - r["df"] + 0.5) / (r["df"] + 0.5))
+            for r in drows}
+
+    def blocks():
+        by_term: dict = {}
+        for r in prow:
+            by_term.setdefault(r["term"], []).append(
+                _Block(r["first_doc"], r["last_doc"], r["max_tf"], r["min_dl"],
+                       r["max_weight"], r["doc_ids"], r["tfs"], r["dls"], r["weights"]))
+        return by_term
+
+    counters: dict = {}
+    ids_b, sc_b = score_bmw(blocks(), idfs, 5, stats["k1"], stats["b"], stats["avgdl"],
+                            counters=counters)
+    ids_e, sc_e = score_exhaustive(blocks(), idfs, 5, stats["k1"], stats["b"], stats["avgdl"])
+    assert list(ids_b) == list(ids_e)
+    assert np.allclose(sc_b, sc_e)
+    # 4000/64 ≈ 63 hot blocks + 1 needle block; pruning must cut >80%
+    assert counters["blocks_decoded"] <= 0.2 * counters["blocks_total"], counters
