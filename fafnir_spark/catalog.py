@@ -111,12 +111,26 @@ class Catalog:
         w.parquet(path)
         # an empty result (e.g. a doc-less build shard) writes zero part
         # files, which would make later schema inference fail — write an
-        # explicit empty file with the schema instead of recomputing lineage
-        import glob
-
-        if not glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        # explicit empty file with the schema instead of recomputing
+        # lineage. The check goes through the Hadoop FileSystem API so it
+        # works on object stores (s3a/gs/abfs), not just local paths.
+        if not self._has_parquet_files(df.sparkSession, path):
             df.sparkSession.createDataFrame([], df.schema).write.mode("overwrite").parquet(path)
         return path
+
+    @staticmethod
+    def _has_parquet_files(spark: SparkSession, path: str) -> bool:
+        jvm = spark._jvm
+        jsc = spark._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return False
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
 
     def read_table(self, spark: SparkSession, name: str, snapshot: dict | None = None) -> DataFrame:
         """Read the union of the table's published segments."""
