@@ -170,6 +170,25 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(emb, {"q": QVEC}, k=10, n_centroids=16, nprobe=4).drop("qid")
 
 
+def _q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF: centroids + partitioned assignment as build
+    artifacts; query probes become partition pruning. Same oracle as the
+    inline form (identical deterministic centroids/assignment)."""
+    from fafnir_spark.simsearch import build_ivf_index, ivf_search
+
+    root = os.path.join(tempfile.gettempdir(), "fafnir_ivf_" + _content_key(sf_dir))
+    if not os.path.exists(os.path.join(root, "_manifest.json")):
+        build_ivf_index(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                        root, n_centroids=16)
+    return ivf_search(spark, root, {"q": QVEC}, k=10, nprobe=4).drop("qid")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.multimodal import attach_media
 
@@ -314,6 +333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_exact,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_indexed": _q_ann_ivf_indexed,
+        "token_counts": _q_token_counts,
         "media_meta": _q_media_meta,
         "prefix_bm25": _q_prefix,
         "fielded_bm25": _q_fielded,
@@ -368,6 +389,8 @@ def oracle_sql() -> dict[str, str]:
         # centroid ids are derived from count(*) inside the SQL — the exact
         # dual of ivf_centroid_ids(n, 16), robust to fixture-size changes
         "ann_ivf_topk": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
+        "ann_ivf_indexed": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
+        "token_counts": oracles_ops.token_counts_sql(),
         "media_meta": oracles_ops.media_meta_sql(),
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),

@@ -357,3 +357,14 @@ SELECT doc_id,
        CAST(ceil(octet_length(encode(text)) / {chunk}.0) AS INT) AS n_chunks
 FROM documents ORDER BY doc_id
 """
+
+
+def token_counts_sql() -> str:
+    from .textstats import BPE_RE
+
+    return f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe
+FROM documents ORDER BY doc_id
+"""

@@ -203,3 +203,86 @@ def lsh_cosine_topk(
         scored.withColumn("rank", w).filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "cos").orderBy("qid", "rank")
     )
+
+
+def build_ivf_index(
+    spark,
+    emb: DataFrame,
+    index_root: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF structure the way a 100 TB deployment would: the
+    centroid table plus the vector→centroid assignment written PARTITIONED
+    BY centroid_id, so a query's nprobe probes become partition pruning on
+    the scan instead of a full-table pass. Deterministic sampled centroids
+    (ivf_centroid_ids) keep the oracle reproducible."""
+    from .catalog import Catalog
+
+    cat = Catalog(index_root)
+    n = emb.count()
+    cids = ivf_centroid_ids(n, n_centroids)
+    cents = emb.filter(F.col(id_col).isin(cids)).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine_expr(F.col("v"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    cat.write_segment(assigned, "ivf_assign", "base", partition_by=["centroid_id"])
+    cat.write_segment(cents.coalesce(1), "ivf_centroids", "base")
+    cat.publish(
+        {
+            "ivf_assign": [cat.segment_dir("ivf_assign", "base")],
+            "ivf_centroids": [cat.segment_dir("ivf_centroids", "base")],
+        },
+        meta={"n_centroids": n_centroids, "n_vectors": n},
+    )
+
+
+def ivf_search(
+    spark,
+    index_root: str,
+    query_vecs: dict[str, list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query the persisted IVF index: rank centroids per query (broadcast
+    centroid table), then scan ONLY the probed centroid partitions
+    (partition pruning on centroid_id — plan-asserted in tests) and re-rank
+    exactly. Same (qid, rank, vec_id, cos) contract as ivf_cosine_topk."""
+    from .catalog import Catalog
+
+    cat = Catalog(index_root)
+    cents = cat.read_table(spark, "ivf_centroids")
+    q = spark.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in query_vecs.items()],
+        "qid string, qv array<double>",
+    )
+    probe_w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("centroid_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", "centroid_id")
+    )
+    probe_ids = sorted({int(r["centroid_id"]) for r in probes.select("centroid_id").collect()})
+    assigned = cat.read_table(spark, "ivf_assign").filter(F.col("centroid_id").isin(probe_ids))
+    cand = assigned.join(F.broadcast(probes), "centroid_id").select("qid", "vec_id", "v", "qv")
+    rank_w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.select("qid", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    )

@@ -101,3 +101,21 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         lang_guess.alias("lang_guess"),
         fingerprint.alias("fingerprint"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / single non-alnum —
+# the cheap word-piece proxy LLM pipelines use for token budgeting.
+# Simple class-based pattern on purpose: identical semantics in Java
+# regex (Spark) and RE2 (DuckDB oracle).
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws, n_bpe): whitespace token count vs BPE-ish word-piece
+    count — pure JVM expressions, zero shuffle, both mirrored exactly by
+    the DuckDB oracle (oracles_ops.token_counts_sql)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_expr(text_col)).alias("n_ws"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), F.lit(0))).alias("n_bpe"),
+    )

@@ -162,3 +162,30 @@ def test_ivf_ann(spark, ddb, emb):
     exact = {r["vec_id"] for r in cosine_topk(emb, {"q": qv}, k=10).collect()}
     approx = {r["vec_id"] for r in got.collect()}
     assert len(exact & approx) / 10 >= 0.3  # nprobe=4/16 recall floor
+
+
+def test_token_counts(spark, ddb, docs):
+    from fafnir_spark.textstats import token_counts
+
+    assert_matches(token_counts(docs), ddb, OO.token_counts_sql())
+
+
+def test_ivf_persisted_index(spark, ddb, emb, tmp_path):
+    """Persisted IVF (centroids + partitioned assignment) must return
+    exactly what the inline form returns, and the probe scan must be
+    partition-pruned on centroid_id."""
+    from fafnir_spark.catalog import Catalog
+    from fafnir_spark.simsearch import build_ivf_index, ivf_cosine_topk, ivf_search
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    root = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, root, n_centroids=16)
+    got = ivf_search(spark, root, {"q": qv}, k=10, nprobe=4)
+    inline = ivf_cosine_topk(emb, {"q": qv}, k=10, n_centroids=16, nprobe=4)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in inline.collect()]
+    assert_matches(got.drop("qid"), ddb, OO.ivf_cosine_topk_sql(qv, n_centroids=16, nprobe=4, k=10))
+    # partition pruning: the probed scan reads only nprobe partitions
+    assigned = Catalog(root).read_table(spark, "ivf_assign").filter(
+        F.col("centroid_id").isin([0, 31]))
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:120]
