@@ -299,6 +299,36 @@ def _q_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(F.col("id").alias("doc_id"), "lang", "source", "text")
 
 
+def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming event-time tumbling windows with a watermark,
+    drained via availableNow — complete mode over the full source equals
+    the batch aggregation, so the same DuckDB oracle checks it."""
+    import uuid
+
+    from fafnir_spark.streaming import stream_tumbling_counts
+
+    return stream_tumbling_counts(
+        spark, f"{sf_dir}/events.*",
+        os.path.join(tempfile.mkdtemp(prefix="fafnir_ck_"), "c"),
+        "drv_tumbling_" + uuid.uuid4().hex[:6],
+    )
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (applyInPandasWithState): first arrival per
+    content hash wins. Over the single-file fixture that equals
+    min(doc_id) per md5(text) — the SQL oracle."""
+    import uuid
+
+    from fafnir_spark.streaming import stream_dedup_exact
+
+    return stream_dedup_exact(
+        spark, f"{sf_dir}/documents.*",
+        os.path.join(tempfile.mkdtemp(prefix="fafnir_ck_"), "c"),
+        "drv_dedup_" + uuid.uuid4().hex[:6],
+    )
+
+
 # ---- fafnir document-pipeline operators (SURVEY.md §2; pipeline.py) ----
 
 def _pq(fn_name: str, needs: str = "docs"):
@@ -359,6 +389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_docs_events": _pq("docs_with_events", "spark_sf"),
         "event_error_counts": _pq("event_error_counts", "events"),
         "events_tumbling_window": _pq("events_tumbling_window", "events"),
+        "stream_tumbling_window": _q_stream_tumbling,
+        "stream_dedup_exact": _q_stream_dedup,
         "events_sliding_window": _pq("events_sliding_window", "events"),
         "best_doc_per_group": _pq("best_doc_per_lang"),
         "preferred_url_coalesce": _pq("preferred_url"),
@@ -420,6 +452,11 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_docs_events": oracles_pipeline.docs_with_events_sql(),
         "event_error_counts": oracles_pipeline.event_error_counts_sql(),
         "events_tumbling_window": oracles_pipeline.events_tumbling_window_sql(),
+        "stream_tumbling_window": oracles_pipeline.events_tumbling_window_sql(),
+        "stream_dedup_exact": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id "
+            "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
         "events_sliding_window": oracles_pipeline.events_sliding_window_sql(),
         "best_doc_per_group": oracles_pipeline.best_doc_per_lang_sql(),
         "preferred_url_coalesce": oracles_pipeline.preferred_url_sql(),

@@ -64,3 +64,89 @@ def stream_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    name: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    mode: str = "complete",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation over a parquet stream with a
+    watermark for late data: readStream → withWatermark → window().groupBy
+    → memory sink. In ``complete`` mode over a drained (availableNow)
+    source the result equals the batch aggregation, so the DuckDB oracle
+    checks it exactly; ``append`` mode emits only watermark-finalized
+    windows (late rows beyond the watermark are dropped — tested).
+    Returns the materialized result table."""
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    name: str,
+    schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stateful streaming exact-dedup (applyInPandasWithState): the first
+    arrival of each content hash is emitted, every later duplicate —
+    within a micro-batch or across micro-batches — is dropped. State is
+    one flag per content hash; at 100 TB state lives in the state store
+    (RocksDB on a real cluster), partitioned by the hash — the same
+    shuffle key the batch dedup uses. Returns (content_hash, doc_id)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_path)
+        .select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+    )
+
+    def fn(key, pdfs, state):
+        min_doc = None
+        for pdf in pdfs:
+            m = int(pdf["doc_id"].min())
+            min_doc = m if min_doc is None else min(min_doc, m)
+        if state.exists or min_doc is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [min_doc]})
+
+    out = stream.groupBy("content_hash").applyInPandasWithState(
+        fn, "content_hash string, doc_id long", "seen int",
+        "append", GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -10,6 +10,7 @@ from fafnir_spark.catalog import Catalog
 from fafnir_spark.corpus import CORPUS_SCHEMA, synth_corpus
 from fafnir_spark.streaming import stream_corpus
 from fafnir_spark.wand import run_queries
+from tests.conftest import SF_DIR
 
 Q = {"q": ["def", "return", "merge"]}
 
@@ -50,3 +51,97 @@ def test_stream_ingest_equals_batch_build(spark, tmp_path):
     m = Catalog(seed_root).read_manifest()
     assert sum("stream-" in p for p in m["tables"]["postings"]) >= 1
     corpus.unpersist()
+
+
+def test_stream_tumbling_equals_batch(spark, tmp_path):
+    """Complete-mode streaming window agg over a drained source == the
+    batch tumbling-window aggregation (same rows, same values)."""
+    from fafnir_spark.pipeline import events_tumbling_window
+    from fafnir_spark.streaming import stream_tumbling_counts
+
+    got = stream_tumbling_counts(
+        spark, f"{SF_DIR}/events.*", str(tmp_path / "ckpt"), "tumbling_t1"
+    )
+    want = events_tumbling_window(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+
+
+def test_stream_watermark_drops_late(spark, tmp_path):
+    """Append mode + watermark: a row arriving after its window was
+    finalized by the watermark is dropped — the emitted window keeps its
+    pre-late count."""
+    import os
+    import time
+
+    from fafnir_spark.streaming import stream_tumbling_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_events(name, rows, mtime):
+        df = spark.createDataFrame(
+            [(i, ts, 1, et, v, "") for i, (ts, et, v) in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                     "event_type", "value", "props")
+        p = str(src / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    t0 = time.time() - 1000
+    write_events("a.parquet", [
+        ("2024-01-01 09:30:00", "click", 1.0),
+        ("2024-01-01 13:00:00", "click", 1.0),   # advances watermark to 11:00
+    ], t0)
+    # watermark computed from batch N is applied in batch N+1; the filler
+    # batch lets it propagate before the late row arrives
+    write_events("b.parquet", [
+        ("2024-01-01 13:10:00", "view", 1.0),
+    ], t0 + 100)
+    write_events("c.parquet", [
+        ("2024-01-01 09:45:00", "click", 1.0),   # LATE: window 9-10 closed
+        ("2024-01-01 13:30:00", "click", 1.0),
+    ], t0 + 200)
+
+    got = stream_tumbling_counts(
+        spark, str(src) + "/*", str(tmp_path / "ckpt2"), "tumbling_t2", mode="append"
+    )
+    rows = {r["window_start"]: r["n"] for r in got.collect()}
+    assert rows.get("2024-01-01 09:00:00") == 1  # late row dropped, not 2
+
+
+def test_stream_dedup_exact_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: first arrival per content hash wins,
+    within and across micro-batches."""
+    import os
+    import time
+
+    from fafnir_spark.streaming import stream_dedup_exact
+
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def write_docs(name, rows, mtime):
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        p = str(src / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    t0 = time.time() - 1000
+    write_docs("a.parquet", [(1, "aaa"), (2, "bbb"), (3, "aaa")], t0)
+    write_docs("b.parquet", [(4, "bbb"), (5, "ccc")], t0 + 100)
+
+    got = stream_dedup_exact(
+        spark, str(src) + "/*", str(tmp_path / "ckpt3"), "dedup_t1"
+    )
+    kept = {r["doc_id"] for r in got.collect()}
+    assert kept == {1, 2, 5}
