@@ -200,6 +200,26 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched multimodal feature extraction over binary payloads
+    (deterministic fake decoder: 16-bin byte histogram). Features are
+    reduced to scalar checksums (Σ j·hist[j], max bucket) so the driver's
+    value-hash compares scalars."""
+    from fafnir_spark.multimodal import attach_media, extract_features
+
+    feats = extract_features(attach_media(_docs(spark, sf_dir)), fake=True)
+    wsum = F.aggregate(
+        F.zip_with(F.col("features"), F.sequence(F.lit(0), F.lit(15)),
+                   lambda v, j: v * j),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    return feats.select(
+        "doc_id", "modality", "n_bytes", "n_chunks",
+        F.round(wsum, 6).alias("feat_wsum"),
+        F.array_max("features").alias("feat_max"),
+    )
+
+
 def _q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.query_ext import prefix_bm25
 
@@ -366,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": _q_ann_ivf_indexed,
         "token_counts": _q_token_counts,
         "media_meta": _q_media_meta,
+        "media_features": _q_media_features,
         "prefix_bm25": _q_prefix,
         "fielded_bm25": _q_fielded,
         "phrase_match": _q_phrase,
@@ -424,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_indexed": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "token_counts": oracles_ops.token_counts_sql(),
         "media_meta": oracles_ops.media_meta_sql(),
+        "media_features": oracles_ops.media_features_sql(),
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),
         "phrase_match": oracles.phrase_match_sql("key agg"),

@@ -349,6 +349,27 @@ SELECT rank, vec_id, cos FROM (
 """
 
 
+def media_features_sql(chunk: int = 64) -> str:
+    """Mirror of multimodal.extract_features with the deterministic fake
+    decoder (16-bin byte histogram). The fixture text is ASCII, so DuckDB
+    ord(char) == the utf8 byte Spark's numpy decoder sees."""
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(ceil(octet_length(encode(text)) / {chunk}.0) AS INT) AS n_chunks,
+         list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1)) % 16) AS m
+  FROM documents
+)
+SELECT doc_id, modality, n_bytes, n_chunks,
+       round(CAST(coalesce(list_sum(m), 0) AS DOUBLE), 6) AS feat_wsum,
+       CAST(list_max(list_transform(range(0, 16),
+            j -> len(list_filter(m, x -> x = j)))) AS DOUBLE) AS feat_max
+FROM b ORDER BY doc_id
+"""
+
+
 def media_meta_sql(chunk: int = 64) -> str:
     return f"""
 SELECT doc_id,
