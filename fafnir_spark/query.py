@@ -93,7 +93,13 @@ def bm25_scores(
         cols.append(boost.alias("__boost"))  # resolve against the raw input
     base = docs.select(*cols)
     tf = doc_term_freqs(base, "doc_id", "__text")
-    dl = doc_lengths(tf)
+    # dl is row-local (token count of the doc itself) — no aggregation over
+    # tf, which removes one full shuffle from every direct query. The dl>0
+    # filter keeps n_docs/avgdl identical to the oracle's sum-over-tf form
+    # (a zero-token doc has no tf rows there either).
+    dl = base.select(
+        "doc_id", F.size(tokens_expr("__text")).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
     dfs = term_dfs(tf)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -166,7 +172,10 @@ def bm25_topk_batch(
         cols.append(boost.alias("__boost"))
     base = docs.select(*cols)
     tf = doc_term_freqs(base, "doc_id", "__text")
-    dl = doc_lengths(tf)
+    # row-local dl (see bm25_scores): one shuffle less per query batch
+    dl = base.select(
+        "doc_id", F.size(tokens_expr("__text")).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
     dfs = term_dfs(tf)
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
 
