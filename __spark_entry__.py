@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_corpora": _pq("union_corpora", "spark_sf"),
         "route_searchability": _pq("route_by_searchability"),
         "properties_map": _pq("properties_rows"),
+        "opening_hours_fold": _pq("opening_hours_fold"),
         "i18n_labels": _pq("i18n_labels"),
         "namespaced_ids": _pq("namespaced_ids"),
         "event_class_rank": _pq("event_class", "events"),
@@ -465,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         "union_corpora": oracles_pipeline.union_corpora_sql(),
         "route_searchability": oracles_pipeline.route_by_searchability_sql(),
         "properties_map": oracles_pipeline.properties_rows_sql(),
+        "opening_hours_fold": oracles_pipeline.opening_hours_fold_sql(),
         "i18n_labels": oracles_pipeline.i18n_labels_sql(),
         "namespaced_ids": oracles_pipeline.namespaced_ids_sql(),
         "event_class_rank": oracles_pipeline.event_class_sql(),

@@ -191,3 +191,37 @@ WITH all_entities AS (
 SELECT kind, count(*) AS n, min(id) AS min_id, max(size) AS max_size
 FROM all_entities WHERE size >= {min_size} GROUP BY kind ORDER BY kind
 """
+
+
+def opening_hours_fold_sql() -> str:
+    from .pipeline import DAY_NAMES
+
+    days_lit = "[" + ", ".join(f"'{x}'" for x in DAY_NAMES) + "]"
+
+    # hour arithmetic must mirror Spark's pmod(base + off, 24)
+    def hhs(off: int) -> str:
+        return f"lpad(((((doc_id + i) + {off}) % 24 + 24) % 24)::VARCHAR, 2, '0') || ':00'"
+
+    t1 = f"{hhs(0)} || '-' || {hhs(8)}"
+    t2 = f"{hhs(10)} || '-' || {hhs(14)}"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(range(0, ((doc_id % 4 + 4) % 4) + 1), i -> {{
+           'day_name': ({days_lit})[(((doc_id + i) % 7 + 7) % 7) + 1],
+           'times': CASE
+             WHEN ((doc_id + i) % 5 + 5) % 5 = 0 THEN NULL
+             WHEN ((doc_id + i) % 3 + 3) % 3 = 0 THEN [{t1}, {t2}]
+             ELSE [{t1}]
+           END
+         }}) AS days
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(days, x -> x.times IS NOT NULL),
+           x -> substr(x.day_name, 1, 2) || ' ' || array_to_string(x.times, ',')
+         ), '; '), '') AS opening_hours
+FROM d ORDER BY doc_id
+"""

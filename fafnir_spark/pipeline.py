@@ -345,3 +345,66 @@ def all_entities(spark: SparkSession, sf_dir: str, min_size: int = 150) -> DataF
         FROM all_entities WHERE size >= {min_size} GROUP BY kind ORDER BY kind
         """
     )
+
+
+DAY_NAMES = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"]
+
+
+def opening_hours_fold(docs: DataFrame) -> DataFrame:
+    """P12: nested Day[]/Time[] → "Mo 11:00-19:00,21:00-01:00; Tu ..."
+    (/root/reference src/sources/tripadvisor/pois/convert.rs:170-187:
+    filter_map over days with null times, per-day times joined by ',',
+    days joined by '; ', day name truncated to 2 chars).
+
+    The fixture has no nested hours column, so the nested structure is
+    synthesized deterministically from doc_id (1-4 days; a day's times are
+    NULL when (doc_id+i)%5==0, two time ranges when %3==0, else one) —
+    the SAME derivation runs in the DuckDB oracle, and the fold itself is
+    pure transform/filter/array_join (the reference's iterator chain,
+    Spark-native)."""
+    d = F.col("doc_id")
+    days_arr = F.array(*[F.lit(x) for x in DAY_NAMES])
+
+    def hh(h: F.Column) -> F.Column:
+        return F.concat(F.lpad(h.cast("string"), 2, "0"), F.lit(":00"))
+
+    def time_struct(base: F.Column, off_open: int, off_close: int) -> F.Column:
+        return F.struct(
+            hh(F.pmod(base + off_open, F.lit(24))).alias("open"),
+            hh(F.pmod(base + off_close, F.lit(24))).alias("close"),
+        )
+
+    def day_struct(i: F.Column) -> F.Column:
+        base = d + i
+        t1 = time_struct(base, 0, 8)
+        t2 = time_struct(base, 10, 14)
+        times = (
+            F.when(F.pmod(base, F.lit(5)) == 0,
+                   F.lit(None).cast("array<struct<open:string,close:string>>"))
+            .when(F.pmod(base, F.lit(3)) == 0, F.array(t1, t2))
+            .otherwise(F.array(t1))
+        )
+        return F.struct(
+            F.element_at(days_arr, (F.pmod(base, F.lit(7)) + 1).cast("int")).alias("day_name"),
+            times.alias("times"),
+        )
+
+    days = F.transform(F.sequence(F.lit(0), F.pmod(d, F.lit(4)).cast("int")), day_struct)
+    folded = F.array_join(
+        F.transform(
+            F.filter(days, lambda x: x.getField("times").isNotNull()),
+            lambda x: F.concat(
+                F.substring(x.getField("day_name"), 1, 2),
+                F.lit(" "),
+                F.array_join(
+                    F.transform(
+                        x.getField("times"),
+                        lambda t: F.concat(t.getField("open"), F.lit("-"), t.getField("close")),
+                    ),
+                    ",",
+                ),
+            ),
+        ),
+        "; ",
+    )
+    return docs.select("doc_id", folded.alias("opening_hours"))
