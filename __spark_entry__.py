@@ -79,17 +79,48 @@ def _q_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), Q_BOOST, k=10, boost=_boost_col())
 
 
-def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full engine path: build index, query with BMW, same oracle as direct
-    — proves the physical index (codec, sharding, pruning) is faithful."""
+def _idx_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse, keyed on input fingerprint) the shared test index."""
     from fafnir_spark.build import build_index, normalize_docs
-    from fafnir_spark.wand import run_queries
 
     root = os.path.join(tempfile.gettempdir(), "fafnir_idx_" + _content_key(sf_dir))
     docs = normalize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
     build_index(spark, docs, root, n_parts=8, block_size=128,
                 tokenizer="whitespace", build_id="oracle", resume=True)
-    res = run_queries(spark, root, {"q": Q_MAIN}, k=10, algo="bmw")
+    return root
+
+
+def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: build index, query with BMW, same oracle as direct
+    — proves the physical index (codec, sharding, pruning) is faithful."""
+    from fafnir_spark.wand import run_queries
+
+    res = run_queries(spark, _idx_root(spark, sf_dir), {"q": Q_MAIN}, k=10, algo="bmw")
+    return res.select("rank", "doc_id", "score")
+
+
+def _q_bool_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool DSL served FROM THE INDEX (per-shard posting intersection +
+    exclusion + BM25) — same oracle as the direct bool_bm25."""
+    from fafnir_spark.wand import bool_search
+
+    res = bool_search(
+        spark, _idx_root(spark, sf_dir),
+        {"q": {"must": ["merge"], "should": ["window", "customer"], "must_not": ["vector"]}},
+        k=10,
+    )
+    return res.select("rank", "doc_id", "score")
+
+
+def _q_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix query from the index: dictionary prefix scan (term-sorted
+    parquet row groups) → disjunctive BM25 over the expansion — same
+    oracle as the direct prefix_bm25."""
+    from fafnir_spark.wand import expand_prefix_indexed, run_queries
+
+    root = _idx_root(spark, sf_dir)
+    terms = expand_prefix_indexed(spark, root, "s")
+    res = run_queries(spark, root, {"q": terms}, k=10, algo="bmw")
     return res.select("rank", "doc_id", "score")
 
 
@@ -393,6 +424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match_indexed": _q_phrase_indexed,
         "bool_bm25": _q_bool,
         "bool_bm25_msm": _q_bool_msm,
+        "bool_bm25_indexed": _q_bool_indexed,
+        "prefix_bm25_indexed": _q_prefix_indexed,
         "feed_ingest": _q_feed_ingest,
         "lang_fill_in": _pq("lang_fill_in"),
         "view_table_function": _pq("all_entities", "spark_sf"),
@@ -458,6 +491,10 @@ def oracle_sql() -> dict[str, str]:
             should=["merge", "window", "customer", "batch"], must_not=["vector"],
             minimum_should_match=2, boosts={"window": 2.0, "batch": 0.5}, k=10,
         ),
+        "bool_bm25_indexed": oracles.bool_bm25_sql(
+            must=["merge"], should=["window", "customer"], must_not=["vector"], k=10
+        ),
+        "prefix_bm25_indexed": oracles.prefix_bm25_sql("s", 10),
         "feed_ingest": "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
         "lang_fill_in": oracles_pipeline.lang_fill_in_sql(),
         "view_table_function": oracles_pipeline.all_entities_sql(),

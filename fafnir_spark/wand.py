@@ -97,11 +97,11 @@ class _Tombstones:
 
 
 def _exc_for(excluded, seg: str):
-    """Per-segment exclusion array from either form (legacy flat array or
-    seg-scoped _Tombstones)."""
+    """Per-segment exclusion array from any form: a flat ndarray, or any
+    seg-scoped provider exposing excluded_for (_Tombstones, _UnionExc)."""
     if excluded is None:
         return None
-    if isinstance(excluded, _Tombstones):
+    if hasattr(excluded, "excluded_for"):
         return excluded.excluded_for(seg)
     return excluded
 
@@ -585,6 +585,144 @@ def phrase_search(
         postings.groupBy("doc_part")
         .applyInPandas(_phrase_part_fn(phrases, excluded), schema=PHRASE_SCHEMA)
         .orderBy("qid", "doc_id")
+    )
+
+
+class _UnionExc:
+    """Per-segment exclusion = tombstones ∪ a static doc-id set (indexed
+    must_not clauses)."""
+
+    def __init__(self, tombs, extra_ids: np.ndarray):
+        self.tombs = tombs
+        self.extra = np.sort(np.asarray(extra_ids, dtype=np.int64))
+        self._cache: dict[str, np.ndarray] = {}
+
+    def excluded_for(self, seg: str) -> np.ndarray:
+        seg = seg or ""
+        if seg not in self._cache:
+            base = _exc_for(self.tombs, seg)
+            self._cache[seg] = (
+                np.union1d(base, self.extra) if base is not None and len(base) else self.extra
+            )
+        return self._cache[seg]
+
+
+def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict, k: int, tombs):
+    """Per-shard ES bool evaluation from posting blocks: must terms
+    intersect (vectorized), must_not terms exclude, must+should terms
+    score; per-shard exact top-k (a doc's postings live in ONE shard, so
+    the intersection and the merge are both exact)."""
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term: dict[str, list[_Block]] = {}
+        for r in pdf.itertuples(index=False):
+            by_term.setdefault(r.term, []).append(
+                _Block(r.first_doc, r.last_doc, r.max_tf, r.min_dl, r.max_weight,
+                       r.doc_ids, r.tfs, r.dls, r.weights, getattr(r, "seg", "") or "")
+            )
+
+        def term_ids(t: str) -> np.ndarray:
+            arrs = []
+            for blk in by_term.get(t, []):
+                ids = blk.decode()[0]
+                exc = _exc_for(tombs, blk.seg)
+                if exc is not None and len(exc):
+                    ids = ids[~np.isin(ids, exc)]
+                arrs.append(ids)
+            if not arrs:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate(arrs))
+
+        out_qid, out_doc, out_sc = [], [], []
+        for qid, spec in queries.items():
+            must = sorted(set(spec.get("must") or []))
+            should = sorted(set(spec.get("should") or []))
+            must_not = sorted(set(spec.get("must_not") or []))
+            tb = {t: by_term[t] for t in sorted(set(must + should)) if t in by_term}
+            if not tb:
+                continue
+            inc = None
+            satisfiable = True
+            for t in must:
+                ids_t = term_ids(t)
+                if not len(ids_t):
+                    satisfiable = False
+                    break
+                inc = ids_t if inc is None else inc[np.isin(inc, ids_t)]
+            if not satisfiable or (must and not len(inc)):
+                continue
+            excluded = tombs
+            if must_not:
+                mn = [a for a in (term_ids(t) for t in must_not) if len(a)]
+                if mn:
+                    extra = np.unique(np.concatenate(mn))
+                    if inc is not None:
+                        inc = inc[~np.isin(inc, extra)]  # fold into candidates
+                        if not len(inc):
+                            continue
+                    else:
+                        excluded = _UnionExc(tombs, extra)
+            ids, sc = score_exhaustive(tb, idfs, k, k1, b, avgdl,
+                                       excluded=excluded, included=inc)
+            out_qid.extend([qid] * len(ids))
+            out_doc.append(ids)
+            out_sc.append(sc)
+        if not out_qid:
+            return pd.DataFrame({"qid": [], "doc_id": [], "raw_score": []}).astype(
+                {"doc_id": np.int64, "raw_score": np.float64}
+            )
+        return pd.DataFrame(
+            {"qid": out_qid, "doc_id": np.concatenate(out_doc), "raw_score": np.concatenate(out_sc)}
+        )
+
+    return fn
+
+
+def bool_search(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, dict],
+    k: int = 10,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES bool-query DSL served FROM THE INDEX: ``queries`` maps qid →
+    {"must": [...], "should": [...], "must_not": [...]}. must terms all
+    required (posting intersection per shard), must_not excludes, scored
+    terms = must+should with corpus BM25 stats — identical results to the
+    direct query_ext.bool_bm25. (qid, rank, doc_id, score)."""
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
+    all_terms = sorted({
+        t for spec in queries.values()
+        for key in ("must", "should", "must_not")
+        for t in (spec.get(key) or [])
+    })
+    scored_terms = sorted({
+        t for spec in queries.values()
+        for key in ("must", "should")
+        for t in (spec.get(key) or [])
+    })
+    drows = cat.read_table(spark, "dictionary", snapshot=manifest).filter(
+        F.col("term").isin(scored_terms)
+    ).collect()
+    n_docs = stats["n_docs"]
+    idfs = {r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)) for r in drows}
+    postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
+        F.col("term").isin(all_terms)
+    )
+    tombs = _load_tombstones(spark, cat, manifest)
+    per_part = postings.groupBy("doc_part").applyInPandas(
+        _bool_part_fn(queries, idfs, stats, k, tombs), schema=RESULT_SCHEMA
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        per_part.withColumn("score", F.round(F.col("raw_score"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
     )
 
 
