@@ -112,6 +112,28 @@ def _q_bool_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", "score")
 
 
+def _q_fielded_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped query served FROM a token-bag index — the reference's
+    build_poi_type_text trick (pois.rs:248-274) actually indexed: the
+    field token is an ES filter-context clause (required, never scored);
+    BM25 stats come from the tagged corpus and the oracle analyzes the
+    same tagged text expression."""
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.query_ext import with_field_tokens
+    from fafnir_spark.wand import bool_search
+
+    root = os.path.join(tempfile.gettempdir(), "fafnir_fidx_" + _content_key(sf_dir))
+    tagged = with_field_tokens(_docs(spark, sf_dir), ["source"])
+    docs = normalize_docs(tagged, id_col="doc_id", text_col="text")
+    build_index(spark, docs, root, n_parts=8, block_size=128,
+                tokenizer="whitespace", build_id="fielded", resume=True)
+    res = bool_search(
+        spark, root,
+        {"q": {"should": ["merge", "window"], "filter": ["source:src3"]}}, k=10,
+    )
+    return res.select("rank", "doc_id", "score")
+
+
 def _q_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix query from the index: dictionary prefix scan (term-sorted
     parquet row groups) → disjunctive BM25 over the expansion — same
@@ -426,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_bm25_msm": _q_bool_msm,
         "bool_bm25_indexed": _q_bool_indexed,
         "prefix_bm25_indexed": _q_prefix_indexed,
+        "fielded_bm25_indexed": _q_fielded_indexed,
         "feed_ingest": _q_feed_ingest,
         "lang_fill_in": _pq("lang_fill_in"),
         "view_table_function": _pq("all_entities", "spark_sf"),
@@ -495,6 +518,10 @@ def oracle_sql() -> dict[str, str]:
             must=["merge"], should=["window", "customer"], must_not=["vector"], k=10
         ),
         "prefix_bm25_indexed": oracles.prefix_bm25_sql("s", 10),
+        "fielded_bm25_indexed": oracles.bool_bm25_sql(
+            should=["merge", "window"], filter_terms=["source:src3"], k=10,
+            text_expr="concat(text, ' source:', source)",
+        ),
         "feed_ingest": "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
         "lang_fill_in": oracles_pipeline.lang_fill_in_sql(),
         "view_table_function": oracles_pipeline.all_entities_sql(),

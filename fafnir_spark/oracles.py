@@ -16,17 +16,25 @@ from __future__ import annotations
 from . import B, K1
 
 # shared CTE prefix: tokens → tf → dl → corpus stats, over the driver's
-# pre-registered `documents` view (doc_id, text, lang, source, n_chars)
-_TF_CTES = """
+# pre-registered `documents` view (doc_id, text, lang, source, n_chars).
+# ``text_expr`` parameterizes the analyzed text (e.g. the token-bag form
+# concat(text, ' source:', source) for field-scoped indexed queries).
+
+
+def _tf_ctes(text_expr: str = "text") -> str:
+    return f"""
 toks AS (
   SELECT doc_id, t.tok AS term
-  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  FROM documents, unnest(string_split({text_expr}, ' ')) AS t(tok)
   WHERE t.tok <> ''
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)
 """
+
+
+_TF_CTES = _tf_ctes()
 
 
 def _terms_in(terms: list[str]) -> str:
@@ -158,10 +166,14 @@ def bool_bm25_sql(
     k: int = 10,
     minimum_should_match: int | None = None,
     boosts: dict[str, float] | None = None,
+    filter_terms: list[str] | None = None,
+    text_expr: str = "text",
 ) -> str:
     """ES bool-query mirror: must (all, scored) + should (scored) −
-    must_not (any excludes); optional minimum_should_match and per-term
-    boosts (term^boost), operand order identical to the Spark side."""
+    must_not (any excludes); optional minimum_should_match, per-term
+    boosts (term^boost), and filter context (``filter_terms``: all
+    required, never scored). ``text_expr`` parameterizes the analyzed
+    text (token-bag fielded queries). Operand order identical to Spark."""
     must, should, must_not = must or [], should or [], must_not or []
     scored_terms = sorted(set(must + should))
     must_clause = ""
@@ -170,6 +182,12 @@ def bool_bm25_sql(
   AND scored.doc_id IN (
     SELECT doc_id FROM tf WHERE term IN {_terms_in(must)}
     GROUP BY doc_id HAVING count(*) = {len(sorted(set(must)))}
+  )"""
+    if filter_terms:
+        must_clause += f"""
+  AND scored.doc_id IN (
+    SELECT doc_id FROM tf WHERE term IN {_terms_in(filter_terms)}
+    GROUP BY doc_id HAVING count(*) = {len(sorted(set(filter_terms)))}
   )"""
     if minimum_should_match and should:
         must_clause += f"""
@@ -193,7 +211,7 @@ def bool_bm25_sql(
     else:
         qb_cte, qb_join, boost_mul = "", "", ""
     return f"""
-WITH {_TF_CTES},
+WITH {_tf_ctes(text_expr)},
 {qb_cte}
 dfs AS (
   SELECT term, count(*) AS df FROM tf

@@ -134,18 +134,23 @@ def bool_bm25(
     text_col: str = "text",
     minimum_should_match: int | None = None,
     boosts: dict[str, float] | None = None,
+    filter_terms: list[str] | None = None,
 ) -> DataFrame:
     """ES bool-query semantics over BM25 (the query DSL fafnir's backend
     exposes): ``must`` terms all required and scored; ``should`` terms
     optional and scored; ``must_not`` terms exclude. With no must clause,
     at least one should term must match. ``minimum_should_match`` requires
     >= m distinct should terms per doc; ``boosts`` multiplies a term's
-    score contribution (term^boost). (rank, doc_id, score)."""
+    score contribution (term^boost); ``filter_terms`` are required but
+    NEVER scored — ES filter context. (rank, doc_id, score)."""
     from .query import bm25_topk, doc_term_freqs
 
     spark = docs.sparkSession
     must, should, must_not = must or [], should or [], must_not or []
     eligible = conjunctive_match(docs, must, text_col=text_col) if must else None
+    if filter_terms:
+        fe = conjunctive_match(docs, filter_terms, text_col=text_col)
+        eligible = fe if eligible is None else eligible.join(fe, "doc_id")
     if minimum_should_match and should:
         sh = spark.createDataFrame([(t,) for t in sorted(set(should))], "term string")
         sh_ok = (

@@ -639,18 +639,20 @@ def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict,
             must = sorted(set(spec.get("must") or []))
             should = sorted(set(spec.get("should") or []))
             must_not = sorted(set(spec.get("must_not") or []))
+            # filter context: required for candidacy, never scored
+            filt = sorted(set(spec.get("filter") or []))
             tb = {t: by_term[t] for t in sorted(set(must + should)) if t in by_term}
             if not tb:
                 continue
             inc = None
             satisfiable = True
-            for t in must:
+            for t in must + filt:
                 ids_t = term_ids(t)
                 if not len(ids_t):
                     satisfiable = False
                     break
                 inc = ids_t if inc is None else inc[np.isin(inc, ids_t)]
-            if not satisfiable or (must and not len(inc)):
+            if not satisfiable or ((must or filt) and not len(inc)):
                 continue
             excluded = tombs
             if must_not:
@@ -696,7 +698,7 @@ def bool_search(
     stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
     all_terms = sorted({
         t for spec in queries.values()
-        for key in ("must", "should", "must_not")
+        for key in ("must", "should", "must_not", "filter")
         for t in (spec.get(key) or [])
     })
     scored_terms = sorted({
