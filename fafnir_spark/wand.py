@@ -793,6 +793,34 @@ class Searcher:
             .orderBy("qid", "rank")
         )
 
+    def search_bool(self, queries: dict[str, dict], k: int = 10) -> DataFrame:
+        """Bool-DSL search over the cached snapshot (see bool_search);
+        ``queries``: qid → {must, should, must_not, filter}."""
+        scored_terms = sorted({
+            t for spec in queries.values()
+            for key in ("must", "should")
+            for t in (spec.get(key) or [])
+        })
+        all_terms = sorted({
+            t for spec in queries.values()
+            for key in ("must", "should", "must_not", "filter")
+            for t in (spec.get(key) or [])
+        })
+        idfs = self._idfs(scored_terms)
+        postings = self._postings.filter(F.col("term").isin(all_terms))
+        per_part = postings.groupBy("doc_part").applyInPandas(
+            _bool_part_fn(queries, idfs, self.stats, k, self._excluded),
+            schema=RESULT_SCHEMA,
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return (
+            per_part.withColumn("score", F.round(F.col("raw_score"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "doc_id", "score")
+            .orderBy("qid", "rank")
+        )
+
     def close(self) -> None:
         if self._persisted:
             self._postings.unpersist()

@@ -25,3 +25,25 @@ def test_searcher_equals_run_queries(spark, tmp_path):
         assert s.search({"x": ["zz_none"]}, k=5).collect() == []
     finally:
         s.close()
+
+
+def test_searcher_bool_equals_bool_search(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.wand import Searcher, bool_search
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    root = str(tmp_path / "sb")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="s")
+    shapes = {
+        "q1": {"must": ["merge"], "should": ["window"], "must_not": ["vector"]},
+        "q2": {"should": ["spark", "slow"], "filter": ["merge"]},
+    }
+    s = Searcher(spark, root)
+    got = [tuple(r) for r in s.search_bool(shapes, k=8).collect()]
+    want = [tuple(r) for r in bool_search(spark, root, shapes, k=8).collect()]
+    assert got == want and got
+    s.close()
