@@ -104,3 +104,41 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
         F.explode(idx).alias("frame_id"),
         F.expr(f"substring(payload, frame_id * {CHUNK} + 1, {CHUNK})").alias("frame"),
     )
+
+
+def resize_media(media: DataFrame, width: int = 8, height: int = 8, fake: bool = True) -> DataFrame:
+    """Resize plumbing: (doc_id, modality, payload, meta) → payload
+    downsampled to width×height "pixels" with meta updated. The real
+    resampler (PIL/ffmpeg) is absent in this container, so the fake path
+    strided-samples the byte grid deterministically — the Spark-side shape
+    (Arrow batches over mapInPandas, binary in/out, struct meta rewrite)
+    is the real contract a decoder would slot into."""
+    target = width * height
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            for p, m in zip(pdf["payload"], pdf["modality"]):
+                if not fake:
+                    raise NotImplementedError(
+                        f"no {m} resampler in this environment; pass fake=True"
+                    )
+                arr = np.frombuffer(p, dtype=np.uint8)
+                if len(arr) == 0:
+                    out_payload.append(b"")
+                    continue
+                idx = (np.arange(target, dtype=np.int64) * len(arr)) // target
+                out_payload.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload": out_payload,
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                }
+            )
+
+    return media.mapInPandas(
+        fn, schema="doc_id long, modality string, payload binary, width int, height int"
+    )

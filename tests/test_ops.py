@@ -189,3 +189,17 @@ def test_ivf_persisted_index(spark, ddb, emb, tmp_path):
         F.col("centroid_id").isin([0, 31]))
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_resize_media(spark, docs):
+    from fafnir_spark.multimodal import attach_media, resize_media
+
+    media = attach_media(docs)
+    small = resize_media(media, width=8, height=8).collect()
+    assert all(len(r["payload"]) == 64 for r in small if r["payload"])
+    assert all(r["width"] == 8 and r["height"] == 8 for r in small)
+    # deterministic: same input → same bytes
+    again = {r["doc_id"]: r["payload"] for r in resize_media(media, 8, 8).collect()}
+    assert all(again[r["doc_id"]] == r["payload"] for r in small)
+    with pytest.raises(Exception, match="resampler"):
+        resize_media(media, fake=False).collect()
