@@ -253,6 +253,19 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval: BM25 top-50 and cosine top-50 fused
+    by reciprocal rank (RRF). documents.doc_id and embeddings.vec_id share
+    the id space in the fixtures."""
+    from fafnir_spark.simsearch import hybrid_rrf
+
+    return hybrid_rrf(
+        _docs(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        Q_MAIN, QVEC, k=10,
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal feature extraction over binary payloads
     (deterministic fake decoder: 16-bin byte histogram). Features are
@@ -440,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
+        "hybrid_rrf": _q_hybrid_rrf,
         "prefix_bm25": _q_prefix,
         "fielded_bm25": _q_fielded,
         "phrase_match": _q_phrase,
@@ -503,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles_ops.token_counts_sql(),
         "media_meta": oracles_ops.media_meta_sql(),
         "media_features": oracles_ops.media_features_sql(),
+        "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),
         "phrase_match": oracles.phrase_match_sql("key agg"),

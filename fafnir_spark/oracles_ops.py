@@ -389,3 +389,59 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe
 FROM documents ORDER BY doc_id
 """
+
+
+def hybrid_rrf_sql(
+    terms: list[str], query_vec: list[float], k: int = 10, n_each: int = 50, k0: int = 60
+) -> str:
+    """Mirror of simsearch.hybrid_rrf: BM25 top-n and cosine top-n fused by
+    reciprocal rank (bm25 term first, then cosine — same add order)."""
+    from . import B, K1
+    from .oracles import _terms_in, _tf_ctes
+
+    qlit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
+    return f"""
+WITH {_tf_ctes()},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+bscored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf JOIN dfs USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+branked AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank
+    FROM bscored
+  ) WHERE rank <= {n_each}
+),
+q AS (SELECT {qlit} AS qv),
+escored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+         , 6) AS cos
+  FROM embeddings e CROSS JOIN q
+),
+eranked AS (
+  SELECT vec_id, rank FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM escored
+  ) WHERE rank <= {n_each}
+)
+SELECT rank, doc_id, rrf FROM (
+  SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank, doc_id, rrf FROM (
+    SELECT coalesce(b.doc_id, e.vec_id) AS doc_id,
+           round(coalesce(1.0 / ({k0} + b.rank), 0.0)
+               + coalesce(1.0 / ({k0} + e.rank), 0.0), 6) AS rrf
+    FROM branked b FULL OUTER JOIN eranked e ON b.doc_id = e.vec_id
+  )
+) WHERE rank <= {k} ORDER BY rank
+"""

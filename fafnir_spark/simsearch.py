@@ -286,3 +286,45 @@ def ivf_search(
         .select("qid", "rank", "vec_id", "cos")
         .orderBy("qid", "rank")
     )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    n_each: int = 50,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval via Reciprocal Rank Fusion
+    (Cormack/Clarke/Buettcher, SIGIR'09): rrf = 1/(k0+rank_bm25) +
+    1/(k0+rank_cos) over the two top-``n_each`` lists, full-outer joined
+    on id (absent list contributes 0). Scale shape: both branches are
+    top-k (TakeOrderedAndProject / per-qid windows), the fusion join
+    touches ≤ 2·n_each rows. (rank, doc_id, rrf)."""
+    from .query import bm25_topk
+
+    b = bm25_topk(docs, terms, k=n_each, id_col=id_col, text_col=text_col).select(
+        "doc_id", F.col("rank").alias("br")
+    )
+    e = cosine_topk(emb, {"q": query_vec}, k=n_each, id_col=vec_id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("er")
+    )
+    u = b.join(e, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("br")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("er")), F.lit(0.0)),
+        6,
+    )
+    top = (
+        u.select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "doc_id", "rrf")

@@ -1,0 +1,12 @@
+#!/bin/bash
+# One gated attempt: run the scaling pair ONLY if the window is quiet
+# (probe8 <= 12.5s — CLAUDE.md criterion). Exits 2 when skipped.
+cd "$(dirname "$0")/.."
+P=$(python -c "
+import sys; sys.path.insert(0, 'scripts')
+from scaling import run_probe
+print(run_probe(8))")
+echo "probe8=$P"
+OK=$(python -c "print(1 if float('$P') <= 12.5 else 0)")
+if [ "$OK" != "1" ]; then echo SKIP_NOISY; exit 2; fi
+SPARK_GRAFT_BUILD_REPS=1 SPARK_GRAFT_SCALE_PAIRS=1 exec python scripts/scaling.py 400000
