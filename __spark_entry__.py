@@ -253,6 +253,13 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing: top-k with one result per source value."""
+    from fafnir_spark.query_ext import collapse_topk
+
+    return collapse_topk(_docs(spark, sf_dir), Q_MAIN, "source", k=10)
+
+
 def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+vector retrieval: BM25 top-50 and cosine top-50 fused
     by reciprocal rank (RRF). documents.doc_id and embeddings.vec_id share
@@ -454,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "hybrid_rrf": _q_hybrid_rrf,
+        "collapse_topk": _q_collapse,
         "prefix_bm25": _q_prefix,
         "fielded_bm25": _q_fielded,
         "phrase_match": _q_phrase,
@@ -518,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": oracles_ops.media_meta_sql(),
         "media_features": oracles_ops.media_features_sql(),
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),
+        "collapse_topk": oracles.collapse_topk_sql(Q_MAIN, "source", k=10),
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),
         "phrase_match": oracles.phrase_match_sql("key agg"),

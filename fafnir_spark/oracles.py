@@ -290,3 +290,39 @@ WHERE term IN {_terms_in(terms)}
 GROUP BY doc_id HAVING count(*) = {n}
 ORDER BY doc_id
 """
+
+
+def collapse_topk_sql(terms: list[str], collapse_field: str, k: int = 10) -> str:
+    """Mirror of query_ext.collapse_topk (one winner per field value)."""
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+winners AS (
+  SELECT doc_id, score, {collapse_field} FROM (
+    SELECT s.doc_id, round(s.raw_score, 6) AS score, d.{collapse_field},
+           row_number() OVER (PARTITION BY d.{collapse_field}
+                              ORDER BY round(s.raw_score, 6) DESC, s.doc_id ASC) AS rn
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  ) WHERE rn = 1
+)
+SELECT rank, doc_id, score, {collapse_field} FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score, {collapse_field}
+  FROM winners
+) WHERE rank <= {k}
+ORDER BY rank
+"""

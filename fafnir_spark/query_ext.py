@@ -186,3 +186,34 @@ def phrase_match(docs: DataFrame, phrase: str, text_col: str = "text") -> DataFr
         padded.contains(" " + " ".join(toks) + " ")
     )
     return hits.select("doc_id").orderBy("doc_id")
+
+
+def collapse_topk(
+    docs: DataFrame,
+    terms: list[str],
+    collapse_field: str,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES field collapsing: BM25 top-k with at most ONE result per value of
+    ``collapse_field`` (result diversity). The per-group winner is selected
+    with a window partitioned BY THE GROUP (parallel across groups), then
+    the k winners are merged with orderBy().limit(k) — no unpartitioned
+    window anywhere. (rank, doc_id, score, <collapse_field>)."""
+    from pyspark.sql.window import Window
+
+    from .query import bm25_scores
+
+    scores = bm25_scores(docs, terms, text_col=text_col)
+    joined = scores.join(docs.select("doc_id", collapse_field), "doc_id")
+    gw = Window.partitionBy(collapse_field).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    winners = joined.withColumn("__rn", F.row_number().over(gw)).filter(F.col("__rn") == 1)
+    top = winners.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score", collapse_field)
+        .orderBy("rank")
+    )
