@@ -171,6 +171,16 @@ class Catalog:
             .drop("__dead", "__keep")
         )
 
+    def rewrite_history(self, history: list[dict]) -> None:
+        """Replace the manifest's history list (snapshot expiry). The
+        current snapshot is untouched; same atomic replace as publish."""
+        m = self.read_manifest()
+        m["history"] = history
+        tmp = self._manifest_path() + ".tmp.expire"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+
     # ---------- sidecar json (stats, checkpoints) ----------
     def write_json(self, name: str, obj: dict) -> None:
         p = os.path.join(self.root, name + ".json")

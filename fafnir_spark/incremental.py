@@ -316,3 +316,45 @@ def compact_with_tombstones(spark: SparkSession, index_root: str) -> None:
     meta = dict(m2.get("meta") or {})
     meta["stats"] = stats_doc  # queries read stats from the manifest
     cat.publish(tables, meta=meta)
+
+
+def maybe_compact(spark: SparkSession, index_root: str, max_segments: int = 8) -> bool:
+    """Auto force-merge policy: compact when the postings table has grown
+    past ``max_segments`` segment dirs (streaming/append churn) — the
+    background-merge trigger every real deployment runs. Returns whether a
+    compaction happened."""
+    cat = Catalog(index_root)
+    m = cat.read_manifest()
+    if len(m["tables"].get("postings", [])) <= max_segments:
+        return False
+    compact_with_tombstones(spark, index_root)
+    return True
+
+
+def expire_snapshots(spark: SparkSession, index_root: str, keep_last: int = 3) -> dict:
+    """Iceberg expire_snapshots analog: trim manifest history to the last
+    ``keep_last`` snapshots and delete segment directories referenced ONLY
+    by expired ones. Crash-safe order: the manifest stops referencing the
+    dirs BEFORE anything is deleted, so a crash mid-delete leaves orphan
+    files, never dangling references. Returns counts."""
+    import shutil
+
+    cat = Catalog(index_root)
+    m = cat.read_manifest()
+    hist = m.get("history", [])
+    keep_hist = hist[len(hist) - keep_last:] if keep_last else []
+    expired = hist[: len(hist) - keep_last] if keep_last else list(hist)
+    if not expired:
+        return {"kept": len(keep_hist), "expired": 0, "deleted_dirs": 0}
+    live_dirs: set[str] = set()
+    for snap in [m, *keep_hist]:
+        for dirs in (snap.get("tables") or {}).values():
+            live_dirs.update(dirs)
+    dead_dirs: set[str] = set()
+    for snap in expired:
+        for dirs in (snap.get("tables") or {}).values():
+            dead_dirs.update(d for d in dirs if d not in live_dirs)
+    cat.rewrite_history(keep_hist)
+    for d in sorted(dead_dirs):
+        shutil.rmtree(d, ignore_errors=True)
+    return {"kept": len(keep_hist), "expired": len(expired), "deleted_dirs": len(dead_dirs)}

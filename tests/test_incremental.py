@@ -281,3 +281,41 @@ def test_upsert_on_positional_index_phrase(spark, tmp_path, split_docs):
     assert hits_new == {7}
     hits_old = {r["doc_id"] for r in phrase_search(spark, root, {"p": old_first_two}).collect()}
     assert 7 not in hits_old
+
+
+def test_maybe_compact_and_expire_snapshots(spark, tmp_path, split_docs):
+    """Auto-compaction trigger + snapshot expiry: segment count policy
+    fires the force-merge; expiry trims history and deletes ONLY dirs no
+    surviving snapshot references, keeping live queries intact."""
+    import os
+
+    from fafnir_spark.incremental import expire_snapshots, maybe_compact
+
+    docs, _, _ = split_docs
+    parts = [docs.filter((F.col("doc_id") % 4) == i) for i in range(4)]
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(parts[0], id_col="doc_id", text_col="text"),
+                root, n_parts=2, block_size=32, tokenizer="whitespace", build_id="a")
+    for i, p in enumerate(parts[1:], 1):
+        append_index(spark, normalize_docs(p, id_col="doc_id", text_col="text"),
+                     root, segment=f"d{i}", tokenizer="whitespace")
+    cat = Catalog(root)
+    assert len(cat.read_manifest()["tables"]["postings"]) == 4
+    before = _res(spark, root)
+    assert maybe_compact(spark, root, max_segments=2) is True
+    assert len(cat.read_manifest()["tables"]["postings"]) == 1
+    assert _res(spark, root) == before
+    assert maybe_compact(spark, root, max_segments=2) is False  # idempotent
+
+    n_hist = len(cat.read_manifest()["history"])
+    assert n_hist >= 4
+    out = expire_snapshots(spark, root, keep_last=1)
+    assert out["expired"] == n_hist - 1 and out["deleted_dirs"] > 0
+    # live snapshot still fully queryable; all referenced dirs exist
+    assert _res(spark, root) == before
+    m = cat.read_manifest()
+    for dirs in m["tables"].values():
+        assert all(os.path.isdir(d) for d in dirs)
+    # kept history snapshot still resolvable, expired ones are gone
+    kept_id = m["history"][-1]["snapshot_id"]
+    assert cat.manifest_at(kept_id)["snapshot_id"] == kept_id
