@@ -146,6 +146,16 @@ def _q_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", "score")
 
 
+def _q_facets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet aggregation FROM the index: match set from posting blocks,
+    facet values from doc_map — same oracle as the direct facet_counts."""
+    from fafnir_spark.wand import facet_counts_indexed
+
+    return facet_counts_indexed(
+        spark, _idx_root(spark, sf_dir), ["merge", "vector"], ["source", "lang"]
+    )
+
+
 def _q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = doc_term_freqs(_docs(spark, sf_dir), "doc_id", "text")
     return term_dfs(tf).orderBy("term")
@@ -475,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_fill_in": _pq("lang_fill_in"),
         "view_table_function": _pq("all_entities", "spark_sf"),
         "facet_counts": _q_facets,
+        "facet_counts_indexed": _q_facets_indexed,
         "snippets": _q_snippets,
         "union_corpora": _pq("union_corpora", "spark_sf"),
         "route_searchability": _pq("route_by_searchability"),
@@ -550,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_fill_in": oracles_pipeline.lang_fill_in_sql(),
         "view_table_function": oracles_pipeline.all_entities_sql(),
         "facet_counts": oracles.facet_counts_sql(["merge", "vector"], ["source", "lang"]),
+        "facet_counts_indexed": oracles.facet_counts_sql(["merge", "vector"], ["source", "lang"]),
         "snippets": oracles.snippets_sql("merge"),
         "union_corpora": oracles_pipeline.union_corpora_sql(),
         "route_searchability": oracles_pipeline.route_by_searchability_sql(),

@@ -588,6 +588,62 @@ def phrase_search(
     )
 
 
+MATCH_SCHEMA = "doc_id long"
+
+
+def _match_ids_fn(terms: list[str], tombs):
+    """Per-doc_part disjunctive match: unique live doc_ids containing >=1
+    of ``terms`` (per-block seg-scoped tombstone exclusion)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = []
+        want = set(terms)
+        for r in pdf.itertuples(index=False):
+            if r.term not in want:
+                continue
+            ids = delta_decode(r.doc_ids).astype(np.int64)
+            exc = _exc_for(tombs, getattr(r, "seg", "") or "")
+            if exc is not None and len(exc):
+                ids = ids[~np.isin(ids, exc)]
+            arrs.append(ids)
+        if not arrs:
+            return pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
+        return pd.DataFrame({"doc_id": np.unique(np.concatenate(arrs))})
+
+    return fn
+
+
+def facet_counts_indexed(
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str],
+    facet_cols: list[str],
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES facet aggregation served FROM the index: the disjunctive match
+    set comes from term-pruned posting blocks (per-shard decode, ids only),
+    facet values from the live doc_map — no raw-text access. (facet,
+    value, n), identical to query_ext.facet_counts."""
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
+        F.col("term").isin(sorted(set(terms)))
+    )
+    tombs = _load_tombstones(spark, cat, manifest)
+    matched = postings.groupBy("doc_part").applyInPandas(
+        _match_ids_fn(sorted(set(terms)), tombs), schema=MATCH_SCHEMA
+    )
+    dm = cat.live_doc_map(spark, manifest)
+    joined = dm.join(matched, "doc_id", "left_semi")
+    out = None
+    for c in facet_cols:
+        f = joined.groupBy(F.col(c).cast("string").alias("value")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit(c).alias("facet"), "value", "n")
+        out = f if out is None else out.unionByName(f)
+    return out.orderBy("facet", "value")
+
+
 class _UnionExc:
     """Per-segment exclusion = tombstones ∪ a static doc-id set (indexed
     must_not clauses)."""
