@@ -328,3 +328,41 @@ def hybrid_rrf(
     )
     w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(w)).select("rank", "doc_id", "rrf")
+
+
+def append_ivf(
+    spark,
+    emb_new: DataFrame,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign NEW vectors to the EXISTING
+    centroids (the standard IVF add path — centroids are frozen between
+    retrains) and publish one more partitioned assignment segment.
+    ivf_search reads the union; partition pruning still applies."""
+    import uuid
+
+    from .catalog import Catalog
+
+    cat = Catalog(index_root)
+    m = cat.read_manifest()
+    cents = cat.read_table(spark, "ivf_centroids")
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        emb_new.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine_expr(F.col("v"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    seg = f"add-{uuid.uuid4().hex[:8]}"
+    cat.write_segment(assigned, "ivf_assign", seg, partition_by=["centroid_id"])
+    tables = dict(m["tables"])
+    tables["ivf_assign"] = tables["ivf_assign"] + [cat.segment_dir("ivf_assign", seg)]
+    meta = dict(m.get("meta") or {})
+    meta["n_vectors"] = int(meta.get("n_vectors", 0)) + emb_new.count()
+    cat.publish(tables, meta=meta)

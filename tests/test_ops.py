@@ -203,3 +203,22 @@ def test_resize_media(spark, docs):
     assert all(again[r["doc_id"]] == r["payload"] for r in small)
     with pytest.raises(Exception, match="resampler"):
         resize_media(media, fake=False).collect()
+
+
+def test_ivf_append(spark, emb, tmp_path):
+    """Incremental IVF: vectors appended after the build are assigned to
+    the frozen centroids and become searchable; a query equal to an
+    appended vector returns it at rank 1."""
+    from fafnir_spark.simsearch import append_ivf, build_ivf_index, ivf_search
+
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    root = str(tmp_path / "ivf")
+    build_ivf_index(spark, old, root, n_centroids=8)
+    append_ivf(spark, new, root)
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 450).collect()[0]["embedding"]]
+    got = ivf_search(spark, root, {"q": probe}, k=5, nprobe=3).collect()
+    assert got[0]["vec_id"] == 450 and got[0]["cos"] == 1.0
+    # appended + base vectors both reachable
+    ids = {r["vec_id"] for r in got}
+    assert any(i < 400 for i in ids) or len(ids) == 5
