@@ -133,7 +133,11 @@ def main() -> None:
         f.write(json.dumps(rec) + "\n")
     with open(hist_path) as f:
         history = [json.loads(line) for line in f if line.strip()]
-    best = max(history, key=lambda r: r["eff_raw"])
+    # "best" considers only probe-valid windows (probe_eff >= 0.6 — a
+    # contended leading probe makes the raw number untrustworthy); falls
+    # back to all history if no valid line exists yet
+    valid = [r for r in history if r.get("probe_eff", 0) >= 0.6]
+    best = max(valid or history, key=lambda r: r["eff_raw"])
 
     md = f"""# BENCH/BASELINE — measured engine numbers & scaling protocol
 
