@@ -1,0 +1,66 @@
+"""Edge-path robustness: absent terms, oversize k, single-term phrases,
+empty clause combinations — the paths a user hits on day one."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.build import build_index, normalize_docs
+from fafnir_spark.query import bm25_topk
+from fafnir_spark.query_ext import bool_bm25, collapse_topk
+from fafnir_spark.wand import bool_search, phrase_search, run_queries
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("edgeidx"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=3, block_size=32, tokenizer="whitespace",
+                build_id="e", with_positions=True)
+    return root
+
+
+def test_all_absent_terms(spark, idx):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert run_queries(spark, idx, {"q": ["zz_never"]}, k=5).count() == 0
+    assert bm25_topk(docs, ["zz_never"], k=5).count() == 0
+    assert bool_search(spark, idx, {"q": {"must": ["zz_never"], "should": ["merge"]}}).count() == 0
+    assert bool_bm25(docs, must=["zz_never"], should=["merge"]).count() == 0
+
+
+def test_k_larger_than_corpus(spark, idx):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    res = run_queries(spark, idx, {"q": ["merge"]}, k=n * 10).collect()
+    assert 0 < len(res) <= n
+    assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    direct = bm25_topk(docs, ["merge"], k=n * 10).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in res] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in direct]
+
+
+def test_single_term_phrase(spark, idx):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hits = {r["doc_id"] for r in phrase_search(spark, idx, {"p": ["merge"]}).collect()}
+    want = {r["doc_id"] for r in docs.filter(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).contains(" merge ")).collect()}
+    assert hits == want and hits
+
+
+def test_must_not_everything(spark, idx):
+    """must_not over a hot term that co-occurs everywhere the should term
+    appears → empty, not an error."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = bool_bm25(docs, should=["merge"], must_not=["merge"], k=5)
+    assert got.count() == 0
+    assert bool_search(spark, idx, {"q": {"should": ["merge"], "must_not": ["merge"]}}).count() == 0
+
+
+def test_collapse_more_groups_than_k(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = collapse_topk(docs, ["merge", "window"], "source", k=3).collect()
+    assert len(got) == 3
+    assert len({r["source"] for r in got}) == 3  # one per group
