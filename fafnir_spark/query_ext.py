@@ -97,12 +97,17 @@ def expand_prefix(docs: DataFrame, prefix: str, text_col: str = "text") -> list[
 
 
 def prefix_bm25(docs: DataFrame, prefix: str, k: int = 10, text_col: str = "text") -> DataFrame:
-    """`prefix*` → expanded-term disjunctive BM25 top-k (rank, doc_id, score)."""
+    """`prefix*` → expanded-term disjunctive BM25 top-k (rank, doc_id, score).
+
+    Single-query path → bm25_topk (TakeOrderedAndProject), not the batch
+    form whose per-qid window would put one query's matches through one
+    reducer."""
+    from .query import bm25_topk
+
     terms = expand_prefix(docs, prefix, text_col)
     if not terms:
         return docs.sparkSession.createDataFrame([], "rank int, doc_id long, score double")
-    res = bm25_topk_batch(docs, {"q": terms}, k=k, text_col=text_col)
-    return res.select("rank", "doc_id", "score")
+    return bm25_topk(docs, terms, k=k, text_col=text_col)
 
 
 def fielded_bm25(
