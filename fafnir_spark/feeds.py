@@ -52,6 +52,11 @@ def iter_json_array(fh: io.TextIOBase, chunk_chars: int = 1 << 16) -> Iterator[d
     """
     dec = json.JSONDecoder()
     buf = fh.read(chunk_chars).lstrip()
+    while not buf:  # leading whitespace may exceed the first chunk
+        more = fh.read(chunk_chars)
+        if not more:
+            raise ValueError("feed is not a JSON array")
+        buf = more.lstrip()
     if not buf.startswith("["):
         raise ValueError("feed is not a JSON array")
     buf = buf[1:]
@@ -70,12 +75,30 @@ def iter_json_array(fh: io.TextIOBase, chunk_chars: int = 1 << 16) -> Iterator[d
         while True:
             try:
                 obj, end = dec.raw_decode(buf)
-                break
             except ValueError:
                 more = fh.read(chunk_chars)
                 if not more:
                     raise ValueError("truncated JSON element") from None
                 buf += more
+                continue
+            # numbers are prefix-ambiguous at a chunk edge: "12"+"3", and
+            # raw_decode("0.") even returns (0, 1) leaving the "." behind —
+            # so a numeric parse is only final once the next char can NOT
+            # extend a number (in valid arrays that's ',' ']' or space)
+            is_num = isinstance(obj, (int, float)) and not isinstance(obj, bool)
+            ambiguous = is_num and (
+                end == len(buf) or buf[end] in ".eE+-0123456789"
+            )
+            if not is_num and end == len(buf):
+                ambiguous = True  # separator not in view yet; cheap re-read
+            if ambiguous:
+                more = fh.read(chunk_chars)
+                if more:
+                    buf += more
+                    continue
+                if is_num and end < len(buf):
+                    raise ValueError("malformed number in JSON array")
+            break
         yield obj
         buf = buf[end:]
 

@@ -96,3 +96,25 @@ def test_ingest_feed_lifecycle(spark, tmp_path):
             for r in attach_doc_meta(spark, root, res).collect()}
     assert meta[7] == "reviews" and meta[5] == "photos"  # last update wins
     assert meta[1] == "feed"  # untouched rows keep pass-1 value
+
+
+def test_iter_json_array_property():
+    """Property: for ANY json array and ANY chunk size, the incremental
+    splitter reproduces json.loads of the whole document."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    json_vals = st.recursive(
+        st.none() | st.booleans() | st.integers(-10**6, 10**6)
+        | st.floats(allow_nan=False, allow_infinity=False) | st.text(max_size=20),
+        lambda c: st.lists(c, max_size=3) | st.dictionaries(st.text(max_size=8), c, max_size=3),
+        max_leaves=8,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(json_vals, max_size=8), st.integers(1, 40))
+    def check(arr, chunk):
+        got = list(iter_json_array(io.StringIO(json.dumps(arr)), chunk_chars=chunk))
+        assert got == arr
+
+    check()
