@@ -1,0 +1,46 @@
+"""Property test for build._iter_group_runs — THE carry protocol every
+posting writer shares: a (term, doc_part) group must never be split across
+two emitted runs (block_id uniqueness depends on it), and no row may be
+lost or duplicated, for ANY batch segmentation."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fafnir_spark.build import _iter_group_runs
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(  # (term, doc_part, run_length) group specs, sorted later
+        st.tuples(st.sampled_from("abcdef"), st.integers(0, 2), st.integers(1, 5)),
+        min_size=0, max_size=8,
+    ),
+    st.lists(st.integers(1, 7), min_size=1, max_size=10),  # batch sizes
+)
+def test_groups_never_split(specs, cuts):
+    rows = []
+    for term, part, n in sorted(set((t, p, n) for t, p, n in specs)):
+        rows += [(term, part, i) for i in range(n)]
+    df = pd.DataFrame(rows, columns=["term", "doc_part", "doc_id"]).sort_values(
+        ["term", "doc_part", "doc_id"], kind="mergesort"
+    ).reset_index(drop=True)
+    # segment into batches by cycling the cut sizes
+    batches, i, ci = [], 0, 0
+    while i < len(df):
+        n = cuts[ci % len(cuts)]
+        batches.append(df.iloc[i:i + n])
+        i += n
+        ci += 1
+    runs = list(_iter_group_runs(iter(batches)))
+    # 1. lossless: concatenation equals the input
+    got = (pd.concat(runs, ignore_index=True) if runs
+           else pd.DataFrame(columns=df.columns))
+    assert got.astype(object).values.tolist() == df.astype(object).values.tolist()
+    # 2. a (term, doc_part) group appears in exactly ONE run
+    seen: dict = {}
+    for ri, run in enumerate(runs):
+        for key in set(zip(run["term"], run["doc_part"])):
+            assert seen.setdefault(key, ri) == ri, (key, ri, seen[key])
