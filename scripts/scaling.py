@@ -136,7 +136,7 @@ def main() -> None:
     # "best" considers only probe-valid windows (probe_eff >= 0.6 — a
     # contended leading probe makes the raw number untrustworthy); falls
     # back to all history if no valid line exists yet
-    valid = [r for r in history if r.get("probe_eff", 0) >= 0.6]
+    valid = [r for r in history if (r.get("probe_eff") or 0) >= 0.6]
     best = max(valid or history, key=lambda r: r["eff_raw"])
 
     md = f"""# BENCH/BASELINE — measured engine numbers & scaling protocol
