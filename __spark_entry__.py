@@ -417,6 +417,20 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1h window / 30m slide) — complete mode
+    over the drained source equals the batch sliding aggregation."""
+    import uuid
+
+    from fafnir_spark.streaming import stream_sliding_counts
+
+    return stream_sliding_counts(
+        spark, f"{sf_dir}/events.*",
+        os.path.join(tempfile.mkdtemp(prefix="fafnir_ck_"), "c"),
+        "drv_sliding_" + uuid.uuid4().hex[:6],
+    )
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (applyInPandasWithState): first arrival per
     content hash wins. Over the single-file fixture that equals
@@ -501,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_error_counts": _pq("event_error_counts", "events"),
         "events_tumbling_window": _pq("events_tumbling_window", "events"),
         "stream_tumbling_window": _q_stream_tumbling,
+        "stream_sliding_window": _q_stream_sliding,
         "stream_dedup_exact": _q_stream_dedup,
         "events_sliding_window": _pq("events_sliding_window", "events"),
         "best_doc_per_group": _pq("best_doc_per_lang"),
@@ -577,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "event_error_counts": oracles_pipeline.event_error_counts_sql(),
         "events_tumbling_window": oracles_pipeline.events_tumbling_window_sql(),
         "stream_tumbling_window": oracles_pipeline.events_tumbling_window_sql(),
+        "stream_sliding_window": oracles_pipeline.events_sliding_window_sql(),
         "stream_dedup_exact": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id "
             "FROM documents GROUP BY 1 ORDER BY 1"

@@ -150,3 +150,35 @@ def stream_dedup_exact(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_sliding_counts(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    name: str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows over a parquet stream (window+slide →
+    each event lands in window/slide overlapping windows). Complete mode
+    over a drained source equals the batch sliding aggregation, so the
+    same DuckDB oracle checks it."""
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
