@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_zone_top1": _pq("nearest_zone", "spark_events"),
         "semi_join_docs_events": _pq("docs_with_events", "spark_sf"),
         "event_error_counts": _pq("event_error_counts", "events"),
+        "event_sessionization": _pq("user_sessions", "events"),
         "events_tumbling_window": _pq("events_tumbling_window", "events"),
         "stream_tumbling_window": _q_stream_tumbling,
         "stream_sliding_window": _q_stream_sliding,
@@ -590,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_zone_top1": oracles_pipeline.nearest_zone_sql(),
         "semi_join_docs_events": oracles_pipeline.docs_with_events_sql(),
         "event_error_counts": oracles_pipeline.event_error_counts_sql(),
+        "event_sessionization": oracles_pipeline.user_sessions_sql(),
         "events_tumbling_window": oracles_pipeline.events_tumbling_window_sql(),
         "stream_tumbling_window": oracles_pipeline.events_tumbling_window_sql(),
         "stream_sliding_window": oracles_pipeline.events_sliding_window_sql(),

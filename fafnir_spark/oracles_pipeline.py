@@ -225,3 +225,27 @@ SELECT doc_id,
          ), '; '), '') AS opening_hours
 FROM d ORDER BY doc_id
 """
+
+
+def user_sessions_sql(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+lagged AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus FROM e
+),
+marked AS (
+  SELECT *, CASE WHEN pus IS NULL OR us - pus > {gap_us} THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sess AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS INT) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""

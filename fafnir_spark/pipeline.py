@@ -408,3 +408,36 @@ def opening_hours_fold(docs: DataFrame) -> DataFrame:
         "; ",
     )
     return docs.select("doc_id", folded.alias("opening_hours"))
+
+
+def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (the batch dual of streaming session
+    windows): consecutive events of a user belong to one session until a
+    silence longer than ``gap_minutes``. Classic island detection — lag →
+    new-session marker → running sum — all window functions partitioned by
+    user (parallel across users, no global window).
+    (user_id, session_no, n_events, session_start, duration_us)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    # tz-free epoch micros: ts is TIMESTAMP_NTZ, so diff against the naive
+    # epoch (unix_micros would force a session-timezone interpretation)
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    prev = F.lag(us).over(w)
+    marked = events.select("user_id", "event_id", "ts", us.alias("us")).withColumn(
+        "is_new", (prev.isNull() | (us - prev > gap_us)).cast("int")
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_no")
+    )
