@@ -246,6 +246,13 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(spark, root, {"q": QVEC}, k=10, nprobe=4).drop("qid")
 
 
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per doc (per-doc windows)."""
+    from fafnir_spark.textstats import top_terms_per_doc
+
+    return top_terms_per_doc(_docs(spark, sf_dir), k=3)
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.textstats import token_counts
 
@@ -482,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_indexed": _q_ann_ivf_indexed,
         "token_counts": _q_token_counts,
+        "top_terms_tfidf": _q_top_terms,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -550,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "ann_ivf_indexed": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "token_counts": oracles_ops.token_counts_sql(),
+        "top_terms_tfidf": oracles_ops.top_terms_sql(3),
         "media_meta": oracles_ops.media_meta_sql(),
         "media_features": oracles_ops.media_features_sql(),
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),

@@ -445,3 +445,28 @@ SELECT rank, doc_id, rrf FROM (
   )
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def top_terms_sql(k: int = 3) -> str:
+    """Mirror of textstats.top_terms_per_doc (tf·ln(N/df), rounded rank)."""
+    return """
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(nd.n_docs / dfs.df), 6) AS tfidf
+  FROM tf JOIN dfs USING (term) CROSS JOIN nd
+)
+SELECT doc_id, rk, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= %d
+ORDER BY doc_id, rk
+""" % k

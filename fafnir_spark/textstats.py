@@ -119,3 +119,35 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.size(tokens_expr(text_col)).alias("n_ws"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), F.lit(0))).alias("n_bpe"),
     )
+
+
+def top_terms_per_doc(docs: DataFrame, k: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """TF-IDF keyword extraction: the top-``k`` terms of every document by
+    tf·ln(N/df) — per-doc windows (parallel across docs, no global sort).
+    Ranking is on the 6-decimal-rounded score with term tie-break, the
+    same rank-identity contract as BM25. (doc_id, rk, term, tfidf)."""
+    from pyspark.sql.window import Window
+
+    from .query import doc_term_freqs
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    tf = doc_term_freqs(base, "doc_id", "__text")
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (
+        base.select(F.size(tokens_expr("__text")).alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "rk", "term", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
