@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_docs_events": _pq("docs_with_events", "spark_sf"),
         "event_error_counts": _pq("event_error_counts", "events"),
         "event_sessionization": _pq("user_sessions", "events"),
+        "event_percentiles": _pq("event_value_percentiles", "events"),
         "events_tumbling_window": _pq("events_tumbling_window", "events"),
         "stream_tumbling_window": _q_stream_tumbling,
         "stream_sliding_window": _q_stream_sliding,
@@ -601,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_docs_events": oracles_pipeline.docs_with_events_sql(),
         "event_error_counts": oracles_pipeline.event_error_counts_sql(),
         "event_sessionization": oracles_pipeline.user_sessions_sql(),
+        "event_percentiles": oracles_pipeline.event_value_percentiles_sql(),
         "events_tumbling_window": oracles_pipeline.events_tumbling_window_sql(),
         "stream_tumbling_window": oracles_pipeline.events_tumbling_window_sql(),
         "stream_sliding_window": oracles_pipeline.events_sliding_window_sql(),

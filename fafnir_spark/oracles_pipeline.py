@@ -249,3 +249,12 @@ SELECT user_id, session_no, count(*) AS n_events,
 FROM sess GROUP BY user_id, session_no
 ORDER BY user_id, session_no
 """
+
+
+def event_value_percentiles_sql() -> str:
+    return """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -441,3 +441,18 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+def event_value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). At 100 TB swap for
+    approx_percentile and a tolerance oracle; here exactness is the point.
+    (event_type, p50, p95)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
