@@ -229,9 +229,18 @@ def upsert_docs(
     entirely (the tombstone merge is last-write-wins).
     """
     cat = Catalog(index_root)
+    # design envelope: upserts are POINT updates (the reference's update
+    # passes are keyed single-document Sets) — the tombstone set is
+    # driver-resident and shipped in scorer closures, so a bulk replacement
+    # must go through a rebuild (or append under new ids) instead
+    id_rows = docs_new.select("doc_id").distinct().limit(100_001).collect()
+    if len(id_rows) > 100_000:
+        raise ValueError(
+            "upsert_docs is the point-update path (tombstones are "
+            "driver-resident); rebuild or append for bulk replacement"
+        )
     new_ids = spark.createDataFrame(
-        [(int(r["doc_id"]),) for r in docs_new.select("doc_id").distinct().collect()],
-        "doc_id long",
+        [(int(r["doc_id"]),) for r in id_rows], "doc_id long"
     )
     live = {
         int(r["doc_id"])
