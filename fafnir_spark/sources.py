@@ -1,0 +1,59 @@
+"""External sources beyond parquet: the JDBC (postgres) seam.
+
+The reference's primary source is PostgreSQL read through a server-side
+cursor (/root/reference src/sources/openmaptiles/postgres.rs:4-83 — six
+UNION'd table subqueries streamed with `query_raw`). Spark's dual is a
+partitioned JDBC read: N executors each open their own cursor over a
+numeric range slice, so ingestion parallelism matches the cluster, not one
+connection. No database exists in this sandbox — the option-building logic
+is unit-tested, the connection is exercised on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def jdbc_read_options(
+    url: str,
+    query_or_table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 16,
+    fetch_size: int = 10_000,
+) -> dict[str, str]:
+    """Spark JDBC options for a parallel cursor scan.
+
+    ``query_or_table`` may be a table name or a ``(SELECT ... ) q`` pushdown
+    subquery (how the reference's UNION-of-six-tables becomes ONE source).
+    With a numeric ``partition_column`` + bounds, Spark opens
+    ``num_partitions`` concurrent cursors over disjoint range slices;
+    ``fetch_size`` is the per-roundtrip row batch (the server-side cursor
+    page, postgres.rs's query_raw streaming analog).
+    """
+    opts = {
+        "url": url,
+        "dbtable": query_or_table,
+        "fetchsize": str(fetch_size),
+    }
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        if upper_bound <= lower_bound:
+            raise ValueError("upper_bound must exceed lower_bound")
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def read_jdbc(spark: SparkSession, **kwargs) -> DataFrame:
+    """Open the partitioned JDBC scan (see jdbc_read_options)."""
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_read_options(**kwargs).items():
+        reader = reader.option(k, v)
+    return reader.load()

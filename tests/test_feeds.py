@@ -118,3 +118,23 @@ def test_iter_json_array_property():
         assert got == arr
 
     check()
+
+
+def test_jdbc_options_builder():
+    from fafnir_spark.sources import jdbc_read_options
+
+    opts = jdbc_read_options(
+        "jdbc:postgresql://db/osm", "(SELECT id, name FROM osm_poi_point) q",
+        partition_column="id", lower_bound=0, upper_bound=1_000_000,
+        num_partitions=32,
+    )
+    assert opts["numPartitions"] == "32" and opts["partitionColumn"] == "id"
+    assert opts["dbtable"].startswith("(SELECT")
+    with pytest.raises(ValueError, match="bounds"):
+        jdbc_read_options("jdbc:x", "t", partition_column="id")
+    with pytest.raises(ValueError, match="exceed"):
+        jdbc_read_options("jdbc:x", "t", partition_column="id",
+                          lower_bound=5, upper_bound=5)
+    # unpartitioned form: single cursor, no range options
+    solo = jdbc_read_options("jdbc:x", "t")
+    assert "partitionColumn" not in solo
