@@ -146,6 +146,19 @@ def _q_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", "score")
 
 
+QS_QUERY = '+merge window cust* -vector "key agg"'
+
+
+def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's user-facing QueryString surface (tests/tests.rs
+    sends query_string searches): bare/+/- terms, quoted phrase, prefix
+    expansion — parsed ONCE by parse_query and executed/mirrored in both
+    engines from the same spec."""
+    from fafnir_spark.query_ext import search_text
+
+    return search_text(_docs(spark, sf_dir), QS_QUERY, k=10)
+
+
 def _q_facets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet aggregation FROM the index: match set from posting blocks,
     facet values from doc_map — same oracle as the direct facet_counts."""
@@ -494,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "hybrid_rrf": _q_hybrid_rrf,
         "collapse_topk": _q_collapse,
+        "query_string": _q_query_string,
         "prefix_bm25": _q_prefix,
         "fielded_bm25": _q_fielded,
         "phrase_match": _q_phrase,
@@ -564,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": oracles_ops.media_features_sql(),
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),
         "collapse_topk": oracles.collapse_topk_sql(Q_MAIN, "source", k=10),
+        "query_string": oracles.search_text_sql(QS_QUERY, k=10),
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),
         "phrase_match": oracles.phrase_match_sql("key agg"),

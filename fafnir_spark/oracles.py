@@ -326,3 +326,65 @@ SELECT rank, doc_id, score, {collapse_field} FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def search_text_sql(query: str, k: int = 10) -> str:
+    """Composed mirror of query_ext.search_text: the SAME parse_query
+    grammar drives both engines (single source of truth for parsing);
+    prefixes become LIKE expansion inside dfs, phrases/filters/must gate
+    eligibility, must_not excludes."""
+    from .query_ext import parse_query
+
+    spec = parse_query(query)
+    plain = sorted(set(spec["must"] + spec["should"]))
+    conds = []
+    if plain:
+        conds.append(f"term IN {_terms_in(plain)}")
+    for p in sorted(set(spec["prefixes"])):
+        conds.append("term LIKE '%s%%'" % p.replace("'", "''"))
+    dfs_where = " OR ".join(conds) or "FALSE"
+    extra = ""
+    if spec["must"]:
+        extra += f"""
+  AND scored.doc_id IN (
+    SELECT doc_id FROM tf WHERE term IN {_terms_in(spec["must"])}
+    GROUP BY doc_id HAVING count(*) = {len(set(spec["must"]))}
+  )"""
+    for f in sorted(set(spec["filters"])):
+        col, val = f.split(":", 1)
+        extra += f"""
+  AND scored.doc_id IN (SELECT doc_id FROM documents WHERE {col} = '{val.replace(chr(39), chr(39) * 2)}')"""
+    for ph in spec["phrases"]:
+        p = " ".join(ph).replace("'", "''")
+        extra += f"""
+  AND scored.doc_id IN (
+    SELECT doc_id FROM documents WHERE concat(' ', text, ' ') LIKE '% {p} %')"""
+    if spec["must_not"]:
+        extra += f"""
+  AND scored.doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM tf WHERE term IN {_terms_in(spec["must_not"])})"""
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE {dfs_where} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(raw_score, 6) AS score
+  FROM scored
+  WHERE 1=1 {extra}
+) WHERE rank <= {k}
+ORDER BY rank
+"""

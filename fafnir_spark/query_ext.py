@@ -222,3 +222,80 @@ def collapse_topk(
         .select("rank", "doc_id", "score", collapse_field)
         .orderBy("rank")
     )
+
+
+def parse_query(q: str) -> dict:
+    """ES query_string mini-grammar — the reference's user-facing search
+    syntax (tests/tests.rs:208-228 sends QueryString queries):
+
+      bare term      → should (scored, optional)
+      +term          → must (required, scored)
+      -term          → must_not (excludes)
+      "a b c"        → exact phrase (required, eligibility only)
+      prefi*         → prefix (expanded against the vocabulary, scored)
+      field:value    → filter context (required, never scored)
+
+    Returns {must, should, must_not, phrases, prefixes, filters} with terms
+    lowercased the way the whitespace analyzer sees them."""
+    import re as _re
+
+    out: dict = {"must": [], "should": [], "must_not": [],
+                 "phrases": [], "prefixes": [], "filters": []}
+    for part in _re.findall(r'[+\-]?"[^"]*"|\S+', q):
+        sign = part[0] if part[0] in "+-" else ""
+        body = part[1:] if sign else part
+        if body.startswith('"') and body.endswith('"') and len(body) >= 2:
+            toks = [t for t in body[1:-1].split(" ") if t]
+            if toks:
+                out["phrases"].append(toks)
+        elif body.endswith("*") and len(body) > 1:
+            out["prefixes"].append(body[:-1])
+        elif ":" in body[1:]:
+            out["filters"].append(body)
+        elif sign == "+":
+            out["must"].append(body)
+        elif sign == "-":
+            out["must_not"].append(body)
+        elif body:
+            out["should"].append(body)
+    return out
+
+
+def search_text(docs: DataFrame, query: str, k: int = 10, text_col: str = "text") -> DataFrame:
+    """Execute a query_string query (parse_query grammar) over the corpus:
+    prefixes expand against the vocabulary, phrases and field filters gate
+    eligibility (never scored), must/should/expansions are BM25-scored,
+    must_not excludes. (rank, doc_id, score)."""
+    from .query import bm25_topk
+
+    spec = parse_query(query)
+    scored = sorted(set(spec["must"] + spec["should"]))
+    for p in spec["prefixes"]:
+        scored = sorted(set(scored) | set(expand_prefix(docs, p, text_col)))
+    if not scored:
+        return docs.sparkSession.createDataFrame([], "rank int, doc_id long, score double")
+    eligible = None
+
+    def _and(base, extra):
+        return extra if base is None else base.join(extra, "doc_id")
+
+    if spec["must"]:
+        eligible = _and(eligible, conjunctive_match(docs, spec["must"], text_col=text_col))
+    for ph in spec["phrases"]:
+        eligible = _and(eligible, phrase_match(docs, " ".join(ph), text_col=text_col))
+    if spec["filters"]:
+        fields = sorted({f.split(":", 1)[0] for f in spec["filters"]})
+        tagged = with_field_tokens(docs, fields, text_col)
+        eligible = _and(eligible, conjunctive_match(tagged, spec["filters"], text_col=text_col))
+    excluded = None
+    if spec["must_not"]:
+        from .query import doc_term_freqs
+
+        mn = docs.sparkSession.createDataFrame(
+            [(t,) for t in sorted(set(spec["must_not"]))], "term string")
+        excluded = (
+            doc_term_freqs(docs.selectExpr("doc_id", f"{text_col} as __text"), "doc_id", "__text")
+            .join(F.broadcast(mn), "term").select("doc_id").distinct()
+        )
+    return bm25_topk(docs, scored, k=k, text_col=text_col,
+                     eligible=eligible, excluded_docs=excluded)

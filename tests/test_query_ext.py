@@ -155,3 +155,31 @@ def test_bool_search_indexed_equals_direct(spark, tmp_path, docs):
     delete_docs(spark, root, victims)
     after = bool_search(spark, root, {"q": shapes["full"]}, k=12).collect()
     assert victims and all(r["doc_id"] not in victims for r in after)
+
+
+def test_parse_query_grammar():
+    from fafnir_spark.query_ext import parse_query
+
+    spec = parse_query('+merge window cust* -vector "key agg" source:src3')
+    assert spec == {
+        "must": ["merge"], "should": ["window"], "must_not": ["vector"],
+        "phrases": [["key", "agg"]], "prefixes": ["cust"],
+        "filters": ["source:src3"],
+    }
+    assert parse_query('"multi word here" -"x"')["phrases"] == [["multi", "word", "here"], ["x"]]
+    assert parse_query("*")["should"] == ["*"]  # bare star is a term, not a prefix
+
+
+def test_search_text_equals_components(spark, ddb, docs):
+    """query_string execution must equal its hand-assembled parts and the
+    composed oracle."""
+    from fafnir_spark import oracles
+    from fafnir_spark.query_ext import search_text
+
+    q = '+merge window -vector "key agg"'
+    got = search_text(docs, q, k=10).collect()
+    want = ddb.execute(oracles.search_text_sql(q, k=10)).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[2], abs=1e-9)
+    assert got  # non-trivial on the fixture
