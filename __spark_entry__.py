@@ -159,6 +159,15 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_text(_docs(spark, sf_dir), QS_QUERY, k=10)
 
 
+def _q_query_string_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string served FROM the positional index: dictionary prefix
+    expansion, per-shard bool evaluation, phrase eligibility from stored
+    positions — same oracle as the direct form."""
+    from fafnir_spark.wand import search_text_indexed
+
+    return search_text_indexed(spark, _pidx_root(spark, sf_dir), QS_QUERY, k=10)
+
+
 def _q_facets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet aggregation FROM the index: match set from posting blocks,
     facet values from doc_map — same oracle as the direct facet_counts."""
@@ -379,17 +388,23 @@ def _q_bool_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional-postings phrase query — adjacency from stored token
-    positions, same oracle as the text-containment form."""
+def _pidx_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse, fingerprint-keyed) the shared POSITIONAL index."""
     from fafnir_spark.build import build_index, normalize_docs
-    from fafnir_spark.wand import phrase_search
 
     root = os.path.join(tempfile.gettempdir(), "fafnir_pidx_" + _content_key(sf_dir))
     docs = normalize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
     build_index(spark, docs, root, n_parts=8, block_size=128, tokenizer="whitespace",
                 build_id="phrase", resume=True, with_positions=True)
-    return phrase_search(spark, root, {"q": ["key", "agg"]}).select("doc_id")
+    return root
+
+
+def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-postings phrase query — adjacency from stored token
+    positions, same oracle as the text-containment form."""
+    from fafnir_spark.wand import phrase_search
+
+    return phrase_search(spark, _pidx_root(spark, sf_dir), {"q": ["key", "agg"]}).select("doc_id")
 
 
 def _q_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "collapse_topk": _q_collapse,
         "query_string": _q_query_string,
+        "query_string_indexed": _q_query_string_indexed,
         "prefix_bm25": _q_prefix,
         "fielded_bm25": _q_fielded,
         "phrase_match": _q_phrase,
@@ -579,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),
         "collapse_topk": oracles.collapse_topk_sql(Q_MAIN, "source", k=10),
         "query_string": oracles.search_text_sql(QS_QUERY, k=10),
+        "query_string_indexed": oracles.search_text_sql(QS_QUERY, k=10),
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),
         "phrase_match": oracles.phrase_match_sql("key agg"),

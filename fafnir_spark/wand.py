@@ -663,7 +663,8 @@ class _UnionExc:
         return self._cache[seg]
 
 
-def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict, k: int, tombs):
+def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict, k: int, tombs,
+                  include_ids: dict[str, np.ndarray] | None = None):
     """Per-shard ES bool evaluation from posting blocks: must terms
     intersect (vectorized), must_not terms exclude, must+should terms
     score; per-shard exact top-k (a doc's postings live in ONE shard, so
@@ -701,6 +702,10 @@ def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict,
             if not tb:
                 continue
             inc = None
+            if include_ids is not None and qid in include_ids:
+                inc = include_ids[qid]  # pre-computed eligibility (phrases)
+                if not len(inc):
+                    continue
             satisfiable = True
             for t in must + filt:
                 ids_t = term_ids(t)
@@ -708,7 +713,7 @@ def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict,
                     satisfiable = False
                     break
                 inc = ids_t if inc is None else inc[np.isin(inc, ids_t)]
-            if not satisfiable or ((must or filt) and not len(inc)):
+            if not satisfiable or (inc is not None and not len(inc)):
                 continue
             excluded = tombs
             if must_not:
@@ -743,6 +748,7 @@ def bool_search(
     queries: dict[str, dict],
     k: int = 10,
     snapshot_id: str | None = None,
+    include_ids: dict[str, np.ndarray] | None = None,
 ) -> DataFrame:
     """ES bool-query DSL served FROM THE INDEX: ``queries`` maps qid →
     {"must": [...], "should": [...], "must_not": [...]}. must terms all
@@ -772,7 +778,7 @@ def bool_search(
     )
     tombs = _load_tombstones(spark, cat, manifest)
     per_part = postings.groupBy("doc_part").applyInPandas(
-        _bool_part_fn(queries, idfs, stats, k, tombs), schema=RESULT_SCHEMA
+        _bool_part_fn(queries, idfs, stats, k, tombs, include_ids), schema=RESULT_SCHEMA
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
@@ -782,6 +788,50 @@ def bool_search(
         .select("qid", "rank", "doc_id", "score")
         .orderBy("qid", "rank")
     )
+
+
+def search_text_indexed(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    k: int = 10,
+    snapshot_id: str | None = None,
+    max_phrase_matches: int = 100_000,
+) -> DataFrame:
+    """query_string (query_ext.parse_query grammar) served FROM the index:
+    prefixes expand against the dictionary (term-sorted row-group scan),
+    field filters are unscored filter-context clauses (requires a token-bag
+    index, with_field_tokens at build), phrases are resolved from
+    positional postings and intersected as a pre-computed eligibility set
+    (phrase matches are selective; ``max_phrase_matches`` caps the
+    driver-side set). (rank, doc_id, score)."""
+    from .query_ext import parse_query
+
+    spec = parse_query(query)
+    should = sorted(set(spec["should"]))
+    for p in sorted(set(spec["prefixes"])):
+        should = sorted(set(should) | set(expand_prefix_indexed(spark, index_root, p)))
+    include: dict[str, np.ndarray] | None = None
+    if spec["phrases"]:
+        ids: np.ndarray | None = None
+        for i, ph in enumerate(spec["phrases"]):
+            m = phrase_search(spark, index_root, {"p": ph}, snapshot_id)
+            rows = m.limit(max_phrase_matches + 1).collect()
+            if len(rows) > max_phrase_matches:
+                raise ValueError(
+                    f"phrase {' '.join(ph)!r} matches >{max_phrase_matches} docs; "
+                    "use phrase_bm25 or raise max_phrase_matches"
+                )
+            cur = np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+            ids = cur if ids is None else ids[np.isin(ids, cur)]
+        include = {"q": ids if ids is not None else np.empty(0, dtype=np.int64)}
+    res = bool_search(
+        spark, index_root,
+        {"q": {"must": spec["must"], "should": should,
+               "must_not": spec["must_not"], "filter": spec["filters"]}},
+        k=k, snapshot_id=snapshot_id, include_ids=include,
+    )
+    return res.select("rank", "doc_id", "score")
 
 
 class Searcher:
