@@ -82,6 +82,10 @@ def stream_tumbling_counts(
     checks it exactly; ``append`` mode emits only watermark-finalized
     windows (late rows beyond the watermark are dropped — tested).
     Returns the materialized result table."""
+    # NOTE: watermarks require TIMESTAMP (not NTZ); the NTZ parquet values
+    # are interpreted in the session tz and date_format converts back with
+    # the same tz, so the wall-clock window labels round-trip identically —
+    # the oracle diverges only under a fractional-hour-offset session tz.
     stream = spark.readStream.schema(
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
