@@ -231,7 +231,9 @@ def parse_query(q: str) -> dict:
       bare term      → should (scored, optional)
       +term          → must (required, scored)
       -term          → must_not (excludes)
-      "a b c"        → exact phrase (required, eligibility only)
+      "a b c"        → exact phrase (required, eligibility only;
+                       a leading +/- sign on a phrase is ignored —
+                       negated phrases are not supported)
       prefi*         → prefix (expanded against the vocabulary, scored)
       field:value    → filter context (required, never scored)
 

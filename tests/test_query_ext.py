@@ -166,6 +166,7 @@ def test_parse_query_grammar():
         "phrases": [["key", "agg"]], "prefixes": ["cust"],
         "filters": ["source:src3"],
     }
+    # a sign on a phrase is ignored (negated phrases unsupported, documented)
     assert parse_query('"multi word here" -"x"')["phrases"] == [["multi", "word", "here"], ["x"]]
     assert parse_query("*")["should"] == ["*"]  # bare star is a term, not a prefix
 
