@@ -226,6 +226,23 @@ def score_bmw(
     for bi in range(len(blocks)):
         frag_ub[lo_idx[bi] : hi_idx[bi]] += ub[bi]
 
+    # pre-flight: hot-term disjunctions (flat Zipf-head bounds) prune
+    # almost nothing and then BMW is exhaustive + bookkeeping. A cheap θ
+    # proxy — per-doc PARTIAL scores from the highest-bound block are lower
+    # bounds of the true scores, so their kth value underestimates θ —
+    # decides before the O(Σcoverage) fragment lists are even built.
+    bi0 = int(np.argmax(ub))
+    ids0, tf0, dl0, w0 = blocks[bi0].decode()
+    sc0 = idfs[term_list[term_of_block[bi0]]] * _tfn(tf0, dl0, k1, b, avgdl) * w0
+    if len(sc0) >= k:
+        theta0 = float(np.round(np.sort(sc0)[-k], _ROUND_DECIMALS))
+        if float(np.mean(frag_ub >= theta0 - _ROUND_EPS)) > 0.7:
+            if counters is not None:
+                counters["blocks_total"] = counters.get("blocks_total", 0) + len(blocks)
+                counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + len(blocks)
+                counters["bmw_fallback"] = counters.get("bmw_fallback", 0) + 1
+            return score_exhaustive(term_blocks, idfs, k, k1, b, avgdl, excluded=excluded)
+
     order = np.argsort(-frag_ub, kind="stable")
     # per-fragment covering block lists
     frag_blocks: list[list[int]] = [[] for _ in range(n_frag)]
@@ -264,10 +281,28 @@ def score_bmw(
             theta = float(np.round(best_sc[-1], _ROUND_DECIMALS))
         pend_ids, pend_sc, pend_rows, pend_frags = [], [], 0, 0
 
-    for fi in order:
+    checked_fallback = False
+    for fi_pos, fi in enumerate(order):
         if len(best_ids) >= k and frag_ub[fi] < theta - _ROUND_EPS:
             break  # eps guard: a pruned doc may round up into a tie and
             # win on doc_id, so only prune outside the rounding radius
+        # adaptive bail-out: once θ exists, check ONCE what fraction of the
+        # remaining fragments it can actually prune. Hot-term disjunctions
+        # (flat Zipf-head bounds) prune almost nothing, and then BMW is
+        # exhaustive + fragment bookkeeping — strictly slower. Falling back
+        # is exact, and already-decoded blocks are cached so the partial
+        # fragment work is not re-paid at decode level.
+        if not checked_fallback and theta > -math.inf:
+            checked_fallback = True
+            rest = frag_ub[order[fi_pos:]]
+            if len(rest) and float(np.mean(rest >= theta - _ROUND_EPS)) > 0.7:
+                if counters is not None:
+                    counters["blocks_total"] = counters.get("blocks_total", 0) + len(blocks)
+                    counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + len(blocks)
+                    counters["bmw_fallback"] = counters.get("bmw_fallback", 0) + 1
+                return score_exhaustive(
+                    term_blocks, idfs, k, k1, b, avgdl, excluded=excluded
+                )
         lo, hi = frag_lo[fi], frag_hi[fi]
 
         # doc-level WAND refinement (Ding & Suel SIGIR'11 pivot logic,
