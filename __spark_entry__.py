@@ -149,6 +149,14 @@ def _q_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 QS_QUERY = '+merge window cust* -vector "key agg"'
 
 
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this: doc 42's top-5 TF-IDF terms as a BM25 query,
+    source doc excluded — term selection happens inside both engines."""
+    from fafnir_spark.query_ext import more_like_this
+
+    return more_like_this(_docs(spark, sf_dir), 42, k=10, n_terms=5)
+
+
 def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's user-facing QueryString surface (tests/tests.rs
     sends query_string searches): bare/+/- terms, quoted phrase, prefix
@@ -523,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "collapse_topk": _q_collapse,
         "query_string": _q_query_string,
+        "more_like_this": _q_more_like_this,
         "query_string_indexed": _q_query_string_indexed,
         "prefix_bm25": _q_prefix,
         "fielded_bm25": _q_fielded,
@@ -595,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),
         "collapse_topk": oracles.collapse_topk_sql(Q_MAIN, "source", k=10),
         "query_string": oracles.search_text_sql(QS_QUERY, k=10),
+        "more_like_this": oracles.more_like_this_sql(42, k=10, n_terms=5),
         "query_string_indexed": oracles.search_text_sql(QS_QUERY, k=10),
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),

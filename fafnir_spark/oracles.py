@@ -388,3 +388,46 @@ SELECT rank, doc_id, score FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def more_like_this_sql(doc_id: int, k: int = 10, n_terms: int = 5) -> str:
+    """Mirror of query_ext.more_like_this: the term selection (rounded
+    tfidf desc, term asc over the source doc) runs inside the SQL, then a
+    standard BM25 over exactly those terms, source doc excluded."""
+    return f"""
+WITH {_TF_CTES},
+dfs_all AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+mlt AS (
+  SELECT term FROM (
+    SELECT tf.term,
+           row_number() OVER (
+             ORDER BY round(tf.tf * ln(nd.n_docs / dfs_all.df), 6) DESC, tf.term ASC
+           ) AS rk
+    FROM tf JOIN dfs_all USING (term) CROSS JOIN nd
+    WHERE tf.doc_id = {doc_id}
+  ) WHERE rk <= {n_terms}
+),
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM mlt) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(raw_score, 6) AS score
+  FROM scored
+  WHERE scored.doc_id <> {doc_id}
+) WHERE rank <= {k}
+ORDER BY rank
+"""

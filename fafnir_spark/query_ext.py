@@ -301,3 +301,25 @@ def search_text(docs: DataFrame, query: str, k: int = 10, text_col: str = "text"
         )
     return bm25_topk(docs, scored, k=k, text_col=text_col,
                      eligible=eligible, excluded_docs=excluded)
+
+
+def more_like_this(docs: DataFrame, doc_id: int, k: int = 10, n_terms: int = 5,
+                   text_col: str = "text") -> DataFrame:
+    """ES more_like_this: the source doc's top-``n_terms`` TF-IDF terms
+    become a disjunctive BM25 query; the source doc itself is excluded.
+    Term selection shares the rank-identity contract (rounded tfidf desc,
+    term asc), so the DuckDB oracle picks the identical term set.
+    (rank, doc_id, score)."""
+    from .query import bm25_topk
+    from .textstats import top_terms_per_doc
+
+    terms = [
+        r["term"]
+        for r in top_terms_per_doc(docs, k=n_terms, text_col=text_col)
+        .filter(F.col("doc_id") == doc_id)
+        .collect()
+    ]
+    if not terms:
+        return docs.sparkSession.createDataFrame([], "rank int, doc_id long, score double")
+    src = docs.sparkSession.createDataFrame([(int(doc_id),)], "doc_id long")
+    return bm25_topk(docs, terms, k=k, text_col=text_col, excluded_docs=src)
