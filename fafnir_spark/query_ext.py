@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .query import bm25_topk_batch, conjunctive_match
+from .query import conjunctive_match
 
 
 def facet_counts(
