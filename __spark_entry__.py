@@ -149,6 +149,41 @@ def _q_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 QS_QUERY = '+merge window cust* -vector "key agg"'
 
 
+UPSERT_DOC, UPSERT_TEXT = 42, "quokka merge window merge"
+
+
+def _q_upsert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL stable-id upsert lifecycle with an exact oracle: build →
+    upsert doc 42's content → compact (exact stats) → BM25 query. The
+    oracle is plain BM25 over the CASE-modified corpus — post-compaction
+    the index must be indistinguishable from a fresh build of the modified
+    corpus (S9/J4, reference update-by-id semantics)."""
+    import shutil
+    import uuid
+
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.incremental import compact_with_tombstones, upsert_docs
+    from fafnir_spark.wand import run_queries
+
+    root = os.path.join(tempfile.gettempdir(), "fafnir_upsl_" + uuid.uuid4().hex[:8])
+    try:
+        docs = normalize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+        build_index(spark, docs, root, n_parts=4, block_size=128,
+                    tokenizer="whitespace", build_id="upsl", resume=False)
+        new = spark.createDataFrame([(UPSERT_DOC, UPSERT_TEXT)], "doc_id long, text string")
+        upsert_docs(spark, normalize_docs(new, id_col="doc_id", text_col="text"),
+                    root, segment="up1", tokenizer="whitespace")
+        compact_with_tombstones(spark, root)
+        res = run_queries(spark, root, {"q": ["quokka", "merge", "window"]}, k=10)
+        out = spark.createDataFrame(
+            [(r["rank"], r["doc_id"], r["score"]) for r in res.collect()],
+            "rank int, doc_id long, score double",
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES more_like_this: doc 42's top-5 TF-IDF terms as a BM25 query,
     source doc excluded — term selection happens inside both engines."""
@@ -532,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": _q_collapse,
         "query_string": _q_query_string,
         "more_like_this": _q_more_like_this,
+        "upsert_lifecycle": _q_upsert_lifecycle,
         "query_string_indexed": _q_query_string_indexed,
         "prefix_bm25": _q_prefix,
         "fielded_bm25": _q_fielded,
@@ -605,6 +641,12 @@ def oracle_sql() -> dict[str, str]:
         "collapse_topk": oracles.collapse_topk_sql(Q_MAIN, "source", k=10),
         "query_string": oracles.search_text_sql(QS_QUERY, k=10),
         "more_like_this": oracles.more_like_this_sql(42, k=10, n_terms=5),
+        "upsert_lifecycle": oracles.bm25_topk_sql(
+            ["quokka", "merge", "window"], k=10,
+            text_expr=(
+                f"CASE WHEN doc_id = {UPSERT_DOC} THEN '{UPSERT_TEXT}' ELSE text END"
+            ),
+        ),
         "query_string_indexed": oracles.search_text_sql(QS_QUERY, k=10),
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),

@@ -42,14 +42,17 @@ def _terms_in(terms: list[str]) -> str:
     return f"({quoted})"
 
 
-def bm25_topk_sql(terms: list[str], k: int = 10, boosted: bool = False) -> str:
+def bm25_topk_sql(terms: list[str], k: int = 10, boosted: bool = False,
+                  text_expr: str = "text") -> str:
     """Top-k BM25, optionally with fafnir's doc-weight boost
     1 - 1/(1+n_chars) (poi_display_weight family, /root/reference
-    tests/openmaptiles2mimir/data/functions.sql:112-126)."""
+    tests/openmaptiles2mimir/data/functions.sql:112-126). ``text_expr``
+    parameterizes the analyzed text (e.g. a CASE-modified corpus for the
+    upsert-lifecycle oracle)."""
     boost = "* (1 - 1/(1 + d.n_chars))" if boosted else ""
     join_docs = "JOIN documents d ON d.doc_id = tf.doc_id" if boosted else ""
     return f"""
-WITH {_TF_CTES},
+WITH {_tf_ctes(text_expr)},
 dfs AS (
   SELECT term, count(*) AS df FROM tf
   WHERE term IN {_terms_in(terms)} GROUP BY term
