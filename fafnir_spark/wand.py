@@ -519,9 +519,20 @@ def _phrase_part_fn(phrases: dict[str, list[str]], excluded=None):
     return fn
 
 
-def _phrase_score_fn(queries: dict[str, list[str]], idfs: dict[str, float], stats: dict, k: int):
+def _phrase_score_fn(
+    queries: dict[str, list[str]],
+    idfs: dict[str, float],
+    stats: dict,
+    k: int,
+    excluded=None,
+):
     """Cogrouped scorer: (postings of one doc_part) × (phrase matches of the
-    same part) → BM25 scores of ONLY the matched docs, per-shard top-k."""
+    same part) → BM25 scores of ONLY the matched docs, per-shard top-k.
+
+    ``excluded`` (seg-scoped tombstones) is threaded into score_exhaustive:
+    after a stable-id upsert the live doc_id also appears in the OLD
+    segment's posting blocks, so without exclusion the stale tf/dl would be
+    summed into the phrase score."""
     k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
 
     def fn(pdf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
@@ -542,7 +553,9 @@ def _phrase_score_fn(queries: dict[str, list[str]], idfs: dict[str, float], stat
             tb = {t: by_term[t] for t in terms if t in by_term}
             if not len(inc) or not tb:
                 continue
-            ids, sc = score_exhaustive(tb, idfs, k, k1, b, avgdl, included=inc)
+            ids, sc = score_exhaustive(
+                tb, idfs, k, k1, b, avgdl, included=inc, excluded=excluded
+            )
             out_qid.extend([qid] * len(ids))
             out_doc.append(ids)
             out_sc.append(sc)
@@ -585,8 +598,9 @@ def phrase_bm25(
     postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
         F.col("term").isin([t for t in all_terms if t in idfs])
     )
+    excluded = _load_tombstones(spark, cat, manifest)
     per_part = postings.groupBy("doc_part").cogroup(matches.groupBy("doc_part")).applyInPandas(
-        _phrase_score_fn(phrases, idfs, stats, k), schema=RESULT_SCHEMA
+        _phrase_score_fn(phrases, idfs, stats, k, excluded), schema=RESULT_SCHEMA
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
