@@ -11,9 +11,11 @@ Scale notes (100 TB):
    LSH banding shuffles (band_key) rows = docs × bands; bucket sizes are the
    skew risk → cap candidate pairs per bucket (param) exactly like posting
    salting caps reducers.
- * ngram_jaccard_pairs is the *verify* stage: quadratic only within LSH
-   buckets, never across the corpus (standalone full-join form exists for
-   oracle checking at test scale).
+ * ngram_jaccard_pairs is the *verify* stage: with ``candidates`` the
+   common-shingle count is driven FROM the candidate pairs (equi-joins on
+   doc id, cost O(|candidates| × shingles/doc)) — a hot boilerplate shingle
+   never causes a corpus-wide self-join. The standalone full-join form
+   exists for oracle checking at test scale.
  * simhash: per-row 32-bit signature via bit arithmetic, then a bit_count
    self-join on band prefix.
 
@@ -63,20 +65,35 @@ def ngram_jaccard_pairs(
     """(doc_a, doc_b, jaccard) with J >= threshold, doc_a < doc_b.
 
     Without ``candidates`` this is the exact quadratic form (shingle
-    self-join — test/oracle scale only). With ``candidates`` (doc_a, doc_b)
-    it verifies only those pairs — the LSH verify stage.
+    self-join — test/oracle scale only). With ``candidates`` (distinct
+    (doc_a, doc_b) pairs, doc_a < doc_b) the common-shingle count is
+    computed FROM the candidate pairs —
+    cand ⋈ shingles(doc_a) ⋈ shingles(doc_b, same shingle) → groupBy(pair)
+    — so the join input is O(|candidates| × shingles/doc). A hot shingle
+    (one boilerplate header in 10^9 docs) never triggers a corpus-wide
+    self-join: the shingle-equality join is keyed on (doc_b, shingle),
+    already restricted to candidate docs.
     """
     sh = doc_shingles(docs, id_col, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        cand = candidates.select("doc_a", "doc_b")
+        sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        common = (
+            cand.join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -155,6 +155,37 @@ def test_dedup_plans_have_no_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+        # the Jaccard verify must be candidate-driven: no join that pairs
+        # docs BY shingle equality (the corpus-wide self-join fingerprint
+        # is a join condition carrying both a shingle key and a doc '<')
+        for line in plan.split("\n"):
+            if "Join" in line and "shingle" in line:
+                assert " < " not in line, (name, line)
+
+
+def test_jaccard_verify_is_candidate_scoped(spark):
+    """Hot-shingle fixture (one boilerplate shingle in every doc): the
+    candidate-scoped verify must (a) never self-join shingles corpus-wide
+    — plan-asserted — and (b) agree exactly with the quadratic form
+    restricted to the same candidate pairs."""
+    from fafnir_spark.dedup import ngram_jaccard_pairs
+
+    hot = "license header boilerplate"  # the hot 3-shingle, in all docs
+    rows = [(i, f"{hot} unique{i} tail{i} end{i}") for i in range(300)]
+    rows += [(1000, "alpha beta gamma delta epsilon zeta"),
+             (1001, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(1000, 1001), (0, 1), (2, 250)], "doc_a long, doc_b long")
+    got = ngram_jaccard_pairs(docs, 0.2, candidates=cand)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.split("\n"):
+        if "Join" in line and "shingle" in line:
+            assert " < " not in line, line
+    quad = ngram_jaccard_pairs(docs, 0.2).join(cand, ["doc_a", "doc_b"], "left_semi")
+    got_rows = sorted(((r["doc_a"], r["doc_b"], r["jaccard"]) for r in got.collect()))
+    quad_rows = sorted(((r["doc_a"], r["doc_b"], r["jaccard"]) for r in quad.collect()))
+    assert got_rows == quad_rows and len(got_rows) >= 1
 
 
 def test_view_union_pushdown(spark):
