@@ -388,15 +388,19 @@ def finalize_index(
     stats = dm.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("doc_id").alias("n_ids"),
-        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("sum_dl"),
     ).collect()[0]
     if stats["n_ids"] != stats["n_docs"]:
         raise ValueError(
             f"doc_id collision: {stats['n_docs'] - stats['n_ids']} duplicated ids"
         )
+    sum_dl = int(stats["sum_dl"] or 0)
     stats_doc = {
         "n_docs": stats["n_docs"],
-        "avgdl": stats["avgdl"],
+        # exact integer sum / count: deterministic across partitionings and
+        # additively mergeable by append_index (incremental stats)
+        "avgdl": (sum_dl / stats["n_docs"]) if stats["n_docs"] else 0.0,
+        "sum_dl": sum_dl,
         "n_parts": n_parts,
         "block_size": block_size,
         "k1": K1,

@@ -176,7 +176,13 @@ def append_index(
     )
     tokenized.unpersist()
 
-    # re-merge dictionary + stats from all segments, publish new snapshot
+    # incremental dictionary merge: df and cf are ADDITIVE across segments
+    # (tombstone adjustment waits for compaction, ES-faithful stale df), so
+    # derive the NEW segment's (term, df, cf) alone and sum with the
+    # published dictionary — a point append/upsert/micro-batch never rescans
+    # prior postings. The reference applies keyed updates without corpus
+    # rescans (tripadvisor2mimir.rs:112-165); Lucene merges per-segment
+    # term dictionaries the same way.
     from .build import dictionary_from_postings
 
     tables = dict(m["tables"])
@@ -184,18 +190,34 @@ def append_index(
     tables["postings"] = tables["postings"] + [cat.segment_dir("postings", segment)]
     if ts_dir is not None:
         tables[TOMBSTONE_TABLE] = [ts_dir]
-    post_all = spark.read.parquet(tables["postings"][0])
-    for p in tables["postings"][1:]:
-        post_all = post_all.unionByName(spark.read.parquet(p), allowMissingColumns=True)
-    merged = dictionary_from_postings(post_all)
+    new_dict = dictionary_from_postings(
+        spark.read.parquet(cat.segment_dir("postings", segment))
+    )
+    old_dict = spark.read.parquet(*m["tables"]["dictionary"]).select("term", "df", "cf")
+    merged = (
+        old_dict.unionByName(new_dict)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
     dict_seg = f"merged-{segment}-{uuid.uuid4().hex[:6]}"
     cat.write_segment(merged, "dictionary", dict_seg, sort_within_by=["term"])
     tables["dictionary"] = [cat.segment_dir("dictionary", dict_seg)]
 
-    dm = spark.read.parquet(*tables["doc_map"])
-    agg = dm.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    # stats merge is additive too: count + exact integer dl-sum of the NEW
+    # doc_map segment only; avgdl = sum_dl/n_docs (deterministic, partition-
+    # order independent). Legacy stats without sum_dl seed it with one scan
+    # of the prior doc_map (dl column only), then stay additive forever.
+    new_agg = spark.read.parquet(cat.segment_dir("doc_map", segment)).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    old_sum = stats.get("sum_dl")
+    if old_sum is None:
+        old_sum = spark.read.parquet(*m["tables"]["doc_map"]).agg(
+            F.sum("dl")).collect()[0][0] or 0
+    n_docs = int(stats["n_docs"]) + int(new_agg["n"])
+    sum_dl = int(old_sum) + int(new_agg["sum_dl"] or 0)
     stats_doc = {
-        "n_docs": agg["n"], "avgdl": agg["avgdl"],
+        "n_docs": n_docs, "avgdl": sum_dl / n_docs, "sum_dl": sum_dl,
         "n_parts": n_parts, "block_size": block_size, "k1": K1, "b": B,
     }
     cat.write_json("stats", stats_doc)
@@ -310,8 +332,10 @@ def compact_with_tombstones(spark: SparkSession, index_root: str) -> None:
 
     # exact stats + dictionary from the surviving index
     dm = cat.read_table(spark, "doc_map")
-    agg = dm.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    stats_doc = {**stats, "n_docs": agg["n"], "avgdl": agg["avgdl"]}
+    agg = dm.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")).collect()[0]
+    sum_dl = int(agg["sum_dl"] or 0)
+    stats_doc = {**stats, "n_docs": agg["n"], "sum_dl": sum_dl,
+                 "avgdl": (sum_dl / agg["n"]) if agg["n"] else 0.0}
     cat.write_json("stats", stats_doc)
 
     from .build import dictionary_from_postings

@@ -52,6 +52,46 @@ def test_append_equals_full_build(spark, tmp_path, split_docs):
     assert Catalog(inc_root).read_json("stats")["n_docs"] == docs.count()
 
 
+def test_append_merges_dictionary_incrementally(spark, tmp_path, split_docs, monkeypatch):
+    """A point append must NOT rescan prior posting segments: the new
+    segment's (term, df, cf) is derived alone and additively merged with
+    the published dictionary. Spied via the postings DataFrame's input
+    files — all of them must live under the new segment's directory —
+    and value-checked against a full re-derivation."""
+    import fafnir_spark.build as bmod
+    from fafnir_spark.build import dictionary_from_postings
+
+    docs, old, new = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(old, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="i")
+
+    seen: list[list[str]] = []
+    orig = bmod.dictionary_from_postings
+
+    def spy(postings):
+        seen.append(postings.inputFiles())
+        return orig(postings)
+
+    monkeypatch.setattr(bmod, "dictionary_from_postings", spy)
+    append_index(spark, normalize_docs(new, id_col="doc_id", text_col="text"),
+                 root, segment="delta1", tokenizer="whitespace")
+    assert len(seen) == 1 and seen[0], "dictionary derived exactly once, from files"
+    assert all("/postings/seg=delta1/" in f for f in seen[0]), seen[0]
+    # additive merge == full re-derivation over all segments
+    cat = Catalog(root)
+    merged = {r["term"]: (r["df"], r["cf"])
+              for r in cat.read_table(spark, "dictionary").collect()}
+    full = {r["term"]: (r["df"], r["cf"])
+            for r in dictionary_from_postings(cat.read_table(spark, "postings")).collect()}
+    assert merged == full
+    # stats stayed additive-exact: integer dl sum over the whole doc_map
+    st = cat.read_json("stats")
+    want_sum = cat.read_table(spark, "doc_map").agg(F.sum("dl")).collect()[0][0]
+    assert st["sum_dl"] == int(want_sum)
+    assert st["avgdl"] == st["sum_dl"] / st["n_docs"]
+
+
 def test_append_collision_rejected(spark, tmp_path, split_docs):
     docs, old, _ = split_docs
     root = str(tmp_path / "idx")
