@@ -184,6 +184,21 @@ def _q_upsert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+MLT_TEXT = "merge window customer merge slow"
+
+
+def _q_more_like_this_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this(like-text) served FROM the index: tf from the
+    literal text, df from the dictionary point lookup, n_docs from stats —
+    no corpus pass before the scored disjunction."""
+    from fafnir_spark.query_ext import more_like_this_indexed
+
+    res = more_like_this_indexed(
+        spark, _idx_root(spark, sf_dir), MLT_TEXT, k=10, n_terms=3
+    )
+    return res.select("rank", "doc_id", "score")
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES more_like_this: doc 42's top-5 TF-IDF terms as a BM25 query,
     source doc excluded — term selection happens inside both engines."""
@@ -567,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": _q_collapse,
         "query_string": _q_query_string,
         "more_like_this": _q_more_like_this,
+        "more_like_this_indexed": _q_more_like_this_indexed,
         "upsert_lifecycle": _q_upsert_lifecycle,
         "query_string_indexed": _q_query_string_indexed,
         "prefix_bm25": _q_prefix,
@@ -641,6 +657,9 @@ def oracle_sql() -> dict[str, str]:
         "collapse_topk": oracles.collapse_topk_sql(Q_MAIN, "source", k=10),
         "query_string": oracles.search_text_sql(QS_QUERY, k=10),
         "more_like_this": oracles.more_like_this_sql(42, k=10, n_terms=5),
+        "more_like_this_indexed": oracles.more_like_this_indexed_sql(
+            MLT_TEXT, k=10, n_terms=3
+        ),
         "upsert_lifecycle": oracles.bm25_topk_sql(
             ["quokka", "merge", "window"], k=10,
             text_expr=(

@@ -78,6 +78,53 @@ ORDER BY rank
 """
 
 
+def more_like_this_indexed_sql(like_text: str, k: int = 10, n_terms: int = 5) -> str:
+    """Oracle for the indexed more_like_this(like_text) path: term selection
+    (tf from the literal text, df from the corpus == the fresh index's
+    dictionary, tfidf = tf·ln(n_docs/df) rounded-6, term-asc tie-break)
+    followed by standard BM25 over the selected disjunction."""
+    lit = like_text.replace("'", "''")
+    return f"""
+WITH {_TF_CTES},
+qtf AS (
+  SELECT t.tok AS term, count(*) AS qtf
+  FROM unnest(string_split('{lit}', ' ')) AS t(tok)
+  WHERE t.tok <> '' GROUP BY t.tok
+),
+qdfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qtf) GROUP BY term
+),
+sel AS (
+  SELECT qtf.term
+  FROM qtf JOIN qdfs USING (term) CROSS JOIN stats
+  ORDER BY round(qtf.qtf * ln(stats.n_docs / qdfs.df), 6) DESC, qtf.term ASC
+  LIMIT {n_terms}
+),
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM sel) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(raw_score, 6) AS score
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
 def term_stats_sql(min_df: int = 1) -> str:
     """Dictionary: (term, df, cf) — the core index aggregation."""
     # CAST: DuckDB sum(BIGINT) is HUGEINT (fetched as float64); Spark emits

@@ -303,23 +303,107 @@ def search_text(docs: DataFrame, query: str, k: int = 10, text_col: str = "text"
                      eligible=eligible, excluded_docs=excluded)
 
 
+def mlt_source_terms(docs: DataFrame, doc_id: int, text_col: str = "text") -> DataFrame:
+    """(term, tf, tfidf) of ONE source document — the more_like_this term
+    extraction. tf comes from the single filtered row (point predicate,
+    pushed to the scan); df is aggregated only over the source doc's terms
+    (semi-join restriction before the groupBy)."""
+    from .query import doc_term_freqs
+    from .textstats import tokens_expr
+
+    base = docs.select(F.col("doc_id"), F.col(text_col).alias("__text"))
+    src_tf = doc_term_freqs(base.filter(F.col("doc_id") == doc_id), "doc_id", "__text")
+    corpus_tf = doc_term_freqs(base, "doc_id", "__text")
+    dfs = (
+        corpus_tf.join(F.broadcast(src_tf.select("term")), "term", "left_semi")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = (
+        base.select(F.size(tokens_expr("__text")).alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        src_tf.join(dfs, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+        .select("term", "tf", "tfidf")
+    )
+
+
 def more_like_this(docs: DataFrame, doc_id: int, k: int = 10, n_terms: int = 5,
                    text_col: str = "text") -> DataFrame:
     """ES more_like_this: the source doc's top-``n_terms`` TF-IDF terms
     become a disjunctive BM25 query; the source doc itself is excluded.
     Term selection shares the rank-identity contract (rounded tfidf desc,
     term asc), so the DuckDB oracle picks the identical term set.
-    (rank, doc_id, score)."""
-    from .query import bm25_topk
-    from .textstats import top_terms_per_doc
+    (rank, doc_id, score).
 
+    Scale shape: tf comes from the ONE filtered source row (pushed-down
+    point predicate), and df is aggregated only for that doc's terms (the
+    corpus tf relation is semi-joined against the source vocabulary before
+    the groupBy) — no per-doc windows over the whole corpus, no full-vocab
+    aggregation. The one remaining corpus scan is the df count, inherent
+    to corpus-stat TF-IDF on the direct path; more_like_this_indexed
+    serves df from the index dictionary instead."""
+    from .query import bm25_topk
+
+    scored = mlt_source_terms(docs, doc_id, text_col)
     terms = [
         r["term"]
-        for r in top_terms_per_doc(docs, k=n_terms, text_col=text_col)
-        .filter(F.col("doc_id") == doc_id)
-        .collect()
+        for r in scored.orderBy(F.col("tfidf").desc(), F.col("term").asc())
+        .limit(n_terms).collect()
     ]
     if not terms:
         return docs.sparkSession.createDataFrame([], "rank int, doc_id long, score double")
     src = docs.sparkSession.createDataFrame([(int(doc_id),)], "doc_id long")
     return bm25_topk(docs, terms, k=k, text_col=text_col, excluded_docs=src)
+
+
+def more_like_this_indexed(
+    spark,
+    index_root: str,
+    like_text: str,
+    k: int = 10,
+    n_terms: int = 5,
+    tokenizer: str = "whitespace",
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES more_like_this with like-text, served FROM the index: tf comes
+    from the supplied text (analyzed with the index's tokenizer), df from a
+    DICTIONARY point lookup (term-pushed parquet scan), n_docs from the
+    published stats — NO corpus pass before the final scored disjunction.
+    Selected terms (rounded tfidf desc, term asc — the rank-identity
+    contract) feed the standard indexed BM25 path. (qid, rank, doc_id,
+    score)."""
+    import pandas as pd
+
+    from .catalog import Catalog
+    from .tokenizer import TOKENIZERS
+    from .wand import run_queries
+
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
+    terms_l, tfs_l, _dl, _pos = TOKENIZERS[tokenizer](pd.Series([like_text]))[0]
+    empty = "qid string, rank int, doc_id long, score double"
+    if not terms_l:
+        return spark.createDataFrame([], empty)
+    tf_df = spark.createDataFrame(
+        [(t, int(c)) for t, c in zip(terms_l, tfs_l)], "term string, tf int"
+    )
+    d = cat.read_table(spark, "dictionary", snapshot=manifest).filter(
+        F.col("term").isin(sorted(terms_l))
+    )
+    scored = tf_df.join(d, "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(stats["n_docs"])) / F.col("df")), 6),
+    )
+    sel = [
+        r["term"]
+        for r in scored.orderBy(F.col("tfidf").desc(), F.col("term").asc())
+        .limit(n_terms).collect()
+    ]
+    if not sel:
+        return spark.createDataFrame([], empty)
+    return run_queries(spark, index_root, {"mlt": sel}, k=k, snapshot_id=snapshot_id)

@@ -140,7 +140,11 @@ def top_terms_per_doc(docs: DataFrame, k: int = 3,
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     scored = (
-        tf.join(F.broadcast(dfs), "term")
+        # no broadcast hint on dfs: the df relation is full-vocabulary —
+        # billions of distinct identifiers on code corpora — so the join
+        # strategy is left to AQE (shuffle join at scale, auto-broadcast
+        # only when the measured size fits)
+        tf.join(dfs, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
     )

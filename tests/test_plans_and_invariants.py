@@ -163,6 +163,34 @@ def test_dedup_plans_have_no_cartesian(spark):
                 assert " < " not in line, (name, line)
 
 
+def test_top_terms_no_vocab_broadcast(spark):
+    """top_terms_per_doc must NOT force-broadcast the full-vocabulary df
+    relation (billions of distinct identifiers on code corpora): the only
+    broadcast hint in the plan is the 1-row n_docs cross join; the term
+    join strategy is left to AQE."""
+    from fafnir_spark.textstats import top_terms_per_doc
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lp = top_terms_per_doc(docs, k=3)._jdf.queryExecution().optimizedPlan().toString()
+    term_joins = [l for l in lp.split("\n") if "Join Inner, (term" in l]
+    assert term_joins, lp
+    assert all("strategy=broadcast" not in l for l in term_joins), term_joins
+
+
+def test_mlt_term_extraction_is_single_doc(spark):
+    """more_like_this term selection must scan tf for ONE doc (point
+    predicate pushed to the parquet scan), never run per-doc windows over
+    the corpus; the df aggregation is semi-join-restricted to the source
+    doc's terms."""
+    from fafnir_spark.query_ext import mlt_source_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = mlt_source_terms(docs, 42)._jdf.queryExecution().executedPlan().toString()
+    assert "(doc_id#" in plan and "= 42)" in plan  # pushed point predicate
+    assert "Window" not in plan                    # no per-doc corpus windows
+    assert "LeftSemi" in plan                      # df restricted to src terms
+
+
 def test_jaccard_verify_is_candidate_scoped(spark):
     """Hot-shingle fixture (one boilerplate shingle in every doc): the
     candidate-scoped verify must (a) never self-join shingles corpus-wide
