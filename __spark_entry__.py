@@ -207,6 +207,18 @@ def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return more_like_this(_docs(spark, sf_dir), 42, k=10, n_terms=5)
 
 
+QS_NEG = 'merge window -"key agg"'
+
+
+def _q_query_string_negphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string with a NEGATED phrase served from the positional index:
+    -"a b" excludes exact-phrase matches via the cogrouped anti-eligibility
+    path (no driver-side match collection)."""
+    from fafnir_spark.wand import search_text_indexed
+
+    return search_text_indexed(spark, _pidx_root(spark, sf_dir), QS_NEG, k=10)
+
+
 def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's user-facing QueryString surface (tests/tests.rs
     sends query_string searches): bare/+/- terms, quoted phrase, prefix
@@ -585,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this_indexed": _q_more_like_this_indexed,
         "upsert_lifecycle": _q_upsert_lifecycle,
         "query_string_indexed": _q_query_string_indexed,
+        "query_string_negphrase": _q_query_string_negphrase,
         "prefix_bm25": _q_prefix,
         "fielded_bm25": _q_fielded,
         "phrase_match": _q_phrase,
@@ -667,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "query_string_indexed": oracles.search_text_sql(QS_QUERY, k=10),
+        "query_string_negphrase": oracles.search_text_sql(QS_NEG, k=10),
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),
         "phrase_match": oracles.phrase_match_sql("key agg"),

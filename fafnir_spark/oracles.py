@@ -409,6 +409,11 @@ def search_text_sql(query: str, k: int = 10) -> str:
         extra += f"""
   AND scored.doc_id IN (
     SELECT doc_id FROM documents WHERE concat(' ', text, ' ') LIKE '% {p} %')"""
+    for ph in spec["neg_phrases"]:
+        p = " ".join(ph).replace("'", "''")
+        extra += f"""
+  AND scored.doc_id NOT IN (
+    SELECT doc_id FROM documents WHERE concat(' ', text, ' ') LIKE '% {p} %')"""
     if spec["must_not"]:
         extra += f"""
   AND scored.doc_id NOT IN (

@@ -232,24 +232,25 @@ def parse_query(q: str) -> dict:
       +term          → must (required, scored)
       -term          → must_not (excludes)
       "a b c"        → exact phrase (required, eligibility only;
-                       a leading +/- sign on a phrase is ignored —
-                       negated phrases are not supported)
+                       a leading + is the same as no sign)
+      -"a b c"       → negated phrase (excludes matching docs)
       prefi*         → prefix (expanded against the vocabulary, scored)
       field:value    → filter context (required, never scored)
 
-    Returns {must, should, must_not, phrases, prefixes, filters} with terms
-    lowercased the way the whitespace analyzer sees them."""
+    Returns {must, should, must_not, phrases, neg_phrases, prefixes,
+    filters} with terms lowercased the way the whitespace analyzer sees
+    them."""
     import re as _re
 
     out: dict = {"must": [], "should": [], "must_not": [],
-                 "phrases": [], "prefixes": [], "filters": []}
+                 "phrases": [], "neg_phrases": [], "prefixes": [], "filters": []}
     for part in _re.findall(r'[+\-]?"[^"]*"|\S+', q):
         sign = part[0] if part[0] in "+-" else ""
         body = part[1:] if sign else part
         if body.startswith('"') and body.endswith('"') and len(body) >= 2:
             toks = [t for t in body[1:-1].split(" ") if t]
             if toks:
-                out["phrases"].append(toks)
+                out["neg_phrases" if sign == "-" else "phrases"].append(toks)
         elif body.endswith("*") and len(body) > 1:
             out["prefixes"].append(body[:-1])
         elif ":" in body[1:]:
@@ -299,6 +300,9 @@ def search_text(docs: DataFrame, query: str, k: int = 10, text_col: str = "text"
             doc_term_freqs(docs.selectExpr("doc_id", f"{text_col} as __text"), "doc_id", "__text")
             .join(F.broadcast(mn), "term").select("doc_id").distinct()
         )
+    for ph in spec["neg_phrases"]:
+        pm = phrase_match(docs, " ".join(ph), text_col=text_col).select("doc_id")
+        excluded = pm if excluded is None else excluded.unionByName(pm).distinct()
     return bm25_topk(docs, scored, k=k, text_col=text_col,
                      eligible=eligible, excluded_docs=excluded)
 

@@ -713,14 +713,22 @@ class _UnionExc:
 
 
 def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict, k: int, tombs,
-                  include_ids: dict[str, np.ndarray] | None = None):
+                  n_pos: dict[str, int] | None = None):
     """Per-shard ES bool evaluation from posting blocks: must terms
     intersect (vectorized), must_not terms exclude, must+should terms
     score; per-shard exact top-k (a doc's postings live in ONE shard, so
-    the intersection and the merge are both exact)."""
+    the intersection and the merge are both exact).
+
+    With ``n_pos`` (qid → number of required positive phrases) the
+    returned fn is a COGROUP fn (postings, phrase-matches of the same
+    doc_part): matches rows (qid, doc_id, kind) gate eligibility — kind
+    'p' rows must cover all n_pos[qid] phrases for a doc to qualify, kind
+    'n' rows (negated phrases) exclude. Matched ids never ship to the
+    driver; a doc's phrase matches live in the SAME shard as its postings,
+    so the intersection is exact."""
     k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def evaluate(pdf: pd.DataFrame, mdf: pd.DataFrame | None) -> pd.DataFrame:
         by_term: dict[str, list[_Block]] = {}
         for r in pdf.itertuples(index=False):
             by_term.setdefault(r.term, []).append(
@@ -740,6 +748,12 @@ def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict,
                 return np.empty(0, dtype=np.int64)
             return np.unique(np.concatenate(arrs))
 
+        def match_ids(qid: str, kind: str) -> np.ndarray:
+            if mdf is None or not len(mdf):
+                return np.empty(0, dtype=np.int64)
+            sub = mdf[(mdf["qid"] == qid) & (mdf["kind"] == kind)]
+            return sub["doc_id"].to_numpy(dtype=np.int64)
+
         out_qid, out_doc, out_sc = [], [], []
         for qid, spec in queries.items():
             must = sorted(set(spec.get("must") or []))
@@ -751,8 +765,15 @@ def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict,
             if not tb:
                 continue
             inc = None
-            if include_ids is not None and qid in include_ids:
-                inc = include_ids[qid]  # pre-computed eligibility (phrases)
+            if n_pos is not None and n_pos.get(qid):
+                # positive phrase gate: a doc qualifies iff it matched ALL
+                # n_pos[qid] phrases (one unique match row per phrase)
+                pos = match_ids(qid, "p")
+                if len(pos):
+                    uniq, counts = np.unique(pos, return_counts=True)
+                    inc = uniq[counts >= n_pos[qid]]
+                else:
+                    inc = np.empty(0, dtype=np.int64)
                 if not len(inc):
                     continue
             satisfiable = True
@@ -764,17 +785,22 @@ def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict,
                 inc = ids_t if inc is None else inc[np.isin(inc, ids_t)]
             if not satisfiable or (inc is not None and not len(inc)):
                 continue
-            excluded = tombs
+            extra_exc: list[np.ndarray] = []
+            if n_pos is not None:
+                neg = match_ids(qid, "n")
+                if len(neg):
+                    extra_exc.append(np.unique(neg))
             if must_not:
-                mn = [a for a in (term_ids(t) for t in must_not) if len(a)]
-                if mn:
-                    extra = np.unique(np.concatenate(mn))
-                    if inc is not None:
-                        inc = inc[~np.isin(inc, extra)]  # fold into candidates
-                        if not len(inc):
-                            continue
-                    else:
-                        excluded = _UnionExc(tombs, extra)
+                extra_exc.extend(a for a in (term_ids(t) for t in must_not) if len(a))
+            excluded = tombs
+            if extra_exc:
+                extra = np.unique(np.concatenate(extra_exc))
+                if inc is not None:
+                    inc = inc[~np.isin(inc, extra)]  # fold into candidates
+                    if not len(inc):
+                        continue
+                else:
+                    excluded = _UnionExc(tombs, extra)
             ids, sc = score_exhaustive(tb, idfs, k, k1, b, avgdl,
                                        excluded=excluded, included=inc)
             out_qid.extend([qid] * len(ids))
@@ -788,7 +814,16 @@ def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict,
             {"qid": out_qid, "doc_id": np.concatenate(out_doc), "raw_score": np.concatenate(out_sc)}
         )
 
-    return fn
+    if n_pos is None:
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return evaluate(pdf, None)
+
+        return fn
+
+    def cofn(pdf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
+        return evaluate(pdf, mdf)
+
+    return cofn
 
 
 def bool_search(
@@ -797,13 +832,19 @@ def bool_search(
     queries: dict[str, dict],
     k: int = 10,
     snapshot_id: str | None = None,
-    include_ids: dict[str, np.ndarray] | None = None,
+    matches: DataFrame | None = None,
+    n_pos: dict[str, int] | None = None,
 ) -> DataFrame:
     """ES bool-query DSL served FROM THE INDEX: ``queries`` maps qid →
     {"must": [...], "should": [...], "must_not": [...]}. must terms all
     required (posting intersection per shard), must_not excludes, scored
     terms = must+should with corpus BM25 stats — identical results to the
-    direct query_ext.bool_bm25. (qid, rank, doc_id, score)."""
+    direct query_ext.bool_bm25. (qid, rank, doc_id, score).
+
+    ``matches`` (qid, doc_id, kind) + ``n_pos`` (qid → #positive phrases)
+    gate eligibility by phrase matches, cogrouped with the postings on
+    doc_part — match ids never ship to the driver (the phrase_bm25
+    cogroup pattern, no size ceiling)."""
     cat = Catalog(index_root)
     manifest = cat.manifest_at(snapshot_id)
     stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
@@ -826,9 +867,18 @@ def bool_search(
         F.col("term").isin(all_terms)
     )
     tombs = _load_tombstones(spark, cat, manifest)
-    per_part = postings.groupBy("doc_part").applyInPandas(
-        _bool_part_fn(queries, idfs, stats, k, tombs, include_ids), schema=RESULT_SCHEMA
-    )
+    if matches is not None:
+        mp = matches.withColumn(
+            "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int")
+        )
+        per_part = postings.groupBy("doc_part").cogroup(mp.groupBy("doc_part")).applyInPandas(
+            _bool_part_fn(queries, idfs, stats, k, tombs, n_pos or {}),
+            schema=RESULT_SCHEMA,
+        )
+    else:
+        per_part = postings.groupBy("doc_part").applyInPandas(
+            _bool_part_fn(queries, idfs, stats, k, tombs), schema=RESULT_SCHEMA
+        )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
         per_part.withColumn("score", F.round(F.col("raw_score"), 6))
@@ -845,40 +895,39 @@ def search_text_indexed(
     query: str,
     k: int = 10,
     snapshot_id: str | None = None,
-    max_phrase_matches: int = 100_000,
 ) -> DataFrame:
     """query_string (query_ext.parse_query grammar) served FROM the index:
     prefixes expand against the dictionary (term-sorted row-group scan),
     field filters are unscored filter-context clauses (requires a token-bag
-    index, with_field_tokens at build), phrases are resolved from
-    positional postings and intersected as a pre-computed eligibility set
-    (phrase matches are selective; ``max_phrase_matches`` caps the
-    driver-side set). (rank, doc_id, score)."""
+    index, with_field_tokens at build), phrases — including negated
+    ``-"a b"`` — are resolved from positional postings and COGROUPED with
+    the postings on doc_part (the phrase_bm25 pattern): matched ids never
+    ship to the driver, so a stop-word phrase over 10^9 docs streams
+    through the same shuffle as the postings. (rank, doc_id, score)."""
     from .query_ext import parse_query
 
     spec = parse_query(query)
     should = sorted(set(spec["should"]))
     for p in sorted(set(spec["prefixes"])):
-        should = sorted(set(should) | set(expand_prefix_indexed(spark, index_root, p)))
-    include: dict[str, np.ndarray] | None = None
-    if spec["phrases"]:
-        ids: np.ndarray | None = None
-        for i, ph in enumerate(spec["phrases"]):
-            m = phrase_search(spark, index_root, {"p": ph}, snapshot_id)
-            rows = m.limit(max_phrase_matches + 1).collect()
-            if len(rows) > max_phrase_matches:
-                raise ValueError(
-                    f"phrase {' '.join(ph)!r} matches >{max_phrase_matches} docs; "
-                    "use phrase_bm25 or raise max_phrase_matches"
-                )
-            cur = np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
-            ids = cur if ids is None else ids[np.isin(ids, cur)]
-        include = {"q": ids if ids is not None else np.empty(0, dtype=np.int64)}
+        should = sorted(set(should) | set(
+            expand_prefix_indexed(spark, index_root, p, snapshot_id)))
+    matches: DataFrame | None = None
+    n_pos: dict[str, int] | None = None
+    pos, neg = spec["phrases"], spec["neg_phrases"]
+    if pos or neg:
+        named = {f"p{i}": ph for i, ph in enumerate(pos)}
+        named.update({f"n{i}": ph for i, ph in enumerate(neg)})
+        m = phrase_search(spark, index_root, named, snapshot_id)
+        matches = m.withColumn(
+            "kind",
+            F.when(F.col("qid").startswith("p"), F.lit("p")).otherwise(F.lit("n")),
+        ).select(F.lit("q").alias("qid"), "doc_id", "kind")
+        n_pos = {"q": len(pos)}
     res = bool_search(
         spark, index_root,
         {"q": {"must": spec["must"], "should": should,
                "must_not": spec["must_not"], "filter": spec["filters"]}},
-        k=k, snapshot_id=snapshot_id, include_ids=include,
+        k=k, snapshot_id=snapshot_id, matches=matches, n_pos=n_pos,
     )
     return res.select("rank", "doc_id", "score")
 
@@ -998,12 +1047,17 @@ def attach_doc_meta(
     )
 
 
-def expand_prefix_indexed(spark: SparkSession, index_root: str, prefix: str) -> list[str]:
+def expand_prefix_indexed(
+    spark: SparkSession, index_root: str, prefix: str,
+    snapshot_id: str | None = None,
+) -> list[str]:
     """Dictionary prefix scan on the published index — the term dictionary
-    is term-sorted parquet, so `startswith` prunes row groups."""
+    is term-sorted parquet, so `startswith` prunes row groups. With
+    ``snapshot_id`` the expansion uses THAT snapshot's vocabulary, so a
+    time-travel query never mixes current terms with snapshot postings."""
     cat = Catalog(index_root)
     rows = (
-        cat.read_table(spark, "dictionary")
+        cat.read_table(spark, "dictionary", snapshot=cat.manifest_at(snapshot_id))
         .filter(F.col("term").startswith(prefix))
         .select("term")
         .collect()

@@ -163,12 +163,52 @@ def test_parse_query_grammar():
     spec = parse_query('+merge window cust* -vector "key agg" source:src3')
     assert spec == {
         "must": ["merge"], "should": ["window"], "must_not": ["vector"],
-        "phrases": [["key", "agg"]], "prefixes": ["cust"],
+        "phrases": [["key", "agg"]], "neg_phrases": [], "prefixes": ["cust"],
         "filters": ["source:src3"],
     }
-    # a sign on a phrase is ignored (negated phrases unsupported, documented)
-    assert parse_query('"multi word here" -"x"')["phrases"] == [["multi", "word", "here"], ["x"]]
+    # -"phrase" is a negated phrase (exclusion); +"phrase" == "phrase"
+    spec2 = parse_query('"multi word here" -"x y"')
+    assert spec2["phrases"] == [["multi", "word", "here"]]
+    assert spec2["neg_phrases"] == [["x", "y"]]
     assert parse_query("*")["should"] == ["*"]  # bare star is a term, not a prefix
+
+
+def test_search_text_negated_phrase(spark, ddb, docs):
+    """-"a b" excludes exact-phrase matches in both direct and indexed
+    paths; both must match the composed DuckDB oracle."""
+    from fafnir_spark import oracles
+    from fafnir_spark.query_ext import phrase_match, search_text
+
+    q = 'merge window -"key agg"'
+    got = search_text(docs, q, k=10).collect()
+    want = ddb.execute(oracles.search_text_sql(q, k=10)).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    # exclusion actually bites: some doc matching the phrase scores in the
+    # un-negated top-10 but not here
+    hit_ids = {r["doc_id"] for r in phrase_match(docs, "key agg").collect()}
+    assert hit_ids and all(r["doc_id"] not in hit_ids for r in got)
+
+
+def test_search_text_indexed_cogroup_phrases(spark, tmp_path, docs):
+    """query_string served FROM the index — phrase eligibility (and phrase
+    negation) cogrouped with the postings, no driver-side match collection
+    — must equal the direct search_text rank-for-rank."""
+    from fafnir_spark.query_ext import search_text
+    from fafnir_spark.wand import search_text_indexed
+
+    root = str(tmp_path / "pidx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace",
+                build_id="q", with_positions=True)
+    for q in ['+merge window cust* -vector "key agg"',
+              'merge window -"key agg"',
+              'batch slow "key agg" -"window size"']:
+        got = search_text_indexed(spark, root, q, k=10).collect()
+        want = search_text(docs, q, k=10).collect()
+        assert [(r["rank"], r["doc_id"], r["score"]) for r in got] == [
+            (r["rank"], r["doc_id"], r["score"]) for r in want
+        ], q
+        assert got, q
 
 
 def test_search_text_equals_components(spark, ddb, docs):
