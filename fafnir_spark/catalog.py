@@ -23,24 +23,120 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+# schemes treated as the local filesystem (fast path: plain os IO +
+# POSIX-atomic os.replace). Everything else — s3a, gs, abfs, hdfs — goes
+# through the Hadoop FileSystem API. Tests shrink this tuple to force the
+# Hadoop branch over file: URIs.
+_LOCAL_SCHEMES = ("", "file")
+
+
+def _scheme(path: str) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(path).scheme
+
+
+def _is_local(path: str) -> bool:
+    return _scheme(path) in _LOCAL_SCHEMES
+
+
+def _local_path(path: str) -> str:
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path
+    return path
+
 
 class Catalog:
-    """A directory-rooted warehouse with snapshot-addressed tables."""
+    """A directory-rooted warehouse with snapshot-addressed tables.
+
+    All small-file IO (manifest, sidecar json) and maintenance deletes are
+    scheme-aware: local roots use plain os IO with POSIX-atomic os.replace;
+    object-store/HDFS roots go through the Hadoop FileSystem API — a
+    manifest commit there is one create-and-close (a single atomic PUT on
+    s3a/gs), and snapshot-expiry deletes use FileSystem.delete, never
+    shutil. The data files themselves are always written by Spark, which
+    is scheme-aware already."""
 
     def __init__(self, root: str):
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        if _is_local(root):
+            os.makedirs(_local_path(root), exist_ok=True)
+
+    # ---------- scheme-aware small-file io ----------
+    def _hadoop_fs(self, path: str):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(f"no active SparkSession to access remote path {path}")
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, hpath, jvm
+
+    def _read_text(self, path: str) -> str | None:
+        if _is_local(path):
+            lp = _local_path(path)
+            if not os.path.exists(lp):
+                return None
+            with open(lp) as f:
+                return f.read()
+        fs, hpath, jvm = self._hadoop_fs(path)
+        if not fs.exists(hpath):
+            return None
+        stream = fs.open(hpath)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines)
+        finally:
+            stream.close()
+
+    def _write_text_atomic(self, path: str, text: str) -> None:
+        if _is_local(path):
+            lp = _local_path(path)
+            tmp = f"{lp}.tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(text)
+            os.replace(tmp, lp)  # atomic on POSIX
+            return
+        # object stores: create-and-close is ONE PUT — atomic visibility
+        # (readers see the old object or the new one, never a partial).
+        # os.replace-style rename is NOT atomic on s3a (copy+delete), so
+        # the direct overwrite-create is the correct commit there.
+        fs, hpath, _ = self._hadoop_fs(path)
+        out = fs.create(hpath, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def delete_dir(self, path: str) -> None:
+        """Recursive delete of a segment dir (snapshot expiry) — Hadoop
+        FileSystem.delete on remote schemes, shutil locally."""
+        if _is_local(path):
+            import shutil
+
+            shutil.rmtree(_local_path(path), ignore_errors=True)
+            return
+        fs, hpath, _ = self._hadoop_fs(path)
+        fs.delete(hpath, True)
 
     # ---------- manifest (snapshot) protocol ----------
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "_manifest.json")
 
     def read_manifest(self) -> dict:
-        p = self._manifest_path()
-        if not os.path.exists(p):
+        text = self._read_text(self._manifest_path())
+        if text is None:
             return {"snapshot_id": None, "tables": {}, "history": []}
-        with open(p) as f:
-            return json.load(f)
+        return json.loads(text)
 
     def publish(self, tables: dict[str, list[str]], meta: dict | None = None) -> str:
         """Atomically commit a new snapshot mapping table -> segment dirs.
@@ -65,10 +161,7 @@ class Catalog:
         m["tables"] = tables
         if meta:
             m["meta"] = meta
-        tmp = self._manifest_path() + f".tmp.{snap}"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+        self._write_text_atomic(self._manifest_path(), json.dumps(m, indent=1))
         return snap
 
     def manifest_at(self, snapshot_id: str | None = None) -> dict:
@@ -176,22 +269,13 @@ class Catalog:
         current snapshot is untouched; same atomic replace as publish."""
         m = self.read_manifest()
         m["history"] = history
-        tmp = self._manifest_path() + ".tmp.expire"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self._manifest_path())
+        self._write_text_atomic(self._manifest_path(), json.dumps(m, indent=1))
 
     # ---------- sidecar json (stats, checkpoints) ----------
     def write_json(self, name: str, obj: dict) -> None:
         p = os.path.join(self.root, name + ".json")
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(obj, f, indent=1)
-        os.replace(tmp, p)
+        self._write_text_atomic(p, json.dumps(obj, indent=1))
 
     def read_json(self, name: str) -> dict | None:
-        p = os.path.join(self.root, name + ".json")
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+        text = self._read_text(os.path.join(self.root, name + ".json"))
+        return None if text is None else json.loads(text)

@@ -369,9 +369,9 @@ def expire_snapshots(spark: SparkSession, index_root: str, keep_last: int = 3) -
     ``keep_last`` snapshots and delete segment directories referenced ONLY
     by expired ones. Crash-safe order: the manifest stops referencing the
     dirs BEFORE anything is deleted, so a crash mid-delete leaves orphan
-    files, never dangling references. Returns counts."""
-    import shutil
-
+    files, never dangling references. Deletes go through the catalog's
+    scheme-aware delete (Hadoop FileSystem on object stores). Returns
+    counts."""
     cat = Catalog(index_root)
     m = cat.read_manifest()
     hist = m.get("history", [])
@@ -389,5 +389,5 @@ def expire_snapshots(spark: SparkSession, index_root: str, keep_last: int = 3) -
             dead_dirs.update(d for d in dirs if d not in live_dirs)
     cat.rewrite_history(keep_hist)
     for d in sorted(dead_dirs):
-        shutil.rmtree(d, ignore_errors=True)
+        cat.delete_dir(d)
     return {"kept": len(keep_hist), "expired": len(expired), "deleted_dirs": len(dead_dirs)}

@@ -1,0 +1,55 @@
+"""Object-store-safe catalog IO: the manifest/sidecar/delete paths must
+work through the Hadoop FileSystem API (the code path s3a/gs/abfs roots
+take), exercised here by forcing file: URIs down the Hadoop branch."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import fafnir_spark.catalog as catmod
+from fafnir_spark.catalog import Catalog
+
+
+@pytest.fixture()
+def hadoop_catalog(spark, tmp_path, monkeypatch):
+    """A Catalog whose root is a file: URI with the local fast path
+    disabled, so every small-file op goes through Hadoop FileSystem."""
+    monkeypatch.setattr(catmod, "_LOCAL_SCHEMES", ())
+    os.makedirs(tmp_path, exist_ok=True)
+    return Catalog(f"file://{tmp_path}/wh"), tmp_path
+
+
+def test_manifest_roundtrip_via_hadoop_fs(spark, hadoop_catalog):
+    cat, tmp_path = hadoop_catalog
+    assert cat.read_manifest()["snapshot_id"] is None
+    snap = cat.publish({"t": ["file://%s/wh/t/seg=a" % tmp_path]}, meta={"k": 1})
+    m = cat.read_manifest()
+    assert m["snapshot_id"] == snap and m["meta"] == {"k": 1}
+    snap2 = cat.publish({"t": []})
+    m2 = cat.read_manifest()
+    assert m2["snapshot_id"] == snap2
+    assert [h["snapshot_id"] for h in m2["history"]] == [snap]
+    # overwrite-create really replaced the object (no stale tail bytes)
+    assert cat.manifest_at(snap)["meta"] == {"k": 1}
+
+
+def test_sidecar_json_via_hadoop_fs(spark, hadoop_catalog):
+    cat, _ = hadoop_catalog
+    assert cat.read_json("stats") is None
+    cat.write_json("stats", {"n_docs": 7, "avgdl": 3.5})
+    assert cat.read_json("stats") == {"n_docs": 7, "avgdl": 3.5}
+    cat.write_json("stats", {"n_docs": 8})  # overwrite, not append
+    assert cat.read_json("stats") == {"n_docs": 8}
+
+
+def test_delete_dir_via_hadoop_fs(spark, hadoop_catalog, tmp_path):
+    cat, _ = hadoop_catalog
+    victim = tmp_path / "wh" / "t" / "seg=dead"
+    victim.mkdir(parents=True)
+    (victim / "part-0.parquet").write_bytes(b"x")
+    cat.delete_dir(f"file://{victim}")
+    assert not victim.exists()
+    # deleting a missing dir must not raise (expiry is idempotent)
+    cat.delete_dir(f"file://{victim}")
