@@ -184,6 +184,69 @@ def _q_upsert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+BULK_WHERE = "doc_id % 10 < 3"          # the 30% purge set (ids >= 0 at sf)
+BULK_SURVIVORS = "doc_id % 10 >= 3"
+
+
+def _bulk_deleted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Fresh tmp index with 30% of the corpus bulk-deleted (table
+    tombstones, never collected to the driver)."""
+    import uuid
+
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.incremental import delete_docs_bulk
+
+    root = os.path.join(tempfile.gettempdir(), "fafnir_bulk_" + uuid.uuid4().hex[:8])
+    docs = normalize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+    build_index(spark, docs, root, n_parts=4, block_size=128,
+                tokenizer="whitespace", build_id="blk", resume=False)
+    victims = _docs(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) < 3).select("doc_id")
+    delete_docs_bulk(spark, root, victims)
+    return root
+
+
+def _q_bulk_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time mass-delete exclusion: the bulk tombstone TABLE is
+    cogrouped with the postings on doc_part (each shard gets only its own
+    dead ids — no driver materialization). Pre-compaction, so df/avgdl are
+    ES-faithfully STALE (full corpus); only the result set shrinks."""
+    import shutil
+
+    from fafnir_spark.wand import run_queries
+
+    root = _bulk_deleted_index(spark, sf_dir)
+    try:
+        res = run_queries(spark, root, {"q": Q_MAIN}, k=10)
+        return spark.createDataFrame(
+            [(r["rank"], r["doc_id"], r["score"]) for r in res.collect()],
+            "rank int, doc_id long, score double",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_bulk_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mass-delete lifecycle: bulk-delete 30% → compact (the drain is
+    a distributed anti-join inside the merge) → BM25. Post-compaction the
+    index must equal a fresh build over the surviving corpus."""
+    import shutil
+
+    from fafnir_spark.incremental import compact_with_tombstones
+    from fafnir_spark.wand import run_queries
+
+    root = _bulk_deleted_index(spark, sf_dir)
+    try:
+        compact_with_tombstones(spark, root)
+        res = run_queries(spark, root, {"q": Q_MAIN}, k=10)
+        return spark.createDataFrame(
+            [(r["rank"], r["doc_id"], r["score"]) for r in res.collect()],
+            "rank int, doc_id long, score double",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 MLT_TEXT = "merge window customer merge slow"
 
 
@@ -596,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "more_like_this_indexed": _q_more_like_this_indexed,
         "upsert_lifecycle": _q_upsert_lifecycle,
+        "bulk_delete_query": _q_bulk_delete_query,
+        "bulk_delete_lifecycle": _q_bulk_delete_lifecycle,
         "query_string_indexed": _q_query_string_indexed,
         "query_string_negphrase": _q_query_string_negphrase,
         "prefix_bm25": _q_prefix,
@@ -681,6 +746,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "query_string_indexed": oracles.search_text_sql(QS_QUERY, k=10),
         "query_string_negphrase": oracles.search_text_sql(QS_NEG, k=10),
+        "bulk_delete_query": oracles.bulk_delete_sql(
+            Q_MAIN, 10, BULK_SURVIVORS, post_compact=False
+        ),
+        "bulk_delete_lifecycle": oracles.bulk_delete_sql(
+            Q_MAIN, 10, BULK_SURVIVORS, post_compact=True
+        ),
         "prefix_bm25": oracles.prefix_bm25_sql("s", 10),
         "fielded_bm25": oracles.fielded_bm25_sql(["merge", "window"], {"source": "src3"}, 10),
         "phrase_match": oracles.phrase_match_sql("key agg"),

@@ -441,6 +441,7 @@ def compact_index(
     cat: Catalog,
     block_size: int,
     tombstones: dict[int, str | None] | None = None,
+    bulk: DataFrame | None = None,
 ) -> None:
     """Rewrite multi-segment postings into one sorted run per (term, part).
 
@@ -450,6 +451,11 @@ def compact_index(
     ``tombstones``: {doc_id: keep_seg|None} — entries are physically
     dropped during the merge, EXCEPT postings whose source segment equals
     the id's keep_seg (the live version written by a stable-id upsert).
+
+    ``bulk``: DataFrame(doc_id) of mass-delete tombstones — drained with a
+    DISTRIBUTED left-anti join on the decoded posting rows (decode →
+    anti-join → re-encode through the build encode path); the id set is
+    never collected to the driver, so a purge of any size compacts away.
     """
     from .codec import delta_decode, f64_decode, varint_decode
 
@@ -460,11 +466,7 @@ def compact_index(
     ts_ids = np.array(sorted(tombstones), dtype=np.int64) if tombstones else None
     ts_keep = [tombstones[int(i)] for i in ts_ids] if tombstones else None
 
-    def merge_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # decode all blocks, flatten to postings, re-encode sorted runs.
-        # partitions are pre-grouped by (term, doc_part) and sorted, but a
-        # group's blocks may span batches → the shared _iter_group_runs
-        # carry protocol keeps block_ids unique per (term, doc_part).
+    def make_decode_flat():
         from .codec import positions_decode
 
         exc_cache: dict[str, np.ndarray] = {}
@@ -485,7 +487,10 @@ def compact_index(
                 w = f64_decode(r.weights)
                 if not len(w):
                     w = np.ones(len(d))
-                pl = positions_decode(r.positions, t) if with_pos else None
+                pl = (
+                    [p.astype(np.int64) for p in positions_decode(r.positions, t)]
+                    if with_pos else None
+                )
                 if ts_ids is not None:
                     exc = exc_for(getattr(r, "seg", "") or "")
                     if len(exc):
@@ -519,17 +524,55 @@ def compact_index(
                 flat["positions"] = pos
             return flat.sort_values(["term", "doc_part", "doc_id"], kind="mergesort")
 
-        for chunk in _iter_group_runs(batches):
-            flat = decode_flat(chunk)
-            if len(flat):
-                yield _encode_sorted(flat, block_size)
+        return decode_flat
 
-    merged = (
-        postings.repartition("term", "doc_part")
-        .sortWithinPartitions("term", "doc_part", "block_id")
-        .mapInPandas(merge_batches, schema=POSTINGS_SCHEMA_POS if with_pos else POSTINGS_SCHEMA)
-        .repartition(n_parts, "doc_part")
-    )
+    out_schema = POSTINGS_SCHEMA_POS if with_pos else POSTINGS_SCHEMA
+    if bulk is not None:
+        # two-phase merge: decode to flat rows → distributed anti-join on
+        # the bulk tombstone relation → re-encode via the shared carry
+        # protocol (the exact append-path encode exchange)
+        decode_flat = make_decode_flat()
+
+        def decode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                flat = decode_flat(pdf)
+                if len(flat):
+                    yield flat
+
+        flat_schema = (
+            "term string, doc_part int, doc_id long, tf long, dl long, weight double"
+            + (", positions array<long>" if with_pos else "")
+        )
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        merged = (
+            postings.mapInPandas(decode_stream, schema=flat_schema)
+            .join(bulk.select("doc_id"), "doc_id", "left_anti")
+            .select("term", "doc_part", "doc_id", "tf", "dl", "weight",
+                    *(["positions"] if with_pos else []))
+            .repartition(n_shuffle, "term", "doc_part")
+            .sortWithinPartitions("term", "doc_part", "doc_id")
+            .mapInPandas(_encode_partition_fn(block_size), schema=out_schema)
+            .repartition(n_parts, "doc_part")
+        )
+    else:
+        decode_flat = make_decode_flat()
+
+        def merge_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # decode all blocks, flatten to postings, re-encode sorted runs.
+            # partitions are pre-grouped by (term, doc_part) and sorted, but a
+            # group's blocks may span batches → the shared _iter_group_runs
+            # carry protocol keeps block_ids unique per (term, doc_part).
+            for chunk in _iter_group_runs(batches):
+                flat = decode_flat(chunk)
+                if len(flat):
+                    yield _encode_sorted(flat, block_size)
+
+        merged = (
+            postings.repartition("term", "doc_part")
+            .sortWithinPartitions("term", "doc_part", "block_id")
+            .mapInPandas(merge_batches, schema=out_schema)
+            .repartition(n_parts, "doc_part")
+        )
     seg = "compacted-" + (m.get("snapshot_id") or "0")
     cat.write_segment(
         merged.withColumn("seg", F.lit(seg)),

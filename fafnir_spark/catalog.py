@@ -248,6 +248,11 @@ class Catalog:
 
         m = snapshot or self.read_manifest()
         dm = self.read_table(spark, "doc_map", snapshot=m)
+        if "bulk_tombstones" in m["tables"]:
+            # mass deletes: a relation-sized set — distributed anti-join,
+            # never broadcast/collected
+            bt = self.read_table(spark, "bulk_tombstones", snapshot=m).select("doc_id")
+            dm = dm.join(bt, "doc_id", "left_anti")
         if "tombstones" not in m["tables"]:
             return dm
         ts = self.read_table(spark, "tombstones", snapshot=m)

@@ -129,6 +129,19 @@ def append_index(
     clash = live.join(F.broadcast(tokenized.select("doc_id")), "doc_id").count()
     if clash:
         raise ValueError(f"append would collide with {clash} live doc_ids; use upsert_docs")
+    # bulk tombstones are GLOBAL kills (no keep_seg re-pointing): an id in
+    # the bulk set would stay dead even after this append — reject until a
+    # compaction drains the table
+    from .wand import _load_bulk_df
+
+    bulk = _load_bulk_df(spark, cat, m)
+    if bulk is not None:
+        nhit = tokenized.select("doc_id").join(bulk, "doc_id", "left_semi").limit(1).count()
+        if nhit:
+            raise ValueError(
+                "append includes ids in the bulk tombstone set; run "
+                "compact_with_tombstones first to resurrect them"
+            )
 
     # resurrect: new ids present in the tombstone set get keep_seg=segment
     # so the version written HERE is the one decode keeps
@@ -229,9 +242,38 @@ def append_index(
 def delete_docs(spark: SparkSession, index_root: str, doc_ids: list[int]) -> None:
     """Tombstone documents (keep_seg=None: dead in EVERY segment, including
     any upserted versions). Results exclude them immediately; df/avgdl stay
-    stale (ES-faithful) until compact_with_tombstones()."""
+    stale (ES-faithful) until compact_with_tombstones().
+
+    This is the POINT-delete path: ids ship in scorer closures (zero extra
+    shuffle), right up to ~100k ids. For mass deletes use
+    delete_docs_bulk."""
     cat = Catalog(index_root)
     _write_tombstones(spark, cat, {int(i): None for i in doc_ids})
+
+
+def delete_docs_bulk(spark: SparkSession, index_root: str, doc_ids: DataFrame) -> None:
+    """Mass-delete path (GDPR purge, whole-repo removal): tombstones as a
+    TABLE, never materialized on the driver. ``doc_ids``: DataFrame with a
+    doc_id column.
+
+    Crossover vs delete_docs: the closure path is cheaper per query (no
+    extra shuffle input) but driver-resident; the bulk table costs one
+    doc_part-cogroup of the tombstone relation per query (run_queries) or
+    an anti-join (live_doc_map) and scales to any size. Like all
+    tombstones, df/avgdl stay stale (ES-faithful) until
+    compact_with_tombstones(), which drains the table with a distributed
+    anti-join during the merge."""
+    from .wand import BULK_TOMBSTONE_TABLE
+
+    cat = Catalog(index_root)
+    m = cat.read_manifest()
+    seg = f"bts-{uuid.uuid4().hex[:8]}"
+    cat.write_segment(doc_ids.select("doc_id").distinct(), BULK_TOMBSTONE_TABLE, seg)
+    tables = dict(m["tables"])
+    tables[BULK_TOMBSTONE_TABLE] = tables.get(BULK_TOMBSTONE_TABLE, []) + [
+        cat.segment_dir(BULK_TOMBSTONE_TABLE, seg)
+    ]
+    cat.publish(tables, meta=m.get("meta"))
 
 
 def upsert_docs(
@@ -314,21 +356,27 @@ def compact_with_tombstones(spark: SparkSession, index_root: str) -> None:
     (the reference's force_merge, S11), recompute exact dictionary/stats.
 
     keep_seg-aware: an upserted doc's live version (row seg == keep_seg)
-    survives; every other tombstoned row is dropped. The tombstone table is
-    drained in the same pass."""
+    survives; every other tombstoned row is dropped. Point tombstones AND
+    the bulk (mass-delete) tombstone table are drained in the same pass —
+    bulk ids via a distributed anti-join inside the merge, never collected
+    to the driver."""
+    from .wand import BULK_TOMBSTONE_TABLE, _load_bulk_df
+
     cat = Catalog(index_root)
     stats = cat.read_json("stats")
     ts = _read_tombstones(spark, cat)
-    if ts:
-        m = cat.read_manifest()
-        dm_live = cat.live_doc_map(spark, m)
+    m = cat.read_manifest()
+    bulk = _load_bulk_df(spark, cat, m)
+    if ts or bulk is not None:
+        dm_live = cat.live_doc_map(spark, m)  # anti-joins bulk, filters point ts
         seg = f"compact-dm-{uuid.uuid4().hex[:8]}"
         cat.write_segment(dm_live, "doc_map", seg)
         tables = dict(m["tables"])
         tables["doc_map"] = [cat.segment_dir("doc_map", seg)]
         tables.pop(TOMBSTONE_TABLE, None)
+        tables.pop(BULK_TOMBSTONE_TABLE, None)
         cat.publish(tables, meta=m.get("meta"))
-    compact_index(spark, cat, stats["block_size"], tombstones=ts or None)
+    compact_index(spark, cat, stats["block_size"], tombstones=ts or None, bulk=bulk)
 
     # exact stats + dictionary from the surviving index
     dm = cat.read_table(spark, "doc_map")

@@ -21,11 +21,15 @@ from . import B, K1
 # concat(text, ' source:', source) for field-scoped indexed queries).
 
 
-def _tf_ctes(text_expr: str = "text") -> str:
+def _tf_ctes(text_expr: str = "text", docs_where: str = "") -> str:
+    src = (
+        f"(SELECT * FROM documents WHERE {docs_where}) AS documents"
+        if docs_where else "documents"
+    )
     return f"""
 toks AS (
   SELECT doc_id, t.tok AS term
-  FROM documents, unnest(string_split({text_expr}, ' ')) AS t(tok)
+  FROM {src}, unnest(string_split({text_expr}, ' ')) AS t(tok)
   WHERE t.tok <> ''
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -43,16 +47,17 @@ def _terms_in(terms: list[str]) -> str:
 
 
 def bm25_topk_sql(terms: list[str], k: int = 10, boosted: bool = False,
-                  text_expr: str = "text") -> str:
+                  text_expr: str = "text", docs_where: str = "") -> str:
     """Top-k BM25, optionally with fafnir's doc-weight boost
     1 - 1/(1+n_chars) (poi_display_weight family, /root/reference
     tests/openmaptiles2mimir/data/functions.sql:112-126). ``text_expr``
     parameterizes the analyzed text (e.g. a CASE-modified corpus for the
-    upsert-lifecycle oracle)."""
+    upsert-lifecycle oracle); ``docs_where`` restricts the corpus itself
+    (post-compaction mass-delete oracle)."""
     boost = "* (1 - 1/(1 + d.n_chars))" if boosted else ""
     join_docs = "JOIN documents d ON d.doc_id = tf.doc_id" if boosted else ""
     return f"""
-WITH {_tf_ctes(text_expr)},
+WITH {_tf_ctes(text_expr, docs_where)},
 dfs AS (
   SELECT term, count(*) AS df FROM tf
   WHERE term IN {_terms_in(terms)} GROUP BY term
@@ -73,6 +78,45 @@ SELECT rank, doc_id, score FROM (
   SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
          doc_id, round(raw_score, 6) AS score
   FROM scored
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+def bulk_delete_sql(terms: list[str], k: int, survivors_where: str,
+                    post_compact: bool) -> str:
+    """Oracle for the mass-delete lifecycle.
+
+    post_compact=False — deleted docs are tombstoned but still in the
+    segments: df/avgdl/n_docs stay STALE (full corpus, ES-faithful) and
+    only the result set is restricted to survivors (exclusion happens
+    before the per-shard top-k, so filter-then-rank).
+    post_compact=True — the drain rewrote the index: stats and scores are
+    those of a fresh build over the surviving corpus."""
+    if post_compact:
+        return bm25_topk_sql(terms, k=k, docs_where=survivors_where)
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(raw_score, 6) AS score
+  FROM scored
+  WHERE {survivors_where}
 ) WHERE rank <= {k}
 ORDER BY rank
 """

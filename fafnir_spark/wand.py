@@ -106,19 +106,52 @@ def _exc_for(excluded, seg: str):
     return excluded
 
 
-def _load_tombstones(spark: SparkSession, cat: Catalog, manifest: dict):
-    """_Tombstones | None from the snapshot's tombstone table."""
-    if "tombstones" not in manifest["tables"]:
+BULK_TOMBSTONE_TABLE = "bulk_tombstones"
+_BULK_CLOSURE_LIMIT = 1_000_000
+
+
+def _load_bulk_df(spark: SparkSession, cat: Catalog, manifest: dict):
+    """DataFrame(doc_id) of mass-delete tombstones, or None. Never
+    materialized on the driver — the scale paths (run_queries cogroup,
+    live_doc_map anti-join, compaction anti-join) consume it as a
+    relation."""
+    if BULK_TOMBSTONE_TABLE not in manifest["tables"]:
         return None
-    df = cat.read_table(spark, "tombstones", snapshot=manifest)
-    has_keep = "keep_seg" in df.columns
-    rows = df.collect()
+    return cat.read_table(spark, BULK_TOMBSTONE_TABLE, snapshot=manifest).select("doc_id")
+
+
+def _load_tombstones(spark: SparkSession, cat: Catalog, manifest: dict,
+                     include_bulk: bool = True):
+    """_Tombstones | None from the snapshot's tombstone table.
+
+    ``include_bulk``: also fold in the bulk-delete table (delete_docs_bulk)
+    — correct up to _BULK_CLOSURE_LIMIT ids, beyond which the caller must
+    either use a relation-native path (run_queries cogroups the bulk table;
+    live_doc_map anti-joins it) or compact first. run_queries passes
+    include_bulk=False and handles the table distributedly."""
+    rows = []
+    keeps = []
+    if "tombstones" in manifest["tables"]:
+        df = cat.read_table(spark, "tombstones", snapshot=manifest)
+        has_keep = "keep_seg" in df.columns
+        trows = df.collect()
+        rows.extend(int(r["doc_id"]) for r in trows)
+        keeps.extend((r["keep_seg"] if has_keep else None) for r in trows)
+    if include_bulk:
+        bulk = _load_bulk_df(spark, cat, manifest)
+        if bulk is not None:
+            brows = bulk.limit(_BULK_CLOSURE_LIMIT + 1).collect()
+            if len(brows) > _BULK_CLOSURE_LIMIT:
+                raise ValueError(
+                    f"bulk tombstone set exceeds the closure envelope "
+                    f"({_BULK_CLOSURE_LIMIT}); run compact_with_tombstones "
+                    "first, or query via run_queries (cogrouped exclusion)"
+                )
+            rows.extend(int(r["doc_id"]) for r in brows)
+            keeps.extend(None for _ in brows)
     if not rows:
         return None
-    return _Tombstones(
-        [r["doc_id"] for r in rows],
-        [(r["keep_seg"] if has_keep else None) for r in rows],
-    )
+    return _Tombstones(rows, keeps)
 
 
 def _tfn(tf, dl, k1: float, b: float, avgdl: float):
@@ -406,11 +439,18 @@ def _part_scorer(
     k: int,
     algo: str,
     excluded: np.ndarray | None = None,
+    with_bulk: bool = False,
 ):
+    """``with_bulk``: returns a COGROUP fn (postings, bulk-tombstone rows of
+    the same doc_part) — each shard receives only ITS deleted ids through
+    the shuffle, so a mass delete never touches the driver."""
     k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
     scorer = score_bmw if algo == "bmw" else score_exhaustive
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def evaluate(pdf: pd.DataFrame, tdf: pd.DataFrame | None) -> pd.DataFrame:
+        exc = excluded
+        if tdf is not None and len(tdf):
+            exc = _UnionExc(excluded, tdf["doc_id"].to_numpy(dtype=np.int64))
         by_term: dict[str, list[_Block]] = {}
         for r in pdf.itertuples(index=False):
             by_term.setdefault(r.term, []).append(
@@ -422,7 +462,7 @@ def _part_scorer(
             tb = {t: by_term[t] for t in terms if t in by_term}
             if not tb:
                 continue
-            ids, sc = scorer(tb, idfs, k, k1, b, avgdl, excluded=excluded)
+            ids, sc = scorer(tb, idfs, k, k1, b, avgdl, excluded=exc)
             out_qid.extend([qid] * len(ids))
             out_doc.append(ids)
             out_sc.append(sc)
@@ -438,7 +478,16 @@ def _part_scorer(
             }
         )
 
-    return fn
+    if not with_bulk:
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return evaluate(pdf, None)
+
+        return fn
+
+    def cofn(pdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
+        return evaluate(pdf, tdf)
+
+    return cofn
 
 
 PHRASE_SCHEMA = "qid string, doc_id long"
@@ -1098,12 +1147,25 @@ def run_queries(
     )
 
     # tombstones (incremental deletes/upserts): filtered at decode time,
-    # ES-style, scoped per segment (stable-id upsert keeps one live version)
-    excluded = _load_tombstones(spark, cat, manifest)
+    # ES-style, scoped per segment (stable-id upsert keeps one live version).
+    # Bulk (mass-delete) tombstones stay a RELATION: cogrouped with the
+    # postings on doc_part so each shard receives only its own dead ids —
+    # a GDPR-scale purge never materializes on the driver.
+    excluded = _load_tombstones(spark, cat, manifest, include_bulk=False)
+    bulk = _load_bulk_df(spark, cat, manifest)
 
-    per_part = postings.groupBy("doc_part").applyInPandas(
-        _part_scorer(queries, idfs, stats, k, algo, excluded), schema=RESULT_SCHEMA
-    )
+    if bulk is not None:
+        bp = bulk.withColumn(
+            "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int")
+        )
+        per_part = postings.groupBy("doc_part").cogroup(bp.groupBy("doc_part")).applyInPandas(
+            _part_scorer(queries, idfs, stats, k, algo, excluded, with_bulk=True),
+            schema=RESULT_SCHEMA,
+        )
+    else:
+        per_part = postings.groupBy("doc_part").applyInPandas(
+            _part_scorer(queries, idfs, stats, k, algo, excluded), schema=RESULT_SCHEMA
+        )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
         per_part.withColumn("score", F.round(F.col("raw_score"), score_decimals))

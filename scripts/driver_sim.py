@@ -4,8 +4,11 @@ Runs every __spark_entry__.queries() entry against its oracle_sql() via
 DuckDB with a STRICT comparator: values must be exactly equal AND of the
 same kind (an int result vs a float oracle is a FAIL, mirroring the
 driver's value-hash, which diverges on type — the round-1 term_dictionary
-lesson). Floats must match bit-for-bit after the 6-decimal rounding both
-sides already apply.
+lesson). Floats are compared with an absolute tolerance of 1e-12 — i.e.
+slightly LAXER than the driver's exact value-hash; both engines round
+score-like outputs to 6 decimals first, so anything beyond 1e-12 is a real
+divergence, while sub-1e-12 residue only appears on non-rounded analytic
+columns (percentile interpolation and the like).
 
 Usage: python scripts/driver_sim.py [sf_dir] [only_query ...]
 """

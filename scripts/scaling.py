@@ -25,6 +25,11 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# single source of truth for probe validity: best-run selection AND the
+# generated BASELINE.md prose both interpolate this constant (they drifted
+# 0.7-vs-0.6 once; ADVICE r2)
+PROBE_VALID_EFF = 0.7
+
 PROBE = r"""
 import sys, time
 from pyspark.sql import SparkSession
@@ -133,12 +138,12 @@ def main() -> None:
         f.write(json.dumps(rec) + "\n")
     with open(hist_path) as f:
         history = [json.loads(line) for line in f if line.strip()]
-    # "best" considers only probe-valid windows (probe_eff >= 0.7 — the
+    # "best" considers only probe-valid windows (PROBE_VALID_EFF — the
     # box's genuine quiet-window JVM scaling is 0.69-0.76; a lower probe_eff
     # means the window was contended and one-sided slowdown of the LOW-core
     # leg would inflate the ratio); falls back to all history if no valid
     # line exists yet
-    valid = [r for r in history if (r.get("probe_eff") or 0) >= 0.7]
+    valid = [r for r in history if (r.get("probe_eff") or 0) >= PROBE_VALID_EFF]
     best = max(valid or history, key=lambda r: r["eff_raw"])
 
     md = f"""# BENCH/BASELINE — measured engine numbers & scaling protocol
@@ -179,7 +184,7 @@ measurement windows = {best['eff_raw']:.2f} ({best['date']}, tput
 {best['tput']}, probe_eff {best.get('probe_eff')})**
 
 "Probe-valid" = the leading capacity probe showed an uncontended window
-(probe_eff >= 0.6; the quiet-window criterion is probe8 <= 12.5s via
+(probe_eff >= {PROBE_VALID_EFF}; the quiet-window criterion is probe8 <= 12.5s via
 scripts/scaling_when_quiet.sh). Delivered CPU on this shared box swings
 >2x between windows and contention is one-sided, so only probe-valid
 windows are trusted for the raw number; every run (valid or not) is in

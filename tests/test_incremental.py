@@ -323,6 +323,88 @@ def test_upsert_on_positional_index_phrase(spark, tmp_path, split_docs):
     assert 7 not in hits_old
 
 
+def test_bulk_delete_30pct_no_driver_materialization(spark, tmp_path, split_docs, monkeypatch):
+    """Mass-delete path: delete 30% of the corpus as a TABLE. run_queries
+    must stay correct with the bulk set cogrouped (never collected — the
+    closure envelope is pinned to 1 to prove it), survivors keep their
+    pre-delete scores (ES-faithful stale stats), live_doc_map anti-joins,
+    and compaction physically drains the table to fresh-build equality."""
+    import fafnir_spark.wand as wmod
+    from fafnir_spark.incremental import delete_docs_bulk
+
+    docs, _, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="b")
+    before = _res(spark, root)
+    victims_df = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 3).select("doc_id")
+    victims = {r["doc_id"] for r in victims_df.collect()}
+    assert len(victims) >= 0.25 * docs.count()
+    delete_docs_bulk(spark, root, victims_df)
+
+    # any closure-path collection of the bulk set would now blow up
+    monkeypatch.setattr(wmod, "_BULK_CLOSURE_LIMIT", 1)
+    after = _res(spark, root)
+    assert after and all(d not in victims for _, d, _ in after)
+    before_scores = {d: s for _, d, s in before}  # stale-df score identity
+    overlap = [d for _, d, _ in after if d in before_scores]
+    assert overlap  # survivors promoted from the pre-delete ranking
+    assert all(before_scores[d] == s for _, d, s in after if d in before_scores)
+    live = {r["doc_id"] for r in Catalog(root).live_doc_map(spark).collect()}
+    assert live.isdisjoint(victims) and live
+    # closure-based paths surface the documented crossover loudly
+    cat = Catalog(root)
+    with pytest.raises(ValueError, match="closure envelope"):
+        wmod._load_tombstones(spark, cat, cat.read_manifest())
+
+    compact_with_tombstones(spark, root)
+    assert "bulk_tombstones" not in Catalog(root).read_manifest()["tables"]
+    fresh_root = str(tmp_path / "fresh")
+    kept = docs.join(victims_df, "doc_id", "left_anti")
+    build_index(spark, normalize_docs(kept, id_col="doc_id", text_col="text"),
+                fresh_root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="f")
+    assert _res(spark, root) == _res(spark, fresh_root)
+
+
+def test_bulk_delete_blocks_append_of_dead_ids(spark, tmp_path, split_docs):
+    """An id in the bulk set is a GLOBAL kill — appending it again without
+    compacting first must be rejected (no silent zombie)."""
+    from fafnir_spark.incremental import delete_docs_bulk
+
+    docs, old, new = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="b")
+    delete_docs_bulk(spark, root, docs.filter(F.col("doc_id") == 7).select("doc_id"))
+    re_add = spark.createDataFrame([(7, "resurrect me")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bulk tombstone"):
+        append_index(spark, normalize_docs(re_add, id_col="doc_id", text_col="text"),
+                     root, segment="z", tokenizer="whitespace")
+
+
+def test_bulk_delete_positional_compact_preserves_phrase(spark, tmp_path, split_docs):
+    """Bulk drain through the two-phase (decode → anti-join → re-encode)
+    merge must preserve positional postings for surviving docs."""
+    from fafnir_spark.incremental import delete_docs_bulk
+    from fafnir_spark.wand import phrase_search
+
+    docs, _, _ = split_docs
+    root = str(tmp_path / "pidx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace",
+                build_id="p", with_positions=True)
+    first = docs.filter(F.col("doc_id") == 0).collect()[0]["text"].split(" ")[:2]
+    before = [r["doc_id"] for r in phrase_search(spark, root, {"q": first}).collect()]
+    assert 0 in before
+    victims_df = docs.filter((F.col("doc_id") > 0) & (F.pmod(F.col("doc_id"), F.lit(5)) == 1)
+                             ).select("doc_id")
+    victims = {r["doc_id"] for r in victims_df.collect()}
+    delete_docs_bulk(spark, root, victims_df)
+    compact_with_tombstones(spark, root)
+    after = [r["doc_id"] for r in phrase_search(spark, root, {"q": first}).collect()]
+    assert after == [d for d in before if d not in victims]
+
+
 def test_phrase_bm25_after_upsert_excludes_stale_postings(spark, tmp_path, split_docs):
     """phrase_bm25 after a stable-id upsert: the live doc's score must come
     from the NEW segment's postings only. The upserted text reuses the old
