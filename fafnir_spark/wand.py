@@ -125,10 +125,14 @@ def _load_tombstones(spark: SparkSession, cat: Catalog, manifest: dict,
     """_Tombstones | None from the snapshot's tombstone table.
 
     ``include_bulk``: also fold in the bulk-delete table (delete_docs_bulk)
-    — correct up to _BULK_CLOSURE_LIMIT ids, beyond which the caller must
-    either use a relation-native path (run_queries cogroups the bulk table;
-    live_doc_map anti-joins it) or compact first. run_queries passes
-    include_bulk=False and handles the table distributedly."""
+    — correct up to _BULK_CLOSURE_LIMIT ids, beyond which the fold raises
+    loudly. NO production query path uses this any more: every indexed path
+    (run_queries, phrase_search, phrase_bm25, bool_search,
+    search_text_indexed, facet_counts_indexed, Searcher) consumes the bulk
+    table relationally — cogrouped on doc_part or anti-joined via
+    live_doc_map — so mass deletes never materialize on the driver. The
+    True path remains for ad-hoc callers and as the documented crossover
+    guard."""
     rows = []
     keeps = []
     if "tombstones" in manifest["tables"]:
@@ -493,15 +497,21 @@ def _part_scorer(
 PHRASE_SCHEMA = "qid string, doc_id long"
 
 
-def _phrase_part_fn(phrases: dict[str, list[str]], excluded=None):
+def _phrase_part_fn(phrases: dict[str, list[str]], excluded=None,
+                    with_bulk: bool = False):
     """Per-doc_part exact phrase matching over positional postings.
 
     Tombstone exclusion is applied per BLOCK (seg-scoped): an upserted doc's
     old-segment positions are dropped while its keep_seg version survives,
-    so the merged per-term arrays never contain duplicate doc_ids."""
+    so the merged per-term arrays never contain duplicate doc_ids.
+
+    ``with_bulk``: returns a COGROUP fn (postings, bulk-tombstone rows of
+    the same doc_part) — each shard receives only ITS mass-deleted ids
+    through the shuffle (the run_queries pattern, no driver envelope)."""
     from .codec import positions_decode
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(pdf: pd.DataFrame, bulk_ids: np.ndarray | None) -> pd.DataFrame:
+        exc_all = excluded if bulk_ids is None else _UnionExc(excluded, bulk_ids)
         # decode per-term posting arrays (ids, tfs, positions) for the part
         per_term: dict[str, tuple] = {}
         for term, grp in pdf.groupby("term"):
@@ -510,7 +520,7 @@ def _phrase_part_fn(phrases: dict[str, list[str]], excluded=None):
                 ids = delta_decode(r.doc_ids).astype(np.int64)
                 tfs = varint_decode(r.tfs)
                 plists = positions_decode(r.positions, tfs)
-                exc = _exc_for(excluded, getattr(r, "seg", "") or "")
+                exc = _exc_for(exc_all, getattr(r, "seg", "") or "")
                 if exc is not None and len(exc):
                     keep = ~np.isin(ids, exc)
                     if not keep.all():
@@ -564,6 +574,16 @@ def _phrase_part_fn(phrases: dict[str, list[str]], excluded=None):
                 out_qid.extend([qid] * len(hits))
                 out_doc.extend(int(d) for d in hits)
         return pd.DataFrame({"qid": out_qid, "doc_id": np.array(out_doc, dtype=np.int64)})
+
+    if with_bulk:
+        def cofn(pdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
+            ids = tdf["doc_id"].to_numpy(dtype=np.int64) if len(tdf) else None
+            return run(pdf, ids)
+
+        return cofn
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return run(pdf, None)
 
     return fn
 
@@ -647,7 +667,11 @@ def phrase_bm25(
     postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
         F.col("term").isin([t for t in all_terms if t in idfs])
     )
-    excluded = _load_tombstones(spark, cat, manifest)
+    # only point tombstones here (seg-scoped upsert staleness): bulk-dead
+    # docs are already excluded relationally in phrase_search's match stage,
+    # and the scorer's `included` restriction means a doc absent from the
+    # matches is never scored — so bulk never needs to enter this closure.
+    excluded = _load_tombstones(spark, cat, manifest, include_bulk=False)
     per_part = postings.groupBy("doc_part").cogroup(matches.groupBy("doc_part")).applyInPandas(
         _phrase_score_fn(phrases, idfs, stats, k, excluded), schema=RESULT_SCHEMA
     )
@@ -678,7 +702,23 @@ def phrase_search(
     )
     if "positions" not in postings.columns:
         raise ValueError("index lacks positions; build with with_positions=True")
-    excluded = _load_tombstones(spark, cat, manifest)
+    # point tombstones stay in the (driver-small) closure; bulk mass-delete
+    # tombstones are a RELATION, cogrouped on doc_part so each shard receives
+    # only its own dead ids — no closure envelope on the phrase path.
+    excluded = _load_tombstones(spark, cat, manifest, include_bulk=False)
+    bulk = _load_bulk_df(spark, cat, manifest)
+    if bulk is not None:
+        stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
+        bp = bulk.withColumn(
+            "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int")
+        )
+        return (
+            postings.groupBy("doc_part")
+            .cogroup(bp.groupBy("doc_part"))
+            .applyInPandas(_phrase_part_fn(phrases, excluded, with_bulk=True),
+                           schema=PHRASE_SCHEMA)
+            .orderBy("qid", "doc_id")
+        )
     return (
         postings.groupBy("doc_part")
         .applyInPandas(_phrase_part_fn(phrases, excluded), schema=PHRASE_SCHEMA)
@@ -727,7 +767,10 @@ def facet_counts_indexed(
     postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
         F.col("term").isin(sorted(set(terms)))
     )
-    tombs = _load_tombstones(spark, cat, manifest)
+    # bulk mass-deletes need no closure here: live_doc_map anti-joins the
+    # bulk table, so the semi-join below drops bulk-dead match ids
+    # relationally. Only point tombstones enter the decode closure.
+    tombs = _load_tombstones(spark, cat, manifest, include_bulk=False)
     matched = postings.groupBy("doc_part").applyInPandas(
         _match_ids_fn(sorted(set(terms)), tombs), schema=MATCH_SCHEMA
     )
@@ -778,6 +821,14 @@ def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict,
     k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
 
     def evaluate(pdf: pd.DataFrame, mdf: pd.DataFrame | None) -> pd.DataFrame:
+        # kind 'b' rows are this doc_part's slice of the bulk mass-delete
+        # table (cogrouped, never driver-resident) — a global exclusion
+        # folded into the tombstone provider for every query.
+        eff_tombs = tombs
+        if mdf is not None and len(mdf):
+            bids = mdf.loc[mdf["kind"] == "b", "doc_id"]
+            if len(bids):
+                eff_tombs = _UnionExc(tombs, bids.to_numpy(dtype=np.int64))
         by_term: dict[str, list[_Block]] = {}
         for r in pdf.itertuples(index=False):
             by_term.setdefault(r.term, []).append(
@@ -789,7 +840,7 @@ def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict,
             arrs = []
             for blk in by_term.get(t, []):
                 ids = blk.decode()[0]
-                exc = _exc_for(tombs, blk.seg)
+                exc = _exc_for(eff_tombs, blk.seg)
                 if exc is not None and len(exc):
                     ids = ids[~np.isin(ids, exc)]
                 arrs.append(ids)
@@ -841,7 +892,7 @@ def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict,
                     extra_exc.append(np.unique(neg))
             if must_not:
                 extra_exc.extend(a for a in (term_ids(t) for t in must_not) if len(a))
-            excluded = tombs
+            excluded = eff_tombs
             if extra_exc:
                 extra = np.unique(np.concatenate(extra_exc))
                 if inc is not None:
@@ -849,7 +900,7 @@ def _bool_part_fn(queries: dict[str, dict], idfs: dict[str, float], stats: dict,
                     if not len(inc):
                         continue
                 else:
-                    excluded = _UnionExc(tombs, extra)
+                    excluded = _UnionExc(eff_tombs, extra)
             ids, sc = score_exhaustive(tb, idfs, k, k1, b, avgdl,
                                        excluded=excluded, included=inc)
             out_qid.extend([qid] * len(ids))
@@ -915,9 +966,19 @@ def bool_search(
     postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
         F.col("term").isin(all_terms)
     )
-    tombs = _load_tombstones(spark, cat, manifest)
-    if matches is not None:
-        mp = matches.withColumn(
+    # point tombstones in the closure (driver-small by design); the bulk
+    # mass-delete table joins the phrase-match cogroup side as kind 'b'
+    # rows, so each shard receives only its own dead ids — no envelope.
+    tombs = _load_tombstones(spark, cat, manifest, include_bulk=False)
+    bulk = _load_bulk_df(spark, cat, manifest)
+    side = matches
+    if bulk is not None:
+        bdf = bulk.select(
+            F.lit("*").alias("qid"), "doc_id", F.lit("b").alias("kind")
+        )
+        side = bdf if side is None else side.unionByName(bdf)
+    if side is not None:
+        mp = side.withColumn(
             "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int")
         )
         per_part = postings.groupBy("doc_part").cogroup(mp.groupBy("doc_part")).applyInPandas(
@@ -1008,7 +1069,16 @@ class Searcher:
         self._persisted = persist_postings
         if persist_postings:
             self._postings = self._postings.persist()
-        self._excluded = _load_tombstones(spark, self.cat, self.manifest)
+        # point tombstones in the closure; bulk mass-deletes stay a relation
+        # (cogrouped per search call) — same split as run_queries.
+        self._excluded = _load_tombstones(spark, self.cat, self.manifest,
+                                          include_bulk=False)
+        self._bulk = _load_bulk_df(spark, self.cat, self.manifest)
+        if self._bulk is not None:
+            self._bulk = self._bulk.withColumn(
+                "doc_part",
+                F.pmod(F.col("doc_id"), F.lit(self.stats["n_parts"])).cast("int"),
+            )
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:
         unknown = [t for t in terms if t not in self._dfs and t not in self._missing]
@@ -1033,10 +1103,21 @@ class Searcher:
         idfs = self._idfs(all_terms)
         present = [t for t in all_terms if t in idfs]
         postings = self._postings.filter(F.col("term").isin(present))
-        per_part = postings.groupBy("doc_part").applyInPandas(
-            _part_scorer(queries, idfs, self.stats, k, algo, self._excluded),
-            schema=RESULT_SCHEMA,
-        )
+        if self._bulk is not None:
+            per_part = (
+                postings.groupBy("doc_part")
+                .cogroup(self._bulk.groupBy("doc_part"))
+                .applyInPandas(
+                    _part_scorer(queries, idfs, self.stats, k, algo,
+                                 self._excluded, with_bulk=True),
+                    schema=RESULT_SCHEMA,
+                )
+            )
+        else:
+            per_part = postings.groupBy("doc_part").applyInPandas(
+                _part_scorer(queries, idfs, self.stats, k, algo, self._excluded),
+                schema=RESULT_SCHEMA,
+            )
         w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return (
             per_part.withColumn("score", F.round(F.col("raw_score"), 6))
@@ -1061,10 +1142,25 @@ class Searcher:
         })
         idfs = self._idfs(scored_terms)
         postings = self._postings.filter(F.col("term").isin(all_terms))
-        per_part = postings.groupBy("doc_part").applyInPandas(
-            _bool_part_fn(queries, idfs, self.stats, k, self._excluded),
-            schema=RESULT_SCHEMA,
-        )
+        if self._bulk is not None:
+            side = self._bulk.select(
+                F.lit("*").alias("qid"), "doc_id",
+                F.lit("b").alias("kind"), "doc_part",
+            )
+            per_part = (
+                postings.groupBy("doc_part")
+                .cogroup(side.groupBy("doc_part"))
+                .applyInPandas(
+                    _bool_part_fn(queries, idfs, self.stats, k,
+                                  self._excluded, {}),
+                    schema=RESULT_SCHEMA,
+                )
+            )
+        else:
+            per_part = postings.groupBy("doc_part").applyInPandas(
+                _bool_part_fn(queries, idfs, self.stats, k, self._excluded),
+                schema=RESULT_SCHEMA,
+            )
         w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return (
             per_part.withColumn("score", F.round(F.col("raw_score"), 6))

@@ -468,3 +468,65 @@ def test_maybe_compact_and_expire_snapshots(spark, tmp_path, split_docs):
     # kept history snapshot still resolvable, expired ones are gone
     kept_id = m["history"][-1]["snapshot_id"]
     assert cat.manifest_at(kept_id)["snapshot_id"] == kept_id
+
+
+def test_bulk_delete_phrase_bool_paths_cogrouped(spark, tmp_path, split_docs, monkeypatch):
+    """Every indexed query path — phrase_search, phrase_bm25, bool_search,
+    search_text_indexed, Searcher.search/search_bool — must consume the
+    bulk mass-delete table RELATIONALLY (cogrouped on doc_part), never via
+    the driver closure: the closure envelope is pinned to 1 to prove no
+    path collects the set."""
+    import fafnir_spark.wand as wmod
+    from fafnir_spark.incremental import delete_docs_bulk
+    from fafnir_spark.wand import (
+        Searcher,
+        bool_search,
+        phrase_bm25,
+        phrase_search,
+        search_text_indexed,
+    )
+
+    docs, _, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace",
+                build_id="b", with_positions=True)
+    first = docs.filter(F.col("doc_id") == 0).collect()[0]["text"].split(" ")[:2]
+    pm_before = {r["doc_id"] for r in phrase_search(spark, root, {"p": first}).collect()}
+    assert pm_before
+    victims_df = docs.filter(
+        (F.col("doc_id") > 0) & (F.pmod(F.col("doc_id"), F.lit(10)) < 3)
+    ).select("doc_id")
+    victims = {r["doc_id"] for r in victims_df.collect()}
+    delete_docs_bulk(spark, root, victims_df)
+    monkeypatch.setattr(wmod, "_BULK_CLOSURE_LIMIT", 1)
+
+    pm_after = {r["doc_id"] for r in phrase_search(spark, root, {"p": first}).collect()}
+    assert pm_after == pm_before - victims
+
+    pb = phrase_bm25(spark, root, {"p": first}, k=100).collect()
+    assert {r["doc_id"] for r in pb} == pm_after
+
+    rq = run_queries(spark, root, Q, k=50).collect()
+    assert rq and all(r["doc_id"] not in victims for r in rq)
+    bres = bool_search(
+        spark, root, {"q": {"must": [], "should": Q["q"], "must_not": []}}, k=50
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in bres] == [
+        (r["doc_id"], r["score"]) for r in rq
+    ]
+
+    qs = search_text_indexed(spark, root, f'merge "{first[0]} {first[1]}"', k=50).collect()
+    assert all(r["doc_id"] not in victims for r in qs)
+
+    s = Searcher(spark, root)
+    sres = s.search(Q, k=50).collect()
+    assert [(r["doc_id"], r["score"]) for r in sres] == [
+        (r["doc_id"], r["score"]) for r in rq
+    ]
+    sb = s.search_bool(
+        {"q": {"must": [], "should": Q["q"], "must_not": []}}, k=50
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in sb] == [
+        (r["doc_id"], r["score"]) for r in rq
+    ]
