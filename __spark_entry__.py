@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fafnir_spark import oracles, oracles_ops, oracles_pipeline
+from fafnir_spark import oracles, oracles_curation, oracles_ops, oracles_pipeline
 from fafnir_spark.query import bm25_topk, conjunctive_match, doc_term_freqs, term_dfs
 
 # ---- canonical query set (the engine's "reference query set") ----
@@ -414,6 +414,79 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+# ---- curation ops (curation.py): decontamination / sampling / packing /
+# PII / repetition — plus fuzzy and keyset-pagination query shapes ----
+
+FUZZY_Q = ["merg", "windo"]  # each edit-distance-1 from a vocabulary term
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: pmod-17 split of the corpus into
+    train/benchmark, flag train docs sharing any 3-token shingle (n=3 on
+    the tiny-vocab fixture; the plan is n-independent)."""
+    from fafnir_spark.curation import decontaminate
+
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 0)
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+    return decontaminate(train, bench, n=3)
+
+
+def _q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.curation import sample_per_source
+
+    return sample_per_source(_docs(spark, sf_dir), n=25)
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over deterministically-injected emails/phones (the
+    fixture corpus has none); the oracle verifies redacted CONTENT via
+    portable hash, not just counts."""
+    from fafnir_spark.curation import inject_pii, pii_scrub
+
+    return pii_scrub(inject_pii(_docs(spark, sf_dir)))
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.curation import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term~1 fuzzy query: SymSpell deletion-neighborhood expansion
+    against the corpus vocabulary + Levenshtein verify, then disjunctive
+    BM25 (each expansion with its own idf)."""
+    from fafnir_spark.query_ext import fuzzy_bm25
+
+    return fuzzy_bm25(_docs(spark, sf_dir), FUZZY_Q, k=10)
+
+
+def _q_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy served FROM the index: expansion against the term dictionary
+    (no corpus scan at query time), scored by block-max WAND."""
+    from fafnir_spark.query_ext import fuzzy_bm25_indexed
+
+    return fuzzy_bm25_indexed(spark, _idx_root(spark, sf_dir), FUZZY_Q, k=10)
+
+
+def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination: collect page 1's last (score, doc_id) as the
+    cursor, then fetch page 2 with the cursor predicate applied BEFORE the
+    top-k (filter → TakeOrderedAndProject, O(k) at any depth)."""
+    from fafnir_spark.query_ext import bm25_search_after
+
+    page1 = bm25_topk(_docs(spark, sf_dir), Q_MAIN, k=5).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    return bm25_search_after(_docs(spark, sf_dir), Q_MAIN, cur, k=5)
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.multimodal import attach_media
 
@@ -651,6 +724,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": _q_ann_ivf_indexed,
         "token_counts": _q_token_counts,
         "top_terms_tfidf": _q_top_terms,
+        "decontaminate_ngram": _q_decontaminate,
+        "sample_per_source": _q_sample_per_source,
+        "pack_sequences": _q_pack_sequences,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_signals": _q_repetition,
+        "fuzzy_bm25": _q_fuzzy,
+        "fuzzy_bm25_indexed": _q_fuzzy_indexed,
+        "search_after_page2": _q_search_after,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -729,6 +810,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_indexed": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "token_counts": oracles_ops.token_counts_sql(),
         "top_terms_tfidf": oracles_ops.top_terms_sql(3),
+        "decontaminate_ngram": oracles_curation.decontaminate_sql(n=3, bench_mod=17),
+        "sample_per_source": oracles_curation.sample_per_source_sql(n=25),
+        "pack_sequences": oracles_curation.pack_sequences_sql(budget=512),
+        "pii_scrub": oracles_curation.pii_scrub_sql(),
+        "repetition_signals": oracles_curation.repetition_signals_sql(),
+        "fuzzy_bm25": oracles.fuzzy_bm25_sql(FUZZY_Q, k=10),
+        "fuzzy_bm25_indexed": oracles.fuzzy_bm25_sql(FUZZY_Q, k=10),
+        "search_after_page2": oracles.search_after_sql(Q_MAIN, k=5, page=2),
         "media_meta": oracles_ops.media_meta_sql(),
         "media_features": oracles_ops.media_features_sql(),
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),

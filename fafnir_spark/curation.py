@@ -1,0 +1,265 @@
+"""Training-data curation operators: decontamination, stratified sampling,
+sequence packing, PII scrubbing, repetition quality signals.
+
+These are the corpus-preparation ops an LLM data pipeline runs downstream
+of dedup (dedup.py) and upstream of tokenization — each one a declarative
+DataFrame plan with an exact DuckDB oracle (oracles_curation.py), following
+the engine's parity conventions: whitespace tokenization (tokenizer parity
+note), portable hash60 for any cross-engine hashing, floats rounded to 6
+decimals, every computed column aliased identically on both sides.
+
+fafnir precedents: deterministic corpus routing/filtering (P3/P4 searchable
+blocklists, /root/reference src/sources/openmaptiles/pois.rs:118-139) and
+weight/quality scoring (convert.rs:161-168); the decontamination and packing
+shapes follow the public training-data literature (Gopher/MassiveText rules,
+Rae et al. 2021; GPT-3 dedup/decontam appendix, Brown et al. 2020).
+
+Scale notes (100 TB):
+* decontaminate — n-grams are hashed to 60-bit ints BEFORE the join, so the
+  shuffle carries fixed-width keys, and the benchmark side is a (typically
+  tiny) distinct set that AQE auto-broadcasts; no hint, so a huge benchmark
+  degrades to a shuffle join instead of an OOM.
+* sample_per_source / pack_sequences — windows partition by source; a
+  single pathological source is the skew story, same as any keyed window
+  (salt by hash60(doc_id) prefix into sub-strata if one source dominates).
+* pii_scrub — pure JVM regex expressions, zero shuffle.
+* repetition_signals — one (doc_id, bigram) shuffle with map-side combine;
+  everything else is row-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .portable import hash60
+from .textstats import shingles_expr
+from .tokenizer import tokens_expr
+
+# PII patterns — shared contract with the oracle (oracles_curation templates
+# the SAME strings into DuckDB SQL). Conservative class-based syntax only:
+# identical semantics in Java regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def ngram_keys(docs: DataFrame, n: int = 3,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, g): distinct 60-bit hashes of the doc's n-token shingles."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_expr(text_col, n))).alias("__sh"),
+    ).select("doc_id", hash60(F.col("__sh")).alias("g"))
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Benchmark n-gram decontamination (GPT-3 appendix C / Gopher test-set
+    filtering): flag every training doc sharing at least one n-token shingle
+    with the benchmark corpus.
+
+    Returns (doc_id, n_grams, n_shared, shared_frac) for CONTAMINATED train
+    docs only — n_grams = the doc's distinct shingle count, n_shared = how
+    many of them occur anywhere in the benchmark. The production filter is
+    an anti-join of train against these ids; returning the scored overlap
+    keeps the decision auditable.
+
+    At web scale the real pipelines use n=8..13; the tiny-vocab test
+    fixture uses n=3 so the overlap is non-degenerate. The plan is
+    n-independent: distinct hashed shingles per side, one equi-join on the
+    60-bit key, count per doc."""
+    tg = ngram_keys(train, n, id_col, text_col)
+    bg = ngram_keys(benchmark, n, id_col, text_col).select("g").distinct()
+    totals = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = tg.join(bg, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        totals.join(shared, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _strat_order(id_col: str) -> Column:
+    # deterministic, engine-portable shuffle order: hash60('smp:' || doc_id)
+    return hash60(F.concat_ws(":", F.lit("smp"), F.col(id_col).cast("string")))
+
+
+def sample_per_source(docs: DataFrame, n: int = 25,
+                      id_col: str = "doc_id", strat_col: str = "source") -> DataFrame:
+    """Deterministic stratified cap: at most ``n`` docs per stratum, chosen
+    by portable-hash order (a seeded shuffle both engines reproduce), doc_id
+    tie-break. The data-mixing primitive for corpus curation — per-domain
+    caps, language rebalancing.
+
+    (source, rk, doc_id); windows are per-stratum, no global sort."""
+    w = Window.partitionBy(strat_col).orderBy(
+        _strat_order(id_col), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+        .select(F.col(strat_col).alias("source"), "rk", F.col(id_col).alias("doc_id"))
+        .orderBy("source", "rk")
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int = 512,
+                   id_col: str = "doc_id", strat_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (per stratum, in
+    deterministic portable-hash order) and chunk the stream into
+    ``budget``-token training sequences. Each doc is assigned the sequence
+    its FIRST token lands in: seq_id = floor(start_offset / budget),
+    offset = start_offset - seq_id*budget.
+
+    (source, doc_id, n_tok, seq_id, offset) — exact integer arithmetic end
+    to end, so the oracle comparison is hash-strict. The cumulative sum is
+    a per-stratum window (parallel across strata); at 100 TB you pack per
+    shard (source × hash-bucket) exactly like this, since packing quality
+    only needs local order, not a global one."""
+    w = Window.partitionBy(strat_col).orderBy(
+        _strat_order(id_col), F.col(id_col).asc()
+    )
+    n_tok = F.size(tokens_expr(text_col)).cast("long")
+    base = docs.select(
+        F.col(strat_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tok"),
+    )
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("__start")
+    packed = base.select("source", "doc_id", "n_tok", start)
+    seq = F.floor(F.col("__start") / F.lit(budget)).cast("long")
+    return packed.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        seq.alias("seq_id"),
+        (F.col("__start") - seq * F.lit(budget)).cast("long").alias("offset"),
+    ).orderBy("source", "seq_id", "offset", "doc_id")
+
+
+def inject_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Deterministically derive PII-bearing text from the fixture corpus
+    (the sandbox corpus has none): every doc gains an email built from its
+    source/id; every third doc also gains a phone number. Both engines
+    derive the identical string, so the scrub operator is exercised on
+    non-trivial counts without synthesizing external data."""
+    email = F.concat(
+        F.col("source"), F.lit("."), F.col(id_col).cast("string"),
+        F.lit("@example.com"),
+    )
+    phone = F.when(
+        F.pmod(F.col(id_col), F.lit(3)) == 0,
+        F.concat(
+            F.lit(" +1-"),
+            F.lpad((F.pmod(F.col(id_col), F.lit(900)) + 100).cast("string"), 3, "0"),
+            F.lit("-555-"),
+            F.lpad(F.pmod(F.col(id_col), F.lit(10000)).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(F.col(text_col), F.lit(" "), email, phone).alias("text"),
+    )
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact emails then phone numbers (fixed order — the redaction is a
+    contract) and report per-doc counts plus a portable hash of the clean
+    text, so the oracle verifies the REDACTED CONTENT, not just counts.
+
+    (doc_id, n_emails, n_phones, clean_hash) — pure expressions, zero
+    shuffle, no Python in the hot path."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        hash60(clean).alias("clean_hash"),
+    )
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+
+      rep_ratio        1 - distinct/total tokens (row-local, no shuffle)
+      top_bigram       the doc's most frequent token bigram
+                       (count desc, bigram asc tie-break — deterministic)
+      top_bigram_frac  its occurrences / total bigrams
+      dup_bigram_frac  1 - distinct/total bigrams
+
+    Docs with < 2 tokens have no bigrams and are excluded (same filter in
+    the oracle). One (doc_id, bigram) shuffle with map-side combine; the
+    per-doc argmax is a per-doc window (parallel, no global sort)."""
+    toks = tokens_expr(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+    ).filter(F.size("__toks") >= 2)
+    stats = base.select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("__n_distinct"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                _bigram_at("__toks"),
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("__total_bg"),
+        F.count(F.lit(1)).alias("__distinct_bg"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bg").asc())
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("bg").alias("top_bigram"), F.col("cnt").alias("__top_cnt"))
+    )
+    return (
+        stats.join(per_doc, "doc_id")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("__n_distinct") / F.col("n_tokens"), 6
+            ).alias("rep_ratio"),
+            "top_bigram",
+            F.round(F.col("__top_cnt") / F.col("__total_bg"), 6).alias("top_bigram_frac"),
+            F.round(
+                F.lit(1.0) - F.col("__distinct_bg") / F.col("__total_bg"), 6
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bigram_at(toks_col: str):
+    """Helper closure for the bigram transform — a named function, not an
+    inline lambda-with-default (PySpark's higher-order arity inspection
+    treats a second lambda param as the index argument)."""
+    def make(i: Column) -> Column:
+        c = F.col(toks_col)
+        return F.concat_ws("\x1f", F.get(c, i), F.get(c, i + 1))
+
+    return make

@@ -530,3 +530,74 @@ SELECT rank, doc_id, score FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def fuzzy_bm25_sql(qterms: list[str], k: int = 10, max_edits: int = 1) -> str:
+    """Fuzzy expansion in pure SQL: vocabulary terms within levenshtein
+    ``max_edits`` of any query term, then the standard disjunctive BM25.
+    The Spark side reaches the same set via the deletion-neighborhood join
+    + levenshtein verify (query_ext.fuzzy_expand) — identical predicate,
+    so the expanded term sets agree exactly."""
+    vals = ", ".join("('" + t.replace("'", "''") + "')" for t in sorted(set(qterms)))
+    return f"""
+WITH {_TF_CTES},
+vocab AS (SELECT DISTINCT term FROM tf),
+fz AS (
+  SELECT DISTINCT v.term
+  FROM vocab v, (VALUES {vals}) q(qt)
+  WHERE levenshtein(v.term, q.qt) <= {max_edits}
+),
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM fz) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(raw_score, 6) AS score
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+def search_after_sql(terms: list[str], k: int = 10, page: int = 2) -> str:
+    """Oracle for keyset pagination: under one total order, the page after
+    the (page-1)·k-th cursor IS ranks (page-1)·k+1 .. page·k renumbered —
+    so the oracle ranks once and windows, while the Spark side runs the
+    true cursor-predicate plan (filter before top-k)."""
+    lo = (page - 1) * k
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT rank - {lo} AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(raw_score, 6) AS score
+  FROM scored
+) WHERE rank > {lo} AND rank <= {lo + k}
+ORDER BY rank
+"""

@@ -1,0 +1,195 @@
+"""DuckDB oracles for the curation operators (curation.py).
+
+Every query mirrors its Spark plan exactly: same whitespace tokenization
+(string_split + drop ''), same portable hash60, same rounding, same
+deterministic orderings, and — per the round-1 lesson — every integer
+aggregate CAST to BIGINT (DuckDB sum() is HUGEINT, which pandas fetches as
+float64 and the type-sensitive comparator rejects).
+"""
+
+from __future__ import annotations
+
+from .curation import EMAIL_RE, PHONE_RE
+from .portable import hash60_sql
+
+SEP = "chr(31)"
+
+_TOKS = """
+toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+)
+"""
+
+
+def _pmod(expr: str, m: int) -> str:
+    # doc_id can be negative in index tables; keep the portable form
+    return f"((({expr}) % {m}) + {m}) % {m}"
+
+
+def _ngrams(n: int) -> str:
+    """distinct hashed n-gram rows per doc: (doc_id, g). Matches
+    curation.ngram_keys: shingle = n tokens joined by chr(31), hashed."""
+    shingle = (
+        f"array_to_string(list_slice(tk, i, i + {n - 1}), {SEP})"
+    )
+    return f"""
+grams AS (
+  SELECT doc_id, {hash60_sql("s.shingle")} AS g
+  FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(tk) - {n} + 2),
+             i -> {shingle}))) AS shingle
+    FROM toks WHERE len(tk) >= {n}
+  ) s
+)
+"""
+
+
+def decontaminate_sql(n: int = 3, bench_mod: int = 17) -> str:
+    """Train docs = pmod(doc_id, bench_mod) != 0; benchmark = == 0 (the
+    deterministic split the driver query uses)."""
+    return f"""
+WITH {_TOKS},
+{_ngrams(n)},
+train AS (SELECT * FROM grams WHERE {_pmod("doc_id", bench_mod)} <> 0),
+bench AS (SELECT DISTINCT g FROM grams WHERE {_pmod("doc_id", bench_mod)} = 0),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM train GROUP BY doc_id
+),
+shared AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM train t JOIN bench b USING (g)
+  GROUP BY t.doc_id
+)
+SELECT totals.doc_id, n_grams, n_shared,
+       round(n_shared / n_grams, 6) AS shared_frac
+FROM totals JOIN shared USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+_SMP_ORDER = hash60_sql("concat('smp:', CAST(doc_id AS VARCHAR))")
+
+
+def sample_per_source_sql(n: int = 25) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_SMP_ORDER}, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT source, rk, doc_id FROM ranked WHERE rk <= {n}
+ORDER BY source, rk
+"""
+
+
+def pack_sequences_sql(budget: int = 512) -> str:
+    return f"""
+WITH {_TOKS},
+sized AS (
+  SELECT source, doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM toks
+),
+packed AS (
+  SELECT source, doc_id, n_tok,
+         CAST(sum(n_tok) OVER (
+           PARTITION BY source
+           ORDER BY {_SMP_ORDER}, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tok AS BIGINT) AS strt
+  FROM sized
+)
+SELECT source, doc_id, n_tok,
+       CAST(floor(strt / {budget}) AS BIGINT) AS seq_id,
+       CAST(strt - CAST(floor(strt / {budget}) AS BIGINT) * {budget} AS BIGINT)
+         AS "offset"
+FROM packed
+ORDER BY source, seq_id, "offset", doc_id
+"""
+
+
+def pii_scrub_sql() -> str:
+    """Mirrors curation.inject_pii ∘ curation.pii_scrub: inject the same
+    deterministic email/phone strings, then scrub with the SAME regex
+    constants (templated from curation.py — never hand-copied)."""
+    email = "concat(source, '.', CAST(doc_id AS VARCHAR), '@example.com')"
+    phone = (
+        "CASE WHEN " + _pmod("doc_id", 3) + " = 0 THEN "
+        "concat(' +1-', "
+        f"lpad(CAST({_pmod('doc_id', 900)} + 100 AS VARCHAR), 3, '0'), "
+        "'-555-', "
+        f"lpad(CAST({_pmod('doc_id', 10000)} AS VARCHAR), 4, '0')) "
+        "ELSE '' END"
+    )
+    # standard-SQL single-quoted literals pass backslashes through verbatim,
+    # so the Python-level strings embed unchanged
+    e_re = EMAIL_RE
+    p_re = PHONE_RE
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         concat(text, ' ', {email}, {phone}) AS text
+  FROM documents
+),
+clean AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{e_re}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{p_re}')) AS BIGINT) AS n_phones,
+         regexp_replace(
+           regexp_replace(text, '{e_re}', '<EMAIL>', 'g'),
+           '{p_re}', '<PHONE>', 'g') AS redacted
+  FROM injected
+)
+SELECT doc_id, n_emails, n_phones,
+       {hash60_sql("redacted")} AS clean_hash
+FROM clean
+"""
+
+
+def repetition_signals_sql() -> str:
+    return f"""
+WITH {_TOKS},
+base AS (
+  SELECT doc_id, tk FROM toks WHERE len(tk) >= 2
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(tk)),
+           i -> tk[i] || {SEP} || tk[i+1])) AS bg
+  FROM base
+),
+counts AS (
+  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cnt
+  FROM bg GROUP BY doc_id, bg
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS total_bg,
+         CAST(count(*) AS BIGINT) AS distinct_bg
+  FROM counts GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, bg AS top_bigram, cnt AS top_cnt FROM (
+    SELECT doc_id, bg, cnt,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY cnt DESC, bg ASC
+           ) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT b.doc_id,
+       CAST(len(b.tk) AS BIGINT) AS n_tokens,
+       round(1.0 - len(list_distinct(b.tk)) / len(b.tk), 6) AS rep_ratio,
+       t.top_bigram,
+       round(t.top_cnt / p.total_bg, 6) AS top_bigram_frac,
+       round(1.0 - p.distinct_bg / p.total_bg, 6) AS dup_bigram_frac
+FROM base b
+JOIN per_doc p ON p.doc_id = b.doc_id
+JOIN top t ON t.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""

@@ -411,3 +411,109 @@ def more_like_this_indexed(
     if not sel:
         return spark.createDataFrame([], empty)
     return run_queries(spark, index_root, {"mlt": sel}, k=k, snapshot_id=snapshot_id)
+
+
+def _delete_variants_py(term: str) -> list[str]:
+    """term + every single-character deletion (driver-side, query terms)."""
+    return sorted({term} | {term[:i] + term[i + 1:] for i in range(len(term))})
+
+
+def _delete_variants_expr(col: F.Column) -> F.Column:
+    """Column form of the same neighborhood (vocabulary side)."""
+    def drop_at(i: F.Column) -> F.Column:
+        return F.concat(col.substr(F.lit(1), i - 1),
+                        col.substr(i + 1, F.length(col)))
+
+    return F.array_union(
+        F.array(col),
+        F.transform(F.sequence(F.lit(1), F.length(col)), drop_at),
+    )
+
+
+def fuzzy_expand(vocab: DataFrame, qterms: list[str], max_edits: int = 1) -> list[str]:
+    """SymSpell-style fuzzy term expansion: vocabulary terms within edit
+    distance ``max_edits`` (=1) of any query term.
+
+    Scale shape: both sides emit their single-deletion neighborhoods (a
+    term of length L emits L+1 variants), candidates come from ONE
+    equi-join on the variant key — never a vocab × query Levenshtein scan
+    — then exact `levenshtein` verifies (the deletion join has false
+    positives like ab/ba but, for distance 1, no false negatives). The
+    query side is a literal handful of rows, broadcast by AQE.
+
+    ``vocab``: DataFrame with a `term` column (corpus-derived distinct
+    terms, or the index dictionary for the indexed path). Returns the
+    matched terms (driver-side list — term expansion is bounded the same
+    way ES bounds fuzzy rewrites)."""
+    assert max_edits == 1, "deletion-neighborhood join covers max_edits=1"
+    spark = vocab.sparkSession
+    qv = [(v, q) for q in sorted(set(qterms)) for v in _delete_variants_py(q)]
+    qdf = spark.createDataFrame(qv, "variant string, qterm string")
+    cand = (
+        vocab.select("term")
+        .withColumn("variant", F.explode(_delete_variants_expr(F.col("term"))))
+        .join(qdf, "variant")
+        .select("term", "qterm")
+        .distinct()
+        .filter(F.levenshtein(F.col("term"), F.col("qterm")) <= max_edits)
+    )
+    return sorted({r["term"] for r in cand.collect()})
+
+
+def fuzzy_bm25(docs: DataFrame, qterms: list[str], k: int = 10,
+               max_edits: int = 1, text_col: str = "text") -> DataFrame:
+    """ES `term~1` fuzzy query, direct path: expand each query term against
+    the corpus vocabulary (deletion-neighborhood join + Levenshtein
+    verify), then disjunctive BM25 over the union of matched terms — each
+    expansion scored with its own idf, the scoring_boolean rewrite, same as
+    prefix_bm25. (rank, doc_id, score)."""
+    from .query import bm25_topk, doc_term_freqs
+
+    vocab = doc_term_freqs(docs, text_col=text_col).select("term").distinct()
+    terms = fuzzy_expand(vocab, qterms, max_edits)
+    if not terms:
+        return docs.sparkSession.createDataFrame([], "rank int, doc_id long, score double")
+    return bm25_topk(docs, terms, k=k, text_col=text_col)
+
+
+def fuzzy_bm25_indexed(spark, index_root: str, qterms: list[str], k: int = 10,
+                       max_edits: int = 1, snapshot_id: str | None = None) -> DataFrame:
+    """Fuzzy query served FROM the index: the expansion runs against the
+    term DICTIONARY (vocabulary-sized relation, no corpus scan at query
+    time), then block-max WAND scores the expanded disjunction.
+    (rank, doc_id, score)."""
+    from .catalog import Catalog
+    from .wand import run_queries
+
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    vocab = cat.read_table(spark, "dictionary", snapshot=manifest).select("term")
+    terms = fuzzy_expand(vocab, qterms, max_edits)
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    res = run_queries(spark, index_root, {"fz": terms}, k=k, snapshot_id=snapshot_id)
+    return res.select("rank", "doc_id", "score")
+
+
+def bm25_search_after(docs: DataFrame, terms: list[str],
+                      cursor: tuple[float, int], k: int = 10,
+                      text_col: str = "text") -> DataFrame:
+    """Keyset pagination (ES search_after): the page of ``k`` results
+    strictly after ``cursor`` = (score, doc_id) in the rank order
+    (score desc, doc_id asc). Unlike offset pagination, deep pages stay
+    O(k): the cursor predicate filters BEFORE the top-k selection, so the
+    plan is filter → TakeOrderedAndProject, never rank-everything-and-skip.
+    (rank, doc_id, score) with rank 1..k within the page."""
+    from pyspark.sql.window import Window
+
+    from .query import bm25_scores
+
+    cs, cd = float(cursor[0]), int(cursor[1])
+    scores = bm25_scores(docs, terms, text_col=text_col)
+    after = scores.filter(
+        (F.col("score") < F.lit(cs))
+        | ((F.col("score") == F.lit(cs)) & (F.col("doc_id") > F.lit(cd)))
+    )
+    top = after.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")

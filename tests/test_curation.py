@@ -1,0 +1,167 @@
+"""Curation ops (decontamination / sampling / packing / PII / repetition)
+and fuzzy + search_after query shapes — each vs its DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark import oracles, oracles_curation as OC
+from fafnir_spark.curation import (
+    decontaminate,
+    inject_pii,
+    pack_sequences,
+    pii_scrub,
+    repetition_signals,
+    sample_per_source,
+)
+from fafnir_spark.query_ext import (
+    bm25_search_after,
+    fuzzy_bm25,
+    fuzzy_bm25_indexed,
+    fuzzy_expand,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def assert_matches(sdf, ddb, sql):
+    cols = sorted(sdf.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+    wdf = ddb.execute(sql).fetch_df()
+    assert sorted(wdf.columns) == cols
+    want = sorted(tuple(r[c] for c in cols) for _, r in wdf.iterrows())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for a, b in zip(g, w):
+            if isinstance(a, float):
+                assert a == pytest.approx(b, abs=1e-9)
+            else:
+                assert a == b
+
+
+def test_decontaminate(spark, ddb, docs):
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 0)
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+    out = decontaminate(train, bench, n=3)
+    rows = out.collect()
+    assert rows, "tiny-vocab fixture must produce non-degenerate overlap"
+    assert all(0 < r["n_shared"] <= r["n_grams"] for r in rows)
+    assert_matches(out, ddb, OC.decontaminate_sql(n=3, bench_mod=17))
+
+
+def test_sample_per_source(spark, ddb, docs):
+    out = sample_per_source(docs, n=7)
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in per)
+    assert_matches(out, ddb, OC.sample_per_source_sql(n=7))
+    # determinism: same call, same rows
+    again = sorted(map(tuple, sample_per_source(docs, n=7).collect()))
+    assert again == sorted(map(tuple, out.collect()))
+
+
+def test_pack_sequences(spark, ddb, docs):
+    out = pack_sequences(docs, budget=64)
+    rows = out.collect()
+    assert all(0 <= r["offset"] < 64 for r in rows)
+    assert max(r["seq_id"] for r in rows) > 0  # actually chunks
+    assert_matches(out, ddb, OC.pack_sequences_sql(budget=64))
+
+
+def test_pii_scrub(spark, ddb, docs):
+    out = pii_scrub(inject_pii(docs))
+    rows = out.collect()
+    assert all(r["n_emails"] >= 1 for r in rows)
+    assert all(
+        (r["n_phones"] >= 1) == (r["doc_id"] % 3 == 0) or r["n_phones"] >= 1
+        for r in rows
+    )
+    assert any(r["n_phones"] >= 1 for r in rows)
+    assert_matches(out, ddb, OC.pii_scrub_sql())
+
+
+def test_pii_scrub_redacts(spark, docs):
+    """The clean_hash contract implies the text no longer matches the
+    patterns — double-scrub must be a fixed point."""
+    once = pii_scrub(inject_pii(docs))
+    from fafnir_spark.curation import EMAIL_RE, PHONE_RE
+
+    redacted = inject_pii(docs).select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>",
+        ).alias("text"),
+    )
+    twice = pii_scrub(redacted)
+    assert all(
+        r["n_emails"] == 0 and r["n_phones"] == 0 for r in twice.collect()
+    )
+    assert once.count() == twice.count()
+
+
+def test_repetition_signals(spark, ddb, docs):
+    out = repetition_signals(docs)
+    rows = out.collect()
+    assert rows
+    assert all(0.0 <= r["rep_ratio"] <= 1.0 for r in rows)
+    assert all(0.0 < r["top_bigram_frac"] <= 1.0 for r in rows)
+    assert_matches(out, ddb, OC.repetition_signals_sql())
+
+
+def test_fuzzy_expand_equals_brute_force(spark, docs):
+    from fafnir_spark.query import doc_term_freqs
+
+    vocab_df = doc_term_freqs(docs).select("term").distinct()
+    vocab = [r["term"] for r in vocab_df.collect()]
+
+    def lev(a, b):
+        import numpy as np
+
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return int(d[len(b)])
+
+    for q in ["merg", "windo", "customer", "zzz"]:
+        want = sorted(t for t in vocab if lev(t, q) <= 1)
+        got = fuzzy_expand(vocab_df, [q])
+        assert got == want, q
+
+
+def test_fuzzy_bm25_vs_oracle(spark, ddb, docs):
+    out = fuzzy_bm25(docs, ["merg", "windo"], k=10)
+    assert out.count() > 0
+    assert_matches(out, ddb, oracles.fuzzy_bm25_sql(["merg", "windo"], k=10))
+
+
+def test_fuzzy_bm25_indexed_matches_direct(spark, ddb, docs, tmp_path):
+    from fafnir_spark.build import build_index, normalize_docs
+
+    root = str(tmp_path / "fzidx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="f")
+    out = fuzzy_bm25_indexed(spark, root, ["merg", "windo"], k=10)
+    assert_matches(out, ddb, oracles.fuzzy_bm25_sql(["merg", "windo"], k=10))
+
+
+def test_search_after(spark, ddb, docs):
+    from fafnir_spark.query import bm25_topk
+
+    terms = ["merge", "window", "customer"]
+    page1 = bm25_topk(docs, terms, k=5).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    page2 = bm25_search_after(docs, terms, cur, k=5)
+    assert_matches(page2, ddb, oracles.search_after_sql(terms, k=5, page=2))
+    # page1 + page2 == the top-10 in order
+    full = bm25_topk(docs, terms, k=10).collect()
+    got = [(r["doc_id"], r["score"]) for r in page1] + [
+        (r["doc_id"], r["score"]) for r in page2.collect()
+    ]
+    assert got == [(r["doc_id"], r["score"]) for r in full]
