@@ -487,6 +487,44 @@ def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search_after(_docs(spark, sf_dir), Q_MAIN, cur, k=5)
 
 
+SUGGEST_TERM = "merg"
+QS_RANGE = "merge window n_chars:[150 TO 400]"
+
+
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean term suggester: edit-distance-1 vocabulary candidates
+    (SymSpell deletion join) ranked by document frequency."""
+    from fafnir_spark.query_ext import suggest_terms
+
+    return suggest_terms(_docs(spark, sf_dir), SUGGEST_TERM, k=5)
+
+
+def _q_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suggester FROM the index dictionary (df is a point lookup on the
+    published (term, df) rows — no corpus access)."""
+    from fafnir_spark.query_ext import suggest_terms_indexed
+
+    return suggest_terms_indexed(spark, _idx_root(spark, sf_dir), SUGGEST_TERM, k=5)
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation: fixed-width numeric buckets with count and
+    sum — bucket cardinality, not row count, bounds the shuffle."""
+    from fafnir_spark.pipeline import event_value_histogram
+
+    return event_value_histogram(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), width=5.0
+    )
+
+
+def _q_query_string_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string with an inclusive numeric range filter
+    (n_chars:[150 TO 400]) — filter context, never scored."""
+    from fafnir_spark.query_ext import search_text
+
+    return search_text(_docs(spark, sf_dir), QS_RANGE, k=10)
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.multimodal import attach_media
 
@@ -732,6 +770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_bm25": _q_fuzzy,
         "fuzzy_bm25_indexed": _q_fuzzy_indexed,
         "search_after_page2": _q_search_after,
+        "suggest_terms": _q_suggest,
+        "suggest_terms_indexed": _q_suggest_indexed,
+        "value_histogram": _q_value_histogram,
+        "query_string_range": _q_query_string_range,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -818,6 +860,10 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_bm25": oracles.fuzzy_bm25_sql(FUZZY_Q, k=10),
         "fuzzy_bm25_indexed": oracles.fuzzy_bm25_sql(FUZZY_Q, k=10),
         "search_after_page2": oracles.search_after_sql(Q_MAIN, k=5, page=2),
+        "suggest_terms": oracles.suggest_sql(SUGGEST_TERM, k=5),
+        "suggest_terms_indexed": oracles.suggest_sql(SUGGEST_TERM, k=5),
+        "value_histogram": oracles_pipeline.event_value_histogram_sql(5.0),
+        "query_string_range": oracles.search_text_sql(QS_RANGE, k=10),
         "media_meta": oracles_ops.media_meta_sql(),
         "media_features": oracles_ops.media_features_sql(),
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),

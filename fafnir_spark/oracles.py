@@ -448,6 +448,10 @@ def search_text_sql(query: str, k: int = 10) -> str:
         col, val = f.split(":", 1)
         extra += f"""
   AND scored.doc_id IN (SELECT doc_id FROM documents WHERE {col} = '{val.replace(chr(39), chr(39) * 2)}')"""
+    for fld, lo, hi in spec.get("ranges", []):
+        extra += f"""
+  AND scored.doc_id IN (
+    SELECT doc_id FROM documents WHERE {fld} >= {lo} AND {fld} <= {hi})"""
     for ph in spec["phrases"]:
         p = " ".join(ph).replace("'", "''")
         extra += f"""
@@ -600,4 +604,26 @@ SELECT rank - {lo} AS rank, doc_id, score FROM (
   FROM scored
 ) WHERE rank > {lo} AND rank <= {lo + k}
 ORDER BY rank
+"""
+
+
+def suggest_sql(term: str, k: int = 5) -> str:
+    """Oracle for suggest_terms / suggest_terms_indexed: the corpus
+    vocabulary within levenshtein 1 of the input (input excluded), ranked
+    by document frequency. Both the direct path (vocab from tf) and the
+    indexed path (published dictionary) must equal this — the dictionary
+    IS (term, df) over the same corpus."""
+    t = term.replace("'", "''")
+    return f"""
+WITH {_TF_CTES},
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+cand AS (
+  SELECT term, df FROM dfs
+  WHERE levenshtein(term, '{t}') <= 1 AND term <> '{t}'
+)
+SELECT rk, term, df FROM (
+  SELECT row_number() OVER (ORDER BY df DESC, term ASC) AS rk, term, df
+  FROM cand
+) WHERE rk <= {k}
+ORDER BY rk
 """

@@ -258,3 +258,12 @@ SELECT event_type,
        round(quantile_cont(value, 0.95), 6) AS p95
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def event_value_histogram_sql(width: float = 5.0) -> str:
+    return f"""
+SELECT floor(value / {width}) * {width} AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""

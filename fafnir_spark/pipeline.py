@@ -456,3 +456,21 @@ def event_value_percentiles(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def event_value_histogram(events, width: float = 5.0):
+    """ES histogram aggregation over a numeric field: fixed-width buckets
+    keyed by floor(value/width)*width, with count and sum per bucket.
+    One groupBy with map-side combine — the scale shape is the same at any
+    corpus size (bucket cardinality, not row count, bounds the shuffle)."""
+    from pyspark.sql import functions as F
+
+    bucket = F.floor(F.col("value") / F.lit(width)) * F.lit(width)
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )

@@ -236,18 +236,26 @@ def parse_query(q: str) -> dict:
       -"a b c"       → negated phrase (excludes matching docs)
       prefi*         → prefix (expanded against the vocabulary, scored)
       field:value    → filter context (required, never scored)
+      field:[a TO b] → inclusive numeric range, filter context (a sign
+                       prefix is ignored — ranges only gate eligibility)
 
     Returns {must, should, must_not, phrases, neg_phrases, prefixes,
-    filters} with terms lowercased the way the whitespace analyzer sees
-    them."""
+    filters, ranges} with terms lowercased the way the whitespace analyzer
+    sees them; ranges are (field, lo, hi) float triples."""
     import re as _re
 
     out: dict = {"must": [], "should": [], "must_not": [],
-                 "phrases": [], "neg_phrases": [], "prefixes": [], "filters": []}
-    for part in _re.findall(r'[+\-]?"[^"]*"|\S+', q):
+                 "phrases": [], "neg_phrases": [], "prefixes": [],
+                 "filters": [], "ranges": []}
+    for part in _re.findall(r'[+\-]?"[^"]*"|\S+:\[[^\]]*\]|\S+', q):
         sign = part[0] if part[0] in "+-" else ""
         body = part[1:] if sign else part
-        if body.startswith('"') and body.endswith('"') and len(body) >= 2:
+        rng = _re.match(r"^([A-Za-z_][A-Za-z0-9_]*):\[(\S+) TO (\S+)\]$", body)
+        if rng:
+            out["ranges"].append(
+                (rng.group(1), float(rng.group(2)), float(rng.group(3)))
+            )
+        elif body.startswith('"') and body.endswith('"') and len(body) >= 2:
             toks = [t for t in body[1:-1].split(" ") if t]
             if toks:
                 out["neg_phrases" if sign == "-" else "phrases"].append(toks)
@@ -290,6 +298,13 @@ def search_text(docs: DataFrame, query: str, k: int = 10, text_col: str = "text"
         fields = sorted({f.split(":", 1)[0] for f in spec["filters"]})
         tagged = with_field_tokens(docs, fields, text_col)
         eligible = _and(eligible, conjunctive_match(tagged, spec["filters"], text_col=text_col))
+    for fld, lo, hi in spec["ranges"]:
+        # inclusive numeric range, filter context: a plain pushdown-able
+        # predicate on the metadata column (never touches scoring stats)
+        rng = docs.filter(
+            (F.col(fld) >= F.lit(lo)) & (F.col(fld) <= F.lit(hi))
+        ).select("doc_id")
+        eligible = _and(eligible, rng)
     excluded = None
     if spec["must_not"]:
         from .query import doc_term_freqs
@@ -517,3 +532,54 @@ def bm25_search_after(docs: DataFrame, terms: list[str],
     top = after.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
     return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")
+
+
+def suggest_terms(docs: DataFrame, term: str, k: int = 5,
+                  text_col: str = "text") -> DataFrame:
+    """ES term-suggester ("did you mean"): vocabulary terms within edit
+    distance 1 of ``term`` (SymSpell deletion join + Levenshtein verify),
+    ranked by corpus document frequency — the popularity prior real
+    spell-correctors use. The input term itself is excluded (ES
+    suggest_mode=missing analog). (rk, term, df).
+
+    Plan: the candidate set is bounded by the deletion-neighborhood join,
+    then orderBy().limit(k) merges it (TakeOrderedAndProject) — no
+    unpartitioned window over more than k rows."""
+    from pyspark.sql.window import Window
+
+    from .query import doc_term_freqs, term_dfs
+
+    dfs = term_dfs(doc_term_freqs(docs, text_col=text_col)).select("term", "df")
+    cands = [t for t in fuzzy_expand(dfs.select("term"), [term]) if t != term]
+    if not cands:
+        return docs.sparkSession.createDataFrame([], "rk int, term string, df long")
+    top = (
+        dfs.filter(F.col("term").isin(cands))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    w = F.row_number().over(Window.orderBy(F.col("df").desc(), F.col("term").asc()))
+    return top.withColumn("rk", w).select("rk", "term", "df").orderBy("rk")
+
+
+def suggest_terms_indexed(spark, index_root: str, term: str, k: int = 5,
+                          snapshot_id: str | None = None) -> DataFrame:
+    """Suggester served FROM the index dictionary — no corpus access at
+    query time; df comes straight from the published (term, df) rows."""
+    from pyspark.sql.window import Window
+
+    from .catalog import Catalog
+
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    d = cat.read_table(spark, "dictionary", snapshot=manifest).select("term", "df")
+    cands = [t for t in fuzzy_expand(d.select("term"), [term]) if t != term]
+    if not cands:
+        return spark.createDataFrame([], "rk int, term string, df long")
+    top = (
+        d.filter(F.col("term").isin(cands))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    w = F.row_number().over(Window.orderBy(F.col("df").desc(), F.col("term").asc()))
+    return top.withColumn("rk", w).select("rk", "term", "df").orderBy("rk")

@@ -1017,6 +1017,12 @@ def search_text_indexed(
     from .query_ext import parse_query
 
     spec = parse_query(query)
+    if spec.get("ranges"):
+        raise NotImplementedError(
+            "numeric range filters need doc-value metadata in doc_map; "
+            "use the direct path (query_ext.search_text) until numeric "
+            "passthrough columns are indexed"
+        )
     should = sorted(set(spec["should"]))
     for p in sorted(set(spec["prefixes"])):
         should = sorted(set(should) | set(

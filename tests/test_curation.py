@@ -165,3 +165,66 @@ def test_search_after(spark, ddb, docs):
         (r["doc_id"], r["score"]) for r in page2.collect()
     ]
     assert got == [(r["doc_id"], r["score"]) for r in full]
+
+
+def test_parse_query_range_grammar(spark):
+    from fafnir_spark.query_ext import parse_query
+
+    spec = parse_query('merge +window n_chars:[150 TO 400] source:src3 -"a b"')
+    assert spec["ranges"] == [("n_chars", 150.0, 400.0)]
+    assert spec["should"] == ["merge"] and spec["must"] == ["window"]
+    assert spec["filters"] == ["source:src3"]
+    assert spec["neg_phrases"] == [["a", "b"]]
+
+
+def test_query_string_range(spark, ddb, docs):
+    from fafnir_spark.query_ext import search_text
+
+    q = "merge window n_chars:[150 TO 400]"
+    out = search_text(docs, q, k=10)
+    rows = out.collect()
+    assert rows
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert all(150 <= chars[r["doc_id"]] <= 400 for r in rows)
+    assert_matches(out, ddb, oracles.search_text_sql(q, k=10))
+
+
+def test_query_string_range_indexed_raises(spark, docs, tmp_path):
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.wand import search_text_indexed
+
+    root = str(tmp_path / "ridx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="r")
+    with pytest.raises(NotImplementedError, match="range"):
+        search_text_indexed(spark, root, "merge n_chars:[1 TO 2]", k=5)
+
+
+def test_suggest_terms(spark, ddb, docs):
+    from fafnir_spark.query_ext import suggest_terms
+
+    out = suggest_terms(docs, "merg", k=5)
+    rows = out.collect()
+    assert [r["term"] for r in rows] and "merg" not in {r["term"] for r in rows}
+    assert_matches(out, ddb, oracles.suggest_sql("merg", k=5))
+
+
+def test_suggest_terms_indexed(spark, ddb, docs, tmp_path):
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.query_ext import suggest_terms_indexed
+
+    root = str(tmp_path / "sidx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="s")
+    out = suggest_terms_indexed(spark, root, "merg", k=5)
+    assert_matches(out, ddb, oracles.suggest_sql("merg", k=5))
+
+
+def test_value_histogram(spark, ddb):
+    from fafnir_spark.pipeline import event_value_histogram
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = event_value_histogram(events, width=5.0)
+    assert_matches(out, ddb, __import__(
+        "fafnir_spark.oracles_pipeline", fromlist=["x"]
+    ).event_value_histogram_sql(5.0))
