@@ -472,7 +472,10 @@ def fuzzy_expand(vocab: DataFrame, qterms: list[str], max_edits: int = 1) -> lis
         .distinct()
         .filter(F.levenshtein(F.col("term"), F.col("qterm")) <= max_edits)
     )
-    return sorted({r["term"] for r in cand.collect()})
+    # bounded driver-side collect (term expansion only — the same envelope
+    # class as expand_prefix; ES term rewrites are coordinator-side too)
+    rows = cand.collect()
+    return sorted({r["term"] for r in rows})
 
 
 def fuzzy_bm25(docs: DataFrame, qterms: list[str], k: int = 10,
