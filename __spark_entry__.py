@@ -43,11 +43,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _content_key(sf_dir: str) -> str:
     """Cache key for on-disk index roots: fingerprint of the input parquet
     files (path + size + mtime). A regenerated fixture changes the key, so a
-    resume=True build can never serve a stale index against a fresh oracle."""
+    resume=True build can never serve a stale index against a fresh oracle.
+    The schema-version salt invalidates caches when the INDEX layout
+    changes (e.g. v2: numeric doc-value passthrough in doc_map)."""
     import glob
     import hashlib
 
-    h = hashlib.md5(sf_dir.encode())
+    h = hashlib.md5((sf_dir + ":schema-v2").encode())
     for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         st = os.stat(p)
         h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
@@ -525,6 +527,15 @@ def _q_query_string_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_text(_docs(spark, sf_dir), QS_RANGE, k=10)
 
 
+def _q_query_string_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range filter served FROM the index: eligible ids from the n_chars
+    doc-value column in doc_map, cogrouped with the postings as an extra
+    positive gate (never collected) — same oracle as the direct path."""
+    from fafnir_spark.wand import search_text_indexed
+
+    return search_text_indexed(spark, _idx_root(spark, sf_dir), QS_RANGE, k=10)
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.multimodal import attach_media
 
@@ -774,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms_indexed": _q_suggest_indexed,
         "value_histogram": _q_value_histogram,
         "query_string_range": _q_query_string_range,
+        "query_string_range_indexed": _q_query_string_range_indexed,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -864,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_terms_indexed": oracles.suggest_sql(SUGGEST_TERM, k=5),
         "value_histogram": oracles_pipeline.event_value_histogram_sql(5.0),
         "query_string_range": oracles.search_text_sql(QS_RANGE, k=10),
+        "query_string_range_indexed": oracles.search_text_sql(QS_RANGE, k=10),
         "media_meta": oracles_ops.media_meta_sql(),
         "media_features": oracles_ops.media_features_sql(),
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),

@@ -65,7 +65,16 @@ POSTINGS_SCHEMA = (
 )
 POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", positions binary"
 
-META_COLS = ("repo", "path", "commit", "lang", "source", "content_sha256")
+META_COLS = ("repo", "path", "commit", "lang", "source", "content_sha256",
+             "n_chars")
+
+
+def passthrough_schema(docs, passthrough: list[str]) -> str:
+    """DDL fragment for doc_map passthrough columns, typed from the SOURCE
+    schema — numeric metadata (e.g. n_chars) keeps its type and becomes a
+    doc-value column range filters can be served from."""
+    types = dict(docs.dtypes)
+    return "".join(f", {c} {types[c]}" for c in passthrough)
 
 
 def _tokenize_map_fn(
@@ -241,7 +250,7 @@ def build_index(
         "doc_id long, doc_part int, dl int, weight double, "
         "terms array<string>, tfs array<int>"
         + (", positions array<array<int>>" if with_positions else "")
-        + "".join(f", {c} string" for c in passthrough)
+        + passthrough_schema(docs, passthrough)
     )
     tok_fn = _tokenize_map_fn(tokenizer, n_parts, passthrough, with_positions)
     enc_fn = _encode_partition_fn(block_size)

@@ -110,14 +110,14 @@ def append_index(
     with_pos = bool((m.get("meta") or {}).get("with_positions"))
 
     docs = new_docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    from .build import META_COLS, POSTINGS_SCHEMA_POS
+    from .build import META_COLS, POSTINGS_SCHEMA_POS, passthrough_schema
 
     passthrough = [c for c in docs.columns if c in META_COLS]
     tok_schema = (
         "doc_id long, doc_part int, dl int, weight double, "
         "terms array<string>, tfs array<int>"
         + (", positions array<array<int>>" if with_pos else "")
-        + "".join(f", {c} string" for c in passthrough)
+        + passthrough_schema(docs, passthrough)
     )
     tokenized = docs.select("doc_id", "content", "weight", *passthrough).mapInPandas(
         _tokenize_map_fn(tokenizer, n_parts, passthrough, with_pos), schema=tok_schema

@@ -1017,18 +1017,13 @@ def search_text_indexed(
     from .query_ext import parse_query
 
     spec = parse_query(query)
-    if spec.get("ranges"):
-        raise NotImplementedError(
-            "numeric range filters need doc-value metadata in doc_map; "
-            "use the direct path (query_ext.search_text) until numeric "
-            "passthrough columns are indexed"
-        )
     should = sorted(set(spec["should"]))
     for p in sorted(set(spec["prefixes"])):
         should = sorted(set(should) | set(
             expand_prefix_indexed(spark, index_root, p, snapshot_id)))
     matches: DataFrame | None = None
     n_pos: dict[str, int] | None = None
+    gates = 0
     pos, neg = spec["phrases"], spec["neg_phrases"]
     if pos or neg:
         named = {f"p{i}": ph for i, ph in enumerate(pos)}
@@ -1038,7 +1033,31 @@ def search_text_indexed(
             "kind",
             F.when(F.col("qid").startswith("p"), F.lit("p")).otherwise(F.lit("n")),
         ).select(F.lit("q").alias("qid"), "doc_id", "kind")
-        n_pos = {"q": len(pos)}
+        gates = len(pos)
+    if spec.get("ranges"):
+        # numeric ranges are served from doc-value columns in doc_map (one
+        # pruned-column scan); eligible ids join the phrase-match cogroup
+        # side as ONE extra positive gate — never collected to the driver.
+        cat = Catalog(index_root)
+        manifest = cat.manifest_at(snapshot_id)
+        dm = cat.live_doc_map(spark, manifest)
+        missing = [f for f, _, _ in spec["ranges"] if f not in dm.columns]
+        if missing:
+            raise ValueError(
+                f"index doc_map lacks doc-value column(s) {missing}; "
+                "rebuild with them present in the corpus (META_COLS)"
+            )
+        cond = None
+        for fld, lo, hi in spec["ranges"]:
+            c = (F.col(fld) >= F.lit(lo)) & (F.col(fld) <= F.lit(hi))
+            cond = c if cond is None else (cond & c)
+        rng = dm.filter(cond).select(
+            F.lit("q").alias("qid"), "doc_id", F.lit("p").alias("kind")
+        )
+        matches = rng if matches is None else matches.unionByName(rng)
+        gates += 1
+    if matches is not None:
+        n_pos = {"q": gates}
     res = bool_search(
         spark, index_root,
         {"q": {"must": spec["must"], "should": should,

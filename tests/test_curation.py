@@ -189,15 +189,27 @@ def test_query_string_range(spark, ddb, docs):
     assert_matches(out, ddb, oracles.search_text_sql(q, k=10))
 
 
-def test_query_string_range_indexed_raises(spark, docs, tmp_path):
+def test_query_string_range_indexed(spark, ddb, docs, tmp_path):
+    """Ranges served FROM the index: n_chars doc-values in doc_map gate
+    eligibility through the phrase-match cogroup — same oracle as direct."""
     from fafnir_spark.build import build_index, normalize_docs
     from fafnir_spark.wand import search_text_indexed
 
     root = str(tmp_path / "ridx")
     build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
                 root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="r")
-    with pytest.raises(NotImplementedError, match="range"):
-        search_text_indexed(spark, root, "merge n_chars:[1 TO 2]", k=5)
+    q = "merge window n_chars:[150 TO 400]"
+    out = search_text_indexed(spark, root, q, k=10)
+    assert_matches(out, ddb, oracles.search_text_sql(q, k=10))
+    # a corpus without the doc-value column fails loudly, not silently
+    root2 = str(tmp_path / "ridx2")
+    build_index(
+        spark,
+        normalize_docs(docs.drop("n_chars"), id_col="doc_id", text_col="text"),
+        root2, n_parts=4, block_size=32, tokenizer="whitespace", build_id="r2",
+    )
+    with pytest.raises(ValueError, match="doc-value"):
+        search_text_indexed(spark, root2, q, k=5)
 
 
 def test_suggest_terms(spark, ddb, docs):
