@@ -527,6 +527,45 @@ def _q_query_string_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_text(_docs(spark, sf_dir), QS_RANGE, k=10)
 
 
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant-terms aggregation (JLH): terms overrepresented in
+    the match set of Q_MAIN vs the corpus background."""
+    from fafnir_spark.query_ext import significant_terms
+
+    return significant_terms(_docs(spark, sf_dir), Q_MAIN, k=10)
+
+
+def _q_top_hits_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits inside a terms aggregation: best 3 docs per source."""
+    from fafnir_spark.query_ext import top_hits_grouped
+
+    return top_hits_grouped(_docs(spark, sf_dir), Q_MAIN, "source", per_group=3)
+
+
+def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_cat/indices analog: doc/vocab/posting/token counts from the
+    published dictionary alone (no postings decode, no corpus access)."""
+    from fafnir_spark.wand import index_stats
+
+    return index_stats(spark, _idx_root(spark, sf_dir))
+
+
+def _q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.pipeline import facet_cardinality
+
+    return facet_cardinality(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Spark session windows (gap-merged per-user sessions) — the
+    batch anchor of streaming.stream_session_counts."""
+    from fafnir_spark.pipeline import session_window_agg
+
+    return session_window_agg(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), gap="2 hours"
+    )
+
+
 def _q_query_string_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range filter served FROM the index: eligible ids from the n_chars
     doc-value column in doc_map, cogrouped with the postings as an extra
@@ -786,6 +825,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _q_value_histogram,
         "query_string_range": _q_query_string_range,
         "query_string_range_indexed": _q_query_string_range_indexed,
+        "significant_terms": _q_significant_terms,
+        "top_hits_grouped": _q_top_hits_grouped,
+        "index_stats": _q_index_stats,
+        "facet_cardinality": _q_facet_cardinality,
+        "session_window_agg": _q_session_window,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -877,6 +921,11 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": oracles_pipeline.event_value_histogram_sql(5.0),
         "query_string_range": oracles.search_text_sql(QS_RANGE, k=10),
         "query_string_range_indexed": oracles.search_text_sql(QS_RANGE, k=10),
+        "significant_terms": oracles.significant_terms_sql(Q_MAIN, k=10),
+        "top_hits_grouped": oracles.top_hits_grouped_sql(Q_MAIN, "source", 3),
+        "index_stats": oracles.index_stats_sql(),
+        "facet_cardinality": oracles_pipeline.facet_cardinality_sql(),
+        "session_window_agg": oracles_pipeline.session_window_sql(120),
         "media_meta": oracles_ops.media_meta_sql(),
         "media_features": oracles_ops.media_features_sql(),
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),

@@ -627,3 +627,83 @@ SELECT rk, term, df FROM (
 ) WHERE rk <= {k}
 ORDER BY rk
 """
+
+
+def significant_terms_sql(query_terms: list[str], k: int = 10) -> str:
+    """JLH significant-terms oracle; operand order mirrors
+    query_ext.significant_terms exactly."""
+    tin = _terms_in(query_terms)
+    return f"""
+WITH {_TF_CTES},
+fgdocs AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {tin}),
+fgn AS (SELECT count(*) AS fg_n FROM fgdocs),
+bgn AS (SELECT count(*) AS n_docs FROM documents),
+fg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg_df FROM tf
+  WHERE doc_id IN (SELECT doc_id FROM fgdocs) GROUP BY term
+),
+bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM tf GROUP BY term),
+scored AS (
+  SELECT fg.term, fg_df, bg_df,
+         round(((fg_df / fg_n) - (bg_df / n_docs))
+               * ((fg_df / fg_n) / (bg_df / n_docs)), 6) AS jlh
+  FROM fg JOIN bg USING (term)
+  CROSS JOIN fgn CROSS JOIN bgn
+  WHERE fg.term NOT IN {tin}
+)
+SELECT rk, term, fg_df, bg_df, jlh FROM (
+  SELECT row_number() OVER (ORDER BY jlh DESC, term ASC) AS rk,
+         term, fg_df, bg_df, jlh
+  FROM scored
+) WHERE rk <= {k}
+ORDER BY rk
+"""
+
+
+def top_hits_grouped_sql(terms: list[str], group_col: str = "source",
+                         per_group: int = 3) -> str:
+    """Per-group BM25 top-n (ES top_hits inside a terms aggregation);
+    ranking on the 6-decimal-rounded score, doc_id tie-break."""
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+g AS (
+  SELECT d.{group_col}, s.doc_id, round(s.raw_score, 6) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT {group_col}, rk, doc_id, score FROM (
+  SELECT {group_col}, doc_id, score,
+         row_number() OVER (
+           PARTITION BY {group_col} ORDER BY score DESC, doc_id ASC
+         ) AS rk
+  FROM g
+) WHERE rk <= {per_group}
+ORDER BY {group_col}, rk
+"""
+
+
+def index_stats_sql() -> str:
+    """Corpus-derived dual of the index's stats surface: doc count, vocab
+    size, posting count (= Σdf), token count (= Σcf)."""
+    return f"""
+WITH {_TF_CTES}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(sum(tf) AS BIGINT) AS n_tokens
+FROM tf
+"""

@@ -267,3 +267,44 @@ SELECT floor(value / {width}) * {width} AS bucket,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def session_window_sql(gap_minutes: int = 120) -> str:
+    """Island-detection dual of Spark's session_window semantics: a new
+    session starts when ts >= prev_ts + gap (Spark merges the per-event
+    windows [ts, ts+gap) only when they OVERLAP — an event exactly gap
+    after the previous one starts a new session); session_end =
+    last_ts + gap."""
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL '{gap_minutes} minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL '{gap_minutes} minutes',
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def facet_cardinality_sql() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -474,3 +474,45 @@ def event_value_histogram(events, width: float = 5.0):
         )
         .orderBy("bucket")
     )
+
+
+def session_window_agg(events, gap: str = "2 hours"):
+    """Native session windows (Spark session_window): per-user sessions
+    that merge events closer than ``gap``; a session ends gap after its
+    last event. The SAME aggregation runs under Structured Streaming
+    (streaming.stream_session_counts) — this batch form is the oracle
+    anchor. (session_start, session_end, user_id, n, sum_value)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "user_id", "n", "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def facet_cardinality(events):
+    """ES cardinality aggregation (exact): distinct users and event count
+    per event_type. Exact count_distinct shuffles (event_type, user_id)
+    pairs; at 100 TB swap in approx_count_distinct (HLL, the ES default)
+    — exact here because the DuckDB oracle must hash-match."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -586,3 +586,80 @@ def suggest_terms_indexed(spark, index_root: str, term: str, k: int = 5,
     )
     w = F.row_number().over(Window.orderBy(F.col("df").desc(), F.col("term").asc()))
     return top.withColumn("rk", w).select("rk", "term", "df").orderBy("rk")
+
+
+def significant_terms(docs: DataFrame, query_terms: list[str], k: int = 10,
+                      text_col: str = "text") -> DataFrame:
+    """ES significant-terms aggregation: terms overrepresented in the
+    foreground (docs matching ``query_terms``, disjunctive) relative to the
+    corpus background, scored with the JLH heuristic
+        jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    where fg_rate = fg_df/fg_n and bg_rate = df/n_docs. Query terms are
+    excluded from the output. (rk, term, fg_df, bg_df, jlh).
+
+    Plan: one tf relation feeds both sides — the foreground restriction is
+    a semi-join on the matched-doc set, the background df is the standard
+    dictionary aggregation; scalar fg_n/n_docs ride along as broadcast
+    1-row relations. Top-k via orderBy().limit(k)."""
+    from pyspark.sql.window import Window
+
+    from .query import doc_term_freqs, term_dfs
+
+    qterms = sorted(set(query_terms))
+    q = docs.sparkSession.createDataFrame([(t,) for t in qterms], "term string")
+    base = docs.select(F.col("doc_id"), F.col(text_col).alias("__text"))
+    tf = doc_term_freqs(base, "doc_id", "__text")
+    matched = tf.join(F.broadcast(q), "term").select("doc_id").distinct()
+    fg_n = matched.agg(F.count(F.lit(1)).alias("fg_n"))
+    bg_n = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    fg_df = (
+        tf.join(matched, "doc_id", "left_semi")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    bg_df = term_dfs(tf).select("term", F.col("df").alias("bg_df"))
+    scored = (
+        fg_df.join(bg_df, "term")
+        .crossJoin(F.broadcast(fg_n))
+        .crossJoin(F.broadcast(bg_n))
+        .filter(~F.col("term").isin(qterms))
+        .withColumn("__fg_rate", F.col("fg_df") / F.col("fg_n"))
+        .withColumn("__bg_rate", F.col("bg_df") / F.col("n_docs"))
+        .withColumn(
+            "jlh",
+            F.round(
+                (F.col("__fg_rate") - F.col("__bg_rate"))
+                * (F.col("__fg_rate") / F.col("__bg_rate")),
+                6,
+            ),
+        )
+    )
+    top = scored.orderBy(F.col("jlh").desc(), F.col("term").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("jlh").desc(), F.col("term").asc()))
+    return (
+        top.withColumn("rk", w)
+        .select("rk", "term", "fg_df", "bg_df", "jlh")
+        .orderBy("rk")
+    )
+
+
+def top_hits_grouped(docs: DataFrame, terms: list[str], group_col: str,
+                     per_group: int = 3, text_col: str = "text") -> DataFrame:
+    """ES top_hits-inside-terms aggregation: the best ``per_group`` docs by
+    BM25 within every value of ``group_col`` — per-group windows (parallel
+    across groups, no global sort), the grouped complement of
+    collapse_topk's one-per-group. (<group_col>, rk, doc_id, score)."""
+    from pyspark.sql.window import Window
+
+    from .query import bm25_scores
+
+    scores = bm25_scores(docs, terms, text_col=text_col)
+    joined = scores.join(docs.select("doc_id", group_col), "doc_id")
+    gw = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(gw))
+        .filter(F.col("rk") <= per_group)
+        .select(group_col, "rk", "doc_id", "score")
+        .orderBy(group_col, "rk")
+    )

@@ -186,3 +186,43 @@ def stream_sliding_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    name: str,
+    gap: str = "2 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming session windows (session_window + watermark, append mode):
+    per-user sessions merging events closer than ``gap``; a session is
+    emitted once the watermark passes its end (append emits FINALIZED
+    sessions only — the batch anchor is pipeline.session_window_agg, and
+    equality over a drained multi-batch source is tested with a
+    far-future filler batch that finalizes every session)."""
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "user_id", "n", "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1295,3 +1295,24 @@ def run_queries(
         .select("qid", "rank", "doc_id", "score")
         .orderBy("qid", "rank")
     )
+
+
+def index_stats(spark: SparkSession, index_root: str,
+                snapshot_id: str | None = None) -> DataFrame:
+    """The engine's _cat/indices analog served from index metadata alone:
+    (n_docs, n_terms, n_postings, n_tokens) — one dictionary aggregation,
+    no postings decode, no corpus access. n_postings = Σdf (one posting
+    per (term, doc)), n_tokens = Σcf."""
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
+    d = cat.read_table(spark, "dictionary", snapshot=manifest)
+    return (
+        d.agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum("cf").cast("long").alias("n_tokens"),
+        )
+        .withColumn("n_docs", F.lit(int(stats["n_docs"])).cast("long"))
+        .select("n_docs", "n_terms", "n_postings", "n_tokens")
+    )

@@ -1,0 +1,132 @@
+"""Aggregation surfaces: significant terms, grouped top-hits, index stats,
+cardinality, session windows (batch + streaming) — each vs its oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from fafnir_spark import oracles, oracles_pipeline as OP
+from tests.conftest import SF_DIR
+from tests.test_curation import assert_matches
+
+Q = ["merge", "window", "customer"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_significant_terms(spark, ddb, docs):
+    from fafnir_spark.query_ext import significant_terms
+
+    out = significant_terms(docs, Q, k=10)
+    rows = out.collect()
+    assert rows and all(r["term"] not in set(Q) for r in rows)
+    assert_matches(out, ddb, oracles.significant_terms_sql(Q, k=10))
+
+
+def test_top_hits_grouped(spark, ddb, docs):
+    from fafnir_spark.query_ext import top_hits_grouped
+
+    out = top_hits_grouped(docs, Q, "source", per_group=3)
+    per = out.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 3 for r in per)
+    assert_matches(out, ddb, oracles.top_hits_grouped_sql(Q, "source", 3))
+
+
+def test_index_stats(spark, ddb, docs, tmp_path):
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.wand import index_stats
+
+    root = str(tmp_path / "statidx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="s")
+    out = index_stats(spark, root)
+    assert_matches(out, ddb, oracles.index_stats_sql())
+
+
+def test_facet_cardinality(spark, ddb, events):
+    from fafnir_spark.pipeline import facet_cardinality
+
+    assert_matches(facet_cardinality(events), ddb, OP.facet_cardinality_sql())
+
+
+def test_session_window_agg(spark, ddb, events):
+    from fafnir_spark.pipeline import session_window_agg
+
+    out = session_window_agg(events, gap="2 hours")
+    assert out.count() > 0
+    assert_matches(out, ddb, OP.session_window_sql(120))
+
+
+def test_stream_session_equals_batch(spark, tmp_path):
+    """Append-mode streaming session windows: sessions finalized by the
+    watermark equal the batch session_window_agg over the same events.
+    A far-future filler batch advances the watermark past every real
+    session's end (the watermark lags one micro-batch, hence maxFiles=1
+    staging with mtime ordering)."""
+    import os
+    import time
+
+    from fafnir_spark.pipeline import session_window_agg
+    from fafnir_spark.streaming import stream_session_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_events(name, rows, mtime):
+        df = spark.createDataFrame(
+            [(i, ts, u, "click", v, "") for i, (ts, u, v) in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                     "event_type", "value", "props")
+        p = str(src / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    t0 = time.time() - 1000
+    real = [
+        ("2024-01-01 09:00:00", 1, 1.0),
+        ("2024-01-01 09:30:00", 1, 2.0),   # same session (gap 2h)
+        ("2024-01-01 20:00:00", 1, 3.0),   # new session
+        ("2024-01-01 10:00:00", 2, 4.0),
+    ]
+    write_events("a.parquet", real, t0)
+    # far-future filler: watermark (applied next batch) passes every real
+    # session's end, so append emits all of them; the filler's own session
+    # stays open and is not emitted
+    write_events("b.parquet", [("2024-03-01 00:00:00", 9, 0.0)], t0 + 100)
+    write_events("c.parquet", [("2024-03-02 00:00:00", 9, 0.0)], t0 + 200)
+
+    got = stream_session_counts(
+        spark, str(src) + "/*", str(tmp_path / "ck"), "sess_t1", gap="2 hours"
+    )
+    got_rows = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n"], r["sum_value"])
+        for r in got.collect()
+        if r["user_id"] != 9  # filler batches exist only to advance the wm
+    )
+    batch = session_window_agg(
+        spark.createDataFrame(
+            [(i, ts, u, "click", v, "") for i, (ts, u, v) in enumerate(real)],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                     "event_type", "value", "props"),
+        gap="2 hours",
+    )
+    want_rows = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n"], r["sum_value"])
+        for r in batch.collect()
+    )
+    assert got_rows == want_rows
+    assert len(got_rows) == 3
