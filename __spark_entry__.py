@@ -566,6 +566,36 @@ def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _explain: per-term BM25 breakdown for one document."""
+    from fafnir_spark.query_ext import explain_score
+
+    return explain_score(_docs(spark, sf_dir), Q_MAIN, doc_id=42)
+
+
+def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors: one doc's terms with in-doc tf and corpus df/cf."""
+    from fafnir_spark.query_ext import term_vectors
+
+    return term_vectors(_docs(spark, sf_dir), doc_id=42)
+
+
+def _q_proximity_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore window: BM25 top-50 re-ranked with a first-occurrence
+    proximity bonus between the first two query terms."""
+    from fafnir_spark.query_ext import proximity_rescore
+
+    return proximity_rescore(_docs(spark, sf_dir), Q_MAIN, k=10, rescore_n=50)
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM quality proxy: per-doc average token log-prob under the corpus
+    unigram LM (the KenLM-filter stand-in real pipelines run)."""
+    from fafnir_spark.curation import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_query_string_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range filter served FROM the index: eligible ids from the n_chars
     doc-value column in doc_map, cogrouped with the postings as an extra
@@ -830,6 +860,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": _q_index_stats,
         "facet_cardinality": _q_facet_cardinality,
         "session_window_agg": _q_session_window,
+        "explain_score": _q_explain_score,
+        "term_vectors": _q_term_vectors,
+        "proximity_rescore": _q_proximity_rescore,
+        "unigram_logprob": _q_unigram_logprob,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -926,6 +960,10 @@ def oracle_sql() -> dict[str, str]:
         "index_stats": oracles.index_stats_sql(),
         "facet_cardinality": oracles_pipeline.facet_cardinality_sql(),
         "session_window_agg": oracles_pipeline.session_window_sql(120),
+        "explain_score": oracles.explain_sql(Q_MAIN, 42),
+        "term_vectors": oracles.term_vectors_sql(42),
+        "proximity_rescore": oracles.proximity_rescore_sql(Q_MAIN, k=10, rescore_n=50),
+        "unigram_logprob": oracles_curation.unigram_logprob_sql(),
         "media_meta": oracles_ops.media_meta_sql(),
         "media_features": oracles_ops.media_features_sql(),
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),

@@ -263,3 +263,34 @@ def _bigram_at(toks_col: str):
         return F.concat_ws("\x1f", F.get(c, i), F.get(c, i + 1))
 
     return make
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Language-model quality proxy: average per-token log-probability under
+    the corpus unigram LM — logprob = Σ tf·ln(cf/total) / dl. The cheap
+    stand-in for the KenLM perplexity filters real pipelines run (CCNet,
+    Gopher): low values flag gibberish / vocabulary-atypical docs.
+
+    (doc_id, n_tokens, logprob). One tf shuffle + a vocabulary-sized join
+    (AQE picks broadcast only when cf fits); no Python in the hot path."""
+    from .query import doc_term_freqs, term_dfs
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    tf = doc_term_freqs(base, "doc_id", "__text")
+    cfs = term_dfs(tf).select("term", "cf")
+    total = cfs.agg(F.sum("cf").cast("double").alias("total"))
+    per_doc = (
+        tf.join(cfs, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.log(F.col("cf") / F.col("total"))).alias("__lp"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("__lp") / F.col("n_tokens"), 6).alias("logprob"),
+    ).orderBy("doc_id")

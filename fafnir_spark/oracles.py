@@ -707,3 +707,97 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
        CAST(sum(tf) AS BIGINT) AS n_tokens
 FROM tf
 """
+
+
+def explain_sql(terms: list[str], doc_id: int) -> str:
+    """Per-term BM25 breakdown for one doc (ES _explain). Same formula
+    pieces and operand order as the scoring oracles."""
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+)
+SELECT tf.term,
+       CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dfs.df AS BIGINT) AS df,
+       CAST(dl.dl AS BIGINT) AS dl,
+       round(ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)), 6) AS idf,
+       round((tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl)), 6) AS tfn,
+       round(ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl)), 6)
+         AS part_score
+FROM tf
+JOIN dfs USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+WHERE tf.doc_id = {doc_id}
+ORDER BY tf.term
+"""
+
+
+def term_vectors_sql(doc_id: int) -> str:
+    """One doc's terms with in-doc tf and corpus df/cf (ES _termvectors)."""
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term
+)
+SELECT tf.term, CAST(tf.tf AS BIGINT) AS tf, dfs.df, dfs.cf
+FROM tf JOIN dfs USING (term)
+WHERE tf.doc_id = {doc_id}
+ORDER BY tf.term
+"""
+
+
+def proximity_rescore_sql(terms: list[str], k: int = 10,
+                          rescore_n: int = 50) -> str:
+    """Rescore-window oracle: BM25 top-rescore_n + first-occurrence
+    proximity bonus 1/(1+|p1-p2|) when both anchor terms are present."""
+    t1 = terms[0].replace("'", "''")
+    t2 = terms[1].replace("'", "''")
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+initial AS (
+  SELECT doc_id, round(raw_score, 6) AS score
+  FROM scored
+  ORDER BY round(raw_score, 6) DESC, doc_id ASC
+  LIMIT {rescore_n}
+),
+tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+rescored AS (
+  SELECT i.doc_id,
+         round(i.score +
+           CASE WHEN list_position(tk, '{t1}') IS NOT NULL
+                     AND list_position(tk, '{t2}') IS NOT NULL
+                THEN 1.0 / (1.0 + abs(list_position(tk, '{t1}')
+                                      - list_position(tk, '{t2}')))
+                ELSE 0.0 END, 6) AS score
+  FROM initial i JOIN tkl USING (doc_id)
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM rescored
+) WHERE rank <= {k}
+ORDER BY rank
+"""

@@ -193,3 +193,27 @@ JOIN per_doc p ON p.doc_id = b.doc_id
 JOIN top t ON t.doc_id = b.doc_id
 ORDER BY b.doc_id
 """
+
+
+def unigram_logprob_sql() -> str:
+    """Corpus-unigram-LM average token log-probability per doc; formula and
+    operand order mirror curation.unigram_logprob."""
+    return """
+WITH toks2 AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+cfs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf2 GROUP BY term),
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cfs),
+per AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         sum(tf * ln(cf / total)) AS lp
+  FROM tf2 JOIN cfs USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(lp / n_tokens, 6) AS logprob
+FROM per ORDER BY doc_id
+"""

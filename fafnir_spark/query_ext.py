@@ -663,3 +663,95 @@ def top_hits_grouped(docs: DataFrame, terms: list[str], group_col: str,
         .select(group_col, "rk", "doc_id", "score")
         .orderBy(group_col, "rk")
     )
+
+
+def explain_score(docs: DataFrame, terms: list[str], doc_id: int,
+                  text_col: str = "text") -> DataFrame:
+    """ES _explain analog: the per-term BM25 breakdown for ONE document —
+    (term, tf, df, dl, idf, tfn, part_score), part_score = idf·tfn. The
+    same formula pieces as bm25_scores in the same operand order, so
+    sum(part_score) over the rows equals the doc's query score. Corpus
+    stats stay corpus-wide; only the final projection filters to the doc
+    (Catalyst pushes the doc_id filter into the tf branch, not the stats
+    branches)."""
+    from . import B, K1
+    from .query import doc_term_freqs, term_dfs
+    from .tokenizer import tokens_expr
+
+    qterms = sorted(set(terms))
+    q = docs.sparkSession.createDataFrame([(t,) for t in qterms], "term string")
+    base = docs.select(F.col("doc_id"), F.col(text_col).alias("__text"))
+    tf = doc_term_freqs(base, "doc_id", "__text")
+    dl = base.select(
+        "doc_id", F.size(tokens_expr("__text")).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+    dfs = term_dfs(tf).select("term", "df")
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.filter(F.col("doc_id") == doc_id)
+        .join(F.broadcast(q), "term")
+        .join(F.broadcast(dfs.join(F.broadcast(q), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", F.round(idf, 6))
+        .withColumn("tfn", F.round(tfn, 6))
+        .withColumn("part_score", F.round(idf * tfn, 6))
+        .select("term", "tf", "df", "dl", "idf", "tfn", "part_score")
+        .orderBy("term")
+    )
+
+
+def term_vectors(docs: DataFrame, doc_id: int, text_col: str = "text") -> DataFrame:
+    """ES _termvectors analog: every term of ONE document with its
+    in-doc tf and corpus df/cf. (term, tf, df, cf), term-ordered."""
+    from .query import doc_term_freqs, term_dfs
+
+    base = docs.select(F.col("doc_id"), F.col(text_col).alias("__text"))
+    tf = doc_term_freqs(base, "doc_id", "__text")
+    dfs = term_dfs(tf)
+    return (
+        tf.filter(F.col("doc_id") == doc_id)
+        .join(dfs, "term")
+        .select("term", "tf", "df", "cf")
+        .orderBy("term")
+    )
+
+
+def proximity_rescore(docs: DataFrame, terms: list[str], k: int = 10,
+                      rescore_n: int = 50, text_col: str = "text") -> DataFrame:
+    """ES rescore-window analog: take the BM25 top-``rescore_n``, add a
+    first-occurrence proximity bonus 1/(1+|pos(t1)-pos(t2)|) when both of
+    the first two query terms are present, then re-rank the window to the
+    final top-k. The expensive positional computation touches only
+    rescore_n docs — the ES rescorer contract. (rank, doc_id, score)."""
+    from pyspark.sql.window import Window
+
+    from .query import bm25_topk
+    from .tokenizer import tokens_expr
+
+    assert len(terms) >= 2, "proximity rescore needs two anchor terms"
+    t1, t2 = terms[0], terms[1]
+    initial = bm25_topk(docs, terms, k=rescore_n, text_col=text_col)
+    toks = docs.select(
+        "doc_id",
+        F.array_position(tokens_expr(text_col), t1).alias("__p1"),
+        F.array_position(tokens_expr(text_col), t2).alias("__p2"),
+    )
+    bonus = F.when(
+        (F.col("__p1") > 0) & (F.col("__p2") > 0),
+        F.lit(1.0) / (F.lit(1.0) + F.abs(F.col("__p1") - F.col("__p2"))),
+    ).otherwise(F.lit(0.0))
+    rescored = (
+        initial.join(toks, "doc_id")
+        .withColumn("score", F.round(F.col("score") + bonus, 6))
+        .select("doc_id", "score")
+    )
+    top = rescored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")

@@ -130,3 +130,31 @@ def test_stream_session_equals_batch(spark, tmp_path):
     )
     assert got_rows == want_rows
     assert len(got_rows) == 3
+
+
+def test_explain_score_sums_to_query_score(spark, ddb, docs):
+    from fafnir_spark.query import bm25_scores
+    from fafnir_spark.query_ext import explain_score
+
+    out = explain_score(docs, Q, doc_id=42)
+    assert_matches(out, ddb, oracles.explain_sql(Q, 42))
+    parts = [r["part_score"] for r in out.collect()]
+    score42 = [
+        r["score"] for r in bm25_scores(docs, Q).filter("doc_id = 42").collect()
+    ]
+    assert score42 and abs(sum(parts) - score42[0]) < 5e-6  # rounded parts
+
+
+def test_term_vectors(spark, ddb, docs):
+    from fafnir_spark.query_ext import term_vectors
+
+    out = term_vectors(docs, doc_id=42)
+    assert out.count() > 0
+    assert_matches(out, ddb, oracles.term_vectors_sql(42))
+
+
+def test_proximity_rescore(spark, ddb, docs):
+    from fafnir_spark.query_ext import proximity_rescore
+
+    out = proximity_rescore(docs, Q, k=10, rescore_n=50)
+    assert_matches(out, ddb, oracles.proximity_rescore_sql(Q, k=10, rescore_n=50))

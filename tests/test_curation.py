@@ -240,3 +240,12 @@ def test_value_histogram(spark, ddb):
     assert_matches(out, ddb, __import__(
         "fafnir_spark.oracles_pipeline", fromlist=["x"]
     ).event_value_histogram_sql(5.0))
+
+
+def test_unigram_logprob(spark, ddb, docs):
+    from fafnir_spark.curation import unigram_logprob
+
+    out = unigram_logprob(docs)
+    rows = out.collect()
+    assert rows and all(r["logprob"] < 0 for r in rows)
+    assert_matches(out, ddb, OC.unigram_logprob_sql())
