@@ -47,13 +47,37 @@ def audit(name: str, df, notes: str) -> str:
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
     from fafnir_spark.build import build_index, normalize_docs
     from fafnir_spark.catalog import Catalog
+    from fafnir_spark.curation import decontaminate, pack_sequences
     from fafnir_spark.dedup import embedding_dup_pairs_lsh, minhash_lsh_pairs
-    from fafnir_spark.query import bm25_topk
-    from fafnir_spark.query_ext import bool_bm25
+    from fafnir_spark.query import bm25_topk, doc_term_freqs
+    from fafnir_spark.query_ext import (
+        _delete_variants_expr,
+        bool_bm25,
+        significant_terms,
+    )
     from fafnir_spark.session import get_spark
     from fafnir_spark.simsearch import hybrid_rrf
+
+    def _fuzzy_cand(docs):
+        # the candidate-generation join fuzzy_expand collects from —
+        # audited as a DataFrame so the plan is inspectable
+        vocab = doc_term_freqs(docs).select("term").distinct()
+        spark_l = docs.sparkSession
+        qdf = spark_l.createDataFrame(
+            [("merg", "merg"), ("mrg", "merg"), ("erg", "merg"),
+             ("meg", "merg"), ("mer", "merg")],
+            "variant string, qterm string",
+        )
+        return (
+            vocab.withColumn("variant", F.explode(_delete_variants_expr(F.col("term"))))
+            .join(qdf, "variant")
+            .select("term", "qterm").distinct()
+            .filter(F.levenshtein(F.col("term"), F.col("qterm")) <= 1)
+        )
 
     spark = get_spark("plan-audit", cores=8)
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -81,6 +105,22 @@ def main() -> None:
               "Sign-bucket candidates + exact-cosine verify — no cartesian join."),
         audit("hybrid_rrf", hybrid_rrf(docs, emb, ["merge"], [0.1] * 64, k=10),
               "Two top-k branches fused; join touches ≤ 2n rows."),
+        audit("decontaminate (benchmark n-grams)",
+              decontaminate(docs.filter("pmod(doc_id, 17) != 0"),
+                            docs.filter("pmod(doc_id, 17) = 0"), n=3),
+              "Distinct hashed shingles per side; ONE equi-join on the "
+              "60-bit key (benchmark side AQE-broadcastable) — never an "
+              "all-pairs shingle product."),
+        audit("fuzzy candidate join (SymSpell deletions)",
+              _fuzzy_cand(docs), "Deletion-variant equi-join + Levenshtein "
+              "verify — never a vocab × query edit-distance scan."),
+        audit("pack_sequences", pack_sequences(docs, budget=512),
+              "One per-stratum window exchange (partitioned cumsum); no "
+              "global sort."),
+        audit("significant_terms", significant_terms(docs, ["merge"], k=10),
+              "Foreground semi-join + background dictionary agg; scalar "
+              "rates as broadcast 1-row relations; top-k is "
+              "TakeOrderedAndProject."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
