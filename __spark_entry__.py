@@ -566,6 +566,38 @@ def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fed_roots(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Two cached indexes over a pmod-2 partition of the corpus, with
+    DIFFERENT shard counts (4 vs 8) — federation must not assume uniform
+    sharding."""
+    from fafnir_spark.build import build_index, normalize_docs
+
+    roots = []
+    for i, n_parts in ((0, 4), (1, 8)):
+        root = os.path.join(
+            tempfile.gettempdir(), f"fafnir_fed{i}_" + _content_key(sf_dir)
+        )
+        docs = normalize_docs(
+            _docs(spark, sf_dir).filter(F.pmod(F.col("doc_id"), F.lit(2)) == i),
+            id_col="doc_id", text_col="text",
+        )
+        build_index(spark, docs, root, n_parts=n_parts, block_size=128,
+                    tokenizer="whitespace", build_id=f"fed{i}", resume=True)
+        roots.append(root)
+    return roots
+
+
+def _q_federated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi-index search with dfs_query_then_fetch semantics: two
+    indexes over a corpus partition, global stats merged (Σdf, Σn_docs,
+    exact Σsum_dl) — scores identical to one index over the whole corpus,
+    so the single-corpus BM25 SQL is the oracle."""
+    from fafnir_spark.federate import search_federated
+
+    res = search_federated(spark, _fed_roots(spark, sf_dir), {"q": Q_MAIN}, k=10)
+    return res.select("rank", "doc_id", "score")
+
+
 def _q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _explain: per-term BM25 breakdown for one document."""
     from fafnir_spark.query_ext import explain_score
@@ -860,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": _q_index_stats,
         "facet_cardinality": _q_facet_cardinality,
         "session_window_agg": _q_session_window,
+        "federated_search": _q_federated_search,
         "explain_score": _q_explain_score,
         "term_vectors": _q_term_vectors,
         "proximity_rescore": _q_proximity_rescore,
@@ -960,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "index_stats": oracles.index_stats_sql(),
         "facet_cardinality": oracles_pipeline.facet_cardinality_sql(),
         "session_window_agg": oracles_pipeline.session_window_sql(120),
+        "federated_search": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "explain_score": oracles.explain_sql(Q_MAIN, 42),
         "term_vectors": oracles.term_vectors_sql(42),
         "proximity_rescore": oracles.proximity_rescore_sql(Q_MAIN, k=10, rescore_n=50),

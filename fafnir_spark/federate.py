@@ -1,0 +1,157 @@
+"""Cross-index federated search — ES multi-index search with
+dfs_query_then_fetch semantics.
+
+The reference's backend searches one alias over many indices; correct
+cross-index relevance needs GLOBAL term statistics, which ES gets with the
+dfs_query_then_fetch search type (a stats round-trip before scoring). Here
+the same two phases are explicit and cheap:
+
+  1. stats merge (driver-side, metadata-sized): n_docs and the exact
+     integer sum_dl are additive across indexes (incremental.py maintains
+     sum_dl exactly for this reason), so global avgdl = Σsum_dl / Σn_docs;
+     per-term global df = Σ df_i from each index's dictionary point
+     lookups (query terms only — never a full-vocabulary merge).
+  2. scoring: each index's term-pruned posting blocks are unioned with an
+     `idx` tag and scored per (idx, doc_part) shard with the GLOBAL
+     idf/avgdl — a doc's whole score still lives in one shard, so the
+     per-shard top-k merge stays exact.
+
+Oracle identity: federating indexes built over a partition of a corpus
+equals single-index search over the whole corpus (same global stats, same
+scores) — the driver query uses exactly this as its DuckDB oracle.
+
+Tombstones: per-index point tombstones merge trivially (doc ids are
+disjoint across well-formed indexes and segment names carry the build id);
+bulk mass-delete tables are unioned with the idx tag and cogrouped on
+(idx, doc_part) — the run_queries pattern, no driver materialization.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import Catalog
+from .wand import (
+    RESULT_SCHEMA,
+    _load_bulk_df,
+    _load_tombstones,
+    _part_scorer,
+    _Tombstones,
+)
+
+
+def _merged_stats(stats_list: list[dict]) -> dict:
+    k1s = {s["k1"] for s in stats_list}
+    bs = {s["b"] for s in stats_list}
+    if len(k1s) != 1 or len(bs) != 1:
+        raise ValueError(f"indexes disagree on BM25 params: k1={k1s}, b={bs}")
+    n_docs = sum(int(s["n_docs"]) for s in stats_list)
+    # exact integer sum_dl is additive; legacy stats without it fall back
+    # to n*avgdl (float) — still deterministic, just not integer-exact
+    sum_dl = sum(
+        int(s["sum_dl"]) if s.get("sum_dl") is not None
+        else s["n_docs"] * s["avgdl"]
+        for s in stats_list
+    )
+    return {
+        "n_docs": n_docs,
+        "avgdl": sum_dl / n_docs if n_docs else 0.0,
+        "k1": k1s.pop(),
+        "b": bs.pop(),
+    }
+
+
+def search_federated(
+    spark: SparkSession,
+    index_roots: list[str],
+    queries: dict[str, list[str]],
+    k: int = 10,
+    algo: str = "bmw",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Evaluate a query set across MANY published indexes with global
+    statistics (dfs_query_then_fetch). (qid, rank, doc_id, score) —
+    identical to run_queries over a single index holding the union of the
+    corpora."""
+    cats = [Catalog(r) for r in index_roots]
+    manifests = [c.read_manifest() for c in cats]
+    stats_list = [
+        (m.get("meta") or {}).get("stats") or c.read_json("stats")
+        for c, m in zip(cats, manifests)
+    ]
+    gstats = _merged_stats(stats_list)
+
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    gdf: dict[str, int] = {}
+    for c, m in zip(cats, manifests):
+        drows = (
+            c.read_table(spark, "dictionary", snapshot=m)
+            .filter(F.col("term").isin(all_terms))
+            .collect()
+        )
+        for r in drows:
+            gdf[r["term"]] = gdf.get(r["term"], 0) + int(r["df"])
+    n = gstats["n_docs"]
+    idfs = {
+        t: math.log(1.0 + (n - df + 0.5) / (df + 0.5)) for t, df in gdf.items()
+    }
+    present = [t for t in all_terms if t in idfs]
+
+    posting_parts, bulk_parts = [], []
+    merged_ids: list[int] = []
+    merged_keeps: list[str | None] = []
+    for i, (c, m) in enumerate(zip(cats, manifests)):
+        p = (
+            c.read_table(spark, "postings", snapshot=m)
+            .filter(F.col("term").isin(present))
+            .withColumn("idx", F.lit(i))
+        )
+        posting_parts.append(p)
+        ts = _load_tombstones(spark, c, m, include_bulk=False)
+        if ts is not None:
+            merged_ids.extend(int(x) for x in ts.ids)
+            merged_keeps.extend(ts.keeps)
+        b = _load_bulk_df(spark, c, m)
+        if b is not None:
+            np_i = stats_list[i]["n_parts"]
+            bulk_parts.append(
+                b.withColumn("idx", F.lit(i)).withColumn(
+                    "doc_part", F.pmod(F.col("doc_id"), F.lit(np_i)).cast("int")
+                )
+            )
+
+    postings = posting_parts[0]
+    for p in posting_parts[1:]:
+        postings = postings.unionByName(p)
+    excluded = _Tombstones(merged_ids, merged_keeps) if merged_ids else None
+
+    if bulk_parts:
+        bulk = bulk_parts[0]
+        for b in bulk_parts[1:]:
+            bulk = bulk.unionByName(b)
+        per_part = (
+            postings.groupBy("idx", "doc_part")
+            .cogroup(bulk.groupBy("idx", "doc_part"))
+            .applyInPandas(
+                _part_scorer(queries, idfs, gstats, k, algo, excluded,
+                             with_bulk=True),
+                schema=RESULT_SCHEMA,
+            )
+        )
+    else:
+        per_part = postings.groupBy("idx", "doc_part").applyInPandas(
+            _part_scorer(queries, idfs, gstats, k, algo, excluded),
+            schema=RESULT_SCHEMA,
+        )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        per_part.withColumn("score", F.round(F.col("raw_score"), score_decimals))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )

@@ -1,0 +1,75 @@
+"""Cross-index federated search (dfs_query_then_fetch): global stats merge
+must make federation over a corpus partition equal single-index search over
+the whole corpus — including after deletes and mass deletes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.build import build_index, normalize_docs
+from fafnir_spark.federate import search_federated
+from fafnir_spark.wand import run_queries
+from tests.conftest import SF_DIR
+
+Q = {"q": ["merge", "window", "customer"]}
+
+
+@pytest.fixture()
+def split_indexes(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    roots = []
+    for i, n_parts in ((0, 4), (1, 8)):  # heterogeneous shard counts
+        root = str(tmp_path / f"fed{i}")
+        part = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i)
+        build_index(spark, normalize_docs(part, id_col="doc_id", text_col="text"),
+                    root, n_parts=n_parts, block_size=32,
+                    tokenizer="whitespace", build_id=f"f{i}")
+        roots.append(root)
+    full_root = str(tmp_path / "full")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                full_root, n_parts=4, block_size=32,
+                tokenizer="whitespace", build_id="full")
+    return roots, full_root
+
+
+def _rows(df):
+    return [(r["qid"], r["rank"], r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_federated_equals_single_index(spark, split_indexes):
+    roots, full_root = split_indexes
+    fed = _rows(search_federated(spark, roots, Q, k=20))
+    single = _rows(run_queries(spark, full_root, Q, k=20))
+    assert fed == single and fed
+
+
+def test_federated_excludes_deleted(spark, split_indexes):
+    from fafnir_spark.incremental import delete_docs
+
+    roots, full_root = split_indexes
+    before = _rows(search_federated(spark, roots, Q, k=20))
+    victim = before[0][2]
+    delete_docs(spark, roots[victim % 2], [victim])
+    after = _rows(search_federated(spark, roots, Q, k=20))
+    # stale-stats semantics: survivors keep their scores, victim is gone
+    assert all(d != victim for _, _, d, _ in after)
+    before_scores = {d: s for _, _, d, s in before}
+    assert all(before_scores.get(d, s) == s for _, _, d, s in after)
+
+
+def test_federated_bulk_delete_cogrouped(spark, split_indexes, monkeypatch):
+    import fafnir_spark.wand as wmod
+    from fafnir_spark.incremental import delete_docs_bulk
+
+    roots, _ = split_indexes
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    victims_df = docs.filter(
+        (F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        & (F.pmod(F.col("doc_id"), F.lit(10)) < 3)
+    ).select("doc_id")
+    victims = {r["doc_id"] for r in victims_df.collect()}
+    delete_docs_bulk(spark, roots[0], victims_df)
+    monkeypatch.setattr(wmod, "_BULK_CLOSURE_LIMIT", 1)
+    res = _rows(search_federated(spark, roots, Q, k=30))
+    assert res and all(d not in victims for _, _, d, _ in res)
