@@ -566,6 +566,26 @@ def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix: exact phrase whose last position is a
+    prefix ("slow k*" → "slow key", ...); eligibility = any-completion
+    phrase, scoring = stem+completions disjunction."""
+    from fafnir_spark.query_ext import match_phrase_prefix
+
+    return match_phrase_prefix(_docs(spark, sf_dir), ["slow"], "k", k=10)
+
+
+def _q_search_after_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination FROM the index: per-shard cursor mask between
+    scoring and selection — deep pages stay O(k) per shard."""
+    from fafnir_spark.wand import run_queries, search_after_indexed
+
+    root = _idx_root(spark, sf_dir)
+    page1 = run_queries(spark, root, {"q": Q_MAIN}, k=5).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    return search_after_indexed(spark, root, Q_MAIN, cur, k=5)
+
+
 def _fed_roots(spark: SparkSession, sf_dir: str) -> list[str]:
     """Two cached indexes over a pmod-2 partition of the corpus, with
     DIFFERENT shard counts (4 vs 8) — federation must not assume uniform
@@ -893,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_cardinality": _q_facet_cardinality,
         "session_window_agg": _q_session_window,
         "federated_search": _q_federated_search,
+        "match_phrase_prefix": _q_match_phrase_prefix,
+        "search_after_indexed": _q_search_after_indexed,
         "explain_score": _q_explain_score,
         "term_vectors": _q_term_vectors,
         "proximity_rescore": _q_proximity_rescore,
@@ -994,6 +1016,8 @@ def oracle_sql() -> dict[str, str]:
         "facet_cardinality": oracles_pipeline.facet_cardinality_sql(),
         "session_window_agg": oracles_pipeline.session_window_sql(120),
         "federated_search": oracles.bm25_topk_sql(Q_MAIN, k=10),
+        "match_phrase_prefix": oracles.match_phrase_prefix_sql(["slow"], "k", k=10),
+        "search_after_indexed": oracles.search_after_sql(Q_MAIN, k=5, page=2),
         "explain_score": oracles.explain_sql(Q_MAIN, 42),
         "term_vectors": oracles.term_vectors_sql(42),
         "proximity_rescore": oracles.proximity_rescore_sql(Q_MAIN, k=10, rescore_n=50),

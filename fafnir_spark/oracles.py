@@ -801,3 +801,43 @@ SELECT rank, doc_id, score FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def match_phrase_prefix_sql(stem: list[str], prefix: str, k: int = 10) -> str:
+    """Eligibility = any vocabulary completion of ``prefix`` forms an exact
+    phrase after ``stem``; scoring = stem + completions BM25 disjunction."""
+    p = prefix.replace("'", "''")
+    stem_lit = (" ".join(stem) + " ").replace("'", "''")
+    stem_in = _terms_in(stem)
+    return f"""
+WITH {_TF_CTES},
+comp AS (SELECT DISTINCT term FROM tf WHERE term LIKE '{p}%'),
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {stem_in} OR term IN (SELECT term FROM comp)
+  GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+eligible AS (
+  SELECT DISTINCT d.doc_id
+  FROM documents d JOIN comp c
+    ON concat(' ', d.text, ' ') LIKE concat('% ', '{stem_lit}', c.term, ' %')
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(raw_score, 6) AS score
+  FROM scored
+  WHERE scored.doc_id IN (SELECT doc_id FROM eligible)
+) WHERE rank <= {k}
+ORDER BY rank
+"""

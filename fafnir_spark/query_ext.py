@@ -755,3 +755,29 @@ def proximity_rescore(docs: DataFrame, terms: list[str], k: int = 10,
     top = rescored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
     return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")
+
+
+def match_phrase_prefix(docs: DataFrame, stem: list[str], prefix: str,
+                        k: int = 10, text_col: str = "text") -> DataFrame:
+    """ES match_phrase_prefix: an exact phrase whose LAST position is a
+    prefix — "slow que" matches "slow query", "slow queue", ... Contract
+    (documented, mirrored by the oracle): eligibility = the union over
+    completions c of exact-phrase(stem + [c]); scored terms = stem +
+    completions as a BM25 disjunction (the scoring_boolean rewrite, same
+    as prefix_bm25). (rank, doc_id, score).
+
+    Scale shape: completions come from the vocabulary (dictionary-sized),
+    each completion's phrase check is the conjunctive-candidates +
+    containment recheck of phrase_match — never a corpus regex scan."""
+    from .query import bm25_topk
+
+    completions = expand_prefix(docs, prefix, text_col)
+    if not completions:
+        return docs.sparkSession.createDataFrame([], "rank int, doc_id long, score double")
+    eligible = None
+    for c in completions:
+        pm = phrase_match(docs, " ".join(stem + [c]), text_col=text_col).select("doc_id")
+        eligible = pm if eligible is None else eligible.unionByName(pm)
+    eligible = eligible.distinct()
+    scored = sorted(set(stem) | set(completions))
+    return bm25_topk(docs, scored, k=k, text_col=text_col, eligible=eligible)

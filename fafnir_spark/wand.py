@@ -1316,3 +1316,89 @@ def index_stats(spark: SparkSession, index_root: str,
         .withColumn("n_docs", F.lit(int(stats["n_docs"])).cast("long"))
         .select("n_docs", "n_terms", "n_postings", "n_tokens")
     )
+
+
+def search_after_indexed(
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str],
+    cursor: tuple[float, int],
+    k: int = 10,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Keyset pagination served FROM the index: the page of ``k`` results
+    strictly after ``cursor`` = (rounded score, doc_id) in the rank order.
+    The cursor mask is applied INSIDE each shard between scoring and
+    selection, so per-shard output stays k rows and deep pages never
+    re-rank the whole result set (the ES search_after contract).
+
+    Scoring is exhaustive per shard (decode-everything): BMW's pruning
+    threshold is keyed to the kth-best score, which the cursor shifts —
+    seeding θ from the cursor is the documented optimization path; the
+    exhaustive form is exact at any depth. (rank, doc_id, score)."""
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
+    qterms = sorted(set(terms))
+    drows = cat.read_table(spark, "dictionary", snapshot=manifest).filter(
+        F.col("term").isin(qterms)
+    ).collect()
+    n_docs = stats["n_docs"]
+    idfs = {r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+            for r in drows}
+    present = [t for t in qterms if t in idfs]
+    postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
+        F.col("term").isin(present)
+    )
+    excluded = _load_tombstones(spark, cat, manifest, include_bulk=False)
+    bulk = _load_bulk_df(spark, cat, manifest)
+    cs, cd = float(cursor[0]), int(cursor[1])
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
+
+    def evaluate(pdf: pd.DataFrame, tdf: pd.DataFrame | None) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "doc_id": [], "raw_score": []}).astype(
+            {"doc_id": np.int64, "raw_score": np.float64}
+        )
+        if not len(pdf):
+            return empty
+        exc = excluded
+        if tdf is not None and len(tdf):
+            exc = _UnionExc(excluded, tdf["doc_id"].to_numpy(dtype=np.int64))
+        by_term: dict[str, list[_Block]] = {}
+        for r in pdf.itertuples(index=False):
+            by_term.setdefault(r.term, []).append(
+                _Block(r.first_doc, r.last_doc, r.max_tf, r.min_dl, r.max_weight,
+                       r.doc_ids, r.tfs, r.dls, r.weights, getattr(r, "seg", "") or "")
+            )
+        tb = {t: by_term[t] for t in present if t in by_term}
+        if not tb:
+            return empty
+        ids, sc = score_exhaustive(tb, idfs, 1 << 31, k1, b, avgdl, excluded=exc)
+        rs = np.round(sc, _ROUND_DECIMALS)
+        keep = (rs < cs) | ((rs == cs) & (ids > cd))
+        ids, sc = _topk_rows(ids[keep], sc[keep], k)
+        return pd.DataFrame({"qid": ["q"] * len(ids), "doc_id": ids, "raw_score": sc})
+
+    if bulk is not None:
+        bp = bulk.withColumn(
+            "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int")
+        )
+        per_part = postings.groupBy("doc_part").cogroup(bp.groupBy("doc_part")).applyInPandas(
+            evaluate, schema=RESULT_SCHEMA
+        )
+    else:
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return evaluate(pdf, None)
+
+        per_part = postings.groupBy("doc_part").applyInPandas(fn, schema=RESULT_SCHEMA)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    top = (
+        per_part.withColumn("score", F.round(F.col("raw_score"), 6))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )

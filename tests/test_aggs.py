@@ -158,3 +158,30 @@ def test_proximity_rescore(spark, ddb, docs):
 
     out = proximity_rescore(docs, Q, k=10, rescore_n=50)
     assert_matches(out, ddb, oracles.proximity_rescore_sql(Q, k=10, rescore_n=50))
+
+
+def test_match_phrase_prefix(spark, ddb, docs):
+    from fafnir_spark.query_ext import match_phrase_prefix
+
+    out = match_phrase_prefix(docs, ["slow"], "k", k=10)
+    assert out.count() > 0
+    assert_matches(out, ddb, oracles.match_phrase_prefix_sql(["slow"], "k", 10))
+
+
+def test_search_after_indexed_equals_direct(spark, ddb, docs, tmp_path):
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.wand import run_queries, search_after_indexed
+
+    root = str(tmp_path / "saidx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="sa")
+    page1 = run_queries(spark, root, {"q": Q}, k=5).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    out = search_after_indexed(spark, root, Q, cur, k=5)
+    assert_matches(out, ddb, oracles.search_after_sql(Q, k=5, page=2))
+    # pages concatenate into the top-10
+    full = run_queries(spark, root, {"q": Q}, k=10).collect()
+    got = [(r["doc_id"], r["score"]) for r in page1] + [
+        (r["doc_id"], r["score"]) for r in out.collect()
+    ]
+    assert got == [(r["doc_id"], r["score"]) for r in full]
