@@ -566,6 +566,28 @@ def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field-sort search: match any query term, order by n_chars desc."""
+    from fafnir_spark.query_ext import sort_by_field
+
+    return sort_by_field(_docs(spark, sf_dir), Q_MAIN, "n_chars", k=10)
+
+
+def _q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase with slop: 'slow ... key' within 2 intervening tokens
+    (ordered), pure higher-order expressions over the token array."""
+    from fafnir_spark.query_ext import phrase_slop
+
+    return phrase_slop(_docs(spark, sf_dir), "slow", "key", slop=2)
+
+
+def _q_complete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester: prefix completions ranked by df."""
+    from fafnir_spark.query_ext import complete_prefix
+
+    return complete_prefix(_docs(spark, sf_dir), "s", k=5)
+
+
 def _q_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_phrase_prefix: exact phrase whose last position is a
     prefix ("slow k*" → "slow key", ...); eligibility = any-completion
@@ -915,6 +937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_search": _q_federated_search,
         "match_phrase_prefix": _q_match_phrase_prefix,
         "search_after_indexed": _q_search_after_indexed,
+        "sort_by_field": _q_sort_by_field,
+        "phrase_slop": _q_phrase_slop,
+        "complete_prefix": _q_complete_prefix,
         "explain_score": _q_explain_score,
         "term_vectors": _q_term_vectors,
         "proximity_rescore": _q_proximity_rescore,
@@ -1018,6 +1043,9 @@ def oracle_sql() -> dict[str, str]:
         "federated_search": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "match_phrase_prefix": oracles.match_phrase_prefix_sql(["slow"], "k", k=10),
         "search_after_indexed": oracles.search_after_sql(Q_MAIN, k=5, page=2),
+        "sort_by_field": oracles.sort_by_field_sql(Q_MAIN, "n_chars", k=10),
+        "phrase_slop": oracles.phrase_slop_sql("slow", "key", slop=2),
+        "complete_prefix": oracles.complete_prefix_sql("s", k=5),
         "explain_score": oracles.explain_sql(Q_MAIN, 42),
         "term_vectors": oracles.term_vectors_sql(42),
         "proximity_rescore": oracles.proximity_rescore_sql(Q_MAIN, k=10, rescore_n=50),

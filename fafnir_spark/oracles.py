@@ -841,3 +841,59 @@ SELECT rank, doc_id, score FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def sort_by_field_sql(terms: list[str], sort_col: str, k: int = 10,
+                      ascending: bool = False) -> str:
+    """Match-any-term then order by a metadata column (ES field sort)."""
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+WITH {_TF_CTES},
+matched AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN {_terms_in(terms)}
+)
+SELECT rank, doc_id, {sort_col} FROM (
+  SELECT row_number() OVER (ORDER BY {sort_col} {direction}, doc_id ASC) AS rank,
+         doc_id, {sort_col}
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM matched)
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+def phrase_slop_sql(t1: str, t2: str, slop: int = 1) -> str:
+    """Ordered within-slop co-occurrence: ∃ i<j, tok[i]=t1, tok[j]=t2,
+    j-i-1 <= slop (the documented simplified match_phrase-slop contract)."""
+    a = t1.replace("'", "''")
+    b = t2.replace("'", "''")
+    return f"""
+WITH tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{a}') AS p1,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{b}') AS p2
+  FROM tkl
+)
+SELECT doc_id FROM pos
+WHERE len(list_filter(p1,
+        i -> len(list_filter(p2, j -> j > i AND j - i - 1 <= {slop})) > 0
+      )) > 0
+ORDER BY doc_id
+"""
+
+
+def complete_prefix_sql(prefix: str, k: int = 5) -> str:
+    """Autocomplete: prefix-matching vocabulary ranked by df."""
+    p = prefix.replace("'", "''")
+    return f"""
+WITH {_TF_CTES},
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT rk, term, df FROM (
+  SELECT row_number() OVER (ORDER BY df DESC, term ASC) AS rk, term, df
+  FROM dfs WHERE term LIKE '{p}%'
+) WHERE rk <= {k}
+ORDER BY rk
+"""

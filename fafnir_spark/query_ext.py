@@ -781,3 +781,90 @@ def match_phrase_prefix(docs: DataFrame, stem: list[str], prefix: str,
     eligible = eligible.distinct()
     scored = sorted(set(stem) | set(completions))
     return bm25_topk(docs, scored, k=k, text_col=text_col, eligible=eligible)
+
+
+def sort_by_field(docs: DataFrame, terms: list[str], sort_col: str,
+                  k: int = 10, ascending: bool = False,
+                  text_col: str = "text") -> DataFrame:
+    """ES sort-by-field search: docs matching ANY of ``terms`` ordered by a
+    metadata column instead of relevance (browse/recency queries). Ties
+    break by doc_id asc. orderBy().limit(k) → TakeOrderedAndProject.
+    (rank, doc_id, <sort_col>)."""
+    from pyspark.sql.window import Window
+
+    matched = docs.join(_any_match(docs, terms, text_col), "doc_id")
+    key = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
+    top = matched.select("doc_id", sort_col).orderBy(key, F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(key, F.col("doc_id").asc()))
+    return top.withColumn("rank", w).select("rank", "doc_id", sort_col).orderBy("rank")
+
+
+def phrase_slop(docs: DataFrame, t1: str, t2: str, slop: int = 1,
+                text_col: str = "text") -> DataFrame:
+    """ES match_phrase-with-slop (simplified ordered contract, documented):
+    a doc matches iff tokens t1, t2 occur IN ORDER with at most ``slop``
+    tokens between them — ∃ i<j: tok[i]=t1, tok[j]=t2, j-i-1 <= slop.
+    slop=0 degenerates to exact adjacency. Returns (doc_id), ordered.
+
+    Pure higher-order expressions over the token array (positions of each
+    term, one EXISTS over the pair cross) — no shuffle beyond the match
+    semi-join; per-doc cost O(occ(t1)·occ(t2))."""
+    from .tokenizer import tokens_expr
+
+    cand = conjunctive_match(docs, [t1, t2], text_col=text_col)
+    toks = tokens_expr(text_col)
+
+    def positions(term: str) -> F.Column:
+        return F.filter(
+            F.sequence(F.lit(1), F.size(toks)),
+            _pos_pred(toks, term),
+        )
+
+    p1, p2 = positions(t1), positions(t2)
+    hit = F.exists(
+        p1, _slop_pred(p2, slop)
+    )
+    return (
+        docs.join(cand, "doc_id")
+        .filter(hit)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _pos_pred(toks: F.Column, term: str):
+    """i → tok[i] == term (named helper: PySpark higher-order lambdas must
+    be single-argument closures, never default-arg lambdas)."""
+    def pred(i: F.Column) -> F.Column:
+        return F.get(toks, i - 1) == F.lit(term)
+
+    return pred
+
+
+def _slop_pred(p2: F.Column, slop: int):
+    def pred(i: F.Column) -> F.Column:
+        def inner(j: F.Column) -> F.Column:
+            return (j > i) & (j - i - 1 <= F.lit(slop))
+
+        return F.exists(p2, inner)
+
+    return pred
+
+
+def complete_prefix(docs: DataFrame, prefix: str, k: int = 5,
+                    text_col: str = "text") -> DataFrame:
+    """ES completion suggester (autocomplete): vocabulary terms starting
+    with ``prefix``, ranked by document frequency (popularity), term asc
+    tie-break. (rk, term, df)."""
+    from pyspark.sql.window import Window
+
+    from .query import doc_term_freqs, term_dfs
+
+    dfs = term_dfs(doc_term_freqs(docs, text_col=text_col)).select("term", "df")
+    top = (
+        dfs.filter(F.col("term").startswith(prefix))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    w = F.row_number().over(Window.orderBy(F.col("df").desc(), F.col("term").asc()))
+    return top.withColumn("rk", w).select("rk", "term", "df").orderBy("rk")

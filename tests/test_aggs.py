@@ -185,3 +185,38 @@ def test_search_after_indexed_equals_direct(spark, ddb, docs, tmp_path):
         (r["doc_id"], r["score"]) for r in out.collect()
     ]
     assert got == [(r["doc_id"], r["score"]) for r in full]
+
+
+def test_sort_by_field(spark, ddb, docs):
+    from fafnir_spark.query_ext import sort_by_field
+
+    out = sort_by_field(docs, Q, "n_chars", k=10)
+    assert_matches(out, ddb, oracles.sort_by_field_sql(Q, "n_chars", 10))
+    rows = out.collect()
+    assert [r["n_chars"] for r in rows] == sorted(
+        (r["n_chars"] for r in rows), reverse=True
+    )
+
+
+def test_phrase_slop(spark, ddb, docs):
+    from fafnir_spark.query_ext import phrase_match, phrase_slop
+
+    out = phrase_slop(docs, "slow", "key", slop=2)
+    assert out.count() > 0
+    assert_matches(out, ddb, oracles.phrase_slop_sql("slow", "key", 2))
+    # slop=0 degenerates to exact adjacency
+    tight = {r["doc_id"] for r in phrase_slop(docs, "slow", "key", slop=0).collect()}
+    exact = {r["doc_id"] for r in phrase_match(docs, "slow key").collect()}
+    assert tight == exact
+    # slop monotonicity
+    wide = {r["doc_id"] for r in phrase_slop(docs, "slow", "key", slop=5).collect()}
+    assert tight <= {r["doc_id"] for r in out.collect()} <= wide
+
+
+def test_complete_prefix(spark, ddb, docs):
+    from fafnir_spark.query_ext import complete_prefix
+
+    out = complete_prefix(docs, "s", k=5)
+    rows = out.collect()
+    assert rows and all(r["term"].startswith("s") for r in rows)
+    assert_matches(out, ddb, oracles.complete_prefix_sql("s", 5))
