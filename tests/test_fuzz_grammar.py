@@ -1,0 +1,71 @@
+"""Seeded fuzz of the query_string grammar: random specs (signs, phrases,
+prefixes, filters, ranges) executed by search_text AND mirrored by
+oracles.search_text_sql from the SAME parse — any divergence between the
+two engines on any generated query is a bug. Complements test_fuzz_queries
+(plain BM25 term sets)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from fafnir_spark import oracles
+from fafnir_spark.query_ext import search_text
+from tests.conftest import SF_DIR, TABLES
+
+VOCAB = ["merge", "window", "customer", "spark", "slow", "vector", "batch",
+         "key", "agg", "row", "scan", "fast", "table", "value", "part", "hash"]
+BIGRAMS = [("slow", "key"), ("table", "hash"), ("merge", "group"),
+           ("customer", "join"), ("vector", "small")]
+
+
+def _gen_query(rng: random.Random) -> str:
+    parts = []
+    n_scored = rng.randint(1, 3)
+    for _ in range(n_scored):
+        t = rng.choice(VOCAB)
+        parts.append(rng.choice(["", "+"]) + t)
+    if rng.random() < 0.4:
+        parts.append("-" + rng.choice(VOCAB))
+    if rng.random() < 0.35:
+        a, b = rng.choice(BIGRAMS)
+        parts.append(rng.choice(["", "-"]) + f'"{a} {b}"')
+    if rng.random() < 0.3:
+        parts.append(rng.choice(["s", "c", "m", "w"]) + "*")
+    if rng.random() < 0.3:
+        parts.append("source:src" + str(rng.randint(0, 4)))
+    if rng.random() < 0.3:
+        lo = rng.randint(50, 250)
+        parts.append(f"n_chars:[{lo} TO {lo + rng.randint(50, 300)}]")
+    rng.shuffle(parts)
+    return " ".join(parts)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_fuzz_query_string_grammar(spark, ddb, docs):
+    rng = random.Random(0xFAF)
+    n_nonempty = 0
+    for case in range(15):
+        q = _gen_query(rng)
+        out = search_text(docs, q, k=10)
+        cols = sorted(out.columns)
+        got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+        wdf = ddb.execute(oracles.search_text_sql(q, k=10)).fetch_df()
+        want = sorted(
+            tuple(r[c] for c in cols) for _, r in wdf.iterrows()
+        )
+        assert len(got) == len(want), f"case {case}: {q!r}"
+        for g, w in zip(got, want):
+            for a, b in zip(g, w):
+                if isinstance(a, float):
+                    assert a == pytest.approx(b, abs=1e-9), f"case {case}: {q!r}"
+                else:
+                    assert a == b, f"case {case}: {q!r}"
+        n_nonempty += bool(got)
+    assert n_nonempty >= 5  # the generator must not degenerate to all-empty
