@@ -104,6 +104,30 @@ def main() -> None:
     timed("phrase_bm25", lambda: phrase_bm25(
         spark, idx_pos, {"p": ["key", "agg"]}, k=10).collect())
 
+    # training-data curation sweep: the LLM-pipeline op family in one timed
+    # pass — hashed-shingle decontamination, sequence packing, PII scrub,
+    # unigram-LM scoring (each a one-shuffle-or-less declarative plan)
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.curation import (
+        decontaminate,
+        inject_pii,
+        pack_sequences,
+        pii_scrub,
+        unigram_logprob,
+    )
+
+    def _curation_sweep() -> int:
+        train = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 0)
+        bench_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+        n = decontaminate(train, bench_docs, n=3).count()
+        n += pack_sequences(docs, budget=512).count()
+        n += pii_scrub(inject_pii(docs)).count()
+        n += unigram_logprob(docs).count()
+        return n
+
+    timed("curation_sweep", _curation_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work
