@@ -143,8 +143,11 @@ def main() -> None:
     # means the window was contended and one-sided slowdown of the LOW-core
     # leg would inflate the ratio); falls back to all history if no valid
     # line exists yet
-    valid = [r for r in history if (r.get("probe_eff") or 0) >= PROBE_VALID_EFF]
-    best = max(valid or history, key=lambda r: r["eff_raw"])
+    # skip records ({"skipped": "SKIP_NOISY", "probe8": ...}) document gate
+    # refusals and never carry eff_raw — exclude them from selection
+    runs_only = [r for r in history if "eff_raw" in r]
+    valid = [r for r in runs_only if (r.get("probe_eff") or 0) >= PROBE_VALID_EFF]
+    best = max(valid or runs_only, key=lambda r: r["eff_raw"])
 
     md = f"""# BENCH/BASELINE — measured engine numbers & scaling protocol
 

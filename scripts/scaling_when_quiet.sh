@@ -8,5 +8,14 @@ from scaling import run_probe
 print(run_probe(8))")
 echo "probe8=$P"
 OK=$(python -c "print(1 if float('$P') <= 12.5 else 0)")
-if [ "$OK" != "1" ]; then echo SKIP_NOISY; exit 2; fi
+if [ "$OK" != "1" ]; then
+  # record the refused window in history.jsonl — skipped attempts are
+  # integrity evidence (the gate refusing to measure IS a measurement)
+  python -c "
+import json, datetime
+rec = {'date': datetime.datetime.now().strftime('%Y-%m-%d %H:%M'),
+       'probe8': round(float('$P'), 2), 'skipped': 'SKIP_NOISY'}
+open('BENCH/history.jsonl', 'a').write(json.dumps(rec) + '\n')"
+  echo SKIP_NOISY; exit 2
+fi
 SPARK_GRAFT_BUILD_REPS=1 SPARK_GRAFT_SCALE_PAIRS=1 exec python scripts/scaling.py 400000
