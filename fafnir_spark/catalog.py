@@ -138,15 +138,70 @@ class Catalog:
             return {"snapshot_id": None, "tables": {}, "history": []}
         return json.loads(text)
 
-    def publish(self, tables: dict[str, list[str]], meta: dict | None = None) -> str:
+    _UNSET = object()
+
+    def _commit_lock(self):
+        """Advisory commit lock for LOCAL roots: O_CREAT|O_EXCL lock file
+        closes the read-check-write race completely on POSIX. Object-store
+        roots return a no-op (there a real deployment swaps this module for
+        an Iceberg catalog whose metadata pointer IS the CAS; the
+        expected-snapshot check below still catches stale commits)."""
+        import contextlib
+
+        if not _is_local(self.root):
+            return contextlib.nullcontext()
+
+        @contextlib.contextmanager
+        def lock():
+            path = os.path.join(_local_path(self.root), ".manifest.lock")
+            deadline = time.time() + 30.0
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if time.time() > deadline:
+                        raise CommitConflict(
+                            f"commit lock {path} held for >30s (crashed "
+                            "committer? remove the lock file to recover)"
+                        ) from None
+                    time.sleep(0.05)
+            try:
+                os.close(fd)
+                yield
+            finally:
+                os.unlink(path)
+
+        return lock()
+
+    def publish(self, tables: dict[str, list[str]], meta: dict | None = None,
+                expected_snapshot=_UNSET) -> str:
         """Atomically commit a new snapshot mapping table -> segment dirs.
 
         fafnir analog: index_generator.publish() alias swap
         (/root/reference src/bin/tripadvisor2mimir.rs:172-176). The outgoing
         snapshot's full state is appended to history, so any past snapshot
         remains queryable (Iceberg time travel; segments are immutable).
+
+        ``expected_snapshot``: optimistic concurrency (Iceberg commit CAS).
+        Maintenance writers pass the snapshot their read-modify-write cycle
+        was based on; if another commit landed in between, publish raises
+        CommitConflict instead of silently dropping that commit's state —
+        the caller re-reads and retries. Under a local root the check runs
+        inside an O_EXCL lock, so it is race-free, not merely best-effort.
         """
+        with self._commit_lock():
+            return self._publish_locked(tables, meta, expected_snapshot)
+
+    def _publish_locked(self, tables, meta, expected_snapshot) -> str:
         m = self.read_manifest()
+        if (expected_snapshot is not Catalog._UNSET
+                and m.get("snapshot_id") != expected_snapshot):
+            raise CommitConflict(
+                f"manifest moved from {expected_snapshot!r} to "
+                f"{m.get('snapshot_id')!r} during this read-modify-write "
+                "cycle; re-read the manifest and retry"
+            )
         snap = uuid.uuid4().hex[:12]
         if m.get("snapshot_id"):
             m["history"].append(
@@ -284,3 +339,9 @@ class Catalog:
     def read_json(self, name: str) -> dict | None:
         text = self._read_text(os.path.join(self.root, name + ".json"))
         return None if text is None else json.loads(text)
+
+
+class CommitConflict(RuntimeError):
+    """Another snapshot was committed during a read-modify-write cycle
+    (optimistic-concurrency failure, Iceberg CommitFailedException analog).
+    Re-read the manifest and retry the maintenance operation."""

@@ -83,7 +83,8 @@ def _write_tombstones(
     merged.update(updates)
     tables = dict(m["tables"])
     tables[TOMBSTONE_TABLE] = [_tombstone_segment(spark, cat, merged)]
-    cat.publish(tables, meta=m.get("meta"))
+    cat.publish(tables, meta=m.get("meta"),
+                expected_snapshot=m.get("snapshot_id"))
 
 
 def append_index(
@@ -236,7 +237,7 @@ def append_index(
     cat.write_json("stats", stats_doc)
     meta = dict(m.get("meta") or {})
     meta["stats"] = stats_doc
-    cat.publish(tables, meta=meta)
+    cat.publish(tables, meta=meta, expected_snapshot=m.get("snapshot_id"))
 
 
 def delete_docs(spark: SparkSession, index_root: str, doc_ids: list[int]) -> None:
@@ -273,7 +274,8 @@ def delete_docs_bulk(spark: SparkSession, index_root: str, doc_ids: DataFrame) -
     tables[BULK_TOMBSTONE_TABLE] = tables.get(BULK_TOMBSTONE_TABLE, []) + [
         cat.segment_dir(BULK_TOMBSTONE_TABLE, seg)
     ]
-    cat.publish(tables, meta=m.get("meta"))
+    cat.publish(tables, meta=m.get("meta"),
+                expected_snapshot=m.get("snapshot_id"))
 
 
 def upsert_docs(
@@ -348,7 +350,8 @@ def update_doc_meta(spark: SparkSession, index_root: str, updates: DataFrame) ->
         new_dirs.append(cat.segment_dir("doc_map", seg))
     tables = dict(m["tables"])
     tables["doc_map"] = new_dirs
-    cat.publish(tables, meta=m.get("meta"))
+    cat.publish(tables, meta=m.get("meta"),
+                expected_snapshot=m.get("snapshot_id"))
 
 
 def compact_with_tombstones(spark: SparkSession, index_root: str) -> None:
@@ -375,7 +378,8 @@ def compact_with_tombstones(spark: SparkSession, index_root: str) -> None:
         tables["doc_map"] = [cat.segment_dir("doc_map", seg)]
         tables.pop(TOMBSTONE_TABLE, None)
         tables.pop(BULK_TOMBSTONE_TABLE, None)
-        cat.publish(tables, meta=m.get("meta"))
+        cat.publish(tables, meta=m.get("meta"),
+                    expected_snapshot=m.get("snapshot_id"))
     compact_index(spark, cat, stats["block_size"], tombstones=ts or None, bulk=bulk)
 
     # exact stats + dictionary from the surviving index
@@ -396,7 +400,7 @@ def compact_with_tombstones(spark: SparkSession, index_root: str) -> None:
     tables["dictionary"] = [cat.segment_dir("dictionary", dict_seg)]
     meta = dict(m2.get("meta") or {})
     meta["stats"] = stats_doc  # queries read stats from the manifest
-    cat.publish(tables, meta=meta)
+    cat.publish(tables, meta=meta, expected_snapshot=m2.get("snapshot_id"))
 
 
 def maybe_compact(spark: SparkSession, index_root: str, max_segments: int = 8) -> bool:

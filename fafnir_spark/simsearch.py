@@ -365,4 +365,4 @@ def append_ivf(
     tables["ivf_assign"] = tables["ivf_assign"] + [cat.segment_dir("ivf_assign", seg)]
     meta = dict(m.get("meta") or {})
     meta["n_vectors"] = int(meta.get("n_vectors", 0)) + emb_new.count()
-    cat.publish(tables, meta=meta)
+    cat.publish(tables, meta=meta, expected_snapshot=m.get("snapshot_id"))

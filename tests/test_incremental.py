@@ -530,3 +530,34 @@ def test_bulk_delete_phrase_bool_paths_cogrouped(spark, tmp_path, split_docs, mo
     assert [(r["doc_id"], r["score"]) for r in sb] == [
         (r["doc_id"], r["score"]) for r in rq
     ]
+
+
+def test_publish_optimistic_concurrency(spark, tmp_path, split_docs):
+    """Iceberg-style commit CAS: a maintenance publish based on a stale
+    snapshot must raise CommitConflict instead of silently dropping the
+    interleaved commit; retrying after a re-read succeeds. The local-root
+    lock file also cleans up after itself."""
+    import os
+
+    from fafnir_spark.catalog import Catalog, CommitConflict
+
+    docs, _, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="b")
+    cat = Catalog(root)
+    m = cat.read_manifest()  # writer A's read
+    # writer B commits in between
+    delete_docs(spark, root, [0])
+    with pytest.raises(CommitConflict, match="moved"):
+        cat.publish(dict(m["tables"]), meta=m.get("meta"),
+                    expected_snapshot=m.get("snapshot_id"))
+    # retry after re-read succeeds, and the interleaved delete survives
+    m2 = cat.read_manifest()
+    cat.publish(dict(m2["tables"]), meta=m2.get("meta"),
+                expected_snapshot=m2.get("snapshot_id"))
+    assert "tombstones" in cat.read_manifest()["tables"]
+    assert not os.path.exists(os.path.join(root, ".manifest.lock"))
+    # unconditional publish (initial build path) still works
+    m3 = cat.read_manifest()
+    cat.publish(dict(m3["tables"]), meta=m3.get("meta"))
