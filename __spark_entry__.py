@@ -662,6 +662,14 @@ def _q_proximity_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_rescore(_docs(spark, sf_dir), Q_MAIN, k=10, rescore_n=50)
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: overlapping 32-token windows (stride 24);
+    chunk_hash verifies content, not just counts."""
+    from fafnir_spark.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), window=32, stride=24)
+
+
 def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM quality proxy: per-doc average token log-prob under the corpus
     unigram LM (the KenLM-filter stand-in real pipelines run)."""
@@ -944,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": _q_term_vectors,
         "proximity_rescore": _q_proximity_rescore,
         "unigram_logprob": _q_unigram_logprob,
+        "chunk_documents": _q_chunk_documents,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -1050,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors": oracles.term_vectors_sql(42),
         "proximity_rescore": oracles.proximity_rescore_sql(Q_MAIN, k=10, rescore_n=50),
         "unigram_logprob": oracles_curation.unigram_logprob_sql(),
+        "chunk_documents": oracles_curation.chunk_documents_sql(32, 24),
         "media_meta": oracles_ops.media_meta_sql(),
         "media_features": oracles_ops.media_features_sql(),
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),

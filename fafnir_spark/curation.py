@@ -294,3 +294,39 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
         "n_tokens",
         F.round(F.col("__lp") / F.col("n_tokens"), 6).alias("logprob"),
     ).orderBy("doc_id")
+
+
+def chunk_documents(docs: DataFrame, window: int = 64, stride: int = 48,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/embedding prep op
+    (RAG pipelines chunk before embedding; stride < window gives overlap so
+    no boundary context is lost). Chunk i covers tokens
+    [i·stride+1, i·stride+window]; a doc with n ≤ window tokens is one
+    chunk, else 1 + ⌈(n-window)/stride⌉ chunks (the last may be short).
+
+    (doc_id, chunk_id, n_tokens, chunk_hash) — chunk_hash is the portable
+    hash of the space-joined chunk tokens, so the oracle verifies chunk
+    CONTENT, not just counts. Pure expressions + one explode; no shuffle,
+    no Python."""
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    nch = F.when(n <= window, F.lit(1)).otherwise(
+        F.floor((n - window + stride - 1) / F.lit(stride)).cast("long") + 1
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        nch.alias("__nch"),
+    ).filter(F.size("__toks") > 0)
+    chunks = base.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), (F.col("__nch") - 1).cast("int"))).alias("chunk_id"),
+    )
+    ctoks = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, window)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(ctoks).cast("long").alias("n_tokens"),
+        hash60(F.array_join(ctoks, " ")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")

@@ -217,3 +217,29 @@ per AS (
 SELECT doc_id, n_tokens, round(lp / n_tokens, 6) AS logprob
 FROM per ORDER BY doc_id
 """
+
+
+def chunk_documents_sql(window: int = 64, stride: int = 48) -> str:
+    """Mirrors curation.chunk_documents: same chunk-count formula, same
+    slice bounds, same portable content hash."""
+    ctoks = (
+        f"list_slice(tk, chunk_id * {stride} + 1, chunk_id * {stride} + {window})"
+    )
+    return f"""
+WITH {_TOKS},
+base AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) <= {window} THEN 1
+              ELSE (len(tk) - {window} + {stride} - 1) // {stride} + 1 END AS nch
+  FROM toks WHERE len(tk) > 0
+),
+chunks AS (
+  SELECT doc_id, tk, unnest(range(0, nch)) AS chunk_id FROM base
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len({ctoks}) AS BIGINT) AS n_tokens,
+       {hash60_sql(f"array_to_string({ctoks}, ' ')")} AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""

@@ -249,3 +249,21 @@ def test_unigram_logprob(spark, ddb, docs):
     rows = out.collect()
     assert rows and all(r["logprob"] < 0 for r in rows)
     assert_matches(out, ddb, OC.unigram_logprob_sql())
+
+
+def test_chunk_documents(spark, ddb, docs):
+    from fafnir_spark.curation import chunk_documents
+
+    out = chunk_documents(docs, window=32, stride=24)
+    rows = out.collect()
+    assert rows
+    # every chunk is non-empty, at most window tokens; chunk 0 exists per doc
+    assert all(0 < r["n_tokens"] <= 32 for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["chunk_id"])
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+    assert_matches(out, ddb, OC.chunk_documents_sql(32, 24))
+    # single-chunk degenerate case: window >= max doc length
+    one = chunk_documents(docs, window=10_000, stride=10_000)
+    assert one.groupBy("doc_id").count().filter("count != 1").count() == 0
