@@ -266,3 +266,52 @@ def test_bmw_hot_rare_disjunction_prunes(spark, tmp_path):
     assert np.allclose(sc_b, sc_e)
     # 4000/64 ≈ 63 hot blocks + 1 needle block; pruning must cut >80%
     assert counters["blocks_decoded"] <= 0.2 * counters["blocks_total"], counters
+
+
+def test_new_topk_paths_are_take_ordered(spark):
+    """Round-3 additions obey the same top-k contract: sort_by_field,
+    suggest, fuzzy, search_after, match_phrase_prefix, significant_terms
+    all compile to TakeOrderedAndProject — never an unpartitioned window
+    over more than k rows."""
+    from fafnir_spark.query_ext import (
+        bm25_search_after,
+        complete_prefix,
+        fuzzy_bm25,
+        match_phrase_prefix,
+        significant_terms,
+        sort_by_field,
+        suggest_terms,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plans = {
+        "sort_by_field": sort_by_field(docs, ["merge"], "n_chars", k=5),
+        "suggest": suggest_terms(docs, "merg", k=5),
+        "complete": complete_prefix(docs, "s", k=5),
+        "fuzzy": fuzzy_bm25(docs, ["merg"], k=5),
+        "search_after": bm25_search_after(docs, ["merge"], (1.0, 0), k=5),
+        "mpp": match_phrase_prefix(docs, ["slow"], "k", k=5),
+        "significant": significant_terms(docs, ["merge"], k=5),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), name
+
+
+def test_curation_plans_have_no_cartesian(spark):
+    """Curation scale plans: decontamination's shingle match is ONE hashed
+    equi-join (never an all-pairs product); chunking is explode-only
+    (no join, no exchange-by-key beyond the scan)."""
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.curation import chunk_documents, decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 0)
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+    plan = decontaminate(train, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    cplan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in cplan and "CartesianProduct" not in cplan
