@@ -267,3 +267,38 @@ def test_chunk_documents(spark, ddb, docs):
     # single-chunk degenerate case: window >= max doc length
     one = chunk_documents(docs, window=10_000, stride=10_000)
     assert one.groupBy("doc_id").count().filter("count != 1").count() == 0
+
+
+def test_chunk_and_pack_properties(spark):
+    """Property check vs a pure-Python reference on adversarial token
+    counts (doc lengths around the window/stride/budget boundaries):
+    chunk covers every token; pack conserves tokens and never overflows a
+    sequence boundary mid-assignment."""
+    from fafnir_spark.curation import chunk_documents, pack_sequences
+
+    window, stride, budget = 8, 5, 16
+    lengths = [1, 2, 7, 8, 9, 12, 13, 15, 16, 17, 24, 40]
+    rows = [(i, "src0", " ".join(f"t{i}x{j}" for j in range(n)))
+            for i, n in enumerate(lengths)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    chunks = chunk_documents(docs, window=window, stride=stride).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["n_tokens"]))
+    for i, n in enumerate(lengths):
+        got = sorted(by_doc[i])
+        nch = 1 if n <= window else -(-(n - window) // stride) + 1
+        assert len(got) == nch, (n, got)
+        # chunk c starts at c*stride; last token covered = start of last
+        # chunk + its length
+        last_start = (nch - 1) * stride
+        assert last_start + got[-1][1] == n  # covers the tail exactly
+        assert all(ln == min(window, n - c * stride) for c, ln in got)
+
+    packed = pack_sequences(docs, budget=budget).collect()
+    assert sum(r["n_tok"] for r in packed) == sum(lengths)  # conservation
+    for r in packed:
+        # offset is the doc's start within its sequence: consistent with
+        # seq_id * budget + offset == global start offset
+        assert 0 <= r["offset"] < budget
