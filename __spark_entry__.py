@@ -566,6 +566,34 @@ def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QS_BOOST = "merge^2 window customer^0.5"
+
+
+def _q_query_string_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string with per-term boosts (term^2.5 grammar): the boost
+    multiplies the term's score contribution."""
+    from fafnir_spark.query_ext import search_text
+
+    return search_text(_docs(spark, sf_dir), QS_BOOST, k=10)
+
+
+def _q_query_string_boost_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosted query_string FROM the index: the boost pre-multiplies the
+    term's idf (score = Σ idf·tfn·w, so boosted idf IS the boost; BMW
+    bounds stay conservative)."""
+    from fafnir_spark.wand import search_text_indexed
+
+    return search_text_indexed(spark, _idx_root(spark, sf_dir), QS_BOOST, k=10)
+
+
+def _q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wildcard query: me*e → merge, ... — expansion scored as a
+    disjunction (scoring_boolean rewrite)."""
+    from fafnir_spark.query_ext import wildcard_bm25
+
+    return wildcard_bm25(_docs(spark, sf_dir), "me*e", k=10)
+
+
 def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES field-sort search: match any query term, order by n_chars desc."""
     from fafnir_spark.query_ext import sort_by_field
@@ -948,6 +976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": _q_sort_by_field,
         "phrase_slop": _q_phrase_slop,
         "complete_prefix": _q_complete_prefix,
+        "query_string_boost": _q_query_string_boost,
+        "query_string_boost_indexed": _q_query_string_boost_indexed,
+        "wildcard_bm25": _q_wildcard,
         "explain_score": _q_explain_score,
         "term_vectors": _q_term_vectors,
         "proximity_rescore": _q_proximity_rescore,
@@ -1055,6 +1086,9 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field": oracles.sort_by_field_sql(Q_MAIN, "n_chars", k=10),
         "phrase_slop": oracles.phrase_slop_sql("slow", "key", slop=2),
         "complete_prefix": oracles.complete_prefix_sql("s", k=5),
+        "query_string_boost": oracles.search_text_sql(QS_BOOST, k=10),
+        "query_string_boost_indexed": oracles.search_text_sql(QS_BOOST, k=10),
+        "wildcard_bm25": oracles.wildcard_bm25_sql("me*e", k=10),
         "explain_score": oracles.explain_sql(Q_MAIN, 42),
         "term_vectors": oracles.term_vectors_sql(42),
         "proximity_rescore": oracles.proximity_rescore_sql(Q_MAIN, k=10, rescore_n=50),

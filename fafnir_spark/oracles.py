@@ -466,6 +466,13 @@ def search_text_sql(query: str, k: int = 10) -> str:
         extra += f"""
   AND scored.doc_id NOT IN (
     SELECT DISTINCT doc_id FROM tf WHERE term IN {_terms_in(spec["must_not"])})"""
+    boost_case = ""
+    if spec.get("boosts"):
+        whens = " ".join(
+            f"WHEN '{t.replace(chr(39), chr(39) * 2)}' THEN {b}"
+            for t, b in sorted(spec["boosts"].items())
+        )
+        boost_case = f"\n              * CASE tf.term {whens} ELSE 1.0 END"
     return f"""
 WITH {_TF_CTES},
 dfs AS (
@@ -475,7 +482,7 @@ dfs AS (
 scored AS (
   SELECT tf.doc_id,
          sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl)){boost_case}
             ) AS raw_score
   FROM tf
   JOIN dfs USING (term)
@@ -896,4 +903,34 @@ SELECT rk, term, df FROM (
   FROM dfs WHERE term LIKE '{p}%'
 ) WHERE rk <= {k}
 ORDER BY rk
+"""
+
+
+def wildcard_bm25_sql(pattern: str, k: int = 10) -> str:
+    """Wildcard expansion in SQL: the same glob→LIKE mapping as
+    query_ext._wildcard_to_like, then the standard expanded-term BM25."""
+    like = pattern.replace("*", "%").replace("?", "_").replace("'", "''")
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term LIKE '{like}' GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(raw_score, 6) AS score
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY rank
 """

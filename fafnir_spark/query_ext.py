@@ -238,19 +238,26 @@ def parse_query(q: str) -> dict:
       field:value    → filter context (required, never scored)
       field:[a TO b] → inclusive numeric range, filter context (a sign
                        prefix is ignored — ranges only gate eligibility)
+      term^2.5       → per-term score boost (must/should terms only; the
+                       boost multiplies the term's score contribution)
 
     Returns {must, should, must_not, phrases, neg_phrases, prefixes,
-    filters, ranges} with terms lowercased the way the whitespace analyzer
-    sees them; ranges are (field, lo, hi) float triples."""
+    filters, ranges, boosts} with terms lowercased the way the whitespace
+    analyzer sees them; ranges are (field, lo, hi) float triples, boosts a
+    {term: float} map."""
     import re as _re
 
     out: dict = {"must": [], "should": [], "must_not": [],
                  "phrases": [], "neg_phrases": [], "prefixes": [],
-                 "filters": [], "ranges": []}
+                 "filters": [], "ranges": [], "boosts": {}}
     for part in _re.findall(r'[+\-]?"[^"]*"|\S+:\[[^\]]*\]|\S+', q):
         sign = part[0] if part[0] in "+-" else ""
         body = part[1:] if sign else part
         rng = _re.match(r"^([A-Za-z_][A-Za-z0-9_]*):\[(\S+) TO (\S+)\]$", body)
+        boost = None
+        bst = _re.match(r"^(.+)\^([0-9]+(?:\.[0-9]+)?)$", body)
+        if bst and not rng and ":" not in body and not body.startswith('"'):
+            body, boost = bst.group(1), float(bst.group(2))
         if rng:
             out["ranges"].append(
                 (rng.group(1), float(rng.group(2)), float(rng.group(3)))
@@ -269,6 +276,8 @@ def parse_query(q: str) -> dict:
             out["must_not"].append(body)
         elif body:
             out["should"].append(body)
+        if boost is not None and sign != "-" and body:
+            out["boosts"][body] = boost
     return out
 
 
@@ -319,7 +328,8 @@ def search_text(docs: DataFrame, query: str, k: int = 10, text_col: str = "text"
         pm = phrase_match(docs, " ".join(ph), text_col=text_col).select("doc_id")
         excluded = pm if excluded is None else excluded.unionByName(pm).distinct()
     return bm25_topk(docs, scored, k=k, text_col=text_col,
-                     eligible=eligible, excluded_docs=excluded)
+                     eligible=eligible, excluded_docs=excluded,
+                     term_boosts=spec["boosts"] or None)
 
 
 def mlt_source_terms(docs: DataFrame, doc_id: int, text_col: str = "text") -> DataFrame:
@@ -868,3 +878,37 @@ def complete_prefix(docs: DataFrame, prefix: str, k: int = 5,
     )
     w = F.row_number().over(Window.orderBy(F.col("df").desc(), F.col("term").asc()))
     return top.withColumn("rk", w).select("rk", "term", "df").orderBy("rk")
+
+
+def _wildcard_to_like(pattern: str) -> str:
+    """Glob → SQL LIKE: * → %, ? → _ (identical semantics in Spark's
+    Column.like and DuckDB LIKE). Vocabulary terms are analyzer tokens
+    (no % or _), so no escaping is needed — asserted here."""
+    assert "%" not in pattern and "_" not in pattern, \
+        "raw %/_ in wildcard patterns is not supported"
+    return pattern.replace("*", "%").replace("?", "_")
+
+
+def expand_wildcard(docs: DataFrame, pattern: str,
+                    text_col: str = "text") -> list[str]:
+    """Vocabulary terms matching an ES wildcard pattern (* = any run,
+    ? = one char). Vocabulary-sized scan, same envelope as expand_prefix."""
+    from .query import doc_term_freqs
+
+    like = _wildcard_to_like(pattern)
+    tf = doc_term_freqs(docs, "doc_id", text_col)
+    rows = tf.select("term").distinct().filter(F.col("term").like(like)).collect()
+    return sorted(r["term"] for r in rows)
+
+
+def wildcard_bm25(docs: DataFrame, pattern: str, k: int = 10,
+                  text_col: str = "text") -> DataFrame:
+    """ES wildcard query: pattern-matching vocabulary terms scored as a
+    BM25 disjunction (scoring_boolean rewrite — each expansion keeps its
+    own idf, same as prefix_bm25). (rank, doc_id, score)."""
+    from .query import bm25_topk
+
+    terms = expand_wildcard(docs, pattern, text_col)
+    if not terms:
+        return docs.sparkSession.createDataFrame([], "rank int, doc_id long, score double")
+    return bm25_topk(docs, terms, k=k, text_col=text_col)

@@ -934,6 +934,7 @@ def bool_search(
     snapshot_id: str | None = None,
     matches: DataFrame | None = None,
     n_pos: dict[str, int] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """ES bool-query DSL served FROM THE INDEX: ``queries`` maps qid →
     {"must": [...], "should": [...], "must_not": [...]}. must terms all
@@ -963,6 +964,11 @@ def bool_search(
     ).collect()
     n_docs = stats["n_docs"]
     idfs = {r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)) for r in drows}
+    if boosts:
+        # term^boost multiplies the term's score contribution — and since
+        # score = Σ idf·tfn·w, pre-multiplying the idf IS the boost (no
+        # change to the scorer, bounds stay conservative for BMW)
+        idfs = {t: v * float(boosts.get(t, 1.0)) for t, v in idfs.items()}
     postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
         F.col("term").isin(all_terms)
     )
@@ -1063,6 +1069,7 @@ def search_text_indexed(
         {"q": {"must": spec["must"], "should": should,
                "must_not": spec["must_not"], "filter": spec["filters"]}},
         k=k, snapshot_id=snapshot_id, matches=matches, n_pos=n_pos,
+        boosts=spec.get("boosts") or None,
     )
     return res.select("rank", "doc_id", "score")
 

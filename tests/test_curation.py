@@ -302,3 +302,39 @@ def test_chunk_and_pack_properties(spark):
         # offset is the doc's start within its sequence: consistent with
         # seq_id * budget + offset == global start offset
         assert 0 <= r["offset"] < budget
+
+
+def test_query_string_boost(spark, ddb, docs):
+    from fafnir_spark.query_ext import parse_query, search_text
+
+    spec = parse_query("merge^2 +window^0.5 customer")
+    assert spec["boosts"] == {"merge": 2.0, "window": 0.5}
+    assert spec["must"] == ["window"] and sorted(spec["should"]) == ["customer", "merge"]
+    q = "merge^2 window customer^0.5"
+    out = search_text(docs, q, k=10)
+    assert_matches(out, ddb, oracles.search_text_sql(q, k=10))
+    # boosting changes the ranking vs the unboosted query
+    plain = [r["doc_id"] for r in search_text(docs, "merge window customer", k=10).collect()]
+    boosted = [r["doc_id"] for r in out.collect()]
+    assert plain != boosted
+
+
+def test_query_string_boost_indexed(spark, ddb, docs, tmp_path):
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.wand import search_text_indexed
+
+    root = str(tmp_path / "bidx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="b")
+    q = "merge^2 window customer^0.5"
+    out = search_text_indexed(spark, root, q, k=10)
+    assert_matches(out, ddb, oracles.search_text_sql(q, k=10))
+
+
+def test_wildcard_bm25(spark, ddb, docs):
+    from fafnir_spark.query_ext import expand_wildcard, wildcard_bm25
+
+    assert expand_wildcard(docs, "me*e") == ["merge"]
+    assert "slow" in expand_wildcard(docs, "s??w")
+    out = wildcard_bm25(docs, "me*e", k=10)
+    assert_matches(out, ddb, oracles.wildcard_bm25_sql("me*e", k=10))
