@@ -594,6 +594,21 @@ def _q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wildcard_bm25(_docs(spark, sf_dir), "me*e", k=10)
 
 
+PERC_QUERIES = {
+    "alert_merge": {"must": ["merge", "window"], "must_not": ["vector"]},
+    "alert_slow": {"must": ["slow"], "should": ["key", "agg"]},
+    "alert_any_batch": {"should": ["batch", "spark"]},
+}
+
+
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator: every doc matched against stored saved-search
+    queries — one tf pass joined to the broadcast clause relation."""
+    from fafnir_spark.query_ext import percolate
+
+    return percolate(_docs(spark, sf_dir), PERC_QUERIES)
+
+
 def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES field-sort search: match any query term, order by n_chars desc."""
     from fafnir_spark.query_ext import sort_by_field
@@ -979,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_boost": _q_query_string_boost,
         "query_string_boost_indexed": _q_query_string_boost_indexed,
         "wildcard_bm25": _q_wildcard,
+        "percolate": _q_percolate,
         "explain_score": _q_explain_score,
         "term_vectors": _q_term_vectors,
         "proximity_rescore": _q_proximity_rescore,
@@ -1089,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "query_string_boost": oracles.search_text_sql(QS_BOOST, k=10),
         "query_string_boost_indexed": oracles.search_text_sql(QS_BOOST, k=10),
         "wildcard_bm25": oracles.wildcard_bm25_sql("me*e", k=10),
+        "percolate": oracles.percolate_sql(PERC_QUERIES),
         "explain_score": oracles.explain_sql(Q_MAIN, 42),
         "term_vectors": oracles.term_vectors_sql(42),
         "proximity_rescore": oracles.proximity_rescore_sql(Q_MAIN, k=10, rescore_n=50),

@@ -934,3 +934,41 @@ SELECT rank, doc_id, score FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def percolate_sql(queries: dict[str, dict]) -> str:
+    """Reverse-search oracle: per (doc, query) coverage counts from the
+    same clause relation, same match predicate as query_ext.percolate."""
+    rows = []
+    for qid, spec in sorted(queries.items()):
+        for t in sorted(set(spec.get("must") or [])):
+            rows.append((qid, t, "m"))
+        for t in sorted(set(spec.get("should") or [])):
+            rows.append((qid, t, "s"))
+        for t in sorted(set(spec.get("must_not") or [])):
+            rows.append((qid, t, "n"))
+    vals = ", ".join(
+        f"('{q}', '{t.replace(chr(39), chr(39) * 2)}', '{c}')" for q, t, c in rows
+    )
+    nm = ", ".join(
+        f"('{qid}', {len(set(spec.get('must') or []))}, "
+        f"{1 if spec.get('should') else 0})"
+        for qid, spec in sorted(queries.items())
+    )
+    return f"""
+WITH {_TF_CTES},
+q(qid, term, clause) AS (VALUES {vals}),
+nm(qid, n_must, has_should) AS (VALUES {nm}),
+cov AS (
+  SELECT tf.doc_id, q.qid,
+         count(DISTINCT CASE WHEN q.clause = 'm' THEN q.term END) AS m,
+         count(DISTINCT CASE WHEN q.clause = 's' THEN q.term END) AS s,
+         count(DISTINCT CASE WHEN q.clause = 'n' THEN q.term END) AS n
+  FROM tf JOIN q USING (term)
+  GROUP BY tf.doc_id, q.qid
+)
+SELECT doc_id, cov.qid AS qid
+FROM cov JOIN nm ON nm.qid = cov.qid
+WHERE m = n_must AND (has_should = 0 OR s > 0) AND n = 0
+ORDER BY doc_id, cov.qid
+"""

@@ -912,3 +912,56 @@ def wildcard_bm25(docs: DataFrame, pattern: str, k: int = 10,
     if not terms:
         return docs.sparkSession.createDataFrame([], "rank int, doc_id long, score double")
     return bm25_topk(docs, terms, k=k, text_col=text_col)
+
+
+def percolate(docs: DataFrame, queries: dict[str, dict],
+              text_col: str = "text") -> DataFrame:
+    """ES percolator (reverse search): match every document against a set
+    of STORED queries — the alerting/routing primitive (saved searches fire
+    on incoming docs). ``queries``: qid → {"must": [...], "should": [...],
+    "must_not": [...]} (same bool dialect as bool_bm25, unscored).
+
+    A doc matches a query iff it contains ALL must terms, ≥1 should term
+    (when any are given), and NO must_not term. Returns (doc_id, qid),
+    ordered.
+
+    Scale shape: ONE pass over the doc tf relation joined against the
+    broadcast (qid, term, clause) relation, then a per-(doc, qid) coverage
+    aggregation — never doc × query evaluation loops; cost is
+    O(matching postings), the inverted-percolation shape ES uses."""
+    from .query import doc_term_freqs
+
+    spark = docs.sparkSession
+    rows = []
+    n_must: dict[str, int] = {}
+    for qid, spec in queries.items():
+        must = sorted(set(spec.get("must") or []))
+        should = sorted(set(spec.get("should") or []))
+        must_not = sorted(set(spec.get("must_not") or []))
+        n_must[qid] = len(must)
+        rows += [(qid, t, "m") for t in must]
+        rows += [(qid, t, "s") for t in should]
+        rows += [(qid, t, "n") for t in must_not]
+    q = spark.createDataFrame(rows, "qid string, term string, clause string")
+    nm = spark.createDataFrame(
+        [(qid, n, int(bool(queries[qid].get("should")))) for qid, n in n_must.items()],
+        "qid string, n_must int, has_should int",
+    )
+    tf = doc_term_freqs(docs.selectExpr("doc_id", f"{text_col} as __text"),
+                        "doc_id", "__text")
+    hits = tf.join(F.broadcast(q), "term")
+    cov = hits.groupBy("doc_id", "qid").agg(
+        F.count_distinct(F.when(F.col("clause") == "m", F.col("term"))).alias("__m"),
+        F.count_distinct(F.when(F.col("clause") == "s", F.col("term"))).alias("__s"),
+        F.count_distinct(F.when(F.col("clause") == "n", F.col("term"))).alias("__n"),
+    )
+    return (
+        cov.join(F.broadcast(nm), "qid")
+        .filter(
+            (F.col("__m") == F.col("n_must"))
+            & ((F.col("has_should") == 0) | (F.col("__s") > 0))
+            & (F.col("__n") == 0)
+        )
+        .select("doc_id", "qid")
+        .orderBy("doc_id", "qid")
+    )

@@ -220,3 +220,26 @@ def test_complete_prefix(spark, ddb, docs):
     rows = out.collect()
     assert rows and all(r["term"].startswith("s") for r in rows)
     assert_matches(out, ddb, oracles.complete_prefix_sql("s", 5))
+
+
+def test_percolate(spark, ddb, docs):
+    from fafnir_spark.query_ext import percolate
+
+    queries = {
+        "alert_merge": {"must": ["merge", "window"], "must_not": ["vector"]},
+        "alert_slow": {"must": ["slow"], "should": ["key", "agg"]},
+        "alert_any": {"should": ["batch", "spark"]},
+    }
+    out = percolate(docs, queries)
+    assert_matches(out, ddb, oracles.percolate_sql(queries))
+    # semantics spot-check against a Python reference on a sample
+    sample = {r["doc_id"]: set(r["text"].split()) for r in docs.limit(50).collect()}
+    got = {(r["doc_id"], r["qid"]) for r in out.collect()}
+    for d, toks in sample.items():
+        for qid, spec in queries.items():
+            want = (
+                all(t in toks for t in spec.get("must", []))
+                and (not spec.get("should") or any(t in toks for t in spec["should"]))
+                and not any(t in toks for t in spec.get("must_not", []))
+            )
+            assert ((d, qid) in got) == want, (d, qid)
