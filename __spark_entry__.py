@@ -601,6 +601,21 @@ PERC_QUERIES = {
 }
 
 
+RANK_EVAL_Q = {
+    "q_mwc": ["merge", "window", "customer"],
+    "q_sk": ["slow", "key"],
+    "q_vb": ["vector", "batch"],
+}
+
+
+def _q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rank_eval: precision@k / MRR / NDCG@k per query against
+    deterministic conjunctive-relevance judgments."""
+    from fafnir_spark.query_ext import rank_eval
+
+    return rank_eval(_docs(spark, sf_dir), RANK_EVAL_Q, k=10)
+
+
 def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percolator: every doc matched against stored saved-search
     queries — one tf pass joined to the broadcast clause relation."""
@@ -995,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_boost_indexed": _q_query_string_boost_indexed,
         "wildcard_bm25": _q_wildcard,
         "percolate": _q_percolate,
+        "rank_eval": _q_rank_eval,
         "explain_score": _q_explain_score,
         "term_vectors": _q_term_vectors,
         "proximity_rescore": _q_proximity_rescore,
@@ -1106,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "query_string_boost_indexed": oracles.search_text_sql(QS_BOOST, k=10),
         "wildcard_bm25": oracles.wildcard_bm25_sql("me*e", k=10),
         "percolate": oracles.percolate_sql(PERC_QUERIES),
+        "rank_eval": oracles.rank_eval_sql(RANK_EVAL_Q, k=10),
         "explain_score": oracles.explain_sql(Q_MAIN, 42),
         "term_vectors": oracles.term_vectors_sql(42),
         "proximity_rescore": oracles.proximity_rescore_sql(Q_MAIN, k=10, rescore_n=50),

@@ -972,3 +972,65 @@ FROM cov JOIN nm ON nm.qid = cov.qid
 WHERE m = n_must AND (has_should = 0 OR s > 0) AND n = 0
 ORDER BY doc_id, cov.qid
 """
+
+
+def rank_eval_sql(queries: dict[str, list[str]], k: int = 10) -> str:
+    """_rank_eval oracle: per-qid BM25 top-k (same rank-identity order),
+    conjunctive-relevance judgments, precision@k / MRR / NDCG@k with the
+    SAME ln(1+rank)/ln2 discount text as the Spark side."""
+    import math
+
+    ln2 = float(math.log(2.0))
+    ranked_blocks, rel_blocks = [], []
+    for qid, terms in sorted(queries.items()):
+        tin = _terms_in(terms)
+        nt = len(set(terms))
+        ranked_blocks.append(f"""
+  SELECT '{qid}' AS qid, rank, doc_id FROM (
+    SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+           doc_id
+    FROM (
+      SELECT tf.doc_id,
+             sum( ln(1 + (stats.n_docs - d.df + 0.5) / (d.df + 0.5))
+                  * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+                ) AS raw_score
+      FROM tf
+      JOIN (SELECT term, count(*) AS df FROM tf WHERE term IN {tin} GROUP BY term) d
+        USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+  ) WHERE rank <= {k}""")
+        rel_blocks.append(f"""
+  SELECT '{qid}' AS qid, doc_id FROM tf
+  WHERE term IN {tin} GROUP BY doc_id HAVING count(*) = {nt}""")
+    ranked = "\n  UNION ALL".join(ranked_blocks)
+    rel = "\n  UNION ALL".join(rel_blocks)
+    return f"""
+WITH {_TF_CTES},
+ranked AS ({ranked}),
+rel AS ({rel}),
+nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+pr AS (
+  SELECT ranked.qid AS qid, ranked.rank AS rank,
+         CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS r
+  FROM ranked LEFT JOIN rel
+    ON rel.qid = ranked.qid AND rel.doc_id = ranked.doc_id
+),
+agg AS (
+  SELECT qid,
+         sum(r) / {float(k)} AS p,
+         max(CASE WHEN r = 1 THEN 1.0 / rank ELSE 0.0 END) AS mrr,
+         sum(r / (ln(1.0 + rank) / {ln2})) AS dcg
+  FROM pr GROUP BY qid
+)
+SELECT agg.qid AS qid, n_rel,
+       round(p, 6) AS precision_k,
+       round(mrr, 6) AS mrr,
+       round(dcg / list_sum(list_transform(
+         range(1, least(n_rel, {k}) + 1),
+         rr -> 1.0 / (ln(1.0 + rr) / {ln2}))), 6) AS ndcg_k
+FROM agg JOIN nrel USING (qid)
+ORDER BY qid
+"""

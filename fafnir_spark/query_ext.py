@@ -965,3 +965,58 @@ def percolate(docs: DataFrame, queries: dict[str, dict],
         .select("doc_id", "qid")
         .orderBy("doc_id", "qid")
     )
+
+
+def rank_eval(docs: DataFrame, queries: dict[str, list[str]], k: int = 10,
+              text_col: str = "text") -> DataFrame:
+    """ES _rank_eval analog: precision@k, MRR and NDCG@k for each query
+    against DETERMINISTIC judgments — a doc is relevant to a query iff it
+    contains ALL the query's terms (the conjunctive-match relevance proxy;
+    real deployments join human judgments instead — same plan, different
+    judgment relation).
+
+    (qid, n_rel, precision_k, mrr, ndcg_k) with floats rounded to 6.
+    Ideal DCG uses min(n_rel, k) unit gains; log2 discounts are written as
+    ln(1+rank)/ln(2) in BOTH engines (operand-order parity)."""
+    from .query import bm25_topk_batch, conjunctive_match
+
+    ranked = bm25_topk_batch(docs, queries, k=k, text_col=text_col)
+    rel = None
+    for qid, terms in sorted(queries.items()):
+        r = conjunctive_match(docs, terms, text_col=text_col).select(
+            F.lit(qid).alias("qid"), "doc_id"
+        )
+        rel = r if rel is None else rel.unionByName(r)
+    n_rel = rel.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = ranked.join(rel.withColumn("__rel", F.lit(1)), ["qid", "doc_id"], "left")
+    per_rank = hits.select(
+        "qid", "rank", F.coalesce(F.col("__rel"), F.lit(0)).alias("rel")
+    )
+    ln2 = float(__import__("math").log(2.0))
+    agg = per_rank.groupBy("qid").agg(
+        (F.sum("rel") / F.lit(float(k))).alias("__p"),
+        F.max(
+            F.when(F.col("rel") == 1, F.lit(1.0) / F.col("rank")).otherwise(F.lit(0.0))
+        ).alias("__mrr"),
+        F.sum(
+            F.col("rel") / (F.log(F.lit(1.0) + F.col("rank")) / F.lit(ln2))
+        ).alias("__dcg"),
+    )
+    idcg = n_rel.select(
+        "qid", "n_rel",
+        F.expr(
+            f"aggregate(sequence(1, least(n_rel, {k})), cast(0.0 as double), "
+            f"(acc, r) -> acc + 1.0 / (ln(1.0 + r) / {ln2}))"
+        ).alias("__idcg"),
+    )
+    return (
+        agg.join(idcg, "qid")
+        .select(
+            "qid",
+            "n_rel",
+            F.round("__p", 6).alias("precision_k"),
+            F.round("__mrr", 6).alias("mrr"),
+            F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg_k"),
+        )
+        .orderBy("qid")
+    )

@@ -243,3 +243,17 @@ def test_percolate(spark, ddb, docs):
                 and not any(t in toks for t in spec.get("must_not", []))
             )
             assert ((d, qid) in got) == want, (d, qid)
+
+
+def test_rank_eval(spark, ddb, docs):
+    from fafnir_spark.query_ext import rank_eval
+
+    queries = {"q_mwc": Q, "q_sk": ["slow", "key"]}
+    out = rank_eval(docs, queries, k=10)
+    rows = {r["qid"]: r for r in out.collect()}
+    assert set(rows) == set(queries)
+    for r in rows.values():
+        assert 0.0 <= r["precision_k"] <= 1.0
+        assert 0.0 <= r["mrr"] <= 1.0
+        assert 0.0 <= r["ndcg_k"] <= 1.0 + 1e-9
+    assert_matches(out, ddb, oracles.rank_eval_sql(queries, k=10))
