@@ -226,3 +226,51 @@ def stream_session_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_cdc_apply(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    index_root: str,
+    tokenizer: str = "whitespace",
+) -> None:
+    """CDC ingestion: a stream of change rows (op, doc_id, text) applied to
+    a published index via foreachBatch — op 'u' rows upsert (stable-id
+    replace-or-insert), op 'd' rows delete. Within one micro-batch upserts
+    apply BEFORE deletes (a delete in the same batch wins, matching
+    last-write-wins tombstone merge). Each batch commits snapshots through
+    the normal maintenance path, so time travel and the CommitConflict CAS
+    hold for streaming writers too."""
+    from .build import normalize_docs
+    from .incremental import delete_docs, upsert_docs
+
+    stream = spark.readStream.schema(
+        "op string, doc_id long, text string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        ups = batch_df.filter(F.col("op") == "u").select("doc_id", "text")
+        if ups.limit(1).count():
+            upsert_docs(
+                spark,
+                normalize_docs(ups, id_col="doc_id", text_col="text"),
+                index_root,
+                segment=f"cdc-{batch_id}",
+                tokenizer=tokenizer,
+            )
+        dels = [
+            int(r["doc_id"])
+            for r in batch_df.filter(F.col("op") == "d").select("doc_id")
+            .distinct().collect()
+        ]
+        if dels:
+            delete_docs(spark, index_root, dels)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
