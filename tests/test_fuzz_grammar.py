@@ -26,7 +26,8 @@ def _gen_query(rng: random.Random) -> str:
     n_scored = rng.randint(1, 3)
     for _ in range(n_scored):
         t = rng.choice(VOCAB)
-        parts.append(rng.choice(["", "+"]) + t)
+        boost = f"^{rng.choice([0.5, 2, 3.5])}" if rng.random() < 0.3 else ""
+        parts.append(rng.choice(["", "+"]) + t + boost)
     if rng.random() < 0.4:
         parts.append("-" + rng.choice(VOCAB))
     if rng.random() < 0.35:
