@@ -164,7 +164,7 @@ def test_parse_query_grammar():
     assert spec == {
         "must": ["merge"], "should": ["window"], "must_not": ["vector"],
         "phrases": [["key", "agg"]], "neg_phrases": [], "prefixes": ["cust"],
-        "filters": ["source:src3"], "ranges": [],
+        "filters": ["source:src3"], "ranges": [], "boosts": {},
     }
     # -"phrase" is a negated phrase (exclusion); +"phrase" == "phrase"
     spec2 = parse_query('"multi word here" -"x y"')
