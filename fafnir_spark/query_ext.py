@@ -977,7 +977,9 @@ def rank_eval(docs: DataFrame, queries: dict[str, list[str]], k: int = 10,
 
     (qid, n_rel, precision_k, mrr, ndcg_k) with floats rounded to 6.
     Ideal DCG uses min(n_rel, k) unit gains; log2 discounts are written as
-    ln(1+rank)/ln(2) in BOTH engines (operand-order parity)."""
+    ln(1+rank)/ln(2) in BOTH engines (operand-order parity). A query with
+    ZERO relevant docs has no defined metrics and is omitted from the
+    output (inner join against the judgment counts — same in the oracle)."""
     from .query import bm25_topk_batch, conjunctive_match
 
     ranked = bm25_topk_batch(docs, queries, k=k, text_col=text_col)
