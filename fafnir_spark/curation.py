@@ -71,12 +71,18 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = 3,
     60-bit key, count per doc."""
     tg = ngram_keys(train, n, id_col, text_col)
     bg = ngram_keys(benchmark, n, id_col, text_col).select("g").distinct()
-    totals = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    shared = tg.join(bg, "g").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shared")
-    )
+    # ONE pass over the train shingles: left-join the (distinct) benchmark
+    # keys and count totals + hits in the same aggregation — the
+    # two-branch form re-tokenized and re-hashed the whole train side
+    # twice (measured 2x cost at sf0.1)
+    marked = tg.join(bg.withColumn("__hit", F.lit(1)), "g", "left")
     return (
-        totals.join(shared, "doc_id")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.col("__hit")).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
         .select(
             "doc_id",
             "n_grams",

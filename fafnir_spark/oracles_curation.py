@@ -55,17 +55,16 @@ WITH {_TOKS},
 {_ngrams(n)},
 train AS (SELECT * FROM grams WHERE {_pmod("doc_id", bench_mod)} <> 0),
 bench AS (SELECT DISTINCT g FROM grams WHERE {_pmod("doc_id", bench_mod)} = 0),
-totals AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM train GROUP BY doc_id
-),
-shared AS (
-  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
-  FROM train t JOIN bench b USING (g)
+agg AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(b.g) AS BIGINT) AS n_shared
+  FROM train t LEFT JOIN bench b USING (g)
   GROUP BY t.doc_id
 )
-SELECT totals.doc_id, n_grams, n_shared,
+SELECT doc_id, n_grams, n_shared,
        round(n_shared / n_grams, 6) AS shared_frac
-FROM totals JOIN shared USING (doc_id)
+FROM agg WHERE n_shared > 0
 ORDER BY doc_id
 """
 
