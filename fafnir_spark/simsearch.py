@@ -22,6 +22,10 @@ No Python UDFs — everything is array expressions.
 from __future__ import annotations
 
 import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -30,6 +34,55 @@ from pyspark.sql.window import Window
 from .dedup import cosine_expr
 
 DIM = 64
+
+
+def _topk_per_qid(scored: DataFrame, k: int) -> DataFrame:
+    """Exact two-level top-k of a (qid, vec_id, cos) relation — the ES
+    per-shard-heap + coordinator-merge shape (same argument as
+    query.bm25_topk's TakeOrderedAndProject / wand._part_scorer):
+
+      level 1: sortWithinPartitions (local sort, NO shuffle) + a streaming
+               head-k per (partition, qid) in mapInPandas — O(k) state,
+               vectorized run-length bookkeeping, batches never buffered.
+      level 2: the rank window runs over ≤ k × n_partitions candidate rows
+               per qid instead of the full scored relation.
+
+    Identical results to a global per-qid window (same ordering, candidates
+    are a superset of the global top-k). Returns (qid, rank, vec_id, cos)
+    ordered."""
+    schema = scored.schema
+
+    def head_k(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_qid = None
+        carry_n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf["qid"].to_numpy()
+            new_run = np.concatenate(([True], qids[1:] != qids[:-1]))
+            run_id = np.cumsum(new_run) - 1
+            idx = np.arange(len(pdf))
+            pos_in_run = idx - idx[new_run][run_id]
+            if carry_qid is not None and qids[0] == carry_qid:
+                pos_in_run = pos_in_run + np.where(run_id == 0, carry_n, 0)
+            carry_qid = qids[-1]
+            carry_n = int(pos_in_run[-1]) + 1
+            out = pdf.loc[pos_in_run < k]
+            if len(out):
+                yield out
+
+    cand = (
+        scored.sortWithinPartitions(
+            "qid", F.col("cos").desc(), F.col("vec_id").asc()
+        ).mapInPandas(head_k, schema=schema)
+    )
+    w = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    )
+    return (
+        cand.withColumn("rank", w).filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos").orderBy("qid", "rank")
+    )
 
 
 def _h60(s: str) -> int:
@@ -87,10 +140,33 @@ def cosine_topk(
         F.col(id_col).alias("vec_id"),
         F.round(cosine_expr(F.col(vec_col), F.col("qv")), 6).alias("cos"),
     )
-    w = F.row_number().over(Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
-    return (
-        scored.withColumn("rank", w).filter(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", "cos").orderBy("qid", "rank")
+    return _topk_per_qid(scored, k)
+
+
+def _assign_to_centroids(
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, v, centroid_id): every vector to its max-cosine centroid
+    (ties: centroid_id asc), sort-free — ``groupBy(vec_id).agg(max_by)``
+    instead of a row_number window, so the partial (map-side) aggregate
+    collapses the |corpus|×n_centroids scored rows to one row per vector
+    BEFORE the shuffle and no Sort node appears above the assignment join.
+    Ordering key (ccos, -centroid_id) is unique per pair → deterministic."""
+    scored = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine_expr(F.col("v"), F.col("cv")), 6))
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("centroid_id"), F.col("v")),
+            F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("__nc")),
+        ).alias("__best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("__best.v").alias("v"),
+        F.col("__best.centroid_id").alias("centroid_id"),
     )
 
 
@@ -124,18 +200,7 @@ def ivf_cosine_topk(
     cents = emb.filter(F.col(id_col).isin(cids)).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
     )
-    # assignment: every vector to its best centroid (ties: centroid_id asc)
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id").asc()
-    )
-    assigned = (
-        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("ccos", F.round(cosine_expr(F.col("v"), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "centroid_id")
-    )
+    assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
     q = spark.createDataFrame(
         [(qid, [float(x) for x in v]) for qid, v in query_vecs.items()],
         "qid string, qv array<double>",
@@ -149,14 +214,10 @@ def ivf_cosine_topk(
         .select("qid", "qv", "centroid_id")
     )
     cand = assigned.join(F.broadcast(probes), "centroid_id").select("qid", "vec_id", "v", "qv")
-    rank_w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        cand.select("qid", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos"))
-        .withColumn("rank", F.row_number().over(rank_w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", "cos")
-        .orderBy("qid", "rank")
+    scored = cand.select(
+        "qid", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos")
     )
+    return _topk_per_qid(scored, k)
 
 
 def lsh_cosine_topk(
@@ -198,11 +259,7 @@ def lsh_cosine_topk(
     scored = cand.select(
         "qid", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos")
     )
-    w = F.row_number().over(Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
-    return (
-        scored.withColumn("rank", w).filter(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", "cos").orderBy("qid", "rank")
-    )
+    return _topk_per_qid(scored, k)
 
 
 def build_ivf_index(
@@ -226,17 +283,7 @@ def build_ivf_index(
     cents = emb.filter(F.col(id_col).isin(cids)).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
     )
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id").asc()
-    )
-    assigned = (
-        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("ccos", F.round(cosine_expr(F.col("v"), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "centroid_id")
-    )
+    assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
     cat.write_segment(assigned, "ivf_assign", "base", partition_by=["centroid_id"])
     cat.write_segment(cents.coalesce(1), "ivf_centroids", "base")
     cat.publish(
@@ -278,14 +325,10 @@ def ivf_search(
     probe_ids = sorted({int(r["centroid_id"]) for r in probes.select("centroid_id").collect()})
     assigned = cat.read_table(spark, "ivf_assign").filter(F.col("centroid_id").isin(probe_ids))
     cand = assigned.join(F.broadcast(probes), "centroid_id").select("qid", "vec_id", "v", "qv")
-    rank_w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        cand.select("qid", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos"))
-        .withColumn("rank", F.row_number().over(rank_w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", "cos")
-        .orderBy("qid", "rank")
+    scored = cand.select(
+        "qid", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos")
     )
+    return _topk_per_qid(scored, k)
 
 
 def hybrid_rrf(
@@ -348,17 +391,7 @@ def append_ivf(
     cat = Catalog(index_root)
     m = cat.read_manifest()
     cents = cat.read_table(spark, "ivf_centroids")
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id").asc()
-    )
-    assigned = (
-        emb_new.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("ccos", F.round(cosine_expr(F.col("v"), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "centroid_id")
-    )
+    assigned = _assign_to_centroids(emb_new, cents, id_col, vec_col)
     seg = f"add-{uuid.uuid4().hex[:8]}"
     cat.write_segment(assigned, "ivf_assign", seg, partition_by=["centroid_id"])
     tables = dict(m["tables"])

@@ -315,3 +315,38 @@ def test_curation_plans_have_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     cplan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in cplan and "CartesianProduct" not in cplan
+
+
+def test_ann_topk_is_two_level(spark):
+    """ANN finals must never funnel the full scored relation through one
+    per-qid window reducer (the round-3 weak item): level-1 head-k runs in
+    mapInPandas over locally-sorted partitions (no shuffle), and the rank
+    Window consumes ONLY its ≤ k×n_parts candidate output — asserted by
+    string order, mirroring the TakeOrderedAndProject check. The IVF
+    assignment must be the sort-free max_by aggregate: no Window node
+    anywhere in its subtree."""
+    from fafnir_spark.simsearch import (
+        _assign_to_centroids,
+        cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float((i * 37) % 13 - 6) for i in range(64)]
+    for name, df in {
+        "brute": cosine_topk(emb, {"q0": qv}, k=5),
+        "lsh": lsh_cosine_topk(emb, {"q0": qv}, k=5),
+        "ivf": ivf_cosine_topk(emb, {"q0": qv}, k=5, n_centroids=4, nprobe=2),
+    }.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, name
+        assert plan.index("Window") < plan.index("MapInPandas"), name
+    cents = emb.limit(4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    ap = (
+        _assign_to_centroids(emb, cents, "vec_id", "embedding")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in ap
