@@ -979,16 +979,31 @@ def rank_eval(docs: DataFrame, queries: dict[str, list[str]], k: int = 10,
     Ideal DCG uses min(n_rel, k) unit gains; log2 discounts are written as
     ln(1+rank)/ln(2) in BOTH engines (operand-order parity). A query with
     ZERO relevant docs has no defined metrics and is omitted from the
-    output (inner join against the judgment counts — same in the oracle)."""
-    from .query import bm25_topk_batch, conjunctive_match
+    output (inner join against the judgment counts — same in the oracle).
 
+    Judgments are built in ONE corpus pass for the whole query set — the
+    percolate shape (broadcast (qid, term) relation ⋈ tf, then a
+    per-(doc, qid) coverage == n_terms gate), never one conjunctive_match
+    scan per query."""
+    from .query import bm25_topk_batch, doc_term_freqs
+
+    spark = docs.sparkSession
     ranked = bm25_topk_batch(docs, queries, k=k, text_col=text_col)
-    rel = None
-    for qid, terms in sorted(queries.items()):
-        r = conjunctive_match(docs, terms, text_col=text_col).select(
-            F.lit(qid).alias("qid"), "doc_id"
-        )
-        rel = r if rel is None else rel.unionByName(r)
+    qrows = [(qid, t) for qid, ts in sorted(queries.items()) for t in sorted(set(ts))]
+    q = spark.createDataFrame(qrows, "qid string, term string")
+    nt = spark.createDataFrame(
+        [(qid, len(set(ts))) for qid, ts in sorted(queries.items())],
+        "qid string, n_terms int",
+    )
+    tf = doc_term_freqs(docs, "doc_id", text_col)
+    rel = (
+        tf.join(F.broadcast(q), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__cov"))
+        .join(F.broadcast(nt), "qid")
+        .filter(F.col("__cov") == F.col("n_terms"))
+        .select("qid", "doc_id")
+    )
     n_rel = rel.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
     hits = ranked.join(rel.withColumn("__rel", F.lit(1)), ["qid", "doc_id"], "left")
     per_rank = hits.select(

@@ -350,3 +350,20 @@ def test_ann_topk_is_two_level(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in ap
+
+
+def test_rank_eval_single_judgment_pass(spark):
+    """rank_eval judgments come from ONE broadcast (qid, term) ⋈ tf pass
+    for the whole query set (percolate shape): the number of parquet scans
+    in the physical plan must not grow with the number of queries."""
+    from fafnir_spark.query_ext import rank_eval
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q2 = {"a": ["merge", "window"], "b": ["spark"]}
+    q5 = {**q2, "c": ["slow"], "d": ["vector", "batch"], "e": ["customer"]}
+    scans = {
+        n: rank_eval(docs, qs, k=5)
+        ._jdf.queryExecution().executedPlan().toString().count("FileScan")
+        for n, qs in (("q2", q2), ("q5", q5))
+    }
+    assert scans["q2"] == scans["q5"], scans
