@@ -291,6 +291,23 @@ class Catalog:
             df = df.unionByName(spark.read.parquet(s), allowMissingColumns=True)
         return df
 
+    def read_dictionary(self, spark: SparkSession, snapshot: dict | None = None) -> DataFrame:
+        """The logical term dictionary: per-segment dictionary files with
+        df/cf summed per term — Lucene's merge-at-read (df and cf are
+        additive across segments by dictionary_from_postings semantics), so
+        an append publishes only ITS segment's vocabulary instead of
+        rewriting the global dictionary. Fresh builds / compactions have a
+        single segment and skip the aggregate; with multiple segments a
+        term-isin/prefix filter still pushes below the groupBy to the
+        term-sorted parquet scans."""
+        from pyspark.sql import functions as F
+
+        m = snapshot or self.read_manifest()
+        d = self.read_table(spark, "dictionary", snapshot=m)
+        if len(m["tables"].get("dictionary", [])) <= 1:
+            return d
+        return d.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+
     def live_doc_map(self, spark: SparkSession, snapshot: dict | None = None) -> DataFrame:
         """doc_map restricted to LIVE rows.
 

@@ -89,7 +89,7 @@ def search_federated(
     gdf: dict[str, int] = {}
     for c, m in zip(cats, manifests):
         drows = (
-            c.read_table(spark, "dictionary", snapshot=m)
+            c.read_dictionary(spark, snapshot=m)
             .filter(F.col("term").isin(all_terms))
             .collect()
         )

@@ -190,13 +190,13 @@ def append_index(
     )
     tokenized.unpersist()
 
-    # incremental dictionary merge: df and cf are ADDITIVE across segments
-    # (tombstone adjustment waits for compaction, ES-faithful stale df), so
-    # derive the NEW segment's (term, df, cf) alone and sum with the
-    # published dictionary — a point append/upsert/micro-batch never rescans
-    # prior postings. The reference applies keyed updates without corpus
-    # rescans (tripadvisor2mimir.rs:112-165); Lucene merges per-segment
-    # term dictionaries the same way.
+    # per-segment dictionary, merged AT READ (Lucene shape): df and cf are
+    # ADDITIVE across segments (tombstone adjustment waits for compaction,
+    # ES-faithful stale df), so the append publishes ONLY the new segment's
+    # (term, df, cf) — O(new-segment vocab) bytes written, never a rewrite
+    # of the global dictionary (at code-corpus vocab that rewrite is a
+    # full-dictionary shuffle per micro-batch). Readers aggregate via
+    # Catalog.read_dictionary; compaction folds segments back to one.
     from .build import dictionary_from_postings
 
     tables = dict(m["tables"])
@@ -207,15 +207,9 @@ def append_index(
     new_dict = dictionary_from_postings(
         spark.read.parquet(cat.segment_dir("postings", segment))
     )
-    old_dict = spark.read.parquet(*m["tables"]["dictionary"]).select("term", "df", "cf")
-    merged = (
-        old_dict.unionByName(new_dict)
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-    )
-    dict_seg = f"merged-{segment}-{uuid.uuid4().hex[:6]}"
-    cat.write_segment(merged, "dictionary", dict_seg, sort_within_by=["term"])
-    tables["dictionary"] = [cat.segment_dir("dictionary", dict_seg)]
+    dict_seg = f"seg-{segment}-{uuid.uuid4().hex[:6]}"
+    cat.write_segment(new_dict, "dictionary", dict_seg, sort_within_by=["term"])
+    tables["dictionary"] = tables["dictionary"] + [cat.segment_dir("dictionary", dict_seg)]
 
     # stats merge is additive too: count + exact integer dl-sum of the NEW
     # doc_map segment only; avgdl = sum_dl/n_docs (deterministic, partition-

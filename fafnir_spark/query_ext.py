@@ -421,7 +421,7 @@ def more_like_this_indexed(
     tf_df = spark.createDataFrame(
         [(t, int(c)) for t, c in zip(terms_l, tfs_l)], "term string, tf int"
     )
-    d = cat.read_table(spark, "dictionary", snapshot=manifest).filter(
+    d = cat.read_dictionary(spark, snapshot=manifest).filter(
         F.col("term").isin(sorted(terms_l))
     )
     scored = tf_df.join(d, "term").withColumn(
@@ -515,7 +515,7 @@ def fuzzy_bm25_indexed(spark, index_root: str, qterms: list[str], k: int = 10,
 
     cat = Catalog(index_root)
     manifest = cat.manifest_at(snapshot_id)
-    vocab = cat.read_table(spark, "dictionary", snapshot=manifest).select("term")
+    vocab = cat.read_dictionary(spark, snapshot=manifest).select("term")
     terms = fuzzy_expand(vocab, qterms, max_edits)
     if not terms:
         return spark.createDataFrame([], "rank int, doc_id long, score double")
@@ -585,7 +585,7 @@ def suggest_terms_indexed(spark, index_root: str, term: str, k: int = 5,
 
     cat = Catalog(index_root)
     manifest = cat.manifest_at(snapshot_id)
-    d = cat.read_table(spark, "dictionary", snapshot=manifest).select("term", "df")
+    d = cat.read_dictionary(spark, snapshot=manifest).select("term", "df")
     cands = [t for t in fuzzy_expand(d.select("term"), [term]) if t != term]
     if not cands:
         return spark.createDataFrame([], "rk int, term string, df long")

@@ -659,7 +659,7 @@ def phrase_bm25(
         "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int")
     )
     all_terms = sorted({t for ts in phrases.values() for t in ts})
-    drows = cat.read_table(spark, "dictionary", snapshot=manifest).filter(
+    drows = cat.read_dictionary(spark, snapshot=manifest).filter(
         F.col("term").isin(all_terms)
     ).collect()
     n_docs = stats["n_docs"]
@@ -959,7 +959,7 @@ def bool_search(
         for key in ("must", "should")
         for t in (spec.get(key) or [])
     })
-    drows = cat.read_table(spark, "dictionary", snapshot=manifest).filter(
+    drows = cat.read_dictionary(spark, snapshot=manifest).filter(
         F.col("term").isin(scored_terms)
     ).collect()
     n_docs = stats["n_docs"]
@@ -1116,7 +1116,7 @@ class Searcher:
         unknown = [t for t in terms if t not in self._dfs and t not in self._missing]
         if unknown:
             rows = (
-                self.cat.read_table(self.spark, "dictionary", snapshot=self.manifest)
+                self.cat.read_dictionary(self.spark, snapshot=self.manifest)
                 .filter(F.col("term").isin(unknown))
                 .collect()
             )
@@ -1234,7 +1234,7 @@ def expand_prefix_indexed(
     time-travel query never mixes current terms with snapshot postings."""
     cat = Catalog(index_root)
     rows = (
-        cat.read_table(spark, "dictionary", snapshot=cat.manifest_at(snapshot_id))
+        cat.read_dictionary(spark, snapshot=cat.manifest_at(snapshot_id))
         .filter(F.col("term").startswith(prefix))
         .select("term")
         .collect()
@@ -1262,7 +1262,7 @@ def run_queries(
     stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
     all_terms = sorted({t for ts in queries.values() for t in ts})
 
-    dictionary = cat.read_table(spark, "dictionary", snapshot=manifest).filter(
+    dictionary = cat.read_dictionary(spark, snapshot=manifest).filter(
         F.col("term").isin(all_terms)
     )
     n_docs = stats["n_docs"]
@@ -1313,7 +1313,7 @@ def index_stats(spark: SparkSession, index_root: str,
     cat = Catalog(index_root)
     manifest = cat.manifest_at(snapshot_id)
     stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
-    d = cat.read_table(spark, "dictionary", snapshot=manifest)
+    d = cat.read_dictionary(spark, snapshot=manifest)
     return (
         d.agg(
             F.count(F.lit(1)).cast("long").alias("n_terms"),
@@ -1347,7 +1347,7 @@ def search_after_indexed(
     manifest = cat.manifest_at(snapshot_id)
     stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
     qterms = sorted(set(terms))
-    drows = cat.read_table(spark, "dictionary", snapshot=manifest).filter(
+    drows = cat.read_dictionary(spark, snapshot=manifest).filter(
         F.col("term").isin(qterms)
     ).collect()
     n_docs = stats["n_docs"]

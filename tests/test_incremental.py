@@ -53,11 +53,12 @@ def test_append_equals_full_build(spark, tmp_path, split_docs):
 
 
 def test_append_merges_dictionary_incrementally(spark, tmp_path, split_docs, monkeypatch):
-    """A point append must NOT rescan prior posting segments: the new
-    segment's (term, df, cf) is derived alone and additively merged with
-    the published dictionary. Spied via the postings DataFrame's input
-    files — all of them must live under the new segment's directory —
-    and value-checked against a full re-derivation."""
+    """A point append must NOT rescan prior posting segments NOR rewrite
+    the global dictionary: the new segment's (term, df, cf) is derived
+    alone (spied via the postings DataFrame's input files) and published as
+    its OWN dictionary segment — O(new-segment vocab) rows written, merged
+    at read (Catalog.read_dictionary) — then value-checked against a full
+    re-derivation."""
     import fafnir_spark.build as bmod
     from fafnir_spark.build import dictionary_from_postings
 
@@ -78,10 +79,21 @@ def test_append_merges_dictionary_incrementally(spark, tmp_path, split_docs, mon
                  root, segment="delta1", tokenizer="whitespace")
     assert len(seen) == 1 and seen[0], "dictionary derived exactly once, from files"
     assert all("/postings/seg=delta1/" in f for f in seen[0]), seen[0]
-    # additive merge == full re-derivation over all segments
     cat = Catalog(root)
+    # the append published ONE MORE dictionary segment (no global rewrite),
+    # and the new segment holds exactly the new postings' vocabulary
+    dict_dirs = cat.read_manifest()["tables"]["dictionary"]
+    assert len(dict_dirs) == 2 and "/seg=seg-delta1-" in dict_dirs[1], dict_dirs
+    new_seg_terms = {r["term"] for r in spark.read.parquet(dict_dirs[1]).collect()}
+    delta_terms = {
+        r["term"]
+        for r in spark.read.parquet(cat.segment_dir("postings", "delta1"))
+        .select("term").distinct().collect()
+    }
+    assert new_seg_terms == delta_terms
+    # merge-at-read == full re-derivation over all segments
     merged = {r["term"]: (r["df"], r["cf"])
-              for r in cat.read_table(spark, "dictionary").collect()}
+              for r in cat.read_dictionary(spark).collect()}
     full = {r["term"]: (r["df"], r["cf"])
             for r in dictionary_from_postings(cat.read_table(spark, "postings")).collect()}
     assert merged == full
