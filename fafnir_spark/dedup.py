@@ -2,7 +2,7 @@
 
 All variants are declarative DataFrame plans (JVM expressions; the only
 shuffles are the ones the algorithm inherently needs) with exact DuckDB
-oracles in oracles_ops.py built on the portable md5-based hash家 (portable.py)
+oracles in oracles_ops.py built on the portable md5-based hash family (portable.py)
 so Spark and the oracle compute bit-identical hashes.
 
 Scale notes (100 TB):

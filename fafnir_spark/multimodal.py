@@ -55,6 +55,63 @@ def attach_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding, BGR byte order —
+    the public Windows DIB format). Pure numpy; used to generate golden
+    fixtures and as the inverse of bmp_decode."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row_bytes = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = body.tobytes()
+    import struct
+
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def try_bmp_decode(payload: bytes) -> np.ndarray | None:
+    """Decode an uncompressed 24-bit BMP to an (h, w, 3) uint8 RGB array,
+    or None when the payload is not one. Validation is STRICT (magic,
+    declared file size == actual, BITMAPINFOHEADER, 1 plane, 24 bpp,
+    BI_RGB) so arbitrary binary that merely starts with 'BM' never
+    misroutes into the image path. Handles bottom-up (h > 0) and top-down
+    (h < 0) row order and 4-byte row padding. Pure numpy."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    _, file_size, _, _, data_off = struct.unpack_from("<2sIHHI", payload, 0)
+    (bi_size, w, h, planes, bpp, compression) = struct.unpack_from("<IiiHHI", payload, 14)
+    if (file_size != len(payload) or bi_size != 40 or planes != 1
+            or bpp != 24 or compression != 0 or w <= 0 or h == 0):
+        return None
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    if data_off + row_bytes * h > len(payload):
+        return None
+    body = np.frombuffer(payload, dtype=np.uint8,
+                         count=row_bytes * h, offset=data_off).reshape(h, row_bytes)
+    rows = body[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return rows if top_down else rows[::-1]
+
+
+def decode_media(payload: bytes, modality: str, fake: bool = False) -> np.ndarray:
+    """Decode one payload to its sample array. Real formats first: 24-bit
+    uncompressed BMP decodes genuinely (pure numpy, no libs). Everything
+    else (JPEG/PNG/audio/video) needs decoders absent from this container
+    and falls through to decode_stub."""
+    if modality == "image":
+        px = try_bmp_decode(payload)
+        if px is not None:
+            return px
+    return decode_stub(payload, modality, fake=fake)
+
+
 def decode_stub(payload: bytes, modality: str, fake: bool = False) -> np.ndarray:
     """Decode one payload. Real decoders (PIL/librosa/av) are not available
     in this container — STUB: raises unless ``fake`` requests the
@@ -78,7 +135,14 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_stub(p, m, fake=fake) for p, m in zip(pdf["payload"], pdf["modality"])]
+            feats = []
+            for p, m in zip(pdf["payload"], pdf["modality"]):
+                sample = decode_media(p, m, fake=fake)
+                if sample.ndim > 1:  # real decode (e.g. BMP pixels) → histogram
+                    sample = np.bincount(
+                        sample.reshape(-1).astype(np.int64) % 16, minlength=16
+                    ).astype(np.float64)
+                feats.append(sample)
             n_bytes = pdf["payload"].map(len).astype("int32")
             yield pd.DataFrame(
                 {

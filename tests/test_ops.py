@@ -3,6 +3,7 @@ checked against its DuckDB oracle (same parquet, same math)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -222,3 +223,46 @@ def test_ivf_append(spark, emb, tmp_path):
     # appended + base vectors both reachable
     ids = {r["vec_id"] for r in got}
     assert any(i < 400 for i in ids) or len(ids) == 5
+
+
+def test_bmp_decode_golden(spark):
+    """Genuine image decode: 24-bit uncompressed BMP parsed with pure
+    numpy. Golden checks: byte-exact round-trip through bmp_encode (odd
+    width → 4-byte row padding), hand-built top-down variant, strict
+    validation (text that merely starts with 'BM' must NOT misroute), and
+    extract_features(fake=False) over real BMP payloads — the decode is
+    real, not the histogram stub."""
+    import struct
+
+    from fafnir_spark.multimodal import (
+        bmp_encode,
+        decode_media,
+        extract_features,
+        try_bmp_decode,
+    )
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)  # w=5: padded rows
+    blob = bmp_encode(px)
+    assert blob[:2] == b"BM" and struct.unpack_from("<I", blob, 2)[0] == len(blob)
+    assert np.array_equal(try_bmp_decode(blob), px)
+    # top-down: negative height, rows in natural order
+    td = bytearray(blob)
+    struct.pack_into("<i", td, 22, -3)
+    body = np.zeros((3, 16), dtype=np.uint8)
+    body[:, :15] = px[:, :, ::-1].reshape(3, 15)
+    td[54:] = body.tobytes()
+    assert np.array_equal(try_bmp_decode(bytes(td)), px)
+    # strict validation: 'BM'-prefixed text is not an image
+    assert try_bmp_decode(b"BM25 is a ranking function " * 4) is None
+    with pytest.raises(NotImplementedError):
+        decode_media(b"BM25 is a ranking function " * 4, "image", fake=False)
+    # Spark path, fake=False end-to-end: features = pixel histogram mod 16
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(blob), None)], "doc_id long, modality string, "
+        "payload binary, meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    row = extract_features(media, fake=False).collect()[0]
+    want = np.bincount(px.reshape(-1).astype(np.int64) % 16, minlength=16)
+    assert row["features"] == want.astype(float).tolist()
+    assert row["n_bytes"] == len(blob)
