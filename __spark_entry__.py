@@ -947,6 +947,25 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- fafnir document-pipeline operators (SURVEY.md §2; pipeline.py) ----
 
+def _q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.geo import event_points, point_in_polygon_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return point_in_polygon_join(event_points(events))
+
+
+def _q_zone_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.geo import zone_point_counts
+
+    return zone_point_counts(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_label_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.geo import label_grid_cells
+
+    return label_grid_cells(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -1053,6 +1072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_per_region": _pq("customers_per_region", "spark_sf"),
         "zone_lookup": _pq("zone_lookup", "spark_events"),
         "nearest_zone_top1": _pq("nearest_zone", "spark_events"),
+        "point_in_polygon": _q_point_in_polygon,
+        "zone_point_counts": _q_zone_point_counts,
+        "label_grid_cells": _q_label_grid,
+        "address_labels": _pq("address_labels"),
         "semi_join_docs_events": _pq("docs_with_events", "spark_sf"),
         "event_error_counts": _pq("event_error_counts", "events"),
         "event_sessionization": _pq("user_sessions", "events"),
@@ -1186,6 +1209,10 @@ def oracle_sql() -> dict[str, str]:
         "customers_per_region": oracles_pipeline.customers_per_region_sql(),
         "zone_lookup": oracles_pipeline.zone_lookup_sql(),
         "nearest_zone_top1": oracles_pipeline.nearest_zone_sql(),
+        "point_in_polygon": oracles_pipeline.point_in_polygon_sql(),
+        "zone_point_counts": oracles_pipeline.zone_point_counts_sql(),
+        "label_grid_cells": oracles_pipeline.label_grid_sql(),
+        "address_labels": oracles_pipeline.address_labels_sql(),
         "semi_join_docs_events": oracles_pipeline.docs_with_events_sql(),
         "event_error_counts": oracles_pipeline.event_error_counts_sql(),
         "event_sessionization": oracles_pipeline.user_sessions_sql(),

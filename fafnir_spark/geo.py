@@ -1,0 +1,153 @@
+"""Geospatial operators: point-in-polygon containment and tile-grid keys.
+
+Reference semantics being re-expressed:
+ * AdminGeoFinder.get — geometric point-in-polygon containment against a
+   broadcast polygon set (/root/reference src/mimir.rs:30-38; probe at
+   src/sources/openmaptiles/pois.rs:164). Here the polygon relation enters
+   as a broadcast table and the containment test is the classic ray-cast
+   (crossing-number) check written as pure array expressions.
+ * LabelGrid — tile-grid bucketing of coordinates (/root/reference
+   tests/openmaptiles2mimir/data/functions.sql:129-154): label_grid_expr.
+
+Scale shape (the AdminGeoFinder lesson, Spark-first): the naive form is a
+points × polygons nested-loop — dead at 100 TB of points. Instead each
+point gets a LabelGrid cell key (pure expression), each polygon is expanded
+driver-side into the grid cells its bbox covers (polygons are the tiny
+side), and candidates come from a broadcast EQUI-join on cell_id; the exact
+ray-cast filter then runs only on bbox-cell candidates. Same
+candidates-then-verify shape as the dedup family — no CartesianProduct, no
+BroadcastNestedLoopJoin.
+
+The ray-cast is division-free (t = (x2-x1)(py-y1) - (px-x1)(y2-y1),
+crossing iff the edge straddles py AND t·(y2-y1) > 0), so the arithmetic is
+identical IEEE ops in Spark and the DuckDB oracle — operand order is pinned
+by the shared template (oracles_pipeline.point_in_polygon_sql builds the
+SQL from the SAME constants; never hand-copy).
+
+Boundary semantics: an edge collinear with the test ray (t == 0) never
+counts as a crossing, so points exactly on a boundary resolve
+deterministically (and identically in both engines) from the remaining
+crossings — e.g. a point on a square's left edge is inside.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# (zone, [(x, y), ...]) — simple polygons, mixed convex/concave/overlapping,
+# in the synthetic [0, 10) × [0, 10) point domain. Driver-side constants,
+# templated into BOTH engines (the LSH-hyperplane convention).
+POLYGONS: list[tuple[str, list[tuple[float, float]]]] = [
+    ("alpha", [(1.0, 1.0), (4.0, 1.0), (4.0, 4.0), (1.0, 4.0)]),
+    ("bravo", [(5.0, 5.0), (9.0, 5.0), (9.0, 9.0), (7.0, 9.0), (7.0, 7.0), (5.0, 7.0)]),
+    ("charlie", [(0.0, 6.0), (3.0, 6.0), (0.0, 9.0)]),
+    ("delta", [(3.0, 0.5), (6.0, 0.5), (6.0, 3.5), (3.0, 3.5)]),
+]
+GRID = 2.0
+
+
+def polygon_edges(verts: list[tuple[float, float]]) -> list[tuple[float, float, float, float]]:
+    """Closed edge list [(x1, y1, x2, y2), ...] — vertex i to vertex i+1,
+    wrapping back to vertex 0."""
+    n = len(verts)
+    return [(*verts[i], *verts[(i + 1) % n]) for i in range(n)]
+
+
+def polygon_cells(verts: list[tuple[float, float]], grid: float = GRID) -> list[tuple[int, int]]:
+    """Grid cells covered by the polygon's bounding box (driver-side; a
+    SUPERSET of the true coverage is fine — the exact ray-cast filter
+    decides membership, the cells only prune candidates)."""
+    xs, ys = [v[0] for v in verts], [v[1] for v in verts]
+    return [
+        (cx, cy)
+        for cx in range(math.floor(min(xs) / grid), math.floor(max(xs) / grid) + 1)
+        for cy in range(math.floor(min(ys) / grid), math.floor(max(ys) / grid) + 1)
+    ]
+
+
+def label_grid_expr(x: F.Column, y: F.Column, grid: float = GRID) -> F.Column:
+    """LabelGrid analog: tile-grid cell key 'gx_gy' of a coordinate
+    (functions.sql:129-154 buckets label points the same way)."""
+    return F.concat_ws(
+        "_",
+        F.floor(x / F.lit(grid)).cast("long"),
+        F.floor(y / F.lit(grid)).cast("long"),
+    )
+
+
+def event_points(events: DataFrame) -> DataFrame:
+    """Deterministic synthetic coordinates from the events table:
+    (pid, px, py) in [0, 10) × [0, 10). pmod keeps negative ids safe."""
+    return events.select(
+        F.col("event_id").alias("pid"),
+        (F.pmod(F.col("event_id"), F.lit(100)) / F.lit(10.0)).alias("px"),
+        (F.pmod(F.col("user_id"), F.lit(100)) / F.lit(10.0)).alias("py"),
+    )
+
+
+def _crossings(px: F.Column, py: F.Column) -> F.Column:
+    """Ray-cast crossing count of (px, py) against the zipped edge arrays
+    (columns x1s/y1s/x2s/y2s) — division-free, pure array expressions."""
+
+    def step(acc, e):
+        t = (e["x2s"] - e["x1s"]) * (py - e["y1s"]) - (px - e["x1s"]) * (e["y2s"] - e["y1s"])
+        crossing = ((e["y1s"] > py) != (e["y2s"] > py)) & ((t * (e["y2s"] - e["y1s"])) > 0)
+        return acc + F.when(crossing, F.lit(1)).otherwise(F.lit(0))
+
+    return F.aggregate(F.arrays_zip("x1s", "y1s", "x2s", "y2s"), F.lit(0), step)
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: list[tuple[str, list[tuple[float, float]]]] | None = None,
+    grid: float = GRID,
+) -> DataFrame:
+    """(pid, zone) for every point contained in a polygon (a point in two
+    overlapping polygons yields two rows). Broadcast EQUI-join on the
+    LabelGrid cell key → exact ray-cast on the candidates only."""
+    polygons = POLYGONS if polygons is None else polygons
+    spark = points.sparkSession
+    rows = []
+    for zone, verts in polygons:
+        edges = polygon_edges(verts)
+        x1s = [e[0] for e in edges]
+        y1s = [e[1] for e in edges]
+        x2s = [e[2] for e in edges]
+        y2s = [e[3] for e in edges]
+        for cx, cy in polygon_cells(verts, grid):
+            rows.append((zone, f"{cx}_{cy}", x1s, y1s, x2s, y2s))
+    polys = spark.createDataFrame(
+        rows,
+        "zone string, cell string, x1s array<double>, y1s array<double>, "
+        "x2s array<double>, y2s array<double>",
+    )
+    pts = points.withColumn("cell", label_grid_expr(F.col("px"), F.col("py"), grid))
+    cand = pts.join(F.broadcast(polys), "cell")
+    return (
+        cand.filter(F.pmod(_crossings(F.col("px"), F.col("py")), F.lit(2)) == 1)
+        .select("pid", "zone")
+        .orderBy("pid", "zone")
+    )
+
+
+def zone_point_counts(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Driver-query wrapper: containment join then per-zone counts —
+    (zone, n_points, min_pid)."""
+    hits = point_in_polygon_join(event_points(events))
+    return (
+        hits.groupBy("zone")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.min("pid").alias("min_pid"))
+        .orderBy("zone")
+    )
+
+
+def label_grid_cells(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Driver-query wrapper for the LabelGrid analog: cell occupancy of the
+    synthetic event points — (cell, n_points)."""
+    pts = event_points(events).withColumn(
+        "cell", label_grid_expr(F.col("px"), F.col("py"))
+    )
+    return pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n_points")).orderBy("cell")

@@ -308,3 +308,99 @@ SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def _pip_pts_cte() -> str:
+    """Synthetic point coordinates — MUST mirror geo.event_points exactly
+    (pmod written out for negative-id safety)."""
+    return """pts AS (
+  SELECT event_id AS pid,
+         (((event_id % 100) + 100) % 100) / 10.0 AS px,
+         (((user_id % 100) + 100) % 100) / 10.0 AS py
+  FROM events)"""
+
+
+def _pip_edges_cte() -> str:
+    """Polygon edge relation templated from geo.POLYGONS (shared-constant
+    rule: the vertices enter both engines from the same Python dict)."""
+    from .geo import POLYGONS, polygon_edges
+
+    vals = ", ".join(
+        f"('{zone}', {x1}, {y1}, {x2}, {y2})"
+        for zone, verts in POLYGONS
+        for x1, y1, x2, y2 in polygon_edges(verts)
+    )
+    return f"edges(zone, x1, y1, x2, y2) AS (VALUES {vals})"
+
+
+def point_in_polygon_sql() -> str:
+    """Ray-cast containment, division-free, operand order identical to
+    geo._crossings: t = (x2-x1)(py-y1) - (px-x1)(y2-y1)."""
+    return f"""
+WITH {_pip_pts_cte()},
+{_pip_edges_cte()},
+cr AS (
+  SELECT p.pid, e.zone,
+         sum(CASE WHEN ((e.y1 > p.py) != (e.y2 > p.py))
+                   AND ((((e.x2 - e.x1) * (p.py - e.y1)
+                          - (p.px - e.x1) * (e.y2 - e.y1)) * (e.y2 - e.y1)) > 0)
+                  THEN 1 ELSE 0 END) AS c
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.pid, e.zone)
+SELECT pid, zone FROM cr WHERE c % 2 = 1 ORDER BY pid, zone
+"""
+
+
+def zone_point_counts_sql() -> str:
+    return f"""
+WITH {_pip_pts_cte()},
+{_pip_edges_cte()},
+cr AS (
+  SELECT p.pid, e.zone,
+         sum(CASE WHEN ((e.y1 > p.py) != (e.y2 > p.py))
+                   AND ((((e.x2 - e.x1) * (p.py - e.y1)
+                          - (p.px - e.x1) * (e.y2 - e.y1)) * (e.y2 - e.y1)) > 0)
+                  THEN 1 ELSE 0 END) AS c
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.pid, e.zone)
+SELECT zone, CAST(count(*) AS BIGINT) AS n_points, min(pid) AS min_pid
+FROM cr WHERE c % 2 = 1 GROUP BY zone ORDER BY zone
+"""
+
+
+def label_grid_sql() -> str:
+    """LabelGrid cell occupancy (grid templated from geo.GRID)."""
+    from .geo import GRID
+
+    return f"""
+WITH {_pip_pts_cte()}
+SELECT concat(CAST(FLOOR(px / {GRID}) AS BIGINT), '_',
+              CAST(FLOOR(py / {GRID}) AS BIGINT)) AS cell,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM pts GROUP BY cell ORDER BY cell
+"""
+
+
+def address_labels_sql() -> str:
+    """Per-country component order (format_poi_label analog) — country
+    list and street-first set templated from pipeline constants."""
+    from .pipeline import ADDR_STREET_FIRST, COUNTRY_LANGS
+
+    countries = sorted(COUNTRY_LANGS)
+    clist = "[" + ", ".join(f"'{c}'" for c in countries) + "]"
+    sfirst = ", ".join(f"'{c}'" for c in sorted(ADDR_STREET_FIRST))
+    n = len(countries)
+    return f"""
+WITH sel AS (
+  SELECT doc_id,
+         ({clist})[((doc_id % {n}) + {n}) % {n} + 1] AS country,
+         CAST(((doc_id % 200) + 200) % 200 + 1 AS VARCHAR) AS num,
+         concat('rue ', source) AS street
+  FROM documents
+)
+SELECT doc_id, country,
+       CASE WHEN country IN ({sfirst})
+            THEN concat(street, ' ', num)
+            ELSE concat(num, ' ', street) END AS addr_label
+FROM sel ORDER BY doc_id
+"""

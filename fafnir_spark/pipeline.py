@@ -320,6 +320,41 @@ def lang_fill_in(docs: DataFrame) -> DataFrame:
     )
 
 
+# countries whose postal convention puts the street BEFORE the house
+# number ("rue bob 12"); everything else is number-first ("12 rue bob").
+# Drawn from the public address-format templates the reference's label
+# formatter applies per country.
+ADDR_STREET_FIRST: frozenset[str] = frozenset({
+    "AT", "BE", "BG", "BR", "BY", "CH", "CN", "CZ", "DE", "DK", "EE", "ES",
+    "GR", "HR", "IT", "LT", "LU", "LV", "MD", "MK", "MX", "NL", "NO", "PL",
+    "PT", "RO", "RS", "RU", "SE", "SI", "SK", "TR", "UA", "UY", "UZ", "VE",
+    "VN",
+})
+
+
+def address_labels(docs: DataFrame) -> DataFrame:
+    """Country-order address label formatting — the format_poi_label
+    analog: the same components render "12 rue bob" in FR but "rue bob 12"
+    in DE (/root/reference tests/openmaptiles2mimir/mod.rs:461-498 golden;
+    call site src/sources/openmaptiles/pois.rs:183-187). Component order is
+    a per-country template applied as pure expressions; country derivation
+    and the street-first set are shared constants templated into both
+    engines. (doc_id, country, addr_label)."""
+    countries = sorted(COUNTRY_LANGS)
+    country = F.element_at(
+        F.array(*[F.lit(c) for c in countries]),
+        (F.pmod(F.col("doc_id"), F.lit(len(countries))) + 1).cast("int"),
+    )
+    num = (F.pmod(F.col("doc_id"), F.lit(200)) + 1).cast("string")
+    street = F.concat(F.lit("rue "), F.col("source"))
+    label = F.when(
+        country.isin(sorted(ADDR_STREET_FIRST)), F.concat_ws(" ", street, num)
+    ).otherwise(F.concat_ws(" ", num, street))
+    return docs.select(
+        "doc_id", country.alias("country"), label.alias("addr_label")
+    ).orderBy("doc_id")
+
+
 def all_entities(spark: SparkSession, sf_dir: str, min_size: int = 150) -> DataFrame:
     """S4: the in-DB table function analog of all_pois(zoom_level) — a
     UNION ALL **view** over heterogeneous tables with a filter parameter

@@ -367,3 +367,32 @@ def test_rank_eval_single_judgment_pass(spark):
         for n, qs in (("q2", q2), ("q5", q5))
     }
     assert scans["q2"] == scans["q5"], scans
+
+
+def test_point_in_polygon_is_broadcast_equi_join(spark):
+    """Containment candidates come from a broadcast EQUI-join on the
+    LabelGrid cell key (polygons expanded to bbox cells driver-side), with
+    the exact ray-cast as a post-join filter — never a points × polygons
+    nested loop. Also unit-checks the ray-cast: concave polygon, overlap
+    multi-membership, on-edge exclusion."""
+    from fafnir_spark.geo import event_points, point_in_polygon_join
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = point_in_polygon_join(event_points(events))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "cell" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    pts = spark.createDataFrame(
+        [(1, 2.0, 2.0),    # inside alpha only
+         (2, 3.5, 2.0),    # inside alpha AND delta (overlap → two rows)
+         (3, 8.0, 8.0),    # inside bravo's arm
+         (4, 6.0, 8.0),    # in bravo's bbox but the concave notch → outside
+         (5, 1.0, 2.0),    # on alpha's left edge: deterministic (counts as in)
+         (6, 0.5, 6.5)],   # inside charlie (triangle)
+        "pid long, px double, py double",
+    )
+    got = {(r["pid"], r["zone"]) for r in point_in_polygon_join(pts).collect()}
+    assert got == {(1, "alpha"), (2, "alpha"), (2, "delta"), (3, "bravo"),
+                   (5, "alpha"), (6, "charlie")}
