@@ -196,15 +196,14 @@ def bm25_topk_batch(
         scores = scores.join(base.select("doc_id", "__boost"), "doc_id").withColumn(
             "raw_score", F.col("raw_score") * F.col("__boost")
         )
-    w = F.row_number().over(
-        Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    )
-    return (
-        scores.select("qid", "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score"))
-        .withColumn("rank", w)
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "doc_id", "score")
-        .orderBy("qid", "rank")
+    # two-level top-k (topk.topk_per_group): per-partition streaming head-k,
+    # then the rank window over ≤ k×n_parts candidates — never the whole
+    # matched-docs relation through one reducer per qid
+    from .topk import topk_per_group
+
+    return topk_per_group(
+        scores.select("qid", "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score")),
+        k,
     )
 
 

@@ -22,10 +22,6 @@ No Python UDFs — everything is array expressions.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -37,52 +33,12 @@ DIM = 64
 
 
 def _topk_per_qid(scored: DataFrame, k: int) -> DataFrame:
-    """Exact two-level top-k of a (qid, vec_id, cos) relation — the ES
-    per-shard-heap + coordinator-merge shape (same argument as
-    query.bm25_topk's TakeOrderedAndProject / wand._part_scorer):
+    """Exact two-level top-k of a (qid, vec_id, cos) relation — see
+    topk.topk_per_group (the shared ES per-shard-heap + k-row-merge shape).
+    Returns (qid, rank, vec_id, cos) ordered."""
+    from .topk import topk_per_group
 
-      level 1: sortWithinPartitions (local sort, NO shuffle) + a streaming
-               head-k per (partition, qid) in mapInPandas — O(k) state,
-               vectorized run-length bookkeeping, batches never buffered.
-      level 2: the rank window runs over ≤ k × n_partitions candidate rows
-               per qid instead of the full scored relation.
-
-    Identical results to a global per-qid window (same ordering, candidates
-    are a superset of the global top-k). Returns (qid, rank, vec_id, cos)
-    ordered."""
-    schema = scored.schema
-
-    def head_k(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry_qid = None
-        carry_n = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qids = pdf["qid"].to_numpy()
-            new_run = np.concatenate(([True], qids[1:] != qids[:-1]))
-            run_id = np.cumsum(new_run) - 1
-            idx = np.arange(len(pdf))
-            pos_in_run = idx - idx[new_run][run_id]
-            if carry_qid is not None and qids[0] == carry_qid:
-                pos_in_run = pos_in_run + np.where(run_id == 0, carry_n, 0)
-            carry_qid = qids[-1]
-            carry_n = int(pos_in_run[-1]) + 1
-            out = pdf.loc[pos_in_run < k]
-            if len(out):
-                yield out
-
-    cand = (
-        scored.sortWithinPartitions(
-            "qid", F.col("cos").desc(), F.col("vec_id").asc()
-        ).mapInPandas(head_k, schema=schema)
-    )
-    w = F.row_number().over(
-        Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    )
-    return (
-        cand.withColumn("rank", w).filter(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", "cos").orderBy("qid", "rank")
-    )
+    return topk_per_group(scored, k, group_col="qid", id_col="vec_id", val_col="cos")
 
 
 def _h60(s: str) -> int:

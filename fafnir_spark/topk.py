@@ -1,0 +1,71 @@
+"""Shared two-level exact top-k — the ES per-shard-heap + coordinator-merge
+shape (config/fafnir/default.toml:50 sizes exactly this per-shard k in the
+reference's backend; wand._part_scorer and query.bm25_topk's
+TakeOrderedAndProject are the indexed/single-query instances).
+
+A per-group `row_number().over(Window.partitionBy(g).orderBy(...))` funnels
+EVERY scored row of a group through one reducer — dead at 100× scale. This
+module replaces it with:
+
+  level 1: sortWithinPartitions (local sort, NO shuffle) + a streaming
+           head-k per (partition, group) in mapInPandas — O(k) state,
+           vectorized run-length bookkeeping, batches never buffered.
+  level 2: the rank window runs over ≤ k × n_partitions candidate rows per
+           group instead of the full scored relation.
+
+Identical results to the global window: the per-partition head-k uses the
+same ordering, so its union is a superset of the global top-k.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def topk_per_group(
+    scored: DataFrame,
+    k: int,
+    group_col: str = "qid",
+    id_col: str = "doc_id",
+    val_col: str = "score",
+) -> DataFrame:
+    """(group, rank, id, val) — exact top-k per group of a scored relation,
+    ordering (val desc, id asc), output ordered (group, rank)."""
+
+    def head_k(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_g = None
+        carry_n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gs = pdf[group_col].to_numpy()
+            new_run = np.concatenate(([True], gs[1:] != gs[:-1]))
+            run_id = np.cumsum(new_run) - 1
+            idx = np.arange(len(pdf))
+            pos_in_run = idx - idx[new_run][run_id]
+            if carry_g is not None and gs[0] == carry_g:
+                pos_in_run = pos_in_run + np.where(run_id == 0, carry_n, 0)
+            carry_g = gs[-1]
+            carry_n = int(pos_in_run[-1]) + 1
+            out = pdf.loc[pos_in_run < k]
+            if len(out):
+                yield out
+
+    cand = scored.sortWithinPartitions(
+        group_col, F.col(val_col).desc(), F.col(id_col).asc()
+    ).mapInPandas(head_k, schema=scored.schema)
+    w = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.col(val_col).desc(), F.col(id_col).asc())
+    )
+    return (
+        cand.withColumn("rank", w)
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", id_col, val_col)
+        .orderBy(group_col, "rank")
+    )
