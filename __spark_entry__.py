@@ -947,6 +947,21 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- fafnir document-pipeline operators (SURVEY.md §2; pipeline.py) ----
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.dedup import cluster_duplicates, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=12, bands=4, threshold=0.35)
+    return cluster_duplicates(pairs)
+
+
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.dedup import canonical_docs, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.35)
+    return canonical_docs(docs, pairs).select("doc_id").orderBy("doc_id")
+
+
 def _q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.geo import event_points, point_in_polygon_join
 
@@ -993,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_canonical": _q_dedup_canonical,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
@@ -1103,6 +1120,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles_ops.exact_dup_sql(),
         "dedup_ngram_jaccard": oracles_ops.minhash_lsh_sql(8, 4, 0.5),
         "dedup_minhash_lsh": oracles_ops.minhash_lsh_sql(12, 4, 0.35),
+        "dedup_clusters": oracles_ops.dedup_clusters_sql(12, 4, 0.35),
+        "dedup_canonical": oracles_ops.canonical_docs_sql(12, 4, 0.35),
         "dedup_simhash": oracles_ops.simhash_pairs_sql(3),
         "dedup_embedding_cosine": oracles_ops.embedding_dup_lsh_sql(
             0.4, plane_weights(LSH_TABLES, LSH_PLANES)

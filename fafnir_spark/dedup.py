@@ -337,3 +337,74 @@ def embedding_dup_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def cluster_duplicates(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(doc_id, cluster_id): connected components over duplicate pairs —
+    cluster_id = min doc_id reachable through the pair graph (the step a
+    production dedup pipeline runs AFTER pair generation, so a whole
+    near-dup family keeps exactly one canonical member; Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Algorithm: min-label propagation to fixpoint. Each iteration is one
+    edges ⋈ labels equi-join + a min aggregation; labels(v) converges to
+    the component minimum in O(component diameter) iterations — near-dup
+    components are shallow in practice, and at 100 TB every iteration is
+    shuffle-bounded by |edges|, with AQE free to broadcast the shrinking
+    frontier. The driver loop carries only a 0/1 convergence count per
+    iteration, never rows. Only docs appearing in ≥1 pair are emitted
+    (singletons are their own trivial cluster).
+
+    Oracle: recursive-CTE reachability with the same min-label semantics
+    (oracles_ops.dedup_clusters_sql)."""
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lab", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("nnode"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.nnode, "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lab", "old"), "node")
+            .filter(F.col("lab") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def canonical_docs(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus: drop every clustered doc except its
+    cluster's canonical member (min doc_id). One anti-join against the
+    non-canonical ids — the actual "apply the dedup" step."""
+    clusters = cluster_duplicates(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(
+        losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )

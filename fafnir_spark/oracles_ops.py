@@ -470,3 +470,36 @@ SELECT doc_id, rk, term, tfidf FROM (
 ) WHERE rk <= %d
 ORDER BY doc_id, rk
 """ % k
+
+
+def dedup_clusters_sql(num_hashes: int = 12, bands: int = 4,
+                       threshold: float = 0.35) -> str:
+    """Connected components over the MinHash-LSH duplicate pairs:
+    recursive-CTE reachability, cluster_id = min reachable doc_id — the
+    exact dual of dedup.cluster_duplicates' min-label fixpoint."""
+    pairs_sql = minhash_lsh_sql(num_hashes, bands, threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+e2 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(node, lab) AS (
+  SELECT src, src FROM e2
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN e2 e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def canonical_docs_sql(num_hashes: int = 12, bands: int = 4,
+                       threshold: float = 0.35) -> str:
+    """Corpus minus non-canonical cluster members (doc ids only — the
+    applied dedup)."""
+    return f"""
+WITH clusters AS ({dedup_clusters_sql(num_hashes, bands, threshold)})
+SELECT d.doc_id FROM documents d
+LEFT JOIN clusters c ON c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id
+WHERE c.doc_id IS NULL
+ORDER BY d.doc_id
+"""

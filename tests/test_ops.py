@@ -266,3 +266,26 @@ def test_bmp_decode_golden(spark):
     want = np.bincount(px.reshape(-1).astype(np.int64) % 16, minlength=16)
     assert row["features"] == want.astype(float).tolist()
     assert row["n_bytes"] == len(blob)
+
+
+def test_cluster_duplicates_components(spark):
+    """Min-label propagation must converge to exact connected components:
+    a 5-node chain (diameter > 1 iteration), a triangle, an isolated pair
+    — every node labeled with its component's min id; canonical filter
+    keeps exactly one member per component."""
+    from fafnir_spark.dedup import canonical_docs, cluster_duplicates
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14),   # chain
+         (20, 21), (21, 22), (20, 22),             # triangle
+         (30, 31)],                                # pair
+        "doc_a long, doc_b long",
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in cluster_duplicates(pairs).collect()}
+    want = {(i, 10) for i in range(10, 15)} | {(i, 20) for i in range(20, 23)} | \
+           {(30, 30), (31, 30)}
+    assert got == want
+    docs = spark.createDataFrame([(i,) for i in [10, 11, 12, 13, 14, 20, 21, 22, 30, 31, 99]],
+                                 "doc_id long")
+    kept = sorted(r["doc_id"] for r in canonical_docs(docs, pairs).collect())
+    assert kept == [10, 20, 30, 99]
