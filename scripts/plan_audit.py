@@ -122,6 +122,35 @@ def main() -> None:
               "rates as broadcast 1-row relations; top-k is "
               "TakeOrderedAndProject."),
     ]
+
+    from fafnir_spark.geo import event_points, point_in_polygon_join
+    from fafnir_spark.query_ext import rank_eval
+    from fafnir_spark.simsearch import _assign_to_centroids, cosine_topk
+
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    qv = [((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+    cents = emb.limit(4).select(F.col("vec_id").alias("centroid_id"),
+                                F.col("embedding").alias("cv"))
+    sections += [
+        audit("ann cosine_topk (two-level top-k)",
+              cosine_topk(emb, {"q0": qv}, k=10),
+              "Per-partition streaming head-k in MapInPandas (local sort, "
+              "no shuffle), rank window over ≤ k×n_parts candidates — "
+              "never the full scored corpus through one reducer per qid."),
+        audit("IVF centroid assignment (sort-free)",
+              _assign_to_centroids(emb, cents, "vec_id", "embedding"),
+              "groupBy(vec_id).agg(max_by) — partial agg collapses scored "
+              "rows map-side; no Window/Sort above the assignment join."),
+        audit("point_in_polygon_join (cell-bucketed ray-cast)",
+              point_in_polygon_join(event_points(events)),
+              "Broadcast EQUI-join on LabelGrid bbox cells; exact ray-cast "
+              "as a post-join filter — never a points × polygons loop."),
+        audit("rank_eval (one-pass judgments)",
+              rank_eval(docs, {"a": ["merge", "window"], "b": ["spark"],
+                               "c": ["slow"]}, k=5),
+              "Judgments from ONE broadcast (qid,term) ⋈ tf pass; parquet "
+              "scan count independent of the query count."),
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     with open(out, "w") as f:
