@@ -947,6 +947,35 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- fafnir document-pipeline operators (SURVEY.md §2; pipeline.py) ----
 
+TITLE_SQL = "array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')"
+
+
+def _docs_with_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a derived 'title' field (first 5 whitespace tokens) —
+    the multi-field corpus; the SQL twin of the derivation is TITLE_SQL."""
+    return _docs(spark, sf_dir).withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+    )
+
+
+def _q_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.query_ext import multi_match_bm25
+
+    return multi_match_bm25(
+        _docs_with_title(spark, sf_dir), Q_MAIN,
+        {"text": 1.0, "title": 2.0}, k=10, mode="best_fields", tie_breaker=0.3,
+    )
+
+
+def _q_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.query_ext import multi_match_bm25
+
+    return multi_match_bm25(
+        _docs_with_title(spark, sf_dir), Q_BOOST,
+        {"text": 1.0, "title": 2.0}, k=10, mode="most_fields",
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.dedup import cluster_duplicates, minhash_lsh_pairs
 
@@ -1009,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
+        "multi_match_best_fields": _q_multi_match_best,
+        "multi_match_most_fields": _q_multi_match_most,
         "dedup_canonical": _q_dedup_canonical,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -1121,6 +1152,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracles_ops.minhash_lsh_sql(8, 4, 0.5),
         "dedup_minhash_lsh": oracles_ops.minhash_lsh_sql(12, 4, 0.35),
         "dedup_clusters": oracles_ops.dedup_clusters_sql(12, 4, 0.35),
+        "multi_match_best_fields": oracles.multi_match_sql(
+            Q_MAIN, {"text": 1.0, TITLE_SQL: 2.0}, k=10,
+            mode="best_fields", tie_breaker=0.3),
+        "multi_match_most_fields": oracles.multi_match_sql(
+            Q_BOOST, {"text": 1.0, TITLE_SQL: 2.0}, k=10, mode="most_fields"),
         "dedup_canonical": oracles_ops.canonical_docs_sql(12, 4, 0.35),
         "dedup_simhash": oracles_ops.simhash_pairs_sql(3),
         "dedup_embedding_cosine": oracles_ops.embedding_dup_lsh_sql(

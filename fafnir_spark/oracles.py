@@ -1034,3 +1034,61 @@ SELECT agg.qid AS qid, n_rel,
 FROM agg JOIN nrel USING (qid)
 ORDER BY qid
 """
+
+
+def _field_scored_sql(terms: list[str], text_expr: str) -> str:
+    """Per-field BM25 scored relation (doc_id, s) — the field analyzed
+    independently, score rounded to 6 BEFORE the boost multiply (same
+    order as query_ext.multi_match_bm25)."""
+    return f"""WITH {_tf_ctes(text_expr)},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 6) AS s FROM scored"""
+
+
+def multi_match_sql(
+    terms: list[str],
+    fields: dict[str, float],
+    k: int = 10,
+    mode: str = "best_fields",
+    tie_breaker: float = 0.0,
+) -> str:
+    """ES multi_match oracle. ``fields``: {sql_text_expr: boost} — the
+    field expressions are templated from the SAME definitions the Spark
+    query derives its field columns from."""
+    branches = ", ".join(
+        f"f{i} AS ({_field_scored_sql(terms, expr)})"
+        for i, expr in enumerate(sorted(fields))
+    )
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, s * {float(fields[expr])} AS s FROM f{i}"
+        for i, expr in enumerate(sorted(fields))
+    )
+    comb = (
+        f"smax + {float(tie_breaker)} * (ssum - smax)"
+        if mode == "best_fields" else "ssum"
+    )
+    return f"""
+WITH {branches},
+u AS ({union}),
+agg AS (SELECT doc_id, sum(s) AS ssum, max(s) AS smax FROM u GROUP BY doc_id)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round({comb}, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round({comb}, 6) AS score
+  FROM agg
+) WHERE rank <= {k}
+ORDER BY rank
+"""

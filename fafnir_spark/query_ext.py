@@ -1037,3 +1037,48 @@ def rank_eval(docs: DataFrame, queries: dict[str, list[str]], k: int = 10,
         )
         .orderBy("qid")
     )
+
+
+def multi_match_bm25(
+    docs: DataFrame,
+    terms: list[str],
+    fields: dict[str, float],
+    k: int = 10,
+    mode: str = "best_fields",
+    tie_breaker: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES multi_match: score ``terms`` against several text fields, each
+    analyzed independently (its own tf/df/dl/avgdl — exactly ES's
+    per-field inverted index), field boost multiplying the field score,
+    combined per mode:
+
+      best_fields (dis_max): max_f + tie_breaker · (Σ_f − max_f)
+      most_fields:           Σ_f
+
+    Scale shape: one corpus pass per field (inherent — the statistics are
+    per-field), each branch the standard broadcast-query BM25; the fusion
+    is a groupBy over scored docs only; the single-query top-k compiles to
+    TakeOrderedAndProject. (rank, doc_id, score)."""
+    from .query import bm25_scores
+
+    if mode not in ("best_fields", "most_fields"):
+        raise ValueError(f"unknown multi_match mode {mode!r}")
+    u = None
+    for fld in sorted(fields):
+        s = bm25_scores(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(fld).alias("__t")),
+            terms, text_col="__t",
+        ).select("doc_id", (F.col("score") * F.lit(float(fields[fld]))).alias("s"))
+        u = s if u is None else u.unionByName(s)
+    agg = u.groupBy("doc_id").agg(F.sum("s").alias("ssum"), F.max("s").alias("smax"))
+    raw = (
+        F.col("smax") + F.lit(float(tie_breaker)) * (F.col("ssum") - F.col("smax"))
+        if mode == "best_fields" else F.col("ssum")
+    )
+    scores = agg.select("doc_id", F.round(raw, 6).alias("score"))
+    from pyspark.sql.window import Window
+
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")

@@ -396,3 +396,18 @@ def test_point_in_polygon_is_broadcast_equi_join(spark):
     got = {(r["pid"], r["zone"]) for r in point_in_polygon_join(pts).collect()}
     assert got == {(1, "alpha"), (2, "alpha"), (2, "delta"), (3, "bravo"),
                    (5, "alpha"), (6, "charlie")}
+
+
+def test_multi_match_topk_is_take_ordered(spark):
+    """multi_match's single-query top-k must compile to
+    TakeOrderedAndProject (per-partition heaps), window after the limit."""
+    from fafnir_spark.query_ext import multi_match_bm25
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+    )
+    df = multi_match_bm25(docs, ["merge", "window"], {"text": 1.0, "title": 2.0},
+                          k=5, tie_breaker=0.3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
