@@ -916,6 +916,20 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment join drained via availableNow —
+    equals the batch zone_lookup, same oracle."""
+    import uuid
+
+    from fafnir_spark.streaming import stream_zone_counts
+
+    return stream_zone_counts(
+        spark, f"{sf_dir}/events.*",
+        os.path.join(tempfile.mkdtemp(prefix="fafnir_ck_"), "c"),
+        "drv_zone_" + uuid.uuid4().hex[:6],
+    )
+
+
 def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding windows (1h window / 30m slide) — complete mode
     over the drained source equals the batch sliding aggregation."""
@@ -989,6 +1003,26 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.35)
     return canonical_docs(docs, pairs).select("doc_id").orderBy("doc_id")
+
+
+COMPOSITE_AFTER = ("click", 10_000_000_000)
+
+
+def _q_composite_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fafnir_spark.pipeline import composite_agg
+
+    return composite_agg(spark.read.parquet(f"{sf_dir}/events.parquet"), size=20)
+
+
+def _q_composite_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep page: resume strictly after every 'click' group (the after key
+    is past any real user_id) — proves the keyset predicate, not offset."""
+    from fafnir_spark.pipeline import composite_agg
+
+    return composite_agg(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), size=20,
+        after=COMPOSITE_AFTER,
+    )
 
 
 def _q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1127,11 +1161,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_docs_events": _pq("docs_with_events", "spark_sf"),
         "event_error_counts": _pq("event_error_counts", "events"),
         "event_sessionization": _pq("user_sessions", "events"),
+        "composite_agg_page1": _q_composite_p1,
+        "composite_agg_page2": _q_composite_p2,
         "event_percentiles": _pq("event_value_percentiles", "events"),
         "events_tumbling_window": _pq("events_tumbling_window", "events"),
         "stream_tumbling_window": _q_stream_tumbling,
         "stream_sliding_window": _q_stream_sliding,
         "stream_dedup_exact": _q_stream_dedup,
+        "stream_zone_lookup": _q_stream_zone,
         "events_sliding_window": _pq("events_sliding_window", "events"),
         "best_doc_per_group": _pq("best_doc_per_lang"),
         "preferred_url_coalesce": _pq("preferred_url"),
@@ -1263,8 +1300,11 @@ def oracle_sql() -> dict[str, str]:
         "event_class_rank": oracles_pipeline.event_class_sql(),
         "customers_per_region": oracles_pipeline.customers_per_region_sql(),
         "zone_lookup": oracles_pipeline.zone_lookup_sql(),
+        "stream_zone_lookup": oracles_pipeline.zone_lookup_sql(),
         "nearest_zone_top1": oracles_pipeline.nearest_zone_sql(),
         "point_in_polygon": oracles_pipeline.point_in_polygon_sql(),
+        "composite_agg_page1": oracles_pipeline.composite_agg_sql(20),
+        "composite_agg_page2": oracles_pipeline.composite_agg_sql(20, COMPOSITE_AFTER),
         "zone_point_counts": oracles_pipeline.zone_point_counts_sql(),
         "label_grid_cells": oracles_pipeline.label_grid_sql(),
         "address_labels": oracles_pipeline.address_labels_sql(),

@@ -404,3 +404,20 @@ SELECT doc_id, country,
             ELSE concat(num, ' ', street) END AS addr_label
 FROM sel ORDER BY doc_id
 """
+
+
+def composite_agg_sql(size: int = 20, after: tuple[str, int] | None = None) -> str:
+    """ES composite-agg oracle: key-ordered group page with exclusive
+    after-key predicate."""
+    where = ""
+    if after is not None:
+        et, uid = after
+        where = (f"HAVING (event_type > '{et}' OR "
+                 f"(event_type = '{et}' AND user_id > {uid}))")
+    return f"""
+SELECT event_type, user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type, user_id {where}
+ORDER BY event_type, user_id LIMIT {size}
+"""

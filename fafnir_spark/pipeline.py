@@ -551,3 +551,33 @@ def facet_cardinality(events):
         )
         .orderBy("event_type")
     )
+
+
+def composite_agg(
+    events: DataFrame,
+    size: int = 20,
+    after: tuple[str, int] | None = None,
+) -> DataFrame:
+    """ES composite aggregation: group pages in deterministic composite-key
+    order (event_type asc, user_id asc) with after-key keyset pagination —
+    ``after`` (exclusive) resumes where the previous page stopped, so deep
+    group pagination never recomputes or materializes earlier pages.
+
+    Scale shape: the after-key predicate filters BEFORE the key-ordered
+    limit, which compiles to TakeOrderedAndProject (ascending heaps) — the
+    grouped relation is never globally sorted. (event_type, user_id, n,
+    sum_value)."""
+    g = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+    if after is not None:
+        et, uid = after
+        g = g.filter(
+            (F.col("event_type") > F.lit(et))
+            | ((F.col("event_type") == F.lit(et)) & (F.col("user_id") > F.lit(uid)))
+        )
+    return (
+        g.orderBy(F.col("event_type").asc(), F.col("user_id").asc())
+        .limit(size)
+        .orderBy("event_type", "user_id")
+    )

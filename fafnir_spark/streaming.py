@@ -274,3 +274,43 @@ def stream_cdc_apply(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_zone_counts(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    name: str,
+) -> DataFrame:
+    """Stream-STATIC enrichment join: the event stream joined to the
+    broadcast zones dimension on the interval condition (value ∈ [lo, hi))
+    — the streaming form of pipeline.zone_lookup and the standard
+    enrichment topology (stream ⋈ broadcast dim is stateless, evaluated
+    per micro-batch; the dim never shuffles the stream side). Complete
+    mode over a drained (availableNow) source equals the batch join, so
+    the SAME DuckDB oracle (zone_lookup_sql) checks it exactly.
+    (zone_name, n_events)."""
+    from .pipeline import ZONES
+
+    zones = spark.createDataFrame(
+        ZONES, "zone_id int, zone_name string, lo double, hi double, center double"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+    agg = (
+        stream.join(
+            F.broadcast(zones),
+            (stream.value >= zones.lo) & (stream.value < zones.hi),
+        )
+        .groupBy("zone_name")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
