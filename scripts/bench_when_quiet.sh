@@ -1,0 +1,24 @@
+#!/bin/bash
+# Probe-gated bench attempt: poll for a quiet window (probe8 <= 12.5s,
+# CLAUDE.md criterion) and run bench.py exactly once in it. Writes the
+# JSON line + probe evidence to BENCH/bench_quiet_r4.json. Exits 2 if no
+# quiet window appears within the attempt budget.
+cd "$(dirname "$0")/.."
+for i in $(seq 1 40); do
+  P=$(python -c "
+import sys; sys.path.insert(0, 'scripts')
+from scaling import run_probe
+print(run_probe(8))")
+  OK=$(python -c "print(1 if float('$P') <= 12.5 else 0)")
+  echo "attempt $i probe8=$P" >&2
+  if [ "$OK" = "1" ]; then
+    touch /tmp/fafnir_bench.lock
+    OUT=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py 2>/dev/null | tail -1)
+    rm -f /tmp/fafnir_bench.lock
+    { echo "$OUT"; echo "{\"probe8\": $P}"; } > BENCH/bench_quiet_r4.json
+    echo "RAN probe8=$P" >&2
+    exit 0
+  fi
+  sleep 240
+done
+exit 2
