@@ -128,6 +128,26 @@ def main() -> None:
 
     timed("curation_sweep", _curation_sweep)
 
+    # ANN sweep: brute-force exact top-10 for a batch of 8 query vectors
+    # (two-level top-k path) + persisted-IVF probe queries (partition-
+    # pruned scan). IVF build is untimed (a build artifact at scale).
+    from fafnir_spark.simsearch import build_ivf_index, cosine_topk, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvecs = {
+        f"bq{i}": [((d * 31 + i * 7) % 29 - 14) / 15.0 for d in range(64)]
+        for i in range(8)
+    }
+    ivf_root = os.path.join(work, "ivf")
+    build_ivf_index(spark, emb, ivf_root, n_centroids=16)
+
+    def _ann_sweep() -> int:
+        n = cosine_topk(emb, qvecs, k=10).count()
+        n += ivf_search(spark, ivf_root, qvecs, k=10, nprobe=4).count()
+        return n
+
+    timed("ann_sweep", _ann_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work
