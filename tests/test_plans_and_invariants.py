@@ -411,3 +411,31 @@ def test_multi_match_topk_is_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_read_dictionary_filter_pushes_below_merge(spark, tmp_path):
+    """With a multi-segment dictionary (post-append), a term filter on
+    Catalog.read_dictionary must push through the merge-at-read groupBy to
+    the term-sorted parquet scans (point dictionary lookups stay point
+    lookups), and the merged values must match single-segment semantics."""
+    from fafnir_spark.incremental import append_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    root = str(tmp_path / "idx")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    build_index(spark, normalize_docs(old, id_col="doc_id", text_col="text"),
+                root, n_parts=2, block_size=64, tokenizer="whitespace", build_id="i")
+    append_index(spark, normalize_docs(new, id_col="doc_id", text_col="text"),
+                 root, segment="d1", tokenizer="whitespace")
+    cat = Catalog(root)
+    assert len(cat.read_manifest()["tables"]["dictionary"]) == 2
+    d = cat.read_dictionary(spark).filter(F.col("term") == "merge")
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term,merge)]" in plan, plan
+    row = d.collect()[0]
+    from fafnir_spark.build import dictionary_from_postings
+
+    want = dictionary_from_postings(cat.read_table(spark, "postings")).filter(
+        F.col("term") == "merge").collect()[0]
+    assert (row["df"], row["cf"]) == (want["df"], want["cf"])
