@@ -100,14 +100,19 @@ def bm25_scores(
     dl = base.select(
         "doc_id", F.size(tokens_expr("__text")).cast("long").alias("dl")
     ).filter(F.col("dl") > 0)
-    dfs = term_dfs(tf)
+    # df is aggregated over QUERY TERMS ONLY: the broadcast term join runs
+    # BELOW the groupBy (a join can't be pushed through an agg, so filter
+    # first) — the df shuffle carries |qterms| groups, not the whole
+    # vocabulary. Identical values; the oracle's dfs CTE has the same
+    # WHERE term IN (...) placement.
+    dfs = term_dfs(tf.join(F.broadcast(q.select("term")), "term"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
     matched = (
         tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfs.join(F.broadcast(q.select("term")), "term")), "term")
+        .join(F.broadcast(dfs), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
@@ -176,12 +181,13 @@ def bm25_topk_batch(
     dl = base.select(
         "doc_id", F.size(tokens_expr("__text")).cast("long").alias("dl")
     ).filter(F.col("dl") > 0)
-    dfs = term_dfs(tf)
+    # df aggregated over the batch's distinct terms only (see bm25_scores)
+    dfs = term_dfs(tf.join(F.broadcast(q.select("term").distinct()), "term"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
 
     matched = (
         tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfs.join(F.broadcast(q.select("term").distinct()), "term")), "term")
+        .join(F.broadcast(dfs), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
