@@ -52,6 +52,26 @@ def term_dfs(tf: DataFrame) -> DataFrame:
     return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
 
 
+def _tf_dl_df(base: DataFrame, qterms: list[str]) -> DataFrame:
+    """(doc_id, term, tf, dl, df) for the query terms in ONE filtered pass:
+    term-isin pushed below the tf groupBy (the shuffle carries only
+    query-term tokens), dl carried row-local through the aggregation
+    (min of a per-doc constant), df as a count window over the filtered
+    tf (partitions are per-term posting lists — bounded by matches, never
+    the corpus)."""
+    toks = base.select(
+        "doc_id",
+        F.size(tokens_expr("__text")).cast("long").alias("__dl"),
+        F.explode(tokens_expr("__text")).alias("term"),
+    ).filter(F.col("term").isin(qterms))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("__dl").alias("dl")
+    )
+    return tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
@@ -92,30 +112,25 @@ def bm25_scores(
     if boost is not None:
         cols.append(boost.alias("__boost"))  # resolve against the raw input
     base = docs.select(*cols)
-    tf = doc_term_freqs(base, "doc_id", "__text")
-    # dl is row-local (token count of the doc itself) — no aggregation over
-    # tf, which removes one full shuffle from every direct query. The dl>0
-    # filter keeps n_docs/avgdl identical to the oracle's sum-over-tf form
-    # (a zero-token doc has no tf rows there either).
-    dl = base.select(
-        "doc_id", F.size(tokens_expr("__text")).cast("long").alias("dl")
-    ).filter(F.col("dl") > 0)
-    # df is aggregated over QUERY TERMS ONLY: the broadcast term join runs
-    # BELOW the groupBy (a join can't be pushed through an agg, so filter
-    # first) — the df shuffle carries |qterms| groups, not the whole
-    # vocabulary. Identical values; the oracle's dfs CTE has the same
-    # WHERE term IN (...) placement.
-    dfs = term_dfs(tf.join(F.broadcast(q.select("term")), "term"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    # ONE filtered pass builds tf + dl + df together:
+    #  * the term-isin literal filter runs BELOW the tf groupBy, so the
+    #    shuffle carries only query-term tokens (never the whole vocabulary)
+    #  * dl rides along row-local (token count of the doc itself) — no dl
+    #    relation, no big-big dl join
+    #  * df = COUNT() OVER (PARTITION BY term) on the filtered tf — no
+    #    second corpus scan for the dfs branch
+    # Identical values to the oracle, whose dfs CTE filters WHERE term IN.
+    # The only other corpus pass is the 1-row n_docs/avgdl aggregate (a
+    # corpus statistic — inherent to index-free BM25). The dl>0 filter
+    # keeps n_docs/avgdl identical to the oracle's sum-over-tf form (a
+    # zero-token doc has no tf rows there either).
+    matched = _tf_dl_df(base, qterms)
+    stats = (
+        base.select(F.size(tokens_expr("__text")).cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     )
-
-    matched = (
-        tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfs), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    matched = matched.join(F.broadcast(q), "term").crossJoin(F.broadcast(stats))
     if eligible is not None:
         matched = matched.join(eligible.select("doc_id"), "doc_id", "left_semi")
     if excluded_docs is not None:
@@ -176,19 +191,17 @@ def bm25_topk_batch(
     if boost is not None:
         cols.append(boost.alias("__boost"))
     base = docs.select(*cols)
-    tf = doc_term_freqs(base, "doc_id", "__text")
-    # row-local dl (see bm25_scores): one shuffle less per query batch
-    dl = base.select(
-        "doc_id", F.size(tokens_expr("__text")).cast("long").alias("dl")
-    ).filter(F.col("dl") > 0)
-    # df aggregated over the batch's distinct terms only (see bm25_scores)
-    dfs = term_dfs(tf.join(F.broadcast(q.select("term").distinct()), "term"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-
+    # one filtered tf+dl+df pass over the batch's distinct terms, then the
+    # broadcast (qid, term) join expands per query — see bm25_scores
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    stats = (
+        base.select(F.size(tokens_expr("__text")).cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
     matched = (
-        tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfs), "term")
-        .join(dl, "doc_id")
+        _tf_dl_df(base, all_terms)
+        .join(F.broadcast(q), "term")
         .crossJoin(F.broadcast(stats))
     )
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))

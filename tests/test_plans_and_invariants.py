@@ -439,3 +439,17 @@ def test_read_dictionary_filter_pushes_below_merge(spark, tmp_path):
     want = dictionary_from_postings(cat.read_table(spark, "postings")).filter(
         F.col("term") == "merge").collect()[0]
     assert (row["df"], row["cf"]) == (want["df"], want["cf"])
+
+
+def test_direct_bm25_two_scans_no_smj(spark):
+    """Index-free BM25 must touch the corpus exactly twice — the filtered
+    tf+dl+df pass (term-isin below the groupBy, dl row-local, df as a
+    per-term count window) and the 1-row n_docs/avgdl aggregate — with no
+    big-big SortMergeJoin anywhere (the old dl join)."""
+    from fafnir_spark.query import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = bm25_topk(docs, ["merge", "window"], k=10)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2, plan.count("FileScan")
+    assert "SortMergeJoin" not in plan
