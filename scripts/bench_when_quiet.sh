@@ -19,6 +19,6 @@ print(run_probe(8))")
     echo "RAN probe8=$P" >&2
     exit 0
   fi
-  sleep 240
+  sleep 150
 done
 exit 2
