@@ -355,3 +355,60 @@ def append_ivf(
     meta = dict(m.get("meta") or {})
     meta["n_vectors"] = int(meta.get("n_vectors", 0)) + emb_new.count()
     cat.publish(tables, meta=meta, expected_snapshot=m.get("snapshot_id"))
+
+
+class IvfSearcher:
+    """Warm handle over a persisted IVF index — the ANN twin of
+    wand.Searcher (a deployed vector-search service keeps the coarse
+    quantizer resident and serves probe queries from it): centroids are
+    read once and cached; with ``persist_assign=True`` the partitioned
+    assignment is pinned in executor memory so repeated query batches skip
+    the parquet scan entirely (cold path keeps partition pruning on
+    centroid_id instead). Same (qid, rank, vec_id, cos) contract and
+    identical results to ivf_search — asserted in tests."""
+
+    def __init__(self, spark, index_root: str, persist_assign: bool = False):
+        from .catalog import Catalog
+
+        self.spark = spark
+        self.cat = Catalog(index_root)
+        self.manifest = self.cat.read_manifest()
+        self.cents = F.broadcast(
+            self.cat.read_table(spark, "ivf_centroids", snapshot=self.manifest)
+        )
+        self._assign = self.cat.read_table(spark, "ivf_assign", snapshot=self.manifest)
+        self._persisted = persist_assign
+        if persist_assign:
+            self._assign = self._assign.persist()
+
+    def search(self, query_vecs: dict[str, list[float]], k: int = 10,
+               nprobe: int = 4) -> DataFrame:
+        q = self.spark.createDataFrame(
+            [(qid, [float(x) for x in v]) for qid, v in query_vecs.items()],
+            "qid string, qv array<double>",
+        )
+        probe_w = Window.partitionBy("qid").orderBy(
+            F.col("qcos").desc(), F.col("centroid_id").asc()
+        )
+        probes = (
+            q.crossJoin(self.cents)
+            .withColumn("qcos", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+            .withColumn("rn", F.row_number().over(probe_w))
+            .filter(F.col("rn") <= nprobe)
+            .select("qid", "qv", "centroid_id")
+        )
+        probe_ids = sorted({int(r["centroid_id"])
+                            for r in probes.select("centroid_id").collect()})
+        cand = (
+            self._assign.filter(F.col("centroid_id").isin(probe_ids))
+            .join(F.broadcast(probes), "centroid_id")
+            .select("qid", "vec_id", "v", "qv")
+        )
+        scored = cand.select(
+            "qid", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos")
+        )
+        return _topk_per_qid(scored, k)
+
+    def close(self) -> None:
+        if self._persisted:
+            self._assign.unpersist()

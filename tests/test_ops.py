@@ -289,3 +289,22 @@ def test_cluster_duplicates_components(spark):
                                  "doc_id long")
     kept = sorted(r["doc_id"] for r in canonical_docs(docs, pairs).collect())
     assert kept == [10, 20, 30, 99]
+
+
+def test_ivf_searcher_warm_equals_cold(spark, emb, tmp_path):
+    """IvfSearcher (cached centroids, persisted assignment) must return
+    exactly what stateless ivf_search returns, across repeated batches."""
+    from fafnir_spark.simsearch import IvfSearcher, build_ivf_index, ivf_search
+
+    root = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, root, n_centroids=16)
+    qv1 = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    qv2 = [float(x) for x in emb.filter(F.col("vec_id") == 123).collect()[0]["embedding"]]
+    s = IvfSearcher(spark, root, persist_assign=True)
+    try:
+        for batch in ({"a": qv1}, {"a": qv1, "b": qv2}):
+            warm = [tuple(r) for r in s.search(batch, k=10, nprobe=4).collect()]
+            cold = [tuple(r) for r in ivf_search(spark, root, batch, k=10, nprobe=4).collect()]
+            assert warm == cold and warm
+    finally:
+        s.close()
