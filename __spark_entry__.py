@@ -639,6 +639,17 @@ def _q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_slop(_docs(spark, sf_dir), "slow", "key", slop=2)
 
 
+def _q_phrase_slop_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase slop served FROM the positional index (ordered
+    within-window check over stored positions) — same oracle as the
+    direct phrase_slop."""
+    from fafnir_spark.wand import phrase_search
+
+    return phrase_search(
+        spark, _pidx_root(spark, sf_dir), {"q": ["slow", "key"]}, slop=2
+    ).select("doc_id")
+
+
 def _q_complete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES completion suggester: prefix completions ranked by df."""
     from fafnir_spark.query_ext import complete_prefix
@@ -1106,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_indexed": _q_search_after_indexed,
         "sort_by_field": _q_sort_by_field,
         "phrase_slop": _q_phrase_slop,
+        "phrase_slop_indexed": _q_phrase_slop_indexed,
         "complete_prefix": _q_complete_prefix,
         "query_string_boost": _q_query_string_boost,
         "query_string_boost_indexed": _q_query_string_boost_indexed,
@@ -1232,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "search_after_indexed": oracles.search_after_sql(Q_MAIN, k=5, page=2),
         "sort_by_field": oracles.sort_by_field_sql(Q_MAIN, "n_chars", k=10),
         "phrase_slop": oracles.phrase_slop_sql("slow", "key", slop=2),
+        "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),
         "complete_prefix": oracles.complete_prefix_sql("s", k=5),
         "query_string_boost": oracles.search_text_sql(QS_BOOST, k=10),
         "query_string_boost_indexed": oracles.search_text_sql(QS_BOOST, k=10),

@@ -498,8 +498,15 @@ PHRASE_SCHEMA = "qid string, doc_id long"
 
 
 def _phrase_part_fn(phrases: dict[str, list[str]], excluded=None,
-                    with_bulk: bool = False):
+                    with_bulk: bool = False, slop: int = 0):
     """Per-doc_part exact phrase matching over positional postings.
+    With ``slop`` > 0 (2-term phrases only, enforced by the caller) the
+    adjacency test relaxes to the ordered within-window contract of
+    query_ext.phrase_slop — ∃ p1 < p2 with p2 − p1 − 1 ≤ slop — verified
+    vectorized: both occurrence sets become sorted composite keys
+    (cand_idx·2³² + position) and one searchsorted per pair finds, for
+    every t1 occurrence, the next t2 key inside (k1, k1+slop+1] (the
+    window never crosses a cand boundary: position + slop + 1 < 2³²).
 
     Tombstone exclusion is applied per BLOCK (seg-scoped): an upserted doc's
     old-segment positions are dropped while its keep_seg version survives,
@@ -562,13 +569,25 @@ def _phrase_part_fn(phrases: dict[str, list[str]], excluded=None,
                 pos = np.concatenate(plists) if plists else np.empty(0, dtype=np.int64)
                 return ci, ci * SHIFT + pos - np.int64(offset)
 
-            ok_ci, ok_keys = term_keys(terms[0], 0)
-            for i, t in enumerate(terms[1:], 1):
-                _, keys_t = term_keys(t, i)
-                keep = np.isin(ok_keys, keys_t)
-                ok_ci, ok_keys = ok_ci[keep], ok_keys[keep]
-                if not len(ok_ci):
-                    break
+            if slop > 0:
+                ci1, keys1 = term_keys(terms[0], 0)
+                _, keys2 = term_keys(terms[1], 0)
+                if not len(keys2):
+                    continue
+                keys2 = np.sort(keys2)
+                idx = np.searchsorted(keys2, keys1, side="right")
+                ok = idx < len(keys2)
+                nxt = keys2[np.minimum(idx, len(keys2) - 1)]
+                ok &= nxt <= keys1 + np.int64(slop + 1)
+                ok_ci = ci1[ok]
+            else:
+                ok_ci, ok_keys = term_keys(terms[0], 0)
+                for i, t in enumerate(terms[1:], 1):
+                    _, keys_t = term_keys(t, i)
+                    keep = np.isin(ok_keys, keys_t)
+                    ok_ci, ok_keys = ok_ci[keep], ok_keys[keep]
+                    if not len(ok_ci):
+                        break
             if len(ok_ci):
                 hits = cand[np.unique(ok_ci)]
                 out_qid.extend([qid] * len(hits))
@@ -690,10 +709,17 @@ def phrase_search(
     index_root: str,
     phrases: dict[str, list[str]],
     snapshot_id: str | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """Exact indexed phrase queries over positional postings (build with
     with_positions=True). Returns (qid, doc_id). Adjacency is verified from
-    stored token positions — no text recheck, no raw-document access."""
+    stored token positions — no text recheck, no raw-document access.
+    ``slop`` > 0 relaxes to the ordered within-window contract of
+    query_ext.phrase_slop (2-term phrases only) — ES match_phrase slop
+    served FROM the index."""
+    if slop > 0 and any(len(ts) != 2 for ts in phrases.values()):
+        raise ValueError("slop > 0 supports 2-term phrases (the documented "
+                         "ordered-window contract)")
     cat = Catalog(index_root)
     manifest = cat.manifest_at(snapshot_id)
     all_terms = sorted({t for ts in phrases.values() for t in ts})
@@ -715,13 +741,15 @@ def phrase_search(
         return (
             postings.groupBy("doc_part")
             .cogroup(bp.groupBy("doc_part"))
-            .applyInPandas(_phrase_part_fn(phrases, excluded, with_bulk=True),
-                           schema=PHRASE_SCHEMA)
+            .applyInPandas(
+                _phrase_part_fn(phrases, excluded, with_bulk=True, slop=slop),
+                schema=PHRASE_SCHEMA)
             .orderBy("qid", "doc_id")
         )
     return (
         postings.groupBy("doc_part")
-        .applyInPandas(_phrase_part_fn(phrases, excluded), schema=PHRASE_SCHEMA)
+        .applyInPandas(_phrase_part_fn(phrases, excluded, slop=slop),
+                       schema=PHRASE_SCHEMA)
         .orderBy("qid", "doc_id")
     )
 

@@ -224,3 +224,26 @@ def test_search_text_equals_components(spark, ddb, docs):
     for g, w in zip(got, want):
         assert g["score"] == pytest.approx(w[2], abs=1e-9)
     assert got  # non-trivial on the fixture
+
+
+def test_phrase_slop_indexed_equals_direct(spark, docs, tmp_path):
+    """Indexed slop (ordered within-window over stored positions) must
+    equal the direct token-array form for several slops, including the
+    slop=0 exact-adjacency degenerate; >2-term slop is rejected."""
+    from fafnir_spark.query_ext import phrase_slop
+    from fafnir_spark.wand import phrase_search
+
+    root = str(tmp_path / "pidx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace",
+                build_id="s", with_positions=True)
+    for t1, t2, slop in [("slow", "key", 2), ("key", "agg", 0),
+                         ("merge", "window", 1), ("window", "merge", 3)]:
+        got = sorted(r["doc_id"] for r in phrase_search(
+            spark, root, {"q": [t1, t2]}, slop=slop).collect())
+        want = sorted(r["doc_id"] for r in phrase_slop(
+            docs, t1, t2, slop=slop).collect())
+        assert got == want, (t1, t2, slop)
+    assert got  # non-trivial on the fixture
+    with pytest.raises(ValueError, match="2-term"):
+        phrase_search(spark, root, {"q": ["a", "b", "c"]}, slop=1)
