@@ -28,6 +28,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def head_k_frames(
+    batches: Iterator[pd.DataFrame], k: int, group_col: str
+) -> Iterator[pd.DataFrame]:
+    """Streaming head-k per contiguous group run across batch boundaries:
+    rows arrive sorted by (group, ordering); vectorized run-length
+    bookkeeping keeps the first k rows of every run, carrying the trailing
+    run's (group, count) into the next batch — O(k) state, never a
+    buffered batch. Property-tested standalone (tests/test_topk_unit.py)."""
+    carry_g = None
+    carry_n = 0
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        gs = pdf[group_col].to_numpy()
+        new_run = np.concatenate(([True], gs[1:] != gs[:-1]))
+        run_id = np.cumsum(new_run) - 1
+        idx = np.arange(len(pdf))
+        pos_in_run = idx - idx[new_run][run_id]
+        if carry_g is not None and gs[0] == carry_g:
+            pos_in_run = pos_in_run + np.where(run_id == 0, carry_n, 0)
+        carry_g = gs[-1]
+        carry_n = int(pos_in_run[-1]) + 1
+        out = pdf.loc[pos_in_run < k]
+        if len(out):
+            yield out
+
+
 def topk_per_group(
     scored: DataFrame,
     k: int,
@@ -39,23 +66,7 @@ def topk_per_group(
     ordering (val desc, id asc), output ordered (group, rank)."""
 
     def head_k(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry_g = None
-        carry_n = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            gs = pdf[group_col].to_numpy()
-            new_run = np.concatenate(([True], gs[1:] != gs[:-1]))
-            run_id = np.cumsum(new_run) - 1
-            idx = np.arange(len(pdf))
-            pos_in_run = idx - idx[new_run][run_id]
-            if carry_g is not None and gs[0] == carry_g:
-                pos_in_run = pos_in_run + np.where(run_id == 0, carry_n, 0)
-            carry_g = gs[-1]
-            carry_n = int(pos_in_run[-1]) + 1
-            out = pdf.loc[pos_in_run < k]
-            if len(out):
-                yield out
+        yield from head_k_frames(batches, k, group_col)
 
     cand = scored.sortWithinPartitions(
         group_col, F.col(val_col).desc(), F.col(id_col).asc()

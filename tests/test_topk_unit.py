@@ -1,0 +1,52 @@
+"""Unit-level (no Spark) property test of topk.topk_per_group's streaming
+head-k generator: the per-(partition, group) carry across arbitrary Arrow
+batch boundaries must keep exactly the first k rows of every group run,
+regardless of where batches are cut."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _head_k_batches(frames, k):
+    """Drives THE production generator (topk.head_k_frames) over pre-cut
+    frames."""
+    from fafnir_spark.topk import head_k_frames
+
+    out = list(head_k_frames(iter(frames), k, "qid"))
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["qid", "vec_id", "cos"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(-50, 50)), min_size=0, max_size=60),
+    st.integers(1, 6),
+    st.lists(st.integers(1, 10), min_size=1, max_size=10),
+)
+def test_streaming_head_k_equals_per_run_head(rows, k, cuts):
+    # build a partition: rows sorted by (qid, cos desc, vec_id) like
+    # sortWithinPartitions would deliver
+    df = pd.DataFrame(
+        {"qid": [f"q{a}" for a, _ in rows],
+         "vec_id": [b for _, b in rows]}
+    )
+    df["cos"] = (df["vec_id"] * 7 % 13).astype(float)
+    df = df.sort_values(["qid", "cos", "vec_id"],
+                        ascending=[True, False, True]).reset_index(drop=True)
+    # cut into arbitrary batches
+    frames, i, ci = [], 0, 0
+    while i < len(df):
+        step = cuts[ci % len(cuts)]
+        frames.append(df.iloc[i:i + step])
+        i += step
+        ci += 1
+    got = _head_k_batches(frames, k)
+    want = df.groupby("qid", sort=False).head(k).reset_index(drop=True)
+    if not len(want):
+        assert not len(got)
+        return
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
