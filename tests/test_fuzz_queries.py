@@ -68,3 +68,32 @@ def test_skew_bound(spark, tmp_path):
     assert len(groups) == n_parts  # hot term spread over every part
     mx = max(r["cnt"] for r in groups)
     assert mx <= 1.3 * hot["df"] / n_parts  # no reducer hotspot
+
+
+def test_fuzz_indexed_slop_equals_direct(spark, tmp_path):
+    """Randomized corpora + random term pairs/slops: the indexed
+    ordered-window slop (stored positions, composite-key searchsorted)
+    must equal the direct token-array form exactly."""
+    from fafnir_spark.corpus import synth_corpus
+    from fafnir_spark.query_ext import phrase_slop
+    from fafnir_spark.wand import phrase_search
+
+    rng = random.Random(77)
+    corpus = normalize_docs(synth_corpus(spark, 700, zipf_a=1.15, mean_len=50)).persist()
+    root = str(tmp_path / "pidx")
+    build_index(spark, corpus, root, n_parts=3, block_size=16,
+                tokenizer="whitespace", build_id="f", with_positions=True)
+    vocab = ["def", "return", "if", "merge", "index", "query", "varint",
+             "checkpoint", "spawn", "struct"]
+    nonempty = 0
+    for _ in range(8):
+        t1, t2 = rng.sample(vocab, 2)
+        slop = rng.randint(0, 4)
+        got = sorted(r["doc_id"] for r in phrase_search(
+            spark, root, {"q": [t1, t2]}, slop=slop).collect())
+        want = sorted(r["doc_id"] for r in phrase_slop(
+            corpus, t1, t2, slop=slop, text_col="content").collect())
+        assert got == want, (t1, t2, slop)
+        nonempty += bool(got)
+    assert nonempty >= 3  # the fixture actually exercises matches
+    corpus.unpersist()
