@@ -1,0 +1,18 @@
+"""Doc-consistency gate: every driver-contract query key must appear in
+COVERAGE.md (the judge's checklist), and every oracle key must have a
+query (and vice versa). Catches silent drift between the contract and
+the documentation."""
+
+from __future__ import annotations
+
+import pathlib
+
+
+def test_every_query_documented_and_paired():
+    import __spark_entry__ as E
+
+    q, o = set(E.queries()), set(E.oracle_sql())
+    assert q == o, q ^ o
+    cov = pathlib.Path("COVERAGE.md").read_text()
+    missing = sorted(k for k in q if f"`{k}`" not in cov)
+    assert not missing, f"queries undocumented in COVERAGE.md: {missing}"
