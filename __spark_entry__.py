@@ -1019,6 +1019,28 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 COMPOSITE_AFTER = ("click", 10_000_000_000)
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-changelog lifecycle: build a base snapshot, append the rest
+    of the corpus, delete a few ids, then diff base → current — 'added'
+    and 'removed' must be exactly the appended / deleted sets."""
+    import uuid
+
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.catalog import Catalog
+    from fafnir_spark.incremental import append_index, delete_docs, snapshot_diff
+
+    root = os.path.join(tempfile.gettempdir(), "fafnir_sdiff_" + uuid.uuid4().hex[:8])
+    docs = _docs(spark, sf_dir)
+    base = normalize_docs(docs.filter(F.col("doc_id") < 400), id_col="doc_id", text_col="text")
+    rest = normalize_docs(docs.filter(F.col("doc_id") >= 400), id_col="doc_id", text_col="text")
+    build_index(spark, base, root, n_parts=4, block_size=128,
+                tokenizer="whitespace", build_id="sd", resume=False)
+    s1 = Catalog(root).read_manifest()["snapshot_id"]
+    append_index(spark, rest, root, segment="sd2", tokenizer="whitespace")
+    delete_docs(spark, root, [0, 1, 2, 3, 4])
+    return snapshot_diff(spark, root, s1)
+
+
 def _q_composite_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.pipeline import composite_agg
 
@@ -1174,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_error_counts": _pq("event_error_counts", "events"),
         "event_sessionization": _pq("user_sessions", "events"),
         "composite_agg_page1": _q_composite_p1,
+        "snapshot_diff": _q_snapshot_diff,
         "composite_agg_page2": _q_composite_p2,
         "event_percentiles": _pq("event_value_percentiles", "events"),
         "events_tumbling_window": _pq("events_tumbling_window", "events"),
@@ -1317,6 +1340,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_zone_top1": oracles_pipeline.nearest_zone_sql(),
         "point_in_polygon": oracles_pipeline.point_in_polygon_sql(),
         "composite_agg_page1": oracles_pipeline.composite_agg_sql(20),
+        "snapshot_diff": oracles.snapshot_diff_sql(400, (0, 1, 2, 3, 4)),
         "composite_agg_page2": oracles_pipeline.composite_agg_sql(20, COMPOSITE_AFTER),
         "zone_point_counts": oracles_pipeline.zone_point_counts_sql(),
         "label_grid_cells": oracles_pipeline.label_grid_sql(),

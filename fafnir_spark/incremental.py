@@ -437,3 +437,28 @@ def expire_snapshots(spark: SparkSession, index_root: str, keep_last: int = 3) -
     for d in sorted(dead_dirs):
         cat.delete_dir(d)
     return {"kept": len(keep_hist), "expired": len(expired), "deleted_dirs": len(dead_dirs)}
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    index_root: str,
+    from_snapshot: str | None,
+    to_snapshot: str | None = None,
+) -> DataFrame:
+    """Iceberg changelog analog: (change, doc_id) between two published
+    snapshots — 'added' = live at ``to`` but not ``from``; 'removed' =
+    the reverse. Pure anti-joins of the two snapshots' LIVE doc_maps
+    (tombstone- and bulk-aware via live_doc_map); postings are never
+    touched. An upserted doc (same stable id, new content) is in neither
+    set — identity diff, not content diff (pair with content_sha256 for
+    that). Ordered (change, doc_id)."""
+    cat = Catalog(index_root)
+    a = cat.live_doc_map(spark, cat.manifest_at(from_snapshot)).select("doc_id")
+    b = cat.live_doc_map(spark, cat.manifest_at(to_snapshot)).select("doc_id")
+    added = b.join(a, "doc_id", "left_anti").select(
+        F.lit("added").alias("change"), "doc_id"
+    )
+    removed = a.join(b, "doc_id", "left_anti").select(
+        F.lit("removed").alias("change"), "doc_id"
+    )
+    return added.unionByName(removed).orderBy("change", "doc_id")

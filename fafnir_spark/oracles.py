@@ -1092,3 +1092,18 @@ SELECT rank, doc_id, score FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def snapshot_diff_sql(split_id: int = 400, removed: tuple = (0, 1, 2, 3, 4)) -> str:
+    """Oracle for the snapshot_diff lifecycle: base = docs below
+    ``split_id``, then append the rest and delete ``removed`` — the diff
+    from the base snapshot to current is exactly those sets."""
+    rm = ", ".join(str(int(i)) for i in removed)
+    return f"""
+SELECT change, doc_id FROM (
+  SELECT 'added' AS change, doc_id FROM documents WHERE doc_id >= {split_id}
+  UNION ALL
+  SELECT 'removed' AS change, doc_id FROM documents
+  WHERE doc_id < {split_id} AND doc_id IN ({rm})
+) ORDER BY change, doc_id
+"""
