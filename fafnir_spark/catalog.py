@@ -128,6 +128,50 @@ class Catalog:
         fs, hpath, _ = self._hadoop_fs(path)
         fs.delete(hpath, True)
 
+    def list_tables(self) -> list[str]:
+        """Table directory names present on STORAGE under the root (not
+        the manifest) — includes tables a crashed writer created but never
+        published. Scheme-aware."""
+        if _is_local(self.root):
+            lp = _local_path(self.root)
+            if not os.path.isdir(lp):
+                return []
+            return sorted(
+                d for d in os.listdir(lp) if os.path.isdir(os.path.join(lp, d))
+            )
+        fs, hpath, _ = self._hadoop_fs(self.root)
+        if not fs.exists(hpath):
+            return []
+        return sorted(
+            st.getPath().getName() for st in fs.listStatus(hpath) if st.isDirectory()
+        )
+
+    def list_segment_dirs(self, table: str) -> list[tuple[str, float]]:
+        """(path, mtime_epoch_s) of every ``seg=*`` directory present on
+        STORAGE under the table dir — what actually exists, as opposed to
+        what the manifest references. Scheme-aware (os locally,
+        FileSystem.listStatus on object stores)."""
+        tdir = self.table_dir(table)
+        if _is_local(tdir):
+            lp = _local_path(tdir)
+            if not os.path.isdir(lp):
+                return []
+            out = []
+            for name in sorted(os.listdir(lp)):
+                if name.startswith("seg=") and os.path.isdir(os.path.join(lp, name)):
+                    out.append(
+                        (os.path.join(tdir, name), os.stat(os.path.join(lp, name)).st_mtime)
+                    )
+            return out
+        fs, hpath, _ = self._hadoop_fs(tdir)
+        if not fs.exists(hpath):
+            return []
+        out = []
+        for st in fs.listStatus(hpath):
+            if st.isDirectory() and st.getPath().getName().startswith("seg="):
+                out.append((st.getPath().toString(), st.getModificationTime() / 1000.0))
+        return out
+
     # ---------- manifest (snapshot) protocol ----------
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "_manifest.json")

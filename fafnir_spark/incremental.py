@@ -462,3 +462,45 @@ def snapshot_diff(
         F.lit("removed").alias("change"), "doc_id"
     )
     return added.unionByName(removed).orderBy("change", "doc_id")
+
+
+def remove_orphan_segments(
+    spark: SparkSession,
+    index_root: str,
+    older_than_s: float = 3600.0,
+    now_s: float | None = None,
+) -> dict:
+    """Iceberg remove_orphan_files analog: delete segment directories on
+    STORAGE that no snapshot (current or historical) references. publish()
+    is atomic but segment writes are not — a crashed or abandoned writer
+    leaves fully- or partially-written ``seg=*`` dirs behind that
+    expire_snapshots can never reclaim (it only walks manifests).
+
+    Age guard (the Iceberg ``older_than`` contract): only orphans whose
+    mtime is at least ``older_than_s`` old are deleted, so a CONCURRENT
+    writer's in-flight segment is never swept. Matching is by
+    (table, segment-dir name), immune to path normalization differences.
+    ``now_s`` is injectable for tests. Returns counts."""
+    import time
+
+    cat = Catalog(index_root)
+    m = cat.read_manifest()
+    now = time.time() if now_s is None else now_s
+    referenced: set[tuple[str, str]] = set()
+    for snap in [m, *m.get("history", [])]:
+        for tname, dirs in (snap.get("tables") or {}).items():
+            for d in dirs:
+                referenced.add((tname, d.rstrip("/").rsplit("/", 1)[-1]))
+    deleted = scanned = 0
+    for tname in cat.list_tables():
+        for path, mtime in cat.list_segment_dirs(tname):
+            scanned += 1
+            seg_name = path.rstrip("/").rsplit("/", 1)[-1]
+            if (tname, seg_name) in referenced:
+                continue
+            if now - mtime < older_than_s:
+                continue
+            cat.delete_dir(path)
+            deleted += 1
+    return {"scanned": scanned, "deleted_dirs": deleted,
+            "referenced": len(referenced)}

@@ -573,3 +573,38 @@ def test_publish_optimistic_concurrency(spark, tmp_path, split_docs):
     # unconditional publish (initial build path) still works
     m3 = cat.read_manifest()
     cat.publish(dict(m3["tables"]), meta=m3.get("meta"))
+
+
+def test_remove_orphan_segments(spark, tmp_path, split_docs):
+    """Orphan sweep: crashed-writer segment dirs (unreferenced by any
+    snapshot) are deleted once old enough; referenced segments and FRESH
+    orphans (in-flight writers) are never touched; queries unchanged."""
+    import os
+    import time
+
+    from fafnir_spark.incremental import remove_orphan_segments
+
+    docs, old, new = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(old, id_col="doc_id", text_col="text"),
+                root, n_parts=2, block_size=32, tokenizer="whitespace", build_id="i")
+    append_index(spark, normalize_docs(new, id_col="doc_id", text_col="text"),
+                 root, segment="d1", tokenizer="whitespace")
+    before = _res(spark, root)
+    # crashed writers: an orphan postings segment + a never-published table
+    o1 = os.path.join(root, "postings", "seg=crashed-1")
+    o2 = os.path.join(root, "half_table", "seg=partial")
+    for d in (o1, o2):
+        os.makedirs(d)
+        open(os.path.join(d, "part-0.parquet"), "wb").write(b"junk")
+    now = time.time()
+    # fresh orphans survive the age guard
+    r = remove_orphan_segments(spark, root, older_than_s=3600, now_s=now)
+    assert r["deleted_dirs"] == 0 and os.path.isdir(o1) and os.path.isdir(o2)
+    # old enough → swept; referenced segments stay
+    r = remove_orphan_segments(spark, root, older_than_s=0, now_s=now + 10)
+    assert r["deleted_dirs"] == 2
+    assert not os.path.exists(o1) and not os.path.exists(o2)
+    cat = Catalog(root)
+    assert len(cat.read_manifest()["tables"]["postings"]) == 2
+    assert _res(spark, root) == before
