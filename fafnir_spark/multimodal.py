@@ -100,15 +100,55 @@ def try_bmp_decode(payload: bytes) -> np.ndarray | None:
     return rows if top_down else rows[::-1]
 
 
+def ppm_encode(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → binary PPM (P6, maxval 255) — the simplest
+    public raster format; inverse of try_ppm_decode."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def try_ppm_decode(payload: bytes) -> np.ndarray | None:
+    """Binary PPM (P6) → (h, w, 3) uint8 RGB, or None when the payload is
+    not one. Strict: magic, three whitespace-separated header ints with
+    optional '#' comment lines, maxval 255, and the body EXACTLY
+    w·h·3 bytes (no slack — arbitrary 'P6'-prefixed bytes never pass)."""
+    if not payload.startswith(b"P6"):
+        return None
+    pos, fields = 2, []
+    n = len(payload)
+    while len(fields) < 3 and pos < n:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start or not payload[start:pos].isdigit():
+            return None
+        fields.append(int(payload[start:pos]))
+    if len(fields) < 3 or pos >= n or not payload[pos : pos + 1].isspace():
+        return None
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255 or w <= 0 or h <= 0 or n - pos != w * h * 3:
+        return None
+    return np.frombuffer(payload, dtype=np.uint8, offset=pos).reshape(h, w, 3)
+
+
 def decode_media(payload: bytes, modality: str, fake: bool = False) -> np.ndarray:
     """Decode one payload to its sample array. Real formats first: 24-bit
-    uncompressed BMP decodes genuinely (pure numpy, no libs). Everything
-    else (JPEG/PNG/audio/video) needs decoders absent from this container
-    and falls through to decode_stub."""
+    uncompressed BMP and binary PPM decode genuinely (pure numpy, no
+    libs). Everything else (JPEG/PNG/audio/video) needs decoders absent
+    from this container and falls through to decode_stub."""
     if modality == "image":
-        px = try_bmp_decode(payload)
-        if px is not None:
-            return px
+        for decoder in (try_bmp_decode, try_ppm_decode):
+            px = decoder(payload)
+            if px is not None:
+                return px
     return decode_stub(payload, modality, fake=fake)
 
 

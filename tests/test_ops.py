@@ -308,3 +308,21 @@ def test_ivf_searcher_warm_equals_cold(spark, emb, tmp_path):
             assert warm == cold and warm
     finally:
         s.close()
+
+
+def test_ppm_decode_golden():
+    """PPM (P6): round-trip, comment-tolerant header, strict rejection of
+    truncated/padded bodies and text starting with 'P6'."""
+    from fafnir_spark.multimodal import decode_media, ppm_encode, try_ppm_decode
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    blob = ppm_encode(px)
+    assert np.array_equal(try_ppm_decode(blob), px)
+    # header comments are legal PPM
+    commented = b"P6\n# made by a camera\n3 4\n255\n" + px.tobytes()
+    assert np.array_equal(try_ppm_decode(commented), px)
+    assert try_ppm_decode(blob + b"x") is None          # slack bytes
+    assert try_ppm_decode(blob[:-1]) is None            # truncated
+    assert try_ppm_decode(b"P6 is a chip " * 3) is None  # text prefix
+    assert np.array_equal(decode_media(blob, "image", fake=False), px)
