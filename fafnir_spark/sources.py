@@ -5,8 +5,9 @@ cursor (/root/reference src/sources/openmaptiles/postgres.rs:4-83 — six
 UNION'd table subqueries streamed with `query_raw`). Spark's dual is a
 partitioned JDBC read: N executors each open their own cursor over a
 numeric range slice, so ingestion parallelism matches the cluster, not one
-connection. No database exists in this sandbox — the option-building logic
-is unit-tested, the connection is exercised on a real cluster.
+connection. Live-tested against embedded Derby (on Spark's classpath) in
+tests/test_jdbc_live.py — partitioned cursors, pushdown subquery, and the
+full JDBC→index path; production targets swap the URL/driver.
 """
 
 from __future__ import annotations
