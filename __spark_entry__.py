@@ -1019,6 +1019,46 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 COMPOSITE_AFTER = ("click", 10_000_000_000)
 
 
+def _q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE JDBC source (embedded Derby on Spark's classpath — the
+    postgres cursor-scan analog, postgres.rs:4-83): seed the documents
+    fixture into a real database via java.sql, read it back through 4
+    partitioned range cursors, return (doc_id, n_chars) — the oracle is
+    simply the documents table."""
+    import uuid
+
+    from fafnir_spark.sources import read_jdbc
+
+    db = os.path.join(tempfile.gettempdir(), "fafnir_derby_" + uuid.uuid4().hex[:8])
+    url = f"jdbc:derby:{db};create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE docs (doc_id BIGINT, n_chars BIGINT)")
+        st.close()
+        ps = conn.prepareStatement("INSERT INTO docs VALUES (?, ?)")
+        rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "n_chars").collect()
+        for r in rows:
+            ps.setLong(1, int(r["doc_id"]))
+            ps.setLong(2, int(r["n_chars"]))
+            ps.addBatch()
+        ps.executeBatch()
+        ps.close()
+    finally:
+        conn.close()
+    ids = [int(r["doc_id"]) for r in rows]
+    df = read_jdbc(
+        spark, url=url, query_or_table="docs",
+        partition_column="doc_id", lower_bound=min(ids), upper_bound=max(ids) + 1,
+        num_partitions=4,
+    )
+    return df.select(
+        F.col("DOC_ID").alias("doc_id"), F.col("N_CHARS").alias("n_chars")
+    ).orderBy("doc_id")
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-changelog lifecycle: build a base snapshot, append the rest
     of the corpus, delete a few ids, then diff base → current — 'added'
@@ -1196,7 +1236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_error_counts": _pq("event_error_counts", "events"),
         "event_sessionization": _pq("user_sessions", "events"),
         "composite_agg_page1": _q_composite_p1,
+        "event_rollup": _pq("event_rollup", "events"),
         "snapshot_diff": _q_snapshot_diff,
+        "jdbc_roundtrip": _q_jdbc_roundtrip,
         "composite_agg_page2": _q_composite_p2,
         "event_percentiles": _pq("event_value_percentiles", "events"),
         "events_tumbling_window": _pq("events_tumbling_window", "events"),
@@ -1340,7 +1382,9 @@ def oracle_sql() -> dict[str, str]:
         "nearest_zone_top1": oracles_pipeline.nearest_zone_sql(),
         "point_in_polygon": oracles_pipeline.point_in_polygon_sql(),
         "composite_agg_page1": oracles_pipeline.composite_agg_sql(20),
+        "event_rollup": oracles_pipeline.event_rollup_sql(),
         "snapshot_diff": oracles.snapshot_diff_sql(400, (0, 1, 2, 3, 4)),
+        "jdbc_roundtrip": "SELECT doc_id, n_chars FROM documents ORDER BY doc_id",
         "composite_agg_page2": oracles_pipeline.composite_agg_sql(20, COMPOSITE_AFTER),
         "zone_point_counts": oracles_pipeline.zone_point_counts_sql(),
         "label_grid_cells": oracles_pipeline.label_grid_sql(),

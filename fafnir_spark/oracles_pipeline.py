@@ -421,3 +421,14 @@ SELECT event_type, user_id,
 FROM events GROUP BY event_type, user_id {where}
 ORDER BY event_type, user_id LIMIT {size}
 """
+
+
+def event_rollup_sql() -> str:
+    return """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(strftime(ts, '%Y-%m-%d'), '(all)') AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+ORDER BY 1, 2
+"""

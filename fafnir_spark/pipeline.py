@@ -581,3 +581,23 @@ def composite_agg(
         .limit(size)
         .orderBy("event_type", "user_id")
     )
+
+
+def event_rollup(events: DataFrame) -> DataFrame:
+    """OLAP ROLLUP over (event_type, day): subtotals per type, per
+    type+day, and the grand total in ONE pass (Spark rollup == partial
+    aggregation reused across grouping sets — no per-level rescan).
+    NULL grouping slots are labeled '(all)' so both engines order rows
+    identically. (event_type, day, n, sum_value)."""
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    return (
+        events.select(F.col("event_type"), day.alias("day"), F.col("value"))
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("day"), F.lit("(all)")).alias("day"),
+            "n", "sum_value",
+        )
+        .orderBy("event_type", "day")
+    )
