@@ -251,14 +251,20 @@ def events_sliding_window(events: DataFrame) -> DataFrame:
 
 def best_doc_per_lang(docs: DataFrame) -> DataFrame:
     """A4: first-match/min-by reductions — per (lang, source) the doc with
-    max n_chars (ties: min doc_id)."""
-    w = Window.partitionBy("lang", "source").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
+    max n_chars (ties: min doc_id). Sort-free: groupBy + max_by (ordering
+    key (n_chars, −doc_id) unique per row → deterministic), so the
+    map-side partial aggregate collapses each group to one row per scan
+    partition instead of sorting the corpus per group under a window."""
+    best = docs.groupBy("lang", "source").agg(
+        F.max_by(
+            F.struct(F.col("doc_id"), F.col("n_chars")),
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("__nd")),
+        ).alias("__b")
     )
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("lang", "source", F.col("doc_id").alias("best_doc"), "n_chars")
+    return best.select(
+        "lang", "source",
+        F.col("__b.doc_id").alias("best_doc"),
+        F.col("__b.n_chars").alias("n_chars"),
     )
 
 
