@@ -201,20 +201,27 @@ def collapse_topk(
     text_col: str = "text",
 ) -> DataFrame:
     """ES field collapsing: BM25 top-k with at most ONE result per value of
-    ``collapse_field`` (result diversity). The per-group winner is selected
-    with a window partitioned BY THE GROUP (parallel across groups), then
-    the k winners are merged with orderBy().limit(k) — no unpartitioned
-    window anywhere. (rank, doc_id, score, <collapse_field>)."""
+    ``collapse_field`` (result diversity). The per-group winner comes from
+    a sort-free groupBy + max_by (map-side partial agg collapses each
+    group per scan partition — a skewed group never funnels its matches
+    through one reducer's sort), then the k winners are merged with
+    orderBy().limit(k). (rank, doc_id, score, <collapse_field>)."""
     from pyspark.sql.window import Window
 
     from .query import bm25_scores
 
     scores = bm25_scores(docs, terms, text_col=text_col)
     joined = scores.join(docs.select("doc_id", collapse_field), "doc_id")
-    gw = Window.partitionBy(collapse_field).orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
+    winners = joined.groupBy(collapse_field).agg(
+        F.max_by(
+            F.struct(F.col("doc_id"), F.col("score")),
+            F.struct(F.col("score"), (-F.col("doc_id")).alias("__nd")),
+        ).alias("__w")
+    ).select(
+        collapse_field,
+        F.col("__w.doc_id").alias("doc_id"),
+        F.col("__w.score").alias("score"),
     )
-    winners = joined.withColumn("__rn", F.row_number().over(gw)).filter(F.col("__rn") == 1)
     top = winners.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
@@ -655,22 +662,22 @@ def significant_terms(docs: DataFrame, query_terms: list[str], k: int = 10,
 def top_hits_grouped(docs: DataFrame, terms: list[str], group_col: str,
                      per_group: int = 3, text_col: str = "text") -> DataFrame:
     """ES top_hits-inside-terms aggregation: the best ``per_group`` docs by
-    BM25 within every value of ``group_col`` — per-group windows (parallel
-    across groups, no global sort), the grouped complement of
+    BM25 within every value of ``group_col`` — the shared two-level top-k
+    (topk.topk_per_group: per-partition streaming head-k, then the rank
+    window over ≤ k×n_parts candidates), so a skewed group never sorts its
+    whole match set through one reducer. The grouped complement of
     collapse_topk's one-per-group. (<group_col>, rk, doc_id, score)."""
-    from pyspark.sql.window import Window
-
     from .query import bm25_scores
+    from .topk import topk_per_group
 
     scores = bm25_scores(docs, terms, text_col=text_col)
     joined = scores.join(docs.select("doc_id", group_col), "doc_id")
-    gw = Window.partitionBy(group_col).orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
     return (
-        joined.withColumn("rk", F.row_number().over(gw))
-        .filter(F.col("rk") <= per_group)
-        .select(group_col, "rk", "doc_id", "score")
+        topk_per_group(
+            joined.select(group_col, "doc_id", "score"), per_group,
+            group_col=group_col, id_col="doc_id", val_col="score",
+        )
+        .select(group_col, F.col("rank").alias("rk"), "doc_id", "score")
         .orderBy(group_col, "rk")
     )
 
