@@ -105,14 +105,19 @@ def sample_per_source(docs: DataFrame, n: int = 25,
     tie-break. The data-mixing primitive for corpus curation — per-domain
     caps, language rebalancing.
 
-    (source, rk, doc_id); windows are per-stratum, no global sort."""
-    w = Window.partitionBy(strat_col).orderBy(
-        _strat_order(id_col), F.col(id_col).asc()
+    (source, rk, doc_id); selection is the shared two-level top-k
+    (negated hash as the descending key == hash-ascending order), so a
+    skewed stratum never sorts through one reducer."""
+    from .topk import topk_per_group
+
+    scored = docs.select(
+        F.col(strat_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        (-_strat_order(id_col)).alias("__nh"),
     )
     return (
-        docs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= n)
-        .select(F.col(strat_col).alias("source"), "rk", F.col(id_col).alias("doc_id"))
+        topk_per_group(scored, n, group_col="source", id_col="doc_id", val_col="__nh")
+        .select("source", F.col("rank").alias("rk"), "doc_id")
         .orderBy("source", "rk")
     )
 
