@@ -594,6 +594,53 @@ def _q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wildcard_bm25(_docs(spark, sf_dir), "me*e", k=10)
 
 
+def _q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES regexp query: s[a-z]+ → scan/slow/small/sort/spark/stream,
+    scored as a disjunction (each expansion keeps its own idf)."""
+    from fafnir_spark.query_ext import regexp_bm25
+
+    return regexp_bm25(_docs(spark, sf_dir), "s[a-z]+", k=10)
+
+
+def _q_function_score_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score gauss decay on n_chars around origin 200 (scale 100,
+    decay 0.5) multiplied into the BM25 relevance score."""
+    from fafnir_spark.scoring import function_score_gauss
+
+    return function_score_gauss(
+        _docs(spark, sf_dir), ["merge", "window"], origin=200.0, scale=100.0, k=10
+    )
+
+
+DISMAX_SUBQ = [["merge", "window"], ["spark", "slow"]]
+
+
+def _q_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dis_max compound query over two BM25 disjunctions, tie_breaker 0.3
+    — ONE corpus pass routes per-term partials to their subquery."""
+    from fafnir_spark.scoring import dis_max
+
+    return dis_max(_docs(spark, sf_dir), DISMAX_SUBQ, tie_breaker=0.3, k=10)
+
+
+def _q_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query: positive merge/window, docs also containing
+    'slow' demoted ×0.5 (never excluded)."""
+    from fafnir_spark.scoring import boosting_query
+
+    return boosting_query(
+        _docs(spark, sf_dir), ["merge", "window"], "slow", negative_boost=0.5, k=10
+    )
+
+
+def _q_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random_score: deterministic portable-hash sampling — the
+    reproducible-shuffle primitive."""
+    from fafnir_spark.scoring import random_score_topk
+
+    return random_score_topk(_docs(spark, sf_dir), seed="round4", k=10)
+
+
 PERC_QUERIES = {
     "alert_merge": {"must": ["merge", "window"], "must_not": ["vector"]},
     "alert_slow": {"must": ["slow"], "should": ["key", "agg"]},
@@ -1184,6 +1231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_boost": _q_query_string_boost,
         "query_string_boost_indexed": _q_query_string_boost_indexed,
         "wildcard_bm25": _q_wildcard,
+        "regexp_bm25": _q_regexp,
+        "function_score_gauss": _q_function_score_gauss,
+        "dis_max": _q_dis_max,
+        "boosting_query": _q_boosting,
+        "random_score": _q_random_score,
         "percolate": _q_percolate,
         "rank_eval": _q_rank_eval,
         "explain_score": _q_explain_score,
@@ -1314,6 +1366,15 @@ def oracle_sql() -> dict[str, str]:
         "query_string_boost": oracles.search_text_sql(QS_BOOST, k=10),
         "query_string_boost_indexed": oracles.search_text_sql(QS_BOOST, k=10),
         "wildcard_bm25": oracles.wildcard_bm25_sql("me*e", k=10),
+        "regexp_bm25": oracles.regexp_bm25_sql("s[a-z]+", k=10),
+        "function_score_gauss": oracles.function_score_gauss_sql(
+            ["merge", "window"], origin=200.0, scale=100.0, k=10
+        ),
+        "dis_max": oracles.dis_max_sql(DISMAX_SUBQ, tie_breaker=0.3, k=10),
+        "boosting_query": oracles.boosting_query_sql(
+            ["merge", "window"], "slow", negative_boost=0.5, k=10
+        ),
+        "random_score": oracles.random_score_sql("round4", k=10),
         "percolate": oracles.percolate_sql(PERC_QUERIES),
         "rank_eval": oracles.rank_eval_sql(RANK_EVAL_Q, k=10),
         "explain_score": oracles.explain_sql(Q_MAIN, 42),

@@ -1107,3 +1107,150 @@ SELECT change, doc_id FROM (
   WHERE doc_id < {split_id} AND doc_id IN ({rm})
 ) ORDER BY change, doc_id
 """
+
+
+# ---- function_score / compound-query family (scoring.py) -----------------
+
+def _ranked_topk(inner: str, k: int) -> str:
+    return f"""
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM ({inner})
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+def _scored_cte(terms: list[str]) -> str:
+    """The standard raw-BM25 scored relation over _TF_CTES for a term set
+    — shared by every function_score oracle below."""
+    return f"""
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)"""
+
+
+def function_score_gauss_sql(terms: list[str], origin: float, scale: float,
+                             decay: float = 0.5, k: int = 10,
+                             field: str = "n_chars") -> str:
+    """Gauss-decay function_score: score = round(bm25 * exp(lam*d*d), 6),
+    lam = ln(decay)/scale^2 — the SAME driver-side literal as
+    scoring.function_score_gauss, identical operand order."""
+    import math
+    lam = math.log(decay) / (scale * scale)
+    d = f"abs(CAST(d.{field} AS DOUBLE) - {float(origin)!r})"
+    inner = f"""
+WITH {_TF_CTES},
+{_scored_cte(terms)}
+SELECT s.doc_id,
+       round(round(s.raw_score, 6) * exp({lam!r} * {d} * {d}), 6) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+"""
+    return _ranked_topk(inner, k)
+
+
+def dis_max_sql(subqueries: list[list[str]], tie_breaker: float = 0.3,
+                k: int = 10) -> str:
+    """dis_max: best + tie_breaker * (total - best) over per-subquery
+    rounded BM25 sums; the (term, sub) routing relation is the same VALUES
+    list scoring.dis_max broadcasts."""
+    all_terms = sorted({t for sq in subqueries for t in sq})
+    vals = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', {i})"
+        for i, sq in enumerate(subqueries) for t in sorted(set(sq))
+    )
+    inner = f"""
+WITH {_TF_CTES},
+q(term, sub) AS (VALUES {vals}),
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(all_terms)} GROUP BY term
+),
+per_sub AS (
+  SELECT tf.doc_id, q.sub,
+         round(sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ), 6) AS sub_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id, q.sub
+)
+SELECT doc_id,
+       round(max(sub_score) + {float(tie_breaker)!r} * (sum(sub_score) - max(sub_score)), 6) AS score
+FROM per_sub GROUP BY doc_id
+"""
+    return _ranked_topk(inner, k)
+
+
+def boosting_query_sql(positive: list[str], negative: str,
+                       negative_boost: float = 0.5, k: int = 10) -> str:
+    """Boosting query: positive BM25, demoted (never excluded) by
+    negative_boost when the doc also contains the negative term."""
+    neg = negative.replace("'", "''")
+    inner = f"""
+WITH {_TF_CTES},
+{_scored_cte(positive)},
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{neg}')
+SELECT s.doc_id,
+       round(round(s.raw_score, 6)
+             * (CASE WHEN n.doc_id IS NOT NULL THEN {float(negative_boost)!r} ELSE 1.0 END), 6) AS score
+FROM scored s LEFT JOIN neg n ON n.doc_id = s.doc_id
+"""
+    return _ranked_topk(inner, k)
+
+
+def random_score_sql(seed: str, k: int = 10) -> str:
+    """Seeded random_score: portable hash60("doc_id:seed") scaled to
+    [0, 1) — hash60 is non-negative so plain % == pmod here."""
+    from .portable import hash60_sql
+    s = seed.replace("'", "''")
+    h = hash60_sql(f"concat(CAST(doc_id AS VARCHAR), ':', '{s}')")
+    inner = f"""
+SELECT doc_id,
+       round(CAST(({h} % 1000000) AS DOUBLE) / 1000000.0, 6) AS score
+FROM documents
+"""
+    return _ranked_topk(inner, k)
+
+
+def regexp_bm25_sql(pattern: str, k: int = 10) -> str:
+    """Regexp-query oracle: full-term regexp expansion in SQL
+    (regexp_full_match == Spark's anchored rlike for the RE2 subset), then
+    the standard expanded-term BM25 — same shape as wildcard_bm25_sql."""
+    p = pattern.replace("'", "''")
+    inner = f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE regexp_full_match(term, '{p}') GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 6) AS score FROM scored
+"""
+    return _ranked_topk(inner, k)

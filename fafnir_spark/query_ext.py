@@ -921,6 +921,35 @@ def wildcard_bm25(docs: DataFrame, pattern: str, k: int = 10,
     return bm25_topk(docs, terms, k=k, text_col=text_col)
 
 
+def expand_regexp(docs: DataFrame, pattern: str,
+                  text_col: str = "text") -> list[str]:
+    """Vocabulary terms fully matching an ES regexp-query pattern (ES
+    regexp is anchored: the WHOLE term must match). Vocabulary-sized scan,
+    same envelope as expand_prefix/expand_wildcard. Keep patterns to the
+    RE2-compatible subset (classes, alternation, quantifiers) so Spark's
+    Java regex and DuckDB's regexp_full_match agree."""
+    from .query import doc_term_freqs
+
+    tf = doc_term_freqs(docs, "doc_id", text_col)
+    rows = tf.select("term").distinct().filter(
+        F.col("term").rlike(f"^(?:{pattern})$")
+    ).collect()
+    return sorted(r["term"] for r in rows)
+
+
+def regexp_bm25(docs: DataFrame, pattern: str, k: int = 10,
+                text_col: str = "text") -> DataFrame:
+    """ES regexp query: vocabulary terms fully matching the pattern, scored
+    as a BM25 disjunction (scoring_boolean rewrite, each expansion keeps
+    its own idf — same as wildcard_bm25). (rank, doc_id, score)."""
+    from .query import bm25_topk
+
+    terms = expand_regexp(docs, pattern, text_col)
+    if not terms:
+        return docs.sparkSession.createDataFrame([], "rank int, doc_id long, score double")
+    return bm25_topk(docs, terms, k=k, text_col=text_col)
+
+
 def percolate(docs: DataFrame, queries: dict[str, dict],
               text_col: str = "text") -> DataFrame:
     """ES percolator (reverse search): match every document against a set

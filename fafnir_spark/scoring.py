@@ -1,0 +1,168 @@
+"""ES function_score / compound-query family — direct (index-free) path.
+
+The reference serves relevance through Elasticsearch (config/fafnir/
+default.toml pins the query surface; tests/tests.rs:208-228 pins relevance
+order), whose query DSL layers score-shaping combinators over BM25:
+function_score decay, dis_max, boosting, random_score. Each is expressed
+here as a composition over the shared one-pass BM25 relation
+(query.bm25_scores / query._tf_dl_df) — score shaping never adds a corpus
+scan, only row-local arithmetic or a bounded regroup of already-matched
+docs.
+
+Rank-identity contract: every combinator multiplies/merges ROUNDED
+(6-decimal) BM25 scores and re-rounds, in the exact operand order the
+DuckDB oracle uses (oracles.function_score_* builders), so value hashes
+match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import B, K1
+from .portable import hash60
+from .query import SCORE_DECIMALS, _tf_dl_df, bm25_scores, tokens_expr
+
+
+def _topk_ranked(scores: DataFrame, k: int) -> DataFrame:
+    """Shared deterministic top-k finish: orderBy().limit(k) compiles to
+    TakeOrderedAndProject (per-partition heaps, k-row merge); the rank
+    window runs AFTER the limit, over k rows."""
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")
+
+
+def function_score_gauss(
+    docs: DataFrame,
+    terms: list[str],
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+    k: int = 10,
+    field: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES function_score with a gauss decay on a numeric doc field:
+
+        score = bm25 * exp(lambda * d * d),  lambda = ln(decay)/scale^2,
+        d = |field - origin|
+
+    (the distance-from-origin relevance shaping ES documents for
+    function_score; at distance == scale the multiplier equals ``decay``).
+    lambda is computed driver-side and enters BOTH engines as a literal.
+    The decay factor is row-local — no pass beyond bm25's own."""
+    lam = math.log(decay) / (scale * scale)
+    scores = bm25_scores(docs, terms, text_col=text_col)
+    vals = docs.select("doc_id", F.col(field).cast("double").alias("__v"))
+    d = F.abs(F.col("__v") - F.lit(float(origin)))
+    out = (
+        scores.join(vals, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("score") * F.exp(F.lit(lam) * d * d), SCORE_DECIMALS).alias("score"),
+        )
+    )
+    return _topk_ranked(out, k)
+
+
+def dis_max(
+    docs: DataFrame,
+    subqueries: list[list[str]],
+    tie_breaker: float = 0.3,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES dis_max compound query: each subquery is a BM25 disjunction; a
+    doc's score is its best subquery score plus tie_breaker times the rest:
+
+        score = best + tie_breaker * (total - best)
+
+    ONE corpus pass for ALL subqueries: per-term BM25 partials from the
+    shared filtered tf+dl+df relation, routed to their subquery via a
+    broadcast (term, sub) relation, regrouped per (doc, sub) then per doc
+    — never a pass per subquery."""
+    spark = docs.sparkSession
+    all_terms = sorted({t for sq in subqueries for t in sq})
+    q = spark.createDataFrame(
+        [(t, i) for i, sq in enumerate(subqueries) for t in sorted(set(sq))],
+        "term string, sub int",
+    )
+    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    matched = _tf_dl_df(base, all_terms)
+    stats = (
+        base.select(F.size(tokens_expr("__text")).cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    tfn = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    per_sub = (
+        matched.join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("part_score", idf * tfn)
+        .groupBy("doc_id", "sub")
+        .agg(F.round(F.sum("part_score"), SCORE_DECIMALS).alias("sub_score"))
+    )
+    out = (
+        per_sub.groupBy("doc_id")
+        .agg(F.max("sub_score").alias("best"), F.sum("sub_score").alias("total"))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("best") + F.lit(tie_breaker) * (F.col("total") - F.col("best")),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    return _topk_ranked(out, k)
+
+
+def boosting_query(
+    docs: DataFrame,
+    positive: list[str],
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES boosting query: docs matching the positive terms keep their BM25
+    score; docs ALSO containing the negative term are demoted (not
+    excluded) by ``negative_boost``. The negative flag is row-local over
+    the doc text (array_contains on the token split) — no extra tf pass."""
+    scores = bm25_scores(docs, positive, text_col=text_col)
+    flags = docs.select(
+        "doc_id", F.array_contains(tokens_expr(text_col), negative).alias("__neg")
+    )
+    out = scores.join(flags, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("score")
+            * F.when(F.col("__neg"), F.lit(float(negative_boost))).otherwise(F.lit(1.0)),
+            SCORE_DECIMALS,
+        ).alias("score"),
+    )
+    return _topk_ranked(out, k)
+
+
+def random_score_topk(docs: DataFrame, seed: str, k: int = 10) -> DataFrame:
+    """ES function_score random_score with a seed: deterministic
+    pseudo-random score in [0, 1) from the portable 60-bit hash of
+    "doc_id:seed" — identical in both engines, so reproducible sampling
+    (the ES use case) is oracle-checkable. Pure projection + top-k; zero
+    shuffles before the k-row merge."""
+    r = (
+        F.pmod(
+            hash60(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(seed))),
+            F.lit(1000000),
+        ).cast("double")
+        / F.lit(1000000.0)
+    )
+    out = docs.select("doc_id", F.round(r, SCORE_DECIMALS).alias("score"))
+    return _topk_ranked(out, k)

@@ -1,0 +1,124 @@
+"""function_score / compound-query family (scoring.py) vs DuckDB oracles,
+plus semantic invariants (decay monotonicity, dis_max bounds, boosting
+demotes-never-excludes, random_score determinism)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fafnir_spark import oracles
+from fafnir_spark.query_ext import regexp_bm25
+from fafnir_spark.scoring import (
+    boosting_query,
+    dis_max,
+    function_score_gauss,
+    random_score_topk,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _check(got, want):
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[2], abs=1e-9)
+
+
+def test_gauss_matches_oracle(spark, ddb, docs):
+    got = function_score_gauss(docs, ["merge", "window"], 200.0, 100.0, k=10).collect()
+    want = ddb.execute(
+        oracles.function_score_gauss_sql(["merge", "window"], 200.0, 100.0, k=10)
+    ).fetchall()
+    _check(got, want)
+
+
+def test_gauss_decay_at_scale_is_decay(spark, docs):
+    # a doc exactly `scale` away from origin is multiplied by ~decay
+    from fafnir_spark.query import bm25_scores
+
+    base = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["merge"]).collect()}
+    rows = function_score_gauss(docs, ["merge"], 200.0, 100.0, decay=0.5, k=500).collect()
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    hits = 0
+    for r in rows:
+        d = abs(chars[r["doc_id"]] - 200.0) / 100.0
+        hits += 1
+        assert r["score"] == pytest.approx(base[r["doc_id"]] * 0.5 ** (d * d), abs=2e-6)
+    assert hits > 0
+
+
+def test_dis_max_matches_oracle(spark, ddb, docs):
+    sub = [["merge", "window"], ["spark", "slow"]]
+    got = dis_max(docs, sub, tie_breaker=0.3, k=10).collect()
+    want = ddb.execute(oracles.dis_max_sql(sub, tie_breaker=0.3, k=10)).fetchall()
+    _check(got, want)
+
+
+def test_dis_max_bounds(spark, docs):
+    # tie=0 -> pure max; tie=1 -> pure sum; 0<tie<1 strictly between when
+    # both subqueries match
+    sub = [["merge"], ["window"]]
+    t0 = {r["doc_id"]: r["score"] for r in dis_max(docs, sub, 0.0, k=50).collect()}
+    t3 = {r["doc_id"]: r["score"] for r in dis_max(docs, sub, 0.3, k=50).collect()}
+    t1 = {r["doc_id"]: r["score"] for r in dis_max(docs, sub, 1.0, k=50).collect()}
+    both = set(t0) & set(t1) & set(t3)
+    assert both
+    for d in both:
+        assert t0[d] - 1e-9 <= t3[d] <= t1[d] + 1e-9
+
+
+def test_boosting_matches_oracle(spark, ddb, docs):
+    got = boosting_query(docs, ["merge", "window"], "slow", 0.5, k=10).collect()
+    want = ddb.execute(
+        oracles.boosting_query_sql(["merge", "window"], "slow", 0.5, k=10)
+    ).fetchall()
+    _check(got, want)
+
+
+def test_boosting_demotes_not_excludes(spark, docs):
+    from pyspark.sql import functions as F
+
+    n_all = boosting_query(docs, ["merge"], "slow", 0.5, k=10**6).count()
+    from fafnir_spark.query import bm25_scores
+
+    assert n_all == bm25_scores(docs, ["merge"]).count()
+    # every demoted doc scores exactly half its undemoted BM25
+    base = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["merge"]).collect()}
+    neg_rows = docs.filter(
+        F.array_contains(F.split("text", " "), "slow")
+    ).select("doc_id").collect()
+    neg = {r["doc_id"] for r in neg_rows}
+    got = boosting_query(docs, ["merge"], "slow", 0.5, k=10**6).collect()
+    for r in got:
+        factor = 0.5 if r["doc_id"] in neg else 1.0
+        # Spark rounds HALF_UP, Python round() is banker's — compare unrounded
+        assert r["score"] == pytest.approx(base[r["doc_id"]] * factor, abs=1e-6)
+
+
+def test_random_score_matches_oracle_and_seed_sensitivity(spark, ddb, docs):
+    got = random_score_topk(docs, "round4", k=10).collect()
+    want = ddb.execute(oracles.random_score_sql("round4", k=10)).fetchall()
+    _check(got, want)
+    again = random_score_topk(docs, "round4", k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    other = random_score_topk(docs, "other-seed", k=10).collect()
+    assert [r["doc_id"] for r in got] != [r["doc_id"] for r in other]
+
+
+def test_regexp_matches_oracle_and_equals_manual_expansion(spark, ddb, docs):
+    got = regexp_bm25(docs, "s[a-z]+", k=10).collect()
+    want = ddb.execute(oracles.regexp_bm25_sql("s[a-z]+", k=10)).fetchall()
+    _check(got, want)
+    # expansion == every vocabulary term starting with s (in this corpus)
+    from fafnir_spark.query_ext import expand_regexp
+
+    terms = expand_regexp(docs, "s[a-z]+")
+    assert terms and all(t.startswith("s") and len(t) > 1 for t in terms)
+
+
+def test_regexp_no_match_is_empty(spark, docs):
+    assert regexp_bm25(docs, "zz+q", k=10).count() == 0
