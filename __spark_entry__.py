@@ -519,6 +519,51 @@ def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram + pipeline aggs (derivative / cumulative_sum /
+    moving avg) chained over the ordered per-day bucket relation."""
+    from fafnir_spark.pipeline import event_pipeline_aggs
+
+    return event_pipeline_aggs(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+ADJ_FILTERS = {"A": "merge", "B": "window", "C": "spark"}
+
+
+def _q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix agg: named term filters + pairwise
+    intersections in ONE conditional-count pass (no filter×filter join)."""
+    from fafnir_spark.pipeline import adjacency_matrix
+
+    return adjacency_matrix(_docs(spark, sf_dir), ADJ_FILTERS)
+
+
+def _q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms agg: the df <= 380 vocabulary tail."""
+    from fafnir_spark.pipeline import rare_terms
+
+    return rare_terms(_docs(spark, sf_dir), max_df=380)
+
+
+def _q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats agg: token-length stats + Shannon entropy of the
+    corpus term distribution (one-row corpus fingerprint)."""
+    from fafnir_spark.pipeline import token_string_stats
+
+    return token_string_stats(_docs(spark, sf_dir))
+
+
+def _q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats agg: pairwise covariance/correlation from explicit
+    raw sums (one pass over lineitem)."""
+    from fafnir_spark.pipeline import numeric_matrix_stats
+
+    return numeric_matrix_stats(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        ["l_quantity", "l_discount", "l_tax"],
+    )
+
+
 def _q_query_string_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query_string with an inclusive numeric range filter
     (n_chars:[150 TO 400]) — filter context, never scored."""
@@ -1214,6 +1259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": _q_suggest,
         "suggest_terms_indexed": _q_suggest_indexed,
         "value_histogram": _q_value_histogram,
+        "pipeline_aggs": _q_pipeline_aggs,
+        "adjacency_matrix": _q_adjacency_matrix,
+        "rare_terms": _q_rare_terms,
+        "string_stats_agg": _q_string_stats,
+        "matrix_stats": _q_matrix_stats,
         "query_string_range": _q_query_string_range,
         "query_string_range_indexed": _q_query_string_range_indexed,
         "significant_terms": _q_significant_terms,
@@ -1349,6 +1399,13 @@ def oracle_sql() -> dict[str, str]:
         "suggest_terms": oracles.suggest_sql(SUGGEST_TERM, k=5),
         "suggest_terms_indexed": oracles.suggest_sql(SUGGEST_TERM, k=5),
         "value_histogram": oracles_pipeline.event_value_histogram_sql(5.0),
+        "pipeline_aggs": oracles_pipeline.event_pipeline_aggs_sql(3),
+        "adjacency_matrix": oracles_pipeline.adjacency_matrix_sql(ADJ_FILTERS),
+        "rare_terms": oracles_pipeline.rare_terms_sql(380),
+        "string_stats_agg": oracles_pipeline.token_string_stats_sql(),
+        "matrix_stats": oracles_pipeline.numeric_matrix_stats_sql(
+            ["l_quantity", "l_discount", "l_tax"]
+        ),
         "query_string_range": oracles.search_text_sql(QS_RANGE, k=10),
         "query_string_range_indexed": oracles.search_text_sql(QS_RANGE, k=10),
         "significant_terms": oracles.significant_terms_sql(Q_MAIN, k=10),

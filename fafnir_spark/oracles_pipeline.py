@@ -432,3 +432,116 @@ SELECT coalesce(event_type, '(all)') AS event_type,
 FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
 ORDER BY 1, 2
 """
+
+
+def event_pipeline_aggs_sql(mov_window: int = 3) -> str:
+    """Pipeline aggs chained from the ROUNDED per-bucket sum, same as
+    pipeline.event_pipeline_aggs."""
+    return f"""
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT day, n, sum_value,
+       coalesce(round(sum_value - lag(sum_value) OVER (ORDER BY day), 6), 0.0) AS derivative,
+       round(sum(sum_value) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_sum,
+       round(avg(sum_value) OVER (ORDER BY day
+             ROWS BETWEEN {mov_window - 1} PRECEDING AND CURRENT ROW), 6) AS mov_avg
+FROM b ORDER BY day
+"""
+
+
+def adjacency_matrix_sql(filters: dict[str, str]) -> str:
+    keys = sorted(filters)
+    def flag(k):
+        t = filters[k].replace("'", "''")
+        return f"list_contains(string_split(text, ' '), '{t}') AS \"{k}\""
+    selects = [
+        f"SELECT '{k}' AS key, CAST(sum(CASE WHEN \"{k}\" THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS doc_count FROM flags" for k in keys
+    ]
+    selects += [
+        f"SELECT '{a}&{b}' AS key,"
+        f" CAST(sum(CASE WHEN \"{a}\" AND \"{b}\" THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS doc_count FROM flags"
+        for i, a in enumerate(keys) for b in keys[i + 1:]
+    ]
+    u = "\n  UNION ALL ".join(selects)
+    return f"""
+WITH flags AS (
+  SELECT {", ".join(flag(k) for k in keys)} FROM documents
+)
+SELECT key, doc_count FROM ({u}) ORDER BY key
+"""
+
+
+_TOKS_TF = """
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+"""
+
+
+def rare_terms_sql(max_df: int = 3) -> str:
+    return f"""
+WITH {_TOKS_TF}
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM tf GROUP BY term HAVING count(*) <= {max_df}
+ORDER BY df, term
+"""
+
+
+def token_string_stats_sql() -> str:
+    return f"""
+WITH {_TOKS_TF},
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+lens AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(dl) AS BIGINT) AS min_len,
+         CAST(max(dl) AS BIGINT) AS max_len,
+         round(avg(dl), 6) AS avg_len
+  FROM dl
+),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf) AS total FROM cf),
+ent AS (
+  SELECT round(-sum(p * log2(p)), 6) AS entropy
+  FROM (SELECT cf / total AS p FROM cf CROSS JOIN tot)
+)
+SELECT * FROM lens CROSS JOIN ent
+"""
+
+
+def numeric_matrix_stats_sql(cols: list[str], table: str = "lineitem") -> str:
+    """Same explicit-raw-sum closed forms as pipeline.numeric_matrix_stats
+    — built-in covar_pop/corr recurrences differ per engine."""
+    cols = sorted(cols)
+    sums = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in cols:
+        sums.append(f"sum(CAST({c} AS DOUBLE)) AS s_{c}")
+        sums.append(f"sum(CAST({c} * {c} AS DOUBLE)) AS ss_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            sums.append(f"sum(CAST({a} * {b} AS DOUBLE)) AS sp_{a}_{b}")
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            rows.append(f"""
+  SELECT '{a}' AS col_a, '{b}' AS col_b,
+         round((sp_{a}_{b} - s_{a} * s_{b} / n) / n, 6) AS covariance,
+         round((n * sp_{a}_{b} - s_{a} * s_{b})
+               / (sqrt(n * ss_{a} - s_{a} * s_{a}) * sqrt(n * ss_{b} - s_{b} * s_{b})), 6)
+           AS correlation
+  FROM wide""")
+    u = "\n  UNION ALL".join(rows)
+    return f"""
+WITH wide AS (SELECT {", ".join(sums)} FROM {table})
+SELECT col_a, col_b, covariance, correlation FROM ({u})
+ORDER BY col_a, col_b
+"""

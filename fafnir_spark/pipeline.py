@@ -607,3 +607,163 @@ def event_rollup(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def event_pipeline_aggs(events: DataFrame, mov_window: int = 3) -> DataFrame:
+    """ES date_histogram + pipeline aggregations in one plan: per-day
+    buckets (count, rounded sum) with derivative, cumulative_sum and a
+    moving average (window ``mov_window``) computed over the ORDERED
+    bucket relation — the monitoring/trend primitive (ES derivative /
+    cumulative_sum / moving_fn pipeline aggs).
+
+    Scale shape: the raw pass is ONE groupBy with map-side combine; every
+    window then runs over the bucket relation only (rows == distinct days,
+    bounded by the time range, never by event count). Pipeline ops read the
+    ROUNDED per-bucket sum so both engines chain from identical values.
+    (day, n, sum_value, derivative, cum_sum, mov_avg)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    buckets = (
+        events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    w = Window.orderBy("day")
+    return (
+        buckets.withColumn(
+            "derivative",
+            # first bucket has no predecessor: pinned to 0.0 (NULL would
+            # round-trip as NaN from the DuckDB oracle fetch)
+            F.coalesce(
+                F.round(F.col("sum_value") - F.lag("sum_value").over(w), 6), F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "cum_sum",
+            F.round(F.sum("sum_value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6),
+        )
+        .withColumn(
+            "mov_avg",
+            F.round(F.avg("sum_value").over(w.rowsBetween(-(mov_window - 1), 0)), 6),
+        )
+        .orderBy("day")
+    )
+
+
+def adjacency_matrix(docs: DataFrame, filters: dict[str, str],
+                     text_col: str = "text") -> DataFrame:
+    """ES adjacency_matrix aggregation: named term filters → doc counts for
+    every filter and every pairwise intersection ("A&B", ES's key form).
+    ONE corpus pass: per-doc row-local boolean flags (array_contains on the
+    token split), then a single aggregate of conditional counts — never a
+    filter×filter self-join. (key, doc_count), ordered by key."""
+    from pyspark.sql import functions as F
+
+    from .tokenizer import tokens_expr
+
+    keys = sorted(filters)
+    flags = docs.select(
+        *[F.array_contains(tokens_expr(text_col), filters[k]).alias(k) for k in keys]
+    )
+    aggs = [F.sum(F.when(F.col(k), 1).otherwise(0)).alias(k) for k in keys]
+    aggs += [
+        F.sum(F.when(F.col(a) & F.col(b), 1).otherwise(0)).alias(f"{a}&{b}")
+        for i, a in enumerate(keys) for b in keys[i + 1:]
+    ]
+    wide = flags.agg(*aggs)
+    pairs = list(wide.columns)
+    return (
+        wide.select(F.inline(F.arrays_zip(
+            F.array(*[F.lit(c) for c in pairs]),
+            F.array(*[F.col(f"`{c}`").cast("long") for c in pairs]),
+        )))
+        .toDF("key", "doc_count")
+        .orderBy("key")
+    )
+
+
+def rare_terms(docs: DataFrame, max_df: int = 3, text_col: str = "text") -> DataFrame:
+    """ES rare_terms aggregation: the long tail — vocabulary terms whose
+    document frequency is at most ``max_df``, ordered (df asc, term asc).
+    One tf pass + one bounded dictionary agg. (term, df)."""
+    from .query import doc_term_freqs
+
+    from pyspark.sql import functions as F
+
+    tf = doc_term_freqs(docs, "doc_id", text_col)
+    return (
+        tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .orderBy("df", "term")
+    )
+
+
+def token_string_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """ES string_stats aggregation over the analyzed field: doc count,
+    min/max/avg token length (dl) and the Shannon entropy (log2) of the
+    corpus term distribution — a one-row corpus fingerprint used for
+    drift monitoring. Two bounded aggregates (per-doc dl, per-term cf);
+    the entropy sum runs over the vocabulary, never the corpus."""
+    from pyspark.sql import functions as F
+
+    from .query import doc_term_freqs
+
+    tf = doc_term_freqs(docs, "doc_id", text_col)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    lens = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("dl").alias("min_len"),
+        F.max("dl").alias("max_len"),
+        F.round(F.avg("dl"), 6).alias("avg_len"),
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total"))
+    ent = (
+        cf.crossJoin(F.broadcast(total))
+        .select((F.col("cf") / F.col("total")).alias("p"))
+        .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy"))
+    )
+    return lens.crossJoin(ent)
+
+
+def numeric_matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ES matrix_stats aggregation: pairwise population covariance and
+    correlation over numeric fields, computed from explicit raw sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) so both engines evaluate the IDENTICAL
+    closed-form formula — built-in covar_pop/corr implementations use
+    different co-moment recurrences per engine and would drift.
+
+    ONE pass: a single aggregate emits every raw sum; the pairwise math is
+    driver-free column arithmetic on the 1-row result. (col_a, col_b,
+    covariance, correlation), ordered."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(cols)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"s_{c}"))
+        aggs.append(F.sum((F.col(c) * F.col(c)).cast("double")).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum((F.col(a) * F.col(b)).cast("double")).alias(f"sp_{a}_{b}"))
+    wide = df.agg(*aggs)
+    rows = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            n, sa, sb = F.col("n"), F.col(f"s_{a}"), F.col(f"s_{b}")
+            sp, ssa, ssb = F.col(f"sp_{a}_{b}"), F.col(f"ss_{a}"), F.col(f"ss_{b}")
+            cov = (sp - sa * sb / n) / n
+            corr = (n * sp - sa * sb) / (
+                F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
+            )
+            row = wide.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(cov, 6).alias("covariance"),
+                F.round(corr, 6).alias("correlation"),
+            )
+            rows = row if rows is None else rows.unionAll(row)
+    return rows.orderBy("col_a", "col_b")

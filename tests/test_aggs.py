@@ -257,3 +257,86 @@ def test_rank_eval(spark, ddb, docs):
         assert 0.0 <= r["mrr"] <= 1.0
         assert 0.0 <= r["ndcg_k"] <= 1.0 + 1e-9
     assert_matches(out, ddb, oracles.rank_eval_sql(queries, k=10))
+
+
+# ---- round-4 session-3 additions: pipeline aggs family -------------------
+
+
+def test_pipeline_aggs_matches_oracle(spark, ddb):
+    from fafnir_spark.oracles_pipeline import event_pipeline_aggs_sql
+    from fafnir_spark.pipeline import event_pipeline_aggs
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = event_pipeline_aggs(ev).collect()
+    want = ddb.execute(event_pipeline_aggs_sql(3)).fetchall()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (g["day"], g["n"]) == (w[0], w[1])
+        for i, c in enumerate(("sum_value", "derivative", "cum_sum", "mov_avg")):
+            assert g[c] == pytest.approx(w[2 + i], abs=1e-9), c
+    # invariants: cum_sum is nondecreasing partial sums of sum_value
+    acc = 0.0
+    for g in got:
+        acc += g["sum_value"]
+        assert g["cum_sum"] == pytest.approx(acc, abs=1e-4)
+
+
+def test_adjacency_matrix_matches_oracle_and_bounds(spark, ddb):
+    from fafnir_spark.oracles_pipeline import adjacency_matrix_sql
+    from fafnir_spark.pipeline import adjacency_matrix
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    filters = {"A": "merge", "B": "window", "C": "spark"}
+    got = {r["key"]: r["doc_count"] for r in adjacency_matrix(docs, filters).collect()}
+    want = dict(ddb.execute(adjacency_matrix_sql(filters)).fetchall())
+    assert got == want
+    # intersection can never exceed either operand
+    for pair in ("A&B", "A&C", "B&C"):
+        a, b = pair.split("&")
+        assert got[pair] <= min(got[a], got[b])
+
+
+def test_rare_terms_matches_oracle(spark, ddb):
+    from fafnir_spark.oracles_pipeline import rare_terms_sql
+    from fafnir_spark.pipeline import rare_terms
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = [(r["term"], r["df"]) for r in rare_terms(docs, max_df=380).collect()]
+    want = ddb.execute(rare_terms_sql(380)).fetchall()
+    assert got == [tuple(w) for w in want]
+    assert all(df <= 380 for _, df in got)
+
+
+def test_string_stats_matches_oracle(spark, ddb):
+    from fafnir_spark.oracles_pipeline import token_string_stats_sql
+    from fafnir_spark.pipeline import token_string_stats
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    g = token_string_stats(docs).collect()[0]
+    w = ddb.execute(token_string_stats_sql()).fetchall()[0]
+    assert (g["n_docs"], g["min_len"], g["max_len"]) == (w[0], w[1], w[2])
+    assert g["avg_len"] == pytest.approx(w[3], abs=1e-9)
+    assert g["entropy"] == pytest.approx(w[4], abs=1e-9)
+    # entropy of a 31-term distribution is bounded by log2(31)
+    import math
+    assert 0.0 < g["entropy"] <= math.log2(31) + 1e-9
+
+
+def test_matrix_stats_matches_oracle_and_corr_bounds(spark, ddb):
+    from fafnir_spark.oracles_pipeline import numeric_matrix_stats_sql
+    from fafnir_spark.pipeline import numeric_matrix_stats
+    from tests.conftest import SF_DIR
+
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = numeric_matrix_stats(li, cols).collect()
+    want = ddb.execute(numeric_matrix_stats_sql(cols)).fetchall()
+    assert [(g["col_a"], g["col_b"]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["covariance"] == pytest.approx(w[2], abs=1e-9)
+        assert g["correlation"] == pytest.approx(w[3], abs=1e-9)
+        assert -1.0 - 1e-9 <= g["correlation"] <= 1.0 + 1e-9
