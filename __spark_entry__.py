@@ -336,6 +336,23 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs(spark, sf_dir))
 
 
+def _q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer et al. SIGMOD'03): per-doc
+    fingerprint count + checksum; the fingerprinting stage is pure array
+    expressions (zero shuffle)."""
+    from fafnir_spark.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
+
+
+def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints, hot-fingerprint cap
+    (boilerplate guard) before the equi-join."""
+    from fafnir_spark.dedup import winnow_overlap
+
+    return winnow_overlap(_docs(spark, sf_dir), k=4, w=5, min_shared=3)
+
+
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard over LSH-restricted candidates — the graded plan IS the
     scale plan (no unrestricted shingle self-join; the exact quadratic form
@@ -1234,6 +1251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_match": _q_conjunctive,
         "text_stats": _q_text_stats,
         "dedup_exact": _q_dedup_exact,
+        "winnow_fingerprints": _q_winnow_fps,
+        "winnow_overlap": _q_winnow_overlap,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1365,6 +1384,8 @@ def oracle_sql() -> dict[str, str]:
         "conjunctive_match": oracles.conjunctive_sql(Q_CONJ),
         "text_stats": oracles_ops.text_stats_sql(),
         "dedup_exact": oracles_ops.exact_dup_sql(),
+        "winnow_fingerprints": oracles_ops.winnow_fingerprints_sql(4, 5),
+        "winnow_overlap": oracles_ops.winnow_overlap_sql(4, 5, min_shared=3),
         "dedup_ngram_jaccard": oracles_ops.minhash_lsh_sql(8, 4, 0.5),
         "dedup_minhash_lsh": oracles_ops.minhash_lsh_sql(12, 4, 0.35),
         "dedup_clusters": oracles_ops.dedup_clusters_sql(12, 4, 0.35),

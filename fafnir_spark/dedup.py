@@ -408,3 +408,91 @@ def canonical_docs(docs: DataFrame, pairs: DataFrame,
     return docs.join(
         losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
+
+
+# ------------------------------------------------------------- winnowing
+def winnow_doc_fps(docs: DataFrame, k: int = 4, w: int = 5,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fps array) — winnowing document fingerprints (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03: the MOSS local fingerprinting scheme):
+    k-gram rolling hashes (portable hash60 of the space-joined gram), then
+    the minimum hash of every w-gram window, deduplicated. Pure array
+    expressions — ZERO shuffle; the whole fingerprinting stage is map-side
+    at any corpus size.
+
+    Guarantee: any shared token run of length >= k + w - 1 between two
+    docs yields at least one shared fingerprint. Docs shorter than
+    k + w - 1 tokens have no full window and are excluded (mirrored in
+    the oracle)."""
+    from .tokenizer import tokens_expr
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    ).filter(F.size("toks") >= k + w - 1)
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+        lambda i: hash60(F.array_join(F.slice(F.col("toks"), i, k), " ")),
+    )
+
+    # Bind the gram-hash array ONCE per row via a lambda scope: a plain
+    # withColumn reference gets inlined by CollapseProject into BOTH the
+    # sequence bound and the per-window slice lambda, recomputing all
+    # n_grams hashes for EVERY window (measured 25× slower). The optimizer
+    # cannot substitute through a lambda variable, so transform over a
+    # 1-element array is a row-local `let`.
+    def winnow(g):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(g) - F.lit(w - 1)),
+                lambda j: F.array_min(F.slice(g, j, w)),
+            )
+        )
+
+    fps = F.element_at(F.transform(F.array(gh), winnow), 1)
+    return base.select("doc_id", fps.alias("fps"))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc fingerprint summary (doc_id, n_fp, checksum) — the compact
+    driver/monitoring form; checksum = sum(fp mod 1000003) over the
+    distinct fingerprint set (order-insensitive exact integer math)."""
+    f = winnow_doc_fps(docs, k, w, id_col, text_col)
+    checksum = F.aggregate(
+        F.col("fps"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.pmod(x, F.lit(1000003)),
+    )
+    return f.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        checksum.alias("checksum"),
+    ).orderBy("doc_id")
+
+
+def winnow_overlap(docs: DataFrame, k: int = 4, w: int = 5,
+                   min_shared: int = 3, max_fp_df: int = 100,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints (the MOSS
+    overlap join): explode fingerprint sets, drop fingerprints appearing
+    in more than ``max_fp_df`` docs (boilerplate guard — the same hot-key
+    cap as LSH max_bucket, so a ubiquitous fragment never drives a
+    corpus-wide self-join), equi-join on fingerprint, count per pair.
+    (doc_a, doc_b, n_shared), ordered."""
+    e = winnow_doc_fps(docs, k, w, id_col, text_col).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    keep = e.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_df")).filter(
+        F.col("fp_df") <= max_fp_df
+    )
+    e = e.join(keep.select("fp"), "fp")
+    a = e.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = e.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -503,3 +503,51 @@ LEFT JOIN clusters c ON c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id
 WHERE c.doc_id IS NULL
 ORDER BY d.doc_id
 """
+
+
+# ------------------------------------------------------------- winnowing
+def _winnow_fps_cte(k: int, w: int) -> str:
+    """Mirror of dedup.winnow_doc_fps: DuckDB list lambdas evaluate the
+    SAME array pipeline (filter '' → k-gram hash60 → window min → distinct);
+    list_slice(x, i, i+k-1) == Spark slice(x, i, k)."""
+    gram_hash = hash60_sql(f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')")
+    return f"""
+t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - {k - 1}),
+                        i -> {gram_hash}) AS gh
+  FROM t WHERE len(toks) >= {k + w - 1}
+),
+f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(gh) - {w - 1}),
+                       j -> list_min(list_slice(gh, j, j + {w - 1})))) AS fps
+  FROM g
+)"""
+
+
+def winnow_fingerprints_sql(k: int = 4, w: int = 5) -> str:
+    return f"""
+WITH {_winnow_fps_cte(k, w)}
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+       CAST(list_sum(list_transform(fps, f -> f % 1000003)) AS BIGINT) AS checksum
+FROM f ORDER BY doc_id
+"""
+
+
+def winnow_overlap_sql(k: int = 4, w: int = 5, min_shared: int = 3,
+                       max_fp_df: int = 100) -> str:
+    return f"""
+WITH {_winnow_fps_cte(k, w)},
+e AS (SELECT doc_id, u.fp AS fp FROM f, unnest(fps) AS u(fp)),
+keep AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= {max_fp_df}),
+ek AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM ek a JOIN ek b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+ORDER BY doc_a, doc_b
+"""

@@ -338,3 +338,68 @@ def test_wildcard_bm25(spark, ddb, docs):
     assert "slow" in expand_wildcard(docs, "s??w")
     out = wildcard_bm25(docs, "me*e", k=10)
     assert_matches(out, ddb, oracles.wildcard_bm25_sql("me*e", k=10))
+
+
+# ---- winnowing fingerprints (MOSS) ---------------------------------------
+
+
+def test_winnow_fingerprints_matches_oracle(spark, ddb):
+    from fafnir_spark.dedup import winnow_fingerprints
+    from fafnir_spark.oracles_ops import winnow_fingerprints_sql
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = [(r["doc_id"], r["n_fp"], r["checksum"])
+           for r in winnow_fingerprints(docs, k=4, w=5).collect()]
+    want = [tuple(w) for w in ddb.execute(winnow_fingerprints_sql(4, 5)).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_winnow_overlap_matches_oracle(spark, ddb):
+    from fafnir_spark.dedup import winnow_overlap
+    from fafnir_spark.oracles_ops import winnow_overlap_sql
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = [(r["doc_a"], r["doc_b"], r["n_shared"])
+           for r in winnow_overlap(docs, k=4, w=5, min_shared=3).collect()]
+    want = [tuple(w) for w in ddb.execute(winnow_overlap_sql(4, 5, 3)).fetchall()]
+    assert got == want
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fp(spark):
+    # two docs sharing a k+w-1 token run MUST share >=1 fingerprint
+    from fafnir_spark.dedup import winnow_doc_fps
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1
+    rows = [
+        (1, "x1 y1 z1 " + run + " p1 q1"),
+        (2, "a2 b2 " + run + " r2 s2 t2"),
+        (3, "totally different words here with no common run at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fps"]) for r in winnow_doc_fps(docs, k=4, w=5).collect()}
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_exact_dup_shares_all_fps(spark):
+    from fafnir_spark.dedup import winnow_doc_fps
+
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in winnow_doc_fps(docs).collect()}
+    assert fps[1] == fps[2] and fps[1]
+
+
+def test_winnow_short_doc_excluded(spark):
+    from fafnir_spark.dedup import winnow_doc_fps
+
+    docs = spark.createDataFrame(
+        [(1, "just seven tokens a b c d"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in winnow_doc_fps(docs, k=4, w=5).collect()}
+    assert got == {2}
