@@ -236,19 +236,21 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
         ).alias("bg"),
     )
     counts = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    # totals + argmax in ONE sort-free aggregate: min_by on the (-cnt, bg)
+    # struct key == ordering (cnt desc, bg asc) — map-side partial agg
+    # collapses before the shuffle, no per-doc sort window, no extra join
     per_doc = counts.groupBy("doc_id").agg(
         F.sum("cnt").alias("__total_bg"),
         F.count(F.lit(1)).alias("__distinct_bg"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bg").asc())
-    top = (
-        counts.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("doc_id", F.col("bg").alias("top_bigram"), F.col("cnt").alias("__top_cnt"))
-    )
+        F.min_by(
+            F.struct(F.col("bg").alias("top_bigram"), F.col("cnt").alias("__top_cnt")),
+            F.struct((-F.col("cnt")).alias("k1"), F.col("bg").alias("k2")),
+        ).alias("__top"),
+    ).select("doc_id", "__total_bg", "__distinct_bg",
+             F.col("__top.top_bigram").alias("top_bigram"),
+             F.col("__top.__top_cnt").alias("__top_cnt"))
     return (
         stats.join(per_doc, "doc_id")
-        .join(top, "doc_id")
         .select(
             "doc_id",
             "n_tokens",
