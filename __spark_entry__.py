@@ -1214,6 +1214,16 @@ def _q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_polygon_join(event_points(events))
 
 
+def _q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance sort: true haversine great-circle km, row-local
+    arithmetic + k-row TakeOrderedAndProject merge."""
+    from fafnir_spark.geo import geo_distance_topk
+
+    return geo_distance_topk(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), 50.0, 10.0, k=20
+    )
+
+
 def _q_zone_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.geo import zone_point_counts
 
@@ -1350,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_lookup": _pq("zone_lookup", "spark_events"),
         "nearest_zone_top1": _pq("nearest_zone", "spark_events"),
         "point_in_polygon": _q_point_in_polygon,
+        "geo_distance_topk": _q_geo_distance,
         "zone_point_counts": _q_zone_point_counts,
         "label_grid_cells": _q_label_grid,
         "address_labels": _pq("address_labels"),
@@ -1520,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_zone_lookup": oracles_pipeline.zone_lookup_sql(),
         "nearest_zone_top1": oracles_pipeline.nearest_zone_sql(),
         "point_in_polygon": oracles_pipeline.point_in_polygon_sql(),
+        "geo_distance_topk": oracles_pipeline.geo_distance_topk_sql(50.0, 10.0, k=20),
         "composite_agg_page1": oracles_pipeline.composite_agg_sql(20),
         "event_rollup": oracles_pipeline.event_rollup_sql(),
         "snapshot_diff": oracles.snapshot_diff_sql(400, (0, 1, 2, 3, 4)),

@@ -151,3 +151,42 @@ def label_grid_cells(spark: SparkSession, events: DataFrame) -> DataFrame:
         "cell", label_grid_expr(F.col("px"), F.col("py"))
     )
     return pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n_points")).orderBy("cell")
+
+
+def event_latlon(events: DataFrame) -> DataFrame:
+    """(pid, lat, lon) — deterministic synthetic WGS84 coordinates derived
+    from event_points: lat in [40, 60), lon in [-5, 25) (reference domain:
+    the OSM lat/lon each poi carries, src/sources/openmaptiles/pois.rs)."""
+    p = event_points(events)
+    return p.select(
+        "pid",
+        (F.lit(40.0) + F.col("px") * F.lit(2.0)).alias("lat"),
+        (F.lit(-5.0) + F.col("py") * F.lit(3.0)).alias("lon"),
+    )
+
+
+def geo_distance_topk(events: DataFrame, origin_lat: float = 50.0,
+                      origin_lon: float = 10.0, k: int = 20) -> DataFrame:
+    """ES geo_distance sort / the reference's nearest-address probe
+    (src/sources/openmaptiles/addresses.rs:80-123: geo_distance ordered
+    ascending) with TRUE great-circle distance: haversine in km,
+
+        d = 12742 * asin(sqrt(sin²(Δφ/2) + cosφ₀·cosφ·sin²(Δλ/2)))
+
+    cos(origin_lat) is computed driver-side and enters both engines as a
+    literal. Row-local arithmetic + the k-row TakeOrderedAndProject merge —
+    zero shuffles. Distances round to 4 decimals (≈10 cm) so 1-ulp libm
+    differences between JVM and C never flip the rank hash."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    colat = math.cos(math.radians(origin_lat))
+    sphi = F.sin(F.radians(F.col("lat") - F.lit(origin_lat)) / F.lit(2.0))
+    slam = F.sin(F.radians(F.col("lon") - F.lit(origin_lon)) / F.lit(2.0))
+    a = sphi * sphi + F.lit(colat) * F.cos(F.radians(F.col("lat"))) * slam * slam
+    dist = F.round(F.lit(12742.0) * F.asin(F.sqrt(a)), 4)
+    scored = event_latlon(events).select("pid", dist.alias("dist_km"))
+    top = scored.orderBy(F.col("dist_km").asc(), F.col("pid").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("dist_km").asc(), F.col("pid").asc()))
+    return top.withColumn("rank", w).select("rank", "pid", "dist_km").orderBy("rank")

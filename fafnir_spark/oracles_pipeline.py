@@ -545,3 +545,31 @@ WITH wide AS (SELECT {", ".join(sums)} FROM {table})
 SELECT col_a, col_b, covariance, correlation FROM ({u})
 ORDER BY col_a, col_b
 """
+
+
+def geo_distance_topk_sql(origin_lat: float = 50.0, origin_lon: float = 10.0,
+                          k: int = 20) -> str:
+    """Haversine mirror of geo.geo_distance_topk — identical operand order,
+    cos(origin_lat) as the same driver-side literal."""
+    import math
+    colat = math.cos(math.radians(origin_lat))
+    sphi = f"sin(radians(lat - {float(origin_lat)!r}) / 2.0)"
+    slam = f"sin(radians(lon - {float(origin_lon)!r}) / 2.0)"
+    return f"""
+WITH {_pip_pts_cte()},
+ll AS (
+  SELECT pid, 40.0 + px * 2.0 AS lat, -5.0 + py * 3.0 AS lon FROM pts
+),
+d AS (
+  SELECT pid,
+         round(12742.0 * asin(sqrt(
+           {sphi} * {sphi} + {colat!r} * cos(radians(lat)) * {slam} * {slam}
+         )), 4) AS dist_km
+  FROM ll
+)
+SELECT rank, pid, dist_km FROM (
+  SELECT row_number() OVER (ORDER BY dist_km ASC, pid ASC) AS rank, pid, dist_km
+  FROM d
+) WHERE rank <= {k}
+ORDER BY rank
+"""

@@ -83,3 +83,32 @@ def test_events_tumbling_window(spark, ddb, events):
 
 def test_events_sliding_window(spark, ddb, events):
     assert_matches(P.events_sliding_window(events), ddb, OP.events_sliding_window_sql())
+
+
+def test_geo_distance_topk_matches_oracle_and_triangle(spark, ddb):
+    import math
+
+    from fafnir_spark.geo import geo_distance_topk
+    from fafnir_spark.oracles_pipeline import geo_distance_topk_sql
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = geo_distance_topk(ev, 50.0, 10.0, k=20).collect()
+    want = ddb.execute(geo_distance_topk_sql(50.0, 10.0, k=20)).fetchall()
+    assert [(r["rank"], r["pid"]) for r in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["dist_km"] == pytest.approx(w[2], abs=1e-9)
+    # sanity: distances nondecreasing, all within the synthetic domain's
+    # diameter (lat 40-60, lon -5..25 → farthest corner from (50,10) is
+    # well under 3000 km)
+    ds = [g["dist_km"] for g in got]
+    assert ds == sorted(ds) and all(0 <= d < 3000 for d in ds)
+    # haversine spot-check against a driver-side recomputation
+    from fafnir_spark.geo import event_latlon
+
+    ll = {r["pid"]: (r["lat"], r["lon"]) for r in event_latlon(ev).limit(10000).collect()}
+    lat, lon = ll[got[0]["pid"]]
+    phi1, phi2 = math.radians(50.0), math.radians(lat)
+    a = (math.sin((phi2 - phi1) / 2) ** 2
+         + math.cos(phi1) * math.cos(phi2) * math.sin(math.radians(lon - 10.0) / 2) ** 2)
+    assert got[0]["dist_km"] == pytest.approx(12742.0 * math.asin(math.sqrt(a)), abs=1e-3)
