@@ -1092,6 +1092,28 @@ def _docs_with_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multi_match_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match type=cross_fields: blended combined-field statistics
+    (weighted tf/dl, union df) in ONE corpus pass."""
+    from fafnir_spark.query_ext import multi_match_cross_fields
+
+    return multi_match_cross_fields(
+        _docs_with_title(spark, sf_dir), Q_MAIN, {"text": 1.0, "title": 2.0}, k=10
+    )
+
+
+def _q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child (join field): parents ranked by matching children,
+    score_mode=sum — children aggregate before the parent join."""
+    from fafnir_spark.pipeline import has_child_topk
+
+    return has_child_topk(
+        _docs(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        child_type="error", score_mode="sum", k=10,
+    )
+
+
 def _q_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.query_ext import multi_match_bm25
 
@@ -1267,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "multi_match_best_fields": _q_multi_match_best,
+        "multi_match_cross_fields": _q_multi_match_cross,
+        "has_child_topk": _q_has_child,
         "multi_match_most_fields": _q_multi_match_most,
         "dedup_canonical": _q_dedup_canonical,
         "dedup_simhash": _q_dedup_simhash,
@@ -1400,6 +1424,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracles_ops.minhash_lsh_sql(8, 4, 0.5),
         "dedup_minhash_lsh": oracles_ops.minhash_lsh_sql(12, 4, 0.35),
         "dedup_clusters": oracles_ops.dedup_clusters_sql(12, 4, 0.35),
+        "multi_match_cross_fields": oracles.multi_match_cross_fields_sql(
+            Q_MAIN, {"text": 1.0, TITLE_SQL: 2.0}, k=10
+        ),
+        "has_child_topk": oracles_pipeline.has_child_topk_sql("error", "sum", k=10),
         "multi_match_best_fields": oracles.multi_match_sql(
             Q_MAIN, {"text": 1.0, TITLE_SQL: 2.0}, k=10,
             mode="best_fields", tie_breaker=0.3),

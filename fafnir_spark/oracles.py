@@ -1254,3 +1254,49 @@ scored AS (
 SELECT doc_id, round(raw_score, 6) AS score FROM scored
 """
     return _ranked_topk(inner, k)
+
+
+def multi_match_cross_fields_sql(terms: list[str], fields: dict[str, float],
+                                 k: int = 10) -> str:
+    """cross_fields oracle: ONE blended token relation (each field's tokens
+    tagged with its weight), weighted tf/dl, df over the union — the same
+    combined-field statistics query_ext.multi_match_cross_fields computes.
+    ``fields``: {sql_text_expr: weight}, templated from the same
+    definitions as the Spark field columns."""
+    names = sorted(fields)
+    branches = "\n  UNION ALL ".join(
+        f"SELECT doc_id, t.tok AS term, {float(fields[e])!r} AS w"
+        f" FROM documents, unnest(string_split({e}, ' ')) AS t(tok)"
+        f" WHERE t.tok <> ''" for e in names
+    )
+    dl_sum = " + ".join(
+        f"{float(fields[e])!r} * CAST(len(list_filter(string_split({e}, ' '),"
+        f" x -> x <> '')) AS DOUBLE)" for e in names
+    )
+    return f"""
+WITH cbase AS (SELECT doc_id, {dl_sum} AS dl FROM documents),
+ctoks AS ({branches}),
+ctf AS (
+  SELECT doc_id, term, sum(w) AS tf FROM ctoks
+  WHERE term IN {_terms_in(terms)} GROUP BY doc_id, term
+),
+cstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM cbase WHERE dl > 0),
+cdfs AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+scored AS (
+  SELECT ctf.doc_id,
+         sum( ln(1 + (cstats.n_docs - cdfs.df + 0.5) / (cdfs.df + 0.5))
+              * (ctf.tf * {K1 + 1.0}) / (ctf.tf + {K1} * ({1.0 - B} + {B} * cbase.dl / cstats.avgdl))
+            ) AS raw_score
+  FROM ctf
+  JOIN cdfs USING (term)
+  JOIN cbase USING (doc_id)
+  CROSS JOIN cstats
+  GROUP BY ctf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(raw_score, 6) AS score
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY rank
+"""

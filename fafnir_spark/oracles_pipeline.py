@@ -573,3 +573,26 @@ SELECT rank, pid, dist_km FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def has_child_topk_sql(child_type: str = "error", score_mode: str = "sum",
+                       k: int = 10) -> str:
+    score = {
+        "sum": "round(sum(value), 6)",
+        "max": "round(max(value), 6)",
+        "avg": "round(avg(value), 6)",
+        "count": "CAST(count(*) AS DOUBLE)",
+    }[score_mode]
+    return f"""
+WITH child AS (
+  SELECT user_id AS doc_id, {score} AS score,
+         CAST(count(*) AS BIGINT) AS n_children
+  FROM events WHERE event_type = '{child_type}' GROUP BY user_id
+)
+SELECT rank, doc_id, score, n_children FROM (
+  SELECT row_number() OVER (ORDER BY c.score DESC, c.doc_id ASC) AS rank,
+         c.doc_id, c.score, c.n_children
+  FROM child c JOIN documents d ON d.doc_id = c.doc_id
+) WHERE rank <= {k}
+ORDER BY rank
+"""

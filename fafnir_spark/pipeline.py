@@ -767,3 +767,39 @@ def numeric_matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
             )
             rows = row if rows is None else rows.unionAll(row)
     return rows.orderBy("col_a", "col_b")
+
+
+def has_child_topk(docs: DataFrame, events: DataFrame, child_type: str = "error",
+                   score_mode: str = "sum", k: int = 10) -> DataFrame:
+    """ES has_child query (join field): parent docs ranked by their
+    matching child events, score_mode sum|max|avg|count of the child
+    value. The parent/child relation is doc_id == user_id (the same join
+    the reference's indexed-id membership check drives,
+    tripadvisor2mimir.rs:67-146).
+
+    Scale shape: children aggregate FIRST (one groupBy with map-side
+    combine, cardinality = parents-with-children), then one join against
+    the parent ids — never parent×child row expansion before the agg.
+    (rank, doc_id, score, n_children)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    score = {
+        "sum": F.round(F.sum("value"), 6),
+        "max": F.round(F.max("value"), 6),
+        "avg": F.round(F.avg("value"), 6),
+        "count": F.count(F.lit(1)).cast("double"),
+    }[score_mode]
+    child = (
+        events.filter(F.col("event_type") == child_type)
+        .groupBy(F.col("user_id").alias("doc_id"))
+        .agg(score.alias("score"), F.count(F.lit(1)).cast("long").alias("n_children"))
+    )
+    joined = child.join(docs.select("doc_id"), "doc_id")
+    top = joined.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    return (
+        top.withColumn("rank", w)
+        .select("rank", "doc_id", "score", "n_children")
+        .orderBy("rank")
+    )

@@ -1118,3 +1118,79 @@ def multi_match_bm25(
     top = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
     return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")
+
+
+def multi_match_cross_fields(
+    docs: DataFrame,
+    terms: list[str],
+    fields: dict[str, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES multi_match type=cross_fields (term-centric): all fields are
+    treated as ONE combined field with blended statistics — weighted tf
+    (Σ_f w_f·tf_f), weighted dl, df over the union, corpus-wide avgdl of
+    the combined length — then standard BM25. This is the mode for
+    entity lookups split across fields ("first_name last_name"), where
+    per-field scoring (best/most_fields) misses docs holding the terms in
+    different fields.
+
+    Scale shape: ONE corpus pass — per-field token arrays are concatenated
+    row-local (each token tagged with its field weight), the term-isin
+    filter runs below the tf groupBy, dl rides row-local, df is a count
+    window over per-term postings (the query._tf_dl_df shape generalized
+    to weighted multi-field). Weights should be dyadic (1.0, 2.0, 2.5…)
+    so the weighted sums stay exact across engines."""
+    from pyspark.sql.window import Window
+
+    from . import B, K1
+    from .query import SCORE_DECIMALS
+    from .tokenizer import tokens_expr
+
+    qterms = sorted(set(terms))
+    names = sorted(fields)
+
+    def tagged(fld: str, w: float):
+        def tag(t):
+            return F.struct(t.alias("term"), F.lit(w).alias("w"))
+        return F.transform(tokens_expr(fld), tag)
+
+    dl_expr = None
+    arrays = []
+    for fld in names:
+        w = float(fields[fld])
+        contrib = F.lit(w) * F.size(tokens_expr(fld)).cast("double")
+        dl_expr = contrib if dl_expr is None else dl_expr + contrib
+        arrays.append(tagged(fld, w))
+    combined = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), dl_expr.alias("__dl"), combined.alias("__toks")
+    )
+    toks = (
+        base.select("doc_id", "__dl", F.explode("__toks").alias("tk"))
+        .select("doc_id", "__dl", F.col("tk.term").alias("term"), F.col("tk.w").alias("w"))
+        .filter(F.col("term").isin(qterms))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.sum("w").alias("tf"), F.min("__dl").alias("dl")
+    )
+    matched = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    stats = (
+        base.select("__dl").filter(F.col("__dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("__dl").alias("avgdl"))
+    )
+    matched = matched.crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    scores = (
+        matched.withColumn("part_score", idf * tfn)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part_score"), SCORE_DECIMALS).alias("score"))
+    )
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")

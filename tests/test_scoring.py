@@ -122,3 +122,40 @@ def test_regexp_matches_oracle_and_equals_manual_expansion(spark, ddb, docs):
 
 def test_regexp_no_match_is_empty(spark, docs):
     assert regexp_bm25(docs, "zz+q", k=10).count() == 0
+
+
+def test_cross_fields_matches_oracle_and_differs_from_best_fields(spark, ddb, docs):
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.query_ext import multi_match_bm25, multi_match_cross_fields
+
+    title_sql = "array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')"
+    dt = docs.withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+    )
+    got = multi_match_cross_fields(dt, ["merge", "window"], {"text": 1.0, "title": 2.0}).collect()
+    want = ddb.execute(
+        oracles.multi_match_cross_fields_sql(
+            ["merge", "window"], {"text": 1.0, title_sql: 2.0}
+        )
+    ).fetchall()
+    _check(got, want)
+    # blended statistics are a genuinely different scoring model
+    best = multi_match_bm25(dt, ["merge", "window"], {"text": 1.0, "title": 2.0}).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] != [(r["doc_id"], r["score"]) for r in best]
+
+
+def test_has_child_matches_oracle_each_mode(spark, ddb, docs):
+    from fafnir_spark.oracles_pipeline import has_child_topk_sql
+    from fafnir_spark.pipeline import has_child_topk
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    for mode in ("sum", "max", "avg", "count"):
+        got = has_child_topk(docs, ev, "error", mode, k=10).collect()
+        want = ddb.execute(has_child_topk_sql("error", mode, k=10)).fetchall()
+        assert [(r["rank"], r["doc_id"], r["n_children"]) for r in got] == [
+            (w[0], w[1], w[3]) for w in want
+        ], mode
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w[2], abs=1e-9)
