@@ -453,3 +453,72 @@ def test_direct_bm25_two_scans_no_smj(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 2, plan.count("FileScan")
     assert "SortMergeJoin" not in plan
+
+
+def test_round4_scoring_plans(spark):
+    """Round-4 function_score family obeys the direct-path contracts:
+    TakeOrderedAndProject finish, no SortMergeJoin (corpus never big-big
+    joined), dis_max/cross_fields touch the corpus exactly twice (the
+    filtered tf pass + the 1-row stats aggregate)."""
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.query_ext import multi_match_cross_fields
+    from fafnir_spark.scoring import boosting_query, dis_max, function_score_gauss, random_score_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dt = docs.withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+    )
+    plans = {
+        "gauss": function_score_gauss(docs, ["merge"], 200.0, 100.0, k=5),
+        "dis_max": dis_max(docs, [["merge"], ["window"]], k=5),
+        "boosting": boosting_query(docs, ["merge"], "slow", k=5),
+        "random": random_score_topk(docs, "s", k=5),
+        "cross": multi_match_cross_fields(dt, ["merge"], {"text": 1.0, "title": 2.0}, k=5),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    for name in ("dis_max", "cross"):
+        plan = plans[name]._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 2, (name, plan.count("FileScan"))
+    # random_score needs ONE scan and nothing else before the k-row merge
+    rplan = plans["random"]._jdf.queryExecution().executedPlan().toString()
+    assert rplan.count("FileScan") == 1
+
+
+def test_adjacency_matrix_single_scan(spark):
+    """adjacency_matrix is ONE conditional-count pass — a filter×filter
+    join or per-filter scans would multiply corpus reads."""
+    from fafnir_spark.pipeline import adjacency_matrix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = adjacency_matrix(docs, {"A": "merge", "B": "window", "C": "spark"})\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+    assert "Join" not in plan
+
+
+def test_winnow_overlap_no_cartesian_and_capped(spark):
+    """The fingerprint-overlap join must stay an equi-join on fp (never a
+    cartesian) and the hot-fingerprint cap aggregate must sit below it."""
+    from fafnir_spark.dedup import winnow_overlap
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = winnow_overlap(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geo_distance_single_scan_take_ordered(spark):
+    from fafnir_spark.geo import geo_distance_topk
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = geo_distance_topk(ev, 50.0, 10.0, k=5)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1]
