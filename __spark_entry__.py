@@ -148,6 +148,18 @@ def _q_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", "score")
 
 
+def _q_regexp_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp query from the index: dictionary regexp expansion →
+    disjunctive BM25 over the published postings — same oracle as the
+    direct regexp_bm25."""
+    from fafnir_spark.wand import expand_regexp_indexed, run_queries
+
+    root = _idx_root(spark, sf_dir)
+    terms = expand_regexp_indexed(spark, root, "s[a-z]+")
+    res = run_queries(spark, root, {"q": terms}, k=10, algo="bmw")
+    return res.select("rank", "doc_id", "score")
+
+
 QS_QUERY = '+merge window cust* -vector "key agg"'
 
 
@@ -534,6 +546,31 @@ def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_value_histogram(
         spark.read.parquet(f"{sf_dir}/events.parquet"), width=5.0
     )
+
+
+def _q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks: percent of observations <= each probe value,
+    one conditional-count pass."""
+    from fafnir_spark.pipeline import percentile_ranks
+
+    return percentile_ranks(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), [5.0, 50.0, 95.0]
+    )
+
+
+def _q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg: quantity-weighted mean discount per return flag."""
+    from fafnir_spark.pipeline import weighted_avg_discount
+
+    return weighted_avg_discount(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics: the value at the latest ts per event_type —
+    sort-free max_by."""
+    from fafnir_spark.pipeline import top_metrics_latest
+
+    return top_metrics_latest(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1313,6 +1350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms_indexed": _q_suggest_indexed,
         "value_histogram": _q_value_histogram,
         "pipeline_aggs": _q_pipeline_aggs,
+        "percentile_ranks": _q_percentile_ranks,
+        "weighted_avg": _q_weighted_avg,
+        "top_metrics": _q_top_metrics,
         "adjacency_matrix": _q_adjacency_matrix,
         "rare_terms": _q_rare_terms,
         "string_stats_agg": _q_string_stats,
@@ -1335,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_boost_indexed": _q_query_string_boost_indexed,
         "wildcard_bm25": _q_wildcard,
         "regexp_bm25": _q_regexp,
+        "regexp_bm25_indexed": _q_regexp_indexed,
         "function_score_gauss": _q_function_score_gauss,
         "dis_max": _q_dis_max,
         "boosting_query": _q_boosting,
@@ -1460,6 +1501,9 @@ def oracle_sql() -> dict[str, str]:
         "suggest_terms_indexed": oracles.suggest_sql(SUGGEST_TERM, k=5),
         "value_histogram": oracles_pipeline.event_value_histogram_sql(5.0),
         "pipeline_aggs": oracles_pipeline.event_pipeline_aggs_sql(3),
+        "percentile_ranks": oracles_pipeline.percentile_ranks_sql([5.0, 50.0, 95.0]),
+        "weighted_avg": oracles_pipeline.weighted_avg_discount_sql(),
+        "top_metrics": oracles_pipeline.top_metrics_latest_sql(),
         "adjacency_matrix": oracles_pipeline.adjacency_matrix_sql(ADJ_FILTERS),
         "rare_terms": oracles_pipeline.rare_terms_sql(380),
         "string_stats_agg": oracles_pipeline.token_string_stats_sql(),
@@ -1484,6 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         "query_string_boost_indexed": oracles.search_text_sql(QS_BOOST, k=10),
         "wildcard_bm25": oracles.wildcard_bm25_sql("me*e", k=10),
         "regexp_bm25": oracles.regexp_bm25_sql("s[a-z]+", k=10),
+        "regexp_bm25_indexed": oracles.regexp_bm25_sql("s[a-z]+", k=10),
         "function_score_gauss": oracles.function_score_gauss_sql(
             ["merge", "window"], origin=200.0, scale=100.0, k=10
         ),

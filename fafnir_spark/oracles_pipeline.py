@@ -596,3 +596,39 @@ SELECT rank, doc_id, score, n_children FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def percentile_ranks_sql(values: list[float]) -> str:
+    vals = sorted(float(v) for v in values)
+    branches = "\n  UNION ALL ".join(
+        f"SELECT event_type, {v!r} AS probe,"
+        f" round(100.0 * sum(CASE WHEN value <= {v!r} THEN 1 ELSE 0 END) / count(*), 6)"
+        f" AS pct FROM events GROUP BY event_type" for v in vals
+    )
+    return f"""
+SELECT event_type, probe, pct FROM ({branches})
+ORDER BY event_type, probe
+"""
+
+
+def weighted_avg_discount_sql() -> str:
+    return """
+SELECT l_returnflag AS returnflag,
+       round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS w_avg_discount,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def top_metrics_latest_sql() -> str:
+    return """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts,
+       value AS latest_value
+FROM (
+  SELECT event_type, ts, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY event_type
+"""

@@ -803,3 +803,75 @@ def has_child_topk(docs: DataFrame, events: DataFrame, child_type: str = "error"
         .select("rank", "doc_id", "score", "n_children")
         .orderBy("rank")
     )
+
+
+def percentile_ranks(events: DataFrame, values: list[float]) -> DataFrame:
+    """ES percentile_ranks aggregation: for each probe value, the percent
+    of observations <= value, per event_type. ONE conditional-count pass
+    (probe list is a literal — never a join), unpivoted to
+    (event_type, probe, pct). pct = round(100·n_le/n, 6)."""
+    from pyspark.sql import functions as F
+
+    vals = sorted(float(v) for v in values)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, v in enumerate(vals):
+        aggs.append(
+            F.sum(F.when(F.col("value") <= F.lit(v), 1).otherwise(0)).alias(f"__le{i}")
+        )
+    wide = events.groupBy("event_type").agg(*aggs)
+    pairs = []
+    for i, v in enumerate(vals):
+        pairs.append(F.lit(v))
+        pairs.append(F.round(F.lit(100.0) * F.col(f"__le{i}") / F.col("__n"), 6))
+    return (
+        wide.select(
+            "event_type",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(*pairs[0::2]), F.array(*pairs[1::2])
+                )
+            ).alias("probe", "pct"),
+        )
+        .orderBy("event_type", "probe")
+    )
+
+
+def weighted_avg_discount(lineitem: DataFrame) -> DataFrame:
+    """ES weighted_avg aggregation: quantity-weighted mean discount per
+    return flag — sum(w·x)/sum(w) from explicit raw sums (identical
+    operand order in the oracle). One groupBy pass."""
+    from pyspark.sql import functions as F
+
+    return (
+        lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_discount") * F.col("l_quantity")) / F.sum("l_quantity"), 6
+            ).alias("w_avg_discount"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+def top_metrics_latest(events: DataFrame) -> DataFrame:
+    """ES top_metrics aggregation: per event_type, the value carried by the
+    LATEST event (sort on ts desc, tie event_id desc) — sort-free max_by on
+    the (ts, event_id) struct key, map-side partial agg collapses before
+    the shuffle. (event_type, latest_ts, latest_value)."""
+    from pyspark.sql import functions as F
+
+    top = F.max_by(
+        F.struct(F.col("ts").alias("ts"), F.col("value").alias("value")),
+        F.struct(F.col("ts").alias("k1"), F.col("event_id").alias("k2")),
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(top.alias("__t"))
+        .select(
+            "event_type",
+            F.date_format(F.col("__t.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("latest_ts"),
+            F.col("__t.value").alias("latest_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1270,6 +1270,24 @@ def expand_prefix_indexed(
     return sorted(r["term"] for r in rows)
 
 
+def expand_regexp_indexed(
+    spark: SparkSession, index_root: str, pattern: str,
+    snapshot_id: str | None = None,
+) -> list[str]:
+    """ES regexp-query expansion served FROM the published dictionary
+    (anchored full-term match, same contract as query_ext.expand_regexp) —
+    vocabulary-sized scan, no corpus access, snapshot-scoped like
+    expand_prefix_indexed."""
+    cat = Catalog(index_root)
+    rows = (
+        cat.read_dictionary(spark, snapshot=cat.manifest_at(snapshot_id))
+        .filter(F.col("term").rlike(f"^(?:{pattern})$"))
+        .select("term")
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
 def run_queries(
     spark: SparkSession,
     index_root: str,

@@ -340,3 +340,44 @@ def test_matrix_stats_matches_oracle_and_corr_bounds(spark, ddb):
         assert g["covariance"] == pytest.approx(w[2], abs=1e-9)
         assert g["correlation"] == pytest.approx(w[3], abs=1e-9)
         assert -1.0 - 1e-9 <= g["correlation"] <= 1.0 + 1e-9
+
+
+def test_percentile_ranks_matches_oracle_and_monotone(spark, ddb):
+    from fafnir_spark.oracles_pipeline import percentile_ranks_sql
+    from fafnir_spark.pipeline import percentile_ranks
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = percentile_ranks(ev, [5.0, 50.0, 95.0]).collect()
+    want = ddb.execute(percentile_ranks_sql([5.0, 50.0, 95.0])).fetchall()
+    assert [(g["event_type"], g["probe"]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["pct"] == pytest.approx(w[2], abs=1e-9)
+    # pct nondecreasing in probe within each event_type, bounded [0, 100]
+    by_et = {}
+    for g in got:
+        by_et.setdefault(g["event_type"], []).append(g["pct"])
+        assert 0.0 <= g["pct"] <= 100.0
+    for pcts in by_et.values():
+        assert pcts == sorted(pcts)
+
+
+def test_weighted_avg_and_top_metrics_match_oracle(spark, ddb):
+    from fafnir_spark.oracles_pipeline import (
+        top_metrics_latest_sql,
+        weighted_avg_discount_sql,
+    )
+    from fafnir_spark.pipeline import top_metrics_latest, weighted_avg_discount
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = weighted_avg_discount(li).collect()
+    want = ddb.execute(weighted_avg_discount_sql()).fetchall()
+    assert [(g["returnflag"], g["n"]) for g in got] == [(w[0], w[2]) for w in want]
+    for g, w in zip(got, want):
+        assert g["w_avg_discount"] == pytest.approx(w[1], abs=1e-9)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    gm = [tuple(r) for r in top_metrics_latest(ev).collect()]
+    wm = [tuple(w) for w in ddb.execute(top_metrics_latest_sql()).fetchall()]
+    assert gm == wm
