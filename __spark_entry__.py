@@ -398,6 +398,16 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ-style ANN: corpus compressed to 8 subspace codes, ADC
+    candidate scan over the codes (never the vectors), exact-cosine
+    re-rank of the top candidates."""
+    from fafnir_spark.simsearch import pq_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_cosine_topk(emb, QVEC, k=10, m=8, ks=16, n_candidates=50)
+
+
 def _q_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.simsearch import cosine_topk
 
@@ -1333,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
+        "ann_pq_topk": _q_ann_pq,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_indexed": _q_ann_ivf_indexed,
@@ -1486,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         # centroid ids are derived from count(*) inside the SQL — the exact
         # dual of ivf_centroid_ids(n, 16), robust to fixture-size changes
         "ann_ivf_topk": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
+        "ann_pq_topk": oracles_ops.pq_cosine_topk_sql(QVEC, m=8, ks=16, n_candidates=50, k=10),
         "ann_ivf_indexed": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "token_counts": oracles_ops.token_counts_sql(),
         "top_terms_tfidf": oracles_ops.top_terms_sql(3),

@@ -551,3 +551,74 @@ FROM ek a JOIN ek b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 ORDER BY doc_a, doc_b
 """
+
+
+def pq_cosine_topk_sql(query_vec: list[float], m: int = 8, ks: int = 16,
+                       n_candidates: int = 50, k: int = 10,
+                       dim: int = 64) -> str:
+    """Mirror of simsearch.pq_cosine_topk. The codebooks are derived IN SQL
+    from the same stride-sampled rows (ivf_centroid_ids dual), the codes by
+    the same argmin (dist ASC, j ASC == array_position first-minimum), and
+    the ADC sum is assembled with list(l.d ORDER BY sub) so the 8 LUT terms
+    add in the same fixed subspace order as the Spark expression chain —
+    float addition is not associative, candidate boundaries must agree."""
+    dsub = dim // m
+    qlit = "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in query_vec) + "]"
+    subdist = (
+        f"list_sum(list_transform(range(1, {dsub + 1}), "
+        f"i -> (e.embedding[cb.sub * {dsub} + i]::DOUBLE - cb.cv[i])"
+        f" * (e.embedding[cb.sub * {dsub} + i]::DOUBLE - cb.cv[i])))"
+    )
+    qdist = (
+        f"list_sum(list_transform(range(1, {dsub + 1}), "
+        f"i -> (q.qv[cb.sub * {dsub} + i] - cb.cv[i])"
+        f" * (q.qv[cb.sub * {dsub} + i] - cb.cv[i])))"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return f"""round(
+  list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+, 6)"""
+
+    return f"""
+WITH q AS (SELECT {qlit} AS qv),
+step AS (SELECT greatest(count(*) // {ks}, 1) AS s FROM embeddings),
+samp AS (SELECT vec_id, embedding FROM embeddings, step
+         WHERE vec_id % step.s = 0 AND vec_id // step.s < {ks}),
+cb AS (
+  SELECT sub.m AS sub,
+         row_number() OVER (PARTITION BY sub.m ORDER BY s.vec_id ASC) AS j,
+         list_transform(range(1, {dsub + 1}),
+                        i -> s.embedding[sub.m * {dsub} + i]::DOUBLE) AS cv
+  FROM samp s CROSS JOIN (SELECT unnest(range(0, {m})) AS m) sub
+),
+codes AS (
+  SELECT vec_id, sub, j AS code FROM (
+    SELECT e.vec_id, cb.sub, cb.j,
+           row_number() OVER (PARTITION BY e.vec_id, cb.sub
+                              ORDER BY {subdist} ASC, cb.j ASC) AS rn
+    FROM embeddings e CROSS JOIN cb
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT cb.sub, cb.j, {qdist} AS d FROM cb CROSS JOIN q
+),
+adc AS (
+  SELECT c.vec_id, list_sum(list(l.d ORDER BY l.sub ASC)) AS adc
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.j = c.code
+  GROUP BY c.vec_id
+),
+cand AS (
+  SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {n_candidates}
+),
+scored AS (
+  SELECT e.vec_id, {cos("e.embedding", "q.qv")} AS cos
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+)
+SELECT rank, vec_id, cos FROM (
+  SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank, vec_id, cos
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank
+"""

@@ -412,3 +412,131 @@ class IvfSearcher:
     def close(self) -> None:
         if self._persisted:
             self._assign.unpersist()
+
+
+# ----------------------------------------------------------------- IVF-PQ
+def pq_codebooks(
+    emb: DataFrame, m: int = 8, ks: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = DIM,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks (Jégou, Douze & Schmid, TPAMI'11
+    product quantization): cb[sub][j] = the sub-th dsub-dim slice of ks
+    stride-sampled corpus vectors — the same no-iteration determinism as
+    ivf_centroid_ids (k-means refinement would improve recall but break
+    oracle reproducibility). Codebooks are driver-side constants entering
+    BOTH engines as literals (the LSH-hyperplane convention)."""
+    n = emb.count()
+    sids = ivf_centroid_ids(n, ks)
+    rows = emb.filter(F.col(id_col).isin(sids)).select(id_col, vec_col).collect()
+    rows = sorted(rows, key=lambda r: r[id_col])
+    dsub = dim // m
+    return [
+        [[float(x) for x in r[vec_col][mi * dsub:(mi + 1) * dsub]] for r in rows]
+        for mi in range(m)
+    ]
+
+
+def _pq_code_col(vec_col: str, cb_m: list[list[float]], off: int) -> Column:
+    """1-based argmin subspace code: index of the nearest codebook entry by
+    squared L2, ties to the lowest index (array_position picks the FIRST
+    minimum — mirrored by DuckDB list_position).
+
+    Shape matters for Catalyst: the codebook is ONE 2D literal array and
+    the 16 distances come from ONE transform over it (16 separate
+    aggregate expressions per subspace made codegen the bottleneck —
+    measured ~15s of compile for the 8×16 unrolled tree). The distance
+    array is then bound once via the 1-element-array lambda `let` so
+    array_position/array_min don't duplicate it."""
+    dsub = len(cb_m[0])
+    cblit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb_m])
+    sub = F.slice(F.col(vec_col), off + 1, dsub)
+
+    def dist_to(c):
+        return F.aggregate(
+            F.zip_with(sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    darr = F.transform(cblit, dist_to)
+
+    def argmin(d):
+        return F.array_position(d, F.array_min(d))
+
+    return F.element_at(F.transform(F.array(darr), argmin), 1)
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: list[list[list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, c0..c{m-1}) — each vector compressed to m small codes
+    (here m bytes-worth: 64 dims → 8 codes ≈ 32× compression). Row-local
+    expressions, zero shuffle; at 100 TB this is a one-time build artifact
+    (a few bytes per vector instead of 256+), the reason PQ is THE
+    memory-bounded ANN representation at scale."""
+    dsub = len(codebooks[0][0])
+    cols = [F.col(id_col).alias("vec_id")]
+    for mi, cb_m in enumerate(codebooks):
+        cols.append(_pq_code_col(vec_col, cb_m, mi * dsub).alias(f"c{mi}"))
+    return emb.select(*cols)
+
+
+def pq_lut(query_vec: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Per-subspace ADC lookup table: lut[sub][j] = ||q_sub - cb[sub][j]||²,
+    computed driver-side — enters both engines as literals, so the
+    asymmetric distances are bit-identical by construction."""
+    dsub = len(codebooks[0][0])
+    out = []
+    for mi, cb_m in enumerate(codebooks):
+        qs = query_vec[mi * dsub:(mi + 1) * dsub]
+        out.append([
+            sum((float(a) - float(b)) * (float(a) - float(b)) for a, b in zip(qs, c))
+            for c in cb_m
+        ])
+    return out
+
+
+def pq_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ-style approximate top-k: encode the corpus to m-subspace
+    codes, rank candidates by the ADC (asymmetric distance computation)
+    sum of literal LUT entries — a scan over CODES, never the vectors —
+    then exact-cosine re-rank of the top n_candidates.
+
+    Scale shape: the candidate stage reads ~m bytes per vector (the PQ
+    promise at 100 TB); both top-k selections are TakeOrderedAndProject;
+    the re-rank scan is driven by the broadcast candidate ids.
+    (rank, vec_id, cos)."""
+    from .dedup import cosine_expr
+
+    cbs = pq_codebooks(emb, m, ks, id_col, vec_col)
+    codes = pq_encode(emb, cbs, id_col, vec_col)
+    lut = pq_lut([float(x) for x in query_vec], cbs)
+    adc = None
+    for mi, lm in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in lm]), F.col(f"c{mi}").cast("int")
+        )
+        adc = term if adc is None else adc + term
+    cand = (
+        codes.select("vec_id", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(n_candidates)
+    )
+    ql = F.array(*[F.lit(float(x)) for x in query_vec])
+    rer = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")).join(
+        F.broadcast(cand.select("vec_id")), "vec_id"
+    )
+    scored = rer.select("vec_id", F.round(cosine_expr(F.col("__v"), ql), 6).alias("cos"))
+    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
+    return top.withColumn("rank", w).select("rank", "vec_id", "cos").orderBy("rank")

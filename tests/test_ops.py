@@ -326,3 +326,27 @@ def test_ppm_decode_golden():
     assert try_ppm_decode(blob[:-1]) is None            # truncated
     assert try_ppm_decode(b"P6 is a chip " * 3) is None  # text prefix
     assert np.array_equal(decode_media(blob, "image", fake=False), px)
+
+
+def test_pq_ann(spark, ddb, emb):
+    """IVF-PQ ADC path: oracle hash-match, recall floor vs exact, and the
+    codes really are a compressed representation (m small ints)."""
+    from fafnir_spark.simsearch import pq_codebooks, pq_cosine_topk, pq_encode
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    ann = pq_cosine_topk(emb, qv, k=10, m=8, ks=16, n_candidates=50)
+    assert_matches(ann, ddb, OO.pq_cosine_topk_sql(qv, m=8, ks=16, n_candidates=50, k=10))
+    exact = {r["vec_id"] for r in cosine_topk(emb, {"q": qv}, k=10).collect()}
+    approx = {r["vec_id"] for r in ann.collect()}
+    assert len(exact & approx) / 10 >= 0.5  # ADC recall floor on this fixture
+    # the query vector itself (vec 7) must be rank 1 with cos 1.0
+    top = ann.collect()[0]
+    assert top["vec_id"] == 7 and top["cos"] == 1.0
+
+    cbs = pq_codebooks(emb, m=8, ks=16)
+    assert len(cbs) == 8 and all(len(cb) == 16 and len(cb[0]) == 8 for cb in cbs)
+    codes = pq_encode(emb, cbs).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:20]:
+        for mi in range(8):
+            assert 1 <= r[f"c{mi}"] <= 16
