@@ -92,6 +92,24 @@ def _idx_root(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def _q_reindex_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _reindex lifecycle: relayout the published index (n_parts 8→4,
+    block_size 128→64) WITHOUT the corpus, then query the new layout —
+    same oracle as the direct BM25 (rank identity under relayout)."""
+    import shutil
+
+    from fafnir_spark.build import reindex
+    from fafnir_spark.wand import run_queries
+
+    src = _idx_root(spark, sf_dir)
+    dst = src + "_relayout"
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    reindex(spark, src, dst, n_parts=4, block_size=64)
+    res = run_queries(spark, dst, {"q": Q_MAIN}, k=10, algo="bmw")
+    return res.select("rank", "doc_id", "score")
+
+
 def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path: build index, query with BMW, same oracle as direct
     — proves the physical index (codec, sharding, pruning) is faithful."""
@@ -1326,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_direct": _q_bm25_direct,
         "bm25_topk_boosted": _q_bm25_boosted,
         "bm25_topk_indexed": _q_bm25_indexed,
+        "reindex_query": _q_reindex_query,
         "term_dictionary": _q_dictionary,
         "conjunctive_match": _q_conjunctive,
         "text_stats": _q_text_stats,
@@ -1467,6 +1486,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_direct": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "bm25_topk_boosted": oracles.bm25_topk_sql(Q_BOOST, k=10, boosted=True),
         "bm25_topk_indexed": oracles.bm25_topk_sql(Q_MAIN, k=10),
+        "reindex_query": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "term_dictionary": oracles.term_stats_sql(),
         "conjunctive_match": oracles.conjunctive_sql(Q_CONJ),
         "text_stats": oracles_ops.text_stats_sql(),

@@ -593,3 +593,119 @@ def compact_index(
     tables = dict(m["tables"])
     tables["postings"] = [cat.segment_dir("postings", seg)]
     cat.publish(tables, meta=m.get("meta"))
+
+
+def reindex(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    *,
+    n_parts: int = 8,
+    block_size: int = 128,
+) -> None:
+    """ES _reindex for layout changes, WITHOUT the original corpus: decode
+    the published posting blocks to flat rows, recompute doc_part for the
+    new partition count, re-encode through the shared encode exchange, and
+    publish a fresh single-segment snapshot at ``dst_root`` (doc_map with
+    the new doc_part; the merged dictionary carried over — df/cf are
+    invariant under relayout, as are dl/weight, so queries on the new
+    layout return bit-identical results; tested in test_index).
+
+    Requires a compacted source snapshot: pending tombstones would need the
+    keep_seg-aware drain — run compact_with_tombstones first.
+
+    Scale shape: decode is a map-only pass over posting blocks; the ONE
+    shuffle is the same (term, doc_part) encode exchange as build_index
+    (pinned width against AQE coalesce); doc_map/dictionary rewrites are
+    column-local copies."""
+    from .codec import delta_decode, f64_decode, positions_decode, varint_decode
+    from .incremental import TOMBSTONE_TABLE
+    from .wand import BULK_TOMBSTONE_TABLE
+
+    scat, dcat = Catalog(src_root), Catalog(dst_root)
+    m = scat.read_manifest()
+    if TOMBSTONE_TABLE in m["tables"] or BULK_TOMBSTONE_TABLE in m["tables"]:
+        raise ValueError(
+            "reindex requires a compacted snapshot — run compact_with_tombstones first"
+        )
+    postings = scat.read_table(spark, "postings")
+    with_pos = "positions" in postings.columns
+
+    def decode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tfs, dls, ws, terms, pos = [], [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                d = delta_decode(r.doc_ids).astype(np.int64)
+                t = varint_decode(r.tfs).astype(np.int64)
+                dl = varint_decode(r.dls).astype(np.int64)
+                w = f64_decode(r.weights)
+                if not len(w):
+                    w = np.ones(len(d))
+                ids.append(d)
+                tfs.append(t)
+                dls.append(dl)
+                ws.append(w)
+                terms.append(np.repeat(r.term, len(d)))
+                if with_pos:
+                    pos.extend(
+                        p.astype(np.int64) for p in positions_decode(r.positions, t)
+                    )
+            if not ids:
+                continue
+            flat = pd.DataFrame({
+                "term": np.concatenate(terms),
+                "doc_id": np.concatenate(ids),
+                "tf": np.concatenate(tfs),
+                "dl": np.concatenate(dls),
+                "weight": np.concatenate(ws),
+            })
+            if with_pos:
+                flat["positions"] = pos
+            yield flat
+
+    flat_schema = (
+        "term string, doc_id long, tf long, dl long, weight double"
+        + (", positions array<long>" if with_pos else "")
+    )
+    part = F.pmod(F.col("doc_id"), F.lit(n_parts)).cast("int")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    seg = "reindex-base"
+    out_schema = POSTINGS_SCHEMA_POS if with_pos else POSTINGS_SCHEMA
+    merged = (
+        postings.mapInPandas(decode_stream, schema=flat_schema)
+        .withColumn("doc_part", part)
+        .select("term", "doc_part", "doc_id", "tf", "dl", "weight",
+                *(["positions"] if with_pos else []))
+        .repartition(n_shuffle, "term", "doc_part")
+        .sortWithinPartitions("term", "doc_part", "doc_id")
+        .mapInPandas(_encode_partition_fn(block_size), schema=out_schema)
+        .repartition(n_parts, "doc_part")
+    )
+    dcat.write_segment(
+        merged.withColumn("seg", F.lit(seg)), "postings", seg,
+        partition_by=["doc_part"], sort_within_by=["term"],
+    )
+    dm = (
+        scat.live_doc_map(spark, m)
+        .withColumn("doc_part", part)
+        .withColumn("seg", F.lit(seg))
+    )
+    dcat.write_segment(dm, "doc_map", seg)
+    dcat.write_segment(
+        scat.read_dictionary(spark, snapshot=m), "dictionary", seg,
+        sort_within_by=["term"],
+    )
+    stats = dict(scat.read_json("stats") or {})
+    stats.update({"n_parts": n_parts, "block_size": block_size})
+    dcat.write_json("stats", stats)
+    old_meta = m.get("meta") or {}
+    dcat.publish(
+        {
+            "postings": [dcat.segment_dir("postings", seg)],
+            "doc_map": [dcat.segment_dir("doc_map", seg)],
+            "dictionary": [dcat.segment_dir("dictionary", seg)],
+        },
+        meta={"build_id": seg, "n_shards": 1, "n_parts": n_parts,
+              "with_positions": old_meta.get("with_positions", with_pos),
+              "stats": stats},
+    )

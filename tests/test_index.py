@@ -143,3 +143,56 @@ def test_compaction_preserves_results(spark, ddb, index_root, tmp_path):
     compact_index(spark, Catalog(root), block_size=16)
     after = run_queries(spark, root, QUERIES, k=10).collect()
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
+def test_reindex_relayout_is_rank_identical(spark, tmp_path):
+    """reindex into a different (n_parts, block_size) layout without the
+    corpus: BM25 AND positional phrase results are bit-identical to the
+    source index; stats/dictionary survive; the new doc_part really is
+    doc_id mod n_parts_new."""
+    from fafnir_spark.build import reindex
+    from fafnir_spark.catalog import Catalog
+    from fafnir_spark.wand import phrase_search
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    norm = normalize_docs(docs, id_col="doc_id", text_col="text")
+    build_index(spark, norm, src, n_parts=4, block_size=32,
+                tokenizer="whitespace", build_id="r1", with_positions=True)
+    reindex(spark, src, dst, n_parts=8, block_size=16)
+
+    a = run_queries(spark, src, QUERIES, k=20, algo="bmw").collect()
+    b = run_queries(spark, dst, QUERIES, k=20, algo="bmw").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    pa = phrase_search(spark, src, {"p": ["key", "agg"]}).collect()
+    pb = phrase_search(spark, dst, {"p": ["key", "agg"]}).collect()
+    assert sorted(tuple(r) for r in pa) == sorted(tuple(r) for r in pb)
+
+    scat, dcat = Catalog(src), Catalog(dst)
+    assert (dcat.read_json("stats")["n_docs"] == scat.read_json("stats")["n_docs"])
+    assert dcat.read_json("stats")["n_parts"] == 8
+    sd = {r["term"]: (r["df"], r["cf"]) for r in scat.read_dictionary(spark).collect()}
+    dd = {r["term"]: (r["df"], r["cf"]) for r in dcat.read_dictionary(spark).collect()}
+    assert sd == dd
+    from pyspark.sql import functions as F
+
+    bad = (
+        dcat.read_table(spark, "doc_map")
+        .filter(F.col("doc_part") != F.pmod(F.col("doc_id"), F.lit(8)).cast("int"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_reindex_refuses_tombstoned_snapshot(spark, tmp_path):
+    from fafnir_spark.build import reindex
+    from fafnir_spark.incremental import delete_docs
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    norm = normalize_docs(docs, id_col="doc_id", text_col="text")
+    build_index(spark, norm, src, n_parts=2, block_size=32,
+                tokenizer="whitespace", build_id="r2")
+    delete_docs(spark, src, [0, 1])
+    with pytest.raises(ValueError, match="compact"):
+        reindex(spark, src, dst, n_parts=4, block_size=16)
