@@ -148,6 +148,29 @@ def main() -> None:
 
     timed("ann_sweep", _ann_sweep)
 
+    # scoring + fingerprint sweep (round-4 additions, NEW key — earlier
+    # keys stay round-over-round comparable): compound-query scoring,
+    # blended-statistics cross_fields, winnowing fingerprints, PQ ADC top-k
+    from fafnir_spark.dedup import winnow_fingerprints
+    from fafnir_spark.query_ext import multi_match_cross_fields
+    from fafnir_spark.scoring import dis_max, function_score_gauss
+    from fafnir_spark.simsearch import pq_cosine_topk
+
+    def _scoring_sweep() -> int:
+        n = dis_max(docs, [["merge", "window"], ["spark", "slow"]], k=10).count()
+        n += function_score_gauss(docs, ["merge", "window"], 200.0, 100.0, k=10).count()
+        dt = docs.withColumn(
+            "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+        )
+        n += multi_match_cross_fields(
+            dt, ["merge", "window"], {"text": 1.0, "title": 2.0}, k=10
+        ).count()
+        n += winnow_fingerprints(docs).count()
+        n += pq_cosine_topk(emb, qvecs["bq0"], k=10).count()
+        return n
+
+    timed("scoring_sweep", _scoring_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work
