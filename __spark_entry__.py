@@ -92,6 +92,19 @@ def _idx_root(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def _q_alias_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filtered alias: Q_MAIN routed through an alias whose stored
+    filter ('spark' in filter context) restricts eligibility without
+    touching scoring statistics — same oracle as bool filter context."""
+    from fafnir_spark.catalog import put_alias
+    from fafnir_spark.wand import search_alias
+
+    root = _idx_root(spark, sf_dir)
+    put_alias(root, "spark_docs", filter_terms=["spark"])
+    res = search_alias(spark, root, "spark_docs", {"q": Q_MAIN}, k=10)
+    return res.select("rank", "doc_id", "score")
+
+
 def _q_reindex_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _reindex lifecycle: relayout the published index (n_parts 8→4,
     block_size 128→64) WITHOUT the corpus, then query the new layout —
@@ -1345,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_boosted": _q_bm25_boosted,
         "bm25_topk_indexed": _q_bm25_indexed,
         "reindex_query": _q_reindex_query,
+        "alias_search": _q_alias_search,
         "term_dictionary": _q_dictionary,
         "conjunctive_match": _q_conjunctive,
         "text_stats": _q_text_stats,
@@ -1487,6 +1501,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_boosted": oracles.bm25_topk_sql(Q_BOOST, k=10, boosted=True),
         "bm25_topk_indexed": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "reindex_query": oracles.bm25_topk_sql(Q_MAIN, k=10),
+        "alias_search": oracles.bool_bm25_sql(
+            must=Q_MAIN, filter_terms=["spark"], k=10
+        ),
         "term_dictionary": oracles.term_stats_sql(),
         "conjunctive_match": oracles.conjunctive_sql(Q_CONJ),
         "text_stats": oracles_ops.text_stats_sql(),

@@ -406,3 +406,21 @@ class CommitConflict(RuntimeError):
     """Another snapshot was committed during a read-modify-write cycle
     (optimistic-concurrency failure, Iceberg CommitFailedException analog).
     Re-read the manifest and retry the maintenance operation."""
+
+
+def put_alias(root: str, name: str, filter_terms: list[str] | None = None) -> None:
+    """Register (or replace) a filtered alias — ES index-alias metadata:
+    queries routed through the alias gain its filter clause (filter
+    context — required, never scored). Aliases are catalog metadata like
+    ES cluster state, not part of a snapshot."""
+    cat = Catalog(root)
+    aliases = cat.read_json("aliases") or {}
+    aliases[name] = {"filter": sorted(set(filter_terms or []))}
+    cat.write_json("aliases", aliases)
+
+
+def get_alias(root: str, name: str) -> dict:
+    aliases = Catalog(root).read_json("aliases") or {}
+    if name not in aliases:
+        raise KeyError(f"unknown alias {name!r}")
+    return aliases[name]

@@ -1455,3 +1455,24 @@ def search_after_indexed(
         .select("rank", "doc_id", "score")
         .orderBy("rank")
     )
+
+
+def search_alias(
+    spark: SparkSession,
+    index_root: str,
+    alias: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES filtered alias: every query routed through ``alias`` gains the
+    alias's stored filter terms as an unscored filter-context clause
+    (bool_search's existing filter machinery — per-shard posting
+    intersection, BM25 statistics unchanged). (qid, rank, doc_id, score)."""
+    from .catalog import get_alias
+
+    spec = get_alias(index_root, alias)
+    filt = spec.get("filter") or []
+    bq = {qid: {"must": sorted(set(terms)), "filter": filt}
+          for qid, terms in queries.items()}
+    return bool_search(spark, index_root, bq, k=k, snapshot_id=snapshot_id)

@@ -247,3 +247,31 @@ def test_phrase_slop_indexed_equals_direct(spark, docs, tmp_path):
     assert got  # non-trivial on the fixture
     with pytest.raises(ValueError, match="2-term"):
         phrase_search(spark, root, {"q": ["a", "b", "c"]}, slop=1)
+
+
+def test_filtered_alias_equals_bool_filter_and_replacement(spark, ddb, docs, tmp_path):
+    """search_alias == bool filter context; re-putting an alias replaces
+    its filter; unknown alias raises."""
+    import pytest as _pytest
+
+    from fafnir_spark.catalog import put_alias
+    from fafnir_spark.wand import search_alias
+
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=2, block_size=32, tokenizer="whitespace", build_id="a")
+    put_alias(root, "sl", filter_terms=["slow"])
+    got = search_alias(spark, root, "sl", {"q": ["merge", "window"]}, k=10).collect()
+    want = ddb.execute(
+        oracles.bool_bm25_sql(must=["merge", "window"], filter_terms=["slow"], k=10)
+    ).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    put_alias(root, "sl", filter_terms=["vector"])
+    got2 = search_alias(spark, root, "sl", {"q": ["merge", "window"]}, k=10).collect()
+    want2 = ddb.execute(
+        oracles.bool_bm25_sql(must=["merge", "window"], filter_terms=["vector"], k=10)
+    ).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in got2] == [(w[0], w[1]) for w in want2]
+    assert got != got2
+    with _pytest.raises(KeyError):
+        search_alias(spark, root, "nope", {"q": ["merge"]})
