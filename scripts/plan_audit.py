@@ -151,6 +151,40 @@ def main() -> None:
               "Judgments from ONE broadcast (qid,term) ⋈ tf pass; parquet "
               "scan count independent of the query count."),
     ]
+
+    from fafnir_spark.dedup import winnow_overlap
+    from fafnir_spark.pipeline import adjacency_matrix
+    from fafnir_spark.query_ext import multi_match_cross_fields
+    from fafnir_spark.scoring import dis_max
+    from fafnir_spark.simsearch import pq_cosine_topk
+
+    dt = docs.withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+    )
+    sections += [
+        audit("dis_max (one-pass compound scoring)",
+              dis_max(docs, [["merge", "window"], ["spark", "slow"]], k=10),
+              "Per-term partials routed via broadcast (term,sub) relation; "
+              "exactly 2 corpus scans (filtered tf pass + 1-row stats), "
+              "no SortMergeJoin."),
+        audit("multi_match cross_fields (blended statistics)",
+              multi_match_cross_fields(dt, ["merge", "window"],
+                                       {"text": 1.0, "title": 2.0}, k=10),
+              "Weighted multi-field tokens concatenated row-local; the "
+              "_tf_dl_df one-pass shape — 2 scans, dl rides row-local."),
+        audit("adjacency_matrix (single-scan conditional counts)",
+              adjacency_matrix(docs, {"A": "merge", "B": "window", "C": "spark"}),
+              "ONE FileScan, zero joins — pairwise intersections as "
+              "conditional aggregates over row-local flags."),
+        audit("winnow_overlap (fingerprint near-dup join)",
+              winnow_overlap(docs),
+              "Row-local fingerprinting (zero-shuffle map stage), hot-"
+              "fingerprint df cap below the equi-join — no cartesian."),
+        audit("PQ ADC top-k (code-only candidate scan)",
+              pq_cosine_topk(emb, qv, k=10),
+              "Candidates ranked over the m-code relation (TakeOrdered), "
+              "exact re-rank driven by the broadcast candidate ids."),
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     with open(out, "w") as f:
