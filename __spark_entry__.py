@@ -197,6 +197,40 @@ QS_QUERY = '+merge window cust* -vector "key agg"'
 UPSERT_DOC, UPSERT_TEXT = 42, "quokka merge window merge"
 
 
+def _q_rollback_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback lifecycle: build → upsert doc 42 → rollback to the
+    pre-upsert snapshot → query. The oracle is plain BM25 over the
+    ORIGINAL corpus — after rollback the index must be indistinguishable
+    from the state before the upsert (Iceberg rollback / ES restore)."""
+    import shutil
+    import uuid
+
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.incremental import rollback_to, upsert_docs
+    from fafnir_spark.wand import run_queries
+
+    root = os.path.join(tempfile.gettempdir(), "fafnir_rbk_" + uuid.uuid4().hex[:8])
+    try:
+        from fafnir_spark.catalog import Catalog
+
+        docs = normalize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+        build_index(spark, docs, root, n_parts=4, block_size=128,
+                    tokenizer="whitespace", build_id="rbk", resume=False)
+        base_snap = Catalog(root).read_manifest()["snapshot_id"]
+        new = spark.createDataFrame([(UPSERT_DOC, UPSERT_TEXT)], "doc_id long, text string")
+        upsert_docs(spark, normalize_docs(new, id_col="doc_id", text_col="text"),
+                    root, segment="up1", tokenizer="whitespace")
+        rollback_to(spark, root, base_snap)
+        res = run_queries(spark, root, {"q": Q_MAIN}, k=10)
+        out = spark.createDataFrame(
+            [(r["rank"], r["doc_id"], r["score"]) for r in res.collect()],
+            "rank int, doc_id long, score double",
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_upsert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL stable-id upsert lifecycle with an exact oracle: build →
     upsert doc 42's content → compact (exact stats) → BM25 query. The
@@ -1439,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "more_like_this_indexed": _q_more_like_this_indexed,
         "upsert_lifecycle": _q_upsert_lifecycle,
+        "rollback_query": _q_rollback_query,
         "bulk_delete_query": _q_bulk_delete_query,
         "bulk_delete_lifecycle": _q_bulk_delete_lifecycle,
         "query_string_indexed": _q_query_string_indexed,
@@ -1602,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this_indexed": oracles.more_like_this_indexed_sql(
             MLT_TEXT, k=10, n_terms=3
         ),
+        "rollback_query": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "upsert_lifecycle": oracles.bm25_topk_sql(
             ["quokka", "merge", "window"], k=10,
             text_expr=(

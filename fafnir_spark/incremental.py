@@ -504,3 +504,20 @@ def remove_orphan_segments(
             deleted += 1
     return {"scanned": scanned, "deleted_dirs": deleted,
             "referenced": len(referenced)}
+
+
+def rollback_to(spark: SparkSession, index_root: str, snapshot_id: str) -> str:
+    """ES snapshot-restore / Iceberg rollback: republish an earlier
+    snapshot's tables+meta as the NEW current snapshot (a forward commit —
+    history is never rewritten, so the rolled-back-from state stays
+    time-travelable until expire_snapshots trims it). CAS-guarded against
+    interleaved writers. Returns the new snapshot id."""
+    from .catalog import Catalog
+
+    cat = Catalog(index_root)
+    cur = cat.read_manifest()
+    target = cat.manifest_at(snapshot_id)
+    return cat.publish(
+        dict(target["tables"]), meta=target.get("meta"),
+        expected_snapshot=cur.get("snapshot_id"),
+    )

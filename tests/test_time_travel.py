@@ -44,3 +44,44 @@ def test_snapshot_queries_survive_mutations(spark, tmp_path):
 
     with pytest.raises(KeyError, match="not found"):
         cat.manifest_at("deadbeef0000")
+
+
+def test_rollback_restores_pre_upsert_state(spark, ddb, tmp_path):
+    """rollback_to republishes the old snapshot as a FORWARD commit: query
+    results return to the pre-upsert state, history keeps growing (the
+    rolled-back-from snapshot stays time-travelable), and CAS still guards
+    the commit."""
+    from fafnir_spark import oracles
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.catalog import Catalog
+    from fafnir_spark.incremental import rollback_to, upsert_docs
+    from fafnir_spark.wand import run_queries
+    from tests.conftest import SF_DIR
+
+    root = str(tmp_path / "idx")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=2, block_size=32, tokenizer="whitespace", build_id="rb")
+    cat = Catalog(root)
+    base_snap = cat.read_manifest()["snapshot_id"]
+    base = run_queries(spark, root, {"q": ["merge", "window"]}, k=10).collect()
+
+    new = spark.createDataFrame([(42, "quokka merge window merge")],
+                                "doc_id long, text string")
+    upsert_docs(spark, normalize_docs(new, id_col="doc_id", text_col="text"),
+                root, segment="up1", tokenizer="whitespace")
+    upserted_snap = cat.read_manifest()["snapshot_id"]
+    changed = run_queries(spark, root, {"q": ["merge", "window"]}, k=10).collect()
+    assert [tuple(r) for r in changed] != [tuple(r) for r in base]
+
+    new_snap = rollback_to(spark, root, base_snap)
+    assert new_snap not in (base_snap, upserted_snap)
+    after = run_queries(spark, root, {"q": ["merge", "window"]}, k=10).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in base]
+    # oracle anchor: post-rollback == fresh-build BM25 over the original corpus
+    want = ddb.execute(oracles.bm25_topk_sql(["merge", "window"], k=10)).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in after] == [(w[0], w[1]) for w in want]
+    # the upserted state is still reachable by snapshot id (time travel)
+    back = run_queries(spark, root, {"q": ["merge", "window"]}, k=10,
+                       snapshot_id=upserted_snap).collect()
+    assert [tuple(r) for r in back] == [tuple(r) for r in changed]
