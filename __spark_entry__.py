@@ -852,6 +852,40 @@ def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sort_by_field(_docs(spark, sf_dir), Q_MAIN, "n_chars", k=10)
 
 
+def _q_sort_by_field_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-sort served FROM the index: term-pruned posting match + the
+    doc_map numeric doc-values — same oracle as the direct sort."""
+    from fafnir_spark.wand import sort_by_field_indexed
+
+    return sort_by_field_indexed(
+        spark, _idx_root(spark, sf_dir), Q_MAIN, "n_chars", k=10
+    )
+
+
+def _q_stop_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stop analyzer: BM25 over the stop-filtered token stream —
+    analyzed dl/df/avgdl, not post-hoc term filtering."""
+    from fafnir_spark.query_ext import stop_analyzer_bm25
+
+    return stop_analyzer_bm25(_docs(spark, sf_dir), Q_MAIN, ["a", "the"], k=10)
+
+
+def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_first: 'merge' within the first 5 token positions."""
+    from fafnir_spark.query_ext import span_first
+
+    return span_first(_docs(spark, sf_dir), "merge", end=5)
+
+
+def _q_events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON runtime-field filter over the props column."""
+    from fafnir_spark.pipeline import events_json_filter
+
+    return events_json_filter(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), lo=20, hi=60
+    )
+
+
 def _q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """match_phrase with slop: 'slow ... key' within 2 intervening tokens
     (ordered), pure higher-order expressions over the token array."""
@@ -1446,6 +1480,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_prefix": _q_match_phrase_prefix,
         "search_after_indexed": _q_search_after_indexed,
         "sort_by_field": _q_sort_by_field,
+        "sort_by_field_indexed": _q_sort_by_field_indexed,
+        "stop_analyzer_bm25": _q_stop_analyzer,
+        "span_first": _q_span_first,
+        "events_json_filter": _q_events_json_filter,
         "phrase_slop": _q_phrase_slop,
         "phrase_slop_indexed": _q_phrase_slop_indexed,
         "complete_prefix": _q_complete_prefix,
@@ -1605,6 +1643,12 @@ def oracle_sql() -> dict[str, str]:
         "match_phrase_prefix": oracles.match_phrase_prefix_sql(["slow"], "k", k=10),
         "search_after_indexed": oracles.search_after_sql(Q_MAIN, k=5, page=2),
         "sort_by_field": oracles.sort_by_field_sql(Q_MAIN, "n_chars", k=10),
+        "sort_by_field_indexed": oracles.sort_by_field_sql(Q_MAIN, "n_chars", k=10),
+        "stop_analyzer_bm25": oracles.bm25_topk_sql(
+            Q_MAIN, k=10, text_expr=oracles.stop_analyzed_expr(["a", "the"])
+        ),
+        "span_first": oracles.span_first_sql("merge", end=5),
+        "events_json_filter": oracles_pipeline.events_json_filter_sql(20, 60),
         "phrase_slop": oracles.phrase_slop_sql("slow", "key", slop=2),
         "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),
         "complete_prefix": oracles.complete_prefix_sql("s", k=5),

@@ -1300,3 +1300,26 @@ SELECT rank, doc_id, score FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def span_first_sql(term: str, end: int) -> str:
+    """span_first mirror: list_position (0 when absent) == Spark
+    array_position."""
+    t = term.replace("'", "''")
+    return f"""
+SELECT doc_id, first_pos FROM (
+  SELECT doc_id,
+         CAST(list_position(list_filter(string_split(text, ' '), x -> x <> ''),
+                            '{t}') AS BIGINT) AS first_pos
+  FROM documents
+) WHERE first_pos >= 1 AND first_pos <= {end}
+ORDER BY doc_id
+"""
+
+
+def stop_analyzed_expr(stopwords: list[str]) -> str:
+    """The SQL twin of query_ext.analyzed_text_col — pass as
+    bm25_topk_sql(text_expr=...)."""
+    stops = ", ".join("'" + s.replace("'", "''") + "'" for s in sorted(set(stopwords)))
+    return (f"array_to_string(list_filter(string_split(text, ' '), "
+            f"x -> x <> '' AND x NOT IN ({stops})), ' ')")

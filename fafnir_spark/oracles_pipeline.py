@@ -632,3 +632,15 @@ FROM (
   FROM events
 ) WHERE rn = 1 ORDER BY event_type
 """
+
+
+def events_json_filter_sql(lo: int, hi: int) -> str:
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+) WHERE k >= {lo} AND k <= {hi}
+GROUP BY event_type ORDER BY event_type
+"""

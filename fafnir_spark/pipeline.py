@@ -875,3 +875,21 @@ def top_metrics_latest(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_json_filter(events: DataFrame, lo: int, hi: int) -> DataFrame:
+    """P6's JSON-properties analog as a QUERY: extract a typed value from
+    the JSON props column (get_json_object — row-local, no UDF), filter on
+    an inclusive range, aggregate per event_type. The ES flattened/runtime-
+    field pattern. (event_type, n, sum_k)."""
+    from pyspark.sql import functions as F
+
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter((F.col("k") >= lo) & (F.col("k") <= hi))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").cast("long").alias("sum_k"))
+        .orderBy("event_type")
+    )

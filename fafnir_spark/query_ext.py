@@ -1194,3 +1194,45 @@ def multi_match_cross_fields(
     top = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
     return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")
+
+
+def analyzed_text_col(stopwords: list[str], text_col: str = "text") -> F.Column:
+    """ES custom analyzer (stop filter): the token stream minus stopwords,
+    re-joined — BM25 over it uses the analyzed dl/df/avgdl, exactly as an
+    ES index with a stop analyzer would. Row-local expression; the DuckDB
+    twin is array_to_string(list_filter(string_split(...), NOT IN), ' ')."""
+    from .tokenizer import tokens_expr
+
+    stops = sorted(set(stopwords))
+
+    def keep(t):
+        return ~t.isin(stops)
+
+    return F.array_join(F.filter(tokens_expr(text_col), keep), " ")
+
+
+def stop_analyzer_bm25(docs: DataFrame, terms: list[str], stopwords: list[str],
+                       k: int = 10, text_col: str = "text") -> DataFrame:
+    """BM25 over the stop-analyzed field: dl shrinks, stopword df vanishes,
+    avgdl/idf shift — a genuinely different (and better) ranking than
+    post-hoc filtering query terms. (rank, doc_id, score)."""
+    from .query import bm25_topk
+
+    analyzed = docs.withColumn("__an", analyzed_text_col(stopwords, text_col))
+    return bm25_topk(analyzed, terms, k=k, text_col="__an")
+
+
+def span_first(docs: DataFrame, term: str, end: int,
+               text_col: str = "text") -> DataFrame:
+    """ES span_first query: the term's FIRST occurrence must fall within
+    the leading ``end`` token positions (title-ish boosting primitive).
+    Row-local array_position — zero shuffle. (doc_id, first_pos 1-based),
+    ordered by doc_id."""
+    from .tokenizer import tokens_expr
+
+    pos = F.array_position(tokens_expr(text_col), term)
+    return (
+        docs.select("doc_id", pos.cast("long").alias("first_pos"))
+        .filter((F.col("first_pos") >= 1) & (F.col("first_pos") <= end))
+        .orderBy("doc_id")
+    )

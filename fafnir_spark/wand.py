@@ -1476,3 +1476,40 @@ def search_alias(
     bq = {qid: {"must": sorted(set(terms)), "filter": filt}
           for qid, terms in queries.items()}
     return bool_search(spark, index_root, bq, k=k, snapshot_id=snapshot_id)
+
+
+def sort_by_field_indexed(
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str],
+    sort_col: str = "n_chars",
+    k: int = 10,
+    ascending: bool = False,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES field-sort search served FROM the index: the disjunctive match
+    set from term-pruned posting blocks (ids only), the sort key from the
+    doc_map numeric doc-values (v2 schema passthrough columns) — no
+    raw-text access at query time. Identical results to the direct
+    query_ext.sort_by_field. (rank, doc_id, <sort_col>).
+
+    Scale shape: posting scan pruned to the query terms; doc_map semi-join;
+    orderBy().limit(k) → TakeOrderedAndProject (the facet_counts_indexed
+    match machinery + the direct-path top-k contract)."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
+        F.col("term").isin(sorted(set(terms)))
+    )
+    tombs = _load_tombstones(spark, cat, manifest, include_bulk=False)
+    matched = postings.groupBy("doc_part").applyInPandas(
+        _match_ids_fn(sorted(set(terms)), tombs), schema=MATCH_SCHEMA
+    )
+    dm = cat.live_doc_map(spark, manifest).select("doc_id", sort_col)
+    joined = dm.join(matched, "doc_id", "left_semi")
+    key = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
+    top = joined.orderBy(key, F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(key, F.col("doc_id").asc()))
+    return top.withColumn("rank", w).select("rank", "doc_id", sort_col).orderBy("rank")

@@ -112,3 +112,14 @@ def test_geo_distance_topk_matches_oracle_and_triangle(spark, ddb):
     a = (math.sin((phi2 - phi1) / 2) ** 2
          + math.cos(phi1) * math.cos(phi2) * math.sin(math.radians(lon - 10.0) / 2) ** 2)
     assert got[0]["dist_km"] == pytest.approx(12742.0 * math.asin(math.sqrt(a)), abs=1e-3)
+
+
+def test_events_json_filter_matches_oracle(spark, ddb):
+    from fafnir_spark.oracles_pipeline import events_json_filter_sql
+    from fafnir_spark.pipeline import events_json_filter
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = [tuple(r) for r in events_json_filter(ev, 20, 60).collect()]
+    want = [tuple(w) for w in ddb.execute(events_json_filter_sql(20, 60)).fetchall()]
+    assert got == want and got

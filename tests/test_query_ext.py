@@ -275,3 +275,41 @@ def test_filtered_alias_equals_bool_filter_and_replacement(spark, ddb, docs, tmp
     assert got != got2
     with _pytest.raises(KeyError):
         search_alias(spark, root, "nope", {"q": ["merge"]})
+
+
+def test_stop_analyzer_differs_from_plain_and_matches_oracle(spark, ddb, docs):
+    from fafnir_spark.query import bm25_topk
+    from fafnir_spark.query_ext import stop_analyzer_bm25
+
+    got = stop_analyzer_bm25(docs, ["merge", "window"], ["a", "the"], k=10).collect()
+    want = ddb.execute(oracles.bm25_topk_sql(
+        ["merge", "window"], k=10,
+        text_expr=oracles.stop_analyzed_expr(["a", "the"]))).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    plain = bm25_topk(docs, ["merge", "window"], k=10).collect()
+    # analyzed statistics genuinely shift the scores
+    assert [(r["doc_id"], r["score"]) for r in got] != [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
+
+
+def test_span_first_matches_oracle_and_tightens(spark, ddb, docs):
+    from fafnir_spark.query_ext import span_first
+
+    got = [(r["doc_id"], r["first_pos"]) for r in span_first(docs, "merge", 5).collect()]
+    want = [tuple(w) for w in ddb.execute(oracles.span_first_sql("merge", 5)).fetchall()]
+    assert got == want and got
+    wider = {r["doc_id"] for r in span_first(docs, "merge", 50).collect()}
+    assert {d for d, _ in got} <= wider
+
+
+def test_sort_by_field_indexed_equals_direct(spark, ddb, docs, tmp_path):
+    from fafnir_spark.query_ext import sort_by_field
+    from fafnir_spark.wand import sort_by_field_indexed
+
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=2, block_size=32, tokenizer="whitespace", build_id="s")
+    a = sort_by_field(docs, ["merge", "window"], "n_chars", k=10).collect()
+    b = sort_by_field_indexed(spark, root, ["merge", "window"], "n_chars", k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
