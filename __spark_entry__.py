@@ -815,6 +815,38 @@ def _q_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_score_topk(_docs(spark, sf_dir), seed="round4", k=10)
 
 
+MSEARCH_QUERIES = {
+    "m1": ["merge", "window", "customer"],
+    "m2": ["spark", "slow"],
+    "m3": ["vector", "batch"],
+}
+
+
+def _q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """msearch: a whole query batch in ONE corpus pass (shared tf/df/stats,
+    broadcast (qid,term) routing, two-level per-qid top-k) — must equal
+    query-at-a-time results exactly."""
+    from fafnir_spark.query import bm25_topk_batch
+
+    return bm25_topk_batch(_docs(spark, sf_dir), MSEARCH_QUERIES, k=10)
+
+
+def _q_stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator on a document STREAM (saved searches fire per
+    micro-batch, availableNow drain) — equals batch percolation, same
+    oracle."""
+    import uuid
+
+    from fafnir_spark.streaming import stream_percolate
+
+    return stream_percolate(
+        spark, f"{sf_dir}/documents.*",
+        os.path.join(tempfile.mkdtemp(prefix="fafnir_ck_"), "c"),
+        "drv_perc_" + uuid.uuid4().hex[:6],
+        PERC_QUERIES,
+    )
+
+
 PERC_QUERIES = {
     "alert_merge": {"must": ["merge", "window"], "must_not": ["vector"]},
     "alert_slow": {"must": ["slow"], "should": ["key", "agg"]},
@@ -1497,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_query": _q_boosting,
         "random_score": _q_random_score,
         "percolate": _q_percolate,
+        "msearch": _q_msearch,
+        "stream_percolate": _q_stream_percolate,
         "rank_eval": _q_rank_eval,
         "explain_score": _q_explain_score,
         "term_vectors": _q_term_vectors,
@@ -1666,6 +1700,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "random_score": oracles.random_score_sql("round4", k=10),
         "percolate": oracles.percolate_sql(PERC_QUERIES),
+        "msearch": oracles.msearch_sql(MSEARCH_QUERIES, k=10),
+        "stream_percolate": oracles.percolate_sql(PERC_QUERIES),
         "rank_eval": oracles.rank_eval_sql(RANK_EVAL_Q, k=10),
         "explain_score": oracles.explain_sql(Q_MAIN, 42),
         "term_vectors": oracles.term_vectors_sql(42),

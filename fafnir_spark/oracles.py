@@ -1323,3 +1323,15 @@ def stop_analyzed_expr(stopwords: list[str]) -> str:
     stops = ", ".join("'" + s.replace("'", "''") + "'" for s in sorted(set(stopwords)))
     return (f"array_to_string(list_filter(string_split(text, ' '), "
             f"x -> x <> '' AND x NOT IN ({stops})), ' ')")
+
+
+def msearch_sql(queries: dict[str, list[str]], k: int = 10) -> str:
+    """Batched multi-search oracle: per-qid top-k BM25 (each the standard
+    single-query form) tagged and unioned — the batch path must equal
+    query-at-a-time results exactly (LazyEs msearch semantics)."""
+    per = [
+        f"SELECT '{qid}' AS qid, rank, doc_id, score FROM ({bm25_topk_sql(terms, k=k)})"
+        for qid, terms in sorted(queries.items())
+    ]
+    u = "\nUNION ALL\n".join(per)
+    return f"SELECT qid, rank, doc_id, score FROM ({u}) ORDER BY qid, rank"

@@ -314,3 +314,43 @@ def stream_zone_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_percolate(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    name: str,
+    queries: dict[str, dict],
+) -> DataFrame:
+    """Percolation on a document STREAM — the percolator's actual use case
+    (saved searches fire as documents arrive): each micro-batch is matched
+    against the stored query set via the same one-pass broadcast-clause
+    relation (query_ext.percolate) inside foreachBatch, matches appended
+    to a memory sink. Per-doc matching is stateless, so the drained
+    (availableNow) union equals batch percolation — the SAME oracle
+    (percolate_sql) checks it exactly. (doc_id, qid), ordered."""
+    from .query_ext import percolate
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    # per-batch matches gathered driver-side: percolator OUTPUT is the
+    # alert relation (bounded by matches, the thing a sink receives) —
+    # the matching itself stays distributed inside percolate()
+    acc: list = []
+
+    def gather(df, _bid):
+        rows = percolate(df, queries).collect()
+        acc.extend((r["doc_id"], r["qid"]) for r in rows)
+
+    q = (
+        stream.writeStream.foreachBatch(gather)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    if not acc:
+        return spark.createDataFrame([], "doc_id long, qid string")
+    return spark.createDataFrame(sorted(acc), "doc_id long, qid string")

@@ -53,3 +53,21 @@ def test_weight_boost_monotonic(spark, docs):
     boost = F.when(F.col("doc_id") == top_doc, F.lit(2.0)).otherwise(F.lit(1.0))
     boosted = {r["doc_id"]: r["rank"] for r in bm25_topk(docs, QUERY2, k=50, boost=boost).collect()}
     assert boosted[top_doc] <= plain[top_doc]
+
+
+def test_msearch_batch_equals_single_query(spark):
+    """The batched msearch path (one corpus pass, two-level per-qid top-k)
+    must equal query-at-a-time bm25_topk exactly."""
+    from fafnir_spark.query import bm25_topk, bm25_topk_batch
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    queries = {"m1": ["merge", "window"], "m2": ["spark", "slow"], "m3": ["vector"]}
+    batch = bm25_topk_batch(docs, queries, k=10).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, terms in queries.items():
+        single = [(r["rank"], r["doc_id"], r["score"])
+                  for r in bm25_topk(docs, terms, k=10).collect()]
+        assert by_qid.get(qid, []) == single, qid

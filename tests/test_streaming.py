@@ -204,3 +204,21 @@ def test_stream_cdc_apply_equals_batch_ops(spark, tmp_path):
     got = [(r["doc_id"], r["score"]) for r in run_queries(spark, root, q, k=30).collect()]
     want = [(r["doc_id"], r["score"]) for r in run_queries(spark, fresh_root, q, k=30).collect()]
     assert got == want and any(d == 9001 for d, _ in got)
+
+
+def test_stream_percolate_equals_batch(spark, tmp_path):
+    from fafnir_spark.query_ext import percolate
+    from fafnir_spark.streaming import stream_percolate
+    from tests.conftest import SF_DIR
+
+    queries = {
+        "alert_a": {"must": ["merge", "window"]},
+        "alert_b": {"should": ["spark", "slow"], "must_not": ["vector"]},
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    batch = sorted((r["doc_id"], r["qid"]) for r in percolate(docs, queries).collect())
+    streamed = stream_percolate(
+        spark, f"{SF_DIR}/documents.*", str(tmp_path / "ck"), "t_sperc", queries
+    )
+    got = sorted((r["doc_id"], r["qid"]) for r in streamed.collect())
+    assert got == batch and got
