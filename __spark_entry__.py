@@ -507,6 +507,19 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(spark, root, {"q": QVEC}, k=10, nprobe=4).drop("qid")
 
 
+def _q_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted PQ: codebooks + codes table as build artifacts; the ADC
+    candidate scan touches only the codes. Same oracle as the inline form
+    (identical deterministic codebooks)."""
+    from fafnir_spark.simsearch import build_pq_index, pq_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = os.path.join(tempfile.gettempdir(), "fafnir_pq_" + _content_key(sf_dir))
+    if not os.path.exists(os.path.join(root, "_manifest.json")):
+        build_pq_index(spark, emb, root, m=8, ks=16)
+    return pq_search(spark, root, emb, QVEC, k=10, n_candidates=50)
+
+
 def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: top-3 terms per doc (per-doc windows)."""
     from fafnir_spark.textstats import top_terms_per_doc
@@ -907,6 +920,25 @@ def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.query_ext import span_first
 
     return span_first(_docs(spark, sf_dir), "merge", end=5)
+
+
+def _q_span_first_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_first FROM the positional index — first stored position per
+    doc, term-pruned posting scan; same oracle as the direct form."""
+    from fafnir_spark.wand import span_first_indexed
+
+    return span_first_indexed(spark, _pidx_root(spark, sf_dir), "merge", end=5)
+
+
+def _q_wildcard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard query FROM the index dictionary (glob→LIKE expansion) —
+    same oracle as the direct wildcard_bm25."""
+    from fafnir_spark.wand import expand_wildcard_indexed, run_queries
+
+    root = _idx_root(spark, sf_dir)
+    terms = expand_wildcard_indexed(spark, root, "me*e")
+    res = run_queries(spark, root, {"q": terms}, k=10, algo="bmw")
+    return res.select("rank", "doc_id", "score")
 
 
 def _q_events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1477,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
         "ann_pq_topk": _q_ann_pq,
+        "ann_pq_indexed": _q_ann_pq_indexed,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_indexed": _q_ann_ivf_indexed,
@@ -1515,6 +1548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field_indexed": _q_sort_by_field_indexed,
         "stop_analyzer_bm25": _q_stop_analyzer,
         "span_first": _q_span_first,
+        "span_first_indexed": _q_span_first_indexed,
+        "wildcard_bm25_indexed": _q_wildcard_indexed,
         "events_json_filter": _q_events_json_filter,
         "phrase_slop": _q_phrase_slop,
         "phrase_slop_indexed": _q_phrase_slop_indexed,
@@ -1642,6 +1677,7 @@ def oracle_sql() -> dict[str, str]:
         # dual of ivf_centroid_ids(n, 16), robust to fixture-size changes
         "ann_ivf_topk": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "ann_pq_topk": oracles_ops.pq_cosine_topk_sql(QVEC, m=8, ks=16, n_candidates=50, k=10),
+        "ann_pq_indexed": oracles_ops.pq_cosine_topk_sql(QVEC, m=8, ks=16, n_candidates=50, k=10),
         "ann_ivf_indexed": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "token_counts": oracles_ops.token_counts_sql(),
         "top_terms_tfidf": oracles_ops.top_terms_sql(3),
@@ -1682,6 +1718,8 @@ def oracle_sql() -> dict[str, str]:
             Q_MAIN, k=10, text_expr=oracles.stop_analyzed_expr(["a", "the"])
         ),
         "span_first": oracles.span_first_sql("merge", end=5),
+        "span_first_indexed": oracles.span_first_sql("merge", end=5),
+        "wildcard_bm25_indexed": oracles.wildcard_bm25_sql("me*e", k=10),
         "events_json_filter": oracles_pipeline.events_json_filter_sql(20, 60),
         "phrase_slop": oracles.phrase_slop_sql("slow", "key", slop=2),
         "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),

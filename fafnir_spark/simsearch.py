@@ -540,3 +540,82 @@ def pq_cosine_topk(
     top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
     w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
     return top.withColumn("rank", w).select("rank", "vec_id", "cos").orderBy("rank")
+
+
+def build_pq_index(
+    spark,
+    emb: DataFrame,
+    index_root: str,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the PQ structure: codebooks (driver-derived deterministic
+    sample → a tiny table) plus the encoded codes table — a few SMALL ints
+    per vector instead of the full embedding. At 100 TB the candidate
+    stage then scans ~m bytes/vector; the raw vectors are touched only for
+    the final re-rank of the top candidates."""
+    from .catalog import Catalog
+
+    cat = Catalog(index_root)
+    cbs = pq_codebooks(emb, m, ks, id_col, vec_col)
+    cb_rows = [
+        (mi, j, cbs[mi][j]) for mi in range(len(cbs)) for j in range(len(cbs[mi]))
+    ]
+    cb_df = spark.createDataFrame(cb_rows, "sub int, j int, cv array<double>")
+    codes = pq_encode(emb, cbs, id_col, vec_col)
+    cat.write_segment(codes, "pq_codes", "base")
+    cat.write_segment(cb_df.coalesce(1), "pq_codebooks", "base")
+    cat.publish(
+        {
+            "pq_codes": [cat.segment_dir("pq_codes", "base")],
+            "pq_codebooks": [cat.segment_dir("pq_codebooks", "base")],
+        },
+        meta={"m": m, "ks": ks, "n_vectors": emb.count()},
+    )
+
+
+def pq_search(
+    spark,
+    index_root: str,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Query the persisted PQ index: rebuild the ADC LUT from the stored
+    codebooks (driver-side, tiny), rank candidates over the CODES table
+    only, exact-cosine re-rank against the raw vectors for the top
+    candidates. Same (rank, vec_id, cos) contract as pq_cosine_topk."""
+    from .catalog import Catalog
+    from .dedup import cosine_expr
+
+    cat = Catalog(index_root)
+    cb_rows = cat.read_table(spark, "pq_codebooks").collect()
+    mmax = 1 + max(r["sub"] for r in cb_rows)
+    jmax = 1 + max(r["j"] for r in cb_rows)
+    cbs = [[None] * jmax for _ in range(mmax)]
+    for r in cb_rows:
+        cbs[r["sub"]][r["j"]] = [float(x) for x in r["cv"]]
+    lut = pq_lut([float(x) for x in query_vec], cbs)
+    codes = cat.read_table(spark, "pq_codes")
+    adc = None
+    for mi, lm in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in lm]), F.col(f"c{mi}").cast("int")
+        )
+        adc = term if adc is None else adc + term
+    cand = (
+        codes.select("vec_id", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(n_candidates)
+    )
+    ql = F.array(*[F.lit(float(x)) for x in query_vec])
+    rer = emb.select(F.col("vec_id"), F.col("embedding").alias("__v")).join(
+        F.broadcast(cand.select("vec_id")), "vec_id"
+    )
+    scored = rer.select("vec_id", F.round(cosine_expr(F.col("__v"), ql), 6).alias("cos"))
+    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
+    return top.withColumn("rank", w).select("rank", "vec_id", "cos").orderBy("rank")

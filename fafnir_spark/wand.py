@@ -1513,3 +1513,71 @@ def sort_by_field_indexed(
     top = joined.orderBy(key, F.col("doc_id").asc()).limit(k)
     w = F.row_number().over(Window.orderBy(key, F.col("doc_id").asc()))
     return top.withColumn("rank", w).select("rank", "doc_id", sort_col).orderBy("rank")
+
+
+def expand_wildcard_indexed(
+    spark: SparkSession, index_root: str, pattern: str,
+    snapshot_id: str | None = None,
+) -> list[str]:
+    """Wildcard expansion FROM the published dictionary (glob → LIKE, the
+    query_ext._wildcard_to_like mapping) — vocabulary-sized scan, no
+    corpus access, snapshot-scoped like expand_prefix_indexed."""
+    from .query_ext import _wildcard_to_like
+
+    like = _wildcard_to_like(pattern)
+    cat = Catalog(index_root)
+    rows = (
+        cat.read_dictionary(spark, snapshot=cat.manifest_at(snapshot_id))
+        .filter(F.col("term").like(like))
+        .select("term")
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def span_first_indexed(
+    spark: SparkSession, index_root: str, term: str, end: int,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """span_first served FROM the positional index: decode only the term's
+    posting blocks (term predicate pushed to the term-sorted parquet), take
+    each doc's FIRST stored position (positions are ascending per doc),
+    keep docs where it falls within the leading ``end`` tokens. Identical
+    results to the direct query_ext.span_first (stored positions are
+    0-based; +1 matches array_position). (doc_id, first_pos)."""
+    from .codec import delta_decode, positions_decode, varint_decode
+
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
+        F.col("term") == term
+    )
+    if "positions" not in postings.columns:
+        raise ValueError("span_first_indexed needs a positional index "
+                         "(build_index with_positions=True)")
+    tombs = _load_tombstones(spark, cat, manifest, include_bulk=False)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_pos = [], []
+        for r in pdf.itertuples(index=False):
+            ids = delta_decode(r.doc_ids).astype(np.int64)
+            tfs = varint_decode(r.tfs).astype(np.int64)
+            pls = positions_decode(r.positions, tfs)
+            first = np.array([int(p[0]) for p in pls], dtype=np.int64) + 1
+            keep = first <= end
+            exc = _exc_for(tombs, getattr(r, "seg", "") or "")
+            if exc is not None and len(exc):
+                keep &= ~np.isin(ids, exc)
+            out_ids.append(ids[keep])
+            out_pos.append(first[keep])
+        if not out_ids:
+            return pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64),
+                                 "first_pos": np.empty(0, dtype=np.int64)})
+        return pd.DataFrame({"doc_id": np.concatenate(out_ids),
+                             "first_pos": np.concatenate(out_pos)})
+
+    matched = postings.groupBy("doc_part").applyInPandas(
+        fn, schema="doc_id long, first_pos long"
+    )
+    dm = cat.live_doc_map(spark, manifest).select("doc_id")
+    return matched.join(dm, "doc_id", "left_semi").orderBy("doc_id")

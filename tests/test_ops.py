@@ -350,3 +350,14 @@ def test_pq_ann(spark, ddb, emb):
     for r in codes[:20]:
         for mi in range(8):
             assert 1 <= r[f"c{mi}"] <= 16
+
+
+def test_pq_index_persisted_equals_inline(spark, emb, tmp_path):
+    from fafnir_spark.simsearch import build_pq_index, pq_cosine_topk, pq_search
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    root = str(tmp_path / "pq")
+    build_pq_index(spark, emb, root, m=8, ks=16)
+    inline = [tuple(r) for r in pq_cosine_topk(emb, qv, k=10).collect()]
+    persisted = [tuple(r) for r in pq_search(spark, root, emb, qv, k=10).collect()]
+    assert inline == persisted
