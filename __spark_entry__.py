@@ -507,6 +507,16 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(spark, root, {"q": QVEC}, k=10, nprobe=4).drop("qid")
 
 
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier curation: vectors below 0.2 max-centroid
+    cosine — broadcast assignment + sort-free max agg."""
+    from fafnir_spark.simsearch import embedding_outliers
+
+    return embedding_outliers(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), n_centroids=16, max_cos=0.2
+    )
+
+
 def _q_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted PQ: codebooks + codes table as build artifacts; the ADC
     candidate scan touches only the codes. Same oracle as the inline form
@@ -1510,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_exact,
         "ann_pq_topk": _q_ann_pq,
         "ann_pq_indexed": _q_ann_pq_indexed,
+        "embedding_outliers": _q_embedding_outliers,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_indexed": _q_ann_ivf_indexed,
@@ -1678,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "ann_pq_topk": oracles_ops.pq_cosine_topk_sql(QVEC, m=8, ks=16, n_candidates=50, k=10),
         "ann_pq_indexed": oracles_ops.pq_cosine_topk_sql(QVEC, m=8, ks=16, n_candidates=50, k=10),
+        "embedding_outliers": oracles_ops.embedding_outliers_sql(16, 0.2),
         "ann_ivf_indexed": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "token_counts": oracles_ops.token_counts_sql(),
         "top_terms_tfidf": oracles_ops.top_terms_sql(3),

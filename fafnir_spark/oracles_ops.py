@@ -622,3 +622,27 @@ SELECT rank, vec_id, cos FROM (
   FROM scored
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def embedding_outliers_sql(n_centroids: int = 16, max_cos: float = 0.35) -> str:
+    """Mirror of simsearch.embedding_outliers (same stride-sampled
+    centroids CTE as the IVF oracle, max over rounded cosines)."""
+    def cos(a: str, b: str) -> str:
+        return f"""round(
+  list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+, 6)"""
+
+    return f"""
+WITH step AS (SELECT greatest(count(*) // {n_centroids}, 1) AS s FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings, step
+          WHERE vec_id % step.s = 0 AND vec_id // step.s < {n_centroids}),
+best AS (
+  SELECT e.vec_id, max({cos("e.embedding", "c.cv")}) AS best_cos
+  FROM embeddings e CROSS JOIN cents c
+  GROUP BY e.vec_id
+)
+SELECT vec_id, best_cos FROM best WHERE best_cos < {max_cos!r}
+ORDER BY vec_id
+"""

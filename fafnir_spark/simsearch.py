@@ -619,3 +619,32 @@ def pq_search(
     top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
     w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
     return top.withColumn("rank", w).select("rank", "vec_id", "cos").orderBy("rank")
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    max_cos: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier detection for corpus curation: vectors whose
+    max-cosine centroid similarity falls BELOW ``max_cos`` — far from every
+    cluster, the "weird embedding" cleaning signal (mislabeled, corrupted,
+    off-distribution rows) a training pipeline drops or audits.
+
+    Reuses the deterministic sampled centroids + the sort-free max_by
+    assignment (ONE broadcast join + map-side-collapsed aggregate).
+    (vec_id, best_cos), ordered by vec_id."""
+    n = emb.count()
+    cids = ivf_centroid_ids(n, n_centroids)
+    cents = emb.filter(F.col(id_col).isin(cids)).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine_expr(F.col("v"), F.col("cv")), 6))
+    )
+    best = scored.groupBy("vec_id").agg(F.max("ccos").alias("best_cos"))
+    return best.filter(F.col("best_cos") < max_cos).orderBy("vec_id")

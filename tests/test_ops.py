@@ -361,3 +361,20 @@ def test_pq_index_persisted_equals_inline(spark, emb, tmp_path):
     inline = [tuple(r) for r in pq_cosine_topk(emb, qv, k=10).collect()]
     persisted = [tuple(r) for r in pq_search(spark, root, emb, qv, k=10).collect()]
     assert inline == persisted
+
+
+def test_embedding_outliers_matches_oracle_and_threshold(spark, ddb, emb):
+    from fafnir_spark.simsearch import embedding_outliers
+
+    got = [(r["vec_id"], r["best_cos"])
+           for r in embedding_outliers(emb, 16, max_cos=0.2).collect()]
+    want = [tuple(w) for w in ddb.execute(OO.embedding_outliers_sql(16, 0.2)).fetchall()]
+    assert [(g[0]) for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+        assert g[1] < 0.2
+    # centroids themselves can never be outliers (self-cosine == 1)
+    from fafnir_spark.simsearch import ivf_centroid_ids
+
+    cids = set(ivf_centroid_ids(emb.count(), 16))
+    assert not (cids & {g[0] for g in got})
