@@ -925,6 +925,14 @@ def _q_stop_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stop_analyzer_bm25(_docs(spark, sf_dir), Q_MAIN, ["a", "the"], k=10)
 
 
+def _q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase suggester: 'merg windoq' → whole-phrase corrections ranked by
+    the unigram-LM log-likelihood."""
+    from fafnir_spark.query_ext import phrase_suggest
+
+    return phrase_suggest(_docs(spark, sf_dir), "merg", "windoq", k=3)
+
+
 def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """span_first: 'merge' within the first 5 token positions."""
     from fafnir_spark.query_ext import span_first
@@ -1558,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": _q_sort_by_field,
         "sort_by_field_indexed": _q_sort_by_field_indexed,
         "stop_analyzer_bm25": _q_stop_analyzer,
+        "phrase_suggest": _q_phrase_suggest,
         "span_first": _q_span_first,
         "span_first_indexed": _q_span_first_indexed,
         "wildcard_bm25_indexed": _q_wildcard_indexed,
@@ -1729,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
         "stop_analyzer_bm25": oracles.bm25_topk_sql(
             Q_MAIN, k=10, text_expr=oracles.stop_analyzed_expr(["a", "the"])
         ),
+        "phrase_suggest": oracles.phrase_suggest_sql("merg", "windoq", k=3),
         "span_first": oracles.span_first_sql("merge", end=5),
         "span_first_indexed": oracles.span_first_sql("merge", end=5),
         "wildcard_bm25_indexed": oracles.wildcard_bm25_sql("me*e", k=10),

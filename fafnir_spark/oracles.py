@@ -1335,3 +1335,27 @@ def msearch_sql(queries: dict[str, list[str]], k: int = 10) -> str:
     ]
     u = "\nUNION ALL\n".join(per)
     return f"SELECT qid, rank, doc_id, score FROM ({u}) ORDER BY qid, rank"
+
+
+def phrase_suggest_sql(t1: str, t2: str, k: int = 3) -> str:
+    """Phrase-suggester mirror: DuckDB levenshtein == Spark levenshtein
+    (classic edit distance), same unigram-LM formula order."""
+    a = t1.replace("'", "''")
+    b = t2.replace("'", "''")
+    return f"""
+WITH {_TF_CTES},
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf) AS total FROM cf),
+c1 AS (SELECT term AS w1, cf AS cf1 FROM cf WHERE levenshtein(term, '{a}') <= 1),
+c2 AS (SELECT term AS w2, cf AS cf2 FROM cf WHERE levenshtein(term, '{b}') <= 1),
+scored AS (
+  SELECT concat(w1, ' ', w2) AS phrase,
+         round(ln(cf1 / total) + ln(cf2 / total), 6) AS score
+  FROM c1 CROSS JOIN c2 CROSS JOIN tot
+)
+SELECT rank, phrase, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, phrase ASC) AS rank, phrase, score
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY rank
+"""

@@ -1236,3 +1236,47 @@ def span_first(docs: DataFrame, term: str, end: int,
         .filter((F.col("first_pos") >= 1) & (F.col("first_pos") <= end))
         .orderBy("doc_id")
     )
+
+
+def phrase_suggest(docs: DataFrame, t1: str, t2: str, k: int = 3,
+                   text_col: str = "text") -> DataFrame:
+    """ES phrase suggester ("did you mean", 2-term contract like
+    phrase_slop): per-slot candidates are vocabulary terms within edit
+    distance 1 of the input (including itself), candidate phrases ranked
+    by the unigram-LM log-likelihood Σ ln(cf/total) — the whole-phrase
+    correction ES builds from term suggesters + an LM rerank.
+
+    Scale shape: the candidate relations are (vocab ⋈ 2 broadcast query
+    terms) — vocabulary-sized, never corpus-sized; the phrase space is the
+    bounded candidate cross product; top-k is the orderBy().limit(k)
+    contract. (rank, phrase, score)."""
+    from pyspark.sql.window import Window
+
+    from .query import doc_term_freqs
+
+    tf = doc_term_freqs(docs, "doc_id", text_col)
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total"))
+    c1 = (
+        cf.filter(F.levenshtein(F.col("term"), F.lit(t1)) <= 1)
+        .select(F.col("term").alias("w1"), F.col("cf").alias("cf1"))
+    )
+    c2 = (
+        cf.filter(F.levenshtein(F.col("term"), F.lit(t2)) <= 1)
+        .select(F.col("term").alias("w2"), F.col("cf").alias("cf2"))
+    )
+    scored = (
+        c1.crossJoin(c2)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", F.col("w1"), F.col("w2")).alias("phrase"),
+            F.round(
+                F.log(F.col("cf1") / F.col("total"))
+                + F.log(F.col("cf2") / F.col("total")),
+                6,
+            ).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("phrase").asc()))
+    return top.withColumn("rank", w).select("rank", "phrase", "score").orderBy("rank")

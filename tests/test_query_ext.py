@@ -313,3 +313,17 @@ def test_sort_by_field_indexed_equals_direct(spark, ddb, docs, tmp_path):
     a = sort_by_field(docs, ["merge", "window"], "n_chars", k=10).collect()
     b = sort_by_field_indexed(spark, root, ["merge", "window"], "n_chars", k=10).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_phrase_suggest_matches_oracle_and_corrects(spark, ddb, docs):
+    from fafnir_spark.query_ext import phrase_suggest
+
+    got = phrase_suggest(docs, "merg", "windoq", k=3).collect()
+    want = ddb.execute(oracles.phrase_suggest_sql("merg", "windoq", k=3)).fetchall()
+    assert [(r["rank"], r["phrase"]) for r in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[2], abs=1e-9)
+    assert got[0]["phrase"] == "merge window"
+    # an exact vocabulary phrase suggests itself first
+    exact = phrase_suggest(docs, "merge", "window", k=3).collect()
+    assert exact[0]["phrase"] == "merge window"
