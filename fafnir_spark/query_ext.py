@@ -275,8 +275,15 @@ def parse_query(q: str) -> dict:
                 out["neg_phrases" if sign == "-" else "phrases"].append(toks)
         elif body.endswith("*") and len(body) > 1:
             out["prefixes"].append(body[:-1])
-        elif ":" in body[1:]:
-            out["filters"].append(body)
+        elif ":" in body[1:].replace("\\:", ""):
+            # ES escaping: `\:` inside a value is a literal colon, not a
+            # field separator (the reference queries
+            # poi_type.name:(cuisine\:coffee_shop), mod.rs:366)
+            out["filters"].append(body.replace("\\:", ":"))
+        elif "\\:" in body:
+            out["should" if sign == "" else
+                ("must" if sign == "+" else "must_not")].append(
+                body.replace("\\:", ":"))
         elif sign == "+":
             out["must"].append(body)
         elif sign == "-":

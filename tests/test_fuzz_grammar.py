@@ -70,3 +70,19 @@ def test_fuzz_query_string_grammar(spark, ddb, docs):
                     assert a == b, f"case {case}: {q!r}"
         n_nonempty += bool(got)
     assert n_nonempty >= 5  # the generator must not degenerate to all-empty
+
+
+def test_parse_query_escaped_colon():
+    from fafnir_spark.query_ext import parse_query
+
+    # escaped colon inside a field VALUE is a literal colon (reference
+    # query poi_type.name:(cuisine\:coffee_shop))
+    spec = parse_query(r"poi_type.name:cuisine\:coffee_shop")
+    assert spec["filters"] == ["poi_type.name:cuisine:coffee_shop"]
+    # a bare term with only escaped colons is a scored term, not a filter
+    spec2 = parse_query(r"cuisine\:coffee_shop +a\:b -c\:d")
+    assert spec2["should"] == ["cuisine:coffee_shop"]
+    assert spec2["must"] == ["a:b"] and spec2["must_not"] == ["c:d"]
+    # plain field:value unchanged
+    spec3 = parse_query("source:src3 merge")
+    assert spec3["filters"] == ["source:src3"] and spec3["should"] == ["merge"]
