@@ -573,6 +573,17 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), budget=512)
 
 
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture subsampling: per-source hash-threshold keep
+    probabilities — row-local, shuffle-free, reproducible."""
+    from fafnir_spark.curation import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), MIX_WEIGHTS, seed="mix4")
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over deterministically-injected emails/phones (the
     fixture corpus has none); the oracle verifies redacted CONTENT via
@@ -1538,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_source": _q_sample_per_source,
         "pack_sequences": _q_pack_sequences,
         "pii_scrub": _q_pii_scrub,
+        "mixture_sample": _q_mixture_sample,
         "repetition_signals": _q_repetition,
         "fuzzy_bm25": _q_fuzzy,
         "fuzzy_bm25_indexed": _q_fuzzy_indexed,
@@ -1706,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_source": oracles_curation.sample_per_source_sql(n=25),
         "pack_sequences": oracles_curation.pack_sequences_sql(budget=512),
         "pii_scrub": oracles_curation.pii_scrub_sql(),
+        "mixture_sample": oracles_curation.mixture_sample_sql(MIX_WEIGHTS, seed="mix4"),
         "repetition_signals": oracles_curation.repetition_signals_sql(),
         "fuzzy_bm25": oracles.fuzzy_bm25_sql(FUZZY_Q, k=10),
         "fuzzy_bm25_indexed": oracles.fuzzy_bm25_sql(FUZZY_Q, k=10),

@@ -343,3 +343,43 @@ def chunk_documents(docs: DataFrame, window: int = 64, stride: int = 48,
         F.size(ctoks).cast("long").alias("n_tokens"),
         hash60(F.array_join(ctoks, " ")).alias("chunk_hash"),
     ).orderBy("doc_id", "chunk_id")
+
+
+def mixture_sample(docs: DataFrame, weights: dict[str, float], seed: str = "mix",
+                   id_col: str = "doc_id", strat_col: str = "source") -> DataFrame:
+    """Dataset-mixture subsampling: keep each doc with its stratum's target
+    probability via the deterministic portable hash (pmod(hash60(
+    "id:seed"), 1e6)/1e6 < weight) — the mixing primitive that hits a
+    target source composition WITHOUT a shuffle (row-local keep decision,
+    reproducible across engines and runs; ES has no analog — this is the
+    training-pipeline op). Strata absent from ``weights`` default to 0
+    (dropped). Returns the audit summary (source, n_total, n_kept,
+    kept_frac), ordered."""
+    from .portable import hash60
+
+    expr = None
+    for s in sorted(weights):
+        w = float(weights[s])
+        branch = F.when(F.col(strat_col) == s, F.lit(w))
+        expr = branch if expr is None else expr.when(F.col(strat_col) == s, F.lit(w))
+    w_col = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
+    u = (
+        F.pmod(
+            hash60(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))),
+            F.lit(1000000),
+        ).cast("double")
+        / F.lit(1000000.0)
+    )
+    return (
+        docs.select(F.col(strat_col).alias("source"), (u < w_col).alias("__keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+        .select(
+            "source", "n_total", "n_kept",
+            F.round(F.col("n_kept") / F.col("n_total"), 6).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )

@@ -242,3 +242,26 @@ SELECT doc_id,
 FROM chunks
 ORDER BY doc_id, chunk_id
 """
+
+
+def mixture_sample_sql(weights: dict[str, float], seed: str = "mix") -> str:
+    """Mirror of curation.mixture_sample — same hash-threshold keep rule,
+    same CASE weight table."""
+    from .portable import hash60_sql
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {float(weights[s])!r}" for s in sorted(weights)
+    )
+    h = hash60_sql(f"concat(CAST(doc_id AS VARCHAR), ':', '{seed}')")
+    return f"""
+WITH marked AS (
+  SELECT source,
+         (CAST(({h} % 1000000) AS DOUBLE) / 1000000.0
+          < CASE source {cases} ELSE 0.0 END) AS keep
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / count(*), 6) AS kept_frac
+FROM marked GROUP BY source ORDER BY source
+"""

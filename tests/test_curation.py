@@ -403,3 +403,34 @@ def test_winnow_short_doc_excluded(spark):
     )
     got = {r["doc_id"] for r in winnow_doc_fps(docs, k=4, w=5).collect()}
     assert got == {2}
+
+
+def test_mixture_sample_matches_oracle_and_tracks_weights(spark, ddb):
+    from fafnir_spark.curation import mixture_sample
+    from fafnir_spark.oracles_curation import mixture_sample_sql
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    got = mixture_sample(docs, weights, seed="mix4").collect()
+    want = ddb.execute(mixture_sample_sql(weights, seed="mix4")).fetchall()
+    assert [(r["source"], r["n_total"], r["n_kept"]) for r in got] == [
+        (w[0], w[1], w[2]) for w in want
+    ]
+    for g, w in zip(got, want):
+        assert g["kept_frac"] == pytest.approx(w[3], abs=1e-9)
+    by_src = {r["source"]: r for r in got}
+    # weight 1.0 keeps everything; unweighted strata are dropped entirely
+    assert by_src["src0"]["n_kept"] == by_src["src0"]["n_total"]
+    for r in got:
+        if r["source"] not in weights:
+            assert r["n_kept"] == 0
+    # the empirical keep fraction tracks the target within sampling noise
+    for s, w in weights.items():
+        if s in by_src and by_src[s]["n_total"] >= 20:
+            assert abs(by_src[s]["kept_frac"] - w) < 0.35
+    # determinism: same seed same answer; different seed differs somewhere
+    again = mixture_sample(docs, weights, seed="mix4").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
+    other = mixture_sample(docs, weights, seed="other").collect()
+    assert [tuple(r) for r in other] != [tuple(r) for r in got]
