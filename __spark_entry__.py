@@ -936,6 +936,23 @@ def _q_stop_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stop_analyzer_bm25(_docs(spark, sf_dir), Q_MAIN, ["a", "the"], k=10)
 
 
+def _q_synonym_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym-expanded search (query-time synonym_graph): fast→spark,
+    merge→join from the shared constant table; each expansion keeps its
+    own idf."""
+    from fafnir_spark.query_ext import synonym_bm25
+
+    return synonym_bm25(_docs(spark, sf_dir), ["fast", "merge"], k=10)
+
+
+def _q_date_histogram_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram with min_doc_count=0: empty days gap-filled from a
+    generated day spine."""
+    from fafnir_spark.pipeline import date_histogram_filled
+
+    return date_histogram_filled(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase suggester: 'merg windoq' → whole-phrase corrections ranked by
     the unigram-LM log-likelihood."""
@@ -1579,6 +1596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field_indexed": _q_sort_by_field_indexed,
         "stop_analyzer_bm25": _q_stop_analyzer,
         "phrase_suggest": _q_phrase_suggest,
+        "synonym_bm25": _q_synonym_bm25,
+        "date_histogram_filled": _q_date_histogram_filled,
         "span_first": _q_span_first,
         "span_first_indexed": _q_span_first_indexed,
         "wildcard_bm25_indexed": _q_wildcard_indexed,
@@ -1668,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from fafnir_spark.query_ext import expand_synonyms
     from fafnir_spark.simsearch import plane_weights
 
     return {
@@ -1752,6 +1772,10 @@ def oracle_sql() -> dict[str, str]:
             Q_MAIN, k=10, text_expr=oracles.stop_analyzed_expr(["a", "the"])
         ),
         "phrase_suggest": oracles.phrase_suggest_sql("merg", "windoq", k=3),
+        "synonym_bm25": oracles.bm25_topk_sql(
+            expand_synonyms(["fast", "merge"]), k=10
+        ),
+        "date_histogram_filled": oracles_pipeline.date_histogram_filled_sql(),
         "span_first": oracles.span_first_sql("merge", end=5),
         "span_first_indexed": oracles.span_first_sql("merge", end=5),
         "wildcard_bm25_indexed": oracles.wildcard_bm25_sql("me*e", k=10),

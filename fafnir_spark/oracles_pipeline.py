@@ -644,3 +644,23 @@ FROM (
 ) WHERE k >= {lo} AND k <= {hi}
 GROUP BY event_type ORDER BY event_type
 """
+
+
+def date_histogram_filled_sql() -> str:
+    return """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi FROM events),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS d FROM bounds
+)
+SELECT strftime(s.d, '%Y-%m-%d') AS day,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n,
+       coalesce(b.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN b ON b.d = s.d
+ORDER BY day
+"""

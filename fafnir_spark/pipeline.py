@@ -893,3 +893,32 @@ def events_json_filter(events: DataFrame, lo: int, hi: int) -> DataFrame:
              F.sum("k").cast("long").alias("sum_k"))
         .orderBy("event_type")
     )
+
+
+def date_histogram_filled(events: DataFrame) -> DataFrame:
+    """ES date_histogram with min_doc_count=0: per-day buckets INCLUDING
+    empty days (gap filling via a generated day spine between min and max
+    — sequence() is driver-free, the spine is bounded by the time range).
+    (day, n, sum_value); empty days carry n=0, sum_value=0.0."""
+    from pyspark.sql import functions as F
+
+    buckets = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    return (
+        spine.join(buckets, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("day")
+    )

@@ -1287,3 +1287,35 @@ def phrase_suggest(docs: DataFrame, t1: str, t2: str, k: int = 3,
     top = scored.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(k)
     w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("phrase").asc()))
     return top.withColumn("rank", w).select("rank", "phrase", "score").orderBy("rank")
+
+
+SYNONYMS = {
+    # shared constant table — templated into BOTH engines (the
+    # LANG_MARKERS convention); the analyzer-level synonym sets ES ships
+    # as synonym_graph filters, in the test corpus's vocabulary
+    "fast": ["spark"],
+    "slow": ["batch"],
+    "merge": ["join"],
+}
+
+
+def synonym_bm25(docs: DataFrame, terms: list[str], k: int = 10,
+                 synonyms: dict[str, list[str]] | None = None,
+                 text_col: str = "text") -> DataFrame:
+    """ES synonym-expanded search (synonym_graph at query time): every
+    query term is expanded with its synonym set and the union scored as a
+    BM25 disjunction — each expansion keeps its own idf (the
+    scoring_boolean rewrite, same contract as wildcard/prefix/fuzzy).
+    Expansion is a driver-side constant-table lookup; the plan is exactly
+    one standard BM25. (rank, doc_id, score)."""
+    from .query import bm25_topk
+
+    syn = SYNONYMS if synonyms is None else synonyms
+    expanded = sorted({t for q in terms for t in [q, *syn.get(q, [])]})
+    return bm25_topk(docs, expanded, k=k, text_col=text_col)
+
+
+def expand_synonyms(terms: list[str],
+                    synonyms: dict[str, list[str]] | None = None) -> list[str]:
+    syn = SYNONYMS if synonyms is None else synonyms
+    return sorted({t for q in terms for t in [q, *syn.get(q, [])]})

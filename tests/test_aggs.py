@@ -381,3 +381,45 @@ def test_weighted_avg_and_top_metrics_match_oracle(spark, ddb):
     gm = [tuple(r) for r in top_metrics_latest(ev).collect()]
     wm = [tuple(w) for w in ddb.execute(top_metrics_latest_sql()).fetchall()]
     assert gm == wm
+
+
+def test_date_histogram_filled_gap_filling(spark, ddb):
+    from fafnir_spark.oracles_pipeline import date_histogram_filled_sql
+    from fafnir_spark.pipeline import date_histogram_filled
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = [tuple(r) for r in date_histogram_filled(ev).collect()]
+    want = [tuple(w) for w in ddb.execute(date_histogram_filled_sql()).fetchall()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2]
+        assert g[2] == pytest.approx(w[2], abs=1e-9)
+    # synthetic sparse stream: the 3-day gap MUST appear as zero buckets
+    import datetime as _dt
+
+    sparse = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 1, 5), 1, "a", 2.0, "{}"),
+         (2, _dt.datetime(2024, 1, 5, 6), 1, "a", 3.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = date_histogram_filled(sparse).collect()
+    assert [r["day"] for r in rows] == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"
+    ]
+    assert [r["n"] for r in rows] == [1, 0, 0, 0, 1]
+    assert rows[1]["sum_value"] == 0.0
+
+
+def test_synonym_bm25_expands(spark, ddb):
+    from fafnir_spark import oracles
+    from fafnir_spark.query_ext import expand_synonyms, synonym_bm25
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = synonym_bm25(docs, ["fast", "merge"], k=10).collect()
+    want = ddb.execute(
+        oracles.bm25_topk_sql(expand_synonyms(["fast", "merge"]), k=10)
+    ).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    assert set(expand_synonyms(["fast", "merge"])) == {"fast", "spark", "merge", "join"}
