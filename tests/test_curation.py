@@ -434,3 +434,34 @@ def test_mixture_sample_matches_oracle_and_tracks_weights(spark, ddb):
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
     other = mixture_sample(docs, weights, seed="other").collect()
     assert [tuple(r) for r in other] != [tuple(r) for r in got]
+
+
+def test_winnow_guarantee_fuzz_random_corpora(spark):
+    """Winnowing guarantee, fuzzed: for random token docs, ANY pair
+    sharing a contiguous run of >= k+w-1 tokens shares >= 1 fingerprint
+    (Schleimer'03 theorem 1) — checked across seeds with planted runs."""
+    import random
+
+    from fafnir_spark.dedup import winnow_doc_fps
+
+    k, w = 4, 5
+    vocab = [f"t{i}" for i in range(40)]
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        run = [rng.choice(vocab) for _ in range(k + w - 1)]
+        rows = []
+        planted = []
+        for d in range(12):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(12, 40))]
+            if d % 3 == 0:
+                at = rng.randint(0, len(toks))
+                toks = toks[:at] + run + toks[at:]
+                planted.append(d)
+            rows.append((d, " ".join(toks)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = {r["doc_id"]: set(r["fps"])
+               for r in winnow_doc_fps(docs, k=k, w=w).collect()}
+        for i in planted:
+            for j in planted:
+                if i < j:
+                    assert fps[i] & fps[j], (seed, i, j)

@@ -378,3 +378,24 @@ def test_embedding_outliers_matches_oracle_and_threshold(spark, ddb, emb):
 
     cids = set(ivf_centroid_ids(emb.count(), 16))
     assert not (cids & {g[0] for g in got})
+
+
+def test_pq_recall_tracks_candidates_fuzz(spark, emb):
+    """PQ ADC behavior across random query vectors: widening n_candidates
+    can only improve (or hold) recall vs exact, and at n_candidates ==
+    corpus size the result EQUALS exact top-k (ADC ordering becomes
+    irrelevant once every vector is re-ranked)."""
+    from fafnir_spark.simsearch import pq_cosine_topk
+
+    n = emb.count()
+    for i in (3, 11):
+        qv = [((d * 13 + i * 31) % 23 - 11) / 12.0 for d in range(64)]
+        exact = [(r["rank"], r["vec_id"], r["cos"])
+                 for r in cosine_topk(emb, {"q": qv}, k=10).drop("qid").collect()]
+        full = [(r["rank"], r["vec_id"], r["cos"])
+                for r in pq_cosine_topk(emb, qv, k=10, n_candidates=n).collect()]
+        assert full == exact, i
+        narrow = {r["vec_id"] for r in pq_cosine_topk(emb, qv, k=10, n_candidates=20).collect()}
+        wide = {r["vec_id"] for r in pq_cosine_topk(emb, qv, k=10, n_candidates=100).collect()}
+        ex = {v for _, v, _ in exact}
+        assert len(wide & ex) >= len(narrow & ex), i
