@@ -690,6 +690,46 @@ def _q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_pipeline_aggs(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats agg: variance/std-dev/±2σ bounds from explicit
+    raw sums, one groupBy pass."""
+    from fafnir_spark.pipeline import extended_stats
+
+    return extended_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_selector + bucket_sort pipeline aggs: HAVING-style bucket
+    filter then sorted truncation over the bucket relation."""
+    from fafnir_spark.pipeline import bucket_selector_topn
+
+    return bucket_selector_topn(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES serial_diff pipeline agg: lag-7 (week-over-week) differencing
+    chained from the ROUNDED per-day bucket sums."""
+    from fafnir_spark.pipeline import serial_diff
+
+    return serial_diff(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms agg: (lang, source) combination buckets, top-N by
+    doc count with deterministic full-key tiebreak."""
+    from fafnir_spark.pipeline import multi_terms_agg
+
+    return multi_terms_agg(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram: ladder-chosen interval fitting the span
+    into <=40 buckets; relational 1-row bounds join, no driver collect."""
+    from fafnir_spark.pipeline import auto_date_histogram
+
+    return auto_date_histogram(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 ADJ_FILTERS = {"A": "merge", "B": "window", "C": "spark"}
 
 
@@ -1575,6 +1615,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms_indexed": _q_suggest_indexed,
         "value_histogram": _q_value_histogram,
         "pipeline_aggs": _q_pipeline_aggs,
+        "extended_stats": _q_extended_stats,
+        "bucket_selector": _q_bucket_selector,
+        "serial_diff": _q_serial_diff,
+        "multi_terms": _q_multi_terms,
+        "auto_date_histogram": _q_auto_date_histogram,
         "percentile_ranks": _q_percentile_ranks,
         "weighted_avg": _q_weighted_avg,
         "top_metrics": _q_top_metrics,
@@ -1747,6 +1792,11 @@ def oracle_sql() -> dict[str, str]:
         "suggest_terms_indexed": oracles.suggest_sql(SUGGEST_TERM, k=5),
         "value_histogram": oracles_pipeline.event_value_histogram_sql(5.0),
         "pipeline_aggs": oracles_pipeline.event_pipeline_aggs_sql(3),
+        "extended_stats": oracles_pipeline.extended_stats_sql(),
+        "bucket_selector": oracles_pipeline.bucket_selector_topn_sql(),
+        "serial_diff": oracles_pipeline.serial_diff_sql(7),
+        "multi_terms": oracles_pipeline.multi_terms_agg_sql(20),
+        "auto_date_histogram": oracles_pipeline.auto_date_histogram_sql(40),
         "percentile_ranks": oracles_pipeline.percentile_ranks_sql([5.0, 50.0, 95.0]),
         "weighted_avg": oracles_pipeline.weighted_avg_discount_sql(),
         "top_metrics": oracles_pipeline.top_metrics_latest_sql(),

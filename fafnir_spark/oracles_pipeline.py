@@ -664,3 +664,91 @@ SELECT strftime(s.d, '%Y-%m-%d') AS day,
 FROM spine s LEFT JOIN b ON b.d = s.d
 ORDER BY day
 """
+
+
+def extended_stats_sql() -> str:
+    """Mirror of pipeline.extended_stats — derived columns chain from the
+    same raw sums with identical operand order."""
+    avg = "s1 / n"
+    var = "s2 / n - (s1 / n) * (s1 / n)"
+    std = f"sqrt(greatest({var}, 0.0))"
+    return f"""
+WITH r AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         min(value) AS mn, max(value) AS mx,
+         sum(value) AS s1, sum(value * value) AS s2
+  FROM events GROUP BY 1
+)
+SELECT event_type, n,
+       round(mn, 6) AS v_min, round(mx, 6) AS v_max,
+       round(s1, 6) AS v_sum, round({avg}, 6) AS v_avg,
+       round(s2, 6) AS sum_sq,
+       round({var}, 6) AS variance,
+       round({std}, 6) AS std_dev,
+       round({avg} + 2.0 * {std}, 6) AS std_upper,
+       round({avg} - 2.0 * {std}, 6) AS std_lower
+FROM r ORDER BY event_type
+"""
+
+
+def bucket_selector_topn_sql(min_total: float = 16500.0, size: int = 5) -> str:
+    return f"""
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 6) AS total
+  FROM events GROUP BY 1
+)
+SELECT day, n, total FROM b
+WHERE total >= {min_total!r}
+ORDER BY total DESC, day ASC LIMIT {size}
+"""
+
+
+def serial_diff_sql(lag: int = 7) -> str:
+    return f"""
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT day, n, sum_value,
+       coalesce(round(sum_value - lag(sum_value, {lag}) OVER (ORDER BY day), 6),
+                0.0) AS diff
+FROM b ORDER BY day
+"""
+
+
+def multi_terms_agg_sql(size: int = 20) -> str:
+    return f"""
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1, 2
+ORDER BY n DESC, lang ASC, source ASC LIMIT {size}
+"""
+
+
+def auto_date_histogram_sql(target_buckets: int = 40) -> str:
+    """Interval ladder CASE identical (ascending checks) to
+    pipeline.auto_date_histogram's nested WHEN chain."""
+    from .pipeline import AUTO_HISTO_LADDER
+
+    whens = " ".join(
+        f"WHEN maxe - mine <= {step * target_buckets} THEN {step}"
+        for step in AUTO_HISTO_LADDER[:-1]
+    )
+    return f"""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events
+),
+iv AS (
+  SELECT CAST(CASE {whens} ELSE {AUTO_HISTO_LADDER[-1]} END AS BIGINT) AS interval_s
+  FROM (SELECT min(es) AS mine, max(es) AS maxe FROM e)
+)
+SELECT CAST(floor(es / interval_s) AS BIGINT) * interval_s AS bucket_epoch,
+       interval_s,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total
+FROM e, iv GROUP BY 1, 2 ORDER BY 1
+"""

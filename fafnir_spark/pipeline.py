@@ -922,3 +922,152 @@ def date_histogram_filled(events: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def extended_stats(events: DataFrame) -> DataFrame:
+    """ES extended_stats aggregation per event_type: count/min/max/sum/avg
+    plus sum_of_squares, POPULATION variance, std deviation and the ±2σ
+    std_deviation_bounds — all derived from explicit raw sums in ONE
+    groupBy pass (map-side combine), identical operand order in the
+    DuckDB oracle. sqrt is IEEE-exact so no cross-engine drift; variance
+    is clamped at 0 before the sqrt (catastrophic-cancellation guard on
+    near-constant buckets)."""
+    from pyspark.sql import functions as F
+
+    raw = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    avg_ = F.col("s1") / F.col("n")
+    var_ = F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+    std_ = F.sqrt(F.greatest(var_, F.lit(0.0)))
+    return raw.select(
+        "event_type",
+        "n",
+        F.round("mn", 6).alias("v_min"),
+        F.round("mx", 6).alias("v_max"),
+        F.round("s1", 6).alias("v_sum"),
+        F.round(avg_, 6).alias("v_avg"),
+        F.round("s2", 6).alias("sum_sq"),
+        F.round(var_, 6).alias("variance"),
+        F.round(std_, 6).alias("std_dev"),
+        F.round(avg_ + 2.0 * std_, 6).alias("std_upper"),
+        F.round(avg_ - 2.0 * std_, 6).alias("std_lower"),
+    ).orderBy("event_type")
+
+
+def bucket_selector_topn(events: DataFrame, min_total: float = 16500.0,
+                         size: int = 5) -> DataFrame:
+    """ES bucket_selector + bucket_sort pipeline aggs: per-day buckets,
+    keep only buckets whose rounded sum clears ``min_total`` (the HAVING
+    analog), then order by sum desc / day asc and truncate to ``size``.
+    The filter+sort run over the BUCKET relation (rows == distinct days),
+    and the truncation is a TakeOrderedAndProject — no full sort.
+    (day, n, total)."""
+    from pyspark.sql import functions as F
+
+    buckets = (
+        events.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.sum("value"), 6).alias("total"))
+    )
+    return (
+        buckets.filter(F.col("total") >= min_total)
+        .orderBy(F.desc("total"), "day")
+        .limit(size)
+    )
+
+
+def serial_diff(events: DataFrame, lag: int = 7) -> DataFrame:
+    """ES serial_diff pipeline agg: per-day buckets with lag-``lag``
+    differencing (seasonality removal — lag 7 == week-over-week). The
+    diff chains from the ROUNDED per-bucket sum (house pipeline-agg rule)
+    and the first ``lag`` buckets coalesce to 0.0 (NULL round-trips as
+    NaN from the DuckDB fetch). Window runs over the bucket relation
+    only. (day, n, sum_value, diff)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    buckets = (
+        events.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    w = Window.orderBy("day")
+    return (
+        buckets.withColumn(
+            "diff",
+            F.coalesce(
+                F.round(F.col("sum_value") - F.lag("sum_value", lag).over(w), 6),
+                F.lit(0.0),
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def multi_terms_agg(docs: DataFrame, size: int = 20) -> DataFrame:
+    """ES multi_terms aggregation: buckets keyed by the (lang, source)
+    term COMBINATION, count + sum(n_chars) metrics, top ``size`` buckets
+    by doc count (full-key tiebreak keeps the limit deterministic). One
+    groupBy, TakeOrderedAndProject finish. (lang, source, n, sum_chars)."""
+    from pyspark.sql import functions as F
+
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("n_chars").cast("long").alias("sum_chars"))
+        .orderBy(F.desc("n"), "lang", "source")
+        .limit(size)
+    )
+
+
+AUTO_HISTO_LADDER = (60, 300, 1800, 3600, 21600, 86400, 604800)
+
+
+def auto_date_histogram(events: DataFrame, target_buckets: int = 40) -> DataFrame:
+    """ES auto_date_histogram: pick the smallest interval from a fixed
+    ladder (minute…week) such that the event time span fits in
+    ``target_buckets`` buckets, then bucket on floor(epoch/interval).
+    The interval choice is a 1-row bounds aggregate broadcast-crossed
+    into the scan (benign 1-row BNLJ, house stats-join pattern) so the
+    whole plan stays relational — no driver-side collect. Buckets are
+    exposed as epoch seconds (timezone-proof across engines).
+    (bucket_epoch, interval_s, n, total)."""
+    from pyspark.sql import functions as F
+
+    # ts is TIMESTAMP_NTZ (no direct long cast): tz-free epoch seconds via
+    # timestampdiff against the naive epoch — positive span, so SECOND
+    # truncation == floor == DuckDB's floor(epoch(ts))
+    e = events.select(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("long").alias("es"),
+        "value",
+    )
+    span = F.col("maxe") - F.col("mine")
+    iv = F.lit(AUTO_HISTO_LADDER[-1])
+    for step in reversed(AUTO_HISTO_LADDER[:-1]):
+        iv = F.when(span <= step * target_buckets, F.lit(step)).otherwise(iv)
+    bounds = (
+        e.agg(F.min("es").alias("mine"), F.max("es").alias("maxe"))
+        .select(iv.cast("long").alias("interval_s"))
+    )
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            (F.floor(F.col("es") / F.col("interval_s")) * F.col("interval_s"))
+            .alias("bucket_epoch"),
+            "interval_s",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.sum("value"), 6).alias("total"))
+        .orderBy("bucket_epoch")
+    )
