@@ -730,6 +730,14 @@ def _q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auto_date_histogram(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_geo_bbox_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounding_box + geo_centroid: inclusive box filter pruning
+    before the shuffle, mean centroid per event_type from raw sums."""
+    from fafnir_spark.geo import geo_bbox_centroid
+
+    return geo_bbox_centroid(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 ADJ_FILTERS = {"A": "merge", "B": "window", "C": "spark"}
 
 
@@ -857,6 +865,26 @@ def _q_function_score_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return function_score_gauss(
         _docs(spark, sf_dir), ["merge", "window"], origin=200.0, scale=100.0, k=10
+    )
+
+
+def _q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature query: additive saturation contribution
+    boost*v/(v+pivot) from the n_chars static signal on top of BM25."""
+    from fafnir_spark.scoring import rank_feature_bm25
+
+    return rank_feature_bm25(
+        _docs(spark, sf_dir), ["merge", "window"], pivot=200.0, boost=2.0, k=10
+    )
+
+
+def _q_field_value_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score field_value_factor (log1p modifier): BM25
+    multiplied by ln(1 + 0.1*n_chars) popularity boosting."""
+    from fafnir_spark.scoring import field_value_factor
+
+    return field_value_factor(
+        _docs(spark, sf_dir), ["merge", "window"], factor=0.1, k=10
     )
 
 
@@ -1620,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serial_diff": _q_serial_diff,
         "multi_terms": _q_multi_terms,
         "auto_date_histogram": _q_auto_date_histogram,
+        "geo_bbox_centroid": _q_geo_bbox_centroid,
         "percentile_ranks": _q_percentile_ranks,
         "weighted_avg": _q_weighted_avg,
         "top_metrics": _q_top_metrics,
@@ -1656,6 +1685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_bm25": _q_regexp,
         "regexp_bm25_indexed": _q_regexp_indexed,
         "function_score_gauss": _q_function_score_gauss,
+        "rank_feature": _q_rank_feature,
+        "field_value_factor": _q_field_value_factor,
         "dis_max": _q_dis_max,
         "boosting_query": _q_boosting,
         "random_score": _q_random_score,
@@ -1797,6 +1828,7 @@ def oracle_sql() -> dict[str, str]:
         "serial_diff": oracles_pipeline.serial_diff_sql(7),
         "multi_terms": oracles_pipeline.multi_terms_agg_sql(20),
         "auto_date_histogram": oracles_pipeline.auto_date_histogram_sql(40),
+        "geo_bbox_centroid": oracles_pipeline.geo_bbox_centroid_sql(),
         "percentile_ranks": oracles_pipeline.percentile_ranks_sql([5.0, 50.0, 95.0]),
         "weighted_avg": oracles_pipeline.weighted_avg_discount_sql(),
         "top_metrics": oracles_pipeline.top_metrics_latest_sql(),
@@ -1840,6 +1872,12 @@ def oracle_sql() -> dict[str, str]:
         "regexp_bm25_indexed": oracles.regexp_bm25_sql("s[a-z]+", k=10),
         "function_score_gauss": oracles.function_score_gauss_sql(
             ["merge", "window"], origin=200.0, scale=100.0, k=10
+        ),
+        "rank_feature": oracles.rank_feature_sql(
+            ["merge", "window"], pivot=200.0, boost=2.0, k=10
+        ),
+        "field_value_factor": oracles.field_value_factor_sql(
+            ["merge", "window"], factor=0.1, k=10
         ),
         "dis_max": oracles.dis_max_sql(DISMAX_SUBQ, tie_breaker=0.3, k=10),
         "boosting_query": oracles.boosting_query_sql(

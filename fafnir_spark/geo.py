@@ -190,3 +190,33 @@ def geo_distance_topk(events: DataFrame, origin_lat: float = 50.0,
     top = scored.orderBy(F.col("dist_km").asc(), F.col("pid").asc()).limit(k)
     w = F.row_number().over(Window.orderBy(F.col("dist_km").asc(), F.col("pid").asc()))
     return top.withColumn("rank", w).select("rank", "pid", "dist_km").orderBy("rank")
+
+
+def geo_bbox_centroid(events: DataFrame, lat_lo: float = 44.0, lat_hi: float = 56.0,
+                      lon_lo: float = 0.0, lon_hi: float = 18.0) -> DataFrame:
+    """ES geo_bounding_box filter + geo_centroid aggregation per
+    event_type: keep points inside the (inclusive) box, then the
+    arithmetic-mean centroid per bucket from explicit raw sums (identical
+    operand order in the oracle). Row-local filter + ONE groupBy with
+    map-side combine — the filter prunes before the shuffle.
+    (event_type, n, centroid_lat, centroid_lon)."""
+    pts = events.select(
+        "event_type",
+        (F.lit(40.0) + F.pmod(F.col("event_id"), F.lit(100)) / F.lit(10.0) * F.lit(2.0)).alias("lat"),
+        (F.lit(-5.0) + F.pmod(F.col("user_id"), F.lit(100)) / F.lit(10.0) * F.lit(3.0)).alias("lon"),
+    )
+    boxed = pts.filter(
+        (F.col("lat") >= lat_lo) & (F.col("lat") <= lat_hi)
+        & (F.col("lon") >= lon_lo) & (F.col("lon") <= lon_hi)
+    )
+    raw = boxed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lat").alias("slat"),
+        F.sum("lon").alias("slon"),
+    )
+    return raw.select(
+        "event_type",
+        "n",
+        F.round(F.col("slat") / F.col("n"), 6).alias("centroid_lat"),
+        F.round(F.col("slon") / F.col("n"), 6).alias("centroid_lon"),
+    ).orderBy("event_type")

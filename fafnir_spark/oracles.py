@@ -1359,3 +1359,33 @@ SELECT rank, phrase, score FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def rank_feature_sql(terms: list[str], pivot: float = 200.0, boost: float = 2.0,
+                     k: int = 10, field: str = "n_chars") -> str:
+    """rank_feature saturation: score = round(bm25_rounded + boost*v/(v+pivot), 6)
+    — same operand order as scoring.rank_feature_bm25."""
+    v = f"CAST(d.{field} AS DOUBLE)"
+    inner = f"""
+WITH {_TF_CTES},
+{_scored_cte(terms)}
+SELECT s.doc_id,
+       round(round(s.raw_score, 6)
+             + {float(boost)!r} * {v} / ({v} + {float(pivot)!r}), 6) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+"""
+    return _ranked_topk(inner, k)
+
+
+def field_value_factor_sql(terms: list[str], factor: float = 0.1,
+                           k: int = 10, field: str = "n_chars") -> str:
+    """field_value_factor log1p: score = round(bm25_rounded * ln(1 + factor*v), 6)."""
+    v = f"CAST(d.{field} AS DOUBLE)"
+    inner = f"""
+WITH {_TF_CTES},
+{_scored_cte(terms)}
+SELECT s.doc_id,
+       round(round(s.raw_score, 6) * ln(1.0 + {float(factor)!r} * {v}), 6) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+"""
+    return _ranked_topk(inner, k)

@@ -752,3 +752,29 @@ SELECT CAST(floor(es / interval_s) AS BIGINT) * interval_s AS bucket_epoch,
        round(sum(value), 6) AS total
 FROM e, iv GROUP BY 1, 2 ORDER BY 1
 """
+
+
+def geo_bbox_centroid_sql(lat_lo: float = 44.0, lat_hi: float = 56.0,
+                          lon_lo: float = 0.0, lon_hi: float = 18.0) -> str:
+    """Mirror of geo.geo_bbox_centroid — same synthetic lat/lon formula as
+    _pip_pts_cte-derived event_latlon, centroid from explicit raw sums."""
+    return f"""
+WITH ll AS (
+  SELECT event_type,
+         40.0 + (((event_id % 100) + 100) % 100) / 10.0 * 2.0 AS lat,
+         -5.0 + (((user_id % 100) + 100) % 100) / 10.0 * 3.0 AS lon
+  FROM events
+),
+r AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(lat) AS slat, sum(lon) AS slon
+  FROM ll
+  WHERE lat >= {lat_lo!r} AND lat <= {lat_hi!r}
+    AND lon >= {lon_lo!r} AND lon <= {lon_hi!r}
+  GROUP BY 1
+)
+SELECT event_type, n,
+       round(slat / n, 6) AS centroid_lat,
+       round(slon / n, 6) AS centroid_lon
+FROM r ORDER BY event_type
+"""

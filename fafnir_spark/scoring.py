@@ -166,3 +166,55 @@ def random_score_topk(docs: DataFrame, seed: str, k: int = 10) -> DataFrame:
     )
     out = docs.select("doc_id", F.round(r, SCORE_DECIMALS).alias("score"))
     return _topk_ranked(out, k)
+
+
+def rank_feature_bm25(
+    docs: DataFrame,
+    terms: list[str],
+    pivot: float = 200.0,
+    boost: float = 2.0,
+    k: int = 10,
+    field: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES rank_feature query (saturation function, the default):
+
+        score = bm25 + boost * v / (v + pivot)
+
+    — an ADDITIVE static-signal contribution (pagerank/url-length style
+    ranking features; at v == pivot the contribution is boost/2). The
+    feature read is row-local on the already-matched docs; no pass beyond
+    bm25's own. Chains from the ROUNDED bm25 score (house contract)."""
+    scores = bm25_scores(docs, terms, text_col=text_col)
+    vals = docs.select("doc_id", F.col(field).cast("double").alias("__v"))
+    contrib = F.lit(float(boost)) * F.col("__v") / (F.col("__v") + F.lit(float(pivot)))
+    out = scores.join(vals, "doc_id").select(
+        "doc_id",
+        F.round(F.col("score") + contrib, SCORE_DECIMALS).alias("score"),
+    )
+    return _topk_ranked(out, k)
+
+
+def field_value_factor(
+    docs: DataFrame,
+    terms: list[str],
+    factor: float = 0.1,
+    k: int = 10,
+    field: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES function_score field_value_factor with the log1p modifier:
+
+        score = bm25 * ln(1 + factor * v)
+
+    — multiplicative popularity boosting (the ES docs' canonical
+    field_value_factor example). Row-local feature read, chains from the
+    ROUNDED bm25 score, identical operand order in the oracle."""
+    scores = bm25_scores(docs, terms, text_col=text_col)
+    vals = docs.select("doc_id", F.col(field).cast("double").alias("__v"))
+    mult = F.log(F.lit(1.0) + F.lit(float(factor)) * F.col("__v"))
+    out = scores.join(vals, "doc_id").select(
+        "doc_id",
+        F.round(F.col("score") * mult, SCORE_DECIMALS).alias("score"),
+    )
+    return _topk_ranked(out, k)
