@@ -480,6 +480,39 @@ def _q_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, {"q": QVEC}, k=10).drop("qid")
 
 
+def _q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES kNN-with-filter: label pre-filter pruning the scan before
+    scoring, then the shared two-level exact top-k."""
+    from fafnir_spark.simsearch import cosine_topk_filtered
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_filtered(emb, {"q": QVEC}, labels=[1, 3, 5, 7], k=10)
+
+
+def _q_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k cardinality sketch (ES cardinality-agg analog):
+    per-event-type distinct-user estimate vs exact, two-level head-k."""
+    from fafnir_spark.sketches import kmv_distinct
+
+    return kmv_distinct(spark.read.parquet(f"{sf_dir}/events.parquet"), k=64)
+
+
+def _q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality classifier over row-local text
+    features (fasttext-filter stand-in), top-20 by score."""
+    from fafnir_spark.curation import quality_logistic
+
+    return quality_logistic(_docs(spark, sf_dir), k=20)
+
+
+def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-chunk detection: one groupBy on the chunk
+    content hash, sort-free min_by keeper, top-50 by copy count."""
+    from fafnir_spark.curation import chunk_dedup
+
+    return chunk_dedup(_docs(spark, sf_dir), window=16, stride=8)
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.simsearch import lsh_cosine_topk
 
@@ -1622,6 +1655,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
+        "ann_filtered_topk": _q_ann_filtered,
+        "kmv_cardinality": _q_kmv_cardinality,
+        "quality_logistic": _q_quality_logistic,
+        "chunk_dedup": _q_chunk_dedup,
         "ann_pq_topk": _q_ann_pq,
         "ann_pq_indexed": _q_ann_pq_indexed,
         "embedding_outliers": _q_embedding_outliers,
@@ -1798,6 +1835,10 @@ def oracle_sql() -> dict[str, str]:
             0.4, plane_weights(LSH_TABLES, LSH_PLANES)
         ),
         "ann_cosine_topk": oracles_ops.cosine_topk_sql(QVEC, 10),
+        "ann_filtered_topk": oracles_ops.cosine_topk_filtered_sql(QVEC, [1, 3, 5, 7], 10),
+        "kmv_cardinality": oracles_pipeline.kmv_distinct_sql(k=64),
+        "quality_logistic": oracles_curation.quality_logistic_sql(20),
+        "chunk_dedup": oracles_curation.chunk_dedup_sql(16, 8, 2, 50),
         "ann_lsh_topk": oracles_ops.lsh_cosine_topk_sql(
             QVEC, plane_weights(LSH_TABLES, LSH_PLANES), 10
         ),

@@ -383,3 +383,91 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float], seed: str = "mix"
         )
         .orderBy("source")
     )
+
+
+# fixed-weight quality classifier coefficients — the shared-constant rule:
+# these enter BOTH engines from this dict (oracles_curation templates them)
+QUALITY_WEIGHTS = {
+    "bias": -2.0,
+    "n_tok": 0.02,
+    "uniq_ratio": 3.0,
+    "avg_len": -0.5,
+}
+
+
+def quality_logistic(docs: DataFrame, k: int = 20,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fixed-weight logistic quality scorer — the cheap model-free stand-in
+    for a fasttext-style quality classifier (CCNet/Gopher-style filtering):
+
+        z = bias + w1·n_tok + w2·uniq_ratio + w3·avg_len
+        q = 1 / (1 + exp(-z))
+
+    Features are row-local pure expressions (token count, distinct-token
+    ratio, mean token length via space-stripped char count); zero shuffle
+    before the TakeOrderedAndProject top-k. Weights come from
+    QUALITY_WEIGHTS (shared constant, templated into the oracle).
+    (rank, doc_id, n_tok, uniq_ratio, avg_len, q_score)."""
+    from pyspark.sql.window import Window
+
+    from .tokenizer import tokens_expr
+
+    w = QUALITY_WEIGHTS
+    toks = tokens_expr(text_col)
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tok"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+        (F.length(F.regexp_replace(F.col(text_col), " ", "")) / F.size(toks)).alias("avg_len"),
+    ).filter(F.col("n_tok") > 0)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["n_tok"]) * F.col("n_tok")
+        + F.lit(w["uniq_ratio"]) * F.col("uniq_ratio")
+        + F.lit(w["avg_len"]) * F.col("avg_len")
+    )
+    scored = feat.select(
+        "doc_id",
+        "n_tok",
+        F.round("uniq_ratio", 6).alias("uniq_ratio"),
+        F.round("avg_len", 6).alias("avg_len"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("q_score"),
+    )
+    top = scored.orderBy(F.col("q_score").desc(), F.col("doc_id").asc()).limit(k)
+    rw = F.row_number().over(Window.orderBy(F.col("q_score").desc(), F.col("doc_id").asc()))
+    return top.withColumn("rank", rw).select(
+        "rank", "doc_id", "n_tok", "uniq_ratio", "avg_len", "q_score"
+    ).orderBy("rank")
+
+
+def chunk_dedup(docs: DataFrame, window: int = 16, stride: int = 8,
+                min_copies: int = 2, size: int = 50,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-chunk detection (the CCNet paragraph-dedup
+    shape at chunk granularity): chunk every doc (chunk_documents content
+    hashes), group by chunk hash, keep the FIRST occurrence as keeper
+    (min (doc_id, chunk_id) — sort-free min_by on a unique packed key, the
+    house max_by/IVF convention) and report hashes duplicated ≥
+    ``min_copies`` times. ONE groupBy on the 60-bit hash — dedup cost is
+    O(chunks), never a chunk×chunk join. Top ``size`` by copy count
+    (hash tiebreak) via TakeOrderedAndProject.
+    (chunk_hash, n_copies, keeper_doc, keeper_chunk)."""
+    ch = chunk_documents(docs, window=window, stride=stride,
+                         id_col=id_col, text_col=text_col)
+    # unique per chunk row (chunk_id < 2^22 for any realistic doc), makes
+    # min_by deterministic without a struct-ordering dependency
+    key = (F.col("doc_id") * F.lit(1 << 22) + F.col("chunk_id")).alias("__key")
+    agg = (
+        ch.select("chunk_hash", "doc_id", "chunk_id", key)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min_by("doc_id", F.col("__key")).alias("keeper_doc"),
+            F.min_by("chunk_id", F.col("__key")).alias("keeper_chunk"),
+        )
+    )
+    return (
+        agg.filter(F.col("n_copies") >= min_copies)
+        .orderBy(F.col("n_copies").desc(), F.col("chunk_hash").asc())
+        .limit(size)
+    )

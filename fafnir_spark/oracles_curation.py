@@ -265,3 +265,79 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_total,
        round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / count(*), 6) AS kept_frac
 FROM marked GROUP BY source ORDER BY source
 """
+
+
+def quality_logistic_sql(k: int = 20) -> str:
+    """Mirror of curation.quality_logistic — weights templated from
+    QUALITY_WEIGHTS (shared-constant rule), identical z operand order,
+    q computed from the RAW features (rounding is display-only)."""
+    from .curation import QUALITY_WEIGHTS as W
+
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tok,
+         len(list_distinct(tk)) / len(tk) AS uniq_ratio,
+         length(replace(text, ' ', '')) / len(tk) AS avg_len
+  FROM (
+    SELECT doc_id, text,
+           list_filter(string_split(text, ' '), x -> x <> '') AS tk
+    FROM documents
+  ) WHERE len(tk) > 0
+),
+z AS (
+  SELECT doc_id, n_tok, uniq_ratio, avg_len,
+         {W["bias"]!r} + {W["n_tok"]!r} * n_tok
+           + {W["uniq_ratio"]!r} * uniq_ratio
+           + {W["avg_len"]!r} * avg_len AS zv
+  FROM feat
+)
+SELECT rank, doc_id, n_tok, uniq_ratio, avg_len, q_score FROM (
+  SELECT row_number() OVER (ORDER BY q_score DESC, doc_id ASC) AS rank,
+         doc_id, n_tok, uniq_ratio, avg_len, q_score
+  FROM (
+    SELECT doc_id, n_tok,
+           round(uniq_ratio, 6) AS uniq_ratio,
+           round(avg_len, 6) AS avg_len,
+           round(1.0 / (1.0 + exp(-(zv))), 6) AS q_score
+    FROM z
+  )
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+def chunk_dedup_sql(window: int = 16, stride: int = 8,
+                    min_copies: int = 2, size: int = 50) -> str:
+    """Mirror of curation.chunk_dedup — same chunk CTE as
+    chunk_documents_sql, same packed-key arg_min keeper."""
+    ctoks = (
+        f"list_slice(tk, chunk_id * {stride} + 1, chunk_id * {stride} + {window})"
+    )
+    key = "doc_id * 4194304 + chunk_id"
+    return f"""
+WITH {_TOKS},
+base AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) <= {window} THEN 1
+              ELSE (len(tk) - {window} + {stride} - 1) // {stride} + 1 END AS nch
+  FROM toks WHERE len(tk) > 0
+),
+chunks AS (
+  SELECT doc_id, tk, unnest(range(0, nch)) AS chunk_id FROM base
+),
+chunk_rows AS (
+  SELECT {hash60_sql(f"array_to_string({ctoks}, ' ')")} AS chunk_hash,
+         doc_id, CAST(chunk_id AS BIGINT) AS chunk_id
+  FROM chunks
+),
+agg AS (
+  SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+         arg_min(doc_id, {key}) AS keeper_doc,
+         arg_min(chunk_id, {key}) AS keeper_chunk
+  FROM chunk_rows GROUP BY 1
+)
+SELECT chunk_hash, n_copies, keeper_doc, keeper_chunk
+FROM agg WHERE n_copies >= {min_copies}
+ORDER BY n_copies DESC, chunk_hash ASC LIMIT {size}
+"""

@@ -646,3 +646,29 @@ best AS (
 SELECT vec_id, best_cos FROM best WHERE best_cos < {max_cos!r}
 ORDER BY vec_id
 """
+
+
+def cosine_topk_filtered_sql(query_vec: list[float], labels: list[int],
+                             k: int = 10) -> str:
+    """kNN-with-filter mirror of simsearch.cosine_topk_filtered: same
+    pre-filter, same cosine operand order as cosine_topk_sql."""
+    lit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
+    inlist = ", ".join(str(int(x)) for x in labels)
+    return f"""
+WITH q AS (SELECT {lit} AS qv),
+scored AS (
+  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         round(
+           list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+         , 6) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN ({inlist})
+)
+SELECT qid, rank, vec_id, label, cos FROM (
+  SELECT 'q' AS qid, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank,
+         vec_id, label, cos
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank
+"""

@@ -778,3 +778,39 @@ SELECT event_type, n,
        round(slon / n, 6) AS centroid_lon
 FROM r ORDER BY event_type
 """
+
+
+def kmv_distinct_sql(group_col: str = "event_type", val_col: str = "user_id",
+                     k: int = 64, table: str = "events") -> str:
+    """Mirror of sketches.kmv_distinct: same portable hash, same bottom-k
+    set (row_number here — candidate set identical to the two-level
+    head-k), same estimator operand order."""
+    from .portable import hash60_sql
+
+    h = hash60_sql(f"CAST({val_col} AS VARCHAR)")
+    two60 = repr(float(1 << 60))
+    return f"""
+WITH dh AS (
+  SELECT DISTINCT {group_col} AS grp, {h} AS h FROM {table}
+),
+bk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rn
+    FROM dh
+  ) WHERE rn <= {k}
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS cnt, max(h) AS maxh FROM bk GROUP BY 1
+),
+ex AS (
+  SELECT {group_col} AS grp, CAST(count(DISTINCT {val_col}) AS BIGINT) AS exact_n
+  FROM {table} GROUP BY 1
+)
+SELECT a.grp AS {group_col},
+       round(CASE WHEN a.cnt < {k} THEN CAST(a.cnt AS DOUBLE)
+                  ELSE {k - 1.0!r} / (a.maxh / {two60}) END, 6) AS est_distinct,
+       ex.exact_n,
+       CAST({k} AS BIGINT) AS k
+FROM agg a JOIN ex ON ex.grp = a.grp
+ORDER BY {group_col}
+"""

@@ -648,3 +648,40 @@ def embedding_outliers(
     )
     best = scored.groupBy("vec_id").agg(F.max("ccos").alias("best_cos"))
     return best.filter(F.col("best_cos") < max_cos).orderBy("vec_id")
+
+
+def cosine_topk_filtered(
+    emb: DataFrame,
+    query_vecs: dict[str, list[float]],
+    labels: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """ES kNN-with-filter: metadata pre-filter BEFORE scoring (the filter
+    prunes the scan — at scale, with the corpus partitioned by label, this
+    is partition pruning, the IVF-probe shape), then the shared two-level
+    exact top-k. (qid, rank, vec_id, label, cos)."""
+    spark = emb.sparkSession
+    q = spark.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in query_vecs.items()],
+        "qid string, qv array<double>",
+    )
+    filtered = emb.filter(F.col(label_col).isin([int(x) for x in labels]))
+    scored = filtered.crossJoin(F.broadcast(q)).select(
+        "qid",
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).cast("long").alias("label"),
+        F.round(cosine_expr(F.col(vec_col), F.col("qv")), 6).alias("cos"),
+    )
+    top = _topk_per_qid(scored.select("qid", "vec_id", "cos"), k)
+    # label re-attach: k×n_q rows joined against a 2-column pruned scan of
+    # the label projection (the k-row side broadcasts)
+    lab = emb.select(F.col(id_col).alias("vec_id"),
+                     F.col(label_col).cast("long").alias("label"))
+    return (
+        top.join(lab, "vec_id")
+        .select("qid", "rank", "vec_id", "label", "cos")
+        .orderBy("qid", "rank")
+    )

@@ -1,0 +1,76 @@
+"""Mergeable cardinality sketches — the approximate-distinct primitive a
+100 TB pipeline needs when exact count-distinct's shuffle is the
+bottleneck (ES `cardinality` agg is an HLL sketch; reference surface:
+config/fafnir/default.toml's ES aggregations).
+
+KMV (k-minimum-values / bottom-k) rather than HLL: the estimator needs
+only ORDER and a division — both exactly portable across Spark and DuckDB
+(HLL's floor(log2(w)) register math risks 1-ulp float drift at power-of-2
+boundaries, which would break the driver's exact value-hash). The sketch
+is mergeable (union of bottom-k sets → bottom-k of the union), so
+per-partition sketches combine exactly like per-segment statistics do in
+the index (incremental.py stats-merge convention).
+
+Scale shape: distinct (group, h) collapses duplicates with map-side
+combine, then the bottom-k per group runs through topk.topk_per_group —
+the shared two-level head-k (local sort + streaming head-k in mapInPandas,
+final window over ≤ k × n_partitions rows). NEVER a per-group window over
+the unbounded distinct relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .portable import hash60
+from .topk import topk_per_group
+
+TWO60 = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str = "event_type",
+    val_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-cardinality estimate from a bottom-k sketch:
+
+        est = (k-1) / (h_(k) / 2^60)        when the group has ≥ k
+        est = exact set size                 otherwise (sketch IS the set)
+
+    where h_(k) is the k-th smallest distinct 60-bit portable hash.
+    Outputs the exact distinct count alongside for accuracy audit —
+    (group, est_distinct, exact_n, k). The exact branch is the audit
+    column only; the estimator itself never needs it."""
+    dh = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            hash60(F.col(val_col).cast("string")).alias("h"),
+        )
+        .distinct()
+        .withColumn("negh", -F.col("h"))
+    )
+    # topk_per_group orders (val desc, id asc): negh desc == h asc → bottom-k
+    bottom = topk_per_group(dh, k, group_col="grp", id_col="h", val_col="negh")
+    agg = bottom.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.max("h").alias("maxh"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count_distinct(F.col(val_col)).cast("long").alias("exact_n")
+    )
+    est = F.when(
+        F.col("cnt") < k, F.col("cnt").cast("double")
+    ).otherwise(F.lit(k - 1.0) / (F.col("maxh") / F.lit(TWO60)))
+    return (
+        agg.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.round(est, 6).alias("est_distinct"),
+            "exact_n",
+            F.lit(k).cast("long").alias("k"),
+        )
+        .orderBy(group_col)
+    )
