@@ -1105,6 +1105,14 @@ def _q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_slop(_docs(spark, sf_dir), "slow", "key", slop=2)
 
 
+def _q_span_near_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near in_order=false: 'slow' and 'key' within 2 intervening
+    tokens in either order — the unordered dual of phrase_slop."""
+    from fafnir_spark.query_ext import span_near_unordered
+
+    return span_near_unordered(_docs(spark, sf_dir), "slow", "key", slop=2)
+
+
 def _q_phrase_slop_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """match_phrase slop served FROM the positional index (ordered
     within-window check over stored positions) — same oracle as the
@@ -1714,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_bm25_indexed": _q_wildcard_indexed,
         "events_json_filter": _q_events_json_filter,
         "phrase_slop": _q_phrase_slop,
+        "span_near_unordered": _q_span_near_unordered,
         "phrase_slop_indexed": _q_phrase_slop_indexed,
         "complete_prefix": _q_complete_prefix,
         "query_string_boost": _q_query_string_boost,
@@ -1904,6 +1913,7 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_bm25_indexed": oracles.wildcard_bm25_sql("me*e", k=10),
         "events_json_filter": oracles_pipeline.events_json_filter_sql(20, 60),
         "phrase_slop": oracles.phrase_slop_sql("slow", "key", slop=2),
+        "span_near_unordered": oracles.span_near_unordered_sql("slow", "key", slop=2),
         "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),
         "complete_prefix": oracles.complete_prefix_sql("s", k=5),
         "query_string_boost": oracles.search_text_sql(QS_BOOST, k=10),

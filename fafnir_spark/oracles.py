@@ -1389,3 +1389,27 @@ SELECT s.doc_id,
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 """
     return _ranked_topk(inner, k)
+
+
+def span_near_unordered_sql(t1: str, t2: str, slop: int = 2) -> str:
+    """Unordered within-slop co-occurrence: ∃ i∈p1, j∈p2, |j-i|-1 <= slop
+    — mirror of query_ext.span_near_unordered."""
+    a = t1.replace("'", "''")
+    b = t2.replace("'", "''")
+    return f"""
+WITH tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{a}') AS p1,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{b}') AS p2
+  FROM tkl
+)
+SELECT doc_id FROM pos
+WHERE len(list_filter(p1,
+        i -> len(list_filter(p2, j -> abs(j - i) - 1 <= {slop})) > 0
+      )) > 0
+ORDER BY doc_id
+"""

@@ -1319,3 +1319,41 @@ def expand_synonyms(terms: list[str],
                     synonyms: dict[str, list[str]] | None = None) -> list[str]:
     syn = SYNONYMS if synonyms is None else synonyms
     return sorted({t for q in terms for t in [q, *syn.get(q, [])]})
+
+
+def span_near_unordered(docs: DataFrame, t1: str, t2: str, slop: int = 2,
+                        text_col: str = "text") -> DataFrame:
+    """ES span_near with in_order=false: a doc matches iff t1 and t2 both
+    occur within ``slop`` intervening tokens in EITHER order —
+    ∃ i∈pos(t1), j∈pos(t2): |j-i| - 1 <= slop. The unordered dual of
+    phrase_slop (same candidate semi-join, same higher-order position
+    machinery; per-doc cost O(occ(t1)·occ(t2))). Returns (doc_id)."""
+    from .tokenizer import tokens_expr
+
+    cand = conjunctive_match(docs, [t1, t2], text_col=text_col)
+    toks = tokens_expr(text_col)
+
+    def positions(term: str) -> F.Column:
+        return F.filter(
+            F.sequence(F.lit(1), F.size(toks)),
+            _pos_pred(toks, term),
+        )
+
+    p1, p2 = positions(t1), positions(t2)
+    hit = F.exists(p1, _near_pred(p2, slop))
+    return (
+        docs.join(cand, "doc_id")
+        .filter(hit)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _near_pred(p2: F.Column, slop: int):
+    def pred(i: F.Column) -> F.Column:
+        def inner(j: F.Column) -> F.Column:
+            return F.abs(j - i) - 1 <= F.lit(slop)
+
+        return F.exists(p2, inner)
+
+    return pred
