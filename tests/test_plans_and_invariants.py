@@ -522,3 +522,39 @@ def test_geo_distance_single_scan_take_ordered(spark):
     assert plan.count("FileScan") == 1
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[1]
+
+
+def test_new_op_scale_shapes(spark):
+    """Round-4 session-4 ops keep the house scale shapes: the KMV bottom-k
+    is two-level (rank Window only over the mapInPandas head-k output),
+    filtered ANN pushes the label predicate into the parquet scan,
+    chunk_dedup is one hashed agg + TakeOrderedAndProject with no join,
+    quality_logistic is join-free pure expressions into a
+    TakeOrderedAndProject."""
+    from fafnir_spark.curation import chunk_dedup, quality_logistic
+    from fafnir_spark.simsearch import cosine_topk_filtered
+    from fafnir_spark.sketches import kmv_distinct
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    kp = kmv_distinct(events)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in kp
+    assert kp.index("Window") < kp.index("MapInPandas")
+
+    qv = [float((i * 37) % 13 - 6) for i in range(64)]
+    ap = (
+        cosine_topk_filtered(emb, {"q": qv}, labels=[1, 3], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "In(label" in ap  # pushed to the scan
+    assert "MapInPandas" in ap
+
+    cp = chunk_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in cp
+    assert "CartesianProduct" not in cp and "Join" not in cp
+
+    qp = quality_logistic(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in qp
+    assert "Join" not in qp

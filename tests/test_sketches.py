@@ -1,0 +1,31 @@
+"""KMV cardinality sketch: exact below k, calibrated above, deterministic."""
+
+from __future__ import annotations
+
+from fafnir_spark.sketches import kmv_distinct
+
+
+def _rows(spark, groups):
+    data = [(g, f"v{i}") for g, n in groups.items() for i in range(n)]
+    # duplicates must not perturb the sketch: every value appears twice
+    return spark.createDataFrame(data + data, "grp string, val string")
+
+
+def test_kmv_exact_when_below_k(spark):
+    out = kmv_distinct(_rows(spark, {"a": 10}), group_col="grp", val_col="val",
+                       k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["exact_n"] == 10
+    assert r["est_distinct"] == 10.0  # sketch IS the set below k
+
+
+def test_kmv_estimate_calibrated_and_deterministic(spark):
+    df = _rows(spark, {"a": 10, "b": 600})
+    one = kmv_distinct(df, group_col="grp", val_col="val", k=64).collect()
+    two = kmv_distinct(df, group_col="grp", val_col="val", k=64).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in two]
+    big = {r["grp"]: r for r in one}["b"]
+    assert big["exact_n"] == 600
+    # KMV relative sd ~ 1/sqrt(k-2) ≈ 12.7%; 4σ envelope
+    assert 300 < big["est_distinct"] < 1000
