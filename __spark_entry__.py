@@ -911,6 +911,28 @@ def _q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rank_feature_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature served FROM the index: doc-values feature cogrouped
+    into the per-shard scorer, exact on the rounded final score — same
+    oracle as the direct rank_feature."""
+    from fafnir_spark.wand import rank_feature_indexed
+
+    return rank_feature_indexed(
+        spark, _idx_root(spark, sf_dir), ["merge", "window"],
+        pivot=200.0, boost=2.0, k=10,
+    )
+
+
+def _q_field_value_factor_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field_value_factor served FROM the index (doc-values cogrouped into
+    the shard scorer) — same oracle as the direct variant."""
+    from fafnir_spark.wand import field_value_factor_indexed
+
+    return field_value_factor_indexed(
+        spark, _idx_root(spark, sf_dir), ["merge", "window"], factor=0.1, k=10
+    )
+
+
 def _q_field_value_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES function_score field_value_factor (log1p modifier): BM25
     multiplied by ln(1 + 0.1*n_chars) popularity boosting."""
@@ -1732,6 +1754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_bm25_indexed": _q_regexp_indexed,
         "function_score_gauss": _q_function_score_gauss,
         "rank_feature": _q_rank_feature,
+        "rank_feature_indexed": _q_rank_feature_indexed,
+        "field_value_factor_indexed": _q_field_value_factor_indexed,
         "field_value_factor": _q_field_value_factor,
         "dis_max": _q_dis_max,
         "boosting_query": _q_boosting,
@@ -1928,6 +1952,12 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "window"], pivot=200.0, boost=2.0, k=10
         ),
         "field_value_factor": oracles.field_value_factor_sql(
+            ["merge", "window"], factor=0.1, k=10
+        ),
+        "rank_feature_indexed": oracles.rank_feature_sql(
+            ["merge", "window"], pivot=200.0, boost=2.0, k=10
+        ),
+        "field_value_factor_indexed": oracles.field_value_factor_sql(
             ["merge", "window"], factor=0.1, k=10
         ),
         "dis_max": oracles.dis_max_sql(DISMAX_SUBQ, tie_breaker=0.3, k=10),

@@ -1581,3 +1581,140 @@ def span_first_indexed(
     )
     dm = cat.live_doc_map(spark, manifest).select("doc_id")
     return matched.join(dm, "doc_id", "left_semi").orderBy("doc_id")
+
+
+def _feature_score_indexed(
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str],
+    combine,
+    k: int = 10,
+    field: str = "n_chars",
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Shared indexed path for function_score-style doc-feature shaping:
+    the static-signal column comes from the doc_map numeric doc-values
+    (v2 schema) COGROUPED on doc_part with the postings, so each shard
+    folds its own docs' feature into the score BEFORE the shard heap via
+    ``combine(bm25_rounded, v) -> raw final`` (vectorized numpy, operand
+    order mirroring the direct-path oracle). Selection is exact at both
+    levels on the ROUNDED final score (a doc lives in exactly one
+    doc_part, so the union of per-shard top-ks contains the global
+    top-k). Exhaustive per-shard scoring: a doc feature shifts ranks, so
+    bm25-only BMW bounds don't apply (Lucene's rank_feature likewise goes
+    through a feature-aware scorer). Dead docs drop relationally:
+    point/upsert tombstones via the decode-time exclusion, bulk-deleted
+    docs by having no live doc-values row (never a driver
+    materialization). (rank, doc_id, score)."""
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
+    qterms = sorted(set(terms))
+    drows = (
+        cat.read_dictionary(spark, snapshot=manifest)
+        .filter(F.col("term").isin(qterms))
+        .collect()
+    )
+    n_docs = stats["n_docs"]
+    idfs = {
+        r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in drows
+    }
+    present = [t for t in qterms if t in idfs]
+    postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
+        F.col("term").isin(present)
+    )
+    excluded = _load_tombstones(spark, cat, manifest, include_bulk=False)
+    dv = (
+        cat.live_doc_map(spark, manifest)
+        .select("doc_id", F.col(field).cast("double").alias("__v"))
+        .withColumn(
+            "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int")
+        )
+    )
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
+
+    def fn(pdf: pd.DataFrame, ddf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": np.empty(0, dtype=np.int64), "score": np.empty(0)}
+        )
+        by_term: dict[str, list[_Block]] = {}
+        for r in pdf.itertuples(index=False):
+            by_term.setdefault(r.term, []).append(
+                _Block(r.first_doc, r.last_doc, r.max_tf, r.min_dl, r.max_weight,
+                       r.doc_ids, r.tfs, r.dls, r.weights, getattr(r, "seg", "") or "")
+            )
+        tb = {t: by_term[t] for t in present if t in by_term}
+        if not tb or not len(ddf):
+            return empty
+        # score EVERY matched doc (k = all): the heap must select on the
+        # feature-adjusted score, not bare bm25
+        ids, sc = score_exhaustive(tb, idfs, 1 << 31, k1, b, avgdl, excluded=excluded)
+        if not len(ids):
+            return empty
+        dvi = ddf.sort_values("doc_id")
+        did = dvi["doc_id"].to_numpy(dtype=np.int64)
+        dval = dvi["__v"].to_numpy(dtype=np.float64)
+        pos = np.clip(np.searchsorted(did, ids), 0, len(did) - 1)
+        live = did[pos] == ids
+        ids, sc, pos = ids[live], sc[live], pos[live]
+        if not len(ids):
+            return empty
+        v = dval[pos]
+        final = np.round(combine(np.round(sc, 6), v), 6)
+        order = np.lexsort((ids, -final))[:k]
+        return pd.DataFrame({"doc_id": ids[order], "score": final[order]})
+
+    per_part = (
+        postings.groupBy("doc_part")
+        .cogroup(dv.groupBy("doc_part"))
+        .applyInPandas(fn, schema="doc_id long, score double")
+    )
+    top = per_part.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")
+
+
+def rank_feature_indexed(
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str],
+    pivot: float = 200.0,
+    boost: float = 2.0,
+    k: int = 10,
+    field: str = "n_chars",
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES rank_feature (additive saturation) FROM the index — see
+    _feature_score_indexed. Rank-identical to scoring.rank_feature_bm25
+    (same oracle): final = round(bm25_r + boost*v/(v+pivot), 6)."""
+    pv, bo = float(pivot), float(boost)
+
+    def combine(s: np.ndarray, v: np.ndarray) -> np.ndarray:
+        return s + bo * v / (v + pv)
+
+    return _feature_score_indexed(spark, index_root, terms, combine, k=k,
+                                  field=field, snapshot_id=snapshot_id)
+
+
+def field_value_factor_indexed(
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str],
+    factor: float = 0.1,
+    k: int = 10,
+    field: str = "n_chars",
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES field_value_factor (log1p modifier, multiplicative) FROM the
+    index — see _feature_score_indexed. Rank-identical to
+    scoring.field_value_factor: final = round(bm25_r * ln(1+factor*v), 6).
+    np.log (not log1p) keeps the exact ln(1.0 + f*v) operand order the
+    direct path and oracle use."""
+    fa = float(factor)
+
+    def combine(s: np.ndarray, v: np.ndarray) -> np.ndarray:
+        return s * np.log(1.0 + fa * v)
+
+    return _feature_score_indexed(spark, index_root, terms, combine, k=k,
+                                  field=field, snapshot_id=snapshot_id)

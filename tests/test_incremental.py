@@ -608,3 +608,42 @@ def test_remove_orphan_segments(spark, tmp_path, split_docs):
     cat = Catalog(root)
     assert len(cat.read_manifest()["tables"]["postings"]) == 2
     assert _res(spark, root) == before
+
+
+def test_feature_score_indexed_survives_lifecycle(spark, tmp_path, split_docs):
+    """rank_feature_indexed (doc-values cogrouped into the shard scorer)
+    through delete + upsert + compact: dead docs vanish pre-compact
+    (tombstone exclusion + missing live doc-values row), and post-compact
+    the indexed result equals the direct scoring.rank_feature_bm25 on the
+    surviving corpus, score-for-score."""
+    from fafnir_spark.scoring import rank_feature_bm25
+    from fafnir_spark.wand import rank_feature_indexed
+
+    docs, _, _ = split_docs
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="rf")
+    terms = ["merge", "window"]
+    before = rank_feature_indexed(spark, root, terms, k=10).collect()
+    assert len(before) == 10
+    victims = [before[0]["doc_id"], before[3]["doc_id"]]
+    delete_docs(spark, root, victims)
+    # upsert a surviving doc with gutted text: its old postings must stop
+    # matching (keep_seg exclusion) even though the old segment still holds them
+    gut_id = before[1]["doc_id"]
+    gutted = docs.filter(F.col("doc_id") == gut_id).withColumn(
+        "text", F.lit("nothing here"))
+    upsert_docs(spark, normalize_docs(gutted, id_col="doc_id", text_col="text"),
+                root, segment="rfup", tokenizer="whitespace")
+    mid = rank_feature_indexed(spark, root, terms, k=10).collect()
+    gone = set(victims) | {gut_id}
+    assert all(r["doc_id"] not in gone for r in mid)
+
+    compact_with_tombstones(spark, root)
+    survivors = docs.filter(~F.col("doc_id").isin(victims + [gut_id])).unionByName(
+        gutted)
+    want = rank_feature_bm25(survivors, terms, k=10).collect()
+    got = rank_feature_indexed(spark, root, terms, k=10).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in got] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in want
+    ]
