@@ -505,6 +505,22 @@ def _q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_logistic(_docs(spark, sf_dir), k=20)
 
 
+def _q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sample quantile sketch: deterministic p=1/4 row sample →
+    interpolated percentiles, exact percentiles as audit columns."""
+    from fafnir_spark.sketches import sampled_quantiles
+
+    return sampled_quantiles(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (add-1 smoothing, window counts — no
+    count-table joins), the LM-perplexity curation signal."""
+    from fafnir_spark.curation import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicated-chunk detection: one groupBy on the chunk
     content hash, sort-free min_by keeper, top-50 by copy count."""
@@ -1689,6 +1705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_cardinality": _q_kmv_cardinality,
         "quality_logistic": _q_quality_logistic,
         "chunk_dedup": _q_chunk_dedup,
+        "sampled_quantiles": _q_sampled_quantiles,
+        "bigram_logprob": _q_bigram_logprob,
         "ann_pq_topk": _q_ann_pq,
         "ann_pq_indexed": _q_ann_pq_indexed,
         "embedding_outliers": _q_embedding_outliers,
@@ -1872,6 +1890,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_cardinality": oracles_pipeline.kmv_distinct_sql(k=64),
         "quality_logistic": oracles_curation.quality_logistic_sql(20),
         "chunk_dedup": oracles_curation.chunk_dedup_sql(16, 8, 2, 50),
+        "sampled_quantiles": oracles_pipeline.sampled_quantiles_sql(),
+        "bigram_logprob": oracles_curation.bigram_logprob_sql(),
         "ann_lsh_topk": oracles_ops.lsh_cosine_topk_sql(
             QVEC, plane_weights(LSH_TABLES, LSH_PLANES), 10
         ),

@@ -471,3 +471,50 @@ def chunk_dedup(docs: DataFrame, window: int = 16, stride: int = 8,
         .orderBy(F.col("n_copies").desc(), F.col("chunk_hash").asc())
         .limit(size)
     )
+
+
+def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Bigram-LM fluency signal (the CCNet/Gopher LM-perplexity stand-in,
+    one order up from unigram_logprob): per-doc mean log-probability under
+    an add-1-smoothed corpus bigram model,
+
+        P(b|a) = (C(a,b) + 1) / (C(a·) + V)
+
+    where C(a·) counts a's occurrences as a LEFT context (so the
+    conditional distribution normalizes) and V = |{left contexts}|.
+    Counts come from COUNT() windows over the exploded bigram relation —
+    the _tf_dl_df trick, no count-table joins; V is a 1-row broadcast
+    cross-join. Docs with <2 tokens drop (no bigram evidence).
+    (doc_id, n_bigrams, logprob), ordered by doc_id."""
+    from .tokenizer import tokens_expr
+    from pyspark.sql.window import Window
+
+    toks = tokens_expr(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    # sequence(1, n-1) is safe only under the n>=2 filter above (Spark
+    # sequence DESCENDS when start > stop)
+    pairs = F.expr(
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
+    )
+    bg = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("a", "b"))
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("a"))
+    vv = bg.agg(F.count_distinct("a").alias("vv"))
+    w = bg.select("doc_id", c2.alias("c2"), c1.alias("c1")).crossJoin(
+        F.broadcast(vv)
+    )
+    lp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vv")))
+    return (
+        w.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum(lp) / F.count(F.lit(1)), 6).alias("logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -341,3 +341,31 @@ SELECT chunk_hash, n_copies, keeper_doc, keeper_chunk
 FROM agg WHERE n_copies >= {min_copies}
 ORDER BY n_copies DESC, chunk_hash ASC LIMIT {size}
 """
+
+
+def bigram_logprob_sql() -> str:
+    """Mirror of curation.bigram_logprob — same window-count shape, same
+    add-1 smoothing operand order."""
+    return """
+WITH tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+ix AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+  FROM tkl WHERE len(tk) >= 2
+),
+bg AS (
+  SELECT doc_id, tk[i] AS a, tk[i + 1] AS b FROM ix
+),
+w AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY a, b) AS c2,
+         count(*) OVER (PARTITION BY a) AS c1
+  FROM bg
+),
+v AS (SELECT count(DISTINCT a) AS vv FROM bg)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(ln((c2 + 1.0) / (c1 + vv))) / count(*), 6) AS logprob
+FROM w, v GROUP BY doc_id ORDER BY doc_id
+"""

@@ -814,3 +814,35 @@ SELECT a.grp AS {group_col},
 FROM agg a JOIN ex ON ex.grp = a.grp
 ORDER BY {group_col}
 """
+
+
+def sampled_quantiles_sql(group_col: str = "event_type", val_col: str = "value",
+                          key_col: str = "event_id", shift: int = 2,
+                          qs: tuple = (0.5, 0.95), table: str = "events") -> str:
+    """Mirror of sketches.sampled_quantiles — same hash threshold, DuckDB
+    quantile_cont == Spark percentile (linear interpolation parity,
+    event_percentiles precedent)."""
+    from .portable import hash60_sql
+
+    thr = (1 << 60) >> shift
+    h = hash60_sql(f"CAST({key_col} AS VARCHAR)")
+    est_cols = ", ".join(
+        f"round(quantile_cont({val_col}, {q!r}), 6) AS q{int(q*100)}_est" for q in qs
+    )
+    exact_cols = ", ".join(
+        f"round(quantile_cont({val_col}, {q!r}), 6) AS q{int(q*100)}_exact" for q in qs
+    )
+    est_names = ", ".join(f"q{int(q*100)}_est" for q in qs)
+    exact_names = ", ".join(f"e.q{int(q*100)}_exact" for q in qs)
+    return f"""
+WITH s AS (
+  SELECT {group_col} AS grp, CAST(count(*) AS BIGINT) AS n_sample, {est_cols}
+  FROM {table} WHERE {h} < {thr} GROUP BY 1
+),
+e AS (
+  SELECT {group_col} AS grp, {exact_cols} FROM {table} GROUP BY 1
+)
+SELECT s.grp AS {group_col}, s.n_sample, {est_names}, {exact_names}
+FROM s JOIN e ON e.grp = s.grp
+ORDER BY {group_col}
+"""

@@ -74,3 +74,47 @@ def kmv_distinct(
         )
         .orderBy(group_col)
     )
+
+
+SAMPLE_THRESHOLD_SHIFT = 2  # keep rows with hash < 2^60 / 2^shift (p = 1/4)
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_col: str = "event_type",
+    val_col: str = "value",
+    key_col: str = "event_id",
+    shift: int = SAMPLE_THRESHOLD_SHIFT,
+    qs: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Approximate per-group quantiles from a DETERMINISTIC hash sample —
+    the mergeable quantile-sketch shape: keep rows whose 60-bit portable
+    key hash falls under 2^60/2^shift (a p = 2^-shift uniform row sample
+    that is reproducible across engines/runs and closed under union, so
+    per-partition samples merge exactly like per-segment stats), then
+    exact interpolated percentiles over the sample only. Error is
+    O(1/sqrt(p·n)); the exact full-data percentiles ride along as audit
+    columns. The sample filter is row-local — at scale the full sort cost
+    applies to p·n rows, never n.
+    (group, n_sample, q<q>_est..., q<q>_exact...)."""
+    thr = (1 << 60) >> shift
+    samp = df.filter(hash60(F.col(key_col).cast("string")) < thr)
+    est_aggs = [
+        F.round(F.expr(f"percentile({val_col}, {q!r})"), 6).alias(f"q{int(q*100)}_est")
+        for q in qs
+    ]
+    exact_aggs = [
+        F.round(F.expr(f"percentile({val_col}, {q!r})"), 6).alias(f"q{int(q*100)}_exact")
+        for q in qs
+    ]
+    est = samp.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"), *est_aggs
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(*exact_aggs)
+    return (
+        est.join(exact, "grp")
+        .select(F.col("grp").alias(group_col), "n_sample",
+                *[f"q{int(q*100)}_est" for q in qs],
+                *[f"q{int(q*100)}_exact" for q in qs])
+        .orderBy(group_col)
+    )
