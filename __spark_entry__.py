@@ -1661,6 +1661,82 @@ def _q_label_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_grid_cells(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+FILTERS_BUCKETS = {"hot": "slow", "idx": "merge", "win": "window"}
+RANGE_EDGES = [50.0, 200.0, 500.0]
+TTEST_TYPES = ("click", "purchase")
+
+
+def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_not: 'slow' with no 'merge' within 2 intervening tokens —
+    match-A-except-near-B."""
+    from fafnir_spark.query_ext import span_not
+
+    return span_not(_docs(spark, sf_dir), "slow", "merge", slop=2)
+
+
+def _q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent (join field): child events returned iff their parent
+    document matches a term filter, ranked by the child's own value."""
+    from fafnir_spark.pipeline import has_parent_topk
+
+    return has_parent_topk(
+        _docs(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        "merge", k=10,
+    )
+
+
+def _q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested query: predicate conjunction within the SAME nested
+    object (lineitem packed into its order document at ingest)."""
+    from fafnir_spark.pipeline import nested_order_items, nested_query
+
+    nested = nested_order_items(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+    return nested_query(nested, qty_min=45.0, disc_min=0.07)
+
+
+def _q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation with other_bucket — one conditional pass."""
+    from fafnir_spark.pipeline import filters_agg
+
+    return filters_agg(_docs(spark, sf_dir), FILTERS_BUCKETS)
+
+
+def _q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation: explicit edges over events.value."""
+    from fafnir_spark.pipeline import range_agg
+
+    return range_agg(spark.read.parquet(f"{sf_dir}/events.parquet"), RANGE_EDGES)
+
+
+def _q_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_cardinality: running distinct users per day via the
+    first-day-per-user decomposition (exact, no distinct-union blowup)."""
+    from fafnir_spark.pipeline import cumulative_cardinality
+
+    return cumulative_cardinality(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES t_test agg (Welch): explicit raw-sum closed form, one pass."""
+    from fafnir_spark.pipeline import t_test_welch
+
+    return t_test_welch(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), *TTEST_TYPES
+    )
+
+
+def _q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler: top-k with a per-source cap, two-level
+    top-k at both levels."""
+    from fafnir_spark.pipeline import diversified_topk
+
+    return diversified_topk(_docs(spark, sf_dir), k=10, per_value=2)
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -1763,6 +1839,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_filter": _q_events_json_filter,
         "phrase_slop": _q_phrase_slop,
         "span_near_unordered": _q_span_near_unordered,
+        "span_not": _q_span_not,
+        "has_parent_topk": _q_has_parent,
+        "nested_query": _q_nested_query,
+        "filters_agg": _q_filters_agg,
+        "range_agg": _q_range_agg,
+        "cumulative_cardinality": _q_cumulative_cardinality,
+        "t_test_welch": _q_t_test_welch,
+        "diversified_topk": _q_diversified_topk,
         "phrase_slop_indexed": _q_phrase_slop_indexed,
         "complete_prefix": _q_complete_prefix,
         "query_string_boost": _q_query_string_boost,
@@ -1958,6 +2042,14 @@ def oracle_sql() -> dict[str, str]:
         "events_json_filter": oracles_pipeline.events_json_filter_sql(20, 60),
         "phrase_slop": oracles.phrase_slop_sql("slow", "key", slop=2),
         "span_near_unordered": oracles.span_near_unordered_sql("slow", "key", slop=2),
+        "span_not": oracles.span_not_sql("slow", "merge", slop=2),
+        "has_parent_topk": oracles_pipeline.has_parent_topk_sql("merge", k=10),
+        "nested_query": oracles_pipeline.nested_query_sql(45.0, 0.07),
+        "filters_agg": oracles_pipeline.filters_agg_sql(FILTERS_BUCKETS),
+        "range_agg": oracles_pipeline.range_agg_sql(RANGE_EDGES),
+        "cumulative_cardinality": oracles_pipeline.cumulative_cardinality_sql(),
+        "t_test_welch": oracles_pipeline.t_test_welch_sql(*TTEST_TYPES),
+        "diversified_topk": oracles_pipeline.diversified_topk_sql(k=10, per_value=2),
         "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),
         "complete_prefix": oracles.complete_prefix_sql("s", k=5),
         "query_string_boost": oracles.search_text_sql(QS_BOOST, k=10),

@@ -1413,3 +1413,28 @@ WHERE len(list_filter(p1,
       )) > 0
 ORDER BY doc_id
 """
+
+
+def span_not_sql(include: str, exclude: str, slop: int = 0) -> str:
+    """∃ i∈pos(include) with no pos(exclude) within slop — mirror of
+    query_ext.span_not."""
+    a = include.replace("'", "''")
+    b = exclude.replace("'", "''")
+    return f"""
+WITH tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{a}') AS p1,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{b}') AS p2
+  FROM tkl
+)
+SELECT doc_id FROM pos
+WHERE len(p1) > 0
+  AND len(list_filter(p1,
+        i -> len(list_filter(p2, j -> abs(j - i) - 1 <= {slop})) = 0
+      )) > 0
+ORDER BY doc_id
+"""

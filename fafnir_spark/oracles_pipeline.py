@@ -846,3 +846,163 @@ SELECT s.grp AS {group_col}, s.n_sample, {est_names}, {exact_names}
 FROM s JOIN e ON e.grp = s.grp
 ORDER BY {group_col}
 """
+
+
+def has_parent_topk_sql(term: str, k: int = 10) -> str:
+    """Child events whose parent document contains ``term``, ranked by the
+    ROUNDED child value (rank-identity contract) — mirror of
+    pipeline.has_parent_topk."""
+    t = term.replace("'", "''")
+    return f"""
+WITH parents AS (
+  SELECT doc_id AS user_id FROM documents
+  WHERE list_contains(list_filter(string_split(text, ' '), x -> x <> ''), '{t}')
+)
+SELECT rank, event_id, parent_id, value FROM (
+  SELECT row_number() OVER (ORDER BY round(e.value, 6) DESC, e.event_id ASC) AS rank,
+         e.event_id, e.user_id AS parent_id, round(e.value, 6) AS value
+  FROM events e JOIN parents p ON p.user_id = e.user_id
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+def nested_query_sql(qty_min: float = 45.0, disc_min: float = 0.07) -> str:
+    """Same-element nested conjunction == per-order count of lineitems
+    satisfying BOTH predicates — mirror of pipeline.nested_query over
+    nested_order_items."""
+    return f"""
+SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS n_hits
+FROM lineitem
+WHERE l_quantity >= {qty_min!r} AND l_discount >= {disc_min!r}
+GROUP BY l_orderkey
+ORDER BY o_orderkey
+"""
+
+
+def filters_agg_sql(filters: dict[str, str]) -> str:
+    """Named filter buckets + _other_ — mirror of pipeline.filters_agg
+    (filter terms templated from the same dict, never hand-copied)."""
+    keys = sorted(filters)
+    flag_cols = ",\n         ".join(
+        f"list_contains(string_split(text, ' '), '{filters[k]}') AS \"{k}\""
+        for k in keys
+    )
+    none = " AND ".join(f'NOT "{k}"' for k in keys)
+    names = keys + ["_other_"]
+    sel = lambda k: (  # noqa: E731
+        f"CAST(sum(CASE WHEN \"{k}\" THEN 1 ELSE 0 END) AS BIGINT) AS doc_count,"
+        f" CAST(sum(CASE WHEN \"{k}\" THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars"
+    )
+    branches = "\n  UNION ALL ".join(
+        f"SELECT '{k}' AS bucket, {sel(k)} FROM flags" for k in names
+    )
+    return f"""
+WITH flags AS (
+  SELECT n_chars,
+         {flag_cols},
+         ({none}) AS "_other_"
+  FROM documents
+)
+SELECT bucket, doc_count, sum_chars
+FROM ({branches})
+ORDER BY bucket
+"""
+
+
+def range_agg_sql(edges: list[float]) -> str:
+    """Explicit range buckets (from inclusive, to exclusive, '*' open
+    ends) — keys generated by the SAME Python formatting as
+    pipeline.range_agg."""
+    es = [float(x) for x in edges]
+    bounds = [(None, es[0])] + list(zip(es, es[1:])) + [(es[-1], None)]
+
+    def key(lo, hi):
+        return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+
+    cases = []
+    for lo, hi in bounds[:-1]:
+        cond = (
+            f"value < {hi!r}" if lo is None else f"value >= {lo!r} AND value < {hi!r}"
+        )
+        cases.append(f"WHEN {cond} THEN '{key(lo, hi)}'")
+    label = "CASE " + " ".join(cases) + f" ELSE '{key(*bounds[-1])}' END"
+    orderk = " ".join(
+        f"WHEN bucket = '{key(lo, hi)}' THEN {i}"
+        for i, (lo, hi) in enumerate(bounds[:-1])
+    )
+    return f"""
+WITH lab AS (SELECT {label} AS bucket, value FROM events)
+SELECT bucket, CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 6) AS sum_value
+FROM lab GROUP BY bucket
+ORDER BY CASE {orderk} ELSE {len(bounds) - 1} END
+"""
+
+
+def cumulative_cardinality_sql() -> str:
+    """Per-day new distinct users + running total — mirror of
+    pipeline.cumulative_cardinality (first-day-per-user decomposition)."""
+    return """
+WITH first AS (
+  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day FROM events GROUP BY user_id
+),
+days AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM first GROUP BY day
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM days ORDER BY day
+"""
+
+
+def t_test_welch_sql(type_a: str, type_b: str) -> str:
+    """Welch t from explicit raw sums, sample variance — identical
+    closed-form operand order as pipeline.t_test_welch."""
+    a = type_a.replace("'", "''")
+    b = type_b.replace("'", "''")
+    return f"""
+WITH wide AS (
+  SELECT
+    CAST(sum(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS n_a,
+    sum(CASE WHEN event_type = '{a}' THEN value ELSE 0.0 END) AS s_a,
+    sum(CASE WHEN event_type = '{a}' THEN value * value ELSE 0.0 END) AS ss_a,
+    CAST(sum(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS DOUBLE) AS n_b,
+    sum(CASE WHEN event_type = '{b}' THEN value ELSE 0.0 END) AS s_b,
+    sum(CASE WHEN event_type = '{b}' THEN value * value ELSE 0.0 END) AS ss_b
+  FROM events WHERE event_type IN ('{a}', '{b}')
+)
+SELECT '{a}' AS type_a, '{b}' AS type_b,
+       round((s_a / n_a - s_b / n_b) /
+             sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 6) AS t_stat,
+       round((((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+            + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b)
+           * (((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+            + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b)
+           / ((((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a)
+              * (((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a) / (n_a - 1)
+            + (((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b)
+              * (((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b) / (n_b - 1)), 6) AS df
+FROM wide
+"""
+
+
+def diversified_topk_sql(k: int = 10, per_value: int = 2) -> str:
+    """Diversified sampler: per-source cap then global top-k — mirror of
+    pipeline.diversified_topk."""
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS pr
+  FROM documents
+)
+SELECT rank, doc_id, source, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, source, score
+  FROM ranked WHERE pr <= {per_value}
+) WHERE rank <= {k}
+ORDER BY rank
+"""

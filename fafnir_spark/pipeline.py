@@ -1071,3 +1071,248 @@ def auto_date_histogram(events: DataFrame, target_buckets: int = 40) -> DataFram
              F.round(F.sum("value"), 6).alias("total"))
         .orderBy("bucket_epoch")
     )
+
+
+def has_parent_topk(docs: DataFrame, events: DataFrame, term: str,
+                    k: int = 10, text_col: str = "text") -> DataFrame:
+    """ES has_parent query (join field, the dual of has_child): child
+    events are returned iff their PARENT document matches a term filter;
+    hits ranked by the child's own value (has_parent score=false routes
+    the parent filter, never a parent score). Parent/child relation is
+    doc_id == user_id (same join-field convention as has_child_topk).
+
+    Scale shape: the parent filter is row-local (array_contains on the
+    token split) and projects ONLY ids, so the parent side shrinks before
+    the join; top-k is the orderBy().limit(k) TakeOrderedAndProject
+    contract. (rank, event_id, parent_id, value)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .tokenizer import tokens_expr
+
+    parents = (
+        docs.filter(F.array_contains(tokens_expr(text_col), term))
+        .select(F.col("doc_id").alias("user_id"))
+    )
+    hits = events.join(parents, "user_id").select(
+        "event_id",
+        F.col("user_id").alias("parent_id"),
+        F.round("value", 6).alias("value"),
+    )
+    order = [F.col("value").desc(), F.col("event_id").asc()]
+    top = hits.orderBy(*order).limit(k)
+    w = F.row_number().over(Window.orderBy(*order))
+    return (
+        top.withColumn("rank", w)
+        .select("rank", "event_id", "parent_id", "value")
+        .orderBy("rank")
+    )
+
+
+def nested_order_items(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """ETL for the ES nested-field doc model: each order becomes ONE
+    document with its lineitems packed as an array<struct> column — the
+    layout a nested mapping stores (parent row + co-located nested
+    objects). One groupBy on the join key; at scale the pack is a single
+    co-partitioned shuffle paid once at ingest, after which every nested
+    query is row-local. (o_orderkey, o_totalprice, items)."""
+    from pyspark.sql import functions as F
+
+    items = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_discount").alias("disc"),
+                )
+            )
+        ).alias("items")
+    )
+    return orders.select("o_orderkey", "o_totalprice").join(items, "o_orderkey")
+
+
+def nested_query(nested: DataFrame, qty_min: float = 45.0,
+                 disc_min: float = 0.07) -> DataFrame:
+    """ES nested query: the predicate conjunction must hold within the
+    SAME nested object (one lineitem with qty >= qty_min AND disc >=
+    disc_min) — the semantics a flattened object mapping gets wrong
+    (cross-element false positives). Pure higher-order exists/filter over
+    the packed array: zero shuffle, zero joins at query time.
+    (o_orderkey, n_hits = matching nested objects)."""
+    from pyspark.sql import functions as F
+
+    def pred(e: F.Column) -> F.Column:
+        return (e["qty"] >= F.lit(qty_min)) & (e["disc"] >= F.lit(disc_min))
+
+    hits = F.size(F.filter(F.col("items"), pred))
+    return (
+        nested.select("o_orderkey", hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .orderBy("o_orderkey")
+    )
+
+
+def filters_agg(docs: DataFrame, filters: dict[str, str],
+                text_col: str = "text") -> DataFrame:
+    """ES filters aggregation with other_bucket: named term filters →
+    (bucket, doc_count, sum_chars), plus '_other_' counting docs matching
+    NO filter. ONE corpus pass: row-local boolean flags, a single
+    conditional aggregate, unpivoted via the arrays_zip/inline house
+    pattern (adjacency_matrix). Never a per-filter rescan."""
+    from pyspark.sql import functions as F
+
+    from .tokenizer import tokens_expr
+
+    keys = sorted(filters)
+    toks = tokens_expr(text_col)
+    flags = docs.select(
+        F.col("n_chars"),
+        *[F.array_contains(toks, filters[k]).alias(k) for k in keys],
+    )
+    none = ~flags[keys[0]]
+    for k in keys[1:]:
+        none = none & ~flags[k]
+    flags = flags.withColumn("_other_", none)
+    names = keys + ["_other_"]
+    aggs = []
+    for k in names:
+        aggs.append(F.sum(F.when(F.col(k), 1).otherwise(0)).cast("long").alias(f"n_{k}"))
+        aggs.append(
+            F.sum(F.when(F.col(k), F.col("n_chars")).otherwise(0)).cast("long").alias(f"s_{k}")
+        )
+    wide = flags.agg(*aggs)
+    return (
+        wide.select(
+            F.inline(
+                F.arrays_zip(
+                    F.array(*[F.lit(k) for k in names]),
+                    F.array(*[F.col(f"n_{k}") for k in names]),
+                    F.array(*[F.col(f"s_{k}") for k in names]),
+                )
+            )
+        )
+        .toDF("bucket", "doc_count", "sum_chars")
+        .orderBy("bucket")
+    )
+
+
+def range_agg(events: DataFrame, edges: list[float],
+              val_col: str = "value") -> DataFrame:
+    """ES range aggregation: explicit bucket edges (from inclusive, to
+    exclusive, ES key form 'a-b' with '*' for open ends) over a numeric
+    field, each bucket carrying doc_count + rounded sum. ONE pass: a
+    row-local CASE label then a bounded groupBy (rows == n_buckets).
+    (bucket, doc_count, sum_value), ordered by bucket lower edge."""
+    from pyspark.sql import functions as F
+
+    es = [float(x) for x in edges]
+    bounds = [(None, es[0])] + list(zip(es, es[1:])) + [(es[-1], None)]
+
+    def key(lo, hi):
+        return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+
+    v = F.col(val_col)
+    label = F.lit(key(*bounds[-1]))
+    for lo, hi in reversed(bounds[:-1]):
+        cond = v < F.lit(hi) if lo is None else (v >= F.lit(lo)) & (v < F.lit(hi))
+        label = F.when(cond, F.lit(key(lo, hi))).otherwise(label)
+    ordkeys = {key(lo, hi): i for i, (lo, hi) in enumerate(bounds)}
+    ordexpr = F.lit(len(bounds) - 1)
+    for kk, i in list(ordkeys.items())[:-1]:
+        ordexpr = F.when(F.col("bucket") == kk, F.lit(i)).otherwise(ordexpr)
+    return (
+        events.select(label.alias("bucket"), v.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.round(F.sum("v"), 6).alias("sum_value"),
+        )
+        .orderBy(ordexpr)
+    )
+
+
+def cumulative_cardinality(events: DataFrame) -> DataFrame:
+    """ES cumulative_cardinality pipeline agg: per-day NEW distinct users
+    and the running distinct-user total. Exact, without a per-day
+    distinct-union blowup: each user contributes only its FIRST day (one
+    groupBy min), then per-day counts + a cumulative window over the
+    bucket relation (rows == distinct days). (day, new_users, cum_users)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    first = events.groupBy("user_id").agg(
+        F.min(F.date_format(F.col("ts"), "yyyy-MM-dd")).alias("day")
+    )
+    days = first.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.withColumn("cum_users", F.sum("new_users").over(w).cast("long"))
+        .orderBy("day")
+    )
+
+
+def t_test_welch(events: DataFrame, type_a: str, type_b: str) -> DataFrame:
+    """ES t_test aggregation (heteroscedastic / Welch): t statistic and
+    Welch–Satterthwaite degrees of freedom between two event types' value
+    distributions, computed from explicit raw sums (n, Σx, Σx²) with
+    SAMPLE variance — the matrix_stats convention (identical closed form
+    in both engines; built-in variance recurrences would drift). ONE
+    conditional-aggregate pass. (type_a, type_b, t_stat, df)."""
+    from pyspark.sql import functions as F
+
+    v = F.col("value")
+    wide = events.filter(F.col("event_type").isin([type_a, type_b])).agg(
+        *[
+            agg.alias(name)
+            for t, tag in ((type_a, "a"), (type_b, "b"))
+            for name, agg in (
+                (f"n_{tag}", F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("double")),
+                (f"s_{tag}", F.sum(F.when(F.col("event_type") == t, v).otherwise(0.0))),
+                (f"ss_{tag}", F.sum(F.when(F.col("event_type") == t, v * v).otherwise(0.0))),
+            )
+        ]
+    )
+    na, sa, ssa = F.col("n_a"), F.col("s_a"), F.col("ss_a")
+    nb, sb, ssb = F.col("n_b"), F.col("s_b"), F.col("ss_b")
+    va = (ssa - sa * sa / na) / (na - 1)
+    vb = (ssb - sb * sb / nb) / (nb - 1)
+    sea, seb = va / na, vb / nb
+    t = (sa / na - sb / nb) / F.sqrt(sea + seb)
+    df = (sea + seb) * (sea + seb) / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    return wide.select(
+        F.lit(type_a).alias("type_a"),
+        F.lit(type_b).alias("type_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("df"),
+    )
+
+
+def diversified_topk(docs: DataFrame, k: int = 10, per_value: int = 2,
+                     field: str = "source", score_col: str = "n_chars") -> DataFrame:
+    """ES diversified_sampler aggregation: top-k docs by a score with at
+    most ``per_value`` docs per dedup field value — result diversity
+    without a post-filter re-query. Level 1 is the shared two-level
+    top-k (topk.topk_per_group: per-partition streaming head-k, never a
+    full per-field window sort); level 2 ranks the ≤ per_value × n_values
+    survivors with the orderBy().limit(k) contract.
+    (rank, doc_id, source, score)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .topk import topk_per_group
+
+    scored = docs.select(
+        F.col(field).alias("grp"),
+        F.col("doc_id"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    cand = topk_per_group(scored, per_value, group_col="grp").drop("rank")
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    top = cand.orderBy(*order).limit(k)
+    w = F.row_number().over(Window.orderBy(*order))
+    return (
+        top.withColumn("rank", w)
+        .select("rank", "doc_id", F.col("grp").alias(field), "score")
+        .orderBy("rank")
+    )

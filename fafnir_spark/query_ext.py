@@ -1357,3 +1357,44 @@ def _near_pred(p2: F.Column, slop: int):
         return F.exists(p2, inner)
 
     return pred
+
+
+def _not_near_pred(p2: F.Column, slop: int):
+    """i → no j ∈ p2 with |j-i|-1 <= slop (the span_not exclusion)."""
+    def pred(i: F.Column) -> F.Column:
+        def inner(j: F.Column) -> F.Column:
+            return F.abs(j - i) - 1 <= F.lit(slop)
+
+        return ~F.exists(p2, inner)
+
+    return pred
+
+
+def span_not(docs: DataFrame, include: str, exclude: str, slop: int = 0,
+             text_col: str = "text") -> DataFrame:
+    """ES span_not query: docs where ``include`` occurs at some position
+    with NO ``exclude`` occurrence within ``slop`` intervening tokens of
+    it (pre/post symmetric) — "match A except when near B". The negated
+    dual of span_near_unordered: same candidate semi-join (must contain
+    the include term — exclude-only docs never scan positions), same
+    higher-order position machinery, per-doc cost O(occ(A)·occ(B)),
+    zero extra shuffles. Returns (doc_id), ordered."""
+    from .tokenizer import tokens_expr
+
+    cand = conjunctive_match(docs, [include], text_col=text_col)
+    toks = tokens_expr(text_col)
+
+    def positions(term: str) -> F.Column:
+        return F.filter(
+            F.sequence(F.lit(1), F.size(toks)),
+            _pos_pred(toks, term),
+        )
+
+    p1, p2 = positions(include), positions(exclude)
+    hit = F.exists(p1, _not_near_pred(p2, slop))
+    return (
+        docs.join(cand, "doc_id")
+        .filter(hit)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

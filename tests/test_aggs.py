@@ -423,3 +423,105 @@ def test_synonym_bm25_expands(spark, ddb):
     ).fetchall()
     assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
     assert set(expand_synonyms(["fast", "merge"])) == {"fast", "spark", "merge", "join"}
+
+
+# ---- round-4 session-5 batch: ES agg/join-field/nested parity ----
+
+def test_filters_agg_matches_oracle_and_other_bucket(spark, ddb, docs):
+    from fafnir_spark.pipeline import filters_agg
+
+    filters = {"hot": "slow", "idx": "merge", "win": "window"}
+    out = filters_agg(docs, filters)
+    rows = {r["bucket"]: r for r in out.collect()}
+    assert set(rows) == {"hot", "idx", "win", "_other_"}
+    # _other_ counts docs matching NO filter: disjoint from every bucket,
+    # so its count == total - |union of matches| (checked via the oracle)
+    assert_matches(out, ddb, OP.filters_agg_sql(filters))
+
+
+def test_range_agg_partitions_all_rows(spark, ddb, events):
+    from fafnir_spark.pipeline import range_agg
+
+    edges = [50.0, 200.0, 500.0]
+    out = range_agg(events, edges)
+    rows = out.collect()
+    assert sum(r["doc_count"] for r in rows) == events.count()
+    assert_matches(out, ddb, OP.range_agg_sql(edges))
+
+
+def test_cumulative_cardinality_exact(spark, ddb, events):
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.pipeline import cumulative_cardinality
+
+    out = cumulative_cardinality(events)
+    rows = out.collect()
+    # running total is monotone and ends at the exact distinct-user count
+    cums = [r["cum_users"] for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == events.select(F.countDistinct("user_id")).collect()[0][0]
+    assert_matches(out, ddb, OP.cumulative_cardinality_sql())
+
+
+def test_t_test_welch_closed_form(spark, ddb, events):
+    from fafnir_spark.pipeline import t_test_welch
+
+    out = t_test_welch(events, "click", "purchase")
+    row = out.collect()[0]
+    # recompute Welch from raw values in Python (sample variance)
+    vals = {"click": [], "purchase": []}
+    collected = events.select("event_type", "value").collect()
+    for r in collected:
+        if r["event_type"] in vals:
+            vals[r["event_type"]].append(r["value"])
+    import statistics
+
+    a, b = vals["click"], vals["purchase"]
+    sea = statistics.variance(a) / len(a)
+    seb = statistics.variance(b) / len(b)
+    t = (statistics.fmean(a) - statistics.fmean(b)) / (sea + seb) ** 0.5
+    df = (sea + seb) ** 2 / (sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1))
+    assert row["t_stat"] == pytest.approx(t, abs=1e-5)
+    assert row["df"] == pytest.approx(df, abs=1e-3)
+    assert_matches(out, ddb, OP.t_test_welch_sql("click", "purchase"))
+
+
+def test_diversified_topk_caps_per_source(spark, ddb, docs):
+    from collections import Counter
+
+    from fafnir_spark.pipeline import diversified_topk
+
+    out = diversified_topk(docs, k=10, per_value=2)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert max(Counter(r["source"] for r in rows).values()) <= 2
+    assert_matches(out, ddb, OP.diversified_topk_sql(k=10, per_value=2))
+
+
+def test_has_parent_topk(spark, ddb, docs, events):
+    from fafnir_spark.pipeline import has_parent_topk
+
+    out = has_parent_topk(docs, events, "merge", k=10)
+    assert_matches(out, ddb, OP.has_parent_topk_sql("merge", k=10))
+
+
+def test_nested_query_same_element_semantics(spark, ddb):
+    from fafnir_spark.pipeline import nested_order_items, nested_query
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    nested = nested_order_items(orders, lineitem)
+    out = nested_query(nested, qty_min=45.0, disc_min=0.07)
+    assert_matches(out, ddb, OP.nested_query_sql(45.0, 0.07))
+    # cross-element false positive: one item passes qty, ANOTHER passes
+    # disc, no single item passes both -> a flattened mapping would match,
+    # nested semantics must NOT
+    rows = [(1, 101.0, [(1, 50.0, 0.0), (2, 1.0, 0.1)]),
+            (2, 102.0, [(1, 50.0, 0.09)])]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_totalprice double, "
+        "items array<struct<ln:long,qty:double,disc:double>>",
+    )
+    got = nested_query(df, qty_min=45.0, disc_min=0.07).collect()
+    assert [(r["o_orderkey"], r["n_hits"]) for r in got] == [(2, 1)]

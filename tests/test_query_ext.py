@@ -327,3 +327,21 @@ def test_phrase_suggest_matches_oracle_and_corrects(spark, ddb, docs):
     # an exact vocabulary phrase suggests itself first
     exact = phrase_suggest(docs, "merge", "window", k=3).collect()
     assert exact[0]["phrase"] == "merge window"
+
+
+def test_span_not_excludes_near_occurrences(spark, ddb, docs):
+    from fafnir_spark.oracles import span_not_sql
+    from fafnir_spark.query_ext import span_not
+    from tests.test_curation import assert_matches
+
+    out = span_not(docs, "slow", "merge", slop=2)
+    assert_matches(out, ddb, span_not_sql("slow", "merge", slop=2))
+    # synthetic: adjacent exclude kills the only occurrence; a far-away
+    # exclude does not; pre/post symmetric
+    df = spark.createDataFrame(
+        [(1, "merge slow x"), (2, "slow x merge"), (3, "slow x x x merge"),
+         (4, "x slow x"), (5, "merge x x")],
+        "doc_id long, text string",
+    )
+    got = [r["doc_id"] for r in span_not(df, "slow", "merge", slop=1).collect()]
+    assert got == [3, 4]
