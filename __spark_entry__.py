@@ -1737,6 +1737,35 @@ def _q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diversified_topk(_docs(spark, sf_dir), k=10, per_value=2)
 
 
+SPARSE_WEIGHTS = {"merge": 2.0, "window": 1.5, "customer": 0.5, "spark": 0.25}
+GOPHER_STOPS = ["merge", "window", "customer", "spark"]
+
+
+def _q_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES kNN range search: all vectors with cos >= 0.2 — row-local
+    filter, zero-shuffle scan."""
+    from fafnir_spark.simsearch import cosine_range_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_range_search(emb, QVEC, threshold=0.2)
+
+
+def _q_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sparse_vector (ELSER-style): term-weight map dot tf vector,
+    one filtered corpus pass."""
+    from fafnir_spark.scoring import sparse_vector_topk
+
+    return sparse_vector_topk(_docs(spark, sf_dir), SPARSE_WEIGHTS, k=10)
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021): row-local signals +
+    keep conjunction, thresholds from the shared GOPHER_RULES dict."""
+    from fafnir_spark.curation import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir), GOPHER_STOPS)
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -1847,6 +1876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_cardinality": _q_cumulative_cardinality,
         "t_test_welch": _q_t_test_welch,
         "diversified_topk": _q_diversified_topk,
+        "ann_range_search": _q_ann_range,
+        "sparse_vector_topk": _q_sparse_vector,
+        "gopher_quality": _q_gopher_quality,
         "phrase_slop_indexed": _q_phrase_slop_indexed,
         "complete_prefix": _q_complete_prefix,
         "query_string_boost": _q_query_string_boost,
@@ -2050,6 +2082,9 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_cardinality": oracles_pipeline.cumulative_cardinality_sql(),
         "t_test_welch": oracles_pipeline.t_test_welch_sql(*TTEST_TYPES),
         "diversified_topk": oracles_pipeline.diversified_topk_sql(k=10, per_value=2),
+        "ann_range_search": oracles_ops.cosine_range_sql(QVEC, threshold=0.2),
+        "sparse_vector_topk": oracles.sparse_vector_topk_sql(SPARSE_WEIGHTS, k=10),
+        "gopher_quality": oracles_curation.gopher_quality_sql(GOPHER_STOPS),
         "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),
         "complete_prefix": oracles.complete_prefix_sql("s", k=5),
         "query_string_boost": oracles.search_text_sql(QS_BOOST, k=10),

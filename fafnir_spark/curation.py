@@ -518,3 +518,68 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
         )
         .orderBy("doc_id")
     )
+
+
+GOPHER_RULES = {
+    "min_words": 5,
+    "max_words": 100_000,
+    "min_mean_len": 3.0,
+    "max_mean_len": 10.0,
+    "min_frac_alpha": 0.8,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_quality(docs: DataFrame, stopwords: list[str],
+                   rules: dict | None = None,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher quality filter rules (Rae et al. 2021, table A1 — public):
+    document-level heuristics a pretraining pipeline applies before any
+    model-based scoring. Implemented signals (all row-local pure
+    expressions, zero shuffle):
+
+      n_words       whitespace token count           ∈ [min_words, max_words]
+      mean_word_len chars-sans-spaces / n_words      ∈ [min_mean_len, max_mean_len]
+      frac_alpha    words containing an alphabetic   >= min_frac_alpha
+      n_stop        hits in the caller's stopword set >= min_stop_hits
+
+    ``keep`` is the conjunction; thresholds come from GOPHER_RULES (shared
+    constant, templated into the oracle — never hand-copied). The stopword
+    set is a caller argument (domain corpora carry their own function
+    words) and enters both engines as the same literal list.
+    (doc_id, n_words, mean_word_len, frac_alpha, n_stop, keep) ordered."""
+    from .tokenizer import tokens_expr
+
+    r = dict(GOPHER_RULES, **(rules or {}))
+    toks = tokens_expr(text_col)
+    stop_lit = F.array(*[F.lit(s) for s in sorted(stopwords)])
+
+    def is_alpha(t: Column) -> Column:
+        return t.rlike("[A-Za-z]")
+
+    def is_stop(t: Column) -> Column:
+        return F.array_contains(stop_lit, t)
+
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_words"),
+        (F.length(F.regexp_replace(F.col(text_col), " ", "")) / F.size(toks))
+        .alias("mean_word_len"),
+        (F.size(F.filter(toks, is_alpha)) / F.size(toks)).alias("frac_alpha"),
+        F.size(F.filter(toks, is_stop)).cast("long").alias("n_stop"),
+    ).filter(F.col("n_words") > 0)
+    keep = (
+        (F.col("n_words") >= F.lit(int(r["min_words"])))
+        & (F.col("n_words") <= F.lit(int(r["max_words"])))
+        & (F.col("mean_word_len") >= F.lit(float(r["min_mean_len"])))
+        & (F.col("mean_word_len") <= F.lit(float(r["max_mean_len"])))
+        & (F.col("frac_alpha") >= F.lit(float(r["min_frac_alpha"])))
+        & (F.col("n_stop") >= F.lit(int(r["min_stop_hits"])))
+    )
+    return feat.select(
+        "doc_id", "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("frac_alpha", 6).alias("frac_alpha"),
+        "n_stop",
+        keep.alias("keep"),
+    ).orderBy("doc_id")

@@ -1438,3 +1438,31 @@ WHERE len(p1) > 0
       )) > 0
 ORDER BY doc_id
 """
+
+
+def sparse_vector_topk_sql(query_weights: dict[str, float], k: int = 10) -> str:
+    """Mirror of scoring.sparse_vector_topk: same CASE weight lookup,
+    same w·tf operand order, rank-identity finish."""
+    terms = sorted(query_weights)
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    case = " ".join(
+        f"WHEN term = '{t}' THEN {float(query_weights[t])!r}" for t in terms
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+    FROM documents
+  ) WHERE term IN ({inlist})
+  GROUP BY doc_id, term
+),
+scored AS (
+  SELECT doc_id, round(sum((CASE {case} END) * tf), 6) AS score
+  FROM tf GROUP BY doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank
+"""

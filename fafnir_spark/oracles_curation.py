@@ -369,3 +369,36 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        round(sum(ln((c2 + 1.0) / (c1 + vv))) / count(*), 6) AS logprob
 FROM w, v GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def gopher_quality_sql(stopwords: list[str], rules: dict | None = None) -> str:
+    """Mirror of curation.gopher_quality — thresholds templated from
+    GOPHER_RULES, stopwords the same literal list, keep computed on the
+    UNROUNDED signals (identical operands both engines)."""
+    from .curation import GOPHER_RULES
+
+    r = dict(GOPHER_RULES, **(rules or {}))
+    stop = ", ".join(f"'{s}'" for s in sorted(stopwords))
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         length(replace(text, ' ', '')) / CAST(len(tk) AS DOUBLE) AS mean_word_len,
+         len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) / CAST(len(tk) AS DOUBLE) AS frac_alpha,
+         CAST(len(list_filter(tk, t -> list_contains([{stop}], t))) AS BIGINT) AS n_stop
+  FROM (
+    SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+    FROM documents
+  ) WHERE len(tk) > 0
+)
+SELECT doc_id, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(frac_alpha, 6) AS frac_alpha,
+       n_stop,
+       (n_words >= {int(r["min_words"])} AND n_words <= {int(r["max_words"])}
+        AND mean_word_len >= {float(r["min_mean_len"])!r}
+        AND mean_word_len <= {float(r["max_mean_len"])!r}
+        AND frac_alpha >= {float(r["min_frac_alpha"])!r}
+        AND n_stop >= {int(r["min_stop_hits"])}) AS keep
+FROM feat ORDER BY doc_id
+"""

@@ -672,3 +672,23 @@ SELECT qid, rank, vec_id, label, cos FROM (
   FROM scored
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def cosine_range_sql(query_vec: list[float], threshold: float = 0.3) -> str:
+    """Mirror of simsearch.cosine_range_search — same cosine formula as
+    cosine_topk_sql, threshold filter on the ROUNDED score."""
+    lit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
+    return f"""
+WITH q AS (SELECT {lit} AS qv),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+         , 6) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, cos FROM scored WHERE cos >= {threshold!r}
+ORDER BY vec_id
+"""

@@ -218,3 +218,43 @@ def field_value_factor(
         F.round(F.col("score") * mult, SCORE_DECIMALS).alias("score"),
     )
     return _topk_ranked(out, k)
+
+
+def sparse_vector_topk(
+    docs: DataFrame,
+    query_weights: dict[str, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES sparse_vector query (the ELSER learned-sparse retrieval shape):
+    the query is a (term -> weight) map, each document's sparse
+    representation is its term-frequency vector, and
+
+        score(d) = Σ_t  w(t) · tf(t, d)
+
+    over the query's terms only. ONE corpus pass — the explode is filtered
+    to the query terms BEFORE the tf groupBy (the _tf_dl_df discipline:
+    never aggregate the full corpus vocabulary to serve a bounded query),
+    the weight lookup is a row-local CASE over literals (no join), and the
+    finish is the shared TakeOrderedAndProject top-k. Weights should be
+    dyadic so w·tf sums stay exact across engines (the multi_match
+    cross_fields convention). (rank, doc_id, score)."""
+    terms = sorted(query_weights)
+    toks = tokens_expr(text_col)
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    w = F.lit(float(query_weights[terms[0]]))
+    expr = F.when(F.col("term") == terms[0], w)
+    for t in terms[1:]:
+        expr = expr.when(F.col("term") == t, F.lit(float(query_weights[t])))
+    scored = (
+        tf.select("doc_id", (expr * F.col("tf")).alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score"))
+    )
+    return _topk_ranked(scored, k)

@@ -685,3 +685,27 @@ def cosine_topk_filtered(
         .select("qid", "rank", "vec_id", "label", "cos")
         .orderBy("qid", "rank")
     )
+
+
+def cosine_range_search(
+    emb: DataFrame,
+    query_vec: list[float],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ES kNN range search (a `similarity` threshold instead of k): every
+    vector whose cosine to the query is >= threshold. Row-local score +
+    filter — no top-k structure at all, so the plan is ONE scan with zero
+    data shuffles (the trailing orderBy is presentation only): the
+    embarrassingly-parallel dual of cosine_topk, and the right primitive
+    when the caller wants "everything this similar", e.g. near-dup sweeps
+    against one probe vector. The threshold compares the ROUNDED score
+    (rank-identity contract — both engines agree at the boundary).
+    Returns (vec_id, cos) ordered by vec_id."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_expr(F.col(vec_col), qlit), 6).alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= F.lit(float(threshold))).orderBy("vec_id")

@@ -465,3 +465,37 @@ def test_winnow_guarantee_fuzz_random_corpora(spark):
             for j in planted:
                 if i < j:
                     assert fps[i] & fps[j], (seed, i, j)
+
+
+def test_gopher_quality_rules(spark, ddb, docs):
+    from fafnir_spark.curation import gopher_quality
+    from fafnir_spark.oracles_curation import gopher_quality_sql
+
+    stops = ["merge", "window", "customer", "spark"]
+    out = gopher_quality(docs, stops)
+    assert_matches(out, ddb, gopher_quality_sql(stops))
+    # synthetic boundary docs: too short / no stop hits / all rules pass
+    df = spark.createDataFrame(
+        [(1, "merge window alpha beta gamma"),      # 5 words, 2 stops -> keep
+         (2, "merge window"),                        # too short
+         (3, "alpha beta gamma delta epsilon")],     # no stop hits
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["keep"] for r in gopher_quality(df, stops).collect()}
+    assert got == {1: True, 2: False, 3: False}
+
+
+def test_sparse_vector_scores(spark, ddb, docs):
+    from fafnir_spark.oracles import sparse_vector_topk_sql
+    from fafnir_spark.scoring import sparse_vector_topk
+
+    w = {"merge": 2.0, "window": 1.5, "customer": 0.5, "spark": 0.25}
+    out = sparse_vector_topk(docs, w, k=10)
+    assert_matches(out, ddb, sparse_vector_topk_sql(w, k=10))
+    # hand-computable: tf('merge')=2, tf('window')=1 -> 2*2 + 1.5 = 5.5
+    df = spark.createDataFrame(
+        [(1, "merge x merge window"), (2, "spark y")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in sparse_vector_topk(df, w, k=5).collect()}
+    assert got == {1: 5.5, 2: 0.25}

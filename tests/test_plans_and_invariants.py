@@ -558,3 +558,35 @@ def test_new_op_scale_shapes(spark):
     qp = quality_logistic(docs)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in qp
     assert "Join" not in qp
+
+
+def test_range_search_zero_shuffle_and_sparse_vector_filtered(spark):
+    """cosine_range_search claims ONE scan + zero data shuffles (the
+    orderBy is the only exchange, and it's presentation); sparse_vector's
+    term-isin filter must sit BELOW the tf groupBy (never aggregate the
+    full vocabulary for a bounded query)."""
+    from fafnir_spark.scoring import sparse_vector_topk
+    from fafnir_spark.simsearch import cosine_range_search
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float((i * 37) % 13 - 6) for i in range(64)]
+    plan = (
+        cosine_range_search(emb, qv, threshold=0.2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1  # only the final presentation sort
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    splan = (
+        sparse_vector_topk(docs, {"merge": 2.0, "window": 1.5}, k=5)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the isin predicate must appear below (after, in top-down text) the
+    # first Aggregate node — i.e. inside its child subtree
+    assert "TakeOrderedAndProject" in (
+        sparse_vector_topk(docs, {"merge": 2.0}, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    first_agg = splan.index("Aggregate")
+    assert "merge" in splan[first_agg:], "term filter not pushed below the agg"
