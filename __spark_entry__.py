@@ -1766,6 +1766,57 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_docs(spark, sf_dir), GOPHER_STOPS)
 
 
+TERMS_SET = ["merge", "window", "customer", "spark"]
+TERMS_SET_MSM_SQL = "((doc_id % 3) + 3) % 3 + 1"
+
+
+def _q_intervals_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals query (match/ordered, max_gaps): 3 terms left-to-right
+    within 4 total gaps."""
+    from fafnir_spark.query_ext import intervals_ordered
+
+    return intervals_ordered(_docs(spark, sf_dir), Q_MAIN, max_gaps=4)
+
+
+def _q_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_containing: ordered merge..customer span (slop 5)
+    enclosing a 'window' occurrence."""
+    from fafnir_spark.query_ext import span_containing
+
+    return span_containing(_docs(spark, sf_dir), "merge", "customer", "window", slop=5)
+
+
+def _q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set with minimum_should_match_field: per-doc threshold
+    pmod(doc_id, 3) + 1 (pmod — doc_id can be negative)."""
+    from fafnir_spark.query_ext import terms_set_match
+
+    msm = F.pmod(F.col("doc_id"), F.lit(3)) + F.lit(1)
+    return terms_set_match(_docs(spark, sf_dir), TERMS_SET, msm)
+
+
+def _q_rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rate agg in a day histogram, rescaled to per-hour."""
+    from fafnir_spark.pipeline import rate_agg
+
+    return rate_agg(spark.read.parquet(f"{sf_dir}/events.parquet"), unit_hours=1)
+
+
+def _q_normalize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES normalize pipeline agg (percent_of_sum) over event_type sums."""
+    from fafnir_spark.pipeline import normalize_agg
+
+    return normalize_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge statistics: vocabulary-bounded char-pair
+    frequency table, top-20."""
+    from fafnir_spark.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), k=20)
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -1879,6 +1930,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_range_search": _q_ann_range,
         "sparse_vector_topk": _q_sparse_vector,
         "gopher_quality": _q_gopher_quality,
+        "intervals_ordered": _q_intervals_ordered,
+        "span_containing": _q_span_containing,
+        "terms_set": _q_terms_set,
+        "rate_agg": _q_rate_agg,
+        "normalize_agg": _q_normalize_agg,
+        "bpe_pair_counts": _q_bpe_pairs,
         "phrase_slop_indexed": _q_phrase_slop_indexed,
         "complete_prefix": _q_complete_prefix,
         "query_string_boost": _q_query_string_boost,
@@ -2085,6 +2142,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_range_search": oracles_ops.cosine_range_sql(QVEC, threshold=0.2),
         "sparse_vector_topk": oracles.sparse_vector_topk_sql(SPARSE_WEIGHTS, k=10),
         "gopher_quality": oracles_curation.gopher_quality_sql(GOPHER_STOPS),
+        "intervals_ordered": oracles.intervals_ordered_sql(Q_MAIN, max_gaps=4),
+        "span_containing": oracles.span_containing_sql("merge", "customer", "window", slop=5),
+        "terms_set": oracles.terms_set_sql(TERMS_SET, TERMS_SET_MSM_SQL),
+        "rate_agg": oracles_pipeline.rate_agg_sql(unit_hours=1),
+        "normalize_agg": oracles_pipeline.normalize_agg_sql(),
+        "bpe_pair_counts": oracles_ops.bpe_pair_counts_sql(k=20),
         "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),
         "complete_prefix": oracles.complete_prefix_sql("s", k=5),
         "query_string_boost": oracles.search_text_sql(QS_BOOST, k=10),

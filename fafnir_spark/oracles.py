@@ -1466,3 +1466,84 @@ SELECT rank, doc_id, score FROM (
   FROM scored
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def intervals_ordered_sql(terms: list[str], max_gaps: int = 2) -> str:
+    """Mirror of query_ext.intervals_ordered: nested list_filter over the
+    per-term position arrays, ES gap semantics last-first-(n-1)."""
+    n = len(terms)
+    esc = [t.replace("'", "''") for t in terms]
+    pos_cols = ",\n         ".join(
+        f"list_filter(range(1, len(tk) + 1), i -> tk[i] = '{t}') AS p{d}"
+        for d, t in enumerate(esc)
+    )
+    expr = (
+        f"len(list_filter(p{n-1}, i{n-1} -> i{n-1} > i{n-2}"
+        f" AND i{n-1} - i0 - {n-1} <= {max_gaps})) > 0"
+    )
+    for d in range(n - 2, 0, -1):
+        expr = f"len(list_filter(p{d}, i{d} -> i{d} > i{d-1} AND ({expr}))) > 0"
+    conj = " AND ".join(f"len(p{d}) > 0" for d in range(n))
+    return f"""
+WITH tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         {pos_cols}
+  FROM tkl
+)
+SELECT doc_id FROM pos
+WHERE {conj}
+  AND len(list_filter(p0, i0 -> {expr})) > 0
+ORDER BY doc_id
+"""
+
+
+def span_containing_sql(t1: str, t2: str, little: str, slop: int = 3) -> str:
+    """Mirror of query_ext.span_containing."""
+    a, b, c = (t.replace("'", "''") for t in (t1, t2, little))
+    return f"""
+WITH tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{a}') AS p1,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{b}') AS p2,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{c}') AS pl
+  FROM tkl
+)
+SELECT doc_id FROM pos
+WHERE len(p1) > 0 AND len(p2) > 0 AND len(pl) > 0
+  AND len(list_filter(p1, i -> len(list_filter(p2,
+        j -> j > i AND j - i - 1 <= {slop}
+             AND len(list_filter(pl, k -> k >= i AND k <= j)) > 0
+      )) > 0)) > 0
+ORDER BY doc_id
+"""
+
+
+def terms_set_sql(terms: list[str], msm_expr: str) -> str:
+    """Mirror of query_ext.terms_set_match — ``msm_expr`` is the SQL twin
+    of the per-doc threshold column (use pmod form for negative ids)."""
+    esc = [t.replace("'", "''") for t in terms]
+    hits = " + ".join(
+        f"(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END)" for t in esc
+    )
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST({hits} AS BIGINT) AS n_matched,
+         CAST(least({msm_expr}, {len(terms)}) AS BIGINT) AS msm
+  FROM (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+    FROM documents
+  )
+)
+SELECT doc_id, n_matched, msm FROM feat
+WHERE n_matched >= msm
+ORDER BY doc_id
+"""

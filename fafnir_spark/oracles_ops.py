@@ -692,3 +692,28 @@ scored AS (
 SELECT vec_id, cos FROM scored WHERE cos >= {threshold!r}
 ORDER BY vec_id
 """
+
+
+def bpe_pair_counts_sql(k: int = 20) -> str:
+    """Mirror of textstats.bpe_pair_counts — word-frequency table first,
+    char pairs over the vocabulary only."""
+    return f"""
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS pair,
+         freq
+  FROM words WHERE length(w) >= 2
+),
+agg AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT rank, pair, cnt FROM (
+  SELECT row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank, pair, cnt
+  FROM agg
+) WHERE rank <= {k} ORDER BY rank
+"""

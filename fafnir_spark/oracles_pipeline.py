@@ -1006,3 +1006,33 @@ SELECT rank, doc_id, source, score FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def rate_agg_sql(unit_hours: int = 1) -> str:
+    """Mirror of pipeline.rate_agg — identical scale operand order."""
+    return f"""
+WITH b AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         round(sum(value), 6) AS s
+  FROM events GROUP BY day
+)
+SELECT day, doc_count,
+       round(doc_count / ({24.0 / unit_hours!r}), 6) AS rate_count,
+       round(s / ({24.0 / unit_hours!r}), 6) AS rate_sum
+FROM b ORDER BY day
+"""
+
+
+def normalize_agg_sql() -> str:
+    """Mirror of pipeline.normalize_agg (percent_of_sum over ROUNDED
+    bucket sums, identical s/total*100 operand order)."""
+    return """
+WITH b AS (
+  SELECT event_type, round(sum(value), 6) AS s
+  FROM events GROUP BY event_type
+)
+SELECT event_type, s,
+       round(s / (sum(s) OVER ()) * 100.0, 6) AS pct
+FROM b ORDER BY event_type
+"""

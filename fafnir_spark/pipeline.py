@@ -1316,3 +1316,47 @@ def diversified_topk(docs: DataFrame, k: int = 10, per_value: int = 2,
         .select("rank", "doc_id", F.col("grp").alias(field), "score")
         .orderBy("rank")
     )
+
+
+def rate_agg(events: DataFrame, unit_hours: int = 1) -> DataFrame:
+    """ES rate aggregation inside a calendar-day date_histogram: per-day
+    event count and value sum rescaled to a per-``unit_hours`` rate
+    (bucket interval 24h / unit). One groupBy pass; the rescale is
+    row-local arithmetic over the bounded bucket relation.
+    (day, doc_count, rate_count, rate_sum) ordered by day."""
+    from pyspark.sql import functions as F
+
+    scale = F.lit(24.0 / unit_hours)
+    return (
+        events.groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.round(F.sum("value"), 6).alias("s"),
+        )
+        .select(
+            "day", "doc_count",
+            F.round(F.col("doc_count") / scale, 6).alias("rate_count"),
+            F.round(F.col("s") / scale, 6).alias("rate_sum"),
+        )
+        .orderBy("day")
+    )
+
+
+def normalize_agg(events: DataFrame) -> DataFrame:
+    """ES normalize pipeline agg, method=percent_of_sum: each event_type
+    bucket's share of the total. Chained from ROUNDED bucket sums (the
+    pipeline_aggs convention); the total is a window over the BOUNDED
+    bucket relation (rows == n_types), never a second corpus pass.
+    (event_type, s, pct) ordered."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    buckets = events.groupBy("event_type").agg(F.round(F.sum("value"), 6).alias("s"))
+    total = F.sum("s").over(Window.partitionBy())
+    return (
+        buckets.select(
+            "event_type", "s",
+            F.round(F.col("s") / total * F.lit(100.0), 6).alias("pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -1398,3 +1398,119 @@ def span_not(docs: DataFrame, include: str, exclude: str, slop: int = 0,
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+def _after_within_pred(p_rest: list[F.Column], n_before: int, max_gaps: int):
+    """Ordered-interval continuation: given the first match position i,
+    recursively require each remaining term strictly after its
+    predecessor, with TOTAL intervening gaps (last - first - (N-1)) within
+    max_gaps. Named closures per the higher-order-lambda convention."""
+    def outer(i: F.Column) -> F.Column:
+        def step(prev: F.Column, first: F.Column, rest: list[F.Column],
+                 depth: int) -> F.Column:
+            def inner(j: F.Column) -> F.Column:
+                ok = j > prev
+                if len(rest) == 1:
+                    ok = ok & (j - first - F.lit(depth) <= F.lit(max_gaps))
+                    return ok
+                return ok & step(j, first, rest[1:], depth + 1)
+
+            return F.exists(rest[0], inner)
+
+        return step(i, i, p_rest, n_before + 1)
+
+    return outer
+
+
+def intervals_ordered(docs: DataFrame, terms: list[str], max_gaps: int = 2,
+                      text_col: str = "text") -> DataFrame:
+    """ES intervals query, match/ordered with max_gaps: the terms occur
+    left-to-right with at most ``max_gaps`` total intervening tokens
+    (ES gap semantics: last_pos - first_pos - (n-1) <= max_gaps). The
+    N-ary generalization of phrase_slop: same candidate semi-join (docs
+    must contain ALL terms before any position work), nested higher-order
+    exists over the per-term position arrays, per-doc cost O(Π occ(t_i))
+    on the candidate set only. Returns (doc_id), ordered."""
+    from .tokenizer import tokens_expr
+
+    assert len(terms) >= 2
+    cand = conjunctive_match(docs, terms, text_col=text_col)
+    toks = tokens_expr(text_col)
+
+    def positions(term: str) -> F.Column:
+        return F.filter(F.sequence(F.lit(1), F.size(toks)), _pos_pred(toks, term))
+
+    ps = [positions(t) for t in terms]
+    hit = F.exists(ps[0], _after_within_pred(ps[1:], 0, max_gaps))
+    return (
+        docs.join(cand, "doc_id")
+        .filter(hit)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _contains_pred(p_little: F.Column, p2: F.Column, slop: int):
+    """i → ∃ j∈p2 (ordered big span [i,j], j-i-1<=slop) that contains a
+    little position k: i <= k <= j."""
+    def pred(i: F.Column) -> F.Column:
+        def inner(j: F.Column) -> F.Column:
+            def contains(k: F.Column) -> F.Column:
+                return (k >= i) & (k <= j)
+
+            return (j > i) & (j - i - 1 <= F.lit(slop)) & F.exists(p_little, contains)
+
+        return F.exists(p2, inner)
+
+    return pred
+
+
+def span_containing(docs: DataFrame, t1: str, t2: str, little: str,
+                    slop: int = 3, text_col: str = "text") -> DataFrame:
+    """ES span_containing (and the doc-level dual span_within): a doc
+    matches iff some ordered span_near(t1, t2, slop) span encloses an
+    occurrence of ``little`` (i <= pos(little) <= j). Candidate semi-join
+    on all three terms, then row-local position algebra — the span-family
+    machinery composed one level deeper. Returns (doc_id), ordered."""
+    from .tokenizer import tokens_expr
+
+    cand = conjunctive_match(docs, [t1, t2, little], text_col=text_col)
+    toks = tokens_expr(text_col)
+
+    def positions(term: str) -> F.Column:
+        return F.filter(F.sequence(F.lit(1), F.size(toks)), _pos_pred(toks, term))
+
+    p1, p2, pl = positions(t1), positions(t2), positions(little)
+    hit = F.exists(p1, _contains_pred(pl, p2, slop))
+    return (
+        docs.join(cand, "doc_id")
+        .filter(hit)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def terms_set_match(docs: DataFrame, terms: list[str], msm_col: F.Column,
+                    text_col: str = "text") -> DataFrame:
+    """ES terms_set query with minimum_should_match_field: at least
+    msm(doc) of the query terms must be present, where the threshold is a
+    PER-DOCUMENT value read from a field (vs bool_bm25_msm's constant).
+    n_matched counts distinct query terms present (row-local
+    array_contains sum — no explode, no shuffle). Effective threshold is
+    least(msm, |terms|), the ES clamp. (doc_id, n_matched, msm) ordered."""
+    from .tokenizer import tokens_expr
+
+    toks = tokens_expr(text_col)
+    n_matched = sum(
+        (F.array_contains(toks, t).cast("long") for t in terms), F.lit(0).cast("long")
+    )
+    msm = F.least(msm_col.cast("long"), F.lit(len(terms)).cast("long"))
+    return (
+        docs.select(
+            "doc_id",
+            n_matched.alias("n_matched"),
+            msm.alias("msm"),
+        )
+        .filter(F.col("n_matched") >= F.col("msm"))
+        .orderBy("doc_id")
+    )

@@ -155,3 +155,47 @@ def top_terms_per_doc(docs: DataFrame, k: int = 3,
         .select("doc_id", "rk", "term", "tfidf")
         .orderBy("doc_id", "rk")
     )
+
+
+def _pair_at(w_col: Column):
+    """i → 2-char slice of the word at i (named closure — the
+    higher-order-lambda arity convention)."""
+    def f(i: Column) -> Column:
+        return w_col.substr(i, F.lit(2))
+
+    return f
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """Distributed BPE tokenizer-training statistics (Sennrich et al.
+    2016): the frequency of every adjacent character pair, weighted by
+    word frequency — the argmax of this table IS the first BPE merge.
+
+    Scale shape: the corpus-sized explode stops at the WORD level (one
+    groupBy to the word-frequency table, |V| rows); the per-character
+    explode then runs over the vocabulary only — at 100 TB the char-pair
+    work is O(|V|·avg_len), not O(corpus). Pair counts are additive, so
+    a training loop can recompute this table per merge round with the
+    same bounded cost. (rank, pair, cnt), count-desc, pair-asc."""
+    from pyspark.sql.window import Window
+
+    toks = tokens_expr(text_col)
+    words = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs_arr = F.transform(
+        F.sequence(F.lit(1), F.length("w") - F.lit(1)), _pair_at(F.col("w"))
+    )
+    pairs = (
+        words.select(F.explode(pairs_arr).alias("pair"), F.col("freq"))
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("pair").asc()]
+    top = pairs.orderBy(*order).limit(k)
+    w = F.row_number().over(Window.orderBy(*order))
+    return top.withColumn("rank", w).select("rank", "pair", "cnt").orderBy("rank")

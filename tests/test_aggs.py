@@ -525,3 +525,28 @@ def test_nested_query_same_element_semantics(spark, ddb):
     )
     got = nested_query(df, qty_min=45.0, disc_min=0.07).collect()
     assert [(r["o_orderkey"], r["n_hits"]) for r in got] == [(2, 1)]
+
+
+def test_rate_and_normalize_aggs(spark, ddb, events):
+    from fafnir_spark.pipeline import normalize_agg, rate_agg
+
+    assert_matches(rate_agg(events, unit_hours=1), ddb, OP.rate_agg_sql(1))
+    out = normalize_agg(events)
+    rows = out.collect()
+    assert sum(r["pct"] for r in rows) == pytest.approx(100.0, abs=1e-4)
+    assert_matches(out, ddb, OP.normalize_agg_sql())
+
+
+def test_bpe_pair_counts_hand_check(spark, ddb, docs):
+    from fafnir_spark.oracles_ops import bpe_pair_counts_sql
+    from fafnir_spark.textstats import bpe_pair_counts
+
+    assert_matches(bpe_pair_counts(docs, k=20), ddb, bpe_pair_counts_sql(k=20))
+    df = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "ab x")],
+        "doc_id long, text string",
+    )
+    got = {(r["pair"]): r["cnt"] for r in bpe_pair_counts(df, k=10).collect()}
+    # word freqs: ab=3, abc=1 ('x' dropped, len<2)
+    # pairs: 'ab' from ab(3)+abc(1)=4; 'bc' from abc(1)=1
+    assert got == {"ab": 4, "bc": 1}

@@ -345,3 +345,62 @@ def test_span_not_excludes_near_occurrences(spark, ddb, docs):
     )
     got = [r["doc_id"] for r in span_not(df, "slow", "merge", slop=1).collect()]
     assert got == [3, 4]
+
+
+def test_intervals_ordered_gap_and_order_semantics(spark, ddb, docs):
+    from fafnir_spark.oracles import intervals_ordered_sql
+    from fafnir_spark.query_ext import intervals_ordered
+    from tests.test_curation import assert_matches
+
+    out = intervals_ordered(docs, ["merge", "window", "customer"], max_gaps=4)
+    assert_matches(out, ddb, intervals_ordered_sql(["merge", "window", "customer"], 4))
+    df = spark.createDataFrame(
+        [(1, "a b c"),            # ordered, 0 gaps -> hit
+         (2, "a x b c"),          # 1 gap -> hit at max_gaps=1
+         (3, "a x b x c"),        # 2 gaps -> miss at max_gaps=1
+         (4, "c b a"),            # wrong order -> miss
+         (5, "b a c b x x a b c")],  # a..b..c subsequence exists tightly
+        "doc_id long, text string",
+    )
+    got = [r["doc_id"] for r in intervals_ordered(df, ["a", "b", "c"], max_gaps=1).collect()]
+    assert got == [1, 2, 5]
+
+
+def test_span_containing_encloses_little(spark, ddb, docs):
+    from fafnir_spark.oracles import span_containing_sql
+    from fafnir_spark.query_ext import span_containing
+    from tests.test_curation import assert_matches
+
+    out = span_containing(docs, "merge", "customer", "window", slop=5)
+    assert_matches(out, ddb, span_containing_sql("merge", "customer", "window", slop=5))
+    df = spark.createDataFrame(
+        [(1, "a w b"),        # w inside [a,b] -> hit
+         (2, "w a b"),        # w outside -> miss (no little within the span)
+         (3, "a b w"),        # outside -> miss
+         (4, "a x x x x b w a w b")],  # second span contains w
+        "doc_id long, text string",
+    )
+    got = [r["doc_id"] for r in span_containing(df, "a", "b", "w", slop=2).collect()]
+    assert got == [1, 4]
+
+
+def test_terms_set_per_doc_threshold(spark, ddb, docs):
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.oracles import terms_set_sql
+    from fafnir_spark.query_ext import terms_set_match
+    from tests.test_curation import assert_matches
+
+    terms = ["merge", "window", "customer", "spark"]
+    msm = F.pmod(F.col("doc_id"), F.lit(3)) + F.lit(1)
+    out = terms_set_match(docs, terms, msm)
+    assert_matches(out, ddb, terms_set_sql(terms, "((doc_id % 3) + 3) % 3 + 1"))
+    # per-doc threshold: doc 1 needs 2 matches (has 1 -> miss); doc 2
+    # needs 3 (has 3 -> hit); msm clamps at len(terms)
+    df = spark.createDataFrame(
+        [(1, "merge x"), (2, "merge window spark"), (9, "merge window customer spark")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_matched"] for r in
+           terms_set_match(df, terms, F.pmod(F.col("doc_id"), F.lit(3)) + F.lit(1)).collect()}
+    assert got == {2: 3, 9: 4}
