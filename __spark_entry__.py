@@ -1817,6 +1817,49 @@ def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir), k=20)
 
 
+# list_contains conjunction: lambdas and list_has_all both fail to bind
+# outer columns inside DuckDB's lateral-unnest argument; '' never affects a
+# membership test of non-empty terms
+UBQ_MATCH_SQL = " AND ".join(
+    f"list_contains(string_split(text, ' '), '{t}')"
+    for t in ["merge", "window", "customer"]
+)
+
+
+def _q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _update_by_query lifecycle: build → append ' refreshed' to every
+    doc matching the conjunctive query (stable-id upsert of ONLY the
+    matched set) → compact → BM25 for the new token. Post-compaction the
+    index must equal a fresh build of the CASE-modified corpus."""
+    import shutil
+    import uuid
+
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.incremental import compact_with_tombstones, update_by_query
+    from fafnir_spark.wand import run_queries
+
+    root = os.path.join(tempfile.gettempdir(), "fafnir_ubq_" + uuid.uuid4().hex[:8])
+    try:
+        docs = _docs(spark, sf_dir)
+        build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                    root, n_parts=4, block_size=128,
+                    tokenizer="whitespace", build_id="ubq", resume=False)
+        n = update_by_query(
+            spark, root, docs, Q_MAIN,
+            lambda d: d.withColumn("text", F.concat(F.col("text"), F.lit(" refreshed"))),
+            segment="ubq1",
+        )
+        assert n > 0
+        compact_with_tombstones(spark, root)
+        res = run_queries(spark, root, {"q": ["refreshed", "merge"]}, k=10)
+        return spark.createDataFrame(
+            [(r["rank"], r["doc_id"], r["score"]) for r in res.collect()],
+            "rank int, doc_id long, score double",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -1934,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_containing": _q_span_containing,
         "terms_set": _q_terms_set,
         "rate_agg": _q_rate_agg,
+        "update_by_query": _q_update_by_query,
         "normalize_agg": _q_normalize_agg,
         "bpe_pair_counts": _q_bpe_pairs,
         "phrase_slop_indexed": _q_phrase_slop_indexed,
@@ -2146,6 +2190,12 @@ def oracle_sql() -> dict[str, str]:
         "span_containing": oracles.span_containing_sql("merge", "customer", "window", slop=5),
         "terms_set": oracles.terms_set_sql(TERMS_SET, TERMS_SET_MSM_SQL),
         "rate_agg": oracles_pipeline.rate_agg_sql(unit_hours=1),
+        "update_by_query": oracles.bm25_topk_sql(
+            ["refreshed", "merge"], k=10,
+            text_expr=(
+                f"CASE WHEN {UBQ_MATCH_SQL} THEN text || ' refreshed' ELSE text END"
+            ),
+        ),
         "normalize_agg": oracles_pipeline.normalize_agg_sql(),
         "bpe_pair_counts": oracles_ops.bpe_pair_counts_sql(k=20),
         "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),

@@ -521,3 +521,46 @@ def rollback_to(spark: SparkSession, index_root: str, snapshot_id: str) -> str:
         dict(target["tables"]), meta=target.get("meta"),
         expected_snapshot=cur.get("snapshot_id"),
     )
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_root: str,
+    corpus: DataFrame,
+    match_terms: list[str],
+    transform,
+    segment: str,
+    tokenizer: str = "whitespace",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """ES _update_by_query: select documents with a (conjunctive) query,
+    apply ``transform`` (DataFrame -> DataFrame, same schema), and reindex
+    ONLY the changed rows through the stable-id upsert path — old versions
+    are tombstoned, the new content lands in ``segment``, snapshot/CAS
+    semantics hold and the rest of the index is untouched.
+
+    Scale shape: selection + transform are ONE filtered pass over the doc
+    store (row-local array_contains eligibility — no index round-trip
+    needed since the text must be read anyway); re-encode cost is
+    O(matched), the CoW discipline a 100 TB index needs (never a rebuild
+    for a point-set update). Inherits upsert_docs' point-update envelope
+    (<= 100k changed docs per call). Returns the matched-document count
+    (the ES ``updated`` reply)."""
+    from functools import reduce
+
+    from .build import normalize_docs
+    from .tokenizer import tokens_expr
+
+    toks = tokens_expr(text_col)
+    cond = reduce(lambda a, b: a & b,
+                  [F.array_contains(toks, t) for t in match_terms])
+    changed = transform(corpus.filter(cond))
+    n = int(changed.count())
+    if n:
+        upsert_docs(
+            spark,
+            normalize_docs(changed, id_col=id_col, text_col=text_col),
+            index_root, segment=segment, tokenizer=tokenizer,
+        )
+    return n

@@ -647,3 +647,36 @@ def test_feature_score_indexed_survives_lifecycle(spark, tmp_path, split_docs):
     assert [(r["rank"], r["doc_id"], r["score"]) for r in got] == [
         (r["rank"], r["doc_id"], r["score"]) for r in want
     ]
+
+
+def test_update_by_query_equals_fresh_build(spark, tmp_path):
+    """update_by_query + compact must be indistinguishable from a fresh
+    build over the transformed corpus — rank identity on queries hitting
+    updated, untouched, and new-token docs."""
+    from fafnir_spark.incremental import update_by_query
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    r1, r2 = str(tmp_path / "ubq"), str(tmp_path / "fresh")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                r1, n_parts=4, block_size=64, tokenizer="whitespace", build_id="a")
+    tx = lambda d: d.withColumn("text", F.concat(F.col("text"), F.lit(" zzupd")))  # noqa: E731
+    n = update_by_query(spark, r1, docs, ["merge", "window"], tx, segment="u1")
+    assert n > 0
+    compact_with_tombstones(spark, r1)
+
+    modified = docs.withColumn(
+        "text",
+        F.when(
+            F.array_contains(F.split("text", " "), "merge")
+            & F.array_contains(F.split("text", " "), "window"),
+            F.concat(F.col("text"), F.lit(" zzupd")),
+        ).otherwise(F.col("text")),
+    )
+    build_index(spark, normalize_docs(modified, id_col="doc_id", text_col="text"),
+                r2, n_parts=4, block_size=64, tokenizer="whitespace", build_id="b")
+    for q in (["zzupd"], ["merge", "customer"], ["zzupd", "slow"]):
+        a = [(r["rank"], r["doc_id"], r["score"])
+             for r in run_queries(spark, r1, {"q": q}, k=10).collect()]
+        b = [(r["rank"], r["doc_id"], r["score"])
+             for r in run_queries(spark, r2, {"q": q}, k=10).collect()]
+        assert a == b, q
