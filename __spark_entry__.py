@@ -1860,6 +1860,26 @@ def _q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash near-dup: the fixture is split into 3 files so
+    the drain crosses micro-batch boundaries — cross-batch pairs must
+    surface via the accumulated band state. Drained union == batch
+    minhash_lsh_pairs (same oracle)."""
+    import uuid
+
+    from fafnir_spark.streaming import stream_minhash_dedup
+
+    base = tempfile.mkdtemp(prefix="fafnir_smh_")
+    src = os.path.join(base, "src")
+    _docs(spark, sf_dir).repartition(3).write.parquet(src)
+    return stream_minhash_dedup(
+        spark, src,
+        os.path.join(base, "ck"),
+        os.path.join(base, "state"),
+        num_hashes=12, bands=4, threshold=0.35,
+    )
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -1978,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_set": _q_terms_set,
         "rate_agg": _q_rate_agg,
         "update_by_query": _q_update_by_query,
+        "stream_minhash_dedup": _q_stream_minhash,
         "normalize_agg": _q_normalize_agg,
         "bpe_pair_counts": _q_bpe_pairs,
         "phrase_slop_indexed": _q_phrase_slop_indexed,
@@ -2087,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap": oracles_ops.winnow_overlap_sql(4, 5, min_shared=3),
         "dedup_ngram_jaccard": oracles_ops.minhash_lsh_sql(8, 4, 0.5),
         "dedup_minhash_lsh": oracles_ops.minhash_lsh_sql(12, 4, 0.35),
+        "stream_minhash_dedup": oracles_ops.minhash_lsh_sql(12, 4, 0.35),
         "dedup_clusters": oracles_ops.dedup_clusters_sql(12, 4, 0.35),
         "multi_match_cross_fields": oracles.multi_match_cross_fields_sql(
             Q_MAIN, {"text": 1.0, TITLE_SQL: 2.0}, k=10

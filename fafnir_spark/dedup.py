@@ -116,16 +116,60 @@ def minhash_signature_col(text_col: str, num_hashes: int) -> Column:
     shingle get hash60('i:') sentinel (empty-string shingle) to stay total.
     """
     sh = shingles_expr(text_col, NGRAM)
+
+    # named closure: `lambda s, i=i:` is the banned default-arg pattern —
+    # PySpark's arity inspection passes the ARRAY INDEX as the 2nd arg,
+    # so str(i) silently embedded a plan-unique lambda-variable name into
+    # the hash (band keys then differ between two constructions of the
+    # same signature — found when the streaming dedup joined bands built
+    # from two separate plans and matched nothing)
+    def _mh_hash(i: int):
+        def f(s: Column) -> Column:
+            return hash60(F.concat_ws(":", F.lit(str(i)), s))
+
+        return f
+
     return F.array(
         *[
             F.coalesce(
-                F.array_min(
-                    F.transform(sh, lambda s, i=i: hash60(F.concat_ws(":", F.lit(str(i)), s)))
-                ),
+                F.array_min(F.transform(sh, _mh_hash(i))),
                 hash60(F.lit(f"{i}:")),
             )
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_band_rows(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band_key) LSH banding rows of the MinHash signature —
+    shared by the batch pair-join and the streaming incremental dedup
+    (stream state joins new-batch bands against accumulated bands)."""
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature_col(text_col, num_hashes).alias("sig"),
+    )
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(b)),
+                        *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)],
+                    ).alias("k")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
     )
 
 
@@ -146,27 +190,7 @@ def minhash_lsh_pairs(
     dedup analog of posting-salt capping; dropped buckets are exact-dup
     territory handled by exact_duplicates anyway.
     """
-    rows = num_hashes // bands
-    assert rows * bands == num_hashes
-    sigs = docs.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature_col(text_col, num_hashes).alias("sig"),
-    )
-    band_rows = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        F.lit(str(b)),
-                        *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)],
-                    ).alias("k")
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_key"),
-    )
+    band_rows = minhash_band_rows(docs, num_hashes, bands, id_col, text_col)
     x = band_rows.alias("x")
     y = band_rows.alias("y")
     bucket_sizes = band_rows.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))

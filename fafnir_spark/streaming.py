@@ -354,3 +354,81 @@ def stream_percolate(
     if not acc:
         return spark.createDataFrame([], "doc_id long, qid string")
     return spark.createDataFrame(sorted(acc), "doc_id long, qid string")
+
+
+def stream_minhash_dedup(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Streaming MinHash+LSH near-duplicate detection: as documents
+    arrive, each micro-batch's band rows are joined against the
+    ACCUMULATED band state, so a new doc pairs with every earlier near-dup
+    (cross-batch) and with its own batch (within-batch) — the incremental
+    form of dedup.minhash_lsh_pairs a continuously-fed training corpus
+    needs (flag duplicates at ingest, never re-scan the archive).
+
+    Per batch: candidates = bands(new) ⋈ bands(state ∪ new) (never
+    old×old — those pairs were emitted when their younger doc arrived),
+    normalized to doc_a < doc_b, bucket-capped, then exact-Jaccard
+    verified FROM the candidate set (the batch path's scale discipline).
+    State keeps (doc_id, text, _b): shingle verification needs the younger
+    AND older doc's shingles, and the batch stamp both marks the "new"
+    slice and makes checkpoint replays idempotent. The cap is evaluated against accumulated
+    bands, so the drained (availableNow) union equals the batch pair set
+    whenever no bucket ever exceeds the cap (asserted in tests; a bucket
+    crossing the cap mid-stream keeps pairs batch mode would drop —
+    streaming can't un-emit). (doc_a, doc_b, jaccard), ordered."""
+    import os
+
+    from .dedup import minhash_band_rows, ngram_jaccard_pairs
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    acc: list = []
+
+    def step(df, bid):
+        # land the batch in the state store FIRST, then derive every
+        # relation from the parquet-backed read: self-joining frames cut
+        # from the streaming batch df collapses to an empty degenerate
+        # join (the foreachBatch self-join lineage trap); dropDuplicates
+        # makes a checkpoint-replayed batch idempotent
+        df.select("doc_id", "text").withColumn("_b", F.lit(int(bid))) \
+            .write.mode("append").parquet(state_dir)
+        alld = spark.read.parquet(state_dir).dropDuplicates(["doc_id"])
+        new = alld.filter(F.col("_b") == int(bid))
+        band_new = minhash_band_rows(new, num_hashes, bands)
+        band_all = minhash_band_rows(alld, num_hashes, bands)
+        sizes = band_all.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))
+        small = sizes.filter(F.col("bn") <= max_bucket).select("band_key")
+        x, y = band_new.alias("x"), band_all.alias("y")
+        cand = (
+            x.join(F.broadcast(small), "band_key")
+            .join(y, (F.col("x.band_key") == F.col("y.band_key"))
+                  & (F.col("x.doc_id") != F.col("y.doc_id")))
+            .select(
+                F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+                F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        rows = ngram_jaccard_pairs(alld, threshold, candidates=cand).collect()
+        acc.extend((r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows)
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    uniq = sorted(set(acc))
+    if not uniq:
+        return spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
+    return spark.createDataFrame(uniq, "doc_a long, doc_b long, jaccard double")

@@ -222,3 +222,42 @@ def test_stream_percolate_equals_batch(spark, tmp_path):
     )
     got = sorted((r["doc_id"], r["qid"]) for r in streamed.collect())
     assert got == batch and got
+
+
+def test_stream_minhash_dedup_equals_batch(spark, tmp_path):
+    """Drained streaming near-dup == batch minhash_lsh_pairs, with the
+    fixture split so near-dup pairs MUST cross micro-batch boundaries."""
+    from fafnir_spark.dedup import minhash_lsh_pairs
+    from fafnir_spark.streaming import stream_minhash_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+    got = stream_minhash_dedup(
+        spark, src, str(tmp_path / "ck"), str(tmp_path / "state"),
+        num_hashes=12, bands=4, threshold=0.35,
+    ).collect()
+    want = minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.35).collect()
+    key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 0
+
+
+def test_minhash_signature_is_plan_independent(spark):
+    """Regression: the signature hash must be a pure function of the text.
+    The old default-arg lambda (`lambda s, i=i:`) let PySpark pass the
+    array index as i, embedding a plan-unique lambda-variable name into
+    the hash — two constructions of the same signature then disagreed."""
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.dedup import minhash_band_rows
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    via_a = minhash_band_rows(docs.select("doc_id", "text"), 12, 4)
+    via_b = minhash_band_rows(
+        docs.select("doc_id", "text", F.lit(1).alias("_x")).filter(F.col("_x") == 1),
+        12, 4,
+    )
+    a = sorted((r["doc_id"], r["band_key"]) for r in via_a.collect())
+    b = sorted((r["doc_id"], r["band_key"]) for r in via_b.collect())
+    assert a == b
