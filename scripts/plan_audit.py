@@ -59,8 +59,11 @@ def main() -> None:
         bool_bm25,
         significant_terms,
     )
+    from fafnir_spark.pipeline import diversified_topk, filters_agg
+    from fafnir_spark.scoring import sparse_vector_topk
     from fafnir_spark.session import get_spark
-    from fafnir_spark.simsearch import hybrid_rrf
+    from fafnir_spark.simsearch import cosine_range_search, hybrid_rrf
+    from fafnir_spark.textstats import bpe_pair_counts
 
     def _fuzzy_cand(docs):
         # the candidate-generation join fuzzy_expand collects from —
@@ -184,6 +187,30 @@ def main() -> None:
               pq_cosine_topk(emb, qv, k=10),
               "Candidates ranked over the m-code relation (TakeOrdered), "
               "exact re-rank driven by the broadcast candidate ids."),
+        audit("cosine_range_search (threshold kNN)",
+              cosine_range_search(emb, qv, threshold=0.2),
+              "Row-local rounded-score filter — ONE scan, no Window, no "
+              "join; the only exchange is the presentation sort."),
+        audit("sparse_vector_topk (learned-sparse dot product)",
+              sparse_vector_topk(docs, {"merge": 2.0, "window": 1.5}, k=10),
+              "Term-isin filter BELOW the tf groupBy (never aggregates "
+              "the full vocabulary), CASE weight lookup (no join), "
+              "TakeOrderedAndProject finish."),
+        audit("filters_agg (named buckets + other)",
+              filters_agg(docs, {"a": "merge", "b": "window"}),
+              "ONE FileScan: row-local boolean flags, a single "
+              "conditional aggregate, inline unpivot — never a "
+              "per-filter rescan."),
+        audit("bpe_pair_counts (vocabulary-bounded merge stats)",
+              bpe_pair_counts(docs, k=20),
+              "Corpus explode stops at the word-frequency table; the "
+              "char-pair explode runs over |V| words only — O(|V|*len) "
+              "at any corpus size."),
+        audit("diversified_topk (per-value capped top-k)",
+              diversified_topk(docs, k=10, per_value=2),
+              "Per-source cap via the shared two-level topk_per_group "
+              "(mapInPandas head-k, no unbounded per-group window), "
+              "k-row orderBy().limit finish."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
