@@ -373,20 +373,27 @@ def stream_minhash_dedup(
     form of dedup.minhash_lsh_pairs a continuously-fed training corpus
     needs (flag duplicates at ingest, never re-scan the archive).
 
-    Per batch: candidates = bands(new) ⋈ bands(state ∪ new) (never
+    Per batch: candidates = bands(new) ⋈ accumulated band state (never
     old×old — those pairs were emitted when their younger doc arrived),
     normalized to doc_a < doc_b, bucket-capped, then exact-Jaccard
     verified FROM the candidate set (the batch path's scale discipline).
-    State keeps (doc_id, text, _b): shingle verification needs the younger
-    AND older doc's shingles, and the batch stamp both marks the "new"
-    slice and makes checkpoint replays idempotent. The cap is evaluated against accumulated
-    bands, so the drained (availableNow) union equals the batch pair set
-    whenever no bucket ever exceeds the cap (asserted in tests; a bucket
-    crossing the cap mid-stream keeps pairs batch mode would drop —
-    streaming can't un-emit). (doc_a, doc_b, jaccard), ordered."""
+    Per-batch cost is O(batch + candidates), NOT O(state): band rows are
+    computed once per doc and PERSISTED (bands/ next to docs/), and the
+    Jaccard verify shingles only the candidate-id docs (explicit semi-join
+    prune — an equi-join alone would shingle the whole archive). State
+    keeps (doc_id, text, _b): shingle verification needs the younger AND
+    older doc's text, and the batch stamp both marks the "new" slice and
+    makes checkpoint replays idempotent. The cap is evaluated against
+    accumulated bands, so the drained (availableNow) union equals the
+    batch pair set whenever no bucket ever exceeds the cap (asserted in
+    tests; a bucket crossing the cap mid-stream keeps pairs batch mode
+    would drop — streaming can't un-emit). (doc_a, doc_b, jaccard)."""
     import os
 
     from .dedup import minhash_band_rows, ngram_jaccard_pairs
+
+    docs_dir = os.path.join(state_dir, "docs")
+    bands_dir = os.path.join(state_dir, "bands")
 
     stream = spark.readStream.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
@@ -401,11 +408,17 @@ def stream_minhash_dedup(
         # join (the foreachBatch self-join lineage trap); dropDuplicates
         # makes a checkpoint-replayed batch idempotent
         df.select("doc_id", "text").withColumn("_b", F.lit(int(bid))) \
-            .write.mode("append").parquet(state_dir)
-        alld = spark.read.parquet(state_dir).dropDuplicates(["doc_id"])
+            .write.mode("append").parquet(docs_dir)
+        alld = spark.read.parquet(docs_dir).dropDuplicates(["doc_id"])
         new = alld.filter(F.col("_b") == int(bid))
-        band_new = minhash_band_rows(new, num_hashes, bands)
-        band_all = minhash_band_rows(alld, num_hashes, bands)
+        # bands of the NEW slice only — O(batch); prior bands come from
+        # the persisted band state, never recomputed
+        minhash_band_rows(new, num_hashes, bands) \
+            .withColumn("_b", F.lit(int(bid))) \
+            .write.mode("append").parquet(bands_dir)
+        band_all = spark.read.parquet(bands_dir) \
+            .dropDuplicates(["doc_id", "band_key"])
+        band_new = band_all.filter(F.col("_b") == int(bid))
         sizes = band_all.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))
         small = sizes.filter(F.col("bn") <= max_bucket).select("band_key")
         x, y = band_new.alias("x"), band_all.alias("y")
@@ -419,7 +432,16 @@ def stream_minhash_dedup(
             )
             .distinct()
         )
-        rows = ngram_jaccard_pairs(alld, threshold, candidates=cand).collect()
+        # shingle ONLY candidate docs: the verify join is keyed on doc id,
+        # so without this semi-join the shingle map stage runs over the
+        # full archive every batch
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        docs_cand = alld.join(cand_ids, "doc_id", "left_semi")
+        rows = ngram_jaccard_pairs(docs_cand, threshold, candidates=cand).collect()
         acc.extend((r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows)
 
     q = (
