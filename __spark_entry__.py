@@ -1860,6 +1860,16 @@ def _q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_sparse_vector_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sparse_vector served FROM the inverted index (tf postings as the
+    sparse doc vectors) — same oracle as the direct path."""
+    from fafnir_spark.wand import sparse_vector_indexed
+
+    return sparse_vector_indexed(
+        spark, _idx_root(spark, sf_dir), SPARSE_WEIGHTS, k=10
+    )
+
+
 def _q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash near-dup: the fixture is split into 3 files so
     the drain crosses micro-batch boundaries — cross-batch pairs must
@@ -1992,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_topk": _q_diversified_topk,
         "ann_range_search": _q_ann_range,
         "sparse_vector_topk": _q_sparse_vector,
+        "sparse_vector_indexed": _q_sparse_vector_indexed,
         "gopher_quality": _q_gopher_quality,
         "intervals_ordered": _q_intervals_ordered,
         "span_containing": _q_span_containing,
@@ -2207,6 +2218,7 @@ def oracle_sql() -> dict[str, str]:
         "diversified_topk": oracles_pipeline.diversified_topk_sql(k=10, per_value=2),
         "ann_range_search": oracles_ops.cosine_range_sql(QVEC, threshold=0.2),
         "sparse_vector_topk": oracles.sparse_vector_topk_sql(SPARSE_WEIGHTS, k=10),
+        "sparse_vector_indexed": oracles.sparse_vector_topk_sql(SPARSE_WEIGHTS, k=10),
         "gopher_quality": oracles_curation.gopher_quality_sql(GOPHER_STOPS),
         "intervals_ordered": oracles.intervals_ordered_sql(Q_MAIN, max_gaps=4),
         "span_containing": oracles.span_containing_sql("merge", "customer", "window", slop=5),

@@ -1718,3 +1718,87 @@ def field_value_factor_indexed(
 
     return _feature_score_indexed(spark, index_root, terms, combine, k=k,
                                   field=field, snapshot_id=snapshot_id)
+
+
+def sparse_vector_indexed(
+    spark: SparkSession,
+    index_root: str,
+    query_weights: dict[str, float],
+    k: int = 10,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES sparse_vector served FROM the inverted index: the tf postings
+    ARE the documents' sparse vectors (the Lucene impact-postings layout
+    ELSER scores against), so the query decodes ONLY its own terms'
+    blocks — score(d) = Σ w(t)·tf(t,d), no corpus statistics needed.
+
+    Scale shape: term-pruned posting scan (predicate pushed to the
+    term-sorted parquet), per-shard exact top-k on the ROUNDED score (a
+    doc lives in exactly one doc_part, so the union of shard top-ks
+    contains the global top-k), k-row merge. Dead docs drop relationally:
+    point/upsert tombstones via decode-time exclusion, bulk deletes by
+    having no live doc_map row (cogrouped on doc_part — never collected).
+    Rank-identical to scoring.sparse_vector_topk (same oracle).
+    (rank, doc_id, score)."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
+    qterms = sorted(query_weights)
+    weights = {t: float(query_weights[t]) for t in qterms}
+    postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
+        F.col("term").isin(qterms)
+    )
+    excluded = _load_tombstones(spark, cat, manifest, include_bulk=False)
+    live = (
+        cat.live_doc_map(spark, manifest)
+        .select("doc_id")
+        .withColumn(
+            "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int")
+        )
+    )
+
+    def fn(pdf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": np.empty(0, dtype=np.int64), "raw_score": np.empty(0)}
+        )
+        if not len(pdf) or not len(ldf):
+            return empty
+        all_ids, all_ps = [], []
+        for r in pdf.itertuples(index=False):
+            w = weights.get(r.term)
+            if w is None:
+                continue
+            blk = _Block(r.first_doc, r.last_doc, r.max_tf, r.min_dl, r.max_weight,
+                         r.doc_ids, r.tfs, r.dls, r.weights, getattr(r, "seg", "") or "")
+            ids, tfs, _dls, _ws = blk.decode()
+            exc = _exc_for(excluded, blk.seg)
+            if exc is not None and len(exc):
+                keep = ~np.isin(ids, exc)
+                ids, tfs = ids[keep], tfs[keep]
+            all_ids.append(ids)
+            all_ps.append(w * tfs)
+        if not all_ids:
+            return empty
+        ids = np.concatenate(all_ids)
+        ps = np.concatenate(all_ps)
+        uids, inv = np.unique(ids, return_inverse=True)
+        sums = np.zeros(len(uids))
+        np.add.at(sums, inv, ps)
+        lid = np.sort(ldf["doc_id"].to_numpy(dtype=np.int64))
+        pos = np.clip(np.searchsorted(lid, uids), 0, len(lid) - 1)
+        alive = lid[pos] == uids
+        uids, sums = uids[alive], sums[alive]
+        uids, sums = _topk_rows(uids, sums, k)
+        return pd.DataFrame({"doc_id": uids, "raw_score": sums})
+
+    per_part = (
+        postings.groupBy("doc_part")
+        .cogroup(live.groupBy("doc_part"))
+        .applyInPandas(fn, schema="doc_id long, raw_score double")
+    )
+    scored = per_part.withColumn("score", F.round(F.col("raw_score"), 6)).drop("raw_score")
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")

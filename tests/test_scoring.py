@@ -159,3 +159,41 @@ def test_has_child_matches_oracle_each_mode(spark, ddb, docs):
         ], mode
         for g, w in zip(got, want):
             assert g["score"] == pytest.approx(w[2], abs=1e-9)
+
+
+def test_sparse_vector_indexed_lifecycle(spark, tmp_path):
+    """Indexed sparse_vector == direct over the LIVE corpus through an
+    upsert + delete cycle (tombstone exclusion and bulk-free live-join
+    both exercised)."""
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.incremental import delete_docs, upsert_docs
+    from fafnir_spark.scoring import sparse_vector_topk
+    from fafnir_spark.wand import sparse_vector_indexed
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    root = str(tmp_path / "svidx")
+    w = {"merge": 2.0, "window": 1.5, "spark": 0.25}
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=64, tokenizer="whitespace", build_id="s")
+
+    def agree(corpus):
+        a = [(r["rank"], r["doc_id"], r["score"])
+             for r in sparse_vector_indexed(spark, root, w, k=10).collect()]
+        b = [(r["rank"], r["doc_id"], r["score"])
+             for r in sparse_vector_topk(corpus, w, k=10).collect()]
+        assert a == b
+
+    agree(docs)
+    up = spark.createDataFrame([(7, "merge merge merge window")],
+                               "doc_id long, text string")
+    upsert_docs(spark, normalize_docs(up, id_col="doc_id", text_col="text"),
+                root, segment="u1", tokenizer="whitespace")
+    mod = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 7,
+                       F.lit("merge merge merge window")).otherwise(F.col("text")))
+    agree(mod)
+    delete_docs(spark, root, [7])
+    agree(mod.filter(F.col("doc_id") != 7))
