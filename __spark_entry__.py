@@ -1870,6 +1870,48 @@ def _q_sparse_vector_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pit_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES point-in-time search: pin the snapshot BEFORE a ranking-shifting
+    append; the pinned reader must return the ORIGINAL corpus' BM25
+    (the plain oracle) while the live index has moved on."""
+    import shutil
+    import uuid
+
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.catalog import Catalog
+    from fafnir_spark.incremental import append_index
+    from fafnir_spark.wand import run_queries
+
+    root = os.path.join(tempfile.gettempdir(), "fafnir_pit_" + uuid.uuid4().hex[:8])
+    try:
+        docs = _docs(spark, sf_dir)
+        build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                    root, n_parts=4, block_size=128,
+                    tokenizer="whitespace", build_id="pit", resume=False)
+        pit = Catalog(root).read_manifest()["snapshot_id"]
+        noise = spark.createDataFrame(
+            [(10_000_000_000 + i, "merge " * 20 + "window customer") for i in range(5)],
+            "doc_id long, text string",
+        )
+        append_index(spark, normalize_docs(noise, id_col="doc_id", text_col="text"),
+                     root, segment="noise")
+        res = run_queries(spark, root, {"q": Q_MAIN}, k=10, snapshot_id=pit)
+        return spark.createDataFrame(
+            [(r["rank"], r["doc_id"], r["score"]) for r in res.collect()],
+            "rank int, doc_id long, score double",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geohash_grid agg (precision 3): row-local Morton/base32 cell id
+    + one bounded groupBy."""
+    from fafnir_spark.geo import geohash_grid
+
+    return geohash_grid(spark.read.parquet(f"{sf_dir}/events.parquet"), precision=3)
+
+
 def _q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash near-dup: the fixture is split into 3 files so
     the drain crosses micro-batch boundaries — cross-batch pairs must
@@ -2011,6 +2053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_by_query": _q_update_by_query,
         "stream_minhash_dedup": _q_stream_minhash,
         "normalize_agg": _q_normalize_agg,
+        "geohash_grid": _q_geohash_grid,
+        "pit_search": _q_pit_search,
         "bpe_pair_counts": _q_bpe_pairs,
         "phrase_slop_indexed": _q_phrase_slop_indexed,
         "complete_prefix": _q_complete_prefix,
@@ -2231,6 +2275,8 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "normalize_agg": oracles_pipeline.normalize_agg_sql(),
+        "geohash_grid": oracles_pipeline.geohash_grid_sql(precision=3),
+        "pit_search": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "bpe_pair_counts": oracles_ops.bpe_pair_counts_sql(k=20),
         "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),
         "complete_prefix": oracles.complete_prefix_sql("s", k=5),

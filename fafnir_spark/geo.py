@@ -220,3 +220,87 @@ def geo_bbox_centroid(events: DataFrame, lat_lo: float = 44.0, lat_hi: float = 5
         F.round(F.col("slat") / F.col("n"), 6).alias("centroid_lat"),
         F.round(F.col("slon") / F.col("n"), 6).alias("centroid_lon"),
     ).orderBy("event_type")
+
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_splits(precision: int) -> tuple[int, int, list[tuple[str, int, int]]]:
+    """Shared bit layout for the Spark AND SQL geohash builders: lon gets
+    the odd (leading) interleave slots. Returns (nlon, nlat, plan) where
+    plan rows are (axis, src_bit, dst_bit) MSB-first."""
+    total = 5 * precision
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    plan = []
+    for i in range(nlon):
+        plan.append(("lon", nlon - 1 - i, total - 1 - 2 * i))
+    for i in range(nlat):
+        plan.append(("lat", nlat - 1 - i, total - 2 - 2 * i))
+    return nlon, nlat, plan
+
+
+def geohash_expr(lat: F.Column, lon: F.Column, precision: int = 4) -> F.Column:
+    """Standard geohash (Niemeyer, public domain): interleaved lon/lat
+    binary subdivision, base32. Closed form — the subdivision equals a
+    floor-scale to 2^nbits per axis plus a Morton bit interleave, all
+    integer ops after the two floors (identical float64 operand order to
+    the SQL twin geohash_sql_expr, so cells agree bit-for-bit)."""
+    nlon, nlat, plan = _geohash_splits(precision)
+    xi = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlon))).cast("long"),
+        F.lit((1 << nlon) - 1),
+    )
+    yi = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat))).cast("long"),
+        F.lit((1 << nlat) - 1),
+    )
+    morton = F.lit(0).cast("long")
+    for axis, src, dst in plan:
+        v = xi if axis == "lon" else yi
+        morton = morton + F.shiftleft(F.shiftright(v, src).bitwiseAND(F.lit(1)), dst)
+    arr = F.array(*[F.lit(c) for c in GEOHASH_B32])
+    chars = [
+        F.element_at(
+            arr,
+            (F.shiftright(morton, 5 * (precision - 1 - c)).bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"),
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql_parts(precision: int = 4) -> dict[str, str]:
+    """SQL twins of geohash_expr's stages — generated from the SAME bit
+    plan (_geohash_splits), identical float operand order before the
+    floors. Keys: xi/yi (over columns lat, lon), morton (over xi, yi),
+    chars (over m). The oracle chains them as CTE stages."""
+    nlon, nlat, plan = _geohash_splits(precision)
+    xi = (f"least(CAST(floor((lon + 180.0) / 360.0 * {float(1 << nlon)!r}) "
+          f"AS BIGINT), {(1 << nlon) - 1})")
+    yi = (f"least(CAST(floor((lat + 90.0) / 180.0 * {float(1 << nlat)!r}) "
+          f"AS BIGINT), {(1 << nlat) - 1})")
+    terms = []
+    for axis, src, dst in plan:
+        v = "xi" if axis == "lon" else "yi"
+        terms.append(f"((({v} >> {src}) & 1) << {dst})")
+    chars = " || ".join(
+        f"substring('{GEOHASH_B32}', CAST(((m >> {5 * (precision - 1 - c)}) & 31) + 1 AS INTEGER), 1)"
+        for c in range(precision)
+    )
+    return {"xi": xi, "yi": yi, "morton": " + ".join(terms), "chars": chars}
+
+
+def geohash_grid(events: DataFrame, precision: int = 4) -> DataFrame:
+    """ES geohash_grid aggregation: bucket counts per geohash cell over
+    the synthetic WGS84 points. Row-local cell id (pure integer Morton
+    math after two floors) + ONE bounded groupBy — the plan is a scan +
+    cell-count aggregate at any corpus size. (geohash, doc_count),
+    count-desc then key-asc (the ES bucket order)."""
+    ll = event_latlon(events)
+    cells = ll.select(geohash_expr(F.col("lat"), F.col("lon"), precision).alias("geohash"))
+    return (
+        cells.groupBy("geohash")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("geohash").asc())
+    )

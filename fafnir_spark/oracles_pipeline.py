@@ -1036,3 +1036,24 @@ SELECT event_type, s,
        round(s / (sum(s) OVER ()) * 100.0, 6) AS pct
 FROM b ORDER BY event_type
 """
+
+
+def geohash_grid_sql(precision: int = 4) -> str:
+    """Mirror of geo.geohash_grid — every stage's SQL comes from
+    geo.geohash_sql_parts (same bit plan as the Spark expression)."""
+    from .geo import geohash_sql_parts
+
+    p = geohash_sql_parts(precision)
+    return f"""
+WITH ll AS (
+  SELECT 40.0 + (((event_id % 100) + 100) % 100) / 10.0 * 2.0 AS lat,
+         -5.0 + (((user_id % 100) + 100) % 100) / 10.0 * 3.0 AS lon
+  FROM events
+),
+ixy AS (SELECT {p["xi"]} AS xi, {p["yi"]} AS yi FROM ll),
+mm AS (SELECT {p["morton"]} AS m FROM ixy),
+gh AS (SELECT {p["chars"]} AS geohash FROM mm)
+SELECT geohash, CAST(count(*) AS BIGINT) AS doc_count
+FROM gh GROUP BY geohash
+ORDER BY doc_count DESC, geohash ASC
+"""

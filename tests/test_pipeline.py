@@ -123,3 +123,26 @@ def test_events_json_filter_matches_oracle(spark, ddb):
     got = [tuple(r) for r in events_json_filter(ev, 20, 60).collect()]
     want = [tuple(w) for w in ddb.execute(events_json_filter_sql(20, 60)).fetchall()]
     assert got == want and got
+
+
+def test_geohash_is_the_real_encoding(spark, ddb):
+    """Golden check against the canonical geohash example
+    (57.64911, 10.40744) -> 'u4pruyd...' — proves the Morton closed form
+    IS Niemeyer's subdivision, not merely self-consistent; then the grid
+    agg vs its oracle."""
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.geo import geohash_expr, geohash_grid
+    from fafnir_spark.oracles_pipeline import geohash_grid_sql
+    from tests.conftest import SF_DIR
+    from tests.test_curation import assert_matches
+
+    pts = spark.createDataFrame(
+        [(57.64911, 10.40744), (48.858, 2.294), (-33.8587, 151.2140)],
+        "lat double, lon double",
+    )
+    got = [r["g"] for r in pts.select(
+        geohash_expr(F.col("lat"), F.col("lon"), 6).alias("g")).collect()]
+    assert got == ["u4pruy", "u09tun", "r3gx2u"]
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert_matches(geohash_grid(events, precision=3), ddb, geohash_grid_sql(3))
