@@ -1904,6 +1904,44 @@ def _q_pit_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_ilm_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ILM rollover lifecycle: three ingest batches under a doc-count
+    rollover condition force >= 2 generations; the union-alias search
+    (merged global stats) must equal single-corpus BM25."""
+    import shutil
+    import uuid
+
+    from fafnir_spark.build import normalize_docs
+    from fafnir_spark.incremental import (
+        rollover_generations,
+        rollover_search,
+        rollover_write,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "fafnir_ilm_" + uuid.uuid4().hex[:8])
+    try:
+        docs = _docs(spark, sf_dir)
+        total = docs.count()
+        third = (total + 2) // 3
+        chunks = [
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i) for i in range(3)
+        ]
+        for ch in chunks:
+            rollover_write(
+                spark, base,
+                normalize_docs(ch, id_col="doc_id", text_col="text"),
+                max_docs_per_gen=third,
+            )
+        assert len(rollover_generations(base)) >= 2
+        res = rollover_search(spark, base, {"q": Q_MAIN}, k=10)
+        return spark.createDataFrame(
+            [(r["rank"], r["doc_id"], r["score"]) for r in res.collect()],
+            "rank int, doc_id long, score double",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES geohash_grid agg (precision 3): row-local Morton/base32 cell id
     + one bounded groupBy."""
@@ -2055,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_agg": _q_normalize_agg,
         "geohash_grid": _q_geohash_grid,
         "pit_search": _q_pit_search,
+        "ilm_rollover": _q_ilm_rollover,
         "bpe_pair_counts": _q_bpe_pairs,
         "phrase_slop_indexed": _q_phrase_slop_indexed,
         "complete_prefix": _q_complete_prefix,
@@ -2277,6 +2316,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_agg": oracles_pipeline.normalize_agg_sql(),
         "geohash_grid": oracles_pipeline.geohash_grid_sql(precision=3),
         "pit_search": oracles.bm25_topk_sql(Q_MAIN, k=10),
+        "ilm_rollover": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "bpe_pair_counts": oracles_ops.bpe_pair_counts_sql(k=20),
         "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),
         "complete_prefix": oracles.complete_prefix_sql("s", k=5),

@@ -564,3 +564,69 @@ def update_by_query(
             index_root, segment=segment, tokenizer=tokenizer,
         )
     return n
+
+
+def rollover_generations(base_root: str) -> list[str]:
+    """Sorted generation roots under an ILM rollover index (local-FS
+    listing; catalog.py's scheme-aware IO is the seam for object
+    stores)."""
+    import os
+
+    if not os.path.isdir(base_root):
+        return []
+    return [
+        os.path.join(base_root, d)
+        for d in sorted(os.listdir(base_root))
+        if d.startswith("gen-")
+    ]
+
+
+def rollover_write(
+    spark: SparkSession,
+    base_root: str,
+    docs: DataFrame,
+    max_docs_per_gen: int,
+    tokenizer: str = "whitespace",
+    n_parts: int = 4,
+    block_size: int = 128,
+) -> str:
+    """ES ILM rollover: ingest lands in the NEWEST generation until its
+    live doc count crosses ``max_docs_per_gen``, then the generation is
+    sealed and the next batch opens gen N+1 (a fresh index root). Sealed
+    generations are never rewritten — the Lucene/ES rollover shape that
+    keeps per-index segment counts and merge pressure bounded no matter
+    how long the feed runs; deletes stay tombstone-local to their
+    generation and search goes through the union alias
+    (rollover_search == single-corpus BM25, dfs_query_then_fetch).
+    The rollover condition is checked at batch boundaries (as ES does on
+    its periodic condition poll). Returns the generation root written."""
+    import os
+
+    from .build import build_index
+
+    gens = rollover_generations(base_root)
+    if gens:
+        cur = gens[-1]
+        cat = Catalog(cur)
+        stats = (cat.read_manifest().get("meta") or {}).get("stats") or cat.read_json("stats")
+        if int(stats["n_docs"]) < max_docs_per_gen:
+            append_index(spark, docs, cur, segment=f"roll{len(gens):03d}",
+                         tokenizer=tokenizer)
+            return cur
+    nxt = os.path.join(base_root, f"gen-{len(gens) + 1:06d}")
+    build_index(spark, docs, nxt, n_parts=n_parts, block_size=block_size,
+                tokenizer=tokenizer, build_id=f"gen{len(gens) + 1}")
+    return nxt
+
+
+def rollover_search(
+    spark: SparkSession,
+    base_root: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+) -> DataFrame:
+    """Search the rollover alias: all generations with merged global
+    statistics — identical to one index holding the union corpus."""
+    from .federate import search_federated
+
+    return search_federated(spark, rollover_generations(base_root), queries, k=k)

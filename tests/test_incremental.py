@@ -680,3 +680,39 @@ def test_update_by_query_equals_fresh_build(spark, tmp_path):
         b = [(r["rank"], r["doc_id"], r["score"])
              for r in run_queries(spark, r2, {"q": q}, k=10).collect()]
         assert a == b, q
+
+
+def test_ilm_rollover_generations_and_deletes(spark, tmp_path):
+    """Rollover seals generations (old gens untouched by later writes);
+    the union-alias search equals direct BM25, including after a delete
+    inside an OLD generation (tombstones stay generation-local)."""
+    from fafnir_spark.incremental import (
+        rollover_generations,
+        rollover_search,
+        rollover_write,
+    )
+    from fafnir_spark.query import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = str(tmp_path / "ilm")
+    n = docs.count()
+    half = (n + 1) // 2
+    c1 = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    c2 = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    g1 = rollover_write(spark, base, normalize_docs(c1, id_col="doc_id", text_col="text"),
+                        max_docs_per_gen=half)
+    g2 = rollover_write(spark, base, normalize_docs(c2, id_col="doc_id", text_col="text"),
+                        max_docs_per_gen=half)
+    assert g1 != g2 and len(rollover_generations(base)) == 2
+    got = [(r["rank"], r["doc_id"], r["score"])
+           for r in rollover_search(spark, base, {"q": ["merge", "window"]}, k=10).collect()]
+    want = [(r["rank"], r["doc_id"], r["score"])
+            for r in bm25_topk(docs, ["merge", "window"], k=10).collect()]
+    assert got == want
+    # delete the top hit (it lives in one of the generations)
+    victim = got[0][1]
+    vic_gen = g1 if victim % 2 == 0 else g2
+    delete_docs(spark, vic_gen, [victim])
+    got2 = [(r["doc_id"])
+            for r in rollover_search(spark, base, {"q": ["merge", "window"]}, k=10).collect()]
+    assert victim not in got2
