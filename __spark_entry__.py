@@ -1970,6 +1970,53 @@ def _q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DISTF_ORIGIN, DISTF_PIVOT, DISTF_BOOST = 150.0, 50.0, 2.0
+PINNED_IDS = [42, 7, 123456789, 3]  # 3rd id doesn't exist -> dropped (ES)
+
+
+def _q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Dirichlet similarity module (Zhai & Lafferty smoothing — the ES
+    `similarity: LMDirichlet` alternative to BM25), one filtered pass."""
+    from fafnir_spark.scoring import lm_topk
+
+    return lm_topk(_docs(spark, sf_dir), Q_MAIN, k=10, smoothing="dirichlet", mu=2000.0)
+
+
+def _q_lm_jelinek_mercer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Jelinek-Mercer similarity module (lambda=0.1, the short-query
+    setting the SIGIR'01 paper recommends)."""
+    from fafnir_spark.scoring import lm_topk
+
+    return lm_topk(_docs(spark, sf_dir), Q_MAIN, k=10, smoothing="jm", lam=0.1)
+
+
+def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature query: BM25 + closeness-to-origin boost on
+    n_chars (the numeric-origin form of the date/geo recency boost)."""
+    from fafnir_spark.scoring import distance_feature_topk
+
+    return distance_feature_topk(
+        _docs(spark, sf_dir), ["merge", "window"],
+        origin=DISTF_ORIGIN, pivot=DISTF_PIVOT, boost=DISTF_BOOST, k=10,
+    )
+
+
+def _q_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query: promoted ids first in promotion order (missing ids
+    dropped), organic BM25 below, pins never duplicated."""
+    from fafnir_spark.scoring import pinned_topk
+
+    return pinned_topk(_docs(spark, sf_dir), Q_MAIN, PINNED_IDS, k=10)
+
+
+def _q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix: bool-should BM25 terms + constant-score
+    prefix on the last term ('wi' -> window/... expansion-free EXISTS)."""
+    from fafnir_spark.scoring import match_bool_prefix
+
+    return match_bool_prefix(_docs(spark, sf_dir), ["merge", "customer", "wi"], k=10)
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -2110,6 +2157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max": _q_dis_max,
         "boosting_query": _q_boosting,
         "random_score": _q_random_score,
+        "lm_dirichlet": _q_lm_dirichlet,
+        "lm_jelinek_mercer": _q_lm_jelinek_mercer,
+        "distance_feature": _q_distance_feature,
+        "pinned_query": _q_pinned_query,
+        "match_bool_prefix": _q_match_bool_prefix,
         "percolate": _q_percolate,
         "msearch": _q_msearch,
         "stream_percolate": _q_stream_percolate,
@@ -2345,6 +2397,14 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "window"], "slow", negative_boost=0.5, k=10
         ),
         "random_score": oracles.random_score_sql("round4", k=10),
+        "lm_dirichlet": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="dirichlet", mu=2000.0),
+        "lm_jelinek_mercer": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="jm", lam=0.1),
+        "distance_feature": oracles.distance_feature_sql(
+            ["merge", "window"], origin=DISTF_ORIGIN, pivot=DISTF_PIVOT,
+            boost=DISTF_BOOST, k=10,
+        ),
+        "pinned_query": oracles.pinned_sql(Q_MAIN, PINNED_IDS, k=10),
+        "match_bool_prefix": oracles.match_bool_prefix_sql(["merge", "customer", "wi"], k=10),
         "percolate": oracles.percolate_sql(PERC_QUERIES),
         "msearch": oracles.msearch_sql(MSEARCH_QUERIES, k=10),
         "stream_percolate": oracles.percolate_sql(PERC_QUERIES),

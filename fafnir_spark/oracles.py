@@ -1547,3 +1547,104 @@ SELECT doc_id, n_matched, msm FROM feat
 WHERE n_matched >= msm
 ORDER BY doc_id
 """
+
+
+def lm_topk_sql(terms: list[str], k: int = 10, smoothing: str = "dirichlet",
+                mu: float = 2000.0, lam: float = 0.1) -> str:
+    """LM Dirichlet / Jelinek-Mercer similarity (scoring.lm_topk): same
+    Zhai & Lafferty formulas, cf from the same filtered tf relation, C as
+    the exact-integer token total — operand order pinned to the Spark
+    side."""
+    part = (
+        f"greatest(ln(1 + tf.tf / ({float(mu)!r} * (cfs.cf / totc.total_c)))"
+        f" + ln({float(mu)!r} / (dl.dl + {float(mu)!r})), 0.0)"
+        if smoothing == "dirichlet"
+        else f"ln(1 + (({1.0 - float(lam)!r} * tf.tf) / dl.dl)"
+             f" / ({float(lam)!r} * (cfs.cf / totc.total_c)))"
+    )
+    inner = f"""
+WITH {_TF_CTES},
+cfs AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+totc AS (SELECT CAST(sum(dl) AS DOUBLE) AS total_c FROM dl),
+scored AS (
+  SELECT tf.doc_id, round(sum({part}), 6) AS score
+  FROM tf
+  JOIN cfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN totc
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored
+"""
+    return _ranked_topk(inner, k)
+
+
+def distance_feature_sql(terms: list[str], origin: float, pivot: float = 50.0,
+                         boost: float = 2.0, k: int = 10,
+                         field: str = "n_chars") -> str:
+    """distance_feature (scoring.distance_feature_topk): additive
+    closeness-to-origin contribution over the rounded BM25 score."""
+    contrib = (
+        f"{float(boost)!r} * {float(pivot)!r} / ({float(pivot)!r} + "
+        f"abs(CAST(d.{field} AS DOUBLE) - {float(origin)!r}))"
+    )
+    inner = f"""
+WITH {_TF_CTES},
+{_scored_cte(terms)}
+SELECT s.doc_id, round(round(s.raw_score, 6) + {contrib}, 6) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+"""
+    return _ranked_topk(inner, k)
+
+
+def pinned_sql(terms: list[str], pinned_ids: list[int], k: int = 10) -> str:
+    """Pinned query (scoring.pinned_topk): pinned ids first in promotion
+    order (descending PIN_BASE - position constants, existence-checked
+    against the corpus), then organic BM25 with the pins excluded."""
+    from .scoring import PIN_BASE
+    vals = ", ".join(
+        f"({int(d)}, {PIN_BASE - i!r})" for i, d in enumerate(pinned_ids)
+    )
+    inner = f"""
+WITH {_TF_CTES},
+{_scored_cte(terms)},
+pins AS (SELECT * FROM (VALUES {vals}) AS p(doc_id, pin_score)),
+pinned AS (
+  SELECT d.doc_id, round(p.pin_score, 6) AS score
+  FROM pins p JOIN documents d USING (doc_id)
+),
+organic AS (
+  SELECT doc_id, round(raw_score, 6) AS score FROM scored
+  WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+)
+SELECT doc_id, score FROM pinned
+UNION ALL
+SELECT doc_id, score FROM organic
+"""
+    return _ranked_topk(inner, k)
+
+
+def match_bool_prefix_sql(terms: list[str], k: int = 10) -> str:
+    """match_bool_prefix (scoring.match_bool_prefix): bool-should BM25
+    over all terms but the last + constant-score 1.0 prefix match on the
+    last term (the ES constant_score multi-term rewrite)."""
+    full, prefix = terms[:-1], terms[-1].replace("'", "''")
+    inner = f"""
+WITH {_TF_CTES},
+{_scored_cte(full)},
+pref AS (
+  SELECT doc_id, 1.0 AS part FROM documents
+  WHERE len(list_filter(string_split(text, ' '),
+            t -> t <> '' AND t LIKE '{prefix}%')) > 0
+),
+parts AS (
+  SELECT doc_id, round(raw_score, 6) AS part FROM scored
+  UNION ALL
+  SELECT doc_id, part FROM pref
+)
+SELECT doc_id, round(sum(part), 6) AS score FROM parts GROUP BY doc_id
+"""
+    return _ranked_topk(inner, k)

@@ -258,3 +258,164 @@ def sparse_vector_topk(
         .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score"))
     )
     return _topk_ranked(scored, k)
+
+
+def lm_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    smoothing: str = "dirichlet",
+    mu: float = 2000.0,
+    lam: float = 0.1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-model similarity modules (the ES `similarity` setting's
+    LMDirichlet / LMJelinekMercer alternatives to BM25; Zhai & Lafferty,
+    "A Study of Smoothing Methods for Language Models Applied to Ad Hoc
+    Information Retrieval", SIGIR 2001 — the public Lucene
+    LMDirichletSimilarity / LMJelinekMercerSimilarity formulas):
+
+        p(t|C)    = cf / C              (collection language model)
+        dirichlet : max(0, ln(1 + tf / (mu * p)) + ln(mu / (dl + mu)))
+        jm        : ln(1 + ((1-lam) * tf / dl) / (lam * p))
+
+    summed over matched query terms (Lucene clamps each Dirichlet term at
+    0 so scores stay non-negative). Same ONE-pass shape as BM25: the
+    shared filtered tf+dl+df relation (query._tf_dl_df), cf as a SUM
+    window over the per-term partition of that same filtered relation
+    (posting-list bounded, never the vocabulary), and C (= total corpus
+    tokens) rides the 1-row stats aggregate. Operand order is pinned by
+    the oracle template (oracles.lm_topk_sql)."""
+    qterms = sorted(set(terms))
+    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    matched = _tf_dl_df(base, qterms).withColumn(
+        "cf", F.sum("tf").over(Window.partitionBy("term"))
+    )
+    stats = (
+        base.select(F.size(tokens_expr("__text")).cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.sum("dl").cast("double").alias("total_c"))
+    )
+    m = matched.crossJoin(F.broadcast(stats))
+    p = F.col("cf") / F.col("total_c")
+    if smoothing == "dirichlet":
+        part = F.greatest(
+            F.log(F.lit(1.0) + F.col("tf") / (F.lit(float(mu)) * p))
+            + F.log(F.lit(float(mu)) / (F.col("dl") + F.lit(float(mu)))),
+            F.lit(0.0),
+        )
+    elif smoothing == "jm":
+        one_minus = 1.0 - float(lam)
+        part = F.log(
+            F.lit(1.0)
+            + ((F.lit(one_minus) * F.col("tf")) / F.col("dl")) / (F.lit(float(lam)) * p)
+        )
+    else:
+        raise ValueError(f"unknown smoothing {smoothing!r}")
+    scores = (
+        m.select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score"))
+    )
+    return _topk_ranked(scores, k)
+
+
+def distance_feature_topk(
+    docs: DataFrame,
+    terms: list[str],
+    origin: float,
+    pivot: float = 50.0,
+    boost: float = 2.0,
+    k: int = 10,
+    field: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES distance_feature query (numeric-origin form): an ADDITIVE
+    closeness-to-origin contribution on top of the relevance score —
+
+        score = bm25 + boost * pivot / (pivot + |v - origin|)
+
+    (the ES semantics: at distance == pivot the contribution is boost/2;
+    date/geo origins are this same formula over a different distance).
+    Row-local feature read on already-matched docs, chained from the
+    ROUNDED bm25 score (house contract) — no pass beyond bm25's own."""
+    scores = bm25_scores(docs, terms, text_col=text_col)
+    vals = docs.select("doc_id", F.col(field).cast("double").alias("__v"))
+    contrib = (
+        F.lit(float(boost))
+        * F.lit(float(pivot))
+        / (F.lit(float(pivot)) + F.abs(F.col("__v") - F.lit(float(origin))))
+    )
+    out = scores.join(vals, "doc_id").select(
+        "doc_id",
+        F.round(F.col("score") + contrib, SCORE_DECIMALS).alias("score"),
+    )
+    return _topk_ranked(out, k)
+
+
+# pinned docs get score PIN_BASE - position so they outrank any organic
+# BM25 score while preserving the caller's promotion order (the ES pinned
+# query serves promoted results the same way: a huge descending constant
+# per pinned id above the organic query's scores).
+PIN_BASE = 1000000.0
+
+
+def pinned_topk(
+    docs: DataFrame,
+    terms: list[str],
+    pinned_ids: list[int],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES pinned query: the given ids rank first IN THE GIVEN ORDER, then
+    the organic BM25 results (pinned docs excluded from the organic side
+    so they never appear twice). Pinned ids that don't exist in the corpus
+    are dropped (ES behavior). The pinned relation is a broadcast literal;
+    the organic side is the standard one-pass BM25 with an anti-join on
+    that same tiny relation — plan cost is bm25's own."""
+    spark = docs.sparkSession
+    pins = spark.createDataFrame(
+        [(int(d), PIN_BASE - i) for i, d in enumerate(pinned_ids)],
+        "doc_id long, pin_score double",
+    )
+    present = docs.select("doc_id").join(F.broadcast(pins), "doc_id").select(
+        "doc_id", F.round("pin_score", SCORE_DECIMALS).alias("score")
+    )
+    organic = bm25_scores(docs, terms, text_col=text_col).join(
+        F.broadcast(pins.select("doc_id")), "doc_id", "left_anti"
+    )
+    return _topk_ranked(present.unionByName(organic), k)
+
+
+def match_bool_prefix(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES match_bool_prefix query: every term but the last is a regular
+    bool-should BM25 term; the LAST term matches as a PREFIX with constant
+    score 1.0 (ES rewrites multi-term prefix expansion to constant_score
+    by default). A doc matching only the prefix still matches (should
+    semantics). The prefix test is a row-local EXISTS over the token
+    array — no prefix-expanded term explosion, no extra tf pass; the two
+    score sources merge with a union + per-doc sum."""
+    full, prefix = terms[:-1], terms[-1]
+
+    def _is_pref(t):
+        return t.startswith(prefix)
+
+    pref_docs = (
+        docs.select("doc_id", tokens_expr(text_col).alias("__tk"))
+        .filter(F.exists(F.col("__tk"), _is_pref))
+        .select("doc_id", F.lit(1.0).alias("part"))
+    )
+    full_scores = bm25_scores(docs, full, text_col=text_col).select(
+        "doc_id", F.col("score").alias("part")
+    )
+    out = (
+        full_scores.unionByName(pref_docs)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score"))
+    )
+    return _topk_ranked(out, k)
