@@ -2017,6 +2017,38 @@ def _q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_bool_prefix(_docs(spark, sf_dir), ["merge", "customer", "wi"], k=10)
 
 
+def _q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid agg (zoom 6): web-mercator slippy-tile bucket
+    counts — row-local tile math + one bounded groupBy."""
+    from fafnir_spark.geo import geotile_grid
+
+    return geotile_grid(spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=6)
+
+
+def _q_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot agg per event_type: exact interpolated quartiles (the
+    deterministic dual of ES's TDigest boxplot)."""
+    from fafnir_spark.pipeline import boxplot_agg
+
+    return boxplot_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-lookup query: term set fetched from doc 7's text at query
+    time; distinct-match-count ranking, broadcast lookup relation."""
+    from fafnir_spark.query_ext import terms_lookup_topk
+
+    return terms_lookup_topk(_docs(spark, sf_dir), lookup_doc_id=7, k=10)
+
+
+def _q_sliced_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sliced scroll: hash slice 2 of 5, keyset-ordered first page —
+    the coordination-free parallel-export primitive."""
+    from fafnir_spark.query_ext import sliced_scroll
+
+    return sliced_scroll(_docs(spark, sf_dir), slice_id=2, max_slices=5, k=50)
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -2140,6 +2172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_agg": _q_normalize_agg,
         "geohash_grid": _q_geohash_grid,
         "pit_search": _q_pit_search,
+        "geotile_grid": _q_geotile_grid,
+        "boxplot_agg": _q_boxplot,
+        "terms_lookup": _q_terms_lookup,
+        "sliced_scroll": _q_sliced_scroll,
         "ilm_rollover": _q_ilm_rollover,
         "bpe_pair_counts": _q_bpe_pairs,
         "phrase_slop_indexed": _q_phrase_slop_indexed,
@@ -2368,6 +2404,10 @@ def oracle_sql() -> dict[str, str]:
         "normalize_agg": oracles_pipeline.normalize_agg_sql(),
         "geohash_grid": oracles_pipeline.geohash_grid_sql(precision=3),
         "pit_search": oracles.bm25_topk_sql(Q_MAIN, k=10),
+        "geotile_grid": oracles_pipeline.geotile_grid_sql(zoom=6),
+        "boxplot_agg": oracles_pipeline.boxplot_sql(),
+        "terms_lookup": oracles.terms_lookup_sql(lookup_doc_id=7, k=10),
+        "sliced_scroll": oracles.sliced_scroll_sql(slice_id=2, max_slices=5, k=50),
         "ilm_rollover": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "bpe_pair_counts": oracles_ops.bpe_pair_counts_sql(k=20),
         "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),

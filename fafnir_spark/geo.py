@@ -304,3 +304,33 @@ def geohash_grid(events: DataFrame, precision: int = 4) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
         .orderBy(F.col("doc_count").desc(), F.col("geohash").asc())
     )
+
+
+def geotile_grid(events: DataFrame, zoom: int = 6) -> DataFrame:
+    """ES geotile_grid aggregation: bucket counts per web-mercator slippy
+    tile 'z/x/y' (the map-tile dual of geohash_grid; OSM's public tile
+    scheme — the reference consumes these very tiles,
+    /root/reference src/sources/openmaptiles):
+
+        x = floor((lon + 180) / 360 * 2^z)
+        y = floor((1 - ln(tan φ + 1/cos φ) / π) / 2 * 2^z)
+
+    Row-local math + ONE bounded groupBy — scan + cell-count aggregate at
+    any corpus size. π and 2^z enter BOTH engines as the same double
+    literals; coordinates are hash-derived so a 1-ulp libm difference can
+    never sit on a tile boundary. (tile, doc_count), count-desc then
+    key-asc (ES bucket order)."""
+    n = float(1 << zoom)
+    ll = event_latlon(events)
+    rad = F.radians(F.col("lat"))
+    merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+    x = F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+    y = F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(n)).cast("long")
+    tiles = ll.select(
+        F.concat_ws("/", F.lit(str(int(zoom))), x.cast("string"), y.cast("string")).alias("tile")
+    )
+    return (
+        tiles.groupBy("tile")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("tile").asc())
+    )

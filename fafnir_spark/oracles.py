@@ -1648,3 +1648,45 @@ parts AS (
 SELECT doc_id, round(sum(part), 6) AS score FROM parts GROUP BY doc_id
 """
     return _ranked_topk(inner, k)
+
+
+def terms_lookup_sql(lookup_doc_id: int, k: int = 10) -> str:
+    """terms-lookup query (query_ext.terms_lookup_topk): term set from one
+    document, distinct-match count ranking."""
+    return f"""
+WITH lk AS (
+  SELECT DISTINCT t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE doc_id = {int(lookup_doc_id)} AND t.tok <> ''
+),
+dt AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+  FROM dt JOIN lk USING (term) GROUP BY doc_id
+)
+SELECT rank, doc_id, n_matched FROM (
+  SELECT row_number() OVER (ORDER BY n_matched DESC, doc_id ASC) AS rank,
+         doc_id, n_matched
+  FROM m
+) WHERE rank <= {int(k)} ORDER BY rank
+"""
+
+
+def sliced_scroll_sql(slice_id: int, max_slices: int, k: int = 50) -> str:
+    """Sliced scroll (query_ext.sliced_scroll): same portable seeded hash,
+    same pmod slice predicate, keyset page order."""
+    from .portable import seeded_sql
+    h = seeded_sql("CAST(doc_id AS VARCHAR)", "'slice'")
+    m = int(max_slices)
+    return f"""
+SELECT rank, doc_id, slice_id FROM (
+  SELECT row_number() OVER (ORDER BY doc_id ASC) AS rank,
+         doc_id, {int(slice_id)} AS slice_id
+  FROM documents
+  WHERE ((({h}) % {m}) + {m}) % {m} = {int(slice_id)}
+) WHERE rank <= {int(k)} ORDER BY rank
+"""

@@ -1057,3 +1057,42 @@ SELECT geohash, CAST(count(*) AS BIGINT) AS doc_count
 FROM gh GROUP BY geohash
 ORDER BY doc_count DESC, geohash ASC
 """
+
+
+def geotile_grid_sql(zoom: int = 6) -> str:
+    """Mirror of geo.geotile_grid: same latlon derivation, same mercator
+    formula with π and 2^z as identical double literals."""
+    import math
+    n = float(1 << zoom)
+    return f"""
+WITH ll AS (
+  SELECT 40.0 + (((event_id % 100) + 100) % 100) / 10.0 * 2.0 AS lat,
+         -5.0 + (((user_id % 100) + 100) % 100) / 10.0 * 3.0 AS lon
+  FROM events
+),
+t AS (
+  SELECT concat('{int(zoom)}', '/',
+           CAST(CAST(floor((lon + 180.0) / 360.0 * {n!r}) AS BIGINT) AS VARCHAR), '/',
+           CAST(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / {math.pi!r}) / 2.0 * {n!r}) AS BIGINT) AS VARCHAR)
+         ) AS tile
+  FROM ll
+)
+SELECT tile, CAST(count(*) AS BIGINT) AS doc_count
+FROM t GROUP BY tile
+ORDER BY doc_count DESC, tile ASC
+"""
+
+
+def boxplot_sql() -> str:
+    """Mirror of pipeline.boxplot_agg — exact interpolated quartiles
+    (quantile_cont == Spark `percentile`, the event_value_percentiles
+    parity precedent)."""
+    return """
+SELECT event_type,
+       round(min(value), 6) AS vmin,
+       round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 6) AS q1,
+       round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS q2,
+       round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 6) AS q3,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY event_type ORDER BY event_type
+"""

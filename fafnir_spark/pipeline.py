@@ -1360,3 +1360,24 @@ def normalize_agg(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def boxplot_agg(events: DataFrame) -> DataFrame:
+    """ES boxplot aggregation per event_type: min / q1 / median / q3 / max
+    with EXACT linear interpolation (Spark `percentile` == DuckDB
+    quantile_cont — the event_value_percentiles parity precedent; ES
+    itself serves TDigest approximations, the exact form strictly
+    dominates). One groupBy pass, map-side partial agg."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("q2"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )

@@ -1514,3 +1514,65 @@ def terms_set_match(docs: DataFrame, terms: list[str], msm_col: F.Column,
         .filter(F.col("n_matched") >= F.col("msm"))
         .orderBy("doc_id")
     )
+
+
+def terms_lookup_topk(docs: DataFrame, lookup_doc_id: int, k: int = 10,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """ES terms-lookup query: the term set is fetched from ANOTHER
+    document's field at query time (the "terms from a document" form of
+    the terms query — user-follow lists, curated vocabularies). Docs
+    matching >=1 looked-up term, ranked by DISTINCT matched terms
+    (desc, doc_id asc — the terms query itself is constant-score; the
+    match count is the natural deterministic order).
+
+    Plan shape: the lookup side is ONE doc -> a tiny distinct-term
+    relation, broadcast; the corpus side explodes DISTINCT (doc, term)
+    and equi-joins that broadcast — no driver collect, no second corpus
+    pass, no unbounded shuffle beyond the bounded match groupBy."""
+    from pyspark.sql.window import Window
+
+    from .tokenizer import tokens_expr
+
+    base = docs.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__tk"))
+    lk = (
+        base.filter(F.col("doc_id") == int(lookup_doc_id))
+        .select(F.explode("__tk").alias("term"))
+        .distinct()
+    )
+    m = (
+        base.select("doc_id", F.explode(F.array_distinct(F.col("__tk"))).alias("term"))
+        .join(F.broadcast(lk), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    top = m.orderBy(F.col("n_matched").desc(), F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("n_matched").desc(), F.col("doc_id").asc()))
+    return top.withColumn("rank", w).select("rank", "doc_id", "n_matched").orderBy("rank")
+
+
+def sliced_scroll(docs: DataFrame, slice_id: int, max_slices: int, k: int = 50,
+                  id_col: str = "doc_id") -> DataFrame:
+    """ES sliced scroll (the parallel-export primitive): slice i of n via
+    the portable hash — n independent workers each scan THEIR hash slice
+    with no coordination, no scroll context, and no global sort; within a
+    slice pages are keyset-ordered (doc_id asc), so resume is
+    search_after, not server state. At 100 TB this is how a full corpus
+    leaves the cluster: the slice predicate is row-local (scan + filter),
+    and each worker's page-k finish is its own TakeOrderedAndProject.
+
+    Returns the slice's first page: (rank, doc_id, slice_id)."""
+    from pyspark.sql.window import Window
+
+    from .portable import seeded
+
+    sl = docs.select(F.col(id_col).alias("doc_id")).filter(
+        F.pmod(seeded(F.col(id_col).cast("string"), F.lit("slice")), F.lit(int(max_slices)))
+        == F.lit(int(slice_id))
+    )
+    top = sl.orderBy(F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("doc_id").asc()))
+    return (
+        top.withColumn("rank", w)
+        .select("rank", "doc_id", F.lit(int(slice_id)).alias("slice_id"))
+        .orderBy("rank")
+    )
