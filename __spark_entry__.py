@@ -2049,6 +2049,42 @@ def _q_sliced_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliced_scroll(_docs(spark, sf_dir), slice_id=2, max_slices=5, k=50)
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-unigram importance weights (target = the 'en' slice):
+    fixed 256-bucket feature space, broadcast log-ratio table."""
+    from fafnir_spark.curation import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), target_lang="en", buckets=256)
+
+
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail perplexity terciles over
+    the corpus unigram LM."""
+    from fafnir_spark.curation import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
+def _q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at 15-token shingle granularity (Lee et al.
+    EXACTSUBSTR shape): min-owner first-writer-wins on the 60-bit hash."""
+    from fafnir_spark.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(_docs(spark, sf_dir), n=15)
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within-cluster embedding near-dup removal with the
+    diversity keep-rule (lower centroid-cos survives); threshold tuned
+    to the synthetic fixture's cosine range (max pair cos ~0.51)."""
+    from fafnir_spark.dedup import semdedup
+
+    return semdedup(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        n_clusters=16, threshold=0.45,
+    )
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -2104,6 +2140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "top_terms_tfidf": _q_top_terms,
         "decontaminate_ngram": _q_decontaminate,
+        "dsir_weights": _q_dsir_weights,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "exact_substring_dedup": _q_exact_substring_dedup,
+        "semdedup": _q_semdedup,
         "sample_per_source": _q_sample_per_source,
         "pack_sequences": _q_pack_sequences,
         "pii_scrub": _q_pii_scrub,
@@ -2326,6 +2366,10 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles_ops.token_counts_sql(),
         "top_terms_tfidf": oracles_ops.top_terms_sql(3),
         "decontaminate_ngram": oracles_curation.decontaminate_sql(n=3, bench_mod=17),
+        "dsir_weights": oracles_curation.dsir_weights_sql(target_lang="en", buckets=256),
+        "ccnet_buckets": oracles_curation.ccnet_buckets_sql(),
+        "exact_substring_dedup": oracles_curation.exact_substring_dedup_sql(n=15),
+        "semdedup": oracles_ops.semdedup_sql(n_clusters=16, threshold=0.45),
         "sample_per_source": oracles_curation.sample_per_source_sql(n=25),
         "pack_sequences": oracles_curation.pack_sequences_sql(budget=512),
         "pii_scrub": oracles_curation.pii_scrub_sql(),

@@ -583,3 +583,94 @@ def gopher_quality(docs: DataFrame, stopwords: list[str],
         "n_stop",
         keep.alias("keep"),
     ).orderBy("doc_id")
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = "en", buckets: int = 256,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 lang_col: str = "lang") -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): hashed
+    unigram features, target distribution = the ``target_lang`` slice of
+    the corpus, raw distribution = the whole corpus; each doc's
+    log-importance weight is
+
+        w(doc) = Σ_tokens  ln(p_tgt(b(t)) / p_raw(b(t)))
+        p(b)   = (count(b) + 1) / (total + buckets)     (add-one smoothing)
+
+    where b(t) = pmod(hash60(t), buckets) — the paper's hashed n-gram
+    bucketing, so the feature space is FIXED-size regardless of
+    vocabulary (the property that makes this run at 100 TB: the
+    bucket-statistics relation is ``buckets`` rows, broadcast; the corpus
+    is touched by exactly one tokenize pass, aggregated per (doc, bucket)
+    map-side before any shuffle). Output (doc_id, dsir_weight) for every
+    doc with >=1 token, rounded 6, doc_id asc."""
+    b = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("__lang"),
+        F.explode(tokens_expr(text_col)).alias("term"),
+    ).select(
+        "doc_id", "__lang", F.pmod(hash60(F.col("term")), F.lit(int(buckets))).alias("bkt")
+    )
+    raw = b.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    tgt = (
+        b.filter(F.col("__lang") == target_lang)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    rt = raw.agg(F.sum("r").cast("long").alias("rt"))
+    tt = tgt.agg(F.sum("t").cast("long").alias("tt"))
+    lr = (
+        raw.join(tgt, "bkt", "left")
+        .withColumn("t", F.coalesce(F.col("t"), F.lit(0)))
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bkt",
+            (
+                F.log((F.col("t") + F.lit(1.0)) / (F.col("tt") + F.lit(float(buckets))))
+                - F.log((F.col("r") + F.lit(1.0)) / (F.col("rt") + F.lit(float(buckets))))
+            ).alias("lr"),
+        )
+    )
+    per = b.groupBy("doc_id", "bkt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        per.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("n") * F.col("lr")), 6).alias("dsir_weight"))
+        .orderBy("doc_id")
+    )
+
+
+def ccnet_buckets(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
+    head/middle/tail terciles of LM quality — the public pipeline keeps
+    "head" (lowest perplexity) for training and drops/downsamples "tail".
+    Our LM is the corpus unigram model (unigram_logprob); lower perplexity
+    == higher mean log-prob, so terciles order by logprob DESC. ntile(3)
+    over the ROUNDED logprob (6 decimals) with doc_id tie-break keeps the
+    assignment identical across engines. Per-language windows are bounded
+    by the language's doc count — at scale this is the classic
+    sort-within-language-partition shape, no global sort.
+
+    (doc_id, lang, logprob, bucket) — bucket ∈ head|middle|tail."""
+    lp = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    joined = lp.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("logprob").desc(), F.col("doc_id").asc())
+    nt = F.ntile(3).over(w)
+    return (
+        joined.withColumn("__nt", nt)
+        .select(
+            "doc_id",
+            "lang",
+            "logprob",
+            F.when(F.col("__nt") == 1, F.lit("head"))
+            .when(F.col("__nt") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -520,3 +520,79 @@ def winnow_overlap(docs: DataFrame, k: int = 4, w: int = 5,
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def exact_substring_dedup(docs: DataFrame, n: int = 15,
+                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-substring deduplication at n-token granularity (the
+    EXACTSUBSTR motivation of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — their suffix-array finds 50-token
+    repeats; the distributed form hashes every n-token window): a doc is
+    flagged when ANY of its n-token shingles already occurs in a
+    lower-doc_id document (first-writer-wins, the house dedup keep rule).
+
+    Plan: one explode to distinct (doc, shingle-hash), min-owner per
+    shingle (map-side partial min collapses before the shuffle), one
+    equi-join back keyed on the 60-bit hash — join fan-out is the
+    shingle's posting length, never the corpus. (doc_id, n_shared) for
+    flagged docs, doc_id asc."""
+    from .curation import ngram_keys
+
+    sh = ngram_keys(docs, n=n, id_col=id_col, text_col=text_col)
+    owners = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(owners, "g")
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+def semdedup(emb: DataFrame, n_clusters: int = 16, threshold: float = 0.9,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    the embedding space and removing near-duplicates WITHIN each cluster —
+    the within-cluster restriction is what makes the pairing tractable
+    (O(Σ|cluster|²), never corpus²; n_clusters scales with the corpus so
+    clusters stay bounded). Centroids are the deterministic sampled rows
+    the IVF index uses (simsearch.ivf_centroid_ids — same seam, no
+    training loop). Keep rule per the paper: within a duplicate pair the
+    member with LOWER cosine to the centroid survives (diversity-
+    preserving); ties keep the smaller vec_id. Cosines are ROUNDED (6) on
+    both engines before any comparison.
+
+    Returns REMOVED vectors: (vec_id, centroid_id), vec_id asc."""
+    from .simsearch import _assign_to_centroids, ivf_centroid_ids
+
+    n = emb.count()
+    cids = ivf_centroid_ids(n, n_clusters)
+    cents = emb.filter(F.col(id_col).isin(cids)).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
+    with_ccos = assigned.join(F.broadcast(cents), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        "v",
+        F.round(cosine_expr(F.col("v"), F.col("cv")), 6).alias("ccos"),
+    )
+    a = with_ccos.alias("a")
+    b = with_ccos.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("cos") >= threshold)
+    )
+    dead = pairs.select(
+        F.when(F.col("a.ccos") > F.col("b.ccos"), F.col("a.vec_id"))
+        .when(F.col("b.ccos") > F.col("a.ccos"), F.col("b.vec_id"))
+        .otherwise(F.greatest(F.col("a.vec_id"), F.col("b.vec_id")))
+        .alias("vec_id"),
+        F.col("a.centroid_id").alias("centroid_id"),
+    )
+    return dead.dropDuplicates(["vec_id"]).select("vec_id", "centroid_id").orderBy("vec_id")

@@ -402,3 +402,83 @@ SELECT doc_id, n_words,
         AND n_stop >= {int(r["min_stop_hits"])}) AS keep
 FROM feat ORDER BY doc_id
 """
+
+
+def dsir_weights_sql(target_lang: str = "en", buckets: int = 256) -> str:
+    """Mirror of curation.dsir_weights: same hash60 bucketing, same
+    add-one smoothing, same operand order in the log-ratio."""
+    bkt = _pmod(hash60_sql("t.tok"), buckets)
+    bf = float(buckets)
+    return f"""
+WITH tk AS (
+  SELECT doc_id, lang, {bkt} AS bkt
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+raw AS (SELECT bkt, CAST(count(*) AS BIGINT) AS r FROM tk GROUP BY bkt),
+tgt AS (SELECT bkt, CAST(count(*) AS BIGINT) AS t FROM tk
+        WHERE lang = '{target_lang}' GROUP BY bkt),
+rt AS (SELECT CAST(sum(r) AS BIGINT) AS rt FROM raw),
+tt AS (SELECT CAST(sum(t) AS BIGINT) AS tt FROM tgt),
+lr AS (
+  SELECT bkt,
+         ln((coalesce(t, 0) + 1.0) / (tt + {bf!r}))
+         - ln((r + 1.0) / (rt + {bf!r})) AS lr
+  FROM raw LEFT JOIN tgt USING (bkt) CROSS JOIN rt CROSS JOIN tt
+),
+per AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS n
+        FROM tk GROUP BY doc_id, bkt)
+SELECT doc_id, round(sum(n * lr), 6) AS dsir_weight
+FROM per JOIN lr USING (bkt)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def ccnet_buckets_sql() -> str:
+    """Mirror of curation.ccnet_buckets: unigram-LM mean logprob (the
+    unigram_logprob formula), per-language ntile(3) terciles over the
+    ROUNDED logprob with doc_id tie-break."""
+    return """
+WITH toks2 AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+cfs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf2 GROUP BY term),
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cfs),
+per AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         sum(tf * ln(cf / total)) AS lp
+  FROM tf2 JOIN cfs USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+),
+j AS (
+  SELECT p.doc_id, d.lang, round(p.lp / p.n_tokens, 6) AS logprob
+  FROM per p JOIN documents d USING (doc_id)
+),
+nt AS (
+  SELECT doc_id, lang, logprob,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY logprob DESC, doc_id ASC) AS b
+  FROM j
+)
+SELECT doc_id, lang, logprob,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM nt ORDER BY doc_id
+"""
+
+
+def exact_substring_dedup_sql(n: int = 15) -> str:
+    """Mirror of dedup.exact_substring_dedup: distinct hashed n-token
+    shingles (the decontaminate gram CTE), min-owner first-writer-wins."""
+    return f"""
+WITH {_TOKS},
+{_ngrams(n)},
+owners AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM grams JOIN owners USING (g)
+WHERE doc_id > first_doc
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -717,3 +717,48 @@ SELECT rank, pair, cnt FROM (
   FROM agg
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def semdedup_sql(n_clusters: int = 16, threshold: float = 0.9) -> str:
+    """Mirror of dedup.semdedup: the IVF sampled-centroid assignment CTE
+    (ivf_cosine_topk_sql precedent), rounded centroid/pair cosines, the
+    paper's diversity keep-rule (lower centroid-cos survives)."""
+
+    def cos(a: str, b: str) -> str:
+        return f"""round(
+  list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+, 6)"""
+
+    return f"""
+WITH step AS (SELECT greatest(count(*) // {n_clusters}, 1) AS s FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings, step
+          WHERE vec_id % step.s = 0 AND vec_id // step.s < {n_clusters}),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.embedding", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+wc AS (
+  SELECT a.vec_id, a.centroid_id, a.v, {cos("a.v", "c.cv")} AS ccos
+  FROM assigned a JOIN cents c USING (centroid_id)
+),
+pairs AS (
+  SELECT x.vec_id AS va, y.vec_id AS vb, x.ccos AS ca, y.ccos AS cb,
+         x.centroid_id AS cid, {cos("x.v", "y.v")} AS cos
+  FROM wc x JOIN wc y
+    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+),
+dead AS (
+  SELECT CASE WHEN ca > cb THEN va WHEN cb > ca THEN vb
+              ELSE greatest(va, vb) END AS vec_id,
+         cid AS centroid_id
+  FROM pairs WHERE cos >= {float(threshold)!r}
+)
+SELECT DISTINCT vec_id, centroid_id FROM dead ORDER BY vec_id
+"""
