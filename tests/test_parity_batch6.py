@@ -1,0 +1,175 @@
+"""Session-6 op invariants the oracle sim can't express: LM-similarity
+score laws, sliced-scroll partitioning, pinned promotion order, SemDeDup
+keep-rule, exact-substring flag witnesses, DSIR directionality, CCNet
+tercile balance."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.curation import ccnet_buckets, dsir_weights, ngram_keys
+from fafnir_spark.dedup import cosine_expr, exact_substring_dedup, semdedup
+from fafnir_spark.query_ext import sliced_scroll, terms_lookup_topk
+from fafnir_spark.scoring import lm_topk, match_bool_prefix, pinned_topk
+from tests.conftest import SF_DIR
+
+QT = ["merge", "window", "customer"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_lm_scores_nonnegative_and_deterministic(docs):
+    for sm in ("dirichlet", "jm"):
+        rows = lm_topk(docs, QT, k=10, smoothing=sm).collect()
+        assert rows, sm
+        assert all(r["score"] >= 0.0 for r in rows), sm
+        ranks = [r["rank"] for r in rows]
+        assert ranks == sorted(ranks)
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lm_rejects_unknown_smoothing(docs):
+    with pytest.raises(ValueError):
+        lm_topk(docs, QT, smoothing="laplace")
+
+
+def test_sliced_scroll_is_a_partition(docs):
+    n_docs = docs.count()
+    seen: list[int] = []
+    for s in range(4):
+        page = sliced_scroll(docs, slice_id=s, max_slices=4, k=10_000)
+        ids = [r["doc_id"] for r in page.collect()]
+        assert ids == sorted(ids)  # keyset order within the slice
+        seen.extend(ids)
+    assert len(seen) == n_docs  # slices cover ...
+    assert len(set(seen)) == n_docs  # ... and never overlap
+
+
+def test_pinned_promotion_order(docs):
+    missing = 10**9 + 7
+    pins = [9, 2, missing, 5]
+    rows = pinned_topk(docs, QT, pins, k=10).collect()
+    got = [r["doc_id"] for r in rows]
+    # missing id dropped; surviving pins lead in promotion order
+    assert got[:3] == [9, 2, 5]
+    assert len(set(got)) == len(got)  # a pin never reappears organically
+    assert rows[2]["score"] > rows[3]["score"]
+
+
+def test_match_bool_prefix_witnesses(docs, spark):
+    rows = match_bool_prefix(docs, ["merge", "wi"], k=10).collect()
+    assert rows
+    ids = [r["doc_id"] for r in rows]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id").isin(ids)).select("doc_id", "text").collect()
+    }
+    for r in rows:
+        toks = [t for t in texts[r["doc_id"]].split(" ") if t]
+        assert "merge" in toks or any(t.startswith("wi") for t in toks)
+
+
+def test_terms_lookup_counts_are_witnessed(docs):
+    rows = terms_lookup_topk(docs, lookup_doc_id=3, k=5).collect()
+    assert rows
+    lk_rows = (
+        docs.filter(F.col("doc_id") == 3)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .distinct()
+        .collect()
+    )
+    lk = {r["t"] for r in lk_rows}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows:
+        toks = {t for t in texts[r["doc_id"]].split(" ") if t}
+        assert r["n_matched"] == len(toks & lk)
+
+
+def test_semdedup_keep_rule(emb):
+    thr = 0.3
+    removed = semdedup(emb, n_clusters=8, threshold=thr).collect()
+    if not removed:
+        pytest.skip("fixture produced no pairs at this threshold")
+    # every removed vector must have a same-cluster partner at >= thr whose
+    # centroid-cos is <= its own (the survivor), so removal is justified
+    from fafnir_spark.simsearch import _assign_to_centroids, ivf_centroid_ids
+
+    n = emb.count()
+    cids = ivf_centroid_ids(n, 8)
+    cents = emb.filter(F.col("vec_id").isin(cids)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    a = _assign_to_centroids(emb, cents, "vec_id", "embedding")
+    wc = a.join(F.broadcast(cents), "centroid_id").select(
+        "vec_id", "centroid_id",
+        F.round(cosine_expr(F.col("v"), F.col("cv")), 6).alias("ccos"), "v",
+    )
+    x, y = wc.alias("x"), wc.alias("y")
+    pair_rows = (
+        x.join(y, (F.col("x.centroid_id") == F.col("y.centroid_id"))
+               & (F.col("x.vec_id") != F.col("y.vec_id")))
+        .withColumn("cos", F.round(cosine_expr(F.col("x.v"), F.col("y.v")), 6))
+        .filter(F.col("cos") >= thr)
+        .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"),
+                F.col("x.ccos").alias("ca"), F.col("y.ccos").alias("cb"))
+        .collect()
+    )
+    partners = {}
+    for r in pair_rows:
+        partners.setdefault(r["va"], []).append(r)
+    removed_ids = {r["vec_id"] for r in removed}
+    for rid in removed_ids:
+        assert any(
+            (p["cb"] < p["ca"]) or (p["cb"] == p["ca"] and p["vb"] < rid)
+            or p["vb"] in removed_ids
+            for p in partners[rid]
+        )
+
+
+def test_exact_substring_flags_have_witness(docs):
+    out = exact_substring_dedup(docs, n=5).collect()
+    if not out:
+        pytest.skip("no shingle collisions at n=5 in this fixture")
+    grams = ngram_keys(docs, n=5).collect()
+    by_gram: dict[int, list[int]] = {}
+    for r in grams:
+        by_gram.setdefault(r["g"], []).append(r["doc_id"])
+    flagged = {r["doc_id"]: r["n_shared"] for r in out}
+    for did, n_shared in flagged.items():
+        witness = sum(
+            1 for g, ds in by_gram.items() if did in ds and min(ds) < did
+        )
+        assert witness == n_shared
+
+
+def test_dsir_targets_score_higher(docs):
+    rows = dsir_weights(docs, target_lang="en", buckets=64).collect()
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    en = [r["dsir_weight"] for r in rows if langs[r["doc_id"]] == "en"]
+    other = [r["dsir_weight"] for r in rows if langs[r["doc_id"]] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_ccnet_tercile_balance(docs):
+    rows = ccnet_buckets(docs).collect()
+    assert {r["bucket"] for r in rows} <= {"head", "middle", "tail"}
+    per = Counter((r["lang"], r["bucket"]) for r in rows)
+    langs = {r["lang"] for r in rows}
+    for lang in langs:
+        sizes = [per.get((lang, b), 0) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)  # ntile fills head first
