@@ -212,6 +212,42 @@ def main() -> None:
               "(mapInPandas head-k, no unbounded per-group window), "
               "k-row orderBy().limit finish."),
     ]
+    from fafnir_spark.curation import dsir_weights
+    from fafnir_spark.dedup import exact_substring_dedup, semdedup
+    from fafnir_spark.query_ext import sliced_scroll, terms_lookup_topk
+    from fafnir_spark.scoring import lm_topk
+
+    sections += [
+        audit("lm_dirichlet (similarity module, one-pass)",
+              lm_topk(docs, ["merge", "window"], k=10),
+              "Same _tf_dl_df discipline as bm25_direct: filtered tf pass "
+              "with row-local dl, cf as a posting-bounded window, 1-row "
+              "token-total aggregate — 2 scans, no SortMergeJoin."),
+        audit("dsir_weights (hashed-unigram importance)",
+              dsir_weights(docs, target_lang="en", buckets=256),
+              "Fixed 256-row bucket-statistics relation broadcast back to "
+              "the per-(doc,bucket) counts; ONE tokenize pass, map-side "
+              "combine before every shuffle."),
+        audit("terms_lookup (terms from a document)",
+              terms_lookup_topk(docs, lookup_doc_id=7, k=10),
+              "One-doc lookup side broadcast; corpus side joins distinct "
+              "(doc,term) on the broadcast — no driver collect, bounded "
+              "match groupBy."),
+        audit("sliced_scroll (parallel export slice)",
+              sliced_scroll(docs, slice_id=1, max_slices=5, k=50),
+              "Row-local hash-slice predicate on the scan + "
+              "TakeOrderedAndProject page — zero shuffles; n slices = n "
+              "coordination-free export workers."),
+        audit("exact_substring_dedup (min-owner shingles)",
+              exact_substring_dedup(docs, n=15),
+              "Distinct hashed shingles, map-side partial min for the "
+              "owner, ONE equi-join on the 60-bit key — join fan-out is "
+              "posting length, never corpus."),
+        audit("semdedup (cluster-bounded semantic dedup)",
+              semdedup(emb, n_clusters=16, threshold=0.45),
+              "Sort-free centroid assignment, pairing equi-joined on "
+              "centroid_id (Σ|cluster|² bound) — no CartesianProduct."),
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     with open(out, "w") as f:
