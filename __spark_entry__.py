@@ -2085,6 +2085,22 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_line agg: per-user ts-ordered polyline (integer-exact point
+    encoding), truncated to 10 points."""
+    from fafnir_spark.geo import geo_line
+
+    return geo_line(spark.read.parquet(f"{sf_dir}/events.parquet"), size=10)
+
+
+def _q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the IVF sampled centroids — the ANN
+    training pass (assignment max_by + per-dim member means)."""
+    from fafnir_spark.simsearch import kmeans_step
+
+    return kmeans_step(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), n_centroids=16)
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -2144,6 +2160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "exact_substring_dedup": _q_exact_substring_dedup,
         "semdedup": _q_semdedup,
+        "geo_line": _q_geo_line,
+        "kmeans_step": _q_kmeans_step,
         "sample_per_source": _q_sample_per_source,
         "pack_sequences": _q_pack_sequences,
         "pii_scrub": _q_pii_scrub,
@@ -2370,6 +2388,8 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": oracles_curation.ccnet_buckets_sql(),
         "exact_substring_dedup": oracles_curation.exact_substring_dedup_sql(n=15),
         "semdedup": oracles_ops.semdedup_sql(n_clusters=16, threshold=0.45),
+        "geo_line": oracles_pipeline.geo_line_sql(size=10),
+        "kmeans_step": oracles_ops.kmeans_step_sql(n_centroids=16),
         "sample_per_source": oracles_curation.sample_per_source_sql(n=25),
         "pack_sequences": oracles_curation.pack_sequences_sql(budget=512),
         "pii_scrub": oracles_curation.pii_scrub_sql(),

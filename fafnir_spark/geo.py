@@ -334,3 +334,36 @@ def geotile_grid(events: DataFrame, zoom: int = 6) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
         .orderBy(F.col("doc_count").desc(), F.col("tile").asc())
     )
+
+
+def geo_line(events: DataFrame, size: int = 10) -> DataFrame:
+    """ES geo_line aggregation: per group (user), the sort-ordered polyline
+    of its points, truncated to ``size`` (ES caps at include_sort order by
+    a sort field — here ts, tie event_id). Points are encoded as exact
+    'lat×10:lon×10' INTEGER pairs so cross-engine float formatting can
+    never diverge (the synthetic lat/lon grid is decimal-exact).
+
+    Scale shape: one groupBy(user); the per-group array is bounded by the
+    group's event count and truncated to ``size`` after an in-group sort
+    (array_sort on the collected structs — no global sort, no window over
+    the event stream). (user_id, n_points, line), user_id asc."""
+    pts = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat_ws(
+            ":",
+            F.round((F.lit(40.0) + F.pmod(F.col("event_id"), F.lit(100)) / F.lit(10.0) * F.lit(2.0)) * F.lit(10.0), 0).cast("long"),
+            F.round((F.lit(-5.0) + F.pmod(F.col("user_id"), F.lit(100)) / F.lit(10.0) * F.lit(3.0)) * F.lit(10.0), 0).cast("long"),
+        ).alias("point"),
+    )
+
+    def _pt(s):
+        return s["point"]
+
+    g = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.collect_list(F.struct("ts", "event_id", "point")).alias("__ps"),
+    )
+    line = F.array_join(F.transform(F.slice(F.array_sort("__ps"), 1, size), _pt), ",")
+    return g.select("user_id", "n_points", line.alias("line")).orderBy("user_id")

@@ -762,3 +762,34 @@ dead AS (
 )
 SELECT DISTINCT vec_id, centroid_id FROM dead ORDER BY vec_id
 """
+
+
+def kmeans_step_sql(n_centroids: int = 16) -> str:
+    """Mirror of simsearch.kmeans_step: the IVF assignment CTE + per-
+    dimension member means (unnest WITH ORDINALITY, 0-based dim)."""
+
+    def cos(a: str, b: str) -> str:
+        return f"""round(
+  list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+, 6)"""
+
+    return f"""
+WITH step AS (SELECT greatest(count(*) // {n_centroids}, 1) AS s FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings, step
+          WHERE vec_id % step.s = 0 AND vec_id // step.s < {n_centroids}),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.embedding", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT centroid_id, CAST(t.i - 1 AS INT) AS dim, round(avg(v[t.i]::DOUBLE), 6) AS c
+FROM assigned, unnest(range(1, 65)) AS t(i)
+GROUP BY centroid_id, dim
+ORDER BY centroid_id, dim
+"""

@@ -1096,3 +1096,26 @@ SELECT event_type,
        round(max(value), 6) AS vmax
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def geo_line_sql(size: int = 10) -> str:
+    """Mirror of geo.geo_line: same integer-exact point encoding, same
+    (ts, event_id) in-group order, same truncation."""
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         concat(
+           CAST(CAST(round((40.0 + (((event_id % 100) + 100) % 100) / 10.0 * 2.0) * 10.0, 0) AS BIGINT) AS VARCHAR),
+           ':',
+           CAST(CAST(round((-5.0 + (((user_id % 100) + 100) % 100) / 10.0 * 3.0) * 10.0, 0) AS BIGINT) AS VARCHAR)
+         ) AS point
+  FROM events
+),
+g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+         list(point ORDER BY ts, event_id) AS ps
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n_points, array_to_string(ps[1:{int(size)}], ',') AS line
+FROM g ORDER BY user_id
+"""

@@ -709,3 +709,31 @@ def cosine_range_search(
         F.round(cosine_expr(F.col(vec_col), qlit), 6).alias("cos"),
     )
     return scored.filter(F.col("cos") >= F.lit(float(threshold))).orderBy("vec_id")
+
+
+def kmeans_step(emb: DataFrame, n_centroids: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd k-means iteration over the deterministic sampled
+    centroids — the IVF TRAINING pass (Lloyd 1982; what faiss's IVF
+    training runs repeatedly). Assignment reuses the sort-free max_by
+    path; the update step computes per-dimension member means via
+    posexplode + groupBy(centroid, dim) — map-side partial aggregation
+    collapses the |corpus|×dim rows before the shuffle, and the output is
+    the n_centroids×dim relation (bounded, broadcastable into the next
+    iteration). Iterating is a driver loop over THIS one-pass step;
+    centroid convergence at 100 TB is the classic Spark k-means shape.
+
+    Returns (centroid_id, dim, c) — the updated centroid coordinates,
+    rounded 6, (centroid_id, dim) asc."""
+    n = emb.count()
+    cids = ivf_centroid_ids(n, n_centroids)
+    cents = emb.filter(F.col(id_col).isin(cids)).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
+    return (
+        assigned.select("centroid_id", F.posexplode("v").alias("dim", "x"))
+        .groupBy("centroid_id", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .orderBy("centroid_id", "dim")
+    )
