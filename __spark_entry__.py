@@ -2101,6 +2101,14 @@ def _q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), n_centroids=16)
 
 
+def _q_tfidf_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene Classic TF-IDF similarity module (coord * sqrt(tf)·idf²/√dl)
+    — the third similarity the engine serves beside BM25 and LM."""
+    from fafnir_spark.scoring import tfidf_classic_topk
+
+    return tfidf_classic_topk(_docs(spark, sf_dir), Q_MAIN, k=10)
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -2253,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_score": _q_random_score,
         "lm_dirichlet": _q_lm_dirichlet,
         "lm_jelinek_mercer": _q_lm_jelinek_mercer,
+        "tfidf_classic": _q_tfidf_classic,
         "distance_feature": _q_distance_feature,
         "pinned_query": _q_pinned_query,
         "match_bool_prefix": _q_match_bool_prefix,
@@ -2503,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         "random_score": oracles.random_score_sql("round4", k=10),
         "lm_dirichlet": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="dirichlet", mu=2000.0),
         "lm_jelinek_mercer": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="jm", lam=0.1),
+        "tfidf_classic": oracles.tfidf_classic_sql(Q_MAIN, k=10),
         "distance_feature": oracles.distance_feature_sql(
             ["merge", "window"], origin=DISTF_ORIGIN, pivot=DISTF_PIVOT,
             boost=DISTF_BOOST, k=10,

@@ -1690,3 +1690,31 @@ SELECT rank, doc_id, slice_id FROM (
   WHERE ((({h}) % {m}) + {m}) % {m} = {int(slice_id)}
 ) WHERE rank <= {int(k)} ORDER BY rank
 """
+
+
+def tfidf_classic_sql(terms: list[str], k: int = 10) -> str:
+    """Classic TF-IDF (scoring.tfidf_classic_topk): same formula, same
+    operand order, coord from the per-doc matched-term count."""
+    nq = float(len(sorted(set(terms))))
+    return _ranked_topk(f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+nd AS (SELECT count(*) AS n_docs FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         round((count(*) / {nq!r}) * sum(
+           sqrt(tf.tf) * (1.0 + ln(nd.n_docs / (dfs.df + 1.0)))
+                       * (1.0 + ln(nd.n_docs / (dfs.df + 1.0)))
+           / sqrt(dl.dl)
+         ), 6) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN nd
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored
+""", k)

@@ -419,3 +419,45 @@ def match_bool_prefix(
         .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score"))
     )
     return _topk_ranked(out, k)
+
+
+def tfidf_classic_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Lucene Classic (pre-BM25) TF-IDF similarity — the ES
+    `similarity: classic` module (public Lucene ClassicSimilarity /
+    Salton-Buckley SMART lnc.ltc family):
+
+        idf   = 1 + ln(n_docs / (df + 1))
+        part  = sqrt(tf) * idf² / sqrt(dl)        (norm(d) = 1/sqrt(dl))
+        score = coord * Σ parts,  coord = matched_terms / |q|
+
+    (queryNorm is omitted — it is rank-neutral per query, which Lucene
+    itself dropped in 7.0). Same one-pass _tf_dl_df shape as BM25/LM:
+    filtered tf with row-local dl, df as the posting-bounded count
+    window, 1-row n_docs aggregate."""
+    qterms = sorted(set(terms))
+    nq = float(len(qterms))
+    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    matched = _tf_dl_df(base, qterms)
+    stats = (
+        base.select(F.size(tokens_expr("__text")).cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    m = matched.crossJoin(F.broadcast(stats))
+    idf = F.lit(1.0) + F.log(F.col("n_docs") / (F.col("df") + F.lit(1.0)))
+    part = F.sqrt(F.col("tf")) * idf * idf / F.sqrt(F.col("dl"))
+    scores = (
+        m.select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                (F.count(F.lit(1)) / F.lit(nq)) * F.sum("part"), SCORE_DECIMALS
+            ).alias("score")
+        )
+    )
+    return _topk_ranked(scores, k)
