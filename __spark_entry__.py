@@ -2109,6 +2109,16 @@ def _q_tfidf_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_classic_topk(_docs(spark, sf_dir), Q_MAIN, k=10)
 
 
+def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over Lloyd-TRAINED centroids (faiss shape: train → assign →
+    probe) — one k-means iteration refines the sampled seeds."""
+    from fafnir_spark.simsearch import ivf_trained_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_trained_topk(emb, {"q": QVEC}, k=10, n_centroids=16,
+                            iters=1, nprobe=4).drop("qid")
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -2170,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "geo_line": _q_geo_line,
         "kmeans_step": _q_kmeans_step,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         "sample_per_source": _q_sample_per_source,
         "pack_sequences": _q_pack_sequences,
         "pii_scrub": _q_pii_scrub,
@@ -2399,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": oracles_ops.semdedup_sql(n_clusters=16, threshold=0.45),
         "geo_line": oracles_pipeline.geo_line_sql(size=10),
         "kmeans_step": oracles_ops.kmeans_step_sql(n_centroids=16),
+        "ann_ivf_trained": oracles_ops.ivf_trained_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "sample_per_source": oracles_curation.sample_per_source_sql(n=25),
         "pack_sequences": oracles_curation.pack_sequences_sql(budget=512),
         "pii_scrub": oracles_curation.pii_scrub_sql(),

@@ -793,3 +793,66 @@ FROM assigned, unnest(range(1, 65)) AS t(i)
 GROUP BY centroid_id, dim
 ORDER BY centroid_id, dim
 """
+
+
+def ivf_trained_topk_sql(query_vec: list[float], n_centroids: int = 16,
+                         nprobe: int = 4, k: int = 10) -> str:
+    """Mirror of simsearch.ivf_trained_topk with iters=1: sampled seeds →
+    one Lloyd update (per-dim means ROUNDED 6 — the cross-engine
+    determinism hinge) → reassign → probe → exact re-rank."""
+    qlit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
+
+    def cos(a: str, b: str) -> str:
+        return f"""round(
+  list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+, 6)"""
+
+    return f"""
+WITH q AS (SELECT {qlit} AS qv),
+step AS (SELECT greatest(count(*) // {n_centroids}, 1) AS s FROM embeddings),
+cents0 AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings, step
+           WHERE vec_id % step.s = 0 AND vec_id // step.s < {n_centroids}),
+assigned0 AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.embedding", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents0 c
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT centroid_id, CAST(t.i - 1 AS INT) AS dim,
+         round(avg(v[t.i]::DOUBLE), 6) AS c
+  FROM assigned0, unnest(range(1, 65)) AS t(i)
+  GROUP BY centroid_id, dim
+),
+cents AS (SELECT centroid_id, list(c ORDER BY dim) AS cv FROM means GROUP BY centroid_id),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.embedding", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (ORDER BY {cos("q.qv", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT a.vec_id, {cos("a.v", "q.qv")} AS cos
+  FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN q
+)
+SELECT rank, vec_id, cos FROM (
+  SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank, vec_id, cos
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank
+"""

@@ -712,7 +712,8 @@ def cosine_range_search(
 
 
 def kmeans_step(emb: DataFrame, n_centroids: int = 16,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                cents: DataFrame | None = None) -> DataFrame:
     """One Lloyd k-means iteration over the deterministic sampled
     centroids — the IVF TRAINING pass (Lloyd 1982; what faiss's IVF
     training runs repeatedly). Assignment reuses the sort-free max_by
@@ -724,12 +725,15 @@ def kmeans_step(emb: DataFrame, n_centroids: int = 16,
     centroid convergence at 100 TB is the classic Spark k-means shape.
 
     Returns (centroid_id, dim, c) — the updated centroid coordinates,
-    rounded 6, (centroid_id, dim) asc."""
-    n = emb.count()
-    cids = ivf_centroid_ids(n, n_centroids)
-    cents = emb.filter(F.col(id_col).isin(cids)).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
+    ROUNDED 6 (the rounding is what keeps a chained next iteration
+    bit-identical across engines), (centroid_id, dim) asc. ``cents``
+    overrides the starting centroids (for chained iterations)."""
+    if cents is None:
+        n = emb.count()
+        cids = ivf_centroid_ids(n, n_centroids)
+        cents = emb.filter(F.col(id_col).isin(cids)).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+        )
     assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
     return (
         assigned.select("centroid_id", F.posexplode("v").alias("dim", "x"))
@@ -737,3 +741,64 @@ def kmeans_step(emb: DataFrame, n_centroids: int = 16,
         .agg(F.round(F.avg("x"), 6).alias("c"))
         .orderBy("centroid_id", "dim")
     )
+
+
+def _means_to_cents(means: DataFrame) -> DataFrame:
+    """(centroid_id, dim, c) -> (centroid_id, cv) with cv ordered by dim."""
+
+    def _cval(s):
+        return s["c"]
+
+    return means.groupBy("centroid_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "c"))), _cval).alias("cv")
+    )
+
+
+def kmeans_train(emb: DataFrame, n_centroids: int = 16, iters: int = 1,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """``iters`` chained Lloyd iterations from the deterministic sampled
+    seeds. Each iteration is ONE corpus pass; between iterations only the
+    bounded (n_centroids × dim) relation flows — the driver loop carries
+    no data, just the plan. Returns (centroid_id, cv)."""
+    cents = None
+    for _ in range(int(iters)):
+        cents = _means_to_cents(kmeans_step(emb, n_centroids, id_col, vec_col, cents=cents))
+    return cents
+
+
+def ivf_trained_topk(
+    emb: DataFrame,
+    query_vecs: dict[str, list[float]],
+    k: int = 10,
+    n_centroids: int = 16,
+    iters: int = 1,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over TRAINED centroids (the faiss IVF shape: train with
+    Lloyd, then assign + probe): kmeans_train refines the sampled seeds,
+    then the standard assignment / nprobe-probe / exact re-rank runs
+    against the refined centroids. Clusters that go empty during training
+    simply drop out (Lloyd edge case — deterministic in both engines).
+    (qid, rank, vec_id, cos)."""
+    spark = emb.sparkSession
+    cents = kmeans_train(emb, n_centroids, iters, id_col, vec_col)
+    assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
+    q = spark.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in query_vecs.items()],
+        "qid string, qv array<double>",
+    )
+    probe_w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("centroid_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", "centroid_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "centroid_id").select("qid", "vec_id", "v", "qv")
+    scored = cand.select(
+        "qid", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos")
+    )
+    return _topk_per_qid(scored, k)

@@ -173,3 +173,24 @@ def test_ccnet_tercile_balance(docs):
         sizes = [per.get((lang, b), 0) for b in ("head", "middle", "tail")]
         assert max(sizes) - min(sizes) <= 1
         assert sizes == sorted(sizes, reverse=True)  # ntile fills head first
+
+
+def test_kmeans_train_chains_and_ivf_trained_recall(emb):
+    from fafnir_spark.simsearch import (
+        cosine_topk,
+        ivf_trained_topk,
+        kmeans_train,
+    )
+
+    cents = kmeans_train(emb, n_centroids=8, iters=2)
+    rows = cents.collect()
+    assert 1 <= len(rows) <= 8
+    assert all(len(r["cv"]) == 64 for r in rows)
+
+    qv = [((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+    exact_rows = cosine_topk(emb, {"q": qv}, k=5).collect()
+    # probing ALL clusters must reproduce the exact top-k (IVF exhaustive
+    # == brute force, trained or not)
+    full_rows = ivf_trained_topk(emb, {"q": qv}, k=5, n_centroids=8,
+                                 iters=1, nprobe=8).collect()
+    assert [r["vec_id"] for r in full_rows] == [r["vec_id"] for r in exact_rows]
