@@ -2119,6 +2119,15 @@ def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                             iters=1, nprobe=4).drop("qid")
 
 
+def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: union/Jaccard/intersection estimates of the
+    error-vs-click user sets from bottom-k sketches alone."""
+    from fafnir_spark.sketches import kmv_set_ops
+
+    return kmv_set_ops(spark.read.parquet(f"{sf_dir}/events.parquet"),
+                       group_a="error", group_b="click", k=64)
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -2181,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_line": _q_geo_line,
         "kmeans_step": _q_kmeans_step,
         "ann_ivf_trained": _q_ann_ivf_trained,
+        "kmv_set_ops": _q_kmv_set_ops,
         "sample_per_source": _q_sample_per_source,
         "pack_sequences": _q_pack_sequences,
         "pii_scrub": _q_pii_scrub,
@@ -2411,6 +2421,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_line": oracles_pipeline.geo_line_sql(size=10),
         "kmeans_step": oracles_ops.kmeans_step_sql(n_centroids=16),
         "ann_ivf_trained": oracles_ops.ivf_trained_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
+        "kmv_set_ops": oracles_pipeline.kmv_set_ops_sql(group_a="error", group_b="click", k=64),
         "sample_per_source": oracles_curation.sample_per_source_sql(n=25),
         "pack_sequences": oracles_curation.pack_sequences_sql(budget=512),
         "pii_scrub": oracles_curation.pii_scrub_sql(),

@@ -1119,3 +1119,52 @@ g AS (
 SELECT user_id, n_points, array_to_string(ps[1:{int(size)}], ',') AS line
 FROM g ORDER BY user_id
 """
+
+
+def kmv_set_ops_sql(group_a: str = "error", group_b: str = "click",
+                    group_col: str = "event_type", val_col: str = "user_id",
+                    k: int = 64, table: str = "events") -> str:
+    """Mirror of sketches.kmv_set_ops: same sketches, same union-sketch
+    membership rule, same estimator operand order."""
+    from .portable import hash60_sql
+
+    h = hash60_sql(f"CAST({val_col} AS VARCHAR)")
+    two60 = repr(float(1 << 60))
+    return f"""
+WITH dh AS (
+  SELECT DISTINCT {group_col} AS grp, {h} AS h FROM {table}
+  WHERE {group_col} IN ('{group_a}', '{group_b}')
+),
+bk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rn
+    FROM dh
+  ) WHERE rn <= {k}
+),
+usk AS (SELECT DISTINCT h FROM bk ORDER BY h ASC LIMIT {k}),
+inboth AS (
+  SELECT h FROM usk
+  WHERE h IN (SELECT h FROM bk WHERE grp = '{group_a}')
+    AND h IN (SELECT h FROM bk WHERE grp = '{group_b}')
+),
+u AS (SELECT CAST(count(*) AS BIGINT) AS cu, max(h) AS maxh FROM usk),
+i AS (SELECT CAST(count(*) AS BIGINT) AS ik FROM inboth),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(CASE WHEN n_grps = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+  FROM (
+    SELECT v, count(*) AS n_grps FROM (
+      SELECT DISTINCT {group_col} AS grp, {val_col} AS v FROM {table}
+      WHERE {group_col} IN ('{group_a}', '{group_b}')
+    ) GROUP BY v
+  )
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       round(CASE WHEN u.cu < {k} THEN CAST(u.cu AS DOUBLE)
+                  ELSE {k - 1.0!r} / (u.maxh / {two60}) END, 6) AS est_union,
+       round(i.ik / u.cu, 6) AS jaccard,
+       round((i.ik / u.cu) * (CASE WHEN u.cu < {k} THEN CAST(u.cu AS DOUBLE)
+                  ELSE {k - 1.0!r} / (u.maxh / {two60}) END), 6) AS est_inter,
+       ex.exact_union, ex.exact_inter
+FROM u CROSS JOIN i CROSS JOIN ex
+"""

@@ -118,3 +118,73 @@ def sampled_quantiles(
                 *[f"q{int(q*100)}_exact" for q in qs])
         .orderBy(group_col)
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_a: str = "error",
+    group_b: str = "click",
+    group_col: str = "event_type",
+    val_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al. 2007, "On Synopses for
+    Distinct-Value Estimation Under Multiset Operations"): estimate
+    |A ∪ B|, Jaccard, and |A ∩ B| of two groups' value sets from their
+    bottom-k sketches ALONE —
+
+        union sketch  = bottom-k of (sketch_A ∪ sketch_B)
+        est_union     = KMV estimator on the union sketch
+        jaccard       = |union-sketch members in BOTH sketches| / |union sketch|
+        est_inter     = round(jaccard * est_union, 6)
+
+    Everything after the two per-group sketches touches ≤ 2k rows — the
+    sketches are the ONLY thing two 100 TB corpora need to exchange to
+    estimate their overlap (the cross-datacenter dedup-planning shape).
+    Exact audit columns ride along. One output row."""
+    dh = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(group_col).alias("grp"),
+            hash60(F.col(val_col).cast("string")).alias("h"),
+        )
+        .distinct()
+        .withColumn("negh", -F.col("h"))
+    )
+    bottom = topk_per_group(dh, k, group_col="grp", id_col="h", val_col="negh").select(
+        "grp", "h"
+    )
+    union_sk = bottom.select("h").distinct().orderBy(F.col("h").asc()).limit(k)
+    in_a = bottom.filter(F.col("grp") == group_a).select("h")
+    in_b = bottom.filter(F.col("grp") == group_b).select("h")
+    both = union_sk.join(in_a, "h", "left_semi").join(in_b, "h", "left_semi")
+    u = union_sk.agg(
+        F.count(F.lit(1)).cast("long").alias("cu"), F.max("h").alias("maxh")
+    )
+    i = both.agg(F.count(F.lit(1)).cast("long").alias("ik"))
+    exact = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(F.col(group_col).alias("grp"), F.col(val_col).alias("v"))
+        .distinct()
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_grps"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+            F.sum(F.when(F.col("n_grps") == 2, 1).otherwise(0)).cast("long").alias("exact_inter"),
+        )
+    )
+    est_u = F.when(
+        F.col("cu") < k, F.col("cu").cast("double")
+    ).otherwise(F.lit(k - 1.0) / (F.col("maxh") / F.lit(TWO60)))
+    return (
+        u.crossJoin(F.broadcast(i))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.round(est_u, 6).alias("est_union"),
+            F.round(F.col("ik") / F.col("cu"), 6).alias("jaccard"),
+            F.round((F.col("ik") / F.col("cu")) * est_u, 6).alias("est_inter"),
+            "exact_union",
+            "exact_inter",
+        )
+    )
