@@ -2128,6 +2128,16 @@ def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                        group_a="error", group_b="click", k=64)
 
 
+def _q_hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES linear retriever: weighted minmax-normalized hybrid fusion
+    (the score-aware sibling of hybrid_rrf)."""
+    from fafnir_spark.simsearch import hybrid_linear
+
+    return hybrid_linear(_docs(spark, sf_dir),
+                         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                         Q_MAIN, QVEC, w_lex=0.7, w_vec=0.3, k=10)
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -2191,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_step": _q_kmeans_step,
         "ann_ivf_trained": _q_ann_ivf_trained,
         "kmv_set_ops": _q_kmv_set_ops,
+        "hybrid_linear": _q_hybrid_linear,
         "sample_per_source": _q_sample_per_source,
         "pack_sequences": _q_pack_sequences,
         "pii_scrub": _q_pii_scrub,
@@ -2422,6 +2433,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_step": oracles_ops.kmeans_step_sql(n_centroids=16),
         "ann_ivf_trained": oracles_ops.ivf_trained_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "kmv_set_ops": oracles_pipeline.kmv_set_ops_sql(group_a="error", group_b="click", k=64),
+        "hybrid_linear": oracles_ops.hybrid_linear_sql(Q_MAIN, QVEC, w_lex=0.7, w_vec=0.3, k=10),
         "sample_per_source": oracles_curation.sample_per_source_sql(n=25),
         "pack_sequences": oracles_curation.pack_sequences_sql(budget=512),
         "pii_scrub": oracles_curation.pii_scrub_sql(),

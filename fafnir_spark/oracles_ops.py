@@ -856,3 +856,68 @@ SELECT rank, vec_id, cos FROM (
   FROM scored
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def hybrid_linear_sql(
+    terms: list[str], query_vec: list[float], w_lex: float = 0.7,
+    w_vec: float = 0.3, k: int = 10, n_each: int = 50
+) -> str:
+    """Mirror of simsearch.hybrid_linear: same branch top-n sets, same
+    minmax normalization (degenerate branch → 1.0), same weighted-sum
+    operand order."""
+    from . import B, K1
+    from .oracles import _terms_in, _tf_ctes
+
+    qlit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
+    return f"""
+WITH {_tf_ctes()},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+bscored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf JOIN dfs USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+btop AS (
+  SELECT doc_id, bs FROM (
+    SELECT doc_id, round(raw_score, 6) AS bs,
+           row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank
+    FROM bscored
+  ) WHERE rank <= {n_each}
+),
+q AS (SELECT {qlit} AS qv),
+escored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+         , 6) AS cos
+  FROM embeddings e CROSS JOIN q
+),
+etop AS (
+  SELECT vec_id, es FROM (
+    SELECT vec_id, cos AS es,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM escored
+  ) WHERE rank <= {n_each}
+),
+sb AS (SELECT min(bs) AS mnb, max(bs) AS mxb FROM btop),
+se AS (SELECT min(es) AS mne, max(es) AS mxe FROM etop)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM (
+    SELECT coalesce(b.doc_id, e.vec_id) AS doc_id,
+           round(({float(w_lex)!r} * coalesce(CASE WHEN sb.mxb = sb.mnb THEN 1.0
+                    ELSE (b.bs - sb.mnb) / (sb.mxb - sb.mnb) END, 0.0))
+               + ({float(w_vec)!r} * coalesce(CASE WHEN se.mxe = se.mne THEN 1.0
+                    ELSE (e.es - se.mne) / (se.mxe - se.mne) END, 0.0)), 6) AS score
+    FROM btop b FULL OUTER JOIN etop e ON b.doc_id = e.vec_id
+    CROSS JOIN sb CROSS JOIN se
+  )
+) WHERE rank <= {k} ORDER BY rank
+"""

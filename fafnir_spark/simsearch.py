@@ -802,3 +802,61 @@ def ivf_trained_topk(
         "qid", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos")
     )
     return _topk_per_qid(scored, k)
+
+
+def hybrid_linear(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    w_lex: float = 0.7,
+    w_vec: float = 0.3,
+    k: int = 10,
+    n_each: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval via WEIGHTED NORMALIZED score fusion — the ES
+    "linear retriever" with the minmax normalizer (the score-aware sibling
+    of RRF): each branch's top-n scores are min-max normalized over the
+    retrieved set, then combined as w_lex·norm_bm25 + w_vec·norm_cos
+    (absent branch contributes 0; a constant-score branch normalizes to
+    1.0 — pinned explicitly so both engines agree on the degenerate
+    case). Same scale shape as hybrid_rrf: two top-k branches, 1-row
+    min/max stats broadcast, fusion join ≤ 2·n_each rows.
+    (rank, doc_id, score)."""
+    from .query import bm25_topk
+
+    b = bm25_topk(docs, terms, k=n_each, id_col=id_col, text_col=text_col).select(
+        "doc_id", F.col("score").alias("bs")
+    )
+    e = cosine_topk(emb, {"q": query_vec}, k=n_each, id_col=vec_id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos").alias("es")
+    )
+    sb = b.agg(F.min("bs").alias("mnb"), F.max("bs").alias("mxb"))
+    se = e.agg(F.min("es").alias("mne"), F.max("es").alias("mxe"))
+    u = (
+        b.join(e, "doc_id", "full_outer")
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(se))
+    )
+    nb = F.when(F.col("mxb") == F.col("mnb"), F.lit(1.0)).otherwise(
+        (F.col("bs") - F.col("mnb")) / (F.col("mxb") - F.col("mnb"))
+    )
+    ne = F.when(F.col("mxe") == F.col("mne"), F.lit(1.0)).otherwise(
+        (F.col("es") - F.col("mne")) / (F.col("mxe") - F.col("mne"))
+    )
+    score = F.round(
+        (F.lit(float(w_lex)) * F.coalesce(nb, F.lit(0.0)))
+        + (F.lit(float(w_vec)) * F.coalesce(ne, F.lit(0.0))),
+        6,
+    )
+    top = (
+        u.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "doc_id", "score")
