@@ -194,3 +194,29 @@ def test_kmeans_train_chains_and_ivf_trained_recall(emb):
     full_rows = ivf_trained_topk(emb, {"q": qv}, k=5, n_centroids=8,
                                  iters=1, nprobe=8).collect()
     assert [r["vec_id"] for r in full_rows] == [r["vec_id"] for r in exact_rows]
+
+
+def test_fuzz_lm_similarities_vs_oracle(spark, ddb, docs):
+    """Breadth check for the LM similarity modules: seeded random term
+    sets (incl. absent terms), both smoothings, exact oracle agreement."""
+    import random
+
+    from fafnir_spark import oracles
+
+    vocab = ("key agg row scan slow fast table value part hash merge batch "
+             "spark line sort window customer the a vector").split()
+    rng = random.Random(99)
+    for i in range(8):
+        terms = rng.sample(vocab, rng.randint(1, 3))
+        if i % 3 == 0:
+            terms.append(f"absent_{i}")
+        for sm in ("dirichlet", "jm"):
+            got = lm_topk(docs, terms, k=10, smoothing=sm).collect()
+            want = ddb.execute(
+                oracles.lm_topk_sql(terms, k=10, smoothing=sm)
+            ).fetchall()
+            assert [(g["rank"], g["doc_id"]) for g in got] == [
+                (w[0], w[1]) for w in want
+            ], (terms, sm)
+            for g, w in zip(got, want):
+                assert g["score"] == pytest.approx(w[2], abs=1e-9)
