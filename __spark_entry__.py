@@ -2138,6 +2138,17 @@ def _q_hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                          Q_MAIN, QVEC, w_lex=0.7, w_vec=0.3, k=10)
 
 
+def _q_lm_dirichlet_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Dirichlet served FROM the index (ES per-field similarity
+    setting: same postings/dictionary/stats, different scoring model, no
+    rebuild) — same oracle as the direct lm_dirichlet."""
+    from fafnir_spark.wand import search_lm
+
+    res = search_lm(spark, _idx_root(spark, sf_dir), {"q": Q_MAIN}, k=10,
+                    smoothing="dirichlet", mu=2000.0)
+    return res.select("rank", "doc_id", "score")
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -2294,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet": _q_lm_dirichlet,
         "lm_jelinek_mercer": _q_lm_jelinek_mercer,
         "tfidf_classic": _q_tfidf_classic,
+        "lm_dirichlet_indexed": _q_lm_dirichlet_indexed,
         "distance_feature": _q_distance_feature,
         "pinned_query": _q_pinned_query,
         "match_bool_prefix": _q_match_bool_prefix,
@@ -2548,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_dirichlet": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="dirichlet", mu=2000.0),
         "lm_jelinek_mercer": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="jm", lam=0.1),
         "tfidf_classic": oracles.tfidf_classic_sql(Q_MAIN, k=10),
+        "lm_dirichlet_indexed": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="dirichlet", mu=2000.0),
         "distance_feature": oracles.distance_feature_sql(
             ["merge", "window"], origin=DISTF_ORIGIN, pivot=DISTF_PIVOT,
             boost=DISTF_BOOST, k=10,

@@ -1802,3 +1802,145 @@ def sparse_vector_indexed(
     top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
     return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")
+
+
+def _lm_part_fn(queries: dict[str, list[str]], denoms: dict[str, float],
+                k: int, smoothing: str, mu: float, lam: float,
+                excluded=None, with_bulk: bool = False):
+    """Per-doc_part LM-similarity scorer (the _part_scorer shape with the
+    Zhai & Lafferty formulas instead of BM25):
+
+        dirichlet: max(0, ln(1 + tf/denom_t) + ln(mu/(dl+mu)))
+        jm:        ln(1 + ((1-lam)·tf/dl) / lamp_t)
+
+    where denom_t = mu·(cf_t/C) and lamp_t = lam·(cf_t/C) are driver-side
+    per-term constants from the dictionary (cf) and index stats (exact
+    integer sum_dl) — bit-identical to the direct path's in-engine
+    doubles. np.log(1.0 + x) on purpose, NEVER log1p: the direct path and
+    the DuckDB oracle both evaluate ln(1+x), and log1p differs in the low
+    bits. No BMW here — the BM25 block upper bound does not envelope LM
+    scores — so the scorer is the exhaustive decode (still per-shard
+    top-k + k-row merge, the scale shape is unchanged)."""
+    one_minus = 1.0 - float(lam)
+
+    def evaluate(pdf: pd.DataFrame, tdf: pd.DataFrame | None) -> pd.DataFrame:
+        exc = excluded
+        if tdf is not None and len(tdf):
+            exc = _UnionExc(excluded, tdf["doc_id"].to_numpy(dtype=np.int64))
+        by_term: dict[str, list[_Block]] = {}
+        for r in pdf.itertuples(index=False):
+            by_term.setdefault(r.term, []).append(
+                _Block(r.first_doc, r.last_doc, r.max_tf, r.min_dl, r.max_weight,
+                       r.doc_ids, r.tfs, r.dls, r.weights, getattr(r, "seg", "") or "")
+            )
+        out_qid, out_doc, out_sc = [], [], []
+        for qid, terms in queries.items():
+            ids_all, sc_all = [], []
+            for term in terms:
+                if term not in by_term or term not in denoms:
+                    continue
+                c_t = denoms[term]
+                for blk in by_term[term]:
+                    ids, tfs, dls, ws = blk.decode()
+                    e = _exc_for(exc, blk.seg)
+                    if e is not None and len(e):
+                        keep = ~np.isin(ids, e)
+                        ids, tfs, dls, ws = ids[keep], tfs[keep], dls[keep], ws[keep]
+                    if not len(ids):
+                        continue
+                    if smoothing == "dirichlet":
+                        v = np.log(1.0 + tfs / (mu * c_t)) + np.log(mu / (dls + mu))
+                        v = np.maximum(v, 0.0)
+                    else:
+                        v = np.log(1.0 + ((one_minus * tfs) / dls) / (lam * c_t))
+                    ids_all.append(ids)
+                    sc_all.append(v * ws)
+            if not ids_all:
+                continue
+            cids = np.concatenate(ids_all)
+            csc = np.concatenate(sc_all)
+            uids, inv = np.unique(cids, return_inverse=True)
+            tot = np.bincount(inv, weights=csc)
+            tids, tsc = _topk_rows(uids, tot, k)
+            out_qid.extend([qid] * len(tids))
+            out_doc.append(tids)
+            out_sc.append(tsc)
+        if not out_qid:
+            return pd.DataFrame({"qid": [], "doc_id": [], "raw_score": []}).astype(
+                {"doc_id": np.int64, "raw_score": np.float64}
+            )
+        return pd.DataFrame({
+            "qid": out_qid,
+            "doc_id": np.concatenate(out_doc),
+            "raw_score": np.concatenate(out_sc),
+        })
+
+    if not with_bulk:
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return evaluate(pdf, None)
+
+        return fn
+
+    def cofn(pdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
+        return evaluate(pdf, tdf)
+
+    return cofn
+
+
+def search_lm(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    smoothing: str = "dirichlet",
+    mu: float = 2000.0,
+    lam: float = 0.1,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """LM Dirichlet / Jelinek-Mercer similarity served FROM the inverted
+    index — the ES per-field `similarity` setting: the SAME postings,
+    dictionary (cf) and stats (exact integer sum_dl) answer a different
+    scoring model with no rebuild. Rank-identical to the direct
+    scoring.lm_topk (same oracle). Tombstones (point + bulk cogroup)
+    behave exactly as in run_queries. (qid, rank, doc_id, score)."""
+    if smoothing not in ("dirichlet", "jm"):
+        raise ValueError(f"unknown smoothing {smoothing!r}")
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    drows = cat.read_dictionary(spark, snapshot=manifest).filter(
+        F.col("term").isin(all_terms)
+    ).collect()
+    total_c = float(stats["sum_dl"])
+    # p_t = cf/C as a driver-side double — the same division the direct
+    # path evaluates in-engine, folded into each branch's formula at use
+    consts = {r["term"]: (r["cf"] / total_c) for r in drows}
+    present = [t for t in all_terms if t in consts]
+    postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
+        F.col("term").isin(present)
+    )
+    excluded = _load_tombstones(spark, cat, manifest, include_bulk=False)
+    bulk = _load_bulk_df(spark, cat, manifest)
+    if bulk is not None:
+        bp = bulk.withColumn(
+            "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int")
+        )
+        per_part = postings.groupBy("doc_part").cogroup(bp.groupBy("doc_part")).applyInPandas(
+            _lm_part_fn(queries, consts, k, smoothing, float(mu), float(lam),
+                        excluded, with_bulk=True),
+            schema=RESULT_SCHEMA,
+        )
+    else:
+        per_part = postings.groupBy("doc_part").applyInPandas(
+            _lm_part_fn(queries, consts, k, smoothing, float(mu), float(lam), excluded),
+            schema=RESULT_SCHEMA,
+        )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        per_part.withColumn("score", F.round(F.col("raw_score"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )

@@ -220,3 +220,26 @@ def test_fuzz_lm_similarities_vs_oracle(spark, ddb, docs):
             ], (terms, sm)
             for g, w in zip(got, want):
                 assert g["score"] == pytest.approx(w[2], abs=1e-9)
+
+
+def test_search_lm_indexed_matches_direct_and_respects_deletes(spark, docs, tmp_path):
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.incremental import delete_docs
+    from fafnir_spark.wand import search_lm
+
+    root = str(tmp_path / "lmidx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace", build_id="lm")
+    for sm in ("dirichlet", "jm"):
+        direct = lm_topk(docs, QT, k=10, smoothing=sm).collect()
+        idx_rows = search_lm(spark, root, {"q": QT}, k=10, smoothing=sm).collect()
+        assert [(r["rank"], r["doc_id"]) for r in idx_rows] == [
+            (r["rank"], r["doc_id"]) for r in direct
+        ], sm
+        for a, b in zip(idx_rows, direct):
+            assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+
+    victim = idx_rows[0]["doc_id"]
+    delete_docs(spark, root, [victim])
+    after_rows = search_lm(spark, root, {"q": QT}, k=10, smoothing="jm").collect()
+    assert victim not in [r["doc_id"] for r in after_rows]
