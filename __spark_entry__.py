@@ -2149,6 +2149,14 @@ def _q_lm_dirichlet_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", "score")
 
 
+def _q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining / frequent_item_sets (size-2): top token pairs
+    by document-level PMI, vocabulary-capped pairing."""
+    from fafnir_spark.textstats import token_pmi
+
+    return token_pmi(_docs(spark, sf_dir), vocab_top=20, min_pairs=5, k=20)
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -2213,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _q_ann_ivf_trained,
         "kmv_set_ops": _q_kmv_set_ops,
         "hybrid_linear": _q_hybrid_linear,
+        "token_pmi": _q_token_pmi,
         "sample_per_source": _q_sample_per_source,
         "pack_sequences": _q_pack_sequences,
         "pii_scrub": _q_pii_scrub,
@@ -2446,6 +2455,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained": oracles_ops.ivf_trained_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "kmv_set_ops": oracles_pipeline.kmv_set_ops_sql(group_a="error", group_b="click", k=64),
         "hybrid_linear": oracles_ops.hybrid_linear_sql(Q_MAIN, QVEC, w_lex=0.7, w_vec=0.3, k=10),
+        "token_pmi": oracles_curation.token_pmi_sql(vocab_top=20, min_pairs=5, k=20),
         "sample_per_source": oracles_curation.sample_per_source_sql(n=25),
         "pack_sequences": oracles_curation.pack_sequences_sql(budget=512),
         "pii_scrub": oracles_curation.pii_scrub_sql(),

@@ -482,3 +482,37 @@ FROM grams JOIN owners USING (g)
 WHERE doc_id > first_doc
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def token_pmi_sql(vocab_top: int = 20, min_pairs: int = 5, k: int = 20) -> str:
+    """Mirror of textstats.token_pmi: same vocabulary cap, same
+    doc-presence counts, same PMI operand order."""
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS n_t FROM dt GROUP BY term),
+vocab AS (SELECT term, n_t FROM dfs ORDER BY n_t DESC, term ASC LIMIT {vocab_top}),
+dtv AS (SELECT doc_id, term FROM dt WHERE term IN (SELECT term FROM vocab)),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {min_pairs}
+)
+SELECT rank, term_a, term_b, n_ab, pmi FROM (
+  SELECT row_number() OVER (ORDER BY pmi DESC, term_a ASC, term_b ASC) AS rank,
+         term_a, term_b, n_ab, pmi
+  FROM (
+    SELECT p.term_a, p.term_b, p.n_ab,
+           round(ln((p.n_ab * nn.n_docs) / (va.n_t * vb.n_t)), 6) AS pmi
+    FROM pairs p
+    JOIN vocab va ON va.term = p.term_a
+    JOIN vocab vb ON vb.term = p.term_b
+    CROSS JOIN nn
+  )
+) WHERE rank <= {k} ORDER BY rank
+"""

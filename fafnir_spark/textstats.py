@@ -199,3 +199,56 @@ def bpe_pair_counts(docs: DataFrame, k: int = 20,
     top = pairs.orderBy(*order).limit(k)
     w = F.row_number().over(Window.orderBy(*order))
     return top.withColumn("rank", w).select("rank", "pair", "cnt").orderBy("rank")
+
+
+def token_pmi(docs: DataFrame, vocab_top: int = 20, min_pairs: int = 5,
+              k: int = 20, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token co-occurrence statistics: top-k term pairs by pointwise
+    mutual information over DOCUMENT-level co-occurrence — the classic
+    collocation-mining primitive (Church & Hanks 1990) and the size-2
+    form of ES's frequent_item_sets agg:
+
+        pmi(a,b) = ln((n_ab * N) / (n_a * n_b))
+
+    with n_* = doc-presence counts, N = docs with >=1 token. SCALE GUARD:
+    pairing is restricted to the top-``vocab_top`` df terms (broadcast),
+    so the per-doc pair explosion is O(vocab_top²), never O(doc_len²) —
+    the standard vocabulary cap that keeps collocation mining linear in
+    the corpus. (term_a, term_b, n_ab, pmi), pmi desc then pair asc."""
+    from pyspark.sql.window import Window
+
+    dt = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("term")
+    ).distinct()
+    dfs = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    vocab = dfs.orderBy(F.col("n_t").desc(), F.col("term").asc()).limit(vocab_top)
+    dtv = dt.join(F.broadcast(vocab.select("term")), "term").select("doc_id", "term")
+    nn = dt.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    a = dtv.alias("a")
+    b = dtv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    na = vocab.select(F.col("term").alias("term_a"), F.col("n_t").alias("n_a"))
+    nb = vocab.select(F.col("term").alias("term_b"), F.col("n_t").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(na), "term_a")
+        .join(F.broadcast(nb), "term_b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "term_a", "term_b", "n_ab",
+            F.round(
+                F.log((F.col("n_ab") * F.col("n_docs")) / (F.col("n_a") * F.col("n_b"))), 6
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "term_a", "term_b", "n_ab", "pmi"
+    ).orderBy("rank")
