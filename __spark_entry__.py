@@ -2157,6 +2157,24 @@ def _q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_pmi(_docs(spark, sf_dir), vocab_top=20, min_pairs=5, k=20)
 
 
+def _q_lm_jm_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Jelinek-Mercer FROM the index — the second similarity the same
+    index serves with no rebuild (same oracle as direct)."""
+    from fafnir_spark.wand import search_lm
+
+    res = search_lm(spark, _idx_root(spark, sf_dir), {"q": Q_MAIN}, k=10,
+                    smoothing="jm", lam=0.1)
+    return res.select("rank", "doc_id", "score")
+
+
+def _q_percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles_bucket pipeline agg: exact quartiles of the per-day
+    bucket sums (bounded bucket relation)."""
+    from fafnir_spark.pipeline import percentiles_bucket
+
+    return percentiles_bucket(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -2315,6 +2333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jelinek_mercer": _q_lm_jelinek_mercer,
         "tfidf_classic": _q_tfidf_classic,
         "lm_dirichlet_indexed": _q_lm_dirichlet_indexed,
+        "lm_jelinek_mercer_indexed": _q_lm_jm_indexed,
+        "percentiles_bucket": _q_percentiles_bucket,
         "distance_feature": _q_distance_feature,
         "pinned_query": _q_pinned_query,
         "match_bool_prefix": _q_match_bool_prefix,
@@ -2571,6 +2591,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_jelinek_mercer": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="jm", lam=0.1),
         "tfidf_classic": oracles.tfidf_classic_sql(Q_MAIN, k=10),
         "lm_dirichlet_indexed": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="dirichlet", mu=2000.0),
+        "lm_jelinek_mercer_indexed": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="jm", lam=0.1),
+        "percentiles_bucket": oracles_pipeline.percentiles_bucket_sql(),
         "distance_feature": oracles.distance_feature_sql(
             ["merge", "window"], origin=DISTF_ORIGIN, pivot=DISTF_PIVOT,
             boost=DISTF_BOOST, k=10,

@@ -1168,3 +1168,20 @@ SELECT CAST({k} AS BIGINT) AS k,
        ex.exact_union, ex.exact_inter
 FROM u CROSS JOIN i CROSS JOIN ex
 """
+
+
+def percentiles_bucket_sql(qs: tuple = (0.25, 0.5, 0.75, 0.95)) -> str:
+    """Mirror of pipeline.percentiles_bucket — quantile_cont over the
+    same rounded per-day bucket sums."""
+    cols = ", ".join(
+        f"round(CAST(quantile_cont(sum_value, {q!r}) AS DOUBLE), 6) AS q{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT {cols}, CAST(count(*) AS BIGINT) AS n_buckets FROM buckets
+"""

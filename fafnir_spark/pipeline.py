@@ -1381,3 +1381,22 @@ def boxplot_agg(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def percentiles_bucket(events: DataFrame, qs: tuple = (0.25, 0.5, 0.75, 0.95)) -> DataFrame:
+    """ES percentiles_bucket pipeline aggregation: exact interpolated
+    percentiles OF THE BUCKET METRIC (per-day rounded sums from the
+    date_histogram), not of the raw values — the sibling pipeline agg of
+    derivative/cum_sum. The percentile pass runs over the bounded bucket
+    relation (rows == distinct days). One row: (q<p>..., n_buckets)."""
+    from pyspark.sql import functions as F
+
+    buckets = (
+        events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    aggs = [
+        F.round(F.expr(f"percentile(sum_value, {q!r})"), 6).alias(f"q{int(q * 100)}")
+        for q in qs
+    ]
+    return buckets.agg(*aggs, F.count(F.lit(1)).cast("long").alias("n_buckets"))
