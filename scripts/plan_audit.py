@@ -248,6 +248,21 @@ def main() -> None:
               "Sort-free centroid assignment, pairing equi-joined on "
               "centroid_id (Σ|cluster|² bound) — no CartesianProduct."),
     ]
+    from fafnir_spark.simsearch import hybrid_linear
+    from fafnir_spark.textstats import token_pmi
+
+    qv64 = [((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+    sections += [
+        audit("token_pmi (vocabulary-capped collocations)",
+              token_pmi(docs, vocab_top=20, min_pairs=5, k=20),
+              "Pairing restricted to the broadcast top-V vocabulary — "
+              "O(V²) per doc, never O(len²); PMI from doc-presence "
+              "counts; k-row TakeOrdered finish."),
+        audit("hybrid_linear (minmax-normalized fusion)",
+              hybrid_linear(docs, emb, ["merge", "window"], qv64, k=10),
+              "Two top-n branches + 1-row minmax stats broadcast; fusion "
+              "join ≤ 2n rows; degenerate branch pinned to 1.0."),
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     with open(out, "w") as f:
