@@ -2175,6 +2175,20 @@ def _q_percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentiles_bucket(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_ann_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted TRAINED IVF (faiss train-then-add): one Lloyd iteration
+    at build time, published centroids + partitioned assignment; the
+    query path is the unchanged ivf_search. Same oracle as the inline
+    trained form (identical deterministic training)."""
+    from fafnir_spark.simsearch import build_ivf_index, ivf_search
+
+    root = os.path.join(tempfile.gettempdir(), "fafnir_ivft_" + _content_key(sf_dir))
+    if not os.path.exists(os.path.join(root, "_manifest.json")):
+        build_ivf_index(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                        root, n_centroids=16, train_iters=1)
+    return ivf_search(spark, root, {"q": QVEC}, k=10, nprobe=4).drop("qid")
+
+
 def _pq(fn_name: str, needs: str = "docs"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fafnir_spark import pipeline as P
@@ -2237,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_line": _q_geo_line,
         "kmeans_step": _q_kmeans_step,
         "ann_ivf_trained": _q_ann_ivf_trained,
+        "ann_ivf_trained_indexed": _q_ann_ivf_trained_indexed,
         "kmv_set_ops": _q_kmv_set_ops,
         "hybrid_linear": _q_hybrid_linear,
         "token_pmi": _q_token_pmi,
@@ -2473,6 +2488,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_line": oracles_pipeline.geo_line_sql(size=10),
         "kmeans_step": oracles_ops.kmeans_step_sql(n_centroids=16),
         "ann_ivf_trained": oracles_ops.ivf_trained_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
+        "ann_ivf_trained_indexed": oracles_ops.ivf_trained_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "kmv_set_ops": oracles_pipeline.kmv_set_ops_sql(group_a="error", group_b="click", k=64),
         "hybrid_linear": oracles_ops.hybrid_linear_sql(Q_MAIN, QVEC, w_lex=0.7, w_vec=0.3, k=10),
         "token_pmi": oracles_curation.token_pmi_sql(vocab_top=20, min_pairs=5, k=20),

@@ -225,20 +225,28 @@ def build_ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> None:
     """Persist the IVF structure the way a 100 TB deployment would: the
     centroid table plus the vector→centroid assignment written PARTITIONED
     BY centroid_id, so a query's nprobe probes become partition pruning on
     the scan instead of a full-table pass. Deterministic sampled centroids
-    (ivf_centroid_ids) keep the oracle reproducible."""
+    (ivf_centroid_ids) keep the oracle reproducible. ``train_iters`` > 0
+    refines the seeds with that many Lloyd iterations before assignment
+    (the faiss train-then-add shape) — training cost is train_iters
+    one-pass steps at BUILD time; queries are unchanged (ivf_search reads
+    whatever centroid table was published)."""
     from .catalog import Catalog
 
     cat = Catalog(index_root)
-    n = emb.count()
-    cids = ivf_centroid_ids(n, n_centroids)
-    cents = emb.filter(F.col(id_col).isin(cids)).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
+    if train_iters > 0:
+        cents = kmeans_train(emb, n_centroids, train_iters, id_col, vec_col)
+    else:
+        n = emb.count()
+        cids = ivf_centroid_ids(n, n_centroids)
+        cents = emb.filter(F.col(id_col).isin(cids)).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+        )
     assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
     cat.write_segment(assigned, "ivf_assign", "base", partition_by=["centroid_id"])
     cat.write_segment(cents.coalesce(1), "ivf_centroids", "base")
@@ -247,7 +255,8 @@ def build_ivf_index(
             "ivf_assign": [cat.segment_dir("ivf_assign", "base")],
             "ivf_centroids": [cat.segment_dir("ivf_centroids", "base")],
         },
-        meta={"n_centroids": n_centroids, "n_vectors": n},
+        meta={"n_centroids": n_centroids, "n_vectors": emb.count(),
+              "train_iters": train_iters},
     )
 
 
