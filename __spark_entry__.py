@@ -2175,6 +2175,30 @@ def _q_percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentiles_bucket(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality (the ES `cardinality` agg algorithm): exact
+    integer register sums keep both engines bit-identical; event_id takes
+    the raw-estimate branch, user_id the linear-counting correction."""
+    from fafnir_spark.sketches import hll_cardinality
+
+    return hll_cardinality(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation agg (exact two-pass MAD per event_type)."""
+    from fafnir_spark.pipeline import median_abs_deviation
+
+    return median_abs_deviation(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_percentiles pipeline agg: sliding p50/p90 over the per-day
+    bucket sums (bounded bucket relation)."""
+    from fafnir_spark.pipeline import moving_percentiles
+
+    return moving_percentiles(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_ann_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted TRAINED IVF (faiss train-then-add): one Lloyd iteration
     at build time, published centroids + partitioned assignment; the
@@ -2350,6 +2374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_indexed": _q_lm_dirichlet_indexed,
         "lm_jelinek_mercer_indexed": _q_lm_jm_indexed,
         "percentiles_bucket": _q_percentiles_bucket,
+        "median_abs_deviation": _q_median_abs_deviation,
+        "hll_cardinality": _q_hll_cardinality,
+        "moving_percentiles": _q_moving_percentiles,
         "distance_feature": _q_distance_feature,
         "pinned_query": _q_pinned_query,
         "match_bool_prefix": _q_match_bool_prefix,
@@ -2609,6 +2636,9 @@ def oracle_sql() -> dict[str, str]:
         "lm_dirichlet_indexed": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="dirichlet", mu=2000.0),
         "lm_jelinek_mercer_indexed": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="jm", lam=0.1),
         "percentiles_bucket": oracles_pipeline.percentiles_bucket_sql(),
+        "median_abs_deviation": oracles_pipeline.median_abs_deviation_sql(),
+        "hll_cardinality": oracles_pipeline.hll_cardinality_sql(),
+        "moving_percentiles": oracles_pipeline.moving_percentiles_sql(),
         "distance_feature": oracles.distance_feature_sql(
             ["merge", "window"], origin=DISTF_ORIGIN, pivot=DISTF_PIVOT,
             boost=DISTF_BOOST, k=10,

@@ -1185,3 +1185,81 @@ WITH buckets AS (
 )
 SELECT {cols}, CAST(count(*) AS BIGINT) AS n_buckets FROM buckets
 """
+
+
+def median_abs_deviation_sql() -> str:
+    """Mirror of pipeline.median_abs_deviation — same two-pass exact MAD
+    chained from the ROUNDED per-group median."""
+    return """
+WITH med AS (
+  SELECT event_type, round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS median_value
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       min(m.median_value) AS median_value,
+       round(CAST(quantile_cont(abs(e.value - m.median_value), 0.5) AS DOUBLE), 6) AS mad
+FROM events e JOIN med m USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+def moving_percentiles_sql(window: int = 3) -> str:
+    """Mirror of pipeline.moving_percentiles — quantile_cont as a sliding
+    window over the same rounded per-day bucket sums."""
+    frame = f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    return f"""
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT day, sum_value,
+       round(CAST(quantile_cont(sum_value, 0.5) OVER (ORDER BY day {frame}) AS DOUBLE), 6) AS mov_p50,
+       round(CAST(quantile_cont(sum_value, 0.9) OVER (ORDER BY day {frame}) AS DOUBLE), 6) AS mov_p90
+FROM buckets ORDER BY day
+"""
+
+
+def hll_cardinality_sql(val_cols: tuple = ("event_id", "user_id"),
+                        p: int = 8, table: str = "events") -> str:
+    """Mirror of sketches.hll_cardinality: same portable hash, same exact
+    integer register sum (Σ 2^(53-rho) as BIGINT), same literal·division
+    estimate and linear-counting branch."""
+    from .portable import hash60_sql
+
+    rem_bits = 60 - p
+    m = 1 << p
+    mask = (1 << rem_bits) - 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    a_lit = alpha * m * m * float(1 << (rem_bits + 1))
+    empty_term = 1 << (rem_bits + 1)
+
+    blocks = []
+    for c in sorted(val_cols):
+        h = hash60_sql(f"CAST({c} AS VARCHAR)")
+        blocks.append(f"""
+SELECT '{c}' AS col, exact_n, n_empty,
+       round(est_raw, 6) AS est_raw,
+       round(CASE WHEN est_raw <= {2.5 * m!r} AND n_empty > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / n_empty)
+                  ELSE est_raw END, 6) AS est
+FROM (
+  SELECT exact_n, n_empty,
+         {a_lit!r} / CAST(s_present + n_empty * {empty_term}::BIGINT AS DOUBLE) AS est_raw
+  FROM (
+    SELECT CAST(sum(1::BIGINT << ({rem_bits + 1} - maxrho)) AS BIGINT) AS s_present,
+           CAST({m} - count(*) AS BIGINT) AS n_empty
+    FROM (
+      SELECT idx, max(rho) AS maxrho FROM (
+        SELECT h >> {rem_bits} AS idx,
+               CASE WHEN (h & {mask}) = 0 THEN {rem_bits + 1}
+                    ELSE {rem_bits + 1} - length(bin(h & {mask})) END AS rho
+        FROM (SELECT {h} AS h FROM {table})
+      ) GROUP BY idx
+    )
+  )
+  CROSS JOIN (SELECT CAST(count(DISTINCT {c}) AS BIGINT) AS exact_n FROM {table})
+)""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY col"

@@ -1400,3 +1400,54 @@ def percentiles_bucket(events: DataFrame, qs: tuple = (0.25, 0.5, 0.75, 0.95)) -
         for q in qs
     ]
     return buckets.agg(*aggs, F.count(F.lit(1)).cast("long").alias("n_buckets"))
+
+
+def median_abs_deviation(events: DataFrame) -> DataFrame:
+    """ES median_absolute_deviation aggregation (exact, per event_type):
+
+        mad = median( |value - median(value)| )
+
+    ES approximates with t-digest; tiny-fixture parity wants the exact
+    two-pass form: per-group exact interpolated median (ROUNDED 6 before
+    chaining, the pipeline-agg convention), broadcast back (one row per
+    group — bounded), then the median of absolute deviations. Two scans of
+    the fact table are inherent to exact MAD; both aggregate map-side.
+    (event_type, median_value, mad)."""
+    from pyspark.sql import functions as F
+
+    med = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value")
+    )
+    dev = events.select("event_type", "value").join(F.broadcast(med), "event_type")
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.min("median_value").alias("median_value"),
+            F.round(F.expr("percentile(abs(value - median_value), 0.5)"), 6).alias("mad"),
+        )
+        .select("event_type", "median_value", "mad")
+        .orderBy("event_type")
+    )
+
+
+def moving_percentiles(events: DataFrame, window: int = 3) -> DataFrame:
+    """ES moving_percentiles pipeline aggregation: sliding-window exact
+    percentiles OF THE BUCKET METRIC — p50/p90 over the trailing ``window``
+    per-day rounded sums (window-1 preceding + current, partial head
+    windows as ES emits them). The window pass runs over the bounded
+    bucket relation (rows == distinct days), never the raw facts.
+    (day, sum_value, mov_p50, mov_p90) ordered by day."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    buckets = (
+        events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    w = Window.orderBy("day").rowsBetween(-(window - 1), Window.currentRow)
+    return buckets.select(
+        "day",
+        "sum_value",
+        F.round(F.expr("percentile(sum_value, 0.5)").over(w), 6).alias("mov_p50"),
+        F.round(F.expr("percentile(sum_value, 0.9)").over(w), 6).alias("mov_p90"),
+    ).orderBy("day")

@@ -188,3 +188,71 @@ def kmv_set_ops(
             "exact_inter",
         )
     )
+
+
+def hll_cardinality(df: DataFrame, val_cols: tuple = ("event_id", "user_id"),
+                    p: int = 8) -> DataFrame:
+    """HyperLogLog distinct-count estimate (Flajolet'07) — the algorithm ES
+    `cardinality` actually runs (HLL++ without bias tables). m = 2^p
+    registers over the 60-bit portable hash: register = top p bits,
+    rho = leading-zero count of the remaining 52 bits + 1, estimate
+    alpha·m²/Σ2^-rho with the small-range linear-counting correction
+    (E ≤ 2.5m and empty registers → m·ln(m/V)).
+
+    Cross-engine determinism: the register sum is computed in EXACT INTEGER
+    space — Σ 2^(53-rho) as BIGINT (≤ 2^61, no float-addition order
+    sensitivity) — and the estimate is one literal·division at the end;
+    leading zeros come from length(bin(rem)) (exact string math, no log2).
+    Scale shape: per column ONE scan → ≤ m register rows → 1-row aggregate;
+    the sketch is the only exchange, exactly like kmv_distinct. The exact
+    distinct count rides along as the accuracy-audit column.
+    (col, exact_n, n_empty, est_raw, est) — one row per column."""
+    rem_bits = 60 - p                      # 52
+    m = 1 << p
+    mask = (1 << rem_bits) - 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)     # Flajolet'07 alpha_m for m >= 128
+    a_lit = alpha * m * m * float(1 << (rem_bits + 1))  # alpha·m²·2^53, one literal
+    empty_term = 1 << (rem_bits + 1)       # each empty register contributes 2^53
+
+    out = None
+    for c in sorted(val_cols):
+        hs = df.select(hash60(F.col(c).cast("string")).alias("h"))
+        regs = (
+            hs.select(
+                F.expr(f"shiftright(h, {rem_bits})").alias("idx"),
+                F.expr(f"h & {mask}").alias("rem"),
+            )
+            .select(
+                "idx",
+                F.when(F.col("rem") == 0, F.lit(rem_bits + 1))
+                .otherwise(F.lit(rem_bits + 1) - F.length(F.bin("rem")))
+                .alias("rho"),
+            )
+            .groupBy("idx")
+            .agg(F.max("rho").alias("maxrho"))
+        )
+        agg = regs.agg(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rem_bits + 1} - maxrho)"))
+            .alias("s_present"),
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+        )
+        exact = df.agg(F.count_distinct(F.col(c)).cast("long").alias("exact_n"))
+        s_total = (
+            F.col("s_present")
+            + (F.lit(m).cast("long") - F.col("n_present")) * F.lit(empty_term).cast("long")
+        ).cast("double")
+        est_raw = F.lit(a_lit) / s_total
+        v = (F.lit(m).cast("long") - F.col("n_present")).alias("n_empty")
+        est = F.when(
+            (est_raw <= F.lit(2.5 * m)) & (F.col("n_present") < m),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_present"))),
+        ).otherwise(est_raw)
+        row = agg.crossJoin(F.broadcast(exact)).select(
+            F.lit(c).alias("col"),
+            "exact_n",
+            v,
+            F.round(est_raw, 6).alias("est_raw"),
+            F.round(est, 6).alias("est"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("col")
