@@ -480,6 +480,34 @@ def _q_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, {"q": QVEC}, k=10).drop("qid")
 
 
+# two 16-dim query token vectors for late-interaction maxsim — same
+# deterministic recipe family as QVEC, literal in BOTH engines
+QTOKS = [
+    [((i * 53 + t * 17) % 31 - 15) / 16.0 for i in range(16)]
+    for t in range(2)
+]
+
+
+def _q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) ANN with exact rescore — the ES int8
+    dense_vector / faiss SQ8+ADC pattern: quantized candidate scan,
+    k·4 exact-cosine rescore, two-level top-k at both stages."""
+    from fafnir_spark.simsearch import sq8_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_cosine_topk(emb, {"q": QVEC}, k=10, rescore_factor=4).drop("qid")
+
+
+def _q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT late-interaction maxsim over fixed-slice doc token vectors
+    (sum over query tokens of max-over-slices cosine); row-local scoring,
+    TakeOrderedAndProject finish."""
+    from fafnir_spark.simsearch import maxsim_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return maxsim_topk(emb, QTOKS, k=10)
+
+
 def _q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES kNN-with-filter: label pre-filter pruning the scan before
     scoring, then the shared two-level exact top-k."""
@@ -957,6 +985,16 @@ def _q_field_value_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return field_value_factor(
         _docs(spark, sf_dir), ["merge", "window"], factor=0.1, k=10
     )
+
+
+def _q_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score (dense-vector script): BM25 · (cosine(qv, emb) + 1)
+    — semantic rerank of the lexical candidate set, no second retrieval
+    branch."""
+    from fafnir_spark.scoring import script_score_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return script_score_cosine(_docs(spark, sf_dir), emb, Q_MAIN, QVEC, k=10)
 
 
 DISMAX_SUBQ = [["merge", "window"], ["spark", "slow"]]
@@ -2253,6 +2291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
+        "ann_sq8_rescore": _q_ann_sq8,
+        "maxsim_colbert": _q_maxsim,
         "ann_filtered_topk": _q_ann_filtered,
         "kmv_cardinality": _q_kmv_cardinality,
         "quality_logistic": _q_quality_logistic,
@@ -2365,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature_indexed": _q_rank_feature_indexed,
         "field_value_factor_indexed": _q_field_value_factor_indexed,
         "field_value_factor": _q_field_value_factor,
+        "script_score": _q_script_score,
         "dis_max": _q_dis_max,
         "boosting_query": _q_boosting,
         "random_score": _q_random_score,
@@ -2489,6 +2530,8 @@ def oracle_sql() -> dict[str, str]:
             0.4, plane_weights(LSH_TABLES, LSH_PLANES)
         ),
         "ann_cosine_topk": oracles_ops.cosine_topk_sql(QVEC, 10),
+        "ann_sq8_rescore": oracles_ops.sq8_cosine_topk_sql(QVEC, 10, rescore_factor=4),
+        "maxsim_colbert": oracles_ops.maxsim_topk_sql(QTOKS, 10),
         "ann_filtered_topk": oracles_ops.cosine_topk_filtered_sql(QVEC, [1, 3, 5, 7], 10),
         "kmv_cardinality": oracles_pipeline.kmv_distinct_sql(k=64),
         "quality_logistic": oracles_curation.quality_logistic_sql(20),
@@ -2619,6 +2662,7 @@ def oracle_sql() -> dict[str, str]:
         "field_value_factor": oracles.field_value_factor_sql(
             ["merge", "window"], factor=0.1, k=10
         ),
+        "script_score": oracles.script_score_cosine_sql(Q_MAIN, QVEC, k=10),
         "rank_feature_indexed": oracles.rank_feature_sql(
             ["merge", "window"], pivot=200.0, boost=2.0, k=10
         ),

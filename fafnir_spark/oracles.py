@@ -1718,3 +1718,34 @@ scored AS (
 )
 SELECT doc_id, score FROM scored
 """, k)
+
+
+def _cos_sql(vec_expr: str, qv_expr: str, dim: int = 64) -> str:
+    """Cosine in the exact operand order of dedup.cosine_expr (sequential
+    fold: dot / (sqrt(na) * sqrt(nb))) — shared by the vector-scoring
+    oracles."""
+    r = f"range(1, {dim + 1})"
+    dot = f"list_sum(list_transform({r}, i -> {vec_expr}[i]::DOUBLE * {qv_expr}[i]))"
+    na = f"sqrt(list_sum(list_transform({r}, i -> {vec_expr}[i]::DOUBLE * {vec_expr}[i]::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform({r}, i -> {qv_expr}[i] * {qv_expr}[i])))"
+    return f"{dot} / ({na} * {nb})"
+
+
+def script_score_cosine_sql(terms: list[str], query_vec: list[float],
+                            k: int = 10) -> str:
+    """Mirror of scoring.script_score_cosine: round(bm25_rounded ·
+    (cos_rounded + 1.0), 6) over the BM25-matched docs joined to their
+    vectors."""
+    lit = "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in query_vec) + "]"
+    cos = _cos_sql("e.embedding", "q.qv", len(query_vec))
+    inner = f"""
+WITH {_TF_CTES},
+{_scored_cte(terms)},
+q AS (SELECT {lit} AS qv)
+SELECT s.doc_id,
+       round(round(s.raw_score, 6) * (round({cos}, 6) + 1.0), 6) AS score
+FROM scored s
+JOIN embeddings e ON e.vec_id = s.doc_id
+CROSS JOIN q
+"""
+    return _ranked_topk(inner, k)

@@ -921,3 +921,76 @@ SELECT rank, doc_id, score FROM (
   )
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def sq8_cosine_topk_sql(query_vec: list[float], k: int = 10,
+                        rescore_factor: int = 4) -> str:
+    """Mirror of simsearch.sq8_cosine_topk: same absmax scale, same
+    floor(x+0.5) clamped codes, same asymmetric quantized candidate stage
+    (k·factor) and exact-cosine rescore."""
+    from .oracles import _cos_sql
+
+    lit = "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in query_vec) + "]"
+    acos = _cos_sql("codes", "q.qv", len(query_vec))
+    ecos = _cos_sql("v", "q.qv", len(query_vec))
+    return f"""
+WITH q AS (SELECT {lit} AS qv),
+sc AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS s
+  FROM embeddings
+),
+coded AS (
+  SELECT e.vec_id, e.embedding AS v,
+         list_transform(e.embedding,
+           x -> greatest(-127.0, least(127.0, floor(x::DOUBLE / sc.s * 127.0 + 0.5)))
+         ) AS codes
+  FROM embeddings e CROSS JOIN sc
+),
+approx AS (
+  SELECT vec_id, round({acos}, 6) AS acos FROM coded CROSS JOIN q
+),
+cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY acos DESC, vec_id ASC) AS rn
+    FROM approx
+  ) WHERE rn <= {k * rescore_factor}
+),
+exact AS (
+  SELECT c.vec_id, round({ecos}, 6) AS cos
+  FROM cand JOIN coded c USING (vec_id) CROSS JOIN q
+)
+SELECT rank, vec_id, cos FROM (
+  SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank, vec_id, cos
+  FROM exact
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def maxsim_topk_sql(query_tokens: list[list[float]], k: int = 10,
+                    slice_dim: int = 16, dim: int = 64) -> str:
+    """Mirror of simsearch.maxsim_topk: greatest-over-slices cosine per
+    query token, literal-order sum, one rounding."""
+    from .oracles import _cos_sql
+
+    n_slices = dim // slice_dim
+    parts = []
+    for tok in query_tokens:
+        tlit = "([" + ", ".join(f"{float(x)!r}::DOUBLE" for x in tok) + "])"
+        cands = [
+            _cos_sql(f"(e.embedding[{s * slice_dim + 1}:{(s + 1) * slice_dim}])",
+                     tlit, slice_dim)
+            for s in range(n_slices)
+        ]
+        parts.append("greatest(" + ", ".join(cands) + ")" if len(cands) > 1 else cands[0])
+    total = parts[0]
+    for p in parts[1:]:
+        total = f"({total}) + ({p})"
+    return f"""
+WITH scored AS (
+  SELECT e.vec_id, round({total}, 6) AS maxsim FROM embeddings e
+)
+SELECT rank, vec_id, maxsim FROM (
+  SELECT row_number() OVER (ORDER BY maxsim DESC, vec_id ASC) AS rank, vec_id, maxsim
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank
+"""

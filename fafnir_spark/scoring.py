@@ -461,3 +461,41 @@ def tfidf_classic_topk(
         )
     )
     return _topk_ranked(scores, k)
+
+
+def script_score_cosine(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ES script_score with the docs' canonical dense-vector script —
+
+        score = bm25 · (cosineSimilarity(query_vec, 'embedding') + 1.0)
+
+    — the semantic-rerank pattern: lexical retrieval supplies the candidate
+    set and corpus statistics, a row-local vector function reshapes the
+    score. Unlike hybrid_rrf/hybrid_linear there is NO second retrieval
+    branch: the embedding read is a join on the already-matched docs only,
+    so plan cost is bm25's own plus one broadcast-sized probe. Chains from
+    the ROUNDED bm25 score and ROUNDED cosine in the oracle's operand
+    order. Docs without a vector drop out (ES errors on missing vector
+    fields — the join is the filter). (rank, doc_id, score)."""
+    from .dedup import cosine_expr
+
+    scores = bm25_scores(docs, terms, id_col=id_col, text_col=text_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vecs = emb.select(F.col(vec_id_col).alias("doc_id"), F.col(vec_col).alias("__e"))
+    out = scores.join(vecs, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("score") * (F.round(cosine_expr(F.col("__e"), q), 6) + F.lit(1.0)),
+            SCORE_DECIMALS,
+        ).alias("score"),
+    )
+    return _topk_ranked(out, k)
