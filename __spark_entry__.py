@@ -1804,6 +1804,24 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_docs(spark, sf_dir), GOPHER_STOPS)
 
 
+def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel'20 §2.2) over deterministically
+    webified fixture docs: lorem-ipsum / javascript / curly-brace /
+    word-minimum signals + keep conjunction, all row-local."""
+    from fafnir_spark.curation import c4_filters, webify_docs
+
+    return c4_filters(webify_docs(_docs(spark, sf_dir)))
+
+
+def _q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-sampling allocation (Chung'23): water-filling a
+    token budget across languages with a per-language epoch cap; the
+    ranked window runs over the bounded per-language relation only."""
+    from fafnir_spark.curation import unimax_alloc
+
+    return unimax_alloc(_docs(spark, sf_dir), epochs=2.0, budget_ratio=1.5)
+
+
 TERMS_SET = ["merge", "window", "customer", "spark"]
 TERMS_SET_MSM_SQL = "((doc_id % 3) + 3) % 3 + 1"
 
@@ -2378,6 +2396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_vector_topk": _q_sparse_vector,
         "sparse_vector_indexed": _q_sparse_vector_indexed,
         "gopher_quality": _q_gopher_quality,
+        "c4_filters": _q_c4_filters,
+        "unimax_alloc": _q_unimax_alloc,
         "intervals_ordered": _q_intervals_ordered,
         "span_containing": _q_span_containing,
         "terms_set": _q_terms_set,
@@ -2627,6 +2647,8 @@ def oracle_sql() -> dict[str, str]:
         "sparse_vector_topk": oracles.sparse_vector_topk_sql(SPARSE_WEIGHTS, k=10),
         "sparse_vector_indexed": oracles.sparse_vector_topk_sql(SPARSE_WEIGHTS, k=10),
         "gopher_quality": oracles_curation.gopher_quality_sql(GOPHER_STOPS),
+        "c4_filters": oracles_curation.c4_filters_sql(),
+        "unimax_alloc": oracles_curation.unimax_alloc_sql(epochs=2.0, budget_ratio=1.5),
         "intervals_ordered": oracles.intervals_ordered_sql(Q_MAIN, max_gaps=4),
         "span_containing": oracles.span_containing_sql("merge", "customer", "window", slop=5),
         "terms_set": oracles.terms_set_sql(TERMS_SET, TERMS_SET_MSM_SQL),

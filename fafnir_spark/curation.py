@@ -674,3 +674,132 @@ def ccnet_buckets(docs: DataFrame, id_col: str = "doc_id",
         )
         .orderBy("doc_id")
     )
+
+
+# C4 cleaning heuristics (Raffel et al. 2020, §2.2 — public). The fixture
+# corpus is single-line and punctuation-free, so webify_docs below injects
+# the web noise the rules exist to catch; the line-retention rule
+# degenerates to document-level signals. Shared constants — templated into
+# the oracle, never hand-copied.
+C4_NOISE = {
+    "lorem_every": 5,     # pmod(doc_id, 5) == 0 gains a lorem-ipsum phrase
+    "js_every": 7,        # pmod(doc_id, 7) == 0 gains a javascript banner
+    "curly_every": 11,    # pmod(doc_id, 11) == 0 gains code braces
+    "lorem_text": " lorem ipsum dolor sit amet",
+    "js_text": " please enable javascript to view this page",
+    "curly_text": " function() { return 0 }",
+}
+C4_RULES = {"min_words": 5}
+
+
+def webify_docs(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Deterministically derive web-crawl noise from the fixture corpus
+    (the sandbox corpus has none — the inject_pii precedent): selected
+    docs gain the boilerplate/code fragments the C4 rules discard. Both
+    engines derive the identical string."""
+    n = C4_NOISE
+    t = F.col(text_col)
+    for key in ("lorem", "js", "curly"):
+        t = F.concat(
+            t,
+            F.when(F.pmod(F.col(id_col), F.lit(n[f"{key}_every"])) == 0,
+                   F.lit(n[f"{key}_text"])).otherwise(F.lit("")),
+        )
+    return docs.select(F.col(id_col).alias("doc_id"), t.alias("text"))
+
+
+def c4_filters(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """C4 document-level cleaning signals (Raffel'20 §2.2): pages with
+    "lorem ipsum", a curly brace, or the word "javascript" are discarded,
+    as are pages under the word minimum. Zero shuffle — every signal is a
+    row-local expression; ``keep`` is the conjunction of negations.
+    (doc_id, has_lorem, has_js, has_curly, n_words, keep) ordered."""
+    from .tokenizer import tokens_expr
+
+    t = F.col(text_col)
+    has_lorem = t.contains("lorem ipsum")
+    has_js = F.array_contains(tokens_expr(text_col), "javascript")
+    has_curly = t.contains("{")
+    n_words = F.size(tokens_expr(text_col)).cast("long")
+    keep = (
+        ~has_lorem & ~has_js & ~has_curly
+        & (n_words >= C4_RULES["min_words"])
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        has_lorem.alias("has_lorem"),
+        has_js.alias("has_js"),
+        has_curly.alias("has_curly"),
+        n_words.alias("n_words"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+def unimax_alloc(docs: DataFrame, epochs: float = 2.0,
+                 budget_ratio: float = 1.5, lang_col: str = "lang",
+                 text_col: str = "text") -> DataFrame:
+    """UniMax language-sampling allocation (Chung et al. 2023): spread a
+    token budget B uniformly across languages, capping each language at
+    ``epochs`` passes over its data. Water-filling closed form — sort
+    languages by cap ascending; language i is uncapped while
+
+        cap_i <= P_i = (B - Σ_{j<i} cap_j) / (L - i + 1)
+
+    and every language from the first violation K onward receives the
+    water level P_K (constant thereafter — allocating P leaves P
+    unchanged). B = floor(budget_ratio · total_tokens), data-derived so
+    the split stays nontrivial at every scale factor.
+
+    Scale shape: ONE tokenize pass → per-language token counts (bounded
+    relation, ≤ |languages| rows); the ranked window and the 1-row
+    violation aggregate run over that bounded relation only.
+    (lang, n_tokens, cap, alloc, epochs_alloc) ordered by lang."""
+    from pyspark.sql.window import Window
+
+    from .tokenizer import tokens_expr
+
+    toks = (
+        docs.select(F.col(lang_col).alias("lang"), F.size(tokens_expr(text_col)).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    tot = toks.agg(
+        F.sum("n_tokens").cast("double").alias("t_total"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    cap = (F.col("n_tokens").cast("double") * F.lit(float(epochs))).alias("cap")
+    ranked = toks.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_tokens", "t_total", "n_langs", cap
+    )
+    w_ord = Window.orderBy(F.col("cap").asc(), F.col("lang").asc())
+    b = F.floor(F.lit(float(budget_ratio)) * F.col("t_total")).cast("double")
+    ranked = (
+        ranked.withColumn("i", F.row_number().over(w_ord))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(F.sum("cap").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+                       F.lit(0.0)),
+        )
+        .withColumn("p", (b - F.col("cum_prev")) / (F.col("n_langs") - F.col("i") + 1))
+    )
+    viol = ranked.filter(F.col("cap") > F.col("p")).agg(
+        F.min("i").alias("k"), F.min_by("p", "i").alias("plevel")
+    )
+    out = ranked.crossJoin(F.broadcast(viol)).select(
+        "lang",
+        "n_tokens",
+        F.round("cap", 6).alias("cap"),
+        F.round(
+            F.when(F.col("k").isNull() | (F.col("i") < F.col("k")), F.col("cap"))
+            .otherwise(F.col("plevel")),
+            6,
+        ).alias("alloc"),
+        F.round(
+            F.when(F.col("k").isNull() | (F.col("i") < F.col("k")), F.col("cap"))
+            .otherwise(F.col("plevel")) / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("epochs_alloc"),
+    )
+    return out.orderBy("lang")

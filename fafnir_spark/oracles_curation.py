@@ -516,3 +516,77 @@ SELECT rank, term_a, term_b, n_ab, pmi FROM (
   )
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def c4_filters_sql() -> str:
+    """Mirrors curation.webify_docs ∘ curation.c4_filters: the same
+    injected web noise (constants templated from C4_NOISE) and the same
+    document-level C4 signals/keep conjunction."""
+    from .curation import C4_NOISE, C4_RULES
+
+    n = C4_NOISE
+    pieces = []
+    for key in ("lorem", "js", "curly"):
+        txt = n[f"{key}_text"].replace("'", "''")
+        pieces.append(
+            f"CASE WHEN {_pmod('doc_id', n[f'{key}_every'])} = 0 THEN '{txt}' ELSE '' END"
+        )
+    return f"""
+WITH webified AS (
+  SELECT doc_id, concat(text, {', '.join(pieces)}) AS text FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         contains(text, 'lorem ipsum') AS has_lorem,
+         list_contains(list_filter(string_split(text, ' '), x -> x <> ''),
+                       'javascript') AS has_js,
+         contains(text, '{{') AS has_curly,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words
+  FROM webified
+)
+SELECT doc_id, has_lorem, has_js, has_curly, n_words,
+       (NOT has_lorem AND NOT has_js AND NOT has_curly
+        AND n_words >= {C4_RULES["min_words"]}) AS keep
+FROM sig ORDER BY doc_id
+"""
+
+
+def unimax_alloc_sql(epochs: float = 2.0, budget_ratio: float = 1.5) -> str:
+    """Mirror of curation.unimax_alloc — identical water-filling closed
+    form and operand order over the bounded per-language relation."""
+    e = float(epochs)
+    return f"""
+WITH toks AS (
+  SELECT lang, CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS t_total,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM toks
+),
+ranked AS (
+  SELECT lang, n_tokens, t_total, n_langs,
+         n_tokens::DOUBLE * {e!r} AS cap,
+         row_number() OVER (ORDER BY n_tokens::DOUBLE * {e!r} ASC, lang ASC) AS i,
+         coalesce(sum(n_tokens::DOUBLE * {e!r}) OVER (
+           ORDER BY n_tokens::DOUBLE * {e!r} ASC, lang ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_prev
+  FROM toks CROSS JOIN tot
+),
+lev AS (
+  SELECT lang, n_tokens, cap, i,
+         (floor({float(budget_ratio)!r} * t_total) - cum_prev) / (n_langs - i + 1) AS p
+  FROM ranked
+),
+viol AS (
+  SELECT min(i) AS k, min_by(p, i) AS plevel FROM lev WHERE cap > p
+)
+SELECT lang, n_tokens,
+       round(cap, 6) AS cap,
+       round(CASE WHEN viol.k IS NULL OR lev.i < viol.k THEN cap ELSE viol.plevel END, 6) AS alloc,
+       round(CASE WHEN viol.k IS NULL OR lev.i < viol.k THEN cap ELSE viol.plevel END
+             / n_tokens::DOUBLE, 6) AS epochs_alloc
+FROM lev CROSS JOIN viol
+ORDER BY lang
+"""
