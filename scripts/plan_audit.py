@@ -263,6 +263,34 @@ def main() -> None:
               "Two top-n branches + 1-row minmax stats broadcast; fusion "
               "join ≤ 2n rows; degenerate branch pinned to 1.0."),
     ]
+    from fafnir_spark.curation import unimax_alloc
+    from fafnir_spark.simsearch import maxsim_topk, sq8_cosine_topk
+    from fafnir_spark.sketches import hll_cardinality
+
+    qtoks = [[((i * 53 + t * 17) % 31 - 15) / 16.0 for i in range(16)]
+             for t in range(2)]
+    sections += [
+        audit("ann_sq8_rescore (int8 quantized + exact rescore)",
+              sq8_cosine_topk(emb, {"q": qv64}, k=10, rescore_factor=4),
+              "1-row absmax scale broadcast; quantized candidate stage and "
+              "exact rescore BOTH finish through the two-level "
+              "topk_per_group — no corpus-wide per-qid window; rescore "
+              "join touches k*factor rows."),
+        audit("maxsim_colbert (late-interaction scoring)",
+              maxsim_topk(emb, qtoks, k=10),
+              "Row-local slice cosines + greatest + literal-order sum — "
+              "zero shuffles before the TakeOrderedAndProject finish."),
+        audit("hll_cardinality (HyperLogLog registers)",
+              hll_cardinality(emb.sparkSession.read.parquet(
+                  f"{sf}/events.parquet")),
+              "Per column: one scan → ≤256 register rows → 1-row integer "
+              "aggregate; the sketch is the only exchange."),
+        audit("unimax_alloc (water-filling allocation)",
+              unimax_alloc(docs, epochs=2.0, budget_ratio=1.5),
+              "ONE tokenize pass collapses to the per-language relation; "
+              "ranked window + violation aggregate run over ≤|langs| "
+              "rows only."),
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     with open(out, "w") as f:

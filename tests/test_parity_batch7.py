@@ -1,0 +1,148 @@
+"""Session-7 op invariants the oracle sim can't express: HLL error
+envelope + branch selection, SQ8 rescore recall vs brute force, maxsim
+bounds, UniMax budget conservation / water-level laws, C4 keep logic,
+MAD non-negativity, moving-percentile window laws, script_score candidate
+containment."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.curation import c4_filters, unimax_alloc, webify_docs
+from fafnir_spark.pipeline import median_abs_deviation, moving_percentiles
+from fafnir_spark.query import bm25_topk
+from fafnir_spark.scoring import script_score_cosine
+from fafnir_spark.simsearch import cosine_topk, maxsim_topk, sq8_cosine_topk
+from fafnir_spark.sketches import hll_cardinality
+from tests.conftest import SF_DIR
+
+QT = ["merge", "window", "customer"]
+QVEC = [((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+QTOKS = [[((i * 53 + t * 17) % 31 - 15) / 16.0 for i in range(16)] for t in range(2)]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_hll_error_envelope_and_branches(events):
+    rows = {r["col"]: r for r in hll_cardinality(events).collect()}
+    for c, r in rows.items():
+        # HLL standard error is 1.04/sqrt(m) = 6.5% at m=256; allow 4 sigma
+        assert abs(r["est"] - r["exact_n"]) / r["exact_n"] < 0.26, (c, r)
+    # the low-cardinality column must take the linear-counting branch
+    # (empty registers + corrected != raw), the high one the raw branch
+    low = min(rows.values(), key=lambda r: r["exact_n"])
+    high = max(rows.values(), key=lambda r: r["exact_n"])
+    assert low["n_empty"] > 0 and low["est"] != low["est_raw"]
+    assert high["est"] == high["est_raw"]
+
+
+def test_mad_laws(events):
+    rows = median_abs_deviation(events).collect()
+    assert rows
+    for r in rows:
+        assert r["mad"] >= 0.0
+    # MAD is translation-invariant: shifting values must not change it
+    shifted = events.withColumn("value", F.col("value") + F.lit(100.0))
+    srows = median_abs_deviation(shifted).collect()
+    assert {r["event_type"]: r["mad"] for r in srows} == {
+        r["event_type"]: r["mad"] for r in rows
+    }
+
+
+def test_moving_percentiles_window_laws(events):
+    rows = moving_percentiles(events, window=3).collect()
+    assert rows
+    # p50 <= p90 everywhere; first bucket's window is itself -> both equal it
+    for r in rows:
+        assert r["mov_p50"] <= r["mov_p90"]
+    assert rows[0]["mov_p50"] == rows[0]["sum_value"] == rows[0]["mov_p90"]
+
+
+def test_sq8_rescore_recall_vs_brute(emb):
+    brute = [r["vec_id"] for r in cosine_topk(emb, {"q": QVEC}, k=10).collect()]
+    sq8 = [r["vec_id"] for r in sq8_cosine_topk(emb, {"q": QVEC}, k=10).collect()]
+    # int8 quantization at 64 dims keeps recall@10 high; exact rescore means
+    # any candidate that survives ranks by its TRUE cosine
+    overlap = len(set(brute) & set(sq8))
+    assert overlap >= 8, (overlap, brute, sq8)
+    # larger rescore window can only improve agreement, never regress order
+    wide = [r["vec_id"] for r in sq8_cosine_topk(emb, {"q": QVEC}, k=10,
+                                                 rescore_factor=16).collect()]
+    assert len(set(brute) & set(wide)) >= overlap
+
+
+def test_maxsim_bounds_and_monotonicity(emb):
+    rows = maxsim_topk(emb, QTOKS, k=10).collect()
+    assert len(rows) == 10
+    # each token contributes a cosine in [-1, 1] -> maxsim in [-T, T]
+    t = len(QTOKS)
+    for r in rows:
+        assert -t - 1e-9 <= r["maxsim"] <= t + 1e-9
+    scores = [r["maxsim"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # single-token maxsim is bounded above by the 2-token score for every doc
+    one = {r["vec_id"]: r["maxsim"] for r in maxsim_topk(emb, QTOKS[:1], k=10_000).collect()}
+    two = {r["vec_id"]: r["maxsim"] for r in maxsim_topk(emb, QTOKS, k=10_000).collect()}
+    for vid, s2 in two.items():
+        assert s2 >= one[vid] - 1.0 - 1e-6  # second token adds cos >= -1
+
+
+def test_unimax_budget_conservation(docs):
+    rows = unimax_alloc(docs, epochs=2.0, budget_ratio=1.5).collect()
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    budget = math.floor(1.5 * total_tokens)
+    allocs = [r["alloc"] for r in rows]
+    # every language is capped at its epoch budget
+    for r in rows:
+        assert r["alloc"] <= r["cap"] + 1e-6
+        assert abs(r["epochs_alloc"] - r["alloc"] / r["n_tokens"]) < 1e-5
+    # capped languages all sit at one shared water level
+    capped = [r["alloc"] for r in rows if r["alloc"] < r["cap"] - 1e-6]
+    if capped:
+        assert max(capped) - min(capped) < 1e-6
+        # water-filling exhausts the budget exactly when anyone is capped
+        assert abs(sum(allocs) - budget) < 1e-3
+    else:
+        assert sum(allocs) <= budget + 1e-3
+
+
+def test_unimax_all_uncapped_when_budget_ample(docs):
+    rows = unimax_alloc(docs, epochs=2.0, budget_ratio=10.0).collect()
+    for r in rows:
+        assert abs(r["alloc"] - r["cap"]) < 1e-6
+        assert abs(r["epochs_alloc"] - 2.0) < 1e-6
+
+
+def test_c4_keep_logic(docs):
+    rows = c4_filters(webify_docs(docs)).collect()
+    assert rows
+    n_drop = 0
+    for r in rows:
+        want = (not r["has_lorem"] and not r["has_js"] and not r["has_curly"]
+                and r["n_words"] >= 5)
+        assert r["keep"] == want
+        n_drop += 0 if r["keep"] else 1
+    # the injection must actually exercise the drop path on the fixture
+    assert 0 < n_drop < len(rows)
+
+
+def test_script_score_candidates_come_from_bm25(docs, emb):
+    out = [r["doc_id"] for r in script_score_cosine(docs, emb, QT, QVEC, k=10).collect()]
+    lexical = {r["doc_id"] for r in bm25_topk(docs, QT, k=10_000).collect()}
+    assert out and set(out) <= lexical
