@@ -2026,6 +2026,21 @@ def _q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL cardinality: per-batch register relations merged into
+    bounded parquet state (max-mergeable sketch law) — the drained state
+    equals the batch sketch exactly, so the batch oracle (sans exact-count
+    audit column) checks it bit-for-bit."""
+    from fafnir_spark.streaming import stream_hll_cardinality
+
+    base = tempfile.mkdtemp(prefix="fafnir_shll_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_hll_cardinality(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state")
+    )
+
+
 DISTF_ORIGIN, DISTF_PIVOT, DISTF_BOOST = 150.0, 50.0, 2.0
 PINNED_IDS = [42, 7, 123456789, 3]  # 3rd id doesn't exist -> dropped (ES)
 
@@ -2247,6 +2262,30 @@ def _q_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return median_abs_deviation(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES change_point agg: max-mean-shift split of the per-day bucket
+    series via one cumulative-sum window over the bounded bucket relation."""
+    from fafnir_spark.pipeline import change_point_agg
+
+    return change_point_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_prefix agg over addresses derived deterministically from
+    user_id (inject precedent); row-local prefix + one bounded groupBy."""
+    from fafnir_spark.pipeline import ip_prefix_agg
+
+    return ip_prefix_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE-ish pieces per word +
+    chars per word) — the LLM vocabulary-coverage diagnostic."""
+    from fafnir_spark.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir))
+
+
 def _q_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES moving_percentiles pipeline agg: sliding p50/p90 over the per-day
     bucket sums (bounded bucket relation)."""
@@ -2404,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_agg": _q_rate_agg,
         "update_by_query": _q_update_by_query,
         "stream_minhash_dedup": _q_stream_minhash,
+        "stream_hll_cardinality": _q_stream_hll,
         "normalize_agg": _q_normalize_agg,
         "geohash_grid": _q_geohash_grid,
         "pit_search": _q_pit_search,
@@ -2438,6 +2478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_abs_deviation": _q_median_abs_deviation,
         "hll_cardinality": _q_hll_cardinality,
         "moving_percentiles": _q_moving_percentiles,
+        "change_point": _q_change_point,
+        "ip_prefix": _q_ip_prefix,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "distance_feature": _q_distance_feature,
         "pinned_query": _q_pinned_query,
         "match_bool_prefix": _q_match_bool_prefix,
@@ -2704,7 +2747,11 @@ def oracle_sql() -> dict[str, str]:
         "percentiles_bucket": oracles_pipeline.percentiles_bucket_sql(),
         "median_abs_deviation": oracles_pipeline.median_abs_deviation_sql(),
         "hll_cardinality": oracles_pipeline.hll_cardinality_sql(),
+        "stream_hll_cardinality": oracles_pipeline.hll_cardinality_sql(exact=False),
         "moving_percentiles": oracles_pipeline.moving_percentiles_sql(),
+        "change_point": oracles_pipeline.change_point_sql(),
+        "ip_prefix": oracles_pipeline.ip_prefix_sql(),
+        "tokenizer_fertility": oracles_ops.tokenizer_fertility_sql(),
         "distance_feature": oracles.distance_feature_sql(
             ["merge", "window"], origin=DISTF_ORIGIN, pivot=DISTF_PIVOT,
             boost=DISTF_BOOST, k=10,

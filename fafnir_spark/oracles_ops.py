@@ -994,3 +994,26 @@ SELECT rank, vec_id, maxsim FROM (
   FROM scored
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def tokenizer_fertility_sql() -> str:
+    """Mirror of textstats.tokenizer_fertility — same BPE_RE constant,
+    same per-language sums and division order."""
+    from .textstats import BPE_RE
+
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nw,
+         CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS np,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS nc
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(np) AS BIGINT) AS n_pieces,
+       round(CAST(sum(np) AS DOUBLE) / CAST(sum(nw) AS BIGINT), 6) AS fertility,
+       round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nw) AS BIGINT), 6) AS chars_per_word
+FROM per_doc GROUP BY lang ORDER BY lang
+"""

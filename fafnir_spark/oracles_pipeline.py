@@ -1222,10 +1222,13 @@ FROM buckets ORDER BY day
 
 
 def hll_cardinality_sql(val_cols: tuple = ("event_id", "user_id"),
-                        p: int = 8, table: str = "events") -> str:
+                        p: int = 8, table: str = "events",
+                        exact: bool = True) -> str:
     """Mirror of sketches.hll_cardinality: same portable hash, same exact
     integer register sum (Σ 2^(53-rho) as BIGINT), same literal·division
-    estimate and linear-counting branch."""
+    estimate and linear-counting branch. ``exact=False`` drops the
+    exact-count audit column — the streaming path's sketch-only output
+    (merged register state == batch sketch, so ONE oracle serves both)."""
     from .portable import hash60_sql
 
     rem_bits = 60 - p
@@ -1238,14 +1241,19 @@ def hll_cardinality_sql(val_cols: tuple = ("event_id", "user_id"),
     blocks = []
     for c in sorted(val_cols):
         h = hash60_sql(f"CAST({c} AS VARCHAR)")
+        exact_out = "exact_n, " if exact else ""
+        exact_cj = (
+            f"  CROSS JOIN (SELECT CAST(count(DISTINCT {c}) AS BIGINT) AS exact_n FROM {table})"
+            if exact else ""
+        )
         blocks.append(f"""
-SELECT '{c}' AS col, exact_n, n_empty,
+SELECT '{c}' AS col, {exact_out}n_empty,
        round(est_raw, 6) AS est_raw,
        round(CASE WHEN est_raw <= {2.5 * m!r} AND n_empty > 0
                   THEN {float(m)!r} * ln({float(m)!r} / n_empty)
                   ELSE est_raw END, 6) AS est
 FROM (
-  SELECT exact_n, n_empty,
+  SELECT {exact_out}n_empty,
          {a_lit!r} / CAST(s_present + n_empty * {empty_term}::BIGINT AS DOUBLE) AS est_raw
   FROM (
     SELECT CAST(sum(1::BIGINT << ({rem_bits + 1} - maxrho)) AS BIGINT) AS s_present,
@@ -1259,7 +1267,52 @@ FROM (
       ) GROUP BY idx
     )
   )
-  CROSS JOIN (SELECT CAST(count(DISTINCT {c}) AS BIGINT) AS exact_n FROM {table})
+{exact_cj}
 )""")
     body = "\nUNION ALL\n".join(blocks)
     return f"SELECT * FROM (\n{body}\n) ORDER BY col"
+
+
+def change_point_sql() -> str:
+    """Mirror of pipeline.change_point_agg — same cumulative-sum split
+    scores over the rounded per-day bucket sums, same tie-break."""
+    return """
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(sum_value) AS total, CAST(count(*) AS BIGINT) AS n FROM buckets),
+cum AS (
+  SELECT day,
+         sum(sum_value) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         row_number() OVER (ORDER BY day) AS i
+  FROM buckets
+),
+scored AS (
+  SELECT day AS change_day,
+         CAST(i AS BIGINT) AS n_before,
+         CAST(n - i AS BIGINT) AS n_after,
+         round(cum / i, 6) AS mean_before,
+         round((total - cum) / (n - i), 6) AS mean_after,
+         round(abs(cum / i - (total - cum) / (n - i)), 6) AS score
+  FROM cum CROSS JOIN tot
+  WHERE i < n
+)
+SELECT * FROM scored ORDER BY score DESC, change_day ASC LIMIT 1
+"""
+
+
+def ip_prefix_sql() -> str:
+    """Mirror of pipeline.ip_prefix_agg — identical derived /16 prefix."""
+    return f"""
+SELECT concat('10.', CAST({_PMOD_UID} AS VARCHAR), '.0.0/16') AS prefix,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1 ORDER BY prefix
+"""
+
+
+_PMOD_UID = "(((CAST(user_id AS BIGINT) % 8) + 8) % 8)"

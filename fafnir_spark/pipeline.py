@@ -1451,3 +1451,73 @@ def moving_percentiles(events: DataFrame, window: int = 3) -> DataFrame:
         F.round(F.expr("percentile(sum_value, 0.5)").over(w), 6).alias("mov_p50"),
         F.round(F.expr("percentile(sum_value, 0.9)").over(w), 6).alias("mov_p90"),
     ).orderBy("day")
+
+
+def change_point_agg(events: DataFrame) -> DataFrame:
+    """ES change_point aggregation (8.x time-series analytics), the
+    deterministic core: over the per-day ROUNDED bucket sums, find the
+    split that maximizes the absolute mean shift
+
+        score(i) = | mean(x_1..x_i) − mean(x_{i+1}..x_n) |,  1 ≤ i < n
+
+    (ties → earliest day). Cumulative sums over the bounded bucket
+    relation give every split in one window pass — no per-split rescan.
+    One row: (change_day, n_before, n_after, mean_before, mean_after,
+    score)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    buckets = (
+        events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = buckets.agg(
+        F.sum("sum_value").alias("total"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cum = (
+        buckets.withColumn("cum", F.sum("sum_value").over(w))
+        .withColumn("i", F.row_number().over(Window.orderBy("day")))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("n"))
+    )
+    mb = F.col("cum") / F.col("i")
+    ma = (F.col("total") - F.col("cum")) / (F.col("n") - F.col("i"))
+    scored = cum.select(
+        F.col("day").alias("change_day"),
+        F.col("i").alias("n_before"),
+        (F.col("n") - F.col("i")).cast("long").alias("n_after"),
+        F.round(mb, 6).alias("mean_before"),
+        F.round(ma, 6).alias("mean_after"),
+        F.round(F.abs(mb - ma), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("change_day").asc()).limit(1)
+
+
+def ip_prefix_agg(events: DataFrame, prefix_len: int = 16) -> DataFrame:
+    """ES ip_prefix aggregation: group client addresses under a /len
+    prefix. The fixture has no address column, so one is DERIVED
+    deterministically from user_id (the inject_pii precedent — both
+    engines build the identical string):
+
+        ip = 10 . (uid % 8) . (uid % 256) . (7·uid % 256)
+
+    /16 keeps the first two octets. Row-local derivation + one bounded
+    groupBy. (prefix, n_events, n_users) ordered by prefix."""
+    from pyspark.sql import functions as F
+
+    if prefix_len != 16:
+        raise ValueError("only /16 implemented — the fixture IPs vary in octet 2")
+    uid = F.col("user_id").cast("long")
+    prefix = F.concat(
+        F.lit("10."), F.pmod(uid, F.lit(8)).cast("string"), F.lit(".0.0/16")
+    )
+    return (
+        events.select(prefix.alias("prefix"), uid.alias("uid"))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("uid").cast("long").alias("n_users"),
+        )
+        .orderBy("prefix")
+    )

@@ -190,6 +190,52 @@ def kmv_set_ops(
     )
 
 
+def hll_register_rows(df: DataFrame, val_col: str, p: int = 8) -> DataFrame:
+    """The HLL register relation of one column: (idx, maxrho), ≤ 2^p rows.
+    Registers are MAX-MERGEABLE — union + groupBy(idx).max is the HLL
+    merge law, which is what makes the sketch shippable across segments,
+    partitions, and micro-batches."""
+    rem_bits = 60 - p
+    mask = (1 << rem_bits) - 1
+    hs = df.select(hash60(F.col(val_col).cast("string")).alias("h"))
+    return (
+        hs.select(
+            F.expr(f"shiftright(h, {rem_bits})").alias("idx"),
+            F.expr(f"h & {mask}").alias("rem"),
+        )
+        .select(
+            "idx",
+            F.when(F.col("rem") == 0, F.lit(rem_bits + 1))
+            .otherwise(F.lit(rem_bits + 1) - F.length(F.bin("rem")))
+            .alias("rho"),
+        )
+        .groupBy("idx")
+        .agg(F.max("rho").alias("maxrho"))
+    )
+
+
+def hll_estimate_cols(p: int = 8) -> tuple:
+    """(n_empty, est_raw, est) Column triple over the 1-row aggregate
+    (s_present, n_present) of a register relation — the shared estimate
+    math of the batch and streaming HLL paths (identical operand order)."""
+    rem_bits = 60 - p
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    a_lit = alpha * m * m * float(1 << (rem_bits + 1))
+    empty_term = 1 << (rem_bits + 1)
+    s_total = (
+        F.col("s_present")
+        + (F.lit(m).cast("long") - F.col("n_present")) * F.lit(empty_term).cast("long")
+    ).cast("double")
+    est_raw = F.lit(a_lit) / s_total
+    n_empty = (F.lit(m).cast("long") - F.col("n_present")).alias("n_empty")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (F.col("n_present") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_present"))),
+    ).otherwise(est_raw)
+    return n_empty, F.round(est_raw, 6).alias("est_raw"), F.round(est, 6).alias("est")
+
+
 def hll_cardinality(df: DataFrame, val_cols: tuple = ("event_id", "user_id"),
                     p: int = 8) -> DataFrame:
     """HyperLogLog distinct-count estimate (Flajolet'07) — the algorithm ES
@@ -208,51 +254,19 @@ def hll_cardinality(df: DataFrame, val_cols: tuple = ("event_id", "user_id"),
     distinct count rides along as the accuracy-audit column.
     (col, exact_n, n_empty, est_raw, est) — one row per column."""
     rem_bits = 60 - p                      # 52
-    m = 1 << p
-    mask = (1 << rem_bits) - 1
-    alpha = 0.7213 / (1.0 + 1.079 / m)     # Flajolet'07 alpha_m for m >= 128
-    a_lit = alpha * m * m * float(1 << (rem_bits + 1))  # alpha·m²·2^53, one literal
-    empty_term = 1 << (rem_bits + 1)       # each empty register contributes 2^53
 
     out = None
     for c in sorted(val_cols):
-        hs = df.select(hash60(F.col(c).cast("string")).alias("h"))
-        regs = (
-            hs.select(
-                F.expr(f"shiftright(h, {rem_bits})").alias("idx"),
-                F.expr(f"h & {mask}").alias("rem"),
-            )
-            .select(
-                "idx",
-                F.when(F.col("rem") == 0, F.lit(rem_bits + 1))
-                .otherwise(F.lit(rem_bits + 1) - F.length(F.bin("rem")))
-                .alias("rho"),
-            )
-            .groupBy("idx")
-            .agg(F.max("rho").alias("maxrho"))
-        )
+        regs = hll_register_rows(df, c, p=p)
         agg = regs.agg(
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rem_bits + 1} - maxrho)"))
             .alias("s_present"),
             F.count(F.lit(1)).cast("long").alias("n_present"),
         )
         exact = df.agg(F.count_distinct(F.col(c)).cast("long").alias("exact_n"))
-        s_total = (
-            F.col("s_present")
-            + (F.lit(m).cast("long") - F.col("n_present")) * F.lit(empty_term).cast("long")
-        ).cast("double")
-        est_raw = F.lit(a_lit) / s_total
-        v = (F.lit(m).cast("long") - F.col("n_present")).alias("n_empty")
-        est = F.when(
-            (est_raw <= F.lit(2.5 * m)) & (F.col("n_present") < m),
-            F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_present"))),
-        ).otherwise(est_raw)
+        n_empty, est_raw, est = hll_estimate_cols(p)
         row = agg.crossJoin(F.broadcast(exact)).select(
-            F.lit(c).alias("col"),
-            "exact_n",
-            v,
-            F.round(est_raw, 6).alias("est_raw"),
-            F.round(est, 6).alias("est"),
+            F.lit(c).alias("col"), "exact_n", n_empty, est_raw, est
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("col")

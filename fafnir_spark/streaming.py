@@ -454,3 +454,65 @@ def stream_minhash_dedup(
     if not uniq:
         return spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
     return spark.createDataFrame(uniq, "doc_a long, doc_b long, jaccard double")
+
+
+def stream_hll_cardinality(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    val_cols: tuple = ("event_id", "user_id"),
+    p: int = 8,
+) -> DataFrame:
+    """Streaming HyperLogLog: continuous distinct-count estimation over an
+    event stream. Each micro-batch collapses to its ≤2^p-row register
+    relation (sketches.hll_register_rows) and appends it to a
+    parquet-backed register state; registers are MAX-MERGEABLE, so the
+    drained state folded by groupBy(col, idx).max(rho) is EXACTLY the
+    batch sketch — streaming == batch bit-for-bit, with state bounded at
+    |cols|·2^p rows no matter how long the stream runs (the property that
+    makes HLL the cardinality sketch at 100 TB: per-partition sketches
+    merge the same way per-batch ones do).
+
+    Batch-stamped register rows keep checkpoint replays idempotent (a
+    replayed batch re-appends identical (col, idx, rho) rows — max absorbs
+    them). (col, n_empty, est_raw, est) — sketch-only output; exact counts
+    need the raw stream and are the batch path's audit column."""
+    import os
+
+    from .sketches import hll_estimate_cols, hll_register_rows
+
+    regs_dir = os.path.join(state_dir, "regs")
+    rem_bits = 60 - p
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        for c in sorted(val_cols):
+            hll_register_rows(df, c, p=p).select(
+                F.lit(c).alias("col"), "idx",
+                F.col("maxrho").alias("rho"), F.lit(int(bid)).alias("_b"),
+            ).write.mode("append").parquet(regs_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(regs_dir)
+        .groupBy("col", "idx")
+        .agg(F.max("rho").alias("maxrho"))
+    )
+    agg = merged.groupBy("col").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rem_bits + 1} - maxrho)"))
+        .alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+    )
+    n_empty, est_raw, est = hll_estimate_cols(p)
+    return agg.select("col", n_empty, est_raw, est).orderBy("col")

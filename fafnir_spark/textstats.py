@@ -252,3 +252,39 @@ def token_pmi(docs: DataFrame, vocab_top: int = 20, min_pairs: int = 5,
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "term_a", "term_b", "n_ab", "pmi"
     ).orderBy("rank")
+
+
+def tokenizer_fertility(docs: DataFrame, lang_col: str = "lang",
+                        text_col: str = "text") -> DataFrame:
+    """Per-language tokenizer fertility — the LLM-pipeline diagnostic for
+    how a subword vocabulary treats each language (tokens-per-word > 1
+    signals over-segmentation; chars-per-word tracks script density):
+
+        fertility       = Σ BPE-ish pieces / Σ whitespace words
+        chars_per_word  = Σ non-space chars / Σ whitespace words
+
+    ONE scan, all signals row-local before a per-language aggregate over
+    the bounded language relation. (lang, n_docs, n_words, n_pieces,
+    fertility, chars_per_word) ordered by lang."""
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.size(tokens_expr(text_col)).cast("long").alias("nw"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), F.lit(0)))
+        .cast("long").alias("np"),
+        F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("long").alias("nc"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nw").cast("long").alias("n_words"),
+            F.sum("np").cast("long").alias("n_pieces"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang", "n_docs", "n_words", "n_pieces",
+            F.round(F.col("n_pieces").cast("double") / F.col("n_words"), 6).alias("fertility"),
+            F.round(F.col("n_chars").cast("double") / F.col("n_words"), 6).alias("chars_per_word"),
+        )
+        .orderBy("lang")
+    )

@@ -146,3 +146,45 @@ def test_script_score_candidates_come_from_bm25(docs, emb):
     out = [r["doc_id"] for r in script_score_cosine(docs, emb, QT, QVEC, k=10).collect()]
     lexical = {r["doc_id"] for r in bm25_topk(docs, QT, k=10_000).collect()}
     assert out and set(out) <= lexical
+
+
+def test_stream_hll_equals_batch(spark, events, tmp_path):
+    from fafnir_spark.streaming import stream_hll_cardinality
+
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    got = {
+        r["col"]: (r["n_empty"], r["est_raw"], r["est"])
+        for r in stream_hll_cardinality(
+            spark, src, str(tmp_path / "ck"), str(tmp_path / "state")
+        ).collect()
+    }
+    want = {
+        r["col"]: (r["n_empty"], r["est_raw"], r["est"])
+        for r in hll_cardinality(events).collect()
+    }
+    # max-mergeable registers: any batch split folds to the identical sketch
+    assert got == want
+
+
+def test_change_point_finds_injected_shift(spark):
+    from fafnir_spark.pipeline import change_point_agg
+
+    rows = [(i, f"2024-01-{d:02d} 00:00:00", 1, "t", 10.0 if d <= 10 else 50.0, "{}")
+            for i, d in enumerate([dd for dd in range(1, 21) for _ in range(3)])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = change_point_agg(df).collect()[0]
+    assert r["change_day"] == "2024-01-10"  # last low day maximizes the shift
+    assert r["mean_before"] == 30.0 and r["mean_after"] == 150.0
+
+
+def test_tokenizer_fertility_laws(docs):
+    from fafnir_spark.textstats import tokenizer_fertility
+
+    rows = tokenizer_fertility(docs).collect()
+    assert rows and len(rows) == docs.select("lang").distinct().count()
+    for r in rows:
+        assert r["fertility"] >= 1.0  # BPE_RE never merges across whitespace
+        assert r["chars_per_word"] > 0.0
