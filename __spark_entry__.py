@@ -2262,6 +2262,33 @@ def _q_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return median_abs_deviation(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats_bucket pipeline agg: min/max/avg/sum of the per-day
+    rounded bucket sums (bounded bucket relation)."""
+    from fafnir_spark.pipeline import stats_bucket
+
+    return stats_bucket(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_terms_agg_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES terms-agg shard-merge protocol made explicit: per-shard
+    top-N responses, coordinator sum, doc_count_error_upper_bound from
+    the non-reporting shards' smallest returned counts; exact corpus
+    count rides along as the audit column."""
+    from fafnir_spark.pipeline import terms_agg_error_bounds
+
+    return terms_agg_error_bounds(_docs(spark, sf_dir))
+
+
+def _q_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES Graph explore API: 2-hop significantly-connected term discovery
+    from a seed (JLH vertex scoring, strongest-co-occurrence edges); every
+    hop's work bounded by the matched-doc set, k-row frontier only."""
+    from fafnir_spark.query_ext import graph_explore
+
+    return graph_explore(_docs(spark, sf_dir), ["merge"], hops=2, k=5, min_cooc=2)
+
+
 def _q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES change_point agg: max-mean-shift split of the per-day bucket
     series via one cumulative-sum window over the bounded bucket relation."""
@@ -2479,6 +2506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": _q_hll_cardinality,
         "moving_percentiles": _q_moving_percentiles,
         "change_point": _q_change_point,
+        "stats_bucket": _q_stats_bucket,
+        "terms_agg_error_bounds": _q_terms_agg_error_bounds,
+        "graph_explore": _q_graph_explore,
         "ip_prefix": _q_ip_prefix,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "distance_feature": _q_distance_feature,
@@ -2750,6 +2780,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_hll_cardinality": oracles_pipeline.hll_cardinality_sql(exact=False),
         "moving_percentiles": oracles_pipeline.moving_percentiles_sql(),
         "change_point": oracles_pipeline.change_point_sql(),
+        "stats_bucket": oracles_pipeline.stats_bucket_sql(),
+        "terms_agg_error_bounds": oracles_pipeline.terms_agg_error_bounds_sql(),
+        "graph_explore": oracles.graph_explore_sql(["merge"], k=5, min_cooc=2),
         "ip_prefix": oracles_pipeline.ip_prefix_sql(),
         "tokenizer_fertility": oracles_ops.tokenizer_fertility_sql(),
         "distance_feature": oracles.distance_feature_sql(

@@ -1749,3 +1749,75 @@ JOIN embeddings e ON e.vec_id = s.doc_id
 CROSS JOIN q
 """
     return _ranked_topk(inner, k)
+
+
+def graph_explore_sql(seeds: list[str], k: int = 5, min_cooc: int = 2) -> str:
+    """Mirror of query_ext.graph_explore at hops=2 — per hop the same JLH
+    vertex scoring ((fg_rate - bg_rate)·(fg_rate/bg_rate), rounded before
+    ordering), the same co-occurrence edge pick (co_docs desc, src asc),
+    the same seen-set exclusion; the hop-2 frontier is hop-1's top-k CTE."""
+    seed_in = "(" + ", ".join("'" + s.replace("'", "''") + "'" for s in sorted(set(seeds))) + ")"
+
+    def hop(n: int, frontier_pred: str, seen_pred: str) -> str:
+        return f"""
+m{n} AS (SELECT tf.doc_id, tf.term AS src FROM tf WHERE {frontier_pred}),
+fgd{n} AS (SELECT DISTINCT doc_id FROM m{n}),
+fgn{n} AS (SELECT CAST(count(*) AS BIGINT) AS fg_n FROM fgd{n}),
+c{n} AS (
+  SELECT tf.doc_id, tf.term FROM tf JOIN fgd{n} USING (doc_id)
+  WHERE {seen_pred}
+),
+fgdf{n} AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg_df FROM c{n}
+  GROUP BY term HAVING count(*) >= {min_cooc}
+),
+bgdf{n} AS (
+  SELECT tf.term, CAST(count(*) AS BIGINT) AS bg_df FROM tf
+  WHERE tf.term IN (SELECT term FROM fgdf{n}) GROUP BY tf.term
+),
+sc{n} AS (
+  SELECT f.term AS dst,
+         round((f.fg_df::DOUBLE / fg_n - b.bg_df::DOUBLE / n_docs)
+               * ((f.fg_df::DOUBLE / fg_n) / (b.bg_df::DOUBLE / n_docs)), 6) AS jlh
+  FROM fgdf{n} f JOIN bgdf{n} b ON b.term = f.term
+  CROSS JOIN fgn{n} CROSS JOIN nd
+),
+top{n} AS (
+  SELECT dst, jlh FROM (
+    SELECT dst, jlh, row_number() OVER (ORDER BY jlh DESC, dst ASC) AS rn FROM sc{n}
+  ) WHERE rn <= {k}
+),
+p{n} AS (
+  SELECT m{n}.src, c{n}.term AS dst, CAST(count(*) AS BIGINT) AS co_docs
+  FROM m{n} JOIN c{n} USING (doc_id) GROUP BY 1, 2
+),
+b{n} AS (
+  SELECT src, dst, co_docs FROM (
+    SELECT src, dst, co_docs,
+           row_number() OVER (PARTITION BY dst ORDER BY co_docs DESC, src ASC) AS rn
+    FROM p{n}
+  ) WHERE rn = 1
+),
+e{n} AS (
+  SELECT CAST({n} AS BIGINT) AS hop, b{n}.src, t.dst, b{n}.co_docs, t.jlh
+  FROM top{n} t JOIN b{n} ON b{n}.dst = t.dst
+)"""
+
+    h1 = hop(1, f"tf.term IN {seed_in}", f"tf.term NOT IN {seed_in}")
+    h2 = hop(
+        2,
+        "tf.term IN (SELECT dst FROM top1)",
+        f"tf.term NOT IN {seed_in} AND tf.term NOT IN (SELECT dst FROM top1)",
+    )
+    return f"""
+WITH tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+tf AS (SELECT DISTINCT doc_id, unnest(tk) AS term FROM tkl),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+{h1},
+{h2}
+SELECT * FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+ORDER BY hop, jlh DESC, dst
+"""

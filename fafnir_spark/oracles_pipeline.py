@@ -1316,3 +1316,60 @@ GROUP BY 1 ORDER BY prefix
 
 
 _PMOD_UID = "(((CAST(user_id AS BIGINT) % 8) + 8) % 8)"
+
+
+def stats_bucket_sql() -> str:
+    """Mirror of pipeline.stats_bucket over the same rounded bucket sums."""
+    return """
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       round(min(sum_value), 6) AS min_v,
+       round(max(sum_value), 6) AS max_v,
+       round(avg(sum_value), 6) AS avg_v,
+       round(sum(sum_value), 6) AS sum_v
+FROM buckets
+"""
+
+
+def terms_agg_error_bounds_sql(n_shards: int = 4, shard_size: int = 5,
+                               k: int = 5) -> str:
+    """Mirror of pipeline.terms_agg_error_bounds — same shard split, same
+    per-shard top-N, same ES doc_count_error_upper_bound accounting."""
+    return f"""
+WITH tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+tf AS (SELECT DISTINCT doc_id, unnest(tk) AS term FROM tkl),
+per AS (
+  SELECT (((doc_id % {n_shards}) + {n_shards}) % {n_shards}) AS shard, term,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tf GROUP BY 1, 2
+),
+kept AS (
+  SELECT shard, term, cnt FROM (
+    SELECT shard, term, cnt,
+           row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, term ASC) AS rn
+    FROM per
+  ) WHERE rn <= {shard_size}
+),
+mins AS (SELECT shard, min(cnt) AS min_rep FROM kept GROUP BY shard),
+tot AS (SELECT CAST(sum(min_rep) AS BIGINT) AS total_min FROM mins),
+merged AS (
+  SELECT kept.term,
+         CAST(sum(kept.cnt) AS BIGINT) AS doc_count,
+         CAST(tot.total_min - sum(mins.min_rep) AS BIGINT) AS error_bound
+  FROM kept JOIN mins USING (shard) CROSS JOIN tot
+  GROUP BY kept.term, tot.total_min
+),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count FROM tf GROUP BY term)
+SELECT rk, term, doc_count, error_bound, exact_count FROM (
+  SELECT m.term, m.doc_count, m.error_bound, e.exact_count,
+         row_number() OVER (ORDER BY m.doc_count DESC, m.term ASC) AS rk
+  FROM merged m JOIN exact e ON e.term = m.term
+) WHERE rk <= {k} ORDER BY rk
+"""

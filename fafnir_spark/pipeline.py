@@ -1521,3 +1521,78 @@ def ip_prefix_agg(events: DataFrame, prefix_len: int = 16) -> DataFrame:
         )
         .orderBy("prefix")
     )
+
+
+def stats_bucket(events: DataFrame) -> DataFrame:
+    """ES stats_bucket pipeline aggregation: min/max/avg/sum of the per-day
+    ROUNDED bucket sums — one pass over the bounded bucket relation.
+    One row: (n_buckets, min_v, max_v, avg_v, sum_v)."""
+    from pyspark.sql import functions as F
+
+    buckets = (
+        events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    return buckets.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.min("sum_value"), 6).alias("min_v"),
+        F.round(F.max("sum_value"), 6).alias("max_v"),
+        F.round(F.avg("sum_value"), 6).alias("avg_v"),
+        F.round(F.sum("sum_value"), 6).alias("sum_v"),
+    )
+
+
+def terms_agg_error_bounds(docs: DataFrame, n_shards: int = 4,
+                           shard_size: int = 5, k: int = 5,
+                           text_col: str = "text") -> DataFrame:
+    """The ES terms-aggregation shard-merge protocol, made explicit: each
+    shard returns only its local top-``shard_size`` terms, the coordinator
+    sums what it received, and every term's doc_count_error_upper_bound is
+    the sum of the LAST (smallest) reported count of every shard that did
+    NOT report the term — exactly how ES bounds the underestimation it
+    accepts for bounded per-shard responses. This is the aggregation
+    pattern whose behavior at 1000 shards decides whether a terms agg is
+    trustworthy; the exact corpus count rides along as the audit column.
+
+    Shards are pmod(doc_id, n_shards) (deterministic); the per-shard
+    top-``shard_size`` runs through the shared two-level topk_per_group.
+    (rk, term, doc_count, error_bound, exact_count) top-k by merged count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .tokenizer import tokens_expr
+    from .topk import topk_per_group
+
+    tf = (
+        docs.select(F.col("doc_id"), F.explode(tokens_expr(text_col)).alias("term"))
+        .distinct()
+    )
+    per = (
+        tf.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)))
+        .groupBy("shard", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    kept = topk_per_group(per, shard_size, group_col="shard", id_col="term",
+                          val_col="cnt").select("shard", "term", "cnt")
+    mins = kept.groupBy("shard").agg(F.min("cnt").alias("min_rep"))
+    total_min = mins.agg(F.sum("min_rep").alias("total_min"))
+    merged = (
+        kept.join(mins, "shard")
+        .groupBy("term")
+        .agg(F.sum("cnt").cast("long").alias("doc_count"),
+             F.sum("min_rep").alias("rep_min"))
+        .crossJoin(F.broadcast(total_min))
+        .select(
+            "term", "doc_count",
+            (F.col("total_min") - F.col("rep_min")).cast("long").alias("error_bound"),
+        )
+    )
+    exact = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    out = (
+        merged.join(exact, "term")
+        .orderBy(F.col("doc_count").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    w = F.row_number().over(Window.orderBy(F.col("doc_count").desc(), F.col("term").asc()))
+    return out.withColumn("rk", w).select("rk", "term", "doc_count",
+                                          "error_bound", "exact_count").orderBy("rk")

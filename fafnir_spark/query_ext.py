@@ -1576,3 +1576,98 @@ def sliced_scroll(docs: DataFrame, slice_id: int, max_slices: int, k: int = 50,
         .select("rank", "doc_id", F.lit(int(slice_id)).alias("slice_id"))
         .orderBy("rank")
     )
+
+
+def graph_explore(
+    docs: DataFrame,
+    seeds: list[str],
+    hops: int = 2,
+    k: int = 5,
+    min_cooc: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES Graph explore API (X-Pack Graph): starting from seed terms,
+    discover significantly-connected vertex terms hop by hop. Per hop:
+
+      foreground = docs containing any frontier term (semi-join)
+      candidates = unseen terms in the foreground with support >= min_cooc
+      vertex score = JLH significance vs the corpus background
+                     (the significant_terms heuristic Graph itself uses)
+      edge        = each new vertex links to the frontier term it
+                    co-occurs with most (ties: source term asc)
+
+    The frontier is k-bounded, so every hop's work is bounded by the
+    matched-doc set: candidate dfs are groupBys over foreground postings,
+    the pair counts join frontier postings to candidate postings on
+    doc_id (fan-out ≤ |frontier| per row), and the per-vertex source pick
+    is a window over ≤ |frontier| rows per vertex. The k-row frontier is
+    the only driver-side state (audited bounded collect).
+    (hop, src, dst, co_docs, jlh) ordered (hop, jlh desc, dst)."""
+    from pyspark.sql.window import Window
+
+    from .tokenizer import tokens_expr
+
+    spark = docs.sparkSession
+    base = docs.select(F.col("doc_id"), F.col(text_col).alias("__text"))
+    tf = (
+        base.select("doc_id", F.explode(tokens_expr("__text")).alias("term"))
+        .distinct()
+    )
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    frontier = sorted(set(seeds))
+    seen = set(frontier)
+    out = None
+    for hop in range(1, hops + 1):
+        fr = spark.createDataFrame([(t,) for t in frontier], "term string")
+        matched = tf.join(F.broadcast(fr), "term").select(
+            "doc_id", F.col("term").alias("src")
+        )
+        fg_docs = matched.select("doc_id").distinct()
+        fg_n = fg_docs.agg(F.count(F.lit(1)).alias("fg_n"))
+        cand_tf = (
+            tf.join(fg_docs, "doc_id", "left_semi")
+            .filter(~F.col("term").isin(sorted(seen)))
+        )
+        fg_df = cand_tf.groupBy("term").agg(F.count(F.lit(1)).alias("fg_df"))
+        fg_df = fg_df.filter(F.col("fg_df") >= min_cooc)
+        bg_df = (
+            tf.join(fg_df.select("term"), "term", "left_semi")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("bg_df"))
+        )
+        fg_rate = F.col("fg_df").cast("double") / F.col("fg_n")
+        bg_rate = F.col("bg_df").cast("double") / F.col("n_docs")
+        scored = (
+            fg_df.join(bg_df, "term")
+            .crossJoin(F.broadcast(fg_n))
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                F.col("term").alias("dst"),
+                F.round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6).alias("jlh"),
+            )
+        )
+        top = scored.orderBy(F.col("jlh").desc(), F.col("dst").asc()).limit(k)
+        pairs = (
+            matched.join(cand_tf.withColumnRenamed("term", "dst"), "doc_id")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("co_docs"))
+        )
+        w = Window.partitionBy("dst").orderBy(
+            F.col("co_docs").desc(), F.col("src").asc()
+        )
+        best_src = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("src", "dst", "co_docs")
+        )
+        edges = top.join(best_src, "dst").select(
+            F.lit(hop).cast("long").alias("hop"), "src", "dst", "co_docs", "jlh"
+        )
+        out = edges if out is None else out.unionByName(edges)
+        rows = top.select("dst").collect()
+        frontier = sorted(r["dst"] for r in rows)
+        seen.update(frontier)
+        if not frontier:
+            break
+    return out.orderBy("hop", F.col("jlh").desc(), F.col("dst").asc())

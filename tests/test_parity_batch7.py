@@ -188,3 +188,34 @@ def test_tokenizer_fertility_laws(docs):
     for r in rows:
         assert r["fertility"] >= 1.0  # BPE_RE never merges across whitespace
         assert r["chars_per_word"] > 0.0
+
+
+def test_terms_agg_error_bounds_laws(docs):
+    from fafnir_spark.pipeline import terms_agg_error_bounds
+
+    rows = terms_agg_error_bounds(docs, n_shards=4, shard_size=5, k=5).collect()
+    assert rows
+    for r in rows:
+        # merged count never exceeds the exact count (shards under-report),
+        # and the true shortfall is within the advertised error bound
+        assert r["doc_count"] <= r["exact_count"]
+        assert r["exact_count"] - r["doc_count"] <= r["error_bound"]
+    # with shard_size >= vocabulary, the protocol becomes exact
+    full = terms_agg_error_bounds(docs, n_shards=4, shard_size=10_000, k=5).collect()
+    for r in full:
+        assert r["doc_count"] == r["exact_count"] and r["error_bound"] == 0
+
+
+def test_graph_explore_hops_disjoint_and_bounded(docs):
+    from fafnir_spark.query_ext import graph_explore
+
+    rows = graph_explore(docs, ["merge"], hops=2, k=5, min_cooc=2).collect()
+    h1 = [r for r in rows if r["hop"] == 1]
+    h2 = [r for r in rows if r["hop"] == 2]
+    assert 0 < len(h1) <= 5 and len(h2) <= 5
+    # hop-1 edges all source from the seed; hop-2 sources come from hop-1
+    assert {r["src"] for r in h1} == {"merge"}
+    assert {r["src"] for r in h2} <= {r["dst"] for r in h1}
+    # vertices never repeat across hops, and the seed never reappears
+    dsts = [r["dst"] for r in rows]
+    assert len(set(dsts)) == len(dsts) and "merge" not in dsts
