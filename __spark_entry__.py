@@ -498,6 +498,19 @@ def _q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_cosine_topk(emb, {"q": QVEC}, k=10, rescore_factor=4).drop("qid")
 
 
+def _q_ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted SQ8: int8 codes (1 byte/dim) + absmax scale as build
+    artifacts; quantized candidate scan over the codes table only, exact
+    rescore against raw vectors. Same oracle as the inline form."""
+    from fafnir_spark.simsearch import build_sq8_index, sq8_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = os.path.join(tempfile.gettempdir(), "fafnir_sq8_" + _content_key(sf_dir))
+    if not os.path.exists(os.path.join(root, "_manifest.json")):
+        build_sq8_index(spark, emb, root)
+    return sq8_search(spark, root, emb, QVEC, k=10, rescore_factor=4)
+
+
 def _q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT late-interaction maxsim over fixed-slice doc token vectors
     (sum over query tokens of max-over-slices cosine); row-local scoring,
@@ -964,6 +977,18 @@ def _q_rank_feature_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_feature_indexed(
         spark, _idx_root(spark, sf_dir), ["merge", "window"],
         pivot=200.0, boost=2.0, k=10,
+    )
+
+
+def _q_script_score_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script_score served FROM the index: the vector multiplier cogrouped
+    into the per-shard scorer like a doc-values feature — same oracle as
+    the direct script_score."""
+    from fafnir_spark.wand import script_score_cosine_indexed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return script_score_cosine_indexed(
+        spark, _idx_root(spark, sf_dir), emb, Q_MAIN, QVEC, k=10
     )
 
 
@@ -1813,6 +1838,14 @@ def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_filters(webify_docs(_docs(spark, sf_dir)))
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (Lee'22 memorization diagnostics): fraction
+    of a doc's distinct shingles occurring in no other document."""
+    from fafnir_spark.curation import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
 def _q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax language-sampling allocation (Chung'23): water-filling a
     token budget across languages with a per-language epoch cap; the
@@ -2376,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
         "ann_sq8_rescore": _q_ann_sq8,
+        "ann_sq8_indexed": _q_ann_sq8_indexed,
         "maxsim_colbert": _q_maxsim,
         "ann_filtered_topk": _q_ann_filtered,
         "kmv_cardinality": _q_kmv_cardinality,
@@ -2464,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "c4_filters": _q_c4_filters,
         "unimax_alloc": _q_unimax_alloc,
+        "ngram_novelty": _q_ngram_novelty,
         "intervals_ordered": _q_intervals_ordered,
         "span_containing": _q_span_containing,
         "terms_set": _q_terms_set,
@@ -2493,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_value_factor_indexed": _q_field_value_factor_indexed,
         "field_value_factor": _q_field_value_factor,
         "script_score": _q_script_score,
+        "script_score_indexed": _q_script_score_indexed,
         "dis_max": _q_dis_max,
         "boosting_query": _q_boosting,
         "random_score": _q_random_score,
@@ -2624,6 +2660,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_cosine_topk": oracles_ops.cosine_topk_sql(QVEC, 10),
         "ann_sq8_rescore": oracles_ops.sq8_cosine_topk_sql(QVEC, 10, rescore_factor=4),
+        "ann_sq8_indexed": oracles_ops.sq8_cosine_topk_sql(QVEC, 10, rescore_factor=4),
         "maxsim_colbert": oracles_ops.maxsim_topk_sql(QTOKS, 10),
         "ann_filtered_topk": oracles_ops.cosine_topk_filtered_sql(QVEC, [1, 3, 5, 7], 10),
         "kmv_cardinality": oracles_pipeline.kmv_distinct_sql(k=64),
@@ -2722,6 +2759,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": oracles_curation.gopher_quality_sql(GOPHER_STOPS),
         "c4_filters": oracles_curation.c4_filters_sql(),
         "unimax_alloc": oracles_curation.unimax_alloc_sql(epochs=2.0, budget_ratio=1.5),
+        "ngram_novelty": oracles_curation.ngram_novelty_sql(n=3),
         "intervals_ordered": oracles.intervals_ordered_sql(Q_MAIN, max_gaps=4),
         "span_containing": oracles.span_containing_sql("merge", "customer", "window", slop=5),
         "terms_set": oracles.terms_set_sql(TERMS_SET, TERMS_SET_MSM_SQL),
@@ -2758,6 +2796,7 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "window"], factor=0.1, k=10
         ),
         "script_score": oracles.script_score_cosine_sql(Q_MAIN, QVEC, k=10),
+        "script_score_indexed": oracles.script_score_cosine_sql(Q_MAIN, QVEC, k=10),
         "rank_feature_indexed": oracles.rank_feature_sql(
             ["merge", "window"], pivot=200.0, boost=2.0, k=10
         ),

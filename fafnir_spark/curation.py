@@ -803,3 +803,34 @@ def unimax_alloc(docs: DataFrame, epochs: float = 2.0,
         ).alias("epochs_alloc"),
     )
     return out.orderBy("lang")
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty (the Lee'22 memorization-analysis
+    diagnostic): the fraction of a doc's distinct n-gram shingles that
+    occur in NO other document —
+
+        novelty = |{g : df(g) = 1}| / |distinct grams of the doc|
+
+    Low novelty flags near-template documents; training pipelines use it
+    to weight or drop boilerplate. Scale shape: ONE shingle pass (distinct
+    hashed shingles — the decontaminate relation), one df groupBy, one
+    join back keyed on the 60-bit gram hash (fan-out = posting length,
+    never corpus). Docs with fewer than n tokens have no grams and drop
+    out. (doc_id, n_grams, novel, novelty) ordered."""
+    grams = ngram_keys(docs, n, id_col, text_col)
+    df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    return (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0)).cast("long").alias("novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "novel",
+            F.round(F.col("novel").cast("double") / F.col("n_grams"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

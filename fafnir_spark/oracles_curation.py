@@ -590,3 +590,20 @@ SELECT lang, n_tokens,
 FROM lev CROSS JOIN viol
 ORDER BY lang
 """
+
+
+def ngram_novelty_sql(n: int = 3) -> str:
+    """Mirror of curation.ngram_novelty over the same hashed shingles."""
+    return f"""
+WITH {_TOKS},
+{_ngrams(n)},
+gdf AS (SELECT g, count(*) AS gdf FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gdf.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+       round(CAST(sum(CASE WHEN gdf.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+             / CAST(count(*) AS BIGINT), 6) AS novelty
+FROM grams JOIN gdf USING (g)
+GROUP BY grams.doc_id
+ORDER BY grams.doc_id
+"""

@@ -972,3 +972,78 @@ def maxsim_topk(
     top = scored.orderBy(F.col("maxsim").desc(), F.col("vec_id").asc()).limit(k)
     w = Window.orderBy(F.col("maxsim").desc(), F.col("vec_id").asc())
     return top.withColumn("rank", F.row_number().over(w)).select("rank", "vec_id", "maxsim")
+
+
+def build_sq8_index(
+    spark,
+    emb: DataFrame,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the scalar-quantized vector index (the ES int8 dense_vector
+    storage shape): int8 codes — ONE byte per dimension, 8× smaller than
+    the float64 source — plus the corpus absmax scale in the manifest.
+    The quantized candidate scan then reads only the codes table; raw
+    vectors are touched for the final rescore alone. The scale is a 1-row
+    aggregate (audited bounded collect)."""
+    from .catalog import Catalog
+
+    cat = Catalog(index_root)
+    rows = emb.agg(
+        F.max(F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))))
+        .alias("scale")
+    ).collect()
+    scale = float(rows[0]["scale"])
+    codes = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            sq8_quantize_col(F.col(vec_col), F.lit(scale)),
+            lambda x: x.cast("byte"),
+        ).alias("codes"),
+    )
+    cat.write_segment(codes, "sq8_codes", "base")
+    cat.publish(
+        {"sq8_codes": [cat.segment_dir("sq8_codes", "base")]},
+        meta={"scale": scale, "n_vectors": emb.count()},
+    )
+
+
+def sq8_search(
+    spark,
+    index_root: str,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore_factor: int = 4,
+) -> DataFrame:
+    """Query the persisted SQ8 index: asymmetric quantized ranking over
+    the codes table only (cosine is scale-invariant, so int8 codes score
+    directly against the raw query vector), exact-cosine rescore of the
+    top k·factor against the raw vectors. Identical algorithm — and
+    results — to the inline sq8_cosine_topk (same oracle).
+    (rank, vec_id, cos)."""
+    from .catalog import Catalog
+    from .dedup import cosine_expr
+
+    cat = Catalog(index_root)
+    codes = cat.read_table(spark, "sq8_codes").select(
+        "vec_id",
+        F.transform(F.col("codes"), lambda x: x.cast("double")).alias("codes"),
+    )
+    ql = F.array(*[F.lit(float(x)) for x in query_vec])
+    approx = codes.select(
+        "vec_id", F.round(cosine_expr(F.col("codes"), ql), 6).alias("acos")
+    )
+    cand = (
+        approx.orderBy(F.col("acos").desc(), F.col("vec_id").asc())
+        .limit(k * rescore_factor)
+        .select("vec_id")
+    )
+    rer = emb.select("vec_id", F.col("embedding").alias("__v")).join(
+        F.broadcast(cand), "vec_id"
+    )
+    scored = rer.select("vec_id", F.round(cosine_expr(F.col("__v"), ql), 6).alias("cos"))
+    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
+    return top.withColumn("rank", w).select("rank", "vec_id", "cos").orderBy("rank")

@@ -1591,6 +1591,7 @@ def _feature_score_indexed(
     k: int = 10,
     field: str = "n_chars",
     snapshot_id: str | None = None,
+    feature_df: DataFrame | None = None,
 ) -> DataFrame:
     """Shared indexed path for function_score-style doc-feature shaping:
     the static-signal column comes from the doc_map numeric doc-values
@@ -1625,12 +1626,21 @@ def _feature_score_indexed(
         F.col("term").isin(present)
     )
     excluded = _load_tombstones(spark, cat, manifest, include_bulk=False)
-    dv = (
-        cat.live_doc_map(spark, manifest)
-        .select("doc_id", F.col(field).cast("double").alias("__v"))
-        .withColumn(
-            "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int")
+    ldm = cat.live_doc_map(spark, manifest)
+    if feature_df is not None:
+        # external per-doc feature (e.g. a vector-similarity multiplier):
+        # the inner join against the live doc map keeps delete semantics —
+        # dead docs AND docs without the feature simply have no dv row
+        # (exactly how bulk deletes drop), mirroring the direct path's
+        # inner join on the feature table
+        dv = ldm.select("doc_id").join(
+            feature_df.select("doc_id", F.col("__v").cast("double").alias("__v")),
+            "doc_id",
         )
+    else:
+        dv = ldm.select("doc_id", F.col(field).cast("double").alias("__v"))
+    dv = dv.withColumn(
+        "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int")
     )
     k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
 
@@ -1944,3 +1954,36 @@ def search_lm(
         .select("qid", "rank", "doc_id", "score")
         .orderBy("qid", "rank")
     )
+
+
+def script_score_cosine_indexed(
+    spark: SparkSession,
+    index_root: str,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES script_score (dense-vector script) served FROM the index:
+    final = round(bm25_rounded · (cos(qv, embedding)_rounded + 1.0), 6).
+    The vector multiplier is a (doc_id, __v) relation computed row-local
+    from the embeddings table and cogrouped into the per-shard scorer
+    exactly like a doc-values feature — exhaustive per-shard scoring (the
+    multiplier shifts ranks, bm25-only bounds don't apply), exact top-k
+    on the rounded final score. Rank-identical to
+    scoring.script_score_cosine (same oracle); docs without a vector drop
+    out via the live-doc-map inner join, as on the direct path."""
+    from .dedup import cosine_expr
+
+    ql = F.array(*[F.lit(float(x)) for x in query_vec])
+    mult = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        (F.round(cosine_expr(F.col("embedding"), ql), 6) + F.lit(1.0)).alias("__v"),
+    )
+
+    def combine(s: np.ndarray, v: np.ndarray) -> np.ndarray:
+        return s * v
+
+    return _feature_score_indexed(spark, index_root, terms, combine, k=k,
+                                  snapshot_id=snapshot_id, feature_df=mult)

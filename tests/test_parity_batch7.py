@@ -219,3 +219,48 @@ def test_graph_explore_hops_disjoint_and_bounded(docs):
     # vertices never repeat across hops, and the seed never reappears
     dsts = [r["dst"] for r in rows]
     assert len(set(dsts)) == len(dsts) and "merge" not in dsts
+
+
+def test_sq8_index_matches_inline(spark, emb, tmp_path):
+    from fafnir_spark.simsearch import build_sq8_index, sq8_search
+
+    root = str(tmp_path / "sq8")
+    build_sq8_index(spark, emb, root)
+    idx = [(r["rank"], r["vec_id"], r["cos"]) for r in
+           sq8_search(spark, root, emb, QVEC, k=10).collect()]
+    inl = [(r["rank"], r["vec_id"], r["cos"]) for r in
+           sq8_cosine_topk(emb, {"q": QVEC}, k=10).collect()]
+    assert idx == inl
+    # the persisted codes really are 1-byte ints
+    from fafnir_spark.catalog import Catalog
+    codes = Catalog(root).read_table(spark, "sq8_codes")
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>"
+
+
+def test_script_score_indexed_matches_direct(spark, docs, emb, tmp_path):
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.wand import script_score_cosine_indexed
+
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=64, tokenizer="whitespace",
+                build_id="t", resume=False)
+    idx = [(r["rank"], r["doc_id"], r["score"]) for r in
+           script_score_cosine_indexed(spark, root, emb, QT, QVEC, k=10).collect()]
+    dr = [(r["rank"], r["doc_id"], r["score"]) for r in
+          script_score_cosine(docs, emb, QT, QVEC, k=10).collect()]
+    assert idx == dr
+
+
+def test_ngram_novelty_bounds(docs):
+    from fafnir_spark.curation import ngram_novelty
+
+    rows = ngram_novelty(docs, n=3).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["novel"] <= r["n_grams"]
+        assert 0.0 <= r["novelty"] <= 1.0
+    # a duplicated corpus has zero novelty everywhere (every gram df >= 2)
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    drows = ngram_novelty(dup, n=3).collect()
+    assert all(r["novelty"] == 0.0 for r in drows)
