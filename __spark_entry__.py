@@ -511,6 +511,19 @@ def _q_ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_search(spark, root, emb, QVEC, k=10, rescore_factor=4)
 
 
+def _q_ann_ivfsq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted faiss-style IVF-SQ8: probe pruning on the partitioned
+    codes scan stacked with 1-byte/dim quantization; exact rescore of the
+    pruned candidates."""
+    from fafnir_spark.simsearch import build_ivfsq_index, ivfsq_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = os.path.join(tempfile.gettempdir(), "fafnir_ivfsq_" + _content_key(sf_dir))
+    if not os.path.exists(os.path.join(root, "_manifest.json")):
+        build_ivfsq_index(spark, emb, root, n_centroids=16)
+    return ivfsq_search(spark, root, emb, QVEC, k=10, nprobe=4, rescore_factor=4)
+
+
 def _q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT late-interaction maxsim over fixed-slice doc token vectors
     (sum over query tokens of max-over-slices cosine); row-local scoring,
@@ -2295,6 +2308,14 @@ def _q_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return median_abs_deviation(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_geo_distance_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance agg: ring buckets of haversine km from the origin,
+    row-local assignment + one bounded groupBy."""
+    from fafnir_spark.geo import geo_distance_range_agg
+
+    return geo_distance_range_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES stats_bucket pipeline agg: min/max/avg/sum of the per-day
     rounded bucket sums (bounded bucket relation)."""
@@ -2410,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_exact,
         "ann_sq8_rescore": _q_ann_sq8,
         "ann_sq8_indexed": _q_ann_sq8_indexed,
+        "ann_ivfsq_indexed": _q_ann_ivfsq_indexed,
         "maxsim_colbert": _q_maxsim,
         "ann_filtered_topk": _q_ann_filtered,
         "kmv_cardinality": _q_kmv_cardinality,
@@ -2543,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_percentiles": _q_moving_percentiles,
         "change_point": _q_change_point,
         "stats_bucket": _q_stats_bucket,
+        "geo_distance_range": _q_geo_distance_range,
         "terms_agg_error_bounds": _q_terms_agg_error_bounds,
         "graph_explore": _q_graph_explore,
         "ip_prefix": _q_ip_prefix,
@@ -2661,6 +2684,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracles_ops.cosine_topk_sql(QVEC, 10),
         "ann_sq8_rescore": oracles_ops.sq8_cosine_topk_sql(QVEC, 10, rescore_factor=4),
         "ann_sq8_indexed": oracles_ops.sq8_cosine_topk_sql(QVEC, 10, rescore_factor=4),
+        "ann_ivfsq_indexed": oracles_ops.ivfsq_topk_sql(
+            QVEC, n_centroids=16, nprobe=4, k=10, rescore_factor=4
+        ),
         "maxsim_colbert": oracles_ops.maxsim_topk_sql(QTOKS, 10),
         "ann_filtered_topk": oracles_ops.cosine_topk_filtered_sql(QVEC, [1, 3, 5, 7], 10),
         "kmv_cardinality": oracles_pipeline.kmv_distinct_sql(k=64),
@@ -2820,6 +2846,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_percentiles": oracles_pipeline.moving_percentiles_sql(),
         "change_point": oracles_pipeline.change_point_sql(),
         "stats_bucket": oracles_pipeline.stats_bucket_sql(),
+        "geo_distance_range": oracles_pipeline.geo_distance_range_sql(),
         "terms_agg_error_bounds": oracles_pipeline.terms_agg_error_bounds_sql(),
         "graph_explore": oracles.graph_explore_sql(["merge"], k=5, min_cooc=2),
         "ip_prefix": oracles_pipeline.ip_prefix_sql(),

@@ -367,3 +367,38 @@ def geo_line(events: DataFrame, size: int = 10) -> DataFrame:
     )
     line = F.array_join(F.transform(F.slice(F.array_sort("__ps"), 1, size), _pt), ",")
     return g.select("user_id", "n_points", line.alias("line")).orderBy("user_id")
+
+
+def geo_distance_range_agg(events: DataFrame, origin_lat: float = 50.0,
+                           origin_lon: float = 10.0,
+                           edges: tuple = (300.0, 800.0)) -> DataFrame:
+    """ES geo_distance aggregation: ring buckets [0,e1), [e1,e2), [e2,∞)
+    of great-circle km from the origin (same rounded haversine as
+    geo_distance_topk — cos(origin_lat) a shared driver literal). Bucket
+    assignment is row-local; ONE bounded groupBy with map-side combine.
+    (ring, n, avg_km) ordered by ring index."""
+    import math
+
+    colat = math.cos(math.radians(origin_lat))
+    sphi = F.sin(F.radians(F.col("lat") - F.lit(origin_lat)) / F.lit(2.0))
+    slam = F.sin(F.radians(F.col("lon") - F.lit(origin_lon)) / F.lit(2.0))
+    a = sphi * sphi + F.lit(colat) * F.cos(F.radians(F.col("lat"))) * slam * slam
+    dist = F.round(F.lit(12742.0) * F.asin(F.sqrt(a)), 4)
+
+    lo = [0.0, *edges]
+    hi = [*edges, None]
+    ring = None
+    for i, (l, h) in enumerate(zip(lo, hi)):
+        label = f"{i}:[{l!r}, {h!r})" if h is not None else f"{i}:[{l!r}, *)"
+        cond = (F.col("dist_km") >= l) if h is None else (
+            (F.col("dist_km") >= l) & (F.col("dist_km") < h)
+        )
+        ring = F.when(cond, F.lit(label)) if ring is None else ring.when(cond, F.lit(label))
+    d = event_latlon(events).select(dist.alias("dist_km"))
+    return (
+        d.select(ring.alias("ring"), "dist_km")
+        .groupBy("ring")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.avg("dist_km"), 6).alias("avg_km"))
+        .orderBy("ring")
+    )

@@ -1017,3 +1017,73 @@ SELECT lang,
        round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nw) AS BIGINT), 6) AS chars_per_word
 FROM per_doc GROUP BY lang ORDER BY lang
 """
+
+
+def ivfsq_topk_sql(query_vec: list[float], n_centroids: int = 16,
+                   nprobe: int = 4, k: int = 10,
+                   rescore_factor: int = 4) -> str:
+    """Mirror of simsearch.build_ivfsq_index ∘ ivfsq_search: sampled
+    centroids derived in SQL, same max-cosine assignment, same absmax
+    floor(x+0.5) codes, probe pruning, quantized candidate stage at
+    k·factor and exact rescore."""
+    qlit = "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in query_vec) + "]"
+
+    def cos(a: str, b: str) -> str:
+        return f"""round(
+  list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+, 6)"""
+
+    return f"""
+WITH q AS (SELECT {qlit} AS qv),
+step AS (SELECT greatest(count(*) // {n_centroids}, 1) AS s FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings, step
+          WHERE vec_id % step.s = 0 AND vec_id // step.s < {n_centroids}),
+sc AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS s
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.embedding", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+coded AS (
+  SELECT a.vec_id, a.centroid_id, a.v,
+         list_transform(a.v,
+           x -> greatest(-127.0, least(127.0, floor(x::DOUBLE / sc.s * 127.0 + 0.5)))
+         ) AS codes
+  FROM assigned a CROSS JOIN sc
+),
+probes AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (ORDER BY {cos("q.qv", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+approx AS (
+  SELECT cd.vec_id, {cos("cd.codes", "q.qv")} AS acos
+  FROM coded cd JOIN probes USING (centroid_id) CROSS JOIN q
+),
+cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY acos DESC, vec_id ASC) AS rn
+    FROM approx
+  ) WHERE rn <= {k * rescore_factor}
+),
+exact AS (
+  SELECT cd.vec_id, {cos("cd.v", "q.qv")} AS cos
+  FROM cand JOIN coded cd USING (vec_id) CROSS JOIN q
+)
+SELECT rank, vec_id, cos FROM (
+  SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank, vec_id, cos
+  FROM exact
+) WHERE rank <= {k} ORDER BY rank
+"""

@@ -1373,3 +1373,40 @@ SELECT rk, term, doc_count, error_bound, exact_count FROM (
   FROM merged m JOIN exact e ON e.term = m.term
 ) WHERE rk <= {k} ORDER BY rk
 """
+
+
+def geo_distance_range_sql(origin_lat: float = 50.0, origin_lon: float = 10.0,
+                           edges: tuple = (300.0, 800.0)) -> str:
+    """Mirror of geo.geo_distance_range_agg — same rounded haversine,
+    same ring labels and boundary conditions."""
+    import math
+
+    colat = math.cos(math.radians(origin_lat))
+    sphi = f"sin(radians(lat - {float(origin_lat)!r}) / 2.0)"
+    slam = f"sin(radians(lon - {float(origin_lon)!r}) / 2.0)"
+    lo = [0.0, *edges]
+    hi = [*edges, None]
+    whens = []
+    for i, (l, h) in enumerate(zip(lo, hi)):
+        if h is None:
+            whens.append(f"WHEN dist_km >= {l!r} THEN '{i}:[{l!r}, *)'")
+        else:
+            whens.append(
+                f"WHEN dist_km >= {l!r} AND dist_km < {h!r} THEN '{i}:[{l!r}, {h!r})'"
+            )
+    case = "CASE " + " ".join(whens) + " END"
+    return f"""
+WITH {_pip_pts_cte()},
+ll AS (
+  SELECT pid, 40.0 + px * 2.0 AS lat, -5.0 + py * 3.0 AS lon FROM pts
+),
+d AS (
+  SELECT round(12742.0 * asin(sqrt(
+           {sphi} * {sphi} + {colat!r} * cos(radians(lat)) * {slam} * {slam}
+         )), 4) AS dist_km
+  FROM ll
+)
+SELECT {case} AS ring, CAST(count(*) AS BIGINT) AS n,
+       round(avg(dist_km), 6) AS avg_km
+FROM d GROUP BY 1 ORDER BY ring
+"""

@@ -264,3 +264,32 @@ def test_ngram_novelty_bounds(docs):
     dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     drows = ngram_novelty(dup, n=3).collect()
     assert all(r["novelty"] == 0.0 for r in drows)
+
+
+def test_ivfsq_exhaustive_probe_equals_brute(spark, emb, tmp_path):
+    from fafnir_spark.simsearch import build_ivfsq_index, ivfsq_search
+
+    root = str(tmp_path / "ivfsq")
+    build_ivfsq_index(spark, emb, root, n_centroids=16)
+    # probing every list with a corpus-wide rescore window removes both
+    # approximations -> must equal exact brute force
+    got = [(r["rank"], r["vec_id"], r["cos"]) for r in
+           ivfsq_search(spark, root, emb, QVEC, k=10, nprobe=16,
+                        rescore_factor=100_000).collect()]
+    want = [(r["rank"], r["vec_id"], r["cos"]) for r in
+            cosine_topk(emb, {"q": QVEC}, k=10).collect()]
+    assert got == want
+
+
+def test_ivfsq_probe_scan_is_pruned(spark, emb, tmp_path):
+    from fafnir_spark.catalog import Catalog
+    from fafnir_spark.simsearch import build_ivfsq_index
+
+    root = str(tmp_path / "ivfsq2")
+    build_ivfsq_index(spark, emb, root, n_centroids=16)
+    codes = Catalog(root).read_table(spark, "ivfsq_codes")
+    pruned = codes.filter(F.col("centroid_id").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan  # probes prune partitions, not rows
+    n_all, n_pruned = codes.count(), pruned.count()
+    assert 0 < n_pruned < n_all
