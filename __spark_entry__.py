@@ -2316,6 +2316,28 @@ def _q_geo_distance_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_distance_range_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+ESQL_QUERY = """
+FROM events
+| WHERE value >= 5.0 AND event_type != "error"
+| STATS n = count(*), total = sum(value), avg_v = avg(value) BY event_type
+| EVAL total = round(total, 6)
+| EVAL avg_v = round(avg_v, 6)
+| SORT total DESC, event_type ASC
+| LIMIT 5
+| KEEP event_type, n, total, avg_v
+"""
+
+
+def _q_esql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL pipe query compiled to ONE Catalyst plan (esql.py): WHERE
+    stays a pushdown filter, STATS one groupBy, SORT+LIMIT a
+    TakeOrderedAndProject."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_QUERY,
+                {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
+
+
 def _q_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES stats_bucket pipeline agg: min/max/avg/sum of the per-day
     rounded bucket sums (bounded bucket relation)."""
@@ -2566,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_point": _q_change_point,
         "stats_bucket": _q_stats_bucket,
         "geo_distance_range": _q_geo_distance_range,
+        "esql_pipeline": _q_esql,
         "terms_agg_error_bounds": _q_terms_agg_error_bounds,
         "graph_explore": _q_graph_explore,
         "ip_prefix": _q_ip_prefix,
@@ -2847,6 +2870,15 @@ def oracle_sql() -> dict[str, str]:
         "change_point": oracles_pipeline.change_point_sql(),
         "stats_bucket": oracles_pipeline.stats_bucket_sql(),
         "geo_distance_range": oracles_pipeline.geo_distance_range_sql(),
+        "esql_pipeline": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total, round(avg(value), 6) AS avg_v
+FROM events
+WHERE value >= 5.0 AND event_type != 'error'
+GROUP BY event_type
+ORDER BY round(sum(value), 6) DESC, event_type ASC
+LIMIT 5
+""",
         "terms_agg_error_bounds": oracles_pipeline.terms_agg_error_bounds_sql(),
         "graph_explore": oracles.graph_explore_sql(["merge"], k=5, min_cooc=2),
         "ip_prefix": oracles_pipeline.ip_prefix_sql(),

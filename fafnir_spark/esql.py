@@ -1,0 +1,148 @@
+"""ES|QL — Elasticsearch's piped query language — compiled to DataFrame plans.
+
+The reference serves its query surface through Elasticsearch; ES|QL
+(public syntax: FROM | WHERE | EVAL | STATS .. BY | SORT | LIMIT | KEEP)
+is the modern form of that surface. This module is a small, honest
+compiler for the deterministic core of the language:
+
+    FROM events
+    | WHERE value > 10 AND event_type != "error"
+    | EVAL v2 = round(value, 2)
+    | STATS n = count(*), total = sum(value) BY event_type
+    | EVAL total = round(total, 6)
+    | SORT total DESC, event_type ASC
+    | LIMIT 5
+    | KEEP event_type, n, total
+
+Every stage maps 1:1 onto a Catalyst-optimizable DataFrame operation —
+WHERE stays a pushdown-eligible filter under the scan, STATS is one
+groupBy with map-side combine, SORT+LIMIT a later TakeOrderedAndProject —
+so the compiled plan is exactly what the hand-written pipeline would be.
+No eval()/exec(): expressions are parsed with anchored regexes over a
+closed grammar (column refs, numeric/string literals, one binary op or a
+round() call), anything else is a parse error.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_NUM = r"-?\d+(?:\.\d+)?"
+_STR = r'"(?:[^"\\]*)"'
+_LIT = f"(?:{_NUM}|{_STR})"
+
+_CMP = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__",
+        "==": "__eq__", "!=": "__ne__"}
+_ARITH = {"+": "__add__", "-": "__sub__", "*": "__mul__", "/": "__truediv__"}
+_AGGS = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+
+
+class EsqlError(ValueError):
+    pass
+
+
+def _lit(tok: str):
+    if tok.startswith('"'):
+        return tok[1:-1]
+    return float(tok) if "." in tok else int(tok)
+
+
+def _parse_condition(cond: str):
+    m = re.fullmatch(rf"\s*({_IDENT})\s*(>=|<=|!=|==|>|<)\s*({_LIT})\s*", cond)
+    if not m:
+        raise EsqlError(f"unsupported WHERE condition: {cond!r}")
+    col, op, lit = m.groups()
+    return getattr(F.col(col), _CMP[op])(F.lit(_lit(lit)))
+
+
+def _parse_eval_expr(expr: str):
+    m = re.fullmatch(rf"\s*round\(\s*({_IDENT})\s*,\s*(\d+)\s*\)\s*", expr)
+    if m:
+        return F.round(F.col(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(rf"\s*({_IDENT})\s*([+\-*/])\s*({_NUM})\s*", expr)
+    if m:
+        col, op, num = m.groups()
+        return getattr(F.col(col), _ARITH[op])(F.lit(_lit(num)))
+    m = re.fullmatch(rf"\s*({_IDENT})\s*", expr)
+    if m:
+        return F.col(m.group(1))
+    raise EsqlError(f"unsupported EVAL expression: {expr!r}")
+
+
+def _parse_agg(spec: str):
+    m = re.fullmatch(
+        rf"\s*(?:({_IDENT})\s*=\s*)?({_IDENT})\(\s*(\*|{_IDENT})\s*\)\s*", spec
+    )
+    if not m:
+        raise EsqlError(f"unsupported STATS aggregate: {spec!r}")
+    alias, fn, arg = m.groups()
+    if fn not in _AGGS:
+        raise EsqlError(f"unknown aggregate function: {fn!r}")
+    if arg == "*":
+        if fn != "count":
+            raise EsqlError("only count(*) takes *")
+        col = F.count(F.lit(1)).cast("long")
+    elif fn == "count":
+        col = F.count(F.col(arg)).cast("long")
+    else:
+        col = _AGGS[fn](F.col(arg))
+    return col.alias(alias or f"{fn}_{arg if arg != '*' else 'all'}")
+
+
+def esql(spark: SparkSession, query: str,
+         tables: dict[str, DataFrame]) -> DataFrame:
+    """Compile one ES|QL pipe query against the given table registry and
+    return the (lazy) DataFrame — Catalyst sees the whole pipeline."""
+    stages = [s.strip() for s in query.strip().split("|")]
+    m = re.fullmatch(rf"FROM\s+({_IDENT})", stages[0], re.IGNORECASE)
+    if not m:
+        raise EsqlError("query must start with FROM <table>")
+    name = m.group(1)
+    if name not in tables:
+        raise EsqlError(f"unknown table {name!r}")
+    df = tables[name]
+
+    for stage in stages[1:]:
+        kw, _, rest = stage.partition(" ")
+        kw = kw.upper()
+        if kw == "WHERE":
+            cond = None
+            for part in re.split(r"\s+AND\s+", rest):
+                c = _parse_condition(part)
+                cond = c if cond is None else (cond & c)
+            df = df.filter(cond)
+        elif kw == "EVAL":
+            m = re.fullmatch(rf"\s*({_IDENT})\s*=\s*(.+)", rest)
+            if not m:
+                raise EsqlError(f"unsupported EVAL: {rest!r}")
+            df = df.withColumn(m.group(1), _parse_eval_expr(m.group(2)))
+        elif kw == "STATS":
+            body, _, by = rest.partition(" BY ")
+            aggs = [_parse_agg(s) for s in body.split(",")]
+            if by.strip():
+                keys = [k.strip() for k in by.split(",")]
+                df = df.groupBy(*keys).agg(*aggs)
+            else:
+                df = df.agg(*aggs)
+        elif kw == "SORT":
+            orders = []
+            for part in rest.split(","):
+                m = re.fullmatch(rf"\s*({_IDENT})\s*(ASC|DESC)?\s*", part,
+                                 re.IGNORECASE)
+                if not m:
+                    raise EsqlError(f"unsupported SORT key: {part!r}")
+                c = F.col(m.group(1))
+                orders.append(c.desc() if (m.group(2) or "ASC").upper() == "DESC"
+                              else c.asc())
+            df = df.orderBy(*orders)
+        elif kw == "LIMIT":
+            df = df.limit(int(rest.strip()))
+        elif kw == "KEEP":
+            df = df.select(*[c.strip() for c in rest.split(",")])
+        else:
+            raise EsqlError(f"unknown ES|QL command: {kw!r}")
+    return df

@@ -1,0 +1,81 @@
+"""ES|QL compiler: stage semantics, closed-grammar rejection, and the
+plan properties each stage must keep (filter pushdown under the scan,
+TakeOrderedAndProject for SORT+LIMIT)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fafnir_spark.esql import EsqlError, esql
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_full_pipeline_semantics(spark, events):
+    out = esql(spark, """
+        FROM events
+        | WHERE value >= 5.0
+        | STATS n = count(*), total = sum(value) BY event_type
+        | EVAL total = round(total, 6)
+        | SORT total DESC, event_type ASC
+        | LIMIT 3
+        | KEEP event_type, n, total
+    """, {"events": events}).collect()
+    assert 0 < len(out) <= 3
+    totals = [r["total"] for r in out]
+    assert totals == sorted(totals, reverse=True)
+    assert out[0].asDict().keys() == {"event_type", "n", "total"}
+
+
+def test_where_and_eval_rowwise(spark, events):
+    rows = esql(spark, """
+        FROM events
+        | WHERE value > 10.0 AND event_type == "click"
+        | EVAL v2 = value * 2
+        | KEEP event_id, value, v2
+    """, {"events": events}).collect()
+    assert rows
+    for r in rows:
+        assert r["value"] > 10.0 and r["v2"] == r["value"] * 2
+
+
+def test_stats_without_by_is_global(spark, events):
+    r = esql(spark, "FROM events | STATS n = count(*), mx = max(value)",
+             {"events": events}).collect()[0]
+    assert r["n"] == events.count()
+
+
+def test_where_pushdown_reaches_scan(spark, events):
+    df = esql(spark, 'FROM events | WHERE value > 10.0 | KEEP event_id, value',
+              {"events": events})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(value,10.0)" in plan
+
+
+def test_sort_limit_is_take_ordered(spark, events):
+    df = esql(spark, """
+        FROM events
+        | STATS total = sum(value) BY event_type
+        | SORT total DESC
+        | LIMIT 3
+    """, {"events": events})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("bad", [
+    "WHERE value > 1",                              # no FROM
+    "FROM nope | LIMIT 1",                          # unknown table
+    "FROM events | WHERE value ~ 3",                # bad operator
+    "FROM events | EVAL x = __import__('os')",      # not in the grammar
+    "FROM events | STATS q = quantile(value)",      # unknown aggregate
+    "FROM events | FROB 3",                         # unknown command
+    "FROM events | STATS s = sum(*)",               # * only for count
+])
+def test_closed_grammar_rejects(spark, events, bad):
+    with pytest.raises(EsqlError):
+        esql(spark, bad, {"events": events})
