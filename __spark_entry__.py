@@ -894,6 +894,15 @@ def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return significant_terms(_docs(spark, sf_dir), Q_MAIN, k=10)
 
 
+def _q_significant_terms_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms with the ES chi_square heuristic (signed 2x2
+    chi-square, background-is-superset) — same bounded relation shape as
+    the JLH variant."""
+    from fafnir_spark.query_ext import significant_terms_chi2
+
+    return significant_terms_chi2(_docs(spark, sf_dir), Q_MAIN, k=10)
+
+
 def _q_top_hits_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES top_hits inside a terms aggregation: best 3 docs per source."""
     from fafnir_spark.query_ext import top_hits_grouped
@@ -2509,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_range": _q_query_string_range,
         "query_string_range_indexed": _q_query_string_range_indexed,
         "significant_terms": _q_significant_terms,
+        "significant_terms_chi2": _q_significant_terms_chi2,
         "top_hits_grouped": _q_top_hits_grouped,
         "index_stats": _q_index_stats,
         "facet_cardinality": _q_facet_cardinality,
@@ -2771,6 +2781,7 @@ def oracle_sql() -> dict[str, str]:
         "query_string_range": oracles.search_text_sql(QS_RANGE, k=10),
         "query_string_range_indexed": oracles.search_text_sql(QS_RANGE, k=10),
         "significant_terms": oracles.significant_terms_sql(Q_MAIN, k=10),
+        "significant_terms_chi2": oracles.significant_terms_chi2_sql(Q_MAIN, k=10),
         "top_hits_grouped": oracles.top_hits_grouped_sql(Q_MAIN, "source", 3),
         "index_stats": oracles.index_stats_sql(),
         "facet_cardinality": oracles_pipeline.facet_cardinality_sql(),

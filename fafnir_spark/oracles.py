@@ -1821,3 +1821,39 @@ nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
 SELECT * FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
 ORDER BY hop, jlh DESC, dst
 """
+
+
+def significant_terms_chi2_sql(query_terms: list[str], k: int = 10) -> str:
+    """chi_square significant-terms oracle; contingency algebra and
+    operand order mirror query_ext.significant_terms_chi2 exactly."""
+    tin = _terms_in(query_terms)
+    d = ("(fg_df::DOUBLE * (n_docs::DOUBLE - fg_n::DOUBLE - bg_df::DOUBLE + fg_df::DOUBLE)"
+         " - (fg_n::DOUBLE - fg_df::DOUBLE) * (bg_df::DOUBLE - fg_df::DOUBLE))")
+    chi2 = (f"n_docs::DOUBLE * {d} * {d}"
+            " / (fg_n::DOUBLE * bg_df::DOUBLE"
+            " * (n_docs::DOUBLE - fg_n::DOUBLE) * (n_docs::DOUBLE - bg_df::DOUBLE))")
+    return f"""
+WITH {_TF_CTES},
+fgdocs AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {tin}),
+fgn AS (SELECT count(*) AS fg_n FROM fgdocs),
+bgn AS (SELECT count(*) AS n_docs FROM documents),
+fg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg_df FROM tf
+  WHERE doc_id IN (SELECT doc_id FROM fgdocs) GROUP BY term
+),
+bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM tf GROUP BY term),
+scored AS (
+  SELECT fg.term, fg_df, bg_df,
+         round(CASE WHEN fg_df::DOUBLE / fg_n::DOUBLE >= bg_df::DOUBLE / n_docs::DOUBLE
+                    THEN {chi2} ELSE -({chi2}) END, 6) AS chi2
+  FROM fg JOIN bg USING (term)
+  CROSS JOIN fgn CROSS JOIN bgn
+  WHERE fg.term NOT IN {tin}
+)
+SELECT rk, term, fg_df, bg_df, chi2 FROM (
+  SELECT row_number() OVER (ORDER BY chi2 DESC, term ASC) AS rk,
+         term, fg_df, bg_df, chi2
+  FROM scored
+) WHERE rk <= {k}
+ORDER BY rk
+"""

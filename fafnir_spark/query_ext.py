@@ -1671,3 +1671,56 @@ def graph_explore(
         if not frontier:
             break
     return out.orderBy("hop", F.col("jlh").desc(), F.col("dst").asc())
+
+
+def significant_terms_chi2(docs: DataFrame, query_terms: list[str], k: int = 10,
+                           text_col: str = "text") -> DataFrame:
+    """ES significant_terms with the chi_square heuristic
+    (background_is_superset, include_negatives — the ES defaults): the
+    textbook 2×2 chi² over the foreground/background contingency table
+
+        N11=fg_df  N10=fg_n-fg_df  N01=bg_df-fg_df  N00=N-fg_n-bg_df+fg_df
+        chi² = N·(N11·N00 − N10·N01)² / (fg_n·bg_df·(N−fg_n)·(N−bg_df))
+
+    signed negative when the term is UNDER-represented in the foreground
+    (fg_rate < bg_rate). Same bounded relation shape as the JLH variant —
+    one tf pass, foreground semi-join, broadcast scalars, orderBy·limit
+    finish. All arithmetic in float64 with fixed operand order.
+    (rk, term, fg_df, bg_df, chi2)."""
+    from pyspark.sql.window import Window
+
+    from .query import doc_term_freqs, term_dfs
+
+    qterms = sorted(set(query_terms))
+    q = docs.sparkSession.createDataFrame([(t,) for t in qterms], "term string")
+    base = docs.select(F.col("doc_id"), F.col(text_col).alias("__text"))
+    tf = doc_term_freqs(base, "doc_id", "__text")
+    matched = tf.join(F.broadcast(q), "term").select("doc_id").distinct()
+    fg_n = matched.agg(F.count(F.lit(1)).alias("fg_n"))
+    bg_n = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    fg_df = (
+        tf.join(matched, "doc_id", "left_semi")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    bg_df = term_dfs(tf).select("term", F.col("df").alias("bg_df"))
+    n11 = F.col("fg_df").cast("double")
+    n1_ = F.col("fg_n").cast("double")
+    n_1 = F.col("bg_df").cast("double")
+    nn = F.col("n_docs").cast("double")
+    d = n11 * (nn - n1_ - n_1 + n11) - (n1_ - n11) * (n_1 - n11)
+    chi2 = nn * d * d / (n1_ * n_1 * (nn - n1_) * (nn - n_1))
+    signed = F.when(n11 / n1_ >= n_1 / nn, chi2).otherwise(-chi2)
+    scored = (
+        fg_df.join(bg_df, "term")
+        .crossJoin(F.broadcast(fg_n))
+        .crossJoin(F.broadcast(bg_n))
+        .filter(~F.col("term").isin(qterms))
+        .select("term", "fg_df", "bg_df", F.round(signed, 6).alias("chi2"))
+    )
+    top = scored.orderBy(F.col("chi2").desc(), F.col("term").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("chi2").desc(), F.col("term").asc()))
+    return (
+        top.withColumn("rk", w)
+        .select("rk", "term", "fg_df", "bg_df", "chi2")
+        .orderBy("rk")
+    )

@@ -291,6 +291,31 @@ def main() -> None:
               "ranked window + violation aggregate run over ≤|langs| "
               "rows only."),
     ]
+    from fafnir_spark.esql import esql
+    from fafnir_spark.pipeline import terms_agg_error_bounds
+    from fafnir_spark.query_ext import graph_explore
+
+    sections += [
+        audit("graph_explore (2-hop term graph)",
+              graph_explore(docs, ["merge"], hops=2, k=5, min_cooc=2),
+              "Foreground semi-joins bound every hop to the matched-doc "
+              "set; candidate dfs are bounded groupBys, the edge pick a "
+              "window over ≤|frontier| rows per vertex."),
+        audit("terms_agg_error_bounds (shard-merge protocol)",
+              terms_agg_error_bounds(docs),
+              "Per-shard top-N through the shared two-level "
+              "topk_per_group; coordinator work is over ≤shards×N rows."),
+        audit("esql_pipeline (compiled pipe query)",
+              esql(docs.sparkSession,
+                   'FROM events | WHERE value >= 5.0 | STATS n = count(*), '
+                   'total = sum(value) BY event_type | EVAL total = '
+                   'round(total, 6) | SORT total DESC | LIMIT 5',
+                   {"events": docs.sparkSession.read.parquet(
+                       f"{sf}/events.parquet")}),
+              "WHERE reaches the scan as a PushedFilter; STATS is one "
+              "map-side-combine groupBy; SORT+LIMIT compiles to "
+              "TakeOrderedAndProject."),
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     with open(out, "w") as f:
