@@ -171,6 +171,29 @@ def main() -> None:
 
     timed("scoring_sweep", _scoring_sweep)
 
+    # session-7 sweep (NEW key — earlier keys stay comparable): mergeable
+    # sketches, quantized ANN with rescore, late interaction, term graph,
+    # compiled ES|QL
+    from fafnir_spark.esql import esql
+    from fafnir_spark.query_ext import graph_explore
+    from fafnir_spark.simsearch import maxsim_topk, sq8_cosine_topk
+    from fafnir_spark.sketches import hll_cardinality
+
+    def _extras_sweep() -> int:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n = hll_cardinality(events).count()
+        n += sq8_cosine_topk(emb, qvecs, k=10).count()
+        qtoks = [[((i * 53 + t * 17) % 31 - 15) / 16.0 for i in range(16)]
+                 for t in range(2)]
+        n += maxsim_topk(emb, qtoks, k=10).count()
+        n += graph_explore(docs, ["merge"], hops=2, k=5, min_cooc=2).count()
+        n += esql(spark, 'FROM events | WHERE value >= 5.0 | STATS n = count(*), '
+                         'total = sum(value) BY event_type | SORT total DESC | '
+                         'LIMIT 5', {"events": events}).count()
+        return n
+
+    timed("extras_sweep", _extras_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work
