@@ -1,0 +1,74 @@
+"""Seeded-random fuzz for the session-7 oracle pairs: chi-square
+significance over random term sets, SQ8 rescore and maxsim over random
+query vectors — each Spark result cross-checked against its DuckDB oracle
+(the breadth companion to the fixed driver instances)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from fafnir_spark import oracles, oracles_ops
+from fafnir_spark.query_ext import significant_terms_chi2
+from fafnir_spark.simsearch import maxsim_topk, sq8_cosine_topk
+from tests.conftest import SF_DIR
+
+VOCAB = ("key agg row scan slow fast table value part hash merge batch spark "
+         "line sort window column join small customer query big group stream "
+         "filter order data the a vector").split()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_fuzz_chi2_vs_oracle(docs, ddb):
+    rng = random.Random(71)
+    for i in range(6):
+        terms = rng.sample(VOCAB, rng.randint(1, 3))
+        got = _rows(significant_terms_chi2(docs, terms, k=8))
+        want = [tuple(r) for r in
+                ddb.execute(oracles.significant_terms_chi2_sql(terms, k=8)).fetchall()]
+        assert len(got) == len(want), terms
+        for g, w in zip(got, want):
+            assert g[:4] == w[:4], (terms, g, w)
+            assert g[4] == pytest.approx(w[4], abs=1e-9)
+
+
+def _rand_vec(rng, dim):
+    return [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+
+
+def test_fuzz_sq8_vs_oracle(emb, ddb):
+    rng = random.Random(72)
+    for i in range(4):
+        qv = _rand_vec(rng, 64)
+        got = _rows(sq8_cosine_topk(emb, {"q": qv}, k=8, rescore_factor=3).drop("qid"))
+        want = [tuple(r) for r in
+                ddb.execute(oracles_ops.sq8_cosine_topk_sql(qv, 8, rescore_factor=3)).fetchall()]
+        assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want], i
+        for g, w in zip(got, want):
+            assert g[2] == pytest.approx(w[2], abs=1e-9)
+
+
+def test_fuzz_maxsim_vs_oracle(emb, ddb):
+    rng = random.Random(73)
+    for i in range(4):
+        toks = [_rand_vec(rng, 16) for _ in range(rng.randint(1, 3))]
+        got = _rows(maxsim_topk(emb, toks, k=8))
+        want = [tuple(r) for r in
+                ddb.execute(oracles_ops.maxsim_topk_sql(toks, 8)).fetchall()]
+        assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want], i
+        for g, w in zip(got, want):
+            assert g[2] == pytest.approx(w[2], abs=1e-9)
