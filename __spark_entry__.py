@@ -2365,6 +2365,16 @@ def _q_terms_agg_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms_agg_error_bounds(_docs(spark, sf_dir))
 
 
+def _q_terms_agg_error_bounds_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard-merge protocol over the REAL index layout: doc_part
+    partitions are the shards, per-shard dfs come from posting-block
+    metadata (no decode), exact counts from the dictionary. Oracle is the
+    direct protocol with n_shards == the index's n_parts."""
+    from fafnir_spark.wand import terms_agg_error_bounds_indexed
+
+    return terms_agg_error_bounds_indexed(spark, _idx_root(spark, sf_dir))
+
+
 def _q_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES Graph explore API: 2-hop significantly-connected term discovery
     from a seed (JLH vertex scoring, strongest-co-occurrence edges); every
@@ -2600,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_range": _q_geo_distance_range,
         "esql_pipeline": _q_esql,
         "terms_agg_error_bounds": _q_terms_agg_error_bounds,
+        "terms_agg_error_bounds_indexed": _q_terms_agg_error_bounds_indexed,
         "graph_explore": _q_graph_explore,
         "ip_prefix": _q_ip_prefix,
         "tokenizer_fertility": _q_tokenizer_fertility,
@@ -2891,6 +2902,8 @@ ORDER BY round(sum(value), 6) DESC, event_type ASC
 LIMIT 5
 """,
         "terms_agg_error_bounds": oracles_pipeline.terms_agg_error_bounds_sql(),
+        "terms_agg_error_bounds_indexed":
+            oracles_pipeline.terms_agg_error_bounds_sql(n_shards=8),
         "graph_explore": oracles.graph_explore_sql(["merge"], k=5, min_cooc=2),
         "ip_prefix": oracles_pipeline.ip_prefix_sql(),
         "tokenizer_fertility": oracles_ops.tokenizer_fertility_sql(),

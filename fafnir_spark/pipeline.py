@@ -1572,6 +1572,22 @@ def terms_agg_error_bounds(docs: DataFrame, n_shards: int = 4,
         .groupBy("shard", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    exact = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    return shard_merge_topk(per, exact, shard_size=shard_size, k=k)
+
+
+def shard_merge_topk(per: DataFrame, exact: DataFrame,
+                     shard_size: int = 5, k: int = 5) -> DataFrame:
+    """The coordinator half of the terms-agg protocol, shared by the
+    direct (pmod shards) and indexed (doc_part shards) paths: per-shard
+    top-``shard_size`` of a (shard, term, cnt) relation via the two-level
+    topk_per_group, merged sums, and the ES doc_count_error_upper_bound
+    accounting; ``exact`` = (term, exact_count) is the audit column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .topk import topk_per_group
+
     kept = topk_per_group(per, shard_size, group_col="shard", id_col="term",
                           val_col="cnt").select("shard", "term", "cnt")
     mins = kept.groupBy("shard").agg(F.min("cnt").alias("min_rep"))
@@ -1587,7 +1603,6 @@ def terms_agg_error_bounds(docs: DataFrame, n_shards: int = 4,
             (F.col("total_min") - F.col("rep_min")).cast("long").alias("error_bound"),
         )
     )
-    exact = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
     out = (
         merged.join(exact, "term")
         .orderBy(F.col("doc_count").desc(), F.col("term").asc())

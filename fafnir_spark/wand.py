@@ -1987,3 +1987,43 @@ def script_score_cosine_indexed(
 
     return _feature_score_indexed(spark, index_root, terms, combine, k=k,
                                   snapshot_id=snapshot_id, feature_df=mult)
+
+
+def terms_agg_error_bounds_indexed(
+    spark: SparkSession,
+    index_root: str,
+    shard_size: int = 5,
+    k: int = 5,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """The terms-agg shard-merge protocol over the REAL index layout: the
+    doc_part partitions ARE the shards, and each shard's per-term doc
+    count comes straight from the posting-block ``n`` metadata — one
+    metadata-column scan of the postings table, NO block decode and NO
+    corpus pass. The exact audit counts are the merged dictionary dfs
+    (also metadata). This is exactly what an ES terms agg costs on a real
+    index — the protocol's error bound is the price of per-shard
+    truncation, and here the shards are physical.
+
+    Refuses tombstoned snapshots: block ``n`` counts entombed docs, so the
+    protocol would overcount — run compaction first (the same contract as
+    reindex)."""
+    from .pipeline import shard_merge_topk
+
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    tables = manifest["tables"]
+    if "tombstones" in tables or BULK_TOMBSTONE_TABLE in tables:
+        raise ValueError(
+            "terms_agg_error_bounds_indexed needs a tombstone-free snapshot "
+            "(block doc-counts would overcount); compact first"
+        )
+    per = (
+        cat.read_table(spark, "postings", snapshot=manifest)
+        .groupBy(F.col("doc_part").alias("shard"), "term")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+    exact = cat.read_dictionary(spark, snapshot=manifest).select(
+        "term", F.col("df").cast("long").alias("exact_count")
+    )
+    return shard_merge_topk(per, exact, shard_size=shard_size, k=k)

@@ -293,3 +293,19 @@ def test_ivfsq_probe_scan_is_pruned(spark, emb, tmp_path):
     assert "PartitionFilters: [" in plan  # probes prune partitions, not rows
     n_all, n_pruned = codes.count(), pruned.count()
     assert 0 < n_pruned < n_all
+
+
+def test_terms_agg_indexed_equals_direct(spark, docs, tmp_path):
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.pipeline import terms_agg_error_bounds
+    from fafnir_spark.wand import terms_agg_error_bounds_indexed
+
+    root = str(tmp_path / "idx")
+    n_parts = 4
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=n_parts, block_size=64, tokenizer="whitespace",
+                build_id="t", resume=False)
+    got = [tuple(r) for r in terms_agg_error_bounds_indexed(spark, root).collect()]
+    want = [tuple(r) for r in
+            terms_agg_error_bounds(docs, n_shards=n_parts).collect()]
+    assert got == want  # block metadata == recomputed shard dfs
