@@ -309,3 +309,43 @@ def test_terms_agg_indexed_equals_direct(spark, docs, tmp_path):
     want = [tuple(r) for r in
             terms_agg_error_bounds(docs, n_shards=n_parts).collect()]
     assert got == want  # block metadata == recomputed shard dfs
+
+
+def test_script_score_indexed_delete_lifecycle(spark, docs, emb, tmp_path):
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.incremental import delete_docs
+    from fafnir_spark.wand import script_score_cosine_indexed
+
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=64, tokenizer="whitespace",
+                build_id="t", resume=False)
+    pre = [(r["doc_id"], r["score"]) for r in
+           script_score_cosine_indexed(spark, root, emb, QT, QVEC, k=21).collect()]
+    victim = pre[0][0]
+    delete_docs(spark, root, [victim])
+    post = [(r["doc_id"], r["score"]) for r in
+            script_score_cosine_indexed(spark, root, emb, QT, QVEC, k=10).collect()]
+    # ES semantics: stats stay stale, so every survivor keeps its score and
+    # the result is the pre-delete list minus the victim
+    assert post == [p for p in pre if p[0] != victim][:10]
+
+
+def test_terms_agg_indexed_reads_metadata_only(spark, docs, tmp_path):
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.wand import terms_agg_error_bounds_indexed
+
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=64, tokenizer="whitespace",
+                build_id="t", resume=False)
+    df = terms_agg_error_bounds_indexed(spark, root)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # column pruning must reach the postings scan: the protocol reads ONLY
+    # block metadata — the posting arrays never leave the files
+    import re
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    posting_scans = [s for s in scans if "term" in s and "n:" in s]
+    assert posting_scans
+    for s in posting_scans:
+        assert "doc_ids" not in s and "tfs" not in s and "weights" not in s, s
