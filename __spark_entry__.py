@@ -1371,6 +1371,21 @@ def _q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_topk(_docs(spark, sf_dir), Q_MAIN, "source", k=10)
 
 
+def _q_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF with BOTH branches from persisted indexes (BMW lexical +
+    IVF vector at exhaustive nprobe — exact, so the direct oracle holds)."""
+    from fafnir_spark.simsearch import build_ivf_index, hybrid_rrf_indexed
+
+    ivf_root = os.path.join(tempfile.gettempdir(), "fafnir_ivf_" + _content_key(sf_dir))
+    if not os.path.exists(os.path.join(ivf_root, "_manifest.json")):
+        build_ivf_index(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                        ivf_root, n_centroids=16)
+    return hybrid_rrf_indexed(
+        spark, _idx_root(spark, sf_dir), ivf_root, Q_MAIN, QVEC,
+        k=10, n_each=50, nprobe=16,
+    )
+
+
 def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+vector retrieval: BM25 top-50 and cosine top-50 fused
     by reciprocal rank (RRF). documents.doc_id and embeddings.vec_id share
@@ -2629,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "hybrid_rrf": _q_hybrid_rrf,
+        "hybrid_rrf_indexed": _q_hybrid_rrf_indexed,
         "collapse_topk": _q_collapse,
         "query_string": _q_query_string,
         "more_like_this": _q_more_like_this,
@@ -2925,6 +2941,7 @@ LIMIT 5
         "media_meta": oracles_ops.media_meta_sql(),
         "media_features": oracles_ops.media_features_sql(),
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),
+        "hybrid_rrf_indexed": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),
         "collapse_topk": oracles.collapse_topk_sql(Q_MAIN, "source", k=10),
         "query_string": oracles.search_text_sql(QS_QUERY, k=10),
         "more_like_this": oracles.more_like_this_sql(42, k=10, n_terms=5),

@@ -1147,3 +1147,44 @@ def ivfsq_search(
     top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
     w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
     return top.withColumn("rank", w).select("rank", "vec_id", "cos").orderBy("rank")
+
+
+def hybrid_rrf_indexed(
+    spark,
+    text_index_root: str,
+    ivf_index_root: str,
+    terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    n_each: int = 50,
+    k0: int = 60,
+    nprobe: int = 16,
+) -> DataFrame:
+    """Hybrid RRF with BOTH branches served from persisted indexes — the
+    production shape of hybrid_rrf: lexical top-n from the inverted index
+    (block-max WAND) and vector top-n from the IVF index (partition-pruned
+    probes), fused with reciprocal-rank weights over ≤ 2·n rows. With
+    nprobe == n_centroids the vector branch is exact (tested property), so
+    the fused list is rank-identical to the direct hybrid_rrf — same
+    oracle. (rank, doc_id, rrf)."""
+    from .wand import run_queries
+
+    b = run_queries(spark, text_index_root, {"q": terms}, k=n_each, algo="bmw").select(
+        "doc_id", F.col("rank").alias("br")
+    )
+    e = ivf_search(spark, ivf_index_root, {"q": query_vec}, k=n_each,
+                   nprobe=nprobe).select(F.col("vec_id").alias("doc_id"),
+                                         F.col("rank").alias("er"))
+    u = b.join(e, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("br")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("er")), F.lit(0.0)),
+        6,
+    )
+    top = (
+        u.select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "doc_id", "rrf")
