@@ -750,6 +750,15 @@ def _q_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_terms_indexed(spark, _idx_root(spark, sf_dir), SUGGEST_TERM, k=5)
 
 
+def _q_doc_values_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram served FROM the index's numeric doc-values (v2 doc_map):
+    one columnar column read, postings untouched, dead docs pre-excluded."""
+    from fafnir_spark.wand import doc_values_histogram_indexed
+
+    return doc_values_histogram_indexed(spark, _idx_root(spark, sf_dir),
+                                        field="n_chars", width=50.0)
+
+
 def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES histogram aggregation: fixed-width numeric buckets with count and
     sum — bucket cardinality, not row count, bounds the shuffle."""
@@ -2526,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": _q_suggest,
         "suggest_terms_indexed": _q_suggest_indexed,
         "value_histogram": _q_value_histogram,
+        "doc_values_histogram_indexed": _q_doc_values_histogram,
         "pipeline_aggs": _q_pipeline_aggs,
         "extended_stats": _q_extended_stats,
         "bucket_selector": _q_bucket_selector,
@@ -2789,6 +2799,8 @@ def oracle_sql() -> dict[str, str]:
         "suggest_terms": oracles.suggest_sql(SUGGEST_TERM, k=5),
         "suggest_terms_indexed": oracles.suggest_sql(SUGGEST_TERM, k=5),
         "value_histogram": oracles_pipeline.event_value_histogram_sql(5.0),
+        "doc_values_histogram_indexed":
+            oracles_pipeline.doc_values_histogram_sql("n_chars", 50.0),
         "pipeline_aggs": oracles_pipeline.event_pipeline_aggs_sql(3),
         "extended_stats": oracles_pipeline.extended_stats_sql(),
         "bucket_selector": oracles_pipeline.bucket_selector_topn_sql(),

@@ -1410,3 +1410,14 @@ SELECT {case} AS ring, CAST(count(*) AS BIGINT) AS n,
        round(avg(dist_km), 6) AS avg_km
 FROM d GROUP BY 1 ORDER BY ring
 """
+
+
+def doc_values_histogram_sql(field: str = "n_chars", width: float = 50.0) -> str:
+    """Mirror of wand.doc_values_histogram_indexed over the source table
+    (a fresh index's doc-values == the corpus column)."""
+    return f"""
+SELECT floor(CAST({field} AS DOUBLE) / {width!r}) * {width!r} AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CAST({field} AS DOUBLE)), 6) AS sum_value
+FROM documents GROUP BY 1 ORDER BY 1
+"""

@@ -2027,3 +2027,29 @@ def terms_agg_error_bounds_indexed(
         "term", F.col("df").cast("long").alias("exact_count")
     )
     return shard_merge_topk(per, exact, shard_size=shard_size, k=k)
+
+
+def doc_values_histogram_indexed(
+    spark: SparkSession,
+    index_root: str,
+    field: str = "n_chars",
+    width: float = 50.0,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES histogram aggregation served FROM the index's numeric doc-values
+    (the v2 doc_map schema): fixed-width buckets over a columnar doc-value
+    read — postings are never touched and dead docs are already excluded
+    by the live-doc-map view (point, upsert AND bulk tombstones). The scan
+    reads exactly one numeric column; bucket cardinality, not doc count,
+    bounds the shuffle. (bucket, n, sum_value)."""
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    v = F.col(field).cast("double")
+    return (
+        cat.live_doc_map(spark, manifest)
+        .select((F.floor(v / F.lit(width)) * F.lit(width)).alias("bucket"), v.alias("__v"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.sum("__v"), 6).alias("sum_value"))
+        .orderBy("bucket")
+    )

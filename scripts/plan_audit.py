@@ -316,6 +316,23 @@ def main() -> None:
               "map-side-combine groupBy; SORT+LIMIT compiles to "
               "TakeOrderedAndProject."),
     ]
+    from fafnir_spark.wand import (
+        doc_values_histogram_indexed,
+        terms_agg_error_bounds_indexed,
+    )
+
+    sections += [
+        audit("terms_agg_error_bounds_indexed (physical shards)",
+              terms_agg_error_bounds_indexed(spark, root),
+              "doc_part partitions ARE the shards; per-shard dfs come "
+              "from posting-block n METADATA — column pruning keeps the "
+              "posting arrays out of the scan (test-asserted); exact "
+              "audit counts from the merged dictionary."),
+        audit("doc_values_histogram_indexed",
+              doc_values_histogram_indexed(spark, root, width=50.0),
+              "One columnar doc-value column read from doc_map; postings "
+              "untouched; bucket cardinality bounds the shuffle."),
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     with open(out, "w") as f:
