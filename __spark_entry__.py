@@ -1884,6 +1884,15 @@ def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_filters(webify_docs(_docs(spark, sf_dir)))
 
 
+def _q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UniMax allocation executed as a deterministic hash-threshold
+    sampler: capped languages thinned to the water level, uncapped kept
+    whole; per-language audit summary."""
+    from fafnir_spark.curation import unimax_sample
+
+    return unimax_sample(_docs(spark, sf_dir), epochs=2.0, budget_ratio=1.5)
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram novelty (Lee'22 memorization diagnostics): fraction
     of a doc's distinct shingles occurring in no other document."""
@@ -2588,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _q_c4_filters,
         "unimax_alloc": _q_unimax_alloc,
         "ngram_novelty": _q_ngram_novelty,
+        "unimax_sample": _q_unimax_sample,
         "intervals_ordered": _q_intervals_ordered,
         "span_containing": _q_span_containing,
         "terms_set": _q_terms_set,
@@ -2859,6 +2869,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": oracles_curation.c4_filters_sql(),
         "unimax_alloc": oracles_curation.unimax_alloc_sql(epochs=2.0, budget_ratio=1.5),
         "ngram_novelty": oracles_curation.ngram_novelty_sql(n=3),
+        "unimax_sample": oracles_curation.unimax_sample_sql(epochs=2.0, budget_ratio=1.5),
         "intervals_ordered": oracles.intervals_ordered_sql(Q_MAIN, max_gaps=4),
         "span_containing": oracles.span_containing_sql("merge", "customer", "window", slop=5),
         "terms_set": oracles.terms_set_sql(TERMS_SET, TERMS_SET_MSM_SQL),

@@ -834,3 +834,50 @@ def ngram_novelty(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         )
         .orderBy("doc_id")
     )
+
+
+def unimax_sample(docs: DataFrame, epochs: float = 2.0,
+                  budget_ratio: float = 1.5, seed: str = "us",
+                  id_col: str = "doc_id", lang_col: str = "lang",
+                  text_col: str = "text") -> DataFrame:
+    """The UniMax allocation EXECUTED: every doc is kept with its
+    language's probability target_p = round(alloc/cap, 6) via the
+    deterministic hash-threshold keep rule (the mixture_sample primitive)
+    — uncapped languages keep everything, the capped ones are thinned to
+    the water level. Row-local keep decision (the per-language targets
+    are a broadcast ≤|langs|-row relation), reproducible across engines
+    and runs. Audit summary: (lang, n_total, n_kept, kept_frac, target_p)
+    ordered."""
+    from .portable import hash60
+
+    alloc = unimax_alloc(docs, epochs, budget_ratio, lang_col, text_col)
+    targets = alloc.select(
+        "lang",
+        F.round(F.least(F.lit(1.0), F.col("alloc") / F.col("cap")), 6).alias("target_p"),
+    )
+    u = (
+        F.pmod(
+            hash60(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))),
+            F.lit(1000000),
+        ).cast("double")
+        / F.lit(1000000.0)
+    )
+    marked = (
+        docs.select(F.col(lang_col).alias("lang"), F.col(id_col))
+        .join(F.broadcast(targets), "lang")
+        .select("lang", "target_p", (u < F.col("target_p")).alias("__keep"))
+    )
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.min("target_p").alias("target_p"),
+        )
+        .select(
+            "lang", "n_total", "n_kept",
+            F.round(F.col("n_kept") / F.col("n_total"), 6).alias("kept_frac"),
+            "target_p",
+        )
+        .orderBy("lang")
+    )

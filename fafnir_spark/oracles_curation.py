@@ -551,12 +551,11 @@ FROM sig ORDER BY doc_id
 """
 
 
-def unimax_alloc_sql(epochs: float = 2.0, budget_ratio: float = 1.5) -> str:
-    """Mirror of curation.unimax_alloc — identical water-filling closed
-    form and operand order over the bounded per-language relation."""
+def _unimax_ctes(epochs: float, budget_ratio: float) -> str:
+    """The water-filling CTE chain through the per-language ``alloc_rel``
+    — shared by the allocation and sampling oracles."""
     e = float(epochs)
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT lang, CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang
 ),
@@ -581,14 +580,49 @@ lev AS (
 ),
 viol AS (
   SELECT min(i) AS k, min_by(p, i) AS plevel FROM lev WHERE cap > p
+),
+alloc_rel AS (
+  SELECT lang, n_tokens,
+         round(cap, 6) AS cap,
+         round(CASE WHEN viol.k IS NULL OR lev.i < viol.k THEN cap ELSE viol.plevel END, 6) AS alloc,
+         round(CASE WHEN viol.k IS NULL OR lev.i < viol.k THEN cap ELSE viol.plevel END
+               / n_tokens::DOUBLE, 6) AS epochs_alloc
+  FROM lev CROSS JOIN viol
+)"""
+
+
+def unimax_alloc_sql(epochs: float = 2.0, budget_ratio: float = 1.5) -> str:
+    """Mirror of curation.unimax_alloc — identical water-filling closed
+    form and operand order over the bounded per-language relation."""
+    return f"""
+WITH {_unimax_ctes(epochs, budget_ratio)}
+SELECT lang, n_tokens, cap, alloc, epochs_alloc FROM alloc_rel ORDER BY lang
+"""
+
+
+def unimax_sample_sql(epochs: float = 2.0, budget_ratio: float = 1.5,
+                      seed: str = "us") -> str:
+    """Mirror of curation.unimax_sample — the allocation EXECUTED as a
+    per-language hash-threshold sampler (mixture_sample keep rule, target
+    p = round(alloc/cap, 6))."""
+    from .portable import hash60_sql
+
+    h = hash60_sql(f"concat(CAST(doc_id AS VARCHAR), ':', '{seed}')")
+    return f"""
+WITH {_unimax_ctes(epochs, budget_ratio)},
+targets AS (
+  SELECT lang, round(least(1.0, alloc / cap), 6) AS target_p FROM alloc_rel
+),
+marked AS (
+  SELECT d.lang, t.target_p,
+         (CAST(({h} % 1000000) AS DOUBLE) / 1000000.0 < t.target_p) AS keep
+  FROM documents d JOIN targets t USING (lang)
 )
-SELECT lang, n_tokens,
-       round(cap, 6) AS cap,
-       round(CASE WHEN viol.k IS NULL OR lev.i < viol.k THEN cap ELSE viol.plevel END, 6) AS alloc,
-       round(CASE WHEN viol.k IS NULL OR lev.i < viol.k THEN cap ELSE viol.plevel END
-             / n_tokens::DOUBLE, 6) AS epochs_alloc
-FROM lev CROSS JOIN viol
-ORDER BY lang
+SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / count(*), 6) AS kept_frac,
+       min(target_p) AS target_p
+FROM marked GROUP BY lang ORDER BY lang
 """
 
 

@@ -349,3 +349,17 @@ def test_terms_agg_indexed_reads_metadata_only(spark, docs, tmp_path):
     assert posting_scans
     for s in posting_scans:
         assert "doc_ids" not in s and "tfs" not in s and "weights" not in s, s
+
+
+def test_unimax_sample_thins_only_capped(docs):
+    from fafnir_spark.curation import unimax_sample
+
+    rows = unimax_sample(docs, epochs=2.0, budget_ratio=1.5).collect()
+    assert rows
+    for r in rows:
+        if r["target_p"] == 1.0:
+            assert r["n_kept"] == r["n_total"]  # uncapped languages keep all
+        else:
+            assert r["n_kept"] < r["n_total"]
+            # realized rate tracks the target (hash-uniformity, wide tolerance)
+            assert abs(r["kept_frac"] - r["target_p"]) < 0.2
