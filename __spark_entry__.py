@@ -2380,6 +2380,26 @@ def _q_esql(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
 
 
+ESQL_MV_QUERY = """
+FROM documents
+| EVAL tok = split(text, " ")
+| MV_EXPAND tok
+| STATS n = count(*) BY tok
+| SORT n DESC, tok ASC
+| LIMIT 10
+| KEEP tok, n
+"""
+
+
+def _q_esql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL multi-value surface: SPLIT + MV_EXPAND compiled to
+    split/explode — term-frequency analytics written as a pipe query."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_MV_QUERY,
+                {"documents": spark.read.parquet(f"{sf_dir}/documents.parquet")})
+
+
 def _q_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES stats_bucket pipeline agg: min/max/avg/sum of the per-day
     rounded bucket sums (bounded bucket relation)."""
@@ -2644,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_bucket": _q_stats_bucket,
         "geo_distance_range": _q_geo_distance_range,
         "esql_pipeline": _q_esql,
+        "esql_mv_expand": _q_esql_mv_expand,
         "terms_agg_error_bounds": _q_terms_agg_error_bounds,
         "terms_agg_error_bounds_indexed": _q_terms_agg_error_bounds_indexed,
         "graph_explore": _q_graph_explore,
@@ -2939,6 +2960,14 @@ WHERE value >= 5.0 AND event_type != 'error'
 GROUP BY event_type
 ORDER BY round(sum(value), 6) DESC, event_type ASC
 LIMIT 5
+""",
+        "esql_mv_expand": """
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+)
+GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 10
 """,
         "terms_agg_error_bounds": oracles_pipeline.terms_agg_error_bounds_sql(),
         "terms_agg_error_bounds_indexed":

@@ -1,9 +1,10 @@
 """ES|QL — Elasticsearch's piped query language — compiled to DataFrame plans.
 
 The reference serves its query surface through Elasticsearch; ES|QL
-(public syntax: FROM | WHERE | EVAL | STATS .. BY | SORT | LIMIT | KEEP)
-is the modern form of that surface. This module is a small, honest
-compiler for the deterministic core of the language:
+(public syntax: FROM | WHERE | EVAL | STATS .. BY | SORT | LIMIT | KEEP |
+MV_EXPAND, with SPLIT in EVAL) is the modern form of that surface. This
+module is a small, honest compiler for the deterministic core of the
+language:
 
     FROM events
     | WHERE value > 10 AND event_type != "error"
@@ -63,6 +64,12 @@ def _parse_eval_expr(expr: str):
     m = re.fullmatch(rf"\s*round\(\s*({_IDENT})\s*,\s*(\d+)\s*\)\s*", expr)
     if m:
         return F.round(F.col(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(rf"\s*split\(\s*({_IDENT})\s*,\s*({_STR})\s*\)\s*", expr)
+    if m:
+        # ES|QL SPLIT: literal delimiter, empty pieces dropped (the engine's
+        # tokenizer convention — string_split parity with the oracle)
+        parts = F.split(F.col(m.group(1)), re.escape(_lit(m.group(2))))
+        return F.filter(parts, lambda x: x != "")
     m = re.fullmatch(rf"\s*({_IDENT})\s*([+\-*/])\s*({_NUM})\s*", expr)
     if m:
         col, op, num = m.groups()
@@ -139,6 +146,11 @@ def esql(spark: SparkSession, query: str,
                 orders.append(c.desc() if (m.group(2) or "ASC").upper() == "DESC"
                               else c.asc())
             df = df.orderBy(*orders)
+        elif kw == "MV_EXPAND":
+            col = rest.strip()
+            if not re.fullmatch(_IDENT, col):
+                raise EsqlError(f"unsupported MV_EXPAND column: {rest!r}")
+            df = df.withColumn(col, F.explode(F.col(col)))
         elif kw == "LIMIT":
             df = df.limit(int(rest.strip()))
         elif kw == "KEEP":

@@ -79,3 +79,23 @@ def test_sort_limit_is_take_ordered(spark, events):
 def test_closed_grammar_rejects(spark, events, bad):
     with pytest.raises(EsqlError):
         esql(spark, bad, {"events": events})
+
+
+def test_split_mv_expand_roundtrip(spark, events):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "c"), (3, "")], "doc_id long, text string"
+    )
+    rows = esql(spark, """
+        FROM docs
+        | EVAL tok = split(text, " ")
+        | MV_EXPAND tok
+        | STATS n = count(*) BY tok
+        | SORT n DESC, tok ASC
+    """, {"docs": docs}).collect()
+    # empty strings drop (tokenizer convention); doc 3 vanishes entirely
+    assert [(r["tok"], r["n"]) for r in rows] == [("a", 2), ("b", 1), ("c", 1)]
+
+
+def test_mv_expand_rejects_bad_column(spark, events):
+    with pytest.raises(EsqlError):
+        esql(spark, "FROM events | MV_EXPAND a b", {"events": events})
