@@ -2114,6 +2114,20 @@ def _q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-point: additive-merged per-day bucket state (the
+    sum-merge sibling of the HLL max-merge path) folded to the batch
+    bucket relation — same oracle as the batch change_point."""
+    from fafnir_spark.streaming import stream_change_point
+
+    base = tempfile.mkdtemp(prefix="fafnir_scp_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_change_point(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state")
+    )
+
+
 def _q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL cardinality: per-batch register relations merged into
     bounded parquet state (max-mergeable sketch law) — the drained state
@@ -2625,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_by_query": _q_update_by_query,
         "stream_minhash_dedup": _q_stream_minhash,
         "stream_hll_cardinality": _q_stream_hll,
+        "stream_change_point": _q_stream_change_point,
         "normalize_agg": _q_normalize_agg,
         "geohash_grid": _q_geohash_grid,
         "pit_search": _q_pit_search,
@@ -2948,6 +2963,7 @@ def oracle_sql() -> dict[str, str]:
         "median_abs_deviation": oracles_pipeline.median_abs_deviation_sql(),
         "hll_cardinality": oracles_pipeline.hll_cardinality_sql(),
         "stream_hll_cardinality": oracles_pipeline.hll_cardinality_sql(exact=False),
+        "stream_change_point": oracles_pipeline.change_point_sql(),
         "moving_percentiles": oracles_pipeline.moving_percentiles_sql(),
         "change_point": oracles_pipeline.change_point_sql(),
         "stats_bucket": oracles_pipeline.stats_bucket_sql(),

@@ -1471,6 +1471,16 @@ def change_point_agg(events: DataFrame) -> DataFrame:
         events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"))
         .agg(F.round(F.sum("value"), 6).alias("sum_value"))
     )
+    return change_point_from_buckets(buckets)
+
+
+def change_point_from_buckets(buckets: DataFrame) -> DataFrame:
+    """The split-scoring half of change_point_agg over a prepared
+    (day, sum_value) bucket relation — shared with the streaming path,
+    whose buckets come from additive-merged state."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tot = buckets.agg(
         F.sum("sum_value").alias("total"), F.count(F.lit(1)).cast("long").alias("n")

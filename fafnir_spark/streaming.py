@@ -516,3 +516,54 @@ def stream_hll_cardinality(
     )
     n_empty, est_raw, est = hll_estimate_cols(p)
     return agg.select("col", n_empty, est_raw, est).orderBy("col")
+
+
+def stream_change_point(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> DataFrame:
+    """Streaming change-point detection: each micro-batch collapses to its
+    per-day partial sums and appends them to parquet state — day sums are
+    ADDITIVE-mergeable (the sum-merge sibling of the HLL register
+    max-merge), so the folded state is the batch bucket relation and the
+    split scan over it gives the batch answer. State is bounded at
+    |days|·|batches| partial rows (compactable by re-summing); batch
+    stamps make checkpoint replays detectable. Same output contract (and
+    oracle) as pipeline.change_point_agg."""
+    import os
+
+    from .pipeline import change_point_from_buckets
+
+    buckets_dir = os.path.join(state_dir, "buckets")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.groupBy(
+                F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+            )
+            .agg(F.sum("value").alias("partial"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(buckets_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(buckets_dir)
+        .dropDuplicates(["day", "_b"])
+        .groupBy("day")
+        .agg(F.round(F.sum("partial"), 6).alias("sum_value"))
+    )
+    return change_point_from_buckets(merged)

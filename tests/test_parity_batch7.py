@@ -363,3 +363,15 @@ def test_unimax_sample_thins_only_capped(docs):
             assert r["n_kept"] < r["n_total"]
             # realized rate tracks the target (hash-uniformity, wide tolerance)
             assert abs(r["kept_frac"] - r["target_p"]) < 0.2
+
+
+def test_stream_change_point_equals_batch(spark, events, tmp_path):
+    from fafnir_spark.pipeline import change_point_agg
+    from fafnir_spark.streaming import stream_change_point
+
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    got = [tuple(r) for r in stream_change_point(
+        spark, src, str(tmp_path / "ck"), str(tmp_path / "state")).collect()]
+    want = [tuple(r) for r in change_point_agg(events).collect()]
+    assert got == want  # additive-merged state folds to the batch buckets
