@@ -2414,6 +2414,14 @@ def _q_esql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"documents": spark.read.parquet(f"{sf_dir}/documents.parquet")})
 
 
+def _q_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES random_sampler agg (8.x): hash-threshold probability sample with
+    1/p count correction; exact counts as the audit column."""
+    from fafnir_spark.pipeline import random_sampler_agg
+
+    return random_sampler_agg(spark.read.parquet(f"{sf_dir}/events.parquet"), p=0.25)
+
+
 def _q_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES stats_bucket pipeline agg: min/max/avg/sum of the per-day
     rounded bucket sums (bounded bucket relation)."""
@@ -2677,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_percentiles": _q_moving_percentiles,
         "change_point": _q_change_point,
         "stats_bucket": _q_stats_bucket,
+        "random_sampler": _q_random_sampler,
         "geo_distance_range": _q_geo_distance_range,
         "esql_pipeline": _q_esql,
         "esql_mv_expand": _q_esql_mv_expand,
@@ -2967,6 +2976,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_percentiles": oracles_pipeline.moving_percentiles_sql(),
         "change_point": oracles_pipeline.change_point_sql(),
         "stats_bucket": oracles_pipeline.stats_bucket_sql(),
+        "random_sampler": oracles_pipeline.random_sampler_sql(p=0.25),
         "geo_distance_range": oracles_pipeline.geo_distance_range_sql(),
         "esql_pipeline": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,

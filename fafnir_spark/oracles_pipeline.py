@@ -1421,3 +1421,23 @@ SELECT floor(CAST({field} AS DOUBLE) / {width!r}) * {width!r} AS bucket,
        round(sum(CAST({field} AS DOUBLE)), 6) AS sum_value
 FROM documents GROUP BY 1 ORDER BY 1
 """
+
+
+def random_sampler_sql(p: float = 0.25, seed: str = "rs") -> str:
+    """Mirror of pipeline.random_sampler_agg — same hash-threshold sample
+    and 1/p correction."""
+    from .portable import hash60_sql
+
+    h = hash60_sql(f"concat(CAST(event_id AS VARCHAR), ':', '{seed}')")
+    return f"""
+WITH marked AS (
+  SELECT event_type,
+         (CAST(({h} % 1000000) AS DOUBLE) / 1000000.0 < {float(p)!r}) AS keep
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) / {float(p)!r}, 6) AS est_n,
+       CAST(count(*) AS BIGINT) AS exact_n
+FROM marked GROUP BY event_type ORDER BY event_type
+"""

@@ -1621,3 +1621,41 @@ def shard_merge_topk(per: DataFrame, exact: DataFrame,
     w = F.row_number().over(Window.orderBy(F.col("doc_count").desc(), F.col("term").asc()))
     return out.withColumn("rk", w).select("rk", "term", "doc_count",
                                           "error_bound", "exact_count").orderBy("rk")
+
+
+def random_sampler_agg(events: DataFrame, p: float = 0.25,
+                       seed: str = "rs") -> DataFrame:
+    """ES random_sampler aggregation (8.x): run the aggregation over a
+    probability-``p`` subset and correct counts by 1/p — the
+    constant-factor speedup knob for exploratory aggs over huge indexes.
+    The sample is the deterministic portable-hash threshold (reproducible
+    across engines, runs, and partitionings — ES uses a random generator,
+    the engine's keep rule is the auditable analog). Exact counts ride
+    along as the accuracy-audit column.
+    (event_type, n_sampled, est_n, exact_n) ordered."""
+    from pyspark.sql import functions as F
+
+    from .portable import hash60
+
+    u = (
+        F.pmod(
+            hash60(F.concat_ws(":", F.col("event_id").cast("string"), F.lit(seed))),
+            F.lit(1000000),
+        ).cast("double")
+        / F.lit(1000000.0)
+    )
+    marked = events.select("event_type", (u < F.lit(float(p))).alias("__keep"))
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.count(F.lit(1)).cast("long").alias("exact_n"),
+        )
+        .select(
+            "event_type",
+            "n_sampled",
+            F.round(F.col("n_sampled") / F.lit(float(p)), 6).alias("est_n"),
+            "exact_n",
+        )
+        .orderBy("event_type")
+    )

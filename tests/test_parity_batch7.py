@@ -375,3 +375,19 @@ def test_stream_change_point_equals_batch(spark, events, tmp_path):
         spark, src, str(tmp_path / "ck"), str(tmp_path / "state")).collect()]
     want = [tuple(r) for r in change_point_agg(events).collect()]
     assert got == want  # additive-merged state folds to the batch buckets
+
+
+def test_random_sampler_estimate_tracks_exact(events):
+    from fafnir_spark.pipeline import random_sampler_agg
+
+    rows = random_sampler_agg(events, p=0.25).collect()
+    assert rows
+    for r in rows:
+        # 1/p-corrected estimate within ~4 sigma of binomial sampling noise
+        import math
+        sigma = math.sqrt(r["exact_n"] * 0.25 * 0.75) / 0.25
+        assert abs(r["est_n"] - r["exact_n"]) <= 4 * sigma + 1e-9, r
+    # p = 1.0 keeps everything: the estimate becomes exact
+    full = random_sampler_agg(events, p=1.0).collect()
+    for r in full:
+        assert r["n_sampled"] == r["exact_n"] and r["est_n"] == float(r["exact_n"])
