@@ -191,13 +191,17 @@ def minhash_lsh_pairs(
     territory handled by exact_duplicates anyway.
     """
     band_rows = minhash_band_rows(docs, num_hashes, bands, id_col, text_col)
-    x = band_rows.alias("x")
-    y = band_rows.alias("y")
+    # Cap polarity matters at scale: BIG buckets (bn > max_bucket) are rare
+    # by construction — broadcast-ANTI-join those, never the near-universal
+    # small-bucket keep-set (which is O(n_docs*bands) keys through the
+    # driver). Same pattern as winnow_overlap's fp_df cap.
     bucket_sizes = band_rows.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))
-    small = bucket_sizes.filter(F.col("bn") <= max_bucket).select("band_key")
+    big = bucket_sizes.filter(F.col("bn") > max_bucket).select("band_key")
+    kept = band_rows.join(F.broadcast(big), "band_key", "left_anti")
+    x = kept.alias("x")
+    y = kept.alias("y")
     cand = (
-        x.join(F.broadcast(small), "band_key")
-        .join(y, (F.col("x.band_key") == F.col("y.band_key")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        x.join(y, (F.col("x.band_key") == F.col("y.band_key")) & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -341,13 +345,14 @@ def embedding_dup_pairs_lsh(
             F.array(*[lsh_bucket_col(F.col(vec_col), t, ws[t]) for t in range(tables)])
         ).alias("bkey"),
     )
+    # Anti-join the rare BIG buckets (broadcast-safe); see minhash_lsh_pairs.
     sizes = b.groupBy("bkey").agg(F.count(F.lit(1)).alias("bn"))
-    small = sizes.filter(F.col("bn") <= max_bucket).select("bkey")
-    x = b.alias("x")
-    y = b.alias("y")
+    big = sizes.filter(F.col("bn") > max_bucket).select("bkey")
+    kept = b.join(F.broadcast(big), "bkey", "left_anti")
+    x = kept.alias("x")
+    y = kept.alias("y")
     cand = (
-        x.join(F.broadcast(small), "bkey")
-        .join(y, (F.col("x.bkey") == F.col("y.bkey")) & (F.col("x.vec_id") < F.col("y.vec_id")))
+        x.join(y, (F.col("x.bkey") == F.col("y.bkey")) & (F.col("x.vec_id") < F.col("y.vec_id")))
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),

@@ -52,13 +52,17 @@ def term_dfs(tf: DataFrame) -> DataFrame:
     return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
 
 
-def _tf_dl_df(base: DataFrame, qterms: list[str]) -> DataFrame:
+def _tf_dl_df(base: DataFrame, qterms: list[str], with_cf: bool = False) -> DataFrame:
     """(doc_id, term, tf, dl, df) for the query terms in ONE filtered pass:
     term-isin pushed below the tf groupBy (the shuffle carries only
     query-term tokens), dl carried row-local through the aggregation
-    (min of a per-doc constant), df as a count window over the filtered
-    tf (partitions are per-term posting lists — bounded by matches, never
-    the corpus)."""
+    (min of a per-doc constant), df as a <=|qterms|-row groupBy broadcast
+    back onto the matches. NOT a count window partitioned by term: a hot
+    query term ("the", "def") would funnel its entire match set — up to
+    n_docs rows — through ONE reducer. The groupBy form collapses map-side
+    (partial agg), and because its shuffle subtree is identical to the tf
+    exchange, Spark's ReuseExchange keeps the plan at FileScan==2
+    (plan-asserted in test_direct_bm25_two_scans_no_smj)."""
     toks = base.select(
         "doc_id",
         F.size(tokens_expr("__text")).cast("long").alias("__dl"),
@@ -67,9 +71,19 @@ def _tf_dl_df(base: DataFrame, qterms: list[str]) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.min("__dl").alias("dl")
     )
-    return tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
+    # The zero-weighted min(tf)/min(dl) terms are a deliberate plan pin:
+    # they force this branch to reference tf AND dl, so column pruning
+    # cannot reduce the upstream tf aggregate to a bare distinct — both
+    # branches then share a canonically identical Exchange and Spark's
+    # exchange/stage reuse executes the corpus scan ONCE (FileScan==2).
+    df_expr = (
+        F.count(F.lit(1)) + F.min("tf") * F.lit(0) + F.min("dl") * F.lit(0)
+    ).alias("df")
+    aggs = [df_expr]
+    if with_cf:
+        aggs.append(F.sum("tf").alias("cf"))
+    dfs = tf.groupBy("term").agg(*aggs)
+    return tf.join(F.broadcast(dfs), "term")
 
 
 def bm25_scores(

@@ -28,6 +28,29 @@ from pyspark.sql import functions as F
 
 from .query import conjunctive_match
 
+# ES bounds every multi-term rewrite (indices.query.bool.max_clause_count;
+# fuzzy/prefix max_expansions) — the driver-side term collect is only safe
+# because of this envelope. Exceeding it raises instead of silently
+# materializing an unbounded vocabulary slice on the driver.
+MAX_EXPANSIONS = 1024
+
+
+def _collect_expansion(terms_df: DataFrame, what: str,
+                       max_expansions: int | None = None) -> list[str]:
+    """Bounded driver-side term-expansion collect: limit(max+1), raise on
+    overflow (ES too_many_clauses parity). All wildcard/regexp/prefix/fuzzy
+    expansions funnel through here."""
+    if max_expansions is None:
+        max_expansions = MAX_EXPANSIONS  # read at call time (patchable)
+    rows = terms_df.select("term").limit(max_expansions + 1).collect()
+    if len(rows) > max_expansions:
+        raise ValueError(
+            f"{what}: expansion exceeds max_expansions={max_expansions} "
+            "terms (ES too_many_clauses). Narrow the pattern or raise "
+            "max_expansions explicitly."
+        )
+    return sorted(r["term"] for r in rows)
+
 
 def facet_counts(
     docs: DataFrame,
@@ -82,18 +105,17 @@ def with_field_tokens(docs: DataFrame, fields: list[str], text_col: str = "text"
     return docs.withColumn(text_col, F.concat_ws(" ", *parts))
 
 
-def expand_prefix(docs: DataFrame, prefix: str, text_col: str = "text") -> list[str]:
-    """Dictionary prefix scan → matching terms (driver-side; the term
-    dictionary is the broadcast-scale relation)."""
+def expand_prefix(docs: DataFrame, prefix: str, text_col: str = "text",
+                  max_expansions: int | None = None) -> list[str]:
+    """Dictionary prefix scan → matching terms (driver-side; bounded by
+    ``max_expansions``, raising on overflow — ES too_many_clauses)."""
     from .query import doc_term_freqs
 
     tf = doc_term_freqs(docs, "doc_id", text_col)
-    rows = (
-        tf.select("term").distinct()
-        .filter(F.col("term").startswith(prefix))
-        .collect()
+    return _collect_expansion(
+        tf.select("term").distinct().filter(F.col("term").startswith(prefix)),
+        f"prefix {prefix!r}", max_expansions,
     )
-    return sorted(r["term"] for r in rows)
 
 
 def prefix_bm25(docs: DataFrame, prefix: str, k: int = 10, text_col: str = "text") -> DataFrame:
@@ -498,8 +520,8 @@ def fuzzy_expand(vocab: DataFrame, qterms: list[str], max_edits: int = 1) -> lis
     )
     # bounded driver-side collect (term expansion only — the same envelope
     # class as expand_prefix; ES term rewrites are coordinator-side too)
-    rows = cand.collect()
-    return sorted({r["term"] for r in rows})
+    return _collect_expansion(cand.select("term").distinct(),
+                              f"fuzzy {sorted(set(qterms))!r}")
 
 
 def fuzzy_bm25(docs: DataFrame, qterms: list[str], k: int = 10,
@@ -904,15 +926,19 @@ def _wildcard_to_like(pattern: str) -> str:
 
 
 def expand_wildcard(docs: DataFrame, pattern: str,
-                    text_col: str = "text") -> list[str]:
+                    text_col: str = "text",
+                    max_expansions: int | None = None) -> list[str]:
     """Vocabulary terms matching an ES wildcard pattern (* = any run,
-    ? = one char). Vocabulary-sized scan, same envelope as expand_prefix."""
+    ? = one char). Bounded by ``max_expansions`` (raises on overflow),
+    same envelope as expand_prefix."""
     from .query import doc_term_freqs
 
     like = _wildcard_to_like(pattern)
     tf = doc_term_freqs(docs, "doc_id", text_col)
-    rows = tf.select("term").distinct().filter(F.col("term").like(like)).collect()
-    return sorted(r["term"] for r in rows)
+    return _collect_expansion(
+        tf.select("term").distinct().filter(F.col("term").like(like)),
+        f"wildcard {pattern!r}", max_expansions,
+    )
 
 
 def wildcard_bm25(docs: DataFrame, pattern: str, k: int = 10,
@@ -929,7 +955,8 @@ def wildcard_bm25(docs: DataFrame, pattern: str, k: int = 10,
 
 
 def expand_regexp(docs: DataFrame, pattern: str,
-                  text_col: str = "text") -> list[str]:
+                  text_col: str = "text",
+                  max_expansions: int | None = None) -> list[str]:
     """Vocabulary terms fully matching an ES regexp-query pattern (ES
     regexp is anchored: the WHOLE term must match). Vocabulary-sized scan,
     same envelope as expand_prefix/expand_wildcard. Keep patterns to the
@@ -938,10 +965,10 @@ def expand_regexp(docs: DataFrame, pattern: str,
     from .query import doc_term_freqs
 
     tf = doc_term_freqs(docs, "doc_id", text_col)
-    rows = tf.select("term").distinct().filter(
-        F.col("term").rlike(f"^(?:{pattern})$")
-    ).collect()
-    return sorted(r["term"] for r in rows)
+    return _collect_expansion(
+        tf.select("term").distinct().filter(F.col("term").rlike(f"^(?:{pattern})$")),
+        f"regexp {pattern!r}", max_expansions,
+    )
 
 
 def regexp_bm25(docs: DataFrame, pattern: str, k: int = 10,
@@ -1144,9 +1171,11 @@ def multi_match_cross_fields(
 
     Scale shape: ONE corpus pass — per-field token arrays are concatenated
     row-local (each token tagged with its field weight), the term-isin
-    filter runs below the tf groupBy, dl rides row-local, df is a count
-    window over per-term postings (the query._tf_dl_df shape generalized
-    to weighted multi-field). Weights should be dyadic (1.0, 2.0, 2.5…)
+    filter runs below the tf groupBy, dl rides row-local, df is a
+    <=|qterms|-row per-term groupBy broadcast back onto the matches (the
+    query._tf_dl_df shape generalized to weighted multi-field — never a
+    per-term count window, which single-reducers hot terms). Weights
+    should be dyadic (1.0, 2.0, 2.5…)
     so the weighted sums stay exact across engines."""
     from pyspark.sql.window import Window
 
@@ -1181,7 +1210,12 @@ def multi_match_cross_fields(
     tf = toks.groupBy("doc_id", "term").agg(
         F.sum("w").alias("tf"), F.min("__dl").alias("dl")
     )
-    matched = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    # Zero-weighted min(tf)/min(dl) pin the subtree shape so both branches
+    # share one Exchange (scan runs once) — see query._tf_dl_df.
+    dfs = tf.groupBy("term").agg(
+        (F.count(F.lit(1)) + F.min("tf") * F.lit(0) + F.min("dl") * F.lit(0)).alias("df")
+    )
+    matched = tf.join(F.broadcast(dfs), "term")
     stats = (
         base.select("__dl").filter(F.col("__dl") > 0)
         .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("__dl").alias("avgdl"))

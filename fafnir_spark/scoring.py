@@ -281,16 +281,16 @@ def lm_topk(
 
     summed over matched query terms (Lucene clamps each Dirichlet term at
     0 so scores stay non-negative). Same ONE-pass shape as BM25: the
-    shared filtered tf+dl+df relation (query._tf_dl_df), cf as a SUM
-    window over the per-term partition of that same filtered relation
-    (posting-list bounded, never the vocabulary), and C (= total corpus
-    tokens) rides the 1-row stats aggregate. Operand order is pinned by
-    the oracle template (oracles.lm_topk_sql)."""
+    shared filtered tf+dl+df relation (query._tf_dl_df), cf folded into
+    the same <=|qterms|-row per-term groupBy broadcast as df, and C
+    (= total corpus tokens) rides the 1-row stats aggregate. Operand
+    order is pinned by the oracle template (oracles.lm_topk_sql)."""
     qterms = sorted(set(terms))
     base = docs.select("doc_id", F.col(text_col).alias("__text"))
-    matched = _tf_dl_df(base, qterms).withColumn(
-        "cf", F.sum("tf").over(Window.partitionBy("term"))
-    )
+    # cf via the same <=|qterms|-row groupBy broadcast as df (inside
+    # _tf_dl_df) — never a per-term SUM window, which funnels a hot
+    # term's whole match set through one reducer.
+    matched = _tf_dl_df(base, qterms, with_cf=True)
     stats = (
         base.select(F.size(tokens_expr("__text")).cast("long").alias("dl"))
         .filter(F.col("dl") > 0)

@@ -138,7 +138,17 @@ def _load_tombstones(spark: SparkSession, cat: Catalog, manifest: dict,
     if "tombstones" in manifest["tables"]:
         df = cat.read_table(spark, "tombstones", snapshot=manifest)
         has_keep = "keep_seg" in df.columns
-        trows = df.collect()
+        # point tombstones (upsert/delete churn between compactions) get
+        # the same closure envelope as bulk: limit+raise, never an
+        # unbounded driver collect. Compaction drains the table, so the
+        # envelope also acts as a "you forgot maybe_compact" tripwire.
+        trows = df.limit(_BULK_CLOSURE_LIMIT + 1).collect()
+        if len(trows) > _BULK_CLOSURE_LIMIT:
+            raise ValueError(
+                f"point tombstone set exceeds the closure envelope "
+                f"({_BULK_CLOSURE_LIMIT}); run compact_with_tombstones / "
+                "maybe_compact to drain it before querying"
+            )
         rows.extend(int(r["doc_id"]) for r in trows)
         keeps.extend((r["keep_seg"] if has_keep else None) for r in trows)
     if include_bulk:
@@ -1259,15 +1269,16 @@ def expand_prefix_indexed(
     """Dictionary prefix scan on the published index — the term dictionary
     is term-sorted parquet, so `startswith` prunes row groups. With
     ``snapshot_id`` the expansion uses THAT snapshot's vocabulary, so a
-    time-travel query never mixes current terms with snapshot postings."""
+    time-travel query never mixes current terms with snapshot postings.
+    Bounded by query_ext.MAX_EXPANSIONS (raises on overflow)."""
+    from .query_ext import _collect_expansion
+
     cat = Catalog(index_root)
-    rows = (
+    return _collect_expansion(
         cat.read_dictionary(spark, snapshot=cat.manifest_at(snapshot_id))
-        .filter(F.col("term").startswith(prefix))
-        .select("term")
-        .collect()
+        .filter(F.col("term").startswith(prefix)),
+        f"prefix {prefix!r}",
     )
-    return sorted(r["term"] for r in rows)
 
 
 def expand_regexp_indexed(
@@ -1278,14 +1289,14 @@ def expand_regexp_indexed(
     (anchored full-term match, same contract as query_ext.expand_regexp) —
     vocabulary-sized scan, no corpus access, snapshot-scoped like
     expand_prefix_indexed."""
+    from .query_ext import _collect_expansion
+
     cat = Catalog(index_root)
-    rows = (
+    return _collect_expansion(
         cat.read_dictionary(spark, snapshot=cat.manifest_at(snapshot_id))
-        .filter(F.col("term").rlike(f"^(?:{pattern})$"))
-        .select("term")
-        .collect()
+        .filter(F.col("term").rlike(f"^(?:{pattern})$")),
+        f"regexp {pattern!r}",
     )
-    return sorted(r["term"] for r in rows)
 
 
 def run_queries(
@@ -1522,17 +1533,15 @@ def expand_wildcard_indexed(
     """Wildcard expansion FROM the published dictionary (glob → LIKE, the
     query_ext._wildcard_to_like mapping) — vocabulary-sized scan, no
     corpus access, snapshot-scoped like expand_prefix_indexed."""
-    from .query_ext import _wildcard_to_like
+    from .query_ext import _collect_expansion, _wildcard_to_like
 
     like = _wildcard_to_like(pattern)
     cat = Catalog(index_root)
-    rows = (
+    return _collect_expansion(
         cat.read_dictionary(spark, snapshot=cat.manifest_at(snapshot_id))
-        .filter(F.col("term").like(like))
-        .select("term")
-        .collect()
+        .filter(F.col("term").like(like)),
+        f"wildcard {pattern!r}",
     )
-    return sorted(r["term"] for r in rows)
 
 
 def span_first_indexed(

@@ -163,6 +163,33 @@ def test_dedup_plans_have_no_cartesian(spark):
                 assert " < " not in line, (name, line)
 
 
+def test_lsh_bucket_cap_broadcasts_big_buckets_only(spark):
+    """The LSH bucket cap must broadcast-ANTI-join the rare BIG buckets
+    (bn > max_bucket), never broadcast the near-universal small-bucket
+    keep-set (O(n_docs*bands) keys through the driver — the round-4 weak
+    item). Assert every broadcast join over band/bucket keys is LeftAnti
+    and the bucket-size filter in the plan points the rare way (>), with
+    no <=-filtered keep-set anywhere."""
+    import re
+
+    from fafnir_spark.dedup import embedding_dup_pairs_lsh, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for name, df in {
+        "minhash": minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5),
+        "embedding": embedding_dup_pairs_lsh(emb, 0.4, tables=4, planes=4),
+    }.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the cap is applied as an anti-join against the big-bucket keys
+        assert "LeftAnti" in plan, name
+        # bucket-size aggregate output is `bn`; the only filter over it
+        # must be the rare-side (bn > cap) — an inner/semi join against a
+        # (bn <= cap) keep-set is the defect this test pins against
+        assert not re.search(r"\(bn#\d+L? <= ", plan), name
+        assert re.search(r"\(bn#\d+L? > ", plan), name
+
+
 def test_top_terms_no_vocab_broadcast(spark):
     """top_terms_per_doc must NOT force-broadcast the full-vocabulary df
     relation (billions of distinct identifiers on code corpora): the only
@@ -441,18 +468,33 @@ def test_read_dictionary_filter_pushes_below_merge(spark, tmp_path):
     assert (row["df"], row["cf"]) == (want["df"], want["cf"])
 
 
+def _final_plan(df):
+    """Execute and return the AQE FINAL plan string (initial plan stripped).
+    Exchange/stage reuse only shows up in the final plan, so FileScan
+    counts that depend on it must be asserted post-execution."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+
+
 def test_direct_bm25_two_scans_no_smj(spark):
     """Index-free BM25 must touch the corpus exactly twice — the filtered
-    tf+dl+df pass (term-isin below the groupBy, dl row-local, df as a
-    per-term count window) and the 1-row n_docs/avgdl aggregate — with no
-    big-big SortMergeJoin anywhere (the old dl join)."""
+    tf+dl+df pass (term-isin below the groupBy, dl row-local, df via a
+    <=|qterms|-row groupBy whose exchange is REUSED from the tf pass) and
+    the 1-row n_docs/avgdl aggregate — with no big-big SortMergeJoin
+    anywhere (the old dl join) and NO per-term count window (the round-4
+    hot-term single-reducer defect)."""
     from fafnir_spark.query import bm25_topk
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = bm25_topk(docs, ["merge", "window"], k=10)\
-        ._jdf.queryExecution().executedPlan().toString()
+    plan = _final_plan(bm25_topk(docs, ["merge", "window"], k=10))
     assert plan.count("FileScan") == 2, plan.count("FileScan")
+    assert "ReusedExchange" in plan  # dfs branch rides the tf exchange
     assert "SortMergeJoin" not in plan
+    # the only Window left is the k-row rank window (ordered by score) —
+    # never a per-term partition over the unbounded match set
+    assert "windowspecdefinition(term" not in plan
 
 
 def test_round4_scoring_plans(spark):
@@ -483,8 +525,9 @@ def test_round4_scoring_plans(spark):
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
     for name in ("dis_max", "cross"):
-        plan = plans[name]._jdf.queryExecution().executedPlan().toString()
+        plan = _final_plan(plans[name])
         assert plan.count("FileScan") == 2, (name, plan.count("FileScan"))
+        assert "windowspecdefinition(term" not in plan, name
     # random_score needs ONE scan and nothing else before the k-row merge
     rplan = plans["random"]._jdf.queryExecution().executedPlan().toString()
     assert rplan.count("FileScan") == 1
