@@ -555,12 +555,15 @@ def update_by_query(
     toks = tokens_expr(text_col)
     cond = reduce(lambda a, b: a & b,
                   [F.array_contains(toks, t) for t in match_terms])
-    changed = transform(corpus.filter(cond))
-    n = int(changed.count())
+    # the ES 'updated' reply counts MATCHED docs — measure it on the match
+    # set, not on transform's output (a transform that filters/duplicates
+    # rows would otherwise skew the count and the upsert envelope)
+    matched = corpus.filter(cond)
+    n = int(matched.count())
     if n:
         upsert_docs(
             spark,
-            normalize_docs(changed, id_col=id_col, text_col=text_col),
+            normalize_docs(transform(matched), id_col=id_col, text_col=text_col),
             index_root, segment=segment, tokenizer=tokenizer,
         )
     return n

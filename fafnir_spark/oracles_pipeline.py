@@ -842,8 +842,9 @@ WITH s AS (
 e AS (
   SELECT {group_col} AS grp, {exact_cols} FROM {table} GROUP BY 1
 )
-SELECT s.grp AS {group_col}, s.n_sample, {est_names}, {exact_names}
-FROM s JOIN e ON e.grp = s.grp
+SELECT e.grp AS {group_col}, CAST(coalesce(s.n_sample, 0) AS BIGINT) AS n_sample,
+       {est_names}, {exact_names}
+FROM e LEFT JOIN s ON e.grp = s.grp
 ORDER BY {group_col}
 """
 

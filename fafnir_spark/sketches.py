@@ -111,9 +111,13 @@ def sampled_quantiles(
         F.count(F.lit(1)).cast("long").alias("n_sample"), *est_aggs
     )
     exact = df.groupBy(F.col(group_col).alias("grp")).agg(*exact_aggs)
+    # LEFT join from the exact side: a group too small to catch any
+    # sampled row still appears in the audit output (n_sample=0, null
+    # estimates) instead of silently vanishing.
     return (
-        est.join(exact, "grp")
-        .select(F.col("grp").alias(group_col), "n_sample",
+        exact.join(est, "grp", "left")
+        .select(F.col("grp").alias(group_col),
+                F.coalesce(F.col("n_sample"), F.lit(0).cast("long")).alias("n_sample"),
                 *[f"q{int(q*100)}_est" for q in qs],
                 *[f"q{int(q*100)}_exact" for q in qs])
         .orderBy(group_col)

@@ -316,6 +316,23 @@ def stream_zone_counts(
     return spark.table(name)
 
 
+def _require_fresh_checkpoint(checkpoint_dir: str, what: str) -> None:
+    """Fresh-run contract for foreachBatch ops whose RETURN VALUE is a
+    per-invocation driver accumulation: re-running against an existing
+    checkpoint would skip already-processed batches, silently omitting
+    their rows from the result (partial output, not an error). Ops whose
+    result is derived from persisted state (stream_hll_cardinality,
+    stream_change_point) resume fine and don't take this guard."""
+    import os
+
+    if os.path.isdir(checkpoint_dir) and os.listdir(checkpoint_dir):
+        raise ValueError(
+            f"{what}: checkpoint dir {checkpoint_dir!r} is non-empty — "
+            "already-processed batches would be skipped and their emitted "
+            "rows missing from the return. Use a fresh checkpoint dir."
+        )
+
+
 def stream_percolate(
     spark: SparkSession,
     source_path: str,
@@ -332,6 +349,7 @@ def stream_percolate(
     (percolate_sql) checks it exactly. (doc_id, qid), ordered."""
     from .query_ext import percolate
 
+    _require_fresh_checkpoint(checkpoint_dir, "stream_percolate")
     stream = spark.readStream.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     ).option("maxFilesPerTrigger", 1).parquet(source_path)
@@ -392,6 +410,7 @@ def stream_minhash_dedup(
 
     from .dedup import minhash_band_rows, ngram_jaccard_pairs
 
+    _require_fresh_checkpoint(checkpoint_dir, "stream_minhash_dedup")
     docs_dir = os.path.join(state_dir, "docs")
     bands_dir = os.path.join(state_dir, "bands")
 

@@ -75,3 +75,15 @@ def test_point_tombstones_raise_at_closure_limit(spark, tmp_path, monkeypatch):
     res = search_text_indexed(spark, root, "merge", k=5)
     got = {int(r["doc_id"]) for r in res.collect()}
     assert not (got & set(victims[:3]))
+
+
+def test_stream_accumulator_requires_fresh_checkpoint(tmp_path):
+    from fafnir_spark.streaming import _require_fresh_checkpoint
+
+    empty = tmp_path / "ckpt_empty"
+    _require_fresh_checkpoint(str(empty), "x")  # missing dir: fine
+    empty.mkdir()
+    _require_fresh_checkpoint(str(empty), "x")  # empty dir: fine
+    (empty / "offsets").mkdir()
+    with pytest.raises(ValueError, match="non-empty"):
+        _require_fresh_checkpoint(str(empty), "x")

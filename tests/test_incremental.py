@@ -682,6 +682,25 @@ def test_update_by_query_equals_fresh_build(spark, tmp_path):
         assert a == b, q
 
 
+def test_update_by_query_counts_matched_not_transformed(spark, tmp_path):
+    """The ES 'updated' reply counts MATCHED docs — a transform that
+    filters rows must not skew the returned count (it is measured on the
+    match set, before transform)."""
+    from fafnir_spark.incremental import update_by_query
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    root = str(tmp_path / "ubqc")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=2, block_size=64, tokenizer="whitespace", build_id="c")
+    matched = docs.filter(F.array_contains(F.split("text", " "), "merge"))
+    n_matched = matched.count()
+    assert n_matched > 1
+    # transform drops every other matched row — count must stay n_matched
+    tx = lambda d: d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)  # noqa: E731
+    n = update_by_query(spark, root, docs, ["merge"], tx, segment="u2")
+    assert n == n_matched
+
+
 def test_ilm_rollover_generations_and_deletes(spark, tmp_path):
     """Rollover seals generations (old gens untouched by later writes);
     the union-alias search equals direct BM25, including after a delete
