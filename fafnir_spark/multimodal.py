@@ -3,11 +3,13 @@
 Design for image/audio/video at 100 TB: payloads are opaque ``binary``
 columns with a ``modality`` discriminator and a metadata struct; decode /
 feature-extract / frame-sample run as Arrow-batched pandas functions over
-``mapInPandas`` so bytes never round-trip through per-row Python. The
-decode step itself is STUBBED (no image/audio libs in this container):
-``decode_stub`` raises NotImplementedError unless the deterministic fake
-decoder is requested — the Spark-side plumbing (schema, partitioning, UDF
-signature, batch shape) is real and tested.
+``mapInPandas`` so bytes never round-trip through per-row Python. Image
+decode is REAL for PNG (8-bit gray/RGB/RGBA — zlib inflate + numpy
+unfilter), uncompressed 24-bit BMP, and binary PPM; JPEG/audio/video need
+codecs absent from this container, so ``decode_stub`` raises
+NotImplementedError for them unless the deterministic fake decoder is
+requested — the Spark-side plumbing (schema, partitioning, UDF signature,
+batch shape) is real and tested either way.
 
 fafnir precedent: photos are opaque URLs attached as properties in an
 update pass (/root/reference src/sources/tripadvisor/photos/convert.rs:9-30);
@@ -139,13 +141,159 @@ def try_ppm_decode(payload: bytes) -> np.ndarray | None:
     return np.frombuffer(payload, dtype=np.uint8, offset=pos).reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → samples per pixel (spec §11.2.2); 8-bit depth only
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _png_predictor(rec_prev_px: np.ndarray, up: np.ndarray,
+                   up_prev_px: np.ndarray, ftype: int) -> np.ndarray:
+    """Per-pixel predictor for filter types 1-4 (int16 vectors over the
+    pixel's channels). a = left, b = up, c = up-left (PNG spec §9.2)."""
+    a = rec_prev_px.astype(np.int16)
+    b = up.astype(np.int16)
+    if ftype == 1:
+        return a
+    if ftype == 3:
+        return (a + b) >> 1
+    c = up_prev_px.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def png_encode(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, channels) uint8 array as an 8-bit non-interlaced
+    PNG (channels: 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA). ``filter_type``
+    applies one PNG row filter (0-4) to every scanline — used by the
+    golden tests to exercise each unfilter path. Pure stdlib (zlib)."""
+    import struct
+    import zlib
+
+    h, w, ch = pixels.shape
+    assert pixels.dtype == np.uint8 and ch in (1, 2, 3, 4)
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    rows = pixels.reshape(h, stride)
+    zeros_px = np.zeros(ch, dtype=np.uint8)
+    out = bytearray()
+    for y in range(h):
+        rec = rows[y]
+        if filter_type == 0:
+            filt = rec
+        elif filter_type == 2:
+            up = rows[y - 1] if y else np.zeros(stride, np.uint8)
+            filt = (rec.astype(np.int16) - up).astype(np.uint8)
+        else:
+            up_row = rows[y - 1] if y else np.zeros(stride, np.uint8)
+            filt = np.empty(stride, np.uint8)
+            for x in range(w):
+                s = x * ch
+                pred = _png_predictor(
+                    rec[s - ch : s] if x else zeros_px,
+                    up_row[s : s + ch],
+                    up_row[s - ch : s] if x else zeros_px,
+                    filter_type,
+                )
+                filt[s : s + ch] = (rec[s : s + ch].astype(np.int16) - pred).astype(np.uint8)
+        out.append(filter_type)
+        out.extend(filt.tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def try_png_decode(payload: bytes) -> np.ndarray | None:
+    """Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA)
+    to an (h, w, channels) uint8 array, or None when the payload is not
+    one. Pure stdlib: zlib inflate + numpy unfiltering (Sub via per-channel
+    cumulative sum, Up vectorized, Average/Paeth per-pixel with
+    channel-vector ops). Validation is STRICT — signature, per-chunk CRC,
+    IHDR sanity, exact decompressed length, IEND-terminated — so arbitrary
+    binary never misroutes into the image path (the try_bmp_decode
+    discipline). Palette, 16-bit, and interlaced PNGs return None."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, idat, ended = len(_PNG_SIG), None, [], False
+    while pos + 12 <= len(payload) and not ended:
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + ln > len(payload):
+            return None
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            return None
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            ended = True
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not idat or not ended:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    ch = _PNG_CHANNELS.get(ctype)
+    if depth != 8 or ch is None or comp or filt or interlace or not w or not h:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        return None
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes, lines = scan[:, 0], scan[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zeros_px = np.zeros(ch, dtype=np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = lines[y]
+        up_row = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:
+            out[y] = (cur.astype(np.int16) + up_row).astype(np.uint8)
+        elif f == 1:
+            # Sub: rec[x] = cur[x] + rec[x-ch] → per-channel prefix sum mod 256
+            out[y] = cur.reshape(w, ch).cumsum(axis=0, dtype=np.int64).astype(np.uint8).reshape(stride)
+        elif f in (3, 4):
+            rec = out[y]
+            for x in range(w):
+                s = x * ch
+                pred = _png_predictor(
+                    rec[s - ch : s] if x else zeros_px,
+                    up_row[s : s + ch],
+                    up_row[s - ch : s] if x else zeros_px,
+                    f,
+                )
+                rec[s : s + ch] = (cur[s : s + ch].astype(np.int16) + pred).astype(np.uint8)
+        else:
+            return None
+    return out.reshape(h, w, ch)
+
+
 def decode_media(payload: bytes, modality: str, fake: bool = False) -> np.ndarray:
-    """Decode one payload to its sample array. Real formats first: 24-bit
-    uncompressed BMP and binary PPM decode genuinely (pure numpy, no
-    libs). Everything else (JPEG/PNG/audio/video) needs decoders absent
-    from this container and falls through to decode_stub."""
+    """Decode one payload to its sample array. Real formats first: PNG
+    (8-bit gray/RGB/RGBA, zlib inflate + numpy unfilter), 24-bit
+    uncompressed BMP and binary PPM decode genuinely (pure stdlib+numpy,
+    no image libs). Everything else (JPEG/audio/video) needs decoders
+    absent from this container and falls through to decode_stub."""
     if modality == "image":
-        for decoder in (try_bmp_decode, try_ppm_decode):
+        for decoder in (try_png_decode, try_bmp_decode, try_ppm_decode):
             px = decoder(payload)
             if px is not None:
                 return px
