@@ -1169,6 +1169,16 @@ def _q_stop_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stop_analyzer_bm25(_docs(spark, sf_dir), Q_MAIN, ["a", "the"], k=10)
 
 
+def _q_stemmed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """English light-stemmer analyzer chain: suffixed QUERY terms
+    ("merges", "queries", "windows") match the corpus stems because both
+    sides run the same templated STEM_RULES; corpus dl/df/avgdl are the
+    analyzed statistics."""
+    from fafnir_spark.query_ext import stemmed_bm25
+
+    return stemmed_bm25(_docs(spark, sf_dir), ["merges", "queries", "windows"], k=10)
+
+
 def _q_synonym_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synonym-expanded search (query-time synonym_graph): fast→spark,
     merge→join from the shared constant table; each expansion keeps its
@@ -2615,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": _q_sort_by_field,
         "sort_by_field_indexed": _q_sort_by_field_indexed,
         "stop_analyzer_bm25": _q_stop_analyzer,
+        "stemmed_bm25": _q_stemmed_bm25,
         "phrase_suggest": _q_phrase_suggest,
         "synonym_bm25": _q_synonym_bm25,
         "date_histogram_filled": _q_date_histogram_filled,
@@ -2771,7 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from fafnir_spark.query_ext import expand_synonyms
+    from fafnir_spark.query_ext import expand_synonyms, stem_py
     from fafnir_spark.simsearch import plane_weights
 
     return {
@@ -2887,6 +2898,12 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field_indexed": oracles.sort_by_field_sql(Q_MAIN, "n_chars", k=10),
         "stop_analyzer_bm25": oracles.bm25_topk_sql(
             Q_MAIN, k=10, text_expr=oracles.stop_analyzed_expr(["a", "the"])
+        ),
+        "stemmed_bm25": oracles.bm25_topk_sql(
+            # query terms pre-stemmed with the SAME templated rules the
+            # Spark path uses; corpus stemming rides text_expr
+            sorted({stem_py(t) for t in ["merges", "queries", "windows"]}),
+            k=10, text_expr=oracles.stemmed_expr(),
         ),
         "phrase_suggest": oracles.phrase_suggest_sql("merg", "windoq", k=3),
         "synonym_bm25": oracles.bm25_topk_sql(

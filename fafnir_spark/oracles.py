@@ -1325,6 +1325,28 @@ def stop_analyzed_expr(stopwords: list[str]) -> str:
             f"x -> x <> '' AND x NOT IN ({stops})), ' ')")
 
 
+def stemmed_expr(stopwords: tuple[str, ...] = ()) -> str:
+    """SQL twin of query_ext.stemmed_text_col, templated from the SAME
+    STEM_RULES list (never hand-copied): tokens → optional stop filter →
+    per-token CASE chain of anchored regexp_replace rules → re-joined."""
+    from .query_ext import STEM_RULES
+
+    case = "y"
+    for suffix, repl, min_stem, excl in reversed(STEM_RULES):
+        conds = [f"regexp_matches(y, '{suffix}$')",
+                 f"length(y) >= {len(suffix) + min_stem}"]
+        conds += [f"NOT regexp_matches(y, '{e}$')" for e in excl]
+        case = (f"CASE WHEN {' AND '.join(conds)} "
+                f"THEN regexp_replace(y, '{suffix}$', '{repl}') ELSE {case} END")
+    keep = "x <> ''"
+    if stopwords:
+        stops = ", ".join("'" + s.replace("'", "''") + "'"
+                          for s in sorted(set(stopwords)))
+        keep += f" AND x NOT IN ({stops})"
+    filt = f"list_filter(string_split(text, ' '), x -> {keep})"
+    return f"array_to_string(list_transform({filt}, y -> {case}), ' ')"
+
+
 def msearch_sql(queries: dict[str, list[str]], k: int = 10) -> str:
     """Batched multi-search oracle: per-qid top-k BM25 (each the standard
     single-query form) tagged and unioned — the batch path must equal

@@ -1263,6 +1263,79 @@ def stop_analyzer_bm25(docs: DataFrame, terms: list[str], stopwords: list[str],
     return bm25_topk(analyzed, terms, k=k, text_col="__an")
 
 
+# Light English suffix stripper (ES `light_english` analyzer flavour; the
+# ES word-analyzer trick the reference leans on for POI name matching,
+# /root/reference src/sources/openmaptiles/pois.rs:253-266). Rules are
+# evaluated IN ORDER, first match wins; a rule fires only when the stem
+# keeps >= min_stem chars and the token matches no excluded ending.
+# This list is the single source of truth — the Spark expression
+# (stem_token_col), the Python query-term stemmer (stem_py), and the
+# DuckDB oracle (oracles.stemmed_expr) are ALL templated from it; never
+# hand-copy a rule into SQL.
+# (suffix, replacement, min_stem_chars, excluded_endings)
+STEM_RULES: list[tuple[str, str, int, tuple[str, ...]]] = [
+    ("sses", "ss", 2, ()),
+    ("ies", "y", 2, ()),
+    ("ing", "", 3, ()),
+    ("ed", "", 3, ()),
+    ("s", "", 3, ("ss", "us", "is")),
+]
+
+
+def stem_py(t: str) -> str:
+    """Driver-side twin of stem_token_col — used to stem QUERY terms (ES
+    analyzes the query with the index analyzer)."""
+    for suffix, repl, min_stem, excl in STEM_RULES:
+        if (t.endswith(suffix) and len(t) - len(suffix) >= min_stem
+                and not any(t.endswith(e) for e in excl)):
+            return t[: len(t) - len(suffix)] + repl
+    return t
+
+
+def stem_token_col(t: F.Column) -> F.Column:
+    """One token → its light stem, as a pure Spark expression (anchored
+    regexp_replace per rule; built outermost-first so rule order wins)."""
+    out = t
+    for suffix, repl, min_stem, excl in reversed(STEM_RULES):
+        cond = t.rlike(suffix + "$") & (F.length(t) >= len(suffix) + min_stem)
+        for e in excl:
+            cond = cond & ~t.rlike(e + "$")
+        out = F.when(cond, F.regexp_replace(t, suffix + "$", repl)).otherwise(out)
+    return out
+
+
+def stemmed_text_col(text_col: str = "text",
+                     stopwords: tuple[str, ...] = ()) -> F.Column:
+    """The stemmed (optionally stop-filtered) token stream re-joined —
+    the analyzer-chain form of analyzed_text_col: char stream → tokens →
+    stop filter → stemmer. Row-local expressions throughout."""
+    from .tokenizer import tokens_expr
+
+    toks = tokens_expr(text_col)
+    if stopwords:
+        stops = sorted(set(stopwords))
+
+        def keep(t):
+            return ~t.isin(stops)
+
+        toks = F.filter(toks, keep)
+    return F.array_join(F.transform(toks, stem_token_col), " ")
+
+
+def stemmed_bm25(docs: DataFrame, terms: list[str], k: int = 10,
+                 text_col: str = "text",
+                 stopwords: tuple[str, ...] = ()) -> DataFrame:
+    """BM25 over the stemmed field, query terms stemmed with the same
+    analyzer (ES `english`-analyzer default behaviour): "merges" matches
+    docs saying "merge", and corpus-side dl/df/avgdl are the analyzed
+    statistics. (rank, doc_id, score)."""
+    from .query import bm25_topk
+
+    analyzed = docs.withColumn("__an", stemmed_text_col(text_col, stopwords))
+    return bm25_topk(analyzed, sorted({stem_py(t) for t in terms}),
+                     k=k, text_col="__an")
+
+
 def span_first(docs: DataFrame, term: str, end: int,
                text_col: str = "text") -> DataFrame:
     """ES span_first query: the term's FIRST occurrence must fall within
