@@ -109,11 +109,19 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------------------------- MinHash
-def minhash_signature_col(text_col: str, num_hashes: int) -> Column:
+def minhash_signature_col(text_col: str, num_hashes: int,
+                          fast: bool = False) -> Column:
     """array<long> MinHash signature — pure column expression, no shuffle.
 
     sig[i] = min over shingles s of hash60(concat(i, ':', s)); docs with no
     shingle get hash60('i:') sentinel (empty-string shingle) to stay total.
+
+    ``fast=True`` swaps the portable md5-based hash60 for JVM-native
+    xxhash64 — the 100 TB production setting (whole-stage-codegen hash, no
+    md5→conv→substring chain). Candidates differ from the portable form
+    (different hash family ⇒ different LSH buckets), so the DuckDB-parity
+    driver queries keep fast=False; the Jaccard VERIFY stage is hash-free,
+    so emitted pairs are exact either way.
     """
     sh = shingles_expr(text_col, NGRAM)
 
@@ -125,19 +133,28 @@ def minhash_signature_col(text_col: str, num_hashes: int) -> Column:
     # from two separate plans and matched nothing)
     def _mh_hash(i: int):
         def f(s: Column) -> Column:
+            if fast:
+                return F.xxhash64(F.concat_ws(":", F.lit(str(i)), s))
             return hash60(F.concat_ws(":", F.lit(str(i)), s))
 
         return f
 
-    return F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(sh, _mh_hash(i))),
-                hash60(F.lit(f"{i}:")),
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    # Bind the shingle array ONCE per row (the winnow_doc_fps lambda-let):
+    # referenced plainly, CollapseProject inlines the whole shingle
+    # construction into EVERY per-seed array_min — num_hashes× the
+    # tokenize+slice cost (measured ~10× wall on the 1M-doc code corpus).
+    def sig(bound_sh: Column) -> Column:
+        return F.array(
+            *[
+                F.coalesce(
+                    F.array_min(F.transform(bound_sh, _mh_hash(i))),
+                    F.xxhash64(F.lit(f"{i}:")) if fast else hash60(F.lit(f"{i}:")),
+                )
+                for i in range(num_hashes)
+            ]
+        )
+
+    return F.element_at(F.transform(F.array(sh), sig), 1)
 
 
 def minhash_band_rows(
@@ -146,6 +163,7 @@ def minhash_band_rows(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fast: bool = False,
 ) -> DataFrame:
     """(doc_id, band_key) LSH banding rows of the MinHash signature —
     shared by the batch pair-join and the streaming incremental dedup
@@ -154,7 +172,7 @@ def minhash_band_rows(
     assert rows * bands == num_hashes
     sigs = docs.select(
         F.col(id_col).alias("doc_id"),
-        minhash_signature_col(text_col, num_hashes).alias("sig"),
+        minhash_signature_col(text_col, num_hashes, fast=fast).alias("sig"),
     )
     return sigs.select(
         "doc_id",
@@ -181,6 +199,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 1000,
+    fast: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with true shingle Jaccard.
 
@@ -190,7 +209,7 @@ def minhash_lsh_pairs(
     dedup analog of posting-salt capping; dropped buckets are exact-dup
     territory handled by exact_duplicates anyway.
     """
-    band_rows = minhash_band_rows(docs, num_hashes, bands, id_col, text_col)
+    band_rows = minhash_band_rows(docs, num_hashes, bands, id_col, text_col, fast=fast)
     # Cap polarity matters at scale: BIG buckets (bn > max_bucket) are rare
     # by construction — broadcast-ANTI-join those, never the near-universal
     # small-bucket keep-set (which is O(n_docs*bands) keys through the

@@ -1,10 +1,29 @@
 #!/bin/bash
 # Probe-gated bench attempt: poll for a quiet window (probe8 <= 12.5s,
-# CLAUDE.md criterion) and run bench.py exactly once in it. Writes the
-# JSON line + probe evidence to BENCH/bench_quiet_r4.json. Exits 2 if no
-# quiet window appears within the attempt budget.
+# CLAUDE.md criterion) and run bench.py exactly once in it.
+#
+# Concurrency contract (round-5 hygiene item): exactly ONE gate instance
+# may exist — concurrent gates inflate each other's probes and a leftover
+# loop poisons every later measurement (the round-4 BENCH_r04 lesson).
+# An O_EXCL lock (mkdir, the .manifest.lock pattern) is taken for the
+# WHOLE script lifetime and released by an EXIT trap; a second instance
+# refuses immediately. Callers must still kill stray gates at session end:
+#   pkill -f bench_when_quiet.sh
+#
+# Usage: bench_when_quiet.sh [out_json] [refusal_log] [attempts]
 cd "$(dirname "$0")/.."
-for i in $(seq 1 40); do
+OUT_JSON=${1:-BENCH/bench_quiet_r5.json}
+REFUSALS=${2:-BENCH/bench_gate_refusals_r5.log}
+ATTEMPTS=${3:-40}
+
+LOCK=/tmp/fafnir_bench_gate.lock
+if ! mkdir "$LOCK" 2>/dev/null; then
+  echo "REFUSED: another gate instance holds $LOCK" >&2
+  exit 3
+fi
+trap 'rmdir "$LOCK" 2>/dev/null' EXIT
+
+for i in $(seq 1 "$ATTEMPTS"); do
   P=$(python -c "
 import sys; sys.path.insert(0, 'scripts')
 from scaling import run_probe
@@ -12,13 +31,12 @@ print(run_probe(8))")
   OK=$(python -c "print(1 if float('$P') <= 12.5 else 0)")
   echo "attempt $i probe8=$P" >&2
   if [ "$OK" = "1" ]; then
-    touch /tmp/fafnir_bench.lock
     OUT=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py 2>/dev/null | tail -1)
-    rm -f /tmp/fafnir_bench.lock
-    { echo "$OUT"; echo "{\"probe8\": $P}"; } > BENCH/bench_quiet_r4.json
-    echo "RAN probe8=$P" >&2
+    { echo "$OUT"; echo "{\"probe8\": $P}"; } > "$OUT_JSON"
+    echo "RAN probe8=$P -> $OUT_JSON" >&2
     exit 0
   fi
+  echo "{\"skipped\": \"SKIP_NOISY\", \"probe8\": $P, \"at\": \"$(date -u +%FT%TZ)\"}" >> "$REFUSALS"
   sleep 150
 done
 exit 2

@@ -1,7 +1,15 @@
 #!/bin/bash
 # One gated attempt: run the scaling pair ONLY if the window is quiet
-# (probe8 <= 12.5s — CLAUDE.md criterion). Exits 2 when skipped.
+# (probe8 <= 12.5s — CLAUDE.md criterion). Exits 2 when skipped, 3 when
+# another gate instance holds the lock (concurrent gates inflate each
+# other's probes — round-4 lesson; the lock covers bench + scaling gates).
 cd "$(dirname "$0")/.."
+LOCK=/tmp/fafnir_bench_gate.lock
+if ! mkdir "$LOCK" 2>/dev/null; then
+  echo "REFUSED: another gate instance holds $LOCK" >&2
+  exit 3
+fi
+trap 'rmdir "$LOCK" 2>/dev/null' EXIT
 P=$(python -c "
 import sys; sys.path.insert(0, 'scripts')
 from scaling import run_probe
@@ -18,4 +26,5 @@ rec = {'date': datetime.datetime.now().strftime('%Y-%m-%d %H:%M'),
 open('BENCH/history.jsonl', 'a').write(json.dumps(rec) + '\n')"
   echo SKIP_NOISY; exit 2
 fi
-SPARK_GRAFT_BUILD_REPS=1 SPARK_GRAFT_SCALE_PAIRS=1 exec python scripts/scaling.py 400000
+# no exec — the EXIT trap must fire to release the gate lock
+SPARK_GRAFT_BUILD_REPS=1 SPARK_GRAFT_SCALE_PAIRS=1 python scripts/scaling.py 400000

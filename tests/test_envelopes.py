@@ -87,3 +87,22 @@ def test_stream_accumulator_requires_fresh_checkpoint(tmp_path):
     (empty / "offsets").mkdir()
     with pytest.raises(ValueError, match="non-empty"):
         _require_fresh_checkpoint(str(empty), "x")
+
+
+def test_minhash_fast_hash_finds_planted_dups(spark):
+    """fast=True (xxhash64 signatures — the production hash) must find the
+    planted near-duplicate pairs the portable-hash path finds; the Jaccard
+    verify stage is hash-free, so emitted pairs are exact either way."""
+    from fafnir_spark.dedup import minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base + " mu"), (3, "totally different words here now"),
+            (4, base.replace("delta", "delta2")), (5, "another unrelated doc text")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    slow = {(r["doc_a"], r["doc_b"]) for r in
+            minhash_lsh_pairs(docs, num_hashes=12, bands=6, threshold=0.3).collect()}
+    fast = {(r["doc_a"], r["doc_b"]) for r in
+            minhash_lsh_pairs(docs, num_hashes=12, bands=6, threshold=0.3,
+                              fast=True).collect()}
+    assert (1, 2) in fast and (1, 4) in fast
+    assert fast == slow  # 6 bands of 2 rows: near-identical docs collide in both
