@@ -413,6 +413,49 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs(spark, sf_dir))
 
 
+def _q_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES categorize_text: log lines synthesized from event fields
+    (explicit string casts — both engines build identical strings),
+    digit-masked into templates, counted per category."""
+    from fafnir_spark.textstats import categorize_text
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    msgs = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(" user="),
+            F.col("user_id").cast("string"), F.lit(" req="),
+            F.col("event_id").cast("string"),
+        ).alias("msg")
+    )
+    return categorize_text(msgs)
+
+
+def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fingerprint-analyzer dedup (order-insensitive content key):
+    every 7th doc gains a token-reversed twin — md5 exact-dup misses it,
+    the sorted-distinct-token fingerprint catches it."""
+    from fafnir_spark.dedup import fingerprint_duplicates
+    from fafnir_spark.tokenizer import tokens_expr
+
+    docs = _docs(spark, sf_dir)
+    twins = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.array_join(F.reverse(tokens_expr("text")), " ").alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(twins)
+    return fingerprint_duplicates(both).orderBy("fingerprint_hash")
+
+
+def _q_html_strip_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html_strip char filter ahead of the tokenizer: markup injected
+    deterministically (htmlify_docs) never becomes terms; 'anchor' (inside
+    the injected <a> text) ranks only the htmlified docs."""
+    from fafnir_spark.query_ext import html_strip_bm25, htmlify_docs
+
+    return html_strip_bm25(htmlify_docs(_docs(spark, sf_dir)),
+                           ["merge", "anchor"], k=10)
+
+
 def _q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing fingerprints (Schleimer et al. SIGMOD'03): per-doc
     fingerprint count + checksum; the fingerprinting stage is pure array
@@ -509,6 +552,30 @@ def _q_ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(root, "_manifest.json")):
         build_sq8_index(spark, emb, root)
     return sq8_search(spark, root, emb, QVEC, k=10, rescore_factor=4)
+
+
+def _q_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary-quantization ANN (ES BBQ shape): sign-Hamming
+    candidates (row-local), exact-cosine rescore of the top k·4; both
+    top-k stages two-level."""
+    from fafnir_spark.simsearch import bq_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return bq_cosine_topk(emb, {"q": QVEC}, k=10, rescore_factor=4).drop("qid")
+
+
+def _q_ann_bq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted BQ: two packed BIGINTs per vector (1 bit/dim — 32x
+    smaller than float64 at rest); Hamming = bit_count(xor) over the codes
+    table only, exact rescore against raw vectors. Same oracle as the
+    inline form (packing is signs-exact)."""
+    from fafnir_spark.simsearch import bq_search, build_bq_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = os.path.join(tempfile.gettempdir(), "fafnir_bq_" + _content_key(sf_dir))
+    if not os.path.exists(os.path.join(root, "_manifest.json")):
+        build_bq_index(spark, emb, root)
+    return bq_search(spark, root, emb, QVEC, k=10, rescore_factor=4)
 
 
 def _q_ann_ivfsq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2542,6 +2609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_match": _q_conjunctive,
         "text_stats": _q_text_stats,
         "dedup_exact": _q_dedup_exact,
+        "fingerprint_dedup": _q_fingerprint_dedup,
+        "html_strip_bm25": _q_html_strip_bm25,
+        "categorize_text": _q_categorize_text,
         "winnow_fingerprints": _q_winnow_fps,
         "winnow_overlap": _q_winnow_overlap,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -2556,6 +2626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
         "ann_sq8_rescore": _q_ann_sq8,
+        "ann_bq_rescore": _q_ann_bq,
+        "ann_bq_indexed": _q_ann_bq_indexed,
         "ann_sq8_indexed": _q_ann_sq8_indexed,
         "ann_ivfsq_indexed": _q_ann_ivfsq_indexed,
         "maxsim_colbert": _q_maxsim,
@@ -2797,6 +2869,12 @@ def oracle_sql() -> dict[str, str]:
         "conjunctive_match": oracles.conjunctive_sql(Q_CONJ),
         "text_stats": oracles_ops.text_stats_sql(),
         "dedup_exact": oracles_ops.exact_dup_sql(),
+        "fingerprint_dedup": oracles_ops.fingerprint_dup_sql(),
+        "categorize_text": oracles_pipeline.categorize_text_sql(),
+        "html_strip_bm25": oracles.bm25_topk_sql(
+            ["merge", "anchor"], k=10,
+            text_expr=oracles.html_strip_expr(oracles.htmlified_expr()),
+        ),
         "winnow_fingerprints": oracles_ops.winnow_fingerprints_sql(4, 5),
         "winnow_overlap": oracles_ops.winnow_overlap_sql(4, 5, min_shared=3),
         "dedup_ngram_jaccard": oracles_ops.minhash_lsh_sql(8, 4, 0.5),
@@ -2819,6 +2897,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_cosine_topk": oracles_ops.cosine_topk_sql(QVEC, 10),
         "ann_sq8_rescore": oracles_ops.sq8_cosine_topk_sql(QVEC, 10, rescore_factor=4),
+        "ann_bq_rescore": oracles_ops.bq_cosine_topk_sql(QVEC, 10, rescore_factor=4),
+        "ann_bq_indexed": oracles_ops.bq_cosine_topk_sql(QVEC, 10, rescore_factor=4),
         "ann_sq8_indexed": oracles_ops.sq8_cosine_topk_sql(QVEC, 10, rescore_factor=4),
         "ann_ivfsq_indexed": oracles_ops.ivfsq_topk_sql(
             QVEC, n_centroids=16, nprobe=4, k=10, rescore_factor=4

@@ -45,6 +45,30 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def fingerprint_col(text_col: str = "text") -> Column:
+    """ES `fingerprint` analyzer: sorted distinct tokens re-joined — the
+    order-insensitive content key (OpenRefine's clustering fingerprint).
+    Pure row-local arrays; docs that only permute/repeat words collide."""
+    from .tokenizer import tokens_expr
+
+    return F.array_join(F.array_sort(F.array_distinct(tokens_expr(text_col))), " ")
+
+
+def fingerprint_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Duplicate groups by analyzer fingerprint — exact_duplicates'
+    order-insensitive sibling (catches shuffled boilerplate md5 misses):
+    (fingerprint_hash, group_size, min_doc_id). One groupBy on a 60-bit
+    hash; the 100 TB shape is identical to exact dedup."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    hash60(fingerprint_col(text_col)).alias("fingerprint_hash"))
+        .groupBy("fingerprint_hash")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
 # ------------------------------------------------------- shingle helpers
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) distinct 3-token shingles."""

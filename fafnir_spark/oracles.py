@@ -1347,6 +1347,24 @@ def stemmed_expr(stopwords: tuple[str, ...] = ()) -> str:
     return f"array_to_string(list_transform({filt}, y -> {case}), ' ')"
 
 
+def htmlified_expr() -> str:
+    """SQL twin of query_ext.htmlify_docs — constants templated from
+    HTML_NOISE (double-quoted HTML attrs keep this single-quote-safe)."""
+    from .query_ext import HTML_NOISE
+
+    n = HTML_NOISE
+    e = n["every"]
+    pmod = f"((doc_id % {e}) + {e}) % {e}"
+    return (f"CASE WHEN {pmod} = 0 THEN '{n['pre']}' || text || "
+            f"'{n['mid']}' || '{n['post']}' ELSE text END")
+
+
+def html_strip_expr(inner: str = "text") -> str:
+    """SQL twin of query_ext.html_strip_col (global replace — Spark's
+    regexp_replace is global by default, DuckDB needs the 'g' flag)."""
+    return f"regexp_replace({inner}, '<[^>]*>', ' ', 'g')"
+
+
 def msearch_sql(queries: dict[str, list[str]], k: int = 10) -> str:
     """Batched multi-search oracle: per-qid top-k BM25 (each the standard
     single-query form) tagged and unioned — the batch path must equal

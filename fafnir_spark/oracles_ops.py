@@ -95,6 +95,30 @@ ORDER BY content_hash
 """
 
 
+def fingerprint_dup_sql() -> str:
+    """Mirror of dedup.fingerprint_duplicates over the permuted-dup
+    derivation (every 7th doc gains a token-reversed twin at
+    doc_id + 1000000 — list_reverse == F.reverse, identical strings)."""
+    fp = ("array_to_string(list_sort(list_distinct("
+          "list_filter(string_split(text, ' '), x -> x <> ''))), ' ')")
+    h = hash60_sql("fp")
+    return f"""
+WITH both_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_reverse(list_filter(string_split(text, ' '),
+                                                  x -> x <> '')), ' ') AS text
+  FROM documents WHERE ((doc_id % 7) + 7) % 7 = 0
+),
+fps AS (SELECT doc_id, {fp} AS fp FROM both_docs)
+SELECT {h} AS fingerprint_hash, CAST(count(*) AS BIGINT) AS group_size,
+       min(doc_id) AS min_doc_id
+FROM fps GROUP BY 1 HAVING count(*) > 1
+ORDER BY fingerprint_hash
+"""
+
+
 def _jaccard_core(threshold: float, cand_cte: str = "", cand_join: str = "") -> str:
     return f"""
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1082,6 +1106,41 @@ exact AS (
   SELECT cd.vec_id, {cos("cd.v", "q.qv")} AS cos
   FROM cand JOIN coded cd USING (vec_id) CROSS JOIN q
 )
+SELECT rank, vec_id, cos FROM (
+  SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank, vec_id, cos
+  FROM exact
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def bq_cosine_topk_sql(query_vec: list[float], k: int = 10,
+                       rescore_factor: int = 4) -> str:
+    """Mirror of simsearch.bq_cosine_topk: sign-Hamming candidate stage
+    (ties hamming asc, vec_id asc) + exact-cosine rescore. The Hamming
+    count is an exact-integer list_sum over per-dimension sign
+    disagreements — same predicate ((x > 0) != (q > 0)) as the Spark
+    zip_with."""
+    from .oracles import _cos_sql
+
+    dim = len(query_vec)
+    lit = "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in query_vec) + "]"
+    ecos = _cos_sql("c.v", "q.qv", dim)
+    return f"""
+WITH q AS (SELECT {lit} AS qv),
+scored AS (
+  SELECT e.vec_id, e.embedding AS v,
+         CAST(list_sum(list_transform(range(1, {dim + 1}),
+              i -> CASE WHEN (e.embedding[i] > 0) != (q.qv[i] > 0)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+  FROM embeddings e CROSS JOIN q
+),
+cand AS (
+  SELECT vec_id, v FROM (
+    SELECT vec_id, v, row_number() OVER (ORDER BY ham ASC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {k * rescore_factor}
+),
+exact AS (SELECT c.vec_id, round({ecos}, 6) AS cos FROM cand c CROSS JOIN q)
 SELECT rank, vec_id, cos FROM (
   SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank, vec_id, cos
   FROM exact

@@ -1442,3 +1442,20 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS exact_n
 FROM marked GROUP BY event_type ORDER BY event_type
 """
+
+
+def categorize_text_sql() -> str:
+    """Mirror of textstats.categorize_text over the driver's synthesized
+    log lines (event fields concatenated with explicit VARCHAR casts —
+    identical strings in both engines)."""
+    return """
+WITH msgs AS (
+  SELECT concat(event_type, ' user=', CAST(user_id AS VARCHAR),
+                ' req=', CAST(event_id AS VARCHAR)) AS msg
+  FROM events
+),
+cats AS (SELECT regexp_replace(msg, '[0-9]+', '#', 'g') AS category, msg FROM msgs)
+SELECT category, CAST(count(*) AS BIGINT) AS doc_count, min(msg) AS example
+FROM cats GROUP BY category
+ORDER BY category
+"""

@@ -1336,6 +1336,48 @@ def stemmed_bm25(docs: DataFrame, terms: list[str], k: int = 10,
                      k=k, text_col="__an")
 
 
+# html_strip char filter (ES analyzer chain stage 1). Noise constants are
+# templated into BOTH engines (oracles.htmlified_expr) — never hand-copied.
+# Double-quoted HTML attributes keep the SQL template single-quote-safe.
+HTML_NOISE = {
+    "every": 3,
+    "pre": '<p class="x">',
+    "mid": ' <a href="http://e.com/a?q=1">anchor</a>',
+    "post": "</p>",
+}
+
+
+def htmlify_docs(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Deterministically wrap every HTML_NOISE['every']-th doc in markup
+    (the webify_docs precedent — the fixture corpus carries no HTML, so
+    the char-filter driver query derives its own, identically in both
+    engines)."""
+    n = HTML_NOISE
+    t = F.when(
+        F.pmod(F.col(id_col), F.lit(n["every"])) == 0,
+        F.concat(F.lit(n["pre"]), F.col(text_col), F.lit(n["mid"]), F.lit(n["post"])),
+    ).otherwise(F.col(text_col))
+    return docs.select(F.col(id_col).alias("doc_id"), t.alias("text"))
+
+
+def html_strip_col(text_col: str = "text") -> F.Column:
+    """ES html_strip char filter: tags → single spaces (the tokenizer's
+    empty-token drop absorbs the runs). Row-local expression."""
+    return F.regexp_replace(F.col(text_col), "<[^>]*>", " ")
+
+
+def html_strip_bm25(docs: DataFrame, terms: list[str], k: int = 10,
+                    text_col: str = "text") -> DataFrame:
+    """BM25 over the html-stripped field — char filter ahead of the
+    tokenizer, so markup never becomes terms and dl/df/avgdl are the
+    stripped statistics. (rank, doc_id, score)."""
+    from .query import bm25_topk
+
+    stripped = docs.withColumn("__an", html_strip_col(text_col))
+    return bm25_topk(stripped, terms, k=k, text_col="__an")
+
+
 def span_first(docs: DataFrame, term: str, end: int,
                text_col: str = "text") -> DataFrame:
     """ES span_first query: the term's FIRST occurrence must fall within

@@ -1188,3 +1188,150 @@ def hybrid_rrf_indexed(
     )
     w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(w)).select("rank", "doc_id", "rrf")
+
+
+# ---------------------------------------- binary quantization (ES BBQ shape)
+def _sign_disagrees(x: Column, y: Column) -> Column:
+    return (x.cast("double") > 0) != (y > 0)
+
+
+def _truthy(b: Column) -> Column:
+    return b
+
+
+def bq_hamming_col(vec: Column, qv: Column) -> Column:
+    """Sign-bit Hamming distance between a stored vector and the query —
+    the 1-bit binary-quantization metric, computed ROW-LOCALLY from the
+    float arrays (the direct path needs no packed codes; the persisted
+    path stores 2 BIGINTs/vector and uses bit_count(xor))."""
+    return F.size(F.filter(F.zip_with(vec, qv, _sign_disagrees), _truthy)).cast("long")
+
+
+def bq_code_cols(vec: Column) -> list[Column]:
+    """Pack the 64 sign bits into two exact-integer BIGINTs (bits 0-31 →
+    c0, 32-63 → c1; bit i weighted 2^(i-start), built by an acc*2+bit fold
+    over descending positions — exact integer space, never floats, and no
+    1<<63 overflow because each half stays under 2^32)."""
+
+    def half(start: int) -> Column:
+        def step(acc: Column, i: Column) -> Column:
+            return acc * 2 + F.when(F.element_at(vec, i + 1) > 0,
+                                    F.lit(1)).otherwise(F.lit(0))
+
+        return F.aggregate(
+            F.sequence(F.lit(start + 31), F.lit(start), F.lit(-1)),
+            F.lit(0).cast("long"),
+            step,
+        )
+
+    return [half(0).alias("c0"), half(32).alias("c1")]
+
+
+def bq_cosine_topk(
+    emb: DataFrame,
+    query_vecs: dict[str, list[float]],
+    k: int = 10,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-bit binary-quantization ANN with exact rescore — the ES BBQ /
+    "RaBitQ-style quantize + rescore" pattern: candidates ranked by
+    sign-Hamming distance to the query (row-local, zero shuffle before the
+    bounded candidate stage), top k·rescore_factor re-scored with the
+    EXACT float cosine. Both top-k stages are the shared two-level
+    heap+merge. Candidate ties break (hamming asc, vec_id asc) — mirrored
+    in the oracle. (qid, rank, vec_id, cos)."""
+    spark = emb.sparkSession
+    q = spark.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in query_vecs.items()],
+        "qid string, qv array<double>",
+    )
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id",
+        (-bq_hamming_col(F.col("v"), F.col("qv"))).alias("nham"),
+    )
+    from .topk import topk_per_group
+
+    cand = topk_per_group(
+        scored, k * rescore_factor, group_col="qid", id_col="vec_id", val_col="nham"
+    ).select("qid", "vec_id")
+    exact = (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "vec_id",
+                F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos"))
+    )
+    return _topk_per_qid(exact, k)
+
+
+def build_bq_index(
+    spark,
+    emb: DataFrame,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the binary-quantized vector index: TWO BIGINTs per vector
+    (1 bit/dim + padding — 32× smaller than float64 at rest). The
+    candidate scan reads only the codes table; raw vectors are touched for
+    the rescore alone."""
+    from .catalog import Catalog
+
+    cat = Catalog(index_root)
+    codes = emb.select(F.col(id_col).alias("vec_id"),
+                       *bq_code_cols(F.col(vec_col)))
+    cat.write_segment(codes, "bq_codes", "base")
+    cat.publish(
+        {"bq_codes": [cat.segment_dir("bq_codes", "base")]},
+        meta={"dim": DIM, "n_vectors": emb.count()},
+    )
+
+
+def bq_search(
+    spark,
+    index_root: str,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted BQ index: Hamming = bit_count(xor) over the two
+    packed BIGINTs (pure integer ops in whole-stage codegen), exact-cosine
+    rescore against raw vectors. Identical candidates — and results — to
+    the inline bq_cosine_topk (same oracle): packing is signs-exact.
+    (rank, vec_id, cos)."""
+    from .catalog import Catalog
+
+    cat = Catalog(index_root)
+    qv = [float(x) for x in query_vec]
+    qbits = [1 if x > 0 else 0 for x in qv]
+
+    def pack(start: int) -> int:
+        acc = 0
+        for i in range(start + 31, start - 1, -1):
+            acc = acc * 2 + qbits[i]
+        return acc
+
+    q0, q1 = pack(0), pack(32)
+    codes = cat.read_table(spark, "bq_codes")
+    scored = codes.select(
+        "vec_id",
+        (-(F.bit_count(F.col("c0").bitwiseXOR(F.lit(q0)))
+           + F.bit_count(F.col("c1").bitwiseXOR(F.lit(q1))))).cast("long").alias("nham"),
+    ).withColumn("qid", F.lit("q"))
+    from .topk import topk_per_group
+
+    cand = topk_per_group(scored, k * rescore_factor, group_col="qid",
+                          id_col="vec_id", val_col="nham").select("vec_id")
+    qlit = F.array(*[F.lit(x) for x in qv])
+    exact = cand.join(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        "vec_id",
+    ).select("vec_id", F.round(cosine_expr(F.col("v"), qlit), 6).alias("cos"))
+    top = exact.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "vec_id", "cos")

@@ -288,3 +288,20 @@ def tokenizer_fertility(docs: DataFrame, lang_col: str = "lang",
         )
         .orderBy("lang")
     )
+
+
+def categorize_text(df: DataFrame, text_col: str = "msg") -> DataFrame:
+    """ES categorize_text agg, deterministic core: log messages grouped by
+    their digit-masked template (runs of digits → '#'), with per-category
+    count and the lexicographically-first example. One hash aggregation —
+    the categorizer a log pipeline runs over 10^12 lines is exactly this
+    map-side-combining groupBy; the masking is a row-local regexp.
+    (category, doc_count, example), ordered by category."""
+    cat = F.regexp_replace(F.col(text_col), "[0-9]+", "#")
+    return (
+        df.select(cat.alias("category"), F.col(text_col).alias("msg"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
+             F.min("msg").alias("example"))
+        .orderBy("category")
+    )

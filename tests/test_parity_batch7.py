@@ -391,3 +391,32 @@ def test_random_sampler_estimate_tracks_exact(events):
     full = random_sampler_agg(events, p=1.0).collect()
     for r in full:
         assert r["n_sampled"] == r["exact_n"] and r["est_n"] == float(r["exact_n"])
+
+
+def test_bq_exhaustive_rescore_equals_brute(spark, emb):
+    """BQ with a rescore window covering the whole corpus must equal exact
+    brute-force cosine top-k (the SQ8 law, 1-bit edition); the narrow
+    window stays a subset ranked identically."""
+    from fafnir_spark.simsearch import bq_cosine_topk, cosine_topk
+
+    n = emb.count()
+    qv = [float((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+    brute = [(r["rank"], r["vec_id"], r["cos"])
+             for r in cosine_topk(emb, {"q": qv}, k=10).collect()]
+    wide = [(r["rank"], r["vec_id"], r["cos"])
+            for r in bq_cosine_topk(emb, {"q": qv}, k=10,
+                                    rescore_factor=(n // 10) + 1).collect()]
+    assert wide == brute
+
+
+def test_bq_indexed_equals_inline(spark, emb, tmp_path):
+    from fafnir_spark.simsearch import bq_cosine_topk, bq_search, build_bq_index
+
+    qv = [float((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+    root = str(tmp_path / "bq")
+    build_bq_index(spark, emb, root)
+    inline = [(r["rank"], r["vec_id"], r["cos"])
+              for r in bq_cosine_topk(emb, {"q": qv}, k=10).collect()]
+    idx = [(r["rank"], r["vec_id"], r["cos"])
+           for r in bq_search(spark, root, emb, qv, k=10).collect()]
+    assert idx == inline and len(idx) == 10
