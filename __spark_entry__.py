@@ -2471,6 +2471,51 @@ def _q_esql(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
 
 
+ESQL_DISSECT_QUERY = """
+FROM msgs
+| DISSECT msg "%{etype} user=%{uid} req=%{rid}"
+| STATS n = count(*) BY etype
+| SORT etype ASC
+| KEEP etype, n
+"""
+
+
+def _q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL DISSECT: pattern captures compiled to anchored regexp_extract
+    columns — structured-field extraction from log lines inside the same
+    single Catalyst plan."""
+    from fafnir_spark.esql import esql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    msgs = ev.select(
+        F.concat(F.col("event_type"), F.lit(" user="),
+                 F.col("user_id").cast("string"), F.lit(" req="),
+                 F.col("event_id").cast("string")).alias("msg"))
+    return esql(spark, ESQL_DISSECT_QUERY, {"msgs": msgs})
+
+
+ESQL_ENRICH_QUERY = """
+FROM events
+| WHERE user_id < 20
+| ENRICH nations ON user_id WITH n_name
+| STATS n = count(*) BY n_name
+| SORT n DESC, n_name ASC
+| LIMIT 10
+"""
+
+
+def _q_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ENRICH: broadcast left lookup join against a small enrich
+    index (nation names keyed by user_id) — the 10^12-row probe side
+    never shuffles."""
+    from fafnir_spark.esql import esql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nations = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("user_id"), "n_name")
+    return esql(spark, ESQL_ENRICH_QUERY, {"events": ev, "nations": nations})
+
+
 ESQL_MV_QUERY = """
 FROM documents
 | EVAL tok = split(text, " ")
@@ -2772,6 +2817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_range": _q_geo_distance_range,
         "esql_pipeline": _q_esql,
         "esql_mv_expand": _q_esql_mv_expand,
+        "esql_dissect": _q_esql_dissect,
+        "esql_enrich": _q_esql_enrich,
         "terms_agg_error_bounds": _q_terms_agg_error_bounds,
         "terms_agg_error_bounds_indexed": _q_terms_agg_error_bounds_indexed,
         "graph_explore": _q_graph_explore,
@@ -3091,6 +3138,22 @@ FROM (
   FROM documents
 )
 GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 10
+""",
+        "esql_dissect": """
+SELECT regexp_extract(msg, '^(.*?) user=(.*?) req=(.*)$', 1) AS etype,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT concat(event_type, ' user=', CAST(user_id AS VARCHAR),
+                ' req=', CAST(event_id AS VARCHAR)) AS msg
+  FROM events
+)
+GROUP BY 1 ORDER BY etype ASC
+""",
+        "esql_enrich": """
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n
+FROM events e LEFT JOIN nation n ON n.n_nationkey = e.user_id
+WHERE e.user_id < 20
+GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
 """,
         "terms_agg_error_bounds": oracles_pipeline.terms_agg_error_bounds_sql(),
         "terms_agg_error_bounds_indexed":

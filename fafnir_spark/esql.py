@@ -2,7 +2,8 @@
 
 The reference serves its query surface through Elasticsearch; ES|QL
 (public syntax: FROM | WHERE | EVAL | STATS .. BY | SORT | LIMIT | KEEP |
-MV_EXPAND, with SPLIT in EVAL) is the modern form of that surface. This
+MV_EXPAND | DISSECT | ENRICH, with SPLIT in EVAL) is the modern form of
+that surface. This
 module is a small, honest compiler for the deterministic core of the
 language:
 
@@ -100,6 +101,25 @@ def _parse_agg(spec: str):
     return col.alias(alias or f"{fn}_{arg if arg != '*' else 'all'}")
 
 
+def _compile_dissect(pattern: str) -> tuple[list[str], str]:
+    """ES|QL DISSECT pattern → (field names, anchored regex). Literals
+    between %{field} captures are matched exactly (regex-escaped);
+    captures are non-greedy except the last."""
+    parts = re.split(rf"%\{{({_IDENT})\}}", pattern)
+    # parts = [lit0, name1, lit1, name2, lit2, ...]
+    fields = parts[1::2]
+    if not fields:
+        raise EsqlError(f"DISSECT pattern has no %{{field}} captures: {pattern!r}")
+    regex = "^"
+    for i, piece in enumerate(parts):
+        if i % 2 == 0:
+            regex += re.escape(piece)
+        else:
+            regex += "(.*)" if i == len(parts) - 2 and not parts[-1] else "(.*?)"
+    regex += "$"
+    return fields, regex
+
+
 def esql(spark: SparkSession, query: str,
          tables: dict[str, DataFrame]) -> DataFrame:
     """Compile one ES|QL pipe query against the given table registry and
@@ -146,6 +166,31 @@ def esql(spark: SparkSession, query: str,
                 orders.append(c.desc() if (m.group(2) or "ASC").upper() == "DESC"
                               else c.asc())
             df = df.orderBy(*orders)
+        elif kw == "DISSECT":
+            m = re.fullmatch(rf"\s*({_IDENT})\s+({_STR})\s*", rest)
+            if not m:
+                raise EsqlError(f"unsupported DISSECT: {rest!r}")
+            src = m.group(1)
+            fields, regex = _compile_dissect(_lit(m.group(2)))
+            for gi, fname in enumerate(fields, start=1):
+                df = df.withColumn(fname, F.regexp_extract(F.col(src), regex, gi))
+        elif kw == "ENRICH":
+            # ENRICH <table> ON <match_field> WITH <col>, ... — the lookup
+            # table (ES enrich index) must carry <match_field> as its key.
+            # Compiled to a BROADCAST left join: enrich indexes are small
+            # by design, so the 10^12-row probe side never shuffles.
+            m = re.fullmatch(
+                rf"\s*({_IDENT})\s+ON\s+({_IDENT})\s+WITH\s+({_IDENT}(?:\s*,\s*{_IDENT})*)\s*",
+                rest, re.IGNORECASE,
+            )
+            if not m:
+                raise EsqlError(f"unsupported ENRICH: {rest!r}")
+            policy, match_field, with_cols = m.groups()
+            if policy not in tables:
+                raise EsqlError(f"unknown enrich table {policy!r}")
+            cols = [c.strip() for c in with_cols.split(",")]
+            lookup = tables[policy].select(match_field, *cols)
+            df = df.join(F.broadcast(lookup), match_field, "left")
         elif kw == "MV_EXPAND":
             col = rest.strip()
             if not re.fullmatch(_IDENT, col):

@@ -99,3 +99,47 @@ def test_split_mv_expand_roundtrip(spark, events):
 def test_mv_expand_rejects_bad_column(spark, events):
     with pytest.raises(EsqlError):
         esql(spark, "FROM events | MV_EXPAND a b", {"events": events})
+
+
+def test_dissect_extracts_fields(spark):
+    from fafnir_spark.esql import esql
+
+    msgs = spark.createDataFrame(
+        [("error user=7 req=12",), ("click user=8 req=13",)], "msg string")
+    out = esql(spark, 'FROM msgs | DISSECT msg "%{t} user=%{u} req=%{r}" '
+                      '| KEEP t, u, r | SORT t ASC', {"msgs": msgs}).collect()
+    assert [(x["t"], x["u"], x["r"]) for x in out] == [
+        ("click", "8", "13"), ("error", "7", "12")]
+
+
+def test_dissect_rejects_captureless_pattern(spark):
+    import pytest
+
+    from fafnir_spark.esql import EsqlError, esql
+
+    msgs = spark.createDataFrame([("x",)], "msg string")
+    with pytest.raises(EsqlError):
+        esql(spark, 'FROM msgs | DISSECT msg "no captures"', {"msgs": msgs})
+
+
+def test_enrich_is_broadcast_left_join(spark):
+    from fafnir_spark.esql import esql
+
+    left = spark.createDataFrame([(1, 5.0), (2, 6.0), (9, 7.0)], "k long, v double")
+    lk = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    df = esql(spark, "FROM t | ENRICH lk ON k WITH name | SORT k ASC",
+              {"t": left, "lk": lk})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    rows = [(r["k"], r["name"]) for r in df.collect()]
+    assert rows == [(1, "a"), (2, "b"), (9, None)]  # left semantics keep 9
+
+
+def test_enrich_unknown_table_rejected(spark):
+    import pytest
+
+    from fafnir_spark.esql import EsqlError, esql
+
+    t = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(EsqlError, match="unknown enrich table"):
+        esql(spark, "FROM t | ENRICH nope ON k WITH x", {"t": t})
