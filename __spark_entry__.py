@@ -1736,6 +1736,30 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_docs(docs, pairs).select("doc_id").orderBy("doc_id")
 
 
+def _q_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_text with filter_duplicate_text: every 11th doc gains a
+    same-text twin (both engines derive it); the foreground md5-dedup
+    keeps the boilerplate from double-counting, background stays raw."""
+    from fafnir_spark.query_ext import significant_text
+
+    docs = _docs(spark, sf_dir)
+    twins = docs.filter(F.pmod(F.col("doc_id"), F.lit(11)) == 0).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionByName(twins)
+    return significant_text(both, ["merge"], k=10)
+
+
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization: per near-dup cluster keep the
+    LONGEST member (n_chars desc, doc_id asc) — the retention policy a
+    production dedup runs; min_by aggregate, never a per-cluster window."""
+    from fafnir_spark.dedup import cluster_representatives, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.35)
+    return cluster_representatives(docs, pairs, "n_chars")
+
+
 COMPOSITE_AFTER = ("click", 10_000_000_000)
 
 
@@ -2667,6 +2691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child_topk": _q_has_child,
         "multi_match_most_fields": _q_multi_match_most,
         "dedup_canonical": _q_dedup_canonical,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "significant_text": _q_significant_text,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
@@ -2938,6 +2964,8 @@ def oracle_sql() -> dict[str, str]:
         "multi_match_most_fields": oracles.multi_match_sql(
             Q_BOOST, {"text": 1.0, TITLE_SQL: 2.0}, k=10, mode="most_fields"),
         "dedup_canonical": oracles_ops.canonical_docs_sql(12, 4, 0.35),
+        "dedup_keep_best": oracles_ops.cluster_representatives_sql(12, 4, 0.35),
+        "significant_text": oracles.significant_text_sql(["merge"], k=10),
         "dedup_simhash": oracles_ops.simhash_pairs_sql(3),
         "dedup_embedding_cosine": oracles_ops.embedding_dup_lsh_sql(
             0.4, plane_weights(LSH_TABLES, LSH_PLANES)

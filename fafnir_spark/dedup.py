@@ -482,6 +482,33 @@ def canonical_docs(docs: DataFrame, pairs: DataFrame,
     )
 
 
+def cluster_representatives(docs: DataFrame, pairs: DataFrame,
+                            score_col: str,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware canonicalization: per near-dup cluster keep the
+    HIGHEST-``score_col`` member (ties → lowest doc_id) — the retention
+    policy production dedup pipelines actually run ("keep the longest /
+    highest-quality copy"), vs canonical_docs' min-id rule.
+
+    Scale shape: clusters ⋈ docs (one equi-join), then a min_by aggregate
+    keyed on struct(-score, doc_id) — map-side partial min, never a
+    per-cluster window. (cluster_id, doc_id, <score_col>), ordered."""
+    clusters = cluster_duplicates(pairs)
+    scored = clusters.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(score_col)), "doc_id"
+    )
+    best = scored.groupBy("cluster_id").agg(
+        F.min_by(
+            F.struct(F.col("doc_id"), F.col(score_col)),
+            F.struct((-F.col(score_col)).alias("ns"), F.col("doc_id").alias("d")),
+        ).alias("w")
+    )
+    return best.select(
+        "cluster_id", F.col("w.doc_id").alias("doc_id"),
+        F.col(f"w.{score_col}").alias(score_col),
+    ).orderBy("cluster_id")
+
+
 # ------------------------------------------------------------- winnowing
 def winnow_doc_fps(docs: DataFrame, k: int = 4, w: int = 5,
                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

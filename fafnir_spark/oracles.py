@@ -1897,3 +1897,51 @@ SELECT rk, term, fg_df, bg_df, chi2 FROM (
 ) WHERE rk <= {k}
 ORDER BY rk
 """
+
+
+def significant_text_sql(query_terms: list[str], k: int = 10) -> str:
+    """Mirror of query_ext.significant_text over the planted-boilerplate
+    derivation (every 11th doc gains a SAME-TEXT twin at doc_id + 2000000):
+    foreground deduped by md5(text) keep-min-id, background corpus-wide."""
+    tin = _terms_in(query_terms)
+    return f"""
+WITH both_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE ((doc_id % 11) + 11) % 11 = 0
+),
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM both_docs, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+mdocs AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {tin}),
+fgdocs AS (
+  SELECT min(doc_id) AS doc_id
+  FROM both_docs WHERE doc_id IN (SELECT doc_id FROM mdocs)
+  GROUP BY md5(text)
+),
+fgn AS (SELECT count(*) AS fg_n FROM fgdocs),
+bgn AS (SELECT count(*) AS n_docs FROM both_docs),
+fg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg_df FROM tf
+  WHERE doc_id IN (SELECT doc_id FROM fgdocs) GROUP BY term
+),
+bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM tf GROUP BY term),
+scored AS (
+  SELECT fg.term, fg_df, bg_df,
+         round(((fg_df / fg_n) - (bg_df / n_docs))
+               * ((fg_df / fg_n) / (bg_df / n_docs)), 6) AS jlh
+  FROM fg JOIN bg USING (term)
+  CROSS JOIN fgn CROSS JOIN bgn
+  WHERE fg.term NOT IN {tin}
+)
+SELECT rk, term, fg_df, bg_df, jlh FROM (
+  SELECT row_number() OVER (ORDER BY jlh DESC, term ASC) AS rk,
+         term, fg_df, bg_df, jlh
+  FROM scored
+) WHERE rk <= {k}
+ORDER BY rk
+"""

@@ -1146,3 +1146,23 @@ SELECT rank, vec_id, cos FROM (
   FROM exact
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def cluster_representatives_sql(num_hashes: int = 12, bands: int = 4,
+                                threshold: float = 0.35,
+                                score_col: str = "n_chars") -> str:
+    """Mirror of dedup.cluster_representatives over the MinHash clusters:
+    per cluster the highest-score member, ties lowest doc_id."""
+    return f"""
+WITH clusters AS ({dedup_clusters_sql(num_hashes, bands, threshold)}),
+scored AS (
+  SELECT c.cluster_id, c.doc_id, d.{score_col}
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id, {score_col} FROM (
+  SELECT cluster_id, doc_id, {score_col},
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY {score_col} DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1 ORDER BY cluster_id
+"""

@@ -634,6 +634,61 @@ def suggest_terms_indexed(spark, index_root: str, term: str, k: int = 5,
     return top.withColumn("rk", w).select("rk", "term", "df").orderBy("rk")
 
 
+def significant_text(docs: DataFrame, query_terms: list[str], k: int = 10,
+                     text_col: str = "text") -> DataFrame:
+    """ES significant_text aggregation: JLH like significant_terms, but
+    with ``filter_duplicate_text`` semantics — the FOREGROUND is deduped
+    by exact text (md5, keep min doc_id) before counting, so one piece of
+    boilerplate repeated across matching docs can't fabricate
+    significance. Background stats stay corpus-wide (duplicates and all),
+    exactly as ES computes them. Plan adds ONE md5 groupBy over the
+    matched slice (bounded by matches); everything else is the
+    significant_terms shape. (rk, term, fg_df, bg_df, jlh)."""
+    from pyspark.sql.window import Window
+
+    from .query import doc_term_freqs, term_dfs
+
+    qterms = sorted(set(query_terms))
+    q = docs.sparkSession.createDataFrame([(t,) for t in qterms], "term string")
+    base = docs.select(F.col("doc_id"), F.col(text_col).alias("__text"))
+    tf = doc_term_freqs(base, "doc_id", "__text")
+    matched = tf.join(F.broadcast(q), "term").select("doc_id").distinct()
+    fg_docs = (
+        base.join(matched, "doc_id", "left_semi")
+        .groupBy(F.md5("__text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    fg_n = fg_docs.agg(F.count(F.lit(1)).alias("fg_n"))
+    bg_n = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    fg_df = (
+        tf.join(fg_docs, "doc_id", "left_semi")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    bg_df = term_dfs(tf).select("term", F.col("df").alias("bg_df"))
+    scored = (
+        fg_df.join(bg_df, "term")
+        .crossJoin(F.broadcast(fg_n))
+        .crossJoin(F.broadcast(bg_n))
+        .filter(~F.col("term").isin(qterms))
+        .withColumn("__fg_rate", F.col("fg_df") / F.col("fg_n"))
+        .withColumn("__bg_rate", F.col("bg_df") / F.col("n_docs"))
+        .withColumn(
+            "jlh",
+            F.round(
+                (F.col("__fg_rate") - F.col("__bg_rate"))
+                * (F.col("__fg_rate") / F.col("__bg_rate")),
+                6,
+            ),
+        )
+    )
+    top = scored.orderBy(F.col("jlh").desc(), F.col("term").asc()).limit(k)
+    w = Window.orderBy(F.col("jlh").desc(), F.col("term").asc())
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "rk", "term", "fg_df", "bg_df", "jlh"
+    ).orderBy("rk")
+
+
 def significant_terms(docs: DataFrame, query_terms: list[str], k: int = 10,
                       text_col: str = "text") -> DataFrame:
     """ES significant-terms aggregation: terms overrepresented in the
