@@ -333,6 +333,59 @@ def main() -> None:
               "One columnar doc-value column read from doc_map; postings "
               "untouched; bucket cardinality bounds the shuffle."),
     ]
+    from fafnir_spark.dedup import cluster_representatives, fingerprint_duplicates
+    from fafnir_spark.query_ext import (
+        html_strip_bm25,
+        htmlify_docs,
+        significant_text,
+        stemmed_bm25,
+    )
+    from fafnir_spark.simsearch import bq_cosine_topk
+
+    qvec = [float((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+    sections += [
+        audit("bm25_topk direct df-branch reuse (round-5 fix)",
+              bm25_topk(docs, ["merge", "window"], k=10),
+              "df/cf come from a <=|qterms|-row groupBy broadcast back onto "
+              "the matches (NOT a per-term count window — no hot-term "
+              "single reducer); the zero-weighted min(tf)/min(dl) plan pin "
+              "makes the dfs subtree canonically identical to the tf "
+              "exchange, so exchange reuse keeps the corpus at 2 scans "
+              "(post-execution ReusedExchange, plan-asserted in tests)."),
+        audit("minhash_lsh_pairs bucket-cap polarity (round-5 fix)",
+              minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5),
+              "The cap now broadcast-ANTI-joins the rare BIG buckets "
+              "(bn > max_bucket) — never the near-universal small-bucket "
+              "keep-set (was O(n_docs*bands) driver rows). LeftAnti + "
+              "no <=-filter, plan-asserted."),
+        audit("bq_cosine_topk (1-bit binary quantization)",
+              bq_cosine_topk(emb, {"q": qvec}, k=10),
+              "Sign-Hamming candidate stage is row-local (zero shuffle "
+              "before the bounded two-level candidate top-k); exact rescore "
+              "touches k*factor rows; persisted form stores 2 BIGINTs/vector."),
+        audit("stemmed_bm25 (analyzer chain)",
+              stemmed_bm25(docs, ["merges", "queries"], k=10),
+              "Stemming is row-local expressions inside the same filtered "
+              "tf pass — the analyzer chain adds no scan or shuffle."),
+        audit("html_strip_bm25 (char filter)",
+              html_strip_bm25(htmlify_docs(docs), ["merge", "anchor"], k=10),
+              "Char filter is one row-local regexp_replace below the "
+              "tokenizer — same 2-scan shape as plain direct BM25."),
+        audit("significant_text (filter_duplicate_text)",
+              significant_text(docs, ["merge"], k=10),
+              "Foreground md5-dedup is ONE groupBy bounded by the matched "
+              "slice; background df is the dictionary aggregation; scalars "
+              "ride 1-row broadcasts."),
+        audit("fingerprint_duplicates (order-insensitive dedup)",
+              fingerprint_duplicates(docs),
+              "Sorted-distinct-token key per row, ONE groupBy on the "
+              "60-bit hash — identical scale shape to exact dedup."),
+        audit("cluster_representatives (keep-best retention)",
+              cluster_representatives(
+                  docs, minhash_lsh_pairs(docs, 8, 4, 0.35), "n_chars"),
+              "Per-cluster winner via min_by on struct(-score, id) — "
+              "map-side partial min, no per-cluster window."),
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     with open(out, "w") as f:

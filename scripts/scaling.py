@@ -82,6 +82,23 @@ Throughput holds from the scaling corpus to {s['docs']:,} docs
 ({s['docs_per_sec']:,} docs/sec on {s['cpus']} cores); compressed payload
 {s['bytes_per_posting']} bytes/posting; {s['queries']}-query BM25 batch over
 {s['postings']:,} postings in {s['query_batch_s']}s.
+{_dedup_row(s)}"""
+
+
+def _dedup_row(s: dict) -> str:
+    if "minhash_lsh_s" not in s:
+        return ""
+    return f"""
+Dedup scale pass over {s.get('dedup_docs', s['docs']):,} docs of the same
+corpus (post round-5 polarity fix — big buckets anti-joined, candidates
+verified by scoped Jaccard): MinHash+LSH {s['minhash_docs_per_sec']}
+docs/sec portable-hash / {s.get('minhash_fast_docs_per_sec', '?')} docs/sec
+xxhash64 ({s['minhash_pairs']} pairs >= threshold), winnowing overlap
+{s['winnow_docs_per_sec']} docs/sec ({s['winnow_pairs']} pairs). Peak
+single-stage shuffle {s.get('peak_stage_shuffle_write_mb', '?')} MB write /
+{s.get('peak_stage_shuffle_read_mb', '?')} MB read across the whole run —
+the candidate-verify join dominates; no stage concentrates the corpus on
+one reducer.
 """
 
 
