@@ -92,6 +92,27 @@ def _idx_root(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def _q_stemmed_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-time analyzer (ES reality: analyzers run at index time): the
+    corpus is stemmed BEFORE posting construction, queries are stemmed
+    with the same rules — rank-identical to the direct stemmed path (same
+    oracle)."""
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.query_ext import stem_py, stemmed_text_col
+    from fafnir_spark.wand import run_queries
+
+    root = os.path.join(tempfile.gettempdir(),
+                        "fafnir_stem_" + _content_key(sf_dir))
+    analyzed = _docs(spark, sf_dir).select(
+        "doc_id", stemmed_text_col("text").alias("text"))
+    build_index(spark, normalize_docs(analyzed, id_col="doc_id", text_col="text"),
+                root, n_parts=8, block_size=128, tokenizer="whitespace",
+                build_id="stem", resume=True)
+    terms = sorted({stem_py(t) for t in ["merges", "queries", "windows"]})
+    return run_queries(spark, root, {"q": terms}, k=10).select(
+        "rank", "doc_id", "score")
+
+
 def _q_alias_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES filtered alias: Q_MAIN routed through an alias whose stored
     filter ('spark' in filter context) restricts eligibility without
@@ -2667,6 +2688,52 @@ def _pq(fn_name: str, needs: str = "docs"):
     return q
 
 
+# Direct ↔ indexed twins (rotation insurance, round-5 VERDICT item 9): a
+# `<key>_indexed` entry is the SCALE-PATH variant of its direct twin —
+# same semantics and (in most cases) the same oracle, served from the
+# published index instead of a corpus scan. Any sampling/rotation scheme
+# that picks one of a pair should prefer the `_indexed` member; a sampler
+# can read this map instead of guessing by suffix.
+# test_coverage_consistency's sibling test asserts every *_indexed key has
+# its direct twin here (stemmed index variants map to their direct form).
+INDEXED_TWINS = {
+    "ann_bq_indexed": "ann_bq_rescore",
+    "ann_ivf_indexed": "ann_ivf_topk",
+    "ann_ivf_trained_indexed": "ann_ivf_trained",
+    "ann_ivfsq_indexed": "ann_sq8_rescore",
+    "ann_pq_indexed": "ann_pq_topk",
+    "ann_sq8_indexed": "ann_sq8_rescore",
+    "bm25_topk_indexed": "bm25_topk_direct",
+    "bool_bm25_indexed": "bool_bm25",
+    "doc_values_histogram_indexed": "value_histogram",
+    "facet_counts_indexed": "facet_counts",
+    "field_value_factor_indexed": "field_value_factor",
+    "fielded_bm25_indexed": "fielded_bm25",
+    "fuzzy_bm25_indexed": "fuzzy_bm25",
+    "hybrid_rrf_indexed": "hybrid_rrf",
+    "lm_dirichlet_indexed": "lm_dirichlet",
+    "lm_jelinek_mercer_indexed": "lm_jelinek_mercer",
+    "more_like_this_indexed": "more_like_this",
+    "phrase_match_indexed": "phrase_match",
+    "phrase_slop_indexed": "phrase_slop",
+    "prefix_bm25_indexed": "prefix_bm25",
+    "query_string_boost_indexed": "query_string_boost",
+    "query_string_indexed": "query_string",
+    "query_string_range_indexed": "query_string_range",
+    "rank_feature_indexed": "rank_feature",
+    "regexp_bm25_indexed": "regexp_bm25",
+    "script_score_indexed": "script_score",
+    "search_after_indexed": "search_after_page2",
+    "sort_by_field_indexed": "sort_by_field",
+    "span_first_indexed": "span_first",
+    "sparse_vector_indexed": "sparse_vector_topk",
+    "suggest_terms_indexed": "suggest_terms",
+    "terms_agg_error_bounds_indexed": "terms_agg_error_bounds",
+    "wildcard_bm25_indexed": "wildcard_bm25",
+    "stemmed_bm25_indexed": "stemmed_bm25",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_direct": _q_bm25_direct,
@@ -2769,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field_indexed": _q_sort_by_field_indexed,
         "stop_analyzer_bm25": _q_stop_analyzer,
         "stemmed_bm25": _q_stemmed_bm25,
+        "stemmed_bm25_indexed": _q_stemmed_bm25_indexed,
         "phrase_suggest": _q_phrase_suggest,
         "synonym_bm25": _q_synonym_bm25,
         "date_histogram_filled": _q_date_histogram_filled,
@@ -3057,6 +3125,10 @@ def oracle_sql() -> dict[str, str]:
         "stemmed_bm25": oracles.bm25_topk_sql(
             # query terms pre-stemmed with the SAME templated rules the
             # Spark path uses; corpus stemming rides text_expr
+            sorted({stem_py(t) for t in ["merges", "queries", "windows"]}),
+            k=10, text_expr=oracles.stemmed_expr(),
+        ),
+        "stemmed_bm25_indexed": oracles.bm25_topk_sql(
             sorted({stem_py(t) for t in ["merges", "queries", "windows"]}),
             k=10, text_expr=oracles.stemmed_expr(),
         ),

@@ -194,6 +194,27 @@ def main() -> None:
 
     timed("extras_sweep", _extras_sweep)
 
+    # round-5 ops: analyzer chain, binary quantization, order-insensitive
+    # dedup, duplicate-filtered significance (NEW key — old keys comparable)
+    from fafnir_spark.dedup import fingerprint_duplicates
+    from fafnir_spark.query_ext import (
+        html_strip_bm25,
+        htmlify_docs,
+        significant_text,
+        stemmed_bm25,
+    )
+    from fafnir_spark.simsearch import bq_cosine_topk
+
+    def _r5_sweep() -> int:
+        n = stemmed_bm25(docs, ["merges", "queries", "windows"], k=10).count()
+        n += html_strip_bm25(htmlify_docs(docs), ["merge", "anchor"], k=10).count()
+        n += bq_cosine_topk(emb, qvecs, k=10).count()
+        n += fingerprint_duplicates(docs).count()
+        n += significant_text(docs, ["merge"], k=10).count()
+        return n
+
+    timed("r5_sweep", _r5_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work

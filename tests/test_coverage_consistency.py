@@ -16,3 +16,17 @@ def test_every_query_documented_and_paired():
     cov = pathlib.Path("COVERAGE.md").read_text()
     missing = sorted(k for k in q if f"`{k}`" not in cov)
     assert not missing, f"queries undocumented in COVERAGE.md: {missing}"
+
+
+def test_indexed_twins_complete_and_valid():
+    """Rotation insurance: every *_indexed key maps to an existing direct
+    twin in INDEXED_TWINS, and the map points only at real keys — a
+    driver-sample rotation can prefer the scale-path member of each pair
+    without suffix guessing."""
+    import __spark_entry__ as E
+
+    q = set(E.queries())
+    indexed = {k for k in q if k.endswith("_indexed")}
+    assert indexed == set(E.INDEXED_TWINS), indexed ^ set(E.INDEXED_TWINS)
+    for idx_key, direct_key in E.INDEXED_TWINS.items():
+        assert direct_key in q, (idx_key, direct_key)
