@@ -1757,6 +1757,15 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_docs(docs, pairs).select("doc_id").orderBy("doc_id")
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split (the Dolma/FineWeb
+    modulo idiom) — per-source audit counts; the assignment is row-local
+    and stable under corpus growth."""
+    from fafnir_spark.curation import hash_split
+
+    return hash_split(_docs(spark, sf_dir))
+
+
 def _q_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significant_text with filter_duplicate_text: every 11th doc gains a
     same-text twin (both engines derive it); the foreground md5-dedup
@@ -2760,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": _q_dedup_canonical,
         "dedup_keep_best": _q_dedup_keep_best,
         "significant_text": _q_significant_text,
+        "hash_split": _q_hash_split,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
@@ -3034,6 +3044,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": oracles_ops.canonical_docs_sql(12, 4, 0.35),
         "dedup_keep_best": oracles_ops.cluster_representatives_sql(12, 4, 0.35),
         "significant_text": oracles.significant_text_sql(["merge"], k=10),
+        "hash_split": oracles_curation.hash_split_sql(),
         "dedup_simhash": oracles_ops.simhash_pairs_sql(3),
         "dedup_embedding_cosine": oracles_ops.embedding_dup_lsh_sql(
             0.4, plane_weights(LSH_TABLES, LSH_PLANES)

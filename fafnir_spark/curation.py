@@ -881,3 +881,28 @@ def unimax_sample(docs: DataFrame, epochs: float = 2.0,
         )
         .orderBy("lang")
     )
+
+
+def hash_split(docs: DataFrame, train_pct: int = 80, val_pct: int = 10,
+               id_col: str = "doc_id", strat_col: str = "source") -> DataFrame:
+    """Deterministic train/val/test split — the Dolma/FineWeb modulo-split
+    idiom: bucket = pmod(hash60('split:' || id), 100); < train_pct →
+    train, < train_pct+val_pct → val, else test. Row-local, reproducible
+    across runs/engines, stable under corpus growth (a doc's split never
+    changes when other docs arrive — the property a random split lacks).
+    Returns the per-stratum audit relation (source, split, n), ordered —
+    the assignment itself is the row-local ``__split`` expression, so the
+    full labeled corpus is one select away with zero shuffle."""
+    b = F.pmod(hash60(F.concat_ws(":", F.lit("split"),
+                                  F.col(id_col).cast("string"))), F.lit(100))
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(F.col(strat_col).alias("source"), split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("source", "split")
+    )

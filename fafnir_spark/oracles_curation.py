@@ -641,3 +641,20 @@ FROM grams JOIN gdf USING (g)
 GROUP BY grams.doc_id
 ORDER BY grams.doc_id
 """
+
+
+def hash_split_sql(train_pct: int = 80, val_pct: int = 10) -> str:
+    """Mirror of curation.hash_split (same portable hash, same bucket
+    thresholds)."""
+    h = hash60_sql("concat('split', ':', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH b AS (
+  SELECT source,
+         CASE WHEN (({h}) % 100 + 100) % 100 < {train_pct} THEN 'train'
+              WHEN (({h}) % 100 + 100) % 100 < {train_pct + val_pct} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY source, split ORDER BY source, split
+"""
