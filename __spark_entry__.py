@@ -2548,6 +2548,29 @@ def _q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return esql(spark, ESQL_DISSECT_QUERY, {"msgs": msgs})
 
 
+ESQL_GROK_QUERY = """
+FROM msgs
+| GROK msg "%{WORD:etype} user=%{INT:uid} req=%{INT:rid}"
+| WHERE uid < 25
+| STATS n = count(*), max_req = max(rid) BY etype
+| SORT etype ASC
+| KEEP etype, n, max_req
+"""
+
+
+def _q_esql_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL GROK: typed pattern captures (INT fields cast to long) feed a
+    numeric WHERE and aggregate downstream in the SAME compiled plan."""
+    from fafnir_spark.esql import esql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    msgs = ev.select(
+        F.concat(F.col("event_type"), F.lit(" user="),
+                 F.col("user_id").cast("string"), F.lit(" req="),
+                 F.col("event_id").cast("string")).alias("msg"))
+    return esql(spark, ESQL_GROK_QUERY, {"msgs": msgs})
+
+
 ESQL_ENRICH_QUERY = """
 FROM events
 | WHERE user_id < 20
@@ -2922,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_pipeline": _q_esql,
         "esql_mv_expand": _q_esql_mv_expand,
         "esql_dissect": _q_esql_dissect,
+        "esql_grok": _q_esql_grok,
         "esql_enrich": _q_esql_enrich,
         "terms_agg_error_bounds": _q_terms_agg_error_bounds,
         "terms_agg_error_bounds_indexed": _q_terms_agg_error_bounds_indexed,
@@ -3259,6 +3283,13 @@ FROM (
   FROM events
 )
 GROUP BY 1 ORDER BY etype ASC
+""",
+        "esql_grok": """
+SELECT etype, CAST(count(*) AS BIGINT) AS n, max(rid) AS max_req
+FROM (
+  SELECT event_type AS etype, user_id AS uid, event_id AS rid FROM events
+) WHERE uid < 25
+GROUP BY etype ORDER BY etype ASC
 """,
         "esql_enrich": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n

@@ -120,6 +120,42 @@ def _compile_dissect(pattern: str) -> tuple[list[str], str]:
     return fields, regex
 
 
+# GROK pattern library — the deterministic core of the public grok set.
+# Each entry is a plain regex fragment; %{NAME:field} captures it into
+# `field`, with INT/NUMBER captures cast to long/double (ES grok's typed
+# conversion).
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+}
+_GROK_CASTS = {"INT": "long", "NUMBER": "double"}
+
+
+def _compile_grok(pattern: str) -> tuple[list[tuple[str, str | None]], str]:
+    """ES|QL GROK pattern → ([(field, cast_type)], anchored regex).
+    Literals between %{PATTERN:field} captures are regex-escaped."""
+    parts = re.split(rf"%\{{({'|'.join(_GROK_PATTERNS)}):({_IDENT})\}}", pattern)
+    # parts = [lit0, pat1, name1, lit1, pat2, name2, lit2, ...]
+    fields: list[tuple[str, str | None]] = []
+    regex = "^"
+    i = 0
+    while i < len(parts):
+        regex += re.escape(parts[i])
+        if i + 2 < len(parts):
+            pat, name = parts[i + 1], parts[i + 2]
+            regex += f"({_GROK_PATTERNS[pat]})"
+            fields.append((name, _GROK_CASTS.get(pat)))
+        i += 3
+    regex += "$"
+    if not fields:
+        raise EsqlError(f"GROK pattern has no %{{PATTERN:field}} captures: {pattern!r}")
+    return fields, regex
+
+
 def esql(spark: SparkSession, query: str,
          tables: dict[str, DataFrame]) -> DataFrame:
     """Compile one ES|QL pipe query against the given table registry and
@@ -174,6 +210,17 @@ def esql(spark: SparkSession, query: str,
             fields, regex = _compile_dissect(_lit(m.group(2)))
             for gi, fname in enumerate(fields, start=1):
                 df = df.withColumn(fname, F.regexp_extract(F.col(src), regex, gi))
+        elif kw == "GROK":
+            m = re.fullmatch(rf"\s*({_IDENT})\s+({_STR})\s*", rest)
+            if not m:
+                raise EsqlError(f"unsupported GROK: {rest!r}")
+            src = m.group(1)
+            gfields, regex = _compile_grok(_lit(m.group(2)))
+            for gi, (fname, cast) in enumerate(gfields, start=1):
+                c = F.regexp_extract(F.col(src), regex, gi)
+                if cast:
+                    c = c.cast(cast)
+                df = df.withColumn(fname, c)
         elif kw == "ENRICH":
             # ENRICH <table> ON <match_field> WITH <col>, ... — the lookup
             # table (ES enrich index) must carry <match_field> as its key.

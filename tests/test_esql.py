@@ -143,3 +143,25 @@ def test_enrich_unknown_table_rejected(spark):
     t = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(EsqlError, match="unknown enrich table"):
         esql(spark, "FROM t | ENRICH nope ON k WITH x", {"t": t})
+
+
+def test_grok_typed_captures(spark):
+    from fafnir_spark.esql import esql
+
+    msgs = spark.createDataFrame(
+        [("error user=7 took 1.5",), ("click user=11 took 2.25",)], "msg string")
+    df = esql(spark, 'FROM msgs | GROK msg "%{WORD:t} user=%{INT:u} took %{NUMBER:s}" '
+                     '| WHERE u > 8 | KEEP t, u, s', {"msgs": msgs})
+    assert dict(df.dtypes)["u"] == "bigint" and dict(df.dtypes)["s"] == "double"
+    rows = df.collect()
+    assert [(r["t"], r["u"], r["s"]) for r in rows] == [("click", 11, 2.25)]
+
+
+def test_grok_rejects_unknown_pattern(spark):
+    import pytest
+
+    from fafnir_spark.esql import EsqlError, esql
+
+    msgs = spark.createDataFrame([("x",)], "msg string")
+    with pytest.raises(EsqlError):
+        esql(spark, 'FROM msgs | GROK msg "%{NOPE:a}"', {"msgs": msgs})
