@@ -1757,6 +1757,16 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_docs(docs, pairs).select("doc_id").orderBy("doc_id")
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the LSH path vs exact brute force — the
+    pre-deployment check an ANN config needs; overlap join <= 2k rows."""
+    from fafnir_spark.simsearch import ann_recall_at_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_recall_at_k(emb, {"q": QVEC}, k=10,
+                           tables=LSH_TABLES, planes=LSH_PLANES)
+
+
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split (the Dolma/FineWeb
     modulo idiom) — per-source audit counts; the assignment is row-local
@@ -2793,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "significant_text": _q_significant_text,
         "hash_split": _q_hash_split,
+        "ann_recall": _q_ann_recall,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
@@ -3069,6 +3080,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": oracles_ops.cluster_representatives_sql(12, 4, 0.35),
         "significant_text": oracles.significant_text_sql(["merge"], k=10),
         "hash_split": oracles_curation.hash_split_sql(),
+        "ann_recall": oracles_ops.ann_recall_sql(
+            QVEC, plane_weights(LSH_TABLES, LSH_PLANES), 10),
         "dedup_simhash": oracles_ops.simhash_pairs_sql(3),
         "dedup_embedding_cosine": oracles_ops.embedding_dup_lsh_sql(
             0.4, plane_weights(LSH_TABLES, LSH_PLANES)

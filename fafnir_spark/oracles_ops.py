@@ -1166,3 +1166,16 @@ SELECT cluster_id, doc_id, {score_col} FROM (
   FROM scored
 ) WHERE rn = 1 ORDER BY cluster_id
 """
+
+
+def ann_recall_sql(query_vec: list[float], weights: list[list[list[float]]],
+                   k: int = 10) -> str:
+    """Mirror of simsearch.ann_recall_at_k for one query: brute top-k ∩
+    LSH top-k over k (same hyperplane literals as the Spark path)."""
+    return f"""
+WITH brute AS ({cosine_topk_sql(query_vec, k)}),
+approx AS ({lsh_cosine_topk_sql(query_vec, weights, k)})
+SELECT 'q' AS qid,
+       round(CAST(count(*) AS DOUBLE) / {float(k)!r}, 6) AS recall
+FROM brute JOIN approx USING (vec_id)
+"""

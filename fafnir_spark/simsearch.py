@@ -1335,3 +1335,33 @@ def bq_search(
     top = exact.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return top.withColumn("rank", F.row_number().over(w)).select("rank", "vec_id", "cos")
+
+
+def ann_recall_at_k(
+    emb: DataFrame,
+    query_vecs: dict[str, list[float]],
+    k: int = 10,
+    tables: int = 8,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the LSH approximate path against exact brute-force —
+    the evaluation primitive an ANN deployment runs before trusting a
+    bucketing config at scale. Both branches are the existing two-level
+    top-k plans; the overlap join touches <= 2k rows per query, and a
+    query with zero overlap still reports recall 0.0 (left join from the
+    query relation). (qid, recall), ordered."""
+    spark = emb.sparkSession
+    brute = cosine_topk(emb, query_vecs, k=k, id_col=id_col, vec_col=vec_col
+                        ).select("qid", "vec_id")
+    approx = lsh_cosine_topk(emb, query_vecs, k=k, tables=tables,
+                             planes=planes, id_col=id_col, vec_col=vec_col
+                             ).select("qid", "vec_id")
+    hits = brute.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("__n"))
+    qids = spark.createDataFrame([(q,) for q in sorted(query_vecs)], "qid string")
+    return qids.join(hits, "qid", "left").select(
+        "qid",
+        F.round(F.coalesce(F.col("__n"), F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
+    ).orderBy("qid")
