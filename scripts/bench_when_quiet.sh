@@ -21,7 +21,7 @@ if ! mkdir "$LOCK" 2>/dev/null; then
   echo "REFUSED: another gate instance holds $LOCK" >&2
   exit 3
 fi
-trap 'rmdir "$LOCK" 2>/dev/null' EXIT
+trap 'rmdir "$LOCK" 2>/dev/null' EXIT; trap 'rmdir "$LOCK" 2>/dev/null; exit 130' TERM INT
 
 for i in $(seq 1 "$ATTEMPTS"); do
   P=$(python -c "

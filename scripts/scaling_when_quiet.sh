@@ -9,7 +9,7 @@ if ! mkdir "$LOCK" 2>/dev/null; then
   echo "REFUSED: another gate instance holds $LOCK" >&2
   exit 3
 fi
-trap 'rmdir "$LOCK" 2>/dev/null' EXIT
+trap 'rmdir "$LOCK" 2>/dev/null' EXIT; trap 'rmdir "$LOCK" 2>/dev/null; exit 130' TERM INT
 P=$(python -c "
 import sys; sys.path.insert(0, 'scripts')
 from scaling import run_probe
