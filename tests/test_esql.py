@@ -165,3 +165,29 @@ def test_grok_rejects_unknown_pattern(spark):
     msgs = spark.createDataFrame([("x",)], "msg string")
     with pytest.raises(EsqlError):
         esql(spark, 'FROM msgs | GROK msg "%{NOPE:a}"', {"msgs": msgs})
+
+
+def test_compile_dissect_pure():
+    import re as _re
+
+    from fafnir_spark.esql import _compile_dissect
+
+    fields, rx = _compile_dissect("%{a} user=%{b} req=%{c}")
+    assert fields == ["a", "b", "c"]
+    m = _re.match(rx, "error user=7 req=12")
+    assert m.groups() == ("error", "7", "12")
+    # literal with regex metachars is escaped
+    fields2, rx2 = _compile_dissect("%{x}[y]%{z}")
+    assert _re.match(rx2, "a[y]b").groups() == ("a", "b")
+
+
+def test_compile_grok_pure():
+    import re as _re
+
+    from fafnir_spark.esql import _compile_grok
+
+    fields, rx = _compile_grok("%{WORD:t} took %{NUMBER:s}ms req=%{INT:r}")
+    assert fields == [("t", None), ("s", "double"), ("r", "long")]
+    m = _re.match(rx, "click took 2.25ms req=-3")
+    assert m.groups() == ("click", "2.25", "-3")
+    assert _re.match(rx, "click took xms req=3") is None  # NUMBER must match
