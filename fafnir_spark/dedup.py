@@ -90,27 +90,52 @@ def ngram_jaccard_pairs(
 
     Without ``candidates`` this is the exact quadratic form (shingle
     self-join — test/oracle scale only). With ``candidates`` (distinct
-    (doc_a, doc_b) pairs, doc_a < doc_b) the common-shingle count is
-    computed FROM the candidate pairs —
-    cand ⋈ shingles(doc_a) ⋈ shingles(doc_b, same shingle) → groupBy(pair)
-    — so the join input is O(|candidates| × shingles/doc). A hot shingle
-    (one boilerplate header in 10^9 docs) never triggers a corpus-wide
-    self-join: the shingle-equality join is keyed on (doc_b, shingle),
-    already restricted to candidate docs.
+    (doc_a, doc_b) pairs, doc_a < doc_b) the verify is ROW-LOCAL:
+    cand ⋈ shingle_array(doc_a) ⋈ shingle_array(doc_b), then
+    size(array_intersect) in-row — no exploded per-shingle join, no
+    per-pair groupBy, and a hot boilerplate shingle never drives a
+    corpus-wide self-join. Shuffle = |candidates| rows carrying one
+    compact array per side (round-5: the exploded form's verify join was
+    the 1M run's biggest stage at 34.5 GB). Note: with threshold == 0.0
+    the array form emits zero-overlap candidate pairs (jaccard 0.0) that
+    the exploded form silently dropped; every production threshold > 0.
     """
-    sh = doc_shingles(docs, id_col, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is not None:
+        # Row-local verify: ship each candidate doc's distinct-shingle
+        # ARRAY (compact, once per pair side) and intersect in-row —
+        # no exploded (doc, shingle) join and no per-pair groupBy. The
+        # round-5 1M scale run measured the exploded form's verify join
+        # as the single largest shuffle (34.5 GB peak stage at 250k
+        # docs); the array form's shuffle is two id-keyed joins of
+        # |candidates| rows carrying one array each.
+        sharr = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(shingles_expr(text_col, NGRAM)).alias("sh_arr"),
+        )
         cand = candidates.select("doc_a", "doc_b")
-        sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        common = (
-            cand.join(sh_a, "doc_a")
-            .join(sh_b, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("common"))
+        a = sharr.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sa"))
+        b = sharr.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sb"))
+        pairs = (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a", "doc_b",
+                F.size(F.array_intersect("sa", "sb")).alias("common"),
+                F.size("sa").alias("n_a"),
+                F.size("sb").alias("n_b"),
+            )
+        )
+        return (
+            pairs.withColumn(
+                "jaccard",
+                F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
         )
     else:
+        sh = doc_shingles(docs, id_col, text_col)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         a = sh.alias("a")
         b = sh.alias("b")
         common = (
