@@ -2776,6 +2776,76 @@ INDEXED_TWINS = {
 }
 
 
+ESQL_RENAME_QUERY = """
+FROM events
+| RENAME event_type AS etype
+| EVAL vi = value * 2.0
+| DROP props
+| WHERE vi >= 10.0
+| STATS n = count(*) BY etype
+| SORT etype ASC
+| KEEP etype, n
+"""
+
+
+def _q_esql_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL RENAME + DROP: pure projection stages ahead of a pushdown
+    WHERE and one STATS groupBy — column pruning makes DROP free, RENAME
+    is a Project alias."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_RENAME_QUERY,
+                {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
+
+
+def _q_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) funnel retrieval: prefix-16-dim cosine candidate
+    scan, exact 64-dim rescore of k*4, both stages two-level top-k."""
+    from fafnir_spark.simsearch import matryoshka_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return matryoshka_topk(emb, {"q": QVEC}, k=10, prefix_dim=16,
+                           rescore_factor=4).drop("qid")
+
+
+def _q_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES frequent_item_sets (size-2, baskets = users, items = event
+    types): apriori size-1 prune, then a pair self-join bounded by the
+    frequent-item vocabulary."""
+    from fafnir_spark.pipeline import frequent_item_sets
+
+    return frequent_item_sets(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), min_support=3, k=20)
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet/RefinedWeb): pages derived
+    via linify_docs (every 7th gains a shared cookie-banner line), lines
+    repeating across >=2 docs are stripped from all, docs reassembled in
+    order. Exclusion is an unhinted left_anti join."""
+    from fafnir_spark.curation import line_dedup, linify_docs
+
+    return line_dedup(linify_docs(_docs(spark, sf_dir)), min_dup=2)
+
+
+def _q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist audit (UT1/Dolma URL filter): derived hosts,
+    blocked iff equal to or subdomain of a blocklist entry — the list
+    compiles to one row-local boolean, no join."""
+    from fafnir_spark.curation import url_host_filter, urlify_docs
+
+    return url_host_filter(urlify_docs(_docs(spark, sf_dir)))
+
+
+def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: one-scan sum-mergeable registers
+    (depth 4 x width 256), min-over-probes estimate joined broadcast,
+    exact count alongside (est >= exact always)."""
+    from fafnir_spark.sketches import cm_heavy_hitters
+
+    return cm_heavy_hitters(_docs(spark, sf_dir), k=20, depth=4, width=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_direct": _q_bm25_direct,
@@ -2954,6 +3024,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_sampler": _q_random_sampler,
         "geo_distance_range": _q_geo_distance_range,
         "esql_pipeline": _q_esql,
+        "esql_rename_drop": _q_esql_rename_drop,
+        "ann_matryoshka": _q_ann_matryoshka,
+        "frequent_item_sets": _q_frequent_item_sets,
+        "line_dedup": _q_line_dedup,
+        "url_host_filter": _q_url_host_filter,
+        "cm_heavy_hitters": _q_cm_heavy_hitters,
         "esql_mv_expand": _q_esql_mv_expand,
         "esql_dissect": _q_esql_dissect,
         "esql_grok": _q_esql_grok,
@@ -3270,6 +3346,21 @@ def oracle_sql() -> dict[str, str]:
         "stats_bucket": oracles_pipeline.stats_bucket_sql(),
         "random_sampler": oracles_pipeline.random_sampler_sql(p=0.25),
         "geo_distance_range": oracles_pipeline.geo_distance_range_sql(),
+        "ann_matryoshka": oracles_ops.matryoshka_topk_sql(
+            QVEC, k=10, prefix_dim=16, rescore_factor=4),
+        "frequent_item_sets": oracles_pipeline.frequent_item_sets_sql(
+            min_support=3, k=20),
+        "line_dedup": oracles_curation.line_dedup_sql(min_dup=2),
+        "url_host_filter": oracles_curation.url_host_filter_sql(),
+        "cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(
+            k=20, depth=4, width=256),
+        "esql_rename_drop": """
+SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE value * 2.0 >= 10.0
+GROUP BY event_type
+ORDER BY etype ASC
+""",
         "esql_pipeline": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 6) AS total, round(avg(value), 6) AS avg_v

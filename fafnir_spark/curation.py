@@ -906,3 +906,134 @@ def hash_split(docs: DataFrame, train_pct: int = 80, val_pct: int = 10,
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("source", "split")
     )
+
+
+# Shared line-derivation constants (the C4_NOISE precedent): the fixture
+# corpus is single-line, so the line-dedup driver query derives multi-line
+# pages identically in BOTH engines — fixed-width cuts plus a boilerplate
+# line on every boiler_every-th page.
+LINIFY = {
+    "width": 48,
+    "boiler_every": 7,
+    "boiler": "accept our cookies to continue reading this page",
+}
+
+
+def linify_docs(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Deterministically derive a multi-line page from each fixture doc:
+    three fixed-width cuts joined by newlines, plus the shared boilerplate
+    line appended to every LINIFY['boiler_every']-th page. Row-local;
+    empty cuts (short docs) are dropped by the line splitter downstream
+    (the tokenizer empty-token convention)."""
+    w = LINIFY["width"]
+    nl = F.lit("\n")
+    t = F.col(text_col)
+    page = F.concat(
+        F.substring(t, 1, w), nl,
+        F.substring(t, w + 1, w), nl,
+        F.substring(t, 2 * w + 1, 1_000_000),
+        F.when(F.pmod(F.col(id_col), F.lit(LINIFY["boiler_every"])) == 0,
+               F.concat(nl, F.lit(LINIFY["boiler"]))).otherwise(F.lit("")),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), page.alias("text"))
+
+
+def line_dedup(docs: DataFrame, min_dup: int = 2, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Line-level boilerplate removal (CCNet/RefinedWeb: drop lines that
+    repeat across documents — cookie banners, nav bars). A line occurring
+    in >= min_dup DISTINCT docs is removed from ALL of them; each doc is
+    reassembled from its surviving lines in original order.
+
+    Scale shape: the duplicated-line relation is the SMALL side by
+    construction (boilerplate is rare among distinct lines) but can still
+    be millions of rows at corpus scale, so the exclusion is an UNHINTED
+    left_anti join (AQE picks broadcast iff it fits — the winnow_overlap
+    polarity rule); reassembly is one groupBy with an array_sort on the
+    carried position, never a window. (doc_id, clean_text, n_kept,
+    n_dropped) ordered by doc_id."""
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .filter(F.col("line") != "")
+    )
+    common = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_dup)
+        .select("line")
+    )
+    kept = lines.join(common, "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_lines"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("__n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Shared URL-derivation + blocklist constants: the fixture has no URL
+# column, so the filter derives one per doc identically in both engines.
+URLIFY = {
+    "host_mod": 7,
+    "tlds": ["example.com", "test.org", "blocked.net"],  # pmod(doc_id, 3)
+}
+URL_BLOCKLIST = ["blocked.net", "src1-3.example.com"]
+
+
+def urlify_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, host): host = '<source>-<pmod(id,host_mod)>.<tld>' with
+    the tld cycling by pmod(doc_id, 3). Row-local."""
+    tld = (
+        F.when(F.pmod(F.col(id_col), F.lit(3)) == 0, F.lit(URLIFY["tlds"][0]))
+        .when(F.pmod(F.col(id_col), F.lit(3)) == 1, F.lit(URLIFY["tlds"][1]))
+        .otherwise(F.lit(URLIFY["tlds"][2]))
+    )
+    host = F.concat(
+        F.col("source"), F.lit("-"),
+        F.pmod(F.col(id_col), F.lit(URLIFY["host_mod"])).cast("string"),
+        F.lit("."), tld,
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), host.alias("host"))
+
+
+def url_host_filter(hosts: DataFrame,
+                    blocklist: list[str] | None = None) -> DataFrame:
+    """Domain blocklist audit (the UT1/Dolma URL-filter stage): a host is
+    blocked iff it EQUALS a blocklist entry or is a SUBDOMAIN of one
+    (suffix match on '.'+entry — how adult/spam domain lists apply). The
+    blocklist compiles to ONE row-local boolean expression (literal
+    OR-chain, no join at all — it is a driver-side constant list, the
+    LANG_MARKERS convention), so the 10^12-row scan never shuffles for
+    the filter. (host, n_docs, blocked) ordered by host."""
+    bl = URL_BLOCKLIST if blocklist is None else blocklist
+    h = F.col("host")
+    blocked = F.lit(False)
+    for entry in bl:
+        blocked = blocked | (h == F.lit(entry)) | h.endswith("." + entry)
+    return (
+        hosts.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select("host", "n_docs", blocked.alias("blocked"))
+        .orderBy("host")
+    )

@@ -243,6 +243,25 @@ def esql(spark: SparkSession, query: str,
             if not re.fullmatch(_IDENT, col):
                 raise EsqlError(f"unsupported MV_EXPAND column: {rest!r}")
             df = df.withColumn(col, F.explode(F.col(col)))
+        elif kw == "RENAME":
+            # RENAME <old> AS <new>, ... — pure projection rename.
+            for part in rest.split(","):
+                m = re.fullmatch(rf"\s*({_IDENT})\s+AS\s+({_IDENT})\s*", part,
+                                 re.IGNORECASE)
+                if not m:
+                    raise EsqlError(f"unsupported RENAME clause: {part!r}")
+                old, new = m.groups()
+                if old not in df.columns:
+                    raise EsqlError(f"RENAME of unknown column {old!r}")
+                df = df.withColumnRenamed(old, new)
+        elif kw == "DROP":
+            cols = [c.strip() for c in rest.split(",")]
+            for c in cols:
+                if not re.fullmatch(_IDENT, c):
+                    raise EsqlError(f"unsupported DROP column: {c!r}")
+                if c not in df.columns:
+                    raise EsqlError(f"DROP of unknown column {c!r}")
+            df = df.drop(*cols)
         elif kw == "LIMIT":
             df = df.limit(int(rest.strip()))
         elif kw == "KEEP":

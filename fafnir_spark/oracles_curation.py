@@ -658,3 +658,115 @@ WITH b AS (
 SELECT source, split, CAST(count(*) AS BIGINT) AS n
 FROM b GROUP BY source, split ORDER BY source, split
 """
+
+
+def linify_cte(table: str = "documents") -> str:
+    """Shared derivation CTE body for the multi-line page (mirror of
+    curation.linify_docs — constants templated from curation.LINIFY)."""
+    from .curation import LINIFY
+
+    w = LINIFY["width"]
+    return f"""
+  SELECT doc_id,
+         substr(text, 1, {w}) || chr(10) ||
+         substr(text, {w + 1}, {w}) || chr(10) ||
+         substr(text, {2 * w + 1}, 1000000) ||
+         CASE WHEN {_pmod("doc_id", LINIFY["boiler_every"])} = 0
+              THEN chr(10) || '{LINIFY["boiler"]}' ELSE '' END AS text
+  FROM {table}"""
+
+
+def line_dedup_sql(min_dup: int = 2) -> str:
+    """Mirror of curation.line_dedup over linify_docs(documents)."""
+    return f"""
+WITH lin AS ({linify_cte()}),
+splits AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM lin),
+lines AS (
+  SELECT doc_id, i AS pos, l[i] AS line
+  FROM splits, LATERAL unnest(range(1, len(l)+1)) AS t(i)
+  WHERE l[i] <> ''
+),
+common AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) >= {min_dup}
+),
+kept AS (SELECT * FROM lines ANTI JOIN common USING (line)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def url_host_filter_sql() -> str:
+    """Mirror of curation.urlify_docs + url_host_filter — host derivation
+    and blocklist templated from curation.URLIFY / URL_BLOCKLIST."""
+    from .curation import URL_BLOCKLIST, URLIFY
+
+    tlds = URLIFY["tlds"]
+    host = (
+        f"source || '-' || CAST({_pmod('doc_id', URLIFY['host_mod'])} AS VARCHAR)"
+        f" || '.' || CASE WHEN {_pmod('doc_id', 3)} = 0 THEN '{tlds[0]}'"
+        f" WHEN {_pmod('doc_id', 3)} = 1 THEN '{tlds[1]}'"
+        f" ELSE '{tlds[2]}' END"
+    )
+    blocked = " OR ".join(
+        f"(host = '{e}' OR host LIKE '%.{e}')" for e in URL_BLOCKLIST)
+    return f"""
+WITH hosts AS (SELECT doc_id, {host} AS host FROM documents)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs, ({blocked}) AS blocked
+FROM hosts GROUP BY host ORDER BY host
+"""
+
+
+def cm_heavy_hitters_sql(k: int = 20, depth: int = 4, width: int = 256) -> str:
+    """Mirror of sketches.cm_heavy_hitters: same seeded hash family
+    ('cm<j>:'||term, portable md5-60), same mod-width buckets, min over
+    depth register probes, exact count alongside."""
+    from .portable import seeded_sql
+
+    def bucket(j: int) -> str:
+        return _pmod(seeded_sql("term", f"'cm{j}'"), width)
+
+    return f"""
+WITH toks AS (
+  SELECT t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+probes AS (
+  SELECT term, j,
+         CASE {' '.join(f'WHEN j = {j} THEN {bucket(j)}' for j in range(depth))}
+         END AS bucket
+  FROM (SELECT DISTINCT term FROM toks), unnest(range(0, {depth})) AS d(j)
+),
+regs AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT j,
+           CASE {' '.join(f'WHEN j = {j} THEN {bucket(j)}' for j in range(depth))}
+           END AS bucket
+    FROM toks, unnest(range(0, {depth})) AS d(j)
+  ) GROUP BY j, bucket
+),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact FROM toks GROUP BY term),
+est AS (
+  SELECT p.term, min(r.cnt) AS est
+  FROM probes p JOIN regs r ON p.j = r.j AND p.bucket = r.bucket
+  GROUP BY p.term
+)
+SELECT e.term, s.est, e.exact
+FROM exact e JOIN est s ON e.term = s.term
+ORDER BY s.est DESC, e.term ASC
+LIMIT {k}
+"""

@@ -1179,3 +1179,34 @@ SELECT 'q' AS qid,
        round(CAST(count(*) AS DOUBLE) / {float(k)!r}, 6) AS recall
 FROM brute JOIN approx USING (vec_id)
 """
+
+
+def matryoshka_topk_sql(query_vec: list[float], k: int = 10,
+                        prefix_dim: int = 16, rescore_factor: int = 4) -> str:
+    """Mirror of simsearch.matryoshka_topk: prefix-dim cosine candidate
+    stage (k·factor), exact full-dim rescore, same tie order."""
+    from .oracles import _cos_sql
+
+    lit = "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in query_vec) + "]"
+    plit = "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in query_vec[:prefix_dim]) + "]"
+    acos = _cos_sql(f"(e.embedding[1:{prefix_dim}])", f"{plit}", prefix_dim)
+    ecos = _cos_sql("e.embedding", f"{lit}", len(query_vec))
+    return f"""
+WITH approx AS (
+  SELECT e.vec_id, round({acos}, 6) AS acos FROM embeddings e
+),
+cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY acos DESC, vec_id ASC) AS rn
+    FROM approx
+  ) WHERE rn <= {k * rescore_factor}
+),
+exact AS (
+  SELECT c.vec_id, round({ecos}, 6) AS cos
+  FROM cand c JOIN embeddings e USING (vec_id)
+)
+SELECT rank, vec_id, cos FROM (
+  SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank, vec_id, cos
+  FROM exact
+) WHERE rank <= {k} ORDER BY rank
+"""

@@ -1459,3 +1459,27 @@ SELECT category, CAST(count(*) AS BIGINT) AS doc_count, min(msg) AS example
 FROM cats GROUP BY category
 ORDER BY category
 """
+
+
+def frequent_item_sets_sql(min_support: int = 3, k: int = 20) -> str:
+    """Mirror of pipeline.frequent_item_sets: distinct baskets, apriori
+    size-1 prune, a<b pair self-join, same order."""
+    return f"""
+WITH ui AS (SELECT DISTINCT user_id, event_type FROM events),
+f1 AS (
+  SELECT event_type FROM ui GROUP BY event_type
+  HAVING count(*) >= {min_support}
+),
+uif AS (SELECT ui.user_id, ui.event_type FROM ui JOIN f1 USING (event_type)),
+pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM uif a JOIN uif b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_support}
+)
+SELECT item_a, item_b, support FROM pairs
+ORDER BY support DESC, item_a ASC, item_b ASC
+LIMIT {k}
+"""

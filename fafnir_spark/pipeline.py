@@ -1659,3 +1659,38 @@ def random_sampler_agg(events: DataFrame, p: float = 0.25,
         )
         .orderBy("event_type")
     )
+
+
+def frequent_item_sets(events: DataFrame, min_support: int = 3,
+                       k: int = 20) -> DataFrame:
+    """ES 8.4 ``frequent_item_sets`` agg, size-2 form over event baskets:
+    basket = user, item = event_type, support = #users whose basket holds
+    both items (Agrawal'94 market-basket shape, ES runs the same Eclat
+    family). APRIORI PRUNE as the scale guard: only items that are
+    frequent ALONE (support >= min_support, downward closure) enter the
+    pair self-join, so the per-basket pair explosion is bounded by
+    |frequent items|² — item vocabularies are small even when baskets
+    number 10^12, and the frequent-item relation broadcasts. Distinct
+    (basket, item) first: duplicate events never inflate support.
+    (item_a, item_b, support) — support desc, then pair asc, top-k."""
+    ui = events.select("user_id", "event_type").distinct()
+    f1 = (
+        ui.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("s1"))
+        .filter(F.col("s1") >= min_support)
+    )
+    uif = ui.join(F.broadcast(f1.select("event_type")), "event_type").select(
+        "user_id", "event_type")
+    a = uif.alias("a")
+    b = uif.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("item_a"),
+                 F.col("b.event_type").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return pairs.orderBy(
+        F.col("support").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(k)

@@ -1365,3 +1365,53 @@ def ann_recall_at_k(
         "qid",
         F.round(F.coalesce(F.col("__n"), F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
     ).orderBy("qid")
+
+
+def matryoshka_topk(
+    emb: DataFrame,
+    query_vecs: dict[str, list[float]],
+    k: int = 10,
+    prefix_dim: int = 16,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL, Kusupati'22) adaptive retrieval: candidates are
+    ranked by cosine over only the FIRST ``prefix_dim`` dimensions (an
+    MRL-trained embedding packs coarse semantics into its prefix), then
+    the top k·rescore_factor are re-scored with the exact full-dimension
+    cosine — the funnel-retrieval pattern ES/vector DBs run to cut the
+    scan's arithmetic and bandwidth 1/(dim/prefix_dim)-fold.
+
+    Same scale shape as sq8_cosine_topk: both stages go through the
+    two-level topk_per_group (never a corpus-wide window), the query
+    relation is a broadcast literal, and the exact rescore touches only
+    k·factor rows per query. At 100 TB the prefix scan reads 4x fewer
+    vector bytes iff the store lays out prefixes columnar-first; here the
+    win is arithmetic, the plan shape is what's asserted.
+    (qid, rank, vec_id, cos) — cos is the EXACT rounded full-dim cosine."""
+    spark = emb.sparkSession
+    q = spark.createDataFrame(
+        [(qid, [float(x) for x in v], [float(x) for x in v[:prefix_dim]])
+         for qid, v in query_vecs.items()],
+        "qid string, qv array<double>, qp array<double>",
+    )
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    approx = base.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id",
+        F.round(
+            cosine_expr(F.slice(F.col("v"), 1, prefix_dim), F.col("qp")), 6
+        ).alias("acos"),
+    )
+    from .topk import topk_per_group
+
+    cand = topk_per_group(
+        approx, k * rescore_factor, group_col="qid", id_col="vec_id", val_col="acos"
+    ).select("qid", "vec_id")
+    exact = (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "vec_id",
+                F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos"))
+    )
+    return _topk_per_qid(exact, k)

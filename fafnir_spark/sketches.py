@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .portable import hash60
+from .portable import hash60, seeded
 from .topk import topk_per_group
 
 TWO60 = float(1 << 60)
@@ -274,3 +274,62 @@ def hll_cardinality(df: DataFrame, val_cols: tuple = ("event_id", "user_id"),
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("col")
+
+
+def cm_register_rows(tokens: DataFrame, term_col: str = "term",
+                     depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-min sketch registers (Cormode & Muthukrishnan'05) of a token
+    stream: (j, bucket, cnt), <= depth*width rows. bucket_j(t) =
+    hash60('cm<j>:'||t) mod width (the seeded keyed-hash family). Built in
+    ONE scan: each token emits its depth (j, bucket) pairs via a literal
+    array explode, then a single groupBy with map-side partial counts.
+    Registers are SUM-MERGEABLE (union + groupBy sum) — segment-, batch-
+    and partition-shippable like the HLL max-merge relation."""
+    pairs = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.pmod(seeded(F.col(term_col), F.lit(f"cm{j}")), F.lit(width)).alias("bucket"),
+        )
+        for j in range(depth)
+    ])
+    return (
+        tokens.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cm_heavy_hitters(docs: DataFrame, k: int = 20, depth: int = 4,
+                     width: int = 256, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Top-k terms by count-min ESTIMATE, with the exact count alongside
+    (the audit shape): est(t) = min_j registers[j][bucket_j(t)] >= true
+    count, always (one-sided error — the CM guarantee). The register
+    relation (<= depth*width rows) is broadcast onto the distinct-term
+    relation, so the estimate join never shuffles the term side; at
+    100 TB the registers are the only thing a coordinator ships between
+    corpus shards. (term, est, exact) — est desc, term asc, top-k."""
+    from .tokenizer import tokens_expr
+
+    toks = docs.select(F.explode(tokens_expr(text_col)).alias("term"))
+    regs = cm_register_rows(toks, "term", depth=depth, width=width)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    probes = exact.select(
+        "term", "exact",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(seeded(F.col("term"), F.lit(f"cm{j}")), F.lit(width)).alias("bucket"),
+            )
+            for j in range(depth)
+        ])).alias("p"),
+    ).select("term", "exact", F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(regs), ["j", "bucket"])
+        .groupBy("term", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.select("term", "est", "exact").orderBy(
+        F.col("est").desc(), F.col("term").asc()
+    ).limit(k)

@@ -108,7 +108,7 @@ out = {
     **shuffle_stats,
 }
 os.makedirs("BENCH", exist_ok=True)
-with open("BENCH/scale_1m.json", "w") as f:
+with open(os.environ.get("SCALE_OUT", "BENCH/scale_1m.json"), "w") as f:
     json.dump(out, f, indent=1)
 print(json.dumps(out))
 spark.stop()

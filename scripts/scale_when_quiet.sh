@@ -1,0 +1,41 @@
+#!/bin/bash
+# Probe-gated scale_sanity attempt (the scale-run sibling of
+# bench_when_quiet.sh). Same single-instance O_EXCL lock, same
+# probe8 <= 12.5s quiet criterion; writes to $1 so the committed
+# headline (BENCH/scale_1m.json) is never clobbered by a noisy run.
+# Usage: scale_when_quiet.sh [out_json] [refusal_log] [attempts] [N]
+cd "$(dirname "$0")/.."
+OUT_JSON=${1:-BENCH/scale_1m_quiet_r5.json}
+REFUSALS=${2:-BENCH/bench_gate_refusals_r5.log}
+ATTEMPTS=${3:-6}
+NDOCS=${4:-1000000}
+
+LOCK=/tmp/fafnir_bench_gate.lock
+if ! mkdir "$LOCK" 2>/dev/null; then
+  echo "REFUSED: another gate instance holds $LOCK" >&2
+  exit 3
+fi
+trap 'rmdir "$LOCK" 2>/dev/null' EXIT; trap 'rmdir "$LOCK" 2>/dev/null; exit 130' TERM INT
+
+for i in $(seq 1 "$ATTEMPTS"); do
+  P=$(python -c "
+import sys; sys.path.insert(0, 'scripts')
+from scaling import run_probe
+print(run_probe(8))")
+  OK=$(python -c "print(1 if float('$P') <= 12.5 else 0)")
+  echo "attempt $i probe8=$P" >&2
+  if [ "$OK" = "1" ]; then
+    SCALE_OUT="$OUT_JSON" python scripts/scale_sanity.py "$NDOCS" >/tmp/scale_quiet_r5.log 2>&1
+    python - "$OUT_JSON" "$P" <<'PY'
+import json, sys
+d = json.load(open(sys.argv[1])); d["probe8"] = float(sys.argv[2])
+json.dump(d, open(sys.argv[1], "w"), indent=1)
+PY
+    echo "RAN probe8=$P -> $OUT_JSON" >&2
+    exit 0
+  fi
+  echo "{\"skipped\": \"SKIP_NOISY\", \"probe8\": $P, \"at\": \"$(date -u +%FT%TZ)\", \"what\": \"scale_1m\"}" >> "$REFUSALS"
+  sleep 150
+done
+echo "gave up after $ATTEMPTS refusals" >&2
+exit 2

@@ -1,0 +1,142 @@
+"""Round-5 batch-2 invariants: matryoshka funnel exactness, count-min
+one-sided error, line-dedup laws, URL blocklist semantics, apriori
+consistency, ES|QL RENAME/DROP grammar."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+QVEC = [((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_matryoshka_exhaustive_equals_brute(spark):
+    """With prefix_dim == full dim the candidate stage IS the exact scan,
+    so the funnel must reproduce brute-force exactly (the sq8/ivf
+    exhaustive-probe law, MRL flavor)."""
+    from fafnir_spark.simsearch import cosine_topk, matryoshka_topk
+
+    emb = _emb(spark)
+    brute = cosine_topk(emb, {"q": QVEC}, k=10).collect()
+    mrl = matryoshka_topk(emb, {"q": QVEC}, k=10, prefix_dim=64,
+                          rescore_factor=1).collect()
+    assert [(r.vec_id, r.cos) for r in brute] == [(r.vec_id, r.cos) for r in mrl]
+
+
+def test_matryoshka_wide_rescore_recovers_exact(spark):
+    """Shrinking the prefix but widening the rescore window back to the
+    corpus size must also recover brute force — monotone-window law."""
+    from fafnir_spark.simsearch import cosine_topk, matryoshka_topk
+
+    emb = _emb(spark)
+    n = emb.count()
+    brute = cosine_topk(emb, {"q": QVEC}, k=5).collect()
+    mrl = matryoshka_topk(emb, {"q": QVEC}, k=5, prefix_dim=8,
+                          rescore_factor=(n // 5) + 1).collect()
+    assert [(r.vec_id, r.cos) for r in brute] == [(r.vec_id, r.cos) for r in mrl]
+
+
+def test_cm_estimate_is_one_sided(spark):
+    """CM guarantee: est >= exact for EVERY term, even at a width small
+    enough to force collisions (width=16 << vocab)."""
+    from fafnir_spark.sketches import cm_heavy_hitters
+
+    rows = cm_heavy_hitters(_docs(spark), k=1000, depth=4, width=16).collect()
+    assert rows and all(r.est >= r.exact for r in rows)
+    assert any(r.est > r.exact for r in rows), "width=16 must collide on this vocab"
+
+
+def test_cm_wide_registers_are_exact(spark):
+    """With width >> vocab the probability of a term colliding in ALL
+    depth rows is nil on this fixture — estimates collapse to exact."""
+    from fafnir_spark.sketches import cm_heavy_hitters
+
+    rows = cm_heavy_hitters(_docs(spark), k=50, depth=4, width=4096).collect()
+    assert rows and all(r.est == r.exact for r in rows)
+
+
+def test_line_dedup_strips_boilerplate_everywhere(spark):
+    """The injected cookie-banner line occurs in every 7th doc (>= 2 of
+    them) so it must be gone from ALL outputs; docs that never had it
+    keep a positive n_kept."""
+    from fafnir_spark.curation import LINIFY, line_dedup, linify_docs
+
+    out = line_dedup(linify_docs(_docs(spark)), min_dup=2)
+    assert out.filter(F.col("clean_text").contains(LINIFY["boiler"])).count() == 0
+    boilered = out.filter(F.pmod(F.col("doc_id"), F.lit(LINIFY["boiler_every"])) == 0)
+    assert boilered.filter(F.col("n_dropped") < 1).count() == 0
+
+
+def test_line_dedup_is_idempotent(spark):
+    """A second pass over the cleaned corpus drops nothing: every
+    surviving line has cross-doc count 1 by construction."""
+    from fafnir_spark.curation import line_dedup, linify_docs
+
+    first = line_dedup(linify_docs(_docs(spark)), min_dup=2)
+    again = line_dedup(
+        first.filter(F.col("clean_text") != "")
+        .select("doc_id", F.col("clean_text").alias("text")),
+        min_dup=2,
+    )
+    assert again.filter(F.col("n_dropped") > 0).count() == 0
+
+
+def test_url_filter_blocks_by_suffix_and_equality(spark):
+    """Both blocklist paths fire on the fixture: subdomains of
+    blocked.net (suffix rule) and the exact host src1-3.example.com
+    (equality rule); everything blocked satisfies one of the two."""
+    from fafnir_spark.curation import URL_BLOCKLIST, url_host_filter, urlify_docs
+
+    rows = url_host_filter(urlify_docs(_docs(spark))).collect()
+    blocked = {r.host for r in rows if r.blocked}
+    assert any(h.endswith(".blocked.net") for h in blocked)
+    assert "src1-3.example.com" in blocked
+    for h in blocked:
+        assert any(h == e or h.endswith("." + e) for e in URL_BLOCKLIST)
+    kept = {r.host for r in rows if not r.blocked}
+    assert kept, "filter must not block the whole corpus"
+
+
+def test_frequent_item_sets_apriori_consistency(spark):
+    """Downward closure: a pair's support never exceeds either item's
+    size-1 support, and every reported support >= min_support."""
+    from fafnir_spark.pipeline import frequent_item_sets
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    singles = {
+        r.event_type: r.n
+        for r in ev.select("user_id", "event_type").distinct()
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    pairs = frequent_item_sets(ev, min_support=3, k=100).collect()
+    assert pairs
+    for r in pairs:
+        assert r.support >= 3
+        assert r.support <= min(singles[r.item_a], singles[r.item_b])
+        assert r.item_a < r.item_b
+
+
+def test_esql_rename_drop_grammar(spark):
+    from fafnir_spark.esql import EsqlError, esql
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = esql(
+        spark,
+        'FROM events | RENAME event_type AS etype | DROP props | LIMIT 3',
+        {"events": ev},
+    )
+    assert "etype" in out.columns and "props" not in out.columns
+    with pytest.raises(EsqlError):
+        esql(spark, "FROM events | RENAME nope AS x | LIMIT 1", {"events": ev})
+    with pytest.raises(EsqlError):
+        esql(spark, "FROM events | DROP nope | LIMIT 1", {"events": ev})
+    with pytest.raises(EsqlError):
+        esql(spark, "FROM events | RENAME event_type TO etype", {"events": ev})
