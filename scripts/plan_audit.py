@@ -385,6 +385,34 @@ def main() -> None:
                   docs, minhash_lsh_pairs(docs, 8, 4, 0.35), "n_chars"),
               "Per-cluster winner via min_by on struct(-score, id) — "
               "map-side partial min, no per-cluster window."),
+        audit("matryoshka_topk (MRL funnel retrieval)",
+              __import__('fafnir_spark.simsearch', fromlist=['x'])
+              .matryoshka_topk(emb, {"q": qvec}, k=10, prefix_dim=16,
+                               rescore_factor=4),
+              "Prefix-16 cosine candidate scan then exact 64-dim rescore "
+              "of k*4 rows; BOTH top-k stages are the two-level "
+              "heap+merge, queries ride broadcast literals."),
+        audit("line_dedup (cross-doc boilerplate strip)",
+              __import__('fafnir_spark.curation', fromlist=['x'])
+              .line_dedup(__import__('fafnir_spark.curation', fromlist=['x'])
+                          .linify_docs(docs), min_dup=2),
+              "Dup-line exclusion is an UNHINTED left_anti join (AQE "
+              "sizes it); reassembly one groupBy with array_sort on the "
+              "carried position — no window, no cartesian."),
+        audit("cm_heavy_hitters (count-min sketch)",
+              __import__('fafnir_spark.sketches', fromlist=['x'])
+              .cm_heavy_hitters(docs, k=20, depth=4, width=256),
+              "Registers (<= depth*width rows) built in ONE token scan "
+              "and BROADCAST onto the distinct-term probes; min-over-"
+              "probes estimate; final top-k a TakeOrderedAndProject."),
+        audit("frequent_item_sets (apriori pair join)",
+              __import__('fafnir_spark.pipeline', fromlist=['x'])
+              .frequent_item_sets(
+                  spark.read.parquet(f"{sf}/events.parquet"),
+                  min_support=3, k=20),
+              "Size-1 frequent items BROADCAST below the pair self-join "
+              "— the downward-closure prune bounds the explosion by the "
+              "item vocabulary, never basket width."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
