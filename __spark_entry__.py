@@ -2846,6 +2846,35 @@ def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_heavy_hitters(_docs(spark, sf_dir), k=20, depth=4, width=256)
 
 
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training — the full greedy merge loop (4 rounds):
+    per-round pair counts over the |V|-row word table, argmax collected
+    as the merge, words rewritten by a portable boundary-safe string
+    replace. Driver state = the merge table (kmeans_train chaining)."""
+    from fafnir_spark.textstats import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=4)
+
+
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar ORC source/sink parity (the jdbc_roundtrip sibling):
+    write the documents fixture to ORC, read it back through the ORC
+    scan (predicate pushdown + column pruning apply as with parquet),
+    aggregate per source — the oracle reads the SAME rows from parquet,
+    so any roundtrip corruption breaks the hash."""
+    import uuid
+
+    path = os.path.join(tempfile.gettempdir(), "fafnir_orc_" + uuid.uuid4().hex[:8])
+    spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode("overwrite").orc(path)
+    d = spark.read.orc(path)
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("n_chars").cast("long").alias("total_chars"))
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_direct": _q_bm25_direct,
@@ -3030,6 +3059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "url_host_filter": _q_url_host_filter,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
+        "bpe_train": _q_bpe_train,
+        "orc_roundtrip": _q_orc_roundtrip,
         "esql_mv_expand": _q_esql_mv_expand,
         "esql_dissect": _q_esql_dissect,
         "esql_grok": _q_esql_grok,
@@ -3354,6 +3385,12 @@ def oracle_sql() -> dict[str, str]:
         "url_host_filter": oracles_curation.url_host_filter_sql(),
         "cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(
             k=20, depth=4, width=256),
+        "bpe_train": oracles_ops.bpe_train_sql(n_merges=4),
+        "orc_roundtrip": """
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source ORDER BY source
+""",
         "esql_rename_drop": """
 SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n
 FROM events

@@ -1210,3 +1210,48 @@ SELECT rank, vec_id, cos FROM (
   FROM exact
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def bpe_train_sql(n_merges: int = 4) -> str:
+    """Mirror of textstats.bpe_train: chained per-merge CTEs (the
+    kmeans_train precedent) — each round's argmax pair is DERIVED IN SQL
+    and applied with the same double-spaced canonical replace."""
+
+    def canon(expr: str) -> str:
+        return ("' ' || array_to_string(list_filter(string_split_regex("
+                f"{expr}, ' +'), x -> x <> ''), '  ') || ' '")
+
+    ctes = ["""words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+)""", f"""w1 AS (
+  SELECT {canon("array_to_string(list_transform(range(1, length(w)+1), i -> substring(w, i, 1)), '  ')")} AS s,
+         freq
+  FROM words
+)"""]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""sy{i} AS (
+  SELECT list_filter(string_split_regex(s, ' +'), x -> x <> '') AS sy, freq
+  FROM w{i}
+)""")
+        ctes.append(f"""p{i} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT sy[j] || ' ' || sy[j+1] AS pair, freq
+    FROM sy{i}, LATERAL unnest(range(1, len(sy))) AS t(j)
+  ) GROUP BY pair
+)""")
+        ctes.append(f"""b{i} AS (
+  SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1
+)""")
+        if i < n_merges:
+            repl = (f"replace(s, ' ' || replace(b.pair, ' ', '  ') || ' ', "
+                    f"' ' || replace(b.pair, ' ', '') || ' ')")
+            ctes.append(f"""w{i + 1} AS (
+  SELECT {canon(repl)} AS s, freq
+  FROM w{i}, b{i} b
+)""")
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS step, pair, cnt FROM b{i}" for i in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(ctes) + f"\n{unions}\nORDER BY step"

@@ -305,3 +305,83 @@ def categorize_text(df: DataFrame, text_col: str = "msg") -> DataFrame:
              F.min("msg").alias("example"))
         .orderBy("category")
     )
+
+
+def _sym_join(sym_arr: Column):
+    """i → 'sym[i] sym[i+1]' adjacent-pair string (named closure — the
+    higher-order-lambda arity convention)."""
+    def f(i: Column) -> Column:
+        return F.concat_ws(
+            " ", F.element_at(sym_arr, i), F.element_at(sym_arr, i + 1))
+
+    return f
+
+
+def _bpe_canonical(sym_arr: Column) -> Column:
+    """Canonical double-spaced symbol string ' a  b  c ' — the separator
+    duplication makes plain (regex-free, RE2-safe) replace() perform the
+    exact greedy left-to-right non-overlapping BPE merge: consecutive
+    occurrences never share a boundary space."""
+    return F.concat(F.lit(" "), F.array_join(sym_arr, "  "), F.lit(" "))
+
+
+def _bpe_symbols(s_col: Column) -> Column:
+    return F.filter(F.split(s_col, " +"), _nonempty)
+
+
+def _nonempty(x: Column) -> Column:
+    return x != ""
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 4,
+              text_col: str = "text") -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich'16) — the full greedy merge loop,
+    not just the first pair table: each round counts adjacent SYMBOL
+    pairs weighted by word frequency, picks the (cnt desc, pair asc)
+    argmax, and rewrites every word by merging that pair left-to-right
+    non-overlapping. Words live as canonical double-spaced symbol
+    strings, so the merge is ONE portable string replace — ' a  b ' →
+    ' ab ' — with the boundary spaces enforcing symbol edges (no regex,
+    no lookaround; DuckDB-RE2-safe, same semantics both engines).
+
+    Scale shape (the kmeans_train chaining precedent): the corpus-sized
+    explode stops at the |V|-row word-frequency table; every round is
+    O(|V|·avg_len) with a 1-ROW collect (the argmax) chained into the
+    next round's plan as literals — driver state is the merge table
+    itself, never corpus rows. (step, pair, cnt) ordered by step."""
+    words = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    chars = F.filter(F.split(F.col("w"), ""), _nonempty)
+    cur = words.select(_bpe_canonical(chars).alias("s"), "freq")
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, n_merges + 1):
+        sy = _bpe_symbols(F.col("s"))
+        pairs_col = F.when(
+            F.size(sy) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(sy) - 1), _sym_join(sy)),
+        ).otherwise(F.array(F.lit("")).cast("array<string>"))
+        best_rows = (
+            cur.select(F.explode(pairs_col).alias("pair"), "freq")
+            .filter(F.col("pair") != "")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+        ).collect()
+        if not best_rows:
+            break
+        pair, cnt = best_rows[0]["pair"], int(best_rows[0]["cnt"])
+        merges.append((step, pair, cnt))
+        pat = " " + pair.replace(" ", "  ") + " "
+        rep = " " + pair.replace(" ", "") + " "
+        cur = cur.select(
+            _bpe_canonical(_bpe_symbols(F.replace(
+                F.col("s"), F.lit(pat), F.lit(rep)))).alias("s"),
+            "freq",
+        )
+    return spark.createDataFrame(merges, "step int, pair string, cnt long"
+                                 ).orderBy("step")
