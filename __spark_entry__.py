@@ -2623,6 +2623,84 @@ def _q_esql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"documents": spark.read.parquet(f"{sf_dir}/documents.parquet")})
 
 
+ESQL_INLINESTATS_QUERY = """
+FROM events
+| INLINESTATS n_type = count(*) BY event_type
+| WHERE n_type >= 150
+| STATS n = count(*), total = sum(value) BY event_type
+| EVAL total = round(total, 6)
+| SORT event_type ASC
+| KEEP event_type, n, total
+"""
+
+
+def _q_esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL INLINESTATS (8.18): group stats attached per-row without
+    collapsing, compiled as groupBy + unhinted join-back (NEVER a per-key
+    Window — the hot-group single-reducer trap). The row-level WHERE then
+    filters on the attached stat."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_INLINESTATS_QUERY,
+                {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
+
+
+ESQL_LOOKUP_QUERY = """
+FROM events
+| WHERE user_id < 20
+| LOOKUP JOIN nations ON user_id
+| STATS n = count(*) BY n_regionkey
+| SORT n_regionkey ASC
+| KEEP n_regionkey, n
+"""
+
+
+def _q_esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL LOOKUP JOIN (8.18): left join against a lookup-mode index.
+    ES replicates lookup indexes node-wide, so the compile target is an
+    explicit broadcast left join — the probe side never shuffles."""
+    from fafnir_spark.esql import esql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nations = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("user_id"),
+        F.col("n_regionkey").cast("long").alias("n_regionkey"))
+    return esql(spark, ESQL_LOOKUP_QUERY, {"events": ev, "nations": nations})
+
+
+def _q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES missing agg: count docs whose enriched field is absent (the
+    broadcast-left-join gap), per event_type, in the same single pass as
+    the totals."""
+    from fafnir_spark.pipeline import missing_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nations = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("user_id"), "n_name")
+    return missing_agg(ev, nations)
+
+
+def _q_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script pipeline agg: per-day error rate = errors/total,
+    scripted over the bounded bucket relation (one groupBy, conditional
+    metrics, row-local arithmetic)."""
+    from fafnir_spark.pipeline import bucket_script_agg
+
+    return bucket_script_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES reverse_nested agg: per nested-item linenumber, the number of
+    PARENT orders with a matching item (array_distinct before explode —
+    each parent counts once per key)."""
+    from fafnir_spark.pipeline import nested_order_items, reverse_nested_agg
+
+    nested = nested_order_items(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    return reverse_nested_agg(nested, qty_min=45.0)
+
+
 def _q_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES random_sampler agg (8.x): hash-threshold probability sample with
     1/p count correction; exact counts as the audit column."""
@@ -3062,6 +3140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "orc_roundtrip": _q_orc_roundtrip,
         "esql_mv_expand": _q_esql_mv_expand,
+        "esql_inlinestats": _q_esql_inlinestats,
+        "esql_lookup_join": _q_esql_lookup_join,
+        "missing_agg": _q_missing_agg,
+        "bucket_script": _q_bucket_script,
+        "reverse_nested": _q_reverse_nested,
         "esql_dissect": _q_esql_dissect,
         "esql_grok": _q_esql_grok,
         "esql_enrich": _q_esql_enrich,
@@ -3431,6 +3514,50 @@ FROM (
   SELECT event_type AS etype, user_id AS uid, event_id AS rid FROM events
 ) WHERE uid < 25
 GROUP BY etype ORDER BY etype ASC
+""",
+        "esql_inlinestats": """
+WITH sized AS (
+  SELECT event_type, value,
+         count(*) OVER (PARTITION BY event_type) AS n_type
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total
+FROM sized WHERE n_type >= 150
+GROUP BY event_type ORDER BY event_type ASC
+""",
+        "esql_lookup_join": """
+SELECT CAST(n.n_regionkey AS BIGINT) AS n_regionkey,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e LEFT JOIN nation n ON n.n_nationkey = e.user_id
+WHERE e.user_id < 20
+GROUP BY 1 ORDER BY n_regionkey ASC
+""",
+        "missing_agg": """
+SELECT e.event_type,
+       CAST(sum(CASE WHEN n.n_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events e LEFT JOIN nation n ON n.n_nationkey = e.user_id
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+        "bucket_script": """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_err,
+       CAST(count(*) AS BIGINT) AS n_total,
+       round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS err_rate
+FROM events GROUP BY 1 ORDER BY day
+""",
+        "reverse_nested": """
+SELECT CAST(ln AS INTEGER) AS ln, CAST(count(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT DISTINCT l.l_orderkey, l.l_linenumber AS ln
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_quantity >= 45.0
+)
+GROUP BY 1 ORDER BY ln
 """,
         "esql_enrich": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n

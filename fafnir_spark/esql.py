@@ -55,10 +55,16 @@ def _lit(tok: str):
 
 def _parse_condition(cond: str):
     m = re.fullmatch(rf"\s*({_IDENT})\s*(>=|<=|!=|==|>|<)\s*({_LIT})\s*", cond)
-    if not m:
-        raise EsqlError(f"unsupported WHERE condition: {cond!r}")
-    col, op, lit = m.groups()
-    return getattr(F.col(col), _CMP[op])(F.lit(_lit(lit)))
+    if m:
+        col, op, lit = m.groups()
+        return getattr(F.col(col), _CMP[op])(F.lit(_lit(lit)))
+    # column-vs-column comparison (the INLINESTATS companion form:
+    # `WHERE value >= avg_v` after the group stat is joined back per-row)
+    m = re.fullmatch(rf"\s*({_IDENT})\s*(>=|<=|!=|==|>|<)\s*({_IDENT})\s*", cond)
+    if m:
+        lhs, op, rhs = m.groups()
+        return getattr(F.col(lhs), _CMP[op])(F.col(rhs))
+    raise EsqlError(f"unsupported WHERE condition: {cond!r}")
 
 
 def _parse_eval_expr(expr: str):
@@ -75,6 +81,10 @@ def _parse_eval_expr(expr: str):
     if m:
         col, op, num = m.groups()
         return getattr(F.col(col), _ARITH[op])(F.lit(_lit(num)))
+    m = re.fullmatch(rf"\s*({_IDENT})\s*([+\-*/])\s*({_IDENT})\s*", expr)
+    if m:
+        lhs, op, rhs = m.groups()
+        return getattr(F.col(lhs), _ARITH[op])(F.col(rhs))
     m = re.fullmatch(rf"\s*({_IDENT})\s*", expr)
     if m:
         return F.col(m.group(1))
@@ -191,6 +201,43 @@ def esql(spark: SparkSession, query: str,
                 df = df.groupBy(*keys).agg(*aggs)
             else:
                 df = df.agg(*aggs)
+        elif kw == "INLINESTATS":
+            # INLINESTATS (ES|QL 8.18): group aggregates attached to every
+            # row WITHOUT collapsing. Compiled as groupBy (map-side
+            # partial agg, ≤|groups| result rows) + an UNHINTED equi-join
+            # back — NOT a Window over the group keys: a per-key window
+            # repartitions the full relation by the group key alone and
+            # funnels each hot group through one reducer (the round-4
+            # direct-BM25 df lesson, query.py). AQE broadcasts the agg
+            # side when small; a high-cardinality BY degrades to a
+            # shuffle join instead of a single-reducer window.
+            body, _, by = rest.partition(" BY ")
+            aggs = [_parse_agg(s) for s in body.split(",")]
+            if not by.strip():
+                raise EsqlError("INLINESTATS requires BY keys")
+            keys = [k.strip() for k in by.split(",")]
+            for k in keys:
+                if not re.fullmatch(_IDENT, k):
+                    raise EsqlError(f"unsupported INLINESTATS key: {k!r}")
+            stats = df.groupBy(*keys).agg(*aggs)
+            df = df.join(stats, keys, "left")
+        elif kw == "LOOKUP" :
+            # LOOKUP JOIN <table> ON <field> (ES|QL 8.18): left join
+            # against a lookup-mode index. ES replicates lookup indexes to
+            # every node — broadcast IS the semantic match, so the hint is
+            # explicit here (unlike INLINESTATS' unhinted agg join).
+            m = re.fullmatch(
+                rf"\s*JOIN\s+({_IDENT})\s+ON\s+({_IDENT})\s*", rest,
+                re.IGNORECASE)
+            if not m:
+                raise EsqlError(f"unsupported LOOKUP JOIN: {rest!r}")
+            name, key = m.groups()
+            if name not in tables:
+                raise EsqlError(f"unknown lookup table {name!r}")
+            lookup = tables[name]
+            if key not in lookup.columns:
+                raise EsqlError(f"lookup table {name!r} has no column {key!r}")
+            df = df.join(F.broadcast(lookup), key, "left")
         elif kw == "SORT":
             orders = []
             for part in rest.split(","):

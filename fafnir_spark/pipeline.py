@@ -1694,3 +1694,77 @@ def frequent_item_sets(events: DataFrame, min_support: int = 3,
     return pairs.orderBy(
         F.col("support").desc(), F.col("item_a").asc(), F.col("item_b").asc()
     ).limit(k)
+
+
+def missing_agg(events: DataFrame, lookup: DataFrame,
+                key: str = "user_id") -> DataFrame:
+    """ES ``missing`` aggregation: bucket of documents whose field is
+    absent. Sparse fields arise at ingest from enrichment gaps, so the
+    driver shape enriches events against a small dimension (broadcast
+    left join — the ENRICH plan) and counts per event_type how many rows
+    came back NULL vs total. ONE pass over the fact side: the broadcast
+    join is map-side, the conditional count folds into the same groupBy
+    (map-side partial agg). At 10^12 events the big side never shuffles
+    except the final ≤|event_type| groupBy.
+    (event_type, n_missing, n_total)."""
+    enriched = events.join(F.broadcast(lookup), key, "left")
+    flag = lookup.columns[-1] if lookup.columns[-1] != key else lookup.columns[0]
+    return (
+        enriched.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col(flag).isNull(), 1).otherwise(0))
+            .cast("long").alias("n_missing"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def bucket_script_agg(events: DataFrame) -> DataFrame:
+    """ES ``bucket_script`` pipeline aggregation: a per-bucket arithmetic
+    script over sibling metrics. Buckets are days; metrics are the error
+    count and the total count; the script is the error RATE
+    (errors / total) — the canonical ES example. The script runs over the
+    ≤|days| bucket relation (pipeline aggs never touch raw docs twice):
+    one groupBy with two conditional metrics, then row-local arithmetic.
+    Rounded 6 (house float convention).
+    (day, n_err, n_total, err_rate)."""
+    buckets = (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long").alias("n_err"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+    )
+    return (
+        buckets.withColumn(
+            "err_rate", F.round(F.col("n_err") / F.col("n_total"), 6))
+        .orderBy("day")
+    )
+
+
+def reverse_nested_agg(nested: DataFrame, qty_min: float = 45.0) -> DataFrame:
+    """ES ``reverse_nested`` aggregation: from inside a nested scope, jump
+    BACK to the parent document scope — e.g. "per lineitem linenumber,
+    how many ORDERS have a matching item", where a terms agg inside the
+    nested scope would count lineitems, not orders. Over the packed
+    array<struct> layout (nested_order_items) this is row-local: filter
+    the items array per parent, project the DISTINCT matching keys with
+    array_distinct (the parent must count once per key no matter how many
+    of its items match — that's the reverse_nested semantic), explode,
+    and count parents per key. Shuffle is the final ≤|keys| groupBy;
+    parent rows are never joined back because the parent IS the row.
+    (ln, n_orders)."""
+
+    def pred(e: F.Column) -> F.Column:
+        return e["qty"] >= F.lit(qty_min)
+
+    keys = F.array_distinct(
+        F.transform(F.filter(F.col("items"), pred), lambda e: e["ln"]))
+    return (
+        nested.select(F.explode(keys).alias("ln"))
+        .groupBy("ln")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("ln")
+    )

@@ -191,3 +191,69 @@ def test_compile_grok_pure():
     m = _re.match(rx, "click took 2.25ms req=-3")
     assert m.groups() == ("click", "2.25", "-3")
     assert _re.match(rx, "click took xms req=3") is None  # NUMBER must match
+
+
+def test_inlinestats_attaches_without_collapsing(spark, events):
+    df = esql(spark, """
+        FROM events
+        | INLINESTATS avg_v = avg(value) BY event_type
+        | WHERE value >= avg_v
+        | KEEP event_id, event_type, value, avg_v
+    """, {"events": events})
+    rows = df.collect()
+    assert rows
+    # per-row stat equals the group aggregate, and the col-vs-col WHERE held
+    import collections
+    by_type = collections.defaultdict(list)
+    for r in events.select("event_type", "value").collect():
+        by_type[r["event_type"]].append(r["value"])
+    for r in rows:
+        grp = by_type[r["event_type"]]
+        assert abs(r["avg_v"] - sum(grp) / len(grp)) < 1e-9
+        assert r["value"] >= r["avg_v"]
+    # plan shape: groupBy + join-back, NEVER a per-key window (the
+    # hot-group single-reducer trap)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_inlinestats_requires_by(spark, events):
+    with pytest.raises(EsqlError):
+        esql(spark, "FROM events | INLINESTATS n = count(*)",
+             {"events": events})
+
+
+def test_lookup_join_is_broadcast_left(spark, events):
+    lookup = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(5)], "user_id long, uname string")
+    df = esql(spark, """
+        FROM events
+        | LOOKUP JOIN users ON user_id
+        | KEEP event_id, user_id, uname
+    """, {"events": events, "users": lookup})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    rows = df.collect()
+    assert any(r["uname"] is not None for r in rows)
+    assert any(r["uname"] is None for r in rows)  # left semantics: misses kept
+
+
+def test_lookup_join_rejects_unknown(spark, events):
+    with pytest.raises(EsqlError):
+        esql(spark, "FROM events | LOOKUP JOIN nope ON user_id",
+             {"events": events})
+    lookup = spark.createDataFrame([(1, "a")], "other long, uname string")
+    with pytest.raises(EsqlError):
+        esql(spark, "FROM events | LOOKUP JOIN users ON user_id",
+             {"events": events, "users": lookup})
+
+
+def test_eval_col_col_arith(spark, events):
+    rows = esql(spark, """
+        FROM events
+        | EVAL double_v = value + value
+        | KEEP event_id, value, double_v
+        | LIMIT 10
+    """, {"events": events}).collect()
+    assert rows and all(r["double_v"] == r["value"] * 2 for r in rows)
