@@ -2689,6 +2689,36 @@ def _q_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_script_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_within: little spans enclosed by a big ordered span — the
+    span-granularity dual of span_containing (counts enclosed little
+    occurrences per doc, not mere doc membership)."""
+    from fafnir_spark.query_ext import span_within
+
+    return span_within(_docs(spark, sf_dir), "spark", "customer", "window",
+                       slop=6)
+
+
+def _q_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES variable_width_histogram: buckets split at the largest gaps of
+    the distinct-value relation (deterministic fixed-point of ES's
+    cluster merging); boundaries return as literals so fact-side labeling
+    is row-local."""
+    from fafnir_spark.pipeline import variable_width_histogram
+
+    return variable_width_histogram(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), n_buckets=6)
+
+
+def _q_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_correlation pipeline agg: raw-sum Pearson between the
+    daily error-count and click-count series, over the bounded bucket
+    relation."""
+    from fafnir_spark.pipeline import bucket_correlation
+
+    return bucket_correlation(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES reverse_nested agg: per nested-item linenumber, the number of
     PARENT orders with a matching item (array_distinct before explode —
@@ -3143,6 +3173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_inlinestats": _q_esql_inlinestats,
         "esql_lookup_join": _q_esql_lookup_join,
         "missing_agg": _q_missing_agg,
+        "span_within": _q_span_within,
+        "variable_width_histogram": _q_variable_width_histogram,
+        "bucket_correlation": _q_bucket_correlation,
         "bucket_script": _q_bucket_script,
         "reverse_nested": _q_reverse_nested,
         "esql_dissect": _q_esql_dissect,
@@ -3532,6 +3565,46 @@ SELECT CAST(n.n_regionkey AS BIGINT) AS n_regionkey,
 FROM events e LEFT JOIN nation n ON n.n_nationkey = e.user_id
 WHERE e.user_id < 20
 GROUP BY 1 ORDER BY n_regionkey ASC
+""",
+        "span_within": oracles.span_within_sql("spark", "customer", "window",
+                                               slop=6),
+        "variable_width_histogram": """
+WITH vals AS (
+  SELECT value AS v, count(*) AS c FROM events GROUP BY value
+),
+gaps AS (
+  SELECT v, v - lag(v) OVER (ORDER BY v) AS gap FROM vals
+),
+bnd AS (
+  SELECT v FROM gaps WHERE gap IS NOT NULL
+  ORDER BY gap DESC, v ASC LIMIT 5
+),
+lab AS (
+  SELECT e.value, (SELECT count(*) FROM bnd WHERE e.value >= bnd.v) AS bucket
+  FROM events e
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, min(value) AS vmin,
+       max(value) AS vmax, CAST(count(*) AS BIGINT) AS n
+FROM lab GROUP BY bucket ORDER BY bucket
+""",
+        "bucket_correlation": """
+WITH b AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS x,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM b
+)
+SELECT CAST(n AS BIGINT) AS n_buckets,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+FROM s
 """,
         "missing_agg": """
 SELECT e.event_type,

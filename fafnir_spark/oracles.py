@@ -1566,6 +1566,36 @@ ORDER BY doc_id
 """
 
 
+def span_within_sql(t1: str, t2: str, little: str, slop: int = 3) -> str:
+    """Mirror of query_ext.span_within: count little positions enclosed by
+    some ordered big span — same nested list_filter algebra as
+    span_containing_sql, aggregated instead of existence-tested."""
+    a, b, c = (t.replace("'", "''") for t in (t1, t2, little))
+    n_within = (
+        f"len(list_filter(pl, k -> len(list_filter(p1, i -> "
+        f"len(list_filter(p2, j -> j > i AND j - i - 1 <= {slop} "
+        f"AND k >= i AND k <= j)) > 0)) > 0))"
+    )
+    return f"""
+WITH tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{a}') AS p1,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{b}') AS p2,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{c}') AS pl
+  FROM tkl
+  WHERE len(list_filter(range(1, len(tk) + 1), i -> tk[i] = '{a}')) > 0
+)
+SELECT doc_id, CAST({n_within} AS BIGINT) AS n_within
+FROM pos
+WHERE {n_within} > 0
+ORDER BY doc_id
+"""
+
+
 def terms_set_sql(terms: list[str], msm_expr: str) -> str:
     """Mirror of query_ext.terms_set_match — ``msm_expr`` is the SQL twin
     of the per-doc threshold column (use pmod form for negative ids)."""

@@ -1768,3 +1768,88 @@ def reverse_nested_agg(nested: DataFrame, qty_min: float = 45.0) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .orderBy("ln")
     )
+
+
+def variable_width_histogram(events: DataFrame, n_buckets: int = 6,
+                             val_col: str = "value",
+                             cap: int = 100_000) -> DataFrame:
+    """ES ``variable_width_histogram``: buckets sized by the data's own
+    cluster structure instead of fixed intervals. ES streams values into
+    at-most-N clusters; the deterministic parity form here splits the
+    sorted DISTINCT values at the (n_buckets-1) LARGEST gaps (ties broken
+    by boundary value asc — shared with the oracle), which is the
+    fixed-point of ES's nearest-cluster merging on stationary data.
+
+    Scale shape: the gap scan runs over the distinct-VALUE relation (the
+    cardinality a terms agg on the field would shuffle), not the docs; it
+    is enveloped at ``cap`` distinct values (limit-and-raise, the
+    _collect_expansion convention) because the lag window is a global
+    sort over that relation. Boundary selection is orderBy().limit()
+    (TakeOrderedAndProject); the <=n_buckets-1 boundaries come back as
+    LITERALS, so bucket assignment over the full fact table is row-local
+    (size(filter(array))) and the final agg is one bounded groupBy.
+    (bucket, vmin, vmax, n) ordered by bucket."""
+    vals = events.groupBy(F.col(val_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    n_distinct = vals.count()
+    if n_distinct > cap:
+        raise ValueError(
+            f"variable_width_histogram: {n_distinct} distinct values exceeds "
+            f"cap={cap}; pre-quantize the field or raise the cap")
+    w = Window.orderBy("v")
+    gaps = (
+        vals.select("v", (F.col("v") - F.lag("v").over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    bnd = gaps.orderBy(F.col("gap").desc(), F.col("v").asc()).limit(
+        max(n_buckets - 1, 0))
+    rows = bnd.select("v").collect()  # bounded: <= n_buckets-1 rows
+    bounds = sorted(float(r["v"]) for r in rows)
+    barr = F.array(*[F.lit(b) for b in bounds])
+
+    def at_or_above(b: F.Column) -> F.Column:
+        return F.col(val_col) >= b
+
+    bucket = F.size(F.filter(barr, at_or_above))
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.min(val_col).alias("vmin"),
+            F.max(val_col).alias("vmax"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def bucket_correlation(events: DataFrame) -> DataFrame:
+    """ES ``bucket_correlation`` pipeline agg: Pearson correlation between
+    two per-bucket metric series — here the daily error count vs the
+    daily click count. Buckets first (ONE groupBy, conditional counts,
+    <=|days| rows), then the closed-form raw-sum Pearson over that
+    bounded relation (the matrix_stats convention: explicit raw sums,
+    never an engine-specific recurrence — counts are exact integers in
+    float64 so the sums are bit-identical cross-engine).
+    One row: (n_buckets, corr)."""
+    b = events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("double").alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double").alias("y"),
+    )
+    s = b.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_buckets"),
+        F.round(num / den, 6).alias("corr"),
+    )

@@ -1694,6 +1694,45 @@ def span_containing(docs: DataFrame, t1: str, t2: str, little: str,
     )
 
 
+def span_within(docs: DataFrame, t1: str, t2: str, little: str,
+                slop: int = 3, text_col: str = "text") -> DataFrame:
+    """ES span_within: the dual of span_containing at SPAN granularity —
+    the matching spans are the LITTLE ones, so the result counts, per
+    doc, how many occurrences of ``little`` are enclosed by some ordered
+    span_near(t1, t2, slop) big span (span_containing only answers the
+    doc-level question). Same scale shape as the rest of the span family:
+    candidate semi-join on all three terms first, then row-local position
+    algebra (nested higher-order exists over per-term position arrays) —
+    zero extra shuffle past the candidate join.
+    Returns (doc_id, n_within), n_within > 0, ordered by doc_id."""
+    from .tokenizer import tokens_expr
+
+    cand = conjunctive_match(docs, [t1, t2, little], text_col=text_col)
+    toks = tokens_expr(text_col)
+
+    def positions(term: str) -> F.Column:
+        return F.filter(F.sequence(F.lit(1), F.size(toks)), _pos_pred(toks, term))
+
+    p1, p2, pl = positions(t1), positions(t2), positions(little)
+
+    def enclosed(k: F.Column) -> F.Column:
+        def big_i(i: F.Column) -> F.Column:
+            def big_j(j: F.Column) -> F.Column:
+                return (j > i) & (j - i - 1 <= F.lit(slop)) & (k >= i) & (k <= j)
+
+            return F.exists(p2, big_j)
+
+        return F.exists(p1, big_i)
+
+    n_within = F.size(F.filter(pl, enclosed)).cast("long")
+    return (
+        docs.join(cand, "doc_id")
+        .select("doc_id", n_within.alias("n_within"))
+        .filter(F.col("n_within") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def terms_set_match(docs: DataFrame, terms: list[str], msm_col: F.Column,
                     text_col: str = "text") -> DataFrame:
     """ES terms_set query with minimum_should_match_field: at least

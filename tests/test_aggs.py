@@ -550,3 +550,25 @@ def test_bpe_pair_counts_hand_check(spark, ddb, docs):
     # word freqs: ab=3, abc=1 ('x' dropped, len<2)
     # pairs: 'ab' from ab(3)+abc(1)=4; 'bc' from abc(1)=1
     assert got == {"ab": 4, "bc": 1}
+
+
+def test_variable_width_histogram_partitions_rows(spark, events):
+    from fafnir_spark.pipeline import variable_width_histogram
+
+    out = variable_width_histogram(events, n_buckets=6).collect()
+    assert 0 < len(out) <= 6
+    assert sum(r["n"] for r in out) == events.count()
+    # buckets ascending and non-overlapping
+    for a, b in zip(out, out[1:]):
+        assert a["vmax"] < b["vmin"]
+    # envelope: cap below the distinct count raises
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        variable_width_histogram(events, n_buckets=6, cap=3)
+
+
+def test_bucket_correlation_bounds(spark, events):
+    from fafnir_spark.pipeline import bucket_correlation
+
+    r = bucket_correlation(events).collect()[0]
+    assert -1.0 <= r["corr"] <= 1.0 and r["n_buckets"] > 0

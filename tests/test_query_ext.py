@@ -404,3 +404,21 @@ def test_terms_set_per_doc_threshold(spark, ddb, docs):
     got = {r["doc_id"]: r["n_matched"] for r in
            terms_set_match(df, terms, F.pmod(F.col("doc_id"), F.lit(3)) + F.lit(1)).collect()}
     assert got == {2: 3, 9: 4}
+
+
+def test_span_within_counts_enclosed_littles(spark, ddb, docs):
+    from fafnir_spark.oracles import span_within_sql
+    from fafnir_spark.query_ext import span_within
+    from tests.test_curation import assert_matches
+
+    out = span_within(docs, "spark", "customer", "window", slop=6)
+    assert_matches(out, ddb, span_within_sql("spark", "customer", "window", slop=6))
+    # synthetic: one enclosed little (doc 1: two, doc 2: one, doc 3: none —
+    # little outside the span; doc 4: no big span at all)
+    df = spark.createDataFrame(
+        [(1, "a w b w c"), (2, "a w c x x"), (3, "w a c"), (4, "a w w w")],
+        "doc_id long, text string",
+    ).selectExpr("doc_id", "replace(replace(replace(text,'a','big1'),"
+                 "'c','big2'),'w','lit') AS text")
+    got = span_within(df, "big1", "big2", "lit", slop=3).collect()
+    assert [(r["doc_id"], r["n_within"]) for r in got] == [(1, 2), (2, 1)]
