@@ -1660,6 +1660,27 @@ def _q_stream_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks ⋈ errors of the same user
+    within 30 min), watermarked on both sides so join state is evictable;
+    drained via availableNow it equals the batch interval join. Pairs are
+    aggregated per user for a bounded, order-free compare."""
+    import uuid
+
+    from fafnir_spark.streaming import stream_interval_join
+
+    pairs = stream_interval_join(
+        spark, f"{sf_dir}/events.*",
+        os.path.join(tempfile.mkdtemp(prefix="fafnir_ck_"), "c"),
+        "drv_ivj_" + uuid.uuid4().hex[:6],
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
 def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding windows (1h window / 30m slide) — complete mode
     over the drained source equals the batch sliding aggregation."""
@@ -2719,6 +2740,23 @@ def _q_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_correlation(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filter audit: fact side semi-joined through a
+    broadcast bloom-bit relation built from the dim key set, vs the exact
+    semi-join — n_bits=64 keeps false positives real so the one-sided
+    error law (n_bloom >= n_exact) is load-bearing."""
+    from fafnir_spark.sketches import bloom_filter_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    build = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter(F.col("n_nationkey") < 12)
+        .select(F.col("n_nationkey").cast("long").alias("key"))
+    )
+    return bloom_filter_audit(ev, build, key_col="user_id", build_col="key",
+                              n_bits=64, k=3)
+
+
 def _q_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES reverse_nested agg: per nested-item linenumber, the number of
     PARENT orders with a matching item (array_distinct before explode —
@@ -3176,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_within": _q_span_within,
         "variable_width_histogram": _q_variable_width_histogram,
         "bucket_correlation": _q_bucket_correlation,
+        "bloom_filter_join": _q_bloom_filter_join,
         "bucket_script": _q_bucket_script,
         "reverse_nested": _q_reverse_nested,
         "esql_dissect": _q_esql_dissect,
@@ -3256,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_window": _q_stream_sliding,
         "stream_dedup_exact": _q_stream_dedup,
         "stream_zone_lookup": _q_stream_zone,
+        "stream_interval_join": _q_stream_interval_join,
         "events_sliding_window": _pq("events_sliding_window", "events"),
         "best_doc_per_group": _pq("best_doc_per_lang"),
         "preferred_url_coalesce": _pq("preferred_url"),
@@ -3568,6 +3608,16 @@ GROUP BY 1 ORDER BY n_regionkey ASC
 """,
         "span_within": oracles.span_within_sql("spark", "customer", "window",
                                                slop=6),
+        "bloom_filter_join": oracles_curation.bloom_filter_audit_sql(
+            key_max=12, n_bits=64, k=3),
+        "stream_interval_join": """
+SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM events c JOIN events e
+  ON e.user_id = c.user_id
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+GROUP BY c.user_id ORDER BY c.user_id
+""",
         "variable_width_histogram": """
 WITH vals AS (
   SELECT value AS v, count(*) AS c FROM events GROUP BY value

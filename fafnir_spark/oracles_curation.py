@@ -770,3 +770,53 @@ FROM exact e JOIN est s ON e.term = s.term
 ORDER BY s.est DESC, e.term ASC
 LIMIT {k}
 """
+
+
+def bloom_filter_audit_sql(key_max: int = 12, n_bits: int = 64,
+                           k: int = 3) -> str:
+    """Mirror of sketches.bloom_filter_audit over events ⋉ nation keys:
+    same seeded hash family ('<i>:' || value, portable md5-60), same
+    mod-n_bits positions, pass iff all k probes hit. One-sided error:
+    n_bloom >= n_exact by construction."""
+    from .portable import seeded_sql
+
+    def bit(col: str, j: int) -> str:
+        return _pmod(seeded_sql(f"CAST({col} AS VARCHAR)", f"'{j}'"), n_bits)
+
+    def bit_case(col: str) -> str:
+        whens = " ".join(
+            f"WHEN j = {j} THEN {bit(col, j)}" for j in range(k))
+        return f"CASE {whens} END"
+
+    return f"""
+WITH build AS (
+  SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS key
+  FROM nation WHERE n_nationkey < {key_max}
+),
+bits AS (
+  SELECT DISTINCT {bit_case('key')} AS bit
+  FROM build, unnest(range(0, {k})) AS d(j)
+),
+pv AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+  SELECT user_id, {bit_case('user_id')} AS bit
+  FROM pv, unnest(range(0, {k})) AS d(j)
+),
+hits AS (
+  SELECT user_id FROM probes JOIN bits USING (bit)
+  GROUP BY user_id HAVING count(*) >= {k}
+),
+c AS (
+  SELECT
+    (SELECT count(*) FROM build) AS n_build,
+    (SELECT count(*) FROM bits) AS n_bits_set,
+    (SELECT count(*) FROM events e JOIN build b ON e.user_id = b.key) AS n_exact,
+    (SELECT count(*) FROM events e JOIN hits h USING (user_id)) AS n_bloom
+)
+SELECT CAST(n_build AS BIGINT) AS n_build,
+       CAST(n_bits_set AS BIGINT) AS n_bits_set,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_bloom AS BIGINT) AS n_bloom,
+       CAST(n_bloom - n_exact AS BIGINT) AS n_fp
+FROM c
+"""

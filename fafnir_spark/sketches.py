@@ -333,3 +333,75 @@ def cm_heavy_hitters(docs: DataFrame, k: int = 20, depth: int = 4,
     return est.select("term", "est", "exact").orderBy(
         F.col("est").desc(), F.col("term").asc()
     ).limit(k)
+
+
+def bloom_bits(df: DataFrame, val_col: str, n_bits: int = 256,
+               k: int = 3) -> DataFrame:
+    """Bloom filter (Bloom'70) as a RELATION of set bit positions — the
+    sparse mergeable form (union+distinct merges two filters, the HLL
+    register-rows idiom). k seeded portable hashes per distinct value;
+    the relation is bounded by min(n_bits, k·n_distinct) rows no matter
+    the input size, so it broadcasts — which is the whole point: this is
+    Spark's runtime-filter / semi-join-pushdown pattern made explicit
+    (AQE's InSubqueryExec bloom does the same JVM-side).
+    Returns (bit) distinct."""
+    from .portable import seeded
+
+    vals = df.select(F.col(val_col).cast("string").alias("__v")).distinct()
+    bits = None
+    for i in range(k):
+        b = vals.select(F.pmod(seeded("__v", i), F.lit(n_bits)).alias("bit"))
+        bits = b if bits is None else bits.unionByName(b)
+    return bits.distinct()
+
+
+def bloom_semi_join(probe: DataFrame, bits: DataFrame, val_col: str,
+                    n_bits: int = 256, k: int = 3) -> DataFrame:
+    """Semi-join ``probe`` against a Bloom filter: a row passes iff ALL k
+    bit probes hit. The bit relation (≤ n_bits rows) is BROADCAST; probe
+    values explode to k (value, bit) probes, the inner join drops missed
+    probes, and a value passes when its hit count == k (map-side partial
+    count). One-sided error law: the result ⊇ the exact semi-join —
+    false positives only, never false negatives (tested). The probe side
+    never shuffles except the ≤|distinct probe| hit-count agg."""
+    from .portable import seeded
+
+    pv = probe.select(F.col(val_col)).distinct().select(
+        F.col(val_col), F.col(val_col).cast("string").alias("__v"))
+    probes = None
+    for i in range(k):
+        b = pv.select(
+            val_col, F.pmod(seeded("__v", i), F.lit(n_bits)).alias("bit"))
+        probes = b if probes is None else probes.unionByName(b)
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy(val_col)
+        .agg(F.count(F.lit(1)).alias("__nh"))
+        .filter(F.col("__nh") >= k)
+        .select(val_col)
+    )
+    return probe.join(hits, val_col)
+
+
+def bloom_filter_audit(events: DataFrame, build: DataFrame,
+                       key_col: str = "user_id", build_col: str = "key",
+                       n_bits: int = 64, k: int = 3) -> DataFrame:
+    """Runtime-filter audit: filter the fact side through a Bloom built
+    from the dim-side key set, next to the EXACT semi-join — reporting
+    build cardinality, bits set, exact vs bloom pass counts, and the
+    false-positive rows the one-sided error admitted. n_bits deliberately
+    small in the driver query so FPs actually occur and the ⊇ law is
+    load-bearing. One row: (n_build, n_bits_set, n_exact, n_bloom, n_fp)."""
+    bits = bloom_bits(build, build_col, n_bits=n_bits, k=k)
+    passed = bloom_semi_join(events, bits, key_col, n_bits=n_bits, k=k)
+    exact = events.join(
+        build.select(F.col(build_col).alias(key_col)).distinct(), key_col)
+    n_build = build.select(build_col).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_build"))
+    n_bits_set = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_bloom = passed.agg(F.count(F.lit(1)).cast("long").alias("n_bloom"))
+    row = n_build.crossJoin(n_bits_set).crossJoin(n_exact).crossJoin(n_bloom)
+    return row.select(
+        "n_build", "n_bits_set", "n_exact", "n_bloom",
+        (F.col("n_bloom") - F.col("n_exact")).cast("long").alias("n_fp"))

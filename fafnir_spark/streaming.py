@@ -586,3 +586,59 @@ def stream_change_point(
         .agg(F.round(F.sum("partial"), 6).alias("sum_value"))
     )
     return change_point_from_buckets(merged)
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    name: str,
+    within_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join with an event-time interval condition:
+    click events joined to error events of the same user arriving within
+    [click_ts, click_ts + within]. Both sides carry watermarks and the
+    join predicate bounds event time in both directions — the two
+    conditions Spark needs to EVICT buffered join state (without them a
+    stream-stream join's state grows forever; with them each side's
+    buffer is bounded by watermark + interval, the 100 TB contract).
+    Drained via availableNow the result equals the batch interval join,
+    so the DuckDB oracle checks it exactly. Returns the materialized
+    (user_id, click_id, err_id) pair table."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def side(etype: str, id_alias: str, ts_alias: str, uid: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_path)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+                F.col("user_id").alias(uid),
+            )
+            .withWatermark(ts_alias, watermark)
+        )
+
+    left = side("click", "click_id", "click_ts", "user_id")
+    right = side("error", "err_id", "err_ts", "__uid")
+    cond = (
+        (F.col("user_id") == F.col("__uid"))
+        & (F.col("err_ts") >= F.col("click_ts"))
+        & (F.col("err_ts") <= F.col("click_ts")
+           + F.expr(f"INTERVAL {int(within_minutes)} MINUTES"))
+    )
+    q = (
+        left.join(right, cond, "inner")
+        .select("user_id", "click_id", "err_id")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

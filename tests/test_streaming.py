@@ -261,3 +261,49 @@ def test_minhash_signature_is_plan_independent(spark):
     a = sorted((r["doc_id"], r["band_key"]) for r in via_a.collect())
     b = sorted((r["doc_id"], r["band_key"]) for r in via_b.collect())
     assert a == b
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.streaming import stream_interval_join
+
+    pairs = stream_interval_join(
+        spark, f"{SF_DIR}/events.*", str(tmp_path / "ck_ivj"),
+        "t_ivj", within_minutes=30)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("cts"), "user_id")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("ets"),
+        F.col("user_id").alias("u2"))
+    batch = c.join(e, (F.col("user_id") == F.col("u2"))
+                   & (F.col("ets") >= F.col("cts"))
+                   & (F.col("ets") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")))
+    got = sorted((r["user_id"], r["click_id"], r["err_id"]) for r in pairs.collect())
+    want = sorted((r["user_id"], r["click_id"], r["err_id"]) for r in batch.collect())
+    assert got == want and got
+
+
+def test_bloom_semi_join_one_sided_error(spark):
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.sketches import bloom_bits, bloom_semi_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    build = spark.createDataFrame([(i,) for i in range(0, 30, 3)], "key long")
+    # tiny filter → false positives certain; law: bloom result ⊇ exact
+    bits = bloom_bits(build, "key", n_bits=32, k=3)
+    passed = {r["user_id"] for r in
+              bloom_semi_join(ev, bits, "user_id", n_bits=32, k=3)
+              .select("user_id").distinct().collect()}
+    exact = {r["user_id"] for r in
+             ev.join(build.withColumnRenamed("key", "user_id"), "user_id")
+             .select("user_id").distinct().collect()}
+    assert exact <= passed
+    # a roomy filter admits no false positives on this key range
+    bits_big = bloom_bits(build, "key", n_bits=4096, k=3)
+    passed_big = {r["user_id"] for r in
+                  bloom_semi_join(ev, bits_big, "user_id", n_bits=4096, k=3)
+                  .select("user_id").distinct().collect()}
+    assert passed_big == exact
