@@ -2740,6 +2740,16 @@ def _q_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_correlation(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (LASER/CCMatrix): forward top-k cosine
+    candidates rescored by the ratio margin (hubness-normalized), neighbor
+    sums folded in canonical rank order."""
+    from fafnir_spark.simsearch import bitext_margin_mine
+
+    return bitext_margin_mine(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=4, n_out=20)
+
+
 def _q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom runtime-filter audit: fact side semi-joined through a
     broadcast bloom-bit relation built from the dim key set, vs the exact
@@ -3215,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variable_width_histogram": _q_variable_width_histogram,
         "bucket_correlation": _q_bucket_correlation,
         "bloom_filter_join": _q_bloom_filter_join,
+        "bitext_mining": _q_bitext_mining,
         "bucket_script": _q_bucket_script,
         "reverse_nested": _q_reverse_nested,
         "esql_dissect": _q_esql_dissect,
@@ -3610,6 +3621,7 @@ GROUP BY 1 ORDER BY n_regionkey ASC
                                                slop=6),
         "bloom_filter_join": oracles_curation.bloom_filter_audit_sql(
             key_max=12, n_bits=64, k=3),
+        "bitext_mining": oracles_ops.bitext_margin_sql(k=4, n_out=20),
         "stream_interval_join": """
 SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs
 FROM events c JOIN events e

@@ -1255,3 +1255,50 @@ def bpe_train_sql(n_merges: int = 4) -> str:
     unions = " UNION ALL ".join(
         f"SELECT {i} AS step, pair, cnt FROM b{i}" for i in range(1, n_merges + 1))
     return "WITH " + ",\n".join(ctes) + f"\n{unions}\nORDER BY step"
+
+
+def bitext_margin_sql(k: int = 4, n_out: int = 20) -> str:
+    """Mirror of simsearch.bitext_margin_mine: ratio margin over forward
+    top-k candidates, neighbor sums folded in rank order (list_sum over an
+    ORDER BY rn list — the PQ-ADC float-order convention)."""
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)"
+        )
+
+    inv = float(2.0 * k)
+    return f"""
+WITH src AS (
+  SELECT vec_id AS src_id, embedding AS sv FROM embeddings WHERE vec_id % 2 = 0
+),
+tgt AS (
+  SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings WHERE vec_id % 2 = 1
+),
+scored AS (
+  SELECT src_id, tgt_id, {cos('sv', 'tv')} AS cos
+  FROM src CROSS JOIN tgt
+),
+fwd AS (
+  SELECT src_id, tgt_id, cos,
+         row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC) AS rn
+  FROM scored QUALIFY rn <= {k}
+),
+bwd AS (
+  SELECT src_id, tgt_id, cos,
+         row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id ASC) AS rn
+  FROM scored QUALIFY rn <= {k}
+),
+sf AS (SELECT src_id, list_sum(list(cos ORDER BY rn)) AS sfv FROM fwd GROUP BY src_id),
+sb AS (SELECT tgt_id, list_sum(list(cos ORDER BY rn)) AS sbv FROM bwd GROUP BY tgt_id),
+pairs AS (
+  SELECT f.src_id, f.tgt_id, f.cos,
+         round(f.cos / (sf.sfv / {inv!r} + sb.sbv / {inv!r}), 6) AS margin
+  FROM fwd f
+  JOIN sf ON sf.src_id = f.src_id
+  JOIN sb ON sb.tgt_id = f.tgt_id
+)
+SELECT src_id, tgt_id, cos, margin FROM pairs
+ORDER BY margin DESC, src_id ASC, tgt_id ASC LIMIT {n_out}
+"""

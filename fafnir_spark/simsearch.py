@@ -1415,3 +1415,71 @@ def matryoshka_topk(
                 F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos"))
     )
     return _topk_per_qid(exact, k)
+
+
+def bitext_margin_mine(
+    emb: DataFrame,
+    k: int = 4,
+    n_out: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    LASER/CCMatrix miner): source/target sides are the even/odd id
+    halves; candidate pairs are the FORWARD top-k by cosine; each pair is
+    rescored by the ratio margin
+
+        margin(x,y) = cos(x,y) / (avgF(x) + avgB(y)),
+        avgF(x) = Σ_{z∈NNk(x,T)} cos(x,z) / 2k   (and avgB symmetric)
+
+    which normalizes away hubness (a y close to EVERYTHING scores low).
+
+    Scale shape: both kNN passes go through topk_per_group (two-level
+    exact top-k — at corpus scale the all-pairs scorer below is replaced
+    by any candidate generator (LSH/IVF buckets); the margin layer only
+    ever sees ≤k rows per anchor). The per-anchor neighbor sums fold the
+    ROUNDED cosines in rank order (canonical float order, the PQ-ADC
+    convention), the two ≤|side| avg relations join back unhinted (AQE),
+    and the final cut is orderBy().limit() → TakeOrderedAndProject.
+    (src_id, tgt_id, cos, margin) top-n_out by (margin desc, ids asc)."""
+    from .dedup import cosine_expr
+    from .topk import topk_per_group
+
+    src = emb.filter(F.pmod(F.col(id_col), F.lit(2)) == 0).select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("__sv"))
+    tgt = emb.filter(F.pmod(F.col(id_col), F.lit(2)) == 1).select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("__tv"))
+    scored = src.join(tgt).select(
+        "src_id", "tgt_id",
+        F.round(cosine_expr(F.col("__sv"), F.col("__tv")), 6).alias("cos"),
+    )
+    fwd = topk_per_group(scored, k, group_col="src_id", id_col="tgt_id",
+                         val_col="cos")
+    bwd = topk_per_group(scored, k, group_col="tgt_id", id_col="src_id",
+                         val_col="cos")
+
+    def rank_ordered_sum(df: DataFrame, group: str, out: str) -> DataFrame:
+        arr = F.array_sort(F.collect_list(F.struct("rank", "cos")))
+
+        def take_cos(s: F.Column) -> F.Column:
+            return s["cos"]
+
+        def acc_add(acc: F.Column, v: F.Column) -> F.Column:
+            return acc + v
+
+        folded = F.aggregate(F.transform(arr, take_cos), F.lit(0.0), acc_add)
+        return df.groupBy(group).agg(folded.alias(out))
+
+    avg_f = rank_ordered_sum(fwd, "src_id", "__sf")
+    avg_b = rank_ordered_sum(bwd, "tgt_id", "__sb")
+    denom = F.col("__sf") / F.lit(2.0 * k) + F.col("__sb") / F.lit(2.0 * k)
+    pairs = (
+        fwd.select("src_id", "tgt_id", "cos")
+        .join(avg_f, "src_id")
+        .join(avg_b, "tgt_id")
+        .select("src_id", "tgt_id", "cos",
+                F.round(F.col("cos") / denom, 6).alias("margin"))
+    )
+    return pairs.orderBy(
+        F.col("margin").desc(), F.col("src_id").asc(), F.col("tgt_id").asc()
+    ).limit(n_out)

@@ -140,3 +140,21 @@ def test_esql_rename_drop_grammar(spark):
         esql(spark, "FROM events | DROP nope | LIMIT 1", {"events": ev})
     with pytest.raises(EsqlError):
         esql(spark, "FROM events | RENAME event_type TO etype", {"events": ev})
+
+
+def test_bitext_margin_finds_planted_pair(spark):
+    import numpy as np
+    from fafnir_spark.simsearch import bitext_margin_mine
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(float)
+    # plant: src 10 and tgt 11 identical -> cos 1.0, should mine at rank 1
+    vecs[11] = vecs[10]
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = bitext_margin_mine(emb, k=3, n_out=5).collect()
+    assert (out[0]["src_id"], out[0]["tgt_id"]) == (10, 11)
+    assert out[0]["cos"] == 1.0
+    # margins are positive and sorted desc with id tiebreak
+    ms = [r["margin"] for r in out]
+    assert ms == sorted(ms, reverse=True) and all(m > 0 for m in ms)
