@@ -413,6 +413,47 @@ def main() -> None:
               "Size-1 frequent items BROADCAST below the pair self-join "
               "— the downward-closure prune bounds the explosion by the "
               "item vocabulary, never basket width."),
+        audit("esql INLINESTATS (groupBy + join-back)",
+              __import__('fafnir_spark.esql', fromlist=['x']).esql(
+                  spark,
+                  "FROM events | INLINESTATS n_type = count(*) BY event_type"
+                  " | WHERE n_type >= 150 | STATS n = count(*) BY event_type",
+                  {"events": spark.read.parquet(f"{sf}/events.parquet")}),
+              "Per-row group stats via groupBy + UNHINTED equi-join back — "
+              "NO Window node (a per-key window would single-reducer hot "
+              "groups); AQE picks broadcast when the agg side is small."),
+        audit("bloom_filter_audit (runtime semi-join)",
+              __import__('fafnir_spark.sketches', fromlist=['x'])
+              .bloom_filter_audit(
+                  spark.read.parquet(f"{sf}/events.parquet"),
+                  spark.read.parquet(f"{sf}/nation.parquet")
+                  .filter(F.col("n_nationkey") < 12)
+                  .select(F.col("n_nationkey").cast("long").alias("key")),
+                  n_bits=64, k=3),
+              "Bloom bit relation (<= n_bits rows) BROADCAST onto the "
+              "probe side's distinct-value bit probes; fact side never "
+              "shuffles except the bounded hit-count agg."),
+        audit("bitext_margin_mine (margin kNN rescore)",
+              __import__('fafnir_spark.simsearch', fromlist=['x'])
+              .bitext_margin_mine(
+                  spark.read.parquet(f"{sf}/embeddings.parquet"),
+                  k=4, n_out=20),
+              "Both kNN passes are the two-level heap+merge "
+              "(topk_per_group); neighbor-sum relations join back "
+              "unhinted; final cut is TakeOrderedAndProject. NOTE the "
+              "BroadcastNestedLoopJoins here are NOT all the 1-row stats "
+              "case: the src×tgt all-pairs scorer is the documented "
+              "oracle-scale candidate generator — at corpus scale it is "
+              "replaced by the LSH/IVF bucketed candidates and the margin "
+              "layer only ever sees <=k rows per anchor."),
+        audit("variable_width_histogram (gap-split buckets)",
+              __import__('fafnir_spark.pipeline', fromlist=['x'])
+              .variable_width_histogram(
+                  spark.read.parquet(f"{sf}/events.parquet"), n_buckets=6),
+              "Boundary selection is orderBy().limit() over the enveloped "
+              "distinct-value relation; <=B-1 boundaries return as "
+              "LITERALS so fact-side labeling is row-local and the final "
+              "agg one bounded groupBy."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
