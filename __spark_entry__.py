@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fafnir_spark import oracles, oracles_curation, oracles_ops, oracles_pipeline
+from fafnir_spark import portable as ps
 from fafnir_spark.query import bm25_topk, conjunctive_match, doc_term_freqs, term_dfs
 
 # ---- canonical query set (the engine's "reference query set") ----
@@ -2740,6 +2741,63 @@ def _q_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_correlation(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle/sharding audit: keyed-hash order +
+    hash-balanced shards, reproducible from (seed, doc_id) alone, no
+    global sort."""
+    from fafnir_spark.curation import epoch_shuffle_audit
+
+    return epoch_shuffle_audit(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), seed=0, n_shards=8)
+
+
+INGEST_PROCS = [
+    {"json": {"field": "props", "path": "$.k", "target_field": "kv"}},
+    {"convert": {"field": "kv", "type": "long"}},
+    {"rename": {"field": "event_type", "target_field": "etype"}},
+    {"gsub": {"field": "etype", "pattern": "c", "replacement": "k"}},
+    {"uppercase": {"field": "etype"}},
+    {"set": {"field": "tag", "value": "p1"}},
+    {"date_format": {"field": "ts", "target_field": "day",
+                     "format": "yyyy-MM-dd"}},
+]
+
+
+def _q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ingest-pipeline compiler: json/convert/rename/gsub/uppercase/
+    set/date_format processors folded into ONE row-local Project, then a
+    bounded audit groupBy."""
+    from fafnir_spark.feeds import ingest_pipeline
+
+    out = ingest_pipeline(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), INGEST_PROCS)
+    return (
+        out.groupBy("etype", "tag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("kv").cast("long").alias("sum_kv"),
+             F.min("day").alias("first_day"))
+        .orderBy("etype")
+    )
+
+
+def _q_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_range agg: explicit date boundaries over event time,
+    one-pass CASE label + bounded groupBy."""
+    from fafnir_spark.pipeline import date_range_agg
+
+    return date_range_agg(spark.read.parquet(f"{sf_dir}/events.parquet"),
+                          edges=["2024-01-10", "2024-01-20"])
+
+
+def _q_ip_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_range agg over the derived client address space (ip_prefix
+    derivation), explicit second-octet boundaries."""
+    from fafnir_spark.pipeline import ip_range_agg
+
+    return ip_range_agg(spark.read.parquet(f"{sf_dir}/events.parquet"),
+                        edges=[2, 4])
+
+
 def _q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (LASER/CCMatrix): forward top-k cosine
     candidates rescored by the ratio margin (hubness-normalized), neighbor
@@ -3226,6 +3284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_correlation": _q_bucket_correlation,
         "bloom_filter_join": _q_bloom_filter_join,
         "bitext_mining": _q_bitext_mining,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "ingest_pipeline": _q_ingest_pipeline,
+        "date_range_agg": _q_date_range_agg,
+        "ip_range_agg": _q_ip_range_agg,
         "bucket_script": _q_bucket_script,
         "reverse_nested": _q_reverse_nested,
         "esql_dissect": _q_esql_dissect,
@@ -3622,6 +3684,54 @@ GROUP BY 1 ORDER BY n_regionkey ASC
         "bloom_filter_join": oracles_curation.bloom_filter_audit_sql(
             key_max=12, n_bits=64, k=3),
         "bitext_mining": oracles_ops.bitext_margin_sql(k=4, n_out=20),
+        "epoch_shuffle": f"""
+WITH o AS (
+  SELECT doc_id, n_chars,
+         {ps.seeded_sql("CAST(doc_id AS VARCHAR)", "'epoch0'")} AS ordk
+  FROM documents
+)
+SELECT CAST(((ordk % 8) + 8) % 8 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       arg_min(doc_id, ordk) AS first_doc
+FROM o GROUP BY 1 ORDER BY shard
+""",
+        "ingest_pipeline": """
+SELECT upper(replace(event_type, 'c', 'k')) AS etype, 'p1' AS tag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_kv,
+       min(strftime(ts, '%Y-%m-%d')) AS first_day
+FROM events GROUP BY 1, 2 ORDER BY etype
+""",
+        "date_range_agg": """
+WITH lab AS (
+  SELECT CASE
+    WHEN strftime(ts, '%Y-%m-%d') < '2024-01-10' THEN '*-2024-01-10'
+    WHEN strftime(ts, '%Y-%m-%d') < '2024-01-20' THEN '2024-01-10-2024-01-20'
+    ELSE '2024-01-20-*' END AS bucket, value
+  FROM events
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 6) AS sum_value
+FROM lab GROUP BY bucket
+ORDER BY CASE bucket WHEN '*-2024-01-10' THEN 1
+         WHEN '2024-01-10-2024-01-20' THEN 2 ELSE 3 END
+""",
+        "ip_range_agg": """
+WITH lab AS (
+  SELECT CASE
+    WHEN ((user_id % 8) + 8) % 8 < 2 THEN '*-10.2.0.0'
+    WHEN ((user_id % 8) + 8) % 8 < 4 THEN '10.2.0.0-10.4.0.0'
+    ELSE '10.4.0.0-*' END AS bucket, user_id AS uid
+  FROM events
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+FROM lab GROUP BY bucket
+ORDER BY CASE bucket WHEN '*-10.2.0.0' THEN 1
+         WHEN '10.2.0.0-10.4.0.0' THEN 2 ELSE 3 END
+""",
         "stream_interval_join": """
 SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs
 FROM events c JOIN events e

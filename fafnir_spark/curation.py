@@ -1037,3 +1037,35 @@ def url_host_filter(hosts: DataFrame,
         .select("host", "n_docs", blocked.alias("blocked"))
         .orderBy("host")
     )
+
+
+def epoch_shuffle_audit(docs: DataFrame, seed: int = 0,
+                        n_shards: int = 8) -> DataFrame:
+    """Deterministic epoch shuffle + sharding for training-data export
+    (the Dolma/FineWeb export step): the global pseudorandom order is the
+    keyed portable hash ordk = hash60('epoch<seed>:' || doc_id), and the
+    shard is pmod(ordk, n_shards) — so the permutation is reproducible
+    from (seed, doc_id) alone, a different seed reshuffles, and shards
+    are hash-balanced with NO global sort: the export realizes the order
+    with repartition(n_shards, shard) + sortWithinPartitions(ordk)
+    (each shard file internally ordered; coordination-free, the
+    sliced_scroll idiom). This function returns the driver-checkable
+    audit: per shard, doc count, total chars, and the first document in
+    epoch order (arg-min by ordk — unique since doc_ids are distinct).
+    (shard, n_docs, sum_chars, first_doc) ordered by shard."""
+    from .portable import seeded
+
+    ordk = seeded(F.col("doc_id").cast("string"), F.lit(f"epoch{int(seed)}"))
+    base = docs.select(
+        "doc_id", "n_chars", ordk.alias("__ord"),
+        F.pmod(ordk, F.lit(int(n_shards))).alias("shard"),
+    )
+    return (
+        base.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min_by("doc_id", "__ord").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -174,3 +174,71 @@ def ingest_feed(
     for upd in updates or []:
         update_doc_meta(spark, index_root, upd)
     return metrics
+
+
+class IngestError(ValueError):
+    pass
+
+
+def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
+    """ES ingest-pipeline compiler: a closed set of processors (the
+    deterministic core of the public processor list — set / rename /
+    remove / convert / gsub / lowercase / uppercase / trim / split /
+    json / date_format) applied in order, each compiling to ONE
+    row-local Catalyst expression — the whole pipeline is a single
+    Project over the scan, column-pruned and codegen'd like any
+    hand-written select (never a per-doc UDF, which is how ingest nodes
+    actually bottleneck). Unknown processors or fields fail loudly
+    (ES's on_failure-less strict mode).
+
+    Each processor is {kind: {args}} mirroring ES's JSON form, e.g.
+    {"gsub": {"field": "event_type", "pattern": "_", "replacement": "-"}}.
+    """
+    for p in processors:
+        if len(p) != 1:
+            raise IngestError(f"processor must have exactly one key: {p!r}")
+        kind, a = next(iter(p.items()))
+        if kind == "set":
+            df = df.withColumn(a["field"], F.lit(a["value"]))
+        elif kind == "rename":
+            if a["field"] not in df.columns:
+                raise IngestError(f"rename of unknown field {a['field']!r}")
+            df = df.withColumnRenamed(a["field"], a["target_field"])
+        elif kind == "remove":
+            if a["field"] not in df.columns:
+                raise IngestError(f"remove of unknown field {a['field']!r}")
+            df = df.drop(a["field"])
+        elif kind == "convert":
+            types = {"long": "long", "double": "double", "string": "string",
+                     "integer": "int", "boolean": "boolean"}
+            if a["type"] not in types:
+                raise IngestError(f"convert to unknown type {a['type']!r}")
+            df = df.withColumn(a["field"], F.col(a["field"]).cast(types[a["type"]]))
+        elif kind == "gsub":
+            df = df.withColumn(
+                a["field"],
+                F.regexp_replace(F.col(a["field"]), a["pattern"], a["replacement"]))
+        elif kind in ("lowercase", "uppercase", "trim"):
+            fn = {"lowercase": F.lower, "uppercase": F.upper, "trim": F.trim}[kind]
+            df = df.withColumn(a["field"], fn(F.col(a["field"])))
+        elif kind == "split":
+            # empty pieces dropped — the engine's tokenizer convention
+            parts = F.split(F.col(a["field"]), a["separator"])
+
+            def nonempty(x: F.Column) -> F.Column:
+                return x != ""
+
+            df = df.withColumn(a.get("target_field", a["field"]),
+                               F.filter(parts, nonempty))
+        elif kind == "json":
+            # ES json processor, single-path form: extract one JSON key
+            df = df.withColumn(
+                a["target_field"],
+                F.get_json_object(F.col(a["field"]), a["path"]))
+        elif kind == "date_format":
+            df = df.withColumn(
+                a.get("target_field", a["field"]),
+                F.date_format(F.col(a["field"]), a["format"]))
+        else:
+            raise IngestError(f"unknown processor {kind!r}")
+    return df

@@ -1853,3 +1853,62 @@ def bucket_correlation(events: DataFrame) -> DataFrame:
         F.col("n").cast("long").alias("n_buckets"),
         F.round(num / den, 6).alias("corr"),
     )
+
+
+def date_range_agg(events: DataFrame, edges: list[str]) -> DataFrame:
+    """ES date_range aggregation: explicit date boundaries (from
+    inclusive, to exclusive, '*' open ends — the range_agg form over
+    event time). Row-local CASE label, one bounded groupBy.
+    (bucket, doc_count, sum_value) ordered by bucket lower edge."""
+    bounds = [None] + list(edges) + [None]
+    day = F.date_format("ts", "yyyy-MM-dd")
+    expr = None
+    labels = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        label = f"{lo or '*'}-{hi or '*'}"
+        labels.append(label)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (day >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (day < F.lit(hi))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    order = F.array_position(F.array(*[F.lit(x) for x in labels]), F.col("bucket"))
+    return (
+        events.select(expr.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .orderBy(order)
+    )
+
+
+def ip_range_agg(events: DataFrame, edges: list[int] = (2, 4)) -> DataFrame:
+    """ES ip_range aggregation over the derived client address space
+    (the ip_prefix derivation: ip = 10.(uid%8).x.x): explicit address
+    boundaries on the second octet — 'from' inclusive, 'to' exclusive,
+    open ends. Same one-pass CASE + bounded groupBy as range_agg.
+    (bucket, n_events, n_users) ordered by bucket lower edge."""
+    oct2 = F.pmod(F.col("user_id").cast("long"), F.lit(8))
+    bounds = [None] + [int(e) for e in edges] + [None]
+    expr = None
+    labels = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        label = (f"{'*' if lo is None else f'10.{lo}.0.0'}"
+                 f"-{'*' if hi is None else f'10.{hi}.0.0'}")
+        labels.append(label)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (oct2 >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (oct2 < F.lit(hi))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    order = F.array_position(F.array(*[F.lit(x) for x in labels]), F.col("bucket"))
+    return (
+        events.select(expr.alias("bucket"),
+                      F.col("user_id").cast("long").alias("uid"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.count_distinct("uid").cast("long").alias("n_users"))
+        .orderBy(order)
+    )

@@ -499,3 +499,15 @@ def test_sparse_vector_scores(spark, ddb, docs):
     )
     got = {r["doc_id"]: r["score"] for r in sparse_vector_topk(df, w, k=5).collect()}
     assert got == {1: 5.5, 2: 0.25}
+
+
+def test_epoch_shuffle_reproducible_and_seed_sensitive(spark, docs):
+    from fafnir_spark.curation import epoch_shuffle_audit
+
+    a1 = [tuple(r) for r in epoch_shuffle_audit(docs, seed=0).collect()]
+    a2 = [tuple(r) for r in epoch_shuffle_audit(docs, seed=0).collect()]
+    b = [tuple(r) for r in epoch_shuffle_audit(docs, seed=1).collect()]
+    assert a1 == a2                      # same seed: identical permutation
+    assert a1 != b                       # new seed: reshuffled
+    assert sum(r[1] for r in a1) == docs.count()
+    assert len(a1) == 8 and all(r[1] > 0 for r in a1)  # hash-balanced shards

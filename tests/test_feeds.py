@@ -138,3 +138,29 @@ def test_jdbc_options_builder():
     # unpartitioned form: single cursor, no range options
     solo = jdbc_read_options("jdbc:x", "t")
     assert "partitionColumn" not in solo
+
+
+def test_ingest_pipeline_processors(spark):
+    import pytest
+
+    from fafnir_spark.feeds import IngestError, ingest_pipeline
+
+    df = spark.createDataFrame(
+        [(1, " A_b ", '{"k": 7}')], "id long, name string, props string")
+    out = ingest_pipeline(df, [
+        {"trim": {"field": "name"}},
+        {"gsub": {"field": "name", "pattern": "_", "replacement": "-"}},
+        {"lowercase": {"field": "name"}},
+        {"json": {"field": "props", "path": "$.k", "target_field": "kv"}},
+        {"convert": {"field": "kv", "type": "long"}},
+        {"set": {"field": "tag", "value": "t"}},
+        {"split": {"field": "name", "target_field": "parts",
+                   "separator": "-"}},
+        {"remove": {"field": "props"}},
+    ]).collect()[0]
+    assert out["name"] == "a-b" and out["kv"] == 7 and out["tag"] == "t"
+    assert out["parts"] == ["a", "b"] and "props" not in out.asDict()
+    with pytest.raises(IngestError):
+        ingest_pipeline(df, [{"nope": {}}])
+    with pytest.raises(IngestError):
+        ingest_pipeline(df, [{"rename": {"field": "zzz", "target_field": "y"}}])
