@@ -166,11 +166,61 @@ def _compile_grok(pattern: str) -> tuple[list[tuple[str, str | None]], str]:
     return fields, regex
 
 
+def _split_pipes(query: str) -> list[str]:
+    """Split a pipeline on '|' at paren depth 0 and outside string
+    literals — FORK branches carry whole sub-pipelines in parentheses."""
+    out, buf, depth, in_str = [], [], 0, False
+    for c in query:
+        if in_str:
+            buf.append(c)
+            if c == '"':
+                in_str = False
+            continue
+        if c == '"':
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                raise EsqlError("unbalanced ')' in query")
+        elif c == "|" and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(c)
+    if depth != 0 or in_str:
+        raise EsqlError("unbalanced '(' or '\"' in query")
+    out.append("".join(buf).strip())
+    return out
+
+
+def _paren_groups(rest: str) -> list[str]:
+    """Top-level '(...)' groups of a FORK argument list."""
+    groups, depth, start = [], 0, None
+    for i, c in enumerate(rest):
+        if c == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                raise EsqlError("unbalanced ')' in FORK")
+            if depth == 0:
+                groups.append(rest[start:i])
+        elif depth == 0 and not c.isspace():
+            raise EsqlError(f"unexpected token outside FORK branch: {c!r}")
+    if depth != 0:
+        raise EsqlError("unbalanced '(' in FORK")
+    return groups
+
+
 def esql(spark: SparkSession, query: str,
          tables: dict[str, DataFrame]) -> DataFrame:
     """Compile one ES|QL pipe query against the given table registry and
     return the (lazy) DataFrame — Catalyst sees the whole pipeline."""
-    stages = [s.strip() for s in query.strip().split("|")]
+    stages = _split_pipes(query.strip())
     m = re.fullmatch(rf"FROM\s+({_IDENT})", stages[0], re.IGNORECASE)
     if not m:
         raise EsqlError("query must start with FROM <table>")
@@ -178,141 +228,167 @@ def esql(spark: SparkSession, query: str,
     if name not in tables:
         raise EsqlError(f"unknown table {name!r}")
     df = tables[name]
-
     for stage in stages[1:]:
-        kw, _, rest = stage.partition(" ")
-        kw = kw.upper()
-        if kw == "WHERE":
-            cond = None
-            for part in re.split(r"\s+AND\s+", rest):
-                c = _parse_condition(part)
-                cond = c if cond is None else (cond & c)
-            df = df.filter(cond)
-        elif kw == "EVAL":
-            m = re.fullmatch(rf"\s*({_IDENT})\s*=\s*(.+)", rest)
-            if not m:
-                raise EsqlError(f"unsupported EVAL: {rest!r}")
-            df = df.withColumn(m.group(1), _parse_eval_expr(m.group(2)))
-        elif kw == "STATS":
-            body, _, by = rest.partition(" BY ")
-            aggs = [_parse_agg(s) for s in body.split(",")]
-            if by.strip():
-                keys = [k.strip() for k in by.split(",")]
-                df = df.groupBy(*keys).agg(*aggs)
-            else:
-                df = df.agg(*aggs)
-        elif kw == "INLINESTATS":
-            # INLINESTATS (ES|QL 8.18): group aggregates attached to every
-            # row WITHOUT collapsing. Compiled as groupBy (map-side
-            # partial agg, ≤|groups| result rows) + an UNHINTED equi-join
-            # back — NOT a Window over the group keys: a per-key window
-            # repartitions the full relation by the group key alone and
-            # funnels each hot group through one reducer (the round-4
-            # direct-BM25 df lesson, query.py). AQE broadcasts the agg
-            # side when small; a high-cardinality BY degrades to a
-            # shuffle join instead of a single-reducer window.
-            body, _, by = rest.partition(" BY ")
-            aggs = [_parse_agg(s) for s in body.split(",")]
-            if not by.strip():
-                raise EsqlError("INLINESTATS requires BY keys")
+        df = _apply_stage(spark, df, stage, tables)
+    return df
+
+
+def _apply_stage(spark: SparkSession, df: DataFrame, stage: str,
+                 tables: dict[str, DataFrame]) -> DataFrame:
+    kw, _, rest = stage.partition(" ")
+    kw = kw.upper()
+    if kw == "WHERE":
+        cond = None
+        for part in re.split(r"\s+AND\s+", rest):
+            c = _parse_condition(part)
+            cond = c if cond is None else (cond & c)
+        df = df.filter(cond)
+    elif kw == "EVAL":
+        m = re.fullmatch(rf"\s*({_IDENT})\s*=\s*(.+)", rest)
+        if not m:
+            raise EsqlError(f"unsupported EVAL: {rest!r}")
+        df = df.withColumn(m.group(1), _parse_eval_expr(m.group(2)))
+    elif kw == "STATS":
+        body, _, by = rest.partition(" BY ")
+        aggs = [_parse_agg(s) for s in body.split(",")]
+        if by.strip():
             keys = [k.strip() for k in by.split(",")]
-            for k in keys:
-                if not re.fullmatch(_IDENT, k):
-                    raise EsqlError(f"unsupported INLINESTATS key: {k!r}")
-            stats = df.groupBy(*keys).agg(*aggs)
-            df = df.join(stats, keys, "left")
-        elif kw == "LOOKUP" :
-            # LOOKUP JOIN <table> ON <field> (ES|QL 8.18): left join
-            # against a lookup-mode index. ES replicates lookup indexes to
-            # every node — broadcast IS the semantic match, so the hint is
-            # explicit here (unlike INLINESTATS' unhinted agg join).
-            m = re.fullmatch(
-                rf"\s*JOIN\s+({_IDENT})\s+ON\s+({_IDENT})\s*", rest,
-                re.IGNORECASE)
-            if not m:
-                raise EsqlError(f"unsupported LOOKUP JOIN: {rest!r}")
-            name, key = m.groups()
-            if name not in tables:
-                raise EsqlError(f"unknown lookup table {name!r}")
-            lookup = tables[name]
-            if key not in lookup.columns:
-                raise EsqlError(f"lookup table {name!r} has no column {key!r}")
-            df = df.join(F.broadcast(lookup), key, "left")
-        elif kw == "SORT":
-            orders = []
-            for part in rest.split(","):
-                m = re.fullmatch(rf"\s*({_IDENT})\s*(ASC|DESC)?\s*", part,
-                                 re.IGNORECASE)
-                if not m:
-                    raise EsqlError(f"unsupported SORT key: {part!r}")
-                c = F.col(m.group(1))
-                orders.append(c.desc() if (m.group(2) or "ASC").upper() == "DESC"
-                              else c.asc())
-            df = df.orderBy(*orders)
-        elif kw == "DISSECT":
-            m = re.fullmatch(rf"\s*({_IDENT})\s+({_STR})\s*", rest)
-            if not m:
-                raise EsqlError(f"unsupported DISSECT: {rest!r}")
-            src = m.group(1)
-            fields, regex = _compile_dissect(_lit(m.group(2)))
-            for gi, fname in enumerate(fields, start=1):
-                df = df.withColumn(fname, F.regexp_extract(F.col(src), regex, gi))
-        elif kw == "GROK":
-            m = re.fullmatch(rf"\s*({_IDENT})\s+({_STR})\s*", rest)
-            if not m:
-                raise EsqlError(f"unsupported GROK: {rest!r}")
-            src = m.group(1)
-            gfields, regex = _compile_grok(_lit(m.group(2)))
-            for gi, (fname, cast) in enumerate(gfields, start=1):
-                c = F.regexp_extract(F.col(src), regex, gi)
-                if cast:
-                    c = c.cast(cast)
-                df = df.withColumn(fname, c)
-        elif kw == "ENRICH":
-            # ENRICH <table> ON <match_field> WITH <col>, ... — the lookup
-            # table (ES enrich index) must carry <match_field> as its key.
-            # Compiled to a BROADCAST left join: enrich indexes are small
-            # by design, so the 10^12-row probe side never shuffles.
-            m = re.fullmatch(
-                rf"\s*({_IDENT})\s+ON\s+({_IDENT})\s+WITH\s+({_IDENT}(?:\s*,\s*{_IDENT})*)\s*",
-                rest, re.IGNORECASE,
-            )
-            if not m:
-                raise EsqlError(f"unsupported ENRICH: {rest!r}")
-            policy, match_field, with_cols = m.groups()
-            if policy not in tables:
-                raise EsqlError(f"unknown enrich table {policy!r}")
-            cols = [c.strip() for c in with_cols.split(",")]
-            lookup = tables[policy].select(match_field, *cols)
-            df = df.join(F.broadcast(lookup), match_field, "left")
-        elif kw == "MV_EXPAND":
-            col = rest.strip()
-            if not re.fullmatch(_IDENT, col):
-                raise EsqlError(f"unsupported MV_EXPAND column: {rest!r}")
-            df = df.withColumn(col, F.explode(F.col(col)))
-        elif kw == "RENAME":
-            # RENAME <old> AS <new>, ... — pure projection rename.
-            for part in rest.split(","):
-                m = re.fullmatch(rf"\s*({_IDENT})\s+AS\s+({_IDENT})\s*", part,
-                                 re.IGNORECASE)
-                if not m:
-                    raise EsqlError(f"unsupported RENAME clause: {part!r}")
-                old, new = m.groups()
-                if old not in df.columns:
-                    raise EsqlError(f"RENAME of unknown column {old!r}")
-                df = df.withColumnRenamed(old, new)
-        elif kw == "DROP":
-            cols = [c.strip() for c in rest.split(",")]
-            for c in cols:
-                if not re.fullmatch(_IDENT, c):
-                    raise EsqlError(f"unsupported DROP column: {c!r}")
-                if c not in df.columns:
-                    raise EsqlError(f"DROP of unknown column {c!r}")
-            df = df.drop(*cols)
-        elif kw == "LIMIT":
-            df = df.limit(int(rest.strip()))
-        elif kw == "KEEP":
-            df = df.select(*[c.strip() for c in rest.split(",")])
+            df = df.groupBy(*keys).agg(*aggs)
         else:
-            raise EsqlError(f"unknown ES|QL command: {kw!r}")
+            df = df.agg(*aggs)
+    elif kw == "INLINESTATS":
+        # INLINESTATS (ES|QL 8.18): group aggregates attached to every
+        # row WITHOUT collapsing. Compiled as groupBy (map-side
+        # partial agg, ≤|groups| result rows) + an UNHINTED equi-join
+        # back — NOT a Window over the group keys: a per-key window
+        # repartitions the full relation by the group key alone and
+        # funnels each hot group through one reducer (the round-4
+        # direct-BM25 df lesson, query.py). AQE broadcasts the agg
+        # side when small; a high-cardinality BY degrades to a
+        # shuffle join instead of a single-reducer window.
+        body, _, by = rest.partition(" BY ")
+        aggs = [_parse_agg(s) for s in body.split(",")]
+        if not by.strip():
+            raise EsqlError("INLINESTATS requires BY keys")
+        keys = [k.strip() for k in by.split(",")]
+        for k in keys:
+            if not re.fullmatch(_IDENT, k):
+                raise EsqlError(f"unsupported INLINESTATS key: {k!r}")
+        stats = df.groupBy(*keys).agg(*aggs)
+        df = df.join(stats, keys, "left")
+    elif kw == "LOOKUP" :
+        # LOOKUP JOIN <table> ON <field> (ES|QL 8.18): left join
+        # against a lookup-mode index. ES replicates lookup indexes to
+        # every node — broadcast IS the semantic match, so the hint is
+        # explicit here (unlike INLINESTATS' unhinted agg join).
+        m = re.fullmatch(
+            rf"\s*JOIN\s+({_IDENT})\s+ON\s+({_IDENT})\s*", rest,
+            re.IGNORECASE)
+        if not m:
+            raise EsqlError(f"unsupported LOOKUP JOIN: {rest!r}")
+        name, key = m.groups()
+        if name not in tables:
+            raise EsqlError(f"unknown lookup table {name!r}")
+        lookup = tables[name]
+        if key not in lookup.columns:
+            raise EsqlError(f"lookup table {name!r} has no column {key!r}")
+        df = df.join(F.broadcast(lookup), key, "left")
+    elif kw == "SORT":
+        orders = []
+        for part in rest.split(","):
+            m = re.fullmatch(rf"\s*({_IDENT})\s*(ASC|DESC)?\s*", part,
+                             re.IGNORECASE)
+            if not m:
+                raise EsqlError(f"unsupported SORT key: {part!r}")
+            c = F.col(m.group(1))
+            orders.append(c.desc() if (m.group(2) or "ASC").upper() == "DESC"
+                          else c.asc())
+        df = df.orderBy(*orders)
+    elif kw == "DISSECT":
+        m = re.fullmatch(rf"\s*({_IDENT})\s+({_STR})\s*", rest)
+        if not m:
+            raise EsqlError(f"unsupported DISSECT: {rest!r}")
+        src = m.group(1)
+        fields, regex = _compile_dissect(_lit(m.group(2)))
+        for gi, fname in enumerate(fields, start=1):
+            df = df.withColumn(fname, F.regexp_extract(F.col(src), regex, gi))
+    elif kw == "GROK":
+        m = re.fullmatch(rf"\s*({_IDENT})\s+({_STR})\s*", rest)
+        if not m:
+            raise EsqlError(f"unsupported GROK: {rest!r}")
+        src = m.group(1)
+        gfields, regex = _compile_grok(_lit(m.group(2)))
+        for gi, (fname, cast) in enumerate(gfields, start=1):
+            c = F.regexp_extract(F.col(src), regex, gi)
+            if cast:
+                c = c.cast(cast)
+            df = df.withColumn(fname, c)
+    elif kw == "ENRICH":
+        # ENRICH <table> ON <match_field> WITH <col>, ... — the lookup
+        # table (ES enrich index) must carry <match_field> as its key.
+        # Compiled to a BROADCAST left join: enrich indexes are small
+        # by design, so the 10^12-row probe side never shuffles.
+        m = re.fullmatch(
+            rf"\s*({_IDENT})\s+ON\s+({_IDENT})\s+WITH\s+({_IDENT}(?:\s*,\s*{_IDENT})*)\s*",
+            rest, re.IGNORECASE,
+        )
+        if not m:
+            raise EsqlError(f"unsupported ENRICH: {rest!r}")
+        policy, match_field, with_cols = m.groups()
+        if policy not in tables:
+            raise EsqlError(f"unknown enrich table {policy!r}")
+        cols = [c.strip() for c in with_cols.split(",")]
+        lookup = tables[policy].select(match_field, *cols)
+        df = df.join(F.broadcast(lookup), match_field, "left")
+    elif kw == "MV_EXPAND":
+        col = rest.strip()
+        if not re.fullmatch(_IDENT, col):
+            raise EsqlError(f"unsupported MV_EXPAND column: {rest!r}")
+        df = df.withColumn(col, F.explode(F.col(col)))
+    elif kw == "RENAME":
+        # RENAME <old> AS <new>, ... — pure projection rename.
+        for part in rest.split(","):
+            m = re.fullmatch(rf"\s*({_IDENT})\s+AS\s+({_IDENT})\s*", part,
+                             re.IGNORECASE)
+            if not m:
+                raise EsqlError(f"unsupported RENAME clause: {part!r}")
+            old, new = m.groups()
+            if old not in df.columns:
+                raise EsqlError(f"RENAME of unknown column {old!r}")
+            df = df.withColumnRenamed(old, new)
+    elif kw == "DROP":
+        cols = [c.strip() for c in rest.split(",")]
+        for c in cols:
+            if not re.fullmatch(_IDENT, c):
+                raise EsqlError(f"unsupported DROP column: {c!r}")
+            if c not in df.columns:
+                raise EsqlError(f"DROP of unknown column {c!r}")
+        df = df.drop(*cols)
+    elif kw == "FORK":
+        # FORK (branch1) (branch2) ... (ES|QL 8.19): run each parenthesised
+        # sub-pipeline over the SAME input frame, tag rows with the `_fork`
+        # discriminator ("fork1", "fork2", ...), and UNION the results —
+        # missing columns null-fill (ES|QL's union-types behavior). The
+        # input subtree appears once per branch in the logical plan; when
+        # branches share a cached/shuffled prefix AQE reuses the exchange,
+        # so at 100 TB this is k filtered passes, never a driver loop.
+        branches = _paren_groups(rest)
+        if len(branches) < 2:
+            raise EsqlError("FORK needs at least two (...) branches")
+        outs = []
+        for bi, branch in enumerate(branches, start=1):
+            b = df
+            for st in _split_pipes(branch):
+                if st:
+                    b = _apply_stage(spark, b, st, tables)
+            outs.append(b.withColumn("_fork", F.lit(f"fork{bi}")))
+        df = outs[0]
+        for b in outs[1:]:
+            df = df.unionByName(b, allowMissingColumns=True)
+    elif kw == "LIMIT":
+        df = df.limit(int(rest.strip()))
+    elif kw == "KEEP":
+        df = df.select(*[c.strip() for c in rest.split(",")])
+    else:
+        raise EsqlError(f"unknown ES|QL command: {kw!r}")
     return df

@@ -5,7 +5,8 @@ columns with a ``modality`` discriminator and a metadata struct; decode /
 feature-extract / frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas`` so bytes never round-trip through per-row Python. Image
 decode is REAL for PNG (8-bit gray/RGB/RGBA — zlib inflate + numpy
-unfilter), uncompressed 24-bit BMP, and binary PPM; JPEG/audio/video need
+unfilter), uncompressed 24-bit BMP, and binary PPM; audio decode is REAL
+for RIFF/WAVE PCM (8/16-bit). JPEG, compressed audio, and video need
 codecs absent from this container, so ``decode_stub`` raises
 NotImplementedError for them unless the deterministic fake decoder is
 requested — the Spark-side plumbing (schema, partitioning, UDF signature,
@@ -286,17 +287,80 @@ def try_png_decode(payload: bytes) -> np.ndarray | None:
     return out.reshape(h, w, ch)
 
 
+def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 PCM samples ((n,) mono or (n, ch)) as a canonical
+    RIFF/WAVE file — the golden-test twin of try_wav_decode."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.reshape(-1).tobytes()
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block,
+                      block, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def try_wav_decode(payload: bytes) -> np.ndarray | None:
+    """REAL audio decode for RIFF/WAVE PCM (8/16-bit) — pure
+    stdlib+numpy, the BMP/PNG move applied to audio. Strict validation
+    (RIFF+WAVE magics, PCM format tag, coherent block align, chunk sizes
+    bounded by the file, data length a multiple of the block) so
+    'RIFF'-prefixed text never misroutes; anything non-PCM (or any other
+    audio container) returns None and falls through to the stub.
+    Returns float64 samples shaped (n, channels)."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    if riff_size + 8 != len(payload):
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        chunk = payload[pos + 8:pos + 8 + size]
+        if len(chunk) != size:
+            return None
+        if tag == b"fmt ":
+            fmt = chunk
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, ch, _rate, _brate, block, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or ch < 1 or bits not in (8, 16):
+        return None
+    if block != ch * (bits // 8) or len(data) % max(block, 1) != 0:
+        return None
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    else:
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+    return arr.reshape(-1, ch)
+
+
 def decode_media(payload: bytes, modality: str, fake: bool = False) -> np.ndarray:
     """Decode one payload to its sample array. Real formats first: PNG
     (8-bit gray/RGB/RGBA, zlib inflate + numpy unfilter), 24-bit
-    uncompressed BMP and binary PPM decode genuinely (pure stdlib+numpy,
-    no image libs). Everything else (JPEG/audio/video) needs decoders
+    uncompressed BMP and binary PPM for images; RIFF/WAVE PCM for audio.
+    Everything else (JPEG, compressed audio, video) needs decoders
     absent from this container and falls through to decode_stub."""
     if modality == "image":
         for decoder in (try_png_decode, try_bmp_decode, try_ppm_decode):
             px = decoder(payload)
             if px is not None:
                 return px
+    if modality == "audio":
+        s = try_wav_decode(payload)
+        if s is not None:
+            return s
     return decode_stub(payload, modality, fake=fake)
 
 

@@ -257,3 +257,47 @@ def test_eval_col_col_arith(spark, events):
         | LIMIT 10
     """, {"events": events}).collect()
     assert rows and all(r["double_v"] == r["value"] * 2 for r in rows)
+
+
+def test_fork_branches_union_with_discriminator(spark, events):
+    """FORK runs each parenthesised sub-pipeline over the same input,
+    tags rows with _fork, and unions with null-fill for branch-local
+    columns (ES|QL 8.19 semantics)."""
+    df = esql(spark, """
+        FROM events
+        | FORK (WHERE value >= 5.0 | STATS n = count(*) BY event_type)
+               (STATS total = sum(value) BY event_type)
+        | SORT event_type ASC
+    """, {"events": events})
+    rows = df.collect()
+    assert set(df.columns) == {"event_type", "n", "total", "_fork"}
+    forks = {r["_fork"] for r in rows}
+    assert forks == {"fork1", "fork2"}
+    # branch-local columns null-fill on the other branch
+    assert all(r["total"] is None for r in rows if r["_fork"] == "fork1")
+    assert all(r["n"] is None for r in rows if r["_fork"] == "fork2")
+    # fork2 equals the standalone STATS pipeline
+    want = {(r["event_type"], r["total"]) for r in esql(
+        spark, "FROM events | STATS total = sum(value) BY event_type",
+        {"events": events}).collect()}
+    got = {(r["event_type"], r["total"]) for r in rows if r["_fork"] == "fork2"}
+    assert got == want
+
+
+def test_fork_rejects_bad_shapes(spark, events):
+    with pytest.raises(EsqlError):  # one branch is not a fork
+        esql(spark, "FROM events | FORK (LIMIT 5)", {"events": events})
+    with pytest.raises(EsqlError):  # unbalanced parens
+        esql(spark, "FROM events | FORK (LIMIT 5 (LIMIT 6)", {"events": events})
+    with pytest.raises(EsqlError):  # stray token between branches
+        esql(spark, "FROM events | FORK (LIMIT 5) and (LIMIT 6)",
+             {"events": events})
+
+
+def test_pipe_split_respects_strings_and_parens(spark, events):
+    """'|' inside string literals or FORK parens must not split stages."""
+    rows = esql(spark, """
+        FROM events
+        | FORK (WHERE event_type == "a|b" | LIMIT 1) (LIMIT 2)
+    """, {"events": events}).collect()
+    assert {r["_fork"] for r in rows} == {"fork2"}  # no 'a|b' rows exist

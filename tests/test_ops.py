@@ -445,3 +445,50 @@ def test_pq_recall_tracks_candidates_fuzz(spark, emb):
         wide = {r["vec_id"] for r in pq_cosine_topk(emb, qv, k=10, n_candidates=100).collect()}
         ex = {v for _, v, _ in exact}
         assert len(wide & ex) >= len(narrow & ex), i
+
+
+def test_wav_decode_golden(spark):
+    """Genuine audio decode: RIFF/WAVE PCM parsed with pure numpy. Golden
+    checks: exact round-trip (16-bit stereo and 8-bit mono), strict
+    validation ('RIFF'-prefixed text must NOT misroute; truncated data
+    chunk rejected; non-PCM format tag rejected), and
+    extract_features(fake=False) over a real WAV payload."""
+    import struct
+
+    from fafnir_spark.multimodal import (
+        decode_media,
+        extract_features,
+        try_wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    s16 = rng.integers(-32768, 32768, size=(50, 2)).astype(np.int16)
+    blob = wav_encode(s16, sample_rate=8000)
+    got = try_wav_decode(blob)
+    assert got.shape == (50, 2) and np.array_equal(got, s16.astype(np.float64))
+    # 8-bit mono: unsigned samples centered at 128
+    body = bytes(range(0, 40))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+    got8 = try_wav_decode(wav8)
+    assert got8.shape == (40, 1) and got8[0, 0] == -128.0 and got8[-1, 0] == -89.0
+    # strict validation
+    assert try_wav_decode(b"RIFF is a container format, honest " * 3) is None
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, 20, 3)  # float PCM tag: unsupported
+    assert try_wav_decode(bytes(bad)) is None
+    assert try_wav_decode(blob[:-2]) is None  # truncated data chunk
+    with pytest.raises(NotImplementedError):
+        decode_media(b"OggS compressed audio", "audio", fake=False)
+    # Spark path, fake=False end-to-end
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(blob), None)], "doc_id long, modality string, "
+        "payload binary, meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    row = extract_features(media, fake=False).collect()[0]
+    want = np.bincount(
+        s16.reshape(-1).astype(np.float64).astype(np.int64) % 16, minlength=16)
+    assert row["features"] == want.astype(float).tolist()
