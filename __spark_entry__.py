@@ -1436,6 +1436,19 @@ def _q_proximity_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_rescore(_docs(spark, sf_dir), Q_MAIN, k=10, rescore_n=50)
 
 
+LTR_WEIGHTS = (1.0, 0.25, 2.0, 0.125)  # dyadic — weighted sums exact cross-engine
+
+
+def _q_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES learning-to-rank rescorer (8.12): BM25 top-50 window re-ranked
+    by a linear model over (bm25, ln(1+dl), term coverage, ln(1+n_chars))
+    — feature extraction touches only the window (scoring.ltr_rescore)."""
+    from fafnir_spark.scoring import ltr_rescore
+
+    return ltr_rescore(_docs(spark, sf_dir), Q_MAIN, weights=LTR_WEIGHTS,
+                       k=10, window=50)
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-prep chunking: overlapping 32-token windows (stride 24);
     chunk_hash verifies content, not just counts."""
@@ -2690,6 +2703,27 @@ def _q_esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return esql(spark, ESQL_LOOKUP_QUERY, {"events": ev, "nations": nations})
 
 
+ESQL_FORK_QUERY = """
+FROM events
+| FORK (WHERE value >= 5.0 | STATS v = sum(value) BY event_type | EVAL v = round(v, 6))
+       (STATS v = avg(value) BY event_type | EVAL v = round(v, 6))
+| SORT _fork ASC, event_type ASC
+| KEEP event_type, v, _fork
+"""
+
+
+def _q_esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL FORK (8.19): each parenthesised branch runs over the same
+    input frame; rows carry the `_fork` discriminator and branch-local
+    columns null-fill across the union (esql.py `_apply_stage` FORK arm).
+    The compiled plan is k filtered/aggregated passes over one scan
+    subtree — AQE exchange-reuse applies when branches share a shuffle."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_FORK_QUERY,
+                {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
+
+
 def _q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES missing agg: count docs whose enriched field is absent (the
     broadcast-left-join gap), per event_type, in the same single pass as
@@ -3278,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_mv_expand": _q_esql_mv_expand,
         "esql_inlinestats": _q_esql_inlinestats,
         "esql_lookup_join": _q_esql_lookup_join,
+        "esql_fork": _q_esql_fork,
         "missing_agg": _q_missing_agg,
         "span_within": _q_span_within,
         "variable_width_histogram": _q_variable_width_histogram,
@@ -3308,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score": _q_explain_score,
         "term_vectors": _q_term_vectors,
         "proximity_rescore": _q_proximity_rescore,
+        "ltr_rescore": _q_ltr_rescore,
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
         "media_meta": _q_media_meta,
@@ -3679,6 +3715,16 @@ FROM events e LEFT JOIN nation n ON n.n_nationkey = e.user_id
 WHERE e.user_id < 20
 GROUP BY 1 ORDER BY n_regionkey ASC
 """,
+        "esql_fork": """
+SELECT event_type, v, _fork FROM (
+  SELECT event_type, round(sum(value), 6) AS v, 'fork1' AS _fork
+  FROM events WHERE value >= 5.0 GROUP BY event_type
+  UNION ALL
+  SELECT event_type, round(avg(value), 6) AS v, 'fork2' AS _fork
+  FROM events GROUP BY event_type
+)
+ORDER BY _fork ASC, event_type ASC
+""",
         "span_within": oracles.span_within_sql("spark", "customer", "window",
                                                slop=6),
         "bloom_filter_join": oracles_curation.bloom_filter_audit_sql(
@@ -3829,6 +3875,7 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "explain_score": oracles.explain_sql(Q_MAIN, 42),
         "term_vectors": oracles.term_vectors_sql(42),
         "proximity_rescore": oracles.proximity_rescore_sql(Q_MAIN, k=10, rescore_n=50),
+        "ltr_rescore": oracles.ltr_rescore_sql(Q_MAIN, weights=LTR_WEIGHTS, k=10, window=50),
         "unigram_logprob": oracles_curation.unigram_logprob_sql(),
         "chunk_documents": oracles_curation.chunk_documents_sql(32, 24),
         "media_meta": oracles_ops.media_meta_sql(),

@@ -1975,3 +1975,58 @@ SELECT rk, term, fg_df, bg_df, jlh FROM (
 ) WHERE rk <= {k}
 ORDER BY rk
 """
+
+
+def ltr_rescore_sql(terms: list[str], weights=(1.0, 0.25, 2.0, 0.125),
+                    k: int = 10, window: int = 50,
+                    field: str = "n_chars") -> str:
+    """LTR linear-rescore oracle: BM25 top-``window`` → linear model over
+    (rounded bm25, ln(1+dl), coverage, ln(1+field)) in the exact operand
+    order of scoring.ltr_rescore."""
+    w_bm, w_dl, w_cov, w_f = (float(w) for w in weights)
+    qset = sorted(set(terms))
+    terms_list = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in qset) + "]"
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+initial AS (
+  SELECT doc_id, round(raw_score, 6) AS score
+  FROM scored
+  ORDER BY round(raw_score, 6) DESC, doc_id ASC
+  LIMIT {window}
+),
+feats AS (
+  SELECT doc_id,
+         ln(1.0 + len(list_filter(string_split(text, ' '), x -> x <> ''))) AS f_dl,
+         len(list_intersect(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+                            {terms_list})) / {float(len(qset))!r} AS f_cov,
+         ln(1.0 + {field}) AS f_field
+  FROM documents
+),
+rescored AS (
+  SELECT i.doc_id,
+         round({w_bm!r} * i.score + {w_dl!r} * f.f_dl
+               + {w_cov!r} * f.f_cov + {w_f!r} * f.f_field, 6) AS score
+  FROM initial i JOIN feats f USING (doc_id)
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM rescored
+) WHERE rank <= {k}
+ORDER BY rank
+"""

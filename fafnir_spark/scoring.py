@@ -499,3 +499,55 @@ def script_score_cosine(
         ).alias("score"),
     )
     return _topk_ranked(out, k)
+
+
+def ltr_rescore(
+    docs: DataFrame,
+    terms: list[str],
+    weights: tuple[float, float, float, float] = (1.0, 0.25, 2.0, 0.125),
+    k: int = 10,
+    window: int = 50,
+    field: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES learning-to-rank rescorer (8.12 `rescore.learning_to_rank`):
+    the first-pass query retrieves the top-``window`` docs by BM25, then a
+    model scores them from query+doc feature extractors and the window is
+    re-ranked to the final k. The deterministic core here is a LINEAR
+    model over the canonical LTR feature set:
+
+        f_bm25  = first-pass score        (rounded — the rank-identity value)
+        f_dl    = ln(1 + token count)     (doc length)
+        f_cov   = |matched query terms| / |terms|   (coverage)
+        f_field = ln(1 + <numeric doc column>)      (static quality prior)
+
+        score = round(w0·f_bm25 + w1·f_dl + w2·f_cov + w3·f_field, 6)
+
+    ``weights`` should be dyadic floats so the weighted sum is exact
+    cross-engine (the multi_match convention). Feature extraction is
+    row-local projection + one join against the ≤window-row initial
+    relation (AQE broadcasts it) — the expensive model never sees more
+    than ``window`` docs, the ES rescorer contract. (rank, doc_id, score)."""
+    from .query import bm25_topk
+
+    w_bm, w_dl, w_cov, w_f = (float(w) for w in weights)
+    qset = sorted(set(terms))
+    initial = bm25_topk(docs, terms, k=window, text_col=text_col)
+    toks = tokens_expr(text_col)
+    term_arr = F.array(*[F.lit(t) for t in qset])
+    feats = docs.select(
+        "doc_id",
+        F.log(F.lit(1.0) + F.size(toks)).alias("__f_dl"),
+        (F.size(F.array_intersect(F.array_distinct(toks), term_arr))
+         / F.lit(float(len(qset)))).alias("__f_cov"),
+        F.log(F.lit(1.0) + F.col(field)).alias("__f_field"),
+    )
+    rescored = initial.join(feats, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.lit(w_bm) * F.col("score") + F.lit(w_dl) * F.col("__f_dl")
+            + F.lit(w_cov) * F.col("__f_cov") + F.lit(w_f) * F.col("__f_field"),
+            SCORE_DECIMALS,
+        ).alias("score"),
+    )
+    return _topk_ranked(rescored, k)

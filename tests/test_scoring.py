@@ -197,3 +197,34 @@ def test_sparse_vector_indexed_lifecycle(spark, tmp_path):
     agree(mod)
     delete_docs(spark, root, [7])
     agree(mod.filter(F.col("doc_id") != 7))
+
+
+def test_ltr_rescore_laws(spark, docs):
+    """LTR linear rescorer: (1) weights (1,0,0,0) with a corpus-wide
+    window degenerate to plain BM25 top-k; (2) a pure-coverage model
+    ranks docs containing more distinct query terms first; (3) the model
+    only ever re-ranks the first-pass window — a doc outside the BM25
+    top-`window` can never appear."""
+    from fafnir_spark.query import bm25_topk
+    from fafnir_spark.scoring import ltr_rescore
+
+    terms = ["merge", "window", "customer"]
+    n = docs.count()
+    base = [(r["rank"], r["doc_id"], r["score"]) for r in
+            bm25_topk(docs, terms, k=10).collect()]
+    degen = [(r["rank"], r["doc_id"], r["score"]) for r in
+             ltr_rescore(docs, terms, weights=(1.0, 0.0, 0.0, 0.0),
+                         k=10, window=n).collect()]
+    assert degen == base
+    # pure coverage: score == coverage fraction, so every returned doc's
+    # score is (#matched terms)/3 and ordering is coverage-desc
+    cov = ltr_rescore(docs, terms, weights=(0.0, 0.0, 1.0, 0.0),
+                      k=10, window=n).collect()
+    assert all(abs(r["score"] * 3 - round(r["score"] * 3)) < 1e-9 for r in cov)
+    scores = [r["score"] for r in cov]
+    assert scores == sorted(scores, reverse=True)
+    # window containment: rescored ids ⊆ first-pass top-window ids
+    first = {r["doc_id"] for r in bm25_topk(docs, terms, k=5).collect()}
+    rescored_ids = {r["doc_id"] for r in
+                    ltr_rescore(docs, terms, k=5, window=5).collect()}
+    assert rescored_ids <= first
