@@ -899,6 +899,55 @@ def _q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extended_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_sort pipeline agg standalone: rank buckets by rounded
+    metric, paginate positions (2, 5] — sort+offset over the bounded
+    bucket relation only (pipeline.bucket_sort)."""
+    from fafnir_spark.pipeline import bucket_sort
+
+    return bucket_sort(spark.read.parquet(f"{sf_dir}/events.parquet"),
+                       from_=2, size=3)
+
+
+ESQL_STATS_WHERE_QUERY = """
+FROM events
+| STATS n = count(*), hi_n = count(*) WHERE value >= 5.0,
+        hi_sum = sum(value) WHERE value >= 5.0 BY event_type
+| EVAL hi_sum = round(hi_sum, 6)
+| SORT event_type ASC
+| KEEP event_type, n, hi_n, hi_sum
+"""
+
+
+def _q_esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL STATS ... WHERE (8.16): per-aggregate filters compiled as
+    conditional projections INSIDE the single map-side-combined groupBy
+    (sum(CASE WHEN ...)) — k filtered aggs stay one pass."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_STATS_WHERE_QUERY,
+                {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
+
+
+ESQL_CHANGE_POINT_QUERY = """
+FROM events
+| EVAL day = date_format(ts, "yyyy-MM-dd")
+| STATS sum_value = sum(value) BY day
+| EVAL sum_value = round(sum_value, 6)
+| CHANGE_POINT sum_value ON day
+"""
+
+
+def _q_esql_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL CHANGE_POINT (8.18): the max-mean-shift split over the
+    day-ordered STATS buckets — same cumulative-sum scan as the batch
+    change_point agg, reached through the pipe language."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_CHANGE_POINT_QUERY,
+                {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
+
+
 def _q_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bucket_selector + bucket_sort pipeline aggs: HAVING-style bucket
     filter then sorted truncation over the bucket relation."""
@@ -3201,6 +3250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_aggs": _q_pipeline_aggs,
         "extended_stats": _q_extended_stats,
         "bucket_selector": _q_bucket_selector,
+        "bucket_sort": _q_bucket_sort,
+        "esql_stats_where": _q_esql_stats_where,
+        "esql_change_point": _q_esql_change_point,
         "serial_diff": _q_serial_diff,
         "multi_terms": _q_multi_terms,
         "auto_date_histogram": _q_auto_date_histogram,
@@ -3513,6 +3565,14 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_aggs": oracles_pipeline.event_pipeline_aggs_sql(3),
         "extended_stats": oracles_pipeline.extended_stats_sql(),
         "bucket_selector": oracles_pipeline.bucket_selector_topn_sql(),
+        "bucket_sort": oracles_pipeline.bucket_sort_sql(from_=2, size=3),
+        "esql_change_point": oracles_pipeline.esql_change_point_sql(),
+        "esql_stats_where": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN value >= 5.0 THEN 1 END) AS BIGINT) AS hi_n,
+       round(sum(CASE WHEN value >= 5.0 THEN value END), 6) AS hi_sum
+FROM events GROUP BY event_type ORDER BY event_type ASC
+""",
         "serial_diff": oracles_pipeline.serial_diff_sql(7),
         "multi_terms": oracles_pipeline.multi_terms_agg_sql(20),
         "auto_date_histogram": oracles_pipeline.auto_date_histogram_sql(40),

@@ -77,6 +77,11 @@ def _parse_eval_expr(expr: str):
         # tokenizer convention — string_split parity with the oracle)
         parts = F.split(F.col(m.group(1)), re.escape(_lit(m.group(2))))
         return F.filter(parts, lambda x: x != "")
+    m = re.fullmatch(rf"\s*date_format\(\s*({_IDENT})\s*,\s*({_STR})\s*\)\s*", expr)
+    if m:
+        # ES|QL DATE_FORMAT — Spark date_format == DuckDB strftime on the
+        # shared 'yyyy-MM-dd' day pattern (the change_point_agg parity)
+        return F.date_format(F.col(m.group(1)), _lit(m.group(2)))
     m = re.fullmatch(rf"\s*({_IDENT})\s*([+\-*/])\s*({_NUM})\s*", expr)
     if m:
         col, op, num = m.groups()
@@ -93,21 +98,31 @@ def _parse_eval_expr(expr: str):
 
 def _parse_agg(spec: str):
     m = re.fullmatch(
-        rf"\s*(?:({_IDENT})\s*=\s*)?({_IDENT})\(\s*(\*|{_IDENT})\s*\)\s*", spec
+        rf"\s*(?:({_IDENT})\s*=\s*)?({_IDENT})\(\s*(\*|{_IDENT})\s*\)\s*"
+        rf"(?:WHERE\s+(.+?))?\s*", spec
     )
     if not m:
         raise EsqlError(f"unsupported STATS aggregate: {spec!r}")
-    alias, fn, arg = m.groups()
+    alias, fn, arg, where = m.groups()
     if fn not in _AGGS:
         raise EsqlError(f"unknown aggregate function: {fn!r}")
+    # STATS ... WHERE (ES|QL 8.16): per-aggregate filter — compiled as a
+    # conditional projection INSIDE the aggregate (sum(CASE WHEN ...)),
+    # so every filtered aggregate still rides the ONE map-side-combined
+    # groupBy; k filtered aggs never become k passes.
+    cond = None
+    if where is not None:
+        for part in re.split(r"\s+AND\s+", where):
+            c = _parse_condition(part)
+            cond = c if cond is None else (cond & c)
     if arg == "*":
         if fn != "count":
             raise EsqlError("only count(*) takes *")
-        col = F.count(F.lit(1)).cast("long")
-    elif fn == "count":
-        col = F.count(F.col(arg)).cast("long")
+        src = F.when(cond, F.lit(1)) if cond is not None else F.lit(1)
+        col = F.count(src).cast("long")
     else:
-        col = _AGGS[fn](F.col(arg))
+        src = F.when(cond, F.col(arg)) if cond is not None else F.col(arg)
+        col = F.count(src).cast("long") if fn == "count" else _AGGS[fn](src)
     return col.alias(alias or f"{fn}_{arg if arg != '*' else 'all'}")
 
 
@@ -364,6 +379,28 @@ def _apply_stage(spark: SparkSession, df: DataFrame, stage: str,
             if c not in df.columns:
                 raise EsqlError(f"DROP of unknown column {c!r}")
         df = df.drop(*cols)
+    elif kw == "CHANGE_POINT":
+        # CHANGE_POINT <value> ON <key> (ES|QL 8.18 tech preview). ES
+        # marks the detected row in-stream with (type, pvalue); the
+        # deterministic core here returns the ONE detected change row —
+        # the max-mean-shift split over the key-ordered relation
+        # (pipeline.change_point_from_buckets: cumulative-sum window over
+        # the bounded bucket relation, no per-split rescan) with `score`
+        # = |mean shift| as the strength statistic in place of the model
+        # p-value, and type pinned to "step_change".
+        m = re.fullmatch(rf"\s*({_IDENT})\s+ON\s+({_IDENT})\s*", rest,
+                         re.IGNORECASE)
+        if not m:
+            raise EsqlError(f"unsupported CHANGE_POINT: {rest!r}")
+        val, key = m.groups()
+        from .pipeline import change_point_from_buckets
+
+        buckets = df.select(F.col(key).alias("day"),
+                            F.col(val).alias("sum_value"))
+        df = change_point_from_buckets(buckets).select(
+            F.col("change_day").alias(key),
+            F.lit("step_change").alias("type"),
+            "score", "mean_before", "mean_after")
     elif kw == "FORK":
         # FORK (branch1) (branch2) ... (ES|QL 8.19): run each parenthesised
         # sub-pipeline over the SAME input frame, tag rows with the `_fork`

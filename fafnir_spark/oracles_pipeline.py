@@ -1483,3 +1483,49 @@ SELECT item_a, item_b, support FROM pairs
 ORDER BY support DESC, item_a ASC, item_b ASC
 LIMIT {k}
 """
+
+
+def bucket_sort_sql(from_: int = 2, size: int = 3) -> str:
+    """bucket_sort oracle: rank the bounded bucket relation by the rounded
+    metric, keep positions (from_, from_+size]."""
+    return f"""
+SELECT pos, event_type, s, doc_count FROM (
+  SELECT event_type, round(sum(value), 6) AS s,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         row_number() OVER (ORDER BY round(sum(value), 6) DESC,
+                            event_type ASC) AS pos
+  FROM events GROUP BY event_type
+)
+WHERE pos > {from_} AND pos <= {from_ + size}
+ORDER BY pos
+"""
+
+
+def esql_change_point_sql() -> str:
+    """ES|QL CHANGE_POINT oracle — change_point_sql's scan with the
+    stage's output shape (key, type, score, means)."""
+    return """
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(sum_value) AS total, CAST(count(*) AS BIGINT) AS n FROM buckets),
+cum AS (
+  SELECT day,
+         sum(sum_value) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         row_number() OVER (ORDER BY day) AS i
+  FROM buckets
+),
+scored AS (
+  SELECT day,
+         round(cum / i, 6) AS mean_before,
+         round((total - cum) / (n - i), 6) AS mean_after,
+         round(abs(cum / i - (total - cum) / (n - i)), 6) AS score
+  FROM cum CROSS JOIN tot
+  WHERE i < n
+)
+SELECT day, 'step_change' AS type, score, mean_before, mean_after
+FROM scored ORDER BY score DESC, day ASC LIMIT 1
+"""

@@ -1912,3 +1912,27 @@ def ip_range_agg(events: DataFrame, edges: list[int] = (2, 4)) -> DataFrame:
              F.count_distinct("uid").cast("long").alias("n_users"))
         .orderBy(order)
     )
+
+
+def bucket_sort(events: DataFrame, from_: int = 2, size: int = 3) -> DataFrame:
+    """ES bucket_sort pipeline aggregation: re-order the PARENT agg's
+    buckets by a bucket metric and paginate with from/size — the bucket
+    analog of search-hit pagination. The sort+offset runs over the
+    BOUNDED bucket relation (rows == n_event_types, the pipeline-agg
+    convention: normalize_agg's global window precedent), never the fact
+    table. (pos, event_type, s, doc_count) for positions
+    (from_, from_+size]."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    buckets = events.groupBy("event_type").agg(
+        F.round(F.sum("value"), 6).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+    )
+    w = Window.orderBy(F.col("s").desc(), F.col("event_type").asc())
+    return (
+        buckets.withColumn("pos", F.row_number().over(w))
+        .filter((F.col("pos") > from_) & (F.col("pos") <= from_ + size))
+        .select("pos", "event_type", "s", "doc_count")
+        .orderBy("pos")
+    )

@@ -301,3 +301,44 @@ def test_pipe_split_respects_strings_and_parens(spark, events):
         | FORK (WHERE event_type == "a|b" | LIMIT 1) (LIMIT 2)
     """, {"events": events}).collect()
     assert {r["_fork"] for r in rows} == {"fork2"}  # no 'a|b' rows exist
+
+
+def test_stats_where_per_agg_filter(spark, events):
+    """STATS ... WHERE (8.16): the filter applies to ITS aggregate only,
+    inside the single groupBy (conditional projection, one pass)."""
+    rows = esql(spark, """
+        FROM events
+        | STATS n = count(*), hi = count(*) WHERE value >= 5.0 BY event_type
+        | SORT event_type ASC
+    """, {"events": events}).collect()
+    assert rows and all(0 < r["hi"] < r["n"] for r in rows)
+    # count(col) WHERE and malformed WHERE
+    one = esql(spark, """
+        FROM events
+        | STATS lo = sum(value) WHERE value < 5.0, t = sum(value)
+    """, {"events": events}).collect()[0]
+    assert 0 < one["lo"] < one["t"]
+    with pytest.raises(EsqlError):
+        esql(spark, "FROM events | STATS n = count(*) WHERE ???",
+             {"events": events})
+
+
+def test_change_point_stage(spark, events):
+    """CHANGE_POINT returns the single max-mean-shift row with the stage's
+    documented shape; its split agrees with the batch change_point agg."""
+    from fafnir_spark.pipeline import change_point_agg
+
+    df = esql(spark, """
+        FROM events
+        | EVAL day = date_format(ts, "yyyy-MM-dd")
+        | STATS sum_value = sum(value) BY day
+        | EVAL sum_value = round(sum_value, 6)
+        | CHANGE_POINT sum_value ON day
+    """, {"events": events})
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["type"] == "step_change"
+    want = change_point_agg(events).collect()[0]
+    assert rows[0]["day"] == want["change_day"]
+    assert rows[0]["score"] == want["score"]
+    with pytest.raises(EsqlError):
+        esql(spark, "FROM events | CHANGE_POINT value", {"events": events})
