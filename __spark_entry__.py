@@ -1498,6 +1498,27 @@ def _q_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=10, window=50)
 
 
+def _q_ltr_rescore_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR rescore over the INDEXED first pass (BMW exact top-window);
+    model features extracted from the stored source — rank-identical to
+    the direct rescorer, same oracle."""
+    from fafnir_spark.wand import ltr_rescore_indexed
+
+    return ltr_rescore_indexed(spark, _idx_root(spark, sf_dir),
+                               _docs(spark, sf_dir), Q_MAIN,
+                               weights=LTR_WEIGHTS, k=10, window=50)
+
+
+def _q_rescore_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore ARRAY: proximity re-rank of the BM25 top-50, keep 20,
+    then the linear LTR model — each stage bounded by its window
+    (scoring.rescore_chain)."""
+    from fafnir_spark.scoring import rescore_chain
+
+    return rescore_chain(_docs(spark, sf_dir), Q_MAIN, weights=LTR_WEIGHTS,
+                         k=10, w1=50, w2=20)
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-prep chunking: overlapping 32-token windows (stride 24);
     chunk_hash verifies content, not just counts."""
@@ -3043,6 +3064,7 @@ INDEXED_TWINS = {
     "ann_pq_indexed": "ann_pq_topk",
     "ann_sq8_indexed": "ann_sq8_rescore",
     "bm25_topk_indexed": "bm25_topk_direct",
+    "ltr_rescore_indexed": "ltr_rescore",
     "bool_bm25_indexed": "bool_bm25",
     "doc_values_histogram_indexed": "value_histogram",
     "facet_counts_indexed": "facet_counts",
@@ -3396,6 +3418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": _q_term_vectors,
         "proximity_rescore": _q_proximity_rescore,
         "ltr_rescore": _q_ltr_rescore,
+        "ltr_rescore_indexed": _q_ltr_rescore_indexed,
+        "rescore_chain": _q_rescore_chain,
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
         "media_meta": _q_media_meta,
@@ -3936,6 +3960,8 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "term_vectors": oracles.term_vectors_sql(42),
         "proximity_rescore": oracles.proximity_rescore_sql(Q_MAIN, k=10, rescore_n=50),
         "ltr_rescore": oracles.ltr_rescore_sql(Q_MAIN, weights=LTR_WEIGHTS, k=10, window=50),
+        "ltr_rescore_indexed": oracles.ltr_rescore_sql(Q_MAIN, weights=LTR_WEIGHTS, k=10, window=50),
+        "rescore_chain": oracles.rescore_chain_sql(Q_MAIN, weights=LTR_WEIGHTS, k=10, w1=50, w2=20),
         "unigram_logprob": oracles_curation.unigram_logprob_sql(),
         "chunk_documents": oracles_curation.chunk_documents_sql(32, 24),
         "media_meta": oracles_ops.media_meta_sql(),

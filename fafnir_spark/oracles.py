@@ -2030,3 +2030,77 @@ SELECT rank, doc_id, score FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def rescore_chain_sql(terms: list[str], weights=(1.0, 0.25, 2.0, 0.125),
+                      k: int = 10, w1: int = 50, w2: int = 20,
+                      field: str = "n_chars") -> str:
+    """Sequential-rescorer oracle: BM25 top-w1 → proximity bonus re-rank,
+    keep w2 → linear LTR model → final top-k. Stage formulas and operand
+    order mirror query_ext.proximity_rescore then scoring.ltr_model_rerank."""
+    w_bm, w_dl, w_cov, w_f = (float(w) for w in weights)
+    qset = sorted(set(terms))
+    t1 = terms[0].replace("'", "''")
+    t2 = terms[1].replace("'", "''")
+    terms_list = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in qset) + "]"
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+initial AS (
+  SELECT doc_id, round(raw_score, 6) AS score
+  FROM scored
+  ORDER BY round(raw_score, 6) DESC, doc_id ASC
+  LIMIT {w1}
+),
+tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+stage1 AS (
+  SELECT doc_id, score FROM (
+    SELECT i.doc_id,
+           round(i.score +
+             CASE WHEN list_position(tk, '{t1}') IS NOT NULL
+                       AND list_position(tk, '{t2}') IS NOT NULL
+                  THEN 1.0 / (1.0 + abs(list_position(tk, '{t1}')
+                                        - list_position(tk, '{t2}')))
+                  ELSE 0.0 END, 6) AS score
+    FROM initial i JOIN tkl USING (doc_id)
+  )
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {w2}
+),
+feats AS (
+  SELECT doc_id,
+         ln(1.0 + len(tk)) AS f_dl,
+         len(list_intersect(list_distinct(tk), {terms_list})) / {float(len(qset))!r} AS f_cov,
+         ln(1.0 + {field}) AS f_field
+  FROM tkl JOIN documents USING (doc_id)
+),
+rescored AS (
+  SELECT s.doc_id,
+         round({w_bm!r} * s.score + {w_dl!r} * f.f_dl
+               + {w_cov!r} * f.f_cov + {w_f!r} * f.f_field, 6) AS score
+  FROM stage1 s JOIN feats f USING (doc_id)
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM rescored
+) WHERE rank <= {k}
+ORDER BY rank
+"""

@@ -530,18 +530,36 @@ def ltr_rescore(
     than ``window`` docs, the ES rescorer contract. (rank, doc_id, score)."""
     from .query import bm25_topk
 
-    w_bm, w_dl, w_cov, w_f = (float(w) for w in weights)
-    qset = sorted(set(terms))
     initial = bm25_topk(docs, terms, k=window, text_col=text_col)
+    return ltr_model_rerank(
+        initial.select("doc_id", "score"),
+        ltr_features(docs, terms, field=field, text_col=text_col), weights, k)
+
+
+def ltr_features(docs: DataFrame, terms: list[str], field: str = "n_chars",
+                 text_col: str = "text") -> DataFrame:
+    """The LTR feature projection (doc side): row-local, one pass —
+    shared by the direct and indexed rescorers so rank identity holds.
+    (doc_id, __f_dl, __f_cov, __f_field)."""
+    qset = sorted(set(terms))
     toks = tokens_expr(text_col)
     term_arr = F.array(*[F.lit(t) for t in qset])
-    feats = docs.select(
+    return docs.select(
         "doc_id",
         F.log(F.lit(1.0) + F.size(toks)).alias("__f_dl"),
         (F.size(F.array_intersect(F.array_distinct(toks), term_arr))
          / F.lit(float(len(qset)))).alias("__f_cov"),
         F.log(F.lit(1.0) + F.col(field)).alias("__f_field"),
     )
+
+
+def ltr_model_rerank(initial: DataFrame, feats: DataFrame,
+                     weights: tuple[float, float, float, float],
+                     k: int) -> DataFrame:
+    """Apply the linear LTR model to a (doc_id, score) first-pass window
+    and finish with the deterministic top-k. Exact operand order — the
+    oracle's formula."""
+    w_bm, w_dl, w_cov, w_f = (float(w) for w in weights)
     rescored = initial.join(feats, "doc_id").select(
         "doc_id",
         F.round(
@@ -551,3 +569,29 @@ def ltr_rescore(
         ).alias("score"),
     )
     return _topk_ranked(rescored, k)
+
+
+def rescore_chain(
+    docs: DataFrame,
+    terms: list[str],
+    weights: tuple[float, float, float, float] = (1.0, 0.25, 2.0, 0.125),
+    k: int = 10,
+    w1: int = 50,
+    w2: int = 20,
+    field: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES rescore ARRAY semantics: rescorers apply IN SEQUENCE, each over
+    the previous stage's top window (windows shrink monotonically —
+    w1 ≥ w2 ≥ k). Stage 1: BM25 top-``w1`` re-ranked by the proximity
+    bonus, keep ``w2``; stage 2: the linear LTR model over those ``w2``;
+    final top-k. Each stage's expensive work is bounded by its window —
+    the chain costs no more than its widest rescorer.
+    (rank, doc_id, score)."""
+    from .query_ext import proximity_rescore
+
+    stage1 = proximity_rescore(docs, terms, k=w2, rescore_n=w1,
+                               text_col=text_col)
+    return ltr_model_rerank(
+        stage1.select("doc_id", "score"),
+        ltr_features(docs, terms, field=field, text_col=text_col), weights, k)

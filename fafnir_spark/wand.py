@@ -2062,3 +2062,32 @@ def doc_values_histogram_indexed(
              F.round(F.sum("__v"), 6).alias("sum_value"))
         .orderBy("bucket")
     )
+
+
+def ltr_rescore_indexed(
+    spark: SparkSession,
+    index_root: str,
+    docs: DataFrame,
+    terms: list[str],
+    weights: tuple[float, float, float, float] = (1.0, 0.25, 2.0, 0.125),
+    k: int = 10,
+    window: int = 50,
+    field: str = "n_chars",
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """LTR rescorer over the INDEXED first pass: run_queries (BMW,
+    per-shard exact top-window on rounded scores) supplies the BM25
+    window; the linear model's features come from the stored-source frame
+    ``docs`` — ES extracts LTR feature values from stored fields at
+    rescore time, so reading _source for the ≤window candidates is the
+    semantic match. Rank-identical to scoring.ltr_rescore (indexed
+    top-window == direct top-window by the rank-identity contract; model
+    and finish are the shared scoring.ltr_model_rerank), hence the same
+    DuckDB oracle. (rank, doc_id, score)."""
+    from .scoring import ltr_features, ltr_model_rerank
+
+    initial = run_queries(spark, index_root, {"q": list(terms)}, k=window,
+                          algo="bmw", snapshot_id=snapshot_id)
+    return ltr_model_rerank(
+        initial.select("doc_id", "score"),
+        ltr_features(docs, terms, field=field), weights, k)
