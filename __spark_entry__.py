@@ -753,6 +753,27 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=3)
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (p ∝ n^0.5): per-lang share,
+    weight, and effective-epoch factor — the tail-upweighting rule of
+    multilingual LLM data mixes (curation.temperature_mix)."""
+    from fafnir_spark.curation import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), alpha=0.5, group_col="lang")
+
+
+def _q_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: vec_id%20==0 plays the benchmark
+    (broadcast side); flag train vectors with max benchmark cosine >=
+    0.35, reporting the closest benchmark item (curation module)."""
+    from fafnir_spark.curation import decontaminate_embedding
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter(F.pmod(F.col("vec_id"), F.lit(20)) == 0)
+    train = emb.filter(F.pmod(F.col("vec_id"), F.lit(20)) != 0)
+    return decontaminate_embedding(train, bench, threshold=0.35)
+
+
 def _q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.curation import sample_per_source
 
@@ -3165,6 +3186,20 @@ def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_heavy_hitters(_docs(spark, sf_dir), k=20, depth=4, width=256)
 
 
+def _q_stream_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CM heavy hitters: per-batch register + term-count
+    partials sum-merged from parquet state — the fold equals the batch
+    sketch bit-for-bit, so the batch oracle checks it exactly."""
+    from fafnir_spark.streaming import stream_cm_heavy_hitters
+
+    base = tempfile.mkdtemp(prefix="fafnir_scm_")
+    src = os.path.join(base, "src")
+    _docs(spark, sf_dir).repartition(3).write.parquet(src)
+    return stream_cm_heavy_hitters(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"),
+        k=20, depth=4, width=256)
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training — the full greedy merge loop (4 rounds):
     per-round pair counts over the |V|-row word table, argmax collected
@@ -3246,6 +3281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "top_terms_tfidf": _q_top_terms,
         "decontaminate_ngram": _q_decontaminate,
+        "decontaminate_embedding": _q_decontaminate_embedding,
+        "temperature_mix": _q_temperature_mix,
         "dsir_weights": _q_dsir_weights,
         "ccnet_buckets": _q_ccnet_buckets,
         "exact_substring_dedup": _q_exact_substring_dedup,
@@ -3381,6 +3418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "url_host_filter": _q_url_host_filter,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
+        "stream_cm_heavy_hitters": _q_stream_cm_heavy_hitters,
         "bpe_train": _q_bpe_train,
         "orc_roundtrip": _q_orc_roundtrip,
         "esql_mv_expand": _q_esql_mv_expand,
@@ -3562,6 +3600,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles_ops.token_counts_sql(),
         "top_terms_tfidf": oracles_ops.top_terms_sql(3),
         "decontaminate_ngram": oracles_curation.decontaminate_sql(n=3, bench_mod=17),
+        "decontaminate_embedding": oracles_curation.decontaminate_embedding_sql(threshold=0.35, mod=20),
+        "temperature_mix": oracles_curation.temperature_mix_sql(alpha=0.5, group_col="lang"),
         "dsir_weights": oracles_curation.dsir_weights_sql(target_lang="en", buckets=256),
         "ccnet_buckets": oracles_curation.ccnet_buckets_sql(),
         "exact_substring_dedup": oracles_curation.exact_substring_dedup_sql(n=15),
@@ -3733,6 +3773,8 @@ FROM events GROUP BY event_type ORDER BY event_type ASC
         "line_dedup": oracles_curation.line_dedup_sql(min_dup=2),
         "url_host_filter": oracles_curation.url_host_filter_sql(),
         "cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(
+            k=20, depth=4, width=256),
+        "stream_cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(
             k=20, depth=4, width=256),
         "bpe_train": oracles_ops.bpe_train_sql(n_merges=4),
         "orc_roundtrip": """

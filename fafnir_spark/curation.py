@@ -1069,3 +1069,81 @@ def epoch_shuffle_audit(docs: DataFrame, seed: int = 0,
         )
         .orderBy("shard")
     )
+
+
+def decontaminate_embedding(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic sibling of
+    n-gram `decontaminate`, for contamination that paraphrases the eval
+    set (rewritten answers, translated questions) and so shares no
+    shingle: flag every training vector whose max cosine to ANY benchmark
+    vector reaches ``threshold``.
+
+    Scale shape: the benchmark side is SMALL by construction (eval sets
+    are 10^3..10^5 rows) and enters as a BROADCAST — the train side
+    streams through one row-local nested-loop pass (|train|·|bench|
+    arithmetic, zero corpus shuffle) and the per-train max collapses
+    map-side in the groupBy. Returns (vec_id, bench_id, max_cos) for
+    flagged rows only — bench_id names the closest benchmark item so the
+    decision is auditable; the production filter is an anti-join of train
+    against these ids. Ties: highest cosine, then lowest bench id."""
+    from .dedup import cosine_expr
+
+    b = benchmark.select(F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bv"))
+    t = train.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__tv"))
+    pairs = t.crossJoin(F.broadcast(b)).select(
+        "vec_id", "__bid",
+        F.round(cosine_expr(F.col("__tv"), F.col("__bv")), 6).alias("__c"),
+    )
+    best = pairs.groupBy("vec_id").agg(
+        F.max_by(
+            "__bid", F.struct(F.col("__c").alias("c"), (-F.col("__bid")).alias("nb"))
+        ).alias("bench_id"),
+        F.max("__c").alias("max_cos"),
+    )
+    return best.filter(F.col("max_cos") >= F.lit(float(threshold))).orderBy("vec_id")
+
+
+def temperature_mix(docs: DataFrame, alpha: float = 0.5,
+                    group_col: str = "lang") -> DataFrame:
+    """Temperature-scaled mixture weights — the p_i ∝ n_i^alpha sampling
+    rule multilingual/multi-source LLM pipelines use to upweight tails
+    (alpha = 1/T; alpha=1 is proportional, alpha→0 uniform; the
+    water-filling sibling of unimax_alloc without its hard cap). Per
+    group: corpus share, temperature weight n^alpha / Σ n^alpha, and the
+    implied oversampling factor weight/share (effective epochs at a fixed
+    token budget).
+
+    alpha must be 1/2^m (0.5, 0.25, ...): n^alpha is computed as an
+    m-deep sqrt chain — sqrt is correctly-rounded IEEE so both engines
+    produce bit-identical powers, where libm pow() may drift a ulp.
+    Shape: one groupBy to the bounded group relation; normalization
+    totals are windows over the buckets (the normalize_agg convention)."""
+    from pyspark.sql.window import Window
+
+    m = 0
+    a = alpha
+    while a < 1.0:
+        a *= 2.0
+        m += 1
+    if a != 1.0 or m == 0:
+        raise ValueError("alpha must be 1/2^m for exact cross-engine powers")
+    counts = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    pv = F.col("n_docs").cast("double")
+    for _ in range(m):
+        pv = F.sqrt(pv)
+    w_all = Window.partitionBy()
+    buckets = counts.withColumn("__p", F.round(pv, 6))
+    share = F.round(F.col("n_docs") / F.sum("n_docs").over(w_all), 6)
+    weight = F.round(F.col("__p") / F.sum("__p").over(w_all), 6)
+    out = buckets.select(group_col, "n_docs", share.alias("share"),
+                         weight.alias("weight"))
+    return out.withColumn(
+        "epochs", F.round(F.col("weight") / F.col("share"), 6)
+    ).orderBy(group_col)

@@ -820,3 +820,71 @@ SELECT CAST(n_build AS BIGINT) AS n_build,
        CAST(n_bloom - n_exact AS BIGINT) AS n_fp
 FROM c
 """
+
+
+def decontaminate_embedding_sql(threshold: float = 0.35, mod: int = 20,
+                                dim: int = 64) -> str:
+    """Mirror of curation.decontaminate_embedding over the embeddings
+    fixture: benchmark = vec_id % mod == 0, same rounded cosine, same
+    (cosine desc, bench_id asc) tie-break."""
+    def cos(a: str, b: str) -> str:
+        rng = f"range(1, {dim + 1})"
+        return (f"round(list_sum(list_transform({rng}, i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+                f" / (sqrt(list_sum(list_transform({rng}, i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+                f" * sqrt(list_sum(list_transform({rng}, i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)")
+    return f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % {mod} = 0
+),
+train AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {mod} <> 0
+),
+pairs AS (
+  SELECT t.vec_id, b.bench_id,
+         {cos('t.embedding', 'b.embedding')} AS c
+  FROM train t CROSS JOIN bench b
+),
+best AS (
+  SELECT vec_id, bench_id, c AS max_cos FROM (
+    SELECT vec_id, bench_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, bench_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT vec_id, bench_id, max_cos FROM best
+WHERE max_cos >= {threshold!r}
+ORDER BY vec_id
+"""
+
+
+def temperature_mix_sql(alpha: float = 0.5, group_col: str = "lang") -> str:
+    """Mirror of curation.temperature_mix: same sqrt-chain power, same
+    rounded share/weight, epochs from the ROUNDED pair."""
+    m = 0
+    a = alpha
+    while a < 1.0:
+        a *= 2.0
+        m += 1
+    assert a == 1.0 and m > 0
+    pv = "n_docs::DOUBLE"
+    for _ in range(m):
+        pv = f"sqrt({pv})"
+    return f"""
+WITH counts AS (
+  SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY {group_col}
+),
+buckets AS (
+  SELECT {group_col}, n_docs, round({pv}, 6) AS p FROM counts
+),
+scored AS (
+  SELECT {group_col}, n_docs,
+         round(n_docs / sum(n_docs) OVER (), 6) AS share,
+         round(p / sum(p) OVER (), 6) AS weight
+  FROM buckets
+)
+SELECT {group_col}, n_docs, share, weight,
+       round(weight / share, 6) AS epochs
+FROM scored ORDER BY {group_col}
+"""

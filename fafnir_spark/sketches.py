@@ -315,6 +315,14 @@ def cm_heavy_hitters(docs: DataFrame, k: int = 20, depth: int = 4,
     toks = docs.select(F.explode(tokens_expr(text_col)).alias("term"))
     regs = cm_register_rows(toks, "term", depth=depth, width=width)
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    return cm_topk_from(exact, regs, k=k, depth=depth, width=width)
+
+
+def cm_topk_from(exact: DataFrame, regs: DataFrame, k: int = 20,
+                 depth: int = 4, width: int = 256) -> DataFrame:
+    """The probe/estimate/top-k tail of cm_heavy_hitters over an already-
+    built (term, exact) relation and register relation — shared with the
+    streaming path, whose inputs come from sum-merged parquet state."""
     probes = exact.select(
         "term", "exact",
         F.explode(F.array(*[

@@ -642,3 +642,70 @@ def stream_interval_join(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_cm_heavy_hitters(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming count-min heavy hitters: each micro-batch collapses to
+    its CM register PARTIALS (sum-mergeable, ≤ depth·width rows) plus its
+    per-term partial counts (vocab-bounded — the audit half of the batch
+    op's (est, exact) contract), appended to parquet state with a batch
+    stamp. The drained fold (groupBy-sum over both relations) is
+    bit-identical to the batch sketch, so the batch cm_heavy_hitters
+    oracle checks the result exactly. State ≤ (depth·width + |vocab|) ·
+    n_batches rows, compactable by re-summing; derived-from-state, so
+    checkpoint resume is safe (no fresh-run guard needed). Returns
+    (term, est, exact) top-k."""
+    import os
+
+    from .sketches import cm_register_rows, cm_topk_from
+    from .tokenizer import tokens_expr
+
+    regs_dir = os.path.join(state_dir, "regs")
+    terms_dir = os.path.join(state_dir, "terms")
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        toks = df.select(F.explode(tokens_expr("text")).alias("term"))
+        (
+            cm_register_rows(toks, "term", depth=depth, width=width)
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(regs_dir)
+        )
+        (
+            toks.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("partial"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(terms_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    regs = (
+        spark.read.parquet(regs_dir)
+        .dropDuplicates(["j", "bucket", "_b"])
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    exact = (
+        spark.read.parquet(terms_dir)
+        .dropDuplicates(["term", "_b"])
+        .groupBy("term")
+        .agg(F.sum("partial").cast("long").alias("exact"))
+    )
+    return cm_topk_from(exact, regs, k=k, depth=depth, width=width)

@@ -511,3 +511,43 @@ def test_epoch_shuffle_reproducible_and_seed_sensitive(spark, docs):
     assert a1 != b                       # new seed: reshuffled
     assert sum(r[1] for r in a1) == docs.count()
     assert len(a1) == 8 and all(r[1] > 0 for r in a1)  # hash-balanced shards
+
+
+def test_temperature_mix_laws(spark, docs):
+    """Temperature mixing p ∝ n^0.5: weights sum to 1, the head group is
+    downweighted (epochs < 1) and every tail group upweighted (> 1);
+    alpha=1 would be proportional — our alpha grid is 1/2^m only."""
+    from fafnir_spark.curation import temperature_mix
+
+    rows = temperature_mix(docs, alpha=0.5, group_col="lang").collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-5
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5
+    head = max(rows, key=lambda r: r["n_docs"])
+    assert head["epochs"] < 1.0
+    assert all(r["epochs"] > 1.0 for r in rows if r is not head)
+    with pytest.raises(ValueError):
+        temperature_mix(docs, alpha=0.3)
+
+
+def test_decontaminate_embedding_laws(spark):
+    """Flagged rows reach the threshold; benchmark vectors never flag
+    themselves (they're not in the train side); threshold=1-eps on a
+    disjoint set flags nothing; a planted benchmark COPY is flagged with
+    cosine 1.0 against its source."""
+    from fafnir_spark.curation import decontaminate_embedding
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bench = emb.filter(F.pmod(F.col("vec_id"), F.lit(20)) == 0)
+    train = emb.filter(F.pmod(F.col("vec_id"), F.lit(20)) != 0)
+    out = decontaminate_embedding(train, bench, threshold=0.35).collect()
+    assert out and all(r["max_cos"] >= 0.35 for r in out)
+    bench_ids = {r["vec_id"] for r in bench.select("vec_id").collect()}
+    assert all(r["vec_id"] not in bench_ids for r in out)
+    assert all(r["bench_id"] in bench_ids for r in out)
+    # planted copy: benchmark vec 0 re-enters train under a fresh id
+    copy = bench.filter(F.col("vec_id") == 0).select(
+        F.lit(999999).cast("long").alias("vec_id"), "embedding", "label")
+    flagged = {r["vec_id"]: r for r in decontaminate_embedding(
+        train.unionByName(copy), bench, threshold=0.999).collect()}
+    assert 999999 in flagged and flagged[999999]["max_cos"] == 1.0
+    assert flagged[999999]["bench_id"] == 0

@@ -307,3 +307,21 @@ def test_bloom_semi_join_one_sided_error(spark):
                   bloom_semi_join(ev, bits_big, "user_id", n_bits=4096, k=3)
                   .select("user_id").distinct().collect()}
     assert passed_big == exact
+
+
+def test_stream_cm_heavy_hitters_equals_batch(spark, tmp_path):
+    """Sum-merged CM register + term-count state folded across 3 batches
+    equals the single-pass batch sketch bit-for-bit."""
+    from fafnir_spark.sketches import cm_heavy_hitters
+    from fafnir_spark.streaming import stream_cm_heavy_hitters
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    got = stream_cm_heavy_hitters(
+        spark, src, str(tmp_path / "ck"), str(tmp_path / "state"),
+        k=15, depth=4, width=128).collect()
+    want = cm_heavy_hitters(docs, k=15, depth=4, width=128).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert all(r["est"] >= r["exact"] for r in got)  # one-sided CM error
