@@ -1303,6 +1303,22 @@ def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(_docs(spark, sf_dir), PERC_QUERIES)
 
 
+PERC_RANGE_QUERIES = {
+    "alert_merge_short": {"must": ["merge", "window"], "range": (48.0, 306.0)},
+    "alert_slow": {"must": ["slow"], "should": ["key", "agg"]},
+    "alert_long_batch": {"should": ["batch", "spark"], "range": (306.0, 1000.0)},
+}
+
+
+def _q_percolate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator with mixed term + numeric-range clauses: the range gate
+    is one broadcast bounds join over the already term-matched pairs."""
+    from fafnir_spark.query_ext import percolate_range
+
+    return percolate_range(_docs(spark, sf_dir), PERC_RANGE_QUERIES,
+                           range_col="n_chars")
+
+
 def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES field-sort search: match any query term, order by n_chars desc."""
     from fafnir_spark.query_ext import sort_by_field
@@ -2803,6 +2819,25 @@ FROM events
 """
 
 
+ESQL_WHERE_OR_QUERY = """
+FROM events
+| WHERE event_type == "error" OR value >= 9.0 AND value < 9.5
+| STATS n = count(*), total = sum(value) BY event_type
+| EVAL total = round(total, 6)
+| SORT event_type ASC
+| KEEP event_type, n, total
+"""
+
+
+def _q_esql_where_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL boolean WHERE: OR binds loosest (a OR (b AND c)) — the
+    whole predicate stays one pushdown-eligible filter under the scan."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_WHERE_OR_QUERY,
+                {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
+
+
 def _q_esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL FORK (8.19): each parenthesised branch runs over the same
     input frame; rows carry the `_fork` discriminator and branch-local
@@ -3425,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_inlinestats": _q_esql_inlinestats,
         "esql_lookup_join": _q_esql_lookup_join,
         "esql_fork": _q_esql_fork,
+        "esql_where_or": _q_esql_where_or,
         "missing_agg": _q_missing_agg,
         "span_within": _q_span_within,
         "variable_width_histogram": _q_variable_width_histogram,
@@ -3449,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pinned_query": _q_pinned_query,
         "match_bool_prefix": _q_match_bool_prefix,
         "percolate": _q_percolate,
+        "percolate_range": _q_percolate_range,
         "msearch": _q_msearch,
         "stream_percolate": _q_stream_percolate,
         "rank_eval": _q_rank_eval,
@@ -3631,6 +3668,12 @@ def oracle_sql() -> dict[str, str]:
         "bucket_selector": oracles_pipeline.bucket_selector_topn_sql(),
         "bucket_sort": oracles_pipeline.bucket_sort_sql(from_=2, size=3),
         "esql_change_point": oracles_pipeline.esql_change_point_sql(),
+        "esql_where_or": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS total
+FROM events
+WHERE event_type = 'error' OR (value >= 9.0 AND value < 9.5)
+GROUP BY event_type ORDER BY event_type ASC
+""",
         "esql_stats_where": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(count(CASE WHEN value >= 5.0 THEN 1 END) AS BIGINT) AS hi_n,
@@ -3995,6 +4038,7 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "pinned_query": oracles.pinned_sql(Q_MAIN, PINNED_IDS, k=10),
         "match_bool_prefix": oracles.match_bool_prefix_sql(["merge", "customer", "wi"], k=10),
         "percolate": oracles.percolate_sql(PERC_QUERIES),
+        "percolate_range": oracles.percolate_range_sql(PERC_RANGE_QUERIES, range_col="n_chars"),
         "msearch": oracles.msearch_sql(MSEARCH_QUERIES, k=10),
         "stream_percolate": oracles.percolate_sql(PERC_QUERIES),
         "rank_eval": oracles.rank_eval_sql(RANK_EVAL_Q, k=10),

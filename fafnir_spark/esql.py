@@ -53,7 +53,10 @@ def _lit(tok: str):
     return float(tok) if "." in tok else int(tok)
 
 
-def _parse_condition(cond: str):
+def _parse_atom(cond: str):
+    m = re.fullmatch(rf"\s*NOT\s+(.+?)\s*", cond, re.IGNORECASE)
+    if m:
+        return ~_parse_atom(m.group(1))
     m = re.fullmatch(rf"\s*({_IDENT})\s*(>=|<=|!=|==|>|<)\s*({_LIT})\s*", cond)
     if m:
         col, op, lit = m.groups()
@@ -64,7 +67,37 @@ def _parse_condition(cond: str):
     if m:
         lhs, op, rhs = m.groups()
         return getattr(F.col(lhs), _CMP[op])(F.col(rhs))
+    m = re.fullmatch(
+        rf"\s*({_IDENT})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)\s*",
+        cond, re.IGNORECASE)
+    if m:
+        col, lits = m.groups()
+        vals = [_lit(t.strip()) for t in re.findall(_LIT, lits)]
+        return F.col(col).isin(vals)
+    m = re.fullmatch(rf"\s*({_IDENT})\s+LIKE\s+({_STR})\s*", cond, re.IGNORECASE)
+    if m:
+        # ES|QL LIKE wildcards: * (any run) and ? (one char) — translated
+        # to SQL LIKE %/_ with literal %/_ escaped, so the predicate stays
+        # pushdown-eligible (StartsWith/EndsWith/Contains reach the scan).
+        pat = _lit(m.group(2))
+        sql_pat = (pat.replace("\\", "\\\\").replace("%", "\\%")
+                   .replace("_", "\\_").replace("*", "%").replace("?", "_"))
+        return F.col(m.group(1)).like(sql_pat)
     raise EsqlError(f"unsupported WHERE condition: {cond!r}")
+
+
+def _parse_condition(expr: str):
+    """Boolean condition: OR of ANDs of atoms (OR binds loosest — the
+    ES|QL precedence; parenthesised sub-conditions are not in the closed
+    grammar). Single-atom input degenerates to the atom itself."""
+    out = None
+    for branch in re.split(r"\s+OR\s+", expr, flags=re.IGNORECASE):
+        c = None
+        for part in re.split(r"\s+AND\s+", branch, flags=re.IGNORECASE):
+            cc = _parse_atom(part)
+            c = cc if c is None else (c & cc)
+        out = c if out is None else (out | c)
+    return out
 
 
 def _parse_eval_expr(expr: str):
@@ -110,11 +143,7 @@ def _parse_agg(spec: str):
     # conditional projection INSIDE the aggregate (sum(CASE WHEN ...)),
     # so every filtered aggregate still rides the ONE map-side-combined
     # groupBy; k filtered aggs never become k passes.
-    cond = None
-    if where is not None:
-        for part in re.split(r"\s+AND\s+", where):
-            c = _parse_condition(part)
-            cond = c if cond is None else (cond & c)
+    cond = _parse_condition(where) if where is not None else None
     if arg == "*":
         if fn != "count":
             raise EsqlError("only count(*) takes *")
@@ -253,11 +282,7 @@ def _apply_stage(spark: SparkSession, df: DataFrame, stage: str,
     kw, _, rest = stage.partition(" ")
     kw = kw.upper()
     if kw == "WHERE":
-        cond = None
-        for part in re.split(r"\s+AND\s+", rest):
-            c = _parse_condition(part)
-            cond = c if cond is None else (cond & c)
-        df = df.filter(cond)
+        df = df.filter(_parse_condition(rest))
     elif kw == "EVAL":
         m = re.fullmatch(rf"\s*({_IDENT})\s*=\s*(.+)", rest)
         if not m:

@@ -2104,3 +2104,27 @@ SELECT rank, doc_id, score FROM (
 ) WHERE rank <= {k}
 ORDER BY rank
 """
+
+
+def percolate_range_sql(queries: dict[str, dict],
+                        range_col: str = "n_chars") -> str:
+    """percolate_sql's coverage pass plus the numeric range gate: the
+    bounds relation left-joins the term-matched pairs; range-less queries
+    pass via the NULL branch — same predicate as query_ext.percolate_range."""
+    term_specs = {qid: {kk: vv for kk, vv in spec.items() if kk != "range"}
+                  for qid, spec in queries.items()}
+    inner = percolate_sql(term_specs).strip()
+    rr = [(qid, float(spec["range"][0]), float(spec["range"][1]))
+          for qid, spec in sorted(queries.items()) if spec.get("range")]
+    vals = ", ".join(f"('{q}', {lo!r}, {hi!r})" for q, lo, hi in rr)
+    return f"""
+WITH matched AS ({inner}),
+bounds(qid, lo, hi) AS (VALUES {vals})
+SELECT m.doc_id, m.qid
+FROM matched m
+JOIN documents d ON d.doc_id = m.doc_id
+LEFT JOIN bounds b ON b.qid = m.qid
+WHERE b.lo IS NULL
+   OR (d.{range_col}::DOUBLE >= b.lo AND d.{range_col}::DOUBLE <= b.hi)
+ORDER BY m.doc_id, m.qid
+"""

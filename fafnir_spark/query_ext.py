@@ -1092,6 +1092,38 @@ def percolate(docs: DataFrame, queries: dict[str, dict],
     )
 
 
+def percolate_range(docs: DataFrame, queries: dict[str, dict],
+                    range_col: str = "n_chars",
+                    text_col: str = "text") -> DataFrame:
+    """Percolator with NUMERIC RANGE clauses (ES percolator queries mix
+    term and range conditions — "alert me on docs containing 'error'
+    under 500 chars"): the term/bool half is `percolate`'s inverted
+    coverage pass; each query may add ``"range": (lo, hi)`` (inclusive)
+    on ``range_col``, applied as ONE broadcast (qid, lo, hi) join over
+    the ALREADY term-matched (doc, qid) pairs — the range gate touches
+    matches, never the doc × query cross product. Queries without a
+    range pass unconditionally (left join, coalesced bounds).
+    (doc_id, qid), ordered."""
+    term_specs = {qid: {kk: vv for kk, vv in spec.items() if kk != "range"}
+                  for qid, spec in queries.items()}
+    matched = percolate(docs, term_specs, text_col=text_col)
+    spark = docs.sparkSession
+    rr = [(qid, float(spec["range"][0]), float(spec["range"][1]))
+          for qid, spec in queries.items() if spec.get("range")]
+    if not rr:
+        return matched
+    bounds = spark.createDataFrame(rr, "qid string, lo double, hi double")
+    vals = docs.select("doc_id", F.col(range_col).cast("double").alias("__v"))
+    return (
+        matched.join(vals, "doc_id")
+        .join(F.broadcast(bounds), "qid", "left")
+        .filter(F.col("lo").isNull()
+                | ((F.col("__v") >= F.col("lo")) & (F.col("__v") <= F.col("hi"))))
+        .select("doc_id", "qid")
+        .orderBy("doc_id", "qid")
+    )
+
+
 def rank_eval(docs: DataFrame, queries: dict[str, list[str]], k: int = 10,
               text_col: str = "text") -> DataFrame:
     """ES _rank_eval analog: precision@k, MRR and NDCG@k for each query

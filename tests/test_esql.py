@@ -5,6 +5,7 @@ TakeOrderedAndProject for SORT+LIMIT)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from fafnir_spark.esql import EsqlError, esql
 from tests.conftest import SF_DIR
@@ -342,3 +343,31 @@ def test_change_point_stage(spark, events):
     assert rows[0]["score"] == want["score"]
     with pytest.raises(EsqlError):
         esql(spark, "FROM events | CHANGE_POINT value", {"events": events})
+
+
+def test_where_boolean_forms(spark, events):
+    """OR binds loosest (a OR b AND c == a OR (b AND c)); NOT, IN and
+    LIKE atoms; LIKE stays pushdown-eligible."""
+    base = {"events": events}
+    n_or = len(esql(spark, """
+        FROM events
+        | WHERE event_type == "error" OR value >= 9.0 AND value < 9.5
+    """, base).collect())
+    want = events.filter(
+        (F.col("event_type") == "error")
+        | ((F.col("value") >= 9.0) & (F.col("value") < 9.5))).count()
+    assert n_or == want > 0
+    n_in = len(esql(spark, """
+        FROM events | WHERE event_type IN ("error", "click")
+    """, base).collect())
+    assert n_in == events.filter(F.col("event_type").isin(["error", "click"])).count()
+    n_not = len(esql(spark, """
+        FROM events | WHERE NOT event_type == "error"
+    """, base).collect())
+    assert n_not == events.filter(F.col("event_type") != "error").count() > 0
+    like_df = esql(spark, 'FROM events | WHERE event_type LIKE "err*"', base)
+    assert like_df.count() == events.filter(F.col("event_type") == "error").count()
+    plan = like_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "err" in plan  # reaches the scan
+    with pytest.raises(EsqlError):
+        esql(spark, 'FROM events | WHERE event_type LIKE err', base)
