@@ -2838,6 +2838,26 @@ def _q_esql_where_or(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
 
 
+ESQL_FUNCS_QUERY = """
+FROM events
+| EVAL et = upper(event_type)
+| STATS md = median(value), nd = count_distinct(user_id) BY et
+| EVAL md = round(md, 6)
+| SORT et ASC
+| KEEP et, md, nd
+"""
+
+
+def _q_esql_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL scalar + aggregate function surface: UPPER in EVAL, exact
+    MEDIAN (interpolated percentile — quantile_cont parity) and exact
+    COUNT_DISTINCT (ES approximates with HLL; exact dominates)."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_FUNCS_QUERY,
+                {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
+
+
 def _q_esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL FORK (8.19): each parenthesised branch runs over the same
     input frame; rows carry the `_fork` discriminator and branch-local
@@ -3461,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_lookup_join": _q_esql_lookup_join,
         "esql_fork": _q_esql_fork,
         "esql_where_or": _q_esql_where_or,
+        "esql_agg_functions": _q_esql_agg_functions,
         "missing_agg": _q_missing_agg,
         "span_within": _q_span_within,
         "variable_width_histogram": _q_variable_width_histogram,
@@ -3668,6 +3689,11 @@ def oracle_sql() -> dict[str, str]:
         "bucket_selector": oracles_pipeline.bucket_selector_topn_sql(),
         "bucket_sort": oracles_pipeline.bucket_sort_sql(from_=2, size=3),
         "esql_change_point": oracles_pipeline.esql_change_point_sql(),
+        "esql_agg_functions": """
+SELECT upper(event_type) AS et, round(median(value), 6) AS md,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS nd
+FROM events GROUP BY 1 ORDER BY et ASC
+""",
         "esql_where_or": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS total
 FROM events

@@ -40,7 +40,8 @@ _LIT = f"(?:{_NUM}|{_STR})"
 _CMP = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__",
         "==": "__eq__", "!=": "__ne__"}
 _ARITH = {"+": "__add__", "-": "__sub__", "*": "__mul__", "/": "__truediv__"}
-_AGGS = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+_AGGS = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min,
+         "max": F.max, "median": F.median, "count_distinct": F.count_distinct}
 
 
 class EsqlError(ValueError):
@@ -110,6 +111,13 @@ def _parse_eval_expr(expr: str):
         # tokenizer convention — string_split parity with the oracle)
         parts = F.split(F.col(m.group(1)), re.escape(_lit(m.group(2))))
         return F.filter(parts, lambda x: x != "")
+    m = re.fullmatch(rf"\s*(abs|length|lower|upper)\(\s*({_IDENT})\s*\)\s*",
+                     expr, re.IGNORECASE)
+    if m:
+        # unary scalar functions with exact cross-engine parity
+        fn = m.group(1).lower()
+        return {"abs": F.abs, "length": F.length,
+                "lower": F.lower, "upper": F.upper}[fn](F.col(m.group(2)))
     m = re.fullmatch(rf"\s*date_format\(\s*({_IDENT})\s*,\s*({_STR})\s*\)\s*", expr)
     if m:
         # ES|QL DATE_FORMAT — Spark date_format == DuckDB strftime on the
@@ -151,7 +159,14 @@ def _parse_agg(spec: str):
         col = F.count(src).cast("long")
     else:
         src = F.when(cond, F.col(arg)) if cond is not None else F.col(arg)
-        col = F.count(src).cast("long") if fn == "count" else _AGGS[fn](src)
+        # COUNT_DISTINCT is exact here (ES serves an HLL approximation;
+        # the exact form strictly dominates and is what the oracle checks);
+        # MEDIAN is the exact interpolated percentile — the boxplot_agg
+        # quantile_cont parity.
+        if fn in ("count", "count_distinct"):
+            col = _AGGS[fn](src).cast("long")
+        else:
+            col = _AGGS[fn](src)
     return col.alias(alias or f"{fn}_{arg if arg != '*' else 'all'}")
 
 

@@ -446,6 +446,44 @@ def main() -> None:
               "oracle-scale candidate generator — at corpus scale it is "
               "replaced by the LSH/IVF bucketed candidates and the margin "
               "layer only ever sees <=k rows per anchor."),
+        audit("ltr_rescore (window-bounded linear model)",
+              __import__('fafnir_spark.scoring', fromlist=['x'])
+              .ltr_rescore(
+                  spark.read.parquet(f"{sf}/documents.parquet"),
+                  ["merge", "window", "customer"], k=10, window=50),
+              "First pass = the one-pass BM25 (FileScan reuse, no SMJ); "
+              "the feature join touches the <=window-row initial relation "
+              "(AQE broadcasts it); finish is TakeOrderedAndProject."),
+        audit("decontaminate_embedding (broadcast benchmark)",
+              __import__('fafnir_spark.curation', fromlist=['x'])
+              .decontaminate_embedding(
+                  spark.read.parquet(f"{sf}/embeddings.parquet")
+                  .filter(F.pmod(F.col("vec_id"), F.lit(20)) != 0),
+                  spark.read.parquet(f"{sf}/embeddings.parquet")
+                  .filter(F.pmod(F.col("vec_id"), F.lit(20)) == 0),
+                  threshold=0.35),
+              "Benchmark side BROADCAST (eval sets are small by nature); "
+              "the train side streams one row-local nested-loop pass — "
+              "the BNLJ here IS the broadcast bench probe, bounded by "
+              "|bench|, not a corpus cartesian; per-train max collapses "
+              "map-side in the groupBy."),
+        audit("percolate_range (bounds gate over matched pairs)",
+              __import__('fafnir_spark.query_ext', fromlist=['x'])
+              .percolate_range(
+                  spark.read.parquet(f"{sf}/documents.parquet"),
+                  {"a": {"must": ["merge"], "range": (48.0, 306.0)},
+                   "b": {"should": ["batch", "spark"]}}),
+              "Clause relation and bounds relation both BROADCAST; the "
+              "range gate joins the already term-matched (doc, qid) pairs "
+              "— never the doc × query cross product."),
+        audit("esql FORK (branch passes over one scan subtree)",
+              __import__('fafnir_spark.esql', fromlist=['x'])
+              .esql(spark, 'FROM events | FORK (WHERE value >= 5.0 '
+                    '| STATS v = sum(value) BY event_type) '
+                    '(STATS v = avg(value) BY event_type)',
+                    {"events": spark.read.parquet(f"{sf}/events.parquet")}),
+              "Each branch is its own filtered pass (filter pushed under "
+              "the scan on the WHERE branch); union adds no shuffle."),
         audit("variable_width_histogram (gap-split buckets)",
               __import__('fafnir_spark.pipeline', fromlist=['x'])
               .variable_width_histogram(

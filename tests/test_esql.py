@@ -371,3 +371,24 @@ def test_where_boolean_forms(spark, events):
     assert "PushedFilters: [" in plan and "err" in plan  # reaches the scan
     with pytest.raises(EsqlError):
         esql(spark, 'FROM events | WHERE event_type LIKE err', base)
+
+
+def test_scalar_and_agg_functions(spark, events):
+    """EVAL abs/length/lower/upper; STATS median / count_distinct —
+    median is the exact interpolated percentile, count_distinct exact."""
+    rows = esql(spark, """
+        FROM events
+        | EVAL lo = lower(event_type)
+        | EVAL ln = length(lo)
+        | STATS md = median(value), nd = count_distinct(user_id) BY lo
+        | SORT lo ASC
+    """, {"events": events}).collect()
+    assert rows and all(r["nd"] > 0 for r in rows)
+    import numpy as np
+    vals = [r["value"] for r in events.filter(
+        F.col("event_type") == rows[0]["lo"]).select("value").collect()]
+    assert abs(rows[0]["md"] - float(np.percentile(vals, 50))) < 1e-9
+    neg = esql(spark, """
+        FROM events | EVAL nv = value - 100.0 | EVAL av = abs(nv) | LIMIT 5
+    """, {"events": events}).collect()
+    assert all(r["av"] == abs(r["nv"]) for r in neg)
