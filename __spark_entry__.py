@@ -753,6 +753,18 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=3)
 
 
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side contamination report: per benchmark doc, shingle leak
+    fraction into training data + distinct leaking train docs — the
+    reverse direction of decontaminate_ngram, same single equi-join."""
+    from fafnir_spark.curation import contamination_report
+
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 0)
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+    return contamination_report(train, bench, n=3)
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing (p ∝ n^0.5): per-lang share,
     weight, and effective-epoch factor — the tail-upweighting rule of
@@ -3338,6 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": _q_decontaminate,
         "decontaminate_embedding": _q_decontaminate_embedding,
         "temperature_mix": _q_temperature_mix,
+        "contamination_report": _q_contamination_report,
         "dsir_weights": _q_dsir_weights,
         "ccnet_buckets": _q_ccnet_buckets,
         "exact_substring_dedup": _q_exact_substring_dedup,
@@ -3660,6 +3673,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": oracles_curation.decontaminate_sql(n=3, bench_mod=17),
         "decontaminate_embedding": oracles_curation.decontaminate_embedding_sql(threshold=0.35, mod=20),
         "temperature_mix": oracles_curation.temperature_mix_sql(alpha=0.5, group_col="lang"),
+        "contamination_report": oracles_curation.contamination_report_sql(n=3, bench_mod=17),
         "dsir_weights": oracles_curation.dsir_weights_sql(target_lang="en", buckets=256),
         "ccnet_buckets": oracles_curation.ccnet_buckets_sql(),
         "exact_substring_dedup": oracles_curation.exact_substring_dedup_sql(n=15),

@@ -1147,3 +1147,38 @@ def temperature_mix(docs: DataFrame, alpha: float = 0.5,
     return out.withColumn(
         "epochs", F.round(F.col("weight") / F.col("share"), 6)
     ).orderBy(group_col)
+
+
+def contamination_report(train: DataFrame, benchmark: DataFrame, n: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Per-BENCHMARK-item contamination report — `decontaminate` seen
+    from the eval side ("which eval items are compromised", the view an
+    eval card publishes): for each benchmark doc, the fraction of ITS
+    distinct shingles that occur anywhere in training data, and how many
+    distinct training docs touch it.
+
+    Shape: the same single hashed-shingle equi-join as decontaminate,
+    grouped by the benchmark side; the train shingle relation carries its
+    doc id so n_train_docs is a count_distinct in the SAME aggregation —
+    still one pass over each side's shingles. Returns (doc_id, n_grams,
+    n_leaked, leak_frac, n_train_docs) for leaked benchmark docs only."""
+    bg = ngram_keys(benchmark, n, id_col, text_col)
+    tg = (ngram_keys(train, n, id_col, text_col)
+          .select(F.col("doc_id").alias("__tid"), "g").distinct())
+    marked = bg.join(tg, "g", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count_distinct(F.col("g")).alias("n_grams"),
+            F.count_distinct(F.when(F.col("__tid").isNotNull(), F.col("g"))).alias("n_leaked"),
+            F.count_distinct(F.col("__tid")).alias("n_train_docs"),
+        )
+        .filter(F.col("n_leaked") > 0)
+        .select(
+            "doc_id", "n_grams", "n_leaked",
+            F.round(F.col("n_leaked") / F.col("n_grams"), 6).alias("leak_frac"),
+            "n_train_docs",
+        )
+        .orderBy("doc_id")
+    )

@@ -888,3 +888,27 @@ SELECT {group_col}, n_docs, share, weight,
        round(weight / share, 6) AS epochs
 FROM scored ORDER BY {group_col}
 """
+
+
+def contamination_report_sql(n: int = 3, bench_mod: int = 17) -> str:
+    """Mirror of curation.contamination_report (the benchmark-side view);
+    same pmod split as decontaminate_sql."""
+    return f"""
+WITH {_TOKS},
+{_ngrams(n)},
+bench AS (SELECT doc_id, g FROM grams WHERE {_pmod("doc_id", bench_mod)} = 0),
+train AS (SELECT DISTINCT doc_id AS tid, g FROM grams
+          WHERE {_pmod("doc_id", bench_mod)} <> 0),
+agg AS (
+  SELECT b.doc_id,
+         CAST(count(DISTINCT b.g) AS BIGINT) AS n_grams,
+         CAST(count(DISTINCT CASE WHEN t.tid IS NOT NULL THEN b.g END) AS BIGINT) AS n_leaked,
+         CAST(count(DISTINCT t.tid) AS BIGINT) AS n_train_docs
+  FROM bench b LEFT JOIN train t USING (g)
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_grams, n_leaked,
+       round(n_leaked / n_grams, 6) AS leak_frac, n_train_docs
+FROM agg WHERE n_leaked > 0
+ORDER BY doc_id
+"""
