@@ -699,6 +699,21 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(spark, root, {"q": QVEC}, k=10, nprobe=4).drop("qid")
 
 
+def _q_ann_filtered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filtered kNN over the persisted IVF index: label pre-filter
+    semi-joined onto the PROBED candidates (filter-then-rank) before the
+    exact top-k — partition pruning and filter compose."""
+    from fafnir_spark.simsearch import build_ivf_index, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = os.path.join(tempfile.gettempdir(), "fafnir_ivf_" + _content_key(sf_dir))
+    if not os.path.exists(os.path.join(root, "_manifest.json")):
+        build_ivf_index(spark, emb, root, n_centroids=16)
+    eligible = emb.filter(F.col("label").isin([1, 3, 5, 7])).select("vec_id")
+    return ivf_search(spark, root, {"q": QVEC}, k=10, nprobe=4,
+                      eligible=eligible).drop("qid")
+
+
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space outlier curation: vectors below 0.2 max-centroid
     cosine — broadcast assignment + sort-free max agg."""
@@ -3147,6 +3162,7 @@ def _pq(fn_name: str, needs: str = "docs"):
 INDEXED_TWINS = {
     "ann_bq_indexed": "ann_bq_rescore",
     "ann_ivf_indexed": "ann_ivf_topk",
+    "ann_filtered_indexed": "ann_filtered_topk",
     "ann_ivf_trained_indexed": "ann_ivf_trained",
     "ann_ivfsq_indexed": "ann_sq8_rescore",
     "ann_pq_indexed": "ann_pq_topk",
@@ -3345,6 +3361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_indexed": _q_ann_ivf_indexed,
+        "ann_filtered_indexed": _q_ann_filtered_indexed,
         "token_counts": _q_token_counts,
         "top_terms_tfidf": _q_top_terms,
         "decontaminate_ngram": _q_decontaminate,
@@ -3668,6 +3685,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_indexed": oracles_ops.pq_cosine_topk_sql(QVEC, m=8, ks=16, n_candidates=50, k=10),
         "embedding_outliers": oracles_ops.embedding_outliers_sql(16, 0.2),
         "ann_ivf_indexed": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
+        "ann_filtered_indexed": oracles_ops.ivf_filtered_sql(QVEC, [1, 3, 5, 7], n_centroids=16, nprobe=4, k=10),
         "token_counts": oracles_ops.token_counts_sql(),
         "top_terms_tfidf": oracles_ops.top_terms_sql(3),
         "decontaminate_ngram": oracles_curation.decontaminate_sql(n=3, bench_mod=17),

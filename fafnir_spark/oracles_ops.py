@@ -1302,3 +1302,54 @@ pairs AS (
 SELECT src_id, tgt_id, cos, margin FROM pairs
 ORDER BY margin DESC, src_id ASC, tgt_id ASC LIMIT {n_out}
 """
+
+
+def ivf_filtered_sql(query_vec: list[float], labels: list[int],
+                     n_centroids: int = 16, nprobe: int = 4,
+                     k: int = 10) -> str:
+    """Filtered-kNN-over-IVF oracle: ivf_cosine_topk_sql's probe scope
+    with the label PRE-filter applied to the probed candidates before the
+    top-k — the exact dual of ivf_search(eligible=...)."""
+    qlit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
+    lab = ", ".join(str(int(x)) for x in sorted(labels))
+
+    def cos(a: str, b: str) -> str:
+        return f"""round(
+  list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+, 6)"""
+
+    return f"""
+WITH q AS (SELECT {qlit} AS qv),
+step AS (SELECT greatest(count(*) // {n_centroids}, 1) AS s FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings, step
+          WHERE vec_id % step.s = 0 AND vec_id // step.s < {n_centroids}),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.embedding", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (ORDER BY {cos("q.qv", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT a.vec_id, {cos("a.v", "q.qv")} AS cos
+  FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN q
+  JOIN embeddings lab ON lab.vec_id = a.vec_id
+  WHERE lab.label IN ({lab})
+)
+SELECT rank, vec_id, cos FROM (
+  SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank, vec_id, cos
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank
+"""

@@ -266,11 +266,21 @@ def ivf_search(
     query_vecs: dict[str, list[float]],
     k: int = 10,
     nprobe: int = 4,
+    eligible: DataFrame | None = None,
 ) -> DataFrame:
     """Query the persisted IVF index: rank centroids per query (broadcast
     centroid table), then scan ONLY the probed centroid partitions
     (partition pruning on centroid_id — plan-asserted in tests) and re-rank
-    exactly. Same (qid, rank, vec_id, cos) contract as ivf_cosine_topk."""
+    exactly. Same (qid, rank, vec_id, cos) contract as ivf_cosine_topk.
+
+    ``eligible`` (vec_id rows) applies ES filtered-kNN PRE-FILTER
+    semantics: the metadata filter semi-joins the PROBED candidates before
+    the exact top-k — filter-then-rank, never a post-filter of the top-k
+    (which under-fills k). The join is candidate-bounded (probed
+    partitions only); at scale the filter attrs live in a doc-values
+    table co-partitioned with the codes. The faiss caveat applies:
+    filtered IVF wants a larger nprobe for equal recall — at exhaustive
+    nprobe it equals the brute-force filtered scan exactly (tested)."""
     from .catalog import Catalog
 
     cat = Catalog(index_root)
@@ -290,6 +300,8 @@ def ivf_search(
     probe_ids = sorted({int(r["centroid_id"]) for r in probes.select("centroid_id").collect()})
     assigned = cat.read_table(spark, "ivf_assign").filter(F.col("centroid_id").isin(probe_ids))
     cand = assigned.join(F.broadcast(probes), "centroid_id").select("qid", "vec_id", "v", "qv")
+    if eligible is not None:
+        cand = cand.join(eligible.select("vec_id").distinct(), "vec_id", "semi")
     scored = cand.select(
         "qid", "vec_id", F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos")
     )

@@ -492,3 +492,31 @@ def test_wav_decode_golden(spark):
     want = np.bincount(
         s16.reshape(-1).astype(np.float64).astype(np.int64) % 16, minlength=16)
     assert row["features"] == want.astype(float).tolist()
+
+
+def test_ivf_filtered_exhaustive_equals_brute(spark, emb, tmp_path):
+    """Filtered IVF at exhaustive nprobe == brute-force filtered top-k
+    (the pre-filter never drops an eligible candidate when every
+    partition is probed); a pruned nprobe returns a subset of eligible
+    ids only."""
+    from fafnir_spark.simsearch import (
+        build_ivf_index,
+        cosine_topk_filtered,
+        ivf_search,
+    )
+
+    qv = [((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+    root = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, root, n_centroids=8)
+    eligible = emb.filter(F.col("label").isin([1, 3, 5, 7])).select("vec_id")
+    got = [(r["rank"], r["vec_id"], r["cos"]) for r in
+           ivf_search(spark, root, {"q": qv}, k=10, nprobe=8,
+                      eligible=eligible).drop("qid").collect()]
+    want = [(r["rank"], r["vec_id"], r["cos"]) for r in
+            cosine_topk_filtered(emb, {"q": qv}, labels=[1, 3, 5, 7],
+                                 k=10).drop("qid").collect()]
+    assert got == want and len(got) == 10
+    ok_ids = {r["vec_id"] for r in eligible.collect()}
+    pruned = ivf_search(spark, root, {"q": qv}, k=10, nprobe=2,
+                        eligible=eligible).collect()
+    assert pruned and all(r["vec_id"] in ok_ids for r in pruned)
