@@ -947,6 +947,16 @@ def _q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extended_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_tsdb_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES TSDB counter rate: per-series positive-delta sum with the
+    Prometheus reset rule over the (ts, event_id)-ordered series, scaled
+    by the observed span (pipeline.tsdb_rate)."""
+    from fafnir_spark.pipeline import tsdb_rate
+
+    return tsdb_rate(spark.read.parquet(f"{sf_dir}/events.parquet"),
+                     unit_hours=1)
+
+
 def _q_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bucket_sort pipeline agg standalone: rank buckets by rounded
     metric, paginate positions (2, 5] — sort+offset over the bounded
@@ -3395,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extended_stats": _q_extended_stats,
         "bucket_selector": _q_bucket_selector,
         "bucket_sort": _q_bucket_sort,
+        "tsdb_rate": _q_tsdb_rate,
         "esql_stats_where": _q_esql_stats_where,
         "esql_change_point": _q_esql_change_point,
         "serial_diff": _q_serial_diff,
@@ -3720,6 +3731,7 @@ def oracle_sql() -> dict[str, str]:
         "extended_stats": oracles_pipeline.extended_stats_sql(),
         "bucket_selector": oracles_pipeline.bucket_selector_topn_sql(),
         "bucket_sort": oracles_pipeline.bucket_sort_sql(from_=2, size=3),
+        "tsdb_rate": oracles_pipeline.tsdb_rate_sql(unit_hours=1),
         "esql_change_point": oracles_pipeline.esql_change_point_sql(),
         "esql_agg_functions": """
 SELECT upper(event_type) AS et, round(median(value), 6) AS md,

@@ -1529,3 +1529,34 @@ scored AS (
 SELECT day, 'step_change' AS type, score, mean_before, mean_after
 FROM scored ORDER BY score DESC, day ASC LIMIT 1
 """
+
+
+def tsdb_rate_sql(unit_hours: int = 1) -> str:
+    """Mirror of pipeline.tsdb_rate: same lag/reset rule, same
+    microsecond-epoch span, same operand order."""
+    return f"""
+WITH ordered AS (
+  SELECT event_type, event_id, value,
+         epoch_us(ts) / 1000000.0 AS td,
+         lag(value) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+  FROM events
+),
+deltas AS (
+  SELECT event_type, td,
+         CASE WHEN prev IS NULL THEN 0.0
+              WHEN value >= prev THEN value - prev
+              ELSE value END AS d
+  FROM ordered
+),
+per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         round(sum(d), 6) AS increase,
+         max(td) - min(td) AS span
+  FROM deltas GROUP BY event_type
+)
+SELECT event_type, n_samples, increase,
+       round(increase / span * {3600.0 * unit_hours!r}, 6) AS rate
+FROM per ORDER BY event_type
+"""

@@ -1936,3 +1936,43 @@ def bucket_sort(events: DataFrame, from_: int = 2, size: int = 3) -> DataFrame:
         .select("pos", "event_type", "s", "doc_count")
         .orderBy("pos")
     )
+
+
+def tsdb_rate(events: DataFrame, unit_hours: int = 1) -> DataFrame:
+    """ES TSDB `rate` aggregation over a COUNTER field: within each time
+    series, sum the positive deltas between consecutive samples — a
+    DECREASE means the counter reset and the new value itself is the
+    delta (the Prometheus/ES counter-reset rule) — divided by the series'
+    observed time span, scaled to per-``unit_hours``.
+
+    The window partitions BY THE SERIES KEY (event_type here): that is
+    the TSDB semantic unit, not a hot-key accident — production TSDB
+    series cardinality is high (host×metric), so per-series reducers
+    parallelize; sample order inside a series is (ts, event_id), the
+    _tsid+timestamp index sort. Timestamps enter the span as
+    microsecond-precision epoch seconds (ts cast double == epoch_us/1e6).
+    (event_type, n_samples, increase, rate) ordered."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    delta = (
+        F.when(prev.isNull(), F.lit(0.0))
+        .when(F.col("value") >= prev, F.col("value") - prev)
+        .otherwise(F.col("value"))  # reset: counter restarted below prev
+    )
+    td = F.col("ts").cast("timestamp").cast("double")  # NTZ-safe (session tz UTC)
+    per = (
+        events.select("event_type", "ts", "event_id", "value")
+        .withColumn("__d", delta)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.round(F.sum("__d"), 6).alias("increase"),
+            (F.max(td) - F.min(td)).alias("__span"),
+        )
+    )
+    rate = F.round(F.col("increase") / F.col("__span") * F.lit(3600.0 * unit_hours), 6)
+    return per.select("event_type", "n_samples", "increase",
+                      rate.alias("rate")).orderBy("event_type")
