@@ -947,6 +947,15 @@ def _q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extended_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_bucket_count_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_count_ks_test (two-sided D over per-day bucket counts of
+    two series; exact statistic, ES simulates the p-value)."""
+    from fafnir_spark.pipeline import bucket_count_ks_test
+
+    return bucket_count_ks_test(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "click", "error")
+
+
 def _q_tsdb_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES TSDB counter rate: per-series positive-delta sum with the
     Prometheus reset rule over the (ts, event_id)-ordered series, scaled
@@ -3406,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_selector": _q_bucket_selector,
         "bucket_sort": _q_bucket_sort,
         "tsdb_rate": _q_tsdb_rate,
+        "bucket_count_ks_test": _q_bucket_count_ks_test,
         "esql_stats_where": _q_esql_stats_where,
         "esql_change_point": _q_esql_change_point,
         "serial_diff": _q_serial_diff,
@@ -3732,6 +3742,7 @@ def oracle_sql() -> dict[str, str]:
         "bucket_selector": oracles_pipeline.bucket_selector_topn_sql(),
         "bucket_sort": oracles_pipeline.bucket_sort_sql(from_=2, size=3),
         "tsdb_rate": oracles_pipeline.tsdb_rate_sql(unit_hours=1),
+        "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),
         "esql_change_point": oracles_pipeline.esql_change_point_sql(),
         "esql_agg_functions": """
 SELECT upper(event_type) AS et, round(median(value), 6) AS md,

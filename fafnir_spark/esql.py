@@ -281,12 +281,23 @@ def esql(spark: SparkSession, query: str,
     return the (lazy) DataFrame — Catalyst sees the whole pipeline."""
     stages = _split_pipes(query.strip())
     m = re.fullmatch(rf"FROM\s+({_IDENT})", stages[0], re.IGNORECASE)
-    if not m:
-        raise EsqlError("query must start with FROM <table>")
-    name = m.group(1)
-    if name not in tables:
-        raise EsqlError(f"unknown table {name!r}")
-    df = tables[name]
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            raise EsqlError(f"unknown table {name!r}")
+        df = tables[name]
+    else:
+        # ROW a = 1, b = "x" — a one-row literal source (the ES|QL
+        # scratchpad/test source; ROW a = 1 | EVAL b = a + 1 works)
+        m = re.fullmatch(
+            rf"ROW\s+({_IDENT}\s*=\s*{_LIT}(?:\s*,\s*{_IDENT}\s*=\s*{_LIT})*)",
+            stages[0], re.IGNORECASE)
+        if not m:
+            raise EsqlError("query must start with FROM <table> or ROW a = <lit>")
+        cols = []
+        for part in re.findall(rf"({_IDENT})\s*=\s*({_LIT})", m.group(1)):
+            cols.append(F.lit(_lit(part[1])).alias(part[0]))
+        df = spark.range(1).select(*cols)
     for stage in stages[1:]:
         df = _apply_stage(spark, df, stage, tables)
     return df

@@ -1560,3 +1560,33 @@ SELECT event_type, n_samples, increase,
        round(increase / span * {3600.0 * unit_hours!r}, 6) AS rate
 FROM per ORDER BY event_type
 """
+
+
+def bucket_count_ks_test_sql(type_a: str = "click",
+                             type_b: str = "error") -> str:
+    """Mirror of pipeline.bucket_count_ks_test: same day buckets, same
+    rounded cumulative fractions, same two-sided D."""
+    return f"""
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(CASE WHEN event_type = '{type_a}' THEN 1 END) AS BIGINT) AS ca,
+         CAST(count(CASE WHEN event_type = '{type_b}' THEN 1 END) AS BIGINT) AS cb
+  FROM events WHERE event_type IN ('{type_a}', '{type_b}')
+  GROUP BY 1
+),
+scored AS (
+  SELECT ca, cb,
+         round(abs(
+           round(sum(ca) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) / (sum(ca) OVER ()), 6)
+           - round(sum(cb) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) / (sum(cb) OVER ()), 6)
+         ), 6) AS d
+  FROM buckets
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(ca) AS BIGINT) AS n_a,
+       CAST(sum(cb) AS BIGINT) AS n_b,
+       max(d) AS d_stat
+FROM scored
+"""

@@ -1976,3 +1976,44 @@ def tsdb_rate(events: DataFrame, unit_hours: int = 1) -> DataFrame:
     rate = F.round(F.col("increase") / F.col("__span") * F.lit(3600.0 * unit_hours), 6)
     return per.select("event_type", "n_samples", "increase",
                       rate.alias("rate")).orderBy("event_type")
+
+
+def bucket_count_ks_test(events: DataFrame, type_a: str = "click",
+                         type_b: str = "error") -> DataFrame:
+    """ES bucket_count_ks_test pipeline aggregation (8.x ML aggs), the
+    deterministic two-sided core: compare two series' per-day bucket
+    counts by the Kolmogorov-Smirnov D statistic
+
+        D = max_day | ECDF_a(day) − ECDF_b(day) |
+
+    over the shared date_histogram. ES reports p-values from simulation;
+    the D statistic itself is exact and is what the oracle checks.
+    Shape: one conditional-count groupBy to the bounded day relation,
+    cumulative-fraction windows over it (rows == n_days), a 1-row max.
+    Returns (n_days, n_a, n_b, d_stat)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    buckets = (
+        events.filter(F.col("event_type").isin([type_a, type_b]))
+        .groupBy(day)
+        .agg(
+            F.count(F.when(F.col("event_type") == type_a, 1)).cast("long").alias("ca"),
+            F.count(F.when(F.col("event_type") == type_b, 1)).cast("long").alias("cb"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    frac_a = F.round(F.sum("ca").over(w) / F.sum("ca").over(tot), 6)
+    frac_b = F.round(F.sum("cb").over(w) / F.sum("cb").over(tot), 6)
+    scored = buckets.select(
+        F.col("ca"), F.col("cb"),
+        F.round(F.abs(frac_a - frac_b), 6).alias("d"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.max("d").alias("d_stat"),
+    )

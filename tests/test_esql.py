@@ -392,3 +392,17 @@ def test_scalar_and_agg_functions(spark, events):
         FROM events | EVAL nv = value - 100.0 | EVAL av = abs(nv) | LIMIT 5
     """, {"events": events}).collect()
     assert all(r["av"] == abs(r["nv"]) for r in neg)
+
+
+def test_row_literal_source(spark):
+    """ROW creates a one-row literal source usable as any pipeline head."""
+    rows = esql(spark, """
+        ROW a = 2, b = "x", c = 1.5
+        | EVAL d = a * 3
+        | KEEP a, b, c, d
+    """, {}).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (2, "x", 1.5, 6)
+    with pytest.raises(EsqlError):
+        esql(spark, "ROW = 1", {})

@@ -1,0 +1,90 @@
+"""Seeded-random fuzz of the session-8 ops against their DuckDB oracle
+templates: LTR weights/windows, percolate_range specs, temperature_mix
+alphas — the test_fuzz_batch7 protocol (few seeds, strict compare)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+TERMS_POOL = ["merge", "window", "customer", "spark", "slow", "vector",
+              "batch", "key"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "events", "embeddings"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _match(sdf, con, sql):
+    cols = sorted(sdf.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+    wdf = con.execute(sql).fetch_df()
+    assert sorted(wdf.columns) == cols
+    want = sorted(zip(*[wdf[c].tolist() for c in cols])) if len(wdf) else []
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for a, b in zip(g, w):
+            if isinstance(a, float):
+                assert abs(a - b) < 1e-9, (g, w)
+            else:
+                assert a == b, (g, w)
+
+
+def test_ltr_rescore_fuzz(spark, con):
+    from fafnir_spark.oracles import ltr_rescore_sql
+    from fafnir_spark.scoring import ltr_rescore
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rng = random.Random(8)
+    for i in range(4):
+        terms = rng.sample(TERMS_POOL, rng.randint(2, 4))
+        # dyadic weights only (the exactness contract)
+        weights = tuple(rng.choice([0.0, 0.25, 0.5, 1.0, 2.0]) for _ in range(4))
+        if weights == (0.0, 0.0, 0.0, 0.0):
+            weights = (1.0, 0.0, 0.0, 0.0)
+        window = rng.choice([20, 50, 100])
+        got = ltr_rescore(docs, terms, weights=weights, k=10, window=window)
+        _match(got, con, ltr_rescore_sql(terms, weights=weights, k=10,
+                                         window=window))
+
+
+def test_percolate_range_fuzz(spark, con):
+    from fafnir_spark.oracles import percolate_range_sql
+    from fafnir_spark.query_ext import percolate_range
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rng = random.Random(88)
+    for i in range(3):
+        queries = {}
+        for qi in range(rng.randint(2, 4)):
+            spec = {"must": rng.sample(TERMS_POOL, rng.randint(1, 2))}
+            if rng.random() < 0.5:
+                spec["should"] = rng.sample(TERMS_POOL, 2)
+            if rng.random() < 0.7:
+                lo = rng.choice([48.0, 100.0, 200.0])
+                spec["range"] = (lo, lo + rng.choice([100.0, 300.0]))
+            queries[f"q{qi}"] = spec
+        if not any(s.get("range") for s in queries.values()):
+            queries["q0"]["range"] = (48.0, 306.0)
+        got = percolate_range(docs, queries, range_col="n_chars")
+        _match(got, con, percolate_range_sql(queries, range_col="n_chars"))
+
+
+def test_temperature_mix_fuzz(spark, con):
+    from fafnir_spark.curation import temperature_mix
+    from fafnir_spark.oracles_curation import temperature_mix_sql
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for alpha, grp in ((0.5, "lang"), (0.25, "lang"), (0.5, "source")):
+        got = temperature_mix(docs, alpha=alpha, group_col=grp)
+        _match(got, con, temperature_mix_sql(alpha=alpha, group_col=grp))
