@@ -303,6 +303,31 @@ def esql(spark: SparkSession, query: str,
     return df
 
 
+def _expand_cols(rest: str, columns: list[str], what: str) -> list[str]:
+    """Expand a KEEP/DROP column list, supporting `*` wildcards the way
+    ES|QL does: each pattern expands against the current schema in
+    declaration order; a bare name must exist; duplicates keep their
+    first position."""
+    import fnmatch
+
+    out: list[str] = []
+    for part in rest.split(","):
+        p = part.strip()
+        if not re.fullmatch(r"[A-Za-z_*][A-Za-z0-9_*]*", p):
+            raise EsqlError(f"unsupported {what} column: {p!r}")
+        if "*" in p:
+            hits = [c for c in columns if fnmatch.fnmatchcase(c, p)]
+            if not hits:
+                raise EsqlError(f"{what} pattern {p!r} matches no column")
+            out += [c for c in hits if c not in out]
+        else:
+            if p not in columns:
+                raise EsqlError(f"{what} of unknown column {p!r}")
+            if p not in out:
+                out.append(p)
+    return out
+
+
 def _apply_stage(spark: SparkSession, df: DataFrame, stage: str,
                  tables: dict[str, DataFrame]) -> DataFrame:
     kw, _, rest = stage.partition(" ")
@@ -362,13 +387,20 @@ def _apply_stage(spark: SparkSession, df: DataFrame, stage: str,
     elif kw == "SORT":
         orders = []
         for part in rest.split(","):
-            m = re.fullmatch(rf"\s*({_IDENT})\s*(ASC|DESC)?\s*", part,
-                             re.IGNORECASE)
+            m = re.fullmatch(
+                rf"\s*({_IDENT})\s*(ASC|DESC)?(?:\s+NULLS\s+(FIRST|LAST))?\s*",
+                part, re.IGNORECASE)
             if not m:
                 raise EsqlError(f"unsupported SORT key: {part!r}")
             c = F.col(m.group(1))
-            orders.append(c.desc() if (m.group(2) or "ASC").upper() == "DESC"
-                          else c.asc())
+            desc = (m.group(2) or "ASC").upper() == "DESC"
+            nulls = (m.group(3) or "").upper()
+            if nulls == "FIRST":
+                orders.append(c.desc_nulls_first() if desc else c.asc_nulls_first())
+            elif nulls == "LAST":
+                orders.append(c.desc_nulls_last() if desc else c.asc_nulls_last())
+            else:
+                orders.append(c.desc() if desc else c.asc())
         df = df.orderBy(*orders)
     elif kw == "DISSECT":
         m = re.fullmatch(rf"\s*({_IDENT})\s+({_STR})\s*", rest)
@@ -423,13 +455,7 @@ def _apply_stage(spark: SparkSession, df: DataFrame, stage: str,
                 raise EsqlError(f"RENAME of unknown column {old!r}")
             df = df.withColumnRenamed(old, new)
     elif kw == "DROP":
-        cols = [c.strip() for c in rest.split(",")]
-        for c in cols:
-            if not re.fullmatch(_IDENT, c):
-                raise EsqlError(f"unsupported DROP column: {c!r}")
-            if c not in df.columns:
-                raise EsqlError(f"DROP of unknown column {c!r}")
-        df = df.drop(*cols)
+        df = df.drop(*_expand_cols(rest, df.columns, "DROP"))
     elif kw == "CHANGE_POINT":
         # CHANGE_POINT <value> ON <key> (ES|QL 8.18 tech preview). ES
         # marks the detected row in-stream with (type, pvalue); the
@@ -476,7 +502,10 @@ def _apply_stage(spark: SparkSession, df: DataFrame, stage: str,
     elif kw == "LIMIT":
         df = df.limit(int(rest.strip()))
     elif kw == "KEEP":
-        df = df.select(*[c.strip() for c in rest.split(",")])
+        # KEEP supports ES|QL wildcard patterns (KEEP event_*, n) —
+        # expanded against the current schema in pattern order, first
+        # mention wins (the ES|QL precedence rule for overlapping globs)
+        df = df.select(*_expand_cols(rest, df.columns, "KEEP"))
     else:
         raise EsqlError(f"unknown ES|QL command: {kw!r}")
     return df

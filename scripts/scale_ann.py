@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""ANN-family scale sanity: build a persisted IVF index over N synthetic
+64-dim vectors, then measure probe-pruned search vs exhaustive, filtered
+search, and nprobe recall — the vector-path analog of scale_sanity.py's
+posting-build table. Records BENCH/scale_ann.json.
+
+Vectors are generated DETERMINISTICALLY on-executor (xxhash64(vec_id, i)
+mapped to [-1, 1]) — columnar, no driver materialization, no data files."""
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pyspark.sql import functions as F  # noqa: E402
+
+from fafnir_spark.session import get_spark  # noqa: E402
+from fafnir_spark.simsearch import build_ivf_index, ivf_search  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+C = int(os.environ.get("SCALE_ANN_CENTROIDS", "64"))
+DIM = 64
+cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+spark = get_spark("scale-ann", cores=cpus)
+
+
+def synth_vec(col):
+    idx = F.array(*[F.lit(i) for i in range(DIM)])
+
+    def component(c):
+        return (F.pmod(F.xxhash64(col, c), F.lit(2000001)) - F.lit(1000000)) / F.lit(1000000.0)
+
+    return F.transform(idx, component)
+
+
+emb = spark.range(N).select(
+    F.col("id").alias("vec_id"),
+    synth_vec(F.col("id")).alias("embedding"),
+    F.pmod(F.col("id"), F.lit(8)).cast("int").alias("label"),
+)
+work = tempfile.mkdtemp(prefix="fafnir_scale_ann_")
+root = os.path.join(work, "ivf")
+
+t0 = time.time()
+build_ivf_index(spark, emb, root, n_centroids=C)
+build_s = time.time() - t0
+
+QS = {f"q{j}": [((j * 131 + i * 37) % 29 - 14) / 15.0 for i in range(DIM)]
+      for j in range(8)}
+
+out = {"vectors": N, "dim": DIM, "centroids": C, "cpus": cpus,
+       "ivf_build_s": round(build_s, 1),
+       "vecs_per_sec_build": round(N / build_s, 1)}
+
+# untimed warmup (first Spark job pays JIT/codegen — the bench.py rule)
+ivf_search(spark, root, {"w": QS["q0"]}, k=5, nprobe=2).collect()
+
+results = {}
+for nprobe in (4, 16, C):
+    t0 = time.time()
+    res = ivf_search(spark, root, QS, k=10, nprobe=nprobe).collect()
+    dt = time.time() - t0
+    results[nprobe] = {(r["qid"], r["vec_id"]) for r in res}
+    out[f"search8_nprobe{nprobe}_s"] = round(dt, 2)
+# NOTE: synthetic vectors are near-uniform on the sphere, the WORST
+# case for IVF recall (real embedding clusters probe far better) — the
+# numbers below are a floor, and the pruning-speedup column is the point.
+out["recall_nprobe4_vs_exhaustive"] = round(
+    len(results[4] & results[C]) / max(len(results[C]), 1), 3)
+out["recall_nprobe16_vs_exhaustive"] = round(
+    len(results[16] & results[C]) / max(len(results[C]), 1), 3)
+
+eligible = emb.filter(F.col("label").isin([1, 3])).select("vec_id")
+t0 = time.time()
+fres = ivf_search(spark, root, QS, k=10, nprobe=16, eligible=eligible).collect()
+out["filtered_search8_nprobe16_s"] = round(time.time() - t0, 2)
+out["filtered_rows"] = len(fres)
+
+os.makedirs("BENCH", exist_ok=True)
+dest = os.environ.get("SCALE_ANN_OUT", "BENCH/scale_ann.json")
+with open(dest, "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))
+spark.stop()

@@ -406,3 +406,33 @@ def test_row_literal_source(spark):
     assert (r["a"], r["b"], r["c"], r["d"]) == (2, "x", 1.5, 6)
     with pytest.raises(EsqlError):
         esql(spark, "ROW = 1", {})
+
+
+def test_keep_drop_wildcards_and_sort_nulls(spark, events):
+    """KEEP/DROP expand * patterns against the current schema (first
+    mention wins); SORT honors NULLS FIRST/LAST."""
+    df = esql(spark, "FROM events | KEEP event_*, value | LIMIT 1",
+              {"events": events})
+    assert df.columns == ["event_id", "event_type", "value"]
+    df2 = esql(spark, "FROM events | DROP event_* | LIMIT 1",
+               {"events": events})
+    assert "event_id" not in df2.columns and "event_type" not in df2.columns
+    with pytest.raises(EsqlError):
+        esql(spark, "FROM events | KEEP zz_*", {"events": events})
+    # NULLS ordering over the null-filled FORK union
+    rows = esql(spark, """
+        FROM events
+        | FORK (STATS a = sum(value) BY event_type)
+               (STATS b = avg(value) BY event_type)
+        | SORT a ASC NULLS FIRST, event_type ASC
+        | LIMIT 5
+    """, {"events": events}).collect()
+    assert all(r["a"] is None for r in rows)  # fork2 rows (a null) lead
+    last = esql(spark, """
+        FROM events
+        | FORK (STATS a = sum(value) BY event_type)
+               (STATS b = avg(value) BY event_type)
+        | SORT a ASC NULLS LAST, event_type ASC
+        | LIMIT 5
+    """, {"events": events}).collect()
+    assert all(r["a"] is not None for r in last)
