@@ -1365,6 +1365,37 @@ def _q_percolate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                            range_col="n_chars")
 
 
+SEARCH_BODY_BOOL = {
+    "query": {"bool": {
+        "must": [{"match": {"text": {"query": "merge window",
+                                     "operator": "and"}}}],
+        "should": [{"term": {"text": "customer"}}],
+        "must_not": [{"term": {"text": "vector"}}],
+        "filter": [{"range": {"n_chars": {"gte": 100, "lte": 500}}},
+                   {"term": {"lang": "en"}}],
+    }},
+    "from": 2, "size": 8,
+}
+SEARCH_BODY_MATCH = {"query": {"match": {"text": "slow vector"}}, "size": 5}
+
+
+def _q_search_api_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _search REQUEST BODY compiled onto the relational operators
+    (search_api.search_body): bool with must/should/must_not + range and
+    keyword filter context + from/size pagination."""
+    from fafnir_spark.search_api import search_body
+
+    return search_body(_docs(spark, sf_dir), SEARCH_BODY_BOOL)
+
+
+def _q_search_api_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-level OR match body: at-least-one-should semantics (the ES
+    match default), size cap."""
+    from fafnir_spark.search_api import search_body
+
+    return search_body(_docs(spark, sf_dir), SEARCH_BODY_MATCH)
+
+
 def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES field-sort search: match any query term, order by n_chars desc."""
     from fafnir_spark.query_ext import sort_by_field
@@ -3558,6 +3589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_bool_prefix": _q_match_bool_prefix,
         "percolate": _q_percolate,
         "percolate_range": _q_percolate_range,
+        "search_api_bool": _q_search_api_bool,
+        "search_api_match": _q_search_api_match,
         "msearch": _q_msearch,
         "stream_percolate": _q_stream_percolate,
         "rank_eval": _q_rank_eval,
@@ -4120,6 +4153,8 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "match_bool_prefix": oracles.match_bool_prefix_sql(["merge", "customer", "wi"], k=10),
         "percolate": oracles.percolate_sql(PERC_QUERIES),
         "percolate_range": oracles.percolate_range_sql(PERC_RANGE_QUERIES, range_col="n_chars"),
+        "search_api_bool": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_BOOL),
+        "search_api_match": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_MATCH),
         "msearch": oracles.msearch_sql(MSEARCH_QUERIES, k=10),
         "stream_percolate": oracles.percolate_sql(PERC_QUERIES),
         "rank_eval": oracles.rank_eval_sql(RANK_EVAL_Q, k=10),

@@ -262,6 +262,8 @@ def bool_bm25_sql(
     boosts: dict[str, float] | None = None,
     filter_terms: list[str] | None = None,
     text_expr: str = "text",
+    extra_filter_sql: str = "",
+    from_: int = 0,
 ) -> str:
     """ES bool-query mirror: must (all, scored) + should (scored) −
     must_not (any excludes); optional minimum_should_match, per-term
@@ -283,6 +285,9 @@ def bool_bm25_sql(
     SELECT doc_id FROM tf WHERE term IN {_terms_in(filter_terms)}
     GROUP BY doc_id HAVING count(*) = {len(sorted(set(filter_terms)))}
   )"""
+    if extra_filter_sql:
+        must_clause += f"""
+  AND scored.doc_id IN ({extra_filter_sql})"""
     if minimum_should_match and should:
         must_clause += f"""
   AND scored.doc_id IN (
@@ -329,7 +334,7 @@ SELECT rank, doc_id, score FROM (
          scored.doc_id, round(raw_score, 6) AS score
   FROM scored
   WHERE 1=1 {must_clause} {not_clause}
-) WHERE rank <= {k}
+) WHERE rank > {from_} AND rank <= {from_ + k}
 ORDER BY rank
 """
 

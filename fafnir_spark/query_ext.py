@@ -162,6 +162,7 @@ def bool_bm25(
     minimum_should_match: int | None = None,
     boosts: dict[str, float] | None = None,
     filter_terms: list[str] | None = None,
+    eligible_extra: DataFrame | None = None,
 ) -> DataFrame:
     """ES bool-query semantics over BM25 (the query DSL fafnir's backend
     exposes): ``must`` terms all required and scored; ``should`` terms
@@ -169,12 +170,17 @@ def bool_bm25(
     at least one should term must match. ``minimum_should_match`` requires
     >= m distinct should terms per doc; ``boosts`` multiplies a term's
     score contribution (term^boost); ``filter_terms`` are required but
-    NEVER scored — ES filter context. (rank, doc_id, score)."""
+    NEVER scored — ES filter context. ``eligible_extra`` (doc_id rows)
+    joins additional unscored eligibility in — the search_api seam for
+    range/keyword filter clauses. (rank, doc_id, score)."""
     from .query import bm25_topk, doc_term_freqs
 
     spark = docs.sparkSession
     must, should, must_not = must or [], should or [], must_not or []
     eligible = conjunctive_match(docs, must, text_col=text_col) if must else None
+    if eligible_extra is not None:
+        ee = eligible_extra.select("doc_id")
+        eligible = ee if eligible is None else eligible.join(ee, "doc_id")
     if filter_terms:
         fe = conjunctive_match(docs, filter_terms, text_col=text_col)
         eligible = fe if eligible is None else eligible.join(fe, "doc_id")

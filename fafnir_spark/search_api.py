@@ -1,0 +1,238 @@
+"""ES ``_search`` REQUEST-BODY compiler — the JSON API surface.
+
+The reference's users query Elasticsearch by POSTing a ``_search`` body
+(reference anchor: the ES index fafnir publishes to,
+config/fafnir/default.toml); this module compiles the deterministic core
+of that body straight onto the engine's relational operators, so a
+request that runs against the reference runs here verbatim:
+
+    {"query": {"bool": {
+        "must":     [{"match": {"text": {"query": "merge window",
+                                          "operator": "and"}}}],
+        "should":   [{"term": {"text": "customer"}}],
+        "must_not": [{"term": {"text": "vector"}}],
+        "filter":   [{"range": {"n_chars": {"gte": 100, "lte": 500}}},
+                      {"term": {"lang": "en"}}]}},
+     "from": 2, "size": 8}
+
+Closed, validated subset (unknown keys/clauses raise — never silently
+ignored, the closed-grammar convention):
+
+- query: ``match`` (text field; default OR = at-least-one-should,
+  ``operator: and`` = all-required), ``term``/``terms`` (text field →
+  scored term; metadata column → unscored filter-context equality),
+  ``range`` (numeric column, gte/gt/lte/lt), ``match_all``, and one
+  level of ``bool`` with must/should/must_not/filter occurrences.
+- ``from``/``size``: pagination over the ranked result (rank stays
+  absolute, ES's from+size window).
+- ``_source``: projection columns joined from the document source.
+
+Scoring semantics are exactly query_ext.bool_bm25's (must all required
+and scored; should optional and scored — with no must, at least one
+should must match, the ES bool contract; must_not excludes; filter
+context never scores). Metadata predicates compile to ONE unscored
+eligibility relation pushed into bool_bm25 via ``eligible_extra`` —
+filters reach the scan as column predicates, never per-row Python.
+Inside ``must``, metadata predicates are rejected rather than silently
+treated as filters: ES would give them a constant score contribution,
+and a divergence we can't reproduce exactly is an error, not a guess.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_RANGE_OPS = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__", "lt": "__lt__"}
+
+
+class SearchBodyError(ValueError):
+    pass
+
+
+def _is_meta(field: str, text_col: str) -> bool:
+    return field != text_col
+
+
+def _one_key(d: dict, what: str) -> tuple[str, object]:
+    if not isinstance(d, dict) or len(d) != 1:
+        raise SearchBodyError(f"{what} must be a single-key object: {d!r}")
+    return next(iter(d.items()))
+
+
+def _match_terms(spec, what: str) -> tuple[list[str], str]:
+    """('terms of a match clause', operator) — spec is either the query
+    string or {"query": ..., "operator": "and"|"or"}."""
+    if isinstance(spec, str):
+        text, op = spec, "or"
+    elif isinstance(spec, dict):
+        unknown = set(spec) - {"query", "operator"}
+        if unknown:
+            raise SearchBodyError(f"unsupported match options {unknown} in {what}")
+        text, op = spec["query"], spec.get("operator", "or").lower()
+    else:
+        raise SearchBodyError(f"bad match spec {spec!r}")
+    if op not in ("and", "or"):
+        raise SearchBodyError(f"bad match operator {op!r}")
+    terms = [t for t in str(text).split(" ") if t]
+    if not terms:
+        raise SearchBodyError(f"empty match query in {what}")
+    return terms, op
+
+
+def _compile_clause(clause: dict, occ: str, acc: dict, text_col: str) -> None:
+    kind, spec = _one_key(clause, f"{occ} clause")
+    if kind == "match":
+        field, mspec = _one_key(spec, "match")
+        if _is_meta(field, text_col):
+            raise SearchBodyError(f"match on non-text field {field!r}")
+        terms, op = _match_terms(mspec, occ)
+        if occ == "must":
+            if op == "or":
+                # a bool.must[match(or)] needs per-clause ≥1-of semantics
+                # that flattening loses — closed subset, explicit error
+                raise SearchBodyError(
+                    'match inside bool.must needs "operator": "and" '
+                    "(OR-match is supported as the top-level query or in should)")
+            acc["must"] += terms
+        elif occ == "should":
+            acc["should"] += terms
+        elif occ == "top":
+            (acc["must"] if op == "and" else acc["should"]).extend(terms)
+        else:
+            raise SearchBodyError(f"match not supported in {occ}")
+    elif kind in ("term", "terms"):
+        field, val = _one_key(spec, kind)
+        if _is_meta(field, text_col):
+            if occ not in ("filter", "top"):
+                raise SearchBodyError(
+                    f"{kind} on metadata field {field!r} only supported in "
+                    "filter context (ES scores it constantly; we refuse to fake that)")
+            vals = val if kind == "terms" else [val]
+            if not isinstance(vals, list) or not vals:
+                raise SearchBodyError(f"bad {kind} values {val!r}")
+            acc["meta"].append(("isin", field, list(vals)))
+        else:
+            if kind == "terms":
+                raise SearchBodyError("terms on the text field: use should matches")
+            dest = {"must": "must", "should": "should", "must_not": "must_not",
+                    "filter": "filter_terms", "top": "must"}[occ]
+            acc[dest].append(str(val))
+    elif kind == "range":
+        field, bounds = _one_key(spec, "range")
+        if not _is_meta(field, text_col):
+            raise SearchBodyError("range on the text field is not a thing")
+        if occ not in ("filter", "top"):
+            raise SearchBodyError("range only supported in filter context")
+        unknown = set(bounds) - set(_RANGE_OPS)
+        if unknown or not bounds:
+            raise SearchBodyError(f"bad range bounds {bounds!r}")
+        for op, v in sorted(bounds.items()):
+            acc["meta"].append((op, field, float(v)))
+    elif kind == "match_all":
+        if spec not in ({}, None):
+            raise SearchBodyError(f"match_all takes no options: {spec!r}")
+    elif kind == "bool":
+        if occ != "top":
+            raise SearchBodyError("nested bool is outside the closed subset")
+        unknown = set(spec) - {"must", "should", "must_not", "filter"}
+        if unknown:
+            raise SearchBodyError(f"unsupported bool occurrences {unknown}")
+        for sub_occ in ("must", "should", "must_not", "filter"):
+            for sub in spec.get(sub_occ) or []:
+                _compile_clause(sub, sub_occ, acc, text_col)
+    else:
+        raise SearchBodyError(f"unsupported query kind {kind!r}")
+
+
+def _meta_eligible(docs: DataFrame, preds: list, text_col: str) -> DataFrame:
+    cond = None
+    for op, field, val in preds:
+        c = (F.col(field).isin(val) if op == "isin"
+             else getattr(F.col(field), _RANGE_OPS[op])(F.lit(val)))
+        cond = c if cond is None else (cond & c)
+    return docs.filter(cond).select("doc_id")
+
+
+def meta_filter_sql(preds: list, table: str = "documents") -> str:
+    """The oracle dual of _meta_eligible: one scan, ANDed predicates."""
+    sql_op = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+    parts = []
+    for op, field, val in preds:
+        if op == "isin":
+            lits = ", ".join(
+                "'" + str(v).replace("'", "''") + "'" if isinstance(v, str)
+                else repr(v) for v in val)
+            parts.append(f"{field} IN ({lits})")
+        else:
+            parts.append(f"{field} {sql_op[op]} {val!r}")
+    return f"SELECT doc_id FROM {table} WHERE " + " AND ".join(parts)
+
+
+def compile_body(body: dict, text_col: str = "text") -> dict:
+    """Validate + flatten a _search body into bool_bm25 arguments and the
+    metadata predicate list. Shared by search_body and its oracle builder
+    (the templated-constant convention — one source of truth)."""
+    allowed = {"query", "from", "size", "_source"}
+    unknown = set(body) - allowed
+    if unknown:
+        raise SearchBodyError(f"unsupported _search body keys {unknown}")
+    acc = {"must": [], "should": [], "must_not": [], "filter_terms": [],
+           "meta": []}
+    _compile_clause(body.get("query") or {"match_all": {}}, "top", acc, text_col)
+    if not (acc["must"] or acc["should"]):
+        raise SearchBodyError("no scored clause: pure-filter bodies need "
+                              "at least one match/term on the text field")
+    acc["from"] = int(body.get("from", 0))
+    acc["size"] = int(body.get("size", 10))
+    if acc["from"] < 0 or acc["size"] <= 0:
+        raise SearchBodyError("bad from/size")
+    acc["_source"] = body.get("_source")
+    return acc
+
+
+def search_body(docs: DataFrame, body: dict, text_col: str = "text") -> DataFrame:
+    """Execute an ES _search request body. (rank, doc_id, score[, _source
+    cols]) — rank absolute, rows (from, from+size]."""
+    from .query_ext import bool_bm25
+
+    spec = compile_body(body, text_col)
+    extra = (_meta_eligible(docs, spec["meta"], text_col)
+             if spec["meta"] else None)
+    hits = bool_bm25(
+        docs,
+        must=spec["must"] or None,
+        should=spec["should"] or None,
+        must_not=spec["must_not"] or None,
+        filter_terms=spec["filter_terms"] or None,
+        eligible_extra=extra,
+        k=spec["from"] + spec["size"],
+        text_col=text_col,
+    )
+    if spec["from"]:
+        hits = hits.filter(F.col("rank") > spec["from"])
+    if spec["_source"]:
+        cols = list(spec["_source"])
+        hits = hits.join(docs.select("doc_id", *cols), "doc_id").select(
+            "rank", "doc_id", "score", *cols)
+    return hits.orderBy("rank")
+
+
+def search_body_sql(body: dict, text_col: str = "text") -> str:
+    """DuckDB oracle for search_body: bool_bm25_sql with the metadata
+    eligibility subquery and the from/size rank window — built from the
+    SAME compile_body flattening."""
+    from .oracles import bool_bm25_sql
+
+    spec = compile_body(body, text_col)
+    if spec["_source"]:
+        raise SearchBodyError("_source oracle not templated; project in the query")
+    return bool_bm25_sql(
+        must=spec["must"] or None,
+        should=spec["should"] or None,
+        must_not=spec["must_not"] or None,
+        filter_terms=spec["filter_terms"] or None,
+        extra_filter_sql=meta_filter_sql(spec["meta"]) if spec["meta"] else "",
+        k=spec["size"],
+        from_=spec["from"],
+    )

@@ -1,0 +1,68 @@
+"""ES _search body compiler: closed-subset validation, pagination law,
+_source projection, and equivalence with the hand-built bool query."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.search_api import SearchBodyError, search_body
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_equivalent_to_bool_bm25(spark, docs):
+    from fafnir_spark.query_ext import bool_bm25
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "merge window", "operator": "and"}}}],
+        "must_not": [{"term": {"text": "vector"}}]}}, "size": 10}
+    got = [(r["rank"], r["doc_id"], r["score"])
+           for r in search_body(docs, body).collect()]
+    want = [(r["rank"], r["doc_id"], r["score"])
+            for r in bool_bm25(docs, must=["merge", "window"],
+                               must_not=["vector"], k=10).collect()]
+    assert got == want and got
+
+
+def test_pagination_absolute_rank(spark, docs):
+    body = {"query": {"match": {"text": "merge window customer"}}, "size": 12}
+    full = search_body(docs, body).collect()
+    page2 = search_body(docs, {**body, "from": 4, "size": 8}).collect()
+    assert [(r["rank"], r["doc_id"]) for r in page2] == \
+        [(r["rank"], r["doc_id"]) for r in full[4:12]]
+    assert page2[0]["rank"] == 5  # absolute, the ES from+size window
+
+
+def test_filters_and_source_projection(spark, docs):
+    body = {
+        "query": {"bool": {
+            "should": [{"term": {"text": "merge"}}, {"term": {"text": "slow"}}],
+            "filter": [{"range": {"n_chars": {"gte": 100, "lte": 400}}},
+                       {"terms": {"lang": ["en", "fr"]}}]}},
+        "size": 20, "_source": ["lang", "n_chars"],
+    }
+    rows = search_body(docs, body).collect()
+    assert rows
+    assert all(100 <= r["n_chars"] <= 400 and r["lang"] in ("en", "fr")
+               for r in rows)
+    assert rows[0].asDict().keys() == {"rank", "doc_id", "score", "lang",
+                                       "n_chars"}
+
+
+@pytest.mark.parametrize("body", [
+    {"query": {"match": {"text": "x"}}, "highlight": {}},      # unknown key
+    {"query": {"bool": {"must": [{"match": {"text": "a b"}}]}}},  # OR in must
+    {"query": {"bool": {"must": [{"term": {"lang": "en"}}]}}},  # meta in must
+    {"query": {"range": {"n_chars": {"gte": 1}}}},             # no scored clause
+    {"query": {"bool": {"filter": [{"range": {"n_chars": {"approx": 3}}}],
+                        "should": [{"term": {"text": "a"}}]}}},  # bad bound op
+    {"query": {"fuzzy": {"text": "mrge"}}},                    # unsupported kind
+])
+def test_closed_subset_rejects(spark, docs, body):
+    with pytest.raises(SearchBodyError):
+        search_body(docs, body).collect()
