@@ -1379,6 +1379,26 @@ SEARCH_BODY_BOOL = {
 SEARCH_BODY_MATCH = {"query": {"match": {"text": "slow vector"}}, "size": 5}
 
 
+SEARCH_BODY_AGGS = {
+    "query": {"bool": {
+        "should": [{"term": {"text": "merge"}}, {"term": {"text": "slow"}}],
+        "filter": [{"range": {"n_chars": {"gte": 80.0}}}],
+    }},
+    "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
+                         "aggs": {"avg_chars": {"avg": {"field": "n_chars"}},
+                                  "max_chars": {"max": {"field": "n_chars"}}}}},
+}
+
+
+def _q_search_api_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregations half of a _search body: terms bucket agg + metric
+    sub-aggs over the query-MATCHED set (ES aggregates every hit, not the
+    size window) — one groupBy after the bool eligibility gates."""
+    from fafnir_spark.search_api import search_aggs
+
+    return search_aggs(_docs(spark, sf_dir), SEARCH_BODY_AGGS)
+
+
 def _q_search_api_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _search REQUEST BODY compiled onto the relational operators
     (search_api.search_body): bool with must/should/must_not + range and
@@ -3591,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_range": _q_percolate_range,
         "search_api_bool": _q_search_api_bool,
         "search_api_match": _q_search_api_match,
+        "search_api_aggs": _q_search_api_aggs,
         "msearch": _q_msearch,
         "stream_percolate": _q_stream_percolate,
         "rank_eval": _q_rank_eval,
@@ -4155,6 +4176,7 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "percolate_range": oracles.percolate_range_sql(PERC_RANGE_QUERIES, range_col="n_chars"),
         "search_api_bool": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_BOOL),
         "search_api_match": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_MATCH),
+        "search_api_aggs": __import__("fafnir_spark.search_api", fromlist=["x"]).search_aggs_sql(SEARCH_BODY_AGGS),
         "msearch": oracles.msearch_sql(MSEARCH_QUERIES, k=10),
         "stream_percolate": oracles.percolate_sql(PERC_QUERIES),
         "rank_eval": oracles.rank_eval_sql(RANK_EVAL_Q, k=10),

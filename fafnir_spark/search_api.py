@@ -236,3 +236,140 @@ def search_body_sql(body: dict, text_col: str = "text") -> str:
         k=spec["size"],
         from_=spec["from"],
     )
+
+
+_METRICS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _compile_aggs(aggs: dict) -> tuple[str, str, int, list]:
+    """Validate the aggs section: ONE terms bucket agg with optional
+    metric sub-aggs. Returns (agg_name, field, size, [(sub_name, kind,
+    sub_field)])."""
+    (name, spec), = aggs.items() if len(aggs) == 1 else (_bad_aggs(aggs),)
+    unknown = set(spec) - {"terms", "aggs"}
+    if "terms" not in spec or unknown:
+        raise SearchBodyError(f"only a terms bucket agg is supported: {spec!r}")
+    t = spec["terms"]
+    if set(t) - {"field", "size"} or "field" not in t:
+        raise SearchBodyError(f"bad terms agg options {t!r}")
+    subs = []
+    for sub_name, sub in (spec.get("aggs") or {}).items():
+        kind, m = _one_key(sub, f"sub-agg {sub_name}")
+        if kind == "value_count":
+            pass
+        elif kind not in _METRICS:
+            raise SearchBodyError(f"unsupported sub-agg kind {kind!r}")
+        if set(m) != {"field"}:
+            raise SearchBodyError(f"bad metric options {m!r}")
+        subs.append((sub_name, kind, m["field"]))
+    return name, t["field"], int(t.get("size", 10)), subs
+
+
+def _bad_aggs(aggs):
+    raise SearchBodyError(f"exactly one agg is supported: {list(aggs)!r}")
+
+
+def _matched(docs: DataFrame, spec: dict, text_col: str) -> DataFrame:
+    """The query-MATCHED doc set (unscored bool eligibility): must all
+    present, at least one should when no must, no must_not, filter terms
+    all present, metadata predicates — each gate a semi/anti join on the
+    single tf relation, the bool_bm25 eligibility shapes."""
+    from .query import conjunctive_match, doc_term_freqs
+
+    out = docs
+    tf = None
+
+    def _tf():
+        nonlocal tf
+        if tf is None:
+            tf = doc_term_freqs(
+                docs.selectExpr("doc_id", f"{text_col} as __text"),
+                "doc_id", "__text")
+        return tf
+
+    if spec["must"]:
+        out = out.join(conjunctive_match(docs, spec["must"], text_col=text_col),
+                       "doc_id")
+    elif spec["should"]:
+        any_of = (_tf().filter(F.col("term").isin(sorted(set(spec["should"]))))
+                  .select("doc_id").distinct())
+        out = out.join(any_of, "doc_id")
+    if spec["filter_terms"]:
+        out = out.join(conjunctive_match(docs, spec["filter_terms"],
+                                         text_col=text_col), "doc_id")
+    if spec["must_not"]:
+        bad = (_tf().filter(F.col("term").isin(sorted(set(spec["must_not"]))))
+               .select("doc_id").distinct())
+        out = out.join(bad, "doc_id", "anti")
+    if spec["meta"]:
+        out = out.join(_meta_eligible(docs, spec["meta"], text_col), "doc_id")
+    return out
+
+
+def search_aggs(docs: DataFrame, body: dict, text_col: str = "text") -> DataFrame:
+    """The aggregations half of a _search body: a terms bucket agg (+
+    metric sub-aggs) over the query-MATCHED set — ES runs aggs on every
+    hit, not the size-window. One groupBy over the matched relation;
+    buckets rank by doc_count desc then key asc (the ES terms order).
+    (key, doc_count, <sub aggs...>), top-``size`` buckets."""
+    spec = compile_body({k: v for k, v in body.items() if k != "aggs"},
+                        text_col)
+    name, field, size, subs = _compile_aggs(body.get("aggs") or _bad_aggs({}))
+    matched = _matched(docs, spec, text_col)
+    aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
+    for sub_name, kind, sub_field in subs:
+        if kind == "value_count":
+            aggs.append(F.count(F.col(sub_field)).cast("long").alias(sub_name))
+        else:
+            # metrics compute in double on BOTH engines (an integer max
+            # would fetch int vs round()-double and type-diverge)
+            aggs.append(F.round(_METRICS[kind](F.col(sub_field).cast("double")), 6).alias(sub_name))
+    out = matched.groupBy(F.col(field).alias("key")).agg(*aggs)
+    return (out.orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(size))
+
+
+def search_aggs_sql(body: dict, text_col: str = "text") -> str:
+    """Oracle for search_aggs, built from the SAME compile_body /
+    _compile_aggs flattening: eligibility subqueries over the tf CTEs,
+    one GROUP BY, ES terms-order limit."""
+    from .oracles import _terms_in, _tf_ctes
+
+    spec = compile_body({k: v for k, v in body.items() if k != "aggs"},
+                        text_col)
+    name, field, size, subs = _compile_aggs(body.get("aggs") or _bad_aggs({}))
+    gates = []
+    if spec["must"]:
+        m = sorted(set(spec["must"]))
+        gates.append(f"""d.doc_id IN (
+  SELECT doc_id FROM tf WHERE term IN {_terms_in(m)}
+  GROUP BY doc_id HAVING count(*) = {len(m)})""")
+    elif spec["should"]:
+        gates.append(f"""d.doc_id IN (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN {_terms_in(spec['should'])})""")
+    if spec["filter_terms"]:
+        ft = sorted(set(spec["filter_terms"]))
+        gates.append(f"""d.doc_id IN (
+  SELECT doc_id FROM tf WHERE term IN {_terms_in(ft)}
+  GROUP BY doc_id HAVING count(*) = {len(ft)})""")
+    if spec["must_not"]:
+        gates.append(f"""d.doc_id NOT IN (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN {_terms_in(spec['must_not'])})""")
+    if spec["meta"]:
+        gates.append(f"d.doc_id IN ({meta_filter_sql(spec['meta'])})")
+    cols = ["CAST(count(*) AS BIGINT) AS doc_count"]
+    for sub_name, kind, sub_field in subs:
+        if kind == "value_count":
+            cols.append(f"CAST(count({sub_field}) AS BIGINT) AS {sub_name}")
+        else:
+            cols.append(f"round({kind}({sub_field}::DOUBLE), 6) AS {sub_name}")
+    where = " AND ".join(gates) or "1=1"
+    return f"""
+WITH {_tf_ctes(text_col)}
+SELECT {field} AS key, {', '.join(cols)}
+FROM documents d
+WHERE {where}
+GROUP BY {field}
+ORDER BY doc_count DESC, key ASC
+LIMIT {size}
+"""

@@ -66,3 +66,31 @@ def test_filters_and_source_projection(spark, docs):
 def test_closed_subset_rejects(spark, docs, body):
     with pytest.raises(SearchBodyError):
         search_body(docs, body).collect()
+
+
+def test_aggs_run_on_matched_set(spark, docs):
+    """Aggs aggregate every query-matched doc (not the hits window); the
+    bucket counts equal a hand-built filter+groupBy."""
+    from fafnir_spark.search_api import search_aggs
+
+    body = {
+        "query": {"bool": {
+            "should": [{"term": {"text": "merge"}}],
+            "filter": [{"range": {"n_chars": {"gte": 80.0}}}]}},
+        "size": 3,  # must NOT cap the agg input
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+                             "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+    }
+    got = {(r["key"], r["doc_count"]) for r in search_aggs(docs, body).collect()}
+    matched = docs.filter(
+        F.col("n_chars") >= 80.0).join(
+        docs.filter(F.col("text").rlike(r"(^| )merge( |$)")).select("doc_id"),
+        "doc_id")
+    want = {(r["lang"], r["cnt"]) for r in
+            matched.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == want and sum(c for _, c in got) > 3
+    with pytest.raises(SearchBodyError):
+        search_aggs(docs, {**body, "aggs": {"a": {"histogram": {}}}})
+    with pytest.raises(SearchBodyError):  # two top-level aggs
+        search_aggs(docs, {**body, "aggs": {"a": {"terms": {"field": "lang"}},
+                                            "b": {"terms": {"field": "source"}}}})
