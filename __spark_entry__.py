@@ -1390,6 +1390,28 @@ SEARCH_BODY_AGGS = {
 }
 
 
+SEARCH_BODY_IDX = {
+    "query": {"bool": {
+        "must": [{"match": {"text": {"query": "merge window",
+                                     "operator": "and"}}}],
+        "should": [{"term": {"text": "customer"}}],
+        "must_not": [{"term": {"text": "vector"}}],
+        "filter": [{"range": {"n_chars": {"gte": 100.0, "lte": 500.0}}}],
+    }},
+    "size": 10,
+}
+
+
+def _q_search_api_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME _search body served FROM the index: compiled spec →
+    query_string grammar → per-shard exact top-k with the n_chars
+    doc-values range gate — rank-identical to the direct compiler."""
+    from fafnir_spark.search_api import search_body_indexed
+
+    return search_body_indexed(spark, _idx_root(spark, sf_dir),
+                               SEARCH_BODY_IDX)
+
+
 def _q_search_api_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The aggregations half of a _search body: terms bucket agg + metric
     sub-aggs over the query-MATCHED set (ES aggregates every hit, not the
@@ -3233,6 +3255,7 @@ INDEXED_TWINS = {
     "ann_bq_indexed": "ann_bq_rescore",
     "ann_ivf_indexed": "ann_ivf_topk",
     "ann_filtered_indexed": "ann_filtered_topk",
+    "search_api_indexed": "search_api_bool",
     "ann_ivf_trained_indexed": "ann_ivf_trained",
     "ann_ivfsq_indexed": "ann_sq8_rescore",
     "ann_pq_indexed": "ann_pq_topk",
@@ -3612,6 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_api_bool": _q_search_api_bool,
         "search_api_match": _q_search_api_match,
         "search_api_aggs": _q_search_api_aggs,
+        "search_api_indexed": _q_search_api_indexed,
         "msearch": _q_msearch,
         "stream_percolate": _q_stream_percolate,
         "rank_eval": _q_rank_eval,
@@ -4177,6 +4201,7 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "search_api_bool": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_BOOL),
         "search_api_match": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_MATCH),
         "search_api_aggs": __import__("fafnir_spark.search_api", fromlist=["x"]).search_aggs_sql(SEARCH_BODY_AGGS),
+        "search_api_indexed": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_IDX),
         "msearch": oracles.msearch_sql(MSEARCH_QUERIES, k=10),
         "stream_percolate": oracles.percolate_sql(PERC_QUERIES),
         "rank_eval": oracles.rank_eval_sql(RANK_EVAL_Q, k=10),

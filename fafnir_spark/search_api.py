@@ -373,3 +373,54 @@ GROUP BY {field}
 ORDER BY doc_count DESC, key ASC
 LIMIT {size}
 """
+
+
+def to_query_string(spec: dict) -> str:
+    """Translate a compiled _search body onto the parse_query grammar —
+    the seam that lets the SAME request body serve from the index
+    (wand.search_text_indexed): must → +t, should → bare, must_not → -t,
+    a gte+lte range pair → field:[lo TO hi] (doc-values gate).
+    filter-context TEXT terms and keyword-equality metas need a
+    field-token index (build with_field_tokens) and are rejected here;
+    gt/lt are rejected (the grammar's ranges are inclusive)."""
+    if spec["filter_terms"]:
+        raise SearchBodyError(
+            "indexed body serving needs a field-token index for filter-"
+            "context text terms")
+    parts = [f"+{t}" for t in spec["must"]]
+    parts += list(spec["should"])
+    parts += [f"-{t}" for t in spec["must_not"]]
+    by_field: dict[str, dict[str, float]] = {}
+    for op, field, val in spec["meta"]:
+        if op == "isin":
+            raise SearchBodyError(
+                "indexed keyword-equality filters need a field-token index")
+        if op in ("gt", "lt"):
+            raise SearchBodyError("indexed ranges are inclusive: use gte/lte")
+        by_field.setdefault(field, {})[op] = val
+    for field, b in sorted(by_field.items()):
+        if set(b) != {"gte", "lte"}:
+            raise SearchBodyError(f"indexed range on {field!r} needs both bounds")
+        parts.append(f"{field}:[{b['gte']!r} TO {b['lte']!r}]")
+    return " ".join(parts)
+
+
+def search_body_indexed(spark, index_root: str, body: dict,
+                        text_col: str = "text") -> DataFrame:
+    """Serve a _search request body FROM the published index: the
+    compiled spec translates to the query_string grammar and runs through
+    wand.search_text_indexed (per-shard exact top-k, numeric ranges from
+    the doc_map doc-values, tombstone-aware) — rank-identical to
+    search_body by the rank-identity contract, hence the same oracle.
+    from-pagination is rejected (keyset pagination is
+    search_after_indexed's job — offset scans don't scale)."""
+    from .wand import search_text_indexed
+
+    spec = compile_body(body, text_col)
+    if spec["from"]:
+        raise SearchBodyError("indexed serving has no from-offset: use "
+                              "search_after (keyset) pagination")
+    if spec["_source"]:
+        raise SearchBodyError("_source projection: join doc_map after")
+    return search_text_indexed(spark, index_root, to_query_string(spec),
+                               k=spec["size"])

@@ -94,3 +94,37 @@ def test_aggs_run_on_matched_set(spark, docs):
     with pytest.raises(SearchBodyError):  # two top-level aggs
         search_aggs(docs, {**body, "aggs": {"a": {"terms": {"field": "lang"}},
                                             "b": {"terms": {"field": "source"}}}})
+
+
+def test_indexed_body_rank_identical(spark, docs, tmp_path):
+    """The same body served from the index equals the direct compiler,
+    incl. the doc-values range gate; unsupported translations reject."""
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.search_api import search_body_indexed, to_query_string
+
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=64, tokenizer="whitespace",
+                build_id="sapi")
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "merge window",
+                                     "operator": "and"}}}],
+        "must_not": [{"term": {"text": "vector"}}],
+        "filter": [{"range": {"n_chars": {"gte": 100.0, "lte": 500.0}}}]}},
+        "size": 10}
+    got = [(r["rank"], r["doc_id"], r["score"])
+           for r in search_body_indexed(spark, root, body).collect()]
+    want = [(r["rank"], r["doc_id"], r["score"])
+            for r in search_body(docs, body).collect()]
+    assert got == want and got
+    from fafnir_spark.search_api import SearchBodyError, compile_body
+    with pytest.raises(SearchBodyError):  # one-sided range
+        to_query_string(compile_body(
+            {"query": {"bool": {"should": [{"term": {"text": "a"}}],
+                                "filter": [{"range": {"n_chars": {"gte": 1.0}}}]}}}))
+    with pytest.raises(SearchBodyError):  # keyword-equality filter
+        to_query_string(compile_body(
+            {"query": {"bool": {"should": [{"term": {"text": "a"}}],
+                                "filter": [{"term": {"lang": "en"}}]}}}))
+    with pytest.raises(SearchBodyError):  # offset pagination
+        search_body_indexed(spark, root, {**body, "from": 3})
