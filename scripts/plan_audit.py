@@ -484,6 +484,37 @@ def main() -> None:
                     {"events": spark.read.parquet(f"{sf}/events.parquet")}),
               "Each branch is its own filtered pass (filter pushed under "
               "the scan on the WHERE branch); union adds no shuffle."),
+        audit("search_body (_search JSON compiler, bool+filters+paging)",
+              __import__('fafnir_spark.search_api', fromlist=['x'])
+              .search_body(
+                  spark.read.parquet(f"{sf}/documents.parquet"),
+                  {"query": {"bool": {
+                      "must": [{"match": {"text": {"query": "merge window",
+                                                   "operator": "and"}}}],
+                      "filter": [{"range": {"n_chars": {"gte": 100.0,
+                                                        "lte": 500.0}}}]}},
+                   "from": 2, "size": 8}),
+              "Metadata predicates land as PushedFilters on the doc scan "
+              "(one unscored eligibility relation); term-gate joins "
+              "broadcast; the eligibility∩eligibility join (must-matched "
+              "ids × filter-matched ids, BOTH corpus-sized in the worst "
+              "case) is correctly a shuffle join — AQE converts it when "
+              "one side is small; finish is TakeOrderedAndProject at "
+              "from+size."),
+        audit("search_aggs (aggs over the query-matched set)",
+              __import__('fafnir_spark.search_api', fromlist=['x'])
+              .search_aggs(
+                  spark.read.parquet(f"{sf}/documents.parquet"),
+                  {"query": {"bool": {
+                      "should": [{"term": {"text": "merge"}}],
+                      "filter": [{"range": {"n_chars": {"gte": 80.0}}}]}},
+                   "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
+                                        "aggs": {"avg_chars": {"avg": {
+                                            "field": "n_chars"}}}}}}),
+              "Eligibility gates are semi-joins on ONE tf relation; the "
+              "agg is a single map-side-combined groupBy over matched "
+              "docs; bucket order+limit runs over the bounded bucket "
+              "relation."),
         audit("variable_width_histogram (gap-split buckets)",
               __import__('fafnir_spark.pipeline', fromlist=['x'])
               .variable_width_histogram(
