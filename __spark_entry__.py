@@ -1438,6 +1438,108 @@ def _q_search_api_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_body(_docs(spark, sf_dir), SEARCH_BODY_MATCH)
 
 
+SEARCH_BODY_KNN = {
+    "knn": {"field": "embedding", "query_vector": QVEC, "k": 10,
+            "num_candidates": 50,
+            "filter": {"terms": {"label": [2, 5, 7]}}},
+    "size": 10,
+}
+SEARCH_BODY_HYBRID = {
+    "query": {"match": {"text": "merge window customer"}},
+    "knn": {"field": "embedding", "query_vector": QVEC, "k": 20,
+            "num_candidates": 40, "boost": 0.5},
+    "size": 10,
+}
+SEARCH_BODY_RETRIEVER = {
+    "retriever": {"rrf": {
+        "retrievers": [
+            {"standard": {"query": {"match": {"text": "merge window customer"}}}},
+            {"knn": {"field": "embedding", "query_vector": QVEC, "k": 40,
+                     "num_candidates": 40}},
+        ],
+        "rank_constant": 60, "rank_window_size": 40}},
+    "size": 10,
+}
+SEARCH_BODY_COLLAPSE = {
+    "query": {"match": {"text": "merge window customer"}},
+    "collapse": {"field": "lang"},
+    "size": 8,
+}
+SEARCH_BODY_RESCORE = {
+    "query": {"match": {"text": "merge window"}},
+    "rescore": {"window_size": 30,
+                "query": {"rescore_query": {"match": {"text": "customer vector"}},
+                          "query_weight": 1.0,
+                          "rescore_query_weight": 0.5}},
+    "size": 10,
+}
+SEARCH_BODY_HL = {
+    "query": {"bool": {
+        "must": [{"match": {"text": {"query": "merge window",
+                                     "operator": "and"}}}],
+        "filter": [{"range": {"n_chars": {"gte": 80.0}}}],
+    }},
+    "highlight": {"fields": {"text": {"fragment_size": 48}}},
+    "size": 8,
+}
+
+
+def _q_search_api_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 top-level ``knn`` section with a label pre-filter: compiled
+    onto the filtered exact cosine top-k (pre-filter BEFORE scoring — the
+    partition-pruning shape at scale)."""
+    from fafnir_spark.search_api import search_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return search_knn(emb, SEARCH_BODY_KNN)
+
+
+def _q_search_api_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A body with BOTH query and knn: ES sums the scores — every match
+    keeps its BM25 score, the knn top-k adds cos*boost. Fusion is a
+    full-outer join of the one-pass scored relation with k knn rows."""
+    from fafnir_spark.search_api import search_hybrid
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return search_hybrid(_docs(spark, sf_dir), emb, SEARCH_BODY_HYBRID)
+
+
+def _q_retriever_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES 8.14 retriever tree: rrf over [standard(match), knn],
+    compiled onto hybrid_rrf (both branches rank_window_size-deep,
+    fusion join <= 2*window rows)."""
+    from fafnir_spark.search_api import search_retriever
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return search_retriever(_docs(spark, sf_dir), emb, SEARCH_BODY_RETRIEVER)
+
+
+def _q_search_api_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``collapse`` section: one hit per lang, compiled onto
+    collapse_topk (sort-free max_by winners)."""
+    from fafnir_spark.search_api import search_collapse
+
+    return search_collapse(_docs(spark, sf_dir), SEARCH_BODY_COLLAPSE)
+
+
+def _q_search_api_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``rescore`` section: BM25 top-window re-scored as
+    qw*primary + rw*rescore_bm25 (ES weighted-sum rescore), final top-k —
+    every post-window relation is <= window rows."""
+    from fafnir_spark.search_api import search_rescore
+
+    return search_rescore(_docs(spark, sf_dir), SEARCH_BODY_RESCORE)
+
+
+def _q_search_api_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``highlight`` section: hits + the first scored term's
+    fragment_size window (snippet_expr) joined from the source — the
+    source join touches size rows."""
+    from fafnir_spark.search_api import search_highlight
+
+    return search_highlight(_docs(spark, sf_dir), SEARCH_BODY_HL)
+
+
 def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES field-sort search: match any query term, order by n_chars desc."""
     from fafnir_spark.query_ext import sort_by_field
@@ -3636,6 +3738,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_api_match": _q_search_api_match,
         "search_api_aggs": _q_search_api_aggs,
         "search_api_indexed": _q_search_api_indexed,
+        "search_api_knn": _q_search_api_knn,
+        "search_api_hybrid": _q_search_api_hybrid,
+        "retriever_rrf": _q_retriever_rrf,
+        "search_api_collapse": _q_search_api_collapse,
+        "search_api_rescore": _q_search_api_rescore,
+        "search_api_highlight": _q_search_api_highlight,
         "msearch": _q_msearch,
         "stream_percolate": _q_stream_percolate,
         "rank_eval": _q_rank_eval,
@@ -4202,6 +4310,12 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "search_api_match": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_MATCH),
         "search_api_aggs": __import__("fafnir_spark.search_api", fromlist=["x"]).search_aggs_sql(SEARCH_BODY_AGGS),
         "search_api_indexed": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_IDX),
+        "search_api_knn": __import__("fafnir_spark.search_api", fromlist=["x"]).search_knn_sql(SEARCH_BODY_KNN),
+        "search_api_hybrid": __import__("fafnir_spark.search_api", fromlist=["x"]).search_hybrid_sql(SEARCH_BODY_HYBRID),
+        "retriever_rrf": __import__("fafnir_spark.search_api", fromlist=["x"]).search_retriever_sql(SEARCH_BODY_RETRIEVER),
+        "search_api_collapse": __import__("fafnir_spark.search_api", fromlist=["x"]).search_collapse_sql(SEARCH_BODY_COLLAPSE),
+        "search_api_rescore": __import__("fafnir_spark.search_api", fromlist=["x"]).search_rescore_sql(SEARCH_BODY_RESCORE),
+        "search_api_highlight": __import__("fafnir_spark.search_api", fromlist=["x"]).search_highlight_sql(SEARCH_BODY_HL),
         "msearch": oracles.msearch_sql(MSEARCH_QUERIES, k=10),
         "stream_percolate": oracles.percolate_sql(PERC_QUERIES),
         "rank_eval": oracles.rank_eval_sql(RANK_EVAL_Q, k=10),

@@ -424,3 +424,476 @@ def search_body_indexed(spark, index_root: str, body: dict,
         raise SearchBodyError("_source projection: join doc_map after")
     return search_text_indexed(spark, index_root, to_query_string(spec),
                                k=spec["size"])
+
+
+# ---------------------------------------------------------------------------
+# ES 8 sections beyond query/aggs: top-level ``knn``, hybrid query+knn
+# score sum, the 8.14 ``retriever`` tree (rrf), ``collapse``, ``rescore``,
+# ``highlight``. Each compiles onto an existing engine operator — the
+# compiler adds validation + flattening, never a new execution path.
+
+
+def compile_knn(knn: dict, vec_col: str = "embedding",
+                label_col: str = "label") -> dict:
+    """Validate the ES 8 top-level ``knn`` section. Closed subset:
+    field (must name the vector column), query_vector, k,
+    num_candidates (>= k — ES enforces the same), optional ``boost``
+    and optional ``filter`` (term/terms equality on the label column —
+    kNN pre-filtering). Brute-force cosine IS exact, so num_candidates
+    only gates validation here; the IVF serving path honors it as nprobe
+    breadth."""
+    if not isinstance(knn, dict):
+        raise SearchBodyError(f"knn section must be an object: {knn!r}")
+    unknown = set(knn) - {"field", "query_vector", "k", "num_candidates",
+                          "filter", "boost"}
+    if unknown:
+        raise SearchBodyError(f"unsupported knn options {unknown}")
+    if knn.get("field") != vec_col:
+        raise SearchBodyError(
+            f"knn field {knn.get('field')!r} is not the vector column {vec_col!r}")
+    qv = [float(x) for x in knn["query_vector"]]
+    if not qv:
+        raise SearchBodyError("empty query_vector")
+    k = int(knn.get("k", 10))
+    num_candidates = int(knn.get("num_candidates", max(k, 100)))
+    if k <= 0 or num_candidates < k:
+        raise SearchBodyError(
+            f"knn needs 0 < k <= num_candidates (got k={k}, "
+            f"num_candidates={num_candidates})")
+    labels = None
+    if "filter" in knn:
+        kind, spec = _one_key(knn["filter"], "knn filter")
+        if kind not in ("term", "terms"):
+            raise SearchBodyError(f"unsupported knn filter kind {kind!r}")
+        field, val = _one_key(spec, kind)
+        if field != label_col:
+            raise SearchBodyError(
+                f"knn filter field {field!r} is not the label column")
+        labels = [int(v) for v in (val if kind == "terms" else [val])]
+    return {"qv": qv, "k": k, "num_candidates": num_candidates,
+            "labels": labels, "boost": float(knn.get("boost", 1.0))}
+
+
+def search_knn(emb: DataFrame, body: dict, id_col: str = "vec_id",
+               vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """A knn-only _search body: exact cosine top-k (two-level — the
+    at-scale serving twin is ivf_search). With a filter: pre-filtered
+    scan (partition-pruning shape), (qid, rank, vec_id, label, cos);
+    without: (rank, vec_id, cos). ``size`` caps the returned window
+    (ES returns min(size, k) hits)."""
+    from .simsearch import cosine_topk, cosine_topk_filtered
+
+    unknown = set(body) - {"knn", "size"}
+    if unknown:
+        raise SearchBodyError(f"unsupported knn body keys {unknown}")
+    spec = compile_knn(body["knn"], vec_col, label_col)
+    size = int(body.get("size", spec["k"]))
+    if not (0 < size <= spec["k"]):
+        raise SearchBodyError("knn body needs 0 < size <= knn.k")
+    if spec["labels"] is not None:
+        return cosine_topk_filtered(emb, {"q": spec["qv"]}, spec["labels"],
+                                    k=size, id_col=id_col, vec_col=vec_col,
+                                    label_col=label_col)
+    return cosine_topk(emb, {"q": spec["qv"]}, k=size,
+                       id_col=id_col, vec_col=vec_col).drop("qid")
+
+
+def search_knn_sql(body: dict, vec_col: str = "embedding",
+                   label_col: str = "label") -> str:
+    """Oracle for search_knn — the existing brute-force duals, built from
+    the SAME compile_knn flattening."""
+    from .oracles_ops import cosine_topk_filtered_sql, cosine_topk_sql
+
+    spec = compile_knn(body["knn"], vec_col, label_col)
+    size = int(body.get("size", spec["k"]))
+    if spec["labels"] is not None:
+        return cosine_topk_filtered_sql(spec["qv"], spec["labels"], k=size)
+    return cosine_topk_sql(spec["qv"], k=size)
+
+
+def _hybrid_parts(body: dict, text_col: str, vec_col: str) -> tuple:
+    """Shared flattening for the hybrid (query + knn sum) body: the query
+    half must be a single match on the text field (the closed subset —
+    richer bool trees fuse via the retriever/rrf path), the knn half is
+    compile_knn without a filter."""
+    unknown = set(body) - {"query", "knn", "size"}
+    if unknown:
+        raise SearchBodyError(f"unsupported hybrid body keys {unknown}")
+    kind, mspec = _one_key(body["query"], "hybrid query")
+    if kind != "match":
+        raise SearchBodyError("hybrid query half: only match is supported "
+                              "(compose richer trees with retriever.rrf)")
+    field, spec = _one_key(mspec, "match")
+    if _is_meta(field, text_col):
+        raise SearchBodyError(f"match on non-text field {field!r}")
+    terms, op = _match_terms(spec, "hybrid")
+    knn = compile_knn(body["knn"], vec_col)
+    if knn["labels"] is not None:
+        raise SearchBodyError("hybrid knn filter is outside the closed subset")
+    return terms, op, knn, int(body.get("size", 10))
+
+
+def search_hybrid(docs: DataFrame, emb: DataFrame, body: dict,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  vec_id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """ES 8 hybrid retrieval, pre-retriever style: a body with BOTH
+    ``query`` and ``knn`` sums their scores — every query-matching doc
+    contributes its BM25 score, docs in the knn top-k add cos·boost
+    (knn contributes ONLY inside its top-k; ES semantics). Scale shape:
+    the BM25 side is the one-pass scored relation, the knn side is k
+    rows, the fusion is a full-outer join finished by
+    TakeOrderedAndProject. (rank, doc_id, score)."""
+    from pyspark.sql.window import Window
+
+    from .query import bm25_scores, conjunctive_match
+    from .simsearch import cosine_topk
+
+    terms, op, knn, size = _hybrid_parts(body, text_col, vec_col)
+    eligible = (conjunctive_match(docs, terms, text_col=text_col)
+                if op == "and" else None)
+    b = bm25_scores(docs, terms, id_col=id_col, text_col=text_col,
+                    eligible=eligible)
+    e = cosine_topk(emb, {"q": knn["qv"]}, k=knn["k"], id_col=vec_id_col,
+                    vec_col=vec_col).select(
+        F.col("vec_id").alias("doc_id"), "cos")
+    u = b.join(e, "doc_id", "full_outer")
+    comb = F.round(
+        F.coalesce(F.col("score"), F.lit(0.0))
+        + F.coalesce(F.col("cos") * F.lit(knn["boost"]), F.lit(0.0)), 6)
+    top = (u.select("doc_id", comb.alias("hscore"))
+           .orderBy(F.col("hscore").desc(), F.col("doc_id").asc())
+           .limit(size))
+    w = Window.orderBy(F.col("hscore").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", F.col("hscore").alias("score"))
+            .orderBy("rank"))
+
+
+def search_hybrid_sql(body: dict, text_col: str = "text",
+                      vec_col: str = "embedding") -> str:
+    """Oracle for search_hybrid from the SAME flattening: the bool_bm25
+    scored CTE (rounded 6 before combining, the rank-identity contract)
+    full-outer joined with the cosine top-knn.k CTE, bm25 + cos·boost in
+    that operand order."""
+    from . import B, K1
+    from .oracles import _terms_in, _tf_ctes
+
+    terms, op, knn, size = _hybrid_parts(body, text_col, vec_col)
+    gate = ""
+    if op == "and":
+        m = sorted(set(terms))
+        gate = f"""
+  WHERE tf.doc_id IN (
+    SELECT doc_id FROM tf WHERE term IN {_terms_in(m)}
+    GROUP BY doc_id HAVING count(*) = {len(m)})"""
+    qlit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in knn["qv"]) + "]"
+    return f"""
+WITH {_tf_ctes(text_col)},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+bscored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ), 6) AS bscore
+  FROM tf JOIN dfs USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  {gate}
+  GROUP BY tf.doc_id
+),
+q AS (SELECT {qlit} AS qv),
+escored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+         , 6) AS cos
+  FROM embeddings e CROSS JOIN q
+),
+etop AS (
+  SELECT vec_id, cos FROM (
+    SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rn
+    FROM escored
+  ) WHERE rn <= {knn["k"]}
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM (
+    SELECT coalesce(b.doc_id, e.vec_id) AS doc_id,
+           round(coalesce(b.bscore, 0.0) + coalesce(e.cos * {knn["boost"]!r}, 0.0), 6) AS score
+    FROM bscored b FULL OUTER JOIN etop e ON b.doc_id = e.vec_id
+  )
+) WHERE rank <= {size} ORDER BY rank
+"""
+
+
+def compile_retriever(body: dict, text_col: str = "text",
+                      vec_col: str = "embedding") -> dict:
+    """Validate the ES 8.14 ``retriever`` tree. Closed subset: one ``rrf``
+    node over exactly [standard(match), knn] children, with
+    rank_constant / rank_window_size."""
+    unknown = set(body) - {"retriever", "size"}
+    if unknown:
+        raise SearchBodyError(f"unsupported retriever body keys {unknown}")
+    kind, node = _one_key(body["retriever"], "retriever")
+    if kind != "rrf":
+        raise SearchBodyError(f"unsupported retriever kind {kind!r}")
+    unknown = set(node) - {"retrievers", "rank_constant", "rank_window_size"}
+    if unknown:
+        raise SearchBodyError(f"unsupported rrf options {unknown}")
+    kids = node.get("retrievers") or []
+    if len(kids) != 2:
+        raise SearchBodyError("rrf needs exactly [standard, knn] children")
+    skind, std = _one_key(kids[0], "retriever child 0")
+    kkind, knn = _one_key(kids[1], "retriever child 1")
+    if (skind, kkind) != ("standard", "knn"):
+        raise SearchBodyError(
+            f"rrf children must be [standard, knn], got [{skind}, {kkind}]")
+    qkind, mspec = _one_key(std.get("query") or {}, "standard query")
+    if qkind != "match":
+        raise SearchBodyError("standard retriever: only match is supported")
+    field, spec = _one_key(mspec, "match")
+    if _is_meta(field, text_col):
+        raise SearchBodyError(f"match on non-text field {field!r}")
+    terms, op = _match_terms(spec, "standard retriever")
+    if op != "or":
+        raise SearchBodyError("standard retriever match must be OR "
+                              "(rrf fuses rankings, not eligibility)")
+    kspec = compile_knn(knn, vec_col)
+    if kspec["labels"] is not None:
+        raise SearchBodyError("retriever knn filter is outside the closed subset")
+    window = int(node.get("rank_window_size", 50))
+    if kspec["k"] != window:
+        raise SearchBodyError(
+            "rrf fuses each child's rank_window_size-deep list: the knn "
+            f"child needs k == rank_window_size (got {kspec['k']} != {window})")
+    return {"terms": terms, "knn": kspec,
+            "k0": int(node.get("rank_constant", 60)),
+            "window": window,
+            "size": int(body.get("size", 10))}
+
+
+def search_retriever(docs: DataFrame, emb: DataFrame, body: dict,
+                     text_col: str = "text") -> DataFrame:
+    """Execute a retriever.rrf tree — compiles onto hybrid_rrf (both
+    branches top-window, fusion join <= 2*window rows).
+    (rank, doc_id, rrf)."""
+    from .simsearch import hybrid_rrf
+
+    spec = compile_retriever(body, text_col)
+    return hybrid_rrf(docs, emb, spec["terms"], spec["knn"]["qv"],
+                      k=spec["size"], n_each=spec["window"], k0=spec["k0"],
+                      text_col=text_col)
+
+
+def search_retriever_sql(body: dict, text_col: str = "text") -> str:
+    from .oracles_ops import hybrid_rrf_sql
+
+    spec = compile_retriever(body, text_col)
+    return hybrid_rrf_sql(spec["terms"], spec["knn"]["qv"], k=spec["size"],
+                          n_each=spec["window"], k0=spec["k0"])
+
+
+def _collapse_parts(body: dict, text_col: str) -> tuple:
+    unknown = set(body) - {"query", "collapse", "size"}
+    if unknown:
+        raise SearchBodyError(f"unsupported collapse body keys {unknown}")
+    c = body["collapse"]
+    if set(c) != {"field"}:
+        raise SearchBodyError(f"collapse takes exactly {{field}}: {c!r}")
+    kind, mspec = _one_key(body["query"], "collapse query")
+    if kind != "match":
+        raise SearchBodyError("collapse query: only match is supported")
+    field, spec = _one_key(mspec, "match")
+    if _is_meta(field, text_col):
+        raise SearchBodyError(f"match on non-text field {field!r}")
+    terms, op = _match_terms(spec, "collapse")
+    if op != "or":
+        raise SearchBodyError("collapse match must be OR (disjunctive BM25)")
+    return terms, c["field"], int(body.get("size", 10))
+
+
+def search_collapse(docs: DataFrame, body: dict,
+                    text_col: str = "text") -> DataFrame:
+    """The ES ``collapse`` section: top-``size`` with at most one hit per
+    collapse-field value — compiles onto collapse_topk (sort-free max_by
+    winners, two-level finish). (rank, doc_id, score, <field>)."""
+    from .query_ext import collapse_topk
+
+    terms, field, size = _collapse_parts(body, text_col)
+    return collapse_topk(docs, terms, field, k=size, text_col=text_col)
+
+
+def search_collapse_sql(body: dict, text_col: str = "text") -> str:
+    from .oracles import collapse_topk_sql
+
+    terms, field, size = _collapse_parts(body, text_col)
+    return collapse_topk_sql(terms, field, k=size)
+
+
+def _rescore_parts(body: dict, text_col: str) -> tuple:
+    """Flatten a single-entry ES ``rescore`` section: the primary query and
+    the rescore query must both be match clauses on the text field;
+    weights must be given (and should be dyadic — the cross-engine
+    float-exactness convention)."""
+    unknown = set(body) - {"query", "rescore", "size"}
+    if unknown:
+        raise SearchBodyError(f"unsupported rescore body keys {unknown}")
+    r = body["rescore"]
+    unknown = set(r) - {"window_size", "query"}
+    if "query" not in r or unknown:
+        raise SearchBodyError(f"bad rescore section {r!r}")
+    rq = r["query"]
+    unknown = set(rq) - {"rescore_query", "query_weight", "rescore_query_weight"}
+    if "rescore_query" not in rq or unknown:
+        raise SearchBodyError(f"bad rescore query {rq!r}")
+
+    def _match_of(q, what):
+        kind, mspec = _one_key(q, what)
+        if kind != "match":
+            raise SearchBodyError(f"{what}: only match is supported")
+        field, spec = _one_key(mspec, "match")
+        if _is_meta(field, text_col):
+            raise SearchBodyError(f"match on non-text field {field!r}")
+        terms, op = _match_terms(spec, what)
+        if op != "or":
+            raise SearchBodyError(f"{what} match must be OR")
+        return terms
+
+    return (_match_of(body["query"], "rescore primary"),
+            _match_of(rq["rescore_query"], "rescore_query"),
+            int(r.get("window_size", 10)),
+            float(rq.get("query_weight", 1.0)),
+            float(rq.get("rescore_query_weight", 1.0)),
+            int(body.get("size", 10)))
+
+
+def search_rescore(docs: DataFrame, body: dict,
+                   text_col: str = "text") -> DataFrame:
+    """The ES ``rescore`` section (one entry): BM25 top-``window_size`` by
+    the primary query, re-scored as qw*primary + rw*rescore_bm25 (0 when
+    the rescore query misses), final top-``size``. Scale shape: the
+    rescore relation is semi-joined down to the window's ids BEFORE the
+    left join (both sides <= window rows — the window broadcast is the
+    build side twice). (rank, doc_id, score)."""
+    from pyspark.sql.window import Window
+
+    from .query import bm25_scores, bm25_topk
+
+    terms, rterms, window, qw, rw, size = _rescore_parts(body, text_col)
+    win = (bm25_topk(docs, terms, k=window, text_col=text_col)
+           .select("doc_id", F.col("score").alias("s1")))
+    r2 = bm25_scores(docs, rterms, text_col=text_col)
+    r2w = r2.join(F.broadcast(win.select("doc_id")), "doc_id").select(
+        "doc_id", F.col("score").alias("s2"))
+    comb = win.join(F.broadcast(r2w), "doc_id", "left").select(
+        "doc_id",
+        F.round(F.lit(qw) * F.col("s1")
+                + F.lit(rw) * F.coalesce(F.col("s2"), F.lit(0.0)), 6
+                ).alias("score"))
+    top = comb.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(size)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "score").orderBy("rank"))
+
+
+def search_rescore_sql(body: dict, text_col: str = "text") -> str:
+    """Oracle for search_rescore from the SAME flattening: two scored CTEs
+    over the shared tf (each rounded 6 before weighting), the window by
+    rounded primary score, LEFT JOIN + coalesce(0) combine."""
+    from . import B, K1
+    from .oracles import _terms_in, _tf_ctes
+
+    terms, rterms, window, qw, rw, size = _rescore_parts(body, text_col)
+
+    def _scored(name, dfs, ts):
+        return f"""
+{dfs} AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(ts)} GROUP BY term
+),
+{name} AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (stats.n_docs - {dfs}.df + 0.5) / ({dfs}.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ), 6) AS s
+  FROM tf JOIN {dfs} ON {dfs}.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+)"""
+
+    return f"""
+WITH {_tf_ctes(text_col)},{_scored("scored1", "dfs1", terms)},{_scored("scored2", "dfs2", rterms)},
+win AS (
+  SELECT doc_id, s AS s1 FROM (
+    SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn
+    FROM scored1
+  ) WHERE rn <= {window}
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM (
+    SELECT w.doc_id,
+           round({qw!r} * w.s1 + {rw!r} * coalesce(s2.s, 0.0), 6) AS score
+    FROM win w LEFT JOIN scored2 s2 ON s2.doc_id = w.doc_id
+  )
+) WHERE rank <= {size} ORDER BY rank
+"""
+
+
+def _highlight_parts(body: dict, text_col: str) -> tuple:
+    unknown = set(body) - {"query", "highlight", "from", "size"}
+    if unknown:
+        raise SearchBodyError(f"unsupported highlight body keys {unknown}")
+    h = body["highlight"]
+    if set(h) != {"fields"} or len(h["fields"]) != 1:
+        raise SearchBodyError(f"highlight takes exactly one field: {h!r}")
+    field, opts = _one_key(h["fields"], "highlight field")
+    if field != text_col:
+        raise SearchBodyError(f"highlight on non-text field {field!r}")
+    unknown = set(opts or {}) - {"fragment_size"}
+    if unknown:
+        raise SearchBodyError(f"unsupported highlight options {unknown}")
+    width = int((opts or {}).get("fragment_size", 48)) // 2
+    rest = {k: v for k, v in body.items() if k != "highlight"}
+    spec = compile_body(rest, text_col)
+    hl_term = (spec["must"] or spec["should"])[0]
+    return rest, hl_term, width
+
+
+def search_highlight(docs: DataFrame, body: dict,
+                     text_col: str = "text") -> DataFrame:
+    """The ES ``highlight`` section (closed subset: one text field, the
+    FIRST scored term's +-width window as the single fragment —
+    snippet_expr). Hits come from the ordinary body compile; the source
+    join touches size rows. (rank, doc_id, score, snippet)."""
+    from .query_ext import snippet_expr
+
+    rest, hl_term, width = _highlight_parts(body, text_col)
+    hits = search_body(docs, rest, text_col)
+    src = docs.select("doc_id", text_col)
+    return (hits.join(src, "doc_id")
+            .select("rank", "doc_id", "score",
+                    snippet_expr(text_col, hl_term, width).alias("snippet"))
+            .orderBy("rank"))
+
+
+def search_highlight_sql(body: dict, text_col: str = "text") -> str:
+    """Oracle: the body oracle as a CTE + the snippet_expr mirror over the
+    joined source text (same padding/strpos/greatest/trim shape as
+    oracles.snippets_sql)."""
+    rest, hl_term, width = _highlight_parts(body, text_col)
+    t = hl_term.replace("'", "''")
+    window = width * 2 + len(hl_term)
+    return f"""
+WITH hits AS ({search_body_sql(rest, text_col)})
+SELECT h.rank, h.doc_id, h.score,
+       CASE WHEN strpos(concat(' ', d.{text_col}, ' '), ' {t} ') > 0
+            THEN trim(substr(concat(' ', d.{text_col}, ' '),
+                             greatest(strpos(concat(' ', d.{text_col}, ' '), ' {t} ') - {width}, 1),
+                             {window}))
+            ELSE '' END AS snippet
+FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+ORDER BY h.rank
+"""

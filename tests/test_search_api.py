@@ -128,3 +128,169 @@ def test_indexed_body_rank_identical(spark, docs, tmp_path):
                                 "filter": [{"term": {"lang": "en"}}]}}}))
     with pytest.raises(SearchBodyError):  # offset pagination
         search_body_indexed(spark, root, {**body, "from": 3})
+
+
+# --------------------------------------------------------------------------
+# ES 8 sections: knn / hybrid / retriever.rrf / collapse / rescore / highlight
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+QV = [((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+
+
+def test_knn_section_matches_brute(spark, emb):
+    from fafnir_spark.search_api import search_knn
+    from fafnir_spark.simsearch import cosine_topk
+
+    body = {"knn": {"field": "embedding", "query_vector": QV, "k": 7,
+                    "num_candidates": 20}}
+    got = [(r["rank"], r["vec_id"], r["cos"])
+           for r in search_knn(emb, body).collect()]
+    want = [(r["rank"], r["vec_id"], r["cos"])
+            for r in cosine_topk(emb, {"q": QV}, k=7).collect()]
+    assert got == want and len(got) == 7
+
+
+def test_knn_filter_prunes(spark, emb):
+    from fafnir_spark.search_api import search_knn
+
+    body = {"knn": {"field": "embedding", "query_vector": QV, "k": 5,
+                    "num_candidates": 10,
+                    "filter": {"term": {"label": 3}}}}
+    rows = search_knn(emb, body).collect()
+    assert rows and all(r["label"] == 3 for r in rows)
+
+
+@pytest.mark.parametrize("knn", [
+    {"field": "embedding", "query_vector": QV, "k": 20, "num_candidates": 5},
+    {"field": "text", "query_vector": QV, "k": 5, "num_candidates": 10},
+    {"field": "embedding", "query_vector": [], "k": 5, "num_candidates": 10},
+    {"field": "embedding", "query_vector": QV, "k": 5, "num_candidates": 10,
+     "filter": {"range": {"label": {"gte": 1}}}},
+])
+def test_knn_rejections(spark, emb, knn):
+    from fafnir_spark.search_api import SearchBodyError, search_knn
+
+    with pytest.raises(SearchBodyError):
+        search_knn(emb, {"knn": knn})
+
+
+def test_hybrid_is_the_score_sum(spark, docs, emb):
+    from fafnir_spark.query import bm25_scores
+    from fafnir_spark.search_api import search_hybrid
+    from fafnir_spark.simsearch import cosine_topk
+
+    body = {"query": {"match": {"text": "merge window customer"}},
+            "knn": {"field": "embedding", "query_vector": QV, "k": 15,
+                    "num_candidates": 30, "boost": 0.5},
+            "size": 10}
+    got = {r["doc_id"]: r["score"]
+           for r in search_hybrid(docs, emb, body).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in bm25_scores(docs, ["merge", "window", "customer"]).collect()}
+    e = {r["vec_id"]: r["cos"]
+         for r in cosine_topk(emb, {"q": QV}, k=15).collect()}
+    for doc_id, s in got.items():
+        # tolerance, not Python round(): banker's rounding vs the engines'
+        # HALF_UP diverges on exact 7th-decimal-5 boundaries
+        assert abs(s - (b.get(doc_id, 0.0) + 0.5 * e.get(doc_id, 0.0))) < 1e-6
+    # the knn branch must be able to surface docs the query missed
+    assert got
+
+
+def test_retriever_compiles_to_hybrid_rrf(spark, docs, emb):
+    from fafnir_spark.search_api import search_retriever
+    from fafnir_spark.simsearch import hybrid_rrf
+
+    body = {"retriever": {"rrf": {
+        "retrievers": [
+            {"standard": {"query": {"match": {"text": "merge window"}}}},
+            {"knn": {"field": "embedding", "query_vector": QV, "k": 25,
+                     "num_candidates": 25}}],
+        "rank_constant": 40, "rank_window_size": 25}}, "size": 8}
+    got = [(r["rank"], r["doc_id"], r["rrf"])
+           for r in search_retriever(docs, emb, body).collect()]
+    want = [(r["rank"], r["doc_id"], r["rrf"])
+            for r in hybrid_rrf(docs, emb, ["merge", "window"], QV,
+                                k=8, n_each=25, k0=40).collect()]
+    assert got == want and got
+
+
+def test_retriever_rejects_k_window_mismatch(spark, docs, emb):
+    from fafnir_spark.search_api import SearchBodyError, search_retriever
+
+    body = {"retriever": {"rrf": {
+        "retrievers": [
+            {"standard": {"query": {"match": {"text": "merge"}}}},
+            {"knn": {"field": "embedding", "query_vector": QV, "k": 10,
+                     "num_candidates": 25}}],
+        "rank_window_size": 25}}}
+    with pytest.raises(SearchBodyError):
+        search_retriever(docs, emb, body)
+
+
+def test_collapse_section_one_per_value(spark, docs):
+    from fafnir_spark.query_ext import collapse_topk
+    from fafnir_spark.search_api import search_collapse
+
+    body = {"query": {"match": {"text": "merge window customer"}},
+            "collapse": {"field": "lang"}, "size": 6}
+    rows = search_collapse(docs, body).collect()
+    langs = [r["lang"] for r in rows]
+    assert rows and len(langs) == len(set(langs))
+    want = [(r["rank"], r["doc_id"]) for r in
+            collapse_topk(docs, ["merge", "window", "customer"], "lang",
+                          k=6).collect()]
+    assert [(r["rank"], r["doc_id"]) for r in rows] == want
+
+
+def test_rescore_zero_weight_is_primary(spark, docs):
+    from fafnir_spark.query import bm25_topk
+    from fafnir_spark.search_api import search_rescore
+
+    body = {"query": {"match": {"text": "merge window"}},
+            "rescore": {"window_size": 25,
+                        "query": {"rescore_query": {"match": {"text": "customer"}},
+                                  "query_weight": 1.0,
+                                  "rescore_query_weight": 0.0}},
+            "size": 10}
+    got = [(r["rank"], r["doc_id"], r["score"])
+           for r in search_rescore(docs, body).collect()]
+    want = [(r["rank"], r["doc_id"], r["score"])
+            for r in bm25_topk(docs, ["merge", "window"], k=10).collect()]
+    assert got == want and got
+
+
+def test_rescore_results_stay_inside_the_window(spark, docs):
+    from fafnir_spark.query import bm25_topk
+    from fafnir_spark.search_api import search_rescore
+
+    body = {"query": {"match": {"text": "merge window"}},
+            "rescore": {"window_size": 5,
+                        "query": {"rescore_query": {"match": {"text": "customer"}},
+                                  "query_weight": 1.0,
+                                  "rescore_query_weight": 2.0}},
+            "size": 5}
+    got = {r["doc_id"] for r in search_rescore(docs, body).collect()}
+    window = {r["doc_id"] for r in bm25_topk(docs, ["merge", "window"],
+                                             k=5).collect()}
+    assert got <= window  # rescore reorders the window, never widens it
+
+
+def test_highlight_snippet_holds_the_term(spark, docs):
+    from fafnir_spark.search_api import search_highlight
+
+    body = {"query": {"match": {"text": {"query": "merge window",
+                                         "operator": "and"}}},
+            "highlight": {"fields": {"text": {"fragment_size": 48}}},
+            "size": 6}
+    rows = search_highlight(docs, body).collect()
+    assert rows
+    # every hit matched the conjunctive query, so the first scored term is
+    # present and the fragment must contain it
+    assert all("merge" in r["snippet"] for r in rows)
+    assert all(len(r["snippet"]) <= 48 + len("merge") + 2 for r in rows)
