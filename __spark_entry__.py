@@ -887,6 +887,22 @@ def _q_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_terms_indexed(spark, _idx_root(spark, sf_dir), SUGGEST_TERM, k=5)
 
 
+def _q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_enum API: vocabulary terms matching a prefix, ascending,
+    first 10 — the prefix filter sits below the distinct's exchange."""
+    from fafnir_spark.query_ext import terms_enum
+
+    return terms_enum(_docs(spark, sf_dir), "s", size=10)
+
+
+def _q_terms_enum_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms_enum FROM the published dictionary (the true ES shape — ES
+    walks the terms index, never the docs)."""
+    from fafnir_spark.query_ext import terms_enum_indexed
+
+    return terms_enum_indexed(spark, _idx_root(spark, sf_dir), "s", size=10)
+
+
 def _q_doc_values_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram served FROM the index's numeric doc-values (v2 doc_map):
     one columnar column read, postings untouched, dead docs pre-excluded."""
@@ -993,6 +1009,25 @@ def _q_esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.esql import esql
 
     return esql(spark, ESQL_STATS_WHERE_QUERY,
+                {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
+
+
+ESQL_BUCKET_CASE_QUERY = """
+FROM events
+| EVAL sev = CASE(value >= 5.0, "high", "low")
+| EVAL vl = to_long(value)
+| STATS n = count(*), vsum = sum(vl) BY sev, b = BUCKET(value, 50.0)
+| SORT sev ASC, b ASC
+"""
+
+
+def _q_esql_bucket_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL BUCKET() grouping function (numeric-span form:
+    floor(v/span)*span) + CASE(cond, then, else) + TO_LONG conversion —
+    all inside the single map-side-combined STATS groupBy."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_BUCKET_CASE_QUERY,
                 {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
 
 
@@ -3388,6 +3423,7 @@ INDEXED_TWINS = {
     "span_first_indexed": "span_first",
     "sparse_vector_indexed": "sparse_vector_topk",
     "suggest_terms_indexed": "suggest_terms",
+    "terms_enum_indexed": "terms_enum",
     "terms_agg_error_bounds_indexed": "terms_agg_error_bounds",
     "wildcard_bm25_indexed": "wildcard_bm25",
     "stemmed_bm25_indexed": "stemmed_bm25",
@@ -3593,6 +3629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_rate": _q_tsdb_rate,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
         "esql_stats_where": _q_esql_stats_where,
+        "esql_bucket_case": _q_esql_bucket_case,
+        "terms_enum": _q_terms_enum,
+        "terms_enum_indexed": _q_terms_enum_indexed,
         "esql_change_point": _q_esql_change_point,
         "serial_diff": _q_serial_diff,
         "multi_terms": _q_multi_terms,
@@ -3946,6 +3985,27 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(count(CASE WHEN value >= 5.0 THEN 1 END) AS BIGINT) AS hi_n,
        round(sum(CASE WHEN value >= 5.0 THEN value END), 6) AS hi_sum
 FROM events GROUP BY event_type ORDER BY event_type ASC
+""",
+        # TO_LONG mirrors Spark's double->long cast (truncation toward
+        # zero) via trunc(); bare CAST would round half-even in DuckDB
+        "esql_bucket_case": """
+SELECT CASE WHEN value >= 5.0 THEN 'high' ELSE 'low' END AS sev,
+       floor(value / 50.0) * 50.0 AS b,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS vsum
+FROM events GROUP BY sev, b ORDER BY sev ASC, b ASC
+""",
+        "terms_enum": """
+SELECT DISTINCT tok AS term
+FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+WHERE tok <> '' AND tok LIKE 's%'
+ORDER BY term ASC LIMIT 10
+""",
+        "terms_enum_indexed": """
+SELECT DISTINCT tok AS term
+FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+WHERE tok <> '' AND tok LIKE 's%'
+ORDER BY term ASC LIMIT 10
 """,
         "serial_diff": oracles_pipeline.serial_diff_sql(7),
         "multi_terms": oracles_pipeline.multi_terms_agg_sql(20),

@@ -54,6 +54,50 @@ def _lit(tok: str):
     return float(tok) if "." in tok else int(tok)
 
 
+def _val(tok: str):
+    """A literal or a column reference, as a Column."""
+    tok = tok.strip()
+    if re.fullmatch(_LIT, tok):
+        return F.lit(_lit(tok))
+    return F.col(tok)
+
+
+def _split_toplevel(s: str) -> list[str]:
+    """Split on commas NOT inside parentheses (BUCKET(x, 50.0) in a BY
+    list must stay one key)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _parse_by_key(k: str):
+    """A STATS/INLINESTATS BY key: a plain column, or
+    ``alias = BUCKET(col, span)`` (ES|QL BUCKET, numeric-span form) —
+    floor(col/span)*span, computed identically in the oracle. Returns a
+    str for plain columns (groupBy accepts both)."""
+    m = re.fullmatch(
+        rf"\s*(?:({_IDENT})\s*=\s*)?BUCKET\(\s*({_IDENT})\s*,\s*({_NUM})\s*\)\s*",
+        k, re.IGNORECASE)
+    if m:
+        alias, col, span = m.groups()
+        sp = F.lit(float(span))
+        return (F.floor(F.col(col) / sp) * sp).alias(alias or f"bucket_{col}")
+    m = re.fullmatch(rf"\s*({_IDENT})\s*", k)
+    if not m:
+        raise EsqlError(f"unsupported BY key: {k!r}")
+    return m.group(1)
+
+
 def _parse_atom(cond: str):
     m = re.fullmatch(rf"\s*NOT\s+(.+?)\s*", cond, re.IGNORECASE)
     if m:
@@ -123,6 +167,33 @@ def _parse_eval_expr(expr: str):
         # ES|QL DATE_FORMAT — Spark date_format == DuckDB strftime on the
         # shared 'yyyy-MM-dd' day pattern (the change_point_agg parity)
         return F.date_format(F.col(m.group(1)), _lit(m.group(2)))
+    m = re.fullmatch(
+        rf"\s*to_(long|double|string)\(\s*({_IDENT})\s*\)\s*", expr,
+        re.IGNORECASE)
+    if m:
+        # ES|QL TO_LONG / TO_DOUBLE / TO_STRING conversion functions —
+        # plain casts (the GROK typed-cast parity: oracle mirrors with
+        # CAST(... AS BIGINT/DOUBLE/VARCHAR))
+        target = {"long": "long", "double": "double",
+                  "string": "string"}[m.group(1).lower()]
+        return F.col(m.group(2)).cast(target)
+    m = re.fullmatch(
+        rf"\s*CASE\(\s*(.+?)\s*,\s*({_LIT}|{_IDENT})\s*,\s*({_LIT}|{_IDENT})\s*\)\s*",
+        expr, re.IGNORECASE)
+    if m:
+        # ES|QL CASE(cond, then, else) — one condition arm + default (the
+        # closed subset; chained arms compose as nested CASE). Values are
+        # literals or column refs.
+        cond = _parse_condition(m.group(1))
+        return F.when(cond, _val(m.group(2))).otherwise(_val(m.group(3)))
+    m = re.fullmatch(
+        rf"\s*COALESCE\(\s*({_IDENT})((?:\s*,\s*(?:{_LIT}|{_IDENT}))+)\s*\)\s*",
+        expr, re.IGNORECASE)
+    if m:
+        # ES|QL COALESCE — first non-null of columns/literals
+        rest_vals = re.findall(rf"{_LIT}|{_IDENT}",
+                               m.group(2))
+        return F.coalesce(F.col(m.group(1)), *[_val(v) for v in rest_vals])
     m = re.fullmatch(rf"\s*({_IDENT})\s*([+\-*/])\s*({_NUM})\s*", expr)
     if m:
         col, op, num = m.groups()
@@ -341,9 +412,9 @@ def _apply_stage(spark: SparkSession, df: DataFrame, stage: str,
         df = df.withColumn(m.group(1), _parse_eval_expr(m.group(2)))
     elif kw == "STATS":
         body, _, by = rest.partition(" BY ")
-        aggs = [_parse_agg(s) for s in body.split(",")]
+        aggs = [_parse_agg(s) for s in _split_toplevel(body)]
         if by.strip():
-            keys = [k.strip() for k in by.split(",")]
+            keys = [_parse_by_key(k) for k in _split_toplevel(by)]
             df = df.groupBy(*keys).agg(*aggs)
         else:
             df = df.agg(*aggs)

@@ -640,6 +640,37 @@ def suggest_terms_indexed(spark, index_root: str, term: str, k: int = 5,
     return top.withColumn("rk", w).select("rk", "term", "df").orderBy("rk")
 
 
+def terms_enum(docs: DataFrame, prefix: str, size: int = 10,
+               text_col: str = "text") -> DataFrame:
+    """ES terms_enum API: vocabulary terms matching a prefix, sorted
+    ascending, first ``size`` (the index-metadata autocomplete — distinct
+    from the suggesters, which rank by popularity/likelihood). Plan: the
+    prefix filter sits BELOW the distinct's exchange (only matching
+    tokens shuffle), the ordered limit is a TakeOrderedAndProject.
+    (term)."""
+    from .query import doc_term_freqs
+
+    tf = doc_term_freqs(docs, "doc_id", text_col)
+    return (tf.filter(F.col("term").startswith(prefix))
+            .select("term").distinct()
+            .orderBy(F.col("term").asc()).limit(size))
+
+
+def terms_enum_indexed(spark, index_root: str, prefix: str, size: int = 10,
+                       snapshot_id: str | None = None) -> DataFrame:
+    """terms_enum served FROM the published dictionary — the true ES
+    shape (ES walks the terms index, never the docs): no corpus access,
+    one pruned scan of the (term, df, cf) table."""
+    from .catalog import Catalog
+
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    d = cat.read_dictionary(spark, snapshot=manifest)
+    # the merged dictionary is unique per term already — no distinct
+    return (d.filter(F.col("term").startswith(prefix)).select("term")
+            .orderBy(F.col("term").asc()).limit(size))
+
+
 def significant_text(docs: DataFrame, query_terms: list[str], k: int = 10,
                      text_col: str = "text") -> DataFrame:
     """ES significant_text aggregation: JLH like significant_terms, but

@@ -436,3 +436,59 @@ def test_keep_drop_wildcards_and_sort_nulls(spark, events):
         | LIMIT 5
     """, {"events": events}).collect()
     assert all(r["a"] is not None for r in last)
+
+
+def test_bucket_case_to_long(spark):
+    from fafnir_spark.esql import esql
+
+    df = spark.createDataFrame(
+        [(1, 12.7), (2, 61.2), (3, 49.9), (4, 50.0), (5, -3.9)],
+        "id long, v double")
+    out = esql(spark, """
+FROM t
+| EVAL sev = CASE(v >= 50.0, "hi", "lo")
+| EVAL vl = to_long(v)
+| STATS n = count(*), s = sum(vl) BY sev, b = BUCKET(v, 50.0)
+| SORT sev ASC, b ASC
+""", {"t": df}).collect()
+    rows = [(r["sev"], r["b"], r["n"], r["s"]) for r in out]
+    # to_long truncates toward zero (12.7->12, 49.9->49, -3.9->-3);
+    # bucket = floor(v/50)*50 (-3.9 -> -50.0)
+    assert rows == [("hi", 50.0, 2, 111), ("lo", -50.0, 1, -3),
+                    ("lo", 0.0, 2, 61)]
+
+
+def test_coalesce_fills_lookup_miss(spark):
+    from fafnir_spark.esql import esql
+
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    lut = spark.createDataFrame([("a", 10.5)], "k string, w double")
+    out = esql(spark, """
+FROM t
+| LOOKUP JOIN lut ON k
+| EVAL w = COALESCE(w, 0.0)
+| SORT id ASC
+""", {"t": left, "lut": lut}).collect()
+    assert [(r["id"], r["w"]) for r in out] == [(1, 10.5), (2, 0.0)]
+
+
+def test_case_rejects_unparseable(spark):
+    import pytest as _pytest
+
+    from fafnir_spark.esql import EsqlError, esql
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pytest.raises(EsqlError):
+        esql(spark, 'FROM t | EVAL x = CASE(v)', {"t": df})
+    with _pytest.raises(EsqlError):
+        esql(spark, 'FROM t | STATS n = count(*) BY BUCKET(v)', {"t": df})
+
+
+def test_terms_enum_prefix_sorted(spark):
+    from fafnir_spark.query_ext import terms_enum
+
+    docs = spark.createDataFrame(
+        [(1, "spark slow sand"), (2, "spark zebra"), (3, "slow apple")],
+        "doc_id long, text string")
+    rows = [r["term"] for r in terms_enum(docs, "s", size=2).collect()]
+    assert rows == ["sand", "slow"]  # ascending, size-capped
