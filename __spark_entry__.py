@@ -3491,6 +3491,48 @@ def _q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_host_filter(urlify_docs(_docs(spark, sf_dir)))
 
 
+SEARCH_BODY_COUNT = {"query": {"bool": {
+    "must": [{"match": {"text": {"query": "merge window",
+                                 "operator": "and"}}}],
+    "must_not": [{"term": {"text": "vector"}}],
+    "filter": [{"range": {"n_chars": {"gte": 80.0}}}],
+}}}
+
+
+def _q_count_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES _count API: matched-set cardinality for a request body —
+    the bool eligibility gates + ONE count aggregate, no scoring."""
+    from fafnir_spark.search_api import search_count
+
+    return search_count(_docs(spark, sf_dir), SEARCH_BODY_COUNT)
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup (the first stage of every web pipeline):
+    deterministic noisy URLs (scheme/www/query/fragment variants) →
+    canonical form → min-doc_id owner per URL. One row-local projection
+    + one groupBy on the canonical key."""
+    from fafnir_spark.curation import url_dedup, urlify_full
+
+    return url_dedup(urlify_full(_docs(spark, sf_dir)))
+
+
+def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct-1/distinct-2 diversity per source (self-repetition audit):
+    distinct unigrams over tokens, distinct bigrams over bigrams."""
+    from fafnir_spark.textstats import ngram_diversity
+
+    return ngram_diversity(_docs(spark, sf_dir))
+
+
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law head fit: least-squares slope of ln(freq) on ln(rank)
+    over the top-20 vocabulary, raw-sum closed form on rounded points."""
+    from fafnir_spark.textstats import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_n=20)
+
+
 def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters: one-scan sum-mergeable registers
     (depth 4 x width 256), min-over-probes estimate joined broadcast,
@@ -3738,6 +3780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_item_sets": _q_frequent_item_sets,
         "line_dedup": _q_line_dedup,
         "url_host_filter": _q_url_host_filter,
+        "url_dedup": _q_url_dedup,
+        "ngram_diversity": _q_ngram_diversity,
+        "zipf_fit": _q_zipf_fit,
+        "count_api": _q_count_api,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
         "stream_cm_heavy_hitters": _q_stream_cm_heavy_hitters,
         "bpe_train": _q_bpe_train,
@@ -4142,6 +4188,10 @@ ORDER BY term ASC LIMIT 10
             min_support=3, k=20),
         "line_dedup": oracles_curation.line_dedup_sql(min_dup=2),
         "url_host_filter": oracles_curation.url_host_filter_sql(),
+        "url_dedup": oracles_curation.url_dedup_sql(),
+        "ngram_diversity": oracles_curation.ngram_diversity_sql(),
+        "zipf_fit": oracles_curation.zipf_fit_sql(20),
+        "count_api": __import__("fafnir_spark.search_api", fromlist=["x"]).search_count_sql(SEARCH_BODY_COUNT),
         "cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(
             k=20, depth=4, width=256),
         "stream_cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(

@@ -1182,3 +1182,66 @@ def contamination_report(train: DataFrame, benchmark: DataFrame, n: int = 3,
         )
         .orderBy("doc_id")
     )
+
+
+# URL-dedup derivation + normalization rules, templated into BOTH engines
+# (the C4_NOISE convention — never hand-copy into SQL)
+URL_NOISE = {
+    "schemes": ["https://", "http://"],           # pmod(doc_id, 2)
+    "www": ["", "www."],                          # pmod(doc_id + 1, 2)
+    "suffixes": ["", "/", "?utm_source=feed", "#frag"],  # pmod(doc_id, 4)
+    "path_mod": 97,
+}
+# applied IN ORDER in both engines (anchored, single-occurrence patterns —
+# Spark's replace-all vs DuckDB's replace-first can't diverge)
+URL_NORM_RULES = [
+    (r"^https?://", ""),
+    (r"^www\.", ""),
+    (r"[?#].*$", ""),
+    (r"/$", ""),
+]
+
+
+def urlify_full(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url): deterministic noisy full URL —
+    scheme ⊕ www ⊕ '<source>.org/p<pmod(id, path_mod)>' ⊕ suffix, every
+    variant cycling by pmod(doc_id, k). Docs in one source sharing
+    id mod path_mod are the SAME logical page behind different surface
+    forms — the fixture the URL-dedup stage must collapse. Row-local."""
+    did = F.col(id_col)
+    scheme = (F.when(F.pmod(did, F.lit(2)) == 0, F.lit(URL_NOISE["schemes"][0]))
+              .otherwise(F.lit(URL_NOISE["schemes"][1])))
+    www = (F.when(F.pmod(did + 1, F.lit(2)) == 0, F.lit(URL_NOISE["www"][0]))
+           .otherwise(F.lit(URL_NOISE["www"][1])))
+    sfx = F.lit(URL_NOISE["suffixes"][0])
+    for i, s in enumerate(URL_NOISE["suffixes"][1:], start=1):
+        sfx = F.when(F.pmod(did, F.lit(4)) == i, F.lit(s)).otherwise(sfx)
+    url = F.concat(scheme, www, F.col("source"), F.lit(".org/p"),
+                   F.pmod(did, F.lit(URL_NOISE["path_mod"])).cast("string"),
+                   sfx)
+    return docs.select(did.alias("doc_id"), url.alias("url"))
+
+
+def url_normalize_col(url: F.Column) -> F.Column:
+    """Canonical URL: URL_NORM_RULES applied in order after lowercasing
+    (strip scheme, www., query/fragment, trailing slash) — the
+    CC/Dolma-style URL canonicalization."""
+    u = F.lower(url)
+    for pat, rep in URL_NORM_RULES:
+        u = F.regexp_replace(u, pat, rep)
+    return u
+
+
+def url_dedup(urls: DataFrame) -> DataFrame:
+    """URL-level exact dedup (the first stage of every web-corpus
+    pipeline — CC/Dolma dedupe by canonical URL before any content
+    hashing): normalize, keep the MIN doc_id per canonical URL. ONE
+    row-local projection + one groupBy on the normalized key; at 100 TB
+    this is the cheapest dedup pass there is, which is why it runs first.
+    (url_norm, n_docs, keep_id) ordered by url_norm."""
+    norm = urls.select(F.col("doc_id"),
+                       url_normalize_col(F.col("url")).alias("url_norm"))
+    return (norm.groupBy("url_norm")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("doc_id").cast("long").alias("keep_id"))
+            .orderBy("url_norm"))

@@ -912,3 +912,95 @@ SELECT doc_id, n_grams, n_leaked,
 FROM agg WHERE n_leaked > 0
 ORDER BY doc_id
 """
+
+
+def url_dedup_sql() -> str:
+    """Mirror of curation.urlify_full + url_dedup: the URL_NOISE variants
+    and URL_NORM_RULES are templated from the SAME dicts."""
+    from .curation import URL_NOISE, URL_NORM_RULES
+
+    scheme = (f"CASE WHEN {_pmod('doc_id', 2)} = 0 "
+              f"THEN '{URL_NOISE['schemes'][0]}' "
+              f"ELSE '{URL_NOISE['schemes'][1]}' END")
+    www = (f"CASE WHEN {_pmod('doc_id + 1', 2)} = 0 "
+           f"THEN '{URL_NOISE['www'][0]}' ELSE '{URL_NOISE['www'][1]}' END")
+    arms = "".join(
+        f" WHEN {i} THEN '{s}'"
+        for i, s in enumerate(URL_NOISE["suffixes"]))
+    sfx = f"CASE {_pmod('doc_id', 4)}{arms} END"
+    norm = "lower(url)"
+    for pat, rep in URL_NORM_RULES:
+        norm = f"regexp_replace({norm}, '{pat}', '{rep}')"
+    return f"""
+WITH urls AS (
+  SELECT doc_id,
+         {scheme} || {www} || source || '.org/p'
+           || CAST({_pmod('doc_id', URL_NOISE['path_mod'])} AS VARCHAR)
+           || {sfx} AS url
+  FROM documents
+)
+SELECT {norm} AS url_norm,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM urls GROUP BY url_norm ORDER BY url_norm
+"""
+
+
+def ngram_diversity_sql() -> str:
+    """Mirror of textstats.ngram_diversity: same tokenization, bigram
+    shingle = 2 tokens joined by chr(31) (shingles_expr parity)."""
+    return f"""
+WITH {_TOKS},
+uni AS (
+  SELECT source AS grp, count(*) AS n_uni, count(DISTINCT t.tok) AS d_uni
+  FROM toks, unnest(tk) AS t(tok) GROUP BY source
+),
+bi AS (
+  SELECT grp, count(*) AS n_bi, count(DISTINCT sh) AS d_bi FROM (
+    SELECT source AS grp,
+           unnest(list_transform(range(1, len(tk)),
+                  i -> array_to_string(list_slice(tk, i, i + 1), {SEP}))) AS sh
+    FROM toks WHERE len(tk) >= 2
+  ) GROUP BY grp
+)
+SELECT u.grp AS source,
+       round(CAST(d_uni AS DOUBLE) / n_uni, 6) AS uni_ratio,
+       round(CAST(d_bi AS DOUBLE) / n_bi, 6) AS bi_ratio,
+       CAST(n_uni AS BIGINT) AS n_uni, CAST(n_bi AS BIGINT) AS n_bi
+FROM uni u LEFT JOIN bi ON bi.grp = u.grp
+ORDER BY source
+"""
+
+
+def zipf_fit_sql(top_n: int = 20) -> str:
+    """Mirror of textstats.zipf_fit: rank (cf desc, term asc), points
+    rounded 6 BEFORE the raw-sum least squares (matrix_stats float
+    convention), identical slope/intercept operand order."""
+    return f"""
+WITH {_TOKS},
+cf AS (
+  SELECT t.tok AS term, count(*) AS cf
+  FROM toks, unnest(tk) AS t(tok) GROUP BY t.tok
+),
+top AS (
+  SELECT term, cf, rk FROM (
+    SELECT term, cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rk
+    FROM cf
+  ) WHERE rk <= {top_n}
+),
+pts AS (
+  SELECT round(ln(CAST(rk AS DOUBLE)), 6) AS x,
+         round(ln(CAST(cf AS DOUBLE)), 6) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM s
+"""

@@ -897,3 +897,47 @@ SELECT h.rank, h.doc_id, h.score,
 FROM hits h JOIN documents d ON d.doc_id = h.doc_id
 ORDER BY h.rank
 """
+
+
+def search_count(docs: DataFrame, body: dict, text_col: str = "text") -> DataFrame:
+    """The ES _count API: cardinality of the query-MATCHED set (no
+    scoring, no window) — the _matched eligibility gates + ONE count
+    aggregate. (count,) single row."""
+    unknown = set(body) - {"query"}
+    if unknown:
+        raise SearchBodyError(f"_count takes only a query: {unknown}")
+    spec = compile_body({**body, "size": 1}, text_col)
+    matched = _matched(docs, spec, text_col)
+    return matched.agg(F.count(F.lit(1)).cast("long").alias("count"))
+
+
+def search_count_sql(body: dict, text_col: str = "text") -> str:
+    """Oracle for search_count: the search_aggs_sql gate set with a bare
+    COUNT — built from the SAME compile_body flattening."""
+    from .oracles import _terms_in, _tf_ctes
+
+    spec = compile_body({**body, "size": 1}, text_col)
+    gates = []
+    if spec["must"]:
+        m = sorted(set(spec["must"]))
+        gates.append(f"""d.doc_id IN (
+  SELECT doc_id FROM tf WHERE term IN {_terms_in(m)}
+  GROUP BY doc_id HAVING count(*) = {len(m)})""")
+    elif spec["should"]:
+        gates.append(f"""d.doc_id IN (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN {_terms_in(spec['should'])})""")
+    if spec["filter_terms"]:
+        ft = sorted(set(spec["filter_terms"]))
+        gates.append(f"""d.doc_id IN (
+  SELECT doc_id FROM tf WHERE term IN {_terms_in(ft)}
+  GROUP BY doc_id HAVING count(*) = {len(ft)})""")
+    if spec["must_not"]:
+        gates.append(f"""d.doc_id NOT IN (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN {_terms_in(spec['must_not'])})""")
+    if spec["meta"]:
+        gates.append(f"d.doc_id IN ({meta_filter_sql(spec['meta'])})")
+    where = " AND ".join(gates) or "1=1"
+    return f"""
+WITH {_tf_ctes(text_col)}
+SELECT CAST(count(*) AS BIGINT) AS count FROM documents d WHERE {where}
+"""

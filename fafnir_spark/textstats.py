@@ -385,3 +385,62 @@ def bpe_train(docs: DataFrame, n_merges: int = 4,
         )
     return spark.createDataFrame(merges, "step int, pair string, cnt long"
                                  ).orderBy("step")
+
+
+def ngram_diversity(docs: DataFrame, by: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Distinct-n diversity (the self-repetition audit text-generation
+    work reports as distinct-1/distinct-2): per group, distinct unigrams
+    over total tokens and distinct bigrams over total bigrams. A corpus
+    slice whose ratios collapse is template/boilerplate-heavy — the
+    group-level complement of repetition_signals' per-doc view. Plan: two
+    explode + groupBy passes (count_distinct is the standard two-phase
+    partial aggregate), result bounded by |groups|.
+    (source, uni_ratio, bi_ratio, n_uni, n_bi) ordered by group."""
+    uni = docs.select(F.col(by).alias("grp"),
+                      F.explode(tokens_expr(text_col)).alias("t"))
+    uagg = uni.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_uni"),
+        F.count_distinct(F.col("t")).cast("long").alias("d_uni"))
+    bi = docs.select(F.col(by).alias("grp"),
+                     F.explode(shingles_expr(text_col, 2)).alias("b"))
+    bagg = bi.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bi"),
+        F.count_distinct(F.col("b")).cast("long").alias("d_bi"))
+    return (uagg.join(bagg, "grp", "left")
+            .select(F.col("grp").alias(by),
+                    F.round(F.col("d_uni") / F.col("n_uni"), 6).alias("uni_ratio"),
+                    F.round(F.col("d_bi") / F.col("n_bi"), 6).alias("bi_ratio"),
+                    "n_uni", "n_bi")
+            .orderBy(by))
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 20,
+             text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over the vocabulary head: least-squares slope of
+    ln(freq) on ln(rank) for the ``top_n`` most frequent terms (natural
+    corpora fit slope ~ -1; synthetic/templated text bends away — a
+    corpus-health indicator). Ranks are (cf desc, term asc); the fit uses
+    the explicit raw-sum closed form over points ROUNDED to 6 (the
+    matrix_stats float convention — never an engine's built-in
+    regression recurrence). Post-top-N work is top_n rows.
+    One row: (n_terms, slope, intercept)."""
+    from pyspark.sql.window import Window
+
+    cf = (docs.select(F.explode(tokens_expr(text_col)).alias("t"))
+          .groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cf")))
+    top = cf.orderBy(F.col("cf").desc(), F.col("t").asc()).limit(top_n)
+    w = Window.orderBy(F.col("cf").desc(), F.col("t").asc())
+    pts = (top.withColumn("rk", F.row_number().over(w))
+           .select(F.round(F.log(F.col("rk").cast("double")), 6).alias("x"),
+                   F.round(F.log(F.col("cf").cast("double")), 6).alias("y")))
+    s = pts.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"))

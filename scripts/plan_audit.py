@@ -523,6 +523,52 @@ def main() -> None:
               "distinct-value relation; <=B-1 boundaries return as "
               "LITERALS so fact-side labeling is row-local and the final "
               "agg one bounded groupBy."),
+        audit("search_hybrid (query+knn score sum)",
+              __import__('fafnir_spark.search_api', fromlist=['x'])
+              .search_hybrid(docs, spark.read.parquet(f"{sf}/embeddings.parquet"),
+                             {"query": {"match": {"text": "merge window"}},
+                              "knn": {"field": "embedding",
+                                      "query_vector": qvec, "k": 20,
+                                      "num_candidates": 40, "boost": 0.5},
+                              "size": 10}),
+              "BM25 side is the one-pass scored relation; knn side is the "
+              "two-level exact top-k (k rows); fusion is ONE full-outer "
+              "SMJ whose left exchange IS the score-aggregate's own "
+              "hashpartitioning(doc_id) (reused, only a sort added — the "
+              "match set never shuffles a second time); finish is "
+              "TakeOrderedAndProject."),
+        audit("search_rescore (window-bounded weighted sum)",
+              __import__('fafnir_spark.search_api', fromlist=['x'])
+              .search_rescore(docs,
+                              {"query": {"match": {"text": "merge window"}},
+                               "rescore": {"window_size": 30, "query": {
+                                   "rescore_query": {"match": {"text": "customer"}},
+                                   "query_weight": 1.0,
+                                   "rescore_query_weight": 0.5}},
+                               "size": 10}),
+              "The rescore relation is semi-joined down to the window ids "
+              "BEFORE the left join (both broadcast build sides are "
+              "<= window rows); final top-k is TakeOrderedAndProject."),
+        audit("url_dedup (canonical-URL exact dedup)",
+              __import__('fafnir_spark.curation', fromlist=['x'])
+              .url_dedup(__import__('fafnir_spark.curation', fromlist=['x'])
+                         .urlify_full(docs)),
+              "Normalization is ONE row-local projection (regexp chain); "
+              "the dedup is a single groupBy on the canonical key with "
+              "map-side partial min/count — the cheapest dedup pass, no "
+              "joins at all."),
+        audit("zipf_fit (vocabulary head regression)",
+              __import__('fafnir_spark.textstats', fromlist=['x'])
+              .zipf_fit(docs, top_n=20),
+              "Term frequencies are one map-side-combined groupBy; the "
+              "head cut is orderBy().limit() (TakeOrderedAndProject); the "
+              "regression sums run over <= top_n rows."),
+        audit("terms_enum_indexed (dictionary prefix scan)",
+              __import__('fafnir_spark.query_ext', fromlist=['x'])
+              .terms_enum_indexed(spark, root, "s", size=10),
+              "Serving reads ONLY the published dictionary table (no "
+              "postings, no corpus); the prefix filter prunes the scan "
+              "and the ordered limit is TakeOrderedAndProject."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")

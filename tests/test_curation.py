@@ -551,3 +551,44 @@ def test_decontaminate_embedding_laws(spark):
         train.unionByName(copy), bench, threshold=0.999).collect()}
     assert 999999 in flagged and flagged[999999]["max_cos"] == 1.0
     assert flagged[999999]["bench_id"] == 0
+
+
+def test_url_dedup_collapses_surface_variants(spark):
+    from fafnir_spark.curation import url_dedup
+
+    urls = spark.createDataFrame(
+        [(1, "https://www.a.org/p1?utm_source=feed"),
+         (2, "http://a.org/p1#frag"),
+         (3, "https://a.org/p1/"),
+         (4, "https://b.org/p2")],
+        "doc_id long, url string")
+    rows = {r["url_norm"]: (r["n_docs"], r["keep_id"])
+            for r in url_dedup(urls).collect()}
+    assert rows == {"a.org/p1": (3, 1), "b.org/p2": (1, 4)}
+
+
+def test_ngram_diversity_detects_repetition(spark):
+    from fafnir_spark.textstats import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "rep", "spam spam spam spam"),
+         (2, "div", "one two three four")],
+        "doc_id long, source string, text string")
+    r = {x["source"]: x for x in ngram_diversity(docs).collect()}
+    assert r["rep"]["uni_ratio"] == 0.25 and r["rep"]["bi_ratio"] < 0.5
+    assert r["div"]["uni_ratio"] == 1.0 and r["div"]["bi_ratio"] == 1.0
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    from fafnir_spark.textstats import zipf_fit
+
+    # plant an exact power law: term t_r appears round(1000 * r^-1) times
+    rows = []
+    for r in range(1, 11):
+        rows += [(f"t{r:02d}",)] * round(1000 * r ** -1.0)
+    docs = spark.createDataFrame(
+        [(i, " ".join(t for (t,) in rows))
+         for i in range(1)], "doc_id long, text string")
+    out = zipf_fit(docs, top_n=10).collect()[0]
+    assert out["n_terms"] == 10
+    assert abs(out["slope"] - (-1.0)) < 0.01  # rounding of counts only

@@ -294,3 +294,22 @@ def test_highlight_snippet_holds_the_term(spark, docs):
     # present and the fragment must contain it
     assert all("merge" in r["snippet"] for r in rows)
     assert all(len(r["snippet"]) <= 48 + len("merge") + 2 for r in rows)
+
+
+def test_count_api_matches_hits(spark, docs):
+    from fafnir_spark.search_api import search_body, search_count
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "merge window",
+                                     "operator": "and"}}}],
+        "filter": [{"range": {"n_chars": {"gte": 80.0}}}]}}}
+    n = search_count(docs, body).collect()[0]["count"]
+    hits = search_body(docs, {**body, "size": 10000}).count()
+    assert n == hits > 0
+
+
+def test_count_api_rejects_extras(spark, docs):
+    from fafnir_spark.search_api import SearchBodyError, search_count
+
+    with pytest.raises(SearchBodyError):
+        search_count(docs, {"query": {"match": {"text": "x"}}, "size": 5})
