@@ -699,6 +699,24 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(spark, root, {"q": QVEC}, k=10, nprobe=4).drop("qid")
 
 
+def _q_search_api_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The _search knn section served FROM the persisted IVF index —
+    probed partitions only, exact re-rank; rank-identical to the inline
+    IVF (same deterministic centroids), hence the shared oracle."""
+    from fafnir_spark.search_api import search_knn_indexed
+    from fafnir_spark.simsearch import build_ivf_index
+
+    root = os.path.join(tempfile.gettempdir(), "fafnir_ivf_" + _content_key(sf_dir))
+    if not os.path.exists(os.path.join(root, "_manifest.json")):
+        build_ivf_index(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                        root, n_centroids=16)
+    return search_knn_indexed(
+        spark, root,
+        {"knn": {"field": "embedding", "query_vector": QVEC, "k": 10,
+                 "num_candidates": 50}, "size": 10},
+        nprobe=4)
+
+
 def _q_ann_filtered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES filtered kNN over the persisted IVF index: label pre-filter
     semi-joined onto the PROBED candidates (filter-then-rank) before the
@@ -885,6 +903,20 @@ def _q_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.query_ext import suggest_terms_indexed
 
     return suggest_terms_indexed(spark, _idx_root(spark, sf_dir), SUGGEST_TERM, k=5)
+
+
+ANALYZE_TEXT = ('<p class="x">the merges was <b>running</b> tests</p> '
+                'the cities')
+ANALYZE_STOPS = ("the", "was")
+
+
+def _q_analyze_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES _analyze API over the full english_chain (html_strip +
+    stop + light stemmer) — shows EXACTLY the token stream the analyzed
+    indexes see; every stage is the engine's own templated expression."""
+    from fafnir_spark.query_ext import analyze_api
+
+    return analyze_api(spark, ANALYZE_TEXT, "english_chain", ANALYZE_STOPS)
 
 
 def _q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3391,6 +3423,7 @@ def _pq(fn_name: str, needs: str = "docs"):
 INDEXED_TWINS = {
     "ann_bq_indexed": "ann_bq_rescore",
     "ann_ivf_indexed": "ann_ivf_topk",
+    "search_api_knn_indexed": "search_api_knn",
     "ann_filtered_indexed": "ann_filtered_topk",
     "search_api_indexed": "search_api_bool",
     "ann_ivf_trained_indexed": "ann_ivf_trained",
@@ -3634,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_indexed": _q_ann_ivf_indexed,
+        "search_api_knn_indexed": _q_search_api_knn_indexed,
         "ann_filtered_indexed": _q_ann_filtered_indexed,
         "token_counts": _q_token_counts,
         "top_terms_tfidf": _q_top_terms,
@@ -3673,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_stats_where": _q_esql_stats_where,
         "esql_bucket_case": _q_esql_bucket_case,
         "terms_enum": _q_terms_enum,
+        "analyze_api": _q_analyze_api,
         "terms_enum_indexed": _q_terms_enum_indexed,
         "esql_change_point": _q_esql_change_point,
         "serial_diff": _q_serial_diff,
@@ -3977,6 +4012,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_indexed": oracles_ops.pq_cosine_topk_sql(QVEC, m=8, ks=16, n_candidates=50, k=10),
         "embedding_outliers": oracles_ops.embedding_outliers_sql(16, 0.2),
         "ann_ivf_indexed": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
+        "search_api_knn_indexed": oracles_ops.ivf_cosine_topk_sql(QVEC, n_centroids=16, nprobe=4, k=10),
         "ann_filtered_indexed": oracles_ops.ivf_filtered_sql(QVEC, [1, 3, 5, 7], n_centroids=16, nprobe=4, k=10),
         "token_counts": oracles_ops.token_counts_sql(),
         "top_terms_tfidf": oracles_ops.top_terms_sql(3),
@@ -4041,6 +4077,7 @@ SELECT CASE WHEN value >= 5.0 THEN 'high' ELSE 'low' END AS sev,
        CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS vsum
 FROM events GROUP BY sev, b ORDER BY sev ASC, b ASC
 """,
+        "analyze_api": oracles.analyze_sql(ANALYZE_TEXT, "english_chain", ANALYZE_STOPS),
         "terms_enum": """
 SELECT DISTINCT tok AS term
 FROM documents, unnest(string_split(text, ' ')) AS t(tok)

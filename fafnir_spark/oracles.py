@@ -2133,3 +2133,34 @@ WHERE b.lo IS NULL
    OR (d.{range_col}::DOUBLE >= b.lo AND d.{range_col}::DOUBLE <= b.hi)
 ORDER BY m.doc_id, m.qid
 """
+
+
+def analyze_sql(text: str, analyzer: str = "whitespace",
+                stopwords: tuple[str, ...] = ()) -> str:
+    """Mirror of query_ext.analyze_api — the same templated analyzer
+    expressions (html_strip_expr / stemmed_expr) over a VALUES literal;
+    positions via range+index (DuckDB has no WITH ORDINALITY)."""
+    lit = "'" + str(text).replace("'", "''") + "'"
+    if analyzer == "whitespace":
+        src, t = lit, "text"
+    elif analyzer == "html_strip":
+        src, t = lit, html_strip_expr("text")
+    elif analyzer == "stop":
+        stops = ", ".join("'" + s.replace("'", "''") + "'"
+                          for s in sorted(set(stopwords)))
+        src = lit
+        t = (f"array_to_string(list_filter(string_split(text, ' '), "
+             f"x -> x <> '' AND x NOT IN ({stops})), ' ')")
+    elif analyzer == "english_chain":
+        src = html_strip_expr(lit)
+        t = stemmed_expr(tuple(stopwords))
+    else:
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    return f"""
+WITH one AS (SELECT {src} AS text),
+an AS (SELECT {t} AS t FROM one),
+tk AS (SELECT list_filter(string_split(t, ' '), x -> x <> '') AS tk FROM an)
+SELECT CAST(i - 1 AS BIGINT) AS pos, tk[i] AS token
+FROM tk, unnest(range(1, len(tk) + 1)) AS r(i)
+ORDER BY pos
+"""

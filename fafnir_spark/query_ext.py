@@ -2036,3 +2036,36 @@ def significant_terms_chi2(docs: DataFrame, query_terms: list[str], k: int = 10,
         .select("rk", "term", "fg_df", "bg_df", "chi2")
         .orderBy("rk")
     )
+
+
+def analyze_api(spark, text: str, analyzer: str = "whitespace",
+                stopwords: tuple[str, ...] = ()) -> DataFrame:
+    """The ES _analyze API: the token stream an analyzer chain produces
+    for one text — the debugging surface every ES user pokes before
+    trusting an index mapping. Chains (each stage the engine's own
+    templated expression, so _analyze shows EXACTLY what the index sees):
+
+      whitespace    — tokenizer only
+      html_strip    — char filter + tokenizer
+      stop          — tokenizer + stop filter
+      english_chain — html_strip + stop + light stemmer (the full chain
+                      stemmed_bm25/html_strip_bm25 index with)
+
+    (pos, token), pos 0-based like ES token positions."""
+    from .tokenizer import tokens_expr
+
+    one = spark.createDataFrame([(str(text),)], "text string")
+    if analyzer == "whitespace":
+        one = one.withColumn("__t", F.col("text"))
+    elif analyzer == "html_strip":
+        one = one.withColumn("__t", html_strip_col("text"))
+    elif analyzer == "stop":
+        one = one.withColumn("__t", analyzed_text_col(list(stopwords), "text"))
+    elif analyzer == "english_chain":
+        one = one.withColumn("__s", html_strip_col("text"))
+        one = one.withColumn("__t", stemmed_text_col("__s", stopwords))
+    else:
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    return one.select(
+        F.posexplode(tokens_expr("__t")).alias("pos", "token")
+    ).select(F.col("pos").cast("long").alias("pos"), "token")

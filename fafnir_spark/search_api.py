@@ -941,3 +941,30 @@ def search_count_sql(body: dict, text_col: str = "text") -> str:
 WITH {_tf_ctes(text_col)}
 SELECT CAST(count(*) AS BIGINT) AS count FROM documents d WHERE {where}
 """
+
+
+def search_knn_indexed(spark, index_root: str, body: dict,
+                       nprobe: int = 4) -> DataFrame:
+    """The knn section served FROM the persisted IVF index: probed
+    centroid partitions only (partition pruning), exact re-rank inside
+    the probe set. ``num_candidates`` is validated (>= k, the ES
+    contract); probe breadth is the IVF serving knob ``nprobe`` — the
+    engine-side analog of ES's per-shard candidate pool (raise it for
+    recall exactly as ES raises num_candidates). Label filters route
+    through ivf_search(eligible=) (the ann_filtered_indexed path) and are
+    rejected here. (rank, vec_id, cos)."""
+    from .simsearch import ivf_search
+
+    unknown = set(body) - {"knn", "size"}
+    if unknown:
+        raise SearchBodyError(f"unsupported knn body keys {unknown}")
+    spec = compile_knn(body["knn"])
+    if spec["labels"] is not None:
+        raise SearchBodyError(
+            "indexed knn filter: pass an eligible relation to ivf_search "
+            "(the filtered-kNN serving path)")
+    size = int(body.get("size", spec["k"]))
+    if not (0 < size <= spec["k"]):
+        raise SearchBodyError("knn body needs 0 < size <= knn.k")
+    return ivf_search(spark, index_root, {"q": spec["qv"]}, k=size,
+                      nprobe=nprobe).drop("qid")

@@ -82,3 +82,23 @@ def test_stemmed_bm25_matches_oracle_on_suffixed_corpus(spark):
     for g, w in zip(got, want):
         assert g[:2] == w[:2]
         assert g[2] == pytest.approx(w[2], abs=1e-12)
+
+
+def test_analyze_api_chain_stages(spark):
+    from fafnir_spark.query_ext import analyze_api
+
+    text = '<p>the Merges was <b>running</b></p> cities'
+    chain = [r["token"] for r in
+             analyze_api(spark, text, "english_chain",
+                         ("the", "was")).collect()]
+    # strip tags -> drop stops -> light stem (Merges keeps its case:
+    # the chain has no lowercase filter; 'Merges' stems to 'Merge')
+    assert chain == ["Merge", "runn", "city"]
+    ws = [r["token"] for r in analyze_api(spark, "a b  c", "whitespace").collect()]
+    assert ws == ["a", "b", "c"]
+    strip = [r["token"] for r in
+             analyze_api(spark, "<i>x</i> y", "html_strip").collect()]
+    assert strip == ["x", "y"]
+    stop = [r["token"] for r in
+            analyze_api(spark, "the x the y", "stop", ("the",)).collect()]
+    assert stop == ["x", "y"]
