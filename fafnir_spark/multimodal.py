@@ -4,13 +4,15 @@ Design for image/audio/video at 100 TB: payloads are opaque ``binary``
 columns with a ``modality`` discriminator and a metadata struct; decode /
 feature-extract / frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas`` so bytes never round-trip through per-row Python. Image
-decode is REAL for PNG (8-bit gray/RGB/RGBA — zlib inflate + numpy
-unfilter), uncompressed 24-bit BMP, and binary PPM; audio decode is REAL
-for RIFF/WAVE PCM (8/16-bit). JPEG, compressed audio, and video need
-codecs absent from this container, so ``decode_stub`` raises
-NotImplementedError for them unless the deterministic fake decoder is
-requested — the Spark-side plumbing (schema, partitioning, UDF signature,
-batch shape) is real and tested either way.
+decode is REAL for baseline JPEG (T.81 sequential DCT + Huffman, 4:4:4
+and subsampled, restart intervals), PNG (8-bit gray/RGB/RGBA — zlib
+inflate + numpy unfilter), uncompressed 24-bit BMP, and binary PPM;
+audio decode is REAL for RIFF/WAVE PCM (8/16-bit). Progressive JPEG,
+compressed audio, and video need codecs absent from this container, so
+``decode_stub`` raises NotImplementedError for them unless the
+deterministic fake decoder is requested — the Spark-side plumbing
+(schema, partitioning, UDF signature, batch shape) is real and tested
+either way.
 
 fafnir precedent: photos are opaque URLs attached as properties in an
 update pass (/root/reference src/sources/tripadvisor/photos/convert.rs:9-30);
@@ -287,6 +289,535 @@ def try_png_decode(payload: bytes) -> np.ndarray | None:
     return out.reshape(h, w, ch)
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / JFIF) — pure numpy + stdlib. Everything below
+# is from the public spec: Annex K quantization + Huffman tables, zigzag
+# scan, 8x8 DCT-II as an orthonormal matrix product, byte-stuffed Huffman
+# entropy coding. Encoder is the golden-test twin (4:4:4 and 4:2:0);
+# decoder handles any baseline (SOF0/SOF1) JPEG with 1 or 3 components,
+# sampling factors 1-2, and restart intervals. Progressive (SOF2),
+# arithmetic coding, and 12-bit precision return None → decode_stub.
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """zz[i] = row-major index of the i-th zigzag coefficient (T.81 §A.3.6),
+    generated (not transcribed): anti-diagonals, alternating direction."""
+    out = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (reversed(list(rows)) if s % 2 == 0 else rows):
+            out.append(r * 8 + (s - r))
+    return np.array(out, dtype=np.int64)
+
+
+_JZZ = _jpeg_zigzag()
+
+# Annex K.1 quantization tables (luminance / chrominance)
+_JQ_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64).reshape(8, 8)
+_JQ_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64).reshape(8, 8)
+
+# Annex K.3 Huffman tables: (bits[1..16], values). DC values are coefficient
+# sizes 0-11; AC values are (run<<4 | size) symbols.
+_JH_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_JH_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_JH_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_JH_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _jpeg_dct_mat() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix T: DCT = T @ X @ T.T, IDCT = T.T @ Y @ T."""
+    k = np.arange(8, dtype=np.float64)[:, None]
+    n = np.arange(8, dtype=np.float64)[None, :]
+    t = np.cos((2 * n + 1) * k * np.pi / 16) * 0.5
+    t[0, :] = np.sqrt(1.0 / 8.0)
+    return t
+
+
+_JDCT = _jpeg_dct_mat()
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 §C.2): symbol → (code, length)."""
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_quality_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1-100 → scaled Annex K table clipped to [1,255]."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+class _JpegErr(Exception):
+    pass
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 §B.1.1.5)
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.acc = self.n = 0
+
+
+class _JpegBitReader:
+    """Bit reader over the entropy-coded scan: un-stuffs FF00; any real
+    marker mid-read is a decode error (restarts are consumed explicitly)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            d = self.d
+            if self.p >= len(d):
+                raise _JpegErr("scan truncated")
+            b = d[self.p]
+            self.p += 1
+            if b == 0xFF:
+                if self.p >= len(d) or d[self.p] != 0x00:
+                    raise _JpegErr("marker inside entropy data")
+                self.p += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def expect_restart(self, idx: int) -> None:
+        self.n = 0  # drop pad bits
+        d = self.d
+        if self.p + 1 >= len(d) or d[self.p] != 0xFF or d[self.p + 1] != 0xD0 + idx % 8:
+            raise _JpegErr("missing restart marker")
+        self.p += 2
+
+
+def _jpeg_mag(v: int) -> tuple[int, int]:
+    """Coefficient → (size, size-bit magnitude code) (T.81 §F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, v if v > 0 else v + (1 << size) - 1
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _jpeg_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Level-shift, 8x8 DCT, quantize a padded plane → int64 (by, bx, 8, 8)."""
+    hh, ww = plane.shape
+    b = (plane - 128.0).reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+    d = np.matmul(_JDCT, np.matmul(b, _JDCT.T))
+    return np.rint(d / q).astype(np.int64)
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 90,
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Encode (h, w, 1) grayscale or (h, w, 3) RGB uint8 as a baseline
+    JFIF JPEG — Annex K tables scaled by ``quality``, 4:4:4 by default,
+    4:2:0 when ``subsample`` (2x2-mean chroma, the Y-interleaved MCU
+    layout); ``restart_interval`` emits DRI + RSTn markers every N MCUs
+    (exercises the decoder's restart path). Pure numpy; the golden-test
+    twin of try_jpeg_decode."""
+    import struct
+
+    h, w, ch = pixels.shape
+    assert pixels.dtype == np.uint8 and ch in (1, 3)
+    qy = _jpeg_quality_table(_JQ_LUMA, quality)
+    qc = _jpeg_quality_table(_JQ_CHROMA, quality)
+    dc_l, ac_l = _jpeg_huff_codes(*_JH_DC_L), _jpeg_huff_codes(*_JH_AC_L)
+    dc_c, ac_c = _jpeg_huff_codes(*_JH_DC_C), _jpeg_huff_codes(*_JH_AC_C)
+
+    def pad_to(p: np.ndarray, hh: int, ww: int) -> np.ndarray:
+        return np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+
+    if ch == 1:
+        comps = [dict(cid=1, h=1, v=1, plane=pixels[:, :, 0].astype(np.float64),
+                      q=qy, qid=0, dc=dc_l, ac=ac_l, did=0, aid=0)]
+    else:
+        r, g, b = (pixels[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            he, we = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cb = pad_to(cb, he, we).reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cr = pad_to(cr, he, we).reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            sy = sv = 2
+        else:
+            sy = sv = 1
+        comps = [dict(cid=1, h=sy, v=sv, plane=y, q=qy, qid=0, dc=dc_l, ac=ac_l, did=0, aid=0),
+                 dict(cid=2, h=1, v=1, plane=cb, q=qc, qid=1, dc=dc_c, ac=ac_c, did=1, aid=1),
+                 dict(cid=3, h=1, v=1, plane=cr, q=qc, qid=1, dc=dc_c, ac=ac_c, did=1, aid=1)]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+    for c in comps:
+        c["blocks"] = _jpeg_blocks(
+            pad_to(c["plane"], mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), c["q"])
+
+    bw = _JpegBitWriter()
+    preds = {c["cid"]: 0 for c in comps}
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8])
+                preds = {c["cid"]: 0 for c in comps}
+            n_mcu += 1
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        seq = c["blocks"][my * c["v"] + by,
+                                          mx * c["h"] + bx].reshape(64)[_JZZ]
+                        size, bits = _jpeg_mag(int(seq[0]) - preds[c["cid"]])
+                        preds[c["cid"]] = int(seq[0])
+                        code, ln = c["dc"][size]
+                        bw.write(code, ln)
+                        bw.write(bits, size)
+                        nz = np.nonzero(seq[1:])[0]
+                        last = int(nz[-1]) + 1 if len(nz) else 0
+                        run = 0
+                        for i in range(1, last + 1):
+                            v = int(seq[i])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = c["ac"][0xF0]
+                                bw.write(code, ln)
+                                run -= 16
+                            size, bits = _jpeg_mag(v)
+                            code, ln = c["ac"][(run << 4) | size]
+                            bw.write(code, ln)
+                            bw.write(bits, size)
+                            run = 0
+                        if last < 63:
+                            code, ln = c["ac"][0x00]
+                            bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for qid, q in ((0, qy),) + (((1, qc),) if ch == 3 else ()):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, qid) + bytes(
+            int(x) for x in q.reshape(64)[_JZZ])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
+    for c in comps:
+        out += bytes([c["cid"], (c["h"] << 4) | c["v"], c["qid"]])
+    tables = [(0, 0, _JH_DC_L), (1, 0, _JH_AC_L)]
+    if ch == 3:
+        tables += [(0, 1, _JH_DC_C), (1, 1, _JH_AC_C)]
+    for tc, th, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+    for c in comps:
+        out += bytes([c["cid"], (c["did"] << 4) | c["aid"]])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0 (baseline)
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_read_huff(br: _JpegBitReader, tab: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = tab.get((ln, code))
+        if sym is not None:
+            return sym
+    raise _JpegErr("bad Huffman code")
+
+
+def try_jpeg_decode(payload: bytes) -> np.ndarray | None:
+    """REAL baseline JPEG decode (T.81 sequential DCT, Huffman): marker
+    parse → per-MCU Huffman entropy decode → dequantize → 8x8 IDCT →
+    chroma upsample → YCbCr→RGB. Handles 1- or 3-component SOF0/SOF1,
+    sampling factors 1-2, restart intervals, byte stuffing. STRICT —
+    SOI-prefixed garbage, truncation, bad Huffman streams, progressive
+    (SOF2), arithmetic coding, and 12-bit precision all return None
+    (the try_bmp_decode misroute discipline). Returns (h, w, channels)
+    uint8. Pure numpy; per-block work is vectorized, the bit loop is
+    per-coefficient Python — fine for mapInPandas feature extraction."""
+    import struct
+
+    d = payload
+    if len(d) < 4 or d[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    sof = None
+    ri = 0
+    try:
+        while True:
+            if pos + 1 >= len(d):
+                return None
+            if d[pos] != 0xFF:
+                return None
+            m = d[pos + 1]
+            pos += 2
+            if m == 0xFF:  # fill byte
+                pos -= 1
+                continue
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                continue  # parameterless markers
+            if pos + 2 > len(d):
+                return None
+            (ln,) = struct.unpack_from(">H", d, pos)
+            if ln < 2 or pos + ln > len(d):
+                return None
+            seg = d[pos + 2 : pos + ln]
+            pos += ln
+            if m == 0xDB:  # DQT — possibly several tables per segment
+                sp = 0
+                while sp < len(seg):
+                    pq, tq = seg[sp] >> 4, seg[sp] & 15
+                    if pq != 0 or sp + 65 > len(seg):
+                        return None
+                    flat = np.zeros(64, dtype=np.int64)
+                    flat[_JZZ] = np.frombuffer(seg[sp + 1 : sp + 65], dtype=np.uint8)
+                    qt[tq] = flat.reshape(8, 8)
+                    sp += 65
+            elif m == 0xC4:  # DHT — possibly several tables per segment
+                sp = 0
+                while sp < len(seg):
+                    if sp + 17 > len(seg):
+                        return None
+                    tc, th = seg[sp] >> 4, seg[sp] & 15
+                    bits = list(seg[sp + 1 : sp + 17])
+                    nv = sum(bits)
+                    if sp + 17 + nv > len(seg):
+                        return None
+                    vals = list(seg[sp + 17 : sp + 17 + nv])
+                    dec = {}
+                    code, k = 0, 0
+                    for cl in range(1, 17):
+                        for _ in range(bits[cl - 1]):
+                            dec[(cl, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    (hdc if tc == 0 else hac)[th] = dec
+                    sp += 17 + nv
+            elif m in (0xC0, 0xC1):  # SOF0/SOF1 — baseline Huffman
+                if len(seg) < 6:
+                    return None
+                prec, ih, iw, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], \
+                    struct.unpack_from(">H", seg, 3)[0], seg[5]
+                if prec != 8 or nc not in (1, 3) or not ih or not iw \
+                        or len(seg) != 6 + 3 * nc:
+                    return None
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                    ch_, cv = hv >> 4, hv & 15
+                    if ch_ not in (1, 2) or cv not in (1, 2):
+                        return None
+                    comps.append(dict(cid=cid, h=ch_, v=cv, tq=tq))
+                sof = (ih, iw, comps)
+            elif 0xC2 <= m <= 0xCF and m != 0xC4 and m != 0xC8:
+                return None  # progressive / arithmetic / lossless
+            elif m == 0xDD:  # DRI
+                if len(seg) != 2:
+                    return None
+                ri = struct.unpack(">H", seg)[0]
+            elif m == 0xDA:  # SOS — decode the scan
+                if sof is None or len(seg) < 1:
+                    return None
+                ih, iw, comps = sof
+                ns = seg[0]
+                if ns != len(comps) or len(seg) != 4 + 2 * ns:
+                    return None
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    c = next((c for c in comps if c["cid"] == cs), None)
+                    if c is None:
+                        return None
+                    c["dc"] = hdc.get(tt >> 4)
+                    c["ac"] = hac.get(tt & 15)
+                    c["q"] = qt.get(c["tq"])
+                    if c["dc"] is None or c["ac"] is None or c["q"] is None:
+                        return None
+                if seg[1 + 2 * ns : 4 + 2 * ns] != b"\x00\x3f\x00":
+                    return None
+                return _jpeg_decode_scan(d, pos, ih, iw, comps, ri)
+            elif 0xE0 <= m <= 0xEF or m == 0xFE:
+                continue  # APPn / COM
+            elif m == 0xD9:
+                return None  # EOI before any scan
+            else:
+                return None
+    except (_JpegErr, struct.error):
+        return None
+
+
+def _jpeg_decode_scan(d: bytes, pos: int, ih: int, iw: int,
+                      comps: list[dict], ri: int) -> np.ndarray | None:
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    if any(max_h % c["h"] or max_v % c["v"] for c in comps):
+        return None
+    mcus_x = (iw + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (ih + 8 * max_v - 1) // (8 * max_v)
+    for c in comps:
+        c["plane"] = np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]),
+                              dtype=np.float64)
+    br = _JpegBitReader(d, pos)
+    preds = {c["cid"]: 0 for c in comps}
+    n_mcu = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if ri and n_mcu and n_mcu % ri == 0:
+                    br.expect_restart(n_mcu // ri - 1)
+                    preds = {c["cid"]: 0 for c in comps}
+                n_mcu += 1
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            size = _jpeg_read_huff(br, c["dc"])
+                            diff = _jpeg_extend(br.read_bits(size), size)
+                            preds[c["cid"]] += diff
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[0] = preds[c["cid"]]
+                            k = 1
+                            while k < 64:
+                                sym = _jpeg_read_huff(br, c["ac"])
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, size = sym >> 4, sym & 15
+                                if size == 0:
+                                    if run != 15:
+                                        raise _JpegErr("bad AC symbol")
+                                    k += 16
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise _JpegErr("AC overrun")
+                                coef[k] = _jpeg_extend(br.read_bits(size), size)
+                                k += 1
+                            flat = np.zeros(64, dtype=np.float64)
+                            flat[_JZZ] = coef
+                            deq = flat.reshape(8, 8) * c["q"]
+                            px = _JDCT.T @ deq @ _JDCT + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
+    except _JpegErr:
+        return None
+    # the scan must end exactly at EOI (pad-FF fill bytes allowed)
+    p = br.p
+    while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+        p += 1
+    if not (p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xD9):
+        return None
+    planes = []
+    for c in comps:
+        pl = c["plane"]
+        pl = np.repeat(np.repeat(pl, max_v // c["v"], axis=0),
+                       max_h // c["h"], axis=1)
+        planes.append(pl[:ih, :iw])
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    else:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """Encode int16 PCM samples ((n,) mono or (n, ch)) as a canonical
     RIFF/WAVE file — the golden-test twin of try_wav_decode."""
@@ -348,12 +879,14 @@ def try_wav_decode(payload: bytes) -> np.ndarray | None:
 
 def decode_media(payload: bytes, modality: str, fake: bool = False) -> np.ndarray:
     """Decode one payload to its sample array. Real formats first: PNG
-    (8-bit gray/RGB/RGBA, zlib inflate + numpy unfilter), 24-bit
-    uncompressed BMP and binary PPM for images; RIFF/WAVE PCM for audio.
-    Everything else (JPEG, compressed audio, video) needs decoders
-    absent from this container and falls through to decode_stub."""
+    (8-bit gray/RGB/RGBA, zlib inflate + numpy unfilter), baseline JPEG
+    (T.81 Huffman + IDCT), 24-bit uncompressed BMP and binary PPM for
+    images; RIFF/WAVE PCM for audio. Everything else (progressive JPEG,
+    compressed audio, video) needs decoders absent from this container
+    and falls through to decode_stub."""
     if modality == "image":
-        for decoder in (try_png_decode, try_bmp_decode, try_ppm_decode):
+        for decoder in (try_png_decode, try_jpeg_decode, try_bmp_decode,
+                        try_ppm_decode):
             px = decoder(payload)
             if px is not None:
                 return px

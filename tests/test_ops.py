@@ -374,6 +374,71 @@ def test_ppm_decode_golden():
     assert np.array_equal(decode_media(blob, "image", fake=False), px)
 
 
+def test_jpeg_decode_golden(spark):
+    """Genuine baseline-JPEG decode (pure numpy: T.81 marker parse,
+    Huffman entropy decode, dequantize, 8x8 IDCT, chroma upsample,
+    YCbCr→RGB). Goldens: near-lossless round-trip at quality=100 (all-1
+    quant tables → only DCT rounding error), smooth-gradient round-trips
+    at 4:4:4 and 4:2:0, grayscale, restart-marker streams decoding
+    IDENTICALLY to plain streams, and strict rejection (SOI-prefixed
+    garbage, truncation, progressive SOF2); extract_features(fake=False)
+    decodes a real JPEG payload — pixel histogram, not the byte stub."""
+    from fafnir_spark.multimodal import (
+        extract_features,
+        jpeg_encode,
+        try_jpeg_decode,
+    )
+
+    h, w = 24, 17  # non-multiple-of-8/16 dims: exercises edge padding
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = np.stack([np.clip(ii * 4 + jj * 3, 0, 255),
+                   np.clip(60 + ii * 2 + jj, 0, 255),
+                   np.clip(200 - ii * 3 + jj, 0, 255)], axis=2).astype(np.uint8)
+    # quality=100 → IJG scale 0 → every quant entry clips to 1: the only
+    # loss is DCT round-off, so the round-trip is near-exact
+    got = try_jpeg_decode(jpeg_encode(px, quality=100))
+    assert got.shape == px.shape
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 2
+    # smooth gradient at normal quality: small bounded error, both layouts
+    for sub, bound in ((False, 8), (True, 12)):
+        got = try_jpeg_decode(jpeg_encode(px, quality=90, subsample=sub))
+        assert got.shape == px.shape
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= bound, sub
+    # grayscale component path
+    gray = px[:, :, :1]
+    got = try_jpeg_decode(jpeg_encode(gray, quality=100))
+    assert got.shape == gray.shape
+    assert np.abs(got.astype(int) - gray.astype(int)).max() <= 2
+    # high-frequency noise at q100 stresses ZRL/EOB symbols
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    got = try_jpeg_decode(jpeg_encode(noisy, quality=100))
+    assert np.abs(got.astype(int) - noisy.astype(int)).max() <= 3
+    # restart markers change bit alignment but never decoded pixels
+    plain = try_jpeg_decode(jpeg_encode(px, quality=93))
+    for ri in (1, 2, 5):
+        assert np.array_equal(
+            try_jpeg_decode(jpeg_encode(px, quality=93, restart_interval=ri)),
+            plain), ri
+    # strict rejection: SOI-prefixed garbage, truncation, progressive
+    blob = jpeg_encode(px, quality=93)
+    assert try_jpeg_decode(b"\xff\xd8\xffnot actually a jpeg stream") is None
+    assert try_jpeg_decode(blob[:-10]) is None
+    prog = bytearray(blob)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    assert try_jpeg_decode(bytes(prog)) is None
+    assert try_jpeg_decode(b"plain text") is None
+    # Spark path, fake=False end-to-end: features = pixel histogram mod 16
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(blob), None)], "doc_id long, modality string, "
+        "payload binary, meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    row = extract_features(media, fake=False).collect()[0]
+    decoded = try_jpeg_decode(blob)
+    want = np.bincount(decoded.reshape(-1).astype(np.int64) % 16, minlength=16)
+    assert row["features"] == want.astype(float).tolist()
+
+
 def test_pq_ann(spark, ddb, emb):
     """IVF-PQ ADC path: oracle hash-match, recall floor vs exact, and the
     codes really are a compressed representation (m small ints)."""
