@@ -393,6 +393,19 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_text(_docs(spark, sf_dir), QS_QUERY, k=10)
 
 
+SQS_QUERY = "merge window | vector -slow"
+
+
+def _q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES simple_query_string (the lenient end-user grammar): OR-of-AND
+    groups with in-group negation — `merge window | vector -slow` scores
+    docs matching (merge AND window) OR (vector AND NOT slow), summing
+    the matched groups' BM25 partials (Lucene bool-of-bools)."""
+    from fafnir_spark.query_ext import simple_query_string_bm25
+
+    return simple_query_string_bm25(_docs(spark, sf_dir), SQS_QUERY, k=10)
+
+
 def _q_query_string_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query_string served FROM the positional index: dictionary prefix
     expansion, per-shard bool evaluation, phrase eligibility from stored
@@ -933,6 +946,24 @@ def _q_terms_enum_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.query_ext import terms_enum_indexed
 
     return terms_enum_indexed(spark, _idx_root(spark, sf_dir), "s", size=10)
+
+
+def _q_mget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _mget served FROM the published index: point id lookups over
+    the doc_map doc-values (postings untouched), one row per requested
+    id with found=false for misses. Request = the 3 smallest doc ids +
+    one guaranteed-absent id (min-1) — deterministic at every SF.
+    n_chars coalesced to -1 on misses (nullable-BIGINT → float pandas
+    fetch would type-diverge)."""
+    from fafnir_spark.wand import mget_indexed
+
+    rows = _docs(spark, sf_dir).orderBy("doc_id").limit(3).collect()
+    ids = [r["doc_id"] for r in rows]
+    ids.append(min(ids) - 1)
+    out = mget_indexed(spark, _idx_root(spark, sf_dir), ids)
+    return out.select(
+        "doc_id", "found", "lang", "source",
+        F.coalesce(F.col("n_chars"), F.lit(-1)).cast("long").alias("n_chars"))
 
 
 def _q_doc_values_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3709,6 +3740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_enum": _q_terms_enum,
         "analyze_api": _q_analyze_api,
         "terms_enum_indexed": _q_terms_enum_indexed,
+        "mget": _q_mget,
         "esql_change_point": _q_esql_change_point,
         "serial_diff": _q_serial_diff,
         "multi_terms": _q_multi_terms,
@@ -3881,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_indexed": _q_hybrid_rrf_indexed,
         "collapse_topk": _q_collapse,
         "query_string": _q_query_string,
+        "simple_query_string": _q_simple_query_string,
         "more_like_this": _q_more_like_this,
         "more_like_this_indexed": _q_more_like_this_indexed,
         "upsert_lifecycle": _q_upsert_lifecycle,
@@ -3941,7 +3974,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from fafnir_spark.query_ext import expand_synonyms, stem_py
+    from fafnir_spark.query_ext import (
+        expand_synonyms,
+        parse_simple_query_string,
+        stem_py,
+    )
     from fafnir_spark.simsearch import plane_weights
 
     return {
@@ -4078,6 +4115,18 @@ SELECT CASE WHEN value >= 5.0 THEN 'high' ELSE 'low' END AS sev,
 FROM events GROUP BY sev, b ORDER BY sev ASC, b ASC
 """,
         "analyze_api": oracles.analyze_sql(ANALYZE_TEXT, "english_chain", ANALYZE_STOPS),
+        "mget": """
+WITH req AS (
+    (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)
+    UNION ALL
+    (SELECT min(doc_id) - 1 FROM documents)
+)
+SELECT r.doc_id AS doc_id, d.doc_id IS NOT NULL AS found, d.lang AS lang,
+       d.source AS source,
+       CAST(coalesce(d.n_chars, -1) AS BIGINT) AS n_chars
+FROM req r LEFT JOIN documents d ON r.doc_id = d.doc_id
+ORDER BY doc_id
+""",
         "terms_enum": """
 SELECT DISTINCT tok AS term
 FROM documents, unnest(string_split(text, ' ')) AS t(tok)
@@ -4480,6 +4529,8 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "hybrid_rrf_indexed": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),
         "collapse_topk": oracles.collapse_topk_sql(Q_MAIN, "source", k=10),
         "query_string": oracles.search_text_sql(QS_QUERY, k=10),
+        "simple_query_string": oracles.simple_query_string_sql(
+            parse_simple_query_string(SQS_QUERY), k=10),
         "more_like_this": oracles.more_like_this_sql(42, k=10, n_terms=5),
         "more_like_this_indexed": oracles.more_like_this_indexed_sql(
             MLT_TEXT, k=10, n_terms=3

@@ -6,9 +6,10 @@ feature-extract / frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas`` so bytes never round-trip through per-row Python. Image
 decode is REAL for baseline JPEG (T.81 sequential DCT + Huffman, 4:4:4
 and subsampled, restart intervals), PNG (8-bit gray/RGB/RGBA — zlib
-inflate + numpy unfilter), uncompressed 24-bit BMP, and binary PPM;
-audio decode is REAL for RIFF/WAVE PCM (8/16-bit). Progressive JPEG,
-compressed audio, and video need codecs absent from this container, so
+inflate + numpy unfilter), GIF 87a/89a (LZW, palettes, interlace),
+uncompressed 24-bit BMP, and binary PPM; audio decode is REAL for
+RIFF/WAVE PCM (8/16-bit) and IMA-ADPCM (format tag 0x11). Progressive
+JPEG, perceptual audio, and video need codecs absent from this container, so
 ``decode_stub`` raises NotImplementedError for them unless the
 deterministic fake decoder is requested — the Spark-side plumbing
 (schema, partitioning, UDF signature, batch shape) is real and tested
@@ -877,23 +878,368 @@ def try_wav_decode(payload: bytes) -> np.ndarray | None:
     return arr.reshape(-1, ch)
 
 
+def _gif_lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    """GIF-flavor LZW (variable width, LSB-first, early-change size bump,
+    4096-entry cap with an explicit Clear reset)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out, cur, nbits = bytearray(), 0, 0
+    code_size = min_code + 1
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for k in map(int, indices):
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code == 4096:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> list[int] | None:
+    """Inverse of _gif_lzw_encode. Strict: bad codes, a missing EOI, or an
+    output-length mismatch all return None (misrouted bytes never decode)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    total_bits, bitpos = len(data) * 8, 0
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    next_code, prev = eoi + 1, None
+    out: list[int] = []
+    while True:
+        if bitpos + code_size > total_bits:
+            return None  # ran out before EOI
+        byte_i = bitpos >> 3
+        code = (int.from_bytes(data[byte_i:byte_i + 4], "little")
+                >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            code_size, next_code, prev = min_code + 1, eoi + 1, None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif prev is not None and code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            return None
+        if prev is not None:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            # the decoder's table add lags the encoder's by one code, so
+            # its early-change width bump fires at (1<<size)-1, not 1<<size
+            if next_code == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        if len(out) > expected:
+            return None
+        prev = entry
+    return out if len(out) == expected else None
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array (<= 256 distinct colors) as a
+    single-frame GIF89a — the golden-test twin of try_gif_decode."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("gif_encode wants (h, w, 3) uint8")
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("gif_encode: > 256 distinct colors (no quantizer)")
+    depth = max(1, int(len(palette) - 1).bit_length())  # palette size 2^depth
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    min_code = max(2, depth)  # GIF requires LZW min code >= 2
+    lzw = _gif_lzw_encode(indices.astype(np.int64), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7) << 4 | (depth - 1),
+                       0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i:i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def try_gif_decode(payload: bytes) -> np.ndarray | None:
+    """REAL GIF decode (87a/89a, global/local palette, interlace) — pure
+    stdlib+numpy LZW, the BMP/PNG/JPEG move applied to GIF. Strict
+    validation (magic, descriptor bounds, sub-block framing, exact LZW
+    output length, trailer) so 'GIF'-prefixed text never misroutes.
+    Decodes the FIRST frame of an animation; returns (h, w, 3) uint8."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(payload):
+            return None
+        gct = np.frombuffer(payload[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        tag = payload[pos]
+        pos += 1
+        if tag == 0x3B:  # trailer before any image
+            return None
+        if tag == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                return None
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            if pos >= len(payload):
+                return None
+            pos += 1  # block terminator
+            continue
+        if tag != 0x2C:
+            return None
+        if pos + 9 > len(payload):
+            return None
+        left, top, iw, ih, ipk = struct.unpack("<HHHHB", payload[pos:pos + 9])
+        pos += 9
+        if iw == 0 or ih == 0 or left + iw > sw or top + ih > sh:
+            return None
+        pal = gct
+        if ipk & 0x80:
+            n = 2 << (ipk & 7)
+            if pos + 3 * n > len(payload):
+                return None
+            pal = np.frombuffer(payload[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None or pos >= len(payload):
+            return None
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            return None
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                return None
+            lzw += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(payload):
+            return None
+        pos += 1  # data terminator
+        idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
+        if idx is None:
+            return None
+        arr = np.asarray(idx, dtype=np.int64).reshape(ih, iw)
+        if (arr >= len(pal)).any():
+            return None
+        if ipk & 0x40:  # interlaced: rows arrive in 4 passes
+            order = [r for start, step in _GIF_INTERLACE
+                     for r in range(start, ih, step)]
+            deinter = np.empty_like(arr)
+            deinter[order] = arr
+            arr = deinter
+        if payload[pos:pos + 1] != b"\x3b" and not (
+            pos < len(payload) and payload[pos] in (0x21, 0x2C)
+        ):
+            return None
+        return pal[arr]  # first frame only
+    return None
+
+
+# IMA/DVI ADPCM (WAVE format tag 0x11) — Intel/IMA step + index tables.
+_ADPCM_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int64)
+_ADPCM_IDX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _adpcm_step(sample: int, pred: int, idx: int) -> tuple[int, int, int]:
+    """One IMA quantizer step: nibble + updated (predictor, step index).
+    Both engine directions share this reconstruction (that's what keeps
+    encoder and decoder in sync)."""
+    step = int(_ADPCM_STEPS[idx])
+    diff = sample - pred
+    nib = 8 if diff < 0 else 0
+    diff = abs(diff)
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    pred, idx = _adpcm_reconstruct(nib, pred, idx)
+    return nib, pred, idx
+
+
+def _adpcm_reconstruct(nib: int, pred: int, idx: int) -> tuple[int, int]:
+    step = int(_ADPCM_STEPS[idx])
+    diffq = step >> 3
+    if nib & 4:
+        diffq += step
+    if nib & 2:
+        diffq += step >> 1
+    if nib & 1:
+        diffq += step >> 2
+    pred = pred - diffq if nib & 8 else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_ADPCM_IDX[nib & 7])))
+    return pred, idx
+
+
+def adpcm_encode(samples: np.ndarray, sample_rate: int = 16000,
+                 block_align: int = 256) -> bytes:
+    """Encode int16 mono PCM as IMA-ADPCM in a RIFF/WAVE container
+    (format tag 0x11): per block a 4-byte header (int16 predictor,
+    uint8 step index, reserved) + 2 samples/byte — 4:1 compression.
+    The golden-test twin of try_adpcm_decode."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int64).reshape(-1)
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    fact = len(s)
+    nibbles_all = bytearray()
+    idx = 0
+    for b0 in range(0, len(s), spb):
+        blk = s[b0:b0 + spb]
+        pred = int(blk[0])
+        nibbles_all += struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for v in blk[1:]:
+            nib, pred, idx = _adpcm_step(int(v), pred, idx)
+            nibs.append(nib)
+        nibs += [0] * ((block_align - 4) * 2 - len(nibs))  # pad last block
+        packed = bytearray()
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            packed.append(lo | (hi << 4))
+        nibbles_all += packed
+    data = bytes(nibbles_all)
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate, byte_rate,
+                      block_align, 4, 2, spb)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, fact)
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def try_adpcm_decode(payload: bytes) -> np.ndarray | None:
+    """REAL compressed-audio decode for IMA/DVI ADPCM in WAVE (format
+    tag 0x11, mono) — closes the 'compressed audio is a stub' gap for
+    the one codec that is pure integer math. Strict validation (RIFF
+    size match, tag 0x11, 4-bit, coherent block align, fact-chunk
+    sample count) so nothing misroutes. Returns float64 (n, 1)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    if struct.unpack("<I", payload[4:8])[0] + 8 != len(payload):
+        return None
+    pos, fmt, data, fact = 12, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        chunk = payload[pos + 8:pos + 8 + size]
+        if len(chunk) != size:
+            return None
+        if tag == b"fmt ":
+            fmt = chunk
+        elif tag == b"data":
+            data = chunk
+        elif tag == b"fact":
+            fact = struct.unpack("<I", chunk[:4])[0] if size >= 4 else None
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or fact is None or len(fmt) < 20:
+        return None
+    audio_fmt, ch, _rate, _brate, block, bits, _cb, spb = struct.unpack(
+        "<HHIIHHHH", fmt[:20])
+    if audio_fmt != 0x11 or ch != 1 or bits != 4:
+        return None
+    if spb != (block - 4) * 2 + 1 or len(data) % block != 0:
+        return None
+    n_blocks = len(data) // block
+    if not n_blocks or not (n_blocks - 1) * spb < fact <= n_blocks * spb:
+        return None
+    out = np.empty(n_blocks * spb, dtype=np.float64)
+    w = 0
+    for b in range(n_blocks):
+        blk = data[b * block:(b + 1) * block]
+        pred, idx, _r = struct.unpack("<hBB", blk[:4])
+        if idx > 88:
+            return None
+        out[w] = pred
+        w += 1
+        for byte in blk[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                pred, idx = _adpcm_reconstruct(nib, pred, idx)
+                out[w] = pred
+                w += 1
+    return out[:fact].reshape(-1, 1)
+
+
 def decode_media(payload: bytes, modality: str, fake: bool = False) -> np.ndarray:
     """Decode one payload to its sample array. Real formats first: PNG
     (8-bit gray/RGB/RGBA, zlib inflate + numpy unfilter), baseline JPEG
-    (T.81 Huffman + IDCT), 24-bit uncompressed BMP and binary PPM for
-    images; RIFF/WAVE PCM for audio. Everything else (progressive JPEG,
-    compressed audio, video) needs decoders absent from this container
-    and falls through to decode_stub."""
+    (T.81 Huffman + IDCT), GIF (LZW, palette, interlace), 24-bit
+    uncompressed BMP and binary PPM for images; RIFF/WAVE PCM and
+    IMA-ADPCM compressed audio. Everything else (progressive JPEG,
+    perceptual audio codecs, video) needs decoders absent from this
+    container and falls through to decode_stub."""
     if modality == "image":
-        for decoder in (try_png_decode, try_jpeg_decode, try_bmp_decode,
-                        try_ppm_decode):
+        for decoder in (try_png_decode, try_jpeg_decode, try_gif_decode,
+                        try_bmp_decode, try_ppm_decode):
             px = decoder(payload)
             if px is not None:
                 return px
     if modality == "audio":
-        s = try_wav_decode(payload)
-        if s is not None:
-            return s
+        for decoder in (try_wav_decode, try_adpcm_decode):
+            s = decoder(payload)
+            if s is not None:
+                return s
     return decode_stub(payload, modality, fake=fake)
 
 

@@ -2135,6 +2135,53 @@ ORDER BY m.doc_id, m.qid
 """
 
 
+def simple_query_string_sql(groups: list[dict], k: int = 10) -> str:
+    """Mirror of query_ext.simple_query_string_bm25: OR-of-AND groups,
+    score = Σ over matched groups of the group's positive-term BM25
+    partials, added in group order (the Spark when-chain order)."""
+    all_terms = sorted({t for g in groups for t in g["pos"] + g["neg"]})
+    aggs, conds, sums = [], [], []
+    for i, g in enumerate(groups):
+        aggs.append(
+            f"count(CASE WHEN term IN {_terms_in(g['pos'])} THEN 1 END) AS p{i}")
+        aggs.append(
+            f"sum(CASE WHEN term IN {_terms_in(g['pos'])} THEN part END) AS s{i}")
+        m = f"p{i} = {len(g['pos'])}"
+        if g["neg"]:
+            aggs.append(
+                f"count(CASE WHEN term IN {_terms_in(g['neg'])} THEN 1 END) AS n{i}")
+            m += f" AND n{i} = 0"
+        conds.append(f"({m})")
+        sums.append(f"CASE WHEN {m} THEN s{i} ELSE 0.0 END")
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(all_terms)} GROUP BY term
+),
+per AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl)) AS part
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+byd AS (SELECT doc_id, {", ".join(aggs)} FROM per GROUP BY doc_id),
+scored AS (
+  SELECT doc_id, round({" + ".join(sums)}, 6) AS score
+  FROM byd WHERE {" OR ".join(conds)}
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
 def analyze_sql(text: str, analyzer: str = "whitespace",
                 stopwords: tuple[str, ...] = ()) -> str:
     """Mirror of query_ext.analyze_api — the same templated analyzer

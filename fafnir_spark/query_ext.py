@@ -2038,6 +2038,97 @@ def significant_terms_chi2(docs: DataFrame, query_terms: list[str], k: int = 10,
     )
 
 
+def parse_simple_query_string(q: str) -> list[dict]:
+    """ES simple_query_string mini-grammar — the lenient end-user cousin
+    of query_string (never errors on user input in ES; the closed core
+    here still raises on structurally unscorable input):
+
+      term term   → AND within a group (default_operator=and)
+      +           → explicit AND (same as whitespace)
+      a | b       → OR between groups (group = conjunction)
+      -term       → negated within its group
+
+    Returns [{pos: [...], neg: [...]}, ...] — one dict per OR group.
+    Every group needs >= 1 positive term (a pure-negation group matches
+    the whole corpus and is unscorable — raise, the ES equivalent serves
+    it as match_all|score 0)."""
+    groups = []
+    for chunk in q.split("|"):
+        pos, neg = [], []
+        for tok in chunk.split():
+            if tok in ("+", ""):
+                continue
+            if tok.startswith("-") and len(tok) > 1:
+                neg.append(tok[1:])
+            else:
+                pos.append(tok.lstrip("+"))
+        if not pos:
+            raise ValueError(
+                "each simple_query_string OR-group needs >= 1 positive term")
+        groups.append({"pos": sorted(set(pos)), "neg": sorted(set(neg))})
+    return groups
+
+
+def simple_query_string_bm25(docs: DataFrame, q: str, k: int = 10,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """ES simple_query_string compiled to OR-of-AND Lucene bool scoring:
+    a doc is eligible iff SOME group has all positive terms present and
+    all negated terms absent; score = Σ over MATCHED groups of that
+    group's positive-term BM25 partials (a term shared by two matched
+    groups contributes once per group — the Lucene bool-of-bools sum).
+
+    Scale shape: ONE filtered corpus pass (query._tf_dl_df over pos∪neg
+    terms — isin below the tf groupBy, dl row-local, df broadcast back),
+    group membership and per-group sums are conditional aggregates over
+    the ≤|terms| matched rows per doc, the single-query top-k compiles
+    to TakeOrderedAndProject. (rank, doc_id, score)."""
+    from pyspark.sql.window import Window
+
+    from . import B, K1
+    from .query import SCORE_DECIMALS, _tf_dl_df
+    from .tokenizer import tokens_expr
+
+    groups = parse_simple_query_string(q)
+    all_terms = sorted({t for g in groups for t in g["pos"] + g["neg"]})
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("__text"))
+    matched = _tf_dl_df(base, all_terms)
+    stats = (
+        base.select(F.size(tokens_expr("__text")).cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+    matched = matched.crossJoin(F.broadcast(stats))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tfn = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    per = matched.withColumn("part", idf * tfn)
+    aggs = []
+    for i, g in enumerate(groups):
+        # tf rows are unique per (doc, term), so count == distinct terms hit
+        aggs.append(F.count(F.when(F.col("term").isin(g["pos"]), F.lit(1))).alias(f"p{i}"))
+        aggs.append(F.sum(F.when(F.col("term").isin(g["pos"]), F.col("part"))).alias(f"s{i}"))
+        if g["neg"]:
+            aggs.append(F.count(F.when(F.col("term").isin(g["neg"]), F.lit(1))).alias(f"n{i}"))
+    byd = per.groupBy("doc_id").agg(*aggs)
+    hits, score = None, None
+    for i, g in enumerate(groups):
+        m = F.col(f"p{i}") == len(g["pos"])
+        if g["neg"]:
+            m = m & (F.col(f"n{i}") == 0)
+        s = F.when(m, F.col(f"s{i}")).otherwise(F.lit(0.0))
+        hits = m if hits is None else (hits | m)
+        score = s if score is None else (score + s)
+    scores = byd.filter(hits).select(
+        "doc_id", F.round(score, SCORE_DECIMALS).alias("score"))
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    return top.withColumn("rank", w).select("rank", "doc_id", "score").orderBy("rank")
+
+
 def analyze_api(spark, text: str, analyzer: str = "whitespace",
                 stopwords: tuple[str, ...] = ()) -> DataFrame:
     """The ES _analyze API: the token stream an analyzer chain produces

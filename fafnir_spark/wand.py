@@ -1262,6 +1262,34 @@ def attach_doc_meta(
     )
 
 
+def mget_indexed(
+    spark: SparkSession, index_root: str, ids: list[int],
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES _mget: point-fetch documents by id from the published index —
+    a doc_map doc-values read (postings untouched), tombstone-aware via
+    live_doc_map, one row per REQUESTED id with found=false for
+    missing/deleted ids (the ES reply shape, docs unordered here: sorted
+    by doc_id). Scale shape: the isin filter prunes doc_map row groups
+    (point lookups reach PushedFilters); the ≤|ids| hit set is broadcast
+    back onto the tiny request relation, so nothing but the pruned scan
+    scales with corpus size. (fafnir doc-lookup precedent:
+    /root/reference tests/tests.rs:222-227.)"""
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    want = sorted({int(i) for i in ids})
+    req = spark.createDataFrame([(i,) for i in want], "doc_id long")
+    dm = cat.live_doc_map(spark, manifest).drop("doc_part", "weight", "seg")
+    hits = dm.filter(F.col("doc_id").isin(want)).withColumn("__f", F.lit(True))
+    meta = [c for c in dm.columns if c != "doc_id"]
+    return (
+        req.join(F.broadcast(hits), "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("__f"), F.lit(False)).alias("found"),
+                *meta)
+        .orderBy("doc_id")
+    )
+
+
 def expand_prefix_indexed(
     spark: SparkSession, index_root: str, prefix: str,
     snapshot_id: str | None = None,

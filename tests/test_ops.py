@@ -439,6 +439,94 @@ def test_jpeg_decode_golden(spark):
     assert row["features"] == want.astype(float).tolist()
 
 
+def test_gif_decode_golden():
+    """Genuine GIF decode (pure numpy LZW: variable-width codes,
+    early-change size bump, 4096-entry clear/reset, palette mapping,
+    interlace de-permutation). Goldens: exact round-trips at several
+    palette depths, a stream long enough to force the 4096-entry LZW
+    reset, a hand-built INTERLACED stream (the encoder never writes
+    one), and strict rejection of text/truncation/oversize indexes."""
+    import struct
+
+    from fafnir_spark.multimodal import (
+        _gif_lzw_encode,
+        decode_media,
+        gif_encode,
+        try_gif_decode,
+    )
+
+    rng = np.random.default_rng(7)
+    pal5 = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                     [10, 20, 30], [200, 200, 0]], np.uint8)
+    img = pal5[rng.integers(0, 5, (37, 23), dtype=np.uint8)]
+    assert np.array_equal(try_gif_decode(gif_encode(img)), img)
+    # full-depth palette (256 colors) and degenerate 1-color image
+    img256 = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    assert np.array_equal(try_gif_decode(gif_encode(img256)), img256)
+    flat = np.zeros((4, 4, 3), np.uint8)
+    assert np.array_equal(try_gif_decode(gif_encode(flat)), flat)
+    # long low-entropy stream: LZW table hits 4096 and emits a mid-stream
+    # Clear — round-trip must survive the reset
+    tall = pal5[:4][rng.integers(0, 4, (300, 250), dtype=np.uint8)]
+    assert np.array_equal(try_gif_decode(gif_encode(tall)), tall)
+    # hand-built interlaced stream: permute rows into pass order, set the
+    # interlace flag — decode must restore the original row order
+    idx = rng.integers(0, 4, (19, 11), dtype=np.uint8)
+    order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(start, 19, step)]
+    lzw = _gif_lzw_encode(idx[order].reshape(-1).astype(np.int64), 2)
+    blob = bytearray(b"GIF89a")
+    blob += struct.pack("<HHBBB", 11, 19, 0x80 | 0x01, 0, 0)  # 4-entry GCT
+    blob += pal5[:4].tobytes()
+    blob += struct.pack("<BHHHHB", 0x2C, 0, 0, 11, 19, 0x40 | 0x01)  # interlaced
+    blob.append(2)
+    for i in range(0, len(lzw), 255):
+        sub = lzw[i:i + 255]
+        blob.append(len(sub))
+        blob += sub
+    blob += b"\x00\x3b"
+    assert np.array_equal(try_gif_decode(bytes(blob)), pal5[:4][idx])
+    # strictness: GIF-prefixed text, truncation, missing trailer
+    assert try_gif_decode(b"GIF89a this is just text, honest") is None
+    assert try_gif_decode(gif_encode(img)[:-5]) is None
+    assert np.array_equal(decode_media(gif_encode(img), "image", fake=False), img)
+
+
+def test_adpcm_decode_golden():
+    """Genuine IMA/DVI ADPCM decode (WAVE format tag 0x11): 4-bit
+    quantized mono with per-block predictor headers. Goldens: a 4:1
+    compressed sine tracks the source (corr > 0.999), exact-block and
+    padded-tail lengths honor the fact chunk, PCM and ADPCM containers
+    never cross-route, and truncation/garbage reject."""
+    from fafnir_spark.multimodal import (
+        adpcm_encode,
+        decode_media,
+        try_adpcm_decode,
+        try_wav_decode,
+        wav_encode,
+    )
+
+    t = np.arange(4001)
+    sig = (8000 * np.sin(t / 30) + 2000 * np.sin(t / 7)).astype(np.int64)
+    blob = adpcm_encode(sig, block_align=256)
+    dec = try_adpcm_decode(blob)
+    assert dec.shape == (len(sig), 1)
+    assert len(blob) / len(sig) < 0.6  # ~4:1 vs 16-bit PCM
+    assert np.corrcoef(dec.reshape(-1), sig)[0, 1] > 0.999
+    # fact-chunk length handling: exact multiple of samples-per-block,
+    # multi-block, and a tiny single-block tail
+    for n in (505, 1010, 17):
+        s2 = (3000 * np.sin(np.arange(n) / 5)).astype(np.int64)
+        d2 = try_adpcm_decode(adpcm_encode(s2, block_align=256))
+        assert d2.shape == (n, 1), n
+    # container routing: PCM never decodes as ADPCM and vice versa
+    assert try_adpcm_decode(wav_encode(sig.astype(np.int16))) is None
+    assert try_wav_decode(blob) is None
+    assert try_adpcm_decode(blob[:-3]) is None
+    assert try_adpcm_decode(b"RIFFxxxxWAVEjunk") is None
+    assert decode_media(blob, "audio", fake=False).shape == (len(sig), 1)
+
+
 def test_pq_ann(spark, ddb, emb):
     """IVF-PQ ADC path: oracle hash-match, recall floor vs exact, and the
     codes really are a compressed representation (m small ints)."""
