@@ -1045,6 +1045,17 @@ def _q_tsdb_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      unit_hours=1)
 
 
+def _q_downsample_tsdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES TSDB downsampling (_downsample / ILM action): roll the event
+    series up to 6h buckets keeping value_count/min/max/sum/last_value
+    per (series, bucket) — one groupBy with map-side combine, last_value
+    as sort-free max_by."""
+    from fafnir_spark.pipeline import downsample_tsdb
+
+    return downsample_tsdb(spark.read.parquet(f"{sf_dir}/events.parquet"),
+                           interval_hours=6)
+
+
 def _q_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bucket_sort pipeline agg standalone: rank buckets by rounded
     metric, paginate positions (2, 5] — sort+offset over the bounded
@@ -3516,6 +3527,42 @@ def _q_esql_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
 
 
+ESQL_SAMPLE_QUERY = """
+FROM events
+| SAMPLE 0.25 event_id
+| STATS n = count(*), total = sum(value) BY event_type
+| EVAL total = round(total, 6)
+| SORT event_type ASC
+"""
+
+
+def _esql_sample_oracle() -> str:
+    """Same keyed Bernoulli rule as the SAMPLE stage: threshold int is
+    computed by the IDENTICAL expression so the two engines can never
+    disagree on the cut."""
+    from fafnir_spark.portable import HASH60_MAX, seeded_sql
+
+    h = seeded_sql("CAST(event_id AS VARCHAR)", "'smpl'")
+    threshold = int(0.25 * (HASH60_MAX + 1))
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS total
+FROM events
+WHERE {h} < {threshold}
+GROUP BY event_type
+ORDER BY event_type ASC
+"""
+
+
+def _q_esql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL SAMPLE: Bernoulli row sampling made reproducible — keep iff
+    hash60('smpl:'||event_id) < 0.25·2^60 (the mixture_sample rule), a
+    row-local pushdown-eligible filter ahead of one STATS groupBy."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_SAMPLE_QUERY,
+                {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
+
+
 def _q_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka (MRL) funnel retrieval: prefix-16-dim cosine candidate
     scan, exact 64-dim rescore of k*4, both stages two-level top-k."""
@@ -3734,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_selector": _q_bucket_selector,
         "bucket_sort": _q_bucket_sort,
         "tsdb_rate": _q_tsdb_rate,
+        "downsample_tsdb": _q_downsample_tsdb,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
         "esql_stats_where": _q_esql_stats_where,
         "esql_bucket_case": _q_esql_bucket_case,
@@ -3843,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_range": _q_geo_distance_range,
         "esql_pipeline": _q_esql,
         "esql_rename_drop": _q_esql_rename_drop,
+        "esql_sample": _q_esql_sample,
         "ann_matryoshka": _q_ann_matryoshka,
         "frequent_item_sets": _q_frequent_item_sets,
         "line_dedup": _q_line_dedup,
@@ -4086,6 +4135,7 @@ def oracle_sql() -> dict[str, str]:
         "bucket_selector": oracles_pipeline.bucket_selector_topn_sql(),
         "bucket_sort": oracles_pipeline.bucket_sort_sql(from_=2, size=3),
         "tsdb_rate": oracles_pipeline.tsdb_rate_sql(unit_hours=1),
+        "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),
         "esql_change_point": oracles_pipeline.esql_change_point_sql(),
         "esql_agg_functions": """
@@ -4295,6 +4345,7 @@ WHERE value * 2.0 >= 10.0
 GROUP BY event_type
 ORDER BY etype ASC
 """,
+        "esql_sample": _esql_sample_oracle(),
         "esql_pipeline": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 6) AS total, round(avg(value), 6) AS avg_v

@@ -2,8 +2,9 @@
 
 The reference serves its query surface through Elasticsearch; ES|QL
 (public syntax: FROM | WHERE | EVAL | STATS .. BY | SORT | LIMIT | KEEP |
-MV_EXPAND | DISSECT | ENRICH, with SPLIT in EVAL) is the modern form of
-that surface. This
+MV_EXPAND | DISSECT | GROK | ENRICH | RENAME | DROP | INLINESTATS |
+LOOKUP JOIN | FORK | CHANGE_POINT | SAMPLE, with SPLIT in EVAL) is the
+modern form of that surface. This
 module is a small, honest compiler for the deterministic core of the
 language:
 
@@ -527,6 +528,24 @@ def _apply_stage(spark: SparkSession, df: DataFrame, stage: str,
             df = df.withColumnRenamed(old, new)
     elif kw == "DROP":
         df = df.drop(*_expand_cols(rest, df.columns, "DROP"))
+    elif kw == "SAMPLE":
+        # SAMPLE <p> <key_col> (ES|QL 8.19's SAMPLE, made reproducible):
+        # ES samples rows at random with no seed; an oracle-checked
+        # engine can't, so the closed grammar here keys the Bernoulli
+        # draw on a column — keep iff hash60('smpl:'||key) < p·2^60,
+        # the mixture_sample hash-threshold rule. Row-local filter,
+        # pushdown-eligible, no shuffle; E[kept] = p·n exactly as ES.
+        m = re.fullmatch(rf"\s*(0?\.\d+|1(?:\.0+)?)\s+({_IDENT})\s*", rest)
+        if not m:
+            raise EsqlError(f"unsupported SAMPLE (want: SAMPLE <p> <key>): {rest!r}")
+        p, key = float(m.group(1)), m.group(2)
+        if key not in df.columns:
+            raise EsqlError(f"SAMPLE key {key!r} not in columns")
+        from .portable import HASH60_MAX, seeded
+
+        threshold = int(p * (HASH60_MAX + 1))
+        df = df.filter(
+            seeded(F.col(key).cast("string"), F.lit("smpl")) < F.lit(threshold))
     elif kw == "CHANGE_POINT":
         # CHANGE_POINT <value> ON <key> (ES|QL 8.18 tech preview). ES
         # marks the detected row in-stream with (type, pvalue); the

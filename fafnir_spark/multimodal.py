@@ -8,8 +8,10 @@ decode is REAL for baseline JPEG (T.81 sequential DCT + Huffman, 4:4:4
 and subsampled, restart intervals), PNG (8-bit gray/RGB/RGBA — zlib
 inflate + numpy unfilter), GIF 87a/89a (LZW, palettes, interlace),
 uncompressed 24-bit BMP, and binary PPM; audio decode is REAL for
-RIFF/WAVE PCM (8/16-bit) and IMA-ADPCM (format tag 0x11). Progressive
-JPEG, perceptual audio, and video need codecs absent from this container, so
+RIFF/WAVE PCM (8/16-bit) and IMA-ADPCM (format tag 0x11); video decode
+is REAL for AVI/MJPEG (RIFF demux + the in-repo JPEG decoder per
+frame). Progressive JPEG and perceptual audio/video codecs (MP3/H.26x)
+need decoders absent from this container, so
 ``decode_stub`` raises NotImplementedError for them unless the
 deterministic fake decoder is requested — the Spark-side plumbing
 (schema, partitioning, UDF signature, batch shape) is real and tested
@@ -1221,6 +1223,120 @@ def try_adpcm_decode(payload: bytes) -> np.ndarray | None:
     return out[:fact].reshape(-1, 1)
 
 
+def avi_encode(frames: np.ndarray, fps: int = 10, quality: int = 90) -> bytes:
+    """Encode an (n, h, w, 3) uint8 frame stack as an AVI/MJPEG video
+    (RIFF 'AVI ': hdrl with avih + vids/MJPG stream header, movi with
+    one '00dc' JPEG chunk per frame, idx1) — every frame goes through
+    the in-repo baseline JPEG encoder. The golden-test twin of
+    try_avi_decode."""
+    import struct
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3:
+        raise ValueError("avi_encode wants (n, h, w, 3) uint8")
+    n, h, w = fr.shape[:3]
+    jpegs = [jpeg_encode(fr[i], quality=quality) for i in range(n)]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def lst(subtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", subtype + data)
+
+    maxbuf = max(len(j) for j in jpegs)
+    avih = struct.pack("<14I", 1_000_000 // fps, maxbuf * fps, 0, 0x10, n, 0,
+                       1, maxbuf, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, 1, fps, 0, n, maxbuf,
+                          -1, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_items = [chunk(b"00dc", j) for j in jpegs]
+    movi = lst(b"movi", b"".join(movi_items))
+    idx, off = bytearray(), 4
+    for item in movi_items:
+        size = len(item) - 8 - (len(item) & 1)
+        idx += b"00dc" + struct.pack("<III", 0x10, off, size)
+        off += len(item)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def try_avi_decode(payload: bytes) -> np.ndarray | None:
+    """REAL video decode for AVI/MJPEG — the RIFF demux is ~60 lines and
+    every frame is a baseline JPEG, which this module already decodes,
+    so 'video is a stub' is no longer true for the one container+codec
+    pair expressible in pure numpy. Strict validation (RIFF size match,
+    'AVI ' type, a vids/MJPG stream header, avih frame count == movi
+    chunk count, every frame a valid JPEG of the advertised dimensions)
+    so nothing misroutes. Returns (n_frames, h, w, 3) uint8."""
+    import struct
+
+    if len(payload) < 24 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    if struct.unpack("<I", payload[4:8])[0] + 8 != len(payload):
+        return None
+
+    def walk(data: bytes):
+        """Yield (tag, subtype_or_None, body) for one chunk level."""
+        pos = 0
+        while pos + 8 <= len(data):
+            tag = data[pos:pos + 4]
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            body = data[pos + 8:pos + 8 + size]
+            if len(body) != size:
+                yield None, None, None
+                return
+            if tag == b"LIST" and size >= 4:
+                yield tag, body[:4], body[4:]
+            else:
+                yield tag, None, body
+            pos += 8 + size + (size & 1)
+
+    avih = strh = strf = None
+    frames_raw: list[bytes] = []
+    for tag, sub, body in walk(payload[12:]):
+        if tag is None:
+            return None
+        if tag == b"LIST" and sub == b"hdrl":
+            for t2, s2, b2 in walk(body):
+                if t2 is None:
+                    return None
+                if t2 == b"avih":
+                    avih = b2
+                elif t2 == b"LIST" and s2 == b"strl":
+                    for t3, _s3, b3 in walk(b2):
+                        if t3 == b"strh":
+                            strh = b3
+                        elif t3 == b"strf":
+                            strf = b3
+        elif tag == b"LIST" and sub == b"movi":
+            for t2, _s2, b2 in walk(body):
+                if t2 is None:
+                    return None
+                if t2[2:4] in (b"dc", b"db"):
+                    frames_raw.append(b2)
+    if avih is None or strh is None or strf is None or len(avih) < 56:
+        return None
+    if strh[:4] != b"vids" or strh[4:8] != b"MJPG" or len(strf) < 40:
+        return None
+    n_frames, _init, _streams, _buf, w, h = struct.unpack("<6I", avih[16:40])
+    if n_frames == 0 or n_frames != len(frames_raw):
+        return None
+    if strf[16:20] != b"MJPG":
+        return None
+    frames = []
+    for raw in frames_raw:
+        px = try_jpeg_decode(raw)
+        if px is None or px.shape != (h, w, 3):
+            return None
+        frames.append(px)
+    return np.stack(frames)
+
+
 def decode_media(payload: bytes, modality: str, fake: bool = False) -> np.ndarray:
     """Decode one payload to its sample array. Real formats first: PNG
     (8-bit gray/RGB/RGBA, zlib inflate + numpy unfilter), baseline JPEG
@@ -1240,6 +1356,10 @@ def decode_media(payload: bytes, modality: str, fake: bool = False) -> np.ndarra
             s = decoder(payload)
             if s is not None:
                 return s
+    if modality == "video":
+        v = try_avi_decode(payload)
+        if v is not None:
+            return v
     return decode_stub(payload, modality, fake=fake)
 
 

@@ -1562,6 +1562,36 @@ FROM per ORDER BY event_type
 """
 
 
+def downsample_tsdb_sql(interval_hours: int = 6) -> str:
+    """Mirror of pipeline.downsample_tsdb: same epoch-floor bucket rule,
+    same rounded metric set; last_value via the rn=1 window (DuckDB
+    arg_max takes no struct ordering — the decontaminate_embedding
+    convention)."""
+    secs = 3600 * interval_hours
+    return f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 1000000.0 / {float(secs)!r}) * {secs} AS BIGINT)
+           AS bucket_ts,
+         value,
+         row_number() OVER (
+           PARTITION BY event_type,
+             CAST(floor(epoch_us(ts) / 1000000.0 / {float(secs)!r}) * {secs} AS BIGINT)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, bucket_ts,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax,
+       round(sum(value), 6) AS vsum,
+       round(max(CASE WHEN rn = 1 THEN value END), 6) AS vlast
+FROM pts
+GROUP BY event_type, bucket_ts
+ORDER BY event_type, bucket_ts
+"""
+
+
 def bucket_count_ks_test_sql(type_a: str = "click",
                              type_b: str = "error") -> str:
     """Mirror of pipeline.bucket_count_ks_test: same day buckets, same

@@ -1978,6 +1978,42 @@ def tsdb_rate(events: DataFrame, unit_hours: int = 1) -> DataFrame:
                       rate.alias("rate")).orderBy("event_type")
 
 
+def downsample_tsdb(events: DataFrame, interval_hours: int = 6) -> DataFrame:
+    """ES TSDB downsampling (the `_downsample` API / ILM downsample
+    action): roll a time-series index up to a coarser fixed_interval,
+    keeping per (series, bucket) the aggregate metric shape ES persists —
+    value_count, min, max, sum, and last_value (the latest sample by
+    (ts, event_id), ES's `last_value` for gauge metrics). The rolled-up
+    table is what range queries older than the ILM cutoff actually scan.
+
+    Scale shape: ONE groupBy on (series key, bucket) with map-side
+    combine — last_value rides the same agg as max_by(value, struct(ts,
+    event_id)) (the sort-free IVF-assignment idiom), never a window over
+    the raw samples. Bucket = floor(epoch_sec / interval)·interval as a
+    BIGINT — formatted timestamps are an output concern, not a grouping
+    key. (event_type, bucket_ts, n, vmin, vmax, vsum, vlast) ordered."""
+    from pyspark.sql import functions as F
+
+    secs = 3600 * interval_hours
+    td = F.col("ts").cast("timestamp").cast("double")  # NTZ-safe (UTC session)
+    bucket = (F.floor(td / F.lit(float(secs))) * F.lit(secs)).cast("long")
+    return (
+        events.select(
+            "event_type", bucket.alias("bucket_ts"), "value", "ts", "event_id")
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+            F.round(F.sum("value"), 6).alias("vsum"),
+            F.round(
+                F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))), 6
+            ).alias("vlast"),
+        )
+        .orderBy("event_type", "bucket_ts")
+    )
+
+
 def bucket_count_ks_test(events: DataFrame, type_a: str = "click",
                          type_b: str = "error") -> DataFrame:
     """ES bucket_count_ks_test pipeline aggregation (8.x ML aggs), the

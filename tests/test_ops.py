@@ -527,6 +527,40 @@ def test_adpcm_decode_golden():
     assert decode_media(blob, "audio", fake=False).shape == (len(sig), 1)
 
 
+def test_avi_decode_golden():
+    """Genuine VIDEO decode: AVI/MJPEG (RIFF demux + the in-repo baseline
+    JPEG decoder per frame). Goldens: a 5-frame gradient stack
+    round-trips within JPEG error at q95, frame-count and dimension
+    coherence are enforced (avih count == movi chunks, every frame the
+    advertised size), truncation/garbage reject, and decode_media routes
+    the video modality through the real decoder."""
+    from fafnir_spark.multimodal import avi_encode, decode_media, try_avi_decode
+
+    h, w = 24, 16
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    frames = np.stack([
+        np.stack([np.clip(ii * 4 + jj * 3 + f * 10, 0, 255),
+                  np.clip(60 + ii * 2 + jj + f * 5, 0, 255),
+                  np.clip(200 - ii * 3 + jj, 0, 255)], axis=2).astype(np.uint8)
+        for f in range(5)])
+    blob = avi_encode(frames, fps=10, quality=95)
+    got = try_avi_decode(blob)
+    assert got.shape == frames.shape
+    assert np.abs(got.astype(int) - frames.astype(int)).max() <= 12
+    # single-frame stream
+    one = avi_encode(frames[:1], quality=100)
+    assert try_avi_decode(one).shape == (1, h, w, 3)
+    # strictness: truncation, RIFF-but-not-AVI, frame-count mismatch
+    assert try_avi_decode(blob[:-4]) is None
+    assert try_avi_decode(b"RIFF\x10\x00\x00\x00AVI junkjunkjunk") is None
+    import struct
+    tampered = bytearray(blob)
+    off = tampered.find(b"avih") + 8 + 16  # dwTotalFrames field
+    tampered[off:off + 4] = struct.pack("<I", 7)
+    assert try_avi_decode(bytes(tampered)) is None
+    assert decode_media(blob, "video", fake=False).shape == frames.shape
+
+
 def test_pq_ann(spark, ddb, emb):
     """IVF-PQ ADC path: oracle hash-match, recall floor vs exact, and the
     codes really are a compressed representation (m small ints)."""
