@@ -4,14 +4,15 @@ Design for image/audio/video at 100 TB: payloads are opaque ``binary``
 columns with a ``modality`` discriminator and a metadata struct; decode /
 feature-extract / frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas`` so bytes never round-trip through per-row Python. Image
-decode is REAL for baseline JPEG (T.81 sequential DCT + Huffman, 4:4:4
-and subsampled, restart intervals), PNG (8-bit gray/RGB/RGBA — zlib
-inflate + numpy unfilter), GIF 87a/89a (LZW, palettes, interlace),
-uncompressed 24-bit BMP, and binary PPM; audio decode is REAL for
-RIFF/WAVE PCM (8/16-bit) and IMA-ADPCM (format tag 0x11); video decode
-is REAL for AVI/MJPEG (RIFF demux + the in-repo JPEG decoder per
-frame). Progressive JPEG and perceptual audio/video codecs (MP3/H.26x)
-need decoders absent from this container, so
+decode is REAL for JPEG — baseline T.81 sequential (4:4:4 and
+subsampled, restart intervals) AND progressive SOF2 (spectral selection
++ successive approximation) — PNG (8-bit gray/RGB/RGBA — zlib inflate +
+numpy unfilter), GIF 87a/89a (LZW, palettes, interlace), uncompressed
+24-bit BMP, and binary PPM; audio decode is REAL for RIFF/WAVE PCM
+(8/16-bit) and IMA-ADPCM (format tag 0x11); video decode is REAL for
+AVI/MJPEG (RIFF demux + the in-repo JPEG decoder per frame). Perceptual
+audio/video codecs (MP3/H.26x) need decoders absent from this
+container, so
 ``decode_stub`` raises NotImplementedError for them unless the
 deterministic fake decoder is requested — the Spark-side plumbing
 (schema, partitioning, UDF signature, batch shape) is real and tested
@@ -497,16 +498,10 @@ def _jpeg_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.rint(d / q).astype(np.int64)
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 90,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
-    """Encode (h, w, 1) grayscale or (h, w, 3) RGB uint8 as a baseline
-    JFIF JPEG — Annex K tables scaled by ``quality``, 4:4:4 by default,
-    4:2:0 when ``subsample`` (2x2-mean chroma, the Y-interleaved MCU
-    layout); ``restart_interval`` emits DRI + RSTn markers every N MCUs
-    (exercises the decoder's restart path). Pure numpy; the golden-test
-    twin of try_jpeg_decode."""
-    import struct
-
+def _jpeg_prepare(pixels: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half (baseline + progressive): color convert,
+    chroma subsample, pad, DCT+quantize. Returns (comps, mcus_x, mcus_y)
+    with per-comp quantized block grids."""
     h, w, ch = pixels.shape
     assert pixels.dtype == np.uint8 and ch in (1, 3)
     qy = _jpeg_quality_table(_JQ_LUMA, quality)
@@ -542,6 +537,26 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
     for c in comps:
         c["blocks"] = _jpeg_blocks(
             pad_to(c["plane"], mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), c["q"])
+        # non-interleaved scans cover only the component's REAL block
+        # extent (T.81 A.2.2) — the MCU-padding blocks are never coded
+        c["wb"] = (((w * c["h"] + max_h - 1) // max_h) + 7) // 8
+        c["hb"] = (((h * c["v"] + max_v - 1) // max_v) + 7) // 8
+    return comps, mcus_x, mcus_y
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 90,
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Encode (h, w, 1) grayscale or (h, w, 3) RGB uint8 as a baseline
+    JFIF JPEG — Annex K tables scaled by ``quality``, 4:4:4 by default,
+    4:2:0 when ``subsample`` (2x2-mean chroma, the Y-interleaved MCU
+    layout); ``restart_interval`` emits DRI + RSTn markers every N MCUs
+    (exercises the decoder's restart path). Pure numpy; the golden-test
+    twin of try_jpeg_decode."""
+    import struct
+
+    h, w, ch = pixels.shape
+    comps, mcus_x, mcus_y = _jpeg_prepare(pixels, quality, subsample)
+    qy, qc = comps[0]["q"], comps[-1]["q"]
 
     bw = _JpegBitWriter()
     preds = {c["cid"]: 0 for c in comps}
@@ -610,6 +625,201 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
     return bytes(out)
 
 
+# Progressive AC scans emit EOBn symbols (0x10..0xE0) that the Annex K
+# sequential tables don't contain, so the progressive encoder uses one
+# fixed COMPLETE-alphabet table: symbols 0..254 at 8 bits, symbol 255 at
+# 9 bits — the all-ones 9-bit code stays unused (T.81 reserves it so
+# 1-padding never forms a valid code). Compression is mediocre;
+# correctness parity is what the twin is for.
+_JH_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(256)))
+
+
+def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 90,
+                            subsample: bool = False) -> bytes:
+    """Encode uint8 pixels as a PROGRESSIVE JPEG (SOF2) — the golden-test
+    twin of the progressive decode path. Scan script (all four T.81
+    progressive scan kinds):
+
+      1. DC first, all components interleaved, Al=1
+      2. AC first per component, bands 1-5 then 6-63, Al=1 (EOBRUN coded)
+      3. DC refinement, Ah=1 → Al=0 (raw bit per block)
+      4. AC refinement per component/band, Ah=1 → Al=0 (correction bits)
+    """
+    import struct
+
+    h, w, ch = pixels.shape
+    comps, mcus_x, mcus_y = _jpeg_prepare(pixels, quality, subsample)
+    ac_prog = _jpeg_huff_codes(*_JH_AC_PROG)
+    for c in comps:
+        c["zz"] = c["blocks"].reshape(c["blocks"].shape[0],
+                                      c["blocks"].shape[1], 64)[..., _JZZ]
+        c["aid"] = 2  # every AC scan uses the shared progressive table
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        bw = _JpegBitWriter()
+        preds = {c["cid"]: 0 for c in comps}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc = int(c["zz"][my * c["v"] + by,
+                                             mx * c["h"] + bx, 0])
+                            if ah == 0:
+                                v = dc >> al  # DC point transform: arithmetic shift
+                                size, bits = _jpeg_mag(v - preds[c["cid"]])
+                                preds[c["cid"]] = v
+                                code, ln = c["dc"][size]
+                                bw.write(code, ln)
+                                bw.write(bits, size)
+                            else:
+                                bw.write((dc >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_first_scan(c: dict, ss: int, se: int, al: int) -> bytes:
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            while eobrun:
+                chunk = min(eobrun, 32767)
+                r = chunk.bit_length() - 1
+                code, ln = ac_prog[r << 4]
+                bw.write(code, ln)
+                bw.write(chunk - (1 << r), r)
+                eobrun -= chunk
+
+        for by in range(c["hb"]):
+            for bx in range(c["wb"]):
+                band = c["zz"][by, bx, ss:se + 1]
+                sv = np.sign(band) * (np.abs(band) >> al)  # toward-zero shift
+                nz = np.nonzero(sv)[0]
+                if not len(nz):
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(int(nz[-1]) + 1):
+                    v = int(sv[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_prog[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    size, bits = _jpeg_mag(v)
+                    code, ln = ac_prog[(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(bits, size)
+                    run = 0
+                if int(nz[-1]) < se - ss:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+        flush_eob()
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_refine_scan(c: dict, ss: int, se: int, al: int) -> bytes:
+        # T.81 G.1.2.3 / the libjpeg encode_mcu_AC_refine bit order:
+        # correction bits for already-nonzero coefficients are BUFFERED
+        # and emitted after the next symbol (ZRL / run-1 / EOBn), which
+        # is exactly when the decoder's advance loop consumes them.
+        bw = _JpegBitWriter()
+        eobrun, pend = 0, []
+
+        def flush_eob() -> None:
+            nonlocal eobrun, pend
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            code, ln = ac_prog[r << 4]
+            bw.write(code, ln)
+            bw.write(eobrun - (1 << r), r)
+            for b in pend:
+                bw.write(b, 1)
+            eobrun, pend = 0, []
+
+        for by in range(c["hb"]):
+            for bx in range(c["wb"]):
+                band = c["zz"][by, bx, ss:se + 1]
+                absv = np.abs(band) >> al
+                ones = np.nonzero(absv == 1)[0]
+                eob_pos = int(ones[-1]) if len(ones) else -1
+                run, br_bits = 0, []
+                for i in range(se - ss + 1):
+                    a = int(absv[i])
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob_pos:
+                        flush_eob()
+                        code, ln = ac_prog[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                        for b in br_bits:
+                            bw.write(b, 1)
+                        br_bits = []
+                    if a > 1:  # history coefficient: buffer its correction bit
+                        br_bits.append(a & 1)
+                        continue
+                    flush_eob()
+                    code, ln = ac_prog[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if int(band[i]) > 0 else 0, 1)
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    run, br_bits = 0, []
+                if run > 0 or br_bits:
+                    eobrun += 1
+                    pend += br_bits
+                    if eobrun == 32767 or len(pend) > 900:
+                        flush_eob()
+        flush_eob()
+        bw.flush()
+        return bytes(bw.buf)
+
+    def sos(scan_comps: list[dict], ss: int, se: int, ah: int, al: int,
+            data: bytes) -> bytes:
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scan_comps),
+                                        len(scan_comps))
+        for c in scan_comps:
+            hdr += bytes([c["cid"], (c["did"] << 4) | (c["aid"] if ss else 0)])
+        return hdr + bytes([ss, se, (ah << 4) | al]) + data
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    qy, qc = comps[0]["q"], comps[-1]["q"]
+    for qid, q in ((0, qy),) + (((1, qc),) if ch == 3 else ()):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, qid) + bytes(
+            int(x) for x in q.reshape(64)[_JZZ])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
+    for c in comps:
+        out += bytes([c["cid"], (c["h"] << 4) | c["v"], c["qid"]])
+    tables = [(0, 0, _JH_DC_L), (1, 2, _JH_AC_PROG)]
+    if ch == 3:
+        tables += [(0, 1, _JH_DC_C)]
+    for tc, th, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+    out += sos(comps, 0, 0, 0, 1, dc_scan(0, 1))
+    for c in comps:
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([c], ss, se, 0, 1, ac_first_scan(c, ss, se, 1))
+    out += sos(comps, 0, 0, 1, 0, dc_scan(1, 0))
+    for c in comps:
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([c], ss, se, 1, 0, ac_refine_scan(c, ss, se, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _jpeg_read_huff(br: _JpegBitReader, tab: dict[tuple[int, int], int]) -> int:
     code = 0
     for ln in range(1, 17):
@@ -621,15 +831,19 @@ def _jpeg_read_huff(br: _JpegBitReader, tab: dict[tuple[int, int], int]) -> int:
 
 
 def try_jpeg_decode(payload: bytes) -> np.ndarray | None:
-    """REAL baseline JPEG decode (T.81 sequential DCT, Huffman): marker
-    parse → per-MCU Huffman entropy decode → dequantize → 8x8 IDCT →
-    chroma upsample → YCbCr→RGB. Handles 1- or 3-component SOF0/SOF1,
-    sampling factors 1-2, restart intervals, byte stuffing. STRICT —
-    SOI-prefixed garbage, truncation, bad Huffman streams, progressive
-    (SOF2), arithmetic coding, and 12-bit precision all return None
-    (the try_bmp_decode misroute discipline). Returns (h, w, channels)
-    uint8. Pure numpy; per-block work is vectorized, the bit loop is
-    per-coefficient Python — fine for mapInPandas feature extraction."""
+    """REAL JPEG decode (T.81 Huffman): marker parse → entropy decode →
+    dequantize → 8x8 IDCT → chroma upsample → YCbCr→RGB. Handles 1- or
+    3-component baseline SOF0/SOF1 (per-MCU sequential scan) AND
+    progressive SOF2 (multi-scan spectral selection + successive
+    approximation: DC first/refine, AC first with EOBRUN, AC refinement
+    with correction bits — coefficients accumulate across scans, IDCT at
+    EOI), sampling factors 1-2, restart intervals, byte stuffing.
+    STRICT — SOI-prefixed garbage, truncation, bad Huffman streams,
+    malformed scan scripts, arithmetic coding, and 12-bit precision all
+    return None (the try_bmp_decode misroute discipline). Returns
+    (h, w, channels) uint8. Pure numpy; per-block work is vectorized,
+    the bit loop is per-coefficient Python — fine for mapInPandas
+    feature extraction."""
     import struct
 
     d = payload
@@ -641,6 +855,8 @@ def try_jpeg_decode(payload: bytes) -> np.ndarray | None:
     hac: dict[int, dict] = {}
     sof = None
     ri = 0
+    progressive = False
+    n_scans = 0
     try:
         while True:
             if pos + 1 >= len(d):
@@ -654,6 +870,10 @@ def try_jpeg_decode(payload: bytes) -> np.ndarray | None:
                 continue
             if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
                 continue  # parameterless markers
+            if m == 0xD9:  # EOI (parameterless): progressive decode ends here
+                if progressive and n_scans:
+                    return _jpeg_prog_finish(comps, ih, iw, qt)
+                return None  # EOI before any scan
             if pos + 2 > len(d):
                 return None
             (ln,) = struct.unpack_from(">H", d, pos)
@@ -692,8 +912,8 @@ def try_jpeg_decode(payload: bytes) -> np.ndarray | None:
                         code <<= 1
                     (hdc if tc == 0 else hac)[th] = dec
                     sp += 17 + nv
-            elif m in (0xC0, 0xC1):  # SOF0/SOF1 — baseline Huffman
-                if len(seg) < 6:
+            elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
+                if sof is not None or len(seg) < 6:
                     return None
                 prec, ih, iw, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], \
                     struct.unpack_from(">H", seg, 3)[0], seg[5]
@@ -708,8 +928,19 @@ def try_jpeg_decode(payload: bytes) -> np.ndarray | None:
                         return None
                     comps.append(dict(cid=cid, h=ch_, v=cv, tq=tq))
                 sof = (ih, iw, comps)
-            elif 0xC2 <= m <= 0xCF and m != 0xC4 and m != 0xC8:
-                return None  # progressive / arithmetic / lossless
+                progressive = m == 0xC2
+                if progressive:
+                    max_h = max(c["h"] for c in comps)
+                    max_v = max(c["v"] for c in comps)
+                    mcus_x = (iw + 8 * max_h - 1) // (8 * max_h)
+                    mcus_y = (ih + 8 * max_v - 1) // (8 * max_v)
+                    for c in comps:
+                        c["coef"] = np.zeros(
+                            (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+                        c["wb"] = (((iw * c["h"] + max_h - 1) // max_h) + 7) // 8
+                        c["hb"] = (((ih * c["v"] + max_v - 1) // max_v) + 7) // 8
+            elif 0xC3 <= m <= 0xCF and m != 0xC4 and m != 0xC8:
+                return None  # arithmetic / lossless / hierarchical
             elif m == 0xDD:  # DRI
                 if len(seg) != 2:
                     return None
@@ -719,29 +950,220 @@ def try_jpeg_decode(payload: bytes) -> np.ndarray | None:
                     return None
                 ih, iw, comps = sof
                 ns = seg[0]
-                if ns != len(comps) or len(seg) != 4 + 2 * ns:
+                if len(seg) != 4 + 2 * ns:
                     return None
+                if not progressive:
+                    if ns != len(comps):
+                        return None
+                    for i in range(ns):
+                        cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                        c = next((c for c in comps if c["cid"] == cs), None)
+                        if c is None:
+                            return None
+                        c["dc"] = hdc.get(tt >> 4)
+                        c["ac"] = hac.get(tt & 15)
+                        c["q"] = qt.get(c["tq"])
+                        if c["dc"] is None or c["ac"] is None or c["q"] is None:
+                            return None
+                    if seg[1 + 2 * ns : 4 + 2 * ns] != b"\x00\x3f\x00":
+                        return None
+                    return _jpeg_decode_scan(d, pos, ih, iw, comps, ri)
+                # progressive: accumulate this scan into the coef grids
+                scan = []
                 for i in range(ns):
                     cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                     c = next((c for c in comps if c["cid"] == cs), None)
-                    if c is None:
+                    if c is None or c in scan:
                         return None
                     c["dc"] = hdc.get(tt >> 4)
                     c["ac"] = hac.get(tt & 15)
-                    c["q"] = qt.get(c["tq"])
-                    if c["dc"] is None or c["ac"] is None or c["q"] is None:
-                        return None
-                if seg[1 + 2 * ns : 4 + 2 * ns] != b"\x00\x3f\x00":
+                    scan.append(c)
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 15
+                if ah not in (0, al + 1) or al > 13:
                     return None
-                return _jpeg_decode_scan(d, pos, ih, iw, comps, ri)
+                if ss == 0:
+                    if se != 0 or (ah == 0 and any(c["dc"] is None for c in scan)):
+                        return None
+                else:  # AC scans are single-component (T.81 B.2.3)
+                    if ns != 1 or not ss <= se <= 63 or scan[0]["ac"] is None:
+                        return None
+                pos = _jpeg_prog_scan(d, pos, scan, ss, se, ah, al, ri,
+                                      mcus_x, mcus_y)
+                n_scans += 1
             elif 0xE0 <= m <= 0xEF or m == 0xFE:
                 continue  # APPn / COM
-            elif m == 0xD9:
-                return None  # EOI before any scan
             else:
                 return None
     except (_JpegErr, struct.error):
         return None
+
+
+def _ac_first_block(br: _JpegBitReader, zz: np.ndarray, ss: int, se: int,
+                    al: int, actab: dict, eobrun: int) -> int:
+    """One block of a progressive AC FIRST scan (T.81 G.1.2.2): EOBn run
+    lengths span blocks, coefficients enter at magnitude << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _jpeg_read_huff(br, actab)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            return (1 << r) + (br.read_bits(r) if r else 0) - 1
+        k += r
+        if k > se:
+            raise _JpegErr("AC overrun")
+        zz[k] = _jpeg_extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br: _JpegBitReader, zz: np.ndarray, ss: int, se: int,
+                     al: int, actab: dict, eobrun: int) -> int:
+    """One block of a progressive AC REFINEMENT scan (T.81 G.1.2.3):
+    run lengths count zero-HISTORY positions only; every already-nonzero
+    coefficient crossed consumes one correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _jpeg_read_huff(br, actab)
+            r, s = sym >> 4, sym & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise _JpegErr("bad refine symbol")
+                newval = p1 if br.read_bit() else -p1
+            while k <= se:
+                cur = int(zz[k])
+                if cur != 0:
+                    if br.read_bit() and (cur & p1) == 0:
+                        zz[k] = cur + (p1 if cur >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise _JpegErr("refine overrun")
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            cur = int(zz[k])
+            if cur != 0 and br.read_bit() and (cur & p1) == 0:
+                zz[k] = cur + (p1 if cur >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_prog_scan(d: bytes, pos: int, scan: list[dict], ss: int, se: int,
+                    ah: int, al: int, ri: int, mcus_x: int, mcus_y: int) -> int:
+    """Entropy-decode one progressive scan into the component coefficient
+    grids; returns the stream position after the scan. DC scans may be
+    interleaved (MCU order); AC scans are single-component raster over
+    the component's real block extent. Restarts reset predictors and the
+    EOB run."""
+    br = _JpegBitReader(d, pos)
+
+    def dc_unit(c: dict, by: int, bx: int, preds: dict) -> None:
+        if ah == 0:
+            size = _jpeg_read_huff(br, c["dc"])
+            preds[c["cid"]] += _jpeg_extend(br.read_bits(size), size)
+            c["coef"][by, bx, 0] = preds[c["cid"]] << al
+        elif br.read_bit():
+            c["coef"][by, bx, 0] |= 1 << al
+
+    n = 0
+    if ss == 0:  # DC scan
+        preds = {c["cid"]: 0 for c in scan}
+        if len(scan) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if ri and n and n % ri == 0:
+                        br.expect_restart(n // ri - 1)
+                        preds = {c["cid"]: 0 for c in scan}
+                    n += 1
+                    for c in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_unit(c, my * c["v"] + by, mx * c["h"] + bx,
+                                        preds)
+        else:
+            c = scan[0]
+            for by in range(c["hb"]):
+                for bx in range(c["wb"]):
+                    if ri and n and n % ri == 0:
+                        br.expect_restart(n // ri - 1)
+                        preds = {c["cid"]: 0}
+                    n += 1
+                    dc_unit(c, by, bx, preds)
+    else:  # AC scan (single component)
+        c = scan[0]
+        eobrun = 0
+        block_fn = _ac_first_block if ah == 0 else _ac_refine_block
+        for by in range(c["hb"]):
+            for bx in range(c["wb"]):
+                if ri and n and n % ri == 0:
+                    br.expect_restart(n // ri - 1)
+                    eobrun = 0
+                n += 1
+                eobrun = block_fn(br, c["coef"][by, bx], ss, se, al,
+                                  c["ac"], eobrun)
+    return br.p
+
+
+def _jpeg_prog_finish(comps: list[dict], ih: int, iw: int,
+                      qt: dict) -> np.ndarray | None:
+    """Dequantize + IDCT the accumulated coefficient grids (batched
+    matmuls over every block at once), then the shared upsample/color
+    tail."""
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            return None
+        zz = c["coef"]
+        flat = np.zeros(zz.shape, dtype=np.float64)
+        flat[..., _JZZ] = zz
+        deq = flat.reshape(zz.shape[0], zz.shape[1], 8, 8) * q
+        px = np.matmul(np.matmul(_JDCT.T, deq), _JDCT) + 128.0
+        c["plane"] = px.transpose(0, 2, 1, 3).reshape(zz.shape[0] * 8,
+                                                      zz.shape[1] * 8)
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    return _jpeg_assemble(comps, ih, iw, max_h, max_v)
+
+
+def _jpeg_assemble(comps: list[dict], ih: int, iw: int,
+                   max_h: int, max_v: int) -> np.ndarray:
+    """Shared decode tail: upsample subsampled planes, crop the MCU
+    padding, YCbCr→RGB (or passthrough for grayscale)."""
+    planes = []
+    for c in comps:
+        pl = c["plane"]
+        pl = np.repeat(np.repeat(pl, max_v // c["v"], axis=0),
+                       max_h // c["h"], axis=1)
+        planes.append(pl[:ih, :iw])
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    else:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
 def _jpeg_decode_scan(d: bytes, pos: int, ih: int, iw: int,
@@ -804,21 +1226,7 @@ def _jpeg_decode_scan(d: bytes, pos: int, ih: int, iw: int,
         p += 1
     if not (p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xD9):
         return None
-    planes = []
-    for c in comps:
-        pl = c["plane"]
-        pl = np.repeat(np.repeat(pl, max_v // c["v"], axis=0),
-                       max_h // c["h"], axis=1)
-        planes.append(pl[:ih, :iw])
-    if len(planes) == 1:
-        out = planes[0][:, :, None]
-    else:
-        y, cb, cr = planes
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        out = np.stack([r, g, b], axis=2)
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return _jpeg_assemble(comps, ih, iw, max_h, max_v)
 
 
 def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -1339,12 +1747,12 @@ def try_avi_decode(payload: bytes) -> np.ndarray | None:
 
 def decode_media(payload: bytes, modality: str, fake: bool = False) -> np.ndarray:
     """Decode one payload to its sample array. Real formats first: PNG
-    (8-bit gray/RGB/RGBA, zlib inflate + numpy unfilter), baseline JPEG
-    (T.81 Huffman + IDCT), GIF (LZW, palette, interlace), 24-bit
-    uncompressed BMP and binary PPM for images; RIFF/WAVE PCM and
-    IMA-ADPCM compressed audio. Everything else (progressive JPEG,
-    perceptual audio codecs, video) needs decoders absent from this
-    container and falls through to decode_stub."""
+    (8-bit gray/RGB/RGBA, zlib inflate + numpy unfilter), JPEG (T.81
+    Huffman + IDCT, baseline AND progressive), GIF (LZW, palette,
+    interlace), 24-bit uncompressed BMP and binary PPM for images;
+    RIFF/WAVE PCM and IMA-ADPCM compressed audio; AVI/MJPEG video.
+    Everything else (perceptual audio/video codecs) needs decoders
+    absent from this container and falls through to decode_stub."""
     if modality == "image":
         for decoder in (try_png_decode, try_jpeg_decode, try_gif_decode,
                         try_bmp_decode, try_ppm_decode):

@@ -439,6 +439,49 @@ def test_jpeg_decode_golden(spark):
     assert row["features"] == want.astype(float).tolist()
 
 
+def test_jpeg_progressive_golden():
+    """Genuine PROGRESSIVE JPEG decode (SOF2: multi-scan spectral
+    selection + successive approximation — DC first/refine, AC first
+    with EOBRUN, AC refinement with buffered correction bits). The
+    invariant is exact: progressive and baseline encode the SAME
+    quantized coefficients, so the decoded pixels must be IDENTICAL to
+    the baseline round-trip — any entropy-coding slip shows up as a
+    pixel diff. Covers 4:4:4, 4:2:0, grayscale (non-interleaved DC),
+    noise (dense refinement), flat (deep EOB runs), and a mixed image;
+    truncation and a baseline stream mislabeled SOF2 still reject."""
+    from fafnir_spark.multimodal import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+        try_jpeg_decode,
+    )
+
+    h, w = 24, 17
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = np.stack([np.clip(ii * 4 + jj * 3, 0, 255),
+                   np.clip(60 + ii * 2 + jj, 0, 255),
+                   np.clip(200 - ii * 3 + jj, 0, 255)], axis=2).astype(np.uint8)
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8)
+    big[16:40, 8:30] = 128  # flat patch inside noise → mixed EOB runs
+    cases = [
+        (px, dict(quality=100)),
+        (px, dict(quality=100, subsample=True)),
+        (px[:, :, :1], dict(quality=95)),
+        (rng.integers(0, 256, size=(33, 18, 3), dtype=np.uint8), dict(quality=90)),
+        (np.full((40, 40, 3), 77, np.uint8), dict(quality=90, subsample=True)),
+        (big, dict(quality=75, subsample=True)),
+    ]
+    for img, kw in cases:
+        prog = try_jpeg_decode(jpeg_encode_progressive(img, **kw))
+        base = try_jpeg_decode(jpeg_encode(img, **kw))
+        assert prog is not None and np.array_equal(prog, base), kw
+    blob = jpeg_encode_progressive(px, quality=90)
+    assert try_jpeg_decode(blob[:-6]) is None
+    relabeled = bytearray(jpeg_encode(px, quality=90))
+    relabeled[relabeled.find(b"\xff\xc0") + 1] = 0xC2  # baseline scan script
+    assert try_jpeg_decode(bytes(relabeled)) is None   # is invalid for SOF2
+
+
 def test_gif_decode_golden():
     """Genuine GIF decode (pure numpy LZW: variable-width codes,
     early-change size bump, 4096-entry clear/reset, palette mapping,
