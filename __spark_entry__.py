@@ -406,6 +406,16 @@ def _q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simple_query_string_bm25(_docs(spark, sf_dir), SQS_QUERY, k=10)
 
 
+def _q_simple_query_string_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple_query_string served FROM the index (the scale path): per-
+    shard OR-of-AND group evaluation over posting blocks, bulk deletes
+    cogrouped, global merge over <= k x n_parts rows. Rank-identical to
+    the direct form — same oracle."""
+    from fafnir_spark.wand import sqs_search
+
+    return sqs_search(spark, _idx_root(spark, sf_dir), SQS_QUERY, k=10)
+
+
 def _q_query_string_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query_string served FROM the positional index: dictionary prefix
     expansion, per-shard bool evaluation, phrase eligibility from stored
@@ -3463,6 +3473,7 @@ def _pq(fn_name: str, needs: str = "docs"):
 # test_coverage_consistency's sibling test asserts every *_indexed key has
 # its direct twin here (stemmed index variants map to their direct form).
 INDEXED_TWINS = {
+    "simple_query_string_indexed": "simple_query_string",
     "ann_bq_indexed": "ann_bq_rescore",
     "ann_ivf_indexed": "ann_ivf_topk",
     "search_api_knn_indexed": "search_api_knn",
@@ -3963,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": _q_collapse,
         "query_string": _q_query_string,
         "simple_query_string": _q_simple_query_string,
+        "simple_query_string_indexed": _q_simple_query_string_indexed,
         "more_like_this": _q_more_like_this,
         "more_like_this_indexed": _q_more_like_this_indexed,
         "upsert_lifecycle": _q_upsert_lifecycle,
@@ -4581,6 +4593,8 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "collapse_topk": oracles.collapse_topk_sql(Q_MAIN, "source", k=10),
         "query_string": oracles.search_text_sql(QS_QUERY, k=10),
         "simple_query_string": oracles.simple_query_string_sql(
+            parse_simple_query_string(SQS_QUERY), k=10),
+        "simple_query_string_indexed": oracles.simple_query_string_sql(
             parse_simple_query_string(SQS_QUERY), k=10),
         "more_like_this": oracles.more_like_this_sql(42, k=10, n_terms=5),
         "more_like_this_indexed": oracles.more_like_this_indexed_sql(

@@ -1043,6 +1043,132 @@ def bool_search(
     )
 
 
+def _sqs_part_fn(groups: list[dict], idfs: dict[str, float], stats: dict,
+                 k: int, tombs):
+    """Per-shard simple_query_string evaluation: each OR-group's eligible
+    set is a posting intersection minus its negations; a doc's score sums
+    the POS-term partials of every group it matches (the Lucene
+    bool-of-bools sum, exact per shard because a doc's postings live in
+    one shard). Per-shard exact top-k on rounded scores."""
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
+
+    def evaluate(pdf: pd.DataFrame, mdf: pd.DataFrame | None) -> pd.DataFrame:
+        eff_tombs = tombs
+        if mdf is not None and len(mdf):
+            bids = mdf.loc[mdf["kind"] == "b", "doc_id"]
+            if len(bids):
+                eff_tombs = _UnionExc(tombs, bids.to_numpy(dtype=np.int64))
+        by_term: dict[str, list[_Block]] = {}
+        for r in pdf.itertuples(index=False):
+            by_term.setdefault(r.term, []).append(
+                _Block(r.first_doc, r.last_doc, r.max_tf, r.min_dl, r.max_weight,
+                       r.doc_ids, r.tfs, r.dls, r.weights, getattr(r, "seg", "") or "")
+            )
+
+        def term_ids(t: str) -> np.ndarray:
+            arrs = []
+            for blk in by_term.get(t, []):
+                ids = blk.decode()[0]
+                exc = _exc_for(eff_tombs, blk.seg)
+                if exc is not None and len(exc):
+                    ids = ids[~np.isin(ids, exc)]
+                arrs.append(ids)
+            if not arrs:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate(arrs))
+
+        parts_ids, parts_sc = [], []
+        for g in groups:
+            inc, ok = None, True
+            for t in g["pos"]:
+                ids_t = term_ids(t)
+                if not len(ids_t):
+                    ok = False
+                    break
+                inc = ids_t if inc is None else inc[np.isin(inc, ids_t)]
+            if not ok or inc is None or not len(inc):
+                continue
+            for t in g["neg"]:
+                ids_t = term_ids(t)
+                if len(ids_t):
+                    inc = inc[~np.isin(inc, ids_t)]
+            if not len(inc):
+                continue
+            tb = {t: by_term[t] for t in g["pos"] if t in by_term}
+            ids, sc = score_exhaustive(tb, idfs, len(inc), k1, b, avgdl,
+                                       excluded=eff_tombs, included=inc)
+            parts_ids.append(ids)
+            parts_sc.append(sc)
+        if not parts_ids:
+            return pd.DataFrame({"qid": [], "doc_id": [], "raw_score": []}).astype(
+                {"doc_id": np.int64, "raw_score": np.float64})
+        ids = np.concatenate(parts_ids)
+        sc = np.concatenate(parts_sc)
+        uids, inv = np.unique(ids, return_inverse=True)
+        tot = np.bincount(inv, weights=sc)
+        top_ids, top_sc = _topk_rows(uids, tot, k)
+        return pd.DataFrame({"qid": ["q"] * len(top_ids), "doc_id": top_ids,
+                             "raw_score": top_sc})
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return evaluate(pdf, None)
+
+    def cofn(pdf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
+        return evaluate(pdf, mdf)
+
+    return fn, cofn
+
+
+def sqs_search(
+    spark: SparkSession,
+    index_root: str,
+    q: str,
+    k: int = 10,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES simple_query_string served FROM the index — the scale-path twin
+    of query_ext.simple_query_string_bm25 (same grammar, same oracle):
+    per-shard OR-of-AND group evaluation over posting blocks, bulk
+    deletes cogrouped as kind 'b' rows (the bool_search pattern), global
+    merge over <= k x n_parts candidates. (rank, doc_id, score)."""
+    from .query_ext import parse_simple_query_string
+
+    groups = parse_simple_query_string(q)
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    stats = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
+    all_terms = sorted({t for g in groups for t in g["pos"] + g["neg"]})
+    scored = sorted({t for g in groups for t in g["pos"]})
+    drows = cat.read_dictionary(spark, snapshot=manifest).filter(
+        F.col("term").isin(scored)).collect()
+    n_docs = stats["n_docs"]
+    idfs = {r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+            for r in drows}
+    postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
+        F.col("term").isin(all_terms))
+    tombs = _load_tombstones(spark, cat, manifest, include_bulk=False)
+    bulk = _load_bulk_df(spark, cat, manifest)
+    fn, cofn = _sqs_part_fn(groups, idfs, stats, k, tombs)
+    if bulk is not None:
+        mp = bulk.select(
+            F.lit("q").alias("qid"), "doc_id", F.lit("b").alias("kind")
+        ).withColumn(
+            "doc_part", F.pmod(F.col("doc_id"), F.lit(stats["n_parts"])).cast("int"))
+        per_part = postings.groupBy("doc_part").cogroup(
+            mp.groupBy("doc_part")).applyInPandas(cofn, schema=RESULT_SCHEMA)
+    else:
+        per_part = postings.groupBy("doc_part").applyInPandas(
+            fn, schema=RESULT_SCHEMA)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        per_part.withColumn("score", F.round(F.col("raw_score"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
 def search_text_indexed(
     spark: SparkSession,
     index_root: str,

@@ -81,3 +81,37 @@ def test_full_lifecycle(spark, tmp_path):
     hits2 = {r["doc_id"] for r in phrase_search(spark, root, {"p": first}).collect()}
     assert 470 in hits2 or 470 in victims
     assert not (hits2 & set(victims))
+
+
+def test_sqs_indexed_lifecycle(spark, tmp_path):
+    """simple_query_string served from the index is rank-identical to the
+    direct scorer; after deletes the index serves STALE corpus stats
+    (survivors keep their scores, ranks close up — the ES convention),
+    and compaction restores exact-stats parity with the live corpus."""
+    from fafnir_spark.query_ext import simple_query_string_bm25
+    from fafnir_spark.wand import sqs_search
+
+    q = "merge window | vector -slow"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=3, block_size=16, tokenizer="whitespace",
+                n_shards=2, build_id="s")
+
+    def direct(frame, k=8):
+        return [tuple(r) for r in simple_query_string_bm25(frame, q, k=k).collect()]
+
+    def indexed():
+        return [tuple(r) for r in sqs_search(spark, root, q, k=8).collect()]
+
+    pre = direct(docs, k=12)
+    assert indexed() == pre[:8]
+    victims = {pre[0][1], pre[1][1]}  # delete the top-2 hits
+    delete_docs(spark, root, sorted(victims))
+    survivors = [r for r in pre if r[1] not in victims]
+    expected = [(i + 1, doc, score) for i, (_, doc, score) in
+                enumerate(survivors)][:8]
+    assert indexed() == expected  # stale stats: scores unchanged, ranks shift
+    live = docs.filter(~F.col("doc_id").isin(sorted(victims)))
+    compact_with_tombstones(spark, root)
+    assert indexed() == direct(live)  # compaction = exact stats again
