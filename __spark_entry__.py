@@ -3688,6 +3688,18 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), n_merges=4)
 
 
+def _q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train → APPLY round trip: 6 trained merges segment the corpus
+    (on the |V|-row word table, weighted by freq — never per occurrence);
+    top-20 pieces by count. Merges enter Spark as collected literals; the
+    oracle re-derives them in chained CTEs (the kmeans/PQ convention)."""
+    from fafnir_spark.textstats import bpe_apply, bpe_train
+
+    rows = bpe_train(_docs(spark, sf_dir), n_merges=6).collect()
+    merges = [r["pair"] for r in rows]
+    return bpe_apply(_docs(spark, sf_dir), merges, k=20)
+
+
 def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar ORC source/sink parity (the jdbc_roundtrip sibling):
     write the documents fixture to ORC, read it back through the ORC
@@ -3914,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters": _q_cm_heavy_hitters,
         "stream_cm_heavy_hitters": _q_stream_cm_heavy_hitters,
         "bpe_train": _q_bpe_train,
+        "bpe_apply": _q_bpe_apply,
         "orc_roundtrip": _q_orc_roundtrip,
         "esql_mv_expand": _q_esql_mv_expand,
         "esql_inlinestats": _q_esql_inlinestats,
@@ -4345,6 +4358,7 @@ ORDER BY term ASC LIMIT 10
         "stream_cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(
             k=20, depth=4, width=256),
         "bpe_train": oracles_ops.bpe_train_sql(n_merges=4),
+        "bpe_apply": oracles_ops.bpe_apply_sql(n_merges=6, k=20),
         "orc_roundtrip": """
 SELECT source, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(n_chars) AS BIGINT) AS total_chars

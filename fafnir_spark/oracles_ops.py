@@ -1212,10 +1212,12 @@ SELECT rank, vec_id, cos FROM (
 """
 
 
-def bpe_train_sql(n_merges: int = 4) -> str:
-    """Mirror of textstats.bpe_train: chained per-merge CTEs (the
-    kmeans_train precedent) — each round's argmax pair is DERIVED IN SQL
-    and applied with the same double-spaced canonical replace."""
+def _bpe_ctes(n_merges: int, final_rewrite: bool = False) -> list[str]:
+    """Shared chained per-merge CTEs for the bpe_train AND bpe_apply
+    oracles (the kmeans_train precedent): each round's argmax pair is
+    DERIVED IN SQL and applied with the same double-spaced canonical
+    replace. With ``final_rewrite`` the last merge is also applied,
+    yielding w{n_merges+1} = the fully segmented vocabulary."""
 
     def canon(expr: str) -> str:
         return ("' ' || array_to_string(list_filter(string_split_regex("
@@ -1245,16 +1247,38 @@ def bpe_train_sql(n_merges: int = 4) -> str:
         ctes.append(f"""b{i} AS (
   SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1
 )""")
-        if i < n_merges:
+        if i < n_merges or final_rewrite:
             repl = (f"replace(s, ' ' || replace(b.pair, ' ', '  ') || ' ', "
                     f"' ' || replace(b.pair, ' ', '') || ' ')")
             ctes.append(f"""w{i + 1} AS (
   SELECT {canon(repl)} AS s, freq
   FROM w{i}, b{i} b
 )""")
+    return ctes
+
+
+def bpe_train_sql(n_merges: int = 4) -> str:
+    """Mirror of textstats.bpe_train (shared _bpe_ctes)."""
+    ctes = _bpe_ctes(n_merges)
     unions = " UNION ALL ".join(
         f"SELECT {i} AS step, pair, cnt FROM b{i}" for i in range(1, n_merges + 1))
     return "WITH " + ",\n".join(ctes) + f"\n{unions}\nORDER BY step"
+
+
+def bpe_apply_sql(n_merges: int = 6, k: int = 20) -> str:
+    """Mirror of textstats.bpe_apply fed by the in-SQL-trained merges:
+    the final rewritten vocabulary's pieces, weighted by word freq."""
+    ctes = _bpe_ctes(n_merges, final_rewrite=True)
+    return "WITH " + ",\n".join(ctes) + f""",
+pieces AS (
+  SELECT unnest(list_filter(string_split_regex(s, ' +'), x -> x <> '')) AS piece,
+         freq
+  FROM w{n_merges + 1}
+)
+SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+FROM pieces GROUP BY piece
+ORDER BY cnt DESC, piece ASC
+LIMIT {k}"""
 
 
 def bitext_margin_sql(k: int = 4, n_out: int = 20) -> str:

@@ -387,6 +387,39 @@ def bpe_train(docs: DataFrame, n_merges: int = 4,
                                  ).orderBy("step")
 
 
+def bpe_apply(docs: DataFrame, merges: list[str], k: int = 20,
+              text_col: str = "text") -> DataFrame:
+    """BPE tokenizer APPLICATION: segment the corpus with an ordered
+    trained merge list (each ``merges`` entry a 'a b' pair string, the
+    bpe_train output) and return the top-k resulting pieces by weighted
+    count — train → apply is the full Sennrich'16 tokenizer round trip.
+
+    Scale shape: segmentation runs on the |V|-row word-frequency table,
+    never per occurrence (a word segments identically everywhere; its
+    pieces are weighted by freq) — each merge is the same canonical
+    double-spaced string replace as training, applied in order as one
+    chained row-local expression. (piece, cnt) ordered (cnt desc,
+    piece asc), k rows."""
+    words = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    chars = F.filter(F.split(F.col("w"), ""), _nonempty)
+    s = _bpe_canonical(chars)
+    for pair in merges:
+        pat = " " + pair.replace(" ", "  ") + " "
+        rep = " " + pair.replace(" ", "") + " "
+        s = _bpe_canonical(_bpe_symbols(F.replace(s, F.lit(pat), F.lit(rep))))
+    return (
+        words.select(F.explode(_bpe_symbols(s)).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(k)
+    )
+
+
 def ngram_diversity(docs: DataFrame, by: str = "source",
                     text_col: str = "text") -> DataFrame:
     """Distinct-n diversity (the self-repetition audit text-generation
