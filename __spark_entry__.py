@@ -2751,6 +2751,22 @@ def _q_stream_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TSDB downsampling: per-batch partial rollups merged in
+    bounded parquet state (count/sum additive, min/max lattice, last as
+    struct max) — the folded state equals the batch rollup, same oracle
+    as downsample_tsdb."""
+    from fafnir_spark.streaming import stream_downsample
+
+    base = tempfile.mkdtemp(prefix="fafnir_sds_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_downsample(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"),
+        interval_hours=6,
+    )
+
+
 def _q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL cardinality: per-batch register relations merged into
     bounded parquet state (max-mergeable sketch law) — the drained state
@@ -3805,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_sort": _q_bucket_sort,
         "tsdb_rate": _q_tsdb_rate,
         "downsample_tsdb": _q_downsample_tsdb,
+        "stream_downsample": _q_stream_downsample,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
         "esql_stats_where": _q_esql_stats_where,
         "esql_bucket_case": _q_esql_bucket_case,
@@ -4161,6 +4178,7 @@ def oracle_sql() -> dict[str, str]:
         "bucket_sort": oracles_pipeline.bucket_sort_sql(from_=2, size=3),
         "tsdb_rate": oracles_pipeline.tsdb_rate_sql(unit_hours=1),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
+        "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),
         "esql_change_point": oracles_pipeline.esql_change_point_sql(),
         "esql_agg_functions": """

@@ -588,6 +588,73 @@ def stream_change_point(
     return change_point_from_buckets(merged)
 
 
+def stream_downsample(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    interval_hours: int = 6,
+) -> DataFrame:
+    """Streaming TSDB downsampling: each micro-batch collapses to its
+    per-(series, bucket) partial rollup — count/sum are ADDITIVE-merge,
+    min/max are MIN/MAX-merge, and last_value rides as max(struct(ts,
+    event_id, value)) so the merge is one more struct max — appended to
+    parquet state. The folded state IS the batch downsample_tsdb table
+    (same rounding, same oracle); state is bounded at |series·buckets|
+    ·|batches| partial rows (compactable by re-merging); batch stamps
+    make checkpoint replays detectable."""
+    import os
+
+    buckets_dir = os.path.join(state_dir, "buckets")
+    secs = 3600 * interval_hours
+
+    def bucket_col():
+        td = F.col("ts").cast("timestamp").cast("double")
+        return (F.floor(td / F.lit(float(secs))) * F.lit(secs)).cast("long")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.select("event_type", bucket_col().alias("bucket_ts"),
+                      "value", "ts", "event_id")
+            .groupBy("event_type", "bucket_ts")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("pn"),
+                F.min("value").alias("pmin"),
+                F.max("value").alias("pmax"),
+                F.sum("value").alias("psum"),
+                F.max(F.struct("ts", "event_id", "value")).alias("plast"),
+            )
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(buckets_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(buckets_dir)
+        .dropDuplicates(["event_type", "bucket_ts", "_b"])
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            F.sum("pn").cast("long").alias("n"),
+            F.round(F.min("pmin"), 6).alias("vmin"),
+            F.round(F.max("pmax"), 6).alias("vmax"),
+            F.round(F.sum("psum"), 6).alias("vsum"),
+            F.round(F.max("plast").getField("value"), 6).alias("vlast"),
+        )
+        .orderBy("event_type", "bucket_ts")
+    )
+
+
 def stream_interval_join(
     spark: SparkSession,
     source_path: str,

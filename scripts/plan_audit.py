@@ -569,6 +569,36 @@ def main() -> None:
               "Serving reads ONLY the published dictionary table (no "
               "postings, no corpus); the prefix filter prunes the scan "
               "and the ordered limit is TakeOrderedAndProject."),
+        audit("downsample_tsdb (TSDB rollup)",
+              __import__('fafnir_spark.pipeline', fromlist=['x'])
+              .downsample_tsdb(spark.read.parquet(f"{sf}/events.parquet")),
+              "ONE groupBy on (series, bucket) with map-side combine; "
+              "last_value rides the same aggregate as max_by(value, "
+              "struct(ts,event_id)) — no window over the raw samples, so "
+              "a hot series never funnels its full history through one "
+              "reducer beyond its own group."),
+        audit("esql SAMPLE (keyed Bernoulli)",
+              __import__('fafnir_spark.esql', fromlist=['x'])
+              .esql(spark, "FROM events | SAMPLE 0.25 event_id | STATS "
+                    "n = count(*) BY event_type | SORT event_type ASC",
+                    {"events": spark.read.parquet(f"{sf}/events.parquet")}),
+              "The sample is a row-local hash-threshold filter BELOW the "
+              "aggregation — the scan's output shrinks by p before any "
+              "shuffle; no driver randomness, no sort."),
+        audit("sqs_search (indexed simple_query_string)",
+              __import__('fafnir_spark.wand', fromlist=['x'])
+              .sqs_search(spark, root, "merge window | vector -slow", k=10),
+              "Postings scan is term-isin pruned; OR-of-AND group "
+              "evaluation is per-shard exact inside ONE applyInPandas "
+              "(a doc's postings live in one shard), global merge over "
+              "<= k x n_parts rows."),
+        audit("bpe_apply (trained-merge segmentation)",
+              __import__('fafnir_spark.textstats', fromlist=['x'])
+              .bpe_apply(docs, ["e r", "e s"], k=20),
+              "Segmentation runs on the |V|-row word-frequency table "
+              "(one corpus explode + groupBy with map-side combine), the "
+              "merge chain is a row-local expression, and the piece "
+              "table finishes with TakeOrderedAndProject."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
