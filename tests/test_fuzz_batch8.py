@@ -88,3 +88,43 @@ def test_temperature_mix_fuzz(spark, con):
     for alpha, grp in ((0.5, "lang"), (0.25, "lang"), (0.5, "source")):
         got = temperature_mix(docs, alpha=alpha, group_col=grp)
         _match(got, con, temperature_mix_sql(alpha=alpha, group_col=grp))
+
+
+def test_jpeg_progressive_fuzz():
+    """Fuzz the progressive==baseline pixel-identity invariant: both
+    encoders quantize identical coefficients, so ANY divergence in the
+    progressive entropy coding (EOBRUN spans, ZRL-in-refine ordering,
+    correction-bit buffering, DC successive approximation) shows up as a
+    pixel mismatch. Random dims (odd/even, sub-MCU), content mixes
+    (noise / flat runs / gradients), qualities, both chroma layouts."""
+    import numpy as np
+
+    from fafnir_spark.multimodal import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+        try_jpeg_decode,
+    )
+
+    rng = np.random.default_rng(20260818)
+    for trial in range(16):
+        h = int(rng.integers(8, 49))
+        w = int(rng.integers(8, 49))
+        ch = 1 if trial % 5 == 4 else 3
+        kind = trial % 3
+        if kind == 0:
+            img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        elif kind == 1:
+            img = np.full((h, w, ch), int(rng.integers(0, 256)), np.uint8)
+            img[: h // 2, : w // 2] = rng.integers(0, 256, size=(h // 2, w // 2, ch))
+        else:
+            ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            img = np.stack([(ii * int(rng.integers(1, 7))
+                             + jj * int(rng.integers(1, 7))) % 256] * ch,
+                           axis=2).astype(np.uint8)
+        quality = int(rng.choice([60, 75, 90, 100]))
+        sub = bool(rng.integers(0, 2)) and ch == 3
+        prog = try_jpeg_decode(jpeg_encode_progressive(img, quality=quality,
+                                                       subsample=sub))
+        base = try_jpeg_decode(jpeg_encode(img, quality=quality, subsample=sub))
+        assert prog is not None and np.array_equal(prog, base), (
+            trial, h, w, ch, quality, sub)
