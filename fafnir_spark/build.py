@@ -709,3 +709,21 @@ def reindex(
               "with_positions": old_meta.get("with_positions", with_pos),
               "stats": stats},
     )
+
+
+def write_bucketed(df: DataFrame, table: str, col: str = "doc_id",
+                   buckets: int = 8) -> None:
+    """Persist a DataFrame as a BUCKETED + sorted managed table: rows are
+    hash-distributed into ``buckets`` files per partition by ``col`` at
+    write time, so equi-joins and aggregations on ``col`` between tables
+    bucketed the same way read PRE-SHUFFLED data — Catalyst drops the
+    Exchange entirely (plan-asserted in
+    test_bucketed_join_skips_exchange). This is the vanilla-Spark
+    rendering of Iceberg bucket partition transforms (the reference's
+    Iceberg table layout, /root/reference README.md deployment notes):
+    at 100 TB the doc-keyed side tables (features, labels, embeddings)
+    are written once bucketed by doc_id and every downstream join against
+    them is co-located — the shuffle is paid at write time, once, instead
+    of per query."""
+    (df.write.mode("overwrite").bucketBy(buckets, col).sortBy(col)
+       .format("parquet").saveAsTable(table))
