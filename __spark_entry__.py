@@ -3381,6 +3381,25 @@ def _q_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_sampler_agg(spark.read.parquet(f"{sf_dir}/events.parquet"), p=0.25)
 
 
+def _q_sampler_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler agg: terms sub-agg restricted to the BM25 top-100
+    best-hits sample (cheap facets over the relevant head — the
+    complement of random_sampler's probability sample)."""
+    from fafnir_spark.pipeline import sampler_agg_terms
+
+    return sampler_agg_terms(_docs(spark, sf_dir), Q_MAIN, by="source",
+                             shard_size=100)
+
+
+def _q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES global agg: the query-context metric next to the whole-index
+    metric (global bucket escapes the query filter) — one corpus pass,
+    both buckets as conditional aggregates."""
+    from fafnir_spark.pipeline import global_agg
+
+    return global_agg(_docs(spark, sf_dir), Q_MAIN, metric_col="n_chars")
+
+
 def _q_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES stats_bucket pipeline agg: min/max/avg/sum of the per-day
     rounded bucket sums (bounded bucket relation)."""
@@ -3928,6 +3947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_point": _q_change_point,
         "stats_bucket": _q_stats_bucket,
         "random_sampler": _q_random_sampler,
+        "sampler_terms": _q_sampler_terms,
+        "global_agg": _q_global_agg,
         "geo_distance_range": _q_geo_distance_range,
         "esql_pipeline": _q_esql,
         "esql_rename_drop": _q_esql_rename_drop,
@@ -4360,6 +4381,9 @@ ORDER BY term ASC LIMIT 10
         "change_point": oracles_pipeline.change_point_sql(),
         "stats_bucket": oracles_pipeline.stats_bucket_sql(),
         "random_sampler": oracles_pipeline.random_sampler_sql(p=0.25),
+        "sampler_terms": oracles_pipeline.sampler_agg_terms_sql(
+            Q_MAIN, by="source", shard_size=100),
+        "global_agg": oracles_pipeline.global_agg_sql(Q_MAIN, metric_col="n_chars"),
         "geo_distance_range": oracles_pipeline.geo_distance_range_sql(),
         "ann_matryoshka": oracles_ops.matryoshka_topk_sql(
             QVEC, k=10, prefix_dim=16, rescore_factor=4),

@@ -1562,6 +1562,39 @@ FROM per ORDER BY event_type
 """
 
 
+def sampler_agg_terms_sql(terms: list[str], by: str = "source",
+                          shard_size: int = 100) -> str:
+    """Mirror of pipeline.sampler_agg_terms: the BM25 top-shard_size
+    sample (the shared rank rule: rounded score desc, doc_id asc) then
+    terms counts over the sample."""
+    from .oracles import bm25_topk_sql
+
+    inner = bm25_topk_sql(terms, k=shard_size).strip()
+    return f"""
+WITH sample AS ({inner})
+SELECT d.{by} AS value, CAST(count(*) AS BIGINT) AS n
+FROM sample s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.{by}
+ORDER BY n DESC, value ASC
+"""
+
+
+def global_agg_sql(terms: list[str], metric_col: str = "n_chars") -> str:
+    """Mirror of pipeline.global_agg: same any-term hit flag, both
+    buckets as conditional aggregates over one scan."""
+    qterms = sorted(set(terms))
+    inlist = ", ".join(f"'{t}'" for t in qterms)
+    hit = (f"len(list_intersect(list_filter(string_split(text, ' '), "
+           f"x -> x <> ''), [{inlist}])) > 0")
+    return f"""
+SELECT CAST(count(CASE WHEN {hit} THEN 1 END) AS BIGINT) AS n_matched,
+       round(avg(CASE WHEN {hit} THEN {metric_col} END), 6) AS avg_matched,
+       CAST(count(*) AS BIGINT) AS n_all,
+       round(avg({metric_col}), 6) AS avg_all
+FROM documents
+"""
+
+
 def downsample_tsdb_sql(interval_hours: int = 6) -> str:
     """Mirror of pipeline.downsample_tsdb: same epoch-floor bucket rule,
     same rounded metric set; last_value via the rn=1 window (DuckDB

@@ -1978,6 +1978,52 @@ def tsdb_rate(events: DataFrame, unit_hours: int = 1) -> DataFrame:
                       rate.alias("rate")).orderBy("event_type")
 
 
+def sampler_agg_terms(docs: DataFrame, terms: list[str], by: str = "source",
+                      shard_size: int = 100) -> DataFrame:
+    """ES `sampler` aggregation: restrict a sub-aggregation to the
+    highest-scoring ``shard_size`` documents of the query (the
+    "best-hits sample" — cheap facets over only the relevant head, the
+    complement of random_sampler's probability sample). Sample = BM25
+    top-``shard_size`` (rounded score desc, doc_id asc — the engine's
+    rank order), sub-agg = terms counts on ``by``.
+
+    Scale shape: the sample is the existing two-scan direct BM25 top-k
+    (TakeOrderedAndProject, k rows out); the sub-agg joins ``by`` back
+    for k ids (AQE broadcasts the k-row side) and groups <= k rows.
+    (value, n) ordered (n desc, value asc)."""
+    from .query import bm25_topk
+
+    top = bm25_topk(docs, terms, k=shard_size).select("doc_id")
+    return (
+        top.join(docs.select("doc_id", F.col(by).alias("value")), "doc_id")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("value").asc())
+    )
+
+
+def global_agg(docs: DataFrame, terms: list[str],
+               metric_col: str = "n_chars") -> DataFrame:
+    """ES `global` aggregation: alongside the query-context aggregate,
+    report the same metric over the WHOLE index (the global bucket
+    escapes the query filter — the classic 'share of total' pattern).
+    Query context = docs containing ANY query term. ONE corpus pass:
+    the context flag is a row-local expression and both buckets are
+    conditional aggregates in a single 1-row groupBy.
+    (n_matched, avg_matched, n_all, avg_all)."""
+    from .tokenizer import tokens_expr
+
+    qterms = sorted(set(terms))
+    hit = F.arrays_overlap(tokens_expr("text"), F.array(*[F.lit(t) for t in qterms]))
+    m = F.col(metric_col)
+    return docs.select(hit.alias("__hit"), m.alias("__m")).agg(
+        F.count(F.when(F.col("__hit"), 1)).cast("long").alias("n_matched"),
+        F.round(F.avg(F.when(F.col("__hit"), F.col("__m"))), 6).alias("avg_matched"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.round(F.avg("__m"), 6).alias("avg_all"),
+    )
+
+
 def downsample_tsdb(events: DataFrame, interval_hours: int = 6) -> DataFrame:
     """ES TSDB downsampling (the `_downsample` API / ILM downsample
     action): roll a time-series index up to a coarser fixed_interval,
