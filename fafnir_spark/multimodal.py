@@ -1865,3 +1865,73 @@ def resize_media(media: DataFrame, width: int = 8, height: int = 8, fake: bool =
     return media.mapInPandas(
         fn, schema="doc_id long, modality string, payload binary, width int, height int"
     )
+
+
+def _dhash_bits(px: np.ndarray) -> int:
+    """64-bit difference hash of one decoded image: grayscale → 8x9
+    nearest-sample grid → horizontal gradient sign bits, folded
+    acc*2+bit (the ann_bq overflow-safe fold). Deterministic, pure
+    numpy."""
+    a = px.astype(np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    ys = np.round(np.linspace(0, h - 1, 8)).astype(np.int64)
+    xs = np.round(np.linspace(0, w - 1, 9)).astype(np.int64)
+    g = a[ys][:, xs]
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+    acc = 0
+    for b in bits:
+        acc = acc * 2 + int(b)
+    return int(np.uint64(acc).astype(np.int64))  # wraparound into BIGINT
+
+
+def image_dhash(media: DataFrame, fake: bool = False) -> DataFrame:
+    """(doc_id, dh): perceptual difference-hash over DECODED image
+    payloads (the real codecs — JPEG/PNG/GIF/BMP/PPM) via one
+    Arrow-batched mapInPandas pass. Two encodings of the same picture
+    (e.g. a PNG and its JPEG re-encode) land within a few bits, so the
+    downstream join is the cross-FORMAT image dedup a crawl pipeline
+    needs — byte-level hashing can never catch those."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for i, m, p in zip(pdf["doc_id"], pdf["modality"], pdf["payload"]):
+                if m != "image":
+                    continue
+                ids.append(i)
+                hs.append(_dhash_bits(decode_media(p, m, fake=fake)))
+            yield pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                                "dh": np.asarray(hs, dtype=np.int64)})
+
+    return media.mapInPandas(fn, schema="doc_id long, dh long")
+
+
+def image_dup_pairs(media: DataFrame, max_hamming: int = 6,
+                    fake: bool = False) -> DataFrame:
+    """(doc_a, doc_b, hamming) image near-dup pairs with
+    hamming(dhash) <= max_hamming: band the 64 hash bits into 8 bytes
+    and equi-join on any-equal-byte first (pigeonhole: hamming <= 7 ⇒
+    at least one byte equal — the dedup.simhash_pairs plan, so the
+    tested shape IS the scale shape), then exact bit_count verify."""
+    hashes = image_dhash(media, fake=fake)
+    banded = hashes.select(
+        "doc_id", "dh",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(i)),
+                        F.shiftright("dh", i * 8).bitwiseAND(F.lit(255)).cast("string"))
+            for i in range(8)
+        ])).alias("bkey"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.dh").bitwiseXOR(F.col("b.dh"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -750,3 +750,35 @@ def test_ivf_filtered_exhaustive_equals_brute(spark, emb, tmp_path):
     pruned = ivf_search(spark, root, {"q": qv}, k=10, nprobe=2,
                         eligible=eligible).collect()
     assert pruned and all(r["vec_id"] in ok_ids for r in pruned)
+
+
+def test_image_dhash_dedup(spark):
+    """Perceptual image dedup over REAL decoded payloads: the same
+    picture stored as PNG and as JPEG q90 (different bytes, same pixels
+    modulo DCT error) must pair within a small Hamming distance, while a
+    different picture must not pair with either. The banded join is the
+    simhash pigeonhole plan (8 one-byte bands over the 64-bit dhash)."""
+    from fafnir_spark.multimodal import (
+        image_dup_pairs,
+        jpeg_encode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    ii, jj = np.meshgrid(np.arange(32), np.arange(40), indexing="ij")
+    base = np.stack([(ii * 5 + jj * 2) % 256, (ii * 3) % 256,
+                     (jj * 7) % 256], axis=2).astype(np.uint8)
+    other = rng.integers(0, 256, size=(32, 40, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(png_encode(base))),
+        (2, "image", bytearray(jpeg_encode(base, quality=90))),   # re-encode
+        (3, "image", bytearray(png_encode(other))),
+        (4, "audio", bytearray(b"RIFF")),                         # ignored
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, modality string, payload binary")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in image_dup_pairs(media, max_hamming=6).collect()}
+    assert (1, 2) in pairs, pairs          # cross-format near-dup found
+    assert pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
