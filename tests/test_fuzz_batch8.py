@@ -128,3 +128,51 @@ def test_jpeg_progressive_fuzz():
         base = try_jpeg_decode(jpeg_encode(img, quality=quality, subsample=sub))
         assert prog is not None and np.array_equal(prog, base), (
             trial, h, w, ch, quality, sub)
+
+
+def test_simple_query_string_fuzz(spark, con):
+    """Random OR-of-AND queries (1-3 groups, 1-2 positive terms each,
+    optional in-group negation) vs the oracle; one draw also checks the
+    indexed per-shard evaluator is rank-identical to the direct form."""
+    from fafnir_spark.oracles import simple_query_string_sql
+    from fafnir_spark.query_ext import (
+        parse_simple_query_string,
+        simple_query_string_bm25,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rng = random.Random(99)
+    qs = []
+    for _ in range(4):
+        groups = []
+        for _g in range(rng.randint(1, 3)):
+            pos = rng.sample(TERMS_POOL, rng.randint(1, 2))
+            neg = [f"-{t}" for t in rng.sample(TERMS_POOL, 1)
+                   if t not in pos and rng.random() < 0.6]
+            groups.append(" ".join(pos + neg))
+        qs.append(" | ".join(groups))
+    for q in qs:
+        got = simple_query_string_bm25(docs, q, k=10)
+        _match(got, con, simple_query_string_sql(parse_simple_query_string(q), k=10))
+
+
+def test_sqs_indexed_fuzz_matches_direct(spark, tmp_path):
+    """Indexed simple_query_string == direct on random queries (one
+    shared index build, several query draws)."""
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.query_ext import simple_query_string_bm25
+    from fafnir_spark.wand import sqs_search
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=3, block_size=32, tokenizer="whitespace",
+                build_id="f")
+    rng = random.Random(7)
+    for _ in range(3):
+        g1 = " ".join(rng.sample(TERMS_POOL, 2))
+        g2 = rng.choice(TERMS_POOL) + " -" + rng.choice(TERMS_POOL)
+        q = f"{g1} | {g2}"
+        direct = [tuple(r) for r in simple_query_string_bm25(docs, q, k=10).collect()]
+        indexed = [tuple(r) for r in sqs_search(spark, root, q, k=10).collect()]
+        assert indexed == direct, q
