@@ -215,6 +215,23 @@ def main() -> None:
 
     timed("r5_sweep", _r5_sweep)
 
+    # session-9 ops: lenient bool grammar, TSDB rollup, best-hits sample,
+    # tokenizer train->apply (NEW key — old keys stay comparable)
+    from fafnir_spark.pipeline import downsample_tsdb, sampler_agg_terms
+    from fafnir_spark.query_ext import simple_query_string_bm25
+    from fafnir_spark.textstats import bpe_apply
+
+    def _s9_sweep() -> int:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n = simple_query_string_bm25(docs, "merge window | vector -slow", k=10).count()
+        n += downsample_tsdb(events, interval_hours=6).count()
+        n += sampler_agg_terms(docs, ["merge", "window", "customer"],
+                               shard_size=100).count()
+        n += bpe_apply(docs, ["e r", "e s", "t h"], k=20).count()
+        return n
+
+    timed("s9_sweep", _s9_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work
