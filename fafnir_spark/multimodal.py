@@ -1935,3 +1935,86 @@ def image_dup_pairs(media: DataFrame, max_hamming: int = 6,
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _audio_fp_hashes(samples: np.ndarray, n_fft: int = 256,
+                     gram: int = 3) -> np.ndarray:
+    """Landmark hashes of one decoded audio signal (a chromaprint-style
+    reduction): Hann-windowed frame spectra → dominant bin per frame →
+    n-grams of consecutive dominant bins folded into one int64 each.
+    Dominant bins survive small quantization noise (ADPCM, 8-bit PCM),
+    so two lossy encodings of the same recording share most hashes."""
+    x = samples.astype(np.float64).reshape(-1, samples.shape[-1]).mean(axis=1) \
+        if samples.ndim > 1 else samples.astype(np.float64)
+    n_frames = len(x) // n_fft
+    if n_frames < gram:
+        return np.empty(0, dtype=np.int64)
+    frames = x[: n_frames * n_fft].reshape(n_frames, n_fft)
+    spec = np.abs(np.fft.rfft(frames * np.hanning(n_fft), axis=1))[:, 1:]  # no DC
+    top2 = np.argpartition(spec, -2, axis=1)[:, -2:]  # two strongest bins
+    lo, hi = top2.min(axis=1) + 1, top2.max(axis=1) + 1
+    dom = lo * 1000 + hi  # frame landmark = ordered peak PAIR
+    # trajectory hash (the Shazam anchor-pair idea): landmarks STRIDED in
+    # time, so a slow sweep's run of equal landmarks doesn't collapse to
+    # one hash shared by every other slow sweep — the inter-frame DELTA
+    # (rate and direction) is what gets hashed
+    stride = 2
+    span = (gram - 1) * stride
+    if len(dom) <= span:
+        return np.empty(0, dtype=np.int64)
+    acc = np.zeros(len(dom) - span, dtype=np.int64)
+    for j in range(gram):
+        acc = acc * 1_000_003 + dom[j * stride: len(dom) - span + j * stride] * (j + 1)
+    return np.unique(acc)
+
+
+def audio_fingerprint(media: DataFrame, fake: bool = False) -> DataFrame:
+    """(doc_id, fh) exploded landmark-hash rows over DECODED audio
+    payloads (WAV PCM and IMA-ADPCM) — one Arrow-batched mapInPandas
+    pass, |hashes| bounded by frames per clip."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for i, m, p in zip(pdf["doc_id"], pdf["modality"], pdf["payload"]):
+                if m != "audio":
+                    continue
+                fps = _audio_fp_hashes(decode_media(p, m, fake=fake))
+                ids.append(np.full(len(fps), i, dtype=np.int64))
+                hs.append(fps)
+            if not ids:
+                yield pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                    "fh": np.empty(0, np.int64)})
+                continue
+            yield pd.DataFrame({"doc_id": np.concatenate(ids),
+                                "fh": np.concatenate(hs)})
+
+    return media.mapInPandas(fn, schema="doc_id long, fh long")
+
+
+def audio_dup_pairs(media: DataFrame, min_overlap: float = 0.8,
+                    fake: bool = False) -> DataFrame:
+    """(doc_a, doc_b, overlap) audio near-dup pairs: equi-join the
+    landmark-hash rows on fh (shared hashes only — never all-pairs),
+    count matches per pair, keep pairs whose overlap (shared / smaller
+    set) >= min_overlap. Catches cross-CODEC duplicates (a WAV and its
+    ADPCM re-encode) that byte hashing can't."""
+    fp = audio_fingerprint(media, fake=fake)
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("nf"))
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fh") == F.col("b.fh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb"))
+    return (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(F.col("n_shared") / F.least("na", "nb"), 6).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -782,3 +782,30 @@ def test_image_dhash_dedup(spark):
     assert (1, 2) in pairs, pairs          # cross-format near-dup found
     assert pairs[(1, 2)] <= 6
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_fingerprint_dedup(spark):
+    """Cross-CODEC audio dedup over REAL decoded payloads: the same
+    recording stored as 16-bit PCM and as its lossy IMA-ADPCM re-encode
+    (different bytes, ~68-rms quantization noise) must share ~all
+    landmark hashes, while band-separated different content must not
+    reach the overlap threshold. The join is hash-equality → pair count
+    (shared hashes only, never all-pairs)."""
+    from fafnir_spark.multimodal import adpcm_encode, audio_dup_pairs, wav_encode
+
+    t = np.arange(24000, dtype=np.float64)
+    sig = (7000 * np.sin(2 * np.pi * (0.002 + t / 6e5) * t)
+           + 2500 * np.sin(t / 11 + 3 * np.sin(t / 900))).astype(np.int64)
+    other = (7000 * np.sin(t / 2.1 + 2 * np.sin(t / 400))).astype(np.int64)
+    rows = [
+        (1, "audio", bytearray(wav_encode(sig.astype(np.int16)))),
+        (2, "audio", bytearray(adpcm_encode(sig))),        # lossy re-encode
+        (3, "audio", bytearray(wav_encode(other.astype(np.int16)))),
+        (4, "image", bytearray(b"GIF8")),                  # ignored
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, modality string, payload binary")
+    pairs = {(r["doc_a"], r["doc_b"]): r["overlap"]
+             for r in audio_dup_pairs(media, min_overlap=0.8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.9, pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs, pairs
