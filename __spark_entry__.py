@@ -114,6 +114,26 @@ def _q_stemmed_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", "doc_id", "score")
 
 
+def _q_routed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES custom ``_routing``: the index is built with routing_col='source',
+    giving every source tenant its own disjoint doc_part range, and the
+    routed query is served by PARTITION PRUNING — only the tenant's posting
+    partitions are opened (1/20th of the index here; 1/n_tenants at scale).
+    Scoring statistics are route-local, so the oracle is plain BM25 over
+    the sub-corpus WHERE source='src3' — the tenant's own index."""
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.wand import routed_search
+
+    root = os.path.join(tempfile.gettempdir(),
+                        "fafnir_ridx_" + _content_key(sf_dir))
+    docs = normalize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+    build_index(spark, docs, root, n_parts=4, block_size=128,
+                tokenizer="whitespace", build_id="routed", resume=True,
+                routing_col="source")
+    return routed_search(spark, root, "src3", {"q": Q_MAIN}, k=10).select(
+        "rank", "doc_id", "score")
+
+
 def _q_alias_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES filtered alias: Q_MAIN routed through an alias whose stored
     filter ('spark' in filter context) restricts eligibility without
@@ -3760,6 +3780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_boosted": _q_bm25_boosted,
         "bm25_topk_indexed": _q_bm25_indexed,
         "reindex_query": _q_reindex_query,
+        "routed_bm25": _q_routed_bm25,
         "alias_search": _q_alias_search,
         "term_dictionary": _q_dictionary,
         "conjunctive_match": _q_conjunctive,
@@ -4098,6 +4119,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_boosted": oracles.bm25_topk_sql(Q_BOOST, k=10, boosted=True),
         "bm25_topk_indexed": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "reindex_query": oracles.bm25_topk_sql(Q_MAIN, k=10),
+        "routed_bm25": oracles.bm25_topk_sql(
+            Q_MAIN, k=10, docs_where="source = 'src3'"),
         "alias_search": oracles.bool_bm25_sql(
             must=Q_MAIN, filter_terms=["spark"], k=10
         ),

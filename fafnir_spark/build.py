@@ -230,6 +230,8 @@ def build_index(
     build_id: str = "build0",
     compact_after: bool = False,
     with_positions: bool = False,
+    routing_col: str | None = None,
+    max_routes: int = 64,
 ) -> dict:
     """Build (or resume) the inverted index. Returns build metrics.
 
@@ -237,10 +239,42 @@ def build_index(
     optional metadata columns repo/path/commit/lang/source).
     ``with_positions=True`` adds positional postings (index grows ~1 varint
     per token) enabling exact indexed phrase queries (wand.phrase_search).
-    """
+
+    ``routing_col`` builds a ROUTED index (ES custom ``_routing``): the
+    final doc_part becomes route_idx*n_parts + pmod(doc_id, n_parts), so
+    every posting block and every physical partition is tenant-pure and a
+    routing-scoped query (wand.routed_search) prunes to its own n_parts
+    partitions out of n_routes*n_parts — partition pruning IS the routing.
+    Unrouted reads (run_queries etc.) stay correct: scoring is global-stats
+    and per-doc_part-local, so HOW docs were assigned to parts is
+    invisible; they simply scan all routes, the ES routing-less fan-out.
+    Incremental maintenance RAISES on routed indexes (ES parity: writes to
+    a routing-required index must carry routing; this engine's tombstone /
+    upsert sites derive doc_part = pmod(doc_id, n_parts) and would target
+    the wrong route) — routed indexes are rebuild-only. Route values are
+    collected once (<= ``max_routes``, the ES shard-count scale; null
+    routing rejected) and persisted in the 'routing' json."""
     cat = Catalog(index_root)
     docs = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
     passthrough = [c for c in docs.columns if c in META_COLS]
+    routes: list | None = None
+    if routing_col is not None:
+        if routing_col not in passthrough:
+            raise ValueError(
+                f"routing_col {routing_col!r} must be a passthrough metadata "
+                f"column (one of {sorted(META_COLS)})")
+        rrows = docs.select(routing_col).distinct().collect()
+        if any(r[0] is None for r in rrows):
+            raise ValueError(
+                f"routing_col {routing_col!r} has null values — every doc "
+                "must carry a routing value (ES: routing_missing_exception)")
+        routes = sorted(r[0] for r in rrows)
+        if len(routes) > max_routes:
+            raise ValueError(
+                f"{len(routes)} distinct routing values exceeds max_routes="
+                f"{max_routes} — route on a coarser key")
+        route_map = F.create_map(
+            *[x for i, v in enumerate(routes) for x in (F.lit(v), F.lit(i))])
 
     done = cat.read_json("checkpoints") or {"build_id": build_id, "shards": {}}
     if done.get("build_id") != build_id or not resume:
@@ -269,7 +303,17 @@ def build_index(
         )
         tokenized = part.select("doc_id", "content", "weight", *passthrough).mapInPandas(
             tok_fn, schema=tok_schema
-        ).persist()
+        )
+        if routes is not None:
+            # routed layout: shift each route's pmod-parts into its own
+            # disjoint doc_part range — blocks become tenant-pure with NO
+            # encoder change, and routing-scoped reads are plain doc_part
+            # partition pruning
+            tokenized = tokenized.withColumn(
+                "doc_part",
+                (route_map[F.col(routing_col)] * F.lit(n_parts)
+                 + F.col("doc_part")).cast("int"))
+        tokenized = tokenized.persist()
 
         # doc_map rows carry their segment name so tombstones can be scoped
         # per segment (stable-id upsert: old row dead, same-id new row live)
@@ -341,6 +385,10 @@ def build_index(
             totals[m] += rec[m]
         totals["secs"] += secs
 
+    if routes is not None:
+        cat.write_json("routing", {
+            "routing_col": routing_col, "routes": routes,
+            "parts_per_route": n_parts})
     finalize_index(spark, cat, build_id, n_shards, n_parts, block_size, with_positions)
     if compact_after:
         compact_index(spark, cat, block_size)
@@ -627,6 +675,12 @@ def reindex(
     if TOMBSTONE_TABLE in m["tables"] or BULK_TOMBSTONE_TABLE in m["tables"]:
         raise ValueError(
             "reindex requires a compacted snapshot — run compact_with_tombstones first"
+        )
+    if scat.read_json("routing") is not None:
+        raise ValueError(
+            "reindex would recompute doc_part = pmod(doc_id, n_parts) and "
+            "destroy the routed layout; rebuild with "
+            "build_index(routing_col=...) from the corpus instead"
         )
     postings = scat.read_table(spark, "postings")
     with_pos = "positions" in postings.columns

@@ -87,6 +87,21 @@ def _write_tombstones(
                 expected_snapshot=m.get("snapshot_id"))
 
 
+def _require_unrouted(cat: Catalog, op: str) -> None:
+    """Custom-routed indexes (build_index(routing_col=...)) are read-only
+    between rebuilds: every maintenance site below derives
+    doc_part = pmod(doc_id, n_parts), which on a routed layout targets the
+    wrong route's partition range (appends would break tenant purity, bulk
+    tombstones would cogroup against the wrong shard). ES parity: writes to
+    a routing-required index must carry routing — this engine requires a
+    rebuild instead."""
+    if cat.read_json("routing") is not None:
+        raise ValueError(
+            f"{op} on a custom-routed index is not supported (routed "
+            "indexes are read-only between rebuilds); rebuild with "
+            "build_index(routing_col=...)")
+
+
 def append_index(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -104,6 +119,7 @@ def append_index(
     consistent.
     """
     cat = Catalog(index_root)
+    _require_unrouted(cat, "append_index")
     stats = cat.read_json("stats")
     n_parts, block_size = stats["n_parts"], stats["block_size"]
     m = cat.read_manifest()
@@ -243,6 +259,7 @@ def delete_docs(spark: SparkSession, index_root: str, doc_ids: list[int]) -> Non
     shuffle), right up to ~100k ids. For mass deletes use
     delete_docs_bulk."""
     cat = Catalog(index_root)
+    _require_unrouted(cat, "delete_docs")
     _write_tombstones(spark, cat, {int(i): None for i in doc_ids})
 
 
@@ -261,6 +278,7 @@ def delete_docs_bulk(spark: SparkSession, index_root: str, doc_ids: DataFrame) -
     from .wand import BULK_TOMBSTONE_TABLE
 
     cat = Catalog(index_root)
+    _require_unrouted(cat, "delete_docs_bulk")
     m = cat.read_manifest()
     seg = f"bts-{uuid.uuid4().hex[:8]}"
     cat.write_segment(doc_ids.select("doc_id").distinct(), BULK_TOMBSTONE_TABLE, seg)
@@ -289,6 +307,7 @@ def upsert_docs(
     entirely (the tombstone merge is last-write-wins).
     """
     cat = Catalog(index_root)
+    _require_unrouted(cat, "upsert_docs")
     # design envelope: upserts are POINT updates (the reference's update
     # passes are keyed single-document Sets) — the tombstone set is
     # driver-resident and shipped in scorer closures, so a bulk replacement
@@ -324,6 +343,7 @@ def update_doc_meta(spark: SparkSession, index_root: str, updates: DataFrame) ->
     docs rewrites one segment, not the table, and historical snapshots keep
     pointing at valid immutable dirs."""
     cat = Catalog(index_root)
+    _require_unrouted(cat, "update_doc_meta")
     m = cat.read_manifest()
     upd_cols = [c for c in updates.columns if c != "doc_id"]
     u = updates.select("doc_id", *[F.col(c).alias(f"__u_{c}") for c in upd_cols])

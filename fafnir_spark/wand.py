@@ -2245,3 +2245,97 @@ def ltr_rescore_indexed(
     return ltr_model_rerank(
         initial.select("doc_id", "score"),
         ltr_features(docs, terms, field=field), weights, k)
+
+
+def routed_search(
+    spark: SparkSession,
+    index_root: str,
+    routing: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    algo: str = "bmw",
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES custom ``_routing`` search: a query that supplies its routing
+    value touches ONLY that route's shards. Here the routed build
+    (build_index(routing_col=...)) laid each route out as its own disjoint
+    ``doc_part`` range inside the doc_part-partitioned postings table, so
+    the route restriction is a PARTITION FILTER — Spark plans a directory
+    prune and the other tenants' postings are never opened (the ES analog:
+    the coordinating node fans out to one shard instead of all of them;
+    reference shard config config/fafnir/default.toml:50).
+
+    Scoring statistics are ROUTE-LOCAL (n_docs/avgdl from the route's
+    doc_map slice, df from the route's posting-block ``n`` metadata — no
+    block decode): the tenant's corpus is the universe, exactly as if the
+    tenant had their own index, which is what the DuckDB sub-corpus oracle
+    (oracles.bm25_topk_sql(docs_where=...)) computes. Per-shard top-k
+    stays exact (a doc's whole score lives in one doc_part).
+
+    Routed indexes are read-only between rebuilds (incremental maintenance
+    raises — see incremental._require_unrouted), so there are no
+    tombstones to exclude. (qid, rank, doc_id, score).
+    """
+    cat = Catalog(index_root)
+    rt = cat.read_json("routing")
+    if rt is None:
+        raise ValueError(
+            f"{index_root} is not a routed index; build with "
+            "build_index(routing_col=...) or use run_queries")
+    if routing not in rt["routes"]:
+        raise ValueError(
+            f"unknown routing value {routing!r} (routes: {rt['routes']})")
+    manifest = cat.manifest_at(snapshot_id)
+    npp = int(rt["parts_per_route"])
+    ridx = rt["routes"].index(routing)
+    lo, hi = ridx * npp, (ridx + 1) * npp
+    in_route = (F.col("doc_part") >= F.lit(lo)) & (F.col("doc_part") < F.lit(hi))
+
+    # route-local corpus stats: one pruned scan of the doc_map slice
+    g = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")
+    srow = (
+        cat.read_table(spark, "doc_map", snapshot=manifest)
+        .filter(in_route)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        .collect()[0]
+    )
+    n_docs = int(srow["n_docs"])
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], "qid string, rank int, doc_id long, score double")
+    sum_dl = int(srow["sum_dl"] or 0)
+    stats = {"n_docs": n_docs, "avgdl": sum_dl / n_docs,
+             "k1": g["k1"], "b": g["b"], "n_parts": npp}
+
+    # route-local df per query term from posting-block `n` METADATA (the
+    # terms_agg_error_bounds pattern): term-pushed + partition-pruned scan,
+    # <= |qterms| rows collected. The global dictionary is NOT consulted —
+    # its dfs span all routes.
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    postings = (
+        cat.read_table(spark, "postings", snapshot=manifest)
+        .filter(in_route & F.col("term").isin(all_terms))
+    )
+    drows = postings.groupBy("term").agg(F.sum("n").alias("df")).collect()
+    idfs = {
+        r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in drows
+    }
+    present = [t for t in all_terms if t in idfs]
+
+    per_part = (
+        postings.filter(F.col("term").isin(present))
+        .groupBy("doc_part")
+        .applyInPandas(
+            _part_scorer(queries, idfs, stats, k, algo, excluded=None),
+            schema=RESULT_SCHEMA,
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        per_part.withColumn("score", F.round(F.col("raw_score"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )

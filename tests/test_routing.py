@@ -1,0 +1,164 @@
+"""Custom shard routing (ES `_routing`): a routed build lays each routing
+value out as its own disjoint doc_part range, so a routed query is served by
+PARTITION PRUNING and scores with route-local statistics — semantically the
+tenant's own index (the DuckDB sub-corpus oracle proves it). Routed indexes
+are read-only between rebuilds: every incremental-maintenance entry point
+must raise (the pmod(doc_id, n_parts) invariant would target the wrong
+route partition). Reference anchor: ES routing on the shard config the
+reference tunes (/root/reference config/fafnir/default.toml:50)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark import oracles
+from fafnir_spark.build import build_index, normalize_docs, reindex
+from fafnir_spark.catalog import Catalog
+from fafnir_spark.wand import routed_search, run_queries
+from tests.conftest import SF_DIR
+
+QUERY = ["merge", "window", "customer"]
+N_PARTS = 4
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def routed_idx(spark, docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ridx") / "idx")
+    build_index(
+        spark, normalize_docs(docs, id_col="doc_id", text_col="text"), root,
+        n_parts=N_PARTS, block_size=64, tokenizer="whitespace",
+        build_id="routed", resume=False, routing_col="source",
+    )
+    return root
+
+
+def test_routed_search_matches_subcorpus_oracle(spark, ddb, routed_idx):
+    for route in ("src3", "src17"):
+        got = routed_search(spark, routed_idx, route, {"q": QUERY}, k=10).collect()
+        want = ddb.execute(
+            oracles.bm25_topk_sql(QUERY, k=10, docs_where=f"source = '{route}'")
+        ).fetchall()
+        assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w[2], abs=1e-6)
+
+
+def test_route_partitions_are_tenant_pure(spark, routed_idx):
+    """Every doc_part range [i*n_parts, (i+1)*n_parts) holds exactly one
+    routing value — the invariant partition pruning relies on."""
+    cat = Catalog(routed_idx)
+    rt = cat.read_json("routing")
+    assert rt["parts_per_route"] == N_PARTS
+    dm = cat.read_table(spark, "doc_map")
+    mixed = (
+        dm.select(F.floor(F.col("doc_part") / N_PARTS).alias("ridx"), "source")
+        .groupBy("ridx").agg(F.countDistinct("source").alias("n_src"))
+        .filter(F.col("n_src") > 1).count()
+    )
+    assert mixed == 0
+    # and the route index order matches the persisted routes list
+    rows = (
+        dm.select(F.floor(F.col("doc_part") / N_PARTS).alias("ridx"), "source")
+        .distinct().collect()
+    )
+    for r in rows:
+        assert rt["routes"][int(r["ridx"])] == r["source"]
+
+
+def test_routed_scan_is_partition_pruned(spark, routed_idx):
+    """The route restriction must reach the postings scan as a PARTITION
+    filter (directory prune over the doc_part=... layout), not a row
+    filter."""
+    cat = Catalog(routed_idx)
+    rt = cat.read_json("routing")
+    i = rt["routes"].index("src3")
+    lo, hi = i * N_PARTS, (i + 1) * N_PARTS
+    post = cat.read_table(spark, "postings").filter(
+        (F.col("doc_part") >= lo) & (F.col("doc_part") < hi)
+    )
+    plan = post._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "doc_part" in plan.split("PartitionFilters")[1][:200]
+    n_route, n_all = post.count(), cat.read_table(spark, "postings").count()
+    assert 0 < n_route < n_all
+
+
+def test_unrouted_reads_on_routed_index_are_unchanged(spark, docs, routed_idx, tmp_path):
+    """run_queries over a routed layout == over the default layout: scoring
+    is global-stats and per-doc_part-local, so part assignment is
+    invisible to routing-less queries (the ES fan-out-to-all-shards path)."""
+    plain_root = str(tmp_path / "plain")
+    build_index(
+        spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+        plain_root, n_parts=N_PARTS, block_size=64, tokenizer="whitespace",
+        build_id="plain", resume=False,
+    )
+    routed = [tuple(r) for r in run_queries(
+        spark, routed_idx, {"q": QUERY}, k=10).collect()]
+    plain = [tuple(r) for r in run_queries(
+        spark, plain_root, {"q": QUERY}, k=10).collect()]
+    assert routed == plain and len(routed) == 10
+
+
+def test_routed_index_is_read_only(spark, docs, routed_idx, tmp_path):
+    from fafnir_spark.incremental import (
+        append_index,
+        delete_docs,
+        delete_docs_bulk,
+        update_doc_meta,
+        upsert_docs,
+    )
+
+    one = normalize_docs(
+        docs.limit(1).withColumn("doc_id", F.lit(999_999_001)),
+        id_col="doc_id", text_col="text")
+    with pytest.raises(ValueError, match="read-only"):
+        append_index(spark, one, routed_idx, "seg-x", tokenizer="whitespace")
+    with pytest.raises(ValueError, match="read-only"):
+        delete_docs(spark, routed_idx, [1])
+    with pytest.raises(ValueError, match="read-only"):
+        delete_docs_bulk(spark, routed_idx, spark.range(3).select(F.col("id").alias("doc_id")))
+    with pytest.raises(ValueError, match="read-only"):
+        upsert_docs(spark, one, routed_idx, "seg-y", tokenizer="whitespace")
+    with pytest.raises(ValueError, match="read-only"):
+        update_doc_meta(spark, routed_idx, spark.range(1).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("lang")))
+    with pytest.raises(ValueError, match="routed layout"):
+        reindex(spark, routed_idx, str(tmp_path / "dst"), n_parts=2, block_size=64)
+
+
+def test_routed_search_input_validation(spark, docs, routed_idx, tmp_path):
+    with pytest.raises(ValueError, match="unknown routing value"):
+        routed_search(spark, routed_idx, "no-such-tenant", {"q": QUERY})
+    # an unrouted index refuses routed_search
+    plain_root = str(tmp_path / "plain2")
+    build_index(
+        spark, normalize_docs(docs.limit(20), id_col="doc_id", text_col="text"),
+        plain_root, n_parts=2, block_size=64, tokenizer="whitespace",
+        build_id="p2", resume=False,
+    )
+    with pytest.raises(ValueError, match="not a routed index"):
+        routed_search(spark, plain_root, "src3", {"q": QUERY})
+    # null routing values are rejected at build (ES routing_missing)
+    with_null = normalize_docs(
+        docs.limit(10).withColumn(
+            "source", F.when(F.col("doc_id") % 2 == 0, F.col("source"))),
+        id_col="doc_id", text_col="text")
+    with pytest.raises(ValueError, match="null"):
+        build_index(spark, with_null, str(tmp_path / "nulls"), n_parts=2,
+                    block_size=64, tokenizer="whitespace", build_id="n",
+                    resume=False, routing_col="source")
+    # cardinality envelope: doc_id-grained routing refused
+    too_many = normalize_docs(
+        docs.limit(30).withColumn("source", F.col("doc_id").cast("string")),
+        id_col="doc_id", text_col="text")
+    with pytest.raises(ValueError, match="max_routes"):
+        build_index(spark, too_many, str(tmp_path / "many"), n_parts=2,
+                    block_size=64, tokenizer="whitespace", build_id="m",
+                    resume=False, routing_col="source", max_routes=8)
