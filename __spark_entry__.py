@@ -1075,6 +1075,59 @@ def _q_tsdb_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      unit_hours=1)
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed backward AS-OF join (kdb aj / merge_asof): each click
+    picks up the user's latest prior-or-equal purchase value. Two-level
+    shape: per-(key, time-bucket) running-last window (reducer state
+    bounded by bucket width) + a bucket-granular cross-bucket carry —
+    never one window over a key's whole history. Oracle: DuckDB's native
+    ASOF LEFT JOIN. Unmatched rows pin -1.0 (no nullable double crosses
+    the pandas fetch)."""
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.pipeline import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = asof_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id", ts_col="ts", value_col="value", bucket_hours=24)
+    return res.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.coalesce("asof_value", F.lit(-1.0)).alias("last_value"),
+        F.coalesce("asof_lag_secs", F.lit(-1.0)).alias("lag_secs"),
+    ).orderBy("event_id")
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed range (interval) join: clicks counted into each error's
+    2-hour follow-up window per user. Bounded-span bucketing turns the
+    containment predicate into an EQUI-join on (key, time-bucket) with a
+    row-local residual — each interval explodes to <= 2 bucket rows, so
+    shuffle volume is ~|points| + 2|intervals| (never a per-key range
+    residual on an unbucketed join). Oracle: DuckDB's native inequality
+    join (IEJoin)."""
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.pipeline import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
+    pts = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    hits = range_join(pts, iv, key="user_id", point_ts="ts")
+    counts = hits.groupBy("err_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        iv.select("err_id").join(counts, "err_id", "left")
+        .select(F.col("err_id").cast("long").alias("err_id"),
+                F.coalesce("n_points", F.lit(0)).cast("long").alias("n_points"))
+        .orderBy("err_id")
+    )
+
+
 def _q_downsample_tsdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES TSDB downsampling (_downsample / ILM action): roll the event
     series up to 6h buckets keeping value_count/min/max/sum/last_value
@@ -3860,6 +3913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_selector": _q_bucket_selector,
         "bucket_sort": _q_bucket_sort,
         "tsdb_rate": _q_tsdb_rate,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "downsample_tsdb": _q_downsample_tsdb,
         "stream_downsample": _q_stream_downsample,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
@@ -4221,6 +4276,8 @@ def oracle_sql() -> dict[str, str]:
         "bucket_selector": oracles_pipeline.bucket_selector_topn_sql(),
         "bucket_sort": oracles_pipeline.bucket_sort_sql(from_=2, size=3),
         "tsdb_rate": oracles_pipeline.tsdb_rate_sql(unit_hours=1),
+        "asof_join": oracles_pipeline.asof_join_sql("click", "purchase"),
+        "range_join": oracles_pipeline.range_join_sql("click", "error", 2),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),

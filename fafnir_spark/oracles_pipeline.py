@@ -1653,3 +1653,45 @@ SELECT CAST(count(*) AS BIGINT) AS n_days,
        max(d) AS d_stat
 FROM scored
 """
+
+
+def asof_join_sql(left_type: str = "click", right_type: str = "purchase") -> str:
+    """Backward AS-OF join oracle: DuckDB's native ASOF LEFT JOIN over the
+    events table, right side deduped per (key, ts) exactly like
+    pipeline.asof_join. Lag uses the engine's operand order
+    ((epoch_us(l) - epoch_us(r)) / 1e6); unmatched rows pin the -1.0
+    sentinel so no nullable double crosses the pandas fetch."""
+    return f"""
+WITH r AS (
+  SELECT user_id, ts, max(value) AS r_value
+  FROM events WHERE event_type = '{right_type}' GROUP BY user_id, ts
+),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = '{left_type}')
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       coalesce(r.r_value, -1.0) AS last_value,
+       coalesce(round((epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0, 6), -1.0) AS lag_secs
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY event_id
+"""
+
+
+def range_join_sql(point_type: str = "click", interval_type: str = "error",
+                   window_hours: int = 2) -> str:
+    """Interval-containment oracle: plain inequality LEFT join (DuckDB
+    plans an IEJoin) counting points per interval — the result
+    pipeline.range_join must reproduce via its bucketed equi-join."""
+    w_us = window_hours * 3600 * 1_000_000
+    return f"""
+WITH iv AS (
+  SELECT event_id AS err_id, user_id, ts
+  FROM events WHERE event_type = '{interval_type}'
+),
+p AS (SELECT user_id, ts FROM events WHERE event_type = '{point_type}')
+SELECT CAST(iv.err_id AS BIGINT) AS err_id,
+       CAST(count(p.ts) AS BIGINT) AS n_points
+FROM iv LEFT JOIN p ON p.user_id = iv.user_id
+  AND epoch_us(p.ts) >= epoch_us(iv.ts)
+  AND epoch_us(p.ts) <= epoch_us(iv.ts) + {w_us}
+GROUP BY iv.err_id
+ORDER BY err_id
+"""

@@ -2099,3 +2099,161 @@ def bucket_count_ks_test(events: DataFrame, type_a: str = "click",
         F.sum("cb").cast("long").alias("n_b"),
         F.max("d").alias("d_stat"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_hours: int = 24,
+) -> DataFrame:
+    """Distributed backward AS-OF join: attach to every left row the right
+    row with the greatest right.ts <= left.ts (inclusive) within the same
+    ``key`` — the time-series point-in-time lookup (kdb aj / pandas
+    merge_asof / DuckDB ASOF JOIN, which is the oracle). Right rows are
+    first deduped to one per (key, ts) by max(value): DuckDB leaves the
+    duplicate-ts pick undefined, the dedupe makes both engines exact.
+
+    Scale shape (two-level, the engine's bounded-state idiom): the naive
+    formulation — one running-last window per key — funnels a hot key's
+    entire history through ONE reducer. Instead:
+      1. tag-union left and right rows, bucket the time axis
+         (``bucket_hours``), and run the running-last window per
+         (key, BUCKET) — reducer state is bounded by bucket width, so a
+         hot key parallelizes across its buckets;
+      2. the cross-bucket carry is resolved on the BUCKET-granular
+         relation (one max_by row per (key, bucket), map-side partial):
+         a per-key window over #buckets rows, not #rows, computes "last
+         right row from any strictly earlier bucket";
+      3. carry joins back on (key, bucket) — AQE broadcasts the small
+         side.
+    Time is integer epoch MICROS end-to-end (unix_micros — no float
+    drift); lag = (l_us - r_us)/1e6 with the oracle's exact operand order.
+    Equal timestamps match (right sorts before left at the same ts).
+
+    Returns left.* + asof_value, asof_lag_secs (null when no earlier
+    right row exists). Assumes non-null ``value_col`` on matched rows
+    (the fixture invariant; a null value would split the matched ts/value
+    pair across two right rows)."""
+    w_us = int(bucket_hours) * 3600 * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bkt = F.floor(F.col("__us") / F.lit(w_us)).cast("long")
+
+    r0 = (
+        right.select(F.col(key).alias("__k"), us.alias("__us"),
+                     F.col(value_col).alias("__val"))
+        .groupBy("__k", "__us").agg(F.max("__val").alias("__val"))
+    )
+    l0 = left.select("*", F.col(key).alias("__k"), us.alias("__us"))
+
+    # 1) in-bucket running last (right rows sort before left at equal ts)
+    u = (
+        l0.withColumn("__o", F.lit(1))
+        .unionByName(r0.withColumn("__o", F.lit(0)), allowMissingColumns=True)
+        .withColumn("__bkt", bkt)
+    )
+    wb = (Window.partitionBy("__k", "__bkt").orderBy("__us", "__o")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = (
+        u.withColumn("__inb_val", F.last("__val", ignorenulls=True).over(wb))
+        .withColumn("__inb_us", F.last(
+            F.when(F.col("__o") == 0, F.col("__us")), ignorenulls=True).over(wb))
+    )
+
+    # 2) cross-bucket carry on the bucket-granular relation: left buckets
+    # (__bo=0) sort before same-bucket right summaries (__bo=1), so the
+    # running last at a left bucket sees strictly earlier buckets only
+    lb = (l0.select("__k", bkt.alias("__bkt")).distinct()
+          .withColumn("__bo", F.lit(0)))
+    rb = (
+        r0.withColumn("__bkt", bkt)
+        .groupBy("__k", "__bkt")
+        .agg(F.max(F.struct("__us", "__val")).alias("__lastr"))
+        .withColumn("__bo", F.lit(1))
+        .select("__k", "__bkt", "__bo", "__lastr")
+    )
+    wc = (Window.partitionBy("__k").orderBy("__bkt", "__bo")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carry = (
+        lb.unionByName(rb, allowMissingColumns=True)
+        .withColumn("__c", F.last("__lastr", ignorenulls=True).over(wc))
+        .filter(F.col("__bo") == 0)
+        .select("__k", "__bkt",
+                F.col("__c.__us").alias("__c_us"),
+                F.col("__c.__val").alias("__c_val"))
+    )
+
+    # 3) resolve: in-bucket match wins, else the carry
+    out = (
+        u.filter(F.col("__o") == 1)
+        .join(carry, ["__k", "__bkt"], "left")
+        .withColumn("__r_us", F.coalesce("__inb_us", "__c_us"))
+        .withColumn("asof_value", F.when(
+            F.col("__inb_us").isNotNull(), F.col("__inb_val"))
+            .otherwise(F.col("__c_val")))
+        .withColumn("asof_lag_secs", F.round(
+            (F.col("__us") - F.col("__r_us")) / F.lit(1_000_000.0), 6))
+    )
+    return out.select(*left.columns, "asof_value", "asof_lag_secs")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Distributed range (interval) join: inner-join every point row to the
+    interval rows of the same ``key`` whose [start, end] contains the
+    point's timestamp (both ends inclusive) — the time-series containment
+    join Spark would otherwise plan as a per-key equi-join with an
+    unbounded range residual.
+
+    Scale shape (bounded-span bucketing): the time axis is cut into
+    buckets of width W = max interval span (ONE 1-row aggregate); an
+    interval then overlaps at most 2 buckets, so it is exploded to its
+    covered bucket list (F.sequence — never more than ceil(span/W)+1 ≈ 2
+    rows) and the join becomes a plain EQUI-join on (key, bucket) with a
+    row-local range residual. Shuffle volume is ≤ 2×|intervals| +
+    |points|; no per-key window, no cartesian anything. Time is integer
+    epoch micros throughout.
+
+    Column contract: ``intervals``' non-key columns must not collide with
+    ``points``' (rename before the call); the output is points.* +
+    intervals.* (minus its key/bounds duplicates handled by aliasing).
+    """
+    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+
+    spans = intervals.agg(
+        F.max(e_us - s_us).alias("w")).collect()[0]
+    w = max(int(spans["w"] or 0), 1)
+
+    iv = (
+        intervals.withColumn("__s_us", s_us).withColumn("__e_us", e_us)
+        .filter(F.col("__s_us") <= F.col("__e_us"))
+        .withColumn("__ik", F.col(key))
+        .withColumn("__ibkt", F.explode(F.sequence(
+            F.floor(F.col("__s_us") / F.lit(w)),
+            F.floor(F.col("__e_us") / F.lit(w)))))
+        .drop(key)
+    )
+    pt = (
+        points.withColumn("__p_us", p_us)
+        .withColumn("__pbkt", F.floor(F.col("__p_us") / F.lit(w)))
+    )
+    joined = pt.join(
+        iv,
+        (F.col(key) == F.col("__ik")) & (F.col("__pbkt") == F.col("__ibkt"))
+        & (F.col("__p_us") >= F.col("__s_us"))
+        & (F.col("__p_us") <= F.col("__e_us")),
+        "inner",
+    )
+    keep = [c for c in points.columns] + [
+        c for c in intervals.columns if c != key]
+    return joined.select(*keep)

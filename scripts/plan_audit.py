@@ -82,6 +82,33 @@ def main() -> None:
             .filter(F.levenshtein(F.col("term"), F.col("qterm")) <= 1)
         )
 
+    def _routed_search_df(spark, sf):
+        from fafnir_spark.wand import routed_search
+        rdocs = spark.read.parquet(f"{sf}/documents.parquet")
+        rroot = os.path.join(tempfile.mkdtemp(prefix="fafnir_audit_r_"), "idx")
+        build_index(spark, normalize_docs(rdocs, id_col="doc_id", text_col="text"),
+                    rroot, n_parts=4, block_size=64, tokenizer="whitespace",
+                    build_id="ar", routing_col="source")
+        return routed_search(spark, rroot, "src3",
+                             {"q": ["merge", "window"]}, k=10)
+
+    def _range_df(spark, sf):
+        from fafnir_spark.pipeline import range_join
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        iv = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"), "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
+        pts = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+        return range_join(pts, iv, key="user_id", point_ts="ts")
+
+    def _asof_df(spark, sf):
+        from fafnir_spark.pipeline import asof_join
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return asof_join(ev.filter(F.col("event_type") == "click"),
+                         ev.filter(F.col("event_type") == "purchase"),
+                         key="user_id", bucket_hours=24)
+
     spark = get_spark("plan-audit", cores=8)
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -599,6 +626,29 @@ def main() -> None:
               "(one corpus explode + groupBy with map-side combine), the "
               "merge chain is a row-local expression, and the piece "
               "table finishes with TakeOrderedAndProject."),
+        audit("routed_search (custom _routing partition pruning)",
+              _routed_search_df(spark, sf),
+              "The route restriction reaches the postings scan as a "
+              "PARTITION filter (doc_part range over the doc_part=... "
+              "directory layout) — other tenants' partitions are never "
+              "opened; route-local df comes from block `n` metadata "
+              "(no decode) and the per-shard scorer sees only the "
+              "route's n_parts groups."),
+        audit("range_join (bounded-span interval join)",
+              _range_df(spark, sf),
+              "The containment predicate is an EQUI-join on (key, "
+              "time-bucket) — intervals explode to <= 2 bucket rows "
+              "(W = max span), the range residual is row-local, and no "
+              "BroadcastNestedLoop/Cartesian appears for the "
+              "interval-vs-point relation."),
+        audit("asof_join (two-level point-in-time join)",
+              _asof_df(spark, sf),
+              "Running-last windows partition by (key, TIME BUCKET) — a "
+              "hot key's history parallelizes across buckets; the "
+              "cross-bucket carry window runs over the bucket-granular "
+              "max_by relation (rows = #buckets, not #samples) and joins "
+              "back at bucket granularity (AQE broadcast). No window "
+              "over an unbounded per-key history, no range join."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")

@@ -1,0 +1,158 @@
+"""Backward AS-OF join: two-level (in-bucket window + bucket-granular
+carry) vs DuckDB's native ASOF JOIN, plus the invariance laws that pin the
+carry logic (bucket width must not change results) and the inclusive
+equal-timestamp rule."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.oracles_pipeline import asof_join_sql
+from fafnir_spark.pipeline import asof_join
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _run(events, bucket_hours):
+    res = asof_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        key="user_id", ts_col="ts", value_col="value",
+        bucket_hours=bucket_hours)
+    return (
+        res.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.coalesce("asof_value", F.lit(-1.0)).alias("last_value"),
+            F.coalesce("asof_lag_secs", F.lit(-1.0)).alias("lag_secs"),
+        ).orderBy("event_id").collect()
+    )
+
+
+def test_asof_matches_duckdb_oracle(spark, ddb, events):
+    got = _run(events, 24)
+    want = ddb.execute(asof_join_sql("click", "purchase")).fetchall()
+    assert len(got) == len(want) > 0
+    assert any(r["last_value"] != -1.0 for r in got)  # fixture has matches
+    for g, w in zip(got, want):
+        assert g["event_id"] == w[0]
+        assert g["last_value"] == pytest.approx(w[1], abs=1e-9)
+        assert g["lag_secs"] == pytest.approx(w[2], abs=1e-9)
+
+
+def test_asof_bucket_width_invariance(spark, events):
+    """The time-bucketing is a pure execution detail: a 1-hour bucket
+    (matches mostly resolved by the cross-bucket CARRY) and a 10000-hour
+    bucket (everything in-bucket) must agree row-for-row."""
+    narrow = _run(events, 1)
+    wide = _run(events, 10_000)
+    assert narrow == wide
+
+
+def test_asof_equal_ts_is_inclusive_and_backward_only(spark):
+    rows = [
+        # (event_id, user, ts, type, value)
+        (1, 7, "2024-01-01 10:00:00", "click", 0.0),
+        (2, 7, "2024-01-01 10:00:00", "purchase", 5.0),  # same instant: matches
+        (3, 7, "2024-01-02 00:00:00", "click", 0.0),     # later: still 5.0
+        (4, 7, "2024-01-03 00:00:00", "purchase", 9.0),
+        (5, 7, "2024-01-02 12:00:00", "click", 0.0),     # before 9.0 lands
+        (6, 8, "2024-01-05 00:00:00", "click", 0.0),     # other user: no match
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = {r["event_id"]: (r["last_value"], r["lag_secs"]) for r in _run(df, 24)}
+    assert got[1] == (5.0, 0.0)          # equal ts: inclusive
+    assert got[3] == (5.0, 50400.0)      # backward across buckets (14h)
+    assert got[5] == (5.0, 93600.0)      # 9.0 is in the future — not visible
+    assert got[6] == (-1.0, -1.0)        # no right row for this key
+
+
+def test_asof_dedups_duplicate_right_timestamps(spark):
+    rows = [
+        (1, 7, "2024-01-01 10:00:00", "purchase", 3.0),
+        (2, 7, "2024-01-01 10:00:00", "purchase", 8.0),  # same (key, ts): max wins
+        (3, 7, "2024-01-01 11:00:00", "click", 0.0),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = _run(df, 24)
+    assert [(r["event_id"], r["last_value"]) for r in got] == [(3, 8.0)]
+
+
+def test_range_join_matches_duckdb_oracle(spark, ddb, events):
+    from fafnir_spark.oracles_pipeline import range_join_sql
+    from fafnir_spark.pipeline import range_join
+
+    iv = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
+    pts = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    hits = range_join(pts, iv, key="user_id", point_ts="ts")
+    counts = hits.groupBy("err_id").agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        r["err_id"]: r["n"]
+        for r in iv.select("err_id").join(counts, "err_id", "left")
+        .select("err_id", F.coalesce("n", F.lit(0)).alias("n")).collect()
+    }
+    want = dict(ddb.execute(range_join_sql("click", "error", 2)).fetchall())
+    assert got == want and len(want) > 0
+    assert sum(want.values()) > 0  # fixture sanity: windows catch clicks
+
+
+def test_range_join_equals_naive_inequality_join(spark, events):
+    """The bucketed equi-join must reproduce the naive containment join
+    exactly (the naive plan is only viable at test scale)."""
+    from fafnir_spark.pipeline import range_join
+
+    iv = events.filter(F.col("event_type") == "purchase").limit(40).select(
+        F.col("event_id").alias("iv_id"), "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 13 HOURS")).alias("end"))
+    pts = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts")
+    got = sorted(
+        (r["p_id"], r["iv_id"])
+        for r in range_join(pts, iv, key="user_id", point_ts="ts")
+        .select("p_id", "iv_id").collect()
+    )
+    naive = sorted(
+        (r["p_id"], r["iv_id"])
+        for r in pts.alias("p").join(
+            iv.alias("i"),
+            (F.col("p.user_id") == F.col("i.user_id"))
+            & (F.col("p.ts") >= F.col("i.start"))
+            & (F.col("p.ts") <= F.col("i.end"))).select("p_id", "iv_id").collect()
+    )
+    assert got == naive and len(naive) > 0
+
+
+def test_range_join_boundaries_inclusive(spark):
+    from fafnir_spark.pipeline import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 7, "2024-01-01 10:00:00"),   # == start
+         (2, 7, "2024-01-01 12:00:00"),   # == end
+         (3, 7, "2024-01-01 12:00:00.000001"),  # 1us past end
+         (4, 7, "2024-01-01 09:59:59.999999"),  # 1us before start
+         (5, 8, "2024-01-01 11:00:00")],  # wrong key
+        "p_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [(100, 7, "2024-01-01 10:00:00", "2024-01-01 12:00:00")],
+        "iv_id long, user_id long, start string, end string",
+    ).withColumn("start", F.col("start").cast("timestamp")) \
+     .withColumn("end", F.col("end").cast("timestamp"))
+    got = sorted(r["p_id"] for r in range_join(pts, iv, key="user_id").collect())
+    assert got == [1, 2]
