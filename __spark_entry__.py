@@ -114,6 +114,34 @@ def _q_stemmed_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", "doc_id", "score")
 
 
+def _q_clone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _clone lifecycle: ZERO-COPY clone of the shared index (every
+    segment file hardlinked — no data bytes move), then a delete applied
+    only to the CLONE and a query served from it. Oracle: stale-stats BM25
+    with the deleted doc excluded (the ES-faithful tombstone semantics);
+    the source's independence is pinned by tests/test_clone.py."""
+    import shutil
+    import uuid
+
+    from fafnir_spark.build import clone_index
+    from fafnir_spark.incremental import delete_docs
+    from fafnir_spark.wand import run_queries
+
+    src = _idx_root(spark, sf_dir)
+    dst = os.path.join(tempfile.gettempdir(),
+                       "fafnir_clone_" + uuid.uuid4().hex[:8])
+    try:
+        clone_index(src, dst)
+        delete_docs(spark, dst, [42])
+        res = run_queries(spark, dst, {"q": Q_MAIN}, k=10)
+        return spark.createDataFrame(
+            [(r["rank"], r["doc_id"], r["score"]) for r in res.collect()],
+            "rank int, doc_id long, score double",
+        )
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 def _q_routed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES custom ``_routing``: the index is built with routing_col='source',
     giving every source tenant its own disjoint doc_part range, and the
@@ -3834,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": _q_bm25_indexed,
         "reindex_query": _q_reindex_query,
         "routed_bm25": _q_routed_bm25,
+        "clone_query": _q_clone_query,
         "alias_search": _q_alias_search,
         "term_dictionary": _q_dictionary,
         "conjunctive_match": _q_conjunctive,
@@ -4176,6 +4205,8 @@ def oracle_sql() -> dict[str, str]:
         "reindex_query": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "routed_bm25": oracles.bm25_topk_sql(
             Q_MAIN, k=10, docs_where="source = 'src3'"),
+        "clone_query": oracles.bulk_delete_sql(
+            Q_MAIN, 10, "doc_id <> 42", post_compact=False),
         "alias_search": oracles.bool_bm25_sql(
             must=Q_MAIN, filter_terms=["spark"], k=10
         ),

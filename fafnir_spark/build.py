@@ -781,3 +781,55 @@ def write_bucketed(df: DataFrame, table: str, col: str = "doc_id",
     of per query."""
     (df.write.mode("overwrite").bucketBy(buckets, col).sortBy(col)
        .format("parquet").saveAsTable(table))
+
+
+def clone_index(src_root: str, dst_root: str) -> str:
+    """ES ``_clone``: a ZERO-COPY clone of a published index — every
+    segment file is HARDLINKED into the destination root (no data bytes
+    move; ES clones shards the same way, by hardlinking Lucene segment
+    files) and a fresh manifest is published over the linked dirs. Because
+    segments are immutable and every maintenance path writes NEW
+    uniquely-named segment dirs, source and clone are fully independent
+    afterwards: deletes/appends/compactions/expiry on either side unlink
+    only that side's directory entries, and a shared inode is freed when
+    its last link drops. The clone starts with fresh history (ES parity:
+    a cloned index has no snapshots of its source).
+
+    Sidecar jsons (stats, routing, aliases, checkpoints) are byte-copied
+    (they are mutable — a later alias edit must not write through).
+    Local-scheme roots only: an object store has no hardlinks, so a cloud
+    clone is a server-side copy job behind the same catalog seam.
+    Returns the clone's snapshot id."""
+    import os
+    import shutil
+
+    from .catalog import _is_local, _local_path
+
+    if not (_is_local(src_root) and _is_local(dst_root)):
+        raise ValueError(
+            "clone_index is hardlink-based (local roots only); clone "
+            "object-store indexes with a server-side copy")
+    scat, dcat = Catalog(src_root), Catalog(dst_root)
+    m = scat.read_manifest()
+    if not m.get("snapshot_id"):
+        raise FileNotFoundError(f"{src_root} has no published snapshot")
+    if dcat.read_manifest().get("snapshot_id"):
+        raise ValueError(f"{dst_root} already holds a published index")
+    sroot, droot = _local_path(src_root), _local_path(dst_root)
+    tables: dict[str, list[str]] = {}
+    for name, dirs in m["tables"].items():
+        new_dirs = []
+        for d in dirs:
+            sd = _local_path(d)
+            dd = os.path.join(droot, os.path.relpath(sd, sroot))
+            for cur, _sub, files in os.walk(sd):
+                tgt = os.path.join(dd, os.path.relpath(cur, sd))
+                os.makedirs(tgt, exist_ok=True)
+                for fn in files:
+                    os.link(os.path.join(cur, fn), os.path.join(tgt, fn))
+            new_dirs.append(dd)
+        tables[name] = new_dirs
+    for fn in os.listdir(sroot):
+        if fn.endswith(".json") and fn != "_manifest.json":
+            shutil.copy2(os.path.join(sroot, fn), os.path.join(droot, fn))
+    return dcat.publish(tables, meta=m.get("meta"))

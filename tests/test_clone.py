@@ -1,0 +1,100 @@
+"""ES _clone: zero-copy hardlink clone of a published index. Laws: the
+clone answers identically to its source; not a byte of segment data is
+copied (hardlink witness); and the two roots are fully independent
+afterwards — maintenance on either side never disturbs the other (immutable
+segments + fresh uniquely-named maintenance dirs)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.build import build_index, clone_index, normalize_docs
+from fafnir_spark.catalog import Catalog
+from fafnir_spark.incremental import compact_with_tombstones, delete_docs
+from fafnir_spark.wand import run_queries
+from tests.conftest import SF_DIR
+
+QUERY = ["merge", "window", "customer"]
+
+
+@pytest.fixture()
+def src_idx(spark, tmp_path):
+    root = str(tmp_path / "src")
+    docs = normalize_docs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        id_col="doc_id", text_col="text")
+    build_index(spark, docs, root, n_parts=4, block_size=64,
+                tokenizer="whitespace", build_id="c", resume=False)
+    return root
+
+
+def _res(spark, root):
+    return [tuple(r) for r in run_queries(spark, root, {"q": QUERY}, k=10).collect()]
+
+
+def test_clone_is_zero_copy_and_identical(spark, src_idx, tmp_path):
+    dst = str(tmp_path / "dst")
+    snap = clone_index(src_idx, dst)
+    assert snap
+    assert _res(spark, dst) == _res(spark, src_idx)
+    # zero-copy witness: every cloned parquet file shares its inode
+    cloned = glob.glob(os.path.join(dst, "postings", "**", "*.parquet"),
+                       recursive=True)
+    assert cloned and all(os.stat(p).st_nlink >= 2 for p in cloned)
+
+
+def test_clone_refuses_nonempty_destination(spark, src_idx, tmp_path):
+    dst = str(tmp_path / "dst2")
+    clone_index(src_idx, dst)
+    with pytest.raises(ValueError, match="already holds"):
+        clone_index(src_idx, dst)
+
+
+def test_clone_and_source_are_independent(spark, src_idx, tmp_path):
+    from fafnir_spark.incremental import expire_snapshots, remove_orphan_segments
+
+    dst = str(tmp_path / "dst3")
+    clone_index(src_idx, dst)
+    before = _res(spark, src_idx)
+    top_doc = before[0][2]
+
+    # mutate the CLONE: delete its current top doc, then drain via compaction
+    delete_docs(spark, dst, [int(top_doc)])
+    compact_with_tombstones(spark, dst)
+    after_clone = _res(spark, dst)
+    assert int(top_doc) not in {r[2] for r in after_clone}
+    assert _res(spark, src_idx) == before  # source untouched
+
+    # mutate the SOURCE: delete a different doc, compact, expire history and
+    # sweep orphans — the clone must keep answering from its linked files
+    other = before[1][2]
+    delete_docs(spark, src_idx, [int(other)])
+    compact_with_tombstones(spark, src_idx)
+    expire_snapshots(spark, src_idx, keep_last=1)
+    remove_orphan_segments(spark, src_idx)
+    assert int(other) not in {r[2] for r in _res(spark, src_idx)}
+    assert _res(spark, dst) == after_clone  # clone untouched
+
+
+def test_clone_carries_routing_sidecar(spark, tmp_path):
+    from fafnir_spark.wand import routed_search
+
+    docs = normalize_docs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        id_col="doc_id", text_col="text")
+    src = str(tmp_path / "rsrc")
+    build_index(spark, docs, src, n_parts=2, block_size=64,
+                tokenizer="whitespace", build_id="rc", resume=False,
+                routing_col="source")
+    dst = str(tmp_path / "rdst")
+    clone_index(src, dst)
+    a = [tuple(r) for r in routed_search(spark, src, "src3", {"q": QUERY}).collect()]
+    b = [tuple(r) for r in routed_search(spark, dst, "src3", {"q": QUERY}).collect()]
+    assert a == b and len(a) > 0
+    # the clone is still routed: maintenance must refuse
+    with pytest.raises(ValueError, match="read-only"):
+        delete_docs(spark, dst, [1])
