@@ -232,6 +232,38 @@ def main() -> None:
 
     timed("s9_sweep", _s9_sweep)
 
+    # session-10 ops: time-series joins + routed serving (NEW key — old
+    # keys stay comparable). The routed build is part of the key: routing
+    # is a build-time layout choice.
+    from fafnir_spark.pipeline import asof_join, range_join
+    from fafnir_spark.wand import routed_search
+
+    def _s10_sweep() -> int:
+        from pyspark.sql import functions as F
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = events.filter(F.col("event_type") == "click")
+        n = asof_join(
+            clicks, events.filter(F.col("event_type") == "purchase"),
+            key="user_id", bucket_hours=24).count()
+        iv = events.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"), "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
+        n += range_join(clicks.select("user_id", "ts", "event_id"), iv,
+                        key="user_id").count()
+        rroot = os.path.join(work, "idx_routed")
+        build_index(spark, normalize_docs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            id_col="doc_id", text_col="text"), rroot,
+            n_parts=4, block_size=128, tokenizer="whitespace",
+            build_id="bench_r", resume=False, routing_col="source")
+        n += routed_search(spark, rroot, "src3",
+                           {"q": ["merge", "window", "customer"]}, k=10).count()
+        return n
+
+    timed("s10_sweep", _s10_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work
