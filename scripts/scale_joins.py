@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Scale sanity for the time-series joins: 10M synthetic events (driver
+generates nothing — spark.range + hash-derived columns, all distributed),
+one asof_join and one range_join pass at full parallelism, peak-stage
+shuffle recorded via the UI REST API. The witness is the TWO-LEVEL shape:
+an intentionally HOT key distribution (a handful of keys own most rows —
+the case that melts a per-key window) must not blow up any single exchange
+or reducer. Writes BENCH/scale_joins.json."""
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fafnir_spark.pipeline import asof_join, range_join
+from fafnir_spark.session import get_spark
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+os.environ["SPARK_GRAFT_UI"] = "1"
+spark = get_spark("scale-joins", cores=cpus)
+
+
+def peak_stage_shuffle() -> dict:
+    import urllib.request
+
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete",
+                timeout=10) as r:
+            stages = json.load(r)
+        return {
+            "peak_stage_shuffle_write_mb": round(
+                max((s.get("shuffleWriteBytes", 0) for s in stages), default=0) / 1e6, 1),
+            "peak_stage_shuffle_read_mb": round(
+                max((s.get("shuffleReadBytes", 0) for s in stages), default=0) / 1e6, 1),
+            "n_stages": len(stages),
+        }
+    except Exception as e:
+        return {"peak_stage_shuffle_error": str(e)[:120]}
+
+
+# 10M events over ~3 years; ZIPF-ish keys: pmod(xxhash)^2 folding pushes
+# ~half of all rows into <2% of the 1000 keys — the hot-key witness.
+h1 = F.abs(F.xxhash64("id"))
+h2 = F.abs(F.xxhash64("id", F.lit(1)))
+ev = (
+    spark.range(N)
+    .withColumn("key", F.pmod(F.pmod(h1, F.lit(1000)) * F.pmod(h1, F.lit(1000)),
+                              F.lit(1000)).cast("long"))
+    .withColumn("us", (F.lit(1_700_000_000_000_000)
+                       + F.pmod(h2, F.lit(100_000_000_000_000))).cast("long"))
+    .withColumn("ts", F.timestamp_micros(F.col("us")))
+    .withColumn("side", F.pmod(F.col("id"), F.lit(4)))
+    .withColumn("value", (F.pmod(h2, F.lit(10_000)) / 100.0))
+    .select(F.col("id").alias("event_id"), "key", "ts", "side", "value")
+    .repartition(max(16, cpus))
+    .persist()
+)
+n_rows = ev.count()
+points = ev.filter(F.col("side") != 0)          # 3/4 of rows
+right = ev.filter(F.col("side") == 0)           # 1/4 of rows
+
+out = {"n_rows": n_rows, "cpus": cpus,
+       "n_points": points.count(), "n_right": right.count()}
+
+# warmup (JIT/codegen)
+asof_join(points.limit(10_000), right.limit(10_000), key="key",
+          bucket_hours=24).count()
+
+t0 = time.time()
+n_asof = asof_join(points, right, key="key", bucket_hours=24 * 7).filter(
+    F.col("asof_value").isNotNull()).count()
+asof_s = time.time() - t0
+out.update({"asof_matched": n_asof, "asof_sec": round(asof_s, 2),
+            "asof_rows_per_sec": round(n_rows / asof_s)})
+
+iv = right.select(F.col("event_id").alias("iv_id"), "key",
+                  F.col("ts").alias("start"),
+                  (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
+t0 = time.time()
+n_range = range_join(points.select("key", "ts", "event_id"), iv,
+                     key="key").count()
+range_s = time.time() - t0
+out.update({"range_pairs": n_range, "range_sec": round(range_s, 2),
+            "range_rows_per_sec": round(n_rows / range_s)})
+out.update(peak_stage_shuffle())
+out["ts_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+dst = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "BENCH", "scale_joins.json")
+with open(dst, "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))
+spark.stop()
