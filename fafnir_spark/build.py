@@ -217,6 +217,17 @@ def normalize_docs(
     return out
 
 
+def route_part_expr(routes: list, parts_per_route: int, routing_col: str) -> F.Column:
+    """doc_part for a ROUTED layout: route_idx * parts_per_route + the pmod
+    part already computed by the tokenizer — each routing value owns a
+    disjoint doc_part range. Shared by build_index and append_index so the
+    two writers can never drift."""
+    route_map = F.create_map(
+        *[x for i, v in enumerate(routes) for x in (F.lit(v), F.lit(i))])
+    return (route_map[F.col(routing_col)] * F.lit(parts_per_route)
+            + F.col("doc_part")).cast("int")
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -248,10 +259,13 @@ def build_index(
     Unrouted reads (run_queries etc.) stay correct: scoring is global-stats
     and per-doc_part-local, so HOW docs were assigned to parts is
     invisible; they simply scan all routes, the ES routing-less fan-out.
-    Incremental maintenance RAISES on routed indexes (ES parity: writes to
-    a routing-required index must carry routing; this engine's tombstone /
-    upsert sites derive doc_part = pmod(doc_id, n_parts) and would target
-    the wrong route) — routed indexes are rebuild-only. Route values are
+    Maintenance carries routing implicitly: append/upsert re-derive the
+    routed doc_part from the stored routing json (route_part_expr — NEW
+    routing values are rejected, the route set is fixed at build like an
+    ES shard count), point deletes and doc_map meta updates are doc_id-
+    scoped and layout-blind, compaction preserves stored doc_part. Only
+    delete_docs_bulk (its cogroup derives doc_part = pmod(doc_id,
+    n_parts)) and reindex refuse routed indexes. Route values are
     collected once (<= ``max_routes``, the ES shard-count scale; null
     routing rejected) and persisted in the 'routing' json."""
     cat = Catalog(index_root)
@@ -273,8 +287,6 @@ def build_index(
             raise ValueError(
                 f"{len(routes)} distinct routing values exceeds max_routes="
                 f"{max_routes} — route on a coarser key")
-        route_map = F.create_map(
-            *[x for i, v in enumerate(routes) for x in (F.lit(v), F.lit(i))])
 
     done = cat.read_json("checkpoints") or {"build_id": build_id, "shards": {}}
     if done.get("build_id") != build_id or not resume:
@@ -310,9 +322,7 @@ def build_index(
             # encoder change, and routing-scoped reads are plain doc_part
             # partition pruning
             tokenized = tokenized.withColumn(
-                "doc_part",
-                (route_map[F.col(routing_col)] * F.lit(n_parts)
-                 + F.col("doc_part")).cast("int"))
+                "doc_part", route_part_expr(routes, n_parts, routing_col))
         tokenized = tokenized.persist()
 
         # doc_map rows carry their segment name so tombstones can be scoped

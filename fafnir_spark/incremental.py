@@ -88,18 +88,16 @@ def _write_tombstones(
 
 
 def _require_unrouted(cat: Catalog, op: str) -> None:
-    """Custom-routed indexes (build_index(routing_col=...)) are read-only
-    between rebuilds: every maintenance site below derives
-    doc_part = pmod(doc_id, n_parts), which on a routed layout targets the
-    wrong route's partition range (appends would break tenant purity, bulk
-    tombstones would cogroup against the wrong shard). ES parity: writes to
-    a routing-required index must carry routing — this engine requires a
-    rebuild instead."""
+    """Ops whose relational plumbing derives doc_part = pmod(doc_id,
+    n_parts) refuse custom-routed layouts: the bulk-tombstone cogroup
+    would pair dead ids against the WRONG route's partition (silently
+    missing the delete). Point-scoped maintenance (append/upsert/point
+    delete/meta update) is routing-aware and allowed."""
     if cat.read_json("routing") is not None:
         raise ValueError(
-            f"{op} on a custom-routed index is not supported (routed "
-            "indexes are read-only between rebuilds); rebuild with "
-            "build_index(routing_col=...)")
+            f"{op} on a custom-routed index is not supported (its doc_part "
+            "derivation is pmod-based and would target the wrong route); "
+            "use point deletes, or rebuild with build_index(routing_col=...)")
 
 
 def append_index(
@@ -119,7 +117,6 @@ def append_index(
     consistent.
     """
     cat = Catalog(index_root)
-    _require_unrouted(cat, "append_index")
     stats = cat.read_json("stats")
     n_parts, block_size = stats["n_parts"], stats["block_size"]
     m = cat.read_manifest()
@@ -130,6 +127,23 @@ def append_index(
     from .build import META_COLS, POSTINGS_SCHEMA_POS, passthrough_schema
 
     passthrough = [c for c in docs.columns if c in META_COLS]
+    # routed layout (ES writes-with-routing): re-derive the routed doc_part
+    # from the stored routing json so appended segments stay tenant-pure.
+    # The route set is fixed at build (an ES shard count): unknown or null
+    # routing values are rejected, never silently hashed into a new range.
+    rt = cat.read_json("routing")
+    if rt is not None:
+        rcol = rt["routing_col"]
+        if rcol not in passthrough:
+            raise ValueError(
+                f"routed index: appended docs must carry the routing "
+                f"column {rcol!r}")
+        vals = [r[0] for r in docs.select(rcol).distinct().collect()]
+        unknown = sorted(str(v) for v in vals if v not in rt["routes"])
+        if unknown:
+            raise ValueError(
+                f"routed index: unknown routing value(s) {unknown} — the "
+                "route set is fixed at build time (rebuild to add routes)")
     tok_schema = (
         "doc_id long, doc_part int, dl int, weight double, "
         "terms array<string>, tfs array<int>"
@@ -138,7 +152,15 @@ def append_index(
     )
     tokenized = docs.select("doc_id", "content", "weight", *passthrough).mapInPandas(
         _tokenize_map_fn(tokenizer, n_parts, passthrough, with_pos), schema=tok_schema
-    ).persist()
+    )
+    if rt is not None:
+        from .build import route_part_expr
+
+        tokenized = tokenized.withColumn(
+            "doc_part",
+            route_part_expr(rt["routes"], int(rt["parts_per_route"]),
+                            rt["routing_col"]))
+    tokenized = tokenized.persist()
 
     # collision check vs LIVE doc_map (anti-join, broadcast the new ids):
     # tombstoned ids are fair game — appending them resurrects the id
@@ -259,7 +281,6 @@ def delete_docs(spark: SparkSession, index_root: str, doc_ids: list[int]) -> Non
     shuffle), right up to ~100k ids. For mass deletes use
     delete_docs_bulk."""
     cat = Catalog(index_root)
-    _require_unrouted(cat, "delete_docs")
     _write_tombstones(spark, cat, {int(i): None for i in doc_ids})
 
 
@@ -307,7 +328,6 @@ def upsert_docs(
     entirely (the tombstone merge is last-write-wins).
     """
     cat = Catalog(index_root)
-    _require_unrouted(cat, "upsert_docs")
     # design envelope: upserts are POINT updates (the reference's update
     # passes are keyed single-document Sets) — the tombstone set is
     # driver-resident and shipped in scorer closures, so a bulk replacement
@@ -343,9 +363,14 @@ def update_doc_meta(spark: SparkSession, index_root: str, updates: DataFrame) ->
     docs rewrites one segment, not the table, and historical snapshots keep
     pointing at valid immutable dirs."""
     cat = Catalog(index_root)
-    _require_unrouted(cat, "update_doc_meta")
     m = cat.read_manifest()
     upd_cols = [c for c in updates.columns if c != "doc_id"]
+    rt = cat.read_json("routing")
+    if rt is not None and rt["routing_col"] in upd_cols:
+        raise ValueError(
+            f"cannot update routing column {rt['routing_col']!r} in place — "
+            "a doc's routing decides its physical partition (ES parity: "
+            "_routing is immutable); delete + re-append under the new route")
     u = updates.select("doc_id", *[F.col(c).alias(f"__u_{c}") for c in upd_cols])
     ids = updates.select("doc_id")
     new_dirs: list[str] = []

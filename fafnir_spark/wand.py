@@ -2272,9 +2272,13 @@ def routed_search(
     (oracles.bm25_topk_sql(docs_where=...)) computes. Per-shard top-k
     stays exact (a doc's whole score lives in one doc_part).
 
-    Routed indexes are read-only between rebuilds (incremental maintenance
-    raises — see incremental._require_unrouted), so there are no
-    tombstones to exclude. (qid, rank, doc_id, score).
+    Maintenance: routed append/upsert re-derive the routed doc_part
+    (incremental.append_index), point deletes land here as the usual
+    closure-shipped exclusions, and — ES-faithful — df/n_docs/avgdl stay
+    STALE after deletes until compaction (block ``n`` metadata and the raw
+    doc_map slice both count entombed docs, exactly like the merged
+    dictionary on the unrouted path). Bulk tombstones are refused at the
+    write (their cogroup is pmod-based). (qid, rank, doc_id, score).
     """
     cat = Catalog(index_root)
     rt = cat.read_json("routing")
@@ -2286,6 +2290,10 @@ def routed_search(
         raise ValueError(
             f"unknown routing value {routing!r} (routes: {rt['routes']})")
     manifest = cat.manifest_at(snapshot_id)
+    if BULK_TOMBSTONE_TABLE in manifest["tables"]:
+        raise ValueError("routed index carries bulk tombstones — "
+                         "unsupported state (delete_docs_bulk is guarded)")
+    excluded = _load_tombstones(spark, cat, manifest, include_bulk=False)
     npp = int(rt["parts_per_route"])
     ridx = rt["routes"].index(routing)
     lo, hi = ridx * npp, (ridx + 1) * npp
@@ -2327,7 +2335,7 @@ def routed_search(
         postings.filter(F.col("term").isin(present))
         .groupBy("doc_part")
         .applyInPandas(
-            _part_scorer(queries, idfs, stats, k, algo, excluded=None),
+            _part_scorer(queries, idfs, stats, k, algo, excluded=excluded),
             schema=RESULT_SCHEMA,
         )
     )

@@ -95,6 +95,9 @@ def test_clone_carries_routing_sidecar(spark, tmp_path):
     a = [tuple(r) for r in routed_search(spark, src, "src3", {"q": QUERY}).collect()]
     b = [tuple(r) for r in routed_search(spark, dst, "src3", {"q": QUERY}).collect()]
     assert a == b and len(a) > 0
-    # the clone is still routed: maintenance must refuse
-    with pytest.raises(ValueError, match="read-only"):
-        delete_docs(spark, dst, [1])
+    # the clone is still routed: pmod-plumbed maintenance must refuse
+    from fafnir_spark.incremental import delete_docs_bulk
+
+    with pytest.raises(ValueError, match="pmod"):
+        delete_docs_bulk(spark, dst,
+                         spark.range(2).select(F.col("id").alias("doc_id")))

@@ -106,31 +106,94 @@ def test_unrouted_reads_on_routed_index_are_unchanged(spark, docs, routed_idx, t
     assert routed == plain and len(routed) == 10
 
 
-def test_routed_index_is_read_only(spark, docs, routed_idx, tmp_path):
-    from fafnir_spark.incremental import (
-        append_index,
-        delete_docs,
-        delete_docs_bulk,
-        update_doc_meta,
-        upsert_docs,
-    )
+def test_routed_maintenance_guards(spark, docs, routed_idx, tmp_path):
+    """pmod-plumbed ops refuse routed layouts; routing-value edits refuse."""
+    from fafnir_spark.incremental import delete_docs_bulk, update_doc_meta
 
-    one = normalize_docs(
-        docs.limit(1).withColumn("doc_id", F.lit(999_999_001)),
-        id_col="doc_id", text_col="text")
-    with pytest.raises(ValueError, match="read-only"):
-        append_index(spark, one, routed_idx, "seg-x", tokenizer="whitespace")
-    with pytest.raises(ValueError, match="read-only"):
-        delete_docs(spark, routed_idx, [1])
-    with pytest.raises(ValueError, match="read-only"):
-        delete_docs_bulk(spark, routed_idx, spark.range(3).select(F.col("id").alias("doc_id")))
-    with pytest.raises(ValueError, match="read-only"):
-        upsert_docs(spark, one, routed_idx, "seg-y", tokenizer="whitespace")
-    with pytest.raises(ValueError, match="read-only"):
+    with pytest.raises(ValueError, match="pmod"):
+        delete_docs_bulk(spark, routed_idx,
+                         spark.range(3).select(F.col("id").alias("doc_id")))
+    with pytest.raises(ValueError, match="routing"):
         update_doc_meta(spark, routed_idx, spark.range(1).select(
-            F.col("id").alias("doc_id"), F.lit("x").alias("lang")))
+            F.col("id").alias("doc_id"), F.lit("src9").alias("source")))
     with pytest.raises(ValueError, match="routed layout"):
         reindex(spark, routed_idx, str(tmp_path / "dst"), n_parts=2, block_size=64)
+
+
+def test_routed_append_upsert_delete_lifecycle(spark, ddb, docs, tmp_path):
+    """ES writes-with-routing: appends re-derive the routed doc_part (the
+    appended segment stays tenant-pure and routed_search's live stats —
+    doc_map slice + block metadata — absorb it, so the sub-corpus oracle
+    keeps holding EXACTLY); point deletes exclude immediately with stale
+    stats (survivors keep their scores); unknown routing values refuse."""
+    from fafnir_spark.incremental import append_index, delete_docs, upsert_docs
+
+    root = str(tmp_path / "rlife")
+    build_index(
+        spark, normalize_docs(docs, id_col="doc_id", text_col="text"), root,
+        n_parts=N_PARTS, block_size=64, tokenizer="whitespace",
+        build_id="rl", resume=False, routing_col="source",
+    )
+    # append two new docs into route src3 — route stats are LIVE on append
+    new = spark.createDataFrame(
+        [(900_001, "merge window merge customer", "src3"),
+         (900_002, "window window spark", "src3")],
+        "doc_id long, text string, source string")
+    append_index(spark, normalize_docs(new, id_col="doc_id", text_col="text"),
+                 root, "ap1", tokenizer="whitespace")
+    got = routed_search(spark, root, "src3", {"q": QUERY}, k=10).collect()
+    want = ddb.execute(oracles.bm25_topk_sql(
+        QUERY, k=10,
+        docs_where=("source = 'src3'"),
+    ).replace(
+        "FROM documents",
+        "FROM (SELECT doc_id, text, 'src3' AS source FROM (VALUES "
+        "(900001, 'merge window merge customer'), "
+        "(900002, 'window window spark')) v(doc_id, text) "
+        "UNION ALL SELECT doc_id, text, source FROM documents) AS documents",
+    )).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[2], abs=1e-6)
+    assert any(r["doc_id"] == 900_001 for r in got)  # the append is visible
+
+    # tenant purity still holds after the append
+    cat = Catalog(root)
+    dm = cat.read_table(spark, "doc_map")
+    mixed = (
+        dm.select(F.floor(F.col("doc_part") / N_PARTS).alias("ridx"), "source")
+        .groupBy("ridx").agg(F.countDistinct("source").alias("n"))
+        .filter(F.col("n") > 1).count()
+    )
+    assert mixed == 0
+
+    # point delete: excluded immediately, survivors keep STALE-stats scores
+    before = {r["doc_id"]: r["score"]
+              for r in routed_search(spark, root, "src3", {"q": QUERY}, k=10).collect()}
+    victim = max(before)  # any present doc; deterministic pick
+    delete_docs(spark, root, [int(victim)])
+    after = {r["doc_id"]: r["score"]
+             for r in routed_search(spark, root, "src3", {"q": QUERY}, k=10).collect()}
+    assert victim not in after
+    for d, s in after.items():
+        if d in before:
+            assert s == before[d]
+
+    # upsert replaces content under the same id inside the route
+    up = spark.createDataFrame(
+        [(900_002, "customer customer customer merge", "src3")],
+        "doc_id long, text string, source string")
+    upsert_docs(spark, normalize_docs(up, id_col="doc_id", text_col="text"),
+                root, segment="up1", tokenizer="whitespace")
+    res = routed_search(spark, root, "src3", {"q2": ["customer"]}, k=5).collect()
+    assert res and res[0]["doc_id"] == 900_002  # new content dominates
+
+    # unknown routing value refused at append
+    bad = spark.createDataFrame([(900_009, "x y", "no-such-route")],
+                                "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="unknown routing value"):
+        append_index(spark, normalize_docs(bad, id_col="doc_id", text_col="text"),
+                     root, "ap2", tokenizer="whitespace")
 
 
 def test_routed_search_input_validation(spark, docs, routed_idx, tmp_path):
