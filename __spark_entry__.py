@@ -770,6 +770,30 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(spark, root, {"q": QVEC}, k=10, nprobe=4).drop("qid")
 
 
+def _q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vector ingest (faiss train-then-ADD): the index is
+    built over half the vectors, the other half arrives via ivf_append —
+    assigned to the FROZEN quantizer and published as one more partitioned
+    segment (probe pruning stacks per segment). At exhaustive nprobe the
+    appended index equals brute force over the WHOLE corpus, so the brute
+    cosine oracle holds exactly."""
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.simsearch import build_ivf_index, ivf_append, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = os.path.join(tempfile.gettempdir(),
+                        "fafnir_ivfa_" + _content_key(sf_dir))
+    if not os.path.exists(os.path.join(root, "_manifest.json")):
+        build_ivf_index(
+            spark, emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+            root, n_centroids=16)
+        ivf_append(
+            spark, emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
+            root, "ap1")
+    return ivf_search(spark, root, {"q": QVEC}, k=10, nprobe=16).drop("qid")
+
+
 def _q_search_api_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The _search knn section served FROM the persisted IVF index —
     probed partitions only, exact re-rank; rank-identical to the inline
@@ -3888,6 +3912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
+        "ann_ivf_append": _q_ann_ivf_append,
         "ann_sq8_rescore": _q_ann_sq8,
         "ann_bq_rescore": _q_ann_bq,
         "ann_bq_indexed": _q_ann_bq_indexed,
@@ -4246,6 +4271,7 @@ def oracle_sql() -> dict[str, str]:
             0.4, plane_weights(LSH_TABLES, LSH_PLANES)
         ),
         "ann_cosine_topk": oracles_ops.cosine_topk_sql(QVEC, 10),
+        "ann_ivf_append": oracles_ops.cosine_topk_sql(QVEC, 10),
         "ann_sq8_rescore": oracles_ops.sq8_cosine_topk_sql(QVEC, 10, rescore_factor=4),
         "ann_bq_rescore": oracles_ops.bq_cosine_topk_sql(QVEC, 10, rescore_factor=4),
         "ann_bq_indexed": oracles_ops.bq_cosine_topk_sql(QVEC, 10, rescore_factor=4),

@@ -1495,3 +1495,68 @@ def bitext_margin_mine(
     return pairs.orderBy(
         F.col("margin").desc(), F.col("src_id").asc(), F.col("tgt_id").asc()
     ).limit(n_out)
+
+
+def ivf_append(spark, new_emb: DataFrame, index_root: str, segment: str,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> int:
+    """Incremental vector ingest into the persisted IVF index — faiss's
+    train-then-ADD contract: the coarse quantizer (centroid table) is
+    FROZEN at build, new vectors are assigned to their nearest existing
+    centroid (the sort-free max_by assignment, broadcast centroids) and
+    published as ONE additional ivf_assign segment, still partitioned by
+    centroid_id so probe pruning stacks across segments. ivf_search needs
+    no change: Catalog.read_table unions segments and the probe filter
+    prunes partitions in every segment independently.
+
+    vec_id collisions with the live index are rejected (the append_index
+    precedent: broadcast the NEW ids, which are segment-sized, against the
+    big existing relation — never the reverse). Returns the appended
+    count. Quantizer drift is the deployment's compaction trigger: after
+    heavy appends, rebuild with train_iters to re-train (faiss re-train
+    guidance), or ivf_compact to fold segments without re-assignment."""
+    from .catalog import Catalog
+
+    cat = Catalog(index_root)
+    m = cat.read_manifest()
+    new_ids = new_emb.select(F.col(id_col).alias("vec_id"))
+    clash = (
+        cat.read_table(spark, "ivf_assign").select("vec_id")
+        .join(F.broadcast(new_ids), "vec_id").count()
+    )
+    if clash:
+        raise ValueError(f"ivf_append would collide with {clash} live vec_ids")
+    cents = cat.read_table(spark, "ivf_centroids")
+    assigned = _assign_to_centroids(new_emb, cents, id_col, vec_col)
+    cat.write_segment(assigned, "ivf_assign", segment,
+                      partition_by=["centroid_id"])
+    n_new = int(new_emb.count())
+    tables = dict(m["tables"])
+    tables["ivf_assign"] = tables["ivf_assign"] + [
+        cat.segment_dir("ivf_assign", segment)]
+    meta = dict(m.get("meta") or {})
+    meta["n_vectors"] = int(meta.get("n_vectors", 0)) + n_new
+    cat.publish(tables, meta=meta, expected_snapshot=m.get("snapshot_id"))
+    return n_new
+
+
+def ivf_compact(spark, index_root: str) -> bool:
+    """Fold appended ivf_assign segments back into one (small-segment
+    merge): a pure RELAYOUT — assignments are already final (the quantizer
+    is frozen), so this is read → rewrite partitioned → publish, no
+    re-scoring. Returns False when already single-segment."""
+    import uuid
+
+    from .catalog import Catalog
+
+    cat = Catalog(index_root)
+    m = cat.read_manifest()
+    if len(m["tables"].get("ivf_assign", [])) <= 1:
+        return False
+    seg = "compact-" + uuid.uuid4().hex[:8]
+    cat.write_segment(cat.read_table(spark, "ivf_assign"), "ivf_assign", seg,
+                      partition_by=["centroid_id"])
+    tables = dict(m["tables"])
+    tables["ivf_assign"] = [cat.segment_dir("ivf_assign", seg)]
+    cat.publish(tables, meta=m.get("meta"),
+                expected_snapshot=m.get("snapshot_id"))
+    return True

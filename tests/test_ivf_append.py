@@ -1,0 +1,87 @@
+"""Incremental IVF ingest (faiss add): append assigns new vectors to the
+FROZEN quantizer and publishes one more partitioned segment. Laws:
+exhaustive-probe search over build+append == brute force over the union;
+probe pruning still prunes partitions in every segment; collisions refuse;
+compaction folds segments without changing results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.catalog import Catalog
+from fafnir_spark.simsearch import (
+    build_ivf_index,
+    cosine_topk,
+    ivf_append,
+    ivf_compact,
+    ivf_search,
+)
+from tests.conftest import SF_DIR
+
+QVEC_K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.orderBy("vec_id").first()
+    return [float(x) for x in row["embedding"]]
+
+
+@pytest.fixture()
+def appended_idx(spark, emb, tmp_path):
+    root = str(tmp_path / "ivf")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    extra = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    build_ivf_index(spark, base, root, n_centroids=8)
+    n = ivf_append(spark, extra, root, "ap1")
+    assert n == extra.count()
+    return root
+
+
+def test_append_exhaustive_probe_equals_brute_force(spark, emb, qvec, appended_idx):
+    got = [
+        (r["rank"], r["vec_id"], r["cos"])
+        for r in ivf_search(spark, appended_idx, {"q": qvec},
+                            k=QVEC_K, nprobe=8).collect()
+    ]
+    brute = [
+        (r["rank"], r["vec_id"], r["cos"])
+        for r in cosine_topk(emb, {"q": qvec}, k=QVEC_K).collect()
+    ]
+    assert got == brute
+
+
+def test_append_probe_pruning_spans_segments(spark, appended_idx):
+    cat = Catalog(appended_idx)
+    m = cat.read_manifest()
+    assert len(m["tables"]["ivf_assign"]) == 2
+    pruned = cat.read_table(spark, "ivf_assign").filter(
+        F.col("centroid_id").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [") >= 1
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:160]
+    n_all = cat.read_table(spark, "ivf_assign").count()
+    assert 0 < pruned.count() < n_all
+
+
+def test_append_collision_refused(spark, emb, appended_idx):
+    with pytest.raises(ValueError, match="collide"):
+        ivf_append(spark, emb.limit(3), appended_idx, "ap2")
+
+
+def test_compact_folds_segments_identically(spark, qvec, appended_idx):
+    before = [tuple(r) for r in ivf_search(
+        spark, appended_idx, {"q": qvec}, k=QVEC_K, nprobe=3).collect()]
+    assert ivf_compact(spark, appended_idx) is True
+    m = Catalog(appended_idx).read_manifest()
+    assert len(m["tables"]["ivf_assign"]) == 1
+    after = [tuple(r) for r in ivf_search(
+        spark, appended_idx, {"q": qvec}, k=QVEC_K, nprobe=3).collect()]
+    assert after == before
+    assert ivf_compact(spark, appended_idx) is False
