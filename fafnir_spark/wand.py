@@ -2257,7 +2257,8 @@ def routed_search(
     snapshot_id: str | None = None,
 ) -> DataFrame:
     """ES custom ``_routing`` search: a query that supplies its routing
-    value touches ONLY that route's shards. Here the routed build
+    value (or a LIST of values — ES's comma-separated ``?routing=a,b``)
+    touches ONLY those routes' shards. Here the routed build
     (build_index(routing_col=...)) laid each route out as its own disjoint
     ``doc_part`` range inside the doc_part-partitioned postings table, so
     the route restriction is a PARTITION FILTER — Spark plans a directory
@@ -2286,18 +2287,26 @@ def routed_search(
         raise ValueError(
             f"{index_root} is not a routed index; build with "
             "build_index(routing_col=...) or use run_queries")
-    if routing not in rt["routes"]:
+    # ES comma-separated routing: a str is one route, a list/tuple is the
+    # union — the query fans out to exactly those routes' partitions and
+    # the statistics universe is their combined sub-corpus.
+    route_list = [routing] if isinstance(routing, str) else sorted(set(routing))
+    unknown = [v for v in route_list if v not in rt["routes"]]
+    if unknown:
         raise ValueError(
-            f"unknown routing value {routing!r} (routes: {rt['routes']})")
+            f"unknown routing value(s) {unknown} (routes: {rt['routes']})")
     manifest = cat.manifest_at(snapshot_id)
     if BULK_TOMBSTONE_TABLE in manifest["tables"]:
         raise ValueError("routed index carries bulk tombstones — "
                          "unsupported state (delete_docs_bulk is guarded)")
     excluded = _load_tombstones(spark, cat, manifest, include_bulk=False)
     npp = int(rt["parts_per_route"])
-    ridx = rt["routes"].index(routing)
-    lo, hi = ridx * npp, (ridx + 1) * npp
-    in_route = (F.col("doc_part") >= F.lit(lo)) & (F.col("doc_part") < F.lit(hi))
+    in_route = None
+    for v in route_list:
+        ridx = rt["routes"].index(v)
+        lo, hi = ridx * npp, (ridx + 1) * npp
+        c = (F.col("doc_part") >= F.lit(lo)) & (F.col("doc_part") < F.lit(hi))
+        in_route = c if in_route is None else (in_route | c)
 
     # route-local corpus stats: one pruned scan of the doc_map slice
     g = (manifest.get("meta") or {}).get("stats") or cat.read_json("stats")

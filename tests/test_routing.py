@@ -1,11 +1,11 @@
 """Custom shard routing (ES `_routing`): a routed build lays each routing
 value out as its own disjoint doc_part range, so a routed query is served by
 PARTITION PRUNING and scores with route-local statistics — semantically the
-tenant's own index (the DuckDB sub-corpus oracle proves it). Routed indexes
-are read-only between rebuilds: every incremental-maintenance entry point
-must raise (the pmod(doc_id, n_parts) invariant would target the wrong
-route partition). Reference anchor: ES routing on the shard config the
-reference tunes (/root/reference config/fafnir/default.toml:50)."""
+tenant's own index (the DuckDB sub-corpus oracle proves it). Writes carry
+routing implicitly (append/upsert re-derive the routed doc_part; point
+deletes are layout-blind); only pmod-plumbed ops (delete_docs_bulk,
+reindex) refuse routed layouts. Reference anchor: ES routing on the shard
+config the reference tunes (/root/reference config/fafnir/default.toml:50)."""
 
 from __future__ import annotations
 
@@ -225,3 +225,17 @@ def test_routed_search_input_validation(spark, docs, routed_idx, tmp_path):
         build_index(spark, too_many, str(tmp_path / "many"), n_parts=2,
                     block_size=64, tokenizer="whitespace", build_id="m",
                     resume=False, routing_col="source", max_routes=8)
+
+
+def test_routed_search_multi_route_union(spark, ddb, routed_idx):
+    """ES comma-separated routing: a list of routes prunes to the union of
+    their partition ranges and scores over the combined sub-corpus."""
+    got = routed_search(spark, routed_idx, ["src3", "src17"],
+                        {"q": QUERY}, k=10).collect()
+    want = ddb.execute(oracles.bm25_topk_sql(
+        QUERY, k=10, docs_where="source IN ('src17', 'src3')")).fetchall()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[2], abs=1e-6)
+    with pytest.raises(ValueError, match="unknown routing"):
+        routed_search(spark, routed_idx, ["src3", "nope"], {"q": QUERY})
