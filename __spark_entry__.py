@@ -114,6 +114,26 @@ def _q_stemmed_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", "doc_id", "score")
 
 
+HARD_NEG_SPECS = {
+    "n1": (["merge", "window"], 5),
+    "n2": (["spark", "slow"], 17),
+    "n3": (["vector", "batch"], 23),
+}
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retriever training (DPR/ANCE): per query,
+    the strongest BM25 hits that are NOT the labeled positive. One corpus
+    pass for the whole batch (shared tf/df relation); exclusion happens
+    after scoring, before the rank — negative scores stay full-corpus."""
+    from fafnir_spark.curation import hard_negatives
+
+    return hard_negatives(
+        _docs(spark, sf_dir),
+        {q: terms for q, (terms, _) in HARD_NEG_SPECS.items()},
+        {q: pos for q, (_, pos) in HARD_NEG_SPECS.items()}, k=5)
+
+
 def _q_clone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _clone lifecycle: ZERO-COPY clone of the shared index (every
     segment file hardlinked — no data bytes move), then a delete applied
@@ -3887,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_query": _q_reindex_query,
         "routed_bm25": _q_routed_bm25,
         "clone_query": _q_clone_query,
+        "hard_negatives": _q_hard_negatives,
         "alias_search": _q_alias_search,
         "term_dictionary": _q_dictionary,
         "conjunctive_match": _q_conjunctive,
@@ -4232,6 +4253,7 @@ def oracle_sql() -> dict[str, str]:
             Q_MAIN, k=10, docs_where="source = 'src3'"),
         "clone_query": oracles.bulk_delete_sql(
             Q_MAIN, 10, "doc_id <> 42", post_compact=False),
+        "hard_negatives": oracles.hard_negatives_sql(HARD_NEG_SPECS, k=5),
         "alias_search": oracles.bool_bm25_sql(
             must=Q_MAIN, filter_terms=["spark"], k=10
         ),

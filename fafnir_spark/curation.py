@@ -1245,3 +1245,39 @@ def url_dedup(urls: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.min("doc_id").cast("long").alias("keep_id"))
             .orderBy("url_norm"))
+
+
+def hard_negatives(docs: DataFrame, queries: dict[str, list[str]],
+                   positives: dict[str, int], k: int = 5) -> DataFrame:
+    """Hard-negative mining for retriever training (DPR/ANCE recipe:
+    the strongest BM25 hits that are NOT the labeled positive become the
+    contrastive negatives). For every query, take the batch BM25
+    top-(k+1), drop the query's positive doc, and keep the first k — the
+    exclusion happens before the rank but after scoring, so negative
+    scores are the true full-corpus scores (set-identical to ranking the
+    positive-excluded corpus: the positive can displace at most one row).
+
+    Scale shape: ONE corpus pass for the whole query batch
+    (bm25_topk_batch: shared tf/df relation, broadcast (qid, term) join,
+    two-level top-k); the exclusion and re-rank run over <= (k+1) rows per
+    query. (qid, rank, doc_id, score) ordered."""
+    from pyspark.sql.window import Window
+
+    from .query import bm25_topk_batch
+
+    missing = sorted(set(queries) - set(positives))
+    if missing:
+        raise ValueError(f"queries without a labeled positive: {missing}")
+    top = bm25_topk_batch(docs, queries, k=k + 1)
+    pos_map = F.create_map(*[
+        x for qid in sorted(positives)
+        for x in (F.lit(qid), F.lit(int(positives[qid])))
+    ])
+    neg = top.filter(F.col("doc_id") != pos_map[F.col("qid")])
+    w = Window.partitionBy("qid").orderBy(F.col("rank").asc())
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )

@@ -2211,3 +2211,41 @@ SELECT CAST(i - 1 AS BIGINT) AS pos, tk[i] AS token
 FROM tk, unnest(range(1, len(tk) + 1)) AS r(i)
 ORDER BY pos
 """
+
+
+def hard_negatives_sql(specs: dict[str, tuple[list[str], int]], k: int = 5) -> str:
+    """Hard-negative mining oracle: full-corpus BM25 scores (the shared
+    formula, identical operand order), the labeled positive excluded
+    BEFORE the rank window, top-k per query, queries UNION ALL'd."""
+    all_terms = sorted({t for terms, _ in specs.values() for t in terms})
+    branches = []
+    for qid in sorted(specs):
+        terms, pos = specs[qid]
+        branches.append(f"""
+SELECT '{qid}' AS qid, rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(raw_score, 6) AS score
+  FROM (
+    SELECT tf.doc_id,
+           sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+              ) AS raw_score
+    FROM tf
+    JOIN dfs USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    WHERE tf.term IN {_terms_in(terms)}
+    GROUP BY tf.doc_id
+  )
+  WHERE doc_id <> {int(pos)}
+) WHERE rank <= {k}""")
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(all_terms)} GROUP BY term
+)
+{body}
+ORDER BY qid, rank
+"""

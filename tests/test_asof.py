@@ -156,3 +156,31 @@ def test_range_join_boundaries_inclusive(spark):
      .withColumn("end", F.col("end").cast("timestamp"))
     got = sorted(r["p_id"] for r in range_join(pts, iv, key="user_id").collect())
     assert got == [1, 2]
+
+
+def test_hard_negatives_excludes_positive_keeps_scores(spark):
+    """The labeled positive never appears; every negative keeps its exact
+    full-corpus BM25 score (exclusion after scoring); a positive outside
+    the top-(k+1) leaves the top-k unchanged."""
+    from fafnir_spark.curation import hard_negatives
+    from fafnir_spark.query import bm25_topk
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full = bm25_topk(docs, ["merge", "window"], k=7).collect()
+    pos = full[0]["doc_id"]  # positive IS the top hit: displacement case
+    got = hard_negatives(docs, {"q": ["merge", "window"]}, {"q": int(pos)},
+                         k=5).collect()
+    assert len(got) == 5
+    assert pos not in {r["doc_id"] for r in got}
+    expect = [(i + 1, r["doc_id"], r["score"])
+              for i, r in enumerate(full[1:6])]
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in got] == expect
+    # positive not in the window: identical to the plain top-k
+    got2 = hard_negatives(docs, {"q": ["merge", "window"]},
+                          {"q": -999_999}, k=5).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in got2] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in full[:5]]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="without a labeled positive"):
+        hard_negatives(docs, {"q": ["merge"]}, {}, k=3)
