@@ -1200,6 +1200,33 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL sequence search (ES _eql/search, the Elastic Security engine):
+    `sequence by user_id with maxspan=48h [signup] [purchase] until
+    [error]`. Greedy nearest-predecessor chaining rendered as the
+    bounded-span bucket equi-join (maxspan-wide buckets, state exploded
+    to <= 2 bucket rows) + sort-free max_by — a hot key's history
+    parallelizes across its time buckets; `until` kills by left_anti on
+    a strictly-between event. No per-key windows anywhere."""
+    from fafnir_spark.eql import eql_sequence
+
+    return eql_sequence(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        ["signup", "purchase"], maxspan_secs=48 * 3600, until="error")
+
+
+def _q_eql_sequence3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-stage EQL sequence (signup -> click -> purchase within 72h):
+    each chaining step is the same bucketed equi-join + max_by; maxspan
+    re-checked first->last on the final rows (pairwise gaps alone
+    under-constrain a 3-stage chain)."""
+    from fafnir_spark.eql import eql_sequence
+
+    return eql_sequence(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        ["signup", "click", "purchase"], maxspan_secs=72 * 3600)
+
+
 def _q_downsample_tsdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES TSDB downsampling (_downsample / ILM action): roll the event
     series up to 6h buckets keeping value_count/min/max/sum/last_value
@@ -3990,6 +4017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_rate": _q_tsdb_rate,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "eql_sequence": _q_eql_sequence,
+        "eql_sequence3": _q_eql_sequence3,
         "downsample_tsdb": _q_downsample_tsdb,
         "stream_downsample": _q_stream_downsample,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
@@ -4357,6 +4386,10 @@ def oracle_sql() -> dict[str, str]:
         "tsdb_rate": oracles_pipeline.tsdb_rate_sql(unit_hours=1),
         "asof_join": oracles_pipeline.asof_join_sql("click", "purchase"),
         "range_join": oracles_pipeline.range_join_sql("click", "error", 2),
+        "eql_sequence": oracles_pipeline.eql_sequence_sql(
+            ["signup", "purchase"], 48 * 3600, until="error"),
+        "eql_sequence3": oracles_pipeline.eql_sequence_sql(
+            ["signup", "click", "purchase"], 72 * 3600),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),

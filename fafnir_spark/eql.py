@@ -1,0 +1,160 @@
+"""EQL (Event Query Language) sequence queries — the ES endpoint
+(`GET /index/_eql/search`) that powers Elastic Security: ordered event
+sequences per join key within a ``maxspan`` window, with an optional
+``until`` terminator (reference anchor: fafnir feeds the same event
+tables ES runs EQL over; SURVEY §2.8's event-stream family).
+
+Matching semantics (deterministic, documented — ES's state machine is
+greedy and tail-matching, which is exactly the "nearest preceding
+predecessor" rule rendered relationally):
+
+* events are totally ordered per key by ``(ts, event_id)``;
+* a stage-``i`` event extends the stage-``i-1`` partial sequence whose
+  tail is the NEAREST strictly-preceding stage-``i-1`` match within
+  ``maxspan`` (ES keeps one pending state per key and a new stage-1
+  event replaces it — "most recent predecessor" is that rule);
+* ``maxspan`` bounds first→last (enforced pairwise during chaining —
+  a necessary condition that keeps every join bucket-bounded — and
+  re-checked first→last on the final rows);
+* an ``until`` event strictly between the first and last event of a
+  matched sequence kills it (ES: "until ends any in-flight sequence").
+
+Scale shape — the whole point of doing this in Spark: the classic
+rendering is one ``lag``/state window per key, which funnels a hot
+key's entire history through ONE reducer. Instead every chaining step
+is the bounded-span bucket join (the `pipeline.range_join` idiom):
+
+1. bucket the time axis at width W = maxspan; a (prev, next) pair with
+   ``next - prev <= maxspan`` spans at most 2 buckets, so the partial
+   sequence explodes to its (bucket, bucket+1) pair and the step is a
+   plain EQUI-join on (key, bucket) with a row-local order/span
+   residual — shuffle volume ≤ 2·|state| + |stage_i|;
+2. "nearest predecessor" is a sort-free ``max_by`` grouped by the
+   next event (map-side partial agg; candidate fan-in per next event
+   is bounded by the key's event rate × maxspan — EQL's natural state
+   bound);
+3. ``until`` reuses the same join once more and kills by left_anti.
+
+No windows, no driver-side state, no collects — the plan survives a
+hot key because its history parallelizes across time buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+StepPred = Union[str, Column]
+
+
+def _pred(events: DataFrame, step: StepPred, type_col: str) -> Column:
+    if isinstance(step, str):
+        return F.col(type_col) == step
+    return step
+
+
+def _stage_rows(events: DataFrame, pred: Column, key: str, ts_col: str,
+                id_col: str, prefix: str) -> DataFrame:
+    """One stage's candidate events as (key, {prefix}_us, {prefix}_id)
+    with integer epoch-micros time (no float drift, exact ordering)."""
+    return events.filter(pred).select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias(f"{prefix}_us"),
+        F.col(id_col).cast("long").alias(f"{prefix}_id"),
+    )
+
+
+def _bucketed_candidates(state: DataFrame, nxt: DataFrame, tail_us: str,
+                         tail_id: str, n_us: str, n_id: str,
+                         span_us: int) -> DataFrame:
+    """Equi-join `state` (tail event at {tail_us},{tail_id}) to `nxt`
+    rows of the same key that follow the tail strictly (in (us, id)
+    order) within span_us — via (key, time-bucket) with each state row
+    exploded to its (bkt, bkt+1) pair. Returns state.* × nxt columns."""
+    st = state.withColumn(
+        "__bkt",
+        F.explode(F.sequence(
+            F.floor(F.col(tail_us) / F.lit(span_us)).cast("long"),
+            F.floor(F.col(tail_us) / F.lit(span_us)).cast("long") + F.lit(1),
+        )))
+    nx = nxt.withColumn(
+        "__bkt", F.floor(F.col(n_us) / F.lit(span_us)).cast("long"))
+    joined = st.join(nx, ["__k", "__bkt"])
+    order_ok = (F.struct(F.col(tail_us), F.col(tail_id))
+                < F.struct(F.col(n_us), F.col(n_id)))
+    span_ok = (F.col(n_us) - F.col(tail_us)) <= F.lit(span_us)
+    return joined.filter(order_ok & span_ok).drop("__bkt")
+
+
+def eql_sequence(
+    events: DataFrame,
+    steps: Sequence[StepPred],
+    maxspan_secs: int,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    until: Optional[StepPred] = None,
+) -> DataFrame:
+    """Match ``sequence by <by> with maxspan=<maxspan_secs>s [steps...]
+    until [until]`` and return one row per matched sequence:
+    ``(<by>, e1_id, ..., eN_id, span_us)`` ordered by the tail event id.
+
+    ``steps`` entries are event_type strings or Column predicates
+    (>= 2 required). Time is integer epoch micros end-to-end; ties on
+    ts break by event_id (the per-key total order both engines share).
+    """
+    if len(steps) < 2:
+        raise ValueError("eql_sequence needs at least 2 steps")
+    span_us = int(maxspan_secs) * 1_000_000
+
+    state = _stage_rows(events, _pred(events, steps[0], type_col),
+                        by, ts_col, id_col, "e1")
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = _stage_rows(events, _pred(events, step, type_col),
+                          by, ts_col, id_col, f"e{i}")
+        cand = _bucketed_candidates(
+            state, nxt, f"e{i-1}_us", f"e{i-1}_id",
+            f"e{i}_us", f"e{i}_id", span_us)
+        prev_cols = [c for c in state.columns if c != "__k"]
+        # nearest predecessor: unique ordering key (tail_us, tail_id)
+        # per __k makes the pick deterministic; map-side partial agg.
+        state = (
+            cand.groupBy("__k", f"e{i}_us", f"e{i}_id")
+            .agg(F.max_by(
+                F.struct(*prev_cols),
+                F.struct(F.col(f"e{i-1}_us"), F.col(f"e{i-1}_id")),
+            ).alias("__prev"))
+            .select("__k", f"e{i}_us", f"e{i}_id",
+                    *[F.col(f"__prev.{c}").alias(c) for c in prev_cols])
+        )
+
+    n = len(steps)
+    last_us, last_id = f"e{n}_us", f"e{n}_id"
+    # maxspan binds first -> last (pairwise gaps already bounded it
+    # per step; this is the exact EQL envelope on the final rows)
+    state = state.filter(
+        (F.col(last_us) - F.col("e1_us")) <= F.lit(span_us))
+
+    if until is not None:
+        u = _stage_rows(events, _pred(events, until, type_col),
+                        by, ts_col, id_col, "u")
+        cand = _bucketed_candidates(
+            state.select("__k", "e1_us", "e1_id", last_us, last_id),
+            u, "e1_us", "e1_id", "u_us", "u_id", span_us)
+        killed = cand.filter(
+            F.struct(F.col("u_us"), F.col("u_id"))
+            < F.struct(F.col(last_us), F.col(last_id))
+        ).select(last_id).distinct()
+        state = state.join(killed, last_id, "left_anti")
+
+    out_ids = [F.col(f"e{i}_id").cast("long").alias(f"e{i}_id")
+               for i in range(1, n + 1)]
+    return (
+        state.select(
+            F.col("__k").cast("long").alias(by), *out_ids,
+            (F.col(last_us) - F.col("e1_us")).cast("long").alias("span_us"))
+        .orderBy(last_id)
+    )

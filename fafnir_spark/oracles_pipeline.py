@@ -1695,3 +1695,58 @@ FROM iv LEFT JOIN p ON p.user_id = iv.user_id
 GROUP BY iv.err_id
 ORDER BY err_id
 """
+
+
+def eql_sequence_sql(steps: list, maxspan_secs: int,
+                     until: str = None) -> str:
+    """EQL sequence oracle: the same greedy nearest-predecessor chaining
+    as eql.eql_sequence, rendered as per-stage inequality joins + rn=1
+    windows (quadratic-per-key — fine at oracle scale; the engine runs
+    the bounded bucket join). Total order is (epoch_us(ts), event_id);
+    maxspan re-checked first->last; `until` kills via NOT EXISTS on a
+    strictly-between event."""
+    span_us = int(maxspan_secs) * 1_000_000
+    ctes = []
+    for i, et in enumerate(steps, start=1):
+        ctes.append(
+            f"s{i} AS (SELECT user_id, event_id, epoch_us(ts) AS us "
+            f"FROM events WHERE event_type = '{et}')")
+    prev_cols = "e1_us, e1_id"
+    ctes.append(
+        "q1 AS (SELECT user_id, us AS e1_us, event_id AS e1_id FROM s1)")
+    for i in range(2, len(steps) + 1):
+        ctes.append(f"""p{i} AS (
+  SELECT q.user_id, s{i}.us AS e{i}_us, s{i}.event_id AS e{i}_id, q.* EXCLUDE (user_id),
+         row_number() OVER (
+           PARTITION BY s{i}.event_id
+           ORDER BY q.e{i-1}_us DESC, q.e{i-1}_id DESC) AS rn
+  FROM s{i} JOIN q{i-1} q ON q.user_id = s{i}.user_id
+    AND (q.e{i-1}_us < s{i}.us
+         OR (q.e{i-1}_us = s{i}.us AND q.e{i-1}_id < s{i}.event_id))
+    AND s{i}.us - q.e{i-1}_us <= {span_us}
+)""")
+        ctes.append(f"q{i} AS (SELECT * EXCLUDE (rn) FROM p{i} WHERE rn = 1)")
+        prev_cols += f", e{i}_us, e{i}_id"
+    n = len(steps)
+    until_clause = ""
+    if until is not None:
+        until_clause = f"""
+  AND NOT EXISTS (
+    SELECT 1 FROM events u
+    WHERE u.event_type = '{until}' AND u.user_id = q.user_id
+      AND (epoch_us(u.ts) > q.e1_us
+           OR (epoch_us(u.ts) = q.e1_us AND u.event_id > q.e1_id))
+      AND (epoch_us(u.ts) < q.e{n}_us
+           OR (epoch_us(u.ts) = q.e{n}_us AND u.event_id < q.e{n}_id))
+  )"""
+    id_cols = ", ".join(
+        f"CAST(q.e{i}_id AS BIGINT) AS e{i}_id" for i in range(1, n + 1))
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT CAST(q.user_id AS BIGINT) AS user_id, {id_cols},
+       CAST(q.e{n}_us - q.e1_us AS BIGINT) AS span_us
+FROM q{n} q
+WHERE q.e{n}_us - q.e1_us <= {span_us}{until_clause}
+ORDER BY e{n}_id
+"""

@@ -102,6 +102,12 @@ def main() -> None:
         pts = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
         return range_join(pts, iv, key="user_id", point_ts="ts")
 
+    def _eql_df(spark, sf):
+        from fafnir_spark.eql import eql_sequence
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return eql_sequence(ev, ["signup", "click", "purchase"],
+                            maxspan_secs=72 * 3600, until="error")
+
     def _asof_df(spark, sf):
         from fafnir_spark.pipeline import asof_join
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -649,6 +655,15 @@ def main() -> None:
               "max_by relation (rows = #buckets, not #samples) and joins "
               "back at bucket granularity (AQE broadcast). No window "
               "over an unbounded per-key history, no range join."),
+        audit("eql_sequence (EQL sequence state machine, relationally)",
+              _eql_df(spark, sf),
+              "Every chaining step is an EQUI-join on (key, "
+              "maxspan-bucket) — the partial-sequence state explodes to "
+              "<= 2 bucket rows, nearest-predecessor is a sort-free "
+              "max_by (map-side partial agg), and the until kill is a "
+              "left_anti on the strictly-between relation. NO Window "
+              "node anywhere (a hot key's history parallelizes across "
+              "its time buckets), no Cartesian/BroadcastNestedLoop."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")

@@ -1,0 +1,106 @@
+"""EQL sequence invariants: greedy nearest-predecessor semantics,
+bucket-boundary correctness, until kills, and the no-window plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.eql import eql_sequence
+
+TS = "timestamp"
+
+
+def _ev(spark, rows):
+    """rows: (event_id, ts_str, user_id, event_type)"""
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string")
+    return df.withColumn("ts", F.col("ts").cast(TS))
+
+
+def test_nearest_predecessor_and_until(spark):
+    ev = _ev(spark, [
+        (1, "2024-01-01 00:00:00", 7, "A"),
+        (2, "2024-01-01 01:00:00", 7, "A"),   # nearer A — must win
+        (3, "2024-01-01 02:00:00", 7, "B"),
+        (4, "2024-01-01 03:00:00", 7, "U"),   # between A2 and B5: kills
+        (5, "2024-01-01 04:00:00", 7, "B"),
+        (6, "2024-01-01 00:30:00", 9, "B"),   # B before any A: no match
+    ])
+    got = eql_sequence(ev, ["A", "B"], maxspan_secs=10 * 3600,
+                       until="U").collect()
+    assert [(r["user_id"], r["e1_id"], r["e2_id"]) for r in got] == [
+        (7, 2, 3)]
+    # B5's nearest A is A2 (01:00), U4 (03:00) is strictly between -> dead
+    got2 = eql_sequence(ev, ["A", "B"], maxspan_secs=10 * 3600).collect()
+    assert [(r["e1_id"], r["e2_id"]) for r in got2] == [(2, 3), (2, 5)]
+
+
+def test_cross_bucket_match_and_span_bound(spark):
+    # maxspan 1h = bucket width 1h; A at :59 and B at 1:58 land in
+    # DIFFERENT buckets but are 59min apart -> must match via the
+    # exploded (bkt, bkt+1) state row. B at 2:30 is > 1h from A -> drop.
+    ev = _ev(spark, [
+        (1, "2024-01-01 00:59:00", 1, "A"),
+        (2, "2024-01-01 01:58:00", 1, "B"),
+        (3, "2024-01-01 02:30:00", 1, "B"),
+    ])
+    got = eql_sequence(ev, ["A", "B"], maxspan_secs=3600).collect()
+    assert [(r["e1_id"], r["e2_id"], r["span_us"]) for r in got] == [
+        (1, 2, 59 * 60 * 1_000_000)]
+
+
+def test_tie_on_ts_breaks_by_event_id(spark):
+    # same timestamp: lower id precedes higher id; equal (ts,id) never
+    # self-matches. A(id=5) and B(id=4) at the same ts -> NO match
+    # (B does not follow A in the (ts, id) order); B(id=9) matches.
+    ev = _ev(spark, [
+        (5, "2024-01-01 00:00:00", 1, "A"),
+        (4, "2024-01-01 00:00:00", 1, "B"),
+        (9, "2024-01-01 00:00:00", 1, "B"),
+    ])
+    got = eql_sequence(ev, ["A", "B"], maxspan_secs=60).collect()
+    assert [(r["e1_id"], r["e2_id"]) for r in got] == [(5, 9)]
+
+
+def test_three_stage_first_to_last_span(spark):
+    # A..B gap 50m, B..C gap 50m: pairwise fine at maxspan=1h but
+    # first->last is 100m -> the final envelope must drop it.
+    ev = _ev(spark, [
+        (1, "2024-01-01 00:00:00", 1, "A"),
+        (2, "2024-01-01 00:50:00", 1, "B"),
+        (3, "2024-01-01 01:40:00", 1, "C"),
+    ])
+    assert eql_sequence(ev, ["A", "B", "C"], maxspan_secs=3600).count() == 0
+    got = eql_sequence(ev, ["A", "B", "C"], maxspan_secs=2 * 3600).collect()
+    assert [(r["e1_id"], r["e2_id"], r["e3_id"]) for r in got] == [(1, 2, 3)]
+
+
+def test_until_at_endpoints_does_not_kill(spark):
+    # until is STRICTLY between: a U sharing e1's or e2's (ts,id)-adjacent
+    # endpoints (before first / after last) must not kill.
+    ev = _ev(spark, [
+        (1, "2024-01-01 00:00:00", 1, "U"),   # before first
+        (2, "2024-01-01 00:10:00", 1, "A"),
+        (3, "2024-01-01 00:20:00", 1, "B"),
+        (4, "2024-01-01 00:30:00", 1, "U"),   # after last
+    ])
+    got = eql_sequence(ev, ["A", "B"], maxspan_secs=3600,
+                       until="U").collect()
+    assert [(r["e1_id"], r["e2_id"]) for r in got] == [(2, 3)]
+
+
+def test_plan_has_no_window_and_no_cartesian(spark):
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = eql_sequence(ev, ["signup", "click", "purchase"],
+                        maxspan_secs=72 * 3600, until="error")
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in txt, "per-key window snuck into the EQL plan"
+    assert "Cartesian" not in txt
+    assert "BroadcastNestedLoop" not in txt
+
+
+def test_rejects_single_step(spark):
+    ev = _ev(spark, [(1, "2024-01-01 00:00:00", 1, "A")])
+    with pytest.raises(ValueError, match="at least 2 steps"):
+        eql_sequence(ev, ["A"], maxspan_secs=60)
