@@ -461,6 +461,61 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_text(_docs(spark, sf_dir), QS_QUERY, k=10)
 
 
+DSL_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "merge"}}],
+            "filter": [
+                {"term": {"lang": "en"}},
+                {"range": {"n_chars": {"gte": 150, "lte": 4000}}},
+            ],
+            "should": [{"match": {"text": {"query": "window vector", "boost": 2.5}}}],
+            "must_not": [{"match_phrase": {"text": "slow batch"}}],
+        }
+    }
+}
+
+DSL_BODY_IDX = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "merge"}}],
+            "should": [{"match": {"text": {"query": "window vector", "boost": 2.5}}}],
+            "must_not": [{"term": {"text": "slow"}},
+                         {"match_phrase": {"text": "key agg"}}],
+        }
+    }
+}
+
+
+def _q_query_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES structured query DSL (the JSON `_search` body — what real ES
+    clients send instead of query_string): bool with must match, term +
+    range filters, boosted should, negated phrase. Compiled by
+    dsl.dsl_to_query_string onto the parse_query grammar so execution and
+    oracle share ONE battle-tested path (zero new scoring code)."""
+    from fafnir_spark.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), DSL_BODY, k=10)
+
+
+def _q_query_dsl_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query DSL served FROM the positional index: same compilation, the
+    executed plan is per-shard bool evaluation + phrase eligibility from
+    stored positions. Rank-identical to the direct compile of the same
+    body — same oracle family."""
+    from fafnir_spark.dsl import dsl_search_indexed
+
+    return dsl_search_indexed(spark, _pidx_root(spark, sf_dir), DSL_BODY_IDX, k=10)
+
+
+def _dsl_oracle(body: dict) -> str:
+    """DSL oracle = the query_string oracle of the compiled body — the
+    compilation is the single source of truth in both engines."""
+    from fafnir_spark.dsl import dsl_to_query_string
+
+    return oracles.search_text_sql(dsl_to_query_string(body), k=10)
+
+
 SQS_QUERY = "merge window | vector -slow"
 
 
@@ -3680,6 +3735,7 @@ def _pq(fn_name: str, needs: str = "docs"):
 # test_coverage_consistency's sibling test asserts every *_indexed key has
 # its direct twin here (stemmed index variants map to their direct form).
 INDEXED_TWINS = {
+    "query_dsl_indexed": "query_dsl",
     "simple_query_string_indexed": "simple_query_string",
     "ann_bq_indexed": "ann_bq_rescore",
     "ann_ivf_indexed": "ann_ivf_topk",
@@ -4019,6 +4075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "eql_sequence": _q_eql_sequence,
         "eql_sequence3": _q_eql_sequence3,
+        "query_dsl": _q_query_dsl,
+        "query_dsl_indexed": _q_query_dsl_indexed,
         "downsample_tsdb": _q_downsample_tsdb,
         "stream_downsample": _q_stream_downsample,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
@@ -4390,6 +4448,8 @@ def oracle_sql() -> dict[str, str]:
             ["signup", "purchase"], 48 * 3600, until="error"),
         "eql_sequence3": oracles_pipeline.eql_sequence_sql(
             ["signup", "click", "purchase"], 72 * 3600),
+        "query_dsl": _dsl_oracle(DSL_BODY),
+        "query_dsl_indexed": _dsl_oracle(DSL_BODY_IDX),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),

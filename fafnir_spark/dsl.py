@@ -1,0 +1,196 @@
+"""ES query DSL (the JSON `_search` body) compiled onto the engine.
+
+The reference exposes a query_string surface (tests/tests.rs:208-228);
+real Elasticsearch clients send the structured JSON DSL instead —
+``{"query": {"bool": {"must": [{"match": ...}], "filter": [...]}}}``.
+This module compiles the DSL body to the ``parse_query`` grammar string
+(query_ext.parse_query), so BOTH execution paths (direct `search_text`,
+indexed `wand.search_text_indexed`) and the DuckDB oracle
+(`oracles.search_text_sql`) run from ONE canonical compilation — the DSL
+layer adds zero new scoring/eligibility code to keep rank-identical.
+
+Supported clause types (anything else raises — closed surface, no
+silent drops):
+
+  match         {"match": {"text": "a b"}} or {"text": {"query": "a b",
+                "boost": 2.5}} — whitespace-analyzed tokens, scored.
+                In ``must`` context every token is required (+tok).
+  match_phrase  {"match_phrase": {"text": "a b"}} — exact phrase,
+                eligibility-only; negated under must_not.
+  term          {"term": {"source": "web"}} — filter context
+                (never scored), exact value on a keyword field.
+                Under must_not with field=="text": token exclusion.
+  range         {"range": {"n_chars": {"gte": 10, "lte": 400}}} —
+                inclusive numeric range, filter context.
+  prefix        {"prefix": {"text": "mer"}} — vocabulary expansion,
+                scored.
+  bool          {"bool": {"must": [...], "should": [...],
+                "must_not": [...], "filter": [...]}} — one level
+                (ES's own flattening collapses single-clause nesting).
+
+Scale shape is inherited unchanged from the compiled-to paths: one
+filtered corpus pass for tf/df on the direct path, per-shard posting
+evaluation on the indexed path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tokens must survive the parse_query round trip unchanged: no sign
+# prefixes, quotes, colons, carets, brackets or whitespace.
+_SAFE_TOKEN = re.compile(r"^[A-Za-z0-9_.\-]+$")
+_SAFE_FIELD = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _tok(t: str, what: str) -> str:
+    if not _SAFE_TOKEN.match(t) or t.startswith("-"):
+        raise ValueError(f"unsupported {what} token for the DSL compiler: {t!r}")
+    return t.lower()
+
+
+def _field(f: str) -> str:
+    if not _SAFE_FIELD.match(f):
+        raise ValueError(f"unsupported field name: {f!r}")
+    return f
+
+
+def _num(v) -> str:
+    if not isinstance(v, (int, float)) or isinstance(v, bool):
+        raise ValueError(f"range bound must be numeric, got {v!r}")
+    return repr(float(v))
+
+
+def _match_parts(spec) -> tuple[list[str], float | None]:
+    """(tokens, boost) of a match clause body (string or options dict)."""
+    if isinstance(spec, str):
+        q, boost = spec, None
+    elif isinstance(spec, dict):
+        extra = set(spec) - {"query", "boost"}
+        if extra:
+            raise ValueError(f"unsupported match options: {sorted(extra)}")
+        q, boost = spec["query"], spec.get("boost")
+        if boost is not None and (not isinstance(boost, (int, float))
+                                  or isinstance(boost, bool) or boost <= 0):
+            raise ValueError(f"match boost must be a positive number, got {boost!r}")
+    else:
+        raise ValueError(f"unsupported match body: {spec!r}")
+    toks = [_tok(t, "match") for t in str(q).split() if t]
+    if not toks:
+        raise ValueError("empty match query")
+    return toks, (float(boost) if boost is not None else None)
+
+
+def _one_field(clause: dict, kind: str) -> tuple[str, object]:
+    if not isinstance(clause, dict) or len(clause) != 1:
+        raise ValueError(f"{kind} clause must map exactly one field: {clause!r}")
+    [(f, v)] = clause.items()
+    return _field(f), v
+
+
+def _compile_clause(clause: dict, ctx: str, out: list[str]) -> None:
+    """Append the grammar fragments of one DSL clause in context ``ctx``
+    (one of must/should/must_not/filter)."""
+    if not isinstance(clause, dict) or len(clause) != 1:
+        raise ValueError(f"each DSL clause is a single-key object: {clause!r}")
+    [(kind, spec)] = clause.items()
+
+    if kind == "match":
+        fld, body = _one_field(spec, "match")
+        if fld != "text":
+            raise ValueError("match is only scored on the analyzed 'text' field")
+        if ctx == "filter":
+            raise ValueError("match in filter context is not supported (use term)")
+        toks, boost = _match_parts(body)
+        sign = {"must": "+", "must_not": "-", "should": ""}[ctx]
+        for t in toks:
+            b = f"^{boost!r}" if boost is not None and ctx != "must_not" else ""
+            out.append(f"{sign}{t}{b}")
+    elif kind == "match_phrase":
+        fld, body = _one_field(spec, "match_phrase")
+        if fld != "text":
+            raise ValueError("match_phrase applies to the analyzed 'text' field")
+        toks = [_tok(t, "phrase") for t in str(body).split() if t]
+        if not toks:
+            raise ValueError("empty match_phrase")
+        if ctx in ("must", "filter", "should"):
+            # phrases gate eligibility (never scored) — should-context
+            # phrase with no other scored clause is meaningless; parse_query
+            # treats all positive phrases identically.
+            out.append('"%s"' % " ".join(toks))
+        else:
+            out.append('-"%s"' % " ".join(toks))
+    elif kind == "term":
+        fld, val = _one_field(spec, "term")
+        if ctx == "must_not":
+            if fld != "text":
+                raise ValueError("must_not term is only supported on 'text'")
+            out.append(f"-{_tok(str(val), 'term')}")
+        else:
+            out.append(f"{fld}:{_tok(str(val), 'term value')}")
+    elif kind == "range":
+        fld, bounds = _one_field(spec, "range")
+        if ctx == "must_not":
+            raise ValueError("negated range is not supported")
+        if not isinstance(bounds, dict) or set(bounds) != {"gte", "lte"}:
+            raise ValueError("range needs exactly {gte, lte} (inclusive bounds)")
+        out.append(f"{fld}:[{_num(bounds['gte'])} TO {_num(bounds['lte'])}]")
+    elif kind == "prefix":
+        fld, val = _one_field(spec, "prefix")
+        if fld != "text" or ctx == "must_not":
+            raise ValueError("prefix is only supported on 'text' in positive context")
+        out.append(f"{_tok(str(val), 'prefix')}*")
+    else:
+        raise ValueError(f"unsupported DSL clause type: {kind!r}")
+
+
+def dsl_to_query_string(body: dict) -> str:
+    """Compile an ES ``_search`` request body (or bare query object) to
+    the parse_query grammar string. Deterministic clause order
+    (must, filter, should, must_not) so the compilation is stable."""
+    if not isinstance(body, dict):
+        raise ValueError("DSL body must be a dict")
+    query = body.get("query", body)
+    if not isinstance(query, dict) or len(query) != 1:
+        raise ValueError("DSL body needs exactly one top-level query clause")
+    [(kind, spec)] = query.items()
+    parts: list[str] = []
+    if kind == "bool":
+        if not isinstance(spec, dict):
+            raise ValueError("bool body must be a dict")
+        extra = set(spec) - {"must", "should", "must_not", "filter"}
+        if extra:
+            raise ValueError(f"unsupported bool sections: {sorted(extra)}")
+        for ctx in ("must", "filter", "should", "must_not"):
+            clauses = spec.get(ctx, [])
+            if isinstance(clauses, dict):
+                clauses = [clauses]
+            for c in clauses:
+                _compile_clause(c, ctx, parts)
+    else:
+        _compile_clause(query, "should", parts)
+    if not parts:
+        raise ValueError("DSL compiled to an empty query")
+    return " ".join(parts)
+
+
+def dsl_search(docs: DataFrame, body: dict, k: int = 10,
+               text_col: str = "text") -> DataFrame:
+    """Execute an ES query-DSL body over the corpus (direct path).
+    (rank, doc_id, score) — rank-identical to the equivalent
+    query_string, because it IS the equivalent query_string."""
+    from .query_ext import search_text
+
+    return search_text(docs, dsl_to_query_string(body), k=k, text_col=text_col)
+
+
+def dsl_search_indexed(spark: SparkSession, root: str, body: dict,
+                       k: int = 10) -> DataFrame:
+    """Execute an ES query-DSL body FROM the positional index (the scale
+    path): dictionary prefix expansion, per-shard bool evaluation, phrase
+    eligibility from stored positions."""
+    from .wand import search_text_indexed
+
+    return search_text_indexed(spark, root, dsl_to_query_string(body), k=k)

@@ -1,0 +1,99 @@
+"""ES query-DSL compiler: golden compilations, closed-surface rejections,
+and execution parity (direct == oracle; indexed == direct) — the DSL layer
+must add ZERO new scoring code, it compiles onto parse_query."""
+
+import pytest
+
+from fafnir_spark import oracles
+from fafnir_spark.dsl import dsl_search, dsl_search_indexed, dsl_to_query_string
+from tests.conftest import SF_DIR
+from tests.test_curation import assert_matches
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "merge"}}],
+            "filter": [
+                {"term": {"lang": "en"}},
+                {"range": {"n_chars": {"gte": 150, "lte": 4000}}},
+            ],
+            "should": [{"match": {"text": {"query": "window vector", "boost": 2.5}}}],
+            "must_not": [{"match_phrase": {"text": "slow batch"}}],
+        }
+    }
+}
+
+
+def test_compile_golden():
+    assert dsl_to_query_string(BODY) == (
+        '+merge lang:en n_chars:[150.0 TO 4000.0] '
+        'window^2.5 vector^2.5 -"slow batch"'
+    )
+    # bare (non-bool) query object, with and without the {"query": ...}
+    # envelope, integer boost normalized to a float literal
+    assert dsl_to_query_string({"match": {"text": "spark batch"}}) == "spark batch"
+    assert dsl_to_query_string(
+        {"query": {"match": {"text": {"query": "spark", "boost": 2}}}}
+    ) == "spark^2.0"
+    assert dsl_to_query_string(
+        {"bool": {"must_not": {"term": {"text": "slow"}},
+                  "should": [{"prefix": {"text": "mer"}}]}}
+    ) == "mer* -slow"
+
+
+@pytest.mark.parametrize("body,msg", [
+    ({"knn": {"field": "v"}}, "unsupported DSL clause"),
+    ({"bool": {"boost": 2}}, "unsupported bool sections"),
+    ({"bool": {"must": [{"bool": {"must": []}}]}}, "unsupported DSL clause"),
+    ({"match": {"title": "x"}}, "'text' field"),
+    ({"match": {"text": {"query": "x", "fuzziness": 1}}}, "unsupported match options"),
+    ({"match": {"text": {"query": "x", "boost": -1}}}, "positive number"),
+    ({"match": {"text": 'a"b'}}, "unsupported match token"),
+    ({"bool": {"must_not": [{"range": {"n": {"gte": 1, "lte": 2}}}]}},
+     "negated range"),
+    ({"range": {"n": {"gte": 1}}}, "gte, lte"),
+    ({"range": {"n": {"gte": "a", "lte": 2}}}, "numeric"),
+    ({"bool": {}}, "empty query"),
+    ({"bool": {"filter": [{"match": {"text": "x"}}]}}, "filter context"),
+])
+def test_compile_rejections(body, msg):
+    with pytest.raises(ValueError, match=msg):
+        dsl_to_query_string(body)
+
+
+def test_dsl_direct_matches_oracle(spark, ddb, docs):
+    out = dsl_search(docs, BODY, k=10)
+    assert out.count() > 0
+    assert_matches(out, ddb, oracles.search_text_sql(dsl_to_query_string(BODY), k=10))
+
+
+def test_dsl_indexed_equals_direct(spark, docs, tmp_path):
+    """Indexed DSL == direct DSL row-for-row (phrase + boosts + must_not
+    through the positional index)."""
+    from fafnir_spark.build import build_index, normalize_docs
+
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "merge"}}],
+                "should": [{"match": {"text": {"query": "window vector",
+                                               "boost": 2.5}}}],
+                "must_not": [{"term": {"text": "slow"}},
+                             {"match_phrase": {"text": "key agg"}}],
+            }
+        }
+    }
+    root = str(tmp_path / "dslidx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace",
+                with_positions=True, build_id="d")
+    direct = dsl_search(docs, body, k=10).collect()
+    indexed = dsl_search_indexed(spark, root, body, k=10).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in direct] == \
+           [(r["rank"], r["doc_id"], r["score"]) for r in indexed]
+    assert direct
