@@ -3238,6 +3238,31 @@ def _q_geo_distance_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_distance_range_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+GEO_SHAPE_ENV = (0, 40, 25, 50)  # envelope in the integer trajectory grid
+
+
+def _q_geo_shape_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_shape query (envelope, relation=intersects) against per-user
+    LINESTRING trajectories: integer-exact separating-axis segment-vs-box
+    test, row-local over a bounded per-user array — one groupBy, zero
+    joins, envelope enters as literals."""
+    from fafnir_spark.geo import trajectory_envelope_match
+
+    return trajectory_envelope_match(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), *GEO_SHAPE_ENV,
+        relation="intersects")
+
+
+def _q_geo_shape_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_shape relation=within: every truncated trajectory point inside
+    the (convex) envelope — same machinery, forall instead of exists."""
+    from fafnir_spark.geo import trajectory_envelope_match
+
+    return trajectory_envelope_match(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), *GEO_SHAPE_ENV,
+        relation="within")
+
+
 ESQL_QUERY = """
 FROM events
 | WHERE value >= 5.0 AND event_type != "error"
@@ -4188,6 +4213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_terms": _q_sampler_terms,
         "global_agg": _q_global_agg,
         "geo_distance_range": _q_geo_distance_range,
+        "geo_shape_intersects": _q_geo_shape_intersects,
+        "geo_shape_within": _q_geo_shape_within,
         "esql_pipeline": _q_esql,
         "esql_rename_drop": _q_esql_rename_drop,
         "esql_sample": _q_esql_sample,
@@ -4637,6 +4664,10 @@ ORDER BY term ASC LIMIT 10
             Q_MAIN, by="source", shard_size=100),
         "global_agg": oracles_pipeline.global_agg_sql(Q_MAIN, metric_col="n_chars"),
         "geo_distance_range": oracles_pipeline.geo_distance_range_sql(),
+        "geo_shape_intersects": oracles_pipeline.geo_shape_envelope_sql(
+            *GEO_SHAPE_ENV, relation="intersects"),
+        "geo_shape_within": oracles_pipeline.geo_shape_envelope_sql(
+            *GEO_SHAPE_ENV, relation="within"),
         "ann_matryoshka": oracles_ops.matryoshka_topk_sql(
             QVEC, k=10, prefix_dim=16, rescore_factor=4),
         "frequent_item_sets": oracles_pipeline.frequent_item_sets_sql(

@@ -402,3 +402,103 @@ def geo_distance_range_agg(events: DataFrame, origin_lat: float = 50.0,
              F.round(F.avg("dist_km"), 6).alias("avg_km"))
         .orderBy("ring")
     )
+
+
+def trajectory_points(events: DataFrame) -> DataFrame:
+    """(user_id, ts, event_id, x, y) — deterministic INTEGER-grid
+    trajectory coordinates (the geo_line convention: exact integers so
+    cross-engine float formatting/rounding can never diverge). Each user
+    walks inside a 13×13 cell anchored at a user-specific grid slot, so
+    trajectories are spatially LOCALIZED (an envelope query is actually
+    selective, like real movement data). pmod keeps negative ids safe."""
+    return events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.pmod(F.col("user_id"), F.lit(33)) * F.lit(6)
+         + F.pmod(F.col("event_id"), F.lit(13))).cast("long").alias("x"),
+        (F.pmod(F.col("user_id") * F.lit(11) + F.lit(5), F.lit(33)) * F.lit(6)
+         + F.pmod(F.col("event_id") * F.lit(7) + F.col("user_id"), F.lit(13))
+         ).cast("long").alias("y"),
+    )
+
+
+def trajectory_envelope_match(events: DataFrame, x_lo: int, x_hi: int,
+                              y_lo: int, y_hi: int,
+                              relation: str = "intersects",
+                              size: int = 20) -> DataFrame:
+    """ES geo_shape query (envelope vs indexed LINESTRING shapes): which
+    user trajectories INTERSECT / lie WITHIN / are DISJOINT from the query
+    envelope. The reference's admin-containment probe generalized from
+    points to shapes (src/mimir.rs:30-38 resolves point-in-polygon; ES
+    geo_shape resolves geometry-vs-geometry relations).
+
+    Geometry is EXACT: integer endpoints + integer envelope bounds, and
+    segment-vs-box intersection is the separating-axis test — (a) the
+    segment's bbox overlaps the envelope on both axes AND (b) the four
+    envelope corners do not all lie strictly on one side of the segment's
+    supporting line (integer cross products). No epsilon anywhere, so the
+    DuckDB oracle agrees bit-for-bit. `within` = every (truncated)
+    trajectory point inside the (convex) envelope; single-point
+    trajectories resolve through the point-inside test.
+
+    Scale shape: ONE groupBy(user_id); the per-user polyline is sorted
+    in-group (array_sort, no window over the event stream) and truncated
+    to ``size`` before any geometry, so every predicate after the shuffle
+    is row-local over a bounded array. Zero joins, zero driver state —
+    the envelope enters the plan as literals.
+
+    Returns (user_id, n_points) of matching users, user_id asc.
+    """
+    if relation not in ("intersects", "within", "disjoint"):
+        raise ValueError(f"unsupported geo_shape relation: {relation!r}")
+    pts = trajectory_points(events)
+    g = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.collect_list(F.struct("ts", "event_id", "x", "y")).alias("__ps"),
+    )
+    ps = F.slice(F.array_sort("__ps"), 1, size)
+    g = g.withColumn("__xs", F.transform(ps, lambda p: p["x"])) \
+         .withColumn("__ys", F.transform(ps, lambda p: p["y"]))
+    n = F.size("__xs")
+    pz = F.arrays_zip(F.col("__xs"), F.col("__ys"))
+
+    def _inside(p):
+        return ((p["__xs"] >= F.lit(x_lo)) & (p["__xs"] <= F.lit(x_hi))
+                & (p["__ys"] >= F.lit(y_lo)) & (p["__ys"] <= F.lit(y_hi)))
+
+    segs = F.arrays_zip(
+        F.slice(F.col("__xs"), 1, n - 1).alias("ax"),
+        F.slice(F.col("__ys"), 1, n - 1).alias("ay"),
+        F.slice(F.col("__xs"), 2, n - 1).alias("bx"),
+        F.slice(F.col("__ys"), 2, n - 1).alias("by"),
+    )
+
+    def _seg_hit(e):
+        ax, ay, bx, by = e["ax"], e["ay"], e["bx"], e["by"]
+
+        def cr(cx: int, cy: int):
+            return ((bx - ax) * (F.lit(cy) - ay)
+                    - (by - ay) * (F.lit(cx) - ax))
+
+        s1, s2 = cr(x_lo, y_lo), cr(x_lo, y_hi)
+        s3, s4 = cr(x_hi, y_lo), cr(x_hi, y_hi)
+        overlap = ((F.greatest(ax, bx) >= F.lit(x_lo))
+                   & (F.least(ax, bx) <= F.lit(x_hi))
+                   & (F.greatest(ay, by) >= F.lit(y_lo))
+                   & (F.least(ay, by) <= F.lit(y_hi)))
+        all_pos = (s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0)
+        all_neg = (s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0)
+        return overlap & ~all_pos & ~all_neg
+
+    intersects = F.exists(pz, _inside) | F.exists(segs, _seg_hit)
+    keep = {
+        "intersects": intersects,
+        "within": F.forall(pz, _inside),
+        "disjoint": ~intersects,
+    }[relation]
+    return (
+        g.filter(keep)
+        .select("user_id", "n_points")
+        .orderBy("user_id")
+    )

@@ -1750,3 +1750,56 @@ FROM q{n} q
 WHERE q.e{n}_us - q.e1_us <= {span_us}{until_clause}
 ORDER BY e{n}_id
 """
+
+
+def geo_shape_envelope_sql(x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+                           relation: str = "intersects",
+                           size: int = 20) -> str:
+    """Mirror of geo.trajectory_envelope_match: same integer trajectory
+    encoding, same (ts, event_id) order + truncation, same separating-axis
+    segment-vs-envelope test (all-integer — no epsilon, exact parity)."""
+    if relation not in ("intersects", "within", "disjoint"):
+        raise ValueError(relation)
+    xl, xh, yl, yh = int(x_lo), int(x_hi), int(y_lo), int(y_hi)
+
+    def cr(cx: int, cy: int) -> str:
+        return (f"((xs[i+1]-xs[i])*({cy}-ys[i])"
+                f" - (ys[i+1]-ys[i])*({cx}-xs[i]))")
+
+    corners = [(xl, yl), (xl, yh), (xh, yl), (xh, yh)]
+    all_pos = " AND ".join(f"{cr(cx, cy)} > 0" for cx, cy in corners)
+    all_neg = " AND ".join(f"{cr(cx, cy)} < 0" for cx, cy in corners)
+    inside = (f"xs[i] >= {xl} AND xs[i] <= {xh}"
+              f" AND ys[i] >= {yl} AND ys[i] <= {yh}")
+    keep = {
+        "intersects": "inside_any OR seg_any",
+        "within": "inside_all",
+        "disjoint": "NOT (inside_any OR seg_any)",
+    }[relation]
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         6*(((user_id % 33)+33)%33) + (((event_id % 13)+13)%13) AS x,
+         6*((((user_id*11+5) % 33)+33)%33)
+           + ((((event_id*7+user_id) % 13)+13)%13) AS y
+  FROM events),
+g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+         (list(x ORDER BY ts, event_id))[1:{int(size)}] AS xs,
+         (list(y ORDER BY ts, event_id))[1:{int(size)}] AS ys
+  FROM pts GROUP BY user_id),
+r AS (
+  SELECT user_id, n_points,
+    coalesce(list_max(list_transform(range(1, len(xs)+1),
+      i -> CASE WHEN {inside} THEN 1 ELSE 0 END)), 0) = 1 AS inside_any,
+    coalesce(list_min(list_transform(range(1, len(xs)+1),
+      i -> CASE WHEN {inside} THEN 1 ELSE 0 END)), 1) = 1 AS inside_all,
+    coalesce(list_max(list_transform(range(1, len(xs)),
+      i -> CASE WHEN
+        greatest(xs[i], xs[i+1]) >= {xl} AND least(xs[i], xs[i+1]) <= {xh} AND
+        greatest(ys[i], ys[i+1]) >= {yl} AND least(ys[i], ys[i+1]) <= {yh} AND
+        NOT ({all_pos}) AND NOT ({all_neg})
+      THEN 1 ELSE 0 END)), 0) = 1 AS seg_any
+  FROM g)
+SELECT user_id, n_points FROM r WHERE {keep} ORDER BY user_id
+"""

@@ -1,0 +1,65 @@
+"""geo_shape envelope relation invariants: the separating-axis segment
+test (pass-through segments with both endpoints outside), relation
+partition laws, and the sf0.01 oracle parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.geo import trajectory_envelope_match
+from tests.conftest import SF_DIR
+
+
+def _ev(spark, rows):
+    """rows: (event_id, user_id) — ts constant; coordinates derive from
+    (event_id, user_id) via trajectory_points."""
+    df = spark.createDataFrame(
+        [(e, u, "2024-01-01 00:00:00") for e, u in rows],
+        "event_id long, user_id long, ts string")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_pass_through_segment_hits(spark):
+    # user 0: events 0 and 8 -> x = 0, 8; y = 5, 5+4=9... derive exactly:
+    # x = 6*(0%33) + e%13 = e ; y = 6*((0*11+5)%33) + (7e%13) = 30 + 7e%13
+    # e=0 -> (0, 30); e=8 -> (8, 30+56%13=30+4=34). Box x [2,5], y [0,100]
+    # strictly between the endpoints' x: both endpoints OUTSIDE, the
+    # segment passes through -> intersects must fire via the segment test.
+    ev = _ev(spark, [(0, 0), (8, 0)])
+    got = trajectory_envelope_match(ev, 2, 5, 0, 100).collect()
+    assert [(r["user_id"], r["n_points"]) for r in got] == [(0, 2)]
+    # ... and a box the segment's LINE crosses but the SEGMENT misses
+    # (x beyond both endpoints) must NOT fire.
+    assert trajectory_envelope_match(ev, 20, 30, 0, 100).count() == 0
+
+
+def test_single_point_trajectory(spark):
+    # one event -> no segments; only the point-inside test can match
+    ev = _ev(spark, [(0, 0)])  # point (0, 30)
+    assert trajectory_envelope_match(ev, 0, 1, 29, 31).count() == 1
+    assert trajectory_envelope_match(ev, 1, 2, 29, 31).count() == 0
+    # a 1-point trajectory inside the box is also `within`
+    assert trajectory_envelope_match(
+        ev, 0, 1, 29, 31, relation="within").count() == 1
+
+
+def test_relation_partition_laws(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    box = (0, 40, 25, 50)
+    inter = {r["user_id"] for r in
+             trajectory_envelope_match(ev, *box).collect()}
+    within = {r["user_id"] for r in
+              trajectory_envelope_match(ev, *box, relation="within").collect()}
+    disjoint = {r["user_id"] for r in
+                trajectory_envelope_match(ev, *box, relation="disjoint").collect()}
+    allu = {r["user_id"] for r in ev.select("user_id").distinct().collect()}
+    assert within <= inter
+    assert inter | disjoint == allu
+    assert not (inter & disjoint)
+    assert inter and disjoint  # the driver envelope is discriminative
+
+
+def test_boundary_is_inclusive(spark):
+    # point exactly ON the envelope corner counts as inside (ES treats
+    # envelope bounds inclusively)
+    ev = _ev(spark, [(0, 0)])  # point (0, 30)
+    assert trajectory_envelope_match(ev, 0, 5, 30, 35).count() == 1
