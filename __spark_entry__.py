@@ -3009,6 +3009,21 @@ def _q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile sketch: per-batch deterministic hash samples
+    appended to parquet state (closed under union + replay-idempotent via
+    distinct) — drained state == batch sample exactly, so the batch
+    sample-side SQL is an EXACT oracle."""
+    from fafnir_spark.streaming import stream_sampled_quantiles
+
+    base = tempfile.mkdtemp(prefix="fafnir_ssq_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_sampled_quantiles(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state")
+    )
+
+
 DISTF_ORIGIN, DISTF_PIVOT, DISTF_BOOST = 150.0, 50.0, 2.0
 PINNED_IDS = [42, 7, 123456789, 3]  # 3rd id doesn't exist -> dropped (ES)
 
@@ -4188,6 +4203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_by_query": _q_update_by_query,
         "stream_minhash_dedup": _q_stream_minhash,
         "stream_hll_cardinality": _q_stream_hll,
+        "stream_sampled_quantiles": _q_stream_sampled_quantiles,
         "stream_change_point": _q_stream_change_point,
         "normalize_agg": _q_normalize_agg,
         "geohash_grid": _q_geohash_grid,
@@ -4440,6 +4456,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_logistic": oracles_curation.quality_logistic_sql(20),
         "chunk_dedup": oracles_curation.chunk_dedup_sql(16, 8, 2, 50),
         "sampled_quantiles": oracles_pipeline.sampled_quantiles_sql(),
+        "stream_sampled_quantiles": oracles_pipeline.stream_sampled_quantiles_sql(),
         "bigram_logprob": oracles_curation.bigram_logprob_sql(),
         "ann_lsh_topk": oracles_ops.lsh_cosine_topk_sql(
             QVEC, plane_weights(LSH_TABLES, LSH_PLANES), 10

@@ -1847,3 +1847,29 @@ SELECT CAST((epoch_us(ts) // (CAST(interval_secs AS BIGINT) * 1000000))
 FROM events, sel
 GROUP BY 1, 2 ORDER BY bucket_start
 """
+
+
+def stream_sampled_quantiles_sql(group_col: str = "event_type",
+                                 val_col: str = "value",
+                                 key_col: str = "event_id", shift: int = 4,
+                                 qs: tuple = (0.5, 0.95),
+                                 table: str = "events") -> str:
+    """Mirror of streaming.stream_sampled_quantiles: the deterministic
+    sample is closed under union, so the batch sample-side SQL checks the
+    drained stream state EXACTLY (no weaker envelope). No exact-side audit
+    columns — the stream keeps only sampled rows; groups with zero sampled
+    rows are absent in both engines."""
+    from .portable import hash60_sql
+
+    thr = (1 << 60) >> shift
+    h = hash60_sql(f"CAST({key_col} AS VARCHAR)")
+    est_cols = ", ".join(
+        f"round(quantile_cont({val_col}, {q!r}), 6) AS q{int(q * 100)}_est"
+        for q in qs
+    )
+    return f"""
+SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_sample, {est_cols}
+FROM {table} WHERE {h} < {thr}
+GROUP BY {group_col}
+ORDER BY {group_col}
+"""

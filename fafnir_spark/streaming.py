@@ -776,3 +776,68 @@ def stream_cm_heavy_hitters(
         .agg(F.sum("partial").cast("long").alias("exact"))
     )
     return cm_topk_from(exact, regs, k=k, depth=depth, width=width)
+
+
+def stream_sampled_quantiles(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    group_col: str = "event_type",
+    val_col: str = "value",
+    key_col: str = "event_id",
+    shift: int = 4,
+    qs: tuple = (0.5, 0.95),
+) -> DataFrame:
+    """Streaming quantile sketch via the DETERMINISTIC hash sample
+    (sketches.sampled_quantiles' sample rule): each micro-batch keeps the
+    rows whose portable 60-bit key hash falls under 2^60/2^shift and
+    appends them to parquet state. The sample is a pure row predicate, so
+    it is closed under union AND idempotent under checkpoint replay — a
+    replayed batch re-appends identical rows and the read-side distinct
+    absorbs them. The drained state is EXACTLY the batch sample, so
+    streaming quantiles == batch sampled quantiles bit-for-bit (same
+    exact-percentile interpolation over the same rows), with state
+    bounded at p·n rows no matter how long the stream runs.
+
+    Unlike the batch op there is no exact-percentile audit column — that
+    would require unbounded raw-row state, which is the thing the sketch
+    exists to avoid. (group, n_sample, q<q>_est...), group asc."""
+    import os
+
+    from .portable import hash60
+
+    samp_dir = os.path.join(state_dir, "sample")
+    thr = (1 << 60) >> shift
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (df.filter(hash60(F.col(key_col).cast("string")) < thr)
+           .select(F.col(group_col).alias("grp"),
+                   F.col(key_col).alias("key"),
+                   F.col(val_col).alias("val"))
+           .write.mode("append").parquet(samp_dir))
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = spark.read.parquet(samp_dir).dropDuplicates(["grp", "key"])
+    est_aggs = [
+        F.round(F.expr(f"percentile(val, {q!r})"), 6).alias(f"q{int(q * 100)}_est")
+        for q in qs
+    ]
+    return (
+        merged.groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sample"), *est_aggs)
+        .select(F.col("grp").alias(group_col), "n_sample",
+                *[f"q{int(q * 100)}_est" for q in qs])
+        .orderBy(group_col)
+    )

@@ -325,3 +325,36 @@ def test_stream_cm_heavy_hitters_equals_batch(spark, tmp_path):
     want = cm_heavy_hitters(docs, k=15, depth=4, width=128).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert all(r["est"] >= r["exact"] for r in got)  # one-sided CM error
+
+
+def test_stream_sampled_quantiles_equals_batch_and_replay(spark, tmp_path):
+    """Drained sample state == the batch deterministic sample exactly;
+    re-appending the same batches (simulated replay) changes nothing —
+    the read-side distinct absorbs duplicate sample rows."""
+    from fafnir_spark.sketches import sampled_quantiles
+    from fafnir_spark.streaming import stream_sampled_quantiles
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src)
+
+    got = stream_sampled_quantiles(
+        spark, src, str(tmp_path / "ck"), str(tmp_path / "state"),
+        shift=2).collect()
+    # batch op (same shift) carries exact audit columns; the stream keeps
+    # sample-only groups — compare on the shared columns for groups with
+    # a non-empty sample
+    want = {r["event_type"]: r for r in
+            sampled_quantiles(ev, shift=2).collect() if r["n_sample"] > 0}
+    assert {r["event_type"] for r in got} == set(want)
+    for r in got:
+        w = want[r["event_type"]]
+        assert (r["n_sample"], r["q50_est"], r["q95_est"]) == \
+               (w["n_sample"], w["q50_est"], w["q95_est"])
+
+    # replay: a second run over the SAME source and state dir with a
+    # fresh checkpoint re-appends every batch's sample rows
+    again = stream_sampled_quantiles(
+        spark, src, str(tmp_path / "ck2"), str(tmp_path / "state"),
+        shift=2).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
