@@ -3253,23 +3253,6 @@ def _q_geo_distance_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_distance_range_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
-def _q_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES multi_terms agg (7.12): composite (event_type, day-of-week)
-    buckets, doc_count-desc top-N — one groupBy + k-row ordered merge."""
-    from fafnir_spark.pipeline import multi_terms_agg
-
-    return multi_terms_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
-
-
-def _q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES auto_date_histogram: interval auto-picked from the fixed ladder
-    so the bucket count fits the target; selection + bucketing in integer
-    microseconds (bit-exact cross-engine)."""
-    from fafnir_spark.pipeline import auto_date_histogram
-
-    return auto_date_histogram(spark.read.parquet(f"{sf_dir}/events.parquet"))
-
-
 GEO_SHAPE_ENV = (0, 40, 25, 50)  # envelope in the integer trajectory grid
 
 
@@ -4248,8 +4231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_range": _q_geo_distance_range,
         "geo_shape_intersects": _q_geo_shape_intersects,
         "geo_shape_within": _q_geo_shape_within,
-        "multi_terms": _q_multi_terms,
-        "auto_date_histogram": _q_auto_date_histogram,
         "esql_pipeline": _q_esql,
         "esql_rename_drop": _q_esql_rename_drop,
         "esql_sample": _q_esql_sample,
@@ -4704,8 +4685,6 @@ ORDER BY term ASC LIMIT 10
             *GEO_SHAPE_ENV, relation="intersects"),
         "geo_shape_within": oracles_pipeline.geo_shape_envelope_sql(
             *GEO_SHAPE_ENV, relation="within"),
-        "multi_terms": oracles_pipeline.multi_terms_sql(),
-        "auto_date_histogram": oracles_pipeline.auto_date_histogram_sql(),
         "ann_matryoshka": oracles_ops.matryoshka_topk_sql(
             QVEC, k=10, prefix_dim=16, rescore_factor=4),
         "frequent_item_sets": oracles_pipeline.frequent_item_sets_sql(

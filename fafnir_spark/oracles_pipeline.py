@@ -1805,50 +1805,6 @@ SELECT user_id, n_points FROM r WHERE {keep} ORDER BY user_id
 """
 
 
-def multi_terms_sql(size: int = 8) -> str:
-    """Mirror of pipeline.multi_terms_agg: DuckDB dayofweek is 0=Sunday
-    == Spark dayofweek()-1; same (count desc, keys asc) order."""
-    return f"""
-WITH g AS (
-  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
-         CAST(count(*) AS BIGINT) AS doc_count
-  FROM events GROUP BY 1, 2)
-SELECT rank, event_type, dow, doc_count FROM (
-  SELECT row_number() OVER (
-           ORDER BY doc_count DESC, event_type ASC, dow ASC) AS rank, *
-  FROM g) t WHERE rank <= {int(size)} ORDER BY rank
-"""
-
-
-def auto_date_histogram_sql(target_buckets: int = 50) -> str:
-    """Mirror of pipeline.auto_date_histogram: identical fixed-interval
-    ladder, identical integer-microsecond floor-division bucket count
-    (epoch_us == unix_micros) — the selection rule is arithmetic on
-    BIGINTs in both engines."""
-    from .pipeline import AUTO_HISTO_LADDER
-
-    whens = "\n    ".join(
-        f"WHEN (hi_us // {s * 1_000_000}) - (lo_us // {s * 1_000_000}) + 1"
-        f" <= {int(target_buckets)} THEN {s}"
-        for s in AUTO_HISTO_LADDER
-    )
-    return f"""
-WITH b AS (
-  SELECT min(epoch_us(ts)) AS lo_us, max(epoch_us(ts)) AS hi_us FROM events),
-sel AS (
-  SELECT CASE
-    {whens}
-    ELSE {AUTO_HISTO_LADDER[-1]} END AS interval_secs
-  FROM b)
-SELECT CAST((epoch_us(ts) // (CAST(interval_secs AS BIGINT) * 1000000))
-            * interval_secs AS BIGINT) AS bucket_start,
-       CAST(interval_secs AS BIGINT) AS interval_secs,
-       CAST(count(*) AS BIGINT) AS n
-FROM events, sel
-GROUP BY 1, 2 ORDER BY bucket_start
-"""
-
-
 def stream_sampled_quantiles_sql(group_col: str = "event_type",
                                  val_col: str = "value",
                                  key_col: str = "event_id", shift: int = 4,

@@ -2257,72 +2257,3 @@ def range_join(
     keep = [c for c in points.columns] + [
         c for c in intervals.columns if c != key]
     return joined.select(*keep)
-
-
-def multi_terms_agg(events: DataFrame, size: int = 8) -> DataFrame:
-    """ES multi_terms aggregation: composite (event_type, day-of-week)
-    buckets ordered by doc_count desc (ties: key asc) — the two-field
-    terms agg ES added in 7.12. ONE groupBy with map-side combine, then
-    the k-row TakeOrderedAndProject merge (never a global sort).
-    dow is 0=Sunday (Spark dayofweek()-1 == DuckDB dayofweek()).
-    (event_type, dow, doc_count)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
-    g = events.groupBy(
-        "event_type",
-        (F.dayofweek("ts") - F.lit(1)).cast("long").alias("dow"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
-    top = g.orderBy(F.col("doc_count").desc(), F.col("event_type").asc(),
-                    F.col("dow").asc()).limit(size)
-    w = F.row_number().over(Window.orderBy(
-        F.col("doc_count").desc(), F.col("event_type").asc(),
-        F.col("dow").asc()))
-    return (top.withColumn("rank", w)
-            .select("rank", "event_type", "dow", "doc_count")
-            .orderBy("rank"))
-
-
-AUTO_HISTO_LADDER = (60, 300, 1800, 3600, 10800, 43200, 86400, 604800)
-
-
-def auto_date_histogram(events: DataFrame, target_buckets: int = 50) -> DataFrame:
-    """ES auto_date_histogram: pick the smallest interval from the fixed
-    ladder (1m..7d) whose ACTUAL bucket count fits target_buckets, then
-    bucket. Interval selection and bucketing run in integer MICROSECONDS
-    (unix_micros == DuckDB epoch_us) so both engines agree bit-for-bit —
-    no float division anywhere. The 1-row bounds aggregate broadcasts
-    back over the events (AQE broadcast of a literal-sized relation);
-    bucketing is then row-local and the final groupBy is bounded by
-    target_buckets. (bucket_start unix-seconds, interval_secs, n).
-
-    Deviation from ES: the ladder stops at fixed 7d (no calendar
-    month/year intervals — calendar arithmetic is tz-dependent and ES
-    itself switched auto_date_histogram to fixed rounding for these)."""
-    from pyspark.sql import functions as F
-
-    def _idiv(a: F.Column, b: F.Column) -> F.Column:
-        # exact integer floor division (epoch is positive): subtracting
-        # pmod first makes the double division exact — never trust
-        # trunc(double_quotient) at a bucket boundary
-        return ((a - F.pmod(a, b)) / b).cast("long")
-
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    bounds = events.agg(
-        F.min(us).alias("lo_us"), F.max(us).alias("hi_us"))
-    iv = None
-    for secs in AUTO_HISTO_LADDER:
-        ivu = F.lit(secs * 1_000_000)
-        n_bk = _idiv(F.col("hi_us"), ivu) - _idiv(F.col("lo_us"), ivu) + F.lit(1)
-        cond = n_bk <= F.lit(target_buckets)
-        iv = F.when(cond, F.lit(secs)) if iv is None else iv.when(cond, F.lit(secs))
-    iv = iv.otherwise(F.lit(AUTO_HISTO_LADDER[-1])).cast("long")
-    b = bounds.select(iv.alias("interval_secs"))
-    ivu = F.col("interval_secs") * F.lit(1_000_000)
-    bucket_secs = _idiv(us, ivu) * F.col("interval_secs")
-    return (
-        events.crossJoin(F.broadcast(b))
-        .groupBy(bucket_secs.alias("bucket_start"), "interval_secs")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy("bucket_start")
-    )

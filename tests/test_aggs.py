@@ -572,31 +572,3 @@ def test_bucket_correlation_bounds(spark, events):
 
     r = bucket_correlation(events).collect()[0]
     assert -1.0 <= r["corr"] <= 1.0 and r["n_buckets"] > 0
-
-
-def test_auto_date_histogram_interval_selection(spark, events):
-    from fafnir_spark.pipeline import AUTO_HISTO_LADDER, auto_date_histogram
-
-    out = auto_date_histogram(events, target_buckets=50).collect()
-    iv = out[0]["interval_secs"]
-    assert all(r["interval_secs"] == iv for r in out)
-    assert len(out) <= 50
-    assert sum(r["n"] for r in out) == events.count()
-    # bucket starts are aligned multiples of the interval, ascending
-    starts = [r["bucket_start"] for r in out]
-    assert starts == sorted(starts) and all(s % iv == 0 for s in starts)
-    # a tighter target forces a coarser interval from the SAME ladder
-    tight = auto_date_histogram(events, target_buckets=6).collect()
-    assert tight[0]["interval_secs"] > iv
-    assert tight[0]["interval_secs"] in AUTO_HISTO_LADDER
-    assert len(tight) <= 6 or tight[0]["interval_secs"] == AUTO_HISTO_LADDER[-1]
-
-
-def test_multi_terms_order_and_bound(spark, events):
-    from fafnir_spark.pipeline import multi_terms_agg
-
-    out = multi_terms_agg(events, size=8).collect()
-    assert len(out) == 8
-    keys = [(-(r["doc_count"]), r["event_type"], r["dow"]) for r in out]
-    assert keys == sorted(keys)
-    assert all(0 <= r["dow"] <= 6 for r in out)
