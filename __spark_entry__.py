@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fafnir_spark import oracles, oracles_curation, oracles_ops, oracles_pipeline
+from fafnir_spark import search_api
 from fafnir_spark import portable as ps
 from fafnir_spark.query import bm25_topk, conjunctive_match, doc_term_freqs, term_dfs
 
@@ -506,6 +507,15 @@ def _q_query_dsl_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.dsl import dsl_search_indexed
 
     return dsl_search_indexed(spark, _pidx_root(spark, sf_dir), DSL_BODY_IDX, k=10)
+
+
+def _search_template_oracle() -> str:
+    """Template oracle = the query_string oracle of the rendered query —
+    rendering is the single source of truth in both engines."""
+    from fafnir_spark.dsl import render_search_template
+
+    return oracles.search_text_sql(
+        render_search_template(SEARCH_TEMPLATE, SEARCH_TEMPLATE_PARAMS), k=10)
 
 
 def _dsl_oracle(body: dict) -> str:
@@ -3253,6 +3263,35 @@ def _q_geo_distance_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_distance_range_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+SEARCH_TEMPLATE = ('+{{must_term}} {{#opt}}{{opt_term}}^{{w}}{{/opt}} '
+                   '{{^nochars}}n_chars:[{{lo}} TO {{hi}}]{{/nochars}}')
+SEARCH_TEMPLATE_PARAMS = {"must_term": "merge", "opt": True,
+                          "opt_term": "window", "w": "2.5",
+                          "lo": "150", "hi": "4000"}
+
+
+def _q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _search/template: mustache-subset rendering ({{var}} +
+    {{#cond}}/{{^cond}} sections, closed surface) into the query_string
+    grammar; execution and oracle share the rendered query."""
+    from fafnir_spark.dsl import template_search
+
+    return template_search(_docs(spark, sf_dir), SEARCH_TEMPLATE,
+                           SEARCH_TEMPLATE_PARAMS, k=10)
+
+
+def _q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _field_caps: per-field capabilities across indices from schema
+    metadata only (parquet footers — no data scan, like ES mappings);
+    type-conflicting fields yield one row per type."""
+    from fafnir_spark.search_api import field_caps
+
+    return field_caps(spark, {
+        "documents": spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "events": spark.read.parquet(f"{sf_dir}/events.parquet"),
+    })
+
+
 GEO_SHAPE_ENV = (0, 40, 25, 50)  # envelope in the integer trajectory grid
 
 
@@ -4117,6 +4156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence3": _q_eql_sequence3,
         "query_dsl": _q_query_dsl,
         "query_dsl_indexed": _q_query_dsl_indexed,
+        "search_template": _q_search_template,
+        "field_caps": _q_field_caps,
         "downsample_tsdb": _q_downsample_tsdb,
         "stream_downsample": _q_stream_downsample,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
@@ -4494,6 +4535,8 @@ def oracle_sql() -> dict[str, str]:
             ["signup", "click", "purchase"], 72 * 3600),
         "query_dsl": _dsl_oracle(DSL_BODY),
         "query_dsl_indexed": _dsl_oracle(DSL_BODY_IDX),
+        "search_template": _search_template_oracle(),
+        "field_caps": search_api.field_caps_sql(),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),

@@ -31,6 +31,13 @@ silent drops):
 Scale shape is inherited unchanged from the compiled-to paths: one
 filtered corpus pass for tf/df on the direct path, per-shard posting
 evaluation on the indexed path.
+
+Relation to search_api.py: that module compiles the _search body's
+bool/term/range/pagination/_source/aggs/knn/retriever surface straight
+onto bool_bm25 with its own SQL mirrors; THIS module covers the clause
+types that only the query_string machinery executes (match_phrase,
+prefix expansion, per-clause boost) by compiling to the grammar — the
+two share zero code because they target different executors.
 """
 
 from __future__ import annotations
@@ -194,3 +201,62 @@ def dsl_search_indexed(spark: SparkSession, root: str, body: dict,
     from .wand import search_text_indexed
 
     return search_text_indexed(spark, root, dsl_to_query_string(body), k=k)
+
+
+_TPL_VAR = re.compile(r"\{\{([#/^]?)([A-Za-z_][A-Za-z0-9_]*)\}\}")
+_TPL_SAFE_VALUE = re.compile(r"^[A-Za-z0-9_.\- ^\[\]TO:]*$")
+
+
+def render_search_template(template: str, params: dict) -> str:
+    """ES _search/template: render the mustache SUBSET ES documents for
+    search templates — `{{var}}` substitution plus `{{#var}}...{{/var}}`
+    conditional sections (kept iff the param is present and truthy) and
+    `{{^var}}...{{/var}}` inverted sections. Closed surface: unknown
+    params, unclosed/mismatched sections, braces left after rendering,
+    and values that could not round-trip the parse_query grammar all
+    raise. Rendering is pure string work on the driver — the rendered
+    query executes through the normal (direct or indexed) paths."""
+    out: list[str] = []
+    stack: list[tuple[str, bool]] = []  # (var, emitting)
+    pos = 0
+    for m in _TPL_VAR.finditer(template):
+        emitting = all(e for _, e in stack)
+        if emitting:
+            out.append(template[pos:m.start()])
+        pos = m.end()
+        kind, name = m.group(1), m.group(2)
+        if kind == "#" or kind == "^":
+            truthy = bool(params.get(name))
+            stack.append((name, truthy if kind == "#" else not truthy))
+        elif kind == "/":
+            if not stack or stack[-1][0] != name:
+                raise ValueError(f"mismatched section close: {name!r}")
+            stack.pop()
+        else:
+            if not emitting:
+                continue
+            if name not in params:
+                raise ValueError(f"missing template param: {name!r}")
+            val = str(params[name])
+            if not _TPL_SAFE_VALUE.match(val) or "{{" in val:
+                raise ValueError(f"unsafe template value for {name!r}: {val!r}")
+            out.append(val)
+    if stack:
+        raise ValueError(f"unclosed section: {stack[-1][0]!r}")
+    out.append(template[pos:])
+    rendered = " ".join("".join(out).split())
+    if "{{" in rendered or "}}" in rendered:
+        raise ValueError("template braces survived rendering")
+    if not rendered:
+        raise ValueError("template rendered to an empty query")
+    return rendered
+
+
+def template_search(docs: DataFrame, template: str, params: dict,
+                    k: int = 10, text_col: str = "text") -> DataFrame:
+    """Render an ES search template and execute it as a query_string
+    query. (rank, doc_id, score)."""
+    from .query_ext import search_text
+
+    return search_text(docs, render_search_template(template, params),
+                       k=k, text_col=text_col)

@@ -968,3 +968,70 @@ def search_knn_indexed(spark, index_root: str, body: dict,
         raise SearchBodyError("knn body needs 0 < size <= knn.k")
     return ivf_search(spark, index_root, {"q": spec["qv"]}, k=size,
                       nprobe=nprobe).drop("qid")
+
+
+ES_TYPE_MAP = {
+    "bigint": "long", "int": "integer", "double": "double",
+    "float": "float", "string": "keyword", "boolean": "boolean",
+    "timestamp": "date", "timestamp_ntz": "date",
+}
+
+
+def field_caps(spark, tables: dict, text_fields: tuple = ("text",)) -> DataFrame:
+    """ES _field_caps API: per-field capabilities across indices — the
+    schema-introspection call every ES client fires before building
+    queries. Pure metadata (reads parquet FOOTERS via the DataFrame
+    schema, never data — exactly like ES, which answers from mappings).
+    A field name mapping to different ES types across indices yields one
+    row PER type (the ES conflict shape); ``text_fields`` are analyzed
+    (searchable, NOT aggregatable), everything else doc-values both.
+    (field, es_type, searchable, aggregatable, indices), field asc."""
+    rows: dict = {}
+    for tname in sorted(tables):
+        for f in tables[tname].schema.fields:
+            t = f.dataType.simpleString()
+            es = "text" if f.name in text_fields else ES_TYPE_MAP.get(t)
+            if es is None:
+                raise ValueError(f"unmapped Spark type for field_caps: {t!r}")
+            rows.setdefault((f.name, es), []).append(tname)
+    data = [
+        (name, es, True, es != "text", ",".join(sorted(ts)))
+        for (name, es), ts in sorted(rows.items())
+    ]
+    return spark.createDataFrame(
+        data,
+        "field string, es_type string, searchable boolean, "
+        "aggregatable boolean, indices string",
+    ).orderBy("field", "es_type")
+
+
+def field_caps_sql(tables: tuple = ("documents", "events"),
+                   text_fields: tuple = ("text",)) -> str:
+    """Mirror of field_caps from the catalog's information_schema: the
+    same canonical DuckDB-type -> ES-type mapping, one row per (field,
+    type), same analyzed-field rule."""
+    tlist = ", ".join(f"'{t}'" for t in sorted(tables))
+    texts = ", ".join(f"'{t}'" for t in sorted(text_fields)) or "''"
+    es_type = f"""CASE
+      WHEN column_name IN ({texts}) THEN 'text'
+      WHEN data_type = 'BIGINT' THEN 'long'
+      WHEN data_type = 'INTEGER' THEN 'integer'
+      WHEN data_type = 'DOUBLE' THEN 'double'
+      WHEN data_type = 'FLOAT' THEN 'float'
+      WHEN data_type = 'VARCHAR' THEN 'keyword'
+      WHEN data_type = 'BOOLEAN' THEN 'boolean'
+      WHEN data_type LIKE 'TIMESTAMP%' THEN 'date'
+      END"""
+    return f"""
+WITH c AS (
+  SELECT column_name AS field, {es_type} AS es_type, table_name
+  FROM information_schema.columns
+  WHERE table_name IN ({tlist})
+)
+SELECT field, es_type, true AS searchable,
+       es_type <> 'text' AS aggregatable,
+       string_agg(table_name, ',' ORDER BY table_name) AS indices
+FROM c
+GROUP BY field, es_type
+ORDER BY field, es_type
+"""

@@ -97,3 +97,37 @@ def test_dsl_indexed_equals_direct(spark, docs, tmp_path):
     assert [(r["rank"], r["doc_id"], r["score"]) for r in direct] == \
            [(r["rank"], r["doc_id"], r["score"]) for r in indexed]
     assert direct
+
+
+def test_search_template_rendering():
+    from fafnir_spark.dsl import render_search_template as r
+
+    tpl = '+{{m}} {{#b}}{{t}}^{{w}}{{/b}} {{^neg}}spark{{/neg}}'
+    assert r(tpl, {"m": "merge", "b": 1, "t": "window", "w": "2.5"}) == \
+        "+merge window^2.5 spark"
+    # falsy section drops its body (and its params need not exist)
+    assert r(tpl, {"m": "merge", "b": 0, "neg": True}) == "+merge"
+    with pytest.raises(ValueError, match="missing template param"):
+        r("{{a}}", {})
+    with pytest.raises(ValueError, match="unclosed section"):
+        r("{{#a}}x", {"a": 1})
+    with pytest.raises(ValueError, match="mismatched section close"):
+        r("{{#a}}x{{/b}}", {"a": 1, "b": 1})
+    with pytest.raises(ValueError, match="unsafe template value"):
+        r("{{a}}", {"a": 'x" OR 1'})
+    with pytest.raises(ValueError, match="braces survived"):
+        r("{{ bad }}", {})
+    with pytest.raises(ValueError, match="empty query"):
+        r("{{#a}}x{{/a}}", {"a": 0})
+
+
+def test_template_search_equals_rendered_query(spark, ddb, docs):
+    from fafnir_spark.dsl import render_search_template, template_search
+
+    tpl = "+{{a}} {{b}} {{#rng}}n_chars:[{{lo}} TO {{hi}}]{{/rng}}"
+    params = {"a": "merge", "b": "window", "rng": 1,
+              "lo": "150", "hi": "400"}
+    out = template_search(docs, tpl, params, k=10)
+    assert out.count() > 0
+    assert_matches(out, ddb, oracles.search_text_sql(
+        render_search_template(tpl, params), k=10))
