@@ -3292,6 +3292,42 @@ def _q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+DS_LO_US = 1704412800 * 1_000_000          # 2024-01-05 00:00:00 UTC
+DS_HI_US = 1705968000 * 1_000_000 - 1      # 2024-01-23 00:00:00 UTC - 1us
+
+
+def _ds_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sim process) the zone-mapped data stream from the
+    events table — the time-partitioned TSDS backing layout."""
+    from fafnir_spark.datastream import build_data_stream
+
+    base = os.path.join(tempfile.gettempdir(), f"fafnir_ds_{_content_key(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_manifest.json")):
+        build_data_stream(
+            spark, spark.read.parquet(f"{sf_dir}/events.parquet"), base)
+    return base
+
+
+def _q_datastream_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES data stream / TSDS range query: manifest zone maps prune the
+    backing zones BEFORE any file listing — the query window touches two
+    boundary zones + one full zone here, the rest never reach the scan."""
+    from fafnir_spark.datastream import data_stream_range_agg
+
+    return data_stream_range_agg(
+        spark, _ds_root(spark, sf_dir), DS_LO_US, DS_HI_US)
+
+
+def _q_datastream_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-stream count fast path: fully-covered zones answer from the
+    zone map with ZERO IO; only boundary zones are scanned (the ES
+    constant-score count shape)."""
+    from fafnir_spark.datastream import count_data_stream_range
+
+    return count_data_stream_range(
+        spark, _ds_root(spark, sf_dir), DS_LO_US, DS_HI_US)
+
+
 GEO_SHAPE_ENV = (0, 40, 25, 50)  # envelope in the integer trajectory grid
 
 
@@ -4158,6 +4194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_dsl_indexed": _q_query_dsl_indexed,
         "search_template": _q_search_template,
         "field_caps": _q_field_caps,
+        "datastream_range_agg": _q_datastream_range_agg,
+        "datastream_count": _q_datastream_count,
         "downsample_tsdb": _q_downsample_tsdb,
         "stream_downsample": _q_stream_downsample,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
@@ -4537,6 +4575,16 @@ def oracle_sql() -> dict[str, str]:
         "query_dsl_indexed": _dsl_oracle(DSL_BODY_IDX),
         "search_template": _search_template_oracle(),
         "field_caps": search_api.field_caps_sql(),
+        "datastream_range_agg": f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total
+FROM events WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
+GROUP BY event_type ORDER BY event_type
+""",
+        "datastream_count": f"""
+SELECT CAST(count(*) AS BIGINT) AS n FROM events
+WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
+""",
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),

@@ -1,0 +1,78 @@
+"""Data-stream zone maps: metadata pruning (pruned zones never reach the
+scan), count fast path (fully-covered zones contribute zero-IO metadata
+counts), and result parity with a plain filter."""
+
+import calendar
+
+from pyspark.sql import functions as F
+
+from fafnir_spark.datastream import (
+    build_data_stream,
+    count_data_stream_range,
+    data_stream_range_agg,
+    read_data_stream_range,
+)
+from tests.conftest import SF_DIR
+
+
+def _us(y, m, d, hh=0, mm=0, ss=0):
+    return calendar.timegm((y, m, d, hh, mm, ss)) * 1_000_000
+
+
+def test_zone_pruning_and_parity(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    root = str(tmp_path / "ds")
+    zones = build_data_stream(spark, ev, root, width_days=7)
+    assert len(zones) >= 4
+
+    lo, hi = _us(2024, 1, 5), _us(2024, 1, 23) - 1
+    out = read_data_stream_range(spark, root, lo, hi)
+    # pruned zones never reach the scan
+    files = out.inputFiles()
+    assert files
+    hit = {z for z, zm in zones.items()
+           if zm["min_us"] <= hi and zm["max_us"] >= lo}
+    assert hit and hit != set(zones)
+    for f in files:
+        zone = int(f.split("__zone=")[1].split("/")[0])
+        assert zone in hit
+    # row parity with the plain filter
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    want = ev.filter((us >= lo) & (us <= hi))
+    assert out.count() == want.count()
+    agg = data_stream_range_agg(spark, root, lo, hi).collect()
+    want_agg = (want.groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.round(F.sum("value"), 6).alias("total"))
+                .orderBy("event_type").collect())
+    assert [tuple(r) for r in agg] == [tuple(r) for r in want_agg]
+
+
+def test_count_fast_path(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    root = str(tmp_path / "ds")
+    zones = build_data_stream(spark, ev, root, width_days=7)
+
+    lo, hi = _us(2024, 1, 5), _us(2024, 1, 23) - 1
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    want = ev.filter((us >= lo) & (us <= hi)).count()
+    got = count_data_stream_range(spark, root, lo, hi)
+    assert got.collect()[0]["n"] == want
+    # boundary zones only on the scan
+    for f in got.inputFiles():
+        zone = int(f.split("__zone=")[1].split("/")[0])
+        zm = zones[zone]
+        assert not (zm["min_us"] >= lo and zm["max_us"] <= hi), \
+            "fully-covered zone must come from metadata, not a scan"
+
+    # window covering everything: zero scanned zones, pure metadata count
+    full = count_data_stream_range(spark, root, 0, _us(2030, 1, 1))
+    assert full.collect()[0]["n"] == ev.count()
+    assert full.inputFiles() == []
+
+    # empty window: no rows, n=0
+    empty_lo = _us(1999, 1, 1)
+    assert count_data_stream_range(
+        spark, root, empty_lo, empty_lo + 1).collect()[0]["n"] == 0
+    assert read_data_stream_range(
+        spark, root, empty_lo, empty_lo + 1).count() == 0
