@@ -3301,7 +3301,8 @@ def _ds_root(spark: SparkSession, sf_dir: str) -> str:
     events table — the time-partitioned TSDS backing layout."""
     from fafnir_spark.datastream import build_data_stream
 
-    base = os.path.join(tempfile.gettempdir(), f"fafnir_ds_{_content_key(sf_dir)}")
+    # dsv2 = per-zone segment lists in the zone map (layout salt)
+    base = os.path.join(tempfile.gettempdir(), f"fafnir_dsv2_{_content_key(sf_dir)}")
     if not os.path.exists(os.path.join(base, "_manifest.json")):
         build_data_stream(
             spark, spark.read.parquet(f"{sf_dir}/events.parquet"), base)

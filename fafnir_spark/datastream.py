@@ -62,7 +62,8 @@ def build_data_stream(spark: SparkSession, events: DataFrame, root: str,
         .collect()
     )
     zones = {int(r["__zone"]): {"min_us": int(r["mn"]), "max_us": int(r["mx"]),
-                                "n": int(r["n"])} for r in rows}
+                                "n": int(r["n"]), "segs": [seg]}
+             for r in rows}
     cat.publish({name: [seg]},
                 meta={"kind": "data_stream", "width_days": width_days,
                       "zones": {str(k): v for k, v in sorted(zones.items())}})
@@ -71,10 +72,18 @@ def build_data_stream(spark: SparkSession, events: DataFrame, root: str,
 
 def _live_zones(cat: Catalog, name: str,
                 snapshot_id: str | None = None) -> tuple[str, dict]:
+    """(schema-source segment dir, zone map). Each zone entry lists the
+    SEGMENTS that hold rows for it, so multi-segment reads never probe
+    the filesystem — the manifest is the only metadata source."""
     m = cat.manifest_at(snapshot_id)
     seg = m["tables"][name][0]
     zones = {int(k): v for k, v in m["meta"]["zones"].items()}
     return seg, zones
+
+
+def _zone_paths(zones: dict, hit: list) -> list:
+    return [os.path.join(s, f"__zone={z}")
+            for z in hit for s in zones[z]["segs"]]
 
 
 def read_data_stream_range(spark: SparkSession, root: str,
@@ -91,12 +100,14 @@ def read_data_stream_range(spark: SparkSession, root: str,
     if not hit:
         return (spark.read.option("basePath", seg).parquet(seg)
                 .filter(F.lit(False)).drop("__zone"))
-    paths = [os.path.join(seg, f"__zone={z}") for z in hit]
+    paths = _zone_paths(zones, hit)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     return (
-        spark.read.option("basePath", seg).parquet(*paths)
+        spark.read.option("basePath", os.path.dirname(seg)).parquet(*paths)
         .filter((us >= F.lit(lo_us)) & (us <= F.lit(hi_us)))
-        .drop("__zone")
+        # basePath is the table dir, so BOTH hive-style levels (seg=, 
+        # __zone=) surface as partition columns — drop both
+        .drop("__zone", "seg")
     )
 
 
@@ -119,10 +130,10 @@ def count_data_stream_range(spark: SparkSession, root: str,
         else:
             partial.append(z)
     if partial:
-        paths = [os.path.join(seg, f"__zone={z}") for z in partial]
+        paths = _zone_paths(zones, partial)
         us = F.unix_micros(F.col("ts").cast("timestamp"))
         scanned = (
-            spark.read.option("basePath", seg).parquet(*paths)
+            spark.read.option("basePath", os.path.dirname(seg)).parquet(*paths)
             .filter((us >= F.lit(lo_us)) & (us <= F.lit(hi_us)))
             .agg(F.count(F.lit(1)).alias("n"))
         )
@@ -143,3 +154,48 @@ def data_stream_range_agg(spark: SparkSession, root: str,
              F.round(F.sum("value"), 6).alias("total"))
         .orderBy("event_type")
     )
+
+
+def append_data_stream(spark: SparkSession, events: DataFrame, root: str,
+                       name: str = "ds") -> dict:
+    """Append a new batch to the stream (the ES rollover write path): new
+    rows land in a NEW immutable segment partitioned by the same zone key
+    (published segments are never rewritten — time travel holds), and the
+    manifest zone map merges ADDITIVELY per zone (min/max lattice, n sum)
+    — the same mergeable-summary law as every other incremental stat in
+    the engine. CAS-published against the base snapshot, so interleaved
+    appends conflict loudly instead of losing zone counts. Returns the
+    merged zone map."""
+    import uuid as _uuid
+
+    cat = Catalog(root)
+    m = cat.read_manifest()
+    base_snap = m.get("snapshot_id")
+    meta = m["meta"]
+    width_days = int(meta["width_days"])
+    ev = events.withColumn("__zone", _zone_expr(width_days))
+    seg = cat.write_segment(ev, name, f"a{_uuid.uuid4().hex[:8]}",
+                            partition_by=["__zone"])
+    rows = (
+        ev.groupBy("__zone")
+        .agg(F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mn"),
+             F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    zones = {int(k): dict(v) for k, v in meta["zones"].items()}
+    for r in rows:
+        z, mn, mx, n = int(r["__zone"]), int(r["mn"]), int(r["mx"]), int(r["n"])
+        if z in zones:
+            zones[z] = {"min_us": min(zones[z]["min_us"], mn),
+                        "max_us": max(zones[z]["max_us"], mx),
+                        "n": zones[z]["n"] + n,
+                        "segs": zones[z]["segs"] + [seg]}
+        else:
+            zones[z] = {"min_us": mn, "max_us": mx, "n": n, "segs": [seg]}
+    cat.publish(
+        {name: m["tables"][name] + [seg]},
+        meta={**meta, "zones": {str(k): v for k, v in sorted(zones.items())}},
+        expected_snapshot=base_snap,
+    )
+    return zones

@@ -76,3 +76,35 @@ def test_count_fast_path(spark, tmp_path):
         spark, root, empty_lo, empty_lo + 1).collect()[0]["n"] == 0
     assert read_data_stream_range(
         spark, root, empty_lo, empty_lo + 1).count() == 0
+
+
+def test_append_merges_zone_maps(spark, tmp_path):
+    """Rollover append: new immutable segment, zone map merges additively
+    (min/max lattice, n sum), queries see the union across segments."""
+    from fafnir_spark.datastream import append_data_stream
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    root = str(tmp_path / "ds")
+    z1 = build_data_stream(spark, first, root, width_days=7)
+    z2 = append_data_stream(spark, second, root)
+    # n additive per zone, bounds envelope both batches
+    assert sum(v["n"] for v in z2.values()) == ev.count()
+    for z, v in z1.items():
+        assert z2[z]["n"] >= v["n"]
+        assert z2[z]["min_us"] <= v["min_us"]
+        assert z2[z]["max_us"] >= v["max_us"]
+    # union visibility + count fast path over both segments
+    lo, hi = _us(2024, 1, 5), _us(2024, 1, 23) - 1
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    want = ev.filter((us >= lo) & (us <= hi)).count()
+    assert read_data_stream_range(spark, root, lo, hi).count() == want
+    assert count_data_stream_range(spark, root, lo, hi).collect()[0]["n"] == want
+    # time travel: the pre-append snapshot still answers from batch 1
+    from fafnir_spark.catalog import Catalog
+    hist = Catalog(root).read_manifest()["history"]
+    snap0 = hist[-1]["snapshot_id"]
+    want0 = first.filter((us >= lo) & (us <= hi)).count()
+    assert read_data_stream_range(
+        spark, root, lo, hi, snapshot_id=snap0).count() == want0
