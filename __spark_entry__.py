@@ -509,6 +509,12 @@ def _q_query_dsl_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_search_indexed(spark, _pidx_root(spark, sf_dir), DSL_BODY_IDX, k=10)
 
 
+def _kql_oracle() -> str:
+    from fafnir_spark.kql import kql_filter_sql
+
+    return kql_filter_sql(KQL_QUERY)
+
+
 def _search_template_oracle() -> str:
     """Template oracle = the query_string oracle of the rendered query —
     rendering is the single source of truth in both engines."""
@@ -3292,6 +3298,19 @@ def _q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+KQL_QUERY = ("lang:en and (text:merge or text:window) "
+             "and not source:src5 and n_chars >= 150")
+
+
+def _q_kql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL (the Kibana filter bar): NOT > AND > OR precedence, parens,
+    token/equality/range predicates — ONE AST renders the Spark predicate
+    and the DuckDB WHERE; filter context, nothing scores."""
+    from fafnir_spark.kql import kql_filter
+
+    return kql_filter(_docs(spark, sf_dir), KQL_QUERY)
+
+
 DS_LO_US = 1704412800 * 1_000_000          # 2024-01-05 00:00:00 UTC
 DS_HI_US = 1705968000 * 1_000_000 - 1      # 2024-01-23 00:00:00 UTC - 1us
 
@@ -4197,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_caps": _q_field_caps,
         "datastream_range_agg": _q_datastream_range_agg,
         "datastream_count": _q_datastream_count,
+        "kql_filter": _q_kql_filter,
         "downsample_tsdb": _q_downsample_tsdb,
         "stream_downsample": _q_stream_downsample,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
@@ -4586,6 +4606,7 @@ GROUP BY event_type ORDER BY event_type
 SELECT CAST(count(*) AS BIGINT) AS n FROM events
 WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
 """,
+        "kql_filter": _kql_oracle(),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),

@@ -1,0 +1,202 @@
+"""KQL (Kibana Query Language) — the filter-bar grammar every Kibana
+user types; ES translates it to filter-context bool queries.
+
+Closed grammar (anything else raises):
+
+    expr    := or
+    or      := and (OR and)*
+    and     := unary (AND unary)*
+    unary   := NOT unary | '(' expr ')' | pred
+    pred    := field ':' value          token/equality match
+             | field OP number          OP in >= > <= <
+    value   := bare token ([A-Za-z0-9_.\\-]+) or "quoted token"
+
+Semantics (ES KQL): `text:merge` on the analyzed field = token
+containment; on a keyword field = exact equality; numeric comparisons
+are range filters. KQL is FILTER context — nothing scores, so the
+result is the matching id set (deterministic order), which is exactly
+what Kibana does before handing ids to a table/viz.
+
+One AST renders BOTH engines: `to_column` builds the Spark predicate
+(row-local; pushdown-eligible for the keyword/numeric legs) and
+`to_sql` the DuckDB WHERE mirror with the house token-split expression.
+Precedence: NOT > AND > OR (the KQL spec).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(
+    r'\s*(\(|\)|>=|<=|>|<|:|"[^"]*"|[A-Za-z0-9_.\-]+)')
+_BARE_RE = re.compile(r"^[A-Za-z0-9_.\-]+$")
+_FIELD_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _lex(q: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(q):
+        if q[pos].isspace():
+            pos += 1
+            continue
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            raise ValueError(f"KQL lex error at {q[pos:pos + 20]!r}")
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+class _P:
+    def __init__(self, toks: list[str]):
+        self.toks, self.i = toks, 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("KQL: unexpected end of query")
+        self.i += 1
+        return t
+
+    def kw(self, word: str) -> bool:
+        t = self.peek()
+        if t is not None and t.lower() == word:
+            self.i += 1
+            return True
+        return False
+
+
+def parse_kql(q: str) -> tuple:
+    """Parse to an AST of tuples: ('or'|'and', [subs]), ('not', sub),
+    ('pred', field, op, value) with op in {':', '>=', '>', '<=', '<'}."""
+    p = _P(_lex(q))
+    ast = _or(p)
+    if p.peek() is not None:
+        raise ValueError(f"KQL: trailing input at {p.peek()!r}")
+    return ast
+
+
+def _or(p: _P) -> tuple:
+    subs = [_and(p)]
+    while p.kw("or"):
+        subs.append(_and(p))
+    return subs[0] if len(subs) == 1 else ("or", subs)
+
+
+def _and(p: _P) -> tuple:
+    subs = [_unary(p)]
+    while p.kw("and"):
+        subs.append(_unary(p))
+    return subs[0] if len(subs) == 1 else ("and", subs)
+
+
+def _unary(p: _P) -> tuple:
+    if p.kw("not"):
+        return ("not", _unary(p))
+    if p.peek() == "(":
+        p.take()
+        inner = _or(p)
+        if p.take() != ")":
+            raise ValueError("KQL: expected ')'")
+        return inner
+    return _pred(p)
+
+
+def _pred(p: _P) -> tuple:
+    field = p.take()
+    if not _FIELD_RE.match(field) or field.lower() in ("and", "or", "not"):
+        raise ValueError(f"KQL: bad field name {field!r}")
+    op = p.take()
+    if op == ":":
+        val = p.take()
+        if val.startswith('"') and val.endswith('"') and len(val) >= 2:
+            val = val[1:-1]
+        if not _BARE_RE.match(val):
+            raise ValueError(f"KQL: bad value {val!r}")
+        return ("pred", field, ":", val)
+    if op in (">=", ">", "<=", "<"):
+        val = p.take()
+        try:
+            num = float(val)
+        except ValueError:
+            raise ValueError(f"KQL: {op} needs a number, got {val!r}") from None
+        return ("pred", field, op, num)
+    raise ValueError(f"KQL: expected ':' or comparison after {field!r}, got {op!r}")
+
+
+_OPS = {">=": (lambda c, v: c >= v), ">": (lambda c, v: c > v),
+        "<=": (lambda c, v: c <= v), "<": (lambda c, v: c < v)}
+
+
+def to_column(ast: tuple, text_col: str = "text") -> Column:
+    """Render the AST as one Spark boolean Column (row-local; the
+    keyword/numeric legs stay pushdown-eligible)."""
+    from .tokenizer import tokens_expr
+
+    kind = ast[0]
+    if kind == "or":
+        out = to_column(ast[1][0], text_col)
+        for s in ast[1][1:]:
+            out = out | to_column(s, text_col)
+        return out
+    if kind == "and":
+        out = to_column(ast[1][0], text_col)
+        for s in ast[1][1:]:
+            out = out & to_column(s, text_col)
+        return out
+    if kind == "not":
+        return ~to_column(ast[1], text_col)
+    _, field, op, val = ast
+    if op == ":":
+        if field == text_col:
+            return F.array_contains(tokens_expr(text_col), val)
+        return F.col(field) == F.lit(val)
+    return _OPS[op](F.col(field), F.lit(val))
+
+
+def to_sql(ast: tuple, text_col: str = "text") -> str:
+    """The DuckDB WHERE mirror of the same AST (house token split)."""
+    kind = ast[0]
+    if kind == "or":
+        return "(" + " OR ".join(to_sql(s, text_col) for s in ast[1]) + ")"
+    if kind == "and":
+        return "(" + " AND ".join(to_sql(s, text_col) for s in ast[1]) + ")"
+    if kind == "not":
+        return f"(NOT {to_sql(ast[1], text_col)})"
+    _, field, op, val = ast
+    if op == ":":
+        if field == text_col:
+            v = str(val).replace("'", "''")
+            return (f"list_contains(list_filter(string_split({text_col}, ' '),"
+                    f" x -> x <> ''), '{v}')")
+        return f"{field} = '{str(val).replace(chr(39), chr(39) * 2)}'"
+    return f"{field} {op} {val!r}"
+
+
+def kql_filter(docs: DataFrame, query: str, text_col: str = "text") -> DataFrame:
+    """Execute a KQL filter over the corpus: (doc_id, lang, source,
+    n_chars) of matching docs, doc_id asc — the Kibana filter-context
+    result (nothing scores)."""
+    ast = parse_kql(query)
+    return (
+        docs.filter(to_column(ast, text_col))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def kql_filter_sql(query: str, text_col: str = "text",
+                   table: str = "documents") -> str:
+    """Oracle: the same AST rendered to SQL."""
+    ast = parse_kql(query)
+    return f"""
+SELECT doc_id, lang, source, n_chars FROM {table}
+WHERE {to_sql(ast, text_col)}
+ORDER BY doc_id
+"""

@@ -102,6 +102,11 @@ def main() -> None:
         pts = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
         return range_join(pts, iv, key="user_id", point_ts="ts")
 
+    def _geo_shape_df(spark, sf):
+        from fafnir_spark.geo import trajectory_envelope_match
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return trajectory_envelope_match(ev, 0, 40, 25, 50)
+
     def _eql_df(spark, sf):
         from fafnir_spark.eql import eql_sequence
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -664,6 +669,13 @@ def main() -> None:
               "left_anti on the strictly-between relation. NO Window "
               "node anywhere (a hot key's history parallelizes across "
               "its time buckets), no Cartesian/BroadcastNestedLoop."),
+        audit("geo_shape envelope vs trajectories (intersects)",
+              _geo_shape_df(spark, sf),
+              "ONE groupBy(user); the polyline is sorted in-group and "
+              "truncated BEFORE any geometry, so the separating-axis "
+              "segment test is row-local over a bounded array. Zero "
+              "joins (the envelope is literals), zero Window nodes, no "
+              "second pass over the events."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")

@@ -1,0 +1,49 @@
+"""KQL grammar: precedence, parens, closed-surface rejections, and
+engine parity (one AST renders both engines)."""
+
+import pytest
+
+from fafnir_spark.kql import kql_filter, kql_filter_sql, parse_kql
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_precedence_not_and_or():
+    # a or b and c == a or (b and c); not binds tightest
+    ast = parse_kql("lang:en or lang:fr and not source:src1")
+    assert ast[0] == "or"
+    assert ast[1][1][0] == "and"
+    assert ast[1][1][1][1][0] == "not"
+    # parens override
+    ast2 = parse_kql("(lang:en or lang:fr) and source:src1")
+    assert ast2[0] == "and" and ast2[1][0][0] == "or"
+
+
+def test_quoted_and_numeric():
+    assert parse_kql('text:"merge"') == ("pred", "text", ":", "merge")
+    assert parse_kql("n_chars >= 15") == ("pred", "n_chars", ">=", 15.0)
+
+
+@pytest.mark.parametrize("q", [
+    "and:x", "f:", "f >= abc", "f:v extra:", "(f:v", "f:v)", "f = v",
+    'f:"a b"',  # multi-token quoted value is not a filter token
+])
+def test_rejections(q):
+    with pytest.raises(ValueError):
+        parse_kql(q)
+
+
+def test_kql_parity(spark, ddb, docs):
+    from tests.test_curation import assert_matches
+
+    q = ("lang:en and (text:merge or text:window) "
+         "and not source:src5 and n_chars >= 150")
+    out = kql_filter(docs, q)
+    assert out.count() > 0
+    assert_matches(out, ddb, kql_filter_sql(q))
+    # degenerate: everything excluded
+    assert kql_filter(docs, "lang:en and not lang:en").count() == 0
