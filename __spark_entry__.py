@@ -3298,6 +3298,20 @@ def _q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+ROLLUP_BOUNDARY_US = 1705363200 * 1_000_000   # 2024-01-16 00:00 UTC, 6h-aligned
+
+
+def _q_rollup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rollup search: full-range metrics from pre-aggregated 6h rollup
+    buckets (history) merged with raw events (recent tail) — count/sum
+    additive, min/max lattice; both legs collapse to per-type partials
+    before the union."""
+    from fafnir_spark.pipeline import downsample_tsdb, rollup_search
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rollup_search(ev, downsample_tsdb(ev), ROLLUP_BOUNDARY_US)
+
+
 KQL_QUERY = ("lang:en and (text:merge or text:window) "
              "and not source:src5 and n_chars >= 150")
 
@@ -4217,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datastream_range_agg": _q_datastream_range_agg,
         "datastream_count": _q_datastream_count,
         "kql_filter": _q_kql_filter,
+        "rollup_search": _q_rollup_search,
         "downsample_tsdb": _q_downsample_tsdb,
         "stream_downsample": _q_stream_downsample,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
@@ -4607,6 +4622,7 @@ SELECT CAST(count(*) AS BIGINT) AS n FROM events
 WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
 """,
         "kql_filter": _kql_oracle(),
+        "rollup_search": oracles_pipeline.rollup_search_sql(ROLLUP_BOUNDARY_US),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),

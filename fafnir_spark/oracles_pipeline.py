@@ -1829,3 +1829,34 @@ FROM {table} WHERE {h} < {thr}
 GROUP BY {group_col}
 ORDER BY {group_col}
 """
+
+
+def rollup_search_sql(boundary_us: int, interval_hours: int = 6,
+                      table: str = "events") -> str:
+    """Mirror of pipeline.rollup_search: the history leg re-derives the
+    rollup's per-bucket partials (same bucketing + round-6 as
+    downsample_tsdb_sql), the recent leg is raw rows, same merge algebra."""
+    secs = 3600 * interval_hours
+    return f"""
+WITH old_b AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 6) AS vsum,
+         round(min(value), 6) AS vmin,
+         round(max(value), 6) AS vmax
+  FROM {table}
+  WHERE epoch_us(ts) < {int(boundary_us)}
+  GROUP BY event_type,
+           CAST(floor(epoch(ts) / {float(secs)}) AS BIGINT) * {secs}
+),
+u AS (
+  SELECT event_type, n, vsum, vmin, vmax FROM old_b
+  UNION ALL
+  SELECT event_type, CAST(1 AS BIGINT), value, value, value
+  FROM {table} WHERE epoch_us(ts) >= {int(boundary_us)}
+)
+SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+       round(min(vmin), 6) AS vmin, round(max(vmax), 6) AS vmax,
+       round(sum(vsum), 6) AS vsum
+FROM u GROUP BY event_type ORDER BY event_type
+"""

@@ -2257,3 +2257,54 @@ def range_join(
     keep = [c for c in points.columns] + [
         c for c in intervals.columns if c != key]
     return joined.select(*keep)
+
+
+def rollup_search(raw: DataFrame, rollup: DataFrame, boundary_us: int,
+                  interval_hours: int = 6) -> DataFrame:
+    """ES rollup search (_rollup/search, and what TSDS+ILM does after the
+    downsample action): a metrics query over the FULL time range answers
+    from the pre-aggregated ROLLUP table for history and from raw events
+    only for the recent window — at 100 TB the historical scan shrinks by
+    the rollup factor (here 6h buckets) and the raw scan is only the tail.
+
+    ``rollup`` is downsample_tsdb output (event_type, bucket_ts, n, vmin,
+    vmax, vsum, ...); ``boundary_us`` must be bucket-aligned so no bucket
+    straddles the cutoff (raises otherwise — a straddling bucket would
+    double-count). Merge law: count/sum additive, min/max lattice — the
+    same mergeable-summary algebra as every incremental stat here, so the
+    merged answer is EXACTLY the full-raw aggregate (modulo the rollup's
+    round-6 per-bucket sums, which the oracle mirrors).
+
+    Both legs collapse to per-type partials BEFORE the union (map-side
+    combine), so the merge groupBy sees O(#types) rows per leg.
+    (event_type, n, vmin, vmax, vsum), event_type asc."""
+    from pyspark.sql import functions as F
+
+    step_us = 3600 * interval_hours * 1_000_000
+    if boundary_us % step_us != 0:
+        raise ValueError(
+            f"boundary {boundary_us} is not aligned to {interval_hours}h "
+            "buckets — a straddling bucket would double-count")
+    boundary_s = boundary_us // 1_000_000
+    old_p = (
+        rollup.filter(F.col("bucket_ts") < F.lit(boundary_s))
+        .select("event_type", "n", "vsum", "vmin", "vmax")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_p = (
+        raw.filter(us >= F.lit(boundary_us))
+        .select("event_type",
+                F.lit(1).cast("long").alias("n"),
+                F.col("value").alias("vsum"),
+                F.col("value").alias("vmin"),
+                F.col("value").alias("vmax"))
+    )
+    return (
+        old_p.unionByName(new_p)
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("n"),
+             F.round(F.min("vmin"), 6).alias("vmin"),
+             F.round(F.max("vmax"), 6).alias("vmax"),
+             F.round(F.sum("vsum"), 6).alias("vsum"))
+        .orderBy("event_type")
+    )

@@ -572,3 +572,34 @@ def test_bucket_correlation_bounds(spark, events):
 
     r = bucket_correlation(events).collect()[0]
     assert -1.0 <= r["corr"] <= 1.0 and r["n_buckets"] > 0
+
+
+def test_rollup_search_merge_law(spark, events):
+    """Rollup+raw merge == the full-raw aggregate (counts/min/max exact;
+    sums within the per-bucket round-6 residue); misaligned boundary
+    raises instead of double-counting."""
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.pipeline import downsample_tsdb, rollup_search
+
+    ru = downsample_tsdb(events)
+    boundary = 1705363200 * 1_000_000  # 2024-01-16, 6h-aligned
+    got = {r["event_type"]: r for r in
+           rollup_search(events, ru, boundary).collect()}
+    want = {r["event_type"]: r for r in (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.min("value"), 6).alias("vmin"),
+             F.round(F.max("value"), 6).alias("vmax"),
+             F.sum("value").alias("vsum"))
+        .collect())}
+    assert set(got) == set(want)
+    for t, g in got.items():
+        w = want[t]
+        assert (g["n"], g["vmin"], g["vmax"]) == (w["n"], w["vmin"], w["vmax"])
+        # vsum chains rounded bucket sums: residue < 5e-7 per bucket
+        assert abs(g["vsum"] - w["vsum"]) < 5e-7 * 150
+    with _pt.raises(ValueError, match="aligned"):
+        rollup_search(events, ru, boundary + 1)
