@@ -3298,6 +3298,15 @@ def _q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def _q_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ML anomaly detection (deterministic seasonal core): per-hour
+    median baseline across days, buckets ranked by normalized deviation —
+    one bounded groupBy + a 24-row broadcast baseline."""
+    from fafnir_spark.pipeline import anomaly_hourly
+
+    return anomaly_hourly(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 ROLLUP_BOUNDARY_US = 1705363200 * 1_000_000   # 2024-01-16 00:00 UTC, 6h-aligned
 
 
@@ -4232,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datastream_count": _q_datastream_count,
         "kql_filter": _q_kql_filter,
         "rollup_search": _q_rollup_search,
+        "anomaly_hourly": _q_anomaly_hourly,
         "downsample_tsdb": _q_downsample_tsdb,
         "stream_downsample": _q_stream_downsample,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
@@ -4623,6 +4633,7 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
 """,
         "kql_filter": _kql_oracle(),
         "rollup_search": oracles_pipeline.rollup_search_sql(ROLLUP_BOUNDARY_US),
+        "anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),

@@ -1860,3 +1860,24 @@ SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
        round(sum(vsum), 6) AS vsum
 FROM u GROUP BY event_type ORDER BY event_type
 """
+
+
+def anomaly_hourly_sql(k: int = 10, table: str = "events") -> str:
+    """Mirror of pipeline.anomaly_hourly: same buckets, same per-hour
+    median baseline (quantile_cont == percentile), ranking on the ROUNDED
+    score (rank-identity contract)."""
+    return f"""
+WITH b AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1, 2),
+base AS (SELECT hour, quantile_cont(n, 0.5) AS expected FROM b GROUP BY hour),
+s AS (
+  SELECT day, b.hour AS hour, n, round(expected, 6) AS expected,
+         round(abs(n - expected) / (1 + expected), 6) AS score
+  FROM b JOIN base ON b.hour = base.hour)
+SELECT rank, day, hour, n, expected, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, day ASC, hour ASC) AS rank, *
+  FROM s) t
+WHERE rank <= {int(k)} ORDER BY rank
+"""

@@ -2308,3 +2308,45 @@ def rollup_search(raw: DataFrame, rollup: DataFrame, boundary_us: int,
              F.round(F.sum("vsum"), 6).alias("vsum"))
         .orderBy("event_type")
     )
+
+
+def anomaly_hourly(events: DataFrame, k: int = 10) -> DataFrame:
+    """ES ML anomaly detection, the deterministic seasonal core (a
+    single-bucket count analysis with a periodic baseline): bucket events
+    per (day, hour), take the per-hour-of-day MEDIAN across days as the
+    seasonal baseline, and score each bucket
+
+        score = |n − median_h| / (1 + median_h)
+
+    — the normalized deviation ES's count detectors rank by (their
+    probabilistic severity needs the full model; the deviation ordering
+    is the deterministic part an oracle can check). Top-k buckets by
+    (score desc, day asc, hour asc).
+
+    Scale shape: the raw stream collapses to (day, hour) counts in ONE
+    groupBy (map-side combine, output bounded by the calendar); the
+    24-row baseline joins back as a broadcast. No window over raw events.
+    (day, hour, n, expected, score)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    b = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = b.groupBy("hour").agg(
+        F.expr("percentile(n, 0.5)").alias("expected"))
+    scored = (
+        b.join(F.broadcast(base), "hour")
+        .withColumn("score", F.round(
+            F.abs(F.col("n") - F.col("expected"))
+            / (F.lit(1.0) + F.col("expected")), 6))
+        .withColumn("expected", F.round("expected", 6))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("day").asc(),
+                         F.col("hour").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(
+        F.col("score").desc(), F.col("day").asc(), F.col("hour").asc()))
+    return (top.withColumn("rank", w)
+            .select("rank", "day", "hour", "n", "expected", "score")
+            .orderBy("rank"))
