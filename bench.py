@@ -264,6 +264,40 @@ def main() -> None:
 
     timed("s10_sweep", _s10_sweep)
 
+    # session-11 sweep (NEW key): the EQL state machine, data-stream zone
+    # pruning + count fast path, rollup-search merge, geo_shape SAT test,
+    # KQL filter, anomaly baseline — this session's op families in one job
+    def _s11_sweep() -> int:
+        from pyspark.sql import functions as F
+
+        from fafnir_spark.datastream import (
+            build_data_stream, count_data_stream_range, data_stream_range_agg)
+        from fafnir_spark.eql import eql_sequence
+        from fafnir_spark.geo import trajectory_envelope_match
+        from fafnir_spark.kql import kql_filter
+        from fafnir_spark.pipeline import (
+            anomaly_hourly, downsample_tsdb, rollup_search)
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = eql_sequence(events, ["signup", "purchase"],
+                         maxspan_secs=48 * 3600, until="error").count()
+        dsroot = os.path.join(work, "ds_bench")
+        build_data_stream(spark, events, dsroot)
+        lo, hi = 1704412800 * 10**6, 1705968000 * 10**6 - 1
+        n += data_stream_range_agg(spark, dsroot, lo, hi).count()
+        n += count_data_stream_range(spark, dsroot, lo, hi).count()
+        n += rollup_search(events, downsample_tsdb(events),
+                           1705363200 * 10**6).count()
+        n += trajectory_envelope_match(events, 0, 40, 25, 50).count()
+        n += kql_filter(
+            docs, "lang:en and (text:merge or text:window) "
+                  "and n_chars >= 150").count()
+        n += anomaly_hourly(events).count()
+        return n
+
+    timed("s11_sweep", _s11_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work
