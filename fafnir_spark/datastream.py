@@ -199,3 +199,26 @@ def append_data_stream(spark: SparkSession, events: DataFrame, root: str,
         expected_snapshot=base_snap,
     )
     return zones
+
+
+def expire_data_stream_zones(root: str, before_us: int,
+                             name: str = "ds") -> dict:
+    """ILM delete phase for the data stream: publish a new snapshot whose
+    zone map drops every zone with max_us < before_us. Pure metadata —
+    no data files move (segments stay immutable; the pre-expiry snapshot
+    still time-travels), and the orphaned zone directories are reclaimed
+    later by the catalog's expire_snapshots sweep, exactly like index
+    segments. CAS-published. Returns the surviving zone map."""
+    cat = Catalog(root)
+    m = cat.read_manifest()
+    meta = m["meta"]
+    zones = {int(k): v for k, v in meta["zones"].items()}
+    keep = {k: v for k, v in zones.items() if v["max_us"] >= before_us}
+    if len(keep) == len(zones):
+        return keep
+    cat.publish(
+        {name: m["tables"][name]},
+        meta={**meta, "zones": {str(k): v for k, v in sorted(keep.items())}},
+        expected_snapshot=m.get("snapshot_id"),
+    )
+    return keep

@@ -108,3 +108,28 @@ def test_append_merges_zone_maps(spark, tmp_path):
     want0 = first.filter((us >= lo) & (us <= hi)).count()
     assert read_data_stream_range(
         spark, root, lo, hi, snapshot_id=snap0).count() == want0
+
+
+def test_expire_zones_is_metadata_only(spark, tmp_path):
+    from fafnir_spark.catalog import Catalog
+    from fafnir_spark.datastream import expire_data_stream_zones
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    root = str(tmp_path / "ds")
+    zones = build_data_stream(spark, ev, root, width_days=7)
+    cutoff = _us(2024, 1, 12)
+    kept = expire_data_stream_zones(root, cutoff)
+    assert kept and len(kept) < len(zones)
+    assert all(v["max_us"] >= cutoff for v in kept.values())
+    # queries before the cutoff now see nothing (zones gone from metadata)
+    assert read_data_stream_range(
+        spark, root, 0, _us(2024, 1, 3)).count() == 0
+    # total visible == sum of surviving zone counts
+    total = count_data_stream_range(spark, root, 0, _us(2030, 1, 1))
+    assert total.collect()[0]["n"] == sum(v["n"] for v in kept.values())
+    # time travel: the pre-expiry snapshot still answers fully
+    hist = Catalog(root).read_manifest()["history"]
+    snap0 = hist[-1]["snapshot_id"]
+    assert count_data_stream_range(
+        spark, root, 0, _us(2030, 1, 1),
+        snapshot_id=snap0).collect()[0]["n"] == ev.count()
