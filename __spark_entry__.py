@@ -3346,6 +3346,9 @@ def _ds_root(spark: SparkSession, sf_dir: str) -> str:
     # dsv2 = per-zone segment lists in the zone map (layout salt)
     base = os.path.join(tempfile.gettempdir(), f"fafnir_dsv2_{_content_key(sf_dir)}")
     if not os.path.exists(os.path.join(base, "_manifest.json")):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)  # crashed partial build
         build_data_stream(
             spark, spark.read.parquet(f"{sf_dir}/events.parquet"), base)
     return base
