@@ -102,6 +102,17 @@ def main() -> None:
         pts = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
         return range_join(pts, iv, key="user_id", point_ts="ts")
 
+    def _ds_df(spark, sf):
+        import tempfile
+        import uuid
+
+        from fafnir_spark.datastream import build_data_stream, read_data_stream_range
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        root = os.path.join(tempfile.gettempdir(), f"plan_ds_{uuid.uuid4().hex[:8]}")
+        build_data_stream(spark, ev, root)
+        return read_data_stream_range(
+            spark, root, 1704412800 * 10**6, 1705968000 * 10**6 - 1)
+
     def _geo_shape_df(spark, sf):
         from fafnir_spark.geo import trajectory_envelope_match
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -676,6 +687,14 @@ def main() -> None:
               "segment test is row-local over a bounded array. Zero "
               "joins (the envelope is literals), zero Window nodes, no "
               "second pass over the events."),
+        audit("datastream range read (TSDS zone pruning)",
+              _ds_df(spark, sf),
+              "Zone pruning happens at the MANIFEST level: the scan's "
+              "file listing contains ONLY the overlapping __zone "
+              "directories (pruned zones are never listed/opened — "
+              "inputFiles-asserted in test_datastream); the residual ts "
+              "filter is a pushdown-eligible row predicate. The count "
+              "fast path answers fully-covered zones with zero IO."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
