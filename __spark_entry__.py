@@ -2649,6 +2649,14 @@ def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_not(_docs(spark, sf_dir), "slow", "merge", slop=2)
 
 
+def _q_span_or_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near(span_or(fast|slow), merge, slop=0, in_order): an
+    alternative immediately followed by 'merge' — the composed-span form."""
+    from fafnir_spark.query_ext import span_or_near
+
+    return span_or_near(_docs(spark, sf_dir), ["fast", "slow"], "merge", slop=0)
+
+
 def _q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES has_parent (join field): child events returned iff their parent
     document matches a term filter, ranked by the child's own value."""
@@ -4292,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop": _q_phrase_slop,
         "span_near_unordered": _q_span_near_unordered,
         "span_not": _q_span_not,
+        "span_or_near": _q_span_or_near,
         "has_parent_topk": _q_has_parent,
         "nested_query": _q_nested_query,
         "filters_agg": _q_filters_agg,
@@ -4743,6 +4752,7 @@ ORDER BY term ASC LIMIT 10
         "phrase_slop": oracles.phrase_slop_sql("slow", "key", slop=2),
         "span_near_unordered": oracles.span_near_unordered_sql("slow", "key", slop=2),
         "span_not": oracles.span_not_sql("slow", "merge", slop=2),
+        "span_or_near": oracles.span_or_near_sql(["fast", "slow"], "merge", slop=0),
         "has_parent_topk": oracles_pipeline.has_parent_topk_sql("merge", k=10),
         "nested_query": oracles_pipeline.nested_query_sql(45.0, 0.07),
         "filters_agg": oracles_pipeline.filters_agg_sql(FILTERS_BUCKETS),

@@ -1673,6 +1673,52 @@ def span_not(docs: DataFrame, include: str, exclude: str, slop: int = 0,
     )
 
 
+def span_or_near(docs: DataFrame, alts: list[str], then: str, slop: int = 0,
+                 text_col: str = "text") -> DataFrame:
+    """ES span_near(in_order=true) whose first clause is a span_or over
+    ``alts`` — the composed-span form ES users write as
+    span_near(clauses=[span_or(a1,a2,...), term], slop, in_order):
+    ∃ i ∈ ∪_a pos(a), j ∈ pos(then): j > i AND j - i - 1 <= slop.
+
+    Scale shape: the candidate gate is ONE filtered tf pass keeping only
+    docs that contain ``then`` AND at least one alternative (the
+    conjunctive_match shape generalized to must + any-of — the explode is
+    term-isin-filtered before the groupBy), so position arrays are built
+    for candidates only; the or-positions are a row-local concat of the
+    per-alternative position arrays (span_or = position-set union), and
+    the near test is the shared ordered _slop_pred. Per-doc cost
+    O(Σ occ(alt) · occ(then)) on candidates, zero extra shuffles.
+    Returns (doc_id), ordered."""
+    from .tokenizer import tokens_expr
+
+    alts_s = sorted(set(alts))
+    all_terms = sorted({*alts_s, then})
+    cand = (
+        docs.select("doc_id", F.explode(tokens_expr(text_col)).alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id")
+        .agg(
+            F.max((F.col("term") == F.lit(then)).cast("int")).alias("__has_then"),
+            F.max(F.col("term").isin(alts_s).cast("int")).alias("__has_alt"),
+        )
+        .filter((F.col("__has_then") == 1) & (F.col("__has_alt") == 1))
+        .select("doc_id")
+    )
+    toks = tokens_expr(text_col)
+
+    def positions(term: str) -> F.Column:
+        return F.filter(F.sequence(F.lit(1), F.size(toks)), _pos_pred(toks, term))
+
+    por = F.concat(*[positions(a) for a in alts_s])
+    hit = F.exists(por, _slop_pred(positions(then), slop))
+    return (
+        docs.join(cand, "doc_id")
+        .filter(hit)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _after_within_pred(p_rest: list[F.Column], n_before: int, max_gaps: int):
     """Ordered-interval continuation: given the first match position i,
     recursively require each remaining term strictly after its
