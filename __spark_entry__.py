@@ -2649,6 +2649,15 @@ def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_not(_docs(spark, sf_dir), "slow", "merge", slop=2)
 
 
+def _q_constant_score_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool should: [match Q_MAIN, constant_score(lang='en', boost=1.5)]
+    — en docs get a flat +1.5 on top of (or instead of) their BM25 score."""
+    from fafnir_spark.scoring import constant_score_bool
+
+    return constant_score_bool(
+        _docs(spark, sf_dir), Q_MAIN, F.col("lang") == "en", boost=1.5, k=10)
+
+
 def _q_span_or_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES span_near(span_or(fast|slow), merge, slop=0, in_order): an
     alternative immediately followed by 'merge' — the composed-span form."""
@@ -4301,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_unordered": _q_span_near_unordered,
         "span_not": _q_span_not,
         "span_or_near": _q_span_or_near,
+        "constant_score_bool": _q_constant_score_bool,
         "has_parent_topk": _q_has_parent,
         "nested_query": _q_nested_query,
         "filters_agg": _q_filters_agg,
@@ -4753,6 +4763,8 @@ ORDER BY term ASC LIMIT 10
         "span_near_unordered": oracles.span_near_unordered_sql("slow", "key", slop=2),
         "span_not": oracles.span_not_sql("slow", "merge", slop=2),
         "span_or_near": oracles.span_or_near_sql(["fast", "slow"], "merge", slop=0),
+        "constant_score_bool": oracles.constant_score_bool_sql(
+            Q_MAIN, "lang = 'en'", boost=1.5, k=10),
         "has_parent_topk": oracles_pipeline.has_parent_topk_sql("merge", k=10),
         "nested_query": oracles_pipeline.nested_query_sql(45.0, 0.07),
         "filters_agg": oracles_pipeline.filters_agg_sql(FILTERS_BUCKETS),

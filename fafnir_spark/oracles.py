@@ -1485,6 +1485,44 @@ ORDER BY doc_id
 """
 
 
+def constant_score_bool_sql(terms: list[str], flt_where: str,
+                            boost: float = 1.5, k: int = 10) -> str:
+    """Mirror of scoring.constant_score_bool: BM25 arm rounded to 6 per
+    doc, constant arm = boost for filter matches, union summed (≤2 rows
+    per doc — order-independent), re-rounded, rank-identity finish."""
+    return f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+            ), 6) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+cs AS (
+  SELECT doc_id, {float(boost)!r} AS score FROM documents WHERE {flt_where}
+),
+total AS (
+  SELECT doc_id, round(sum(score), 6) AS score
+  FROM (SELECT doc_id, score FROM bm UNION ALL SELECT doc_id, score FROM cs)
+  GROUP BY doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM total
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
 def span_or_near_sql(alts: list[str], then: str, slop: int = 0) -> str:
     """Mirror of query_ext.span_or_near: the or-clause position set is the
     union (any alt at position i), then the ordered slop test against

@@ -151,6 +151,40 @@ def boosting_query(
     return _topk_ranked(out, k)
 
 
+def constant_score_bool(
+    docs: DataFrame,
+    terms: list[str],
+    flt: F.Column,
+    boost: float = 1.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES bool query whose should-clauses are a match (BM25) and a
+    constant_score-wrapped filter: a doc matches if EITHER clause does,
+    and its score is bm25 + boost·[filter matches] — the standard "boost
+    this category/recency bucket by a fixed amount" ES pattern
+    (constant_score ignores tf/idf entirely; the wrapped filter is
+    cacheable in ES for the same reason it is a cheap predicate here).
+
+    Scale shape: the BM25 arm is the shared one-pass query.bm25_scores
+    plan; the constant arm is a predicate-pushed scan projecting
+    (doc_id, boost); the union groups on doc_id with at most 2 rows per
+    doc (2-double sums are order-independent, so cross-engine exact), and
+    the finish is the TakeOrderedAndProject top-k. (rank, doc_id, score)."""
+    bm = bm25_scores(docs, terms, id_col=id_col, text_col=text_col)
+    const = (
+        docs.filter(flt)
+        .select(F.col(id_col).alias("doc_id"), F.lit(float(boost)).alias("score"))
+    )
+    total = (
+        bm.unionByName(const)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("score"), SCORE_DECIMALS).alias("score"))
+    )
+    return _topk_ranked(total, k)
+
+
 def random_score_topk(docs: DataFrame, seed: str, k: int = 10) -> DataFrame:
     """ES function_score random_score with a seed: deterministic
     pseudo-random score in [0, 1) from the portable 60-bit hash of
