@@ -2649,6 +2649,16 @@ def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_not(_docs(spark, sf_dir), "slow", "merge", slop=2)
 
 
+def _q_sparse_vector_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sparse_vector prune=true: frequent low-weight tokens dropped
+    before scoring (integer-exact ratio compare, dyadic thresholds)."""
+    from fafnir_spark.scoring import sparse_vector_pruned
+
+    return sparse_vector_pruned(
+        _docs(spark, sf_dir), SPARSE_WEIGHTS,
+        freq_ratio_threshold=1.0, weight_threshold=0.5, k=10)
+
+
 def _q_constant_score_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool should: [match Q_MAIN, constant_score(lang='en', boost=1.5)]
     — en docs get a flat +1.5 on top of (or instead of) their BM25 score."""
@@ -4311,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not": _q_span_not,
         "span_or_near": _q_span_or_near,
         "constant_score_bool": _q_constant_score_bool,
+        "sparse_vector_pruned": _q_sparse_vector_pruned,
         "has_parent_topk": _q_has_parent,
         "nested_query": _q_nested_query,
         "filters_agg": _q_filters_agg,
@@ -4765,6 +4776,9 @@ ORDER BY term ASC LIMIT 10
         "span_or_near": oracles.span_or_near_sql(["fast", "slow"], "merge", slop=0),
         "constant_score_bool": oracles.constant_score_bool_sql(
             Q_MAIN, "lang = 'en'", boost=1.5, k=10),
+        "sparse_vector_pruned": oracles.sparse_vector_pruned_sql(
+            SPARSE_WEIGHTS, freq_ratio_threshold=1.0,
+            weight_threshold=0.5, k=10),
         "has_parent_topk": oracles_pipeline.has_parent_topk_sql("merge", k=10),
         "nested_query": oracles_pipeline.nested_query_sql(45.0, 0.07),
         "filters_agg": oracles_pipeline.filters_agg_sql(FILTERS_BUCKETS),

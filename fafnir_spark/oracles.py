@@ -1576,6 +1576,55 @@ SELECT rank, doc_id, score FROM (
 """
 
 
+def sparse_vector_pruned_sql(query_weights: dict[str, float],
+                             freq_ratio_threshold: float = 1.0,
+                             weight_threshold: float = 0.5,
+                             k: int = 10) -> str:
+    """Mirror of scoring.sparse_vector_pruned: same integer-exact prune
+    compare (cf·|vocab| > thr·total AND w < wthr·max_w), same CASE weight
+    lookup, same w·tf scoring over the kept set."""
+    terms = sorted(query_weights)
+    max_w = max(float(w) for w in query_weights.values())
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    case = " ".join(
+        f"WHEN term = '{t}' THEN {float(query_weights[t])!r}" for t in terms
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_vocab,
+         CAST(count(*) AS BIGINT) AS total_tokens
+  FROM ex
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM ex WHERE term IN ({inlist})
+  GROUP BY doc_id, term
+),
+cfs AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
+),
+kept AS (
+  SELECT term, (CASE {case} END) AS w
+  FROM cfs CROSS JOIN vocab
+  WHERE NOT (cf * n_vocab > {float(freq_ratio_threshold)!r} * total_tokens
+             AND (CASE {case} END) < {weight_threshold * max_w!r})
+),
+scored AS (
+  SELECT tf.doc_id, round(sum(kept.w * tf.tf), 6) AS score
+  FROM tf JOIN kept USING (term)
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
 def intervals_ordered_sql(terms: list[str], max_gaps: int = 2) -> str:
     """Mirror of query_ext.intervals_ordered: nested list_filter over the
     per-term position arrays, ES gap semantics last-first-(n-1)."""

@@ -294,6 +294,73 @@ def sparse_vector_topk(
     return _topk_ranked(scored, k)
 
 
+def sparse_vector_pruned(
+    docs: DataFrame,
+    query_weights: dict[str, float],
+    freq_ratio_threshold: float = 1.0,
+    weight_threshold: float = 0.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES sparse_vector with prune=true (the 8.15 token-pruning config for
+    ELSER-style queries): a query token is PRUNED iff it is both frequent
+    and unimportant —
+
+        cf(t) / avg_cf  >  freq_ratio_threshold   (frequency outlier)
+        AND  w(t)  <  weight_threshold · max_w    (low weight)
+
+    where avg_cf = total_tokens / |vocab| is the field's average token
+    frequency; surviving tokens score Σ w·tf as in sparse_vector_topk.
+    Pruning high-frequency low-weight tokens is what makes learned-sparse
+    retrieval serveable — those tokens touch most of the corpus and
+    contribute least.
+
+    Scale shape: two corpus passes — the query-term-filtered tf pass (the
+    _tf_dl_df discipline) and a 1-row vocabulary statistic
+    (countDistinct(term), count(*)); the prune decision runs on the
+    ≤|qterms|-row cf relation against that broadcast 1-row stat, with the
+    ratio compare kept in EXACT integer space (cf·|vocab| > thr·total,
+    thresholds dyadic) so both engines prune identically; the kept set
+    broadcast-joins back onto tf. (rank, doc_id, score)."""
+    terms = sorted(query_weights)
+    max_w = max(float(w) for w in query_weights.values())
+    toks = tokens_expr(text_col)
+    exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    vocab = exploded.agg(
+        F.countDistinct("term").alias("n_vocab"),
+        F.count(F.lit(1)).alias("total_tokens"),
+    )
+    tf = (
+        exploded.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    cfs = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    w = F.lit(float(query_weights[terms[0]]))
+    w_expr = F.when(F.col("term") == terms[0], w)
+    for t in terms[1:]:
+        w_expr = w_expr.when(F.col("term") == t, F.lit(float(query_weights[t])))
+    pruned = (
+        (F.col("cf") * F.col("n_vocab")
+         > F.lit(float(freq_ratio_threshold)) * F.col("total_tokens"))
+        & (F.col("w") < F.lit(weight_threshold * max_w))
+    )
+    kept = (
+        cfs.crossJoin(F.broadcast(vocab))
+        .withColumn("w", w_expr)
+        .filter(~pruned)
+        .select("term", "w")
+    )
+    scored = (
+        tf.join(F.broadcast(kept), "term")
+        .select("doc_id", (F.col("w") * F.col("tf")).alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score"))
+    )
+    return _topk_ranked(scored, k)
+
+
 def lm_topk(
     docs: DataFrame,
     terms: list[str],
