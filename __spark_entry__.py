@@ -3106,6 +3106,15 @@ def _q_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pinned_topk(_docs(spark, sf_dir), Q_MAIN, PINNED_IDS, k=10)
 
 
+def _q_search_as_you_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_as_you_type queried bool_prefix over [text, text._2gram]:
+    complete terms BM25 + trailing-partial prefix 1.0 + shingle-subfield
+    BM25 ('group_merge' in order), summed most_fields-style."""
+    from fafnir_spark.scoring import search_as_you_type
+
+    return search_as_you_type(_docs(spark, sf_dir), ["group", "merge", "cu"], k=10)
+
+
 def _q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_bool_prefix: bool-should BM25 terms + constant-score
     prefix on the last term ('wi' -> window/... expansion-free EXISTS)."""
@@ -4434,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature": _q_distance_feature,
         "pinned_query": _q_pinned_query,
         "match_bool_prefix": _q_match_bool_prefix,
+        "search_as_you_type": _q_search_as_you_type,
         "percolate": _q_percolate,
         "percolate_range": _q_percolate_range,
         "search_api_bool": _q_search_api_bool,
@@ -5098,6 +5108,7 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         ),
         "pinned_query": oracles.pinned_sql(Q_MAIN, PINNED_IDS, k=10),
         "match_bool_prefix": oracles.match_bool_prefix_sql(["merge", "customer", "wi"], k=10),
+        "search_as_you_type": oracles.search_as_you_type_sql(["group", "merge", "cu"], k=10),
         "percolate": oracles.percolate_sql(PERC_QUERIES),
         "percolate_range": oracles.percolate_range_sql(PERC_RANGE_QUERIES, range_col="n_chars"),
         "search_api_bool": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_BOOL),

@@ -1837,6 +1837,67 @@ SELECT doc_id, round(sum(part), 6) AS score FROM parts GROUP BY doc_id
     return _ranked_topk(inner, k)
 
 
+def search_as_you_type_sql(terms: list[str], k: int = 10) -> str:
+    """Mirror of scoring.search_as_you_type: base-field BM25 over the
+    complete terms + constant 1.0 prefix arm + 2-gram-subfield BM25 over
+    the adjacent shingles (subfield statistics from its OWN tf/dl/stats
+    CTE chain). Branch scores rounded to 6, fused with LEFT joins from
+    the id union and summed in the literal order base+prefix+gram."""
+    full, prefix = terms[:-1], terms[-1].replace("'", "''")
+    grams = ["_".join(p) for p in zip(full, full[1:])]
+    return f"""
+WITH {_TF_CTES},
+{_scored_cte(full)},
+base AS (SELECT doc_id, round(raw_score, 6) AS s_base FROM scored),
+pref AS (
+  SELECT doc_id, 1.0 AS s_pref FROM documents
+  WHERE len(list_filter(string_split(text, ' '),
+            t -> t <> '' AND t LIKE '{prefix}%')) > 0
+),
+sdocs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+stoks AS (
+  SELECT doc_id, tk[i] || '_' || tk[i + 1] AS term
+  FROM sdocs, unnest(range(1, len(tk))) AS r(i)
+),
+stf AS (SELECT doc_id, term, count(*) AS tf FROM stoks GROUP BY doc_id, term),
+sdl AS (SELECT doc_id, sum(tf) AS dl FROM stf GROUP BY doc_id),
+sstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM sdl),
+sdfs AS (
+  SELECT term, count(*) AS df FROM stf
+  WHERE term IN {_terms_in(grams)} GROUP BY term
+),
+gram AS (
+  SELECT stf.doc_id,
+         round(sum( ln(1 + (sstats.n_docs - sdfs.df + 0.5) / (sdfs.df + 0.5))
+              * (stf.tf * {K1 + 1.0}) / (stf.tf + {K1} * ({1.0 - B} + {B} * sdl.dl / sstats.avgdl))
+            ), 6) AS s_gram
+  FROM stf
+  JOIN sdfs USING (term)
+  JOIN sdl ON sdl.doc_id = stf.doc_id
+  CROSS JOIN sstats
+  GROUP BY stf.doc_id
+),
+ids AS (
+  SELECT doc_id FROM base UNION
+  SELECT doc_id FROM pref UNION
+  SELECT doc_id FROM gram
+),
+total AS (
+  SELECT ids.doc_id,
+         round(coalesce(s_base, 0.0) + coalesce(s_pref, 0.0)
+               + coalesce(s_gram, 0.0), 6) AS score
+  FROM ids
+  LEFT JOIN base ON base.doc_id = ids.doc_id
+  LEFT JOIN pref ON pref.doc_id = ids.doc_id
+  LEFT JOIN gram ON gram.doc_id = ids.doc_id
+)
+{_ranked_topk("SELECT doc_id, score FROM total", k)}
+"""
+
+
 def terms_lookup_sql(lookup_doc_id: int, k: int = 10) -> str:
     """terms-lookup query (query_ext.terms_lookup_topk): term set from one
     document, distinct-match count ranking."""

@@ -522,6 +522,91 @@ def match_bool_prefix(
     return _topk_ranked(out, k)
 
 
+def shingle_text_col(text_col: str = "text") -> F.Column:
+    """The 2-gram shingle subfield of an analyzed text field (ES
+    search_as_you_type `._2gram`): adjacent token pairs joined with '_'
+    (a joiner the whitespace tokenizer never splits), re-joined with ' '
+    so the standard tokenizer/tf machinery works over it untouched.
+    Row-local expression; the DuckDB twin is toks[i] || '_' || toks[i+1]
+    over unnest(range(1, len(toks)))."""
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+
+    def pair(a: F.Column, b: F.Column) -> F.Column:
+        return F.concat(a, F.lit("_"), b)
+
+    grams = F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1), pair)
+    return F.array_join(grams, " ")
+
+
+def search_as_you_type(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES search_as_you_type field queried with multi_match
+    type=bool_prefix over [field, field._2gram]: the canonical
+    type-ahead ranking. Three score sources per doc, summed
+    (most_fields semantics):
+
+      * the complete terms (all but the trailing partial) scored BM25 on
+        the base field,
+      * the trailing partial term as a constant-score 1.0 prefix match
+        (the bool_prefix rewrite, exactly match_bool_prefix's last arm),
+      * the complete terms' adjacent 2-gram shingles scored BM25 on the
+        shingle subfield with the SUBFIELD's own statistics (shingle
+        df/dl/avgdl) — this is what makes in-order "group merge" beat a
+        doc containing the words scattered.
+
+    Scale shape: two one-pass BM25 relations (base + shingle subfield —
+    per-field statistics are inherent, same as multi_match) plus one
+    predicate-only prefix scan; fusion is LEFT joins from the matched-id
+    union (≤3 small relations of scored docs), never a corpus join. The
+    branch sum is coalesce(base,0)+coalesce(prefix,0)+coalesce(gram,0) in
+    that literal order — three rounded doubles, fixed association, so the
+    DuckDB mirror is bit-identical. (rank, doc_id, score)."""
+    full, prefix = terms[:-1], terms[-1]
+
+    def _is_pref(t):
+        return t.startswith(prefix)
+
+    base = bm25_scores(docs, full, text_col=text_col).select(
+        "doc_id", F.col("score").alias("s_base")
+    )
+    pref = (
+        docs.select("doc_id", tokens_expr(text_col).alias("__tk"))
+        .filter(F.exists(F.col("__tk"), _is_pref))
+        .select("doc_id", F.lit(1.0).alias("s_pref"))
+    )
+    grams = ["_".join(p) for p in zip(full, full[1:])]
+    sh_docs = docs.select("doc_id", shingle_text_col(text_col).alias("__sh"))
+    gram = bm25_scores(sh_docs, grams, text_col="__sh").select(
+        "doc_id", F.col("score").alias("s_gram")
+    )
+    ids = (
+        base.select("doc_id")
+        .unionByName(pref.select("doc_id"))
+        .unionByName(gram.select("doc_id"))
+        .distinct()
+    )
+    out = (
+        ids.join(base, "doc_id", "left")
+        .join(pref, "doc_id", "left")
+        .join(gram, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("s_base"), F.lit(0.0))
+                + F.coalesce(F.col("s_pref"), F.lit(0.0))
+                + F.coalesce(F.col("s_gram"), F.lit(0.0)),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    return _topk_ranked(out, k)
+
+
 def tfidf_classic_topk(
     docs: DataFrame,
     terms: list[str],
