@@ -2668,6 +2668,15 @@ def _q_constant_score_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), Q_MAIN, F.col("lang") == "en", boost=1.5, k=10)
 
 
+def _q_span_multi_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near(span_multi(prefix s*), merge, slop=1): any s-token
+    followed by 'merge' within one gap — the span_multi wrapper kept as a
+    row-local predicate (no clause expansion)."""
+    from fafnir_spark.query_ext import span_multi_prefix
+
+    return span_multi_prefix(_docs(spark, sf_dir), "s", "merge", slop=1)
+
+
 def _q_span_or_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES span_near(span_or(fast|slow), merge, slop=0, in_order): an
     alternative immediately followed by 'merge' — the composed-span form."""
@@ -4329,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_unordered": _q_span_near_unordered,
         "span_not": _q_span_not,
         "span_or_near": _q_span_or_near,
+        "span_multi_prefix": _q_span_multi_prefix,
         "constant_score_bool": _q_constant_score_bool,
         "sparse_vector_pruned": _q_sparse_vector_pruned,
         "has_parent_topk": _q_has_parent,
@@ -4784,6 +4794,7 @@ ORDER BY term ASC LIMIT 10
         "span_near_unordered": oracles.span_near_unordered_sql("slow", "key", slop=2),
         "span_not": oracles.span_not_sql("slow", "merge", slop=2),
         "span_or_near": oracles.span_or_near_sql(["fast", "slow"], "merge", slop=0),
+        "span_multi_prefix": oracles.span_multi_prefix_sql("s", "merge", slop=1),
         "constant_score_bool": oracles.constant_score_bool_sql(
             Q_MAIN, "lang = 'en'", boost=1.5, k=10),
         "sparse_vector_pruned": oracles.sparse_vector_pruned_sql(

@@ -1548,6 +1548,31 @@ ORDER BY doc_id
 """
 
 
+def span_multi_prefix_sql(prefix: str, then: str, slop: int = 0) -> str:
+    """Mirror of query_ext.span_multi_prefix: the multi-term clause is a
+    LIKE-prefix predicate on the token (never an expanded term list), then
+    the shared ordered slop test."""
+    p = prefix.replace("'", "''")
+    b = then.replace("'", "''")
+    return f"""
+WITH tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] LIKE '{p}%') AS ppre,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = '{b}') AS p2
+  FROM tkl
+)
+SELECT doc_id FROM pos
+WHERE len(list_filter(ppre,
+        i -> len(list_filter(p2, j -> j > i AND j - i - 1 <= {slop})) > 0
+      )) > 0
+ORDER BY doc_id
+"""
+
+
 def sparse_vector_topk_sql(query_weights: dict[str, float], k: int = 10) -> str:
     """Mirror of scoring.sparse_vector_topk: same CASE weight lookup,
     same w·tf operand order, rank-identity finish."""

@@ -1719,6 +1719,53 @@ def span_or_near(docs: DataFrame, alts: list[str], then: str, slop: int = 0,
     )
 
 
+def span_multi_prefix(docs: DataFrame, prefix: str, then: str, slop: int = 0,
+                      text_col: str = "text") -> DataFrame:
+    """ES span_near(clauses=[span_multi(prefix), term], slop, in_order):
+    the multi-term span wrapper — ANY token starting with ``prefix``
+    opens the span, ``then`` must follow within ``slop`` gaps:
+    ∃ i: tok[i] startswith prefix, ∃ j ∈ pos(then): j > i AND
+    j - i - 1 <= slop.
+
+    Scale shape: unlike ES (which REWRITES span_multi into an expanded
+    span_or and trips max_boolean_clauses on broad prefixes), the prefix
+    clause stays a row-local PREDICATE on the token array — no vocabulary
+    expansion, no driver collect, no clause limit. The candidate gate is
+    the one filtered tf pass of span_or_near with the isin test replaced
+    by startswith; position arrays are built for candidates only. Returns
+    (doc_id), ordered."""
+    from .tokenizer import tokens_expr
+
+    def _is_pref(t):
+        return t.startswith(prefix)
+
+    cand = (
+        docs.select("doc_id", F.explode(tokens_expr(text_col)).alias("term"))
+        .filter((F.col("term") == F.lit(then)) | F.col("term").startswith(prefix))
+        .groupBy("doc_id")
+        .agg(
+            F.max((F.col("term") == F.lit(then)).cast("int")).alias("__has_then"),
+            F.max(F.col("term").startswith(prefix).cast("int")).alias("__has_pre"),
+        )
+        .filter((F.col("__has_then") == 1) & (F.col("__has_pre") == 1))
+        .select("doc_id")
+    )
+    toks = tokens_expr(text_col)
+
+    def _pre_pred(i: F.Column) -> F.Column:
+        return F.get(toks, i - 1).startswith(prefix)
+
+    ppre = F.filter(F.sequence(F.lit(1), F.size(toks)), _pre_pred)
+    pthen = F.filter(F.sequence(F.lit(1), F.size(toks)), _pos_pred(toks, then))
+    hit = F.exists(ppre, _slop_pred(pthen, slop))
+    return (
+        docs.join(cand, "doc_id")
+        .filter(hit)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _after_within_pred(p_rest: list[F.Column], n_before: int, max_gaps: int):
     """Ordered-interval continuation: given the first match position i,
     recursively require each remaining term strictly after its
