@@ -1774,6 +1774,26 @@ def _q_search_api_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                SEARCH_BODY_IDX)
 
 
+RUNTIME_BODY = {
+    "runtime_mappings": {"band": {"type": "keyword", "script":
+        "CASE(o_totalprice >= 150000, 'big', "
+        "CASE(o_totalprice >= 50000, 'mid', 'small'))"}},
+    "query": {"term": {"o_orderstatus": "O"}},
+    "aggs": {"bands": {"terms": {"field": "band", "size": 10},
+             "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}},
+                      "n_cust": {"value_count": {"field": "o_custkey"}}}}},
+}
+
+
+def _q_runtime_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES runtime_mappings (schema-on-read): a price-band keyword field
+    computed at search time by a closed script grammar, filtered and
+    aggregated without reindexing — ONE AST renders both engines."""
+    from fafnir_spark.search_api import runtime_search
+
+    return runtime_search(spark.read.parquet(f"{sf_dir}/orders.parquet"), RUNTIME_BODY)
+
+
 def _q_search_api_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The aggregations half of a _search body: terms bucket agg + metric
     sub-aggs over the query-MATCHED set (ES aggregates every hit, not the
@@ -4459,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_api_bool": _q_search_api_bool,
         "search_api_match": _q_search_api_match,
         "search_api_aggs": _q_search_api_aggs,
+        "runtime_fields": _q_runtime_fields,
         "search_api_indexed": _q_search_api_indexed,
         "search_api_knn": _q_search_api_knn,
         "search_api_hybrid": _q_search_api_hybrid,
@@ -5125,6 +5146,7 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "search_api_bool": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_BOOL),
         "search_api_match": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_MATCH),
         "search_api_aggs": __import__("fafnir_spark.search_api", fromlist=["x"]).search_aggs_sql(SEARCH_BODY_AGGS),
+        "runtime_fields": search_api.runtime_search_sql(RUNTIME_BODY, "orders"),
         "search_api_indexed": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_IDX),
         "search_api_knn": __import__("fafnir_spark.search_api", fromlist=["x"]).search_knn_sql(SEARCH_BODY_KNN),
         "search_api_hybrid": __import__("fafnir_spark.search_api", fromlist=["x"]).search_hybrid_sql(SEARCH_BODY_HYBRID),

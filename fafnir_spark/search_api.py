@@ -40,6 +40,8 @@ and a divergence we can't reproduce exactly is an error, not a guess.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1034,4 +1036,196 @@ SELECT field, es_type, true AS searchable,
 FROM c
 GROUP BY field, es_type
 ORDER BY field, es_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Runtime fields (ES runtime_mappings): search-time computed fields usable
+# in query filters and aggregations without reindexing — the ES schema-on-
+# read feature. The Painless `emit(...)` script is replaced by a CLOSED
+# expression grammar (anchored regexes, the esql/kql convention — no eval):
+# ONE parse renders BOTH the Spark Column and the DuckDB SQL mirror, so a
+# runtime field can never diverge across engines (the kql.py single-AST
+# rule). Runtime fields are row-local projections: they add zero shuffles
+# and never block predicate pushdown on concrete columns.
+# ---------------------------------------------------------------------------
+
+_RT_NUM = r"-?\d+(?:\.\d+)?"
+_RT_STR = r"'[^']*'"
+_RT_ID = r"[A-Za-z_][A-Za-z0-9_]*"
+_RT_CMPOPS = ("<=", ">=", "!=", "<", ">", "=")
+
+
+class RuntimeFieldError(ValueError):
+    pass
+
+
+def _rt_value(tok: str) -> tuple[F.Column, str]:
+    tok = tok.strip()
+    if re.fullmatch(_RT_STR, tok):
+        return F.lit(tok[1:-1]), tok
+    if re.fullmatch(_RT_NUM, tok):
+        v = float(tok) if "." in tok else int(tok)
+        return F.lit(v), repr(v)
+    if re.fullmatch(_RT_ID, tok):
+        return F.col(tok), tok
+    raise RuntimeFieldError(f"bad runtime value {tok!r}")
+
+
+def _rt_condition(s: str) -> tuple[F.Column, str]:
+    m = re.fullmatch(
+        rf"\s*({_RT_ID})\s*(<=|>=|!=|<|>|=)\s*({_RT_STR}|{_RT_NUM})\s*", s)
+    if not m:
+        raise RuntimeFieldError(f"bad runtime condition {s!r}")
+    fld, op, lit = m.groups()
+    vc, vs = _rt_value(lit)
+    col = F.col(fld)
+    spark = {"<=": col <= vc, ">=": col >= vc, "<": col < vc,
+             ">": col > vc, "=": col == vc, "!=": col != vc}[op]
+    return spark, f"{fld} {'<>' if op == '!=' else op} {vs}"
+
+
+def _rt_split_args(s: str) -> list[str]:
+    """Split on top-level commas (CASE nests in the else arm)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def compile_runtime_script(s: str) -> tuple[F.Column, str]:
+    """(spark_col, sql_expr) for one runtime-field script. Grammar:
+    CASE(cond, value, value|CASE(...)) | round(f, n) | abs/length/
+    lower/upper(f) | f op number | f."""
+    s = s.strip()
+    m = re.fullmatch(r"CASE\((.+)\)", s, re.DOTALL)
+    if m:
+        args = _rt_split_args(m.group(1))
+        if len(args) != 3:
+            raise RuntimeFieldError(f"CASE takes 3 args: {s!r}")
+        cond_c, cond_s = _rt_condition(args[0])
+        then_c, then_s = compile_runtime_script(args[1])
+        else_c, else_s = compile_runtime_script(args[2])
+        return (F.when(cond_c, then_c).otherwise(else_c),
+                f"CASE WHEN {cond_s} THEN {then_s} ELSE {else_s} END")
+    m = re.fullmatch(rf"round\(\s*({_RT_ID})\s*,\s*(\d+)\s*\)", s)
+    if m:
+        return (F.round(F.col(m.group(1)), int(m.group(2))),
+                f"round({m.group(1)}, {m.group(2)})")
+    m = re.fullmatch(rf"(abs|length|lower|upper)\(\s*({_RT_ID})\s*\)", s)
+    if m:
+        fn, fld = m.groups()
+        spark = {"abs": F.abs, "length": F.length, "lower": F.lower,
+                 "upper": F.upper}[fn](F.col(fld))
+        return spark, f"{fn}({fld})"
+    m = re.fullmatch(rf"({_RT_ID})\s*([+\-*/])\s*({_RT_NUM})", s)
+    if m:
+        fld, op, num = m.groups()
+        nc, ns = _rt_value(num)
+        col = F.col(fld)
+        spark = {"+": col + nc, "-": col - nc,
+                 "*": col * nc, "/": col / nc}[op]
+        return spark, f"({fld} {op} {ns})"
+    try:
+        return _rt_value(s)
+    except RuntimeFieldError:
+        raise RuntimeFieldError(f"unsupported runtime script {s!r}")
+
+
+def _rt_parts(body: dict) -> tuple[dict, tuple | None, tuple]:
+    """Shared compile of a runtime _search body: runtime field map,
+    optional term/range query (may reference runtime fields), one terms
+    agg with metric sub-aggs (may reference runtime fields)."""
+    rt = {}
+    for name, spec in (body.get("runtime_mappings") or {}).items():
+        if set(spec) - {"type", "script"} or "script" not in spec:
+            raise RuntimeFieldError(f"bad runtime mapping {spec!r}")
+        rt[name] = compile_runtime_script(spec["script"])
+    q = body.get("query")
+    qc = None
+    if q is not None:
+        kind, m = _one_key(q, "query")
+        if kind == "term":
+            (fld, val), = m.items()
+            vc, vs = _rt_value(f"'{val}'" if isinstance(val, str) else str(val))
+            qc = (F.col(fld) == vc, f"{fld} = {vs}")
+        elif kind == "range":
+            (fld, bounds), = m.items()
+            conds_c, conds_s = [], []
+            for bop, sop in (("gte", ">="), ("lte", "<="),
+                             ("gt", ">"), ("lt", "<")):
+                if bop in bounds:
+                    vc, vs = _rt_value(str(bounds[bop]))
+                    conds_c.append({"gte": F.col(fld) >= vc,
+                                    "lte": F.col(fld) <= vc,
+                                    "gt": F.col(fld) > vc,
+                                    "lt": F.col(fld) < vc}[bop])
+                    conds_s.append(f"{fld} {sop} {vs}")
+            cc = conds_c[0]
+            for c in conds_c[1:]:
+                cc = cc & c
+            qc = (cc, " AND ".join(conds_s))
+        else:
+            raise RuntimeFieldError(f"unsupported runtime query {kind!r}")
+    name, field, size, subs = _compile_aggs(body["aggs"])
+    return rt, qc, (field, size, subs)
+
+
+def runtime_search(df: DataFrame, body: dict) -> DataFrame:
+    """Execute a _search body with runtime_mappings over any table: project
+    the runtime columns (row-local), apply the query filter, run the terms
+    agg (count desc, key asc — ES bucket order). Metric doubles round to 6
+    (group-sum order is engine-specific below that). Columns:
+    (key, doc_count, <sub-aggs...>)."""
+    rt, qc, (field, size, subs) = _rt_parts(body)
+    for fname, (col, _sql) in rt.items():
+        df = df.withColumn(fname, col)
+    if qc is not None:
+        df = df.filter(qc[0])
+    aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
+    for sub_name, kind, sub_field in subs:
+        c = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+             "value_count": F.count}[kind](F.col(sub_field))
+        if kind == "value_count":
+            c = c.cast("long")
+        elif kind in ("avg", "sum"):
+            c = F.round(c, 6)
+        aggs.append(c.alias(sub_name))
+    out = (df.groupBy(F.col(field).alias("key")).agg(*aggs)
+           .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+           .limit(size))
+    return out
+
+
+def runtime_search_sql(body: dict, table: str) -> str:
+    """DuckDB mirror rendered from the SAME compiled AST as
+    runtime_search — runtime scripts can never diverge across engines."""
+    rt, qc, (field, size, subs) = _rt_parts(body)
+    proj = ", ".join([f"{table}.*"] + [f"{sql} AS {n}" for n, (_c, sql) in
+                                       sorted(rt.items())])
+    where = f"WHERE {qc[1]}" if qc is not None else ""
+    cols = [f"CAST(count(*) AS BIGINT) AS doc_count"]
+    for sub_name, kind, sub_field in subs:
+        if kind == "value_count":
+            cols.append(f"CAST(count({sub_field}) AS BIGINT) AS {sub_name}")
+        elif kind in ("avg", "sum"):
+            cols.append(f"round({kind}({sub_field}), 6) AS {sub_name}")
+        else:
+            cols.append(f"{kind}({sub_field}) AS {sub_name}")
+    return f"""
+WITH rtv AS (SELECT {proj} FROM {table})
+SELECT {field} AS key, {", ".join(cols)}
+FROM rtv {where}
+GROUP BY {field}
+ORDER BY doc_count DESC, key ASC
+LIMIT {size}
 """
