@@ -2469,6 +2469,19 @@ def _q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES children aggregation: parents bucketed by lang, the agg descends
+    to each bucket's error-type children — child partials aggregate
+    per-parent BEFORE the join (never parent x child expansion)."""
+    from fafnir_spark.pipeline import children_agg
+
+    return children_agg(
+        _docs(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        parent_field="lang", child_type="error",
+    )
+
+
 def _q_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.query_ext import multi_match_bm25
 
@@ -4233,6 +4246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_best_fields": _q_multi_match_best,
         "multi_match_cross_fields": _q_multi_match_cross,
         "has_child_topk": _q_has_child,
+        "children_agg": _q_children_agg,
         "multi_match_most_fields": _q_multi_match_most,
         "dedup_canonical": _q_dedup_canonical,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -4606,6 +4620,7 @@ def oracle_sql() -> dict[str, str]:
             Q_MAIN, {"text": 1.0, TITLE_SQL: 2.0}, k=10
         ),
         "has_child_topk": oracles_pipeline.has_child_topk_sql("error", "sum", k=10),
+        "children_agg": oracles_pipeline.children_agg_sql("lang", "error"),
         "multi_match_best_fields": oracles.multi_match_sql(
             Q_MAIN, {"text": 1.0, TITLE_SQL: 2.0}, k=10,
             mode="best_fields", tie_breaker=0.3),

@@ -598,6 +598,27 @@ ORDER BY rank
 """
 
 
+def children_agg_sql(parent_field: str = "lang",
+                     child_type: str = "error") -> str:
+    """Mirror of pipeline.children_agg: same two-level partials (per-parent
+    sum/count, then bucket roll-up with the derived sum/count avg) so the
+    float summation grouping matches the Spark plan."""
+    return f"""
+WITH pp AS (
+  SELECT user_id AS doc_id, CAST(count(*) AS BIGINT) AS n, sum(value) AS sv
+  FROM events WHERE event_type = '{child_type}' GROUP BY user_id
+)
+SELECT d.{parent_field} AS key,
+       CAST(count(*) AS BIGINT) AS parent_count,
+       CAST(sum(coalesce(pp.n, 0)) AS BIGINT) AS child_count,
+       round(sum(pp.sv) / sum(pp.n), 6) AS avg_value
+FROM documents d
+LEFT JOIN pp ON pp.doc_id = d.doc_id
+GROUP BY d.{parent_field}
+ORDER BY key
+"""
+
+
 def percentile_ranks_sql(values: list[float]) -> str:
     vals = sorted(float(v) for v in values)
     branches = "\n  UNION ALL ".join(

@@ -805,6 +805,42 @@ def has_child_topk(docs: DataFrame, events: DataFrame, child_type: str = "error"
     )
 
 
+def children_agg(docs: DataFrame, events: DataFrame, parent_field: str = "lang",
+                 child_type: str = "error") -> DataFrame:
+    """ES `children` aggregation (join field): parents bucketed by a
+    parent field, then the agg DESCENDS to each bucket's child documents
+    — bucket doc counts on both levels plus a child metric
+    (terms(parent_field) > children > avg(value), the canonical shape).
+    Parent/child relation is doc_id == user_id (the has_child join).
+
+    Scale shape: children aggregate per-parent FIRST (one groupBy with
+    map-side combine — cardinality = parents-with-children, never a
+    parent×child row expansion), then ONE left join onto the parent
+    relation and a second mergeable roll-up to buckets; the bucket avg is
+    derived sum/count from the same partials (exactly equal to the
+    row-level avg), so each child row crosses the network at most once.
+    (key, parent_count, child_count, avg_value) ordered by key."""
+    from pyspark.sql import functions as F
+
+    per_parent = (
+        events.filter(F.col("event_type") == child_type)
+        .groupBy(F.col("user_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+             F.sum("value").alias("__sv"))
+    )
+    return (
+        docs.select("doc_id", F.col(parent_field).alias("key"))
+        .join(per_parent, "doc_id", "left")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("parent_count"),
+            F.sum(F.coalesce(F.col("__n"), F.lit(0))).cast("long").alias("child_count"),
+            F.round(F.sum("__sv") / F.sum("__n"), 6).alias("avg_value"),
+        )
+        .orderBy("key")
+    )
+
+
 def percentile_ranks(events: DataFrame, values: list[float]) -> DataFrame:
     """ES percentile_ranks aggregation: for each probe value, the percent
     of observations <= value, per event_type. ONE conditional-count pass
