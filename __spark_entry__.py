@@ -3651,6 +3651,43 @@ FROM events
 """
 
 
+ESQL_CIDR_QUERY = """
+FROM access
+| WHERE CIDR_MATCH(ip, "10.3.0.0/16", "10.1.128.0/17")
+| STATS n = count(*), nu = count_distinct(user_id) BY event_type
+| SORT event_type ASC
+"""
+
+ESQL_DATE_TRUNC_QUERY = """
+FROM events
+| EVAL wk = DATE_TRUNC(1 week, ts)
+| EVAL wk_s = date_format(wk, "yyyy-MM-dd")
+| STATS n = count(*), sv = sum(value) BY wk_s
+| EVAL sv = round(sv, 6)
+| SORT wk_s ASC
+"""
+
+
+def _q_esql_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL CIDR_MATCH over derived client addresses: each block is one
+    integer mask-compare (including a non-octet /17), never string-prefix
+    games — the predicate stays row-local under the scan."""
+    from fafnir_spark.esql import esql
+    from fafnir_spark.pipeline import derive_client_ips
+
+    return esql(spark, ESQL_CIDR_QUERY, {
+        "access": derive_client_ips(spark.read.parquet(f"{sf_dir}/events.parquet"))})
+
+
+def _q_esql_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL DATE_TRUNC(1 week, ts): ISO calendar-week truncation feeding a
+    weekly rollup — Spark date_trunc == DuckDB date_trunc."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_DATE_TRUNC_QUERY, {
+        "events": spark.read.parquet(f"{sf_dir}/events.parquet")})
+
+
 def _q_esql_where_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL boolean WHERE: OR binds loosest (a OR (b AND c)) — the
     whole predicate stays one pushdown-eligible filter under the scan."""
@@ -4464,6 +4501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_fork": _q_esql_fork,
         "esql_where_or": _q_esql_where_or,
         "esql_agg_functions": _q_esql_agg_functions,
+        "esql_cidr_match": _q_esql_cidr_match,
+        "esql_date_trunc": _q_esql_date_trunc,
         "missing_agg": _q_missing_agg,
         "span_within": _q_span_within,
         "variable_width_histogram": _q_variable_width_histogram,
@@ -4731,6 +4770,13 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
 SELECT upper(event_type) AS et, round(median(value), 6) AS md,
        CAST(count(DISTINCT user_id) AS BIGINT) AS nd
 FROM events GROUP BY 1 ORDER BY et ASC
+""",
+        "esql_cidr_match": oracles_pipeline.esql_cidr_match_sql(
+            ["10.3.0.0/16", "10.1.128.0/17"]),
+        "esql_date_trunc": """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk_s,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sv
+FROM events GROUP BY 1 ORDER BY wk_s ASC
 """,
         "esql_where_or": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS total

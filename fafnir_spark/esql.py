@@ -120,6 +120,34 @@ def _parse_atom(cond: str):
         col, lits = m.groups()
         vals = [_lit(t.strip()) for t in re.findall(_LIT, lits)]
         return F.col(col).isin(vals)
+    m = re.fullmatch(
+        rf"\s*CIDR_MATCH\(\s*({_IDENT})\s*((?:,\s*{_STR}\s*)+)\)\s*",
+        cond, re.IGNORECASE)
+    if m:
+        # ES|QL CIDR_MATCH(ip, "block", ...): the dotted-quad column is
+        # folded to a 32-bit integer row-local and each block becomes ONE
+        # mask-compare (ip_int & mask == net) — network/mask are parsed
+        # driver-side with stdlib ipaddress, so the predicate is pure
+        # integer arithmetic in both engines (never string prefix games,
+        # which break on octet boundaries that aren't /8k).
+        import ipaddress
+
+        col = m.group(1)
+        blocks = [_lit(t) for t in re.findall(_STR, m.group(2))]
+        octs = F.split(F.col(col), r"\.")
+        ip_int = (
+            F.element_at(octs, 1).cast("long") * F.lit(16777216)
+            + F.element_at(octs, 2).cast("long") * F.lit(65536)
+            + F.element_at(octs, 3).cast("long") * F.lit(256)
+            + F.element_at(octs, 4).cast("long")
+        )
+        out = None
+        for b in blocks:
+            net = ipaddress.ip_network(b, strict=True)
+            mask = int(net.netmask)
+            c = ip_int.bitwiseAND(F.lit(mask)) == F.lit(int(net.network_address))
+            out = c if out is None else (out | c)
+        return out
     m = re.fullmatch(rf"\s*({_IDENT})\s+LIKE\s+({_STR})\s*", cond, re.IGNORECASE)
     if m:
         # ES|QL LIKE wildcards: * (any run) and ? (one char) — translated
@@ -163,6 +191,13 @@ def _parse_eval_expr(expr: str):
         fn = m.group(1).lower()
         return {"abs": F.abs, "length": F.length,
                 "lower": F.lower, "upper": F.upper}[fn](F.col(m.group(2)))
+    m = re.fullmatch(
+        rf"\s*DATE_TRUNC\(\s*1\s+(hour|day|week|month|year)\s*,\s*({_IDENT})\s*\)\s*",
+        expr, re.IGNORECASE)
+    if m:
+        # ES|QL DATE_TRUNC(1 <unit>, ts) — calendar truncation; Spark
+        # date_trunc == DuckDB date_trunc on these units (both ISO-week).
+        return F.date_trunc(m.group(1).lower(), F.col(m.group(2)))
     m = re.fullmatch(rf"\s*date_format\(\s*({_IDENT})\s*,\s*({_STR})\s*\)\s*", expr)
     if m:
         # ES|QL DATE_FORMAT — Spark date_format == DuckDB strftime on the

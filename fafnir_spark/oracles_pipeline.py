@@ -1339,6 +1339,46 @@ GROUP BY 1 ORDER BY prefix
 
 _PMOD_UID = "(((CAST(user_id AS BIGINT) % 8) + 8) % 8)"
 
+# Mirror of pipeline.derive_client_ips — the single source for the derived
+# dotted-quad formula (10.(uid%8).(uid%256).(7·uid%256)).
+DERIVED_IP_SQL = (
+    "concat('10.', "
+    f"CAST({_PMOD_UID} AS VARCHAR), '.', "
+    "CAST((((CAST(user_id AS BIGINT) % 256) + 256) % 256) AS VARCHAR), '.', "
+    "CAST((((CAST(user_id AS BIGINT) * 7 % 256) + 256) % 256) AS VARCHAR))"
+)
+
+
+def esql_cidr_match_sql(blocks: list[str]) -> str:
+    """Mirror of the ES|QL CIDR_MATCH pipeline: same derived ips, same
+    octet fold to a 32-bit integer, same mask-compare per block (masks
+    parsed by the identical stdlib ipaddress call)."""
+    import ipaddress
+
+    conds = []
+    for b in blocks:
+        net = ipaddress.ip_network(b, strict=True)
+        conds.append(
+            f"(ip_int & {int(net.netmask)}) = {int(net.network_address)}")
+    return f"""
+WITH access AS (
+  SELECT event_type, user_id, {DERIVED_IP_SQL} AS ip FROM events
+),
+ii AS (
+  SELECT event_type, user_id,
+         CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+         + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+         + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+         + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_int
+  FROM access
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+FROM ii
+WHERE {" OR ".join(conds)}
+GROUP BY event_type ORDER BY event_type ASC
+"""
+
 
 def stats_bucket_sql() -> str:
     """Mirror of pipeline.stats_bucket over the same rounded bucket sums."""

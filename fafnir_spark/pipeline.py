@@ -1540,6 +1540,25 @@ def change_point_from_buckets(buckets: DataFrame) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("change_day").asc()).limit(1)
 
 
+def derive_client_ips(events: DataFrame) -> DataFrame:
+    """Deterministic dotted-quad client-address column for the fixture
+    (which carries no address): ip = 10.(uid%8).(uid%256).(7·uid%256) —
+    the ip_prefix_agg formula extended to all four octets. Row-local; the
+    oracle mirrors the identical concat (oracles_pipeline.DERIVED_IP_SQL
+    is the single source — never hand-copy the formula into SQL)."""
+    from pyspark.sql import functions as F
+
+    uid = F.col("user_id").cast("long")
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        F.pmod(uid, F.lit(8)).cast("string"),
+        F.pmod(uid, F.lit(256)).cast("string"),
+        F.pmod(uid * F.lit(7), F.lit(256)).cast("string"),
+    )
+    return events.withColumn("ip", ip)
+
+
 def ip_prefix_agg(events: DataFrame, prefix_len: int = 16) -> DataFrame:
     """ES ip_prefix aggregation: group client addresses under a /len
     prefix. The fixture has no address column, so one is DERIVED
