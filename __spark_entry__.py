@@ -826,6 +826,15 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (D=0.75): continuation-count
+    smoothing over the distinct-bigram-type model table — the KenLM-style
+    curation perplexity signal."""
+    from fafnir_spark.curation import kneser_ney_logprob
+
+    return kneser_ney_logprob(_docs(spark, sf_dir), discount=0.75)
+
+
 def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicated-chunk detection: one groupBy on the chunk
     content hash, sort-free min_by keeper, top-50 by copy count."""
@@ -4306,6 +4315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": _q_chunk_dedup,
         "sampled_quantiles": _q_sampled_quantiles,
         "bigram_logprob": _q_bigram_logprob,
+        "kneser_ney_logprob": _q_kneser_ney_logprob,
         "ann_pq_topk": _q_ann_pq,
         "ann_pq_indexed": _q_ann_pq_indexed,
         "embedding_outliers": _q_embedding_outliers,
@@ -4692,6 +4702,7 @@ def oracle_sql() -> dict[str, str]:
         "sampled_quantiles": oracles_pipeline.sampled_quantiles_sql(),
         "stream_sampled_quantiles": oracles_pipeline.stream_sampled_quantiles_sql(),
         "bigram_logprob": oracles_curation.bigram_logprob_sql(),
+        "kneser_ney_logprob": oracles_curation.kneser_ney_logprob_sql(discount=0.75),
         "ann_lsh_topk": oracles_ops.lsh_cosine_topk_sql(
             QVEC, plane_weights(LSH_TABLES, LSH_PLANES), 10
         ),

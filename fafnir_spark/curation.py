@@ -520,6 +520,69 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def kneser_ney_logprob(docs: DataFrame, discount: float = 0.75,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM fluency score (Kneser & Ney 1995;
+    Chen & Goodman 1998 — the smoothing KenLM-style curation perplexity
+    filters actually use, one rung above bigram_logprob's add-1):
+
+        P(b|a) = max(C(a,b) − D, 0)/C(a·) + D·N1+(a·)/C(a·) · N1+(·b)/N_bt
+
+    where N1+(a·)/N1+(·b) are distinct right/left continuation counts and
+    N_bt the distinct bigram-type total — the continuation distribution
+    that makes "francisco" cheap only after "san". D must stay dyadic
+    (0.75) so the interpolation stays exact cross-engine.
+
+    Scale shape: the MODEL is built on the distinct-bigram-type relation
+    (one groupBy over exploded bigrams — map-side combine), and every
+    derived statistic (C(a·), N1+(a·), N1+(·b), N_bt) is a vocab-bounded
+    aggregate of THAT table, broadcast back onto it; corpus rows join the
+    finished model once on (a,b). No count window ever partitions by a
+    hot single token. Docs with <2 tokens drop (no bigram evidence).
+    (doc_id, n_bigrams, logprob), ordered by doc_id."""
+    from .tokenizer import tokens_expr
+
+    dd = float(discount)
+    toks = tokens_expr(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
+    )
+    bg = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    ca = cab.groupBy("a").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cb = cab.groupBy("b").agg(F.count(F.lit(1)).alias("n1b"))
+    nbt = cab.agg(F.count(F.lit(1)).alias("nbt"))
+    p = (
+        F.greatest(F.col("c2") - F.lit(dd), F.lit(0.0)) / F.col("c1")
+        + (F.lit(dd) * F.col("n1f") / F.col("c1"))
+        * (F.col("n1b") / F.col("nbt"))
+    )
+    model = (
+        cab.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(nbt))
+        .select("a", "b", p.alias("p"))
+    )
+    return (
+        bg.join(model, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.log("p")) / F.count(F.lit(1)), 6).alias("logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 GOPHER_RULES = {
     "min_words": 5,
     "max_words": 100_000,

@@ -371,6 +371,41 @@ FROM w, v GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def kneser_ney_logprob_sql(discount: float = 0.75) -> str:
+    """Mirror of curation.kneser_ney_logprob — same distinct-bigram-type
+    model table, same interpolation operand order
+    (max(c2−D,0)/c1 + (D·n1f/c1)·(n1b/nbt))."""
+    dd = float(discount)
+    return f"""
+WITH tkl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+ix AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+  FROM tkl WHERE len(tk) >= 2
+),
+bg AS (
+  SELECT doc_id, tk[i] AS a, tk[i + 1] AS b FROM ix
+),
+cab AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
+ca AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+       FROM cab GROUP BY a),
+cb AS (SELECT b, count(*) AS n1b FROM cab GROUP BY b),
+nbt AS (SELECT count(*) AS nbt FROM cab),
+model AS (
+  SELECT cab.a, cab.b,
+         greatest(c2 - {dd!r}, 0.0) / c1
+         + ({dd!r} * n1f / c1) * (n1b / nbt) AS p
+  FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN nbt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(ln(p)) / count(*), 6) AS logprob
+FROM bg JOIN model ON model.a = bg.a AND model.b = bg.b
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def gopher_quality_sql(stopwords: list[str], rules: dict | None = None) -> str:
     """Mirror of curation.gopher_quality — thresholds templated from
     GOPHER_RULES, stopwords the same literal list, keep computed on the
