@@ -1060,29 +1060,43 @@ class RuntimeFieldError(ValueError):
     pass
 
 
-def _rt_value(tok: str) -> tuple[F.Column, str]:
+def _rt_value(tok: str):
+    """(column_thunk, sql) — the Spark Column is built LAZILY (zero-arg
+    thunk) so oracle SQL can render with no active SparkContext (the
+    driver builds oracle_sql() before any session exists)."""
     tok = tok.strip()
     if re.fullmatch(_RT_STR, tok):
-        return F.lit(tok[1:-1]), tok
+        val = tok[1:-1]
+        return (lambda: F.lit(val)), tok
     if re.fullmatch(_RT_NUM, tok):
         v = float(tok) if "." in tok else int(tok)
-        return F.lit(v), repr(v)
+        return (lambda: F.lit(v)), repr(v)
     if re.fullmatch(_RT_ID, tok):
-        return F.col(tok), tok
+        name = tok
+        return (lambda: F.col(name)), name
     raise RuntimeFieldError(f"bad runtime value {tok!r}")
 
 
-def _rt_condition(s: str) -> tuple[F.Column, str]:
+_RT_CMP_FNS = {
+    "<=": lambda c, v: c <= v, ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v, ">": lambda c, v: c > v,
+    "=": lambda c, v: c == v, "!=": lambda c, v: c != v,
+}
+
+
+def _rt_condition(s: str):
     m = re.fullmatch(
         rf"\s*({_RT_ID})\s*(<=|>=|!=|<|>|=)\s*({_RT_STR}|{_RT_NUM})\s*", s)
     if not m:
         raise RuntimeFieldError(f"bad runtime condition {s!r}")
     fld, op, lit = m.groups()
-    vc, vs = _rt_value(lit)
-    col = F.col(fld)
-    spark = {"<=": col <= vc, ">=": col >= vc, "<": col < vc,
-             ">": col > vc, "=": col == vc, "!=": col != vc}[op]
-    return spark, f"{fld} {'<>' if op == '!=' else op} {vs}"
+    vt, vs = _rt_value(lit)
+    cmp_fn = _RT_CMP_FNS[op]
+
+    def thunk(fld=fld, cmp_fn=cmp_fn, vt=vt):
+        return cmp_fn(F.col(fld), vt())
+
+    return thunk, f"{fld} {'<>' if op == '!=' else op} {vs}"
 
 
 def _rt_split_args(s: str) -> list[str]:
@@ -1102,39 +1116,56 @@ def _rt_split_args(s: str) -> list[str]:
     return out
 
 
-def compile_runtime_script(s: str) -> tuple[F.Column, str]:
-    """(spark_col, sql_expr) for one runtime-field script. Grammar:
+_RT_FUNCS = {"abs": "abs", "length": "length", "lower": "lower",
+             "upper": "upper"}
+_RT_ARITH = {
+    "+": lambda c, v: c + v, "-": lambda c, v: c - v,
+    "*": lambda c, v: c * v, "/": lambda c, v: c / v,
+}
+
+
+def compile_runtime_script(s: str):
+    """(column_thunk, sql_expr) for one runtime-field script. Grammar:
     CASE(cond, value, value|CASE(...)) | round(f, n) | abs/length/
-    lower/upper(f) | f op number | f."""
+    lower/upper(f) | f op number | f. The thunk defers Column creation
+    (no SparkContext needed to render the SQL mirror)."""
     s = s.strip()
     m = re.fullmatch(r"CASE\((.+)\)", s, re.DOTALL)
     if m:
         args = _rt_split_args(m.group(1))
         if len(args) != 3:
             raise RuntimeFieldError(f"CASE takes 3 args: {s!r}")
-        cond_c, cond_s = _rt_condition(args[0])
-        then_c, then_s = compile_runtime_script(args[1])
-        else_c, else_s = compile_runtime_script(args[2])
-        return (F.when(cond_c, then_c).otherwise(else_c),
-                f"CASE WHEN {cond_s} THEN {then_s} ELSE {else_s} END")
+        cond_t, cond_s = _rt_condition(args[0])
+        then_t, then_s = compile_runtime_script(args[1])
+        else_t, else_s = compile_runtime_script(args[2])
+
+        def thunk(cond_t=cond_t, then_t=then_t, else_t=else_t):
+            return F.when(cond_t(), then_t()).otherwise(else_t())
+
+        return thunk, f"CASE WHEN {cond_s} THEN {then_s} ELSE {else_s} END"
     m = re.fullmatch(rf"round\(\s*({_RT_ID})\s*,\s*(\d+)\s*\)", s)
     if m:
-        return (F.round(F.col(m.group(1)), int(m.group(2))),
-                f"round({m.group(1)}, {m.group(2)})")
+        fld, nd = m.group(1), int(m.group(2))
+        return (lambda: F.round(F.col(fld), nd)), f"round({fld}, {nd})"
     m = re.fullmatch(rf"(abs|length|lower|upper)\(\s*({_RT_ID})\s*\)", s)
     if m:
         fn, fld = m.groups()
-        spark = {"abs": F.abs, "length": F.length, "lower": F.lower,
-                 "upper": F.upper}[fn](F.col(fld))
-        return spark, f"{fn}({fld})"
+
+        def thunk(fn=fn, fld=fld):
+            return {"abs": F.abs, "length": F.length, "lower": F.lower,
+                    "upper": F.upper}[fn](F.col(fld))
+
+        return thunk, f"{fn}({fld})"
     m = re.fullmatch(rf"({_RT_ID})\s*([+\-*/])\s*({_RT_NUM})", s)
     if m:
         fld, op, num = m.groups()
-        nc, ns = _rt_value(num)
-        col = F.col(fld)
-        spark = {"+": col + nc, "-": col - nc,
-                 "*": col * nc, "/": col / nc}[op]
-        return spark, f"({fld} {op} {ns})"
+        nt, ns = _rt_value(num)
+        arith = _RT_ARITH[op]
+
+        def thunk(fld=fld, arith=arith, nt=nt):
+            return arith(F.col(fld), nt())
+
+        return thunk, f"({fld} {op} {ns})"
     try:
         return _rt_value(s)
     except RuntimeFieldError:
@@ -1144,7 +1175,8 @@ def compile_runtime_script(s: str) -> tuple[F.Column, str]:
 def _rt_parts(body: dict) -> tuple[dict, tuple | None, tuple]:
     """Shared compile of a runtime _search body: runtime field map,
     optional term/range query (may reference runtime fields), one terms
-    agg with metric sub-aggs (may reference runtime fields)."""
+    agg with metric sub-aggs (may reference runtime fields). All Spark
+    Columns are zero-arg thunks (built only on the execute path)."""
     rt = {}
     for name, spec in (body.get("runtime_mappings") or {}).items():
         if set(spec) - {"type", "script"} or "script" not in spec:
@@ -1156,24 +1188,32 @@ def _rt_parts(body: dict) -> tuple[dict, tuple | None, tuple]:
         kind, m = _one_key(q, "query")
         if kind == "term":
             (fld, val), = m.items()
-            vc, vs = _rt_value(f"'{val}'" if isinstance(val, str) else str(val))
-            qc = (F.col(fld) == vc, f"{fld} = {vs}")
+            vt, vs = _rt_value(f"'{val}'" if isinstance(val, str) else str(val))
+
+            def qthunk(fld=fld, vt=vt):
+                return F.col(fld) == vt()
+
+            qc = (qthunk, f"{fld} = {vs}")
         elif kind == "range":
             (fld, bounds), = m.items()
-            conds_c, conds_s = [], []
+            thunks, conds_s = [], []
             for bop, sop in (("gte", ">="), ("lte", "<="),
                              ("gt", ">"), ("lt", "<")):
                 if bop in bounds:
-                    vc, vs = _rt_value(str(bounds[bop]))
-                    conds_c.append({"gte": F.col(fld) >= vc,
-                                    "lte": F.col(fld) <= vc,
-                                    "gt": F.col(fld) > vc,
-                                    "lt": F.col(fld) < vc}[bop])
+                    vt, vs = _rt_value(str(bounds[bop]))
+                    thunks.append((_RT_CMP_FNS[sop], fld, vt))
                     conds_s.append(f"{fld} {sop} {vs}")
-            cc = conds_c[0]
-            for c in conds_c[1:]:
-                cc = cc & c
-            qc = (cc, " AND ".join(conds_s))
+            if not thunks:
+                raise RuntimeFieldError(f"empty range bounds {bounds!r}")
+
+            def qthunk(thunks=thunks):
+                cc = None
+                for cmp_fn, fld, vt in thunks:
+                    c = cmp_fn(F.col(fld), vt())
+                    cc = c if cc is None else (cc & c)
+                return cc
+
+            qc = (qthunk, " AND ".join(conds_s))
         else:
             raise RuntimeFieldError(f"unsupported runtime query {kind!r}")
     name, field, size, subs = _compile_aggs(body["aggs"])
@@ -1187,10 +1227,10 @@ def runtime_search(df: DataFrame, body: dict) -> DataFrame:
     (group-sum order is engine-specific below that). Columns:
     (key, doc_count, <sub-aggs...>)."""
     rt, qc, (field, size, subs) = _rt_parts(body)
-    for fname, (col, _sql) in rt.items():
-        df = df.withColumn(fname, col)
+    for fname, (colt, _sql) in sorted(rt.items()):
+        df = df.withColumn(fname, colt())
     if qc is not None:
-        df = df.filter(qc[0])
+        df = df.filter(qc[0]())
     aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
     for sub_name, kind, sub_field in subs:
         c = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
@@ -1210,7 +1250,7 @@ def runtime_search_sql(body: dict, table: str) -> str:
     """DuckDB mirror rendered from the SAME compiled AST as
     runtime_search — runtime scripts can never diverge across engines."""
     rt, qc, (field, size, subs) = _rt_parts(body)
-    proj = ", ".join([f"{table}.*"] + [f"{sql} AS {n}" for n, (_c, sql) in
+    proj = ", ".join([f"{table}.*"] + [f"{sql} AS {n}" for n, (_t, sql) in
                                        sorted(rt.items())])
     where = f"WHERE {qc[1]}" if qc is not None else ""
     cols = [f"CAST(count(*) AS BIGINT) AS doc_count"]

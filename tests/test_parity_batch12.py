@@ -1,0 +1,154 @@
+"""Session-12 op invariants the oracle sim can't express: span_multi ==
+expanded span_or, Kneser-Ney normalization law, CIDR_MATCH vs stdlib
+ipaddress on random addresses, runtime-script grammar closure, and the
+search_as_you_type adjacency law."""
+
+from __future__ import annotations
+
+import ipaddress
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.curation import kneser_ney_logprob
+from fafnir_spark.esql import esql
+from fafnir_spark.query_ext import span_multi_prefix, span_or_near
+from fafnir_spark.scoring import search_as_you_type
+from fafnir_spark.search_api import (RuntimeFieldError,
+                                     compile_runtime_script, runtime_search)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_span_multi_equals_expanded_span_or(spark, docs):
+    # span_multi(prefix) must equal span_or over the full expansion of the
+    # prefix against the corpus vocabulary (what ES's rewrite would build,
+    # minus the clause limit).
+    vocab = [
+        r["term"]
+        for r in docs.select(
+            F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").startswith("s"))
+        .distinct()
+        .collect()
+    ]
+    assert len(vocab) >= 3  # a real multi-term expansion
+    got = [r["doc_id"] for r in span_multi_prefix(docs, "s", "merge", slop=1).collect()]
+    want = [r["doc_id"] for r in span_or_near(docs, vocab, "merge", slop=1).collect()]
+    assert got == want and got
+
+
+def test_kneser_ney_normalizes_per_context(spark, docs):
+    # The smoothing law: sum_b P(b|a) == 1 for every left context a.
+    from fafnir_spark.tokenizer import tokens_expr
+
+    base = docs.select(tokens_expr("text").alias("tk")).filter(F.size("tk") >= 2)
+    pairs = F.expr(
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
+    )
+    bg = base.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    ca = cab.groupBy("a").agg(F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1f"))
+    cb = cab.groupBy("b").agg(F.count(F.lit(1)).alias("n1b"))
+    nbt_v = cab.count()
+    vocab_b = cb.count()
+    dd = 0.75
+    p = (
+        F.greatest(F.col("c2") - F.lit(dd), F.lit(0.0)) / F.col("c1")
+        + (F.lit(dd) * F.col("n1f") / F.col("c1")) * (F.col("n1b") / F.lit(float(nbt_v)))
+    )
+    # sum over OBSERVED b per a, plus the unobserved-b mass
+    # lambda(a) * sum_{b not after a} Pcont(b):
+    obs = (
+        cab.join(ca, "a").join(cb, "b")
+        .groupBy("a")
+        .agg(F.sum(p).alias("s_obs"),
+             F.min("c1").alias("c1"), F.min("n1f").alias("n1f"),
+             F.sum("n1b").alias("n1b_obs"))
+        .collect()
+    )
+    assert vocab_b and obs
+    for r in obs:
+        lam = dd * r["n1f"] / r["c1"]
+        unobs = lam * (nbt_v - r["n1b_obs"]) / nbt_v
+        assert abs(r["s_obs"] + unobs - 1.0) < 1e-9, r["a"]
+
+
+def test_kneser_ney_output_shape(docs):
+    out = kneser_ney_logprob(docs)
+    rows = out.limit(5).collect()
+    assert rows and all(r["logprob"] < 0 for r in rows)
+
+
+def test_cidr_match_vs_stdlib(spark):
+    rng = random.Random(12)
+    ips = [
+        ".".join(str(rng.randrange(256)) for _ in range(4)) for _ in range(300)
+    ]
+    blocks = ["10.0.0.0/8", "192.168.1.0/24", "172.16.0.0/12", "0.0.0.0/1",
+              "203.0.113.64/26"]
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip string")
+    q = ('FROM t | WHERE CIDR_MATCH(ip, '
+         + ", ".join(f'"{b}"' for b in blocks) + ")")
+    got = sorted(r["ip"] for r in esql(spark, q, {"t": df}).collect())
+    nets = [ipaddress.ip_network(b) for b in blocks]
+    want = sorted(ip for ip in set(ips)
+                  if any(ipaddress.ip_address(ip) in n for n in nets))
+    # set-compare (input list may contain duplicates)
+    assert sorted(set(got)) == want and want
+
+
+def test_runtime_script_grammar_is_closed():
+    with pytest.raises(RuntimeFieldError):
+        compile_runtime_script("__import__('os')")
+    with pytest.raises(RuntimeFieldError):
+        compile_runtime_script("CASE(x > 1, 'a')")  # arity
+    with pytest.raises(RuntimeFieldError):
+        compile_runtime_script("sqrt(x)")  # unknown function
+    col, sql = compile_runtime_script(
+        "CASE(v >= 10, 'hi', CASE(v >= 5, 'mid', 'lo'))")
+    assert "CASE WHEN" in sql and "ELSE CASE WHEN" in sql
+
+
+def test_runtime_search_spark_matches_sql(spark, ddb):
+    from fafnir_spark.search_api import runtime_search_sql
+
+    body = {
+        "runtime_mappings": {
+            "band": {"type": "keyword", "script":
+                     "CASE(o_totalprice >= 150000, 'big', 'small')"},
+            "half": {"type": "double", "script": "o_totalprice / 2"},
+        },
+        "query": {"range": {"half": {"gte": 1000}}},
+        "aggs": {"b": {"terms": {"field": "band", "size": 10},
+                       "aggs": {"mx": {"max": {"field": "half"}}}}},
+    }
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = {(r["key"], r["doc_count"], round(r["mx"], 6))
+           for r in runtime_search(orders, body).collect()}
+    want = {(k, n, round(m, 6)) for k, n, m in
+            ddb.execute(runtime_search_sql(body, "orders")).fetchall()}
+    assert got == want and got
+
+
+def test_search_as_you_type_adjacency_beats_scattered(spark):
+    rows = [
+        (1, "group merge value data"),      # adjacent, in order
+        (2, "group value merge data"),      # both terms, not adjacent
+        (3, "merge group value data"),      # adjacent, wrong order
+        (4, "group row table data"),        # only one term
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["score"]
+           for r in search_as_you_type(docs, ["group", "merge", "da"], k=10).collect()}
+    # shingle arm fires only for the in-order adjacent pair
+    assert out[1] > out[2] and out[1] > out[3]
+    # scattered/reversed docs tie on base+prefix (same tf/dl), no gram arm
+    assert out[2] == out[3]
+    assert out[4] < out[2]  # single-term doc scores least
