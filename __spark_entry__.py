@@ -700,6 +700,16 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_cosine_topk(emb, QVEC, k=10, m=8, ks=16, n_candidates=50)
 
 
+def _q_nested_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested kNN: parents (label groups) score as their best child
+    vector, winning child surfaced as the inner hit — map-side max_by
+    collapse, never a per-parent window over the scored corpus."""
+    from fafnir_spark.simsearch import nested_knn_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return nested_knn_topk(emb, QVEC, k=10)
+
+
 def _q_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.simsearch import cosine_topk
 
@@ -2051,6 +2061,18 @@ def _q_phrase_slop_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(
         spark, _pidx_root(spark, sf_dir), {"q": ["slow", "key"]}, slop=2
     ).select("doc_id")
+
+
+SUGGEST_CONTEXTS = {"en": 2.0, "de": 1.0}
+
+
+def _q_suggest_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES context suggester: 's...' completions eligible only under the
+    en/de language contexts, scored df-in-context x boost (en doubled),
+    max-deduped across contexts."""
+    from fafnir_spark.query_ext import suggest_context
+
+    return suggest_context(_docs(spark, sf_dir), "s", SUGGEST_CONTEXTS, k=5)
 
 
 def _q_complete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3677,6 +3699,25 @@ FROM events
 """
 
 
+ESQL_MV_STATS_QUERY = """
+FROM documents
+| EVAL pieces = split(text, " ")
+| EVAL n = mv_count(pieces)
+| EVAL lo = mv_min(pieces)
+| STATS docs = count(*), med_n = median(n) BY lo
+| SORT lo ASC
+"""
+
+
+def _q_esql_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL multivalue scalars (MV_COUNT / MV_MIN over a SPLIT array):
+    token-count and lexicographic-first-token rollup per doc."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_MV_STATS_QUERY, {
+        "documents": _docs(spark, sf_dir)})
+
+
 def _q_esql_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL CIDR_MATCH over derived client addresses: each block is one
     integer mask-compare (including a non-octet /17), never string-prefix
@@ -4302,6 +4343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_exact,
+        "nested_knn": _q_nested_knn,
         "ann_ivf_append": _q_ann_ivf_append,
         "ann_sq8_rescore": _q_ann_sq8,
         "ann_bq_rescore": _q_ann_bq,
@@ -4457,6 +4499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pairs,
         "phrase_slop_indexed": _q_phrase_slop_indexed,
         "complete_prefix": _q_complete_prefix,
+        "suggest_context": _q_suggest_context,
         "query_string_boost": _q_query_string_boost,
         "query_string_boost_indexed": _q_query_string_boost_indexed,
         "wildcard_bm25": _q_wildcard,
@@ -4512,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_where_or": _q_esql_where_or,
         "esql_agg_functions": _q_esql_agg_functions,
         "esql_cidr_match": _q_esql_cidr_match,
+        "esql_mv_stats": _q_esql_mv_stats,
         "esql_date_trunc": _q_esql_date_trunc,
         "missing_agg": _q_missing_agg,
         "span_within": _q_span_within,
@@ -4686,6 +4730,7 @@ def oracle_sql() -> dict[str, str]:
             0.4, plane_weights(LSH_TABLES, LSH_PLANES)
         ),
         "ann_cosine_topk": oracles_ops.cosine_topk_sql(QVEC, 10),
+        "nested_knn": oracles_ops.nested_knn_topk_sql(QVEC, 10),
         "ann_ivf_append": oracles_ops.cosine_topk_sql(QVEC, 10),
         "ann_sq8_rescore": oracles_ops.sq8_cosine_topk_sql(QVEC, 10, rescore_factor=4),
         "ann_bq_rescore": oracles_ops.bq_cosine_topk_sql(QVEC, 10, rescore_factor=4),
@@ -4784,6 +4829,15 @@ FROM events GROUP BY 1 ORDER BY et ASC
 """,
         "esql_cidr_match": oracles_pipeline.esql_cidr_match_sql(
             ["10.3.0.0/16", "10.1.128.0/17"]),
+        "esql_mv_stats": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS pieces
+  FROM documents
+),
+e AS (SELECT len(pieces) AS n, list_min(pieces) AS lo FROM t)
+SELECT lo, CAST(count(*) AS BIGINT) AS docs, round(median(n), 6) AS med_n
+FROM e GROUP BY lo ORDER BY lo ASC
+""",
         "esql_date_trunc": """
 SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk_s,
        CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sv
@@ -4929,6 +4983,7 @@ ORDER BY term ASC LIMIT 10
         "bpe_pair_counts": oracles_ops.bpe_pair_counts_sql(k=20),
         "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),
         "complete_prefix": oracles.complete_prefix_sql("s", k=5),
+        "suggest_context": oracles.suggest_context_sql("s", SUGGEST_CONTEXTS, k=5),
         "query_string_boost": oracles.search_text_sql(QS_BOOST, k=10),
         "query_string_boost_indexed": oracles.search_text_sql(QS_BOOST, k=10),
         "wildcard_bm25": oracles.wildcard_bm25_sql("me*e", k=10),

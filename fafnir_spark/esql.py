@@ -184,6 +184,17 @@ def _parse_eval_expr(expr: str):
         # tokenizer convention — string_split parity with the oracle)
         parts = F.split(F.col(m.group(1)), re.escape(_lit(m.group(2))))
         return F.filter(parts, lambda x: x != "")
+    m = re.fullmatch(rf"\s*MV_(COUNT|MIN|MAX)\(\s*({_IDENT})\s*\)\s*",
+                     expr, re.IGNORECASE)
+    if m:
+        # ES|QL multivalue scalar functions over an array column (e.g. a
+        # SPLIT result): MV_COUNT == len, MV_MIN/MV_MAX == element-wise
+        # extrema (lexicographic on strings in both engines — DuckDB
+        # list_min/list_max parity)
+        fn, fld = m.group(1).upper(), m.group(2)
+        if fn == "COUNT":
+            return F.size(F.col(fld)).cast("long")
+        return (F.array_min if fn == "MIN" else F.array_max)(F.col(fld))
     m = re.fullmatch(rf"\s*(abs|length|lower|upper)\(\s*({_IDENT})\s*\)\s*",
                      expr, re.IGNORECASE)
     if m:

@@ -911,6 +911,35 @@ ORDER BY rk
 """
 
 
+def suggest_context_sql(prefix: str, contexts: dict[str, float],
+                        context_col: str = "lang", k: int = 5) -> str:
+    """Mirror of query_ext.suggest_context: distinct doc-term pairs under
+    the same context-isin + prefix filters, df-within-context × CASE
+    boost, max-dedup per term."""
+    p = prefix.replace("'", "''")
+    ctxs = sorted(contexts)
+    inlist = ", ".join("'" + c.replace("'", "''") + "'" for c in ctxs)
+    case = " ".join(
+        f"WHEN '{c}' THEN {float(contexts[c])!r}" for c in ctxs)
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, {context_col} AS ctx, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok LIKE '{p}%' AND {context_col} IN ({inlist})
+),
+dfc AS (SELECT term, ctx, count(*) AS dfc FROM dt GROUP BY term, ctx),
+sc AS (
+  SELECT term, max(dfc * (CASE ctx {case} END)) AS score
+  FROM dfc GROUP BY term
+)
+SELECT rk, term, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, term ASC) AS rk, term, score
+  FROM sc
+) WHERE rk <= {k}
+ORDER BY rk
+"""
+
+
 def wildcard_bm25_sql(pattern: str, k: int = 10) -> str:
     """Wildcard expansion in SQL: the same glob→LIKE mapping as
     query_ext._wildcard_to_like, then the standard expanded-term BM25."""

@@ -268,6 +268,38 @@ SELECT rank, vec_id, cos FROM (
 """
 
 
+def nested_knn_topk_sql(query_vec: list[float], k: int = 10) -> str:
+    """Mirror of simsearch.nested_knn_topk: same cosine formula, best
+    child per parent via the rn=1 window (DuckDB arg_max takes no struct
+    ordering), rank over parents."""
+    lit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
+    return f"""
+WITH q AS (SELECT {lit} AS qv),
+scored AS (
+  SELECT CAST(e.label AS BIGINT) AS parent, e.vec_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+         , 6) AS cos
+  FROM embeddings e CROSS JOIN q
+),
+best AS (
+  SELECT parent, vec_id, cos FROM (
+    SELECT parent, vec_id, cos,
+           row_number() OVER (PARTITION BY parent
+                              ORDER BY cos DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT rank, parent, vec_id, cos FROM (
+  SELECT row_number() OVER (ORDER BY cos DESC, parent ASC) AS rank,
+         parent, vec_id, cos
+  FROM best
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
 def _dot_bit(vec_expr: str, w: list[float]) -> str:
     wl = "[" + ", ".join(repr(x) for x in w) + "]"
     return (

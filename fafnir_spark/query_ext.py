@@ -1008,6 +1008,46 @@ def complete_prefix(docs: DataFrame, prefix: str, k: int = 5,
     return top.withColumn("rk", w).select("rk", "term", "df").orderBy("rk")
 
 
+def suggest_context(docs: DataFrame, prefix: str, contexts: dict[str, float],
+                    context_col: str = "lang", k: int = 5,
+                    text_col: str = "text") -> DataFrame:
+    """ES context suggester (completion with category contexts): only
+    suggestions from docs carrying one of the query contexts are eligible;
+    each context contributes score = doc-frequency-within-context × its
+    boost, and a suggestion seen under several contexts keeps its MAX
+    score (the ES dedup rule). Boosts should be dyadic so the products
+    stay exact cross-engine.
+
+    Scale shape: ONE filtered pass — the context-isin filter and the
+    prefix test both run below the (term, context) df groupBy (distinct
+    doc-term pairs, map-side combine); boosts apply as a CASE over
+    ≤|contexts| literals; the max-dedup groups ≤|contexts| rows per term
+    and the finish is TakeOrderedAndProject. (rk, term, score)."""
+    from pyspark.sql.window import Window
+
+    from .tokenizer import tokens_expr
+
+    ctxs = sorted(contexts)
+    boost = None
+    for c in ctxs:
+        b = F.lit(float(contexts[c]))
+        boost = (F.when(F.col("ctx") == c, b) if boost is None
+                 else boost.when(F.col("ctx") == c, b))
+    dt = (
+        docs.filter(F.col(context_col).isin(ctxs))
+        .select(
+            "doc_id", F.col(context_col).alias("ctx"),
+            F.explode(tokens_expr(text_col)).alias("term"))
+        .filter(F.col("term").startswith(prefix))
+        .distinct()
+    )
+    dfc = dt.groupBy("term", "ctx").agg(F.count(F.lit(1)).alias("dfc"))
+    sc = dfc.groupBy("term").agg(F.max(F.col("dfc") * boost).alias("score"))
+    top = sc.orderBy(F.col("score").desc(), F.col("term").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("term").asc()))
+    return top.withColumn("rk", w).select("rk", "term", "score").orderBy("rk")
+
+
 def _wildcard_to_like(pattern: str) -> str:
     """Glob → SQL LIKE: * → %, ? → _ (identical semantics in Spark's
     Column.like and DuckDB LIKE). Vocabulary terms are analyzer tokens

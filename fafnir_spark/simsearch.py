@@ -99,6 +99,55 @@ def cosine_topk(
     return _topk_per_qid(scored, k)
 
 
+def nested_knn_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ES nested kNN (8.x `nested` dense_vector mapping): a parent
+    document carries MULTIPLE child vectors (passage/chunk embeddings);
+    the parent scores as its BEST child's similarity and each hit
+    surfaces the winning child (inner_hits size=1). Here the parent is
+    ``group_col``.
+
+    Scale shape: cosine is row-local against the broadcast query;
+    ``groupBy(parent).agg(max_by)`` collapses map-side to ≤ one row per
+    parent BEFORE the shuffle (the _assign_to_centroids sort-free shape —
+    never a per-parent row_number window over the scored corpus); the
+    finish is TakeOrderedAndProject. Ordering key (cos, -vec_id) is
+    unique per child → deterministic inner hit.
+    (rank, parent, vec_id, cos)."""
+    spark = emb.sparkSession
+    q = spark.createDataFrame(
+        [([float(x) for x in query_vec],)], "qv array<double>"
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        F.col(group_col).cast("long").alias("parent"),
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_expr(F.col(vec_col), F.col("qv")), 6).alias("cos"),
+    )
+    best = scored.groupBy("parent").agg(
+        F.max_by(
+            F.struct(F.col("vec_id"), F.col("cos")),
+            F.struct(F.col("cos"), (-F.col("vec_id")).alias("__nv")),
+        ).alias("__best")
+    ).select(
+        "parent",
+        F.col("__best.vec_id").alias("vec_id"),
+        F.col("__best.cos").alias("cos"),
+    )
+    top = best.orderBy(F.col("cos").desc(), F.col("parent").asc()).limit(k)
+    w = Window.orderBy(F.col("cos").desc(), F.col("parent").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "parent", "vec_id", "cos")
+        .orderBy("rank")
+    )
+
+
 def _assign_to_centroids(
     emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
