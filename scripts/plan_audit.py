@@ -131,6 +131,24 @@ def main() -> None:
                          ev.filter(F.col("event_type") == "purchase"),
                          key="user_id", bucket_hours=24)
 
+    def _nested_knn_df(spark, emb):
+        from fafnir_spark.simsearch import nested_knn_topk
+        qv = [((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+        return nested_knn_topk(emb, qv, k=10)
+
+    def _kn_df(spark, docs):
+        from fafnir_spark.curation import kneser_ney_logprob
+        return kneser_ney_logprob(docs)
+
+    def _sayt_df(spark, docs):
+        from fafnir_spark.scoring import search_as_you_type
+        return search_as_you_type(docs, ["group", "merge", "cu"], k=10)
+
+    def _children_df(spark, sf, docs):
+        from fafnir_spark.pipeline import children_agg
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return children_agg(docs, ev)
+
     spark = get_spark("plan-audit", cores=8)
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -695,6 +713,32 @@ def main() -> None:
               "inputFiles-asserted in test_datastream); the residual ts "
               "filter is a pushdown-eligible row predicate. The count "
               "fast path answers fully-covered zones with zero IO."),
+        audit("nested_knn (best child per parent)",
+              _nested_knn_df(spark, emb),
+              "Cosine is row-local vs the broadcast query; "
+              "groupBy(parent).max_by collapses map-side to <= one row "
+              "per parent BEFORE the shuffle — no per-parent row_number "
+              "Window over the scored corpus; TakeOrderedAndProject "
+              "finish."),
+        audit("kneser_ney_logprob (bigram LM model table)",
+              _kn_df(spark, docs),
+              "The model is built on the distinct-bigram-TYPE relation; "
+              "C(a.), N1+(a.), N1+(.b), N_bt are vocab-bounded aggregates "
+              "BROADCAST back onto it — no count window partitioned by a "
+              "hot token; corpus rows join the finished model once on "
+              "(a,b)."),
+        audit("search_as_you_type (base + 2-gram subfield + prefix)",
+              _sayt_df(spark, docs),
+              "Two one-pass BM25 relations (per-field statistics are "
+              "inherent) + one predicate-only prefix scan; fusion is "
+              "LEFT joins from the matched-id union — scored docs only, "
+              "never a corpus join."),
+        audit("children_agg (join-field children aggregation)",
+              _children_df(spark, sf, docs),
+              "Child partials aggregate per-parent FIRST (map-side "
+              "combine, cardinality = parents-with-children) — never a "
+              "parent x child row expansion; one left join onto parents "
+              "then a mergeable bucket roll-up."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
