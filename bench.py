@@ -298,6 +298,38 @@ def main() -> None:
 
     timed("s11_sweep", _s11_sweep)
 
+    def _s12_sweep() -> int:
+        from fafnir_spark.curation import kneser_ney_logprob
+        from fafnir_spark.pipeline import children_agg, derive_client_ips
+        from fafnir_spark.esql import esql
+        from fafnir_spark.query_ext import span_multi_prefix, suggest_context
+        from fafnir_spark.scoring import search_as_you_type
+        from fafnir_spark.search_api import runtime_search
+        from fafnir_spark.simsearch import nested_knn_topk
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        qv = [((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+        n = search_as_you_type(docs, ["group", "merge", "cu"], k=10).count()
+        n += kneser_ney_logprob(docs).count()
+        n += nested_knn_topk(emb, qv, k=10).count()
+        n += children_agg(docs, events).count()
+        n += span_multi_prefix(docs, "s", "merge", slop=1).count()
+        n += suggest_context(docs, "s", {"en": 2.0, "de": 1.0}).count()
+        n += runtime_search(orders, {
+            "runtime_mappings": {"band": {"type": "keyword", "script":
+                "CASE(o_totalprice >= 150000, 'big', 'small')"}},
+            "aggs": {"b": {"terms": {"field": "band", "size": 10}}},
+        }).count()
+        n += esql(spark, 'FROM access | WHERE CIDR_MATCH(ip, "10.3.0.0/16") '
+                         '| STATS n = count(*) BY event_type',
+                  {"access": derive_client_ips(events)}).count()
+        return n
+
+    timed("s12_sweep", _s12_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work

@@ -559,41 +559,101 @@ def search_as_you_type(
         df/dl/avgdl) — this is what makes in-order "group merge" beat a
         doc containing the words scattered.
 
-    Scale shape: two one-pass BM25 relations (base + shingle subfield —
-    per-field statistics are inherent, same as multi_match) plus one
-    predicate-only prefix scan; fusion is LEFT joins from the matched-id
-    union (≤3 small relations of scored docs), never a corpus join. The
-    branch sum is coalesce(base,0)+coalesce(prefix,0)+coalesce(gram,0) in
-    that literal order — three rounded doubles, fixed association, so the
-    DuckDB mirror is bit-identical. (rank, doc_id, score)."""
+    Scale shape: ALL THREE arms ride ONE corpus pass (the cross_fields
+    tagged-token trick generalized): base tokens, prefix hits, and the
+    row-local 2-gram shingles explode as ('b'|'p'|'g', term) rows with
+    both field lengths carried row-local; the arm-specific term filters
+    run BELOW the single tf groupBy; per-(arm, term) df is a bounded
+    groupBy broadcast back (zero-weight-pinned so the exchange is reused,
+    the query._tf_dl_df shape); per-field corpus statistics are ONE 1-row
+    conditional aggregate. The per-doc finish is ONE groupBy with
+    conditional per-arm sums — no fusion joins at all. The branch sum is
+    coalesce(base,0)+coalesce(prefix,0)+coalesce(gram,0) in that literal
+    order — three rounded doubles, fixed association, so the DuckDB
+    mirror (three independent branch CTEs) is bit-identical.
+    (rank, doc_id, score)."""
+    from . import B, K1
+
     full, prefix = terms[:-1], terms[-1]
+    if not full:
+        raise ValueError("search_as_you_type needs >=1 complete term")
+    fullset = sorted(set(full))
+    grams = sorted({"_".join(p) for p in zip(full, full[1:])})
+    toks = tokens_expr(text_col)
+
+    def _tag(fld: str):
+        def tag(t):
+            return F.struct(F.lit(fld).alias("fld"), t.alias("term"))
+        return tag
 
     def _is_pref(t):
         return t.startswith(prefix)
 
-    base = bm25_scores(docs, full, text_col=text_col).select(
-        "doc_id", F.col("score").alias("s_base")
+    def _pair(a: F.Column, b: F.Column) -> F.Column:
+        return F.concat(a, F.lit("_"), b)
+
+    n = F.size(toks)
+    gram_arr = F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1), _pair)
+    tagged = F.concat(
+        F.transform(toks, _tag("b")),
+        F.transform(F.filter(toks, _is_pref), _tag("p")),
+        F.transform(gram_arr, _tag("g")),
     )
-    pref = (
-        docs.select("doc_id", tokens_expr(text_col).alias("__tk"))
-        .filter(F.exists(F.col("__tk"), _is_pref))
-        .select("doc_id", F.lit(1.0).alias("s_pref"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("__dlb"),
+        F.size(gram_arr).cast("long").alias("__dlg"),
+        tagged.alias("__tg"),
     )
-    grams = ["_".join(p) for p in zip(full, full[1:])]
-    sh_docs = docs.select("doc_id", shingle_text_col(text_col).alias("__sh"))
-    gram = bm25_scores(sh_docs, grams, text_col="__sh").select(
-        "doc_id", F.col("score").alias("s_gram")
+    keep = (
+        ((F.col("fld") == "b") & F.col("term").isin(fullset))
+        | (F.col("fld") == "p")
     )
-    ids = (
-        base.select("doc_id")
-        .unionByName(pref.select("doc_id"))
-        .unionByName(gram.select("doc_id"))
-        .distinct()
+    if grams:
+        keep = keep | ((F.col("fld") == "g") & F.col("term").isin(grams))
+    ex = (
+        base.select("doc_id", "__dlb", "__dlg", F.explode("__tg").alias("t"))
+        .select("doc_id", "__dlb", "__dlg",
+                F.col("t.fld").alias("fld"), F.col("t.term").alias("term"))
+        .filter(keep)
     )
+    tf = ex.groupBy("doc_id", "fld", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.min("__dlb").alias("dlb"),
+        F.min("__dlg").alias("dlg"),
+    )
+    # zero-weight pins (the query._tf_dl_df convention) so this branch's
+    # exchange subtree stays identical to tf's and is executed once
+    dfs = tf.groupBy("fld", "term").agg(
+        (F.count(F.lit(1)) + F.min("tf") * F.lit(0)
+         + F.min("dlb") * F.lit(0) + F.min("dlg") * F.lit(0)).alias("df")
+    )
+    stats = base.agg(
+        F.count(F.when(F.col("__dlb") > 0, F.lit(1))).alias("nb"),
+        F.avg(F.when(F.col("__dlb") > 0, F.col("__dlb"))).alias("avgb"),
+        F.count(F.when(F.col("__dlg") > 0, F.lit(1))).alias("ng"),
+        F.avg(F.when(F.col("__dlg") > 0, F.col("__dlg"))).alias("avgg"),
+    )
+    m = tf.join(F.broadcast(dfs), ["fld", "term"]).crossJoin(F.broadcast(stats))
+
+    def _part(nd, dl, avg):
+        idf = F.log(
+            F.lit(1.0) + (F.col(nd) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        tfn = (F.col("tf") * F.lit(K1 + 1.0)) / (
+            F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col(dl) / F.col(avg))
+        )
+        return idf * tfn
+
+    part_b = F.when(F.col("fld") == "b", _part("nb", "dlb", "avgb"))
+    part_g = F.when(F.col("fld") == "g", _part("ng", "dlg", "avgg"))
     out = (
-        ids.join(base, "doc_id", "left")
-        .join(pref, "doc_id", "left")
-        .join(gram, "doc_id", "left")
+        m.groupBy("doc_id")
+        .agg(
+            F.round(F.sum(part_b), SCORE_DECIMALS).alias("s_base"),
+            F.max(F.when(F.col("fld") == "p", F.lit(1.0))).alias("s_pref"),
+            F.round(F.sum(part_g), SCORE_DECIMALS).alias("s_gram"),
+        )
         .select(
             "doc_id",
             F.round(

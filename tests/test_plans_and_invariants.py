@@ -497,6 +497,22 @@ def test_direct_bm25_two_scans_no_smj(spark):
     assert "windowspecdefinition(term" not in plan
 
 
+def test_search_as_you_type_one_tagged_pass(spark):
+    """All three search_as_you_type arms (base BM25 + prefix + 2-gram
+    subfield BM25) must ride ONE tagged-token corpus pass: FileScan == 2
+    (the tf exchange — reused by the per-(arm,term) df branch — plus the
+    1-row per-field stats aggregate), no SortMergeJoin, no fusion joins
+    beyond the broadcast df/stats attach."""
+    from fafnir_spark.scoring import search_as_you_type
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _final_plan(search_as_you_type(docs, ["group", "merge", "cu"], k=10))
+    assert plan.count("FileScan") == 2, plan.count("FileScan")
+    assert "ReusedExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition(term" not in plan
+
+
 def test_round4_scoring_plans(spark):
     """Round-4 function_score family obeys the direct-path contracts:
     TakeOrderedAndProject finish, no SortMergeJoin (corpus never big-big
