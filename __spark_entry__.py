@@ -1575,6 +1575,25 @@ def _q_function_score_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rank_feature_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature function=log: boost*ln(1 + v/scaling) contribution."""
+    from fafnir_spark.scoring import rank_feature_bm25
+
+    return rank_feature_bm25(
+        _docs(spark, sf_dir), ["merge", "window"], pivot=200.0, boost=2.0,
+        k=10, function="log")
+
+
+def _q_rank_feature_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature function=sigmoid (exponent fixed at 2 — integer power,
+    exact cross-engine): boost*v^2/(v^2+pivot^2)."""
+    from fafnir_spark.scoring import rank_feature_bm25
+
+    return rank_feature_bm25(
+        _docs(spark, sf_dir), ["merge", "window"], pivot=200.0, boost=2.0,
+        k=10, function="sigmoid")
+
+
 def _q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rank_feature query: additive saturation contribution
     boost*v/(v+pivot) from the n_chars static signal on top of BM25."""
@@ -2064,6 +2083,16 @@ def _q_phrase_slop_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SUGGEST_CONTEXTS = {"en": 2.0, "de": 1.0}
+
+
+def _q_terms_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg include:{partition:1, num_partitions:4}: the
+    hash-sliced vocabulary export — the slice predicate runs below the
+    df groupBy so each of the 4 queries aggregates ~1/4 of the tokens."""
+    from fafnir_spark.query_ext import terms_agg_partition
+
+    return terms_agg_partition(_docs(spark, sf_dir), partition=1,
+                               num_partitions=4, size=10)
 
 
 def _q_suggest_context(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4319,6 +4348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "alias_search": _q_alias_search,
         "term_dictionary": _q_dictionary,
+        "terms_partition": _q_terms_partition,
         "conjunctive_match": _q_conjunctive,
         "text_stats": _q_text_stats,
         "dedup_exact": _q_dedup_exact,
@@ -4507,6 +4537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_bm25_indexed": _q_regexp_indexed,
         "function_score_gauss": _q_function_score_gauss,
         "rank_feature": _q_rank_feature,
+        "rank_feature_log": _q_rank_feature_log,
+        "rank_feature_sigmoid": _q_rank_feature_sigmoid,
         "rank_feature_indexed": _q_rank_feature_indexed,
         "field_value_factor_indexed": _q_field_value_factor_indexed,
         "field_value_factor": _q_field_value_factor,
@@ -4694,6 +4726,7 @@ def oracle_sql() -> dict[str, str]:
             must=Q_MAIN, filter_terms=["spark"], k=10
         ),
         "term_dictionary": oracles.term_stats_sql(),
+        "terms_partition": oracles.terms_agg_partition_sql(1, 4, size=10),
         "conjunctive_match": oracles.conjunctive_sql(Q_CONJ),
         "text_stats": oracles_ops.text_stats_sql(),
         "dedup_exact": oracles_ops.exact_dup_sql(),
@@ -4995,6 +5028,10 @@ ORDER BY term ASC LIMIT 10
         "rank_feature": oracles.rank_feature_sql(
             ["merge", "window"], pivot=200.0, boost=2.0, k=10
         ),
+        "rank_feature_log": oracles.rank_feature_sql(
+            ["merge", "window"], pivot=200.0, boost=2.0, k=10, function="log"),
+        "rank_feature_sigmoid": oracles.rank_feature_sql(
+            ["merge", "window"], pivot=200.0, boost=2.0, k=10, function="sigmoid"),
         "field_value_factor": oracles.field_value_factor_sql(
             ["merge", "window"], factor=0.1, k=10
         ),

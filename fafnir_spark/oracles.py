@@ -911,6 +911,33 @@ ORDER BY rk
 """
 
 
+def terms_agg_partition_sql(partition: int, num_partitions: int,
+                            size: int = 10) -> str:
+    """Mirror of query_ext.terms_agg_partition: same portable 60-bit hash
+    slice (hash60_sql), same pmod idiom, df over distinct doc-term."""
+    from .portable import hash60_sql
+
+    h = hash60_sql("term")
+    m = int(num_partitions)
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sliced AS (
+  SELECT term FROM dt
+  WHERE ((({h}) % {m}) + {m}) % {m} = {int(partition)}
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM sliced GROUP BY term)
+SELECT rk, term, df FROM (
+  SELECT row_number() OVER (ORDER BY df DESC, term ASC) AS rk, term, df
+  FROM dfs
+) WHERE rk <= {int(size)}
+ORDER BY rk
+"""
+
+
 def suggest_context_sql(prefix: str, contexts: dict[str, float],
                         context_col: str = "lang", k: int = 5) -> str:
     """Mirror of query_ext.suggest_context: distinct doc-term pairs under
@@ -1436,16 +1463,24 @@ ORDER BY rank
 
 
 def rank_feature_sql(terms: list[str], pivot: float = 200.0, boost: float = 2.0,
-                     k: int = 10, field: str = "n_chars") -> str:
-    """rank_feature saturation: score = round(bm25_rounded + boost*v/(v+pivot), 6)
-    — same operand order as scoring.rank_feature_bm25."""
+                     k: int = 10, field: str = "n_chars",
+                     function: str = "saturation") -> str:
+    """rank_feature: score = round(bm25_rounded + contrib, 6) — same
+    operand order and function flavor as scoring.rank_feature_bm25
+    (saturation | log | sigmoid-with-exponent-2)."""
     v = f"CAST(d.{field} AS DOUBLE)"
+    b, pv = float(boost), float(pivot)
+    contrib = {
+        "saturation": f"{b!r} * {v} / ({v} + {pv!r})",
+        "log": f"{b!r} * ln(1.0 + {v} / {pv!r})",
+        "sigmoid": f"{b!r} * ({v} * {v}) / ({v} * {v} + {pv!r} * {pv!r})",
+    }[function]
     inner = f"""
 WITH {_TF_CTES},
 {_scored_cte(terms)}
 SELECT s.doc_id,
        round(round(s.raw_score, 6)
-             + {float(boost)!r} * {v} / ({v} + {float(pivot)!r}), 6) AS score
+             + {contrib}, 6) AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 """
     return _ranked_topk(inner, k)

@@ -70,6 +70,40 @@ def facet_counts(
     return out.orderBy("facet", "value")
 
 
+def terms_agg_partition(docs: DataFrame, partition: int, num_partitions: int,
+                        size: int = 10, text_col: str = "text") -> DataFrame:
+    """ES terms aggregation with ``include: {partition, num_partitions}``
+    — THE mechanism for exporting a huge-cardinality terms agg: the
+    vocabulary is hash-split into ``num_partitions`` disjoint slices and
+    each request ranks only its slice, so m independent (parallelizable,
+    resumable) queries cover every term without one giant response.
+
+    Scale shape: the slice predicate pmod(hash60(term), m) == p is
+    applied to the exploded tokens BELOW the df groupBy, so each slice
+    query shuffles and aggregates only ~1/m of the token stream (not a
+    post-agg filter over the full vocabulary); the finish is
+    TakeOrderedAndProject. Slices are disjoint and exhaustive by
+    construction (same portable hash both engines). (rk, term, df)."""
+    from pyspark.sql.window import Window
+
+    from .portable import hash60
+    from .tokenizer import tokens_expr
+
+    toks = (
+        docs.select("doc_id", F.explode(tokens_expr(text_col)).alias("term"))
+        .filter(F.pmod(hash60(F.col("term")), F.lit(num_partitions))
+                == F.lit(partition))
+    )
+    dfs = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    top = dfs.orderBy(F.col("df").desc(), F.col("term").asc()).limit(size)
+    w = F.row_number().over(Window.orderBy(F.col("df").desc(), F.col("term").asc()))
+    return top.withColumn("rk", w).select("rk", "term", "df").orderBy("rk")
+
+
 def _any_match(docs: DataFrame, terms: list[str], text_col: str) -> DataFrame:
     from .query import doc_term_freqs
 

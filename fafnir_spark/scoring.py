@@ -210,6 +210,7 @@ def rank_feature_bm25(
     k: int = 10,
     field: str = "n_chars",
     text_col: str = "text",
+    function: str = "saturation",
 ) -> DataFrame:
     """ES rank_feature query (saturation function, the default):
 
@@ -218,10 +219,26 @@ def rank_feature_bm25(
     — an ADDITIVE static-signal contribution (pagerank/url-length style
     ranking features; at v == pivot the contribution is boost/2). The
     feature read is row-local on the already-matched docs; no pass beyond
-    bm25's own. Chains from the ROUNDED bm25 score (house contract)."""
+    bm25's own. Chains from the ROUNDED bm25 score (house contract).
+
+    ``function`` selects the ES rank_feature flavor:
+      saturation (default)  boost · v/(v + pivot)
+      log                   boost · ln(1 + v/pivot)   (pivot = scaling_factor)
+      sigmoid               boost · v²/(v² + pivot²)  (exponent FIXED at 2 —
+                            integer powers stay exact cross-engine; ES's
+                            fractional default 0.6 is a libm pow, which
+                            drifts between engines and is refused)"""
     scores = bm25_scores(docs, terms, text_col=text_col)
     vals = docs.select("doc_id", F.col(field).cast("double").alias("__v"))
-    contrib = F.lit(float(boost)) * F.col("__v") / (F.col("__v") + F.lit(float(pivot)))
+    v, pv = F.col("__v"), F.lit(float(pivot))
+    if function == "saturation":
+        contrib = F.lit(float(boost)) * v / (v + pv)
+    elif function == "log":
+        contrib = F.lit(float(boost)) * F.log(F.lit(1.0) + v / pv)
+    elif function == "sigmoid":
+        contrib = F.lit(float(boost)) * (v * v) / (v * v + pv * pv)
+    else:
+        raise ValueError(f"unknown rank_feature function {function!r}")
     out = scores.join(vals, "doc_id").select(
         "doc_id",
         F.round(F.col("score") + contrib, SCORE_DECIMALS).alias("score"),
