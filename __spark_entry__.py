@@ -657,6 +657,15 @@ def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap(_docs(spark, sf_dir), k=4, w=5, min_shared=3)
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment over excerpt-planted corpus: asymmetric near-dup
+    (C = common/min) that Jaccard-sketch LSH structurally misses; rarest-
+    anchor candidates, row-local array-intersect verify."""
+    from fafnir_spark.dedup import containment_pairs, excerpt_docs
+
+    return containment_pairs(excerpt_docs(_docs(spark, sf_dir)), threshold=0.8)
+
+
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard over LSH-restricted candidates — the graded plan IS the
     scale plan (no unrestricted shingle self-join; the exact quadratic form
@@ -4358,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fps,
         "winnow_overlap": _q_winnow_overlap,
         "dedup_ngram_jaccard": _q_dedup_ngram,
+        "containment_pairs": _q_containment_pairs,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "multi_match_best_fields": _q_multi_match_best,
@@ -4739,6 +4749,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": oracles_ops.winnow_fingerprints_sql(4, 5),
         "winnow_overlap": oracles_ops.winnow_overlap_sql(4, 5, min_shared=3),
         "dedup_ngram_jaccard": oracles_ops.minhash_lsh_sql(8, 4, 0.5),
+        "containment_pairs": oracles_ops.containment_pairs_sql(0.8),
         "dedup_minhash_lsh": oracles_ops.minhash_lsh_sql(12, 4, 0.35),
         "stream_minhash_dedup": oracles_ops.minhash_lsh_sql(12, 4, 0.35),
         "dedup_clusters": oracles_ops.dedup_clusters_sql(12, 4, 0.35),

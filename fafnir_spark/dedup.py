@@ -507,6 +507,96 @@ def canonical_docs(docs: DataFrame, pairs: DataFrame,
     )
 
 
+def excerpt_docs(docs: DataFrame, every: int = 37, id_offset: int = 10**12,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic containment twins for the fixture: every doc with
+    pmod(doc_id, every) == 0 and >= 6 tokens gains an EXCERPT twin
+    (doc_id + id_offset) holding its first half (size >> 1 tokens) — the
+    quote/boilerplate-inclusion case containment_pairs exists to catch.
+    Mirrored in SQL by oracles_ops.excerpt_cte (same shiftright halving).
+    Returns (doc_id, text) of corpus + twins."""
+    from .tokenizer import tokens_expr
+
+    toks = tokens_expr(text_col)
+    half = F.array_join(F.slice(toks, 1, F.shiftright(F.size(toks), 1)), " ")
+    ex = (
+        docs.filter(
+            (F.pmod(F.col(id_col), F.lit(every)) == 0) & (F.size(toks) >= 6))
+        .select((F.col(id_col) + F.lit(id_offset)).alias(id_col),
+                half.alias(text_col))
+    )
+    return docs.select(id_col, text_col).unionByName(ex)
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.8,
+                      anchors_per_doc: int = 5, max_anchor_df: int = 64,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, containment) — Broder CONTAINMENT
+    C = |Sa ∩ Sb| / min(|Sa|, |Sb|) >= threshold, doc_a < doc_b: the
+    ASYMMETRIC near-dup signal. An excerpt/quote sits inside its source
+    at C == 1.0 while Jaccard ≈ |A|/|B| can be arbitrarily low, so
+    MinHash-LSH (a Jaccard sketch) structurally misses it.
+
+    Scale shape — candidates from per-doc RAREST-shingle anchors: each
+    doc nominates its ``anchors_per_doc`` globally-rarest shingles
+    (df asc, shingle asc — deterministic; shingles with df >
+    ``max_anchor_df`` are ineligible, so a pure-boilerplate doc nominates
+    nothing rather than joining the corpus). Anchor→owner fan-out is
+    bounded by max_anchor_df per anchor — never a hot-shingle self-join.
+    The rank-per-doc window partitions by doc_id (bounded by the doc's
+    own shingle count). Verify is the row-local array_intersect (the
+    ngram_jaccard_pairs round-5 shape): shuffle = |candidates| rows
+    carrying one compact array per side. Ordered (doc_a, doc_b)."""
+    from pyspark.sql.window import Window
+
+    sharr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles_expr(text_col, NGRAM)).alias("sh_arr"),
+    )
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_expr(text_col, NGRAM))).alias("shingle"),
+    )
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    anchors = (
+        sh.join(dfs, "shingle")
+        .filter(F.col("df") <= max_anchor_df)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= anchors_per_doc)
+        .select("doc_id", "shingle")
+    )
+    owners = sh.select(F.col("doc_id").alias("doc_o"), "shingle")
+    cand = (
+        anchors.join(owners, "shingle")
+        .filter(F.col("doc_id") != F.col("doc_o"))
+        .select(
+            F.least("doc_id", "doc_o").alias("doc_a"),
+            F.greatest("doc_id", "doc_o").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sharr.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sa"))
+    b = sharr.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sb"))
+    pairs = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("common"),
+            F.least(F.size("sa"), F.size("sb")).alias("n_min"),
+        )
+        .filter(F.col("n_min") > 0)
+    )
+    return (
+        pairs.withColumn("containment",
+                         F.round(F.col("common") / F.col("n_min"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def cluster_representatives(docs: DataFrame, pairs: DataFrame,
                             score_col: str,
                             id_col: str = "doc_id") -> DataFrame:

@@ -142,6 +142,78 @@ def ngram_jaccard_sql(threshold: float = 0.5) -> str:
     return f"WITH {_TOKS}, {_SHINGLES}, " + _jaccard_core(threshold)
 
 
+def excerpt_cte(every: int = 37, id_offset: int = 10**12) -> str:
+    """Mirror of dedup.excerpt_docs: corpus + first-half excerpt twins
+    (same shiftright halving, same pmod gate) as a `d(doc_id, text)`
+    CTE body."""
+    m = int(every)
+    return f"""
+d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {int(id_offset)} AS doc_id,
+         array_to_string(tk[1:(len(tk) >> 1)], ' ') AS text
+  FROM (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+    FROM documents
+  )
+  WHERE (((doc_id % {m}) + {m}) % {m}) = 0 AND len(tk) >= 6
+)"""
+
+
+def containment_pairs_sql(threshold: float = 0.8, anchors_per_doc: int = 5,
+                          max_anchor_df: int = 64, every: int = 37,
+                          id_offset: int = 10**12) -> str:
+    """Mirror of dedup.containment_pairs over the excerpt_docs corpus:
+    same rarest-anchor candidate rule (df asc, shingle asc, df cap), same
+    C = common / min(|Sa|, |Sb|) with the round-then-threshold order."""
+    return f"""
+WITH {excerpt_cte(every, id_offset)},
+toks2 AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM d
+),
+sh2 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(tk) - 1),
+           i -> tk[i] || {SEP} || tk[i+1] || {SEP} || tk[i+2]))) AS shingle
+  FROM toks2 WHERE len(tk) >= 3
+),
+szs AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+dfs AS (SELECT shingle, count(*) AS df FROM sh2 GROUP BY shingle),
+anchors AS (
+  SELECT doc_id, shingle FROM (
+    SELECT sh2.doc_id, sh2.shingle,
+           row_number() OVER (PARTITION BY sh2.doc_id
+                              ORDER BY dfs.df ASC, sh2.shingle ASC) AS rn
+    FROM sh2 JOIN dfs USING (shingle)
+    WHERE dfs.df <= {int(max_anchor_df)}
+  ) WHERE rn <= {int(anchors_per_doc)}
+),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, o.doc_id) AS doc_a,
+                  greatest(a.doc_id, o.doc_id) AS doc_b
+  FROM anchors a JOIN sh2 o USING (shingle)
+  WHERE a.doc_id <> o.doc_id
+),
+com AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN sh2 sa ON sa.doc_id = c.doc_a
+  JOIN sh2 sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, containment FROM (
+  SELECT com.doc_a, com.doc_b,
+         round(com.common / least(na.n, nb.n), 6) AS containment
+  FROM com
+  JOIN szs na ON na.doc_id = com.doc_a
+  JOIN szs nb ON nb.doc_id = com.doc_b
+) WHERE containment >= {float(threshold)!r}
+ORDER BY doc_a, doc_b
+"""
+
+
 def minhash_lsh_sql(
     num_hashes: int = 12, bands: int = 4, threshold: float = 0.5, max_bucket: int = 1000
 ) -> str:

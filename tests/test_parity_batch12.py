@@ -137,6 +137,26 @@ def test_runtime_search_spark_matches_sql(spark, ddb):
     assert got == want and got
 
 
+def test_containment_finds_every_planted_excerpt(spark, docs):
+    # every excerpt twin is contained in its source at C == 1.0, and the
+    # anchor-candidate rule must recover ALL of them (the case Jaccard-LSH
+    # structurally misses)
+    from fafnir_spark.dedup import containment_pairs, excerpt_docs
+
+    corpus = excerpt_docs(docs)
+    planted = {
+        (r["doc_id"], r["doc_id"] + 10**12)
+        for r in docs.filter(
+            (F.pmod("doc_id", F.lit(37)) == 0)
+            & (F.size(F.split("text", " ")) >= 6)).collect()
+    }
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in containment_pairs(corpus, threshold=0.8).collect()}
+    assert planted
+    for pair in planted:
+        assert got.get(pair) == 1.0, pair
+
+
 def test_search_as_you_type_adjacency_beats_scattered(spark):
     rows = [
         (1, "group merge value data"),      # adjacent, in order
