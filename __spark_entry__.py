@@ -2104,6 +2104,14 @@ def _q_terms_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
                                num_partitions=4, size=10)
 
 
+def _q_complete_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy completion: the misspelled prefix 'merh' still completes
+    to merge — row-local levenshtein on the vocabulary relation only."""
+    from fafnir_spark.query_ext import complete_fuzzy
+
+    return complete_fuzzy(_docs(spark, sf_dir), "merh", k=5, fuzziness=1)
+
+
 def _q_suggest_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES context suggester: 's...' completions eligible only under the
     en/de language contexts, scored df-in-context x boost (en doubled),
@@ -2536,6 +2544,18 @@ def _q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"),
         child_type="error", score_mode="sum", k=10,
     )
+
+
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85) over the customer->
+    supplier order graph — the crawl-centrality quality signal, each
+    iteration one equi-join + one map-side-combined groupBy."""
+    from fafnir_spark.pipeline import graph_pagerank
+
+    return graph_pagerank(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        iters=3, damping=0.85, k=20)
 
 
 def _q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3115,6 +3135,20 @@ def _q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "ck"),
         os.path.join(base, "state"),
         num_hashes=12, bands=4, threshold=0.35,
+    )
+
+
+def _q_stream_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming seasonal anomaly: additive per-(day,hour) count state
+    folded to the batch bucket relation, scored by the shared tail —
+    same oracle as the batch anomaly_hourly."""
+    from fafnir_spark.streaming import stream_anomaly_hourly
+
+    base = tempfile.mkdtemp(prefix="fafnir_sah_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_anomaly_hourly(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state")
     )
 
 
@@ -4374,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_cross_fields": _q_multi_match_cross,
         "has_child_topk": _q_has_child,
         "children_agg": _q_children_agg,
+        "graph_pagerank": _q_graph_pagerank,
         "multi_match_most_fields": _q_multi_match_most,
         "dedup_canonical": _q_dedup_canonical,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -4528,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll_cardinality": _q_stream_hll,
         "stream_sampled_quantiles": _q_stream_sampled_quantiles,
         "stream_change_point": _q_stream_change_point,
+        "stream_anomaly_hourly": _q_stream_anomaly_hourly,
         "normalize_agg": _q_normalize_agg,
         "geohash_grid": _q_geohash_grid,
         "pit_search": _q_pit_search,
@@ -4540,6 +4576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop_indexed": _q_phrase_slop_indexed,
         "complete_prefix": _q_complete_prefix,
         "suggest_context": _q_suggest_context,
+        "complete_fuzzy": _q_complete_fuzzy,
         "query_string_boost": _q_query_string_boost,
         "query_string_boost_indexed": _q_query_string_boost_indexed,
         "wildcard_bm25": _q_wildcard,
@@ -4758,6 +4795,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "has_child_topk": oracles_pipeline.has_child_topk_sql("error", "sum", k=10),
         "children_agg": oracles_pipeline.children_agg_sql("lang", "error"),
+        "graph_pagerank": oracles_pipeline.graph_pagerank_sql(3, 0.85, 20),
         "multi_match_best_fields": oracles.multi_match_sql(
             Q_MAIN, {"text": 1.0, TITLE_SQL: 2.0}, k=10,
             mode="best_fields", tie_breaker=0.3),
@@ -5028,6 +5066,7 @@ ORDER BY term ASC LIMIT 10
         "phrase_slop_indexed": oracles.phrase_slop_sql("slow", "key", slop=2),
         "complete_prefix": oracles.complete_prefix_sql("s", k=5),
         "suggest_context": oracles.suggest_context_sql("s", SUGGEST_CONTEXTS, k=5),
+        "complete_fuzzy": oracles.complete_fuzzy_sql("merh", k=5, fuzziness=1),
         "query_string_boost": oracles.search_text_sql(QS_BOOST, k=10),
         "query_string_boost_indexed": oracles.search_text_sql(QS_BOOST, k=10),
         "wildcard_bm25": oracles.wildcard_bm25_sql("me*e", k=10),
@@ -5069,6 +5108,7 @@ ORDER BY term ASC LIMIT 10
         "hll_cardinality": oracles_pipeline.hll_cardinality_sql(),
         "stream_hll_cardinality": oracles_pipeline.hll_cardinality_sql(exact=False),
         "stream_change_point": oracles_pipeline.change_point_sql(),
+        "stream_anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "moving_percentiles": oracles_pipeline.moving_percentiles_sql(),
         "change_point": oracles_pipeline.change_point_sql(),
         "stats_bucket": oracles_pipeline.stats_bucket_sql(),

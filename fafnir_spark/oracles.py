@@ -967,6 +967,29 @@ ORDER BY rk
 """
 
 
+def complete_fuzzy_sql(prefix: str, k: int = 5, fuzziness: int = 1) -> str:
+    """Mirror of query_ext.complete_fuzzy: same substring-prefix
+    levenshtein gate (Spark levenshtein == DuckDB levenshtein), same
+    exact-first ordering."""
+    p = prefix.replace("'", "''")
+    return f"""
+WITH {_TF_CTES},
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+cand AS (
+  SELECT term, df,
+         levenshtein(substr(term, 1, {len(prefix)}), '{p}') = 0 AS exact
+  FROM dfs
+  WHERE levenshtein(substr(term, 1, {len(prefix)}), '{p}') <= {int(fuzziness)}
+)
+SELECT rk, term, df, exact FROM (
+  SELECT row_number() OVER (ORDER BY exact DESC, df DESC, term ASC) AS rk,
+         term, df, exact
+  FROM cand
+) WHERE rk <= {int(k)}
+ORDER BY rk
+"""
+
+
 def wildcard_bm25_sql(pattern: str, k: int = 10) -> str:
     """Wildcard expansion in SQL: the same glob→LIKE mapping as
     query_ext._wildcard_to_like, then the standard expanded-term BM25."""

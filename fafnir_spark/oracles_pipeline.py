@@ -1942,3 +1942,37 @@ SELECT rank, day, hour, n, expected, score FROM (
   FROM s) t
 WHERE rank <= {int(k)} ORDER BY rank
 """
+
+
+def graph_pagerank_sql(iters: int = 3, damping: float = 0.85,
+                       k: int = 20) -> str:
+    """Mirror of pipeline.graph_pagerank: unrolled power iterations, same
+    per-iteration rounding, same dangling-drop rule and operand order."""
+    d = float(damping)
+    ctes = ["""edges AS (
+  SELECT DISTINCT o.o_custkey AS src, 1000000000 + l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+            "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+            "nn AS (SELECT count(*) AS n FROM nodes)",
+            "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+            "p0 AS (SELECT node, round(1.0 / nn.n, 6) AS pr FROM nodes CROSS JOIN nn)"]
+    for i in range(1, int(iters) + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT e.dst AS node, sum(p.pr / deg.deg) AS inc
+  FROM edges e JOIN deg USING (src) JOIN p{i-1} p ON p.node = e.src
+  GROUP BY e.dst
+)""")
+        ctes.append(f"""p{i} AS (
+  SELECT nodes.node,
+         round((1.0 - {d!r}) / nn.n + {d!r} * coalesce(c{i}.inc, 0.0), 6) AS pr
+  FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node CROSS JOIN nn
+)""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT rank, node, pr FROM (
+  SELECT row_number() OVER (ORDER BY pr DESC, node ASC) AS rank, node, pr
+  FROM p{int(iters)}
+) WHERE rank <= {int(k)}
+ORDER BY rank
+"""

@@ -2383,12 +2383,21 @@ def anomaly_hourly(events: DataFrame, k: int = 10) -> DataFrame:
     24-row baseline joins back as a broadcast. No window over raw events.
     (day, hour, n, expected, score)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     b = events.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.hour("ts").cast("long").alias("hour"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return anomaly_from_hour_counts(b, k=k)
+
+
+def anomaly_from_hour_counts(b: DataFrame, k: int = 10) -> DataFrame:
+    """The scoring tail of anomaly_hourly over a (day, hour, n) bucket
+    relation — shared by the batch path and the streaming additive-state
+    fold (stream_anomaly_hourly), so stream == batch by construction."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     base = b.groupBy("hour").agg(
         F.expr("percentile(n, 0.5)").alias("expected"))
     scored = (
@@ -2405,3 +2414,64 @@ def anomaly_hourly(events: DataFrame, k: int = 10) -> DataFrame:
     return (top.withColumn("rank", w)
             .select("rank", "day", "hour", "n", "expected", "score")
             .orderBy("rank"))
+
+
+def graph_pagerank(orders: DataFrame, lineitem: DataFrame,
+                   iters: int = 3, damping: float = 0.85,
+                   k: int = 20) -> DataFrame:
+    """PageRank over the customer→supplier order graph — the web-graph
+    centrality quality signal crawl-curation pipelines attach to documents
+    (Common-Crawl-style host ranking; Page et al. 1999). Fixed ``iters``
+    power iterations with the dangling-mass-dropped simplification
+    (nodes without out-edges contribute nothing — identical rule in both
+    engines); every iteration's rank is ROUNDED to 6 so chained float
+    sums stay engine-identical (the kmeans_train convention).
+
+    Scale shape: edges are distinct (src, dst) pairs; each iteration is
+    ONE equi-join (edges ⋈ ranks on src — contributions = rank/out_deg
+    row-local) + ONE groupBy(dst) sum with map-side combine; N and the
+    teleport term ride a broadcast 1-row aggregate. The plan is iters
+    joins deep but every shuffle is keyed by a node id — no collect, no
+    driver-side graph. (rank, node, pr) top-k by (pr desc, node asc)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    d = float(damping)
+    edges = (
+        orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"),
+                (F.lit(10**9) + F.col("l_suppkey")).alias("dst"))
+        .distinct()
+    )
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = (nodes.crossJoin(F.broadcast(nn))
+          .select("node", F.round(F.lit(1.0) / F.col("n"), 6).alias("pr")))
+    for _ in range(int(iters)):
+        contrib = (
+            edges.join(deg, "src")
+            .join(pr.select(F.col("node").alias("src"), "pr"), "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+        )
+        inc = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("inc"))
+        pr = (
+            nodes.join(inc, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.round(
+                    (F.lit(1.0) - F.lit(d)) / F.col("n")
+                    + F.lit(d) * F.coalesce(F.col("inc"), F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    top = pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("pr").desc(), F.col("node").asc()))
+    return (top.withColumn("rank", w)
+            .select("rank", "node", "pr").orderBy("rank"))

@@ -1082,6 +1082,37 @@ def suggest_context(docs: DataFrame, prefix: str, contexts: dict[str, float],
     return top.withColumn("rk", w).select("rk", "term", "score").orderBy("rk")
 
 
+def complete_fuzzy(docs: DataFrame, prefix: str, k: int = 5,
+                   fuzziness: int = 1, text_col: str = "text") -> DataFrame:
+    """ES completion suggester with ``fuzzy``: completions whose OWN
+    prefix (first len(prefix) chars) is within ``fuzziness`` edits of the
+    typed prefix — 'mrge' still completes to 'merge'. Exact-prefix
+    matches rank first (the ES fuzzy-suggester tie rule), then df desc,
+    term asc.
+
+    Scale shape: the edit-distance test is ROW-LOCAL on the vocabulary
+    relation (|V| rows — already aggregated with map-side combine), never
+    on the corpus; no deletion-variant expansion needed at |V| scale
+    because levenshtein against one literal is O(len) per term. Finish is
+    TakeOrderedAndProject. (rk, term, df, exact)."""
+    from pyspark.sql.window import Window
+
+    from .query import doc_term_freqs, term_dfs
+
+    plen = len(prefix)
+    dfs = term_dfs(doc_term_freqs(docs, text_col=text_col)).select("term", "df")
+    tpre = F.substring(F.col("term"), 1, plen)
+    cand = (
+        dfs.withColumn("__d", F.levenshtein(tpre, F.lit(prefix)))
+        .filter(F.col("__d") <= fuzziness)
+        .withColumn("exact", (F.col("__d") == 0))
+    )
+    order = [F.col("exact").desc(), F.col("df").desc(), F.col("term").asc()]
+    top = cand.orderBy(*order).limit(k)
+    w = F.row_number().over(Window.orderBy(*order))
+    return top.withColumn("rk", w).select("rk", "term", "df", "exact").orderBy("rk")
+
+
 def _wildcard_to_like(pattern: str) -> str:
     """Glob → SQL LIKE: * → %, ? → _ (identical semantics in Spark's
     Column.like and DuckDB LIKE). Vocabulary terms are analyzer tokens

@@ -841,3 +841,58 @@ def stream_sampled_quantiles(
                 *[f"q{int(q * 100)}_est" for q in qs])
         .orderBy(group_col)
     )
+
+
+def stream_anomaly_hourly(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    k: int = 10,
+) -> DataFrame:
+    """Streaming seasonal count-anomaly detection: each micro-batch
+    collapses to its per-(day, hour) partial COUNTS and appends them to
+    parquet state — counts are ADDITIVE-mergeable (the stream_change_point
+    sum-merge), so the folded state is exactly the batch (day, hour, n)
+    bucket relation and the shared scoring tail
+    (pipeline.anomaly_from_hour_counts) gives the batch answer. State is
+    bounded at |day·hour buckets|·|batches| partial rows (compactable by
+    re-summing); batch stamps make checkpoint replays detectable. Same
+    output contract (and oracle) as pipeline.anomaly_hourly."""
+    import os
+
+    from .pipeline import anomaly_from_hour_counts
+
+    _require_fresh_checkpoint(checkpoint_dir, "stream_anomaly_hourly")
+    buckets_dir = os.path.join(state_dir, "hour_buckets")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                F.hour("ts").cast("long").alias("hour"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("partial"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(buckets_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(buckets_dir)
+        .dropDuplicates(["day", "hour", "_b"])
+        .groupBy("day", "hour")
+        .agg(F.sum("partial").cast("long").alias("n"))
+    )
+    return anomaly_from_hour_counts(merged, k=k)
