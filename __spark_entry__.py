@@ -3138,6 +3138,31 @@ def _q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_luhn_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PII (Luhn over 13-19-digit runs): validation
+    keeps the digit-run regex from flagging every id — row-local
+    higher-order expressions, shared LUHN_TERM body in both engines."""
+    from fafnir_spark.curation import inject_cards, luhn_card_audit
+
+    return luhn_card_audit(inject_cards(_docs(spark, sf_dir)))
+
+
+def _q_transform_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _transform pivot: entity-centric materialization, one mergeable
+    groupBy per user (count/conditional/sum/max)."""
+    from fafnir_spark.pipeline import transform_pivot
+
+    return transform_pivot(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_transform_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _transform latest: newest doc per entity via the sort-free
+    whole-row struct max (unique (ts, event_id) ordering)."""
+    from fafnir_spark.pipeline import transform_latest
+
+    return transform_latest(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_stream_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming seasonal anomaly: additive per-(day,hour) count state
     folded to the batch bucket relation, scored by the shared tail —
@@ -4564,6 +4589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sampled_quantiles": _q_stream_sampled_quantiles,
         "stream_change_point": _q_stream_change_point,
         "stream_anomaly_hourly": _q_stream_anomaly_hourly,
+        "transform_pivot": _q_transform_pivot,
+        "luhn_card_audit": _q_luhn_card_audit,
+        "transform_latest": _q_transform_latest,
         "normalize_agg": _q_normalize_agg,
         "geohash_grid": _q_geohash_grid,
         "pit_search": _q_pit_search,
@@ -5109,6 +5137,9 @@ ORDER BY term ASC LIMIT 10
         "stream_hll_cardinality": oracles_pipeline.hll_cardinality_sql(exact=False),
         "stream_change_point": oracles_pipeline.change_point_sql(),
         "stream_anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
+        "transform_pivot": oracles_pipeline.transform_pivot_sql(),
+        "luhn_card_audit": oracles_curation.luhn_card_audit_sql(),
+        "transform_latest": oracles_pipeline.transform_latest_sql(),
         "moving_percentiles": oracles_pipeline.moving_percentiles_sql(),
         "change_point": oracles_pipeline.change_point_sql(),
         "stats_bucket": oracles_pipeline.stats_bucket_sql(),

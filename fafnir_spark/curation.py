@@ -183,6 +183,66 @@ def inject_pii(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+CARD_RE = "[0-9]{13,19}"
+KNOWN_VALID_CARD = "4532015112830366"  # standard Luhn-valid test PAN
+
+# Variable-length Luhn checksum as a pure SQL higher-order expression —
+# identical text in Spark (F.expr) and DuckDB (list_filter lambda body is
+# the same CASE): digits doubled at even positions from the RIGHT
+# ((len - i) odd for 1-based i from the left), doubled >9 subtracts 9,
+# total mod 10 == 0. Single source; never hand-copy into the oracle.
+LUHN_TERM = (
+    "CASE WHEN (length({c}) - i) % 2 = 1 "
+    "THEN CASE WHEN 2 * (ascii(substr({c}, i, 1)) - 48) > 9 "
+    "THEN 2 * (ascii(substr({c}, i, 1)) - 48) - 9 "
+    "ELSE 2 * (ascii(substr({c}, i, 1)) - 48) END "
+    "ELSE ascii(substr({c}, i, 1)) - 48 END"
+)
+
+
+def inject_cards(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Deterministically derive card-number-bearing text (the inject_pii
+    precedent — the fixture has no digit runs): every doc gains a
+    pseudo-random 16-digit number from its id (~10% Luhn-valid by
+    chance), every fifth doc also the known-valid test PAN. Mirrored in
+    SQL by oracles_curation.luhn_card_audit_sql."""
+    num = F.lpad(
+        F.pmod(F.col(id_col) * F.lit(7919) + F.lit(12345),
+               F.lit(10**16)).cast("string"), 16, "0")
+    known = F.when(F.pmod(F.col(id_col), F.lit(5)) == 0,
+                   F.lit(" " + KNOWN_VALID_CARD)).otherwise(F.lit(""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(F.col(text_col), F.lit(" "), num, known).alias("text"),
+    )
+
+
+def luhn_card_audit(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Checksum-VALIDATED PII detection (presidio-style): 13-19-digit
+    runs are only counted as card numbers when they pass the Luhn
+    checksum — the validation step that keeps a digit-run regex from
+    flagging every timestamp and id. Entirely row-local higher-order
+    expressions (regexp_extract_all + the shared LUHN_TERM aggregate),
+    zero shuffles before the final sort. (doc_id, n_candidates, n_valid)
+    for docs with >= 1 candidate, ordered."""
+    cands = F.regexp_extract_all(F.col(text_col), F.lit(CARD_RE), 0)
+    term = LUHN_TERM.format(c="c")
+    valid_pred = (
+        f"c -> (aggregate(transform(sequence(1, length(c)), i -> {term}), "
+        f"0, (a, x) -> a + x) % 10) = 0"
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(F.expr(f"filter(regexp_extract_all({text_col}, "
+                      f"'{CARD_RE}', 0), {valid_pred})"))
+        .cast("long").alias("n_valid"),
+    )
+    return out.filter(F.col("n_candidates") > 0).orderBy("doc_id")
+
+
 def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Redact emails then phone numbers (fixed order — the redaction is a

@@ -1039,3 +1039,31 @@ SELECT CAST(n AS BIGINT) AS n_terms,
          AS intercept
 FROM s
 """
+
+
+def luhn_card_audit_sql() -> str:
+    """Mirror of curation.luhn_card_audit over inject_cards: same derived
+    numbers, same CARD_RE, same shared LUHN_TERM checksum body."""
+    from .curation import CARD_RE, KNOWN_VALID_CARD, LUHN_TERM
+
+    term = LUHN_TERM.format(c="c2")
+    m = 10**16
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         concat(text, ' ',
+                lpad(CAST((((doc_id * 7919 + 12345) % {m}) + {m}) % {m}
+                     AS VARCHAR), 16, '0'),
+                CASE WHEN ((doc_id % 5) + 5) % 5 = 0
+                     THEN ' {KNOWN_VALID_CARD}' ELSE '' END) AS text
+  FROM documents
+),
+c AS (SELECT doc_id, regexp_extract_all(text, '{CARD_RE}') AS cands FROM d)
+SELECT doc_id,
+       CAST(len(cands) AS BIGINT) AS n_candidates,
+       CAST(len(list_filter(cands, c2 ->
+         (list_sum(list_transform(range(1, length(c2) + 1), i -> {term}))
+          % 10) = 0)) AS BIGINT) AS n_valid
+FROM c WHERE len(cands) > 0
+ORDER BY doc_id
+"""

@@ -1976,3 +1976,32 @@ SELECT rank, node, pr FROM (
 ) WHERE rank <= {int(k)}
 ORDER BY rank
 """
+
+
+def transform_pivot_sql() -> str:
+    """Mirror of pipeline.transform_pivot."""
+    return """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+       round(sum(value), 6) AS sum_value,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def transform_latest_sql() -> str:
+    """Mirror of pipeline.transform_latest — rn=1 window on the same
+    (ts desc, event_id desc) unique ordering (DuckDB arg_max takes no
+    struct ordering)."""
+    return """
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_id, event_type, round(value, 6) AS value
+FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""

@@ -2475,3 +2475,46 @@ def graph_pagerank(orders: DataFrame, lineitem: DataFrame,
     w = F.row_number().over(Window.orderBy(F.col("pr").desc(), F.col("node").asc()))
     return (top.withColumn("rank", w)
             .select("rank", "node", "pr").orderBy("rank"))
+
+
+def transform_pivot(events: DataFrame) -> DataFrame:
+    """ES _transform (pivot mode): the continuous entity-centric
+    materialization — one row per user with lifetime aggregates
+    (ES pivot: group_by user, aggs count/conditional count/sum/max).
+    ONE groupBy with map-side combine; every aggregate is mergeable, so
+    the same plan serves the batch build and an incremental refresh.
+    (user_id, n_events, n_error, sum_value, last_ts) ordered."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", F.lit(1)))
+            .cast("long").alias("n_error"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def transform_latest(events: DataFrame) -> DataFrame:
+    """ES _transform (latest mode): the newest document per entity,
+    materialized. sort-free max(struct(ts, event_id, ...)) — the
+    downsample last_value idiom lifted to whole rows: the struct max
+    collapses map-side, ordering key (ts, event_id) is unique so the
+    winner is deterministic; never a per-user row_number window over raw
+    events. (user_id, last_ts, event_id, event_type, value) ordered."""
+    from pyspark.sql import functions as F
+
+    best = events.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.date_format("b.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("b.event_id").alias("event_id"),
+        F.col("b.event_type").alias("event_type"),
+        F.round(F.col("b.value"), 6).alias("value"),
+    ).orderBy("user_id")
