@@ -1584,6 +1584,19 @@ def _q_function_score_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIM_SCRIPT = ("ln(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+              "* sqrt(tf) / sqrt(dl / avgdl + 1)")
+
+
+def _q_scripted_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scripted similarity: a custom per-term script over
+    (tf, df, dl, avgdl, n_docs) through the closed arithmetic grammar —
+    one AST renders both engines; same one-pass relation as BM25."""
+    from fafnir_spark.scoring import scripted_similarity_topk
+
+    return scripted_similarity_topk(_docs(spark, sf_dir), Q_MAIN, SIM_SCRIPT, k=10)
+
+
 def _q_rank_feature_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank_feature function=log: boost*ln(1 + v/scaling) contribution."""
     from fafnir_spark.scoring import rank_feature_bm25
@@ -3163,6 +3176,19 @@ def _q_transform_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transform_latest(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_stream_transform_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES continuous transform: additive per-user partial state folded to
+    the batch pivot table — same oracle as transform_pivot."""
+    from fafnir_spark.streaming import stream_transform_pivot
+
+    base = tempfile.mkdtemp(prefix="fafnir_stp_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_transform_pivot(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state")
+    )
+
+
 def _q_stream_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming seasonal anomaly: additive per-(day,hour) count state
     folded to the batch bucket relation, scored by the shared tail —
@@ -4589,6 +4615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sampled_quantiles": _q_stream_sampled_quantiles,
         "stream_change_point": _q_stream_change_point,
         "stream_anomaly_hourly": _q_stream_anomaly_hourly,
+        "stream_transform_pivot": _q_stream_transform_pivot,
         "transform_pivot": _q_transform_pivot,
         "luhn_card_audit": _q_luhn_card_audit,
         "transform_latest": _q_transform_latest,
@@ -4613,6 +4640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_gauss": _q_function_score_gauss,
         "rank_feature": _q_rank_feature,
         "rank_feature_log": _q_rank_feature_log,
+        "scripted_similarity": _q_scripted_similarity,
         "rank_feature_sigmoid": _q_rank_feature_sigmoid,
         "rank_feature_indexed": _q_rank_feature_indexed,
         "field_value_factor_indexed": _q_field_value_factor_indexed,
@@ -5106,6 +5134,7 @@ ORDER BY term ASC LIMIT 10
         "rank_feature": oracles.rank_feature_sql(
             ["merge", "window"], pivot=200.0, boost=2.0, k=10
         ),
+        "scripted_similarity": oracles.scripted_similarity_sql(Q_MAIN, SIM_SCRIPT, k=10),
         "rank_feature_log": oracles.rank_feature_sql(
             ["merge", "window"], pivot=200.0, boost=2.0, k=10, function="log"),
         "rank_feature_sigmoid": oracles.rank_feature_sql(
@@ -5137,6 +5166,7 @@ ORDER BY term ASC LIMIT 10
         "stream_hll_cardinality": oracles_pipeline.hll_cardinality_sql(exact=False),
         "stream_change_point": oracles_pipeline.change_point_sql(),
         "stream_anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
+        "stream_transform_pivot": oracles_pipeline.transform_pivot_sql(),
         "transform_pivot": oracles_pipeline.transform_pivot_sql(),
         "luhn_card_audit": oracles_curation.luhn_card_audit_sql(),
         "transform_latest": oracles_pipeline.transform_latest_sql(),

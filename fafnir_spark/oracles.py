@@ -1635,6 +1635,32 @@ ORDER BY doc_id
 """
 
 
+def scripted_similarity_sql(terms: list[str], script: str, k: int = 10) -> str:
+    """Mirror of scoring.scripted_similarity_topk: the SQL side of the
+    SAME parsed AST (parse_similarity_script renders both engines), over
+    the standard tf/dfs/dl/stats CTE chain."""
+    from .scoring import parse_similarity_script
+
+    _thunk, part = parse_similarity_script(script, {
+        "tf": "tf.tf", "df": "dfs.df", "dl": "dl.dl",
+        "avgdl": "stats.avgdl", "n_docs": "stats.n_docs",
+    })
+    inner = f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+)
+SELECT tf.doc_id, round(sum({part}), 6) AS score
+FROM tf
+JOIN dfs USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+    return _ranked_topk(inner, k)
+
+
 def span_multi_prefix_sql(prefix: str, then: str, slop: int = 0) -> str:
     """Mirror of query_ext.span_multi_prefix: the multi-term clause is a
     LIKE-prefix predicate on the token (never an expanded term list), then

@@ -858,3 +858,142 @@ def rescore_chain(
     return ltr_model_rerank(
         stage1.select("doc_id", "score"),
         ltr_features(docs, terms, field=field, text_col=text_col), weights, k)
+
+
+# ---------------------------------------------------------------------------
+# ES scripted similarity (index setting `similarity: {type: scripted}`):
+# a user-supplied per-term scoring script over the standard Lucene
+# statistics. The Painless script is replaced by a CLOSED recursive-descent
+# arithmetic grammar — numbers, the five statistic variables, + - * /,
+# parens, ln()/sqrt() — and ONE parse renders BOTH the Spark Column and
+# the DuckDB SQL mirror (the kql.py single-AST rule), so a custom
+# similarity can never diverge across engines. Anything outside the
+# grammar raises (never silently approximated).
+# ---------------------------------------------------------------------------
+
+SIM_VARS = ("tf", "df", "dl", "avgdl", "n_docs")
+
+
+class SimilarityScriptError(ValueError):
+    pass
+
+
+def _sim_tokens(s: str) -> list[str]:
+    import re
+
+    toks = re.findall(r"\d+\.\d+|\d+|[a-z_]+|[-+*/()]", s)
+    if "".join(toks).replace(" ", "") != s.replace(" ", ""):
+        raise SimilarityScriptError(f"unparseable similarity script {s!r}")
+    return toks
+
+
+def parse_similarity_script(script: str, sql_names: dict | None = None):
+    """(column_thunk, sql_expr). Precedence: * / over + -, left-assoc;
+    functions ln(x), sqrt(x). The thunk defers Column creation so oracle
+    SQL renders with no SparkContext."""
+    names = sql_names or {v: v for v in SIM_VARS}
+    toks = _sim_tokens(script)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def eat():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def factor():
+        t = eat()
+        if t is None:
+            raise SimilarityScriptError("unexpected end of script")
+        if t == "(":
+            inner = expr()
+            if eat() != ")":
+                raise SimilarityScriptError("missing )")
+            ithunk, isql = inner
+            return ithunk, f"({isql})"
+        if t in ("ln", "sqrt"):
+            if eat() != "(":
+                raise SimilarityScriptError(f"{t} needs (")
+            inner = expr()
+            if eat() != ")":
+                raise SimilarityScriptError("missing )")
+            ithunk, isql = inner
+            fn = F.log if t == "ln" else F.sqrt
+
+            def thunk(fn=fn, ithunk=ithunk):
+                return fn(ithunk())
+
+            return thunk, f"{t}({isql})"
+        if t in SIM_VARS:
+            return (lambda t=t: F.col(t)), names[t]
+        try:
+            v = float(t) if "." in t else int(t)
+        except ValueError:
+            raise SimilarityScriptError(f"unknown token {t!r}")
+        return (lambda v=v: F.lit(v)), repr(v)
+
+    _OPS = {
+        "+": lambda a, b: a + b, "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b, "/": lambda a, b: a / b,
+    }
+
+    def binop(sub, ops):
+        left = sub()
+        while peek() in ops:
+            op = eat()
+            right = sub()
+            lt, ls = left
+            rt, rs = right
+            opf = _OPS[op]
+
+            def thunk(opf=opf, lt=lt, rt=rt):
+                return opf(lt(), rt())
+
+            left = (thunk, f"{ls} {op} {rs}")
+        return left
+
+    def term():
+        return binop(factor, ("*", "/"))
+
+    def expr():
+        return binop(term, ("+", "-"))
+
+    out = expr()
+    if peek() is not None:
+        raise SimilarityScriptError(f"trailing tokens at {peek()!r}")
+    return out
+
+
+def scripted_similarity_topk(
+    docs: DataFrame,
+    terms: list[str],
+    script: str,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-replacement ranking under a user similarity script: per
+    matched (doc, term) the script evaluates over (tf, df, dl, avgdl,
+    n_docs), parts sum per doc (rounded 6), rank-identity finish.
+
+    Scale shape: identical to every direct similarity — the shared
+    one-pass query._tf_dl_df relation (term-isin below the tf groupBy,
+    df broadcast back, exchange reused) + the 1-row stats broadcast;
+    the script is row-local arithmetic, so FileScan == 2 regardless of
+    the script. (rank, doc_id, score)."""
+    thunk, _sql = parse_similarity_script(script)
+    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    matched = _tf_dl_df(base, sorted(set(terms)))
+    stats = (
+        base.select(F.size(tokens_expr("__text")).cast("long").alias("__dl"))
+        .filter(F.col("__dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("__dl").alias("avgdl"))
+    )
+    m = matched.crossJoin(F.broadcast(stats))
+    scores = (
+        m.withColumn("part", thunk())
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score"))
+    )
+    return _topk_ranked(scores, k)

@@ -896,3 +896,61 @@ def stream_anomaly_hourly(
         .agg(F.sum("partial").cast("long").alias("n"))
     )
     return anomaly_from_hour_counts(merged, k=k)
+
+
+def stream_transform_pivot(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> DataFrame:
+    """ES CONTINUOUS transform (pivot mode): each micro-batch collapses to
+    per-user partial aggregates — counts/sums ADDITIVE-merge, max(ts) is
+    a lattice merge — appended to parquet state; the folded state equals
+    the batch pipeline.transform_pivot table exactly (rounding happens
+    only at the fold). State is bounded at |users|·|batches| partial rows
+    (compactable by re-merging); batch stamps make checkpoint replays
+    detectable. Same output contract (and oracle) as transform_pivot."""
+    import os
+
+    _require_fresh_checkpoint(checkpoint_dir, "stream_transform_pivot")
+    buckets_dir = os.path.join(state_dir, "user_partials")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("pn"),
+                F.count(F.when(F.col("event_type") == "error", F.lit(1)))
+                .cast("long").alias("pe"),
+                F.sum("value").alias("pv"),
+                F.max("ts").alias("pt"),
+            )
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(buckets_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(buckets_dir)
+        .dropDuplicates(["user_id", "_b"])
+        .groupBy("user_id")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("pe").cast("long").alias("n_error"),
+            F.round(F.sum("pv"), 6).alias("sum_value"),
+            F.date_format(F.max("pt"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
