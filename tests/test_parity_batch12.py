@@ -172,3 +172,68 @@ def test_search_as_you_type_adjacency_beats_scattered(spark):
     # scattered/reversed docs tie on base+prefix (same tf/dl), no gram arm
     assert out[2] == out[3]
     assert out[4] < out[2]  # single-term doc scores least
+
+
+def test_pagerank_teleport_floor_and_source_nodes(spark):
+    from fafnir_spark.pipeline import graph_pagerank
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pr = graph_pagerank(orders, li, iters=3, damping=0.85, k=1000)
+    rows = pr.collect()
+    assert rows
+    # N from the same construction
+    edges = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     (F.lit(10**9) + F.col("l_suppkey")).alias("dst")).distinct())
+    n = (edges.select(F.col("src").alias("node"))
+         .unionByName(edges.select(F.col("dst").alias("node"))).distinct().count())
+    # (1.0 - 0.85) in float is 0.15000000000000002 — replicate the
+    # engine's operand order, compare with a rounding-mode tolerance
+    floor = (1.0 - 0.85) / n
+    assert all(r["pr"] >= floor - 1e-6 for r in rows)
+    # customers have no in-links (bipartite cust->supp): pr == teleport floor
+    custs = {r["src"] for r in edges.select("src").distinct().collect()}
+    got = {r["node"]: r["pr"] for r in rows}
+    cust_prs = {got[c] for c in custs if c in got}
+    assert len(cust_prs) == 1 and abs(cust_prs.pop() - floor) < 1e-6
+    # suppliers accumulate mass: the global top node is a supplier
+    assert rows[0]["node"] >= 10**9
+
+
+def test_luhn_expression_on_known_pans(spark):
+    from fafnir_spark.curation import luhn_card_audit
+
+    docs = spark.createDataFrame(
+        [(1, "pay 4111111111111111 now"),       # valid Visa test PAN
+         (2, "pay 4111111111111112 now"),       # bad check digit
+         (3, "code 123 too-short 12345"),       # no 13-19 digit run
+         (4, "двa 4532015112830366 4111111111111112")],  # one of two valid
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_candidates"], r["n_valid"])
+           for r in luhn_card_audit(docs).collect()}
+    assert out == {1: (1, 1), 2: (1, 0), 4: (2, 1)}
+
+
+def test_scripted_similarity_reproduces_bm25(spark, docs):
+    from fafnir_spark.query import bm25_topk
+    from fafnir_spark.scoring import scripted_similarity_topk
+
+    script = ("ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) "
+              "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))")
+    got = [tuple(r) for r in
+           scripted_similarity_topk(docs, ["merge", "window"], script, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, ["merge", "window"], k=10).collect()]
+    assert got == want
+
+
+def test_transform_latest_is_true_argmax(spark):
+    from fafnir_spark.pipeline import transform_latest
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = transform_latest(ev)
+    assert out.count() == ev.select("user_id").distinct().count()
+    mx = {r["user_id"]: r["m"] for r in
+          ev.groupBy("user_id").agg(F.max("ts").alias("m")).collect()}
+    for r in out.limit(10).collect():
+        assert r["last_ts"] == mx[r["user_id"]].strftime("%Y-%m-%d %H:%M:%S")
