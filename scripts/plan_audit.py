@@ -131,6 +131,26 @@ def main() -> None:
                          ev.filter(F.col("event_type") == "purchase"),
                          key="user_id", bucket_hours=24)
 
+    def _pagerank_df(spark, sf):
+        from fafnir_spark.pipeline import graph_pagerank
+        return graph_pagerank(spark.read.parquet(f"{sf}/orders.parquet"),
+                              spark.read.parquet(f"{sf}/lineitem.parquet"))
+
+    def _containment_df(spark, docs):
+        from fafnir_spark.dedup import containment_pairs, excerpt_docs
+        return containment_pairs(excerpt_docs(docs), threshold=0.8)
+
+    def _scripted_df(spark, docs):
+        from fafnir_spark.scoring import scripted_similarity_topk
+        return scripted_similarity_topk(
+            docs, ["merge", "window"],
+            "ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * sqrt(tf) "
+            "/ sqrt(dl / avgdl + 1)")
+
+    def _terms_part_df(spark, docs):
+        from fafnir_spark.query_ext import terms_agg_partition
+        return terms_agg_partition(docs, partition=1, num_partitions=4)
+
     def _nested_knn_df(spark, emb):
         from fafnir_spark.simsearch import nested_knn_topk
         qv = [((i * 37) % 29 - 14) / 15.0 for i in range(64)]
@@ -739,6 +759,31 @@ def main() -> None:
               "combine, cardinality = parents-with-children) — never a "
               "parent x child row expansion; one left join onto parents "
               "then a mergeable bucket roll-up."),
+        audit("graph_pagerank (3 power iterations)",
+              _pagerank_df(spark, sf),
+              "Each iteration is ONE node-keyed equi-join + ONE "
+              "map-side-combined groupBy(dst); N/teleport ride broadcast "
+              "1-row relations; no collect, no driver-side graph, no "
+              "Cartesian."),
+        audit("containment_pairs (rarest-anchor candidates)",
+              _containment_df(spark, docs),
+              "Anchor fan-out bounded by the df cap (pure-boilerplate "
+              "docs nominate nothing); the rank window partitions by "
+              "doc_id (bounded by the doc's own shingles); verify is the "
+              "row-local array_intersect — candidates-only shuffle, no "
+              "hot-shingle self-join."),
+        audit("scripted_similarity (user script over tf/df/dl stats)",
+              _scripted_df(spark, docs),
+              "The script is row-local arithmetic over the shared "
+              "one-pass _tf_dl_df relation + 1-row stats broadcast — "
+              "FileScan stays 2 regardless of the script; top-k is "
+              "TakeOrderedAndProject."),
+        audit("terms_agg_partition (hash-sliced vocabulary export)",
+              _terms_part_df(spark, docs),
+              "The pmod(hash60(term), m) slice predicate is applied to "
+              "the exploded tokens BELOW the df groupBy — each of the m "
+              "export queries shuffles ~1/m of the token stream; finish "
+              "is TakeOrderedAndProject."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
