@@ -499,6 +499,25 @@ def _q_query_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_search(_docs(spark, sf_dir), DSL_BODY, k=10)
 
 
+def _wrapped_dsl_body() -> dict:
+    """DSL_BODY base64-wrapped — the ES `wrapper` query transport form."""
+    import base64
+    import json as _json
+
+    return {"query": {"wrapper": {"query": base64.b64encode(
+        _json.dumps(DSL_BODY["query"]).encode()).decode()}}}
+
+
+def _q_query_dsl_wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wrapper query: the same DSL body delivered base64-encoded (the
+    transport used by clients that cannot nest JSON). Decodes, recurses
+    through the same compiler — byte-identical query string, so the
+    oracle IS query_dsl's."""
+    from fafnir_spark.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _wrapped_dsl_body(), k=10)
+
+
 def _q_query_dsl_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query DSL served FROM the positional index: same compilation, the
     executed plan is per-shard bool evaluation + phrase eligibility from
@@ -1852,6 +1871,20 @@ def _q_runtime_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.search_api import runtime_search
 
     return runtime_search(spark.read.parquet(f"{sf_dir}/orders.parquet"), RUNTIME_BODY)
+
+
+SM_SCRIPT = "CASE(value >= 50, value * 2, round(value, 0))"
+
+
+def _q_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scripted_metric agg (associative form): map script row-local
+    through the shared runtime-script AST, combine/reduce = one
+    associative operator so map-side partials ARE the combine phase."""
+    from fafnir_spark.search_api import scripted_metric
+
+    return scripted_metric(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        "event_type", SM_SCRIPT, "sum", name="metric")
 
 
 def _q_search_api_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3832,6 +3865,51 @@ FROM documents
 """
 
 
+ESQL_CATEGORIZE_QUERY = """
+FROM logs
+| STATS n = count(*) BY cat = CATEGORIZE(msg)
+| SORT cat ASC
+"""
+
+
+def _q_esql_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL STATS BY CATEGORIZE(msg): log-template grouping inside the
+    pipe language — the digit-mask rule shared with categorize_text."""
+    from fafnir_spark.esql import esql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    logs = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(" user="),
+            F.col("user_id").cast("string"), F.lit(" req="),
+            F.col("event_id").cast("string"),
+        ).alias("msg")
+    )
+    return esql(spark, ESQL_CATEGORIZE_QUERY, {"logs": logs})
+
+
+ESQL_STRFUNCS_QUERY = """
+FROM documents
+| EVAL head = LEFT(text, 12)
+| EVAL head = TRIM(head)
+| EVAL mid = SUBSTRING(text, 5, 6)
+| EVAL tag = CONCAT(source, "_", lang)
+| EVAL tag = REPLACE(tag, "_", "-")
+| STATS n = count(*), lo = min(mid), hi = max(head) BY tag
+| SORT tag ASC
+"""
+
+
+def _q_esql_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL string scalar functions (CONCAT/SUBSTRING/REPLACE/TRIM/LEFT)
+    — row-local EVAL chain, exact cross-engine; REPLACE is replace-ALL
+    (the oracle mirrors with regexp_replace 'g')."""
+    from fafnir_spark.esql import esql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return esql(spark, ESQL_STRFUNCS_QUERY, {"documents": docs})
+
+
 def _q_esql_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL multivalue scalars (MV_COUNT / MV_MIN over a SPLIT array):
     token-count and lexicographic-first-token rollup per doc."""
@@ -4531,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence": _q_eql_sequence,
         "eql_sequence3": _q_eql_sequence3,
         "query_dsl": _q_query_dsl,
+        "query_dsl_wrapper": _q_query_dsl_wrapper,
         "query_dsl_indexed": _q_query_dsl_indexed,
         "search_template": _q_search_template,
         "field_caps": _q_field_caps,
@@ -4691,6 +4770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_agg_functions": _q_esql_agg_functions,
         "esql_cidr_match": _q_esql_cidr_match,
         "esql_mv_stats": _q_esql_mv_stats,
+        "esql_categorize": _q_esql_categorize,
+        "esql_string_funcs": _q_esql_string_funcs,
         "esql_date_trunc": _q_esql_date_trunc,
         "missing_agg": _q_missing_agg,
         "span_within": _q_span_within,
@@ -4722,6 +4803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_api_match": _q_search_api_match,
         "search_api_aggs": _q_search_api_aggs,
         "runtime_fields": _q_runtime_fields,
+        "scripted_metric": _q_scripted_metric,
         "search_api_indexed": _q_search_api_indexed,
         "search_api_knn": _q_search_api_knn,
         "search_api_hybrid": _q_search_api_hybrid,
@@ -4940,6 +5022,7 @@ def oracle_sql() -> dict[str, str]:
         "eql_sequence3": oracles_pipeline.eql_sequence_sql(
             ["signup", "click", "purchase"], 72 * 3600),
         "query_dsl": _dsl_oracle(DSL_BODY),
+        "query_dsl_wrapper": _dsl_oracle(DSL_BODY),
         "query_dsl_indexed": _dsl_oracle(DSL_BODY_IDX),
         "search_template": _search_template_oracle(),
         "field_caps": search_api.field_caps_sql(),
@@ -4967,6 +5050,25 @@ FROM events GROUP BY 1 ORDER BY et ASC
 """,
         "esql_cidr_match": oracles_pipeline.esql_cidr_match_sql(
             ["10.3.0.0/16", "10.1.128.0/17"]),
+        "esql_categorize": """
+WITH msgs AS (
+  SELECT concat(event_type, ' user=', CAST(user_id AS VARCHAR),
+                ' req=', CAST(event_id AS VARCHAR)) AS msg
+  FROM events
+)
+SELECT regexp_replace(msg, '[0-9]+', '#', 'g') AS cat,
+       CAST(count(*) AS BIGINT) AS n
+FROM msgs GROUP BY 1 ORDER BY cat ASC
+""",
+        "esql_string_funcs": """
+WITH t AS (
+  SELECT trim(left(text, 12)) AS head,
+         substring(text, 5, 6) AS mid,
+         regexp_replace(concat(source, '_', lang), '_', '-', 'g') AS tag
+  FROM documents)
+SELECT tag, CAST(count(*) AS BIGINT) AS n, min(mid) AS lo, max(head) AS hi
+FROM t GROUP BY tag ORDER BY tag ASC
+""",
         "esql_mv_stats": """
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS pieces
@@ -5423,6 +5525,8 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "search_api_match": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_MATCH),
         "search_api_aggs": __import__("fafnir_spark.search_api", fromlist=["x"]).search_aggs_sql(SEARCH_BODY_AGGS),
         "runtime_fields": search_api.runtime_search_sql(RUNTIME_BODY, "orders"),
+        "scripted_metric": search_api.scripted_metric_sql(
+            "events", "event_type", SM_SCRIPT, "sum", name="metric"),
         "search_api_indexed": __import__("fafnir_spark.search_api", fromlist=["x"]).search_body_sql(SEARCH_BODY_IDX),
         "search_api_knn": __import__("fafnir_spark.search_api", fromlist=["x"]).search_knn_sql(SEARCH_BODY_KNN),
         "search_api_hybrid": __import__("fafnir_spark.search_api", fromlist=["x"]).search_hybrid_sql(SEARCH_BODY_HYBRID),

@@ -163,6 +163,22 @@ def dsl_to_query_string(body: dict) -> str:
     if not isinstance(query, dict) or len(query) != 1:
         raise ValueError("DSL body needs exactly one top-level query clause")
     [(kind, spec)] = query.items()
+    if kind == "wrapper":
+        # ES wrapper query: the base64-encoded JSON of another query —
+        # used by clients that cannot nest structured JSON. Decoded and
+        # recursed ONCE at the top level (the closed-grammar scope);
+        # the compiled string is byte-identical to the inner query's.
+        import base64
+        import json as _json
+        if not isinstance(spec, dict) or set(spec) != {"query"}:
+            raise ValueError("wrapper takes exactly {'query': <base64>}")
+        try:
+            inner = _json.loads(base64.b64decode(spec["query"], validate=True))
+        except Exception as e:
+            raise ValueError(f"wrapper query does not decode to JSON: {e}")
+        if not isinstance(inner, dict) or "wrapper" in inner:
+            raise ValueError("wrapper must decode to a non-wrapper query object")
+        return dsl_to_query_string({"query": inner})
     parts: list[str] = []
     if kind == "bool":
         if not isinstance(spec, dict):

@@ -63,6 +63,22 @@ def _val(tok: str):
     return F.col(tok)
 
 
+def _split_quoted(s: str) -> list[str]:
+    """Split on commas NOT inside double quotes (CONCAT args may carry a
+    literal "," separator — paren depth alone mis-splits those)."""
+    parts, inq, cur = [], False, []
+    for ch in s:
+        if ch == '"':
+            inq = not inq
+        if ch == "," and not inq:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def _split_toplevel(s: str) -> list[str]:
     """Split on commas NOT inside parentheses (BUCKET(x, 50.0) in a BY
     list must stay one key)."""
@@ -93,6 +109,17 @@ def _parse_by_key(k: str):
         alias, col, span = m.groups()
         sp = F.lit(float(span))
         return (F.floor(F.col(col) / sp) * sp).alias(alias or f"bucket_{col}")
+    m = re.fullmatch(
+        rf"\s*(?:({_IDENT})\s*=\s*)?CATEGORIZE\(\s*({_IDENT})\s*\)\s*",
+        k, re.IGNORECASE)
+    if m:
+        # ES|QL CATEGORIZE (8.18): group log messages by their template.
+        # The deterministic core is the digit-mask (runs of digits → '#')
+        # — the same rule as textstats.categorize_text, mirrored in the
+        # oracle as regexp_replace(msg, '[0-9]+', '#', 'g').
+        alias, col = m.groups()
+        return F.regexp_replace(F.col(col), "[0-9]+", "#").alias(
+            alias or f"category_{col}")
     m = re.fullmatch(rf"\s*({_IDENT})\s*", k)
     if not m:
         raise EsqlError(f"unsupported BY key: {k!r}")
@@ -195,6 +222,48 @@ def _parse_eval_expr(expr: str):
         if fn == "COUNT":
             return F.size(F.col(fld)).cast("long")
         return (F.array_min if fn == "MIN" else F.array_max)(F.col(fld))
+    m = re.fullmatch(
+        rf"\s*CONCAT\(\s*((?:{_IDENT}|{_STR})(?:\s*,\s*(?:{_IDENT}|{_STR}))+)\s*\)\s*",
+        expr, re.IGNORECASE)
+    if m:
+        # ES|QL CONCAT — flat list of column refs / string literals
+        # (nesting composes via chained EVALs). DuckDB concat parity.
+        parts = []
+        for tok in _split_quoted(m.group(1)):
+            tok = tok.strip()
+            parts.append(F.lit(_lit(tok)) if re.fullmatch(_STR, tok)
+                         else F.col(tok))
+        return F.concat(*parts)
+    m = re.fullmatch(
+        rf"\s*SUBSTRING\(\s*({_IDENT})\s*,\s*(\d+)\s*,\s*(\d+)\s*\)\s*",
+        expr, re.IGNORECASE)
+    if m:
+        # ES|QL SUBSTRING(f, start, len) — 1-based start in ES|QL, Spark
+        # AND DuckDB alike (negative starts are outside the closed grammar)
+        return F.substring(F.col(m.group(1)), int(m.group(2)),
+                           int(m.group(3)))
+    m = re.fullmatch(
+        rf"\s*REPLACE\(\s*({_IDENT})\s*,\s*({_STR})\s*,\s*({_STR})\s*\)\s*",
+        expr, re.IGNORECASE)
+    if m:
+        # ES|QL REPLACE(f, regex, new) — replaces EVERY match (Spark
+        # regexp_replace default; the oracle needs the 'g' flag, DuckDB
+        # replaces only the first otherwise)
+        return F.regexp_replace(F.col(m.group(1)), _lit(m.group(2)),
+                                _lit(m.group(3)))
+    m = re.fullmatch(rf"\s*(TRIM|LTRIM|RTRIM)\(\s*({_IDENT})\s*\)\s*",
+                     expr, re.IGNORECASE)
+    if m:
+        fn = m.group(1).lower()
+        return {"trim": F.trim, "ltrim": F.ltrim,
+                "rtrim": F.rtrim}[fn](F.col(m.group(2)))
+    m = re.fullmatch(rf"\s*(LEFT|RIGHT)\(\s*({_IDENT})\s*,\s*(\d+)\s*\)\s*",
+                     expr, re.IGNORECASE)
+    if m:
+        # ES|QL LEFT/RIGHT(f, n) — Spark left/right == DuckDB left/right
+        fn, fld, n = m.group(1).lower(), m.group(2), int(m.group(3))
+        return (F.left if fn == "left" else F.right)(
+            F.col(fld), F.lit(n))
     m = re.fullmatch(rf"\s*(abs|length|lower|upper)\(\s*({_IDENT})\s*\)\s*",
                      expr, re.IGNORECASE)
     if m:

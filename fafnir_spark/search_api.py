@@ -1269,3 +1269,56 @@ GROUP BY {field}
 ORDER BY doc_count DESC, key ASC
 LIMIT {size}
 """
+
+
+_SM_COMBINES = ("sum", "min", "max", "avg", "count")
+
+
+def _scripted_metric_parts(map_script: str, combine: str):
+    if combine not in _SM_COMBINES:
+        raise RuntimeFieldError(
+            f"scripted_metric combine must be associative ({_SM_COMBINES}), "
+            f"got {combine!r} — arbitrary combine/reduce scripts need a "
+            "driver-side state merge and do not distribute")
+    return compile_runtime_script(map_script)
+
+
+def scripted_metric(df: DataFrame, group_field: str, map_script: str,
+                    combine: str, name: str = "value") -> DataFrame:
+    """ES scripted_metric aggregation, restricted to the associative form
+    (ref: ES search-aggregations-metrics-scripted-metric). The map_script
+    runs row-local through the closed runtime-script grammar (ONE AST
+    renders the Spark Column AND the SQL mirror — the runtime_fields
+    rule), and combine_script/reduce_script collapse to a single
+    associative operator (sum/min/max/avg/count): Spark's map-side partial
+    aggregation IS the combine phase and the shuffle-side merge IS the
+    reduce phase, so the agg distributes with no driver-side state —
+    the only scripted_metric shape that survives 100 TB. Output:
+    (key, <name>) sorted by key."""
+    mt, _msql = _scripted_metric_parts(map_script, combine)
+    mapped = df.select(F.col(group_field).alias("key"), mt().alias("__m"))
+    if combine == "count":
+        agg = F.count("__m").cast("long")
+    else:
+        agg = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[
+            combine](F.col("__m"))
+        if combine in ("sum", "avg"):
+            agg = F.round(agg, 6)
+    return (mapped.groupBy("key").agg(agg.alias(name))
+            .orderBy(F.col("key").asc()))
+
+
+def scripted_metric_sql(table: str, group_field: str, map_script: str,
+                        combine: str, name: str = "value") -> str:
+    """DuckDB mirror rendered from the SAME compiled map AST."""
+    _mt, msql = _scripted_metric_parts(map_script, combine)
+    if combine == "count":
+        expr = f"CAST(count(__m) AS BIGINT)"
+    elif combine in ("sum", "avg"):
+        expr = f"round({combine}(__m), 6)"
+    else:
+        expr = f"{combine}(__m)"
+    return f"""
+WITH mapped AS (SELECT {group_field} AS key, {msql} AS __m FROM {table})
+SELECT key, {expr} AS {name} FROM mapped GROUP BY key ORDER BY key ASC
+"""

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Session-12 scale sanity: the new flagship ops at 100x the driver
+fixture — containment dedup (rarest-anchor candidates) and Kneser-Ney over
+a 250k-doc synthetic code corpus, PageRank over a 2M-edge synthetic graph,
+search_as_you_type (one tagged pass) over the same corpus. Records
+throughput + peak per-stage shuffle (the 'does any single exchange blow
+up' witness) to BENCH/scale_s12.json."""
+import json, os, sys, tempfile, time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fafnir_spark.corpus import synth_corpus
+from fafnir_spark.session import get_spark
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+N_EDGES = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+os.environ["SPARK_GRAFT_UI"] = "1"
+spark = get_spark("scale-s12", cores=cpus)
+
+
+def peak_stage_shuffle() -> dict:
+    import urllib.request
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete",
+                timeout=10) as r:
+            stages = json.load(r)
+        return {
+            "peak_stage_shuffle_write_mb": round(
+                max((s.get("shuffleWriteBytes", 0) for s in stages), default=0) / 1e6, 1),
+            "peak_stage_shuffle_read_mb": round(
+                max((s.get("shuffleReadBytes", 0) for s in stages), default=0) / 1e6, 1),
+            "n_stages": len(stages),
+        }
+    except Exception as e:
+        return {"peak_stage_shuffle_error": str(e)[:120]}
+
+
+work = tempfile.mkdtemp(prefix="fafnir_s12_")
+cp = os.path.join(work, "corpus")
+synth_corpus(spark, N_DOCS).write.parquet(cp)
+from fafnir_spark.build import normalize_docs  # noqa: E402
+docs = normalize_docs(spark.read.parquet(cp)).select(
+    "doc_id", F.col("content").alias("text"))
+out = {"n_docs": N_DOCS, "n_edges": N_EDGES, "cpus": cpus}
+
+from fafnir_spark.dedup import containment_pairs, excerpt_docs  # noqa: E402
+
+t0 = time.time()
+n_pairs = containment_pairs(excerpt_docs(docs), threshold=0.8).count()
+out["containment_sec"] = round(time.time() - t0, 2)
+out["containment_pairs"] = n_pairs
+out["containment_docs_per_sec"] = round(N_DOCS / out["containment_sec"], 1)
+
+from fafnir_spark.curation import kneser_ney_logprob  # noqa: E402
+
+t0 = time.time()
+n_kn = kneser_ney_logprob(docs).count()
+out["kneser_ney_sec"] = round(time.time() - t0, 2)
+out["kneser_ney_docs_per_sec"] = round(N_DOCS / out["kneser_ney_sec"], 1)
+
+from fafnir_spark.scoring import search_as_you_type  # noqa: E402
+
+t0 = time.time()
+sayt = search_as_you_type(docs, ["def", "return", "me"], k=10).collect()
+out["sayt_sec"] = round(time.time() - t0, 2)
+out["sayt_rows"] = len(sayt)
+
+# synthetic 2M-edge graph (50k customers -> 20k suppliers), 3 iterations
+from fafnir_spark.pipeline import graph_pagerank  # noqa: E402
+
+e = spark.range(N_EDGES).select(
+    F.pmod(F.xxhash64(F.col("id")), F.lit(50_000)).alias("o_custkey"),
+    F.col("id").alias("o_orderkey"))
+li = spark.range(N_EDGES).select(
+    F.col("id").alias("l_orderkey"),
+    F.pmod(F.xxhash64(F.col("id") + 7), F.lit(20_000)).alias("l_suppkey"))
+t0 = time.time()
+n_pr = graph_pagerank(e, li, iters=3, damping=0.85, k=20).count()
+out["pagerank_sec"] = round(time.time() - t0, 2)
+out["pagerank_edges_per_sec"] = round(N_EDGES / out["pagerank_sec"], 1)
+out.update(peak_stage_shuffle())
+
+path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "BENCH", "scale_s12.json")
+with open(path, "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))
+spark.stop()
