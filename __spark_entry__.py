@@ -4490,6 +4490,28 @@ def _q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(_docs(spark, sf_dir), merges, k=20)
 
 
+def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram tokenizer VOCABULARY (Kudo'18,
+    frequency-model form): substring candidates weighted by word freq,
+    full char coverage + top-N multi-char pieces, lp = ln(freq/total)
+    rounded 6. Corpus pass stops at the |V|-row word table."""
+    from fafnir_spark.textstats import unigram_vocab
+
+    return unigram_vocab(_docs(spark, sf_dir), vocab_size=24, min_freq=2,
+                         max_piece_len=4)
+
+
+def _q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization: EXACT Viterbi segmentation of every
+    distinct word (<= 10 chars) by enumerating all 2^(n-1) cut masks
+    relationally — vocabulary-bounded, never corpus-bounded; fixed
+    left-fold score over rounded-6 piece logprobs (the PQ ADC rule)."""
+    from fafnir_spark.textstats import unigram_segment
+
+    return unigram_segment(_docs(spark, sf_dir), vocab_size=24, min_freq=2,
+                           max_piece_len=4, seg_max_len=10)
+
+
 def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar ORC source/sink parity (the jdbc_roundtrip sibling):
     write the documents fixture to ORC, read it back through the ORC
@@ -4760,6 +4782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters": _q_cm_heavy_hitters,
         "stream_cm_heavy_hitters": _q_stream_cm_heavy_hitters,
         "bpe_train": _q_bpe_train,
+        "unigram_vocab": _q_unigram_vocab,
+        "unigram_segment": _q_unigram_segment,
         "bpe_apply": _q_bpe_apply,
         "orc_roundtrip": _q_orc_roundtrip,
         "esql_mv_expand": _q_esql_mv_expand,
@@ -5299,6 +5323,10 @@ ORDER BY term ASC LIMIT 10
         "stream_cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(
             k=20, depth=4, width=256),
         "bpe_train": oracles_ops.bpe_train_sql(n_merges=4),
+        "unigram_vocab": oracles_ops.unigram_vocab_sql(
+            vocab_size=24, min_freq=2, max_piece_len=4),
+        "unigram_segment": oracles_ops.unigram_segment_sql(
+            vocab_size=24, min_freq=2, max_piece_len=4, seg_max_len=10),
         "bpe_apply": oracles_ops.bpe_apply_sql(n_merges=6, k=20),
         "orc_roundtrip": """
 SELECT source, CAST(count(*) AS BIGINT) AS n,

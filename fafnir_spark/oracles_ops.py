@@ -1481,3 +1481,89 @@ SELECT rank, vec_id, cos FROM (
   FROM scored
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def _unigram_ctes(vocab_size: int, min_freq: int, max_piece_len: int) -> list[str]:
+    """Shared CTE chain deriving the unigram tokenizer vocabulary
+    (mirror of textstats.unigram_vocab): substring candidates weighted
+    by word frequency, full char coverage + top-N multi-char pieces,
+    lp = round(ln(freq / total), 6) — identical operand order."""
+    return [f"""uwords AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wc, length(word) AS n FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+)""", f"""ucand AS (
+  SELECT substring(word, s, l) AS piece, wc
+  FROM uwords,
+       LATERAL unnest(range(1, least(n, 63) + 1)) AS t1(s),
+       LATERAL unnest(range(1, least({int(max_piece_len)}, n - s + 1) + 1)) AS t2(l)
+)""", """upieces AS (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS freq FROM ucand GROUP BY piece
+)""", f"""umultis AS (
+  SELECT piece, freq FROM upieces
+  WHERE length(piece) > 1 AND freq >= {int(min_freq)}
+  QUALIFY row_number() OVER (ORDER BY freq DESC, piece ASC) <= {int(vocab_size)}
+)""", """uvocab0 AS (
+  SELECT piece, freq FROM upieces WHERE length(piece) = 1
+  UNION ALL SELECT piece, freq FROM umultis
+)""", """utot AS (
+  SELECT CAST(sum(freq) AS DOUBLE) AS t FROM uvocab0
+)""", """uvocab AS (
+  SELECT piece, freq, round(ln(freq / t), 6) AS lp FROM uvocab0, utot
+)"""]
+
+
+def unigram_vocab_sql(vocab_size: int = 24, min_freq: int = 2,
+                      max_piece_len: int = 4) -> str:
+    """Mirror of textstats.unigram_vocab (shared _unigram_ctes)."""
+    ctes = _unigram_ctes(vocab_size, min_freq, max_piece_len)
+    return ("WITH " + ",\n".join(ctes) +
+            "\nSELECT piece, freq, lp FROM uvocab ORDER BY piece ASC")
+
+
+def unigram_segment_sql(vocab_size: int = 24, min_freq: int = 2,
+                        max_piece_len: int = 4,
+                        seg_max_len: int = 10) -> str:
+    """Mirror of textstats.unigram_segment: exact Viterbi over the
+    2^(n-1) cut masks per word; boundaries from mask bits via the SAME
+    integer div/mod formula; score = ordered list_sum over rounded-6
+    piece logprobs (the PQ fixed-order-sum rule); argmax tie order
+    (score desc, n_pieces asc, pieces asc)."""
+    ctes = _unigram_ctes(vocab_size, min_freq, max_piece_len)
+    return ("WITH " + ",\n".join(ctes) + f""",
+umasks AS (
+  SELECT word, n, m.mask
+  FROM (SELECT word, n FROM uwords WHERE n <= {int(seg_max_len)}),
+       LATERAL unnest(range(0, (2**(n - 1))::BIGINT)) AS m(mask)
+),
+ubnd AS (
+  SELECT word, mask,
+         [0] || [i for i in range(1, n)
+                 if ((mask // (2**(i - 1))::BIGINT) % 2) = 1] || [n] AS bnds
+  FROM umasks
+),
+upcs AS (
+  SELECT word, mask, k,
+         substring(word, bnds[k] + 1, bnds[k + 1] - bnds[k]) AS piece
+  FROM ubnd, LATERAL unnest(range(1, len(bnds))) AS u(k)
+),
+usc AS (
+  SELECT p.word, p.mask, p.k, p.piece, v.lp
+  FROM upcs p LEFT JOIN uvocab v USING (piece)
+),
+ugrp AS (
+  SELECT word, mask,
+         CAST(count(*) AS BIGINT) AS np, count(lp) AS n_ok,
+         round(list_sum(list(lp ORDER BY k)), 6) AS score,
+         array_to_string(list(piece ORDER BY k), ' ') AS pieces
+  FROM usc GROUP BY word, mask
+),
+ubest AS (
+  SELECT word, pieces, np AS n_pieces, score,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY score DESC, np ASC, pieces ASC) AS rn
+  FROM ugrp WHERE n_ok = np
+)
+SELECT word, pieces, n_pieces, score FROM ubest WHERE rn = 1
+ORDER BY word ASC""")

@@ -477,3 +477,119 @@ def zipf_fit(docs: DataFrame, top_n: int = 20,
         F.col("n").cast("long").alias("n_terms"),
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"))
+
+
+def _unigram_words(docs: DataFrame, text_col: str) -> DataFrame:
+    """The |V|-row word-frequency table (word, wc, n) — the corpus-sized
+    explode stops here; everything downstream is vocabulary-bounded
+    (the bpe_train scale invariant)."""
+    return (
+        docs.select(F.explode(tokens_expr(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+        .withColumn("n", F.length("word"))
+    )
+
+
+def unigram_vocab(docs: DataFrame, vocab_size: int = 24, min_freq: int = 2,
+                  max_piece_len: int = 4,
+                  text_col: str = "text") -> DataFrame:
+    """SentencePiece-style UNIGRAM tokenizer vocabulary (Kudo'18,
+    frequency-model form): candidate pieces are every substring of every
+    word up to ``max_piece_len`` chars, weighted by word frequency;
+    the vocabulary keeps ALL single characters (full char coverage, so
+    segmentation never fails) plus the top ``vocab_size`` multi-char
+    pieces by (freq desc, piece asc) with freq >= ``min_freq``; piece
+    log-probability is ln(freq / total) over the selected vocabulary,
+    rounded 6 (the kmeans chaining convention — downstream Viterbi sums
+    stay engine-identical). The full EM refinement of Kudo'18 is
+    deliberately out of scope: the frequency model is deterministic and
+    cross-engine exact, EM is neither.
+
+    Scale shape: one corpus pass to the word table; the substring
+    enumeration is row-local over |V| words (<= 63*max_piece_len pieces
+    per word); piece counting is one vocab-bounded groupBy with map-side
+    partials; top-N compiles to TakeOrderedAndProject.
+    (piece, freq, lp) ordered by piece."""
+    words = _unigram_words(docs, text_col)
+    cand = F.expr(
+        f"flatten(transform(sequence(1, least(n, 63)), s -> "
+        f"transform(sequence(1, least({int(max_piece_len)}, n - s + 1)), "
+        f"l -> substring(word, s, l))))")
+    pieces = (words.select(F.explode(cand).alias("piece"), "wc")
+              .groupBy("piece").agg(F.sum("wc").alias("freq")))
+    chars = pieces.filter(F.length("piece") == 1)
+    multis = (pieces
+              .filter((F.length("piece") > 1) & (F.col("freq") >= int(min_freq)))
+              .orderBy(F.col("freq").desc(), F.col("piece").asc())
+              .limit(int(vocab_size)))
+    vocab0 = chars.unionByName(multis)
+    tot = vocab0.agg(F.sum("freq").cast("double").alias("t"))
+    return (vocab0.crossJoin(F.broadcast(tot))
+            .select("piece", "freq",
+                    F.round(F.log(F.col("freq") / F.col("t")), 6).alias("lp"))
+            .orderBy("piece"))
+
+
+def unigram_segment(docs: DataFrame, vocab_size: int = 24, min_freq: int = 2,
+                    max_piece_len: int = 4, seg_max_len: int = 10,
+                    text_col: str = "text") -> DataFrame:
+    """Unigram-LM tokenization (Kudo'18): segment every distinct word of
+    length <= ``seg_max_len`` into the maximum-likelihood piece sequence
+    under the unigram_vocab model — EXACT Viterbi by enumerating all
+    2^(n-1) cut masks per word (the DP's search space, materialized
+    relationally). A mask's boundaries derive from its bits row-local;
+    pieces join the vocabulary (a missing piece invalidates the mask);
+    the score is a FIXED left-to-right fold over the rounded-6 piece
+    logprobs (float addition isn't associative — the PQ ADC rule), and
+    the per-word argmax orders by (score desc, n_pieces asc, pieces asc)
+    so ties are deterministic.
+
+    Scale shape: cost is vocabulary-bounded — |distinct words| * 2^(n-1)
+    mask rows (<= 512 at seg_max_len 10), never corpus rows; the vocab
+    join is a broadcast of a <= (vocab_size + |alphabet|)-row relation;
+    the argmax window partitions by word over <= 512 candidates.
+    (word, pieces, n_pieces, score) ordered by word."""
+    from pyspark.sql.window import Window
+
+    vocab = unigram_vocab(docs, vocab_size, min_freq, max_piece_len,
+                          text_col).select("piece", "lp")
+    words = _unigram_words(docs, text_col).filter(
+        F.col("n") <= int(seg_max_len))
+    masks = words.select(
+        "word", "n",
+        F.explode(F.expr(
+            "sequence(0, cast(pow(2, n - 1) as bigint) - 1)")).alias("mask"))
+    # boundary positions after char i where mask bit i-1 is set; n=1 must
+    # yield no inner boundary (Spark sequence(1, 0) DESCENDS — guard it)
+    bnds = masks.withColumn("bnds", F.expr(
+        "concat(array(0), "
+        "if(n > 1, filter(sequence(1, n - 1), i -> "
+        "pmod(mask div cast(pow(2, i - 1) as bigint), 2) = 1), "
+        "cast(array() as array<int>)), array(n))"))
+    pcs = bnds.select(
+        "word", "mask",
+        F.posexplode(F.expr(
+            "transform(sequence(1, size(bnds) - 1), k -> "
+            "substring(word, element_at(bnds, k) + 1, "
+            "element_at(bnds, k + 1) - element_at(bnds, k)))")
+        ).alias("k", "piece"))
+    sc = pcs.join(F.broadcast(vocab), "piece", "left")
+    grp = sc.groupBy("word", "mask").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.count("lp").alias("n_ok"),
+        F.collect_list(F.struct("k", "lp")).alias("lps"),
+        F.collect_list(F.struct("k", "piece")).alias("ps"))
+    valid = grp.filter(F.col("n_ok") == F.col("np")).select(
+        "word", "np",
+        F.round(F.expr(
+            "aggregate(transform(array_sort(lps), x -> x.lp), 0D, "
+            "(a, x) -> a + x)"), 6).alias("score"),
+        F.expr("array_join(transform(array_sort(ps), x -> x.piece), ' ')"
+               ).alias("pieces"))
+    w = Window.partitionBy("word").orderBy(
+        F.col("score").desc(), F.col("np").asc(), F.col("pieces").asc())
+    return (valid.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("word", "pieces", F.col("np").alias("n_pieces"), "score")
+            .orderBy("word"))

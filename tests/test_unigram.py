@@ -1,0 +1,80 @@
+"""Unigram-tokenizer invariants the oracle sim can't express: the
+segmentation laws (pieces reassemble the word; Viterbi dominates the
+always-valid all-chars cut; pieces are vocabulary members) and vocab
+coverage (every corpus character is a piece)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.textstats import unigram_segment, unigram_vocab
+from tests.conftest import SF_DIR
+
+PARAMS = dict(vocab_size=24, min_freq=2, max_piece_len=4)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def vocab_rows(docs):
+    return unigram_vocab(docs, **PARAMS).collect()
+
+
+@pytest.fixture(scope="module")
+def seg_rows(docs):
+    return unigram_segment(docs, seg_max_len=10, **PARAMS).collect()
+
+
+def test_vocab_char_coverage(docs, vocab_rows):
+    """Every character of every corpus word is a single-char piece —
+    the guarantee that segmentation can never fail."""
+    pieces = {r["piece"] for r in vocab_rows}
+    rows = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w") != "").distinct().collect())
+    corpus_chars = {ch for r in rows for ch in r["w"]}
+    assert corpus_chars <= pieces
+    assert all(len(p) <= PARAMS["max_piece_len"] for p in pieces)
+
+
+def test_vocab_logprobs_normalize(vocab_rows):
+    """lp = ln(freq/total): probabilities sum to 1 over the vocab."""
+    total = sum(r["freq"] for r in vocab_rows)
+    s = sum(math.exp(r["lp"]) for r in vocab_rows)
+    assert abs(s - 1.0) < 1e-4
+    assert all(r["lp"] < 0 for r in vocab_rows)
+    assert total > 0
+
+
+def test_segment_reassembles_word(seg_rows):
+    for r in seg_rows:
+        assert r["pieces"].replace(" ", "") == r["word"]
+        assert r["n_pieces"] == len(r["pieces"].split(" "))
+
+
+def test_segment_pieces_are_vocab_members(seg_rows, vocab_rows):
+    pieces = {r["piece"] for r in vocab_rows}
+    for r in seg_rows:
+        assert set(r["pieces"].split(" ")) <= pieces
+
+
+def test_viterbi_dominates_char_baseline(seg_rows, vocab_rows):
+    """The all-chars cut is always a valid mask, so the argmax score is
+    >= the char-baseline score for every word (exactness witness)."""
+    lp = {r["piece"]: r["lp"] for r in vocab_rows}
+    for r in seg_rows:
+        base = 0.0
+        for ch in r["word"]:
+            base += lp[ch]
+        assert r["score"] >= round(base, 6) - 1e-9
+
+
+def test_frequent_word_segments_coarse(seg_rows):
+    """At least one word segments into fewer pieces than its length —
+    the model actually learned multi-char pieces."""
+    assert any(r["n_pieces"] < len(r["word"]) for r in seg_rows)
