@@ -3888,6 +3888,25 @@ def _q_esql_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return esql(spark, ESQL_CATEGORIZE_QUERY, {"logs": logs})
 
 
+ESQL_FUSE_QUERY = """
+FROM documents
+| FORK ( EVAL _score = to_double(n_chars) | SORT _score DESC, doc_id ASC | LIMIT 20 )
+       ( WHERE lang == "en" | EVAL nl = length(text) | EVAL _score = to_double(nl) | EVAL _score = _score * -1.0 | SORT _score DESC, doc_id ASC | LIMIT 20 )
+| FUSE 60
+| LIMIT 15
+"""
+
+
+def _q_esql_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL FORK + FUSE (9.x): two size-capped scored branches
+    (longest docs; shortest English docs) fused by reciprocal-rank —
+    per-branch rank window over the LIMIT-bounded fork rows only."""
+    from fafnir_spark.esql import esql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return esql(spark, ESQL_FUSE_QUERY, {"documents": docs})
+
+
 ESQL_STRFUNCS_QUERY = """
 FROM documents
 | EVAL head = LEFT(text, 12)
@@ -4809,6 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_mv_stats": _q_esql_mv_stats,
         "esql_categorize": _q_esql_categorize,
         "esql_string_funcs": _q_esql_string_funcs,
+        "esql_fuse": _q_esql_fuse,
         "esql_date_trunc": _q_esql_date_trunc,
         "missing_agg": _q_missing_agg,
         "span_within": _q_span_within,
@@ -5096,6 +5116,30 @@ WITH msgs AS (
 SELECT regexp_replace(msg, '[0-9]+', '#', 'g') AS cat,
        CAST(count(*) AS BIGINT) AS n
 FROM msgs GROUP BY 1 ORDER BY cat ASC
+""",
+        "esql_fuse": """
+WITH b1 AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS s
+  FROM documents ORDER BY s DESC, doc_id ASC LIMIT 20
+),
+b2 AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) * -1.0 AS s
+  FROM documents WHERE lang = 'en' ORDER BY s DESC, doc_id ASC LIMIT 20
+),
+u AS (
+  SELECT 'fork1' AS f, doc_id, s FROM b1
+  UNION ALL SELECT 'fork2' AS f, doc_id, s FROM b2
+),
+r AS (
+  SELECT f, doc_id,
+         row_number() OVER (PARTITION BY f ORDER BY s DESC, doc_id ASC) AS rk
+  FROM u
+),
+fused AS (
+  SELECT doc_id, round(sum(1.0 / (60.0 + rk)), 6) AS _score
+  FROM r GROUP BY doc_id
+)
+SELECT doc_id, _score FROM fused ORDER BY _score DESC, doc_id ASC LIMIT 15
 """,
         "esql_string_funcs": """
 WITH t AS (

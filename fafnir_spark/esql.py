@@ -704,6 +704,28 @@ def _apply_stage(spark: SparkSession, df: DataFrame, stage: str,
         df = outs[0]
         for b in outs[1:]:
             df = df.unionByName(b, allowMissingColumns=True)
+    elif kw == "FUSE":
+        # FUSE [rank_constant] (ES|QL 9.x): reciprocal-rank-fusion of the
+        # preceding FORK's branches — per-branch rank from (_score desc,
+        # doc_id asc), fused score = Σ 1/(k0 + rank) per doc_id, rounded 6.
+        # The per-branch rank window partitions by `_fork` over rows each
+        # branch already bounded with its own SORT|LIMIT (the ES search
+        # semantics: forks are size-capped), so the window never sees an
+        # unbounded scored relation.
+        from pyspark.sql.window import Window
+
+        for need in ("_fork", "doc_id", "_score"):
+            if need not in df.columns:
+                raise EsqlError(f"FUSE needs column {need!r} (a FORK of "
+                                "scored, doc_id-keyed branches)")
+        k0 = int(rest.strip()) if rest.strip() else 60
+        w = Window.partitionBy("_fork").orderBy(
+            F.col("_score").desc(), F.col("doc_id").asc())
+        ranked = df.withColumn("_r", F.row_number().over(w))
+        df = (ranked.groupBy("doc_id")
+              .agg(F.round(F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("_r"))),
+                           6).alias("_score"))
+              .orderBy(F.col("_score").desc(), F.col("doc_id").asc()))
     elif kw == "LIMIT":
         df = df.limit(int(rest.strip()))
     elif kw == "KEEP":

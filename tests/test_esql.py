@@ -492,3 +492,63 @@ def test_terms_enum_prefix_sorted(spark):
         "doc_id long, text string")
     rows = [r["term"] for r in terms_enum(docs, "s", size=2).collect()]
     assert rows == ["sand", "slow"]  # ascending, size-capped
+
+
+def test_string_funcs_roundtrip(spark):
+    from fafnir_spark.esql import esql
+
+    df = spark.createDataFrame([(1, "hello world", "en")],
+                               "doc_id long, text string, lang string")
+    out = esql(spark, """
+FROM t
+| EVAL a = CONCAT(lang, ", ", text)
+| EVAL b = SUBSTRING(text, 7, 5)
+| EVAL c = REPLACE(text, "l+", "L")
+| EVAL d = LEFT(text, 5)
+| EVAL e = RIGHT(text, 5)
+| EVAL f = TRIM(d)
+| KEEP a, b, c, d, e, f
+""", {"t": df}).collect()[0]
+    # CONCAT's literal "," separator must survive the arg split
+    assert out["a"] == "en, hello world"
+    assert out["b"] == "world"
+    assert out["c"] == "heLo worLd"  # replace-ALL
+    assert out["d"] == "hello" and out["e"] == "world" and out["f"] == "hello"
+
+
+def test_fuse_requires_fork_columns(spark):
+    import pytest as _pytest
+
+    from fafnir_spark.esql import EsqlError, esql
+
+    df = spark.createDataFrame([(1, 2.0)], "doc_id long, v double")
+    with _pytest.raises(EsqlError, match="_fork"):
+        esql(spark, "FROM t | FUSE 60", {"t": df})
+
+
+def test_fuse_rrf_math(spark):
+    from fafnir_spark.esql import esql
+
+    # doc 1 is rank 1 in both branches; doc 2 rank 2 in fork1 only
+    df = spark.createDataFrame(
+        [(1, 9.0, "x"), (2, 5.0, "x"), (3, 1.0, "x")],
+        "doc_id long, v double, lang string")
+    out = esql(spark, """
+FROM t
+| FORK ( EVAL _score = v | SORT _score DESC, doc_id ASC | LIMIT 2 )
+       ( WHERE doc_id == 1 | EVAL _score = v | LIMIT 2 )
+| FUSE 60
+""", {"t": df}).collect()
+    got = {r["doc_id"]: r["_score"] for r in out}
+    assert got[1] == round(1 / 61 + 1 / 61, 6)
+    assert got[2] == round(1 / 62, 6)
+
+
+def test_scripted_metric_rejects_non_associative(spark):
+    import pytest as _pytest
+
+    from fafnir_spark.search_api import RuntimeFieldError, scripted_metric
+
+    df = spark.createDataFrame([(1.0, "a")], "value double, g string")
+    with _pytest.raises(RuntimeFieldError, match="associative"):
+        scripted_metric(df, "g", "value * 2", "median")
