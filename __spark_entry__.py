@@ -3888,6 +3888,24 @@ def _q_esql_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return esql(spark, ESQL_CATEGORIZE_QUERY, {"logs": logs})
 
 
+ES_SQL_QUERY = (
+    "SELECT source, count(*) AS n, round(avg(n_chars), 6) AS avg_chars, "
+    "max(n_chars) AS mx FROM documents "
+    "WHERE lang = 'en' AND source LIKE 'src1%' AND n_chars IS NOT NULL "
+    "GROUP BY source HAVING n >= 2 ORDER BY n DESC, source ASC LIMIT 10")
+
+
+def _q_es_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES SQL (the x-pack /_sql endpoint): closed SELECT-dialect compiler
+    — WHERE below the one groupBy (pushdown-eligible), HAVING on the
+    aggregated relation, ORDER+LIMIT = TakeOrderedAndProject. The oracle
+    statement is re-rendered from the SAME parsed AST."""
+    from fafnir_spark.es_sql import es_sql
+
+    return es_sql(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                  ES_SQL_QUERY)
+
+
 ESQL_FUSE_QUERY = """
 FROM documents
 | FORK ( EVAL _score = to_double(n_chars) | SORT _score DESC, doc_id ASC | LIMIT 20 )
@@ -4829,6 +4847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_categorize": _q_esql_categorize,
         "esql_string_funcs": _q_esql_string_funcs,
         "esql_fuse": _q_esql_fuse,
+        "es_sql": _q_es_sql,
         "esql_date_trunc": _q_esql_date_trunc,
         "missing_agg": _q_missing_agg,
         "span_within": _q_span_within,
@@ -5117,6 +5136,7 @@ SELECT regexp_replace(msg, '[0-9]+', '#', 'g') AS cat,
        CAST(count(*) AS BIGINT) AS n
 FROM msgs GROUP BY 1 ORDER BY cat ASC
 """,
+        "es_sql": __import__("fafnir_spark.es_sql", fromlist=["x"]).to_canonical_sql(ES_SQL_QUERY),
         "esql_fuse": """
 WITH b1 AS (
   SELECT doc_id, CAST(n_chars AS DOUBLE) AS s

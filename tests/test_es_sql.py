@@ -1,0 +1,57 @@
+"""ES SQL closed-grammar invariants: execution laws on a tiny frame and
+REJECTION of everything outside the subset (subqueries, stacked
+statements, unknown functions, expressions in ORDER BY) — the closedness
+IS the security property."""
+
+from __future__ import annotations
+
+import pytest
+
+from fafnir_spark.es_sql import EsSqlError, es_sql, to_canonical_sql
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0), ("b", 4, None),
+         ("c", 5, 50.0)],
+        "g string, k long, v double")
+
+
+def test_group_having_order(t):
+    rows = es_sql(t, "SELECT g, count(*) AS n, round(avg(v), 6) AS a "
+                     "FROM t GROUP BY g HAVING n >= 2 "
+                     "ORDER BY n DESC, g ASC LIMIT 5").collect()
+    assert [(r["g"], r["n"]) for r in rows] == [("a", 2), ("b", 2)]
+    assert rows[0]["a"] == 15.0
+    assert rows[1]["a"] == 30.0  # avg skips the NULL
+
+
+def test_where_like_in_null(t):
+    rows = es_sql(t, "SELECT k FROM t WHERE g LIKE 'a%' AND k IN (1, 2, 9) "
+                     "AND v IS NOT NULL ORDER BY k ASC").collect()
+    assert [r["k"] for r in rows] == [1, 2]
+
+
+def test_canonical_roundtrip():
+    q = ("SELECT g, count(*) AS n FROM t WHERE v > 1.5 "
+         "GROUP BY g ORDER BY n DESC LIMIT 3")
+    c = to_canonical_sql(q)
+    assert "CAST(count(*) AS BIGINT) AS n" in c
+    assert c.startswith("SELECT ") and c.endswith("LIMIT 3")
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT * FROM t",                                   # star projection
+    "SELECT g FROM t; DROP TABLE t",                     # stacked statement
+    "SELECT g FROM (SELECT g FROM t)",                   # subquery
+    "SELECT g FROM t WHERE g = (SELECT 1)",              # scalar subquery
+    "SELECT upper(g) AS u FROM t",                       # unknown function
+    "SELECT g FROM t ORDER BY length(g)",                # expr order key
+    "SELECT g, count(*) AS n FROM t",                    # agg mix, no group
+    "SELECT g FROM t WHERE g = 'a' OR g = 'b'",          # OR (outside subset)
+    "SELECT sum(v) AS s FROM t GROUP BY g HAVING v > 1", # HAVING non-agg
+])
+def test_rejects_outside_subset(t, bad):
+    with pytest.raises(EsSqlError):
+        es_sql(t, bad)
