@@ -73,8 +73,10 @@ def _split_items(s: str) -> list[str]:
 
 
 class _Item:
-    """One SELECT item: (column expr thunk, canonical SQL, output name,
-    is_aggregate)."""
+    """One SELECT item: (ZERO-ARG column thunk, canonical SQL, output
+    name, is_aggregate). Columns are thunks — to_canonical_sql renders
+    the oracle BEFORE any SparkSession exists (the runtime_fields
+    column-thunk rule), so nothing here may touch F.* eagerly."""
 
     def __init__(self, col, sql: str, name: str, is_agg: bool):
         self.col, self.sql, self.name, self.is_agg = col, sql, name, is_agg
@@ -86,7 +88,11 @@ def _parse_item(s: str) -> _Item:
     if m:
         col, alias = m.groups()
         name = alias or col
-        return _Item(F.col(col).alias(name), f"{col} AS {name}", name, False)
+
+        def plain(col=col, name=name):
+            return F.col(col).alias(name)
+
+        return _Item(plain, f"{col} AS {name}", name, False)
     m = re.fullmatch(
         rf"(count|sum|min|max|avg)\(\s*(\*|{_ID})\s*\)\s+AS\s+({_ID})",
         s, re.IGNORECASE)
@@ -95,57 +101,89 @@ def _parse_item(s: str) -> _Item:
         if arg == "*":
             if fn != "count":
                 raise EsSqlError("only count(*) takes *")
-            col = F.count(F.lit(1)).cast("long").alias(alias)
-            return _Item(col, f"CAST(count(*) AS BIGINT) AS {alias}",
+
+            def star(alias=alias):
+                return F.count(F.lit(1)).cast("long").alias(alias)
+
+            return _Item(star, f"CAST(count(*) AS BIGINT) AS {alias}",
                          alias, True)
-        col = _AGGS[fn](F.col(arg))
         sql = f"{fn}({arg})"
         if fn == "count":
-            col, sql = col.cast("long"), f"CAST({sql} AS BIGINT)"
-        elif fn in ("sum",):
+            sql = f"CAST({sql} AS BIGINT)"
+        elif fn == "sum":
             # integer sums: the driver value-hash diverges on DuckDB's
-            # HUGEINT → float; keep both engines in double via round-6
-            col, sql = F.round(col.cast("double"), 6), f"round(CAST({sql} AS DOUBLE), 6)"
+            # HUGEINT -> float; keep both engines in double via round-6
+            sql = f"round(CAST({sql} AS DOUBLE), 6)"
         elif fn == "avg":
-            col, sql = F.round(col, 6), f"round({sql}, 6)"
-        return _Item(col.alias(alias), f"{sql} AS {alias}", alias, True)
+            sql = f"round({sql}, 6)"
+
+        def agg(fn=fn, arg=arg, alias=alias):
+            col = _AGGS[fn](F.col(arg))
+            if fn == "count":
+                col = col.cast("long")
+            elif fn == "sum":
+                col = F.round(col.cast("double"), 6)
+            elif fn == "avg":
+                col = F.round(col, 6)
+            return col.alias(alias)
+
+        return _Item(agg, f"{sql} AS {alias}", alias, True)
     m = re.fullmatch(
         rf"round\(\s*avg\(\s*({_ID})\s*\)\s*,\s*(\d+)\s*\)\s+AS\s+({_ID})",
         s, re.IGNORECASE)
     if m:
         arg, nd, alias = m.group(1), int(m.group(2)), m.group(3)
-        return _Item(F.round(F.avg(F.col(arg)), nd).alias(alias),
-                     f"round(avg({arg}), {nd}) AS {alias}", alias, True)
+
+        def ravg(arg=arg, nd=nd, alias=alias):
+            return F.round(F.avg(F.col(arg)), nd).alias(alias)
+
+        return _Item(ravg, f"round(avg({arg}), {nd}) AS {alias}",
+                     alias, True)
     raise EsSqlError(f"unsupported SELECT item: {s!r}")
 
 
 def _parse_cond(s: str, agg_names: set[str] | None = None):
-    """(predicate Column, canonical SQL). With agg_names set (HAVING),
-    bare aliases of aggregate items are the only allowed columns."""
+    """(ZERO-ARG predicate thunk, canonical SQL) — thunked for the same
+    no-session reason as _Item. With agg_names set (HAVING), bare aliases
+    of aggregate items are the only allowed columns."""
     s = s.strip()
     m = re.fullmatch(rf"({_ID})\s*(>=|<=|!=|=|>|<)\s*({_LIT})", s)
     if m:
         col, op, lit = m.groups()
         if agg_names is not None and col not in agg_names:
             raise EsSqlError(f"HAVING references non-aggregate {col!r}")
-        return (getattr(F.col(col), _CMP[op])(F.lit(_lit(lit))),
-                f"{col} {op} {_lit_sql(lit)}")
+
+        def cmp_t(col=col, op=op, lit=lit):
+            return getattr(F.col(col), _CMP[op])(F.lit(_lit(lit)))
+
+        return (cmp_t, f"{col} {op} {_lit_sql(lit)}")
     m = re.fullmatch(rf"({_ID})\s+LIKE\s+({_STR})", s, re.IGNORECASE)
     if m:
         col, pat = m.groups()
-        return (F.col(col).like(_lit(pat)), f"{col} LIKE {pat}")
+
+        def like_t(col=col, pat=pat):
+            return F.col(col).like(_lit(pat))
+
+        return (like_t, f"{col} LIKE {pat}")
     m = re.fullmatch(rf"({_ID})\s+IN\s+\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)",
                      s, re.IGNORECASE)
     if m:
         col, lits = m.groups()
         vals = [_lit(x) for x in re.findall(_LIT, lits)]
         sqls = ", ".join(_lit_sql(x) for x in re.findall(_LIT, lits))
-        return (F.col(col).isin(vals), f"{col} IN ({sqls})")
+
+        def in_t(col=col, vals=vals):
+            return F.col(col).isin(vals)
+
+        return (in_t, f"{col} IN ({sqls})")
     m = re.fullmatch(rf"({_ID})\s+IS\s+(NOT\s+)?NULL", s, re.IGNORECASE)
     if m:
         col, neg = m.groups()
-        c = F.col(col).isNotNull() if neg else F.col(col).isNull()
-        return (c, f"{col} IS {'NOT ' if neg else ''}NULL")
+
+        def null_t(col=col, neg=neg):
+            return (F.col(col).isNotNull() if neg else F.col(col).isNull())
+
+        return (null_t, f"{col} IS {'NOT ' if neg else ''}NULL")
     raise EsSqlError(f"unsupported condition: {s!r}")
 
 
@@ -202,21 +240,21 @@ def es_sql(df: DataFrame, query: str) -> DataFrame:
     """Execute one ES SQL statement over ``df`` (the FROM table)."""
     p = _parse(query)
     for cond, _ in p["where"]:
-        df = df.filter(cond)
+        df = df.filter(cond())
     items = p["items"]
     if p["group"]:
-        aggs = [i.col for i in items if i.is_agg]
+        aggs = [i.col() for i in items if i.is_agg]
         if not aggs:
             raise EsSqlError("GROUP BY without aggregates")
         df = df.groupBy(*p["group"]).agg(*aggs)
-        df = df.select(*[F.col(i.name) if i.is_agg else i.col
+        df = df.select(*[F.col(i.name) if i.is_agg else i.col()
                          for i in items])
     elif any(i.is_agg for i in items):
-        df = df.agg(*[i.col for i in items])
+        df = df.agg(*[i.col() for i in items])
     else:
-        df = df.select(*[i.col for i in items])
+        df = df.select(*[i.col() for i in items])
     for cond, _ in p["having"]:
-        df = df.filter(cond)
+        df = df.filter(cond())
     if p["order"]:
         df = df.orderBy(*[F.col(c).asc() if d == "ASC" else F.col(c).desc()
                           for c, d in p["order"]])
