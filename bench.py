@@ -330,6 +330,37 @@ def main() -> None:
 
     timed("s12_sweep", _s12_sweep)
 
+    def _s13_sweep() -> int:
+        from fafnir_spark.es_sql import es_sql
+        from fafnir_spark.esql import esql
+        from fafnir_spark.layout import zorder_cells
+        from fafnir_spark.search_api import scripted_metric
+        from fafnir_spark.textstats import unigram_segment
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n = unigram_segment(docs, vocab_size=24, min_freq=2,
+                            max_piece_len=4, seg_max_len=10).count()
+        n += zorder_cells(events, "value", "user_id", bits=5).count()
+        n += es_sql(docs, "SELECT source, count(*) AS n FROM documents "
+                          "WHERE lang = 'en' GROUP BY source "
+                          "HAVING n >= 2 ORDER BY n DESC, source ASC "
+                          "LIMIT 10").count()
+        n += scripted_metric(events, "event_type",
+                             "CASE(value >= 50, value * 2, round(value, 0))",
+                             "sum").count()
+        n += esql(spark, 'FROM documents '
+                         '| FORK ( EVAL _score = to_double(n_chars) '
+                         '| SORT _score DESC, doc_id ASC | LIMIT 20 ) '
+                         '( WHERE lang == "en" | EVAL nl = length(text) '
+                         '| EVAL _score = to_double(nl) '
+                         '| SORT _score DESC, doc_id ASC | LIMIT 20 ) '
+                         '| FUSE 60 | LIMIT 15',
+                  {"documents": docs}).count()
+        return n
+
+    timed("s13_sweep", _s13_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work

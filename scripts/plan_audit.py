@@ -784,6 +784,35 @@ def main() -> None:
               "the exploded tokens BELOW the df groupBy — each of the m "
               "export queries shuffles ~1/m of the token stream; finish "
               "is TakeOrderedAndProject."),
+        audit("unigram_segment (exact Viterbi over cut masks)",
+              __import__("fafnir_spark.textstats", fromlist=["x"])
+              .unigram_segment(docs, vocab_size=24, min_freq=2,
+                               max_piece_len=4, seg_max_len=10),
+              "Corpus explode stops at the |V|-row word table; the "
+              "2^(n-1) mask enumeration and piece extraction are "
+              "row-local; the vocab join broadcasts a <=|vocab|-row "
+              "relation; the argmax window partitions by word over "
+              "<=512 bounded candidates — cost is vocabulary-bounded, "
+              "never corpus rows."),
+        audit("zorder_cells (Morton cell histogram)",
+              __import__("fafnir_spark.layout", fromlist=["x"])
+              .zorder_cells(spark.read.parquet(f"{sf}/events.parquet"),
+                            "value", "user_id", bits=5),
+              "One 1-row min/max aggregate broadcast back (the benign "
+              "BNLJ); the interleave is exact integer arithmetic "
+              "row-local; one map-side-combined groupBy over <=4^bits "
+              "cells. write_zordered adds repartitionByRange on the key "
+              "— manifest pruning evidence lives in tests/test_layout.py."),
+        audit("es_sql (closed SELECT-dialect compile)",
+              __import__("fafnir_spark.es_sql", fromlist=["x"]).es_sql(
+                  docs, "SELECT source, count(*) AS n FROM documents "
+                        "WHERE lang = 'en' AND source LIKE 'src1%' "
+                        "GROUP BY source HAVING n >= 2 "
+                        "ORDER BY n DESC, source ASC LIMIT 10"),
+              "WHERE atoms compile to pushdown-eligible predicates "
+              "(PushedFilters shows the LIKE prefix + equality); one "
+              "map-side-combined groupBy; ORDER+LIMIT is "
+              "TakeOrderedAndProject."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
