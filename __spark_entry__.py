@@ -214,6 +214,27 @@ def _q_reindex_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", "score")
 
 
+def _q_split_shrink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _split then _shrink lifecycle: shard count 8 → 16 → 8 through
+    the relayout path (doc_part recomputed as pmod(doc_id, n_parts) at
+    each width — every routing invariant holds), then query the final
+    layout — same oracle as direct BM25 (rank identity under both)."""
+    import shutil
+
+    from fafnir_spark.build import shrink_index, split_index
+    from fafnir_spark.wand import run_queries
+
+    src = _idx_root(spark, sf_dir)
+    wide, back = src + "_split16", src + "_shrink8"
+    for d in (wide, back):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    assert split_index(spark, src, wide, factor=2) == 16
+    assert shrink_index(spark, wide, back, factor=2) == 8
+    res = run_queries(spark, back, {"q": Q_MAIN}, k=10, algo="bmw")
+    return res.select("rank", "doc_id", "score")
+
+
 def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path: build index, query with BMW, same oracle as direct
     — proves the physical index (codec, sharding, pruning) is faithful."""
@@ -4586,6 +4607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_boosted": _q_bm25_boosted,
         "bm25_topk_indexed": _q_bm25_indexed,
         "reindex_query": _q_reindex_query,
+        "split_shrink_query": _q_split_shrink_query,
         "routed_bm25": _q_routed_bm25,
         "clone_query": _q_clone_query,
         "hard_negatives": _q_hard_negatives,
@@ -4978,6 +5000,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_boosted": oracles.bm25_topk_sql(Q_BOOST, k=10, boosted=True),
         "bm25_topk_indexed": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "reindex_query": oracles.bm25_topk_sql(Q_MAIN, k=10),
+        "split_shrink_query": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "routed_bm25": oracles.bm25_topk_sql(
             Q_MAIN, k=10, docs_where="source = 'src3'"),
         "clone_query": oracles.bulk_delete_sql(

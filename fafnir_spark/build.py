@@ -775,6 +775,40 @@ def reindex(
     )
 
 
+def split_index(spark: SparkSession, src_root: str, dst_root: str,
+                factor: int = 2, block_size: int = 128) -> int:
+    """ES ``_split``: multiply the shard count by an integer ``factor``
+    (the ES rule — a split target must be a multiple of the source).
+    Implemented as a relayout through reindex: doc_part = pmod(doc_id,
+    n_parts) keeps every routing invariant intact at the new width, and
+    df/cf/dl are relayout-invariant, so queries stay rank-identical.
+    Returns the new n_parts."""
+    if factor < 2:
+        raise ValueError("_split factor must be an integer >= 2")
+    m = Catalog(src_root).read_manifest()
+    n_parts = int((m.get("meta") or {}).get("n_parts", 8))
+    new_parts = n_parts * int(factor)
+    reindex(spark, src_root, dst_root, n_parts=new_parts,
+            block_size=block_size)
+    return new_parts
+
+
+def shrink_index(spark: SparkSession, src_root: str, dst_root: str,
+                 factor: int = 2, block_size: int = 128) -> int:
+    """ES ``_shrink``: divide the shard count by an integer ``factor``
+    (ES requires the source count to be a multiple of the target).
+    Same relayout path as split_index. Returns the new n_parts."""
+    m = Catalog(src_root).read_manifest()
+    n_parts = int((m.get("meta") or {}).get("n_parts", 8))
+    if factor < 2 or n_parts % int(factor) != 0:
+        raise ValueError(
+            f"_shrink needs an integer factor dividing n_parts={n_parts}")
+    new_parts = n_parts // int(factor)
+    reindex(spark, src_root, dst_root, n_parts=new_parts,
+            block_size=block_size)
+    return new_parts
+
+
 def write_bucketed(df: DataFrame, table: str, col: str = "doc_id",
                    buckets: int = 8) -> None:
     """Persist a DataFrame as a BUCKETED + sorted managed table: rows are
