@@ -1251,6 +1251,15 @@ def _q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_metrics_latest(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_moving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn ewma over daily bucket sums — seed-with-first fold,
+    alpha fixed dyadic 0.5 so both engines' recurrences are bit-identical
+    (DuckDB list_reduce == the mirrored element_at + slice aggregate)."""
+    from fafnir_spark.pipeline import moving_ewma
+
+    return moving_ewma(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES date_histogram + pipeline aggs (derivative / cumulative_sum /
     moving avg) chained over the ordered per-day bucket relation."""
@@ -4693,6 +4702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _q_value_histogram,
         "doc_values_histogram_indexed": _q_doc_values_histogram,
         "pipeline_aggs": _q_pipeline_aggs,
+        "moving_ewma": _q_moving_ewma,
         "extended_stats": _q_extended_stats,
         "bucket_selector": _q_bucket_selector,
         "bucket_sort": _q_bucket_sort,
@@ -5110,6 +5120,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_values_histogram_indexed":
             oracles_pipeline.doc_values_histogram_sql("n_chars", 50.0),
         "pipeline_aggs": oracles_pipeline.event_pipeline_aggs_sql(3),
+        "moving_ewma": """
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+),
+folded AS (
+  SELECT day, sum_value,
+         round(list_reduce(
+           list(sum_value) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           (a, x) -> a * 0.5 + x * 0.5), 6) AS ewma
+  FROM buckets
+)
+SELECT day, sum_value, ewma FROM folded ORDER BY day ASC
+""",
         "extended_stats": oracles_pipeline.extended_stats_sql(),
         "bucket_selector": oracles_pipeline.bucket_selector_topn_sql(),
         "bucket_sort": oracles_pipeline.bucket_sort_sql(from_=2, size=3),

@@ -653,6 +653,39 @@ def event_pipeline_aggs(events: DataFrame, mov_window: int = 3) -> DataFrame:
     )
 
 
+def moving_ewma(events: DataFrame) -> DataFrame:
+    """ES moving_fn with MovingFunctions.ewma over per-day bucket sums:
+    exponentially-weighted moving average seeded with the FIRST bucket,
+    then acc = 0.5*acc + 0.5*x per step (alpha fixed DYADIC at 0.5 — a
+    fractional alpha would accumulate libm drift cross-engine; 0.5 keeps
+    every step an exact halving + IEEE add, so the fold is bit-identical
+    in both engines). The fold runs left-to-right over the ordered prefix
+    (the PQ fixed-order-sum rule); DuckDB's list_reduce has exactly the
+    seed-with-first semantics mirrored here with element_at + slice.
+
+    Scale shape: one map-side-combined groupBy to buckets; the window and
+    fold run over the bucket relation only (rows == distinct days).
+    (day, sum_value, ewma) ordered by day."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    buckets = (
+        events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
+                                     "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (buckets
+            .withColumn("__vals", F.collect_list("sum_value").over(w))
+            .withColumn("ewma", F.round(F.expr(
+                "aggregate(slice(__vals, 2, size(__vals)), "
+                "element_at(__vals, 1), "
+                "(a, x) -> a * 0.5D + x * 0.5D)"), 6))
+            .select("day", "sum_value", "ewma")
+            .orderBy("day"))
+
+
 def adjacency_matrix(docs: DataFrame, filters: dict[str, str],
                      text_col: str = "text") -> DataFrame:
     """ES adjacency_matrix aggregation: named term filters → doc counts for
