@@ -214,6 +214,27 @@ def _q_reindex_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", "score")
 
 
+def _q_ccr_follow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cross-cluster replication: follow the published index into a
+    fresh follower root (copy-once immutable segments + CAS-published
+    mirrored manifest; a second sync is a no-op), then query the FOLLOWER
+    — rank-identical to the leader, same direct-BM25 oracle."""
+    import shutil
+
+    from fafnir_spark.incremental import follow_index
+    from fafnir_spark.wand import run_queries
+
+    src = _idx_root(spark, sf_dir)
+    dst = src + "_follower"
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    follow_index(src, dst)
+    again = follow_index(src, dst)
+    assert again["copied"] == 0, "re-sync of an unchanged leader must be a no-op"
+    res = run_queries(spark, dst, {"q": Q_MAIN}, k=10, algo="bmw")
+    return res.select("rank", "doc_id", "score")
+
+
 def _q_split_shrink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _split then _shrink lifecycle: shard count 8 → 16 → 8 through
     the relayout path (doc_part recomputed as pmod(doc_id, n_parts) at
@@ -4617,6 +4638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": _q_bm25_indexed,
         "reindex_query": _q_reindex_query,
         "split_shrink_query": _q_split_shrink_query,
+        "ccr_follow_query": _q_ccr_follow_query,
         "routed_bm25": _q_routed_bm25,
         "clone_query": _q_clone_query,
         "hard_negatives": _q_hard_negatives,
@@ -5011,6 +5033,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_indexed": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "reindex_query": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "split_shrink_query": oracles.bm25_topk_sql(Q_MAIN, k=10),
+        "ccr_follow_query": oracles.bm25_topk_sql(Q_MAIN, k=10),
         "routed_bm25": oracles.bm25_topk_sql(
             Q_MAIN, k=10, docs_where="source = 'src3'"),
         "clone_query": oracles.bulk_delete_sql(

@@ -678,3 +678,65 @@ def rollover_search(
     from .federate import search_federated
 
     return search_federated(spark, rollover_generations(base_root), queries, k=k)
+
+
+def follow_index(leader_root: str, follower_root: str) -> dict:
+    """ES cross-cluster replication (CCR), one follow/sync cycle: make
+    ``follower_root`` a self-contained replica of the leader's CURRENT
+    snapshot. Segments are immutable, so replication is copy-once — a
+    re-sync after leader appends copies ONLY the new segment dirs (the
+    tombstone/bulk tables ride the same generic loop); json sidecars
+    (stats/aliases/routing/checkpoints) mirror wholesale; the follower
+    manifest is CAS-published with the leader's meta + a ``ccr`` stamp,
+    so follower time travel and conflict detection work exactly as on a
+    primary. Queries on the follower are rank-identical to the leader
+    (same segments, same merged dictionary).
+
+    Scale shape: pure metadata + segment-dir copies — no Spark job, no
+    decode; cost is bytes-of-new-segments, independent of corpus size
+    already replicated. Local-scheme copy (shutil); on object stores the
+    same protocol runs over the FileSystem API — catalog.py is the seam
+    (the Iceberg-jar note in CLAUDE.md).
+
+    Returns {"copied", "skipped", "leader_snapshot"}."""
+    import os
+    import shutil
+
+    from .catalog import _is_local
+
+    if not (_is_local(leader_root) and _is_local(follower_root)):
+        raise NotImplementedError(
+            "follow_index copies via shutil — object-store roots need the "
+            "FileSystem-API copy (catalog.py seam)")
+    lcat, fcat = Catalog(leader_root), Catalog(follower_root)
+    lm = lcat.read_manifest()
+    if lm["snapshot_id"] is None:
+        raise ValueError(f"leader {leader_root} has no published snapshot")
+    fm = fcat.read_manifest()
+    copied = skipped = 0
+    tables: dict[str, list[str]] = {}
+    for t, dirs in lm["tables"].items():
+        new_dirs = []
+        for d in dirs:
+            rel = os.path.relpath(d, leader_root)
+            if rel.startswith(".."):
+                raise ValueError(f"segment {d} lies outside leader root")
+            dst = os.path.join(follower_root, rel)
+            if not os.path.exists(dst):
+                shutil.copytree(d, dst)
+                copied += 1
+            else:
+                skipped += 1
+            new_dirs.append(dst)
+        tables[t] = new_dirs
+    for j in ("stats", "aliases", "routing", "checkpoints"):
+        obj = lcat.read_json(j)
+        if obj is not None:
+            fcat.write_json(j, obj)
+    meta = dict(lm.get("meta") or {})
+    meta["ccr"] = {"leader": leader_root,
+                   "leader_snapshot": lm["snapshot_id"]}
+    fcat.publish(tables, meta=meta,
+                 expected_snapshot=fm.get("snapshot_id"))
+    return {"copied": copied, "skipped": skipped,
+            "leader_snapshot": lm["snapshot_id"]}

@@ -735,3 +735,30 @@ def test_ilm_rollover_generations_and_deletes(spark, tmp_path):
     got2 = [(r["doc_id"])
             for r in rollover_search(spark, base, {"q": ["merge", "window"]}, k=10).collect()]
     assert victim not in got2
+
+
+def test_ccr_follow_catches_up(spark, tmp_path, split_docs):
+    """CCR follow: initial sync replicates every segment; after a leader
+    append the re-sync copies ONLY the new segments (copy-once law); the
+    follower is rank-identical to the leader at each point."""
+    from fafnir_spark.incremental import follow_index
+
+    _, old, new = split_docs
+    leader = str(tmp_path / "leader")
+    follower = str(tmp_path / "follower")
+    build_index(spark, normalize_docs(old, id_col="doc_id", text_col="text"),
+                leader, n_parts=4, build_id="l0")
+
+    first = follow_index(leader, follower)
+    assert first["copied"] > 0 and first["skipped"] == 0
+    assert _res(spark, follower) == _res(spark, leader)
+
+    append_index(spark, normalize_docs(new, id_col="doc_id", text_col="text"),
+                 leader, "l1")
+    second = follow_index(leader, follower)
+    assert second["copied"] > 0          # only the new segments
+    assert second["skipped"] >= first["copied"]  # originals not re-copied
+    assert _res(spark, follower) == _res(spark, leader)
+    # idempotence: an unchanged leader syncs as a pure no-op
+    third = follow_index(leader, follower)
+    assert third["copied"] == 0
