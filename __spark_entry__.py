@@ -2655,6 +2655,21 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=3, damping=0.85, k=20)
 
 
+PPR_SEEDS = [1, 2, 3, 5, 8]
+
+
+def _q_graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala'02): teleport mass restricted to
+    a seed customer set — the seed-expansion/recsys form; |S ∩ nodes|
+    from a 1-row broadcast aggregate, seeds as shared literals."""
+    from fafnir_spark.pipeline import graph_pagerank_personalized
+
+    return graph_pagerank_personalized(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        PPR_SEEDS, iters=3, damping=0.85, k=20)
+
+
 def _q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES children aggregation: parents bucketed by lang, the agg descends
     to each bucket's error-type children — child partials aggregate
@@ -4662,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child_topk": _q_has_child,
         "children_agg": _q_children_agg,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_pagerank_personalized": _q_graph_pagerank_personalized,
         "multi_match_most_fields": _q_multi_match_most,
         "dedup_canonical": _q_dedup_canonical,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -5066,6 +5082,8 @@ def oracle_sql() -> dict[str, str]:
         "has_child_topk": oracles_pipeline.has_child_topk_sql("error", "sum", k=10),
         "children_agg": oracles_pipeline.children_agg_sql("lang", "error"),
         "graph_pagerank": oracles_pipeline.graph_pagerank_sql(3, 0.85, 20),
+        "graph_pagerank_personalized": oracles_pipeline.graph_pagerank_personalized_sql(
+            PPR_SEEDS, 3, 0.85, 20),
         "multi_match_best_fields": oracles.multi_match_sql(
             Q_MAIN, {"text": 1.0, TITLE_SQL: 2.0}, k=10,
             mode="best_fields", tie_breaker=0.3),

@@ -1978,6 +1978,46 @@ ORDER BY rank
 """
 
 
+def graph_pagerank_personalized_sql(seeds: list[int], iters: int = 3,
+                                    damping: float = 0.85,
+                                    k: int = 20) -> str:
+    """Mirror of pipeline.graph_pagerank_personalized: seed-targeted
+    teleport, |S ∩ nodes| from a CTE, same rounding and operand order."""
+    d = float(damping)
+    sl = ", ".join(str(int(s)) for s in sorted({int(s) for s in seeds}))
+    ctes = ["""edges AS (
+  SELECT DISTINCT o.o_custkey AS src, 1000000000 + l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+            "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+            f"sn AS (SELECT count(*) AS s FROM nodes WHERE node IN ({sl}))",
+            "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+            f"""p0 AS (
+  SELECT node, round(CASE WHEN node IN ({sl}) THEN 1.0 / sn.s ELSE 0.0 END, 6) AS pr
+  FROM nodes CROSS JOIN sn
+)"""]
+    for i in range(1, int(iters) + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT e.dst AS node, sum(p.pr / deg.deg) AS inc
+  FROM edges e JOIN deg USING (src) JOIN p{i-1} p ON p.node = e.src
+  GROUP BY e.dst
+)""")
+        ctes.append(f"""p{i} AS (
+  SELECT nodes.node,
+         round(CASE WHEN nodes.node IN ({sl}) THEN (1.0 - {d!r}) / sn.s ELSE 0.0 END
+               + {d!r} * coalesce(c{i}.inc, 0.0), 6) AS pr
+  FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node CROSS JOIN sn
+)""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT rank, node, pr FROM (
+  SELECT row_number() OVER (ORDER BY pr DESC, node ASC) AS rank, node, pr
+  FROM p{int(iters)}
+) WHERE rank <= {int(k)}
+ORDER BY rank
+"""
+
+
 def transform_pivot_sql() -> str:
     """Mirror of pipeline.transform_pivot."""
     return """

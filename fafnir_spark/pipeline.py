@@ -2510,6 +2510,74 @@ def graph_pagerank(orders: DataFrame, lineitem: DataFrame,
             .select("rank", "node", "pr").orderBy("rank"))
 
 
+def graph_pagerank_personalized(orders: DataFrame, lineitem: DataFrame,
+                                seeds: list[int], iters: int = 3,
+                                damping: float = 0.85,
+                                k: int = 20) -> DataFrame:
+    """PERSONALIZED PageRank (Haveliwala 2002): the teleport mass lands
+    only on the ``seeds`` (uniform over seeds present in the graph) —
+    the recsys / seed-expansion form of graph_pagerank, same relational
+    power-iteration shape, same per-iteration round-6 chaining. Seeds
+    enter BOTH engines as literals; |S ∩ nodes| is a 1-row broadcast
+    aggregate so a seed outside the graph never silently skews the mass.
+
+    Scale shape: identical to graph_pagerank — each iteration ONE
+    node-keyed equi-join + ONE map-side-combined groupBy(dst); seeds are
+    an isin predicate, no extra shuffle. (rank, node, pr) top-k."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if not seeds:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+    d = float(damping)
+    sl = sorted({int(s) for s in seeds})
+    edges = (
+        orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"),
+                (F.lit(10**9) + F.col("l_suppkey")).alias("dst"))
+        .distinct()
+    )
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    sn = (nodes.filter(F.col("node").isin(sl))
+          .agg(F.count(F.lit(1)).alias("s")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seed_c = F.col("node").isin(sl)
+    pr = (nodes.crossJoin(F.broadcast(sn))
+          .select("node", F.round(
+              F.when(seed_c, F.lit(1.0) / F.col("s")).otherwise(F.lit(0.0)),
+              6).alias("pr")))
+    for _ in range(int(iters)):
+        contrib = (
+            edges.join(deg, "src")
+            .join(pr.select(F.col("node").alias("src"), "pr"), "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+        )
+        inc = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("inc"))
+        pr = (
+            nodes.join(inc, "node", "left")
+            .crossJoin(F.broadcast(sn))
+            .select(
+                "node",
+                F.round(
+                    F.when(seed_c,
+                           (F.lit(1.0) - F.lit(d)) / F.col("s"))
+                    .otherwise(F.lit(0.0))
+                    + F.lit(d) * F.coalesce(F.col("inc"), F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    top = pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(k)
+    w = F.row_number().over(Window.orderBy(F.col("pr").desc(),
+                                           F.col("node").asc()))
+    return (top.withColumn("rank", w)
+            .select("rank", "node", "pr").orderBy("rank"))
+
+
 def transform_pivot(events: DataFrame) -> DataFrame:
     """ES _transform (pivot mode): the continuous entity-centric
     materialization — one row per user with lifetime aggregates
