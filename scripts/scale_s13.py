@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Session-13 scale sanity: unigram tokenizer (train + exact Viterbi
+segment) over a 250k-doc synthetic code corpus (the vocabulary-bounded
+claim — cost must track |V|, not corpus rows), Z-order clustering of a
+5M-row synthetic (x, y) table with manifest-prune ratio, and es_sql /
+moving_ewma at the same scale. Records throughput + peak per-stage
+shuffle to BENCH/scale_s13.json."""
+import json
+import os
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fafnir_spark.corpus import synth_corpus
+from fafnir_spark.session import get_spark
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+N_ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+os.environ["SPARK_GRAFT_UI"] = "1"
+spark = get_spark("scale-s13", cores=cpus)
+
+
+def peak_stage_shuffle() -> dict:
+    import urllib.request
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete",
+                timeout=10) as r:
+            stages = json.load(r)
+        return {
+            "peak_stage_shuffle_write_mb": round(
+                max((s.get("shuffleWriteBytes", 0) for s in stages),
+                    default=0) / 1e6, 1),
+            "n_stages": len(stages),
+        }
+    except Exception as e:  # noqa: BLE001 - witness only
+        return {"peak_stage_shuffle_error": str(e)[:120]}
+
+
+work = tempfile.mkdtemp(prefix="fafnir_s13_")
+cp = os.path.join(work, "corpus")
+synth_corpus(spark, N_DOCS).write.parquet(cp)
+from fafnir_spark.build import normalize_docs  # noqa: E402
+
+docs = normalize_docs(spark.read.parquet(cp)).select(
+    "doc_id", F.col("content").alias("text"))
+out = {"n_docs": N_DOCS, "n_rows": N_ROWS, "cpus": cpus}
+
+from fafnir_spark.textstats import unigram_segment, unigram_vocab  # noqa: E402
+
+t0 = time.time()
+out["unigram_vocab_rows"] = unigram_vocab(docs, vocab_size=256).count()
+out["unigram_vocab_sec"] = round(time.time() - t0, 2)
+t0 = time.time()
+out["unigram_segment_words"] = unigram_segment(
+    docs, vocab_size=256, seg_max_len=10).count()
+out["unigram_segment_sec"] = round(time.time() - t0, 2)
+out["unigram_docs_per_sec"] = round(
+    N_DOCS / (out["unigram_vocab_sec"] + out["unigram_segment_sec"]), 1)
+
+from fafnir_spark.layout import read_zordered_box, write_zordered  # noqa: E402
+
+pts = spark.range(N_ROWS).select(
+    F.col("id").alias("rid"),
+    (F.pmod(F.xxhash64(F.col("id")), F.lit(100_000)) / 100.0).alias("x"),
+    (F.pmod(F.xxhash64(F.col("id") + 3), F.lit(100_000)) / 100.0).alias("y"))
+zroot = os.path.join(work, "z")
+t0 = time.time()
+write_zordered(pts, "x", "y", zroot, n_files=64, bits=8)
+out["zorder_write_sec"] = round(time.time() - t0, 2)
+out["zorder_rows_per_sec"] = round(N_ROWS / out["zorder_write_sec"], 1)
+t0 = time.time()
+boxed, info = read_zordered_box(spark, zroot, (100.0, 150.0), (100.0, 150.0))
+out["zorder_box_rows"] = boxed.count()
+out["zorder_box_sec"] = round(time.time() - t0, 2)
+out["zorder_files_read"] = info["files_read"]
+out["zorder_files_total"] = info["files_total"]
+out["zorder_prune_ratio"] = round(
+    info["files_read"] / max(1, info["files_total"]), 3)
+
+from fafnir_spark.es_sql import es_sql  # noqa: E402
+from fafnir_spark.pipeline import moving_ewma  # noqa: E402
+
+ev = spark.range(N_ROWS).select(
+    F.timestamp_seconds(F.lit(1704067200) + F.pmod(
+        F.xxhash64(F.col("id")), F.lit(86400 * 60))).alias("ts"),
+    (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1000)) / 10.0).alias("value"),
+    F.concat(F.lit("g"), F.pmod(F.col("id"), F.lit(64)).cast("string")
+             ).alias("g"))
+t0 = time.time()
+out["ewma_days"] = moving_ewma(ev).count()
+out["ewma_sec"] = round(time.time() - t0, 2)
+ev.createOrReplaceTempView("evt")
+t0 = time.time()
+out["es_sql_rows"] = es_sql(
+    ev, "SELECT g, count(*) AS n, round(avg(value), 6) AS a FROM evt "
+        "WHERE value >= 50.0 GROUP BY g HAVING n >= 2 "
+        "ORDER BY n DESC, g ASC LIMIT 20").count()
+out["es_sql_sec"] = round(time.time() - t0, 2)
+out.update(peak_stage_shuffle())
+
+path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "BENCH", "scale_s13.json")
+with open(path, "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))
+spark.stop()
