@@ -2943,6 +2943,46 @@ def _q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nested_query(nested, qty_min=45.0, disc_min=0.07)
 
 
+def _q_nested_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested query inner_hits: top-3 matching nested objects per
+    parent — row-local array filter/sort/slice over the packed items."""
+    from fafnir_spark.pipeline import nested_inner_hits, nested_order_items
+
+    nested = nested_order_items(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+    return nested_inner_hits(nested, qty_min=45.0, disc_min=0.07, size=3)
+
+
+def _q_terms_order_by_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg ordered by a metric sub-agg (exact global form)."""
+    from fafnir_spark.pipeline import terms_order_by_metric
+
+    return terms_order_by_metric(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), size=3
+    )
+
+
+def _q_search_mvt_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _mvt vector-tile grid layer: geotile cells at z+grid_precision
+    clipped to tile (5,15,11), count + centroid per cell."""
+    from fafnir_spark.geo import search_mvt_grid
+
+    return search_mvt_grid(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        zoom=5, x=15, y=11, grid_precision=3,
+    )
+
+
+def _q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting: one EG step from uniform on the
+    unigram-LM domain loss."""
+    from fafnir_spark.curation import doremi_weights
+
+    return doremi_weights(_docs(spark, sf_dir), eta=0.25)
+
+
 def _q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES filters aggregation with other_bucket — one conditional pass."""
     from fafnir_spark.pipeline import filters_agg
@@ -4812,6 +4852,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_vector_pruned": _q_sparse_vector_pruned,
         "has_parent_topk": _q_has_parent,
         "nested_query": _q_nested_query,
+        "nested_inner_hits": _q_nested_inner_hits,
+        "terms_order_by_metric": _q_terms_order_by_metric,
+        "search_mvt_grid": _q_search_mvt_grid,
+        "doremi_weights": _q_doremi_weights,
         "filters_agg": _q_filters_agg,
         "range_agg": _q_range_agg,
         "cumulative_cardinality": _q_cumulative_cardinality,
@@ -5380,6 +5424,10 @@ ORDER BY term ASC LIMIT 10
             weight_threshold=0.5, k=10),
         "has_parent_topk": oracles_pipeline.has_parent_topk_sql("merge", k=10),
         "nested_query": oracles_pipeline.nested_query_sql(45.0, 0.07),
+        "nested_inner_hits": oracles_pipeline.nested_inner_hits_sql(45.0, 0.07, 3),
+        "terms_order_by_metric": oracles_pipeline.terms_order_by_metric_sql(3),
+        "search_mvt_grid": oracles_pipeline.search_mvt_grid_sql(5, 15, 11, 3),
+        "doremi_weights": oracles_curation.doremi_weights_sql(0.25),
         "filters_agg": oracles_pipeline.filters_agg_sql(FILTERS_BUCKETS),
         "range_agg": oracles_pipeline.range_agg_sql(RANGE_EDGES),
         "cumulative_cardinality": oracles_pipeline.cumulative_cardinality_sql(),

@@ -1404,3 +1404,41 @@ def hard_negatives(docs: DataFrame, queries: dict[str, list[str]],
         .select("qid", "rank", "doc_id", "score")
         .orderBy("qid", "rank")
     )
+
+
+def doremi_weights(docs: DataFrame, eta: float = 0.25,
+                   domain_col: str = "source") -> DataFrame:
+    """DoReMi-style one-step domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429): domain loss = −avg per-doc unigram logprob (the
+    corpus unigram LM standing in for the reference/proxy model pair —
+    the same cheap-LM substitution unigram_logprob documents), then ONE
+    exponentiated-gradient step from the uniform baseline:
+    w_d ∝ exp(η·L_d), normalized over domains. Domains whose text the LM
+    finds hard receive more mixture weight — DoReMi's worst-case-domain
+    emphasis.
+
+    Cross-engine exactness: per-doc logprobs enter ROUNDED (6dp,
+    engine-identical by the unigram_logprob contract), the domain loss is
+    re-rounded before exp so both engines exponentiate the same double
+    (1-ulp libm exp drift is absorbed by the final round), and η must be
+    dyadic. The softmax normalizes via a 1-row broadcast sum — the
+    relation is ≤|domains| rows, nothing driver-side.
+    (source, n_docs, domain_loss, weight)."""
+    lp = unigram_logprob(docs)
+    dom = docs.select("doc_id", F.col(domain_col).alias("source"))
+    d = lp.join(dom, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(-F.avg("logprob"), 6).alias("domain_loss"),
+    )
+    d = d.withColumn("__w", F.exp(F.lit(float(eta)) * F.col("domain_loss")))
+    tot = d.agg(F.sum("__w").alias("__tot"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "domain_loss",
+            F.round(F.col("__w") / F.col("__tot"), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )

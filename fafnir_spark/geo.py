@@ -502,3 +502,49 @@ def trajectory_envelope_match(events: DataFrame, x_lo: int, x_hi: int,
         .select("user_id", "n_points")
         .orderBy("user_id")
     )
+
+
+def search_mvt_grid(events: DataFrame, zoom: int = 5, x: int = 16, y: int = 11,
+                    grid_precision: int = 3) -> DataFrame:
+    """ES vector-tile search (`GET idx/_mvt/field/{z}/{x}/{y}`), grid layer:
+    the aggregation half of the MVT response — geotile cells at zoom
+    z + grid_precision CLIPPED to the requested tile, each cell carrying
+    doc_count and the point centroid (what ES renders into the `grid`
+    layer's features; the binary protobuf envelope is transport, not
+    analytics). Cell coordinates are tile-local (cx, cy in
+    [0, 2^grid_precision)), exactly ES's cell addressing.
+
+    Scale shape: the tile-membership predicate is a row-local integer
+    range test on the derived hi-zoom tile coords — at a real deployment
+    the tile filter prunes the corpus to one tile's points BEFORE the one
+    bounded groupBy (≤ 4^grid_precision cells). π and the zoom scale
+    enter both engines as identical double literals (the geotile_grid
+    rule). (cx, cy, doc_count, c_lat, c_lon), count desc then cell asc."""
+    g = int(grid_precision)
+    n_hi = float(1 << (zoom + g))
+    cells_per_tile = 1 << g
+    x_lo, y_lo = x * cells_per_tile, y * cells_per_tile
+    ll = event_latlon(events)
+    rad = F.radians(F.col("lat"))
+    merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+    tx = F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(n_hi)).cast("long")
+    ty = F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(n_hi)).cast("long")
+    pts = ll.select("lat", "lon", tx.alias("__tx"), ty.alias("__ty")).filter(
+        (F.col("__tx") >= x_lo) & (F.col("__tx") < x_lo + cells_per_tile)
+        & (F.col("__ty") >= y_lo) & (F.col("__ty") < y_lo + cells_per_tile)
+    )
+    return (
+        pts.select(
+            (F.col("__tx") - F.lit(x_lo)).alias("cx"),
+            (F.col("__ty") - F.lit(y_lo)).alias("cy"),
+            "lat",
+            "lon",
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.round(F.avg("lat"), 6).alias("c_lat"),
+            F.round(F.avg("lon"), 6).alias("c_lon"),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col("cx").asc(), F.col("cy").asc())
+    )

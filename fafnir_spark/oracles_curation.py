@@ -194,11 +194,10 @@ ORDER BY b.doc_id
 """
 
 
-def unigram_logprob_sql() -> str:
-    """Corpus-unigram-LM average token log-probability per doc; formula and
-    operand order mirror curation.unigram_logprob."""
-    return """
-WITH toks2 AS (
+# Per-doc unigram-LM logprob CTE block — SHARED by unigram_logprob_sql and
+# doremi_weights_sql (formula and operand order mirror
+# curation.unigram_logprob; never hand-copy the formula into a second SQL).
+_UNIGRAM_PERDOC_CTES = """toks2 AS (
   SELECT doc_id, t.tok AS term
   FROM documents, unnest(string_split(text, ' ')) AS t(tok)
   WHERE t.tok <> ''
@@ -212,9 +211,39 @@ per AS (
          sum(tf * ln(cf / total)) AS lp
   FROM tf2 JOIN cfs USING (term) CROSS JOIN tot
   GROUP BY doc_id
-)
-SELECT doc_id, n_tokens, round(lp / n_tokens, 6) AS logprob
-FROM per ORDER BY doc_id
+),
+perdoc AS (
+  SELECT doc_id, n_tokens, round(lp / n_tokens, 6) AS logprob FROM per
+)"""
+
+
+def unigram_logprob_sql() -> str:
+    """Corpus-unigram-LM average token log-probability per doc; formula and
+    operand order mirror curation.unigram_logprob."""
+    return f"""
+WITH {_UNIGRAM_PERDOC_CTES}
+SELECT doc_id, n_tokens, logprob
+FROM perdoc ORDER BY doc_id
+"""
+
+
+def doremi_weights_sql(eta: float = 0.25) -> str:
+    """Mirror of curation.doremi_weights: per-doc ROUNDED logprobs from the
+    shared unigram CTE block, domain loss re-rounded before exp, dyadic
+    eta as an identical double literal, softmax over the domain relation."""
+    return f"""
+WITH {_UNIGRAM_PERDOC_CTES},
+dom AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(-avg(p.logprob), 6) AS domain_loss
+  FROM perdoc p JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+w AS (SELECT *, exp({float(eta)!r} * domain_loss) AS wraw FROM dom),
+tw AS (SELECT sum(wraw) AS wtot FROM w)
+SELECT source, n_docs, domain_loss, round(wraw / wtot, 6) AS weight
+FROM w CROSS JOIN tw ORDER BY source
 """
 
 

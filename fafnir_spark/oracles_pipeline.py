@@ -2045,3 +2045,74 @@ FROM (
 ) WHERE rn = 1
 ORDER BY user_id
 """
+
+
+def nested_inner_hits_sql(qty_min: float = 45.0, disc_min: float = 0.07,
+                          size: int = 3) -> str:
+    """Mirror of pipeline.nested_inner_hits: same predicate, same
+    (qty desc, ln asc) hit order, same truncation — expressed over the
+    raw lineitem relation (the packed array is Spark's storage layout;
+    the semantics are per-parent top-size matching children)."""
+    return f"""
+WITH m AS (
+  SELECT l_orderkey AS o_orderkey, l_linenumber AS ln,
+         l_quantity AS qty, l_discount AS disc
+  FROM lineitem
+  WHERE l_quantity >= {float(qty_min)!r} AND l_discount >= {float(disc_min)!r}
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY qty DESC, ln ASC) AS hit_rank
+  FROM m
+)
+SELECT o_orderkey, CAST(hit_rank AS BIGINT) AS hit_rank, ln, qty, disc
+FROM r WHERE hit_rank <= {int(size)}
+ORDER BY o_orderkey, hit_rank
+"""
+
+
+def terms_order_by_metric_sql(size: int = 3) -> str:
+    """Mirror of pipeline.terms_order_by_metric: bucket order on the
+    ROUNDED metric, key-asc ties."""
+    return f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type
+ORDER BY avg_value DESC, event_type ASC
+LIMIT {int(size)}
+"""
+
+
+def search_mvt_grid_sql(zoom: int = 5, x: int = 16, y: int = 11,
+                        grid_precision: int = 3) -> str:
+    """Mirror of geo.search_mvt_grid: same latlon derivation, same
+    mercator formula with pi and 2^(z+g) as identical double literals,
+    same tile-local cell addressing."""
+    import math
+
+    g = int(grid_precision)
+    n_hi = float(1 << (int(zoom) + g))
+    cpt = 1 << g
+    x_lo, y_lo = int(x) * cpt, int(y) * cpt
+    return f"""
+WITH ll AS (
+  SELECT 40.0 + (((event_id % 100) + 100) % 100) / 10.0 * 2.0 AS lat,
+         -5.0 + (((user_id % 100) + 100) % 100) / 10.0 * 3.0 AS lon
+  FROM events
+),
+t AS (
+  SELECT lat, lon,
+         CAST(floor((lon + 180.0) / 360.0 * {n_hi!r}) AS BIGINT) AS tx,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / {math.pi!r}) / 2.0 * {n_hi!r}) AS BIGINT) AS ty
+  FROM ll
+)
+SELECT tx - {x_lo} AS cx, ty - {y_lo} AS cy,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(lat), 6) AS c_lat,
+       round(avg(lon), 6) AS c_lon
+FROM t
+WHERE tx >= {x_lo} AND tx < {x_lo + cpt} AND ty >= {y_lo} AND ty < {y_lo + cpt}
+GROUP BY cx, cy
+ORDER BY doc_count DESC, cx ASC, cy ASC
+"""

@@ -1222,6 +1222,61 @@ def nested_query(nested: DataFrame, qty_min: float = 45.0,
     )
 
 
+def nested_inner_hits(nested: DataFrame, qty_min: float = 45.0,
+                      disc_min: float = 0.07, size: int = 3) -> DataFrame:
+    """ES nested query with inner_hits: alongside each matching parent,
+    the top ``size`` matching nested objects (sort: qty desc, ln asc) —
+    the payload ES returns under hits.inner_hits. Filter, sort, and
+    truncation are ALL row-local array operations over the packed items
+    (the nested_query rule: zero query-time joins, zero windows — never a
+    row_number over the exploded child relation, which would shuffle
+    every child row); only the final parent-key output sort orders rows.
+    (o_orderkey, hit_rank, ln, qty, disc)."""
+    from pyspark.sql import functions as F
+
+    def pred(e: F.Column) -> F.Column:
+        return (e["qty"] >= F.lit(qty_min)) & (e["disc"] >= F.lit(disc_min))
+
+    def keyed(e: F.Column) -> F.Column:
+        # array_sort orders struct fields lexicographically: (-qty, ln)
+        # ascending == qty desc then ln asc, with the payload riding along.
+        return F.struct(
+            (-e["qty"]).alias("nq"),
+            e["ln"].alias("ln"),
+            e["qty"].alias("qty"),
+            e["disc"].alias("disc"),
+        )
+
+    hits = F.slice(F.array_sort(F.transform(F.filter(F.col("items"), pred), keyed)), 1, size)
+    ex = nested.select("o_orderkey", F.posexplode(hits).alias("pos", "h"))
+    return ex.select(
+        "o_orderkey",
+        (F.col("pos") + 1).cast("long").alias("hit_rank"),
+        F.col("h.ln").alias("ln"),
+        F.col("h.qty").alias("qty"),
+        F.col("h.disc").alias("disc"),
+    ).orderBy("o_orderkey", "hit_rank")
+
+
+def terms_order_by_metric(events: DataFrame, size: int = 3) -> DataFrame:
+    """ES terms aggregation ordered by a metric sub-agg
+    (order: {avg_value: desc}) — the knob the ES docs flag as
+    unbounded-error under shard-local truncation. This is the exact
+    global form: ONE map-side-combined groupBy computes doc_count and the
+    ordering metric together, then the bounded bucket relation sorts —
+    the shard-truncated estimation protocol lives in
+    terms_agg_error_bounds. Buckets order on the ROUNDED metric (the
+    ccnet_buckets rule) so cross-engine float noise can never reorder.
+    (event_type, doc_count, avg_value)."""
+    from pyspark.sql import functions as F
+
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    return g.orderBy(F.col("avg_value").desc(), F.col("event_type").asc()).limit(size)
+
+
 def filters_agg(docs: DataFrame, filters: dict[str, str],
                 text_col: str = "text") -> DataFrame:
     """ES filters aggregation with other_bucket: named term filters →

@@ -1,0 +1,87 @@
+"""Session-14 op invariants the oracle sim can't express: inner_hits
+predicate/order laws, MVT tile-clipping conservation, DoReMi softmax laws
+(normalization + loss-monotone weights), terms-order-by-metric ordering.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.curation import doremi_weights
+from fafnir_spark.geo import search_mvt_grid
+from fafnir_spark.pipeline import (
+    nested_inner_hits,
+    nested_order_items,
+    nested_query,
+    terms_order_by_metric,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def nested(spark):
+    return nested_order_items(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+    )
+
+
+def test_inner_hits_predicate_order_and_parent_set(nested):
+    rows = nested_inner_hits(nested, 45.0, 0.07, size=3).collect()
+    assert rows, "fixture must produce hits"
+    by_parent: dict = {}
+    for r in rows:
+        assert r.qty >= 45.0 and r.disc >= 0.07
+        assert 1 <= r.hit_rank <= 3
+        by_parent.setdefault(r.o_orderkey, []).append(r)
+    for hits in by_parent.values():
+        ranks = [h.hit_rank for h in hits]
+        assert ranks == list(range(1, len(hits) + 1))
+        qtys = [h.qty for h in hits]
+        assert qtys == sorted(qtys, reverse=True)
+    # inner_hits parents == nested_query parents (same predicate)
+    parents = {r.o_orderkey for r in nested_query(nested, 45.0, 0.07).collect()}
+    assert set(by_parent) == parents
+
+
+def test_mvt_grid_conservation_and_cell_bounds(events):
+    out = search_mvt_grid(events, zoom=5, x=15, y=11, grid_precision=3).collect()
+    assert out, "tile (5,15,11) must hold points at SF_DIR"
+    for r in out:
+        assert 0 <= r.cx < 8 and 0 <= r.cy < 8
+        assert 40.0 <= r.c_lat < 60.0 and -5.0 <= r.c_lon < 25.0
+    # conservation: cell counts sum to the z+g population of the clipped
+    # tile — the z5 parent tile's count from an independent z5 aggregation
+    from fafnir_spark.geo import geotile_grid
+
+    z5 = {r.tile: r.doc_count for r in geotile_grid(events, zoom=5).collect()}
+    assert sum(r.doc_count for r in out) == z5["5/15/11"]
+
+
+def test_doremi_weights_laws(docs):
+    rows = doremi_weights(docs, eta=0.25).collect()
+    assert len(rows) > 1
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert all(r.weight > 0 for r in rows)
+    # exp is monotone: sorting by loss must sort by weight
+    by_loss = sorted(rows, key=lambda r: r.domain_loss)
+    ws = [r.weight for r in by_loss]
+    assert ws == sorted(ws)
+
+
+def test_terms_order_by_metric_is_metric_sorted(events):
+    rows = terms_order_by_metric(events, size=3).collect()
+    assert len(rows) == 3
+    avgs = [r.avg_value for r in rows]
+    assert avgs == sorted(avgs, reverse=True)
