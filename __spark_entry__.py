@@ -2643,6 +2643,30 @@ def _q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg'99): relational power
+    half-steps, max-normalized (order-independent, cross-engine exact),
+    round-6 chaining."""
+    from fafnir_spark.pipeline import graph_hits
+
+    return graph_hits(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        iters=2, k=10,
+    )
+
+
+def _q_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles agg, HDR mode: (exponent, mantissa-bits) bucket
+    sketch + exact-integer rank selection; mergeable additive counts."""
+    from fafnir_spark.sketches import hdr_percentiles
+
+    return hdr_percentiles(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        pcts=(50, 90, 99), sub_bits=5,
+    )
+
+
 def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 power iterations, damping 0.85) over the customer->
     supplier order graph — the crawl-centrality quality signal, each
@@ -4645,6 +4669,26 @@ def _q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "value", "user_id", bits=5)
 
 
+def _q_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer VOCABULARY (Wu'16 / BERT, frequency form):
+    '##'-prefixed continuation forms are distinct entries; full char
+    coverage in both positions + top-N multi-char forms."""
+    from fafnir_spark.textstats import wordpiece_vocab
+
+    return wordpiece_vocab(_docs(spark, sf_dir), vocab_size=24, min_freq=2,
+                           max_piece_len=4)
+
+
+def _q_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenization: greedy longest-match-first == argmax over
+    valid cut masks by the piece-length digit string — the relational
+    form of BERT's tokenizer over the unigram_segment mask machinery."""
+    from fafnir_spark.textstats import wordpiece_segment
+
+    return wordpiece_segment(_docs(spark, sf_dir), vocab_size=24,
+                             min_freq=2, max_piece_len=4, seg_max_len=10)
+
+
 def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram tokenizer VOCABULARY (Kudo'18,
     frequency-model form): substring candidates weighted by word freq,
@@ -4717,6 +4761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child_topk": _q_has_child,
         "children_agg": _q_children_agg,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_hits": _q_graph_hits,
+        "hdr_percentiles": _q_hdr_percentiles,
         "graph_pagerank_personalized": _q_graph_pagerank_personalized,
         "multi_match_most_fields": _q_multi_match_most,
         "dedup_canonical": _q_dedup_canonical,
@@ -4947,6 +4993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "zorder_cells": _q_zorder_cells,
         "unigram_vocab": _q_unigram_vocab,
+        "wordpiece_vocab": _q_wordpiece_vocab,
+        "wordpiece_segment": _q_wordpiece_segment,
         "unigram_segment": _q_unigram_segment,
         "bpe_apply": _q_bpe_apply,
         "orc_roundtrip": _q_orc_roundtrip,
@@ -5126,6 +5174,8 @@ def oracle_sql() -> dict[str, str]:
         "has_child_topk": oracles_pipeline.has_child_topk_sql("error", "sum", k=10),
         "children_agg": oracles_pipeline.children_agg_sql("lang", "error"),
         "graph_pagerank": oracles_pipeline.graph_pagerank_sql(3, 0.85, 20),
+        "graph_hits": oracles_pipeline.graph_hits_sql(2, 10),
+        "hdr_percentiles": oracles_pipeline.hdr_percentiles_sql((50, 90, 99), 5),
         "graph_pagerank_personalized": oracles_pipeline.graph_pagerank_personalized_sql(
             PPR_SEEDS, 3, 0.85, 20),
         "multi_match_best_fields": oracles.multi_match_sql(
@@ -5542,6 +5592,10 @@ ORDER BY term ASC LIMIT 10
         "unigram_vocab": oracles_ops.unigram_vocab_sql(
             vocab_size=24, min_freq=2, max_piece_len=4),
         "unigram_segment": oracles_ops.unigram_segment_sql(
+            vocab_size=24, min_freq=2, max_piece_len=4, seg_max_len=10),
+        "wordpiece_vocab": oracles_ops.wordpiece_vocab_sql(
+            vocab_size=24, min_freq=2, max_piece_len=4),
+        "wordpiece_segment": oracles_ops.wordpiece_segment_sql(
             vocab_size=24, min_freq=2, max_piece_len=4, seg_max_len=10),
         "bpe_apply": oracles_ops.bpe_apply_sql(n_merges=6, k=20),
         "orc_roundtrip": """

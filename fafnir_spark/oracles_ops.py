@@ -1567,3 +1567,101 @@ ubest AS (
 )
 SELECT word, pieces, n_pieces, score FROM ubest WHERE rn = 1
 ORDER BY word ASC""")
+
+
+def _wordpiece_ctes(vocab_size: int, min_freq: int,
+                    max_piece_len: int) -> list[str]:
+    """Shared CTE chain deriving the WordPiece vocabulary (mirror of
+    textstats.wordpiece_vocab): '##'-prefixed continuation forms, full
+    char coverage in both positions, top-N multi-char forms."""
+    return [
+        """wpwords AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wc, length(word) AS n FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+)""",
+        f"""wpcand AS (
+  SELECT CASE WHEN s > 1 THEN '##' || substring(word, s, l)
+              ELSE substring(word, s, l) END AS form, wc
+  FROM wpwords,
+       LATERAL unnest(range(1, least(n, 63) + 1)) AS t1(s),
+       LATERAL unnest(range(1, least({int(max_piece_len)}, n - s + 1) + 1)) AS t2(l)
+)""",
+        """wpforms AS (
+  SELECT form, CAST(sum(wc) AS BIGINT) AS freq FROM wpcand GROUP BY form
+)""",
+        """wpbase AS (
+  SELECT form, freq,
+         CASE WHEN form LIKE '##%' THEN length(form) - 2
+              ELSE length(form) END AS bl
+  FROM wpforms
+)""",
+        f"""wpmultis AS (
+  SELECT form, freq FROM wpbase
+  WHERE bl > 1 AND freq >= {int(min_freq)}
+  QUALIFY row_number() OVER (ORDER BY freq DESC, form ASC) <= {int(vocab_size)}
+)""",
+        """wpvocab AS (
+  SELECT form, freq FROM wpbase WHERE bl = 1
+  UNION ALL SELECT form, freq FROM wpmultis
+)""",
+    ]
+
+
+def wordpiece_vocab_sql(vocab_size: int = 24, min_freq: int = 2,
+                        max_piece_len: int = 4) -> str:
+    """Mirror of textstats.wordpiece_vocab (shared _wordpiece_ctes)."""
+    ctes = _wordpiece_ctes(vocab_size, min_freq, max_piece_len)
+    return ("WITH " + ",\n".join(ctes) +
+            "\nSELECT form, freq FROM wpvocab ORDER BY form ASC")
+
+
+def wordpiece_segment_sql(vocab_size: int = 24, min_freq: int = 2,
+                          max_piece_len: int = 4,
+                          seg_max_len: int = 10) -> str:
+    """Mirror of textstats.wordpiece_segment: greedy longest-match-first
+    == argmax over valid cut masks by the piece-length digit string
+    (plain string compare, identical both engines); same mask/boundary
+    integer formulas as unigram_segment_sql."""
+    ctes = _wordpiece_ctes(vocab_size, min_freq, max_piece_len)
+    return ("WITH " + ",\n".join(ctes) + f""",
+wpmasks AS (
+  SELECT word, n, m.mask
+  FROM (SELECT word, n FROM wpwords WHERE n <= {int(seg_max_len)}),
+       LATERAL unnest(range(0, (2**(n - 1))::BIGINT)) AS m(mask)
+),
+wpbnd AS (
+  SELECT word, mask,
+         [0] || [i for i in range(1, n)
+                 if ((mask // (2**(i - 1))::BIGINT) % 2) = 1] || [n] AS bnds
+  FROM wpmasks
+),
+wppcs AS (
+  SELECT word, mask, k,
+         substring(word, bnds[k] + 1, bnds[k + 1] - bnds[k]) AS piece
+  FROM wpbnd, LATERAL unnest(range(1, len(bnds))) AS u(k)
+),
+wpf AS (
+  SELECT word, mask, k, piece,
+         CASE WHEN k > 1 THEN '##' || piece ELSE piece END AS form
+  FROM wppcs
+),
+wpsc AS (
+  SELECT p.word, p.mask, p.k, p.piece, p.form, v.form AS vf
+  FROM wpf p LEFT JOIN wpvocab v ON p.form = v.form
+),
+wpgrp AS (
+  SELECT word, mask,
+         CAST(count(*) AS BIGINT) AS np, count(vf) AS n_ok,
+         array_to_string(list(CAST(length(piece) AS VARCHAR) ORDER BY k), '') AS gk,
+         array_to_string(list(form ORDER BY k), ' ') AS pieces
+  FROM wpsc GROUP BY word, mask
+),
+wpbest AS (
+  SELECT word, pieces, np AS n_pieces,
+         row_number() OVER (PARTITION BY word ORDER BY gk DESC) AS rn
+  FROM wpgrp WHERE n_ok = np
+)
+SELECT word, pieces, n_pieces FROM wpbest WHERE rn = 1
+ORDER BY word ASC""")

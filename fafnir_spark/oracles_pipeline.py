@@ -2116,3 +2116,88 @@ WHERE tx >= {x_lo} AND tx < {x_lo + cpt} AND ty >= {y_lo} AND ty < {y_lo + cpt}
 GROUP BY cx, cy
 ORDER BY doc_count DESC, cx ASC, cy ASC
 """
+
+
+def graph_hits_sql(iters: int = 2, k: int = 10) -> str:
+    """Mirror of pipeline.graph_hits: unrolled half-steps, max
+    normalization (order-independent — exact), per-half-step round-6,
+    same edge derivation as graph_pagerank_sql."""
+    ctes = ["""edges AS (
+  SELECT DISTINCT o.o_custkey AS src, 1000000000 + l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+            "h0 AS (SELECT DISTINCT src AS node, 1.0 AS s FROM edges)"]
+    for i in range(1, int(iters) + 1):
+        ctes.append(f"""a{i}r AS (
+  SELECT e.dst AS node, sum(h.s) AS raw
+  FROM edges e JOIN h{i-1} h ON h.node = e.src GROUP BY e.dst
+)""")
+        ctes.append(f"a{i}m AS (SELECT max(raw) AS m FROM a{i}r)")
+        ctes.append(
+            f"a{i} AS (SELECT node, round(raw / m, 6) AS s "
+            f"FROM a{i}r CROSS JOIN a{i}m)")
+        ctes.append(f"""h{i}r AS (
+  SELECT e.src AS node, sum(a.s) AS raw
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+)""")
+        ctes.append(f"h{i}m AS (SELECT max(raw) AS m FROM h{i}r)")
+        ctes.append(
+            f"h{i} AS (SELECT node, round(raw / m, 6) AS s "
+            f"FROM h{i}r CROSS JOIN h{i}m)")
+    n = int(iters)
+    return f"""
+WITH {", ".join(ctes)}
+SELECT kind, rank, node, score FROM (
+  SELECT 'authority' AS kind,
+         row_number() OVER (ORDER BY s DESC, node ASC) AS rank,
+         node, s AS score
+  FROM a{n}
+  UNION ALL
+  SELECT 'hub' AS kind,
+         row_number() OVER (ORDER BY s DESC, node ASC) AS rank,
+         node, s AS score
+  FROM h{n}
+) WHERE rank <= {int(k)}
+ORDER BY kind, rank
+"""
+
+
+def hdr_percentiles_sql(pcts: tuple = (50, 90, 99),
+                        sub_bits: int = 5) -> str:
+    """Mirror of sketches.hdr_percentiles: same bucket formula with the
+    same clamp, same exact-integer target rank, same edge-value
+    formula."""
+    m = 1 << int(sub_bits)
+    plist = ", ".join(f"({int(x)})" for x in pcts)
+    return f"""
+WITH pos AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value > 0),
+b0 AS (SELECT v, CAST(floor(log2(v)) AS BIGINT) AS e FROM pos),
+b1 AS (
+  SELECT e,
+         greatest(0, least({m - 1},
+           CAST(floor(v / power(2.0, e) * {float(m)!r}) AS BIGINT) - {m})) AS sub
+  FROM b0
+),
+bk AS (SELECT e, sub, CAST(count(*) AS BIGINT) AS cnt FROM b1 GROUP BY e, sub),
+nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bk),
+cum AS (
+  SELECT e, sub, cnt,
+         sum(cnt) OVER (ORDER BY e, sub ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bk
+),
+p(pct) AS (VALUES {plist}),
+cand AS (
+  SELECT p.pct, nn.n, c.e, c.sub
+  FROM p CROSS JOIN nn JOIN cum c ON c.cum >= (p.pct * nn.n + 99) // 100
+),
+sel AS (
+  SELECT pct, n, e, sub FROM (
+    SELECT pct, n, e, sub,
+           row_number() OVER (PARTITION BY pct ORDER BY e, sub) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT pct, n,
+       round(power(2.0, e) * (1.0 + sub / {float(m)!r}), 6) AS value_est
+FROM sel ORDER BY pct
+"""

@@ -2674,3 +2674,57 @@ def transform_latest(events: DataFrame) -> DataFrame:
         F.col("b.event_type").alias("event_type"),
         F.round(F.col("b.value"), 6).alias("value"),
     ).orderBy("user_id")
+
+
+def graph_hits(orders: DataFrame, lineitem: DataFrame,
+               iters: int = 2, k: int = 10) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the customer→supplier
+    order graph — graph_pagerank's sibling centrality (the query-dependent
+    ranking signal of the original paper, here run over the full graph).
+    Each iteration: authority = Σ hub over in-edges, hub = Σ authority
+    over out-edges. Normalization is by the MAX (order-independent, so
+    cross-engine EXACT — an L1/L2 float sum would drift with partial-agg
+    order) and every half-step is ROUNDED 6 (the chained-iteration
+    convention shared with kmeans_train / graph_pagerank).
+
+    Scale shape: per half-step ONE equi-join on a node key + ONE
+    map-side-combined groupBy; the max rides a broadcast 1-row aggregate;
+    no collect, no driver-side graph. (kind, rank, node, score) — top-k
+    authorities then top-k hubs, (kind asc, rank asc)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    edges = (
+        orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"),
+                (F.lit(10**9) + F.col("l_suppkey")).alias("dst"))
+        .distinct()
+    )
+    h = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("s"))
+    a = None
+    for _ in range(int(iters)):
+        a_raw = (edges.join(h.select(F.col("node").alias("src"), "s"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("s").alias("raw")))
+        a_max = a_raw.agg(F.max("raw").alias("m"))
+        a = (a_raw.crossJoin(F.broadcast(a_max))
+             .select("node", F.round(F.col("raw") / F.col("m"), 6).alias("s")))
+        h_raw = (edges.join(a.select(F.col("node").alias("dst"), "s"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("s").alias("raw")))
+        h_max = h_raw.agg(F.max("raw").alias("m"))
+        h = (h_raw.crossJoin(F.broadcast(h_max))
+             .select("node", F.round(F.col("raw") / F.col("m"), 6).alias("s")))
+
+    def _top(rel: DataFrame, kind: str) -> DataFrame:
+        top = rel.orderBy(F.col("s").desc(), F.col("node").asc()).limit(int(k))
+        w = F.row_number().over(
+            Window.orderBy(F.col("s").desc(), F.col("node").asc()))
+        return top.withColumn("rank", w).select(
+            F.lit(kind).alias("kind"), "rank", "node",
+            F.col("s").alias("score"))
+
+    return (_top(a, "authority").unionByName(_top(h, "hub"))
+            .orderBy("kind", "rank"))

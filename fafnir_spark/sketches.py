@@ -413,3 +413,68 @@ def bloom_filter_audit(events: DataFrame, build: DataFrame,
     return row.select(
         "n_build", "n_bits_set", "n_exact", "n_bloom",
         (F.col("n_bloom") - F.col("n_exact")).cast("long").alias("n_fp"))
+
+
+def hdr_buckets(events: DataFrame, value_col: str = "value",
+                sub_bits: int = 5) -> DataFrame:
+    """HDR-histogram bucket relation (the sketch behind ES
+    `percentiles(hdr:...)`): positive values land in (exponent,
+    sub-bucket) cells — exponent = floor(log2(v)), sub = the top
+    ``sub_bits`` mantissa bits (floor(v/2^e · 2^sub_bits) − 2^sub_bits,
+    clamped identically in both engines so a 1-ulp libm log2 boundary
+    can never misfile a row). Counts are ADDITIVE → the sketch is
+    mergeable (the stream_hll max-merge's sum-merge sibling); state is
+    bounded by the value range (≤ 2^sub_bits cells per octave), never by
+    n. (e, sub, cnt)."""
+    m = 1 << int(sub_bits)
+    pos = events.filter(F.col(value_col) > 0).select(
+        F.col(value_col).cast("double").alias("v"))
+    e = F.floor(F.log2("v")).cast("long")
+    b = pos.select(
+        "v", e.alias("e"),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(m - 1),
+                (F.floor(F.col("v") / F.pow(F.lit(2.0), e.cast("double"))
+                         * F.lit(float(m))) - F.lit(m)).cast("long"),
+            ),
+        ).alias("sub"),
+    )
+    return b.groupBy("e", "sub").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def hdr_percentiles(events: DataFrame, pcts: tuple = (50, 90, 99),
+                    value_col: str = "value",
+                    sub_bits: int = 5) -> DataFrame:
+    """ES percentiles aggregation, HDR mode: percentile estimates read
+    from the cumulative HDR bucket histogram — the answer ES's
+    hdr_histogram gives (bucket-lower-edge resolution), NOT t-digest
+    interpolation. Percentiles are INTEGER percents and the target rank
+    is exact integer math ((pct·n + 99) div 100 == ceil(pct·n/100)), so
+    bucket selection is engine-exact; only the reported edge value
+    2^e·(1 + sub/2^sub_bits) is float (identical formula both sides,
+    rounded 6).
+
+    Scale shape: ONE corpus pass to the bounded bucket relation; the
+    cumulative window and the per-percentile min-bucket argmin run over
+    ≤ (octaves · 2^sub_bits) rows. (pct, n, value_est) by pct."""
+    from pyspark.sql.window import Window
+
+    m = 1 << int(sub_bits)
+    spark = events.sparkSession
+    b = hdr_buckets(events, value_col, sub_bits)
+    n = b.agg(F.sum("cnt").cast("long").alias("n"))
+    w = Window.orderBy("e", "sub").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = b.withColumn("cum", F.sum("cnt").over(w))
+    p = spark.createDataFrame([(int(x),) for x in pcts], "pct int")
+    cand = (cum.crossJoin(F.broadcast(p)).crossJoin(F.broadcast(n))
+            .filter(F.col("cum") >= F.expr("(pct * n + 99) div 100")))
+    sel = cand.groupBy("pct", "n").agg(
+        F.min(F.struct("e", "sub")).alias("b"))
+    est = F.round(
+        F.pow(F.lit(2.0), F.col("b.e").cast("double"))
+        * (F.lit(1.0) + F.col("b.sub") / F.lit(float(m))), 6)
+    return sel.select("pct", "n", est.alias("value_est")).orderBy("pct")

@@ -593,3 +593,104 @@ def unigram_segment(docs: DataFrame, vocab_size: int = 24, min_freq: int = 2,
             .filter(F.col("rn") == 1)
             .select("word", "pieces", F.col("np").alias("n_pieces"), "score")
             .orderBy("word"))
+
+
+def wordpiece_vocab(docs: DataFrame, vocab_size: int = 24, min_freq: int = 2,
+                    max_piece_len: int = 4,
+                    text_col: str = "text") -> DataFrame:
+    """WordPiece tokenizer vocabulary (Wu et al. 2016, BERT's tokenizer),
+    frequency form: candidate FORMS are every word substring up to
+    ``max_piece_len`` chars, '##'-prefixed when the substring starts
+    mid-word (WordPiece's continuation marker — 'ab' at word start and
+    '##ab' mid-word are DISTINCT vocabulary entries, unlike unigram);
+    counts weighted by word frequency. Full char coverage (every 1-char
+    form in both positions is kept, so greedy segmentation never hits
+    UNK) plus the top ``vocab_size`` multi-char forms by
+    (freq desc, form asc) with freq >= ``min_freq``. The likelihood-gain
+    training of the original paper is out of scope for the same reason
+    unigram_vocab skips EM: the frequency model is deterministic and
+    cross-engine exact.
+
+    Scale shape: one corpus pass to the |V|-row word table
+    (_unigram_words); form enumeration is row-local; counting is one
+    vocab-bounded groupBy. (form, freq) ordered by form."""
+    words = _unigram_words(docs, text_col)
+    cand = F.expr(
+        f"flatten(transform(sequence(1, least(n, 63)), s -> "
+        f"transform(sequence(1, least({int(max_piece_len)}, n - s + 1)), "
+        f"l -> if(s > 1, concat('##', substring(word, s, l)), "
+        f"substring(word, s, l)))))")
+    forms = (words.select(F.explode(cand).alias("form"), "wc")
+             .groupBy("form").agg(F.sum("wc").cast("long").alias("freq")))
+    base_len = F.when(F.col("form").startswith("##"),
+                      F.length("form") - 2).otherwise(F.length("form"))
+    chars = forms.filter(base_len == 1)
+    multis = (forms
+              .filter((base_len > 1) & (F.col("freq") >= int(min_freq)))
+              .orderBy(F.col("freq").desc(), F.col("form").asc())
+              .limit(int(vocab_size)))
+    return chars.unionByName(multis).orderBy("form")
+
+
+def wordpiece_segment(docs: DataFrame, vocab_size: int = 24,
+                      min_freq: int = 2, max_piece_len: int = 4,
+                      seg_max_len: int = 10,
+                      text_col: str = "text") -> DataFrame:
+    """WordPiece tokenization: greedy longest-match-first segmentation of
+    every distinct word (<= ``seg_max_len`` chars) under the
+    wordpiece_vocab model — expressed relationally through the
+    unigram_segment cut-mask enumeration. Greedy never backtracks, and
+    full char coverage guarantees every prefix extends to a valid
+    segmentation, so greedy == the valid mask whose piece-length sequence
+    is lexicographically MAXIMAL: the argmax key is the digit string of
+    piece lengths (max_piece_len <= 9 keeps every length one digit), a
+    plain string compare identical in both engines.
+
+    Scale shape: the unigram_segment invariant — |distinct words| ×
+    2^(n-1) mask rows, vocab broadcast, per-word window over <= 512
+    candidates; never corpus rows. (word, pieces, n_pieces) by word."""
+    if int(max_piece_len) > 9:
+        raise ValueError("digit-string greedy key needs max_piece_len <= 9")
+    from pyspark.sql.window import Window
+
+    vocab = wordpiece_vocab(docs, vocab_size, min_freq, max_piece_len,
+                            text_col).select("form")
+    words = _unigram_words(docs, text_col).filter(
+        F.col("n") <= int(seg_max_len))
+    masks = words.select(
+        "word", "n",
+        F.explode(F.expr(
+            "sequence(0, cast(pow(2, n - 1) as bigint) - 1)")).alias("mask"))
+    bnds = masks.withColumn("bnds", F.expr(
+        "concat(array(0), "
+        "if(n > 1, filter(sequence(1, n - 1), i -> "
+        "pmod(mask div cast(pow(2, i - 1) as bigint), 2) = 1), "
+        "cast(array() as array<int>)), array(n))"))
+    pcs = bnds.select(
+        "word", "mask",
+        F.posexplode(F.expr(
+            "transform(sequence(1, size(bnds) - 1), k -> "
+            "substring(word, element_at(bnds, k) + 1, "
+            "element_at(bnds, k + 1) - element_at(bnds, k)))")
+        ).alias("k", "piece"))
+    pcs = pcs.withColumn(
+        "form",
+        F.when(F.col("k") > 0, F.concat(F.lit("##"), F.col("piece")))
+        .otherwise(F.col("piece")))
+    sc = pcs.join(F.broadcast(vocab.withColumn("__ok", F.lit(1))),
+                  "form", "left")
+    grp = sc.groupBy("word", "mask").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.count("__ok").alias("n_ok"),
+        F.collect_list(F.struct("k", "piece", "form")).alias("ps"))
+    valid = grp.filter(F.col("n_ok") == F.col("np")).select(
+        "word", "np",
+        F.expr("array_join(transform(array_sort(ps), "
+               "x -> cast(length(x.piece) as string)), '')").alias("gk"),
+        F.expr("array_join(transform(array_sort(ps), x -> x.form), ' ')"
+               ).alias("pieces"))
+    w = Window.partitionBy("word").orderBy(F.col("gk").desc())
+    return (valid.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("word", "pieces", F.col("np").alias("n_pieces"))
+            .orderBy("word"))

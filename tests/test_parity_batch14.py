@@ -85,3 +85,71 @@ def test_terms_order_by_metric_is_metric_sorted(events):
     assert len(rows) == 3
     avgs = [r.avg_value for r in rows]
     assert avgs == sorted(avgs, reverse=True)
+
+
+def test_wordpiece_greedy_roundtrip_and_longest_first(docs):
+    from fafnir_spark.textstats import wordpiece_segment, wordpiece_vocab
+
+    vocab = {r.form for r in wordpiece_vocab(docs).collect()}
+    segs = wordpiece_segment(docs).collect()
+    assert segs
+    for r in segs:
+        pieces = r.pieces.split(" ")
+        assert len(pieces) == r.n_pieces
+        # round-trip: stripping '##' reconstructs the word
+        assert "".join(p[2:] if p.startswith("##") else p
+                       for p in pieces) == r.word
+        # every piece is in-vocab, continuation-marked except the first
+        assert not pieces[0].startswith("##")
+        assert all(p.startswith("##") for p in pieces[1:])
+        assert all(p in vocab for p in pieces)
+        # greedy law: a Python greedy reimplementation agrees
+        word, out, pos = r.word, [], 0
+        while pos < len(word):
+            for ln in range(min(4, len(word) - pos), 0, -1):
+                cand = word[pos:pos + ln]
+                form = "##" + cand if pos > 0 else cand
+                if form in vocab:
+                    out.append(form)
+                    pos += ln
+                    break
+            else:  # pragma: no cover - char coverage forbids this
+                raise AssertionError("unsegmentable")
+        assert out == pieces, r.word
+
+
+def test_graph_hits_normalization_and_bipartite_kinds(spark):
+    from fafnir_spark.pipeline import graph_hits
+
+    rows = graph_hits(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+        iters=2, k=10,
+    ).collect()
+    auth = [r for r in rows if r.kind == "authority"]
+    hub = [r for r in rows if r.kind == "hub"]
+    assert auth and hub
+    # max-normalized: top score of each kind is exactly 1.0
+    assert auth[0].score == 1.0 and hub[0].score == 1.0
+    assert all(0 < r.score <= 1.0 for r in rows)
+    # bipartite: authorities are suppliers (offset ids), hubs customers
+    assert all(r.node >= 10**9 for r in auth)
+    assert all(r.node < 10**9 for r in hub)
+
+
+def test_hdr_percentile_bucket_envelope(events):
+    from fafnir_spark.sketches import hdr_percentiles
+
+    vals = sorted(r.value for r in events.select("value").collect()
+                  if r.value > 0)
+    n = len(vals)
+    out = hdr_percentiles(events, pcts=(50, 90, 99), sub_bits=5).collect()
+    assert [r.pct for r in out] == [50, 90, 99]
+    ests = [r.value_est for r in out]
+    assert ests == sorted(ests)
+    for r in out:
+        assert r.n == n
+        exact = vals[(r.pct * n + 99) // 100 - 1]
+        # the exact rank-selected value lies in the reported bucket
+        assert r.value_est <= exact * (1 + 1e-9)
+        assert exact <= r.value_est * (33.0 / 32.0) * (1 + 1e-9)
