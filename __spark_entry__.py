@@ -3380,6 +3380,21 @@ def _q_stream_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HDR percentiles: additive per-batch (e, sub) bucket
+    partials folded to the batch sketch — shared selection tail, same
+    oracle as hdr_percentiles."""
+    from fafnir_spark.streaming import stream_hdr_percentiles
+
+    base = tempfile.mkdtemp(prefix="fafnir_shdr_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_hdr_percentiles(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"),
+        pcts=(50, 90, 99), sub_bits=5,
+    )
+
+
 def _q_stream_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming TSDB downsampling: per-batch partial rollups merged in
     bounded parquet state (count/sum additive, min/max lattice, last as
@@ -4924,6 +4939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll_cardinality": _q_stream_hll,
         "stream_sampled_quantiles": _q_stream_sampled_quantiles,
         "stream_change_point": _q_stream_change_point,
+        "stream_hdr_percentiles": _q_stream_hdr_percentiles,
         "stream_anomaly_hourly": _q_stream_anomaly_hourly,
         "stream_transform_pivot": _q_stream_transform_pivot,
         "transform_pivot": _q_transform_pivot,
@@ -5556,6 +5572,7 @@ ORDER BY term ASC LIMIT 10
         "hll_cardinality": oracles_pipeline.hll_cardinality_sql(),
         "stream_hll_cardinality": oracles_pipeline.hll_cardinality_sql(exact=False),
         "stream_change_point": oracles_pipeline.change_point_sql(),
+        "stream_hdr_percentiles": oracles_pipeline.hdr_percentiles_sql((50, 90, 99), 5),
         "stream_anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "stream_transform_pivot": oracles_pipeline.transform_pivot_sql(),
         "transform_pivot": oracles_pipeline.transform_pivot_sql(),

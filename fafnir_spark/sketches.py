@@ -460,11 +460,20 @@ def hdr_percentiles(events: DataFrame, pcts: tuple = (50, 90, 99),
     Scale shape: ONE corpus pass to the bounded bucket relation; the
     cumulative window and the per-percentile min-bucket argmin run over
     ≤ (octaves · 2^sub_bits) rows. (pct, n, value_est) by pct."""
+    b = hdr_buckets(events, value_col, sub_bits)
+    return hdr_percentiles_from_buckets(b, pcts, sub_bits)
+
+
+def hdr_percentiles_from_buckets(b: DataFrame, pcts: tuple = (50, 90, 99),
+                                 sub_bits: int = 5) -> DataFrame:
+    """The percentile-selection tail over an (e, sub, cnt) bucket relation
+    — SHARED by the batch op and stream_hdr_percentiles (the
+    change_point_from_buckets rule: stream == batch by construction
+    because both run THIS code over the same folded buckets)."""
     from pyspark.sql.window import Window
 
     m = 1 << int(sub_bits)
-    spark = events.sparkSession
-    b = hdr_buckets(events, value_col, sub_bits)
+    spark = b.sparkSession
     n = b.agg(F.sum("cnt").cast("long").alias("n"))
     w = Window.orderBy("e", "sub").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)

@@ -954,3 +954,54 @@ def stream_transform_pivot(
         )
         .orderBy("user_id")
     )
+
+
+def stream_hdr_percentiles(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    pcts: tuple = (50, 90, 99),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Streaming HDR percentiles: each micro-batch collapses to its
+    (e, sub) partial bucket counts and appends them to parquet state —
+    HDR counts are ADDITIVE-mergeable (the change_point sum-merge), so
+    the folded state IS the batch bucket relation and the shared
+    selection tail (sketches.hdr_percentiles_from_buckets) gives the
+    batch answer bit-for-bit. State is bounded at
+    (octaves · 2^sub_bits) · |batches| partial rows; batch stamps make
+    checkpoint replays idempotent (dropDuplicates on (e, sub, _b)).
+    Same output contract (and oracle) as sketches.hdr_percentiles."""
+    import os
+
+    from .sketches import hdr_buckets, hdr_percentiles_from_buckets
+
+    buckets_dir = os.path.join(state_dir, "hdr_buckets")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            hdr_buckets(df, "value", sub_bits)
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(buckets_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(buckets_dir)
+        .dropDuplicates(["e", "sub", "_b"])
+        .groupBy("e", "sub")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return hdr_percentiles_from_buckets(merged, pcts, sub_bits)

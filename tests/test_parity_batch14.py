@@ -153,3 +153,15 @@ def test_hdr_percentile_bucket_envelope(events):
         # the exact rank-selected value lies in the reported bucket
         assert r.value_est <= exact * (1 + 1e-9)
         assert exact <= r.value_est * (33.0 / 32.0) * (1 + 1e-9)
+
+
+def test_stream_hdr_percentiles_equals_batch(spark, events, tmp_path):
+    from fafnir_spark.sketches import hdr_percentiles
+    from fafnir_spark.streaming import stream_hdr_percentiles
+
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    got = [tuple(r) for r in stream_hdr_percentiles(
+        spark, src, str(tmp_path / "ck"), str(tmp_path / "state")).collect()]
+    want = [tuple(r) for r in hdr_percentiles(events).collect()]
+    assert got == want  # additive bucket merge folds to the batch sketch
