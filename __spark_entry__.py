@@ -3717,6 +3717,23 @@ def _q_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_hourly(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup → click → purchase, each stage
+    anchored on the earliest qualifying event within a 24h window —
+    one user-keyed groupBy + join per step, no windows."""
+    from fafnir_spark.pipeline import funnel_steps
+
+    return funnel_steps(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by exact integer-µs UTC day
+    of first event; distinct active users per (cohort_day, day_offset)."""
+    from fafnir_spark.pipeline import cohort_retention
+
+    return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 ROLLUP_BOUNDARY_US = 1705363200 * 1_000_000   # 2024-01-16 00:00 UTC, 6h-aligned
 
 
@@ -4619,6 +4636,22 @@ def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_diversity(_docs(spark, sf_dir))
 
 
+def _q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the vocab-bounded
+    adjacent-token co-occurrence graph, fixed rounded power iterations."""
+    from fafnir_spark.textstats import textrank_keywords
+
+    return textrank_keywords(_docs(spark, sf_dir))
+
+
+def _q_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (MLlib HashingTF, relational): bucket =
+    pmod(hash60(term), 64), per-doc sparse tf vectors, no vocab table."""
+    from fafnir_spark.textstats import hashing_tf
+
+    return hashing_tf(_docs(spark, sf_dir))
+
+
 def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law head fit: least-squares slope of ln(freq) on ln(rank)
     over the top-20 vocabulary, raw-sum closed form on rounded points."""
@@ -4860,6 +4893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_filter": _q_kql_filter,
         "rollup_search": _q_rollup_search,
         "anomaly_hourly": _q_anomaly_hourly,
+        "funnel_steps": _q_funnel_steps,
+        "cohort_retention": _q_cohort_retention,
         "downsample_tsdb": _q_downsample_tsdb,
         "stream_downsample": _q_stream_downsample,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
@@ -5003,6 +5038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "ngram_diversity": _q_ngram_diversity,
         "zipf_fit": _q_zipf_fit,
+        "textrank_keywords": _q_textrank_keywords,
+        "hashing_tf": _q_hashing_tf,
         "count_api": _q_count_api,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
         "stream_cm_heavy_hitters": _q_stream_cm_heavy_hitters,
@@ -5315,6 +5352,8 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "kql_filter": _kql_oracle(),
         "rollup_search": oracles_pipeline.rollup_search_sql(ROLLUP_BOUNDARY_US),
         "anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
+        "funnel_steps": oracles_pipeline.funnel_steps_sql(),
+        "cohort_retention": oracles_pipeline.cohort_retention_sql(),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),
@@ -5599,6 +5638,8 @@ ORDER BY term ASC LIMIT 10
         "url_dedup": oracles_curation.url_dedup_sql(),
         "ngram_diversity": oracles_curation.ngram_diversity_sql(),
         "zipf_fit": oracles_curation.zipf_fit_sql(20),
+        "textrank_keywords": oracles_curation.textrank_keywords_sql(),
+        "hashing_tf": oracles_curation.hashing_tf_sql(),
         "count_api": __import__("fafnir_spark.search_api", fromlist=["x"]).search_count_sql(SEARCH_BODY_COUNT),
         "cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(
             k=20, depth=4, width=256),

@@ -1096,3 +1096,67 @@ SELECT doc_id,
 FROM c WHERE len(cands) > 0
 ORDER BY doc_id
 """
+
+
+def textrank_keywords_sql(iters: int = 3, damping: float = 0.85,
+                          k: int = 15) -> str:
+    """Mirror of textstats.textrank_keywords: same adjacent-pair graph
+    (both directions, self-loops dropped, DISTINCT), same unrolled power
+    iterations with per-iteration round-6 and the dangling-drop rule."""
+    d = float(damping)
+    ctes = ["""tkl AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+)""",
+            """ix AS (
+  SELECT tk, unnest(range(1, len(tk))) AS i FROM tkl WHERE len(tk) >= 2
+)""",
+            "bg AS (SELECT tk[i] AS a, tk[i + 1] AS b FROM ix "
+            "WHERE tk[i] <> tk[i + 1])",
+            """edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM bg
+    UNION ALL SELECT b AS src, a AS dst FROM bg
+  )
+)""",
+            "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+            "nn AS (SELECT count(*) AS n FROM nodes)",
+            "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+            "p0 AS (SELECT node, round(1.0 / nn.n, 6) AS pr "
+            "FROM nodes CROSS JOIN nn)"]
+    for i in range(1, int(iters) + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT e.dst AS node, sum(p.pr / deg.deg) AS inc
+  FROM edges e JOIN deg USING (src) JOIN p{i-1} p ON p.node = e.src
+  GROUP BY e.dst
+)""")
+        ctes.append(f"""p{i} AS (
+  SELECT nodes.node,
+         round((1.0 - {d!r}) / nn.n + {d!r} * coalesce(c{i}.inc, 0.0), 6) AS pr
+  FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node CROSS JOIN nn
+)""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT rank, term, score FROM (
+  SELECT row_number() OVER (ORDER BY pr DESC, node ASC) AS rank,
+         node AS term, pr AS score
+  FROM p{int(iters)}
+) WHERE rank <= {int(k)}
+ORDER BY rank
+"""
+
+
+def hashing_tf_sql(n_buckets: int = 64, doc_mod: int = 25) -> str:
+    """Mirror of textstats.hashing_tf: same portable hash60 bucket map,
+    same pmod doc slice (doc_id can be negative)."""
+    bkt = _pmod(hash60_sql("term"), int(n_buckets))
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents WHERE {_pmod("doc_id", int(doc_mod))} = 0
+),
+tok AS (SELECT doc_id, unnest(tk) AS term FROM base)
+SELECT doc_id, {bkt} AS bucket, CAST(count(*) AS BIGINT) AS tf
+FROM tok GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""

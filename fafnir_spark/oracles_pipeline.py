@@ -2201,3 +2201,49 @@ SELECT pct, n,
        round(power(2.0, e) * (1.0 + sub / {float(m)!r}), 6) AS value_est
 FROM sel ORDER BY pct
 """
+
+
+def funnel_steps_sql(steps: tuple = ("signup", "click", "purchase"),
+                     window_h: int = 24) -> str:
+    """Mirror of pipeline.funnel_steps: same min-anchor chaining, same
+    strict-after / within-window rule, same n_users / n0 operand order."""
+    w_us = int(window_h) * 3_600_000_000
+    ctes = ["e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events)",
+            f"s0 AS (SELECT user_id, min(us) AS t FROM e "
+            f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"]
+    for i, s in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.us) AS t FROM e "
+            f"JOIN s{i-1} p ON p.user_id = e.user_id "
+            f"WHERE e.event_type = '{s}' AND e.us > p.t "
+            f"AND e.us <= p.t + {w_us} GROUP BY e.user_id)")
+    ctes.append("n0 AS (SELECT count(*) AS n0 FROM s0)")
+    sels = [
+        f"SELECT {i} AS step_idx, '{s}' AS step, "
+        f"CAST((SELECT count(*) FROM s{i}) AS BIGINT) AS n_users"
+        for i, s in enumerate(steps)
+    ]
+    body = " UNION ALL ".join(sels)
+    return f"""
+WITH {", ".join(ctes)}
+SELECT step_idx, step, n_users,
+       round(n_users / n0.n0, 6) AS pct_of_first
+FROM ({body}) CROSS JOIN n0
+ORDER BY step_idx
+"""
+
+
+def cohort_retention_sql() -> str:
+    """Mirror of pipeline.cohort_retention: exact integer-µs day keys,
+    distinct-user counts per (cohort_day, day_offset)."""
+    day_us = 86_400_000_000
+    return f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+firsts AS (SELECT user_id, min(us) AS t0 FROM ev GROUP BY user_id)
+SELECT t0 // {day_us} AS cohort_day,
+       us // {day_us} - t0 // {day_us} AS day_offset,
+       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+FROM ev JOIN firsts ON firsts.user_id = ev.user_id
+GROUP BY 1, 2
+ORDER BY cohort_day, day_offset
+"""

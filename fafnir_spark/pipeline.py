@@ -2728,3 +2728,78 @@ def graph_hits(orders: DataFrame, lineitem: DataFrame,
 
     return (_top(a, "authority").unionByName(_top(h, "hub"))
             .orderBy("kind", "rank"))
+
+
+def funnel_steps(events: DataFrame, steps: tuple = ("signup", "click",
+                                                    "purchase"),
+                 window_h: int = 24) -> DataFrame:
+    """Ordered conversion funnel (the product-analytics staple — Mixpanel/
+    Amplitude funnels; ES would express it as a scripted sequence agg):
+    users who performed step[0], then step[1] STRICTLY after it within
+    ``window_h`` hours, then step[2] after that, ... Each stage anchors on
+    the user's EARLIEST qualifying event (min µs), so the funnel is
+    deterministic under ties; the window re-opens from each stage's
+    anchor (the Amplitude "conversion window per step" rule, shared with
+    the oracle).
+
+    Scale shape: one filtered groupBy(user_id) per step plus one
+    user-keyed equi-join per transition — every shuffle is keyed by
+    user_id with map-side combine; no windows, no collect, state per
+    stage is one row per surviving user. (step_idx, step, n_users,
+    pct_of_first), ordered by step_idx."""
+    w_us = int(window_h) * 3_600_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = events.select("user_id", "event_type", us.alias("us"))
+
+    stage = (ev.filter(F.col("event_type") == steps[0])
+             .groupBy("user_id").agg(F.min("us").alias("t")))
+    stages = [stage]
+    for s in steps[1:]:
+        nxt = ev.filter(F.col("event_type") == s)
+        stage = (
+            nxt.join(stage, "user_id")
+            .filter((F.col("us") > F.col("t"))
+                    & (F.col("us") <= F.col("t") + F.lit(w_us)))
+            .groupBy("user_id").agg(F.min("us").alias("t"))
+        )
+        stages.append(stage)
+
+    first = stages[0].agg(F.count(F.lit(1)).alias("n0"))
+    rows = None
+    for i, (s, st) in enumerate(zip(steps, stages)):
+        c = st.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i).alias("step_idx"), F.lit(s).alias("step"), "n_users")
+        rows = c if rows is None else rows.unionByName(c)
+    return (rows.crossJoin(F.broadcast(first))
+            .select("step_idx", "step", "n_users",
+                    F.round(F.col("n_users") / F.col("n0"), 6)
+                    .alias("pct_of_first"))
+            .orderBy("step_idx"))
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix (the other product-analytics staple):
+    users are cohorted by the UTC day of their first event (exact
+    integer-µs day key — the datastream zone idiom, never a float
+    truncation at a bucket boundary); each later active day contributes
+    to (cohort_day, day_offset). Counts are exact distinct users.
+
+    Scale shape: one groupBy(user_id) for the cohort anchor, one
+    user-keyed equi-join back to events, one groupBy((cohort, offset))
+    distinct-count — all shuffles keyed by user or by the bounded
+    (cohort, offset) grid; output is |days|² rows max.
+    (cohort_day, day_offset, n_users), ordered."""
+    day_us = 86_400_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = (events.select("user_id", us.alias("us"))
+              .groupBy("user_id").agg(F.min("us").alias("t0")))
+    joined = (events.select("user_id", us.alias("us"))
+              .join(firsts, "user_id")
+              .select(
+                  "user_id",
+                  F.expr(f"t0 DIV {day_us}").alias("cohort_day"),
+                  (F.expr(f"us DIV {day_us}")
+                   - F.expr(f"t0 DIV {day_us}")).alias("day_offset")))
+    return (joined.groupBy("cohort_day", "day_offset")
+            .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+            .orderBy("cohort_day", "day_offset"))

@@ -694,3 +694,84 @@ def wordpiece_segment(docs: DataFrame, vocab_size: int = 24,
             .filter(F.col("rn") == 1)
             .select("word", "pieces", F.col("np").alias("n_pieces"))
             .orderBy("word"))
+
+
+def textrank_keywords(docs: DataFrame, iters: int = 3,
+                      damping: float = 0.85, k: int = 15,
+                      text_col: str = "text") -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): PageRank
+    over the corpus token co-occurrence graph — an edge links each adjacent
+    token pair (both directions, self-loops dropped, DISTINCT pairs — the
+    classic unweighted graph). Fixed power iterations with the
+    graph_pagerank conventions: dangling mass dropped identically in both
+    engines, every iteration's score ROUNDED to 6 so chained float sums
+    stay engine-identical.
+
+    Scale shape: the pair explode is row-local (transform over the token
+    array); the graph is DISTINCT (a, b) pairs — vocab-bounded (≤ |V|²
+    edges), so every iteration's join + groupBy shuffles a relation sized
+    by the VOCABULARY, never the corpus. (rank, term, score) top-k by
+    (score desc, term asc)."""
+    from pyspark.sql.window import Window
+
+    d = float(damping)
+    base = docs.select(tokens_expr(text_col).alias("tk")).filter(
+        F.size("tk") >= 2)
+    pairs = F.expr(
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))")
+    bg = (base.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+          .filter(F.col("a") != F.col("b")))
+    edges = (bg.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionByName(bg.select(F.col("b").alias("src"),
+                                    F.col("a").alias("dst")))
+             .distinct())
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = (nodes.crossJoin(F.broadcast(nn))
+          .select("node", F.round(F.lit(1.0) / F.col("n"), 6).alias("pr")))
+    for _ in range(int(iters)):
+        contrib = (
+            edges.join(deg, "src")
+            .join(pr.select(F.col("node").alias("src"), "pr"), "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c")))
+        inc = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("inc"))
+        pr = (nodes.join(inc, "node", "left")
+              .crossJoin(F.broadcast(nn))
+              .select(
+                  "node",
+                  F.round((F.lit(1.0) - F.lit(d)) / F.col("n")
+                          + F.lit(d) * F.coalesce(F.col("inc"), F.lit(0.0)),
+                          6).alias("pr")))
+    top = pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(int(k))
+    w = F.row_number().over(
+        Window.orderBy(F.col("pr").desc(), F.col("node").asc()))
+    return (top.withColumn("rank", w)
+            .select("rank", F.col("node").alias("term"),
+                    F.col("pr").alias("score")).orderBy("rank"))
+
+
+def hashing_tf(docs: DataFrame, n_buckets: int = 64, doc_mod: int = 25,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Feature hashing (the hashing trick; Weinberger et al., ICML 2009 —
+    Spark MLlib's HashingTF re-expressed relationally): each token maps to
+    bucket = pmod(hash60(term), n_buckets) and the per-doc sparse vector is
+    the (doc_id, bucket, tf) relation — no vocabulary table, no fit pass,
+    the property that makes it the 100 TB-safe vectorizer. The driver row
+    emits the vectors for the deterministic pmod(doc_id, doc_mod)==0 slice
+    (doc_id can be negative — pmod, never %).
+
+    Scale shape: one explode + one groupBy(doc_id, bucket) with map-side
+    combine; the doc filter sits below the explode so the scan prunes
+    first. (doc_id, bucket, tf) ordered."""
+    base = docs.filter(F.pmod(F.col(id_col), F.lit(int(doc_mod))) == 0)
+    tok = base.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens_expr(text_col)).alias("term"))
+    bkt = F.pmod(hash60(F.col("term")), F.lit(int(n_buckets)))
+    return (tok.select("doc_id", bkt.alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .orderBy("doc_id", "bucket"))
