@@ -4636,6 +4636,22 @@ def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_diversity(_docs(spark, sf_dir))
 
 
+def _q_bm25_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25+ similarity (Lv & Zhai 2011): lower-bounded tf normalization,
+    same one-pass _tf_dl_df shape as BM25."""
+    from fafnir_spark.scoring import bm25_plus_topk
+
+    return bm25_plus_topk(_docs(spark, sf_dir), Q_MAIN, k=10)
+
+
+def _q_token_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + clustering coefficient over the vocab-bounded
+    token co-occurrence graph (ordered-edge join, a<b<c exactly-once)."""
+    from fafnir_spark.textstats import token_graph_triangles
+
+    return token_graph_triangles(_docs(spark, sf_dir), k=20)
+
+
 def _q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction: PageRank over the vocab-bounded
     adjacent-token co-occurrence graph, fixed rounded power iterations."""
@@ -5039,6 +5055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": _q_ngram_diversity,
         "zipf_fit": _q_zipf_fit,
         "textrank_keywords": _q_textrank_keywords,
+        "token_graph_triangles": _q_token_graph_triangles,
+        "bm25_plus": _q_bm25_plus,
         "hashing_tf": _q_hashing_tf,
         "count_api": _q_count_api,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
@@ -5639,6 +5657,8 @@ ORDER BY term ASC LIMIT 10
         "ngram_diversity": oracles_curation.ngram_diversity_sql(),
         "zipf_fit": oracles_curation.zipf_fit_sql(20),
         "textrank_keywords": oracles_curation.textrank_keywords_sql(),
+        "token_graph_triangles": oracles_curation.token_graph_triangles_sql(),
+        "bm25_plus": oracles.bm25_plus_sql(Q_MAIN, k=10),
         "hashing_tf": oracles_curation.hashing_tf_sql(),
         "count_api": __import__("fafnir_spark.search_api", fromlist=["x"]).search_count_sql(SEARCH_BODY_COUNT),
         "cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(

@@ -2560,3 +2560,28 @@ dfs AS (
 {body}
 ORDER BY qid, rank
 """
+
+
+def bm25_plus_sql(terms: list[str], k: int = 10, delta: float = 1.0) -> str:
+    """BM25+ (scoring.bm25_plus_topk): lower-bounded tf normalization,
+    idf = ln((N+1)/df) — operand order pinned to the Spark side."""
+    inner = f"""
+WITH {_TF_CTES},
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN {_terms_in(terms)} GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs + 1.0) / dfs.df)
+              * ((tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl)) + {float(delta)!r})
+            ) AS raw_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 6) AS score FROM scored
+"""
+    return _ranked_topk(inner, k)

@@ -1160,3 +1160,39 @@ SELECT doc_id, {bkt} AS bucket, CAST(count(*) AS BIGINT) AS tf
 FROM tok GROUP BY doc_id, bucket
 ORDER BY doc_id, bucket
 """
+
+
+def token_graph_triangles_sql(k: int = 20) -> str:
+    """Mirror of textstats.token_graph_triangles: same canonical a<b<c
+    ordered-edge triangle join, same 2t/(deg(deg-1)) coefficient."""
+    return f"""
+WITH tkl AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+ix AS (
+  SELECT tk, unnest(range(1, len(tk))) AS i FROM tkl WHERE len(tk) >= 2
+),
+bg AS (SELECT tk[i] AS a, tk[i + 1] AS b FROM ix WHERE tk[i] <> tk[i + 1]),
+und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM bg),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tn AS (SELECT unnest([a, b, c]) AS term FROM tri),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM tn GROUP BY term),
+sym AS (SELECT a AS term FROM und UNION ALL SELECT b FROM und),
+deg AS (SELECT term, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY term)
+SELECT rank, term, deg, n_triangles, clustering FROM (
+  SELECT row_number() OVER (ORDER BY tc.n_triangles DESC, tc.term ASC)
+           AS rank,
+         tc.term, deg.deg, tc.n_triangles,
+         round((2.0 * tc.n_triangles) / (deg.deg * (deg.deg - 1)), 6)
+           AS clustering
+  FROM tc JOIN deg ON deg.term = tc.term
+) WHERE rank <= {int(k)}
+ORDER BY rank
+"""

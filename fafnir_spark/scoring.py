@@ -997,3 +997,45 @@ def scripted_similarity_topk(
         .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score"))
     )
     return _topk_ranked(scores, k)
+
+
+def bm25_plus_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    delta: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25+ similarity (Lv & Zhai, "Lower-Bounding Term Frequency
+    Normalization", CIKM 2011) — the lower-bounded BM25 variant:
+
+        idf   = ln((n_docs + 1) / df)
+        part  = idf * ( (k1+1)*tf / (tf + k1*(1-b+b*dl/avgdl)) + delta )
+
+    The +delta floor guarantees a long document that merely CONTAINS a
+    query term still outscores one that doesn't — the defect BM25's
+    length normalization has on verbose corpora. delta = 1.0 (the paper's
+    recommended default; dyadic, so the sum stays exact cross-engine).
+    Same one-pass _tf_dl_df shape as BM25: filtered tf with row-local dl,
+    df via the bounded per-term groupBy broadcast, 1-row stats aggregate."""
+    qterms = sorted(set(terms))
+    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    matched = _tf_dl_df(base, qterms)
+    stats = (
+        base.select(F.size(tokens_expr("__text")).cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+    m = matched.crossJoin(F.broadcast(stats))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / F.col("df"))
+    norm = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    part = idf * (norm + F.lit(float(delta)))
+    scores = (
+        m.select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score"))
+    )
+    return _topk_ranked(scores, k)

@@ -775,3 +775,52 @@ def hashing_tf(docs: DataFrame, n_buckets: int = 64, doc_mod: int = 25,
             .groupBy("doc_id", "bucket")
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
             .orderBy("doc_id", "bucket"))
+
+
+def token_graph_triangles(docs: DataFrame, k: int = 20,
+                          text_col: str = "text") -> DataFrame:
+    """Triangle counting + local clustering coefficient over the token
+    co-occurrence graph (the third classic graph kernel next to
+    graph_pagerank/graph_hits; Watts & Strogatz 1998 for the coefficient,
+    the ordered-edge join of Suri & Vassilvitskii WWW'11 for the count):
+    undirected DISTINCT adjacent-token edges canonicalized a < b, triangles
+    enumerated as e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c so each triangle
+    is produced exactly once; cc(v) = 2·t(v) / (deg·(deg−1)).
+
+    Scale shape: the edge relation is vocab-bounded (≤|V|² rows), each
+    join is an equi-join on a node key; at web scale the canonical order
+    would be by DEGREE (the standard skew heuristic) — string order here
+    keeps the oracle shared. (term, deg, n_triangles, clustering) top-k
+    by (n_triangles desc, term asc)."""
+    base = docs.select(tokens_expr(text_col).alias("tk")).filter(
+        F.size("tk") >= 2)
+    pairs = F.expr(
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))")
+    bg = (base.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+          .filter(F.col("a") != F.col("b")))
+    und = (bg.select(F.least("a", "b").alias("a"),
+                     F.greatest("a", "b").alias("b")).distinct())
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = und.join(e2, "b").join(e3, ["a", "c"])
+    tn = tri.select(F.explode(F.array("a", "b", "c")).alias("term"))
+    tc = tn.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    sym = (und.select(F.col("a").alias("term"))
+           .unionByName(und.select(F.col("b").alias("term"))))
+    deg = sym.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    out = tc.join(deg, "term").select(
+        "term", "deg", "n_triangles",
+        F.round((F.lit(2.0) * F.col("n_triangles"))
+                / (F.col("deg") * (F.col("deg") - F.lit(1))), 6)
+        .alias("clustering"))
+    from pyspark.sql.window import Window
+    top = out.orderBy(F.col("n_triangles").desc(), F.col("term").asc()) \
+             .limit(int(k))
+    w = F.row_number().over(
+        Window.orderBy(F.col("n_triangles").desc(), F.col("term").asc()))
+    return (top.withColumn("rank", w)
+            .select("rank", "term", "deg", "n_triangles", "clustering")
+            .orderBy("rank"))
