@@ -4652,6 +4652,27 @@ def _q_token_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_graph_triangles(_docs(spark, sf_dir), k=20)
 
 
+def _q_asciifolding_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES asciifolding analyzer: vowels of every 3rd doc are deterministically
+    accented (accentify_docs), the index analyzer folds them back — ASCII
+    queries match accented surface forms, stats are the folded field's."""
+    from fafnir_spark.query_ext import accentify_docs, asciifolding_bm25
+
+    return asciifolding_bm25(accentify_docs(_docs(spark, sf_dir)),
+                             ["merge", "window"], k=10)
+
+
+def _q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational BFS hop distance from seed customers over the undirected
+    order graph — min-propagation rounds, (hops, n_nodes) histogram."""
+    from fafnir_spark.pipeline import graph_bfs_hops
+
+    return graph_bfs_hops(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        PPR_SEEDS, max_hops=3)
+
+
 def _q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction: PageRank over the vocab-bounded
     adjacent-token co-occurrence graph, fixed rounded power iterations."""
@@ -5055,6 +5076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": _q_ngram_diversity,
         "zipf_fit": _q_zipf_fit,
         "textrank_keywords": _q_textrank_keywords,
+        "asciifolding_bm25": _q_asciifolding_bm25,
+        "graph_bfs_hops": _q_graph_bfs_hops,
         "token_graph_triangles": _q_token_graph_triangles,
         "bm25_plus": _q_bm25_plus,
         "hashing_tf": _q_hashing_tf,
@@ -5657,6 +5680,11 @@ ORDER BY term ASC LIMIT 10
         "ngram_diversity": oracles_curation.ngram_diversity_sql(),
         "zipf_fit": oracles_curation.zipf_fit_sql(20),
         "textrank_keywords": oracles_curation.textrank_keywords_sql(),
+        "asciifolding_bm25": oracles.bm25_topk_sql(
+            ["merge", "window"], k=10,
+            text_expr=oracles.asciifold_expr(oracles.accentified_expr()),
+        ),
+        "graph_bfs_hops": oracles_pipeline.graph_bfs_hops_sql(PPR_SEEDS, max_hops=3),
         "token_graph_triangles": oracles_curation.token_graph_triangles_sql(),
         "bm25_plus": oracles.bm25_plus_sql(Q_MAIN, k=10),
         "hashing_tf": oracles_curation.hashing_tf_sql(),

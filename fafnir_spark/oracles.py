@@ -2585,3 +2585,22 @@ scored AS (
 SELECT doc_id, round(raw_score, 6) AS score FROM scored
 """
     return _ranked_topk(inner, k)
+
+
+def accentified_expr(inner: str = "text") -> str:
+    """SQL twin of query_ext.accentify_docs — constants templated from
+    ACCENT_SRC/ACCENT_DST/ACCENT_EVERY."""
+    from .query_ext import ACCENT_DST, ACCENT_EVERY, ACCENT_SRC
+
+    e = ACCENT_EVERY
+    pmod = f"((doc_id % {e}) + {e}) % {e}"
+    return (f"CASE WHEN {pmod} = 0 THEN "
+            f"translate({inner}, '{ACCENT_SRC}', '{ACCENT_DST}') "
+            f"ELSE {inner} END")
+
+
+def asciifold_expr(inner: str = "text") -> str:
+    """SQL twin of query_ext.asciifold_col."""
+    from .query_ext import ACCENT_DST, ACCENT_SRC
+
+    return f"translate({inner}, '{ACCENT_DST}', '{ACCENT_SRC}')"

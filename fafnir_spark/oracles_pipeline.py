@@ -2247,3 +2247,33 @@ FROM ev JOIN firsts ON firsts.user_id = ev.user_id
 GROUP BY 1, 2
 ORDER BY cohort_day, day_offset
 """
+
+
+def graph_bfs_hops_sql(seeds: list[int], max_hops: int = 3) -> str:
+    """Mirror of pipeline.graph_bfs_hops: same symmetric edge derivation,
+    same unrolled min-propagation rounds."""
+    seed_in = ", ".join(str(int(s)) for s in seeds)
+    ctes = ["""edges AS (
+  SELECT DISTINCT o.o_custkey AS src, 1000000000 + l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+            """sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+)""",
+            "nodes AS (SELECT DISTINCT src AS node FROM sym)",
+            f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM nodes "
+            f"WHERE node IN ({seed_in}))"]
+    for i in range(1, int(max_hops) + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d{i-1}
+    UNION ALL
+    SELECT sym.dst AS node, p.d + 1 AS d
+    FROM sym JOIN d{i-1} p ON p.node = sym.src
+  ) GROUP BY node
+)""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT d AS hops, CAST(count(*) AS BIGINT) AS n_nodes
+FROM d{int(max_hops)} GROUP BY d ORDER BY hops
+"""

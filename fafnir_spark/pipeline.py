@@ -2803,3 +2803,40 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     return (joined.groupBy("cohort_day", "day_offset")
             .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
             .orderBy("cohort_day", "day_offset"))
+
+
+def graph_bfs_hops(orders: DataFrame, lineitem: DataFrame,
+                   seeds: list[int], max_hops: int = 3) -> DataFrame:
+    """Relational BFS hop distance (unweighted SSSP) over the UNDIRECTED
+    customer↔supplier order graph — the frontier-expansion primitive
+    under graph_explore, k-hop neighborhoods, and blast-radius queries.
+    dist(v) = min hops from any seed, computed by ``max_hops`` rounds of
+    min-propagation: each round is ONE edge⋈dist equi-join + ONE
+    groupBy(node) min — the dedup_clusters min-label shape with hop+1 in
+    place of the label. Seeds enter both engines as literals; a seed
+    absent from the graph contributes nothing (the PPR ∩-rule).
+
+    Scale shape: every shuffle is keyed by a node id; the dist relation
+    is ≤|nodes| rows; no collect, no driver-side frontier. Output is the
+    bounded histogram (hops, n_nodes), ordered."""
+    edges = (
+        orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"),
+                (F.lit(10**9) + F.col("l_suppkey")).alias("dst"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    dist = (nodes.filter(F.col("node").isin([int(s) for s in seeds]))
+            .select("node", F.lit(0).cast("long").alias("d")))
+    for _ in range(int(max_hops)):
+        nxt = (sym.join(dist.select(F.col("node").alias("src"), "d"), "src")
+               .select(F.col("dst").alias("node"),
+                       (F.col("d") + F.lit(1)).alias("d")))
+        dist = (dist.unionByName(nxt)
+                .groupBy("node").agg(F.min("d").alias("d")))
+    return (dist.groupBy(F.col("d").alias("hops"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .orderBy("hops"))

@@ -2358,3 +2358,42 @@ def analyze_api(spark, text: str, analyzer: str = "whitespace",
     return one.select(
         F.posexplode(tokens_expr("__t")).alias("pos", "token")
     ).select(F.col("pos").cast("long").alias("pos"), "token")
+
+
+# accent noise for the asciifolding analyzer driver query — templated into
+# BOTH engines (oracles.accentified_expr / asciifold_expr), never hand-copied
+ACCENT_SRC = "aeiou"
+ACCENT_DST = "áéíóú"   # áéíóú
+ACCENT_EVERY = 3
+
+
+def accentify_docs(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Deterministically accent-fold every ACCENT_EVERY-th doc's vowels
+    (the htmlify_docs precedent — the fixture corpus is pure ASCII, so the
+    asciifolding driver query derives its own diacritics, identically in
+    both engines)."""
+    t = F.when(
+        F.pmod(F.col(id_col), F.lit(ACCENT_EVERY)) == 0,
+        F.translate(F.col(text_col), ACCENT_SRC, ACCENT_DST),
+    ).otherwise(F.col(text_col))
+    return docs.select(F.col(id_col).alias("doc_id"), t.alias("text"))
+
+
+def asciifold_col(text_col: str = "text") -> F.Column:
+    """ES asciifolding token filter (the analyzer that makes 'café' match
+    'cafe'): diacritics mapped to their ASCII base. Row-local translate —
+    zero shuffle, runs ahead of the tokenizer."""
+    return F.translate(F.col(text_col), ACCENT_DST, ACCENT_SRC)
+
+
+def asciifolding_bm25(docs: DataFrame, terms: list[str], k: int = 10,
+                      text_col: str = "text") -> DataFrame:
+    """BM25 over the asciifolded field — accented surface forms and ASCII
+    queries meet in one term space, and dl/df/avgdl are the folded
+    statistics (ES: asciifolding filter in the index analyzer).
+    (rank, doc_id, score)."""
+    from .query import bm25_topk
+
+    folded = docs.withColumn("__an", asciifold_col(text_col))
+    return bm25_topk(folded, terms, k=k, text_col="__an")

@@ -165,3 +165,41 @@ def test_stream_hdr_percentiles_equals_batch(spark, events, tmp_path):
         spark, src, str(tmp_path / "ck"), str(tmp_path / "state")).collect()]
     want = [tuple(r) for r in hdr_percentiles(events).collect()]
     assert got == want  # additive bucket merge folds to the batch sketch
+
+
+def test_asciifolding_recovers_plain_bm25(docs):
+    from fafnir_spark.query import bm25_topk
+    from fafnir_spark.query_ext import accentify_docs, asciifolding_bm25
+
+    terms = ["merge", "window"]
+    acc = accentify_docs(docs)
+    folded = [tuple(r) for r in asciifolding_bm25(acc, terms, k=10).collect()]
+    plain = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    # fold ∘ accentify is the identity on this ASCII corpus: the analyzed
+    # index must reproduce the plain search exactly
+    assert folded == plain
+    # without folding, the accented docs (pmod(doc_id,3)==0) can't match:
+    # the same search over the raw accentified corpus diverges
+    raw = [tuple(r) for r in bm25_topk(acc, terms, k=10).collect()]
+    assert raw != plain
+
+
+def test_graph_bfs_hops_invariants(spark):
+    from fafnir_spark.pipeline import graph_bfs_hops
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    h2 = {r.hops: r.n_nodes for r in
+          graph_bfs_hops(orders, li, [1, 2, 3, 5, 8], max_hops=2).collect()}
+    h3 = {r.hops: r.n_nodes for r in
+          graph_bfs_hops(orders, li, [1, 2, 3, 5, 8], max_hops=3).collect()}
+    # seeds present in the graph sit at hop 0 and are stable across depths
+    assert h2.get(0) == h3.get(0) and h2.get(0, 0) >= 1
+    # min-propagation: counts at depths < max agree between the two runs
+    for d in (0, 1, 2):
+        if d in h2:
+            assert h3[d] == h2[d]
+    # a seed OUTSIDE the graph contributes nothing
+    none = graph_bfs_hops(orders, li, [999999999], max_hops=2).collect()
+    assert none == []
