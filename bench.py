@@ -361,6 +361,39 @@ def main() -> None:
 
     timed("s13_sweep", _s13_sweep)
 
+    # session-14 ops: event analytics + graph kernels + analyzers (NEW key
+    # — old keys stay comparable)
+    def _s14_sweep() -> int:
+        from fafnir_spark.pipeline import (
+            cohort_retention,
+            funnel_steps,
+            graph_bfs_hops,
+        )
+        from fafnir_spark.query_ext import accentify_docs, asciifolding_bm25
+        from fafnir_spark.scoring import bm25_plus_topk
+        from fafnir_spark.textstats import (
+            hashing_tf,
+            textrank_keywords,
+            token_graph_triangles,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        n = funnel_steps(events).count()
+        n += cohort_retention(events).count()
+        n += textrank_keywords(docs).count()
+        n += token_graph_triangles(docs).count()
+        n += hashing_tf(docs).count()
+        n += bm25_plus_topk(docs, ["merge", "window", "customer"], k=10).count()
+        n += asciifolding_bm25(accentify_docs(docs), ["merge", "window"],
+                               k=10).count()
+        n += graph_bfs_hops(orders, li, [1, 2, 3, 5, 8], max_hops=3).count()
+        return n
+
+    timed("s14_sweep", _s14_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work

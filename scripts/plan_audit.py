@@ -814,6 +814,59 @@ def main() -> None:
               "map-side-combined groupBy; ORDER+LIMIT is "
               "TakeOrderedAndProject."),
     ]
+    from fafnir_spark.pipeline import (
+        cohort_retention,
+        funnel_steps,
+        graph_bfs_hops,
+    )
+    from fafnir_spark.scoring import bm25_plus_topk
+    from fafnir_spark.textstats import (
+        hashing_tf,
+        textrank_keywords,
+        token_graph_triangles,
+    )
+
+    sections += [
+        audit("funnel_steps (ordered conversion funnel)",
+              funnel_steps(events),
+              "Each stage is one filtered groupBy(user_id) with map-side "
+              "combine plus one user-keyed equi-join — no windows, no "
+              "collect; per-step counts are 1-row aggregates and the "
+              "first-stage count rides a broadcast."),
+        audit("cohort_retention (first-day cohorts)",
+              cohort_retention(events),
+              "One groupBy(user_id) anchor + one user-keyed join back + "
+              "one bounded-grid groupBy((cohort_day, day_offset)) exact "
+              "distinct — integer-µs day keys, no float truncation."),
+        audit("textrank_keywords (PageRank on the token graph)",
+              textrank_keywords(docs, iters=2, k=10),
+              "Pair explode is row-local; edges are DISTINCT (a,b) — "
+              "vocab-bounded, so every iteration's join + groupBy "
+              "shuffles |V|²-bounded relations, never the corpus."),
+        audit("token_graph_triangles (ordered-edge join)",
+              token_graph_triangles(docs, k=10),
+              "Canonical a<b<c join produces each triangle once; all "
+              "three join inputs are the same vocab-bounded DISTINCT "
+              "edge relation; top-k is TakeOrderedAndProject."),
+        audit("hashing_tf (feature hashing)",
+              hashing_tf(docs),
+              "Doc-slice filter sits below the explode (scan prunes "
+              "first); one map-side-combined groupBy(doc_id, bucket); no "
+              "vocabulary table anywhere in the plan."),
+        audit("bm25_plus (lower-bounded BM25)",
+              bm25_plus_topk(docs, ["merge", "window", "customer"], k=10),
+              "Same one-pass _tf_dl_df shape as bm25_direct: term-isin "
+              "below the tf groupBy, df via the bounded per-term groupBy "
+              "broadcast, 1-row stats aggregate, two FileScans total."),
+        audit("graph_bfs_hops (min-propagation BFS)",
+              graph_bfs_hops(spark.read.parquet(f"{sf}/orders.parquet"),
+                             spark.read.parquet(f"{sf}/lineitem.parquet"),
+                             [1, 2, 3, 5, 8], max_hops=2),
+              "Each round is ONE node-keyed equi-join + ONE groupBy min "
+              "(map-side partials); the dist relation never exceeds "
+              "|nodes| rows and the output histogram is bounded by "
+              "max_hops."),
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     with open(out, "w") as f:
