@@ -4673,6 +4673,16 @@ def _q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         PPR_SEEDS, max_hops=3)
 
 
+def _q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: a deterministically typo'd registry
+    (dirtify_names) linked back to the canonical customer table via the
+    deletion-neighborhood blocking join + exact levenshtein verify."""
+    from fafnir_spark.dedup import dirtify_names, record_linkage_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return record_linkage_pairs(dirtify_names(cust), cust)
+
+
 def _q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction: PageRank over the vocab-bounded
     adjacent-token co-occurrence graph, fixed rounded power iterations."""
@@ -4833,6 +4843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_dedup": _q_fingerprint_dedup,
+        "record_linkage": _q_record_linkage,
         "html_strip_bm25": _q_html_strip_bm25,
         "categorize_text": _q_categorize_text,
         "winnow_fingerprints": _q_winnow_fps,
@@ -5250,6 +5261,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": oracles_ops.text_stats_sql(),
         "dedup_exact": oracles_ops.exact_dup_sql(),
         "fingerprint_dedup": oracles_ops.fingerprint_dup_sql(),
+        "record_linkage": oracles_ops.record_linkage_sql(),
         "categorize_text": oracles_pipeline.categorize_text_sql(),
         "html_strip_bm25": oracles.bm25_topk_sql(
             ["merge", "anchor"], k=10,

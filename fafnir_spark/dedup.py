@@ -786,3 +786,62 @@ def semdedup(emb: DataFrame, n_clusters: int = 16, threshold: float = 0.9,
         F.col("a.centroid_id").alias("centroid_id"),
     )
     return dead.dropDuplicates(["vec_id"]).select("vec_id", "centroid_id").orderBy("vec_id")
+
+
+# record-linkage noise — templated into BOTH engines (oracles_ops.
+# record_linkage_sql), never hand-copied. Position lands inside the
+# digit region of the fixed-width 'Customer#NNNNNNNNN' names.
+LINK_EVERY = 3
+LINK_SUB_CHAR = "x"
+LINK_POS_MOD = 8
+LINK_POS_BASE = 10
+
+
+def dirtify_names(customers: DataFrame) -> DataFrame:
+    """Deterministic dirty registry for the record-linkage driver query
+    (the accentify_docs precedent): every LINK_EVERY-th customer's name
+    gets ONE character substituted at a key-derived position — the
+    typo'd/OCR'd registry an entity-resolution pipeline must link back
+    to the canonical table. (reg_id, name)."""
+    pos = F.pmod(F.col("c_custkey"), F.lit(LINK_POS_MOD)) + F.lit(LINK_POS_BASE)
+    dirty = F.concat(
+        F.col("c_name").substr(F.lit(1), pos - 1),
+        F.lit(LINK_SUB_CHAR),
+        F.col("c_name").substr(pos + 1, F.length("c_name")),
+    )
+    return (customers
+            .filter(F.pmod(F.col("c_custkey"), F.lit(LINK_EVERY)) == 0)
+            .select(F.col("c_custkey").alias("reg_id"), dirty.alias("name")))
+
+
+def record_linkage_pairs(registry: DataFrame, canonical: DataFrame,
+                         max_edits: int = 1) -> DataFrame:
+    """Entity resolution / record linkage (Fellegi & Sunter 1969 family;
+    the SymSpell deletion-neighborhood blocking of fuzzy_bm25 applied to
+    a TABLE-to-TABLE join): candidates = ONE equi-join of both sides'
+    single-deletion variant sets — never an all-pairs Levenshtein scan —
+    then exact levenshtein verifies (distance-1 deletion blocking has no
+    false negatives for sub/ins/del/exact).
+
+    Scale shape: each side explodes length+1 row-local variants; the
+    variant equi-join is the only shuffle and its key is near-unique
+    (fixed-width keys share variants only via true near-matches);
+    verification is row-local on the candidate pairs.
+    (reg_id, cust_id, dist), ordered."""
+    from .query_ext import _delete_variants_expr
+
+    assert max_edits == 1, "deletion-neighborhood blocking covers max_edits=1"
+    rv = registry.select(
+        "reg_id", "name",
+        F.explode(_delete_variants_expr(F.col("name"))).alias("variant"))
+    cv = canonical.select(
+        F.col("c_custkey").alias("cust_id"), "c_name",
+        F.explode(_delete_variants_expr(F.col("c_name"))).alias("variant"))
+    return (rv.join(cv, "variant")
+            .select("reg_id", "cust_id", "name", "c_name").distinct()
+            .withColumn("dist",
+                        F.levenshtein(F.col("name"), F.col("c_name"))
+                        .cast("long"))
+            .filter(F.col("dist") <= max_edits)
+            .select("reg_id", "cust_id", "dist")
+            .orderBy("reg_id", "cust_id"))

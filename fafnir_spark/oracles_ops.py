@@ -1665,3 +1665,26 @@ wpbest AS (
 )
 SELECT word, pieces, n_pieces FROM wpbest WHERE rn = 1
 ORDER BY word ASC""")
+
+
+def record_linkage_sql(max_edits: int = 1) -> str:
+    """Mirror of dedup.record_linkage_pairs over dedup.dirtify_names —
+    derivation constants templated from dedup.LINK_*; the oracle verifies
+    with a direct levenshtein join (same RESULT as the deletion-blocked
+    candidates: distance-1 blocking has no false negatives)."""
+    from .dedup import LINK_EVERY, LINK_POS_BASE, LINK_POS_MOD, LINK_SUB_CHAR
+
+    e, m, b = LINK_EVERY, LINK_POS_MOD, LINK_POS_BASE
+    pos = f"(((c_custkey % {m}) + {m}) % {m} + {b})"
+    dirty = (f"substr(c_name, 1, {pos} - 1) || '{LINK_SUB_CHAR}' || "
+             f"substr(c_name, {pos} + 1)")
+    return f"""
+WITH reg AS (
+  SELECT c_custkey AS reg_id, {dirty} AS name
+  FROM customer WHERE ((c_custkey % {e}) + {e}) % {e} = 0
+)
+SELECT r.reg_id, c.c_custkey AS cust_id,
+       CAST(levenshtein(r.name, c.c_name) AS BIGINT) AS dist
+FROM reg r JOIN customer c ON levenshtein(r.name, c.c_name) <= {int(max_edits)}
+ORDER BY reg_id, cust_id
+"""

@@ -203,3 +203,21 @@ def test_graph_bfs_hops_invariants(spark):
     # a seed OUTSIDE the graph contributes nothing
     none = graph_bfs_hops(orders, li, [999999999], max_hops=2).collect()
     assert none == []
+
+
+def test_record_linkage_recovers_sources(spark):
+    from fafnir_spark.dedup import dirtify_names, record_linkage_pairs
+    from tests.conftest import SF_DIR
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    reg = dirtify_names(cust)
+    pairs = record_linkage_pairs(reg, cust)
+    linked = {(r.reg_id, r.cust_id) for r in pairs.collect()}
+    # every dirtied registry row links back to its own source key
+    # (single substitution => distance 1, blocking has no false negatives)
+    for r in reg.select("reg_id").collect():
+        assert (r.reg_id, r.reg_id) in linked
+    # the blocking join is an equi-join on the variant key — no
+    # all-pairs scan anywhere in the plan
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
