@@ -3380,6 +3380,18 @@ def _q_stream_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_moving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA: additive per-day partial sums in parquet state,
+    rounded once post-merge, shared fold tail — same oracle as batch."""
+    from fafnir_spark.streaming import stream_moving_ewma
+
+    base = tempfile.mkdtemp(prefix="fafnir_sewma_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_moving_ewma(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
 def _q_stream_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HDR percentiles: additive per-batch (e, sub) bucket
     partials folded to the batch sketch — shared selection tail, same
@@ -3732,6 +3744,24 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.pipeline import cohort_retention
 
     return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+MOVING_EWMA_SQL = """
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+),
+folded AS (
+  SELECT day, sum_value,
+         round(list_reduce(
+           list(sum_value) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           (a, x) -> a * 0.5 + x * 0.5), 6) AS ewma
+  FROM buckets
+)
+SELECT day, sum_value, ewma FROM folded ORDER BY day ASC
+"""
 
 
 ROLLUP_BOUNDARY_US = 1705363200 * 1_000_000   # 2024-01-16 00:00 UTC, 6h-aligned
@@ -5023,6 +5053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sampled_quantiles": _q_stream_sampled_quantiles,
         "stream_change_point": _q_stream_change_point,
         "stream_hdr_percentiles": _q_stream_hdr_percentiles,
+        "stream_moving_ewma": _q_stream_moving_ewma,
         "stream_anomaly_hourly": _q_stream_anomaly_hourly,
         "stream_transform_pivot": _q_stream_transform_pivot,
         "transform_pivot": _q_transform_pivot,
@@ -5361,22 +5392,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_values_histogram_indexed":
             oracles_pipeline.doc_values_histogram_sql("n_chars", 50.0),
         "pipeline_aggs": oracles_pipeline.event_pipeline_aggs_sql(3),
-        "moving_ewma": """
-WITH buckets AS (
-  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-         round(sum(value), 6) AS sum_value
-  FROM events GROUP BY 1
-),
-folded AS (
-  SELECT day, sum_value,
-         round(list_reduce(
-           list(sum_value) OVER (ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-           (a, x) -> a * 0.5 + x * 0.5), 6) AS ewma
-  FROM buckets
-)
-SELECT day, sum_value, ewma FROM folded ORDER BY day ASC
-""",
+        "moving_ewma": MOVING_EWMA_SQL,
         "extended_stats": oracles_pipeline.extended_stats_sql(),
         "bucket_selector": oracles_pipeline.bucket_selector_topn_sql(),
         "bucket_sort": oracles_pipeline.bucket_sort_sql(from_=2, size=3),
@@ -5665,6 +5681,7 @@ ORDER BY term ASC LIMIT 10
         "stream_hll_cardinality": oracles_pipeline.hll_cardinality_sql(exact=False),
         "stream_change_point": oracles_pipeline.change_point_sql(),
         "stream_hdr_percentiles": oracles_pipeline.hdr_percentiles_sql((50, 90, 99), 5),
+        "stream_moving_ewma": MOVING_EWMA_SQL,
         "stream_anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "stream_transform_pivot": oracles_pipeline.transform_pivot_sql(),
         "transform_pivot": oracles_pipeline.transform_pivot_sql(),

@@ -667,13 +667,23 @@ def moving_ewma(events: DataFrame) -> DataFrame:
     fold run over the bucket relation only (rows == distinct days).
     (day, sum_value, ewma) ordered by day."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     buckets = (
         events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
                                      "yyyy-MM-dd").alias("day"))
         .agg(F.round(F.sum("value"), 6).alias("sum_value"))
     )
+    return ewma_from_buckets(buckets)
+
+
+def ewma_from_buckets(buckets: DataFrame) -> DataFrame:
+    """The EWMA fold tail over a (day, sum_value) bucket relation —
+    SHARED by moving_ewma and streaming.stream_moving_ewma (the
+    change_point_from_buckets rule: stream == batch by construction
+    because both run THIS code over the same folded buckets)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     w = (Window.orderBy("day")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (buckets

@@ -1005,3 +1005,53 @@ def stream_hdr_percentiles(
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     return hdr_percentiles_from_buckets(merged, pcts, sub_bits)
+
+
+def stream_moving_ewma(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> DataFrame:
+    """Streaming ES moving_fn ewma: each micro-batch collapses to its
+    per-day partial value sums and appends them to parquet state — sums
+    are ADDITIVE-mergeable (the change_point sum-merge), so the folded
+    state IS the batch bucket relation (rounded once, after the merge)
+    and the shared fold tail (pipeline.ewma_from_buckets) gives the batch
+    answer. State is bounded at |days| · |batches| partial rows; batch
+    stamps make checkpoint replays idempotent. Same output contract (and
+    oracle) as pipeline.moving_ewma."""
+    import os
+
+    from .pipeline import ewma_from_buckets
+
+    buckets_dir = os.path.join(state_dir, "ewma_buckets")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
+                                     "yyyy-MM-dd").alias("day"))
+            .agg(F.sum("value").alias("part"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(buckets_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(buckets_dir)
+        .dropDuplicates(["day", "_b"])
+        .groupBy("day")
+        .agg(F.round(F.sum("part"), 6).alias("sum_value"))
+    )
+    return ewma_from_buckets(merged)

@@ -221,3 +221,15 @@ def test_record_linkage_recovers_sources(spark):
     # all-pairs scan anywhere in the plan
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_stream_moving_ewma_equals_batch(spark, events, tmp_path):
+    from fafnir_spark.pipeline import moving_ewma
+    from fafnir_spark.streaming import stream_moving_ewma
+
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    got = [tuple(r) for r in stream_moving_ewma(
+        spark, src, str(tmp_path / "ck"), str(tmp_path / "state")).collect()]
+    want = [tuple(r) for r in moving_ewma(events).collect()]
+    assert got == want  # additive partial-sum merge + shared fold tail
