@@ -3729,6 +3729,22 @@ def _q_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_hourly(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event transition matrix: one user-keyed lead() window
+    collapsed to the |types|²-bounded relation, row-normalized."""
+    from fafnir_spark.pipeline import event_transitions
+
+    return event_transitions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation over purchase events — deterministic
+    ntile scoring, bounded segment-grid output."""
+    from fafnir_spark.pipeline import rfm_segments
+
+    return rfm_segments(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel: signup → click → purchase, each stage
     anchored on the earliest qualifying event within a 24h window —
@@ -4972,6 +4988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_search": _q_rollup_search,
         "anomaly_hourly": _q_anomaly_hourly,
         "funnel_steps": _q_funnel_steps,
+        "event_transitions": _q_event_transitions,
+        "rfm_segments": _q_rfm_segments,
         "cohort_retention": _q_cohort_retention,
         "downsample_tsdb": _q_downsample_tsdb,
         "stream_downsample": _q_stream_downsample,
@@ -5422,6 +5440,8 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "rollup_search": oracles_pipeline.rollup_search_sql(ROLLUP_BOUNDARY_US),
         "anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "funnel_steps": oracles_pipeline.funnel_steps_sql(),
+        "event_transitions": oracles_pipeline.event_transitions_sql(),
+        "rfm_segments": oracles_pipeline.rfm_segments_sql(),
         "cohort_retention": oracles_pipeline.cohort_retention_sql(),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),

@@ -2277,3 +2277,62 @@ WITH {", ".join(ctes)}
 SELECT d AS hops, CAST(count(*) AS BIGINT) AS n_nodes
 FROM d{int(max_hops)} GROUP BY d ORDER BY hops
 """
+
+
+def event_transitions_sql() -> str:
+    """Mirror of pipeline.event_transitions: same (ts, event_id) ordering,
+    same row-normalized probabilities."""
+    return """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+nxt AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS to_type
+  FROM ev
+),
+pairs AS (
+  SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
+def rfm_segments_sql(buckets: int = 4) -> str:
+    """Mirror of pipeline.rfm_segments: same integer-µs day keys, same
+    deterministic ntile orderings, sums rounded per user then per segment."""
+    day_us = 86_400_000_000
+    b = int(buckets)
+    return f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+  WHERE event_type = 'purchase'
+),
+per_user AS (
+  SELECT user_id, max(us) AS last_us, CAST(count(*) AS BIGINT) AS freq,
+         round(sum(value), 6) AS monetary
+  FROM p GROUP BY user_id
+),
+mx AS (SELECT max(us) AS max_us FROM p),
+scored AS (
+  SELECT user_id, freq, monetary,
+         mx.max_us // {day_us} - last_us // {day_us} AS r_days
+  FROM per_user CROSS JOIN mx
+),
+seg AS (
+  SELECT ntile({b}) OVER (ORDER BY r_days ASC, user_id ASC) AS r_score,
+         ntile({b}) OVER (ORDER BY freq DESC, user_id ASC) AS f_score,
+         ntile({b}) OVER (ORDER BY monetary DESC, user_id ASC) AS m_score,
+         monetary
+  FROM scored
+)
+SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users,
+       round(sum(monetary), 6) AS sum_monetary
+FROM seg GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""

@@ -2850,3 +2850,72 @@ def graph_bfs_hops(orders: DataFrame, lineitem: DataFrame,
     return (dist.groupBy(F.col("d").alias("hops"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
             .orderBy("hops"))
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Next-event transition matrix (Markov path analysis — the Sankey /
+    user-flow view product analytics builds over clickstreams): for each
+    user's events in (ts, event_id) order, count (from_type → to_type)
+    consecutive pairs and the row-normalized transition probability.
+
+    Scale shape: ONE lead() window partitioned by user_id (user-keyed
+    shuffle, no global window) collapses to the |types|²-bounded
+    transition relation; the row normalizer is a count window over that
+    bounded relation only. (from_type, to_type, n, p), ordered."""
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = events.select("user_id", "event_type", us.alias("us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (ev.withColumn("to_type", F.lead("event_type").over(w))
+             .filter(F.col("to_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"), "to_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = Window.partitionBy("from_type")
+    return (pairs.withColumn(
+                "p", F.round(F.col("n") / F.sum("n").over(tot), 6))
+            .orderBy("from_type", "to_type"))
+
+
+def rfm_segments(events: DataFrame, buckets: int = 4) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary — the classic
+    marketing-analytics quartile scoring): per user over purchase events,
+    R = days since last purchase (vs the corpus max day, exact integer-µs
+    day keys), F = purchase count, M = rounded value sum; each scored
+    ntile(buckets) with deterministic (metric, user_id) ordering (the
+    ccnet_buckets round-before-order rule). Output is the bounded
+    (r_score, f_score, m_score) segment grid with user counts.
+
+    Scale shape: one groupBy(user_id) + a 1-row broadcast corpus-max;
+    the ntile windows run over the |users|-row aggregate relation —
+    global windows, but on the REDUCED per-user relation, the same
+    envelope class as topk's final rank."""
+    from pyspark.sql.window import Window
+
+    day_us = 86_400_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("us"), "value")
+    per_user = p.groupBy("user_id").agg(
+        F.max("us").alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.round(F.sum("value"), 6).alias("monetary"))
+    mx = p.agg(F.max("us").alias("max_us"))
+    scored = (per_user.crossJoin(F.broadcast(mx))
+              .select(
+                  "user_id", "freq", "monetary",
+                  (F.expr(f"max_us DIV {day_us}")
+                   - F.expr(f"last_us DIV {day_us}")).alias("r_days")))
+    b = int(buckets)
+    r_w = Window.orderBy(F.col("r_days").asc(), F.col("user_id").asc())
+    f_w = Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    seg = scored.select(
+        F.ntile(b).over(r_w).alias("r_score"),
+        F.ntile(b).over(f_w).alias("f_score"),
+        F.ntile(b).over(m_w).alias("m_score"),
+        "monetary")
+    return (seg.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.round(F.sum("monetary"), 6).alias("sum_monetary"))
+            .orderBy("r_score", "f_score", "m_score"))
