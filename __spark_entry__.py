@@ -3729,6 +3729,14 @@ def _q_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_hourly(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (Agrawal'94) over user event baskets: confidence
+    + lift for both directions of each frequent pair, apriori-pruned."""
+    from fafnir_spark.pipeline import association_rules
+
+    return association_rules(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov next-event transition matrix: one user-keyed lead() window
     collapsed to the |types|²-bounded relation, row-normalized."""
@@ -4989,6 +4997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_hourly": _q_anomaly_hourly,
         "funnel_steps": _q_funnel_steps,
         "event_transitions": _q_event_transitions,
+        "association_rules": _q_association_rules,
         "rfm_segments": _q_rfm_segments,
         "cohort_retention": _q_cohort_retention,
         "downsample_tsdb": _q_downsample_tsdb,
@@ -5441,6 +5450,7 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "funnel_steps": oracles_pipeline.funnel_steps_sql(),
         "event_transitions": oracles_pipeline.event_transitions_sql(),
+        "association_rules": oracles_pipeline.association_rules_sql(),
         "rfm_segments": oracles_pipeline.rfm_segments_sql(),
         "cohort_retention": oracles_pipeline.cohort_retention_sql(),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),

@@ -2336,3 +2336,42 @@ SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users,
 FROM seg GROUP BY 1, 2, 3
 ORDER BY r_score, f_score, m_score
 """
+
+
+def association_rules_sql(min_support: int = 3, k: int = 20) -> str:
+    """Mirror of pipeline.association_rules: same apriori prune, same
+    confidence/lift operand order."""
+    return f"""
+WITH ui AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id) AS n_baskets FROM ui),
+s1 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS s1 FROM ui
+  GROUP BY event_type HAVING count(*) >= {int(min_support)}
+),
+uif AS (SELECT ui.user_id, ui.event_type FROM ui
+        JOIN s1 ON s1.event_type = ui.event_type),
+pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM uif a JOIN uif b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_support)}
+),
+both_dirs AS (
+  SELECT item_a AS antecedent, item_b AS consequent, support FROM pairs
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, support FROM pairs
+),
+rules AS (
+  SELECT antecedent, consequent, support,
+         round(support / sa.s1, 6) AS confidence,
+         round((support / sa.s1) / (sb.s1 / n.n_baskets), 6) AS lift
+  FROM both_dirs
+  JOIN s1 sa ON sa.event_type = antecedent
+  JOIN s1 sb ON sb.event_type = consequent
+  CROSS JOIN n
+)
+SELECT antecedent, consequent, support, confidence, lift FROM rules
+ORDER BY confidence DESC, antecedent ASC, consequent ASC
+LIMIT {int(k)}
+"""

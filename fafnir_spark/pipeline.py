@@ -2919,3 +2919,59 @@ def rfm_segments(events: DataFrame, buckets: int = 4) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
                  F.round(F.sum("monetary"), 6).alias("sum_monetary"))
             .orderBy("r_score", "f_score", "m_score"))
+
+
+def association_rules(events: DataFrame, min_support: int = 3,
+                      k: int = 20) -> DataFrame:
+    """Association rules over the frequent_item_sets relation (Agrawal &
+    Srikant, VLDB 1994): for each frequent pair {A,B}, both directed
+    rules with
+
+        confidence(A→B) = s_AB / s_A
+        lift(A→B)       = confidence / (s_B / n_baskets)
+
+    (operand order pinned to the oracle; rounded 6). Same apriori-pruned
+    pair join as frequent_item_sets — the rule derivation itself runs
+    over the |types|²-bounded pair relation plus the broadcast 1-row
+    basket count. (antecedent, consequent, support, confidence, lift),
+    confidence desc top-k."""
+    ui = events.select("user_id", "event_type").distinct()
+    n = ui.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets"))
+    s1 = (ui.groupBy("event_type")
+          .agg(F.count(F.lit(1)).cast("long").alias("s1"))
+          .filter(F.col("s1") >= min_support))
+    uif = ui.join(F.broadcast(s1.select("event_type")), "event_type").select(
+        "user_id", "event_type")
+    a = uif.alias("a")
+    b = uif.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("item_a"),
+                 F.col("b.event_type").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    both = pairs.select(F.col("item_a").alias("antecedent"),
+                        F.col("item_b").alias("consequent"), "support") \
+        .unionByName(pairs.select(F.col("item_b").alias("antecedent"),
+                                  F.col("item_a").alias("consequent"),
+                                  "support"))
+    sa = s1.select(F.col("event_type").alias("antecedent"),
+                   F.col("s1").alias("s_a"))
+    sb = s1.select(F.col("event_type").alias("consequent"),
+                   F.col("s1").alias("s_b"))
+    rules = (both.join(F.broadcast(sa), "antecedent")
+             .join(F.broadcast(sb), "consequent")
+             .crossJoin(F.broadcast(n))
+             .select(
+                 "antecedent", "consequent", "support",
+                 F.round(F.col("support") / F.col("s_a"), 6)
+                 .alias("confidence"),
+                 F.round((F.col("support") / F.col("s_a"))
+                         / (F.col("s_b") / F.col("n_baskets")), 6)
+                 .alias("lift")))
+    return rules.orderBy(F.col("confidence").desc(),
+                         F.col("antecedent").asc(),
+                         F.col("consequent").asc()).limit(int(k))
