@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Session-14 scale sanity: event analytics (funnel / cohort / transition
+matrix / RFM / association rules) over a 5M-row synthetic clickstream with
+100k users, token-graph kernels (TextRank / triangles) + feature hashing
+over a 250k-doc synthetic code corpus, and record linkage over a 1M-row
+name registry (deletion-neighborhood blocking — never all-pairs).
+Records throughput + peak per-stage shuffle to BENCH/scale_s14.json."""
+import json
+import os
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fafnir_spark.corpus import synth_corpus
+from fafnir_spark.session import get_spark
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+N_ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+N_NAMES = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+os.environ["SPARK_GRAFT_UI"] = "1"
+spark = get_spark("scale-s14", cores=cpus)
+
+
+def peak_stage_shuffle() -> dict:
+    import urllib.request
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete",
+                timeout=10) as r:
+            stages = json.load(r)
+        return {
+            "peak_stage_shuffle_write_mb": round(
+                max((s.get("shuffleWriteBytes", 0) for s in stages),
+                    default=0) / 1e6, 1),
+            "n_stages": len(stages),
+        }
+    except Exception as e:  # noqa: BLE001 - witness only
+        return {"peak_stage_shuffle_error": str(e)[:120]}
+
+
+out = {"n_docs": N_DOCS, "n_rows": N_ROWS, "n_names": N_NAMES, "cpus": cpus}
+work = tempfile.mkdtemp(prefix="fafnir_s14_")
+
+# ---- 5M-row clickstream, 100k users, 5 event types over 60 days --------
+TYPES = ["signup", "view", "click", "purchase", "error"]
+ev = spark.range(N_ROWS).select(
+    F.col("id").alias("event_id"),
+    F.timestamp_seconds(F.lit(1704067200) + F.pmod(
+        F.xxhash64(F.col("id")), F.lit(86400 * 60))).alias("ts"),
+    F.pmod(F.xxhash64(F.col("id") + 1), F.lit(100_000)).alias("user_id"),
+    F.element_at(
+        F.array(*[F.lit(t) for t in TYPES]),
+        (F.pmod(F.xxhash64(F.col("id") + 2), F.lit(5)) + 1).cast("int"),
+    ).alias("event_type"),
+    (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1000)) / 10.0).alias("value"),
+)
+evp = os.path.join(work, "events")
+ev.write.parquet(evp)
+ev = spark.read.parquet(evp)
+
+from fafnir_spark.pipeline import (  # noqa: E402
+    association_rules,
+    cohort_retention,
+    event_transitions,
+    funnel_steps,
+    rfm_segments,
+)
+
+t0 = time.time()
+out["funnel_rows"] = funnel_steps(ev).count()
+out["funnel_sec"] = round(time.time() - t0, 2)
+t0 = time.time()
+out["cohort_rows"] = cohort_retention(ev).count()
+out["cohort_sec"] = round(time.time() - t0, 2)
+t0 = time.time()
+out["transitions_rows"] = event_transitions(ev).count()
+out["transitions_sec"] = round(time.time() - t0, 2)
+t0 = time.time()
+out["rfm_rows"] = rfm_segments(ev).count()
+out["rfm_sec"] = round(time.time() - t0, 2)
+t0 = time.time()
+out["assoc_rows"] = association_rules(ev).count()
+out["assoc_sec"] = round(time.time() - t0, 2)
+analytics_sec = (out["funnel_sec"] + out["cohort_sec"]
+                 + out["transitions_sec"] + out["rfm_sec"]
+                 + out["assoc_sec"])
+out["analytics_rows_per_sec"] = round(5 * N_ROWS / analytics_sec, 1)
+
+# ---- token-graph kernels + feature hashing over 250k code docs ---------
+cp = os.path.join(work, "corpus")
+synth_corpus(spark, N_DOCS).write.parquet(cp)
+from fafnir_spark.build import normalize_docs  # noqa: E402
+
+docs = normalize_docs(spark.read.parquet(cp)).select(
+    "doc_id", F.col("content").alias("text"))
+
+from fafnir_spark.textstats import (  # noqa: E402
+    hashing_tf,
+    textrank_keywords,
+    token_graph_triangles,
+)
+
+t0 = time.time()
+out["textrank_rows"] = textrank_keywords(docs, iters=3, k=20).count()
+out["textrank_sec"] = round(time.time() - t0, 2)
+t0 = time.time()
+out["triangles_rows"] = token_graph_triangles(docs, k=20).count()
+out["triangles_sec"] = round(time.time() - t0, 2)
+t0 = time.time()
+out["hashing_tf_rows"] = hashing_tf(docs, doc_mod=1).count()
+out["hashing_tf_sec"] = round(time.time() - t0, 2)
+out["hashing_docs_per_sec"] = round(N_DOCS / out["hashing_tf_sec"], 1)
+
+# ---- record linkage over a 1M-name registry -----------------------------
+names = spark.range(N_NAMES).select(
+    F.col("id").alias("c_custkey"),
+    F.format_string("Customer#%09d", F.col("id")).alias("c_name"))
+np_ = os.path.join(work, "names")
+names.write.parquet(np_)
+names = spark.read.parquet(np_)
+
+from fafnir_spark.dedup import dirtify_names, record_linkage_pairs  # noqa: E402
+
+t0 = time.time()
+out["linkage_pairs"] = record_linkage_pairs(
+    dirtify_names(names), names).count()
+out["linkage_sec"] = round(time.time() - t0, 2)
+out["linkage_names_per_sec"] = round(N_NAMES / out["linkage_sec"], 1)
+
+out.update(peak_stage_shuffle())
+path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "BENCH", "scale_s14.json")
+with open(path, "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))
+spark.stop()
