@@ -3737,6 +3737,15 @@ def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel transition: exact
+    interpolated median/p90 latency over the shared stage chain."""
+    from fafnir_spark.pipeline import conversion_time_stats
+
+    return conversion_time_stats(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov next-event transition matrix: one user-keyed lead() window
     collapsed to the |types|²-bounded relation, row-normalized."""
@@ -4997,6 +5006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_hourly": _q_anomaly_hourly,
         "funnel_steps": _q_funnel_steps,
         "event_transitions": _q_event_transitions,
+        "conversion_time_stats": _q_conversion_time_stats,
         "association_rules": _q_association_rules,
         "rfm_segments": _q_rfm_segments,
         "cohort_retention": _q_cohort_retention,
@@ -5450,6 +5460,7 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "funnel_steps": oracles_pipeline.funnel_steps_sql(),
         "event_transitions": oracles_pipeline.event_transitions_sql(),
+        "conversion_time_stats": oracles_pipeline.conversion_time_stats_sql(),
         "association_rules": oracles_pipeline.association_rules_sql(),
         "rfm_segments": oracles_pipeline.rfm_segments_sql(),
         "cohort_retention": oracles_pipeline.cohort_retention_sql(),

@@ -2375,3 +2375,35 @@ SELECT antecedent, consequent, support, confidence, lift FROM rules
 ORDER BY confidence DESC, antecedent ASC, consequent ASC
 LIMIT {int(k)}
 """
+
+
+def conversion_time_stats_sql(steps: tuple = ("signup", "click", "purchase"),
+                              window_h: int = 24) -> str:
+    """Mirror of pipeline.conversion_time_stats: same stage chain as
+    funnel_steps_sql, latency in seconds as (t − tp)/1e6, quantile_cont
+    for the exact interpolated percentiles."""
+    w_us = int(window_h) * 3_600_000_000
+    ctes = ["e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events)",
+            f"s0 AS (SELECT user_id, min(us) AS t FROM e "
+            f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"]
+    for i, s in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.us) AS t FROM e "
+            f"JOIN s{i-1} p ON p.user_id = e.user_id "
+            f"WHERE e.event_type = '{s}' AND e.us > p.t "
+            f"AND e.us <= p.t + {w_us} GROUP BY e.user_id)")
+        ctes.append(
+            f"l{i} AS (SELECT (s{i}.t - p.t) / 1000000.0 AS lat_s "
+            f"FROM s{i} JOIN s{i-1} p ON p.user_id = s{i}.user_id)")
+    sels = [
+        f"SELECT {i} AS step_idx, '{s}' AS step, "
+        f"CAST(count(*) AS BIGINT) AS n_converted, "
+        f"round(quantile_cont(lat_s, 0.5), 6) AS median_s, "
+        f"round(quantile_cont(lat_s, 0.9), 6) AS p90_s FROM l{i}"
+        for i, s in enumerate(steps) if i >= 1
+    ]
+    return f"""
+WITH {", ".join(ctes)}
+SELECT * FROM ({" UNION ALL ".join(sels)})
+ORDER BY step_idx
+"""

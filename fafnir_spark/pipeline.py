@@ -2740,6 +2740,31 @@ def graph_hits(orders: DataFrame, lineitem: DataFrame,
             .orderBy("kind", "rank"))
 
 
+def _funnel_stage_chain(events: DataFrame, steps: tuple,
+                        window_h: int) -> list:
+    """The min-anchor funnel stage chain — SHARED by funnel_steps and
+    conversion_time_stats. stages[i] = (user_id, t) with t the earliest
+    qualifying µs of step i (strictly after stage i-1's anchor, within
+    the re-opened window)."""
+    w_us = int(window_h) * 3_600_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = events.select("user_id", "event_type", us.alias("us"))
+
+    stage = (ev.filter(F.col("event_type") == steps[0])
+             .groupBy("user_id").agg(F.min("us").alias("t")))
+    stages = [stage]
+    for s in steps[1:]:
+        nxt = ev.filter(F.col("event_type") == s)
+        stage = (
+            nxt.join(stage, "user_id")
+            .filter((F.col("us") > F.col("t"))
+                    & (F.col("us") <= F.col("t") + F.lit(w_us)))
+            .groupBy("user_id").agg(F.min("us").alias("t"))
+        )
+        stages.append(stage)
+    return stages
+
+
 def funnel_steps(events: DataFrame, steps: tuple = ("signup", "click",
                                                     "purchase"),
                  window_h: int = 24) -> DataFrame:
@@ -2757,23 +2782,7 @@ def funnel_steps(events: DataFrame, steps: tuple = ("signup", "click",
     user_id with map-side combine; no windows, no collect, state per
     stage is one row per surviving user. (step_idx, step, n_users,
     pct_of_first), ordered by step_idx."""
-    w_us = int(window_h) * 3_600_000_000
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    ev = events.select("user_id", "event_type", us.alias("us"))
-
-    stage = (ev.filter(F.col("event_type") == steps[0])
-             .groupBy("user_id").agg(F.min("us").alias("t")))
-    stages = [stage]
-    for s in steps[1:]:
-        nxt = ev.filter(F.col("event_type") == s)
-        stage = (
-            nxt.join(stage, "user_id")
-            .filter((F.col("us") > F.col("t"))
-                    & (F.col("us") <= F.col("t") + F.lit(w_us)))
-            .groupBy("user_id").agg(F.min("us").alias("t"))
-        )
-        stages.append(stage)
-
+    stages = _funnel_stage_chain(events, steps, int(window_h))
     first = stages[0].agg(F.count(F.lit(1)).alias("n0"))
     rows = None
     for i, (s, st) in enumerate(zip(steps, stages)):
@@ -2975,3 +2984,33 @@ def association_rules(events: DataFrame, min_support: int = 3,
     return rules.orderBy(F.col("confidence").desc(),
                          F.col("antecedent").asc(),
                          F.col("consequent").asc()).limit(int(k))
+
+
+def conversion_time_stats(events: DataFrame,
+                          steps: tuple = ("signup", "click", "purchase"),
+                          window_h: int = 24) -> DataFrame:
+    """Time-to-convert distribution per funnel transition (the funnel's
+    companion metric): for each step i>0, the latency t_i − t_{i−1} in
+    seconds over converting users, with exact interpolated median and p90
+    (Spark `percentile` == DuckDB quantile_cont — the boxplot parity
+    precedent). Shares the min-anchor stage chain with funnel_steps.
+
+    Scale shape: one user-keyed equi-join per transition over the already
+    -reduced stage relations; each stats row is a per-transition
+    aggregate with map-side partials. (step_idx, step, n_converted,
+    median_s, p90_s), ordered."""
+    stages = _funnel_stage_chain(events, steps, int(window_h))
+    rows = None
+    for i in range(1, len(steps)):
+        prev = stages[i - 1].select("user_id", F.col("t").alias("tp"))
+        cur = stages[i].select("user_id", "t")
+        lat = cur.join(prev, "user_id").select(
+            ((F.col("t") - F.col("tp")) / F.lit(1_000_000.0)).alias("lat_s"))
+        r = lat.agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.round(F.expr("percentile(lat_s, 0.5)"), 6).alias("median_s"),
+            F.round(F.expr("percentile(lat_s, 0.9)"), 6).alias("p90_s"),
+        ).select(F.lit(i).alias("step_idx"), F.lit(steps[i]).alias("step"),
+                 "n_converted", "median_s", "p90_s")
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("step_idx")
