@@ -3771,6 +3771,15 @@ def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU rolling engagement: exact distinct users per day and per
+    trailing 7-day window via the broadcast day-range join."""
+    from fafnir_spark.pipeline import rolling_active_users
+
+    return rolling_active_users(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users cohorted by exact integer-µs UTC day
     of first event; distinct active users per (cohort_day, day_offset)."""
@@ -4746,6 +4755,15 @@ def _q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return record_linkage_pairs(dirtify_names(cust), cust)
 
 
+def _q_fix_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-repair (ftfy) audit: deterministically injected double-
+    UTF-8 artifacts counted exactly via length-difference arithmetic in
+    ONE conditional-aggregate pass."""
+    from fafnir_spark.curation import fix_encoding_audit, mojibakify_docs
+
+    return fix_encoding_audit(mojibakify_docs(_docs(spark, sf_dir)))
+
+
 def _q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction: PageRank over the vocab-bounded
     adjacent-token co-occurrence graph, fixed rounded power iterations."""
@@ -5010,6 +5028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": _q_association_rules,
         "rfm_segments": _q_rfm_segments,
         "cohort_retention": _q_cohort_retention,
+        "rolling_active_users": _q_rolling_active_users,
         "downsample_tsdb": _q_downsample_tsdb,
         "stream_downsample": _q_stream_downsample,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
@@ -5155,6 +5174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": _q_ngram_diversity,
         "zipf_fit": _q_zipf_fit,
         "textrank_keywords": _q_textrank_keywords,
+        "fix_encoding_audit": _q_fix_encoding_audit,
         "asciifolding_bm25": _q_asciifolding_bm25,
         "graph_bfs_hops": _q_graph_bfs_hops,
         "token_graph_triangles": _q_token_graph_triangles,
@@ -5464,6 +5484,7 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "association_rules": oracles_pipeline.association_rules_sql(),
         "rfm_segments": oracles_pipeline.rfm_segments_sql(),
         "cohort_retention": oracles_pipeline.cohort_retention_sql(),
+        "rolling_active_users": oracles_pipeline.rolling_active_users_sql(),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),
@@ -5750,6 +5771,7 @@ ORDER BY term ASC LIMIT 10
         "ngram_diversity": oracles_curation.ngram_diversity_sql(),
         "zipf_fit": oracles_curation.zipf_fit_sql(20),
         "textrank_keywords": oracles_curation.textrank_keywords_sql(),
+        "fix_encoding_audit": oracles_curation.fix_encoding_audit_sql(),
         "asciifolding_bm25": oracles.bm25_topk_sql(
             ["merge", "window"], k=10,
             text_expr=oracles.asciifold_expr(oracles.accentified_expr()),

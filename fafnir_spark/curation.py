@@ -1442,3 +1442,62 @@ def doremi_weights(docs: DataFrame, eta: float = 0.25,
         )
         .orderBy("source")
     )
+
+
+# mojibake noise — the classic UTF-8-read-as-Latin-1 artifacts, templated
+# into BOTH engines (oracles_curation.mojibake_sqls), never hand-copied.
+# rule = (every, bad, good): every `every`-th doc gets `good` → `bad`.
+MOJIBAKE_RULES = [
+    (4, "Ã©", "e"),        # 'é' double-encoded: Ã©  ← e
+    (5, "â€”", " "),  # em-dash double-encoded: â€”  ← space
+]
+
+
+def mojibakify_docs(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Deterministically corrupt the fixture corpus with double-encoded
+    UTF-8 artifacts (the webify_docs precedent — clean synthetic text
+    carries no mojibake, so the encoding-repair driver query derives its
+    own, identically in both engines)."""
+    t = F.col(text_col)
+    for every, bad, good in MOJIBAKE_RULES:
+        t = F.when(F.pmod(F.col(id_col), F.lit(every)) == 0,
+                   F.replace(t, F.lit(good), F.lit(bad))).otherwise(t)
+    return docs.select(F.col(id_col).alias("doc_id"), t.alias("text"))
+
+
+def fix_encoding_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-repair audit (the ftfy pass an LLM ingest pipeline runs
+    before tokenization): per mojibake artifact, how many docs carry it
+    and how many occurrences — counted EXACTLY via the portable
+    length-difference arithmetic (len(text) − len(replace(text, m, '')))
+    / len(m), no regex engine divergence. ONE corpus pass: all artifact
+    counters are conditional aggregates in a single aggregate node (the
+    adjacency_matrix shape). (marker_idx, n_docs, n_occurrences)."""
+    aggs = []
+    for i, (_, bad, _good) in enumerate(MOJIBAKE_RULES):
+        occ = ((F.length(text_col)
+                - F.length(F.replace(F.col(text_col), F.lit(bad))))
+               / F.lit(len(bad))).cast("long")
+        aggs.append(F.sum(F.when(occ > 0, 1).otherwise(0))
+                    .cast("long").alias(f"d{i}"))
+        aggs.append(F.sum(occ).cast("long").alias(f"o{i}"))
+    wide = docs.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("marker_idx"),
+                 F.col(f"d{i}").alias("n_docs"),
+                 F.col(f"o{i}").alias("n_occurrences"))
+        for i in range(len(MOJIBAKE_RULES))
+    ])
+    return (wide.select(F.explode(rows).alias("r"))
+            .select("r.marker_idx", "r.n_docs", "r.n_occurrences")
+            .orderBy("marker_idx"))
+
+
+def fix_encoding(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The repair itself: artifacts replaced back (rule order = the
+    templated MOJIBAKE_RULES order in both engines)."""
+    t = F.col(text_col)
+    for _, bad, good in MOJIBAKE_RULES:
+        t = F.replace(t, F.lit(bad), F.lit(good))
+    return docs.withColumn(text_col, t)

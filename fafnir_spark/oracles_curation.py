@@ -1196,3 +1196,30 @@ SELECT rank, term, deg, n_triangles, clustering FROM (
 ) WHERE rank <= {int(k)}
 ORDER BY rank
 """
+
+
+def fix_encoding_audit_sql() -> str:
+    """Mirror of curation.fix_encoding_audit over curation.mojibakify_docs
+    — MOJIBAKE_RULES templated, same rule order, same length-difference
+    occurrence arithmetic."""
+    from .curation import MOJIBAKE_RULES
+
+    t = "text"
+    for every, bad, good in MOJIBAKE_RULES:
+        pm = _pmod("doc_id", every)
+        t = (f"CASE WHEN {pm} = 0 THEN replace({t}, '{good}', '{bad}') "
+             f"ELSE {t} END")
+    sels = []
+    for i, (_, bad, _good) in enumerate(MOJIBAKE_RULES):
+        occ = (f"CAST((length(t) - length(replace(t, '{bad}', ''))) "
+               f"/ {len(bad)} AS BIGINT)")
+        sels.append(
+            f"SELECT {i} AS marker_idx, "
+            f"CAST(sum(CASE WHEN {occ} > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_docs, "
+            f"CAST(sum({occ}) AS BIGINT) AS n_occurrences FROM m")
+    return f"""
+WITH m AS (SELECT doc_id, {t} AS t FROM documents)
+SELECT * FROM ({" UNION ALL ".join(sels)})
+ORDER BY marker_idx
+"""

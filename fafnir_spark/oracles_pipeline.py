@@ -2407,3 +2407,28 @@ WITH {", ".join(ctes)}
 SELECT * FROM ({" UNION ALL ".join(sels)})
 ORDER BY step_idx
 """
+
+
+def rolling_active_users_sql(window_days: int = 7) -> str:
+    """Mirror of pipeline.rolling_active_users: same integer-µs day keys,
+    same trailing-window range rule (day in (d-w, d])."""
+    day_us = 86_400_000_000
+    w = int(window_days)
+    return f"""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // {day_us} AS day, user_id FROM events
+),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM du GROUP BY day
+),
+days AS (SELECT DISTINCT day AS d FROM du),
+wau AS (
+  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM du JOIN days ON du.day <= days.d AND du.day > days.d - {w}
+  GROUP BY d
+)
+SELECT dau.day, dau.dau, wau.wau
+FROM dau JOIN wau ON wau.d = dau.day
+ORDER BY day
+"""

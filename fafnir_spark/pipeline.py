@@ -3014,3 +3014,32 @@ def conversion_time_stats(events: DataFrame,
                  "n_converted", "median_s", "p90_s")
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("step_idx")
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Rolling active-user counts (the DAU/WAU engagement staple): per UTC
+    day, the exact distinct users active that day (dau) and within the
+    trailing ``window_days`` window (wau). Sliding EXACT distinct doesn't
+    decompose, so the window count joins the tiny distinct-day relation
+    against the (day, user) distinct relation on a bounded day-range —
+    the broadcast side is |days| rows, the big side is reduced to one row
+    per (day, user) first.
+
+    Scale shape: one distinct over (day, user) — user-keyed shuffle with
+    map-side partials; the range join broadcasts |days| rows; final
+    groupBy keys are days. (day, dau, wau), ordered by day."""
+    day_us = 86_400_000_000
+    du = (events.select(F.expr(
+        f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {day_us}").alias("day"),
+        "user_id").distinct())
+    dau = du.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("dau"))
+    days = du.select(F.col("day").alias("d")).distinct()
+    wau = (du.join(F.broadcast(days),
+                   (F.col("day") <= F.col("d"))
+                   & (F.col("day") > F.col("d") - F.lit(int(window_days))))
+           .groupBy("d")
+           .agg(F.count_distinct("user_id").cast("long").alias("wau")))
+    return (dau.join(wau, dau["day"] == wau["d"])
+            .select("day", "dau", "wau")
+            .orderBy("day"))

@@ -233,3 +233,23 @@ def test_stream_moving_ewma_equals_batch(spark, events, tmp_path):
         spark, src, str(tmp_path / "ck"), str(tmp_path / "state")).collect()]
     want = [tuple(r) for r in moving_ewma(events).collect()]
     assert got == want  # additive partial-sum merge + shared fold tail
+
+
+def test_fix_encoding_repairs_all_markers(docs):
+    from fafnir_spark.curation import (
+        MOJIBAKE_RULES,
+        fix_encoding,
+        fix_encoding_audit,
+        mojibakify_docs,
+    )
+
+    dirty = mojibakify_docs(docs)
+    audit = {r.marker_idx: (r.n_docs, r.n_occurrences)
+             for r in fix_encoding_audit(dirty).collect()}
+    # the derivation actually plants every artifact
+    for i in range(len(MOJIBAKE_RULES)):
+        assert audit[i][0] > 0 and audit[i][1] >= audit[i][0]
+    # the repair drives every counter to zero
+    clean = {r.marker_idx: (r.n_docs, r.n_occurrences)
+             for r in fix_encoding_audit(fix_encoding(dirty)).collect()}
+    assert all(v == (0, 0) for v in clean.values())
