@@ -3380,6 +3380,18 @@ def _q_stream_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DAU/WAU: union-closed distinct (day, user) state —
+    replay-idempotent by construction; shared tail, same oracle as batch."""
+    from fafnir_spark.streaming import stream_active_users
+
+    base = tempfile.mkdtemp(prefix="fafnir_sdau_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_active_users(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
 def _q_stream_moving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EWMA: additive per-day partial sums in parquet state,
     rounded once post-merge, shared fold tail — same oracle as batch."""
@@ -5110,6 +5122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_change_point": _q_stream_change_point,
         "stream_hdr_percentiles": _q_stream_hdr_percentiles,
         "stream_moving_ewma": _q_stream_moving_ewma,
+        "stream_active_users": _q_stream_active_users,
         "stream_anomaly_hourly": _q_stream_anomaly_hourly,
         "stream_transform_pivot": _q_stream_transform_pivot,
         "transform_pivot": _q_transform_pivot,
@@ -5744,6 +5757,7 @@ ORDER BY term ASC LIMIT 10
         "stream_change_point": oracles_pipeline.change_point_sql(),
         "stream_hdr_percentiles": oracles_pipeline.hdr_percentiles_sql((50, 90, 99), 5),
         "stream_moving_ewma": MOVING_EWMA_SQL,
+        "stream_active_users": oracles_pipeline.rolling_active_users_sql(),
         "stream_anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "stream_transform_pivot": oracles_pipeline.transform_pivot_sql(),
         "transform_pivot": oracles_pipeline.transform_pivot_sql(),

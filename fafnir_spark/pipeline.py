@@ -3032,6 +3032,14 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     du = (events.select(F.expr(
         f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {day_us}").alias("day"),
         "user_id").distinct())
+    return active_users_from_distinct(du, window_days)
+
+
+def active_users_from_distinct(du: DataFrame,
+                               window_days: int = 7) -> DataFrame:
+    """The DAU/WAU tail over a DISTINCT (day, user_id) relation — SHARED
+    by rolling_active_users and streaming.stream_active_users (the
+    union-closed distinct state is exactly this relation)."""
     dau = du.groupBy("day").agg(
         F.count_distinct("user_id").cast("long").alias("dau"))
     days = du.select(F.col("day").alias("d")).distinct()

@@ -1055,3 +1055,49 @@ def stream_moving_ewma(
         .agg(F.round(F.sum("part"), 6).alias("sum_value"))
     )
     return ewma_from_buckets(merged)
+
+
+def stream_active_users(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Streaming DAU/WAU: each micro-batch reduces to its DISTINCT
+    (day, user_id) rows and appends them to parquet state — set union is
+    idempotent AND commutative, so the read-side distinct over the state
+    IS the batch relation regardless of batch boundaries or checkpoint
+    replays (the stream_sampled_quantiles union-closed rule; no batch
+    stamps needed). The shared tail (pipeline.active_users_from_distinct)
+    gives the batch answer exactly. Same oracle as rolling_active_users."""
+    import os
+
+    from .pipeline import active_users_from_distinct
+
+    day_us = 86_400_000_000
+    du_dir = os.path.join(state_dir, "day_users")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, _bid):
+        (
+            df.select(
+                F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {day_us}")
+                .alias("day"), "user_id")
+            .distinct()
+            .write.mode("append").parquet(du_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    du = spark.read.parquet(du_dir).distinct()
+    return active_users_from_distinct(du, window_days)

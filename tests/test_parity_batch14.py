@@ -253,3 +253,15 @@ def test_fix_encoding_repairs_all_markers(docs):
     clean = {r.marker_idx: (r.n_docs, r.n_occurrences)
              for r in fix_encoding_audit(fix_encoding(dirty)).collect()}
     assert all(v == (0, 0) for v in clean.values())
+
+
+def test_stream_active_users_equals_batch(spark, events, tmp_path):
+    from fafnir_spark.pipeline import rolling_active_users
+    from fafnir_spark.streaming import stream_active_users
+
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    got = [tuple(r) for r in stream_active_users(
+        spark, src, str(tmp_path / "ck"), str(tmp_path / "state")).collect()]
+    want = [tuple(r) for r in rolling_active_users(events).collect()]
+    assert got == want  # union-closed distinct state + shared tail
