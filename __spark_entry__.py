@@ -3653,6 +3653,16 @@ def _q_lm_dirichlet_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", "score")
 
 
+def _q_bm25_plus_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25+ served FROM the index (per-field similarity setting; the
+    +delta floor breaks BMW's bound algebra, so the scorer is the
+    exhaustive per-shard top-k) — same oracle as the direct bm25_plus."""
+    from fafnir_spark.wand import search_bm25_plus
+
+    res = search_bm25_plus(spark, _idx_root(spark, sf_dir), {"q": Q_MAIN}, k=10)
+    return res.select("rank", "doc_id", "score")
+
+
 def _q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining / frequent_item_sets (size-2): top token pairs
     by document-level PMI, vocabulary-capped pairing."""
@@ -4566,6 +4576,7 @@ INDEXED_TWINS = {
     "fuzzy_bm25_indexed": "fuzzy_bm25",
     "hybrid_rrf_indexed": "hybrid_rrf",
     "lm_dirichlet_indexed": "lm_dirichlet",
+    "bm25_plus_indexed": "bm25_plus",
     "lm_jelinek_mercer_indexed": "lm_jelinek_mercer",
     "more_like_this_indexed": "more_like_this",
     "phrase_match_indexed": "phrase_match",
@@ -5163,6 +5174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jelinek_mercer": _q_lm_jelinek_mercer,
         "tfidf_classic": _q_tfidf_classic,
         "lm_dirichlet_indexed": _q_lm_dirichlet_indexed,
+        "bm25_plus_indexed": _q_bm25_plus_indexed,
         "lm_jelinek_mercer_indexed": _q_lm_jm_indexed,
         "percentiles_bucket": _q_percentiles_bucket,
         "median_abs_deviation": _q_median_abs_deviation,
@@ -5749,6 +5761,7 @@ ORDER BY term ASC LIMIT 10
         "lm_jelinek_mercer": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="jm", lam=0.1),
         "tfidf_classic": oracles.tfidf_classic_sql(Q_MAIN, k=10),
         "lm_dirichlet_indexed": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="dirichlet", mu=2000.0),
+        "bm25_plus_indexed": oracles.bm25_plus_sql(Q_MAIN, k=10),
         "lm_jelinek_mercer_indexed": oracles.lm_topk_sql(Q_MAIN, k=10, smoothing="jm", lam=0.1),
         "percentiles_bucket": oracles_pipeline.percentiles_bucket_sql(),
         "median_abs_deviation": oracles_pipeline.median_abs_deviation_sql(),

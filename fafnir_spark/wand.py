@@ -1979,7 +1979,8 @@ def sparse_vector_indexed(
 
 def _lm_part_fn(queries: dict[str, list[str]], denoms: dict[str, float],
                 k: int, smoothing: str, mu: float, lam: float,
-                excluded=None, with_bulk: bool = False):
+                excluded=None, with_bulk: bool = False,
+                k1b: tuple = (None, None)):
     """Per-doc_part LM-similarity scorer (the _part_scorer shape with the
     Zhai & Lafferty formulas instead of BM25):
 
@@ -2024,6 +2025,12 @@ def _lm_part_fn(queries: dict[str, list[str]], denoms: dict[str, float],
                     if smoothing == "dirichlet":
                         v = np.log(1.0 + tfs / (mu * c_t)) + np.log(mu / (dls + mu))
                         v = np.maximum(v, 0.0)
+                    elif smoothing == "bm25plus":
+                        # BM25+ (Lv & Zhai'11): c_t carries idf =
+                        # ln((N+1)/df), mu carries avgdl, lam carries the
+                        # +delta lower bound — same operand order as
+                        # scoring.bm25_plus_topk
+                        v = c_t * (_tfn(tfs, dls, k1b[0], k1b[1], mu) + lam)
                     else:
                         v = np.log(1.0 + ((one_minus * tfs) / dls) / (lam * c_t))
                     ids_all.append(ids)
@@ -2076,7 +2083,7 @@ def search_lm(
     scoring model with no rebuild. Rank-identical to the direct
     scoring.lm_topk (same oracle). Tombstones (point + bulk cogroup)
     behave exactly as in run_queries. (qid, rank, doc_id, score)."""
-    if smoothing not in ("dirichlet", "jm"):
+    if smoothing not in ("dirichlet", "jm", "bm25plus"):
         raise ValueError(f"unknown smoothing {smoothing!r}")
     cat = Catalog(index_root)
     manifest = cat.manifest_at(snapshot_id)
@@ -2085,10 +2092,19 @@ def search_lm(
     drows = cat.read_dictionary(spark, snapshot=manifest).filter(
         F.col("term").isin(all_terms)
     ).collect()
-    total_c = float(stats["sum_dl"])
-    # p_t = cf/C as a driver-side double — the same division the direct
-    # path evaluates in-engine, folded into each branch's formula at use
-    consts = {r["term"]: (r["cf"] / total_c) for r in drows}
+    k1b = (None, None)
+    if smoothing == "bm25plus":
+        # BM25+ slot reuse (documented in _lm_part_fn): consts carry the
+        # per-term idf = ln((N+1)/df), mu carries avgdl, lam carries delta
+        n_docs = float(stats["n_docs"])
+        consts = {r["term"]: math.log((n_docs + 1.0) / r["df"]) for r in drows}
+        mu = float(stats["avgdl"])
+        k1b = (float(stats["k1"]), float(stats["b"]))
+    else:
+        total_c = float(stats["sum_dl"])
+        # p_t = cf/C as a driver-side double — the same division the direct
+        # path evaluates in-engine, folded into each branch's formula at use
+        consts = {r["term"]: (r["cf"] / total_c) for r in drows}
     present = [t for t in all_terms if t in consts]
     postings = cat.read_table(spark, "postings", snapshot=manifest).filter(
         F.col("term").isin(present)
@@ -2101,12 +2117,13 @@ def search_lm(
         )
         per_part = postings.groupBy("doc_part").cogroup(bp.groupBy("doc_part")).applyInPandas(
             _lm_part_fn(queries, consts, k, smoothing, float(mu), float(lam),
-                        excluded, with_bulk=True),
+                        excluded, with_bulk=True, k1b=k1b),
             schema=RESULT_SCHEMA,
         )
     else:
         per_part = postings.groupBy("doc_part").applyInPandas(
-            _lm_part_fn(queries, consts, k, smoothing, float(mu), float(lam), excluded),
+            _lm_part_fn(queries, consts, k, smoothing, float(mu), float(lam),
+                        excluded, k1b=k1b),
             schema=RESULT_SCHEMA,
         )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -2356,3 +2373,22 @@ def routed_search(
         .select("qid", "rank", "doc_id", "score")
         .orderBy("qid", "rank")
     )
+
+
+def search_bm25_plus(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    delta: float = 1.0,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """BM25+ similarity served FROM the inverted index (the ES per-field
+    `similarity` setting, like search_lm): same postings, dictionary (df)
+    and stats (n_docs, avgdl, k1, b) answer the lower-bounded model with
+    no rebuild. Exhaustive per-shard scorer — BMW's BM25 block bound does
+    NOT envelope BM25+ (the +delta floor breaks the upper-bound algebra)
+    — still per-shard top-k + k-row merge. Rank-identical to the direct
+    scoring.bm25_plus_topk (same oracle). (qid, rank, doc_id, score)."""
+    return search_lm(spark, index_root, queries, k=k, smoothing="bm25plus",
+                     lam=float(delta), snapshot_id=snapshot_id)

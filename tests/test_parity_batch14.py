@@ -265,3 +265,31 @@ def test_stream_active_users_equals_batch(spark, events, tmp_path):
         spark, src, str(tmp_path / "ck"), str(tmp_path / "state")).collect()]
     want = [tuple(r) for r in rolling_active_users(events).collect()]
     assert got == want  # union-closed distinct state + shared tail
+
+
+def test_search_bm25_plus_matches_direct_and_respects_deletes(
+        spark, docs, tmp_path):
+    import pytest as _pt
+
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.incremental import delete_docs
+    from fafnir_spark.scoring import bm25_plus_topk
+    from fafnir_spark.wand import search_bm25_plus
+
+    terms = ["merge", "window", "customer"]
+    root = str(tmp_path / "bpidx")
+    build_index(spark, normalize_docs(docs, id_col="doc_id", text_col="text"),
+                root, n_parts=4, block_size=32, tokenizer="whitespace",
+                build_id="bp")
+    direct = bm25_plus_topk(docs, terms, k=10).collect()
+    idx_rows = search_bm25_plus(spark, root, {"q": terms}, k=10).collect()
+    assert [(r["rank"], r["doc_id"]) for r in idx_rows] == [
+        (r["rank"], r["doc_id"]) for r in direct]
+    for a, b in zip(idx_rows, direct):
+        assert a["score"] == _pt.approx(b["score"], abs=1e-9)
+    # deletes: the tombstoned doc vanishes, survivors keep stale-stats
+    # scores (the ES refresh semantics every indexed twin follows)
+    victim = idx_rows[0]["doc_id"]
+    delete_docs(spark, root, [victim])
+    after = search_bm25_plus(spark, root, {"q": terms}, k=10).collect()
+    assert victim not in [r["doc_id"] for r in after]
