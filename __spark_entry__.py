@@ -3380,6 +3380,18 @@ def _q_stream_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming RFM: per-user partials (max-lattice last_us, additive
+    freq/value) folded to the batch relation; shared scoring tail."""
+    from fafnir_spark.streaming import stream_rfm_segments
+
+    base = tempfile.mkdtemp(prefix="fafnir_srfm_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_rfm_segments(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
 def _q_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DAU/WAU: union-closed distinct (day, user) state —
     replay-idempotent by construction; shared tail, same oracle as batch."""
@@ -5134,6 +5146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hdr_percentiles": _q_stream_hdr_percentiles,
         "stream_moving_ewma": _q_stream_moving_ewma,
         "stream_active_users": _q_stream_active_users,
+        "stream_rfm_segments": _q_stream_rfm_segments,
         "stream_anomaly_hourly": _q_stream_anomaly_hourly,
         "stream_transform_pivot": _q_stream_transform_pivot,
         "transform_pivot": _q_transform_pivot,
@@ -5771,6 +5784,7 @@ ORDER BY term ASC LIMIT 10
         "stream_hdr_percentiles": oracles_pipeline.hdr_percentiles_sql((50, 90, 99), 5),
         "stream_moving_ewma": MOVING_EWMA_SQL,
         "stream_active_users": oracles_pipeline.rolling_active_users_sql(),
+        "stream_rfm_segments": oracles_pipeline.rfm_segments_sql(),
         "stream_anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "stream_transform_pivot": oracles_pipeline.transform_pivot_sql(),
         "transform_pivot": oracles_pipeline.transform_pivot_sql(),

@@ -2901,7 +2901,6 @@ def rfm_segments(events: DataFrame, buckets: int = 4) -> DataFrame:
     envelope class as topk's final rank."""
     from pyspark.sql.window import Window
 
-    day_us = 86_400_000_000
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     p = events.filter(F.col("event_type") == "purchase").select(
         "user_id", us.alias("us"), "value")
@@ -2909,7 +2908,18 @@ def rfm_segments(events: DataFrame, buckets: int = 4) -> DataFrame:
         F.max("us").alias("last_us"),
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.round(F.sum("value"), 6).alias("monetary"))
-    mx = p.agg(F.max("us").alias("max_us"))
+    return rfm_from_per_user(per_user, buckets)
+
+
+def rfm_from_per_user(per_user: DataFrame, buckets: int = 4) -> DataFrame:
+    """The RFM scoring tail over a (user_id, last_us, freq, monetary)
+    relation — SHARED by rfm_segments and streaming.stream_rfm_segments
+    (last_us max-merges, freq/monetary sum-merge, so the folded state IS
+    this relation)."""
+    from pyspark.sql.window import Window
+
+    day_us = 86_400_000_000
+    mx = per_user.agg(F.max("last_us").alias("max_us"))
     scored = (per_user.crossJoin(F.broadcast(mx))
               .select(
                   "user_id", "freq", "monetary",

@@ -1101,3 +1101,60 @@ def stream_active_users(
 
     du = spark.read.parquet(du_dir).distinct()
     return active_users_from_distinct(du, window_days)
+
+
+def stream_rfm_segments(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    buckets: int = 4,
+) -> DataFrame:
+    """Streaming RFM segmentation: each micro-batch collapses purchase
+    events to per-user partials (last_us MAX-lattice, freq/value-sum
+    ADDITIVE — the downsample_tsdb merge algebra) appended to parquet
+    state; the folded state IS the batch per-user relation (monetary
+    rounded ONCE post-merge) and the shared scoring tail
+    (pipeline.rfm_from_per_user) gives the batch answer. Batch stamps
+    make checkpoint replays idempotent. Same oracle as rfm_segments."""
+    import os
+
+    from .pipeline import rfm_from_per_user
+
+    pu_dir = os.path.join(state_dir, "rfm_per_user")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.filter(F.col("event_type") == "purchase")
+            .select("user_id",
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                    "value")
+            .groupBy("user_id")
+            .agg(F.max("us").alias("last_us"),
+                 F.count(F.lit(1)).cast("long").alias("freq"),
+                 F.sum("value").alias("val"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(pu_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    per_user = (
+        spark.read.parquet(pu_dir)
+        .dropDuplicates(["user_id", "_b"])
+        .groupBy("user_id")
+        .agg(F.max("last_us").alias("last_us"),
+             F.sum("freq").cast("long").alias("freq"),
+             F.round(F.sum("val"), 6).alias("monetary"))
+    )
+    return rfm_from_per_user(per_user, buckets)

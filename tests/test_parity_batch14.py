@@ -293,3 +293,15 @@ def test_search_bm25_plus_matches_direct_and_respects_deletes(
     delete_docs(spark, root, [victim])
     after = search_bm25_plus(spark, root, {"q": terms}, k=10).collect()
     assert victim not in [r["doc_id"] for r in after]
+
+
+def test_stream_rfm_equals_batch(spark, events, tmp_path):
+    from fafnir_spark.pipeline import rfm_segments
+    from fafnir_spark.streaming import stream_rfm_segments
+
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    got = [tuple(r) for r in stream_rfm_segments(
+        spark, src, str(tmp_path / "ck"), str(tmp_path / "state")).collect()]
+    want = [tuple(r) for r in rfm_segments(events).collect()]
+    assert got == want  # max-lattice + additive merge, shared ntile tail
