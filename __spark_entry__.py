@@ -3805,6 +3805,24 @@ def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profiling: null + exact distinct counts per
+    column from ONE conditional-aggregate pass, unpivoted."""
+    from fafnir_spark.pipeline import profile_table
+
+    return profile_table(spark.read.parquet(f"{sf_dir}/events.parquet"),
+                         columns=("event_id", "event_type", "user_id",
+                                  "value"))
+
+
+def _q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style verification suite: uniqueness / completeness / range
+    / domain constraints, all from one aggregate pass."""
+    from fafnir_spark.pipeline import constraint_audit
+
+    return constraint_audit(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU rolling engagement: exact distinct users per day and per
     trailing 7-day window via the broadcast day-range join."""
@@ -5064,6 +5082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _q_rfm_segments,
         "cohort_retention": _q_cohort_retention,
         "rolling_active_users": _q_rolling_active_users,
+        "profile_table": _q_profile_table,
+        "constraint_audit": _q_constraint_audit,
         "downsample_tsdb": _q_downsample_tsdb,
         "stream_downsample": _q_stream_downsample,
         "bucket_count_ks_test": _q_bucket_count_ks_test,
@@ -5523,6 +5543,9 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "rfm_segments": oracles_pipeline.rfm_segments_sql(),
         "cohort_retention": oracles_pipeline.cohort_retention_sql(),
         "rolling_active_users": oracles_pipeline.rolling_active_users_sql(),
+        "profile_table": oracles_pipeline.profile_table_sql(
+            ("event_id", "event_type", "user_id", "value")),
+        "constraint_audit": oracles_pipeline.constraint_audit_sql(),
         "downsample_tsdb": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "stream_downsample": oracles_pipeline.downsample_tsdb_sql(interval_hours=6),
         "bucket_count_ks_test": oracles_pipeline.bucket_count_ks_test_sql("click", "error"),

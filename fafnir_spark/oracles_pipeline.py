@@ -2432,3 +2432,49 @@ SELECT dau.day, dau.dau, wau.wau
 FROM dau JOIN wau ON wau.d = dau.day
 ORDER BY day
 """
+
+
+def profile_table_sql(columns: tuple, table: str = "events") -> str:
+    """Mirror of pipeline.profile_table: one aggregate pass unpivoted."""
+    cols = sorted(columns)
+    sels = [
+        f"SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM {table}"
+        for c in cols
+    ]
+    return f"""
+SELECT * FROM ({" UNION ALL ".join(sels)})
+ORDER BY "column"
+"""
+
+
+def constraint_audit_sql() -> str:
+    """Mirror of pipeline.constraint_audit: same constraint set, same
+    violation arithmetic, passed kept integer."""
+    checks = [
+        ("completeness_user_id",
+         "CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)"),
+        ("domain_event_type",
+         "CAST(sum(CASE WHEN event_type NOT IN ('click', 'error', "
+         "'purchase', 'signup', 'view') THEN 1 ELSE 0 END) AS BIGINT)"),
+        ("nonnegative_value",
+         "CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)"),
+        ("range_ts",
+         "CAST(sum(CASE WHEN ts < TIMESTAMP '2023-01-01 00:00:00' OR "
+         "ts > TIMESTAMP '2027-01-01 00:00:00' THEN 1 ELSE 0 END) "
+         "AS BIGINT)"),
+        ("unique_event_id",
+         "CAST(count(*) - count(DISTINCT event_id) AS BIGINT)"),
+    ]
+    sels = [
+        f"SELECT '{n}' AS constraint, {e} AS n_violations, "
+        f"CAST(CASE WHEN {e} = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed "
+        f"FROM events"
+        for n, e in checks
+    ]
+    return f"""
+SELECT * FROM ({" UNION ALL ".join(sels)})
+ORDER BY "constraint"
+"""

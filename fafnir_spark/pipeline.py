@@ -3061,3 +3061,69 @@ def active_users_from_distinct(du: DataFrame,
     return (dau.join(wau, dau["day"] == wau["d"])
             .select("day", "dau", "wau")
             .orderBy("day"))
+
+
+def profile_table(df: DataFrame, columns: tuple = ()) -> DataFrame:
+    """Column profiling (the Deequ / Great-Expectations analyzer pass a
+    100 TB ingest runs before training): per column, null count and exact
+    distinct count, plus the table row count — ALL metrics computed in
+    ONE aggregate pass over the input (conditional aggregates, the
+    adjacency_matrix shape), then unpivoted to the bounded per-column
+    relation. (column, n_nulls, n_distinct), ordered by column; row count
+    rides every row as n_rows."""
+    cols = sorted(columns) if columns else sorted(df.columns)
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .cast("long").alias(f"z{i}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"d{i}"))
+    wide = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"z{i}").alias("n_nulls"),
+                 F.col(f"d{i}").alias("n_distinct"))
+        for i, c in enumerate(cols)
+    ])
+    return (wide.select(F.col("__n").alias("n_rows"),
+                        F.explode(rows).alias("r"))
+            .select("r.column", "n_rows", "r.n_nulls", "r.n_distinct")
+            .orderBy("column"))
+
+
+def constraint_audit(events: DataFrame) -> DataFrame:
+    """Data-quality constraint audit (the Deequ verification suite): each
+    constraint contributes a violation count from the SAME single
+    aggregate pass — uniqueness via count−distinct, completeness via null
+    counts, range/domain checks via conditional sums. passed = 0/1 (kept
+    integer — cross-engine boolean fetch is type-fragile).
+    (constraint, n_violations, passed), ordered by constraint."""
+    ts_lo = F.lit("2023-01-01 00:00:00").cast("timestamp")
+    ts_hi = F.lit("2027-01-01 00:00:00").cast("timestamp")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = events.agg(
+        (F.count(F.lit(1)) - F.count_distinct("event_id"))
+        .cast("long").alias("uniq"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("long").alias("comp"),
+        F.sum(F.when((F.col("ts") < ts_lo) | (F.col("ts") > ts_hi), 1)
+              .otherwise(0)).cast("long").alias("rng"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("long").alias("nonneg"),
+        F.sum(F.when(~F.col("event_type").isin(types), 1).otherwise(0))
+        .cast("long").alias("dom"),
+    )
+    names = [("completeness_user_id", "comp"),
+             ("domain_event_type", "dom"),
+             ("nonnegative_value", "nonneg"),
+             ("range_ts", "rng"),
+             ("unique_event_id", "uniq")]
+    rows = F.array(*[
+        F.struct(F.lit(n).alias("constraint"),
+                 F.col(a).alias("n_violations"),
+                 F.when(F.col(a) == 0, F.lit(1)).otherwise(F.lit(0))
+                 .cast("long").alias("passed"))
+        for n, a in names
+    ])
+    return (wide.select(F.explode(rows).alias("r"))
+            .select("r.constraint", "r.n_violations", "r.passed")
+            .orderBy("constraint"))
