@@ -4761,6 +4761,14 @@ def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_diversity(_docs(spark, sf_dir))
 
 
+def _q_prf_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (RM3-lite): BM25 feedback top-5 →
+    rounded relevance-model expansion terms → boosted re-query."""
+    from fafnir_spark.query_ext import prf_bm25
+
+    return prf_bm25(_docs(spark, sf_dir), Q_MAIN, k=10)
+
+
 def _q_bm25_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25+ similarity (Lv & Zhai 2011): lower-bounded tf normalization,
     same one-pass _tf_dl_df shape as BM25."""
@@ -5237,6 +5245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_hops": _q_graph_bfs_hops,
         "token_graph_triangles": _q_token_graph_triangles,
         "bm25_plus": _q_bm25_plus,
+        "prf_bm25": _q_prf_bm25,
         "hashing_tf": _q_hashing_tf,
         "count_api": _q_count_api,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
@@ -5843,6 +5852,7 @@ ORDER BY term ASC LIMIT 10
         "graph_bfs_hops": oracles_pipeline.graph_bfs_hops_sql(PPR_SEEDS, max_hops=3),
         "token_graph_triangles": oracles_curation.token_graph_triangles_sql(),
         "bm25_plus": oracles.bm25_plus_sql(Q_MAIN, k=10),
+        "prf_bm25": oracles.prf_bm25_sql(Q_MAIN, k=10),
         "hashing_tf": oracles_curation.hashing_tf_sql(),
         "count_api": __import__("fafnir_spark.search_api", fromlist=["x"]).search_count_sql(SEARCH_BODY_COUNT),
         "cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(

@@ -2604,3 +2604,54 @@ def asciifold_expr(inner: str = "text") -> str:
     from .query_ext import ACCENT_DST, ACCENT_SRC
 
     return f"translate({inner}, '{ACCENT_DST}', '{ACCENT_SRC}')"
+
+
+def prf_bm25_sql(terms: list[str], k: int = 10, fb_k: int = 5,
+                 n_exp: int = 3, exp_weight: float = 0.5) -> str:
+    """Pseudo-relevance feedback (query_ext.prf_bm25): same feedback
+    top-k, same rounded relevance-model expansion weights, same dyadic
+    boost multiply — one statement chaining the two passes."""
+    inner0 = f"""
+WITH {_TF_CTES},
+{_scored_cte(terms)},
+ranked AS (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+           AS rk, doc_id
+  FROM scored
+),
+fb AS (SELECT doc_id FROM ranked WHERE rk <= {int(fb_k)}),
+exp AS (
+  SELECT tf.term, round(sum(tf.tf / CAST(dl.dl AS DOUBLE)), 6) AS w
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+  WHERE tf.doc_id IN (SELECT doc_id FROM fb)
+    AND tf.term NOT IN {_terms_in(terms)}
+  GROUP BY tf.term
+  ORDER BY w DESC, tf.term ASC
+  LIMIT {int(n_exp)}
+),
+qset AS (
+  SELECT t.term, 1.0 AS tw
+  FROM (SELECT unnest({[*sorted(set(terms))]!r}) AS term) t
+  UNION ALL
+  SELECT term, {float(exp_weight)!r} AS tw FROM exp
+),
+dfs2 AS (
+  SELECT tf.term, count(*) AS df FROM tf
+  WHERE tf.term IN (SELECT term FROM qset) GROUP BY tf.term
+),
+scored2 AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - dfs2.df + 0.5) / (dfs2.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl))
+              * qset.tw
+            ) AS raw_score
+  FROM tf
+  JOIN qset ON qset.term = tf.term
+  JOIN dfs2 ON dfs2.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 6) AS score FROM scored2
+"""
+    return _ranked_topk(inner0, k)

@@ -2397,3 +2397,44 @@ def asciifolding_bm25(docs: DataFrame, terms: list[str], k: int = 10,
 
     folded = docs.withColumn("__an", asciifold_col(text_col))
     return bm25_topk(folded, terms, k=k, text_col="__an")
+
+
+def prf_bm25(docs: DataFrame, terms: list[str], k: int = 10, fb_k: int = 5,
+             n_exp: int = 3, exp_weight: float = 0.5,
+             text_col: str = "text") -> DataFrame:
+    """Pseudo-relevance feedback / RM3-style query expansion (Lavrenko &
+    Croft, SIGIR 2001; the Rocchio family): retrieve the top ``fb_k``
+    feedback docs with plain BM25, extract the top ``n_exp`` expansion
+    terms by the relevance-model weight Σ_d tf(w,d)/dl(d) (rounded 6
+    before ordering — the rank-identity contract, so the oracle selects
+    the identical set), then re-score with the expanded weighted query
+    (originals 1.0, expansions ``exp_weight`` — keep it dyadic).
+
+    Scale shape: the feedback pass is the standard one-pass BM25; term
+    extraction aggregates ONLY the fb_k docs' tokens (semi-join before
+    the groupBy); the expansion list is a bounded driver-side collect
+    (the more_like_this precedent); the final pass is bm25_scores with
+    term_boosts. (rank, doc_id, score)."""
+    from .query import bm25_scores, doc_term_freqs
+    from .scoring import _topk_ranked
+
+    qterms = sorted(set(terms))
+    fb = _topk_ranked(bm25_scores(docs, qterms, text_col=text_col), fb_k)
+    fb_ids = fb.select("doc_id")
+    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    tf = doc_term_freqs(base, "doc_id", "__text")
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    exp_scored = (
+        tf.join(fb_ids, "doc_id", "left_semi")
+        .join(dl, "doc_id")
+        .filter(~F.col("term").isin(qterms))
+        .groupBy("term")
+        .agg(F.round(F.sum(F.col("tf") / F.col("dl")), 6).alias("w"))
+    )
+    exp_rows = (exp_scored.orderBy(F.col("w").desc(), F.col("term").asc())
+                .limit(int(n_exp)).collect())
+    boosts = {t: 1.0 for t in qterms}
+    boosts.update({r["term"]: float(exp_weight) for r in exp_rows})
+    scores = bm25_scores(docs, sorted(boosts), text_col=text_col,
+                         term_boosts=boosts)
+    return _topk_ranked(scores, k)
