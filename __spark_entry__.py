@@ -4761,6 +4761,15 @@ def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_diversity(_docs(spark, sf_dir))
 
 
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (Carbonell & Goldstein'98): greedy
+    λ·rel − (1−λ)·maxcos over the bounded BM25 pool + vectors."""
+    from fafnir_spark.scoring import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mmr_rerank(_docs(spark, sf_dir), emb, Q_MAIN, k=5, pool=20)
+
+
 def _q_prf_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance feedback (RM3-lite): BM25 feedback top-5 →
     rounded relevance-model expansion terms → boosted re-query."""
@@ -5246,6 +5255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_graph_triangles": _q_token_graph_triangles,
         "bm25_plus": _q_bm25_plus,
         "prf_bm25": _q_prf_bm25,
+        "mmr_rerank": _q_mmr_rerank,
         "hashing_tf": _q_hashing_tf,
         "count_api": _q_count_api,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
@@ -5853,6 +5863,7 @@ ORDER BY term ASC LIMIT 10
         "token_graph_triangles": oracles_curation.token_graph_triangles_sql(),
         "bm25_plus": oracles.bm25_plus_sql(Q_MAIN, k=10),
         "prf_bm25": oracles.prf_bm25_sql(Q_MAIN, k=10),
+        "mmr_rerank": oracles.mmr_rerank_sql(Q_MAIN, k=5, pool=20),
         "hashing_tf": oracles_curation.hashing_tf_sql(),
         "count_api": __import__("fafnir_spark.search_api", fromlist=["x"]).search_count_sql(SEARCH_BODY_COUNT),
         "cm_heavy_hitters": oracles_curation.cm_heavy_hitters_sql(

@@ -2655,3 +2655,57 @@ scored2 AS (
 SELECT doc_id, round(raw_score, 6) AS score FROM scored2
 """
     return _ranked_topk(inner0, k)
+
+
+def mmr_rerank_sql(terms: list[str], k: int = 5, pool: int = 20,
+                   lam: float = 0.5, dim: int = 64) -> str:
+    """MMR diversification (scoring.mmr_rerank): candidate pool = rounded
+    BM25 top-``pool`` joined to vectors, pairwise cosines rounded 6, then
+    ``k`` unrolled greedy argmax CTEs — identical rounded inputs, same
+    λ·rel − (1−λ)·maxcos arithmetic, same (mmr desc, doc_id asc) pick."""
+    lam = float(lam)
+    cos = _cos_sql("a.embedding", "b.embedding", dim)
+    ctes = [f"""ranked AS (
+  SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+           AS rk, doc_id, round(raw_score, 6) AS rel
+  FROM scored
+)""",
+            # MATERIALIZED: the greedy CTE chain references cand/pairs in
+            # k correlated subqueries — inlined re-evaluation is O(k·pool²)
+            # cosine recomputes (measured 24s → 0.2s at pool=20)
+            f"""cand AS MATERIALIZED (
+  SELECT r.doc_id, r.rel, e.embedding
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.doc_id
+  WHERE r.rk <= {int(pool)}
+)""",
+            f"""pairs AS MATERIALIZED (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, round({cos}, 6) AS c
+  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+)""",
+            "pick1 AS (SELECT doc_id, rel FROM cand "
+            "ORDER BY rel DESC, doc_id ASC LIMIT 1)",
+            "sel1 AS (SELECT doc_id FROM pick1)"]
+    for i in range(2, int(k) + 1):
+        ctes.append(f"""m{i} AS (
+  SELECT c.doc_id, c.rel,
+         {lam!r} * c.rel - {1.0 - lam!r} * (
+           SELECT max(p.c) FROM pairs p
+           WHERE p.ia = c.doc_id
+             AND p.ib IN (SELECT doc_id FROM sel{i-1})
+         ) AS mmr
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i-1})
+)""")
+        ctes.append(f"pick{i} AS (SELECT doc_id, rel FROM m{i} "
+                    f"ORDER BY mmr DESC, doc_id ASC LIMIT 1)")
+        ctes.append(f"sel{i} AS (SELECT doc_id FROM sel{i-1} "
+                    f"UNION ALL SELECT doc_id FROM pick{i})")
+    sels = " UNION ALL ".join(
+        f"SELECT {i} AS pick, doc_id, rel FROM pick{i}"
+        for i in range(1, int(k) + 1))
+    return f"""
+WITH {_TF_CTES},
+{_scored_cte(terms)},
+{", ".join(ctes)}
+SELECT pick, doc_id, rel FROM ({sels}) ORDER BY pick
+"""

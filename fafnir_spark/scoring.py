@@ -1039,3 +1039,66 @@ def bm25_plus_topk(
         .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score"))
     )
     return _topk_ranked(scores, k)
+
+
+def mmr_rerank(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    SIGIR 1998 — the rerank ES's diversified sampler approximates):
+    greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s) from a
+    BM25 candidate pool. Both inputs to the greedy are engine-computed
+    and ROUNDED (rel = rounded BM25, pairwise cosines rounded 6 in
+    Spark); the greedy itself is pure comparisons over those identical
+    doubles, so the coordinator-side loop and the oracle's unrolled
+    argmax CTEs select the same sequence. λ dyadic (0.5).
+
+    Scale shape: the pool is a bounded top-k (the ES rescore-window
+    contract); the pairwise-cosine relation is pool² ≤ 400 rows; the
+    greedy is a bounded coordinator loop (the expansion-collect envelope
+    class). Docs without a vector drop out (the script_score join rule).
+    (pick, doc_id, rel)."""
+    from .dedup import cosine_expr
+    from .query import bm25_scores
+
+    ranked = _topk_ranked(bm25_scores(docs, terms, text_col=text_col), pool)
+    cand = ranked.join(
+        emb.select(F.col(vec_id_col).alias("doc_id"), F.col(vec_col).alias("__e")),
+        "doc_id")
+    rel_rows = cand.select("doc_id", F.col("score").alias("rel")).collect()
+    a, b = cand.alias("a"), cand.alias("b")
+    pair_df = (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"),
+                F.round(cosine_expr(F.col("a.__e"), F.col("b.__e")), 6)
+                .alias("c")))
+    pair_rows = pair_df.collect()
+    cos = {(r["ia"], r["ib"]): r["c"] for r in pair_rows}
+    rel = {r["doc_id"]: r["rel"] for r in rel_rows}
+    remaining = sorted(rel, key=lambda d: (-rel[d], d))
+    lam = float(lam)
+    out = []
+    while remaining and len(out) < int(k):
+        if not out:
+            choice = remaining[0]
+        else:
+            picked = [x[1] for x in out]
+            best = None
+            for d in remaining:
+                mc = max(cos[(d, s)] for s in picked)
+                m = lam * rel[d] - (1.0 - lam) * mc
+                if best is None or m > best[0] or (m == best[0] and d < best[1]):
+                    best = (m, d)
+            choice = best[1]
+        out.append((len(out) + 1, choice, rel[choice]))
+        remaining = [d for d in remaining if d != choice]
+    return docs.sparkSession.createDataFrame(
+        out, "pick int, doc_id long, rel double").orderBy("pick")
