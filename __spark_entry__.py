@@ -3805,6 +3805,23 @@ def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: first/last/linear conversion credit per
+    channel — ONE user-keyed conversions⋈touches join, min_by/max_by
+    picks (no per-conversion windows), 72h lookback."""
+    from fafnir_spark.pipeline import attribution
+
+    return attribution(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: first-5-event paths per user counted across
+    users — rn<=5 prune per user BEFORE the collect, top-20."""
+    from fafnir_spark.pipeline import top_paths
+
+    return top_paths(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style column profiling: null + exact distinct counts per
     column from ONE conditional-aggregate pass, unpivoted."""
@@ -5093,6 +5110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_search": _q_rollup_search,
         "anomaly_hourly": _q_anomaly_hourly,
         "funnel_steps": _q_funnel_steps,
+        "attribution": _q_attribution,
+        "top_paths": _q_top_paths,
         "event_transitions": _q_event_transitions,
         "conversion_time_stats": _q_conversion_time_stats,
         "association_rules": _q_association_rules,
@@ -5556,6 +5575,8 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "rollup_search": oracles_pipeline.rollup_search_sql(ROLLUP_BOUNDARY_US),
         "anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "funnel_steps": oracles_pipeline.funnel_steps_sql(),
+        "attribution": oracles_pipeline.attribution_sql(),
+        "top_paths": oracles_pipeline.top_paths_sql(),
         "event_transitions": oracles_pipeline.event_transitions_sql(),
         "conversion_time_stats": oracles_pipeline.conversion_time_stats_sql(),
         "association_rules": oracles_pipeline.association_rules_sql(),

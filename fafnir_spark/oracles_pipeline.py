@@ -2478,3 +2478,70 @@ def constraint_audit_sql() -> str:
 SELECT * FROM ({" UNION ALL ".join(sels)})
 ORDER BY "constraint"
 """
+
+
+def attribution_sql(conversion: str = "purchase",
+                    channels: tuple = ("click", "signup", "view"),
+                    window_h: int = 72) -> str:
+    """Mirror of pipeline.attribution: same user-keyed join + window
+    predicate, first/last via rn=1 windows ordered (us, event_id), linear
+    via a per-conversion count, same coalesce-to-0 on the channel base."""
+    w_us = int(window_h) * 3_600_000_000
+    ch_in = ", ".join(f"'{c}'" for c in channels)
+    return f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+conv AS (SELECT user_id, event_id AS conv_id, us AS cus FROM e
+         WHERE event_type = '{conversion}'),
+touch AS (SELECT user_id, event_type AS channel, us, event_id FROM e
+          WHERE event_type IN ({ch_in})),
+j AS (
+  SELECT c.conv_id, t.channel, t.us, t.event_id
+  FROM conv c JOIN touch t ON t.user_id = c.user_id
+  WHERE t.us < c.cus AND t.us >= c.cus - {w_us}
+),
+firstt AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS first_touch FROM (
+    SELECT conv_id, channel,
+           row_number() OVER (PARTITION BY conv_id ORDER BY us, event_id) AS rn
+    FROM j) WHERE rn = 1 GROUP BY channel
+),
+lastt AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS last_touch FROM (
+    SELECT conv_id, channel,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY us DESC, event_id DESC) AS rn
+    FROM j) WHERE rn = 1 GROUP BY channel
+),
+lin AS (
+  SELECT channel, round(sum(CAST(1 AS DOUBLE) / n_t), 6) AS linear FROM (
+    SELECT conv_id, channel, count(*) OVER (PARTITION BY conv_id) AS n_t
+    FROM j) GROUP BY channel
+),
+base AS (SELECT DISTINCT channel FROM j)
+SELECT base.channel,
+       coalesce(first_touch, 0) AS first_touch,
+       coalesce(last_touch, 0) AS last_touch,
+       coalesce(linear, CAST(0 AS DOUBLE)) AS linear
+FROM base
+LEFT JOIN firstt USING (channel)
+LEFT JOIN lastt USING (channel)
+LEFT JOIN lin USING (channel)
+ORDER BY base.channel
+"""
+
+
+def top_paths_sql(path_len: int = 5, k: int = 20) -> str:
+    """Mirror of pipeline.top_paths: rn <= path_len prune per user, the
+    ordered '>'-join, count desc / path asc top-k with rank."""
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      FROM e),
+p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {int(path_len)} GROUP BY user_id),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY path)
+SELECT row_number() OVER (ORDER BY n_users DESC, path ASC) AS rank,
+       path, n_users
+FROM c ORDER BY n_users DESC, path ASC LIMIT {int(k)}
+"""

@@ -3127,3 +3127,92 @@ def constraint_audit(events: DataFrame) -> DataFrame:
     return (wide.select(F.explode(rows).alias("r"))
             .select("r.constraint", "r.n_violations", "r.passed")
             .orderBy("constraint"))
+
+
+def attribution(events: DataFrame,
+                conversion: str = "purchase",
+                channels: tuple = ("click", "signup", "view"),
+                window_h: int = 72) -> DataFrame:
+    """Multi-touch marketing attribution (the GA/Adjust staple; the
+    reference's event pipeline stops at error counting — this is the
+    conversion-credit extension every analytics user layers on top):
+    for each conversion event, the user's touch events strictly before it
+    within ``window_h`` hours share the credit under three models at
+    once — first_touch (earliest touch takes 1), last_touch (latest takes
+    1), linear (1/n each). Touch ordering is (µs, event_id) — event_id
+    unique, so first/last are deterministic under timestamp ties.
+
+    Scale shape: conversions ⋈ touches is ONE user-keyed equi-join with
+    the time window as a residual predicate (co-partitioned by user_id —
+    never a range join over the whole table); first/last collapse via
+    groupBy(conversion).agg(min_by/max_by) (map-side partials, the
+    _assign_to_centroids sort-free shape — no per-conversion row_number
+    window); linear joins the per-conversion touch count back on the
+    conversion key. Output is |channels| rows.
+    (channel, first_touch, last_touch, linear), ordered by channel."""
+    w_us = int(window_h) * 3_600_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = events.select("user_id", "event_id", "event_type", us.alias("us"))
+    conv = (ev.filter(F.col("event_type") == conversion)
+            .select("user_id", F.col("event_id").alias("conv_id"),
+                    F.col("us").alias("cus")))
+    touch = (ev.filter(F.col("event_type").isin(list(channels)))
+             .select("user_id", F.col("event_type").alias("channel"),
+                     "us", "event_id"))
+    j = (conv.join(touch, "user_id")
+         .filter((F.col("us") < F.col("cus"))
+                 & (F.col("us") >= F.col("cus") - F.lit(w_us)))
+         .select("conv_id", "channel", "us", "event_id"))
+
+    def _pick(agg_fn) -> DataFrame:
+        picked = j.groupBy("conv_id").agg(
+            agg_fn(F.col("channel"),
+                   F.struct(F.col("us"), F.col("event_id"))).alias("channel"))
+        return picked.groupBy("channel").agg(
+            F.count(F.lit(1)).cast("long").alias("n"))
+
+    first = _pick(F.min_by).withColumnRenamed("n", "first_touch")
+    last = _pick(F.max_by).withColumnRenamed("n", "last_touch")
+    n_per = j.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_t"))
+    linear = (j.join(n_per, "conv_id")
+              .groupBy("channel")
+              .agg(F.round(F.sum(F.lit(1.0) / F.col("n_t")), 6).alias("linear")))
+    base = j.select("channel").distinct()
+    return (base.join(first, "channel", "left")
+            .join(last, "channel", "left")
+            .join(linear, "channel", "left")
+            .select("channel",
+                    F.coalesce("first_touch", F.lit(0)).alias("first_touch"),
+                    F.coalesce("last_touch", F.lit(0)).alias("last_touch"),
+                    F.coalesce("linear", F.lit(0.0)).alias("linear"))
+            .orderBy("channel"))
+
+
+def top_paths(events: DataFrame, path_len: int = 5, k: int = 20) -> DataFrame:
+    """Top user journeys: each user's first ``path_len`` events (ordered
+    by µs then event_id) joined into a '>'-separated path string, counted
+    across users, top ``k`` paths (count desc, path asc).
+
+    Scale shape: ONE window partitioned by user_id (bounded per user, the
+    only shuffle) prunes to ≤ path_len rows/user BEFORE the collect;
+    the per-user assembly sorts ≤ path_len structs row-local; the path
+    count is a map-side-combined groupBy; the finish is
+    TakeOrderedAndProject. (rank, path, n_users), ordered by rank."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = events.select("user_id", "event_type", us.alias("us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pruned = (ev.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= int(path_len)))
+    paths = (pruned.groupBy("user_id")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct(F.col("rn"), F.col("event_type")))).alias("s"))
+             .select(F.array_join(
+                 F.transform(F.col("s"), lambda x: x["event_type"]),
+                 ">").alias("path")))
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"))
+    top = counts.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(int(k))
+    rw = F.row_number().over(Window.orderBy(F.col("n_users").desc(),
+                                            F.col("path").asc()))
+    return (top.withColumn("rank", rw)
+            .select("rank", "path", "n_users").orderBy("rank"))
