@@ -3404,6 +3404,19 @@ def _q_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
 
 
+def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel: union-closed distinct (user, step-type, µs)
+    state — the min-anchor chain is not additive, so the state holds the
+    distinct step events; shared funnel tail, same oracle as batch."""
+    from fafnir_spark.streaming import stream_funnel
+
+    base = tempfile.mkdtemp(prefix="fafnir_sfunnel_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_funnel(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
 def _q_stream_moving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EWMA: additive per-day partial sums in parquet state,
     rounded once post-merge, shared fold tail — same oracle as batch."""
@@ -3855,6 +3868,38 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fafnir_spark.pipeline import cohort_retention
 
     return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn holt (double exponential smoothing) over daily bucket
+    sums — dyadic alpha=beta=0.5 struct-state fold; the oracle runs the
+    identical recurrence as a recursive CTE."""
+    from fafnir_spark.pipeline import holt_linear
+
+    return holt_linear(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+HOLT_LINEAR_SQL = """
+WITH RECURSIVE buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+),
+nb AS (SELECT day, sum_value, row_number() OVER (ORDER BY day) AS rn
+       FROM buckets),
+holt AS (
+  SELECT rn, day, sum_value, sum_value AS l, CAST(0 AS DOUBLE) AS b
+  FROM nb WHERE rn = 1
+  UNION ALL
+  SELECT n.rn, n.day, n.sum_value,
+         n.sum_value * 0.5 + (h.l + h.b) * 0.5 AS l,
+         ((n.sum_value * 0.5 + (h.l + h.b) * 0.5) - h.l) * 0.5 + h.b * 0.5 AS b
+  FROM holt h JOIN nb n ON n.rn = h.rn + 1
+)
+SELECT day, sum_value, round(l, 6) AS holt_level,
+       round(l + b, 6) AS holt_forecast
+FROM holt ORDER BY day ASC
+"""
 
 
 MOVING_EWMA_SQL = """
@@ -5091,6 +5136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_values_histogram_indexed": _q_doc_values_histogram,
         "pipeline_aggs": _q_pipeline_aggs,
         "moving_ewma": _q_moving_ewma,
+        "holt_linear": _q_holt_linear,
         "extended_stats": _q_extended_stats,
         "bucket_selector": _q_bucket_selector,
         "bucket_sort": _q_bucket_sort,
@@ -5202,6 +5248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hdr_percentiles": _q_stream_hdr_percentiles,
         "stream_moving_ewma": _q_stream_moving_ewma,
         "stream_active_users": _q_stream_active_users,
+        "stream_funnel": _q_stream_funnel,
         "stream_rfm_segments": _q_stream_rfm_segments,
         "stream_anomaly_hourly": _q_stream_anomaly_hourly,
         "stream_transform_pivot": _q_stream_transform_pivot,
@@ -5546,6 +5593,7 @@ def oracle_sql() -> dict[str, str]:
             oracles_pipeline.doc_values_histogram_sql("n_chars", 50.0),
         "pipeline_aggs": oracles_pipeline.event_pipeline_aggs_sql(3),
         "moving_ewma": MOVING_EWMA_SQL,
+        "holt_linear": HOLT_LINEAR_SQL,
         "extended_stats": oracles_pipeline.extended_stats_sql(),
         "bucket_selector": oracles_pipeline.bucket_selector_topn_sql(),
         "bucket_sort": oracles_pipeline.bucket_sort_sql(from_=2, size=3),
@@ -5847,6 +5895,7 @@ ORDER BY term ASC LIMIT 10
         "stream_hdr_percentiles": oracles_pipeline.hdr_percentiles_sql((50, 90, 99), 5),
         "stream_moving_ewma": MOVING_EWMA_SQL,
         "stream_active_users": oracles_pipeline.rolling_active_users_sql(),
+        "stream_funnel": oracles_pipeline.funnel_steps_sql(),
         "stream_rfm_segments": oracles_pipeline.rfm_segments_sql(),
         "stream_anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "stream_transform_pivot": oracles_pipeline.transform_pivot_sql(),

@@ -3216,3 +3216,46 @@ def top_paths(events: DataFrame, path_len: int = 5, k: int = 20) -> DataFrame:
                                             F.col("path").asc()))
     return (top.withColumn("rank", rw)
             .select("rank", "path", "n_users").orderBy("rank"))
+
+
+def holt_linear(events: DataFrame) -> DataFrame:
+    """ES moving_fn with MovingFunctions.holt (double exponential
+    smoothing / Holt linear trend) over per-day bucket sums: two coupled
+    states — level and trend —
+
+        l_t = x_t·α + (l_{t-1} + b_{t-1})·(1-α)
+        b_t = (l_t − l_{t-1})·β + b_{t-1}·(1-β)
+
+    seeded l_1 = x_1, b_1 = 0. α = β = 0.5, FIXED DYADIC (the moving_ewma
+    rule: every step is an exact halving + IEEE add, so the fold is
+    bit-identical cross-engine). The Spark side folds the ordered prefix
+    with a STRUCT accumulator; DuckDB's list_reduce can't carry a struct,
+    so the oracle runs the identical recurrence as a recursive CTE keyed
+    on the bucket row number — same operand order, same seeds.
+
+    Scale shape: one map-side-combined groupBy to buckets; the window +
+    fold run over the bucket relation only (rows == distinct days).
+    (day, sum_value, holt_level, holt_forecast) ordered by day, where
+    holt_forecast = l_t + b_t (the one-step-ahead forecast)."""
+    buckets = (
+        events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
+                                     "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    st = F.expr(
+        "aggregate(slice(__vals, 2, size(__vals)), "
+        "named_struct('l', element_at(__vals, 1), 'b', 0.0D), "
+        "(a, x) -> named_struct("
+        "'l', x * 0.5D + (a.l + a.b) * 0.5D, "
+        "'b', ((x * 0.5D + (a.l + a.b) * 0.5D) - a.l) * 0.5D + a.b * 0.5D))"
+    )
+    return (buckets
+            .withColumn("__vals", F.collect_list("sum_value").over(w))
+            .withColumn("__st", st)
+            .select("day", "sum_value",
+                    F.round(F.col("__st.l"), 6).alias("holt_level"),
+                    F.round(F.col("__st.l") + F.col("__st.b"), 6)
+                    .alias("holt_forecast"))
+            .orderBy("day"))

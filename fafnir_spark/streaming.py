@@ -1158,3 +1158,59 @@ def stream_rfm_segments(
              F.round(F.sum("val"), 6).alias("monetary"))
     )
     return rfm_from_per_user(per_user, buckets)
+
+
+def stream_funnel(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    steps: tuple = ("signup", "click", "purchase"),
+    window_h: int = 24,
+) -> DataFrame:
+    """Streaming conversion funnel: each micro-batch reduces to its
+    DISTINCT (user_id, event_type, µs) rows for the funnel's step types
+    and appends them to parquet state — set union is idempotent AND
+    commutative (the stream_active_users rule), so the read-side distinct
+    over the state IS the batch step-event relation regardless of batch
+    boundaries or checkpoint replays; no batch stamps needed. The min-
+    anchor chain is NOT additive across batches (stage N's anchor depends
+    on stage N-1's, which a later batch can move earlier), which is why
+    the state holds the distinct step events rather than per-stage
+    partials. The shared tail (pipeline.funnel_steps over the
+    reconstructed relation) gives the batch answer exactly — same oracle
+    as funnel_steps."""
+    import os
+
+    from .pipeline import funnel_steps
+
+    ev_dir = os.path.join(state_dir, "funnel_events")
+    step_list = [str(s) for s in steps]
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, _bid):
+        (
+            df.filter(F.col("event_type").isin(step_list))
+            .select("user_id", "event_type",
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+            .distinct()
+            .write.mode("append").parquet(ev_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    ev = (
+        spark.read.parquet(ev_dir).distinct()
+        .select("user_id", "event_type",
+                F.timestamp_micros(F.col("us")).alias("ts"))
+    )
+    return funnel_steps(ev, steps=steps, window_h=window_h)

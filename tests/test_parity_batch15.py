@@ -1,0 +1,62 @@
+"""Session-15 op invariants the oracle sim can't express: attribution
+credit-conservation laws, holt_linear constant/trend laws, stream_funnel
+== batch across micro-batch boundaries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_attribution_credit_conservation(spark, events):
+    from fafnir_spark.pipeline import attribution
+
+    rows = attribution(events).collect()
+    total_first = sum(r.first_touch for r in rows)
+    total_last = sum(r.last_touch for r in rows)
+    total_linear = sum(r.linear for r in rows)
+    # every attributed conversion hands out exactly one first-touch, one
+    # last-touch, and one unit of linear credit
+    assert total_first == total_last
+    assert abs(total_linear - total_first) < 1e-3
+    assert total_first > 0
+
+
+def test_holt_linear_constant_and_trend_laws(spark):
+    from fafnir_spark.pipeline import holt_linear
+
+    # constant series: level == the constant, forecast == the constant
+    const = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 00:00:00", 5.0) for d in range(1, 11)],
+        "ts string, value double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    for r in holt_linear(const).collect():
+        assert r.holt_level == 5.0 and r.holt_forecast == 5.0
+
+    # linear ramp: the forecast converges onto the next value (trend
+    # learned) — by day 10 the one-step forecast is within 5% of truth
+    ramp = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 00:00:00", float(10 * d)) for d in range(1, 12)],
+        "ts string, value double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    rows = sorted(holt_linear(ramp).collect(), key=lambda r: r.day)
+    assert abs(rows[9].holt_forecast - 110.0) / 110.0 < 0.05
+
+
+def test_stream_funnel_equals_batch(spark, events, tmp_path):
+    from fafnir_spark.pipeline import funnel_steps
+    from fafnir_spark.streaming import stream_funnel
+
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    got = [tuple(r) for r in stream_funnel(
+        spark, src, str(tmp_path / "ck"), str(tmp_path / "state")).collect()]
+    want = [tuple(r) for r in funnel_steps(events).collect()]
+    assert got == want  # union-closed distinct step-event state + shared tail
