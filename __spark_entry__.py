@@ -2341,6 +2341,14 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), window=32, stride=24)
 
 
+def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption: blockwise hash-keyed spans → sentinel-masked
+    (input, target) pairs — 100% row-local, zero shuffle."""
+    from fafnir_spark.curation import span_corruption
+
+    return span_corruption(_docs(spark, sf_dir))
+
+
 def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM quality proxy: per-doc average token log-prob under the corpus
     unigram LM (the KenLM-filter stand-in real pipelines run)."""
@@ -5396,6 +5404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_chain": _q_rescore_chain,
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
+        "span_corruption": _q_span_corruption,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -6196,6 +6205,7 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "rescore_chain": oracles.rescore_chain_sql(Q_MAIN, weights=LTR_WEIGHTS, k=10, w1=50, w2=20),
         "unigram_logprob": oracles_curation.unigram_logprob_sql(),
         "chunk_documents": oracles_curation.chunk_documents_sql(32, 24),
+        "span_corruption": oracles_curation.span_corruption_sql(),
         "media_meta": oracles_ops.media_meta_sql(),
         "media_features": oracles_ops.media_features_sql(),
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),

@@ -1501,3 +1501,105 @@ def fix_encoding(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for _, bad, good in MOJIBAKE_RULES:
         t = F.replace(t, F.lit(bad), F.lit(good))
     return docs.withColumn(text_col, t)
+
+
+# T5 span corruption (Raffel et al. JMLR'20 §3.1.4) — blockwise
+# deterministic variant: tokens are cut into fixed blocks of SPAN_BLOCK;
+# a block is corrupted iff hash60(doc:block:'m') % SPAN_RATE_MOD <
+# SPAN_RATE_LT, the span starts at hash60(':s') % SPAN_BLOCK and runs
+# 1 + hash60(':l') % SPAN_LEN_MOD tokens (clipped to block and doc end).
+# Spans never cross blocks, so masking is position-local — NO sequential
+# dependence, the whole op is row-local expressions (zero shuffle at any
+# scale). These constants are the single source of truth — the Spark
+# expressions and the DuckDB oracle are BOTH templated from them.
+SPAN_BLOCK = 8
+SPAN_RATE_MOD = 5
+SPAN_RATE_LT = 2
+SPAN_LEN_MOD = 3
+
+
+def span_corruption(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """T5-style span corruption over the token stream: masked spans are
+    replaced by numbered sentinels ``<Xn>`` in the input; the target is
+    the sentinel-delimited sequence of masked spans plus a closing
+    sentinel — the (input, target) pair an encoder-decoder LM trains on.
+
+    Scale shape: 100% row-local (the binfo per-block array is bound ONCE
+    via the lambda-let — element_at(transform(array(e), f), 1) — so the
+    3-hash-per-block derivation is never recomputed per consumer); no
+    shuffle, no window, no collect. (doc_id, n_tokens, n_masked,
+    input_text, target_text) ordered by doc_id."""
+    B = SPAN_BLOCK
+    doc_s = F.col(id_col).cast("string")
+
+    def h(b, tag):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", doc_s, b.cast("string"), F.lit(tag))),
+                1, 15),
+            16, 10).cast("long")
+
+    def binfo(tk):
+        n = F.size(tk)
+        nblocks = F.floor((n + F.lit(B - 1)) / F.lit(B)).cast("int")
+        blocks = F.when(n > 0, F.sequence(F.lit(0), nblocks - 1)) \
+            .otherwise(F.expr("array()").cast("array<int>"))
+
+        def info(b):
+            start = F.pmod(h(b, "s"), F.lit(B)).cast("int")
+            ln = (F.lit(1) + F.pmod(h(b, "l"), F.lit(SPAN_LEN_MOD))).cast("int")
+            q = (F.pmod(h(b, "m"), F.lit(SPAN_RATE_MOD)) < F.lit(SPAN_RATE_LT)) \
+                & ((b * B + start) < n)
+            mlen = F.least(ln, F.lit(B) - start, (n - b * B - start).cast("int"))
+            return F.struct(b.alias("b"), q.alias("q"), start.alias("start"),
+                            mlen.alias("mlen"))
+
+        return F.transform(blocks, info)
+
+    def outputs(sv):
+        tk = sv["tk"]
+        bi = sv["bi"]
+        n = F.size(tk)
+        nm = F.aggregate(
+            bi, F.lit(0),
+            lambda a, x: a + F.when(x["q"], x["mlen"]).otherwise(F.lit(0)))
+
+        def blk_str(x):
+            idx = F.size(F.filter(bi, lambda y: y["q"] & (y["b"] <= x["b"])))
+            sent = F.concat(F.lit("<X"), idx.cast("string"), F.lit(">"))
+            pre = F.slice(tk, x["b"] * B + 1, x["start"])
+            post = F.slice(tk, x["b"] * B + x["start"] + x["mlen"] + 1,
+                           F.lit(B) - x["start"] - x["mlen"])
+            arr = F.when(x["q"], F.concat(pre, F.array(sent), post)) \
+                .otherwise(F.slice(tk, x["b"] * B + 1, B))
+            return F.array_join(arr, " ")
+
+        inp = F.array_join(F.transform(bi, blk_str), " ")
+        mb = F.filter(bi, lambda y: y["q"])
+        cnt = F.size(mb)
+
+        def tgt_part(x, i):
+            return F.concat(
+                F.lit("<X"), (i + 1).cast("string"), F.lit("> "),
+                F.array_join(
+                    F.slice(tk, x["b"] * B + x["start"] + 1, x["mlen"]), " "))
+
+        tgt = F.when(
+            cnt > 0,
+            F.concat(F.array_join(F.transform(mb, tgt_part), " "),
+                     F.lit(" <X"), (cnt + 1).cast("string"), F.lit(">"))
+        ).otherwise(F.lit(""))
+        return F.struct(n.cast("long").alias("n_tokens"),
+                        nm.cast("long").alias("n_masked"),
+                        inp.alias("input_text"), tgt.alias("target_text"))
+
+    lvl1 = F.element_at(
+        F.transform(F.array(tokens_expr(text_col)),
+                    lambda tk: F.struct(tk.alias("tk"),
+                                        binfo(tk).alias("bi"))), 1)
+    out = F.element_at(F.transform(F.array(lvl1), outputs), 1)
+    return (docs.select(F.col(id_col).alias("doc_id"), out.alias("o"))
+            .select("doc_id", "o.n_tokens", "o.n_masked",
+                    "o.input_text", "o.target_text")
+            .orderBy("doc_id"))

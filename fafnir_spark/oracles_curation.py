@@ -1223,3 +1223,88 @@ WITH m AS (SELECT doc_id, {t} AS t FROM documents)
 SELECT * FROM ({" UNION ALL ".join(sels)})
 ORDER BY marker_idx
 """
+
+
+def span_corruption_sql() -> str:
+    """Mirror of curation.span_corruption: same blockwise hash-keyed span
+    selection (constants templated from curation.SPAN_*), sentinel
+    numbering via a per-doc row_number over the qualifying blocks,
+    input/target assembled with ordered string_aggs."""
+    from .curation import (SPAN_BLOCK, SPAN_LEN_MOD, SPAN_RATE_LT,
+                           SPAN_RATE_MOD)
+
+    B = SPAN_BLOCK
+    hm = hash60_sql("CAST(t.doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':m'")
+    hs = hash60_sql("CAST(t.doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':s'")
+    hl = hash60_sql("CAST(t.doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':l'")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, tk[i] AS tok,
+         CAST((i - 1) // {B} AS BIGINT) AS b,
+         CAST((i - 1) % {B} AS BIGINT) AS o
+  FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)
+),
+bstats AS (SELECT doc_id, b, max(o) AS maxo FROM pos GROUP BY doc_id, b),
+binfo AS (
+  SELECT t.doc_id, t.b,
+         {hm} % {SPAN_RATE_MOD} < {SPAN_RATE_LT} AS maskb,
+         CAST({hs} % {B} AS BIGINT) AS strt,
+         CAST(1 + {hl} % {SPAN_LEN_MOD} AS BIGINT) AS ln
+  FROM bstats t
+),
+bi AS (
+  SELECT s.doc_id, s.b,
+         m.maskb AND m.strt <= s.maxo AS q,
+         m.strt,
+         least(m.ln, {B} - m.strt, s.maxo + 1 - m.strt) AS mlen
+  FROM bstats s JOIN binfo m ON m.doc_id = s.doc_id AND m.b = s.b
+),
+mb AS (
+  SELECT doc_id, b, strt, mlen,
+         row_number() OVER (PARTITION BY doc_id ORDER BY b) AS sid
+  FROM bi WHERE q
+),
+inp AS (
+  SELECT p.doc_id, p.i,
+         CASE WHEN m.b IS NULL OR p.o < m.strt OR p.o >= m.strt + m.mlen
+                THEN p.tok
+              WHEN p.o = m.strt THEN '<X' || m.sid || '>'
+              ELSE NULL END AS part
+  FROM pos p LEFT JOIN mb m ON m.doc_id = p.doc_id AND m.b = p.b
+),
+inputs AS (
+  SELECT doc_id, string_agg(part, ' ' ORDER BY i) AS input_text
+  FROM inp WHERE part IS NOT NULL GROUP BY doc_id
+),
+tparts AS (
+  SELECT m.doc_id, m.b, m.sid,
+         '<X' || m.sid || '> ' || string_agg(p.tok, ' ' ORDER BY p.o) AS part
+  FROM mb m JOIN pos p ON p.doc_id = m.doc_id AND p.b = m.b
+       AND p.o >= m.strt AND p.o < m.strt + m.mlen
+  GROUP BY m.doc_id, m.b, m.sid
+),
+tg AS (
+  SELECT doc_id,
+         string_agg(part, ' ' ORDER BY b) || ' <X' || (max(sid) + 1) || '>'
+           AS target_text
+  FROM tparts GROUP BY doc_id
+),
+nmask AS (
+  SELECT doc_id, CAST(sum(CASE WHEN q THEN mlen ELSE 0 END) AS BIGINT)
+           AS n_masked
+  FROM bi GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       coalesce(n.n_masked, 0) AS n_masked,
+       coalesce(i.input_text, '') AS input_text,
+       coalesce(g.target_text, '') AS target_text
+FROM toks t
+LEFT JOIN nmask n ON n.doc_id = t.doc_id
+LEFT JOIN inputs i ON i.doc_id = t.doc_id
+LEFT JOIN tg g ON g.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""

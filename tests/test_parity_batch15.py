@@ -60,3 +60,36 @@ def test_stream_funnel_equals_batch(spark, events, tmp_path):
         spark, src, str(tmp_path / "ck"), str(tmp_path / "state")).collect()]
     want = [tuple(r) for r in funnel_steps(events).collect()]
     assert got == want  # union-closed distinct step-event state + shared tail
+
+
+def test_span_corruption_roundtrip_reconstructs_original(spark):
+    import re
+
+    from fafnir_spark.curation import span_corruption
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    rows = span_corruption(docs).collect()
+    orig = {r.doc_id: [t for t in r.text.split(" ") if t]
+            for r in docs.collect()}
+    masked_total = 0
+    for r in rows:
+        spans = {}
+        if r.target_text:
+            # '<X1> a b <X2> c <X3>' -> {1: ['a','b'], 2: ['c']}
+            parts = re.split(r"<X(\d+)>", r.target_text)
+            for j in range(1, len(parts) - 2, 2):
+                spans[int(parts[j])] = [t for t in parts[j + 1].split(" ") if t]
+        rebuilt = []
+        for tok in r.input_text.split(" "):
+            m = re.fullmatch(r"<X(\d+)>", tok)
+            if m:
+                rebuilt.extend(spans[int(m.group(1))])
+                masked_total += len(spans[int(m.group(1))])
+            elif tok:
+                rebuilt.append(tok)
+        assert rebuilt == orig[r.doc_id], r.doc_id
+        assert r.n_tokens == len(orig[r.doc_id])
+    # the corpus-level mask rate is in the healthy T5 band
+    ntok_total = sum(r.n_tokens for r in rows)
+    assert masked_total == sum(r.n_masked for r in rows)
+    assert 0.05 < masked_total / ntok_total < 0.35
