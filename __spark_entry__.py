@@ -4874,6 +4874,26 @@ def _q_asciifolding_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ["merge", "window"], k=10)
 
 
+def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the order graph: 5 fixed peeling rounds
+    (degree>=3 keep-set on both endpoints), bounded degree histogram."""
+    from fafnir_spark.pipeline import graph_kcore
+
+    return graph_kcore(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), k=3, rounds=5)
+
+
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over suppliers sharing customers —
+    witness-degree-capped pair join, 1/ln(deg) rounded sum, top-20."""
+    from fafnir_spark.pipeline import link_prediction
+
+    return link_prediction(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), k=20)
+
+
 def _q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational BFS hop distance from seed customers over the undirected
     order graph — min-propagation rounds, (hops, n_nodes) histogram."""
@@ -5326,6 +5346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_encoding_audit": _q_fix_encoding_audit,
         "asciifolding_bm25": _q_asciifolding_bm25,
         "graph_bfs_hops": _q_graph_bfs_hops,
+        "graph_kcore": _q_graph_kcore,
+        "link_prediction": _q_link_prediction,
         "token_graph_triangles": _q_token_graph_triangles,
         "bm25_plus": _q_bm25_plus,
         "prf_bm25": _q_prf_bm25,
@@ -5939,6 +5961,8 @@ ORDER BY term ASC LIMIT 10
             text_expr=oracles.asciifold_expr(oracles.accentified_expr()),
         ),
         "graph_bfs_hops": oracles_pipeline.graph_bfs_hops_sql(PPR_SEEDS, max_hops=3),
+        "graph_kcore": oracles_pipeline.graph_kcore_sql(k=3, rounds=5),
+        "link_prediction": oracles_pipeline.link_prediction_sql(k=20),
         "token_graph_triangles": oracles_curation.token_graph_triangles_sql(),
         "bm25_plus": oracles.bm25_plus_sql(Q_MAIN, k=10),
         "prf_bm25": oracles.prf_bm25_sql(Q_MAIN, k=10),

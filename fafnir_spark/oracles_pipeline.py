@@ -2545,3 +2545,63 @@ SELECT row_number() OVER (ORDER BY n_users DESC, path ASC) AS rank,
        path, n_users
 FROM c ORDER BY n_users DESC, path ASC LIMIT {int(k)}
 """
+
+
+_ORDER_GRAPH_SYM = """
+edges AS (
+  SELECT DISTINCT o.o_custkey AS src, 1000000000 + l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+)"""
+
+
+def graph_kcore_sql(k: int = 3, rounds: int = 5) -> str:
+    """Mirror of pipeline.graph_kcore: same symmetric edge derivation,
+    same unrolled peeling rounds (degree >= k keep-set applied to both
+    endpoints)."""
+    ctes = [_ORDER_GRAPH_SYM, "s0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
+    for i in range(1, int(rounds) + 1):
+        ctes.append(f"""k{i} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, count(*) AS d FROM s{i-1} GROUP BY src)
+  WHERE d >= {int(k)}
+)""")
+        ctes.append(f"""s{i} AS MATERIALIZED (
+  SELECT s.src, s.dst FROM s{i-1} s
+  JOIN k{i} a ON a.src = s.src
+  JOIN k{i} b ON b.src = s.dst
+)""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+  SELECT src, CAST(count(*) AS BIGINT) AS degree
+  FROM s{int(rounds)} GROUP BY src
+) GROUP BY degree ORDER BY degree
+"""
+
+
+def link_prediction_sql(k: int = 20, max_deg: int = 64) -> str:
+    """Mirror of pipeline.link_prediction: same witness degree cap (on the
+    customer side), same a<b shared-customer pair join, same 1/ln(deg)
+    rounded sum."""
+    return f"""
+WITH cs0 AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS sup
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+deg AS (SELECT cust, count(*) AS d FROM cs0 GROUP BY cust),
+w AS (SELECT cust, d FROM deg WHERE d <= {int(max_deg)} AND d >= 2),
+cs AS MATERIALIZED (SELECT c.cust, c.sup, w.d FROM cs0 c JOIN w USING (cust)),
+p AS (
+  SELECT a.sup AS sup_a, b.sup AS sup_b,
+         round(sum(CAST(1 AS DOUBLE) / ln(a.d)), 6) AS aa_score
+  FROM cs a JOIN cs b ON b.cust = a.cust AND a.sup < b.sup
+  GROUP BY 1, 2
+)
+SELECT rank, sup_a, sup_b, aa_score FROM (
+  SELECT row_number() OVER (ORDER BY aa_score DESC, sup_a ASC, sup_b ASC)
+           AS rank, sup_a, sup_b, aa_score
+  FROM p
+) WHERE rank <= {int(k)} ORDER BY rank
+"""

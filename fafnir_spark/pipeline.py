@@ -3259,3 +3259,87 @@ def holt_linear(events: DataFrame) -> DataFrame:
                     F.round(F.col("__st.l") + F.col("__st.b"), 6)
                     .alias("holt_forecast"))
             .orderBy("day"))
+
+
+def _order_graph_sym(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The symmetric customer↔supplier order graph (src, dst) — the edge
+    derivation shared by graph_bfs_hops / graph_kcore / link_prediction
+    (suppliers offset by 10^9 into the shared node-id space)."""
+    edges = (
+        orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"),
+                (F.lit(10**9) + F.col("l_suppkey")).alias("dst"))
+        .distinct()
+    )
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def graph_kcore(orders: DataFrame, lineitem: DataFrame,
+                k: int = 3, rounds: int = 5) -> DataFrame:
+    """k-core decomposition (the classic graph-pruning kernel — community
+    cores, spam/bot subgraph mining): iteratively delete nodes with degree
+    < k until fixpoint; here ``rounds`` fixed peeling rounds (the
+    graph_pagerank fixed-iteration convention — the fixture converges well
+    inside 5; test asserts the fixpoint). Each round is ONE
+    groupBy(node) degree count + TWO node-keyed semi-joins — never a
+    collect; the surviving-edge relation shrinks monotonically.
+
+    Scale shape: all shuffles keyed by node id; output is the bounded
+    degree histogram of the k-core. (degree, n_nodes) ordered."""
+    # Each round references the previous edge relation three times (degree
+    # agg + both endpoint semi-joins) — without a lineage cut the plan
+    # grows 3^rounds subtree copies and planning alone dominates.
+    # localCheckpoint per round truncates it (the standard iterative-
+    # algorithm barrier; at cluster scale this is where you'd persist).
+    sym = _order_graph_sym(orders, lineitem).localCheckpoint()
+    for _ in range(int(rounds)):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= int(k)).select("src")
+        sym = (sym.join(keep, "src", "left_semi")
+               .join(keep.select(F.col("src").alias("dst")),
+                     "dst", "left_semi")).localCheckpoint()
+    final_deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (final_deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .orderBy("degree"))
+
+
+def link_prediction(orders: DataFrame, lineitem: DataFrame,
+                    k: int = 20, max_deg: int = 64) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar, Social Networks'03):
+    for supplier pairs co-purchased by ≥1 shared customer,
+    AA(u,v) = Σ_{c ∈ N(u)∩N(v)} 1/ln(deg(c)) — the classic
+    "related items" / recommendation kernel, witnessed through customers.
+
+    Scale shape: candidate pairs are generated through the shared-
+    witness equi-join (the token_graph_triangles a<b shape — each pair
+    once per witness c), with a degree cap on the witness (``max_deg``)
+    — the hot-hub guard: a super-connector's 1/ln(deg) contribution is
+    negligible but its pair fan-out is deg², so capped witnesses bound
+    the join at |edges|·max_deg (the containment_pairs df-cap rule).
+    Scores rounded 6 before ordering. (rank, sup_a, sup_b, aa_score)."""
+    cust_sup = (
+        orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"),
+                F.col("l_suppkey").alias("sup"))
+        .distinct()
+    )
+    deg = cust_sup.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+    witnesses = deg.filter((F.col("d") <= int(max_deg)) & (F.col("d") >= 2))
+    cs = cust_sup.join(witnesses, "cust")
+    a = cs.select("cust", F.col("sup").alias("sup_a"), "d")
+    b = cs.select("cust", F.col("sup").alias("sup_b"))
+    pairs = (a.join(b, "cust")
+             .filter(F.col("sup_a") < F.col("sup_b"))
+             .groupBy("sup_a", "sup_b")
+             .agg(F.round(F.sum(F.lit(1.0) / F.log(F.col("d"))), 6)
+                  .alias("aa_score")))
+    top = pairs.orderBy(F.col("aa_score").desc(), F.col("sup_a").asc(),
+                        F.col("sup_b").asc()).limit(int(k))
+    w = Window.orderBy(F.col("aa_score").desc(), F.col("sup_a").asc(),
+                       F.col("sup_b").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "sup_a", "sup_b", "aa_score").orderBy("rank"))

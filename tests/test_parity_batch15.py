@@ -93,3 +93,31 @@ def test_span_corruption_roundtrip_reconstructs_original(spark):
     ntok_total = sum(r.n_tokens for r in rows)
     assert masked_total == sum(r.n_masked for r in rows)
     assert 0.05 < masked_total / ntok_total < 0.35
+
+
+def test_graph_kcore_fixpoint_and_mindegree(spark):
+    from fafnir_spark.pipeline import graph_kcore
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    r5 = sorted(tuple(r) for r in graph_kcore(orders, lineitem,
+                                              k=3, rounds=5).collect())
+    r6 = sorted(tuple(r) for r in graph_kcore(orders, lineitem,
+                                              k=3, rounds=6).collect())
+    assert r5 == r6          # peeling reached the fixpoint within 5 rounds
+    assert all(deg >= 3 for deg, _ in r5)   # the k-core property itself
+
+
+def test_link_prediction_symmetry_and_witness_law(spark):
+    from fafnir_spark.pipeline import link_prediction
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rows = link_prediction(orders, lineitem, k=50).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.sup_a < r.sup_b         # canonical pair orientation
+        assert r.aa_score > 0.0
+    # scores are ordered desc with the (sup_a, sup_b) tiebreak
+    key = [(-r.aa_score, r.sup_a, r.sup_b) for r in rows]
+    assert key == sorted(key)
