@@ -5066,6 +5066,29 @@ def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text CSV source/sink parity (the orc_roundtrip sibling): write the
+    documents fixture to quoted CSV, read it back with an EXPLICIT schema
+    (never inference — type drift breaks the hash), aggregate per source;
+    the oracle reads the same rows from parquet."""
+    import uuid
+
+    path = os.path.join(tempfile.gettempdir(), "fafnir_csv_" + uuid.uuid4().hex[:8])
+    (spark.read.parquet(f"{sf_dir}/documents.parquet")
+     .write.mode("overwrite").option("header", True)
+     .option("escape", '"').csv(path))
+    d = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("header", True).option("escape", '"').csv(path)
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("n_chars").cast("long").alias("total_chars"),
+             F.sum(F.length("text")).cast("long").alias("total_text_len"))
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_direct": _q_bm25_direct,
@@ -5364,6 +5387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_segment": _q_unigram_segment,
         "bpe_apply": _q_bpe_apply,
         "orc_roundtrip": _q_orc_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "esql_mv_expand": _q_esql_mv_expand,
         "esql_inlinestats": _q_esql_inlinestats,
         "esql_lookup_join": _q_esql_lookup_join,
@@ -5987,6 +6011,12 @@ ORDER BY term ASC LIMIT 10
         "orc_roundtrip": """
 SELECT source, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source ORDER BY source
+""",
+        "csv_roundtrip": """
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len
 FROM documents GROUP BY source ORDER BY source
 """,
         "esql_rename_drop": """
