@@ -2110,6 +2110,21 @@ def _q_synonym_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synonym_bm25(_docs(spark, sf_dir), ["fast", "merge"], k=10)
 
 
+SYN_LEXEMES = [
+    [("window", "join"), ("merge",)],   # "window join" ≡ "merge"
+    [("customer",)],
+]
+
+
+def _q_synonym_graph_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-word synonym_graph: the phrase "window join" and its
+    contraction "merge" share ONE posting unit (blended tf/df) — the
+    token-graph analyzer semantics query-side expansion can't express."""
+    from fafnir_spark.query_ext import synonym_graph_bm25
+
+    return synonym_graph_bm25(_docs(spark, sf_dir), SYN_LEXEMES, k=10)
+
+
 def _q_date_histogram_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """date_histogram with min_doc_count=0: empty days gap-filled from a
     generated day spine."""
@@ -5256,6 +5271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_bm25_indexed": _q_stemmed_bm25_indexed,
         "phrase_suggest": _q_phrase_suggest,
         "synonym_bm25": _q_synonym_bm25,
+        "synonym_graph_bm25": _q_synonym_graph_bm25,
         "date_histogram_filled": _q_date_histogram_filled,
         "span_first": _q_span_first,
         "span_first_indexed": _q_span_first_indexed,
@@ -5847,6 +5863,7 @@ ORDER BY term ASC LIMIT 10
         "synonym_bm25": oracles.bm25_topk_sql(
             expand_synonyms(["fast", "merge"]), k=10
         ),
+        "synonym_graph_bm25": oracles.synonym_graph_bm25_sql(SYN_LEXEMES, k=10),
         "date_histogram_filled": oracles_pipeline.date_histogram_filled_sql(),
         "span_first": oracles.span_first_sql("merge", end=5),
         "span_first_indexed": oracles.span_first_sql("merge", end=5),

@@ -394,6 +394,32 @@ def main() -> None:
 
     timed("s14_sweep", _s14_sweep)
 
+    # session-15 ops: attribution / journeys / T5 pairs / graph kernels /
+    # Holt / CSV source (NEW key — old keys stay comparable)
+    def _s15_sweep() -> int:
+        from fafnir_spark.curation import span_corruption
+        from fafnir_spark.pipeline import (
+            attribution,
+            graph_kcore,
+            holt_linear,
+            link_prediction,
+            top_paths,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        n = attribution(events).count()
+        n += top_paths(events).count()
+        n += holt_linear(events).count()
+        n += span_corruption(docs).count()
+        n += graph_kcore(orders, li, k=3, rounds=5).count()
+        n += link_prediction(orders, li, k=20).count()
+        return n
+
+    timed("s15_sweep", _s15_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work

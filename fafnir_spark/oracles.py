@@ -2709,3 +2709,48 @@ WITH {_TF_CTES},
 {", ".join(ctes)}
 SELECT pick, doc_id, rel FROM ({sels}) ORDER BY pick
 """
+
+
+def synonym_graph_bm25_sql(lexemes: list[list[tuple]], k: int = 10) -> str:
+    """Mirror of query_ext.synonym_graph_bm25: row-local variant counts
+    (list_filter for single tokens, adjacent-index list_filter for
+    two-token phrases), per-lexeme df, plain-token-count dl, same BM25
+    operand order."""
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    def vcount(variant: tuple) -> str:
+        if len(variant) == 1:
+            return f"len(list_filter(tk, t -> t = '{esc(str(variant[0]))}'))"
+        a, b = esc(str(variant[0])), esc(str(variant[1]))
+        return (f"len(list_filter(range(1, len(tk)), "
+                f"i -> tk[i] = '{a}' AND tk[i+1] = '{b}'))")
+
+    tf_cols = [
+        " + ".join(vcount(v) for v in variants) + f" AS tf_{i}"
+        for i, variants in enumerate(lexemes)
+    ]
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, dl, {i} AS lex, CAST(tf_{i} AS BIGINT) AS tf "
+        f"FROM m WHERE tf_{i} > 0"
+        for i in range(len(lexemes))
+    )
+    inner = f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, {", ".join(tf_cols)} FROM tl),
+matched AS ({unions}),
+dfs AS (SELECT lex, count(*) AS df FROM matched GROUP BY lex),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM m WHERE dl > 0)
+SELECT matched.doc_id,
+       round(sum( ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (matched.tf * {K1 + 1.0}) / (matched.tf + {K1} * ({1.0 - B} + {B} * matched.dl / stats.avgdl))
+            ), 6) AS score
+FROM matched
+JOIN dfs USING (lex)
+CROSS JOIN stats
+GROUP BY matched.doc_id
+"""
+    return _ranked_topk(inner, k)

@@ -2438,3 +2438,87 @@ def prf_bm25(docs: DataFrame, terms: list[str], k: int = 10, fb_k: int = 5,
     scores = bm25_scores(docs, sorted(boosts), text_col=text_col,
                          term_boosts=boosts)
     return _topk_ranked(scores, k)
+
+
+def synonym_graph_bm25(docs: DataFrame, lexemes: list[list[tuple]],
+                       k: int = 10, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """ES synonym_graph with MULTI-WORD synonyms ("window join" ≡ "merge"):
+    each query lexeme is a set of variants — single tokens or two-token
+    phrases — and all variants of a lexeme share ONE posting unit: per-doc
+    tf(ℓ) = Σ occurrences of any variant (adjacent-pair counts for the
+    phrase variants), df(ℓ) = docs with tf > 0, dl = the plain token
+    count. This is what a token-graph analyzer gives an ES index that
+    query-side single-token expansion (synonym_bm25) cannot: the phrase
+    variant and its contraction are scored under the same statistics.
+
+    Scale shape: variant counting is 100% row-local (array filters over
+    the token list — no position explode, no self-join); the matched
+    relation carries ≤ |lexemes| rows per doc; df is the ≤|lexemes|-row
+    groupBy broadcast back (the _tf_dl_df shape with its zero-weighted
+    plan pin); corpus stats are a 1-row aggregate; the finish is
+    TakeOrderedAndProject. (rank, doc_id, score)."""
+    from pyspark.sql.window import Window
+
+    from . import B, K1
+    from .query import SCORE_DECIMALS
+    from .tokenizer import tokens_expr
+
+    toks = tokens_expr(text_col)
+
+    def variant_count(tk, variant: tuple):
+        if len(variant) == 1:
+            v = str(variant[0])
+            return F.size(F.filter(tk, lambda t: t == F.lit(v)))
+        a, b = str(variant[0]), str(variant[1])
+        pair_idx = F.sequence(F.lit(1), F.size(tk) - 1)
+
+        def is_pair(i):
+            return (F.element_at(tk, i) == F.lit(a)) \
+                & (F.element_at(tk, i + 1) == F.lit(b))
+
+        return F.when(F.size(tk) >= 2,
+                      F.size(F.filter(pair_idx, is_pair))).otherwise(F.lit(0))
+
+    def lex_tf(tk, variants):
+        c = None
+        for v in variants:
+            vc = variant_count(tk, v)
+            c = vc if c is None else c + vc
+        return c
+
+    entries = F.array(*[
+        F.struct(F.lit(i).alias("lex"),
+                 lex_tf(toks, variants).cast("long").alias("tf"))
+        for i, variants in enumerate(lexemes)
+    ])
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("__dl"),
+        entries.alias("__e"),
+    )
+    matched = (base.select(
+        "doc_id", "__dl", F.explode("__e").alias("e"))
+        .filter(F.col("e.tf") > 0)
+        .select("doc_id", F.col("__dl").alias("dl"),
+                F.col("e.lex").alias("lex"), F.col("e.tf").alias("tf")))
+    # zero-weighted plan pin — see query._tf_dl_df
+    dfs = matched.groupBy("lex").agg(
+        (F.count(F.lit(1)) + F.min("tf") * F.lit(0)
+         + F.min("dl") * F.lit(0)).alias("df"))
+    stats = (base.select("__dl").filter(F.col("__dl") > 0)
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.avg("__dl").alias("avgdl")))
+    j = matched.join(F.broadcast(dfs), "lex").crossJoin(F.broadcast(stats))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tfn = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1)
+        * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl")))
+    scores = (j.withColumn("part", idf * tfn)
+              .groupBy("doc_id")
+              .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score")))
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(int(k))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "score").orderBy("rank"))

@@ -814,10 +814,15 @@ def main() -> None:
               "map-side-combined groupBy; ORDER+LIMIT is "
               "TakeOrderedAndProject."),
     ]
+    from fafnir_spark.curation import span_corruption
     from fafnir_spark.pipeline import (
+        attribution,
         cohort_retention,
         funnel_steps,
         graph_bfs_hops,
+        holt_linear,
+        link_prediction,
+        top_paths,
     )
     from fafnir_spark.scoring import bm25_plus_topk
     from fafnir_spark.textstats import (
@@ -866,6 +871,38 @@ def main() -> None:
               "(map-side partials); the dist relation never exceeds "
               "|nodes| rows and the output histogram is bounded by "
               "max_hops."),
+        audit("attribution (multi-touch credit)",
+              attribution(spark.read.parquet(f"{sf}/events.parquet")),
+              "Conversions ⋈ touches is ONE user-keyed equi-join (lookback "
+              "window rides as a residual predicate — the event_type "
+              "filters reach PushedFilters on both scan branches); "
+              "first/last collapse via groupBy(conv).agg(min_by/max_by) "
+              "map-side partials, never a per-conversion window; output "
+              "is |channels| rows."),
+        audit("top_paths (user-journey top-k)",
+              top_paths(spark.read.parquet(f"{sf}/events.parquet")),
+              "ONE user-partitioned window prunes each user to 5 rows "
+              "BEFORE the collect_list; path counting is a map-side-"
+              "combined groupBy; the finish is TakeOrderedAndProject."),
+        audit("span_corruption (T5 pretraining pairs)",
+              span_corruption(docs),
+              "100% row-local: no join, no aggregate above the scan, no "
+              "window — ONE FileScan and projection only (the binfo "
+              "lambda-let binds the per-block hash derivation once). "
+              "At any corpus size this op is a pure map."),
+        audit("link_prediction (Adamic-Adar)",
+              link_prediction(spark.read.parquet(f"{sf}/orders.parquet"),
+                              spark.read.parquet(f"{sf}/lineitem.parquet")),
+              "Shared-witness a<b equi-join with the degree cap applied "
+              "BELOW the pair join (witness relation filtered first, so "
+              "fan-out is bounded at |edges|·max_deg); pair scores are a "
+              "map-side-combined groupBy; finish TakeOrderedAndProject."),
+        audit("holt_linear (double exponential smoothing)",
+              holt_linear(spark.read.parquet(f"{sf}/events.parquet")),
+              "One map-side-combined groupBy to daily buckets; the "
+              "ordered-prefix struct fold runs over the bucket relation "
+              "only (rows == distinct days) — the single-partition "
+              "window is |days|-bounded, not corpus-bounded."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Session-15 scale sanity: multi-touch attribution / top journey paths /
+Holt smoothing over a 5M-row synthetic clickstream with 100k users, T5
+span corruption over a 250k-doc synthetic code corpus (pure map — the
+throughput IS the tokenizer+hash cost), and graph kernels (k-core peeling,
+Adamic-Adar link prediction) over a ~2M-edge synthetic bipartite order
+graph. Records throughput + peak per-stage shuffle to BENCH/scale_s15.json.
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fafnir_spark.corpus import synth_corpus
+from fafnir_spark.session import get_spark
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+N_ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+N_EDGES = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000_000
+cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+os.environ["SPARK_GRAFT_UI"] = "1"
+spark = get_spark("scale-s15", cores=cpus)
+
+
+def peak_stage_shuffle() -> dict:
+    import urllib.request
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete",
+                timeout=10) as r:
+            stages = json.load(r)
+        return {
+            "peak_stage_shuffle_write_mb": round(
+                max((s.get("shuffleWriteBytes", 0) for s in stages),
+                    default=0) / 1e6, 1),
+            "n_stages": len(stages),
+        }
+    except Exception as e:  # noqa: BLE001 - witness only
+        return {"peak_stage_shuffle_error": str(e)[:120]}
+
+
+out = {"n_docs": N_DOCS, "n_rows": N_ROWS, "n_edges": N_EDGES, "cpus": cpus}
+work = tempfile.mkdtemp(prefix="fafnir_s15_")
+
+# ---- 5M-row clickstream, 100k users, 5 event types over 60 days --------
+TYPES = ["signup", "view", "click", "purchase", "error"]
+ev = spark.range(N_ROWS).select(
+    F.col("id").alias("event_id"),
+    F.timestamp_seconds(F.lit(1704067200) + F.pmod(
+        F.xxhash64(F.col("id")), F.lit(86400 * 60))).alias("ts"),
+    F.pmod(F.xxhash64(F.col("id") + 1), F.lit(100_000)).alias("user_id"),
+    F.element_at(
+        F.array(*[F.lit(t) for t in TYPES]),
+        (F.pmod(F.xxhash64(F.col("id") + 2), F.lit(5)) + 1).cast("int"),
+    ).alias("event_type"),
+    (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1000)) / 10.0).alias("value"),
+)
+evp = os.path.join(work, "events")
+ev.write.parquet(evp)
+ev = spark.read.parquet(evp)
+
+from fafnir_spark.pipeline import (  # noqa: E402
+    attribution,
+    holt_linear,
+    top_paths,
+)
+
+t0 = time.time()
+out["attribution_rows"] = attribution(ev).count()
+out["attribution_sec"] = round(time.time() - t0, 2)
+t0 = time.time()
+out["top_paths_rows"] = top_paths(ev).count()
+out["top_paths_sec"] = round(time.time() - t0, 2)
+t0 = time.time()
+out["holt_rows"] = holt_linear(ev).count()
+out["holt_sec"] = round(time.time() - t0, 2)
+analytics_sec = (out["attribution_sec"] + out["top_paths_sec"]
+                 + out["holt_sec"])
+out["analytics_rows_per_sec"] = round(3 * N_ROWS / analytics_sec, 1)
+
+# ---- T5 span corruption over 250k code docs (pure map) -----------------
+cp = os.path.join(work, "corpus")
+synth_corpus(spark, N_DOCS).write.parquet(cp)
+from fafnir_spark.build import normalize_docs  # noqa: E402
+
+docs = normalize_docs(spark.read.parquet(cp)).select(
+    "doc_id", F.col("content").alias("text"))
+from fafnir_spark.curation import span_corruption  # noqa: E402
+
+t0 = time.time()
+agg = span_corruption(docs).agg(
+    F.sum("n_tokens").alias("nt"), F.sum("n_masked").alias("nm")).collect()[0]
+out["span_corruption_sec"] = round(time.time() - t0, 2)
+out["span_corruption_docs_per_sec"] = round(
+    N_DOCS / out["span_corruption_sec"], 1)
+out["span_mask_rate"] = round(agg.nm / agg.nt, 4)
+
+# ---- graph kernels over a ~2M-edge bipartite order graph ---------------
+N_ORDERS = N_EDGES // 4
+orders = spark.range(N_ORDERS).select(
+    F.col("id").alias("o_orderkey"),
+    F.pmod(F.xxhash64(F.col("id") + 11), F.lit(100_000)).alias("o_custkey"))
+li = spark.range(N_EDGES).select(
+    F.pmod(F.col("id"), F.lit(N_ORDERS)).alias("l_orderkey"),
+    F.pmod(F.xxhash64(F.col("id") + 13), F.lit(10_000)).alias("l_suppkey"))
+op_, lp_ = os.path.join(work, "orders"), os.path.join(work, "lineitem")
+orders.write.parquet(op_)
+li.write.parquet(lp_)
+orders = spark.read.parquet(op_)
+li = spark.read.parquet(lp_)
+
+from fafnir_spark.pipeline import graph_kcore, link_prediction  # noqa: E402
+
+t0 = time.time()
+out["kcore_rows"] = graph_kcore(orders, li, k=8, rounds=5).count()
+out["kcore_sec"] = round(time.time() - t0, 2)
+out["kcore_edges_per_sec"] = round(N_EDGES / out["kcore_sec"], 1)
+t0 = time.time()
+out["linkpred_rows"] = link_prediction(orders, li, k=20, max_deg=64).count()
+out["linkpred_sec"] = round(time.time() - t0, 2)
+out["linkpred_edges_per_sec"] = round(N_EDGES / out["linkpred_sec"], 1)
+
+out.update(peak_stage_shuffle())
+path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "BENCH", "scale_s15.json")
+with open(path, "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))
+spark.stop()
