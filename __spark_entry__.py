@@ -3858,6 +3858,23 @@ def _q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_paths(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for mean(value) per type:
+    32 hash-keyed replicates from ONE conditional-aggregate pass, exact
+    interpolated quantiles over the rounded replicate means."""
+    from fafnir_spark.pipeline import bootstrap_ci
+
+    return bootstrap_ci(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: median pairwise slope over day buckets —
+    the pair join runs over |days|² bucket rows, never the corpus."""
+    from fafnir_spark.pipeline import theil_sen_trend
+
+    return theil_sen_trend(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style column profiling: null + exact distinct counts per
     column from ONE conditional-aggregate pass, unpivoted."""
@@ -5224,6 +5241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": _q_funnel_steps,
         "attribution": _q_attribution,
         "top_paths": _q_top_paths,
+        "bootstrap_ci": _q_bootstrap_ci,
+        "theil_sen_trend": _q_theil_sen_trend,
         "event_transitions": _q_event_transitions,
         "conversion_time_stats": _q_conversion_time_stats,
         "association_rules": _q_association_rules,
@@ -5696,6 +5715,8 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "funnel_steps": oracles_pipeline.funnel_steps_sql(),
         "attribution": oracles_pipeline.attribution_sql(),
         "top_paths": oracles_pipeline.top_paths_sql(),
+        "bootstrap_ci": oracles_pipeline.bootstrap_ci_sql(),
+        "theil_sen_trend": oracles_pipeline.theil_sen_trend_sql(),
         "event_transitions": oracles_pipeline.event_transitions_sql(),
         "conversion_time_stats": oracles_pipeline.conversion_time_stats_sql(),
         "association_rules": oracles_pipeline.association_rules_sql(),

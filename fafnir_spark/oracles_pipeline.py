@@ -2605,3 +2605,57 @@ SELECT rank, sup_a, sup_b, aa_score FROM (
   FROM p
 ) WHERE rank <= {int(k)} ORDER BY rank
 """
+
+
+def bootstrap_ci_sql(n_reps: int = 32, lo: float = 0.05,
+                     hi: float = 0.95) -> str:
+    """Mirror of pipeline.bootstrap_ci: same hash60(event_id:b) even-keep
+    rule, same one-pass conditional aggregates, exact quantile_cont over
+    the rounded replicate means."""
+    from .portable import hash60_sql
+
+    aggs = ["round(avg(value), 6) AS mean_full"]
+    for b in range(int(n_reps)):
+        h = hash60_sql(f"CAST(event_id AS VARCHAR) || ':' || '{b}'")
+        aggs.append(f"sum(CASE WHEN {h} % 2 = 0 THEN value END) AS s{b}")
+        aggs.append(f"count(CASE WHEN {h} % 2 = 0 THEN 1 END) AS n{b}")
+    unions = " UNION ALL ".join(
+        f"SELECT event_type, mean_full, round(s{b} / n{b}, 6) AS m FROM wide"
+        for b in range(int(n_reps))
+    )
+    return f"""
+WITH wide AS MATERIALIZED (
+  SELECT event_type, {", ".join(aggs)} FROM events GROUP BY event_type
+),
+reps AS ({unions})
+SELECT event_type, min(mean_full) AS mean_full,
+       round(quantile_cont(m, {float(lo)!r}), 6) AS ci_lo,
+       round(quantile_cont(m, {float(hi)!r}), 6) AS ci_hi
+FROM reps GROUP BY event_type ORDER BY event_type
+"""
+
+
+def theil_sen_trend_sql() -> str:
+    """Mirror of pipeline.theil_sen_trend: same integer-µs day buckets,
+    same rounded pairwise slopes, exact quantile_cont medians."""
+    day_us = 86_400_000_000
+    return f"""
+WITH buckets AS MATERIALIZED (
+  SELECT epoch_us(ts) // {day_us} AS d, round(sum(value), 6) AS v
+  FROM events GROUP BY 1
+),
+slopes AS (
+  SELECT round((b.v - a.v) / CAST(b.d - a.d AS DOUBLE), 6) AS s
+  FROM buckets a JOIN buckets b ON a.d < b.d
+),
+sm AS (SELECT round(quantile_cont(s, 0.5), 6) AS ts_slope FROM slopes),
+ic AS (
+  SELECT sm.ts_slope, round(v - sm.ts_slope * d, 6) AS ic
+  FROM buckets CROSS JOIN sm
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM buckets)
+SELECT nd.n_days, ic.ts_slope,
+       round(quantile_cont(ic.ic, 0.5), 6) AS ts_intercept
+FROM ic CROSS JOIN nd
+GROUP BY nd.n_days, ic.ts_slope
+"""

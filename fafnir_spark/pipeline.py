@@ -3343,3 +3343,84 @@ def link_prediction(orders: DataFrame, lineitem: DataFrame,
                        F.col("sup_b").asc())
     return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "sup_a", "sup_b", "aa_score").orderBy("rank"))
+
+
+def bootstrap_ci(events: DataFrame, n_reps: int = 32,
+                 lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for mean(value) per
+    event_type (the practical CI recipe at data sizes where classic
+    resampling is impossible): replicate b keeps the rows with
+    hash60(event_id:b) even — a 50% subsample bootstrap, fully
+    deterministic and identical in both engines — and the CI is the
+    exact interpolated [lo, hi] quantile over the ``n_reps`` ROUNDED
+    replicate means (the round-before-order rule).
+
+    Scale shape: ALL replicates come from ONE conditional-aggregate pass
+    (the adjacency_matrix shape — 2·n_reps agg columns, never n_reps
+    scans); the unpivot + quantile run over the bounded
+    |event_types|·n_reps relation. (event_type, mean_full, ci_lo, ci_hi)
+    ordered by event_type."""
+    from .portable import hash60
+
+    def keep(b: int) -> F.Column:
+        return F.pmod(
+            hash60(F.concat_ws(":", F.col("event_id").cast("string"),
+                               F.lit(str(b)))),
+            F.lit(2)) == 0
+
+    aggs = [F.round(F.avg("value"), 6).alias("mean_full")]
+    for b in range(int(n_reps)):
+        kb = keep(b)
+        aggs.append(F.sum(F.when(kb, F.col("value"))).alias(f"__s{b}"))
+        aggs.append(F.count(F.when(kb, F.lit(1))).alias(f"__n{b}"))
+    wide = events.groupBy("event_type").agg(*aggs)
+    means = F.array(*[
+        F.round(F.col(f"__s{b}") / F.col(f"__n{b}"), 6)
+        for b in range(int(n_reps))
+    ])
+    reps = (wide.select("event_type", "mean_full",
+                        F.explode(means).alias("m")))
+    return (reps.groupBy("event_type")
+            .agg(F.min("mean_full").alias("mean_full"),
+                 F.round(F.percentile(F.col("m"), F.lit(float(lo))), 6)
+                 .alias("ci_lo"),
+                 F.round(F.percentile(F.col("m"), F.lit(float(hi))), 6)
+                 .alias("ci_hi"))
+            .orderBy("event_type"))
+
+
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend (Theil'50/Sen'68 — the median-of-pairwise-
+    slopes estimator, immune to outlier days): over per-day bucket sums,
+    slope = median over all day pairs of (v_j−v_i)/(d_j−d_i), intercept =
+    median of (v_i − slope·d_i). Slopes and intercept candidates are
+    ROUNDED 6 before the medians (round-before-order); medians are exact
+    interpolated percentiles (Spark `percentile` == DuckDB quantile_cont).
+
+    Scale shape: the pair join runs over the BUCKET relation only
+    (|days|² pairs, never the corpus); the raw events collapse in one
+    map-side-combined groupBy. One row out:
+    (n_days, ts_slope, ts_intercept)."""
+    day_us = 86_400_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    buckets = (events.select(us.alias("us"), "value")
+               .groupBy(F.expr(f"us DIV {day_us}").alias("d"))
+               .agg(F.round(F.sum("value"), 6).alias("v")))
+    a = buckets.select(F.col("d").alias("da"), F.col("v").alias("va"))
+    b = buckets.select(F.col("d").alias("db"), F.col("v").alias("vb"))
+    slopes = (a.join(b, F.col("da") < F.col("db"))
+              .select(F.round((F.col("vb") - F.col("va"))
+                              / (F.col("db") - F.col("da")).cast("double"),
+                              6).alias("s")))
+    sm = slopes.agg(
+        F.round(F.percentile(F.col("s"), F.lit(0.5)), 6).alias("ts_slope"))
+    icands = (buckets.crossJoin(F.broadcast(sm))
+              .select("ts_slope",
+                      F.round(F.col("v") - F.col("ts_slope") * F.col("d"), 6)
+                      .alias("ic")))
+    nd = buckets.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (icands.groupBy("ts_slope")
+            .agg(F.round(F.percentile(F.col("ic"), F.lit(0.5)), 6)
+                 .alias("ts_intercept"))
+            .crossJoin(F.broadcast(nd))
+            .select("n_days", "ts_slope", "ts_intercept"))
