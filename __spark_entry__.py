@@ -3858,6 +3858,47 @@ def _q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_paths(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: IEEE comparison-ladder digits (never
+    log10), templated expectation, per-digit chi² terms."""
+    from fafnir_spark.pipeline import benford_audit
+
+    return benford_audit(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_stream_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Theil-Sen: additive per-day partial sums in parquet
+    state, rounded once post-merge; shared pairwise-median tail — same
+    oracle as batch."""
+    from fafnir_spark.streaming import stream_theil_sen
+
+    base = tempfile.mkdtemp(prefix="fafnir_sts_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_theil_sen(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
+def _q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding + closed-form leave-one-out mean — one
+    groupBy + a broadcast global prior."""
+    from fafnir_spark.pipeline import target_encode
+
+    return target_encode(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming attribution: union-closed distinct relevant-event state
+    (credit assignment is not additive); shared batch tail, same oracle."""
+    from fafnir_spark.streaming import stream_attribution
+
+    base = tempfile.mkdtemp(prefix="fafnir_sattr_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_attribution(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
 def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic half-sample bootstrap CI for mean(value) per type:
     32 hash-keyed replicates from ONE conditional-aggregate pass, exact
@@ -5243,6 +5284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": _q_top_paths,
         "bootstrap_ci": _q_bootstrap_ci,
         "theil_sen_trend": _q_theil_sen_trend,
+        "target_encode": _q_target_encode,
+        "stream_attribution": _q_stream_attribution,
+        "benford_audit": _q_benford_audit,
+        "stream_theil_sen": _q_stream_theil_sen,
         "event_transitions": _q_event_transitions,
         "conversion_time_stats": _q_conversion_time_stats,
         "association_rules": _q_association_rules,
@@ -5717,6 +5762,10 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "top_paths": oracles_pipeline.top_paths_sql(),
         "bootstrap_ci": oracles_pipeline.bootstrap_ci_sql(),
         "theil_sen_trend": oracles_pipeline.theil_sen_trend_sql(),
+        "target_encode": oracles_pipeline.target_encode_sql(),
+        "stream_attribution": oracles_pipeline.attribution_sql(),
+        "benford_audit": oracles_pipeline.benford_audit_sql(),
+        "stream_theil_sen": oracles_pipeline.theil_sen_trend_sql(),
         "event_transitions": oracles_pipeline.event_transitions_sql(),
         "conversion_time_stats": oracles_pipeline.conversion_time_stats_sql(),
         "association_rules": oracles_pipeline.association_rules_sql(),

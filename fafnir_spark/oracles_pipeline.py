@@ -2659,3 +2659,53 @@ SELECT nd.n_days, ic.ts_slope,
 FROM ic CROSS JOIN nd
 GROUP BY nd.n_days, ic.ts_slope
 """
+
+
+def target_encode_sql(alpha: int = 8) -> str:
+    """Mirror of pipeline.target_encode: same prior/smoothing operand
+    order, same closed-form leave-one-out mean."""
+    a = float(int(alpha))
+    return f"""
+WITH g AS (SELECT avg(value) AS mu FROM events),
+per AS (SELECT event_type, sum(value) AS s, count(*) AS n
+        FROM events GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round((s + mu * {a!r}) / (n + {a!r}), 6) AS enc,
+       round((n * s - s + n * mu * {a!r}) / (n * (n - 1.0 + {a!r})), 6)
+         AS enc_loo
+FROM per CROSS JOIN g
+ORDER BY event_type
+"""
+
+
+def benford_audit_sql() -> str:
+    """Mirror of pipeline.benford_audit: same IEEE comparison ladder
+    (identical power-of-ten literals), same templated Benford
+    probabilities, same chi² operand order."""
+    from .pipeline import BENFORD_P
+
+    whens = ["WHEN v >= 1e6 THEN NULL"]
+    for e in range(5, -4, -1):
+        p = float(10.0 ** e)
+        whens.append(f"WHEN v >= {p!r} THEN CAST(floor(v / {p!r}) AS BIGINT)")
+    ladder = "CASE " + " ".join(whens) + " ELSE NULL END"
+    # ::DOUBLE — a bare 16-decimal literal in VALUES types as DECIMAL(16,16)
+    # and the chi² multiplication overflows DECIMAL(38)
+    values = ", ".join(f"({d}, {BENFORD_P[d]!r}::DOUBLE)" for d in range(1, 10))
+    return f"""
+WITH pos AS (SELECT {ladder} AS digit FROM (SELECT value AS v FROM events
+             WHERE value > 0)),
+good AS (SELECT digit FROM pos WHERE digit IS NOT NULL),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM good
+      GROUP BY digit),
+n AS (SELECT count(*) AS n FROM good),
+dig AS (SELECT * FROM (VALUES {values}) AS t(digit, p)),
+j AS (
+  SELECT dig.digit, coalesce(c.n_obs, 0) AS n_obs, n.n * dig.p AS e
+  FROM dig LEFT JOIN c ON c.digit = dig.digit CROSS JOIN n
+)
+SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+       round(e, 6) AS exp_n,
+       round((n_obs - e) * (n_obs - e) / e, 6) AS chi2_term
+FROM j ORDER BY digit
+"""

@@ -3406,6 +3406,13 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
     buckets = (events.select(us.alias("us"), "value")
                .groupBy(F.expr(f"us DIV {day_us}").alias("d"))
                .agg(F.round(F.sum("value"), 6).alias("v")))
+    return theil_sen_from_buckets(buckets)
+
+
+def theil_sen_from_buckets(buckets: DataFrame) -> DataFrame:
+    """The Theil-Sen tail over a (d, v) bucket relation — SHARED by
+    theil_sen_trend and streaming.stream_theil_sen (the
+    ewma_from_buckets rule: stream == batch by construction)."""
     a = buckets.select(F.col("d").alias("da"), F.col("v").alias("va"))
     b = buckets.select(F.col("d").alias("db"), F.col("v").alias("vb"))
     slopes = (a.join(b, F.col("da") < F.col("db"))
@@ -3424,3 +3431,84 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
                  .alias("ts_intercept"))
             .crossJoin(F.broadcast(nd))
             .select("n_days", "ts_slope", "ts_intercept"))
+
+
+def target_encode(events: DataFrame, alpha: int = 8) -> DataFrame:
+    """Smoothed target encoding (the CatBoost/feature-engineering staple):
+    per category (event_type), enc = (Σ target + µ·α)/(n + α) with the
+    global mean µ as the Bayesian prior — plus the mean LEAVE-ONE-OUT
+    encoding ((Σ−x_i + µ·α)/(n−1+α) averaged over the category's rows,
+    computed in CLOSED FORM from the same aggregates, never per-row).
+    α is a dyadic integer so the smoothing arithmetic is exact.
+
+    Scale shape: ONE map-side-combined groupBy + one broadcast 1-row
+    global aggregate; output is |categories| rows.
+    (event_type, n, enc, enc_loo) ordered by event_type."""
+    g = events.agg(F.avg("value").alias("mu"))
+    per = events.groupBy("event_type").agg(
+        F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+    a = float(int(alpha))
+    enc = (F.col("s") + F.col("mu") * F.lit(a)) / (F.col("n") + F.lit(a))
+    # mean over rows i of (s - x_i + mu*a)/(n-1+a)
+    #   = (n*s - s + n*mu*a)/(n*(n-1+a))  — closed form, no per-row pass
+    loo = (F.col("n") * F.col("s") - F.col("s")
+           + F.col("n") * F.col("mu") * F.lit(a)) \
+        / (F.col("n") * (F.col("n") - F.lit(1.0) + F.lit(a)))
+    return (per.crossJoin(F.broadcast(g))
+            .select("event_type", F.col("n").cast("long").alias("n"),
+                    F.round(enc, 6).alias("enc"),
+                    F.round(loo, 6).alias("enc_loo"))
+            .orderBy("event_type"))
+
+
+# Benford expected first-digit probabilities — computed driver-side and
+# templated into BOTH engines as literals (math.log10; never recomputed
+# in-engine).
+import math as _math
+
+BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def _first_digit_col(v: F.Column) -> F.Column:
+    """First significant digit of a positive double via an IEEE-exact
+    comparison ladder over power-of-ten literals (range [1e-3, 1e6)) —
+    NEVER log10 (a value sitting on a power-of-ten boundary could flip
+    digits across engines) and NEVER float-to-string formatting (the
+    geo_line rule). Out-of-range values yield NULL and are dropped."""
+    ladder = F.when(v >= F.lit(1e6), F.lit(None).cast("long"))
+    for e in range(5, -4, -1):
+        p = float(10.0 ** e)
+        ladder = ladder.when(v >= F.lit(p), F.floor(v / F.lit(p)))
+    return ladder.otherwise(F.lit(None).cast("long"))
+
+
+def benford_audit(events: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit (the forensic-accounting staple):
+    observed first-significant-digit counts of the positive values vs the
+    Benford expectation n·log10(1+1/d), with the per-digit chi² term.
+    All 9 digits always appear (zero-count digits included via the
+    9-row literal digit relation).
+
+    Scale shape: ONE filtered groupBy(digit) over a row-local CASE
+    ladder + a broadcast 1-row total; output is 9 rows.
+    (digit, n_obs, exp_n, chi2_term) ordered by digit."""
+    spark = events.sparkSession
+    pos = events.filter(F.col("value") > 0)
+    counts = (pos.select(_first_digit_col(F.col("value")).alias("digit"))
+              .filter(F.col("digit").isNotNull())
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs")))
+    n = pos.select(_first_digit_col(F.col("value")).alias("digit")) \
+        .filter(F.col("digit").isNotNull()) \
+        .agg(F.count(F.lit(1)).alias("n"))
+    dig = spark.createDataFrame(
+        [(d, BENFORD_P[d]) for d in range(1, 10)], "digit long, p double")
+    j = (dig.join(counts, "digit", "left")
+         .crossJoin(F.broadcast(n))
+         .select("digit",
+                 F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+                 (F.col("n") * F.col("p")).alias("__e")))
+    err = F.col("n_obs") - F.col("__e")
+    return (j.select("digit", "n_obs",
+                     F.round(F.col("__e"), 6).alias("exp_n"),
+                     F.round(err * err / F.col("__e"), 6).alias("chi2_term"))
+            .orderBy("digit"))

@@ -1214,3 +1214,107 @@ def stream_funnel(
                 F.timestamp_micros(F.col("us")).alias("ts"))
     )
     return funnel_steps(ev, steps=steps, window_h=window_h)
+
+
+def stream_attribution(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    conversion: str = "purchase",
+    channels: tuple = ("click", "signup", "view"),
+    window_h: int = 72,
+) -> DataFrame:
+    """Streaming multi-touch attribution: credit assignment needs the
+    conversions ⋈ touches join, which is not additive across batches (a
+    late conversion claims touches from earlier batches), so the state
+    holds the DISTINCT relevant events — (user, event_id, type, µs) rows
+    for the conversion + channel types only (the stream_funnel rule:
+    union-closed distinct state, replay-idempotent, no batch stamps).
+    The shared tail (pipeline.attribution over the reconstructed
+    relation) gives the batch answer exactly — same oracle as batch."""
+    import os
+
+    from .pipeline import attribution
+
+    ev_dir = os.path.join(state_dir, "attr_events")
+    types = [str(conversion)] + [str(c) for c in channels]
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, _bid):
+        (
+            df.filter(F.col("event_type").isin(types))
+            .select("user_id", "event_id", "event_type",
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+            .distinct()
+            .write.mode("append").parquet(ev_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    ev = (
+        spark.read.parquet(ev_dir).distinct()
+        .select("user_id", "event_id", "event_type",
+                F.timestamp_micros(F.col("us")).alias("ts"))
+    )
+    return attribution(ev, conversion=conversion, channels=channels,
+                       window_h=window_h)
+
+
+def stream_theil_sen(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> DataFrame:
+    """Streaming Theil-Sen trend: per-day partial value sums are
+    ADDITIVE-mergeable (the stream_moving_ewma state algebra — batch
+    stamps make replays idempotent, sums rounded ONCE post-merge), and
+    the shared tail (pipeline.theil_sen_from_buckets) runs the pairwise-
+    slope medians over the merged |days|-row bucket relation. Same
+    output contract (and oracle) as pipeline.theil_sen_trend."""
+    import os
+
+    from .pipeline import theil_sen_from_buckets
+
+    day_us = 86_400_000_000
+    buckets_dir = os.path.join(state_dir, "ts_buckets")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.groupBy(F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {day_us}")
+                .alias("d"))
+            .agg(F.sum("value").alias("part"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(buckets_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(buckets_dir)
+        .dropDuplicates(["d", "_b"])
+        .groupBy("d")
+        .agg(F.round(F.sum("part"), 6).alias("v"))
+    )
+    return theil_sen_from_buckets(merged)

@@ -121,3 +121,32 @@ def test_link_prediction_symmetry_and_witness_law(spark):
     # scores are ordered desc with the (sup_a, sup_b) tiebreak
     key = [(-r.aa_score, r.sup_a, r.sup_b) for r in rows]
     assert key == sorted(key)
+
+
+def test_stream_attribution_equals_batch(spark, events, tmp_path):
+    from fafnir_spark.pipeline import attribution
+    from fafnir_spark.streaming import stream_attribution
+
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    got = [tuple(r) for r in stream_attribution(
+        spark, src, str(tmp_path / "ck"), str(tmp_path / "state")).collect()]
+    want = [tuple(r) for r in attribution(events).collect()]
+    assert got == want  # distinct relevant-event state + shared tail
+
+
+def test_target_encode_shrinks_toward_prior(spark, events):
+    from fafnir_spark.pipeline import target_encode
+
+    mu = events.agg(F.avg("value")).collect()[0][0]
+    big_alpha = {r.event_type: r.enc
+                 for r in target_encode(events, alpha=1 << 20).collect()}
+    small_alpha = {r.event_type: r.enc
+                   for r in target_encode(events, alpha=1).collect()}
+    raw = {r.event_type: r.avg for r in events.groupBy("event_type")
+           .agg(F.avg("value").alias("avg")).collect()}
+    for t in raw:
+        # huge alpha pins the encoding to the prior; small alpha tracks
+        # the raw category mean
+        assert abs(big_alpha[t] - mu) < 1e-3
+        assert abs(small_alpha[t] - raw[t]) < abs(big_alpha[t] - raw[t]) + 1e-12
