@@ -2709,3 +2709,44 @@ SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
        round((n_obs - e) * (n_obs - e) / e, 6) AS chi2_term
 FROM j ORDER BY digit
 """
+
+
+def shapley_attribution_sql(conversion: str = "purchase",
+                            channels: tuple = ("click", "signup", "view"),
+                            ) -> str:
+    """Mirror of pipeline.shapley_attribution: same subset keying, same
+    coalition rates, same templated pairs/weights table (weights as
+    ::DOUBLE — the Benford DECIMAL lesson)."""
+    from .pipeline import _shapley_pairs
+
+    ch_in = ", ".join(f"'{c}'" for c in sorted(channels))
+    values = ", ".join(
+        f"('{sw}', '{swc}', '{c}', {w!r}::DOUBLE)"
+        for sw, swc, c, w in _shapley_pairs(channels))
+    return f"""
+WITH pu AS (
+  SELECT user_id,
+         coalesce(array_to_string(
+           list(DISTINCT event_type ORDER BY event_type)
+             FILTER (WHERE event_type IN ({ch_in})), ','), '') AS sub,
+         max(CASE WHEN event_type = '{conversion}' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY user_id
+),
+rates AS (
+  SELECT sub, CAST(sum(conv) AS DOUBLE) / count(*) AS v
+  FROM pu GROUP BY sub
+),
+pairs AS (SELECT * FROM (VALUES {values})
+          AS t(s_without, s_with, channel, w)),
+j AS (
+  SELECT pairs.channel,
+         pairs.w * (coalesce(vw.v, CAST(0 AS DOUBLE))
+                    - coalesce(vo.v, CAST(0 AS DOUBLE))) AS part
+  FROM pairs
+  LEFT JOIN rates vw ON vw.sub = pairs.s_with
+  LEFT JOIN rates vo ON vo.sub = pairs.s_without
+)
+SELECT channel, round(sum(part), 6) AS shapley
+FROM j GROUP BY channel ORDER BY channel
+"""

@@ -3512,3 +3512,72 @@ def benford_audit(events: DataFrame) -> DataFrame:
                      F.round(F.col("__e"), 6).alias("exp_n"),
                      F.round(err * err / F.col("__e"), 6).alias("chi2_term"))
             .orderBy("digit"))
+
+
+# Exact Shapley weights/pairs for a channel set — built driver-side and
+# templated into BOTH engines (weights 1/3, 1/6 are shared float literals,
+# the gauss-lambda rule).
+def _shapley_pairs(channels: tuple) -> list[tuple]:
+    """(subset_without, subset_with, channel, weight) for every channel c
+    and every subset S ⊆ C\\{c}; subsets keyed as comma-joined sorted
+    strings. w(|S|) = |S|!·(n−1−|S|)!/n!."""
+    import itertools
+    import math as m
+
+    chans = sorted(channels)
+    n = len(chans)
+    pairs = []
+    for c in chans:
+        rest = [x for x in chans if x != c]
+        for r in range(len(rest) + 1):
+            for s in itertools.combinations(rest, r):
+                w = (m.factorial(r) * m.factorial(n - 1 - r)) / m.factorial(n)
+                pairs.append((",".join(s), ",".join(sorted([*s, c])), c, w))
+    return pairs
+
+
+def shapley_attribution(events: DataFrame,
+                        conversion: str = "purchase",
+                        channels: tuple = ("click", "signup", "view"),
+                        ) -> DataFrame:
+    """Exact Shapley-value attribution (the game-theoretic model — each
+    channel's marginal contribution averaged over all orderings): the
+    coalition value v(S) is the conversion rate of users whose touched
+    channel set is exactly S, and with |channels| small the 2^n subsets
+    are enumerable so Shapley is EXACT — no sampling, no Markov
+    approximation. φ_c = Σ_{S⊆C∖{c}} w(|S|)·(v(S∪{c})−v(S)).
+
+    Scale shape: ONE groupBy(user) collapses the corpus to a user-level
+    (subset-key, converted) relation; ONE groupBy(subset) gives the ≤2^n
+    coalition rates; the Shapley sum is a broadcast join against the
+    literal pairs table (3·2^(n-1) rows). Efficiency law
+    Σφ = v(full) − v(∅) tested. (channel, shapley) ordered by channel."""
+    ch_list = sorted(channels)
+    per_user = (events
+                .groupBy("user_id")
+                .agg(
+                    F.array_join(F.array_sort(F.collect_set(
+                        F.when(F.col("event_type").isin(ch_list),
+                               F.col("event_type")))), ",").alias("sub"),
+                    F.max(F.when(F.col("event_type") == conversion, 1)
+                          .otherwise(0)).alias("conv")))
+    rates = (per_user.groupBy("sub")
+             .agg((F.sum("conv").cast("double")
+                   / F.count(F.lit(1))).alias("v")))
+    spark = events.sparkSession
+    pairs = spark.createDataFrame(
+        _shapley_pairs(channels),
+        "s_without string, s_with string, channel string, w double")
+    vw = rates.select(F.col("sub").alias("s_with"),
+                      F.col("v").alias("v_with"))
+    vo = rates.select(F.col("sub").alias("s_without"),
+                      F.col("v").alias("v_without"))
+    j = (pairs.join(F.broadcast(vw), "s_with", "left")
+         .join(F.broadcast(vo), "s_without", "left")
+         .select("channel",
+                 (F.col("w") * (F.coalesce("v_with", F.lit(0.0))
+                                - F.coalesce("v_without", F.lit(0.0))))
+                 .alias("part")))
+    return (j.groupBy("channel")
+            .agg(F.round(F.sum("part"), 6).alias("shapley"))
+            .orderBy("channel"))

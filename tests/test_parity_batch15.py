@@ -150,3 +150,23 @@ def test_target_encode_shrinks_toward_prior(spark, events):
         # the raw category mean
         assert abs(big_alpha[t] - mu) < 1e-3
         assert abs(small_alpha[t] - raw[t]) < abs(big_alpha[t] - raw[t]) + 1e-12
+
+
+def test_shapley_efficiency_law(spark, events):
+    from fafnir_spark.pipeline import shapley_attribution
+
+    rows = shapley_attribution(events).collect()
+    total = sum(r.shapley for r in rows)
+    # efficiency: Σφ_c == v(grand coalition) − v(∅), computed independently
+    ch = ["click", "signup", "view"]
+    per_user = events.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set(
+            F.when(F.col("event_type").isin(ch), F.col("event_type")))),
+            ",").alias("sub"),
+        F.max(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).alias("conv"))
+    vr = {r.sub: r.v for r in per_user.groupBy("sub").agg(
+        (F.sum("conv").cast("double") / F.count(F.lit(1))).alias("v"))
+        .collect()}
+    want = vr.get(",".join(sorted(ch)), 0.0) - vr.get("", 0.0)
+    assert abs(total - want) < 1e-4
