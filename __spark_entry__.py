@@ -3858,6 +3858,15 @@ def _q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_paths(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: journey transition chain,
+    absorbing conv/null, 12 rounded power iterations per removal variant
+    — all post-corpus relations are a few dozen rows."""
+    from fafnir_spark.pipeline import markov_attribution
+
+    return markov_attribution(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Shapley attribution over the 2^3 channel subsets — coalition
     conversion rates from two bounded groupBys + the literal pairs join."""
@@ -5297,6 +5306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": _q_benford_audit,
         "stream_theil_sen": _q_stream_theil_sen,
         "shapley_attribution": _q_shapley_attribution,
+        "markov_attribution": _q_markov_attribution,
         "event_transitions": _q_event_transitions,
         "conversion_time_stats": _q_conversion_time_stats,
         "association_rules": _q_association_rules,
@@ -5776,6 +5786,7 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "benford_audit": oracles_pipeline.benford_audit_sql(),
         "stream_theil_sen": oracles_pipeline.theil_sen_trend_sql(),
         "shapley_attribution": oracles_pipeline.shapley_attribution_sql(),
+        "markov_attribution": oracles_pipeline.markov_attribution_sql(),
         "event_transitions": oracles_pipeline.event_transitions_sql(),
         "conversion_time_stats": oracles_pipeline.conversion_time_stats_sql(),
         "association_rules": oracles_pipeline.association_rules_sql(),

@@ -2750,3 +2750,93 @@ j AS (
 SELECT channel, round(sum(part), 6) AS shapley
 FROM j GROUP BY channel ORDER BY channel
 """
+
+
+def markov_attribution_sql(conversion: str = "purchase",
+                           channels: tuple = ("click", "signup", "view"),
+                           iters: int = 12) -> str:
+    """Mirror of pipeline.markov_attribution: same journey rule, same
+    removal redirect, same T unrolled power iterations rounded 6 each."""
+    ch_list = sorted(channels)
+    ch_in = ", ".join(f"'{c}'" for c in ch_list)
+    var_vals = ", ".join(f"('{v}')" for v in ["none"] + ch_list)
+    ctes = [f"""ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+       FROM events)""",
+            f"""fp AS (SELECT user_id, min(us) AS fp FROM ev
+       WHERE event_type = '{conversion}' GROUP BY user_id)""",
+            f"""touches AS (
+  SELECT e.user_id, e.event_type AS ch, e.us, e.event_id
+  FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
+  WHERE e.event_type IN ({ch_in}) AND (fp.fp IS NULL OR e.us < fp.fp)
+)""",
+            """seq AS (
+  SELECT user_id, ch,
+         row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+         lead(ch) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+  FROM touches
+)""",
+            """users AS (
+  SELECT u.user_id, CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END AS cv
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  LEFT JOIN fp ON fp.user_id = u.user_id
+)""",
+            "firsts AS (SELECT 'start' AS a, ch AS b FROM seq WHERE rn = 1)",
+            "mids AS (SELECT ch AS a, nxt AS b FROM seq WHERE nxt IS NOT NULL)",
+            """lasts AS (
+  SELECT seq.ch AS a, CASE WHEN users.cv = 1 THEN 'conv' ELSE 'null' END AS b
+  FROM seq JOIN users USING (user_id) WHERE seq.nxt IS NULL
+)""",
+            "touched AS (SELECT DISTINCT user_id FROM seq)",
+            """lonely AS (
+  SELECT 'start' AS a, CASE WHEN users.cv = 1 THEN 'conv' ELSE 'null' END AS b
+  FROM users LEFT JOIN touched ON touched.user_id = users.user_id
+  WHERE touched.user_id IS NULL
+)""",
+            """trans AS (
+  SELECT a, b, count(*) AS n FROM (
+    SELECT * FROM firsts UNION ALL SELECT * FROM mids
+    UNION ALL SELECT * FROM lasts UNION ALL SELECT * FROM lonely
+  ) GROUP BY a, b
+)""",
+            "outdeg AS (SELECT a, sum(n) AS tot FROM trans GROUP BY a)",
+            """probs AS (
+  SELECT t.a, t.b, CAST(t.n AS DOUBLE) / o.tot AS p
+  FROM trans t JOIN outdeg o ON o.a = t.a
+)""",
+            f"variants AS (SELECT * FROM (VALUES {var_vals}) AS t(variant))",
+            """vp1 AS (
+  SELECT variant, a, b, sum(p) AS p FROM (
+    SELECT v.variant, p.a,
+           CASE WHEN p.b = v.variant THEN 'null' ELSE p.b END AS b, p.p
+    FROM probs p CROSS JOIN variants v WHERE p.a <> v.variant
+  ) GROUP BY variant, a, b
+)""",
+            """vp AS MATERIALIZED (
+  SELECT * FROM vp1
+  UNION ALL
+  SELECT v.variant, s.s AS a, s.s AS b, CAST(1 AS DOUBLE) AS p
+  FROM variants v CROSS JOIN (VALUES ('conv'), ('null')) AS s(s)
+)""",
+            """v0 AS (SELECT variant, 'start' AS state, CAST(1 AS DOUBLE) AS m
+       FROM variants)"""]
+    for i in range(1, int(iters) + 1):
+        ctes.append(f"""v{i} AS (
+  SELECT vp.variant, vp.b AS state, round(sum(v{i-1}.m * vp.p), 6) AS m
+  FROM v{i-1} JOIN vp ON vp.variant = v{i-1}.variant AND vp.a = v{i-1}.state
+  GROUP BY vp.variant, vp.b
+)""")
+    ctes += [f"pconv AS (SELECT variant, m AS pc FROM v{int(iters)} "
+             f"WHERE state = 'conv')",
+             "base AS (SELECT pc AS p0 FROM pconv WHERE variant = 'none')",
+             """rem AS (
+  SELECT variant AS channel, pc AS p_conv_removed,
+         round(CAST(1 AS DOUBLE) - pc / p0, 6) AS removal_effect
+  FROM pconv CROSS JOIN base WHERE variant <> 'none'
+)""",
+             "tot AS (SELECT sum(removal_effect) AS t FROM rem)"]
+    return f"""
+WITH {", ".join(ctes)}
+SELECT channel, p_conv_removed, removal_effect,
+       round(removal_effect / tot.t, 6) AS attribution
+FROM rem CROSS JOIN tot ORDER BY channel
+"""

@@ -3581,3 +3581,108 @@ def shapley_attribution(events: DataFrame,
     return (j.groupBy("channel")
             .agg(F.round(F.sum("part"), 6).alias("shapley"))
             .orderBy("channel"))
+
+
+def markov_attribution(events: DataFrame,
+                       conversion: str = "purchase",
+                       channels: tuple = ("click", "signup", "view"),
+                       iters: int = 12) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al.'14 — the
+    third canonical model next to rule-based and Shapley): user journeys
+    define a first-order chain over {start, channels…, conv, null};
+    removal effect of channel c = 1 − P(conv | c's incoming mass
+    redirected to null) / P(conv). Absorption probabilities come from
+    ``iters`` fixed power iterations with conv/null as self-loop
+    absorbing states, every iteration ROUNDED 6 (the kmeans/pagerank
+    chaining convention, bit-identical cross-engine).
+
+    Journey rule (deterministic): a user's touches are their channel
+    events strictly before their first conversion (all of them if never
+    converted), ordered (µs, event_id); transitions are start→first,
+    consecutive pairs, last→{conv|null}; touchless users contribute
+    start→{conv|null} directly.
+
+    Scale shape: the corpus collapses through user-keyed windows/groupBys
+    into a ≤(|channels|+3)²-row transition relation; everything after —
+    probabilities, removal variants, the T power iterations — runs on
+    variant-keyed relations of ≤ a few dozen rows. Output |channels| rows:
+    (channel, p_conv_removed, removal_effect, attribution)."""
+    ch_list = sorted(channels)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = events.select("user_id", "event_type", us.alias("us"), "event_id")
+    fp = (ev.filter(F.col("event_type") == conversion)
+          .groupBy("user_id").agg(F.min("us").alias("fp")))
+    touches = (ev.filter(F.col("event_type").isin(ch_list))
+               .join(fp, "user_id", "left")
+               .filter(F.col("fp").isNull() | (F.col("us") < F.col("fp")))
+               .select("user_id", F.col("event_type").alias("ch"),
+                       "us", "event_id"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = (touches
+           .withColumn("rn", F.row_number().over(w))
+           .withColumn("nxt", F.lead("ch").over(w)))
+    conv_flag = fp.select("user_id", F.lit(1).alias("cv"))
+    users = ev.select("user_id").distinct().join(conv_flag, "user_id", "left") \
+        .select("user_id", F.coalesce("cv", F.lit(0)).alias("cv"))
+    end_of = F.when(F.col("cv") == 1, F.lit("conv")).otherwise(F.lit("null"))
+    firsts = (seq.filter(F.col("rn") == 1)
+              .select(F.lit("start").alias("a"), F.col("ch").alias("b")))
+    mids = (seq.filter(F.col("nxt").isNotNull())
+            .select(F.col("ch").alias("a"), F.col("nxt").alias("b")))
+    lasts = (seq.filter(F.col("nxt").isNull())
+             .join(users, "user_id")
+             .select(F.col("ch").alias("a"), end_of.alias("b")))
+    touched = seq.select("user_id").distinct()
+    lonely = (users.join(touched, "user_id", "left_anti")
+              .select(F.lit("start").alias("a"), end_of.alias("b")))
+    trans = (firsts.unionByName(mids).unionByName(lasts).unionByName(lonely)
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n")))
+    outdeg = trans.groupBy("a").agg(F.sum("n").alias("tot"))
+    probs = (trans.join(outdeg, "a")
+             .select("a", "b",
+                     (F.col("n").cast("double") / F.col("tot")).alias("p")))
+    spark = events.sparkSession
+    variants = spark.createDataFrame(
+        [("none",)] + [(c,) for c in ch_list], "variant string")
+    vp = (probs.crossJoin(F.broadcast(variants))
+          .filter(F.col("a") != F.col("variant"))
+          .select("variant", "a",
+                  F.when(F.col("b") == F.col("variant"), F.lit("null"))
+                  .otherwise(F.col("b")).alias("b"), "p")
+          .groupBy("variant", "a", "b").agg(F.sum("p").alias("p")))
+    loops = variants.crossJoin(
+        spark.createDataFrame([("conv",), ("null",)], "s string")) \
+        .select("variant", F.col("s").alias("a"), F.col("s").alias("b"),
+                F.lit(1.0).alias("p"))
+    # vp embeds the corpus-derived journey windows and is referenced once
+    # per iteration — localCheckpoint cuts the T×-replicated lineage (the
+    # graph_kcore barrier; the relation is ≤(|channels|+3)² rows)
+    vp = vp.unionByName(loops).localCheckpoint()
+    v = variants.select("variant", F.lit("start").alias("state"),
+                        F.lit(1.0).alias("m"))
+    for _ in range(int(iters)):
+        # rename the vector's key columns before the join — after round 1
+        # they derive from vp, and a bare self-join would be ambiguous
+        vr = v.select(F.col("variant").alias("__vv"),
+                      F.col("state").alias("__vs"), "m")
+        v = (vr.join(vp, (F.col("__vv") == F.col("variant"))
+                     & (F.col("__vs") == F.col("a")))
+             .groupBy("variant", "b")
+             .agg(F.round(F.sum(F.col("m") * F.col("p")), 6).alias("m"))
+             .withColumnRenamed("b", "state"))
+    pconv = (v.filter(F.col("state") == "conv")
+             .select("variant", F.col("m").alias("pc")))
+    base = pconv.filter(F.col("variant") == "none") \
+        .select(F.col("pc").alias("p0"))
+    rem = (pconv.filter(F.col("variant") != "none")
+           .crossJoin(F.broadcast(base))
+           .select(F.col("variant").alias("channel"),
+                   F.col("pc").alias("p_conv_removed"),
+                   F.round(F.lit(1.0) - F.col("pc") / F.col("p0"), 6)
+                   .alias("removal_effect")))
+    tot = rem.agg(F.sum("removal_effect").alias("t"))
+    return (rem.crossJoin(F.broadcast(tot))
+            .select("channel", "p_conv_removed", "removal_effect",
+                    F.round(F.col("removal_effect") / F.col("t"), 6)
+                    .alias("attribution"))
+            .orderBy("channel"))

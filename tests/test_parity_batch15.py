@@ -170,3 +170,17 @@ def test_shapley_efficiency_law(spark, events):
         .collect()}
     want = vr.get(",".join(sorted(ch)), 0.0) - vr.get("", 0.0)
     assert abs(total - want) < 1e-4
+
+
+def test_markov_attribution_laws(spark, events):
+    from fafnir_spark.pipeline import markov_attribution
+
+    rows = markov_attribution(events).collect()
+    assert len(rows) == 3
+    base_like = None
+    for r in rows:
+        # removing a channel can only hurt (or not change) conversion
+        assert 0.0 <= r.removal_effect <= 1.0
+        assert r.p_conv_removed >= 0.0
+    # attribution shares normalize to 1
+    assert abs(sum(r.attribution for r in rows) - 1.0) < 1e-4
