@@ -817,11 +817,14 @@ def main() -> None:
     from fafnir_spark.curation import span_corruption
     from fafnir_spark.pipeline import (
         attribution,
+        benford_audit,
+        bootstrap_ci,
         cohort_retention,
         funnel_steps,
         graph_bfs_hops,
         holt_linear,
         link_prediction,
+        shapley_attribution,
         top_paths,
     )
     from fafnir_spark.scoring import bm25_plus_topk
@@ -903,6 +906,24 @@ def main() -> None:
               "ordered-prefix struct fold runs over the bucket relation "
               "only (rows == distinct days) — the single-partition "
               "window is |days|-bounded, not corpus-bounded."),
+        audit("shapley_attribution (exact coalition Shapley)",
+              shapley_attribution(
+                  spark.read.parquet(f"{sf}/events.parquet")),
+              "The corpus collapses through ONE groupBy(user) + ONE "
+              "groupBy(subset); the Shapley sum is a broadcast join "
+              "against the 12-row literal pairs table — no per-ordering "
+              "enumeration anywhere in the plan."),
+        audit("bootstrap_ci (one-pass replicate bootstrap)",
+              bootstrap_ci(spark.read.parquet(f"{sf}/events.parquet")),
+              "All 32 replicates are conditional aggregates in ONE "
+              "groupBy (the adjacency_matrix shape) — a single FileScan, "
+              "never 32; the quantile runs over the bounded "
+              "|types|×32 unpivot."),
+        audit("benford_audit (first-digit law)",
+              benford_audit(spark.read.parquet(f"{sf}/events.parquet")),
+              "Digit extraction is a row-local IEEE comparison ladder "
+              "(no log10, no string formatting); one filtered groupBy + "
+              "a broadcast 1-row total; 9 rows out."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
