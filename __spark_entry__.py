@@ -2356,6 +2356,14 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), window=32, stride=24)
 
 
+def _q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity privacy audit over (lang, source) QI
+    groups — one exact groupBy, violating groups only."""
+    from fafnir_spark.curation import k_anonymity_audit
+
+    return k_anonymity_audit(_docs(spark, sf_dir))
+
+
 def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 span corruption: blockwise hash-keyed spans → sentinel-masked
     (input, target) pairs — 100% row-local, zero shuffle."""
@@ -5550,6 +5558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
         "span_corruption": _q_span_corruption,
+        "k_anonymity_audit": _q_k_anonymity_audit,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -6368,6 +6377,7 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "unigram_logprob": oracles_curation.unigram_logprob_sql(),
         "chunk_documents": oracles_curation.chunk_documents_sql(32, 24),
         "span_corruption": oracles_curation.span_corruption_sql(),
+        "k_anonymity_audit": oracles_curation.k_anonymity_audit_sql(),
         "media_meta": oracles_ops.media_meta_sql(),
         "media_features": oracles_ops.media_features_sql(),
         "hybrid_rrf": oracles_ops.hybrid_rrf_sql(Q_MAIN, QVEC, k=10),

@@ -1603,3 +1603,30 @@ def span_corruption(docs: DataFrame, id_col: str = "doc_id",
             .select("doc_id", "o.n_tokens", "o.n_masked",
                     "o.input_text", "o.target_text")
             .orderBy("doc_id"))
+
+
+def k_anonymity_audit(docs: DataFrame, k: int = 5,
+                      qi: tuple = ("lang", "source"),
+                      sensitive_bucket: int = 100) -> DataFrame:
+    """k-anonymity / l-diversity audit (the privacy-governance pass run
+    before releasing a dataset): group by the quasi-identifier columns,
+    flag groups smaller than ``k`` (re-identifiable) and groups whose
+    sensitive attribute (n_chars bucketed by ``sensitive_bucket``) has
+    fewer than 2 distinct values (attribute disclosure). Exact distinct
+    counts — this is an audit, not an estimate.
+
+    Scale shape: ONE map-side-combined groupBy over the QI key; output is
+    only the violating groups. (qi…, n, l_div, k_violation, l_violation)
+    ordered by the QI columns."""
+    cols = [F.col(c) for c in qi]
+    g = (docs.groupBy(*cols)
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.count_distinct(
+                  F.expr(f"n_chars DIV {int(sensitive_bucket)}"))
+              .cast("long").alias("l_div")))
+    out = (g.withColumn("k_violation",
+                        F.when(F.col("n") < int(k), 1).otherwise(0))
+           .withColumn("l_violation",
+                       F.when(F.col("l_div") < 2, 1).otherwise(0))
+           .filter((F.col("k_violation") == 1) | (F.col("l_violation") == 1)))
+    return out.orderBy(*[str(c) for c in qi])

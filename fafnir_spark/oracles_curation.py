@@ -1308,3 +1308,22 @@ LEFT JOIN inputs i ON i.doc_id = t.doc_id
 LEFT JOIN tg g ON g.doc_id = t.doc_id
 ORDER BY t.doc_id
 """
+
+
+def k_anonymity_audit_sql(k: int = 5, sensitive_bucket: int = 100) -> str:
+    """Mirror of curation.k_anonymity_audit: same QI grouping, same
+    bucketed exact l-diversity, same violation predicates."""
+    return f"""
+WITH g AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT n_chars // {int(sensitive_bucket)}) AS BIGINT)
+           AS l_div
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n, l_div,
+       CASE WHEN n < {int(k)} THEN 1 ELSE 0 END AS k_violation,
+       CASE WHEN l_div < 2 THEN 1 ELSE 0 END AS l_violation
+FROM g
+WHERE n < {int(k)} OR l_div < 2
+ORDER BY lang, source
+"""
