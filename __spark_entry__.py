@@ -3849,6 +3849,32 @@ def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase curve: per-user spans from one
+    conditional groupBy, right-censored at the observation end; survival
+    via exp(cumsum ln(1 - d/n)) over the bounded per-day relation."""
+    from fafnir_spark.pipeline import survival_km
+
+    return survival_km(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout: hash-assigned variants, pre-period
+    covariate, theta from raw-sum closed forms over exact integer sums —
+    adjusted means/variances per variant."""
+    from fafnir_spark.pipeline import cuped_ab_test
+
+    return cuped_ab_test(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count ACF at lags 1..7: one groupBy(day) reduction, then a
+    broadcast lag-literal self-join over the bounded day series."""
+    from fafnir_spark.pipeline import autocorrelation
+
+    return autocorrelation(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution: first/last/linear conversion credit per
     channel — ONE user-keyed conversions⋈touches join, min_by/max_by
@@ -5305,6 +5331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_search": _q_rollup_search,
         "anomaly_hourly": _q_anomaly_hourly,
         "funnel_steps": _q_funnel_steps,
+        "survival_km": _q_survival_km,
+        "cuped_ab_test": _q_cuped_ab_test,
+        "autocorrelation": _q_autocorrelation,
         "attribution": _q_attribution,
         "top_paths": _q_top_paths,
         "bootstrap_ci": _q_bootstrap_ci,
@@ -5786,6 +5815,9 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "rollup_search": oracles_pipeline.rollup_search_sql(ROLLUP_BOUNDARY_US),
         "anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "funnel_steps": oracles_pipeline.funnel_steps_sql(),
+        "survival_km": oracles_pipeline.survival_km_sql(),
+        "cuped_ab_test": oracles_pipeline.cuped_ab_test_sql(),
+        "autocorrelation": oracles_pipeline.autocorrelation_sql(),
         "attribution": oracles_pipeline.attribution_sql(),
         "top_paths": oracles_pipeline.top_paths_sql(),
         "bootstrap_ci": oracles_pipeline.bootstrap_ci_sql(),

@@ -2840,3 +2840,106 @@ SELECT channel, p_conv_removed, removal_effect,
        round(removal_effect / tot.t, 6) AS attribution
 FROM rem CROSS JOIN tot ORDER BY channel
 """
+
+
+def survival_km_sql(event_type: str = "purchase") -> str:
+    """Mirror of pipeline.survival_km: same span derivation, same
+    exp(Σ ln(1 - d/n)) over the deterministic day order, same saturated-
+    day zero pin."""
+    day = 86_400_000_000
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+per AS (SELECT user_id, min(us) AS t0,
+               min(CASE WHEN event_type = '{event_type}' THEN us END) AS tp
+        FROM e GROUP BY user_id),
+endt AS (SELECT max(us) AS t_end FROM e),
+spans AS (SELECT CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs,
+                 CASE WHEN tp IS NOT NULL THEN (tp - t0) // {day}
+                      ELSE (t_end - t0) // {day} END AS t_day
+          FROM per CROSS JOIN endt),
+g AS (SELECT t_day, CAST(sum(obs) AS BIGINT) AS n_events,
+             CAST(sum(1 - obs) AS BIGINT) AS n_censored
+      FROM spans GROUP BY t_day),
+tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n_total FROM g),
+r AS (SELECT t_day, n_events, n_censored,
+             CAST(n_total - (sum(n_events + n_censored) OVER
+                  (ORDER BY t_day ROWS UNBOUNDED PRECEDING)
+                  - (n_events + n_censored)) AS BIGINT) AS n_risk
+      FROM g CROSS JOIN tot),
+s AS (SELECT *,
+             sum(CASE WHEN n_events < n_risk
+                      THEN ln(1.0 - n_events / n_risk) ELSE 0.0 END)
+               OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS lns,
+             max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS dead
+      FROM r)
+SELECT t_day, n_risk, n_events, n_censored,
+       CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lns), 6) END AS survival
+FROM s ORDER BY t_day
+"""
+
+
+def cuped_ab_test_sql() -> str:
+    """Mirror of pipeline.cuped_ab_test: same portable-hash variant
+    assignment, same integer-µs midpoint split, same raw-sum closed forms
+    in the same operand order."""
+    from .portable import hash60_sql
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+b AS (SELECT (min(us) + max(us)) // 2 AS split FROM e),
+per AS (SELECT user_id,
+          CAST(sum(CASE WHEN us < split THEN 1 ELSE 0 END) AS BIGINT)
+            AS pre,
+          CAST(sum(CASE WHEN us >= split THEN 1 ELSE 0 END) AS BIGINT)
+            AS post
+        FROM e CROSS JOIN b GROUP BY user_id),
+pv AS (SELECT pre, post,
+              CAST((({h}) % 2 + 2) % 2 AS INTEGER) AS variant FROM per),
+gsum AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(pre) AS BIGINT) AS sx,
+                CAST(sum(post) AS BIGINT) AS sy,
+                CAST(sum(pre * pre) AS BIGINT) AS sxx,
+                CAST(sum(pre * post) AS BIGINT) AS sxy FROM pv),
+gl AS (SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS theta,
+              sx / n AS mpre FROM gsum),
+byv AS (SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+               CAST(sum(pre) AS BIGINT) AS vx,
+               CAST(sum(post) AS BIGINT) AS vy,
+               CAST(sum(pre * pre) AS BIGINT) AS vxx,
+               CAST(sum(post * post) AS BIGINT) AS vyy,
+               CAST(sum(pre * post) AS BIGINT) AS vxy
+        FROM pv GROUP BY variant)
+SELECT variant, nv AS n_users,
+       round(vy / nv, 6) AS mean_post,
+       round((vy - theta * (vx - nv * mpre)) / nv, 6) AS mean_adj,
+       round(vyy / nv - (vy / nv) * (vy / nv), 6) AS var_post,
+       round((vyy - 2.0 * theta * (vxy - mpre * vy)
+              + theta * theta * (vxx - 2.0 * mpre * vx + nv * mpre * mpre))
+             / nv
+             - ((vy - theta * (vx - nv * mpre)) / nv)
+               * ((vy - theta * (vx - nv * mpre)) / nv), 6) AS var_adj
+FROM byv CROSS JOIN gl ORDER BY variant
+"""
+
+
+def autocorrelation_sql(max_lag: int = 7) -> str:
+    """Mirror of pipeline.autocorrelation: same day keys, same mean and
+    denominator as 1-row aggregates, same biased-ACF formula."""
+    day = 86_400_000_000
+    return f"""
+WITH x AS (SELECT epoch_us(ts) // {day} AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+st AS (SELECT CAST(sum(x) AS BIGINT) / count(*) AS m FROM x),
+s0 AS (SELECT sum((x - m) * (x - m)) AS s0 FROM x CROSS JOIN st),
+lags AS (SELECT CAST(unnest(range(1, {int(max_lag) + 1})) AS INTEGER)
+           AS lag)
+SELECT l.lag AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum((a.x - m) * (b.x - m)) / s0.s0, 6) AS acf
+FROM x a CROSS JOIN st CROSS JOIN lags l
+JOIN x b ON b.day = a.day + l.lag
+CROSS JOIN s0
+GROUP BY l.lag, s0.s0 ORDER BY lag
+"""

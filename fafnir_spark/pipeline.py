@@ -3686,3 +3686,188 @@ def markov_attribution(events: DataFrame,
                     F.round(F.col("removal_effect") / F.col("t"), 6)
                     .alias("attribution"))
             .orderBy("channel"))
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis / experimentation / time-series diagnostics (round 5 s16).
+# Reference anchor: fafnir's event pipeline feeds product-analytics sinks
+# (/root/reference src/sources/*, events ETL); these are the standard
+# downstream analyses an ES|Kibana user runs over that events index.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def km_from_spans(spans: DataFrame) -> DataFrame:
+    """Kaplan-Meier estimator from per-user spans — the shared tail between
+    the batch op and the streaming op (the change_point_from_buckets rule).
+
+    ``spans`` = (user_id, t0, tp, t_end): t0 = first-event µs, tp = µs of
+    the first conversion event (NULL = never converted), t_end = the
+    observation cutoff (global max µs). duration = days to conversion,
+    censored at t_end for non-converters. The KM table is one groupBy on
+    the integer day key plus ordered windows over the ≤|days| grouped
+    relation (bounded, single-reducer is fine post-agg). Survival is
+    exp(Σ ln(1 - d/n)) over the deterministic day order — identical
+    operand order in the DuckDB mirror; a saturated day (d == n_risk)
+    pins survival to exactly 0.0 from there on (never ln(0)).
+    (t_day, n_risk, n_events, n_censored, survival) ordered by t_day."""
+    per = spans.select(
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
+        F.when(F.col("tp").isNotNull(),
+               F.expr(f"(tp - t0) DIV {_DAY_US}"))
+        .otherwise(F.expr(f"(t_end - t0) DIV {_DAY_US}")).alias("t_day"))
+    g = (per.groupBy("t_day")
+         .agg(F.sum("obs").cast("long").alias("n_events"),
+              F.sum(1 - F.col("obs")).cast("long").alias("n_censored")))
+    w = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    leaving = (F.col("n_events") + F.col("n_censored"))
+    tot = g.agg(F.sum(leaving).cast("long").alias("n_total"))
+    g = (g.crossJoin(F.broadcast(tot))
+         .withColumn("n_risk",
+                     (F.col("n_total") - (F.sum(leaving).over(w) - leaving))
+                     .cast("long")))
+    factor = F.lit(1.0) - F.col("n_events") / F.col("n_risk")
+    g = g.withColumn(
+        "lns", F.sum(F.when(F.col("n_events") < F.col("n_risk"),
+                            F.log(factor)).otherwise(F.lit(0.0))).over(w)
+    ).withColumn(
+        "dead", F.max(F.when(F.col("n_events") >= F.col("n_risk"), 1)
+                      .otherwise(0)).over(w))
+    return (g.select(
+        "t_day", "n_risk", "n_events", "n_censored",
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("lns")), 6)).alias("survival"))
+        .orderBy("t_day"))
+
+
+def survival_spans(events: DataFrame, event_type: str = "purchase"
+                   ) -> DataFrame:
+    """Per-user (t0, tp, t_end) spans for time-to-first-``event_type``:
+    ONE conditional groupBy(user_id) pass (min µs overall, min µs of the
+    conversion type) plus a broadcast 1-row observation-end aggregate —
+    every shuffle keyed by user_id with map-side combine."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = (events.select("user_id", us.alias("us"), "event_type")
+           .groupBy("user_id")
+           .agg(F.min("us").alias("t0"),
+                F.min(F.when(F.col("event_type") == event_type,
+                             F.col("us"))).alias("tp")))
+    end = (events.select(us.alias("us"))
+           .agg(F.max("us").alias("t_end")))
+    return per.crossJoin(F.broadcast(end))
+
+
+def survival_km(events: DataFrame, event_type: str = "purchase"
+                ) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (the survival-analysis
+    staple; Kaplan & Meier 1958): per user, days from first event to the
+    first ``event_type`` event, right-censored at the global observation
+    end for users who never convert. See km_from_spans for the estimator
+    and the cross-engine determinism rules."""
+    return km_from_spans(survival_spans(events, event_type))
+
+
+def cuped_ab_test(events: DataFrame) -> DataFrame:
+    """CUPED-adjusted A/B readout (Deng et al. WSDM'13 — the industry-
+    standard variance-reduction for online experiments): users are
+    assigned a variant by the portable hash (pmod(hash60(user_id), 2) —
+    the hash_split idiom), the pre-period covariate is the user's event
+    count in the first half of the time range, the post-period metric
+    the count in the second half (split at the integer-µs midpoint of a
+    broadcast 1-row bounds aggregate). theta = cov(pre,post)/var(pre) in
+    the raw-sum closed form over EXACT integer sums (the matrix_stats
+    rule), so both engines compute identical floats up to the final
+    divisions; adjusted means come from the same integer sums, never a
+    per-row float fold. (variant, n_users, mean_post, mean_adj,
+    var_post, var_adj) rounded 6, ordered by variant."""
+    from .portable import hash60
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = events.select("user_id", us.alias("us"))
+    bounds = (e.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+              .select(F.expr("(mn + mx) DIV 2").alias("split")))
+    per = (e.crossJoin(F.broadcast(bounds))
+           .groupBy("user_id")
+           .agg(F.sum(F.when(F.col("us") < F.col("split"), 1)
+                      .otherwise(0)).cast("long").alias("pre"),
+                F.sum(F.when(F.col("us") >= F.col("split"), 1)
+                      .otherwise(0)).cast("long").alias("post"))
+           .withColumn("variant",
+                       F.pmod(hash60(F.col("user_id").cast("string")),
+                              F.lit(2)).cast("int")))
+    glob = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre").cast("long").alias("sx"),
+        F.sum("post").cast("long").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("long").alias("sxx"),
+        F.sum(F.col("pre") * F.col("post")).cast("long").alias("sxy"))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    glob = glob.select(
+        F.when(den == 0, F.lit(0.0))
+        .otherwise((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                   / den).alias("theta"),
+        (F.col("sx") / F.col("n")).alias("mpre"))
+    byv = (per.groupBy("variant")
+           .agg(F.count(F.lit(1)).cast("long").alias("nv"),
+                F.sum("pre").cast("long").alias("vx"),
+                F.sum("post").cast("long").alias("vy"),
+                F.sum(F.col("pre") * F.col("pre")).cast("long").alias("vxx"),
+                F.sum(F.col("post") * F.col("post")).cast("long")
+                .alias("vyy"),
+                F.sum(F.col("pre") * F.col("post")).cast("long")
+                .alias("vxy"))
+           .crossJoin(F.broadcast(glob)))
+    th, mp = F.col("theta"), F.col("mpre")
+    mean_post = F.col("vy") / F.col("nv")
+    mean_adj = (F.col("vy") - th * (F.col("vx") - F.col("nv") * mp)) \
+        / F.col("nv")
+    eadj2 = (F.col("vyy")
+             - F.lit(2.0) * th * (F.col("vxy") - mp * F.col("vy"))
+             + th * th * (F.col("vxx") - F.lit(2.0) * mp * F.col("vx")
+                          + F.col("nv") * mp * mp)) / F.col("nv")
+    var_post = F.col("vyy") / F.col("nv") - mean_post * mean_post
+    return (byv.select(
+        "variant", F.col("nv").alias("n_users"),
+        F.round(mean_post, 6).alias("mean_post"),
+        F.round(mean_adj, 6).alias("mean_adj"),
+        F.round(var_post, 6).alias("var_post"),
+        F.round(eadj2 - mean_adj * mean_adj, 6).alias("var_adj"))
+        .orderBy("variant"))
+
+
+def autocorrelation(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Sample autocorrelation function of the daily event-count series at
+    lags 1..``max_lag`` (the Box-Jenkins ACF): r_k = Σ(x_t - m)(x_{t+k}
+    - m) / Σ(x_t - m)², with m the mean over observed days and the
+    denominator over ALL days (the standard biased ACF, guaranteeing
+    |r_k| ≤ 1). One groupBy(day) reduces the corpus to the ≤|days|
+    series; the lag pairing is a self-equi-join on day+k against a
+    broadcast exploded 1..max_lag literal — every post-reduction
+    relation is bounded by |days|·max_lag. m and the denominator enter
+    as a broadcast 1-row aggregate; products are summed per lag and
+    ROUNDED 6 at the output (float sum order differs across engines
+    below that). (lag, n_pairs, acf) ordered by lag."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    x = (events.select(F.expr(f"unix_micros(cast(ts as timestamp)) "
+                              f"DIV {_DAY_US}").alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    stats = x.agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("nd"))
+    xc = x.crossJoin(F.broadcast(stats))
+    s0 = (xc.agg(F.sum((F.col("x") - F.col("m"))
+                       * (F.col("x") - F.col("m"))).alias("s0")))
+    lags = events.sparkSession.range(1, int(max_lag) + 1) \
+        .select(F.col("id").cast("int").alias("lag"))
+    a = xc.select("day", "x", "m")
+    b = x.select(F.col("day").alias("day2"), F.col("x").alias("x2"))
+    pairs = (a.crossJoin(F.broadcast(lags))
+             .join(b, F.col("day2") == F.col("day") + F.col("lag")))
+    return (pairs.groupBy("lag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum((F.col("x") - F.col("m"))
+                       * (F.col("x2") - F.col("m"))).alias("num"))
+            .crossJoin(F.broadcast(s0))
+            .select("lag", "n_pairs",
+                    F.round(F.col("num") / F.col("s0"), 6).alias("acf"))
+            .orderBy("lag"))
