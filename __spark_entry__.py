@@ -3423,6 +3423,19 @@ def _q_stream_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
 
 
+def _q_stream_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Kaplan-Meier: per-user span partials under a pure
+    min/min/max lattice merge (no batch stamps needed); shared
+    km_from_spans tail, same oracle as batch."""
+    from fafnir_spark.streaming import stream_survival_km
+
+    base = tempfile.mkdtemp(prefix="fafnir_skm_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_survival_km(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
 def _q_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DAU/WAU: union-closed distinct (day, user) state —
     replay-idempotent by construction; shared tail, same oracle as batch."""
@@ -5437,6 +5450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_active_users": _q_stream_active_users,
         "stream_funnel": _q_stream_funnel,
         "stream_rfm_segments": _q_stream_rfm_segments,
+        "stream_survival_km": _q_stream_survival_km,
         "stream_anomaly_hourly": _q_stream_anomaly_hourly,
         "stream_transform_pivot": _q_stream_transform_pivot,
         "transform_pivot": _q_transform_pivot,
@@ -6101,6 +6115,7 @@ ORDER BY term ASC LIMIT 10
         "stream_active_users": oracles_pipeline.rolling_active_users_sql(),
         "stream_funnel": oracles_pipeline.funnel_steps_sql(),
         "stream_rfm_segments": oracles_pipeline.rfm_segments_sql(),
+        "stream_survival_km": oracles_pipeline.survival_km_sql(),
         "stream_anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "stream_transform_pivot": oracles_pipeline.transform_pivot_sql(),
         "transform_pivot": oracles_pipeline.transform_pivot_sql(),

@@ -1318,3 +1318,64 @@ def stream_theil_sen(
         .agg(F.round(F.sum("part"), 6).alias("v"))
     )
     return theil_sen_from_buckets(merged)
+
+
+def stream_survival_km(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Streaming Kaplan-Meier: each micro-batch collapses to per-user span
+    partials (t0 = min µs, tp = min conversion µs, t1 = max µs) appended
+    to parquet state. min/min/max is a pure LATTICE merge — idempotent
+    AND commutative (the stream_active_users rule, stronger than the
+    additive stream_rfm algebra), so checkpoint replays need no batch
+    stamps: re-folding a replayed partial is absorbed by the min/max.
+    The folded state IS the batch span relation (observation end = the
+    max-lattice over t1) and the shared estimator tail
+    (pipeline.km_from_spans) gives the batch answer exactly — same
+    DuckDB oracle as survival_km."""
+    import os
+
+    from .pipeline import km_from_spans
+
+    span_dir = os.path.join(state_dir, "km_spans")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.select(
+                "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                "event_type")
+            .groupBy("user_id")
+            .agg(F.min("us").alias("t0"),
+                 F.min(F.when(F.col("event_type") == event_type,
+                              F.col("us"))).alias("tp"),
+                 F.max("us").alias("t1"))
+            .write.mode("append").parquet(span_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    per = (
+        spark.read.parquet(span_dir)
+        .groupBy("user_id")
+        .agg(F.min("t0").alias("t0"), F.min("tp").alias("tp"),
+             F.max("t1").alias("t1"))
+    )
+    end = per.agg(F.max("t1").alias("t_end"))
+    spans = per.crossJoin(F.broadcast(end)).select(
+        "user_id", "t0", "tp", "t_end")
+    return km_from_spans(spans)

@@ -1,0 +1,72 @@
+"""Session-16 op invariants the oracle sim can't express: KM curve laws
+and stream==batch, CUPED pooled-mean preservation, ACF bounds."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from fafnir_spark.pipeline import autocorrelation, cuped_ab_test, survival_km
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_km_survival_laws(events):
+    rows = survival_km(events).collect()
+    assert rows, "empty KM curve"
+    # monotone non-increasing, within [0, 1], at-risk strictly decreasing
+    prev_s, prev_n = 1.0 + 1e-12, None
+    total_leaving = 0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev_s + 1e-9
+        assert r["n_events"] + r["n_censored"] >= 1
+        if prev_n is not None:
+            assert r["n_risk"] < prev_n
+        prev_s, prev_n = r["survival"], r["n_risk"]
+        total_leaving += r["n_events"] + r["n_censored"]
+    # everyone leaves the risk set exactly once
+    assert total_leaving == rows[0]["n_risk"]
+
+
+def test_stream_survival_km_equals_batch(spark, events):
+    from fafnir_spark.streaming import stream_survival_km
+
+    base = tempfile.mkdtemp(prefix="fafnir_skm_t_")
+    src = os.path.join(base, "src")
+    events.repartition(4).write.parquet(src)
+    got = stream_survival_km(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+    want = survival_km(events)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+
+
+def test_cuped_preserves_pooled_mean_and_reduces_variance(events):
+    rows = cuped_ab_test(events).collect()
+    assert len(rows) == 2 and sorted(r["variant"] for r in rows) == [0, 1]
+    n = sum(r["n_users"] for r in rows)
+    tot_post = sum(r["n_users"] * r["mean_post"] for r in rows)
+    tot_adj = sum(r["n_users"] * r["mean_adj"] for r in rows)
+    # theta*(pre - mean_pre) sums to 0 pooled, so the pooled mean survives
+    assert abs(tot_post - tot_adj) / n < 1e-4
+    # pooled variance reduction: CUPED with the pooled-OLS theta can't
+    # increase the pooled second moment around the variant means
+    var_post = sum(r["n_users"] * r["var_post"] for r in rows) / n
+    var_adj = sum(r["n_users"] * r["var_adj"] for r in rows) / n
+    assert var_adj <= var_post + 1e-6
+    for r in rows:
+        assert r["var_adj"] >= -1e-9 and r["var_post"] >= -1e-9
+
+
+def test_acf_bounds(events):
+    rows = autocorrelation(events, max_lag=7).collect()
+    assert [r["lag"] for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert abs(r["acf"]) <= 1.0 + 1e-9
+        assert r["n_pairs"] >= 1
