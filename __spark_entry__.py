@@ -1654,6 +1654,18 @@ def _q_function_score_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_function_score_decay_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score linear decay on n_chars around origin 200 (offset 25,
+    scale 100, decay 0.5 -> s=200; clamps to exactly 0 beyond d=s)."""
+    from fafnir_spark.scoring import function_score_decay_linear
+
+    return function_score_decay_linear(
+        _docs(spark, sf_dir), ["merge", "window"], origin=200.0,
+        scale=100.0, offset=25.0, k=10
+    )
+
+
+
 SIM_SCRIPT = ("ln(1 + (n_docs - df + 0.5) / (df + 0.5)) "
               "* sqrt(tf) / sqrt(dl / avgdl + 1)")
 
@@ -3436,6 +3448,24 @@ def _q_stream_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
 
 
+
+def _q_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs shingle tf-idf cosine, per-doc top-k neighbors: df-capped
+    inverted-index pair join + two-level top-k."""
+    from fafnir_spark.dedup import doc_similarity_topk
+
+    return doc_similarity_topk(_docs(spark, sf_dir), k=5, max_df=64)
+
+
+
+def _q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: one raw-sum groupBy
+    pass, largest-remainder integer split on rounded fractions."""
+    from fafnir_spark.curation import neyman_allocation
+
+    return neyman_allocation(_docs(spark, sf_dir), budget=100)
+
+
 def _q_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DAU/WAU: union-closed distinct (day, user) state —
     replay-idempotent by construction; shared tail, same oracle as batch."""
@@ -4895,6 +4925,26 @@ def _q_esql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"events": spark.read.parquet(f"{sf_dir}/events.parquet")})
 
 
+ESQL_ROW_QUERY = (
+    'ROW a = 4, b = "merge", c = 2.5 '
+    '| EVAL d = a + c | EVAL e = upper(b) '
+    '| KEEP a, b, c, d, e'
+)
+
+ESQL_ROW_ORACLE = (
+    "SELECT CAST(4 AS BIGINT) AS a, 'merge' AS b, 2.5 AS c, "
+    "4 + 2.5 AS d, upper('merge') AS e"
+)
+
+
+def _q_esql_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ROW literal source (the scratchpad source): one literal row
+    through EVAL arithmetic/string stages — no table scan at all."""
+    from fafnir_spark.esql import esql
+
+    return esql(spark, ESQL_ROW_QUERY, {})
+
+
 def _q_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka (MRL) funnel retrieval: prefix-16-dim cosine candidate
     scan, exact 64-dim rescore of k*4, both stages two-level top-k."""
@@ -5345,6 +5395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_hourly": _q_anomaly_hourly,
         "funnel_steps": _q_funnel_steps,
         "survival_km": _q_survival_km,
+        "doc_similarity_topk": _q_doc_similarity_topk,
+        "neyman_allocation": _q_neyman_allocation,
         "cuped_ab_test": _q_cuped_ab_test,
         "autocorrelation": _q_autocorrelation,
         "attribution": _q_attribution,
@@ -5475,6 +5527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_bm25": _q_regexp,
         "regexp_bm25_indexed": _q_regexp_indexed,
         "function_score_gauss": _q_function_score_gauss,
+        "function_score_decay_linear": _q_function_score_decay_linear,
         "rank_feature": _q_rank_feature,
         "rank_feature_log": _q_rank_feature_log,
         "scripted_similarity": _q_scripted_similarity,
@@ -5508,6 +5561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_pipeline": _q_esql,
         "esql_rename_drop": _q_esql_rename_drop,
         "esql_sample": _q_esql_sample,
+        "esql_row": _q_esql_row,
         "ann_matryoshka": _q_ann_matryoshka,
         "frequent_item_sets": _q_frequent_item_sets,
         "line_dedup": _q_line_dedup,
@@ -5830,6 +5884,8 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "funnel_steps": oracles_pipeline.funnel_steps_sql(),
         "survival_km": oracles_pipeline.survival_km_sql(),
+        "doc_similarity_topk": oracles_ops.doc_similarity_topk_sql(5, 64),
+        "neyman_allocation": oracles_curation.neyman_allocation_sql(100),
         "cuped_ab_test": oracles_pipeline.cuped_ab_test_sql(),
         "autocorrelation": oracles_pipeline.autocorrelation_sql(),
         "attribution": oracles_pipeline.attribution_sql(),
@@ -6075,6 +6131,8 @@ ORDER BY term ASC LIMIT 10
         "function_score_gauss": oracles.function_score_gauss_sql(
             ["merge", "window"], origin=200.0, scale=100.0, k=10
         ),
+        "function_score_decay_linear": oracles.function_score_decay_linear_sql(
+            ["merge", "window"], 200.0, 100.0, 0.5, 25.0, 10),
         "rank_feature": oracles.rank_feature_sql(
             ["merge", "window"], pivot=200.0, boost=2.0, k=10
         ),
@@ -6191,6 +6249,7 @@ GROUP BY event_type
 ORDER BY etype ASC
 """,
         "esql_sample": _esql_sample_oracle(),
+        "esql_row": ESQL_ROW_ORACLE,
         "esql_pipeline": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 6) AS total, round(avg(value), 6) AS avg_v

@@ -1630,3 +1630,49 @@ def k_anonymity_audit(docs: DataFrame, k: int = 5,
                        F.when(F.col("l_div") < 2, 1).otherwise(0))
            .filter((F.col("k_violation") == 1) | (F.col("l_violation") == 1)))
     return out.orderBy(*[str(c) for c in qi])
+
+
+def neyman_allocation(docs: DataFrame, budget: int = 100,
+                      strata_col: str = "source",
+                      metric_col: str = "n_chars") -> DataFrame:
+    """Neyman-optimal stratified sampling allocation (Neyman 1934 — the
+    survey-sampling staple; the variance-minimizing cousin of unimax's
+    cap-based water-filling): stratum h gets n_h ∝ N_h·S_h where S_h is
+    the population stddev of ``metric_col``, so high-variance strata are
+    oversampled. Integer allocation by floor + LARGEST-REMAINDER, with
+    fractions ROUNDED 6 before ranking (the ccnet round-before-order
+    rule — floor/rank on raw float quotients could flip across engines)
+    and ties broken by stratum name asc.
+
+    Scale shape: ONE groupBy(strata) pass with exact BIGINT raw sums
+    (sd in closed form — the matrix_stats rule); everything after is a
+    ≤|strata|-row relation (broadcast total, bounded rank window).
+    (source, n_docs, sd, alloc) ordered by stratum; Σ alloc == budget
+    exactly (tested)."""
+    g = (docs.groupBy(F.col(strata_col).alias("source"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum(metric_col).cast("long").alias("sx"),
+              F.sum(F.col(metric_col) * F.col(metric_col)).cast("long")
+              .alias("sxx")))
+    g = g.select(
+        "source", "n_docs",
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_docs"))
+               / F.col("n_docs")).alias("sd"))
+    g = g.withColumn("wt", F.col("n_docs") * F.col("sd"))
+    tot = g.agg(F.sum("wt").alias("tot"))
+    g = (g.crossJoin(F.broadcast(tot))
+         .withColumn("exact",
+                     F.round(F.lit(int(budget)) * F.col("wt")
+                             / F.col("tot"), 6))
+         .withColumn("base", F.floor(F.col("exact")).cast("long"))
+         .withColumn("frac", F.round(F.col("exact") - F.col("base"), 6)))
+    left = g.agg((F.lit(int(budget)) - F.sum("base")).cast("long")
+                 .alias("leftr"))
+    w = Window.orderBy(F.col("frac").desc(), F.col("source").asc())
+    return (g.withColumn("rk", F.row_number().over(w))
+            .crossJoin(F.broadcast(left))
+            .select("source", "n_docs", F.round(F.col("sd"), 6).alias("sd"),
+                    (F.col("base")
+                     + F.when(F.col("rk") <= F.col("leftr"), 1)
+                     .otherwise(0)).cast("long").alias("alloc"))
+            .orderBy("source"))

@@ -845,3 +845,55 @@ def record_linkage_pairs(registry: DataFrame, canonical: DataFrame,
             .filter(F.col("dist") <= max_edits)
             .select("reg_id", "cust_id", "dist")
             .orderBy("reg_id", "cust_id"))
+
+
+def doc_similarity_topk(docs: DataFrame, k: int = 5, max_df: int = 64,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """All-pairs document similarity top-k via the inverted-index join
+    (the DISCO / "find similar documents" primitive — pairwise tf-idf
+    cosine over 3-token shingles, per-doc top-k neighbors). Weights are
+    tf·ln((N+1)/df) over the DF-CAPPED shingle space (df <= ``max_df``):
+    the cap both defines the feature space (norms included, so sim is a
+    true cosine in capped space — identical in the oracle) and bounds
+    the pair join's fan-out by Σ_capped df² — a hot boilerplate shingle
+    never drives a corpus-wide self-join (the containment_pairs /
+    winnow_overlap rule). Unigram tf-idf is useless on a hot vocabulary
+    (every term in most docs); shingles make df selective.
+
+    Scale shape: tf/df are groupBy reductions with map-side combine; the
+    pair join is keyed by shingle over the capped relation only; the
+    per-doc top-k is the two-level topk_per_group (never an unbounded
+    rank window). Similarities round 6 BEFORE ranking (rank-identity
+    contract). (doc_id, rank, other_id, sim) ordered (doc_id, rank)."""
+    from .topk import topk_per_group
+
+    tf = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(shingles_expr(text_col, NGRAM)).alias("g"))
+          .groupBy("doc_id", "g")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dfs = (tf.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+           .filter(F.col("df") <= int(max_df)))
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    w = (tf.join(dfs, "g")
+         .crossJoin(F.broadcast(nd))
+         .select("doc_id", "g",
+                 (F.col("tf") * F.log((F.col("nd") + 1) / F.col("df")))
+                 .alias("w")))
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("da"), "g", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("db"), "g", F.col("w").alias("wb"))
+    num = (a.join(b, "g")
+           .filter(F.col("da") != F.col("db"))
+           .groupBy("da", "db")
+           .agg(F.sum(F.col("wa") * F.col("wb")).alias("num")))
+    na = nrm.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nb"))
+    sim = (num.join(na, "da").join(nb, "db")
+           .select(F.col("da").alias("doc_id"),
+                   F.col("db").alias("other_id"),
+                   F.round(F.col("num") / (F.col("na") * F.col("nb")), 6)
+                   .alias("sim")))
+    return topk_per_group(sim, int(k), group_col="doc_id",
+                          id_col="other_id", val_col="sim")

@@ -2754,3 +2754,25 @@ CROSS JOIN stats
 GROUP BY matched.doc_id
 """
     return _ranked_topk(inner, k)
+
+
+def function_score_decay_linear_sql(terms: list[str], origin: float,
+                                    scale: float, decay: float = 0.5,
+                                    offset: float = 0.0, k: int = 10,
+                                    field: str = "n_chars") -> str:
+    """Linear-decay function_score: score = round(bm25 * max(0,(s-d)/s), 6)
+    with d = max(0, |v-origin|-offset), s = scale/(1-decay) — the SAME
+    driver-side literal as scoring.function_score_decay_linear, identical
+    operand order."""
+    sig = float(scale) / (1.0 - float(decay))
+    d = (f"greatest(0.0, abs(CAST(d.{field} AS DOUBLE) - {float(origin)!r})"
+         f" - {float(offset)!r})")
+    inner = f"""
+WITH {_TF_CTES},
+{_scored_cte(terms)}
+SELECT s.doc_id,
+       round(round(s.raw_score, 6)
+             * greatest(0.0, ({sig!r} - {d}) / {sig!r}), 6) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+"""
+    return _ranked_topk(inner, k)

@@ -1327,3 +1327,32 @@ FROM g
 WHERE n < {int(k)} OR l_div < 2
 ORDER BY lang, source
 """
+
+
+def neyman_allocation_sql(budget: int = 100) -> str:
+    """Mirror of curation.neyman_allocation: same raw-sum sd closed form,
+    same round-6-before-floor/rank largest-remainder rule."""
+    b = int(budget)
+    return f"""
+WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS sx,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+           FROM documents GROUP BY source),
+s AS (SELECT source, n_docs,
+             sqrt((sxx - sx * sx / n_docs) / n_docs) AS sd FROM g),
+wts AS (SELECT *, n_docs * sd AS wt FROM s),
+tot AS (SELECT sum(wt) AS tot FROM wts),
+ex AS (SELECT source, n_docs, sd,
+              round({b} * wt / tot.tot, 6) AS exact
+       FROM wts CROSS JOIN tot),
+fb AS (SELECT *, CAST(floor(exact) AS BIGINT) AS base,
+              round(exact - CAST(floor(exact) AS BIGINT), 6) AS frac
+       FROM ex),
+lft AS (SELECT CAST({b} - sum(base) AS BIGINT) AS leftr FROM fb),
+rk AS (SELECT *, row_number() OVER (ORDER BY frac DESC, source ASC) AS rk
+       FROM fb)
+SELECT source, n_docs, round(sd, 6) AS sd,
+       CAST(base + CASE WHEN rk <= leftr THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM rk CROSS JOIN lft ORDER BY source
+"""

@@ -1688,3 +1688,40 @@ SELECT r.reg_id, c.c_custkey AS cust_id,
 FROM reg r JOIN customer c ON levenshtein(r.name, c.c_name) <= {int(max_edits)}
 ORDER BY reg_id, cust_id
 """
+
+
+def doc_similarity_topk_sql(k: int = 5, max_df: int = 64) -> str:
+    """Mirror of dedup.doc_similarity_topk: same shingle derivation
+    (shared _TOKS shape, tf WITH duplicates), same df cap defining the
+    feature space, same tf·ln((N+1)/df) weights and cosine operand
+    order, rank over ROUNDED sim."""
+    return f"""
+WITH {_TOKS},
+shf AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, len(tk) - 1),
+           i -> tk[i] || {SEP} || tk[i+1] || {SEP} || tk[i+2])) AS g
+  FROM toks WHERE len(tk) >= 3
+),
+tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+       FROM shf GROUP BY doc_id, g),
+dfs AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY g HAVING count(*) <= {int(max_df)}),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+w AS (SELECT doc_id, tf.g, tf * ln((nd + 1) / df) AS w
+      FROM tf JOIN dfs ON tf.g = dfs.g CROSS JOIN nd),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+num AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS num
+        FROM w a JOIN w b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+sim AS (SELECT da AS doc_id, db AS other_id,
+               round(num / (x.nrm * y.nrm), 6) AS sim
+        FROM num JOIN nrm x ON x.doc_id = num.da
+                 JOIN nrm y ON y.doc_id = num.db)
+SELECT doc_id, rank, other_id, sim FROM (
+  SELECT doc_id, other_id, sim,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sim DESC, other_id ASC) AS rank
+  FROM sim
+) WHERE rank <= {int(k)} ORDER BY doc_id, rank
+"""

@@ -1102,3 +1102,40 @@ def mmr_rerank(
         remaining = [d for d in remaining if d != choice]
     return docs.sparkSession.createDataFrame(
         out, "pick int, doc_id long, rel double").orderBy("pick")
+
+
+def function_score_decay_linear(
+    docs: DataFrame,
+    terms: list[str],
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+    offset: float = 0.0,
+    k: int = 10,
+    field: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES function_score with a LINEAR decay on a numeric doc field (the
+    piecewise-rational sibling of function_score_gauss):
+
+        score = bm25 * max(0, (s - d) / s),
+        d = max(0, |field - origin| - offset),  s = scale / (1 - decay)
+
+    (at distance offset+scale the multiplier equals ``decay``; beyond
+    d == s it clamps to exactly 0 — gauss never reaches zero). ``decay``
+    must be dyadic so s is an exact driver-side literal shared with the
+    oracle; the decay factor is row-local — no pass beyond bm25's own."""
+    sig = float(scale) / (1.0 - float(decay))
+    scores = bm25_scores(docs, terms, text_col=text_col)
+    vals = docs.select("doc_id", F.col(field).cast("double").alias("__v"))
+    d = F.greatest(
+        F.lit(0.0),
+        F.abs(F.col("__v") - F.lit(float(origin))) - F.lit(float(offset)))
+    mult = F.greatest(F.lit(0.0), (F.lit(sig) - d) / F.lit(sig))
+    out = (
+        scores.join(vals, "doc_id")
+        .select("doc_id",
+                F.round(F.col("score") * mult, SCORE_DECIMALS)
+                .alias("score"))
+    )
+    return _topk_ranked(out, k)

@@ -70,3 +70,51 @@ def test_acf_bounds(events):
     for r in rows:
         assert abs(r["acf"]) <= 1.0 + 1e-9
         assert r["n_pairs"] >= 1
+
+
+def test_neyman_budget_conservation(spark):
+    from fafnir_spark.curation import neyman_allocation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for budget in (7, 100, 333):
+        rows = neyman_allocation(docs, budget=budget).collect()
+        assert sum(r["alloc"] for r in rows) == budget
+        assert all(r["alloc"] >= 0 for r in rows)
+        assert all(r["sd"] >= 0.0 for r in rows)
+
+
+def test_doc_similarity_topk_laws(spark):
+    from fafnir_spark.dedup import doc_similarity_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    rows = doc_similarity_topk(docs, k=3, max_df=64).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert r["doc_id"] != r["other_id"], "self-pair leaked"
+        assert -1.0 - 1e-9 <= r["sim"] <= 1.0 + 1e-9
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        assert len(rs) <= 3
+        sims = [r["sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+    # the numerator relation is symmetric: if (a,b) is a's top-1 with sim s,
+    # b must see a with the SAME sim (possibly outside b's top-k)
+    full = doc_similarity_topk(docs, k=10_000, max_df=64)
+    sym = {(r["doc_id"], r["other_id"]): r["sim"] for r in full.collect()}
+    for (a, b), s in sym.items():
+        assert sym.get((b, a)) == s
+
+
+def test_linear_decay_zero_clamp(spark):
+    from fafnir_spark.scoring import function_score_decay_linear
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = function_score_decay_linear(
+        docs, ["merge"], origin=0.0, scale=1.0, offset=0.0, k=10_000).collect()
+    # s = 2: every doc with n_chars > 2 away from origin scores exactly 0
+    got = {r["doc_id"]: r["score"] for r in rows}
+    nc = {r["doc_id"]: r["n_chars"]
+          for r in docs.select("doc_id", "n_chars").collect()}
+    far = [d for d in got if abs(nc[d] - 0.0) > 2.0]
+    assert far and all(got[d] == 0.0 for d in far)
