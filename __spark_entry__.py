@@ -3466,6 +3466,56 @@ def _q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(_docs(spark, sf_dir), budget=100)
 
 
+
+def _q_stream_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ACF: additive per-day count partials (batch-stamped)
+    folded to the batch daily series; shared acf_from_daily tail."""
+    from fafnir_spark.streaming import stream_autocorrelation
+
+    base = tempfile.mkdtemp(prefix="fafnir_sacf_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_autocorrelation(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
+
+def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (Mann-Whitney rank-sum with average ties) of the
+    shared quality sigmoid vs the lang=='en' label."""
+    from fafnir_spark.curation import roc_auc
+
+    return roc_auc(_docs(spark, sf_dir))
+
+
+def _q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + ECE contributions: clamped equal-width bins,
+    one groupBy(bin) pass over the shared quality score."""
+    from fafnir_spark.curation import calibration_ece
+
+    return calibration_ece(_docs(spark, sf_dir))
+
+
+def _q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language ID trained+applied relationally:
+    Laplace-smoothed vocab-grid, per-doc argmax, confusion matrix out."""
+    from fafnir_spark.curation import naive_bayes_lang
+
+    return naive_bayes_lang(_docs(spark, sf_dir))
+
+
+
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-synchronous LPA communities over the bipartite customer-
+    supplier order graph: alternating-side mode updates, min-label ties,
+    node-keyed shuffles only."""
+    from fafnir_spark.pipeline import label_propagation
+
+    return label_propagation(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), rounds=1)
+
+
 def _q_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DAU/WAU: union-closed distinct (day, user) state —
     replay-idempotent by construction; shared tail, same oracle as batch."""
@@ -5397,6 +5447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_km": _q_survival_km,
         "doc_similarity_topk": _q_doc_similarity_topk,
         "neyman_allocation": _q_neyman_allocation,
+        "roc_auc": _q_roc_auc,
+        "calibration_ece": _q_calibration_ece,
+        "naive_bayes_lang": _q_naive_bayes_lang,
+        "label_propagation": _q_label_propagation,
         "cuped_ab_test": _q_cuped_ab_test,
         "autocorrelation": _q_autocorrelation,
         "attribution": _q_attribution,
@@ -5503,6 +5557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": _q_stream_funnel,
         "stream_rfm_segments": _q_stream_rfm_segments,
         "stream_survival_km": _q_stream_survival_km,
+        "stream_autocorrelation": _q_stream_autocorrelation,
         "stream_anomaly_hourly": _q_stream_anomaly_hourly,
         "stream_transform_pivot": _q_stream_transform_pivot,
         "transform_pivot": _q_transform_pivot,
@@ -5886,6 +5941,10 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "survival_km": oracles_pipeline.survival_km_sql(),
         "doc_similarity_topk": oracles_ops.doc_similarity_topk_sql(5, 64),
         "neyman_allocation": oracles_curation.neyman_allocation_sql(100),
+        "roc_auc": oracles_curation.roc_auc_sql(),
+        "calibration_ece": oracles_curation.calibration_ece_sql(),
+        "naive_bayes_lang": oracles_curation.naive_bayes_lang_sql(),
+        "label_propagation": oracles_pipeline.label_propagation_sql(1),
         "cuped_ab_test": oracles_pipeline.cuped_ab_test_sql(),
         "autocorrelation": oracles_pipeline.autocorrelation_sql(),
         "attribution": oracles_pipeline.attribution_sql(),
@@ -6174,6 +6233,7 @@ ORDER BY term ASC LIMIT 10
         "stream_funnel": oracles_pipeline.funnel_steps_sql(),
         "stream_rfm_segments": oracles_pipeline.rfm_segments_sql(),
         "stream_survival_km": oracles_pipeline.survival_km_sql(),
+        "stream_autocorrelation": oracles_pipeline.autocorrelation_sql(),
         "stream_anomaly_hourly": oracles_pipeline.anomaly_hourly_sql(),
         "stream_transform_pivot": oracles_pipeline.transform_pivot_sql(),
         "transform_pivot": oracles_pipeline.transform_pivot_sql(),

@@ -1676,3 +1676,139 @@ def neyman_allocation(docs: DataFrame, budget: int = 100,
                      + F.when(F.col("rk") <= F.col("leftr"), 1)
                      .otherwise(0)).cast("long").alias("alloc"))
             .orderBy("source"))
+
+
+# --------------------------------------------------------------- ML eval
+# The evaluation primitives a training-data pipeline runs over its own
+# heuristic classifiers (quality scorers, language ID): exact AUC by the
+# rank-sum identity, calibration (reliability / ECE), and a multinomial
+# Naive Bayes trained and applied relationally.
+
+_QSCORE = "round(1.0 / (1.0 + exp(-(n_chars - 200.0) / 50.0)), 6)"
+
+
+def _qscore_col() -> Column:
+    """The demo quality score both eval ops grade: a row-local sigmoid of
+    n_chars, ROUNDED 6 (shared with the oracle via the _QSCORE SQL
+    template — never hand-copied)."""
+    return F.expr(_QSCORE)
+
+
+def roc_auc(docs: DataFrame, pos_lang: str = "en") -> DataFrame:
+    """Exact ROC AUC of the quality score against the (lang ==
+    ``pos_lang``) label via the Mann-Whitney rank-sum identity:
+
+        AUC = (Σ avg_rank(positives) - np(np+1)/2) / (np·nn)
+
+    with AVERAGE ranks over ties (the standard tie correction). Ranks
+    are computed on the ≤|distinct scores| grouped relation — one
+    groupBy(score) reduction, then ordered windows over the bounded
+    score table; avg_rank has only .5 fractions so every product is an
+    exact double and the result is EXACT cross-engine (not just
+    round-6-close). (n_pos, n_neg, auc, gini) one row."""
+    rows = docs.select(
+        _qscore_col().alias("s"),
+        F.when(F.col("lang") == pos_lang, 1).otherwise(0).alias("y"))
+    g = (rows.groupBy("s")
+         .agg(F.count(F.lit(1)).cast("long").alias("c"),
+              F.sum("y").cast("long").alias("p")))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    g = g.withColumn(
+        "avg_rank",
+        (F.sum("c").over(w) - F.col("c")) + (F.col("c") + 1) / F.lit(2.0))
+    agg = g.agg(
+        F.sum(F.col("p") * F.col("avg_rank")).alias("sp"),
+        F.sum("p").cast("long").alias("np"),
+        (F.sum("c") - F.sum("p")).cast("long").alias("nn"))
+    auc = (F.col("sp") - F.col("np") * (F.col("np") + 1) / F.lit(2.0)) \
+        / (F.col("np") * F.col("nn"))
+    return agg.select(
+        F.col("np").alias("n_pos"), F.col("nn").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"))
+
+
+def calibration_ece(docs: DataFrame, pos_lang: str = "en",
+                    bins: int = 10) -> DataFrame:
+    """Reliability table + expected-calibration-error contributions of
+    the quality score vs the (lang == ``pos_lang``) label: scores land
+    in ``bins`` equal-width buckets (floor(s·bins) clamped — s is the
+    same rounded-6 double in both engines, so the IEEE floor agrees);
+    per bin confidence = mean score, accuracy = positive rate, and
+    contrib = |acc − conf|·n/N (ECE = Σ contrib, tested). One
+    groupBy(bin) pass + a broadcast 1-row total.
+    (bin, n, conf, acc, contrib) ordered by bin."""
+    b = int(bins)
+    rows = docs.select(
+        _qscore_col().alias("s"),
+        F.when(F.col("lang") == pos_lang, 1).otherwise(0).alias("y"))
+    rows = rows.withColumn(
+        "bin", F.least(F.floor(F.col("s") * b), F.lit(b - 1)).cast("int"))
+    tot = rows.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    g = (rows.groupBy("bin")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("s").alias("ss"), F.sum("y").cast("long").alias("sy"))
+         .crossJoin(F.broadcast(tot)))
+    conf = F.col("ss") / F.col("n")
+    acc = F.col("sy") / F.col("n")
+    return (g.select(
+        "bin", "n", F.round(conf, 6).alias("conf"),
+        F.round(acc, 6).alias("acc"),
+        F.round(F.abs(acc - conf) * F.col("n") / F.col("nt"), 6)
+        .alias("contrib"))
+        .orderBy("bin"))
+
+
+def naive_bayes_lang(docs: DataFrame) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained AND applied
+    relationally (resubstitution eval — the parity demo of distributed
+    GLM-free text classification): per-class token counts with Laplace
+    smoothing over the GLOBAL vocabulary grid (|V|·|classes| rows —
+    vocab-bounded, broadcastable), per-doc class scores ln(prior) +
+    Σ tf·ln((cnt+1)/(tok_c+V)) rounded 6 before the argmax, ties broken
+    class asc (min_by on struct(-score, class) — the dedup_keep_best
+    idiom; the oracle uses the rn=1 window, same result). Output is the
+    confusion matrix (lang, predicted, n) ordered.
+
+    Scale shape: counts/vocab are vocab-bounded aggregates; the apply
+    join is tf ⋈ broadcast grid keyed by term; the score groupBy is
+    keyed by doc — no corpus-squared relation anywhere."""
+    from .tokenizer import tokens_expr
+
+    tf = (docs.select(F.col("doc_id"), F.col("lang"),
+                      F.explode(tokens_expr("text")).alias("t"))
+          .groupBy("doc_id", "lang", "t")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    cnt = (tf.groupBy("lang", "t").agg(F.sum("tf").cast("long")
+                                       .alias("cnt"))
+           .withColumnRenamed("lang", "c"))
+    vocab = tf.select("t").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    classes = (docs.groupBy(F.col("lang").alias("c"))
+               .agg(F.count(F.lit(1)).cast("long").alias("ndc")))
+    ntot = docs.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    tokc = cnt.groupBy("c").agg(F.sum("cnt").cast("long").alias("tokc"))
+    grid = (vocab.crossJoin(classes.select("c"))
+            .join(cnt, ["c", "t"], "left")
+            .join(tokc, "c")
+            .crossJoin(F.broadcast(vsize))
+            .select("c", "t",
+                    F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                          / (F.col("tokc") + F.col("v"))).alias("lp")))
+    priors = (classes.crossJoin(F.broadcast(ntot))
+              .select("c", F.log(F.col("ndc") / F.col("nt"))
+                      .alias("lprior")))
+    scores = (tf.join(F.broadcast(grid), "t")
+              .groupBy("doc_id", "lang", "c")
+              .agg(F.sum(F.col("tf") * F.col("lp")).alias("s"))
+              .join(F.broadcast(priors), "c")
+              .select("doc_id", "lang", "c",
+                      F.round(F.col("lprior") + F.col("s"), 6)
+                      .alias("score")))
+    pred = (scores.groupBy("doc_id", "lang")
+            .agg(F.min_by(
+                "c", F.struct((-F.col("score")).alias("ns"),
+                              F.col("c").alias("c"))).alias("predicted")))
+    return (pred.groupBy("lang", "predicted")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("lang", "predicted"))

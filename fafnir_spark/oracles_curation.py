@@ -1356,3 +1356,82 @@ SELECT source, n_docs, round(sd, 6) AS sd,
          AS alloc
 FROM rk CROSS JOIN lft ORDER BY source
 """
+
+
+def roc_auc_sql(pos_lang: str = "en") -> str:
+    """Mirror of curation.roc_auc: same shared _QSCORE template, same
+    average-rank rank-sum identity (exact — every product is an exact
+    double)."""
+    from .curation import _QSCORE
+    return f"""
+WITH r0 AS (SELECT {_QSCORE} AS s,
+                   CASE WHEN lang = '{pos_lang}' THEN 1 ELSE 0 END AS y
+            FROM documents),
+g AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(y) AS BIGINT) AS p FROM r0 GROUP BY s),
+rk AS (SELECT *, (sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - c)
+                 + (c + 1) / 2.0 AS avg_rank FROM g),
+a AS (SELECT sum(p * avg_rank) AS sp, CAST(sum(p) AS BIGINT) AS np,
+             CAST(sum(c) - sum(p) AS BIGINT) AS nn FROM rk)
+SELECT np AS n_pos, nn AS n_neg,
+       round((sp - np * (np + 1) / 2.0) / (np * nn), 6) AS auc,
+       round(2.0 * ((sp - np * (np + 1) / 2.0) / (np * nn)) - 1.0, 6)
+         AS gini
+FROM a
+"""
+
+
+def calibration_ece_sql(pos_lang: str = "en", bins: int = 10) -> str:
+    """Mirror of curation.calibration_ece: same _QSCORE, same clamped
+    equal-width bins, same |acc-conf|·n/N contributions."""
+    from .curation import _QSCORE
+    b = int(bins)
+    return f"""
+WITH r0 AS (SELECT {_QSCORE} AS s,
+                   CASE WHEN lang = '{pos_lang}' THEN 1 ELSE 0 END AS y
+            FROM documents),
+bn AS (SELECT s, y,
+              CAST(least(floor(s * {b}), {b - 1}) AS INTEGER) AS bin
+       FROM r0),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bn),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(s) AS ss,
+             CAST(sum(y) AS BIGINT) AS sy FROM bn GROUP BY bin)
+SELECT bin, n, round(ss / n, 6) AS conf, round(sy / n, 6) AS acc,
+       round(abs(sy / n - ss / n) * n / nt, 6) AS contrib
+FROM g CROSS JOIN tot ORDER BY bin
+"""
+
+
+def naive_bayes_lang_sql() -> str:
+    """Mirror of curation.naive_bayes_lang: same tokenization, Laplace
+    grid, ln(prior)+Σ tf·lp rounded 6 before the argmax, class-asc
+    ties (rn=1 window — DuckDB arg_min takes no struct ordering)."""
+    return """
+WITH tf AS (SELECT doc_id, lang, t.tok AS t, CAST(count(*) AS BIGINT) AS tf
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE t.tok <> '' GROUP BY doc_id, lang, t.tok),
+cnt AS (SELECT lang AS c, t, CAST(sum(tf) AS BIGINT) AS cnt
+        FROM tf GROUP BY lang, t),
+vocab AS (SELECT DISTINCT t FROM tf),
+vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+cls AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS ndc
+        FROM documents GROUP BY lang),
+ntr AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM documents),
+tokc AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS tokc FROM cnt GROUP BY c),
+grid AS (SELECT cls.c, vocab.t,
+                ln((coalesce(cnt.cnt, 0) + 1) / (tokc.tokc + vs.v)) AS lp
+         FROM vocab CROSS JOIN cls
+         LEFT JOIN cnt ON cnt.c = cls.c AND cnt.t = vocab.t
+         JOIN tokc ON tokc.c = cls.c CROSS JOIN vs),
+pri AS (SELECT c, ln(ndc / ntr.nt) AS lprior FROM cls CROSS JOIN ntr),
+sc AS (SELECT tf.doc_id, tf.lang, g.c,
+              round(p.lprior + sum(tf.tf * g.lp), 6) AS score
+       FROM tf JOIN grid g ON g.t = tf.t JOIN pri p ON p.c = g.c
+       GROUP BY tf.doc_id, tf.lang, g.c, p.lprior),
+pr AS (SELECT doc_id, lang, c AS predicted,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, c ASC) AS rn
+       FROM sc)
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+FROM pr WHERE rn = 1 GROUP BY lang, predicted ORDER BY lang, predicted
+"""

@@ -2943,3 +2943,40 @@ JOIN x b ON b.day = a.day + l.lag
 CROSS JOIN s0
 GROUP BY l.lag, s0.s0 ORDER BY lag
 """
+
+
+def label_propagation_sql(rounds: int = 3) -> str:
+    """Mirror of pipeline.label_propagation: same bipartite half-step
+    schedule, same (cnt desc, label asc) argmax; per-half CTEs are
+    MATERIALIZED (each is referenced twice downstream — the MMR rule)."""
+    base = 10**9
+    ctes = [f"""edges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, {base} + l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)""",
+            """lab0 AS MATERIALIZED (
+  SELECT node, node AS lbl FROM (
+    SELECT c AS node FROM edges UNION SELECT s FROM edges))"""]
+    cur = "lab0"
+    i = 0
+    for _ in range(int(rounds)):
+        for upd, nbr, keep in (("c", "s", f"node >= {base}"),
+                               ("s", "c", f"node < {base}")):
+            i += 1
+            ctes.append(f"""h{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT e.{upd} AS node, l.lbl, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.{upd}
+                              ORDER BY count(*) DESC, l.lbl ASC) AS rn
+    FROM edges e JOIN {cur} l ON l.node = e.{nbr}
+    GROUP BY e.{upd}, l.lbl)
+  WHERE rn = 1)""")
+            ctes.append(f"""lab{i} AS MATERIALIZED (
+  SELECT node, lbl FROM h{i}
+  UNION ALL SELECT node, lbl FROM {cur} WHERE {keep})""")
+            cur = f"lab{i}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+FROM {cur} GROUP BY lbl ORDER BY community
+"""

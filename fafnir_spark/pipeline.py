@@ -3847,17 +3847,23 @@ def autocorrelation(events: DataFrame, max_lag: int = 7) -> DataFrame:
     as a broadcast 1-row aggregate; products are summed per lag and
     ROUNDED 6 at the output (float sum order differs across engines
     below that). (lag, n_pairs, acf) ordered by lag."""
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
     x = (events.select(F.expr(f"unix_micros(cast(ts as timestamp)) "
                               f"DIV {_DAY_US}").alias("day"))
          .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    return acf_from_daily(x, max_lag)
+
+
+def acf_from_daily(x: DataFrame, max_lag: int = 7) -> DataFrame:
+    """ACF tail over a (day, x) daily-count relation — the shared piece
+    between batch autocorrelation and the streaming twin (the
+    change_point_from_buckets rule)."""
     stats = x.agg(
         (F.sum("x") / F.count(F.lit(1))).alias("m"),
         F.count(F.lit(1)).cast("long").alias("nd"))
     xc = x.crossJoin(F.broadcast(stats))
     s0 = (xc.agg(F.sum((F.col("x") - F.col("m"))
                        * (F.col("x") - F.col("m"))).alias("s0")))
-    lags = events.sparkSession.range(1, int(max_lag) + 1) \
+    lags = x.sparkSession.range(1, int(max_lag) + 1) \
         .select(F.col("id").cast("int").alias("lag"))
     a = xc.select("day", "x", "m")
     b = x.select(F.col("day").alias("day2"), F.col("x").alias("x2"))
@@ -3871,3 +3877,55 @@ def autocorrelation(events: DataFrame, max_lag: int = 7) -> DataFrame:
             .select("lag", "n_pairs",
                     F.round(F.col("num") / F.col("s0"), 6).alias("acf"))
             .orderBy("lag"))
+
+
+def label_propagation(orders: DataFrame, lineitem: DataFrame,
+                      rounds: int = 3) -> DataFrame:
+    """Community detection by semi-synchronous label propagation
+    (Raghavan'07 LPA) over the undirected customer↔supplier order graph.
+    The graph is BIPARTITE, where fully-synchronous LPA can oscillate
+    two-colorings forever — so each round updates ONE side at a time
+    from the other's current labels (the standard coloring schedule):
+    customers adopt the mode label of their supplier neighbors, then
+    suppliers adopt the mode of the customers' NEW labels. Ties break
+    to the smallest label (max_by on struct(cnt, −label) — the IVF
+    assignment idiom; the oracle's rn=1 window is the same order).
+
+    Scale shape: every half-step is one edge⋈labels equi-join + one
+    (node, label) groupBy + one per-node argmax — all shuffles keyed by
+    node id, state is ≤|nodes| rows, the driver carries nothing.
+    labels are localCheckpointed per round (each half references the
+    previous relation twice — the graph_kcore k^rounds lineage rule).
+    Output: (community, n_nodes) ordered by community."""
+    sup_base = 10**9
+    edges = (
+        orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"),
+                (F.lit(sup_base) + F.col("l_suppkey")).alias("s"))
+        .distinct()
+    )
+    nodes = (edges.select(F.col("c").alias("node"))
+             .unionByName(edges.select(F.col("s").alias("node")))
+             .distinct())
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+
+    def _half(upd_key: str, nbr_key: str, keep_pred):
+        nbr_lbl = labels.select(F.col("node").alias("__n"), "lbl")
+        new = (edges.join(nbr_lbl, F.col("__n") == F.col(nbr_key))
+               .groupBy(F.col(upd_key).alias("node"), "lbl")
+               .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+               .groupBy("node")
+               .agg(F.max_by(
+                   "lbl", F.struct(F.col("cnt").alias("cnt"),
+                                   (-F.col("lbl")).alias("nl")))
+                   .alias("lbl")))
+        return new.unionByName(labels.filter(keep_pred))
+
+    for _ in range(int(rounds)):
+        labels = _half("c", "s", F.col("node") >= sup_base)
+        labels = _half("s", "c", F.col("node") < sup_base)
+        labels = labels.localCheckpoint()
+    return (labels.groupBy(F.col("lbl").alias("community"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .orderBy("community"))

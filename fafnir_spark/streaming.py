@@ -1379,3 +1379,54 @@ def stream_survival_km(
     spans = per.crossJoin(F.broadcast(end)).select(
         "user_id", "t0", "tp", "t_end")
     return km_from_spans(spans)
+
+
+def stream_autocorrelation(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Streaming ACF: each micro-batch reduces to per-day count partials
+    appended to parquet state (ADDITIVE merge with batch stamps for
+    replay idempotence — the stream_theil_sen algebra); the folded state
+    IS the batch daily series and the shared tail
+    (pipeline.acf_from_daily) gives the batch answer exactly — same
+    DuckDB oracle as autocorrelation."""
+    import os
+
+    from .pipeline import acf_from_daily
+
+    day_dir = os.path.join(state_dir, "acf_days")
+    day_us = 86_400_000_000
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.select(F.expr(f"unix_micros(cast(ts as timestamp)) "
+                             f"DIV {day_us}").alias("day"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("x"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(day_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    x = (
+        spark.read.parquet(day_dir)
+        .dropDuplicates(["day", "_b"])
+        .groupBy("day")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    return acf_from_daily(x, max_lag)

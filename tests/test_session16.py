@@ -7,6 +7,7 @@ import os
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from fafnir_spark.pipeline import autocorrelation, cuped_ab_test, survival_km
 from tests.conftest import SF_DIR
@@ -118,3 +119,71 @@ def test_linear_decay_zero_clamp(spark):
           for r in docs.select("doc_id", "n_chars").collect()}
     far = [d for d in got if abs(nc[d] - 0.0) > 2.0]
     assert far and all(got[d] == 0.0 for d in far)
+
+
+def test_stream_acf_equals_batch(spark, events):
+    from fafnir_spark.streaming import stream_autocorrelation
+
+    base = tempfile.mkdtemp(prefix="fafnir_sacf_t_")
+    src = os.path.join(base, "src")
+    events.repartition(4).write.parquet(src)
+    got = stream_autocorrelation(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+    want = autocorrelation(events)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+
+
+def test_roc_auc_label_flip_symmetry(spark):
+    from fafnir_spark.curation import roc_auc
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = roc_auc(docs, pos_lang="en").collect()[0]
+    assert 0.0 <= a["auc"] <= 1.0
+    assert abs(a["gini"] - (2 * a["auc"] - 1)) < 2e-6
+    # complement label set: AUC(pos) + AUC over the complement is NOT a
+    # law, but swapping which class is positive mirrors the AUC when the
+    # "negative" class is exactly the complement scored by the same s —
+    # check via a two-language restriction where flip symmetry is exact
+    two = docs.filter(docs["lang"].isin("en", "fr"))
+    a_en = roc_auc(two, pos_lang="en").collect()[0]
+    a_fr = roc_auc(two, pos_lang="fr").collect()[0]
+    assert abs(a_en["auc"] + a_fr["auc"] - 1.0) < 2e-6
+
+
+def test_calibration_ece_partition(spark):
+    from fafnir_spark.curation import calibration_ece
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = calibration_ece(docs).collect()
+    assert sum(r["n"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["acc"] <= 1.0 and 0.0 <= r["conf"] <= 1.0
+        assert r["contrib"] >= 0.0
+
+
+def test_naive_bayes_confusion_total(spark):
+    from fafnir_spark.curation import naive_bayes_lang
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = naive_bayes_lang(docs).collect()
+    n_scored = sum(r["n"] for r in rows)
+    # every doc with at least one token gets exactly one prediction
+    from fafnir_spark.tokenizer import tokens_expr
+    n_tok = docs.filter(F.size(tokens_expr("text")) > 0).count()
+    assert n_scored == n_tok
+    langs = {r["lang"] for r in rows}
+    assert {r["predicted"] for r in rows} <= langs
+
+
+def test_label_propagation_conserves_nodes(spark):
+    from fafnir_spark.pipeline import label_propagation
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    r1 = label_propagation(orders, li, rounds=1).collect()
+    r3 = label_propagation(orders, li, rounds=3).collect()
+    # node count is conserved across rounds; communities only merge
+    assert sum(r["n_nodes"] for r in r1) == sum(r["n_nodes"] for r in r3)
+    assert len(r3) <= len(r1)
