@@ -3516,6 +3516,34 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"), rounds=1)
 
 
+
+def _q_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score radius-matching ATT: banded caliper join on
+    floor(p/caliper) buckets (never a propensity cross join), closed-form
+    ATT over matched treated users."""
+    from fafnir_spark.pipeline import psm_att
+
+    return psm_att(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative weekday decomposition: seasonal index per weekday +
+    raw-sum OLS trend of the deseasonalized daily series."""
+    from fafnir_spark.pipeline import seasonal_decompose
+
+    return seasonal_decompose(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density spatial clustering (scalable DBSCAN approximation):
+    eps-cells, data-derived integer density threshold, min-label CC over
+    adjacent dense cells."""
+    from fafnir_spark.geo import event_points, grid_density_clusters
+
+    return grid_density_clusters(
+        event_points(spark.read.parquet(f"{sf_dir}/events.parquet")))
+
+
 def _q_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DAU/WAU: union-closed distinct (day, user) state —
     replay-idempotent by construction; shared tail, same oracle as batch."""
@@ -5451,6 +5479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_ece": _q_calibration_ece,
         "naive_bayes_lang": _q_naive_bayes_lang,
         "label_propagation": _q_label_propagation,
+        "psm_att": _q_psm_att,
+        "seasonal_decompose": _q_seasonal_decompose,
+        "grid_density_clusters": _q_grid_density_clusters,
         "cuped_ab_test": _q_cuped_ab_test,
         "autocorrelation": _q_autocorrelation,
         "attribution": _q_attribution,
@@ -5945,6 +5976,9 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "calibration_ece": oracles_curation.calibration_ece_sql(),
         "naive_bayes_lang": oracles_curation.naive_bayes_lang_sql(),
         "label_propagation": oracles_pipeline.label_propagation_sql(1),
+        "psm_att": oracles_pipeline.psm_att_sql(),
+        "seasonal_decompose": oracles_pipeline.seasonal_decompose_sql(),
+        "grid_density_clusters": oracles_pipeline.grid_density_clusters_sql(),
         "cuped_ab_test": oracles_pipeline.cuped_ab_test_sql(),
         "autocorrelation": oracles_pipeline.autocorrelation_sql(),
         "attribution": oracles_pipeline.attribution_sql(),

@@ -443,14 +443,18 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     near-dup family keeps exactly one canonical member; Lee et al.,
     "Deduplicating Training Data Makes Language Models Better").
 
-    Algorithm: min-label propagation to fixpoint. Each iteration is one
-    edges ⋈ labels equi-join + a min aggregation; labels(v) converges to
-    the component minimum in O(component diameter) iterations — near-dup
-    components are shallow in practice, and at 100 TB every iteration is
-    shuffle-bounded by |edges|, with AQE free to broadcast the shrinking
-    frontier. The driver loop carries only a 0/1 convergence count per
-    iteration, never rows. Only docs appearing in ≥1 pair are emitted
-    (singletons are their own trivial cluster).
+    Algorithm: min-label propagation + pointer doubling (lab ← lab of
+    lab) to fixpoint — O(log diameter) iterations, so long chains (the
+    grid-density cell graph) converge as fast as shallow near-dup
+    families. Each iteration is two equi-joins + a min aggregation,
+    shuffle-bounded by |edges| at 100 TB, with AQE free to broadcast
+    the shrinking frontier. Every round ``localCheckpoint``s the label
+    relation — the round body references it 3×, so without lineage
+    truncation the logical plan grows exponentially with rounds (the
+    session-15 lineage rule; persist caches data, NOT the plan). The
+    driver loop carries only a 0/1 convergence count per iteration,
+    never rows. Only docs appearing in ≥1 pair are emitted (singletons
+    are their own trivial cluster).
 
     Oracle: recursive-CTE reachability with the same min-label semantics
     (oracles_ops.dedup_clusters_sql)."""
@@ -458,12 +462,12 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("lab", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr = (
@@ -471,13 +475,23 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             .groupBy(F.col("dst").alias("nnode"))
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr, labels.node == nbr.nnode, "left")
             .select(
                 "node",
                 F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
             )
-            .persist()
+        )
+        # pointer doubling: lab ← lab(lab). Every lab IS a node id, so
+        # the self-join hits; halves the remaining chain length per round.
+        par = stepped.select(F.col("node").alias("pn"), F.col("lab").alias("plab"))
+        new_labels = (
+            stepped.join(par, stepped.lab == par.pn, "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("plab"), F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("lab", "old"), "node")
@@ -485,11 +499,9 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     ).orderBy("doc_id")

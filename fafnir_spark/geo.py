@@ -548,3 +548,53 @@ def search_mvt_grid(events: DataFrame, zoom: int = 5, x: int = 16, y: int = 11,
         )
         .orderBy(F.col("doc_count").desc(), F.col("cx").asc(), F.col("cy").asc())
     )
+
+
+def grid_density_clusters(points: DataFrame, eps: float = 0.5) -> DataFrame:
+    """Grid-density spatial clustering (the scalable DBSCAN
+    approximation — CLIQUE/STING-style): points land in eps-width grid
+    cells (ONE groupBy pass — ``eps`` must be dyadic so the float
+    division is the same IEEE op in both engines); a cell is DENSE if
+    its count reaches the data-derived threshold (13·total) DIV
+    (10·|cells|) — exact integer arithmetic, 1.3× the mean occupancy;
+    orthogonally-adjacent dense cells merge into clusters by min-label
+    connected components (dedup.cluster_duplicates — convergence-looped,
+    driver carries a 0/1 per round).
+
+    Scale shape: the corpus reduces to the ≤|cells| relation in one
+    map-side-combined groupBy; adjacency is two equi-joins (right/up
+    neighbor — never an OR-join that plans as a nested loop); CC runs
+    over the bounded dense-cell graph. (cluster, n_cells, n_points)
+    ordered by cluster; singleton dense cells are their own cluster."""
+    from .dedup import cluster_duplicates
+
+    cells = (points
+             .select(F.floor(F.col("px") / F.lit(float(eps))).alias("cx"),
+                     F.floor(F.col("py") / F.lit(float(eps))).alias("cy"))
+             .groupBy("cx", "cy")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    thr = (cells.agg(F.sum("n").alias("s"),
+                     F.count(F.lit(1)).alias("c"))
+           .select(F.expr("(13 * s) DIV (10 * c)").alias("thr")))
+    dense = (cells.crossJoin(F.broadcast(thr))
+             .filter(F.col("n") >= F.col("thr"))
+             .withColumn("k", F.col("cx") * 10000 + F.col("cy")))
+    right = dense.select(
+        (F.col("cx") + 1).alias("cx"), "cy", F.col("k").alias("kb"))
+    up = dense.select(
+        "cx", (F.col("cy") + 1).alias("cy"), F.col("k").alias("kb"))
+    pairs = (dense.join(right, ["cx", "cy"])
+             .select(F.col("k").alias("doc_a"), F.col("kb").alias("doc_b"))
+             .unionByName(
+                 dense.join(up, ["cx", "cy"])
+                 .select(F.col("k").alias("doc_a"),
+                         F.col("kb").alias("doc_b"))))
+    labels = cluster_duplicates(pairs)
+    lab = (dense.join(labels, dense["k"] == labels["doc_id"], "left")
+           .select("k", "n",
+                   F.coalesce(F.col("cluster_id"), F.col("k"))
+                   .alias("cluster")))
+    return (lab.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cells"),
+                 F.sum("n").cast("long").alias("n_points"))
+            .orderBy("cluster"))

@@ -2980,3 +2980,100 @@ WITH {body}
 SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
 FROM {cur} GROUP BY lbl ORDER BY community
 """
+
+
+def psm_att_sql(caliper: float = 0.0625) -> str:
+    """Mirror of pipeline.psm_att: same hash split, midpoint split,
+    shared PSM_PROPENSITY template, banded caliper join, ATT closed
+    form."""
+    from .portable import hash60_sql
+    from .pipeline import PSM_PROPENSITY
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    cal = float(caliper)
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+b AS (SELECT (min(us) + max(us)) // 2 AS split FROM e),
+per0 AS (SELECT user_id,
+           CAST(sum(CASE WHEN us < split THEN 1 ELSE 0 END) AS BIGINT)
+             AS pre,
+           CAST(sum(CASE WHEN us >= split THEN 1 ELSE 0 END) AS BIGINT)
+             AS post
+         FROM e CROSS JOIN b GROUP BY user_id),
+per AS (SELECT user_id, pre, post,
+               CAST((({h}) % 2 + 2) % 2 AS INTEGER) AS t,
+               {PSM_PROPENSITY} AS p
+        FROM per0),
+pb AS (SELECT *, CAST(floor(p / {cal!r}) AS BIGINT) AS bk FROM per),
+tr AS (SELECT user_id AS tu, p AS tp, post AS ty, bk AS tb
+       FROM pb WHERE t = 1),
+ct AS (SELECT p AS cp, post AS cy, bk AS cb FROM pb WHERE t = 0),
+shifts AS (SELECT CAST(unnest([-1, 0, 1]) AS BIGINT) AS sh),
+cand AS (SELECT tu, ty, cy FROM tr CROSS JOIN shifts
+         JOIN ct ON ct.cb = tr.tb + shifts.sh
+         WHERE abs(ct.cp - tr.tp) <= {cal!r}),
+pt AS (SELECT tu, ty, sum(cy) / count(*) AS cbar
+       FROM cand GROUP BY tu, ty),
+ntr AS (SELECT CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_treated FROM per)
+SELECT n_treated, CAST(count(*) AS BIGINT) AS n_matched,
+       round(sum(ty - cbar) / count(*), 6) AS att
+FROM pt CROSS JOIN ntr GROUP BY n_treated
+"""
+
+
+def seasonal_decompose_sql() -> str:
+    """Mirror of pipeline.seasonal_decompose: same weekday index and
+    raw-sum OLS trend operand order."""
+    day = 86_400_000_000
+    return f"""
+WITH x AS (SELECT epoch_us(ts) // {day} AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+m AS (SELECT CAST(sum(x) AS BIGINT) / count(*) AS m FROM x),
+xw AS (SELECT day, x, m, CAST((day % 7 + 7) % 7 AS INTEGER) AS w
+       FROM x CROSS JOIN m),
+sidx AS (SELECT w, CAST(count(*) AS BIGINT) AS n_days,
+                (CAST(sum(x) AS BIGINT) / count(*)) / max(m) AS sindex
+         FROM xw GROUP BY w),
+des AS (SELECT CAST(xw.day AS DOUBLE) AS t, xw.x / sidx.sindex AS d
+        FROM xw JOIN sidx ON sidx.w = xw.w),
+ols AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(t) AS st, sum(d) AS sd,
+               sum(t * t) AS stt, sum(t * d) AS std FROM des),
+tr AS (SELECT (n * std - st * sd) / (n * stt - st * st) AS slope_raw,
+              n, st, sd FROM ols),
+tr2 AS (SELECT round(slope_raw, 6) AS slope,
+               round((sd - slope_raw * st) / n, 6) AS intercept FROM tr)
+SELECT w AS weekday, n_days, round(sindex, 6) AS sindex, slope, intercept
+FROM sidx CROSS JOIN tr2 ORDER BY weekday
+"""
+
+
+def grid_density_clusters_sql(eps: float = 0.5) -> str:
+    """Mirror of geo.grid_density_clusters over the shared synthetic
+    point derivation: same dyadic-eps cells, same integer relative
+    threshold, recursive min-label reachability (== the convergence-
+    looped Spark CC)."""
+    e = float(eps)
+    return f"""
+WITH RECURSIVE {_pip_pts_cte()},
+c AS (SELECT CAST(floor(px / {e!r}) AS BIGINT) AS cx,
+             CAST(floor(py / {e!r}) AS BIGINT) AS cy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2),
+t AS (SELECT (13 * sum(n)) // (10 * count(*)) AS thr FROM c),
+d AS (SELECT cx * 10000 + cy AS k, cx, cy, n
+      FROM c CROSS JOIN t WHERE n >= thr),
+e0 AS (SELECT a.k AS src, b.k AS dst FROM d a
+       JOIN d b ON b.cx = a.cx + 1 AND b.cy = a.cy
+       UNION ALL
+       SELECT a.k, b.k FROM d a
+       JOIN d b ON b.cx = a.cx AND b.cy = a.cy + 1),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+r AS (SELECT k AS node, k AS lab FROM d
+      UNION
+      SELECT sym.dst, r.lab FROM r JOIN sym ON sym.src = r.node),
+ml AS (SELECT node, min(lab) AS lab FROM r GROUP BY node)
+SELECT lab AS cluster, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(d.n) AS BIGINT) AS n_points
+FROM d JOIN ml ON ml.node = d.k GROUP BY lab ORDER BY cluster
+"""

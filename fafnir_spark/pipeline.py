@@ -3929,3 +3929,106 @@ def label_propagation(orders: DataFrame, lineitem: DataFrame,
     return (labels.groupBy(F.col("lbl").alias("community"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
             .orderBy("community"))
+
+
+# propensity template shared verbatim with the DuckDB oracle (never
+# hand-copied): a rounded-6 sigmoid of the pre-period count
+PSM_PROPENSITY = "round(1.0 / (1.0 + exp(-(pre - 30.0) / 10.0)), 6)"
+
+
+def psm_att(events: DataFrame, caliper: float = 0.0625) -> DataFrame:
+    """Propensity-score RADIUS matching ATT (Rosenbaum & Rubin 1983; the
+    observational sibling of cuped_ab_test): treatment = the portable
+    hash split, outcome = post-period event count, propensity = a
+    rounded-6 sigmoid of the pre-period count (shared SQL template).
+    Each treated user matches ALL controls within ``caliper`` of its
+    propensity — radius matching is order-free and hence relational,
+    unlike greedy 1:1 nearest-neighbor (sequential, refused). The match
+    join is BANDED: equi-join on floor(p/caliper) buckets shifted by
+    {-1,0,+1} (the LabelGrid idiom), then the exact |Δp| <= caliper
+    filter — never a propensity cross join. ``caliper`` must be dyadic
+    so bucket floors agree across engines.
+
+    ATT = mean over matched treated of (y_t − mean(y_controls in
+    radius)). (n_treated, n_matched, att) one row, rounded 6."""
+    from .portable import hash60
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = events.select("user_id", us.alias("us"))
+    bounds = (e.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+              .select(F.expr("(mn + mx) DIV 2").alias("split")))
+    per = (e.crossJoin(F.broadcast(bounds))
+           .groupBy("user_id")
+           .agg(F.sum(F.when(F.col("us") < F.col("split"), 1)
+                      .otherwise(0)).cast("long").alias("pre"),
+                F.sum(F.when(F.col("us") >= F.col("split"), 1)
+                      .otherwise(0)).cast("long").alias("post"))
+           .withColumn("t", F.pmod(hash60(F.col("user_id").cast("string")),
+                                   F.lit(2)).cast("int"))
+           .withColumn("p", F.expr(PSM_PROPENSITY))
+           .withColumn("b", F.floor(F.col("p") / F.lit(float(caliper)))
+                       .cast("long")))
+    treated = per.filter(F.col("t") == 1).select(
+        F.col("user_id").alias("tu"), F.col("p").alias("tp"),
+        F.col("post").alias("ty"), F.col("b").alias("tb"))
+    controls = per.filter(F.col("t") == 0).select(
+        F.col("p").alias("cp"), F.col("post").alias("cy"),
+        F.col("b").alias("cb"))
+    shifts = treated.sparkSession.range(-1, 2).select(
+        F.col("id").cast("long").alias("sh"))
+    cand = (treated.crossJoin(F.broadcast(shifts))
+            .join(controls, F.col("cb") == F.col("tb") + F.col("sh"))
+            .filter(F.abs(F.col("cp") - F.col("tp"))
+                    <= F.lit(float(caliper))))
+    per_treated = (cand.groupBy("tu", "ty")
+                   .agg((F.sum("cy") / F.count(F.lit(1))).alias("cbar")))
+    ntr = per.agg(F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+                  .cast("long").alias("n_treated"))
+    return (per_treated
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matched"),
+                 F.round(F.sum(F.col("ty") - F.col("cbar"))
+                         / F.count(F.lit(1)), 6).alias("att"))
+            .crossJoin(F.broadcast(ntr))
+            .select("n_treated", "n_matched", "att"))
+
+
+def seasonal_decompose(events: DataFrame) -> DataFrame:
+    """Multiplicative weekday decomposition of the daily event-count
+    series (the classical-decomposition half of STL — a fixed weekly
+    index instead of loess): seasonal index s_w = mean(x | weekday)/m
+    over the global mean m, deseasonalized d_t = x_t/s_w, and a linear
+    trend fit to (t, d_t) in the raw-sum OLS closed form (the
+    matrix_stats rule). One groupBy(day) corpus reduction; everything
+    after runs on the ≤|days| relation with broadcast 1-row aggregates.
+    (weekday, n_days, sindex, slope, intercept) — trend columns repeat
+    per row (single-relation output); ordered by weekday."""
+    x = (events.select(F.expr(f"unix_micros(cast(ts as timestamp)) "
+                              f"DIV {_DAY_US}").alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    m = x.agg((F.sum("x") / F.count(F.lit(1))).alias("m"))
+    xw = (x.crossJoin(F.broadcast(m))
+          .withColumn("w", F.pmod(F.col("day"), F.lit(7)).cast("int")))
+    sidx = (xw.groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 ((F.sum("x") / F.count(F.lit(1))) / F.first("m"))
+                 .alias("sindex")))
+    des = (xw.join(sidx.select("w", "sindex"), "w")
+           .select(F.col("day").cast("double").alias("t"),
+                   (F.col("x") / F.col("sindex")).alias("d")))
+    ols = des.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("t").alias("st"),
+        F.sum("d").alias("sd"), F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("d")).alias("std"))
+    trend = ols.select(
+        ((F.col("n") * F.col("std") - F.col("st") * F.col("sd"))
+         / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")))
+        .alias("slope_raw"),
+        F.col("n"), F.col("st"), F.col("sd"))
+    trend = trend.select(
+        F.round(F.col("slope_raw"), 6).alias("slope"),
+        F.round((F.col("sd") - F.col("slope_raw") * F.col("st"))
+                / F.col("n"), 6).alias("intercept"))
+    return (sidx.crossJoin(F.broadcast(trend))
+            .select("w", "n_days", F.round(F.col("sindex"), 6)
+                    .alias("sindex"), "slope", "intercept")
+            .withColumnRenamed("w", "weekday")
+            .orderBy("weekday"))
