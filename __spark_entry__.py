@@ -3544,6 +3544,42 @@ def _q_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_points(spark.read.parquet(f"{sf_dir}/events.parquet")))
 
 
+def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily event counts: exact integer S,
+    tie-corrected variance, continuity-corrected z, Kendall tau-a."""
+    from fafnir_spark.pipeline import mann_kendall
+
+    return mann_kendall(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event_type distribution across
+    the midpoint time split, add-one smoothed."""
+    from fafnir_spark.pipeline import psi_drift
+
+    return psi_drift(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini + Lorenz deciles of per-customer revenue in exact integer
+    cents; closed-form Gini from the ranked sum."""
+    from fafnir_spark.pipeline import gini_concentration
+
+    return gini_concentration(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
+def _q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the nation partition over the bipartite
+    customer-supplier order graph — exact-integer L_c/D_c/m."""
+    from fafnir_spark.pipeline import graph_modularity
+
+    return graph_modularity(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"))
+
+
 def _q_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DAU/WAU: union-closed distinct (day, user) state —
     replay-idempotent by construction; shared tail, same oracle as batch."""
@@ -5482,6 +5518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psm_att": _q_psm_att,
         "seasonal_decompose": _q_seasonal_decompose,
         "grid_density_clusters": _q_grid_density_clusters,
+        "mann_kendall": _q_mann_kendall,
+        "psi_drift": _q_psi_drift,
+        "gini_concentration": _q_gini_concentration,
+        "graph_modularity": _q_graph_modularity,
         "cuped_ab_test": _q_cuped_ab_test,
         "autocorrelation": _q_autocorrelation,
         "attribution": _q_attribution,
@@ -5979,6 +6019,10 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "psm_att": oracles_pipeline.psm_att_sql(),
         "seasonal_decompose": oracles_pipeline.seasonal_decompose_sql(),
         "grid_density_clusters": oracles_pipeline.grid_density_clusters_sql(),
+        "mann_kendall": oracles_pipeline.mann_kendall_sql(),
+        "psi_drift": oracles_pipeline.psi_drift_sql(),
+        "gini_concentration": oracles_pipeline.gini_concentration_sql(),
+        "graph_modularity": oracles_pipeline.graph_modularity_sql(),
         "cuped_ab_test": oracles_pipeline.cuped_ab_test_sql(),
         "autocorrelation": oracles_pipeline.autocorrelation_sql(),
         "attribution": oracles_pipeline.attribution_sql(),

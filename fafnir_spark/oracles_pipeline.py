@@ -3077,3 +3077,133 @@ SELECT lab AS cluster, CAST(count(*) AS BIGINT) AS n_cells,
        CAST(sum(d.n) AS BIGINT) AS n_points
 FROM d JOIN ml ON ml.node = d.k GROUP BY lab ORDER BY cluster
 """
+
+
+def mann_kendall_sql() -> str:
+    """Mirror of pipeline.mann_kendall: same integer S / tie-corrected
+    variance operand order, same continuity-corrected z."""
+    day = 86_400_000_000
+    return f"""
+WITH x AS (SELECT epoch_us(ts) // {day} AS d,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+        AS s_stat
+      FROM x a JOIN x b ON a.d < b.d),
+ties AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+         FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM x GROUP BY x)),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+v AS (SELECT s_stat, n,
+             CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / 18.0
+               AS var_s
+      FROM s CROSS JOIN ties CROSS JOIN nd)
+SELECT n AS n_days, s_stat, round(var_s, 6) AS var_s,
+       round(CASE WHEN s_stat > 0
+                  THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+                  WHEN s_stat < 0
+                  THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z,
+       round(CAST(2 * s_stat AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6)
+         AS tau
+FROM v
+"""
+
+
+def psi_drift_sql() -> str:
+    """Mirror of pipeline.psi_drift: same midpoint split, same add-one
+    smoothing, same (p−q)·ln(p/q) operand order, Σ of ROUNDED
+    contributions."""
+    return """
+WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+b AS (SELECT (min(us) + max(us)) // 2 AS split FROM e),
+per AS (SELECT event_type,
+          CAST(sum(CASE WHEN us < split THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pre,
+          CAST(sum(CASE WHEN us >= split THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_post
+        FROM e CROSS JOIN b GROUP BY event_type),
+tot AS (SELECT CAST(sum(n_pre) AS BIGINT) AS tp,
+               CAST(sum(n_post) AS BIGINT) AS tq,
+               CAST(count(*) AS BIGINT) AS k
+        FROM per),
+rows_ AS (SELECT event_type, n_pre, n_post,
+                 CAST(n_pre + 1 AS DOUBLE) / CAST(tp + k AS DOUBLE)
+                   AS p_pre,
+                 CAST(n_post + 1 AS DOUBLE) / CAST(tq + k AS DOUBLE)
+                   AS p_post
+          FROM per CROSS JOIN tot),
+rc AS (SELECT *, round((p_pre - p_post) * ln(p_pre / p_post), 6)
+         AS contrib FROM rows_),
+psi AS (SELECT round(sum(contrib), 6) AS psi FROM rc)
+SELECT event_type, n_pre, n_post, round(p_pre, 6) AS p_pre,
+       round(p_post, 6) AS p_post, contrib, psi
+FROM rc CROSS JOIN psi ORDER BY event_type
+"""
+
+
+def gini_concentration_sql() -> str:
+    """Mirror of pipeline.gini_concentration: same integer-cents space,
+    same (cents, custkey) rank order, same closed-form Gini and
+    ceil-decile arithmetic."""
+    return """
+WITH rev AS (SELECT o_custkey,
+                    CAST(round(sum(o_totalprice) * 100.0, 0) AS BIGINT)
+                      AS cents
+             FROM orders GROUP BY o_custkey),
+rk AS (SELECT cents, CAST(row_number() OVER
+         (ORDER BY cents, o_custkey) AS BIGINT) AS r FROM rev),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(r * cents) AS BIGINT) AS s1
+        FROM rk),
+g AS (SELECT n, s,
+             round(CAST(2 * s1 - (n + 1) * s AS DOUBLE)
+                   / CAST(n * s AS DOUBLE), 6) AS gini
+      FROM tot),
+dec AS (SELECT CAST((10 * r + n - 1) // n AS INTEGER) AS decile,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(cents) AS BIGINT) AS dsum
+        FROM rk CROSS JOIN g GROUP BY 1),
+cum AS (SELECT decile, n_cust,
+               CAST(sum(dsum) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM dec)
+SELECT decile, n_cust,
+       round(CAST(cum AS DOUBLE) / CAST(g.s AS DOUBLE), 6) AS cum_share,
+       g.gini
+FROM cum CROSS JOIN g ORDER BY decile
+"""
+
+
+def graph_modularity_sql() -> str:
+    """Mirror of pipeline.graph_modularity: same exact-integer L_c/D_c/m
+    and the identical q_contrib operand order."""
+    return """
+WITH edges AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+lab AS (SELECT e.ck, e.sk, c.c_nationkey AS cn, s.s_nationkey AS sn
+        FROM edges e
+        JOIN customer c ON c.c_custkey = e.ck
+        JOIN supplier s ON s.s_suppkey = e.sk),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+intra AS (SELECT cn AS community, CAST(count(*) AS BIGINT) AS l_c
+          FROM lab WHERE cn = sn GROUP BY cn),
+deg AS (SELECT community, CAST(count(*) AS BIGINT) AS d_c
+        FROM (SELECT cn AS community FROM lab
+              UNION ALL SELECT sn FROM lab)
+        GROUP BY community),
+rows0 AS (SELECT deg.community,
+                 CAST(coalesce(intra.l_c, 0) AS BIGINT) AS l_c, deg.d_c
+          FROM deg LEFT JOIN intra USING (community)),
+rows_ AS (SELECT community, l_c, d_c,
+                 round(CAST(l_c AS DOUBLE) / CAST(m.m AS DOUBLE)
+                       - (CAST(d_c AS DOUBLE) / CAST(2 * m.m AS DOUBLE))
+                       * (CAST(d_c AS DOUBLE) / CAST(2 * m.m AS DOUBLE)),
+                       6) AS q_contrib
+          FROM rows0 CROSS JOIN m),
+q AS (SELECT round(sum(q_contrib), 6) AS modularity FROM rows_)
+SELECT community, l_c, d_c, q_contrib, modularity
+FROM rows_ CROSS JOIN q ORDER BY community
+"""

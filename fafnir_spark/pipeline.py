@@ -4032,3 +4032,196 @@ def seasonal_decompose(events: DataFrame) -> DataFrame:
                     .alias("sindex"), "slope", "intercept")
             .withColumnRenamed("w", "weekday")
             .orderBy("weekday"))
+
+
+def mann_kendall(events: DataFrame) -> DataFrame:
+    """Mann-Kendall trend test (Mann'45/Kendall'75 — the nonparametric
+    significance sibling of theil_sen_trend) over the daily event-count
+    series: S = Σ_{i<j} sign(x_j − x_i) (EXACT integer — counts are
+    BIGINT), tie-corrected variance
+
+        var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+
+    with every product in exact integer space and ONE double division,
+    and the continuity-corrected z = (S∓1)/√var(S) (0 when S == 0).
+    √ is the correctly-rounded IEEE op, so z agrees bit-for-bit
+    cross-engine before the round-6. Kendall tau-a = 2S/(n(n−1)).
+
+    Scale shape: the corpus collapses in one map-side-combined
+    groupBy(day); the sign pair join and the tie groupBy run over the
+    ≤|days| bucket relation only (the theil_sen rule). One row out:
+    (n_days, s_stat, var_s, z, tau)."""
+    x = (events.select(F.expr(f"unix_micros(cast(ts as timestamp)) "
+                              f"DIV {_DAY_US}").alias("d"))
+         .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    a = x.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = x.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    s = (a.join(b, F.col("da") < F.col("db"))
+         .agg(F.sum(F.when(F.col("xb") > F.col("xa"), 1)
+                    .when(F.col("xb") < F.col("xa"), -1)
+                    .otherwise(0)).cast("long").alias("s_stat")))
+    ties = (x.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).cast("long").alias("tsum")))
+    nd = x.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    var_s = ((F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+              - F.col("tsum")).cast("double") / F.lit(18.0))
+    z = (F.when(F.col("s_stat") > 0,
+                (F.col("s_stat") - 1).cast("double") / F.sqrt(F.col("var_s")))
+         .when(F.col("s_stat") < 0,
+               (F.col("s_stat") + 1).cast("double") / F.sqrt(F.col("var_s")))
+         .otherwise(F.lit(0.0)))
+    tau = (2 * F.col("s_stat")).cast("double") \
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    return (s.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(nd))
+            .withColumn("var_s", var_s)
+            .select(F.col("n").alias("n_days"), "s_stat",
+                    F.round(F.col("var_s"), 6).alias("var_s_r"),
+                    F.round(z, 6).alias("z"), F.round(tau, 6).alias("tau"))
+            .withColumnRenamed("var_s_r", "var_s"))
+
+
+def psi_drift(events: DataFrame) -> DataFrame:
+    """Population Stability Index (the model-monitoring drift staple)
+    of the event_type distribution between the two halves of the time
+    range (integer-µs midpoint split — the psm_att/cuped idiom):
+    add-one-smoothed shares p = (pre+1)/(n_pre+k), q = (post+1)/
+    (n_post+k) with k = |categories| so zero-count classes stay finite,
+    contribution (p−q)·ln(p/q) rounded 6, PSI = Σ contributions (the
+    calibration_ece summation rule).
+
+    Scale shape: ONE conditional-aggregate groupBy(event_type) pass over
+    the corpus + broadcast 1-row bounds/totals; everything after runs on
+    the ≤|categories| relation. (event_type, n_pre, n_post, p_pre,
+    p_post, contrib, psi) ordered by event_type, psi repeated per row
+    (single-relation output)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = events.select("event_type", us.alias("us"))
+    bounds = (e.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+              .select(F.expr("(mn + mx) DIV 2").alias("split")))
+    per = (e.crossJoin(F.broadcast(bounds))
+           .groupBy("event_type")
+           .agg(F.sum(F.when(F.col("us") < F.col("split"), 1)
+                      .otherwise(0)).cast("long").alias("n_pre"),
+                F.sum(F.when(F.col("us") >= F.col("split"), 1)
+                      .otherwise(0)).cast("long").alias("n_post")))
+    tot = per.agg(F.sum("n_pre").cast("long").alias("tp"),
+                  F.sum("n_post").cast("long").alias("tq"),
+                  F.count(F.lit(1)).cast("long").alias("k"))
+    rows = (per.crossJoin(F.broadcast(tot))
+            .withColumn("p_pre", (F.col("n_pre") + 1).cast("double")
+                        / (F.col("tp") + F.col("k")).cast("double"))
+            .withColumn("p_post", (F.col("n_post") + 1).cast("double")
+                        / (F.col("tq") + F.col("k")).cast("double"))
+            .withColumn("contrib", F.round(
+                (F.col("p_pre") - F.col("p_post"))
+                * F.log(F.col("p_pre") / F.col("p_post")), 6)))
+    psi = rows.agg(F.round(F.sum("contrib"), 6).alias("psi"))
+    return (rows.crossJoin(F.broadcast(psi))
+            .select("event_type", "n_pre", "n_post",
+                    F.round(F.col("p_pre"), 6).alias("p_pre"),
+                    F.round(F.col("p_post"), 6).alias("p_post"),
+                    "contrib", "psi")
+            .orderBy("event_type"))
+
+
+def gini_concentration(orders: DataFrame) -> DataFrame:
+    """Revenue concentration audit: Gini coefficient + Lorenz deciles of
+    per-customer revenue. Revenue enters EXACT integer cents
+    (round(sum·100, 0) — per-customer sums are small groups, so the
+    round-2 is stable; every aggregate after is BIGINT), rank r =
+    row_number over (cents, custkey) — a global window, but over the
+    GROUPED per-customer relation (the rfm_segments precedent; a global
+    sort is inherent to Lorenz), then the closed form
+
+        G = (2·Σ r·x_r − (n+1)·Σx) / (n·Σx)
+
+    in exact integer space with ONE double division. Lorenz: decile =
+    ceil(10r/n) by integer arithmetic; cumulative share via a running
+    sum over the 10-row decile relation. (decile, n_cust, cum_share,
+    gini) ordered by decile, gini repeated per row."""
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.round(F.sum("o_totalprice") * 100.0, 0)
+                .cast("long").alias("cents")))
+    ranked = rev.withColumn(
+        "r", F.row_number().over(Window.orderBy("cents", "o_custkey"))
+        .cast("long"))
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.sum("cents").cast("long").alias("s"),
+                     F.sum(F.col("r") * F.col("cents")).cast("long")
+                     .alias("s1"))
+    gini = tot.select(
+        "n", "s",
+        F.round((2 * F.col("s1") - (F.col("n") + 1) * F.col("s"))
+                .cast("double")
+                / (F.col("n") * F.col("s")).cast("double"), 6)
+        .alias("gini"))
+    dec = (ranked.crossJoin(F.broadcast(tot.select("n")))
+           .withColumn("decile",
+                       F.expr("(10 * r + n - 1) DIV n").cast("int"))
+           .groupBy("decile")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_cust"),
+                F.sum("cents").cast("long").alias("dsum")))
+    w = (Window.orderBy("decile")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (dec.withColumn("cum", F.sum("dsum").over(w))
+            .crossJoin(F.broadcast(gini.select("s", "gini")))
+            .select("decile", "n_cust",
+                    F.round(F.col("cum").cast("double")
+                            / F.col("s").cast("double"), 6)
+                    .alias("cum_share"), "gini")
+            .orderBy("decile"))
+
+
+def graph_modularity(orders: DataFrame, lineitem: DataFrame,
+                     customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Newman modularity Q of the NATION partition over the bipartite
+    customer↔supplier order graph (the quality score for the
+    label_propagation / dedup_clusters community family):
+
+        Q = Σ_c [ L_c/m − (D_c/(2m))² ]
+
+    with L_c = intra-community edges, D_c = Σ node degrees in c, m =
+    |edges| — ALL exact integers until the two divisions. Communities
+    come from c_nationkey/s_nationkey (a fixed vertex partition, so the
+    score is fully relational — no iterative labels).
+
+    Scale shape: one distinct over the order join for edges; dims enter
+    by broadcast; every aggregate is bounded by |nations|. (community,
+    l_c, d_c, q_contrib, modularity) ordered by community, total
+    repeated per row."""
+    edges = (orders.join(lineitem,
+                         orders["o_orderkey"] == lineitem["l_orderkey"])
+             .select(F.col("o_custkey").alias("ck"),
+                     F.col("l_suppkey").alias("sk"))
+             .distinct())
+    lab = (edges
+           .join(F.broadcast(customer.select(
+               F.col("c_custkey").alias("ck"),
+               F.col("c_nationkey").alias("cn"))), "ck")
+           .join(F.broadcast(supplier.select(
+               F.col("s_suppkey").alias("sk"),
+               F.col("s_nationkey").alias("sn"))), "sk"))
+    m = lab.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    intra = (lab.filter(F.col("cn") == F.col("sn"))
+             .groupBy(F.col("cn").alias("community"))
+             .agg(F.count(F.lit(1)).cast("long").alias("l_c")))
+    deg = (lab.select(F.col("cn").alias("community"))
+           .unionByName(lab.select(F.col("sn").alias("community")))
+           .groupBy("community")
+           .agg(F.count(F.lit(1)).cast("long").alias("d_c")))
+    rows = (deg.join(intra, "community", "left")
+            .select("community",
+                    F.coalesce(F.col("l_c"), F.lit(0)).cast("long")
+                    .alias("l_c"), "d_c")
+            .crossJoin(F.broadcast(m))
+            .withColumn("q_contrib", F.round(
+                F.col("l_c").cast("double") / F.col("m").cast("double")
+                - (F.col("d_c").cast("double")
+                   / (2 * F.col("m")).cast("double"))
+                * (F.col("d_c").cast("double")
+                   / (2 * F.col("m")).cast("double")), 6)))
+    q = rows.agg(F.round(F.sum("q_contrib"), 6).alias("modularity"))
+    return (rows.crossJoin(F.broadcast(q))
+            .select("community", "l_c", "d_c", "q_contrib", "modularity")
+            .orderBy("community"))
