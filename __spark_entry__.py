@@ -3580,6 +3580,32 @@ def _q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/supplier.parquet"))
 
 
+def _q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM control chart over daily counts — sequential IEEE
+    fold, recursive-CTE oracle."""
+    from fafnir_spark.pipeline import cusum_changepoints
+
+    return cusum_changepoints(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast over rare high-value event
+    days — dyadic-alpha twin EWMAs on (demand, gap)."""
+    from fafnir_spark.pipeline import croston_forecast
+
+    return croston_forecast(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: capped baskets, cosine
+    co-purchase sim, two-level top-k for the most-purchased seed parts."""
+    from fafnir_spark.pipeline import item_cf_topk
+
+    return item_cf_topk(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 def _q_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DAU/WAU: union-closed distinct (day, user) state —
     replay-idempotent by construction; shared tail, same oracle as batch."""
@@ -5522,6 +5548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "gini_concentration": _q_gini_concentration,
         "graph_modularity": _q_graph_modularity,
+        "cusum_changepoints": _q_cusum_changepoints,
+        "croston_forecast": _q_croston_forecast,
+        "item_cf_topk": _q_item_cf_topk,
         "cuped_ab_test": _q_cuped_ab_test,
         "autocorrelation": _q_autocorrelation,
         "attribution": _q_attribution,
@@ -6023,6 +6052,9 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "psi_drift": oracles_pipeline.psi_drift_sql(),
         "gini_concentration": oracles_pipeline.gini_concentration_sql(),
         "graph_modularity": oracles_pipeline.graph_modularity_sql(),
+        "cusum_changepoints": oracles_pipeline.cusum_changepoints_sql(),
+        "croston_forecast": oracles_pipeline.croston_forecast_sql(),
+        "item_cf_topk": oracles_pipeline.item_cf_topk_sql(),
         "cuped_ab_test": oracles_pipeline.cuped_ab_test_sql(),
         "autocorrelation": oracles_pipeline.autocorrelation_sql(),
         "attribution": oracles_pipeline.attribution_sql(),

@@ -3207,3 +3207,103 @@ q AS (SELECT round(sum(q_contrib), 6) AS modularity FROM rows_)
 SELECT community, l_c, d_c, q_contrib, modularity
 FROM rows_ CROSS JOIN q ORDER BY community
 """
+
+
+def cusum_changepoints_sql() -> str:
+    """Mirror of pipeline.cusum_changepoints: same exact-integer
+    moments, identical recurrence operand order as a recursive CTE
+    (the holt_linear pattern)."""
+    day = 86_400_000_000
+    return f"""
+WITH RECURSIVE x AS (
+  SELECT epoch_us(ts) // {day} AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+              CAST(sum(x * x) AS BIGINT) AS sxx FROM x),
+consts AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                  sqrt(CAST(n * sxx - s * s AS DOUBLE)
+                       / CAST(n * (n - 1) AS DOUBLE)) / 2.0 AS k
+           FROM st),
+nb AS (SELECT d, x, mu, k, row_number() OVER (ORDER BY d) AS rn
+       FROM x CROSS JOIN consts),
+f AS (
+  SELECT rn, d, x, mu, k,
+         greatest(CAST(0 AS DOUBLE), (x - mu - k)) AS sp,
+         greatest(CAST(0 AS DOUBLE), (mu - x - k)) AS sn
+  FROM nb WHERE rn = 1
+  UNION ALL
+  SELECT n.rn, n.d, n.x, n.mu, n.k,
+         greatest(CAST(0 AS DOUBLE), f.sp + (n.x - n.mu - n.k)),
+         greatest(CAST(0 AS DOUBLE), f.sn + (n.mu - n.x - n.k))
+  FROM f JOIN nb n ON n.rn = f.rn + 1
+)
+SELECT d AS day, x, round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg,
+       CAST(CASE WHEN sp > k * 8.0 OR sn > k * 8.0 THEN 1 ELSE 0 END
+            AS INTEGER) AS alarm
+FROM f ORDER BY day
+"""
+
+
+def croston_forecast_sql(threshold: float = 250.0) -> str:
+    """Mirror of pipeline.croston_forecast: same nonzero-day demand/gap
+    derivation and the identical dyadic-α recurrence as a recursive
+    CTE."""
+    day = 86_400_000_000
+    return f"""
+WITH RECURSIVE nz AS (
+  SELECT epoch_us(ts) // {day} AS d, CAST(count(*) AS BIGINT) AS dem
+  FROM events WHERE value > {float(threshold)!r} GROUP BY 1
+),
+g AS (SELECT d, dem,
+             CAST(coalesce(d - lag(d) OVER (ORDER BY d), 1) AS BIGINT)
+               AS gap,
+             row_number() OVER (ORDER BY d) AS rn
+      FROM nz),
+f AS (
+  SELECT rn, d, dem, gap, CAST(dem AS DOUBLE) AS z,
+         CAST(gap AS DOUBLE) AS p
+  FROM g WHERE rn = 1
+  UNION ALL
+  SELECT n.rn, n.d, n.dem, n.gap,
+         f.z + 0.5 * (n.dem - f.z), f.p + 0.5 * (n.gap - f.p)
+  FROM f JOIN g n ON n.rn = f.rn + 1
+)
+SELECT d AS day, dem AS demand, gap, round(z, 6) AS z, round(p, 6) AS p,
+       round(z / p, 6) AS forecast
+FROM f ORDER BY day
+"""
+
+
+def item_cf_topk_sql(k: int = 5, n_seeds: int = 5,
+                     max_basket: int = 256) -> str:
+    """Mirror of pipeline.item_cf_topk: same basket cap, same cosine
+    operand order, same (rounded sim desc, other asc) rank order."""
+    return f"""
+WITH basket0 AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+basket AS (SELECT ck, pk FROM (
+             SELECT ck, pk, row_number() OVER
+               (PARTITION BY ck ORDER BY pk) AS rn FROM basket0)
+           WHERE rn <= {int(max_basket)}),
+iu AS (SELECT pk, CAST(count(*) AS BIGINT) AS nu FROM basket GROUP BY pk),
+co AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS co
+       FROM basket a JOIN basket b ON a.ck = b.ck AND a.pk < b.pk
+       GROUP BY 1, 2),
+seeds AS (SELECT pk AS item FROM iu
+          ORDER BY nu DESC, pk ASC LIMIT {int(n_seeds)}),
+pairs AS (SELECT pa AS item, pb AS other, co FROM co
+          UNION ALL SELECT pb, pa, co FROM co),
+scored AS (SELECT p.item, p.other,
+                  round(CAST(p.co AS DOUBLE)
+                        / sqrt(CAST(i.nu * o.nu AS DOUBLE)), 6) AS sim
+           FROM pairs p
+           JOIN seeds s ON s.item = p.item
+           JOIN iu i ON i.pk = p.item
+           JOIN iu o ON o.pk = p.other),
+rk AS (SELECT item, other, sim, CAST(row_number() OVER
+         (PARTITION BY item ORDER BY sim DESC, other ASC) AS INTEGER)
+         AS rank FROM scored)
+SELECT item, rank, other, sim FROM rk WHERE rank <= {int(k)}
+ORDER BY item, rank
+"""

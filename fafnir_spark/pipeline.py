@@ -4225,3 +4225,156 @@ def graph_modularity(orders: DataFrame, lineitem: DataFrame,
     return (rows.crossJoin(F.broadcast(q))
             .select("community", "l_c", "d_c", "q_contrib", "modularity")
             .orderBy("community"))
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """Tabular CUSUM control chart (Page'54 — the sequential sibling of
+    change_point's offline max-mean-shift split) over daily event
+    counts: with μ = Σx/n and allowance k = σ/2 (raw-sum closed-form σ,
+    correctly-rounded IEEE sqrt — both exact cross-engine given exact
+    integer Σx/Σx²),
+
+        s⁺_t = max(0, s⁺_{t-1} + (x_t − μ − k))
+        s⁻_t = max(0, s⁻_{t-1} + (μ − x_t − k))
+
+    alarm when either side exceeds h = 4σ. The fold is a sequential
+    chain of IEEE adds in a FIXED order, so it agrees bit-for-bit
+    cross-engine before the round-6 (the holt_linear rule); DuckDB runs
+    the identical recurrence as a recursive CTE.
+
+    Scale shape: one map-side-combined groupBy(day); the prefix fold
+    runs over the ≤|days| bucket relation only. (day, x, cusum_pos,
+    cusum_neg, alarm) ordered by day, alarm a 0/1 INTEGER (the
+    profile_table type rule)."""
+    x = (events.select(F.expr(f"unix_micros(cast(ts as timestamp)) "
+                              f"DIV {_DAY_US}").alias("d"))
+         .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    st = x.agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum("x").cast("long").alias("s"),
+               F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
+    consts = st.select(
+        (F.col("s").cast("double") / F.col("n").cast("double"))
+        .alias("__mu"),
+        (F.sqrt((F.col("n") * F.col("sxx") - F.col("s") * F.col("s"))
+                .cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")) / 2.0)
+        .alias("__k"))
+    w = (Window.orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fold = F.expr(
+        "aggregate(__vals, named_struct('sp', CAST(0 AS DOUBLE), "
+        "'sn', CAST(0 AS DOUBLE)), (a, x) -> named_struct("
+        "'sp', greatest(CAST(0 AS DOUBLE), a.sp + (x - __mu - __k)), "
+        "'sn', greatest(CAST(0 AS DOUBLE), a.sn + (__mu - x - __k))))"
+    )
+    return (x.crossJoin(F.broadcast(consts))
+            .withColumn("__vals", F.collect_list("x").over(w))
+            .withColumn("__st", fold)
+            .select(F.col("d").alias("day"), "x",
+                    F.round(F.col("__st.sp"), 6).alias("cusum_pos"),
+                    F.round(F.col("__st.sn"), 6).alias("cusum_neg"),
+                    F.when((F.col("__st.sp") > F.col("__k") * 8.0)
+                           | (F.col("__st.sn") > F.col("__k") * 8.0), 1)
+                    .otherwise(0).cast("int").alias("alarm"))
+            .orderBy("day"))
+
+
+def croston_forecast(events: DataFrame, threshold: float = 250.0) -> DataFrame:
+    """Croston's method (Croston'72 — THE intermittent-demand
+    forecaster) over the daily count of rare high-value events
+    (value > ``threshold`` makes the series intermittent on the
+    fixture): on each nonzero-demand day, demand EWMA z and
+    inter-arrival EWMA p update with dyadic α = 0.5
+
+        z_t = z_{t-1} + α·(d_t − z_{t-1})
+        p_t = p_{t-1} + α·(g_t − p_{t-1})
+
+    seeded z₁ = d₁, p₁ = g₁ (first gap = 1 by convention); forecast =
+    z/p. Demands and gaps are exact integers and α is dyadic, so the
+    fold is exact cross-engine (the moving_ewma rule); the oracle is
+    the identical recursive CTE recurrence.
+
+    Scale shape: one filtered map-side-combined groupBy(day); the lag
+    and fold run over the nonzero-day relation only. (day, demand, gap,
+    z, p, forecast) ordered by day."""
+    nz = (events.filter(F.col("value") > F.lit(float(threshold)))
+          .select(F.expr(f"unix_micros(cast(ts as timestamp)) "
+                         f"DIV {_DAY_US}").alias("d"))
+          .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dem")))
+    ow = Window.orderBy("d")
+    rows = nz.withColumn(
+        "gap", F.coalesce(F.col("d") - F.lag("d").over(ow), F.lit(1))
+        .cast("long"))
+    w = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fold = F.expr(
+        "aggregate(slice(__vals, 2, size(__vals)), "
+        "named_struct('z', CAST(element_at(__vals, 1).dem AS DOUBLE), "
+        "'p', CAST(element_at(__vals, 1).gap AS DOUBLE)), "
+        "(a, x) -> named_struct("
+        "'z', a.z + 0.5D * (x.dem - a.z), "
+        "'p', a.p + 0.5D * (x.gap - a.p)))"
+    )
+    return (rows
+            .withColumn("__vals",
+                        F.collect_list(F.struct("dem", "gap")).over(w))
+            .withColumn("__st", fold)
+            .select(F.col("d").alias("day"), F.col("dem").alias("demand"),
+                    "gap",
+                    F.round(F.col("__st.z"), 6).alias("z"),
+                    F.round(F.col("__st.p"), 6).alias("p"),
+                    F.round(F.col("__st.z") / F.col("__st.p"), 6)
+                    .alias("forecast"))
+            .orderBy("day"))
+
+
+def item_cf_topk(orders: DataFrame, lineitem: DataFrame, k: int = 5,
+                 n_seeds: int = 5, max_basket: int = 256) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar WWW'01 — the classic
+    co-purchase recommender): implicit 0/1 baskets (distinct customer×
+    part), cosine sim(i,j) = |U_i∩U_j| / √(|U_i|·|U_j|), top-k
+    neighbors for the ``n_seeds`` most-purchased parts (ties partkey
+    asc — a deterministic seed set, no literals).
+
+    Scale shape: baskets are CAPPED at ``max_basket`` items per
+    customer (partkey-asc rank — the heavy-user fan-out guard standard
+    in production CF; a no-op on this fixture but the 100 TB envelope);
+    the co-occurrence self-join is keyed on customer and bounded by
+    Σ basket², counts collapse map-side; the neighbor finish is the
+    two-level `topk.topk_per_group` — never an unbounded global window.
+    Sims are ROUNDED 6 before ranking (rank-identity contract).
+    (item, rank, other, sim) ordered (item, rank)."""
+    from .topk import topk_per_group
+    basket = (orders.join(lineitem,
+                          orders["o_orderkey"] == lineitem["l_orderkey"])
+              .select(F.col("o_custkey").alias("ck"),
+                      F.col("l_partkey").alias("pk"))
+              .distinct())
+    bw = Window.partitionBy("ck").orderBy("pk")
+    basket = (basket.withColumn("rn", F.row_number().over(bw))
+              .filter(F.col("rn") <= max_basket).drop("rn"))
+    iu = basket.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    a = basket.select("ck", F.col("pk").alias("pa"))
+    b = basket.select("ck", F.col("pk").alias("pb"))
+    co = (a.join(b, "ck")
+          .filter(F.col("pa") < F.col("pb"))
+          .groupBy("pa", "pb")
+          .agg(F.count(F.lit(1)).cast("long").alias("co")))
+    seeds = (iu.orderBy(F.col("nu").desc(), F.col("pk").asc())
+             .limit(n_seeds).select(F.col("pk").alias("item")))
+    pairs = (co.select(F.col("pa").alias("item"), F.col("pb").alias("other"),
+                       "co")
+             .unionByName(co.select(F.col("pb").alias("item"),
+                                    F.col("pa").alias("other"), "co")))
+    scored = (pairs.join(F.broadcast(seeds), "item")
+              .join(iu.select(F.col("pk").alias("item"),
+                              F.col("nu").alias("ni")), "item")
+              .join(iu.select(F.col("pk").alias("other"),
+                              F.col("nu").alias("no")), "other")
+              .select("item", "other",
+                      F.round(F.col("co").cast("double")
+                              / F.sqrt((F.col("ni") * F.col("no"))
+                                       .cast("double")), 6).alias("sim")))
+    return (topk_per_group(scored, k, group_col="item", id_col="other",
+                           val_col="sim")
+            .select("item", "rank", "other", "sim")
+            .orderBy("item", "rank"))
