@@ -3606,6 +3606,38 @@ def _q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
 
+def _q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sub-corpora's unigram term
+    distributions — add-one smoothed over the union vocab."""
+    from fafnir_spark.curation import js_divergence
+
+    return js_divergence(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by relational power iteration over the
+    round-6 covariance relation; unrolled MATERIALIZED-CTE oracle."""
+    from fafnir_spark.simsearch import pca_power_iteration
+
+    return pca_power_iteration(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV bottom-k cardinality: per-batch bottom-k sketches
+    appended to parquet state; bottom-k is a lattice op so the folded
+    state == the batch sketch exactly — batch SQL (sans exact audit
+    column) is the oracle."""
+    from fafnir_spark.streaming import stream_kmv_cardinality
+
+    base = tempfile.mkdtemp(prefix="fafnir_skmv_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_kmv_cardinality(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state")
+    )
+
+
 def _q_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DAU/WAU: union-closed distinct (day, user) state —
     replay-idempotent by construction; shared tail, same oracle as batch."""
@@ -5551,6 +5583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": _q_cusum_changepoints,
         "croston_forecast": _q_croston_forecast,
         "item_cf_topk": _q_item_cf_topk,
+        "js_divergence": _q_js_divergence,
+        "pca_power_iteration": _q_pca_power_iteration,
+        "stream_kmv_cardinality": _q_stream_kmv,
         "cuped_ab_test": _q_cuped_ab_test,
         "autocorrelation": _q_autocorrelation,
         "attribution": _q_attribution,
@@ -6055,6 +6090,10 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "cusum_changepoints": oracles_pipeline.cusum_changepoints_sql(),
         "croston_forecast": oracles_pipeline.croston_forecast_sql(),
         "item_cf_topk": oracles_pipeline.item_cf_topk_sql(),
+        "js_divergence": oracles_curation.js_divergence_sql(),
+        "pca_power_iteration": oracles_ops.pca_power_iteration_sql(),
+        "stream_kmv_cardinality": oracles_pipeline.kmv_distinct_sql(
+            k=64, with_exact=False),
         "cuped_ab_test": oracles_pipeline.cuped_ab_test_sql(),
         "autocorrelation": oracles_pipeline.autocorrelation_sql(),
         "attribution": oracles_pipeline.attribution_sql(),

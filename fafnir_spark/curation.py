@@ -1812,3 +1812,54 @@ def naive_bayes_lang(docs: DataFrame) -> DataFrame:
     return (pred.groupBy("lang", "predicted")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
             .orderBy("lang", "predicted"))
+
+
+def js_divergence(docs: DataFrame, source_a: str = "src0",
+                  source_b: str = "src1") -> DataFrame:
+    """Jensen-Shannon divergence between the unigram term distributions
+    of two sub-corpora (the symmetric, bounded corpus-drift audit —
+    the data-mixing sibling of psi_drift; 0 ≤ JS ≤ ln 2): add-one
+    smoothing over the UNION vocabulary V so absent terms stay finite,
+
+        p = (tf_a+1)/(tot_a+|V|),  q = (tf_b+1)/(tot_b+|V|)
+        m = 0.5·(p+q),  JS = Σ [0.5·p·ln(p/m) + 0.5·q·ln(q/m)]
+
+    with per-term contributions rounded 6 before the sum (the
+    calibration_ece rule). Counts are exact integers; divisions and ln
+    are the deterministic IEEE/libm ops both engines share.
+
+    Scale shape: ONE tokenize+groupBy(term) pass per side (map-side
+    combined), a vocab-bounded full-outer join, broadcast 1-row totals.
+    (term, tf_a, tf_b, contrib, js) ordered by term, js repeated."""
+    from .tokenizer import tokens_expr
+
+    def side(src: str, cname: str) -> DataFrame:
+        return (docs.filter(F.col("source") == src)
+                .select(F.explode(tokens_expr("text")).alias("term"))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).cast("long").alias(cname)))
+
+    ta = side(source_a, "tf_a")
+    tb = side(source_b, "tf_b")
+    grid = (ta.join(tb, "term", "full_outer")
+            .select("term",
+                    F.coalesce(F.col("tf_a"), F.lit(0)).cast("long")
+                    .alias("tf_a"),
+                    F.coalesce(F.col("tf_b"), F.lit(0)).cast("long")
+                    .alias("tf_b")))
+    tot = grid.agg(F.sum("tf_a").cast("long").alias("ta"),
+                   F.sum("tf_b").cast("long").alias("tb"),
+                   F.count(F.lit(1)).cast("long").alias("v"))
+    rows = (grid.crossJoin(F.broadcast(tot))
+            .withColumn("p", (F.col("tf_a") + 1).cast("double")
+                        / (F.col("ta") + F.col("v")).cast("double"))
+            .withColumn("q", (F.col("tf_b") + 1).cast("double")
+                        / (F.col("tb") + F.col("v")).cast("double"))
+            .withColumn("m", 0.5 * (F.col("p") + F.col("q")))
+            .withColumn("contrib", F.round(
+                0.5 * F.col("p") * F.log(F.col("p") / F.col("m"))
+                + 0.5 * F.col("q") * F.log(F.col("q") / F.col("m")), 6)))
+    js = rows.agg(F.round(F.sum("contrib"), 6).alias("js"))
+    return (rows.crossJoin(F.broadcast(js))
+            .select("term", "tf_a", "tf_b", "contrib", "js")
+            .orderBy("term"))

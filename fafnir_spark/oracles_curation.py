@@ -1435,3 +1435,46 @@ pr AS (SELECT doc_id, lang, c AS predicted,
 SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
 FROM pr WHERE rn = 1 GROUP BY lang, predicted ORDER BY lang, predicted
 """
+
+
+def js_divergence_sql(source_a: str = "src0", source_b: str = "src1") -> str:
+    """Mirror of curation.js_divergence: same tokenization, same add-one
+    smoothing over the union vocab, identical contrib operand order."""
+    return f"""
+WITH ta AS (
+  SELECT tok AS term, CAST(count(*) AS BIGINT) AS tf_a
+  FROM documents, unnest(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS t(tok)
+  WHERE source = '{source_a}' GROUP BY 1
+),
+tb AS (
+  SELECT tok AS term, CAST(count(*) AS BIGINT) AS tf_b
+  FROM documents, unnest(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS t(tok)
+  WHERE source = '{source_b}' GROUP BY 1
+),
+grid AS (
+  SELECT coalesce(ta.term, tb.term) AS term,
+         CAST(coalesce(tf_a, 0) AS BIGINT) AS tf_a,
+         CAST(coalesce(tf_b, 0) AS BIGINT) AS tf_b
+  FROM ta FULL OUTER JOIN tb ON ta.term = tb.term
+),
+tot AS (SELECT CAST(sum(tf_a) AS BIGINT) AS sta,
+               CAST(sum(tf_b) AS BIGINT) AS stb,
+               CAST(count(*) AS BIGINT) AS v FROM grid),
+rows_ AS (
+  SELECT term, tf_a, tf_b,
+         CAST(tf_a + 1 AS DOUBLE) / CAST(sta + v AS DOUBLE) AS p,
+         CAST(tf_b + 1 AS DOUBLE) / CAST(stb + v AS DOUBLE) AS q
+  FROM grid CROSS JOIN tot
+),
+rc AS (
+  SELECT term, tf_a, tf_b,
+         round(0.5 * p * ln(p / (0.5 * (p + q)))
+               + 0.5 * q * ln(q / (0.5 * (p + q))), 6) AS contrib
+  FROM rows_
+),
+js AS (SELECT round(sum(contrib), 6) AS js FROM rc)
+SELECT term, tf_a, tf_b, contrib, js
+FROM rc CROSS JOIN js ORDER BY term
+"""

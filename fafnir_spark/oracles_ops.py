@@ -1725,3 +1725,50 @@ SELECT doc_id, rank, other_id, sim FROM (
   FROM sim
 ) WHERE rank <= {int(k)} ORDER BY doc_id, rank
 """
+
+
+def pca_power_iteration_sql(dims: int = 16, rounds: int = 8) -> str:
+    """Mirror of simsearch.pca_power_iteration: same round-6 covariance
+    relation, the SAME fixed iteration count unrolled as MATERIALIZED
+    CTEs (the label_propagation pattern — C is referenced every round),
+    same inf-norm pivot tie order, same Rayleigh operand order."""
+    parts = [f"""
+WITH ex AS (
+  SELECT vec_id AS id, CAST(i AS BIGINT) AS i,
+         CAST(embedding[i] AS DOUBLE) AS xi
+  FROM embeddings CROSS JOIN unnest(range(1, {dims + 1})) AS t(i)
+),
+mu AS (SELECT i, round(avg(xi), 6) AS mu FROM ex GROUP BY i),
+cen AS (SELECT ex.id, ex.i, ex.xi - mu.mu AS d
+        FROM ex JOIN mu ON mu.i = ex.i),
+nn AS (SELECT count(*) AS n FROM embeddings),
+cmat AS MATERIALIZED (
+  SELECT a.i, b.i AS j,
+         round(sum(a.d * b.d) / CAST(nn.n - 1 AS DOUBLE), 6) AS c
+  FROM cen a JOIN cen b ON a.id = b.id CROSS JOIN nn
+  GROUP BY a.i, b.i, nn.n
+),
+v0 AS MATERIALIZED (SELECT i, CAST(1 AS DOUBLE) AS v FROM mu)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+w{r} AS MATERIALIZED (
+  SELECT cmat.i, round(sum(cmat.c * v{r - 1}.v), 6) AS w
+  FROM cmat JOIN v{r - 1} ON v{r - 1}.i = cmat.j GROUP BY cmat.i
+),
+p{r} AS (SELECT w AS pv FROM w{r} ORDER BY abs(w) DESC, i ASC LIMIT 1),
+v{r} AS MATERIALIZED (
+  SELECT i, round(w / pv, 6) AS v FROM w{r} CROSS JOIN p{r}
+)""")
+    parts.append(f""",
+wl AS (
+  SELECT cmat.i, round(sum(cmat.c * v{rounds}.v), 6) AS w
+  FROM cmat JOIN v{rounds} ON v{rounds}.i = cmat.j GROUP BY cmat.i
+),
+ray AS (
+  SELECT round(sum(v.v * wl.w) / sum(v.v * v.v), 6) AS eigenvalue
+  FROM v{rounds} v JOIN wl ON wl.i = v.i
+)
+SELECT v.i AS dim, v.v AS loading, ray.eigenvalue
+FROM v{rounds} v CROSS JOIN ray ORDER BY dim
+""")
+    return "".join(parts)

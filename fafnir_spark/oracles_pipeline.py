@@ -802,14 +802,19 @@ FROM r ORDER BY event_type
 
 
 def kmv_distinct_sql(group_col: str = "event_type", val_col: str = "user_id",
-                     k: int = 64, table: str = "events") -> str:
+                     k: int = 64, table: str = "events",
+                     with_exact: bool = True) -> str:
     """Mirror of sketches.kmv_distinct: same portable hash, same bottom-k
     set (row_number here — candidate set identical to the two-level
-    head-k), same estimator operand order."""
+    head-k), same estimator operand order. ``with_exact=False`` drops the
+    exact-count audit column — the streaming twin's contract (sketch-only
+    output, the stream_hll convention)."""
     from .portable import hash60_sql
 
     h = hash60_sql(f"CAST({val_col} AS VARCHAR)")
     two60 = repr(float(1 << 60))
+    exact_col = ",\n       ex.exact_n" if with_exact else ""
+    exact_join = f" JOIN ex ON ex.grp = a.grp" if with_exact else ""
     return f"""
 WITH dh AS (
   SELECT DISTINCT {group_col} AS grp, {h} AS h FROM {table}
@@ -829,10 +834,10 @@ ex AS (
 )
 SELECT a.grp AS {group_col},
        round(CASE WHEN a.cnt < {k} THEN CAST(a.cnt AS DOUBLE)
-                  ELSE {k - 1.0!r} / (a.maxh / {two60}) END, 6) AS est_distinct,
-       ex.exact_n,
+                  ELSE {k - 1.0!r} / (a.maxh / {two60}) END, 6)
+         AS est_distinct{exact_col},
        CAST({k} AS BIGINT) AS k
-FROM agg a JOIN ex ON ex.grp = a.grp
+FROM agg a{exact_join}
 ORDER BY {group_col}
 """
 

@@ -1609,3 +1609,65 @@ def ivf_compact(spark, index_root: str) -> bool:
     cat.publish(tables, meta=m.get("meta"),
                 expected_snapshot=m.get("snapshot_id"))
     return True
+
+
+def pca_power_iteration(emb: DataFrame, dims: int = 16, rounds: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Top principal component by RELATIONAL power iteration (the
+    spectral sibling of kmeans_train — von Mises iteration over the
+    sample covariance): the covariance matrix lives as the bounded
+    (i, j, c) relation (dims², round-6 entries — the kmeans rounding
+    rule), and each iteration is one C ⋈ v equi-join + a groupBy(i) sum
+    (map-side combined, ≤dims² rows shuffled), normalized by the
+    inf-norm pivot (max |w|, tie → min i, via sort-free max_by) and
+    ROUNDED 6 so chained rounds stay engine-identical. C is
+    localCheckpointed once (corpus-derived, referenced every round —
+    the markov vp rule) and v per round (the k^rounds lineage rule).
+
+    Scale shape: the corpus collapses into C via ONE self-join keyed on
+    vec id (n·dims² products, map-side partial sums); every iteration
+    after runs on dims-bounded relations. The oracle unrolls the same
+    rounds as MATERIALIZED CTEs. (dim, loading, eigenvalue) — loading =
+    the final inf-norm-scaled eigenvector, eigenvalue = the round-6
+    Rayleigh quotient, repeated per row; ordered by dim."""
+    x = emb.select(F.col(id_col).alias("id"),
+                   F.slice(F.col(vec_col), 1, dims).alias("v"))
+    ex = (x.select("id", F.posexplode("v").alias("p", "xi"))
+          .select("id", (F.col("p") + 1).cast("long").alias("i"),
+                  F.col("xi").cast("double").alias("xi")))
+    mu = ex.groupBy("i").agg(F.round(F.avg("xi"), 6).alias("mu"))
+    cen = (ex.join(F.broadcast(mu), "i")
+           .select("id", "i", (F.col("xi") - F.col("mu")).alias("d")))
+    n = x.count()
+    a = cen.select("id", "i", F.col("d").alias("di"))
+    b = cen.select("id", F.col("i").alias("j"), F.col("d").alias("dj"))
+    cmat = (a.join(b, "id")
+            .groupBy("i", "j")
+            .agg(F.round(F.sum(F.col("di") * F.col("dj"))
+                         / F.lit(float(n - 1)), 6).alias("c"))
+            .localCheckpoint(eager=True))
+
+    def matvec(v: DataFrame) -> DataFrame:
+        return (cmat.join(v.select(F.col("i").alias("j"), "v"), "j")
+                .groupBy("i")
+                .agg(F.round(F.sum(F.col("c") * F.col("v")), 6).alias("w")))
+
+    v = mu.select("i", F.lit(1.0).alias("v"))
+    for _ in range(rounds):
+        w = matvec(v)
+        piv = w.agg(F.max_by(
+            "w", F.struct(F.abs(F.col("w")).alias("a"),
+                          (-F.col("i")).alias("ni"))).alias("pv"))
+        v = (w.crossJoin(F.broadcast(piv))
+             .select("i", F.round(F.col("w") / F.col("pv"), 6).alias("v"))
+             .localCheckpoint(eager=True))
+    wl = matvec(v).withColumnRenamed("i", "wi")
+    ray = (v.join(wl, v["i"] == wl["wi"])
+           .agg(F.round(F.sum(F.col("v") * F.col("w"))
+                        / F.sum(F.col("v") * F.col("v")), 6)
+                .alias("eigenvalue")))
+    return (v.crossJoin(F.broadcast(ray))
+            .select(F.col("i").alias("dim"), F.col("v").alias("loading"),
+                    "eigenvalue")
+            .orderBy("dim"))

@@ -44,36 +44,52 @@ def kmv_distinct(
     Outputs the exact distinct count alongside for accuracy audit —
     (group, est_distinct, exact_n, k). The exact branch is the audit
     column only; the estimator itself never needs it."""
-    dh = (
-        df.select(
-            F.col(group_col).alias("grp"),
-            hash60(F.col(val_col).cast("string")).alias("h"),
-        )
-        .distinct()
-        .withColumn("negh", -F.col("h"))
-    )
-    # topk_per_group orders (val desc, id asc): negh desc == h asc → bottom-k
-    bottom = topk_per_group(dh, k, group_col="grp", id_col="h", val_col="negh")
-    agg = bottom.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-        F.max("h").alias("maxh"),
-    )
+    dh = df.select(
+        F.col(group_col).alias("grp"),
+        hash60(F.col(val_col).cast("string")).alias("h"),
+    ).distinct()
     exact = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count_distinct(F.col(val_col)).cast("long").alias("exact_n")
     )
-    est = F.when(
-        F.col("cnt") < k, F.col("cnt").cast("double")
-    ).otherwise(F.lit(k - 1.0) / (F.col("maxh") / F.lit(TWO60)))
     return (
-        agg.join(exact, "grp")
+        kmv_bottomk(dh, k)
+        .transform(lambda b: kmv_estimate(b, k))
+        .join(exact, "grp")
         .select(
             F.col("grp").alias(group_col),
-            F.round(est, 6).alias("est_distinct"),
+            "est_distinct",
             "exact_n",
             F.lit(k).cast("long").alias("k"),
         )
         .orderBy(group_col)
     )
+
+
+def kmv_bottomk(dh: DataFrame, k: int) -> DataFrame:
+    """Bottom-k of a distinct (grp, h) hash relation via the two-level
+    topk (negh desc == h asc) — the mergeable KMV sketch state: bottom-k
+    is a lattice op on distinct-hash sets (bottom_k(A∪B) ==
+    bottom_k(bottom_k(A) ∪ bottom_k(B))), which is what lets per-batch /
+    per-partition sketches fold exactly (streaming twin). (grp, h)."""
+    bottom = topk_per_group(
+        dh.withColumn("negh", -F.col("h")), k,
+        group_col="grp", id_col="h", val_col="negh")
+    return bottom.select("grp", "h")
+
+
+def kmv_estimate(bottom: DataFrame, k: int) -> DataFrame:
+    """The KMV estimator tail over a bottom-k (grp, h) relation —
+    SHARED by kmv_distinct and streaming.stream_kmv_cardinality (the
+    hll_estimate_cols rule): est = (k−1)/(h_(k)/2^60), or the exact set
+    size when the group holds < k hashes. (grp, est_distinct)."""
+    agg = bottom.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.max("h").alias("maxh"),
+    )
+    est = F.when(
+        F.col("cnt") < k, F.col("cnt").cast("double")
+    ).otherwise(F.lit(k - 1.0) / (F.col("maxh") / F.lit(TWO60)))
+    return agg.select("grp", F.round(est, 6).alias("est_distinct"))
 
 
 SAMPLE_THRESHOLD_SHIFT = 2  # keep rows with hash < 2^60 / 2^shift (p = 1/4)

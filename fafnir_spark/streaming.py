@@ -1430,3 +1430,59 @@ def stream_autocorrelation(
         .agg(F.sum("x").cast("long").alias("x"))
     )
     return acf_from_daily(x, max_lag)
+
+
+def stream_kmv_cardinality(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    group_col: str = "event_type",
+    val_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming KMV (bottom-k) distinct cardinality — the order-sketch
+    sibling of stream_hll_cardinality: each micro-batch collapses to its
+    per-group bottom-k distinct-hash relation (sketches.kmv_bottomk) and
+    appends it to parquet state. Bottom-k is a LATTICE op on
+    distinct-hash sets (bottom_k(A∪B) == bottom_k(bottom_k(A) ∪
+    bottom_k(B))), so the drained state folded by distinct → bottom-k is
+    EXACTLY the batch sketch — streaming == batch bit-for-bit, and
+    checkpoint replays are absorbed by the read-side distinct (no batch
+    stamps needed, the stream_active_users rule). State grows ≤
+    |groups|·k rows per batch and compacts to |groups|·k by re-folding.
+
+    (group, est_distinct, k) — sketch-only output; the exact distinct
+    count needs the raw stream and is the batch path's audit column
+    (same convention as stream_hll_cardinality)."""
+    import os
+
+    from .portable import hash60
+    from .sketches import kmv_bottomk, kmv_estimate
+
+    hashes_dir = os.path.join(state_dir, "bottomk")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        dh = df.select(
+            F.col(group_col).alias("grp"),
+            hash60(F.col(val_col).cast("string")).alias("h"),
+        ).distinct()
+        kmv_bottomk(dh, k).write.mode("append").parquet(hashes_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    folded = kmv_bottomk(spark.read.parquet(hashes_dir).distinct(), k)
+    return (kmv_estimate(folded, k)
+            .select(F.col("grp").alias(group_col), "est_distinct",
+                    F.lit(k).cast("long").alias("k"))
+            .orderBy(group_col))
