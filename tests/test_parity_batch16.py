@@ -1,0 +1,199 @@
+"""Session-16 op invariants the oracle sim can't express: Mann-Kendall
+monotone law, CUSUM alarm localization, Gini extremes + scale
+invariance, PSI zero-law on identical halves, Croston constant-demand
+fixpoint, item-CF identical-basket sim, modularity degree law, JS
+divergence zero-law + ln2 bound, PCA inf-norm pivot + planted-direction
+recovery, streaming KMV == batch, pointer-doubled CC on a long chain."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.curation import js_divergence
+from fafnir_spark.dedup import cluster_duplicates
+from fafnir_spark.pipeline import (
+    croston_forecast,
+    cusum_changepoints,
+    gini_concentration,
+    graph_modularity,
+    item_cf_topk,
+    mann_kendall,
+    psi_drift,
+)
+from fafnir_spark.simsearch import pca_power_iteration
+from fafnir_spark.sketches import kmv_distinct
+from fafnir_spark.streaming import stream_kmv_cardinality
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _day_events(spark, counts):
+    """Synthesize events with count[i] rows on day i (epoch day i)."""
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, day * 86_400_000_000, 1, "a", 1.0, ""))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, event_type string, "
+        "value double, props string")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.col("us"))).drop("us")
+
+
+def test_mann_kendall_monotone_series_saturates_s(spark):
+    n = 12
+    r = mann_kendall(_day_events(spark, [10 + 3 * i for i in range(n)]))
+    row = r.collect()[0]
+    assert row.s_stat == n * (n - 1) // 2
+    assert row.z > 0 and row.tau == 1.0
+
+
+def test_mann_kendall_constant_series_is_zero(spark):
+    r = mann_kendall(_day_events(spark, [7] * 10)).collect()[0]
+    assert r.s_stat == 0 and r.z == 0.0 and r.var_s == 0.0
+
+
+def test_cusum_alarm_localizes_to_shift(spark):
+    # stable low-variance regime, then a brief strong upward shift: the
+    # allowance k (= sigma/2, inflated by the shift itself) swallows the
+    # small pre-period deviations, so alarms localize to the shift
+    counts = [10, 12] * 13 + [80] * 4
+    rows = cusum_changepoints(_day_events(spark, counts)).collect()
+    pre = [r for r in rows if r.day < 26]
+    post = [r for r in rows if r.day >= 26]
+    assert all(r.alarm == 0 for r in pre)
+    assert any(r.alarm == 1 for r in post)
+    # positive side accumulates after an upward shift
+    assert max(r.cusum_pos for r in post) > max(r.cusum_pos for r in pre)
+
+
+def test_gini_equal_revenues_is_zero_and_scale_invariant(spark):
+    eq = spark.createDataFrame(
+        [(i, i, "O", 100.0) for i in range(20)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double")
+    rows = gini_concentration(eq).collect()
+    assert all(r.gini == 0.0 for r in rows)
+    skew = spark.createDataFrame(
+        [(i, i, "O", float(2 ** (i % 12))) for i in range(24)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double")
+    g1 = gini_concentration(skew).collect()[0].gini
+    scaled = skew.withColumn("o_totalprice", F.col("o_totalprice") * 4.0)
+    g2 = gini_concentration(scaled).collect()[0].gini
+    assert g1 == g2 and g1 > 0.5
+
+
+def test_psi_zero_on_time_symmetric_distribution(spark):
+    # identical event_type mix in both halves -> every contrib 0
+    rows = []
+    for day in (0, 10):  # midpoint split lands between
+        for i, et in enumerate(["a", "a", "b", "c"] * 5):
+            rows.append((len(rows), day * 86_400_000_000 + i, 1, et, 1.0, ""))
+    df = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, event_type string, "
+        "value double, props string").withColumn(
+        "ts", F.timestamp_micros(F.col("us"))).drop("us")
+    out = psi_drift(df).collect()
+    assert all(r.contrib == 0.0 for r in out)
+    assert all(r.psi == 0.0 for r in out)
+
+
+def test_croston_constant_demand_is_fixpoint(spark):
+    # demand 3 every 2nd day above threshold -> z=3, p=2 after seed
+    rows = []
+    for day in range(0, 20, 2):
+        for i in range(3):
+            rows.append((len(rows), day * 86_400_000_000 + i, 1, "a",
+                         300.0, ""))
+    df = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, event_type string, "
+        "value double, props string").withColumn(
+        "ts", F.timestamp_micros(F.col("us"))).drop("us")
+    out = croston_forecast(df).collect()
+    assert all(r.z == 3.0 for r in out)
+    # p seeds at 1 (first-gap convention) and converges toward 2
+    assert out[-1].p == pytest.approx(2.0, abs=0.01)
+    assert out[-1].forecast == pytest.approx(1.5, abs=0.01)
+
+
+def test_item_cf_identical_baskets_score_one(spark):
+    orders = spark.createDataFrame(
+        [(u, u) for u in range(6)], "o_orderkey long, o_custkey long")
+    li = spark.createDataFrame(
+        [(u, p) for u in range(6) for p in (1, 2, 3)],
+        "l_orderkey long, l_partkey long")
+    out = item_cf_topk(orders, li, k=2, n_seeds=3).collect()
+    assert all(r.sim == 1.0 for r in out)
+    assert {r.item for r in out} == {1, 2, 3}
+
+
+def test_modularity_degree_law(spark, events):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    supp = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    rows = graph_modularity(orders, li, cust, supp).collect()
+    m = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+         .select("o_custkey", "l_suppkey").distinct().count())
+    assert sum(r.d_c for r in rows) == 2 * m
+    assert sum(r.l_c for r in rows) <= m
+    assert all(abs(r.modularity) <= 1.0 for r in rows)
+
+
+def test_js_divergence_zero_law_and_bound(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", f"src{i % 2}", 10) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = js_divergence(docs).collect()
+    assert all(r.contrib == 0.0 for r in out)
+    real = js_divergence(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")).collect()
+    assert 0.0 <= real[0].js <= math.log(2.0) + 1e-9
+
+
+def test_pca_pivot_is_one_and_planted_direction_recovered(spark):
+    # variance concentrated on dim 3 (1-based) -> loading pivots there
+    vecs = [(i, [0.0] * 2 + [float((i % 7) - 3)] + [0.001 * ((i * 13) % 5)]
+             + [0.0] * 12, 0) for i in range(40)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int")
+    rows = pca_power_iteration(emb, dims=16, rounds=6).collect()
+    by_dim = {r.dim: r.loading for r in rows}
+    assert by_dim[3] == 1.0  # inf-norm pivot
+    assert all(abs(v) <= 1.0 for v in by_dim.values())
+    assert rows[0].eigenvalue > 0
+
+
+def test_stream_kmv_equals_batch(spark, events):
+    base = tempfile.mkdtemp(prefix="kmvtest_")
+    src = os.path.join(base, "src")
+    events.repartition(3).write.parquet(src)
+    got = {
+        r.event_type: r.est_distinct
+        for r in stream_kmv_cardinality(
+            spark, src, os.path.join(base, "ck"),
+            os.path.join(base, "state")).collect()
+    }
+    want = {r.event_type: r.est_distinct
+            for r in kmv_distinct(events).collect()}
+    assert got == want
+
+
+def test_pointer_doubling_collapses_long_chain(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long")
+    out = cluster_duplicates(pairs, max_iter=10).collect()
+    assert len(out) == 64
+    assert all(r.cluster_id == 0 for r in out)
