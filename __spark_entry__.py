@@ -3552,6 +3552,40 @@ def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test comparing view-vs-purchase value
+    distributions: roc_auc-style avg ranks over the bounded distinct-value
+    relation, exact-BIGINT tie correction, continuity-corrected z."""
+    from fafnir_spark.pipeline import mann_whitney_u
+
+    return mann_whitney_u(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs extendedprice): doubled
+    integer avg-ranks so every sum is exact BIGINT, raw-sum closed form."""
+    from fafnir_spark.pipeline import spearman_corr
+
+    return spearman_corr(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed + winsorized means per event_type from interpolated
+    quantile bounds (percentile == quantile_cont parity)."""
+    from fafnir_spark.pipeline import robust_stats
+
+    return robust_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the survival_km spans:
+    deterministic-order hazard/variance cumsums, Fleming-Harrington
+    survival."""
+    from fafnir_spark.pipeline import nelson_aalen
+
+    return nelson_aalen(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the event_type distribution across
     the midpoint time split, add-one smoothed."""
@@ -5577,6 +5611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": _q_seasonal_decompose,
         "grid_density_clusters": _q_grid_density_clusters,
         "mann_kendall": _q_mann_kendall,
+        "mann_whitney_u": _q_mann_whitney_u,
+        "spearman_corr": _q_spearman_corr,
+        "robust_stats": _q_robust_stats,
+        "nelson_aalen": _q_nelson_aalen,
         "psi_drift": _q_psi_drift,
         "gini_concentration": _q_gini_concentration,
         "graph_modularity": _q_graph_modularity,
@@ -6084,6 +6122,10 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "seasonal_decompose": oracles_pipeline.seasonal_decompose_sql(),
         "grid_density_clusters": oracles_pipeline.grid_density_clusters_sql(),
         "mann_kendall": oracles_pipeline.mann_kendall_sql(),
+        "mann_whitney_u": oracles_pipeline.mann_whitney_u_sql(),
+        "spearman_corr": oracles_pipeline.spearman_corr_sql(),
+        "robust_stats": oracles_pipeline.robust_stats_sql(),
+        "nelson_aalen": oracles_pipeline.nelson_aalen_sql(),
         "psi_drift": oracles_pipeline.psi_drift_sql(),
         "gini_concentration": oracles_pipeline.gini_concentration_sql(),
         "graph_modularity": oracles_pipeline.graph_modularity_sql(),

@@ -3312,3 +3312,146 @@ rk AS (SELECT item, other, sim, CAST(row_number() OVER
 SELECT item, rank, other, sim FROM rk WHERE rank <= {int(k)}
 ORDER BY item, rank
 """
+
+
+def mann_whitney_u_sql(grp_a: str = "view", grp_b: str = "purchase") -> str:
+    """Mirror of pipeline.mann_whitney_u: same groupBy(value) avg-rank
+    derivation, same exact-BIGINT tie sum, same operand order in the
+    variance and the continuity-corrected z."""
+    return f"""
+WITH rows_ AS (SELECT value AS v,
+                      CASE WHEN event_type = '{grp_a}' THEN 1 ELSE 0 END
+                        AS ya
+               FROM events
+               WHERE event_type IN ('{grp_a}', '{grp_b}')),
+g AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(ya) AS BIGINT) AS a
+      FROM rows_ GROUP BY v),
+r AS (SELECT *,
+             (sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c)
+               + (c + 1) / 2.0 AS avg_rank
+      FROM g),
+agg AS (SELECT sum(a * avg_rank) AS ra,
+               CAST(sum(a) AS BIGINT) AS n_a,
+               CAST(sum(c) - sum(a) AS BIGINT) AS n_b,
+               CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+        FROM r),
+u AS (SELECT n_a, n_b,
+             ra - n_a * (n_a + 1) / 2.0 AS u_a,
+             (n_a * n_b) / 2.0 AS mu,
+             CAST(n_a * n_b AS DOUBLE) / 12.0
+               * (CAST(n_a + n_b + 1 AS DOUBLE)
+                  - CAST(tsum AS DOUBLE)
+                    / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))
+               AS var_u
+      FROM agg)
+SELECT n_a, n_b, u_a,
+       round(CASE WHEN u_a > mu THEN (u_a - mu - 0.5) / sqrt(var_u)
+                  WHEN u_a < mu THEN (u_a - mu + 0.5) / sqrt(var_u)
+                  ELSE 0.0 END, 6) AS z,
+       round(2.0 * u_a / CAST(n_a * n_b AS DOUBLE) - 1.0, 6) AS r_rb
+FROM u
+"""
+
+
+def spearman_corr_sql() -> str:
+    """Mirror of pipeline.spearman_corr: same doubled-integer average
+    ranks over the bounded distinct-value relations, same raw-sum
+    closed-form correlation operand order."""
+    return """
+WITH pairs AS (SELECT l_quantity AS x, l_extendedprice AS y,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM lineitem GROUP BY 1, 2),
+gx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cc FROM pairs GROUP BY x),
+rx AS (SELECT x,
+              CAST(2 * (sum(cc) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                        - cc) + cc + 1 AS BIGINT) AS r_x
+       FROM gx),
+gy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cc FROM pairs GROUP BY y),
+ry AS (SELECT y,
+              CAST(2 * (sum(cc) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+                        - cc) + cc + 1 AS BIGINT) AS r_y
+       FROM gy),
+s AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * r_x) AS BIGINT) AS sx,
+             CAST(sum(c * r_y) AS BIGINT) AS sy,
+             CAST(sum(c * r_x * r_x) AS BIGINT) AS sxx,
+             CAST(sum(c * r_y * r_y) AS BIGINT) AS syy,
+             CAST(sum(c * r_x * r_y) AS BIGINT) AS sxy
+      FROM pairs JOIN rx USING (x) JOIN ry USING (y))
+SELECT n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS rho
+FROM s
+"""
+
+
+def robust_stats_sql(lo: float = 0.1, hi: float = 0.9) -> str:
+    """Mirror of pipeline.robust_stats: quantile_cont bounds (Spark
+    `percentile` parity), raw-bound filtering, rounded outputs."""
+    return f"""
+WITH q AS (SELECT event_type,
+                  quantile_cont(value, {lo!r}) AS ql,
+                  quantile_cont(value, {hi!r}) AS qh
+           FROM events GROUP BY event_type),
+j AS (SELECT e.event_type, e.value, q.ql, q.qh
+      FROM events e JOIN q USING (event_type)),
+g AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= ql AND value <= qh
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             sum(CASE WHEN value >= ql AND value <= qh
+                      THEN value ELSE 0.0 END) AS ts,
+             sum(least(greatest(value, ql), qh)) AS ws,
+             min(ql) AS ql, min(qh) AS qh
+      FROM j GROUP BY event_type)
+SELECT event_type, n, n_kept,
+       round(ql, 6) AS q_lo, round(qh, 6) AS q_hi,
+       round(ts / n_kept, 6) AS trimmed_mean,
+       round(ws / n, 6) AS winsor_mean
+FROM g ORDER BY event_type
+"""
+
+
+def nelson_aalen_sql(event_type: str = "purchase") -> str:
+    """Mirror of pipeline.nelson_aalen: same span derivation as
+    survival_km_sql, same deterministic-order cumulative hazard and
+    variance sums."""
+    day = 86_400_000_000
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+per AS (SELECT user_id, min(us) AS t0,
+               min(CASE WHEN event_type = '{event_type}' THEN us END) AS tp
+        FROM e GROUP BY user_id),
+endt AS (SELECT max(us) AS t_end FROM e),
+spans AS (SELECT CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs,
+                 CASE WHEN tp IS NOT NULL THEN (tp - t0) // {day}
+                      ELSE (t_end - t0) // {day} END AS t_day
+          FROM per CROSS JOIN endt),
+g AS (SELECT t_day, CAST(sum(obs) AS BIGINT) AS n_events,
+             CAST(sum(1 - obs) AS BIGINT) AS n_censored
+      FROM spans GROUP BY t_day),
+tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n_total FROM g),
+r AS (SELECT t_day, n_events,
+             CAST(n_total - (sum(n_events + n_censored) OVER
+                  (ORDER BY t_day ROWS UNBOUNDED PRECEDING)
+                  - (n_events + n_censored)) AS BIGINT) AS n_risk
+      FROM g CROSS JOIN tot),
+h AS (SELECT t_day, n_risk, n_events,
+             sum(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS ch,
+             sum(CAST(n_events AS DOUBLE)
+                 / CAST(n_risk * n_risk AS DOUBLE))
+               OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS vh
+      FROM r)
+SELECT t_day, n_risk, n_events,
+       round(ch, 6) AS cum_hazard,
+       round(vh, 6) AS var_h,
+       round(exp(-ch), 6) AS s_fh
+FROM h ORDER BY t_day
+"""

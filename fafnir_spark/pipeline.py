@@ -4378,3 +4378,196 @@ def item_cf_topk(orders: DataFrame, lineitem: DataFrame, k: int = 5,
                            val_col="sim")
             .select("item", "rank", "other", "sim")
             .orderBy("item", "rank"))
+
+
+def mann_whitney_u(events: DataFrame, grp_a: str = "view",
+                   grp_b: str = "purchase") -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) comparing the
+    ``value`` distributions of two event types — the nonparametric
+    two-sample sibling of t_test_welch. Average ranks over ties come
+    from the roc_auc identity: ONE groupBy(value) reduction, then an
+    ordered window over the ≤|distinct values| grouped relation, so
+    avg_rank carries only .5 fractions and R_a = Σ a·avg_rank is an
+    EXACT double (documented envelope: exact while products stay below
+    2^53). U_a = R_a − n_a(n_a+1)/2; tie-corrected variance
+
+        var(U) = (n_a·n_b)/12 · [(n+1) − Σ(t³−t)/(n(n−1))]
+
+    with the tie sum in exact BIGINT space and the SAME operand order in
+    the DuckDB mirror; continuity-corrected z (U_a and the n_a·n_b/2
+    mean are exact halves, so the branch comparison is exact);
+    rank-biserial effect size r = 2U_a/(n_a·n_b) − 1.
+
+    Scale shape: the corpus collapses in one map-side-combined
+    groupBy(value); everything after runs on the bounded distinct-value
+    relation (the roc_auc rule). One row out:
+    (n_a, n_b, u_a, z, r_rb)."""
+    rows = (events.filter(F.col("event_type").isin([grp_a, grp_b]))
+            .select(F.col("value").alias("v"),
+                    F.when(F.col("event_type") == grp_a, 1)
+                    .otherwise(0).alias("ya")))
+    g = (rows.groupBy("v")
+         .agg(F.count(F.lit(1)).cast("long").alias("c"),
+              F.sum("ya").cast("long").alias("a")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    g = g.withColumn(
+        "avg_rank",
+        (F.sum("c").over(w) - F.col("c")) + (F.col("c") + 1) / F.lit(2.0))
+    agg = g.agg(
+        F.sum(F.col("a") * F.col("avg_rank")).alias("ra"),
+        F.sum("a").cast("long").alias("n_a"),
+        (F.sum("c") - F.sum("a")).cast("long").alias("n_b"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long").alias("tsum"))
+    n = F.col("n_a") + F.col("n_b")
+    u_a = F.col("ra") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
+    mu = (F.col("n_a") * F.col("n_b")) / F.lit(2.0)
+    var_u = ((F.col("n_a") * F.col("n_b")).cast("double") / F.lit(12.0)
+             * ((n + 1).cast("double")
+                - F.col("tsum").cast("double")
+                / (n * (n - 1)).cast("double")))
+    agg = agg.withColumn("u_a", u_a).withColumn("mu", mu) \
+        .withColumn("var_u", var_u)
+    z = (F.when(F.col("u_a") > F.col("mu"),
+                (F.col("u_a") - F.col("mu") - F.lit(0.5))
+                / F.sqrt(F.col("var_u")))
+         .when(F.col("u_a") < F.col("mu"),
+               (F.col("u_a") - F.col("mu") + F.lit(0.5))
+               / F.sqrt(F.col("var_u")))
+         .otherwise(F.lit(0.0)))
+    r_rb = (F.lit(2.0) * F.col("u_a")
+            / (F.col("n_a") * F.col("n_b")).cast("double") - F.lit(1.0))
+    return agg.select(
+        "n_a", "n_b", F.col("u_a"),
+        F.round(z, 6).alias("z"), F.round(r_rb, 6).alias("r_rb"))
+
+
+def spearman_corr(lineitem: DataFrame) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_extendedprice
+    — Pearson over average ranks, ties handled exactly. Ranks are DOUBLED
+    to integers (avg_rank has only .5 fractions — the roc_auc identity),
+    so every per-row product and every sum is an exact BIGINT; the
+    closed-form correlation
+
+        rho = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))
+
+    combines those integer sums as doubles in the SAME operand order as
+    the DuckDB mirror (the matrix_stats raw-sum rule; the 2× rank scale
+    cancels). Scale shape: rows collapse to the (x,y) PAIR relation in
+    one map-side-combined groupBy; per-column rank tables are windows
+    over the two bounded distinct-value relations; the final sums run
+    over the pair relation joined to two bounded rank tables — never a
+    per-row window. One row out: (n, rho)."""
+    rows = lineitem.select(F.col("l_quantity").alias("x"),
+                           F.col("l_extendedprice").alias("y"))
+    pairs = (rows.groupBy("x", "y")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+
+    def _rank2(col: str) -> DataFrame:
+        g = (pairs.groupBy(col)
+             .agg(F.sum("c").cast("long").alias("cc")))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return g.select(
+            F.col(col),
+            (F.lit(2) * (F.sum("cc").over(w) - F.col("cc"))
+             + F.col("cc") + 1).cast("long").alias(f"r_{col}"))
+
+    j = (pairs.join(_rank2("x"), "x").join(_rank2("y"), "y"))
+    s = j.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("r_x")).cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("r_y")).cast("long").alias("sy"),
+        F.sum(F.col("c") * F.col("r_x") * F.col("r_x")).cast("long")
+        .alias("sxx"),
+        F.sum(F.col("c") * F.col("r_y") * F.col("r_y")).cast("long")
+        .alias("syy"),
+        F.sum(F.col("c") * F.col("r_x") * F.col("r_y")).cast("long")
+        .alias("sxy"))
+    num = (F.col("n").cast("double") * F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy").cast("double"))
+    dx = (F.col("n").cast("double") * F.col("sxx").cast("double")
+          - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    dy = (F.col("n").cast("double") * F.col("syy").cast("double")
+          - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    return s.select(
+        "n", F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("rho"))
+
+
+def robust_stats(events: DataFrame, lo: float = 0.1,
+                 hi: float = 0.9) -> DataFrame:
+    """Trimmed and winsorized means of ``value`` per event_type — the
+    robust-statistics staple. Per-group interpolated quantile bounds
+    come from ONE groupBy pass (Spark `percentile` == DuckDB
+    quantile_cont — the conversion_time_stats parity rule; filtering
+    compares against the RAW bound, outputs round it); a second
+    conditional-aggregate pass computes the trimmed mean (values inside
+    [q_lo, q_hi]) and the winsorized mean (values clamped to the
+    bounds). Raw double sums follow the extended_stats precedent
+    (value magnitudes ~1e2, round-6 absorbs association drift).
+
+    Scale shape: two map-side-combined groupBy(event_type) passes + a
+    broadcast ≤|types| bounds join. (event_type, n, n_kept, q_lo, q_hi,
+    trimmed_mean, winsor_mean) ordered by event_type."""
+    q = (events.groupBy("event_type")
+         .agg(F.expr(f"percentile(value, {lo!r})").alias("ql"),
+              F.expr(f"percentile(value, {hi!r})").alias("qh")))
+    j = events.select("event_type", "value").join(F.broadcast(q),
+                                                  "event_type")
+    inside = (F.col("value") >= F.col("ql")) & (F.col("value") <= F.col("qh"))
+    clamped = F.least(F.greatest(F.col("value"), F.col("ql")), F.col("qh"))
+    g = (j.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.when(inside, 1).otherwise(0)).cast("long")
+              .alias("n_kept"),
+              F.sum(F.when(inside, F.col("value"))
+                    .otherwise(F.lit(0.0))).alias("ts"),
+              F.sum(clamped).alias("ws"),
+              F.min("ql").alias("ql"), F.min("qh").alias("qh")))
+    return (g.select(
+        "event_type", "n", "n_kept",
+        F.round("ql", 6).alias("q_lo"), F.round("qh", 6).alias("q_hi"),
+        F.round(F.col("ts") / F.col("n_kept"), 6).alias("trimmed_mean"),
+        F.round(F.col("ws") / F.col("n"), 6).alias("winsor_mean"))
+        .orderBy("event_type"))
+
+
+def nelson_aalen(events: DataFrame, event_type: str = "purchase"
+                 ) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson'72/Aalen'78) —
+    the hazard-side sibling of survival_km, over the SAME per-user
+    time-to-first-``event_type`` spans (survival_spans): H(t) =
+    Σ_{t_i≤t} d_i/n_i, variance Σ d_i/n_i², and the Fleming-Harrington
+    survival exp(−H). Cumulative sums run over the deterministic t_day
+    order on the ≤|days| grouped relation — identical operand order in
+    the DuckDB mirror, so the doubles agree before the round-6.
+
+    Scale shape: identical to survival_km — one conditional
+    groupBy(user_id) pass, a broadcast 1-row observation end, then
+    bounded-relation windows. (t_day, n_risk, n_events, cum_hazard,
+    var_h, s_fh) ordered by t_day."""
+    per = survival_spans(events, event_type).select(
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
+        F.when(F.col("tp").isNotNull(),
+               F.expr(f"(tp - t0) DIV {_DAY_US}"))
+        .otherwise(F.expr(f"(t_end - t0) DIV {_DAY_US}")).alias("t_day"))
+    g = (per.groupBy("t_day")
+         .agg(F.sum("obs").cast("long").alias("n_events"),
+              F.sum(1 - F.col("obs")).cast("long").alias("n_censored")))
+    w = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    leaving = (F.col("n_events") + F.col("n_censored"))
+    tot = g.agg(F.sum(leaving).cast("long").alias("n_total"))
+    g = (g.crossJoin(F.broadcast(tot))
+         .withColumn("n_risk",
+                     (F.col("n_total") - (F.sum(leaving).over(w) - leaving))
+                     .cast("long")))
+    dh = F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+    dv = (F.col("n_events").cast("double")
+          / (F.col("n_risk") * F.col("n_risk")).cast("double"))
+    g = (g.withColumn("ch", F.sum(dh).over(w))
+         .withColumn("vh", F.sum(dv).over(w)))
+    return (g.select(
+        "t_day", "n_risk", "n_events",
+        F.round("ch", 6).alias("cum_hazard"),
+        F.round("vh", 6).alias("var_h"),
+        F.round(F.exp(-F.col("ch")), 6).alias("s_fh"))
+        .orderBy("t_day"))
