@@ -3586,6 +3586,32 @@ def _q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nelson_aalen(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple smoothing (season 7) over daily value
+    sums: struct fold with a rotating seasonal queue; recursive-CTE
+    oracle running the identical recurrence."""
+    from fafnir_spark.pipeline import holt_winters
+
+    return holt_winters(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT monitoring the daily purchase share: driver-side log
+    literals, latched boundary decision over the day-bucket relation."""
+    from fafnir_spark.pipeline import sprt_ab
+
+    return sprt_ab(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the order-priority history:
+    customer-keyed run collapse, validity intervals, -1 current
+    sentinel."""
+    from fafnir_spark.pipeline import scd2_build
+
+    return scd2_build(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
 def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the event_type distribution across
     the midpoint time split, add-one smoothed."""
@@ -5612,6 +5638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_density_clusters": _q_grid_density_clusters,
         "mann_kendall": _q_mann_kendall,
         "mann_whitney_u": _q_mann_whitney_u,
+        "holt_winters": _q_holt_winters,
+        "sprt_ab": _q_sprt_ab,
+        "scd2_build": _q_scd2_build,
         "spearman_corr": _q_spearman_corr,
         "robust_stats": _q_robust_stats,
         "nelson_aalen": _q_nelson_aalen,
@@ -6123,6 +6152,9 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "grid_density_clusters": oracles_pipeline.grid_density_clusters_sql(),
         "mann_kendall": oracles_pipeline.mann_kendall_sql(),
         "mann_whitney_u": oracles_pipeline.mann_whitney_u_sql(),
+        "holt_winters": oracles_pipeline.holt_winters_sql(),
+        "sprt_ab": oracles_pipeline.sprt_ab_sql(),
+        "scd2_build": oracles_pipeline.scd2_build_sql(),
         "spearman_corr": oracles_pipeline.spearman_corr_sql(),
         "robust_stats": oracles_pipeline.robust_stats_sql(),
         "nelson_aalen": oracles_pipeline.nelson_aalen_sql(),

@@ -3455,3 +3455,118 @@ SELECT t_day, n_risk, n_events,
        round(exp(-ch), 6) AS s_fh
 FROM h ORDER BY t_day
 """
+
+
+def holt_winters_sql() -> str:
+    """Mirror of pipeline.holt_winters: identical recurrence as a
+    recursive CTE keyed on the bucket row number — the repeated l_t
+    subexpression is TEXTUALLY identical to the Spark fold's, the init
+    sums use list_reduce over day-ordered lists (same left-fold order
+    as the Spark aggregate), same dyadic constants."""
+    ln = "((o.x - r.q[1]) * 0.5 + (r.l + r.b) * 0.5)"
+    return f"""
+WITH RECURSIVE
+b AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             round(sum(value), 6) AS x
+      FROM events GROUP BY 1),
+o AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM b),
+nn AS (SELECT CAST(max(rn) AS BIGINT) AS n FROM o),
+s1 AS (SELECT list_reduce(list(x ORDER BY rn), (a, v) -> a + v) / 7.0
+         AS m1 FROM o WHERE rn BETWEEN 1 AND 7),
+s2 AS (SELECT list_reduce(list(x ORDER BY rn), (a, v) -> a + v) / 7.0
+         AS m2 FROM o WHERE rn BETWEEN 8 AND 14),
+init AS (SELECT m1 AS l0, (m2 - m1) / 7.0 AS b0,
+                (SELECT list(x - m1 ORDER BY rn) FROM o
+                 WHERE rn BETWEEN 1 AND 7) AS q0
+         FROM s1 CROSS JOIN s2),
+rec AS (
+  SELECT 7 AS t, l0 AS l, b0 AS b, q0 AS q,
+         CAST([] AS DOUBLE[]) AS fit
+  FROM init
+  UNION ALL
+  SELECT o.rn,
+         {ln},
+         ({ln} - r.l) * 0.25 + r.b * 0.75,
+         list_append(r.q[2:7],
+                     (o.x - {ln}) * 0.25 + r.q[1] * 0.75),
+         list_append(r.fit, r.l + r.b + r.q[1])
+  FROM rec r JOIN o ON o.rn = r.t + 1
+),
+fin AS (SELECT fit FROM rec CROSS JOIN nn WHERE rec.t = nn.n)
+SELECT o.day, o.x AS sum_value,
+       round(f.fit[CAST(o.rn AS INTEGER) - 7], 6) AS hw_fitted,
+       round(o.x - round(f.fit[CAST(o.rn AS INTEGER) - 7], 6), 6) AS resid
+FROM o CROSS JOIN fin f
+WHERE o.rn >= 8
+ORDER BY o.day
+"""
+
+
+def sprt_ab_sql(event_type: str = "purchase", p0: float = 0.18,
+                p1: float = 0.22, alpha: float = 0.05,
+                beta: float = 0.2) -> str:
+    """Mirror of pipeline.sprt_ab: the same driver-side log literals,
+    integer-count × literal LLR, exact boundary comparisons, latched
+    decision."""
+    import math
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    up = math.log((1.0 - beta) / alpha)
+    dn = math.log(beta / (1.0 - alpha))
+    day = 86_400_000_000
+    return f"""
+WITH g AS (SELECT epoch_us(ts) // {day} AS d,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN event_type = '{event_type}'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS sc
+           FROM events GROUP BY 1),
+c AS (SELECT d,
+             CAST(sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS n_cum,
+             CAST(sum(sc) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS s_cum
+      FROM g),
+l AS (SELECT *,
+             CAST(s_cum AS DOUBLE) * {la!r}
+               + CAST(n_cum - s_cum AS DOUBLE) * {lb!r} AS llr
+      FROM c),
+st AS (SELECT *,
+              max(CASE WHEN llr >= {up!r} THEN 2
+                       WHEN llr <= {dn!r} THEN 1 ELSE 0 END)
+                OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS state
+       FROM l)
+SELECT d, n_cum, s_cum, round(llr, 6) AS llr,
+       CASE WHEN state = 2 THEN 'accept_h1'
+            WHEN state = 1 THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM st ORDER BY d
+"""
+
+
+def scd2_build_sql() -> str:
+    """Mirror of pipeline.scd2_build: same (us, orderkey) deterministic
+    order, same run-start detection and -1 current-row sentinel."""
+    return """
+WITH e AS (SELECT o_custkey AS ck, epoch_us(o_orderdate) AS us,
+                  o_orderkey AS ok, o_orderpriority AS prio
+           FROM orders),
+l AS (SELECT *, lag(prio) OVER (PARTITION BY ck ORDER BY us, ok) AS pp
+      FROM e),
+c AS (SELECT *, CASE WHEN pp IS NULL OR pp != prio THEN 1 ELSE 0 END
+        AS chg FROM l),
+v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY ck ORDER BY us, ok
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM c),
+runs AS (SELECT ck, version, prio, us AS valid_from_us
+         FROM v WHERE chg = 1),
+r2 AS (SELECT *,
+              CAST(coalesce(lead(valid_from_us) OVER
+                   (PARTITION BY ck ORDER BY version), -1) AS BIGINT)
+                AS valid_to_us
+       FROM runs)
+SELECT ck AS o_custkey, version, prio AS priority, valid_from_us,
+       valid_to_us,
+       CAST(CASE WHEN valid_to_us = -1 THEN 1 ELSE 0 END AS INTEGER)
+         AS is_current
+FROM r2 ORDER BY o_custkey, version
+"""

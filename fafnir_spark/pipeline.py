@@ -4571,3 +4571,161 @@ def nelson_aalen(events: DataFrame, event_type: str = "purchase"
         F.round("vh", 6).alias("var_h"),
         F.round(F.exp(-F.col("ch")), 6).alias("s_fh"))
         .orderBy("t_day"))
+
+
+def holt_winters(events: DataFrame) -> DataFrame:
+    """ES moving_fn with MovingFunctions.holtWinters (additive triple
+    exponential smoothing, season m=7) over per-day bucket sums. States:
+
+        l_t = (x_t − s_{t−m})·α + (l_{t−1} + b_{t−1})·(1−α)
+        b_t = (l_t − l_{t−1})·β + b_{t−1}·(1−β)
+        s_t = (x_t − l_t)·γ + s_{t−m}·(1−γ)
+
+    α = 0.5, β = γ = 0.25 — FIXED DYADIC (the moving_ewma rule).
+    Initialisation is the classical two-season seed: l_0 = mean of days
+    1..7, b_0 = (mean(days 8..14) − l_0)/7, s_i = x_i − l_0 for the
+    first season. The Spark side folds the ordered series ONCE with a
+    STRUCT accumulator carrying (l, b, a 7-slot seasonal QUEUE, the
+    fitted array); s_{t−m} is the queue head and each step rotates
+    concat(slice(q,2,6), [s_t]). DuckDB's list_reduce can't carry a
+    struct, so the oracle runs the identical recurrence as a recursive
+    CTE keyed on the bucket row number — same operand order (repeated
+    l_t subexpressions are TEXTUALLY identical so both engines compute
+    the same doubles), same seeds (the holt_linear rule).
+
+    Scale shape: one map-side-combined groupBy to ≤|days| buckets; the
+    fold runs on a 1-row collected-array relation (bounded). Emits the
+    fitted one-step-ahead values for days 8.. : (day, sum_value,
+    hw_fitted, resid) ordered by day."""
+    buckets = (
+        events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
+                                     "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("x")))
+    one = buckets.agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("dx"))
+    one = (one
+           .withColumn("days", F.expr("transform(dx, v -> v.day)"))
+           .withColumn("xs", F.expr("transform(dx, v -> v.x)"))
+           .withColumn("l0", F.expr(
+               "aggregate(slice(xs, 1, 7), 0.0D, (a, v) -> a + v) / 7.0D"))
+           .withColumn("b0", F.expr(
+               "(aggregate(slice(xs, 8, 7), 0.0D, (a, v) -> a + v) / 7.0D"
+               " - l0) / 7.0D"))
+           .withColumn("q0", F.expr("transform(slice(xs, 1, 7),"
+                                    " v -> v - l0)")))
+    ln = ("((x - element_at(a.q, 1)) * 0.5D"
+          " + (a.l + a.b) * 0.5D)")
+    step = (
+        "named_struct("
+        f"'l', {ln}, "
+        f"'b', ({ln} - a.l) * 0.25D + a.b * 0.75D, "
+        "'q', concat(slice(a.q, 2, 6), array("
+        f"(x - {ln}) * 0.25D + element_at(a.q, 1) * 0.75D)), "
+        "'fit', concat(a.fit, array(a.l + a.b + element_at(a.q, 1))))")
+    one = one.withColumn("st", F.expr(
+        "aggregate(slice(xs, 8, size(xs) - 7), "
+        "named_struct('l', l0, 'b', b0, 'q', q0, "
+        "'fit', CAST(array() AS ARRAY<DOUBLE>)), "
+        f"(a, x) -> {step})"))
+    out = (one.select(
+        F.posexplode(F.expr("st.fit")).alias("i", "fit"),
+        F.col("days"), F.col("xs"))
+        .select(F.expr("element_at(days, i + 8)").alias("day"),
+                F.expr("element_at(xs, i + 8)").alias("sum_value"),
+                F.round(F.col("fit"), 6).alias("hw_fitted")))
+    return (out.withColumn(
+        "resid", F.round(F.col("sum_value") - F.col("hw_fitted"), 6))
+        .orderBy("day"))
+
+
+def sprt_ab(events: DataFrame, event_type: str = "purchase",
+            p0: float = 0.18, p1: float = 0.22,
+            alpha: float = 0.05, beta: float = 0.2) -> DataFrame:
+    """Wald sequential probability ratio test (Wald'45 — the sequential
+    A/B-testing staple) monitoring the daily ``event_type`` share:
+    after each day the cumulative log-likelihood ratio
+
+        LLR_n = s_n·ln(p1/p0) + (n − s_n)·ln((1−p1)/(1−p0))
+
+    is compared to the decision boundaries ln((1−β)/α) (accept H1) and
+    ln(β/(1−α)) (accept H0). The four log constants are computed
+    DRIVER-side and enter both engines as literals (the LSH-hyperplane
+    rule), so LLR = integer-count × literal sums agree bit-for-bit and
+    the boundary comparisons are exact; once a boundary is crossed the
+    decision LATCHES (running max of the state ordinal — the KM dead-pin
+    idiom). Scale shape: one map-side-combined groupBy(day) pass, then
+    cumsum windows over the ≤|days| bucket relation. (d, n_cum, s_cum,
+    llr, decision) ordered by d."""
+    import math
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    up = math.log((1.0 - beta) / alpha)
+    dn = math.log(beta / (1.0 - alpha))
+    g = (events.select(
+        F.expr(f"unix_micros(cast(ts as timestamp)) DIV {_DAY_US}")
+        .alias("d"),
+        F.when(F.col("event_type") == event_type, 1).otherwise(0)
+        .alias("s"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("s").cast("long").alias("sc")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    g = (g.withColumn("n_cum", F.sum("n").over(w).cast("long"))
+         .withColumn("s_cum", F.sum("sc").over(w).cast("long")))
+    llr = (F.col("s_cum").cast("double") * F.lit(la)
+           + (F.col("n_cum") - F.col("s_cum")).cast("double") * F.lit(lb))
+    g = g.withColumn("llr", llr).withColumn(
+        "state",
+        F.max(F.when(F.col("llr") >= F.lit(up), 2)
+              .when(F.col("llr") <= F.lit(dn), 1)
+              .otherwise(0)).over(w))
+    return (g.select(
+        "d", "n_cum", "s_cum", F.round("llr", 6).alias("llr"),
+        F.when(F.col("state") == 2, F.lit("accept_h1"))
+        .when(F.col("state") == 1, F.lit("accept_h0"))
+        .otherwise(F.lit("continue")).alias("decision"))
+        .orderBy("d"))
+
+
+def scd2_build(orders: DataFrame) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build (the Kimball warehouse
+    staple): per customer, collapse the order-priority history into
+    validity intervals — consecutive orders with the SAME priority fold
+    into one version; a change opens a new version. Deterministic event
+    order (ts µs, orderkey); run starts detected with lag(), version =
+    cumsum of change flags, valid_to = lead() of the next run's start
+    (NULL ⇒ current row, is_current = 1).
+
+    Scale shape: every window is PARTITIONED BY customer (keyed — no
+    global window); one shuffle on o_custkey total, then two window
+    passes over per-customer partitions. (o_custkey, version, priority,
+    valid_from_us, valid_to_us, is_current) ordered (custkey,
+    version)."""
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    e = orders.select(F.col("o_custkey").alias("ck"),
+                      us.alias("us"),
+                      F.col("o_orderkey").alias("ok"),
+                      F.col("o_orderpriority").alias("prio"))
+    w = Window.partitionBy("ck").orderBy("us", "ok")
+    e = e.withColumn(
+        "chg", F.when(F.lag("prio").over(w).isNull()
+                      | (F.lag("prio").over(w) != F.col("prio")), 1)
+        .otherwise(0))
+    e = e.withColumn("version", F.sum("chg").over(
+        Window.partitionBy("ck").orderBy("us", "ok")
+        .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    runs = (e.filter(F.col("chg") == 1)
+            .select("ck", "version", "prio",
+                    F.col("us").alias("valid_from_us")))
+    w2 = Window.partitionBy("ck").orderBy("version")
+    # -1 sentinel, not NULL: a nullable BIGINT comes back from the
+    # oracle's pandas fetch as float (the esql FORK lesson)
+    runs = runs.withColumn(
+        "valid_to_us",
+        F.coalesce(F.lead("valid_from_us").over(w2), F.lit(-1)).cast("long"))
+    return (runs.select(
+        F.col("ck").alias("o_custkey"), "version",
+        F.col("prio").alias("priority"), "valid_from_us", "valid_to_us",
+        F.when(F.col("valid_to_us") == -1, 1).otherwise(0)
+        .cast("int").alias("is_current"))
+        .orderBy("o_custkey", "version"))
