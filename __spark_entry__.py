@@ -3612,6 +3612,29 @@ def _q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_build(spark.read.parquet(f"{sf_dir}/orders.parquet"))
 
 
+def _q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all event types: roc_auc avg ranks on the
+    bounded value relation, exact rank sums, tie-corrected H."""
+    from fafnir_spark.pipeline import kruskal_wallis
+
+    return kruskal_wallis(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across event types from raw per-group sums."""
+    from fafnir_spark.pipeline import anova_f
+
+    return anova_f(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the event_type x weekday
+    contingency table, rounded-contribution summation."""
+    from fafnir_spark.pipeline import chi2_independence
+
+    return chi2_independence(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the event_type distribution across
     the midpoint time split, add-one smoothed."""
@@ -5639,6 +5662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": _q_mann_kendall,
         "mann_whitney_u": _q_mann_whitney_u,
         "holt_winters": _q_holt_winters,
+        "kruskal_wallis": _q_kruskal_wallis,
+        "anova_f": _q_anova_f,
+        "chi2_independence": _q_chi2_independence,
         "sprt_ab": _q_sprt_ab,
         "scd2_build": _q_scd2_build,
         "spearman_corr": _q_spearman_corr,
@@ -6153,6 +6179,9 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "mann_kendall": oracles_pipeline.mann_kendall_sql(),
         "mann_whitney_u": oracles_pipeline.mann_whitney_u_sql(),
         "holt_winters": oracles_pipeline.holt_winters_sql(),
+        "kruskal_wallis": oracles_pipeline.kruskal_wallis_sql(),
+        "anova_f": oracles_pipeline.anova_f_sql(),
+        "chi2_independence": oracles_pipeline.chi2_independence_sql(),
         "sprt_ab": oracles_pipeline.sprt_ab_sql(),
         "scd2_build": oracles_pipeline.scd2_build_sql(),
         "spearman_corr": oracles_pipeline.spearman_corr_sql(),

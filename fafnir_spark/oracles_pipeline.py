@@ -3570,3 +3570,94 @@ SELECT ck AS o_custkey, version, prio AS priority, valid_from_us,
          AS is_current
 FROM r2 ORDER BY o_custkey, version
 """
+
+
+def kruskal_wallis_sql() -> str:
+    """Mirror of pipeline.kruskal_wallis: same avg-rank derivation on the
+    bounded value relation, same exact rank sums, same H / tie-corrected
+    H operand order (h_tie derived from the RAW h, both rounded)."""
+    return """
+WITH pairs AS (SELECT event_type AS grp, value AS v,
+                      CAST(count(*) AS BIGINT) AS cg
+               FROM events GROUP BY 1, 2),
+vg AS (SELECT v, CAST(sum(cg) AS BIGINT) AS c FROM pairs GROUP BY v),
+vr AS (SELECT v,
+              (sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c)
+                + (c + 1) / 2.0 AS avg_rank
+       FROM vg),
+byg AS (SELECT grp, CAST(sum(cg) AS BIGINT) AS n_j,
+               sum(cg * avg_rank) AS r_j
+        FROM pairs JOIN vr USING (v) GROUP BY grp),
+ties AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+         FROM vg),
+tot AS (SELECT sum(r_j * r_j / CAST(n_j AS DOUBLE)) AS rr FROM byg),
+sc0 AS (SELECT 12.0 / CAST(n * (n + 1) AS DOUBLE) * rr
+               - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+               n, tsum
+        FROM tot CROSS JOIN ties),
+sc AS (SELECT round(h, 6) AS h,
+              round(h / (1.0 - CAST(tsum AS DOUBLE)
+                         / CAST(n * n * n - n AS DOUBLE)), 6) AS h_tie
+       FROM sc0)
+SELECT grp AS event_type, n_j,
+       round(r_j / CAST(n_j AS DOUBLE), 6) AS mean_rank, h, h_tie
+FROM byg CROSS JOIN sc
+ORDER BY event_type
+"""
+
+
+def anova_f_sql() -> str:
+    """Mirror of pipeline.anova_f: same raw per-group sums, same
+    SSB/SSW/F operand order."""
+    return """
+WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nj,
+                  sum(value) AS sj, sum(value * value) AS ssj
+           FROM events GROUP BY event_type),
+a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nj) AS BIGINT) AS n,
+             sum(sj) AS s, sum(sj * sj / CAST(nj AS DOUBLE)) AS sq,
+             sum(ssj) AS ss
+      FROM g),
+d AS (SELECT k, n, sq - s * s / CAST(n AS DOUBLE) AS ssb,
+             ss - sq AS ssw
+      FROM a)
+SELECT k, n, round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+       round((ssb / CAST(k - 1 AS DOUBLE))
+             / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat,
+       round(ssb / (ssb + ssw), 6) AS eta_sq
+FROM d
+"""
+
+
+def chi2_independence_sql() -> str:
+    """Mirror of pipeline.chi2_independence: same Spark-dayofweek key
+    (1 = Sunday; DuckDB dow + 1), same exact-integer expected-value
+    numerator, Σ of ROUNDED contributions."""
+    return """
+WITH cells AS (SELECT event_type,
+                      CAST(dayofweek(ts) AS INTEGER) + 1 AS dow,
+                      CAST(count(*) AS BIGINT) AS o
+               FROM events GROUP BY 1, 2),
+rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rm
+       FROM cells GROUP BY event_type),
+cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cm FROM cells GROUP BY dow),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+               CAST(count(DISTINCT dow) AS BIGINT) AS c
+        FROM cells),
+j AS (SELECT cells.event_type, cells.dow, cells.o,
+             CAST(rm * cm AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+             r, c
+      FROM cells JOIN rm USING (event_type) JOIN cm USING (dow)
+           CROSS JOIN tot),
+jc AS (SELECT *,
+              round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                    / e, 6) AS contrib
+       FROM j),
+chi AS (SELECT round(sum(contrib), 6) AS chi2,
+               CAST(min((r - 1) * (c - 1)) AS BIGINT) AS dof
+        FROM jc)
+SELECT event_type, dow, o, round(e, 6) AS e, contrib, chi2, dof
+FROM jc CROSS JOIN chi
+ORDER BY event_type, dow
+"""

@@ -4729,3 +4729,125 @@ def scd2_build(orders: DataFrame) -> DataFrame:
         F.when(F.col("valid_to_us") == -1, 1).otherwise(0)
         .cast("int").alias("is_current"))
         .orderBy("o_custkey", "version"))
+
+
+def kruskal_wallis(events: DataFrame) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952) — the k-group
+    extension of mann_whitney_u — comparing ``value`` across ALL event
+    types. Average ranks over ties come from the roc_auc identity on the
+    bounded distinct-value relation; per-group rank sums R_j = Σ c·
+    avg_rank are exact (avg_rank carries only .5 fractions);
+
+        H = 12/(n(n+1)) · Σ_j R_j²/n_j − 3(n+1),
+        H_tie = H / (1 − Σ(t³−t)/(n³−n))
+
+    with the tie sum in exact BIGINT space. The Σ_j runs over the
+    ≤|groups| relation (extended_stats double-sum precedent). Scale
+    shape: ONE map-side-combined groupBy(group, value) corpus pass; rank
+    windows only over the bounded value relation. Output one row per
+    group — (event_type, n_j, mean_rank) — with the shared (h, h_tie)
+    repeated per row (the psi_drift single-relation rule), ordered by
+    event_type."""
+    pairs = (events.select(F.col("event_type").alias("grp"),
+                           F.col("value").alias("v"))
+             .groupBy("grp", "v")
+             .agg(F.count(F.lit(1)).cast("long").alias("cg")))
+    vg = pairs.groupBy("v").agg(F.sum("cg").cast("long").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vr = vg.withColumn(
+        "avg_rank",
+        (F.sum("c").over(w) - F.col("c")) + (F.col("c") + 1) / F.lit(2.0))
+    byg = (pairs.join(vr.select("v", "avg_rank"), "v")
+           .groupBy("grp")
+           .agg(F.sum("cg").cast("long").alias("n_j"),
+                F.sum(F.col("cg") * F.col("avg_rank")).alias("r_j")))
+    ties = vg.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long").alias("tsum"))
+    tot = byg.agg(F.sum(F.col("r_j") * F.col("r_j") / F.col("n_j")
+                        .cast("double")).alias("rr"))
+    n = F.col("n")
+    h = (F.lit(12.0) / (n * (n + 1)).cast("double") * F.col("rr")
+         - F.lit(3.0) * (n + 1).cast("double"))
+    sc = (tot.crossJoin(F.broadcast(ties))
+          .withColumn("h", h)
+          .select(F.round("h", 6).alias("h"),
+                  F.round(F.col("h")
+                          / (F.lit(1.0) - F.col("tsum").cast("double")
+                             / (n * n * n - n).cast("double")), 6)
+                  .alias("h_tie")))
+    return (byg.crossJoin(F.broadcast(sc))
+            .select(F.col("grp").alias("event_type"), "n_j",
+                    F.round(F.col("r_j") / F.col("n_j").cast("double"), 6)
+                    .alias("mean_rank"), "h", "h_tie")
+            .orderBy("event_type"))
+
+
+def anova_f(events: DataFrame) -> DataFrame:
+    """One-way ANOVA F statistic of ``value`` across event types, from
+    raw per-group sums in ONE map-side-combined pass (the matrix_stats
+    raw-sum rule): SSB = Σ_j s_j²/n_j − S²/N, SSW = Σ_j (ss_j − s_j²/n_j),
+    F = (SSB/(k−1))/(SSW/(N−k)), eta² = SSB/(SSB+SSW). Group-relation
+    double sums follow the extended_stats precedent. One row out:
+    (k, n, ssb, ssw, f_stat, eta_sq)."""
+    g = (events.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("nj"),
+              F.sum("value").alias("sj"),
+              F.sum(F.col("value") * F.col("value")).alias("ssj")))
+    a = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("nj").cast("long").alias("n"),
+        F.sum("sj").alias("s"),
+        F.sum(F.col("sj") * F.col("sj") / F.col("nj").cast("double"))
+        .alias("sq"),
+        F.sum("ssj").alias("ss"))
+    ssb = F.col("sq") - F.col("s") * F.col("s") / F.col("n").cast("double")
+    ssw = F.col("ss") - F.col("sq")
+    a = a.withColumn("ssb", ssb).withColumn("ssw", ssw)
+    f_stat = ((F.col("ssb") / (F.col("k") - 1).cast("double"))
+              / (F.col("ssw") / (F.col("n") - F.col("k")).cast("double")))
+    return a.select(
+        "k", "n", F.round("ssb", 6).alias("ssb"),
+        F.round("ssw", 6).alias("ssw"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6)
+        .alias("eta_sq"))
+
+
+def chi2_independence(events: DataFrame) -> DataFrame:
+    """Pearson chi² test of independence on the event_type × ISO-weekday
+    contingency table: observed counts in ONE groupBy pass, marginals
+    from the bounded cell relation, expected e = (row·col)/n with exact
+    integer products, per-cell contribution (o−e)²/e ROUNDED 6 before
+    the Σ (the psi_drift/ece summation rule). Degrees of freedom
+    (r−1)(c−1) from distinct-marginal counts. Output one row per cell —
+    (event_type, dow, o, e, contrib) — with (chi2, dof) repeated,
+    ordered (event_type, dow)."""
+    cells = (events.select(
+        "event_type",
+        F.expr("extract(dayofweek FROM cast(ts as timestamp))")
+        .cast("int").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("o")))
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").cast("long")
+                                             .alias("rm"))
+    cols_m = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("cm"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"),
+                    F.countDistinct("event_type").cast("long").alias("r"),
+                    F.countDistinct("dow").cast("long").alias("c"))
+    j = (cells.join(F.broadcast(rows_m), "event_type")
+         .join(F.broadcast(cols_m), "dow")
+         .crossJoin(F.broadcast(tot)))
+    e = (F.col("rm") * F.col("cm")).cast("double") / F.col("n").cast("double")
+    j = (j.withColumn("e", e)
+         .withColumn("contrib", F.round(
+             (F.col("o").cast("double") - F.col("e"))
+             * (F.col("o").cast("double") - F.col("e")) / F.col("e"), 6)))
+    chi = j.agg(F.round(F.sum("contrib"), 6).alias("chi2"),
+                F.min((F.col("r") - 1) * (F.col("c") - 1)).cast("long")
+                .alias("dof"))
+    return (j.crossJoin(F.broadcast(chi))
+            .select("event_type", "dow", "o", F.round("e", 6).alias("e"),
+                    "contrib", "chi2", "dof")
+            .orderBy("event_type", "dow"))
