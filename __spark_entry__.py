@@ -4228,6 +4228,39 @@ def _q_stream_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
 
 
+def _q_stream_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Wald SPRT: exact-integer additive day-count state,
+    shared LLR/decision tail — same oracle as batch."""
+    from fafnir_spark.streaming import stream_sprt_ab
+
+    base = tempfile.mkdtemp(prefix="fafnir_ssprt_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_sprt_ab(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
+def _q_stream_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming chi² independence: exact-integer additive cell state,
+    shared marginal/expected tail — same oracle as batch."""
+    from fafnir_spark.streaming import stream_chi2_independence
+
+    base = tempfile.mkdtemp(prefix="fafnir_schi2_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_chi2_independence(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
+def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette audit of the Lloyd-trained k-means
+    clustering: O(n·k) corpus × broadcast-centroids pass."""
+    from fafnir_spark.simsearch import silhouette_kmeans
+
+    return silhouette_kmeans(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed target encoding + closed-form leave-one-out mean — one
     groupBy + a broadcast global prior."""
@@ -5689,6 +5722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_attribution": _q_stream_attribution,
         "benford_audit": _q_benford_audit,
         "stream_theil_sen": _q_stream_theil_sen,
+        "stream_sprt_ab": _q_stream_sprt_ab,
+        "stream_chi2_independence": _q_stream_chi2_independence,
+        "silhouette_kmeans": _q_silhouette_kmeans,
         "shapley_attribution": _q_shapley_attribution,
         "markov_attribution": _q_markov_attribution,
         "event_transitions": _q_event_transitions,
@@ -6207,6 +6243,9 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "stream_attribution": oracles_pipeline.attribution_sql(),
         "benford_audit": oracles_pipeline.benford_audit_sql(),
         "stream_theil_sen": oracles_pipeline.theil_sen_trend_sql(),
+        "stream_sprt_ab": oracles_pipeline.sprt_ab_sql(),
+        "stream_chi2_independence": oracles_pipeline.chi2_independence_sql(),
+        "silhouette_kmeans": oracles_ops.silhouette_kmeans_sql(),
         "shapley_attribution": oracles_pipeline.shapley_attribution_sql(),
         "markov_attribution": oracles_pipeline.markov_attribution_sql(),
         "event_transitions": oracles_pipeline.event_transitions_sql(),

@@ -1772,3 +1772,72 @@ SELECT v.i AS dim, v.v AS loading, ray.eigenvalue
 FROM v{rounds} v CROSS JOIN ray ORDER BY dim
 """)
     return "".join(parts)
+
+
+def silhouette_kmeans_sql(n_centroids: int = 16) -> str:
+    """Mirror of simsearch.silhouette_kmeans with iters=1: the
+    ivf_trained_topk_sql training CTEs (sampled seeds → one Lloyd update
+    with round-6 means → reassign), then the centroid-based silhouette
+    from round-6 cosine distances."""
+
+    def cos(a: str, b: str) -> str:
+        return f"""round(
+  list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+, 6)"""
+
+    return f"""
+WITH step AS (SELECT greatest(count(*) // {n_centroids}, 1) AS s FROM embeddings),
+cents0 AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings, step
+           WHERE vec_id % step.s = 0 AND vec_id // step.s < {n_centroids}),
+assigned0 AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.embedding", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents0 c
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT centroid_id, CAST(t.i - 1 AS INT) AS dim,
+         round(avg(v[t.i]::DOUBLE), 6) AS c
+  FROM assigned0, unnest(range(1, 65)) AS t(i)
+  GROUP BY centroid_id, dim
+),
+cents AS (SELECT centroid_id, list(c ORDER BY dim) AS cv FROM means GROUP BY centroid_id),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS own FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.embedding", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+per AS (
+  SELECT a.vec_id, a.own,
+         min(CASE WHEN c.centroid_id = a.own
+                  THEN 1.0 - {cos("a.v", "c.cv")} END) AS da,
+         min(CASE WHEN c.centroid_id != a.own
+                  THEN 1.0 - {cos("a.v", "c.cv")} END) AS db
+  FROM assigned a CROSS JOIN cents c
+  GROUP BY a.vec_id, a.own
+),
+sil AS (SELECT own AS centroid_id,
+               CAST(round(round(CASE WHEN greatest(da, db) > 0
+                          THEN (db - da) / greatest(da, db)
+                          ELSE 0.0 END, 6) * 1000000.0, 0) AS BIGINT) AS smic
+        FROM per),
+ov AS (SELECT round(CAST(sum(smic) AS DOUBLE)
+               / CAST(count(*) * 1000000 AS DOUBLE), 6) AS overall_sil
+        FROM sil)
+SELECT centroid_id, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(smic) AS DOUBLE)
+             / CAST(count(*) * 1000000 AS DOUBLE), 6) AS mean_sil,
+       overall_sil
+FROM sil CROSS JOIN ov
+GROUP BY centroid_id, overall_sil
+ORDER BY centroid_id
+"""

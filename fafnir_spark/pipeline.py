@@ -4654,13 +4654,10 @@ def sprt_ab(events: DataFrame, event_type: str = "purchase",
     the boundary comparisons are exact; once a boundary is crossed the
     decision LATCHES (running max of the state ordinal — the KM dead-pin
     idiom). Scale shape: one map-side-combined groupBy(day) pass, then
-    cumsum windows over the ≤|days| bucket relation. (d, n_cum, s_cum,
-    llr, decision) ordered by d."""
-    import math
-    la = math.log(p1 / p0)
-    lb = math.log((1.0 - p1) / (1.0 - p0))
-    up = math.log((1.0 - beta) / alpha)
-    dn = math.log(beta / (1.0 - alpha))
+    cumsum windows over the ≤|days| bucket relation (the shared
+    sprt_from_day_counts tail — also fed by the streaming sibling's
+    exact-additive count state). (d, n_cum, s_cum, llr, decision)
+    ordered by d."""
     g = (events.select(
         F.expr(f"unix_micros(cast(ts as timestamp)) DIV {_DAY_US}")
         .alias("d"),
@@ -4669,6 +4666,21 @@ def sprt_ab(events: DataFrame, event_type: str = "purchase",
         .groupBy("d")
         .agg(F.count(F.lit(1)).cast("long").alias("n"),
              F.sum("s").cast("long").alias("sc")))
+    return sprt_from_day_counts(g, p0, p1, alpha, beta)
+
+
+def sprt_from_day_counts(g: DataFrame, p0: float = 0.18, p1: float = 0.22,
+                         alpha: float = 0.05, beta: float = 0.2
+                         ) -> DataFrame:
+    """The SPRT tail over a (d, n, sc) day-count relation — shared by
+    sprt_ab and streaming.stream_sprt_ab (the change_point_from_buckets
+    rule). Counts are EXACT integers, so the streaming additive merge is
+    bit-identical to batch."""
+    import math
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    up = math.log((1.0 - beta) / alpha)
+    dn = math.log(beta / (1.0 - alpha))
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     g = (g.withColumn("n_cum", F.sum("n").over(w).cast("long"))
          .withColumn("s_cum", F.sum("sc").over(w).cast("long")))
@@ -4823,13 +4835,21 @@ def chi2_independence(events: DataFrame) -> DataFrame:
     the Σ (the psi_drift/ece summation rule). Degrees of freedom
     (r−1)(c−1) from distinct-marginal counts. Output one row per cell —
     (event_type, dow, o, e, contrib) — with (chi2, dof) repeated,
-    ordered (event_type, dow)."""
+    ordered (event_type, dow). Tail shared with the streaming sibling
+    via chi2_from_cells (exact-integer additive cell state)."""
     cells = (events.select(
         "event_type",
         F.expr("extract(dayofweek FROM cast(ts as timestamp))")
         .cast("int").alias("dow"))
         .groupBy("event_type", "dow")
         .agg(F.count(F.lit(1)).cast("long").alias("o")))
+    return chi2_from_cells(cells)
+
+
+def chi2_from_cells(cells: DataFrame) -> DataFrame:
+    """The chi² tail over an observed-count cell relation
+    (event_type, dow, o) — shared by chi2_independence and
+    streaming.stream_chi2_independence."""
     rows_m = cells.groupBy("event_type").agg(F.sum("o").cast("long")
                                              .alias("rm"))
     cols_m = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("cm"))

@@ -1671,3 +1671,55 @@ def pca_power_iteration(emb: DataFrame, dims: int = 16, rounds: int = 8,
             .select(F.col("i").alias("dim"), F.col("v").alias("loading"),
                     "eigenvalue")
             .orderBy("dim"))
+
+
+def silhouette_kmeans(emb: DataFrame, n_centroids: int = 16,
+                      iters: int = 1, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Simplified (centroid-based) silhouette score of the Lloyd-trained
+    k-means clustering — the O(n·k) clustering-quality audit (the full
+    silhouette is O(n²) pairwise and never survives scale): per vector,
+    a = 1 − cos(v, own centroid), b = min over OTHER centroids of
+    1 − cos, s = (b − a)/max(a, b) (0 when both distances are 0).
+    Cosines are ROUNDED 6 (the IVF assignment rule) so both engines
+    branch identically; s rounds 6 and is then lifted to EXACT integer
+    micro-units before the per-cluster mean — a double sum of rounded
+    values drifts across engines at corpus size (the 1e-6 flip this op
+    hit at sf0.01), an integer sum cannot.
+
+    Scale shape: kmeans_train is one corpus pass per iteration; the
+    silhouette pass is ONE corpus × broadcast-centroids join collapsed
+    by a map-side-combined conditional groupBy(vec_id) — no windows, no
+    pairwise joins. (centroid_id, n, mean_sil, overall_sil) ordered by
+    centroid_id, overall repeated per row (the psi_drift rule)."""
+    cents = kmeans_train(emb, n_centroids, iters, id_col, vec_col)
+    assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
+    pairs = (assigned.select("vec_id",
+                             F.col("centroid_id").alias("own"), "v")
+             .crossJoin(F.broadcast(cents))
+             .withColumn("d", F.lit(1.0) - F.round(
+                 cosine_expr(F.col("v"), F.col("cv")), 6)))
+    per = (pairs.groupBy("vec_id", "own")
+           .agg(F.min(F.when(F.col("centroid_id") == F.col("own"),
+                             F.col("d"))).alias("da"),
+                F.min(F.when(F.col("centroid_id") != F.col("own"),
+                             F.col("d"))).alias("db")))
+    s = F.when(F.greatest(F.col("da"), F.col("db")) > 0,
+               (F.col("db") - F.col("da"))
+               / F.greatest(F.col("da"), F.col("db"))).otherwise(F.lit(0.0))
+    sil = per.select(
+        F.col("own").alias("centroid_id"),
+        F.round(F.round(s, 6) * F.lit(1000000.0), 0).cast("long")
+        .alias("smic"))
+    overall = sil.agg(F.round(
+        F.sum("smic").cast("double")
+        / (F.count(F.lit(1)) * 1000000).cast("double"), 6)
+        .alias("overall_sil"))
+    return (sil.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("smic").cast("double")
+                         / (F.count(F.lit(1)) * 1000000).cast("double"), 6)
+                 .alias("mean_sil"))
+            .crossJoin(F.broadcast(overall))
+            .select("centroid_id", "n", "mean_sil", "overall_sil")
+            .orderBy("centroid_id"))

@@ -1486,3 +1486,108 @@ def stream_kmv_cardinality(
             .select(F.col("grp").alias(group_col), "est_distinct",
                     F.lit(k).cast("long").alias("k"))
             .orderBy(group_col))
+
+
+def stream_sprt_ab(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Streaming Wald SPRT monitor: per-day (n, successes) counts are
+    EXACT-INTEGER additive state (batch stamps + dropDuplicates make
+    replays idempotent — the stream_moving_ewma algebra, with no
+    post-merge rounding needed because counts merge exactly), and the
+    shared pipeline.sprt_from_day_counts tail computes the identical
+    LLR/decision table — bit-for-bit equal to batch, so the oracle IS
+    the batch SQL."""
+    import os
+
+    from .pipeline import sprt_from_day_counts
+
+    day_us = 86_400_000_000
+    counts_dir = os.path.join(state_dir, "sprt_counts")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.groupBy(F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {day_us}")
+                .alias("d"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.when(F.col("event_type") == event_type, 1)
+                       .otherwise(0)).cast("long").alias("sc"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(counts_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(counts_dir)
+        .dropDuplicates(["d", "_b"])
+        .groupBy("d")
+        .agg(F.sum("n").cast("long").alias("n"),
+             F.sum("sc").cast("long").alias("sc"))
+    )
+    return sprt_from_day_counts(merged)
+
+
+def stream_chi2_independence(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> DataFrame:
+    """Streaming chi² independence monitor over the event_type × weekday
+    contingency: per-batch observed-cell counts are EXACT-INTEGER
+    additive state; the shared pipeline.chi2_from_cells tail recomputes
+    marginals/expected/contributions from the merged ≤|cells| relation —
+    bit-for-bit equal to batch (oracle = the batch SQL)."""
+    import os
+
+    from .pipeline import chi2_from_cells
+
+    cells_dir = os.path.join(state_dir, "chi2_cells")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.select(
+                "event_type",
+                F.expr("extract(dayofweek FROM cast(ts as timestamp))")
+                .cast("int").alias("dow"))
+            .groupBy("event_type", "dow")
+            .agg(F.count(F.lit(1)).cast("long").alias("o"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(cells_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(cells_dir)
+        .dropDuplicates(["event_type", "dow", "_b"])
+        .groupBy("event_type", "dow")
+        .agg(F.sum("o").cast("long").alias("o"))
+    )
+    return chi2_from_cells(merged)
