@@ -1,0 +1,197 @@
+"""Session-17 op invariants the oracle sim can't express: rank-test
+identities, Holt-Winters constant-series exactness, SPRT latching, SCD2
+interval laws, stream==batch exactness, silhouette bounds."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fafnir_spark.pipeline import (
+    anova_f,
+    chi2_independence,
+    holt_winters,
+    kruskal_wallis,
+    mann_whitney_u,
+    nelson_aalen,
+    robust_stats,
+    scd2_build,
+    spearman_corr,
+    sprt_ab,
+    survival_km,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+def test_mwu_swap_identity(events):
+    """U_a + U_b == n_a·n_b, and swapping the groups negates z and r."""
+    ab = mann_whitney_u(events, "view", "purchase").collect()[0]
+    ba = mann_whitney_u(events, "purchase", "view").collect()[0]
+    assert ab["n_a"] == ba["n_b"] and ab["n_b"] == ba["n_a"]
+    assert abs((ab["u_a"] + ba["u_a"]) - ab["n_a"] * ab["n_b"]) < 1e-9
+    assert abs(ab["z"] + ba["z"]) < 2e-6
+    assert abs(ab["r_rb"] + ba["r_rb"]) < 2e-6
+
+
+def test_spearman_perfect_and_bounds(spark, events):
+    li = spark.range(50).select(
+        (F.col("id") + 1).cast("double").alias("l_quantity"),
+        ((F.col("id") + 1) * 3).cast("double").alias("l_extendedprice"))
+    assert spearman_corr(li).collect()[0]["rho"] == 1.0
+    anti = spark.range(50).select(
+        (F.col("id") + 1).cast("double").alias("l_quantity"),
+        (100 - F.col("id")).cast("double").alias("l_extendedprice"))
+    assert spearman_corr(anti).collect()[0]["rho"] == -1.0
+
+
+def test_robust_stats_bounds(events):
+    for r in robust_stats(events).collect():
+        assert r["q_lo"] <= r["trimmed_mean"] <= r["q_hi"]
+        assert r["n_kept"] <= r["n"]
+        # winsorized mean is pulled toward the clamp window
+        assert r["q_lo"] - 1e-9 <= r["winsor_mean"] <= r["q_hi"] + 1e-9 or \
+            r["q_lo"] <= r["winsor_mean"] <= r["q_hi"]
+
+
+def test_nelson_aalen_vs_km(events):
+    """H non-decreasing; Fleming-Harrington survival >= KM survival
+    (a classical inequality: exp(-d/n) >= 1 - d/n)."""
+    na = {r["t_day"]: r for r in nelson_aalen(events).collect()}
+    km = {r["t_day"]: r for r in survival_km(events).collect()}
+    assert set(na) == set(km)
+    prev_h = 0.0
+    for d in sorted(na):
+        assert na[d]["cum_hazard"] >= prev_h - 1e-9
+        prev_h = na[d]["cum_hazard"]
+        assert na[d]["s_fh"] >= km[d]["survival"] - 1e-6
+        assert na[d]["n_risk"] == km[d]["n_risk"]
+
+
+def _mk_events(spark, vals):
+    """Daily one-event series with the given values starting 2024-01-01."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(days=i), 1, "view", float(v), "")
+            for i, v in enumerate(vals)]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def test_holt_winters_constant_series_exact(spark):
+    ev = _mk_events(spark, [5.0] * 28)
+    rows = holt_winters(ev).collect()
+    assert len(rows) == 21  # days 8..28
+    for r in rows:
+        assert r["hw_fitted"] == 5.0 and r["resid"] == 0.0
+
+
+def test_holt_winters_tracks_seasonal(spark):
+    season = [10.0, 2.0, 4.0, 8.0, 1.0, 7.0, 3.0]
+    ev = _mk_events(spark, season * 4)
+    rows = holt_winters(ev).collect()
+    # exactly periodic series: classical init is exact, residuals vanish
+    for r in rows:
+        assert abs(r["resid"]) < 1e-9
+
+
+def test_sprt_latches_and_accepts(spark, events):
+    rows = sprt_ab(events).collect()
+    seen_decided = False
+    for r in rows:
+        if r["decision"] != "continue":
+            seen_decided = True
+        if seen_decided:
+            assert r["decision"] != "continue", "decision un-latched"
+    # a heavily successful synthetic stream must accept H1
+    ev = _mk_events(spark, [1.0] * 20).withColumn(
+        "event_type", F.lit("purchase"))
+    ev = ev.unionByName(_mk_events(spark, [1.0] * 4))
+    got = sprt_ab(ev).collect()
+    assert got[-1]["decision"] == "accept_h1"
+
+
+def test_scd2_interval_laws(orders):
+    rows = scd2_build(orders).collect()
+    by_ck = {}
+    for r in rows:
+        by_ck.setdefault(r["o_custkey"], []).append(r)
+    assert by_ck
+    for ck, rs in by_ck.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r["is_current"] for r in rs) == 1
+        assert rs[-1]["is_current"] == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert a["priority"] != b["priority"]
+            # same-timestamp orders (date-granular o_orderdate) produce
+            # zero-length versions; order is then by o_orderkey
+            assert a["valid_from_us"] <= a["valid_to_us"]
+
+
+def test_stream_sprt_equals_batch(spark, events):
+    from fafnir_spark.streaming import stream_sprt_ab
+
+    base = tempfile.mkdtemp(prefix="fafnir_ssprt_t_")
+    src = os.path.join(base, "src")
+    events.repartition(4).write.parquet(src)
+    got = stream_sprt_ab(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in sprt_ab(events).collect()]
+
+
+def test_stream_chi2_equals_batch(spark, events):
+    from fafnir_spark.streaming import stream_chi2_independence
+
+    base = tempfile.mkdtemp(prefix="fafnir_schi2_t_")
+    src = os.path.join(base, "src")
+    events.repartition(4).write.parquet(src)
+    got = stream_chi2_independence(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in chi2_independence(events).collect()]
+
+
+def test_kruskal_anova_chi2_invariants(events):
+    kw = kruskal_wallis(events).collect()
+    n = sum(r["n_j"] for r in kw)
+    # weighted mean of group mean-ranks is the global mean rank (n+1)/2
+    wm = sum(r["n_j"] * r["mean_rank"] for r in kw) / n
+    assert abs(wm - (n + 1) / 2.0) < 1e-3
+    assert all(r["h_tie"] >= r["h"] - 1e-9 for r in kw)  # correction >= 1
+
+    av = anova_f(events).collect()[0]
+    assert av["f_stat"] >= 0.0 and 0.0 <= av["eta_sq"] <= 1.0
+    assert abs((av["ssb"] + av["ssw"])
+               - (av["ssb"] + av["ssw"])) < 1e-9
+
+    chi = chi2_independence(events).collect()
+    assert sum(r["o"] for r in chi) == n  # same corpus
+    assert all(r["chi2"] >= 0.0 for r in chi)
+    assert chi[0]["dof"] == (5 - 1) * (7 - 1)
+
+
+def test_silhouette_bounds(spark):
+    from fafnir_spark.simsearch import silhouette_kmeans
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = silhouette_kmeans(emb).collect()
+    assert sum(r["n"] for r in rows) == emb.count()
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["mean_sil"] <= 1.0 + 1e-9
+        assert -1.0 - 1e-9 <= r["overall_sil"] <= 1.0 + 1e-9
