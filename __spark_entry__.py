@@ -4261,6 +4261,37 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for the four warehouse
+    FKs via left-anti joins against distinct dimension keys."""
+    from fafnir_spark.pipeline import fk_audit
+
+    return fk_audit(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"))
+
+
+def _q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer-supplier order graph:
+    exact-integer degree sums, raw-sum Pearson."""
+    from fafnir_spark.pipeline import graph_assortativity
+
+    return graph_assortativity(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily counts: carried (z, w) multiply
+    chain (never libm pow), time-varying limits, recursive-CTE oracle."""
+    from fafnir_spark.pipeline import ewma_control_chart
+
+    return ewma_control_chart(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed target encoding + closed-form leave-one-out mean — one
     groupBy + a broadcast global prior."""
@@ -5723,6 +5754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": _q_benford_audit,
         "stream_theil_sen": _q_stream_theil_sen,
         "stream_sprt_ab": _q_stream_sprt_ab,
+        "fk_audit": _q_fk_audit,
+        "graph_assortativity": _q_graph_assortativity,
+        "ewma_control_chart": _q_ewma_control_chart,
         "stream_chi2_independence": _q_stream_chi2_independence,
         "silhouette_kmeans": _q_silhouette_kmeans,
         "shapley_attribution": _q_shapley_attribution,
@@ -6244,6 +6278,9 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "benford_audit": oracles_pipeline.benford_audit_sql(),
         "stream_theil_sen": oracles_pipeline.theil_sen_trend_sql(),
         "stream_sprt_ab": oracles_pipeline.sprt_ab_sql(),
+        "fk_audit": oracles_pipeline.fk_audit_sql(),
+        "graph_assortativity": oracles_pipeline.graph_assortativity_sql(),
+        "ewma_control_chart": oracles_pipeline.ewma_control_chart_sql(),
         "stream_chi2_independence": oracles_pipeline.chi2_independence_sql(),
         "silhouette_kmeans": oracles_ops.silhouette_kmeans_sql(),
         "shapley_attribution": oracles_pipeline.shapley_attribution_sql(),

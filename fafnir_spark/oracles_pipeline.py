@@ -3661,3 +3661,107 @@ SELECT event_type, dow, o, round(e, 6) AS e, contrib, chi2, dof
 FROM jc CROSS JOIN chi
 ORDER BY event_type, dow
 """
+
+
+def fk_audit_sql() -> str:
+    """Mirror of pipeline.fk_audit: same four FK checks, orphans via
+    NOT IN over the distinct dimension keys (keys are non-null in this
+    schema, so NOT IN == anti join)."""
+    def one(name, fact, key, dim, dkey):
+        return f"""
+SELECT '{name}' AS relation,
+       (SELECT CAST(count(*) AS BIGINT) FROM {fact}) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM {fact}
+        WHERE {key} NOT IN (SELECT DISTINCT {dkey} FROM {dim}))
+         AS n_orphans,
+       round(CAST((SELECT count(*) FROM {fact}
+                   WHERE {key} NOT IN (SELECT DISTINCT {dkey} FROM {dim}))
+                  AS DOUBLE)
+             / CAST((SELECT count(*) FROM {fact}) AS DOUBLE), 6)
+         AS orphan_share"""
+    parts = [
+        one("lineitem.orderkey", "lineitem", "l_orderkey", "orders",
+            "o_orderkey"),
+        one("lineitem.partkey", "lineitem", "l_partkey", "part",
+            "p_partkey"),
+        one("lineitem.suppkey", "lineitem", "l_suppkey", "supplier",
+            "s_suppkey"),
+        one("orders.custkey", "orders", "o_custkey", "customer",
+            "c_custkey"),
+    ]
+    return ("SELECT * FROM (" + " UNION ALL ".join(parts)
+            + ") ORDER BY relation")
+
+
+def graph_assortativity_sql() -> str:
+    """Mirror of pipeline.graph_assortativity: same symmetric edge
+    derivation, exact-BIGINT degree sums, raw-sum Pearson operand
+    order."""
+    return f"""
+WITH {_ORDER_GRAPH_SYM},
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src),
+e AS (SELECT a.d AS dj, b.d AS dk
+      FROM sym s JOIN deg a ON a.src = s.src JOIN deg b ON b.src = s.dst),
+s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dj) AS BIGINT) AS sj,
+             CAST(sum(dk) AS BIGINT) AS sk,
+             CAST(sum(dj * dk) AS BIGINT) AS sjk,
+             CAST(sum(dj * dj) AS BIGINT) AS sjj,
+             CAST(sum(dk * dk) AS BIGINT) AS skk
+      FROM e)
+SELECT m AS m_edges,
+       round((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+              - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+             / (sqrt(CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                     - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                * sqrt(CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+                       - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))), 6)
+         AS assortativity
+FROM s
+"""
+
+
+def ewma_control_chart_sql(lam: float = 0.25, limit: float = 3.0) -> str:
+    """Mirror of pipeline.ewma_control_chart: identical (z, w)
+    recurrence as a recursive CTE, same literal operand order, flags
+    from the UNROUNDED z/limits."""
+    day = 86_400_000_000
+    om = 1.0 - float(lam)
+    w2 = om * om
+    c = float(lam) / (2.0 - float(lam))
+    return f"""
+WITH RECURSIVE
+g AS (SELECT epoch_us(ts) // {day} AS d, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+o AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM g),
+stt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS ss
+        FROM g),
+ms AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+              sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+                            0.0)) AS sigma
+       FROM stt),
+rec AS (
+  -- CAST the w seed: a bare 1.0 types the recursion DECIMAL(2,1) and
+  -- silently truncates every product (the benford VALUES-literal trap)
+  SELECT CAST(0 AS BIGINT) AS t, mu AS z, CAST(1.0 AS DOUBLE) AS w FROM ms
+  UNION ALL
+  SELECT o.rn, CAST(o.x AS DOUBLE) * {lam!r} + r.z * {om!r},
+         r.w * {w2!r}
+  FROM rec r JOIN o ON o.rn = r.t + 1
+),
+j AS (SELECT o.d, o.x, r.z, r.w, ms.mu, ms.sigma
+      FROM rec r JOIN o ON o.rn = r.t CROSS JOIN ms
+      WHERE r.t >= 1),
+l AS (SELECT d, x, z,
+             mu + {limit!r} * sigma * sqrt({c!r} * (1.0 - w)) AS ucl,
+             mu - {limit!r} * sigma * sqrt({c!r} * (1.0 - w)) AS lcl
+      FROM j)
+SELECT d, x, round(z, 6) AS z, round(ucl, 6) AS ucl,
+       round(lcl, 6) AS lcl,
+       CAST(CASE WHEN z > ucl OR z < lcl THEN 1 ELSE 0 END AS INTEGER)
+         AS out_of_control
+FROM l ORDER BY d
+"""

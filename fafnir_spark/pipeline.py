@@ -4871,3 +4871,138 @@ def chi2_from_cells(cells: DataFrame) -> DataFrame:
             .select("event_type", "dow", "o", F.round("e", 6).alias("e"),
                     "contrib", "chi2", "dof")
             .orderBy("event_type", "dow"))
+
+
+def fk_audit(orders: DataFrame, customer: DataFrame, lineitem: DataFrame,
+             part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Referential-integrity audit (the Deequ-style FK sibling of
+    constraint_audit): orphan counts for the four warehouse foreign
+    keys — orders→customer, lineitem→orders, lineitem→part,
+    lineitem→supplier. Each check is a LEFT-ANTI join from the fact side
+    against the DISTINCT key projection of the dimension (broadcast-able
+    for true dims; AQE decides — no hint, the winnow_overlap rule).
+    Output one row per relation: (relation, n_rows, n_orphans,
+    orphan_share) ordered by relation."""
+    def check(name, fact, key, dim, dkey):
+        n = fact.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        orph = (fact.select(F.col(key).alias("k"))
+                .join(dim.select(F.col(dkey).alias("k")).distinct(),
+                      "k", "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("o")))
+        return (n.crossJoin(orph)
+                .select(F.lit(name).alias("relation"),
+                        F.col("n").alias("n_rows"),
+                        F.col("o").alias("n_orphans"),
+                        F.round(F.col("o").cast("double")
+                                / F.col("n").cast("double"), 6)
+                        .alias("orphan_share")))
+    out = check("lineitem.orderkey", lineitem, "l_orderkey",
+                orders, "o_orderkey")
+    for args in (("lineitem.partkey", lineitem, "l_partkey", part,
+                  "p_partkey"),
+                 ("lineitem.suppkey", lineitem, "l_suppkey", supplier,
+                  "s_suppkey"),
+                 ("orders.custkey", orders, "o_custkey", customer,
+                  "c_custkey")):
+        out = out.unionByName(check(*args))
+    return out.orderBy("relation")
+
+
+def graph_assortativity(orders: DataFrame, lineitem: DataFrame
+                        ) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the symmetric
+    customer↔supplier order graph — Pearson correlation of endpoint
+    degrees over the directed edge list (both directions present, so the
+    two marginals coincide). Degrees are EXACT BIGINT; every Σ over
+    edges is an exact integer sum combined as doubles in the raw-sum
+    closed form (the matrix_stats rule). Scale shape: one groupBy(src)
+    degree pass, two keyed joins edge⋈degree, one global aggregate —
+    all map-side combined. One row out: (m_edges, assortativity)."""
+    edges = _order_graph_sym(orders, lineitem)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("d"))
+    e = (edges
+         .join(deg.select(F.col("src").alias("src"),
+                          F.col("d").alias("dj")), "src")
+         .join(deg.select(F.col("src").alias("dst"),
+                          F.col("d").alias("dk")), "dst"))
+    s = e.agg(F.count(F.lit(1)).cast("long").alias("m"),
+              F.sum("dj").cast("long").alias("sj"),
+              F.sum("dk").cast("long").alias("sk"),
+              F.sum(F.col("dj") * F.col("dk")).cast("long").alias("sjk"),
+              F.sum(F.col("dj") * F.col("dj")).cast("long").alias("sjj"),
+              F.sum(F.col("dk") * F.col("dk")).cast("long").alias("skk"))
+    num = (F.col("m").cast("double") * F.col("sjk").cast("double")
+           - F.col("sj").cast("double") * F.col("sk").cast("double"))
+    dx = (F.col("m").cast("double") * F.col("sjj").cast("double")
+          - F.col("sj").cast("double") * F.col("sj").cast("double"))
+    dy = (F.col("m").cast("double") * F.col("skk").cast("double")
+          - F.col("sk").cast("double") * F.col("sk").cast("double"))
+    return s.select(F.col("m").alias("m_edges"),
+                    F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6)
+                    .alias("assortativity"))
+
+
+def ewma_control_chart(events: DataFrame, lam: float = 0.25,
+                       limit: float = 3.0) -> DataFrame:
+    """EWMA control chart (Roberts 1959 — the small-shift-sensitive
+    sibling of cusum_changepoints) over daily event counts: z_t =
+    λ·x_t + (1−λ)·z_{t−1} seeded at the series mean μ, with
+    time-varying control limits
+
+        μ ± L·σ·√( λ/(2−λ) · (1 − (1−λ)^{2t}) )
+
+    λ = 0.25 FIXED DYADIC. μ and σ come from exact integer sums
+    (population variance, raw-sum closed form). (1−λ)^{2t} is carried
+    through the fold as an exact IEEE multiply chain w_t = w_{t−1}·
+    0.5625 — NEVER libm pow, which drifts cross-engine (the rank_feature
+    sigmoid lesson). The DuckDB mirror runs the identical (z, w)
+    recurrence as a recursive CTE (the holt_winters rule). Scale shape:
+    one map-side-combined groupBy(day); fold + limits on the ≤|days|
+    bucket relation. (d, x, z, ucl, lcl, out_of_control) ordered by d."""
+    g = (events.select(F.expr(
+        f"unix_micros(cast(ts as timestamp)) DIV {_DAY_US}").alias("d"))
+        .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    st = g.agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum("x").cast("long").alias("s"),
+               F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"))
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (F.col("ss").cast("double") / F.col("n").cast("double")
+           - (F.col("s").cast("double") / F.col("n").cast("double"))
+           * (F.col("s").cast("double") / F.col("n").cast("double")))
+    st = st.select(mu.alias("mu"),
+                   F.sqrt(F.greatest(var, F.lit(0.0))).alias("sigma"))
+    one = (g.agg(F.sort_array(F.collect_list(F.struct("d", "x")))
+                 .alias("dx"))
+           .crossJoin(F.broadcast(st)))
+    lm, om = float(lam), 1.0 - float(lam)
+    w2 = om * om
+    step = (f"named_struct("
+            f"'z', x * {lm!r}D + a.z * {om!r}D, "
+            f"'w', a.w * {w2!r}D, "
+            f"'zs', concat(a.zs, array(x * {lm!r}D + a.z * {om!r}D)), "
+            f"'ws', concat(a.ws, array(a.w * {w2!r}D)))")
+    one = one.withColumn("st2", F.expr(
+        "aggregate(transform(dx, v -> CAST(v.x AS DOUBLE)), "
+        "named_struct('z', mu, 'w', 1.0D, "
+        "'zs', CAST(array() AS ARRAY<DOUBLE>), "
+        "'ws', CAST(array() AS ARRAY<DOUBLE>)), "
+        f"(a, x) -> {step})"))
+    half = (F.lit(limit) * F.col("sigma")
+            * F.sqrt(F.lit(lm / (2.0 - lm))
+                     * (F.lit(1.0) - F.col("w"))))
+    out = (one.select(F.posexplode(F.expr(
+        "arrays_zip(st2.zs, st2.ws)")).alias("i", "zw"),
+        F.col("dx"), F.col("mu"), F.col("sigma"))
+        .select(F.expr("element_at(dx, i + 1).d").alias("d"),
+                F.expr("element_at(dx, i + 1).x").alias("x"),
+                F.col("zw.zs").alias("z"), F.col("zw.ws").alias("w"),
+                "mu", "sigma"))
+    out = (out.withColumn("ucl", F.col("mu") + half)
+           .withColumn("lcl", F.col("mu") - half))
+    return (out.select(
+        "d", "x", F.round("z", 6).alias("z"),
+        F.round("ucl", 6).alias("ucl"), F.round("lcl", 6).alias("lcl"),
+        F.when((F.col("z") > F.col("ucl")) | (F.col("z") < F.col("lcl")),
+               1).otherwise(0).cast("int").alias("out_of_control"))
+        .orderBy("d"))
