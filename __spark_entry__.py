@@ -4261,6 +4261,22 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: stopword-split candidate phrases,
+    deg/freq word scores, rounded-sum phrase scores, top-20."""
+    from fafnir_spark.pipeline import rake_keywords
+
+    return rake_keywords(_docs(spark, sf_dir))
+
+
+def _q_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel rolling-median/MAD outlier filter over daily counts:
+    two bounded passes on the day relation, quantile_cont parity."""
+    from fafnir_spark.pipeline import hampel_outliers
+
+    return hampel_outliers(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan counts for the four warehouse
     FKs via left-anti joins against distinct dimension keys."""
@@ -5755,6 +5771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_theil_sen": _q_stream_theil_sen,
         "stream_sprt_ab": _q_stream_sprt_ab,
         "fk_audit": _q_fk_audit,
+        "rake_keywords": _q_rake_keywords,
+        "hampel_outliers": _q_hampel_outliers,
         "graph_assortativity": _q_graph_assortativity,
         "ewma_control_chart": _q_ewma_control_chart,
         "stream_chi2_independence": _q_stream_chi2_independence,
@@ -6279,6 +6297,8 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "stream_theil_sen": oracles_pipeline.theil_sen_trend_sql(),
         "stream_sprt_ab": oracles_pipeline.sprt_ab_sql(),
         "fk_audit": oracles_pipeline.fk_audit_sql(),
+        "rake_keywords": oracles_pipeline.rake_keywords_sql(),
+        "hampel_outliers": oracles_pipeline.hampel_outliers_sql(),
         "graph_assortativity": oracles_pipeline.graph_assortativity_sql(),
         "ewma_control_chart": oracles_pipeline.ewma_control_chart_sql(),
         "stream_chi2_independence": oracles_pipeline.chi2_independence_sql(),

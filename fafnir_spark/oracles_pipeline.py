@@ -3765,3 +3765,78 @@ SELECT d, x, round(z, 6) AS z, round(ucl, 6) AS ucl,
          AS out_of_control
 FROM l ORDER BY d
 """
+
+
+def rake_keywords_sql(k: int = 20) -> str:
+    """Mirror of pipeline.rake_keywords: same tokenization (string_split
+    + drop ''), same stopword list templated from textstats.STOPWORDS_EN,
+    same cumsum phrase segmentation, round-6 word scores before the
+    phrase Σ."""
+    from .textstats import STOPWORDS_EN
+    stop_in = ", ".join(f"'{w}'" for w in sorted(set(STOPWORDS_EN)))
+    return f"""
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '')
+                       AS tk
+              FROM documents),
+ex AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+              tk[CAST(t.i AS INTEGER)] AS tok
+       FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)),
+fl AS (SELECT *, CASE WHEN tok IN ({stop_in}) THEN 1 ELSE 0 END AS is_stop
+       FROM ex),
+body AS (SELECT doc_id,
+                sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS pid,
+                pos, tok, is_stop
+         FROM fl),
+b2 AS (SELECT doc_id, pid, pos, tok FROM body WHERE is_stop = 0),
+ph AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen,
+              string_agg(tok, ' ' ORDER BY pos) AS phrase
+       FROM b2 GROUP BY doc_id, pid),
+wtok AS (SELECT b.tok, p.plen
+         FROM b2 b JOIN ph p USING (doc_id, pid)),
+wscore AS (SELECT tok,
+                  round(CAST(sum(plen) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 6) AS ws
+           FROM wtok GROUP BY tok),
+pscore AS (SELECT b.doc_id, b.pid, round(sum(w.ws), 6) AS ps
+           FROM b2 b JOIN wscore w USING (tok)
+           GROUP BY b.doc_id, b.pid),
+agg AS (SELECT p.phrase, CAST(min(p.plen) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               min(s.ps) AS score
+        FROM ph p JOIN pscore s USING (doc_id, pid)
+        GROUP BY p.phrase)
+SELECT phrase, n_words, n_occurrences, score
+FROM agg ORDER BY score DESC, phrase ASC LIMIT {int(k)}
+"""
+
+
+def hampel_outliers_sql(half: int = 3, nsig: float = 3.0) -> str:
+    """Mirror of pipeline.hampel_outliers: same ±half window-membership
+    range join on the bucket relation, quantile_cont parity for median
+    and MAD, flags on unrounded values."""
+    day = 86_400_000_000
+    return f"""
+WITH g AS (SELECT epoch_us(ts) // {day} AS d,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+pairs AS (SELECT c.d AS cd, c.x AS cx, m.x AS mx
+          FROM g c JOIN g m ON m.d >= c.d - {int(half)}
+                           AND m.d <= c.d + {int(half)}),
+med AS (SELECT cd, quantile_cont(mx, 0.5) AS med,
+               CAST(min(cx) AS BIGINT) AS cx
+        FROM pairs GROUP BY cd),
+mad AS (SELECT p.cd,
+               quantile_cont(abs(CAST(p.mx AS DOUBLE) - m.med), 0.5)
+                 AS mad
+        FROM pairs p JOIN med m ON m.cd = p.cd
+        GROUP BY p.cd)
+SELECT m.cd AS d, m.cx AS x, round(m.med, 6) AS med,
+       round(a.mad, 6) AS mad,
+       CAST(CASE WHEN abs(CAST(m.cx AS DOUBLE) - m.med)
+                      > {float(nsig)!r} * 1.4826 * a.mad
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+FROM med m JOIN mad a ON a.cd = m.cd
+ORDER BY d
+"""

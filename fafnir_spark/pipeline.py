@@ -5006,3 +5006,93 @@ def ewma_control_chart(events: DataFrame, lam: float = 0.25,
         F.when((F.col("z") > F.col("ucl")) | (F.col("z") < F.col("lcl")),
                1).otherwise(0).cast("int").alias("out_of_control"))
         .orderBy("d"))
+
+
+def rake_keywords(docs: DataFrame, stopwords: list[str] | None = None,
+                  k: int = 20) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010 — the classic
+    unsupervised keyphrase staple, the co-occurrence sibling of
+    textrank_keywords): candidate phrases are maximal stopword-free
+    token runs; word score = deg(w)/freq(w) where freq counts phrase
+    instances containing w and deg sums their lengths; phrase score =
+    Σ word scores (word scores ROUNDED 6 before the Σ — the psi/ece
+    rule). Stopwords are templated into BOTH engines from the shared
+    list (never hand-copied).
+
+    Scale shape: phrase segmentation is a DOC-KEYED window (cumsum of
+    stopword flags over token positions — bounded by doc length, never
+    global); word stats are vocab-bounded aggregates; the top-k is
+    orderBy+limit (TakeOrderedAndProject). (phrase, n_words,
+    n_occurrences, score) ordered (score desc, phrase)."""
+    from .textstats import STOPWORDS_EN
+    from .tokenizer import tokens_expr
+    stops = sorted(set(stopwords if stopwords is not None
+                       else STOPWORDS_EN))
+    ex = (docs.select("doc_id", F.posexplode(tokens_expr("text"))
+                      .alias("pos", "tok"))
+          .withColumn("is_stop",
+                      F.when(F.col("tok").isin(stops), 1).otherwise(0)))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    body = (ex.withColumn("pid", F.sum("is_stop").over(w))
+            .filter(F.col("is_stop") == 0)
+            .select("doc_id", "pid", "pos", "tok"))
+    ph = (body.groupBy("doc_id", "pid")
+          .agg(F.count(F.lit(1)).cast("long").alias("plen"),
+               F.array_join(F.expr(
+                   "transform(array_sort(collect_list(struct(pos, tok))),"
+                   " v -> v.tok)"), " ").alias("phrase")))
+    wtok = body.join(ph.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+    wscore = (wtok.groupBy("tok")
+              .agg(F.count(F.lit(1)).cast("long").alias("freq"),
+                   F.sum("plen").cast("long").alias("deg"))
+              .select("tok", F.round(F.col("deg").cast("double")
+                                     / F.col("freq").cast("double"), 6)
+                      .alias("ws")))
+    pscore = (body.join(F.broadcast(wscore), "tok")
+              .groupBy("doc_id", "pid")
+              .agg(F.round(F.sum("ws"), 6).alias("ps")))
+    agg = (ph.join(pscore, ["doc_id", "pid"])
+           .groupBy("phrase")
+           .agg(F.min("plen").cast("long").alias("n_words"),
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                F.min("ps").alias("score")))
+    top = agg.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(k)
+    return top.select("phrase", "n_words", "n_occurrences", "score") \
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+
+
+def hampel_outliers(events: DataFrame, half: int = 3,
+                    nsig: float = 3.0) -> DataFrame:
+    """Hampel filter (rolling-median/MAD outlier detector — the robust
+    sibling of ewma_control_chart) over daily event counts: for each day
+    a centered ±``half`` window yields the exact interpolated median and
+    the MAD (median of |x − med| — a second-order statistic, so it's TWO
+    bounded passes: the window-membership range join on the ≤|days|
+    bucket relation, then per-center quantiles; Spark `percentile` ==
+    DuckDB quantile_cont). Flag |x − med| > nsig·1.4826·MAD compared on
+    UNROUNDED values (both engines compute identical doubles).
+    (d, x, med, mad, is_outlier) ordered by d."""
+    g = (events.select(F.expr(
+        f"unix_micros(cast(ts as timestamp)) DIV {_DAY_US}").alias("d"))
+        .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    c = g.select(F.col("d").alias("cd"), F.col("x").alias("cx"))
+    m = g.select(F.col("d").alias("md"), F.col("x").alias("mx"))
+    pairs = c.join(m, (F.col("md") >= F.col("cd") - half)
+                   & (F.col("md") <= F.col("cd") + half))
+    med = (pairs.groupBy("cd")
+           .agg(F.expr("percentile(mx, 0.5)").alias("med"),
+                F.min("cx").alias("cx")))
+    mad = (pairs.select("cd", "mx")
+           .join(med.select("cd", "med"), "cd")
+           .groupBy("cd")
+           .agg(F.expr("percentile(abs(CAST(mx AS DOUBLE) - med), 0.5)")
+                .alias("mad")))
+    out = med.join(mad, "cd")
+    thr = F.lit(float(nsig)) * F.lit(1.4826) * F.col("mad")
+    return (out.select(
+        F.col("cd").alias("d"), F.col("cx").alias("x"),
+        F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"),
+        F.when(F.abs(F.col("cx").cast("double") - F.col("med")) > thr, 1)
+        .otherwise(0).cast("int").alias("is_outlier"))
+        .orderBy("d"))
