@@ -4261,6 +4261,40 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS over the implicit customer-part matrix: round-6
+    chained alternating closed-form updates, unrolled-CTE oracle."""
+    from fafnir_spark.pipeline import als_rank1
+
+    return als_rank1(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt-Winters: additive per-day sums rounded once
+    post-merge, shared fold tail — same oracle as batch."""
+    from fafnir_spark.streaming import stream_holt_winters
+
+    base = tempfile.mkdtemp(prefix="fafnir_shw_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_holt_winters(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
+def _q_stream_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA chart: exact-integer additive day counts, shared
+    tail — bit-identical to batch."""
+    from fafnir_spark.streaming import stream_ewma_control_chart
+
+    base = tempfile.mkdtemp(prefix="fafnir_sewma_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_ewma_control_chart(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
 def _q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyphrase extraction: stopword-split candidate phrases,
     deg/freq word scores, rounded-sum phrase scores, top-20."""
@@ -5772,6 +5806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sprt_ab": _q_stream_sprt_ab,
         "fk_audit": _q_fk_audit,
         "rake_keywords": _q_rake_keywords,
+        "als_rank1": _q_als_rank1,
+        "stream_holt_winters": _q_stream_holt_winters,
+        "stream_ewma_control_chart": _q_stream_ewma_control_chart,
         "hampel_outliers": _q_hampel_outliers,
         "graph_assortativity": _q_graph_assortativity,
         "ewma_control_chart": _q_ewma_control_chart,
@@ -6298,6 +6335,9 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "stream_sprt_ab": oracles_pipeline.sprt_ab_sql(),
         "fk_audit": oracles_pipeline.fk_audit_sql(),
         "rake_keywords": oracles_pipeline.rake_keywords_sql(),
+        "als_rank1": oracles_pipeline.als_rank1_sql(),
+        "stream_holt_winters": oracles_pipeline.holt_winters_sql(),
+        "stream_ewma_control_chart": oracles_pipeline.ewma_control_chart_sql(),
         "hampel_outliers": oracles_pipeline.hampel_outliers_sql(),
         "graph_assortativity": oracles_pipeline.graph_assortativity_sql(),
         "ewma_control_chart": oracles_pipeline.ewma_control_chart_sql(),

@@ -3840,3 +3840,39 @@ SELECT m.cd AS d, m.cx AS x, round(m.med, 6) AS med,
 FROM med m JOIN mad a ON a.cd = m.cd
 ORDER BY d
 """
+
+
+def als_rank1_sql(iters: int = 2, reg: float = 0.5, k: int = 20) -> str:
+    """Mirror of pipeline.als_rank1: unrolled MATERIALIZED half-step
+    CTEs with the identical round-6 chaining and operand order."""
+    rg = float(reg)
+    ctes = ["""r AS MATERIALIZED (
+  SELECT o.o_custkey AS ck, l.l_partkey AS pk,
+         CAST(count(*) AS BIGINT) AS r
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2)""",
+            "v0 AS (SELECT DISTINCT pk, CAST(1.0 AS DOUBLE) AS v FROM r)"]
+    prev_v = "v0"
+    for i in range(1, int(iters) + 1):
+        ctes.append(f"""u{i} AS MATERIALIZED (
+  SELECT ck, round(sum(r.r * v.v) / ({rg!r} + sum(v.v * v.v)), 6) AS u
+  FROM r JOIN {prev_v} v USING (pk) GROUP BY ck)""")
+        ctes.append(f"""v{i} AS MATERIALIZED (
+  SELECT pk, round(sum(r.r * u.u) / ({rg!r} + sum(u.u * u.u)), 6) AS v
+  FROM r JOIN u{i} u USING (ck) GROUP BY pk)""")
+        prev_v = f"v{i}"
+    n = int(iters)
+    return f"""
+WITH {", ".join(ctes)},
+err AS (SELECT round((CAST(r.r AS DOUBLE) - u.u * v.v)
+                     * (CAST(r.r AS DOUBLE) - u.u * v.v), 6) AS e2
+        FROM r JOIN u{n} u USING (ck) JOIN v{n} v USING (pk)),
+rm AS (SELECT round(sqrt(sum(e2) / count(*)), 6) AS rmse FROM err),
+top AS (SELECT row_number() OVER (ORDER BY v DESC, pk ASC) AS rank,
+               pk AS l_partkey, v
+        FROM v{n})
+SELECT rank, l_partkey, v, rmse
+FROM top CROSS JOIN rm
+WHERE rank <= {int(k)}
+ORDER BY rank
+"""

@@ -4601,6 +4601,13 @@ def holt_winters(events: DataFrame) -> DataFrame:
         events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
                                      "yyyy-MM-dd").alias("day"))
         .agg(F.round(F.sum("value"), 6).alias("x")))
+    return holt_winters_from_buckets(buckets)
+
+
+def holt_winters_from_buckets(buckets: DataFrame) -> DataFrame:
+    """The Holt-Winters fold over a (day, x) bucket relation — shared by
+    holt_winters and streaming.stream_holt_winters (the
+    change_point_from_buckets rule)."""
     one = buckets.agg(
         F.sort_array(F.collect_list(F.struct("day", "x"))).alias("dx"))
     one = (one
@@ -4963,6 +4970,14 @@ def ewma_control_chart(events: DataFrame, lam: float = 0.25,
     g = (events.select(F.expr(
         f"unix_micros(cast(ts as timestamp)) DIV {_DAY_US}").alias("d"))
         .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    return ewma_chart_from_day_counts(g, lam, limit)
+
+
+def ewma_chart_from_day_counts(g: DataFrame, lam: float = 0.25,
+                               limit: float = 3.0) -> DataFrame:
+    """The EWMA-chart tail over a (d, x) integer day-count relation —
+    shared by ewma_control_chart and the streaming sibling (counts merge
+    exactly, so stream == batch bit-for-bit)."""
     st = g.agg(F.count(F.lit(1)).cast("long").alias("n"),
                F.sum("x").cast("long").alias("s"),
                F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"))
@@ -5096,3 +5111,54 @@ def hampel_outliers(events: DataFrame, half: int = 3,
         F.when(F.abs(F.col("cx").cast("double") - F.col("med")) > thr, 1)
         .otherwise(0).cast("int").alias("is_outlier"))
         .orderBy("d"))
+
+
+def als_rank1(orders: DataFrame, lineitem: DataFrame, iters: int = 2,
+              reg: float = 0.5, k: int = 20) -> DataFrame:
+    """Rank-1 ALS matrix factorization (Hu/Koren/Volinsky-style
+    alternating least squares, the rank-1 closed form) over the implicit
+    customer×part purchase-count matrix: alternating exact updates
+
+        u_i = Σ_j r_ij·v_j / (reg + Σ_j v_j²)       (j over i's items)
+        v_j = Σ_i r_ij·u_i / (reg + Σ_i u_i²)       (i over j's users)
+
+    seeded v = 1.0, reg = 0.5 DYADIC; every half-step ROUNDS to 6 (the
+    kmeans round-6 chaining rule — cross-engine determinism for chained
+    float iterations). RMSE contributions are rounded 6 before the Σ
+    (the ece rule). Each half-step is ONE keyed join + ONE map-side-
+    combined groupBy — ratings shuffle by ck or pk, never all-pairs; the
+    factor relations are |users|- and |items|-bounded.
+    (rank, l_partkey, v, rmse) top-k items by (v desc, partkey asc),
+    rmse repeated (the psi rule)."""
+    rr = (orders.join(lineitem,
+                      orders["o_orderkey"] == lineitem["l_orderkey"])
+          .groupBy(F.col("o_custkey").alias("ck"),
+                   F.col("l_partkey").alias("pk"))
+          .agg(F.count(F.lit(1)).cast("long").alias("r")))
+    v = rr.select("pk").distinct().withColumn("v", F.lit(1.0))
+    rg = float(reg)
+    u = None
+    for _ in range(int(iters)):
+        u = (rr.join(v, "pk").groupBy("ck")
+             .agg(F.round(F.sum(F.col("r") * F.col("v"))
+                          / (F.lit(rg)
+                             + F.sum(F.col("v") * F.col("v"))), 6)
+                  .alias("u")))
+        v = (rr.join(u, "ck").groupBy("pk")
+             .agg(F.round(F.sum(F.col("r") * F.col("u"))
+                          / (F.lit(rg)
+                             + F.sum(F.col("u") * F.col("u"))), 6)
+                  .alias("v")))
+    err = (rr.join(u, "ck").join(v, "pk")
+           .select(F.round((F.col("r").cast("double")
+                            - F.col("u") * F.col("v"))
+                           * (F.col("r").cast("double")
+                              - F.col("u") * F.col("v")), 6).alias("e2")))
+    rmse = err.agg(F.round(F.sqrt(F.sum("e2") / F.count(F.lit(1))), 6)
+                   .alias("rmse"))
+    top = v.orderBy(F.col("v").desc(), F.col("pk").asc()).limit(int(k))
+    w = Window.orderBy(F.col("v").desc(), F.col("pk").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .crossJoin(F.broadcast(rmse))
+            .select("rank", F.col("pk").alias("l_partkey"), "v", "rmse")
+            .orderBy("rank"))

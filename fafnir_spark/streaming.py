@@ -1591,3 +1591,97 @@ def stream_chi2_independence(
         .agg(F.sum("o").cast("long").alias("o"))
     )
     return chi2_from_cells(merged)
+
+
+def stream_holt_winters(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> DataFrame:
+    """Streaming Holt-Winters: per-day partial value sums are additive
+    state (batch stamps + dropDuplicates, rounded ONCE post-merge — the
+    stream_theil_sen algebra), then the shared
+    pipeline.holt_winters_from_buckets fold. Oracle = the batch SQL."""
+    import os
+
+    from .pipeline import holt_winters_from_buckets
+
+    sums_dir = os.path.join(state_dir, "hw_sums")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
+                                     "yyyy-MM-dd").alias("day"))
+            .agg(F.sum("value").alias("part"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(sums_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(sums_dir)
+        .dropDuplicates(["day", "_b"])
+        .groupBy("day")
+        .agg(F.round(F.sum("part"), 6).alias("x"))
+    )
+    return holt_winters_from_buckets(merged)
+
+
+def stream_ewma_control_chart(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> DataFrame:
+    """Streaming EWMA control chart: per-day event counts are
+    EXACT-INTEGER additive state; the shared
+    pipeline.ewma_chart_from_day_counts tail is bit-identical to batch
+    (oracle = the batch SQL)."""
+    import os
+
+    from .pipeline import ewma_chart_from_day_counts
+
+    day_us = 86_400_000_000
+    counts_dir = os.path.join(state_dir, "ewma_counts")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.groupBy(F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {day_us}")
+                .alias("d"))
+            .agg(F.count(F.lit(1)).cast("long").alias("x"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(counts_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(counts_dir)
+        .dropDuplicates(["d", "_b"])
+        .groupBy("d")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    return ewma_chart_from_day_counts(merged)
