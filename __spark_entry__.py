@@ -4261,6 +4261,31 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy over (returnflag, linestatus): null-derived
+    level ordinal, exact micro-unit revenue sums."""
+    from fafnir_spark.pipeline import grouping_sets_agg
+
+    return grouping_sets_agg(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: pushdown shipdate filter, row-local
+    round-6 micro-unit lifts, exact integer aggregation."""
+    from fafnir_spark.pipeline import pricing_summary
+
+    return pricing_summary(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle pretraining transform: hash-keyed split
+    points, PSM rendering, row-local zero-shuffle."""
+    from fafnir_spark.pipeline import fim_transform
+
+    return fim_transform(_docs(spark, sf_dir))
+
+
 def _q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-1 ALS over the implicit customer-part matrix: round-6
     chained alternating closed-form updates, unrolled-CTE oracle."""
@@ -5807,6 +5832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_audit": _q_fk_audit,
         "rake_keywords": _q_rake_keywords,
         "als_rank1": _q_als_rank1,
+        "grouping_sets_agg": _q_grouping_sets_agg,
+        "pricing_summary": _q_pricing_summary,
+        "fim_transform": _q_fim_transform,
         "stream_holt_winters": _q_stream_holt_winters,
         "stream_ewma_control_chart": _q_stream_ewma_control_chart,
         "hampel_outliers": _q_hampel_outliers,
@@ -6336,6 +6364,9 @@ WHERE epoch_us(ts) >= {DS_LO_US} AND epoch_us(ts) <= {DS_HI_US}
         "fk_audit": oracles_pipeline.fk_audit_sql(),
         "rake_keywords": oracles_pipeline.rake_keywords_sql(),
         "als_rank1": oracles_pipeline.als_rank1_sql(),
+        "grouping_sets_agg": oracles_pipeline.grouping_sets_agg_sql(),
+        "pricing_summary": oracles_pipeline.pricing_summary_sql(),
+        "fim_transform": oracles_pipeline.fim_transform_sql(),
         "stream_holt_winters": oracles_pipeline.holt_winters_sql(),
         "stream_ewma_control_chart": oracles_pipeline.ewma_control_chart_sql(),
         "hampel_outliers": oracles_pipeline.hampel_outliers_sql(),

@@ -3876,3 +3876,104 @@ FROM top CROSS JOIN rm
 WHERE rank <= {int(k)}
 ORDER BY rank
 """
+
+
+def grouping_sets_agg_sql() -> str:
+    """Mirror of pipeline.grouping_sets_agg: same ROLLUP sets, level
+    derived from null keys (never engine grouping_id bits), same round-6
+    micro-unit revenue lift."""
+    return """
+WITH base AS (SELECT l_returnflag, l_linestatus,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(round(round(l_extendedprice * (1.0 - l_discount),
+                                      6) * 1000000.0, 0) AS BIGINT) AS rmic
+              FROM lineitem),
+g AS (SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qty) AS BIGINT) AS sum_qty,
+             CAST(sum(rmic) AS BIGINT) AS rmic
+      FROM base GROUP BY ROLLUP (l_returnflag, l_linestatus))
+SELECT CAST(CASE WHEN l_returnflag IS NULL AND l_linestatus IS NULL THEN 2
+                 WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS lvl,
+       coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       n, sum_qty,
+       round(CAST(rmic AS DOUBLE) / 1000000.0, 6) AS revenue
+FROM g ORDER BY lvl, l_returnflag, l_linestatus
+"""
+
+
+def pricing_summary_sql(cutoff: str = "2001-09-01") -> str:
+    """Mirror of pipeline.pricing_summary: same shipdate literal filter,
+    same row-local round-6 micro-unit lifts, averages from the exact
+    integer sums."""
+    return f"""
+WITH base AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(round(l_extendedprice, 6) * 1000000.0, 0) AS BIGINT)
+           AS bmic,
+         CAST(round(round(l_extendedprice * (1.0 - l_discount), 6)
+                    * 1000000.0, 0) AS BIGINT) AS dmic,
+         CAST(round(round(l_extendedprice * (1.0 - l_discount)
+                          * (1.0 + l_tax), 6) * 1000000.0, 0) AS BIGINT)
+           AS cmic,
+         CAST(round(round(l_discount, 6) * 1000000.0, 0) AS BIGINT)
+           AS discmic
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{cutoff}'),
+g AS (SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qty) AS BIGINT) AS sum_qty,
+             CAST(sum(bmic) AS BIGINT) AS bmic,
+             CAST(sum(dmic) AS BIGINT) AS dmic,
+             CAST(sum(cmic) AS BIGINT) AS cmic,
+             CAST(sum(discmic) AS BIGINT) AS discmic
+      FROM base GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, n, sum_qty,
+       round(CAST(sum_qty AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_qty,
+       round(CAST(bmic AS DOUBLE) / 1000000.0, 6) AS sum_base,
+       round(CAST(dmic AS DOUBLE) / 1000000.0, 6) AS sum_disc_price,
+       round(CAST(cmic AS DOUBLE) / 1000000.0, 6) AS sum_charge,
+       round(CAST(discmic AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000.0), 6) AS avg_disc
+FROM g ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def fim_transform_sql() -> str:
+    """Mirror of pipeline.fim_transform: same portable-hash split points
+    (pmod form — doc ids can be negative), same slice boundaries and PSM
+    rendering."""
+    from .portable import hash60_sql
+    h1 = hash60_sql("CAST(doc_id AS VARCHAR) || ':1'")
+    h2 = hash60_sql("CAST(doc_id AS VARCHAR) || ':2'")
+    return f"""
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), t -> t != '') AS tk
+           FROM documents),
+n0 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM d),
+p0 AS (SELECT *,
+              CASE WHEN n >= 4 THEN 1 ELSE 0 END AS fim,
+              CASE WHEN n >= 4
+                   THEN 1 + ((({h1}) % (n - 2) + (n - 2)) % (n - 2))
+                   ELSE 0 END AS p1
+       FROM n0),
+p AS (SELECT *,
+             CASE WHEN n >= 4
+                  THEN p1 + 1 + ((({h2}) % (n - p1 - 1) + (n - p1 - 1))
+                                 % (n - p1 - 1))
+                  ELSE 0 END AS p2
+      FROM p0)
+SELECT doc_id, n AS n_tokens, CAST(p1 AS BIGINT) AS p1,
+       CAST(p2 AS BIGINT) AS p2, CAST(fim AS INTEGER) AS fim,
+       CASE WHEN fim = 1
+            THEN '<PRE> ' || array_to_string(tk[1:CAST(p1 AS INTEGER)], ' ')
+                 || ' <SUF> '
+                 || array_to_string(tk[CAST(p2 + 1 AS INTEGER):CAST(n AS INTEGER)], ' ')
+                 || ' <MID> '
+                 || array_to_string(tk[CAST(p1 + 1 AS INTEGER):CAST(p2 AS INTEGER)], ' ')
+            ELSE array_to_string(tk, ' ') END AS fim_text
+FROM p ORDER BY doc_id
+"""

@@ -5162,3 +5162,127 @@ def als_rank1(orders: DataFrame, lineitem: DataFrame, iters: int = 2,
             .crossJoin(F.broadcast(rmse))
             .select("rank", F.col("pk").alias("l_partkey"), "v", "rmse")
             .orderBy("rank"))
+
+
+def grouping_sets_agg(lineitem: DataFrame) -> DataFrame:
+    """OLAP ROLLUP over (l_returnflag, l_linestatus) — the classic
+    GROUPING SETS hierarchy (detail → per-flag subtotal → grand total).
+    The level ordinal is derived from WHICH keys are null (never the
+    engine's grouping_id bit convention — Spark and DuckDB disagree on
+    bit order); null keys render as 'ALL'. Quantities are integer-valued
+    doubles lifted to exact BIGINT; revenue is ROUNDED 6 row-local then
+    lifted to exact integer micro-units (the silhouette rule), so every
+    subtotal is an exact integer sum — a raw double Σ at 1e8 magnitude
+    drifts past round-6 at corpus size.
+
+    Scale shape: ROLLUP is ONE pass with map-side partial aggregation
+    (Spark expands grouping sets pre-shuffle). (lvl, l_returnflag,
+    l_linestatus, n, sum_qty, revenue) ordered (lvl, flag, status)."""
+    rev_mic = F.round(
+        F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                6) * F.lit(1000000.0), 0).cast("long")
+    base = lineitem.select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        rev_mic.alias("rmic"))
+    g = (base.rollup("l_returnflag", "l_linestatus")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("qty").cast("long").alias("sum_qty"),
+              F.sum("rmic").cast("long").alias("rmic")))
+    lvl = (F.when(F.col("l_returnflag").isNull()
+                  & F.col("l_linestatus").isNull(), 2)
+           .when(F.col("l_linestatus").isNull(), 1)
+           .otherwise(0)).cast("int")
+    return (g.select(
+        lvl.alias("lvl"),
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        "n", "sum_qty",
+        F.round(F.col("rmic").cast("double") / F.lit(1000000.0), 6)
+        .alias("revenue"))
+        .orderBy("lvl", "l_returnflag", "l_linestatus"))
+
+
+def pricing_summary(lineitem: DataFrame,
+                    cutoff: str = "2001-09-01") -> DataFrame:
+    """TPC-H Q1 pricing summary (the canonical OLAP scan-agg): per
+    (l_returnflag, l_linestatus) over rows shipped on or before
+    ``cutoff`` — count, quantity sum/avg, base/discounted/charged
+    revenue, average discount. The shipdate filter is a pushdown-
+    eligible comparison against a literal (PushedFilters evidence).
+    Every money expression is ROUNDED 6 row-local and lifted to exact
+    BIGINT micro-units before the Σ (the grouping_sets_agg rule — raw
+    double sums at 1e8 magnitude drift past round-6); averages divide
+    the exact integer sums. ONE map-side-combined groupBy pass.
+    (l_returnflag, l_linestatus, n, sum_qty, avg_qty, sum_base,
+    sum_disc_price, sum_charge, avg_disc) ordered (flag, status)."""
+    def mic(c):
+        return F.round(F.round(c, 6) * F.lit(1000000.0), 0).cast("long")
+    base = (lineitem
+            .filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+            .select(
+                "l_returnflag", "l_linestatus",
+                F.col("l_quantity").cast("long").alias("qty"),
+                mic(F.col("l_extendedprice")).alias("bmic"),
+                mic(F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))).alias("dmic"),
+                mic(F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * (F.lit(1.0) + F.col("l_tax"))).alias("cmic"),
+                mic(F.col("l_discount")).alias("discmic")))
+    g = (base.groupBy("l_returnflag", "l_linestatus")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("qty").cast("long").alias("sum_qty"),
+              F.sum("bmic").cast("long").alias("bmic"),
+              F.sum("dmic").cast("long").alias("dmic"),
+              F.sum("cmic").cast("long").alias("cmic"),
+              F.sum("discmic").cast("long").alias("discmic")))
+    d6 = F.lit(1000000.0)
+    return (g.select(
+        "l_returnflag", "l_linestatus", "n", "sum_qty",
+        F.round(F.col("sum_qty").cast("double")
+                / F.col("n").cast("double"), 6).alias("avg_qty"),
+        F.round(F.col("bmic").cast("double") / d6, 6).alias("sum_base"),
+        F.round(F.col("dmic").cast("double") / d6, 6)
+        .alias("sum_disc_price"),
+        F.round(F.col("cmic").cast("double") / d6, 6).alias("sum_charge"),
+        F.round(F.col("discmic").cast("double")
+                / (F.col("n").cast("double") * d6), 6).alias("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus"))
+
+
+def fim_transform(docs: DataFrame) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022 — the FIM
+    pretraining op): each document's token stream splits at two
+    deterministic hash-keyed points into prefix/middle/suffix, emitted
+    in PSM order '<PRE> p <SUF> s <MID> m'. Split points come from two
+    portable hashes of the doc id (the hash_split idiom) so both engines
+    pick identical spans; docs with <4 tokens pass through unmasked
+    (fim = 0). Entirely ROW-LOCAL — zero shuffle (the span_corruption
+    rule); reconstruction is exact (tested).
+    (doc_id, n_tokens, p1, p2, fim, fim_text) ordered by doc_id."""
+    from .portable import hash60
+    from .tokenizer import tokens_expr
+    d = docs.select("doc_id", tokens_expr("text").alias("tk"))
+    d = d.withColumn("n", F.size("tk").cast("long"))
+    h1 = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":1")))
+    h2 = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":2")))
+    d = (d.withColumn("fim", F.when(F.col("n") >= 4, 1).otherwise(0)
+                      .cast("int"))
+         .withColumn("p1", F.when(F.col("n") >= 4,
+                                  1 + F.pmod(h1, F.col("n") - 2))
+                     .otherwise(F.lit(0)).cast("long")))
+    rem = F.col("n") - F.col("p1") - 1
+    d = d.withColumn("p2", F.when(F.col("n") >= 4,
+                                  F.col("p1") + 1 + F.pmod(h2, rem))
+                     .otherwise(F.lit(0)).cast("long"))
+    pre = F.array_join(F.slice(F.col("tk"), F.lit(1), F.col("p1")), " ")
+    mid = F.array_join(F.expr("slice(tk, p1 + 1, p2 - p1)"), " ")
+    suf = F.array_join(F.expr("slice(tk, p2 + 1, n - p2)"), " ")
+    fim_text = (F.when(F.col("fim") == 1,
+                       F.concat(F.lit("<PRE> "), pre, F.lit(" <SUF> "),
+                                suf, F.lit(" <MID> "), mid))
+                .otherwise(F.array_join(F.col("tk"), " ")))
+    return (d.select("doc_id", F.col("n").alias("n_tokens"), "p1", "p2",
+                     "fim", fim_text.alias("fim_text"))
+            .orderBy("doc_id"))
