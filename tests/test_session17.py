@@ -195,3 +195,113 @@ def test_silhouette_bounds(spark):
     for r in rows:
         assert -1.0 - 1e-9 <= r["mean_sil"] <= 1.0 + 1e-9
         assert -1.0 - 1e-9 <= r["overall_sil"] <= 1.0 + 1e-9
+
+
+def test_fim_reconstruction(spark):
+    from fafnir_spark.pipeline import fim_transform
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    orig = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+    for r in fim_transform(docs).collect():
+        toks = [t for t in orig[r["doc_id"]] if t]
+        if r["fim"] == 0:
+            assert r["fim_text"].split() == toks and len(toks) < 4
+            continue
+        body = r["fim_text"]
+        assert body.startswith("<PRE> ")
+        pre, rest = body[len("<PRE> "):].split(" <SUF> ", 1)
+        suf, mid = rest.split(" <MID> ", 1)
+        assert pre.split() + mid.split() + suf.split() == toks
+        assert 1 <= r["p1"] < r["p2"] <= len(toks) - 1
+
+
+def test_grouping_sets_hierarchy(spark):
+    from fafnir_spark.pipeline import grouping_sets_agg
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rows = grouping_sets_agg(li).collect()
+    detail = [r for r in rows if r["lvl"] == 0]
+    mid = [r for r in rows if r["lvl"] == 1]
+    total = [r for r in rows if r["lvl"] == 2]
+    assert len(total) == 1
+    assert total[0]["n"] == sum(r["n"] for r in detail) == li.count()
+    assert total[0]["sum_qty"] == sum(r["sum_qty"] for r in detail)
+    for m in mid:
+        ds = [r for r in detail if r["l_returnflag"] == m["l_returnflag"]]
+        assert m["n"] == sum(r["n"] for r in ds)
+        assert abs(m["revenue"] - sum(r["revenue"] for r in ds)) < 1e-5
+
+
+def test_pricing_summary_counts(spark):
+    from fafnir_spark.pipeline import pricing_summary
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rows = pricing_summary(li).collect()
+    kept = li.filter(F.col("l_shipdate") <= F.lit("2001-09-01")
+                     .cast("timestamp")).count()
+    assert sum(r["n"] for r in rows) == kept
+    for r in rows:
+        assert r["sum_disc_price"] <= r["sum_base"] + 1e-6
+        assert r["sum_charge"] >= r["sum_disc_price"] - 1e-6
+        assert 0.0 <= r["avg_disc"] <= 1.0
+
+
+def test_als_rank1_shape(spark, orders):
+    from fafnir_spark.pipeline import als_rank1
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rows = als_rank1(orders, li).collect()
+    assert rows and rows[0]["rank"] == 1
+    assert all(r["v"] > 0 for r in rows)
+    assert all(r["rmse"] >= 0 for r in rows)
+    vs = [r["v"] for r in rows]
+    assert vs == sorted(vs, reverse=True)
+
+
+def test_rake_phrases_stopword_free(spark):
+    from fafnir_spark.pipeline import rake_keywords
+    from fafnir_spark.textstats import STOPWORDS_EN
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = rake_keywords(docs).collect()
+    assert rows
+    for r in rows:
+        assert r["score"] > 0
+        assert not set(r["phrase"].split()) & set(STOPWORDS_EN)
+        assert r["n_words"] == len(r["phrase"].split())
+
+
+def test_hampel_flags_planted_spike(spark, events):
+    from fafnir_spark.pipeline import hampel_outliers
+
+    rows = hampel_outliers(events).collect()
+    assert all(r["mad"] >= 0 for r in rows)
+    # plant a 50x spike on one day and verify it flags
+    spike = _mk_events(spark, [30.0] * 15)
+    spiked = spike.unionByName(
+        spike.filter(F.dayofmonth("ts") == 8)
+        .crossJoin(spark.range(50).select(F.lit(1).alias("__x")))
+        .drop("__x"))
+    got = {r["d"]: r for r in hampel_outliers(spiked).collect()}
+    flagged = [d for d, r in got.items() if r["is_outlier"] == 1]
+    assert len(flagged) == 1
+
+
+def test_stream_hw_and_ewma_equal_batch(spark, events):
+    from fafnir_spark.pipeline import ewma_control_chart, holt_winters
+    from fafnir_spark.streaming import (
+        stream_ewma_control_chart,
+        stream_holt_winters,
+    )
+
+    base = tempfile.mkdtemp(prefix="fafnir_s17_t_")
+    src = os.path.join(base, "src")
+    events.repartition(4).write.parquet(src)
+    got_hw = stream_holt_winters(
+        spark, src, os.path.join(base, "ck1"), os.path.join(base, "st1"))
+    assert [tuple(r) for r in got_hw.collect()] == \
+        [tuple(r) for r in holt_winters(events).collect()]
+    got_ew = stream_ewma_control_chart(
+        spark, src, os.path.join(base, "ck2"), os.path.join(base, "st2"))
+    assert [tuple(r) for r in got_ew.collect()] == \
+        [tuple(r) for r in ewma_control_chart(events).collect()]
