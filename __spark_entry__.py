@@ -4261,6 +4261,35 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_synonym_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym expansion served FROM THE INDEX: the expanded disjunction
+    runs through the BMW per-shard scorer — rank-identical to the direct
+    synonym_bm25 (same oracle)."""
+    from fafnir_spark.query_ext import expand_synonyms
+    from fafnir_spark.wand import run_queries
+
+    terms = expand_synonyms(["fast", "merge"])
+    res = run_queries(spark, _idx_root(spark, sf_dir), {"q": terms},
+                      k=10, algo="bmw")
+    return res.select("rank", "doc_id", "score")
+
+
+def _q_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERTopic c-TF-IDF class terms per source: vocab-bounded stats,
+    two-level per-class top-k."""
+    from fafnir_spark.curation import ctfidf_terms
+
+    return ctfidf_terms(_docs(spark, sf_dir))
+
+
+def _q_zone_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area / centroid / perimeter of the shared zone polygons
+    in exact scaled-integer space."""
+    from fafnir_spark.geo import zone_areas
+
+    return zone_areas(spark)
+
+
 def _q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy over (returnflag, linestatus): null-derived
     level ordinal, exact micro-unit revenue sums."""
@@ -5217,6 +5246,7 @@ def _pq(fn_name: str, needs: str = "docs"):
 # its direct twin here (stemmed index variants map to their direct form).
 INDEXED_TWINS = {
     "query_dsl_indexed": "query_dsl",
+    "synonym_bm25_indexed": "synonym_bm25",
     "simple_query_string_indexed": "simple_query_string",
     "ann_bq_indexed": "ann_bq_rescore",
     "ann_ivf_indexed": "ann_ivf_topk",
@@ -5833,6 +5863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": _q_rake_keywords,
         "als_rank1": _q_als_rank1,
         "grouping_sets_agg": _q_grouping_sets_agg,
+        "synonym_bm25_indexed": _q_synonym_bm25_indexed,
+        "ctfidf_terms": _q_ctfidf_terms,
+        "zone_areas": _q_zone_areas,
         "pricing_summary": _q_pricing_summary,
         "fim_transform": _q_fim_transform,
         "stream_holt_winters": _q_stream_holt_winters,
@@ -6543,6 +6576,11 @@ ORDER BY term ASC LIMIT 10
         "synonym_bm25": oracles.bm25_topk_sql(
             expand_synonyms(["fast", "merge"]), k=10
         ),
+        "synonym_bm25_indexed": oracles.bm25_topk_sql(
+            expand_synonyms(["fast", "merge"]), k=10
+        ),
+        "ctfidf_terms": oracles_pipeline.ctfidf_terms_sql(),
+        "zone_areas": oracles_pipeline.zone_areas_sql(),
         "synonym_graph_bm25": oracles.synonym_graph_bm25_sql(SYN_LEXEMES, k=10),
         "date_histogram_filled": oracles_pipeline.date_histogram_filled_sql(),
         "span_first": oracles.span_first_sql("merge", end=5),

@@ -1863,3 +1863,42 @@ def js_divergence(docs: DataFrame, source_a: str = "src0",
     return (rows.crossJoin(F.broadcast(js))
             .select("term", "tf_a", "tf_b", "contrib", "js")
             .orderBy("term"))
+
+
+def ctfidf_terms(docs: DataFrame, k: int = 5, class_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF topic-labeling op,
+    Grootendorst 2022): per class c and term t,
+
+        score = tf_{t,c} · ln(1 + A / f_t)
+
+    with tf the class term count, f_t the corpus term count, and A the
+    average token count per class (exact integer totals, ONE double
+    division). Scale shape: one tokenize+explode groupBy(class, term)
+    corpus pass (map-side combine); f_t and A are vocab-bounded
+    aggregates broadcast back; the per-class top-k is the two-level
+    topk_per_group (never an unbounded global window). Scores ROUNDED 6
+    before ranking (rank-identity contract).
+    (source, rank, term, score) ordered (source, rank)."""
+    from .tokenizer import tokens_expr
+    from .topk import topk_per_group
+
+    tc = (docs.select(F.col(class_col).alias("cls"),
+                      F.explode(tokens_expr(text_col)).alias("term"))
+          .groupBy("cls", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    ft = tc.groupBy("term").agg(F.sum("tf").cast("long").alias("ft"))
+    tot = tc.agg(F.sum("tf").cast("long").alias("ntok"),
+                 F.countDistinct("cls").cast("long").alias("ncls"))
+    scored = (tc.join(ft, "term").crossJoin(F.broadcast(tot))
+              .select("cls", "term", F.round(
+                  F.col("tf").cast("double")
+                  * F.log(F.lit(1.0)
+                          + (F.col("ntok").cast("double")
+                             / F.col("ncls").cast("double"))
+                          / F.col("ft").cast("double")), 6).alias("s")))
+    return (topk_per_group(scored, k, group_col="cls", id_col="term",
+                           val_col="s")
+            .select(F.col("cls").alias("source"), "rank", "term",
+                    F.col("s").alias("score"))
+            .orderBy("source", "rank"))

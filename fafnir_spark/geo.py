@@ -598,3 +598,51 @@ def grid_density_clusters(points: DataFrame, eps: float = 0.5) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_cells"),
                  F.sum("n").cast("long").alias("n_points"))
             .orderBy("cluster"))
+
+
+def zone_areas(spark) -> "DataFrame":
+    """Polygon metrics for the shared POLYGONS zone table (the geometry
+    completion of the point-in-polygon family): shoelace area, signed-
+    area centroid, and perimeter per zone. Coordinates are half-integer
+    by construction, so the ×2-scaled shoelace runs ENTIRELY in exact
+    BIGINT space (cross products, signed area, centroid numerators) —
+    one double division at the end; only the perimeter touches sqrt
+    (IEEE-exact per edge, Σ over ≤|verts| rows). The polygon relation is
+    driver-side literals templated into BOTH engines (the
+    LSH-hyperplane convention). (zone, n_vertices, area, cx, cy,
+    perimeter) ordered by zone."""
+    rows = []
+    for zone, verts in POLYGONS:
+        n = len(verts)
+        for i, (x, y) in enumerate(verts):
+            nx, ny = verts[(i + 1) % n]
+            rows.append((zone, i, int(round(x * 2)), int(round(y * 2)),
+                         int(round(nx * 2)), int(round(ny * 2))))
+    df = spark.createDataFrame(
+        rows, "zone string, i int, xs long, ys long, xn long, yn long")
+    cross = F.col("xs") * F.col("yn") - F.col("xn") * F.col("ys")
+    g = (df.withColumn("cr", cross.cast("long"))
+         .groupBy("zone")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"),
+              F.sum("cr").cast("long").alias("a2"),
+              F.sum((F.col("xs") + F.col("xn")) * F.col("cr"))
+              .cast("long").alias("cxn"),
+              F.sum((F.col("ys") + F.col("yn")) * F.col("cr"))
+              .cast("long").alias("cyn"),
+              F.sum(F.sqrt(((F.col("xn") - F.col("xs"))
+                            * (F.col("xn") - F.col("xs"))
+                            + (F.col("yn") - F.col("ys"))
+                            * (F.col("yn") - F.col("ys"))).cast("double")))
+              .alias("per2")))
+    return (g.select(
+        "zone", "n_vertices",
+        F.round(F.abs(F.col("a2")).cast("double") / F.lit(8.0), 6)
+        .alias("area"),
+        F.round(F.col("cxn").cast("double")
+                / (F.lit(3.0) * F.col("a2").cast("double")) / F.lit(2.0), 6)
+        .alias("cx"),
+        F.round(F.col("cyn").cast("double")
+                / (F.lit(3.0) * F.col("a2").cast("double")) / F.lit(2.0), 6)
+        .alias("cy"),
+        F.round(F.col("per2") / F.lit(2.0), 6).alias("perimeter"))
+        .orderBy("zone"))

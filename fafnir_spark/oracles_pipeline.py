@@ -3977,3 +3977,76 @@ SELECT doc_id, n AS n_tokens, CAST(p1 AS BIGINT) AS p1,
             ELSE array_to_string(tk, ' ') END AS fim_text
 FROM p ORDER BY doc_id
 """
+
+
+def zone_areas_sql() -> str:
+    """Mirror of geo.zone_areas: the same ×2-scaled integer shoelace over
+    the templated POLYGONS vertex table (exact BIGINT cross products,
+    one double division), same perimeter edge order."""
+    from .geo import POLYGONS
+    rows = []
+    for zone, verts in POLYGONS:
+        n = len(verts)
+        for i, (x, y) in enumerate(verts):
+            nx, ny = verts[(i + 1) % n]
+            rows.append(f"('{zone}', {int(round(x * 2))}, "
+                        f"{int(round(y * 2))}, {int(round(nx * 2))}, "
+                        f"{int(round(ny * 2))})")
+    vals = ", ".join(rows)
+    return f"""
+WITH v(zone, xs, ys, xn, yn) AS (VALUES {vals}),
+g AS (SELECT zone,
+             CAST(count(*) AS BIGINT) AS n_vertices,
+             CAST(sum(CAST(xs AS BIGINT) * yn - CAST(xn AS BIGINT) * ys)
+               AS BIGINT) AS a2,
+             CAST(sum((CAST(xs AS BIGINT) + xn)
+                      * (CAST(xs AS BIGINT) * yn - CAST(xn AS BIGINT) * ys))
+               AS BIGINT) AS cxn,
+             CAST(sum((CAST(ys AS BIGINT) + yn)
+                      * (CAST(xs AS BIGINT) * yn - CAST(xn AS BIGINT) * ys))
+               AS BIGINT) AS cyn,
+             sum(sqrt(CAST((CAST(xn AS BIGINT) - xs)
+                           * (CAST(xn AS BIGINT) - xs)
+                           + (CAST(yn AS BIGINT) - ys)
+                           * (CAST(yn AS BIGINT) - ys) AS DOUBLE))) AS per2
+      FROM v GROUP BY zone)
+SELECT zone, n_vertices,
+       round(CAST(abs(a2) AS DOUBLE) / 8.0, 6) AS area,
+       round(CAST(cxn AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)) / 2.0, 6)
+         AS cx,
+       round(CAST(cyn AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)) / 2.0, 6)
+         AS cy,
+       round(per2 / 2.0, 6) AS perimeter
+FROM g ORDER BY zone
+"""
+
+
+def ctfidf_terms_sql(k: int = 5) -> str:
+    """Mirror of curation.ctfidf_terms: same tokenization, exact integer
+    tf/f_t/A numerators, same ln(1 + (ntok/ncls)/ft) operand order,
+    round-6 before ranking."""
+    return f"""
+WITH tok AS (SELECT source AS cls, t.tok AS term
+             FROM documents,
+                  unnest(list_filter(string_split(text, ' '),
+                                     x -> x != '')) AS t(tok)),
+tc AS (SELECT cls, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY cls, term),
+ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ft FROM tc GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS ntok,
+               CAST(count(DISTINCT cls) AS BIGINT) AS ncls
+        FROM tc),
+scored AS (SELECT cls, term,
+                  round(CAST(tf AS DOUBLE)
+                        * ln(1.0 + (CAST(ntok AS DOUBLE)
+                                    / CAST(ncls AS DOUBLE))
+                             / CAST(ft AS DOUBLE)), 6) AS s
+           FROM tc JOIN ft USING (term) CROSS JOIN tot),
+rk AS (SELECT cls, term, s,
+              row_number() OVER (PARTITION BY cls
+                                 ORDER BY s DESC, term ASC) AS rank
+       FROM scored)
+SELECT cls AS source, rank, term, s AS score
+FROM rk WHERE rank <= {int(k)}
+ORDER BY source, rank
+"""
