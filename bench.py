@@ -420,6 +420,34 @@ def main() -> None:
 
     timed("s15_sweep", _s15_sweep)
 
+    def _s17_sweep() -> int:
+        from fafnir_spark.curation import ctfidf_terms
+        from fafnir_spark.pipeline import (
+            als_rank1,
+            grouping_sets_agg,
+            hampel_outliers,
+            kruskal_wallis,
+            pricing_summary,
+            rake_keywords,
+            scd2_build,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        n = kruskal_wallis(events).count()
+        n += scd2_build(orders).count()
+        n += pricing_summary(li).count()
+        n += grouping_sets_agg(li).count()
+        n += als_rank1(orders, li).count()
+        n += hampel_outliers(events).count()
+        n += rake_keywords(docs).count()
+        n += ctfidf_terms(docs).count()
+        return n
+
+    timed("s17_sweep", _s17_sweep)
+
     # ---------- timed: synthetic corpus build + query (the scale proxy) ----
     # best of N reps: single-machine timings are noisy (shared sandbox);
     # the best rep is the least-contended measurement of the same work

@@ -924,6 +924,51 @@ def main() -> None:
               "Digit extraction is a row-local IEEE comparison ladder "
               "(no log10, no string formatting); one filtered groupBy + "
               "a broadcast 1-row total; 9 rows out."),
+        audit("mann_whitney_u / kruskal_wallis (rank tests)",
+              __import__("fafnir_spark.pipeline", fromlist=["x"])
+              .kruskal_wallis(spark.read.parquet(f"{sf}/events.parquet")),
+              "The corpus collapses in ONE map-side-combined "
+              "groupBy(value); the avg-rank window runs over the bounded "
+              "distinct-value relation only (the roc_auc rule) — a hot "
+              "value never funnels raw rows through one reducer."),
+        audit("scd2_build (SCD Type-2 dimension)",
+              __import__("fafnir_spark.pipeline", fromlist=["x"])
+              .scd2_build(spark.read.parquet(f"{sf}/orders.parquet")),
+              "Every window is PARTITIONED BY customer — one shuffle on "
+              "o_custkey, then per-customer lag/cumsum/lead passes; no "
+              "global window anywhere."),
+        audit("pricing_summary (TPC-H Q1, exact micro-units)",
+              __import__("fafnir_spark.pipeline", fromlist=["x"])
+              .pricing_summary(spark.read.parquet(f"{sf}/lineitem.parquet")),
+              "Shipdate literal filter reaches PushedFilters; all money "
+              "sums are exact BIGINT micro-units in ONE map-side-combined "
+              "groupBy — 6 rows out of a full-corpus scan."),
+        audit("als_rank1 (alternating least squares)",
+              __import__("fafnir_spark.pipeline", fromlist=["x"])
+              .als_rank1(spark.read.parquet(f"{sf}/orders.parquet"),
+                         spark.read.parquet(f"{sf}/lineitem.parquet")),
+              "Each half-step is ONE keyed join + ONE groupBy with "
+              "map-side partials; factor relations are |users|/|items|-"
+              "bounded; never an all-pairs product."),
+        audit("rake_keywords (RAKE phrases)",
+              __import__("fafnir_spark.pipeline", fromlist=["x"])
+              .rake_keywords(docs),
+              "Phrase segmentation windows are DOC-KEYED (bounded by doc "
+              "length); word stats vocab-bounded; the top-k finish is "
+              "TakeOrderedAndProject."),
+        audit("hampel_outliers (rolling median/MAD)",
+              __import__("fafnir_spark.pipeline", fromlist=["x"])
+              .hampel_outliers(spark.read.parquet(f"{sf}/events.parquet")),
+              "The ±3-day membership join runs on the ≤|days| bucket "
+              "relation (never raw facts); two bounded per-center "
+              "quantile groupBys."),
+        audit("silhouette_kmeans (clustering audit)",
+              __import__("fafnir_spark.simsearch", fromlist=["x"])
+              .silhouette_kmeans(
+                  spark.read.parquet(f"{sf}/embeddings.parquet")),
+              "O(n·k): corpus × broadcast-centroids join collapsed by a "
+              "map-side conditional groupBy(vec_id); no pairwise "
+              "vector-vector join anywhere."),
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
