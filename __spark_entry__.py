@@ -4261,6 +4261,38 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank survival comparison of the two hash cohorts: zero-filled
+    union-day grid, hypergeometric E/V, rounded contributions."""
+    from fafnir_spark.pipeline import logrank_test
+
+    return logrank_test(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (tie-aware PR-AUC) of the quality score vs the
+    en-language label — the PR sibling of roc_auc."""
+    from fafnir_spark.pipeline import pr_auc
+
+    return pr_auc(_docs(spark, sf_dir))
+
+
+def _q_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of the purchase share between hash
+    cohorts, pooled variance from exact integer counts."""
+    from fafnir_spark.pipeline import two_proportion_z
+
+    return two_proportion_z(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift decile table with deterministic ntile
+    ordering."""
+    from fafnir_spark.pipeline import gains_deciles
+
+    return gains_deciles(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_synonym_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synonym expansion served FROM THE INDEX: the expanded disjunction
     runs through the BMW per-shard scorer — rank-identical to the direct
@@ -5864,6 +5896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "als_rank1": _q_als_rank1,
         "grouping_sets_agg": _q_grouping_sets_agg,
         "synonym_bm25_indexed": _q_synonym_bm25_indexed,
+        "logrank_test": _q_logrank_test,
+        "pr_auc": _q_pr_auc,
+        "two_proportion_z": _q_two_proportion_z,
+        "gains_deciles": _q_gains_deciles,
         "ctfidf_terms": _q_ctfidf_terms,
         "zone_areas": _q_zone_areas,
         "pricing_summary": _q_pricing_summary,
@@ -6580,6 +6616,10 @@ ORDER BY term ASC LIMIT 10
             expand_synonyms(["fast", "merge"]), k=10
         ),
         "ctfidf_terms": oracles_pipeline.ctfidf_terms_sql(),
+        "logrank_test": oracles_pipeline.logrank_test_sql(),
+        "pr_auc": oracles_pipeline.pr_auc_sql(),
+        "two_proportion_z": oracles_pipeline.two_proportion_z_sql(),
+        "gains_deciles": oracles_pipeline.gains_deciles_sql(),
         "zone_areas": oracles_pipeline.zone_areas_sql(),
         "synonym_graph_bm25": oracles.synonym_graph_bm25_sql(SYN_LEXEMES, k=10),
         "date_histogram_filled": oracles_pipeline.date_histogram_filled_sql(),

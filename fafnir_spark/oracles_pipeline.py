@@ -4050,3 +4050,164 @@ SELECT cls AS source, rank, term, s AS score
 FROM rk WHERE rank <= {int(k)}
 ORDER BY source, rank
 """
+
+
+def logrank_test_sql(event_type: str = "purchase") -> str:
+    """Mirror of pipeline.logrank_test: same hash cohort split, same
+    zero-filled union-day grid and shared-day-order cumulative leavers,
+    same hypergeometric operand order, rounded contributions."""
+    from .portable import hash60_sql
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    day = 86_400_000_000
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+per AS (SELECT user_id, min(us) AS t0,
+               min(CASE WHEN event_type = '{event_type}' THEN us END) AS tp
+        FROM e GROUP BY user_id),
+endt AS (SELECT max(us) AS t_end FROM e),
+pv AS (SELECT CAST((({h}) % 2 + 2) % 2 AS INTEGER) AS g,
+              CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs,
+              CASE WHEN tp IS NOT NULL THEN (tp - t0) // {day}
+                   ELSE (t_end - t0) // {day} END AS t_day
+       FROM per CROSS JOIN endt),
+cells AS (SELECT g, t_day, CAST(sum(obs) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS leave
+          FROM pv GROUP BY 1, 2),
+g0 AS (SELECT t_day AS td, d AS d0, leave AS l0 FROM cells WHERE g = 0),
+g1 AS (SELECT t_day AS td, d AS d1, leave AS l1 FROM cells WHERE g = 1),
+days AS (SELECT DISTINCT td FROM (SELECT td FROM g0
+                                  UNION ALL SELECT td FROM g1)),
+grid0 AS (SELECT days.td,
+                 CAST(coalesce(d0, 0) AS BIGINT) AS d0,
+                 CAST(coalesce(l0, 0) AS BIGINT) AS l0,
+                 CAST(coalesce(d1, 0) AS BIGINT) AS d1,
+                 CAST(coalesce(l1, 0) AS BIGINT) AS l1
+          FROM days LEFT JOIN g0 ON g0.td = days.td
+                    LEFT JOIN g1 ON g1.td = days.td),
+ngs AS (SELECT CAST(sum(CASE WHEN g = 0 THEN leave ELSE 0 END) AS BIGINT)
+          AS ng0,
+               CAST(sum(CASE WHEN g = 1 THEN leave ELSE 0 END) AS BIGINT)
+          AS ng1
+        FROM cells),
+grid AS (SELECT *,
+                CAST(ng0 - (sum(l0) OVER (ORDER BY td
+                     ROWS UNBOUNDED PRECEDING) - l0) AS BIGINT) AS r0,
+                CAST(ng1 - (sum(l1) OVER (ORDER BY td
+                     ROWS UNBOUNDED PRECEDING) - l1) AS BIGINT) AS r1
+         FROM grid0 CROSS JOIN ngs),
+rows_ AS (
+  SELECT round(CAST(d1 AS DOUBLE)
+               - CAST(d0 + d1 AS DOUBLE)
+                 * (CAST(r1 AS DOUBLE) / CAST(r0 + r1 AS DOUBLE)), 6)
+           AS oe,
+         round(CAST(d0 + d1 AS DOUBLE)
+               * (CAST(r1 AS DOUBLE) / CAST(r0 + r1 AS DOUBLE)), 6)
+           AS e1c,
+         round(CASE WHEN r0 + r1 > 1
+                    THEN CAST(d0 + d1 AS DOUBLE)
+                         * (CAST(r1 AS DOUBLE) / CAST(r0 + r1 AS DOUBLE))
+                         * (1.0 - CAST(r1 AS DOUBLE)
+                                  / CAST(r0 + r1 AS DOUBLE))
+                         * CAST(r0 + r1 - (d0 + d1) AS DOUBLE)
+                         / CAST(r0 + r1 - 1 AS DOUBLE)
+                    ELSE 0.0 END, 6) AS vc,
+         d1 AS o1c, ng0, ng1
+  FROM grid WHERE d0 + d1 > 0),
+agg AS (SELECT CAST(min(ng0) AS BIGINT) AS n_users0,
+               CAST(min(ng1) AS BIGINT) AS n_users1,
+               CAST(sum(o1c) AS BIGINT) AS o1,
+               round(sum(e1c), 6) AS e1,
+               round(sum(oe), 6) AS oes,
+               round(sum(vc), 6) AS v
+        FROM rows_)
+SELECT n_users0, n_users1, o1, e1, v,
+       round(oes / sqrt(v), 6) AS z,
+       round((oes / sqrt(v)) * (oes / sqrt(v)), 6) AS chi2
+FROM agg
+"""
+
+
+def pr_auc_sql(pos_lang: str = "en") -> str:
+    """Mirror of pipeline.pr_auc: same _QSCORE, descending distinct-score
+    blocks, exact integer cumulatives, rounded block contributions."""
+    from .curation import _QSCORE
+    return f"""
+WITH r0 AS (SELECT {_QSCORE} AS s,
+                   CASE WHEN lang = '{pos_lang}' THEN 1 ELSE 0 END AS y
+            FROM documents),
+g AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(y) AS BIGINT) AS p FROM r0 GROUP BY s),
+cum AS (SELECT *,
+               CAST(sum(p) OVER (ORDER BY s DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctp,
+               CAST(sum(c) OVER (ORDER BY s DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+        FROM g),
+tot AS (SELECT CAST(max(ctp) AS BIGINT) AS np,
+               CAST(max(cn) AS BIGINT) AS nn_all
+        FROM cum),
+a AS (SELECT round(sum(round((CAST(ctp AS DOUBLE) / CAST(cn AS DOUBLE))
+                             * CAST(p AS DOUBLE), 6)), 6) AS csum
+      FROM cum WHERE p > 0)
+SELECT np AS n_pos, CAST(nn_all - np AS BIGINT) AS n_neg,
+       round(csum / CAST(np AS DOUBLE), 6) AS ap
+FROM a CROSS JOIN tot
+"""
+
+
+def two_proportion_z_sql(event_type: str = "purchase") -> str:
+    """Mirror of pipeline.two_proportion_z: same hash cohorts, exact
+    integer counts, same pooled-variance operand order."""
+    from .portable import hash60_sql
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH pv AS (SELECT CAST((({h}) % 2 + 2) % 2 AS INTEGER) AS g,
+                   CASE WHEN event_type = '{event_type}' THEN 1 ELSE 0 END
+                     AS s
+            FROM events),
+a AS (SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN g = 0 THEN s ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g = 1 THEN s ELSE 0 END) AS BIGINT) AS s1
+      FROM pv)
+SELECT n0, s0, n1, s1,
+       round(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p0,
+       round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+       round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             / sqrt((CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - CAST(s0 + s1 AS DOUBLE)
+                             / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / CAST(n0 AS DOUBLE)
+                       + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
+FROM a
+"""
+
+
+def gains_deciles_sql(target: str = "purchase", buckets: int = 10) -> str:
+    """Mirror of pipeline.gains_deciles: same deterministic ntile
+    ordering (count desc, user_id asc), exact integer capture/lift."""
+    return f"""
+WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(max(CASE WHEN event_type = '{target}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS buy
+             FROM events GROUP BY user_id),
+dt AS (SELECT *, CAST(ntile({int(buckets)}) OVER
+              (ORDER BY cnt DESC, user_id ASC) AS INTEGER) AS decile
+       FROM per),
+g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(buy) AS BIGINT) AS n_buyers
+      FROM dt GROUP BY decile),
+tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS nt,
+               CAST(sum(n_buyers) AS BIGINT) AS bt
+        FROM g),
+c AS (SELECT *, CAST(sum(n_buyers) OVER (ORDER BY decile
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+      FROM g CROSS JOIN tot)
+SELECT decile, n_users, n_buyers,
+       round(CAST(n_buyers AS DOUBLE) / CAST(bt AS DOUBLE), 6) AS capture,
+       round(CAST(cumb AS DOUBLE) / CAST(bt AS DOUBLE), 6) AS cum_capture,
+       round((CAST(n_buyers AS DOUBLE) / CAST(n_users AS DOUBLE))
+             / (CAST(bt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS lift
+FROM c ORDER BY decile
+"""

@@ -5286,3 +5286,198 @@ def fim_transform(docs: DataFrame) -> DataFrame:
     return (d.select("doc_id", F.col("n").alias("n_tokens"), "p1", "p2",
                      "fim", fim_text.alias("fim_text"))
             .orderBy("doc_id"))
+
+
+def logrank_test(events: DataFrame, event_type: str = "purchase"
+                 ) -> DataFrame:
+    """Log-rank test (Mantel 1966) comparing the time-to-conversion
+    curves of two user cohorts (portable-hash variant split — the cuped
+    idiom): at each event day the observed group-1 events are compared
+    with the hypergeometric expectation E1 = d·n1/n and variance
+    V = d·(n1/n)·(1−n1/n)·(n−d)/(n−1); per-day contributions are
+    ROUNDED 6 before the Σ (the ece rule); z = Σ(O1−E1)/√ΣV,
+    chi² = z². Risk tables per group come from the survival_km span
+    derivation with per-group windows over the ≤|days| bucket relation.
+    One row out: (n_users0, n_users1, o1, e1, v, z, chi2)."""
+    from .portable import hash60
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = (events.select("user_id", us.alias("us"), "event_type")
+           .groupBy("user_id")
+           .agg(F.min("us").alias("t0"),
+                F.min(F.when(F.col("event_type") == event_type,
+                             F.col("us"))).alias("tp"))
+           .withColumn("g", F.pmod(hash60(F.col("user_id").cast("string")),
+                                   F.lit(2)).cast("int")))
+    end = events.select(us.alias("us")).agg(F.max("us").alias("t_end"))
+    per = per.crossJoin(F.broadcast(end)).select(
+        "g",
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
+        F.when(F.col("tp").isNotNull(),
+               F.expr(f"(tp - t0) DIV {_DAY_US}"))
+        .otherwise(F.expr(f"(t_end - t0) DIV {_DAY_US}")).alias("t_day"))
+    cells = (per.groupBy("g", "t_day")
+             .agg(F.sum("obs").cast("long").alias("d"),
+                  F.count(F.lit(1)).cast("long").alias("leave")))
+    # zero-filled union-day grid: at-risk derives from cumulative leavers
+    # over the SHARED day order (absent days contribute zero leavers), so
+    # both groups stay exact without any last-value fill
+    g0 = (cells.filter(F.col("g") == 0)
+          .select(F.col("t_day").alias("td"), F.col("d").alias("d0"),
+                  F.col("leave").alias("l0")))
+    g1 = (cells.filter(F.col("g") == 1)
+          .select(F.col("t_day").alias("td"), F.col("d").alias("d1"),
+                  F.col("leave").alias("l1")))
+    days = g0.select("td").unionByName(g1.select("td")).distinct()
+    grid = (days.join(g0, "td", "left").join(g1, "td", "left")
+            .select("td",
+                    F.coalesce("d0", F.lit(0)).cast("long").alias("d0"),
+                    F.coalesce("l0", F.lit(0)).cast("long").alias("l0"),
+                    F.coalesce("d1", F.lit(0)).cast("long").alias("d1"),
+                    F.coalesce("l1", F.lit(0)).cast("long").alias("l1")))
+    ngs = cells.agg(
+        F.sum(F.when(F.col("g") == 0, F.col("leave")).otherwise(0))
+        .cast("long").alias("ng0"),
+        F.sum(F.when(F.col("g") == 1, F.col("leave")).otherwise(0))
+        .cast("long").alias("ng1"))
+    wd = Window.orderBy("td").rowsBetween(Window.unboundedPreceding, 0)
+    grid = (grid.crossJoin(F.broadcast(ngs))
+            .withColumn("r0", (F.col("ng0")
+                               - (F.sum("l0").over(wd) - F.col("l0")))
+                        .cast("long"))
+            .withColumn("r1", (F.col("ng1")
+                               - (F.sum("l1").over(wd) - F.col("l1")))
+                        .cast("long")))
+    d = F.col("d0") + F.col("d1")
+    n = F.col("r0") + F.col("r1")
+    frac1 = F.col("r1").cast("double") / n.cast("double")
+    e1 = d.cast("double") * frac1
+    v = (F.when(n > 1,
+                d.cast("double") * frac1 * (F.lit(1.0) - frac1)
+                * (n - d).cast("double") / (n - 1).cast("double"))
+         .otherwise(F.lit(0.0)))
+    rows = (grid.filter(d > 0)
+            .select(F.round(F.col("d1").cast("double") - e1, 6).alias("oe"),
+                    F.round(e1, 6).alias("e1c"),
+                    F.round(v, 6).alias("vc"),
+                    F.col("d1").cast("long").alias("o1c"),
+                    "ng0", "ng1"))
+    agg = rows.agg(F.min("ng0").cast("long").alias("n_users0"),
+                   F.min("ng1").cast("long").alias("n_users1"),
+                   F.sum("o1c").cast("long").alias("o1"),
+                   F.round(F.sum("e1c"), 6).alias("e1"),
+                   F.round(F.sum("oe"), 6).alias("oes"),
+                   F.round(F.sum("vc"), 6).alias("v"))
+    z = F.col("oes") / F.sqrt(F.col("v"))
+    return agg.select(
+        "n_users0", "n_users1",
+        "o1", "e1", "v", F.round(z, 6).alias("z"),
+        F.round(z * z, 6).alias("chi2"))
+
+
+def pr_auc(docs: DataFrame, pos_lang: str = "en") -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step-wise tie-aware form) of the quality score against the
+    (lang == pos_lang) label — the PR sibling of roc_auc: descending
+    distinct-score blocks contribute P(block end)·(positives in block),
+    AP = Σ contrib / n_pos with contributions ROUNDED 6 (the ece rule).
+    All cumulatives are exact integers over the bounded distinct-score
+    relation (the roc_auc rule). One row: (n_pos, n_neg, ap)."""
+    from .curation import _qscore_col
+    rows = docs.select(
+        _qscore_col().alias("s"),
+        F.when(F.col("lang") == pos_lang, 1).otherwise(0).alias("y"))
+    g = (rows.groupBy("s")
+         .agg(F.count(F.lit(1)).cast("long").alias("c"),
+              F.sum("y").cast("long").alias("p")))
+    w = (Window.orderBy(F.col("s").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    g = (g.withColumn("ctp", F.sum("p").over(w).cast("long"))
+         .withColumn("cn", F.sum("c").over(w).cast("long")))
+    tot = g.agg(F.max("ctp").cast("long").alias("np"),
+                F.max("cn").cast("long").alias("nn_all"))
+    contrib = F.round(
+        (F.col("ctp").cast("double") / F.col("cn").cast("double"))
+        * F.col("p").cast("double"), 6)
+    agg = (g.filter(F.col("p") > 0)
+           .agg(F.round(F.sum(contrib), 6).alias("csum")))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select(F.col("np").alias("n_pos"),
+                    (F.col("nn_all") - F.col("np")).cast("long")
+                    .alias("n_neg"),
+                    F.round(F.col("csum") / F.col("np").cast("double"), 6)
+                    .alias("ap")))
+
+
+def two_proportion_z(events: DataFrame, event_type: str = "purchase"
+                     ) -> DataFrame:
+    """Two-proportion z-test of the ``event_type`` share between the two
+    portable-hash cohorts (the cuped split): pooled
+
+        z = (p1 − p0) / √( p̂(1−p̂)(1/n0 + 1/n1) )
+
+    from EXACT integer counts — one conditional groupBy pass, identical
+    operand order cross-engine. One row:
+    (n0, s0, n1, s1, p0, p1, z)."""
+    from .portable import hash60
+    per = (events.select(
+        F.pmod(hash60(F.col("user_id").cast("string")), F.lit(2))
+        .cast("int").alias("g"),
+        F.when(F.col("event_type") == event_type, 1).otherwise(0)
+        .alias("s")))
+    agg = per.agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("g") == 0, F.col("s")).otherwise(0))
+        .cast("long").alias("s0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("g") == 1, F.col("s")).otherwise(0))
+        .cast("long").alias("s1"))
+    p0 = F.col("s0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    ph = ((F.col("s0") + F.col("s1")).cast("double")
+          / (F.col("n0") + F.col("n1")).cast("double"))
+    z = (p1 - p0) / F.sqrt(ph * (F.lit(1.0) - ph)
+                           * (F.lit(1.0) / F.col("n0").cast("double")
+                              + F.lit(1.0) / F.col("n1").cast("double")))
+    return agg.select("n0", "s0", "n1", "s1",
+                      F.round(p0, 6).alias("p0"),
+                      F.round(p1, 6).alias("p1"),
+                      F.round(z, 6).alias("z"))
+
+
+def gains_deciles(events: DataFrame, target: str = "purchase",
+                  buckets: int = 10) -> DataFrame:
+    """Cumulative gains / lift table (the marketing decile analysis):
+    users are scored by activity (event count), cut into ``buckets``
+    ntiles ordered (count desc, user_id asc) — the rfm deterministic-
+    ntile rule — and each decile reports its converter capture and lift
+    against the base rate. Everything after the ONE user groupBy runs on
+    exact integers; windows only over the ``buckets``-row relation.
+    (decile, n_users, n_buyers, capture, cum_capture, lift) ordered by
+    decile."""
+    per = (events.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.max(F.when(F.col("event_type") == target, 1)
+                      .otherwise(0)).cast("long").alias("buy")))
+    wn = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    per = per.withColumn("decile", F.ntile(buckets).over(wn).cast("int"))
+    g = (per.groupBy("decile")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+              F.sum("buy").cast("long").alias("n_buyers")))
+    tot = g.agg(F.sum("n_users").cast("long").alias("nt"),
+                F.sum("n_buyers").cast("long").alias("bt"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    g = (g.crossJoin(F.broadcast(tot))
+         .withColumn("cumb", F.sum("n_buyers").over(wc).cast("long")))
+    return (g.select(
+        "decile", "n_users", "n_buyers",
+        F.round(F.col("n_buyers").cast("double")
+                / F.col("bt").cast("double"), 6).alias("capture"),
+        F.round(F.col("cumb").cast("double")
+                / F.col("bt").cast("double"), 6).alias("cum_capture"),
+        F.round((F.col("n_buyers").cast("double")
+                 / F.col("n_users").cast("double"))
+                / (F.col("bt").cast("double")
+                   / F.col("nt").cast("double")), 6).alias("lift"))
+        .orderBy("decile"))
