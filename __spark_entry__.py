@@ -4261,6 +4261,30 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over hash cohorts and the midpoint time
+    split, SE from exact-integer raw-sum variances."""
+    from fafnir_spark.pipeline import diff_in_diff
+
+    return diff_in_diff(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector over daily counts: running-mean
+    deviations, latched minimum, alarms on unrounded values."""
+    from fafnir_spark.pipeline import page_hinkley
+
+    return page_hinkley(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two document quality rules:
+    discordant-cell chi² in exact integer space."""
+    from fafnir_spark.pipeline import mcnemar_test
+
+    return mcnemar_test(_docs(spark, sf_dir))
+
+
 def _q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-rank survival comparison of the two hash cohorts: zero-filled
     union-day grid, hypergeometric E/V, rounded contributions."""
@@ -5897,6 +5921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_agg": _q_grouping_sets_agg,
         "synonym_bm25_indexed": _q_synonym_bm25_indexed,
         "logrank_test": _q_logrank_test,
+        "diff_in_diff": _q_diff_in_diff,
+        "page_hinkley": _q_page_hinkley,
+        "mcnemar_test": _q_mcnemar_test,
         "pr_auc": _q_pr_auc,
         "two_proportion_z": _q_two_proportion_z,
         "gains_deciles": _q_gains_deciles,
@@ -6617,6 +6644,9 @@ ORDER BY term ASC LIMIT 10
         ),
         "ctfidf_terms": oracles_pipeline.ctfidf_terms_sql(),
         "logrank_test": oracles_pipeline.logrank_test_sql(),
+        "diff_in_diff": oracles_pipeline.diff_in_diff_sql(),
+        "page_hinkley": oracles_pipeline.page_hinkley_sql(),
+        "mcnemar_test": oracles_pipeline.mcnemar_test_sql(),
         "pr_auc": oracles_pipeline.pr_auc_sql(),
         "two_proportion_z": oracles_pipeline.two_proportion_z_sql(),
         "gains_deciles": oracles_pipeline.gains_deciles_sql(),

@@ -4211,3 +4211,107 @@ SELECT decile, n_users, n_buyers,
              / (CAST(bt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS lift
 FROM c ORDER BY decile
 """
+
+
+def diff_in_diff_sql() -> str:
+    """Mirror of pipeline.diff_in_diff: same hash cohorts and midpoint
+    split, raw-sum variance of the post−pre differences, same operand
+    order."""
+    from .portable import hash60_sql
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+b AS (SELECT (min(us) + max(us)) // 2 AS split FROM e),
+per AS (SELECT user_id,
+               CAST(sum(CASE WHEN us < split THEN 1 ELSE 0 END) AS BIGINT)
+                 AS pre,
+               CAST(sum(CASE WHEN us >= split THEN 1 ELSE 0 END) AS BIGINT)
+                 AS post
+        FROM e CROSS JOIN b GROUP BY user_id),
+pv AS (SELECT CAST((({h}) % 2 + 2) % 2 AS INTEGER) AS g,
+              CAST(post - pre AS BIGINT) AS d
+       FROM per),
+a AS (SELECT
+        CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN g = 0 THEN d ELSE 0 END) AS BIGINT) AS sd0,
+        CAST(sum(CASE WHEN g = 0 THEN d * d ELSE 0 END) AS BIGINT) AS sdd0,
+        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN g = 1 THEN d ELSE 0 END) AS BIGINT) AS sd1,
+        CAST(sum(CASE WHEN g = 1 THEN d * d ELSE 0 END) AS BIGINT) AS sdd1
+      FROM pv),
+m AS (SELECT n0, n1,
+             CAST(sd0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+             CAST(sd1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             (CAST(sdd0 AS DOUBLE) - CAST(sd0 AS DOUBLE)
+              * (CAST(sd0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+               / CAST(n0 - 1 AS DOUBLE) AS v0,
+             (CAST(sdd1 AS DOUBLE) - CAST(sd1 AS DOUBLE)
+              * (CAST(sd1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+               / CAST(n1 - 1 AS DOUBLE) AS v1
+      FROM a)
+SELECT n0, n1, round(m1 - m0, 6) AS did,
+       round(sqrt(v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE)), 6)
+         AS se,
+       round((m1 - m0) / sqrt(v1 / CAST(n1 AS DOUBLE)
+                              + v0 / CAST(n0 AS DOUBLE)), 6) AS t_stat
+FROM m
+"""
+
+
+def page_hinkley_sql(delta: float = 0.5, lam: float = 20.0) -> str:
+    """Mirror of pipeline.page_hinkley: same deterministic day-order
+    cumulative folds, same exact-integer running mean, alarms on
+    unrounded values."""
+    day = 86_400_000_000
+    return f"""
+WITH g AS (SELECT epoch_us(ts) // {day} AS d,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+c AS (SELECT *,
+             CAST(count(*) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS t,
+             CAST(sum(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS s
+      FROM g),
+p AS (SELECT *,
+             sum(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+                 - {float(delta)!r})
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS ph
+      FROM c),
+q AS (SELECT *, min(ph) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS mn
+      FROM p)
+SELECT d, x, round(ph, 6) AS ph,
+       CAST(CASE WHEN ph - mn > {float(lam)!r} THEN 1 ELSE 0 END
+            AS INTEGER) AS alarm
+FROM q ORDER BY d
+"""
+
+
+def mcnemar_test_sql(len_chars: int = 200, len_tokens: int = 40) -> str:
+    """Mirror of pipeline.mcnemar_test: same row-local rule flags, same
+    tokenization, continuity-corrected chi² in exact integer space."""
+    return f"""
+WITH r AS (SELECT CASE WHEN n_chars >= {int(len_chars)} THEN 1 ELSE 0 END
+             AS a,
+                  CASE WHEN len(list_filter(string_split(text, ' '),
+                                            t -> t != ''))
+                            >= {int(len_tokens)} THEN 1 ELSE 0 END AS b
+           FROM documents),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS a_only,
+               CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b_only,
+               CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_both,
+               CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_neither
+        FROM r)
+SELECT n, a_only, b_only, n_both, n_neither,
+       round(CASE WHEN a_only + b_only > 0
+                  THEN CAST((abs(a_only - b_only) - 1)
+                            * (abs(a_only - b_only) - 1) AS DOUBLE)
+                       / CAST(a_only + b_only AS DOUBLE)
+                  ELSE 0.0 END, 6) AS chi2
+FROM agg
+"""

@@ -5481,3 +5481,119 @@ def gains_deciles(events: DataFrame, target: str = "purchase",
                 / (F.col("bt").cast("double")
                    / F.col("nt").cast("double")), 6).alias("lift"))
         .orderBy("decile"))
+
+
+def diff_in_diff(events: DataFrame) -> DataFrame:
+    """Difference-in-differences estimator (the Card-Krueger causal
+    staple, completing the psm/cuped family): cohorts from the portable
+    hash, periods from the integer-µs midpoint split (the cuped shape
+    exactly); outcome = per-user event count per period. DiD =
+    (ȳ₁post − ȳ₁pre) − (ȳ₀post − ȳ₀pre); the standard error comes from
+    the per-user post−pre difference variances (raw-sum closed form over
+    EXACT integer sums — the matrix_stats rule): se = √(v₁/n₁ + v₀/n₀),
+    t = DiD/se. ONE conditional groupBy(user) pass + a 1-row broadcast
+    bounds aggregate. One row: (n0, n1, did, se, t_stat)."""
+    from .portable import hash60
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = events.select("user_id", us.alias("us"))
+    bounds = (e.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+              .select(F.expr("(mn + mx) DIV 2").alias("split")))
+    per = (e.crossJoin(F.broadcast(bounds))
+           .groupBy("user_id")
+           .agg(F.sum(F.when(F.col("us") < F.col("split"), 1)
+                      .otherwise(0)).cast("long").alias("pre"),
+                F.sum(F.when(F.col("us") >= F.col("split"), 1)
+                      .otherwise(0)).cast("long").alias("post"))
+           .withColumn("g", F.pmod(hash60(F.col("user_id").cast("string")),
+                                   F.lit(2)).cast("int"))
+           .withColumn("d", (F.col("post") - F.col("pre")).cast("long")))
+    a = per.agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("g") == 0, F.col("d")).otherwise(0))
+        .cast("long").alias("sd0"),
+        F.sum(F.when(F.col("g") == 0, F.col("d") * F.col("d"))
+              .otherwise(0)).cast("long").alias("sdd0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("g") == 1, F.col("d")).otherwise(0))
+        .cast("long").alias("sd1"),
+        F.sum(F.when(F.col("g") == 1, F.col("d") * F.col("d"))
+              .otherwise(0)).cast("long").alias("sdd1"))
+    m0 = F.col("sd0").cast("double") / F.col("n0").cast("double")
+    m1 = F.col("sd1").cast("double") / F.col("n1").cast("double")
+    v0 = ((F.col("sdd0").cast("double")
+           - F.col("sd0").cast("double") * m0)
+          / (F.col("n0") - 1).cast("double"))
+    v1 = ((F.col("sdd1").cast("double")
+           - F.col("sd1").cast("double") * m1)
+          / (F.col("n1") - 1).cast("double"))
+    did = m1 - m0
+    se = F.sqrt(v1 / F.col("n1").cast("double")
+                + v0 / F.col("n0").cast("double"))
+    return a.select("n0", "n1", F.round(did, 6).alias("did"),
+                    F.round(se, 6).alias("se"),
+                    F.round(did / se, 6).alias("t_stat"))
+
+
+def page_hinkley(events: DataFrame, delta: float = 0.5,
+                 lam: float = 20.0) -> DataFrame:
+    """Page-Hinkley drift detector (Page 1954; the streaming-drift
+    classic, the running-mean sibling of cusum_changepoints) over daily
+    event counts: per day t the deviation x_t − x̄_t − δ (running mean
+    x̄_t = s_t/t from EXACT integer cumsums) accumulates into PH_t; an
+    alarm fires when PH_t − min_{i≤t} PH_i > λ. Every window runs over
+    the ≤|days| bucket relation in deterministic day order, so the
+    double folds agree cross-engine; alarms compare UNROUNDED values.
+    δ, λ are exact literals. (d, x, ph, alarm) ordered by d."""
+    g = (events.select(F.expr(
+        f"unix_micros(cast(ts as timestamp)) DIV {_DAY_US}").alias("d"))
+        .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    g = (g.withColumn("t", F.count(F.lit(1)).over(w).cast("long"))
+         .withColumn("s", F.sum("x").over(w).cast("long")))
+    term = (F.col("x").cast("double")
+            - F.col("s").cast("double") / F.col("t").cast("double")
+            - F.lit(float(delta)))
+    g = (g.withColumn("ph", F.sum(term).over(w))
+         .withColumn("mn", F.min(F.col("ph")).over(w)))
+    return (g.select(
+        "d", "x", F.round("ph", 6).alias("ph"),
+        F.when(F.col("ph") - F.col("mn") > F.lit(float(lam)), 1)
+        .otherwise(0).cast("int").alias("alarm"))
+        .orderBy("d"))
+
+
+def mcnemar_test(docs: DataFrame, len_chars: int = 200,
+                 len_tokens: int = 40) -> DataFrame:
+    """McNemar's paired test (1947) of marginal homogeneity between two
+    binary document-quality rules — rule A: n_chars ≥ ``len_chars``,
+    rule B: token count ≥ ``len_tokens`` (row-local flags, same
+    tokenization contract as the oracle): only the discordant cells
+    matter, b = |A∧¬B|, c = |¬A∧B|, continuity-corrected
+
+        chi² = (|b − c| − 1)² / (b + c)
+
+    entirely in EXACT integer space until one double division. ONE
+    conditional-aggregate corpus pass. One row:
+    (n, a_only, b_only, n_both, n_neither, chi2)."""
+    from .tokenizer import tokens_expr
+    fa = (F.col("n_chars") >= len_chars).cast("int")
+    fb = (F.size(tokens_expr("text")) >= len_tokens).cast("int")
+    r = docs.select(fa.alias("a"), fb.alias("b"))
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1)
+              .otherwise(0)).cast("long").alias("a_only"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1)
+              .otherwise(0)).cast("long").alias("b_only"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1)
+              .otherwise(0)).cast("long").alias("n_both"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1)
+              .otherwise(0)).cast("long").alias("n_neither"))
+    bc = F.col("a_only") + F.col("b_only")
+    num = (F.abs(F.col("a_only") - F.col("b_only")) - 1)
+    chi2 = (F.when(bc > 0, (num * num).cast("double") / bc.cast("double"))
+            .otherwise(F.lit(0.0)))
+    return agg.select("n", "a_only", "b_only", "n_both", "n_neither",
+                      F.round(chi2, 6).alias("chi2"))
