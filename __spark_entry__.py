@@ -4261,6 +4261,38 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk + expected shortfall per event_type from the
+    interpolated quantile bound."""
+    from fafnir_spark.pipeline import var_es
+
+    return var_es(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Page-Hinkley: exact additive day counts, shared tail —
+    bit-identical to batch."""
+    from fafnir_spark.streaming import stream_page_hinkley
+
+    base = tempfile.mkdtemp(prefix="fafnir_sph_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_page_hinkley(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
+def _q_stream_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gains deciles: additive count + max-lattice converter
+    state, shared tail — same oracle as batch."""
+    from fafnir_spark.streaming import stream_gains_deciles
+
+    base = tempfile.mkdtemp(prefix="fafnir_sgd_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_gains_deciles(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
 def _q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences over hash cohorts and the midpoint time
     split, SE from exact-integer raw-sum variances."""
@@ -5922,6 +5954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_bm25_indexed": _q_synonym_bm25_indexed,
         "logrank_test": _q_logrank_test,
         "diff_in_diff": _q_diff_in_diff,
+        "var_es": _q_var_es,
+        "stream_page_hinkley": _q_stream_page_hinkley,
+        "stream_gains_deciles": _q_stream_gains_deciles,
         "page_hinkley": _q_page_hinkley,
         "mcnemar_test": _q_mcnemar_test,
         "pr_auc": _q_pr_auc,
@@ -6645,6 +6680,9 @@ ORDER BY term ASC LIMIT 10
         "ctfidf_terms": oracles_pipeline.ctfidf_terms_sql(),
         "logrank_test": oracles_pipeline.logrank_test_sql(),
         "diff_in_diff": oracles_pipeline.diff_in_diff_sql(),
+        "var_es": oracles_pipeline.var_es_sql(),
+        "stream_page_hinkley": oracles_pipeline.page_hinkley_sql(),
+        "stream_gains_deciles": oracles_pipeline.gains_deciles_sql(),
         "page_hinkley": oracles_pipeline.page_hinkley_sql(),
         "mcnemar_test": oracles_pipeline.mcnemar_test_sql(),
         "pr_auc": oracles_pipeline.pr_auc_sql(),

@@ -4315,3 +4315,23 @@ SELECT n, a_only, b_only, n_both, n_neither,
                   ELSE 0.0 END, 6) AS chi2
 FROM agg
 """
+
+
+def var_es_sql(q: float = 0.95) -> str:
+    """Mirror of pipeline.var_es: quantile_cont VaR bound, raw-bound
+    tail filter, rounded outputs."""
+    return f"""
+WITH b AS (SELECT event_type, quantile_cont(value, {float(q)!r}) AS vq
+           FROM events GROUP BY event_type),
+j AS (SELECT e.event_type, e.value, b.vq
+      FROM events e JOIN b USING (event_type)),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= vq THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tail,
+             sum(CASE WHEN value >= vq THEN value ELSE 0.0 END) AS ts,
+             min(vq) AS vq
+      FROM j GROUP BY event_type)
+SELECT event_type, n, n_tail, round(vq, 6) AS var_q,
+       round(ts / CAST(n_tail AS DOUBLE), 6) AS es
+FROM g ORDER BY event_type
+"""

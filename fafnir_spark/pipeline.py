@@ -5460,6 +5460,13 @@ def gains_deciles(events: DataFrame, target: str = "purchase",
            .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
                 F.max(F.when(F.col("event_type") == target, 1)
                       .otherwise(0)).cast("long").alias("buy")))
+    return gains_from_user_scores(per, buckets)
+
+
+def gains_from_user_scores(per: DataFrame, buckets: int = 10) -> DataFrame:
+    """The gains/lift tail over a per-user (user_id, cnt, buy) relation —
+    shared with the streaming sibling (cnt is additive, buy is a max
+    lattice, so the merged state equals batch exactly)."""
     wn = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
     per = per.withColumn("decile", F.ntile(buckets).over(wn).cast("int"))
     g = (per.groupBy("decile")
@@ -5549,6 +5556,14 @@ def page_hinkley(events: DataFrame, delta: float = 0.5,
     g = (events.select(F.expr(
         f"unix_micros(cast(ts as timestamp)) DIV {_DAY_US}").alias("d"))
         .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    return page_hinkley_from_day_counts(g, delta, lam)
+
+
+def page_hinkley_from_day_counts(g: DataFrame, delta: float = 0.5,
+                                 lam: float = 20.0) -> DataFrame:
+    """The Page-Hinkley tail over a (d, x) integer day-count relation —
+    shared with the streaming sibling (exact additive counts ⇒ stream ==
+    batch bit-for-bit)."""
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     g = (g.withColumn("t", F.count(F.lit(1)).over(w).cast("long"))
          .withColumn("s", F.sum("x").over(w).cast("long")))
@@ -5597,3 +5612,32 @@ def mcnemar_test(docs: DataFrame, len_chars: int = 200,
             .otherwise(F.lit(0.0)))
     return agg.select("n", "a_only", "b_only", "n_both", "n_neither",
                       F.round(chi2, 6).alias("chi2"))
+
+
+def var_es(events: DataFrame, q: float = 0.95) -> DataFrame:
+    """Value-at-Risk and expected shortfall (CVaR) of ``value`` per
+    event_type — the risk-management tail-statistics pair: VaR = the
+    interpolated ``q``-quantile (Spark `percentile` == DuckDB
+    quantile_cont — the conversion_time_stats parity rule), ES = the
+    mean of values at or beyond the RAW VaR bound (filter compares
+    unrounded; outputs round). Two map-side-combined passes + a
+    broadcast ≤|types| bound join (the robust_stats shape).
+    (event_type, n, n_tail, var_q, es) ordered by event_type."""
+    b = (events.groupBy("event_type")
+         .agg(F.expr(f"percentile(value, {float(q)!r})").alias("vq")))
+    j = events.select("event_type", "value").join(F.broadcast(b),
+                                                  "event_type")
+    tail = F.col("value") >= F.col("vq")
+    g = (j.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.when(tail, 1).otherwise(0)).cast("long")
+              .alias("n_tail"),
+              F.sum(F.when(tail, F.col("value")).otherwise(F.lit(0.0)))
+              .alias("ts"),
+              F.min("vq").alias("vq")))
+    return (g.select(
+        "event_type", "n", "n_tail",
+        F.round("vq", 6).alias("var_q"),
+        F.round(F.col("ts") / F.col("n_tail").cast("double"), 6)
+        .alias("es"))
+        .orderBy("event_type"))

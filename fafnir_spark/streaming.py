@@ -1685,3 +1685,99 @@ def stream_ewma_control_chart(
         .agg(F.sum("x").cast("long").alias("x"))
     )
     return ewma_chart_from_day_counts(merged)
+
+
+def stream_page_hinkley(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> DataFrame:
+    """Streaming Page-Hinkley: exact-integer additive day counts; the
+    shared pipeline.page_hinkley_from_day_counts tail is bit-identical
+    to batch (oracle = the batch SQL)."""
+    import os
+
+    from .pipeline import page_hinkley_from_day_counts
+
+    day_us = 86_400_000_000
+    counts_dir = os.path.join(state_dir, "ph_counts")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.groupBy(F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {day_us}")
+                .alias("d"))
+            .agg(F.count(F.lit(1)).cast("long").alias("x"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(counts_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(counts_dir)
+        .dropDuplicates(["d", "_b"])
+        .groupBy("d")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    return page_hinkley_from_day_counts(merged)
+
+
+def stream_gains_deciles(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    target: str = "purchase",
+) -> DataFrame:
+    """Streaming gains/lift deciles: per-user state merges EXACTLY
+    (event count additive, converter flag a max lattice — the
+    stream_rfm_segments algebra); shared pipeline.gains_from_user_scores
+    tail, oracle = the batch SQL."""
+    import os
+
+    from .pipeline import gains_from_user_scores
+
+    users_dir = os.path.join(state_dir, "gains_users")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                 F.max(F.when(F.col("event_type") == target, 1)
+                       .otherwise(0)).cast("long").alias("buy"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(users_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(users_dir)
+        .dropDuplicates(["user_id", "_b"])
+        .groupBy("user_id")
+        .agg(F.sum("cnt").cast("long").alias("cnt"),
+             F.max("buy").cast("long").alias("buy"))
+    )
+    return gains_from_user_scores(merged)
