@@ -4261,6 +4261,22 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve over hash treatment arms and activity-score
+    deciles, exact cumulative integers."""
+    from fafnir_spark.pipeline import qini_uplift
+
+    return qini_uplift(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information / G-test / Cramér's V over the event_type ×
+    weekday contingency, rounded-contribution summation."""
+    from fafnir_spark.pipeline import mutual_information
+
+    return mutual_information(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-at-Risk + expected shortfall per event_type from the
     interpolated quantile bound."""
@@ -5955,6 +5971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_test": _q_logrank_test,
         "diff_in_diff": _q_diff_in_diff,
         "var_es": _q_var_es,
+        "qini_uplift": _q_qini_uplift,
+        "mutual_information": _q_mutual_information,
         "stream_page_hinkley": _q_stream_page_hinkley,
         "stream_gains_deciles": _q_stream_gains_deciles,
         "page_hinkley": _q_page_hinkley,
@@ -6681,6 +6699,8 @@ ORDER BY term ASC LIMIT 10
         "logrank_test": oracles_pipeline.logrank_test_sql(),
         "diff_in_diff": oracles_pipeline.diff_in_diff_sql(),
         "var_es": oracles_pipeline.var_es_sql(),
+        "qini_uplift": oracles_pipeline.qini_uplift_sql(),
+        "mutual_information": oracles_pipeline.mutual_information_sql(),
         "stream_page_hinkley": oracles_pipeline.page_hinkley_sql(),
         "stream_gains_deciles": oracles_pipeline.gains_deciles_sql(),
         "page_hinkley": oracles_pipeline.page_hinkley_sql(),

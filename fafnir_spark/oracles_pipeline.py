@@ -4335,3 +4335,92 @@ SELECT event_type, n, n_tail, round(vq, 6) AS var_q,
        round(ts / CAST(n_tail AS DOUBLE), 6) AS es
 FROM g ORDER BY event_type
 """
+
+
+def qini_uplift_sql(target: str = "purchase", buckets: int = 10) -> str:
+    """Mirror of pipeline.qini_uplift: same hash arms, deterministic
+    ntile, exact cumulative integers, rounded divisions."""
+    from .portable import hash60_sql
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(max(CASE WHEN event_type = '{target}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS buy
+             FROM events GROUP BY user_id),
+pv AS (SELECT *, CAST((({h}) % 2 + 2) % 2 AS INTEGER) AS g,
+              CAST(ntile({int(buckets)}) OVER
+                   (ORDER BY cnt DESC, user_id ASC) AS INTEGER) AS decile
+       FROM per),
+g AS (SELECT decile,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN g = 1 THEN buy ELSE 0 END) AS BIGINT)
+               AS r_t,
+             CAST(sum(CASE WHEN g = 0 THEN buy ELSE 0 END) AS BIGINT)
+               AS r_c
+      FROM pv GROUP BY decile),
+c AS (SELECT *,
+             CAST(sum(n_t) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cnt_t,
+             CAST(sum(n_c) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cnt_c,
+             CAST(sum(r_t) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cr_t,
+             CAST(sum(r_c) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cr_c
+      FROM g)
+SELECT decile, n_t, n_c, r_t, r_c,
+       round(CASE WHEN n_t > 0 AND n_c > 0
+                  THEN CAST(r_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                       - CAST(r_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+                  ELSE 0.0 END, 6) AS uplift,
+       round(CASE WHEN cnt_c > 0
+                  THEN CAST(cr_t AS DOUBLE)
+                       - CAST(cr_c AS DOUBLE)
+                         * (CAST(cnt_t AS DOUBLE) / CAST(cnt_c AS DOUBLE))
+                  ELSE CAST(cr_t AS DOUBLE) END, 6) AS qini
+FROM c ORDER BY decile
+"""
+
+
+def mutual_information_sql() -> str:
+    """Mirror of pipeline.mutual_information: same contingency, rounded
+    per-cell MI and chi² contributions, G from the rounded MI, Cramér's
+    V from the rounded chi²."""
+    return """
+WITH cells AS (SELECT event_type,
+                      CAST(dayofweek(ts) AS INTEGER) + 1 AS dow,
+                      CAST(count(*) AS BIGINT) AS o
+               FROM events GROUP BY 1, 2),
+rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rm
+       FROM cells GROUP BY event_type),
+cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cm FROM cells GROUP BY dow),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+               CAST(count(DISTINCT dow) AS BIGINT) AS c
+        FROM cells),
+j AS (SELECT cells.o, rm.rm, cm.cm, tot.n, tot.r, tot.c
+      FROM cells JOIN rm USING (event_type) JOIN cm USING (dow)
+           CROSS JOIN tot),
+k AS (SELECT n, r, c,
+             round((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+                        / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE))), 6)
+               AS mi_c,
+             round((CAST(o AS DOUBLE)
+                    - CAST(rm * cm AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(o AS DOUBLE)
+                      - CAST(rm * cm AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(rm * cm AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               AS chi_c
+      FROM j),
+agg AS (SELECT CAST(min(n) AS BIGINT) AS n, round(sum(mi_c), 6) AS mi,
+               round(sum(chi_c), 6) AS chi2,
+               CAST(min(r) AS BIGINT) AS r, CAST(min(c) AS BIGINT) AS c
+        FROM k)
+SELECT n, mi, round(2.0 * CAST(n AS DOUBLE) * mi, 6) AS g_stat,
+       round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                          * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM agg
+"""

@@ -5641,3 +5641,104 @@ def var_es(events: DataFrame, q: float = 0.95) -> DataFrame:
         F.round(F.col("ts") / F.col("n_tail").cast("double"), 6)
         .alias("es"))
         .orderBy("event_type"))
+
+
+def qini_uplift(events: DataFrame, target: str = "purchase",
+                buckets: int = 10) -> DataFrame:
+    """Qini uplift curve (Radcliffe 2007 — the uplift-model evaluation
+    staple): users carry an activity score (event count), a treatment
+    arm (portable-hash cohort) and a conversion flag; deciles by score
+    (deterministic ntile — the rfm rule) report per-decile uplift
+    r_t/n_t − r_c/n_c and the cumulative Qini value
+    cumR_t − cumR_c·(cumN_t/cumN_c). Everything is EXACT integers until
+    the rounded divisions; windows only over the ``buckets``-row
+    relation. (decile, n_t, n_c, r_t, r_c, uplift, qini) ordered by
+    decile."""
+    from .portable import hash60
+    per = (events.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.max(F.when(F.col("event_type") == target, 1)
+                      .otherwise(0)).cast("long").alias("buy"))
+           .withColumn("g", F.pmod(hash60(F.col("user_id").cast("string")),
+                                   F.lit(2)).cast("int")))
+    wn = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    per = per.withColumn("decile", F.ntile(buckets).over(wn).cast("int"))
+    g = (per.groupBy("decile")
+         .agg(F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long")
+              .alias("n_t"),
+              F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long")
+              .alias("n_c"),
+              F.sum(F.when(F.col("g") == 1, F.col("buy")).otherwise(0))
+              .cast("long").alias("r_t"),
+              F.sum(F.when(F.col("g") == 0, F.col("buy")).otherwise(0))
+              .cast("long").alias("r_c")))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    g = (g.withColumn("cnt_t", F.sum("n_t").over(wc).cast("long"))
+         .withColumn("cnt_c", F.sum("n_c").over(wc).cast("long"))
+         .withColumn("cr_t", F.sum("r_t").over(wc).cast("long"))
+         .withColumn("cr_c", F.sum("r_c").over(wc).cast("long")))
+    # tiny fixtures can leave a decile with an empty arm — pin those to
+    # 0.0 with the counts still visible (deterministic in both engines)
+    uplift = (F.when((F.col("n_t") > 0) & (F.col("n_c") > 0),
+                     F.col("r_t").cast("double")
+                     / F.col("n_t").cast("double")
+                     - F.col("r_c").cast("double")
+                     / F.col("n_c").cast("double"))
+              .otherwise(F.lit(0.0)))
+    qini = (F.when(F.col("cnt_c") > 0,
+                   F.col("cr_t").cast("double")
+                   - F.col("cr_c").cast("double")
+                   * (F.col("cnt_t").cast("double")
+                      / F.col("cnt_c").cast("double")))
+            .otherwise(F.col("cr_t").cast("double")))
+    return (g.select("decile", "n_t", "n_c", "r_t", "r_c",
+                     F.round(uplift, 6).alias("uplift"),
+                     F.round(qini, 6).alias("qini"))
+            .orderBy("decile"))
+
+
+def mutual_information(events: DataFrame) -> DataFrame:
+    """Mutual information / G-test / Cramér's V over the same
+    event_type × weekday contingency as chi2_independence — the
+    information-theoretic association trio: per cell
+    contrib = p_ij·ln(p_ij·n²/(r_i·c_j)) in nats (ROUNDED 6 before Σ —
+    the ece rule; every ratio from exact integer products), MI = Σ,
+    G = 2n·MI (from the rounded MI — deterministic), and Cramér's V
+    from the chi² relation √(chi²/(n·min(r−1, c−1))) computed on the
+    SAME rounded-contribution chi². One corpus groupBy; everything else
+    on the ≤|cells| relation. One row: (n, mi, g_stat, cramers_v)."""
+    cells = (events.select(
+        "event_type",
+        F.expr("extract(dayofweek FROM cast(ts as timestamp))")
+        .cast("int").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("o")))
+    rm = cells.groupBy("event_type").agg(F.sum("o").cast("long")
+                                         .alias("rm"))
+    cm = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("cm"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"),
+                    F.countDistinct("event_type").cast("long").alias("r"),
+                    F.countDistinct("dow").cast("long").alias("c"))
+    j = (cells.join(F.broadcast(rm), "event_type")
+         .join(F.broadcast(cm), "dow").crossJoin(F.broadcast(tot)))
+    p = F.col("o").cast("double") / F.col("n").cast("double")
+    ratio = ((F.col("o").cast("double") * F.col("n").cast("double"))
+             / (F.col("rm").cast("double") * F.col("cm").cast("double")))
+    mi_c = F.round(p * F.log(ratio), 6)
+    e = (F.col("rm") * F.col("cm")).cast("double") / F.col("n").cast("double")
+    chi_c = F.round((F.col("o").cast("double") - e)
+                    * (F.col("o").cast("double") - e) / e, 6)
+    agg = j.agg(F.min("n").cast("long").alias("n"),
+                F.round(F.sum(mi_c), 6).alias("mi"),
+                F.round(F.sum(chi_c), 6).alias("chi2"),
+                F.min("r").cast("long").alias("r"),
+                F.min("c").cast("long").alias("c"))
+    cv = F.sqrt(F.col("chi2")
+                / (F.col("n").cast("double")
+                   * F.least(F.col("r") - 1, F.col("c") - 1)
+                   .cast("double")))
+    return agg.select(
+        "n", "mi",
+        F.round(F.lit(2.0) * F.col("n").cast("double") * F.col("mi"), 6)
+        .alias("g_stat"),
+        F.round(cv, 6).alias("cramers_v"))
