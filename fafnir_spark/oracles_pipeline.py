@@ -4240,21 +4240,32 @@ a AS (SELECT
         CAST(sum(CASE WHEN g = 1 THEN d * d ELSE 0 END) AS BIGINT) AS sdd1
       FROM pv),
 m AS (SELECT n0, n1,
-             CAST(sd0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
-             CAST(sd1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
-             (CAST(sdd0 AS DOUBLE) - CAST(sd0 AS DOUBLE)
-              * (CAST(sd0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
-               / CAST(n0 - 1 AS DOUBLE) AS v0,
-             (CAST(sdd1 AS DOUBLE) - CAST(sd1 AS DOUBLE)
-              * (CAST(sd1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
-               / CAST(n1 - 1 AS DOUBLE) AS v1
-      FROM a)
-SELECT n0, n1, round(m1 - m0, 6) AS did,
-       round(sqrt(v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE)), 6)
-         AS se,
-       round((m1 - m0) / sqrt(v1 / CAST(n1 AS DOUBLE)
-                              + v0 / CAST(n0 AS DOUBLE)), 6) AS t_stat
-FROM m
+             CASE WHEN n0 > 0 THEN CAST(sd0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                  ELSE 0.0 END AS m0,
+             CASE WHEN n1 > 0 THEN CAST(sd1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  ELSE 0.0 END AS m1,
+             CASE WHEN n0 > 1
+                  THEN (CAST(sdd0 AS DOUBLE) - CAST(sd0 AS DOUBLE)
+                        * (CASE WHEN n0 > 0 THEN CAST(sd0 AS DOUBLE)
+                                / CAST(n0 AS DOUBLE) ELSE 0.0 END))
+                       / CAST(n0 - 1 AS DOUBLE)
+                  ELSE 0.0 END AS v0,
+             CASE WHEN n1 > 1
+                  THEN (CAST(sdd1 AS DOUBLE) - CAST(sd1 AS DOUBLE)
+                        * (CASE WHEN n1 > 0 THEN CAST(sd1 AS DOUBLE)
+                                / CAST(n1 AS DOUBLE) ELSE 0.0 END))
+                       / CAST(n1 - 1 AS DOUBLE)
+                  ELSE 0.0 END AS v1
+      FROM a),
+s AS (SELECT n0, n1, m1 - m0 AS did,
+             sqrt(CASE WHEN n1 > 0 THEN v1 / CAST(n1 AS DOUBLE)
+                       ELSE 0.0 END
+                  + CASE WHEN n0 > 0 THEN v0 / CAST(n0 AS DOUBLE)
+                         ELSE 0.0 END) AS se
+      FROM m)
+SELECT n0, n1, round(did, 6) AS did, round(se, 6) AS se,
+       round(CASE WHEN se > 0 THEN did / se ELSE 0.0 END, 6) AS t_stat
+FROM s
 """
 
 

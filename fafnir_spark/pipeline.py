@@ -5527,20 +5527,29 @@ def diff_in_diff(events: DataFrame) -> DataFrame:
         .cast("long").alias("sd1"),
         F.sum(F.when(F.col("g") == 1, F.col("d") * F.col("d"))
               .otherwise(0)).cast("long").alias("sdd1"))
-    m0 = F.col("sd0").cast("double") / F.col("n0").cast("double")
-    m1 = F.col("sd1").cast("double") / F.col("n1").cast("double")
-    v0 = ((F.col("sdd0").cast("double")
-           - F.col("sd0").cast("double") * m0)
-          / (F.col("n0") - 1).cast("double"))
-    v1 = ((F.col("sdd1").cast("double")
-           - F.col("sd1").cast("double") * m1)
-          / (F.col("n1") - 1).cast("double"))
+    m0 = (F.when(F.col("n0") > 0, F.col("sd0").cast("double")
+                 / F.col("n0").cast("double")).otherwise(F.lit(0.0)))
+    m1 = (F.when(F.col("n1") > 0, F.col("sd1").cast("double")
+                 / F.col("n1").cast("double")).otherwise(F.lit(0.0)))
+    v0 = (F.when(F.col("n0") > 1,
+                 (F.col("sdd0").cast("double")
+                  - F.col("sd0").cast("double") * m0)
+                 / (F.col("n0") - 1).cast("double")).otherwise(F.lit(0.0)))
+    v1 = (F.when(F.col("n1") > 1,
+                 (F.col("sdd1").cast("double")
+                  - F.col("sd1").cast("double") * m1)
+                 / (F.col("n1") - 1).cast("double")).otherwise(F.lit(0.0)))
     did = m1 - m0
-    se = F.sqrt(v1 / F.col("n1").cast("double")
-                + v0 / F.col("n0").cast("double"))
-    return a.select("n0", "n1", F.round(did, 6).alias("did"),
-                    F.round(se, 6).alias("se"),
-                    F.round(did / se, 6).alias("t_stat"))
+    se = F.sqrt(F.when(F.col("n1") > 0, v1 / F.col("n1").cast("double"))
+                .otherwise(F.lit(0.0))
+                + F.when(F.col("n0") > 0, v0 / F.col("n0").cast("double"))
+                .otherwise(F.lit(0.0)))
+    a = a.withColumn("did", did).withColumn("se", se)
+    return a.select("n0", "n1", F.round("did", 6).alias("did"),
+                    F.round("se", 6).alias("se"),
+                    F.round(F.when(F.col("se") > 0,
+                                   F.col("did") / F.col("se"))
+                            .otherwise(F.lit(0.0)), 6).alias("t_stat"))
 
 
 def page_hinkley(events: DataFrame, delta: float = 0.5,

@@ -305,3 +305,129 @@ def test_stream_hw_and_ewma_equal_batch(spark, events):
         spark, src, os.path.join(base, "ck2"), os.path.join(base, "st2"))
     assert [tuple(r) for r in got_ew.collect()] == \
         [tuple(r) for r in ewma_control_chart(events).collect()]
+
+
+def test_logrank_and_two_proportion(events):
+    from fafnir_spark.pipeline import logrank_test, two_proportion_z
+
+    lr = logrank_test(events).collect()[0]
+    # O1 within [0, total events]; chi2 == z^2; V > 0
+    assert lr["v"] > 0 and abs(lr["chi2"] - round(lr["z"] ** 2, 4)) < 1e-3
+    assert lr["n_users0"] + lr["n_users1"] > 0
+
+    tp = two_proportion_z(events).collect()[0]
+    assert tp["n0"] + tp["n1"] == events.count()
+    # z sign agrees with the proportion difference
+    if tp["p1"] > tp["p0"]:
+        assert tp["z"] > 0
+    elif tp["p1"] < tp["p0"]:
+        assert tp["z"] < 0
+
+
+def test_pr_auc_perfect_ranking(spark):
+    from fafnir_spark.pipeline import pr_auc
+
+    # build docs whose quality score ranks positives strictly first:
+    # pr_auc uses the shared _qscore_col, so instead check bounds on the
+    # real corpus and the base-rate law ap >= n_pos/n (random baseline
+    # holds for any score with positives clustered at high scores is not
+    # guaranteed, so just bounds + determinism)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    r = pr_auc(docs).collect()[0]
+    assert 0.0 <= r["ap"] <= 1.0
+    assert r["n_pos"] + r["n_neg"] == docs.count()
+
+
+def test_diff_in_diff_balanced_shift(spark):
+    from fafnir_spark.pipeline import diff_in_diff
+
+    ev = None
+    for u in range(8):
+        part = _mk_events(spark, [1.0] * 20).withColumn(
+            "user_id", F.col("user_id") + u)
+        ev = part if ev is None else ev.unionByName(part)
+    r = diff_in_diff(ev).collect()[0]
+    assert r["n0"] + r["n1"] == 8
+    # identical per-user series -> identical post-pre differences in
+    # both cohorts -> DiD == 0 and zero variance
+    assert abs(r["did"]) < 1e-9 and r["se"] == 0.0 and r["t_stat"] == 0.0
+
+
+def test_page_hinkley_alarms_on_shift(spark, events):
+    from fafnir_spark.pipeline import page_hinkley
+
+    base = page_hinkley(events).collect()
+    assert all(r["alarm"] in (0, 1) for r in base)
+    # planted level shift: 10/day for 15 days then 60/day for 15 days
+    rows = []
+    for d in range(30):
+        n = 10 if d < 15 else 60
+        for i in range(n):
+            rows.append((d * 1000 + i,
+                         datetime.datetime(2024, 1, 1 + d % 27)
+                         + datetime.timedelta(days=(d // 27) * 27),
+                         i, "view", 1.0, ""))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = page_hinkley(ev).collect()
+    assert any(r["alarm"] == 1 for r in got)
+    # latched from first alarm onward? PH alarm is not latched by
+    # definition, but on a sustained shift the tail must stay alarmed
+    assert got[-1]["alarm"] == 1
+
+
+def test_qini_and_gains_totals(events):
+    from fafnir_spark.pipeline import gains_deciles, qini_uplift
+
+    g = gains_deciles(events).collect()
+    assert len(g) == 10
+    assert abs(g[-1]["cum_capture"] - 1.0) < 1e-9
+    total_users = sum(r["n_users"] for r in g)
+    q = qini_uplift(events).collect()
+    assert sum(r["n_t"] + r["n_c"] for r in q) == total_users
+    # final qini equals total treated responders minus scaled control
+    last = q[-1]
+    rt = sum(r["r_t"] for r in q)
+    assert last["qini"] <= rt + 1e-9
+
+
+def test_mutual_information_laws(events):
+    from fafnir_spark.pipeline import chi2_independence, mutual_information
+
+    mi = mutual_information(events).collect()[0]
+    assert mi["mi"] >= -1e-6  # MI >= 0 up to rounding residue
+    assert 0.0 <= mi["cramers_v"] <= 1.0
+    assert abs(mi["g_stat"] - round(2.0 * mi["n"] * mi["mi"], 4)) < 1e-2
+    chi = chi2_independence(events).collect()[0]
+    # G and chi2 agree asymptotically — same order of magnitude
+    assert mi["g_stat"] >= 0.0 and chi["chi2"] >= 0.0
+
+
+def test_var_es_tail_law(events):
+    from fafnir_spark.pipeline import var_es
+
+    for r in var_es(events).collect():
+        assert r["es"] >= r["var_q"] - 1e-9
+        assert r["n_tail"] <= r["n"]
+        assert r["n_tail"] >= 1
+
+
+def test_stream_ph_and_gains_equal_batch(spark, events):
+    from fafnir_spark.pipeline import gains_deciles, page_hinkley
+    from fafnir_spark.streaming import (
+        stream_gains_deciles,
+        stream_page_hinkley,
+    )
+
+    base = tempfile.mkdtemp(prefix="fafnir_s17b_t_")
+    src = os.path.join(base, "src")
+    events.repartition(4).write.parquet(src)
+    got = stream_page_hinkley(
+        spark, src, os.path.join(base, "ck1"), os.path.join(base, "st1"))
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in page_hinkley(events).collect()]
+    got2 = stream_gains_deciles(
+        spark, src, os.path.join(base, "ck2"), os.path.join(base, "st2"))
+    assert [tuple(r) for r in got2.collect()] == \
+        [tuple(r) for r in gains_deciles(events).collect()]
