@@ -3850,6 +3850,17 @@ def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distance_feature_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distance_feature served FROM the index: n_chars doc-values
+    cogrouped into the per-shard scorer — rank-identical to direct
+    (same oracle)."""
+    from fafnir_spark.wand import distance_feature_indexed
+
+    return distance_feature_indexed(
+        spark, _idx_root(spark, sf_dir), ["merge", "window"],
+        origin=DISTF_ORIGIN, pivot=DISTF_PIVOT, boost=DISTF_BOOST, k=10)
+
+
 def _q_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES pinned query: promoted ids first in promotion order (missing ids
     dropped), organic BM25 below, pins never duplicated."""
@@ -5351,6 +5362,7 @@ def _pq(fn_name: str, needs: str = "docs"):
 INDEXED_TWINS = {
     "query_dsl_indexed": "query_dsl",
     "synonym_bm25_indexed": "synonym_bm25",
+    "distance_feature_indexed": "distance_feature",
     "simple_query_string_indexed": "simple_query_string",
     "ann_bq_indexed": "ann_bq_rescore",
     "ann_ivf_indexed": "ann_ivf_topk",
@@ -6211,6 +6223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_prefix": _q_ip_prefix,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "distance_feature": _q_distance_feature,
+        "distance_feature_indexed": _q_distance_feature_indexed,
         "pinned_query": _q_pinned_query,
         "match_bool_prefix": _q_match_bool_prefix,
         "search_as_you_type": _q_search_as_you_type,
@@ -7095,6 +7108,10 @@ GROUP BY n.n_name ORDER BY n DESC, n.n_name ASC LIMIT 10
         "ip_prefix": oracles_pipeline.ip_prefix_sql(),
         "tokenizer_fertility": oracles_ops.tokenizer_fertility_sql(),
         "distance_feature": oracles.distance_feature_sql(
+            ["merge", "window"], origin=DISTF_ORIGIN, pivot=DISTF_PIVOT,
+            boost=DISTF_BOOST, k=10,
+        ),
+        "distance_feature_indexed": oracles.distance_feature_sql(
             ["merge", "window"], origin=DISTF_ORIGIN, pivot=DISTF_PIVOT,
             boost=DISTF_BOOST, k=10,
         ),

@@ -2392,3 +2392,32 @@ def search_bm25_plus(
     scoring.bm25_plus_topk (same oracle). (qid, rank, doc_id, score)."""
     return search_lm(spark, index_root, queries, k=k, smoothing="bm25plus",
                      lam=float(delta), snapshot_id=snapshot_id)
+
+
+def distance_feature_indexed(
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str],
+    origin: float,
+    pivot: float = 50.0,
+    boost: float = 2.0,
+    k: int = 10,
+    field: str = "n_chars",
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES distance_feature served FROM the index: the closeness-to-origin
+    contribution boost·pivot/(pivot + |v − origin|) comes from the doc_map
+    NUMERIC DOC-VALUES (v2 schema) cogrouped into the per-shard scorer —
+    the same seam as script_score_indexed. numpy float64 mirrors the
+    direct path's JVM operand order exactly, so the op is rank-identical
+    to scoring.distance_feature_topk (same oracle). Exhaustive per-shard
+    scoring (the additive feature shifts ranks — bm25-only BMW bounds
+    don't apply, the Lucene rank_feature reality). (rank, doc_id,
+    score)."""
+    o, p, bs = float(origin), float(pivot), float(boost)
+
+    def combine(s: np.ndarray, v: np.ndarray) -> np.ndarray:
+        return s + bs * p / (p + np.abs(v - o))
+
+    return _feature_score_indexed(spark, index_root, terms, combine, k=k,
+                                  field=field, snapshot_id=snapshot_id)
