@@ -3850,6 +3850,25 @@ def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_values_percentiles_indexed(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Exact percentiles from the index's numeric doc-values — one
+    columnar column read, postings untouched."""
+    from fafnir_spark.wand import doc_values_percentiles_indexed
+
+    return doc_values_percentiles_indexed(spark, _idx_root(spark, sf_dir))
+
+
+def _q_label_centroid_similarity(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids (round-6
+    per-dim means, bounded pairwise stage)."""
+    from fafnir_spark.simsearch import label_centroid_similarity
+
+    return label_centroid_similarity(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_distance_feature_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distance_feature served FROM the index: n_chars doc-values
     cogrouped into the per-shard scorer — rank-identical to direct
@@ -6224,6 +6243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "distance_feature": _q_distance_feature,
         "distance_feature_indexed": _q_distance_feature_indexed,
+        "doc_values_percentiles_indexed": _q_doc_values_percentiles_indexed,
+        "label_centroid_similarity": _q_label_centroid_similarity,
         "pinned_query": _q_pinned_query,
         "match_bool_prefix": _q_match_bool_prefix,
         "search_as_you_type": _q_search_as_you_type,
@@ -6713,6 +6734,10 @@ ORDER BY term ASC LIMIT 10
         "diff_in_diff": oracles_pipeline.diff_in_diff_sql(),
         "var_es": oracles_pipeline.var_es_sql(),
         "qini_uplift": oracles_pipeline.qini_uplift_sql(),
+        "doc_values_percentiles_indexed":
+            oracles_ops.doc_values_percentiles_sql(),
+        "label_centroid_similarity":
+            oracles_ops.label_centroid_similarity_sql(),
         "mutual_information": oracles_pipeline.mutual_information_sql(),
         "stream_page_hinkley": oracles_pipeline.page_hinkley_sql(),
         "stream_gains_deciles": oracles_pipeline.gains_deciles_sql(),

@@ -1841,3 +1841,38 @@ FROM sil CROSS JOIN ov
 GROUP BY centroid_id, overall_sil
 ORDER BY centroid_id
 """
+
+
+def doc_values_percentiles_sql(qs: tuple = (0.25, 0.5, 0.75, 0.9)) -> str:
+    """Mirror of wand.doc_values_percentiles_indexed against the raw
+    documents table (the index carries every live doc): quantile_cont
+    parity, same q levels."""
+    parts = [
+        f"SELECT {float(q)!r} AS q, "
+        f"round(quantile_cont(CAST(n_chars AS DOUBLE), {float(q)!r}), 6) "
+        f"AS value, CAST(count(*) AS BIGINT) AS n FROM documents"
+        for q in qs
+    ]
+    return ("SELECT * FROM (" + " UNION ALL ".join(parts)
+            + ") ORDER BY q")
+
+
+def label_centroid_similarity_sql() -> str:
+    """Mirror of simsearch.label_centroid_similarity: same round-6
+    per-dim means (kmeans_step_sql pattern), same round-6 pairwise
+    cosine."""
+    cos = """round(
+  list_sum(list_transform(range(1, 65), i -> a.cv[i]::DOUBLE * b.cv[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> a.cv[i]::DOUBLE * a.cv[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, 65), i -> b.cv[i]::DOUBLE * b.cv[i]::DOUBLE))))
+, 6)"""
+    return f"""
+WITH d AS (SELECT label AS lbl, CAST(t.i - 1 AS INT) AS dim,
+                  round(avg(embedding[t.i]::DOUBLE), 6) AS c
+           FROM embeddings, unnest(range(1, 65)) AS t(i)
+           GROUP BY lbl, dim),
+cents AS (SELECT lbl, list(c ORDER BY dim) AS cv FROM d GROUP BY lbl)
+SELECT a.lbl AS label_a, b.lbl AS label_b, {cos} AS cos
+FROM cents a JOIN cents b ON a.lbl < b.lbl
+ORDER BY label_a, label_b
+"""

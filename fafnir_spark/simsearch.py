@@ -1723,3 +1723,30 @@ def silhouette_kmeans(emb: DataFrame, n_centroids: int = 16,
             .crossJoin(F.broadcast(overall))
             .select("centroid_id", "n", "mean_sil", "overall_sil")
             .orderBy("centroid_id"))
+
+
+def label_centroid_similarity(emb: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              label_col: str = "label") -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the corpus-drift / domain-overlap audit (which sources embed close
+    together). Per-dim means are ROUNDED 6 (the kmeans determinism rule)
+    so both engines build identical centroids; the pairwise stage runs on
+    the ≤|labels|² bounded relation. ONE corpus explode+groupBy pass.
+    (label_a, label_b, cos) ordered (label_a, label_b)."""
+    d = (emb.select(F.col(label_col).alias("lbl"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "x"))
+         .groupBy("lbl", "dim")
+         .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c")))
+    cents = (d.groupBy("lbl")
+             .agg(F.expr("transform(array_sort(collect_list("
+                         "struct(dim, c))), v -> v.c)").alias("cv")))
+    a = cents.select(F.col("lbl").alias("label_a"),
+                     F.col("cv").alias("ca"))
+    b = cents.select(F.col("lbl").alias("label_b"),
+                     F.col("cv").alias("cb"))
+    pairs = a.join(b, F.col("label_a") < F.col("label_b"))
+    return (pairs.select(
+        "label_a", "label_b",
+        F.round(cosine_expr(F.col("ca"), F.col("cb")), 6).alias("cos"))
+        .orderBy("label_a", "label_b"))

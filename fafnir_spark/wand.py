@@ -2421,3 +2421,33 @@ def distance_feature_indexed(
 
     return _feature_score_indexed(spark, index_root, terms, combine, k=k,
                                   field=field, snapshot_id=snapshot_id)
+
+
+def doc_values_percentiles_indexed(
+    spark: SparkSession,
+    index_root: str,
+    field: str = "n_chars",
+    qs: tuple = (0.25, 0.5, 0.75, 0.9),
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """ES percentiles aggregation served FROM the index's numeric
+    doc-values (the doc_values_histogram_indexed sibling): exact
+    interpolated quantiles (Spark `percentile` == DuckDB quantile_cont)
+    over ONE columnar doc-value read — postings untouched, dead docs
+    excluded by the live-doc-map view. One aggregate row fans out to a
+    ≤|qs|-row result. (q, value, n) ordered by q."""
+    cat = Catalog(index_root)
+    manifest = cat.manifest_at(snapshot_id)
+    v = F.col(field).cast("double")
+    lv = cat.live_doc_map(spark, manifest).select(v.alias("__v"))
+    arr = "array(" + ", ".join(f"{float(q)!r}D" for q in qs) + ")"
+    one = lv.agg(
+        F.expr(f"percentile(__v, {arr})").alias("vals"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    qlits = F.array(*[F.lit(float(q)) for q in qs])
+    return (one.select(F.posexplode(F.arrays_zip(
+        qlits.alias("q"), F.col("vals").alias("v"))).alias("i", "zq"),
+        F.col("n"))
+        .select(F.col("zq.q").alias("q"),
+                F.round(F.col("zq.v"), 6).alias("value"), "n")
+        .orderBy("q"))
