@@ -5382,6 +5382,7 @@ INDEXED_TWINS = {
     "query_dsl_indexed": "query_dsl",
     "synonym_bm25_indexed": "synonym_bm25",
     "distance_feature_indexed": "distance_feature",
+    "doc_values_percentiles_indexed": "event_percentiles",
     "simple_query_string_indexed": "simple_query_string",
     "ann_bq_indexed": "ann_bq_rescore",
     "ann_ivf_indexed": "ann_ivf_topk",
