@@ -3850,6 +3850,23 @@ def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection distortion audit: 2D-literal
+    plane transform, hash-sampled bounded pairwise stage."""
+    from fafnir_spark.simsearch import jl_projection_audit
+
+    return jl_projection_audit(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy reliability/resolution/uncertainty
+    decomposition over the calibration_ece bins."""
+    from fafnir_spark.curation import brier_decomposition
+
+    return brier_decomposition(_docs(spark, sf_dir))
+
+
 def _q_doc_values_percentiles_indexed(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
     """Exact percentiles from the index's numeric doc-values — one
@@ -6245,6 +6262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature": _q_distance_feature,
         "distance_feature_indexed": _q_distance_feature_indexed,
         "doc_values_percentiles_indexed": _q_doc_values_percentiles_indexed,
+        "jl_projection_audit": _q_jl_projection_audit,
+        "brier_decomposition": _q_brier_decomposition,
         "label_centroid_similarity": _q_label_centroid_similarity,
         "pinned_query": _q_pinned_query,
         "match_bool_prefix": _q_match_bool_prefix,
@@ -6737,6 +6756,8 @@ ORDER BY term ASC LIMIT 10
         "qini_uplift": oracles_pipeline.qini_uplift_sql(),
         "doc_values_percentiles_indexed":
             oracles_ops.doc_values_percentiles_sql(),
+        "jl_projection_audit": oracles_ops.jl_projection_audit_sql(),
+        "brier_decomposition": oracles_curation.brier_decomposition_sql(),
         "label_centroid_similarity":
             oracles_ops.label_centroid_similarity_sql(),
         "mutual_information": oracles_pipeline.mutual_information_sql(),

@@ -1902,3 +1902,61 @@ def ctfidf_terms(docs: DataFrame, k: int = 5, class_col: str = "source",
             .select(F.col("cls").alias("source"), "rank", "term",
                     F.col("s").alias("score"))
             .orderBy("source", "rank"))
+
+
+def brier_decomposition(docs: DataFrame, pos_lang: str = "en",
+                        bins: int = 10) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition — the proper-
+    scoring sibling of calibration_ece, over the same quality-score /
+    language-label pairing and the same clamped equal-width bins:
+
+        brier = REL − RES + UNC
+        REL = Σ n_k(conf_k − acc_k)²/N,  RES = Σ n_k(acc_k − ȳ)²/N,
+        UNC = ȳ(1 − ȳ)
+
+    The raw Brier mean Σ(s−y)²/N is computed directly as the audit
+    (decomposition identity holds only when conf_k is the bin mean —
+    which it is here, up to the within-bin variance term folded into
+    REL−RES+UNC ≠ brier exactly; the within-bin variance WBV =
+    brier − (REL − RES + UNC) is emitted so the identity is testable).
+    Per-bin contributions ROUNDED 6 before Σ (the ece rule). ONE
+    groupBy(bin) pass + a broadcast 1-row total. One row:
+    (n, brier, rel, res, unc, wbv)."""
+    b = int(bins)
+    rows = docs.select(
+        _qscore_col().alias("s"),
+        F.when(F.col("lang") == pos_lang, 1).otherwise(0).alias("y"))
+    rows = rows.withColumn(
+        "bin", F.least(F.floor(F.col("s") * b), F.lit(b - 1)).cast("int"))
+    tot = rows.agg(F.count(F.lit(1)).cast("long").alias("nt"),
+                   F.sum("y").cast("long").alias("sy"),
+                   F.round(F.sum((F.col("s") - F.col("y"))
+                                 * (F.col("s") - F.col("y"))), 6)
+                   .alias("se"))
+    g = (rows.groupBy("bin")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("s").alias("ss"),
+              F.sum("y").cast("long").alias("by"))
+         .crossJoin(F.broadcast(tot)))
+    conf = F.col("ss") / F.col("n")
+    acc = F.col("by").cast("double") / F.col("n").cast("double")
+    ybar = F.col("sy").cast("double") / F.col("nt").cast("double")
+    per = g.select(
+        F.col("nt"), F.col("sy"), F.col("se"),
+        F.round((conf - acc) * (conf - acc) * F.col("n").cast("double")
+                / F.col("nt").cast("double"), 6).alias("relc"),
+        F.round((acc - ybar) * (acc - ybar) * F.col("n").cast("double")
+                / F.col("nt").cast("double"), 6).alias("resc"))
+    agg = per.agg(F.min("nt").cast("long").alias("n"),
+                  F.round(F.min("se") / F.min("nt").cast("double"), 6)
+                  .alias("brier"),
+                  F.round(F.sum("relc"), 6).alias("rel"),
+                  F.round(F.sum("resc"), 6).alias("res"),
+                  F.min("sy").cast("long").alias("sy"))
+    ybar2 = F.col("sy").cast("double") / F.col("n").cast("double")
+    unc = F.round(ybar2 * (F.lit(1.0) - ybar2), 6)
+    return (agg.withColumn("unc", unc)
+            .select("n", "brier", "rel", "res", "unc",
+                    F.round(F.col("brier")
+                            - (F.col("rel") - F.col("res") + F.col("unc")),
+                            6).alias("wbv")))

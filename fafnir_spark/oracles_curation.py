@@ -1478,3 +1478,48 @@ js AS (SELECT round(sum(contrib), 6) AS js FROM rc)
 SELECT term, tf_a, tf_b, contrib, js
 FROM rc CROSS JOIN js ORDER BY term
 """
+
+
+def brier_decomposition_sql(pos_lang: str = "en", bins: int = 10) -> str:
+    """Mirror of curation.brier_decomposition: same _QSCORE, same bins,
+    rounded per-bin REL/RES contributions, WBV identity residual."""
+    from .curation import _QSCORE
+    b = int(bins)
+    return f"""
+WITH r0 AS (SELECT {_QSCORE} AS s,
+                   CASE WHEN lang = '{pos_lang}' THEN 1 ELSE 0 END AS y
+            FROM documents),
+bn AS (SELECT s, y,
+              CAST(least(floor(s * {b}), {b - 1}) AS INTEGER) AS bin
+       FROM r0),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+               CAST(sum(y) AS BIGINT) AS sy,
+               round(sum((s - y) * (s - y)), 6) AS se
+        FROM bn),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(s) AS ss,
+             CAST(sum(y) AS BIGINT) AS by FROM bn GROUP BY bin),
+per AS (SELECT nt, sy, se,
+               round((ss / n - CAST(by AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (ss / n - CAST(by AS DOUBLE) / CAST(n AS DOUBLE))
+                     * CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS relc,
+               round((CAST(by AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST(sy AS DOUBLE) / CAST(nt AS DOUBLE))
+                     * (CAST(by AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(sy AS DOUBLE) / CAST(nt AS DOUBLE))
+                     * CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS resc
+        FROM g CROSS JOIN tot),
+agg AS (SELECT CAST(min(nt) AS BIGINT) AS n,
+               round(min(se) / CAST(min(nt) AS DOUBLE), 6) AS brier,
+               round(sum(relc), 6) AS rel,
+               round(sum(resc), 6) AS res,
+               CAST(min(sy) AS BIGINT) AS sy
+        FROM per)
+SELECT n, brier, rel, res,
+       round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS unc,
+       round(brier - (rel - res
+             + round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)),
+             6) AS wbv
+FROM agg
+"""

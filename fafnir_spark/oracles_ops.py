@@ -1876,3 +1876,45 @@ SELECT a.lbl AS label_a, b.lbl AS label_b, {cos} AS cos
 FROM cents a JOIN cents b ON a.lbl < b.lbl
 ORDER BY label_a, label_b
 """
+
+
+def jl_projection_audit_sql(out_dim: int = 16, sample_mod: int = 24,
+                            seed: int = 42) -> str:
+    """Mirror of simsearch.jl_projection_audit: the same driver-side
+    plane literals, sequential-fold sums (list_reduce order == the Spark
+    aggregate), same hash sample and pairwise bound."""
+    from .portable import hash60_sql
+    from .simsearch import _jl_planes
+    planes = _jl_planes(out_dim, 64, seed)
+    plit = "[" + ", ".join(
+        "[" + ", ".join(f"{v!r}::DOUBLE" for v in row) + "]"
+        for row in planes) + "]"
+    h = hash60_sql("CAST(vec_id AS VARCHAR)")
+    m = int(sample_mod)
+    scale = 64.0 / float(out_dim)
+
+    def d2(x, y):
+        return (f"list_reduce(list_prepend(0.0::DOUBLE, "
+                f"list_transform(range(1, len({x}) + 1), "
+                f"i -> ({x}[i]::DOUBLE - {y}[i]::DOUBLE) "
+                f"* ({x}[i]::DOUBLE - {y}[i]::DOUBLE))), "
+                f"(acc, t) -> acc + t)")
+
+    return f"""
+WITH pl AS (SELECT {plit} AS p),
+s AS (SELECT vec_id AS id, embedding AS v,
+             list_transform(p, row ->
+               list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, 65),
+                   i -> row[i] * embedding[i]::DOUBLE)),
+                 (acc, t) -> acc + t)) AS y
+      FROM embeddings CROSS JOIN pl
+      WHERE (({h}) % {m} + {m}) % {m} = 0)
+SELECT a.id AS id_a, b.id AS id_b,
+       round({d2("a.v", "b.v")}, 6) AS d2_orig,
+       round({d2("a.y", "b.y")}, 6) AS d2_proj,
+       round({d2("a.y", "b.y")} * {scale!r} / {d2("a.v", "b.v")}, 6)
+         AS ratio
+FROM s a JOIN s b ON a.id < b.id
+ORDER BY id_a, id_b
+"""

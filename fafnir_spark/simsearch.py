@@ -1750,3 +1750,62 @@ def label_centroid_similarity(emb: DataFrame, id_col: str = "vec_id",
         "label_a", "label_b",
         F.round(cosine_expr(F.col("ca"), F.col("cb")), 6).alias("cos"))
         .orderBy("label_a", "label_b"))
+
+
+def _jl_planes(out_dim: int = 16, in_dim: int = 64, seed: int = 42):
+    """Deterministic Gaussian projection rows (driver-side — the LSH
+    hyperplane convention: the SAME floats enter both engines as
+    literals)."""
+    import numpy as np
+    rs = np.random.RandomState(seed)
+    return [[float(v) for v in row]
+            for row in rs.standard_normal((out_dim, in_dim))]
+
+
+def jl_projection_audit(emb: DataFrame, out_dim: int = 16,
+                        sample_mod: int = 24, seed: int = 42,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss random-projection distortion audit: project
+    64-dim embeddings to ``out_dim`` with deterministic Gaussian planes
+    (ONE transform over the 2D literal array — the PQ codebook pattern),
+    then report squared-distance preservation on a hash-sampled vector
+    subset (pmod(hash60(id), sample_mod) == 0 — the hash_split idiom),
+    pairwise ONLY within that bounded sample. ratio =
+    (d²_proj·(in/out)) / d²_orig; all sums are sequential-fold
+    float64 (cosine_expr order parity). (id_a, id_b, d2_orig, d2_proj,
+    ratio) ordered (id_a, id_b)."""
+    from .portable import hash60
+    planes = _jl_planes(out_dim, 64, seed)
+    plit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    proj = F.transform(
+        plit,
+        lambda row: F.aggregate(
+            F.zip_with(row, F.col("v"),
+                       lambda p, x: p * x.cast("double")),
+            F.lit(0.0), lambda acc, t: acc + t))
+    s = (emb.filter(F.pmod(hash60(F.col(id_col).cast("string")),
+                           F.lit(sample_mod)) == 0)
+         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+         .withColumn("y", proj))
+    a = s.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("y").alias("ya"))
+    b = s.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+
+    def d2(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: (p.cast("double")
+                                           - q.cast("double"))
+                       * (p.cast("double") - q.cast("double"))),
+            F.lit(0.0), lambda acc, t: acc + t)
+
+    scale = 64.0 / float(out_dim)
+    out = pairs.select(
+        "id_a", "id_b",
+        F.round(d2(F.col("va"), F.col("vb")), 6).alias("d2_orig"),
+        F.round(d2(F.col("ya"), F.col("yb")), 6).alias("d2_proj"),
+        F.round(d2(F.col("ya"), F.col("yb")) * F.lit(scale)
+                / d2(F.col("va"), F.col("vb")), 6).alias("ratio"))
+    return out.orderBy("id_a", "id_b")
