@@ -1891,7 +1891,7 @@ def jl_projection_audit_sql(out_dim: int = 16, sample_mod: int = 24,
         for row in planes) + "]"
     h = hash60_sql("CAST(vec_id AS VARCHAR)")
     m = int(sample_mod)
-    scale = 64.0 / float(out_dim)
+    scale = 1.0 / float(out_dim)
 
     def d2(x, y):
         return (f"list_reduce(list_prepend(0.0::DOUBLE, "

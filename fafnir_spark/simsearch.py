@@ -1772,7 +1772,7 @@ def jl_projection_audit(emb: DataFrame, out_dim: int = 16,
     then report squared-distance preservation on a hash-sampled vector
     subset (pmod(hash60(id), sample_mod) == 0 — the hash_split idiom),
     pairwise ONLY within that bounded sample. ratio =
-    (d²_proj·(in/out)) / d²_orig; all sums are sequential-fold
+    d²_proj/(out_dim·d²_orig) (unbiased for N(0,1) planes); all sums are sequential-fold
     float64 (cosine_expr order parity). (id_a, id_b, d2_orig, d2_proj,
     ratio) ordered (id_a, id_b)."""
     from .portable import hash60
@@ -1801,7 +1801,9 @@ def jl_projection_audit(emb: DataFrame, out_dim: int = 16,
                        * (p.cast("double") - q.cast("double"))),
             F.lit(0.0), lambda acc, t: acc + t)
 
-    scale = 64.0 / float(out_dim)
+    # N(0,1) planes: E[d2_proj] = out_dim * d2_orig, so the unbiased
+    # normalization is 1/out_dim (NOT in/out — that over-scales by in_dim)
+    scale = 1.0 / float(out_dim)
     out = pairs.select(
         "id_a", "id_b",
         F.round(d2(F.col("va"), F.col("vb")), 6).alias("d2_orig"),

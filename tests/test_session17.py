@@ -431,3 +431,53 @@ def test_stream_ph_and_gains_equal_batch(spark, events):
         spark, src, os.path.join(base, "ck2"), os.path.join(base, "st2"))
     assert [tuple(r) for r in got2.collect()] == \
         [tuple(r) for r in gains_deciles(events).collect()]
+
+
+def test_jl_ratio_concentrates(spark):
+    from fafnir_spark.simsearch import jl_projection_audit
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = jl_projection_audit(emb).collect()
+    assert rows
+    ratios = [r["ratio"] for r in rows]
+    # JL with k=16: unbiased in expectation, concentrated within a few x
+    mean_r = sum(ratios) / len(ratios)
+    assert 0.5 < mean_r < 2.0
+    assert all(r["d2_orig"] > 0 for r in rows)
+
+
+def test_brier_identity(spark):
+    from fafnir_spark.curation import brier_decomposition
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    r = brier_decomposition(docs).collect()[0]
+    # Murphy identity: brier = REL - RES + UNC + within-bin variance,
+    # and the within-bin variance term is non-negative
+    assert r["wbv"] >= -1e-4
+    assert 0.0 <= r["brier"] <= 1.0
+    assert r["rel"] >= 0.0 and r["res"] >= 0.0 and 0.0 <= r["unc"] <= 0.25
+    assert abs(r["brier"] - (r["rel"] - r["res"] + r["unc"] + r["wbv"])) \
+        < 1e-4
+
+
+def test_doc_values_percentiles_monotone(spark):
+    from fafnir_spark.wand import doc_values_percentiles_indexed
+    from tests.conftest import SF_DIR as SD
+
+    import __spark_entry__ as E
+    root = E._idx_root(spark, SD)
+    rows = doc_values_percentiles_indexed(spark, root).collect()
+    vals = [r["value"] for r in rows]
+    assert vals == sorted(vals)
+    assert rows[0]["n"] > 0
+
+
+def test_label_centroid_similarity_bounds(spark):
+    from fafnir_spark.simsearch import label_centroid_similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = label_centroid_similarity(emb).collect()
+    labels = {r["label_a"] for r in rows} | {r["label_b"] for r in rows}
+    n = len(labels)
+    assert len(rows) == n * (n - 1) // 2
+    assert all(-1.0 - 1e-9 <= r["cos"] <= 1.0 + 1e-9 for r in rows)
