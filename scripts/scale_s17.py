@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Session-17 scale sanity: the statistics lab (Kruskal-Wallis rank
+machinery, chi-square contingency, log-rank survival, gains + Qini
+deciles, diff-in-diff) over a 5M-row clickstream with 100k users; SCD
+Type-2 over 5M synthetic orders / 200k customers; TPC-H-Q1-style pricing
+summary + ROLLUP with exact micro-unit sums over a 10M-row synthetic
+lineitem; rank-1 ALS over the implied 5M-rating matrix. Records
+throughput + peak per-stage shuffle to BENCH/scale_s17.json."""
+import json
+import os
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fafnir_spark.session import get_spark
+
+N_EVENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+N_ORDERS = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+N_LINES = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000_000
+cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+os.environ["SPARK_GRAFT_UI"] = "1"
+spark = get_spark("scale-s17", cores=cpus)
+
+
+def peak_stage_shuffle() -> dict:
+    import urllib.request
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete",
+                timeout=10) as r:
+            stages = json.load(r)
+        return {
+            "peak_stage_shuffle_write_mb": round(
+                max((s.get("shuffleWriteBytes", 0) for s in stages),
+                    default=0) / 1e6, 1),
+            "n_stages": len(stages),
+        }
+    except Exception as e:  # noqa: BLE001 - witness only
+        return {"peak_stage_shuffle_error": str(e)[:120]}
+
+
+out = {"n_events": N_EVENTS, "n_orders": N_ORDERS, "n_lines": N_LINES,
+       "cpus": cpus}
+work = tempfile.mkdtemp(prefix="fafnir_s17_")
+
+TYPES = ["signup", "view", "click", "purchase", "error"]
+ev = spark.range(N_EVENTS).select(
+    F.col("id").alias("event_id"),
+    F.timestamp_seconds(F.lit(1704067200) + F.pmod(
+        F.xxhash64(F.col("id")), F.lit(86400 * 60))).alias("ts"),
+    F.pmod(F.xxhash64(F.col("id") + 1), F.lit(100_000)).alias("user_id"),
+    F.element_at(
+        F.array(*[F.lit(t) for t in TYPES]),
+        (F.pmod(F.xxhash64(F.col("id") + 2), F.lit(5)) + 1).cast("int"),
+    ).alias("event_type"),
+    (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1000)) / 10.0).alias("value"),
+)
+evp = os.path.join(work, "events")
+ev.write.parquet(evp)
+ev = spark.read.parquet(evp)
+
+from fafnir_spark.pipeline import (  # noqa: E402
+    als_rank1,
+    chi2_independence,
+    diff_in_diff,
+    gains_deciles,
+    grouping_sets_agg,
+    kruskal_wallis,
+    logrank_test,
+    pricing_summary,
+    qini_uplift,
+    scd2_build,
+)
+
+for name, fn in [
+    ("kruskal", lambda: kruskal_wallis(ev)),
+    ("chi2", lambda: chi2_independence(ev)),
+    ("logrank", lambda: logrank_test(ev)),
+    ("gains", lambda: gains_deciles(ev)),
+    ("qini", lambda: qini_uplift(ev)),
+    ("did", lambda: diff_in_diff(ev)),
+]:
+    t0 = time.time()
+    out[f"{name}_rows"] = fn().count()
+    out[f"{name}_sec"] = round(time.time() - t0, 2)
+stats_sec = sum(out[f"{k}_sec"]
+                for k in ("kruskal", "chi2", "logrank", "gains", "qini",
+                          "did"))
+out["stats_rows_per_sec"] = round(6 * N_EVENTS / stats_sec, 1)
+
+# ---- SCD2 over 5M orders / 200k customers ------------------------------
+PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"]
+orders = spark.range(N_ORDERS).select(
+    F.col("id").alias("o_orderkey"),
+    F.pmod(F.xxhash64(F.col("id") + 3), F.lit(200_000)).alias("o_custkey"),
+    F.lit("O").alias("o_orderstatus"),
+    (F.pmod(F.xxhash64(F.col("id") + 4), F.lit(100000)) / 100.0
+     + 1.0).alias("o_totalprice"),
+    F.timestamp_seconds(F.lit(694224000) + F.pmod(
+        F.xxhash64(F.col("id") + 5), F.lit(86400 * 2000))).alias("o_orderdate"),
+    F.element_at(
+        F.array(*[F.lit(p) for p in PRIO]),
+        (F.pmod(F.xxhash64(F.col("id") + 6), F.lit(5)) + 1).cast("int"),
+    ).alias("o_orderpriority"),
+)
+op = os.path.join(work, "orders")
+orders.write.parquet(op)
+orders = spark.read.parquet(op)
+t0 = time.time()
+out["scd2_rows"] = scd2_build(orders).count()
+out["scd2_sec"] = round(time.time() - t0, 2)
+out["scd2_orders_per_sec"] = round(N_ORDERS / out["scd2_sec"], 1)
+
+# ---- pricing summary + ROLLUP over 10M lineitem rows -------------------
+li = spark.range(N_LINES).select(
+    F.pmod(F.xxhash64(F.col("id")), F.lit(N_ORDERS)).alias("l_orderkey"),
+    F.pmod(F.xxhash64(F.col("id") + 1), F.lit(50_000)).alias("l_partkey"),
+    F.pmod(F.xxhash64(F.col("id") + 2), F.lit(5_000)).alias("l_suppkey"),
+    F.lit(1).alias("l_linenumber"),
+    (F.pmod(F.xxhash64(F.col("id") + 3), F.lit(50)) + 1)
+    .cast("double").alias("l_quantity"),
+    (F.pmod(F.xxhash64(F.col("id") + 4), F.lit(9_000_000)) / 100.0
+     + 900.0).alias("l_extendedprice"),
+    (F.pmod(F.xxhash64(F.col("id") + 5), F.lit(11)) / 100.0)
+    .alias("l_discount"),
+    (F.pmod(F.xxhash64(F.col("id") + 6), F.lit(9)) / 100.0).alias("l_tax"),
+    F.element_at(F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                 (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(3)) + 1)
+                 .cast("int")).alias("l_returnflag"),
+    F.element_at(F.array(F.lit("F"), F.lit("O")),
+                 (F.pmod(F.xxhash64(F.col("id") + 8), F.lit(2)) + 1)
+                 .cast("int")).alias("l_linestatus"),
+    F.timestamp_seconds(F.lit(694224000) + F.pmod(
+        F.xxhash64(F.col("id") + 9), F.lit(86400 * 2400))).alias("l_shipdate"),
+)
+lp = os.path.join(work, "lineitem")
+li.write.parquet(lp)
+li = spark.read.parquet(lp)
+t0 = time.time()
+out["pricing_rows"] = pricing_summary(li).count()
+out["pricing_sec"] = round(time.time() - t0, 2)
+out["pricing_rows_per_sec"] = round(N_LINES / out["pricing_sec"], 1)
+t0 = time.time()
+out["rollup_rows"] = grouping_sets_agg(li).count()
+out["rollup_sec"] = round(time.time() - t0, 2)
+
+# ---- rank-1 ALS over the implied ratings matrix ------------------------
+t0 = time.time()
+out["als_rows"] = als_rank1(orders, li).count()
+out["als_sec"] = round(time.time() - t0, 2)
+out["als_ratings_per_sec"] = round(N_LINES / out["als_sec"], 1)
+
+out.update(peak_stage_shuffle())
+path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "BENCH", "scale_s17.json")
+with open(path, "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))
+spark.stop()
