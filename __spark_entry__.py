@@ -4308,6 +4308,29 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman repeated-measures rank test: day blocks × event-type
+    treatments, block-keyed midranks, tie-corrected chi²."""
+    from fafnir_spark.pipeline import friedman_test
+
+    return friedman_test(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2×2 test: dow strata, hash
+    arms, rounded hypergeometric contributions."""
+    from fafnir_spark.pipeline import cmh_test
+
+    return cmh_test(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of randomness on daily counts."""
+    from fafnir_spark.pipeline import runs_test
+
+    return runs_test(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Qini uplift curve over hash treatment arms and activity-score
     deciles, exact cumulative integers."""
@@ -6021,6 +6044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_in_diff": _q_diff_in_diff,
         "var_es": _q_var_es,
         "qini_uplift": _q_qini_uplift,
+        "friedman_test": _q_friedman_test,
+        "cmh_test": _q_cmh_test,
+        "runs_test": _q_runs_test,
         "mutual_information": _q_mutual_information,
         "stream_page_hinkley": _q_stream_page_hinkley,
         "stream_gains_deciles": _q_stream_gains_deciles,
@@ -6761,6 +6787,9 @@ ORDER BY term ASC LIMIT 10
         "label_centroid_similarity":
             oracles_ops.label_centroid_similarity_sql(),
         "mutual_information": oracles_pipeline.mutual_information_sql(),
+        "friedman_test": oracles_pipeline.friedman_test_sql(),
+        "cmh_test": oracles_pipeline.cmh_test_sql(),
+        "runs_test": oracles_pipeline.runs_test_sql(),
         "stream_page_hinkley": oracles_pipeline.page_hinkley_sql(),
         "stream_gains_deciles": oracles_pipeline.gains_deciles_sql(),
         "page_hinkley": oracles_pipeline.page_hinkley_sql(),

@@ -4435,3 +4435,124 @@ SELECT n, mi, round(2.0 * CAST(n AS DOUBLE) * mi, 6) AS g_stat,
          AS cramers_v
 FROM agg
 """
+
+
+def friedman_test_sql() -> str:
+    """Mirror of pipeline.friedman_test: same complete-block filter,
+    rank()+tie-window midranks, exact tie sum, same chi2 operand
+    order."""
+    day = 86_400_000_000
+    return f"""
+WITH cells0 AS (SELECT epoch_us(ts) // {day} AS d, event_type,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+       FROM cells0),
+complete AS (SELECT d FROM cells0 CROSS JOIN kk
+             GROUP BY d, k HAVING count(*) = CAST(min(k) AS BIGINT)),
+cells AS (SELECT c.* FROM cells0 c JOIN complete USING (d)),
+mr AS (SELECT *,
+              rank() OVER (PARTITION BY d ORDER BY cnt)
+              + (count(*) OVER (PARTITION BY d, cnt) - 1) / 2.0 AS mr
+       FROM cells),
+ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+         FROM (SELECT CAST(count(*) AS BIGINT) AS t
+               FROM cells GROUP BY d, cnt)),
+byt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(mr) AS rj
+        FROM mr GROUP BY event_type),
+tot AS (SELECT CAST(min(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               sum(rj * rj) AS rr
+        FROM byt),
+sc0 AS (SELECT 12.0 / CAST(n * k * (k + 1) AS DOUBLE) * rr
+               - 3.0 * CAST(n * (k + 1) AS DOUBLE) AS chi2raw,
+               1.0 - CAST(tsum AS DOUBLE)
+               / CAST(n * k * (k * k - 1) AS DOUBLE) AS corr
+        FROM tot CROSS JOIN ties),
+sc AS (SELECT round(chi2raw, 6) AS chi2,
+              round(chi2raw / corr, 6) AS chi2_tie
+       FROM sc0)
+SELECT event_type, n AS n_blocks,
+       round(rj / CAST(n AS DOUBLE), 6) AS mean_rank, chi2, chi2_tie
+FROM byt CROSS JOIN sc
+ORDER BY event_type
+"""
+
+
+def cmh_test_sql(event_type: str = "purchase") -> str:
+    """Mirror of pipeline.cmh_test: same dow strata and hash arms, same
+    hypergeometric operand order, rounded contributions."""
+    from .portable import hash60_sql
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH rows_ AS (SELECT CAST(dayofweek(ts) AS INTEGER) + 1 AS dow,
+                      CAST((({h}) % 2 + 2) % 2 AS INTEGER) AS g,
+                      CASE WHEN event_type = '{event_type}'
+                           THEN 1 ELSE 0 END AS s
+               FROM events),
+st AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+              CAST(sum(s) AS BIGINT) AS m1,
+              CAST(sum(CASE WHEN g = 1 THEN s ELSE 0 END) AS BIGINT) AS a
+       FROM rows_ GROUP BY dow),
+per AS (SELECT a,
+               round(CAST(n1 * m1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS ec,
+               round(CASE WHEN n > 1
+                          THEN CAST(n1 * (n - n1) AS DOUBLE)
+                               * CAST(m1 * (n - m1) AS DOUBLE)
+                               / (CAST(n * n AS DOUBLE)
+                                  * CAST(n - 1 AS DOUBLE))
+                          ELSE 0.0 END, 6) AS vc
+        FROM st),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(a) AS BIGINT) AS a_sum,
+               round(sum(ec), 6) AS e_sum,
+               round(sum(vc), 6) AS v_sum
+        FROM per)
+SELECT n_strata, a_sum, e_sum, v_sum,
+       round((abs(CAST(a_sum AS DOUBLE) - e_sum) - 0.5)
+             * (abs(CAST(a_sum AS DOUBLE) - e_sum) - 0.5) / v_sum, 6)
+         AS cmh
+FROM agg
+"""
+
+
+def runs_test_sql() -> str:
+    """Mirror of pipeline.runs_test: quantile_cont median parity,
+    exact-median days dropped, same deterministic day-order run
+    detection and closed-form moments."""
+    day = 86_400_000_000
+    return f"""
+WITH g AS (SELECT epoch_us(ts) // {day} AS d,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+med AS (SELECT quantile_cont(CAST(x AS DOUBLE), 0.5) AS med FROM g),
+s AS (SELECT d, CASE WHEN CAST(x AS DOUBLE) > med THEN 1 ELSE 0 END
+        AS sgn
+      FROM g CROSS JOIN med
+      WHERE CAST(x AS DOUBLE) != med),
+c AS (SELECT *,
+             CASE WHEN lag(sgn) OVER (ORDER BY d) IS NULL
+                       OR lag(sgn) OVER (ORDER BY d) != sgn
+                  THEN 1 ELSE 0 END AS chg
+      FROM s),
+agg AS (SELECT CAST(sum(sgn) AS BIGINT) AS n1,
+               CAST(sum(1 - sgn) AS BIGINT) AS n2,
+               CAST(sum(chg) AS BIGINT) AS runs
+        FROM c)
+SELECT n1 AS n_above, n2 AS n_below, runs,
+       round(2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+             + 1.0, 6) AS mu,
+       round((CAST(runs AS DOUBLE)
+              - (2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                 + 1.0))
+             / sqrt(2.0 * CAST(n1 * n2 AS DOUBLE)
+                    * (2.0 * CAST(n1 * n2 AS DOUBLE)
+                       - CAST(n1 + n2 AS DOUBLE))
+                    / CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
+                    / CAST(n1 + n2 - 1 AS DOUBLE)), 6) AS z
+FROM agg
+"""

@@ -5751,3 +5751,153 @@ def mutual_information(events: DataFrame) -> DataFrame:
         F.round(F.lit(2.0) * F.col("n").cast("double") * F.col("mi"), 6)
         .alias("g_stat"),
         F.round(cv, 6).alias("cramers_v"))
+
+
+def friedman_test(events: DataFrame) -> DataFrame:
+    """Friedman test (1937) — the repeated-measures k-group rank test
+    (blocks = days, treatments = event types, response = daily count):
+    within each complete block the counts get midranks (rank() + tie
+    window — exact .5 fractions), R_j = Σ midranks per treatment,
+
+        chi2 = 12/(n·k(k+1)) · ΣR_j² − 3n(k+1)
+
+    with the tie correction C = 1 − Σ(t³−t)/(n·k(k²−1)) (tie sum in
+    exact BIGINT over within-block tie groups). Incomplete blocks (a day
+    missing a type) are DROPPED (the balanced-design contract). Every
+    window is BLOCK-KEYED over the ≤|days|·k cell relation. Output one
+    row per treatment — (event_type, n_blocks, mean_rank) — with
+    (chi2, chi2_tie) repeated (the psi rule), ordered by event_type."""
+    cells = (events.select(
+        F.expr(f"unix_micros(cast(ts as timestamp)) DIV {_DAY_US}")
+        .alias("d"), "event_type")
+        .groupBy("d", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    k = cells.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    complete = (cells.groupBy("d")
+                .agg(F.count(F.lit(1)).cast("long").alias("nt"))
+                .crossJoin(F.broadcast(k))
+                .filter(F.col("nt") == F.col("k"))
+                .select("d"))
+    cells = cells.join(complete, "d")
+    wr = Window.partitionBy("d").orderBy("cnt")
+    wt = Window.partitionBy("d", "cnt")
+    cells = cells.withColumn(
+        "mr", F.rank().over(wr)
+        + (F.count(F.lit(1)).over(wt) - 1) / F.lit(2.0))
+    ties = (cells.groupBy("d", "cnt")
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+                 .cast("long").alias("tsum")))
+    byt = (cells.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("mr").alias("rj")))
+    tot = (byt.agg(F.min("n").cast("long").alias("n"),
+                   F.count(F.lit(1)).cast("long").alias("k"),
+                   F.sum(F.col("rj") * F.col("rj")).alias("rr"))
+           .crossJoin(F.broadcast(ties)))
+    n, kk = F.col("n"), F.col("k")
+    chi2 = (F.lit(12.0) / (n * kk * (kk + 1)).cast("double") * F.col("rr")
+            - F.lit(3.0) * (n * (kk + 1)).cast("double"))
+    corr = (F.lit(1.0) - F.col("tsum").cast("double")
+            / (n * kk * (kk * kk - 1)).cast("double"))
+    sc = (tot.withColumn("chi2r", F.round(chi2, 6))
+          .select("chi2r",
+                  F.round(chi2 / corr, 6).alias("chi2_tie"))
+          .withColumnRenamed("chi2r", "chi2"))
+    return (byt.crossJoin(F.broadcast(sc))
+            .select("event_type", F.col("n").alias("n_blocks"),
+                    F.round(F.col("rj") / F.col("n").cast("double"), 6)
+                    .alias("mean_rank"), "chi2", "chi2_tie")
+            .orderBy("event_type"))
+
+
+def cmh_test(events: DataFrame, event_type: str = "purchase") -> DataFrame:
+    """Cochran-Mantel-Haenszel test — the stratified 2×2 association
+    test (strata = ISO weekday, arms = the portable-hash cohorts,
+    success = ``event_type``): per stratum the hypergeometric
+    expectation E = n1·m1/n and variance V = n1·n0·m1·m0/(n²(n−1))
+    (exact integer numerators, same operand order cross-engine; the
+    logrank machinery on a different grid), continuity-corrected
+
+        CMH = (|Σa − ΣE| − 0.5)² / ΣV
+
+    with per-stratum E/V contributions ROUNDED 6 before the Σ (the ece
+    rule). ONE conditional groupBy(dow) corpus pass. One row:
+    (n_strata, a_sum, e_sum, v_sum, cmh)."""
+    from .portable import hash60
+    rows = events.select(
+        F.expr("extract(dayofweek FROM cast(ts as timestamp))")
+        .cast("int").alias("dow"),
+        F.pmod(hash60(F.col("user_id").cast("string")), F.lit(2))
+        .cast("int").alias("g"),
+        F.when(F.col("event_type") == event_type, 1).otherwise(0)
+        .alias("s"))
+    st = (rows.groupBy("dow")
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long")
+               .alias("n1"),
+               F.sum("s").cast("long").alias("m1"),
+               F.sum(F.when(F.col("g") == 1, F.col("s")).otherwise(0))
+               .cast("long").alias("a")))
+    e = ((F.col("n1") * F.col("m1")).cast("double")
+         / F.col("n").cast("double"))
+    n0 = F.col("n") - F.col("n1")
+    m0 = F.col("n") - F.col("m1")
+    v = (F.when(F.col("n") > 1,
+                (F.col("n1") * n0).cast("double")
+                * (F.col("m1") * m0).cast("double")
+                / ((F.col("n") * F.col("n")).cast("double")
+                   * (F.col("n") - 1).cast("double")))
+         .otherwise(F.lit(0.0)))
+    per = st.select(F.col("a"), F.round(e, 6).alias("ec"),
+                    F.round(v, 6).alias("vc"))
+    agg = per.agg(F.count(F.lit(1)).cast("long").alias("n_strata"),
+                  F.sum("a").cast("long").alias("a_sum"),
+                  F.round(F.sum("ec"), 6).alias("e_sum"),
+                  F.round(F.sum("vc"), 6).alias("v_sum"))
+    num = F.abs(F.col("a_sum").cast("double") - F.col("e_sum")) - F.lit(0.5)
+    return agg.select(
+        "n_strata", "a_sum", "e_sum", "v_sum",
+        F.round(num * num / F.col("v_sum"), 6).alias("cmh"))
+
+
+def runs_test(events: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test of randomness on the daily-count series:
+    days sign above/below the interpolated median (quantile_cont parity;
+    exact-median days DROP — the standard treatment), runs = 1 +
+    Σ(sign ≠ lag sign) over the deterministic day order,
+
+        z = (R − μ)/√σ²,  μ = 2n1n2/(n1+n2) + 1
+
+    with μ/σ² from EXACT integer counts. All windows over the ≤|days|
+    bucket relation. One row: (n_above, n_below, runs, mu, z)."""
+    g = (events.select(F.expr(
+        f"unix_micros(cast(ts as timestamp)) DIV {_DAY_US}").alias("d"))
+        .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    med = g.agg(F.expr("percentile(x, 0.5D)").alias("med"))
+    s = (g.crossJoin(F.broadcast(med))
+         .filter(F.col("x").cast("double") != F.col("med"))
+         .withColumn("sgn", F.when(F.col("x").cast("double")
+                                   > F.col("med"), 1).otherwise(0)))
+    w = Window.orderBy("d")
+    s = s.withColumn(
+        "chg", F.when(F.lag("sgn").over(w).isNull()
+                      | (F.lag("sgn").over(w) != F.col("sgn")), 1)
+        .otherwise(0))
+    agg = s.agg(F.sum("sgn").cast("long").alias("n1"),
+                F.sum(1 - F.col("sgn")).cast("long").alias("n2"),
+                F.sum("chg").cast("long").alias("runs"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu = (F.lit(2.0) * (n1 * n2).cast("double")
+          / (n1 + n2).cast("double") + F.lit(1.0))
+    var = (F.lit(2.0) * (n1 * n2).cast("double")
+           * (F.lit(2.0) * (n1 * n2).cast("double")
+              - (n1 + n2).cast("double"))
+           / ((n1 + n2) * (n1 + n2)).cast("double")
+           / (n1 + n2 - 1).cast("double"))
+    agg = agg.withColumn("mu", mu).withColumn("var", var)
+    return agg.select(
+        F.col("n1").alias("n_above"), F.col("n2").alias("n_below"),
+        "runs", F.round("mu", 6).alias("mu"),
+        F.round((F.col("runs").cast("double") - F.col("mu"))
+                / F.sqrt(F.col("var")), 6).alias("z"))
