@@ -481,3 +481,33 @@ def test_label_centroid_similarity_bounds(spark):
     n = len(labels)
     assert len(rows) == n * (n - 1) // 2
     assert all(-1.0 - 1e-9 <= r["cos"] <= 1.0 + 1e-9 for r in rows)
+
+
+def test_friedman_rank_identity(events):
+    from fafnir_spark.pipeline import friedman_test
+
+    rows = friedman_test(events).collect()
+    k = len(rows)
+    # balanced design: per-block midranks sum to k(k+1)/2, so the
+    # mean ranks across treatments sum to the same constant
+    assert abs(sum(r["mean_rank"] for r in rows) - k * (k + 1) / 2.0) \
+        < 1e-3
+    assert all(r["chi2_tie"] >= r["chi2"] - 1e-9 for r in rows)
+    assert all(r["n_blocks"] == rows[0]["n_blocks"] for r in rows)
+
+
+def test_cmh_bounds(events):
+    from fafnir_spark.pipeline import cmh_test
+
+    r = cmh_test(events).collect()[0]
+    assert r["cmh"] >= 0.0 and r["v_sum"] > 0
+    assert r["n_strata"] == 7
+    assert 0 <= r["a_sum"]
+
+
+def test_runs_test_bounds(events):
+    from fafnir_spark.pipeline import runs_test
+
+    r = runs_test(events).collect()[0]
+    assert 1 <= r["runs"] <= r["n_above"] + r["n_below"]
+    assert r["mu"] > 1.0
