@@ -4308,6 +4308,14 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS on raw value distributions: grouped
+    cumulative integers, max ECDF gap."""
+    from fafnir_spark.pipeline import ks_test_two_sample
+
+    return ks_test_two_sample(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friedman repeated-measures rank test: day blocks × event-type
     treatments, block-keyed midranks, tie-corrected chi²."""
@@ -6045,6 +6053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "var_es": _q_var_es,
         "qini_uplift": _q_qini_uplift,
         "friedman_test": _q_friedman_test,
+        "ks_test_two_sample": _q_ks_test_two_sample,
         "cmh_test": _q_cmh_test,
         "runs_test": _q_runs_test,
         "mutual_information": _q_mutual_information,
@@ -6788,6 +6797,7 @@ ORDER BY term ASC LIMIT 10
             oracles_ops.label_centroid_similarity_sql(),
         "mutual_information": oracles_pipeline.mutual_information_sql(),
         "friedman_test": oracles_pipeline.friedman_test_sql(),
+        "ks_test_two_sample": oracles_pipeline.ks_test_two_sample_sql(),
         "cmh_test": oracles_pipeline.cmh_test_sql(),
         "runs_test": oracles_pipeline.runs_test_sql(),
         "stream_page_hinkley": oracles_pipeline.page_hinkley_sql(),

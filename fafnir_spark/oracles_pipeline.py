@@ -4556,3 +4556,37 @@ SELECT n1 AS n_above, n2 AS n_below, runs,
                     / CAST(n1 + n2 - 1 AS DOUBLE)), 6) AS z
 FROM agg
 """
+
+
+def ks_test_two_sample_sql(grp_a: str = "view",
+                           grp_b: str = "purchase") -> str:
+    """Mirror of pipeline.ks_test_two_sample: same grouped cumulative
+    integers, same per-side divisions and max."""
+    return f"""
+WITH rows_ AS (SELECT value AS v,
+                      CASE WHEN event_type = '{grp_a}' THEN 1 ELSE 0 END
+                        AS ya
+               FROM events
+               WHERE event_type IN ('{grp_a}', '{grp_b}')),
+g AS (SELECT v, CAST(sum(ya) AS BIGINT) AS a,
+             CAST(count(*) - sum(ya) AS BIGINT) AS b
+      FROM rows_ GROUP BY v),
+c AS (SELECT *,
+             CAST(sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS ca,
+             CAST(sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cb
+      FROM g),
+tot AS (SELECT CAST(max(ca) AS BIGINT) AS na,
+               CAST(max(cb) AS BIGINT) AS nb
+        FROM c),
+agg AS (SELECT CAST(min(na) AS BIGINT) AS n_a,
+               CAST(min(nb) AS BIGINT) AS n_b,
+               max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                       - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) AS d
+        FROM c CROSS JOIN tot)
+SELECT n_a, n_b, round(d, 6) AS d_stat,
+       round(d * sqrt(CAST(n_a * n_b AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_z
+FROM agg
+"""

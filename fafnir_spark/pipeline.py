@@ -5901,3 +5901,38 @@ def runs_test(events: DataFrame) -> DataFrame:
         "runs", F.round("mu", 6).alias("mu"),
         F.round((F.col("runs").cast("double") - F.col("mu"))
                 / F.sqrt(F.col("var")), 6).alias("z"))
+
+
+def ks_test_two_sample(events: DataFrame, grp_a: str = "view",
+                       grp_b: str = "purchase") -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test on raw ``value``
+    distributions (the raw-value classic; bucket_count_ks_test is the ES
+    bucketed variant) — D = max |ECDF_a − ECDF_b| over the bounded
+    distinct-value relation (the roc_auc rule: ONE groupBy(value) corpus
+    pass, cumulative EXACT integers, one double division per side), and
+    the asymptotic statistic z = D·√(n_a·n_b/(n_a+n_b)). One row:
+    (n_a, n_b, d_stat, ks_z)."""
+    rows = (events.filter(F.col("event_type").isin([grp_a, grp_b]))
+            .select(F.col("value").alias("v"),
+                    F.when(F.col("event_type") == grp_a, 1)
+                    .otherwise(0).alias("ya")))
+    g = (rows.groupBy("v")
+         .agg(F.sum("ya").cast("long").alias("a"),
+              (F.count(F.lit(1)) - F.sum("ya")).cast("long").alias("b")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    g = (g.withColumn("ca", F.sum("a").over(w).cast("long"))
+         .withColumn("cb", F.sum("b").over(w).cast("long")))
+    tot = g.agg(F.max("ca").cast("long").alias("na"),
+                F.max("cb").cast("long").alias("nb"))
+    d = F.abs(F.col("ca").cast("double") / F.col("na").cast("double")
+              - F.col("cb").cast("double") / F.col("nb").cast("double"))
+    agg = (g.crossJoin(F.broadcast(tot))
+           .agg(F.min("na").cast("long").alias("n_a"),
+                F.min("nb").cast("long").alias("n_b"),
+                F.max(d).alias("d")))
+    z = (F.col("d") * F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")
+                             / (F.col("n_a") + F.col("n_b"))
+                             .cast("double")))
+    return agg.select("n_a", "n_b",
+                      F.round("d", 6).alias("d_stat"),
+                      F.round(z, 6).alias("ks_z"))
