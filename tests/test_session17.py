@@ -511,3 +511,15 @@ def test_runs_test_bounds(events):
     r = runs_test(events).collect()[0]
     assert 1 <= r["runs"] <= r["n_above"] + r["n_below"]
     assert r["mu"] > 1.0
+
+
+def test_ks_self_is_zero(spark, events):
+    from fafnir_spark.pipeline import ks_test_two_sample
+
+    r = ks_test_two_sample(events).collect()[0]
+    assert 0.0 <= r["d_stat"] <= 1.0 and r["ks_z"] >= 0.0
+    # a sample against itself: duplicate view events under two labels
+    ev = events.filter(F.col("event_type") == "view")
+    both = ev.unionByName(ev.withColumn("event_type", F.lit("purchase")))
+    r2 = ks_test_two_sample(both).collect()[0]
+    assert r2["d_stat"] == 0.0 and r2["n_a"] == r2["n_b"]
