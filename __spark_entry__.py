@@ -4308,6 +4308,22 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_yuen_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's trimmed t-test between view/purchase values: quantile-
+    parity bounds, winsorized variances, Welch-Satterthwaite df."""
+    from fafnir_spark.pipeline import yuen_t_test
+
+    return yuen_t_test(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion sample-size calculator from the corpus baseline,
+    literal z constants."""
+    from fafnir_spark.pipeline import power_analysis
+
+    return power_analysis(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS on raw value distributions: grouped
     cumulative integers, max ECDF gap."""
@@ -6054,6 +6070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qini_uplift": _q_qini_uplift,
         "friedman_test": _q_friedman_test,
         "ks_test_two_sample": _q_ks_test_two_sample,
+        "yuen_t_test": _q_yuen_t_test,
+        "power_analysis": _q_power_analysis,
         "cmh_test": _q_cmh_test,
         "runs_test": _q_runs_test,
         "mutual_information": _q_mutual_information,
@@ -6798,6 +6816,8 @@ ORDER BY term ASC LIMIT 10
         "mutual_information": oracles_pipeline.mutual_information_sql(),
         "friedman_test": oracles_pipeline.friedman_test_sql(),
         "ks_test_two_sample": oracles_pipeline.ks_test_two_sample_sql(),
+        "yuen_t_test": oracles_pipeline.yuen_t_test_sql(),
+        "power_analysis": oracles_pipeline.power_analysis_sql(),
         "cmh_test": oracles_pipeline.cmh_test_sql(),
         "runs_test": oracles_pipeline.runs_test_sql(),
         "stream_page_hinkley": oracles_pipeline.page_hinkley_sql(),

@@ -4590,3 +4590,77 @@ SELECT n_a, n_b, round(d, 6) AS d_stat,
                       / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_z
 FROM agg
 """
+
+
+def yuen_t_test_sql(grp_a: str = "view", grp_b: str = "purchase",
+                    lo: float = 0.1, hi: float = 0.9) -> str:
+    """Mirror of pipeline.yuen_t_test: quantile_cont bounds, identical
+    trimmed/winsorized sums and Yuen denominators."""
+    return f"""
+WITH rows_ AS (SELECT CASE WHEN event_type = '{grp_a}' THEN 0 ELSE 1 END
+                 AS g, value AS v
+               FROM events
+               WHERE event_type IN ('{grp_a}', '{grp_b}')),
+q AS (SELECT g, quantile_cont(v, {float(lo)!r}) AS ql,
+             quantile_cont(v, {float(hi)!r}) AS qh
+      FROM rows_ GROUP BY g),
+j AS (SELECT r.g, r.v, q.ql, q.qh FROM rows_ r JOIN q USING (g)),
+gg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN v >= ql AND v <= qh THEN 1 ELSE 0 END)
+                AS BIGINT) AS h,
+              sum(CASE WHEN v >= ql AND v <= qh THEN v ELSE 0.0 END)
+                AS ts,
+              sum(least(greatest(v, ql), qh)) AS ws,
+              sum(least(greatest(v, ql), qh)
+                  * least(greatest(v, ql), qh)) AS wss
+       FROM j GROUP BY g),
+m AS (SELECT g, n, h, ts / CAST(h AS DOUBLE) AS m,
+             ((wss - ws * ws / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE))
+             * CAST(n - 1 AS DOUBLE)
+             / CAST(h * (h - 1) AS DOUBLE) AS d
+      FROM gg),
+ab AS (SELECT a.n AS n_a, b.n AS n_b, a.h AS h_a, b.h AS h_b,
+              a.m AS ma, b.m AS mb, a.d AS da, b.d AS db
+       FROM m a CROSS JOIN m b
+       WHERE a.g = 0 AND b.g = 1)
+SELECT n_a, n_b, h_a, h_b, round(ma, 6) AS m_a, round(mb, 6) AS m_b,
+       round((ma - mb) / sqrt(da + db), 6) AS t_stat,
+       round((da + db) * (da + db)
+             / (da * da / CAST(h_a - 1 AS DOUBLE)
+                + db * db / CAST(h_b - 1 AS DOUBLE)), 6) AS df
+FROM ab
+"""
+
+
+def power_analysis_sql(event_type: str = "purchase",
+                       lifts: tuple = (0.05, 0.1, 0.2, 0.5)) -> str:
+    """Mirror of pipeline.power_analysis: the same literal z constants
+    and closed-form ceil."""
+    from .pipeline import _Z_ALPHA_05, _Z_BETA_80
+    day = 86_400_000_000
+    zz = (_Z_ALPHA_05 + _Z_BETA_80) ** 2
+    lift_vals = ", ".join(f"({float(x)!r}::DOUBLE)" for x in lifts)
+    return f"""
+WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = '{event_type}'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS s,
+                     CAST(count(DISTINCT epoch_us(ts) // {day}) AS BIGINT)
+                       AS days
+              FROM events),
+lf(lift) AS (VALUES {lift_vals}),
+rows_ AS (SELECT lift, n, s, days,
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p1
+          FROM base CROSS JOIN lf),
+c AS (SELECT lift, n, days, p1, p1 * (1.0 + lift) AS p2 FROM rows_),
+d AS (SELECT lift, n, days, p1, p2,
+             CAST(ceil({zz!r} * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                       / ((p1 - p2) * (p1 - p2))) AS BIGINT) AS n_arm
+      FROM c)
+SELECT round(lift, 6) AS lift, round(p1, 6) AS p1, round(p2, 6) AS p2,
+       n_arm AS n_per_arm,
+       CAST(ceil(2.0 * CAST(n_arm AS DOUBLE)
+                 / (CAST(n AS DOUBLE) / CAST(days AS DOUBLE)))
+         AS BIGINT) AS total_days
+FROM d ORDER BY lift
+"""

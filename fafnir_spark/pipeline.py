@@ -5936,3 +5936,107 @@ def ks_test_two_sample(events: DataFrame, grp_a: str = "view",
     return agg.select("n_a", "n_b",
                       F.round("d", 6).alias("d_stat"),
                       F.round(z, 6).alias("ks_z"))
+
+
+def yuen_t_test(events: DataFrame, grp_a: str = "view",
+                grp_b: str = "purchase", lo: float = 0.1,
+                hi: float = 0.9) -> DataFrame:
+    """Yuen's trimmed t-test (Yuen 1974) — the robust Welch sibling:
+    compares 20%-style trimmed means of ``value`` between two event
+    types using winsorized variances. Per group (the robust_stats
+    two-pass shape): interpolated [lo, hi] quantile bounds (percentile
+    == quantile_cont parity), trimmed mean over the inside rows,
+    winsorized sum-of-squares over clamped values; then
+
+        t = (m_a − m_b)/√(d_a + d_b),  d_g = s²w_g/(h_g(h_g−1))·(n_g−1)
+
+    (the standard Yuen denominators with h = trimmed count), Welch-
+    Satterthwaite df from the same d terms. Raw double sums follow the
+    extended_stats precedent (value magnitude ~1e2). One row:
+    (n_a, n_b, h_a, h_b, m_a, m_b, t_stat, df)."""
+    rows = (events.filter(F.col("event_type").isin([grp_a, grp_b]))
+            .select(F.when(F.col("event_type") == grp_a, 0).otherwise(1)
+                    .alias("g"), F.col("value").alias("v")))
+    q = (rows.groupBy("g")
+         .agg(F.expr(f"percentile(v, {float(lo)!r})").alias("ql"),
+              F.expr(f"percentile(v, {float(hi)!r})").alias("qh")))
+    j = rows.join(F.broadcast(q), "g")
+    inside = (F.col("v") >= F.col("ql")) & (F.col("v") <= F.col("qh"))
+    clamped = F.least(F.greatest(F.col("v"), F.col("ql")), F.col("qh"))
+    g = (j.groupBy("g")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.when(inside, 1).otherwise(0)).cast("long")
+              .alias("h"),
+              F.sum(F.when(inside, F.col("v")).otherwise(F.lit(0.0)))
+              .alias("ts"),
+              F.sum(clamped).alias("ws"),
+              F.sum(clamped * clamped).alias("wss")))
+    g = (g.withColumn("m", F.col("ts") / F.col("h").cast("double"))
+         .withColumn("wv", (F.col("wss")
+                            - F.col("ws") * F.col("ws")
+                            / F.col("n").cast("double"))
+                     / (F.col("n") - 1).cast("double"))
+         .withColumn("d", F.col("wv") * (F.col("n") - 1).cast("double")
+                     / (F.col("h") * (F.col("h") - 1)).cast("double")))
+    a = (g.filter(F.col("g") == 0)
+         .select(F.col("n").alias("n_a"), F.col("h").alias("h_a"),
+                 F.col("m").alias("ma"), F.col("d").alias("da")))
+    b = (g.filter(F.col("g") == 1)
+         .select(F.col("n").alias("n_b"), F.col("h").alias("h_b"),
+                 F.col("m").alias("mb"), F.col("d").alias("db")))
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(F.col("da") + F.col("db"))
+    df = ((F.col("da") + F.col("db")) * (F.col("da") + F.col("db"))
+          / (F.col("da") * F.col("da") / (F.col("h_a") - 1).cast("double")
+             + F.col("db") * F.col("db")
+             / (F.col("h_b") - 1).cast("double")))
+    return (a.crossJoin(b)
+            .select("n_a", "n_b", "h_a", "h_b",
+                    F.round("ma", 6).alias("m_a"),
+                    F.round("mb", 6).alias("m_b"),
+                    F.round(t, 6).alias("t_stat"),
+                    F.round(df, 6).alias("df")))
+
+
+# two-sided alpha=0.05 / power=0.8 normal quantiles — public constants
+# entering BOTH engines as literals (the SPRT log-constant rule; never a
+# cross-engine erf/quantile evaluation)
+_Z_ALPHA_05 = 1.959963984540054
+_Z_BETA_80 = 0.8416212335729143
+
+
+def power_analysis(events: DataFrame, event_type: str = "purchase",
+                   lifts: tuple = (0.05, 0.1, 0.2, 0.5)) -> DataFrame:
+    """Two-proportion sample-size calculator (the experiment-design
+    staple): the baseline conversion p1 comes from the corpus (exact
+    integer counts), each relative lift gives p2 = p1·(1+lift), and
+
+        n/arm = ⌈(z_{α/2} + z_β)² · (p1(1−p1) + p2(1−p2)) / (p1−p2)²⌉
+
+    with the normal quantiles as shared literals. ONE conditional
+    corpus aggregate; the lift fan-out is a ≤|lifts|-row literal
+    explode. (lift, p1, p2, n_per_arm, total_days) ordered by lift —
+    total_days = ceil(2n / daily event volume)."""
+    base = events.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == event_type, 1).otherwise(0))
+        .cast("long").alias("s"),
+        F.countDistinct(F.expr(
+            f"unix_micros(cast(ts as timestamp)) DIV {_DAY_US}"))
+        .cast("long").alias("days"))
+    lf = F.explode(F.array(*[F.lit(float(x)) for x in lifts])).alias("lift")
+    rows = base.select(lf, "n", "s", "days")
+    p1 = F.col("s").cast("double") / F.col("n").cast("double")
+    p2 = p1 * (F.lit(1.0) + F.col("lift"))
+    zz = F.lit((_Z_ALPHA_05 + _Z_BETA_80) ** 2)
+    n_arm = F.ceil(zz * (p1 * (F.lit(1.0) - p1)
+                         + p2 * (F.lit(1.0) - p2))
+                   / ((p1 - p2) * (p1 - p2))).cast("long")
+    daily = (F.col("n").cast("double") / F.col("days").cast("double"))
+    rows = rows.withColumn("n_arm", n_arm)
+    return (rows.select(
+        F.round("lift", 6).alias("lift"),
+        F.round(p1, 6).alias("p1"), F.round(p2, 6).alias("p2"),
+        F.col("n_arm").alias("n_per_arm"),
+        F.ceil(F.lit(2.0) * F.col("n_arm").cast("double") / daily)
+        .cast("long").alias("total_days"))
+        .orderBy("lift"))
