@@ -4308,6 +4308,44 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_stream_mutual_information(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Streaming MI/G/Cramér monitor: exact additive cell state, shared
+    tail — bit-identical to batch."""
+    from fafnir_spark.streaming import stream_mutual_information
+
+    base = tempfile.mkdtemp(prefix="fafnir_smi_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_mutual_information(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
+def _q_stream_two_proportion_z(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Streaming two-proportion z: exact additive arm counts, shared
+    tail — bit-identical to batch."""
+    from fafnir_spark.streaming import stream_two_proportion_z
+
+    base = tempfile.mkdtemp(prefix="fafnir_stpz_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_two_proportion_z(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
+def _q_stream_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Qini uplift: additive count + max-lattice converter
+    state, shared tail — same oracle as batch."""
+    from fafnir_spark.streaming import stream_qini_uplift
+
+    base = tempfile.mkdtemp(prefix="fafnir_sqini_")
+    src = os.path.join(base, "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+    return stream_qini_uplift(
+        spark, src, os.path.join(base, "ck"), os.path.join(base, "state"))
+
+
 def _q_yuen_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yuen's trimmed t-test between view/purchase values: quantile-
     parity bounds, winsorized variances, Welch-Satterthwaite df."""
@@ -6071,6 +6109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman_test": _q_friedman_test,
         "ks_test_two_sample": _q_ks_test_two_sample,
         "yuen_t_test": _q_yuen_t_test,
+        "stream_mutual_information": _q_stream_mutual_information,
+        "stream_two_proportion_z": _q_stream_two_proportion_z,
+        "stream_qini_uplift": _q_stream_qini_uplift,
         "power_analysis": _q_power_analysis,
         "cmh_test": _q_cmh_test,
         "runs_test": _q_runs_test,
@@ -6817,6 +6858,11 @@ ORDER BY term ASC LIMIT 10
         "friedman_test": oracles_pipeline.friedman_test_sql(),
         "ks_test_two_sample": oracles_pipeline.ks_test_two_sample_sql(),
         "yuen_t_test": oracles_pipeline.yuen_t_test_sql(),
+        "stream_mutual_information":
+            oracles_pipeline.mutual_information_sql(),
+        "stream_two_proportion_z":
+            oracles_pipeline.two_proportion_z_sql(),
+        "stream_qini_uplift": oracles_pipeline.qini_uplift_sql(),
         "power_analysis": oracles_pipeline.power_analysis_sql(),
         "cmh_test": oracles_pipeline.cmh_test_sql(),
         "runs_test": oracles_pipeline.runs_test_sql(),

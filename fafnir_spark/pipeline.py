@@ -5423,15 +5423,24 @@ def two_proportion_z(events: DataFrame, event_type: str = "purchase"
         F.pmod(hash60(F.col("user_id").cast("string")), F.lit(2))
         .cast("int").alias("g"),
         F.when(F.col("event_type") == event_type, 1).otherwise(0)
-        .alias("s")))
+        .alias("s"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("s").cast("long").alias("sc")))
+    return two_proportion_from_arm_counts(per)
+
+
+def two_proportion_from_arm_counts(per: DataFrame) -> DataFrame:
+    """The two-proportion tail over a (g, n, sc) arm-count relation —
+    shared with the streaming sibling (counts merge exactly)."""
     agg = per.agg(
-        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long")
-        .alias("n0"),
-        F.sum(F.when(F.col("g") == 0, F.col("s")).otherwise(0))
+        F.sum(F.when(F.col("g") == 0, F.col("n")).otherwise(0))
+        .cast("long").alias("n0"),
+        F.sum(F.when(F.col("g") == 0, F.col("sc")).otherwise(0))
         .cast("long").alias("s0"),
-        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long")
-        .alias("n1"),
-        F.sum(F.when(F.col("g") == 1, F.col("s")).otherwise(0))
+        F.sum(F.when(F.col("g") == 1, F.col("n")).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 1, F.col("sc")).otherwise(0))
         .cast("long").alias("s1"))
     p0 = F.col("s0").cast("double") / F.col("n0").cast("double")
     p1 = F.col("s1").cast("double") / F.col("n1").cast("double")
@@ -5663,13 +5672,21 @@ def qini_uplift(events: DataFrame, target: str = "purchase",
     the rounded divisions; windows only over the ``buckets``-row
     relation. (decile, n_t, n_c, r_t, r_c, uplift, qini) ordered by
     decile."""
-    from .portable import hash60
     per = (events.groupBy("user_id")
            .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
                 F.max(F.when(F.col("event_type") == target, 1)
-                      .otherwise(0)).cast("long").alias("buy"))
-           .withColumn("g", F.pmod(hash60(F.col("user_id").cast("string")),
-                                   F.lit(2)).cast("int")))
+                      .otherwise(0)).cast("long").alias("buy")))
+    return qini_from_user_scores(per, buckets)
+
+
+def qini_from_user_scores(per: DataFrame, buckets: int = 10) -> DataFrame:
+    """The Qini tail over a per-user (user_id, cnt, buy) relation — the
+    gains_from_user_scores sibling (same exact-merge state shape; the
+    hash arm derives from user_id, so it needs no state)."""
+    from .portable import hash60
+    per = per.withColumn(
+        "g", F.pmod(hash60(F.col("user_id").cast("string")),
+                    F.lit(2)).cast("int"))
     wn = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
     per = per.withColumn("decile", F.ntile(buckets).over(wn).cast("int"))
     g = (per.groupBy("decile")
@@ -5722,6 +5739,13 @@ def mutual_information(events: DataFrame) -> DataFrame:
         .cast("int").alias("dow"))
         .groupBy("event_type", "dow")
         .agg(F.count(F.lit(1)).cast("long").alias("o")))
+    return mi_from_cells(cells)
+
+
+def mi_from_cells(cells: DataFrame) -> DataFrame:
+    """The MI/G/Cramér tail over an observed-count cell relation —
+    shared with streaming.stream_mutual_information (exact-integer
+    additive cells, same state shape as stream_chi2_independence)."""
     rm = cells.groupBy("event_type").agg(F.sum("o").cast("long")
                                          .alias("rm"))
     cm = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("cm"))

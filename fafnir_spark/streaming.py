@@ -1781,3 +1781,155 @@ def stream_gains_deciles(
              F.max("buy").cast("long").alias("buy"))
     )
     return gains_from_user_scores(merged)
+
+
+def stream_mutual_information(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> DataFrame:
+    """Streaming mutual-information monitor: the SAME exact-integer
+    additive cell state as stream_chi2_independence, with the
+    pipeline.mi_from_cells tail — bit-identical to batch (oracle = the
+    batch SQL)."""
+    import os
+
+    from .pipeline import mi_from_cells
+
+    cells_dir = os.path.join(state_dir, "mi_cells")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.select(
+                "event_type",
+                F.expr("extract(dayofweek FROM cast(ts as timestamp))")
+                .cast("int").alias("dow"))
+            .groupBy("event_type", "dow")
+            .agg(F.count(F.lit(1)).cast("long").alias("o"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(cells_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(cells_dir)
+        .dropDuplicates(["event_type", "dow", "_b"])
+        .groupBy("event_type", "dow")
+        .agg(F.sum("o").cast("long").alias("o"))
+    )
+    return mi_from_cells(merged)
+
+
+def stream_two_proportion_z(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Streaming two-proportion z monitor: per-arm (n, successes) counts
+    are exact-integer additive state; shared
+    pipeline.two_proportion_from_arm_counts tail — bit-identical to
+    batch (oracle = the batch SQL)."""
+    import os
+
+    from .portable import hash60
+    from .pipeline import two_proportion_from_arm_counts
+
+    arms_dir = os.path.join(state_dir, "tpz_arms")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.select(
+                F.pmod(hash60(F.col("user_id").cast("string")), F.lit(2))
+                .cast("int").alias("g"),
+                F.when(F.col("event_type") == event_type, 1).otherwise(0)
+                .alias("s"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("s").cast("long").alias("sc"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(arms_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(arms_dir)
+        .dropDuplicates(["g", "_b"])
+        .groupBy("g")
+        .agg(F.sum("n").cast("long").alias("n"),
+             F.sum("sc").cast("long").alias("sc"))
+    )
+    return two_proportion_from_arm_counts(merged)
+
+
+def stream_qini_uplift(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    target: str = "purchase",
+) -> DataFrame:
+    """Streaming Qini uplift: the stream_gains_deciles per-user state
+    (count additive, converter flag a max lattice); shared
+    pipeline.qini_from_user_scores tail (the hash arm derives from
+    user_id — no extra state). Oracle = the batch SQL."""
+    import os
+
+    from .pipeline import qini_from_user_scores
+
+    users_dir = os.path.join(state_dir, "qini_users")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(source_path)
+
+    def step(df, bid):
+        (
+            df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                 F.max(F.when(F.col("event_type") == target, 1)
+                       .otherwise(0)).cast("long").alias("buy"))
+            .withColumn("_b", F.lit(int(bid)))
+            .write.mode("append").parquet(users_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(users_dir)
+        .dropDuplicates(["user_id", "_b"])
+        .groupBy("user_id")
+        .agg(F.sum("cnt").cast("long").alias("cnt"),
+             F.max("buy").cast("long").alias("buy"))
+    )
+    return qini_from_user_scores(merged)
