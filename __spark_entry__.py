@@ -4308,6 +4308,36 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two mcnemar quality rules: exact cells,
+    marginal chance agreement."""
+    from fafnir_spark.pipeline import cohens_kappa
+
+    return cohens_kappa(_docs(spark, sf_dir))
+
+
+def _q_partial_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial Spearman: quantity~price controlling for discount,
+    all-exact doubled-integer ranks, rounded closed form."""
+    from fafnir_spark.pipeline import partial_spearman
+
+    return partial_spearman(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality test on median deviations."""
+    from fafnir_spark.pipeline import levene_test
+
+    return levene_test(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test from the rounded daily-count ACF."""
+    from fafnir_spark.pipeline import ljung_box
+
+    return ljung_box(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_stream_mutual_information(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Streaming MI/G/Cramér monitor: exact additive cell state, shared
@@ -6110,6 +6140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test_two_sample": _q_ks_test_two_sample,
         "yuen_t_test": _q_yuen_t_test,
         "stream_mutual_information": _q_stream_mutual_information,
+        "cohens_kappa": _q_cohens_kappa,
+        "partial_spearman": _q_partial_spearman,
+        "levene_test": _q_levene_test,
+        "ljung_box": _q_ljung_box,
         "stream_two_proportion_z": _q_stream_two_proportion_z,
         "stream_qini_uplift": _q_stream_qini_uplift,
         "power_analysis": _q_power_analysis,
@@ -6860,6 +6894,10 @@ ORDER BY term ASC LIMIT 10
         "yuen_t_test": oracles_pipeline.yuen_t_test_sql(),
         "stream_mutual_information":
             oracles_pipeline.mutual_information_sql(),
+        "cohens_kappa": oracles_pipeline.cohens_kappa_sql(),
+        "partial_spearman": oracles_pipeline.partial_spearman_sql(),
+        "levene_test": oracles_pipeline.levene_test_sql(),
+        "ljung_box": oracles_pipeline.ljung_box_sql(),
         "stream_two_proportion_z":
             oracles_pipeline.two_proportion_z_sql(),
         "stream_qini_uplift": oracles_pipeline.qini_uplift_sql(),

@@ -4664,3 +4664,143 @@ SELECT round(lift, 6) AS lift, round(p1, 6) AS p1, round(p2, 6) AS p2,
          AS BIGINT) AS total_days
 FROM d ORDER BY lift
 """
+
+
+def cohens_kappa_sql(len_chars: int = 200, len_tokens: int = 40) -> str:
+    """Mirror of pipeline.cohens_kappa: same rule flags, same exact
+    cells and chance-agreement operand order."""
+    return f"""
+WITH r AS (SELECT CASE WHEN n_chars >= {int(len_chars)} THEN 1 ELSE 0 END
+             AS a,
+                  CASE WHEN len(list_filter(string_split(text, ' '),
+                                            t -> t != ''))
+                            >= {int(len_tokens)} THEN 1 ELSE 0 END AS b
+           FROM documents),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n00,
+               CAST(sum(a) AS BIGINT) AS na,
+               CAST(sum(b) AS BIGINT) AS nb
+        FROM r),
+m AS (SELECT n,
+             CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+             (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+             + (1.0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+      FROM agg)
+SELECT n, round(po, 6) AS po, round(pe, 6) AS pe,
+       round((po - pe) / (1.0 - pe), 6) AS kappa
+FROM m
+"""
+
+
+def partial_spearman_sql() -> str:
+    """Mirror of pipeline.partial_spearman: doubled-integer ranks over
+    the triple relation, raw-sum pairwise correlations, closed-form
+    partial from the ROUNDED r's."""
+    def rank_cte(col):
+        return f"""g{col} AS (SELECT {col}, CAST(sum(c) AS BIGINT) AS cc
+        FROM trip GROUP BY {col}),
+r{col}_ AS (SELECT {col},
+              CAST(2 * (sum(cc) OVER (ORDER BY {col}
+                        ROWS UNBOUNDED PRECEDING) - cc) + cc + 1
+                AS BIGINT) AS r{col}
+       FROM g{col})"""
+
+    def corr(ab, a, b):
+        return f"""round((CAST(n AS DOUBLE) * CAST({ab} AS DOUBLE)
+              - CAST(s{a} AS DOUBLE) * CAST(s{b} AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(s{a}{a} AS DOUBLE)
+                     - CAST(s{a} AS DOUBLE) * CAST(s{a} AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(s{b}{b} AS DOUBLE)
+                       - CAST(s{b} AS DOUBLE) * CAST(s{b} AS DOUBLE))), 6)"""
+
+    return f"""
+WITH trip AS (SELECT l_quantity AS x, l_extendedprice AS y,
+                     l_discount AS z, CAST(count(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1, 2, 3),
+{rank_cte("x")},
+{rank_cte("y")},
+{rank_cte("z")},
+s AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * rx) AS BIGINT) AS sx,
+             CAST(sum(c * ry) AS BIGINT) AS sy,
+             CAST(sum(c * rz) AS BIGINT) AS sz,
+             CAST(sum(c * rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(c * ry * ry) AS BIGINT) AS syy,
+             CAST(sum(c * rz * rz) AS BIGINT) AS szz,
+             CAST(sum(c * rx * ry) AS BIGINT) AS sxy,
+             CAST(sum(c * rx * rz) AS BIGINT) AS sxz,
+             CAST(sum(c * ry * rz) AS BIGINT) AS syz
+      FROM trip JOIN rx_ USING (x) JOIN ry_ USING (y) JOIN rz_ USING (z)),
+cc AS (SELECT n,
+              {corr("sxy", "x", "y")} AS r_xy,
+              {corr("sxz", "x", "z")} AS r_xz,
+              {corr("syz", "y", "z")} AS r_yz
+       FROM s)
+SELECT n, r_xy, r_xz, r_yz,
+       round((r_xy - r_xz * r_yz)
+             / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6)
+         AS r_xy_z
+FROM cc
+"""
+
+
+def levene_test_sql() -> str:
+    """Mirror of pipeline.levene_test: per-group median deviations
+    (quantile_cont parity), anova_f raw-sum closed form."""
+    return """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY event_type),
+d AS (SELECT e.event_type, abs(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nj,
+             sum(d) AS sj, sum(d * d) AS ssj
+      FROM d GROUP BY event_type),
+a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nj) AS BIGINT) AS n,
+             sum(sj) AS s, sum(sj * sj / CAST(nj AS DOUBLE)) AS sq,
+             sum(ssj) AS ss
+      FROM g),
+m2 AS (SELECT k, n, sq - s * s / CAST(n AS DOUBLE) AS ssb,
+              ss - sq AS ssw
+       FROM a)
+SELECT k, n,
+       round((ssb / CAST(k - 1 AS DOUBLE))
+             / (ssw / CAST(n - k AS DOUBLE)), 6) AS w_stat
+FROM m2
+"""
+
+
+def ljung_box_sql(max_lag: int = 7) -> str:
+    """Mirror of pipeline.ljung_box: the autocorrelation_sql relation,
+    rounded per-lag contributions, cumulative Q."""
+    day = 86_400_000_000
+    return f"""
+WITH x AS (SELECT epoch_us(ts) // {day} AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+st AS (SELECT CAST(sum(x) AS BIGINT) / count(*) AS m FROM x),
+s0 AS (SELECT sum((x - m) * (x - m)) AS s0 FROM x CROSS JOIN st),
+lags AS (SELECT CAST(unnest(range(1, {int(max_lag) + 1})) AS INTEGER)
+           AS lag),
+ac AS (SELECT l.lag AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+              round(sum((a.x - m) * (b.x - m)) / s0.s0, 6) AS acf
+       FROM x a CROSS JOIN st CROSS JOIN lags l
+       JOIN x b ON b.day = a.day + l.lag
+       CROSS JOIN s0
+       GROUP BY l.lag, s0.s0),
+c AS (SELECT *,
+             CAST(n_pairs + lag AS BIGINT) AS nd,
+             round(acf * acf / CAST(n_pairs AS DOUBLE), 6) AS ct
+      FROM ac),
+q AS (SELECT lag, acf,
+             CAST(nd AS DOUBLE) * CAST(nd + 2 AS DOUBLE)
+             * sum(ct) OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING)
+               AS qraw
+      FROM c)
+SELECT lag, acf, round(qraw, 6) AS q_stat
+FROM q ORDER BY lag
+"""

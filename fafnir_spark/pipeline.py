@@ -6064,3 +6064,150 @@ def power_analysis(events: DataFrame, event_type: str = "purchase",
         F.ceil(F.lit(2.0) * F.col("n_arm").cast("double") / daily)
         .cast("long").alias("total_days"))
         .orderBy("lift"))
+
+
+def cohens_kappa(docs: DataFrame, len_chars: int = 200,
+                 len_tokens: int = 40) -> DataFrame:
+    """Cohen's kappa (1960) — inter-rater agreement between the two
+    binary quality rules of mcnemar_test: po = observed agreement, pe =
+    chance agreement from the marginals, kappa = (po − pe)/(1 − pe).
+    EXACT integer cells until the final divisions (one conditional
+    corpus pass). One row: (n, po, pe, kappa)."""
+    from .tokenizer import tokens_expr
+    fa = (F.col("n_chars") >= len_chars).cast("int")
+    fb = (F.size(tokens_expr("text")) >= len_tokens).cast("int")
+    r = docs.select(fa.alias("a"), fb.alias("b"))
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1)
+              .otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1)
+              .otherwise(0)).cast("long").alias("n00"),
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"))
+    po = (F.col("n11") + F.col("n00")).cast("double") \
+        / F.col("n").cast("double")
+    pa = F.col("na").cast("double") / F.col("n").cast("double")
+    pb = F.col("nb").cast("double") / F.col("n").cast("double")
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    agg = agg.withColumn("po", po).withColumn("pe", pe)
+    return agg.select(
+        "n", F.round("po", 6).alias("po"), F.round("pe", 6).alias("pe"),
+        F.round((F.col("po") - F.col("pe"))
+                / (F.lit(1.0) - F.col("pe")), 6).alias("kappa"))
+
+
+def partial_spearman(lineitem: DataFrame) -> DataFrame:
+    """Partial Spearman correlation of l_quantity and l_extendedprice
+    controlling for l_discount: the three pairwise rank correlations
+    come from DOUBLED-INTEGER average ranks (the spearman_corr
+    machinery — every sum exact BIGINT), then the closed form
+
+        r_xy.z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))
+
+    over the ROUNDED pairwise r's (deterministic chaining — the kmeans
+    rule). Scale shape: ONE groupBy over the (x, y, z) triple relation;
+    rank windows only over bounded distinct-value relations. One row:
+    (n, r_xy, r_xz, r_yz, r_xy_z)."""
+    rows = lineitem.select(F.col("l_quantity").alias("x"),
+                           F.col("l_extendedprice").alias("y"),
+                           F.col("l_discount").alias("z"))
+    trip = (rows.groupBy("x", "y", "z")
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+
+    def rank2(col: str) -> DataFrame:
+        g = trip.groupBy(col).agg(F.sum("c").cast("long").alias("cc"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return g.select(
+            F.col(col),
+            (F.lit(2) * (F.sum("cc").over(w) - F.col("cc"))
+             + F.col("cc") + 1).cast("long").alias(f"r{col}"))
+
+    j = (trip.join(rank2("x"), "x").join(rank2("y"), "y")
+         .join(rank2("z"), "z"))
+    s = j.agg(
+        F.sum("c").cast("long").alias("n"),
+        *[F.sum(F.col("c") * F.col(f"r{a}")).cast("long").alias(f"s{a}")
+          for a in "xyz"],
+        *[F.sum(F.col("c") * F.col(f"r{a}") * F.col(f"r{a}"))
+          .cast("long").alias(f"s{a}{a}") for a in "xyz"],
+        F.sum(F.col("c") * F.col("rx") * F.col("ry")).cast("long")
+        .alias("sxy"),
+        F.sum(F.col("c") * F.col("rx") * F.col("rz")).cast("long")
+        .alias("sxz"),
+        F.sum(F.col("c") * F.col("ry") * F.col("rz")).cast("long")
+        .alias("syz"))
+
+    def corr(ab, a, b):
+        num = (F.col("n").cast("double") * F.col(ab).cast("double")
+               - F.col(f"s{a}").cast("double")
+               * F.col(f"s{b}").cast("double"))
+        da = (F.col("n").cast("double") * F.col(f"s{a}{a}").cast("double")
+              - F.col(f"s{a}").cast("double")
+              * F.col(f"s{a}").cast("double"))
+        db = (F.col("n").cast("double") * F.col(f"s{b}{b}").cast("double")
+              - F.col(f"s{b}").cast("double")
+              * F.col(f"s{b}").cast("double"))
+        return F.round(num / (F.sqrt(da) * F.sqrt(db)), 6)
+
+    s = (s.withColumn("r_xy", corr("sxy", "x", "y"))
+         .withColumn("r_xz", corr("sxz", "x", "z"))
+         .withColumn("r_yz", corr("syz", "y", "z")))
+    part = ((F.col("r_xy") - F.col("r_xz") * F.col("r_yz"))
+            / F.sqrt((F.lit(1.0) - F.col("r_xz") * F.col("r_xz"))
+                     * (F.lit(1.0) - F.col("r_yz") * F.col("r_yz"))))
+    return s.select("n", "r_xy", "r_xz", "r_yz",
+                    F.round(part, 6).alias("r_xy_z"))
+
+
+def levene_test(events: DataFrame) -> DataFrame:
+    """Brown-Forsythe test (the robust Levene variant, 1974) for
+    variance equality of ``value`` across event types: deviations from
+    the per-group MEDIAN (quantile_cont parity), then the one-way ANOVA
+    F on the deviations (the anova_f raw-sum closed form; deviation
+    magnitudes ~1e2 — the extended_stats double-sum precedent). Two
+    map-side-combined passes + a broadcast ≤|types| median join. One
+    row: (k, n, w_stat)."""
+    med = (events.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5D)").alias("med")))
+    d = (events.select("event_type", "value")
+         .join(F.broadcast(med), "event_type")
+         .select("event_type",
+                 F.abs(F.col("value") - F.col("med")).alias("d")))
+    g = (d.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("nj"),
+              F.sum("d").alias("sj"),
+              F.sum(F.col("d") * F.col("d")).alias("ssj")))
+    a = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("nj").cast("long").alias("n"),
+        F.sum("sj").alias("s"),
+        F.sum(F.col("sj") * F.col("sj") / F.col("nj").cast("double"))
+        .alias("sq"),
+        F.sum("ssj").alias("ss"))
+    ssb = F.col("sq") - F.col("s") * F.col("s") / F.col("n").cast("double")
+    ssw = F.col("ss") - F.col("sq")
+    a = a.withColumn("ssb", ssb).withColumn("ssw", ssw)
+    w = ((F.col("ssb") / (F.col("k") - 1).cast("double"))
+         / (F.col("ssw") / (F.col("n") - F.col("k")).cast("double")))
+    return a.select("k", "n", F.round(w, 6).alias("w_stat"))
+
+
+def ljung_box(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test (1978) on the daily-count
+    ACF: Q(m) = n(n+2)·Σ_{k≤m} ρ_k²/(n−k), built from the ROUNDED
+    autocorrelation values (deterministic chaining — the kmeans rule);
+    n−k is exactly the lag's pair count, carried on the ACF relation.
+    Per-lag contributions rounded 6 before the cumulative Σ (the ece
+    rule); windows over the ≤max_lag relation. (lag, acf, q_stat)
+    ordered by lag."""
+    ac = autocorrelation(events, max_lag)
+    nd = (F.col("n_pairs") + F.col("lag")).cast("long")
+    contrib = F.round(F.col("acf") * F.col("acf")
+                      / F.col("n_pairs").cast("double"), 6)
+    ac = (ac.withColumn("nd", nd).withColumn("ct", contrib))
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    q = (F.col("nd").cast("double") * (F.col("nd") + 2).cast("double")
+         * F.sum("ct").over(w))
+    return (ac.select("lag", "acf", F.round(q, 6).alias("q_stat"))
+            .orderBy("lag"))
