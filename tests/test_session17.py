@@ -523,3 +523,65 @@ def test_ks_self_is_zero(spark, events):
     both = ev.unionByName(ev.withColumn("event_type", F.lit("purchase")))
     r2 = ks_test_two_sample(both).collect()[0]
     assert r2["d_stat"] == 0.0 and r2["n_a"] == r2["n_b"]
+
+
+def test_batch20_stat_laws(spark, events):
+    from fafnir_spark.pipeline import (
+        cohens_kappa,
+        levene_test,
+        ljung_box,
+        partial_spearman,
+        power_analysis,
+        yuen_t_test,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kap = cohens_kappa(docs).collect()[0]
+    assert -1.0 <= kap["kappa"] <= 1.0 and 0.0 <= kap["po"] <= 1.0
+
+    lv = levene_test(events).collect()[0]
+    assert lv["w_stat"] >= 0.0 and lv["k"] == 5
+
+    lb = ljung_box(events).collect()
+    qs = [r["q_stat"] for r in lb]
+    assert qs == sorted(qs) and all(q >= 0 for q in qs)  # Q cumulative
+
+    ps = partial_spearman(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")).collect()[0]
+    for c in ("r_xy", "r_xz", "r_yz", "r_xy_z"):
+        assert -1.0 - 1e-9 <= ps[c] <= 1.0 + 1e-9
+
+    yu = yuen_t_test(events).collect()[0]
+    assert yu["h_a"] <= yu["n_a"] and yu["h_b"] <= yu["n_b"]
+    assert yu["df"] > 0
+
+    pa = power_analysis(events).collect()
+    ns = [r["n_per_arm"] for r in pa]
+    assert ns == sorted(ns, reverse=True)  # bigger lift -> smaller n
+
+
+def test_stream_stat_siblings_equal_batch(spark, events):
+    from fafnir_spark.pipeline import (
+        mutual_information,
+        qini_uplift,
+        two_proportion_z,
+    )
+    from fafnir_spark.streaming import (
+        stream_mutual_information,
+        stream_qini_uplift,
+        stream_two_proportion_z,
+    )
+
+    base = tempfile.mkdtemp(prefix="fafnir_s17c_t_")
+    src = os.path.join(base, "src")
+    events.repartition(4).write.parquet(src)
+    pairs = [
+        (stream_mutual_information, mutual_information, "a"),
+        (stream_two_proportion_z, two_proportion_z, "b"),
+        (stream_qini_uplift, qini_uplift, "c"),
+    ]
+    for sfn, bfn, tag in pairs:
+        got = sfn(spark, src, os.path.join(base, f"ck{tag}"),
+                  os.path.join(base, f"st{tag}"))
+        assert [tuple(r) for r in got.collect()] == \
+            [tuple(r) for r in bfn(events).collect()]
