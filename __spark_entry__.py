@@ -4308,6 +4308,13 @@ def _q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the Holt-Winters fits vs the season-7 naive benchmark."""
+    from fafnir_spark.pipeline import forecast_mase
+
+    return forecast_mase(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the two mcnemar quality rules: exact cells,
     marginal chance agreement."""
@@ -6141,6 +6148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yuen_t_test": _q_yuen_t_test,
         "stream_mutual_information": _q_stream_mutual_information,
         "cohens_kappa": _q_cohens_kappa,
+        "forecast_mase": _q_forecast_mase,
         "partial_spearman": _q_partial_spearman,
         "levene_test": _q_levene_test,
         "ljung_box": _q_ljung_box,
@@ -6895,6 +6903,7 @@ ORDER BY term ASC LIMIT 10
         "stream_mutual_information":
             oracles_pipeline.mutual_information_sql(),
         "cohens_kappa": oracles_pipeline.cohens_kappa_sql(),
+        "forecast_mase": oracles_pipeline.forecast_mase_sql(),
         "partial_spearman": oracles_pipeline.partial_spearman_sql(),
         "levene_test": oracles_pipeline.levene_test_sql(),
         "ljung_box": oracles_pipeline.ljung_box_sql(),

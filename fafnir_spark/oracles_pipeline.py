@@ -4804,3 +4804,25 @@ q AS (SELECT lag, acf,
 SELECT lag, acf, round(qraw, 6) AS q_stat
 FROM q ORDER BY lag
 """
+
+
+def forecast_mase_sql() -> str:
+    """Mirror of pipeline.forecast_mase: the holt_winters_sql output as
+    a subquery (never a hand-re-derived recursion), the same rounded
+    bucket series and lag-7 naive."""
+    hw = holt_winters_sql()
+    return f"""
+WITH hw AS ({hw}),
+b AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             round(sum(value), 6) AS x
+      FROM events GROUP BY 1),
+l AS (SELECT day, x, lag(x, 7) OVER (ORDER BY day) AS nv FROM b),
+j AS (SELECT hw.day, hw.resid, l.x, l.nv FROM hw JOIN l USING (day)),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+               round(avg(abs(resid)), 6) AS mae_model,
+               round(avg(abs(x - nv)), 6) AS mae_naive
+        FROM j)
+SELECT n_eval, mae_model, mae_naive,
+       round(mae_model / mae_naive, 6) AS mase
+FROM agg
+"""

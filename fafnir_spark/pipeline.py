@@ -6211,3 +6211,30 @@ def ljung_box(events: DataFrame, max_lag: int = 7) -> DataFrame:
          * F.sum("ct").over(w))
     return (ac.select("lag", "acf", F.round(q, 6).alias("q_stat"))
             .orderBy("lag"))
+
+
+def forecast_mase(events: DataFrame) -> DataFrame:
+    """MASE forecast-accuracy evaluation (Hyndman & Koehler 2006) of the
+    Holt-Winters one-step fits against the season-7 naive benchmark
+    x̂_t = x_{t−7}, on the same rounded daily value-sum series:
+    MAE_model = mean |resid| over the fitted days (residuals are the
+    already-ROUNDED holt_winters outputs), MAE_naive = mean
+    |x_t − x_{t−7}| over the same days, MASE = MAE_model/MAE_naive —
+    < 1 means the model beats the seasonal naive. All relations are
+    ≤|days| bounded; the lag runs over the deterministic day order.
+    One row: (n_eval, mae_model, mae_naive, mase)."""
+    hw = holt_winters(events)
+    b = (events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
+                                      "yyyy-MM-dd").alias("day"))
+         .agg(F.round(F.sum("value"), 6).alias("x")))
+    w = Window.orderBy("day")
+    b = b.withColumn("nv", F.lag("x", 7).over(w))
+    j = hw.select("day", "resid").join(b.select("day", "x", "nv"), "day")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(F.avg(F.abs(F.col("resid"))), 6).alias("mae_model"),
+        F.round(F.avg(F.abs(F.col("x") - F.col("nv"))), 6)
+        .alias("mae_naive"))
+    return agg.select(
+        "n_eval", "mae_model", "mae_naive",
+        F.round(F.col("mae_model") / F.col("mae_naive"), 6).alias("mase"))
