@@ -4823,6 +4823,7 @@ agg AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
                round(avg(abs(x - nv)), 6) AS mae_naive
         FROM j)
 SELECT n_eval, mae_model, mae_naive,
-       round(mae_model / mae_naive, 6) AS mase
+       round(CASE WHEN mae_naive > 0 THEN mae_model / mae_naive
+                  ELSE 0.0 END, 6) AS mase
 FROM agg
 """

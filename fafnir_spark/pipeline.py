@@ -6235,6 +6235,10 @@ def forecast_mase(events: DataFrame) -> DataFrame:
         F.round(F.avg(F.abs(F.col("resid"))), 6).alias("mae_model"),
         F.round(F.avg(F.abs(F.col("x") - F.col("nv"))), 6)
         .alias("mae_naive"))
+    # a constant series has MAE_naive == 0 — pin MASE to 0.0 (both
+    # engines; ANSI mode raises on 0/0 otherwise)
     return agg.select(
         "n_eval", "mae_model", "mae_naive",
-        F.round(F.col("mae_model") / F.col("mae_naive"), 6).alias("mase"))
+        F.round(F.when(F.col("mae_naive") > 0,
+                       F.col("mae_model") / F.col("mae_naive"))
+                .otherwise(F.lit(0.0)), 6).alias("mase"))

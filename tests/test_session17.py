@@ -585,3 +585,15 @@ def test_stream_stat_siblings_equal_batch(spark, events):
                   os.path.join(base, f"st{tag}"))
         assert [tuple(r) for r in got.collect()] == \
             [tuple(r) for r in bfn(events).collect()]
+
+
+def test_forecast_mase_laws(spark, events):
+    from fafnir_spark.pipeline import forecast_mase
+
+    r = forecast_mase(events).collect()[0]
+    assert r["mase"] >= 0.0 and r["mae_model"] >= 0.0
+    assert r["n_eval"] == 23  # 30-day fixture -> days 8..30
+    # constant series: both MAEs zero, MASE pinned 0.0 (no 0/0)
+    rc = forecast_mase(_mk_events(spark, [5.0] * 28)).collect()[0]
+    assert rc["mae_model"] == 0.0 and rc["mae_naive"] == 0.0 \
+        and rc["mase"] == 0.0
