@@ -1,0 +1,359 @@
+#!/usr/bin/env python
+"""Per-sub-op isolation bench (guide §1.4) — NOT the driver-timed bench.
+
+bench.py times whole sweeps; this file times each sweep member separately
+(same session shape, same data, same actions) so optimization work can be
+targeted and before/after evidence recorded in OPTIMIZATION_r06.md.
+
+Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 python bench_extra.py [group ...]
+Groups default to all. Prints one JSON line {op: sec, ...} (best of reps).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_EXTRA_REPS", "2"))
+    groups = set(sys.argv[1:]) or None
+
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.session import get_spark
+
+    spark = get_spark("fafnir-bench-extra", cores=cpus)
+    work = tempfile.mkdtemp(prefix="fafnir_bx_")
+    timings: dict[str, float] = {}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qvecs = {
+        f"bq{i}": [((d * 31 + i * 7) % 29 - 14) / 15.0 for d in range(64)]
+        for i in range(8)
+    }
+
+    def timed(group: str, name: str, fn):
+        if groups is not None and group not in groups:
+            return
+        spark.sparkContext.setJobDescription(f"{group}:{name}")
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[f"{group}.{name}"] = round(best, 3)
+        spark.sparkContext.setJobDescription(None)
+
+    # warmup (untimed): one tiny job so JVM/codegen base warmup is paid
+    docs.limit(100).count()
+
+    # ---------------- s12 ----------------
+    from fafnir_spark.curation import kneser_ney_logprob
+    from fafnir_spark.esql import esql
+    from fafnir_spark.pipeline import children_agg, derive_client_ips
+    from fafnir_spark.query_ext import span_multi_prefix, suggest_context
+    from fafnir_spark.scoring import search_as_you_type
+    from fafnir_spark.search_api import runtime_search
+    from fafnir_spark.simsearch import nested_knn_topk
+
+    qv = [((i * 37) % 29 - 14) / 15.0 for i in range(64)]
+    timed("s12", "search_as_you_type",
+          lambda: search_as_you_type(docs, ["group", "merge", "cu"], k=10).count())
+    timed("s12", "kneser_ney_logprob", lambda: kneser_ney_logprob(docs).count())
+    timed("s12", "nested_knn_topk", lambda: nested_knn_topk(emb, qv, k=10).count())
+    timed("s12", "children_agg", lambda: children_agg(docs, events).count())
+    timed("s12", "span_multi_prefix",
+          lambda: span_multi_prefix(docs, "s", "merge", slop=1).count())
+    timed("s12", "suggest_context",
+          lambda: suggest_context(docs, "s", {"en": 2.0, "de": 1.0}).count())
+    timed("s12", "runtime_search", lambda: runtime_search(orders, {
+        "runtime_mappings": {"band": {"type": "keyword", "script":
+            "CASE(o_totalprice >= 150000, 'big', 'small')"}},
+        "aggs": {"b": {"terms": {"field": "band", "size": 10}}},
+    }).count())
+    timed("s12", "esql_cidr", lambda: esql(
+        spark, 'FROM access | WHERE CIDR_MATCH(ip, "10.3.0.0/16") '
+               '| STATS n = count(*) BY event_type',
+        {"access": derive_client_ips(events)}).count())
+
+    # ---------------- s14 ----------------
+    from fafnir_spark.pipeline import cohort_retention, funnel_steps, graph_bfs_hops
+    from fafnir_spark.query_ext import accentify_docs, asciifolding_bm25
+    from fafnir_spark.scoring import bm25_plus_topk
+    from fafnir_spark.textstats import (
+        hashing_tf,
+        textrank_keywords,
+        token_graph_triangles,
+    )
+
+    timed("s14", "funnel_steps", lambda: funnel_steps(events).count())
+    timed("s14", "cohort_retention", lambda: cohort_retention(events).count())
+    timed("s14", "textrank_keywords", lambda: textrank_keywords(docs).count())
+    timed("s14", "token_graph_triangles",
+          lambda: token_graph_triangles(docs).count())
+    timed("s14", "hashing_tf", lambda: hashing_tf(docs).count())
+    timed("s14", "bm25_plus_topk",
+          lambda: bm25_plus_topk(docs, ["merge", "window", "customer"], k=10).count())
+    timed("s14", "asciifolding_bm25",
+          lambda: asciifolding_bm25(accentify_docs(docs), ["merge", "window"],
+                                    k=10).count())
+    timed("s14", "graph_bfs_hops",
+          lambda: graph_bfs_hops(orders, li, [1, 2, 3, 5, 8], max_hops=3).count())
+
+    # ---------------- s15 ----------------
+    from fafnir_spark.curation import span_corruption
+    from fafnir_spark.pipeline import (
+        attribution,
+        graph_kcore,
+        holt_linear,
+        link_prediction,
+        top_paths,
+    )
+
+    timed("s15", "attribution", lambda: attribution(events).count())
+    timed("s15", "top_paths", lambda: top_paths(events).count())
+    timed("s15", "holt_linear", lambda: holt_linear(events).count())
+    timed("s15", "span_corruption", lambda: span_corruption(docs).count())
+    timed("s15", "graph_kcore", lambda: graph_kcore(orders, li, k=3, rounds=5).count())
+    timed("s15", "link_prediction", lambda: link_prediction(orders, li, k=20).count())
+
+    # ---------------- s17 ----------------
+    from fafnir_spark.curation import ctfidf_terms
+    from fafnir_spark.pipeline import (
+        als_rank1,
+        grouping_sets_agg,
+        hampel_outliers,
+        kruskal_wallis,
+        pricing_summary,
+        rake_keywords,
+        scd2_build,
+    )
+
+    timed("s17", "kruskal_wallis", lambda: kruskal_wallis(events).count())
+    timed("s17", "scd2_build", lambda: scd2_build(orders).count())
+    timed("s17", "pricing_summary", lambda: pricing_summary(li).count())
+    timed("s17", "grouping_sets_agg", lambda: grouping_sets_agg(li).count())
+    timed("s17", "als_rank1", lambda: als_rank1(orders, li).count())
+    timed("s17", "hampel_outliers", lambda: hampel_outliers(events).count())
+    timed("s17", "rake_keywords", lambda: rake_keywords(docs).count())
+    timed("s17", "ctfidf_terms", lambda: ctfidf_terms(docs).count())
+
+    # ---------------- extras ----------------
+    from fafnir_spark.query_ext import graph_explore
+    from fafnir_spark.simsearch import maxsim_topk, sq8_cosine_topk
+    from fafnir_spark.sketches import hll_cardinality
+
+    timed("extras", "hll_cardinality", lambda: hll_cardinality(events).count())
+    timed("extras", "sq8_cosine_topk",
+          lambda: sq8_cosine_topk(emb, qvecs, k=10).count())
+    qtoks = [[((i * 53 + t * 17) % 31 - 15) / 16.0 for i in range(16)]
+             for t in range(2)]
+    timed("extras", "maxsim_topk", lambda: maxsim_topk(emb, qtoks, k=10).count())
+    timed("extras", "graph_explore",
+          lambda: graph_explore(docs, ["merge"], hops=2, k=5, min_cooc=2).count())
+    timed("extras", "esql_stats", lambda: esql(
+        spark, 'FROM events | WHERE value >= 5.0 | STATS n = count(*), '
+               'total = sum(value) BY event_type | SORT total DESC | LIMIT 5',
+        {"events": events}).count())
+
+    # ---------------- curation ----------------
+    from fafnir_spark.curation import (
+        decontaminate,
+        inject_pii,
+        pack_sequences,
+        pii_scrub,
+        unigram_logprob,
+    )
+
+    def _decon():
+        train = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 0)
+        bench_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+        return decontaminate(train, bench_docs, n=3).count()
+
+    timed("curation", "decontaminate", _decon)
+    timed("curation", "pack_sequences", lambda: pack_sequences(docs, budget=512).count())
+    timed("curation", "pii_scrub", lambda: pii_scrub(inject_pii(docs)).count())
+    timed("curation", "unigram_logprob", lambda: unigram_logprob(docs).count())
+
+    # ---------------- scoring ----------------
+    from fafnir_spark.dedup import winnow_fingerprints
+    from fafnir_spark.query_ext import multi_match_cross_fields
+    from fafnir_spark.scoring import dis_max, function_score_gauss
+    from fafnir_spark.simsearch import pq_cosine_topk
+
+    timed("scoring", "dis_max",
+          lambda: dis_max(docs, [["merge", "window"], ["spark", "slow"]], k=10).count())
+    timed("scoring", "function_score_gauss",
+          lambda: function_score_gauss(docs, ["merge", "window"], 200.0, 100.0,
+                                       k=10).count())
+
+    def _cross():
+        dt = docs.withColumn(
+            "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " "))
+        return multi_match_cross_fields(
+            dt, ["merge", "window"], {"text": 1.0, "title": 2.0}, k=10).count()
+
+    timed("scoring", "multi_match_cross_fields", _cross)
+    timed("scoring", "winnow_fingerprints",
+          lambda: winnow_fingerprints(docs).count())
+    timed("scoring", "pq_cosine_topk",
+          lambda: pq_cosine_topk(emb, qvecs["bq0"], k=10).count())
+
+    # ---------------- r5 ----------------
+    from fafnir_spark.dedup import fingerprint_duplicates
+    from fafnir_spark.query_ext import (
+        html_strip_bm25,
+        htmlify_docs,
+        significant_text,
+        stemmed_bm25,
+    )
+    from fafnir_spark.simsearch import bq_cosine_topk
+
+    timed("r5", "stemmed_bm25",
+          lambda: stemmed_bm25(docs, ["merges", "queries", "windows"], k=10).count())
+    timed("r5", "html_strip_bm25",
+          lambda: html_strip_bm25(htmlify_docs(docs), ["merge", "anchor"], k=10).count())
+    timed("r5", "bq_cosine_topk", lambda: bq_cosine_topk(emb, qvecs, k=10).count())
+    timed("r5", "fingerprint_duplicates",
+          lambda: fingerprint_duplicates(docs).count())
+    timed("r5", "significant_text",
+          lambda: significant_text(docs, ["merge"], k=10).count())
+
+    # ---------------- s9 ----------------
+    from fafnir_spark.pipeline import downsample_tsdb, sampler_agg_terms
+    from fafnir_spark.query_ext import simple_query_string_bm25
+    from fafnir_spark.textstats import bpe_apply
+
+    timed("s9", "simple_query_string",
+          lambda: simple_query_string_bm25(docs, "merge window | vector -slow",
+                                           k=10).count())
+    timed("s9", "downsample_tsdb", lambda: downsample_tsdb(events, interval_hours=6).count())
+    timed("s9", "sampler_agg_terms",
+          lambda: sampler_agg_terms(docs, ["merge", "window", "customer"],
+                                    shard_size=100).count())
+    timed("s9", "bpe_apply", lambda: bpe_apply(docs, ["e r", "e s", "t h"], k=20).count())
+
+    # ---------------- s10 ----------------
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.pipeline import asof_join, range_join
+    from fafnir_spark.wand import routed_search
+
+    clicks = events.filter(F.col("event_type") == "click")
+    timed("s10", "asof_join", lambda: asof_join(
+        clicks, events.filter(F.col("event_type") == "purchase"),
+        key="user_id", bucket_hours=24).count())
+
+    def _range():
+        iv = events.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"), "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
+        return range_join(clicks.select("user_id", "ts", "event_id"), iv,
+                          key="user_id").count()
+
+    timed("s10", "range_join", _range)
+
+    def _routed():
+        rroot = os.path.join(work, f"idx_routed{time.time_ns()}")
+        build_index(spark, normalize_docs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            id_col="doc_id", text_col="text"), rroot,
+            n_parts=4, block_size=128, tokenizer="whitespace",
+            build_id="bench_r", resume=False, routing_col="source")
+        return routed_search(spark, rroot, "src3",
+                             {"q": ["merge", "window", "customer"]}, k=10).count()
+
+    timed("s10", "routed_build_search", _routed)
+
+    # ---------------- s11 ----------------
+    from fafnir_spark.datastream import (
+        build_data_stream, count_data_stream_range, data_stream_range_agg)
+    from fafnir_spark.eql import eql_sequence
+    from fafnir_spark.geo import trajectory_envelope_match
+    from fafnir_spark.kql import kql_filter
+    from fafnir_spark.pipeline import anomaly_hourly, rollup_search
+
+    timed("s11", "eql_sequence", lambda: eql_sequence(
+        events, ["signup", "purchase"], maxspan_secs=48 * 3600,
+        until="error").count())
+
+    def _ds():
+        dsroot = os.path.join(work, f"ds_bench{time.time_ns()}")
+        build_data_stream(spark, events, dsroot)
+        lo, hi = 1704412800 * 10**6, 1705968000 * 10**6 - 1
+        n = data_stream_range_agg(spark, dsroot, lo, hi).count()
+        n += count_data_stream_range(spark, dsroot, lo, hi).count()
+        return n
+
+    timed("s11", "data_stream_build_agg", _ds)
+    timed("s11", "rollup_search", lambda: rollup_search(
+        events, downsample_tsdb(events), 1705363200 * 10**6).count())
+    timed("s11", "trajectory_envelope",
+          lambda: trajectory_envelope_match(events, 0, 40, 25, 50).count())
+    timed("s11", "kql_filter", lambda: kql_filter(
+        docs, "lang:en and (text:merge or text:window) "
+              "and n_chars >= 150").count())
+    timed("s11", "anomaly_hourly", lambda: anomaly_hourly(events).count())
+
+    # ---------------- s13 ----------------
+    from fafnir_spark.es_sql import es_sql
+    from fafnir_spark.layout import zorder_cells
+    from fafnir_spark.search_api import scripted_metric
+    from fafnir_spark.textstats import unigram_segment
+
+    timed("s13", "unigram_segment", lambda: unigram_segment(
+        docs, vocab_size=24, min_freq=2, max_piece_len=4, seg_max_len=10).count())
+    timed("s13", "zorder_cells",
+          lambda: zorder_cells(events, "value", "user_id", bits=5).count())
+    timed("s13", "es_sql", lambda: es_sql(
+        docs, "SELECT source, count(*) AS n FROM documents "
+              "WHERE lang = 'en' GROUP BY source "
+              "HAVING n >= 2 ORDER BY n DESC, source ASC LIMIT 10").count())
+    timed("s13", "scripted_metric", lambda: scripted_metric(
+        events, "event_type",
+        "CASE(value >= 50, value * 2, round(value, 0))", "sum").count())
+    timed("s13", "esql_fork", lambda: esql(
+        spark, 'FROM documents '
+               '| FORK ( EVAL _score = to_double(n_chars) '
+               '| SORT _score DESC, doc_id ASC | LIMIT 20 ) '
+               '( WHERE lang == "en" | EVAL nl = length(text) '
+               '| EVAL _score = to_double(nl) '
+               '| SORT _score DESC, doc_id ASC | LIMIT 20 ) '
+               '| FUSE 60 | LIMIT 15',
+        {"documents": docs}).count())
+
+    # ---------------- direct BM25 / conjunctive ----------------
+    from fafnir_spark.query import bm25_topk_batch, conjunctive_match
+
+    queries = {
+        "q_mwc": ["merge", "window", "customer"],
+        "q_ss": ["spark", "slow"],
+        "q_vb": ["vector", "batch"],
+        "q_qsf": ["query", "sort", "filter"],
+    }
+    timed("direct", "bm25_topk_batch",
+          lambda: bm25_topk_batch(docs, queries, k=10).collect())
+    timed("direct", "conjunctive",
+          lambda: conjunctive_match(docs, queries["q_mwc"]).count())
+
+    out = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

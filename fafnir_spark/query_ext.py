@@ -986,15 +986,13 @@ def phrase_slop(docs: DataFrame, t1: str, t2: str, slop: int = 1,
     cand = conjunctive_match(docs, [t1, t2], text_col=text_col)
     toks = tokens_expr(text_col)
 
-    def positions(term: str) -> F.Column:
-        return F.filter(
-            F.sequence(F.lit(1), F.size(toks)),
-            _pos_pred(toks, term),
-        )
+    def body(s: F.Column) -> F.Column:
+        return F.exists(s["p1"], _slop_pred(s["p2"], slop))
 
-    p1, p2 = positions(t1), positions(t2)
-    hit = F.exists(
-        p1, _slop_pred(p2, slop)
+    hit = _span_let(
+        {"p1": _positions_of(toks, _eq_pred(t1)),
+         "p2": _positions_of(toks, _eq_pred(t2))},
+        body,
     )
     return (
         docs.join(cand, "doc_id")
@@ -1004,13 +1002,41 @@ def phrase_slop(docs: DataFrame, t1: str, t2: str, slop: int = 1,
     )
 
 
-def _pos_pred(toks: F.Column, term: str):
-    """i → tok[i] == term (named helper: PySpark higher-order lambdas must
-    be single-argument closures, never default-arg lambdas)."""
-    def pred(i: F.Column) -> F.Column:
-        return F.get(toks, i - 1) == F.lit(term)
+def _positions_of(toks: F.Column, pred) -> F.Column:
+    """1-based positions i with pred(tok[i]), built in ONE transform-with-
+    index pass over the token array. Never F.filter(F.sequence(1, size),
+    get(toks, i-1)-pred): that re-evaluates the tokenization expression per
+    index (CollapseProject inlines it into every element access) — measured
+    quadratic-per-doc on the span family."""
+    def tag(t: F.Column, i: F.Column) -> F.Column:
+        return F.when(pred(t), i + F.lit(1)).otherwise(F.lit(-1))
+
+    def kept(p: F.Column) -> F.Column:
+        return p > 0
+
+    return F.filter(F.transform(toks, tag), kept)
+
+
+def _eq_pred(term: str):
+    def pred(t: F.Column) -> F.Column:
+        return t == F.lit(term)
 
     return pred
+
+
+def _span_let(bound: dict[str, F.Column], body) -> F.Column:
+    """Bind several heavy per-row arrays ONCE (the winnow lambda-let,
+    struct form): each value in ``bound`` is evaluated exactly once per
+    row and ``body`` receives the struct lambda variable. Without this,
+    a position array referenced inside a nested F.exists is re-built per
+    outer element (the 25x winnow lesson, cubic on span_multi_prefix)."""
+    def f(s: F.Column) -> F.Column:
+        return body(s)
+
+    return F.element_at(
+        F.transform(F.array(F.struct(*[c.alias(k) for k, c in bound.items()])), f),
+        1,
+    )
 
 
 def _slop_pred(p2: F.Column, slop: int):
@@ -1711,14 +1737,14 @@ def span_near_unordered(docs: DataFrame, t1: str, t2: str, slop: int = 2,
     cand = conjunctive_match(docs, [t1, t2], text_col=text_col)
     toks = tokens_expr(text_col)
 
-    def positions(term: str) -> F.Column:
-        return F.filter(
-            F.sequence(F.lit(1), F.size(toks)),
-            _pos_pred(toks, term),
-        )
+    def body(s: F.Column) -> F.Column:
+        return F.exists(s["p1"], _near_pred(s["p2"], slop))
 
-    p1, p2 = positions(t1), positions(t2)
-    hit = F.exists(p1, _near_pred(p2, slop))
+    hit = _span_let(
+        {"p1": _positions_of(toks, _eq_pred(t1)),
+         "p2": _positions_of(toks, _eq_pred(t2))},
+        body,
+    )
     return (
         docs.join(cand, "doc_id")
         .filter(hit)
@@ -1762,14 +1788,14 @@ def span_not(docs: DataFrame, include: str, exclude: str, slop: int = 0,
     cand = conjunctive_match(docs, [include], text_col=text_col)
     toks = tokens_expr(text_col)
 
-    def positions(term: str) -> F.Column:
-        return F.filter(
-            F.sequence(F.lit(1), F.size(toks)),
-            _pos_pred(toks, term),
-        )
+    def body(s: F.Column) -> F.Column:
+        return F.exists(s["p1"], _not_near_pred(s["p2"], slop))
 
-    p1, p2 = positions(include), positions(exclude)
-    hit = F.exists(p1, _not_near_pred(p2, slop))
+    hit = _span_let(
+        {"p1": _positions_of(toks, _eq_pred(include)),
+         "p2": _positions_of(toks, _eq_pred(exclude))},
+        body,
+    )
     return (
         docs.join(cand, "doc_id")
         .filter(hit)
@@ -1811,11 +1837,19 @@ def span_or_near(docs: DataFrame, alts: list[str], then: str, slop: int = 0,
     )
     toks = tokens_expr(text_col)
 
-    def positions(term: str) -> F.Column:
-        return F.filter(F.sequence(F.lit(1), F.size(toks)), _pos_pred(toks, term))
+    def is_alt(t: F.Column) -> F.Column:
+        return t.isin(alts_s)
 
-    por = F.concat(*[positions(a) for a in alts_s])
-    hit = F.exists(por, _slop_pred(positions(then), slop))
+    def body(s: F.Column) -> F.Column:
+        return F.exists(s["por"], _slop_pred(s["pthen"], slop))
+
+    # span_or = position-set union: ONE tagged pass over the token array
+    # (isin) builds the or-positions — same set as concat of per-alt arrays
+    hit = _span_let(
+        {"por": _positions_of(toks, is_alt),
+         "pthen": _positions_of(toks, _eq_pred(then))},
+        body,
+    )
     return (
         docs.join(cand, "doc_id")
         .filter(hit)
@@ -1857,12 +1891,14 @@ def span_multi_prefix(docs: DataFrame, prefix: str, then: str, slop: int = 0,
     )
     toks = tokens_expr(text_col)
 
-    def _pre_pred(i: F.Column) -> F.Column:
-        return F.get(toks, i - 1).startswith(prefix)
+    def body(s: F.Column) -> F.Column:
+        return F.exists(s["ppre"], _slop_pred(s["pthen"], slop))
 
-    ppre = F.filter(F.sequence(F.lit(1), F.size(toks)), _pre_pred)
-    pthen = F.filter(F.sequence(F.lit(1), F.size(toks)), _pos_pred(toks, then))
-    hit = F.exists(ppre, _slop_pred(pthen, slop))
+    hit = _span_let(
+        {"ppre": _positions_of(toks, _is_pref),
+         "pthen": _positions_of(toks, _eq_pred(then))},
+        body,
+    )
     return (
         docs.join(cand, "doc_id")
         .filter(hit)
@@ -1908,11 +1944,14 @@ def intervals_ordered(docs: DataFrame, terms: list[str], max_gaps: int = 2,
     cand = conjunctive_match(docs, terms, text_col=text_col)
     toks = tokens_expr(text_col)
 
-    def positions(term: str) -> F.Column:
-        return F.filter(F.sequence(F.lit(1), F.size(toks)), _pos_pred(toks, term))
+    def body(s: F.Column) -> F.Column:
+        rest = [s[f"p{i}"] for i in range(1, len(terms))]
+        return F.exists(s["p0"], _after_within_pred(rest, 0, max_gaps))
 
-    ps = [positions(t) for t in terms]
-    hit = F.exists(ps[0], _after_within_pred(ps[1:], 0, max_gaps))
+    hit = _span_let(
+        {f"p{i}": _positions_of(toks, _eq_pred(t)) for i, t in enumerate(terms)},
+        body,
+    )
     return (
         docs.join(cand, "doc_id")
         .filter(hit)
@@ -1948,11 +1987,15 @@ def span_containing(docs: DataFrame, t1: str, t2: str, little: str,
     cand = conjunctive_match(docs, [t1, t2, little], text_col=text_col)
     toks = tokens_expr(text_col)
 
-    def positions(term: str) -> F.Column:
-        return F.filter(F.sequence(F.lit(1), F.size(toks)), _pos_pred(toks, term))
+    def body(s: F.Column) -> F.Column:
+        return F.exists(s["p1"], _contains_pred(s["pl"], s["p2"], slop))
 
-    p1, p2, pl = positions(t1), positions(t2), positions(little)
-    hit = F.exists(p1, _contains_pred(pl, p2, slop))
+    hit = _span_let(
+        {"p1": _positions_of(toks, _eq_pred(t1)),
+         "p2": _positions_of(toks, _eq_pred(t2)),
+         "pl": _positions_of(toks, _eq_pred(little))},
+        body,
+    )
     return (
         docs.join(cand, "doc_id")
         .filter(hit)
@@ -1977,21 +2020,24 @@ def span_within(docs: DataFrame, t1: str, t2: str, little: str,
     cand = conjunctive_match(docs, [t1, t2, little], text_col=text_col)
     toks = tokens_expr(text_col)
 
-    def positions(term: str) -> F.Column:
-        return F.filter(F.sequence(F.lit(1), F.size(toks)), _pos_pred(toks, term))
+    def body(s: F.Column) -> F.Column:
+        def enclosed(k: F.Column) -> F.Column:
+            def big_i(i: F.Column) -> F.Column:
+                def big_j(j: F.Column) -> F.Column:
+                    return (j > i) & (j - i - 1 <= F.lit(slop)) & (k >= i) & (k <= j)
 
-    p1, p2, pl = positions(t1), positions(t2), positions(little)
+                return F.exists(s["p2"], big_j)
 
-    def enclosed(k: F.Column) -> F.Column:
-        def big_i(i: F.Column) -> F.Column:
-            def big_j(j: F.Column) -> F.Column:
-                return (j > i) & (j - i - 1 <= F.lit(slop)) & (k >= i) & (k <= j)
+            return F.exists(s["p1"], big_i)
 
-            return F.exists(p2, big_j)
+        return F.size(F.filter(s["pl"], enclosed))
 
-        return F.exists(p1, big_i)
-
-    n_within = F.size(F.filter(pl, enclosed)).cast("long")
+    n_within = _span_let(
+        {"p1": _positions_of(toks, _eq_pred(t1)),
+         "p2": _positions_of(toks, _eq_pred(t2)),
+         "pl": _positions_of(toks, _eq_pred(little))},
+        body,
+    ).cast("long")
     return (
         docs.join(cand, "doc_id")
         .select("doc_id", n_within.alias("n_within"))

@@ -1,0 +1,110 @@
+"""Dump .explain("formatted") for a named bench sub-op to plans/r06/.
+
+Usage: python scripts/plan_r06.py <op> <before|after>
+Ops are registered in OPS below; each returns a DataFrame built exactly the
+way bench.py / bench_extra.py builds it.
+"""
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build(name, spark):
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qvecs = {f"bq{i}": [((d * 31 + i * 7) % 29 - 14) / 15.0 for d in range(64)]
+             for i in range(8)}
+    if name == "span_multi_prefix":
+        from fafnir_spark.query_ext import span_multi_prefix
+        return span_multi_prefix(docs, "s", "merge", slop=1)
+    if name == "link_prediction":
+        from fafnir_spark.pipeline import link_prediction
+        return link_prediction(orders, li, k=20)
+    if name == "graph_kcore":
+        from fafnir_spark.pipeline import graph_kcore
+        return graph_kcore(orders, li, k=3, rounds=5)
+    if name == "graph_explore":
+        from fafnir_spark.query_ext import graph_explore
+        return graph_explore(docs, ["merge"], hops=2, k=5, min_cooc=2)
+    if name == "als_rank1":
+        from fafnir_spark.pipeline import als_rank1
+        return als_rank1(orders, li)
+    if name == "graph_bfs_hops":
+        from fafnir_spark.pipeline import graph_bfs_hops
+        return graph_bfs_hops(orders, li, [1, 2, 3, 5, 8], max_hops=3)
+    if name == "decontaminate":
+        from fafnir_spark.curation import decontaminate
+        train = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 0)
+        bench_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+        return decontaminate(train, bench_docs, n=3)
+    if name == "search_as_you_type":
+        from fafnir_spark.scoring import search_as_you_type
+        return search_as_you_type(docs, ["group", "merge", "cu"], k=10)
+    if name == "pq_cosine_topk":
+        from fafnir_spark.simsearch import pq_cosine_topk
+        return pq_cosine_topk(emb, qvecs["bq0"], k=10)
+    if name == "textrank_keywords":
+        from fafnir_spark.textstats import textrank_keywords
+        return textrank_keywords(docs)
+    if name == "bm25_topk_batch":
+        from fafnir_spark.query import bm25_topk_batch
+        queries = {"q_mwc": ["merge", "window", "customer"],
+                   "q_ss": ["spark", "slow"], "q_vb": ["vector", "batch"],
+                   "q_qsf": ["query", "sort", "filter"]}
+        return bm25_topk_batch(docs, queries, k=10)
+    if name == "rake_keywords":
+        from fafnir_spark.pipeline import rake_keywords
+        return rake_keywords(docs)
+    if name == "sq8_cosine_topk":
+        from fafnir_spark.simsearch import sq8_cosine_topk
+        return sq8_cosine_topk(emb, qvecs, k=10)
+    if name == "significant_text":
+        from fafnir_spark.query_ext import significant_text
+        return significant_text(docs, ["merge"], k=10)
+    if name == "kneser_ney_logprob":
+        from fafnir_spark.curation import kneser_ney_logprob
+        return kneser_ney_logprob(docs)
+    if name == "sampler_agg_terms":
+        from fafnir_spark.pipeline import sampler_agg_terms
+        return sampler_agg_terms(docs, ["merge", "window", "customer"],
+                                 shard_size=100)
+    if name == "stemmed_bm25":
+        from fafnir_spark.query_ext import stemmed_bm25
+        return stemmed_bm25(docs, ["merges", "queries", "windows"], k=10)
+    if name == "dis_max":
+        from fafnir_spark.scoring import dis_max
+        return dis_max(docs, [["merge", "window"], ["spark", "slow"]], k=10)
+    if name == "bq_cosine_topk":
+        from fafnir_spark.simsearch import bq_cosine_topk
+        return bq_cosine_topk(emb, qvecs, k=10)
+    raise SystemExit(f"unknown op {name}")
+
+
+def main():
+    name, tag = sys.argv[1], sys.argv[2]
+    from fafnir_spark.session import get_spark
+    spark = get_spark("plan-r06", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    df = build(name, spark)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    out = f"plans/r06/{name}_{tag}.txt"
+    with open(out, "w") as f:
+        f.write(buf.getvalue())
+    print("wrote", out, len(buf.getvalue()), "bytes")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
