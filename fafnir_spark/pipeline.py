@@ -2845,8 +2845,15 @@ def graph_bfs_hops(orders: DataFrame, lineitem: DataFrame,
                 (F.lit(10**9) + F.col("l_suppkey")).alias("dst"))
         .distinct()
     )
+    # sym is referenced once per hop round — without a lineage cut each
+    # round replans the orders⋈lineitem+distinct+union subtree (max_hops
+    # copies); the pinned repartition keeps the per-round edge⋈dist join
+    # colocated by src and stops AQE collapsing the expansion stage to the
+    # ~14 MB input width (measured 5.2s → 3.2s at sf0.1/32cpu).
+    n_parts = int(orders.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.repartition(n_parts, "src").localCheckpoint()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     dist = (nodes.filter(F.col("node").isin([int(s) for s in seeds]))
             .select("node", F.lit(0).cast("long").alias("d")))
@@ -3320,18 +3327,31 @@ def link_prediction(orders: DataFrame, lineitem: DataFrame,
     negligible but its pair fan-out is deg², so capped witnesses bound
     the join at |edges|·max_deg (the containment_pairs df-cap rule).
     Scores rounded 6 before ordering. (rank, sup_a, sup_b, aa_score)."""
-    cust_sup = (
+    # One PINNED exchange by cust feeds everything: the distinct and the
+    # degree count run on hashpartitioning(cust) (clustered-distribution
+    # subset rule — no further exchange), the witness degree is a window
+    # count instead of a deg-relation join (kills 3 duplicated
+    # orders⋈lineitem subtrees the old deg/witness joins planned), and the
+    # pair self-join is colocated on the same partitioning. The explicit
+    # repartition count matters: AQE sizes the post-shuffle stage by INPUT
+    # bytes (~14 MB here → 1 task) but this stage fans out |edges|·max_deg
+    # pair rows — the exploding stage must be sized to the cluster, not to
+    # its input (the build.py encode-exchange rule). Measured 6.4s → 2.8s
+    # at sf0.1/32cpu; the single-task collapse is witnessed in
+    # OPTIMIZATION_r06.md.
+    n_parts = int(orders.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    csd = (
         orders.join(lineitem,
                     orders["o_orderkey"] == lineitem["l_orderkey"])
         .select(F.col("o_custkey").alias("cust"),
                 F.col("l_suppkey").alias("sup"))
+        .repartition(n_parts, "cust")
         .distinct()
+        .withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("cust")))
+        .filter((F.col("d") <= int(max_deg)) & (F.col("d") >= 2))
     )
-    deg = cust_sup.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
-    witnesses = deg.filter((F.col("d") <= int(max_deg)) & (F.col("d") >= 2))
-    cs = cust_sup.join(witnesses, "cust")
-    a = cs.select("cust", F.col("sup").alias("sup_a"), "d")
-    b = cs.select("cust", F.col("sup").alias("sup_b"))
+    a = csd.select("cust", F.col("sup").alias("sup_a"), "d")
+    b = csd.select("cust", F.col("sup").alias("sup_b"))
     pairs = (a.join(b, "cust")
              .filter(F.col("sup_a") < F.col("sup_b"))
              .groupBy("sup_a", "sup_b")
