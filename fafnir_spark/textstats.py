@@ -50,15 +50,22 @@ def token_count_col(text: Column | str = "text") -> Column:
 
 
 def shingles_expr(text: Column | str, n: int = 3) -> Column:
-    """Array of n-token shingles joined by '\\x1f' (empty if < n tokens)."""
-    toks = tokens_expr(text)
-    shingled = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), "\x1f"),
-    )
-    return F.when(F.size(toks) >= n, shingled).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Array of n-token shingles joined by '\\x1f' (empty if < n tokens).
+
+    The token array is bound ONCE per row via the lambda-let
+    (element_at(transform(array(e), f), 1)) — referencing the tokenization
+    expression inside the per-shingle transform re-evaluates it per index
+    (the winnow 25x lesson; measured ~2x on decontaminate at sf0.1)."""
+    def body(ts: Column) -> Column:
+        def join_at(i: Column) -> Column:
+            return F.array_join(F.slice(ts, i + 1, n), "\x1f")
+
+        shingled = F.transform(F.sequence(F.lit(0), F.size(ts) - n), join_at)
+        return F.when(F.size(ts) >= n, shingled).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(tokens_expr(text)), body), 1)
 
 
 def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
