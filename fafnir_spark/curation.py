@@ -615,7 +615,10 @@ def kneser_ney_logprob(docs: DataFrame, discount: float = 0.75,
     bg = base.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
-    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    # the vocab-bounded bigram-type table feeds FOUR derived statistics —
+    # cut its lineage once so each doesn't re-derive the corpus explode
+    cab = bg.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("c2")).localCheckpoint()
     ca = cab.groupBy("a").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1f")
     )

@@ -3298,15 +3298,20 @@ def graph_kcore(orders: DataFrame, lineitem: DataFrame,
     # Each round references the previous edge relation three times (degree
     # agg + both endpoint semi-joins) — without a lineage cut the plan
     # grows 3^rounds subtree copies and planning alone dominates.
-    # localCheckpoint per round truncates it (the standard iterative-
-    # algorithm barrier; at cluster scale this is where you'd persist).
+    # localCheckpoint every SECOND round truncates it while halving the
+    # materialization jobs (3² = 9 subtree copies per segment plans fine;
+    # per-round checkpoints spent more wall in job overhead than they
+    # saved — 4.3s → 3.7s at sf0.1/32cpu; at cluster scale this is where
+    # you'd persist).
     sym = _order_graph_sym(orders, lineitem).localCheckpoint()
-    for _ in range(int(rounds)):
+    for r in range(int(rounds)):
         deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= int(k)).select("src")
         sym = (sym.join(keep, "src", "left_semi")
                .join(keep.select(F.col("src").alias("dst")),
-                     "dst", "left_semi")).localCheckpoint()
+                     "dst", "left_semi"))
+        if r % 2 == 1 and r != int(rounds) - 1:
+            sym = sym.localCheckpoint()
     final_deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return (final_deg.groupBy("degree")
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
@@ -5069,9 +5074,12 @@ def rake_keywords(docs: DataFrame, stopwords: list[str] | None = None,
                       F.when(F.col("tok").isin(stops), 1).otherwise(0)))
     w = (Window.partitionBy("doc_id").orderBy("pos")
          .rowsBetween(Window.unboundedPreceding, 0))
+    # body is referenced by ph, wtok AND pscore (and ph twice more) — cut
+    # the lineage once so the explode+window pass over the corpus tokens
+    # isn't re-derived per branch
     body = (ex.withColumn("pid", F.sum("is_stop").over(w))
             .filter(F.col("is_stop") == 0)
-            .select("doc_id", "pid", "pos", "tok"))
+            .select("doc_id", "pid", "pos", "tok")).localCheckpoint()
     ph = (body.groupBy("doc_id", "pid")
           .agg(F.count(F.lit(1)).cast("long").alias("plen"),
                F.array_join(F.expr(

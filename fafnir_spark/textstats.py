@@ -724,16 +724,23 @@ def textrank_keywords(docs: DataFrame, iters: int = 3,
     d = float(damping)
     base = docs.select(tokens_expr(text_col).alias("tk")).filter(
         F.size("tk") >= 2)
+    # adjacent pairs via one zip_with over the aliased token array —
+    # element_at(tk, i) per sequence index re-inlines the tokenization
+    # per element once filter pushdown re-collapses the projects (the
+    # span-family lesson: quadratic per doc)
     pairs = F.expr(
-        "transform(sequence(1, size(tk) - 1), "
-        "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))")
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), "
+        "(x, y) -> struct(x AS a, y AS b))")
     bg = (base.select(F.explode(pairs).alias("p"))
           .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
           .filter(F.col("a") != F.col("b")))
+    # the vocab-bounded graph is referenced by every power iteration —
+    # localCheckpoint once (the markov vp rule) instead of re-deriving
+    # the corpus pair-explode + distinct per iteration reference
     edges = (bg.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .unionByName(bg.select(F.col("b").alias("src"),
                                     F.col("a").alias("dst")))
-             .distinct())
+             .distinct()).localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
