@@ -5158,11 +5158,14 @@ def als_rank1(orders: DataFrame, lineitem: DataFrame, iters: int = 2,
     factor relations are |users|- and |items|-bounded.
     (rank, l_partkey, v, rmse) top-k items by (v desc, partkey asc),
     rmse repeated (the psi rule)."""
+    # the ratings matrix feeds every half-step plus the rmse pass — cut
+    # its lineage once (three duplicate orders⋈lineitem scans otherwise;
+    # at cluster scale this is the persist-the-ratings-once ALS norm)
     rr = (orders.join(lineitem,
                       orders["o_orderkey"] == lineitem["l_orderkey"])
           .groupBy(F.col("o_custkey").alias("ck"),
                    F.col("l_partkey").alias("pk"))
-          .agg(F.count(F.lit(1)).cast("long").alias("r")))
+          .agg(F.count(F.lit(1)).cast("long").alias("r"))).localCheckpoint()
     v = rr.select("pk").distinct().withColumn("v", F.lit(1.0))
     rg = float(reg)
     u = None
