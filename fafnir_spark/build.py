@@ -413,16 +413,33 @@ def dictionary_from_postings(postings: DataFrame) -> DataFrame:
     from .codec import varint_decode
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            acc: dict[str, list[int]] = {}
-            for r in pdf.itertuples(index=False):
-                a = acc.setdefault(r.term, [0, 0])
-                a[0] += int(r.n)
-                a[1] += int(varint_decode(r.tfs).sum())
-            yield pd.DataFrame(
-                {"term": list(acc), "df": [v[0] for v in acc.values()],
-                 "cf": [v[1] for v in acc.values()]}
+            if len(pdf) == 0:
+                continue
+            # ONE vectorized varint pass over the whole batch: LEB128 is
+            # self-delimiting, so the concatenation of block buffers
+            # decodes to the concatenation of their values; per-block tf
+            # sums come from reduceat at the block value offsets (n values
+            # per block). The old per-row itertuples + varint_decode call
+            # was the build's second-biggest CPU stage (28.6s aggregate at
+            # the 30k-doc bench build — small-buffer numpy call overhead).
+            n_arr = pdf["n"].to_numpy(dtype=np.int64)
+            vals = varint_decode(b"".join(pdf["tfs"]))
+            cf_row = np.zeros(len(pdf), dtype=np.int64)
+            nz = n_arr > 0
+            if nz.any():
+                starts = np.concatenate(([0], np.cumsum(n_arr)[:-1]))
+                cf_row[nz] = np.add.reduceat(
+                    vals.astype(np.int64), starts[nz])
+            out = (
+                pd.DataFrame({"term": pdf["term"].to_numpy(),
+                              "df": n_arr, "cf": cf_row})
+                .groupby("term", sort=False, as_index=False)
+                .sum()
             )
+            yield out[["term", "df", "cf"]]
 
     return (
         postings.select("term", "n", "tfs")
