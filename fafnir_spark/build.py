@@ -114,6 +114,8 @@ def _encode_sorted(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """
     from .codec import positions_encode
 
+    from .codec import varint_encode_segments
+
     with_pos = "positions" in pdf.columns
     term = pdf["term"].to_numpy()
     part = pdf["doc_part"].to_numpy()
@@ -122,38 +124,61 @@ def _encode_sorted(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     dls = pdf["dl"].to_numpy(dtype=np.int64)
     ws = pdf["weight"].to_numpy(dtype=np.float64)
     pos = pdf["positions"].tolist() if with_pos else None
+    n_rows = len(pdf)
     change = np.flatnonzero((term[1:] != term[:-1]) | (part[1:] != part[:-1])) + 1
     starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(pdf)]))
-    keys = ["term", "doc_part", "block_id", "n", "first_doc", "last_doc",
-            "max_tf", "min_dl", "max_weight", "doc_ids", "tfs", "dls", "weights"]
+    ends = np.concatenate((change, [n_rows]))
+    # Block tiling fully vectorized (per-block python + per-block
+    # varint_encode calls were the encode stage's dominant CPU — 38.8s
+    # aggregate at the 30k-doc bench build, small-buffer call overhead):
+    # every block [lo, hi) of every (term, part) run, stats via reduceat
+    # at the contiguous block starts, byte payloads via ONE varint pass
+    # split at value boundaries (bit-identical per block by LEB128
+    # independence).
+    counts = ends - starts
+    nblocks = -(-counts // block_size)
+    run_idx = np.repeat(np.arange(len(starts)), nblocks)
+    block_id = (np.arange(len(run_idx), dtype=np.int64)
+                - np.repeat(np.concatenate(([0], np.cumsum(nblocks)[:-1])),
+                            nblocks))
+    lo = starts[run_idx] + block_id * block_size
+    hi = np.minimum(lo + block_size, ends[run_idx])
+    # delta stream: absolute at each block start, in-block diffs elsewhere
+    # (uint64 wraparound for negative ids — identical to per-block
+    # delta_encode)
+    u = ids.astype(np.uint64)
+    d = u.copy()
+    if n_rows > 1:
+        np.subtract(u[1:], u[:-1], out=d[1:])
+    d[lo] = u[lo]
+    out = {
+        "term": term[lo],
+        "doc_part": part[lo],
+        "block_id": block_id,
+        "n": hi - lo,
+        "first_doc": ids[lo],
+        "last_doc": ids[hi - 1],
+        "max_tf": np.maximum.reduceat(tfs, lo),
+        "min_dl": np.minimum.reduceat(dls, lo),
+        "max_weight": np.maximum.reduceat(ws, lo),
+        "doc_ids": varint_encode_segments(d, lo, hi),
+        "tfs": varint_encode_segments(tfs.astype(np.uint64), lo, hi),
+        "dls": varint_encode_segments(dls.astype(np.uint64), lo, hi),
+    }
+    # unboosted corpora dominate: elide all-1.0 weight blocks (empty blob
+    # decodes as ones) — 8 bytes/posting saved
+    wbytes = f64_encode(ws)
+    ones_cum = np.concatenate(([0], np.cumsum(ws == 1.0)))
+    out["weights"] = [
+        b"" if ones_cum[h] - ones_cum[l] == h - l else wbytes[8 * l:8 * h]
+        for l, h in zip(lo, hi)
+    ]
     if with_pos:
-        keys.append("positions")
-    rows: dict[str, list] = {k: [] for k in keys}
-    for s, e in zip(starts, ends):
-        for b, lo in enumerate(range(s, e, block_size)):
-            hi = min(lo + block_size, e)
-            rows["term"].append(term[lo])
-            rows["doc_part"].append(part[lo])
-            rows["block_id"].append(b)
-            rows["n"].append(hi - lo)
-            rows["first_doc"].append(ids[lo])
-            rows["last_doc"].append(ids[hi - 1])
-            rows["max_tf"].append(tfs[lo:hi].max())
-            rows["min_dl"].append(dls[lo:hi].min())
-            rows["max_weight"].append(ws[lo:hi].max())
-            rows["doc_ids"].append(delta_encode(ids[lo:hi].astype(np.uint64)))
-            rows["tfs"].append(varint_encode(tfs[lo:hi].astype(np.uint64)))
-            rows["dls"].append(varint_encode(dls[lo:hi].astype(np.uint64)))
-            # unboosted corpora dominate: elide all-1.0 weight blocks
-            # (empty blob decodes as ones) — 8 bytes/posting saved
-            wslice = ws[lo:hi]
-            rows["weights"].append(b"" if np.all(wslice == 1.0) else f64_encode(wslice))
-            if with_pos:
-                rows["positions"].append(
-                    positions_encode([np.asarray(p, dtype=np.uint64) for p in pos[lo:hi]])
-                )
-    return pd.DataFrame(rows)
+        out["positions"] = [
+            positions_encode([np.asarray(p, dtype=np.uint64) for p in pos[l:h]])
+            for l, h in zip(lo, hi)
+        ]
+    return pd.DataFrame(out)
 
 
 def _iter_group_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

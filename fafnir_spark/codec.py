@@ -24,12 +24,9 @@ _U64_7 = np.uint64(7)
 _U64_7F = np.uint64(0x7F)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array. Vectorized: O(10) numpy passes."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+def _varint_byte_offsets(v: np.ndarray) -> np.ndarray:
+    """Cumulative encoded-byte offsets (len n+1) for a uint64 array."""
     n = len(v)
-    if n == 0:
-        return b""
     nb = np.ones(n, dtype=np.int64)
     tmp = v >> _U64_7
     while tmp.any():
@@ -37,6 +34,17 @@ def varint_encode(values: np.ndarray) -> bytes:
         tmp = tmp >> _U64_7
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(nb, out=offs[1:])
+    return offs
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized: O(10) numpy passes."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    offs = _varint_byte_offsets(v)
+    nb = np.diff(offs)
     out = np.zeros(offs[-1], dtype=np.uint8)
     for j in range(10):  # 64 bits / 7 -> at most 10 bytes
         mask = nb > j
@@ -47,6 +55,21 @@ def varint_encode(values: np.ndarray) -> bytes:
         cont = ((nb[mask] - 1 > j).astype(np.uint8)) << 7
         out[idx] = byte | cont
     return out.tobytes()
+
+
+def varint_encode_segments(values: np.ndarray, seg_lo: np.ndarray,
+                           seg_hi: np.ndarray) -> list[bytes]:
+    """varint-encode ``values`` ONCE and split into per-segment buffers —
+    byte-identical to varint_encode(values[lo:hi]) per segment (LEB128
+    encodes each value independently, so the concatenation splits at value
+    boundaries). Kills the per-block small-buffer call overhead in the
+    posting encoder."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return [b""] * len(seg_lo)
+    buf = varint_encode(v)
+    offs = _varint_byte_offsets(v)
+    return [buf[offs[lo]:offs[hi]] for lo, hi in zip(seg_lo, seg_hi)]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
