@@ -86,7 +86,7 @@ def _tokenize_map_fn(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            trip = tok_fn(pdf["content"])
+            trip = tok_fn(pdf["content"], with_positions=with_positions)
             doc_id = pdf["doc_id"].to_numpy()
             out = {
                 "doc_id": doc_id,

@@ -20,6 +20,7 @@ No per-row Python UDFs anywhere (BASELINE.json input_hint).
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 import pandas as pd
 from pyspark.sql import Column
@@ -49,25 +50,38 @@ def _count_with_positions(toks: list[str]):
     return terms, [counts[t] for t in terms], len(toks), [positions[t] for t in terms]
 
 
-def tokenize_code_series(content: pd.Series) -> pd.Series:
+def _count_fast(toks: list[str]):
+    """Counts without position tracking: Counter's C-level update is ~4x
+    the manual dict loop, and non-positional builds never read positions.
+    Insertion (first-occurrence) term order matches _count_with_positions."""
+    c = Counter(toks)
+    return list(c.keys()), list(c.values()), len(toks), None
+
+
+def tokenize_code_series(content: pd.Series,
+                         with_positions: bool = True) -> pd.Series:
     """Batch tokenizer for index.build (mapInPandas): per document return
     (terms, tfs, dl, positions) — positions are 0-based token indexes per
-    term, enabling positional postings. Lowercased code tokens."""
+    term, enabling positional postings (None when ``with_positions`` is
+    off — the counts-only fast path). Lowercased code tokens."""
     findall = _CODE_TOKEN_RE.findall
+    count = _count_with_positions if with_positions else _count_fast
     out = []
     for text in content:
         toks = findall(text.lower()) if text else []
-        out.append(_count_with_positions(toks))
+        out.append(count(toks))
     return pd.Series(out)
 
 
-def whitespace_counts_series(content: pd.Series) -> pd.Series:
+def whitespace_counts_series(content: pd.Series,
+                             with_positions: bool = True) -> pd.Series:
     """Same contract as tokenize_code_series but whitespace-split tokens,
     mirroring ``tokens_expr`` (and therefore the DuckDB oracle)."""
+    count = _count_with_positions if with_positions else _count_fast
     out = []
     for text in content:
         toks = [t for t in (text.split(" ") if text else []) if t]
-        out.append(_count_with_positions(toks))
+        out.append(count(toks))
     return pd.Series(out)
 
 
