@@ -52,6 +52,21 @@ def term_dfs(tf: DataFrame) -> DataFrame:
     return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
 
 
+def _widen_scan(base: DataFrame) -> DataFrame:
+    """Input-skew guard (guide-§2.5 "repartition immediately after the
+    read"): a corpus packed into far fewer scan partitions than the
+    configured shuffle width serializes every tokenize pass behind 1-few
+    tasks (a single-row-group parquet file is unsplittable — measured a
+    1-task 1.0s stats pass per direct query at sf0.1, worse at larger SFs
+    where one file is still one task). Repartition by doc_id ONLY when the
+    scan is under-parallel; at production scale the scan already has more
+    partitions than this and the guard is a no-op."""
+    n = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if base.rdd.getNumPartitions() * 4 < n:
+        return base.repartition(n, "doc_id")
+    return base
+
+
 def _tf_dl_df(base: DataFrame, qterms: list[str], with_cf: bool = False) -> DataFrame:
     """(doc_id, term, tf, dl, df) for the query terms in ONE filtered pass:
     term-isin pushed below the tf groupBy (the shuffle carries only
@@ -125,7 +140,7 @@ def bm25_scores(
     cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")]
     if boost is not None:
         cols.append(boost.alias("__boost"))  # resolve against the raw input
-    base = docs.select(*cols)
+    base = _widen_scan(docs.select(*cols))
     # ONE filtered pass builds tf + dl + df together:
     #  * the term-isin literal filter runs BELOW the tf groupBy, so the
     #    shuffle carries only query-term tokens (never the whole vocabulary)
@@ -204,7 +219,7 @@ def bm25_topk_batch(
     cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")]
     if boost is not None:
         cols.append(boost.alias("__boost"))
-    base = docs.select(*cols)
+    base = _widen_scan(docs.select(*cols))
     # one filtered tf+dl+df pass over the batch's distinct terms, then the
     # broadcast (qid, term) join expands per query — see bm25_scores
     all_terms = sorted({t for ts in queries.values() for t in ts})

@@ -2340,13 +2340,13 @@ def simple_query_string_bm25(docs: DataFrame, q: str, k: int = 10,
     from pyspark.sql.window import Window
 
     from . import B, K1
-    from .query import SCORE_DECIMALS, _tf_dl_df
+    from .query import SCORE_DECIMALS, _tf_dl_df, _widen_scan
     from .tokenizer import tokens_expr
 
     groups = parse_simple_query_string(q)
     all_terms = sorted({t for g in groups for t in g["pos"] + g["neg"]})
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       F.col(text_col).alias("__text"))
+    base = _widen_scan(docs.select(F.col(id_col).alias("doc_id"),
+                                   F.col(text_col).alias("__text")))
     matched = _tf_dl_df(base, all_terms)
     stats = (
         base.select(F.size(tokens_expr("__text")).cast("long").alias("dl"))

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from . import B, K1
 from .portable import hash60
-from .query import SCORE_DECIMALS, _tf_dl_df, bm25_scores, tokens_expr
+from .query import SCORE_DECIMALS, _tf_dl_df, _widen_scan, bm25_scores, tokens_expr
 
 
 def _topk_ranked(scores: DataFrame, k: int) -> DataFrame:
@@ -92,7 +92,7 @@ def dis_max(
         [(t, i) for i, sq in enumerate(subqueries) for t in sorted(set(sq))],
         "term string, sub int",
     )
-    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    base = _widen_scan(docs.select("doc_id", F.col(text_col).alias("__text")))
     matched = _tf_dl_df(base, all_terms)
     stats = (
         base.select(F.size(tokens_expr("__text")).cast("long").alias("dl"))
@@ -404,7 +404,7 @@ def lm_topk(
     (= total corpus tokens) rides the 1-row stats aggregate. Operand
     order is pinned by the oracle template (oracles.lm_topk_sql)."""
     qterms = sorted(set(terms))
-    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    base = _widen_scan(docs.select("doc_id", F.col(text_col).alias("__text")))
     # cf via the same <=|qterms|-row groupBy broadcast as df (inside
     # _tf_dl_df) — never a per-term SUM window, which funnels a hot
     # term's whole match set through one reducer.
@@ -616,7 +616,7 @@ def search_as_you_type(
         F.transform(F.filter(toks, _is_pref), _tag("p")),
         F.transform(gram_arr, _tag("g")),
     )
-    base = docs.select(
+    base = _widen_scan(docs.select("doc_id", text_col)).select(
         "doc_id",
         F.size(toks).cast("long").alias("__dlb"),
         F.size(gram_arr).cast("long").alias("__dlg"),
@@ -704,7 +704,7 @@ def tfidf_classic_topk(
     window, 1-row n_docs aggregate."""
     qterms = sorted(set(terms))
     nq = float(len(qterms))
-    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    base = _widen_scan(docs.select("doc_id", F.col(text_col).alias("__text")))
     matched = _tf_dl_df(base, qterms)
     stats = (
         base.select(F.size(tokens_expr("__text")).cast("long").alias("dl"))
@@ -983,7 +983,7 @@ def scripted_similarity_topk(
     the script is row-local arithmetic, so FileScan == 2 regardless of
     the script. (rank, doc_id, score)."""
     thunk, _sql = parse_similarity_script(script)
-    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    base = _widen_scan(docs.select("doc_id", F.col(text_col).alias("__text")))
     matched = _tf_dl_df(base, sorted(set(terms)))
     stats = (
         base.select(F.size(tokens_expr("__text")).cast("long").alias("__dl"))
@@ -1019,7 +1019,7 @@ def bm25_plus_topk(
     Same one-pass _tf_dl_df shape as BM25: filtered tf with row-local dl,
     df via the bounded per-term groupBy broadcast, 1-row stats aggregate."""
     qterms = sorted(set(terms))
-    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    base = _widen_scan(docs.select("doc_id", F.col(text_col).alias("__text")))
     matched = _tf_dl_df(base, qterms)
     stats = (
         base.select(F.size(tokens_expr("__text")).cast("long").alias("dl"))

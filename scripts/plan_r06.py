@@ -88,6 +88,9 @@ def build(name, spark):
     if name == "bq_cosine_topk":
         from fafnir_spark.simsearch import bq_cosine_topk
         return bq_cosine_topk(emb, qvecs, k=10)
+    if name == "simple_query_string":
+        from fafnir_spark.query_ext import simple_query_string_bm25
+        return simple_query_string_bm25(docs, "merge window | vector -slow", k=10)
     raise SystemExit(f"unknown op {name}")
 
 
