@@ -62,7 +62,11 @@ def _widen_scan(base: DataFrame) -> DataFrame:
     scan is under-parallel; at production scale the scan already has more
     partitions than this and the guard is a no-op."""
     n = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if base.rdd.getNumPartitions() * 4 < n:
+    try:
+        n_files = len(base.inputFiles())
+    except Exception:
+        return base
+    if n_files * 4 < n:
         return base.repartition(n, "doc_id")
     return base
 

@@ -1,0 +1,128 @@
+"""Skewed-corpus scale witness (round 6): a planted df≈n_docs hot term.
+
+The (term, doc_part) posting key splits a hot term's postings across all
+n_parts shards BY CONSTRUCTION (build.py), so neither the build's encode
+shuffle nor the hot-term query should have a straggler stage. This script
+proves it with numbers instead of prose: build a corpus where ONE term
+occurs in EVERY document, run the build and the hot-term queries, and
+record per-stage max/median task times from the REST metrics endpoint.
+
+Run exclusively (any concurrent Spark job poisons task timings):
+    python scripts/scale_skew.py [n_docs] [out.json]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, ".")
+
+os.environ.setdefault("SPARK_GRAFT_UI", "1")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH/scale_skew.json"
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+
+    from pyspark.sql import functions as F
+
+    from fafnir_spark.build import build_index, normalize_docs
+    from fafnir_spark.corpus import synth_corpus
+    from fafnir_spark.query import bm25_topk
+    from fafnir_spark.session import get_spark
+    from fafnir_spark.wand import run_queries
+
+    spark = get_spark("scale-skew", cores=cores)
+    work = tempfile.mkdtemp(prefix="fafnir_skew_")
+    app = spark.sparkContext.applicationId
+    base = f"http://localhost:4040/api/v1/applications/{app}"
+
+    def stage_sample(t0_stage: int) -> list[dict]:
+        stages = json.load(urllib.request.urlopen(base + "/stages?status=complete&withSummaries=true"))
+        out = []
+        for s in stages:
+            if s["stageId"] < t0_stage or s["numCompleteTasks"] < 2:
+                continue
+            q = (s.get("taskMetricsDistributions") or {}).get("executorRunTime")
+            if not q:
+                continue
+            med, mx = q[2], q[4]  # quantiles [0,.25,.5,.75,1]
+            out.append({
+                "stage": s["stageId"],
+                "tasks": s["numCompleteTasks"],
+                "median_ms": round(med, 1),
+                "max_ms": round(mx, 1),
+                "skew_ratio": round(mx / med, 2) if med > 0 else None,
+                "shuffle_read_rows": s.get("shuffleReadRecords", 0),
+                "name": s["name"][:40],
+            })
+        return out
+
+    def max_stage_id() -> int:
+        stages = json.load(urllib.request.urlopen(base + "/stages"))
+        return max((s["stageId"] for s in stages), default=-1) + 1
+
+    # corpus: synth + the planted hot term appended to EVERY doc
+    corpus_path = os.path.join(work, "corpus")
+    hot = "hotskewterm"
+    (synth_corpus(spark, n_docs)
+     .withColumn("content", F.concat(F.col("content"), F.lit(" " + hot)))
+     .write.parquet(corpus_path))
+    docs = normalize_docs(spark.read.parquet(corpus_path))
+
+    result = {"n_docs": n_docs, "cores": cores, "hot_term": hot,
+              "hot_df_equals_n_docs": True}
+
+    m = max_stage_id()
+    t0 = time.time()
+    build_index(spark, docs, os.path.join(work, "idx"), n_parts=16,
+                block_size=128, tokenizer="code", build_id="skew", resume=False)
+    result["build_secs"] = round(time.time() - t0, 2)
+    result["build_docs_per_sec"] = round(n_docs / result["build_secs"], 1)
+    build_stages = stage_sample(m)
+    result["build_stages"] = sorted(build_stages, key=lambda s: -s["max_ms"])[:6]
+    result["build_max_skew_ratio"] = max(
+        (s["skew_ratio"] for s in build_stages if s["skew_ratio"]), default=None)
+
+    m = max_stage_id()
+    t0 = time.time()
+    rows = run_queries(spark, os.path.join(work, "idx"),
+                       {"hot": [hot], "hot2": [hot, "def"]}, k=10,
+                       algo="exhaustive").collect()
+    result["indexed_hot_query_secs"] = round(time.time() - t0, 2)
+    result["indexed_hot_rows"] = len(rows)
+    q_stages = stage_sample(m)
+    result["query_stages"] = sorted(q_stages, key=lambda s: -s["max_ms"])[:6]
+    result["query_max_skew_ratio"] = max(
+        (s["skew_ratio"] for s in q_stages if s["skew_ratio"]), default=None)
+
+    m = max_stage_id()
+    t0 = time.time()
+    bm25_topk(docs.select(F.col("doc_id"), F.col("content").alias("text")),
+              [hot, "def"], k=10).collect()
+    result["direct_hot_query_secs"] = round(time.time() - t0, 2)
+    d_stages = stage_sample(m)
+    result["direct_stages"] = sorted(d_stages, key=lambda s: -s["max_ms"])[:6]
+    result["direct_max_skew_ratio"] = max(
+        (s["skew_ratio"] for s in d_stages if s["skew_ratio"]), default=None)
+
+    result["generated_at"] = datetime.datetime.now().isoformat(timespec="seconds")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items()
+                      if not k.endswith("stages")}))
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
