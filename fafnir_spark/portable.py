@@ -37,3 +37,37 @@ def seeded(col: Column | str, seed: int | Column) -> Column:
 
 def seeded_sql(expr: str, seed: str) -> str:
     return hash60_sql(f"concat({seed}, ':', {expr})")
+
+
+def lit_doubles(values) -> Column:
+    """double-array literal via ONE parsed SQL expression. Per-element
+    F.lit builds pay a py4j round trip per element — measured 1.05s of
+    driver time for the 8 PQ codebooks vs 0.022s parsed (round 6). repr()
+    emits the shortest round-trip decimal and both Python and the JVM do
+    correctly-rounded decimal→binary, so the literal is bit-identical to
+    F.lit(float(x)) (verified incl. -0.0, 1e-17, 1.23e+305). Non-finite
+    values fall back to the per-element build ('infD' does not parse)."""
+    import math
+
+    vals = [float(x) for x in values]
+    if not vals:
+        return F.array().cast("array<double>")
+    if not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+
+
+def lit_doubles_2d(rows) -> Column:
+    """array<array<double>> literal, one parsed expression (see
+    lit_doubles)."""
+    import math
+
+    mat = [[float(x) for x in row] for row in rows]
+    if not mat or not all(
+        math.isfinite(v) for row in mat for v in row
+    ):
+        return F.array(*[lit_doubles(row) for row in mat])
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(repr(v) + "D" for v in row) + ")"
+            for row in mat) + ")")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import B, K1
-from .portable import hash60
+from .portable import hash60, lit_doubles
 from .query import SCORE_DECIMALS, _tf_dl_df, _widen_scan, bm25_scores, tokens_expr
 
 
@@ -752,7 +752,7 @@ def script_score_cosine(
     from .dedup import cosine_expr
 
     scores = bm25_scores(docs, terms, id_col=id_col, text_col=text_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_doubles(query_vec)
     vecs = emb.select(F.col(vec_id_col).alias("doc_id"), F.col(vec_col).alias("__e"))
     out = scores.join(vecs, "doc_id").select(
         "doc_id",

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .dedup import cosine_expr
+from .portable import lit_doubles, lit_doubles_2d
 
 DIM = 64
 
@@ -57,7 +58,7 @@ def plane_weights(tables: int, planes: int, dim: int = DIM) -> list[list[list[fl
 
 
 def _dot_lit(vec_col: Column, weights: list[float]) -> Column:
-    wlit = F.array(*[F.lit(x) for x in weights])
+    wlit = lit_doubles(weights)
     return F.aggregate(
         F.zip_with(vec_col, wlit, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -518,7 +519,7 @@ def _pq_code_col(vec_col: str, cb_m: list[list[float]], off: int) -> Column:
     array is then bound once via the 1-element-array lambda `let` so
     array_position/array_min don't duplicate it."""
     dsub = len(cb_m[0])
-    cblit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb_m])
+    cblit = lit_doubles_2d(cb_m)
     sub = F.slice(F.col(vec_col), off + 1, dsub)
 
     def dist_to(c):
@@ -594,7 +595,7 @@ def pq_cosine_topk(
     adc = None
     for mi, lm in enumerate(lut):
         term = F.element_at(
-            F.array(*[F.lit(float(v)) for v in lm]), F.col(f"c{mi}").cast("int")
+            lit_doubles(lm), F.col(f"c{mi}").cast("int")
         )
         adc = term if adc is None else adc + term
     cand = (
@@ -602,7 +603,7 @@ def pq_cosine_topk(
         .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
         .limit(n_candidates)
     )
-    ql = F.array(*[F.lit(float(x)) for x in query_vec])
+    ql = lit_doubles(query_vec)
     rer = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")).join(
         F.broadcast(cand.select("vec_id")), "vec_id"
     )
@@ -673,7 +674,7 @@ def pq_search(
     adc = None
     for mi, lm in enumerate(lut):
         term = F.element_at(
-            F.array(*[F.lit(float(v)) for v in lm]), F.col(f"c{mi}").cast("int")
+            lit_doubles(lm), F.col(f"c{mi}").cast("int")
         )
         adc = term if adc is None else adc + term
     cand = (
@@ -681,7 +682,7 @@ def pq_search(
         .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
         .limit(n_candidates)
     )
-    ql = F.array(*[F.lit(float(x)) for x in query_vec])
+    ql = lit_doubles(query_vec)
     rer = emb.select(F.col("vec_id"), F.col("embedding").alias("__v")).join(
         F.broadcast(cand.select("vec_id")), "vec_id"
     )
@@ -773,7 +774,7 @@ def cosine_range_search(
     against one probe vector. The threshold compares the ROUNDED score
     (rank-identity contract — both engines agree at the boundary).
     Returns (vec_id, cos) ordered by vec_id."""
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = lit_doubles(query_vec)
     scored = emb.select(
         F.col(id_col).alias("vec_id"),
         F.round(cosine_expr(F.col(vec_col), qlit), 6).alias("cos"),
@@ -1020,7 +1021,7 @@ def maxsim_topk(
     n_slices = dim // slice_dim
     per_token = []
     for tok in query_tokens:
-        tlit = F.array(*[F.lit(float(x)) for x in tok])
+        tlit = lit_doubles(tok)
         cands = [
             cosine_expr(F.slice(F.col(vec_col), s * slice_dim + 1, slice_dim), tlit)
             for s in range(n_slices)
@@ -1092,7 +1093,7 @@ def sq8_search(
         "vec_id",
         F.transform(F.col("codes"), lambda x: x.cast("double")).alias("codes"),
     )
-    ql = F.array(*[F.lit(float(x)) for x in query_vec])
+    ql = lit_doubles(query_vec)
     approx = codes.select(
         "vec_id", F.round(cosine_expr(F.col("codes"), ql), 6).alias("acos")
     )
@@ -1176,7 +1177,7 @@ def ivfsq_search(
     from .dedup import cosine_expr
 
     cat = Catalog(index_root)
-    ql = F.array(*[F.lit(float(x)) for x in query_vec])
+    ql = lit_doubles(query_vec)
     cents = cat.read_table(spark, "ivfsq_centroids")
     probes = (
         cents.select(
@@ -1388,7 +1389,7 @@ def bq_search(
 
     cand = topk_per_group(scored, k * rescore_factor, group_col="qid",
                           id_col="vec_id", val_col="nham").select("vec_id")
-    qlit = F.array(*[F.lit(x) for x in qv])
+    qlit = lit_doubles(qv)
     exact = cand.join(
         emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
         "vec_id",
@@ -1777,7 +1778,7 @@ def jl_projection_audit(emb: DataFrame, out_dim: int = 16,
     ratio) ordered (id_a, id_b)."""
     from .portable import hash60
     planes = _jl_planes(out_dim, 64, seed)
-    plit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    plit = lit_doubles_2d(planes)
     proj = F.transform(
         plit,
         lambda row: F.aggregate(

@@ -41,6 +41,7 @@ from pyspark.sql.window import Window
 
 from .catalog import Catalog
 from .codec import delta_decode, f64_decode, varint_decode
+from .portable import lit_doubles
 
 RESULT_SCHEMA = "qid string, doc_id long, raw_score double"
 
@@ -2156,7 +2157,7 @@ def script_score_cosine_indexed(
     out via the live-doc-map inner join, as on the direct path."""
     from .dedup import cosine_expr
 
-    ql = F.array(*[F.lit(float(x)) for x in query_vec])
+    ql = lit_doubles(query_vec)
     mult = emb.select(
         F.col("vec_id").alias("doc_id"),
         (F.round(cosine_expr(F.col("embedding"), ql), 6) + F.lit(1.0)).alias("__v"),
@@ -2444,7 +2445,7 @@ def doc_values_percentiles_indexed(
     one = lv.agg(
         F.expr(f"percentile(__v, {arr})").alias("vals"),
         F.count(F.lit(1)).cast("long").alias("n"))
-    qlits = F.array(*[F.lit(float(q)) for q in qs])
+    qlits = lit_doubles(qs)
     return (one.select(F.posexplode(F.arrays_zip(
         qlits.alias("q"), F.col("vals").alias("v"))).alias("i", "zq"),
         F.col("n"))
