@@ -2847,13 +2847,13 @@ def graph_bfs_hops(orders: DataFrame, lineitem: DataFrame,
     )
     # sym is referenced once per hop round — without a lineage cut each
     # round replans the orders⋈lineitem+distinct+union subtree (max_hops
-    # copies); the pinned repartition keeps the per-round edge⋈dist join
-    # colocated by src and stops AQE collapsing the expansion stage to the
-    # ~14 MB input width (measured 5.2s → 3.2s at sf0.1/32cpu).
-    n_parts = int(orders.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # copies; at scale that is max_hops duplicate joins). No repartition
+    # pin here: the per-round edge⋈dist join is ~1:1, not exploding, and
+    # an alternating A/B showed the pinned extra shuffle costing ~0.4s at
+    # sf0.1 (the link_prediction pin rule applies to FAN-OUT stages only).
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.repartition(n_parts, "src").localCheckpoint()
+    sym = sym.localCheckpoint()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     dist = (nodes.filter(F.col("node").isin([int(s) for s in seeds]))
             .select("node", F.lit(0).cast("long").alias("d")))
